@@ -1,10 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  -> flagship pipeline on /root/testdata/sf0.001
+queries()     -> operator inventory, each (spark, sf_dir) -> DataFrame
+oracle_sql()  -> DuckDB-equivalent SQL per query key
 """
 
 from __future__ import annotations
@@ -15,24 +13,28 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full transcript->SEM-triple pipeline on sf0.001.
+
+    events parquet -> transcripts view -> Arrow-batched mention extraction ->
+    event-graph materialization (typing, actors, tools, begin/end timestamps,
+    sub-event + temporal ordering edges).
+    """
+    from chronographer_spark.data.transcripts import transcripts_from_events
+    from chronographer_spark.extraction.mentions import extract_mentions
+    from chronographer_spark.graph.materialize import materialize_event_graph
+
+    tx = transcripts_from_events(spark, "/root/testdata/sf0.001")
+    mentions = extract_mentions(tx)
+    return materialize_event_graph(tx, mentions)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from chronographer_spark import entry_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return entry_queries.QUERIES
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from chronographer_spark import entry_queries
+
+    return entry_queries.ORACLE_SQL

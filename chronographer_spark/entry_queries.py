@@ -1,0 +1,738 @@
+"""Operator inventory for the driver's correctness gate.
+
+Each entry pairs a Spark implementation (QUERIES[name](spark, sf_dir)) with a
+DuckDB oracle (ORACLE_SQL[name]) over the same parquet tables. Column names
+and value representations are pinned identically on both sides; floats are
+emitted as scaled BIGINTs (floor(x*K + 0.5)) so value hashes are portable.
+
+Keys map to SURVEY.md §2 operator IDs (noted per query).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .data.transcripts import transcripts_from_events
+from .extraction.mentions import extract_mentions
+from .graph.materialize import materialize_event_graph
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Shared SQL fragment: the transcripts view derived from `events`
+# (mirrors data/transcripts.py::transcripts_from_events exactly)
+# ---------------------------------------------------------------------------
+
+TX_SQL = """
+WITH ev_rn AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+tx AS (
+  SELECT
+    'conv' || lpad(CAST(user_id AS VARCHAR), 6, '0') AS conv_id,
+    CAST(rn - 1 AS INT) AS turn_idx,
+    ['user','assistant','tool'][CAST((rn - 1) % 3 AS INT) + 1] AS role,
+    'event ' || event_type || ' with value '
+      || CAST(CAST(floor(value) AS BIGINT) AS VARCHAR)
+      || ' recorded on ' || strftime(ts, '%Y-%m-%d') AS text,
+    CASE WHEN (rn - 1) % 3 = 2 THEN event_type ELSE '' END AS tool,
+    ts
+  FROM ev_rn
+)
+"""
+
+NS_NG = "http://chronographer-spark.local/ng/"
+NS_SEM = "http://semanticweb.cs.vu.nl/2009/11/sem/"
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+# ---------------------------------------------------------------------------
+# Q: flagship — full transcript -> SEM event graph (extraction UDF + emission)
+# ---------------------------------------------------------------------------
+
+
+def q_flagship_event_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tx = transcripts_from_events(spark, sf_dir)
+    return materialize_event_graph(tx, extract_mentions(tx))
+
+
+FLAGSHIP_SQL = f"""
+{TX_SQL},
+e AS (
+  SELECT tx.*,
+    '{NS_NG}event/' || conv_id || '/' || CAST(turn_idx AS VARCHAR) AS ev_uri,
+    '{NS_NG}conversation/' || conv_id AS conv_uri,
+    regexp_extract(text, '\\d{{4}}-\\d{{2}}-\\d{{2}}') AS day
+  FROM tx
+)
+SELECT subject, predicate, object FROM (
+  SELECT ev_uri AS subject, '{RDF_TYPE}' AS predicate, '{NS_SEM}Event' AS object FROM e
+  UNION
+  SELECT ev_uri, '{NS_SEM}hasActor', '{NS_NG}actor/' || role FROM e
+  UNION
+  SELECT ev_uri, '{NS_SEM}subEventOf', conv_uri FROM e
+  UNION
+  SELECT conv_uri, '{NS_SEM}hasSubEvent', ev_uri FROM e
+  UNION
+  SELECT ev_uri, '{NS_NG}inConversation', conv_uri FROM e
+  UNION
+  SELECT '{NS_NG}event/' || conv_id || '/' || CAST(turn_idx AS VARCHAR),
+         '{NS_NG}nextEvent',
+         '{NS_NG}event/' || conv_id || '/' || CAST(nt AS VARCHAR)
+  FROM (SELECT conv_id, turn_idx,
+               lead(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS nt
+        FROM e)
+  WHERE nt IS NOT NULL
+  UNION
+  SELECT ev_uri, '{NS_NG}usedTool', '{NS_NG}tool/' || tool
+  FROM e WHERE role = 'tool' AND tool <> ''
+  UNION
+  SELECT ev_uri, '{NS_SEM}hasBeginTimeStamp', day FROM e WHERE day <> ''
+  UNION
+  SELECT ev_uri, '{NS_SEM}hasEndTimeStamp', day FROM e WHERE day <> ''
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: transcripts view itself (derivation determinism check)
+# ---------------------------------------------------------------------------
+
+
+def q_transcripts_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return transcripts_from_events(spark, sf_dir).select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        "tool",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+    )
+
+
+TX_VIEW_SQL = f"""
+{TX_SQL}
+SELECT conv_id, turn_idx, role, text, tool,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
+FROM tx
+"""
+
+
+# ---------------------------------------------------------------------------
+# A1: occurrence counting (path popularity)
+# ---------------------------------------------------------------------------
+
+
+def q_occurrence_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(F.count("*").alias("cnt"))
+
+
+# ---------------------------------------------------------------------------
+# A2/A3: entropy score + deterministic argmax (ranker semantics,
+# reference src/ranker.py:40-64 with pinned (score desc, key asc) tie-break)
+# ---------------------------------------------------------------------------
+
+
+def q_entropy_rank_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy()
+    scored = counts.withColumn("tot", F.sum("cnt").over(w)).withColumn(
+        "score",
+        -(F.col("cnt") / F.col("tot")) * F.log(F.col("cnt") / F.col("tot")),
+    )
+    top = scored.orderBy(F.desc("score"), F.asc("event_type")).limit(1)
+    return top.select(
+        "event_type",
+        F.floor(F.col("score") * 1000000 + F.lit(0.5)).cast("long").alias("score_x1e6"),
+    )
+
+
+ENTROPY_SQL = """
+WITH counts AS (SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type),
+scored AS (
+  SELECT event_type,
+         -(CAST(cnt AS DOUBLE) / SUM(cnt) OVER ()) * ln(CAST(cnt AS DOUBLE) / SUM(cnt) OVER ()) AS score
+  FROM counts
+)
+SELECT event_type,
+       CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_x1e6
+FROM scored ORDER BY score DESC, event_type ASC LIMIT 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# J1/J2: frontier expansion join (set-oriented; one hash join per iteration)
+# ---------------------------------------------------------------------------
+
+
+def q_frontier_expand_outgoing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    frontier = cust.filter(F.col("c_acctbal") > 9000).select("c_custkey")
+    triples = orders.select(
+        F.concat(F.lit("cust:"), F.col("o_custkey").cast("string")).alias("subject"),
+        F.lit("placed").alias("predicate"),
+        F.concat(F.lit("order:"), F.col("o_orderkey").cast("string")).alias("object"),
+        F.col("o_custkey"),
+    )
+    # broadcast the small frontier side — no shuffle of the big triple table
+    return (
+        triples.join(
+            F.broadcast(frontier), triples.o_custkey == frontier.c_custkey, "left_semi"
+        )
+        .select("subject", "predicate", "object")
+        .dropDuplicates()
+    )
+
+
+FRONTIER_OUT_SQL = """
+SELECT DISTINCT 'cust:' || CAST(o_custkey AS VARCHAR) AS subject,
+       'placed' AS predicate,
+       'order:' || CAST(o_orderkey AS VARCHAR) AS object
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+"""
+
+
+# ---------------------------------------------------------------------------
+# J3: two-hop specific-outgoing (frontier -> neighbors -> their type/date rows)
+# ---------------------------------------------------------------------------
+
+
+def q_two_hop_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    frontier = cust.filter(F.col("c_acctbal") > 9000).select("c_custkey")
+    hop1 = orders.join(
+        F.broadcast(frontier), orders.o_custkey == frontier.c_custkey, "inner"
+    ).select("o_orderkey", "o_custkey")
+    hop2 = li.join(hop1, li.l_orderkey == hop1.o_orderkey, "inner")
+    return hop2.groupBy("o_custkey").agg(
+        F.count("*").alias("n_lineitems"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+    )
+
+
+TWO_HOP_SQL = """
+SELECT o.o_custkey AS o_custkey, count(*) AS n_lineitems,
+       count(DISTINCT l.l_partkey) AS n_parts
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+GROUP BY o.o_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# F11/U2: pending-minus-visited anti-join
+# ---------------------------------------------------------------------------
+
+
+def q_anti_join_visited(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    visited = ev.filter(F.col("event_type") == "signup").select("user_id").dropDuplicates()
+    return (
+        ev.join(visited, "user_id", "left_anti")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+ANTI_JOIN_SQL = """
+SELECT user_id, count(*) AS n_events FROM events
+WHERE user_id NOT IN (SELECT DISTINCT user_id FROM events WHERE event_type = 'signup')
+GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# F5: temporal range discard (string-lexical ISO compare, filtering.py:52-63)
+# ---------------------------------------------------------------------------
+
+
+def q_temporal_discard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # each event is a node with a point-in-time date; discard iff the date
+    # falls outside the window — lexical ISO compare, exactly filtering.py:56-63
+    ev = _t(spark, sf_dir, "events")
+    lo, hi = "2024-03-01", "2024-09-30"
+    nodes = ev.select(
+        "event_id", F.date_format("ts", "yyyy-MM-dd").alias("point_in_time")
+    )
+    return nodes.filter(
+        (F.col("point_in_time") < F.lit(lo)) | (F.col("point_in_time") > F.lit(hi))
+    )
+
+
+TEMPORAL_DISCARD_SQL = """
+SELECT event_id, strftime(ts, '%Y-%m-%d') AS point_in_time FROM events
+WHERE strftime(ts, '%Y-%m-%d') < '2024-03-01'
+   OR strftime(ts, '%Y-%m-%d') > '2024-09-30'
+"""
+
+
+# ---------------------------------------------------------------------------
+# F6: URI-year regex discard (filtering.py:65-97 semantics: extract \d{4},
+# default to window-start year, discard outside [start_year, end_year])
+# ---------------------------------------------------------------------------
+
+
+def q_regex_year_discard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    uris = li.select(
+        F.concat(
+            F.lit("evt_"), F.date_format("l_shipdate", "yyyy"), F.lit("_item")
+        ).alias("uri")
+    ).dropDuplicates()
+    year = F.coalesce(
+        F.nullif(F.regexp_extract("uri", r"(\d{4})", 1), F.lit("")), F.lit("1995")
+    )
+    return uris.withColumn("year", year).filter(
+        (F.col("year") < "1996") | (F.col("year") > "1999")
+    )
+
+
+REGEX_DISCARD_SQL = """
+WITH uris AS (
+  SELECT DISTINCT 'evt_' || strftime(l_shipdate, '%Y') || '_item' AS uri FROM lineitem
+)
+SELECT uri, coalesce(nullif(regexp_extract(uri, '(\\d{4})', 1), ''), '1995') AS year
+FROM uris
+WHERE coalesce(nullif(regexp_extract(uri, '(\\d{4})', 1), ''), '1995') < '1996'
+   OR coalesce(nullif(regexp_extract(uri, '(\\d{4})', 1), ''), '1995') > '1999'
+"""
+
+
+# ---------------------------------------------------------------------------
+# J4: superclass annotation via broadcast joins (ordering.py:146-174 analog)
+# ---------------------------------------------------------------------------
+
+
+def q_superclass_annotate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    closure = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select(F.col("n_nationkey"), F.col("n_name"), F.col("r_name"))
+    return (
+        cust.join(F.broadcast(closure), cust.c_nationkey == closure.n_nationkey)
+        .select(
+            "c_custkey",
+            F.col("n_name").alias("class"),
+            F.col("r_name").alias("superclass"),
+        )
+    )
+
+
+SUPERCLASS_SQL = """
+SELECT c.c_custkey, n.n_name AS class, r.r_name AS superclass
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Window ops (§2.5): lead ordering edges + first-mention dedup
+# ---------------------------------------------------------------------------
+
+
+def q_window_lead_next(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id", "event_id", F.lead("event_id").over(w).alias("next_event_id")
+    )
+
+
+WINDOW_LEAD_SQL = """
+SELECT user_id, event_id,
+       lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_event_id
+FROM events
+"""
+
+
+def q_window_first_mention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id")
+    )
+
+
+WINDOW_FIRST_SQL = """
+SELECT user_id, event_type, event_id FROM (
+  SELECT user_id, event_type, event_id,
+         row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# A8: min-start/max-end with end:=start fallback (generic_kb_to_ng.py:152-177)
+# ---------------------------------------------------------------------------
+
+
+def q_minmax_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy("user_id").agg(
+        F.date_format(
+            F.min(F.when(F.col("event_type") == "signup", F.col("ts"))), "yyyy-MM-dd"
+        ).alias("begin"),
+        F.date_format(
+            F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))), "yyyy-MM-dd"
+        ).alias("end_raw"),
+    )
+    return (
+        agg.filter(F.col("begin").isNotNull())
+        .withColumn("end", F.coalesce("end_raw", "begin"))
+        .select("user_id", "begin", "end")
+    )
+
+
+MINMAX_SQL = """
+WITH agg AS (
+  SELECT user_id,
+    strftime(min(CASE WHEN event_type = 'signup' THEN ts END), '%Y-%m-%d') AS begin,
+    strftime(max(CASE WHEN event_type = 'purchase' THEN ts END), '%Y-%m-%d') AS end_raw
+  FROM events GROUP BY user_id
+)
+SELECT user_id, begin, coalesce(end_raw, begin) AS "end"
+FROM agg WHERE begin IS NOT NULL
+"""
+
+
+# ---------------------------------------------------------------------------
+# F13: exact dedup; U4: set difference; A4: unique-event count
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.countDistinct("text").alias("n_unique"), F.count("*").alias("n_rows")
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT lang, source, count(DISTINCT text) AS n_unique, count(*) AS n_rows
+FROM documents GROUP BY lang, source
+"""
+
+
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # triple-set difference (sem_comparison.py:52-55 analog) on word sets
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    w0 = words.filter(F.col("doc_id") == 0).select("word").distinct()
+    w1 = words.filter(F.col("doc_id") == 1).select("word").distinct()
+    return w0.subtract(w1)
+
+
+SET_EXCEPT_SQL = """
+SELECT DISTINCT w AS word FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                                FROM documents) WHERE doc_id = 0
+EXCEPT
+SELECT DISTINCT w FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                        FROM documents) WHERE doc_id = 1
+"""
+
+
+def q_count_unique_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        F.countDistinct("event_id").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+COUNT_UNIQUE_SQL = """
+SELECT count(DISTINCT event_id) AS n_events, count(DISTINCT user_id) AS n_users
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# A6: event-level P/R/F1 (metrics.py:62-94) — integer-scaled
+# ---------------------------------------------------------------------------
+
+
+def q_event_prf1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    gold = ev.filter(F.col("event_type") == "signup").select("user_id").distinct()
+    found = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    tp = found.join(gold, "user_id", "inner").count()
+    fp = found.join(gold, "user_id", "left_anti").count()
+    fn = gold.join(found, "user_id", "left_anti").count()
+    spark_df = spark.createDataFrame([(tp, fp, fn)], ["tp", "fp", "fn"])
+    return spark_df.selectExpr(
+        "tp",
+        "fp",
+        "fn",
+        "CAST(tp * 1000000 DIV (tp + fp) AS BIGINT) AS p_x1e6",
+        "CAST(tp * 1000000 DIV (tp + fn) AS BIGINT) AS r_x1e6",
+    )
+
+
+PRF1_SQL = """
+WITH gold AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'),
+found AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+c AS (
+  SELECT
+    (SELECT count(*) FROM found WHERE user_id IN (SELECT user_id FROM gold)) AS tp,
+    (SELECT count(*) FROM found WHERE user_id NOT IN (SELECT user_id FROM gold)) AS fp,
+    (SELECT count(*) FROM gold WHERE user_id NOT IN (SELECT user_id FROM found)) AS fn
+)
+SELECT tp, fp, fn,
+       CAST((tp * 1000000) // (tp + fp) AS BIGINT) AS p_x1e6,
+       CAST((tp * 1000000) // (tp + fn) AS BIGINT) AS r_x1e6
+FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis ops over documents
+# ---------------------------------------------------------------------------
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+
+
+TOKEN_COUNT_SQL = """
+SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    return docs.select(
+        "doc_id",
+        F.floor(
+            (F.size(F.array_distinct(words)) * 10000).cast("double") / F.size(words)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("distinct_ratio_x1e4"),
+        F.size(words).cast("long").alias("n_tokens"),
+    )
+
+
+QUALITY_SQL = """
+SELECT doc_id,
+  CAST(floor(CAST(len(list_distinct(string_split(text, ' '))) * 10000 AS DOUBLE)
+       / len(string_split(text, ' ')) + 0.5) AS BIGINT) AS distinct_ratio_x1e4,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+FROM documents
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    stop = F.size(F.expr("filter(split(text, ' '), w -> w IN ('the', 'a'))"))
+    return docs.select(
+        "doc_id",
+        F.floor((stop * 10000).cast("double") / F.size(words) + F.lit(0.5))
+        .cast("long")
+        .alias("stopword_ratio_x1e4"),
+    )
+
+
+LANG_ID_SQL = """
+SELECT doc_id,
+  CAST(floor(CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) * 10000 AS DOUBLE)
+       / len(string_split(text, ' ')) + 0.5) AS BIGINT) AS stopword_ratio_x1e4
+FROM documents
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.md5("text").alias("fp"))
+
+
+FINGERPRINT_SQL = "SELECT doc_id, md5(text) AS fp FROM documents"
+
+
+def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    w = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    return w.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"s{i}|"), F.col("word")))).alias(f"h{i}")
+            for i in range(4)
+        ]
+    )
+
+
+MINHASH_SQL = """
+SELECT doc_id,
+  min(md5('s0|' || w)) AS h0, min(md5('s1|' || w)) AS h1,
+  min(md5('s2|' || w)) AS h2, min(md5('s3|' || w)) AS h3
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+GROUP BY doc_id
+"""
+
+
+def q_vocab_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    vocab = ["spark", "join", "merge", "customer", "window"]
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word").isin(vocab))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+VOCAB_MENTIONS_SQL = """
+SELECT w AS word, count(*) AS cnt
+FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+WHERE w IN ('spark', 'join', 'merge', 'customer', 'window')
+GROUP BY w
+"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity: brute-force cosine top-k (rank output; scaled sim for stability)
+# ---------------------------------------------------------------------------
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("q"))
+    dot = F.aggregate(
+        F.zip_with("v", "q", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.col(c), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    sims = (
+        emb.crossJoin(F.broadcast(qv))
+        .filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            (dot / (norm("v") * norm("q"))).alias("sim"),
+        )
+    )
+    # top-k via orderBy+limit compiles to TakeOrderedAndProject (per-partition
+    # heap + driver merge) — no single-partition global window shuffle
+    topk = sims.orderBy(F.desc("sim"), F.asc("vec_id")).limit(10)
+    w = Window.orderBy(F.desc("sim"), F.asc("vec_id"))  # 10 rows only
+    return topk.withColumn("rank", F.row_number().over(w)).select("vec_id", "rank")
+
+
+COSINE_TOPK_SQL = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = 0),
+sims AS (
+  SELECT e.vec_id,
+         list_dot_product(CAST(e.embedding AS DOUBLE[]), q.q)
+           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(q.q, q.q))) AS sim
+  FROM embeddings e, q WHERE e.vec_id <> 0
+)
+SELECT vec_id, CAST(row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS INT) AS rank
+FROM sims ORDER BY sim DESC, vec_id ASC LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# G7: connected components canonicalization (chain-edge fixture; expected
+# canonical = min custkey per nation, trivially SQL-checkable)
+# ---------------------------------------------------------------------------
+
+
+def q_cc_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .linking.canonicalize import connected_components
+
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+    edges = (
+        cust.withColumn("nxt", F.lead("c_custkey").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select(F.col("c_custkey").alias("src"), F.col("nxt").alias("dst"))
+    )
+    singletons = cust.select(F.col("c_custkey").alias("node"))
+    cc = connected_components(edges, all_nodes=singletons)
+    return cc.select("node", "component").withColumnRenamed("component", "canonical")
+
+
+CC_SQL = """
+SELECT c_custkey AS node, min(c_custkey) OVER (PARTITION BY c_nationkey) AS canonical
+FROM customer
+"""
+
+
+QUERIES = {
+    "flagship_event_graph": q_flagship_event_graph,
+    "transcripts_view": q_transcripts_view,
+    "occurrence_count": q_occurrence_count,
+    "entropy_rank_top1": q_entropy_rank_top1,
+    "frontier_expand_outgoing": q_frontier_expand_outgoing,
+    "two_hop_expand": q_two_hop_expand,
+    "anti_join_visited": q_anti_join_visited,
+    "temporal_discard": q_temporal_discard,
+    "regex_year_discard": q_regex_year_discard,
+    "superclass_annotate": q_superclass_annotate,
+    "window_lead_next": q_window_lead_next,
+    "window_first_mention": q_window_first_mention,
+    "minmax_dates": q_minmax_dates,
+    "dedup_exact": q_dedup_exact,
+    "set_except": q_set_except,
+    "count_unique_events": q_count_unique_events,
+    "event_prf1": q_event_prf1,
+    "token_count": q_token_count,
+    "quality_score": q_quality_score,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "minhash_signature": q_minhash_signature,
+    "vocab_mentions": q_vocab_mentions,
+    "cosine_topk": q_cosine_topk,
+    "cc_canonical": q_cc_canonical,
+}
+
+ORACLE_SQL = {
+    "flagship_event_graph": FLAGSHIP_SQL,
+    "transcripts_view": TX_VIEW_SQL,
+    "occurrence_count": "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type",
+    "entropy_rank_top1": ENTROPY_SQL,
+    "frontier_expand_outgoing": FRONTIER_OUT_SQL,
+    "two_hop_expand": TWO_HOP_SQL,
+    "anti_join_visited": ANTI_JOIN_SQL,
+    "temporal_discard": TEMPORAL_DISCARD_SQL,
+    "regex_year_discard": REGEX_DISCARD_SQL,
+    "superclass_annotate": SUPERCLASS_SQL,
+    "window_lead_next": WINDOW_LEAD_SQL,
+    "window_first_mention": WINDOW_FIRST_SQL,
+    "minmax_dates": MINMAX_SQL,
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "set_except": SET_EXCEPT_SQL,
+    "count_unique_events": COUNT_UNIQUE_SQL,
+    "event_prf1": PRF1_SQL,
+    "token_count": TOKEN_COUNT_SQL,
+    "quality_score": QUALITY_SQL,
+    "lang_id": LANG_ID_SQL,
+    "doc_fingerprint": FINGERPRINT_SQL,
+    "minhash_signature": MINHASH_SQL,
+    "vocab_mentions": VOCAB_MENTIONS_SQL,
+    "cosine_topk": COSINE_TOPK_SQL,
+    "cc_canonical": CC_SQL,
+}

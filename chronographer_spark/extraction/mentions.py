@@ -1,0 +1,140 @@
+"""Batched per-turn mention detection + (s,p,o) extraction.
+
+Spark-first re-expression of the reference's text path
+(reference: src/build_ng/frame_semantics.py:125-144 bulk frame detection,
+src/build_ng/dbpedia_spotlight.py:25-44 entity linking): instead of per-doc
+REST/NLP calls, a deterministic rule extractor runs inside `mapInPandas`
+over Arrow batches — vectorized pandas string ops, zero per-row Python.
+
+Extraction rules (deterministic, oracle-replayable):
+- ISO dates `\\d{4}-\\d{2}-\\d{2}` -> dimension "when"
+- vocabulary mentions (persons -> "who", places -> "where"); the vocab is a
+  small broadcast dict captured in the UDF closure (the reference broadcasts
+  its domain/range/superclass JSONs the same way, generic_kb_to_ng.py:83-85)
+- role=tool turns emit a "tool" mention with the tool name
+  (transcript-graft analog of frame detection)
+
+Every output row carries (conv_id, turn_idx, text) so the per-turn
+text-equality invariant can be asserted by joining back to the input under
+stable (conv_id, turn_idx) ordering — Arrow batches do NOT preserve global
+order, so order-sensitive logic never keys on batch position.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..schemas import MENTION_SCHEMA
+from ..vocab import PERSONS, PLACES
+
+DATE_RE = r"\d{4}-\d{2}-\d{2}"
+
+
+def _vocab_regex(vocab: list[str]) -> str:
+    # longest-first alternation so multi-word names win over prefixes
+    return "(" + "|".join(re.escape(v) for v in sorted(vocab, key=len, reverse=True)) + ")"
+
+
+def _extract_batch(
+    pdf: pd.DataFrame, person_re: str, place_re: str
+) -> pd.DataFrame:
+    """Vectorized extraction over one Arrow batch."""
+    base = pdf[["conv_id", "turn_idx", "text"]].copy()
+    base["text"] = base["text"].fillna("")
+    outs: list[pd.DataFrame] = []
+
+    for pattern, dim in ((DATE_RE, "when"), (person_re, "who"), (place_re, "where")):
+        found = base["text"].str.extractall(f"({pattern})")
+        if len(found):
+            hits = found[0] if dim == "when" else found[0]
+            idx = found.index.get_level_values(0)
+            out = base.loc[idx, ["conv_id", "turn_idx", "text"]].reset_index(drop=True)
+            out["mention"] = hits.to_numpy()
+            out["dimension"] = dim
+            outs.append(out)
+
+    tool_rows = pdf[(pdf["role"] == "tool") & (pdf["tool"].fillna("") != "")]
+    if len(tool_rows):
+        out = tool_rows[["conv_id", "turn_idx", "text"]].copy()
+        out["text"] = out["text"].fillna("")
+        out["mention"] = tool_rows["tool"].to_numpy()
+        out["dimension"] = "tool"
+        outs.append(out)
+
+    if not outs:
+        return pd.DataFrame(
+            columns=["conv_id", "turn_idx", "mention", "dimension", "text"]
+        )
+    res = pd.concat(outs, ignore_index=True)
+    res = res[["conv_id", "turn_idx", "mention", "dimension", "text"]]
+    # dedupe within turn (reference dedups after every scan, interface.py:171)
+    return res.drop_duplicates()
+
+
+def extract_mentions(
+    transcripts: DataFrame,
+    persons: list[str] | None = None,
+    places: list[str] | None = None,
+) -> DataFrame:
+    """transcripts -> mention rows via Arrow-batched mapInPandas."""
+    person_re = _vocab_regex(persons or PERSONS)
+    place_re = _vocab_regex(places or PLACES)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _extract_batch(pdf, person_re, place_re)
+
+    cols = ["conv_id", "turn_idx", "role", "text", "tool"]
+    return (
+        transcripts.select(*cols)
+        .mapInPandas(gen, schema=MENTION_SCHEMA)
+        .dropDuplicates(["conv_id", "turn_idx", "mention", "dimension"])
+    )
+
+
+def extract_mentions_sqlonly(
+    transcripts: DataFrame,
+    persons: list[str] | None = None,
+    places: list[str] | None = None,
+) -> DataFrame:
+    """Pure-native variant of the same rules (regexp_extract_all + explode).
+
+    Used to cross-check the pandas-UDF path and as the whole-stage-codegen
+    fast path when the rule set needs no Python at all.
+    """
+    person_re = _vocab_regex(persons or PERSONS)
+    place_re = _vocab_regex(places or PLACES)
+    t = transcripts.select(
+        "conv_id", "turn_idx", "role", F.coalesce("text", F.lit("")).alias("text"), "tool"
+    )
+
+    def rule(pattern: str, dim: str) -> DataFrame:
+        return t.select(
+            "conv_id",
+            "turn_idx",
+            F.explode(F.regexp_extract_all("text", F.lit(f"({pattern})"), 1)).alias(
+                "mention"
+            ),
+            F.lit(dim).alias("dimension"),
+            "text",
+        )
+
+    tools = t.filter((F.col("role") == "tool") & (F.coalesce("tool", F.lit("")) != "")).select(
+        "conv_id",
+        "turn_idx",
+        F.col("tool").alias("mention"),
+        F.lit("tool").alias("dimension"),
+        "text",
+    )
+    out = (
+        rule(DATE_RE, "when")
+        .unionByName(rule(person_re, "who"))
+        .unionByName(rule(place_re, "where"))
+        .unionByName(tools)
+    )
+    return out.dropDuplicates(["conv_id", "turn_idx", "mention", "dimension"])

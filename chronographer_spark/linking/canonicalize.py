@@ -1,0 +1,134 @@
+"""Entity canonicalization: alias edges -> canonical entity dictionary.
+
+The reference's canonicalization is a driver-side dict of
+wikiPageRedirects alias -> canonical URI (reference:
+src/get_equivalent_url.py:13-35, applied in src/metrics.py:104-106 f_change).
+At 10^12-turn scale the alias graph does not fit a dict: we compute connected
+components over alias edges with the alternating large-star/small-star
+algorithm (Kiveris et al., "Connected Components in MapReduce and Beyond",
+SOCC 2014 — the same algorithm behind GraphFrames' CC), expressed purely as
+DataFrame self-joins + aggregations.
+
+Skew: hub entities (an alias cluster of millions) concentrate a single
+groupBy key. The iteration keys every aggregation by node id, so AQE's
+skew-join splitting handles the join side; `min` partial aggregation
+(map-side combine) bounds the shuffle for the agg side. Convergence is
+O(log^2 n) rounds even for path graphs; each round is checkpointed to cut
+lineage (SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dedup(edges: DataFrame) -> DataFrame:
+    return edges.filter(F.col("src") != F.col("dst")).dropDuplicates(["src", "dst"])
+
+
+def _symmetrize(edges: DataFrame) -> DataFrame:
+    return edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each node u: connect every strictly-larger neighbor to
+    min(N(u) + {u})."""
+    sym = _dedup(_symmetrize(edges))
+    mins = sym.groupBy("src").agg(F.min("dst").alias("mn"))
+    mins = mins.withColumn("m", F.least(F.col("mn"), F.col("src"))).select("src", "m")
+    out = (
+        sym.filter(F.col("dst") > F.col("src"))
+        .join(mins, "src")
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    )
+    return _dedup(out)
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient edges (larger -> smaller); connect all smaller neighbors + self
+    to the minimum."""
+    oriented = _dedup(
+        edges.select(
+            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+        )
+    )
+    mins = oriented.groupBy("src").agg(F.min("dst").alias("m"))
+    nbrs = oriented.join(mins, "src").select(F.col("dst").alias("v"), "m")
+    selfs = mins.select(F.col("src").alias("v"), "m")
+    out = (
+        nbrs.unionByName(selfs)
+        .filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+    )
+    return _dedup(out)
+
+
+def connected_components(
+    edges: DataFrame,
+    all_nodes: DataFrame | None = None,
+    max_iter: int = 50,
+) -> DataFrame:
+    """edges(src, dst) -> (node, component) with component = min node id.
+
+    `all_nodes(node)` optionally adds isolated nodes (component = themselves).
+    """
+    cur = _dedup(
+        edges.select(
+            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+        )
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        # converged when the oriented edge set is unchanged
+        if (
+            nxt.exceptAll(cur).limit(1).count() == 0
+            and cur.exceptAll(nxt).limit(1).count() == 0
+        ):
+            cur = nxt
+            break
+        cur = nxt
+
+    # after convergence edges form stars (node -> root)
+    comp = cur.groupBy("src").agg(F.min("dst").alias("component")).select(
+        F.col("src").alias("node"), "component"
+    )
+    roots = cur.select(F.col("dst").alias("node")).dropDuplicates().join(
+        comp, "node", "left_anti"
+    ).withColumn("component", F.col("node"))
+    result = comp.unionByName(roots)
+
+    if all_nodes is not None:
+        isolated = (
+            all_nodes.select("node")
+            .dropDuplicates()
+            .join(result, "node", "left_anti")
+            .withColumn("component", F.col("node"))
+        )
+        result = result.unionByName(isolated)
+    return result
+
+
+def canonical_dictionary(edges: DataFrame, all_nodes: DataFrame | None = None) -> DataFrame:
+    """alias edges -> (alias, canonical) dictionary (canonical = component min)."""
+    cc = connected_components(edges, all_nodes=all_nodes)
+    return cc.select(F.col("node").alias("alias"), F.col("component").alias("canonical"))
+
+
+def apply_referents(df: DataFrame, referents: DataFrame, col: str) -> DataFrame:
+    """Rewrite df[col] through the alias->canonical dictionary
+    (reference: src/metrics.py:104-106 `f_change`): left join + coalesce.
+
+    The dictionary side is usually small enough to broadcast; when it is not
+    (web-scale alias sets), AQE skew-join handles hub keys.
+    """
+    ref = referents.select(
+        F.col("alias").alias("__alias"), F.col("canonical").alias("__canonical")
+    )
+    out = df.join(
+        F.broadcast(ref), df[col] == F.col("__alias"), "left"
+    ).withColumn(col, F.coalesce(F.col("__canonical"), F.col(col)))
+    return out.drop("__alias", "__canonical")

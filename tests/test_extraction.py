@@ -1,0 +1,100 @@
+"""Extraction slice: mentions + SEM triples vs the pandas oracle.
+
+Asserts the north-rule invariants:
+- per-turn text equality under stable (conv_id, turn_idx) ordering,
+- triple match P/R >= 0.95 vs oracle semantics (exact on fixtures),
+- ordering invariance: shuffled physical input yields identical triples.
+"""
+
+import pandas as pd
+import pytest
+
+from chronographer_spark.data.transcripts import generate_transcripts_pdf, transcripts_df
+from chronographer_spark.extraction.mentions import extract_mentions, extract_mentions_sqlonly
+from chronographer_spark.graph.materialize import materialize_event_graph
+from chronographer_spark.oracle.pandas_oracle import (
+    oracle_mentions,
+    oracle_triples,
+    precision_recall,
+)
+
+
+@pytest.fixture(scope="module")
+def tx_pdf():
+    return generate_transcripts_pdf(n_convs=30, n_turns=8, seed=42)
+
+
+@pytest.fixture(scope="module")
+def tx(spark, tx_pdf):
+    from chronographer_spark.schemas import TRANSCRIPT_SCHEMA
+
+    return spark.createDataFrame(tx_pdf, schema=TRANSCRIPT_SCHEMA).cache()
+
+
+def _norm_mentions(pdf: pd.DataFrame) -> pd.DataFrame:
+    return (
+        pdf[["conv_id", "turn_idx", "mention", "dimension"]]
+        .drop_duplicates()
+        .sort_values(["conv_id", "turn_idx", "dimension", "mention"])
+        .reset_index(drop=True)
+    )
+
+
+def test_mentions_match_oracle(tx, tx_pdf):
+    got = _norm_mentions(extract_mentions(tx).toPandas())
+    exp = _norm_mentions(oracle_mentions(tx_pdf))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_sqlonly_extractor_agrees_with_udf(tx):
+    a = _norm_mentions(extract_mentions(tx).toPandas())
+    b = _norm_mentions(extract_mentions_sqlonly(tx).toPandas())
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_per_turn_text_equality(tx):
+    """Every mention row carries the exact text of its (conv_id, turn_idx)."""
+    m = (
+        extract_mentions(tx)
+        .selectExpr("conv_id", "turn_idx", "text as m_text")
+        .dropDuplicates()
+    )
+    src = tx.selectExpr("conv_id", "turn_idx", "text as src_text").dropDuplicates()
+    joined = m.join(src, ["conv_id", "turn_idx"], "inner")
+    mismatches = joined.where(joined.m_text != joined.src_text).count()
+    assert mismatches == 0
+    orphans = m.join(src, ["conv_id", "turn_idx"], "left_anti").count()
+    assert orphans == 0
+
+
+def test_triples_match_oracle(tx, tx_pdf):
+    mentions = extract_mentions(tx)
+    got = materialize_event_graph(tx, mentions).toPandas()
+    exp = oracle_triples(tx_pdf)
+    p, r = precision_recall(got, exp)
+    assert p >= 0.95 and r >= 0.95, f"P={p:.3f} R={r:.3f}"
+    # fixtures: exact
+    assert p == 1.0 and r == 1.0, f"P={p:.3f} R={r:.3f}"
+
+
+def test_ordering_invariance(spark, tx_pdf):
+    """Physically shuffled input produces the identical triple set."""
+    from chronographer_spark.schemas import TRANSCRIPT_SCHEMA
+
+    shuffled = tx_pdf.sample(frac=1.0, random_state=7).reset_index(drop=True)
+    df1 = spark.createDataFrame(tx_pdf, schema=TRANSCRIPT_SCHEMA)
+    df2 = spark.createDataFrame(shuffled, schema=TRANSCRIPT_SCHEMA)
+    t1 = materialize_event_graph(df1, extract_mentions(df1)).toPandas()
+    t2 = materialize_event_graph(df2, extract_mentions(df2)).toPandas()
+    s1 = set(map(tuple, t1.values))
+    s2 = set(map(tuple, t2.values))
+    assert s1 == s2
+
+
+def test_single_turn_conrow_has_no_next_edge(tx):
+    from chronographer_spark.vocab import NEXT_EVENT
+
+    triples = materialize_event_graph(tx, extract_mentions(tx))
+    nxt = triples.filter(triples.predicate == NEXT_EVENT).toPandas()
+    # conv000000 is the single-turn fixture
+    assert not nxt.subject.str.contains("conv000000").any()
