@@ -681,7 +681,95 @@ FROM customer
 """
 
 
+# ---------------------------------------------------------------------------
+# D1-D6: iterative candidate-event search (non-SQL-expressible: iterative
+# ranking loop -> rows-only oracle check)
+# ---------------------------------------------------------------------------
+
+
+def q_event_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .operators.filtering import FilteringConfig
+    from .search.driver import GraphSearch, SearchConfig
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    # triple view: customer --placed--> order, plus order type rows
+    placed = orders.select(
+        F.concat(F.lit("http://ex/cust/"), F.col("o_custkey").cast("string")).alias("subject"),
+        F.lit("ex:placed").alias("predicate"),
+        F.concat(F.lit("http://ex/order/"), F.col("o_orderkey").cast("string")).alias("object"),
+    )
+    types = orders.select(
+        F.concat(F.lit("http://ex/order/"), F.col("o_orderkey").cast("string")).alias("subject"),
+        F.lit("http://www.w3.org/1999/02/22-rdf-syntax-ns#type").alias("predicate"),
+        F.lit("ex:class/Order").alias("object"),
+    )
+    dates = orders.select(
+        F.concat(F.lit("http://ex/order/"), F.col("o_orderkey").cast("string")).alias("subject"),
+        F.lit("ex:prop/date").alias("predicate"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("object"),
+    )
+    nat = cust.select(
+        F.concat(F.lit("http://ex/cust/"), F.col("c_custkey").cast("string")).alias("subject"),
+        F.lit("ex:inNation").alias("predicate"),
+        F.concat(F.lit("http://ex/nation/"), F.col("c_nationkey").cast("string")).alias("object"),
+    )
+    triples = placed.unionByName(types).unionByName(dates).unionByName(nat)
+
+    pred_range = spark.createDataFrame(
+        [("ex:placed", ["ex:class/Order"])], "predicate string, classes array<string>"
+    )
+    superclasses = spark.createDataFrame(
+        [("ex:class/Order", ["ex:class/Event"])], "class string, ancestors array<string>"
+    )
+    cfg = SearchConfig(
+        start="http://ex/cust/1",
+        iterations=2,
+        target_types=["ex:class/Event"],
+        type_ranking="entropy_pred_object_freq",
+        dates=("1995-01-01", "2002-12-31"),
+        max_uri=500,
+    )
+    filt = FilteringConfig(
+        point_in_time=["ex:prop/date"], start_dates=[], end_dates=[],
+        places=[], people=[], dataset_type="synthetic",  # no URI-year regex
+    )
+    gs = GraphSearch(
+        spark, triples, cfg, filt,
+        pred_domain=None, pred_range=pred_range, superclasses=superclasses,
+        checkpoint_dir=tempfile.mkdtemp(prefix="cg_search_"), run_id="entryq",
+    )
+    gs.run()
+    state = gs.final_state()
+    return state["subgraph"].select("subject", "predicate", "object").dropDuplicates()
+
+
+def q_apply_referents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .linking.canonicalize import apply_referents
+
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey")
+    referents = cust.select(
+        F.col("c_custkey").alias("alias"),
+        F.min("c_custkey").over(w).alias("canonical"),
+    ).filter(F.col("alias") != F.col("canonical"))
+    out = apply_referents(
+        cust.select("c_custkey", "c_nationkey"), referents, "c_custkey"
+    )
+    return out.select(F.col("c_custkey").alias("canonical_key"), "c_nationkey")
+
+
+APPLY_REFERENTS_SQL = """
+SELECT min(c_custkey) OVER (PARTITION BY c_nationkey) AS canonical_key, c_nationkey
+FROM customer
+"""
+
+
 QUERIES = {
+    "event_search_2iter": q_event_search,
+    "apply_referents": q_apply_referents,
     "flagship_event_graph": q_flagship_event_graph,
     "transcripts_view": q_transcripts_view,
     "occurrence_count": q_occurrence_count,
@@ -710,6 +798,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    # event_search_2iter: iterative ranking loop — rows-only check (no oracle)
+    "apply_referents": APPLY_REFERENTS_SQL,
     "flagship_event_graph": FLAGSHIP_SQL,
     "transcripts_view": TX_VIEW_SQL,
     "occurrence_count": "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type",
