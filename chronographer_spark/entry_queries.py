@@ -682,6 +682,159 @@ FROM customer
 
 
 # ---------------------------------------------------------------------------
+# Dedup / similarity / text-analysis operator families
+# ---------------------------------------------------------------------------
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import minhash_lsh_candidates
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(
+        docs, num_hashes=8, bands=2, shingle_n=1
+    )
+
+
+MINHASH_LSH_SQL = """
+WITH words AS (
+  SELECT doc_id, unnest(list_distinct(string_split(
+    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))) AS w
+  FROM documents
+),
+sig AS (
+  SELECT doc_id,
+    min(md5('s0|' || w)) AS h0, min(md5('s1|' || w)) AS h1,
+    min(md5('s2|' || w)) AS h2, min(md5('s3|' || w)) AS h3,
+    min(md5('s4|' || w)) AS h4, min(md5('s5|' || w)) AS h5,
+    min(md5('s6|' || w)) AS h6, min(md5('s7|' || w)) AS h7
+  FROM words GROUP BY doc_id
+),
+buckets AS (
+  SELECT doc_id, 0 AS band, md5(h0 || '|' || h1 || '|' || h2 || '|' || h3) AS bucket FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, md5(h4 || '|' || h5 || '|' || h6 || '|' || h7) AS bucket FROM sig
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM buckets a JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+WHERE a.doc_id < b.doc_id
+"""
+
+
+def q_lang_id_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import language_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return language_id(docs).select("doc_id", "lang_pred")
+
+
+LANG_ID_MULTI_SQL = """
+WITH words AS (
+  SELECT doc_id, string_split(
+    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+  FROM documents
+),
+ratios AS (
+  SELECT doc_id, 'en' AS lang,
+    CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) AS DOUBLE)
+      / greatest(len(w), 1) AS ratio FROM words
+  UNION ALL
+  SELECT doc_id, 'fr',
+    CAST(len(list_filter(w, x -> x IN ('le','la','de','et','les','des','un','une','dans','est'))) AS DOUBLE)
+      / greatest(len(w), 1) FROM words
+  UNION ALL
+  SELECT doc_id, 'de',
+    CAST(len(list_filter(w, x -> x IN ('der','die','das','und','ist','von','mit','den','ein','zu'))) AS DOUBLE)
+      / greatest(len(w), 1) FROM words
+)
+SELECT doc_id, lang AS lang_pred FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY doc_id ORDER BY ratio DESC, lang DESC) AS rn
+  FROM ratios
+) WHERE rn = 1
+"""
+
+
+def q_subword_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import token_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_counts(docs).select(
+        "doc_id",
+        F.col("n_ws_tokens").cast("long").alias("n_ws_tokens"),
+        F.col("n_subword_est").cast("long").alias("n_subword_est"),
+    )
+
+
+SUBWORD_SQL = r"""
+SELECT doc_id,
+  CAST(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS BIGINT) AS n_ws_tokens,
+  CAST(len(regexp_extract_all(text, '([A-Za-z]{1,4}|\d|[^\sA-Za-z\d])', 1)) AS BIGINT) AS n_subword_est
+FROM documents
+"""
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import embedding_near_dups
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dups(emb, threshold=0.3, bucket_dims=4)
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.floor(F.col("cosine") * 10000 + F.lit(0.5)).cast("long").alias("cos_x1e4"),
+    )
+
+
+EMB_NEAR_DUP_SQL = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+    (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END ||
+     CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END ||
+     CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END ||
+     CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  CAST(floor(list_dot_product(a.v, b.v)
+    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+    * 10000 + 0.5) AS BIGINT) AS cos_x1e4
+FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3
+"""
+
+
+def q_simhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # xxhash64-based — JVM-only hash, rows-only correctness check
+    from .operators.dedup import simhash64
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash64(docs)
+
+
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # xxhash64-derived hyperplanes — rows-only correctness check
+    from .operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk(emb, queries, k=5, n_planes=4, n_tables=2)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # stubbed decode (deterministic md5-seeded features) — rows-only check
+    from .operators.multimodal import decode_and_featurize, synthetic_assets
+
+    assets = synthetic_assets(spark, n=30)
+    out = decode_and_featurize(assets, dim=8)
+    return out.select(
+        "asset_id", "modality", F.size("feat").alias("dim"), "out_width", "out_height"
+    )
+
+
+# ---------------------------------------------------------------------------
 # D1-D6: iterative candidate-event search (non-SQL-expressible: iterative
 # ranking loop -> rows-only oracle check)
 # ---------------------------------------------------------------------------
@@ -770,6 +923,13 @@ FROM customer
 QUERIES = {
     "event_search_2iter": q_event_search,
     "apply_referents": q_apply_referents,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "lang_id_multi": q_lang_id_multi,
+    "subword_tokens": q_subword_tokens,
+    "embedding_near_dups": q_embedding_near_dups,
+    "simhash_sig": q_simhash_sig,
+    "lsh_topk": q_lsh_topk,
+    "multimodal_features": q_multimodal_features,
     "flagship_event_graph": q_flagship_event_graph,
     "transcripts_view": q_transcripts_view,
     "occurrence_count": q_occurrence_count,
@@ -798,8 +958,14 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
-    # event_search_2iter: iterative ranking loop — rows-only check (no oracle)
+    # rows-only (no oracle): event_search_2iter (iterative ranking loop),
+    # simhash_sig + lsh_topk (xxhash64 is JVM-only), multimodal_features
+    # (pandas-UDF stub decode)
     "apply_referents": APPLY_REFERENTS_SQL,
+    "minhash_lsh_pairs": MINHASH_LSH_SQL,
+    "lang_id_multi": LANG_ID_MULTI_SQL,
+    "subword_tokens": SUBWORD_SQL,
+    "embedding_near_dups": EMB_NEAR_DUP_SQL,
     "flagship_event_graph": FLAGSHIP_SQL,
     "transcripts_view": TX_VIEW_SQL,
     "occurrence_count": "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type",

@@ -1,0 +1,242 @@
+"""Deduplication operators for large-scale text corpora.
+
+Five families, all expressed as DataFrame ops (no driver-side loops):
+
+- exact:        hash-groupBy on normalized text
+- minhash-LSH:  shingle -> k minhashes -> b bands -> bucket self-join
+- simhash:      per-token 64-bit hashes, bit-weighted majority -> hamming buckets
+- ngram-jaccard: n-gram set overlap for candidate pairs (verification stage)
+- embedding:    cosine near-duplicate pairs over an embedding column
+
+Portability note: content hashes use md5 (identical across engines, so the
+DuckDB oracle can replay signatures); partitioning hashes use xxhash64
+(JVM-native, fastest). At 100TB the LSH band join is the scale path: the
+candidate-pair space shrinks from O(n^2) to the bucket collision set, and
+the band-bucket key is high-cardinality so the shuffle is well-spread; a
+salt can be added to the bucket key if one bucket degenerates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_text(col) -> "F.Column":
+    """Lowercase, collapse whitespace — the canonical form for exact dedup."""
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one row per distinct normalized text (deterministic: min id)."""
+    normed = df.withColumn("__norm", normalize_text(F.col(text_col)))
+    keep = normed.groupBy("__norm").agg(F.min(id_col).alias(id_col))
+    return (
+        normed.join(keep, [ "__norm", id_col], "left_semi").drop("__norm")
+    )
+
+
+def duplicate_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(fingerprint, n_dups, min_id) for groups with >1 member."""
+    normed = df.withColumn("fp", F.md5(normalize_text(F.col(text_col))))
+    return (
+        normed.groupBy("fp")
+        .agg(F.count("*").alias("n_dups"), F.min(id_col).alias("keeper"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def _shingles(text_col: str, n: int):
+    """Word n-gram shingles via slide over the token array (pure native)."""
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, h0..h{k-1}) — min over md5(seed || shingle) per seed."""
+    shingled = df.select(
+        F.col(id_col), F.explode(_shingles(text_col, shingle_n)).alias("sh")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"s{i}|"), F.col("sh")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return shingled.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) via banded LSH.
+
+    Rows colliding on any band's concatenated minhashes become candidates.
+    The band self-join shuffles on (band, bucket) — high cardinality, skew-safe.
+    """
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    rows_per_band = num_hashes // bands
+    buckets = None
+    for b in range(bands):
+        cols = [F.col(f"h{b * rows_per_band + i}") for i in range(rows_per_band)]
+        part = sig.select(
+            F.col(id_col),
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws("|", *cols)).alias("bucket"),
+        )
+        buckets = part if buckets is None else buckets.unionByName(part)
+    left = buckets.select(
+        F.col(id_col).alias("id_a"), "band", "bucket"
+    )
+    right = buckets.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    pairs = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates()
+    )
+    return pairs
+
+
+def ngram_jaccard(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact Jaccard over shingle sets for candidate pairs (verification)."""
+    sh = df.select(F.col(id_col), _shingles(text_col, shingle_n).alias("sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return joined.select(
+        "id_a",
+        "id_b",
+        (inter.cast("double") / union).alias("jaccard"),
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates -> exact Jaccard >= threshold."""
+    cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, shingle_n)
+    scored = ngram_jaccard(df, cands, text_col, id_col, shingle_n)
+    return scored.filter(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash (64-bit, native expressions end-to-end)
+# ---------------------------------------------------------------------------
+
+
+def simhash64(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit simhash: per token xxhash64, per-bit majority vote.
+
+    explode tokens -> for each bit position sum(+-1) -> sign -> recompose.
+    One shuffle (groupBy id); the 64 bit-sums are a single wide aggregate —
+    vectorized, no Python.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    sums = toks.groupBy(id_col).agg(*bit_aggs)
+    sig = F.lit(0).cast("long")
+    for i in range(64):
+        sig = sig + F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long") * (2**i if i < 63 else -(2**63))).otherwise(0)
+    return sums.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_candidates(
+    sig: DataFrame, id_col: str = "doc_id", prefix_bits: int = 16
+) -> DataFrame:
+    """Bucket by the top `prefix_bits` of the simhash; pairs within a bucket."""
+    bucketed = sig.withColumn(
+        "bucket", F.shiftrightunsigned("simhash", 64 - prefix_bits)
+    )
+    a = bucketed.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("s_a"), "bucket")
+    b = bucketed.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("s_b"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "hamming", F.bit_count(F.col("s_a").bitwiseXOR(F.col("s_b")))
+        )
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding cosine near-duplicates
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_dups(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    bucket_dims: int = 4,
+) -> DataFrame:
+    """Near-duplicate pairs by cosine >= threshold.
+
+    Scale path: sign-bucket on the first `bucket_dims` dimensions (a crude
+    random-hyperplane LSH — near-identical vectors agree on all signs), then
+    exact cosine within buckets. Exact near-dups always collide; borderline
+    pairs may be missed (documented recall trade-off).
+    """
+    v = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    sig_bits = [
+        F.when(F.element_at("v", i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for i in range(bucket_dims)
+    ]
+    bucketed = v.withColumn("bucket", F.concat(*sig_bits))
+    a = bucketed.select(F.col(id_col).alias("id_a"), F.col("v").alias("v_a"), "bucket")
+    b = bucketed.select(F.col(id_col).alias("id_b"), F.col("v").alias("v_b"), "bucket")
+    dot = F.aggregate(
+        F.zip_with("v_a", "v_b", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.sqrt(F.aggregate("v_a", F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate("v_b", F.lit(0.0), lambda acc, x: acc + x * x))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", dot / (na * nb))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,117 @@
+"""Text-analysis operators for training-data pipelines.
+
+All pure native expressions (whole-stage codegen end-to-end):
+- language id (stopword-hit-ratio heuristic over small per-language sets)
+- quality scoring (length / distinct-token ratio / stopword density /
+  punctuation ratio)
+- token counting (whitespace + a BPE-ish subword regex estimate)
+- document fingerprinting (md5 content hash + positional rolling fingerprint)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import normalize_text
+
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "dans", "est"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "ein", "zu"],
+}
+
+
+def _stop_ratio(words_expr: str, stops: list[str]):
+    in_list = ", ".join(f"'{s}'" for s in stops)
+    return F.size(
+        F.expr(f"filter({words_expr}, w -> w IN ({in_list}))")
+    ).cast("double") / F.greatest(F.size(F.expr(words_expr)), F.lit(1))
+
+
+def language_id(
+    df: DataFrame, text_col: str = "text", langs: list[str] | None = None
+) -> DataFrame:
+    """Pick the language whose stopword set hits the most tokens.
+
+    Deterministic tie-break: higher ratio, then lexicographic language code.
+    """
+    langs = langs or list(STOPWORDS)
+    out = df.withColumn("__words", F.split(normalize_text(F.col(text_col)), " "))
+    scores = [
+        F.struct(
+            _stop_ratio("__words", STOPWORDS[lang]).alias("ratio"),
+            # invert code ordering inside max: lexicographically smaller code
+            # must win ties -> embed a descending sort key
+            F.lit(lang).alias("lang"),
+        )
+        for lang in sorted(langs, reverse=True)
+    ]
+    best = F.greatest(*scores) if len(scores) > 1 else scores[0]
+    return out.withColumn("lang_pred", best["lang"]).withColumn(
+        "lang_score", best["ratio"]
+    ).drop("__words")
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach quality features + a composite [0,1] score."""
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    n_tokens = F.size(words)
+    distinct_ratio = F.size(F.array_distinct(words)).cast("double") / F.greatest(
+        n_tokens, F.lit(1)
+    )
+    n_chars = F.length(F.col(text_col))
+    punct_ratio = (
+        n_chars - F.length(F.regexp_replace(F.col(text_col), r"[^\w\s]", ""))
+    ).cast("double") / F.greatest(n_chars, F.lit(1))
+    stop_ratio = _stop_ratio(
+        f"split(regexp_replace(lower(trim({text_col})), '\\\\s+', ' '), ' ')",
+        STOPWORDS["en"],
+    )
+    mean_word_len = (
+        F.length(F.regexp_replace(normalize_text(F.col(text_col)), " ", ""))
+        .cast("double") / F.greatest(n_tokens, F.lit(1))
+    )
+    length_ok = F.when((n_tokens >= 5) & (n_tokens <= 100000), 1.0).otherwise(0.3)
+    composite = (
+        0.4 * F.least(distinct_ratio * 2, F.lit(1.0))
+        + 0.2 * F.least(stop_ratio * 5, F.lit(1.0))
+        + 0.2 * (1 - F.least(punct_ratio * 4, F.lit(1.0)))
+        + 0.2 * length_ok
+    )
+    return (
+        df.withColumn("n_tokens", n_tokens)
+        .withColumn("distinct_ratio", distinct_ratio)
+        .withColumn("punct_ratio", punct_ratio)
+        .withColumn("stopword_ratio", stop_ratio)
+        .withColumn("mean_word_len", mean_word_len)
+        .withColumn("quality", composite)
+    )
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + a BPE-ish subword estimate.
+
+    The subword estimate counts regex pieces (word chunks of <=4 chars,
+    digits, punctuation) — a deterministic stand-in for a real tokenizer
+    with the same plumbing shape (pure native regexp count).
+    """
+    ws = F.size(F.split(normalize_text(F.col(text_col)), " "))
+    bpe_ish = F.size(
+        F.regexp_extract_all(
+            F.col(text_col), F.lit(r"([A-Za-z]{1,4}|\d|[^\sA-Za-z\d])"), 1
+        )
+    )
+    return df.withColumn("n_ws_tokens", ws).withColumn("n_subword_est", bpe_ish)
+
+
+def fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Content fingerprints: md5 of the normalized text + a rolling 8-gram
+    min-fingerprint (robust to local edits — winnowing-style)."""
+    normed = normalize_text(F.col(text_col))
+    toks = F.split(normed, " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - 8, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, 8))))
+    return df.withColumn("fp_md5", F.md5(normed)).withColumn(
+        "fp_winnow", F.array_min(grams)
+    )

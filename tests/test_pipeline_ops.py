@@ -1,0 +1,163 @@
+"""Dedup / similarity / text-analysis / multimodal operator tests."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (1, "the quick brown fox jumps over the lazy dog near the river bend"),  # near-dup of 0
+        (2, "completely different content about spark query optimization today"),
+        (3, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 0
+        (4, "le chat est dans la maison et il regarde les oiseaux dans le jardin"),
+        (5, "der hund ist mit der katze und die kinder sind zu hause"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"]).cache()
+
+
+def test_exact_dedup(docs):
+    from chronographer_spark.operators.dedup import duplicate_groups, exact_dedup
+
+    kept = exact_dedup(docs)
+    ids = {r.doc_id for r in kept.collect()}
+    assert 3 not in ids and 0 in ids  # min-id keeper
+    assert len(ids) == 5
+    groups = duplicate_groups(docs).collect()
+    assert len(groups) == 1 and groups[0].n_dups == 2 and groups[0].keeper == 0
+
+
+def test_minhash_near_dup(docs):
+    from chronographer_spark.operators.dedup import minhash_dedup
+
+    pairs = minhash_dedup(docs, threshold=0.5).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (0, 1) in got or (0, 3) in got  # near-dup found
+    assert (0, 3) in got  # exact dup always jaccard 1.0
+    assert all(not (a == 2 or b == 2) for a, b in got)  # unrelated doc clean
+
+
+def test_simhash(docs, spark):
+    from chronographer_spark.operators.dedup import simhash64, simhash_candidates
+
+    sig = simhash64(docs)
+    sigs = {r.doc_id: r.simhash for r in sig.collect()}
+    assert len(sigs) == 6
+    assert sigs[0] == sigs[3]  # identical text -> identical simhash
+    cands = simhash_candidates(sig).collect()
+    ham = {(r.id_a, r.id_b): r.hamming for r in cands}
+    if (0, 3) in ham:
+        assert ham[(0, 3)] == 0
+
+
+def test_ngram_jaccard_values(docs, spark):
+    from chronographer_spark.operators.dedup import ngram_jaccard
+
+    pairs = spark.createDataFrame([(0, 3), (0, 2)], ["id_a", "id_b"])
+    out = {(r.id_a, r.id_b): r.jaccard for r in ngram_jaccard(docs, pairs).collect()}
+    assert out[(0, 3)] == 1.0
+    assert out[(0, 2)] == 0.0
+
+
+def test_embedding_near_dups(spark):
+    from chronographer_spark.operators.dedup import embedding_near_dups
+
+    rows = [
+        (0, [1.0, 0.0, 2.0, 0.5]),
+        (1, [1.0, 0.01, 2.0, 0.5]),   # near-dup of 0
+        (2, [-1.0, 5.0, 0.0, -2.0]),  # far
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pairs = embedding_near_dups(emb, threshold=0.99)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got == {(0, 1)}
+
+
+def test_brute_force_topk_self_nearest(spark):
+    from chronographer_spark.operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = brute_force_topk(emb, queries, k=3).collect()
+    by_q = {}
+    for r in top:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.vec_id, r.cosine))
+    for qid, rows in by_q.items():
+        rows.sort()
+        assert rows[0][1] == qid  # rank-1 neighbor is the query itself
+        assert abs(rows[0][2] - 1.0) < 1e-9
+
+
+def test_lsh_topk_agrees_with_brute_force_on_top1(spark):
+    from chronographer_spark.operators.similarity import brute_force_topk, lsh_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    bf = brute_force_topk(emb, queries, k=1).collect()
+    ann = lsh_topk(emb, queries, k=1, n_planes=4, n_tables=2).collect()
+    # the query vector itself always collides with itself -> top1 identical
+    assert ann[0].vec_id == bf[0].vec_id == 0
+
+
+def test_language_id(docs):
+    from chronographer_spark.operators.text import language_id
+
+    out = {r.doc_id: r.lang_pred for r in language_id(docs).collect()}
+    assert out[0] == "en" and out[4] == "fr" and out[5] == "de"
+
+
+def test_quality_and_tokens(docs):
+    from chronographer_spark.operators.text import quality_score, token_counts
+
+    q = quality_score(docs).filter(F.col("doc_id") == 0).first()
+    assert 0.0 <= q.quality <= 1.0
+    assert q.n_tokens == 13
+    t = token_counts(docs).filter(F.col("doc_id") == 0).first()
+    assert t.n_ws_tokens == 13
+    assert t.n_subword_est >= 13
+
+
+def test_fingerprints_stable_under_edit(docs, spark):
+    from chronographer_spark.operators.text import fingerprints
+
+    fp = {r.doc_id: (r.fp_md5, r.fp_winnow) for r in fingerprints(docs).collect()}
+    assert fp[0][0] == fp[3][0]
+    assert fp[0][1] == fp[3][1]
+    assert fp[0][0] != fp[1][0]
+
+
+def test_multimodal_features_deterministic(spark):
+    from chronographer_spark.operators.multimodal import (
+        decode_and_featurize,
+        sample_frames,
+        synthetic_assets,
+    )
+
+    assets = synthetic_assets(spark, n=9).cache()
+    f1 = decode_and_featurize(assets, dim=8).toPandas().sort_values("asset_id")
+    f2 = decode_and_featurize(assets, dim=8).toPandas().sort_values("asset_id")
+    assert len(f1) == 9
+    pd.testing.assert_frame_equal(f1.reset_index(drop=True), f2.reset_index(drop=True))
+    assert all(len(v) == 8 for v in f1.feat)
+
+    frames = sample_frames(assets, every_ms=1000).toPandas()
+    # 3 videos x 5s -> 5 frames each
+    assert len(frames) == 15
+    assert set(frames.groupby("asset_id").size()) == {5}
+
+
+def test_multimodal_real_decode_raises(spark):
+    from chronographer_spark.operators.multimodal import (
+        decode_and_featurize,
+        synthetic_assets,
+    )
+
+    assets = synthetic_assets(spark, n=3)
+    with pytest.raises(Exception, match="NotImplementedError|decode"):
+        decode_and_featurize(assets, stub=False).collect()
