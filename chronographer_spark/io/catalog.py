@@ -1,0 +1,93 @@
+"""Table catalog shim: Iceberg-shaped API over Parquet directories.
+
+The engine's read/write boundary is table-format agnostic (SURVEY.md §7.0):
+in production the catalog resolves to Iceberg tables (snapshot isolation,
+MERGE INTO, partition evolution); in this sandbox the same call surface maps
+to Parquet directories. Only this module would change to run on a real
+Iceberg catalog — call sites never touch paths or formats.
+
+Layout conventions for the 100TB design point are encoded here:
+- transcripts partitioned by bucket(conv_id) so a conversation's turns
+  co-locate (every per-conversation window shuffles once, at write time),
+- triples partitioned by predicate (partition pruning for per-predicate
+  scans, e.g. the metrics' scored-predicate restriction).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class Catalog:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    def path(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def exists(self, table: str) -> bool:
+        p = self.path(table)
+        return os.path.isdir(p) and any(
+            f.endswith(".parquet") or f == "_SUCCESS" for f in os.listdir(p)
+        )
+
+    def read(self, table: str) -> DataFrame:
+        return self.spark.read.parquet(self.path(table))
+
+    def write(
+        self,
+        df: DataFrame,
+        table: str,
+        mode: str = "overwrite",
+        partition_by: list[str] | None = None,
+        buckets: tuple[int, str] | None = None,
+    ) -> None:
+        """buckets=(n, col): hash-cluster rows by col into n files per
+        partition (repartition on the column = the parquet analog of
+        Iceberg's bucket transform)."""
+        w = df
+        if buckets:
+            n, col = buckets
+            w = df.repartition(n, col)
+        writer = w.write.mode(mode)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(self.path(table))
+
+    def append(self, df: DataFrame, table: str, **kw) -> None:
+        self.write(df, table, mode="append", **kw)
+
+    def write_transcripts(self, df: DataFrame, table: str = "transcripts", n_buckets: int = 32):
+        self.write(df, table, buckets=(n_buckets, "conv_id"))
+
+    def write_triples(self, df: DataFrame, table: str = "triples"):
+        # partition by predicate: scans restricted to a predicate prune files
+        self.write(df, table, partition_by=["predicate"])
+
+    def merge_upsert(
+        self, delta: DataFrame, table: str, keys: list[str]
+    ) -> None:
+        """Iceberg MERGE INTO stand-in: existing rows not matching the delta
+        keys are kept, matched keys are replaced (S10 incremental update)."""
+        if not self.exists(table):
+            self.write(delta, table)
+            return
+        current = self.read(table)
+        kept = current.join(delta.select(*keys).dropDuplicates(), keys, "left_anti")
+        merged = kept.unionByName(delta)
+        # write to a temp table then swap (parquet has no snapshot isolation)
+        tmp = table + "__tmp"
+        self.write(merged, tmp)
+        final = self.read(tmp).localCheckpoint(eager=True)
+        self.write(final, table)
+
+    def drop(self, table: str) -> None:
+        import shutil
+
+        p = self.path(table)
+        if os.path.isdir(p):
+            shutil.rmtree(p)

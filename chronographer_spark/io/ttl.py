@@ -1,0 +1,60 @@
+"""Turtle (TTL) export of a triples DataFrame.
+
+The reference serializes its rdflib Graph to Turtle
+(reference: src/build_ng/generic_kb_to_ng.py:293). Here the triples table is
+the primary artifact; TTL is a final export formatter: a native expression
+renders each triple to one Turtle line, and only the final write coalesces.
+
+Literals vs URIs follow the engine's convention: objects starting with
+"http" are resource URIs; ISO dates become ^^xsd:date typed literals
+(generic_kb_to_ng.py:147 slices dates the same way); everything else is a
+plain string literal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+XSD_DATE = "http://www.w3.org/2001/XMLSchema#date"
+
+PREFIX_HEADER = """@prefix sem: <http://semanticweb.cs.vu.nl/2009/11/sem/> .
+@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .
+@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+"""
+
+
+def _term(col, *, object_position: bool = False):
+    uri = F.concat(F.lit("<"), col, F.lit(">"))
+    if not object_position:
+        return uri
+    is_uri = col.startswith("http")
+    is_date = col.rlike(r"^\d{4}-\d{2}-\d{2}$")
+    quoted = F.concat(F.lit('"'), F.regexp_replace(col, '"', '\\\\"'), F.lit('"'))
+    return (
+        F.when(is_uri, uri)
+        .when(is_date, F.concat(quoted, F.lit(f"^^<{XSD_DATE}>")))
+        .otherwise(quoted)
+    )
+
+
+def to_ttl_lines(triples: DataFrame) -> DataFrame:
+    """One formatted Turtle statement per row (stays distributed)."""
+    return triples.select(
+        F.concat_ws(
+            " ",
+            _term(F.col("subject")),
+            _term(F.col("predicate")),
+            _term(F.col("object"), object_position=True),
+            F.lit("."),
+        ).alias("line")
+    )
+
+
+def write_ttl(triples: DataFrame, path: str) -> None:
+    """Final export: deterministic order, single file + prefix header."""
+    lines = to_ttl_lines(triples).orderBy("line")
+    header = triples.sparkSession.createDataFrame(
+        [(PREFIX_HEADER,)], ["line"]
+    )
+    header.unionByName(lines).coalesce(1).write.mode("overwrite").text(path)

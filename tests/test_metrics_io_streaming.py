@@ -1,0 +1,121 @@
+"""Metrics parity, catalog shim, TTL export, streaming ingestion."""
+
+import glob
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_event_metrics_with_referents(spark):
+    from chronographer_spark.metrics import event_metrics
+
+    found = spark.createDataFrame([("a_alias",), ("b",), ("x",)], ["event"])
+    gold = spark.createDataFrame([("a",), ("b",), ("c",)], ["event"])
+    refs = spark.createDataFrame([("a_alias", "a")], ["alias", "canonical"])
+    m = event_metrics(found, gold, referents=refs)
+    assert m["tp"] == 2 and m["fp"] == 1 and m["fn"] == 1
+    assert abs(m["precision"] - 2 / 3) < 1e-9
+    assert abs(m["recall"] - 2 / 3) < 1e-9
+
+
+def test_triple_metrics_reference_formulas(spark):
+    """Replicates the reference's swapped P/R naming
+    (sem_comparison.py:63-75)."""
+    from chronographer_spark.metrics import triple_metrics
+    from chronographer_spark.vocab import NF_TO_PRED
+
+    actor = NF_TO_PRED["who"]
+    place = NF_TO_PRED["where"]
+    constructed = spark.createDataFrame(
+        [("e1", actor, "p1"), ("e1", place, "paris"), ("e2", actor, "p2")],
+        ["subject", "predicate", "object"],
+    )
+    gold = spark.createDataFrame(
+        [("e1", actor, "p1"), ("e1", place, "lyon")],
+        ["subject", "predicate", "object"],
+    )
+    m = triple_metrics(constructed, gold)
+    # common=1, gold_only=1, constructed_only=2
+    assert m["all"]["common"] == 1
+    assert m["all"]["gold_only"] == 1
+    assert m["all"]["constructed_only"] == 2
+    assert abs(m["all"]["precision"] - 1 / 2) < 1e-9  # common/(common+gold_only)
+    assert abs(m["all"]["recall"] - 1 / 3) < 1e-9  # common/(common+constructed_only)
+    assert actor in m["per_predicate"]
+
+
+def test_catalog_roundtrip_and_merge(spark, tmp_path):
+    from chronographer_spark.io.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path))
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    cat.write(df, "t1")
+    assert cat.exists("t1")
+    assert cat.read("t1").count() == 2
+
+    delta = spark.createDataFrame([(2, "B"), (3, "c")], ["id", "v"])
+    cat.merge_upsert(delta, "t1", keys=["id"])
+    got = {(r.id, r.v) for r in cat.read("t1").collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c")}
+
+
+def test_catalog_partitioned_triples_prune(spark, tmp_path):
+    from chronographer_spark.io.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path))
+    triples = spark.createDataFrame(
+        [("s1", "p1", "o1"), ("s2", "p2", "o2"), ("s3", "p1", "o3")],
+        ["subject", "predicate", "object"],
+    )
+    cat.write_triples(triples)
+    scan = cat.read("triples").filter(F.col("predicate") == "p1")
+    assert scan.count() == 2
+    # partition pruning: predicate=p2 directory untouched in the plan
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "p1" in plan
+
+
+def test_ttl_export(spark, tmp_path):
+    from chronographer_spark.io.ttl import write_ttl
+
+    triples = spark.createDataFrame(
+        [
+            ("http://ex/e1", "http://ex/p", "http://ex/o"),
+            ("http://ex/e1", "http://ex/date", "1789-07-14"),
+            ("http://ex/e1", "http://ex/label", 'a "quoted" label'),
+        ],
+        ["subject", "predicate", "object"],
+    )
+    out = str(tmp_path / "graph.ttl")
+    write_ttl(triples, out)
+    text = "".join(open(f).read() for f in sorted(glob.glob(out + "/part-*")))
+    assert "@prefix sem:" in text
+    assert "<http://ex/e1> <http://ex/p> <http://ex/o> ." in text
+    assert '"1789-07-14"^^<http://www.w3.org/2001/XMLSchema#date>' in text
+    assert '\\"quoted\\"' in text
+
+
+def test_streaming_ingestion_matches_batch(spark, tmp_path):
+    """availableNow micro-batch run produces the same triples as batch."""
+    from chronographer_spark.data.transcripts import transcripts_df
+    from chronographer_spark.extraction.mentions import extract_mentions
+    from chronographer_spark.graph.materialize import materialize_event_graph
+    from chronographer_spark.streaming.ingest import start_triple_extraction_stream
+
+    tx = transcripts_df(spark, n_convs=10, n_turns=6)
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    tx.write.parquet(in_dir)
+
+    q = start_triple_extraction_stream(spark, in_dir, out_dir, ckpt)
+    q.awaitTermination(120)
+    time.sleep(1)
+
+    got = spark.read.parquet(out_dir).select("subject", "predicate", "object")
+    batch = materialize_event_graph(tx.dropDuplicates(["conv_id", "turn_idx"]),
+                                    extract_mentions(tx))
+    g = {tuple(r) for r in got.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert g == b
