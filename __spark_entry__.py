@@ -20,12 +20,10 @@ def entry(spark: SparkSession) -> DataFrame:
     sub-event + temporal ordering edges).
     """
     from chronographer_spark.data.transcripts import transcripts_from_events
-    from chronographer_spark.extraction.mentions import extract_mentions
-    from chronographer_spark.graph.materialize import materialize_event_graph
+    from chronographer_spark.graph.materialize import build_event_graph
 
     tx = transcripts_from_events(spark, "/root/testdata/sf0.001")
-    mentions = extract_mentions(tx)
-    return materialize_event_graph(tx, mentions)
+    return build_event_graph(tx)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

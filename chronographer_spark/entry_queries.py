@@ -47,9 +47,10 @@ tx AS (
 )
 """
 
-NS_NG = "http://chronographer-spark.local/ng/"
-NS_SEM = "http://semanticweb.cs.vu.nl/2009/11/sem/"
-RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+# compact CURIE namespaces (see vocab.PREFIXES; expanded only at TTL export)
+NS_NG = "ng:"
+NS_SEM = "sem:"
+RDF_TYPE = "rdf:type"
 
 
 # ---------------------------------------------------------------------------
@@ -58,8 +59,10 @@ RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 
 
 def q_flagship_event_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .graph.materialize import build_event_graph
+
     tx = transcripts_from_events(spark, sf_dir)
-    return materialize_event_graph(tx, extract_mentions(tx))
+    return build_event_graph(tx)
 
 
 FLAGSHIP_SQL = f"""
@@ -835,6 +838,244 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# F1-F4: scan-level filter chain; G4-G6: iterative graph algorithms
+# ---------------------------------------------------------------------------
+
+
+def q_scan_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F4 chain, mirroring the reference's two scan paths: namespace/affix
+    filters on the URI-object path (interface.py:74-110), literal
+    normalization on the spec-outgoing path (interface.py:86-117)."""
+    from .operators.scan_filters import (
+        filter_namespace,
+        filter_node_affixes,
+        filter_predicates,
+        normalize_literals,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    item = F.concat(
+        F.lit("http://ex/item/"), F.col("l_orderkey").cast("string"),
+        F.lit("-"), F.col("l_linenumber").cast("string"),
+    )
+    # URI-object triples: odd suppkeys live in a foreign namespace
+    uri_triples = li.select(
+        item.alias("subject"),
+        F.when(F.col("l_linenumber") == 1, F.lit("ex:dropme"))
+        .otherwise(F.lit("ex:supplied_by"))
+        .alias("predicate"),
+        F.when(
+            F.col("l_suppkey") % 2 == 1,
+            F.concat(F.lit("http://other/sup/"), F.col("l_suppkey").cast("string")),
+        )
+        .otherwise(
+            F.concat(F.lit("http://ex/sup/"), F.col("l_suppkey").cast("string"))
+        )
+        .alias("object"),
+    )
+    uri_out = filter_predicates(uri_triples, ["ex:dropme"], keep=False)
+    uri_out = filter_namespace(uri_out, "http://ex/")
+    uri_out = filter_node_affixes(uri_out, drop_prefixes=["http://ex/sup/13"])
+
+    # literal-object triples: typed dateTime literals -> ISO day slice
+    lit_triples = li.select(
+        item.alias("subject"),
+        F.lit("ex:shipped").alias("predicate"),
+        F.concat(
+            F.lit('"'), F.date_format("l_shipdate", "yyyy-MM-dd"),
+            F.lit('T00:00:00"^^<http://www.w3.org/2001/XMLSchema#dateTime>'),
+        ).alias("object"),
+    )
+    lit_out = normalize_literals(lit_triples)
+    return uri_out.unionByName(lit_out).dropDuplicates()
+
+
+SCAN_FILTER_SQL = """
+WITH uri_t AS (
+  SELECT 'http://ex/item/' || CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS subject,
+         CASE WHEN l_linenumber = 1 THEN 'ex:dropme' ELSE 'ex:supplied_by' END AS predicate,
+         CASE WHEN l_suppkey % 2 = 1 THEN 'http://other/sup/' || CAST(l_suppkey AS VARCHAR)
+              ELSE 'http://ex/sup/' || CAST(l_suppkey AS VARCHAR) END AS object
+  FROM lineitem
+),
+lit_t AS (
+  SELECT 'http://ex/item/' || CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS subject,
+         'ex:shipped' AS predicate,
+         substr('"' || strftime(l_shipdate, '%Y-%m-%d') || 'T00:00:00"', 2, 10) AS object
+  FROM lineitem
+)
+SELECT DISTINCT subject, predicate, object FROM (
+  SELECT * FROM uri_t
+  WHERE predicate <> 'ex:dropme'
+    AND object LIKE 'http://ex/%'
+    AND object NOT LIKE 'http://ex/sup/13%'
+  UNION ALL
+  SELECT * FROM lit_t
+)
+"""
+
+
+def q_transitive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph_algos import transitive_closure
+
+    cust = _t(spark, sf_dir, "customer")
+    # binary-tree edges on custkeys: child k -> parent k/2 (depth ~log2 n)
+    edges = cust.filter(F.col("c_custkey") > 0).select(
+        F.col("c_custkey").alias("child"),
+        F.floor(F.col("c_custkey") / 2).cast("long").alias("parent"),
+    )
+    return transitive_closure(edges)
+
+
+TRANSITIVE_SQL = """
+WITH RECURSIVE anc AS (
+  SELECT c_custkey AS child, CAST(floor(c_custkey / 2) AS BIGINT) AS ancestor
+  FROM customer WHERE c_custkey > 0
+  UNION
+  SELECT a.child, CAST(floor(a.ancestor / 2) AS BIGINT) FROM anc a WHERE a.ancestor > 0
+)
+SELECT child, ancestor FROM anc
+"""
+
+
+def q_n_hop_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph_algos import n_hop_neighbors
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    e1 = orders.select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("o"), F.col("o_orderkey").cast("string")).alias("dst"),
+    )
+    e2 = li.select(
+        F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+    edges = e1.unionByName(e2)
+    seeds = cust.filter(F.col("c_acctbal") > 9500).select(
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("node")
+    )
+    return n_hop_neighbors(edges, seeds, hops=2)
+
+
+N_HOP_SQL = """
+WITH seeds AS (
+  SELECT DISTINCT 'c' || CAST(c_custkey AS VARCHAR) AS node FROM customer WHERE c_acctbal > 9500
+),
+hop1 AS (
+  SELECT DISTINCT 'o' || CAST(o_orderkey AS VARCHAR) AS node FROM orders
+  WHERE 'c' || CAST(o_custkey AS VARCHAR) IN (SELECT node FROM seeds)
+),
+hop2 AS (
+  SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS node FROM lineitem
+  WHERE 'o' || CAST(l_orderkey AS VARCHAR) IN (SELECT node FROM hop1)
+    AND 'p' || CAST(l_partkey AS VARCHAR) NOT IN (SELECT node FROM seeds)
+)
+SELECT node, 0 AS hop FROM seeds
+UNION ALL
+SELECT node, 1 FROM hop1 WHERE node NOT IN (SELECT node FROM seeds)
+UNION ALL
+SELECT node, 2 FROM hop2 WHERE node NOT IN (SELECT node FROM hop1)
+"""
+
+
+def q_frame_count_per_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A9 analog: distinct mentions per (event, dimension)
+    tx = transcripts_from_events(spark, sf_dir)
+    m = extract_mentions(tx, carry_text=False)
+    return m.groupBy("conv_id", "turn_idx", "dimension").agg(
+        F.countDistinct("mention").alias("n_mentions")
+    )
+
+
+FRAME_COUNT_SQL = f"""
+{TX_SQL},
+m AS (
+  SELECT conv_id, turn_idx, regexp_extract(text, '(\\d{{4}}-\\d{{2}}-\\d{{2}})', 1) AS mention,
+         'when' AS dimension
+  FROM tx WHERE regexp_extract(text, '(\\d{{4}}-\\d{{2}}-\\d{{2}})', 1) <> ''
+  UNION ALL
+  SELECT conv_id, turn_idx, tool, 'tool' FROM tx WHERE role = 'tool' AND tool <> ''
+)
+SELECT conv_id, turn_idx, dimension, count(DISTINCT mention) AS n_mentions
+FROM m GROUP BY conv_id, turn_idx, dimension
+"""
+
+
+def q_sem_emission_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-2 generic emission (generic_kb_to_ng.py semantics) over a triple
+    view derived from supplier/nation/orders + inline vocab tables."""
+    from .graph.materialize import emit_sem_from_triples
+
+    sup = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    nat_triples = sup.select(
+        F.concat(F.lit("http://ex/sup/"), F.col("s_suppkey").cast("string")).alias("subject"),
+        F.lit("http://ex/prop/nation").alias("predicate"),
+        F.concat(F.lit("http://ex/nation/"), F.col("s_nationkey").cast("string")).alias("object"),
+    )
+    date_triples = orders.filter(F.col("o_orderkey") % 100 == 0).select(
+        F.concat(F.lit("http://ex/order/"), F.col("o_orderkey").cast("string")).alias("subject"),
+        F.lit("http://ex/prop/startDate").alias("predicate"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("object"),
+    )
+    triples = nat_triples.unionByName(date_triples)
+
+    pred_labels = spark.createDataFrame(
+        [("http://ex/prop/nation", "country"), ("http://ex/prop/startDate", "start time")],
+        ["predicate", "label"],
+    )
+    pred_domain = spark.createDataFrame(
+        [], "predicate string, classes array<string>"
+    )
+    pred_range = spark.createDataFrame(
+        [("http://ex/prop/nation", ["http://ex/class/Nation"])],
+        "predicate string, classes array<string>",
+    )
+    superclasses = spark.createDataFrame(
+        [("http://ex/class/Nation", ["http://ex/class/Country"])],
+        "class string, ancestors array<string>",
+    )
+    return emit_sem_from_triples(
+        triples, pred_labels, pred_domain, pred_range, superclasses,
+        start_d="1995-01-01", end_d="2002-12-31",
+    )
+
+
+SEM_EMISSION_SQL = """
+WITH nat AS (
+  SELECT 'http://ex/sup/' || CAST(s_suppkey AS VARCHAR) AS subject,
+         'http://ex/nation/' || CAST(s_nationkey AS VARCHAR) AS object
+  FROM supplier
+),
+dts AS (
+  SELECT 'http://ex/order/' || CAST(o_orderkey AS VARCHAR) AS subject,
+         strftime(o_orderdate, '%Y-%m-%d') AS object
+  FROM orders WHERE o_orderkey % 100 = 0
+),
+subjects AS (SELECT DISTINCT subject FROM (SELECT subject FROM nat UNION ALL SELECT subject FROM dts))
+SELECT DISTINCT subject, predicate, object FROM (
+  -- event typing for every subject (generic_kb_to_ng.py:220-221)
+  SELECT subject, 'rdf:type' AS predicate, 'sem:Event' AS object FROM subjects
+  UNION ALL
+  -- range rule: class Nation -> superclass Country -> label 'country' -> where
+  SELECT subject, 'sem:hasPlace', object FROM nat
+  UNION ALL
+  -- label-substring rule: label 'country' contains 'country' -> where
+  SELECT subject, 'sem:hasPlace', object FROM nat
+  UNION ALL
+  -- temporal: begin = min in-window date, end := begin (only start labels)
+  SELECT subject, 'sem:hasBeginTimeStamp', min(object) FROM dts
+  WHERE object >= '1995-01-01' AND object <= '2002-12-31' GROUP BY subject
+  UNION ALL
+  SELECT subject, 'sem:hasEndTimeStamp', min(object) FROM dts
+  WHERE object >= '1995-01-01' AND object <= '2002-12-31' GROUP BY subject
+)
+"""
+
+
+# ---------------------------------------------------------------------------
 # D1-D6: iterative candidate-event search (non-SQL-expressible: iterative
 # ranking loop -> rows-only oracle check)
 # ---------------------------------------------------------------------------
@@ -923,6 +1164,11 @@ FROM customer
 QUERIES = {
     "event_search_2iter": q_event_search,
     "apply_referents": q_apply_referents,
+    "scan_filter_chain": q_scan_filter_chain,
+    "transitive_closure": q_transitive_closure,
+    "n_hop_neighbors": q_n_hop_neighbors,
+    "frame_count_per_event": q_frame_count_per_event,
+    "sem_emission_rules": q_sem_emission_rules,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "lang_id_multi": q_lang_id_multi,
     "subword_tokens": q_subword_tokens,
@@ -962,6 +1208,11 @@ ORACLE_SQL = {
     # simhash_sig + lsh_topk (xxhash64 is JVM-only), multimodal_features
     # (pandas-UDF stub decode)
     "apply_referents": APPLY_REFERENTS_SQL,
+    "scan_filter_chain": SCAN_FILTER_SQL,
+    "transitive_closure": TRANSITIVE_SQL,
+    "n_hop_neighbors": N_HOP_SQL,
+    "frame_count_per_event": FRAME_COUNT_SQL,
+    "sem_emission_rules": SEM_EMISSION_SQL,
     "minhash_lsh_pairs": MINHASH_LSH_SQL,
     "lang_id_multi": LANG_ID_MULTI_SQL,
     "subword_tokens": SUBWORD_SQL,

@@ -41,17 +41,17 @@ def _vocab_regex(vocab: list[str]) -> str:
 
 
 def _extract_batch(
-    pdf: pd.DataFrame, person_re: str, place_re: str
+    pdf: pd.DataFrame, person_re: "re.Pattern", place_re: "re.Pattern", date_re: "re.Pattern"
 ) -> pd.DataFrame:
     """Vectorized extraction over one Arrow batch."""
     base = pdf[["conv_id", "turn_idx", "text"]].copy()
     base["text"] = base["text"].fillna("")
     outs: list[pd.DataFrame] = []
 
-    for pattern, dim in ((DATE_RE, "when"), (person_re, "who"), (place_re, "where")):
-        found = base["text"].str.extractall(f"({pattern})")
+    for pattern, dim in ((date_re, "when"), (person_re, "who"), (place_re, "where")):
+        found = base["text"].str.extractall(pattern)
         if len(found):
-            hits = found[0] if dim == "when" else found[0]
+            hits = found[0]
             idx = found.index.get_level_values(0)
             out = base.loc[idx, ["conv_id", "turn_idx", "text"]].reset_index(drop=True)
             out["mention"] = hits.to_numpy()
@@ -80,21 +80,30 @@ def extract_mentions(
     transcripts: DataFrame,
     persons: list[str] | None = None,
     places: list[str] | None = None,
+    carry_text: bool = True,
 ) -> DataFrame:
-    """transcripts -> mention rows via Arrow-batched mapInPandas."""
-    person_re = _vocab_regex(persons or PERSONS)
-    place_re = _vocab_regex(places or PLACES)
+    """transcripts -> mention rows via Arrow-batched mapInPandas.
+
+    carry_text=False drops the per-row text payload (the per-turn-invariant
+    evidence column) BEFORE the dedup shuffle — the production hot path
+    shuffles (conv_id, turn_idx, mention, dimension) only; tests use
+    carry_text=True to assert the invariant.
+    """
+    # compile once on the driver; the compiled patterns ship in the closure
+    # and are reused by every executor task (no per-batch re-compilation)
+    person_re = re.compile(f"({_vocab_regex(persons or PERSONS)})")
+    place_re = re.compile(f"({_vocab_regex(places or PLACES)})")
+    date_re = re.compile(f"({DATE_RE})")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield _extract_batch(pdf, person_re, place_re)
+            yield _extract_batch(pdf, person_re, place_re, date_re)
 
     cols = ["conv_id", "turn_idx", "role", "text", "tool"]
-    return (
-        transcripts.select(*cols)
-        .mapInPandas(gen, schema=MENTION_SCHEMA)
-        .dropDuplicates(["conv_id", "turn_idx", "mention", "dimension"])
-    )
+    out = transcripts.select(*cols).mapInPandas(gen, schema=MENTION_SCHEMA)
+    if not carry_text:
+        out = out.drop("text")
+    return out.dropDuplicates(["conv_id", "turn_idx", "mention", "dimension"])
 
 
 def extract_mentions_sqlonly(

@@ -50,77 +50,104 @@ def ent_uri(col):
     return F.concat(F.lit(NS_ENT), F.regexp_replace(col, " ", "%20"))
 
 
+def build_event_graph(transcripts: DataFrame, persist: bool = False) -> DataFrame:
+    """Full pipeline: extraction (slim) -> materialization.
+
+    The mentions table feeds two plan branches (per-mention triples and the
+    per-event date aggregate), but both read the dedup exchange, so Spark's
+    ReusedExchange executes the Arrow-batched extraction ONCE — measured:
+    persist() here only adds materialization cost (kept as an option for
+    plans where the reuse breaks, e.g. after further transformation)."""
+    from ..extraction.mentions import extract_mentions
+
+    mentions = extract_mentions(transcripts, carry_text=False)
+    if persist:
+        mentions = mentions.persist()
+    return materialize_event_graph(transcripts, mentions)
+
+
 def materialize_event_graph(
-    transcripts: DataFrame, mentions: DataFrame
+    transcripts: DataFrame, mentions: DataFrame, dedup_output: bool = False
 ) -> DataFrame:
     """(transcripts, mentions) -> SEM triples DataFrame (subject, predicate, object).
 
-    Event nodes are turns; conversation nodes aggregate them. All emissions are
-    narrow selects + one window for ordering edges; the union is deduplicated
-    once at the end (reference dedups per scan, src/interface.py:171).
+    Single-pass emission, designed for the 100TB plan shape:
+
+    - per-turn triples (typing, role actor, sub-event edges, conversation
+      membership, temporal ordering) are built as ONE emission array per turn
+      and exploded — one scan + one window + one explode instead of a union
+      of ~7 re-scanning branches;
+    - turn dedup and the lead() ordering edge share a single conv_id
+      exchange (lag-based first-row filter inside the same window stage)
+      instead of a (conv_id, turn_idx) dedup shuffle + a conv_id window
+      shuffle;
+    - mention triples are one narrow select with a CASE on dimension; date
+      min/max is one aggregate over the when-mentions only (min/max are
+      duplicate-insensitive — no dedup shuffle needed);
+    - NO global output dedup: the three branches emit provably disjoint
+      triple sets (distinct predicates/object namespaces), each internally
+      deduplicated, so the reference's defensive drop_duplicates
+      (src/interface.py:171) would shuffle the full output for nothing.
+      Pass dedup_output=True when feeding externally-constructed mentions
+      whose disjointness is not guaranteed.
     """
-    turns = transcripts.select("conv_id", "turn_idx", "role", "ts").dropDuplicates(
-        ["conv_id", "turn_idx"]
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    # dedup duplicate turn rows inside the same conv_id exchange the lead()
+    # needs anyway: keep the first row per (conv_id, turn_idx)
+    turns = (
+        transcripts.select("conv_id", "turn_idx", "role")
+        .withColumn("__prev", F.lag("turn_idx").over(w))
+        .filter(F.col("__prev").isNull() | (F.col("__prev") != F.col("turn_idx")))
+        .drop("__prev")
     )
     ev = event_uri_col()
-
-    # (event, rdf:type, sem:Event)  — generic_kb_to_ng.py:220-221
-    typing = turns.select(
-        ev.alias("subject"), F.lit(RDF_TYPE).alias("predicate"), F.lit(SEM_EVENT).alias("object")
+    conv = conv_uri_col()
+    next_ev = F.concat(
+        F.lit(NS_NG + "event/"),
+        F.col("conv_id"),
+        F.lit("/"),
+        F.col("next_turn").cast("string"),
     )
 
-    # (event, sem:hasActor, role-actor) — every turn has its speaking role
-    role_actor = turns.select(
-        ev.alias("subject"),
-        F.lit(NF_TO_PRED["who"]).alias("predicate"),
-        F.concat(F.lit(NS_NG + "actor/"), F.col("role")).alias("object"),
-    )
+    def t(s, p, o):
+        return F.struct(s.alias("subject"), p.alias("predicate"), o.alias("object"))
 
-    # (event, sem:subEventOf, conversation) + inverse — generic_kb_to_ng.py:63-65
-    sub_event = turns.select(
-        ev.alias("subject"),
-        F.lit(NF_TO_PRED["part_of"]).alias("predicate"),
-        conv_uri_col().alias("object"),
+    emissions = F.array(
+        # (event, rdf:type, sem:Event) — generic_kb_to_ng.py:220-221
+        t(ev, F.lit(RDF_TYPE), F.lit(SEM_EVENT)),
+        # speaking role as actor
+        t(ev, F.lit(NF_TO_PRED["who"]), F.concat(F.lit(NS_NG + "actor/"), F.col("role"))),
+        # sub-event edges both ways — generic_kb_to_ng.py:63-65
+        t(ev, F.lit(NF_TO_PRED["part_of"]), conv),
+        t(conv, F.lit(NF_TO_PRED["part_of_inverse"]), ev),
+        t(ev, F.lit(IN_CONVERSATION), conv),
+        # temporal ordering edge (null when last turn; filtered below)
+        F.when(
+            F.col("next_turn").isNotNull(), t(ev, F.lit(NEXT_EVENT), next_ev)
+        ),
     )
-    has_sub = turns.select(
-        conv_uri_col().alias("subject"),
-        F.lit(NF_TO_PRED["part_of_inverse"]).alias("predicate"),
-        ev.alias("object"),
-    )
-
-    # temporal ordering edges: event -> next event in the same conversation
-    w = Window.partitionBy("conv_id").orderBy("turn_idx")
-    nxt = (
+    turn_triples = (
         turns.withColumn("next_turn", F.lead("turn_idx").over(w))
-        .filter(F.col("next_turn").isNotNull())
-        .select(
-            ev.alias("subject"),
-            F.lit(NEXT_EVENT).alias("predicate"),
-            F.concat(
-                F.lit(NS_NG + "event/"),
-                F.col("conv_id"),
-                F.lit("/"),
-                F.col("next_turn").cast("string"),
-            ).alias("object"),
-        )
+        .select(F.explode(F.filter(emissions, lambda x: x.isNotNull())).alias("tr"))
+        .select("tr.subject", "tr.predicate", "tr.object")
     )
 
-    # mention-derived triples
+    # mention-derived triples: one narrow select, CASE on dimension
+    # (mentions arrive deduped on (conv_id, turn_idx, mention, dimension)
+    # from extract_mentions; min/max below are duplicate-insensitive anyway)
     m = mentions.select("conv_id", "turn_idx", "mention", "dimension")
-    who = m.filter(F.col("dimension") == "who").select(
+    non_date = m.filter(F.col("dimension").isin("who", "where", "tool")).select(
         event_uri_col().alias("subject"),
-        F.lit(NF_TO_PRED["who"]).alias("predicate"),
-        ent_uri(F.col("mention")).alias("object"),
-    )
-    where = m.filter(F.col("dimension") == "where").select(
-        event_uri_col().alias("subject"),
-        F.lit(NF_TO_PRED["where"]).alias("predicate"),
-        ent_uri(F.col("mention")).alias("object"),
-    )
-    tools = m.filter(F.col("dimension") == "tool").select(
-        event_uri_col().alias("subject"),
-        F.lit(USED_TOOL).alias("predicate"),
-        F.concat(F.lit(NS_NG + "tool/"), F.col("mention")).alias("object"),
+        F.when(F.col("dimension") == "who", F.lit(NF_TO_PRED["who"]))
+        .when(F.col("dimension") == "where", F.lit(NF_TO_PRED["where"]))
+        .otherwise(F.lit(USED_TOOL))
+        .alias("predicate"),
+        F.when(
+            F.col("dimension") == "tool",
+            F.concat(F.lit(NS_NG + "tool/"), F.col("mention")),
+        )
+        .otherwise(ent_uri(F.col("mention")))
+        .alias("object"),
     )
 
     # begin/end timestamps per event: min/max mentioned date; end:=begin when
@@ -131,37 +158,26 @@ def materialize_event_graph(
         .agg(F.min("mention").alias("begin"), F.max("mention").alias("end"))
         .withColumn("end", F.coalesce("end", "begin"))
     )
-    begin = dates.select(
+    date_triples = dates.select(
         event_uri_col().alias("subject"),
-        F.lit(NF_TO_PRED["when_bts"]).alias("predicate"),
-        F.col("begin").alias("object"),
-    )
-    end = dates.select(
-        event_uri_col().alias("subject"),
-        F.lit(NF_TO_PRED["when_ets"]).alias("predicate"),
-        F.col("end").alias("object"),
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(NF_TO_PRED["when_bts"]).alias("predicate"),
+                    F.col("begin").alias("object"),
+                ),
+                F.struct(
+                    F.lit(NF_TO_PRED["when_ets"]).alias("predicate"),
+                    F.col("end").alias("object"),
+                ),
+            )
+        ).alias("po"),
+    ).select("subject", "po.predicate", "po.object")
 
-    # conversation membership edge for lineage/navigation
-    in_conv = turns.select(
-        ev.alias("subject"),
-        F.lit(IN_CONVERSATION).alias("predicate"),
-        conv_uri_col().alias("object"),
-    )
-
-    out = (
-        typing.unionByName(role_actor)
-        .unionByName(sub_event)
-        .unionByName(has_sub)
-        .unionByName(nxt)
-        .unionByName(who)
-        .unionByName(where)
-        .unionByName(tools)
-        .unionByName(begin)
-        .unionByName(end)
-        .unionByName(in_conv)
-    )
-    return out.dropDuplicates(["subject", "predicate", "object"])
+    out = turn_triples.unionByName(non_date).unionByName(date_triples)
+    if dedup_output:
+        out = out.dropDuplicates(["subject", "predicate", "object"])
+    return out
 
 
 # ---------------------------------------------------------------------------

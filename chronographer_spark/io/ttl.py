@@ -16,19 +16,35 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..vocab import PREFIXES
+
 XSD_DATE = "http://www.w3.org/2001/XMLSchema#date"
+
+
+def expand_curie(col):
+    """Expand engine CURIEs (ng: / sem: / rdf: / ent:) to full URIs."""
+    out = col
+    for short, full in PREFIXES.items():
+        out = F.when(out.startswith(short),
+                     F.concat(F.lit(full), F.substring(out, len(short) + 1, 1 << 20))
+                     ).otherwise(out)
+    return out
 
 PREFIX_HEADER = """@prefix sem: <http://semanticweb.cs.vu.nl/2009/11/sem/> .
 @prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .
 @prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+@prefix ng: <http://chronographer-spark.local/ng/> .
+@prefix ent: <http://chronographer-spark.local/ent/> .
 """
 
 
 def _term(col, *, object_position: bool = False):
-    uri = F.concat(F.lit("<"), col, F.lit(">"))
+    expanded = expand_curie(col)
+    uri = F.concat(F.lit("<"), expanded, F.lit(">"))
     if not object_position:
         return uri
-    is_uri = col.startswith("http")
+    # a term is a resource if it carries a known CURIE prefix or is http-full
+    is_uri = expanded.startswith("http")
     is_date = col.rlike(r"^\d{4}-\d{2}-\d{2}$")
     quoted = F.concat(F.lit('"'), F.regexp_replace(col, '"', '\\\\"'), F.lit('"'))
     return (

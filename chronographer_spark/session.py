@@ -42,7 +42,16 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local[N] runs every executor thread in the driver JVM: size the heap
+        # for N concurrent hash-aggregate tasks or they spill and serialize
+        # on disk I/O (measured: 2x wall-clock at local[32] with an 8g heap)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # throughput collector: this engine is a batch workload with heavy
+        # short-lived string allocation; measured ~10% faster than G1 here
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_DRIVER_JAVA_OPTS", "-XX:+UseParallelGC"),
+        )
     )
     for key, val in (extra_conf or {}).items():
         builder = builder.config(key, val)

@@ -15,11 +15,27 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, StringType, StructField, StructType
 
-NS_SEM = "http://semanticweb.cs.vu.nl/2009/11/sem/"
-NS_RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
-NS_NG = "http://chronographer-spark.local/ng/"  # engine-local namespace
-NS_ENT = "http://chronographer-spark.local/ent/"
+FULL_NS_SEM = "http://semanticweb.cs.vu.nl/2009/11/sem/"
+FULL_NS_RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+FULL_NS_NG = "http://chronographer-spark.local/ng/"  # engine-local namespace
+FULL_NS_ENT = "http://chronographer-spark.local/ent/"
 NS_XSD = "http://www.w3.org/2001/XMLSchema#"
+
+# Triples are emitted with compact CURIE prefixes (standard RDF practice,
+# declared in PREFIXES and expanded at TTL export). At 10^11-triple scale the
+# long-form URIs quadruple the string bytes moved through every operator —
+# CURIEs cut shuffle and memory traffic ~4x for identical semantics.
+NS_SEM = "sem:"
+NS_RDF = "rdf:"
+NS_NG = "ng:"
+NS_ENT = "ent:"
+
+PREFIXES: dict[str, str] = {
+    NS_SEM: FULL_NS_SEM,
+    NS_RDF: FULL_NS_RDF,
+    NS_NG: FULL_NS_NG,
+    NS_ENT: FULL_NS_ENT,
+}
 
 RDF_TYPE = NS_RDF + "type"
 SEM_EVENT = NS_SEM + "Event"
