@@ -1,0 +1,70 @@
+"""Native Column expressions for the reference's scalar idioms (§2.8).
+
+| here | reference |
+|---|---|
+| iso_day_slice | `x[1:11]` date slicing (interface.py:93-98, generic_kb_to_ng.py:147) |
+| year_of_uri | `\\d{4}` regex year with default (filtering.py:65-72) |
+| last_path_segment | `uri.split("/")[-1].lower()` (generic_kb_to_ng.py:102, 245) |
+| uri_encode | percent-encoding for graph-safe URIs (generic_kb_to_ng.py:146) |
+| wikidata_prop_to_entity | prop->entity namespace replace (ordering.py:152) |
+| label_contains_any | label-substring containment vs ~20 vocab strings (generic_kb_to_ng.py:244-249) |
+| lexical_in_window | ISO-string date compare (filtering.py:56-63) |
+| entropy_term | -(c/t)*ln(c/t) (ranker.py:58-64) |
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def iso_day_slice(col) -> Column:
+    """`x[1:11]` on a quoted literal == substring(2, 10)."""
+    return F.substring(col, 2, 10)
+
+
+def year_of_uri(col, default_year: str) -> Column:
+    """First 4-digit run in the URI, else `default_year`."""
+    return F.coalesce(
+        F.nullif(F.regexp_extract(col, r"(\d{4})", 1), F.lit("")),
+        F.lit(default_year),
+    )
+
+
+def last_path_segment(col) -> Column:
+    return F.lower(F.substring_index(col, "/", -1))
+
+
+def uri_encode(col) -> Column:
+    """Percent-encode the characters rdflib escapes in resource URIs.
+
+    Spaces and quotes cover the engine's entity mentions; extend the
+    translate pairs for full RFC 3986 parity if mentions widen."""
+    out = F.regexp_replace(col, " ", "%20")
+    out = F.regexp_replace(out, '"', "%22")
+    return F.regexp_replace(out, "`", "%60")
+
+
+def wikidata_prop_to_entity(col) -> Column:
+    """prop/direct/P -> entity/P namespace rewrite (ordering.py:152)."""
+    return F.regexp_replace(
+        col, "http://www.wikidata.org/prop/direct/", "http://www.wikidata.org/entity/"
+    )
+
+
+def label_contains_any(col, needles: list[str]) -> Column:
+    cond = F.lit(False)
+    for n in needles:
+        cond = cond | col.contains(n)
+    return cond
+
+
+def lexical_in_window(col, start_d: str, end_d: str) -> Column:
+    """ISO-8601 strings compare correctly as strings — identical semantics
+    to the reference's lexical compares, and stays in codegen."""
+    return (col >= start_d) & (col <= end_d)
+
+
+def entropy_term(count_col, total_col) -> Column:
+    p = count_col.cast("double") / total_col.cast("double")
+    return -p * F.log(p)

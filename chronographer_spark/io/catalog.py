@@ -21,6 +21,25 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def with_lineage(df: DataFrame, run_id: str, stage: str) -> DataFrame:
+    """Per-partition lineage + metrics columns (north rule): run id, stage,
+    producing partition, and ingest timestamp — written with every output
+    table so any partition can be traced to the run/stage that built it."""
+    return (
+        df.withColumn("lineage_run_id", F.lit(run_id))
+        .withColumn("lineage_stage", F.lit(stage))
+        .withColumn("lineage_partition", F.spark_partition_id())
+        .withColumn("lineage_ts", F.current_timestamp())
+    )
+
+
+def partition_metrics(df_with_lineage: DataFrame) -> DataFrame:
+    """rows-per-partition metrics table for a lineage-tagged DataFrame."""
+    return df_with_lineage.groupBy(
+        "lineage_run_id", "lineage_stage", "lineage_partition"
+    ).agg(F.count("*").alias("rows_out"))
+
+
 class Catalog:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark

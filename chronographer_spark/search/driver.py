@@ -65,6 +65,8 @@ class SearchConfig:
     low_threshold: int = 1
     high_threshold: int = 200
     rdf_type_pred: str = RDF_TYPE_PRED
+    walk: str = "informed"  # or "random" (framework.py:469-514)
+    uri_limit: int | None = None  # per-iteration cap in random mode
 
 
 class GraphSearch:
@@ -171,6 +173,21 @@ class GraphSearch:
         s = self.spark
         if iteration == 1:
             return s.createDataFrame([(self.cfg.start,)], ["node"])
+        if self.cfg.walk == "random":
+            # candidates = all pending endpoints minus visited; deterministic
+            # xxhash64 sample replaces random.seed(23) (framework.py:476-482)
+            cand = (
+                state["pending_in"].select(F.col("subject").alias("node"))
+                .unionByName(state["pending_out"].select(F.col("object").alias("node")))
+                .dropDuplicates()
+                .join(state["visited"], "node", "left_anti")
+            )
+            visited_n = state["visited"].count()
+            budget = self.cfg.max_uri - visited_n
+            if budget <= 0:
+                return s.createDataFrame([], "node string")
+            k = min(budget, self.cfg.uri_limit) if self.cfg.uri_limit else budget
+            return deterministic_sample(cand, k)
         path = self.to_expand
         if path is None:
             return s.createDataFrame([], "node string")
@@ -246,13 +263,17 @@ class GraphSearch:
             occ, occurrence_delta(pend_out, "outgoing", self.cfg.target_types, self.cfg.mode)
         )
 
-        # rank next path (A2/A3) and drop it from the occurrence table (D5)
-        chosen = rank_top1(
-            occ, self.cfg.type_ranking, self.cfg.low_threshold, self.cfg.high_threshold
-        )
-        self.to_expand = chosen
-        if chosen is not None:
-            occ = remove_chosen_path(occ, chosen)
+        # rank next path (A2/A3) and drop it from the occurrence table (D5);
+        # random walk keeps occurrences for audit but never ranks
+        if self.cfg.walk == "informed":
+            chosen = rank_top1(
+                occ, self.cfg.type_ranking, self.cfg.low_threshold, self.cfg.high_threshold
+            )
+            self.to_expand = chosen
+            if chosen is not None:
+                occ = remove_chosen_path(occ, chosen)
+        else:
+            chosen = None
 
         # accumulate state
         visited = state["visited"].unionByName(frontier).dropDuplicates()
@@ -339,7 +360,7 @@ class GraphSearch:
             if state["visited"].count() >= self.cfg.max_uri:
                 stop_reason = "max_uri"
                 break
-            if self.to_expand is None:
+            if self.cfg.walk == "informed" and self.to_expand is None:
                 stop_reason = "no_best_path"
                 break
 

@@ -25,14 +25,16 @@ def main() -> None:
 
     from chronographer_spark.data.transcripts import transcripts_from_events
     from chronographer_spark.graph.materialize import build_event_graph
-    from chronographer_spark.io.catalog import Catalog
+    from chronographer_spark.io.catalog import Catalog, partition_metrics, with_lineage
 
     t0 = time.monotonic()
+    run_id = f"run-{int(time.time())}"
     tx = transcripts_from_events(spark, args.sf_dir)
-    triples = build_event_graph(tx)
+    triples = with_lineage(build_event_graph(tx), run_id, "materialize")
 
     cat = Catalog(spark, args.out)
     cat.write_triples(triples)
+    cat.write(partition_metrics(cat.read("triples")), "partition_metrics")
     n = cat.read("triples").count()
     wall = time.monotonic() - t0
 
