@@ -1161,6 +1161,236 @@ FROM customer
 """
 
 
+# ---------------------------------------------------------------------------
+# Temporal joins (beyond the reference's equi-joins): as-of, interval, session
+# ---------------------------------------------------------------------------
+
+
+def q_asof_join_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every click event, the most recent prior purchase by the same
+    user (backward-inclusive as-of join; union+window, one shuffle)."""
+    from .operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        # one row per (user, ts): ties pinned to max event_id on BOTH engines
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("p_id"))
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        ts_col="ts",
+        right_cols=["p_id"],
+        tie_col="p_id",
+    )
+    return out.select(
+        "event_id",
+        F.col("p_id_asof").alias("prior_purchase_id"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("ts_asof").cast("timestamp"))
+        ).alias("gap_us"),
+    )
+
+
+ASOF_SQL = """
+WITH clicks AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT user_id, ts, max(event_id) AS p_id
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT c.event_id,
+       p.p_id AS prior_purchase_id,
+       date_diff('microsecond', p.ts, c.ts) AS gap_us
+FROM clicks c ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
+def q_interval_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-user event pairs within 24h — the time-binned band join."""
+    from .operators.temporal import interval_self_join
+
+    ev = _t(spark, sf_dir, "events")
+    return interval_self_join(
+        ev, on=["user_id"], ts_col="ts", id_col="event_id", max_gap_seconds=86400
+    )
+
+
+INTERVAL_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events
+)
+SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+       b.sec - a.sec AS gap_seconds
+FROM e a JOIN e b
+  ON a.user_id = b.user_id AND b.sec > a.sec AND b.sec <= a.sec + 86400
+"""
+
+
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions (1h) per user — lag + running sum, one shuffle."""
+    from .operators.temporal import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    out = sessionize(ev, on=["user_id"], ts_col="ts", tie_col="event_id", gap_seconds=3600)
+    return out.select("user_id", "event_id", F.col("session_seq").cast("long").alias("session_seq"))
+
+
+SESSIONIZE_SQL = """
+WITH o AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS prev_sec,
+         ts
+  FROM events
+)
+SELECT user_id, event_id,
+  CAST(sum(CASE WHEN prev_sec IS NULL OR sec - prev_sec > 3600 THEN 1 ELSE 0 END)
+    OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+FROM o
+"""
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN (partition-pruned scale path) — fully oracle-replayed
+# ---------------------------------------------------------------------------
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, queries, k=10, n_centroids=8, n_probe=3)
+
+
+IVF_SQL = """
+WITH corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (
+  SELECT vec_id AS cent_id, v AS cv FROM corpus
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+),
+assign AS (
+  SELECT vec_id, v, cent_id AS cell FROM (
+    SELECT c.vec_id, c.v, ct.cent_id,
+      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+        list_dot_product(c.v, ct.cv)
+          / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(ct.cv, ct.cv))) DESC,
+        ct.cent_id ASC) AS rn
+    FROM corpus c CROSS JOIN cent ct)
+  WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM corpus WHERE vec_id < 3),
+probe AS (
+  SELECT query_id, qv, cent_id AS cell FROM (
+    SELECT q.query_id, q.qv, ct.cent_id,
+      row_number() OVER (PARTITION BY q.query_id ORDER BY
+        list_dot_product(q.qv, ct.cv)
+          / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(ct.cv, ct.cv))) DESC,
+        ct.cent_id ASC) AS rn
+    FROM q CROSS JOIN cent ct)
+  WHERE rn <= 3
+),
+cand AS (
+  SELECT p.query_id, a.vec_id,
+    list_dot_product(a.v, p.qv)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(p.qv, p.qv))) AS cosine
+  FROM assign a JOIN probe p ON a.cell = p.cell
+)
+SELECT query_id, vec_id, CAST(rn AS INT) AS rank FROM (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rn
+  FROM cand)
+WHERE rn <= 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Portable simhash (md5-bit signature, oracle-replayed bit-for-bit) and
+# n-gram Jaccard verification over LSH candidate pairs
+# ---------------------------------------------------------------------------
+
+
+def q_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import simhash_portable
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_portable(docs, bits=32)
+
+
+_SIMHASH_BITSUMS = ",\n    ".join(
+    f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}" for i in range(32)
+)
+_SIMHASH_RECOMPOSE = " + ".join(
+    f"CASE WHEN b{i} > 0 THEN CAST({2**i} AS BIGINT) ELSE 0 END" for i in range(32)
+)
+
+SIMHASH_PORTABLE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(
+    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+    CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS h
+  FROM toks
+),
+bits AS (
+  SELECT doc_id,
+    {_SIMHASH_BITSUMS}
+  FROM h GROUP BY doc_id
+)
+SELECT doc_id, {_SIMHASH_RECOMPOSE} AS simhash
+FROM bits
+"""
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates -> exact 1-gram Jaccard (the verification stage of
+    minhash_dedup), scaled x1e6."""
+    from .operators.dedup import minhash_lsh_candidates, ngram_jaccard
+
+    docs = _t(spark, sf_dir, "documents")
+    cands = minhash_lsh_candidates(docs, num_hashes=8, bands=2, shingle_n=1)
+    scored = ngram_jaccard(docs, cands, shingle_n=1)
+    return scored.select(
+        "id_a",
+        "id_b",
+        F.floor(F.col("jaccard") * 1000000 + F.lit(0.5)).cast("long").alias("jac_x1e6"),
+    )
+
+
+NGRAM_JACCARD_SQL = f"""
+WITH pairs AS ({MINHASH_LSH_SQL}),
+sh AS (
+  SELECT doc_id, list_distinct(string_split(
+    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS sh
+  FROM documents
+)
+SELECT p.id_a, p.id_b,
+  CAST(floor(
+    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.sh, b.sh))) * 1000000 + 0.5) AS BIGINT)
+    AS jac_x1e6
+FROM pairs p
+JOIN sh a ON a.doc_id = p.id_a
+JOIN sh b ON b.doc_id = p.id_b
+"""
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "apply_referents": q_apply_referents,
@@ -1201,6 +1431,12 @@ QUERIES = {
     "vocab_mentions": q_vocab_mentions,
     "cosine_topk": q_cosine_topk,
     "cc_canonical": q_cc_canonical,
+    "asof_join_latest": q_asof_join_latest,
+    "interval_join_pairs": q_interval_join_pairs,
+    "sessionize_events": q_sessionize_events,
+    "ivf_topk": q_ivf_topk,
+    "simhash_portable": q_simhash_portable,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
 }
 
 ORACLE_SQL = {
@@ -1242,4 +1478,10 @@ ORACLE_SQL = {
     "vocab_mentions": VOCAB_MENTIONS_SQL,
     "cosine_topk": COSINE_TOPK_SQL,
     "cc_canonical": CC_SQL,
+    "asof_join_latest": ASOF_SQL,
+    "interval_join_pairs": INTERVAL_SQL,
+    "sessionize_events": SESSIONIZE_SQL,
+    "ivf_topk": IVF_SQL,
+    "simhash_portable": SIMHASH_PORTABLE_SQL,
+    "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
 }

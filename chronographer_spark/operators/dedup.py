@@ -240,3 +240,31 @@ def embedding_near_dups(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def simhash_portable(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
+) -> DataFrame:
+    """Engine-portable simhash: per-token 32-bit hash from the first 8 hex
+    chars of md5 (identical in any engine — the DuckDB oracle replays it
+    bit-for-bit, unlike xxhash64 in :func:`simhash64`), then the same
+    per-bit majority vote. Same single-shuffle shape as simhash64; use that
+    one when raw throughput matters and this one when cross-engine
+    verifiability matters."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
+    ).withColumn(
+        "h", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+    )
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    sums = toks.groupBy(id_col).agg(*bit_aggs)
+    sig = F.lit(0).cast("long")
+    for i in range(bits):
+        sig = sig + F.when(F.col(f"b{i}") > 0, F.lit(2**i).cast("long")).otherwise(0)
+    return sums.select(F.col(id_col), sig.alias("simhash"))

@@ -130,3 +130,154 @@ def lsh_topk(
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the partition-pruned scale path
+# ---------------------------------------------------------------------------
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic centroid pick: the `n_centroids` corpus vectors first in
+    md5(id) order (a portable seeded sample — same rows on any engine or
+    partitioning; SURVEY.md §4 determinism rule). K-means refinement would
+    drop in here; centroid *choice* is not the contract, cell routing is."""
+    return (
+        corpus.select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
+        .orderBy(F.md5(F.col("cent_id").cast("string")), F.col("cent_id"))
+        .limit(n_centroids)
+    )
+
+
+def _cosine_expr(v, c):
+    dot = F.aggregate(
+        F.zip_with(v, c, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    nv = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    nc = F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))
+    return dot / (nv * nc)
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Attach `cell` = nearest centroid id (cosine; ties -> lowest cent_id).
+
+    `centroids` is a driver-side list of (cent_id, vector) — tiny — baked
+    into the plan as an array literal, so assignment is MAP-ONLY: no shuffle,
+    no join, scales linearly with corpus size. At 100TB the assigned table is
+    written partitioned by `cell`, making probe-time reads partition-pruned.
+    The argmax is a single `aggregate` fold with an explicit
+    (sim desc, cent_id asc) comparison — deterministic under any order.
+    """
+    cent_lit = F.array(
+        *[
+            F.struct(
+                F.lit(int(cid)).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in vec]).alias("cv"),
+            )
+            for cid, vec in centroids
+        ]
+    )
+    v = F.col("__v")
+    sims = F.transform(
+        cent_lit,
+        lambda c: F.struct(_cosine_expr(v, c["cv"]).alias("sim"), c["cid"].alias("cid")),
+    )
+    best = F.aggregate(
+        sims,
+        F.struct(
+            F.lit(-2.0).alias("sim"), F.lit(None).cast("integer").alias("cid")
+        ),
+        lambda acc, x: F.when(
+            (x["sim"] > acc["sim"])
+            | ((x["sim"] == acc["sim"]) & (x["cid"] < acc["cid"])),
+            x,
+        ).otherwise(acc),
+    )
+    return (
+        corpus.withColumn("__v", F.col(vec_col).cast("array<double>"))
+        .withColumn("cell", best["cid"])
+        .drop("__v")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF approximate top-k: route every corpus vector to its nearest
+    centroid cell once, probe only the `n_probe` cells nearest each query,
+    exact cosine within the probed cells.
+
+    Candidate set shrinks from |corpus| to ~(n_probe/n_centroids)·|corpus|;
+    with the assigned table partitioned by cell this is a partition-pruned
+    scan, not a filter. Returns (query_id, vec_id, rank) — rank is the
+    value contract (floats never leave the plan), pinned by
+    (cosine desc, vec_id asc).
+    """
+    cent_df = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    centroids = [
+        (r["cent_id"], list(r["cent_vec"])) for r in cent_df.collect()
+    ]
+    centroids.sort(key=lambda t: t[0])
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+
+    cent_rows = F.array(
+        *[
+            F.struct(
+                F.lit(int(cid)).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in vec]).alias("cv"),
+            )
+            for cid, vec in centroids
+        ]
+    )
+    qv = F.col("__qv")
+    q = (
+        queries.withColumn("__qv", F.col(vec_col).cast("array<double>"))
+        .withColumn(
+            "__cells",
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.transform(
+                            cent_rows,
+                            lambda c: F.struct(
+                                (-_cosine_expr(qv, c["cv"])).alias("neg_sim"),
+                                c["cid"].alias("cid"),
+                            ),
+                        )
+                    ),
+                    lambda s: s["cid"],
+                ),
+                1,
+                n_probe,
+            ),
+        )
+        .select(query_id_col, F.col("__qv").alias("qv"), F.explode("__cells").alias("cell"))
+    )
+    cand = assigned.join(F.broadcast(q), "cell").select(
+        query_id_col,
+        id_col,
+        _cosine_expr(F.col(vec_col).cast("array<double>"), F.col("qv")).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "rank")
+    )

@@ -1,0 +1,175 @@
+"""Temporal join operators beyond the reference's equality joins.
+
+The reference (muhai-project/chronographer) only ever joins on equality
+(SURVEY.md §2.3: src/framework.py, src/interface.py); its temporal logic is
+the lexical date-range filter (reference src/filtering.py:52-63). A
+transcript pipeline additionally needs order/interval-aware joins, and each
+must be expressed so it survives a 100TB input:
+
+- ``asof_join``: attach the most recent prior right-row per key (e.g. the
+  last tool invocation before each turn, the last config change before each
+  event). Implemented as union + ordered window ``last(ignorenulls)`` —
+  ONE shuffle on the key, no range explosion, no per-key crossJoin. This is
+  the canonical scalable as-of pattern (a sort-merge within each key
+  partition); memory per task is O(1) beyond the sort.
+- ``interval_self_join``: pairs of rows on the same key within ``max_gap``
+  seconds of each other. Implemented by time-binning: bin width == max_gap,
+  the left side is duplicated into (bin, bin+1) so every qualifying pair
+  shares a (key, bin) bucket; candidate space is O(rows_per_bin²) per key
+  instead of O(rows_per_key²), then an exact range filter. High-cardinality
+  (key, bin) bucket keys keep the shuffle well spread; AQE splits residual
+  skew.
+- ``sessionize``: gap-based session ids per key via lag + running sum — two
+  window functions over one (key, ts) sort, one shuffle, no iteration.
+
+All orderings carry an explicit integer tie-break column so results are
+deterministic under any partitioning (SURVEY.md §7.4 determinism rule).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    ts_col: str = "ts",
+    right_ts_col: str | None = None,
+    right_cols: Sequence[str] | None = None,
+    tie_col: str | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Backward as-of join: for every left row, the right row with the
+    greatest ``right_ts <= left_ts`` on the same key (inclusive).
+
+    Returns all left columns plus ``<right_col><suffix>`` for each requested
+    right column and ``<ts_col><suffix>`` (null when no prior right row).
+
+    When several right rows share the matching timestamp the one with the
+    greatest ``tie_col`` wins (callers pass a unique id column); this pins
+    determinism where naive implementations rely on partition order.
+    """
+    on = list(on)
+    right_ts_col = right_ts_col or ts_col
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (*on, right_ts_col)]
+    right_cols = list(right_cols)
+    left_payload = [c for c in left.columns if c not in (*on, ts_col)]
+
+    l_tag = left.select(
+        *on,
+        F.col(ts_col).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        F.lit(None).cast("long").alias("__tie"),
+        *[F.col(c) for c in left_payload],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}") for c in right_cols],
+        F.lit(None).cast(right.schema[right_ts_col].dataType).alias(f"{ts_col}{suffix}"),
+    )
+    r_tag = right.select(
+        *on,
+        F.col(right_ts_col).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        (F.col(tie_col).cast("long") if tie_col else F.lit(0).cast("long")).alias("__tie"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_payload],
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+        F.col(right_ts_col).alias(f"{ts_col}{suffix}"),
+    )
+    # right rows sort BEFORE left rows at equal ts (__is_left asc) => inclusive
+    # <=; __tie orders equal-ts right rows so `last` picks the max tie_col.
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__ts").asc(), F.col("__is_left").asc(), F.col("__tie").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = l_tag.unionByName(r_tag).select(
+        *on,
+        "__ts",
+        "__is_left",
+        *left_payload,
+        *[
+            F.last(F.col(f"{c}{suffix}"), ignorenulls=True).over(w).alias(f"{c}{suffix}")
+            for c in right_cols
+        ],
+        F.last(F.col(f"{ts_col}{suffix}"), ignorenulls=True).over(w).alias(f"{ts_col}{suffix}"),
+    )
+    return filled.filter(F.col("__is_left") == 1).drop("__is_left").withColumnRenamed(
+        "__ts", ts_col
+    )
+
+
+def interval_self_join(
+    df: DataFrame,
+    on: Sequence[str],
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    max_gap_seconds: int = 60,
+) -> DataFrame:
+    """Pairs ``(id_a, id_b, gap_seconds)`` on the same key with
+    ``ts_a < ts_b <= ts_a + max_gap_seconds``.
+
+    Time-binned band join: bin width equals the gap, so a qualifying pair is
+    always in the same or adjacent bins; the left row is replicated into its
+    own and the next bin (2x, constant factor), and the equi-join on
+    (key, bin) prunes everything farther apart before the exact filter.
+    """
+    on = list(on)
+    sec = F.unix_timestamp(F.col(ts_col))
+    binned = df.select(
+        *on,
+        F.col(id_col),
+        F.col(ts_col),
+        sec.alias("__sec"),
+        F.floor(sec / max_gap_seconds).alias("__bin"),
+    )
+    a = binned.select(
+        *on,
+        F.col(id_col).alias("id_a"),
+        F.col("__sec").alias("sec_a"),
+        F.explode(F.array(F.col("__bin"), F.col("__bin") + 1)).alias("__jbin"),
+    )
+    b = binned.select(
+        *on,
+        F.col(id_col).alias("id_b"),
+        F.col("__sec").alias("sec_b"),
+        F.col("__bin").alias("__jbin"),
+    )
+    return (
+        a.join(b, [*on, "__jbin"])
+        .filter(
+            (F.col("sec_b") > F.col("sec_a"))
+            & (F.col("sec_b") <= F.col("sec_a") + max_gap_seconds)
+        )
+        .select(*on, "id_a", "id_b", (F.col("sec_b") - F.col("sec_a")).alias("gap_seconds"))
+        .dropDuplicates([*on, "id_a", "id_b"])
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    on: Sequence[str],
+    ts_col: str = "ts",
+    tie_col: str = "event_id",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Assign gap-based session numbers per key.
+
+    A new session starts when the time since the previous row on the same key
+    exceeds ``gap_seconds``. Adds ``session_seq`` (1-based per key) — the
+    session key is (key..., session_seq). One shuffle; both window passes
+    share the (key) exchange and (ts, tie) sort.
+    """
+    on = list(on)
+    w = Window.partitionBy(*on).orderBy(F.col(ts_col).asc(), F.col(tie_col).asc())
+    sec = F.unix_timestamp(F.col(ts_col))
+    prev = F.lag(sec).over(w)
+    new_flag = F.when(prev.isNull() | (sec - prev > gap_seconds), 1).otherwise(0)
+    return df.withColumn(
+        "session_seq",
+        F.sum(new_flag).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )

@@ -1,0 +1,135 @@
+"""Custom stateful streaming operator: gap-based conversation sessionization.
+
+The reference has no streaming at all (SURVEY.md §2.11); this is the
+engine's `applyInPandasWithState` surface — the Spark primitive for
+arbitrary keyed state the built-in windowed aggregations can't express
+(per-conversation open-session accumulation with gap-close semantics).
+
+Semantics (mirrors the batch :func:`..operators.temporal.sessionize`):
+rows for one conversation arrive in micro-batches; a session closes when a
+later row is more than `gap_seconds` after the previous one. Closed
+sessions are emitted as (conv_id, session_seq, n_turns, begin_ts, end_ts);
+the still-open tail session stays in state across micro-batches (bounded:
+one small tuple per active conversation; a production deployment adds a
+ProcessingTimeTimeout to flush conversations gone quiet).
+
+Scale notes: state is keyed by conv_id — the same bucketing key as the
+transcripts table, so the state-store shuffle aligns with the input
+partitioning; per-key state is O(1) (four scalars), never the turns
+themselves.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("session_seq", IntegerType()),
+        StructField("n_turns", LongType()),
+        StructField("begin_ts", TimestampType()),
+        StructField("end_ts", TimestampType()),
+    ]
+)
+
+# state: (session_seq, n_turns, begin_epoch_us, last_epoch_us)
+STATE_SCHEMA = StructType(
+    [
+        StructField("session_seq", IntegerType()),
+        StructField("n_turns", LongType()),
+        StructField("begin_us", LongType()),
+        StructField("last_us", LongType()),
+    ]
+)
+
+
+def _sessionize_group(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+    gap_seconds: int,
+) -> Iterator[pd.DataFrame]:
+    (conv_id,) = key
+    if state.exists:
+        seq, n_turns, begin_us, last_us = state.get
+    else:
+        seq, n_turns, begin_us, last_us = 1, 0, None, None
+
+    closed: list[tuple[Any, ...]] = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "turn_idx"], kind="mergesort")
+        # pandas datetime64[ns] -> integer epoch microseconds
+        for us in (pdf["ts"].astype("int64") // 1000).tolist():
+            us = int(us)
+            if last_us is not None and us - last_us > gap_seconds * 1_000_000:
+                closed.append((conv_id, seq, n_turns, begin_us, last_us))
+                seq += 1
+                n_turns, begin_us = 0, None
+            if begin_us is None:
+                begin_us = us
+            n_turns += 1
+            last_us = us
+
+    state.update((seq, n_turns, begin_us, last_us))
+    out = pd.DataFrame(
+        closed, columns=["conv_id", "session_seq", "n_turns", "begin_us", "last_us"]
+    )
+    out["begin_ts"] = pd.to_datetime(out["begin_us"], unit="us")
+    out["end_ts"] = pd.to_datetime(out["last_us"], unit="us")
+    yield out[["conv_id", "session_seq", "n_turns", "begin_ts", "end_ts"]]
+
+
+def sessionize_stream(transcripts: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Streaming DataFrame of CLOSED sessions per conversation."""
+
+    def fn(key, pdfs, state):
+        yield from _sessionize_group(key, pdfs, state, gap_seconds)
+
+    return transcripts.groupBy("conv_id").applyInPandasWithState(
+        fn,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def start_session_stream(
+    spark,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    gap_seconds: int = 1800,
+    available_now: bool = True,
+):
+    """transcript parquet dir -> stateful sessionizer -> closed-session sink."""
+    from ..schemas import TRANSCRIPT_SCHEMA
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 100)
+        .parquet(input_dir)
+    )
+    sessions = sessionize_stream(stream, gap_seconds)
+    writer = (
+        sessions.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

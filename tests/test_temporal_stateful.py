@@ -1,0 +1,196 @@
+"""Temporal joins (as-of / interval / sessionize), IVF ANN, portable simhash,
+and the applyInPandasWithState streaming sessionizer."""
+
+import datetime as dt
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+TS = dt.datetime
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, ["user_id", "event_id", "ts"])
+
+
+def test_asof_join_backward_inclusive_and_ties(spark):
+    from chronographer_spark.operators.temporal import asof_join
+
+    left = _events(
+        spark,
+        [
+            (1, 10, TS(2024, 1, 1, 12, 0, 0)),
+            (1, 11, TS(2024, 1, 1, 13, 0, 0)),
+            (2, 20, TS(2024, 1, 1, 9, 0, 0)),  # before any right row -> null
+        ],
+    )
+    right = spark.createDataFrame(
+        [
+            (1, TS(2024, 1, 1, 11, 0, 0), 100),
+            (1, TS(2024, 1, 1, 12, 0, 0), 101),  # equal ts -> inclusive match
+            (1, TS(2024, 1, 1, 12, 0, 0), 102),  # tie: max tie_col wins
+            (2, TS(2024, 1, 1, 10, 0, 0), 200),
+        ],
+        ["user_id", "ts", "p_id"],
+    )
+    out = asof_join(
+        left, right, on=["user_id"], ts_col="ts", right_cols=["p_id"], tie_col="p_id"
+    )
+    got = {r["event_id"]: r["p_id_asof"] for r in out.collect()}
+    assert got == {10: 102, 11: 102, 20: None}
+
+
+def test_interval_self_join_matches_naive(spark):
+    from chronographer_spark.operators.temporal import interval_self_join
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    got = interval_self_join(
+        ev, on=["user_id"], ts_col="ts", id_col="event_id", max_gap_seconds=86400
+    )
+    sec = F.unix_timestamp("ts")
+    a = ev.select("user_id", F.col("event_id").alias("id_a"), sec.alias("sa"))
+    b = ev.select("user_id", F.col("event_id").alias("id_b"), sec.alias("sb"))
+    naive = (
+        a.join(b, "user_id")
+        .filter((F.col("sb") > F.col("sa")) & (F.col("sb") <= F.col("sa") + 86400))
+        .select("user_id", "id_a", "id_b", (F.col("sb") - F.col("sa")).alias("gap_seconds"))
+    )
+    got_set = {tuple(r) for r in got.collect()}
+    naive_set = {tuple(r) for r in naive.collect()}
+    assert got_set == naive_set
+
+
+def test_sessionize_gap_semantics(spark):
+    from chronographer_spark.operators.temporal import sessionize
+
+    ev = _events(
+        spark,
+        [
+            (1, 1, TS(2024, 1, 1, 10, 0, 0)),
+            (1, 2, TS(2024, 1, 1, 10, 10, 0)),  # same session (gap 600s)
+            (1, 3, TS(2024, 1, 1, 12, 0, 0)),  # new session (gap > 3600)
+            (2, 4, TS(2024, 1, 1, 10, 0, 0)),
+        ],
+    )
+    out = sessionize(ev, on=["user_id"], ts_col="ts", tie_col="event_id", gap_seconds=3600)
+    got = {r["event_id"]: r["session_seq"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 2, 4: 1}
+
+
+def test_ivf_topk_self_nearest_and_assignment_total(spark):
+    from chronographer_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroids,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    cents = [
+        (r["cent_id"], list(r["cent_vec"]))
+        for r in ivf_centroids(emb, n_centroids=4).collect()
+    ]
+    assigned = ivf_assign(emb, sorted(cents))
+    # every vector gets exactly one cell, and cells are centroid ids
+    assert assigned.count() == n
+    cell_ids = {r["cell"] for r in assigned.select("cell").distinct().collect()}
+    assert cell_ids <= {c for c, _ in cents}
+
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk(emb, queries, k=5, n_centroids=4, n_probe=2).collect()
+    # a query vector's own cell is always probed first -> rank 1 is itself
+    rank1 = {r["query_id"]: r["vec_id"] for r in out if r["rank"] == 1}
+    assert rank1 == {0: 0, 1: 1}
+
+
+def test_simhash_portable_stability_and_locality(spark):
+    from chronographer_spark.operators.dedup import simhash_portable
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "completely different text about spark shuffles"),
+        ],
+        ["doc_id", "text"],
+    )
+    sig = {r["doc_id"]: r["simhash"] for r in simhash_portable(docs).collect()}
+    assert sig[1] == sig[2]
+    assert sig[1] != sig[3]
+    assert all(0 <= s < 2**32 for s in sig.values())
+
+
+def test_streaming_stateful_sessionizer_matches_batch(spark, tmp_path):
+    """Closed sessions from the applyInPandasWithState stream equal the batch
+    sessionize result for every session except each conversation's open tail."""
+    from chronographer_spark.data.transcripts import transcripts_df
+    from chronographer_spark.operators.temporal import sessionize
+    from chronographer_spark.streaming.stateful import start_session_stream
+
+    tx = transcripts_df(spark, n_convs=8, n_turns=10)
+    in_dir, out_dir, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    tx.write.parquet(in_dir)
+
+    q = start_session_stream(spark, in_dir, out_dir, ckpt, gap_seconds=600)
+    q.awaitTermination(120)
+    time.sleep(1)
+
+    streamed = spark.read.parquet(out_dir).select(
+        "conv_id", "session_seq", "n_turns"
+    )
+
+    batch = sessionize(
+        tx, on=["conv_id"], ts_col="ts", tie_col="turn_idx", gap_seconds=600
+    )
+    batch_sessions = batch.groupBy("conv_id", "session_seq").agg(
+        F.count("*").alias("n_turns")
+    )
+    last = batch_sessions.groupBy("conv_id").agg(
+        F.max("session_seq").alias("session_seq")
+    )
+    closed = batch_sessions.join(last, ["conv_id", "session_seq"], "left_anti")
+
+    assert streamed.exceptAll(closed).count() == 0
+    assert closed.exceptAll(streamed).count() == 0
+
+
+def test_streaming_stateful_gap_microsecond_boundary(spark, tmp_path):
+    """Gap strictly greater than gap_seconds closes a session; exactly equal
+    does not (mirrors batch unix-floor semantics only when ts has no sub-second
+    part — this fixture pins whole-second timestamps)."""
+    import pandas as pd
+
+    from chronographer_spark.schemas import TRANSCRIPT_SCHEMA
+    from chronographer_spark.streaming.stateful import start_session_stream
+
+    rows = [
+        ("c1", 0, "user", "a", "", TS(2024, 1, 1, 10, 0, 0)),
+        ("c1", 1, "assistant", "b", "", TS(2024, 1, 1, 10, 10, 0)),  # gap == 600 -> same
+        ("c1", 2, "user", "c", "", TS(2024, 1, 1, 10, 20, 1)),  # gap 601 -> closes
+        ("c1", 3, "user", "d", "", TS(2024, 1, 1, 11, 0, 0)),  # closes again
+    ]
+    tx = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]),
+        schema=TRANSCRIPT_SCHEMA,
+    )
+    in_dir, out_dir, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    tx.write.parquet(in_dir)
+    q = start_session_stream(spark, in_dir, out_dir, ckpt, gap_seconds=600)
+    q.awaitTermination(120)
+    time.sleep(1)
+    got = {
+        (r["session_seq"], r["n_turns"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got == {(1, 2), (2, 1)}
