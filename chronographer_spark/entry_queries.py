@@ -674,7 +674,9 @@ def q_cc_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("c_custkey").alias("src"), F.col("nxt").alias("dst"))
     )
     singletons = cust.select(F.col("c_custkey").alias("node"))
-    cc = connected_components(edges, all_nodes=singletons)
+    # chain fixture = bounded degree, no hub entities -> window strategy
+    # (1-exchange rounds); hub-skewed alias graphs use the default "agg"
+    cc = connected_components(edges, all_nodes=singletons, strategy="window")
     return cc.select("node", "component").withColumnRenamed("component", "canonical")
 
 

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def _dedup(edges: DataFrame) -> DataFrame:
@@ -35,16 +36,21 @@ def _symmetrize(edges: DataFrame) -> DataFrame:
 
 def _large_star(edges: DataFrame) -> DataFrame:
     """For each node u: connect every strictly-larger neighbor to
-    min(N(u) + {u})."""
-    sym = _dedup(_symmetrize(edges))
+    min(N(u) + {u}).
+
+    Contract: `edges` arrives oriented (src > dst) and deduplicated — true
+    for the loop input and every `_small_star` output — so symmetrizing
+    cannot create duplicates and no dedup shuffle is needed here; the output
+    may carry duplicates, which the consumer (`_small_star`) removes in the
+    orientation dedup it performs anyway. Saves 2 shuffles per round."""
+    sym = _symmetrize(edges)
     mins = sym.groupBy("src").agg(F.min("dst").alias("mn"))
     mins = mins.withColumn("m", F.least(F.col("mn"), F.col("src"))).select("src", "m")
-    out = (
+    return (
         sym.filter(F.col("dst") > F.col("src"))
         .join(mins, "src")
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
     )
-    return _dedup(out)
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
@@ -66,30 +72,83 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return _dedup(out)
 
 
+def _large_star_window(edges: DataFrame) -> DataFrame:
+    """`_large_star` with the per-node min computed as a window over one
+    exchange instead of groupBy + self-join (3 exchanges -> 1). Same output.
+
+    Trade-off: the window puts a node's whole neighbor list in one partition
+    — wrong for hub nodes (a 10M-alias entity serializes one task), right
+    for bounded-degree graphs where per-round latency dominates."""
+    sym = _symmetrize(edges)
+    w = Window.partitionBy("src")
+    return (
+        sym.withColumn("m", F.least(F.min("dst").over(w), F.col("src")))
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    )
+
+
+def _small_star_window(edges: DataFrame) -> DataFrame:
+    """`_small_star` via one window pass: emit (neighbor -> min) and
+    (self -> min) from the same partition, dedup once at the end."""
+    oriented = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    )
+    w = Window.partitionBy("src")
+    with_min = oriented.withColumn("m", F.min("dst").over(w))
+    out = with_min.select(
+        F.explode(F.array(F.col("dst"), F.col("src"))).alias("src"),
+        F.col("m").alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    return _dedup(out)
+
+
 def connected_components(
     edges: DataFrame,
     all_nodes: DataFrame | None = None,
     max_iter: int = 50,
+    strategy: str = "agg",
 ) -> DataFrame:
     """edges(src, dst) -> (node, component) with component = min node id.
 
     `all_nodes(node)` optionally adds isolated nodes (component = themselves).
-    """
+
+    `strategy`: "agg" (default) computes per-node minima with
+    groupBy + self-join — map-side partial aggregation and AQE skew-join
+    keep hub entities from serializing a task; "window" computes them with
+    one-exchange window passes — ~2x fewer stages per round, the right
+    choice when the alias graph's degree is bounded (no hub entities), e.g.
+    redirect chains. Both produce identical components."""
     cur = _dedup(
         edges.select(
             F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
         )
     ).localCheckpoint(eager=True)
 
+    def _sig(df: DataFrame) -> tuple:
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("src", "dst")).alias("h"),  # overflow-free
+        ).first()
+        return (r["n"], r["h"])
+
+    large = _large_star_window if strategy == "window" else _large_star
+    small = _small_star_window if strategy == "window" else _small_star
+
+    prev_sig = _sig(cur)
     for _ in range(max_iter):
-        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
-        # converged when the oriented edge set is unchanged
-        if (
+        nxt = small(large(cur)).localCheckpoint(eager=True)
+        # cheap per-round fingerprint (one map-side-combined agg) instead of
+        # two exceptAll shuffle-joins; on a fingerprint hit, confirm exactly
+        # once — the loop is deterministic either way
+        sig = _sig(nxt)
+        if sig == prev_sig and (
             nxt.exceptAll(cur).limit(1).count() == 0
             and cur.exceptAll(nxt).limit(1).count() == 0
         ):
             cur = nxt
             break
+        prev_sig = sig
         cur = nxt
 
     # after convergence edges form stars (node -> root)

@@ -194,3 +194,23 @@ def test_streaming_stateful_gap_microsecond_boundary(spark, tmp_path):
         for r in spark.read.parquet(out_dir).collect()
     }
     assert got == {(1, 2), (2, 1)}
+
+
+def test_connected_components_strategies_agree(spark):
+    """agg and window CC strategies produce identical components on a mixed
+    graph: two chains, a hub star (the skew shape), and an isolated node."""
+    from chronographer_spark.linking.canonicalize import connected_components
+
+    edges = [(i, i + 1) for i in range(1, 6)]          # chain 1..6
+    edges += [(10, 11), (11, 12)]                      # chain 10..12
+    edges += [(100, k) for k in range(101, 121)]       # hub star
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    nodes = spark.createDataFrame([(n,) for n in {0, *range(1, 7), 10, 11, 12, 100, *range(101, 121)}], ["node"])
+
+    outs = {}
+    for strat in ("agg", "window"):
+        cc = connected_components(e, all_nodes=nodes, strategy=strat)
+        outs[strat] = {(r["node"], r["component"]) for r in cc.collect()}
+    assert outs["agg"] == outs["window"]
+    comp = dict(outs["agg"])
+    assert comp[6] == 1 and comp[12] == 10 and comp[120] == 100 and comp[0] == 0
