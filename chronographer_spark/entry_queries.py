@@ -1393,6 +1393,97 @@ JOIN sh b ON b.doc_id = p.id_b
 """
 
 
+# ---------------------------------------------------------------------------
+# Rollup + pivot (multi-level aggregation surface; beyond the reference's
+# flat groupBys — SURVEY.md §2.4 notes it has no grouping sets)
+# ---------------------------------------------------------------------------
+
+
+def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals (status, priority) -> (status) -> grand total in
+    one pass — Spark expands the rollup in the partial aggregate, so the
+    shuffle carries pre-combined rows per grouping set, not the input."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            # per-row scale to integer cents BEFORE the sum: exact bigint
+            # arithmetic is order-independent, a double sum is not
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+            .alias("total_x100"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "total_x100",
+        )
+    )
+
+
+ROLLUP_SQL = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n,
+       sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS total_x100
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type counts pivoted to columns. Pivot values are pinned
+    explicitly (no discovery scan; deterministic column order)."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = ev.groupBy("user_id").pivot("event_type", types).agg(F.count(F.lit(1)))
+    return out.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}") for t in types]
+    )
+
+
+PIVOT_SQL = """
+SELECT user_id,
+  count(*) FILTER (event_type = 'click')    AS n_click,
+  count(*) FILTER (event_type = 'error')    AS n_error,
+  count(*) FILTER (event_type = 'purchase') AS n_purchase,
+  count(*) FILTER (event_type = 'signup')   AS n_signup,
+  count(*) FILTER (event_type = 'view')     AS n_view
+FROM events GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# HLL sketch (portable md5 registers — oracle replays the estimate exactly)
+# ---------------------------------------------------------------------------
+
+
+def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sketches import hll_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    return hll_distinct(ev, "user_id")
+
+
+HLL_SQL = """
+WITH h AS (
+  SELECT CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+  FROM events
+),
+r AS (
+  SELECT h & 63 AS bucket,
+    CASE WHEN (h >> 6) = 0 THEN 27
+         ELSE bit_count(((h >> 6) & -(h >> 6)) - 1) + 1 END AS rho
+  FROM h
+),
+regs AS (SELECT bucket, max(rho) AS rho FROM r GROUP BY bucket)
+SELECT CAST(floor(0.709 * 64 * 64
+         / (sum(pow(2.0, -rho)) + (64 - count(*)) * 1.0) + 0.5) AS BIGINT) AS estimate
+FROM regs
+"""
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "apply_referents": q_apply_referents,
@@ -1439,6 +1530,9 @@ QUERIES = {
     "ivf_topk": q_ivf_topk,
     "simhash_portable": q_simhash_portable,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "hll_distinct_users": q_hll_distinct_users,
+    "rollup_orders": q_rollup_orders,
+    "pivot_event_counts": q_pivot_event_counts,
 }
 
 ORACLE_SQL = {
@@ -1486,4 +1580,7 @@ ORACLE_SQL = {
     "ivf_topk": IVF_SQL,
     "simhash_portable": SIMHASH_PORTABLE_SQL,
     "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
+    "hll_distinct_users": HLL_SQL,
+    "rollup_orders": ROLLUP_SQL,
+    "pivot_event_counts": PIVOT_SQL,
 }

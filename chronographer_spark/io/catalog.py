@@ -87,6 +87,35 @@ class Catalog:
         # partition by predicate: scans restricted to a predicate prune files
         self.write(df, table, partition_by=["predicate"])
 
+    def write_bucketed(
+        self,
+        df: DataFrame,
+        table: str,
+        n_buckets: int,
+        bucket_col: str,
+        sort_cols: list[str] | None = None,
+    ) -> None:
+        """True bucketed table (Hive bucketing metadata via saveAsTable):
+        both sides of an equi-join bucketed on the join key with the same
+        bucket count sort-merge-join with NO shuffle exchange — the parquet
+        stand-in for Iceberg's bucket partition transform. `sort_cols`
+        additionally pre-sorts each bucket file so the SMJ's sort is a no-op
+        (e.g. transcripts bucketed by conv_id, sorted by turn_idx)."""
+        writer = (
+            df.write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(n_buckets, bucket_col)
+        )
+        if sort_cols:
+            writer = writer.sortBy(*sort_cols)
+        writer.option("path", self.path(table)).saveAsTable(table)
+
+    def read_bucketed(self, table: str) -> DataFrame:
+        """Read through the session catalog — required so Spark sees the
+        bucketing metadata (a plain parquet read of the same files would
+        re-shuffle on join)."""
+        return self.spark.table(table)
+
     def merge_upsert(
         self, delta: DataFrame, table: str, keys: list[str]
     ) -> None:
