@@ -1,0 +1,89 @@
+"""Physical-plan assertions — the shapes we designed for 100TB, pinned so a
+regression (lost pushdown, extra shuffle, broadcast that stops broadcasting)
+fails a test instead of silently doubling a job's cost.
+
+Counts are asserted as upper bounds: AQE may legally remove work, never add.
+"""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _exchanges(plan: str) -> int:
+    return len(re.findall(r"Exchange (hashpartitioning|rangepartitioning|SinglePartition)", plan))
+
+
+def test_frontier_join_broadcasts_and_pushes_filter(spark):
+    import __spark_entry__ as entry_mod
+
+    plan = _plan(entry_mod.queries()["frontier_expand_outgoing"](spark, SF))
+    # small frontier side broadcast — the big triple table never shuffles
+    assert "BroadcastExchange" in plan
+    # the frontier predicate reaches the parquet scan
+    assert "PushedFilters: [IsNotNull(c_acctbal), GreaterThan(c_acctbal," in plan
+    # only the final dedup shuffles
+    assert _exchanges(plan) <= 1, plan
+
+
+def test_ivf_assignment_is_map_only(spark):
+    from chronographer_spark.operators.similarity import ivf_assign, ivf_centroids
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = [
+        (r["cent_id"], list(r["cent_vec"]))
+        for r in ivf_centroids(emb, n_centroids=4).collect()
+    ]
+    plan = _plan(ivf_assign(emb, sorted(cents)))
+    assert _exchanges(plan) == 0 and "BroadcastExchange" not in plan, plan
+
+
+def test_asof_join_single_key_shuffle(spark):
+    import __spark_entry__ as entry_mod
+
+    plan = _plan(entry_mod.queries()["asof_join_latest"](spark, SF))
+    # one exchange for the purchase (user, ts) pre-dedup, one for the
+    # union+window — never a per-key range explosion or a crossJoin
+    assert _exchanges(plan) <= 2, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sessionize_single_shuffle(spark):
+    import __spark_entry__ as entry_mod
+
+    plan = _plan(entry_mod.queries()["sessionize_events"](spark, SF))
+    # lag + running sum share one (user_id) exchange and one sort
+    assert _exchanges(plan) <= 1, plan
+    assert plan.count("Sort [user_id") <= 1, plan
+
+
+def test_flagship_scan_and_shuffle_budget(spark):
+    import __spark_entry__ as entry_mod
+
+    plan = _plan(entry_mod.queries()["flagship_event_graph"](spark, SF))
+    # single-pass emission: 3 branch scans of the events table, no more
+    assert plan.count("FileScan parquet") <= 3, plan
+    # measured plan shape (BENCH/BASELINE.md): re-deriving the transcripts
+    # view per branch beats persisting the mentions table; budget 6 exchanges
+    assert _exchanges(plan) <= 6, plan
+    # no global output dedup — branches are provably disjoint
+    after_union = plan.split("Union", 1)[0]
+    assert "HashAggregate(keys=[subject" not in after_union, plan
+
+
+def test_scan_filter_chain_projection_pruned(spark):
+    import __spark_entry__ as entry_mod
+
+    plan = _plan(entry_mod.queries()["scan_filter_chain"](spark, SF))
+    # only the 4 referenced lineitem columns are read, not all 16
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols <= {"l_orderkey", "l_linenumber", "l_suppkey", "l_shipdate"}, cols
