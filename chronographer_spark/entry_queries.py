@@ -1455,6 +1455,107 @@ FROM events GROUP BY user_id
 
 
 # ---------------------------------------------------------------------------
+# NG usage queries (reference experiments_run/usage_ng/sparql_queries.py):
+# basic-graph-pattern self-joins over the constructed triples table
+# ---------------------------------------------------------------------------
+
+
+def _flagship_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .graph.materialize import build_event_graph
+
+    return build_event_graph(transcripts_from_events(spark, sf_dir))
+
+
+def q_ng_sub_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUERY_SUB_EVENTS_OF_EVENT over the flagship graph."""
+    from .graph.ng_queries import sub_events_with_times
+
+    return sub_events_with_times(_flagship_triples(spark, sf_dir))
+
+
+NG_SUB_EVENTS_SQL = f"""
+WITH g AS ({FLAGSHIP_SQL})
+SELECT s.object AS event, s.subject AS sub_event, b.object AS begin,
+       coalesce(e.object, b.object) AS "end"
+FROM (SELECT * FROM g WHERE predicate = 'sem:subEventOf') s
+JOIN (SELECT * FROM g WHERE predicate = 'sem:hasBeginTimeStamp') b
+  ON b.subject = s.subject
+LEFT JOIN (SELECT * FROM g WHERE predicate = 'sem:hasEndTimeStamp') e
+  ON e.subject = s.subject
+"""
+
+
+def q_ng_events_in_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUERY_EVENT_TYPE_TIMESTAMPED window filter over the flagship graph."""
+    from .graph.ng_queries import events_in_period
+
+    return events_in_period(_flagship_triples(spark, sf_dir), "2024-01-10", "2024-01-20")
+
+
+NG_PERIOD_SQL = f"""
+WITH g AS ({FLAGSHIP_SQL}),
+b AS (SELECT subject AS event, object AS begin FROM g WHERE predicate = 'sem:hasBeginTimeStamp'),
+e AS (SELECT subject AS event, object AS "end" FROM g WHERE predicate = 'sem:hasEndTimeStamp')
+SELECT coalesce(b.event, e.event) AS event, b.begin, e."end"
+FROM b FULL OUTER JOIN e ON b.event = e.event
+WHERE (b.begin >= '2024-01-10' AND b.begin <= '2024-01-20')
+   OR (e."end" >= '2024-01-10' AND e."end" <= '2024-01-20')
+"""
+
+
+def q_ng_actor_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUERY_INTERACTION_ACTOR analog: conversations where both the user and
+    a tool participate, with per-actor event counts."""
+    from .graph.ng_queries import actor_interaction
+
+    return actor_interaction(
+        _flagship_triples(spark, sf_dir), "ng:actor/user", "ng:actor/tool"
+    )
+
+
+NG_INTERACTION_SQL = f"""
+WITH g AS ({FLAGSHIP_SQL}),
+tagged AS (
+  SELECT a.subject AS event, a.object AS actor, u.object AS container
+  FROM (SELECT * FROM g WHERE predicate = 'sem:hasActor') a
+  JOIN (SELECT * FROM g WHERE predicate = 'sem:subEventOf') u
+    ON u.subject = a.subject
+)
+SELECT s1.container, s1.n_actor1, s2.n_actor2
+FROM (SELECT container, count(*) AS n_actor1 FROM tagged
+      WHERE actor = 'ng:actor/user' GROUP BY container) s1
+JOIN (SELECT container, count(*) AS n_actor2 FROM tagged
+      WHERE actor = 'ng:actor/tool' GROUP BY container) s2
+  ON s1.container = s2.container
+"""
+
+
+def q_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont`: both compute lower + frac·(upper−lower) at
+    position (n−1)·q — verified bit-identical). The production path at 100TB
+    swaps in `percentile_approx` (t-digest) — exact percentile sorts each
+    group; the query contract pins the exact variant for verifiability."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.floor(F.expr("percentile(value, 0.5)") * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("p50_x1e6"),
+        F.floor(F.expr("percentile(value, 0.9)") * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("p90_x1e6"),
+    )
+
+
+QUANTILES_SQL = """
+SELECT event_type,
+  CAST(floor(quantile_cont(value, 0.5) * 1000000 + 0.5) AS BIGINT) AS p50_x1e6,
+  CAST(floor(quantile_cont(value, 0.9) * 1000000 + 0.5) AS BIGINT) AS p90_x1e6
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # HLL sketch (portable md5 registers — oracle replays the estimate exactly)
 # ---------------------------------------------------------------------------
 
@@ -1533,6 +1634,10 @@ QUERIES = {
     "hll_distinct_users": q_hll_distinct_users,
     "rollup_orders": q_rollup_orders,
     "pivot_event_counts": q_pivot_event_counts,
+    "quantiles_by_type": q_quantiles_by_type,
+    "ng_sub_events": q_ng_sub_events,
+    "ng_events_in_period": q_ng_events_in_period,
+    "ng_actor_interaction": q_ng_actor_interaction,
 }
 
 ORACLE_SQL = {
@@ -1583,4 +1688,8 @@ ORACLE_SQL = {
     "hll_distinct_users": HLL_SQL,
     "rollup_orders": ROLLUP_SQL,
     "pivot_event_counts": PIVOT_SQL,
+    "quantiles_by_type": QUANTILES_SQL,
+    "ng_sub_events": NG_SUB_EVENTS_SQL,
+    "ng_events_in_period": NG_PERIOD_SQL,
+    "ng_actor_interaction": NG_INTERACTION_SQL,
 }

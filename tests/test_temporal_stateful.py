@@ -214,3 +214,101 @@ def test_connected_components_strategies_agree(spark):
     assert outs["agg"] == outs["window"]
     comp = dict(outs["agg"])
     assert comp[6] == 1 and comp[12] == 10 and comp[120] == 100 and comp[0] == 0
+
+
+def test_streaming_stateful_checkpoint_recovery(spark, tmp_path):
+    """Keyed state survives a stream restart: run availableNow over batch 1,
+    stop, add batch 2 files, restart with the SAME checkpoint — a session
+    spanning the restart is only closed once its gap arrives in batch 2,
+    proving state (not re-read input) carried the open tail across runs."""
+    import pandas as pd
+
+    from chronographer_spark.schemas import TRANSCRIPT_SCHEMA
+    from chronographer_spark.streaming.stateful import start_session_stream
+
+    in_dir, out_dir, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+
+    def write_batch(rows, fname):
+        pdf = pd.DataFrame(
+            rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        )
+        spark.createDataFrame(pdf, schema=TRANSCRIPT_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+
+    # batch 1: two turns 10 min apart (gap 600 not exceeded -> stays open)
+    write_batch(
+        [
+            ("c1", 0, "user", "a", "", TS(2024, 1, 1, 10, 0, 0)),
+            ("c1", 1, "assistant", "b", "", TS(2024, 1, 1, 10, 10, 0)),
+        ],
+        "b1",
+    )
+    q = start_session_stream(spark, in_dir, out_dir, ckpt, gap_seconds=600)
+    q.awaitTermination(120)
+    time.sleep(1)
+    assert spark.read.parquet(out_dir).count() == 0  # nothing closed yet
+
+    # batch 2: a turn 1h later closes the open session from batch 1
+    write_batch([("c1", 2, "user", "c", "", TS(2024, 1, 1, 11, 30, 0))], "b2")
+    q = start_session_stream(spark, in_dir, out_dir, ckpt, gap_seconds=600)
+    q.awaitTermination(120)
+    time.sleep(1)
+    got = [
+        (r["session_seq"], r["n_turns"])
+        for r in spark.read.parquet(out_dir).collect()
+    ]
+    # the closed session has BOTH batch-1 turns -> state crossed the restart
+    assert got == [(1, 2)]
+
+
+def test_ng_usage_queries_patterns(spark):
+    """Graph-pattern queries over a hand-built NG (reference
+    experiments_run/usage_ng/sparql_queries.py shapes)."""
+    from chronographer_spark.graph.ng_queries import (
+        actor_interaction,
+        events_in_period,
+        events_of_actor,
+        node_star,
+        sub_events_with_times,
+        typed_events,
+    )
+
+    rows = [
+        ("e1", "rdf:type", "sem:Event"),
+        ("e2", "rdf:type", "sem:Event"),
+        ("e1", "sem:subEventOf", "c1"),
+        ("e2", "sem:subEventOf", "c1"),
+        ("e1", "sem:hasBeginTimeStamp", "2024-01-05"),
+        ("e1", "sem:hasEndTimeStamp", "2024-01-07"),
+        ("e2", "sem:hasBeginTimeStamp", "2024-02-01"),
+        ("e1", "sem:hasActor", "ng:actor/user"),
+        ("e2", "sem:hasActor", "ng:actor/tool"),
+    ]
+    g = spark.createDataFrame(rows, ["subject", "predicate", "object"])
+
+    sub = {tuple(r) for r in sub_events_with_times(g).collect()}
+    # e2 has no end -> end falls back to begin
+    assert sub == {
+        ("c1", "e1", "2024-01-05", "2024-01-07"),
+        ("c1", "e2", "2024-02-01", "2024-02-01"),
+    }
+
+    win = {r["event"] for r in events_in_period(g, "2024-01-01", "2024-01-31").collect()}
+    assert win == {"e1"}
+
+    act = {r["event"] for r in events_of_actor(g, "ng:actor/user").collect()}
+    assert act == {"e1"}
+
+    inter = actor_interaction(g, "ng:actor/user", "ng:actor/tool").collect()
+    assert [(r["container"], r["n_actor1"], r["n_actor2"]) for r in inter] == [
+        ("c1", 1, 1)
+    ]
+
+    star = node_star(g, "e1")
+    assert star.count() == 5  # e1 appears in 5 triples (all as subject)
+    assert typed_events(g).count() == 2
