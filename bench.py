@@ -60,6 +60,12 @@ def run_bench() -> dict:
     spark = _fresh_spark(CPUS)
     # warm the JVM + parquet footers once so per-query numbers are steady-state
     spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    # warm the Arrow python workers too (forked lazily on first pandas UDF;
+    # ~2-4s of fork+import otherwise lands on the first UDF query measured)
+    from chronographer_spark.data.transcripts import transcripts_from_events
+    from chronographer_spark.extraction.mentions import extract_mentions
+
+    extract_mentions(transcripts_from_events(spark, SF_DIR).limit(2000)).count()
 
     times: dict[str, float] = {}
     total = 0.0

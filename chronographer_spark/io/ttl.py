@@ -74,3 +74,43 @@ def write_ttl(triples: DataFrame, path: str) -> None:
         [(PREFIX_HEADER,)], ["line"]
     )
     header.unionByName(lines).coalesce(1).write.mode("overwrite").text(path)
+
+
+def compact_curie(col):
+    """Inverse of :func:`expand_curie`: full URIs back to engine CURIEs."""
+    out = col
+    for short, full in PREFIXES.items():
+        out = F.when(
+            out.startswith(full),
+            F.concat(F.lit(short), F.substring(out, len(full) + 1, 1 << 20)),
+        ).otherwise(out)
+    return out
+
+
+TTL_LINE_RE = (
+    r'^<([^>]+)> <([^>]+)> (?:<([^>]+)>|"((?:[^"\\]|\\.)*)"(?:\^\^<[^>]+>)?) \.$'
+)
+
+
+def read_ttl(spark, path: str) -> DataFrame:
+    """Parse a TTL export written by :func:`write_ttl` back into a triples
+    DataFrame (CURIE-compacted — round-trips bit-exactly with the source
+    table). Line-oriented regexp parse, fully distributed; prefix headers
+    and blank lines are skipped. Not a general Turtle parser: it reads the
+    engine's own single-statement-per-line export format only."""
+    lines = spark.read.text(path)
+    parsed = lines.select(
+        F.regexp_extract("value", TTL_LINE_RE, 1).alias("s"),
+        F.regexp_extract("value", TTL_LINE_RE, 2).alias("p"),
+        F.regexp_extract("value", TTL_LINE_RE, 3).alias("o_uri"),
+        F.regexp_extract("value", TTL_LINE_RE, 4).alias("o_lit"),
+    ).filter(F.col("s") != "")
+    return parsed.select(
+        compact_curie(F.col("s")).alias("subject"),
+        compact_curie(F.col("p")).alias("predicate"),
+        F.when(
+            F.col("o_uri") != "", compact_curie(F.col("o_uri"))
+        )
+        .otherwise(F.regexp_replace(F.col("o_lit"), r'\\"', '"'))
+        .alias("object"),
+    )

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 from dataclasses import dataclass, field
 
@@ -68,6 +69,59 @@ class SearchConfig:
     walk: str = "informed"  # or "random" (framework.py:469-514)
     uri_limit: int | None = None  # per-iteration cap in random mode
 
+    RANKINGS = (
+        "pred_freq",
+        "inverse_pred_freq",
+        "entropy_pred_freq",
+        "pred_object_freq",
+        "inverse_pred_object_freq",
+        "entropy_pred_object_freq",
+    )
+
+    def validate(self) -> None:
+        """Shape/type validation mirroring the reference's `_check_config`
+        (framework.py:272-385, messages doc/check_config_framework.py:6):
+        same constraints, fail-fast with an actionable message."""
+        if not isinstance(self.start, str) or not self.start:
+            raise ValueError(
+                "`start` must be a non-empty string URI of the seed node"
+            )
+        if not isinstance(self.iterations, int) or self.iterations < 1:
+            raise ValueError("`iterations` must be an int >= 1")
+        if self.type_ranking not in self.RANKINGS:
+            raise ValueError(
+                f"`type_ranking` must be one of {', '.join(self.RANKINGS)}"
+            )
+        expected_mode = (
+            "pred"
+            if self.type_ranking in ("pred_freq", "inverse_pred_freq", "entropy_pred_freq")
+            else "pred_object"
+        )
+        if self.mode != expected_mode:
+            raise ValueError(
+                f"`mode` {self.mode!r} inconsistent with type_ranking "
+                f"{self.type_ranking!r} (expected {expected_mode!r})"
+            )
+        if self.dates is not None:
+            start_d, end_d = self.dates
+            iso = r"^\d{4}-\d{2}-\d{2}$"
+            if not (re.match(iso, start_d) and re.match(iso, end_d)):
+                raise ValueError("`dates` must be ISO yyyy-mm-dd strings")
+            if start_d > end_d:
+                raise ValueError("`dates` start must be <= end")
+        if not isinstance(self.max_uri, int) or self.max_uri < 1:
+            raise ValueError("`max_uri` must be an int >= 1")
+        if self.uri_limit is not None and (
+            not isinstance(self.uri_limit, int) or self.uri_limit < 1
+        ):
+            raise ValueError("`uri_limit` must be an int >= 1 or None")
+        if self.walk not in ("informed", "random"):
+            raise ValueError("`walk` must be 'informed' or 'random'")
+        if not (0 <= self.low_threshold < self.high_threshold):
+            raise ValueError(
+                "`low_threshold` must be >= 0 and < `high_threshold`"
+            )
+
 
 class GraphSearch:
     def __init__(
@@ -84,6 +138,7 @@ class GraphSearch:
         gold_events: DataFrame | None = None,
     ):
         self.spark = spark
+        config.validate()
         self.cfg = config
         self.filt = filtering
         self.triples = triples.select("subject", "predicate", "object").cache()

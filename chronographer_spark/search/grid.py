@@ -1,0 +1,105 @@
+"""Grid-search runner over search configurations.
+
+The reference's experiment drivers loop a config grid over the framework —
+run_all_grid_search.py (ranking-strategy x filter combinations) and
+run_all_search.py (one run per dataset/seed) under experiments_run/. Here
+the grid expands over `SearchConfig` fields; each combination runs the
+iterative search with its own run_id (its own checkpoint namespace, so any
+grid cell is individually resumable), and the summary lands in one
+DataFrame.
+
+Cells run sequentially by default: one search already parallelizes across
+the cluster, and the reference's grids are small (dozens of cells). On a
+large cluster, submit cells as separate applications (submit.sh per cell)
+rather than threading inside one driver — Spark's scheduler pools share
+poorly across iterative jobs with driver-side loops.
+"""
+
+from __future__ import annotations
+
+import itertools
+import json
+from dataclasses import replace
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.filtering import FilteringConfig
+from .driver import GraphSearch, SearchConfig
+
+# mode is derived, not swept independently (SearchConfig.validate ties it)
+_PRED_MODES = {"pred_freq", "inverse_pred_freq", "entropy_pred_freq"}
+
+
+def expand_grid(base: SearchConfig, grid: dict[str, list]) -> list[tuple[str, SearchConfig]]:
+    """Cartesian expansion of `grid` over `base` -> [(cell_id, config)].
+
+    cell_id encodes the swept values (stable, filesystem-safe), so grid
+    checkpoints never collide."""
+    keys = sorted(grid)
+    out = []
+    for combo in itertools.product(*(grid[k] for k in keys)):
+        params = dict(zip(keys, combo))
+        if "type_ranking" in params and "mode" not in params:
+            params["mode"] = (
+                "pred" if params["type_ranking"] in _PRED_MODES else "pred_object"
+            )
+        cfg = replace(base, **params)
+        cell_id = "_".join(
+            f"{k}-{str(v).replace('/', '.')[:40]}" for k, v in sorted(params.items())
+        )
+        out.append((cell_id, cfg))
+    return out
+
+
+def run_grid(
+    spark: SparkSession,
+    triples: DataFrame,
+    base: SearchConfig,
+    filtering: FilteringConfig,
+    grid: dict[str, list],
+    checkpoint_dir: str,
+    pred_domain: DataFrame | None = None,
+    pred_range: DataFrame | None = None,
+    superclasses: DataFrame | None = None,
+    gold_events: DataFrame | None = None,
+) -> DataFrame:
+    """Run every grid cell; return a summary DataFrame
+    (cell_id, params_json, n_subgraph_triples, n_events, best_f1)."""
+    rows = []
+    for cell_id, cfg in expand_grid(base, grid):
+        gs = GraphSearch(
+            spark,
+            triples,
+            cfg,
+            filtering,
+            pred_domain=pred_domain,
+            pred_range=pred_range,
+            superclasses=superclasses,
+            checkpoint_dir=checkpoint_dir,
+            run_id=f"grid-{cell_id}",
+            gold_events=gold_events,
+        )
+        gs.run()
+        state = gs.final_state()
+        sub = state["subgraph"].select("subject", "predicate", "object").dropDuplicates()
+        n_events = (
+            sub.select("subject").union(sub.select("object")).distinct().count()
+        )
+        best_f1 = max((m.get("f1", 0.0) for m in gs.metrics), default=None)
+        swept = {
+            k: getattr(cfg, k) for k in sorted(grid) if hasattr(cfg, k)
+        }
+        rows.append(
+            (
+                cell_id,
+                json.dumps(swept, sort_keys=True),
+                sub.count(),
+                n_events,
+                best_f1,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "cell_id string, params_json string, n_subgraph_triples long, "
+        "n_nodes long, best_f1 double",
+    )

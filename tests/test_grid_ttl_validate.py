@@ -1,0 +1,96 @@
+"""Config validation (reference _check_config parity), grid runner, and the
+TTL export/read round-trip."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from chronographer_spark.search.driver import SearchConfig
+
+
+def test_search_config_validate_messages():
+    SearchConfig(start="http://x/seed").validate()  # defaults are valid
+
+    with pytest.raises(ValueError, match="`start`"):
+        SearchConfig(start="").validate()
+    with pytest.raises(ValueError, match="`iterations`"):
+        SearchConfig(start="s", iterations=0).validate()
+    with pytest.raises(ValueError, match="`type_ranking`"):
+        SearchConfig(start="s", type_ranking="nope").validate()
+    with pytest.raises(ValueError, match="inconsistent"):
+        SearchConfig(start="s", type_ranking="pred_freq", mode="pred_object").validate()
+    with pytest.raises(ValueError, match="ISO"):
+        SearchConfig(start="s", dates=("1789", "1800-01-01")).validate()
+    with pytest.raises(ValueError, match="start must be <="):
+        SearchConfig(start="s", dates=("1800-01-01", "1789-01-01")).validate()
+    with pytest.raises(ValueError, match="`walk`"):
+        SearchConfig(start="s", walk="drunk").validate()
+    with pytest.raises(ValueError, match="`max_uri`"):
+        SearchConfig(start="s", max_uri=0).validate()
+
+
+def test_expand_grid_derives_mode():
+    from chronographer_spark.search.grid import expand_grid
+
+    base = SearchConfig(start="http://x/seed")
+    cells = expand_grid(
+        base, {"type_ranking": ["pred_freq", "entropy_pred_object_freq"], "iterations": [1, 2]}
+    )
+    assert len(cells) == 4
+    ids = [c for c, _ in cells]
+    assert len(set(ids)) == 4  # unique checkpoint namespaces
+    for _, cfg in cells:
+        cfg.validate()  # mode was derived consistently
+    modes = {(c.type_ranking, c.mode) for _, c in cells}
+    assert ("pred_freq", "pred") in modes
+    assert ("entropy_pred_object_freq", "pred_object") in modes
+
+
+def test_run_grid_summary(spark, tmp_path):
+    from chronographer_spark.operators.filtering import FilteringConfig
+    from chronographer_spark.search.grid import run_grid
+    from tests.test_search_core import DBO_DATE, EX, _kg, _vocab
+
+    pred_domain, pred_range, superclasses = _vocab(spark)
+    base = SearchConfig(
+        start=EX + "FrenchRev",
+        iterations=2,
+        target_types=[EX + "class/Event"],
+        dates=("1789-01-01", "1800-12-31"),
+        max_uri=100,
+    )
+    filt = FilteringConfig(
+        point_in_time=[DBO_DATE], start_dates=[], end_dates=[],
+        places=[EX + "class/Place"], people=[EX + "class/Person"],
+        dataset_type="dbpedia",
+    )
+    out = run_grid(
+        spark, _kg(spark), base, filt,
+        {"type_ranking": ["pred_object_freq", "entropy_pred_object_freq"]},
+        checkpoint_dir=str(tmp_path),
+        pred_domain=pred_domain, pred_range=pred_range, superclasses=superclasses,
+    )
+    rows = out.collect()
+    assert len(rows) == 2
+    assert all(r["n_subgraph_triples"] > 0 for r in rows)
+    assert len({r["cell_id"] for r in rows}) == 2
+
+
+def test_ttl_roundtrip(spark, tmp_path):
+    from chronographer_spark.io.ttl import read_ttl, write_ttl
+
+    triples = spark.createDataFrame(
+        [
+            ("ng:event/c1/0", "rdf:type", "sem:Event"),
+            ("ng:event/c1/0", "sem:hasActor", "ng:actor/user"),
+            ("ng:event/c1/0", "sem:hasBeginTimeStamp", "2024-01-05"),
+            ("ng:event/c1/0", "ng:note", 'a "quoted" literal'),
+            ("ng:conversation/c1", "sem:hasSubEvent", "ng:event/c1/0"),
+        ],
+        ["subject", "predicate", "object"],
+    )
+    path = str(tmp_path / "out.ttl")
+    write_ttl(triples, path)
+    back = read_ttl(spark, path)
+    orig = {tuple(r) for r in triples.collect()}
+    got = {tuple(r) for r in back.collect()}
+    assert got == orig
