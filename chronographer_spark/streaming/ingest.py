@@ -68,3 +68,56 @@ def start_triple_extraction_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def windowed_turn_counts(
+    stream: DataFrame, window: str = "1 hour", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Event-time windowed aggregation with late-data handling: turns per
+    conversation per tumbling window. The watermark bounds both the state
+    (windows older than max(ts) - watermark are finalized and evicted) and
+    late arrivals (rows older than the watermark are dropped) — the
+    standard Structured Streaming pattern for unbounded per-key counters.
+
+    Emitted in append mode: a window's row appears exactly once, when the
+    watermark passes its end — idempotent downstream writes need no merge.
+    """
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "conv_id")
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "conv_id",
+            "n_turns",
+        )
+    )
+
+
+def start_windowed_counts_stream(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+    available_now: bool = True,
+):
+    from ..schemas import TRANSCRIPT_SCHEMA
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 100)
+        .parquet(input_dir)
+    )
+    counts = windowed_turn_counts(stream, window, watermark)
+    writer = (
+        counts.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

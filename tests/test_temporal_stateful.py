@@ -312,3 +312,56 @@ def test_ng_usage_queries_patterns(spark):
     star = node_star(g, "e1")
     assert star.count() == 5  # e1 appears in 5 triples (all as subject)
     assert typed_events(g).count() == 2
+
+
+def test_streaming_windowed_counts_with_watermark(spark, tmp_path):
+    """Watermarked tumbling-window counts: run 1 emits only windows the
+    watermark has passed; a too-late row in run 2 is dropped."""
+    import pandas as pd
+
+    from chronographer_spark.schemas import TRANSCRIPT_SCHEMA
+    from chronographer_spark.streaming.ingest import start_windowed_counts_stream
+
+    in_dir, out_dir, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+
+    def write_batch(rows):
+        pdf = pd.DataFrame(
+            rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        )
+        spark.createDataFrame(pdf, schema=TRANSCRIPT_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+
+    # two turns in the 10:00 window, one at 12:05 advancing the watermark to
+    # 11:35 (> 11:00) so the 10:00 window finalizes; 12:00 stays open
+    write_batch(
+        [
+            ("c1", 0, "user", "a", "", TS(2024, 1, 1, 10, 5, 0)),
+            ("c1", 1, "assistant", "b", "", TS(2024, 1, 1, 10, 40, 0)),
+            ("c1", 2, "user", "c", "", TS(2024, 1, 1, 12, 5, 0)),
+        ]
+    )
+    q = start_windowed_counts_stream(spark, in_dir, out_dir, ckpt)
+    q.awaitTermination(120)
+    time.sleep(1)
+    got = {
+        (r["window_start"].hour, r["conv_id"], r["n_turns"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got == {(10, "c1", 2)}
+
+    # run 2: a row at 10:50 is behind the checkpointed watermark (11:35) and
+    # its window is already finalized -> dropped, not re-emitted
+    write_batch([("c1", 3, "user", "late", "", TS(2024, 1, 1, 10, 50, 0))])
+    q = start_windowed_counts_stream(spark, in_dir, out_dir, ckpt)
+    q.awaitTermination(120)
+    time.sleep(1)
+    got2 = {
+        (r["window_start"].hour, r["conv_id"], r["n_turns"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got2 == {(10, "c1", 2)}  # unchanged: late data dropped
