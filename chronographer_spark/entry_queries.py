@@ -1530,6 +1530,27 @@ JOIN (SELECT container, count(*) AS n_actor2 FROM tagged
 """
 
 
+def q_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tool-payload JSON parsing (SURVEY.md §2.8: the transcript graft's
+    `from_json(props)` surface): schema-typed parse — not get_json_object
+    string probing — then a plain aggregate; the parse inlines into
+    whole-stage codegen."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.withColumn("p", F.from_json("props", "k INT"))
+    return parsed.groupBy("event_type").agg(
+        F.sum(F.col("p.k")).cast("long").alias("sum_k"),
+        F.count(F.when(F.col("p.k").isNotNull(), 1)).alias("n_with_k"),
+    )
+
+
+PROPS_JSON_SQL = """
+SELECT event_type,
+       CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+       count(CASE WHEN json_extract(props, '$.k') IS NOT NULL THEN 1 END) AS n_with_k
+FROM events GROUP BY event_type
+"""
+
+
 def q_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group (Spark `percentile` ==
     DuckDB `quantile_cont`: both compute lower + frac·(upper−lower) at
@@ -1638,6 +1659,7 @@ QUERIES = {
     "ng_sub_events": q_ng_sub_events,
     "ng_events_in_period": q_ng_events_in_period,
     "ng_actor_interaction": q_ng_actor_interaction,
+    "props_json_stats": q_props_json_stats,
 }
 
 ORACLE_SQL = {
@@ -1692,4 +1714,5 @@ ORACLE_SQL = {
     "ng_sub_events": NG_SUB_EVENTS_SQL,
     "ng_events_in_period": NG_PERIOD_SQL,
     "ng_actor_interaction": NG_INTERACTION_SQL,
+    "props_json_stats": PROPS_JSON_SQL,
 }
