@@ -208,11 +208,11 @@ def test_connected_components_strategies_agree(spark):
     nodes = spark.createDataFrame([(n,) for n in {0, *range(1, 7), 10, 11, 12, 100, *range(101, 121)}], ["node"])
 
     outs = {}
-    for strat in ("agg", "window"):
-        cc = connected_components(e, all_nodes=nodes, strategy=strat)
-        outs[strat] = {(r["node"], r["component"]) for r in cc.collect()}
-    assert outs["agg"] == outs["window"]
-    comp = dict(outs["agg"])
+    for strat, pre in (("agg", False), ("window", False), ("window", True), ("agg", True)):
+        cc = connected_components(e, all_nodes=nodes, strategy=strat, precontract=pre)
+        outs[(strat, pre)] = {(r["node"], r["component"]) for r in cc.collect()}
+    assert len(set(map(frozenset, outs.values()))) == 1, "strategies disagree"
+    comp = dict(outs[("agg", False)])
     assert comp[6] == 1 and comp[12] == 10 and comp[120] == 100 and comp[0] == 0
 
 
