@@ -1534,6 +1534,62 @@ JOIN (SELECT container, count(*) AS n_actor2 FROM tagged
 """
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: k docs per language, picked by
+    md5(doc_id) order (the engine's seeded-sample surrogate, O3 semantics —
+    reproducible on any engine/partitioning, unlike sample()/sampleBy()).
+    The training-data use: balanced per-class subsets at corpus scale."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select("lang", "doc_id", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+STRATIFIED_SQL = """
+SELECT lang, doc_id, CAST(rk AS INT) AS rk FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+) WHERE rk <= 20
+"""
+
+
+def q_sql_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL entry point (S2's `spark.sql` surface): the same
+    Catalyst plan as the DataFrame API, written as SQL over temp views —
+    broadcast the two dims, integer-cents revenue."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("v_nation")
+    return spark.sql(
+        """
+        SELECT /*+ BROADCAST(n, c) */ n.n_name AS nation,
+               count(*) AS n_orders,
+               sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS revenue_x100
+        FROM v_orders o
+        JOIN v_customer c ON o.o_custkey = c.c_custkey
+        JOIN v_nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        """
+    )
+
+
+SQL_REVENUE_SQL = """
+SELECT n.n_name AS nation, count(*) AS n_orders,
+       sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS revenue_x100
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
 def q_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tool-payload JSON parsing (SURVEY.md §2.8: the transcript graft's
     `from_json(props)` surface): schema-typed parse — not get_json_object
@@ -1664,6 +1720,8 @@ QUERIES = {
     "ng_events_in_period": q_ng_events_in_period,
     "ng_actor_interaction": q_ng_actor_interaction,
     "props_json_stats": q_props_json_stats,
+    "stratified_sample": q_stratified_sample,
+    "sql_revenue_by_nation": q_sql_revenue_by_nation,
 }
 
 ORACLE_SQL = {
@@ -1719,4 +1777,6 @@ ORACLE_SQL = {
     "ng_events_in_period": NG_PERIOD_SQL,
     "ng_actor_interaction": NG_INTERACTION_SQL,
     "props_json_stats": PROPS_JSON_SQL,
+    "stratified_sample": STRATIFIED_SQL,
+    "sql_revenue_by_nation": SQL_REVENUE_SQL,
 }

@@ -1,0 +1,129 @@
+"""Property-based tests (hypothesis) for operator invariants the
+golden-file tests can't sweep: arbitrary event layouts for temporal
+operators and arbitrary edge sets for connected components.
+
+Strategy sizes are kept small (Spark job per example is the cost), with a
+fixed derandomized profile so CI is deterministic.
+"""
+
+import datetime as dt
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),  # user_id
+        st.integers(min_value=0, max_value=100000),  # seconds offset
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(rows=events_strategy)
+@settings(**SETTINGS)
+def test_sessionize_invariants(spark, rows):
+    from chronographer_spark.operators.temporal import sessionize
+
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (u, i, base + dt.timedelta(seconds=s)) for i, (u, s) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, ["user_id", "event_id", "ts"])
+    out = sessionize(
+        df, on=["user_id"], ts_col="ts", tie_col="event_id", gap_seconds=600
+    ).collect()
+
+    by_user: dict = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for rs in by_user.values():
+        rs.sort(key=lambda r: (r["ts"], r["event_id"]))
+        # session_seq starts at 1, is monotone, and increments exactly when
+        # the gap exceeds 600s
+        assert rs[0]["session_seq"] == 1
+        for a, b in zip(rs, rs[1:]):
+            gap = int(b["ts"].timestamp()) - int(a["ts"].timestamp())
+            expected = a["session_seq"] + (1 if gap > 600 else 0)
+            assert b["session_seq"] == expected, (a, b, gap)
+
+
+@given(rows=events_strategy)
+@settings(**SETTINGS)
+def test_asof_join_matches_pointwise_model(spark, rows):
+    from chronographer_spark.operators.temporal import asof_join
+
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (u, i, base + dt.timedelta(seconds=s)) for i, (u, s) in enumerate(rows)
+    ]
+    left = spark.createDataFrame(data, ["user_id", "event_id", "ts"])
+    # right side: every even event is an "anchor"
+    right_rows = [(u, e, t) for (u, e, t) in data if e % 2 == 0]
+    if not right_rows:
+        return
+    right = spark.createDataFrame(right_rows, ["user_id", "r_id", "ts"])
+    out = asof_join(
+        left, right, on=["user_id"], ts_col="ts", right_cols=["r_id"], tie_col="r_id"
+    ).collect()
+
+    for r in out:
+        cands = [
+            (t, rid)
+            for (u, rid, t) in right_rows
+            if u == r["user_id"] and t <= r["ts"]
+        ]
+        expect = max(cands, default=None, key=lambda c: (c[0], c[1]))
+        got = r["r_id_asof"]
+        assert got == (expect[1] if expect else None), (r, expect)
+
+
+edges_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=15), st.integers(min_value=0, max_value=15)
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(edges=edges_strategy)
+@settings(**SETTINGS)
+def test_connected_components_matches_union_find(spark, edges):
+    from chronographer_spark.linking.canonicalize import connected_components
+
+    e = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b] or [(0, 1)], ["src", "dst"]
+    )
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(e, strategy="window", precontract=True).collect()
+    }
+
+    # reference model: driver-side union-find
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    pairs = [(a, b) for a, b in edges if a != b] or [(0, 1)]
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {(n, find(n)) for n in parent}
+    assert got == expect
