@@ -205,7 +205,14 @@ def ivf_assign(
     )
     return (
         corpus.withColumn("__v", F.col(vec_col).cast("array<double>"))
-        .withColumn("cell", best["cid"])
+        # single-element explode = a Generate barrier: `cell` becomes an
+        # opaque generator output instead of an alias of the argmax lambda
+        # expression. Without it, Catalyst's constraint inference expands the
+        # alias through the join condition and pushes a filter referencing
+        # the dropped `__v` onto the probe side — an invalid plan that fails
+        # at runtime (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND). Cost: none (no
+        # shuffle, one extra codegen stage boundary).
+        .withColumn("cell", F.explode(F.array(best["cid"])))
         .drop("__v")
     )
 
@@ -268,9 +275,21 @@ def ivf_topk(
                 n_probe,
             ),
         )
-        .select(query_id_col, F.col("__qv").alias("qv"), F.explode("__cells").alias("cell"))
+        .select(
+            query_id_col, F.col("__qv").alias("qv"), F.explode("__cells").alias("__qcell")
+        )
     )
-    cand = assigned.join(F.broadcast(q), "cell").select(
+    # queries usually derive from the corpus DataFrame (query-by-example), so
+    # the probe side would share scan lineage with `assigned`; Spark's
+    # relation-deduplication mis-binds the two sides' computed columns under
+    # that sharing (observed INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND at runtime).
+    # The probe table is tiny by contract (it is the broadcast side), so
+    # materialize it on the driver and re-create it with fresh lineage.
+    spark = q.sparkSession
+    q = spark.createDataFrame(q.collect(), schema=q.schema)
+    cand = assigned.join(
+        F.broadcast(q), F.col("cell") == F.col("__qcell")
+    ).select(
         query_id_col,
         id_col,
         _cosine_expr(F.col(vec_col).cast("array<double>"), F.col("qv")).alias("cosine"),

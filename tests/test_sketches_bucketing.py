@@ -59,3 +59,30 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS facts_b")
         spark.sql("DROP TABLE IF EXISTS dims_b")
+
+
+def test_ann_recall_vs_brute_force(spark):
+    """IVF and LSH recall@10 against exact brute force — the evaluation job
+    a training-data pipeline runs before trusting an ANN index. All hashes
+    are seeded/deterministic, so these floors are stable, not flaky."""
+    from chronographer_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        lsh_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    bf = {(r["query_id"], r["vec_id"]) for r in brute_force_topk(emb, qs, k=10).collect()}
+    ivf = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_topk(emb, qs, k=10, n_centroids=8, n_probe=3).collect()
+    }
+    lsh = {
+        (r["query_id"], r["vec_id"])
+        for r in lsh_topk(emb, qs, k=10, n_planes=4, n_tables=2).collect()
+    }
+    assert len(bf & ivf) / len(bf) >= 0.5  # measured 0.58
+    assert len(bf & lsh) / len(bf) >= 0.15  # measured 0.30
