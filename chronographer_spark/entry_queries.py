@@ -1430,7 +1430,10 @@ ROLLUP_SQL = """
 SELECT coalesce(o_orderstatus, 'ALL') AS status,
        coalesce(o_orderpriority, 'ALL') AS priority,
        count(*) AS n,
-       sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS total_x100
+       -- outer CAST: DuckDB's sum(BIGINT) yields HUGEINT, whose pandas
+       -- export goes through float64 and can arrive non-integral
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_x100
 FROM orders
 GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
@@ -1582,7 +1585,8 @@ def q_sql_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_REVENUE_SQL = """
 SELECT n.n_name AS nation, count(*) AS n_orders,
-       sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS revenue_x100
+       CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS revenue_x100
 FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
