@@ -1537,6 +1537,35 @@ JOIN (SELECT container, count(*) AS n_actor2 FROM tagged
 """
 
 
+def q_np_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3 analog (reference np_encoding.py): capitalized-run NP chunks with
+    head + width, aggregated to (chunk, head, n_words, n_docs, n_mentions)."""
+    from .operators.text import np_chunks
+
+    docs = _t(spark, sf_dir, "documents")
+    # the synthetic corpus is all-lowercase: chunk = run of words len>=4
+    ch = np_chunks(docs, chunk_re=r"[a-z]{4,}(?: [a-z]{4,})*")
+    return ch.groupBy("chunk", "head", "n_words").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_mentions"),
+    )
+
+
+NP_CHUNKS_SQL = """
+WITH ch AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, '([a-z]{4,}(?: [a-z]{4,})*)', 1)) AS chunk
+  FROM documents
+)
+SELECT chunk,
+       string_split(chunk, ' ')[-1] AS head,
+       CAST(len(string_split(chunk, ' ')) AS INT) AS n_words,
+       count(DISTINCT doc_id) AS n_docs,
+       count(*) AS n_mentions
+FROM ch GROUP BY 1, 2, 3
+"""
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sample: k docs per language, picked by
     md5(doc_id) order (the engine's seeded-sample surrogate, O3 semantics —
@@ -1725,6 +1754,7 @@ QUERIES = {
     "ng_actor_interaction": q_ng_actor_interaction,
     "props_json_stats": q_props_json_stats,
     "stratified_sample": q_stratified_sample,
+    "np_chunks": q_np_chunks,
     "sql_revenue_by_nation": q_sql_revenue_by_nation,
 }
 
@@ -1782,5 +1812,6 @@ ORACLE_SQL = {
     "ng_actor_interaction": NG_INTERACTION_SQL,
     "props_json_stats": PROPS_JSON_SQL,
     "stratified_sample": STRATIFIED_SQL,
+    "np_chunks": NP_CHUNKS_SQL,
     "sql_revenue_by_nation": SQL_REVENUE_SQL,
 }

@@ -115,3 +115,32 @@ def fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fp_md5", F.md5(normed)).withColumn(
         "fp_winnow", F.array_min(grams)
     )
+
+
+def np_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_re: str | None = None,
+) -> DataFrame:
+    """Noun-phrase-like chunk extraction: maximal runs of capitalized words.
+
+    Native-expression analog of the reference's NP structure encoding
+    (reference src/build_ng/np_encoding.py:56-104 — spaCy noun_chunks with
+    head/root extraction): each chunk row carries the surface form, its head
+    (the run's last word, the usual NP head position in English), and the
+    word count. One regexp pass + explode; no Python in the plan, so it
+    whole-stage-codegens and the DuckDB oracle replays it exactly.
+    """
+    # default: capitalized runs (real prose). Lowercase corpora pass a
+    # pattern fit to their shape, e.g. runs of content words by length —
+    # keep patterns RE2-compatible (no lookaround) for oracle parity.
+    chunk_re = chunk_re or r"[A-Z][a-z]+(?: [A-Z][a-z]+)*"
+    chunks = F.regexp_extract_all(F.col(text_col), F.lit(f"({chunk_re})"), 1)
+    out = df.select(F.col(id_col), F.explode(chunks).alias("chunk"))
+    return out.select(
+        id_col,
+        "chunk",
+        F.substring_index("chunk", " ", -1).alias("head"),
+        F.size(F.split("chunk", " ")).cast("int").alias("n_words"),
+    )

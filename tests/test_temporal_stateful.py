@@ -365,3 +365,14 @@ def test_streaming_windowed_counts_with_watermark(spark, tmp_path):
         for r in spark.read.parquet(out_dir).collect()
     }
     assert got2 == {(10, "c1", 2)}  # unchanged: late data dropped
+
+
+def test_np_chunks_heads(spark):
+    from chronographer_spark.operators.text import np_chunks
+
+    docs = spark.createDataFrame(
+        [(1, "met Marie Curie in Paris with Pierre"), (2, "no caps here")],
+        ["doc_id", "text"],
+    )
+    got = {(r["chunk"], r["head"], r["n_words"]) for r in np_chunks(docs).collect()}
+    assert got == {("Marie Curie", "Curie", 2), ("Paris", "Paris", 1), ("Pierre", "Pierre", 1)}
