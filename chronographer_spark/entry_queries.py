@@ -1537,6 +1537,26 @@ JOIN (SELECT container, count(*) AS n_actor2 FROM tagged
 """
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keeping the longest (best-scoring) duplicate."""
+    from .operators.dedup import exact_dedup_keep_best
+
+    docs = _t(spark, sf_dir, "documents")
+    out = exact_dedup_keep_best(docs, score_col="n_chars")
+    return out.select("doc_id", "lang", "n_chars")
+
+
+DEDUP_KEEP_BEST_SQL = """
+SELECT doc_id, lang, n_chars FROM (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (
+           PARTITION BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+           ORDER BY n_chars DESC, doc_id ASC) AS rk
+  FROM documents
+) WHERE rk = 1
+"""
+
+
 def q_np_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G3 analog (reference np_encoding.py): capitalized-run NP chunks with
     head + width, aggregated to (chunk, head, n_words, n_docs, n_mentions)."""
@@ -1755,6 +1775,7 @@ QUERIES = {
     "props_json_stats": q_props_json_stats,
     "stratified_sample": q_stratified_sample,
     "np_chunks": q_np_chunks,
+    "dedup_keep_best": q_dedup_keep_best,
     "sql_revenue_by_nation": q_sql_revenue_by_nation,
 }
 
@@ -1813,5 +1834,6 @@ ORACLE_SQL = {
     "props_json_stats": PROPS_JSON_SQL,
     "stratified_sample": STRATIFIED_SQL,
     "np_chunks": NP_CHUNKS_SQL,
+    "dedup_keep_best": DEDUP_KEEP_BEST_SQL,
     "sql_revenue_by_nation": SQL_REVENUE_SQL,
 }

@@ -139,3 +139,71 @@ class Catalog:
         p = self.path(table)
         if os.path.isdir(p):
             shutil.rmtree(p)
+
+
+class VersionedCatalog(Catalog):
+    """Snapshot semantics over the parquet shim — the Iceberg-shaped subset
+    the engine relies on (snapshot isolation for readers, time-travel reads,
+    rollback), emulated with immutable per-version directories and a tiny
+    JSON manifest, so the call surface matches what an Iceberg catalog
+    provides and only this class swaps out on a real deployment.
+
+    Layout: <root>/<table>/v=<N>/part-*.parquet + _manifest.json.
+    Writers never mutate a published version; `read` resolves the newest
+    manifest unless pinned — concurrent readers keep their snapshot.
+    """
+
+    def _versions(self, table: str) -> list[int]:
+        base = self.path(table)
+        if not os.path.isdir(base):
+            return []
+        out = []
+        for d in os.listdir(base):
+            if d.startswith("v=") and os.path.exists(
+                os.path.join(base, d, "_manifest.json")
+            ):
+                out.append(int(d[2:]))
+        return sorted(out)
+
+    def write(self, df: DataFrame, table: str, mode: str = "overwrite", **kw) -> int:
+        """Publish a new snapshot; returns its version id. `mode="append"`
+        unions the previous snapshot (copy-on-write, like Iceberg append
+        rewritten through the table API)."""
+        import json as _json
+
+        vs = self._versions(table)
+        new_v = (vs[-1] + 1) if vs else 0
+        if mode == "append" and vs:
+            df = self.read(table).unionByName(df)
+        vdir = os.path.join(self.path(table), f"v={new_v}")
+        df.write.mode("overwrite").parquet(vdir)
+        n = self.spark.read.parquet(vdir).count()
+        with open(os.path.join(vdir, "_manifest.json"), "w", encoding="utf-8") as f:
+            _json.dump({"version": new_v, "rows": n, "table": table}, f)
+        return new_v
+
+    def read(self, table: str, version: int | None = None) -> DataFrame:
+        vs = self._versions(table)
+        if not vs:
+            raise FileNotFoundError(f"no snapshots for table {table!r}")
+        v = vs[-1] if version is None else version
+        if v not in vs:
+            raise FileNotFoundError(f"snapshot v={v} not found for {table!r}")
+        return self.spark.read.parquet(os.path.join(self.path(table), f"v={v}"))
+
+    def history(self, table: str) -> list[dict]:
+        import json as _json
+
+        out = []
+        for v in self._versions(table):
+            with open(
+                os.path.join(self.path(table), f"v={v}", "_manifest.json"),
+                encoding="utf-8",
+            ) as f:
+                out.append(_json.load(f))
+        return out
+
+    def rollback(self, table: str, version: int) -> int:
+        """Publish a new snapshot whose content is an old one (Iceberg-style
+        rollback: history is preserved, the head moves)."""
+        return self.write(self.read(table, version=version), table)

@@ -268,3 +268,27 @@ def simhash_portable(
     for i in range(bits):
         sig = sig + F.when(F.col(f"b{i}") > 0, F.lit(2**i).cast("long")).otherwise(0)
     return sums.select(F.col(id_col), sig.alias("simhash"))
+
+
+def exact_dedup_keep_best(
+    df: DataFrame,
+    score_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact dedup keeping the best-scoring duplicate (ties -> min id).
+
+    Training pipelines keep the highest-quality copy of a duplicated
+    document, not an arbitrary one; same single-shuffle shape as
+    :func:`exact_dedup` with the keeper chosen by (score desc, id asc)."""
+    from pyspark.sql.window import Window
+
+    normed = df.withColumn("__norm", normalize_text(F.col(text_col)))
+    w = Window.partitionBy("__norm").orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    return (
+        normed.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__norm", "__rk")
+    )

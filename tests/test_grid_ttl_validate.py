@@ -94,3 +94,28 @@ def test_ttl_roundtrip(spark, tmp_path):
     orig = {tuple(r) for r in triples.collect()}
     got = {tuple(r) for r in back.collect()}
     assert got == orig
+
+
+def test_versioned_catalog_snapshots(spark, tmp_path):
+    """Snapshot isolation semantics of the Iceberg-shaped shim: immutable
+    versions, time-travel reads, copy-on-write append, rollback."""
+    from chronographer_spark.io.catalog import VersionedCatalog
+
+    cat = VersionedCatalog(spark, str(tmp_path))
+    a = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "val"])
+    b = spark.createDataFrame([(3, "c")], ["id", "val"])
+
+    v0 = cat.write(a, "t")
+    # a reader pins v0 before the append lands
+    reader_v0 = cat.read("t", version=v0)
+    v1 = cat.write(b, "t", mode="append")
+    assert (v0, v1) == (0, 1)
+    assert cat.read("t").count() == 3  # head
+    assert reader_v0.count() == 2  # pinned snapshot unaffected
+    assert cat.read("t", version=0).count() == 2  # time travel
+
+    v2 = cat.rollback("t", 0)
+    assert cat.read("t").count() == 2
+    hist = cat.history("t")
+    assert [h["version"] for h in hist] == [0, 1, 2]
+    assert [h["rows"] for h in hist] == [2, 3, 2]
