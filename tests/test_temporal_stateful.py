@@ -376,3 +376,45 @@ def test_np_chunks_heads(spark):
     )
     got = {(r["chunk"], r["head"], r["n_words"]) for r in np_chunks(docs).collect()}
     assert got == {("Marie Curie", "Curie", 2), ("Paris", "Paris", 1), ("Pierre", "Pierre", 1)}
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stateful stream-stream interval join over two file streams equals the
+    batch interval-join semantics on the same rows."""
+    import pandas as pd
+
+    from chronographer_spark.schemas import TRANSCRIPT_SCHEMA
+    from chronographer_spark.streaming.joins import start_click_purchase_join_stream
+
+    left_rows = [
+        ("c1", 0, "user", "q1", "", TS(2024, 1, 1, 10, 0, 0)),
+        ("c1", 1, "user", "q2", "", TS(2024, 1, 1, 11, 0, 0)),
+        ("c2", 0, "user", "q3", "", TS(2024, 1, 1, 10, 0, 0)),
+    ]
+    right_rows = [
+        ("c1", 10, "tool", "a1", "search", TS(2024, 1, 1, 10, 5, 0)),  # joins q1 (300s)
+        ("c1", 11, "tool", "a2", "search", TS(2024, 1, 1, 11, 20, 0)),  # > 600s, no join
+        ("c2", 12, "tool", "a3", "fetch", TS(2024, 1, 1, 10, 9, 0)),  # joins q3 (540s)
+    ]
+
+    def write(rows, d):
+        pdf = pd.DataFrame(
+            rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        )
+        spark.createDataFrame(pdf, schema=TRANSCRIPT_SCHEMA).coalesce(1).write.parquet(d)
+
+    ldir, rdir = str(tmp_path / "l"), str(tmp_path / "r")
+    write(left_rows, ldir)
+    write(right_rows, rdir)
+
+    q = start_click_purchase_join_stream(
+        spark, ldir, rdir, str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        TRANSCRIPT_SCHEMA, max_gap_seconds=600,
+    )
+    q.awaitTermination(120)
+    time.sleep(1)
+    got = {
+        (r["conv_id"], r["l_text"], r["r_text"], r["gap_seconds"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert got == {("c1", "q1", "a1", 300), ("c2", "q3", "a3", 540)}
