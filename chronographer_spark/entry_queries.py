@@ -1537,6 +1537,52 @@ JOIN (SELECT container, count(*) AS n_actor2 FROM tagged
 """
 
 
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus-dedup flow: MinHash-LSH candidates -> exact
+    Jaccard >= 0.4 -> connected components -> one canonical doc per
+    near-duplicate cluster. Composes the dedup and canonicalization
+    subsystems exactly as a production training-data pipeline does."""
+    from .linking.canonicalize import connected_components
+    from .operators.dedup import minhash_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_dedup(docs, threshold=0.6, num_hashes=8, bands=2, shingle_n=1)
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    cc = connected_components(edges, all_nodes=nodes, strategy="window")
+    return cc.select(F.col("node").alias("doc_id"), F.col("component").alias("cluster"))
+
+
+NEAR_DUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs_raw AS ({MINHASH_LSH_SQL}),
+sh AS (
+  SELECT doc_id, list_distinct(string_split(
+    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS sh
+  FROM documents
+),
+pairs AS (
+  SELECT p.id_a, p.id_b
+  FROM pairs_raw p
+  JOIN sh a ON a.doc_id = p.id_a
+  JOIN sh b ON b.doc_id = p.id_b
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
+"""
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup keeping the longest (best-scoring) duplicate."""
     from .operators.dedup import exact_dedup_keep_best
@@ -1776,6 +1822,7 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "np_chunks": q_np_chunks,
     "dedup_keep_best": q_dedup_keep_best,
+    "near_dup_clusters": q_near_dup_clusters,
     "sql_revenue_by_nation": q_sql_revenue_by_nation,
 }
 
@@ -1835,5 +1882,6 @@ ORACLE_SQL = {
     "stratified_sample": STRATIFIED_SQL,
     "np_chunks": NP_CHUNKS_SQL,
     "dedup_keep_best": DEDUP_KEEP_BEST_SQL,
+    "near_dup_clusters": NEAR_DUP_CLUSTERS_SQL,
     "sql_revenue_by_nation": SQL_REVENUE_SQL,
 }
