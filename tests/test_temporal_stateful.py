@@ -418,3 +418,36 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "out")).collect()
     }
     assert got == {("c1", "q1", "a1", 300), ("c2", "q3", "a3", 540)}
+
+
+def test_operators_on_empty_inputs(spark):
+    """Empty-input totality: core operators return empty results with the
+    right schema instead of raising (the reference's empty-frontier edge
+    case, SURVEY.md §7.4.6, generalized)."""
+    from chronographer_spark.linking.canonicalize import connected_components
+    from chronographer_spark.operators.dedup import minhash_lsh_candidates
+    from chronographer_spark.operators.temporal import (
+        asof_join,
+        interval_self_join,
+        sessionize,
+    )
+
+    empty_ev = spark.createDataFrame([], "user_id long, event_id long, ts timestamp")
+    assert sessionize(empty_ev, on=["user_id"]).count() == 0
+    assert interval_self_join(empty_ev, on=["user_id"]).count() == 0
+
+    left = spark.createDataFrame(
+        [(1, 1, dt.datetime(2024, 1, 1))], ["user_id", "event_id", "ts"]
+    )
+    empty_right = spark.createDataFrame([], "user_id long, ts timestamp, p_id long")
+    out = asof_join(left, empty_right, on=["user_id"], right_cols=["p_id"])
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["p_id_asof"] is None
+
+    empty_edges = spark.createDataFrame([], "src long, dst long")
+    nodes = spark.createDataFrame([(7,)], ["node"])
+    cc = connected_components(empty_edges, all_nodes=nodes).collect()
+    assert [(r["node"], r["component"]) for r in cc] == [(7, 7)]
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert minhash_lsh_candidates(empty_docs).count() == 0
