@@ -1539,7 +1539,7 @@ JOIN (SELECT container, count(*) AS n_actor2 FROM tagged
 
 def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end corpus-dedup flow: MinHash-LSH candidates -> exact
-    Jaccard >= 0.4 -> connected components -> one canonical doc per
+    Jaccard >= 0.6 -> connected components -> one canonical doc per
     near-duplicate cluster. Composes the dedup and canonicalization
     subsystems exactly as a production training-data pipeline does."""
     from .linking.canonicalize import connected_components

@@ -165,10 +165,22 @@ class VersionedCatalog(Catalog):
                 out.append(int(d[2:]))
         return sorted(out)
 
-    def write(self, df: DataFrame, table: str, mode: str = "overwrite", **kw) -> int:
+    def exists(self, table: str) -> bool:
+        return bool(self._versions(table))
+
+    def write(
+        self,
+        df: DataFrame,
+        table: str,
+        mode: str = "overwrite",
+        partition_by: list[str] | None = None,
+        buckets: tuple[int, str] | None = None,
+    ) -> int:
         """Publish a new snapshot; returns its version id. `mode="append"`
         unions the previous snapshot (copy-on-write, like Iceberg append
-        rewritten through the table API)."""
+        rewritten through the table API). ``partition_by``/``buckets`` are
+        honored inside the snapshot directory, so inherited helpers like
+        write_triples keep their predicate partition pruning."""
         import json as _json
 
         vs = self._versions(table)
@@ -176,7 +188,14 @@ class VersionedCatalog(Catalog):
         if mode == "append" and vs:
             df = self.read(table).unionByName(df)
         vdir = os.path.join(self.path(table), f"v={new_v}")
-        df.write.mode("overwrite").parquet(vdir)
+        w = df
+        if buckets:
+            n, col = buckets
+            w = df.repartition(n, col)
+        writer = w.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(vdir)
         n = self.spark.read.parquet(vdir).count()
         with open(os.path.join(vdir, "_manifest.json"), "w", encoding="utf-8") as f:
             _json.dump({"version": new_v, "rows": n, "table": table}, f)

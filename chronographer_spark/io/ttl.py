@@ -46,7 +46,14 @@ def _term(col, *, object_position: bool = False):
     # a term is a resource if it carries a known CURIE prefix or is http-full
     is_uri = expanded.startswith("http")
     is_date = col.rlike(r"^\d{4}-\d{2}-\d{2}$")
-    quoted = F.concat(F.lit('"'), F.regexp_replace(col, '"', '\\\\"'), F.lit('"'))
+    # Turtle string escaping: backslash FIRST (else it re-escapes the
+    # escapes), then quote, then newline/CR (which would otherwise break the
+    # one-statement-per-line format). read_ttl reverses all four.
+    escaped = F.regexp_replace(col, r"\\", r"\\\\")
+    escaped = F.regexp_replace(escaped, '"', r'\\"')
+    escaped = F.regexp_replace(escaped, "\n", r"\\n")
+    escaped = F.regexp_replace(escaped, "\r", r"\\r")
+    quoted = F.concat(F.lit('"'), escaped, F.lit('"'))
     return (
         F.when(is_uri, uri)
         .when(is_date, F.concat(quoted, F.lit(f"^^<{XSD_DATE}>")))
@@ -105,12 +112,17 @@ def read_ttl(spark, path: str) -> DataFrame:
         F.regexp_extract("value", TTL_LINE_RE, 3).alias("o_uri"),
         F.regexp_extract("value", TTL_LINE_RE, 4).alias("o_lit"),
     ).filter(F.col("s") != "")
+    # reverse write_ttl's escaping; double-backslash goes through a sentinel
+    # so `\\n` (escaped backslash + n) is not mistaken for a newline escape
+    lit = F.regexp_replace(F.col("o_lit"), r"\\\\", "\x00")
+    lit = F.regexp_replace(lit, r'\\"', '"')
+    lit = F.regexp_replace(lit, r"\\n", "\n")
+    lit = F.regexp_replace(lit, r"\\r", "\r")
+    lit = F.regexp_replace(lit, "\x00", r"\\")
     return parsed.select(
         compact_curie(F.col("s")).alias("subject"),
         compact_curie(F.col("p")).alias("predicate"),
-        F.when(
-            F.col("o_uri") != "", compact_curie(F.col("o_uri"))
-        )
-        .otherwise(F.regexp_replace(F.col("o_lit"), r'\\"', '"'))
+        F.when(F.col("o_uri") != "", compact_curie(F.col("o_uri")))
+        .otherwise(lit)
         .alias("object"),
     )

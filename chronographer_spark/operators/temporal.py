@@ -54,7 +54,15 @@ def asof_join(
     When several right rows share the matching timestamp the one with the
     greatest ``tie_col`` wins (callers pass a unique id column); this pins
     determinism where naive implementations rely on partition order.
+
+    All right columns are packed into ONE struct and a single
+    ``last(struct, ignorenulls=True)`` selects the matching right row, so
+    every ``*_asof`` output column comes from the SAME right row even when
+    some of its columns are legitimately NULL (per-column last() would
+    stitch fields from different rows).
     """
+    from pyspark.sql.types import StructField, StructType
+
     on = list(on)
     right_ts_col = right_ts_col or ts_col
     if right_cols is None:
@@ -62,14 +70,19 @@ def asof_join(
     right_cols = list(right_cols)
     left_payload = [c for c in left.columns if c not in (*on, ts_col)]
 
+    # one struct holds the whole right row (payload cols + its ts, aliased
+    # "__rts" so a right payload column can never collide with it)
+    r_struct_type = StructType(
+        [StructField(c, right.schema[c].dataType) for c in right_cols]
+        + [StructField("__rts", right.schema[right_ts_col].dataType)]
+    )
     l_tag = left.select(
         *on,
         F.col(ts_col).alias("__ts"),
         F.lit(1).alias("__is_left"),
         F.lit(None).cast("long").alias("__tie"),
         *[F.col(c) for c in left_payload],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}") for c in right_cols],
-        F.lit(None).cast(right.schema[right_ts_col].dataType).alias(f"{ts_col}{suffix}"),
+        F.lit(None).cast(r_struct_type).alias("__r"),
     )
     r_tag = right.select(
         *on,
@@ -77,8 +90,10 @@ def asof_join(
         F.lit(0).alias("__is_left"),
         (F.col(tie_col).cast("long") if tie_col else F.lit(0).cast("long")).alias("__tie"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_payload],
-        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
-        F.col(right_ts_col).alias(f"{ts_col}{suffix}"),
+        F.struct(
+            *[F.col(c).alias(c) for c in right_cols],
+            F.col(right_ts_col).alias("__rts"),
+        ).alias("__r"),
     )
     # right rows sort BEFORE left rows at equal ts (__is_left asc) => inclusive
     # <=; __tie orders equal-ts right rows so `last` picks the max tie_col.
@@ -87,16 +102,14 @@ def asof_join(
         .orderBy(F.col("__ts").asc(), F.col("__is_left").asc(), F.col("__tie").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    matched = F.last(F.col("__r"), ignorenulls=True).over(w)
     filled = l_tag.unionByName(r_tag).select(
         *on,
         "__ts",
         "__is_left",
         *left_payload,
-        *[
-            F.last(F.col(f"{c}{suffix}"), ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in right_cols
-        ],
-        F.last(F.col(f"{ts_col}{suffix}"), ignorenulls=True).over(w).alias(f"{ts_col}{suffix}"),
+        *[matched[c].alias(f"{c}{suffix}") for c in right_cols],
+        matched["__rts"].alias(f"{ts_col}{suffix}"),
     )
     return filled.filter(F.col("__is_left") == 1).drop("__is_left").withColumnRenamed(
         "__ts", ts_col

@@ -64,7 +64,8 @@ def run_grid(
     gold_events: DataFrame | None = None,
 ) -> DataFrame:
     """Run every grid cell; return a summary DataFrame
-    (cell_id, params_json, n_subgraph_triples, n_events, best_f1)."""
+    (cell_id, params_json, n_subgraph_triples, n_nodes, best_f1) — n_nodes
+    counts distinct subject/object nodes of the final subgraph."""
     rows = []
     for cell_id, cfg in expand_grid(base, grid):
         gs = GraphSearch(
@@ -82,7 +83,7 @@ def run_grid(
         gs.run()
         state = gs.final_state()
         sub = state["subgraph"].select("subject", "predicate", "object").dropDuplicates()
-        n_events = (
+        n_nodes = (
             sub.select("subject").union(sub.select("object")).distinct().count()
         )
         best_f1 = max((m.get("f1", 0.0) for m in gs.metrics), default=None)
@@ -94,7 +95,7 @@ def run_grid(
                 cell_id,
                 json.dumps(swept, sort_keys=True),
                 sub.count(),
-                n_events,
+                n_nodes,
                 best_f1,
             )
         )

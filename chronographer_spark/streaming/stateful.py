@@ -69,10 +69,18 @@ def _sessionize_group(
         seq, n_turns, begin_us, last_us = 1, 0, None, None
 
     closed: list[tuple[Any, ...]] = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts", "turn_idx"], kind="mergesort")
+    # applyInPandasWithState may deliver one key's micro-batch rows split
+    # across several Arrow chunks with NO global order guarantee — sorting
+    # each chunk independently would produce spurious session closes across
+    # chunk boundaries. Materialize the key's batch once (all chunks for a
+    # key arrive together) and sort the whole thing; per-key state stays
+    # O(1), only the batch's own rows are held.
+    chunks = list(pdfs)
+    whole = pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
+    if len(whole):
+        whole = whole.sort_values(["ts", "turn_idx"], kind="mergesort")
         # pandas datetime64[ns] -> integer epoch microseconds
-        for us in (pdf["ts"].astype("int64") // 1000).tolist():
+        for us in (whole["ts"].astype("int64") // 1000).tolist():
             us = int(us)
             if last_us is not None and us - last_us > gap_seconds * 1_000_000:
                 closed.append((conv_id, seq, n_turns, begin_us, last_us))

@@ -84,6 +84,11 @@ def test_ttl_roundtrip(spark, tmp_path):
             ("ng:event/c1/0", "sem:hasActor", "ng:actor/user"),
             ("ng:event/c1/0", "sem:hasBeginTimeStamp", "2024-01-05"),
             ("ng:event/c1/0", "ng:note", 'a "quoted" literal'),
+            # escaping traps (ADVICE round 1): trailing backslash, embedded
+            # newline/CR, and a literal backslash-n sequence
+            ("ng:event/c1/0", "ng:note2", "ends with backslash\\"),
+            ("ng:event/c1/0", "ng:note3", "line one\nline\rtwo"),
+            ("ng:event/c1/0", "ng:note4", "literal \\n not a newline"),
             ("ng:conversation/c1", "sem:hasSubEvent", "ng:event/c1/0"),
         ],
         ["subject", "predicate", "object"],
@@ -119,3 +124,24 @@ def test_versioned_catalog_snapshots(spark, tmp_path):
     hist = cat.history("t")
     assert [h["version"] for h in hist] == [0, 1, 2]
     assert [h["rows"] for h in hist] == [2, 3, 2]
+
+
+def test_versioned_catalog_honors_partitioning_and_exists(spark, tmp_path):
+    """write_triples through the snapshot layer must keep its predicate
+    partition layout (ADVICE round 1: **kw was silently dropped), and
+    exists() must recognize the v=N layout."""
+    import os
+
+    from chronographer_spark.io.catalog import VersionedCatalog
+
+    cat = VersionedCatalog(spark, str(tmp_path))
+    assert not cat.exists("triples")
+    triples = spark.createDataFrame(
+        [("s1", "p1", "o1"), ("s2", "p2", "o2")], ["subject", "predicate", "object"]
+    )
+    cat.write_triples(triples)
+    assert cat.exists("triples")
+    vdir = os.path.join(str(tmp_path), "triples", "v=0")
+    parts = {d for d in os.listdir(vdir) if d.startswith("predicate=")}
+    assert parts == {"predicate=p1", "predicate=p2"}
+    assert {r["predicate"] for r in cat.read("triples").collect()} == {"p1", "p2"}

@@ -41,6 +41,30 @@ def test_asof_join_backward_inclusive_and_ties(spark):
     assert got == {10: 102, 11: 102, 20: None}
 
 
+def test_asof_join_null_right_column_row_consistent(spark):
+    """All *_asof columns must come from the SAME (most recent) right row,
+    even when that row holds a legitimate NULL — per-column last() would
+    stitch the null column from an older row (ADVICE round 1)."""
+    from chronographer_spark.operators.temporal import asof_join
+
+    left = _events(spark, [(1, 10, TS(2024, 1, 1, 12, 30, 0))])
+    right = spark.createDataFrame(
+        [
+            (1, TS(2024, 1, 1, 11, 0, 0), 100, "old"),
+            (1, TS(2024, 1, 1, 12, 0, 0), None, "new"),  # matching row: NULL p_id
+        ],
+        "user_id long, ts timestamp, p_id long, note string",
+    )
+    out = asof_join(
+        left, right, on=["user_id"], ts_col="ts", right_cols=["p_id", "note"]
+    ).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row["note_asof"] == "new"
+    assert row["p_id_asof"] is None  # NOT stitched from the older row
+    assert row["ts_asof"] == TS(2024, 1, 1, 12, 0, 0)
+
+
 def test_interval_self_join_matches_naive(spark):
     from chronographer_spark.operators.temporal import interval_self_join
 
