@@ -786,7 +786,7 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import embedding_near_dups
 
     emb = _t(spark, sf_dir, "embeddings")
-    pairs = embedding_near_dups(emb, threshold=0.3, bucket_dims=4)
+    pairs = embedding_near_dups(emb, threshold=0.3, n_planes=4, n_tables=2, dim=64)
     return pairs.select(
         "id_a",
         "id_b",
@@ -794,42 +794,84 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-EMB_NEAR_DUP_SQL = """
-WITH v AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-    (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END ||
-     CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END ||
-     CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END ||
-     CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bucket
-  FROM embeddings
+# Shared SQL fragment: md5-derived ±1 hyperplanes + per-vector LSH bucket
+# signature — mirrors similarity.portable_hyperplanes/_portable_sign exactly
+# (sign component (t,p,d) = parity of the first 8 md5 hex chars of "h|t|p|d").
+def _lsh_sig_sql(n_tables: int, n_planes: int, dim: int) -> str:
+    return f"""
+emb2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+planes AS (
+  SELECT t, p,
+    list(CASE WHEN CAST(concat('0x', substr(md5(
+           'h|' || CAST(t AS VARCHAR) || '|' || CAST(p AS VARCHAR) || '|' || CAST(d AS VARCHAR)
+         ), 1, 8)) AS BIGINT) % 2 = 0 THEN 1.0 ELSE -1.0 END ORDER BY d) AS hv
+  FROM (SELECT unnest(range({n_tables})) AS t),
+       (SELECT unnest(range({n_planes})) AS p),
+       (SELECT unnest(range({dim})) AS d)
+  GROUP BY t, p
+),
+sig AS (
+  SELECT e.vec_id, pl.t,
+    string_agg(CASE WHEN list_dot_product(e.v, pl.hv) >= 0 THEN '1' ELSE '0' END,
+               '' ORDER BY pl.p) AS bucket
+  FROM emb2 e CROSS JOIN planes pl
+  GROUP BY e.vec_id, pl.t
+)"""
+
+
+EMB_NEAR_DUP_SQL = f"""
+WITH {_lsh_sig_sql(2, 4, 64)},
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM sig a JOIN sig b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
 )
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-  CAST(floor(list_dot_product(a.v, b.v)
-    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+SELECT c.id_a, c.id_b,
+  CAST(floor(list_dot_product(ea.v, eb.v)
+    / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v)))
     * 10000 + 0.5) AS BIGINT) AS cos_x1e4
-FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-WHERE list_dot_product(a.v, b.v)
-    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3
+FROM cand c
+JOIN emb2 ea ON ea.vec_id = c.id_a
+JOIN emb2 eb ON eb.vec_id = c.id_b
+WHERE list_dot_product(ea.v, eb.v)
+    / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) >= 0.3
 """
 
 
-def q_simhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # xxhash64-based — JVM-only hash, rows-only correctness check
-    from .operators.dedup import simhash64
-
-    docs = _t(spark, sf_dir, "documents")
-    return simhash64(docs)
-
-
-def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # xxhash64-derived hyperplanes — rows-only correctness check
+def q_lsh_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN with md5-portable planes — the gate-verified
+    twin of the xxhash64 lsh_topk (same algorithm; the JVM-hash variant stays
+    as the bench fast path and its agreement test)."""
     from .operators.similarity import lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return lsh_topk(emb, queries, k=5, n_planes=4, n_tables=2)
+    out = lsh_topk(emb, queries, k=5, n_planes=4, n_tables=2, portable=True, dim=64)
+    return out.select("query_id", F.col("vec_id"), "rank")
+
+
+LSH_TOPK_SQL = f"""
+WITH {_lsh_sig_sql(2, 4, 64)},
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+  FROM sig c JOIN sig q ON c.t = q.t AND c.bucket = q.bucket
+  WHERE q.vec_id < 3
+),
+scored AS (
+  SELECT c.query_id, c.vec_id,
+    list_dot_product(ec.v, eq.v)
+      / (sqrt(list_dot_product(ec.v, ec.v)) * sqrt(list_dot_product(eq.v, eq.v))) AS cosine
+  FROM cand c
+  JOIN emb2 ec ON ec.vec_id = c.vec_id
+  JOIN emb2 eq ON eq.vec_id = c.query_id
+)
+SELECT query_id, vec_id, CAST(rn AS INT) AS rank FROM (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rn
+  FROM scored)
+WHERE rn <= 5
+"""
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1777,8 +1819,7 @@ QUERIES = {
     "lang_id_multi": q_lang_id_multi,
     "subword_tokens": q_subword_tokens,
     "embedding_near_dups": q_embedding_near_dups,
-    "simhash_sig": q_simhash_sig,
-    "lsh_topk": q_lsh_topk,
+    "lsh_topk_portable": q_lsh_topk_portable,
     "multimodal_features": q_multimodal_features,
     "flagship_event_graph": q_flagship_event_graph,
     "transcripts_view": q_transcripts_view,
@@ -1827,9 +1868,11 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
-    # rows-only (no oracle): event_search_2iter (iterative ranking loop),
-    # simhash_sig + lsh_topk (xxhash64 is JVM-only), multimodal_features
-    # (pandas-UDF stub decode)
+    # Every registered query is oracle-gated. The xxhash64 variants
+    # (simhash64, non-portable lsh_topk) are bench/test-only because a JVM
+    # hash is semantically required there; their portable md5 twins
+    # (simhash_portable, lsh_topk_portable) carry the gate.
+    "lsh_topk_portable": LSH_TOPK_SQL,
     "apply_referents": APPLY_REFERENTS_SQL,
     "scan_filter_chain": SCAN_FILTER_SQL,
     "transitive_closure": TRANSITIVE_SQL,

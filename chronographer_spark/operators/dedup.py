@@ -211,31 +211,43 @@ def embedding_near_dups(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    bucket_dims: int = 4,
+    n_planes: int = 8,
+    n_tables: int = 2,
+    dim: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine >= threshold.
 
-    Scale path: sign-bucket on the first `bucket_dims` dimensions (a crude
-    random-hyperplane LSH — near-identical vectors agree on all signs), then
-    exact cosine within buckets. Exact near-dups always collide; borderline
-    pairs may be missed (documented recall trade-off).
+    Scale path: banded random-hyperplane LSH (similarity.lsh_bucket with
+    md5-portable planes) — `n_tables` independent tables of `n_planes` sign
+    bits each, candidates = pairs colliding in ANY table, exact cosine only
+    on candidates. Bucket cardinality is 2^n_planes per table and the
+    (table, bucket) join key is high-cardinality, so the per-bucket
+    self-join stays sub-quadratic as the corpus grows (raise n_planes with
+    corpus size); a fixed-bucket scheme degenerates to O(n²/buckets).
+    Recall: exact duplicates always collide (identical signs); borderline
+    pairs may be missed — raise n_tables for recall, n_planes for precision.
     """
+    from .similarity import lsh_bucket
+
     v = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
-    sig_bits = [
-        F.when(F.element_at("v", i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
-        for i in range(bucket_dims)
-    ]
-    bucketed = v.withColumn("bucket", F.concat(*sig_bits))
-    a = bucketed.select(F.col(id_col).alias("id_a"), F.col("v").alias("v_a"), "bucket")
-    b = bucketed.select(F.col(id_col).alias("id_b"), F.col("v").alias("v_b"), "bucket")
+    bucketed = lsh_bucket(
+        v, vec_col="v", n_planes=n_planes, n_tables=n_tables, portable=True, dim=dim
+    )
+    a = bucketed.select(
+        F.col(id_col).alias("id_a"), F.col("v").alias("v_a"), "table", "bucket"
+    )
+    b = bucketed.select(
+        F.col(id_col).alias("id_b"), F.col("v").alias("v_b"), "table", "bucket"
+    )
     dot = F.aggregate(
         F.zip_with("v_a", "v_b", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
     na = F.sqrt(F.aggregate("v_a", F.lit(0.0), lambda acc, x: acc + x * x))
     nb = F.sqrt(F.aggregate("v_b", F.lit(0.0), lambda acc, x: acc + x * x))
     return (
-        a.join(b, "bucket")
+        a.join(b, ["table", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])  # collide-in-any-table, score once
         .withColumn("cosine", dot / (na * nb))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")

