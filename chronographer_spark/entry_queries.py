@@ -875,14 +875,71 @@ WHERE rn <= 5
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # stubbed decode (deterministic md5-seeded features) — rows-only check
-    from .operators.multimodal import decode_and_featurize, synthetic_assets
+    """Binary-payload decode pipeline with the portable stub codec: assets
+    derive from `documents` (payload = utf-8 text bytes), the Arrow-batched
+    mapInPandas emits md5-arithmetic features, and the oracle replays every
+    feature value — the plumbing AND the values are gate-verified."""
+    from .operators.multimodal import assets_from_documents, decode_and_featurize
 
-    assets = synthetic_assets(spark, n=30)
+    docs = _t(spark, sf_dir, "documents")
+    assets = assets_from_documents(docs, limit=30)
     out = decode_and_featurize(assets, dim=8)
     return out.select(
-        "asset_id", "modality", F.size("feat").alias("dim"), "out_width", "out_height"
+        "asset_id",
+        "modality",
+        F.posexplode("feat").alias("j", "feat"),
+        "out_width",
+        "out_height",
+    ).select(
+        "asset_id",
+        "modality",
+        "j",
+        F.floor(F.col("feat") * 1000000 + F.lit(0.5)).cast("long").alias("feat_x1e6"),
+        "out_width",
+        "out_height",
     )
+
+
+MULTIMODAL_FEATURES_SQL = """
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 30),
+j AS (SELECT unnest(range(8)) AS j)
+SELECT d.doc_id AS asset_id,
+  ['image','audio','video'][CAST(d.doc_id % 3 AS INT) + 1] AS modality,
+  CAST(j.j AS INT) AS j,
+  CAST(CAST(concat('0x', substr(md5(d.text || '|' || CAST(j.j AS VARCHAR)), 1, 8)) AS BIGINT)
+       % 2000000 - 1000000 AS BIGINT) AS feat_x1e6,
+  224 AS out_width, 224 AS out_height
+FROM d, j
+"""
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over video assets: native sequence-explode for frame
+    times, stub decode for per-frame fingerprints (md5(payload || '|f' || idx)
+    — oracle-replayable)."""
+    from .operators.multimodal import assets_from_documents, sample_frames
+
+    docs = _t(spark, sf_dir, "documents")
+    assets = assets_from_documents(docs, limit=30)
+    return sample_frames(assets, every_ms=1000)
+
+
+MULTIMODAL_FRAMES_SQL = """
+WITH v AS (
+  SELECT doc_id, text, 40 * n_chars AS duration_ms
+  FROM documents WHERE doc_id < 30 AND doc_id % 3 = 2
+),
+f AS (
+  SELECT doc_id, text,
+         unnest(range(greatest(duration_ms // 1000, 1))) AS frame_idx
+  FROM v
+)
+SELECT doc_id AS asset_id,
+       CAST(frame_idx AS INT) AS frame_idx,
+       CAST(frame_idx * 1000 AS BIGINT) AS frame_ms,
+       md5(text || '|f' || CAST(frame_idx AS VARCHAR)) AS frame_fp
+FROM f
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1406,6 +1463,34 @@ FROM bits
 """
 
 
+def q_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-partition simhash candidates on the portable 32-bit signature,
+    restricted to the guaranteed-complete hamming <= n_blocks-1 band. The
+    xxhash64 simhash64 is the bench fast path (JVM hash, not gate-replayable)."""
+    from .operators.dedup import simhash_candidates, simhash_portable
+
+    docs = _t(spark, sf_dir, "documents")
+    sig = simhash_portable(docs, bits=32)
+    return simhash_candidates(sig, bits=32, n_blocks=4, max_hamming=3)
+
+
+SIMHASH_CANDIDATES_SQL = f"""
+WITH sigs AS ({SIMHASH_PORTABLE_SQL}),
+blocks AS (
+  SELECT doc_id, simhash, b.blk, (simhash >> (b.blk * 8)) & 255 AS val
+  FROM sigs, (SELECT unnest(range(4)) AS blk) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS s_a, b.simhash AS s_b
+  FROM blocks a JOIN blocks b
+    ON a.blk = b.blk AND a.val = b.val AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, bit_count(xor(s_a, s_b)) AS hamming
+FROM cand WHERE bit_count(xor(s_a, s_b)) <= 3
+"""
+
+
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidates -> exact 1-gram Jaccard (the verification stage of
     minhash_dedup), scaled x1e6."""
@@ -1821,6 +1906,7 @@ QUERIES = {
     "embedding_near_dups": q_embedding_near_dups,
     "lsh_topk_portable": q_lsh_topk_portable,
     "multimodal_features": q_multimodal_features,
+    "multimodal_frames": q_multimodal_frames,
     "flagship_event_graph": q_flagship_event_graph,
     "transcripts_view": q_transcripts_view,
     "occurrence_count": q_occurrence_count,
@@ -1851,6 +1937,7 @@ QUERIES = {
     "sessionize_events": q_sessionize_events,
     "ivf_topk": q_ivf_topk,
     "simhash_portable": q_simhash_portable,
+    "simhash_candidates": q_simhash_candidates,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "hll_distinct_users": q_hll_distinct_users,
     "rollup_orders": q_rollup_orders,
@@ -1873,6 +1960,8 @@ ORACLE_SQL = {
     # hash is semantically required there; their portable md5 twins
     # (simhash_portable, lsh_topk_portable) carry the gate.
     "lsh_topk_portable": LSH_TOPK_SQL,
+    "multimodal_features": MULTIMODAL_FEATURES_SQL,
+    "multimodal_frames": MULTIMODAL_FRAMES_SQL,
     "apply_referents": APPLY_REFERENTS_SQL,
     "scan_filter_chain": SCAN_FILTER_SQL,
     "transitive_closure": TRANSITIVE_SQL,
@@ -1913,6 +2002,7 @@ ORACLE_SQL = {
     "sessionize_events": SESSIONIZE_SQL,
     "ivf_topk": IVF_SQL,
     "simhash_portable": SIMHASH_PORTABLE_SQL,
+    "simhash_candidates": SIMHASH_CANDIDATES_SQL,
     "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
     "hll_distinct_users": HLL_SQL,
     "rollup_orders": ROLLUP_SQL,

@@ -183,22 +183,54 @@ def simhash64(
 
 
 def simhash_candidates(
-    sig: DataFrame, id_col: str = "doc_id", prefix_bits: int = 16
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    bits: int = 64,
+    n_blocks: int = 4,
+    max_hamming: int | None = None,
 ) -> DataFrame:
-    """Bucket by the top `prefix_bits` of the simhash; pairs within a bucket."""
-    bucketed = sig.withColumn(
-        "bucket", F.shiftrightunsigned("simhash", 64 - prefix_bits)
-    )
-    a = bucketed.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("s_a"), "bucket")
-    b = bucketed.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("s_b"), "bucket")
-    return (
-        a.join(b, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "hamming", F.bit_count(F.col("s_a").bitwiseXOR(F.col("s_b")))
+    """Block-partition candidate pairs: (id_a, id_b, hamming).
+
+    The `bits`-wide signature splits into `n_blocks` contiguous blocks;
+    rows colliding on ANY (block_index, block_value) become candidates.
+    Pigeonhole guarantee: a pair with hamming distance <= n_blocks - 1 has
+    at least one untouched block, so it ALWAYS collides — unlike a single
+    top-prefix bucket (the round-1 scheme), which missed near-dups
+    differing in one high bit. Shuffle key (block, value) is
+    high-cardinality; candidate volume is bounded by per-bucket occupancy.
+    `max_hamming` optionally filters the verified pairs (pass n_blocks - 1
+    for the guaranteed-complete band).
+    """
+    width = bits // n_blocks
+    mask = (1 << width) - 1
+    blk = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("blk"),
+                    F.shiftrightunsigned(F.col("simhash"), b * width)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("val"),
+                )
+                for b in range(n_blocks)
+            ]
         )
+    )
+    blocks = sig.select(F.col(id_col), F.col("simhash"), blk.alias("bv")).select(
+        id_col, "simhash", "bv.blk", "bv.val"
+    )
+    a = blocks.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("s_a"), "blk", "val")
+    b = blocks.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("s_b"), "blk", "val")
+    out = (
+        a.join(b, ["blk", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", F.bit_count(F.col("s_a").bitwiseXOR(F.col("s_b"))))
         .select("id_a", "id_b", "hamming")
     )
+    if max_hamming is not None:
+        out = out.filter(F.col("hamming") <= max_hamming)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -52,15 +52,26 @@ FRAME_SCHEMA = StructType(
 
 
 def _fake_features(payloads: pd.Series, dim: int) -> pd.Series:
-    """Deterministic pseudo-features from payload bytes (vectorized-ish:
-    one md5 per asset, expanded to `dim` floats by counter hashing)."""
+    """Deterministic stub features from payload bytes, ENGINE-PORTABLE:
+    feature j = (int(md5(payload + b"|j")[:8hex], 16) % 2_000_000
+    - 1_000_000) / 1e6, uniform in [-1, 1). DuckDB replays this bit-for-bit
+    via md5(text || '|' || j) when the payload is the utf-8 text bytes —
+    the correctness gate verifies the whole decode pipeline, not just row
+    counts (numpy-RNG features were gate-opaque)."""
 
     def feats(b) -> list[float]:
         if b is None:
             return []
-        h = hashlib.md5(bytes(b)).digest()
-        rng = np.random.default_rng(int.from_bytes(h[:8], "little"))
-        return rng.standard_normal(dim).tolist()
+        pb = bytes(b)
+        return [
+            (
+                int(hashlib.md5(pb + b"|" + str(j).encode()).hexdigest()[:8], 16)
+                % 2_000_000
+                - 1_000_000
+            )
+            / 1e6
+            for j in range(dim)
+        ]
 
     return payloads.map(feats)
 
@@ -119,22 +130,55 @@ def sample_frames(
         for pdf in batches:
             if not stub:
                 raise NotImplementedError("real video decode not available here")
-            fp = pdf.apply(
-                lambda r: hashlib.md5(
-                    (bytes(r["payload"] or b"") + int(r["frame_idx"]).to_bytes(4, "little"))
-                ).hexdigest(),
-                axis=1,
-            ) if len(pdf) else pd.Series([], dtype="object")
+            # portable fingerprint: md5(payload + "|f{idx}") — DuckDB
+            # replays it as md5(text || '|f' || idx) on text-byte payloads
+            fp = [
+                hashlib.md5(
+                    bytes(p) + b"|f" + str(int(i)).encode() if p is not None else b""
+                ).hexdigest()
+                for p, i in zip(pdf["payload"], pdf["frame_idx"])
+            ]
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
                     "frame_idx": pdf["frame_idx"],
                     "frame_ms": pdf["frame_ms"],
-                    "frame_fp": fp,
+                    "frame_fp": pd.Series(fp, dtype="object", index=pdf.index),
                 }
             )
 
     return frames.mapInPandas(gen, schema=FRAME_SCHEMA)
+
+
+def assets_from_documents(docs: DataFrame, limit: int | None = None) -> DataFrame:
+    """Deterministic asset table derived from the `documents` corpus: the
+    binary payload is the utf-8 text bytes, modality cycles by doc_id, and
+    video durations derive from n_chars. Gives the multimodal pipeline a
+    reproducible input DuckDB can also construct, so decode features and
+    frame fingerprints are gate-verified end-to-end."""
+    from ..schemas import ASSET_SCHEMA  # noqa: F401  (shape contract)
+
+    d = docs
+    if limit is not None:
+        d = d.filter(F.col("doc_id") < limit)
+    modality = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3).cast("int") + 1,
+    )
+    return d.select(
+        F.col("doc_id").alias("asset_id"),
+        modality.alias("modality"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.element_at(
+            F.array(F.lit("image/png"), F.lit("audio/wav"), F.lit("video/mp4")),
+            (F.col("doc_id") % 3).cast("int") + 1,
+        ).alias("mime"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(64)).alias("width"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(48)).alias("height"),
+        F.when(F.col("doc_id") % 3 == 2, F.col("n_chars") * 40)
+        .cast("long")
+        .alias("duration_ms"),
+    )
 
 
 def synthetic_assets(spark, n: int = 20, seed: int = 42) -> DataFrame:

@@ -52,6 +52,30 @@ def test_simhash(docs, spark):
         assert ham[(0, 3)] == 0
 
 
+def test_simhash_block_candidates_guaranteed_recall(spark):
+    """Pigeonhole guarantee: with n_blocks blocks, any pair at hamming
+    <= n_blocks-1 shares a clean block and MUST be a candidate — including
+    pairs differing only in TOP bits, which the round-1 single-prefix
+    bucketing missed."""
+    from chronographer_spark.operators.dedup import simhash_candidates
+
+    base = 0b1011_0110_1100_0011_1010_0101_0110_1001
+    rows = [
+        (0, base),
+        (1, base ^ (1 << 31)),            # top bit flipped: hamming 1
+        (2, base ^ (1 << 31) ^ (1 << 23)),  # two high blocks touched: hamming 2
+        (3, base ^ 0b111),                # low bits: hamming 3
+        (4, base ^ 0xFFFF00FF),           # far away
+    ]
+    sig = spark.createDataFrame(rows, "doc_id long, simhash long")
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_candidates(sig, bits=32, n_blocks=4, max_hamming=3).collect()
+    }
+    assert got[(0, 1)] == 1 and got[(0, 2)] == 2 and got[(0, 3)] == 3
+    assert all(4 not in pair for pair in got)
+
+
 def test_ngram_jaccard_values(docs, spark):
     from chronographer_spark.operators.dedup import ngram_jaccard
 
