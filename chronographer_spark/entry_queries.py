@@ -1187,6 +1187,18 @@ SELECT DISTINCT subject, predicate, object FROM (
 
 
 def q_event_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two genuine iterations of the informed search, gate-verified against
+    an UNROLLED per-iteration oracle (EVENT_SEARCH_SQL documents the replay):
+
+    iter 1 expands the seed customer: the entropy ranker restricts to the
+    best priority class (ex:placed carries superclass Event via Order ->
+    priority 1, ex:inNation priority 3), chooses the `placed` path, and the
+    temporal filter discards orders outside the date window — the subgraph
+    gains (cust, placed, order) for in-window orders.
+    iter 2 expands those orders: their lineitems are typed ex:class/Line
+    (ancestor Event -> admitted), so the subgraph gains
+    (order, hasLine, line) rows. Reference loop: framework.py:704-857.
+    """
     import tempfile
 
     from .operators.filtering import FilteringConfig
@@ -1194,7 +1206,9 @@ def q_event_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
-    # triple view: customer --placed--> order, plus order type rows
+    li = _t(spark, sf_dir, "lineitem")
+    # triple view: customer --placed--> order --hasLine--> lineitem,
+    # plus rdf:type and date rows for orders and lines
     placed = orders.select(
         F.concat(F.lit("http://ex/cust/"), F.col("o_custkey").cast("string")).alias("subject"),
         F.lit("ex:placed").alias("predicate"),
@@ -1215,13 +1229,38 @@ def q_event_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("ex:inNation").alias("predicate"),
         F.concat(F.lit("http://ex/nation/"), F.col("c_nationkey").cast("string")).alias("object"),
     )
-    triples = placed.unionByName(types).unionByName(dates).unionByName(nat)
+    line_uri = F.concat(
+        F.lit("http://ex/line/"), F.col("l_orderkey").cast("string"),
+        F.lit("-"), F.col("l_linenumber").cast("string"),
+    )
+    has_line = li.select(
+        F.concat(F.lit("http://ex/order/"), F.col("l_orderkey").cast("string")).alias("subject"),
+        F.lit("ex:hasLine").alias("predicate"),
+        line_uri.alias("object"),
+    )
+    line_types = li.select(
+        line_uri.alias("subject"),
+        F.lit("http://www.w3.org/1999/02/22-rdf-syntax-ns#type").alias("predicate"),
+        F.lit("ex:class/Line").alias("object"),
+    )
+    triples = (
+        placed.unionByName(types).unionByName(dates).unionByName(nat)
+        .unionByName(has_line).unionByName(line_types)
+    )
 
     pred_range = spark.createDataFrame(
-        [("ex:placed", ["ex:class/Order"])], "predicate string, classes array<string>"
+        [
+            ("ex:placed", ["ex:class/Order"]),
+            ("ex:hasLine", ["ex:class/Line"]),
+        ],
+        "predicate string, classes array<string>",
     )
     superclasses = spark.createDataFrame(
-        [("ex:class/Order", ["ex:class/Event"])], "class string, ancestors array<string>"
+        [
+            ("ex:class/Order", ["ex:class/Event"]),
+            ("ex:class/Line", ["ex:class/Event"]),
+        ],
+        "class string, ancestors array<string>",
     )
     cfg = SearchConfig(
         start="http://ex/cust/1",
@@ -1243,6 +1282,95 @@ def q_event_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     gs.run()
     state = gs.final_state()
     return state["subgraph"].select("subject", "predicate", "object").dropDuplicates()
+
+
+# Unrolled replay of the 2-iteration informed search on the fixture above.
+# iter 1: frontier={cust/1}; expansion joins find placed/inNation outgoing;
+#   type+date lookup admits orders (typed Order, ancestor Event) whose date
+#   lies in the window (temporal discard F5, lexical ISO compare); the
+#   entropy ranker's priority restriction picks `placed` (priority 1 beats
+#   inNation's 3) => subgraph += (cust/1, placed, win_order).
+# iter 2: frontier = win_orders (path resolution J7, visited-pruned);
+#   expansion finds hasLine outgoing; lines typed Line (ancestor Event) are
+#   admitted, nothing discards them => subgraph += (order, hasLine, line).
+EVENT_SEARCH_SQL = """
+WITH win_orders AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_custkey = 1
+    AND o_orderdate >= DATE '1995-01-01' AND o_orderdate <= DATE '2002-12-31'
+),
+iter1 AS (
+  SELECT 'http://ex/cust/1' AS subject,
+         'ex:placed' AS predicate,
+         'http://ex/order/' || CAST(o_orderkey AS VARCHAR) AS object
+  FROM win_orders
+),
+iter2 AS (
+  SELECT 'http://ex/order/' || CAST(l.l_orderkey AS VARCHAR) AS subject,
+         'ex:hasLine' AS predicate,
+         'http://ex/line/' || CAST(l.l_orderkey AS VARCHAR) || '-'
+           || CAST(l.l_linenumber AS VARCHAR) AS object
+  FROM lineitem l JOIN win_orders w ON l.l_orderkey = w.o_orderkey
+)
+SELECT DISTINCT subject, predicate, object
+FROM (SELECT * FROM iter1 UNION ALL SELECT * FROM iter2)
+"""
+
+
+def q_info_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 — per-iteration diagnostics (reference src/ordering.py:110-143):
+    total pending rows, rows whose predicate closure annotated a nonempty
+    superclass list, rows whose superclasses hit the focus set. The fixture
+    pins all three counters to DIFFERENT values: placed rows annotate to
+    [Event] (relevant), inNation rows to [Place] (annotated, not relevant),
+    date rows have no closure entry (counted in the total only)."""
+    from .operators.ordering import annotate_superclass, build_pred_closure, info_counters
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    placed = orders.select(
+        F.concat(F.lit("http://ex/cust/"), F.col("o_custkey").cast("string")).alias("subject"),
+        F.lit("ex:placed").alias("predicate"),
+        F.concat(F.lit("http://ex/order/"), F.col("o_orderkey").cast("string")).alias("object"),
+    )
+    nat = cust.select(
+        F.concat(F.lit("http://ex/cust/"), F.col("c_custkey").cast("string")).alias("subject"),
+        F.lit("ex:inNation").alias("predicate"),
+        F.concat(F.lit("http://ex/nation/"), F.col("c_nationkey").cast("string")).alias("object"),
+    )
+    dates = orders.select(
+        F.concat(F.lit("http://ex/order/"), F.col("o_orderkey").cast("string")).alias("subject"),
+        F.lit("ex:prop/date").alias("predicate"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("object"),
+    )
+    pending = placed.unionByName(nat).unionByName(dates)
+    pred_range = spark.createDataFrame(
+        [
+            ("ex:placed", ["ex:class/Order"]),
+            ("ex:inNation", ["ex:class/Nation"]),
+        ],
+        "predicate string, classes array<string>",
+    )
+    superclasses = spark.createDataFrame(
+        [
+            ("ex:class/Order", ["ex:class/Event"]),
+            ("ex:class/Nation", ["ex:class/Place"]),
+        ],
+        "class string, ancestors array<string>",
+    )
+    closure = build_pred_closure(pred_range, superclasses)
+    annotated = annotate_superclass(pending, closure)
+    return info_counters(annotated, "outgoing", ["ex:class/Event"])
+
+
+INFO_COUNTERS_SQL = """
+SELECT
+  CAST(2 * (SELECT count(*) FROM orders) + (SELECT count(*) FROM customer) AS BIGINT)
+    AS outgoing,
+  CAST((SELECT count(*) FROM orders) + (SELECT count(*) FROM customer) AS BIGINT)
+    AS outgoing_annotated,
+  CAST((SELECT count(*) FROM orders) AS BIGINT) AS outgoing_relevant
+"""
 
 
 def q_apply_referents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1894,6 +2022,7 @@ FROM regs
 
 QUERIES = {
     "event_search_2iter": q_event_search,
+    "info_counters": q_info_counters,
     "apply_referents": q_apply_referents,
     "scan_filter_chain": q_scan_filter_chain,
     "transitive_closure": q_transitive_closure,
@@ -1962,6 +2091,8 @@ ORACLE_SQL = {
     "lsh_topk_portable": LSH_TOPK_SQL,
     "multimodal_features": MULTIMODAL_FEATURES_SQL,
     "multimodal_frames": MULTIMODAL_FRAMES_SQL,
+    "event_search_2iter": EVENT_SEARCH_SQL,
+    "info_counters": INFO_COUNTERS_SQL,
     "apply_referents": APPLY_REFERENTS_SQL,
     "scan_filter_chain": SCAN_FILTER_SQL,
     "transitive_closure": TRANSITIVE_SQL,

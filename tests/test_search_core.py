@@ -125,6 +125,40 @@ def test_ranker_reference_goldens(spark, strategy, expected_pred):
     assert row["predicate"] == expected_pred
 
 
+def test_info_counters_golden(spark):
+    """A5 golden (reference src/ordering.py:110-143): total rows, rows with
+    a nonempty superclass annotation, rows whose superclasses intersect the
+    focus set — three distinct values on a 4-row frame."""
+    from chronographer_spark.operators.ordering import (
+        annotate_superclass,
+        build_pred_closure,
+        info_counters,
+    )
+
+    pending = spark.createDataFrame(
+        [
+            ("s1", "p_event", "o1"),   # closure -> [Event]: relevant
+            ("s2", "p_event", "o2"),   # relevant
+            ("s3", "p_place", "o3"),   # closure -> [Place]: annotated only
+            ("s4", "p_none", "o4"),    # no closure entry: total only
+        ],
+        ["subject", "predicate", "object"],
+    )
+    pred_classes = spark.createDataFrame(
+        [("p_event", ["C1"]), ("p_place", ["C2"])],
+        "predicate string, classes array<string>",
+    )
+    superclasses = spark.createDataFrame(
+        [("C1", ["Event"]), ("C2", ["Place"])],
+        "class string, ancestors array<string>",
+    )
+    closure = build_pred_closure(pred_classes, superclasses)
+    row = info_counters(
+        annotate_superclass(pending, closure), "ingoing", ["Event"]
+    ).first()
+    assert (row["ingoing"], row["ingoing_annotated"], row["ingoing_relevant"]) == (4, 3, 2)
+
+
 def test_ranker_band_filter_fallback(spark):
     """Band (1 < v < 200) excludes 300 and 1; falls back when band empty
     (ranker.py:40-51)."""
