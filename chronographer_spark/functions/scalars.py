@@ -35,14 +35,28 @@ def last_path_segment(col) -> Column:
     return F.lower(F.substring_index(col, "/", -1))
 
 
-def uri_encode(col) -> Column:
-    """Percent-encode the characters rdflib escapes in resource URIs.
+def uri_encode(col, safe: str = "/") -> Column:
+    """Percent-encode with EXACT `urllib.parse.quote(s, safe=safe)` parity —
+    the encoder the reference applies to every resource URI
+    (frame_semantics.py:16, np_encoding.py:8, generic_kb_to_ng.py:30).
 
-    Spaces and quotes cover the engine's entity mentions; extend the
-    translate pairs for full RFC 3986 parity if mentions widen."""
-    out = F.regexp_replace(col, " ", "%20")
-    out = F.regexp_replace(out, '"', "%22")
-    return F.regexp_replace(out, "`", "%60")
+    Built from the JVM's url_encode (form encoding) plus byte-exact
+    fix-ups, all inside whole-stage codegen:
+      '+' -> '%20'   (URLEncoder encodes space as '+'; a literal '+' was
+                      already escaped to '%2B', so any remaining '+' IS a space)
+      '*' -> '%2A'   (URLEncoder keeps '*'; quote encodes it)
+      '%7E' -> '~'   (URLEncoder encodes '~'; quote keeps it — 0x7E can only
+                      arise from a literal '~': UTF-8 continuation bytes are
+                      >= 0x80, so no multi-byte sequence contains it)
+      each safe char's escape -> itself (quote's `safe`, default '/')
+    Both encoders emit uppercase hex over UTF-8 bytes, so no case fixing."""
+    out = F.url_encode(col)
+    out = F.replace(out, F.lit("+"), F.lit("%20"))
+    out = F.replace(out, F.lit("*"), F.lit("%2A"))
+    out = F.replace(out, F.lit("%7E"), F.lit("~"))
+    for ch in safe:
+        out = F.replace(out, F.lit("%%%02X" % ord(ch)), F.lit(ch))
+    return out
 
 
 def wikidata_prop_to_entity(col) -> Column:

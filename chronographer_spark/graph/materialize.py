@@ -45,9 +45,12 @@ def conv_uri_col(conv_id="conv_id"):
 
 
 def ent_uri(col):
-    # percent-encode spaces only (fixture vocab is ASCII; full rdflib-compatible
-    # encoding lives in the oracle too so both sides agree bit-exactly)
-    return F.concat(F.lit(NS_ENT), F.regexp_replace(col, " ", "%20"))
+    # full urllib.parse.quote parity (C8) — for the ASCII fixture vocab this
+    # emits exactly the space->%20 form the DuckDB oracle replays; non-ASCII
+    # mentions now produce reference-bit-identical URIs too
+    from ..functions.scalars import uri_encode
+
+    return F.concat(F.lit(NS_ENT), uri_encode(col))
 
 
 def build_event_graph(transcripts: DataFrame, persist: bool = False) -> DataFrame:

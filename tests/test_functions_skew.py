@@ -40,6 +40,29 @@ def test_last_segment_encode_window(spark):
     assert row.inw is True
 
 
+def test_uri_encode_urllib_quote_parity(spark):
+    """C8 — bit-exact `urllib.parse.quote` parity (the reference's encoder,
+    frame_semantics.py:16 / np_encoding.py:8) on a unicode torture fixture,
+    for both the default safe='/' and the np_encoding safe=':/'."""
+    from urllib.parse import quote
+
+    from chronographer_spark.functions import uri_encode
+
+    cases = [
+        "with space", 'quo"te`', "a/b/c", "tilde~x", "star*x", "plus+x",
+        "percent%x", "reserved&?#=;,@$", "café Müller", "日本語テスト",
+        "emoji 🎉 mix", "newline\nand\ttab", "Außenseiter (1979) [v2]",
+        "100%", "a+b=c", "élan~/café*", "dbr:Révolution_française",
+    ]
+    df = spark.createDataFrame([(s,) for s in cases], ["s"])
+    got = [r["e"] for r in df.select(uri_encode(F.col("s")).alias("e")).collect()]
+    assert got == [quote(s) for s in cases]
+    got2 = [
+        r["e"] for r in df.select(uri_encode(F.col("s"), safe=":/").alias("e")).collect()
+    ]
+    assert got2 == [quote(s, safe=":/") for s in cases]
+
+
 def test_normalize_literals_reference_semantics(spark):
     from chronographer_spark.operators.scan_filters import normalize_literals
 
