@@ -1792,6 +1792,100 @@ JOIN (SELECT container, count(*) AS n_actor2 FROM tagged
 """
 
 
+def _frame_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transcripts -> mentions -> frame/role annotations -> frame triples."""
+    from .data.transcripts import transcripts_from_events
+    from .extraction.frames import annotate_frames
+    from .extraction.mentions import extract_mentions
+    from .graph.materialize import materialize_frame_annotations
+
+    tx = transcripts_from_events(spark, sf_dir)
+    mentions = extract_mentions(tx, carry_text=False)
+    ann = annotate_frames(tx, mentions)
+    return materialize_frame_annotations(tx, ann)
+
+
+# Oracle replay of the deterministic frame rules over the transcripts view:
+# every turn text is "event {etype} with value {v} recorded on {date}", so
+# frame 0 = FRAME_TRIGGERS[etype] with lemma etype (token pos 1) and frame 1
+# = Recording with lemma "recorded" (pos 5); the turn's mentions become role
+# elements (when -> Time on every turn; tool -> Instrument on tool turns).
+_FRAME_BASE_SQL = """
+tinfo AS (
+  SELECT conv_id, turn_idx,
+         regexp_extract(text, 'event ([a-z]+) with', 1) AS etype,
+         regexp_extract(text, '(\\d{4}-\\d{2}-\\d{2})', 1) AS d,
+         tool
+  FROM tx
+),
+frames AS (
+  SELECT conv_id, turn_idx,
+         CASE etype WHEN 'click' THEN 'Cause_motion'
+                    WHEN 'error' THEN 'Cause_harm'
+                    WHEN 'purchase' THEN 'Commerce_buy'
+                    WHEN 'signup' THEN 'Becoming_a_member'
+                    WHEN 'view' THEN 'Perception_active' END AS frame,
+         etype AS lemma
+  FROM tinfo
+  UNION ALL
+  SELECT conv_id, turn_idx, 'Recording', 'recorded' FROM tinfo
+),
+roles AS (
+  SELECT conv_id, turn_idx, 'Time' AS gfe, d AS role_value,
+         CAST(NULL AS VARCHAR) AS related
+  FROM tinfo
+  UNION ALL
+  SELECT conv_id, turn_idx, 'Instrument', etype, 'ng:tool/' || etype
+  FROM tinfo WHERE tool <> ''
+)
+"""
+
+
+def q_ng_event_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUERY_EVENT_FRAME over the constructed frame-annotation subgraph
+    (reference sparql_queries.py:214): frame + lemma + mapped roles per
+    event, via predicate-restricted triple-pattern self-joins."""
+    from .graph.ng_queries import event_frames
+
+    triples = _frame_graph(spark, sf_dir)
+    return event_frames(triples)
+
+
+NG_EVENT_FRAMES_SQL = TX_SQL + "," + _FRAME_BASE_SQL + """
+SELECT 'ng:event/' || f.conv_id || '/' || CAST(f.turn_idx AS VARCHAR) AS event,
+       'frame:' || f.frame AS frame,
+       f.lemma,
+       'gfe:' || r.gfe AS gfe,
+       r.role_value
+FROM frames f JOIN roles r ON f.conv_id = r.conv_id AND f.turn_idx = r.turn_idx
+"""
+
+
+def q_ng_causes_consequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUERY_INFO_CAUSES_CONSEQUENCES (reference sparql_queries.py:58):
+    annotations restricted to the causal frame set, with role elements and
+    their OPTIONAL linked entities (null-safe: related coalesced to '')."""
+    from .graph.ng_queries import causes_consequences
+
+    triples = _frame_graph(spark, sf_dir)
+    out = causes_consequences(triples)
+    return out.select(
+        "event", "frame", "gfe", "role_value",
+        F.coalesce("related", F.lit("")).alias("related"),
+    )
+
+
+NG_CAUSES_SQL = TX_SQL + "," + _FRAME_BASE_SQL + """
+SELECT 'ng:event/' || f.conv_id || '/' || CAST(f.turn_idx AS VARCHAR) AS event,
+       'frame:' || f.frame AS frame,
+       'gfe:' || r.gfe AS gfe,
+       r.role_value,
+       coalesce(r.related, '') AS related
+FROM frames f JOIN roles r ON f.conv_id = r.conv_id AND f.turn_idx = r.turn_idx
+WHERE f.frame IN ('Causation', 'Cause_harm', 'Process_end', 'Cause_to_end')
+"""
+
+
 def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end corpus-dedup flow: MinHash-LSH candidates -> exact
     Jaccard >= 0.6 -> connected components -> one canonical doc per
@@ -2075,6 +2169,8 @@ QUERIES = {
     "ng_sub_events": q_ng_sub_events,
     "ng_events_in_period": q_ng_events_in_period,
     "ng_actor_interaction": q_ng_actor_interaction,
+    "ng_event_frames": q_ng_event_frames,
+    "ng_causes_consequences": q_ng_causes_consequences,
     "props_json_stats": q_props_json_stats,
     "stratified_sample": q_stratified_sample,
     "np_chunks": q_np_chunks,
@@ -2142,6 +2238,8 @@ ORACLE_SQL = {
     "ng_sub_events": NG_SUB_EVENTS_SQL,
     "ng_events_in_period": NG_PERIOD_SQL,
     "ng_actor_interaction": NG_INTERACTION_SQL,
+    "ng_event_frames": NG_EVENT_FRAMES_SQL,
+    "ng_causes_consequences": NG_CAUSES_SQL,
     "props_json_stats": PROPS_JSON_SQL,
     "stratified_sample": STRATIFIED_SQL,
     "np_chunks": NP_CHUNKS_SQL,

@@ -81,6 +81,7 @@ def extract_mentions(
     persons: list[str] | None = None,
     places: list[str] | None = None,
     carry_text: bool = True,
+    extractor: "callable | None" = None,
 ) -> DataFrame:
     """transcripts -> mention rows via Arrow-batched mapInPandas.
 
@@ -88,19 +89,33 @@ def extract_mentions(
     evidence column) BEFORE the dedup shuffle — the production hot path
     shuffles (conv_id, turn_idx, mention, dimension) only; tests use
     carry_text=True to assert the invariant.
-    """
-    # compile once on the driver; the compiled patterns ship in the closure
-    # and are reused by every executor task (no per-batch re-compilation)
-    person_re = re.compile(f"({_vocab_regex(persons or PERSONS)})")
-    place_re = re.compile(f"({_vocab_regex(places or PLACES)})")
-    date_re = re.compile(f"({DATE_RE})")
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield _extract_batch(pdf, person_re, place_re, date_re)
+    `extractor` is the pluggable model seam (the reference's per-executor
+    model pattern: spaCy+Spotlight in dbpedia_spotlight.py:25-44, the frame
+    transformer in frame_semantics.py:125-144): an iterator-of-batches
+    callable `(Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]` receiving
+    (conv_id, turn_idx, role, text, tool) Arrow batches and yielding
+    MENTION_SCHEMA frames. Initialize heavyweight models lazily in a module
+    global inside the callable — it runs once per executor task, so the
+    model loads once per executor, never per batch or per row. Default is
+    the built-in rule extractor; downstream dedup and the per-turn
+    text-equality invariant apply to injected extractors unchanged.
+    """
+    if extractor is None:
+        # compile once on the driver; the compiled patterns ship in the
+        # closure and are reused by every executor task
+        person_re = re.compile(f"({_vocab_regex(persons or PERSONS)})")
+        place_re = re.compile(f"({_vocab_regex(places or PLACES)})")
+        date_re = re.compile(f"({DATE_RE})")
+
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                yield _extract_batch(pdf, person_re, place_re, date_re)
+
+        extractor = gen
 
     cols = ["conv_id", "turn_idx", "role", "text", "tool"]
-    out = transcripts.select(*cols).mapInPandas(gen, schema=MENTION_SCHEMA)
+    out = transcripts.select(*cols).mapInPandas(extractor, schema=MENTION_SCHEMA)
     if not carry_text:
         out = out.drop("text")
     return out.dropDuplicates(["conv_id", "turn_idx", "mention", "dimension"])

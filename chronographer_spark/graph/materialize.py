@@ -22,11 +22,18 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..vocab import (
+    HAS_SENTENCE,
+    RDF_VALUE,
     IN_CONVERSATION,
     NEXT_EVENT,
     NF_TO_PRED,
     NS_ENT,
+    NS_FRAME,
+    NS_GFE,
     NS_NG,
+    NS_NIF,
+    NS_SKOS,
+    NS_WSJ,
     RDF_TYPE,
     SEM_EVENT,
     TEMPORAL_FILTERS,
@@ -181,6 +188,101 @@ def materialize_event_graph(
     if dedup_output:
         out = out.dropDuplicates(["subject", "predicate", "object"])
     return out
+
+
+# ---------------------------------------------------------------------------
+# Frame-annotation subgraph (reference frame_semantics.py:73-144)
+# ---------------------------------------------------------------------------
+
+
+def sent_uri_col(conv_id="conv_id", turn_idx="turn_idx"):
+    return F.concat(
+        F.lit(NS_NG + "sent/"), F.col(conv_id), F.lit("/"), F.col(turn_idx).cast("string")
+    )
+
+
+def materialize_frame_annotations(
+    transcripts: DataFrame, annotations: DataFrame
+) -> DataFrame:
+    """(transcripts, frame/role annotations) -> frame-annotation triples.
+
+    Emits the reference's frame subgraph shape (frame_semantics.py:73-114),
+    rekeyed for turns: sentence nodes with rdf:value text bound to their
+    event via ng:hasSentence (the abstract->sentence chain collapses to one
+    sentence per turn), one wsj:CorpusEntry annotation node per detected
+    frame (fromDocument / onFrame / onLemma), and one MappedRole node per
+    frame element (withfnfe / rdf:value / skos:related for linkable
+    dimensions). Same single-pass emission-array + explode plan shape as
+    the flagship: one scan per input, no per-branch re-scans, and the three
+    sections emit disjoint predicates so no global dedup is needed.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    turns = (
+        transcripts.select("conv_id", "turn_idx", "text")
+        .withColumn("__prev", F.lag("turn_idx").over(w))
+        .filter(F.col("__prev").isNull() | (F.col("__prev") != F.col("turn_idx")))
+        .drop("__prev")
+    )
+    sent = sent_uri_col()
+    ev = event_uri_col()
+
+    def t(s, p, o):
+        return F.struct(s.alias("subject"), p.alias("predicate"), o.alias("object"))
+
+    sent_triples = turns.select(
+        F.explode(
+            F.array(
+                t(sent, F.lit(RDF_TYPE), F.lit(NS_NIF + "Sentence")),
+                t(sent, F.lit(RDF_VALUE), F.coalesce(F.col("text"), F.lit(""))),
+                t(ev, F.lit(HAS_SENTENCE), sent),
+            )
+        ).alias("tr")
+    ).select("tr.subject", "tr.predicate", "tr.object")
+
+    annot = F.concat(
+        F.lit(NS_NG + "annot/"), F.col("conv_id"), F.lit("/"),
+        F.col("turn_idx").cast("string"), F.lit("/"), F.col("frame_idx").cast("string"),
+    )
+    annots = annotations.dropDuplicates(["conv_id", "turn_idx", "frame_idx"]).select(
+        F.explode(
+            F.array(
+                t(annot, F.lit(RDF_TYPE), F.lit(NS_WSJ + "CorpusEntry")),
+                t(annot, F.lit(NS_WSJ + "fromDocument"), sent),
+                t(annot, F.lit(NS_WSJ + "onFrame"), F.concat(F.lit(NS_FRAME), F.col("frame"))),
+                t(annot, F.lit(NS_WSJ + "onLemma"), F.col("lemma")),
+            )
+        ).alias("tr")
+    ).select("tr.subject", "tr.predicate", "tr.object")
+
+    role_iri = F.concat(
+        annot, F.lit("/"), F.col("role_idx").cast("string")
+    )
+    related = (
+        F.when(
+            F.col("dimension").isin("who", "where"), ent_uri(F.col("role_value"))
+        )
+        .when(
+            F.col("dimension") == "tool",
+            F.concat(F.lit(NS_NG + "tool/"), F.col("role_value")),
+        )
+    )
+    role_rows = annotations.filter(F.col("role_idx").isNotNull())
+    role_triples = role_rows.select(
+        F.explode(
+            F.filter(
+                F.array(
+                    t(annot, F.lit(NS_WSJ + "withmappedrole"), role_iri),
+                    t(role_iri, F.lit(RDF_TYPE), F.lit(NS_WSJ + "MappedRole")),
+                    t(role_iri, F.lit(NS_WSJ + "withfnfe"), F.concat(F.lit(NS_GFE), F.col("role"))),
+                    t(role_iri, F.lit(RDF_VALUE), F.col("role_value")),
+                    F.when(related.isNotNull(), t(role_iri, F.lit(NS_SKOS + "related"), related)),
+                ),
+                lambda x: x.isNotNull(),
+            )
+        ).alias("tr")
+    ).select("tr.subject", "tr.predicate", "tr.object")
+
+    return sent_triples.unionByName(annots).unionByName(role_triples)
 
 
 # ---------------------------------------------------------------------------

@@ -20,7 +20,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..vocab import NF_TO_PRED, RDF_TYPE, SEM_EVENT
+from ..vocab import (
+    CAUSAL_FRAMES,
+    HAS_SENTENCE,
+    NF_TO_PRED,
+    NS_FRAME,
+    NS_SKOS,
+    NS_WSJ,
+    RDF_TYPE,
+    RDF_VALUE,
+    SEM_EVENT,
+)
 
 P_SUB_EVENT_OF = NF_TO_PRED["part_of"]
 P_ACTOR = NF_TO_PRED["who"]
@@ -97,6 +107,62 @@ def actor_interaction(
         )
 
     return side(actor1, "n_actor1").join(side(actor2, "n_actor2"), "container")
+
+
+def event_frames(triples: DataFrame) -> DataFrame:
+    """QUERY_EVENT_FRAME core (reference sparql_queries.py:214): for every
+    event, its frame annotations with trigger lemma and OPTIONAL mapped
+    roles — event -> sentence -> annotation (onFrame/onLemma) -> role
+    (withfnfe/rdf:value). The OPTIONAL role block of the SPARQL becomes a
+    left join; every pattern starts predicate-restricted (partition-pruned
+    with the predicate-partitioned triples layout)."""
+    ev_sent = _pattern(triples, HAS_SENTENCE, "event", "sent")
+    from_doc = _pattern(triples, NS_WSJ + "fromDocument", "annot", "sent")
+    on_frame = _pattern(triples, NS_WSJ + "onFrame", "annot", "frame")
+    on_lemma = _pattern(triples, NS_WSJ + "onLemma", "annot", "lemma")
+    with_role = _pattern(triples, NS_WSJ + "withmappedrole", "annot", "role")
+    fnfe = _pattern(triples, NS_WSJ + "withfnfe", "role", "gfe")
+    # rdf:value is shared by sentences and roles; the join against role IRIs
+    # disambiguates (self-join on the role variable, as in the SPARQL)
+    role_val = _pattern(triples, RDF_VALUE, "role", "role_value")
+    roles = with_role.join(fnfe, "role").join(role_val, "role")
+    return (
+        ev_sent.join(from_doc, "sent")
+        .join(on_frame, "annot")
+        .join(on_lemma, "annot")
+        .join(roles, "annot", "left")
+        .select("event", "frame", "lemma", "gfe", "role_value")
+    )
+
+
+def causes_consequences(
+    triples: DataFrame, frames: list[str] | None = None
+) -> DataFrame:
+    """QUERY_INFO_CAUSES_CONSEQUENCES core (reference sparql_queries.py:58):
+    restrict annotations to the causal frame set (the SPARQL's VALUES
+    ?frame {...}), return their role elements with the OPTIONAL
+    skos:related entity. The VALUES restriction is an isin filter pushed
+    onto the predicate-pruned onFrame scan."""
+    frames = frames if frames is not None else CAUSAL_FRAMES
+    frame_uris = [NS_FRAME + f for f in frames]
+    ev_sent = _pattern(triples, HAS_SENTENCE, "event", "sent")
+    from_doc = _pattern(triples, NS_WSJ + "fromDocument", "annot", "sent")
+    on_frame = _pattern(triples, NS_WSJ + "onFrame", "annot", "frame").filter(
+        F.col("frame").isin(frame_uris)
+    )
+    with_role = _pattern(triples, NS_WSJ + "withmappedrole", "annot", "role")
+    fnfe = _pattern(triples, NS_WSJ + "withfnfe", "role", "gfe")
+    role_val = _pattern(triples, RDF_VALUE, "role", "role_value")
+    related = _pattern(triples, NS_SKOS + "related", "role", "related")
+    return (
+        on_frame.join(from_doc, "annot")
+        .join(ev_sent, "sent")
+        .join(with_role, "annot")
+        .join(fnfe, "role")
+        .join(role_val, "role")
+        .join(related, "role", "left")
+        .select("event", "frame", "gfe", "role_value", "related")
+    )
 
 
 def node_star(triples: DataFrame, node: str, ingoing: bool = True) -> DataFrame:

@@ -20,6 +20,14 @@ FULL_NS_RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
 FULL_NS_NG = "http://chronographer-spark.local/ng/"  # engine-local namespace
 FULL_NS_ENT = "http://chronographer-spark.local/ent/"
 NS_XSD = "http://www.w3.org/2001/XMLSchema#"
+# frame-annotation vocabularies (public Framester / NIF / SKOS namespaces,
+# the ones kglab.helpers.variables supplies to the reference's text path,
+# frame_semantics.py:23-28)
+FULL_NS_WSJ = "https://w3id.org/framester/wsj/"
+FULL_NS_FRAME = "https://w3id.org/framester/data/framesterabox/"
+FULL_NS_GFE = "https://w3id.org/framester/framenet/abox/gfe/"
+FULL_NS_SKOS = "http://www.w3.org/2004/02/skos/core#"
+FULL_NS_NIF = "http://persistence.uni-leipzig.org/nlp2rdf/ontologies/nif-core#"
 
 # Triples are emitted with compact CURIE prefixes (standard RDF practice,
 # declared in PREFIXES and expanded at TTL export). At 10^11-triple scale the
@@ -29,15 +37,26 @@ NS_SEM = "sem:"
 NS_RDF = "rdf:"
 NS_NG = "ng:"
 NS_ENT = "ent:"
+NS_WSJ = "wsj:"
+NS_FRAME = "frame:"
+NS_GFE = "gfe:"
+NS_SKOS = "skos:"
+NS_NIF = "nif:"
 
 PREFIXES: dict[str, str] = {
     NS_SEM: FULL_NS_SEM,
     NS_RDF: FULL_NS_RDF,
     NS_NG: FULL_NS_NG,
     NS_ENT: FULL_NS_ENT,
+    NS_WSJ: FULL_NS_WSJ,
+    NS_FRAME: FULL_NS_FRAME,
+    NS_GFE: FULL_NS_GFE,
+    NS_SKOS: FULL_NS_SKOS,
+    NS_NIF: FULL_NS_NIF,
 }
 
 RDF_TYPE = NS_RDF + "type"
+RDF_VALUE = NS_RDF + "value"
 SEM_EVENT = NS_SEM + "Event"
 
 # narrative-dimension -> SEM predicate
@@ -75,6 +94,35 @@ TEMPORAL_FILTERS: list[str] = NF_TO_STR["when_bts"] + NF_TO_STR["when_ets"]
 NEXT_EVENT = NS_NG + "nextEvent"
 USED_TOOL = NS_NG + "usedTool"
 IN_CONVERSATION = NS_NG + "inConversation"
+HAS_SENTENCE = NS_NG + "hasSentence"
+
+# ---------------------------------------------------------------------------
+# Frame-annotation layer (reference frame_semantics.py:73-144): deterministic
+# trigger-lemma -> frame map for the transcript graft, narrative-dimension ->
+# generic frame element (role) map, and the causal frame set the reference's
+# QUERY_INFO_CAUSES_CONSEQUENCES restricts to
+# (experiments_run/usage_ng/sparql_queries.py:58 VALUES ?frame {...}).
+# ---------------------------------------------------------------------------
+
+FRAME_TRIGGERS: dict[str, str] = {
+    "recorded": "Recording",
+    "purchase": "Commerce_buy",
+    "signup": "Becoming_a_member",
+    "error": "Cause_harm",
+    "click": "Cause_motion",
+    "view": "Perception_active",
+}
+
+CAUSAL_FRAMES: list[str] = [
+    "Causation", "Cause_harm", "Process_end", "Cause_to_end",
+]
+
+DIM_TO_ROLE: dict[str, str] = {
+    "who": "Agent",
+    "where": "Place",
+    "when": "Time",
+    "tool": "Instrument",
+}
 
 # ---------------------------------------------------------------------------
 # Deterministic fixture vocabulary for synthetic transcripts (FIXTURES.md §1/§4)

@@ -98,3 +98,80 @@ def test_single_turn_conrow_has_no_next_edge(tx):
     nxt = triples.filter(triples.predicate == NEXT_EVENT).toPandas()
     # conv000000 is the single-turn fixture
     assert not nxt.subject.str.contains("conv000000").any()
+
+
+def test_pluggable_extractor_hook(tx):
+    """The extractor= seam: a fake 'model' extractor with lazy per-executor
+    init (module-global handle, loaded once per task, never per batch)
+    flows through the same mapInPandas + dedup pipeline."""
+
+    def fake_model_extractor(batches):
+        model = None  # lazy init: first batch 'loads the model'
+        for pdf in batches:
+            if model is None:
+                model = {"loaded": True}  # stands in for spaCy/Spotlight
+            out = pdf[["conv_id", "turn_idx"]].copy()
+            out["mention"] = "MODEL_" + pdf["role"]
+            out["dimension"] = "who"
+            out["text"] = pdf["text"].fillna("")
+            yield out[["conv_id", "turn_idx", "mention", "dimension", "text"]]
+
+    got = extract_mentions(tx, extractor=fake_model_extractor).toPandas()
+    assert set(got["dimension"]) == {"who"}
+    assert got["mention"].str.startswith("MODEL_").all()
+    # dedup contract applies to injected extractors too
+    assert not got.duplicated(["conv_id", "turn_idx", "mention", "dimension"]).any()
+    # one mention per turn survives dedup (mention == f(role) is turn-unique)
+    n_turns = tx.select("conv_id", "turn_idx").distinct().count()
+    assert len(got) == n_turns
+
+
+def test_frame_annotation_layer(spark):
+    """Frame/role layer goldens: trigger detection with position-ordered
+    frame_idx, dimension->GFE role mapping with pinned role_idx, and the
+    materialized annotation subgraph shape (reference
+    frame_semantics.py:73-144)."""
+    import datetime as dt
+
+    from chronographer_spark.extraction.frames import annotate_frames, detect_frames
+    from chronographer_spark.graph.materialize import materialize_frame_annotations
+    from chronographer_spark.graph.ng_queries import causes_consequences, event_frames
+    from chronographer_spark.schemas import TRANSCRIPT_SCHEMA
+
+    rows = [
+        ("c1", 0, "user", "the error was recorded on 2024-01-03", "", dt.datetime(2024, 1, 1)),
+        ("c1", 1, "tool", "event view with value 2 recorded on 2024-01-04", "search", dt.datetime(2024, 1, 1, 0, 1)),
+        ("c2", 0, "user", "nothing to see here", "", dt.datetime(2024, 1, 2)),
+    ]
+    tx = spark.createDataFrame(rows, schema=TRANSCRIPT_SCHEMA)
+    frames = detect_frames(tx).collect()
+    by_turn = {}
+    for r in frames:
+        by_turn.setdefault((r["conv_id"], r["turn_idx"]), []).append(
+            (r["frame_idx"], r["frame"], r["lemma"])
+        )
+    # token order pins frame_idx: 'error'(pos 1) before 'recorded'(pos 3)
+    assert sorted(by_turn[("c1", 0)]) == [(0, "Cause_harm", "error"), (1, "Recording", "recorded")]
+    assert sorted(by_turn[("c1", 1)]) == [(0, "Perception_active", "view"), (1, "Recording", "recorded")]
+    assert ("c2", 0) not in by_turn
+
+    from chronographer_spark.extraction.mentions import extract_mentions
+
+    ann = annotate_frames(tx, extract_mentions(tx, carry_text=False))
+    roles = {
+        (r["conv_id"], r["turn_idx"], r["frame_idx"], r["role_idx"]): (r["role"], r["role_value"])
+        for r in ann.filter(ann.role_idx.isNotNull()).collect()
+    }
+    # tool turn: Instrument sorts before Time (role_idx by (role, value))
+    assert roles[("c1", 1, 0, 0)] == ("Instrument", "search")
+    assert roles[("c1", 1, 0, 1)] == ("Time", "2024-01-04")
+    assert roles[("c1", 0, 0, 0)] == ("Time", "2024-01-03")
+
+    triples = materialize_frame_annotations(tx, ann)
+    ef = event_frames(triples).collect()
+    got = {(r["event"], r["frame"], r["gfe"], r["role_value"]) for r in ef}
+    assert ("ng:event/c1/0", "frame:Cause_harm", "gfe:Time", "2024-01-03") in got
+    assert ("ng:event/c1/1", "frame:Recording", "gfe:Instrument", "search") in got
+    cc = causes_consequences(triples).collect()
+    assert {r["frame"] for r in cc} == {"frame:Cause_harm"}
+    assert all(r["event"] == "ng:event/c1/0" for r in cc)
