@@ -146,6 +146,11 @@ def q_occurrence_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_entropy_rank_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     counts = ev.groupBy("event_type").agg(F.count("*").alias("cnt"))
+    # deliberate single-partition window: `counts` is a handful of rows (one
+    # per distinct path key — SURVEY.md §4 sizes the occurrence table as
+    # tiny), so Spark's "No Partition Defined ... moving all data to a
+    # single partition" warning is expected and harmless HERE; treat the
+    # same warning on any large table as a real regression.
     w = Window.partitionBy()
     scored = counts.withColumn("tot", F.sum("cnt").over(w)).withColumn(
         "score",

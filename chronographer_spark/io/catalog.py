@@ -117,21 +117,54 @@ class Catalog:
         return self.spark.table(table)
 
     def merge_upsert(
-        self, delta: DataFrame, table: str, keys: list[str]
+        self,
+        delta: DataFrame,
+        table: str,
+        keys: list[str],
+        partition_col: str | None = None,
     ) -> None:
         """Iceberg MERGE INTO stand-in: existing rows not matching the delta
-        keys are kept, matched keys are replaced (S10 incremental update)."""
+        keys are kept, matched keys are replaced (S10 incremental update).
+
+        With `partition_col` (a column the table was written partitionBy-ed
+        on), the merge is PARTITION-PRUNED: only partitions containing delta
+        rows are read and rewritten via dynamic partition overwrite —
+        untouched partition files stay byte-identical, matching Iceberg's
+        copy-on-write MERGE granularity. At 100TB a delta touching 3
+        partitions rewrites 3 directories, not the table.
+        """
         if not self.exists(table):
-            self.write(delta, table)
+            if partition_col:
+                self.write(delta, table, partition_by=[partition_col])
+            else:
+                self.write(delta, table)
             return
-        current = self.read(table)
+        if partition_col is None:
+            current = self.read(table)
+            kept = current.join(delta.select(*keys).dropDuplicates(), keys, "left_anti")
+            merged = kept.unionByName(delta)
+            # write to a temp table then swap (parquet has no snapshot isolation)
+            tmp = table + "__tmp"
+            self.write(merged, tmp)
+            final = self.read(tmp).localCheckpoint(eager=True)
+            self.write(final, table)
+            return
+        touched = [
+            r[0] for r in delta.select(partition_col).dropDuplicates().collect()
+        ]
+        # the partition filter prunes at the file listing — only touched
+        # directories are ever read
+        current = self.read(table).filter(F.col(partition_col).isin(touched))
         kept = current.join(delta.select(*keys).dropDuplicates(), keys, "left_anti")
-        merged = kept.unionByName(delta)
-        # write to a temp table then swap (parquet has no snapshot isolation)
-        tmp = table + "__tmp"
-        self.write(merged, tmp)
-        final = self.read(tmp).localCheckpoint(eager=True)
-        self.write(final, table)
+        merged = kept.unionByName(delta.select(*kept.columns))
+        # materialize BEFORE overwriting the directories the plan reads from
+        merged = merged.localCheckpoint(eager=True)
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partition_col)
+            .parquet(self.path(table))
+        )
 
     def drop(self, table: str) -> None:
         import shutil

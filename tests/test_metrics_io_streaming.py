@@ -60,6 +60,38 @@ def test_catalog_roundtrip_and_merge(spark, tmp_path):
     assert got == {(1, "a"), (2, "B"), (3, "c")}
 
 
+def test_merge_upsert_partition_pruned(spark, tmp_path):
+    """Partition-aware MERGE: only partitions containing delta keys are
+    rewritten; untouched partition files stay byte-identical."""
+    import glob
+    import os
+
+    from chronographer_spark.io.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path))
+    base = spark.createDataFrame(
+        [("p1", "a", 1), ("p1", "b", 2), ("p2", "c", 3), ("p3", "d", 4)],
+        ["part", "k", "v"],
+    )
+    cat.write(base, "t", partition_by=["part"])
+
+    def snapshot(part):
+        files = sorted(glob.glob(os.path.join(str(tmp_path), "t", f"part={part}", "*.parquet")))
+        return [(os.path.basename(f), open(f, "rb").read()) for f in files]
+
+    before_p2, before_p3 = snapshot("p2"), snapshot("p3")
+    delta = spark.createDataFrame(
+        [("p1", "b", 20), ("p1", "e", 5)], ["part", "k", "v"]
+    )
+    cat.merge_upsert(delta, "t", keys=["part", "k"], partition_col="part")
+    # untouched partitions byte-identical (not rewritten, not just equal)
+    assert snapshot("p2") == before_p2
+    assert snapshot("p3") == before_p3
+    got = {(r["part"], r["k"]): r["v"] for r in cat.read("t").collect()}
+    assert got == {("p1", "a"): 1, ("p1", "b"): 20, ("p1", "e"): 5,
+                   ("p2", "c"): 3, ("p3", "d"): 4}
+
+
 def test_catalog_partitioned_triples_prune(spark, tmp_path):
     from chronographer_spark.io.catalog import Catalog
 
