@@ -1797,6 +1797,108 @@ JOIN (SELECT container, count(*) AS n_actor2 FROM tagged
 """
 
 
+def q_gold_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EventKG-style gold-graph construction (reference
+    eventkg_to_ng.py:28-170): an EventKG-shaped fixture — owl:sameAs
+    aliases, reified actor relations, place/time/sub-event edges — built
+    from orders/customer/lineitem, converted to the simplified-SEM gold
+    graph for the gold event list (customer 1's orders) in one set-oriented
+    plan. The reference runs 7 CONSTRUCT queries per event over the network."""
+    from .graph.gold import build_gold_graph
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+    o_node = F.concat(F.lit("ekg:o"), F.col("o_orderkey").cast("string"))
+    o_kb = F.concat(F.lit("http://dbpedia/order/"), F.col("o_orderkey").cast("string"))
+    c_node = F.concat(F.lit("ekg:c"), F.col("c_custkey").cast("string"))
+    c_kb = F.concat(F.lit("http://dbpedia/cust/"), F.col("c_custkey").cast("string"))
+    n_node = F.concat(F.lit("ekg:n"), F.col("c_nationkey").cast("string"))
+    n_kb = F.concat(F.lit("http://dbpedia/nation/"), F.col("c_nationkey").cast("string"))
+    l_node = F.concat(
+        F.lit("ekg:l"), F.col("l_orderkey").cast("string"),
+        F.lit("-"), F.col("l_linenumber").cast("string"),
+    )
+    l_kb = F.concat(
+        F.lit("http://dbpedia/line/"), F.col("l_orderkey").cast("string"),
+        F.lit("-"), F.col("l_linenumber").cast("string"),
+    )
+
+    def tr(s, p, o):
+        return F.struct(s.alias("subject"), F.lit(p).alias("predicate"), o.alias("object"))
+
+    oc = orders.join(
+        cust, orders["o_custkey"] == cust["c_custkey"]
+    )
+    kg_orders = oc.select(
+        F.explode(
+            F.array(
+                tr(o_node, "owl:sameAs", o_kb),
+                tr(o_node, "sem:hasPlace", n_node),
+                tr(o_node, "sem:hasBeginTimeStamp", F.date_format("o_orderdate", "yyyy-MM-dd")),
+                tr(F.concat(F.lit("ekg:rel"), F.col("o_orderkey").cast("string")), "rdf:type", F.lit("eventkg:Relation")),
+                tr(F.concat(F.lit("ekg:rel"), F.col("o_orderkey").cast("string")), "rdf:subject", o_node),
+                tr(F.concat(F.lit("ekg:rel"), F.col("o_orderkey").cast("string")), "rdf:object", c_node),
+            )
+        ).alias("t")
+    ).select("t.subject", "t.predicate", "t.object")
+    kg_cust = cust.select(
+        F.explode(
+            F.array(
+                tr(c_node, "owl:sameAs", c_kb),
+                tr(c_node, "rdf:type", F.lit("sem:Actor")),
+                tr(n_node, "owl:sameAs", n_kb),
+            )
+        ).alias("t")
+    ).select("t.subject", "t.predicate", "t.object")
+    kg_lines = li.select(
+        F.explode(
+            F.array(
+                tr(l_node, "owl:sameAs", l_kb),
+                tr(
+                    F.concat(F.lit("ekg:o"), F.col("l_orderkey").cast("string")),
+                    "sem:hasSubEvent",
+                    l_node,
+                ),
+            )
+        ).alias("t")
+    ).select("t.subject", "t.predicate", "t.object")
+    kg = kg_orders.unionByName(kg_cust).unionByName(kg_lines).dropDuplicates()
+
+    events = orders.filter(F.col("o_custkey") == 1).select(o_kb.alias("event"))
+    return build_gold_graph(kg, events, filter_str="dbpedia")
+
+
+GOLD_GRAPH_SQL = """
+WITH ev AS (
+  SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS d
+  FROM orders WHERE o_custkey = 1
+),
+nk AS (SELECT c_nationkey FROM customer WHERE c_custkey = 1)
+SELECT DISTINCT subject, predicate, object FROM (
+  SELECT 'http://dbpedia/order/' || CAST(o_orderkey AS VARCHAR) AS subject,
+         'rdf:type' AS predicate, 'sem:Event' AS object FROM ev
+  UNION ALL
+  SELECT 'http://dbpedia/order/' || CAST(o_orderkey AS VARCHAR),
+         'sem:hasPlace',
+         'http://dbpedia/nation/' || CAST((SELECT c_nationkey FROM nk) AS VARCHAR)
+  FROM ev
+  UNION ALL
+  SELECT 'http://dbpedia/order/' || CAST(o_orderkey AS VARCHAR),
+         'sem:hasActor', 'http://dbpedia/cust/1' FROM ev
+  UNION ALL
+  SELECT 'http://dbpedia/order/' || CAST(o_orderkey AS VARCHAR),
+         'sem:hasBeginTimeStamp', d FROM ev
+  UNION ALL
+  SELECT 'http://dbpedia/line/' || CAST(l.l_orderkey AS VARCHAR) || '-'
+           || CAST(l.l_linenumber AS VARCHAR),
+         'sem:subEventOf',
+         'http://dbpedia/order/' || CAST(l.l_orderkey AS VARCHAR)
+  FROM lineitem l JOIN ev ON l.l_orderkey = ev.o_orderkey
+)
+"""
+
+
 def _frame_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """transcripts -> mentions -> frame/role annotations -> frame triples."""
     from .data.transcripts import transcripts_from_events
@@ -2176,6 +2278,7 @@ QUERIES = {
     "ng_actor_interaction": q_ng_actor_interaction,
     "ng_event_frames": q_ng_event_frames,
     "ng_causes_consequences": q_ng_causes_consequences,
+    "gold_graph": q_gold_graph,
     "props_json_stats": q_props_json_stats,
     "stratified_sample": q_stratified_sample,
     "np_chunks": q_np_chunks,
@@ -2245,6 +2348,7 @@ ORACLE_SQL = {
     "ng_actor_interaction": NG_INTERACTION_SQL,
     "ng_event_frames": NG_EVENT_FRAMES_SQL,
     "ng_causes_consequences": NG_CAUSES_SQL,
+    "gold_graph": GOLD_GRAPH_SQL,
     "props_json_stats": PROPS_JSON_SQL,
     "stratified_sample": STRATIFIED_SQL,
     "np_chunks": NP_CHUNKS_SQL,

@@ -1,0 +1,139 @@
+"""Gold-standard graph construction from an EventKG-shaped reference KG.
+
+Spark re-expression of the reference's EventKGToNGConverter
+(reference: src/build_ng/eventkg_to_ng.py:28-170): there, seven per-event
+SPARQL CONSTRUCT templates run over the network against the EventKG
+endpoint and their RDF/XML responses accumulate into an rdflib graph. Here
+the same seven templates become ONE set-oriented DataFrame plan over an
+EventKG-shaped triple table: the gold event list broadcasts against the
+owl:sameAs alias table once, and each template is a predicate-restricted
+pattern join — no per-event loop, no network, linear in |KG|.
+
+Template parity notes:
+- place (eventkg_to_ng.py:41-55): event alias -> sem:hasPlace -> place
+  alias -> KB place URI.
+- actor (:57-77): reified relation (rdf:type eventkg:Relation, rdf:subject,
+  rdf:object) to a sem:Actor node, aliased to a KB actor filtered by the
+  provenance substring.
+- begin/end timestamp (:79-109), event typing (:111-118).
+- sub/super-event (:120-145): the reference templates CONSTRUCT variables
+  (?kb_sub_event / ?kb_super_event) that their WHERE clauses never bind, so
+  as written they emit nothing (unbound CONSTRUCT variables drop the
+  triple); we implement the evident intent — follow sem:hasSubEvent /
+  sem:subEventOf through owl:sameAs with the provenance filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..vocab import NF_TO_PRED, RDF_TYPE, SEM_EVENT
+
+OWL_SAME_AS = "owl:sameAs"
+EKG_RELATION = "eventkg:Relation"
+RDF_SUBJECT = "rdf:subject"
+RDF_OBJECT = "rdf:object"
+SEM_ACTOR = "sem:Actor"
+P_PLACE = NF_TO_PRED["where"]
+P_ACTOR = NF_TO_PRED["who"]
+P_BTS = NF_TO_PRED["when_bts"]
+P_ETS = NF_TO_PRED["when_ets"]
+P_SUB_EVENT_OF = NF_TO_PRED["part_of"]
+P_HAS_SUB_EVENT = NF_TO_PRED["part_of_inverse"]
+
+
+def _pat(kg: DataFrame, predicate: str, s: str, o: str) -> DataFrame:
+    return kg.filter(F.col("predicate") == predicate).select(
+        F.col("subject").alias(s), F.col("object").alias(o)
+    )
+
+
+def build_gold_graph(
+    kg: DataFrame,
+    events: DataFrame,
+    filter_str: str = "",
+    event_col: str = "event",
+) -> DataFrame:
+    """(EventKG-shaped triples, gold KB event URIs) -> simplified-SEM gold
+    triples (subject, predicate, object).
+
+    `events` is the gold-standard list (reference reads it from the CSV's
+    linkDBpediaEn column, eventkg_to_ng.py:180); `filter_str` is the KB
+    provenance substring filter (e.g. "/dbpedia").
+    """
+    sameas = _pat(kg, OWL_SAME_AS, "node", "kb")
+    ev = F.broadcast(
+        events.select(F.col(event_col).alias("event"))
+        .dropDuplicates()
+        .join(sameas.select(F.col("node"), F.col("kb").alias("event")), "event")
+    )
+
+    def kb_filtered(col: str):
+        return F.col(col).contains(filter_str) if filter_str else F.lit(True)
+
+    # template_place
+    place = (
+        ev.join(_pat(kg, P_PLACE, "node", "place"), "node")
+        .join(sameas.select(F.col("node").alias("place"), F.col("kb")), "place")
+        .select("event", F.lit(P_PLACE).alias("predicate"), F.col("kb").alias("object"))
+    )
+    # template_actor — reified relation to a typed, aliased actor
+    rel_nodes = _pat(kg, RDF_TYPE, "rel", "cls").filter(F.col("cls") == EKG_RELATION)
+    actors = (
+        rel_nodes.join(_pat(kg, RDF_SUBJECT, "rel", "node"), "rel")
+        .join(_pat(kg, RDF_OBJECT, "rel", "actor"), "rel")
+        .join(
+            _pat(kg, RDF_TYPE, "actor", "acls").filter(F.col("acls") == SEM_ACTOR),
+            "actor",
+        )
+        .join(sameas.select(F.col("node").alias("actor"), F.col("kb")), "actor")
+        .filter(kb_filtered("kb"))
+        .join(ev, "node")
+        .select("event", F.lit(P_ACTOR).alias("predicate"), F.col("kb").alias("object"))
+    )
+    # template_bts / template_ets
+    bts = ev.join(_pat(kg, P_BTS, "node", "ts"), "node").select(
+        "event", F.lit(P_BTS).alias("predicate"), F.col("ts").alias("object")
+    )
+    ets = ev.join(_pat(kg, P_ETS, "node", "ts"), "node").select(
+        "event", F.lit(P_ETS).alias("predicate"), F.col("ts").alias("object")
+    )
+    # template_event
+    typing = ev.select(
+        "event", F.lit(RDF_TYPE).alias("predicate"), F.lit(SEM_EVENT).alias("object")
+    )
+    # template_sub_event (intended semantics, see module docstring)
+    sub = (
+        ev.join(_pat(kg, P_HAS_SUB_EVENT, "node", "sub"), "node")
+        .join(sameas.select(F.col("node").alias("sub"), F.col("kb")), "sub")
+        .filter(kb_filtered("kb"))
+        .select(
+            F.col("kb").alias("event"),
+            F.lit(P_SUB_EVENT_OF).alias("predicate"),
+            F.col("event").alias("object"),
+        )
+    )
+    # template_super_event (intended semantics)
+    sup = (
+        ev.join(_pat(kg, P_SUB_EVENT_OF, "node", "sup"), "node")
+        .join(sameas.select(F.col("node").alias("sup"), F.col("kb")), "sup")
+        .filter(kb_filtered("kb"))
+        .select(
+            "event",
+            F.lit(P_SUB_EVENT_OF).alias("predicate"),
+            F.col("kb").alias("object"),
+        )
+    )
+
+    out = (
+        place.unionByName(actors)
+        .unionByName(bts)
+        .unionByName(ets)
+        .unionByName(typing)
+        .unionByName(sub)
+        .unionByName(sup)
+    )
+    return out.select(
+        F.col("event").alias("subject"), "predicate", "object"
+    ).dropDuplicates()

@@ -151,3 +151,46 @@ def test_streaming_ingestion_matches_batch(spark, tmp_path):
     g = {tuple(r) for r in got.collect()}
     b = {tuple(r) for r in batch.collect()}
     assert g == b
+
+
+def test_gold_graph_builder_templates(spark):
+    """EventKG-style gold-graph construction: the seven CONSTRUCT templates
+    (reference eventkg_to_ng.py:41-145) as one set-oriented plan — place,
+    reified actor with provenance filter, timestamps, typing, and the
+    sub/super-event walks (intended semantics; the reference templates'
+    CONSTRUCT variables are unbound as written)."""
+    from chronographer_spark.graph.gold import build_gold_graph
+
+    kg = spark.createDataFrame(
+        [
+            ("ekg:e1", "owl:sameAs", "http://db/ev1"),
+            ("ekg:e1", "sem:hasPlace", "ekg:p1"),
+            ("ekg:p1", "owl:sameAs", "http://db/paris"),
+            ("ekg:r1", "rdf:type", "eventkg:Relation"),
+            ("ekg:r1", "rdf:subject", "ekg:e1"),
+            ("ekg:r1", "rdf:object", "ekg:a1"),
+            ("ekg:a1", "rdf:type", "sem:Actor"),
+            ("ekg:a1", "owl:sameAs", "http://db/alice"),
+            ("ekg:r2", "rdf:type", "eventkg:Relation"),
+            ("ekg:r2", "rdf:subject", "ekg:e1"),
+            ("ekg:r2", "rdf:object", "ekg:a2"),
+            ("ekg:a2", "rdf:type", "sem:Actor"),
+            ("ekg:a2", "owl:sameAs", "http://wiki/bob"),  # provenance-filtered
+            ("ekg:e1", "sem:hasBeginTimeStamp", "1789-07-14"),
+            ("ekg:e1", "sem:hasSubEvent", "ekg:s1"),
+            ("ekg:s1", "owl:sameAs", "http://db/sub1"),
+            ("ekg:e1", "sem:subEventOf", "ekg:sup1"),
+            ("ekg:sup1", "owl:sameAs", "http://db/sup1"),
+        ],
+        ["subject", "predicate", "object"],
+    )
+    events = spark.createDataFrame([("http://db/ev1",)], ["event"])
+    got = {tuple(r) for r in build_gold_graph(kg, events, filter_str="db").collect()}
+    assert got == {
+        ("http://db/ev1", "rdf:type", "sem:Event"),
+        ("http://db/ev1", "sem:hasPlace", "http://db/paris"),
+        ("http://db/ev1", "sem:hasActor", "http://db/alice"),
+        ("http://db/ev1", "sem:hasBeginTimeStamp", "1789-07-14"),
+        ("http://db/sub1", "sem:subEventOf", "http://db/ev1"),
+        ("http://db/ev1", "sem:subEventOf", "http://db/sup1"),
+    }
