@@ -61,8 +61,22 @@ def _sessionize_group(
     pdfs: Iterator[pd.DataFrame],
     state: GroupState,
     gap_seconds: int,
+    idle_flush_seconds: int | None = None,
 ) -> Iterator[pd.DataFrame]:
     (conv_id,) = key
+    if idle_flush_seconds is not None and state.hasTimedOut:
+        # conversation went quiet past the processing-time horizon: flush
+        # the open tail session and drop the key's state entirely
+        seq, n_turns, begin_us, last_us = state.get
+        state.remove()
+        out = pd.DataFrame(
+            [(conv_id, seq, n_turns, begin_us, last_us)],
+            columns=["conv_id", "session_seq", "n_turns", "begin_us", "last_us"],
+        )
+        out["begin_ts"] = pd.to_datetime(out["begin_us"], unit="us")
+        out["end_ts"] = pd.to_datetime(out["last_us"], unit="us")
+        yield out[["conv_id", "session_seq", "n_turns", "begin_ts", "end_ts"]]
+        return
     if state.exists:
         seq, n_turns, begin_us, last_us = state.get
     else:
@@ -92,6 +106,8 @@ def _sessionize_group(
             last_us = us
 
     state.update((seq, n_turns, begin_us, last_us))
+    if idle_flush_seconds is not None:
+        state.setTimeoutDuration(idle_flush_seconds * 1000)
     out = pd.DataFrame(
         closed, columns=["conv_id", "session_seq", "n_turns", "begin_us", "last_us"]
     )
@@ -100,18 +116,33 @@ def _sessionize_group(
     yield out[["conv_id", "session_seq", "n_turns", "begin_ts", "end_ts"]]
 
 
-def sessionize_stream(transcripts: DataFrame, gap_seconds: int = 1800) -> DataFrame:
-    """Streaming DataFrame of CLOSED sessions per conversation."""
+def sessionize_stream(
+    transcripts: DataFrame,
+    gap_seconds: int = 1800,
+    idle_flush_seconds: int | None = None,
+) -> DataFrame:
+    """Streaming DataFrame of CLOSED sessions per conversation.
+
+    `idle_flush_seconds` arms a ProcessingTimeTimeout per conversation:
+    when no new turns arrive for that long (wall clock), the open tail
+    session is flushed and the key's state removed — bounding state to
+    ACTIVE conversations instead of every conversation ever seen (the
+    production requirement for an unbounded key space).
+    """
 
     def fn(key, pdfs, state):
-        yield from _sessionize_group(key, pdfs, state, gap_seconds)
+        yield from _sessionize_group(key, pdfs, state, gap_seconds, idle_flush_seconds)
 
     return transcripts.groupBy("conv_id").applyInPandasWithState(
         fn,
         outputStructType=SESSION_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if idle_flush_seconds is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 
@@ -122,8 +153,16 @@ def start_session_stream(
     checkpoint_dir: str,
     gap_seconds: int = 1800,
     available_now: bool = True,
+    idle_flush_seconds: int | None = None,
+    processing_interval: str | None = None,
 ):
-    """transcript parquet dir -> stateful sessionizer -> closed-session sink."""
+    """transcript parquet dir -> stateful sessionizer -> closed-session sink.
+
+    Pass `idle_flush_seconds` (with `available_now=False` and a
+    `processing_interval` like "1 second") to run the idle-conversation
+    flush: processing-time timeouts only fire on subsequent triggers, so
+    they need a continuously-triggering query, not an availableNow drain.
+    """
     from ..schemas import TRANSCRIPT_SCHEMA
 
     stream = (
@@ -131,7 +170,7 @@ def start_session_stream(
         .option("maxFilesPerTrigger", 100)
         .parquet(input_dir)
     )
-    sessions = sessionize_stream(stream, gap_seconds)
+    sessions = sessionize_stream(stream, gap_seconds, idle_flush_seconds)
     writer = (
         sessions.writeStream.outputMode("append")
         .format("parquet")
@@ -140,4 +179,6 @@ def start_session_stream(
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
+    elif processing_interval:
+        writer = writer.trigger(processingTime=processing_interval)
     return writer.start()

@@ -45,6 +45,20 @@ def test_ivf_assignment_is_map_only(spark):
     assert _exchanges(plan) == 0 and "BroadcastExchange" not in plan, plan
 
 
+def test_minhash_lsh_single_signature_subtree(spark):
+    """The banded LSH candidates plan must compute the signature aggregate
+    ONCE per join side (band explode over the aggregate), not once per band
+    per side: the union-of-band-selects shape re-executed the whole
+    shingle-explode-agg subtree 2x bands times (measured 3.7x wall)."""
+    from chronographer_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(minhash_lsh_candidates(docs, num_hashes=8, bands=2, shingle_n=1))
+    # one scan per join side — the union shape had bands x sides scans
+    assert plan.count("Scan parquet") == 2, plan
+    assert _exchanges(plan) <= 3, plan
+
+
 def test_ivf_probe_no_driver_materialization(spark):
     """The probe side must reach the join as an executor-side checkpoint
     (Scan ExistingRDD), NOT a driver-collected LocalTableScan — a 10M-row

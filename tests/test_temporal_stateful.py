@@ -220,6 +220,52 @@ def test_streaming_stateful_gap_microsecond_boundary(spark, tmp_path):
     assert got == {(1, 2), (2, 1)}
 
 
+def test_streaming_stateful_idle_timeout_flush(spark, tmp_path):
+    """ProcessingTimeTimeout flush: a conversation that goes quiet past the
+    idle horizon has its open tail session emitted and its state removed —
+    state stays bounded by ACTIVE conversations."""
+    from chronographer_spark.schemas import TRANSCRIPT_SCHEMA
+    from chronographer_spark.streaming.stateful import start_session_stream
+
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    batch1 = spark.createDataFrame(
+        [("c1", 0, "user", "hi", "", TS(2024, 1, 1, 12, 0, 0)),
+         ("c1", 1, "assistant", "yo", "", TS(2024, 1, 1, 12, 0, 30))],
+        schema=TRANSCRIPT_SCHEMA,
+    )
+    batch1.write.parquet(in_dir)
+    q = start_session_stream(
+        spark, in_dir, out_dir, ckpt,
+        gap_seconds=1800, available_now=False,
+        idle_flush_seconds=2, processing_interval="1 second",
+    )
+    try:
+        deadline = time.monotonic() + 60
+        rows = []
+        while time.monotonic() < deadline:
+            time.sleep(3)
+            # keep triggering batches: appended part files with unrelated
+            # conversation rows make the engine fire timeout checks for c1
+            spark.createDataFrame(
+                [("c2", 0, "user", "tick", "", TS(2024, 1, 2, 12, 0, 0))],
+                schema=TRANSCRIPT_SCHEMA,
+            ).write.mode("append").parquet(in_dir)
+            try:
+                got = spark.read.parquet(out_dir)
+                rows = got.filter(got.conv_id == "c1").collect()
+            except Exception:
+                rows = []
+            if rows:
+                break
+        assert rows, "idle conversation's tail session never flushed"
+        r = rows[0]
+        assert (r["session_seq"], r["n_turns"]) == (1, 2)
+        assert r["begin_ts"] == TS(2024, 1, 1, 12, 0, 0)
+        assert r["end_ts"] == TS(2024, 1, 1, 12, 0, 30)
+    finally:
+        q.stop()
+
+
 def test_connected_components_strategies_agree(spark):
     """agg and window CC strategies produce identical components on a mixed
     graph: two chains, a hub star (the skew shape), and an isolated node."""
