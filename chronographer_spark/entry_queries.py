@@ -1740,6 +1740,30 @@ def q_ng_sub_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sub_events_with_times(_flagship_triples(spark, sf_dir))
 
 
+def q_ng_actor_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUERY_INFO_ACTOR over the flagship graph (reference
+    sparql_queries.py QUERY_INFO_ACTOR): one actor's events with their
+    OPTIONAL begin/end timestamps."""
+    from .graph.ng_queries import events_of_actor
+
+    out = events_of_actor(_flagship_triples(spark, sf_dir), "ng:actor/user")
+    return out.select(
+        "event",
+        F.coalesce("begin", F.lit("")).alias("begin_d"),
+        F.coalesce("end", F.lit("")).alias("end_d"),
+    )
+
+
+# user turns are turn_idx % 3 == 0 (TX_SQL role rotation); every turn text
+# carries exactly one ISO date, so begin = end = that date.
+NG_ACTOR_EVENTS_SQL = TX_SQL + """
+SELECT 'ng:event/' || conv_id || '/' || CAST(turn_idx AS VARCHAR) AS event,
+       regexp_extract(text, '(\\d{4}-\\d{2}-\\d{2})', 1) AS begin_d,
+       regexp_extract(text, '(\\d{4}-\\d{2}-\\d{2})', 1) AS end_d
+FROM tx WHERE turn_idx % 3 = 0
+"""
+
+
 NG_SUB_EVENTS_SQL = f"""
 WITH g AS ({FLAGSHIP_SQL})
 SELECT s.object AS event, s.subject AS sub_event, b.object AS begin,
@@ -2039,6 +2063,20 @@ SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
 """
 
 
+def q_near_dup_clusters_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup-first near-dup clustering. Same parameters as
+    near_dup_clusters and — provably — the same clusters (identical texts
+    share signatures/buckets/scores), so the oracle IS the direct
+    pipeline's recursive-CTE replay: the gate verifies the composition's
+    equivalence on real data, not just a unit fixture."""
+    from .operators.dedup import near_dup_clusters_exact_first
+
+    docs = _t(spark, sf_dir, "documents")
+    return near_dup_clusters_exact_first(
+        docs, threshold=0.6, num_hashes=8, bands=2, shingle_n=1
+    )
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup keeping the longest (best-scoring) duplicate."""
     from .operators.dedup import exact_dedup_keep_best
@@ -2274,6 +2312,7 @@ QUERIES = {
     "pivot_event_counts": q_pivot_event_counts,
     "quantiles_by_type": q_quantiles_by_type,
     "ng_sub_events": q_ng_sub_events,
+    "ng_actor_events": q_ng_actor_events,
     "ng_events_in_period": q_ng_events_in_period,
     "ng_actor_interaction": q_ng_actor_interaction,
     "ng_event_frames": q_ng_event_frames,
@@ -2284,6 +2323,7 @@ QUERIES = {
     "np_chunks": q_np_chunks,
     "dedup_keep_best": q_dedup_keep_best,
     "near_dup_clusters": q_near_dup_clusters,
+    "near_dup_clusters_fast": q_near_dup_clusters_fast,
     "sql_revenue_by_nation": q_sql_revenue_by_nation,
 }
 
@@ -2344,6 +2384,7 @@ ORACLE_SQL = {
     "pivot_event_counts": PIVOT_SQL,
     "quantiles_by_type": QUANTILES_SQL,
     "ng_sub_events": NG_SUB_EVENTS_SQL,
+    "ng_actor_events": NG_ACTOR_EVENTS_SQL,
     "ng_events_in_period": NG_PERIOD_SQL,
     "ng_actor_interaction": NG_INTERACTION_SQL,
     "ng_event_frames": NG_EVENT_FRAMES_SQL,
@@ -2354,5 +2395,6 @@ ORACLE_SQL = {
     "np_chunks": NP_CHUNKS_SQL,
     "dedup_keep_best": DEDUP_KEEP_BEST_SQL,
     "near_dup_clusters": NEAR_DUP_CLUSTERS_SQL,
+    "near_dup_clusters_fast": NEAR_DUP_CLUSTERS_SQL,
     "sql_revenue_by_nation": SQL_REVENUE_SQL,
 }

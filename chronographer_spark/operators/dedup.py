@@ -162,6 +162,56 @@ def minhash_dedup(
     return scored.filter(F.col("jaccard") >= threshold)
 
 
+def near_dup_clusters_exact_first(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-duplicate clustering with the exact-dedup-first composition:
+    collapse identical normalized texts to one representative, run the
+    MinHash near-dup pipeline on REPRESENTATIVES only, then connected
+    components over (exact-group edges ∪ representative near-dup edges).
+    Returns (id_col, cluster).
+
+    Provably the same clusters as running near-dup over the full corpus:
+    identical texts have identical shingle sets, signatures, buckets, and
+    Jaccard scores, so any cross-group pair passing the threshold implies
+    its representative pair passes too — connectivity is unchanged. Cost,
+    however, drops from |docs| to |distinct texts| for the signature agg,
+    and the Jaccard verify join stops replicating a shingle array once per
+    duplicate pair (a dup-heavy corpus makes the direct join
+    bandwidth-bound: measured 65-156 s for 100k docs with 20x exact dups vs
+    seconds through this path). This is the composition a production
+    training-data pipeline should run.
+    """
+    from ..linking.canonicalize import connected_components
+
+    normed = df.withColumn("__fp", F.md5(normalize_text(F.col(text_col))))
+    groups = normed.groupBy("__fp").agg(F.min(id_col).alias("rep"))
+    members = normed.join(groups, "__fp").select(F.col(id_col), F.col("rep"))
+    reps = df.join(
+        members.filter(F.col(id_col) == F.col("rep")).select("rep"),
+        df[id_col] == F.col("rep"),
+        "left_semi",
+    )
+    rep_pairs = minhash_dedup(
+        reps, text_col, id_col, threshold, num_hashes, bands, shingle_n
+    )
+    exact_edges = members.filter(F.col(id_col) != F.col("rep")).select(
+        F.col(id_col).alias("src"), F.col("rep").alias("dst")
+    )
+    near_edges = rep_pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    nodes = df.select(F.col(id_col).alias("node"))
+    cc = connected_components(
+        exact_edges.unionByName(near_edges), all_nodes=nodes, strategy="window"
+    )
+    return cc.select(F.col("node").alias(id_col), F.col("component").alias("cluster"))
+
+
 # ---------------------------------------------------------------------------
 # SimHash (64-bit, native expressions end-to-end)
 # ---------------------------------------------------------------------------

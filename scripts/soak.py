@@ -87,6 +87,16 @@ def main() -> None:
         nodes = docs.select(F.col("doc_id").alias("node"))
         return connected_components(edges, all_nodes=nodes, strategy="window").count()
 
+    def job_near_dup_exact_first():
+        # the production composition: collapse exact dups first, near-dup on
+        # representatives, CC over both edge sets — same clusters, without
+        # replicating shingle arrays per duplicate pair
+        from chronographer_spark.operators.dedup import near_dup_clusters_exact_first
+
+        return near_dup_clusters_exact_first(
+            docs, threshold=0.8, num_hashes=16, bands=4, shingle_n=3
+        ).count()
+
     def job_flagship():
         return build_event_graph(tx).count()
 
@@ -94,6 +104,7 @@ def main() -> None:
     for name, fn in [
         ("minhash_lsh", job_minhash),
         ("near_dup_cc", job_near_dup_cc),
+        ("near_dup_exact_first", job_near_dup_exact_first),
         ("flagship", job_flagship),
     ]:
         times, rows = [], None

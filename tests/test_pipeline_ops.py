@@ -52,6 +52,32 @@ def test_simhash(docs, spark):
         assert ham[(0, 3)] == 0
 
 
+def test_exact_first_clusters_equal_direct_pipeline(spark):
+    """The exact-dedup-first composition must produce EXACTLY the clusters
+    of the direct near-dup pipeline (identical texts share signatures,
+    buckets, and Jaccard scores — connectivity is invariant)."""
+    from chronographer_spark.linking.canonicalize import connected_components
+    from chronographer_spark.operators.dedup import (
+        minhash_dedup,
+        near_dup_clusters_exact_first,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    params = dict(threshold=0.6, num_hashes=8, bands=2, shingle_n=1)
+    fast = {
+        (r["doc_id"], r["cluster"])
+        for r in near_dup_clusters_exact_first(docs, **params).collect()
+    }
+    pairs = minhash_dedup(docs, **params)
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    direct = {
+        (r["node"], r["component"])
+        for r in connected_components(edges, all_nodes=nodes, strategy="window").collect()
+    }
+    assert fast == direct
+
+
 def test_simhash_block_candidates_guaranteed_recall(spark):
     """Pigeonhole guarantee: with n_blocks blocks, any pair at hamming
     <= n_blocks-1 shares a clean block and MUST be a candidate — including
