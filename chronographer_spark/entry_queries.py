@@ -1740,6 +1740,28 @@ def q_ng_sub_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sub_events_with_times(_flagship_triples(spark, sf_dir))
 
 
+def q_bgp_sub_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The declarative BGP surface (graph/bgp.py) expressing
+    QUERY_SUB_EVENTS_OF_EVENT — same triple patterns + OPTIONAL block the
+    reference ships as SPARQL — compiled mechanically to the same join plan
+    ng_queries hand-writes; oracle shared with ng_sub_events."""
+    from .graph.bgp import bgp
+    from .graph.ng_queries import P_BEGIN, P_END, P_SUB_EVENT_OF
+
+    triples = _flagship_triples(spark, sf_dir)
+    out = bgp(
+        triples,
+        patterns=[
+            ("?sub_event", P_SUB_EVENT_OF, "?event"),
+            ("?sub_event", P_BEGIN, "?begin"),
+        ],
+        optional=[[("?sub_event", P_END, "?end")]],
+    )
+    return out.select(
+        "event", "sub_event", "begin", F.coalesce("end", "begin").alias("end")
+    )
+
+
 def q_ng_actor_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """QUERY_INFO_ACTOR over the flagship graph (reference
     sparql_queries.py QUERY_INFO_ACTOR): one actor's events with their
@@ -2312,6 +2334,7 @@ QUERIES = {
     "pivot_event_counts": q_pivot_event_counts,
     "quantiles_by_type": q_quantiles_by_type,
     "ng_sub_events": q_ng_sub_events,
+    "bgp_sub_events": q_bgp_sub_events,
     "ng_actor_events": q_ng_actor_events,
     "ng_events_in_period": q_ng_events_in_period,
     "ng_actor_interaction": q_ng_actor_interaction,
@@ -2384,6 +2407,7 @@ ORACLE_SQL = {
     "pivot_event_counts": PIVOT_SQL,
     "quantiles_by_type": QUANTILES_SQL,
     "ng_sub_events": NG_SUB_EVENTS_SQL,
+    "bgp_sub_events": NG_SUB_EVENTS_SQL,
     "ng_actor_events": NG_ACTOR_EVENTS_SQL,
     "ng_events_in_period": NG_PERIOD_SQL,
     "ng_actor_interaction": NG_INTERACTION_SQL,

@@ -521,3 +521,59 @@ def test_operators_on_empty_inputs(spark):
 
     empty_docs = spark.createDataFrame([], "doc_id long, text string")
     assert minhash_lsh_candidates(empty_docs).count() == 0
+
+
+def test_bgp_matcher_semantics(spark):
+    """Declarative BGP compiler: shared-variable joins, repeated variable
+    within a pattern, OPTIONAL left join, VALUES restriction, and
+    agreement with the hand-written ng_queries plan."""
+    from chronographer_spark.graph.bgp import bgp
+    from chronographer_spark.graph.ng_queries import sub_events_with_times
+
+    triples = spark.createDataFrame(
+        [
+            ("e1", "sem:subEventOf", "c1"),
+            ("e2", "sem:subEventOf", "c1"),
+            ("e1", "sem:hasBeginTimeStamp", "2024-01-01"),
+            ("e2", "sem:hasBeginTimeStamp", "2024-01-02"),
+            ("e1", "sem:hasEndTimeStamp", "2024-01-05"),
+            ("e1", "sem:hasActor", "alice"),
+            ("e2", "sem:hasActor", "bob"),
+            ("x", "p:self", "x"),
+            ("x", "p:self", "y"),
+        ],
+        ["subject", "predicate", "object"],
+    )
+    # shared-variable join + OPTIONAL, vs the hand-written query
+    got = bgp(
+        triples,
+        patterns=[
+            ("?sub_event", "sem:subEventOf", "?event"),
+            ("?sub_event", "sem:hasBeginTimeStamp", "?begin"),
+        ],
+        optional=[[("?sub_event", "sem:hasEndTimeStamp", "?end")]],
+    ).select(
+        "event", "sub_event", "begin",
+        F.coalesce("end", "begin").alias("end"),
+    )
+    hand = sub_events_with_times(triples)
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in hand.collect()}
+
+    # repeated variable within one pattern: only the (x p x) row matches
+    loops = bgp(triples, patterns=[("?n", "p:self", "?n")]).collect()
+    assert [r["n"] for r in loops] == ["x"]
+
+    # VALUES restriction
+    ev = bgp(
+        triples,
+        patterns=[("?e", "sem:hasActor", "?a")],
+        values={"a": ["alice"]},
+    ).collect()
+    assert [(r["e"], r["a"]) for r in ev] == [("e1", "alice")]
+
+    # disjoint patterns cross-join (SPARQL cartesian semantics)
+    cross = bgp(
+        triples,
+        patterns=[("?e", "sem:hasActor", "?a"), ("?n", "p:self", "?n")],
+    )
+    assert cross.count() == 2  # 2 actors x 1 self-loop
