@@ -45,6 +45,28 @@ def test_ivf_assignment_is_map_only(spark):
     assert _exchanges(plan) == 0 and "BroadcastExchange" not in plan, plan
 
 
+def test_ivf_partitioned_cells_prune_probe_scan(spark, tmp_path):
+    """The documented 100TB probe path: the IVF-assigned table written
+    partitioned by cell, probe reads filtered to a cell subset must prune
+    partition directories at the scan (PartitionFilters), not post-filter."""
+    from chronographer_spark.operators.similarity import ivf_assign, ivf_centroids
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = sorted(
+        (r["cent_id"], list(r["cent_vec"]))
+        for r in ivf_centroids(emb, n_centroids=4).collect()
+    )
+    out = str(tmp_path / "assigned")
+    ivf_assign(emb, cents).write.partitionBy("cell").parquet(out)
+    probe_cells = [cents[0][0], cents[1][0]]
+    scan = spark.read.parquet(out).filter(F.col("cell").isin(probe_cells))
+    plan = _plan(scan)
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters")[1][:200], plan
+    # and the pruned read returns exactly the matching rows
+    full = spark.read.parquet(out)
+    assert scan.count() == full.filter(F.col("cell").isin(probe_cells)).count()
+
+
 def test_minhash_lsh_single_signature_subtree(spark):
     """The banded LSH candidates plan must compute the signature aggregate
     ONCE per join side (band explode over the aggregate), not once per band

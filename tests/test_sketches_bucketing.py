@@ -88,6 +88,21 @@ def test_ann_recall_vs_brute_force(spark):
     assert len(bf & lsh) / len(bf) >= 0.15  # measured 0.30
 
 
+def test_percentile_approx_tracks_exact(spark):
+    """The documented 100TB quantile path: percentile_approx (mergeable
+    sketch, no per-group sort) must track the exact interpolated percentile
+    within its accuracy bound on every group — the evaluation a pipeline
+    runs before swapping the approx variant in."""
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    both = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.9)").alias("exact"),
+        F.expr("percentile_approx(value, 0.9, 1000)").alias("approx"),
+        F.expr("max(value) - min(value)").alias("spread"),
+    )
+    for r in both.collect():
+        assert abs(r["approx"] - r["exact"]) <= 0.05 * r["spread"] + 1e-9, r
+
+
 def test_portable_lsh_agrees_with_xxhash_shape(spark):
     """The md5-portable LSH variant is the same algorithm with a different
     hyperplane source: identical schema, self-hit at rank 1."""
