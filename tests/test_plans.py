@@ -45,6 +45,21 @@ def test_ivf_assignment_is_map_only(spark):
     assert _exchanges(plan) == 0 and "BroadcastExchange" not in plan, plan
 
 
+def test_ng_pattern_queries_materialize_graph_once(spark):
+    """Usage queries join 3-7 triple patterns against a just-built graph;
+    the graph must be materialized ONCE (checkpointed / read from the
+    stored table), never re-constructed per pattern — the unmaterialized
+    plan re-ran extraction + emission per pattern (28 source scans for the
+    frame query, measured 9x wall)."""
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    for name in ("ng_sub_events", "ng_event_frames", "ng_causes_consequences"):
+        plan = _plan(qs[name](spark, SF))
+        assert plan.count("Scan parquet") == 0, (name, plan)
+        assert "ExistingRDD" in plan, (name, plan)
+
+
 def test_ivf_partitioned_cells_prune_probe_scan(spark, tmp_path):
     """The documented 100TB probe path: the IVF-assigned table written
     partitioned by cell, probe reads filtered to a cell subset must prune
