@@ -1918,7 +1918,15 @@ def q_gold_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("t")
     ).select("t.subject", "t.predicate", "t.object")
-    kg = kg_orders.unionByName(kg_cust).unionByName(kg_lines).dropDuplicates()
+    # materialize the synthetic EventKG once: build_gold_graph's seven
+    # templates each filter this union, and a lazy plan would re-run the
+    # three explode branches per pattern (measured 87 source scans);
+    # production reads a stored predicate-partitioned KG table instead
+    kg = (
+        kg_orders.unionByName(kg_cust).unionByName(kg_lines)
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
 
     events = orders.filter(F.col("o_custkey") == 1).select(o_kb.alias("event"))
     return build_gold_graph(kg, events, filter_str="dbpedia")

@@ -63,11 +63,16 @@ def build_gold_graph(
     provenance substring filter (e.g. "/dbpedia").
     """
     sameas = _pat(kg, OWL_SAME_AS, "node", "kb")
-    ev = F.broadcast(
+    # the resolved gold list is consumed by all seven templates; it is small
+    # by contract (the gold standard), so materialize it once executor-side —
+    # otherwise every template re-runs the alias-resolution join
+    ev_resolved = (
         events.select(F.col(event_col).alias("event"))
         .dropDuplicates()
         .join(sameas.select(F.col("node"), F.col("kb").alias("event")), "event")
+        .localCheckpoint(eager=True)
     )
+    ev = F.broadcast(ev_resolved)
 
     def kb_filtered(col: str):
         return F.col(col).contains(filter_str) if filter_str else F.lit(True)
