@@ -2106,6 +2106,59 @@ SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
 """
 
 
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination: docs split by id into train (<250) and
+    test; flag test docs sharing >= 50% of their bigram shingles with any
+    train doc, under the df<=50 stopword-shingle skew guard."""
+    from .operators.dedup import cross_corpus_contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") < 250)
+    test = docs.filter(F.col("doc_id") >= 250)
+    out = cross_corpus_contamination(
+        train, test, shingle_n=2, max_train_df=50, min_score=0.5
+    )
+    return out.select(
+        "test_id",
+        "train_id",
+        "n_shared",
+        F.floor(F.col("score") * 1000000 + F.lit(0.5)).cast("long").alias("score_x1e6"),
+    )
+
+
+CONTAMINATION_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(
+    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+    range(0, greatest(len(t) - 2, 0) + 1),
+    i -> array_to_string(t[i+1:i+2], ' '))) AS shs
+  FROM toks
+),
+ex AS (SELECT doc_id, unnest(shs) AS sh FROM sh),
+tr AS (SELECT doc_id AS train_id, sh FROM ex WHERE doc_id < 250),
+rare AS (
+  SELECT sh FROM tr GROUP BY sh HAVING count(DISTINCT train_id) <= 50
+),
+tr2 AS (SELECT * FROM tr WHERE sh IN (SELECT sh FROM rare)),
+te AS (SELECT doc_id AS test_id, sh FROM ex WHERE doc_id >= 250),
+shared AS (
+  SELECT te.test_id, tr2.train_id, count(*) AS n_shared
+  FROM te JOIN tr2 ON te.sh = tr2.sh
+  GROUP BY te.test_id, tr2.train_id
+),
+sizes AS (SELECT doc_id AS test_id, len(shs) AS n_test FROM sh WHERE doc_id >= 250)
+SELECT s.test_id, s.train_id, s.n_shared,
+       CAST(floor(CAST(s.n_shared AS DOUBLE) / z.n_test * 1000000 + 0.5) AS BIGINT)
+         AS score_x1e6
+FROM shared s JOIN sizes z ON z.test_id = s.test_id
+WHERE CAST(s.n_shared AS DOUBLE) / z.n_test >= 0.5
+"""
+
+
 def q_near_dup_clusters_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-dedup-first near-dup clustering. Same parameters as
     near_dup_clusters and — provably — the same clusters (identical texts
@@ -2368,6 +2421,7 @@ QUERIES = {
     "dedup_keep_best": q_dedup_keep_best,
     "near_dup_clusters": q_near_dup_clusters,
     "near_dup_clusters_fast": q_near_dup_clusters_fast,
+    "contamination": q_contamination,
     "sql_revenue_by_nation": q_sql_revenue_by_nation,
 }
 
@@ -2441,5 +2495,6 @@ ORACLE_SQL = {
     "dedup_keep_best": DEDUP_KEEP_BEST_SQL,
     "near_dup_clusters": NEAR_DUP_CLUSTERS_SQL,
     "near_dup_clusters_fast": NEAR_DUP_CLUSTERS_SQL,
+    "contamination": CONTAMINATION_SQL,
     "sql_revenue_by_nation": SQL_REVENUE_SQL,
 }

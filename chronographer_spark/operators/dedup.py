@@ -162,6 +162,60 @@ def minhash_dedup(
     return scored.filter(F.col("jaccard") >= threshold)
 
 
+def cross_corpus_contamination(
+    train: DataFrame,
+    test: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    max_train_df: int | None = None,
+    min_score: float = 0.0,
+) -> DataFrame:
+    """Train/test contamination check: per (test doc, train doc) pair, the
+    fraction of the test doc's n-gram shingles that appear in the train doc.
+    Returns (test_id, train_id, n_shared, n_test_shingles, score).
+
+    The decontamination pass every training-data pipeline runs before
+    evaluation: test docs with high score against any train doc leak into
+    the benchmark. Scale shape: an equi-join on the shingle string — high
+    cardinality for real text. `max_train_df` is the skew guard: shingles
+    appearing in more than that many TRAIN docs (stopword runs, boilerplate)
+    are dropped from the join, bounding per-key fan-out; the score
+    denominator stays the full test shingle count, so the guard only
+    lowers scores for pairs whose overlap is all-boilerplate — exactly the
+    pairs decontamination should not flag.
+    """
+    tr = train.select(
+        F.col(id_col).alias("train_id"),
+        F.explode(_shingles(text_col, shingle_n)).alias("sh"),
+    )
+    if max_train_df is not None:
+        rare = (
+            tr.groupBy("sh")
+            .agg(F.countDistinct("train_id").alias("df"))
+            .filter(F.col("df") <= max_train_df)
+            .select("sh")
+        )
+        tr = tr.join(rare, "sh", "left_semi")
+    te = test.select(
+        F.col(id_col).alias("test_id"),
+        F.explode(_shingles(text_col, shingle_n)).alias("sh"),
+    )
+    sizes = test.select(
+        F.col(id_col).alias("test_id"),
+        F.size(_shingles(text_col, shingle_n)).alias("n_test_shingles"),
+    )
+    shared = te.join(tr, "sh").groupBy("test_id", "train_id").agg(
+        F.count("*").alias("n_shared")
+    )
+    out = shared.join(sizes, "test_id").withColumn(
+        "score", F.col("n_shared") / F.col("n_test_shingles")
+    )
+    if min_score > 0:
+        out = out.filter(F.col("score") >= min_score)
+    return out.select("test_id", "train_id", "n_shared", "n_test_shingles", "score")
+
+
 def near_dup_clusters_exact_first(
     df: DataFrame,
     text_col: str = "text",

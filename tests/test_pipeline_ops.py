@@ -52,6 +52,45 @@ def test_simhash(docs, spark):
         assert ham[(0, 3)] == 0
 
 
+def test_cross_corpus_contamination(spark):
+    """Decontamination op: a test doc copied from train scores 1.0; a
+    clean doc scores low; the max_train_df skew guard drops boilerplate
+    shingles from the join without inflating the denominator."""
+    from chronographer_spark.operators.dedup import cross_corpus_contamination
+
+    train = spark.createDataFrame(
+        [
+            (0, "the model trained on this exact benchmark answer text"),
+            (1, "totally unrelated training content about cooking pasta"),
+            (2, "common boilerplate common boilerplate common boilerplate"),
+            (3, "common boilerplate common boilerplate common boilerplate"),
+            (4, "common boilerplate common boilerplate common boilerplate"),
+        ],
+        ["doc_id", "text"],
+    )
+    test = spark.createDataFrame(
+        [
+            (100, "the model trained on this exact benchmark answer text"),  # leak
+            (101, "fresh evaluation question nobody has seen before today"),
+            (102, "common boilerplate common boilerplate common boilerplate"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = cross_corpus_contamination(train, test, shingle_n=3, min_score=0.5)
+    flagged = {(r["test_id"], r["train_id"]): r["score"] for r in out.collect()}
+    assert flagged[(100, 0)] == 1.0
+    assert not any(t == 101 for t, _ in flagged)
+
+    # skew guard: boilerplate shingles (train-df 3 > cap 2) leave the join,
+    # so the boilerplate test doc is no longer flagged against anyone
+    guarded = cross_corpus_contamination(
+        train, test, shingle_n=3, max_train_df=2, min_score=0.5
+    )
+    g = {(r["test_id"], r["train_id"]) for r in guarded.collect()}
+    assert (100, 0) in g
+    assert not any(t == 102 for t, _ in g)
+
+
 def test_exact_first_clusters_equal_direct_pipeline(spark):
     """The exact-dedup-first composition must produce EXACTLY the clusters
     of the direct near-dup pipeline (identical texts share signatures,
