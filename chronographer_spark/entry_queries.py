@@ -1852,6 +1852,85 @@ JOIN (SELECT container, count(*) AS n_actor2 FROM tagged
 """
 
 
+def q_triple_prf1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 — triple-level per-predicate comparison with the reference's
+    SWAPPED P/R naming (sem_comparison.py:63-75: "precision" divides by
+    common+gold_only, "recall" by common+constructed_only). The fixture
+    pins all three count kinds nonzero across predicates: actors match on
+    even event ids only (constructed_only on odd), begin timestamps match
+    everywhere (pure common), places exist only in gold (pure gold_only)."""
+    from .metrics import triple_set_compare
+    from .vocab import NF_TO_PRED
+
+    ev = _t(spark, sf_dir, "events")
+    ev_uri = F.concat(F.lit("ng:event/"), F.col("event_id").cast("string"))
+    actor = F.concat(F.lit("ng:actor/u"), F.col("user_id").cast("string"))
+    bts = F.date_format("ts", "yyyy-MM-dd")
+    place = F.concat(F.lit("ng:place/p"), (F.col("user_id") % 10).cast("string"))
+
+    constructed = ev.select(
+        ev_uri.alias("subject"), F.lit(NF_TO_PRED["who"]).alias("predicate"), actor.alias("object")
+    ).unionByName(
+        ev.select(ev_uri.alias("subject"), F.lit(NF_TO_PRED["when_bts"]).alias("predicate"), bts.alias("object"))
+    )
+    gold = ev.filter(F.col("event_id") % 2 == 0).select(
+        ev_uri.alias("subject"), F.lit(NF_TO_PRED["who"]).alias("predicate"), actor.alias("object")
+    ).unionByName(
+        ev.select(ev_uri.alias("subject"), F.lit(NF_TO_PRED["when_bts"]).alias("predicate"), bts.alias("object"))
+    ).unionByName(
+        ev.filter(F.col("event_id") % 7 == 0).select(
+            ev_uri.alias("subject"), F.lit(NF_TO_PRED["where"]).alias("predicate"), place.alias("object")
+        )
+    )
+    common, gold_only, constructed_only = triple_set_compare(constructed, gold)
+
+    def per_pred(df: DataFrame, name: str) -> DataFrame:
+        return df.groupBy("predicate").agg(F.count("*").alias(name))
+
+    counts = (
+        per_pred(common, "common")
+        .join(per_pred(gold_only, "gold_only"), "predicate", "full")
+        .join(per_pred(constructed_only, "constructed_only"), "predicate", "full")
+        .na.fill(0)
+    )
+    c, g, o = F.col("common"), F.col("gold_only"), F.col("constructed_only")
+    p = F.when(c + g > 0, c / (c + g)).otherwise(F.lit(0.0))
+    r = F.when(c + o > 0, c / (c + o)).otherwise(F.lit(0.0))
+    return counts.select(
+        "predicate", "common", "gold_only", "constructed_only",
+        F.floor(p * 1000000 + F.lit(0.5)).cast("long").alias("p_x1e6"),
+        F.floor(r * 1000000 + F.lit(0.5)).cast("long").alias("r_x1e6"),
+    )
+
+
+TRIPLE_PRF1_SQL = """
+WITH n AS (
+  SELECT count(*) AS n_all,
+         sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS n_even,
+         sum(CASE WHEN event_id % 2 <> 0 THEN 1 ELSE 0 END) AS n_odd,
+         sum(CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END) AS n_sev
+  FROM events
+),
+counts AS (
+  SELECT 'sem:hasActor' AS predicate, n_even AS common, 0 AS gold_only, n_odd AS constructed_only FROM n
+  UNION ALL
+  SELECT 'sem:hasBeginTimeStamp', n_all, 0, 0 FROM n
+  UNION ALL
+  SELECT 'sem:hasPlace', 0, n_sev, 0 FROM n
+)
+SELECT predicate, CAST(common AS BIGINT) AS common,
+       CAST(gold_only AS BIGINT) AS gold_only,
+       CAST(constructed_only AS BIGINT) AS constructed_only,
+       CAST(floor(CASE WHEN common + gold_only > 0
+                       THEN CAST(common AS DOUBLE) / (common + gold_only) ELSE 0 END
+             * 1000000 + 0.5) AS BIGINT) AS p_x1e6,
+       CAST(floor(CASE WHEN common + constructed_only > 0
+                       THEN CAST(common AS DOUBLE) / (common + constructed_only) ELSE 0 END
+             * 1000000 + 0.5) AS BIGINT) AS r_x1e6
+FROM counts
+"""
+
+
 def q_gold_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EventKG-style gold-graph construction (reference
     eventkg_to_ng.py:28-170): an EventKG-shaped fixture — owl:sameAs
@@ -2358,6 +2437,7 @@ FROM regs
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
+    "triple_prf1": q_triple_prf1,
     "apply_referents": q_apply_referents,
     "scan_filter_chain": q_scan_filter_chain,
     "transitive_closure": q_transitive_closure,
@@ -2435,6 +2515,7 @@ ORACLE_SQL = {
     "multimodal_frames": MULTIMODAL_FRAMES_SQL,
     "event_search_2iter": EVENT_SEARCH_SQL,
     "info_counters": INFO_COUNTERS_SQL,
+    "triple_prf1": TRIPLE_PRF1_SQL,
     "apply_referents": APPLY_REFERENTS_SQL,
     "scan_filter_chain": SCAN_FILTER_SQL,
     "transitive_closure": TRANSITIVE_SQL,
