@@ -1090,6 +1090,86 @@ SELECT node, 2 FROM hop2 WHERE node NOT IN (SELECT node FROM hop1)
 """
 
 
+def q_pagerank_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over an order->customer->nation edge graph
+    (every node has out-degree <= 1 here, but the operator handles general
+    graphs); the oracle unrolls both iterations as CTEs — the same
+    verification pattern as the 2-iteration search loop."""
+    from .operators.graph_algos import pagerank
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    e1 = orders.select(
+        F.concat(F.lit("o"), F.col("o_orderkey").cast("string")).alias("src"),
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
+    )
+    e2 = cust.select(
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("n"), F.col("c_nationkey").cast("string")).alias("dst"),
+    )
+    out = pagerank(e1.unionByName(e2), damping=0.85, iterations=2)
+    return out.select(
+        "node",
+        F.floor(F.col("rank") * 1000000 + F.lit(0.5)).cast("long").alias("rank_x1e6"),
+    )
+
+
+PAGERANK_SQL = """
+WITH e AS (
+  SELECT 'o' || CAST(o_orderkey AS VARCHAR) AS src,
+         'c' || CAST(o_custkey AS VARCHAR) AS dst
+  FROM orders
+  UNION ALL
+  SELECT 'c' || CAST(c_custkey AS VARCHAR),
+         'n' || CAST(c_nationkey AS VARCHAR)
+  FROM customer
+),
+nodes AS (
+  SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+),
+outdeg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+r0 AS (SELECT node, 1.0 AS r FROM nodes),
+r1 AS (
+  SELECT n.node, 0.15 + 0.85 * coalesce(s.m, 0) AS r
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, sum(r0.r / o.d) AS m
+    FROM e JOIN r0 ON r0.node = e.src JOIN outdeg o ON o.src = e.src
+    GROUP BY e.dst) s ON s.node = n.node
+),
+r2 AS (
+  SELECT n.node, 0.15 + 0.85 * coalesce(s.m, 0) AS r
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, sum(r1.r / o.d) AS m
+    FROM e JOIN r1 ON r1.node = e.src JOIN outdeg o ON o.src = e.src
+    GROUP BY e.dst) s ON s.node = n.node
+)
+SELECT node, CAST(floor(r * 1000000 + 0.5) AS BIGINT) AS rank_x1e6 FROM r2
+"""
+
+
+def q_entity_type_discard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 standalone — entity-type discard (reference filtering.py:99-110):
+    nodes typed with any of the WHERE/WHO class URIs. Type triples derive
+    from customer nations; nations 1-3 play the 'place class' list."""
+    from .operators.filtering import discard_by_entity_type
+
+    cust = _t(spark, sf_dir, "customer")
+    type_date = cust.select(
+        F.concat(F.lit("http://ex/cust/"), F.col("c_custkey").cast("string")).alias("subject"),
+        F.lit("http://www.w3.org/1999/02/22-rdf-syntax-ns#type").alias("predicate"),
+        F.concat(F.lit("ex:class/Nation"), F.col("c_nationkey").cast("string")).alias("object"),
+    )
+    return discard_by_entity_type(
+        type_date, ["ex:class/Nation1", "ex:class/Nation2", "ex:class/Nation3"]
+    )
+
+
+ENTITY_DISCARD_SQL = """
+SELECT DISTINCT 'http://ex/cust/' || CAST(c_custkey AS VARCHAR) AS node
+FROM customer WHERE c_nationkey IN (1, 2, 3)
+"""
+
+
 def q_frame_count_per_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A9 analog: distinct mentions per (event, dimension)
     tx = transcripts_from_events(spark, sf_dir)
@@ -2442,6 +2522,8 @@ QUERIES = {
     "scan_filter_chain": q_scan_filter_chain,
     "transitive_closure": q_transitive_closure,
     "n_hop_neighbors": q_n_hop_neighbors,
+    "pagerank_2iter": q_pagerank_2iter,
+    "entity_type_discard": q_entity_type_discard,
     "frame_count_per_event": q_frame_count_per_event,
     "sem_emission_rules": q_sem_emission_rules,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -2520,6 +2602,8 @@ ORACLE_SQL = {
     "scan_filter_chain": SCAN_FILTER_SQL,
     "transitive_closure": TRANSITIVE_SQL,
     "n_hop_neighbors": N_HOP_SQL,
+    "pagerank_2iter": PAGERANK_SQL,
+    "entity_type_discard": ENTITY_DISCARD_SQL,
     "frame_count_per_event": FRAME_COUNT_SQL,
     "sem_emission_rules": SEM_EMISSION_SQL,
     "minhash_lsh_pairs": MINHASH_LSH_SQL,

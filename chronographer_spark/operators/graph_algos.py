@@ -38,6 +38,51 @@ def transitive_closure(
     return closure
 
 
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iterations: int = 3,
+    all_nodes: DataFrame | None = None,
+) -> DataFrame:
+    """Classic (unnormalized) PageRank over (src, dst) edges for a fixed
+    iteration count: rank := (1-d) + d · Σ rank(in-neighbor)/outdeg.
+
+    The KG-usage ranking primitive (event/entity importance over the built
+    narrative graph) and the engine's second iterative-joins algorithm
+    family beside connected components. One hash join + one aggregate per
+    iteration, per-round localCheckpoint cuts lineage; dangling-node mass
+    is not redistributed (documented simplification — nodes with no
+    out-edges contribute nothing). Deterministic up to float summation
+    order; gate values are scaled with a wide margin.
+    """
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+    )
+    if all_nodes is not None:
+        nodes = nodes.unionByName(all_nodes.select("node"))
+    nodes = nodes.dropDuplicates().localCheckpoint(eager=True)
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("d")).localCheckpoint(eager=True)
+    ranks = nodes.withColumn("rank", F.lit(1.0))
+    for _ in range(iterations):
+        contribs = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .join(outdeg, "src")
+            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("d")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("m"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (F.lit(1.0 - damping) + F.lit(damping) * F.coalesce("m", F.lit(0.0))).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
 def n_hop_neighbors(
     edges: DataFrame, seeds: DataFrame, hops: int = 2
 ) -> DataFrame:

@@ -148,3 +148,20 @@ def test_lineage_columns(spark):
     rows = m.collect()
     assert sum(r.rows_out for r in rows) == 100
     assert all(r.lineage_run_id == "runX" for r in rows)
+
+
+def test_pagerank_hand_computed(spark):
+    """Fixed-iteration PageRank against hand-computed values on a 4-node
+    graph (a<-c, a<-d, b<-a, c<-b; all out-degrees 1)."""
+    from chronographer_spark.operators.graph_algos import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("d", "a")], ["src", "dst"]
+    )
+    r = {row["node"]: row["rank"] for row in pagerank(edges, iterations=2).collect()}
+    # iter1: a=0.15+0.85*2=1.85, b=1.0, c=1.0, d=0.15
+    # iter2: a=0.15+0.85*(1.0+0.15)=1.1275, b=0.15+0.85*1.85=1.7225, c=1.0, d=0.15
+    assert abs(r["a"] - 1.1275) < 1e-9
+    assert abs(r["b"] - 1.7225) < 1e-9
+    assert abs(r["c"] - 1.0) < 1e-9
+    assert abs(r["d"] - 0.15) < 1e-9
