@@ -2332,6 +2332,61 @@ def q_near_dup_clusters_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation — the 100TB training-data flow as ONE
+    query: language + length eligibility filters, near-duplicate clustering
+    over the survivors via the exact-first composition (the production
+    path), and one best-scoring keeper per cluster (longest, ties to min
+    id). Returns (doc_id, cluster, n_members) for kept docs. The oracle
+    replays the whole flow, clusters via the direct pipeline's recursive
+    CTE (provably identical to exact-first)."""
+    from .operators.dedup import near_dup_clusters_exact_first
+
+    docs = _t(spark, sf_dir, "documents")
+    eligible = docs.filter((F.col("lang") == "en") & (F.col("n_chars") >= 200))
+    clusters = near_dup_clusters_exact_first(
+        eligible, threshold=0.8, num_hashes=8, bands=2, shingle_n=1
+    )
+    joined = clusters.join(eligible.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("cluster")
+    wk = w.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        joined.withColumn("n_members", F.count("*").over(w))
+        .withColumn("__rk", F.row_number().over(wk))
+        .filter(F.col("__rk") == 1)
+        .select("doc_id", "cluster", F.col("n_members").cast("long").alias("n_members"))
+    )
+
+
+# oracle: the near-dup-clusters recursive CTE rebased onto the eligible
+# subset (string surgery keeps the two oracles literally in sync), plus the
+# per-cluster keeper window
+CURATION_SQL = (
+    NEAR_DUP_CLUSTERS_SQL
+    .replace(">= 0.6", ">= 0.8")  # tighter near-dup threshold for curation
+    .replace("FROM documents", "FROM eligible")
+    .replace(
+        "WITH RECURSIVE",
+        "WITH RECURSIVE eligible AS "
+        "(SELECT * FROM documents WHERE lang = 'en' AND n_chars >= 200),",
+        1,
+    )
+    .replace(
+        "SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node",
+        """, clusters AS (
+  SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
+)
+SELECT doc_id, cluster, n_members FROM (
+  SELECT c.doc_id, c.cluster,
+         CAST(count(*) OVER (PARTITION BY c.cluster) AS BIGINT) AS n_members,
+         row_number() OVER (PARTITION BY c.cluster
+                            ORDER BY d.n_chars DESC, c.doc_id ASC) AS rk
+  FROM clusters c JOIN eligible d ON d.doc_id = c.doc_id
+) WHERE rk = 1""",
+    )
+)
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup keeping the longest (best-scoring) duplicate."""
     from .operators.dedup import exact_dedup_keep_best
@@ -2584,6 +2639,7 @@ QUERIES = {
     "near_dup_clusters": q_near_dup_clusters,
     "near_dup_clusters_fast": q_near_dup_clusters_fast,
     "contamination": q_contamination,
+    "curation_pipeline": q_curation_pipeline,
     "sql_revenue_by_nation": q_sql_revenue_by_nation,
 }
 
@@ -2661,5 +2717,6 @@ ORACLE_SQL = {
     "near_dup_clusters": NEAR_DUP_CLUSTERS_SQL,
     "near_dup_clusters_fast": NEAR_DUP_CLUSTERS_SQL,
     "contamination": CONTAMINATION_SQL,
+    "curation_pipeline": CURATION_SQL,
     "sql_revenue_by_nation": SQL_REVENUE_SQL,
 }
