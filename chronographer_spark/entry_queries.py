@@ -1584,6 +1584,45 @@ FROM o
 # ---------------------------------------------------------------------------
 
 
+def q_funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-step funnel (signup -> click -> purchase) per user within
+    7 days: skip-till-next CEP matching as joins + earliest-pick windows."""
+    from .operators.sequence import match_sequence
+
+    ev = _t(spark, sf_dir, "events")
+    return match_sequence(
+        ev,
+        steps=["signup", "click", "purchase"],
+        on=["user_id"],
+        within_seconds=604800,
+    )
+
+
+FUNNEL_SQL = """
+WITH b AS (
+  SELECT user_id, event_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s
+  FROM events
+),
+s0 AS (SELECT user_id, event_id AS id_0, s AS s_0 FROM b WHERE event_type = 'signup'),
+m1 AS (
+  SELECT s0.user_id, s0.id_0, s0.s_0, b.event_id AS id_1, b.s AS s_1
+  FROM s0 JOIN b ON b.user_id = s0.user_id AND b.event_type = 'click'
+   AND b.s > s0.s_0 AND b.s <= s0.s_0 + 604800
+  QUALIFY row_number() OVER (PARTITION BY s0.user_id, s0.id_0
+                             ORDER BY b.s, b.event_id) = 1
+),
+m2 AS (
+  SELECT m1.user_id, m1.id_0, m1.s_0, m1.id_1, b.event_id AS id_2, b.s AS s_2
+  FROM m1 JOIN b ON b.user_id = m1.user_id AND b.event_type = 'purchase'
+   AND b.s > m1.s_1 AND b.s <= m1.s_0 + 604800
+  QUALIFY row_number() OVER (PARTITION BY m1.user_id, m1.id_0, m1.id_1
+                             ORDER BY b.s, b.event_id) = 1
+)
+SELECT user_id, id_0, id_1, id_2, s_2 - s_0 AS span_seconds FROM m2
+"""
+
+
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import ivf_topk
 
@@ -2616,6 +2655,7 @@ QUERIES = {
     "asof_join_latest": q_asof_join_latest,
     "interval_join_pairs": q_interval_join_pairs,
     "sessionize_events": q_sessionize_events,
+    "funnel_3step": q_funnel_3step,
     "ivf_topk": q_ivf_topk,
     "simhash_portable": q_simhash_portable,
     "simhash_candidates": q_simhash_candidates,
@@ -2694,6 +2734,7 @@ ORACLE_SQL = {
     "asof_join_latest": ASOF_SQL,
     "interval_join_pairs": INTERVAL_SQL,
     "sessionize_events": SESSIONIZE_SQL,
+    "funnel_3step": FUNNEL_SQL,
     "ivf_topk": IVF_SQL,
     "simhash_portable": SIMHASH_PORTABLE_SQL,
     "simhash_candidates": SIMHASH_CANDIDATES_SQL,

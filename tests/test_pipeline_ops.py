@@ -250,3 +250,40 @@ def test_multimodal_real_decode_raises(spark):
     assets = synthetic_assets(spark, n=3)
     with pytest.raises(Exception, match="NotImplementedError|decode"):
         decode_and_featurize(assets, stub=False).collect()
+
+
+def test_match_sequence_skip_till_next(spark):
+    """CEP funnel semantics: each step binds to the EARLIEST event strictly
+    after the previous step; the time budget anchors at step 0; every
+    anchor event starts its own match attempt."""
+    import datetime as dt
+
+    from chronographer_spark.operators.sequence import match_sequence
+
+    T = dt.datetime
+    rows = [
+        # user 1: A@0, B@10, B@20, C@30 -> match picks B@10 then C@30
+        (1, 10, "A", T(2024, 1, 1, 0, 0, 0)),
+        (1, 11, "B", T(2024, 1, 1, 0, 0, 10)),
+        (1, 12, "B", T(2024, 1, 1, 0, 0, 20)),
+        (1, 13, "C", T(2024, 1, 1, 0, 0, 30)),
+        # user 2: C precedes B -> no match
+        (2, 20, "A", T(2024, 1, 1, 0, 0, 0)),
+        (2, 21, "C", T(2024, 1, 1, 0, 0, 5)),
+        (2, 22, "B", T(2024, 1, 1, 0, 0, 9)),
+        # user 3: full chain but C beyond the 60s budget -> no match
+        (3, 30, "A", T(2024, 1, 1, 0, 0, 0)),
+        (3, 31, "B", T(2024, 1, 1, 0, 0, 10)),
+        (3, 32, "C", T(2024, 1, 1, 0, 2, 0)),
+        # user 1 second anchor: A@40 -> no B after it -> no match
+        (1, 14, "A", T(2024, 1, 1, 0, 0, 40)),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "event_id", "event_type", "ts"])
+    got = match_sequence(
+        ev, steps=["A", "B", "C"], on=["user_id"], within_seconds=60
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["user_id"], r["id_0"], r["id_1"], r["id_2"], r["span_seconds"]) == (
+        1, 10, 11, 13, 30
+    )
