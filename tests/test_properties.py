@@ -127,3 +127,62 @@ def test_connected_components_matches_union_find(spark, edges):
             parent[max(ra, rb)] = min(ra, rb)
     expect = {(n, find(n)) for n in parent}
     assert got == expect
+
+
+funnel_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=2),   # user_id
+        st.integers(min_value=0, max_value=500),  # seconds offset
+        st.sampled_from(["A", "B", "C", "X"]),    # event type
+    ),
+    min_size=1,
+    max_size=24,
+)
+
+
+@given(rows=funnel_strategy)
+@settings(**SETTINGS)
+def test_match_sequence_matches_python_model(spark, rows):
+    """match_sequence vs a driver-side skip-till-next reference model on
+    arbitrary small event layouts (ties, gaps, budget edges)."""
+    from chronographer_spark.operators.sequence import match_sequence
+
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (u, i, t, base + dt.timedelta(seconds=s))
+        for i, (u, s, t) in enumerate(rows)
+    ]
+    ev = spark.createDataFrame(data, ["user_id", "event_id", "event_type", "ts"])
+    got = {
+        (r["user_id"], r["id_0"], r["id_1"], r["id_2"], r["span_seconds"])
+        for r in match_sequence(
+            ev, steps=["A", "B", "C"], on=["user_id"], within_seconds=120
+        ).collect()
+    }
+
+    # reference model: for every anchor A, greedily bind each later step to
+    # the earliest strictly-later event of the right type within the budget
+    by_user: dict = {}
+    for u, eid, t, ts in data:
+        by_user.setdefault(u, []).append((int(ts.timestamp()), eid, t))
+    expect = set()
+    for u, evs in by_user.items():
+        evs.sort()
+        for s0, id0, t0 in evs:
+            if t0 != "A":
+                continue
+            prev_s, chain = s0, [id0]
+            ok = True
+            for step in ("B", "C"):
+                cands = [
+                    (s, i) for s, i, t in evs
+                    if t == step and s > prev_s and s <= s0 + 120
+                ]
+                if not cands:
+                    ok = False
+                    break
+                prev_s, nid = min(cands)
+                chain.append(nid)
+            if ok:
+                expect.add((u, chain[0], chain[1], chain[2], prev_s - s0))
+    assert got == expect
