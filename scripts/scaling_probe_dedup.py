@@ -4,7 +4,10 @@ candidates + exact-Jaccard verification over a replicated documents table
 at a given core count. Complements scaling_probe.py (flagship = Arrow UDF +
 window heavy) with a shuffle-join-heavy job class. Prints one JSON line.
 
-Usage: scaling_probe_dedup.py <cores> <input_parquet_dir>
+Usage: scaling_probe_dedup.py <cores> <input_parquet_dir> [direct|exact_first]
+`direct` (default) measures minhash_dedup pair extraction; `exact_first`
+measures the full near_dup_clusters_exact_first clustering (the production
+composition) on the same input.
 """
 
 from __future__ import annotations
@@ -21,9 +24,14 @@ def main() -> None:
     cores = int(sys.argv[1])
     input_dir = sys.argv[2]
 
-    from pyspark.sql import functions as F
+    mode = sys.argv[3] if len(sys.argv) > 3 else "direct"
 
-    from chronographer_spark.operators.dedup import minhash_dedup
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from chronographer_spark.operators.dedup import (
+        minhash_dedup,
+        near_dup_clusters_exact_first,
+    )
     from chronographer_spark.session import get_spark
 
     spark = get_spark(
@@ -32,24 +40,27 @@ def main() -> None:
         shuffle_partitions=4 * cores,
     )
     docs = spark.read.parquet(input_dir)
+    params = dict(threshold=0.8, num_hashes=16, bands=4, shingle_n=3)
+
+    def job(d):
+        if mode == "exact_first":
+            return near_dup_clusters_exact_first(d, **params).count()
+        return minhash_dedup(d, **params).count()
+
     # warmup on a slice (fresh plan, no reusable shuffle output)
-    minhash_dedup(
-        docs.sample(fraction=1 / 12.0, seed=7),
-        threshold=0.8, num_hashes=16, bands=4, shingle_n=3,
-    ).count()
+    job(docs.sample(fraction=1 / 12.0, seed=7))
 
     n_docs = docs.count()
     t0 = time.monotonic()
-    n_pairs = minhash_dedup(
-        docs, threshold=0.8, num_hashes=16, bands=4, shingle_n=3
-    ).count()
+    n_out = job(docs)
     sec = time.monotonic() - t0
     print(
         json.dumps(
             {
                 "cores": cores,
+                "mode": mode,
                 "docs": n_docs,
-                "dup_pairs": n_pairs,
+                "rows_out": n_out,
                 "sec": round(sec, 3),
                 "docs_per_sec": round(n_docs / sec, 1),
             }
