@@ -45,6 +45,44 @@ def test_ivf_assignment_is_map_only(spark):
     assert _exchanges(plan) == 0 and "BroadcastExchange" not in plan, plan
 
 
+def test_aqe_skew_join_split_fires_on_hub_key(spark):
+    """The engine leans on AQE's skew-join split for hub entities
+    (SURVEY.md §4); this pins that the split actually FIRES: a sort-merge
+    join with one hub key ends as SortMergeJoin(skew=true) with a skewed
+    AQEShuffleRead in the finalized adaptive plan. Thresholds are lowered
+    at runtime so the tiny fixture crosses them; restored afterwards."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        big = spark.range(0, 200000).select(
+            F.when(F.col("id") % 10 != 0, F.lit(1)).otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit("payload-"), F.rand(7).cast("string")).alias("v"),
+        )
+        right = spark.range(0, 50000).select(
+            F.col("id").alias("k"), F.lit("r").alias("w")
+        )
+        j = big.join(right.hint("merge"), "k")
+        assert len(j.collect()) == 185000
+        # the ADAPTIVE final plan only exists on the executed DataFrame's own
+        # query execution (count()/write() would execute a clone)
+        plan = _plan(j)
+        assert "isFinalPlan=true" in plan, plan
+        assert "SortMergeJoin(skew=true)" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_ng_pattern_queries_materialize_graph_once(spark):
     """Usage queries join 3-7 triple patterns against a just-built graph;
     the graph must be materialized ONCE (checkpointed / read from the
