@@ -78,6 +78,36 @@ def minhash_signatures(
     return shingled.groupBy(id_col).agg(*aggs)
 
 
+def minhash_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, band, bucket) LSH rows — ONE explode of a per-row band array
+    over the signature aggregate (see minhash_lsh_candidates plan note).
+    Shared by the batch self-join and the incremental streaming index."""
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    rows_per_band = num_hashes // bands
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[F.col(f"h{b * rows_per_band + i}") for i in range(rows_per_band)],
+                )
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    return sig.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")
+    ).select(id_col, "bb.band", "bb.bucket")
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -98,23 +128,7 @@ def minhash_lsh_candidates(
     the self-join's two sides share the signature exchange (ReusedExchange)
     and signatures are computed exactly once.
     """
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
-    rows_per_band = num_hashes // bands
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    *[F.col(f"h{b * rows_per_band + i}") for i in range(rows_per_band)],
-                )
-            ).alias("bucket"),
-        )
-        for b in range(bands)
-    ]
-    buckets = sig.select(
-        F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")
-    ).select(id_col, "bb.band", "bb.bucket")
+    buckets = minhash_buckets(df, text_col, id_col, num_hashes, bands, shingle_n)
     left = buckets.select(F.col(id_col).alias("id_a"), "band", "bucket")
     right = buckets.select(F.col(id_col).alias("id_b"), "band", "bucket")
     pairs = (

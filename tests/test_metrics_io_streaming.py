@@ -194,3 +194,54 @@ def test_gold_graph_builder_templates(spark):
         ("http://db/sub1", "sem:subEventOf", "http://db/ev1"),
         ("http://db/ev1", "sem:subEventOf", "http://db/sup1"),
     }
+
+
+def test_incremental_dedup_stream_matches_batch(spark, tmp_path):
+    """Streaming the corpus in 3 micro-batches through the incremental LSH
+    index yields EXACTLY the batch pipeline's candidate-pair set, each pair
+    emitted once (by the batch that ingests its later member); re-delivered
+    docs are ignored via the index anti-join."""
+    import os
+    import time as _t
+
+    from chronographer_spark.operators.dedup import minhash_lsh_candidates
+    from chronographer_spark.streaming.dedup import start_incremental_dedup_stream
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    # 3 slices + a re-delivery of slice 0 (must be a no-op)
+    slices = [
+        docs.filter(F.col("doc_id") % 3 == i).select(
+            "doc_id", "text", "lang", "source", "n_chars"
+        )
+        for i in range(3)
+    ]
+    for i, s in enumerate(slices):
+        s.coalesce(1).write.parquet(os.path.join(in_dir, f"b{i}"))
+    slices[0].coalesce(1).write.parquet(os.path.join(in_dir, "b0_redelivered"))
+
+    pairs_dir = str(tmp_path / "pairs")
+    index_dir = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    q = start_incremental_dedup_stream(
+        spark, in_dir + "/*", pairs_dir, index_dir, ckpt,
+        num_hashes=8, bands=2, shingle_n=1,
+    )
+    q.awaitTermination(240)
+    _t.sleep(1)
+
+    streamed = {
+        (r["id_a"], r["id_b"])
+        for r in spark.read.parquet(pairs_dir).select("id_a", "id_b").collect()
+    }
+    batch = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(
+            docs, num_hashes=8, bands=2, shingle_n=1
+        ).collect()
+    }
+    assert streamed == batch
+    # emitted exactly once each
+    n_rows = spark.read.parquet(pairs_dir).count()
+    assert n_rows == len(streamed)
