@@ -18,9 +18,10 @@ and only once even when the pair collides in several bands across batches
 visible in that single batch and dedup there).
 
 Scale shape: per-batch cost is |batch buckets| join |index| on the
-(band, bucket) key — high cardinality, partition-pruned when the index is
-stored partitioned by band; the full-corpus O(n²)-avoiding LSH structure
-is preserved incrementally.
+(band, bucket) key — high cardinality, so the shuffle is well spread; the
+full-corpus O(n²)-avoiding LSH structure is preserved incrementally. On a
+real deployment the index lives in an Iceberg table bucketed by the join
+key so the per-batch join is co-located.
 """
 
 from __future__ import annotations
