@@ -245,3 +245,45 @@ def test_incremental_dedup_stream_matches_batch(spark, tmp_path):
     # emitted exactly once each
     n_rows = spark.read.parquet(pairs_dir).count()
     assert n_rows == len(streamed)
+
+
+def test_incremental_dedup_stream_restart_exactly_once(spark, tmp_path):
+    """Restarting the incremental dedup stream from its checkpoint after new
+    files arrive processes ONLY the new files: no pair is re-emitted and
+    the final pair set still equals the batch pipeline's."""
+    import os
+    import time as _t
+
+    from chronographer_spark.operators.dedup import minhash_lsh_candidates
+    from chronographer_spark.streaming.dedup import start_incremental_dedup_stream
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    halves = [docs.filter(F.col("doc_id") % 2 == i) for i in range(2)]
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    args = dict(
+        pairs_dir=str(tmp_path / "pairs"),
+        index_dir=str(tmp_path / "index"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        num_hashes=8, bands=2, shingle_n=1,
+    )
+    halves[0].coalesce(1).write.parquet(os.path.join(in_dir, "h0"))
+    q = start_incremental_dedup_stream(spark, in_dir + "/*", **args)
+    q.awaitTermination(120)
+    _t.sleep(1)
+    n_first = spark.read.parquet(args["pairs_dir"]).count()
+
+    halves[1].coalesce(1).write.parquet(os.path.join(in_dir, "h1"))
+    q2 = start_incremental_dedup_stream(spark, in_dir + "/*", **args)
+    q2.awaitTermination(120)
+    _t.sleep(1)
+
+    got = spark.read.parquet(args["pairs_dir"])
+    streamed = {(r["id_a"], r["id_b"]) for r in got.select("id_a", "id_b").collect()}
+    batch = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(docs, num_hashes=8, bands=2, shingle_n=1).collect()
+    }
+    assert streamed == batch
+    assert got.count() == len(streamed)  # nothing re-emitted on restart
+    assert got.count() > n_first  # the restart did contribute the new half

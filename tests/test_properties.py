@@ -186,3 +186,41 @@ def test_match_sequence_matches_python_model(spark, rows):
             if ok:
                 expect.add((u, chain[0], chain[1], chain[2], prev_s - s0))
     assert got == expect
+
+
+pr_edges_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=6), st.integers(min_value=0, max_value=6)
+    ),
+    min_size=1,
+    max_size=14,
+)
+
+
+@given(edges=pr_edges_strategy)
+@settings(**SETTINGS)
+def test_pagerank_matches_python_model(spark, edges):
+    """pagerank vs a driver-side reference on arbitrary small multigraphs
+    (self-loops, parallel edges, dangling nodes)."""
+    from chronographer_spark.operators.graph_algos import pagerank
+
+    e = spark.createDataFrame(
+        [(f"n{a}", f"n{b}") for a, b in edges], ["src", "dst"]
+    )
+    got = {r["node"]: r["rank"] for r in pagerank(e, iterations=3).collect()}
+
+    nodes = {f"n{a}" for a, _ in edges} | {f"n{b}" for _, b in edges}
+    out: dict = {}
+    for a, b in edges:
+        out.setdefault(f"n{a}", []).append(f"n{b}")
+    rank = {n: 1.0 for n in nodes}
+    for _ in range(3):
+        contrib = {n: 0.0 for n in nodes}
+        for src, dsts in out.items():
+            share = rank[src] / len(dsts)
+            for d in dsts:
+                contrib[d] += share
+        rank = {n: 0.15 + 0.85 * contrib[n] for n in nodes}
+    assert set(got) == nodes
+    for n in nodes:
+        assert abs(got[n] - rank[n]) < 1e-9, (n, got[n], rank[n])
