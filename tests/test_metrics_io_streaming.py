@@ -287,3 +287,68 @@ def test_incremental_dedup_stream_restart_exactly_once(spark, tmp_path):
     assert streamed == batch
     assert got.count() == len(streamed)  # nothing re-emitted on restart
     assert got.count() > n_first  # the restart did contribute the new half
+
+
+def test_incremental_dedup_midbatch_failure_replay(spark, tmp_path):
+    """Mid-batch failure (not graceful stop): a batch whose sinks committed
+    but whose checkpoint commit marker was lost is REPLAYED with the same
+    batch_id. Two crash points: (a) after both sinks committed — the replay
+    must early-return and leave the pairs single-copy; (b) after the pairs
+    commit but before the index append — the replay must recompute and
+    OVERWRITE its own pairs partition, not append a second copy."""
+    import os
+    import shutil
+
+    from chronographer_spark.operators.dedup import minhash_lsh_candidates
+    from chronographer_spark.streaming.dedup import (
+        _index_table_name,
+        start_incremental_dedup_stream,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sub = docs.filter(F.col("doc_id") < 120)
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    sub.coalesce(1).write.parquet(os.path.join(in_dir, "b0"))
+    args = dict(
+        pairs_dir=str(tmp_path / "pairs"),
+        index_dir=str(tmp_path / "index"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        num_hashes=8, bands=2, shingle_n=1,
+    )
+    expected = minhash_lsh_candidates(
+        sub, num_hashes=8, bands=2, shingle_n=1
+    ).count()
+
+    q = start_incremental_dedup_stream(spark, in_dir + "/*", **args)
+    q.awaitTermination(120)
+    time.sleep(1)
+    assert spark.read.parquet(args["pairs_dir"]).count() == expected
+
+    def drop_commit_marker():
+        # simulate a crash after the sinks but before the checkpoint commit:
+        # Structured Streaming then re-runs the batch under the SAME batch_id
+        commits = os.path.join(args["checkpoint_dir"], "commits")
+        newest = max(os.listdir(commits), key=lambda f: (len(f), f))
+        os.remove(os.path.join(commits, newest))
+
+    # (a) both sinks committed -> replay is a no-op (early return)
+    drop_commit_marker()
+    q = start_incremental_dedup_stream(spark, in_dir + "/*", **args)
+    q.awaitTermination(120)
+    time.sleep(1)
+    assert spark.read.parquet(args["pairs_dir"]).count() == expected
+
+    # (b) pairs committed, index append lost -> replay recomputes and
+    # overwrites the same batch partition
+    drop_commit_marker()
+    spark.sql(f"DROP TABLE IF EXISTS {_index_table_name(args['index_dir'])}")
+    shutil.rmtree(args["index_dir"])
+    q = start_incremental_dedup_stream(spark, in_dir + "/*", **args)
+    q.awaitTermination(120)
+    time.sleep(1)
+    assert spark.read.parquet(args["pairs_dir"]).count() == expected
+    # and the index was rebuilt for subsequent batches
+    assert spark.read.parquet(args["index_dir"]).select(
+        "doc_id"
+    ).distinct().count() == sub.count()

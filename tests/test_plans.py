@@ -193,3 +193,54 @@ def test_scan_filter_chain_projection_pruned(spark):
     assert m, plan
     cols = {c.split(":")[0] for c in m.group(1).split(",")}
     assert cols <= {"l_orderkey", "l_linenumber", "l_suppkey", "l_shipdate"}, cols
+
+
+def test_incremental_dedup_index_join_no_index_side_shuffle(spark, tmp_path):
+    """The per-batch candidate join reads the accumulated index through its
+    (band, bucket)-bucketed table: the big index side must plan NO exchange
+    — only the small batch side shuffles into the bucket layout."""
+    import os
+
+    from chronographer_spark.streaming.dedup import (
+        _index_table_name,
+        start_incremental_dedup_stream,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").filter(
+        F.col("doc_id") < 200
+    )
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    docs.coalesce(1).write.parquet(os.path.join(in_dir, "b0"))
+    index_dir = str(tmp_path / "index")
+    q = start_incremental_dedup_stream(
+        spark, in_dir + "/*", str(tmp_path / "pairs"), index_dir,
+        str(tmp_path / "ckpt"), num_hashes=8, bands=2, shingle_n=1,
+        n_buckets=8,
+    )
+    q.awaitTermination(120)
+
+    idx_table = _index_table_name(index_dir)
+    spark.catalog.refreshTable(idx_table)
+    index = spark.table(idx_table)
+    batch_side = index.limit(50).localCheckpoint(eager=True).select(
+        F.col("doc_id").alias("x"), "band", "bucket"
+    )
+    joined = batch_side.join(
+        index.select(F.col("doc_id").alias("y"), "band", "bucket"),
+        ["band", "bucket"],
+    )
+    # at sandbox scale the tiny batch side simply broadcasts (0 exchanges);
+    # force it off to pin the layout that matters when a crawl batch is too
+    # big to broadcast: the index side must join bucketed, exchange-free
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _plan(joined)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # exactly one exchange: the batch side shuffling into the bucket layout;
+    # the bucketed index scan itself is exchange-free
+    assert _exchanges(plan) <= 1, plan
+    scan_part = plan.split("FileScan parquet", 1)[1]
+    assert "Bucketed: true" in scan_part, plan
