@@ -132,6 +132,15 @@ class Catalog:
         untouched partition files stay byte-identical, matching Iceberg's
         copy-on-write MERGE granularity. At 100TB a delta touching 3
         partitions rewrites 3 directories, not the table.
+
+        Pruning is only sound when a key cannot MOVE between partitions —
+        otherwise the stale row in an untouched partition would survive the
+        merge and the table would hold duplicate keys (real MERGE INTO
+        matches it). That holds exactly when `partition_col` is one of
+        `keys` (the partition value is then part of the key's identity), so
+        the pruned path requires it; a partition_col outside the keys falls
+        back to the full (unpruned) merge, which still preserves the
+        partition layout on rewrite.
         """
         if not self.exists(table):
             if partition_col:
@@ -139,15 +148,17 @@ class Catalog:
             else:
                 self.write(delta, table)
             return
-        if partition_col is None:
+        if partition_col is None or partition_col not in keys:
             current = self.read(table)
             kept = current.join(delta.select(*keys).dropDuplicates(), keys, "left_anti")
-            merged = kept.unionByName(delta)
+            merged = kept.unionByName(delta.select(*kept.columns))
             # write to a temp table then swap (parquet has no snapshot isolation)
             tmp = table + "__tmp"
-            self.write(merged, tmp)
+            part = [partition_col] if partition_col else None
+            self.write(merged, tmp, partition_by=part)
             final = self.read(tmp).localCheckpoint(eager=True)
-            self.write(final, table)
+            self.write(final, table, partition_by=part)
+            self.drop(tmp)
             return
         touched = [
             r[0] for r in delta.select(partition_col).dropDuplicates().collect()

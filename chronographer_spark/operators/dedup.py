@@ -387,6 +387,10 @@ def embedding_near_dups(
     corpus size); a fixed-bucket scheme degenerates to O(n²/buckets).
     Recall: exact duplicates always collide (identical signs); borderline
     pairs may be missed — raise n_tables for recall, n_planes for precision.
+
+    dim=None (the default) triggers one eager limit-1 job on `emb` at call
+    time to discover the vector width (similarity._infer_dim) — pass `dim`
+    explicitly when `emb` is a derived pipeline or in perf-sensitive paths.
     """
     from .similarity import lsh_bucket
 

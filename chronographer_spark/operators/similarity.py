@@ -97,10 +97,17 @@ def _portable_sign(vec_col: str, plane: list[float]):
 
 
 def _infer_dim(df: DataFrame, vec_col: str) -> int:
-    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
-    if row is None:
+    """Vector dimensionality from the first row.
+
+    EAGER: runs a Spark job (limit-1 over `df`'s full plan) at
+    plan-CONSTRUCTION time, breaking the operator's laziness — if `df` is a
+    derived pipeline, producing even one row can be expensive. Callers in
+    perf-sensitive paths should pass `dim` explicitly instead (all
+    portable-LSH entry points take it)."""
+    row = df.select(F.col(vec_col).alias("v")).limit(1).first()
+    if row is None or row["v"] is None:
         return 0
-    return int(row["d"])
+    return len(row["v"])
 
 
 def _hyperplane_sign(vec_col: str, table: int, plane: int):
@@ -140,6 +147,10 @@ def lsh_bucket(
     portable=True derives the hyperplanes from md5 (portable_hyperplanes) as
     plan literals — cross-engine verifiable AND hash-free per row; the
     default xxhash64 path re-derives components per row and needs no `dim`.
+
+    NOTE: portable=True with dim=None runs ONE eager limit-1 Spark job here
+    (see _infer_dim) to discover the vector width — pass `dim` explicitly to
+    keep the operator fully lazy.
     """
     v = df.withColumn("__v", F.col(vec_col).cast("array<double>"))
     planes = None
@@ -170,7 +181,10 @@ def lsh_topk(
     portable: bool = False,
     dim: int | None = None,
 ) -> DataFrame:
-    """Approximate top-k: only bucket-colliding candidates get exact cosine."""
+    """Approximate top-k: only bucket-colliding candidates get exact cosine.
+
+    portable=True with dim=None triggers one eager limit-1 job on `corpus`
+    at call time (see _infer_dim) — pass `dim` in perf-sensitive paths."""
     if portable and dim is None:
         dim = _infer_dim(corpus, vec_col)
     cb = lsh_bucket(

@@ -39,11 +39,21 @@ SESSION_SCHEMA = StructType(
     [
         StructField("conv_id", StringType()),
         StructField("session_seq", IntegerType()),
+        StructField("session_key", StringType()),
         StructField("n_turns", LongType()),
         StructField("begin_ts", TimestampType()),
         StructField("end_ts", TimestampType()),
     ]
 )
+
+# Eviction contract: an idle flush removes the key's state entirely (that is
+# the point — state stays bounded to ACTIVE conversations), so a conversation
+# that resumes AFTER a flush restarts session_seq at 1. Consumers that need a
+# collision-free session identity across flushes key on `session_key`
+# (conv_id + '#' + begin epoch-us): sessions of one conversation are disjoint
+# time ranges, so their begin timestamps are distinct with no cross-flush
+# memory required.
+OUT_COLS = ["conv_id", "session_seq", "session_key", "n_turns", "begin_ts", "end_ts"]
 
 # state: (session_seq, n_turns, begin_epoch_us, last_epoch_us)
 STATE_SCHEMA = StructType(
@@ -75,7 +85,8 @@ def _sessionize_group(
         )
         out["begin_ts"] = pd.to_datetime(out["begin_us"], unit="us")
         out["end_ts"] = pd.to_datetime(out["last_us"], unit="us")
-        yield out[["conv_id", "session_seq", "n_turns", "begin_ts", "end_ts"]]
+        out["session_key"] = out["conv_id"] + "#" + out["begin_us"].astype(str)
+        yield out[OUT_COLS]
         return
     if state.exists:
         seq, n_turns, begin_us, last_us = state.get
@@ -113,7 +124,8 @@ def _sessionize_group(
     )
     out["begin_ts"] = pd.to_datetime(out["begin_us"], unit="us")
     out["end_ts"] = pd.to_datetime(out["last_us"], unit="us")
-    yield out[["conv_id", "session_seq", "n_turns", "begin_ts", "end_ts"]]
+    out["session_key"] = out["conv_id"] + "#" + out["begin_us"].astype(str)
+    yield out[OUT_COLS]
 
 
 def sessionize_stream(

@@ -92,6 +92,32 @@ def test_merge_upsert_partition_pruned(spark, tmp_path):
                    ("p2", "c"): 3, ("p3", "d"): 4}
 
 
+def test_merge_upsert_key_moves_partition_no_duplicates(spark, tmp_path):
+    """When partition_col is NOT part of the merge keys a key may move
+    between partitions; the pruned path would leave the stale row alive in
+    its old (untouched) partition. merge_upsert must detect this and fall
+    back to the full merge: one row per key afterwards, in the new
+    partition, and the layout stays partitioned."""
+    import os
+
+    from chronographer_spark.io.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path))
+    base = spark.createDataFrame(
+        [("p1", "a", 1), ("p2", "b", 2)], ["part", "k", "v"]
+    )
+    cat.write(base, "t", partition_by=["part"])
+    # key "a" moves from partition p1 to p3
+    delta = spark.createDataFrame([("p3", "a", 10)], ["part", "k", "v"])
+    cat.merge_upsert(delta, "t", keys=["k"], partition_col="part")
+    rows = cat.read("t").collect()
+    got = {(r["part"], r["k"]): r["v"] for r in rows}
+    assert got == {("p3", "a"): 10, ("p2", "b"): 2}
+    assert len(rows) == 2  # no stale duplicate of key "a" under p1
+    # partition layout preserved by the fallback rewrite
+    assert os.path.isdir(os.path.join(str(tmp_path), "t", "part=p3"))
+
+
 def test_catalog_partitioned_triples_prune(spark, tmp_path):
     from chronographer_spark.io.catalog import Catalog
 

@@ -577,3 +577,74 @@ def test_bgp_matcher_semantics(spark):
         patterns=[("?e", "sem:hasActor", "?a"), ("?n", "p:self", "?n")],
     )
     assert cross.count() == 2  # 2 actors x 1 self-loop
+
+
+def test_sessionizer_seq_resets_after_flush_but_session_key_unique():
+    """Eviction contract: an idle flush drops the key's state, so a resumed
+    conversation restarts session_seq at 1 — but `session_key`
+    (conv_id#begin_us) stays collision-free across the flush because
+    sessions are disjoint time ranges. Driven at the _sessionize_group
+    level with a fake GroupState (deterministic, no wall clock)."""
+    import pandas as pd
+
+    from chronographer_spark.streaming.stateful import _sessionize_group
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+            self.hasTimedOut = False
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+
+        def remove(self):
+            self._v = None
+
+        def setTimeoutDuration(self, ms):
+            pass
+
+    st = FakeState()
+    key = ("c1",)
+
+    def batch(ts_list):
+        return iter([pd.DataFrame({
+            "conv_id": ["c1"] * len(ts_list),
+            "turn_idx": list(range(len(ts_list))),
+            "ts": pd.to_datetime(ts_list),
+        })])
+
+    # batch 1: two turns, session stays open in state
+    out1 = pd.concat(list(_sessionize_group(
+        key, batch(["2024-01-01 12:00:00", "2024-01-01 12:00:30"]), st,
+        gap_seconds=1800, idle_flush_seconds=5,
+    )))
+    assert len(out1) == 0 and st.exists
+
+    # idle timeout fires: tail session flushed, state removed
+    st.hasTimedOut = True
+    flushed = pd.concat(list(_sessionize_group(
+        key, iter([]), st, gap_seconds=1800, idle_flush_seconds=5,
+    )))
+    st.hasTimedOut = False
+    assert len(flushed) == 1 and not st.exists
+    assert flushed.iloc[0]["session_seq"] == 1
+
+    # conversation resumes much later: seq restarts at 1 (documented reset)
+    out2 = pd.concat(list(_sessionize_group(
+        key, batch(["2024-01-02 09:00:00", "2024-01-02 11:00:00"]), st,
+        gap_seconds=1800, idle_flush_seconds=5,
+    )))
+    # the 2h gap closes the first resumed session within the batch
+    assert len(out2) == 1
+    assert out2.iloc[0]["session_seq"] == 1  # seq DID reset
+    # but the stable identity does not collide across the flush
+    assert out2.iloc[0]["session_key"] != flushed.iloc[0]["session_key"]
+    assert flushed.iloc[0]["session_key"].startswith("c1#")
