@@ -25,12 +25,87 @@ shape of ng_queries, produced mechanically.
 
 from __future__ import annotations
 
+import warnings
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 Pattern = tuple[str, str, str]
+
+# a cross product whose BOTH sides are estimated above this many bytes
+# raises instead of silently materializing (see _guard_product)
+DEFAULT_PRODUCT_GUARD_BYTES = 64 << 20
+
+
+def _is_var(term) -> bool:
+    return isinstance(term, str) and term.startswith("?")
+
+
+def _pattern_vars(pattern: Pattern) -> set[str]:
+    return {t[1:] for t in pattern if _is_var(t)}
+
+
+def _order_patterns(patterns: Sequence[Pattern]) -> list[Pattern]:
+    """Selectivity-greedy join order: start from the most-bound pattern
+    (most constant terms, constant predicate breaking ties — it
+    partition-prunes against the predicate-partitioned triples layout) and
+    repeatedly add the most-bound pattern CONNECTED to the variables already
+    bound; only when nothing connects does a new component begin. A user who
+    lists the unselective pattern first no longer pays for it: the first
+    scan is the narrow one, and every subsequent join has at least one
+    equi-key into the already-bound result. Ties keep the user's order."""
+    def score(p: Pattern) -> tuple[int, bool]:
+        n_const = sum(0 if _is_var(t) else 1 for t in p)
+        return (n_const, not _is_var(p[1]))
+
+    remaining = list(patterns)
+    ordered: list[Pattern] = []
+    bound: set[str] = set()
+    while remaining:
+        if ordered:
+            pool = [p for p in remaining if _pattern_vars(p) & bound] or remaining
+        else:
+            pool = remaining
+        best = max(pool, key=lambda p: (score(p), -remaining.index(p)))
+        ordered.append(best)
+        remaining.remove(best)
+        bound |= _pattern_vars(best)
+    return ordered
+
+
+def _estimated_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for the optimized plan (no job is run —
+    parquet scans estimate from file sizes, filters apply selectivity)."""
+    size = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    return size if isinstance(size, int) else int(size.toString())
+
+
+def _guard_product(
+    left: DataFrame, right: DataFrame, guard_bytes: int, group: Sequence[Pattern]
+) -> None:
+    """Disconnected pattern groups cartesian-join (SPARQL semantics) — legal,
+    but a footgun at scale. Always warn; raise when BOTH sides' size
+    estimates exceed `guard_bytes` (a small side — a VALUES-like single row,
+    a heavily filtered scan — keeps the product cheap, so only a big×big
+    product is refused). Relations without real statistics (e.g. local test
+    relations) report ~Long.MaxValue-scaled estimates — treated as UNKNOWN
+    and never refused, only warned; file-backed triples (the production
+    path) carry true file-size stats."""
+    unknown = 1 << 60
+    lb, rb = _estimated_bytes(left), _estimated_bytes(right)
+    msg = (
+        f"BGP group {list(group)!r} contains patterns with no shared "
+        f"variable: SPARQL semantics require a cross product "
+        f"(~{lb}B x ~{rb}B estimated)"
+    )
+    if unknown > lb > guard_bytes and unknown > rb > guard_bytes:
+        raise ValueError(
+            msg + f"; both sides exceed product_guard_bytes={guard_bytes}. "
+            "Connect the patterns through a shared variable, pre-filter a "
+            "side, or raise product_guard_bytes to accept the product."
+        )
+    warnings.warn(msg, stacklevel=3)
 
 
 def _compile_pattern(triples: DataFrame, pattern: Pattern) -> tuple[DataFrame, list[str]]:
@@ -53,11 +128,13 @@ def _compile_pattern(triples: DataFrame, pattern: Pattern) -> tuple[DataFrame, l
 
 
 def _join_group(
-    triples: DataFrame, patterns: Sequence[Pattern]
+    triples: DataFrame,
+    patterns: Sequence[Pattern],
+    product_guard_bytes: int = DEFAULT_PRODUCT_GUARD_BYTES,
 ) -> tuple[DataFrame, list[str]]:
     result: DataFrame | None = None
     bound: list[str] = []
-    for pattern in patterns:
+    for pattern in _order_patterns(patterns):
         part, pvars = _compile_pattern(triples, pattern)
         if result is None:
             result, bound = part, pvars
@@ -66,6 +143,7 @@ def _join_group(
         if shared:
             result = result.join(part, shared)
         else:
+            _guard_product(result, part, product_guard_bytes, patterns)
             result = result.crossJoin(part)
         bound += [v for v in pvars if v not in bound]
     if result is None:
@@ -78,16 +156,21 @@ def bgp(
     patterns: Sequence[Pattern],
     optional: Sequence[Sequence[Pattern]] = (),
     values: dict[str, Sequence[str]] | None = None,
+    product_guard_bytes: int = DEFAULT_PRODUCT_GUARD_BYTES,
 ) -> DataFrame:
     """Match a basic graph pattern; returns one column per variable.
 
     `optional` is a list of pattern GROUPS, each left-joined on the
     variables it shares with the required part (SPARQL OPTIONAL); `values`
     restricts a variable to a constant list (SPARQL VALUES).
+
+    Patterns are joined in selectivity-greedy order (_order_patterns), not
+    user order. Disconnected patterns cross-join with a warning; a big×big
+    product (both sides estimated over `product_guard_bytes`) raises.
     """
-    result, bound = _join_group(triples, patterns)
+    result, bound = _join_group(triples, patterns, product_guard_bytes)
     for group in optional:
-        part, pvars = _join_group(triples, group)
+        part, pvars = _join_group(triples, group, product_guard_bytes)
         shared = [v for v in pvars if v in bound]
         if not shared:
             raise ValueError(

@@ -571,12 +571,74 @@ def test_bgp_matcher_semantics(spark):
     ).collect()
     assert [(r["e"], r["a"]) for r in ev] == [("e1", "alice")]
 
-    # disjoint patterns cross-join (SPARQL cartesian semantics)
-    cross = bgp(
-        triples,
-        patterns=[("?e", "sem:hasActor", "?a"), ("?n", "p:self", "?n")],
-    )
+    # disjoint patterns cross-join (SPARQL cartesian semantics) — warned
+    with pytest.warns(UserWarning, match="no shared"):
+        cross = bgp(
+            triples,
+            patterns=[("?e", "sem:hasActor", "?a"), ("?n", "p:self", "?n")],
+        )
     assert cross.count() == 2  # 2 actors x 1 self-loop
+
+
+def test_bgp_selectivity_ordering_and_product_guard(spark, tmp_path):
+    """(1) _order_patterns puts the most-bound pattern first and keeps
+    every later join connected; (2) the compiled plan starts from the
+    selective scan even when the user lists the unselective pattern first;
+    (3) result sets are identical under any user order; (4) a big×big
+    disconnected product raises, a small-side product only warns."""
+    from chronographer_spark.graph.bgp import _order_patterns, bgp
+
+    unselective = ("?s", "?p", "?o")
+    mid = ("?s", "sem:hasActor", "?a")
+    selective = ("?a", "sem:knows", "bob")
+    assert _order_patterns([unselective, mid, selective]) == [
+        selective,  # 2 constants incl. predicate
+        mid,        # connected via ?a, 1 constant
+        unselective,  # connected via ?s
+    ]
+    # connectivity beats raw score: after ("?x", "p:a", "c"), the connected
+    # 1-constant pattern is picked before a disconnected 2-constant one
+    assert _order_patterns(
+        [("?y", "p:b", "d"), ("?x", "p:a", "c"), ("?y", "p:c", "?z")]
+    )[1] == ("?y", "p:c", "?z")
+
+    # file-backed so Catalyst has REAL size statistics (the guard treats
+    # stat-less local relations as unknown and never refuses those)
+    spark.createDataFrame(
+        [
+            ("e1", "sem:hasActor", "alice"),
+            ("e2", "sem:hasActor", "bob"),
+            ("alice", "sem:knows", "bob"),
+            ("e1", "rdf:type", "sem:Event"),
+            ("e2", "rdf:type", "sem:Event"),
+        ],
+        ["subject", "predicate", "object"],
+    ).write.parquet(str(tmp_path / "triples"))
+    triples = spark.read.parquet(str(tmp_path / "triples"))
+    # user lists the full-scan pattern first; the compiled join tree must
+    # still be driven by the selective constant-object scan
+    df = bgp(triples, patterns=[unselective, mid, selective])
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.index("sem:knows") < analyzed.index("hasActor"), analyzed
+    rows = {tuple(sorted(r.asDict().items())) for r in df.collect()}
+    df2 = bgp(triples, patterns=[selective, mid, unselective])
+    rows2 = {tuple(sorted(r.asDict().items())) for r in df2.collect()}
+    assert rows == rows2 and len(rows) > 0
+
+    # guard: both sides over the byte threshold -> refuse the product
+    with pytest.raises(ValueError, match="product_guard_bytes"):
+        bgp(
+            triples,
+            patterns=[("?e", "sem:hasActor", "?a"), ("?x", "rdf:type", "?t")],
+            product_guard_bytes=0,
+        )
+    # a small side squeaks under the default guard: warn only
+    with pytest.warns(UserWarning, match="cross product"):
+        small = bgp(
+            triples,
+            patterns=[("?e", "sem:hasActor", "?a"), ("?x", "rdf:type", "?t")],
+        )
+    assert small.count() == 4
 
 
 def test_sessionizer_seq_resets_after_flush_but_session_key_unique():
