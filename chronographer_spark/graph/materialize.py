@@ -60,17 +60,24 @@ def ent_uri(col):
     return F.concat(F.lit(NS_ENT), uri_encode(col))
 
 
-def build_event_graph(transcripts: DataFrame, persist: bool = False) -> DataFrame:
+def build_event_graph(
+    transcripts: DataFrame, persist: bool = False, extractor=None
+) -> DataFrame:
     """Full pipeline: extraction (slim) -> materialization.
 
     The mentions table feeds two plan branches (per-mention triples and the
     per-event date aggregate), but both read the dedup exchange, so Spark's
     ReusedExchange executes the Arrow-batched extraction ONCE — measured:
     persist() here only adds materialization cost (kept as an option for
-    plans where the reuse breaks, e.g. after further transformation)."""
+    plans where the reuse breaks, e.g. after further transformation).
+
+    `extractor` plugs a custom (possibly heavyweight-model) mention
+    extractor through to extract_mentions — see
+    extraction/model_extractor.py for the worked per-executor lazy-init
+    pattern."""
     from ..extraction.mentions import extract_mentions
 
-    mentions = extract_mentions(transcripts, carry_text=False)
+    mentions = extract_mentions(transcripts, carry_text=False, extractor=extractor)
     if persist:
         mentions = mentions.persist()
     return materialize_event_graph(transcripts, mentions)

@@ -175,3 +175,53 @@ def test_frame_annotation_layer(spark):
     cc = causes_consequences(triples).collect()
     assert {r["frame"] for r in cc} == {"frame:Cause_harm"}
     assert all(r["event"] == "ng:event/c1/0" for r in cc)
+
+
+def test_heavyweight_model_extractor_once_per_worker(spark, tx, tx_pdf):
+    """Worked heavyweight-model example (model_extractor.py): the stand-in
+    model with expensive init loads once per WORKER PROCESS — proven by an
+    accumulator bumped per cold load: inits ≤ 4 workers even with 8 tasks ×
+    many Arrow batches, and a second job on warm workers adds ~nothing.
+    Output is identical to the built-in rule extractor, and the model rides
+    the full flagship path (build_event_graph(extractor=...))."""
+    from functools import partial
+
+    from chronographer_spark.extraction.model_extractor import (
+        StandInNerModel,
+        make_model_extractor,
+    )
+    from chronographer_spark.graph.materialize import build_event_graph
+
+    acc = spark.sparkContext.accumulator(0)
+    # partial of an importable class: the loader pickles by REFERENCE —
+    # workers import the class, weights never cross the wire
+    extractor = make_model_extractor(
+        "test-ner", partial(StandInNerModel, init_cost_items=50_000), acc
+    )
+
+    # many batches across more tasks than workers
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "10")
+        many = tx.repartition(8)
+        got = extract_mentions(many, extractor=extractor).toPandas()
+        inits_job1 = acc.value
+        n_rows = len(tx_pdf)
+        assert n_rows / 10 > 8, "fixture too small to create many batches"
+        # once per worker: local[4] runs at most 4 python workers; 8 tasks
+        # and ~24 batches must NOT re-init per task or per batch
+        assert 1 <= inits_job1 <= 4, inits_job1
+
+        # second job reuses warm workers (spark.python.worker.reuse)
+        flagship = build_event_graph(many, extractor=extractor)
+        assert flagship.count() > 0
+        assert acc.value <= 4, acc.value
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+    # model semantics == built-in rule extractor, verified value-level
+    want = extract_mentions(tx).toPandas()
+    key = ["conv_id", "turn_idx", "mention", "dimension"]
+    assert (
+        _norm_mentions(got[key + ["text"]]).equals(_norm_mentions(want[key + ["text"]]))
+    )
