@@ -39,13 +39,31 @@ def annotate_superclass(
     triple_df: DataFrame,
     pred_closure: DataFrame,
     domain_range: bool = True,
+    pred_rewrite: "Callable[[F.Column], F.Column] | None" = None,
 ) -> DataFrame:
-    """Attach `superclass array<string>` per pending triple (J4)."""
+    """Attach `superclass array<string>` per pending triple (J4).
+
+    `pred_rewrite` is the C6 constraint-prefix rewrite (reference
+    ordering.py:152): Wikidata constraint tables key on the entity form
+    `wd:Pnnn` while triples carry `wdt:Pnnn` — pass
+    `DatasetProfile.constraint_pred_rewrite` to map the join key before the
+    broadcast lookup. The rewrite only touches the join key, never the
+    emitted predicate column.
+    """
     if not domain_range:
         return triple_df.withColumn(
             "superclass", F.array().cast("array<string>")
         )
-    out = triple_df.join(F.broadcast(pred_closure), "predicate", "left")
+    if pred_rewrite is not None:
+        key = pred_rewrite(F.col("predicate"))
+        lookup = F.broadcast(
+            pred_closure.withColumnRenamed("predicate", "__cpred")
+        )
+        out = triple_df.withColumn("__cpred", key).join(
+            lookup, "__cpred", "left"
+        ).drop("__cpred")
+    else:
+        out = triple_df.join(F.broadcast(pred_closure), "predicate", "left")
     return out.withColumn(
         "superclass",
         F.coalesce(F.col("superclass"), F.array().cast("array<string>")),

@@ -136,6 +136,7 @@ class GraphSearch:
         checkpoint_dir: str = "/tmp/chronographer_ckpt",
         run_id: str = "run-0",
         gold_events: DataFrame | None = None,
+        profile=None,
     ):
         self.spark = spark
         config.validate()
@@ -146,6 +147,12 @@ class GraphSearch:
         self.ckpt = os.path.join(checkpoint_dir, run_id)
         self.run_id = run_id
         self.gold = gold_events
+        # Optional multi-KB DatasetProfile (profiles.py): supplies the C6
+        # constraint-prefix rewrite for the superclass lookup
+        # (reference ordering.py:43-46,152).
+        self.pred_rewrite = (
+            profile.constraint_pred_rewrite if profile is not None else None
+        )
         self.default_preds = [config.rdf_type_pred] + filtering.temporal
 
         empty_arr = spark.createDataFrame(
@@ -306,8 +313,12 @@ class GraphSearch:
         )
 
         # superclass annotation on the pending deltas (J4)
-        pend_in = annotate_superclass(pend_in, self.closure_in)
-        pend_out = annotate_superclass(pend_out, self.closure_out)
+        pend_in = annotate_superclass(
+            pend_in, self.closure_in, pred_rewrite=self.pred_rewrite
+        )
+        pend_out = annotate_superclass(
+            pend_out, self.closure_out, pred_rewrite=self.pred_rewrite
+        )
 
         # occurrence update (A1)
         occ = state["occurrences"]
