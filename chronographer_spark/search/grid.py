@@ -9,16 +9,22 @@ grid cell is individually resumable), and the summary lands in one
 DataFrame.
 
 Cells run sequentially by default: one search already parallelizes across
-the cluster, and the reference's grids are small (dozens of cells). On a
-large cluster, submit cells as separate applications (submit.sh per cell)
-rather than threading inside one driver — Spark's scheduler pools share
-poorly across iterative jobs with driver-side loops.
+the cluster, and the reference's grids are small (dozens of cells). Pass
+`parallelism > 1` to run cells from a bounded thread pool — each worker
+thread submits its cell's jobs under its own Spark scheduler pool
+(`spark.scheduler.pool` is a thread-local property), and each cell already
+has its own run_id/checkpoint namespace, so state never crosses cells.
+This pays off when cells are small relative to the cluster (an iterative
+search has driver-side gaps between jobs; a second cell's jobs fill the
+idle executor slots). For very large per-cell jobs on a shared cluster,
+separate applications (submit.sh per cell) remain the better isolation.
 """
 
 from __future__ import annotations
 
 import itertools
 import json
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import replace
 
 from pyspark.sql import DataFrame, SparkSession
@@ -62,43 +68,62 @@ def run_grid(
     pred_range: DataFrame | None = None,
     superclasses: DataFrame | None = None,
     gold_events: DataFrame | None = None,
+    parallelism: int = 1,
 ) -> DataFrame:
     """Run every grid cell; return a summary DataFrame
     (cell_id, params_json, n_subgraph_triples, n_nodes, best_f1) — n_nodes
-    counts distinct subject/object nodes of the final subgraph."""
-    rows = []
-    for cell_id, cfg in expand_grid(base, grid):
-        gs = GraphSearch(
-            spark,
-            triples,
-            cfg,
-            filtering,
-            pred_domain=pred_domain,
-            pred_range=pred_range,
-            superclasses=superclasses,
-            checkpoint_dir=checkpoint_dir,
-            run_id=f"grid-{cell_id}",
-            gold_events=gold_events,
-        )
-        gs.run()
-        state = gs.final_state()
-        sub = state["subgraph"].select("subject", "predicate", "object").dropDuplicates()
-        n_nodes = (
-            sub.select("subject").union(sub.select("object")).distinct().count()
-        )
-        best_f1 = max((m.get("f1", 0.0) for m in gs.metrics), default=None)
-        swept = {
-            k: getattr(cfg, k) for k in sorted(grid) if hasattr(cfg, k)
-        }
-        rows.append(
-            (
+    counts distinct subject/object nodes of the final subgraph.
+
+    With `parallelism > 1`, up to that many cells run concurrently from a
+    thread pool, each under its own scheduler pool. Result order is the
+    grid-expansion order either way."""
+
+    def _run_cell(cell: tuple[str, SearchConfig]) -> tuple:
+        cell_id, cfg = cell
+        # scheduler pool is a thread-local SparkContext property: each
+        # worker thread's jobs are grouped and fair-shared per cell
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", f"grid-{cell_id}")
+        try:
+            gs = GraphSearch(
+                spark,
+                triples,
+                cfg,
+                filtering,
+                pred_domain=pred_domain,
+                pred_range=pred_range,
+                superclasses=superclasses,
+                checkpoint_dir=checkpoint_dir,
+                run_id=f"grid-{cell_id}",
+                gold_events=gold_events,
+            )
+            gs.run()
+            state = gs.final_state()
+            sub = (
+                state["subgraph"]
+                .select("subject", "predicate", "object")
+                .dropDuplicates()
+            )
+            n_nodes = (
+                sub.select("subject").union(sub.select("object")).distinct().count()
+            )
+            best_f1 = max((m.get("f1", 0.0) for m in gs.metrics), default=None)
+            swept = {k: getattr(cfg, k) for k in sorted(grid) if hasattr(cfg, k)}
+            return (
                 cell_id,
                 json.dumps(swept, sort_keys=True),
                 sub.count(),
                 n_nodes,
                 best_f1,
             )
-        )
+        finally:
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
+
+    cells = expand_grid(base, grid)
+    if parallelism > 1 and len(cells) > 1:
+        with ThreadPoolExecutor(max_workers=min(parallelism, len(cells))) as pool:
+            rows = list(pool.map(_run_cell, cells))
+    else:
+        rows = [_run_cell(c) for c in cells]
     return spark.createDataFrame(
         rows,
         "cell_id string, params_json string, n_subgraph_triples long, "

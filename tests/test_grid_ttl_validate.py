@@ -74,6 +74,17 @@ def test_run_grid_summary(spark, tmp_path):
     assert all(r["n_subgraph_triples"] > 0 for r in rows)
     assert len({r["cell_id"] for r in rows}) == 2
 
+    # parallel cells (thread pool + per-cell scheduler pools) must produce
+    # the identical summary in the identical order
+    par = run_grid(
+        spark, _kg(spark), base, filt,
+        {"type_ranking": ["pred_object_freq", "entropy_pred_object_freq"]},
+        checkpoint_dir=str(tmp_path / "par"),
+        pred_domain=pred_domain, pred_range=pred_range, superclasses=superclasses,
+        parallelism=2,
+    ).collect()
+    assert [tuple(r) for r in par] == [tuple(r) for r in rows]
+
 
 def test_ttl_roundtrip(spark, tmp_path):
     from chronographer_spark.io.ttl import read_ttl, write_ttl
