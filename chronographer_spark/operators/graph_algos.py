@@ -43,17 +43,31 @@ def pagerank(
     damping: float = 0.85,
     iterations: int = 3,
     all_nodes: DataFrame | None = None,
+    dangling: bool = False,
+    tol: float | None = None,
 ) -> DataFrame:
-    """Classic (unnormalized) PageRank over (src, dst) edges for a fixed
-    iteration count: rank := (1-d) + d · Σ rank(in-neighbor)/outdeg.
+    """Classic (unnormalized) PageRank over (src, dst) edges:
+    rank := (1-d) + d · (Σ rank(in-neighbor)/outdeg [+ dangling_mass/N]).
 
     The KG-usage ranking primitive (event/entity importance over the built
     narrative graph) and the engine's second iterative-joins algorithm
     family beside connected components. One hash join + one aggregate per
-    iteration, per-round localCheckpoint cuts lineage; dangling-node mass
-    is not redistributed (documented simplification — nodes with no
-    out-edges contribute nothing). Deterministic up to float summation
-    order; gate values are scaled with a wide margin.
+    iteration, per-round localCheckpoint cuts lineage.
+
+    Options:
+    - `dangling=True` redistributes sink-node mass uniformly: per round the
+      total rank of nodes with no out-edges is spread as
+      `d · mass / N` over every node, so total rank is conserved at N (the
+      fixed-point of the row-stochastic transition). Costs one scalar
+      aggregate per round (a 1-row collect, same O(1) driver traffic as the
+      CC convergence fingerprint).
+    - `tol` stops early once max |Δrank| < tol between rounds (checked with
+      a scalar aggregate); `iterations` then acts as the round cap.
+
+    Defaults (dangling=False, tol=None) reproduce the fixed-iteration
+    variant the `pagerank_2iter` gate pins: sinks contribute nothing.
+    Deterministic up to float summation order; gate values are scaled with
+    a wide margin.
     """
     nodes = (
         edges.select(F.col("src").alias("node"))
@@ -63,6 +77,7 @@ def pagerank(
         nodes = nodes.unionByName(all_nodes.select("node"))
     nodes = nodes.dropDuplicates().localCheckpoint(eager=True)
     outdeg = edges.groupBy("src").agg(F.count("*").alias("d")).localCheckpoint(eager=True)
+    n_nodes = nodes.count() if dangling else None
     ranks = nodes.withColumn("rank", F.lit(1.0))
     for _ in range(iterations):
         contribs = (
@@ -72,14 +87,38 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("m"))
         )
-        ranks = (
+        share = 0.0
+        if dangling and n_nodes:
+            row = (
+                ranks.join(outdeg, ranks["node"] == outdeg["src"], "left_anti")
+                .agg(F.sum("rank"))
+                .first()
+            )
+            share = (row[0] or 0.0) / n_nodes
+        new_ranks = (
             nodes.join(contribs, "node", "left")
             .select(
                 "node",
-                (F.lit(1.0 - damping) + F.lit(damping) * F.coalesce("m", F.lit(0.0))).alias("rank"),
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping)
+                    * (F.coalesce("m", F.lit(0.0)) + F.lit(share))
+                ).alias("rank"),
             )
             .localCheckpoint(eager=True)
         )
+        if tol is not None:
+            delta = (
+                new_ranks.alias("n")
+                .join(ranks.alias("o"), "node")
+                .agg(F.max(F.abs(F.col("n.rank") - F.col("o.rank"))))
+                .first()[0]
+            )
+            ranks = new_ranks
+            if delta is not None and delta < tol:
+                break
+        else:
+            ranks = new_ranks
     return ranks
 
 

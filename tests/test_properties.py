@@ -224,3 +224,63 @@ def test_pagerank_matches_python_model(spark, edges):
     assert set(got) == nodes
     for n in nodes:
         assert abs(got[n] - rank[n]) < 1e-9, (n, got[n], rank[n])
+
+
+@given(edges=pr_edges_strategy)
+@settings(**SETTINGS)
+def test_pagerank_dangling_matches_python_model(spark, edges):
+    """dangling=True vs a driver-side model that spreads sink mass
+    uniformly — total rank must be conserved at N each round."""
+    from chronographer_spark.operators.graph_algos import pagerank
+
+    e = spark.createDataFrame(
+        [(f"n{a}", f"n{b}") for a, b in edges], ["src", "dst"]
+    )
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(e, iterations=3, dangling=True).collect()
+    }
+
+    nodes = {f"n{a}" for a, _ in edges} | {f"n{b}" for _, b in edges}
+    out: dict = {}
+    for a, b in edges:
+        out.setdefault(f"n{a}", []).append(f"n{b}")
+    rank = {n: 1.0 for n in nodes}
+    for _ in range(3):
+        mass = sum(rank[n] for n in nodes if n not in out)
+        contrib = {n: mass / len(nodes) for n in nodes}
+        for src, dsts in out.items():
+            share = rank[src] / len(dsts)
+            for d in dsts:
+                contrib[d] += share
+        rank = {n: 0.15 + 0.85 * contrib[n] for n in nodes}
+    assert set(got) == nodes
+    for n in nodes:
+        assert abs(got[n] - rank[n]) < 1e-9, (n, got[n], rank[n])
+    assert abs(sum(got.values()) - len(nodes)) < 1e-6
+
+
+def test_pagerank_convergence_stop(spark):
+    """tol stops the loop at the fixed point: a 2-cycle converges to
+    rank 1.0 immediately, so a huge iteration cap must return quickly and
+    exactly; on a star graph the tol'd run matches a long fixed run."""
+    from chronographer_spark.operators.graph_algos import pagerank
+
+    cyc = spark.createDataFrame([("a", "b"), ("b", "a")], ["src", "dst"])
+    r = {x["node"]: x["rank"] for x in pagerank(cyc, iterations=50, tol=1e-12).collect()}
+    assert r == {"a": 1.0, "b": 1.0}
+
+    star = spark.createDataFrame(
+        [("h", f"s{i}") for i in range(4)] + [(f"s{i}", "h") for i in range(4)],
+        ["src", "dst"],
+    )
+    tolled = {
+        x["node"]: x["rank"]
+        for x in pagerank(star, iterations=400, tol=1e-10).collect()
+    }
+    # analytic fixed point: r_h = 0.15 + 0.85·4·r_s, r_s = 0.15 + 0.85·r_h/4
+    r_h = 0.66 / 0.2775
+    r_s = 0.15 + 0.2125 * r_h
+    assert abs(tolled["h"] - r_h) < 1e-8
+    for i in range(4):
+        assert abs(tolled[f"s{i}"] - r_s) < 1e-8
