@@ -47,13 +47,38 @@ def _fresh_spark(cores: int):
     )
 
 
+# Queries whose unpartitioned windows are vetted-tiny by construction
+# (entry_queries.py:149-156 entropy over the handful of distinct event
+# types; entry_queries.py:645-648 rank over an already-limited top-10).
+# Their WindowExec "moving all data to a single partition" warnings are
+# silenced for the duration of that one query only, so any warning that
+# DOES reach the bench tail comes from an unvetted site and is a real
+# single-partition regression.
+_WINDOW_WARN_VETTED = {"entropy_rank_top1", "cosine_topk"}
+
+
+def _window_log_level(spark, level: str) -> None:
+    jvm = spark._jvm
+    jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.sql.execution.window",
+        getattr(jvm.org.apache.logging.log4j.Level, level),
+    )
+
+
 def _run_query(spark, name: str) -> tuple[float, int]:
     from chronographer_spark import entry_queries
 
-    t0 = time.monotonic()
-    df = entry_queries.QUERIES[name](spark, SF_DIR)
-    n = df.count()
-    return time.monotonic() - t0, n
+    vetted = name in _WINDOW_WARN_VETTED
+    if vetted:
+        _window_log_level(spark, "ERROR")
+    try:
+        t0 = time.monotonic()
+        df = entry_queries.QUERIES[name](spark, SF_DIR)
+        n = df.count()
+        return time.monotonic() - t0, n
+    finally:
+        if vetted:
+            _window_log_level(spark, "WARN")
 
 
 def run_bench() -> dict:
