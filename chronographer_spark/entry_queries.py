@@ -2608,6 +2608,161 @@ FROM regs
 """
 
 
+def q_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank with dangling-mass redistribution, 2 iterations, over the
+    same order->customer->nation edge graph as `pagerank_2iter`. Nation
+    nodes are sinks, so the dangling share is nonzero every round; total
+    rank is conserved at N. The oracle unrolls both iterations with the
+    per-round sink-mass CTE."""
+    from .operators.graph_algos import pagerank
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    e1 = orders.select(
+        F.concat(F.lit("o"), F.col("o_orderkey").cast("string")).alias("src"),
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
+    )
+    e2 = cust.select(
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("n"), F.col("c_nationkey").cast("string")).alias("dst"),
+    )
+    out = pagerank(e1.unionByName(e2), damping=0.85, iterations=2, dangling=True)
+    return out.select(
+        "node",
+        F.floor(F.col("rank") * 1000000 + F.lit(0.5)).cast("long").alias("rank_x1e6"),
+    )
+
+
+PAGERANK_DANGLING_SQL = """
+WITH e AS (
+  SELECT 'o' || CAST(o_orderkey AS VARCHAR) AS src,
+         'c' || CAST(o_custkey AS VARCHAR) AS dst
+  FROM orders
+  UNION ALL
+  SELECT 'c' || CAST(c_custkey AS VARCHAR),
+         'n' || CAST(c_nationkey AS VARCHAR)
+  FROM customer
+),
+nodes AS (
+  SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+),
+cnt AS (SELECT count(*) AS n FROM nodes),
+outdeg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+r0 AS (SELECT node, 1.0 AS r FROM nodes),
+d0 AS (
+  SELECT coalesce(sum(r), 0) / (SELECT n FROM cnt) AS share
+  FROM r0 WHERE node NOT IN (SELECT src FROM e)
+),
+r1 AS (
+  SELECT n.node, 0.15 + 0.85 * (coalesce(s.m, 0) + (SELECT share FROM d0)) AS r
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, sum(r0.r / o.d) AS m
+    FROM e JOIN r0 ON r0.node = e.src JOIN outdeg o ON o.src = e.src
+    GROUP BY e.dst) s ON s.node = n.node
+),
+d1 AS (
+  SELECT coalesce(sum(r), 0) / (SELECT n FROM cnt) AS share
+  FROM r1 WHERE node NOT IN (SELECT src FROM e)
+),
+r2 AS (
+  SELECT n.node, 0.15 + 0.85 * (coalesce(s.m, 0) + (SELECT share FROM d1)) AS r
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, sum(r1.r / o.d) AS m
+    FROM e JOIN r1 ON r1.node = e.src JOIN outdeg o ON o.src = e.src
+    GROUP BY e.dst) s ON s.node = n.node
+)
+SELECT node, CAST(floor(r * 1000000 + 0.5) AS BIGINT) AS rank_x1e6 FROM r2
+"""
+
+
+def q_wikidata_scan_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profile-driven per-KB scan chain (profiles.py WIKIDATA), mirroring
+    the reference's two post-scan streams (interface.py:44-117,141-146):
+    the main ingoing/outgoing stream runs the full chain — predicate drop
+    (wdt:P910), namespace keep, statement-node drop, literal rules — and
+    the specific type/date stream runs only literal normalization
+    (the reference's _filter_specific applies no namespace filter). Triples
+    are synthesized from `orders` with wikidata-shaped URIs, one case per
+    o_orderkey % 5."""
+    from .profiles import WIKIDATA
+    from .operators.scan_filters import normalize_literals
+
+    wd = "http://www.wikidata.org/entity/Q"
+    wdt = "http://www.wikidata.org/prop/direct/"
+    orders = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey") % 5
+    main = orders.select(
+        F.concat(F.lit(wd), F.col("o_orderkey").cast("string")).alias("subject"),
+        F.when(k == 0, F.lit(wdt + "P910")).otherwise(F.lit(wdt + "P361")).alias(
+            "predicate"
+        ),
+        F.when(
+            k == 3,
+            F.concat(
+                F.lit("http://www.wikidata.org/entity/statement/Q"),
+                F.col("o_custkey").cast("string"),
+            ),
+        )
+        .when(
+            k == 4,
+            F.concat(F.lit("http://dbpedia.org/resource/X"), F.col("o_custkey").cast("string")),
+        )
+        .otherwise(F.concat(F.lit(wd), F.col("o_custkey").cast("string")))
+        .alias("object"),
+    )
+    specific = orders.select(
+        F.concat(F.lit(wd), F.col("o_orderkey").cast("string")).alias("subject"),
+        F.lit(wdt + "P585").alias("predicate"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit('"Unknown"@en'))
+        .otherwise(
+            F.concat(
+                F.lit('"'),
+                F.date_format("o_orderdate", "yyyy-MM-dd"),
+                F.lit('"^^<http://www.w3.org/2001/XMLSchema#date>'),
+            )
+        )
+        .alias("object"),
+    )
+    return WIKIDATA.apply_scan_filters(main).unionByName(
+        normalize_literals(specific)
+    )
+
+
+WIKIDATA_SCAN_SQL = """
+WITH main AS (
+  SELECT 'http://www.wikidata.org/entity/Q' || CAST(o_orderkey AS VARCHAR) AS subject,
+         CASE WHEN o_orderkey % 5 = 0
+              THEN 'http://www.wikidata.org/prop/direct/P910'
+              ELSE 'http://www.wikidata.org/prop/direct/P361' END AS predicate,
+         CASE WHEN o_orderkey % 5 = 3
+              THEN 'http://www.wikidata.org/entity/statement/Q' || CAST(o_custkey AS VARCHAR)
+              WHEN o_orderkey % 5 = 4
+              THEN 'http://dbpedia.org/resource/X' || CAST(o_custkey AS VARCHAR)
+              ELSE 'http://www.wikidata.org/entity/Q' || CAST(o_custkey AS VARCHAR)
+         END AS object
+  FROM orders
+),
+kept_main AS (
+  SELECT * FROM main
+  WHERE predicate <> 'http://www.wikidata.org/prop/direct/P910'   -- F1
+    AND object LIKE 'http://www.wikidata%'                        -- F2
+    AND object NOT LIKE 'http://www.wikidata.org/entity/statement/%'  -- F3
+    AND object NOT LIKE 'http://www.wikidata.org/reference/%'
+),
+specific AS (
+  SELECT 'http://www.wikidata.org/entity/Q' || CAST(o_orderkey AS VARCHAR) AS subject,
+         'http://www.wikidata.org/prop/direct/P585' AS predicate,
+         CASE WHEN o_orderkey % 7 = 0 THEN '"Unknown"@en'
+              ELSE strftime(o_orderdate, '%Y-%m-%d') END AS object
+  FROM orders
+  WHERE o_orderkey % 7 <> 0                                        -- F4 Unknown drop
+)
+SELECT subject, predicate, object FROM kept_main
+UNION ALL
+SELECT subject, predicate, object FROM specific
+"""
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -2617,6 +2772,8 @@ QUERIES = {
     "transitive_closure": q_transitive_closure,
     "n_hop_neighbors": q_n_hop_neighbors,
     "pagerank_2iter": q_pagerank_2iter,
+    "pagerank_dangling": q_pagerank_dangling,
+    "wikidata_scan_chain": q_wikidata_scan_chain,
     "entity_type_discard": q_entity_type_discard,
     "frame_count_per_event": q_frame_count_per_event,
     "sem_emission_rules": q_sem_emission_rules,
@@ -2699,6 +2856,8 @@ ORACLE_SQL = {
     "transitive_closure": TRANSITIVE_SQL,
     "n_hop_neighbors": N_HOP_SQL,
     "pagerank_2iter": PAGERANK_SQL,
+    "pagerank_dangling": PAGERANK_DANGLING_SQL,
+    "wikidata_scan_chain": WIKIDATA_SCAN_SQL,
     "entity_type_discard": ENTITY_DISCARD_SQL,
     "frame_count_per_event": FRAME_COUNT_SQL,
     "sem_emission_rules": SEM_EMISSION_SQL,
