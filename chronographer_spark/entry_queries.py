@@ -2763,6 +2763,96 @@ SELECT subject, predicate, object FROM specific
 """
 
 
+def q_kmeans_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means (2 rounds, k=4) over the embeddings table;
+    assign is map-only against broadcast centroid literals, update shuffles
+    only k x dim cells. The oracle unrolls both rounds; centroid components
+    are snapped to a 1e-6 grid in both engines so round 2 starts from
+    identical centroids (operators/clustering.py docstring)."""
+    from .operators.clustering import kmeans
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, _ = kmeans(emb, k=4, iterations=2)
+    return assigned.select("vec_id", F.col("cluster").cast("int").alias("cluster"))
+
+
+KMEANS_SQL = """
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, v
+  FROM (SELECT * FROM emb ORDER BY vec_id LIMIT 4)
+),
+a1 AS (
+  SELECT vec_id, cluster FROM (
+    SELECT e.vec_id, c.cid AS cluster,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_sum(list_transform(list_zip(e.v, c.v), x -> (x[1]-x[2])*(x[1]-x[2]))), c.cid
+           ) AS rn
+    FROM emb e CROSS JOIN c0 c
+  ) WHERE rn = 1
+),
+u1 AS (
+  SELECT a.cluster, d.i, floor(avg(e.v[d.i]) * 1000000 + 0.5) / 1000000 AS x
+  FROM a1 a JOIN emb e USING (vec_id)
+  CROSS JOIN (SELECT unnest(range(1, 65)) AS i) d
+  GROUP BY a.cluster, d.i
+),
+c1 AS (
+  SELECT CAST(cluster AS INTEGER) AS cid, list(x ORDER BY i) AS v
+  FROM u1 GROUP BY cluster
+),
+a2 AS (
+  SELECT vec_id, cluster FROM (
+    SELECT e.vec_id, c.cid AS cluster,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_sum(list_transform(list_zip(e.v, c.v), x -> (x[1]-x[2])*(x[1]-x[2]))), c.cid
+           ) AS rn
+    FROM emb e CROSS JOIN c1 c
+  ) WHERE rn = 1
+)
+SELECT vec_id, CAST(cluster AS INT) AS cluster FROM a2
+"""
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms over the documents corpus
+    (operators/text.py tfidf_top_terms): tf shuffle + broadcast of the
+    vocabulary-sized df table, deterministic (score desc, term asc) ranks,
+    1e6-scaled scores."""
+    from .operators.text import tfidf_top_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, top_n=3)
+
+
+TFIDF_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> '' GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.term,
+         t.tf * (ln((CAST((SELECT n_docs FROM n) AS DOUBLE) + 1.0) / (d.df + 1.0)) + 1.0) AS score
+  FROM tf t JOIN dfreq d USING (term)
+),
+ranked AS (
+  SELECT doc_id, term, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, term, CAST(rank AS INT) AS rank,
+       CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_x1e6
+FROM ranked WHERE rank <= 3
+"""
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -2774,6 +2864,8 @@ QUERIES = {
     "pagerank_2iter": q_pagerank_2iter,
     "pagerank_dangling": q_pagerank_dangling,
     "wikidata_scan_chain": q_wikidata_scan_chain,
+    "kmeans_2iter": q_kmeans_2iter,
+    "tfidf_top_terms": q_tfidf_top_terms,
     "entity_type_discard": q_entity_type_discard,
     "frame_count_per_event": q_frame_count_per_event,
     "sem_emission_rules": q_sem_emission_rules,
@@ -2858,6 +2950,8 @@ ORACLE_SQL = {
     "pagerank_2iter": PAGERANK_SQL,
     "pagerank_dangling": PAGERANK_DANGLING_SQL,
     "wikidata_scan_chain": WIKIDATA_SCAN_SQL,
+    "kmeans_2iter": KMEANS_SQL,
+    "tfidf_top_terms": TFIDF_SQL,
     "entity_type_discard": ENTITY_DISCARD_SQL,
     "frame_count_per_event": FRAME_COUNT_SQL,
     "sem_emission_rules": SEM_EMISSION_SQL,

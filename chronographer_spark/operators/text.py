@@ -144,3 +144,51 @@ def np_chunks(
         F.substring_index("chunk", " ", -1).alias("head"),
         F.size(F.split("chunk", " ")).cast("int").alias("n_words"),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    top_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document top-N TF-IDF terms — the retrieval/keyword-extraction
+    primitive of a curation pipeline (dedup keys, topic tags, BM25-ish
+    relevance all start from these statistics).
+
+    score(term, doc) = tf · (ln((N+1)/(df+1)) + 1)  (smoothed idf, so
+    corpus-universal terms still score > 0). Tokenization is lowercase
+    alpha runs. Two shuffles total: tf groupBy (doc, term) and the df
+    groupBy (term) — the df side is tiny (vocabulary-sized) and broadcast
+    back, so the per-doc ranking window shuffles the tf table once.
+    Deterministic tie-break (score desc, term asc); scores emitted as
+    1e6-scaled BIGINTs for cross-engine value hashing.
+    """
+    n_docs = df.select(id_col).distinct().count()
+    toks = (
+        df.select(
+            id_col,
+            F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(F.broadcast(dfreq), "term").withColumn(
+        "score",
+        F.col("tf")
+        * (F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_n)
+        .select(
+            id_col,
+            "term",
+            F.col("rn").alias("rank"),
+            F.floor(F.col("score") * 1000000 + F.lit(0.5)).cast("long").alias("score_x1e6"),
+        )
+    )

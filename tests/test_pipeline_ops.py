@@ -287,3 +287,65 @@ def test_match_sequence_skip_till_next(spark):
     assert (r["user_id"], r["id_0"], r["id_1"], r["id_2"], r["span_seconds"]) == (
         1, 10, 11, 13, 30
     )
+
+
+def test_kmeans_separates_obvious_clusters(spark):
+    """Two tight groups around (0,0) and (10,10): 1 round of Lloyd from the
+    first-2 init must label each group with its own centroid, and the final
+    centroids must be the (grid-snapped) group means."""
+    from chronographer_spark.operators.clustering import kmeans
+
+    rows = [
+        (0, [0.0, 0.1]), (1, [10.0, 10.1]),
+        (2, [0.1, 0.0]), (3, [9.9, 10.0]), (4, [0.2, 0.2]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assigned, cents = kmeans(df, k=2, iterations=2)
+    got = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
+    assert got[0] == got[2] == got[4]
+    assert got[1] == got[3]
+    assert got[0] != got[1]
+    cd = dict(cents)
+    assert cd[got[0]] == [0.1, 0.1]  # mean of (0,.1),(.1,0),(.2,.2), snapped
+    assert cd[got[1]] == [9.95, 10.05]
+
+
+def test_kmeans_drops_empty_cluster(spark):
+    """Seeds 0 and 1 are identical vectors, so every point (including seed 1
+    itself) ties to centroid 0 at equal distance and the tie-break sends it
+    to the lower cid: cluster 1 is empty after round 1 and drops out of the
+    next round's centroid set (documented contract)."""
+    from chronographer_spark.operators.clustering import kmeans
+
+    rows = [
+        (0, [0.0, 0.0]), (1, [0.0, 0.0]), (2, [10.0, 10.0]),
+        (3, [0.2, 0.0]), (4, [10.1, 9.9]), (5, [0.1, 0.1]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assigned, cents = kmeans(df, k=3, iterations=3)
+    clusters = {r["cluster"] for r in assigned.collect()}
+    assert len(clusters) == len([c for c, _ in cents]) == 2
+
+
+def test_tfidf_hand_computed(spark):
+    """3 docs; 'apple' is in all (low idf), 'kiwi' only in one (high idf)."""
+    import math
+
+    from chronographer_spark.operators.text import tfidf_top_terms
+
+    rows = [
+        (1, "apple apple kiwi"),
+        (2, "apple banana"),
+        (3, "apple banana banana"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r["doc_id"], r["rank"]): (r["term"], r["score_x1e6"])
+        for r in tfidf_top_terms(df, top_n=2).collect()
+    }
+    idf = lambda dfreq: math.log(4.0 / (dfreq + 1)) + 1.0  # noqa: E731
+    # doc 1: kiwi tf=1 idf(1) vs apple tf=2 idf(3)
+    assert out[(1, 1)] == ("apple", math.floor(2 * idf(3) * 1e6 + 0.5))
+    assert out[(1, 2)] == ("kiwi", math.floor(1 * idf(1) * 1e6 + 0.5))
+    # doc 3: banana tf=2 beats apple tf=1
+    assert out[(3, 1)][0] == "banana" and out[(3, 2)][0] == "apple"
