@@ -158,11 +158,15 @@ def tfidf_top_terms(
 
     score(term, doc) = tf · (ln((N+1)/(df+1)) + 1)  (smoothed idf, so
     corpus-universal terms still score > 0). Tokenization is lowercase
-    alpha runs. Two shuffles total: tf groupBy (doc, term) and the df
-    groupBy (term) — the df side is tiny (vocabulary-sized) and broadcast
-    back, so the per-doc ranking window shuffles the tf table once.
-    Deterministic tie-break (score desc, term asc); scores emitted as
-    1e6-scaled BIGINTs for cross-engine value hashing.
+    alpha runs. The tf table feeds BOTH the document-frequency aggregate
+    and the scoring join; without a materialization barrier Catalyst
+    re-executes the tokenize+groupBy subtree once per branch (the same
+    shared-subtree re-execution measured 3.7x on minhash bands), so tf is
+    localCheckpoint'ed eagerly — this operator runs jobs at call time (it
+    also counts N), like the IVF probe path. After the barrier: one
+    vocabulary-sized df aggregate broadcast back onto tf, one ranking
+    window shuffle. Deterministic tie-break (score desc, term asc); scores
+    emitted as 1e6-scaled BIGINTs for cross-engine value hashing.
     """
     n_docs = df.select(id_col).distinct().count()
     toks = (
@@ -172,7 +176,11 @@ def tfidf_top_terms(
         )
         .filter(F.col("term") != "")
     )
-    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    tf = (
+        toks.groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     scored = tf.join(F.broadcast(dfreq), "term").withColumn(
         "score",

@@ -244,3 +244,30 @@ def test_incremental_dedup_index_join_no_index_side_shuffle(spark, tmp_path):
     assert _exchanges(plan) <= 1, plan
     scan_part = plan.split("FileScan parquet", 1)[1]
     assert "Bucketed: true" in scan_part, plan
+
+
+def test_kmeans_assignment_is_map_only(spark):
+    """The k-means assign stage must be shuffle-free: centroids are plan
+    literals, so assignment scales linearly with corpus size."""
+    from chronographer_spark.operators.clustering import assign_clusters
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = [(i, [float(i)] * 64) for i in range(4)]
+    plan = _plan(assign_clusters(emb, cents))
+    assert _exchanges(plan) == 0 and "BroadcastExchange" not in plan, plan
+
+
+def test_tfidf_broadcasts_document_frequency_and_reuses_tf(spark):
+    """The vocabulary-sized df table must broadcast against the tf table
+    (no shuffle of the big side for the join), and the tokenize+groupBy
+    subtree must be materialized once — the downstream plan reads the tf
+    checkpoint twice instead of re-tokenizing the corpus per branch."""
+    from chronographer_spark.operators.text import tfidf_top_terms
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(tfidf_top_terms(docs, top_n=3))
+    assert "BroadcastExchange" in plan, plan
+    # tf is checkpointed: the raw corpus scan appears in no branch
+    assert "FileScan parquet" not in plan and "Generate explode" not in plan, plan
+    # df groupBy (small side) + ranking window partition
+    assert _exchanges(plan) <= 2, plan
