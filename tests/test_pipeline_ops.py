@@ -349,3 +349,43 @@ def test_tfidf_hand_computed(spark):
     assert out[(1, 2)] == ("kiwi", math.floor(1 * idf(1) * 1e6 + 0.5))
     # doc 3: banana tf=2 beats apple tf=1
     assert out[(3, 1)][0] == "banana" and out[(3, 2)][0] == "apple"
+
+
+def test_quantized_topk_recall_vs_exact(spark):
+    """int8-quantized cosine top-10 must substantially agree with the exact
+    double-precision top-10 (>=7/10 overlap on the synthetic embeddings),
+    and quantization must be scale-invariant per vector."""
+    from pyspark.sql import functions as F
+
+    from chronographer_spark.operators.similarity import (
+        brute_force_topk,
+        quantize_vectors,
+        quantized_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") != 0)
+    exact = {r["vec_id"] for r in brute_force_topk(corpus, q, k=10).collect()}
+    quant = {r["vec_id"] for r in quantized_topk(corpus, q, k=10).collect()}
+    assert len(exact & quant) >= 7, (exact, quant)
+
+    # scaling a vector by a constant must not change its int8 codes
+    one = emb.filter(F.col("vec_id") == 1)
+    base = quantize_vectors(one).select("qvec").collect()[0]["qvec"]
+    scaled = quantize_vectors(
+        one.withColumn("embedding", F.transform("embedding", lambda x: x * 3.0))
+    ).select("qvec").collect()[0]["qvec"]
+    assert base == scaled
+
+
+def test_quantize_zero_vector(spark):
+    from chronographer_spark.operators.similarity import quantize_vectors
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    r = quantize_vectors(df).collect()[0]
+    assert r["qvec"] == [0, 0, 0] and r["scale"] == 0.0
