@@ -2892,6 +2892,31 @@ FROM sims ORDER BY qcos DESC, vec_id ASC LIMIT 10
 """
 
 
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase search over an inverted index
+    (operators/retrieval.py): docs containing the token sequence
+    "fast table" with per-doc match counts. The oracle replays the same
+    token algebra (positions join, +1 adjacency) in DuckDB."""
+    from .operators.retrieval import build_inverted_index, phrase_search
+
+    docs = _t(spark, sf_dir, "documents")
+    return phrase_search(build_inverted_index(docs), "fast table")
+
+
+PHRASE_SEARCH_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos
+  FROM (SELECT doc_id, string_split_regex(lower(text), '[^a-z]+') AS l FROM documents)
+),
+t0 AS (SELECT doc_id, pos FROM toks WHERE term = 'fast'),
+t1 AS (SELECT doc_id, pos FROM toks WHERE term = 'table'),
+m AS (
+  SELECT t0.doc_id FROM t0 JOIN t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches FROM m GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -2905,6 +2930,7 @@ QUERIES = {
     "wikidata_scan_chain": q_wikidata_scan_chain,
     "kmeans_2iter": q_kmeans_2iter,
     "quantized_topk": q_quantized_topk,
+    "phrase_search_docs": q_phrase_search,
     "tfidf_top_terms": q_tfidf_top_terms,
     "entity_type_discard": q_entity_type_discard,
     "frame_count_per_event": q_frame_count_per_event,
@@ -2992,6 +3018,7 @@ ORACLE_SQL = {
     "wikidata_scan_chain": WIKIDATA_SCAN_SQL,
     "kmeans_2iter": KMEANS_SQL,
     "quantized_topk": QUANTIZED_TOPK_SQL,
+    "phrase_search_docs": PHRASE_SEARCH_SQL,
     "tfidf_top_terms": TFIDF_SQL,
     "entity_type_discard": ENTITY_DISCARD_SQL,
     "frame_count_per_event": FRAME_COUNT_SQL,

@@ -389,3 +389,41 @@ def test_quantize_zero_vector(spark):
     )
     r = quantize_vectors(df).collect()[0]
     assert r["qvec"] == [0, 0, 0] and r["scale"] == 0.0
+
+
+def test_phrase_search_semantics(spark):
+    """3-term phrases, repeated-token overlaps, absent terms, punctuation
+    tokenization, and the empty-phrase guard."""
+    import pytest as _pytest
+
+    from chronographer_spark.operators.retrieval import (
+        build_inverted_index,
+        phrase_search,
+    )
+
+    rows = [
+        (1, "the quick brown fox and the quick brown hare"),
+        (2, "quick, brown... fox!"),     # punctuation-separated still adjacent
+        (3, "quick brown quick brown fox"),
+        (4, "brown quick fox"),          # right words, wrong order
+        (5, "a a a"),                    # overlapping repeated-token matches
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = build_inverted_index(docs)
+
+    got = {r["doc_id"]: r["n_matches"] for r in
+           phrase_search(idx, "quick brown fox").collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+
+    got2 = {r["doc_id"]: r["n_matches"] for r in
+            phrase_search(idx, "quick brown").collect()}
+    assert got2 == {1: 2, 2: 1, 3: 2}
+
+    # token-position overlap is counted (regex scans would miss one)
+    gota = {r["doc_id"]: r["n_matches"] for r in
+            phrase_search(idx, "a a").collect()}
+    assert gota == {5: 2}
+
+    assert phrase_search(idx, "quick zebra").count() == 0
+    with _pytest.raises(ValueError):
+        phrase_search(idx, "  ... ")
