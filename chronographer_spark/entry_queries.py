@@ -2917,6 +2917,51 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches FROM m GROUP BY doc_id
 """
 
 
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-ranked top-10 documents for the bag-of-words query
+    "fast join vector" over the inverted index (operators/retrieval.py
+    bm25_search); Lucene-style non-negative idf, k1=1.2, b=0.75, avg
+    doc length snapped to the 1e-6 grid in both engines."""
+    from .operators.retrieval import build_inverted_index, bm25_search
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_search(build_inverted_index(docs), docs, "fast join vector", k=10)
+
+
+BM25_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> '' GROUP BY doc_id, term),
+doc_len AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(DISTINCT doc_id) FROM documents) AS n,
+         floor((SELECT avg(dl) FROM doc_len) * 1000000 + 0.5) / 1000000 AS avglen
+),
+dfreq AS (
+  SELECT term, count(*) AS df FROM tf WHERE term IN ('fast', 'join', 'vector') GROUP BY term
+),
+hits AS (
+  SELECT t.doc_id, t.term, t.tf, d.df, l.dl
+  FROM tf t JOIN dfreq d USING (term) JOIN doc_len l USING (doc_id)
+  WHERE t.term IN ('fast', 'join', 'vector')
+),
+scored AS (
+  SELECT doc_id,
+         sum(
+           ln((CAST((SELECT n FROM stats) AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+           * (tf * (1.2 + 1.0))
+           / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (SELECT avglen FROM stats)))
+         ) AS score
+  FROM hits GROUP BY doc_id
+)
+SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank,
+       CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_x1e6
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -2931,6 +2976,7 @@ QUERIES = {
     "kmeans_2iter": q_kmeans_2iter,
     "quantized_topk": q_quantized_topk,
     "phrase_search_docs": q_phrase_search,
+    "bm25_topk": q_bm25_topk,
     "tfidf_top_terms": q_tfidf_top_terms,
     "entity_type_discard": q_entity_type_discard,
     "frame_count_per_event": q_frame_count_per_event,
@@ -3019,6 +3065,7 @@ ORACLE_SQL = {
     "kmeans_2iter": KMEANS_SQL,
     "quantized_topk": QUANTIZED_TOPK_SQL,
     "phrase_search_docs": PHRASE_SEARCH_SQL,
+    "bm25_topk": BM25_SQL,
     "tfidf_top_terms": TFIDF_SQL,
     "entity_type_discard": ENTITY_DISCARD_SQL,
     "frame_count_per_event": FRAME_COUNT_SQL,

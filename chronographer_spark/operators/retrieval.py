@@ -71,3 +71,74 @@ def phrase_search(
             .filter(F.size("p") > 0)
         )
     return cur.select(id_col, F.size("p").cast("long").alias("n_matches"))
+
+
+def bm25_search(
+    index: DataFrame,
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25-ranked top-k documents for a bag-of-words query ->
+    (doc_id, rank, score_x1e6).
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·len_d/avglen)),
+    idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1)  (the Lucene-style floor —
+    never negative). Document length = token count from the same `[^a-z]+`
+    tokenization as the index.
+
+    Shape: the query's ≤|q| index rows are filtered by an isin() pushdown,
+    the per-term df aggregate is vocabulary-sized and broadcast, document
+    lengths come from one tf-sum over the index (no raw-text re-scan), and
+    the final top-k is a rank window over only the docs containing ≥1 query
+    term. Deterministic (score desc, doc_id asc) tie-break; 1e6-scaled
+    scores for cross-engine hashing.
+    """
+    terms = sorted({t for t in re.split(r"[^a-z]+", query.lower()) if t})
+    if not terms:
+        raise ValueError("query must contain at least one alphabetic token")
+    n_docs = docs.select(id_col).distinct().count()
+
+    doc_len = index.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    # snapped to the 1e-6 grid so the oracle's avg (different summation
+    # order, same integers) lands on the identical double
+    import math
+
+    avg_len = math.floor(doc_len.agg(F.avg("dl")).first()[0] * 1000000 + 0.5) / 1000000
+
+    dfreq = (
+        index.filter(F.col("term").isin(terms))
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    hits = (
+        index.filter(F.col("term").isin(terms))
+        .join(F.broadcast(dfreq), "term")
+        .join(doc_len, id_col)
+    )
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(float(avg_len)))
+    contrib = idf * (F.col("tf") * (k1 + 1.0)) / denom
+    scored = hits.groupBy(id_col).agg(F.sum(contrib).alias("score"))
+
+    from pyspark.sql.window import Window
+
+    # orderBy+limit compiles to TakeOrderedAndProject (per-partition heap +
+    # driver merge); the rank window then runs over only the k winners — no
+    # single-partition global window over the full match set
+    topk = scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+    w = Window.orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        topk.withColumn("rank", F.row_number().over(w))
+        .select(
+            id_col,
+            "rank",
+            F.floor(F.col("score") * 1000000 + F.lit(0.5)).cast("long").alias("score_x1e6"),
+        )
+    )

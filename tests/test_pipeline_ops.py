@@ -427,3 +427,43 @@ def test_phrase_search_semantics(spark):
     assert phrase_search(idx, "quick zebra").count() == 0
     with _pytest.raises(ValueError):
         phrase_search(idx, "  ... ")
+
+
+def test_bm25_hand_computed(spark):
+    """Tiny corpus, hand-derivable properties: a doc matching the rarer
+    term outranks a doc matching the common one; longer docs are penalized
+    at equal tf; scores reproduce the closed-form formula."""
+    import math
+
+    from chronographer_spark.operators.retrieval import (
+        build_inverted_index,
+        bm25_search,
+    )
+
+    rows = [
+        (1, "spark rare"),
+        (2, "spark common common"),
+        (3, "common spark spark spark spark spark spark spark spark spark"),
+        (4, "nothing relevant here at all whatsoever truly"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["rank"]: (r["doc_id"], r["score_x1e6"]) for r in
+           bm25_search(build_inverted_index(docs), docs, "rare common", k=4).collect()}
+    assert len(out) == 3  # doc 4 matches nothing
+    assert out[1][0] == 1  # the rare-term doc wins
+
+    # closed-form check for doc 1: only 'rare' matches, tf=1, dl=2
+    n, k1, b = 4, 1.2, 0.75
+    dls = [2, 3, 10, 7]
+    avglen = math.floor(sum(dls) / 4 * 1e6 + 0.5) / 1e6
+    idf_rare = math.log((n - 1 + 0.5) / (1 + 0.5) + 1.0)
+    s1 = idf_rare * (1 * (k1 + 1)) / (1 + k1 * (1 - b + b * 2 / avglen))
+    assert out[1][1] == math.floor(s1 * 1e6 + 0.5)
+
+    # docs 2 and 3 both match 'common' (df=2) with tf=1; doc 3 is longer
+    # so it scores lower
+    assert out[2][0] == 2 and out[3][0] == 3
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        bm25_search(build_inverted_index(docs), docs, "123")
