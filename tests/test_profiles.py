@@ -172,3 +172,65 @@ def test_profile_temporal_predicates_feed_filtering_config():
     fc = WIKIDATA.filtering_config()
     assert fc.temporal == WIKIDATA.temporal_predicates
     assert WDT + "P585" in fc.point_in_time and WDT + "P570" in fc.end_dates
+
+
+def test_graphsearch_with_wikidata_profile_ranks_priority_one(spark, tmp_path):
+    """End-to-end C6: on a wikidata-shaped KG the constraint tables key on
+    the ENTITY form (wd:P361) while triples carry the direct form
+    (wdt:P361). With profile=WIKIDATA the driver's superclass annotation
+    matches through the rewrite, so target-type-relevant paths enter the
+    occurrence table at priority 1 (the reference's priority-class
+    restriction); without a profile nothing matches and every path sits at
+    priority 3."""
+    from chronographer_spark.operators.filtering import FilteringConfig
+    from chronographer_spark.search.driver import GraphSearch, SearchConfig
+
+    kg = spark.createDataFrame(
+        [
+            (WD + "QStorming", WDT + "P361", WD + "QFrenchRev"),
+            (WD + "QBattle", WDT + "P361", WD + "QFrenchRev"),
+            (WD + "QFrenchRev", WDT + "P276", WD + "QParis"),
+            (WD + "QStorming", WDT + "P31", WD + "QConflict"),
+            (WD + "QStorming", WDT + "P585", "1789-07-14"),
+            (WD + "QBattle", WDT + "P31", WD + "QConflict"),
+            (WD + "QBattle", WDT + "P585", "1792-09-20"),
+            (WD + "QParis", WDT + "P31", WD + "QCity"),
+        ],
+        ["subject", "predicate", "object"],
+    )
+    # constraint tables in ENTITY form, as Wikidata publishes them
+    pred_domain = spark.createDataFrame(
+        [(WD + "P361", [WD + "QConflict"])],
+        "predicate string, classes array<string>",
+    )
+    superclasses = spark.createDataFrame(
+        [(WD + "QConflict", [WD + "QEvent"])],
+        "class string, ancestors array<string>",
+    )
+    cfg = SearchConfig(
+        start=WD + "QFrenchRev",
+        iterations=1,
+        target_types=[WD + "QEvent"],
+        type_ranking="entropy_pred_object_freq",
+        dates=("1789-01-01", "1800-12-31"),
+        max_uri=100,
+        rdf_type_pred=WIKIDATA.rdf_type,
+    )
+    filt = WIKIDATA.filtering_config()
+
+    def chosen_priority(profile):
+        gs = GraphSearch(
+            spark, kg, cfg, filt,
+            pred_domain=pred_domain, superclasses=superclasses,
+            checkpoint_dir=str(tmp_path), run_id=f"wd-{profile is not None}",
+            profile=profile,
+        )
+        gs.run()
+        assert gs.to_expand is not None
+        return gs.to_expand["priority"]
+
+    # the ranker restricts to the best priority class first: with the
+    # rewrite the P361 path is annotated relevant (priority 1) and wins;
+    # without it nothing matches the wd:-keyed table, all paths are 3
+    assert chosen_priority(WIKIDATA) == 1
+    assert chosen_priority(None) == 3
