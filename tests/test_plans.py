@@ -271,3 +271,27 @@ def test_tfidf_broadcasts_document_frequency_and_reuses_tf(spark):
     assert "FileScan parquet" not in plan and "Generate explode" not in plan, plan
     # df groupBy (small side) + ranking window partition
     assert _exchanges(plan) <= 2, plan
+
+
+def test_phrase_search_term_pruned_on_stored_index(spark, tmp_path):
+    """The production index layout: stored partitioned by term, so each
+    phrase term's postings lookup is partition-pruned at the scan (the
+    plan shows term PartitionFilters, and only the phrase's terms' files
+    are read)."""
+    from chronographer_spark.operators.retrieval import (
+        build_inverted_index,
+        phrase_search,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    path = str(tmp_path / "inv_idx")
+    build_inverted_index(docs).write.partitionBy("term").parquet(path)
+    idx = spark.read.parquet(path)
+    plan = _plan(phrase_search(idx, "fast table"))
+    assert plan.count("PartitionFilters: [isnotnull(term") == 2, plan
+    # parity with the in-memory index
+    mem = {(r["doc_id"], r["n_matches"]) for r in
+           phrase_search(build_inverted_index(docs), "fast table").collect()}
+    stored = {(r["doc_id"], r["n_matches"]) for r in
+              phrase_search(idx, "fast table").collect()}
+    assert mem == stored and mem
