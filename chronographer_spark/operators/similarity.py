@@ -310,6 +310,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    centroids: list | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: route every corpus vector to its nearest
     centroid cell once, probe only the `n_probe` cells nearest each query,
@@ -320,12 +321,18 @@ def ivf_topk(
     scan, not a filter. Returns (query_id, vec_id, rank) — rank is the
     value contract (floats never leave the plan), pinned by
     (cosine desc, vec_id asc).
+
+    `centroids` overrides the deterministic pick with trained cells —
+    pass `clustering.kmeans(corpus)[1]` for Lloyd-trained centroids with
+    better-balanced cells (centroid choice is routing policy, not the
+    result contract).
     """
-    cent_df = ivf_centroids(corpus, n_centroids, id_col, vec_col)
-    centroids = [
-        (r["cent_id"], list(r["cent_vec"])) for r in cent_df.collect()
-    ]
-    centroids.sort(key=lambda t: t[0])
+    if centroids is None:
+        cent_df = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+        centroids = [
+            (r["cent_id"], list(r["cent_vec"])) for r in cent_df.collect()
+        ]
+    centroids = sorted(centroids)
     assigned = ivf_assign(corpus, centroids, id_col, vec_col)
 
     cent_rows = F.array(

@@ -467,3 +467,28 @@ def test_bm25_hand_computed(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         bm25_search(build_inverted_index(docs), docs, "123")
+
+
+def test_ivf_with_kmeans_trained_centroids(spark):
+    """The trained-centroid path: Lloyd k-means cells plugged into IVF
+    routing. Self-queries still find themselves at rank 1 through the
+    probed cells, and the trained cells cover the whole corpus."""
+    from chronographer_spark.operators.clustering import kmeans
+    from chronographer_spark.operators.similarity import ivf_assign, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    _, cents = kmeans(emb, k=4, iterations=2)
+    assert len(cents) == 4
+
+    assigned = ivf_assign(emb, sorted(cents))
+    assert assigned.count() == emb.count()
+
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = ivf_topk(emb, qs, k=5, n_centroids=4, n_probe=2, centroids=cents).collect()
+    by_q = {}
+    for r in top:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"]))
+    for qid, rows in by_q.items():
+        assert min(rows)[1] == qid  # rank-1 is the query itself
