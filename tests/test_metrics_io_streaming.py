@@ -378,3 +378,93 @@ def test_incremental_dedup_midbatch_failure_replay(spark, tmp_path):
     assert spark.read.parquet(args["index_dir"]).select(
         "doc_id"
     ).distinct().count() == sub.count()
+
+
+def test_incremental_index_stream_matches_batch(spark, tmp_path):
+    """Streaming the corpus in 3 micro-batches (plus a re-delivery that
+    must be a no-op) accumulates EXACTLY the batch inverted index, and
+    phrase search over the accumulated table equals the batch result."""
+    import os
+    import time as _t
+
+    from chronographer_spark.operators.retrieval import (
+        build_inverted_index,
+        phrase_search,
+    )
+    from chronographer_spark.streaming.index import (
+        read_index,
+        start_incremental_index_stream,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    slices = [
+        docs.filter(F.col("doc_id") % 3 == i).select(
+            "doc_id", "text", "lang", "source", "n_chars"
+        )
+        for i in range(3)
+    ]
+    for i, s in enumerate(slices):
+        s.coalesce(1).write.parquet(os.path.join(in_dir, f"b{i}"))
+    slices[1].coalesce(1).write.parquet(os.path.join(in_dir, "b1_redelivered"))
+
+    index_dir = str(tmp_path / "index")
+    q = start_incremental_index_stream(
+        spark, in_dir + "/*", index_dir, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(240)
+    _t.sleep(1)
+
+    acc = read_index(spark, index_dir)
+    streamed = {
+        (r["term"], r["doc_id"], tuple(r["positions"]), r["tf"])
+        for r in acc.collect()
+    }
+    batch = {
+        (r["term"], r["doc_id"], tuple(r["positions"]), r["tf"])
+        for r in build_inverted_index(docs).collect()
+    }
+    assert streamed == batch
+
+    sp = {(r["doc_id"], r["n_matches"])
+          for r in phrase_search(acc, "fast table").collect()}
+    bp = {(r["doc_id"], r["n_matches"])
+          for r in phrase_search(build_inverted_index(docs), "fast table").collect()}
+    assert sp == bp and sp
+
+
+def test_incremental_index_stream_restart_idempotent(spark, tmp_path):
+    """Stop after the first slice, deliver the rest, restart from the same
+    checkpoint: the final index has no duplicate (term, doc) rows and
+    matches the batch index."""
+    import os
+    import time as _t
+
+    from chronographer_spark.operators.retrieval import build_inverted_index
+    from chronographer_spark.streaming.index import (
+        read_index,
+        start_incremental_index_stream,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    half = [docs.filter(F.col("doc_id") % 2 == i).select(
+        "doc_id", "text", "lang", "source", "n_chars") for i in range(2)]
+    half[0].coalesce(1).write.parquet(os.path.join(in_dir, "b0"))
+
+    args = dict(index_dir=str(tmp_path / "index"),
+                checkpoint_dir=str(tmp_path / "ckpt"))
+    q = start_incremental_index_stream(spark, in_dir + "/*", **args)
+    q.awaitTermination(180)
+    _t.sleep(1)
+
+    half[1].coalesce(1).write.parquet(os.path.join(in_dir, "b1"))
+    q2 = start_incremental_index_stream(spark, in_dir + "/*", **args)
+    q2.awaitTermination(180)
+    _t.sleep(1)
+
+    acc = read_index(spark, args["index_dir"])
+    assert acc.groupBy("term", "doc_id").count().filter(F.col("count") > 1).count() == 0
+    assert acc.count() == build_inverted_index(docs).count()
