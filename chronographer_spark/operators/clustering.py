@@ -97,12 +97,16 @@ def kmeans(
     Init: the k lowest-`id_col` vectors (deterministic, oracle-replayable);
     swap in a sampled or k-means++ init for production quality — the round
     structure is the contract, not the init."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
     first = (
         corpus.select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
         .orderBy(id_col)
         .limit(k)
         .collect()
     )
+    if not first:
+        raise ValueError("kmeans requires a non-empty corpus")
     centroids = [(i, list(r["v"])) for i, r in enumerate(first)]
     assigned = None
     for _ in range(iterations):

@@ -108,7 +108,10 @@ def bm25_search(
     # order, same integers) lands on the identical double
     import math
 
-    avg_len = math.floor(doc_len.agg(F.avg("dl")).first()[0] * 1000000 + 0.5) / 1000000
+    raw_avg = doc_len.agg(F.avg("dl")).first()[0]
+    if raw_avg is None:
+        raise ValueError("bm25_search requires a non-empty index")
+    avg_len = math.floor(raw_avg * 1000000 + 0.5) / 1000000
 
     dfreq = (
         index.filter(F.col("term").isin(terms))
