@@ -2816,6 +2816,90 @@ SELECT vec_id, CAST(cluster AS INT) AS cluster FROM a2
 """
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (operators/dedup.py semantic_dedup):
+    k-means clusters (k=4, 2 rounds, same deterministic recipe as
+    kmeans_2iter) then drop any vector whose quantized cosine to an
+    earlier same-cluster vector is >= 0.30. Integer cosine scores, so the
+    oracle replays the full composition — unrolled k-means rounds, int8
+    quantization, dominated-by-earlier rule — bit-identically."""
+    from .operators.dedup import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    r = semantic_dedup(emb, k=4, iterations=2, threshold_x1e6=300000)
+    return r.select(
+        "vec_id",
+        F.col("cluster").cast("int").alias("cluster"),
+        F.col("kept").cast("int").alias("kept"),
+    )
+
+
+SEMANTIC_DEDUP_SQL = """
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, v
+  FROM (SELECT * FROM emb ORDER BY vec_id LIMIT 4)
+),
+a1 AS (
+  SELECT vec_id, cluster FROM (
+    SELECT e.vec_id, c.cid AS cluster,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_sum(list_transform(list_zip(e.v, c.v), x -> (x[1]-x[2])*(x[1]-x[2]))), c.cid
+           ) AS rn
+    FROM emb e CROSS JOIN c0 c
+  ) WHERE rn = 1
+),
+u1 AS (
+  SELECT a.cluster, d.i, floor(avg(e.v[d.i]) * 1000000 + 0.5) / 1000000 AS x
+  FROM a1 a JOIN emb e USING (vec_id)
+  CROSS JOIN (SELECT unnest(range(1, 65)) AS i) d
+  GROUP BY a.cluster, d.i
+),
+c1 AS (
+  SELECT CAST(cluster AS INTEGER) AS cid, list(x ORDER BY i) AS v
+  FROM u1 GROUP BY cluster
+),
+a2 AS (
+  SELECT vec_id, cluster FROM (
+    SELECT e.vec_id, c.cid AS cluster,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_sum(list_transform(list_zip(e.v, c.v), x -> (x[1]-x[2])*(x[1]-x[2]))), c.cid
+           ) AS rn
+    FROM emb e CROSS JOIN c1 c
+  ) WHERE rn = 1
+),
+qz AS (
+  SELECT vec_id,
+         CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0
+              THEN list_transform(v, x -> 0)
+              ELSE list_transform(v, x -> CAST(floor(x * 127.0 / list_max(list_transform(v, y -> abs(y))) + 0.5) AS INTEGER))
+         END AS q
+  FROM emb
+),
+norms AS (
+  SELECT vec_id, list_sum(list_transform(q, x -> CAST(x AS BIGINT) * CAST(x AS BIGINT))) AS nq
+  FROM qz
+),
+docs AS (SELECT a2.vec_id, a2.cluster, qz.q FROM a2 JOIN qz USING (vec_id)),
+dominated AS (
+  SELECT DISTINCT b.vec_id
+  FROM docs a JOIN docs b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  JOIN norms na ON na.vec_id = a.vec_id
+  JOIN norms nb ON nb.vec_id = b.vec_id
+  WHERE na.nq > 0 AND nb.nq > 0
+    AND floor(
+          CAST(list_sum(list_transform(list_zip(a.q, b.q), x -> CAST(x[1] AS BIGINT) * CAST(x[2] AS BIGINT))) AS DOUBLE)
+          / sqrt(CAST(na.nq * nb.nq AS DOUBLE)) * 1000000 + 0.5
+        ) >= 300000
+)
+SELECT d.vec_id, CAST(d.cluster AS INT) AS cluster,
+       CAST(CASE WHEN dom.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS kept
+FROM docs d LEFT JOIN dominated dom USING (vec_id)
+"""
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-3 TF-IDF terms over the documents corpus
     (operators/text.py tfidf_top_terms): tf shuffle + broadcast of the
@@ -2974,6 +3058,7 @@ QUERIES = {
     "pagerank_dangling": q_pagerank_dangling,
     "wikidata_scan_chain": q_wikidata_scan_chain,
     "kmeans_2iter": q_kmeans_2iter,
+    "semantic_dedup": q_semantic_dedup,
     "quantized_topk": q_quantized_topk,
     "phrase_search_docs": q_phrase_search,
     "bm25_topk": q_bm25_topk,
@@ -3063,6 +3148,7 @@ ORACLE_SQL = {
     "pagerank_dangling": PAGERANK_DANGLING_SQL,
     "wikidata_scan_chain": WIKIDATA_SCAN_SQL,
     "kmeans_2iter": KMEANS_SQL,
+    "semantic_dedup": SEMANTIC_DEDUP_SQL,
     "quantized_topk": QUANTIZED_TOPK_SQL,
     "phrase_search_docs": PHRASE_SEARCH_SQL,
     "bm25_topk": BM25_SQL,

@@ -469,3 +469,84 @@ def exact_dedup_keep_best(
         .filter(F.col("__rk") == 1)
         .drop("__norm", "__rk")
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    k: int = 8,
+    iterations: int = 2,
+    threshold_x1e6: int = 950000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, arXiv
+    2303.09540): k-means routes embeddings into clusters, then a document
+    is DROPPED iff some EARLIER (lower-id) document in the SAME cluster has
+    quantized cosine >= threshold. Returns (id_col, cluster, kept bool) for
+    every input row.
+
+    The dominated-by-earlier rule replaces SemDeDup's per-cluster greedy
+    sweep with a set-oriented equivalent: one within-cluster self-join plus
+    an anti-join, no iteration, deterministic under any execution order.
+    Like the paper's variant it keeps exactly the earliest member of every
+    "similar to something before me" chain; near-dups that k-means split
+    across clusters are not compared (the paper's documented recall
+    trade-off — cluster count is the recall/cost knob).
+
+    Scale shape (10^11 docs): assignment is map-only (centroids broadcast
+    as literals, clustering.assign_clusters); the self-join shuffles on
+    `cluster`, so production k must scale with n (SemDeDup uses ~n/10^4
+    clusters) to keep per-cluster pair counts bounded and the join key
+    high-cardinality — the default k=8 here is sized for the test corpus,
+    not for production. Int8 codes move 4x fewer bytes through the pair
+    join than raw doubles, and the score is exact integer arithmetic
+    (similarity.quantized_cosine), so the DuckDB oracle replays it
+    bit-identically with no float-hash hazard.
+
+    Pass `centroids` (as returned by clustering.kmeans) to reuse a trained
+    codebook; then assignment runs map-only against those centroids and no
+    k-means rounds execute here.
+    """
+    from .clustering import assign_clusters, kmeans
+    from .similarity import quantize_vectors, quantized_cosine
+
+    if centroids is None:
+        # kmeans' last-round assignment is the contract (the oracle's a2);
+        # it only carries (id, cluster), so quantized codes join back on id.
+        assigned, _cents = kmeans(
+            corpus, k=k, iterations=iterations, id_col=id_col, vec_col=vec_col
+        )
+        qz = quantize_vectors(corpus.select(id_col, vec_col), vec_col).select(
+            id_col, "qvec"
+        )
+        docs = assigned.join(qz, id_col)
+    else:
+        # trained codebook: assignment is map-only and keeps the vector, so
+        # quantize in the same stage — zero shuffles before the pair join
+        docs = quantize_vectors(
+            assign_clusters(corpus, centroids, id_col, vec_col), vec_col
+        ).select(id_col, "cluster", "qvec")
+    a = docs.select(
+        F.col(id_col).alias("__a_id"), "cluster", F.col("qvec").alias("__aq")
+    )
+    b = docs.select(
+        F.col(id_col).alias("__b_id"), "cluster", F.col("qvec").alias("__bq")
+    )
+    dominated = (
+        a.join(b, "cluster")
+        .filter(F.col("__a_id") < F.col("__b_id"))
+        .filter(
+            F.floor(
+                quantized_cosine(F.col("__aq"), F.col("__bq")) * 1000000 + F.lit(0.5)
+            )
+            >= F.lit(int(threshold_x1e6))
+        )
+        .select(F.col("__b_id").alias(id_col))
+        .distinct()
+        .withColumn("__dom", F.lit(1))
+    )
+    return (
+        docs.join(dominated, id_col, "left")
+        .select(id_col, "cluster", F.col("__dom").isNull().alias("kept"))
+    )

@@ -418,6 +418,27 @@ def quantize_vectors(
     return df.withColumn(out_col, q).withColumn("scale", maxabs / 127.0)
 
 
+def int_dot(a, b):
+    """Exact integer dot product of two int arrays as a LONG column."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def quantized_cosine(a, b):
+    """Cosine over int8 code arrays: integer dots/norms, one double division
+    and sqrt of exactly-representable longs (int8 dots fit well under 2^53)
+    — bit-identical across engines under any execution order. NULL when
+    either norm is zero (a zero vector has no direction)."""
+    na, nb = int_dot(a, a), int_dot(b, b)
+    return F.when(
+        (na > 0) & (nb > 0),
+        int_dot(a, b).cast("double") / F.sqrt((na * nb).cast("double")),
+    )
+
+
 def quantized_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -438,24 +459,10 @@ def quantized_topk(
         queries.select(query_id_col, vec_col), vec_col
     ).select(query_id_col, F.col("qvec").alias("qq"))
 
-    def idot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x * y).cast("long")),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-
     sims = c.crossJoin(F.broadcast(q)).select(
         query_id_col,
         id_col,
-        (
-            idot(F.col("cq"), F.col("qq")).cast("double")
-            / F.sqrt(
-                (idot(F.col("cq"), F.col("cq")) * idot(F.col("qq"), F.col("qq"))).cast(
-                    "double"
-                )
-            )
-        ).alias("qcos"),
+        quantized_cosine(F.col("cq"), F.col("qq")).alias("qcos"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("qcos"), F.asc(id_col))
     return (

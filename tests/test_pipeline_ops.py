@@ -327,6 +327,41 @@ def test_kmeans_drops_empty_cluster(spark):
     assert len(clusters) == len([c for c, _ in cents]) == 2
 
 
+def test_semantic_dedup_drops_later_near_dup(spark):
+    """Two tight embedding groups; within each cluster only the earliest
+    member of a >=threshold chain survives; the cross-cluster pair (0, 1)
+    is never compared even though their cosine is computed against the same
+    rule — the SemDeDup recall trade-off, pinned here."""
+    from chronographer_spark.operators.dedup import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0]), (1, [0.0, 1.0]),          # seeds of the 2 clusters
+        (2, [0.99, 0.05]),                          # near-dup of 0 -> dropped
+        (3, [0.05, 0.99]),                          # near-dup of 1 -> dropped
+        (4, [0.6, 0.8]),                            # cluster 1, below thr vs 1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    r = semantic_dedup(df, k=2, iterations=1, threshold_x1e6=950000)
+    got = {row["vec_id"]: (row["cluster"], row["kept"]) for row in r.collect()}
+    assert got[0][1] and got[1][1]                  # earliest members kept
+    assert not got[2][1] and not got[3][1]          # dominated by earlier
+    assert got[4][1]                                # same cluster, below thr
+    assert got[2][0] == got[0][0] and got[3][0] == got[1][0] == got[4][0]
+
+
+def test_semantic_dedup_trained_centroids_skip_kmeans(spark):
+    """Passing a trained codebook must route assignment map-only against
+    those centroids and produce the same drops as an equivalent fit."""
+    from chronographer_spark.operators.dedup import semantic_dedup
+
+    rows = [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.98, 0.1])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    r = semantic_dedup(df, threshold_x1e6=950000, centroids=cents)
+    got = {row["vec_id"]: (row["cluster"], row["kept"]) for row in r.collect()}
+    assert got == {0: (0, True), 1: (1, True), 2: (0, False)}
+
+
 def test_tfidf_hand_computed(spark):
     """3 docs; 'apple' is in all (low idf), 'kiwi' only in one (high idf)."""
     import math
