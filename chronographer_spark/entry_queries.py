@@ -2608,6 +2608,72 @@ FROM regs
 """
 
 
+# ---------------------------------------------------------------------------
+# Count-Min sketch heavy hitters (portable md5 rows — oracle replays the
+# estimates, including collision overestimates, exactly)
+# ---------------------------------------------------------------------------
+
+
+def q_cms_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent word-bigrams of the documents corpus via a Count-Min sketch
+    (depth 4 × width 256): vocabulary heavy-hitter discovery, the sketch the
+    reference's exact counters (SURVEY.md §2.4) would become at 100 TB.
+
+    ~960 distinct bigrams over 256 counters per row force real collisions, so
+    the output is the sketch's one-sided estimate (never under, sometimes
+    over) — the oracle replays the identical integer estimates."""
+    from .operators.sketches import cms_heavy_hitters
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != F.lit(""))
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(2), F.size(toks)),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i - 1), F.element_at(toks, i)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = docs.select(F.explode(bigrams).alias("bigram"))
+    out = cms_heavy_hitters(grams, "bigram", threshold=100, depth=4, width=256)
+    return out.select("bigram", F.col("est").cast("long").alias("est_count"))
+
+
+CMS_HEAVY_SQL = """
+WITH toks AS (
+  SELECT list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+  FROM documents
+),
+grams AS (
+  SELECT unnest(list_transform(range(2, len(ts) + 1),
+                               i -> ts[i-1] || ' ' || ts[i])) AS bigram
+  FROM toks WHERE len(ts) >= 2
+),
+fanned AS (SELECT bigram, unnest(range(0, 4)) AS d FROM grams),
+sk AS (
+  SELECT d,
+    CAST(concat('0x', substr(md5(CAST(d AS VARCHAR) || ':' || bigram), 1, 8))
+         AS BIGINT) % 256 AS bucket,
+    count(*) AS cnt
+  FROM fanned GROUP BY 1, 2
+),
+cand AS (SELECT DISTINCT bigram FROM grams),
+probes AS (
+  SELECT bigram, d,
+    CAST(concat('0x', substr(md5(CAST(d AS VARCHAR) || ':' || bigram), 1, 8))
+         AS BIGINT) % 256 AS bucket
+  FROM (SELECT bigram, unnest(range(0, 4)) AS d FROM cand)
+),
+est AS (
+  SELECT p.bigram, min(sk.cnt) AS est
+  FROM probes p JOIN sk ON p.d = sk.d AND p.bucket = sk.bucket
+  GROUP BY p.bigram
+)
+SELECT bigram, CAST(est AS BIGINT) AS est_count FROM est WHERE est >= 100
+"""
+
+
 def q_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank with dangling-mass redistribution, 2 iterations, over the
     same order->customer->nation edge graph as `pagerank_2iter`. Nation
@@ -3107,6 +3173,7 @@ QUERIES = {
     "simhash_candidates": q_simhash_candidates,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "hll_distinct_users": q_hll_distinct_users,
+    "cms_heavy_tokens": q_cms_heavy_tokens,
     "rollup_orders": q_rollup_orders,
     "pivot_event_counts": q_pivot_event_counts,
     "quantiles_by_type": q_quantiles_by_type,
@@ -3194,6 +3261,7 @@ ORACLE_SQL = {
     "simhash_candidates": SIMHASH_CANDIDATES_SQL,
     "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
     "hll_distinct_users": HLL_SQL,
+    "cms_heavy_tokens": CMS_HEAVY_SQL,
     "rollup_orders": ROLLUP_SQL,
     "pivot_event_counts": PIVOT_SQL,
     "quantiles_by_type": QUANTILES_SQL,

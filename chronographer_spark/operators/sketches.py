@@ -1,4 +1,4 @@
-"""Approximate-distinct sketch (HyperLogLog) built from relational ops.
+"""Approximate sketches (HyperLogLog, Count-Min) built from relational ops.
 
 The reference uses only exact counts (SURVEY.md §2.4: "no approximate
 aggregates"); at 100TB a distinct-count over a high-cardinality column
@@ -80,3 +80,113 @@ def hll_merge(*register_tables: DataFrame) -> DataFrame:
     for t in register_tables[1:]:
         merged = merged.unionByName(t)
     return merged.groupBy("bucket").agg(F.max("rho").alias("rho"))
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005) — frequency estimation /
+# heavy hitters in depth × width integers, regardless of input size.
+#
+# Same portability discipline as the HLL above: every hash is the first 8 hex
+# chars of md5("<row>:<item>"), every count is a BIGINT, the estimate is an
+# integer min — the DuckDB oracle replays estimates (including the sketch's
+# characteristic collision OVERestimates) bit-for-bit, no float anywhere.
+#
+# Scale shape:
+# - build: one fan-out of `depth` (explode of a literal array — NOT a UNION of
+#   depth selects, which would re-execute the input subtree per row; CLAUDE.md
+#   round-2 fact) then ONE groupBy(d, bucket) with map-side partial
+#   aggregation, so the exchange carries ≤ depth·width rows per map partition
+#   no matter how many items went in.
+# - the sketch table is ≤ depth·width rows: lookups broadcast it, merges of
+#   per-day/per-shard sketches are a groupBy-sum over tiny tables.
+# - heavy hitters: estimates need a CANDIDATE set; `distinct()` is the
+#   exact/verifiable default used by the gate. At 100 TB, feed `candidates`
+#   from a cheap pre-pass instead (per-partition local top-k, or a sampled
+#   distinct) — the CMS guarantee (no underestimates) means a candidate
+#   superset never loses a true heavy hitter, it only costs extra lookups.
+# ---------------------------------------------------------------------------
+
+
+def _cms_bucket(item_col, d_col, width: int):
+    """Row-d bucket for an item: md5-32("d:item") mod width (non-negative in
+    both engines: the 32-bit slice is unsigned)."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", d_col.cast("string"), item_col.cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return F.pmod(h, F.lit(width))
+
+
+def cms_table(
+    df: DataFrame, col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """(d, bucket, cnt) sketch table over the values of `col`.
+
+    `depth` independent hash rows of `width` counters each; estimate error is
+    ≤ 2N/width with probability 1 − (1/2)^depth over the md5 hash family."""
+    fanned = df.select(
+        F.col(col).alias("__item"),
+        F.explode(F.array(*[F.lit(d) for d in range(depth)])).alias("d"),
+    )
+    return (
+        fanned.select("d", _cms_bucket(F.col("__item"), F.col("d"), width).alias("bucket"))
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_lookup(
+    sketch: DataFrame,
+    candidates: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Attach `est` = min over hash rows of the counter each candidate maps
+    to. The sketch (≤ depth·width rows) is broadcast; missing buckets count
+    as 0 (cannot happen for items that were fed to `cms_table`, but keeps
+    lookups of unseen items correct)."""
+    from pyspark.sql.functions import broadcast
+
+    probes = candidates.select(
+        F.col(col),
+        F.explode(F.array(*[F.lit(d) for d in range(depth)])).alias("d"),
+    ).withColumn("bucket", _cms_bucket(F.col(col), F.col("d"), width))
+    return (
+        probes.join(broadcast(sketch), ["d", "bucket"], "left")
+        .groupBy(col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge sketches built with the same (depth, width): union + sum."""
+    merged = sketches[0]
+    for t in sketches[1:]:
+        merged = merged.unionByName(t)
+    return merged.groupBy("d", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    col: str,
+    threshold: int,
+    depth: int = 4,
+    width: int = 256,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Items whose CMS-estimated frequency is ≥ threshold, with the estimate.
+
+    No false negatives (CMS never underestimates); collisions can promote
+    near-threshold items — the classic one-sided guarantee. `candidates`
+    defaults to `df[col].distinct()` (see module scale note)."""
+    sketch = cms_table(df, col, depth, width)
+    cand = candidates if candidates is not None else df.select(col).distinct()
+    return cms_lookup(sketch, cand, col, depth, width).where(
+        F.col("est") >= F.lit(int(threshold))
+    )

@@ -30,6 +30,67 @@ def test_hll_estimate_accuracy_and_merge(spark):
     assert est_merged == est
 
 
+def test_cms_never_underestimates_and_merges(spark):
+    """Count-Min invariants: (a) est >= exact for EVERY item (one-sided
+    error); (b) sketch(a) ⊕ sketch(b) == sketch(a ∪ b) counter-for-counter;
+    (c) an item never fed to the sketch can still overestimate but only via
+    collisions — with a width far above the cardinality it reads 0."""
+    from chronographer_spark.operators.sketches import (
+        cms_lookup,
+        cms_merge,
+        cms_table,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    sk = cms_table(ev, "event_type", depth=4, width=64)
+    cand = ev.select("event_type").distinct()
+    est = {
+        r["event_type"]: r["est"]
+        for r in cms_lookup(sk, cand, "event_type", depth=4, width=64).collect()
+    }
+    assert set(est) == set(exact)
+    for k, n in exact.items():
+        assert est[k] >= n, (k, est[k], n)
+
+    a = ev.filter(F.col("event_id") % 2 == 0)
+    b = ev.filter(F.col("event_id") % 2 == 1)
+    merged = cms_merge(
+        cms_table(a, "event_type", 4, 64), cms_table(b, "event_type", 4, 64)
+    )
+    whole = {(r["d"], r["bucket"]): r["cnt"] for r in sk.collect()}
+    halves = {(r["d"], r["bucket"]): r["cnt"] for r in merged.collect()}
+    assert whole == halves
+
+    unseen = spark.createDataFrame([("never-seen-item-xyz",)], ["event_type"])
+    wide = cms_table(ev, "event_type", depth=4, width=4096)
+    z = cms_lookup(wide, unseen, "event_type", depth=4, width=4096).first()["est"]
+    assert z == 0
+
+
+def test_cms_heavy_hitters_one_sided(spark):
+    """Every item whose TRUE frequency >= threshold appears in the output
+    (no false negatives), and every reported estimate >= its true count."""
+    from chronographer_spark.operators.sketches import cms_heavy_hitters
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    exact = {
+        r["user_id"]: r["n"]
+        for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    thr = 50
+    out = {
+        r["user_id"]: r["est"]
+        for r in cms_heavy_hitters(ev, "user_id", thr, depth=4, width=128).collect()
+    }
+    for k, n in exact.items():
+        if n >= thr:
+            assert k in out and out[k] >= n, (k, n, out.get(k))
+
+
 def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     """Two tables bucketed on the join key with equal bucket counts join
     with zero ShuffleExchange operators in the executed plan."""
