@@ -2966,6 +2966,80 @@ FROM docs d LEFT JOIN dominated dom USING (vec_id)
 """
 
 
+def q_cluster_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced curation sample (operators/sampling.py
+    cluster_quota_sample): k-means topic buckets (k=4, 2 rounds — same
+    deterministic recipe as kmeans_2iter), then the 25 highest-quality
+    documents of EACH cluster by (n_chars desc, doc_id asc). The engine runs
+    the salted two-phase top-n (skew-proof for tiny k); the oracle replays
+    the plain per-cluster window — provably the same rows under the total
+    order."""
+    from .operators.clustering import kmeans
+    from .operators.sampling import cluster_quota_sample
+
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), F.col("n_chars").alias("quality")
+    )
+    assigned, _ = kmeans(emb, k=4, iterations=2)
+    out = cluster_quota_sample(assigned, docs, quota=25)
+    return out.select(
+        "vec_id",
+        F.col("cluster").cast("int").alias("cluster"),
+        F.col("quality").cast("long").alias("n_chars"),
+        F.col("rk").cast("int").alias("rk"),
+    )
+
+
+CLUSTER_QUOTA_SQL = """
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, v
+  FROM (SELECT * FROM emb ORDER BY vec_id LIMIT 4)
+),
+a1 AS (
+  SELECT vec_id, cluster FROM (
+    SELECT e.vec_id, c.cid AS cluster,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_sum(list_transform(list_zip(e.v, c.v), x -> (x[1]-x[2])*(x[1]-x[2]))), c.cid
+           ) AS rn
+    FROM emb e CROSS JOIN c0 c
+  ) WHERE rn = 1
+),
+u1 AS (
+  SELECT a.cluster, d.i, floor(avg(e.v[d.i]) * 1000000 + 0.5) / 1000000 AS x
+  FROM a1 a JOIN emb e USING (vec_id)
+  CROSS JOIN (SELECT unnest(range(1, 65)) AS i) d
+  GROUP BY a.cluster, d.i
+),
+c1 AS (
+  SELECT CAST(cluster AS INTEGER) AS cid, list(x ORDER BY i) AS v
+  FROM u1 GROUP BY cluster
+),
+a2 AS (
+  SELECT vec_id, cluster FROM (
+    SELECT e.vec_id, c.cid AS cluster,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_sum(list_transform(list_zip(e.v, c.v), x -> (x[1]-x[2])*(x[1]-x[2]))), c.cid
+           ) AS rn
+    FROM emb e CROSS JOIN c1 c
+  ) WHERE rn = 1
+),
+ranked AS (
+  SELECT a2.vec_id, a2.cluster, d.n_chars,
+         row_number() OVER (
+           PARTITION BY a2.cluster ORDER BY d.n_chars DESC, a2.vec_id ASC
+         ) AS rk
+  FROM a2 JOIN documents d ON d.doc_id = a2.vec_id
+)
+SELECT vec_id, CAST(cluster AS INT) AS cluster,
+       CAST(n_chars AS BIGINT) AS n_chars, CAST(rk AS INT) AS rk
+FROM ranked WHERE rk <= 25
+"""
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-3 TF-IDF terms over the documents corpus
     (operators/text.py tfidf_top_terms): tf shuffle + broadcast of the
@@ -3125,6 +3199,7 @@ QUERIES = {
     "wikidata_scan_chain": q_wikidata_scan_chain,
     "kmeans_2iter": q_kmeans_2iter,
     "semantic_dedup": q_semantic_dedup,
+    "cluster_quota_sample": q_cluster_quota_sample,
     "quantized_topk": q_quantized_topk,
     "phrase_search_docs": q_phrase_search,
     "bm25_topk": q_bm25_topk,
@@ -3216,6 +3291,7 @@ ORACLE_SQL = {
     "wikidata_scan_chain": WIKIDATA_SCAN_SQL,
     "kmeans_2iter": KMEANS_SQL,
     "semantic_dedup": SEMANTIC_DEDUP_SQL,
+    "cluster_quota_sample": CLUSTER_QUOTA_SQL,
     "quantized_topk": QUANTIZED_TOPK_SQL,
     "phrase_search_docs": PHRASE_SEARCH_SQL,
     "bm25_topk": BM25_SQL,

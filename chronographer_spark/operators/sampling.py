@@ -33,3 +33,73 @@ def deterministic_pick_per_group(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def top_n_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list,
+    n: int,
+    salt_key: str | None = None,
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Top-n rows per group under a TOTAL order, skew-proof for few groups.
+
+    A plain `row_number() over (partition by group)` sends every row of a
+    group through ONE reducer — with k-means-sized group counts (k=4..1024)
+    over a 100 TB corpus that serializes the whole job into k tasks. When
+    `salt_key` is given, a first window over (group, salt) — salt =
+    pmod(xxhash64(salt_key), salt_buckets), so k·salt_buckets parallel
+    partitions — prunes each group to ≤ n·salt_buckets survivors before the
+    final per-group window, which therefore only ever sees bounded input.
+
+    Provably identical to the unsalted window when `order_cols` is a total
+    order (pass a unique id as the last key): every global top-n row ranks
+    ≤ n within its salt subgroup too (ranks only shrink on subsets), so
+    phase 1 never drops a winner; phase 2 then applies the exact global
+    semantics. The salt choice cannot affect the result — only the plan.
+    """
+    out_cols = df.columns
+    final_w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    if salt_key is not None:
+        pre_w = Window.partitionBy(
+            *group_cols, F.pmod(F.xxhash64(F.col(salt_key)), F.lit(salt_buckets))
+        ).orderBy(*order_cols)
+        df = (
+            df.withColumn("__prn", F.row_number().over(pre_w))
+            .filter(F.col("__prn") <= n)
+            .drop("__prn")
+        )
+    return (
+        df.withColumn("rk", F.row_number().over(final_w))
+        .filter(F.col("rk") <= n)
+        .select(*out_cols, "rk")
+    )
+
+
+def cluster_quota_sample(
+    assigned: DataFrame,
+    quality: DataFrame,
+    quota: int,
+    id_col: str = "vec_id",
+    quality_col: str = "quality",
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Cluster-balanced curation sample: the `quota` best rows of each
+    semantic cluster, by (quality desc, id asc).
+
+    The curation shape behind "diverse pretraining mix" pipelines: a global
+    top-N keeps only the dominant topic; a per-cluster quota keeps the best
+    of EVERY topic bucket. `assigned` is (id, cluster) — typically
+    clustering.kmeans output; `quality` is (id, quality_col). Built on the
+    salted two-phase top-n above, so a tiny k never serializes the corpus.
+    """
+    joined = assigned.join(quality, id_col)
+    return top_n_per_group(
+        joined,
+        ["cluster"],
+        [F.col(quality_col).desc(), F.col(id_col).asc()],
+        quota,
+        salt_key=id_col,
+        salt_buckets=salt_buckets,
+    )

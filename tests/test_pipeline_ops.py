@@ -527,3 +527,56 @@ def test_ivf_with_kmeans_trained_centroids(spark):
         by_q.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"]))
     for qid, rows in by_q.items():
         assert min(rows)[1] == qid  # rank-1 is the query itself
+
+
+def test_top_n_per_group_salted_equals_plain(spark):
+    """The salted two-phase top-n returns EXACTLY the plain-window rows for
+    any salt_buckets (the salt may only change the plan, never the result),
+    and the salted plan carries the extra pruning Window."""
+    from chronographer_spark.operators.sampling import top_n_per_group
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    order = [F.col("ts").desc(), F.col("event_id").asc()]
+    plain = top_n_per_group(ev, ["event_type"], order, 7)
+    rows_plain = sorted(map(tuple, plain.select("event_id", "rk").collect()))
+    for buckets in (2, 32):
+        salted = top_n_per_group(
+            ev, ["event_type"], order, 7, salt_key="event_id", salt_buckets=buckets
+        )
+        assert sorted(map(tuple, salted.select("event_id", "rk").collect())) == rows_plain
+    n_windows = str(
+        top_n_per_group(
+            ev, ["event_type"], order, 7, salt_key="event_id"
+        )._jdf.queryExecution().executedPlan()
+    ).count("Window")
+    assert n_windows >= 2
+
+
+def test_cluster_quota_sample_fills_quota_per_cluster(spark):
+    """Every cluster yields exactly min(quota, cluster size) rows, ranks are
+    1..quota, and the kept rows are the cluster's quality maxima."""
+    from chronographer_spark.operators.clustering import kmeans
+    from chronographer_spark.operators.sampling import cluster_quota_sample
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(F.col("doc_id").alias("vec_id"), F.col("n_chars").alias("quality"))
+    )
+    assigned, _ = kmeans(emb, k=4, iterations=2)
+    out = cluster_quota_sample(assigned, docs, quota=10).collect()
+    sizes = {r["cluster"]: r["n"] for r in assigned.groupBy("cluster").agg(F.count("*").alias("n")).collect()}
+    per = {}
+    for r in out:
+        per.setdefault(r["cluster"], []).append(r)
+    assert set(per) == set(sizes)
+    full = {r["vec_id"]: r for r in assigned.join(docs, "vec_id").collect()}
+    for cid, rows in per.items():
+        assert len(rows) == min(10, sizes[cid])
+        assert sorted(r["rk"] for r in rows) == list(range(1, len(rows) + 1))
+        kept_q = min(r["quality"] for r in rows)
+        dropped = [
+            r for v, r in full.items()
+            if r["cluster"] == cid and v not in {x["vec_id"] for x in rows}
+        ]
+        assert all(r["quality"] <= kept_q for r in dropped)
