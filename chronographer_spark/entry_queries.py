@@ -2674,6 +2674,86 @@ SELECT bigram, CAST(est AS BIGINT) AS est_count FROM est WHERE est >= 100
 """
 
 
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination pre-pass (operators/sketches.py
+    bloom_build/bloom_maybe_contains): eval docs (doc_id % 10 == 0) set an
+    m=65536-bit filter over their word bigrams; every training doc then
+    counts how many of its bigrams the filter CANNOT rule out. n_maybe is
+    one-sided: a bigram truly shared with the eval set always counts, plus
+    the filter's replayable false positives; n_grams − n_maybe bigrams are
+    PROVEN eval-free with no shuffle of the training corpus (the filter
+    broadcasts — the shape that beats a shingle equi-join at 100 TB)."""
+    from .operators.sketches import bloom_build, bloom_maybe_contains
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != F.lit(""))
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(2), F.size(toks)),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i - 1), F.element_at(toks, i)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = docs.select(
+        "doc_id", F.explode(bigrams).alias("bigram")
+    ).distinct()
+    ev = grams.filter(F.col("doc_id") % 10 == 0).select("bigram")
+    train = grams.filter(F.col("doc_id") % 10 != 0)
+    bloom = bloom_build(ev, "bigram", m_bits=65536, k_hashes=3)
+    maybe = bloom_maybe_contains(
+        bloom, train.select("bigram").distinct(), "bigram", m_bits=65536, k_hashes=3
+    )
+    return (
+        train.join(maybe, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("maybe").cast("long").alias("n_maybe"),
+        )
+        .select("doc_id", F.col("n_grams").cast("long").alias("n_grams"), "n_maybe")
+    )
+
+
+BLOOM_DECONTAMINATE_SQL = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(2, len(ts) + 1),
+                               i -> ts[i-1] || ' ' || ts[i])) AS bigram
+  FROM toks WHERE len(ts) >= 2
+),
+ev AS (SELECT DISTINCT bigram FROM grams WHERE doc_id % 10 = 0),
+bits AS (
+  SELECT DISTINCT
+    CAST(concat('0x', substr(md5(CAST(j AS VARCHAR) || ':' || bigram), 1, 8))
+         AS BIGINT) % 65536 AS bit
+  FROM (SELECT bigram, unnest(range(0, 3)) AS j FROM ev)
+),
+cand AS (SELECT DISTINCT bigram FROM grams WHERE doc_id % 10 <> 0),
+probes AS (
+  SELECT bigram, j,
+    CAST(concat('0x', substr(md5(CAST(j AS VARCHAR) || ':' || bigram), 1, 8))
+         AS BIGINT) % 65536 AS bit
+  FROM (SELECT bigram, unnest(range(0, 3)) AS j FROM cand)
+),
+maybe AS (
+  SELECT bigram, CASE WHEN count(b.bit) = 3 THEN 1 ELSE 0 END AS maybe
+  FROM probes p LEFT JOIN bits b USING (bit)
+  GROUP BY bigram
+)
+SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(m.maybe) AS BIGINT) AS n_maybe
+FROM grams g JOIN maybe m USING (bigram)
+WHERE g.doc_id % 10 <> 0
+GROUP BY g.doc_id
+"""
+
+
 def q_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank with dangling-mass redistribution, 2 iterations, over the
     same order->customer->nation edge graph as `pagerank_2iter`. Nation
@@ -3249,6 +3329,7 @@ QUERIES = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "hll_distinct_users": q_hll_distinct_users,
     "cms_heavy_tokens": q_cms_heavy_tokens,
+    "bloom_decontaminate": q_bloom_decontaminate,
     "rollup_orders": q_rollup_orders,
     "pivot_event_counts": q_pivot_event_counts,
     "quantiles_by_type": q_quantiles_by_type,
@@ -3338,6 +3419,7 @@ ORACLE_SQL = {
     "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
     "hll_distinct_users": HLL_SQL,
     "cms_heavy_tokens": CMS_HEAVY_SQL,
+    "bloom_decontaminate": BLOOM_DECONTAMINATE_SQL,
     "rollup_orders": ROLLUP_SQL,
     "pivot_event_counts": PIVOT_SQL,
     "quantiles_by_type": QUANTILES_SQL,

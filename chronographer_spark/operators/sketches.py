@@ -190,3 +190,90 @@ def cms_heavy_hitters(
     return cms_lookup(sketch, cand, col, depth, width).where(
         F.col("est") >= F.lit(int(threshold))
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (Bloom 1970) — set membership in m bits, one-sided error.
+#
+# The scale shape behind train/test decontamination at 100 TB: the eval-set
+# n-grams become a bit-position table of ≤ m rows, which BROADCASTS to every
+# executor; the (huge) training corpus is then filtered map-side — no shuffle
+# of the training side at all, versus dedup.cross_corpus_contamination's
+# shingle equi-join which shuffles both corpora. False positives only (no
+# member ever misses), so a Bloom pre-pass before the exact join is sound:
+# it can only pass through extra candidates, never drop a real hit.
+#
+# Portability: bit positions are md5("j:item") mod m (same discipline as the
+# CMS above), the filter is a DataFrame of distinct set positions — DuckDB
+# replays membership answers INCLUDING the characteristic false positives
+# bit-for-bit, and merging per-shard filters is a union-distinct.
+# ---------------------------------------------------------------------------
+
+
+def _bloom_bit(item_col, j_col, m_bits: int):
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", j_col.cast("string"), item_col.cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return F.pmod(h, F.lit(m_bits))
+
+
+def bloom_build(
+    df: DataFrame, col: str, m_bits: int = 8192, k_hashes: int = 3
+) -> DataFrame:
+    """Build the filter: the DISTINCT bit positions set by the values of
+    `col` — a (bit BIGINT) table of ≤ m_bits rows.
+
+    One explode of `k_hashes` literals (not a UNION of k selects — the
+    round-2 re-execution trap) then one distinct whose map-side partial
+    dedup bounds the exchange at m_bits rows per partition."""
+    fanned = df.select(
+        F.col(col).alias("__item"),
+        F.explode(F.array(*[F.lit(j) for j in range(k_hashes)])).alias("j"),
+    )
+    return fanned.select(
+        _bloom_bit(F.col("__item"), F.col("j"), m_bits).alias("bit")
+    ).distinct()
+
+
+def bloom_maybe_contains(
+    bloom: DataFrame,
+    candidates: DataFrame,
+    col: str,
+    m_bits: int = 8192,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Attach `maybe` = 1 iff ALL k probe bits of the candidate are set.
+
+    `maybe = 0` is definitive absence; `maybe = 1` is membership up to the
+    false-positive rate (~(1 - e^(-kn/m))^k). The filter broadcasts."""
+    from pyspark.sql.functions import broadcast
+
+    probes = candidates.select(
+        F.col(col),
+        F.explode(F.array(*[F.lit(j) for j in range(k_hashes)])).alias("j"),
+    ).withColumn("bit", _bloom_bit(F.col(col), F.col("j"), m_bits))
+    hit = F.when(F.col("bit_set").isNotNull(), F.lit(1)).otherwise(F.lit(0))
+    return (
+        probes.join(
+            broadcast(bloom.select(F.col("bit").alias("bit_set"))),
+            probes["bit"] == F.col("bit_set"),
+            "left",
+        )
+        .select(F.col(col), hit.alias("hit"))
+        .groupBy(col)
+        .agg(F.min("hit").alias("maybe"))
+    )
+
+
+def bloom_merge(*blooms: DataFrame) -> DataFrame:
+    """Merge filters built with the same (m_bits, k_hashes): union-distinct."""
+    merged = blooms[0]
+    for t in blooms[1:]:
+        merged = merged.unionByName(t)
+    return merged.distinct()

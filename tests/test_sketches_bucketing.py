@@ -91,6 +91,48 @@ def test_cms_heavy_hitters_one_sided(spark):
             assert k in out and out[k] >= n, (k, n, out.get(k))
 
 
+def test_bloom_one_sided_membership_and_merge(spark):
+    """Bloom invariants: (a) every member answers maybe=1 (NO false
+    negatives, the decontamination soundness guarantee); (b) maybe=0 items
+    are genuinely absent; (c) bloom(a) merge bloom(b) equals bloom(a UNION b)
+    bit-for-bit; (d) with a tiny filter, false positives appear — the
+    one-sided error is real, not a degenerate always-0."""
+    from chronographer_spark.operators.sketches import (
+        bloom_build,
+        bloom_maybe_contains,
+        bloom_merge,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    members = ev.filter(F.col("user_id") % 3 == 0).select("user_id").distinct()
+    others = ev.filter(F.col("user_id") % 3 != 0).select("user_id").distinct()
+    member_set = {r["user_id"] for r in members.collect()}
+
+    bloom = bloom_build(members, "user_id", m_bits=4096, k_hashes=3)
+    ans = {
+        r["user_id"]: r["maybe"]
+        for r in bloom_maybe_contains(
+            bloom, members.unionByName(others), "user_id", 4096, 3
+        ).collect()
+    }
+    for uid, maybe in ans.items():
+        if uid in member_set:
+            assert maybe == 1, uid
+        elif maybe == 0:
+            assert uid not in member_set
+
+    a = members.filter(F.col("user_id") % 2 == 0)
+    b = members.filter(F.col("user_id") % 2 == 1)
+    merged = bloom_merge(
+        bloom_build(a, "user_id", 4096, 3), bloom_build(b, "user_id", 4096, 3)
+    )
+    assert {r["bit"] for r in merged.collect()} == {r["bit"] for r in bloom.collect()}
+
+    tiny = bloom_build(members, "user_id", m_bits=64, k_hashes=2)
+    fp = bloom_maybe_contains(tiny, others, "user_id", 64, 2)
+    assert fp.agg(F.sum("maybe")).first()[0] > 0
+
+
 def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     """Two tables bucketed on the join key with equal bucket counts join
     with zero ShuffleExchange operators in the executed plan."""
