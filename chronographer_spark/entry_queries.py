@@ -2674,6 +2674,35 @@ SELECT bigram, CAST(est AS BIGINT) AS est_count FROM est WHERE est >= 100
 """
 
 
+def q_domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain reweighting (operators/sampling.py
+    domain_mix_sample): keep all of the curated sources (src0-4), half of
+    the mid tier (src5-9), 10% of everything else — membership a pure
+    md5(seed:doc_id) function, so the mix is stable under repartitioning
+    and replayable by the oracle row-for-row. Map-only, zero shuffles."""
+    from .operators.sampling import domain_mix_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    rates = {f"src{i}": 1000000 for i in range(5)}
+    rates.update({f"src{i}": 500000 for i in range(5, 10)})
+    out = domain_mix_sample(
+        docs, "source", rates, key="doc_id", default_rate_x1e6=100000
+    )
+    return out.select("doc_id", "source")
+
+
+DOMAIN_MIX_SQL = """
+SELECT doc_id, source FROM documents
+WHERE CAST(concat('0x', substr(md5('23:' || CAST(doc_id AS VARCHAR)), 1, 8))
+           AS BIGINT) % 1000000
+      < CASE
+          WHEN source IN ('src0','src1','src2','src3','src4') THEN 1000000
+          WHEN source IN ('src5','src6','src7','src8','src9') THEN 500000
+          ELSE 100000
+        END
+"""
+
+
 def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter decontamination pre-pass (operators/sketches.py
     bloom_build/bloom_maybe_contains): eval docs (doc_id % 10 == 0) set an
@@ -3330,6 +3359,7 @@ QUERIES = {
     "hll_distinct_users": q_hll_distinct_users,
     "cms_heavy_tokens": q_cms_heavy_tokens,
     "bloom_decontaminate": q_bloom_decontaminate,
+    "domain_mix_sample": q_domain_mix_sample,
     "rollup_orders": q_rollup_orders,
     "pivot_event_counts": q_pivot_event_counts,
     "quantiles_by_type": q_quantiles_by_type,
@@ -3420,6 +3450,7 @@ ORACLE_SQL = {
     "hll_distinct_users": HLL_SQL,
     "cms_heavy_tokens": CMS_HEAVY_SQL,
     "bloom_decontaminate": BLOOM_DECONTAMINATE_SQL,
+    "domain_mix_sample": DOMAIN_MIX_SQL,
     "rollup_orders": ROLLUP_SQL,
     "pivot_event_counts": PIVOT_SQL,
     "quantiles_by_type": QUANTILES_SQL,

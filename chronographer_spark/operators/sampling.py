@@ -103,3 +103,51 @@ def cluster_quota_sample(
         salt_key=id_col,
         salt_buckets=salt_buckets,
     )
+
+
+def hash_rate_sample(
+    df: DataFrame, rate_x1e6, key: str, seed: int = 23
+) -> DataFrame:
+    """Deterministic Bernoulli(rate) sample: keep a row iff
+    md5_32(seed:key) mod 1e6 < rate_x1e6.
+
+    Unlike `df.sample()`, membership is a pure function of the key — stable
+    under repartitioning, cluster layout, and re-runs, and the SAME rows
+    survive when two pipelines sample the same table independently (the
+    property train/eval splits and resumable curation jobs need). Map-only:
+    a filter, no shuffle. `rate_x1e6` is an integer in [0, 1e6] or a Column
+    of one (per-row rates)."""
+    rate = rate_x1e6 if hasattr(rate_x1e6, "cast") else F.lit(int(rate_x1e6))
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(key).cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return df.filter(F.pmod(h, F.lit(1000000)) < rate)
+
+
+def domain_mix_sample(
+    df: DataFrame,
+    domain_col: str,
+    rates_x1e6: dict,
+    key: str,
+    default_rate_x1e6: int = 0,
+    seed: int = 23,
+) -> DataFrame:
+    """Reweight a corpus toward a target domain mix: keep each row with its
+    domain's rate (integer millionths), deterministically by row key.
+
+    The "data mixing" step of a pretraining pipeline (downsample the crawl,
+    keep all of the curated sources) as ONE map-only filter: the rate table
+    enters the plan as a literal CASE chain (domain counts are small by
+    definition), so the 100 TB side is never shuffled and Parquet still sees
+    the domain filter for pruning. Domains absent from `rates_x1e6` get
+    `default_rate_x1e6` (0 = drop, the conservative curation default)."""
+    rate = F.lit(int(default_rate_x1e6))
+    for dom, r in sorted(rates_x1e6.items()):
+        rate = F.when(F.col(domain_col) == F.lit(dom), F.lit(int(r))).otherwise(rate)
+    return hash_rate_sample(df, rate, key, seed)

@@ -580,3 +580,49 @@ def test_cluster_quota_sample_fills_quota_per_cluster(spark):
             if r["cluster"] == cid and v not in {x["vec_id"] for x in rows}
         ]
         assert all(r["quality"] <= kept_q for r in dropped)
+
+
+def test_hash_rate_sample_deterministic_nested_maponly(spark):
+    """Threshold sampling invariants: (a) membership survives arbitrary
+    repartitioning; (b) a lower rate's sample is a SUBSET of a higher
+    rate's (nested samples — raising the mix rate only adds rows, never
+    swaps them); (c) keep fraction tracks the rate; (d) the plan is
+    map-only (no Exchange)."""
+    from chronographer_spark.operators.sampling import hash_rate_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    half = hash_rate_sample(docs, 500000, "doc_id")
+    ids = {r["doc_id"] for r in half.select("doc_id").collect()}
+    reparted = {
+        r["doc_id"]
+        for r in hash_rate_sample(docs.repartition(7), 500000, "doc_id")
+        .select("doc_id").collect()
+    }
+    assert ids == reparted
+    tenth = {
+        r["doc_id"]
+        for r in hash_rate_sample(docs, 100000, "doc_id").select("doc_id").collect()
+    }
+    assert tenth <= ids
+    assert 0.4 <= len(ids) / 500 <= 0.6 and 0.05 <= len(tenth) / 500 <= 0.15
+    plan = str(half._jdf.queryExecution().executedPlan())
+    assert "Exchange" not in plan
+
+
+def test_domain_mix_sample_rates_per_domain(spark):
+    """Per-domain rates apply independently: rate-1e6 domains keep every
+    row, rate-0 default drops unlisted domains entirely, and listed
+    fractional domains keep a strict, hash-chosen subset."""
+    from chronographer_spark.operators.sampling import domain_mix_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = domain_mix_sample(
+        docs, "source", {"src0": 1000000, "src1": 400000}, key="doc_id"
+    )
+    by_src = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_src.get("src0") == 25
+    assert 0 < by_src.get("src1", 0) < 25
+    assert set(by_src) == {"src0", "src1"}
