@@ -2674,6 +2674,58 @@ SELECT bigram, CAST(est AS BIGINT) AS est_count FROM est WHERE est >= 100
 """
 
 
+def q_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication map (operators/dedup.py
+    repeated_ngram_spans): maximal token spans covered by word 4-grams that
+    recur in >= 2 documents — the distributable n-gram form of
+    exact-substring dedup (clip the span, keep the document). One gram
+    shuffle + a per-doc island-merge window; all-integer output."""
+    from .operators.dedup import repeated_ngram_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    out = repeated_ngram_spans(docs, n=4, min_docs=2)
+    return out.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        F.col("n_grams_in_span").cast("long").alias("n_grams_in_span"),
+    )
+
+
+REPEATED_NGRAM_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, (u).pos AS pos, (u).gram AS gram
+  FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(t) - 4 + 2),
+             i -> struct_pack(pos := i, gram := array_to_string(t[i:i+3], ' ')))) AS u
+    FROM toks WHERE len(t) >= 4
+  )
+),
+dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+hits AS (SELECT g.doc_id, g.pos FROM grams g WHERE g.gram IN (SELECT gram FROM dup)),
+lagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos, 1, -1000000000) OVER (PARTITION BY doc_id ORDER BY pos) > 4
+              THEN 1 ELSE 0 END AS nf
+  FROM hits
+),
+isl AS (
+  SELECT doc_id, pos,
+         sum(nf) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS g
+  FROM lagged
+)
+SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + 3 AS BIGINT) AS span_end,
+       CAST(count(*) AS BIGINT) AS n_grams_in_span
+FROM isl GROUP BY doc_id, g
+"""
+
+
 def q_domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic domain reweighting (operators/sampling.py
     domain_mix_sample): keep all of the curated sources (src0-4), half of
@@ -3360,6 +3412,7 @@ QUERIES = {
     "cms_heavy_tokens": q_cms_heavy_tokens,
     "bloom_decontaminate": q_bloom_decontaminate,
     "domain_mix_sample": q_domain_mix_sample,
+    "repeated_ngram_spans": q_repeated_ngram_spans,
     "rollup_orders": q_rollup_orders,
     "pivot_event_counts": q_pivot_event_counts,
     "quantiles_by_type": q_quantiles_by_type,
@@ -3451,6 +3504,7 @@ ORACLE_SQL = {
     "cms_heavy_tokens": CMS_HEAVY_SQL,
     "bloom_decontaminate": BLOOM_DECONTAMINATE_SQL,
     "domain_mix_sample": DOMAIN_MIX_SQL,
+    "repeated_ngram_spans": REPEATED_NGRAM_SQL,
     "rollup_orders": ROLLUP_SQL,
     "pivot_event_counts": PIVOT_SQL,
     "quantiles_by_type": QUANTILES_SQL,

@@ -550,3 +550,68 @@ def semantic_dedup(
         docs.join(dominated, id_col, "left")
         .select(id_col, "cluster", F.col("__dom").isNull().alias("kept"))
     )
+
+
+def repeated_ngram_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Substring-level duplication: per document, the maximal token spans
+    covered by word n-grams that also occur in >= min_docs - 1 OTHER
+    documents. The scalable n-gram approximation of exact-substring dedup
+    (suffix arrays don't distribute; positional n-gram hashing does): a
+    curation pipeline clips or down-weights these spans instead of dropping
+    whole near-duplicate documents.
+
+    Shape: positional n-grams (one explode), ONE shuffle on the gram for the
+    document-frequency count, a semi-join of positions against the
+    duplicated-gram set, then a per-document window that merges
+    overlapping-or-adjacent hits (pos <= prev + n) into maximal spans via
+    the lag/running-sum island idiom. Ubiquitous grams (stopword runs) are
+    the skew risk on the semi-join — AQE skew split handles the join, and
+    raising `n` collapses their frequency geometrically.
+
+    Returns (id_col, span_start, span_end, n_grams_in_span); token positions
+    are 1-based inclusive over the normalized (lowercased,
+    whitespace-collapsed) token sequence."""
+    from pyspark.sql.window import Window
+
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    grams = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.when(
+                F.size(toks) >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - n + 1),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("__p0", "gram"),
+    ).select(F.col(id_col), (F.col("__p0") + 1).alias("pos"), "gram")
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("gram")
+    )
+    hits = grams.join(dup, "gram", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    island = F.sum(
+        F.when(
+            F.col("pos") - F.lag("pos", 1, -10**9).over(w) > n, F.lit(1)
+        ).otherwise(F.lit(0))
+    ).over(w)
+    return (
+        hits.withColumn("__isl", island)
+        .groupBy(id_col, "__isl")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + n - 1).alias("span_end"),
+            F.count(F.lit(1)).alias("n_grams_in_span"),
+        )
+        .drop("__isl")
+    )

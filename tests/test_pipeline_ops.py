@@ -626,3 +626,30 @@ def test_domain_mix_sample_rates_per_domain(spark):
     assert by_src.get("src0") == 25
     assert 0 < by_src.get("src1", 0) < 25
     assert set(by_src) == {"src0", "src1"}
+
+
+def test_repeated_ngram_spans_hand_computed(spark):
+    """Known corpus: overlapping duplicated 4-grams merge into ONE maximal
+    span; far-apart hits in the same doc split into separate spans; docs
+    with no shared 4-gram emit nothing."""
+    from chronographer_spark.operators.dedup import repeated_ngram_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "x x a b c d e y"),
+            (3, "q w e r t z u i"),
+            (4, "a b c d z1 z2 z3 z4 z5 z6 b c d e"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        (r["doc_id"], r["span_start"]): (r["span_end"], r["n_grams_in_span"])
+        for r in repeated_ngram_spans(docs, n=4, min_docs=2).collect()
+    }
+    assert out == {
+        (1, 1): (5, 2),   # "a b c d" + "b c d e" overlap -> one span [1,5]
+        (2, 3): (7, 2),
+        (4, 1): (4, 1),   # far-apart hits split
+        (4, 11): (14, 1),
+    }
