@@ -2674,6 +2674,96 @@ SELECT bigram, CAST(est AS BIGINT) AS est_count FROM est WHERE est >= 100
 """
 
 
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/pq.py): train 8 sub-space
+    codebooks (k=16, 2 Lloyd rounds, deterministic init + 1e-6 centroid
+    snapping), encode the corpus to 8 code ids (map-only), then ADC top-5
+    for 3 queries with integer-millionth sub-distances (order-free BIGINT
+    sum). The oracle unrolls training, encoding, and ADC exactly."""
+    from .operators.pq import pq_topk, train_pq_codebooks
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cbs = train_pq_codebooks(emb, m=8, k=16, iterations=2)
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = pq_topk(emb, qs, cbs, k=5)
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.col("dist_x1e6").cast("long").alias("dist_x1e6"),
+    )
+
+
+PQ_ADC_SQL = """
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+subs AS (
+  SELECT vec_id, s, v[s*8+1 : s*8+8] AS sv
+  FROM emb CROSS JOIN (SELECT unnest(range(0, 8)) AS s)
+),
+c0 AS (
+  SELECT s, CAST(rn - 1 AS INTEGER) AS cid, sv FROM (
+    SELECT s, sv, row_number() OVER (PARTITION BY s ORDER BY vec_id) AS rn
+    FROM subs
+  ) WHERE rn <= 16
+),
+a1 AS (
+  SELECT vec_id, s, code FROM (
+    SELECT sub.vec_id, sub.s, c.cid AS code,
+      row_number() OVER (PARTITION BY sub.vec_id, sub.s
+        ORDER BY list_sum(list_transform(list_zip(sub.sv, c.sv), x -> (x[1]-x[2])*(x[1]-x[2]))), c.cid) AS rn
+    FROM subs sub JOIN c0 c ON c.s = sub.s
+  ) WHERE rn = 1
+),
+u1 AS (
+  SELECT a.s, a.code, d.i, floor(avg(sub.sv[d.i]) * 1000000 + 0.5) / 1000000 AS x
+  FROM a1 a JOIN subs sub ON sub.vec_id = a.vec_id AND sub.s = a.s
+  CROSS JOIN (SELECT unnest(range(1, 9)) AS i) d
+  GROUP BY a.s, a.code, d.i
+),
+c1 AS (SELECT s, CAST(code AS INTEGER) AS cid, list(x ORDER BY i) AS sv FROM u1 GROUP BY s, code),
+a2 AS (
+  SELECT vec_id, s, code FROM (
+    SELECT sub.vec_id, sub.s, c.cid AS code,
+      row_number() OVER (PARTITION BY sub.vec_id, sub.s
+        ORDER BY list_sum(list_transform(list_zip(sub.sv, c.sv), x -> (x[1]-x[2])*(x[1]-x[2]))), c.cid) AS rn
+    FROM subs sub JOIN c1 c ON c.s = sub.s
+  ) WHERE rn = 1
+),
+u2 AS (
+  SELECT a.s, a.code, d.i, floor(avg(sub.sv[d.i]) * 1000000 + 0.5) / 1000000 AS x
+  FROM a2 a JOIN subs sub ON sub.vec_id = a.vec_id AND sub.s = a.s
+  CROSS JOIN (SELECT unnest(range(1, 9)) AS i) d
+  GROUP BY a.s, a.code, d.i
+),
+c2 AS (SELECT s, CAST(code AS INTEGER) AS cid, list(x ORDER BY i) AS sv FROM u2 GROUP BY s, code),
+a3 AS (
+  SELECT vec_id, s, code FROM (
+    SELECT sub.vec_id, sub.s, c.cid AS code,
+      row_number() OVER (PARTITION BY sub.vec_id, sub.s
+        ORDER BY list_sum(list_transform(list_zip(sub.sv, c.sv), x -> (x[1]-x[2])*(x[1]-x[2]))), c.cid) AS rn
+    FROM subs sub JOIN c2 c ON c.s = sub.s
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 3),
+scores AS (
+  SELECT q.query_id, a3.vec_id,
+    CAST(sum(floor(list_sum(list_transform(
+      list_zip(q.qv[a3.s*8+1 : a3.s*8+8], cc.sv),
+      x -> (x[1]-x[2])*(x[1]-x[2]))) * 1000000 + 0.5)) AS BIGINT) AS dist_x1e6
+  FROM q CROSS JOIN a3
+  JOIN c2 cc ON cc.s = a3.s AND cc.cid = a3.code
+  GROUP BY q.query_id, a3.vec_id
+)
+SELECT query_id, vec_id, CAST(rk AS INT) AS rank, dist_x1e6 FROM (
+  SELECT query_id, vec_id, dist_x1e6,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist_x1e6, vec_id) AS rk
+  FROM scores
+) WHERE rk <= 5
+"""
+
+
 def q_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level duplication map (operators/dedup.py
     repeated_ngram_spans): maximal token spans covered by word 4-grams that
@@ -3413,6 +3503,7 @@ QUERIES = {
     "bloom_decontaminate": q_bloom_decontaminate,
     "domain_mix_sample": q_domain_mix_sample,
     "repeated_ngram_spans": q_repeated_ngram_spans,
+    "pq_adc_topk": q_pq_adc_topk,
     "rollup_orders": q_rollup_orders,
     "pivot_event_counts": q_pivot_event_counts,
     "quantiles_by_type": q_quantiles_by_type,
@@ -3505,6 +3596,7 @@ ORACLE_SQL = {
     "bloom_decontaminate": BLOOM_DECONTAMINATE_SQL,
     "domain_mix_sample": DOMAIN_MIX_SQL,
     "repeated_ngram_spans": REPEATED_NGRAM_SQL,
+    "pq_adc_topk": PQ_ADC_SQL,
     "rollup_orders": ROLLUP_SQL,
     "pivot_event_counts": PIVOT_SQL,
     "quantiles_by_type": QUANTILES_SQL,

@@ -653,3 +653,67 @@ def test_repeated_ngram_spans_hand_computed(spark):
         (4, 1): (4, 1),   # far-apart hits split
         (4, 11): (14, 1),
     }
+
+
+def test_pq_encode_maponly_and_adc_self_nearest(spark):
+    """PQ contract on real embeddings: encode emits m=8 code ids with NO
+    exchange in the plan (the 100 TB pass is map-only), every code id is a
+    valid cid of its sub-space codebook, and each query's ADC rank-1 is
+    itself on this corpus."""
+    from chronographer_spark.operators.pq import (
+        pq_encode,
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cbs = train_pq_codebooks(emb, m=8, k=16, iterations=2)
+    valid = {}
+    for s, cid, _ in cbs:
+        valid.setdefault(s, set()).add(cid)
+
+    enc = pq_encode(emb, cbs)
+    plan = str(enc._jdf.queryExecution().executedPlan())
+    assert "Exchange" not in plan
+    for r in enc.select("codes").take(50):
+        assert len(r["codes"]) == 8
+        for s, code in enumerate(r["codes"]):
+            assert code in valid[s]
+
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top1 = {
+        r["query_id"]: r["vec_id"]
+        for r in pq_topk(emb, qs, cbs, k=5).filter(F.col("rank") == 1).collect()
+    }
+    assert top1 == {0: 0, 1: 1, 2: 2}
+
+
+def test_pq_empty_clusters_cid_gaps(spark):
+    """A corpus with only 3 distinct vectors under k=16 leaves most
+    clusters empty -> gappy cid sets; the cid-match centroid lookup must
+    still score correctly: exact-duplicate vectors get ADC distance 0 and
+    the query's duplicates fill the top ranks."""
+    from chronographer_spark.operators.pq import pq_topk, train_pq_codebooks
+
+    base = [
+        [float(i % 7) for i in range(64)],
+        [float((i * 3) % 5) for i in range(64)],
+        [float((i * 5) % 11) for i in range(64)],
+    ]
+    rows = [(i, base[i % 3]) for i in range(30)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cbs = train_pq_codebooks(emb, m=8, k=16, iterations=2)
+    subs_cids = {}
+    for s, cid, _ in cbs:
+        subs_cids.setdefault(s, []).append(cid)
+    assert all(len(cids) <= 3 for cids in subs_cids.values())
+
+    qs = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = pq_topk(emb, qs, cbs, k=10).collect()
+    dup_ids = {i for i in range(30) if i % 3 == 0}
+    zero_dist = {r["vec_id"] for r in top if r["dist_x1e6"] == 0}
+    assert zero_dist == dup_ids
