@@ -558,6 +558,7 @@ def repeated_ngram_spans(
     id_col: str = "doc_id",
     n: int = 5,
     min_docs: int = 2,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Substring-level duplication: per document, the maximal token spans
     covered by word n-grams that also occur in >= min_docs - 1 OTHER
@@ -592,6 +593,14 @@ def repeated_ngram_spans(
             ).otherwise(F.array().cast("array<string>"))
         ).alias("__p0", "gram"),
     ).select(F.col(id_col), (F.col("__p0") + 1).alias("pos"), "gram")
+    if checkpoint:
+        # the positional-gram table feeds BOTH the document-frequency count
+        # and the hits semi-join; materialize it once (minhash-bands
+        # re-execution family) and spread the explode across the cluster
+        # first — a single-split source would serialize it
+        grams = grams.repartition(
+            df.sparkSession.sparkContext.defaultParallelism
+        ).localCheckpoint(eager=True)
     dup = (
         grams.groupBy("gram")
         .agg(F.count_distinct(F.col(id_col)).alias("nd"))
