@@ -468,3 +468,103 @@ def test_incremental_index_stream_restart_idempotent(spark, tmp_path):
     acc = read_index(spark, args["index_dir"])
     assert acc.groupBy("term", "doc_id").count().filter(F.col("count") > 1).count() == 0
     assert acc.count() == build_inverted_index(docs).count()
+
+
+def test_incremental_cms_stream_matches_batch(spark, tmp_path):
+    """Streaming the corpus in 3 micro-batches accumulates a CMS equal
+    counter-for-counter to the batch sketch over the whole corpus (the
+    mergeability algebra, operationalized), and offline compaction folds
+    the fragments without changing a single counter."""
+    import os
+    import time as _t
+
+    from chronographer_spark.operators.sketches import cms_table
+    from chronographer_spark.streaming.sketches import (
+        cms_fragment_count,
+        compact_cms_fragments,
+        read_cms,
+        start_incremental_cms_stream,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).select(
+            "doc_id", "text", "lang", "source", "n_chars"
+        ).coalesce(1).write.parquet(os.path.join(in_dir, f"b{i}"))
+
+    sketch_dir = str(tmp_path / "sketch")
+    tok = F.explode(F.filter(F.split(F.lower(F.col("text")), " "),
+                             lambda t: t != F.lit("")))
+    q = start_incremental_cms_stream(
+        spark, in_dir + "/*", sketch_dir, str(tmp_path / "ckpt"),
+        depth=4, width=128, item_expr=tok,
+    )
+    q.awaitTermination(240)
+    _t.sleep(1)
+
+    streamed = {
+        (r["d"], r["bucket"]): r["cnt"] for r in read_cms(spark, sketch_dir).collect()
+    }
+    toks = docs.select(tok.alias("__item"))
+    batch = {
+        (r["d"], r["bucket"]): r["cnt"]
+        for r in cms_table(toks, "__item", depth=4, width=128).collect()
+    }
+    assert streamed == batch
+    assert cms_fragment_count(sketch_dir) == 3
+
+    compact_cms_fragments(spark, sketch_dir)
+    assert cms_fragment_count(sketch_dir) == 1
+    compacted = {
+        (r["d"], r["bucket"]): r["cnt"] for r in read_cms(spark, sketch_dir).collect()
+    }
+    assert compacted == batch
+
+
+def test_incremental_cms_stream_replay_overwrites_fragment(spark, tmp_path):
+    """Replaying a batch through process_batch (the crash path foreachBatch
+    takes for the last uncommitted batch) OVERWRITES its fragment instead of
+    double-counting: the accumulated sketch is unchanged."""
+    import os
+    import time as _t
+
+    from chronographer_spark.streaming.sketches import (
+        read_cms,
+        start_incremental_cms_stream,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    docs.select("doc_id", "text", "lang", "source", "n_chars").coalesce(
+        1
+    ).write.parquet(os.path.join(in_dir, "b0"))
+
+    sketch_dir = str(tmp_path / "sketch")
+    q = start_incremental_cms_stream(
+        spark, in_dir + "/*", sketch_dir, str(tmp_path / "ckpt"),
+        col="source", depth=4, width=64,
+    )
+    q.awaitTermination(180)
+    _t.sleep(1)
+    before = {
+        (r["d"], r["bucket"]): r["cnt"] for r in read_cms(spark, sketch_dir).collect()
+    }
+
+    # simulate the replay: same batch id, same content, directly
+    from chronographer_spark.operators.sketches import cms_table
+
+    frag = cms_table(
+        docs.select(F.col("source").alias("__item")), "__item", depth=4, width=64
+    ).withColumn("frag", F.lit(0))
+    (
+        frag.coalesce(1).write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("frag").parquet(sketch_dir)
+    )
+    after = {
+        (r["d"], r["bucket"]): r["cnt"] for r in read_cms(spark, sketch_dir).collect()
+    }
+    assert after == before
