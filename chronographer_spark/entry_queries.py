@@ -2683,6 +2683,55 @@ SELECT bigram, CAST(est AS BIGINT) AS est_count FROM est WHERE est >= 100
 """
 
 
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count (operators/graph_algos.py triangle_count,
+    degree-ordered node-iterator++) over the customer/nation/region
+    membership graph: edges customer-nation, customer-region, nation-region
+    close one triangle per customer, and the nation/region hubs (degree ~
+    customers/25 vs 2) are exactly the skew the orientation neutralizes —
+    wedges generate at the degree-2 customers, not the hubs."""
+    from .operators.graph_algos import triangle_count
+
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    cn = cust.select(
+        F.col("c_custkey").alias("src"),
+        (F.col("c_nationkey") + 1000000).alias("dst"),
+    )
+    cr = (
+        cust.join(nat, cust["c_nationkey"] == nat["n_nationkey"])
+        .select(
+            F.col("c_custkey").alias("src"),
+            (F.col("n_regionkey") + 2000000).alias("dst"),
+        )
+    )
+    nr = nat.select(
+        (F.col("n_nationkey") + 1000000).alias("src"),
+        (F.col("n_regionkey") + 2000000).alias("dst"),
+    )
+    edges = cn.unionByName(cr).unionByName(nr)
+    return triangle_count(edges)
+
+
+TRIANGLE_SQL = """
+WITH raw AS (
+  SELECT c_custkey AS s, c_nationkey + 1000000 AS t FROM customer
+  UNION ALL
+  SELECT c_custkey, n_regionkey + 2000000
+  FROM customer JOIN nation ON n_nationkey = c_nationkey
+  UNION ALL
+  SELECT n_nationkey + 1000000, n_regionkey + 2000000 FROM nation
+),
+e AS (
+  SELECT DISTINCT least(s, t) AS u, greatest(s, t) AS v FROM raw WHERE s <> t
+)
+SELECT CAST(count(*) AS BIGINT) AS n_triangles
+FROM e ab
+JOIN e ac ON ac.u = ab.u AND ac.v > ab.v
+JOIN e bc ON bc.u = ab.v AND bc.v = ac.v
+"""
+
+
 def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (operators/pq.py): train 8 sub-space
     codebooks (k=16, 2 Lloyd rounds, deterministic init + 1e-6 centroid
@@ -3519,6 +3568,7 @@ QUERIES = {
     "domain_mix_sample": q_domain_mix_sample,
     "repeated_ngram_spans": q_repeated_ngram_spans,
     "pq_adc_topk": q_pq_adc_topk,
+    "triangle_count": q_triangle_count,
     "rollup_orders": q_rollup_orders,
     "pivot_event_counts": q_pivot_event_counts,
     "quantiles_by_type": q_quantiles_by_type,
@@ -3612,6 +3662,7 @@ ORACLE_SQL = {
     "domain_mix_sample": DOMAIN_MIX_SQL,
     "repeated_ngram_spans": REPEATED_NGRAM_SQL,
     "pq_adc_topk": PQ_ADC_SQL,
+    "triangle_count": TRIANGLE_SQL,
     "rollup_orders": ROLLUP_SQL,
     "pivot_event_counts": PIVOT_SQL,
     "quantiles_by_type": QUANTILES_SQL,

@@ -148,3 +148,64 @@ def n_hop_neighbors(
         visited = visited.unionByName(nxt)
         frontier = nxt
     return visited
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Exact triangle count of the undirected graph, one-row (n_triangles).
+
+    Node-iterator++ (Schank & Wagner 2005; the MapReduce form is Suri &
+    Vassilvitskii 2011's degree-ordered orientation): canonicalize edges,
+    then orient every edge from its (degree, id)-SMALLER endpoint to the
+    larger. Wedges are generated only at each edge's low-degree end, so a
+    hub of degree d contributes O(d) oriented edges but almost no wedges —
+    total wedge count is bounded by sum of squared ORIENTED out-degrees,
+    O(m^1.5) worst-case instead of the hub-quadratic O(Σd²) of naive
+    wedge-join. This is the difference between feasible and not on a
+    power-law web graph.
+
+    Shape: two self-joins (wedge build + closing-edge probe), both
+    shuffling on node keys; AQE's skew split covers residual imbalance.
+    Self-loops dropped, parallel edges collapsed.
+    """
+    u, v = F.col(src), F.col(dst)
+    e = (
+        edges.filter(u != v)
+        .select(F.least(u, v).alias("a"), F.greatest(u, v).alias("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ed = (
+        e.join(deg.withColumnRenamed("n", "a").withColumnRenamed("d", "da"), "a")
+        .join(deg.withColumnRenamed("n", "b").withColumnRenamed("d", "db"), "b")
+    )
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ed.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower_first, F.col("da")).otherwise(F.col("db")).alias("du"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    )
+    w1 = oriented.select(
+        F.col("u"), F.col("v").alias("x"), F.col("dv").alias("dx")
+    )
+    w2 = oriented.select(
+        F.col("u"), F.col("v").alias("y"), F.col("dv").alias("dy")
+    )
+    # wedge (x, y) with x before y in the orientation's total (degree, id)
+    # order; the closing edge, if present, is oriented x -> y
+    wedges = w1.join(w2, "u").filter(
+        (F.col("dx") < F.col("dy"))
+        | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+    )
+    closing = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    tri = wedges.join(closing, ["x", "y"], "left_semi")
+    return tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))

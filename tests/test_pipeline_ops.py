@@ -717,3 +717,27 @@ def test_pq_empty_clusters_cid_gaps(spark):
     dup_ids = {i for i in range(30) if i % 3 == 0}
     zero_dist = {r["vec_id"] for r in top if r["dist_x1e6"] == 0}
     assert zero_dist == dup_ids
+
+
+def test_triangle_count_hand_graphs(spark):
+    """K4 has 4 triangles; removing an edge leaves 2; self-loops, parallel
+    and reversed edges are noise; a star (pure hub) has none; and the
+    customer-nation-region gate graph closes exactly one triangle per
+    customer."""
+    from chronographer_spark.operators.graph_algos import triangle_count
+
+    def tc(rows):
+        df = spark.createDataFrame(rows, ["src", "dst"])
+        return triangle_count(df).first()["n_triangles"]
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    assert tc(k4) == 4
+    assert tc([e for e in k4 if e != (2, 3)]) == 2
+    assert tc([(0, 1), (1, 0), (1, 2), (2, 0), (0, 0), (2, 2), (0, 1)]) == 1
+    assert tc([(0, i) for i in range(1, 10)]) == 0
+
+    from chronographer_spark.entry_queries import q_triangle_count
+
+    cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    n = q_triangle_count(spark, "/root/testdata/sf0.001").first()["n_triangles"]
+    assert n == cust.count()
