@@ -3501,6 +3501,92 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10
 """
 
 
+def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search (operators/retrieval.py rrf_fuse): BM25 top-20 for
+    "fast join vector" fused with quantized-cosine top-20 for query vector 0
+    by reciprocal-rank fusion (k_const=60) — the modern lexical+vector
+    retrieval stack as one query. Integer per-list contributions, so the
+    fused score hashes identically across engines."""
+    from .operators.retrieval import bm25_search, build_inverted_index, rrf_fuse
+    from .operators.similarity import quantized_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = bm25_search(build_inverted_index(docs), docs, "fast join vector", k=20)
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"), "embedding"
+    )
+    vec = quantized_topk(emb.filter(F.col("vec_id") != 0), q, k=20).select(
+        F.col("vec_id").alias("doc_id"), "rank"
+    )
+    return rrf_fuse([lex.select("doc_id", "rank"), vec], k=10)
+
+
+HYBRID_RRF_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> '' GROUP BY doc_id, term),
+doc_len AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(DISTINCT doc_id) FROM documents) AS n,
+         floor((SELECT avg(dl) FROM doc_len) * 1000000 + 0.5) / 1000000 AS avglen
+),
+dfreq AS (
+  SELECT term, count(*) AS df FROM tf WHERE term IN ('fast', 'join', 'vector') GROUP BY term
+),
+hits AS (
+  SELECT t.doc_id, t.term, t.tf, d.df, l.dl
+  FROM tf t JOIN dfreq d USING (term) JOIN doc_len l USING (doc_id)
+  WHERE t.term IN ('fast', 'join', 'vector')
+),
+scored AS (
+  SELECT doc_id,
+         sum(
+           ln((CAST((SELECT n FROM stats) AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+           * (tf * (1.2 + 1.0))
+           / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (SELECT avglen FROM stats)))
+         ) AS score
+  FROM hits GROUP BY doc_id
+),
+lex_top AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored ORDER BY score DESC, doc_id ASC LIMIT 20
+),
+emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+qz AS (
+  SELECT vec_id,
+         CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0
+              THEN list_transform(v, x -> 0)
+              ELSE list_transform(v, x -> CAST(floor(x * 127.0 / list_max(list_transform(v, y -> abs(y))) + 0.5) AS INTEGER))
+         END AS q
+  FROM emb
+),
+qv AS (SELECT q FROM qz WHERE vec_id = 0),
+sims AS (
+  SELECT c.vec_id,
+         CAST(list_sum(list_transform(list_zip(c.q, (SELECT q FROM qv)), x -> CAST(x[1] AS BIGINT) * CAST(x[2] AS BIGINT))) AS DOUBLE)
+         / sqrt(CAST(list_sum(list_transform(c.q, x -> CAST(x AS BIGINT) * CAST(x AS BIGINT)))
+                * list_sum(list_transform((SELECT q FROM qv), x -> CAST(x AS BIGINT) * CAST(x AS BIGINT))) AS DOUBLE)) AS qcos
+  FROM qz c WHERE c.vec_id <> 0
+),
+vec_top AS (
+  SELECT vec_id AS doc_id, row_number() OVER (ORDER BY qcos DESC, vec_id ASC) AS rank
+  FROM sims ORDER BY qcos DESC, vec_id ASC LIMIT 20
+),
+contrib AS (
+  SELECT doc_id, CAST(floor(1000000.0 / (60 + rank)) AS BIGINT) AS c FROM lex_top
+  UNION ALL
+  SELECT doc_id, CAST(floor(1000000.0 / (60 + rank)) AS BIGINT) AS c FROM vec_top
+),
+fused AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS rrf_x1e6 FROM contrib GROUP BY doc_id)
+SELECT doc_id, rrf_x1e6,
+       CAST(row_number() OVER (ORDER BY rrf_x1e6 DESC, doc_id ASC) AS INT) AS rank
+FROM fused ORDER BY rrf_x1e6 DESC, doc_id ASC LIMIT 10
+"""
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -3518,6 +3604,7 @@ QUERIES = {
     "quantized_topk": q_quantized_topk,
     "phrase_search_docs": q_phrase_search,
     "bm25_topk": q_bm25_topk,
+    "hybrid_rrf_topk": q_hybrid_rrf_topk,
     "tfidf_top_terms": q_tfidf_top_terms,
     "entity_type_discard": q_entity_type_discard,
     "frame_count_per_event": q_frame_count_per_event,
@@ -3615,6 +3702,7 @@ ORACLE_SQL = {
     "quantized_topk": QUANTIZED_TOPK_SQL,
     "phrase_search_docs": PHRASE_SEARCH_SQL,
     "bm25_topk": BM25_SQL,
+    "hybrid_rrf_topk": HYBRID_RRF_SQL,
     "tfidf_top_terms": TFIDF_SQL,
     "entity_type_discard": ENTITY_DISCARD_SQL,
     "frame_count_per_event": FRAME_COUNT_SQL,

@@ -145,3 +145,48 @@ def bm25_search(
             F.floor(F.col("score") * 1000000 + F.lit(0.5)).cast("long").alias("score_x1e6"),
         )
     )
+
+
+def rrf_fuse(
+    rankings: list,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k_const: int = 60,
+    k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009) of N ranked
+    lists -> (id_col, rrf_x1e6, rank).
+
+    The hybrid-search combiner: BM25 sees exact lexical matches, ANN sees
+    semantic neighbors; RRF merges them with no score calibration at all —
+    each list contributes floor(1e6 / (k_const + rank)) for an item,
+    missing items contribute 0. The floor-per-list-then-integer-sum
+    contract makes the fused score a BIGINT, deterministic under any
+    execution or summation order (same discipline as the PQ ADC scores).
+
+    Shape: rankings are already top-k-sized (tiny); a unionByName and one
+    groupBy-sum, then an orderBy-limit. The expensive work happened inside
+    the rankers — fusion is O(N·k) rows regardless of corpus size.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse requires at least one ranking")
+    contribs = [
+        r.select(
+            F.col(id_col),
+            F.floor(F.lit(1000000.0) / (F.lit(k_const) + F.col(rank_col)))
+            .cast("long")
+            .alias("__c"),
+        )
+        for r in rankings
+    ]
+    allc = contribs[0]
+    for c in contribs[1:]:
+        allc = allc.unionByName(c)
+    fused = allc.groupBy(id_col).agg(F.sum("__c").alias("rrf_x1e6"))
+    from pyspark.sql.window import Window
+
+    topk = fused.orderBy(F.desc("rrf_x1e6"), F.asc(id_col)).limit(k)
+    w = Window.orderBy(F.desc("rrf_x1e6"), F.asc(id_col))
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        id_col, "rrf_x1e6", "rank"
+    )

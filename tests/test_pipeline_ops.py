@@ -741,3 +741,19 @@ def test_triangle_count_hand_graphs(spark):
     cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
     n = q_triangle_count(spark, "/root/testdata/sf0.001").first()["n_triangles"]
     assert n == cust.count()
+
+
+def test_rrf_fuse_hand_computed(spark):
+    """RRF on two hand rankings: items in both lists outrank single-list
+    items; contributions are floor(1e6/(60+rank)) summed; singletons on
+    equal ranks tie-break by id."""
+    from chronographer_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame([(10, 1), (20, 2), (30, 3)], ["doc_id", "rank"])
+    b = spark.createDataFrame([(20, 1), (40, 2), (10, 3)], ["doc_id", "rank"])
+    out = {r["doc_id"]: (r["rrf_x1e6"], r["rank"]) for r in rrf_fuse([a, b], k=4).collect()}
+    c = lambda rk: 1000000 // (60 + rk)
+    assert out[10] == (c(1) + c(3), 2)
+    assert out[20] == (c(2) + c(1), 1)
+    assert out[30] == (c(3), 4)
+    assert out[40] == (c(2), 3)
