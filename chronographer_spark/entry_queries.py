@@ -2683,6 +2683,29 @@ SELECT bigram, CAST(est AS BIGINT) AS est_count FROM est WHERE est >= 100
 """
 
 
+def q_zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton z-values (io/catalog.py zorder_value) of (user_id, event_id)
+    per event — the bit-interleaved sort key behind Catalog.write_zordered's
+    multi-column data-skipping layout. Pure shift/mask integer expression;
+    the oracle replays the interleave bit-for-bit."""
+    from .io.catalog import zorder_value
+
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        zorder_value(F.col("user_id"), F.col("event_id"), bits=16).alias("zval"),
+    )
+
+
+ZORDER_SQL = """
+SELECT event_id, CAST(list_sum(list_transform(range(0, 16), j ->
+  ((((user_id % 65536) >> j) & 1) << (2*j))
+  + ((((event_id % 65536) >> j) & 1) << (2*j + 1))
+)) AS BIGINT) AS zval
+FROM events
+"""
+
+
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact triangle count (operators/graph_algos.py triangle_count,
     degree-ordered node-iterator++) over the customer/nation/region
@@ -3656,6 +3679,7 @@ QUERIES = {
     "repeated_ngram_spans": q_repeated_ngram_spans,
     "pq_adc_topk": q_pq_adc_topk,
     "triangle_count": q_triangle_count,
+    "zorder_values": q_zorder_values,
     "rollup_orders": q_rollup_orders,
     "pivot_event_counts": q_pivot_event_counts,
     "quantiles_by_type": q_quantiles_by_type,
@@ -3751,6 +3775,7 @@ ORACLE_SQL = {
     "repeated_ngram_spans": REPEATED_NGRAM_SQL,
     "pq_adc_topk": PQ_ADC_SQL,
     "triangle_count": TRIANGLE_SQL,
+    "zorder_values": ZORDER_SQL,
     "rollup_orders": ROLLUP_SQL,
     "pivot_event_counts": PIVOT_SQL,
     "quantiles_by_type": QUANTILES_SQL,

@@ -110,6 +110,54 @@ class Catalog:
             writer = writer.sortBy(*sort_cols)
         writer.option("path", self.path(table)).saveAsTable(table)
 
+    def write_zordered(
+        self,
+        df: DataFrame,
+        table: str,
+        zorder_cols: list[str],
+        n_files: int = 32,
+        bits: int = 16,
+    ) -> None:
+        """Z-order (Morton-curve) data layout: range-partition + sort the
+        rows by the bit-interleaved z-value of `zorder_cols`, so EVERY
+        z-ordered column has narrow per-file (and per-row-group) min/max
+        ranges and parquet statistics prune scans filtered on ANY of them —
+        a plain sort gives that to its leading column only. The parquet
+        stand-in for Iceberg/Delta `zorder by`; at 100 TB this is the
+        difference between a point-lookup touching a handful of row groups
+        and touching every file.
+
+        Each column is min-max scaled into [0, 2^bits) BEFORE interleaving
+        (one tiny agg for the bounds): raw Morton codes are dominated by
+        whichever column has the larger magnitude — a 0..14 user id next to
+        a 0..10^9 event id contributes no high bits and gets no locality.
+        Scaling gives every column equal weight in the curve, which is what
+        Delta/Iceberg's ZORDER does with range-partition ids.
+
+        One bounds agg + one range-exchange + in-partition sort; the
+        z-value is a pure column expression (no UDF) and is NOT stored."""
+        bounds = df.agg(
+            *[F.min(c).cast("double").alias(f"mn_{c}") for c in zorder_cols],
+            *[F.max(c).cast("double").alias(f"mx_{c}") for c in zorder_cols],
+        ).first()
+        scaled = []
+        top = float((1 << bits) - 1)
+        for c in zorder_cols:
+            mn, mx = bounds[f"mn_{c}"], bounds[f"mx_{c}"]
+            span = (mx - mn) or 1.0
+            scaled.append(
+                F.floor((F.col(c).cast("double") - F.lit(mn)) * top / F.lit(span))
+            )
+        zv = zorder_value(*scaled, bits=bits)
+        (
+            df.withColumn("__z", zv)
+            .repartitionByRange(n_files, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+            .write.mode("overwrite")
+            .parquet(self.path(table))
+        )
+
     def read_bucketed(self, table: str) -> DataFrame:
         """Read through the session catalog — required so Spark sees the
         bucketing metadata (a plain parquet read of the same files would
@@ -270,3 +318,27 @@ class VersionedCatalog(Catalog):
         """Publish a new snapshot whose content is an old one (Iceberg-style
         rollback: history is preserved, the head moves)."""
         return self.write(self.read(table, version=version), table)
+
+
+def zorder_value(*cols, bits: int = 16):
+    """Morton z-value of n integer columns: bit j of column i lands at
+    output bit (j·n + i). Columns are folded into [0, 2^bits) with pmod
+    first (hash high-cardinality or negative keys upstream if locality on
+    raw magnitude is wanted). Pure shift/mask expression tree — whole-stage
+    codegen, no UDF; 2 cols × 16 bits = a 32-term integer sum."""
+    n = len(cols)
+    if n == 0:
+        raise ValueError("zorder_value needs at least one column")
+    terms = []
+    for i, c in enumerate(cols):
+        v = F.pmod(c.cast("long"), F.lit(1 << bits))
+        for j in range(bits):
+            terms.append(
+                F.shiftleft(
+                    F.shiftrightunsigned(v, j).bitwiseAND(F.lit(1)), j * n + i
+                )
+            )
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out.cast("long")

@@ -1,0 +1,182 @@
+#!/usr/bin/env python3
+"""Round-3 soak: scale the NEW operator families on replicated sf0.1 inputs.
+
+Jobs (local[$SPARK_GRAFT_CPUS], default 32; distinct ids per replica):
+  - repeated_spans: positional 4-gram duplication spans over replicated docs.
+    Replication makes EVERY gram cross-doc-duplicated (df >= repl), so the
+    hits table degenerates to the full positional-gram table — the worst
+    case for the island-merge window, on purpose.
+  - cms_heavy: Count-Min heavy hitters over the replicated bigram stream
+    (threshold scales with repl so the output set is comparable).
+  - bloom_pass: Bloom decontamination pre-pass, eval = doc_id % 10 == 0 of
+    the replicated corpus.
+  - pq_encode: train codebooks ONCE on the base corpus (the documented
+    sample-then-encode contract), then the map-only encode pass over
+    replicated embeddings — the pass that runs over 100 TB.
+  - triangles: customer/nation/region graph with replicated customers:
+    hub degrees grow linearly with repl, triangle count = repl × customers
+    — the degree-orientation stress test.
+
+Prints one JSON line per job with per-rep wall times (trust the min;
+CLAUDE.md: this host's absolute times drift).
+
+Usage: python scripts/soak_r3.py [repl] [reps]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def main() -> None:
+    repl = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+
+    from pyspark.sql import functions as F
+
+    from chronographer_spark.operators.dedup import repeated_ngram_spans
+    from chronographer_spark.operators.graph_algos import triangle_count
+    from chronographer_spark.operators.pq import pq_encode, train_pq_codebooks
+    from chronographer_spark.operators.sketches import (
+        bloom_build,
+        bloom_maybe_contains,
+        cms_heavy_hitters,
+    )
+    from chronographer_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"soak-r3-{repl}x",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=4 * CPUS,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_docs = docs.count()
+    docs_r = (
+        docs.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(repl - 1))))
+        .withColumn("doc_id", F.col("doc_id") + F.col("rep") * (10 * n_docs))
+        .drop("rep")
+        .repartition(4 * CPUS)
+        .localCheckpoint(eager=True)
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    n_emb = emb.count()
+    emb_r = (
+        emb.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(repl - 1))))
+        .withColumn("vec_id", F.col("vec_id") + F.col("rep") * (10 * n_emb))
+        .drop("rep")
+        .repartition(4 * CPUS)
+        .localCheckpoint(eager=True)
+    )
+
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    nat = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+    n_cust = cust.count()
+    cust_r = (
+        cust.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(repl - 1))))
+        .withColumn("c_custkey", F.col("c_custkey") + F.col("rep") * (10 * n_cust))
+        .drop("rep")
+        .repartition(4 * CPUS)
+        .localCheckpoint(eager=True)
+    )
+
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != F.lit(""))
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(2), F.size(toks)),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i - 1), F.element_at(toks, i)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    def job_repeated_spans():
+        return repeated_ngram_spans(docs_r, n=4, min_docs=2).count()
+
+    def job_cms_heavy():
+        grams = docs_r.select(F.explode(bigrams).alias("bigram")).localCheckpoint(
+            eager=True
+        )
+        return cms_heavy_hitters(
+            grams, "bigram", threshold=100 * repl, depth=4, width=256
+        ).count()
+
+    def job_bloom_pass():
+        grams = (
+            docs_r.select("doc_id", F.explode(bigrams).alias("bigram"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        ev = grams.filter(F.col("doc_id") % 10 == 0).select("bigram")
+        train = grams.filter(F.col("doc_id") % 10 != 0)
+        bloom = bloom_build(ev, "bigram", m_bits=1 << 20, k_hashes=3)
+        maybe = bloom_maybe_contains(
+            bloom, train.select("bigram").distinct(), "bigram", 1 << 20, 3
+        )
+        return (
+            train.join(maybe, "bigram")
+            .groupBy("doc_id")
+            .agg(F.sum("maybe").alias("h"))
+            .count()
+        )
+
+    cbs = train_pq_codebooks(emb, m=8, k=16, iterations=2)
+
+    def job_pq_encode():
+        enc = pq_encode(emb_r, cbs)
+        return enc.agg(F.sum(F.element_at("codes", 1))).first()[0] and enc.count()
+
+    def job_triangles():
+        cn = cust_r.select(
+            F.col("c_custkey").alias("src"),
+            (F.col("c_nationkey") + 100000000).alias("dst"),
+        )
+        cr = cust_r.join(nat, cust_r["c_nationkey"] == nat["n_nationkey"]).select(
+            F.col("c_custkey").alias("src"),
+            (F.col("n_regionkey") + 200000000).alias("dst"),
+        )
+        nr = nat.select(
+            (F.col("n_nationkey") + 100000000).alias("src"),
+            (F.col("n_regionkey") + 200000000).alias("dst"),
+        )
+        n = triangle_count(cn.unionByName(cr).unionByName(nr)).first()["n_triangles"]
+        assert n == repl * n_cust, (n, repl * n_cust)
+        return n
+
+    jobs = [
+        ("repeated_spans", job_repeated_spans),
+        ("cms_heavy", job_cms_heavy),
+        ("bloom_pass", job_bloom_pass),
+        ("pq_encode", job_pq_encode),
+        ("triangles", job_triangles),
+    ]
+    for name, fn in jobs:
+        times, out = [], None
+        for _ in range(reps):
+            t0 = time.time()
+            out = fn()
+            times.append(round(time.time() - t0, 2))
+        print(
+            json.dumps(
+                {
+                    "job": name,
+                    "repl": repl,
+                    "rows_out": out,
+                    "times_sec": times,
+                    "min_sec": min(times),
+                }
+            ),
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()

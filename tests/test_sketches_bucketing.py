@@ -265,3 +265,50 @@ def test_embedding_near_dup_recall_and_subquadratic_candidates(spark):
     frac_big = c_big / (n_big * (n_big - 1) / 2)
     assert frac_big <= frac_small, (frac_small, frac_big)
     assert frac_big < 0.02, frac_big  # measured 0.0088; old scheme >= 0.0625
+
+
+def test_zorder_layout_narrows_per_file_ranges(spark, tmp_path):
+    """Writing events z-ordered by (user_id, event_id) gives EVERY file a
+    narrow min/max range on BOTH columns (parquet stats then prune scans
+    filtered on either), while a plain event_id sort leaves the
+    non-leading column's per-file span at ~the global span. Also pins the
+    Morton interleave on a hand case."""
+    import glob
+
+    from chronographer_spark.io.catalog import Catalog, zorder_value
+
+    # hand case: u=0b11, e=0b01 -> bits: j0: u->b0, e->b1; j1: u->b2, e->b3
+    row = spark.range(1).select(
+        zorder_value(F.lit(3), F.lit(1), bits=2).alias("z")
+    )
+    assert row.first()["z"] == 0b0111
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_id", "user_id"
+    )
+    g_user = ev.agg(F.max("user_id") - F.min("user_id")).first()[0]
+    g_event = ev.agg(F.max("event_id") - F.min("event_id")).first()[0]
+
+    cat = Catalog(spark, str(tmp_path))
+    cat.write_zordered(ev, "ev_z", ["user_id", "event_id"], n_files=16)
+    (
+        ev.repartitionByRange(16, "event_id").sortWithinPartitions("event_id")
+        .write.mode("overwrite").parquet(str(tmp_path / "ev_plain"))
+    )
+
+    def spans(path):
+        su, se, n = 0.0, 0.0, 0
+        for f in glob.glob(path + "/part-*.parquet"):
+            pdf = spark.read.parquet(f).agg(
+                (F.max("user_id") - F.min("user_id")).alias("du"),
+                (F.max("event_id") - F.min("event_id")).alias("de"),
+            ).first()
+            su += pdf["du"]; se += pdf["de"]; n += 1
+        return su / n, se / n
+
+    zu, ze = spans(cat.path("ev_z"))
+    pu, pe = spans(str(tmp_path / "ev_plain"))
+    # plain sort: leading column narrow, user_id spans ~everything
+    assert pe < g_event / 4 and pu > g_user * 0.8
+    # z-order: BOTH columns narrow per file
+    assert zu < g_user / 2 and ze < g_event / 2
