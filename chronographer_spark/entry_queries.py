@@ -2683,6 +2683,53 @@ SELECT bigram, CAST(est AS BIGINT) AS est_count FROM est WHERE est >= 100
 """
 
 
+def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable histogram-sketch quantiles (operators/sketches.py
+    hist_table/hist_quantiles): events.value binned into 64 counters over
+    [0, 500), then p25/p50/p90/p99 interpolated from the cumulative bins.
+    Error bounded by one bin width; the oracle replays bins, ranks, and
+    interpolation exactly."""
+    from .operators.sketches import hist_quantiles, hist_table
+
+    ev = _t(spark, sf_dir, "events")
+    h = hist_table(ev, "value", lo=0.0, hi=500.0, n_bins=64)
+    return hist_quantiles(
+        h, [250000, 500000, 900000, 990000], lo=0.0, hi=500.0, n_bins=64
+    )
+
+
+HIST_QUANTILES_SQL = """
+WITH h AS (
+  SELECT greatest(0, least(63, CAST(floor((value - 0.0) / 7.8125) AS BIGINT))) AS bin,
+         count(*) AS cnt
+  FROM events GROUP BY 1
+),
+c AS (
+  SELECT bin, cnt,
+         sum(cnt) OVER (ORDER BY bin) AS cum,
+         sum(cnt) OVER (ORDER BY bin) - cnt AS cum_before
+  FROM h
+),
+t AS (SELECT unnest([250000, 500000, 900000, 990000]) AS q_x1e6),
+tr AS (
+  SELECT q_x1e6,
+         greatest(1, CAST(ceil(q_x1e6 / 1000000.0 * (SELECT sum(cnt) FROM h)) AS BIGINT)) AS r
+  FROM t
+),
+cov AS (
+  SELECT tr.q_x1e6, tr.r, min(c.bin) AS bin
+  FROM tr JOIN c ON c.cum >= tr.r GROUP BY 1, 2
+),
+j AS (
+  SELECT cov.q_x1e6, cov.r, cov.bin, c.cnt, c.cum_before
+  FROM cov JOIN c USING (bin)
+)
+SELECT q_x1e6,
+       CAST(floor((0.0 + 7.8125 * (bin + (r - cum_before) / CAST(cnt AS DOUBLE))) * 1000000 + 0.5) AS BIGINT) AS est_x1e6
+FROM j
+"""
+
+
 def q_zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton z-values (io/catalog.py zorder_value) of (user_id, event_id)
     per event — the bit-interleaved sort key behind Catalog.write_zordered's
@@ -3680,6 +3727,7 @@ QUERIES = {
     "pq_adc_topk": q_pq_adc_topk,
     "triangle_count": q_triangle_count,
     "zorder_values": q_zorder_values,
+    "hist_quantiles": q_hist_quantiles,
     "rollup_orders": q_rollup_orders,
     "pivot_event_counts": q_pivot_event_counts,
     "quantiles_by_type": q_quantiles_by_type,
@@ -3776,6 +3824,7 @@ ORACLE_SQL = {
     "pq_adc_topk": PQ_ADC_SQL,
     "triangle_count": TRIANGLE_SQL,
     "zorder_values": ZORDER_SQL,
+    "hist_quantiles": HIST_QUANTILES_SQL,
     "rollup_orders": ROLLUP_SQL,
     "pivot_event_counts": PIVOT_SQL,
     "quantiles_by_type": QUANTILES_SQL,

@@ -277,3 +277,84 @@ def bloom_merge(*blooms: DataFrame) -> DataFrame:
     for t in blooms[1:]:
         merged = merged.unionByName(t)
     return merged.distinct()
+
+
+# ---------------------------------------------------------------------------
+# Fixed-bin histogram quantile sketch — the mergeable companion to the exact
+# quantiles query (entry_queries quantiles_by_type documents the exact-vs-
+# approx split). A histogram of n_bins integer counters summarizes any
+# number of rows; per-shard/per-day histograms MERGE by bin-wise sum, and a
+# quantile estimate reads ≤ n_bins rows with error bounded by one bin width.
+# Spark's own percentile_approx is the production default; this table form
+# exists for the same reasons as the HLL/CMS above: registers you can store,
+# merge across pipelines, and replay bit-for-bit in the DuckDB oracle.
+# ---------------------------------------------------------------------------
+
+
+def hist_table(
+    df: DataFrame, col: str, lo: float, hi: float, n_bins: int = 64
+) -> DataFrame:
+    """(bin, cnt) histogram over [lo, hi); values outside clamp to the edge
+    bins. One groupBy with map-side partials — ≤ n_bins rows out."""
+    w = (hi - lo) / n_bins
+    raw = F.floor((F.col(col).cast("double") - F.lit(lo)) / F.lit(w)).cast("long")
+    b = F.greatest(F.lit(0), F.least(F.lit(n_bins - 1), raw))
+    return df.select(b.alias("bin")).groupBy("bin").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def hist_merge(*hists: DataFrame) -> DataFrame:
+    """Merge histograms built with the same (lo, hi, n_bins): union + sum."""
+    merged = hists[0]
+    for t in hists[1:]:
+        merged = merged.unionByName(t)
+    return merged.groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+
+
+def hist_quantiles(
+    hist: DataFrame, qs_x1e6: list, lo: float, hi: float, n_bins: int = 64
+) -> DataFrame:
+    """(q_x1e6, est_x1e6) per requested quantile, linearly interpolated
+    inside the covering bin.
+
+    rank r = ceil(q·N) (min 1); the covering bin is the first with
+    cumulative count ≥ r; est = lo + w·(bin + (r − cum_before)/cnt_bin).
+    The cumulative window runs over ≤ n_bins rows — a deliberate tiny
+    single-partition window, same rationale as the vetted bench sites."""
+    from pyspark.sql.window import Window
+
+    w = (hi - lo) / n_bins
+    cum = hist.withColumn(
+        "cum", F.sum("cnt").over(Window.orderBy("bin").rowsBetween(
+            Window.unboundedPreceding, 0))
+    ).withColumn("cum_before", F.col("cum") - F.col("cnt"))
+    total = hist.agg(F.sum("cnt")).first()[0]
+    qs = F.explode(
+        F.array(*[F.lit(int(q)) for q in qs_x1e6])
+    ).alias("q_x1e6")
+    targets = cum.crossJoin(
+        hist.sparkSession.range(1).select(qs)
+    ).withColumn(
+        "r",
+        F.greatest(
+            F.lit(1), F.ceil(F.col("q_x1e6") / 1000000.0 * F.lit(int(total)))
+        ),
+    )
+    covering = (
+        targets.filter(F.col("cum") >= F.col("r"))
+        .groupBy("q_x1e6", "r")
+        .agg(F.min_by(F.struct("bin", "cnt", "cum_before"), "bin").alias("s"))
+    )
+    est = (
+        F.lit(float(lo))
+        + F.lit(w)
+        * (
+            F.col("s.bin")
+            + (F.col("r") - F.col("s.cum_before")) / F.col("s.cnt")
+        )
+    )
+    return covering.select(
+        "q_x1e6",
+        F.floor(est * 1000000 + F.lit(0.5)).cast("long").alias("est_x1e6"),
+    )

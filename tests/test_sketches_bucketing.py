@@ -312,3 +312,37 @@ def test_zorder_layout_narrows_per_file_ranges(spark, tmp_path):
     assert pe < g_event / 4 and pu > g_user * 0.8
     # z-order: BOTH columns narrow per file
     assert zu < g_user / 2 and ze < g_event / 2
+
+
+def test_hist_quantiles_accuracy_and_merge(spark):
+    """Histogram-sketch quantile estimates land within one bin width of the
+    EXACT quantiles, and per-shard histograms merge into exactly the whole
+    histogram (bin-for-bin)."""
+    from chronographer_spark.operators.sketches import (
+        hist_merge,
+        hist_quantiles,
+        hist_table,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    lo, hi, n_bins = 0.0, 500.0, 64
+    width = (hi - lo) / n_bins
+    h = hist_table(ev, "value", lo, hi, n_bins)
+
+    qs = [250000, 500000, 900000, 990000]
+    est = {
+        r["q_x1e6"]: r["est_x1e6"] / 1e6
+        for r in hist_quantiles(h, qs, lo, hi, n_bins).collect()
+    }
+    exact = ev.approxQuantile("value", [q / 1e6 for q in qs], 0.0)
+    for q, ex in zip(qs, exact):
+        assert abs(est[q] - ex) <= width, (q, est[q], ex)
+
+    a = ev.filter(F.col("event_id") % 2 == 0)
+    b = ev.filter(F.col("event_id") % 2 == 1)
+    merged = hist_merge(
+        hist_table(a, "value", lo, hi, n_bins), hist_table(b, "value", lo, hi, n_bins)
+    )
+    assert {(r["bin"], r["cnt"]) for r in merged.collect()} == {
+        (r["bin"], r["cnt"]) for r in h.collect()
+    }
