@@ -2973,6 +2973,52 @@ WHERE CAST(concat('0x', substr(md5('23:' || CAST(doc_id AS VARCHAR)), 1, 8))
 """
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-and-split sequence packing (operators/packing.py
+    pack_sequences): documents ordered by md5(doc_id) lie end-to-end in one
+    token stream, split into 512-token training chunks; each doc reports
+    the chunk span it occupies and its offset in the first chunk. The
+    prefix sum is two-phase (range partition + per-partition offsets), and
+    the oracle replays the identical global cumsum in windowed SQL."""
+    from .operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tok")
+    )
+    out = pack_sequences(toks, "doc_id", "n_tok", budget=512)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_tokens",
+        "cum_before",
+        "first_chunk",
+        "last_chunk",
+        "chunk_offset",
+    )
+
+
+PACK_SEQUENCES_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS ok
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(sum(n_tokens) OVER (ORDER BY ok) AS BIGINT) AS cum_end
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       cum_end - n_tokens AS cum_before,
+       CAST(floor((cum_end - n_tokens) / 512.0) AS BIGINT) AS first_chunk,
+       CAST(floor(greatest(cum_end - 1, cum_end - n_tokens) / 512.0) AS BIGINT)
+         AS last_chunk,
+       (cum_end - n_tokens) % 512 AS chunk_offset
+FROM c
+"""
+
+
 def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter decontamination pre-pass (operators/sketches.py
     bloom_build/bloom_maybe_contains): eval docs (doc_id % 10 == 0) set an
@@ -3723,6 +3769,7 @@ QUERIES = {
     "cms_heavy_tokens": q_cms_heavy_tokens,
     "bloom_decontaminate": q_bloom_decontaminate,
     "domain_mix_sample": q_domain_mix_sample,
+    "pack_sequences": q_pack_sequences,
     "repeated_ngram_spans": q_repeated_ngram_spans,
     "pq_adc_topk": q_pq_adc_topk,
     "triangle_count": q_triangle_count,
@@ -3820,6 +3867,7 @@ ORACLE_SQL = {
     "cms_heavy_tokens": CMS_HEAVY_SQL,
     "bloom_decontaminate": BLOOM_DECONTAMINATE_SQL,
     "domain_mix_sample": DOMAIN_MIX_SQL,
+    "pack_sequences": PACK_SEQUENCES_SQL,
     "repeated_ngram_spans": REPEATED_NGRAM_SQL,
     "pq_adc_topk": PQ_ADC_SQL,
     "triangle_count": TRIANGLE_SQL,

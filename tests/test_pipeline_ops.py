@@ -757,3 +757,36 @@ def test_rrf_fuse_hand_computed(spark):
     assert out[20] == (c(2) + c(1), 1)
     assert out[30] == (c(3), 4)
     assert out[40] == (c(2), 3)
+
+
+def test_pack_sequences_covers_stream_and_matches_global_window(spark):
+    """Packing invariants on a skewed corpus: the chunk spans tile the
+    concatenated token stream exactly (cum_before of the k-th doc in md5
+    order equals the sum of all earlier docs' tokens — i.e. the two-phase
+    prefix sum equals the naive global one), offsets stay inside the
+    budget, and a doc's span is exactly the chunks its positions touch."""
+    from chronographer_spark.operators.packing import pack_sequences
+
+    budget = 100
+    rows = [(i, (i * 37) % 260 + 1) for i in range(200)]  # some docs > budget
+    df = spark.createDataFrame(rows, ["doc_id", "n_tok"])
+    out = pack_sequences(df, "doc_id", "n_tok", budget=budget, n_parts=7).collect()
+
+    import hashlib
+
+    order = sorted(rows, key=lambda r: hashlib.md5(str(r[0]).encode()).hexdigest())
+    cum, expect = 0, {}
+    for doc_id, n in order:
+        expect[doc_id] = cum
+        cum += n
+    by_id = {r["id"]: r for r in out}
+    assert len(by_id) == 200
+    for doc_id, n in rows:
+        r = by_id[doc_id]
+        assert r["cum_before"] == expect[doc_id], doc_id
+        assert r["n_tokens"] == n
+        assert r["first_chunk"] == expect[doc_id] // budget
+        assert r["last_chunk"] == (expect[doc_id] + n - 1) // budget
+        assert 0 <= r["chunk_offset"] < budget
+    # stream is fully tiled: the final chunk is the one holding the last token
+    assert max(r["last_chunk"] for r in out) == (cum - 1) // budget
