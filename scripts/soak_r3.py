@@ -20,7 +20,7 @@ Jobs (local[$SPARK_GRAFT_CPUS], default 32; distinct ids per replica):
 Prints one JSON line per job with per-rep wall times (trust the min;
 CLAUDE.md: this host's absolute times drift).
 
-Usage: python scripts/soak_r3.py [repl] [reps]
+Usage: python scripts/soak_r3.py [repl] [reps] [job ...]
 """
 
 from __future__ import annotations
@@ -151,14 +151,32 @@ def main() -> None:
         assert n == repl * n_cust, (n, repl * n_cust)
         return n
 
+    def job_pack():
+        from chronographer_spark.operators.packing import pack_sequences
+
+        toks_df = docs_r.select(
+            "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tok")
+        )
+        out = pack_sequences(toks_df, "doc_id", "n_tok", budget=512, n_parts=4 * CPUS)
+        agg = out.agg(
+            F.sum("n_tokens").alias("tot"), F.max("last_chunk").alias("mx")
+        ).first()
+        # the chunk stream must exactly tile the total token count
+        assert agg["mx"] == (agg["tot"] - 1) // 512, agg
+        return agg["mx"] + 1
+
     jobs = [
+        ("pack", job_pack),
         ("repeated_spans", job_repeated_spans),
         ("cms_heavy", job_cms_heavy),
         ("bloom_pass", job_bloom_pass),
         ("pq_encode", job_pq_encode),
         ("triangles", job_triangles),
     ]
+    only = set(sys.argv[3:])
     for name, fn in jobs:
+        if only and name not in only:
+            continue
         times, out = [], None
         for _ in range(reps):
             t0 = time.time()
