@@ -3019,6 +3019,60 @@ FROM c
 """
 
 
+def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (operators/text.py scrub_pii): every document gets a
+    deterministic synthetic email, IPv4, and phone string appended (the
+    corpus itself is word soup — the wiring makes the regexes fire on every
+    row), then the map-only native-regex scrub counts and redacts them.
+    The oracle replays the identical RE2/Java-portable patterns and
+    fingerprints the scrubbed text."""
+    from .operators.text import scrub_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    wired = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.org or 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit("."),
+            ((F.col("doc_id") * 7) % 256).cast("string"),
+            F.lit(" tel +1 555 01"),
+            ((F.col("doc_id") % 90) + 10).cast("string"),
+            F.lit("2345"),
+        ).alias("text"),
+    )
+    out = scrub_pii(wired, "text")
+    return out.select(
+        "doc_id", "n_email", "n_ip", "n_phone", F.md5("scrubbed").alias("fp")
+    )
+
+
+SCRUB_PII_SQL = r"""
+WITH wired AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@mail.example.org or 10.0.'
+              || CAST(doc_id % 256 AS VARCHAR) || '.'
+              || CAST((doc_id * 7) % 256 AS VARCHAR)
+              || ' tel +1 555 01' || CAST((doc_id % 90) + 10 AS VARCHAR)
+              || '2345' AS t
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+  CAST(len(regexp_extract_all(t, '\+?\d[\d()\- ]{7,}\d')) AS BIGINT) AS n_phone,
+  md5(regexp_replace(regexp_replace(regexp_replace(t,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        '\+?\d[\d()\- ]{7,}\d', '<PHONE>', 'g')) AS fp
+FROM wired
+"""
+
+
 def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter decontamination pre-pass (operators/sketches.py
     bloom_build/bloom_maybe_contains): eval docs (doc_id % 10 == 0) set an
@@ -3770,6 +3824,7 @@ QUERIES = {
     "bloom_decontaminate": q_bloom_decontaminate,
     "domain_mix_sample": q_domain_mix_sample,
     "pack_sequences": q_pack_sequences,
+    "scrub_pii": q_scrub_pii,
     "repeated_ngram_spans": q_repeated_ngram_spans,
     "pq_adc_topk": q_pq_adc_topk,
     "triangle_count": q_triangle_count,
@@ -3868,6 +3923,7 @@ ORACLE_SQL = {
     "bloom_decontaminate": BLOOM_DECONTAMINATE_SQL,
     "domain_mix_sample": DOMAIN_MIX_SQL,
     "pack_sequences": PACK_SEQUENCES_SQL,
+    "scrub_pii": SCRUB_PII_SQL,
     "repeated_ngram_spans": REPEATED_NGRAM_SQL,
     "pq_adc_topk": PQ_ADC_SQL,
     "triangle_count": TRIANGLE_SQL,

@@ -200,3 +200,35 @@ def tfidf_top_terms(
             F.floor(F.col("score") * 1000000 + F.lit(0.5)).cast("long").alias("score_x1e6"),
         )
     )
+
+
+# Portable PII patterns: no lookarounds, no backrefs — identical semantics
+# under Java regex (Spark) and RE2 (DuckDB), so the scrub is oracle-
+# replayable byte-for-byte. Order matters: emails before phones (an email's
+# digits must not be half-eaten by the phone pattern).
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d()\- ]{7,}\d", "<PHONE>"),
+]
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails, IPv4 addresses, and phone-shaped digit runs.
+
+    Adds per-category match counts (n_email, n_ip, n_phone) and replaces
+    the matches in a new ``scrubbed`` column with typed placeholder tokens.
+    Map-only: three regexp_count + three chained regexp_replace native
+    expressions, one codegen stage, zero shuffles — the pass a 100 TB
+    pretraining corpus can afford to run inline with ingest. The reference
+    has no PII stage (its inputs are public KBs); this belongs to the
+    training-data family in COVERAGE.md.
+    """
+    out = df
+    scrubbed = F.col(text_col)
+    for name, pat, repl in PII_PATTERNS:
+        out = out.withColumn(
+            f"n_{name}", F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), 0))
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return out.withColumn("scrubbed", scrubbed)

@@ -790,3 +790,33 @@ def test_pack_sequences_covers_stream_and_matches_global_window(spark):
         assert 0 <= r["chunk_offset"] < budget
     # stream is fully tiled: the final chunk is the one holding the last token
     assert max(r["last_chunk"] for r in out) == (cum - 1) // budget
+
+
+def test_scrub_pii_hand_strings(spark):
+    """Redaction on hand-built strings: each category is replaced by its
+    placeholder, counts are per-category on the original text, emails are
+    scrubbed before the phone pass can eat their digit runs, and PII-free
+    text passes through byte-identical."""
+    from chronographer_spark.operators.text import scrub_pii
+
+    rows = [
+        (1, "write to alice.b-c+x@sub.example.org today"),
+        (2, "server at 192.168.0.1 rebooted"),
+        (3, "call +1 (555) 123-4567 now"),
+        (4, "plain text with no pii at all"),
+        (5, "user123456789@host.io and 10.0.0.7 and +44 20 7946 0958"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in scrub_pii(
+            spark.createDataFrame(rows, ["doc_id", "text"]), "text"
+        ).collect()
+    }
+    assert out[1]["scrubbed"] == "write to <EMAIL> today"
+    assert (out[1]["n_email"], out[1]["n_ip"], out[1]["n_phone"]) == (1, 0, 0)
+    assert out[2]["scrubbed"] == "server at <IP> rebooted"
+    assert out[3]["scrubbed"] == "call <PHONE> now"
+    assert out[4]["scrubbed"] == rows[3][1]
+    # email replaced first: its 9-digit local part never becomes a <PHONE>
+    assert out[5]["scrubbed"] == "<EMAIL> and <IP> and <PHONE>"
+    assert out[5]["n_email"] == 1 and out[5]["n_ip"] == 1

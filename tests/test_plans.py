@@ -295,3 +295,22 @@ def test_phrase_search_term_pruned_on_stored_index(spark, tmp_path):
     stored = {(r["doc_id"], r["n_matches"]) for r in
               phrase_search(idx, "fast table").collect()}
     assert mem == stored and mem
+
+
+def test_pack_sequences_offsets_broadcast_no_global_window(spark):
+    """pack_sequences: the per-partition offset table joins via broadcast
+    (never a shuffle of the checkpointed cumsum side), and the final plan
+    contains no un-partitioned window — the global prefix sum was resolved
+    by the two-phase offsets, so at most the checkpoint boundary remains."""
+    from chronographer_spark.operators.packing import pack_sequences
+
+    df = spark.range(5000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 300 + 1).alias("n_tok")
+    )
+    out = pack_sequences(df, "doc_id", "n_tok", budget=128, n_parts=8)
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # post-checkpoint plan: broadcast join only — no window, no extra shuffle
+    assert "Window" not in plan
+    assert _exchanges(plan) == 0
