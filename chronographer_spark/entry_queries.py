@@ -3073,6 +3073,60 @@ FROM wired
 """
 
 
+def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality metrics (operators/text.py
+    repetition_metrics): per-doc fraction of characters covered by the top
+    word bigram and by duplicated word trigrams, as x1e6 integers. The
+    oracle rebuilds the same grams, the same deterministic tie-break, and
+    the same count x length coverage definition."""
+    from .operators.text import repetition_metrics
+
+    return repetition_metrics(_t(spark, sf_dir, "documents"))
+
+
+REPETITION_SQL = """
+WITH base AS (
+  SELECT doc_id, length(text) AS n_chars,
+         list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+  FROM documents
+),
+bi AS (
+  SELECT doc_id,
+         unnest(list_transform(range(2, len(ts) + 1),
+                               i -> ts[i-1] || ' ' || ts[i])) AS g
+  FROM base WHERE len(ts) >= 2
+),
+bic AS (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY 1, 2),
+bitop AS (
+  SELECT doc_id, c * length(g) AS top_chars
+  FROM (SELECT doc_id, g, c,
+               row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g DESC)
+                 AS rn
+        FROM bic)
+  WHERE rn = 1
+),
+tri AS (
+  SELECT doc_id,
+         unnest(list_transform(range(3, len(ts) + 1),
+                               i -> ts[i-2] || ' ' || ts[i-1] || ' ' || ts[i]))
+           AS g
+  FROM base WHERE len(ts) >= 3
+),
+tric AS (SELECT doc_id, g, count(*) AS c FROM tri GROUP BY 1, 2),
+tridup AS (
+  SELECT doc_id,
+         sum(CASE WHEN c > 1 THEN c * length(g) ELSE 0 END) AS dup_chars
+  FROM tric GROUP BY 1
+)
+SELECT b.doc_id,
+  CAST(floor(1000000.0 * coalesce(top_chars, 0) / b.n_chars + 0.5) AS BIGINT)
+    AS top_bigram_frac_x1e6,
+  CAST(floor(1000000.0 * coalesce(dup_chars, 0) / b.n_chars + 0.5) AS BIGINT)
+    AS dup_trigram_frac_x1e6
+FROM base b LEFT JOIN bitop USING (doc_id) LEFT JOIN tridup USING (doc_id)
+"""
+
+
 def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter decontamination pre-pass (operators/sketches.py
     bloom_build/bloom_maybe_contains): eval docs (doc_id % 10 == 0) set an
@@ -3825,6 +3879,7 @@ QUERIES = {
     "domain_mix_sample": q_domain_mix_sample,
     "pack_sequences": q_pack_sequences,
     "scrub_pii": q_scrub_pii,
+    "repetition_metrics": q_repetition_metrics,
     "repeated_ngram_spans": q_repeated_ngram_spans,
     "pq_adc_topk": q_pq_adc_topk,
     "triangle_count": q_triangle_count,
@@ -3924,6 +3979,7 @@ ORACLE_SQL = {
     "domain_mix_sample": DOMAIN_MIX_SQL,
     "pack_sequences": PACK_SEQUENCES_SQL,
     "scrub_pii": SCRUB_PII_SQL,
+    "repetition_metrics": REPETITION_SQL,
     "repeated_ngram_spans": REPEATED_NGRAM_SQL,
     "pq_adc_topk": PQ_ADC_SQL,
     "triangle_count": TRIANGLE_SQL,

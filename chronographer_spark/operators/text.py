@@ -232,3 +232,79 @@ def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         scrubbed = F.regexp_replace(scrubbed, pat, repl)
     return out.withColumn("scrubbed", scrubbed)
+
+
+def repetition_metrics(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality metrics (MassiveText, arXiv
+    2112.11446 Table A1, simplified): per document, the fraction of
+    characters covered by the single most frequent word bigram and the
+    fraction covered by word trigrams that occur more than once — the
+    signals behind "drop boilerplate / loop-generated text" curation rules.
+
+    Coverage is count x gram length WITHOUT overlap correction — a
+    deterministic definition both engines replay exactly; thresholds should
+    be calibrated against it. Top-bigram ties break by the lexicographically
+    largest gram. Fractions are emitted as x1e6 integers.
+
+    Scale shape: tokenization runs ONCE (eager localCheckpoint — the
+    shared-subtree rule from the tf/df and minhash families), then two
+    explode -> groupBy(doc, gram) passes whose shuffles are keyed by
+    (doc_id, gram): no global hotspots, partial aggregation does the heavy
+    lifting map-side. Docs too short for a gram keep fraction 0.
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: t != F.lit(""))
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(text_col).cast("long").alias("n_chars"),
+        toks.alias("w"),
+    ).localCheckpoint(eager=True)
+
+    def _grams(n: int):
+        return F.when(
+            F.size("w") >= n,
+            F.transform(
+                F.sequence(F.lit(n), F.size("w")),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at("w", i - (n - 1 - j)) for j in range(n)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    bic = (
+        base.select("doc_id", F.explode(_grams(2)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bitop = bic.groupBy("doc_id").agg(F.max(F.struct("c", "g")).alias("m")).select(
+        "doc_id", (F.col("m.c") * F.length("m.g")).alias("top_chars")
+    )
+    tridup = (
+        base.select("doc_id", F.explode(_grams(3)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("c") > 1, F.col("c") * F.length("g")).otherwise(0)
+            ).alias("dup_chars")
+        )
+    )
+
+    def _frac(col):
+        return F.floor(
+            F.lit(1000000.0) * F.coalesce(col, F.lit(0)) / F.col("n_chars")
+            + F.lit(0.5)
+        ).cast("long")
+
+    return (
+        base.select("doc_id", "n_chars")
+        .join(bitop, "doc_id", "left")
+        .join(tridup, "doc_id", "left")
+        .select(
+            "doc_id",
+            _frac(F.col("top_chars")).alias("top_bigram_frac_x1e6"),
+            _frac(F.col("dup_chars")).alias("dup_trigram_frac_x1e6"),
+        )
+    )

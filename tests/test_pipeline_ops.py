@@ -820,3 +820,22 @@ def test_scrub_pii_hand_strings(spark):
     # email replaced first: its 9-digit local part never becomes a <PHONE>
     assert out[5]["scrubbed"] == "<EMAIL> and <IP> and <PHONE>"
     assert out[5]["n_email"] == 1 and out[5]["n_ip"] == 1
+
+
+def test_repetition_metrics_hand_computed(spark):
+    """Gopher repetition metrics on hand docs: 'a b a b a b c' has top
+    bigram 'a b' (3 hits, 9 of 13 chars) and 20 duplicated-trigram chars
+    (overlap-uncorrected, so the fraction may exceed 1e6 by design); a
+    one-word doc scores 0/0; a two-word doc's only bigram covers it fully."""
+    from chronographer_spark.operators.text import repetition_metrics
+
+    rows = [(1, "a b a b a b c"), (2, "x"), (3, "p q")]
+    out = {
+        r["doc_id"]: (r["top_bigram_frac_x1e6"], r["dup_trigram_frac_x1e6"])
+        for r in repetition_metrics(
+            spark.createDataFrame(rows, ["doc_id", "text"])
+        ).collect()
+    }
+    assert out[1] == (692308, 1538462)  # floor(1e6*9/13+.5), floor(1e6*20/13+.5)
+    assert out[2] == (0, 0)
+    assert out[3] == (1000000, 0)
