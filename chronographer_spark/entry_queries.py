@@ -3073,6 +3073,62 @@ FROM wired
 """
 
 
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label propagation (operators/graph_algos
+    label_propagation, 2 rounds) over the customer-nation membership graph:
+    nation hubs are the skewed high-degree side. Round 1 gives every
+    customer its hub's id and every hub its smallest customer key (all-tie
+    vote); round 2 settles customers on that smallest key and hubs back on
+    their own id. The oracle unrolls both rounds with the same
+    most-frequent-then-smallest tie-break."""
+    from .operators.graph_algos import label_propagation
+
+    cust = _t(spark, sf_dir, "customer")
+    edges = cust.select(
+        F.col("c_custkey").alias("src"),
+        (F.col("c_nationkey") + 1000000).alias("dst"),
+    )
+    return label_propagation(edges, iterations=2)
+
+
+LABEL_PROP_SQL = """
+WITH e AS (
+  SELECT c_custkey AS src, c_nationkey + 1000000 AS dst FROM customer
+),
+sym AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+nodes AS (SELECT DISTINCT src AS node FROM sym),
+l0 AS (SELECT node, node AS label FROM nodes),
+v1 AS (
+  SELECT s.dst AS node, l.label, count(*) AS c
+  FROM sym s JOIN l0 l ON s.src = l.node GROUP BY 1, 2
+),
+p1 AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC)
+             AS rn
+    FROM v1) WHERE rn = 1
+),
+l1 AS (
+  SELECT n.node, coalesce(p.label, n.node) AS label
+  FROM nodes n LEFT JOIN p1 p USING (node)
+),
+v2 AS (
+  SELECT s.dst AS node, l.label, count(*) AS c
+  FROM sym s JOIN l1 l ON s.src = l.node GROUP BY 1, 2
+),
+p2 AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC)
+             AS rn
+    FROM v2) WHERE rn = 1
+)
+SELECT n.node, coalesce(p.label, n.node) AS label
+FROM nodes n LEFT JOIN p2 p USING (node)
+"""
+
+
 def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality metrics (operators/text.py
     repetition_metrics): per-doc fraction of characters covered by the top
@@ -3880,6 +3936,7 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "scrub_pii": q_scrub_pii,
     "repetition_metrics": q_repetition_metrics,
+    "label_propagation": q_label_propagation,
     "repeated_ngram_spans": q_repeated_ngram_spans,
     "pq_adc_topk": q_pq_adc_topk,
     "triangle_count": q_triangle_count,
@@ -3980,6 +4037,7 @@ ORACLE_SQL = {
     "pack_sequences": PACK_SEQUENCES_SQL,
     "scrub_pii": SCRUB_PII_SQL,
     "repetition_metrics": REPETITION_SQL,
+    "label_propagation": LABEL_PROP_SQL,
     "repeated_ngram_spans": REPEATED_NGRAM_SQL,
     "pq_adc_topk": PQ_ADC_SQL,
     "triangle_count": TRIANGLE_SQL,

@@ -209,3 +209,47 @@ def triangle_count(
     closing = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
     tri = wedges.join(closing, ["x", "y"], "left_semi")
     return tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+
+
+def label_propagation(edges: DataFrame, iterations: int = 2) -> DataFrame:
+    """Synchronous label-propagation community detection over undirected
+    (src, dst) edges, made fully deterministic: each round every node
+    adopts its neighbors' most frequent current label, ties broken by the
+    SMALLEST label; isolated appearances keep their label. Labels start as
+    the node ids themselves.
+
+    The third iterative-joins family beside connected components and
+    PageRank (reference has no community stage; this serves "cluster the
+    entity graph" analytics over the built KG). Per round: one hash join
+    (labels onto the symmetrized edge list), one (node, label) count, one
+    deterministic arg-max — all shuffles keyed by node, hub skew handled
+    the same way the CC rounds are (AQE skew split; no driver state).
+    Per-round eager localCheckpoint cuts lineage exactly like pagerank.
+
+    Returns (node, label). Requires numeric node ids (the tie-break
+    negates the label inside a struct max).
+    """
+    sym = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    nodes = sym.select(F.col("src").alias("node")).dropDuplicates()
+    sym = sym.localCheckpoint(eager=True)
+    labels = nodes.withColumn("label", F.col("node"))
+    for _ in range(iterations):
+        votes = (
+            sym.join(labels, sym["src"] == labels["node"])
+            .select(F.col("dst").alias("node"), "label")
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        picked = (
+            votes.groupBy("node")
+            .agg(F.max(F.struct(F.col("c"), (-F.col("label")).alias("nl"))).alias("m"))
+            .select("node", (-F.col("m.nl")).alias("label"))
+        )
+        labels = (
+            nodes.join(picked, "node", "left")
+            .select("node", F.coalesce(picked["label"], F.col("node")).alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return labels

@@ -839,3 +839,23 @@ def test_repetition_metrics_hand_computed(spark):
     assert out[1] == (692308, 1538462)  # floor(1e6*9/13+.5), floor(1e6*20/13+.5)
     assert out[2] == (0, 0)
     assert out[3] == (1000000, 0)
+
+
+def test_label_propagation_hand_graphs(spark):
+    """Deterministic LPA: on a star the leaves adopt the hub's id in round
+    1 while the all-tie hub vote resolves to the smallest leaf; round 2
+    settles leaves on that smallest leaf and the hub back on itself. A
+    two-neighbor tie picks the smaller label after one round."""
+    from chronographer_spark.operators.graph_algos import label_propagation
+
+    star = spark.createDataFrame(
+        [(10, 1), (10, 2), (10, 3)], ["src", "dst"]
+    )
+    r1 = {r["node"]: r["label"] for r in label_propagation(star, 1).collect()}
+    assert r1 == {1: 10, 2: 10, 3: 10, 10: 1}
+    r2 = {r["node"]: r["label"] for r in label_propagation(star, 2).collect()}
+    assert r2 == {1: 1, 2: 1, 3: 1, 10: 10}
+
+    tie = spark.createDataFrame([(5, 3), (5, 4)], ["src", "dst"])
+    t1 = {r["node"]: r["label"] for r in label_propagation(tie, 1).collect()}
+    assert t1 == {5: 3, 3: 5, 4: 5}
