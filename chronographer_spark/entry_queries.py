@@ -3073,6 +3073,44 @@ FROM wired
 """
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping retrieval chunking (operators/text.py chunk_documents):
+    64-token windows every 32 tokens per document, map-only explode of
+    stride offsets. The oracle rebuilds the same windows and fingerprints
+    the joined chunk text."""
+    from .operators.text import chunk_documents
+
+    out = chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=64, stride=32
+    )
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "chunk_idx",
+        "start_tok",
+        "n_tok",
+        F.md5("chunk_text").alias("fp"),
+    )
+
+
+CHUNK_DOCS_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+  FROM documents
+),
+starts AS (
+  SELECT doc_id, ts, unnest(range(0, len(ts), 32)) AS s
+  FROM base WHERE len(ts) > 0
+)
+SELECT doc_id,
+       CAST(s // 32 AS BIGINT) AS chunk_idx,
+       CAST(s AS BIGINT) AS start_tok,
+       CAST(least(64, len(ts) - s) AS BIGINT) AS n_tok,
+       md5(array_to_string(list_slice(ts, s + 1, s + 64), ' ')) AS fp
+FROM starts
+"""
+
+
 def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic synchronous label propagation (operators/graph_algos
     label_propagation, 2 rounds) over the customer-nation membership graph:
@@ -3937,6 +3975,7 @@ QUERIES = {
     "scrub_pii": q_scrub_pii,
     "repetition_metrics": q_repetition_metrics,
     "label_propagation": q_label_propagation,
+    "chunk_documents": q_chunk_documents,
     "repeated_ngram_spans": q_repeated_ngram_spans,
     "pq_adc_topk": q_pq_adc_topk,
     "triangle_count": q_triangle_count,
@@ -4038,6 +4077,7 @@ ORACLE_SQL = {
     "scrub_pii": SCRUB_PII_SQL,
     "repetition_metrics": REPETITION_SQL,
     "label_propagation": LABEL_PROP_SQL,
+    "chunk_documents": CHUNK_DOCS_SQL,
     "repeated_ngram_spans": REPEATED_NGRAM_SQL,
     "pq_adc_topk": PQ_ADC_SQL,
     "triangle_count": TRIANGLE_SQL,

@@ -308,3 +308,40 @@ def repetition_metrics(
             _frac(F.col("dup_chars")).alias("dup_trigram_frac_x1e6"),
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    stride: int = 32,
+) -> DataFrame:
+    """Overlapping retrieval-style chunking: windows of ``chunk_tokens``
+    whitespace tokens starting every ``stride`` tokens (start positions are
+    the multiples of stride below the token count, so trailing windows may
+    be short — a deterministic rule both engines replay). Map-only: one
+    explode of per-row start offsets, array slices, no shuffle; the pass
+    that fans a 100 TB corpus out to its embedding/indexing units.
+
+    Emits (id, chunk_idx, start_tok, n_tok, chunk_text).
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: t != F.lit(""))
+    base = df.select(F.col(id_col).alias("id"), toks.alias("w")).filter(
+        F.size("w") > 0
+    )
+    starts = base.select(
+        "id",
+        "w",
+        F.explode(
+            F.sequence(F.lit(0), F.size("w") - 1, F.lit(stride))
+        ).alias("s"),
+    )
+    chunk = F.slice("w", F.col("s") + 1, chunk_tokens)
+    return starts.select(
+        "id",
+        (F.col("s") / stride).cast("long").alias("chunk_idx"),
+        F.col("s").cast("long").alias("start_tok"),
+        F.size(chunk).cast("long").alias("n_tok"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    )

@@ -859,3 +859,26 @@ def test_label_propagation_hand_graphs(spark):
     tie = spark.createDataFrame([(5, 3), (5, 4)], ["src", "dst"])
     t1 = {r["node"]: r["label"] for r in label_propagation(tie, 1).collect()}
     assert t1 == {5: 3, 3: 5, 4: 5}
+
+
+def test_chunk_documents_windows_and_maponly(spark):
+    """Stride windows: 5 tokens with chunk=3/stride=2 give starts 0,2,4
+    with a short tail; empty docs emit nothing; and the whole pass is
+    map-only (no exchange in the physical plan)."""
+    from chronographer_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "A b c D e"), (2, "")], ["doc_id", "text"]
+    )
+    out = chunk_documents(df, chunk_tokens=3, stride=2)
+    rows = {
+        (r["id"], r["chunk_idx"]): (r["start_tok"], r["n_tok"], r["chunk_text"])
+        for r in out.collect()
+    }
+    assert rows == {
+        (1, 0): (0, 3, "a b c"),
+        (1, 1): (2, 3, "c d e"),
+        (1, 2): (4, 1, "e"),
+    }
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
