@@ -3073,6 +3073,36 @@ FROM wired
 """
 
 
+def q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level MinHash overlap (operators/sketches.py corpus_overlap):
+    one 16-component vocabulary signature per source, pairwise component
+    agreement as the Jaccard estimate. The oracle rebuilds the same salted
+    md5 minima and the same pair counts."""
+    from .operators.sketches import corpus_overlap
+
+    return corpus_overlap(_t(spark, sf_dir, "documents"), n_hashes=16)
+
+
+CORPUS_OVERLAP_SQL = """
+WITH words AS (
+  SELECT source AS grp,
+         unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS w
+  FROM documents
+),
+fanned AS (
+  SELECT grp, s, min(md5('s' || CAST(s AS VARCHAR) || '|' || w)) AS h
+  FROM (SELECT grp, w, unnest(range(0, 16)) AS s FROM words)
+  GROUP BY 1, 2
+)
+SELECT a.grp AS source_a, b.grp AS source_b,
+  CAST(sum(CASE WHEN a.h = b.h THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+  CAST(floor(1000000.0 * sum(CASE WHEN a.h = b.h THEN 1 ELSE 0 END) / 16
+             + 0.5) AS BIGINT) AS jaccard_est_x1e6
+FROM fanned a JOIN fanned b ON a.s = b.s AND a.grp < b.grp
+GROUP BY 1, 2
+"""
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping retrieval chunking (operators/text.py chunk_documents):
     64-token windows every 32 tokens per document, map-only explode of
@@ -3976,6 +4006,7 @@ QUERIES = {
     "repetition_metrics": q_repetition_metrics,
     "label_propagation": q_label_propagation,
     "chunk_documents": q_chunk_documents,
+    "corpus_overlap": q_corpus_overlap,
     "repeated_ngram_spans": q_repeated_ngram_spans,
     "pq_adc_topk": q_pq_adc_topk,
     "triangle_count": q_triangle_count,
@@ -4078,6 +4109,7 @@ ORACLE_SQL = {
     "repetition_metrics": REPETITION_SQL,
     "label_propagation": LABEL_PROP_SQL,
     "chunk_documents": CHUNK_DOCS_SQL,
+    "corpus_overlap": CORPUS_OVERLAP_SQL,
     "repeated_ngram_spans": REPEATED_NGRAM_SQL,
     "pq_adc_topk": PQ_ADC_SQL,
     "triangle_count": TRIANGLE_SQL,

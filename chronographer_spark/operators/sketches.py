@@ -358,3 +358,76 @@ def hist_quantiles(
         "q_x1e6",
         F.floor(est * 1000000 + F.lit(0.5)).cast("long").alias("est_x1e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level MinHash overlap — the sketch family applied per SOURCE rather
+# than per document: one n_hashes-component signature summarizes each
+# source's vocabulary, and component agreement between two signatures
+# estimates the Jaccard overlap of their vocabularies. The report a corpus
+# curator reads to spot near-duplicate crawls or drift between snapshots,
+# at a cost independent of corpus size per pair (signatures are
+# n_sources x n_hashes rows).
+# ---------------------------------------------------------------------------
+
+
+def corpus_overlap(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    n_hashes: int = 16,
+) -> DataFrame:
+    """(source_a, source_b, n_match, jaccard_est_x1e6) per unordered source
+    pair, from per-source MinHash vocabulary signatures.
+
+    Scale shape: tokens fan out to n_hashes salted rows via a SINGLE
+    explode of structs (the minhash-bands lesson — never a UNION of
+    per-salt selects re-executing the subtree), and the (group, salt)
+    aggregation is an algebraic MIN: map-side partials collapse every
+    partition to <= n_groups x n_hashes rows before the shuffle, so the
+    low-cardinality group key is NOT a skew hazard. The pair join runs on
+    the tiny signature table. Duplicate tokens need no pre-distinct — MIN
+    over duplicates equals MIN over distinct, saving a shuffle.
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: t != F.lit(""))
+    salted = (
+        df.select(F.col(group_col).alias("grp"), F.explode(toks).alias("w"))
+        .select(
+            "grp",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("salt"),
+                            F.md5(F.concat(F.lit(f"s{i}|"), F.col("w"))).alias("h"),
+                        )
+                        for i in range(n_hashes)
+                    ]
+                )
+            ).alias("x"),
+        )
+        .select("grp", "x.salt", "x.h")
+    )
+    sig = salted.groupBy("grp", "salt").agg(F.min("h").alias("h"))
+    a, b = sig.alias("a"), sig.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.salt") == F.col("b.salt")) & (F.col("a.grp") < F.col("b.grp")),
+        )
+        .groupBy(
+            F.col("a.grp").alias("source_a"), F.col("b.grp").alias("source_b")
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("a.h") == F.col("b.h"), 1).otherwise(0)
+            ).alias("n_match")
+        )
+        .withColumn(
+            "jaccard_est_x1e6",
+            F.floor(
+                F.lit(1000000.0) * F.col("n_match") / n_hashes + F.lit(0.5)
+            ).cast("long"),
+        )
+        .withColumn("n_match", F.col("n_match").cast("long"))
+    )

@@ -346,3 +346,28 @@ def test_hist_quantiles_accuracy_and_merge(spark):
     assert {(r["bin"], r["cnt"]) for r in merged.collect()} == {
         (r["bin"], r["cnt"]) for r in h.collect()
     }
+
+
+def test_corpus_overlap_identical_and_disjoint_sources(spark):
+    """Corpus MinHash overlap: identical vocabularies agree on all 16
+    components (est 1e6) regardless of token multiplicity; disjoint
+    vocabularies agree on none; pairs are emitted once, a < b."""
+    from chronographer_spark.operators.sketches import corpus_overlap
+
+    rows = [
+        ("a", "x y z"),
+        ("b", "x y z"),
+        ("c", "q r s t"),
+        ("d", "x x y z z x"),
+    ]
+    df = spark.createDataFrame(rows, ["source", "text"])
+    out = {
+        (r["source_a"], r["source_b"]): (r["n_match"], r["jaccard_est_x1e6"])
+        for r in corpus_overlap(df, n_hashes=16).collect()
+    }
+    assert set(out) == {("a", "b"), ("a", "c"), ("a", "d"),
+                        ("b", "c"), ("b", "d"), ("c", "d")}
+    assert out[("a", "b")] == (16, 1000000)
+    assert out[("a", "d")] == (16, 1000000)  # multiplicity is irrelevant
+    assert out[("a", "c")] == (0, 0)
+    assert out[("b", "c")] == (0, 0)
