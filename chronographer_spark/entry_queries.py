@@ -3251,6 +3251,56 @@ FROM base b LEFT JOIN bitop USING (doc_id) LEFT JOIN tridup USING (doc_id)
 """
 
 
+def q_curation_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule curation flow: repetition metrics (operators/text.py
+    repetition_metrics) gate out boilerplate-heavy docs (top-bigram <
+    0.12, duplicated-trigram < 0.15 character coverage), a minimum-length
+    rule keeps docs >= 20 tokens, and the survivors pass a deterministic
+    50% hash_rate_sample — the composition a curation job runs, every
+    stage keyed and replayable. Returns (doc_id, source)."""
+    from .operators.sampling import hash_rate_sample
+    from .operators.text import repetition_metrics
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.size(
+            F.filter(
+                F.split(F.lower(F.col("text")), " "), lambda t: t != F.lit("")
+            )
+        ).alias("n_tok"),
+    )
+    kept = toks.join(repetition_metrics(docs), "doc_id").filter(
+        (F.col("top_bigram_frac_x1e6") < 120000)
+        & (F.col("dup_trigram_frac_x1e6") < 150000)
+        & (F.col("n_tok") >= 20)
+    )
+    return hash_rate_sample(kept, 500000, key="doc_id").select("doc_id", "source")
+
+
+CURATION_GOPHER_SQL = (
+    """
+WITH rep AS ("""
+    + REPETITION_SQL
+    + """),
+toks AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split(lower(text), ' '), t -> t <> ''))
+           AS n_tok
+  FROM documents
+)
+SELECT t.doc_id, t.source
+FROM toks t JOIN rep USING (doc_id)
+WHERE rep.top_bigram_frac_x1e6 < 120000
+  AND rep.dup_trigram_frac_x1e6 < 150000
+  AND t.n_tok >= 20
+  AND CAST(concat('0x', substr(md5('23:' || CAST(t.doc_id AS VARCHAR)), 1, 8))
+           AS BIGINT) % 1000000 < 500000
+"""
+)
+
+
 def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter decontamination pre-pass (operators/sketches.py
     bloom_build/bloom_maybe_contains): eval docs (doc_id % 10 == 0) set an
@@ -4007,6 +4057,7 @@ QUERIES = {
     "label_propagation": q_label_propagation,
     "chunk_documents": q_chunk_documents,
     "corpus_overlap": q_corpus_overlap,
+    "curation_gopher": q_curation_gopher,
     "repeated_ngram_spans": q_repeated_ngram_spans,
     "pq_adc_topk": q_pq_adc_topk,
     "triangle_count": q_triangle_count,
@@ -4110,6 +4161,7 @@ ORACLE_SQL = {
     "label_propagation": LABEL_PROP_SQL,
     "chunk_documents": CHUNK_DOCS_SQL,
     "corpus_overlap": CORPUS_OVERLAP_SQL,
+    "curation_gopher": CURATION_GOPHER_SQL,
     "repeated_ngram_spans": REPEATED_NGRAM_SQL,
     "pq_adc_topk": PQ_ADC_SQL,
     "triangle_count": TRIANGLE_SQL,
