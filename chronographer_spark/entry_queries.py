@@ -3103,6 +3103,50 @@ GROUP BY 1, 2
 """
 
 
+def q_hll_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type approximate distinct users (operators/sketches.py
+    hll_registers_by/hll_estimate_by): one grouped register aggregation,
+    ≤ 64 rows of reduce-side state per type regardless of skew. The oracle
+    replays hash, registers, and the power-of-two estimator bit-for-bit
+    per group."""
+    from .operators.sketches import hll_estimate_by, hll_registers_by
+
+    ev = _t(spark, sf_dir, "events")
+    out = hll_estimate_by(hll_registers_by(ev, "event_type", "user_id"))
+    return out.select(F.col("grp").alias("event_type"), "estimate")
+
+
+HLL_BY_TYPE_SQL = """
+WITH h AS (
+  SELECT event_type,
+    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      AS h
+  FROM events
+),
+r AS (
+  SELECT event_type, h & 63 AS bucket,
+    CASE WHEN (h >> 6) = 0 THEN 27
+         ELSE bit_count(((h >> 6) & -(h >> 6)) - 1) + 1 END AS rho
+  FROM h
+),
+regs AS (
+  SELECT event_type, bucket, max(rho) AS rho FROM r GROUP BY 1, 2
+),
+agg AS (
+  SELECT event_type,
+         0.709 * 64 * 64
+           / (sum(pow(2.0, -rho)) + (64 - count(*)) * 1.0) AS raw,
+         64 - count(*) AS v
+  FROM regs GROUP BY event_type
+)
+SELECT event_type,
+  CAST(CASE WHEN raw <= 160.0 AND v > 0
+            THEN floor(64.0 * ln(64.0 / v) + 0.5)
+            ELSE floor(raw + 0.5) END AS BIGINT) AS estimate
+FROM agg
+"""
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping retrieval chunking (operators/text.py chunk_documents):
     64-token windows every 32 tokens per document, map-only explode of
@@ -4058,6 +4102,7 @@ QUERIES = {
     "chunk_documents": q_chunk_documents,
     "corpus_overlap": q_corpus_overlap,
     "curation_gopher": q_curation_gopher,
+    "hll_users_by_type": q_hll_users_by_type,
     "repeated_ngram_spans": q_repeated_ngram_spans,
     "pq_adc_topk": q_pq_adc_topk,
     "triangle_count": q_triangle_count,
@@ -4162,6 +4207,7 @@ ORACLE_SQL = {
     "chunk_documents": CHUNK_DOCS_SQL,
     "corpus_overlap": CORPUS_OVERLAP_SQL,
     "curation_gopher": CURATION_GOPHER_SQL,
+    "hll_users_by_type": HLL_BY_TYPE_SQL,
     "repeated_ngram_spans": REPEATED_NGRAM_SQL,
     "pq_adc_topk": PQ_ADC_SQL,
     "triangle_count": TRIANGLE_SQL,

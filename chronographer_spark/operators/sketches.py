@@ -431,3 +431,48 @@ def corpus_overlap(
         )
         .withColumn("n_match", F.col("n_match").cast("long"))
     )
+
+
+def hll_registers_by(df: DataFrame, group_col: str, col: str) -> DataFrame:
+    """Per-group register tables: (grp, bucket, rho) — the grouped form of
+    hll_registers, ≤ M rows per group. Same map-side max partials; the
+    group key rides the same shuffle, so per-day/per-type distinct sketches
+    cost one aggregation regardless of group skew (M bounds each group's
+    reduce-side state)."""
+    h = _hash32(F.col(col))
+    rem = F.shiftrightunsigned(h, 6)
+    rho = F.when(rem == 0, F.lit(27)).otherwise(
+        F.bit_count((rem.bitwiseAND(-rem)) - 1) + 1
+    )
+    return (
+        df.select(
+            F.col(group_col).alias("grp"),
+            h.bitwiseAND(F.lit(M - 1)).alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy("grp", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate_by(registers: DataFrame) -> DataFrame:
+    """(grp, estimate) per group from a (grp, bucket, rho) register table —
+    the alpha·m²/Σ2^(-M_j) estimator per group, WITH the small-range
+    linear-counting correction (Flajolet et al. 2007 §4: when the raw
+    estimate ≤ 2.5·m and V empty registers remain, use m·ln(m/V)). Groups
+    routinely have cardinality ≪ m — unlike the whole-table hll_estimate,
+    which stays raw-only as its gate pins — so the correction is the
+    difference between a usable and a badly biased per-group count.
+    Mergeable across tables with groupBy(grp, bucket).max(rho) first."""
+    agg = registers.groupBy("grp").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("present_sum"),
+        F.count(F.lit(1)).alias("present_n"),
+    )
+    v = F.lit(M) - F.col("present_n")
+    total = F.col("present_sum") + v * F.lit(1.0)
+    raw = F.lit(ALPHA_64) * F.lit(M) * F.lit(M) / total
+    est = F.when(
+        (raw <= F.lit(2.5 * M)) & (v > 0),
+        F.floor(F.lit(float(M)) * F.log(F.lit(float(M)) / v) + F.lit(0.5)),
+    ).otherwise(F.floor(raw + F.lit(0.5)))
+    return agg.select("grp", est.cast("long").alias("estimate"))

@@ -371,3 +371,39 @@ def test_corpus_overlap_identical_and_disjoint_sources(spark):
     assert out[("a", "d")] == (16, 1000000)  # multiplicity is irrelevant
     assert out[("a", "c")] == (0, 0)
     assert out[("b", "c")] == (0, 0)
+
+
+def test_hll_by_group_accuracy_and_merge(spark):
+    """Grouped HLL: per-type estimates land within ~3x the textbook
+    1.04/sqrt(64) relative error of the exact per-type distinct counts,
+    and per-shard grouped registers merge (union + max) into exactly the
+    whole-table register set."""
+    from chronographer_spark.operators.sketches import (
+        hll_estimate_by,
+        hll_registers_by,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    regs = hll_registers_by(ev, "event_type", "user_id")
+    est = {r["grp"]: r["estimate"] for r in hll_estimate_by(regs).collect()}
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for k, n in exact.items():
+        assert abs(est[k] - n) <= max(3 * 1.04 / 8 * n, 3), (k, est[k], n)
+
+    a = ev.filter(F.col("event_id") % 2 == 0)
+    b = ev.filter(F.col("event_id") % 2 == 1)
+    merged = (
+        hll_registers_by(a, "event_type", "user_id")
+        .unionByName(hll_registers_by(b, "event_type", "user_id"))
+        .groupBy("grp", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    assert {(r["grp"], r["bucket"], r["rho"]) for r in merged.collect()} == {
+        (r["grp"], r["bucket"], r["rho"]) for r in regs.collect()
+    }
