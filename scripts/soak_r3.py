@@ -165,8 +165,20 @@ def main() -> None:
         assert agg["mx"] == (agg["tot"] - 1) // 512, agg
         return agg["mx"] + 1
 
+    def job_repetition():
+        from chronographer_spark.operators.text import repetition_metrics
+
+        return repetition_metrics(docs_r).count()
+
+    def job_corpus_overlap():
+        from chronographer_spark.operators.sketches import corpus_overlap
+
+        return corpus_overlap(docs_r, n_hashes=16).count()
+
     jobs = [
         ("pack", job_pack),
+        ("repetition", job_repetition),
+        ("corpus_overlap", job_corpus_overlap),
         ("repeated_spans", job_repeated_spans),
         ("cms_heavy", job_cms_heavy),
         ("bloom_pass", job_bloom_pass),
