@@ -1776,6 +1776,49 @@ JOIN sh b ON b.doc_id = p.id_b
 """
 
 
+def q_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard>=0.8 self-join via AllPairs prefix filtering — 100%
+    recall (no LSH band misses), candidates pruned to rare-shingle prefix
+    collisions. The oracle is the brute-force all-pairs join, so a hash
+    match proves the pruning is lossless, not just plausible."""
+    from .operators.dedup import prefix_jaccard_join
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = prefix_jaccard_join(docs, threshold=0.8, shingle_n=1)
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.col("inter").alias("n_inter"),
+        F.col("union").alias("n_union"),
+        F.floor(F.col("jaccard") * 1000000 + F.lit(0.5)).cast("long").alias("jac_x1e6"),
+    )
+
+
+PREFIX_JACCARD_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split(
+    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))) AS tok
+  FROM documents
+),
+sz AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
+-- brute force on purpose: no prefix filter here, so the gate proves the
+-- Spark-side pruning loses nothing
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b, i.inter AS n_inter,
+  (sa.sz + sb.sz - i.inter) AS n_union,
+  CAST(floor(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) * 1000000
+             + 0.5) AS BIGINT) AS jac_x1e6
+FROM inter i
+JOIN sz sa ON sa.doc_id = i.id_a
+JOIN sz sb ON sb.doc_id = i.id_b
+WHERE i.inter * 1000000 >= 800000 * (sa.sz + sb.sz - i.inter)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Rollup + pivot (multi-level aggregation surface; beyond the reference's
 # flat groupBys — SURVEY.md §2.4 notes it has no grouping sets)
@@ -4091,6 +4134,7 @@ QUERIES = {
     "simhash_portable": q_simhash_portable,
     "simhash_candidates": q_simhash_candidates,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "prefix_jaccard_pairs": q_prefix_jaccard_pairs,
     "hll_distinct_users": q_hll_distinct_users,
     "cms_heavy_tokens": q_cms_heavy_tokens,
     "bloom_decontaminate": q_bloom_decontaminate,
@@ -4196,6 +4240,7 @@ ORACLE_SQL = {
     "simhash_portable": SIMHASH_PORTABLE_SQL,
     "simhash_candidates": SIMHASH_CANDIDATES_SQL,
     "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
+    "prefix_jaccard_pairs": PREFIX_JACCARD_SQL,
     "hll_distinct_users": HLL_SQL,
     "cms_heavy_tokens": CMS_HEAVY_SQL,
     "bloom_decontaminate": BLOOM_DECONTAMINATE_SQL,

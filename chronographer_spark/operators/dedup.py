@@ -624,3 +624,98 @@ def repeated_ngram_spans(
         )
         .drop("__isl")
     )
+
+
+def prefix_jaccard_join(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (AllPairs/PPJoin).
+
+    Returns every pair (id_a < id_b) whose shingle-set Jaccard >= threshold
+    — 100% recall, unlike the minhash-LSH path whose recall is bounded by
+    the band collision probability. The classic exact scale path (Bayardo
+    et al. WWW'07; Xiao et al. PPJoin), re-expressed as DataFrame algebra
+    (reference corpus dedup is approximate-only; this is added capability):
+
+    1. one agg computes global document frequency per shingle; shingles are
+       ordered rarest-first by the TOTAL order (df, shingle), so every
+       engine and every run derives the identical per-doc prefix;
+    2. per-doc prefix = first |S| - ceil(t·|S|) + 1 shingles of that order.
+       ceil uses INTEGER arithmetic, (num·sz + 999999) div 1e6 with
+       num = round(t·1e6): IEEE double gives 0.8*5 = 4.0000000000000002,
+       whose ceil (5) silently shortens the prefix and loses qualifying
+       pairs — pinned by a regression test;
+    3. candidate pairs = equi-join of prefix rows on the shingle, plus the
+       length filter num·|A| <= 1e6·|B| and num·|B| <= 1e6·|A| (a pair
+       violating it cannot reach t), both sides integer;
+    4. exact verify: intersection counts from the full shingle table,
+       threshold compared as inter·1e6 >= num·(|A|+|B|-inter) in BIGINT —
+       no float comparison anywhere on the accept path.
+
+    Scale shape: the self-join keys are ONLY prefix shingles, and the
+    rarest-first global order pushes stopwords out of every prefix — the
+    hot high-df keys never become join keys, so candidates are bounded by
+    sum(df^2) over LOW-df shingles. The skew safety LSH buys with banding,
+    bought here with ordering while keeping exact recall. The df table is
+    vocabulary-sized and joined (not broadcast), so it scales with corpus.
+
+    Output: (id_a, id_b, inter, union, jaccard:double).
+    """
+    from pyspark.sql.window import Window
+
+    num = int(round(threshold * 1_000_000))
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(_shingles(text_col, shingle_n)).alias("tok"),
+    )
+    dfreq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("id").orderBy("df", "tok")
+    ranked = (
+        tok.join(dfreq, "tok")
+        .select(
+            "id",
+            "tok",
+            F.row_number().over(w).alias("pos"),
+            F.count(F.lit(1)).over(Window.partitionBy("id")).alias("sz"),
+        )
+    )
+    # prefix length via exact integer ceil-div (see docstring step 2)
+    pref = ranked.filter(
+        F.col("pos")
+        <= F.col("sz") - F.expr(f"({num} * sz + 999999) div 1000000") + 1
+    )
+    a = pref.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), "tok")
+    b = pref.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"), "tok")
+    cand = (
+        a.join(b, "tok")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.lit(num) * F.col("sz_a") <= F.lit(1_000_000) * F.col("sz_b"))
+            & (F.lit(num) * F.col("sz_b") <= F.lit(1_000_000) * F.col("sz_a"))
+        )
+        .select("id_a", "id_b", "sz_a", "sz_b")
+        .dropDuplicates()
+    )
+    ta = tok.select(F.col("id").alias("id_a"), "tok")
+    tb = tok.select(F.col("id").alias("id_b"), "tok")
+    inter = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "tok"])
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    union = F.col("sz_a") + F.col("sz_b") - F.col("inter")
+    return (
+        inter.filter(F.col("inter") * 1_000_000 >= F.lit(num) * union)
+        .select(
+            "id_a",
+            "id_b",
+            "inter",
+            union.alias("union"),
+            (F.col("inter").cast("double") / union).alias("jaccard"),
+        )
+    )

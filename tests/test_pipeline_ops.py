@@ -882,3 +882,48 @@ def test_chunk_documents_windows_and_maponly(spark):
     }
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_prefix_jaccard_join_equals_brute_force(spark):
+    """Prefix filtering must be LOSSLESS: the AllPairs join over the real
+    sf0.001 corpus returns exactly the pairs (and exact inter/union counts)
+    of an independent pure-Python all-pairs computation."""
+    import itertools
+    import re
+
+    from chronographer_spark.operators.dedup import prefix_jaccard_join
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {
+        (r.id_a, r.id_b): (r.inter, r["union"])
+        for r in prefix_jaccard_join(docs, threshold=0.5, shingle_n=1).collect()
+    }
+
+    sets = {
+        r.doc_id: set(re.sub(r"\s+", " ", r.text.lower().strip()).split(" "))
+        for r in docs.select("doc_id", "text").collect()
+    }
+    want = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        if inter * 1_000_000 >= 500_000 * union:
+            want[(a, b)] = (inter, union)
+    assert want, "fixture must contain qualifying near-dup pairs"
+    assert got == want
+
+
+def test_prefix_jaccard_integer_ceil_regression(spark):
+    """sz=5 at t=0.8: IEEE 0.8*5 = 4.0000000000000002, so a float ceil
+    shortens the prefix to 1 token and silently drops this J=0.8 pair;
+    the integer ceil-div keeps prefix length 2 and finds it."""
+    from chronographer_spark.operators.dedup import prefix_jaccard_join
+
+    df = spark.createDataFrame(
+        [(1, "w b c d e"), (2, "b c d e")], ["doc_id", "text"]
+    )
+    rows = prefix_jaccard_join(df, threshold=0.8, shingle_n=1).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.id_a, r.id_b, r.inter, r["union"]) == (1, 2, 4, 5)
+    assert r.jaccard == 0.8
