@@ -1579,6 +1579,42 @@ FROM o
 """
 
 
+def q_allen_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allen interval relations between each user's per-event-type activity
+    spans [min ts, max ts] — pure comparisons on the canonical pair order,
+    so labels are engine-exact."""
+    from .operators.temporal import allen_relations
+
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("begin"), F.max("ts").alias("end")
+    )
+    return allen_relations(
+        iv, on=["user_id"], id_col="event_type", begin_col="begin", end_col="end"
+    )
+
+
+ALLEN_SQL = """
+WITH iv AS (
+  SELECT user_id, event_type, min(ts) AS bg, max(ts) AS en
+  FROM events GROUP BY 1, 2
+)
+SELECT x.user_id, x.event_type AS id_a, y.event_type AS id_b,
+  CASE
+    WHEN x.bg = y.bg AND x.en = y.en THEN 'equals'
+    WHEN x.bg = y.bg THEN 'starts'
+    WHEN x.en < y.bg THEN 'before'
+    WHEN x.en = y.bg THEN 'meets'
+    WHEN x.en < y.en THEN 'overlaps'
+    WHEN x.en = y.en THEN 'finished_by'
+    ELSE 'contains'
+  END AS relation
+FROM iv x JOIN iv y
+  ON x.user_id = y.user_id
+ AND (x.bg, x.en, x.event_type) < (y.bg, y.en, y.event_type)
+"""
+
+
 # ---------------------------------------------------------------------------
 # IVF ANN (partition-pruned scale path) — fully oracle-replayed
 # ---------------------------------------------------------------------------
@@ -4129,6 +4165,7 @@ QUERIES = {
     "asof_join_latest": q_asof_join_latest,
     "interval_join_pairs": q_interval_join_pairs,
     "sessionize_events": q_sessionize_events,
+    "allen_relations_events": q_allen_relations,
     "funnel_3step": q_funnel_3step,
     "ivf_topk": q_ivf_topk,
     "simhash_portable": q_simhash_portable,
@@ -4235,6 +4272,7 @@ ORACLE_SQL = {
     "asof_join_latest": ASOF_SQL,
     "interval_join_pairs": INTERVAL_SQL,
     "sessionize_events": SESSIONIZE_SQL,
+    "allen_relations_events": ALLEN_SQL,
     "funnel_3step": FUNNEL_SQL,
     "ivf_topk": IVF_SQL,
     "simhash_portable": SIMHASH_PORTABLE_SQL,

@@ -186,3 +186,56 @@ def sessionize(
         "session_seq",
         F.sum(new_flag).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
     )
+
+
+def allen_relations(
+    df: DataFrame,
+    on: Sequence[str],
+    id_col: str = "event_id",
+    begin_col: str = "begin",
+    end_col: str = "end",
+) -> DataFrame:
+    """Allen interval-algebra classification of same-key interval pairs.
+
+    For every pair of intervals sharing the `on` key, emits the Allen
+    relation of the canonically-first interval (ordered by (begin, end, id),
+    a total order) relative to the second. Under that ordering the 13 Allen
+    relations collapse to 7 reachable ones: equals / starts (shared begin —
+    the ordering makes started_by unreachable, since begin ties sort by
+    end), before / meets (disjoint or touching), overlaps / finished_by /
+    contains (begin_a < begin_b with increasing end overlap). Pure
+    comparisons — no float arithmetic — so any engine derives identical
+    labels.
+
+    The reference orders events only linearly by date (sem:hasBeginTimeStamp
+    min/max, src/graph_construction.py); interval algebra between
+    co-occurring events is added capability for the event-centric KG
+    (e.g. sub-event candidates = `contains`, causal candidates = `before`/
+    `meets`).
+
+    Shape: one self-join shuffled on the key; pair count is quadratic in
+    per-key interval count BY CONTRACT (same bounded-key shape as
+    sessionize/funnel — conversations, users). For unbounded keys compose
+    with a time-band pre-join (interval_self_join) instead.
+
+    Returns (on..., id_a, id_b, relation:string).
+    """
+    on = list(on)
+    cols = [F.col(c) for c in on]
+    iv = df.select(*cols, F.col(id_col), F.col(begin_col).alias("__b"), F.col(end_col).alias("__e"))
+    a = iv.select(*on, F.col(id_col).alias("id_a"), F.col("__b").alias("b_a"), F.col("__e").alias("e_a"))
+    b = iv.select(*on, F.col(id_col).alias("id_b"), F.col("__b").alias("b_b"), F.col("__e").alias("e_b"))
+    pairs = a.join(b, on).filter(
+        F.struct("b_a", "e_a", "id_a") < F.struct("b_b", "e_b", "id_b")
+    )
+    rel = (
+        F.when((F.col("b_a") == F.col("b_b")) & (F.col("e_a") == F.col("e_b")), "equals")
+        # begin tie: ordering guarantees e_a < e_b here (started_by unreachable)
+        .when(F.col("b_a") == F.col("b_b"), "starts")
+        .when(F.col("e_a") < F.col("b_b"), "before")
+        .when(F.col("e_a") == F.col("b_b"), "meets")
+        .when(F.col("e_a") < F.col("e_b"), "overlaps")
+        .when(F.col("e_a") == F.col("e_b"), "finished_by")
+        .otherwise("contains")
+    )
+    return pairs.select(*on, "id_a", "id_b", rel.alias("relation"))

@@ -710,3 +710,34 @@ def test_sessionizer_seq_resets_after_flush_but_session_key_unique():
     # but the stable identity does not collide across the flush
     assert out2.iloc[0]["session_key"] != flushed.iloc[0]["session_key"]
     assert flushed.iloc[0]["session_key"].startswith("c1#")
+
+
+def test_allen_relations_all_seven_labels(spark):
+    """One key exercising every reachable relation under the canonical
+    (begin, end, id) pair ordering; pair direction is pinned by the ordering
+    (e.g. [0,10] sorts before [0,20] -> 'starts', never 'started_by')."""
+    from chronographer_spark.operators.temporal import allen_relations
+
+    rows = [
+        # (key, id, begin, end)
+        ("k", "a", 0, 10),
+        ("k", "b", 0, 10),    # equals a
+        ("k", "c", 0, 20),    # a starts c
+        ("k", "d", 12, 15),   # a before d; c contains d
+        ("k", "e", 10, 12),   # a meets e; e meets d
+        ("k", "f", 15, 25),   # c overlaps f; d meets f
+        ("k", "g", 18, 20),   # c finished_by g (shared end, c begins first)
+    ]
+    df = spark.createDataFrame(rows, ["key", "event_id", "begin", "end"])
+    out = {
+        (r.id_a, r.id_b): r.relation
+        for r in allen_relations(df, on=["key"]).collect()
+    }
+    assert out[("a", "b")] == "equals"
+    assert out[("a", "c")] == "starts"
+    assert out[("a", "d")] == "before"
+    assert out[("a", "e")] == "meets"
+    assert out[("c", "d")] == "contains"
+    assert out[("c", "f")] == "overlaps"
+    assert out[("c", "g")] == "finished_by"
+    assert len(out) == 21  # all pairs on the key, each exactly once
