@@ -1615,6 +1615,45 @@ FROM iv x JOIN iv y
 """
 
 
+def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-round k=3 core peel of the user<->event-type bipartite graph.
+    exact_rounds pins the round count so the unrolled oracle replays it
+    even if the fixpoint lands earlier."""
+    from .operators.graph_algos import k_core
+
+    ev = _t(spark, sf_dir, "events")
+    edges = ev.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("src"),
+        F.concat(F.lit("t"), F.col("event_type")).alias("dst"),
+    )
+    return k_core(edges, k=3, max_rounds=4, exact_rounds=True)
+
+
+def _k_core_rounds_sql(k: int, rounds: int) -> str:
+    parts = []
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"k{r} AS (SELECT src FROM e{r-1} GROUP BY src HAVING count(*) >= {k}),\n"
+            f"e{r} AS (SELECT e.src, e.dst FROM e{r-1} e\n"
+            f"  JOIN k{r} a ON e.src = a.src JOIN k{r} b ON e.dst = b.src)"
+        )
+    return ",\n".join(parts)
+
+
+K_CORE_SQL = f"""
+WITH e0 AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT 'u' || CAST(user_id AS VARCHAR) AS src, 't' || event_type AS dst
+    FROM events
+    UNION ALL
+    SELECT 't' || event_type, 'u' || CAST(user_id AS VARCHAR) FROM events
+  )
+),
+{_k_core_rounds_sql(3, 4)}
+SELECT src AS node, count(*) AS degree FROM e4 GROUP BY src
+"""
+
+
 # ---------------------------------------------------------------------------
 # IVF ANN (partition-pruned scale path) — fully oracle-replayed
 # ---------------------------------------------------------------------------
@@ -4166,6 +4205,7 @@ QUERIES = {
     "interval_join_pairs": q_interval_join_pairs,
     "sessionize_events": q_sessionize_events,
     "allen_relations_events": q_allen_relations,
+    "k_core_users": q_k_core,
     "funnel_3step": q_funnel_3step,
     "ivf_topk": q_ivf_topk,
     "simhash_portable": q_simhash_portable,
@@ -4273,6 +4313,7 @@ ORACLE_SQL = {
     "interval_join_pairs": INTERVAL_SQL,
     "sessionize_events": SESSIONIZE_SQL,
     "allen_relations_events": ALLEN_SQL,
+    "k_core_users": K_CORE_SQL,
     "funnel_3step": FUNNEL_SQL,
     "ivf_topk": IVF_SQL,
     "simhash_portable": SIMHASH_PORTABLE_SQL,

@@ -927,3 +927,20 @@ def test_prefix_jaccard_integer_ceil_regression(spark):
     r = rows[0]
     assert (r.id_a, r.id_b, r.inter, r["union"]) == (1, 2, 4, 5)
     assert r.jaccard == 0.8
+
+
+def test_k_core_peels_pendants_transitively(spark):
+    """Chain d-e hanging off triangle a-b-c: at k=2 the whole chain peels
+    (e first, then d), the triangle survives with degree 2 each; at k=3
+    everything peels. exact_rounds past the fixpoint matches the default."""
+    from chronographer_spark.operators.graph_algos import k_core
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d"), ("d", "e")],
+        ["src", "dst"],
+    )
+    core2 = {(r.node, r.degree) for r in k_core(edges, k=2).collect()}
+    assert core2 == {("a", 2), ("b", 2), ("c", 2)}
+    assert k_core(edges, k=3).count() == 0
+    exact = {(r.node, r.degree) for r in k_core(edges, k=2, max_rounds=4, exact_rounds=True).collect()}
+    assert exact == core2
