@@ -879,6 +879,71 @@ WHERE rn <= 5
 """
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 + exact-top1 placement of the portable LSH ANN against the
+    integer-exact quantized-cosine ranking, per query vector — the eval
+    harness composing two already-gated rankings into set/rank algebra."""
+    from .operators.similarity import ann_recall_report, lsh_topk, quantized_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = quantized_topk(emb, queries, k=5)
+    approx = lsh_topk(emb, queries, k=5, n_planes=4, n_tables=2, portable=True, dim=64)
+    return ann_recall_report(exact, approx, k=5)
+
+
+ANN_RECALL_SQL = f"""
+WITH {_lsh_sig_sql(2, 4, 64)},
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+  FROM sig c JOIN sig q ON c.t = q.t AND c.bucket = q.bucket
+  WHERE q.vec_id < 3
+),
+scored AS (
+  SELECT c.query_id, c.vec_id,
+    list_dot_product(ec.v, eq.v)
+      / (sqrt(list_dot_product(ec.v, ec.v)) * sqrt(list_dot_product(eq.v, eq.v))) AS cosine
+  FROM cand c
+  JOIN emb2 ec ON ec.vec_id = c.vec_id
+  JOIN emb2 eq ON eq.vec_id = c.query_id
+),
+approx AS (
+  SELECT query_id, vec_id, rn AS arank FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rn
+    FROM scored)
+  WHERE rn <= 5
+),
+qz AS (
+  SELECT vec_id,
+         CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0
+              THEN list_transform(v, x -> 0)
+              ELSE list_transform(v, x -> CAST(floor(x * 127.0 / list_max(list_transform(v, y -> abs(y))) + 0.5) AS INTEGER))
+         END AS q
+  FROM emb2
+),
+ex AS (
+  SELECT query_id, vec_id, rn AS erank FROM (
+    SELECT q.vec_id AS query_id, c.vec_id,
+      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        CAST(list_sum(list_transform(list_zip(c.q, q.q), x -> CAST(x[1] AS BIGINT) * CAST(x[2] AS BIGINT))) AS DOUBLE)
+          / sqrt(CAST(list_sum(list_transform(c.q, x -> CAST(x AS BIGINT) * CAST(x AS BIGINT)))
+                 * list_sum(list_transform(q.q, x -> CAST(x AS BIGINT) * CAST(x AS BIGINT))) AS DOUBLE)) DESC,
+        c.vec_id ASC) AS rn
+    FROM qz c JOIN qz q ON q.vec_id < 3)
+  WHERE rn <= 5
+)
+SELECT e.query_id,
+  CAST(count(a.arank) AS BIGINT) AS n_hits,
+  CAST(max(CASE WHEN e.erank = 1 THEN coalesce(a.arank, 0) END) AS BIGINT) AS top1_rank,
+  CAST((count(a.arank) * 1000000) // 5 AS BIGINT) AS recall_x1e6
+FROM ex e LEFT JOIN approx a ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+GROUP BY e.query_id
+"""
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload decode pipeline with the portable stub codec: assets
     derive from `documents` (payload = utf-8 text bytes), the Arrow-batched
@@ -4206,6 +4271,7 @@ QUERIES = {
     "sessionize_events": q_sessionize_events,
     "allen_relations_events": q_allen_relations,
     "k_core_users": q_k_core,
+    "ann_recall_lsh": q_ann_recall,
     "funnel_3step": q_funnel_3step,
     "ivf_topk": q_ivf_topk,
     "simhash_portable": q_simhash_portable,
@@ -4314,6 +4380,7 @@ ORACLE_SQL = {
     "sessionize_events": SESSIONIZE_SQL,
     "allen_relations_events": ALLEN_SQL,
     "k_core_users": K_CORE_SQL,
+    "ann_recall_lsh": ANN_RECALL_SQL,
     "funnel_3step": FUNNEL_SQL,
     "ivf_topk": IVF_SQL,
     "simhash_portable": SIMHASH_PORTABLE_SQL,

@@ -475,3 +475,48 @@ def quantized_topk(
             F.floor(F.col("qcos") * 1000000 + F.lit(0.5)).cast("long").alias("cos_x1e6"),
         )
     )
+
+
+def ann_recall_report(
+    exact_topk: DataFrame,
+    approx_topk: DataFrame,
+    k: int,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-query quality report of an approximate ANN ranking against an
+    exact one: recall@k plus where the exact top-1 landed in the approx
+    list. The eval harness every ANN deployment needs before trading the
+    brute-force path for LSH/IVF/PQ — run it on a sampled query set, read
+    recall, then tune (n_tables/n_planes, probes, codebooks) against it.
+
+    Both inputs are (query_id, vec_id, rank) rankings (the shape every
+    topk operator here emits). Pure set/rank algebra on integers — one
+    left join on (query, id), one aggregate:
+
+    - n_hits:      |exact_topk ∩ approx_topk| per query
+    - recall_x1e6: n_hits·1e6 div k (integer division, engine-exact)
+    - top1_rank:   approx rank of the exact #1 neighbor, 0 if the approx
+                   list missed it entirely (the MRR numerator)
+    """
+    e = exact_topk.select(
+        query_id_col, id_col, F.col("rank").alias("__erank")
+    )
+    a = approx_topk.select(
+        query_id_col, id_col, F.col("rank").alias("__arank")
+    )
+    return (
+        e.join(a, [query_id_col, id_col], "left")
+        .groupBy(query_id_col)
+        .agg(
+            F.sum(F.when(F.col("__arank").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_hits"),
+            F.max(
+                F.when(F.col("__erank") == 1, F.coalesce("__arank", F.lit(0)))
+            )
+            .cast("long")
+            .alias("top1_rank"),
+        )
+        .withColumn("recall_x1e6", F.expr(f"(n_hits * 1000000) div {int(k)}"))
+    )

@@ -944,3 +944,23 @@ def test_k_core_peels_pendants_transitively(spark):
     assert k_core(edges, k=3).count() == 0
     exact = {(r.node, r.degree) for r in k_core(edges, k=2, max_rounds=4, exact_rounds=True).collect()}
     assert exact == core2
+
+
+def test_ann_recall_report_hand_case(spark):
+    """q0: approx recovers 2 of 3 exact ids, top-1 found at approx rank 2;
+    q1: approx misses the exact top-1 entirely -> top1_rank 0."""
+    from chronographer_spark.operators.similarity import ann_recall_report
+
+    exact = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3),
+         (1, 20, 1), (1, 21, 2), (1, 22, 3)],
+        ["query_id", "vec_id", "rank"],
+    )
+    approx = spark.createDataFrame(
+        [(0, 11, 1), (0, 10, 2), (0, 99, 3),
+         (1, 21, 1), (1, 22, 2), (1, 98, 3)],
+        ["query_id", "vec_id", "rank"],
+    )
+    out = {r.query_id: r for r in ann_recall_report(exact, approx, k=3).collect()}
+    assert (out[0].n_hits, out[0].top1_rank, out[0].recall_x1e6) == (2, 2, 666666)
+    assert (out[1].n_hits, out[1].top1_rank, out[1].recall_x1e6) == (2, 0, 666666)
