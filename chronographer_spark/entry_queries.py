@@ -1719,6 +1719,46 @@ SELECT src AS node, count(*) AS degree FROM e4 GROUP BY src
 """
 
 
+def q_neighborhood_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor / neighborhood-Jaccard link-prediction features over
+    the user<->event-type bipartite graph: user pairs sharing >= 4 event
+    types (and type pairs sharing >= 4 users) — the merge-candidate ranking
+    primitive for entity canonicalization."""
+    from .operators.graph_algos import neighborhood_overlap
+
+    ev = _t(spark, sf_dir, "events")
+    edges = ev.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("src"),
+        F.concat(F.lit("t"), F.col("event_type")).alias("dst"),
+    )
+    return neighborhood_overlap(edges, min_common=4)
+
+
+NEIGHBORHOOD_OVERLAP_SQL = """
+WITH e0 AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT 'u' || CAST(user_id AS VARCHAR) AS src, 't' || event_type AS dst
+    FROM events
+    UNION ALL
+    SELECT 't' || event_type, 'u' || CAST(user_id AS VARCHAR) FROM events
+  )
+),
+deg AS (SELECT src, count(*) AS deg FROM e0 GROUP BY src),
+w AS (
+  SELECT a.src AS node_a, b.src AS node_b, count(*) AS n_common
+  FROM e0 a JOIN e0 b ON a.dst = b.dst AND a.src < b.src
+  GROUP BY 1, 2
+  HAVING count(*) >= 4
+)
+SELECT w.node_a, w.node_b, w.n_common, da.deg AS deg_a, db.deg AS deg_b,
+  CAST(floor(CAST(w.n_common AS DOUBLE) / (da.deg + db.deg - w.n_common)
+             * 1000000 + 0.5) AS BIGINT) AS jac_x1e6
+FROM w
+JOIN deg da ON da.src = w.node_a
+JOIN deg db ON db.src = w.node_b
+"""
+
+
 # ---------------------------------------------------------------------------
 # IVF ANN (partition-pruned scale path) — fully oracle-replayed
 # ---------------------------------------------------------------------------
@@ -4272,6 +4312,7 @@ QUERIES = {
     "allen_relations_events": q_allen_relations,
     "k_core_users": q_k_core,
     "ann_recall_lsh": q_ann_recall,
+    "neighborhood_overlap": q_neighborhood_overlap,
     "funnel_3step": q_funnel_3step,
     "ivf_topk": q_ivf_topk,
     "simhash_portable": q_simhash_portable,
@@ -4381,6 +4422,7 @@ ORACLE_SQL = {
     "allen_relations_events": ALLEN_SQL,
     "k_core_users": K_CORE_SQL,
     "ann_recall_lsh": ANN_RECALL_SQL,
+    "neighborhood_overlap": NEIGHBORHOOD_OVERLAP_SQL,
     "funnel_3step": FUNNEL_SQL,
     "ivf_topk": IVF_SQL,
     "simhash_portable": SIMHASH_PORTABLE_SQL,

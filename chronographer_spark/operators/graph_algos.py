@@ -306,3 +306,61 @@ def k_core(
     return cur.groupBy("src").agg(F.count(F.lit(1)).alias("degree")).select(
         F.col("src").alias("node"), "degree"
     )
+
+
+def neighborhood_overlap(
+    edges: DataFrame,
+    min_common: int = 1,
+) -> DataFrame:
+    """Common-neighbor / neighborhood-Jaccard scores for node pairs — the
+    classic link-prediction features (Liben-Nowell & Kleinberg 2003) over
+    an undirected graph. In the KG pipeline this ranks candidate entity
+    merges and missing links after canonicalization: two entities sharing
+    most of their neighborhoods are merge/link suspects even when no LSH
+    text signal fires (added capability; the reference links entities by
+    surface form only).
+
+    Shape: one wedge self-join of the symmetrized adjacency on the shared
+    neighbor (pairs ordered node_a < node_b), one count per pair, degrees
+    joined in. A hub of degree d contributes C(d,2) wedge pairs — the same
+    skew exposure as triangle counting; cap it upstream (k_core / degree
+    filter) or let AQE split the hub partitions, both documented there.
+    `min_common` prunes the long tail before the degree joins.
+
+    Returns (node_a, node_b, n_common, deg_a, deg_b, jac_x1e6) where
+    jac_x1e6 = |N(a) ∩ N(b)| / |N(a) ∪ N(b)| scaled — integer-derived, so
+    engine-exact.
+    """
+    und = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+    sym = (
+        und.unionByName(
+            und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    a = sym.select(F.col("src").alias("node_a"), "dst")
+    b = sym.select(F.col("src").alias("node_b"), "dst")
+    common = (
+        a.join(b, "dst")
+        .filter(F.col("node_a") < F.col("node_b"))
+        .groupBy("node_a", "node_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+    out = (
+        common.join(deg.select(F.col("src").alias("node_a"), F.col("deg").alias("deg_a")), "node_a")
+        .join(deg.select(F.col("src").alias("node_b"), F.col("deg").alias("deg_b")), "node_b")
+    )
+    union = F.col("deg_a") + F.col("deg_b") - F.col("n_common")
+    return out.select(
+        "node_a",
+        "node_b",
+        "n_common",
+        "deg_a",
+        "deg_b",
+        F.floor(F.col("n_common").cast("double") / union * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("jac_x1e6"),
+    )

@@ -964,3 +964,22 @@ def test_ann_recall_report_hand_case(spark):
     out = {r.query_id: r for r in ann_recall_report(exact, approx, k=3).collect()}
     assert (out[0].n_hits, out[0].top1_rank, out[0].recall_x1e6) == (2, 2, 666666)
     assert (out[1].n_hits, out[1].top1_rank, out[1].recall_x1e6) == (2, 0, 666666)
+
+
+def test_neighborhood_overlap_hand_graph(spark):
+    """Square a-b-c-d (cycle): opposite corners share both neighbors
+    (jac = 2/2 = 1.0 — union subtracts the common count, neighborhoods
+    {b,d} vs {b,d}); adjacent corners share none."""
+    from chronographer_spark.operators.graph_algos import neighborhood_overlap
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")], ["src", "dst"]
+    )
+    out = {
+        (r.node_a, r.node_b): (r.n_common, r.deg_a, r.deg_b, r.jac_x1e6)
+        for r in neighborhood_overlap(edges).collect()
+    }
+    assert out == {
+        ("a", "c"): (2, 2, 2, 1000000),
+        ("b", "d"): (2, 2, 2, 1000000),
+    }
