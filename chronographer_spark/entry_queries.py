@@ -4252,6 +4252,150 @@ FROM fused ORDER BY rrf_x1e6 DESC, doc_id ASC LIMIT 10
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: fuzzy ED-1 vocabulary join (typo-variant alias edges for canonicalization)
+# ---------------------------------------------------------------------------
+
+
+def q_fuzzy_vocab_ed1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SymSpell deletion-variant blocking + levenshtein verify over the
+    combined part-name + documents vocabulary (linking/fuzzy.py). The
+    oracle is the brute-force all-pairs definition, so a hash match proves
+    the lossless-blocking recall claim on real data."""
+    from .linking.fuzzy import ed1_pairs
+
+    part = _t(spark, sf_dir, "part")
+    docs = _t(spark, sf_dir, "documents")
+    vocab = (
+        part.select(F.explode(F.split("p_name", " ")).alias("tok"))
+        .unionByName(
+            docs.select(
+                F.explode(
+                    F.split(
+                        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "),
+                        " ",
+                    )
+                ).alias("tok")
+            )
+        )
+        .filter(F.col("tok") != "")
+    )
+    return ed1_pairs(vocab).orderBy("tok1", "tok2")
+
+
+FUZZY_ED1_SQL = """
+WITH v AS (
+  SELECT DISTINCT tok FROM (
+    SELECT unnest(string_split(p_name, ' ')) AS tok FROM part
+    UNION ALL
+    SELECT unnest(string_split(
+      regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+    FROM documents
+  ) WHERE tok <> '' AND length(tok) <= 64
+)
+SELECT a.tok AS tok1, b.tok AS tok2, CAST(1 AS BIGINT) AS dist
+FROM v a JOIN v b ON a.tok < b.tok AND levenshtein(a.tok, b.tok) <= 1
+ORDER BY tok1, tok2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: conversation dialogue metrics (curation-filter inputs per conv)
+# ---------------------------------------------------------------------------
+
+
+def q_dialogue_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dialogue import conversation_metrics
+
+    tx = transcripts_from_events(spark, sf_dir)
+    return conversation_metrics(tx, long_gap_s=3600)
+
+
+DIALOGUE_METRICS_SQL = f"""
+{TX_SQL},
+lagged AS (
+  SELECT conv_id,
+         epoch_us(ts) AS ts_us,
+         CASE WHEN tool <> '' THEN 1 ELSE 0 END AS is_tool,
+         CASE WHEN lag(role) OVER w IS NOT NULL
+               AND lag(role) OVER w <> role THEN 1 ELSE 0 END AS is_switch,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+  FROM tx
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+)
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(is_tool) AS BIGINT) AS n_tool_turns,
+       CAST(sum(is_switch) AS BIGINT) AS n_role_switches,
+       CAST(max(ts_us) - min(ts_us) AS BIGINT) AS duration_us,
+       CAST(coalesce(sum(gap_us), 0) AS BIGINT) AS sum_gap_us,
+       CAST(coalesce(max(gap_us), 0) AS BIGINT) AS max_gap_us,
+       CAST(sum(CASE WHEN gap_us > CAST(3600 AS BIGINT) * 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_long_gaps
+FROM lagged
+GROUP BY conv_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: deterministic random walks (graph-embedding sampling stage)
+# ---------------------------------------------------------------------------
+
+
+def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-step hash-seeded walks from every user node over the symmetrized
+    user<->event_type bipartite graph (operators/graph_algos.random_walks).
+    The event-type side is a handful of hub nodes — exactly the skew shape
+    the arg-min's map-side combine is there for."""
+    from .operators.graph_algos import random_walks
+
+    ev = _t(spark, sf_dir, "events")
+    u2t = ev.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("src"),
+        F.concat(F.lit("t"), F.col("event_type")).alias("dst"),
+    ).distinct()
+    edges = u2t.unionByName(
+        u2t.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    starts = u2t.select(F.col("src").alias("node")).distinct()
+    return random_walks(edges, n_steps=3, starts=starts)
+
+
+RANDOM_WALKS_SQL = """
+WITH ue AS (
+  SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS u, 't' || event_type AS t
+  FROM events
+),
+e AS (SELECT u AS src, t AS dst FROM ue UNION ALL SELECT t AS src, u AS dst FROM ue),
+s0 AS (SELECT u AS walk_id, u AS cur FROM (SELECT DISTINCT u FROM ue)),
+s1 AS (
+  SELECT walk_id, dst AS cur FROM (
+    SELECT s0.walk_id, e.dst,
+           md5('walk|' || s0.walk_id || '|1|' || s0.cur || '|' || e.dst) AS h
+    FROM s0 JOIN e ON s0.cur = e.src
+  ) QUALIFY row_number() OVER (PARTITION BY walk_id ORDER BY h, dst) = 1
+),
+s2 AS (
+  SELECT walk_id, dst AS cur FROM (
+    SELECT s1.walk_id, e.dst,
+           md5('walk|' || s1.walk_id || '|2|' || s1.cur || '|' || e.dst) AS h
+    FROM s1 JOIN e ON s1.cur = e.src
+  ) QUALIFY row_number() OVER (PARTITION BY walk_id ORDER BY h, dst) = 1
+),
+s3 AS (
+  SELECT walk_id, dst AS cur FROM (
+    SELECT s2.walk_id, e.dst,
+           md5('walk|' || s2.walk_id || '|3|' || s2.cur || '|' || e.dst) AS h
+    FROM s2 JOIN e ON s2.cur = e.src
+  ) QUALIFY row_number() OVER (PARTITION BY walk_id ORDER BY h, dst) = 1
+)
+SELECT walk_id, CAST(0 AS INT) AS step, cur AS node FROM s0
+UNION ALL SELECT walk_id, CAST(1 AS INT) AS step, cur AS node FROM s1
+UNION ALL SELECT walk_id, CAST(2 AS INT) AS step, cur AS node FROM s2
+UNION ALL SELECT walk_id, CAST(3 AS INT) AS step, cur AS node FROM s3
+"""
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -4319,6 +4463,9 @@ QUERIES = {
     "simhash_candidates": q_simhash_candidates,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "prefix_jaccard_pairs": q_prefix_jaccard_pairs,
+    "fuzzy_vocab_ed1": q_fuzzy_vocab_ed1,
+    "dialogue_metrics": q_dialogue_metrics,
+    "random_walks_3step": q_random_walks,
     "hll_distinct_users": q_hll_distinct_users,
     "cms_heavy_tokens": q_cms_heavy_tokens,
     "bloom_decontaminate": q_bloom_decontaminate,
@@ -4429,6 +4576,9 @@ ORACLE_SQL = {
     "simhash_candidates": SIMHASH_CANDIDATES_SQL,
     "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
     "prefix_jaccard_pairs": PREFIX_JACCARD_SQL,
+    "fuzzy_vocab_ed1": FUZZY_ED1_SQL,
+    "dialogue_metrics": DIALOGUE_METRICS_SQL,
+    "random_walks_3step": RANDOM_WALKS_SQL,
     "hll_distinct_users": HLL_SQL,
     "cms_heavy_tokens": CMS_HEAVY_SQL,
     "bloom_decontaminate": BLOOM_DECONTAMINATE_SQL,

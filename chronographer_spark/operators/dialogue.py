@@ -1,0 +1,75 @@
+"""Conversation-level dialogue metrics over a transcripts-shaped table.
+
+The reference keeps corpus statistics driver-side in pandas frames
+(reference: src/framework.py:155-161 `subgraph_info` / `self.info` — per
+iteration, whole-corpus). At 10^12-turn scale the per-conversation stats a
+curation pipeline filters on (turn counts, role alternation, response
+latency) must be computed distributed; this operator produces them in one
+pass so downstream eligibility filters (cf. operators/text.py quality
+gates) can join on `conv_id`.
+
+Plan shape: one window over (conv_id ORDER BY turn_idx) for the lag-based
+gap/switch columns, then a groupBy on the SAME key — Catalyst reuses the
+window's hash partitioning for the aggregation, so the whole operator costs
+exactly ONE shuffle regardless of input size. All outputs are integral
+(counts + microsecond sums via unix_micros), so cross-engine comparison
+needs no float discipline.
+
+Skew: a single conversation's turns are one partition-group; conversation
+length is bounded in practice (even a 10^6-turn outlier conversation is a
+single task's sort, not a cluster problem), and AQE skew-split covers the
+pathological case.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["conversation_metrics"]
+
+
+def conversation_metrics(tx: DataFrame, long_gap_s: int = 300) -> DataFrame:
+    """Per-conversation dialogue statistics.
+
+    tx: transcripts-shaped DataFrame (conv_id, turn_idx, role, text, tool, ts).
+    long_gap_s: a turn-to-turn gap strictly greater than this many seconds
+        counts as a "stall" (n_long_gaps) — the signal a curation pipeline
+        uses to split or discard idle conversations.
+
+    Returns one row per conv_id:
+      n_turns, n_tool_turns      counts
+      n_role_switches            consecutive-turn role changes
+      duration_us                last ts - first ts (microseconds)
+      sum_gap_us, max_gap_us     turn-to-turn ts gaps (microseconds)
+      n_long_gaps                gaps > long_gap_s
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev_us = F.lag(us).over(w)
+    prev_role = F.lag("role").over(w)
+    gap = us - prev_us
+
+    turns = tx.select(
+        "conv_id",
+        us.alias("ts_us"),
+        F.when(F.col("tool") != "", 1).otherwise(0).alias("is_tool"),
+        F.when(prev_role.isNotNull() & (prev_role != F.col("role")), 1)
+        .otherwise(0)
+        .alias("is_switch"),
+        gap.alias("gap_us"),
+    )
+    return turns.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum("is_tool").alias("n_tool_turns"),
+        F.sum("is_switch").alias("n_role_switches"),
+        (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
+        F.coalesce(F.sum("gap_us"), F.lit(0)).alias("sum_gap_us"),
+        F.coalesce(F.max("gap_us"), F.lit(0)).alias("max_gap_us"),
+        F.sum(
+            F.when(
+                F.col("gap_us") > F.lit(long_gap_s).cast("long") * 1_000_000, 1
+            ).otherwise(0)
+        ).alias("n_long_gaps"),
+    )

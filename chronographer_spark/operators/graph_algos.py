@@ -364,3 +364,67 @@ def neighborhood_overlap(
         .cast("long")
         .alias("jac_x1e6"),
     )
+
+
+def random_walks(
+    edges: DataFrame,
+    n_steps: int = 2,
+    starts: DataFrame | None = None,
+    seed: str = "walk",
+) -> DataFrame:
+    """Deterministic hash-seeded uniform random walks over directed
+    (src, dst) edges — the sampling stage of DeepWalk/node2vec-style graph
+    embedding training, re-expressed as per-step join + arg-min (no RNG
+    state, no driver loop over nodes).
+
+    At step i a walk at node v moves to the out-neighbor u minimizing
+    md5(seed|walk_id|i|v|u): uniform over neighbors in aggregate, yet
+    byte-reproducible on any engine (md5 is portable; the DuckDB oracle
+    replays it exactly). Dead-end walks simply stop. The reference's
+    traversal picks ONE best node per iteration driver-side
+    (src/selecting_node.py ranking); walks are the embarrassingly parallel
+    generalization: |starts| independent trajectories per pass.
+
+    Scale shape: each step is one shuffle join keyed by the current node
+    (frontier size = #live walks, constant per step) plus one arg-min
+    groupBy keyed by walk_id. Hub nodes produce a large candidate fan-in
+    for walks AT the hub; the arg-min is a map-side-combinable min, so the
+    shuffle carries one row per (walk, candidate) pre-combine and one row
+    per walk post-combine. AQE skew split covers the join side. Per-step
+    eager localCheckpoint cuts lineage and keeps the repeated `edges`
+    relation from tripping Catalyst's relation dedup.
+
+    Returns (walk_id, step, node): step 0 is the start node itself.
+    walk_id defaults to the start node id (one walk per distinct src).
+    """
+    edges = edges.select(
+        F.col("src").cast("string").alias("src"),
+        F.col("dst").cast("string").alias("dst"),
+    ).localCheckpoint(eager=True)
+    if starts is None:
+        starts = edges.select(F.col("src").alias("node")).dropDuplicates()
+    frontier = starts.select(
+        F.col("node").cast("string").alias("walk_id"),
+        F.col("node").cast("string").alias("cur"),
+    )
+    out = frontier.select("walk_id", F.lit(0).alias("step"), F.col("cur").alias("node"))
+    for i in range(1, n_steps + 1):
+        cand = frontier.join(edges, frontier["cur"] == edges["src"]).select(
+            "walk_id",
+            "dst",
+            F.md5(
+                F.concat_ws("|", F.lit(seed), "walk_id", F.lit(str(i)), "cur", "dst")
+            ).alias("h"),
+        )
+        frontier = (
+            cand.groupBy("walk_id")
+            .agg(F.min(F.struct("h", "dst")).alias("m"))
+            .select("walk_id", F.col("m.dst").alias("cur"))
+            .localCheckpoint(eager=True)
+        )
+        out = out.unionByName(
+            frontier.select(
+                "walk_id", F.lit(i).alias("step"), F.col("cur").alias("node")
+            )
+        )
+    return out

@@ -983,3 +983,122 @@ def test_neighborhood_overlap_hand_graph(spark):
         ("a", "c"): (2, 2, 2, 1000000),
         ("b", "d"): (2, 2, 2, 1000000),
     }
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_ed1_pairs_matches_brute_force(spark):
+    """Deletion-variant blocking is lossless: output == all-pairs ED<=1,
+    covering deletion, insertion, substitution, and far-apart negatives."""
+    from chronographer_spark.linking.fuzzy import ed1_pairs
+
+    vocab = [
+        "pittsburgh", "pitsburgh",   # deletion
+        "spark", "sparks",           # insertion (at the end)
+        "table", "cable",            # substitution (first char)
+        "cold", "old", "bold",       # chained ED-1 neighbors
+        "red", "rod", "row",         # red~rod (sub), rod~row (sub), red!~row
+        "a", "ab",                   # short strings
+        "query", "engine",           # unrelated
+        "aa",                        # dup variants ("a" twice) must not dup pairs
+    ]
+    expected = sorted(
+        (t1, t2)
+        for i, t1 in enumerate(sorted(set(vocab)))
+        for t2 in sorted(set(vocab))[i + 1:]
+        if _lev(t1, t2) <= 1
+    )
+    df = spark.createDataFrame([(t,) for t in vocab], ["tok"])
+    got = [(r.tok1, r.tok2) for r in ed1_pairs(df).orderBy("tok1", "tok2").collect()]
+    assert got == expected
+    assert ("a", "aa") in got and ("cold", "old") in got
+
+
+def test_conversation_metrics_hand_values(spark):
+    """Single-turn conv (null gaps -> 0s), a stalled conv (one long gap),
+    and a tool-using conv with a role switch count."""
+    from chronographer_spark.operators.dialogue import conversation_metrics
+
+    rows = [
+        # conv A: 3 turns, 60s gaps, roles u/a/u -> 2 switches, 1 tool turn
+        ("A", 0, "user", "hi", "", "2024-01-01 00:00:00"),
+        ("A", 1, "assistant", "yo", "search", "2024-01-01 00:01:00"),
+        ("A", 2, "user", "ok", "", "2024-01-01 00:02:00"),
+        # conv B: single turn
+        ("B", 0, "user", "solo", "", "2024-01-01 05:00:00"),
+        # conv C: 2 turns, 10-minute stall, same role -> 0 switches
+        ("C", 0, "user", "x", "", "2024-01-02 00:00:00"),
+        ("C", 1, "user", "y", "", "2024-01-02 00:10:00"),
+    ]
+    tx = spark.createDataFrame(
+        rows, ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        r.conv_id: (
+            r.n_turns, r.n_tool_turns, r.n_role_switches,
+            r.duration_us, r.sum_gap_us, r.max_gap_us, r.n_long_gaps,
+        )
+        for r in conversation_metrics(tx, long_gap_s=300).collect()
+    }
+    m = 60_000_000
+    assert out["A"] == (3, 1, 2, 2 * m, 2 * m, m, 0)
+    assert out["B"] == (1, 0, 0, 0, 0, 0, 0)
+    assert out["C"] == (2, 0, 0, 10 * m, 10 * m, 10 * m, 1)
+
+
+def test_conversation_metrics_single_shuffle(spark):
+    """The lag window and the groupBy share hashpartitioning(conv_id):
+    the whole operator costs exactly one exchange."""
+    from chronographer_spark.operators.dialogue import conversation_metrics
+
+    tx = spark.createDataFrame(
+        [("A", 0, "user", "hi", "", "2024-01-01 00:00:00")],
+        ["conv_id", "turn_idx", "role", "text", "tool", "ts"],
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    plan = conversation_metrics(tx)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_random_walks_hand_model(spark):
+    """Walks match a python reference walker (same md5 choice rule);
+    a dead-end walk stops early instead of emitting nulls."""
+    import hashlib
+    from collections import defaultdict
+
+    from chronographer_spark.operators.graph_algos import random_walks
+
+    edges = [("a", "b"), ("a", "c"), ("b", "a"), ("b", "c"), ("c", "a"),
+             ("d", "e")]  # e has no out-edges: dead end after step 1
+    adj = defaultdict(list)
+    for s, d in edges:
+        adj[s].append(d)
+    expected = []
+    for start in sorted({s for s, _ in edges}):
+        cur = start
+        expected.append((start, 0, start))
+        for i in (1, 2, 3):
+            nbrs = adj[cur]
+            if not nbrs:
+                break
+            cur = min(
+                nbrs,
+                key=lambda u: (
+                    hashlib.md5(f"walk|{start}|{i}|{cur}|{u}".encode()).hexdigest(),
+                    u,
+                ),
+            )
+            expected.append((start, i, cur))
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = sorted(
+        (r.walk_id, r.step, r.node) for r in random_walks(df, n_steps=3).collect()
+    )
+    assert got == sorted(expected)
+    assert ("d", 1, "e") in got and not any(w == "d" and s > 1 for w, s, _ in got)
