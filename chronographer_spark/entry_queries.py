@@ -4396,6 +4396,78 @@ UNION ALL SELECT walk_id, CAST(3 AS INT) AS step, cur AS node FROM s3
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: tool transition counts (agent-behavior Markov statistics)
+# ---------------------------------------------------------------------------
+
+
+def q_tool_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dialogue import tool_transitions
+
+    tx = transcripts_from_events(spark, sf_dir)
+    return tool_transitions(tx)
+
+
+TOOL_TRANSITIONS_SQL = f"""
+{TX_SQL},
+calls AS (
+  SELECT conv_id, turn_idx, tool AS tool_to FROM tx WHERE tool <> ''
+),
+pairs AS (
+  SELECT lag(tool_to) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS tool_from,
+         tool_to
+  FROM calls
+)
+SELECT tool_from, tool_to, CAST(count(*) AS BIGINT) AS n_transitions
+FROM pairs WHERE tool_from IS NOT NULL
+GROUP BY tool_from, tool_to
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: token co-occurrence lift (association mining, exact integer quotient)
+# ---------------------------------------------------------------------------
+
+
+def q_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """top_k=20 exercises the vocabulary cap and its deterministic
+    (count desc, token asc) tie-break on the 31-token corpus."""
+    from .operators.text import cooccurrence_lift
+
+    docs = _t(spark, sf_dir, "documents")
+    return cooccurrence_lift(docs, top_k=20)
+
+
+COOCCURRENCE_SQL = """
+WITH dt AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split(
+      regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+),
+dfc AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_doc FROM dt GROUP BY tok),
+vocab AS (
+  SELECT tok, n_doc FROM dfc
+  QUALIFY row_number() OVER (ORDER BY n_doc DESC, tok ASC) <= 20
+),
+kept AS (SELECT dt.doc_id, dt.tok FROM dt JOIN vocab ON dt.tok = vocab.tok),
+pairs AS (
+  SELECT a.tok AS tok_a, b.tok AS tok_b, CAST(count(*) AS BIGINT) AS n_ab
+  FROM kept a JOIN kept b ON a.doc_id = b.doc_id AND a.tok < b.tok
+  GROUP BY tok_a, tok_b
+),
+n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS nd FROM documents)
+SELECT tok_a, tok_b, n_ab,
+       va.n_doc AS n_a, vb.n_doc AS n_b,
+       CAST((n_ab * (SELECT nd FROM n) * 1000000) // (va.n_doc * vb.n_doc)
+            AS BIGINT) AS lift_x1e6
+FROM pairs
+JOIN vocab va ON pairs.tok_a = va.tok
+JOIN vocab vb ON pairs.tok_b = vb.tok
+"""
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -4466,6 +4538,8 @@ QUERIES = {
     "fuzzy_vocab_ed1": q_fuzzy_vocab_ed1,
     "dialogue_metrics": q_dialogue_metrics,
     "random_walks_3step": q_random_walks,
+    "tool_transitions": q_tool_transitions,
+    "cooccurrence_lift": q_cooccurrence_lift,
     "hll_distinct_users": q_hll_distinct_users,
     "cms_heavy_tokens": q_cms_heavy_tokens,
     "bloom_decontaminate": q_bloom_decontaminate,
@@ -4579,6 +4653,8 @@ ORACLE_SQL = {
     "fuzzy_vocab_ed1": FUZZY_ED1_SQL,
     "dialogue_metrics": DIALOGUE_METRICS_SQL,
     "random_walks_3step": RANDOM_WALKS_SQL,
+    "tool_transitions": TOOL_TRANSITIONS_SQL,
+    "cooccurrence_lift": COOCCURRENCE_SQL,
     "hll_distinct_users": HLL_SQL,
     "cms_heavy_tokens": CMS_HEAVY_SQL,
     "bloom_decontaminate": BLOOM_DECONTAMINATE_SQL,

@@ -73,3 +73,33 @@ def conversation_metrics(tx: DataFrame, long_gap_s: int = 300) -> DataFrame:
             ).otherwise(0)
         ).alias("n_long_gaps"),
     )
+
+
+def tool_transitions(tx: DataFrame) -> DataFrame:
+    """Tool-call transition counts over agent transcripts: for each
+    conversation, order the tool-invoking turns by turn_idx and count the
+    (previous tool -> next tool) bigrams corpus-wide — the Markov-chain
+    statistics an agent-behavior analysis reads (which tool follows which,
+    where loops form). The reference has no agent-tooling layer; this
+    serves the transcripts payload the engine ingests (TRANSCRIPT_SCHEMA's
+    `tool` column).
+
+    Two shuffles by construction: one hash partition by conv_id for the
+    lag window (conversations are independent), one for the global
+    (tool_from, tool_to) count — the second is map-side combined, so the
+    exchange carries at most |tools|^2 rows per task regardless of corpus
+    size.
+
+    Returns (tool_from, tool_to, n_transitions) sorted nowhere (caller
+    orders); counts are longs.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    calls = tx.filter(F.col("tool") != "").select(
+        "conv_id", "turn_idx", F.col("tool").alias("tool_to")
+    )
+    pairs = calls.withColumn("tool_from", F.lag("tool_to").over(w)).filter(
+        F.col("tool_from").isNotNull()
+    )
+    return pairs.groupBy("tool_from", "tool_to").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )

@@ -345,3 +345,72 @@ def chunk_documents(
         F.size(chunk).cast("long").alias("n_tok"),
         F.concat_ws(" ", chunk).alias("chunk_text"),
     )
+
+
+def cooccurrence_lift(
+    docs: DataFrame,
+    top_k: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Document-level token co-occurrence with exact integer lift — the
+    association statistic (lift = P(a,b) / (P(a)P(b))) an entity-linking
+    prior or query-expansion table is built from. The reference carries no
+    corpus-association stage; this serves the KG side: pairs with high
+    lift over the mention corpus are candidate related-entity edges.
+
+    Vocabulary is capped at the `top_k` most frequent tokens (ties broken
+    by token asc) so the per-document pair fan-out is bounded by k^2
+    regardless of corpus size — the knob that keeps the self-join linear
+    at 100 TB. The capped vocab (k rows) is broadcast; the only large
+    shuffle is the (doc, token) distinct + the pair count, both map-side
+    combinable.
+
+    lift is emitted as an exact integer: lift_x1e6 = (c_ab * N * 10^6)
+    // (c_a * c_b) — integer multiply/divide only, no float summation
+    order to reconcile cross-engine (CLAUDE.md float discipline).
+
+    Returns (tok_a, tok_b, n_ab, n_a, n_b, lift_x1e6) with tok_a < tok_b.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
+        ).alias("tok"),
+    ).filter(F.col("tok") != "")
+    doc_tok = toks.dropDuplicates(["doc_id", "tok"])
+    df_counts = doc_tok.groupBy("tok").agg(F.count(F.lit(1)).alias("n_doc"))
+    vocab = df_counts.orderBy(F.col("n_doc").desc(), F.col("tok").asc()).limit(top_k)
+    n_docs = docs.select(id_col).distinct().count()  # one scalar, exact integer
+
+    kept = doc_tok.join(F.broadcast(vocab.select("tok")), "tok")
+    left = kept.select("doc_id", F.col("tok").alias("tok_a"))
+    right = kept.select("doc_id", F.col("tok").alias("tok_b"))
+    pairs = (
+        left.join(right, "doc_id")
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    df_a = vocab.select(F.col("tok").alias("tok_a"), F.col("n_doc").alias("n_a"))
+    df_b = vocab.select(F.col("tok").alias("tok_b"), F.col("n_doc").alias("n_b"))
+    # integer DIV keeps the quotient exact (no float summation/rounding to
+    # reconcile cross-engine). Overflow bound: n_ab * N * 1e6 must fit in
+    # int64 — safe through ~10^6-document vocab-capped corpora per partition
+    # of the corpus; beyond that, compute lift per corpus shard or widen to
+    # DECIMAL(38,0) on both engines.
+    return (
+        pairs.join(F.broadcast(df_a), "tok_a")
+        .join(F.broadcast(df_b), "tok_b")
+        .select(
+            "tok_a",
+            "tok_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.expr(
+                f"CAST((n_ab * CAST({int(n_docs)} AS BIGINT) * 1000000)"
+                " DIV (n_a * n_b) AS BIGINT)"
+            ).alias("lift_x1e6"),
+        )
+    )

@@ -1102,3 +1102,58 @@ def test_random_walks_hand_model(spark):
     )
     assert got == sorted(expected)
     assert ("d", 1, "e") in got and not any(w == "d" and s > 1 for w, s, _ in got)
+
+
+def test_tool_transitions_hand_values(spark):
+    """Per-conversation lag over tool turns only: non-tool turns in between
+    are skipped, conversations never chain into each other."""
+    from chronographer_spark.operators.dialogue import tool_transitions
+
+    rows = [
+        ("A", 0, "user", "q", "", "2024-01-01 00:00:00"),
+        ("A", 1, "tool", "r", "search", "2024-01-01 00:01:00"),
+        ("A", 2, "user", "q", "", "2024-01-01 00:02:00"),
+        ("A", 3, "tool", "r", "fetch", "2024-01-01 00:03:00"),
+        ("A", 4, "tool", "r", "search", "2024-01-01 00:04:00"),
+        ("B", 0, "tool", "r", "fetch", "2024-01-01 01:00:00"),
+        ("B", 1, "tool", "r", "fetch", "2024-01-01 01:01:00"),
+    ]
+    tx = spark.createDataFrame(
+        rows, ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        (r.tool_from, r.tool_to): r.n_transitions
+        for r in tool_transitions(tx).collect()
+    }
+    assert got == {
+        ("search", "fetch"): 1,   # A: turn 1 -> 3 (turn 2 has no tool)
+        ("fetch", "search"): 1,   # A: turn 3 -> 4
+        ("fetch", "fetch"): 1,    # B self-loop; B never chains from A
+    }
+
+
+def test_cooccurrence_lift_hand_values(spark):
+    """Exact integer lift on a 4-doc corpus; top_k cap drops the rarest
+    token deterministically."""
+    from chronographer_spark.operators.text import cooccurrence_lift
+
+    rows = [
+        (0, "x y"),
+        (1, "x y"),
+        (2, "x z"),
+        (3, "y rare"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        (r.tok_a, r.tok_b): (r.n_ab, r.n_a, r.n_b, r.lift_x1e6)
+        for r in cooccurrence_lift(docs, top_k=3).collect()
+    }
+    # vocab cap 3 -> x(3), y(3), z(1) kept (ties by token asc: rare(1) vs
+    # z(1) -> 'rare' < 'z'... rank: x,y first (n=3), then rare, z both n=1,
+    # 'rare' wins the tie alphabetically
+    assert ("y", "z") not in out and not any("z" in p for p in out)
+    # (x, y): n_ab=2, n_a=3, n_b=3, lift = 2*4/(3*3) = 0.888... -> 888888
+    assert out[("x", "y")] == (2, 3, 3, 888888)
+    # (rare, y): n_ab=1, lift = 1*4/(1*3) -> 1333333
+    assert out[("rare", "y")] == (1, 1, 3, 1333333)
+    assert len(out) == 2  # (rare, x) never co-occur -> no row
