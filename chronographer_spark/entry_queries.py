@@ -4468,6 +4468,82 @@ JOIN vocab vb ON pairs.tok_b = vb.tok
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: mutual-best trigram alignment between two vocabularies (KB alignment)
+# ---------------------------------------------------------------------------
+
+
+def q_kb_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part-name vocabulary vs documents vocabulary, aligned by mutual
+    best trigram-Jaccard match (linking/fuzzy.mutual_best_trigram_match).
+    The oracle replays candidates, scoring, both arg-maxes, and the
+    mutuality join in SQL."""
+    from .linking.fuzzy import mutual_best_trigram_match
+
+    part = _t(spark, sf_dir, "part")
+    docs = _t(spark, sf_dir, "documents")
+    left = part.select(F.explode(F.split("p_name", " ")).alias("tok"))
+    right = docs.select(
+        F.explode(
+            F.split(
+                F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "
+            )
+        ).alias("tok")
+    )
+    return mutual_best_trigram_match(left, right)
+
+
+KB_ALIGNMENT_SQL = """
+WITH va AS (
+  SELECT DISTINCT tok FROM (
+    SELECT unnest(string_split(p_name, ' ')) AS tok FROM part
+  ) WHERE tok <> '' AND length(tok) <= 64
+),
+vb AS (
+  SELECT DISTINCT tok FROM (
+    SELECT unnest(string_split(
+      regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+    FROM documents
+  ) WHERE tok <> '' AND length(tok) <= 64
+),
+ga AS (
+  SELECT tok AS tok_a, unnest(list_distinct(list_transform(
+    range(1, length(tok) - 1), i -> substr(tok, CAST(i AS INT), 3)))) AS gram
+  FROM va WHERE length(tok) >= 3
+  UNION ALL
+  SELECT tok AS tok_a, tok AS gram FROM va WHERE length(tok) < 3
+),
+gb AS (
+  SELECT tok AS tok_b, unnest(list_distinct(list_transform(
+    range(1, length(tok) - 1), i -> substr(tok, CAST(i AS INT), 3)))) AS gram
+  FROM vb WHERE length(tok) >= 3
+  UNION ALL
+  SELECT tok AS tok_b, tok AS gram FROM vb WHERE length(tok) < 3
+),
+na AS (SELECT tok_a, CAST(count(*) AS BIGINT) AS n_a FROM ga GROUP BY tok_a),
+nb AS (SELECT tok_b, CAST(count(*) AS BIGINT) AS n_b FROM gb GROUP BY tok_b),
+common AS (
+  SELECT ga.tok_a, gb.tok_b, CAST(count(*) AS BIGINT) AS n_common
+  FROM ga JOIN gb USING (gram) GROUP BY ga.tok_a, gb.tok_b
+),
+scored AS (
+  SELECT c.tok_a, c.tok_b, n_common, n_a, n_b,
+         CAST(n_common * 1000000 // (n_a + n_b - n_common) AS BIGINT) AS jac_x1e6
+  FROM common c JOIN na USING (tok_a) JOIN nb USING (tok_b)
+),
+ba AS (
+  SELECT tok_a, tok_b FROM scored
+  QUALIFY row_number() OVER (PARTITION BY tok_a ORDER BY jac_x1e6 DESC, tok_b ASC) = 1
+),
+bb AS (
+  SELECT tok_a, tok_b FROM scored
+  QUALIFY row_number() OVER (PARTITION BY tok_b ORDER BY jac_x1e6 DESC, tok_a ASC) = 1
+)
+SELECT s.tok_a, s.tok_b, n_common, n_a, n_b, jac_x1e6
+FROM scored s JOIN ba USING (tok_a, tok_b) JOIN bb USING (tok_a, tok_b)
+"""
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -4540,6 +4616,7 @@ QUERIES = {
     "random_walks_3step": q_random_walks,
     "tool_transitions": q_tool_transitions,
     "cooccurrence_lift": q_cooccurrence_lift,
+    "kb_alignment_mutual": q_kb_alignment,
     "hll_distinct_users": q_hll_distinct_users,
     "cms_heavy_tokens": q_cms_heavy_tokens,
     "bloom_decontaminate": q_bloom_decontaminate,
@@ -4655,6 +4732,7 @@ ORACLE_SQL = {
     "random_walks_3step": RANDOM_WALKS_SQL,
     "tool_transitions": TOOL_TRANSITIONS_SQL,
     "cooccurrence_lift": COOCCURRENCE_SQL,
+    "kb_alignment_mutual": KB_ALIGNMENT_SQL,
     "hll_distinct_users": HLL_SQL,
     "cms_heavy_tokens": CMS_HEAVY_SQL,
     "bloom_decontaminate": BLOOM_DECONTAMINATE_SQL,

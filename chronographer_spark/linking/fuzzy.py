@@ -90,3 +90,102 @@ def ed1_pairs(
         "tok2",
         F.levenshtein("tok1", "tok2").cast("long").alias("dist"),
     )
+
+
+def _grams(df: DataFrame, side: str) -> DataFrame:
+    """Distinct character trigrams per token (whole token when len < 3)."""
+    toks = df.select(F.col("tok").alias(side))
+    long = toks.filter(F.length(side) >= 3).select(
+        side,
+        F.explode(
+            F.expr(
+                f"array_distinct(transform(sequence(1, length({side}) - 2),"
+                f" i -> substring({side}, i, 3)))"
+            )
+        ).alias("gram"),
+    )
+    short = toks.filter(F.length(side) < 3).select(side, F.col(side).alias("gram"))
+    return long.unionByName(short)
+
+
+def mutual_best_trigram_match(
+    left_vocab: DataFrame,
+    right_vocab: DataFrame,
+    col: str = "tok",
+    max_len: int = 64,
+) -> DataFrame:
+    """Align two vocabularies by MUTUAL best trigram-Jaccard match — the
+    surface-form alignment step when reconciling entity names across KBs
+    (the multi-KB DatasetProfile surface, cf. reference
+    dataset-config/wikidata.yaml:1-44: per-KB URI vocabularies that name
+    the same entities differently).
+
+    Candidates come from a shared-trigram join (no all-pairs product);
+    similarity is exact-integer Jaccard over distinct trigram sets
+    (jac_x1e6 = n_common * 10^6 DIV (n_a + n_b - n_common)); each side
+    then arg-maxes its candidates (highest jac, tie -> lexicographically
+    smallest partner) and only pairs that are each other's best survive.
+    Mutual-best is the standard high-precision alignment filter: a hub
+    name that is "best" for many partners can be kept by at most one.
+
+    Scale shape: one shuffle on the gram key (posting lists; a stop-gram
+    cap upstream bounds hot grams), one (tok_a, tok_b) count, two
+    map-side-combinable arg-max aggs, one equi-join for mutuality. All
+    similarity arithmetic is integral — no cross-engine float discipline
+    needed.
+
+    Returns (tok_a, tok_b, n_common, n_a, n_b, jac_x1e6).
+    """
+
+    def _prep(v: DataFrame) -> DataFrame:
+        return (
+            v.select(F.col(col).cast("string").alias("tok"))
+            .filter(F.col("tok").isNotNull() & (F.length("tok") <= max_len))
+            .filter(F.col("tok") != "")
+            .distinct()
+        )
+
+    ga = _grams(_prep(left_vocab), "tok_a")
+    gb = _grams(_prep(right_vocab), "tok_b")
+    na = ga.groupBy("tok_a").agg(F.count(F.lit(1)).alias("n_a"))
+    nb = gb.groupBy("tok_b").agg(F.count(F.lit(1)).alias("n_b"))
+    common = (
+        ga.join(gb, "gram")
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    scored = (
+        common.join(na, "tok_a")
+        .join(nb, "tok_b")
+        .withColumn(
+            "jac_x1e6",
+            F.expr(
+                "CAST(n_common * 1000000 DIV (n_a + n_b - n_common) AS BIGINT)"
+            ),
+        )
+    )
+    # arg-max per side as min_by on (-jac, partner): highest jac wins,
+    # ties go to the lexicographically smallest partner
+    payload = F.struct("tok_a", "tok_b", "n_common", "n_a", "n_b", "jac_x1e6")
+    best_a = (
+        scored.groupBy("tok_a")
+        .agg(
+            F.min_by(
+                payload, F.struct((-F.col("jac_x1e6")).alias("nj"), F.col("tok_b"))
+            ).alias("m")
+        )
+        .select("m.tok_a", F.col("m.tok_b").alias("tok_b"))
+    )
+    best_b = (
+        scored.groupBy("tok_b")
+        .agg(
+            F.min_by(
+                payload, F.struct((-F.col("jac_x1e6")).alias("nj"), F.col("tok_a"))
+            ).alias("m")
+        )
+        .select(F.col("m.tok_a").alias("tok_a"), "m.tok_b")
+    )
+    mutual = best_a.join(best_b, ["tok_a", "tok_b"])
+    return mutual.join(scored, ["tok_a", "tok_b"]).select(
+        "tok_a", "tok_b", "n_common", "n_a", "n_b", "jac_x1e6"
+    )

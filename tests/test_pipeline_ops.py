@@ -1157,3 +1157,24 @@ def test_cooccurrence_lift_hand_values(spark):
     # (rare, y): n_ab=1, lift = 1*4/(1*3) -> 1333333
     assert out[("rare", "y")] == (1, 1, 3, 1333333)
     assert len(out) == 2  # (rare, x) never co-occur -> no row
+
+
+def test_mutual_best_trigram_match(spark):
+    """Exact match wins outright; a jaccard tie goes to the smallest
+    partner, and the loser of the tie gets no row (mutuality filter)."""
+    from chronographer_spark.linking.fuzzy import mutual_best_trigram_match
+
+    left = spark.createDataFrame([("night",), ("nacht",), ("abc",)], ["tok"])
+    right = spark.createDataFrame(
+        [("night",), ("nighty",), ("day",), ("abcd",), ("abce",)], ["tok"]
+    )
+    out = {
+        (r.tok_a, r.tok_b): (r.n_common, r.n_a, r.n_b, r.jac_x1e6)
+        for r in mutual_best_trigram_match(left, right).collect()
+    }
+    assert out == {
+        ("night", "night"): (3, 3, 3, 1000000),
+        # abc ties abcd/abce at 0.5 -> smallest partner abcd; abce's best
+        # (abc) is not mutual, so abce is unmatched; nacht shares no gram
+        ("abc", "abcd"): (1, 1, 2, 500000),
+    }
