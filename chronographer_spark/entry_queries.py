@@ -4544,6 +4544,56 @@ FROM scored s JOIN ba USING (tok_a, tok_b) JOIN bb USING (tok_a, tok_b)
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: burst detection (integer-exact rate anomaly per user-hour)
+# ---------------------------------------------------------------------------
+
+
+def q_burst_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.temporal import burst_buckets
+
+    ev = _t(spark, sf_dir, "events")
+    return burst_buckets(ev, key="user_id", ts_col="ts", bucket="hour", factor=2)
+
+
+BURST_HOURS_SQL = """
+WITH c AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket_ts,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY user_id, bucket_ts
+),
+k AS (
+  SELECT user_id, CAST(sum(n_events) AS BIGINT) AS total_events,
+         CAST(count(*) AS BIGINT) AS n_buckets
+  FROM c GROUP BY user_id
+)
+SELECT c.user_id, c.bucket_ts, c.n_events, k.total_events, k.n_buckets
+FROM c JOIN k USING (user_id)
+WHERE c.n_events * k.n_buckets > 2 * k.total_events
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: walk skip-grams (embedding training pairs from the walk corpus)
+# ---------------------------------------------------------------------------
+
+
+def q_walk_skipgrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph_algos import walk_skipgrams
+
+    return walk_skipgrams(q_random_walks(spark, sf_dir), window=2)
+
+
+WALK_SKIPGRAMS_SQL = f"""
+WITH walks AS ({RANDOM_WALKS_SQL})
+SELECT a.node AS center, b.node AS context, CAST(count(*) AS BIGINT) AS n_pairs
+FROM walks a JOIN walks b
+  ON a.walk_id = b.walk_id
+ AND abs(a.step - b.step) <= 2 AND a.step <> b.step
+GROUP BY center, context
+"""
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -4617,6 +4667,8 @@ QUERIES = {
     "tool_transitions": q_tool_transitions,
     "cooccurrence_lift": q_cooccurrence_lift,
     "kb_alignment_mutual": q_kb_alignment,
+    "burst_hours": q_burst_hours,
+    "walk_skipgrams": q_walk_skipgrams,
     "hll_distinct_users": q_hll_distinct_users,
     "cms_heavy_tokens": q_cms_heavy_tokens,
     "bloom_decontaminate": q_bloom_decontaminate,
@@ -4733,6 +4785,8 @@ ORACLE_SQL = {
     "tool_transitions": TOOL_TRANSITIONS_SQL,
     "cooccurrence_lift": COOCCURRENCE_SQL,
     "kb_alignment_mutual": KB_ALIGNMENT_SQL,
+    "burst_hours": BURST_HOURS_SQL,
+    "walk_skipgrams": WALK_SKIPGRAMS_SQL,
     "hll_distinct_users": HLL_SQL,
     "cms_heavy_tokens": CMS_HEAVY_SQL,
     "bloom_decontaminate": BLOOM_DECONTAMINATE_SQL,

@@ -428,3 +428,31 @@ def random_walks(
             )
         )
     return out
+
+
+def walk_skipgrams(walks: DataFrame, window: int = 2) -> DataFrame:
+    """Skip-gram (center, context) pair counts from a random-walk corpus —
+    the training-pair extraction DeepWalk/node2vec feeds to the embedding
+    learner. Input is random_walks() output (walk_id, step, node); emits
+    every ordered pair within `window` steps on the same walk, counted
+    corpus-wide.
+
+    One self-join keyed by walk_id (each walk is tiny — n_steps+1 rows —
+    so the join fan-out is bounded by walk length squared, not corpus
+    size) followed by one map-side-combinable (center, context) count.
+
+    Returns (center, context, n_pairs).
+    """
+    a = walks.select(
+        "walk_id", F.col("step").alias("s_a"), F.col("node").alias("center")
+    )
+    b = walks.select(
+        "walk_id", F.col("step").alias("s_b"), F.col("node").alias("context")
+    )
+    pairs = a.join(b, "walk_id").filter(
+        (F.abs(F.col("s_a") - F.col("s_b")) <= window)
+        & (F.col("s_a") != F.col("s_b"))
+    )
+    return pairs.groupBy("center", "context").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )

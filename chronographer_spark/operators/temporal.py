@@ -239,3 +239,49 @@ def allen_relations(
         .otherwise("contains")
     )
     return pairs.select(*on, "id_a", "id_b", rel.alias("relation"))
+
+
+def burst_buckets(
+    df: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    bucket: str = "hour",
+    factor: int = 2,
+) -> DataFrame:
+    """Integer-exact burst detection: bucket the event stream per key into
+    `bucket`-sized time bins and flag bins whose count exceeds `factor`
+    times the key's mean rate over its ACTIVE bins. The comparison is the
+    cross-multiplied integer form
+
+        n_events * n_buckets > factor * total_events
+
+    (i.e. n_events > factor * mean-per-active-bin) so there is no float
+    division to reconcile cross-engine. This is the anomaly gate a
+    transcript-ingest pipeline runs before KG construction: a key whose
+    event rate spikes (runaway agent, replayed log) gets its burst bins
+    surfaced for quarantine rather than poisoning temporal edges.
+
+    Scale shape: one (key, bin) count with map-side combine, one per-key
+    rollup, one join back keyed by `key` — all shuffles carry aggregated
+    rows (bins, not events). Hot keys are bounded by their bin count, not
+    their event count.
+
+    Returns flagged rows (key, bucket_ts, n_events, total_events,
+    n_buckets); thresholds are longs.
+    """
+    binned = df.select(key, F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts"))
+    counts = binned.groupBy(key, "bucket_ts").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    per_key = counts.groupBy(key).agg(
+        F.sum("n_events").alias("total_events"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    )
+    return (
+        counts.join(per_key, key)
+        .filter(
+            F.col("n_events") * F.col("n_buckets")
+            > F.lit(factor).cast("long") * F.col("total_events")
+        )
+        .select(key, "bucket_ts", "n_events", "total_events", "n_buckets")
+    )

@@ -1178,3 +1178,19 @@ def test_mutual_best_trigram_match(spark):
         # (abc) is not mutual, so abce is unmatched; nacht shares no gram
         ("abc", "abcd"): (1, 1, 2, 500000),
     }
+
+
+def test_walk_skipgrams_hand_values(spark):
+    """Window-2 ordered pairs per walk, counted across walks."""
+    from chronographer_spark.operators.graph_algos import walk_skipgrams
+
+    walks = spark.createDataFrame(
+        [("w1", 0, "a"), ("w1", 1, "b"), ("w1", 2, "a"),
+         ("w2", 0, "a"), ("w2", 1, "b")],
+        ["walk_id", "step", "node"],
+    )
+    got = {
+        (r.center, r.context): r.n_pairs for r in walk_skipgrams(walks, 2).collect()
+    }
+    # w1: (a,b)x2 [0->1, 2->1], (b,a)x2, (a,a)x2 [0<->2]; w2 adds (a,b),(b,a)
+    assert got == {("a", "b"): 3, ("b", "a"): 3, ("a", "a"): 2}

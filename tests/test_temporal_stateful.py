@@ -741,3 +741,29 @@ def test_allen_relations_all_seven_labels(spark):
     assert out[("c", "f")] == "overlaps"
     assert out[("c", "g")] == "finished_by"
     assert len(out) == 21  # all pairs on the key, each exactly once
+
+
+def test_burst_buckets_hand_values(spark):
+    """u1: 6 events in hour A, 1 in each of hours B,C -> A is a burst
+    (6*3 > 2*8); u2 uniform -> nothing flagged; integer cross-multiply
+    exactly at the boundary is NOT flagged (strict >)."""
+    from pyspark.sql import functions as F
+
+    from chronographer_spark.operators.temporal import burst_buckets
+
+    rows = (
+        [(1, f"2024-01-01 00:{m:02d}:00") for m in range(6)]
+        + [(1, "2024-01-01 01:00:00"), (1, "2024-01-01 02:00:00")]
+        + [(2, "2024-01-01 00:00:00"), (2, "2024-01-01 01:00:00")]
+        # u3: 2 buckets with counts 2 and 1 -> 2*2 > 2*3 false; 2*2=4 < 6
+        + [(3, "2024-01-01 00:00:00"), (3, "2024-01-01 00:30:00"),
+           (3, "2024-01-01 01:00:00")]
+    )
+    ev = spark.createDataFrame(rows, ["user_id", "ts"]).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    got = [
+        (r.user_id, str(r.bucket_ts), r.n_events, r.total_events, r.n_buckets)
+        for r in burst_buckets(ev, factor=2).collect()
+    ]
+    assert got == [(1, "2024-01-01 00:00:00", 6, 8, 3)]
