@@ -4367,27 +4367,31 @@ WITH ue AS (
   FROM events
 ),
 e AS (SELECT u AS src, t AS dst FROM ue UNION ALL SELECT t AS src, u AS dst FROM ue),
+nb AS (SELECT DISTINCT src, dst FROM e),
+idx AS (
+  SELECT src, dst,
+         row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS i
+  FROM nb
+),
+dg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM nb GROUP BY src),
 s0 AS (SELECT u AS walk_id, u AS cur FROM (SELECT DISTINCT u FROM ue)),
 s1 AS (
-  SELECT walk_id, dst AS cur FROM (
-    SELECT s0.walk_id, e.dst,
-           md5('walk|' || s0.walk_id || '|1|' || s0.cur || '|' || e.dst) AS h
-    FROM s0 JOIN e ON s0.cur = e.src
-  ) QUALIFY row_number() OVER (PARTITION BY walk_id ORDER BY h, dst) = 1
+  SELECT f.walk_id, x.dst AS cur
+  FROM s0 f JOIN dg d ON f.cur = d.src
+  JOIN idx x ON x.src = f.cur
+   AND x.i = CAST(concat('0x', substr(md5('walk|' || f.walk_id || '|1|' || f.cur), 1, 8)) AS BIGINT) % d.deg
 ),
 s2 AS (
-  SELECT walk_id, dst AS cur FROM (
-    SELECT s1.walk_id, e.dst,
-           md5('walk|' || s1.walk_id || '|2|' || s1.cur || '|' || e.dst) AS h
-    FROM s1 JOIN e ON s1.cur = e.src
-  ) QUALIFY row_number() OVER (PARTITION BY walk_id ORDER BY h, dst) = 1
+  SELECT f.walk_id, x.dst AS cur
+  FROM s1 f JOIN dg d ON f.cur = d.src
+  JOIN idx x ON x.src = f.cur
+   AND x.i = CAST(concat('0x', substr(md5('walk|' || f.walk_id || '|2|' || f.cur), 1, 8)) AS BIGINT) % d.deg
 ),
 s3 AS (
-  SELECT walk_id, dst AS cur FROM (
-    SELECT s2.walk_id, e.dst,
-           md5('walk|' || s2.walk_id || '|3|' || s2.cur || '|' || e.dst) AS h
-    FROM s2 JOIN e ON s2.cur = e.src
-  ) QUALIFY row_number() OVER (PARTITION BY walk_id ORDER BY h, dst) = 1
+  SELECT f.walk_id, x.dst AS cur
+  FROM s2 f JOIN dg d ON f.cur = d.src
+  JOIN idx x ON x.src = f.cur
+   AND x.i = CAST(concat('0x', substr(md5('walk|' || f.walk_id || '|3|' || f.cur), 1, 8)) AS BIGINT) % d.deg
 )
 SELECT walk_id, CAST(0 AS INT) AS step, cur AS node FROM s0
 UNION ALL SELECT walk_id, CAST(1 AS INT) AS step, cur AS node FROM s1
@@ -4594,6 +4598,55 @@ GROUP BY center, context
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: topic-shift boundaries (lexical-cohesion segmentation per conversation)
+# ---------------------------------------------------------------------------
+
+
+def q_topic_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dialogue import topic_boundaries
+
+    tx = transcripts_from_events(spark, sf_dir)
+    return topic_boundaries(tx, threshold_x1e6=600_000)
+
+
+TOPIC_BOUNDARIES_SQL = f"""
+{TX_SQL},
+tk AS (
+  SELECT DISTINCT conv_id, turn_idx, tok FROM (
+    SELECT conv_id, turn_idx, unnest(string_split(
+      regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+    FROM tx
+  ) WHERE tok <> ''
+),
+pt AS (
+  SELECT conv_id, turn_idx, CAST(count(*) AS BIGINT) AS n_toks
+  FROM tk GROUP BY conv_id, turn_idx
+),
+cm AS (
+  SELECT a.conv_id, a.turn_idx, CAST(count(*) AS BIGINT) AS n_common
+  FROM tk a JOIN tk b
+    ON a.conv_id = b.conv_id AND b.turn_idx = a.turn_idx + 1 AND a.tok = b.tok
+  GROUP BY a.conv_id, a.turn_idx
+),
+p AS (
+  SELECT c.conv_id, c.turn_idx,
+         CAST(coalesce(m.n_common, 0) AS BIGINT) AS n_common,
+         pv.n_toks AS n_prev, c.n_toks AS n_cur
+  FROM pt c
+  JOIN pt pv ON pv.conv_id = c.conv_id AND pv.turn_idx = c.turn_idx - 1
+  LEFT JOIN cm m ON m.conv_id = c.conv_id AND m.turn_idx = c.turn_idx - 1
+)
+SELECT conv_id, turn_idx, n_common, n_prev, n_cur,
+       CAST(n_common * 1000000 // (n_prev + n_cur - n_common) AS BIGINT)
+         AS ov_x1e6,
+       CAST(CASE WHEN n_common * 1000000
+                      < 600000 * (n_prev + n_cur - n_common)
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_boundary
+FROM p
+"""
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -4669,6 +4722,7 @@ QUERIES = {
     "kb_alignment_mutual": q_kb_alignment,
     "burst_hours": q_burst_hours,
     "walk_skipgrams": q_walk_skipgrams,
+    "topic_boundaries": q_topic_boundaries,
     "hll_distinct_users": q_hll_distinct_users,
     "cms_heavy_tokens": q_cms_heavy_tokens,
     "bloom_decontaminate": q_bloom_decontaminate,
@@ -4787,6 +4841,7 @@ ORACLE_SQL = {
     "kb_alignment_mutual": KB_ALIGNMENT_SQL,
     "burst_hours": BURST_HOURS_SQL,
     "walk_skipgrams": WALK_SKIPGRAMS_SQL,
+    "topic_boundaries": TOPIC_BOUNDARIES_SQL,
     "hll_distinct_users": HLL_SQL,
     "cms_heavy_tokens": CMS_HEAVY_SQL,
     "bloom_decontaminate": BLOOM_DECONTAMINATE_SQL,

@@ -103,3 +103,84 @@ def tool_transitions(tx: DataFrame) -> DataFrame:
     return pairs.groupBy("tool_from", "tool_to").agg(
         F.count(F.lit(1)).alias("n_transitions")
     )
+
+
+def topic_boundaries(tx: DataFrame, threshold_x1e6: int = 600_000) -> DataFrame:
+    """Topic-shift segmentation over conversations: a turn starts a new
+    topic when its token overlap with the PREVIOUS turn falls below a
+    Jaccard threshold — the lexical-cohesion segmentation (TextTiling's
+    core signal) a transcript pipeline runs before per-topic event
+    grouping. The reference segments per document; conversations need the
+    per-turn variant.
+
+    Everything is integer arithmetic: per-turn distinct token counts, the
+    adjacent-pair common-token count via an equi-join on
+    (conv_id, turn_idx-1, token), and the boundary test cross-multiplied
+    (n_common * 10^6 < threshold_x1e6 * union) so no float division needs
+    cross-engine reconciling. threshold_x1e6 is Jaccard scaled by 10^6.
+
+    Scale shape: token explode is map-only; the common-token join and both
+    counts are keyed by (conv_id, turn_idx) — conversations never shuffle
+    against each other, and per-turn token sets bound the join fan-out.
+
+    Returns one row per turn with turn_idx >= 1:
+    (conv_id, turn_idx, n_common, n_prev, n_cur, ov_x1e6, is_boundary).
+    """
+    toks = tx.select(
+        "conv_id",
+        "turn_idx",
+        F.explode(
+            F.split(
+                F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "
+            )
+        ).alias("tok"),
+    ).filter(F.col("tok") != "").dropDuplicates(["conv_id", "turn_idx", "tok"])
+    per_turn = toks.groupBy("conv_id", "turn_idx").agg(
+        F.count(F.lit(1)).alias("n_toks")
+    )
+    nxt = toks.select(
+        "conv_id", (F.col("turn_idx") - 1).alias("turn_idx"), "tok"
+    )
+    common = (
+        toks.join(nxt, ["conv_id", "turn_idx", "tok"])
+        .groupBy("conv_id", "turn_idx")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    # pair row for turn t (t >= 1): prev counts come from turn t-1
+    pairs = (
+        per_turn.select(
+            "conv_id",
+            (F.col("turn_idx") + 1).alias("turn_idx"),
+            F.col("n_toks").alias("n_prev"),
+        )
+        .join(
+            per_turn.select("conv_id", "turn_idx", F.col("n_toks").alias("n_cur")),
+            ["conv_id", "turn_idx"],
+        )
+        .join(
+            common.select(
+                "conv_id", (F.col("turn_idx") + 1).alias("turn_idx"), "n_common"
+            ),
+            ["conv_id", "turn_idx"],
+            "left",
+        )
+        .withColumn("n_common", F.coalesce(F.col("n_common"), F.lit(0).cast("long")))
+    )
+    union = F.col("n_prev") + F.col("n_cur") - F.col("n_common")
+    return pairs.select(
+        "conv_id",
+        "turn_idx",
+        "n_common",
+        "n_prev",
+        "n_cur",
+        F.expr("CAST(n_common * 1000000 DIV (n_prev + n_cur - n_common) AS BIGINT)")
+        .alias("ov_x1e6"),
+        F.when(
+            F.col("n_common") * F.lit(1_000_000)
+            < F.lit(int(threshold_x1e6)).cast("long") * union,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("is_boundary"),
+    )

@@ -371,55 +371,95 @@ def random_walks(
     n_steps: int = 2,
     starts: DataFrame | None = None,
     seed: str = "walk",
+    bucket: int = 1024,
 ) -> DataFrame:
     """Deterministic hash-seeded uniform random walks over directed
     (src, dst) edges — the sampling stage of DeepWalk/node2vec-style graph
-    embedding training, re-expressed as per-step join + arg-min (no RNG
-    state, no driver loop over nodes).
+    embedding training, re-expressed as per-step joins against a bucketed
+    adjacency table (no RNG state, no driver loop over nodes).
 
-    At step i a walk at node v moves to the out-neighbor u minimizing
-    md5(seed|walk_id|i|v|u): uniform over neighbors in aggregate, yet
-    byte-reproducible on any engine (md5 is portable; the DuckDB oracle
-    replays it exactly). Dead-end walks simply stop. The reference's
-    traversal picks ONE best node per iteration driver-side
-    (src/selecting_node.py ranking); walks are the embarrassingly parallel
-    generalization: |starts| independent trajectories per pass.
+    At step i a walk at node v picks out-neighbor index
+    k = md5_32(seed|walk_id|i|v) mod deg(v) over v's DISTINCT neighbors
+    sorted ascending — the adjacency-array indexing every production
+    DeepWalk implementation uses, made byte-reproducible (md5 is portable;
+    the DuckDB oracle replays the same index pick). Dead-end walks simply
+    stop. The reference's traversal picks ONE best node per iteration
+    driver-side (src/selecting_node.py ranking); walks are the
+    embarrassingly parallel generalization: |starts| trajectories per pass.
 
-    Scale shape: each step is one shuffle join keyed by the current node
-    (frontier size = #live walks, constant per step) plus one arg-min
-    groupBy keyed by walk_id. Hub nodes produce a large candidate fan-in
-    for walks AT the hub; the arg-min is a map-side-combinable min, so the
-    shuffle carries one row per (walk, candidate) pre-combine and one row
-    per walk post-combine. AQE skew split covers the join side. Per-step
-    eager localCheckpoint cuts lineage and keeps the repeated `edges`
-    relation from tripping Catalyst's relation dedup.
+    Scale shape — the hub case is the whole design: a naive per-neighbor
+    arg-min materializes |walks at hub| x deg(hub) candidate rows (measured
+    quadratic on a 5-hub bipartite graph). Index picking instead joins the
+    frontier with (a) the one-row-per-node degree table to compute k, then
+    (b) exactly ONE adjacency bucket of <= `bucket` neighbors
+    (b_id = k DIV bucket, offset = k MOD bucket), so per-walk-step cost is
+    O(bucket) regardless of hub degree. Both joins are keyed by the
+    current node; AQE skew split covers walks piling on one hub. Modulo
+    bias of the 32-bit hash is negligible for deg << 2^32. Per-step eager
+    localCheckpoint cuts lineage.
 
     Returns (walk_id, step, node): step 0 is the start node itself.
     walk_id defaults to the start node id (one walk per distinct src).
     """
-    edges = edges.select(
-        F.col("src").cast("string").alias("src"),
-        F.col("dst").cast("string").alias("dst"),
-    ).localCheckpoint(eager=True)
+    from pyspark.sql.window import Window
+
+    nb = (
+        edges.select(
+            F.col("src").cast("string").alias("src"),
+            F.col("dst").cast("string").alias("dst"),
+        )
+        .dropDuplicates(["src", "dst"])
+    )
+    w = Window.partitionBy("src").orderBy("dst")
+    idx = nb.withColumn("i", F.row_number().over(w) - 1)
+    deg = idx.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(
+        eager=True
+    )
+    abuckets = (
+        idx.withColumn("b_id", F.expr(f"i DIV {int(bucket)}"))
+        .withColumn("off", F.expr(f"i % {int(bucket)}"))
+        .groupBy("src", "b_id")
+        .agg(
+            F.expr("transform(sort_array(collect_list(struct(off, dst))), s -> s.dst)").alias(
+                "nbrs"
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
     if starts is None:
-        starts = edges.select(F.col("src").alias("node")).dropDuplicates()
+        starts = nb.select(F.col("src").alias("node")).dropDuplicates()
     frontier = starts.select(
         F.col("node").cast("string").alias("walk_id"),
         F.col("node").cast("string").alias("cur"),
     )
     out = frontier.select("walk_id", F.lit(0).alias("step"), F.col("cur").alias("node"))
     for i in range(1, n_steps + 1):
-        cand = frontier.join(edges, frontier["cur"] == edges["src"]).select(
-            "walk_id",
-            "dst",
-            F.md5(
-                F.concat_ws("|", F.lit(seed), "walk_id", F.lit(str(i)), "cur", "dst")
-            ).alias("h"),
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit(seed), "walk_id", F.lit(str(i)), "cur")),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        picked = (
+            frontier.join(deg, frontier["cur"] == deg["src"])
+            .withColumn("k", F.pmod(h, F.col("deg")))
+            .withColumn("b_id", F.expr(f"k DIV {int(bucket)}"))
+            .select("walk_id", "cur", "k", "b_id")
         )
         frontier = (
-            cand.groupBy("walk_id")
-            .agg(F.min(F.struct("h", "dst")).alias("m"))
-            .select("walk_id", F.col("m.dst").alias("cur"))
+            picked.join(
+                abuckets,
+                (picked["cur"] == abuckets["src"]) & (picked["b_id"] == abuckets["b_id"]),
+            )
+            .select(
+                "walk_id",
+                F.element_at(
+                    F.col("nbrs"), (F.col("k") % F.lit(int(bucket))).cast("int") + 1
+                ).alias("cur"),
+            )
             .localCheckpoint(eager=True)
         )
         out = out.unionByName(

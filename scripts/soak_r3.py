@@ -217,6 +217,47 @@ def main() -> None:
             begin_col="begin", end_col="end",
         ).count()
 
+    def job_dialogue():
+        # conversation metrics over a transcripts-shaped frame derived from
+        # the replicated events (conversation count rides repl); single
+        # conv_id-keyed shuffle by design
+        from pyspark.sql.window import Window
+
+        from chronographer_spark.operators.dialogue import conversation_metrics
+
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        tx = ev_r.withColumn("rn", F.row_number().over(w)).select(
+            F.col("user_id").cast("string").alias("conv_id"),
+            (F.col("rn") - 1).cast("int").alias("turn_idx"),
+            F.lit("user").alias("role"),
+            F.col("event_type").alias("text"),
+            F.when((F.col("rn") - 1) % 3 == 2, F.col("event_type"))
+            .otherwise(F.lit(""))
+            .alias("tool"),
+            F.col("ts"),
+        )
+        return conversation_metrics(tx, long_gap_s=3600).count()
+
+    def job_walks():
+        # 3-step walks from every replicated user over the user<->type
+        # bipartite graph, then skip-gram extraction; walk count rides repl,
+        # hub (type) degree grows linearly with repl
+        from chronographer_spark.operators.graph_algos import (
+            random_walks,
+            walk_skipgrams,
+        )
+
+        u2t = ev_r.select(
+            F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("src"),
+            F.concat(F.lit("t"), F.col("event_type")).alias("dst"),
+        ).distinct()
+        edges = u2t.unionByName(
+            u2t.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        starts = u2t.select(F.col("src").alias("node")).distinct()
+        walks = random_walks(edges, n_steps=3, starts=starts)
+        return walk_skipgrams(walks, window=2).count()
+
     def job_corpus_overlap():
         from chronographer_spark.operators.sketches import corpus_overlap
 
@@ -229,6 +270,8 @@ def main() -> None:
         ("prefix_jaccard", job_prefix_jaccard),
         ("k_core", job_k_core),
         ("allen", job_allen),
+        ("dialogue", job_dialogue),
+        ("walks", job_walks),
         ("repeated_spans", job_repeated_spans),
         ("cms_heavy", job_cms_heavy),
         ("bloom_pass", job_bloom_pass),

@@ -1068,8 +1068,9 @@ def test_conversation_metrics_single_shuffle(spark):
 
 
 def test_random_walks_hand_model(spark):
-    """Walks match a python reference walker (same md5 choice rule);
-    a dead-end walk stops early instead of emitting nulls."""
+    """Walks match a python reference walker (same md5 index-pick rule
+    over sorted distinct neighbors); a dead-end walk stops early instead
+    of emitting nulls; a sub-degree bucket size still picks index k."""
     import hashlib
     from collections import defaultdict
 
@@ -1085,22 +1086,21 @@ def test_random_walks_hand_model(spark):
         cur = start
         expected.append((start, 0, start))
         for i in (1, 2, 3):
-            nbrs = adj[cur]
+            nbrs = sorted(set(adj[cur]))
             if not nbrs:
                 break
-            cur = min(
-                nbrs,
-                key=lambda u: (
-                    hashlib.md5(f"walk|{start}|{i}|{cur}|{u}".encode()).hexdigest(),
-                    u,
-                ),
+            h = int(
+                hashlib.md5(f"walk|{start}|{i}|{cur}".encode()).hexdigest()[:8], 16
             )
+            cur = nbrs[h % len(nbrs)]
             expected.append((start, i, cur))
     df = spark.createDataFrame(edges, ["src", "dst"])
-    got = sorted(
-        (r.walk_id, r.step, r.node) for r in random_walks(df, n_steps=3).collect()
-    )
-    assert got == sorted(expected)
+    for bucket in (1024, 1):  # bucket=1 forces the multi-bucket path
+        got = sorted(
+            (r.walk_id, r.step, r.node)
+            for r in random_walks(df, n_steps=3, bucket=bucket).collect()
+        )
+        assert got == sorted(expected), f"bucket={bucket}"
     assert ("d", 1, "e") in got and not any(w == "d" and s > 1 for w, s, _ in got)
 
 
@@ -1194,3 +1194,28 @@ def test_walk_skipgrams_hand_values(spark):
     }
     # w1: (a,b)x2 [0->1, 2->1], (b,a)x2, (a,a)x2 [0<->2]; w2 adds (a,b),(b,a)
     assert got == {("a", "b"): 3, ("b", "a"): 3, ("a", "a"): 2}
+
+
+def test_topic_boundaries_hand_values(spark):
+    """Partial overlap below threshold -> boundary; zero overlap ->
+    boundary with ov 0; identical turns -> continuation."""
+    from chronographer_spark.operators.dialogue import topic_boundaries
+
+    rows = [
+        ("X", 0, "u", "a b c", "", "2024-01-01 00:00:00"),
+        ("X", 1, "u", "a b d", "", "2024-01-01 00:01:00"),   # ov 2/4 = 0.5
+        ("X", 2, "u", "x y", "", "2024-01-01 00:02:00"),     # ov 0
+        ("X", 3, "u", "x y", "", "2024-01-01 00:03:00"),     # ov 1.0
+    ]
+    tx = spark.createDataFrame(
+        rows, ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+    got = {
+        r.turn_idx: (r.n_common, r.n_prev, r.n_cur, r.ov_x1e6, r.is_boundary)
+        for r in topic_boundaries(tx, threshold_x1e6=600_000).collect()
+    }
+    assert got == {
+        1: (2, 3, 3, 500000, 1),
+        2: (0, 3, 2, 0, 1),
+        3: (2, 2, 2, 1000000, 0),
+    }
