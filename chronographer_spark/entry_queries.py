@@ -4647,6 +4647,49 @@ FROM p
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: co-mention conversation graph (bipartite projection, df-capped hubs)
+# ---------------------------------------------------------------------------
+
+
+def q_comention_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mentions are (event_type | integer value) pairs extracted from the
+    transcript text (1062 distinct at sf0.01, df 1..43); max_df=40 drops
+    the few real hub mentions, so the gate exercises the cap, not just
+    the join."""
+    from .operators.dialogue import comention_graph
+
+    tx = transcripts_from_events(spark, sf_dir)
+    mentions = tx.select(
+        "conv_id",
+        F.concat(
+            F.regexp_extract("text", r"event ([a-z]+) with", 1),
+            F.lit("|"),
+            F.regexp_extract("text", r"value (\d+) recorded", 1),
+        ).alias("mention"),
+    )
+    return comention_graph(mentions, max_df=40)
+
+
+COMENTION_SQL = f"""
+{TX_SQL},
+cm AS (
+  SELECT DISTINCT conv_id AS conv,
+         regexp_extract(text, 'event ([a-z]+) with', 1) || '|'
+           || regexp_extract(text, 'value (\\d+) recorded', 1) AS mention
+  FROM tx
+),
+dfc AS (SELECT mention, count(*) AS df FROM cm GROUP BY mention),
+kept AS (
+  SELECT cm.conv, cm.mention FROM cm
+  JOIN dfc ON cm.mention = dfc.mention AND dfc.df <= 40
+)
+SELECT a.conv AS conv_a, b.conv AS conv_b, CAST(count(*) AS BIGINT) AS n_shared
+FROM kept a JOIN kept b ON a.mention = b.mention AND a.conv < b.conv
+GROUP BY conv_a, conv_b
+"""
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -4723,6 +4766,7 @@ QUERIES = {
     "burst_hours": q_burst_hours,
     "walk_skipgrams": q_walk_skipgrams,
     "topic_boundaries": q_topic_boundaries,
+    "comention_graph": q_comention_graph,
     "hll_distinct_users": q_hll_distinct_users,
     "cms_heavy_tokens": q_cms_heavy_tokens,
     "bloom_decontaminate": q_bloom_decontaminate,
@@ -4842,6 +4886,7 @@ ORACLE_SQL = {
     "burst_hours": BURST_HOURS_SQL,
     "walk_skipgrams": WALK_SKIPGRAMS_SQL,
     "topic_boundaries": TOPIC_BOUNDARIES_SQL,
+    "comention_graph": COMENTION_SQL,
     "hll_distinct_users": HLL_SQL,
     "cms_heavy_tokens": CMS_HEAVY_SQL,
     "bloom_decontaminate": BLOOM_DECONTAMINATE_SQL,

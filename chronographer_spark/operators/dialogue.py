@@ -27,7 +27,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["conversation_metrics"]
+__all__ = [
+    "comention_graph",
+    "conversation_metrics",
+    "tool_transitions",
+    "topic_boundaries",
+]
 
 
 def conversation_metrics(tx: DataFrame, long_gap_s: int = 300) -> DataFrame:
@@ -183,4 +188,45 @@ def topic_boundaries(tx: DataFrame, threshold_x1e6: int = 600_000) -> DataFrame:
         .otherwise(F.lit(0))
         .cast("long")
         .alias("is_boundary"),
+    )
+
+
+def comention_graph(
+    mentions: DataFrame,
+    conv_col: str = "conv_id",
+    mention_col: str = "mention",
+    max_df: int = 1000,
+) -> DataFrame:
+    """Conversation co-mention graph: project the bipartite
+    (conversation, mention) relation onto conversations — an edge links two
+    conversations that share a mention, weighted by how many distinct
+    mentions they share. This is the cross-conversation linking signal the
+    KG side consumes: conversations co-mentioning the same entities are
+    candidates for shared-event merging (cf. the entity-linking join the
+    reference applies within one corpus, src/framework.py:155-161 subgraph
+    bookkeeping).
+
+    Hub control is the `max_df` cap: a mention appearing in more than
+    `max_df` conversations (the corpus's stopword-entity) is dropped
+    BEFORE the pair join, exactly like the contamination op's
+    max_train_df guard — an uncapped hub mention alone contributes
+    O(df^2) pairs. With the cap, pair fan-out per mention is bounded by
+    max_df^2 and the join stays linear in mention-postings volume.
+
+    Returns (conv_a, conv_b, n_shared) with conv_a < conv_b.
+    """
+    cm = mentions.select(
+        F.col(conv_col).alias("conv"), F.col(mention_col).alias("mention")
+    ).dropDuplicates(["conv", "mention"])
+    df_counts = cm.groupBy("mention").agg(F.count(F.lit(1)).alias("df"))
+    kept = cm.join(
+        df_counts.filter(F.col("df") <= max_df).select("mention"), "mention"
+    )
+    a = kept.select(F.col("conv").alias("conv_a"), "mention")
+    b = kept.select(F.col("conv").alias("conv_b"), "mention")
+    return (
+        a.join(b, "mention")
+        .filter(F.col("conv_a") < F.col("conv_b"))
+        .groupBy("conv_a", "conv_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
     )

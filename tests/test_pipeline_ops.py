@@ -1219,3 +1219,28 @@ def test_topic_boundaries_hand_values(spark):
         2: (0, 3, 2, 0, 1),
         3: (2, 2, 2, 1000000, 0),
     }
+
+
+def test_comention_graph_hand_values(spark):
+    """Shared-mention projection with distinct counting; the df cap drops
+    the hub mention entirely (it alone would connect everyone)."""
+    from chronographer_spark.operators.dialogue import comention_graph
+
+    rows = [
+        ("c1", "alice"), ("c1", "hub"), ("c1", "alice"),  # dup collapses
+        ("c2", "alice"), ("c2", "hub"), ("c2", "bob"),
+        ("c3", "hub"), ("c3", "bob"),
+        ("c4", "hub"),
+    ]
+    m = spark.createDataFrame(rows, ["conv_id", "mention"])
+    got = {
+        (r.conv_a, r.conv_b): r.n_shared
+        for r in comention_graph(m, max_df=3).collect()
+    }
+    # hub df=4 > 3 -> dropped; alice links c1-c2, bob links c2-c3; c4 isolated
+    assert got == {("c1", "c2"): 1, ("c2", "c3"): 1}
+    uncapped = {
+        (r.conv_a, r.conv_b): r.n_shared
+        for r in comention_graph(m, max_df=10).collect()
+    }
+    assert uncapped[("c1", "c2")] == 2 and uncapped[("c1", "c4")] == 1
