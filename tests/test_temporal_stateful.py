@@ -767,3 +767,40 @@ def test_burst_buckets_hand_values(spark):
         for r in burst_buckets(ev, factor=2).collect()
     ]
     assert got == [(1, "2024-01-01 00:00:00", 6, 8, 3)]
+
+
+def test_streaming_conversation_metrics_matches_batch(spark, tmp_path):
+    """Latest snapshot per conversation from the incremental stream equals
+    the batch conversation_metrics, with state carried across micro-batches
+    (one file per trigger; files split by turn ranges)."""
+    import time
+
+    from chronographer_spark.data.transcripts import transcripts_df
+    from chronographer_spark.operators.dialogue import conversation_metrics
+    from chronographer_spark.streaming.dialogue import start_metrics_stream
+
+    tx = transcripts_df(spark, n_convs=8, n_turns=10).cache()
+    in_dir, out_dir, ckpt = (
+        str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ckpt"),
+    )
+    # append-ordered arrival: early turns land in file 1, late turns file 2
+    tx.filter(F.col("turn_idx") < 5).coalesce(1).write.parquet(f"{in_dir}/b1")
+    tx.filter(F.col("turn_idx") >= 5).coalesce(1).write.parquet(f"{in_dir}/b2")
+
+    q = start_metrics_stream(spark, f"{in_dir}/b*", out_dir, ckpt, long_gap_s=90)
+    q.awaitTermination(120)
+    time.sleep(1)
+
+    snaps = spark.read.parquet(out_dir)
+    latest = snaps.groupBy("conv_id").agg(F.max("n_turns").alias("n_turns")).join(
+        snaps, ["conv_id", "n_turns"]
+    )
+    batch = conversation_metrics(tx, long_gap_s=90)
+    cols = ["conv_id", "n_turns", "n_tool_turns", "n_role_switches",
+            "duration_us", "sum_gap_us", "max_gap_us", "n_long_gaps"]
+    got = {tuple(r) for r in latest.select(*cols).collect()}
+    exp = {tuple(r) for r in batch.select(*cols).collect()}
+    assert got == exp
+    # state genuinely carried over: conversations got >1 snapshot
+    multi = snaps.groupBy("conv_id").count().filter(F.col("count") > 1).count()
+    assert multi > 0
