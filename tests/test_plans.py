@@ -314,3 +314,14 @@ def test_pack_sequences_offsets_broadcast_no_global_window(spark):
     # post-checkpoint plan: broadcast join only — no window, no extra shuffle
     assert "Window" not in plan
     assert _exchanges(plan) == 0
+
+
+def test_cooccurrence_lift_broadcasts_capped_vocab(spark):
+    """The top_k vocabulary (k rows) must broadcast against the (doc,
+    token) table for the cap filter AND the df-count joins — the corpus
+    side never shuffles for a vocabulary lookup."""
+    from chronographer_spark.operators.text import cooccurrence_lift
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(cooccurrence_lift(docs, top_k=10))
+    assert plan.count("BroadcastExchange") >= 2, plan

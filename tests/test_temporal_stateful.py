@@ -804,3 +804,47 @@ def test_streaming_conversation_metrics_matches_batch(spark, tmp_path):
     # state genuinely carried over: conversations got >1 snapshot
     multi = snaps.groupBy("conv_id").count().filter(F.col("count") > 1).count()
     assert multi > 0
+
+
+def test_round3_late_operators_on_empty_inputs(spark):
+    """Empty-input totality for the dialogue/fuzzy/walk family."""
+    from chronographer_spark.linking.fuzzy import (
+        ed1_pairs,
+        mutual_best_trigram_match,
+    )
+    from chronographer_spark.operators.dialogue import (
+        comention_graph,
+        conversation_metrics,
+        tool_transitions,
+        topic_boundaries,
+    )
+    from chronographer_spark.operators.graph_algos import (
+        random_walks,
+        walk_skipgrams,
+    )
+    from chronographer_spark.operators.temporal import burst_buckets
+
+    empty_tx = spark.createDataFrame(
+        [], "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp"
+    )
+    assert conversation_metrics(empty_tx).count() == 0
+    assert tool_transitions(empty_tx).count() == 0
+    assert topic_boundaries(empty_tx).count() == 0
+
+    empty_v = spark.createDataFrame([], "tok string")
+    assert ed1_pairs(empty_v).count() == 0
+    one = spark.createDataFrame([("night",)], ["tok"])
+    assert mutual_best_trigram_match(empty_v, one).count() == 0
+    assert mutual_best_trigram_match(one, empty_v).count() == 0
+
+    empty_e = spark.createDataFrame([], "src string, dst string")
+    walks = random_walks(empty_e, n_steps=2)
+    assert walks.count() == 0
+    assert walk_skipgrams(walks).count() == 0
+
+    empty_ev = spark.createDataFrame([], "user_id long, ts timestamp")
+    assert burst_buckets(empty_ev).count() == 0
+
+    empty_m = spark.createDataFrame([], "conv_id string, mention string")
+    assert comention_graph(empty_m).count() == 0
