@@ -848,3 +848,41 @@ def test_round3_late_operators_on_empty_inputs(spark):
 
     empty_m = spark.createDataFrame([], "conv_id string, mention string")
     assert comention_graph(empty_m).count() == 0
+
+
+def test_streaming_conversation_metrics_restart_state_recovery(spark, tmp_path):
+    """Stopping the metrics stream and restarting from its checkpoint after
+    new turns arrive resumes from the persisted per-conversation state: the
+    post-restart latest snapshot equals the batch operator over ALL turns,
+    and the first half's turns are not re-counted."""
+    import os
+    import time
+
+    from chronographer_spark.data.transcripts import transcripts_df
+    from chronographer_spark.operators.dialogue import conversation_metrics
+    from chronographer_spark.streaming.dialogue import start_metrics_stream
+
+    tx = transcripts_df(spark, n_convs=6, n_turns=10).cache()
+    in_dir, out_dir, ckpt = (
+        str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ckpt"),
+    )
+    os.makedirs(in_dir)
+    tx.filter(F.col("turn_idx") < 5).coalesce(1).write.parquet(f"{in_dir}/b1")
+    q = start_metrics_stream(spark, in_dir + "/b*", out_dir, ckpt, long_gap_s=90)
+    q.awaitTermination(120)
+    time.sleep(1)
+
+    tx.filter(F.col("turn_idx") >= 5).coalesce(1).write.parquet(f"{in_dir}/b2")
+    q2 = start_metrics_stream(spark, in_dir + "/b*", out_dir, ckpt, long_gap_s=90)
+    q2.awaitTermination(120)
+    time.sleep(1)
+
+    snaps = spark.read.parquet(out_dir)
+    latest = snaps.groupBy("conv_id").agg(F.max("n_turns").alias("n_turns")).join(
+        snaps, ["conv_id", "n_turns"]
+    )
+    cols = ["conv_id", "n_turns", "n_tool_turns", "n_role_switches",
+            "duration_us", "sum_gap_us", "max_gap_us", "n_long_gaps"]
+    got = {tuple(r) for r in latest.select(*cols).collect()}
+    exp = {tuple(r) for r in conversation_metrics(tx, long_gap_s=90).select(*cols).collect()}
+    assert got == exp
