@@ -4690,6 +4690,105 @@ GROUP BY conv_a, conv_b
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: KG profile (per-predicate shape report over the constructed graph)
+# ---------------------------------------------------------------------------
+
+
+def q_kg_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph profiling a KG consumer runs first: triple count, distinct
+    subject/object cardinalities, and mean out-fanout per predicate
+    (fanout_x1e6 = exact integer quotient) over the flagship event graph.
+    One groupBy on the materialized graph — the graph is built once
+    (graph/materialize.py) and profiled in a single shuffle."""
+    from .graph.materialize import build_event_graph
+
+    tx = transcripts_from_events(spark, sf_dir)
+    g = build_event_graph(tx)
+    return g.groupBy("predicate").agg(
+        F.count(F.lit(1)).alias("n_triples"),
+        F.countDistinct("subject").alias("n_subjects"),
+        F.countDistinct("object").alias("n_objects"),
+        F.expr(
+            "CAST(count(*) * 1000000 DIV count(DISTINCT subject) AS BIGINT)"
+        ).alias("fanout_x1e6"),
+    )
+
+
+KG_PROFILE_SQL = (
+    "WITH g AS (" + FLAGSHIP_SQL + ")\n"
+    """SELECT predicate,
+       CAST(count(*) AS BIGINT) AS n_triples,
+       CAST(count(DISTINCT subject) AS BIGINT) AS n_subjects,
+       CAST(count(DISTINCT object) AS BIGINT) AS n_objects,
+       CAST(count(*) * 1000000 // count(DISTINCT subject) AS BIGINT)
+         AS fanout_x1e6
+FROM g GROUP BY predicate
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# Q: entity salience per conversation (frequency + first-position bonus)
+# ---------------------------------------------------------------------------
+
+
+def q_entity_salience(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-salient entity (event_type mention) per conversation:
+    salience = freq * 10^6 + 10^6 DIV (first_turn + 1) — frequency
+    dominates, earlier first mention breaks near-ties, and the score stays
+    an exact integer. Tie-break on the smaller mention string."""
+    tx = transcripts_from_events(spark, sf_dir)
+    m = tx.select(
+        "conv_id",
+        "turn_idx",
+        F.regexp_extract("text", r"event ([a-z]+) with", 1).alias("mention"),
+    )
+    per = m.groupBy("conv_id", "mention").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.min("turn_idx").alias("first_turn"),
+    )
+    score = (
+        F.col("freq").cast("long") * F.lit(1_000_000)
+        + F.expr("CAST(1000000 DIV (first_turn + 1) AS BIGINT)")
+    ).alias("salience_x1e6")
+    scored = per.select("conv_id", "mention", "freq", "first_turn", score)
+    best = scored.groupBy("conv_id").agg(
+        F.min_by(
+            F.struct("mention", "freq", "first_turn", "salience_x1e6"),
+            F.struct((-F.col("salience_x1e6")).alias("ns"), F.col("mention")),
+        ).alias("m")
+    )
+    return best.select(
+        "conv_id", "m.mention", "m.freq", "m.first_turn", "m.salience_x1e6"
+    )
+
+
+ENTITY_SALIENCE_SQL = f"""
+{TX_SQL},
+m AS (
+  SELECT conv_id, turn_idx,
+         regexp_extract(text, 'event ([a-z]+) with', 1) AS mention
+  FROM tx
+),
+per AS (
+  SELECT conv_id, mention, CAST(count(*) AS BIGINT) AS freq,
+         CAST(min(turn_idx) AS INT) AS first_turn
+  FROM m GROUP BY conv_id, mention
+),
+scored AS (
+  SELECT conv_id, mention, freq, first_turn,
+         CAST(freq * 1000000 + 1000000 // (first_turn + 1) AS BIGINT)
+           AS salience_x1e6
+  FROM per
+)
+SELECT conv_id, mention, freq, first_turn, salience_x1e6
+FROM scored
+QUALIFY row_number() OVER (
+  PARTITION BY conv_id ORDER BY salience_x1e6 DESC, mention ASC) = 1
+"""
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -4767,6 +4866,8 @@ QUERIES = {
     "walk_skipgrams": q_walk_skipgrams,
     "topic_boundaries": q_topic_boundaries,
     "comention_graph": q_comention_graph,
+    "kg_profile": q_kg_profile,
+    "entity_salience": q_entity_salience,
     "hll_distinct_users": q_hll_distinct_users,
     "cms_heavy_tokens": q_cms_heavy_tokens,
     "bloom_decontaminate": q_bloom_decontaminate,
@@ -4887,6 +4988,8 @@ ORACLE_SQL = {
     "walk_skipgrams": WALK_SKIPGRAMS_SQL,
     "topic_boundaries": TOPIC_BOUNDARIES_SQL,
     "comention_graph": COMENTION_SQL,
+    "kg_profile": KG_PROFILE_SQL,
+    "entity_salience": ENTITY_SALIENCE_SQL,
     "hll_distinct_users": HLL_SQL,
     "cms_heavy_tokens": CMS_HEAVY_SQL,
     "bloom_decontaminate": BLOOM_DECONTAMINATE_SQL,
