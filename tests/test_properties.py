@@ -284,3 +284,142 @@ def test_pagerank_convergence_stop(spark):
     assert abs(tolled["h"] - r_h) < 1e-8
     for i in range(4):
         assert abs(tolled[f"s{i}"] - r_s) < 1e-8
+
+
+vocab_strategy = st.lists(
+    st.text(alphabet="abcd", min_size=1, max_size=5),
+    min_size=1,
+    max_size=15,
+)
+
+
+@given(vocab=vocab_strategy)
+@settings(**SETTINGS)
+def test_ed1_pairs_matches_brute_force_property(spark, vocab):
+    """Deletion-variant blocking == all-pairs ED<=1 on arbitrary small
+    alphabets (dense neighborhoods maximize variant collisions)."""
+    from chronographer_spark.linking.fuzzy import ed1_pairs
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    uniq = sorted(set(vocab))
+    expected = sorted(
+        (a, b)
+        for i, a in enumerate(uniq)
+        for b in uniq[i + 1:]
+        if lev(a, b) <= 1
+    )
+    df = spark.createDataFrame([(t,) for t in vocab], ["tok"])
+    got = sorted((r.tok1, r.tok2) for r in ed1_pairs(df).collect())
+    assert got == expected
+
+
+walk_edges_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),
+        st.integers(min_value=0, max_value=5),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(edges=walk_edges_strategy)
+@settings(**SETTINGS)
+def test_random_walks_matches_python_model(spark, edges):
+    """Index-pick walks equal a python reference walker on arbitrary
+    directed graphs (self-loops and dead ends included)."""
+    import hashlib
+    from collections import defaultdict
+
+    from chronographer_spark.operators.graph_algos import random_walks
+
+    edges = [(str(s), str(d)) for s, d in edges]
+    adj = defaultdict(set)
+    for s, d in edges:
+        adj[s].add(d)
+    expected = []
+    for start in sorted({s for s, _ in edges}):
+        cur = start
+        expected.append((start, 0, start))
+        for i in (1, 2):
+            nbrs = sorted(adj[cur])
+            if not nbrs:
+                break
+            h = int(
+                hashlib.md5(f"walk|{start}|{i}|{cur}".encode()).hexdigest()[:8], 16
+            )
+            cur = nbrs[h % len(nbrs)]
+            expected.append((start, i, cur))
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = sorted(
+        (r.walk_id, r.step, r.node)
+        for r in random_walks(df, n_steps=2, bucket=2).collect()
+    )
+    assert got == sorted(expected)
+
+
+conv_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),     # conv no
+        st.integers(min_value=0, max_value=7200),  # seconds offset
+        st.sampled_from(["user", "assistant", "tool"]),
+        st.sampled_from(["", "search"]),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(rows=conv_strategy)
+@settings(**SETTINGS)
+def test_conversation_metrics_matches_python_model(spark, rows):
+    """Batch conversation metrics equal a per-conversation python fold on
+    arbitrary turn layouts (ties in ts, single-turn convs, stalls)."""
+    from chronographer_spark.operators.dialogue import conversation_metrics
+
+    base = dt.datetime(2024, 1, 1)
+    data = []
+    per_conv = {}
+    for conv, off, role, tool in rows:
+        cid = f"c{conv}"
+        per_conv.setdefault(cid, []).append((off, role, tool))
+    for cid, turns in per_conv.items():
+        turns.sort()
+        for i, (off, role, tool) in enumerate(turns):
+            data.append((cid, i, role, "t", tool, base + dt.timedelta(seconds=off)))
+
+    exp = {}
+    for cid, turns in per_conv.items():
+        turns.sort()
+        n_tool = sum(1 for _, _, t in turns if t != "")
+        n_switch = sum(
+            1 for a, b in zip(turns, turns[1:]) if a[1] != b[1]
+        )
+        gaps = [(b[0] - a[0]) * 1_000_000 for a, b in zip(turns, turns[1:])]
+        exp[cid] = (
+            len(turns), n_tool, n_switch,
+            (turns[-1][0] - turns[0][0]) * 1_000_000,
+            sum(gaps), max(gaps) if gaps else 0,
+            sum(1 for g in gaps if g > 300 * 1_000_000),
+        )
+
+    tx = spark.createDataFrame(
+        data, "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp"
+    )
+    got = {
+        r.conv_id: (
+            r.n_turns, r.n_tool_turns, r.n_role_switches,
+            r.duration_us, r.sum_gap_us, r.max_gap_us, r.n_long_gaps,
+        )
+        for r in conversation_metrics(tx, long_gap_s=300).collect()
+    }
+    assert got == exp
