@@ -67,7 +67,10 @@ def ed1_pairs(
         .filter(F.col("tok").isNotNull() & (F.length("tok") <= max_len))
         .distinct()
     )
-    # {t} ∪ del1(t): array_union also dedups repeated variants ("aa" -> "a")
+    # {t} ∪ del1(t): array_union also dedups repeated variants ("aa" -> "a").
+    # Eager localCheckpoint: the variant table feeds BOTH sides of the
+    # self-join — without it the dedup+explode subtree executes twice (the
+    # tf/df re-execution family, CLAUDE.md).
     variants = toks.select(
         "tok",
         F.explode(
@@ -76,7 +79,7 @@ def ed1_pairs(
                 F.expr(_DEL1.format(c="tok")),
             )
         ).alias("variant"),
-    )
+    ).localCheckpoint(eager=True)
     left = variants.select(F.col("tok").alias("tok1"), "variant")
     right = variants.select(F.col("tok").alias("tok2"), "variant")
     cand = (
@@ -145,8 +148,9 @@ def mutual_best_trigram_match(
             .distinct()
         )
 
-    ga = _grams(_prep(left_vocab), "tok_a")
-    gb = _grams(_prep(right_vocab), "tok_b")
+    # each gram table feeds its degree count AND the candidate join
+    ga = _grams(_prep(left_vocab), "tok_a").localCheckpoint(eager=True)
+    gb = _grams(_prep(right_vocab), "tok_b").localCheckpoint(eager=True)
     na = ga.groupBy("tok_a").agg(F.count(F.lit(1)).alias("n_a"))
     nb = gb.groupBy("tok_b").agg(F.count(F.lit(1)).alias("n_b"))
     common = (
@@ -154,6 +158,8 @@ def mutual_best_trigram_match(
         .groupBy("tok_a", "tok_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
+    # scored feeds three consumers (best_a, best_b, the final re-join);
+    # eager checkpoint executes the gram join once instead of three times
     scored = (
         common.join(na, "tok_a")
         .join(nb, "tok_b")
@@ -163,6 +169,7 @@ def mutual_best_trigram_match(
                 "CAST(n_common * 1000000 DIV (n_a + n_b - n_common) AS BIGINT)"
             ),
         )
+        .localCheckpoint(eager=True)
     )
     # arg-max per side as min_by on (-jac, partner): highest jac wins,
     # ties go to the lexicographically smallest partner

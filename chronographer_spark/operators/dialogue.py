@@ -139,7 +139,9 @@ def topic_boundaries(tx: DataFrame, threshold_x1e6: int = 600_000) -> DataFrame:
                 F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "
             )
         ).alias("tok"),
-    ).filter(F.col("tok") != "").dropDuplicates(["conv_id", "turn_idx", "tok"])
+    ).filter(F.col("tok") != "").dropDuplicates(["conv_id", "turn_idx", "tok"]).localCheckpoint(
+        eager=True
+    )  # toks feeds per_turn, the shifted copy, and the common join
     per_turn = toks.groupBy("conv_id", "turn_idx").agg(
         F.count(F.lit(1)).alias("n_toks")
     )
@@ -215,13 +217,20 @@ def comention_graph(
 
     Returns (conv_a, conv_b, n_shared) with conv_a < conv_b.
     """
-    cm = mentions.select(
-        F.col(conv_col).alias("conv"), F.col(mention_col).alias("mention")
-    ).dropDuplicates(["conv", "mention"])
+    # cm feeds the df count AND the capped join; kept feeds both sides of
+    # the pair self-join — eager checkpoints execute each subtree once
+    # (the tf/df re-execution family, CLAUDE.md)
+    cm = (
+        mentions.select(
+            F.col(conv_col).alias("conv"), F.col(mention_col).alias("mention")
+        )
+        .dropDuplicates(["conv", "mention"])
+        .localCheckpoint(eager=True)
+    )
     df_counts = cm.groupBy("mention").agg(F.count(F.lit(1)).alias("df"))
     kept = cm.join(
         df_counts.filter(F.col("df") <= max_df).select("mention"), "mention"
-    )
+    ).localCheckpoint(eager=True)
     a = kept.select(F.col("conv").alias("conv_a"), "mention")
     b = kept.select(F.col("conv").alias("conv_b"), "mention")
     return (

@@ -378,12 +378,16 @@ def cooccurrence_lift(
             F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
         ).alias("tok"),
     ).filter(F.col("tok") != "")
-    doc_tok = toks.dropDuplicates(["doc_id", "tok"])
+    # doc_tok feeds the df count AND the capped posting list; kept feeds
+    # both sides of the pair self-join (tf/df re-execution family)
+    doc_tok = toks.dropDuplicates(["doc_id", "tok"]).localCheckpoint(eager=True)
     df_counts = doc_tok.groupBy("tok").agg(F.count(F.lit(1)).alias("n_doc"))
     vocab = df_counts.orderBy(F.col("n_doc").desc(), F.col("tok").asc()).limit(top_k)
     n_docs = docs.select(id_col).distinct().count()  # one scalar, exact integer
 
-    kept = doc_tok.join(F.broadcast(vocab.select("tok")), "tok")
+    kept = doc_tok.join(F.broadcast(vocab.select("tok")), "tok").localCheckpoint(
+        eager=True
+    )
     left = kept.select("doc_id", F.col("tok").alias("tok_a"))
     right = kept.select("doc_id", F.col("tok").alias("tok_b"))
     pairs = (
