@@ -258,6 +258,23 @@ def main() -> None:
         walks = random_walks(edges, n_steps=3, starts=starts)
         return walk_skipgrams(walks, window=2).count()
 
+    def job_comention():
+        # replicas repeat the same mention values, so each mention's df and
+        # the pair output grow ~linearly/quadratically with repl BY
+        # CONSTRUCTION — cap scales with repl to keep the same df profile;
+        # judge per output PAIR
+        from chronographer_spark.operators.dialogue import comention_graph
+
+        mentions = ev_r.select(
+            F.col("user_id").cast("string").alias("conv_id"),
+            F.concat(
+                F.col("event_type"),
+                F.lit("|"),
+                F.floor(F.col("value")).cast("long").cast("string"),
+            ).alias("mention"),
+        )
+        return comention_graph(mentions, max_df=40 * repl).count()
+
     def job_corpus_overlap():
         from chronographer_spark.operators.sketches import corpus_overlap
 
@@ -272,6 +289,7 @@ def main() -> None:
         ("allen", job_allen),
         ("dialogue", job_dialogue),
         ("walks", job_walks),
+        ("comention", job_comention),
         ("repeated_spans", job_repeated_spans),
         ("cms_heavy", job_cms_heavy),
         ("bloom_pass", job_bloom_pass),
