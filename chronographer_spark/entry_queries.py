@@ -4789,6 +4789,67 @@ QUALIFY row_number() OVER (
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: per-entity temporal ordering edges across conversations
+# ---------------------------------------------------------------------------
+
+
+def q_entity_timeline_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Happened-before chain per entity ACROSS conversations: for each
+    (event_type | value) mention, order its occurrences by (ts, conv,
+    turn) and emit an edge to the next occurrence with the integer gap —
+    the cross-document temporal ordering edges the north-star KG carries
+    beside the within-conversation lead edges (window_lead_next). One
+    window keyed by mention; entity-popularity skew is the classic window
+    hot-partition — the finer (type | value) mention key keeps partitions
+    bounded, and a production run salts a pathological celebrity entity."""
+    tx = transcripts_from_events(spark, sf_dir)
+    m = tx.select(
+        "conv_id",
+        "turn_idx",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.concat(
+            F.regexp_extract("text", r"event ([a-z]+) with", 1),
+            F.lit("|"),
+            F.regexp_extract("text", r"value (\d+) recorded", 1),
+        ).alias("mention"),
+    )
+    w = Window.partitionBy("mention").orderBy("ts_us", "conv_id", "turn_idx")
+    return (
+        m.select(
+            "mention",
+            "conv_id",
+            "turn_idx",
+            F.lead("conv_id").over(w).alias("next_conv"),
+            F.lead("turn_idx").over(w).alias("next_turn"),
+            (F.lead("ts_us").over(w) - F.col("ts_us")).alias("gap_us"),
+        )
+        .filter(F.col("next_conv").isNotNull())
+    )
+
+
+ENTITY_TIMELINE_SQL = f"""
+{TX_SQL},
+m AS (
+  SELECT conv_id, turn_idx, epoch_us(ts) AS ts_us,
+         regexp_extract(text, 'event ([a-z]+) with', 1) || '|'
+           || regexp_extract(text, 'value (\\d+) recorded', 1) AS mention
+  FROM tx
+),
+led AS (
+  SELECT mention, conv_id, turn_idx,
+         lead(conv_id) OVER w AS next_conv,
+         lead(turn_idx) OVER w AS next_turn,
+         lead(ts_us) OVER w - ts_us AS gap_us
+  FROM m
+  WINDOW w AS (PARTITION BY mention ORDER BY ts_us, conv_id, turn_idx)
+)
+SELECT mention, conv_id, turn_idx, next_conv, next_turn,
+       CAST(gap_us AS BIGINT) AS gap_us
+FROM led WHERE next_conv IS NOT NULL
+"""
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -4868,6 +4929,7 @@ QUERIES = {
     "comention_graph": q_comention_graph,
     "kg_profile": q_kg_profile,
     "entity_salience": q_entity_salience,
+    "entity_timeline_edges": q_entity_timeline_edges,
     "hll_distinct_users": q_hll_distinct_users,
     "cms_heavy_tokens": q_cms_heavy_tokens,
     "bloom_decontaminate": q_bloom_decontaminate,
@@ -4990,6 +5052,7 @@ ORACLE_SQL = {
     "comention_graph": COMENTION_SQL,
     "kg_profile": KG_PROFILE_SQL,
     "entity_salience": ENTITY_SALIENCE_SQL,
+    "entity_timeline_edges": ENTITY_TIMELINE_SQL,
     "hll_distinct_users": HLL_SQL,
     "cms_heavy_tokens": CMS_HEAVY_SQL,
     "bloom_decontaminate": BLOOM_DECONTAMINATE_SQL,
