@@ -4850,6 +4850,62 @@ FROM led WHERE next_conv IS NOT NULL
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: event coreference across conversations (canonical node + support)
+# ---------------------------------------------------------------------------
+
+
+def q_event_coreference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge event mentions that agree on (type, value, day) across ALL
+    conversations into one canonical event node — the cross-transcript
+    event-coreference step of KG construction (within-corpus referent
+    canonicalization is apply_referents; this is its event-level twin).
+    Canonical id = lexicographically first (conv, turn) occurrence; the
+    min and both counts ride one map-side-combinable groupBy keyed by the
+    event signature."""
+    tx = transcripts_from_events(spark, sf_dir)
+    sig = tx.select(
+        F.concat(
+            F.regexp_extract("text", r"event ([a-z]+) with", 1),
+            F.lit("|"),
+            F.regexp_extract("text", r"value (\d+) recorded", 1),
+            F.lit("|"),
+            F.regexp_extract("text", r"(\d{4}-\d{2}-\d{2})", 1),
+        ).alias("event_sig"),
+        "conv_id",
+        "turn_idx",
+    )
+    return sig.groupBy("event_sig").agg(
+        F.min(F.struct("conv_id", "turn_idx")).alias("c"),
+        F.count(F.lit(1)).alias("n_mentions"),
+        F.countDistinct("conv_id").alias("n_convs"),
+    ).select(
+        "event_sig",
+        F.col("c.conv_id").alias("canonical_conv"),
+        F.col("c.turn_idx").alias("canonical_turn"),
+        "n_mentions",
+        "n_convs",
+    )
+
+
+EVENT_COREF_SQL = f"""
+{TX_SQL},
+sig AS (
+  SELECT regexp_extract(text, 'event ([a-z]+) with', 1) || '|'
+           || regexp_extract(text, 'value (\\d+) recorded', 1) || '|'
+           || regexp_extract(text, '(\\d{{4}}-\\d{{2}}-\\d{{2}})', 1) AS event_sig,
+         conv_id, turn_idx
+  FROM tx
+)
+SELECT event_sig,
+       min({{'conv_id': conv_id, 'turn_idx': turn_idx}})['conv_id'] AS canonical_conv,
+       min({{'conv_id': conv_id, 'turn_idx': turn_idx}})['turn_idx'] AS canonical_turn,
+       CAST(count(*) AS BIGINT) AS n_mentions,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+FROM sig GROUP BY event_sig
+"""
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -4930,6 +4986,7 @@ QUERIES = {
     "kg_profile": q_kg_profile,
     "entity_salience": q_entity_salience,
     "entity_timeline_edges": q_entity_timeline_edges,
+    "event_coreference": q_event_coreference,
     "hll_distinct_users": q_hll_distinct_users,
     "cms_heavy_tokens": q_cms_heavy_tokens,
     "bloom_decontaminate": q_bloom_decontaminate,
@@ -5053,6 +5110,7 @@ ORACLE_SQL = {
     "kg_profile": KG_PROFILE_SQL,
     "entity_salience": ENTITY_SALIENCE_SQL,
     "entity_timeline_edges": ENTITY_TIMELINE_SQL,
+    "event_coreference": EVENT_COREF_SQL,
     "hll_distinct_users": HLL_SQL,
     "cms_heavy_tokens": CMS_HEAVY_SQL,
     "bloom_decontaminate": BLOOM_DECONTAMINATE_SQL,
