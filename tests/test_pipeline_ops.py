@@ -1244,3 +1244,17 @@ def test_comention_graph_hand_values(spark):
         for r in comention_graph(m, max_df=10).collect()
     }
     assert uncapped[("c1", "c2")] == 2 and uncapped[("c1", "c4")] == 1
+
+
+def test_ed1_pairs_unicode(spark):
+    """Deletion variants operate on code points, not bytes: accented forms
+    at ED 1 are found, and multi-byte characters never split."""
+    from chronographer_spark.linking.fuzzy import ed1_pairs
+
+    vocab = ["café", "cafe", "naïve", "naive", "日本", "日本語"]
+    df = spark.createDataFrame([(t,) for t in vocab], ["tok"])
+    got = {(r.tok1, r.tok2) for r in ed1_pairs(df).collect()}
+    assert ("cafe", "café") in got
+    assert ("naive", "naïve") in got
+    assert ("日本", "日本語") in got
+    assert len(got) == 3
