@@ -4906,6 +4906,80 @@ FROM sig GROUP BY event_sig
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: dialogue-aware curation (metrics gate + burst-user exclusion, composed)
+# ---------------------------------------------------------------------------
+
+
+def q_dialogue_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition of the dialogue family into an eligibility filter:
+    keep conversations long enough (n_turns >= 60) without pathological
+    stalls (max gap <= ~61h), and drop every conversation of a user with
+    a burst hour (runaway/replayed traffic) via a broadcast anti-join.
+    Thresholds sit at the sf0.01 quartiles so the gate verifies a real
+    three-way split, not a pass-through."""
+    from .operators.dialogue import conversation_metrics
+    from .operators.temporal import burst_buckets
+
+    tx = transcripts_from_events(spark, sf_dir)
+    met = conversation_metrics(tx, long_gap_s=3600)
+    ev = _t(spark, sf_dir, "events")
+    burst_convs = (
+        burst_buckets(ev, key="user_id", ts_col="ts", bucket="hour", factor=2)
+        .select(
+            F.concat(
+                F.lit("conv"), F.lpad(F.col("user_id").cast("string"), 6, "0")
+            ).alias("conv_id")
+        )
+        .distinct()
+    )
+    return (
+        met.filter(
+            (F.col("n_turns") >= 60)
+            & (F.col("max_gap_us") <= F.lit(220_000_000_000))
+        )
+        .join(F.broadcast(burst_convs), "conv_id", "left_anti")
+        .select("conv_id", "n_turns", "max_gap_us")
+    )
+
+
+DIALOGUE_CURATION_SQL = f"""
+{TX_SQL},
+lagged AS (
+  SELECT conv_id,
+         epoch_us(ts) AS ts_us,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+  FROM tx
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+),
+met AS (
+  SELECT conv_id,
+         CAST(count(*) AS BIGINT) AS n_turns,
+         CAST(coalesce(max(gap_us), 0) AS BIGINT) AS max_gap_us
+  FROM lagged GROUP BY conv_id
+),
+bc AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket_ts,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY user_id, bucket_ts
+),
+bk AS (
+  SELECT user_id, CAST(sum(n_events) AS BIGINT) AS total_events,
+         CAST(count(*) AS BIGINT) AS n_buckets
+  FROM bc GROUP BY user_id
+),
+burst_convs AS (
+  SELECT DISTINCT 'conv' || lpad(CAST(bc.user_id AS VARCHAR), 6, '0') AS conv_id
+  FROM bc JOIN bk USING (user_id)
+  WHERE bc.n_events * bk.n_buckets > 2 * bk.total_events
+)
+SELECT conv_id, n_turns, max_gap_us
+FROM met
+WHERE n_turns >= 60 AND max_gap_us <= 220000000000
+  AND conv_id NOT IN (SELECT conv_id FROM burst_convs)
+"""
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -4987,6 +5061,7 @@ QUERIES = {
     "entity_salience": q_entity_salience,
     "entity_timeline_edges": q_entity_timeline_edges,
     "event_coreference": q_event_coreference,
+    "dialogue_curation": q_dialogue_curation,
     "hll_distinct_users": q_hll_distinct_users,
     "cms_heavy_tokens": q_cms_heavy_tokens,
     "bloom_decontaminate": q_bloom_decontaminate,
@@ -5111,6 +5186,7 @@ ORACLE_SQL = {
     "entity_salience": ENTITY_SALIENCE_SQL,
     "entity_timeline_edges": ENTITY_TIMELINE_SQL,
     "event_coreference": EVENT_COREF_SQL,
+    "dialogue_curation": DIALOGUE_CURATION_SQL,
     "hll_distinct_users": HLL_SQL,
     "cms_heavy_tokens": CMS_HEAVY_SQL,
     "bloom_decontaminate": BLOOM_DECONTAMINATE_SQL,
