@@ -4980,6 +4980,42 @@ WHERE n_turns >= 60 AND max_gap_us <= 220000000000
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: bigram typicality (model-free LM-style quality score, exact integer)
+# ---------------------------------------------------------------------------
+
+
+def q_bigram_typicality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import bigram_typicality
+
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_typicality(docs)
+
+
+BIGRAM_TYPICALITY_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(
+    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS l
+  FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS bg
+  FROM t
+),
+c AS (SELECT bg, CAST(count(*) AS BIGINT) AS bg_count FROM bg GROUP BY bg),
+scored AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(bg_count) * 1000000 // count(*) AS BIGINT) AS typ_x1e6
+  FROM bg JOIN c USING (bg) GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, typ_x1e6 FROM scored
+UNION ALL
+SELECT doc_id, CAST(0 AS BIGINT) AS n_bigrams, CAST(0 AS BIGINT) AS typ_x1e6
+FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM bg)
+"""
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -5062,6 +5098,7 @@ QUERIES = {
     "entity_timeline_edges": q_entity_timeline_edges,
     "event_coreference": q_event_coreference,
     "dialogue_curation": q_dialogue_curation,
+    "bigram_typicality": q_bigram_typicality,
     "hll_distinct_users": q_hll_distinct_users,
     "cms_heavy_tokens": q_cms_heavy_tokens,
     "bloom_decontaminate": q_bloom_decontaminate,
@@ -5187,6 +5224,7 @@ ORACLE_SQL = {
     "entity_timeline_edges": ENTITY_TIMELINE_SQL,
     "event_coreference": EVENT_COREF_SQL,
     "dialogue_curation": DIALOGUE_CURATION_SQL,
+    "bigram_typicality": BIGRAM_TYPICALITY_SQL,
     "hll_distinct_users": HLL_SQL,
     "cms_heavy_tokens": CMS_HEAVY_SQL,
     "bloom_decontaminate": BLOOM_DECONTAMINATE_SQL,

@@ -418,3 +418,64 @@ def cooccurrence_lift(
             ).alias("lift_x1e6"),
         )
     )
+
+
+def bigram_typicality(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Statistical language-model quality signal without a model: score
+    each document by the mean corpus frequency of its token bigrams —
+    low-typicality documents are gibberish/boilerplate-shuffled outliers,
+    the cheap first gate before an actual LM perplexity pass. The score is
+    an exact integer (sum_of_counts * 10^6 DIV n_bigrams), so the oracle
+    replays it with no float discipline.
+
+    Plan shape: bigrams are built map-only with zip_with over the token
+    array (whole-stage codegen, no explode-join for construction); the
+    corpus count is one map-side-combinable groupBy; the per-doc score is
+    one join keyed by bigram (vocabulary-bounded; hot bigrams are exactly
+    AQE's skew-join case) plus one doc-keyed aggregation. The bigram table
+    feeds both the counting and the scoring side — eager localCheckpoint
+    executes the tokenize+zip subtree once.
+
+    Returns (doc_id, n_bigrams, typ_x1e6); single-token docs score 0.
+    """
+    toks = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
+    )
+    bigrams = (
+        docs.withColumn("__t", toks)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.expr(
+                    "zip_with(slice(__t, 1, greatest(size(__t) - 1, 0)),"
+                    " slice(__t, 2, greatest(size(__t) - 1, 0)),"
+                    " (a, b) -> concat(a, ' ', b))"
+                )
+            ).alias("bg"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    counts = bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("bg_count"))
+    return (
+        bigrams.join(counts, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.expr("CAST(sum(bg_count) * 1000000 DIV count(*) AS BIGINT)").alias(
+                "typ_x1e6"
+            ),
+        )
+        .unionByName(
+            docs.select(F.col(id_col).alias("doc_id"))
+            .join(bigrams.select("doc_id").distinct(), "doc_id", "left_anti")
+            .select(
+                "doc_id",
+                F.lit(0).cast("long").alias("n_bigrams"),
+                F.lit(0).cast("long").alias("typ_x1e6"),
+            )
+        )
+    )

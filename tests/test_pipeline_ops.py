@@ -1258,3 +1258,22 @@ def test_ed1_pairs_unicode(spark):
     assert ("naive", "naïve") in got
     assert ("日本", "日本語") in got
     assert len(got) == 3
+
+
+def test_bigram_typicality_hand_values(spark):
+    """Mean corpus bigram frequency as exact integers; a single-token doc
+    has no bigrams and scores 0 instead of vanishing."""
+    from chronographer_spark.operators.text import bigram_typicality
+
+    rows = [
+        (0, "a b c"),      # bigrams: "a b", "b c"
+        (1, "a b"),        # bigram: "a b"  -> "a b" corpus count 2
+        (2, "x"),          # no bigrams
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.n_bigrams, r.typ_x1e6)
+        for r in bigram_typicality(docs).collect()
+    }
+    # doc0: ("a b"=2 + "b c"=1) * 1e6 // 2 = 1500000; doc1: 2*1e6//1
+    assert got == {0: (2, 1500000), 1: (1, 2000000), 2: (0, 0)}
