@@ -275,6 +275,31 @@ def main() -> None:
         )
         return comention_graph(mentions, max_df=40 * repl).count()
 
+    def job_typicality():
+        # corpus bigram counts + per-doc score; bigram vocabulary saturates
+        # under replication (replicas repeat text), counts just grow
+        from chronographer_spark.operators.text import bigram_typicality
+
+        return bigram_typicality(docs_r).count()
+
+    def job_topic():
+        # per-turn token join keyed by (conv, turn): rides turn count
+        from pyspark.sql.window import Window
+
+        from chronographer_spark.operators.dialogue import topic_boundaries
+
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        tx = ev_r.withColumn("rn", F.row_number().over(w)).select(
+            F.col("user_id").cast("string").alias("conv_id"),
+            (F.col("rn") - 1).cast("int").alias("turn_idx"),
+            F.lit("user").alias("role"),
+            F.concat(F.lit("event "), F.col("event_type"), F.lit(" value "),
+                     F.floor(F.col("value")).cast("long").cast("string")).alias("text"),
+            F.lit("").alias("tool"),
+            F.col("ts"),
+        )
+        return topic_boundaries(tx).count()
+
     def job_corpus_overlap():
         from chronographer_spark.operators.sketches import corpus_overlap
 
@@ -290,6 +315,8 @@ def main() -> None:
         ("dialogue", job_dialogue),
         ("walks", job_walks),
         ("comention", job_comention),
+        ("typicality", job_typicality),
+        ("topic", job_topic),
         ("repeated_spans", job_repeated_spans),
         ("cms_heavy", job_cms_heavy),
         ("bloom_pass", job_bloom_pass),
