@@ -5016,6 +5016,55 @@ FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM bg)
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: community shape stats over the label-propagation labeling
+# ---------------------------------------------------------------------------
+
+
+def q_community_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph_algos import community_stats, label_propagation
+
+    cust = _t(spark, sf_dir, "customer")
+    edges = cust.select(
+        F.col("c_custkey").alias("src"),
+        (F.col("c_nationkey") + 1000000).alias("dst"),
+    )
+    return community_stats(edges, label_propagation(edges, iterations=2))
+
+
+COMMUNITY_STATS_SQL = (
+    "WITH lab AS ("
+    + LABEL_PROP_SQL
+    + """),
+e AS (
+  SELECT c_custkey AS src, c_nationkey + 1000000 AS dst FROM customer
+),
+j AS (
+  SELECT e.src, e.dst, a.label AS ls, b.label AS ld
+  FROM e JOIN lab a ON e.src = a.node JOIN lab b ON e.dst = b.node
+),
+nn AS (SELECT label, CAST(count(*) AS BIGINT) AS n_nodes FROM lab GROUP BY label),
+itl AS (
+  SELECT ls AS label, CAST(count(*) AS BIGINT) AS n_internal
+  FROM j WHERE ls = ld GROUP BY ls
+),
+cut AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS n_cut FROM (
+    SELECT ls AS label FROM j WHERE ls <> ld
+    UNION ALL
+    SELECT ld AS label FROM j WHERE ls <> ld
+  ) GROUP BY label
+)
+SELECT nn.label, nn.n_nodes,
+       CAST(coalesce(itl.n_internal, 0) AS BIGINT) AS n_internal,
+       CAST(coalesce(cut.n_cut, 0) AS BIGINT) AS n_cut
+FROM nn
+LEFT JOIN itl ON nn.label = itl.label
+LEFT JOIN cut ON nn.label = cut.label
+"""
+)
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -5099,6 +5148,7 @@ QUERIES = {
     "event_coreference": q_event_coreference,
     "dialogue_curation": q_dialogue_curation,
     "bigram_typicality": q_bigram_typicality,
+    "community_stats": q_community_stats,
     "hll_distinct_users": q_hll_distinct_users,
     "cms_heavy_tokens": q_cms_heavy_tokens,
     "bloom_decontaminate": q_bloom_decontaminate,
@@ -5225,6 +5275,7 @@ ORACLE_SQL = {
     "event_coreference": EVENT_COREF_SQL,
     "dialogue_curation": DIALOGUE_CURATION_SQL,
     "bigram_typicality": BIGRAM_TYPICALITY_SQL,
+    "community_stats": COMMUNITY_STATS_SQL,
     "hll_distinct_users": HLL_SQL,
     "cms_heavy_tokens": CMS_HEAVY_SQL,
     "bloom_decontaminate": BLOOM_DECONTAMINATE_SQL,

@@ -496,3 +496,49 @@ def walk_skipgrams(walks: DataFrame, window: int = 2) -> DataFrame:
     return pairs.groupBy("center", "context").agg(
         F.count(F.lit(1)).alias("n_pairs")
     )
+
+
+def community_stats(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Per-community shape report over a node labeling (label_propagation
+    output or any (node, label) table): member count, internal edge count
+    (both endpoints share the label), and cut size (edges with exactly one
+    endpoint in the community, counted for both sides' communities) — the
+    inputs to modularity/conductance-style quality judgments without
+    emitting any float.
+
+    One labeled-edge join (two label lookups keyed by node — AQE skew
+    split covers hub labels) materialized once for the internal and cut
+    aggregations; all three counts are map-side combinable.
+
+    Returns (label, n_nodes, n_internal, n_cut).
+    """
+    l1 = labels.select(F.col("node").alias("src"), F.col("label").alias("ls"))
+    l2 = labels.select(F.col("node").alias("dst"), F.col("label").alias("ld"))
+    e = (
+        edges.select("src", "dst")
+        .join(l1, "src")
+        .join(l2, "dst")
+        .localCheckpoint(eager=True)
+    )
+    nn = labels.groupBy("label").agg(F.count(F.lit(1)).alias("n_nodes"))
+    internal = (
+        e.filter(F.col("ls") == F.col("ld"))
+        .groupBy(F.col("ls").alias("label"))
+        .agg(F.count(F.lit(1)).alias("n_internal"))
+    )
+    cut = (
+        e.filter(F.col("ls") != F.col("ld"))
+        .select(F.explode(F.array("ls", "ld")).alias("label"))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_cut"))
+    )
+    return (
+        nn.join(internal, "label", "left")
+        .join(cut, "label", "left")
+        .select(
+            "label",
+            "n_nodes",
+            F.coalesce("n_internal", F.lit(0)).alias("n_internal"),
+            F.coalesce("n_cut", F.lit(0)).alias("n_cut"),
+        )
+    )

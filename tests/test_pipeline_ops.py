@@ -1277,3 +1277,27 @@ def test_bigram_typicality_hand_values(spark):
     }
     # doc0: ("a b"=2 + "b c"=1) * 1e6 // 2 = 1500000; doc1: 2*1e6//1
     assert got == {0: (2, 1500000), 1: (1, 2000000), 2: (0, 0)}
+
+
+def test_community_stats_hand_graph(spark):
+    """Two communities joined by one cut edge: the cut counts once for
+    EACH side's community; a lone node reports zeros."""
+    from chronographer_spark.operators.graph_algos import community_stats
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (9, 9)], ["src", "dst"]
+    )
+    labels = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 20), (4, 20), (9, 30), (7, 40)],
+        ["node", "label"],
+    )
+    got = {
+        r.label: (r.n_nodes, r.n_internal, r.n_cut)
+        for r in community_stats(edges, labels).collect()
+    }
+    assert got == {
+        10: (2, 1, 1),   # edge 1-2 internal; 2-3 cut
+        20: (2, 1, 1),   # edge 3-4 internal; 2-3 cut
+        30: (1, 1, 0),   # self-loop 9-9 is internal
+        40: (1, 0, 0),   # labeled node with no edges
+    }
