@@ -5065,6 +5065,70 @@ LEFT JOIN cut ON nn.label = cut.label
 )
 
 
+# ---------------------------------------------------------------------------
+# Q: fuzzy canonical vocabulary (ED-1 alias edges -> CC -> canonical form)
+# ---------------------------------------------------------------------------
+
+
+def q_fuzzy_canonical_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composition linking/fuzzy.py promises: typo-variant alias edges
+    from the ED-1 join feed the SAME connected-components stage as exact
+    redirects, producing a canonical surface form per token (min of the
+    component). Oracle replays it with a recursive min-label CTE."""
+    from .linking.canonicalize import connected_components
+    from .linking.fuzzy import ed1_pairs
+
+    part = _t(spark, sf_dir, "part")
+    docs = _t(spark, sf_dir, "documents")
+    vocab = (
+        part.select(F.explode(F.split("p_name", " ")).alias("tok"))
+        .unionByName(
+            docs.select(
+                F.explode(
+                    F.split(
+                        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "),
+                        " ",
+                    )
+                ).alias("tok")
+            )
+        )
+        .filter((F.col("tok") != "") & (F.length("tok") <= 64))
+        .distinct()
+    )
+    edges = ed1_pairs(vocab).select(
+        F.col("tok1").alias("src"), F.col("tok2").alias("dst")
+    )
+    nodes = vocab.select(F.col("tok").alias("node"))
+    cc = connected_components(edges, all_nodes=nodes, strategy="window")
+    return cc.select(F.col("node").alias("tok"), F.col("component").alias("canonical"))
+
+
+FUZZY_CANONICAL_SQL = """
+WITH RECURSIVE v AS (
+  SELECT DISTINCT tok FROM (
+    SELECT unnest(string_split(p_name, ' ')) AS tok FROM part
+    UNION ALL
+    SELECT unnest(string_split(
+      regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+    FROM documents
+  ) WHERE tok <> '' AND length(tok) <= 64
+),
+p AS (
+  SELECT a.tok AS tok1, b.tok AS tok2
+  FROM v a JOIN v b ON a.tok < b.tok AND levenshtein(a.tok, b.tok) <= 1
+),
+edges AS (
+  SELECT tok1 AS src, tok2 AS dst FROM p UNION SELECT tok2, tok1 FROM p
+),
+reach(node, lbl) AS (
+  SELECT tok, tok FROM v
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS tok, min(lbl) AS canonical FROM reach GROUP BY node
+"""
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -5149,6 +5213,7 @@ QUERIES = {
     "dialogue_curation": q_dialogue_curation,
     "bigram_typicality": q_bigram_typicality,
     "community_stats": q_community_stats,
+    "fuzzy_canonical_vocab": q_fuzzy_canonical_vocab,
     "hll_distinct_users": q_hll_distinct_users,
     "cms_heavy_tokens": q_cms_heavy_tokens,
     "bloom_decontaminate": q_bloom_decontaminate,
@@ -5276,6 +5341,7 @@ ORACLE_SQL = {
     "dialogue_curation": DIALOGUE_CURATION_SQL,
     "bigram_typicality": BIGRAM_TYPICALITY_SQL,
     "community_stats": COMMUNITY_STATS_SQL,
+    "fuzzy_canonical_vocab": FUZZY_CANONICAL_SQL,
     "hll_distinct_users": HLL_SQL,
     "cms_heavy_tokens": CMS_HEAVY_SQL,
     "bloom_decontaminate": BLOOM_DECONTAMINATE_SQL,
