@@ -5129,6 +5129,82 @@ SELECT node AS tok, min(lbl) AS canonical FROM reach GROUP BY node
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: topic segments (cumulative boundary sum -> per-segment stats)
+# ---------------------------------------------------------------------------
+
+
+def q_topic_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the segmentation the boundary flags imply: segment id =
+    1 + running sum of boundaries up to each turn (one window on the
+    conv-keyed partitioning), then per-(conv, segment) stats — the units a
+    per-topic event grouping consumes downstream."""
+    from .operators.dialogue import topic_boundaries
+
+    tx = transcripts_from_events(spark, sf_dir)
+    b = topic_boundaries(tx, threshold_x1e6=600_000).select(
+        "conv_id", "turn_idx", "is_boundary"
+    )
+    turns = tx.select("conv_id", "turn_idx").join(
+        b, ["conv_id", "turn_idx"], "left"
+    ).withColumn("is_boundary", F.coalesce("is_boundary", F.lit(0).cast("long")))
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seg = turns.withColumn("segment", (F.sum("is_boundary").over(w) + 1).cast("long"))
+    return seg.groupBy("conv_id", "segment").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.min("turn_idx").alias("first_turn"),
+        F.max("turn_idx").alias("last_turn"),
+    )
+
+
+TOPIC_SEGMENTS_SQL = f"""
+{TX_SQL},
+tk AS (
+  SELECT DISTINCT conv_id, turn_idx, tok FROM (
+    SELECT conv_id, turn_idx, unnest(string_split(
+      regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+    FROM tx
+  ) WHERE tok <> ''
+),
+pt AS (
+  SELECT conv_id, turn_idx, CAST(count(*) AS BIGINT) AS n_toks
+  FROM tk GROUP BY conv_id, turn_idx
+),
+cm AS (
+  SELECT a.conv_id, a.turn_idx, CAST(count(*) AS BIGINT) AS n_common
+  FROM tk a JOIN tk b
+    ON a.conv_id = b.conv_id AND b.turn_idx = a.turn_idx + 1 AND a.tok = b.tok
+  GROUP BY a.conv_id, a.turn_idx
+),
+flags AS (
+  SELECT c.conv_id, c.turn_idx,
+         CASE WHEN coalesce(m.n_common, 0) * 1000000
+                   < 600000 * (pv.n_toks + c.n_toks - coalesce(m.n_common, 0))
+              THEN 1 ELSE 0 END AS is_boundary
+  FROM pt c
+  JOIN pt pv ON pv.conv_id = c.conv_id AND pv.turn_idx = c.turn_idx - 1
+  LEFT JOIN cm m ON m.conv_id = c.conv_id AND m.turn_idx = c.turn_idx - 1
+),
+seg AS (
+  SELECT t.conv_id, t.turn_idx,
+         1 + sum(coalesce(f.is_boundary, 0)) OVER (
+           PARTITION BY t.conv_id ORDER BY t.turn_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS segment
+  FROM (SELECT conv_id, turn_idx FROM tx) t
+  LEFT JOIN flags f ON f.conv_id = t.conv_id AND f.turn_idx = t.turn_idx
+)
+SELECT conv_id, CAST(segment AS BIGINT) AS segment,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(min(turn_idx) AS INT) AS first_turn,
+       CAST(max(turn_idx) AS INT) AS last_turn
+FROM seg GROUP BY conv_id, segment
+"""
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -5214,6 +5290,7 @@ QUERIES = {
     "bigram_typicality": q_bigram_typicality,
     "community_stats": q_community_stats,
     "fuzzy_canonical_vocab": q_fuzzy_canonical_vocab,
+    "topic_segments": q_topic_segments,
     "hll_distinct_users": q_hll_distinct_users,
     "cms_heavy_tokens": q_cms_heavy_tokens,
     "bloom_decontaminate": q_bloom_decontaminate,
@@ -5342,6 +5419,7 @@ ORACLE_SQL = {
     "bigram_typicality": BIGRAM_TYPICALITY_SQL,
     "community_stats": COMMUNITY_STATS_SQL,
     "fuzzy_canonical_vocab": FUZZY_CANONICAL_SQL,
+    "topic_segments": TOPIC_SEGMENTS_SQL,
     "hll_distinct_users": HLL_SQL,
     "cms_heavy_tokens": CMS_HEAVY_SQL,
     "bloom_decontaminate": BLOOM_DECONTAMINATE_SQL,
