@@ -5205,6 +5205,72 @@ FROM seg GROUP BY conv_id, segment
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: ANN eval harness over the PQ path (recall@5 vs exact L2)
+# ---------------------------------------------------------------------------
+
+
+def q_ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recall@k report for the PQ/ADC index against the exact integer
+    L2 ranking (same metric family as the index, unlike the LSH harness's
+    cosine baseline) — together the two reports cover both ANN families."""
+    from .operators.pq import pq_topk, train_pq_codebooks
+    from .operators.similarity import ann_recall_report
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cbs = train_pq_codebooks(emb, m=8, k=16, iterations=2)
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    approx = pq_topk(emb, qs, cbs, k=5)
+
+    dv = F.col("embedding").cast("array<double>")
+    q = qs.select("query_id", dv.alias("__qv"))
+    c = emb.select("vec_id", dv.alias("__cv"))
+    d = F.aggregate(
+        F.zip_with(F.col("__qv"), F.col("__cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "vec_id",
+        F.floor(d * 1_000_000 + F.lit(0.5)).cast("long").alias("d2"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("vec_id"))
+    exact = (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "vec_id", "rank")
+    )
+    return ann_recall_report(exact, approx, k=5)
+
+
+ANN_RECALL_PQ_SQL = (
+    "WITH pq AS (SELECT * FROM ("
+    + PQ_ADC_SQL
+    + """)),
+emb2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ex AS (
+  SELECT query_id, vec_id, rn AS erank FROM (
+    SELECT q.vec_id AS query_id, c.vec_id,
+      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        CAST(floor(list_sum(list_transform(list_zip(c.v, q.v),
+          x -> (x[1]-x[2])*(x[1]-x[2]))) * 1000000 + 0.5) AS BIGINT) ASC,
+        c.vec_id ASC) AS rn
+    FROM emb2 c JOIN emb2 q ON q.vec_id < 3)
+  WHERE rn <= 5
+)
+SELECT e.query_id,
+  CAST(count(a.rank) AS BIGINT) AS n_hits,
+  CAST(max(CASE WHEN e.erank = 1 THEN coalesce(a.rank, 0) END) AS BIGINT) AS top1_rank,
+  CAST((count(a.rank) * 1000000) // 5 AS BIGINT) AS recall_x1e6
+FROM ex e LEFT JOIN pq a ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+GROUP BY e.query_id
+"""
+)
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -5291,6 +5357,7 @@ QUERIES = {
     "community_stats": q_community_stats,
     "fuzzy_canonical_vocab": q_fuzzy_canonical_vocab,
     "topic_segments": q_topic_segments,
+    "ann_recall_pq": q_ann_recall_pq,
     "hll_distinct_users": q_hll_distinct_users,
     "cms_heavy_tokens": q_cms_heavy_tokens,
     "bloom_decontaminate": q_bloom_decontaminate,
@@ -5420,6 +5487,7 @@ ORACLE_SQL = {
     "community_stats": COMMUNITY_STATS_SQL,
     "fuzzy_canonical_vocab": FUZZY_CANONICAL_SQL,
     "topic_segments": TOPIC_SEGMENTS_SQL,
+    "ann_recall_pq": ANN_RECALL_PQ_SQL,
     "hll_distinct_users": HLL_SQL,
     "cms_heavy_tokens": CMS_HEAVY_SQL,
     "bloom_decontaminate": BLOOM_DECONTAMINATE_SQL,
