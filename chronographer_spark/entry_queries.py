@@ -5271,6 +5271,98 @@ GROUP BY e.query_id
 )
 
 
+# ---------------------------------------------------------------------------
+# Q: unified curation score (uniqueness + typicality + length band, integer)
+# ---------------------------------------------------------------------------
+
+
+def q_curation_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The single number a curation pipeline sorts by, composed from three
+    already-gated signals with integer weights: token uniqueness (40%),
+    corpus-max-normalized bigram typicality (40%), and a length band
+    (20%). Every division is integer DIV; the corpus max crosses the plan
+    as a one-row broadcast, not a driver collect."""
+    from .operators.text import bigram_typicality
+
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "
+    )
+    base = docs.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_tokens"),
+        F.expr(
+            "CAST(size(array_distinct(split(regexp_replace(lower(trim(text)),"
+            " '\\\\s+', ' '), ' '))) * 1000000"
+            " DIV size(split(regexp_replace(lower(trim(text)), '\\\\s+', ' '), ' '))"
+            " AS BIGINT)"
+        ).alias("uniq_x1e6"),
+    )
+    typ = bigram_typicality(docs).select("doc_id", "typ_x1e6")
+    mx = typ.agg(F.max("typ_x1e6").alias("max_typ"))
+    scored = (
+        base.join(typ, "doc_id")
+        .crossJoin(F.broadcast(mx))
+        .withColumn(
+            "typ_norm_x1e6",
+            F.expr("CAST(typ_x1e6 * 1000000 DIV greatest(max_typ, 1) AS BIGINT)"),
+        )
+        .withColumn(
+            "band",
+            F.when((F.col("n_tokens") >= 20) & (F.col("n_tokens") <= 1000), 1)
+            .otherwise(0)
+            .cast("long"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "uniq_x1e6",
+        "typ_norm_x1e6",
+        F.expr(
+            "CAST((4 * uniq_x1e6 + 4 * typ_norm_x1e6 + 2 * band * 1000000)"
+            " DIV 10 AS BIGINT)"
+        ).alias("score_x1e6"),
+    )
+
+
+CURATION_SCORE_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(
+    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS l
+  FROM documents
+),
+base AS (
+  SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(l)) * 1000000 // len(l) AS BIGINT) AS uniq_x1e6
+  FROM t
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS bg
+  FROM t
+),
+c AS (SELECT bg, CAST(count(*) AS BIGINT) AS bg_count FROM bg GROUP BY bg),
+typ AS (
+  SELECT doc_id,
+         CAST(sum(bg_count) * 1000000 // count(*) AS BIGINT) AS typ_x1e6
+  FROM bg JOIN c USING (bg) GROUP BY doc_id
+),
+mx AS (SELECT CAST(max(typ_x1e6) AS BIGINT) AS max_typ FROM typ),
+scored AS (
+  SELECT b.doc_id, b.n_tokens, b.uniq_x1e6,
+         CAST(coalesce(typ.typ_x1e6, 0) * 1000000 // greatest(mx.max_typ, 1)
+              AS BIGINT) AS typ_norm_x1e6,
+         CASE WHEN b.n_tokens BETWEEN 20 AND 1000 THEN 1 ELSE 0 END AS band
+  FROM base b LEFT JOIN typ USING (doc_id) CROSS JOIN mx
+)
+SELECT doc_id, n_tokens, uniq_x1e6, typ_norm_x1e6,
+       CAST((4 * uniq_x1e6 + 4 * typ_norm_x1e6 + 2 * band * 1000000) // 10
+            AS BIGINT) AS score_x1e6
+FROM scored
+"""
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -5358,6 +5450,7 @@ QUERIES = {
     "fuzzy_canonical_vocab": q_fuzzy_canonical_vocab,
     "topic_segments": q_topic_segments,
     "ann_recall_pq": q_ann_recall_pq,
+    "curation_score": q_curation_score,
     "hll_distinct_users": q_hll_distinct_users,
     "cms_heavy_tokens": q_cms_heavy_tokens,
     "bloom_decontaminate": q_bloom_decontaminate,
@@ -5488,6 +5581,7 @@ ORACLE_SQL = {
     "fuzzy_canonical_vocab": FUZZY_CANONICAL_SQL,
     "topic_segments": TOPIC_SEGMENTS_SQL,
     "ann_recall_pq": ANN_RECALL_PQ_SQL,
+    "curation_score": CURATION_SCORE_SQL,
     "hll_distinct_users": HLL_SQL,
     "cms_heavy_tokens": CMS_HEAVY_SQL,
     "bloom_decontaminate": BLOOM_DECONTAMINATE_SQL,
