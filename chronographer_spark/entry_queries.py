@@ -5363,6 +5363,72 @@ FROM scored
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: transition reciprocity (directed type-transition graph, mutual edges)
+# ---------------------------------------------------------------------------
+
+
+def q_transition_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed-graph reciprocity over the per-user consecutive
+    event-type transition graph: for each unordered type pair, how often
+    each direction occurs and whether the relation is mutual — the edge
+    symmetry statistic a KG consumer reads before treating a relation as
+    undirected. One lag window keyed by user + one pair aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = (
+        ev.select("user_id", "event_id", "ts", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .filter(F.col("prev_type") != F.col("event_type"))
+    )
+    directed = tr.groupBy(
+        F.col("prev_type").alias("t_from"), F.col("event_type").alias("t_to")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    a = directed.select(
+        F.least("t_from", "t_to").alias("type_a"),
+        F.greatest("t_from", "t_to").alias("type_b"),
+        F.when(F.col("t_from") < F.col("t_to"), F.col("n")).otherwise(0).alias("n_ab"),
+        F.when(F.col("t_from") > F.col("t_to"), F.col("n")).otherwise(0).alias("n_ba"),
+    )
+    return a.groupBy("type_a", "type_b").agg(
+        F.sum("n_ab").alias("n_ab"),
+        F.sum("n_ba").alias("n_ba"),
+        F.when((F.sum("n_ab") > 0) & (F.sum("n_ba") > 0), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("is_mutual"),
+    )
+
+
+TRANSITION_RECIPROCITY_SQL = """
+WITH tr AS (
+  SELECT user_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type,
+         event_type
+  FROM events
+),
+directed AS (
+  SELECT prev_type AS t_from, event_type AS t_to, CAST(count(*) AS BIGINT) AS n
+  FROM tr WHERE prev_type IS NOT NULL AND prev_type <> event_type
+  GROUP BY t_from, t_to
+),
+folded AS (
+  SELECT least(t_from, t_to) AS type_a, greatest(t_from, t_to) AS type_b,
+         CASE WHEN t_from < t_to THEN n ELSE 0 END AS n_ab,
+         CASE WHEN t_from > t_to THEN n ELSE 0 END AS n_ba
+  FROM directed
+)
+SELECT type_a, type_b,
+       CAST(sum(n_ab) AS BIGINT) AS n_ab,
+       CAST(sum(n_ba) AS BIGINT) AS n_ba,
+       CAST(CASE WHEN sum(n_ab) > 0 AND sum(n_ba) > 0 THEN 1 ELSE 0 END
+            AS BIGINT) AS is_mutual
+FROM folded GROUP BY type_a, type_b
+"""
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -5451,6 +5517,7 @@ QUERIES = {
     "topic_segments": q_topic_segments,
     "ann_recall_pq": q_ann_recall_pq,
     "curation_score": q_curation_score,
+    "transition_reciprocity": q_transition_reciprocity,
     "hll_distinct_users": q_hll_distinct_users,
     "cms_heavy_tokens": q_cms_heavy_tokens,
     "bloom_decontaminate": q_bloom_decontaminate,
@@ -5582,6 +5649,7 @@ ORACLE_SQL = {
     "topic_segments": TOPIC_SEGMENTS_SQL,
     "ann_recall_pq": ANN_RECALL_PQ_SQL,
     "curation_score": CURATION_SCORE_SQL,
+    "transition_reciprocity": TRANSITION_RECIPROCITY_SQL,
     "hll_distinct_users": HLL_SQL,
     "cms_heavy_tokens": CMS_HEAVY_SQL,
     "bloom_decontaminate": BLOOM_DECONTAMINATE_SQL,
