@@ -5429,6 +5429,45 @@ FROM folded GROUP BY type_a, type_b
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: hour-of-day activity profile per event type (integer over-rep flag)
+# ---------------------------------------------------------------------------
+
+
+def q_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (event_type, hour-of-day): count plus an integer
+    over-representation flag (count * 24 > total-for-type means the hour
+    beats the uniform rate) — the temporal profile a scheduling/anomaly
+    analysis reads. Two aggregations sharing the event_type key."""
+    ev = _t(spark, sf_dir, "events")
+    byh = ev.groupBy(
+        "event_type", F.hour("ts").cast("int").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = byh.groupBy("event_type").agg(F.sum("n").alias("total"))
+    return byh.join(tot, "event_type").select(
+        "event_type",
+        "hour",
+        "n",
+        "total",
+        F.when(F.col("n") * 24 > F.col("total"), 1).otherwise(0).cast("long")
+        .alias("over_uniform"),
+    )
+
+
+HOURLY_PROFILE_SQL = """
+WITH byh AS (
+  SELECT event_type, CAST(hour(ts) AS INT) AS hour,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, hour
+),
+tot AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS total FROM byh GROUP BY event_type)
+SELECT b.event_type, b.hour, b.n, t.total,
+       CAST(CASE WHEN b.n * 24 > t.total THEN 1 ELSE 0 END AS BIGINT)
+         AS over_uniform
+FROM byh b JOIN tot t USING (event_type)
+"""
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -5518,6 +5557,7 @@ QUERIES = {
     "ann_recall_pq": q_ann_recall_pq,
     "curation_score": q_curation_score,
     "transition_reciprocity": q_transition_reciprocity,
+    "hourly_profile": q_hourly_profile,
     "hll_distinct_users": q_hll_distinct_users,
     "cms_heavy_tokens": q_cms_heavy_tokens,
     "bloom_decontaminate": q_bloom_decontaminate,
@@ -5650,6 +5690,7 @@ ORACLE_SQL = {
     "ann_recall_pq": ANN_RECALL_PQ_SQL,
     "curation_score": CURATION_SCORE_SQL,
     "transition_reciprocity": TRANSITION_RECIPROCITY_SQL,
+    "hourly_profile": HOURLY_PROFILE_SQL,
     "hll_distinct_users": HLL_SQL,
     "cms_heavy_tokens": CMS_HEAVY_SQL,
     "bloom_decontaminate": BLOOM_DECONTAMINATE_SQL,
