@@ -113,3 +113,80 @@ def cms_fragment_count(sketch_dir: str) -> int:
         return sum(1 for d in os.listdir(sketch_dir) if d.startswith("frag="))
     except FileNotFoundError:
         return 0
+
+
+def read_hll(spark: SparkSession, sketch_dir: str) -> DataFrame:
+    """The accumulated (bucket, rho) HLL register table: fragment MAX (the
+    HLL merge operator). Equals `hll_registers` over everything delivered,
+    in any batch split — max is idempotent AND commutative, so fragment
+    replay and out-of-order reads both land on the same registers."""
+    frags = spark.read.parquet(sketch_dir)
+    return frags.groupBy("bucket").agg(F.max("rho").alias("rho"))
+
+
+def hll_stream_estimate(spark: SparkSession, sketch_dir: str) -> DataFrame:
+    """One-row BIGINT estimate from the accumulated fragment registers."""
+    from ..operators.sketches import hll_estimate
+
+    return hll_estimate(read_hll(spark, sketch_dir))
+
+
+def compact_hll_fragments(spark: SparkSession, sketch_dir: str) -> None:
+    """Offline compaction (stream stopped): fold fragments into `frag=0`."""
+    merged = read_hll(spark, sketch_dir).localCheckpoint(eager=True)
+    import shutil
+
+    shutil.rmtree(sketch_dir, ignore_errors=True)
+    merged.withColumn("frag", F.lit(0)).write.partitionBy("frag").mode(
+        "overwrite"
+    ).parquet(sketch_dir)
+
+
+def start_incremental_hll_stream(
+    spark: SparkSession,
+    input_dir: str,
+    sketch_dir: str,
+    checkpoint_dir: str,
+    col: str = "text",
+    available_now: bool = True,
+    item_expr=None,
+):
+    """document parquet dir -> per-batch HLL register fragments under
+    `sketch_dir/frag=<batch_id>` — running approximate-distinct (e.g. live
+    vocabulary size) with state bounded at M registers per fragment
+    regardless of stream volume. Same crash-safety mechanism as the CMS
+    stream: dynamic partition overwrite on `frag=batch_id` makes replayed
+    micro-batches overwrite their own fragment."""
+    from ..operators.sketches import hll_registers
+
+    stream = (
+        spark.readStream.schema(DOCUMENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        items = (
+            batch_df.select(item_expr.alias("__item"))
+            if item_expr is not None
+            else batch_df.select(F.col(col).alias("__item"))
+        )
+        frag = hll_registers(items, "__item").withColumn(
+            "frag", F.lit(int(batch_id))
+        )
+        (
+            frag.coalesce(1)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("frag")
+            .parquet(sketch_dir)
+        )
+
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

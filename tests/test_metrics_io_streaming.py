@@ -568,3 +568,57 @@ def test_incremental_cms_stream_replay_overwrites_fragment(spark, tmp_path):
         (r["d"], r["bucket"]): r["cnt"] for r in read_cms(spark, sketch_dir).collect()
     }
     assert after == before
+
+
+def test_incremental_hll_stream_matches_batch(spark, tmp_path):
+    """Accumulated HLL registers from per-batch fragments equal the batch
+    hll_registers over everything delivered (max-merge), so the estimate
+    matches exactly; replaying a fragment (overwrite on frag=batch_id)
+    changes nothing because max is idempotent."""
+    import os
+
+    from chronographer_spark.operators.sketches import hll_distinct
+    from chronographer_spark.streaming.sketches import (
+        compact_hll_fragments,
+        hll_stream_estimate,
+        read_hll,
+        start_incremental_hll_stream,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    halves = [docs.filter(F.col("doc_id") % 2 == i) for i in range(2)]
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    for i, h in enumerate(halves):
+        h.coalesce(1).write.parquet(os.path.join(in_dir, f"h{i}"))
+
+    item = F.explode(F.split(F.lower(F.trim(F.col("text"))), " "))
+    q = start_incremental_hll_stream(
+        spark, in_dir + "/*", str(tmp_path / "sk"), str(tmp_path / "ck"),
+        item_expr=item,
+    )
+    q.awaitTermination(120)
+    time.sleep(1)
+
+    got = hll_stream_estimate(spark, str(tmp_path / "sk")).first()["estimate"]
+    toks = docs.select(item.alias("tok"))
+    exp = hll_distinct(toks, "tok").first()["estimate"]
+    assert got == exp
+
+    # replay idempotency: rewriting one half's registers under an existing
+    # frag id leaves the merged registers unchanged
+    before = {(r.bucket, r.rho) for r in read_hll(spark, str(tmp_path / "sk")).collect()}
+    from chronographer_spark.operators.sketches import hll_registers
+
+    frag = hll_registers(
+        halves[0].select(item.alias("__item")), "__item"
+    ).withColumn("frag", F.lit(0))
+    frag.coalesce(1).write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("frag").parquet(str(tmp_path / "sk"))
+    after = {(r.bucket, r.rho) for r in read_hll(spark, str(tmp_path / "sk")).collect()}
+    assert after == before
+
+    # compaction folds to one fragment without changing the estimate
+    compact_hll_fragments(spark, str(tmp_path / "sk"))
+    assert hll_stream_estimate(spark, str(tmp_path / "sk")).first()["estimate"] == exp
