@@ -190,3 +190,57 @@ def start_incremental_hll_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def read_bloom(spark: SparkSession, sketch_dir: str) -> DataFrame:
+    """The accumulated bloom filter: distinct bit positions across fragments
+    (union-distinct is the bloom merge — idempotent, so replay-safe)."""
+    return spark.read.parquet(sketch_dir).select("bit").distinct()
+
+
+def start_incremental_bloom_stream(
+    spark: SparkSession,
+    input_dir: str,
+    sketch_dir: str,
+    checkpoint_dir: str,
+    col: str = "text",
+    m_bits: int = 8192,
+    k_hashes: int = 3,
+    available_now: bool = True,
+    item_expr=None,
+):
+    """document parquet dir -> per-batch bloom-bit fragments under
+    `sketch_dir/frag=<batch_id>` — a membership filter that stays current
+    as the corpus streams in (the decontamination pre-pass gets a live
+    train-side filter instead of a nightly rebuild). Fragment replay
+    overwrites its own partition; union-distinct merge makes duplicate
+    bits harmless. Completes the mergeable-sketch trio with CMS and HLL."""
+    from ..operators.sketches import bloom_build
+
+    stream = (
+        spark.readStream.schema(DOCUMENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        items = (
+            batch_df.select(item_expr.alias("__item"))
+            if item_expr is not None
+            else batch_df.select(F.col(col).alias("__item"))
+        )
+        frag = bloom_build(items, "__item", m_bits=m_bits, k_hashes=k_hashes)
+        frag.withColumn("frag", F.lit(int(batch_id))).coalesce(1).write.mode(
+            "overwrite"
+        ).option("partitionOverwriteMode", "dynamic").partitionBy("frag").parquet(
+            sketch_dir
+        )
+
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -622,3 +622,47 @@ def test_incremental_hll_stream_matches_batch(spark, tmp_path):
     # compaction folds to one fragment without changing the estimate
     compact_hll_fragments(spark, str(tmp_path / "sk"))
     assert hll_stream_estimate(spark, str(tmp_path / "sk")).first()["estimate"] == exp
+
+
+def test_incremental_bloom_stream_matches_batch(spark, tmp_path):
+    """Union-distinct of per-batch bloom fragments equals the batch filter;
+    probing the streamed filter gives identical maybe/absent verdicts."""
+    import os
+
+    from chronographer_spark.operators.sketches import (
+        bloom_build,
+        bloom_maybe_contains,
+    )
+    from chronographer_spark.streaming.sketches import (
+        read_bloom,
+        start_incremental_bloom_stream,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    halves = [docs.filter(F.col("doc_id") % 2 == i) for i in range(2)]
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    for i, h in enumerate(halves):
+        h.coalesce(1).write.parquet(os.path.join(in_dir, f"h{i}"))
+
+    q = start_incremental_bloom_stream(
+        spark, in_dir + "/*", str(tmp_path / "sk"), str(tmp_path / "ck")
+    )
+    q.awaitTermination(120)
+    time.sleep(1)
+
+    streamed = read_bloom(spark, str(tmp_path / "sk"))
+    batch = bloom_build(docs, "text")
+    s = {r.bit for r in streamed.collect()}
+    b = {r.bit for r in batch.collect()}
+    assert s == b
+
+    cand = docs.limit(3).select("text").unionByName(
+        spark.createDataFrame([("definitely unseen text",)], ["text"])
+    )
+    got = {
+        r.text: r.maybe
+        for r in bloom_maybe_contains(streamed, cand, "text").collect()
+    }
+    assert got["definitely unseen text"] == 0
+    assert sum(v for t, v in got.items() if t != "definitely unseen text") == 3
