@@ -5468,6 +5468,65 @@ FROM byh b JOIN tot t USING (event_type)
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: leakage-safe conversation-level dataset split (stratified, hash-stable)
+# ---------------------------------------------------------------------------
+
+
+def q_conv_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test assignment at CONVERSATION granularity — the unit
+    that must not leak across splits for transcript corpora — stratified
+    by each conversation's salient mention so every stratum lands in every
+    split. Assignment is md5(conv_id) mod 10 (8/1/1), stable under
+    reprocessing and independent of row order; new conversations join a
+    split without reshuffling old ones (the reservoir-free property a
+    growing corpus needs)."""
+    sal = q_entity_salience(spark, sf_dir).select("conv_id", "mention")
+    bucket = F.conv(F.substring(F.md5("conv_id"), 1, 8), 16, 10).cast("long") % 10
+    return sal.select(
+        "conv_id",
+        F.col("mention").alias("stratum"),
+        bucket.alias("bucket"),
+        F.when(bucket <= 7, "train")
+        .when(bucket == 8, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+CONV_SPLIT_SQL = f"""
+{TX_SQL},
+m AS (
+  SELECT conv_id, turn_idx,
+         regexp_extract(text, 'event ([a-z]+) with', 1) AS mention
+  FROM tx
+),
+per AS (
+  SELECT conv_id, mention, CAST(count(*) AS BIGINT) AS freq,
+         CAST(min(turn_idx) AS INT) AS first_turn
+  FROM m GROUP BY conv_id, mention
+),
+sal AS (
+  SELECT conv_id, mention FROM (
+    SELECT conv_id, mention,
+           row_number() OVER (PARTITION BY conv_id ORDER BY
+             freq * 1000000 + 1000000 // (first_turn + 1) DESC, mention ASC)
+             AS rn
+    FROM per
+  ) WHERE rn = 1
+),
+b AS (
+  SELECT conv_id, mention,
+         CAST(concat('0x', substr(md5(conv_id), 1, 8)) AS BIGINT) % 10 AS bucket
+  FROM sal
+)
+SELECT conv_id, mention AS stratum, CAST(bucket AS BIGINT) AS bucket,
+       CASE WHEN bucket <= 7 THEN 'train'
+            WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split
+FROM b
+"""
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -5558,6 +5617,7 @@ QUERIES = {
     "curation_score": q_curation_score,
     "transition_reciprocity": q_transition_reciprocity,
     "hourly_profile": q_hourly_profile,
+    "conv_split": q_conv_split,
     "hll_distinct_users": q_hll_distinct_users,
     "cms_heavy_tokens": q_cms_heavy_tokens,
     "bloom_decontaminate": q_bloom_decontaminate,
@@ -5691,6 +5751,7 @@ ORACLE_SQL = {
     "curation_score": CURATION_SCORE_SQL,
     "transition_reciprocity": TRANSITION_RECIPROCITY_SQL,
     "hourly_profile": HOURLY_PROFILE_SQL,
+    "conv_split": CONV_SPLIT_SQL,
     "hll_distinct_users": HLL_SQL,
     "cms_heavy_tokens": CMS_HEAVY_SQL,
     "bloom_decontaminate": BLOOM_DECONTAMINATE_SQL,
