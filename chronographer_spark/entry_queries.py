@@ -5527,6 +5527,45 @@ FROM b
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: split balance audit (per-stratum conditional counts over conv_split)
+# ---------------------------------------------------------------------------
+
+
+def q_split_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audit a split consumer runs before training: per stratum, how
+    many conversations landed in each split (conditional sums in one
+    aggregation over the split assignment) — catches a stratum that
+    hash-degenerated into a single split."""
+    s = q_conv_split(spark, sf_dir)
+    return s.groupBy("stratum").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+        .cast("long")
+        .alias("n_train"),
+        F.sum(F.when(F.col("split") == "val", 1).otherwise(0))
+        .cast("long")
+        .alias("n_val"),
+        F.sum(F.when(F.col("split") == "test", 1).otherwise(0))
+        .cast("long")
+        .alias("n_test"),
+    )
+
+
+SPLIT_BALANCE_SQL = (
+    "WITH s AS (SELECT * FROM ("
+    + CONV_SPLIT_SQL
+    + """))
+SELECT stratum,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+       CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+       CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+FROM s GROUP BY stratum
+"""
+)
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -5618,6 +5657,7 @@ QUERIES = {
     "transition_reciprocity": q_transition_reciprocity,
     "hourly_profile": q_hourly_profile,
     "conv_split": q_conv_split,
+    "split_balance": q_split_balance,
     "hll_distinct_users": q_hll_distinct_users,
     "cms_heavy_tokens": q_cms_heavy_tokens,
     "bloom_decontaminate": q_bloom_decontaminate,
@@ -5752,6 +5792,7 @@ ORACLE_SQL = {
     "transition_reciprocity": TRANSITION_RECIPROCITY_SQL,
     "hourly_profile": HOURLY_PROFILE_SQL,
     "conv_split": CONV_SPLIT_SQL,
+    "split_balance": SPLIT_BALANCE_SQL,
     "hll_distinct_users": HLL_SQL,
     "cms_heavy_tokens": CMS_HEAVY_SQL,
     "bloom_decontaminate": BLOOM_DECONTAMINATE_SQL,
