@@ -4599,6 +4599,68 @@ GROUP BY center, context
 
 
 # ---------------------------------------------------------------------------
+# Q: negative sampling (word2vec unigram-table draws over the skip-grams)
+# ---------------------------------------------------------------------------
+
+
+def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5 negatives per skip-gram pair from the 3/4-power-smoothed context
+    distribution via the exact word2vec unigram-table pick (operators/
+    graph_algos.negative_samples); n^0.75 = floor(sqrt(sqrt(n^3))) is
+    IEEE-portable, every other step is integer, so DuckDB replays the
+    identical table and draws."""
+    from .operators.graph_algos import negative_samples
+
+    return negative_samples(
+        q_walk_skipgrams(spark, sf_dir), k=5, target_slots=1 << 16
+    )
+
+
+NEGATIVE_SAMPLES_SQL = f"""
+WITH pairs AS ({WALK_SKIPGRAMS_SQL}),
+vocab AS (
+  SELECT context AS node, CAST(sum(n_pairs) AS BIGINT) AS n
+  FROM pairs GROUP BY context
+),
+vw AS (
+  SELECT node,
+         greatest(CAST(1 AS BIGINT),
+                  CAST(floor(sqrt(sqrt(CAST(n AS DOUBLE) * n * n))) AS BIGINT)) AS w
+  FROM vocab
+),
+tot AS (SELECT CAST(sum(w) AS BIGINT) AS total_w FROM vw),
+vs AS (
+  SELECT node,
+         greatest(CAST(1 AS BIGINT), (w * CAST(65536 AS BIGINT)) // total_w) AS slots
+  FROM vw, tot
+),
+spans AS (
+  SELECT node, slots,
+         CAST(coalesce(sum(slots) OVER (
+           ORDER BY node ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS start
+  FROM vs
+),
+slot_table AS (
+  SELECT node AS negative,
+         start + unnest(generate_series(CAST(0 AS BIGINT), slots - 1)) AS slot
+  FROM spans
+),
+tott AS (SELECT CAST(count(*) AS BIGINT) AS total_t FROM slot_table),
+draws AS (
+  SELECT p.center, p.context, CAST(j.j AS INT) AS neg_idx,
+         CAST(concat('0x', substr(md5(
+           'neg|' || p.center || '|' || p.context || '|' || CAST(j.j AS VARCHAR)
+         ), 1, 8)) AS BIGINT) % t.total_t AS slot
+  FROM pairs p, (SELECT unnest(generate_series(1, 5)) AS j) j, tott t
+)
+SELECT d.center, d.context, d.neg_idx, s.negative
+FROM draws d JOIN slot_table s ON s.slot = d.slot
+WHERE s.negative <> d.center AND s.negative <> d.context
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: topic-shift boundaries (lexical-cohesion segmentation per conversation)
 # ---------------------------------------------------------------------------
 
@@ -5641,6 +5703,7 @@ QUERIES = {
     "kb_alignment_mutual": q_kb_alignment,
     "burst_hours": q_burst_hours,
     "walk_skipgrams": q_walk_skipgrams,
+    "negative_samples": q_negative_samples,
     "topic_boundaries": q_topic_boundaries,
     "comention_graph": q_comention_graph,
     "kg_profile": q_kg_profile,
@@ -5776,6 +5839,7 @@ ORACLE_SQL = {
     "kb_alignment_mutual": KB_ALIGNMENT_SQL,
     "burst_hours": BURST_HOURS_SQL,
     "walk_skipgrams": WALK_SKIPGRAMS_SQL,
+    "negative_samples": NEGATIVE_SAMPLES_SQL,
     "topic_boundaries": TOPIC_BOUNDARIES_SQL,
     "comention_graph": COMENTION_SQL,
     "kg_profile": KG_PROFILE_SQL,

@@ -498,6 +498,114 @@ def walk_skipgrams(walks: DataFrame, window: int = 2) -> DataFrame:
     )
 
 
+def negative_samples(
+    pairs: DataFrame,
+    k: int = 5,
+    target_slots: int = 1 << 16,
+    seed: str = "neg",
+    n_parts: int = 32,
+) -> DataFrame:
+    """Deterministic word2vec-style negative sampling over skip-gram pair
+    counts — the third stage of the embedding-training-data path
+    (random_walks -> walk_skipgrams -> negative_samples). For every
+    (center, context) pair, draws `k` negatives from the 3/4-power-smoothed
+    context-frequency distribution via the exact unigram-table algorithm
+    word2vec itself uses: a ~`target_slots`-row table where node v occupies
+    slots proportional to n(v)^0.75, indexed by a portable hash.
+
+    Cross-engine exactness without a float grid: n^0.75 is computed as
+    floor(sqrt(sqrt(n*n*n))) in DOUBLE — IEEE multiply and sqrt are
+    correctly rounded in both the JVM and DuckDB, so the smoothed integer
+    weights (and hence every draw) are bit-identical across engines.
+    Slot counts are then pure integer arithmetic:
+    slots(v) = max(1, (w*target) DIV W). The reference has no sampling
+    stage (its embedding inputs come whole from psychiq/wembedder,
+    src/ranking.py); this belongs to the training-data side of the engine.
+
+    Scale shape: the vocabulary prefix sum reuses pack_sequences' TWO-PHASE
+    range-partition cumsum (never a single-partition window); the slot
+    table is a map-only explode of ~target_slots rows total (word2vec uses
+    a fixed 1e8-slot table at any corpus size — same idea); the draw join
+    is keyed by slot id, whose hash-uniform distribution makes it the rare
+    join with NO skew by construction. Only the two scalar totals (W, T)
+    cross the plan, as 1-row broadcasts. Accidental hits (negative equal
+    to the pair's center or context) are dropped rather than re-drawn —
+    word2vec resamples; a bounded per-pair count loss keeps the op a pure
+    two-join dataflow, and the oracle replays the same drop.
+
+    Returns (center, context, neg_idx, negative) with neg_idx in 1..k.
+    """
+    from .packing import pack_sequences
+
+    vocab = pairs.groupBy(F.col("context").alias("node")).agg(
+        F.sum("n_pairs").alias("n")
+    )
+    cube = F.col("n").cast("double") * F.col("n") * F.col("n")
+    vw = vocab.select(
+        "node",
+        F.greatest(
+            F.lit(1).cast("long"), F.floor(F.sqrt(F.sqrt(cube))).cast("long")
+        ).alias("w"),
+    )
+    tot_w = vw.agg(F.sum("w").alias("_W"))
+    vs = (
+        vw.crossJoin(F.broadcast(tot_w))
+        .select(
+            "node",
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.expr(f"(w * CAST({int(target_slots)} AS BIGINT)) DIV _W"),
+            ).alias("slots"),
+        )
+    )
+    spans = pack_sequences(
+        vs, id_col="node", token_col="slots", budget=1 << 40,
+        order_col="node", n_parts=n_parts,
+    )
+    slot_table = spans.select(
+        F.col("id").alias("negative"),
+        F.explode(
+            F.sequence(
+                F.col("cum_before"), F.col("cum_before") + F.col("n_tokens") - 1
+            )
+        ).alias("slot"),
+    )
+    tot_t = slot_table.agg(F.count(F.lit(1)).alias("_T"))
+    draws = (
+        pairs.select("center", "context")
+        .withColumn("neg_idx", F.explode(F.sequence(F.lit(1), F.lit(int(k)))))
+        .crossJoin(F.broadcast(tot_t))
+        .withColumn(
+            "slot",
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                "|", F.lit(seed), "center", "context",
+                                F.col("neg_idx").cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.col("_T"),
+            ),
+        )
+    )
+    return (
+        draws.join(slot_table, "slot")
+        .filter(
+            (F.col("negative") != F.col("center"))
+            & (F.col("negative") != F.col("context"))
+        )
+        .select("center", "context", "neg_idx", "negative")
+    )
+
+
 def community_stats(edges: DataFrame, labels: DataFrame) -> DataFrame:
     """Per-community shape report over a node labeling (label_propagation
     output or any (node, label) table): member count, internal edge count

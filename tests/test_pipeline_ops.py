@@ -1196,6 +1196,45 @@ def test_walk_skipgrams_hand_values(spark):
     assert got == {("a", "b"): 3, ("b", "a"): 3, ("a", "a"): 2}
 
 
+def test_negative_samples_matches_python_model(spark):
+    """The word2vec unigram-table draw replayed row-for-row by a pure
+    python model: 3/4-power integer weights, proportional slot table,
+    md5 index pick, accidental-hit drop."""
+    import hashlib
+    import math
+
+    from chronographer_spark.operators.graph_algos import negative_samples
+
+    pairs = spark.createDataFrame(
+        [("a", "b", 6), ("b", "a", 6), ("a", "c", 2), ("c", "a", 2), ("b", "c", 1)],
+        ["center", "context", "n_pairs"],
+    )
+    k, target = 3, 64
+    got = {
+        (r.center, r.context, r.neg_idx): r.negative
+        for r in negative_samples(pairs, k=k, target_slots=target).collect()
+    }
+
+    vocab = {}
+    for c, x, n in [("a", "b", 6), ("b", "a", 6), ("a", "c", 2), ("c", "a", 2), ("b", "c", 1)]:
+        vocab[x] = vocab.get(x, 0) + n
+    w = {v: max(1, math.floor(math.sqrt(math.sqrt(float(n) * n * n)))) for v, n in vocab.items()}
+    W = sum(w.values())
+    slots = {v: max(1, (w[v] * target) // W) for v in w}
+    table = []
+    for v in sorted(slots):
+        table.extend([v] * slots[v])
+    expect = {}
+    for c, x, _ in [("a", "b", 6), ("b", "a", 6), ("a", "c", 2), ("c", "a", 2), ("b", "c", 1)]:
+        for j in range(1, k + 1):
+            h = int(hashlib.md5(f"neg|{c}|{x}|{j}".encode()).hexdigest()[:8], 16)
+            neg = table[h % len(table)]
+            if neg != c and neg != x:
+                expect[(c, x, j)] = neg
+    assert got == expect
+    assert len(got) > 0
+
+
 def test_topic_boundaries_hand_values(spark):
     """Partial overlap below threshold -> boundary; zero overlap ->
     boundary with ov 0; identical turns -> continuation."""
