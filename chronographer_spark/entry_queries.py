@@ -4121,6 +4121,31 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches FROM m GROUP BY doc_id
 """
 
 
+def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IR eval of the BM25 ranking against phrase-match pseudo-relevance:
+    MRR@10 / precision@10 / recall@10 of bm25_search("fast join vector")
+    judged by phrase_search("fast join") hits (weak-supervision labels, the
+    standard zero-label eval trick). The inverted index feeds BOTH the
+    ranker and the labeler — eager-localCheckpointed once (the tf/df
+    shared-subtree family). All outputs exact integer quotients."""
+    from .operators.retrieval import (
+        bm25_search,
+        build_inverted_index,
+        phrase_search,
+        retrieval_eval,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    index = build_inverted_index(docs).localCheckpoint(eager=True)
+    ranked = bm25_search(index, docs, "fast join vector", k=10).withColumn(
+        "query_id", F.lit("q_fast_join_vector")
+    )
+    labels = phrase_search(index, "fast join").withColumn(
+        "query_id", F.lit("q_fast_join_vector")
+    )
+    return retrieval_eval(ranked, labels, k=10)
+
+
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25-ranked top-10 documents for the bag-of-words query
     "fast join vector" over the inverted index (operators/retrieval.py
@@ -4163,6 +4188,35 @@ scored AS (
 SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank,
        CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_x1e6
 FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
+RETRIEVAL_EVAL_SQL = f"""
+WITH ranked AS ({BM25_SQL}),
+ptoks AS (
+  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos
+  FROM (SELECT doc_id, string_split_regex(lower(text), '[^a-z]+') AS l FROM documents)
+),
+p0 AS (SELECT doc_id, pos FROM ptoks WHERE term = 'fast'),
+p1 AS (SELECT doc_id, pos FROM ptoks WHERE term = 'join'),
+labels AS (
+  SELECT DISTINCT p0.doc_id
+  FROM p0 JOIN p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
+),
+nrel AS (SELECT CAST(count(*) AS BIGINT) AS n_rel FROM labels),
+hits AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_hits, min(rank) AS first_hit
+  FROM ranked r JOIN labels l ON r.doc_id = l.doc_id
+  WHERE r.rank <= 10
+)
+SELECT 'q_fast_join_vector' AS query_id,
+       n.n_rel,
+       coalesce(h.n_hits, 0) AS n_hits,
+       CAST(coalesce(1000000 // h.first_hit, 0) AS BIGINT) AS rr_x1e6,
+       CAST(coalesce(h.n_hits, 0) * 1000000 // 10 AS BIGINT) AS p_at_k_x1e6,
+       CAST(coalesce(coalesce(h.n_hits, 0) * 1000000 // nullif(n.n_rel, 0), 0) AS BIGINT)
+         AS recall_at_k_x1e6
+FROM nrel n, hits h
 """
 
 
@@ -5704,6 +5758,7 @@ QUERIES = {
     "burst_hours": q_burst_hours,
     "walk_skipgrams": q_walk_skipgrams,
     "negative_samples": q_negative_samples,
+    "retrieval_eval_bm25": q_retrieval_eval,
     "topic_boundaries": q_topic_boundaries,
     "comention_graph": q_comention_graph,
     "kg_profile": q_kg_profile,
@@ -5840,6 +5895,7 @@ ORACLE_SQL = {
     "burst_hours": BURST_HOURS_SQL,
     "walk_skipgrams": WALK_SKIPGRAMS_SQL,
     "negative_samples": NEGATIVE_SAMPLES_SQL,
+    "retrieval_eval_bm25": RETRIEVAL_EVAL_SQL,
     "topic_boundaries": TOPIC_BOUNDARIES_SQL,
     "comention_graph": COMENTION_SQL,
     "kg_profile": KG_PROFILE_SQL,

@@ -190,3 +190,62 @@ def rrf_fuse(
     return topk.withColumn("rank", F.row_number().over(w)).select(
         id_col, "rrf_x1e6", "rank"
     )
+
+
+def retrieval_eval(
+    ranked: DataFrame,
+    relevant: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """IR effectiveness report per query — reciprocal rank, precision@k,
+    recall@k of a ranking against a relevance set, the tuning loop for the
+    retrieval family the way ann_recall_report is for ANN. `ranked` is any
+    (query_id, doc_id, rank) table (bm25_search / rrf_fuse output tagged
+    with a query id); `relevant` is (query_id, doc_id) ground truth or
+    pseudo-relevance labels (e.g. phrase_search hits).
+
+    All-integer outputs (no float discipline needed): rr_x1e6 =
+    1e6 DIV first-hit rank (MRR@k convention: 0 when no relevant doc is
+    ranked in the top k), p_at_k_x1e6 = hits*1e6 DIV k, recall_at_k_x1e6 =
+    hits*1e6 DIV n_rel (0 when the relevance set is empty).
+
+    Shape: rankings are top-k-sized per query, so the relevance join is
+    keyed by (query_id, doc_id) and carries O(queries * k) rows; n_rel is
+    one count per query. Nothing here touches the corpus — the expensive
+    work happened inside the rankers. One output row per query present in
+    `ranked`.
+    """
+    r = ranked.filter(F.col(rank_col) <= k).select(
+        F.col(query_col).alias("query_id"),
+        F.col(id_col).alias("doc_id"),
+        F.col(rank_col).alias("rank"),
+    )
+    rel = relevant.select(
+        F.col(query_col).alias("query_id"), F.col(id_col).alias("doc_id")
+    ).dropDuplicates()
+    n_rel = rel.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_rel"))
+    hits = r.join(rel, ["query_id", "doc_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_hits"), F.min("rank").alias("_first")
+    )
+    base = r.select("query_id").dropDuplicates()
+    return (
+        base.join(n_rel, "query_id", "left")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_rel", F.lit(0)).cast("long").alias("n_rel"),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.coalesce(
+                F.expr("CAST(1000000 AS BIGINT) DIV _first"), F.lit(0)
+            ).cast("long").alias("rr_x1e6"),
+            F.expr(f"CAST(coalesce(n_hits, 0) * 1000000 AS BIGINT) DIV {int(k)}")
+            .alias("p_at_k_x1e6"),
+            F.coalesce(
+                F.expr("CAST(coalesce(n_hits, 0) * 1000000 AS BIGINT) DIV n_rel"),
+                F.lit(0),
+            ).cast("long").alias("recall_at_k_x1e6"),
+        )
+    )

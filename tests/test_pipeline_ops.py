@@ -1235,6 +1235,31 @@ def test_negative_samples_matches_python_model(spark):
     assert len(got) > 0
 
 
+def test_retrieval_eval_hand_values(spark):
+    """Two queries: one with hits at ranks 2 and 4 of 3 relevant docs
+    (rr=500000, p@5=400000, recall=666666), one with no relevant docs at
+    all (all three metrics 0, n_rel 0)."""
+    from chronographer_spark.operators.retrieval import retrieval_eval
+
+    ranked = spark.createDataFrame(
+        [("q1", f"d{r}", r) for r in range(1, 6)]
+        + [("q2", f"x{r}", r) for r in range(1, 4)],
+        ["query_id", "doc_id", "rank"],
+    )
+    relevant = spark.createDataFrame(
+        [("q1", "d2"), ("q1", "d4"), ("q1", "d9")], ["query_id", "doc_id"]
+    )
+    got = {r.query_id: r.asDict() for r in retrieval_eval(ranked, relevant, k=5).collect()}
+    assert got["q1"] == {
+        "query_id": "q1", "n_rel": 3, "n_hits": 2, "rr_x1e6": 500000,
+        "p_at_k_x1e6": 400000, "recall_at_k_x1e6": 666666,
+    }
+    assert got["q2"] == {
+        "query_id": "q2", "n_rel": 0, "n_hits": 0, "rr_x1e6": 0,
+        "p_at_k_x1e6": 0, "recall_at_k_x1e6": 0,
+    }
+
+
 def test_topic_boundaries_hand_values(spark):
     """Partial overlap below threshold -> boundary; zero overlap ->
     boundary with ov 0; identical turns -> continuation."""
