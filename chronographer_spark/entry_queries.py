@@ -4845,6 +4845,64 @@ FROM g GROUP BY predicate
 
 
 # ---------------------------------------------------------------------------
+# Q: metapath census + degree histogram (KG schema/skew profiling)
+# ---------------------------------------------------------------------------
+
+
+def q_metapath_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered predicate-pair path census over the flagship event graph
+    (operators/graph_algos.metapath_counts) — counted by the degree-product
+    identity, never a wedge join; the oracle replays the same algebra."""
+    from .graph.materialize import build_event_graph
+    from .operators.graph_algos import metapath_counts
+
+    tx = transcripts_from_events(spark, sf_dir)
+    return metapath_counts(build_event_graph(tx))
+
+
+METAPATH_SQL = (
+    "WITH g AS (" + FLAGSHIP_SQL + ")\n"
+    """, ind AS (
+  SELECT object AS mid, predicate AS p1, CAST(count(*) AS BIGINT) AS d_in
+  FROM g GROUP BY object, predicate
+),
+outd AS (
+  SELECT subject AS mid, predicate AS p2, CAST(count(*) AS BIGINT) AS d_out
+  FROM g GROUP BY subject, predicate
+)
+SELECT i.p1, o.p2, CAST(sum(i.d_in * o.d_out) AS BIGINT) AS n_paths
+FROM ind i JOIN outd o ON i.mid = o.mid
+GROUP BY i.p1, o.p2
+"""
+)
+
+
+def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed in/out-degree distribution of the flagship graph
+    (operators/graph_algos.degree_histogram) — the skew report; bucket is
+    bit-length-minus-one, pure integer in both engines."""
+    from .graph.materialize import build_event_graph
+    from .operators.graph_algos import degree_histogram
+
+    tx = transcripts_from_events(spark, sf_dir)
+    g = build_event_graph(tx)
+    return degree_histogram(g, src_col="subject", dst_col="object")
+
+
+DEGREE_HIST_SQL = (
+    "WITH g AS (" + FLAGSHIP_SQL + ")\n"
+    """, outdeg AS (SELECT subject AS node, count(*) AS deg FROM g GROUP BY subject),
+indeg AS (SELECT object AS node, count(*) AS deg FROM g GROUP BY object)
+SELECT side, bucket, CAST(count(*) AS BIGINT) AS n_nodes FROM (
+  SELECT 'out' AS side, CAST(length(bin(deg)) - 1 AS INT) AS bucket FROM outdeg
+  UNION ALL
+  SELECT 'in' AS side, CAST(length(bin(deg)) - 1 AS INT) AS bucket FROM indeg
+) GROUP BY side, bucket
+"""
+)
+
+
+# ---------------------------------------------------------------------------
 # Q: entity salience per conversation (frequency + first-position bonus)
 # ---------------------------------------------------------------------------
 
@@ -5759,6 +5817,8 @@ QUERIES = {
     "walk_skipgrams": q_walk_skipgrams,
     "negative_samples": q_negative_samples,
     "retrieval_eval_bm25": q_retrieval_eval,
+    "metapath_counts": q_metapath_counts,
+    "degree_histogram": q_degree_histogram,
     "topic_boundaries": q_topic_boundaries,
     "comention_graph": q_comention_graph,
     "kg_profile": q_kg_profile,
@@ -5896,6 +5956,8 @@ ORACLE_SQL = {
     "walk_skipgrams": WALK_SKIPGRAMS_SQL,
     "negative_samples": NEGATIVE_SAMPLES_SQL,
     "retrieval_eval_bm25": RETRIEVAL_EVAL_SQL,
+    "metapath_counts": METAPATH_SQL,
+    "degree_histogram": DEGREE_HIST_SQL,
     "topic_boundaries": TOPIC_BOUNDARIES_SQL,
     "comention_graph": COMENTION_SQL,
     "kg_profile": KG_PROFILE_SQL,

@@ -606,6 +606,71 @@ def negative_samples(
     )
 
 
+def metapath_counts(
+    triples: DataFrame,
+    subj_col: str = "subject",
+    pred_col: str = "predicate",
+    obj_col: str = "object",
+) -> DataFrame:
+    """2-edge metapath census over a triple table — for every ordered
+    predicate pair (p1, p2), the number of paths s -p1-> m -p2-> o. The
+    schema-discovery query a KG consumer runs to learn which predicate
+    chains exist (which joins are worth writing) before touching instances.
+
+    Scale design — NO wedge join: n_paths(p1, p2) = Σ_m in_deg_p1(m) ·
+    out_deg_p2(m), so the op is two (node, predicate) degree aggregations
+    joined on the middle node and summed. Per-node join fan-out is bounded
+    by the PREDICATE-pair count at that node (schema-sized), not by degree
+    — a hub with a million in/out edges contributes one multiplication
+    per predicate pair, where the naive self-join on object=subject
+    materializes the full quadratic wedge set (the same blowup
+    triangle_count's degree ordering exists to avoid). Counts are exact.
+
+    Returns (p1, p2, n_paths), n_paths > 0 only.
+    """
+    ind = triples.groupBy(
+        F.col(obj_col).alias("mid"), F.col(pred_col).alias("p1")
+    ).agg(F.count(F.lit(1)).alias("_in"))
+    outd = triples.groupBy(
+        F.col(subj_col).alias("mid"), F.col(pred_col).alias("p2")
+    ).agg(F.count(F.lit(1)).alias("_out"))
+    return (
+        ind.join(outd, "mid")
+        .groupBy("p1", "p2")
+        .agg(F.sum(F.col("_in") * F.col("_out")).alias("n_paths"))
+    )
+
+
+def degree_histogram(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Log2-bucketed out/in-degree distribution of a directed edge list —
+    the one-page skew report read before choosing a join strategy (how
+    heavy is the hub tail AQE skew-split / salting must absorb?).
+
+    bucket = floor(log2(degree)) computed as bit length - 1 (pure integer,
+    no float log: degree in [2^b, 2^(b+1)) lands in bucket b). Two degree
+    aggregations and a tiny bucket count; output is at most ~64 rows per
+    side.
+
+    Returns (side, bucket, n_nodes) with side in ('out', 'in').
+    """
+    def hist(col: str, side: str) -> DataFrame:
+        deg = edges.groupBy(F.col(col).alias("node")).agg(
+            F.count(F.lit(1)).alias("deg")
+        )
+        bucket = (
+            F.length(F.conv(F.col("deg").cast("string"), 10, 2)) - 1
+        ).cast("int")
+        return (
+            deg.select(F.lit(side).alias("side"), bucket.alias("bucket"))
+            .groupBy("side", "bucket")
+            .agg(F.count(F.lit(1)).alias("n_nodes"))
+        )
+
+    return hist(src_col, "out").unionByName(hist(dst_col, "in"))
+
+
 def community_stats(edges: DataFrame, labels: DataFrame) -> DataFrame:
     """Per-community shape report over a node labeling (label_propagation
     output or any (node, label) table): member count, internal edge count

@@ -1235,6 +1235,43 @@ def test_negative_samples_matches_python_model(spark):
     assert len(got) > 0
 
 
+def test_metapath_counts_equals_wedge_join(spark):
+    """Degree-product identity == brute-force wedge self-join on a hub
+    graph (one middle node with 3 in- and 2 out-edges of mixed preds)."""
+    from chronographer_spark.operators.graph_algos import metapath_counts
+
+    t = spark.createDataFrame(
+        [("a", "p", "h"), ("b", "p", "h"), ("c", "q", "h"),
+         ("h", "r", "x"), ("h", "s", "y"), ("x", "p", "y")],
+        ["subject", "predicate", "object"],
+    )
+    got = {(r.p1, r.p2): r.n_paths for r in metapath_counts(t).collect()}
+    brute = {}
+    rows = t.collect()
+    for e1 in rows:
+        for e2 in rows:
+            if e1.object == e2.subject:
+                k = (e1.predicate, e2.predicate)
+                brute[k] = brute.get(k, 0) + 1
+    assert got == brute
+    assert got[("p", "r")] == 2  # a->h->x, b->h->x
+
+
+def test_degree_histogram_buckets(spark):
+    """deg 1 -> bucket 0, deg 2-3 -> 1, deg 4-7 -> 2; in/out sides
+    counted independently."""
+    from chronographer_spark.operators.graph_algos import degree_histogram
+
+    edges = spark.createDataFrame(
+        [("h", f"n{i}") for i in range(4)] + [("a", "b"), ("c", "b"), ("c", "a")],
+        ["src", "dst"],
+    )
+    got = {(r.side, r.bucket): r.n_nodes for r in degree_histogram(edges).collect()}
+    # out: h=4 (bucket 2), a=1 (0), c=2 (1); in: n0..n3,b? b=2 (1), a=1, n_i=1 x4
+    assert got[("out", 2)] == 1 and got[("out", 0)] == 1 and got[("out", 1)] == 1
+    assert got[("in", 1)] == 1 and got[("in", 0)] == 5
+
+
 def test_retrieval_eval_hand_values(spark):
     """Two queries: one with hits at ranks 2 and 4 of 3 relevant docs
     (rr=500000, p@5=400000, recall=666666), one with no relevant docs at
