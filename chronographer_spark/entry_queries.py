@@ -5740,6 +5740,67 @@ FROM s GROUP BY stratum
 )
 
 
+def q_split_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-split corpus sizing (conversations, turns, whitespace tokens,
+    integer token share) — what a trainer reads to size epochs and judge
+    the 8/1/1 hash split actually delivered ~8/1/1 of the TOKENS, not just
+    of the conversations. ZERO joins: the split is a pure function of
+    md5(conv_id), so assignment is recomputed map-side on the transcript
+    scan (the recomputable-anywhere property the hash-split design buys);
+    one 3-group agg + a 1-row broadcast total. share_x1e6 is an exact
+    integer quotient; at >9.2e12 total tokens compute it as
+    n_tokens DIV (total DIV 1e6) to stay inside BIGINT."""
+    tx = transcripts_from_events(spark, sf_dir)
+    bucket = F.conv(F.substring(F.md5("conv_id"), 1, 8), 16, 10).cast("long") % 10
+    per = (
+        tx.select(
+            F.when(bucket <= 7, "train")
+            .when(bucket == 8, "val")
+            .otherwise("test")
+            .alias("split"),
+            F.col("conv_id"),
+            F.size(F.split("text", " ")).cast("long").alias("nt"),
+        )
+        .groupBy("split")
+        .agg(
+            F.countDistinct("conv_id").alias("n_convs"),
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum("nt").alias("n_tokens"),
+        )
+    )
+    tot = per.agg(F.sum("n_tokens").alias("_tot"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "split",
+        "n_convs",
+        "n_turns",
+        "n_tokens",
+        F.expr("CAST(n_tokens * 1000000 DIV _tot AS BIGINT)").alias("share_x1e6"),
+    )
+
+
+SPLIT_TOKEN_BUDGET_SQL = f"""
+{TX_SQL},
+t AS (
+  SELECT conv_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+         CAST(concat('0x', substr(md5(conv_id), 1, 8)) AS BIGINT) % 10 AS bucket
+  FROM tx
+),
+per AS (
+  SELECT CASE WHEN bucket <= 7 THEN 'train'
+              WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split,
+         CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+         CAST(count(*) AS BIGINT) AS n_turns,
+         CAST(sum(nt) AS BIGINT) AS n_tokens
+  FROM t GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tt FROM per)
+SELECT split, n_convs, n_turns, n_tokens,
+       CAST(n_tokens * 1000000 // tt AS BIGINT) AS share_x1e6
+FROM per, tot
+"""
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -5819,6 +5880,7 @@ QUERIES = {
     "retrieval_eval_bm25": q_retrieval_eval,
     "metapath_counts": q_metapath_counts,
     "degree_histogram": q_degree_histogram,
+    "split_token_budget": q_split_token_budget,
     "topic_boundaries": q_topic_boundaries,
     "comention_graph": q_comention_graph,
     "kg_profile": q_kg_profile,
@@ -5958,6 +6020,7 @@ ORACLE_SQL = {
     "retrieval_eval_bm25": RETRIEVAL_EVAL_SQL,
     "metapath_counts": METAPATH_SQL,
     "degree_histogram": DEGREE_HIST_SQL,
+    "split_token_budget": SPLIT_TOKEN_BUDGET_SQL,
     "topic_boundaries": TOPIC_BOUNDARIES_SQL,
     "comention_graph": COMENTION_SQL,
     "kg_profile": KG_PROFILE_SQL,

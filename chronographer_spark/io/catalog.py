@@ -319,6 +319,39 @@ class VersionedCatalog(Catalog):
         rollback: history is preserved, the head moves)."""
         return self.write(self.read(table, version=version), table)
 
+    def expire_snapshots(
+        self, table: str, keep_last: int = 2, protect: tuple[int, ...] = ()
+    ) -> list[int]:
+        """Iceberg `expire_snapshots` analog: unlink all but the newest
+        `keep_last` versions (plus any pinned in `protect`); the head can
+        never expire. Returns the removed version ids. Expiration is
+        storage reclaim, not visibility control — run with a retention
+        window longer than the longest in-flight reader, exactly like
+        Iceberg's retention guidance. Snapshot dirs are immutable, so
+        removal needs no coordination with writers."""
+        import shutil
+
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        vs = self._versions(table)
+        keep = set(vs[-keep_last:]) | set(protect)
+        removed = [v for v in vs if v not in keep]
+        for v in removed:
+            shutil.rmtree(os.path.join(self.path(table), f"v={v}"))
+        return removed
+
+    def compact(self, table: str, target_files: int = 1) -> int:
+        """`rewrite_data_files` analog: republish the head snapshot's
+        content coalesced to `target_files` parquet files and return the
+        new version id. Bounds the small-file count that per-batch appends
+        accumulate (the streaming-dedup index problem); pair with
+        expire_snapshots to reclaim the fragmented predecessors. coalesce()
+        is a narrow dependency — no shuffle, each output file unions whole
+        input files."""
+        if target_files < 1:
+            raise ValueError("target_files must be >= 1")
+        return self.write(self.read(table).coalesce(target_files), table)
+
 
 def zorder_value(*cols, bits: int = 16):
     """Morton z-value of n integer columns: bit j of column i lands at
