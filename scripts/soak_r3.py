@@ -258,6 +258,50 @@ def main() -> None:
         walks = random_walks(edges, n_steps=3, starts=starts)
         return walk_skipgrams(walks, window=2).count()
 
+    def job_negatives():
+        # full embedding-training-data chain at scale: replicated walks ->
+        # skip-grams -> 5 negatives/pair. Vocabulary (u-nodes) rides repl;
+        # the unigram table stays ~fixed (2^20 slots, word2vec's contract),
+        # so the draw join is O(pairs x 1) on a skew-free slot key
+        from chronographer_spark.operators.graph_algos import (
+            negative_samples,
+            random_walks,
+            walk_skipgrams,
+        )
+
+        u2t = ev_r.select(
+            F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("src"),
+            F.concat(F.lit("t"), F.col("event_type")).alias("dst"),
+        ).distinct()
+        edges = u2t.unionByName(
+            u2t.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        starts = u2t.select(F.col("src").alias("node")).distinct()
+        pairs = walk_skipgrams(random_walks(edges, n_steps=3, starts=starts), 2)
+        return negative_samples(pairs, k=5, target_slots=1 << 20).count()
+
+    def job_metapath():
+        # 2-layer typed graph: user -[event_type]-> day -[in_week]-> week.
+        # Day mids' in-degree rides repl x users — the exact hub case the
+        # degree-product identity keeps linear (a wedge join would emit
+        # in_deg x 1 rows per mid per pattern)
+        from chronographer_spark.operators.graph_algos import metapath_counts
+
+        a = ev_r.select(
+            F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("subject"),
+            F.col("event_type").alias("predicate"),
+            F.concat(F.lit("d"), F.to_date("ts").cast("string")).alias("object"),
+        )
+        b = (
+            a.select(F.col("object").alias("subject")).distinct()
+            .withColumn("predicate", F.lit("in_week"))
+            .withColumn(
+                "object",
+                F.concat(F.lit("w"), F.weekofyear(F.to_date(F.substring("subject", 2, 10)))),
+            )
+        )
+        return metapath_counts(a.unionByName(b)).count()
+
     def job_comention():
         # replicas repeat the same mention values, so each mention's df and
         # the pair output grow ~linearly/quadratically with repl BY
@@ -314,6 +358,8 @@ def main() -> None:
         ("allen", job_allen),
         ("dialogue", job_dialogue),
         ("walks", job_walks),
+        ("negatives", job_negatives),
+        ("metapath", job_metapath),
         ("comention", job_comention),
         ("typicality", job_typicality),
         ("topic", job_topic),
