@@ -5740,6 +5740,37 @@ FROM s GROUP BY stratum
 )
 
 
+def q_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(context, target) SFT pairs with a 4-turn rolling context over the
+    transcripts (operators/dialogue.context_windows); the frame is
+    ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING so per-turn state is bounded
+    by k regardless of conversation length."""
+    from .operators.dialogue import context_windows
+
+    return context_windows(transcripts_from_events(spark, sf_dir), k=4)
+
+
+CONTEXT_WINDOWS_SQL = f"""
+{TX_SQL},
+c AS (
+  SELECT conv_id, turn_idx, role, text,
+         coalesce(list(struct_pack(turn_idx := turn_idx, role := role, text := text))
+           OVER (PARTITION BY conv_id ORDER BY turn_idx
+                 ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING), []) AS ctx
+  FROM tx
+)
+SELECT conv_id, turn_idx,
+       CAST(len(ctx) AS INT) AS n_context_turns,
+       coalesce(array_to_string(
+         list_transform(list_sort(ctx), s -> s.role || ': ' || s.text),
+         chr(10)
+       ), '') AS context_text,
+       role AS target_role,
+       text AS target_text
+FROM c
+"""
+
+
 def q_split_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-split corpus sizing (conversations, turns, whitespace tokens,
     integer token share) — what a trainer reads to size epochs and judge
@@ -5881,6 +5912,7 @@ QUERIES = {
     "metapath_counts": q_metapath_counts,
     "degree_histogram": q_degree_histogram,
     "split_token_budget": q_split_token_budget,
+    "context_windows": q_context_windows,
     "topic_boundaries": q_topic_boundaries,
     "comention_graph": q_comention_graph,
     "kg_profile": q_kg_profile,
@@ -6021,6 +6053,7 @@ ORACLE_SQL = {
     "metapath_counts": METAPATH_SQL,
     "degree_histogram": DEGREE_HIST_SQL,
     "split_token_budget": SPLIT_TOKEN_BUDGET_SQL,
+    "context_windows": CONTEXT_WINDOWS_SQL,
     "topic_boundaries": TOPIC_BOUNDARIES_SQL,
     "comention_graph": COMENTION_SQL,
     "kg_profile": KG_PROFILE_SQL,

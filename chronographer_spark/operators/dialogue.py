@@ -239,3 +239,45 @@ def comention_graph(
         .groupBy("conv_a", "conv_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+
+
+def context_windows(tx: DataFrame, k: int = 4) -> DataFrame:
+    """SFT training-example assembler: for every turn, the concatenated
+    context of the previous min(k, turn_idx) turns plus the turn itself as
+    the target — the (context, target) pair construction every dialogue
+    fine-tuning pipeline runs between curation and packing. Context lines
+    are "role: text" joined by newline, oldest first.
+
+    One conv_id-keyed exchange (the same partitioning every per-
+    conversation window in this engine rides); the frame is ROWS BETWEEN k
+    PRECEDING AND 1 PRECEDING, so per-turn state is bounded by k turns
+    regardless of conversation length — the map-side expansion is the
+    O(k · turn_len) write amplification any context builder pays, tunable
+    by k, never quadratic in conversation length. The collected frame is
+    sort_array'd on turn_idx before formatting: window collect_list order
+    is not contractual in either engine, the sort makes it deterministic.
+
+    Returns (conv_id, turn_idx, n_context_turns, context_text,
+    target_role, target_text).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(-k, -1)
+    )
+    ctx = F.sort_array(
+        F.collect_list(F.struct("turn_idx", "role", "text")).over(w)
+    )
+    return tx.select(
+        "conv_id",
+        "turn_idx",
+        F.size(ctx).alias("n_context_turns"),
+        F.concat_ws(
+            "\n",
+            F.transform(ctx, lambda s: F.concat_ws(": ", s["role"], s["text"])),
+        ).alias("context_text"),
+        F.col("role").alias("target_role"),
+        F.col("text").alias("target_text"),
+    )

@@ -1235,6 +1235,33 @@ def test_negative_samples_matches_python_model(spark):
     assert len(got) > 0
 
 
+def test_context_windows_hand_values(spark):
+    """k=2: turn 0 gets empty context, turn 1 one line, turn 3 exactly the
+    two preceding turns oldest-first; other conversations never leak in."""
+    from chronographer_spark.operators.dialogue import context_windows
+
+    rows = [
+        ("A", i, "user" if i % 2 == 0 else "agent", f"t{i}", "", "2024-01-01 00:00:00")
+        for i in range(4)
+    ] + [("B", 0, "user", "other", "", "2024-01-01 00:00:00")]
+    tx = spark.createDataFrame(
+        rows, ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+    got = {
+        (r.conv_id, r.turn_idx): r
+        for r in context_windows(tx, k=2).collect()
+    }
+    assert got[("A", 0)].context_text == "" and got[("A", 0)].n_context_turns == 0
+    assert got[("A", 1)].context_text == "user: t0"
+    assert got[("A", 3)].context_text == "agent: t1\nuser: t2"
+    assert got[("A", 3)].target_text == "t3" and got[("A", 3)].target_role == "agent"
+    assert got[("B", 0)].context_text == ""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        context_windows(tx, k=0)
+
+
 def test_metapath_counts_equals_wedge_join(spark):
     """Degree-product identity == brute-force wedge self-join on a hub
     graph (one middle node with 3 in- and 2 out-edges of mixed preds)."""
