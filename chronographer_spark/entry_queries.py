@@ -5740,6 +5740,47 @@ FROM s GROUP BY stratum
 )
 
 
+def q_bgp_path_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL property-path surface (graph/bgp.py `p+`): the declarative
+    BGP { ?x up+ ?a . ?a in_nation ?n } over a triples view of the
+    customer binary tree (child k -up-> k DIV 2, k -in_nation-> nation) —
+    every transitive ancestor annotated with its nation, the path pattern
+    compiled to the iterative closure operator and joined like any other
+    pattern. Root parent 0 has no nation row, so paths ending at the
+    virtual root drop in the join (SPARQL join semantics, replayed by the
+    oracle's recursive CTE)."""
+    from .graph.bgp import bgp
+
+    cust = _t(spark, sf_dir, "customer")
+    up = cust.filter(F.col("c_custkey") > 0).select(
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("subject"),
+        F.lit("up").alias("predicate"),
+        F.concat(
+            F.lit("c"), F.floor(F.col("c_custkey") / 2).cast("long").cast("string")
+        ).alias("object"),
+    )
+    nat = cust.select(
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("subject"),
+        F.lit("in_nation").alias("predicate"),
+        F.concat(F.lit("n"), F.col("c_nationkey").cast("string")).alias("object"),
+    )
+    return bgp(up.unionByName(nat), patterns=[("?x", "up+", "?a"), ("?a", "in_nation", "?n")])
+
+
+BGP_PATH_SQL = """
+WITH RECURSIVE anc AS (
+  SELECT c_custkey AS child, CAST(floor(c_custkey / 2) AS BIGINT) AS ancestor
+  FROM customer WHERE c_custkey > 0
+  UNION
+  SELECT a.child, CAST(floor(a.ancestor / 2) AS BIGINT) FROM anc a WHERE a.ancestor > 0
+)
+SELECT 'c' || CAST(anc.child AS VARCHAR) AS x,
+       'c' || CAST(anc.ancestor AS VARCHAR) AS a,
+       'n' || CAST(c.c_nationkey AS VARCHAR) AS n
+FROM anc JOIN customer c ON c.c_custkey = anc.ancestor
+"""
+
+
 def q_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(context, target) SFT pairs with a 4-turn rolling context over the
     transcripts (operators/dialogue.context_windows); the frame is
@@ -5913,6 +5954,7 @@ QUERIES = {
     "degree_histogram": q_degree_histogram,
     "split_token_budget": q_split_token_budget,
     "context_windows": q_context_windows,
+    "bgp_path_ancestors": q_bgp_path_ancestors,
     "topic_boundaries": q_topic_boundaries,
     "comention_graph": q_comention_graph,
     "kg_profile": q_kg_profile,
@@ -6054,6 +6096,7 @@ ORACLE_SQL = {
     "degree_histogram": DEGREE_HIST_SQL,
     "split_token_budget": SPLIT_TOKEN_BUDGET_SQL,
     "context_windows": CONTEXT_WINDOWS_SQL,
+    "bgp_path_ancestors": BGP_PATH_SQL,
     "topic_boundaries": TOPIC_BOUNDARIES_SQL,
     "comention_graph": COMENTION_SQL,
     "kg_profile": KG_PROFILE_SQL,

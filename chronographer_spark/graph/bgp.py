@@ -14,7 +14,10 @@ Semantics (the SPARQL subset the reference uses):
 - shared variables across patterns become equi-join keys; patterns with no
   shared variable cross-join (SPARQL cartesian semantics);
 - `optional` pattern groups left-join on their shared variables (OPTIONAL);
-- `values` maps a variable to an allowed constant list (VALUES).
+- `values` maps a variable to an allowed constant list (VALUES);
+- constant predicates support property paths: `p|q` alternation, `^p`
+  inverse, `p+` one-or-more (compiled to the iterative closure operator),
+  composing as `^p+` / `p|q+` (see _resolve_path).
 
 Scale shape: every pattern with a constant predicate compiles to a
 predicate-restricted scan — partition-pruned against the
@@ -108,9 +111,58 @@ def _guard_product(
     warnings.warn(msg, stacklevel=3)
 
 
+def _resolve_path(triples: DataFrame, p_term) -> DataFrame:
+    """SPARQL property-path support for constant predicate terms
+    (the path subset the reference's query surface needs beyond plain
+    BGPs): `p|q` alternation, `^p` inverse, `p+` one-or-more — compiled
+    respectively to an isin() scan, a subject/object swap, and the
+    iterative transitive-closure operator (operators/graph_algos.py).
+    Combinations compose outside-in: `^p+` is the closure of inverted
+    edges, `(p|q)+` — written `p|q+` since terms are unparenthesized —
+    closes over the union of both predicates.
+
+    Returns `triples` untouched for variables and plain constants. A `+`
+    path runs the closure loop EAGERLY here (per-round localCheckpoint
+    jobs) — the same compile-time-execution caveat as similarity's
+    _infer_dim, noted so callers on hot paths know a path pattern is not
+    free to construct. The resolved relation's predicate column is set to
+    the ORIGINAL term so the generic constant filter downstream matches.
+    """
+    if not isinstance(p_term, str) or _is_var(p_term):
+        return triples
+    inv = p_term.startswith("^")
+    core = p_term[1:] if inv else p_term
+    plus = core.endswith("+")
+    alts = (core[:-1] if plus else core).split("|")
+    if not (inv or plus or len(alts) > 1):
+        return triples
+    rel = triples.filter(F.col("predicate").isin(alts)).select(
+        "subject", "predicate", "object"
+    )
+    if inv:
+        rel = rel.select(
+            F.col("object").alias("subject"),
+            "predicate",
+            F.col("subject").alias("object"),
+        )
+    if plus:
+        from ..operators.graph_algos import transitive_closure
+
+        edges = rel.select(
+            F.col("subject").alias("child"), F.col("object").alias("parent")
+        )
+        rel = transitive_closure(edges).select(
+            F.col("child").alias("subject"),
+            F.col("ancestor").alias("object"),
+        )
+    return rel.select(
+        "subject", F.lit(p_term).alias("predicate"), "object"
+    )
+
+
 def _compile_pattern(triples: DataFrame, pattern: Pattern) -> tuple[DataFrame, list[str]]:
     """One triple pattern -> (DataFrame with one column per variable, vars)."""
-    scan = triples
+    scan = _resolve_path(triples, pattern[1])
     var_cols: dict[str, list[str]] = {}
     for term, col in zip(pattern, ("subject", "predicate", "object")):
         if isinstance(term, str) and term.startswith("?"):

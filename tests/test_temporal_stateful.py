@@ -580,6 +580,58 @@ def test_bgp_matcher_semantics(spark):
     assert cross.count() == 2  # 2 actors x 1 self-loop
 
 
+def test_bgp_property_paths(spark):
+    """SPARQL property paths on constant predicates: p+ closure, ^p
+    inverse, p|q alternation, and the ^p+ / p|q+ compositions."""
+    from chronographer_spark.graph.bgp import bgp
+
+    triples = spark.createDataFrame(
+        [
+            ("a", "up", "b"), ("b", "up", "c"), ("c", "up", "d"),
+            ("a", "alt", "z"),
+            ("d", "in", "N1"),
+        ],
+        ["subject", "predicate", "object"],
+    )
+    plus = {
+        (r["x"], r["y"])
+        for r in bgp(triples, patterns=[("?x", "up+", "?y")]).collect()
+    }
+    assert plus == {
+        ("a", "b"), ("a", "c"), ("a", "d"),
+        ("b", "c"), ("b", "d"), ("c", "d"),
+    }
+    # path joined with a plain pattern: transitive ancestors in N1
+    rooted = {
+        r["x"]
+        for r in bgp(
+            triples,
+            patterns=[("?x", "up+", "?r"), ("?r", "in", "N1")],
+        ).collect()
+    }
+    assert rooted == {"a", "b", "c"}
+    inv = {
+        (r["x"], r["y"])
+        for r in bgp(triples, patterns=[("?x", "^up", "?y")]).collect()
+    }
+    assert inv == {("b", "a"), ("c", "b"), ("d", "c")}
+    alt = {
+        (r["x"], r["y"])
+        for r in bgp(triples, patterns=[("?x", "up|alt", "?y")]).collect()
+    }
+    assert alt == {("a", "b"), ("b", "c"), ("c", "d"), ("a", "z")}
+    inv_plus = {
+        (r["x"], r["y"])
+        for r in bgp(triples, patterns=[("?x", "^up+", "?y")]).collect()
+    }
+    assert inv_plus == {(b, a) for a, b in plus}
+    alt_plus = {
+        (r["x"], r["y"])
+        for r in bgp(triples, patterns=[("?x", "up|alt+", "?y")]).collect()
+    }
+    assert ("a", "z") in alt_plus and ("a", "d") in alt_plus
+
+
 def test_bgp_selectivity_ordering_and_product_guard(spark, tmp_path):
     """(1) _order_patterns puts the most-bound pattern first and keeps
     every later join connected; (2) the compiled plan starts from the
