@@ -4903,6 +4903,79 @@ SELECT side, bucket, CAST(count(*) AS BIGINT) AS n_nodes FROM (
 
 
 # ---------------------------------------------------------------------------
+# Q: SHACL-lite shape validation of the constructed graph
+# ---------------------------------------------------------------------------
+
+
+def q_shape_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shape-validate the flagship graph (graph/validate.shape_report)
+    against the event-schema invariants the reference's queries assume:
+    every typed event ordered (min_count ng:nextEvent — conversation-final
+    events violate, by construction of the lead() edge), at most one tool
+    per event, begin timestamps inside the January window (range_regex),
+    and tool-bearing subjects typed sem:Event (domain_type)."""
+    from .graph.validate import shape_report
+
+    g = _flagship_triples(spark, sf_dir).localCheckpoint(eager=True)
+    return shape_report(
+        g,
+        [
+            {"id": "r_ordered", "kind": "min_count", "pred": "ng:nextEvent", "min": 1},
+            {"id": "r_single_tool", "kind": "max_count", "pred": "ng:usedTool", "max": 1},
+            {
+                "id": "r_jan_window",
+                "kind": "range_regex",
+                "pred": "sem:hasBeginTimeStamp",
+                "regex": "^2024-01-[0-2][0-9]$",
+            },
+            {
+                "id": "r_tool_typed",
+                "kind": "domain_type",
+                "pred": "ng:usedTool",
+                "type": "sem:Event",
+            },
+        ],
+    )
+
+
+SHAPE_VIOLATIONS_SQL = (
+    "WITH g AS (" + FLAGSHIP_SQL + ")\n"
+    """, f AS (SELECT DISTINCT subject FROM g WHERE predicate = 'rdf:type'),
+nc AS (
+  SELECT subject, CAST(count(*) AS BIGINT) AS c FROM g
+  WHERE predicate = 'ng:nextEvent' GROUP BY subject
+),
+r1 AS (
+  SELECT 'r_ordered' AS rule_id, f.subject AS focus,
+         CAST(coalesce(nc.c, 0) AS VARCHAR) AS detail
+  FROM f LEFT JOIN nc ON f.subject = nc.subject
+  WHERE coalesce(nc.c, 0) < 1
+),
+r2 AS (
+  SELECT 'r_single_tool' AS rule_id, subject AS focus,
+         CAST(count(*) AS VARCHAR) AS detail
+  FROM g WHERE predicate = 'ng:usedTool' GROUP BY subject HAVING count(*) > 1
+),
+r3 AS (
+  SELECT 'r_jan_window' AS rule_id, subject AS focus, object AS detail
+  FROM g WHERE predicate = 'sem:hasBeginTimeStamp'
+    AND NOT regexp_matches(object, '^2024-01-[0-2][0-9]$')
+),
+r4 AS (
+  SELECT 'r_tool_typed' AS rule_id, t.subject AS focus,
+         'missing type sem:Event' AS detail
+  FROM (SELECT DISTINCT subject FROM g WHERE predicate = 'ng:usedTool') t
+  WHERE t.subject NOT IN (
+    SELECT subject FROM g WHERE predicate = 'rdf:type' AND object = 'sem:Event'
+  )
+)
+SELECT * FROM r1 UNION ALL SELECT * FROM r2
+UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r4
+"""
+)
+
+
+# ---------------------------------------------------------------------------
 # Q: entity salience per conversation (frequency + first-position bonus)
 # ---------------------------------------------------------------------------
 
@@ -5955,6 +6028,7 @@ QUERIES = {
     "split_token_budget": q_split_token_budget,
     "context_windows": q_context_windows,
     "bgp_path_ancestors": q_bgp_path_ancestors,
+    "shape_violations": q_shape_violations,
     "topic_boundaries": q_topic_boundaries,
     "comention_graph": q_comention_graph,
     "kg_profile": q_kg_profile,
@@ -6097,6 +6171,7 @@ ORACLE_SQL = {
     "split_token_budget": SPLIT_TOKEN_BUDGET_SQL,
     "context_windows": CONTEXT_WINDOWS_SQL,
     "bgp_path_ancestors": BGP_PATH_SQL,
+    "shape_violations": SHAPE_VIOLATIONS_SQL,
     "topic_boundaries": TOPIC_BOUNDARIES_SQL,
     "comention_graph": COMENTION_SQL,
     "kg_profile": KG_PROFILE_SQL,

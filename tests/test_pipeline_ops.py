@@ -1235,6 +1235,43 @@ def test_negative_samples_matches_python_model(spark):
     assert len(got) > 0
 
 
+def test_shape_report_hand_rules(spark):
+    """All four rule kinds on a 3-subject graph with one violation each;
+    conforming subjects emit nothing; unknown kind raises."""
+    from chronographer_spark.graph.validate import shape_report
+
+    t = spark.createDataFrame(
+        [
+            ("e1", "rdf:type", "Event"), ("e2", "rdf:type", "Event"),
+            ("e1", "next", "e2"),
+            ("e1", "tool", "t1"), ("e2", "tool", "t1"), ("e2", "tool", "t2"),
+            ("e1", "begin", "2024-01-05"), ("e2", "begin", "not-a-date"),
+            ("e3", "tool", "t9"),  # untyped tool user
+        ],
+        ["subject", "predicate", "object"],
+    )
+    rules = [
+        {"id": "m", "kind": "min_count", "pred": "next", "min": 1},
+        {"id": "x", "kind": "max_count", "pred": "tool", "max": 1},
+        {"id": "r", "kind": "range_regex", "pred": "begin",
+         "regex": "^[0-9]{4}-[0-9]{2}-[0-9]{2}$"},
+        {"id": "d", "kind": "domain_type", "pred": "tool", "type": "Event"},
+    ]
+    got = {(r.rule_id, r.focus, r.detail) for r in shape_report(t, rules).collect()}
+    assert got == {
+        ("m", "e2", "0"),
+        ("x", "e2", "2"),
+        ("r", "e2", "not-a-date"),
+        ("d", "e3", "missing type Event"),
+    }
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        shape_report(t, [{"kind": "nope"}])
+    with _pytest.raises(ValueError):
+        shape_report(t, [])
+
+
 def test_context_windows_hand_values(spark):
     """k=2: turn 0 gets empty context, turn 1 one line, turn 3 exactly the
     two preceding turns oldest-first; other conversations never leak in."""
