@@ -4191,6 +4191,62 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10
 """
 
 
+def q_bm25_many(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched BM25 (operators/retrieval.bm25_search_many): three queries
+    ranked in ONE term-keyed index pass — the retrieval-service dataflow,
+    vs bm25_topk's per-query isin scan; salted two-phase per-query top-5."""
+    from .operators.retrieval import bm25_search_many, build_inverted_index
+
+    docs = _t(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        [("q1", "fast join vector"), ("q2", "fast table"), ("q3", "vector index scan")],
+        ["query_id", "qtext"],
+    )
+    return bm25_search_many(build_inverted_index(docs), docs, queries, k=5)
+
+
+BM25_MANY_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> '' GROUP BY doc_id, term),
+doc_len AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(DISTINCT doc_id) FROM documents) AS n,
+         floor((SELECT avg(dl) FROM doc_len) * 1000000 + 0.5) / 1000000 AS avglen
+),
+q(query_id, term) AS (
+  VALUES ('q1', 'fast'), ('q1', 'join'), ('q1', 'vector'),
+         ('q2', 'fast'), ('q2', 'table'),
+         ('q3', 'vector'), ('q3', 'index'), ('q3', 'scan')
+),
+dfreq AS (
+  SELECT term, count(*) AS df FROM tf
+  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY term
+),
+hits AS (
+  SELECT qq.query_id, t.doc_id, t.term, t.tf, d.df, l.dl
+  FROM tf t JOIN q qq USING (term) JOIN dfreq d USING (term)
+  JOIN doc_len l USING (doc_id)
+),
+scored AS (
+  SELECT query_id, doc_id,
+         sum(
+           ln((CAST((SELECT n FROM stats) AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+           * (tf * (1.2 + 1.0))
+           / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (SELECT avglen FROM stats)))
+         ) AS score
+  FROM hits GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INT) AS rank,
+       CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_x1e6
+FROM scored
+QUALIFY rank <= 5
+"""
+
+
 RETRIEVAL_EVAL_SQL = f"""
 WITH ranked AS ({BM25_SQL}),
 ptoks AS (
@@ -6029,6 +6085,7 @@ QUERIES = {
     "context_windows": q_context_windows,
     "bgp_path_ancestors": q_bgp_path_ancestors,
     "shape_violations": q_shape_violations,
+    "bm25_many": q_bm25_many,
     "topic_boundaries": q_topic_boundaries,
     "comention_graph": q_comention_graph,
     "kg_profile": q_kg_profile,
@@ -6172,6 +6229,7 @@ ORACLE_SQL = {
     "context_windows": CONTEXT_WINDOWS_SQL,
     "bgp_path_ancestors": BGP_PATH_SQL,
     "shape_violations": SHAPE_VIOLATIONS_SQL,
+    "bm25_many": BM25_MANY_SQL,
     "topic_boundaries": TOPIC_BOUNDARIES_SQL,
     "comention_graph": COMENTION_SQL,
     "kg_profile": KG_PROFILE_SQL,

@@ -249,3 +249,94 @@ def retrieval_eval(
             ).cast("long").alias("recall_at_k_x1e6"),
         )
     )
+
+
+def bm25_search_many(
+    index: DataFrame,
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "qtext",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Batched BM25: rank the corpus for EVERY query in a (query_id, qtext)
+    table at once -> (query_id, doc_id, rank, score_x1e6). The production
+    dataflow — a retrieval service scores thousands of queries per batch,
+    and per-query isin() scans (bm25_search) would rescan the index per
+    query; here ALL queries join the index in one term-keyed pass.
+
+    Shape: queries explode to distinct (query_id, term); the distinct term
+    set (queries x |q| rows — small even for 10k-query batches) broadcasts
+    into the df aggregate and the postings join, so the index shuffles
+    ONCE on term. Term-keyed skew is the real hazard: a stopword term
+    matches every document — `max_df` drops terms with document frequency
+    above the cap BEFORE the postings join (the same df-cap lever as
+    contamination and comention; stopword idf is near zero anyway, so the
+    ranking impact is bounded and a production deployment sets it).
+    Per-query top-k runs through the salted two-phase top-n
+    (sampling.top_n_per_group), never a single global window. Same
+    Lucene-style idf, 1e-6-grid avglen, and integer 1e6-scaled scores as
+    bm25_search; n_docs and avglen are the two driver-side scalars.
+    """
+    import math
+
+    from pyspark.sql.window import Window
+
+    from .sampling import top_n_per_group
+
+    tokens = F.array_distinct(
+        F.filter(
+            F.split(F.lower(F.col(query_text_col)), r"[^a-z]+"),
+            lambda t: t != F.lit(""),
+        )
+    )
+    qterms = queries.select(
+        F.col(query_id_col).alias("query_id"), F.explode(tokens).alias("term")
+    ).dropDuplicates()
+
+    n_docs = docs.select(id_col).distinct().count()
+    doc_len = index.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    raw_avg = doc_len.agg(F.avg("dl")).first()[0]
+    if raw_avg is None:
+        raise ValueError("bm25_search_many requires a non-empty index")
+    avg_len = math.floor(raw_avg * 1000000 + 0.5) / 1000000
+
+    dfreq = (
+        index.join(F.broadcast(qterms.select("term").dropDuplicates()), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    if max_df is not None:
+        dfreq = dfreq.filter(F.col("df") <= int(max_df))
+    hits = (
+        index.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(qterms), "term")
+        .join(doc_len, id_col)
+    )
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(float(avg_len)))
+    contrib = idf * (F.col("tf") * (k1 + 1.0)) / denom
+    scored = (
+        hits.groupBy("query_id", id_col)
+        .agg(F.sum(contrib).alias("score"))
+    )
+    topk = top_n_per_group(
+        scored,
+        group_cols=["query_id"],
+        order_cols=[F.desc("score"), F.asc(id_col)],
+        n=k,
+        salt_key=id_col,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        "query_id",
+        id_col,
+        "rank",
+        F.floor(F.col("score") * 1000000 + F.lit(0.5)).cast("long").alias("score_x1e6"),
+    )

@@ -1235,6 +1235,44 @@ def test_negative_samples_matches_python_model(spark):
     assert len(got) > 0
 
 
+def test_bm25_many_agrees_with_single_and_caps_df(spark):
+    """Batched BM25 reproduces per-query bm25_search exactly; max_df drops
+    the ubiquitous term from scoring."""
+    from chronographer_spark.operators.retrieval import (
+        bm25_search,
+        bm25_search_many,
+        build_inverted_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "fast join the fast lane"),
+            (2, "join the table"),
+            (3, "vector scan index the corpus"),
+            (4, "the the the filler row"),
+        ],
+        ["doc_id", "text"],
+    )
+    idx = build_inverted_index(docs)
+    queries = spark.createDataFrame(
+        [("a", "fast join"), ("b", "vector index")], ["query_id", "qtext"]
+    )
+    many = {
+        (r.query_id, r.doc_id): (r.rank, r.score_x1e6)
+        for r in bm25_search_many(idx, docs, queries, k=3).collect()
+    }
+    for qid, qtext in [("a", "fast join"), ("b", "vector index")]:
+        single = {
+            r.doc_id: (r.rank, r.score_x1e6)
+            for r in bm25_search(idx, docs, qtext, k=3).collect()
+        }
+        assert {d: v for (q, d), v in many.items() if q == qid} == single
+    # 'the' appears in all 4 docs; max_df=3 removes it from query 'c'
+    qc = spark.createDataFrame([("c", "the vector")], ["query_id", "qtext"])
+    capped = bm25_search_many(idx, docs, qc, k=4, max_df=3).collect()
+    assert {r.doc_id for r in capped} == {3}  # only the 'vector' posting
+
+
 def test_shape_report_hand_rules(spark):
     """All four rule kinds on a 3-subject graph with one violation each;
     conforming subjects emit nothing; unknown kind raises."""
