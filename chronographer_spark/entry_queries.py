@@ -3464,6 +3464,126 @@ FROM nodes n LEFT JOIN p2 p USING (node)
 """
 
 
+def q_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall neighborhood function (operators/graph_algos.hyperball,
+    2 rounds) over the symmetrized customer-nation membership graph: each
+    customer's 2-hop ball covers its whole nation community (~n/25 nodes
+    at any sf — squarely in HLL's linear-counting band), each nation hub
+    saturates at 1 hop. Emits per-node ball-size estimates b0/b1/b2 plus
+    an integer harmonic-centrality proxy Σ_t max(b_t - b_{t-1}, 0)·1e6
+    DIV t (deltas clamped: the raw->linear estimator switch is not
+    strictly monotone). The oracle replays registers, propagation, and
+    both estimator branches bit-for-bit."""
+    from .operators.graph_algos import hyperball
+
+    cust = _t(spark, sf_dir, "customer")
+    e = cust.select(
+        F.col("c_custkey").alias("src"),
+        (F.col("c_nationkey") + 1000000).alias("dst"),
+    )
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    est = hyperball(sym, rounds=2)
+    wide = est.groupBy("node").agg(
+        F.max(F.when(F.col("t") == 0, F.col("estimate"))).alias("b0"),
+        F.max(F.when(F.col("t") == 1, F.col("estimate"))).alias("b1"),
+        F.max(F.when(F.col("t") == 2, F.col("estimate"))).alias("b2"),
+    )
+    return wide.select(
+        "node",
+        "b0",
+        "b1",
+        "b2",
+        (
+            F.greatest(F.col("b1") - F.col("b0"), F.lit(0)) * 1000000
+            + F.expr(
+                "(greatest(b2 - b1, CAST(0 AS BIGINT)) * 1000000) DIV 2"
+            )
+        ).cast("long").alias("harmonic_x1e6"),
+    )
+
+
+HYPERBALL_SQL = """
+WITH e AS (
+  SELECT c_custkey AS src, c_nationkey + 1000000 AS dst FROM customer
+),
+sym AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+nodes AS (SELECT DISTINCT src AS node FROM sym),
+h AS (
+  SELECT node,
+    CAST(concat('0x', substr(md5(CAST(node AS VARCHAR)), 1, 8)) AS BIGINT)
+      AS h
+  FROM nodes
+),
+regs0 AS (
+  SELECT node, h & 63 AS bucket,
+    CASE WHEN (h >> 6) = 0 THEN 27
+         ELSE bit_count(((h >> 6) & -(h >> 6)) - 1) + 1 END AS rho
+  FROM h
+),
+regs1 AS (
+  SELECT node, bucket, max(rho) AS rho FROM (
+    SELECT node, bucket, rho FROM regs0
+    UNION ALL
+    SELECT s.src AS node, r.bucket, r.rho
+    FROM sym s JOIN regs0 r ON s.dst = r.node
+  ) GROUP BY 1, 2
+),
+regs2 AS (
+  SELECT node, bucket, max(rho) AS rho FROM (
+    SELECT node, bucket, rho FROM regs1
+    UNION ALL
+    SELECT s.src AS node, r.bucket, r.rho
+    FROM sym s JOIN regs1 r ON s.dst = r.node
+  ) GROUP BY 1, 2
+),
+agg0 AS (
+  SELECT node,
+         0.709 * 64 * 64
+           / (sum(pow(2.0, -rho)) + (64 - count(*)) * 1.0) AS raw,
+         64 - count(*) AS v
+  FROM regs0 GROUP BY node
+),
+agg1 AS (
+  SELECT node,
+         0.709 * 64 * 64
+           / (sum(pow(2.0, -rho)) + (64 - count(*)) * 1.0) AS raw,
+         64 - count(*) AS v
+  FROM regs1 GROUP BY node
+),
+agg2 AS (
+  SELECT node,
+         0.709 * 64 * 64
+           / (sum(pow(2.0, -rho)) + (64 - count(*)) * 1.0) AS raw,
+         64 - count(*) AS v
+  FROM regs2 GROUP BY node
+),
+est0 AS (
+  SELECT node, CAST(CASE WHEN raw <= 160.0 AND v > 0
+            THEN floor(64.0 * ln(64.0 / v) + 0.5)
+            ELSE floor(raw + 0.5) END AS BIGINT) AS b0
+  FROM agg0
+),
+est1 AS (
+  SELECT node, CAST(CASE WHEN raw <= 160.0 AND v > 0
+            THEN floor(64.0 * ln(64.0 / v) + 0.5)
+            ELSE floor(raw + 0.5) END AS BIGINT) AS b1
+  FROM agg1
+),
+est2 AS (
+  SELECT node, CAST(CASE WHEN raw <= 160.0 AND v > 0
+            THEN floor(64.0 * ln(64.0 / v) + 0.5)
+            ELSE floor(raw + 0.5) END AS BIGINT) AS b2
+  FROM agg2
+)
+SELECT node, b0, b1, b2,
+  CAST(greatest(b1 - b0, 0) * 1000000
+       + (greatest(b2 - b1, 0) * 1000000) // 2 AS BIGINT) AS harmonic_x1e6
+FROM est0 JOIN est1 USING (node) JOIN est2 USING (node)
+"""
+
+
 def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality metrics (operators/text.py
     repetition_metrics): per-doc fraction of characters covered by the top
@@ -6086,6 +6206,7 @@ QUERIES = {
     "bgp_path_ancestors": q_bgp_path_ancestors,
     "shape_violations": q_shape_violations,
     "bm25_many": q_bm25_many,
+    "hyperball_balls": q_hyperball,
     "topic_boundaries": q_topic_boundaries,
     "comention_graph": q_comention_graph,
     "kg_profile": q_kg_profile,
@@ -6230,6 +6351,7 @@ ORACLE_SQL = {
     "bgp_path_ancestors": BGP_PATH_SQL,
     "shape_violations": SHAPE_VIOLATIONS_SQL,
     "bm25_many": BM25_MANY_SQL,
+    "hyperball_balls": HYPERBALL_SQL,
     "topic_boundaries": TOPIC_BOUNDARIES_SQL,
     "comention_graph": COMENTION_SQL,
     "kg_profile": KG_PROFILE_SQL,

@@ -671,6 +671,66 @@ def degree_histogram(
     return hist(src_col, "out").unionByName(hist(dst_col, "in"))
 
 
+def hyperball(
+    edges: DataFrame,
+    rounds: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """HyperBall (Boldi & Vigna 2013): per-node approximate ball sizes
+    |B(v, t)| for t = 0..rounds — every node carries an HLL register set
+    over the ids reachable from it, and each round merges every
+    out-neighbor's registers into the node's own. The canonical way to
+    get neighborhood functions / effective-diameter / centrality signals
+    from a trillion-edge graph, because the per-node state is a CONSTANT
+    64 registers however large the ball gets (an exact frontier set, as in
+    n_hop_neighbors, grows with the ball and is the thing that dies at
+    scale; the reference has no neighborhood-function surface at all —
+    nearest is the per-node recursive walk in src/interface.py:52-64).
+
+    Scale shape: the register table is ≤ 64·V rows for the whole graph.
+    Each round is ONE edge join (registers keyed by dst fan out to src —
+    AQE skew split covers hubs) + ONE (node, bucket) groupBy-max with
+    map-side partials; per-round eager localCheckpoint cuts lineage like
+    every other iterative loop in this module. Estimates reuse
+    sketches.hll_estimate_by (md5-portable registers, linear-counting
+    small-range correction — balls are routinely ≪ 64), so a DuckDB
+    oracle replays every estimate bit-for-bit.
+
+    Balls follow edge direction; pass a symmetrized edge list for
+    undirected balls. Returns (node, t, estimate) for t = 0..rounds,
+    estimate(t=0) ≈ 1 by construction.
+    """
+    from .sketches import hll_estimate_by, hll_registers_by
+
+    nodes = (
+        edges.select(F.col(src_col).alias("node"))
+        .unionByName(edges.select(F.col(dst_col).alias("node")))
+        .dropDuplicates()
+    )
+    regs = hll_registers_by(nodes, "node", "node").localCheckpoint(eager=True)
+    e = edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"))
+
+    def _est(registers: DataFrame, t: int) -> DataFrame:
+        return hll_estimate_by(registers).select(
+            F.col("grp").alias("node"), F.lit(t).alias("t"), "estimate"
+        )
+
+    out = _est(regs, 0)
+    for t in range(1, rounds + 1):
+        contrib = e.join(regs, e["_d"] == regs["grp"]).select(
+            F.col("_s").alias("grp"), "bucket", "rho"
+        )
+        regs = (
+            regs.unionByName(contrib)
+            .groupBy("grp", "bucket")
+            .agg(F.max("rho").alias("rho"))
+            .localCheckpoint(eager=True)
+        )
+        out = out.unionByName(_est(regs, t))
+    return out
+
+
 def community_stats(edges: DataFrame, labels: DataFrame) -> DataFrame:
     """Per-community shape report over a node labeling (label_propagation
     output or any (node, label) table): member count, internal edge count

@@ -407,3 +407,52 @@ def test_hll_by_group_accuracy_and_merge(spark):
     assert {(r["grp"], r["bucket"], r["rho"]) for r in merged.collect()} == {
         (r["grp"], r["bucket"], r["rho"]) for r in regs.collect()
     }
+
+
+def test_hyperball_matches_exact_ball_sketches(spark):
+    """HyperBall's round-t registers must equal registers built directly
+    from the EXACT t-hop ball membership (the merge-is-union invariant of
+    Boldi & Vigna 2013 §3) — so every estimate matches the sketch of the
+    exact ball bit-for-bit, on a deterministic random digraph."""
+    import random
+
+    from chronographer_spark.operators.graph_algos import hyperball
+    from chronographer_spark.operators.sketches import (
+        hll_estimate_by,
+        hll_registers_by,
+    )
+
+    rng = random.Random(7)
+    n = 40
+    edges = sorted({(rng.randrange(n), rng.randrange(n)) for _ in range(120)})
+    e = spark.createDataFrame(edges, "src long, dst long")
+
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+    nodes = {s for s, _ in edges} | {d for _, d in edges}
+    balls = {v: {v} for v in nodes}
+    exact_pairs = {0: {(v, v) for v in nodes}}
+    for t in (1, 2):
+        balls = {
+            v: b | {w for u in b for w in adj.get(u, ())} for v, b in balls.items()
+        }
+        exact_pairs[t] = {(v, m) for v, b in balls.items() for m in b}
+
+    got = {
+        (r["node"], r["t"]): r["estimate"]
+        for r in hyperball(e, rounds=2).collect()
+    }
+    assert len(got) == 3 * len(nodes)
+    for t in (0, 1, 2):
+        pairs = spark.createDataFrame(
+            sorted(exact_pairs[t]), "node long, member long"
+        )
+        want = {
+            r["grp"]: r["estimate"]
+            for r in hll_estimate_by(
+                hll_registers_by(pairs, "node", "member")
+            ).collect()
+        }
+        for v in nodes:
+            assert got[(v, t)] == want[v], (v, t, got[(v, t)], want[v])
