@@ -3408,6 +3408,57 @@ FROM starts
 """
 
 
+def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-level boilerplate removal (operators/text.py
+    boilerplate_removal): 2-token lines, a line is boilerplate when it
+    occurs in >= max(2, ceil(n_docs/32)) distinct documents (1/32 is
+    exact in binary, so both engines compute the identical threshold).
+    The oracle replays segmentation, the doc-frequency pass, and ordered
+    reassembly of the kept lines."""
+    from .operators.text import boilerplate_removal
+
+    out = boilerplate_removal(
+        _t(spark, sf_dir, "documents"),
+        line_tokens=2,
+        max_doc_frac=0.03125,
+        min_docs=2,
+    )
+    return out.select(
+        F.col("id").alias("doc_id"), "n_lines", "n_dropped", "clean_text"
+    )
+
+
+BOILERPLATE_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), t -> t <> '') AS w
+  FROM documents
+),
+nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+lines AS (
+  SELECT doc_id, CAST(s // 2 AS BIGINT) AS line_idx,
+         array_to_string(list_slice(w, s + 1, s + 2), ' ') AS line
+  FROM (SELECT doc_id, w, unnest(range(0, len(w), 2)) AS s
+        FROM toks WHERE len(w) > 0)
+),
+boiler AS (
+  SELECT line FROM lines GROUP BY line
+  HAVING count(DISTINCT doc_id)
+         >= greatest(2, CAST(ceil(0.03125 * (SELECT n_docs FROM nd)) AS BIGINT))
+)
+SELECT l.doc_id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN b.line IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped,
+       coalesce(
+         string_agg(CASE WHEN b.line IS NULL THEN l.line END, ' '
+                    ORDER BY l.line_idx),
+         '') AS clean_text
+FROM lines l LEFT JOIN boiler b ON l.line = b.line
+GROUP BY l.doc_id
+"""
+
+
 def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic synchronous label propagation (operators/graph_algos
     label_propagation, 2 rounds) over the customer-nation membership graph:
@@ -6233,6 +6284,7 @@ QUERIES = {
     "repetition_metrics": q_repetition_metrics,
     "label_propagation": q_label_propagation,
     "chunk_documents": q_chunk_documents,
+    "boilerplate_clean": q_boilerplate_removal,
     "corpus_overlap": q_corpus_overlap,
     "curation_gopher": q_curation_gopher,
     "hll_users_by_type": q_hll_users_by_type,
@@ -6378,6 +6430,7 @@ ORACLE_SQL = {
     "repetition_metrics": REPETITION_SQL,
     "label_propagation": LABEL_PROP_SQL,
     "chunk_documents": CHUNK_DOCS_SQL,
+    "boilerplate_clean": BOILERPLATE_SQL,
     "corpus_overlap": CORPUS_OVERLAP_SQL,
     "curation_gopher": CURATION_GOPHER_SQL,
     "hll_users_by_type": HLL_BY_TYPE_SQL,

@@ -479,3 +479,92 @@ def bigram_typicality(
             )
         )
     )
+
+
+def boilerplate_removal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_tokens: int = 8,
+    max_doc_frac: float = 0.01,
+    min_docs: int = 2,
+) -> DataFrame:
+    """CCNet/C4-style corpus-level boilerplate removal (Wenzek et al. 2020
+    §2: drop lines whose normalized form repeats across many documents —
+    nav bars, cookie banners, license footers). The corpus here has no
+    newlines, so a "line" is each consecutive non-overlapping block of
+    ``line_tokens`` lowercase whitespace tokens — the same deterministic
+    segmentation rule both engines replay (trailing blocks may be short).
+
+    A line is boilerplate when it appears in at least
+    ``max(min_docs, ceil(max_doc_frac * n_docs))`` DISTINCT documents.
+    Kept lines are re-joined in original order.
+
+    Scale shape: one map-side explode to (doc, line_idx, line); the
+    doc-frequency pass is a (line → distinct doc) agg with map-side
+    partials; the boilerplate set is by construction tiny (heavy hitters
+    only), so the flagging join back to the line table is AQE-broadcast;
+    reassembly is one groupBy(doc) of sorted (idx, line) structs. Two
+    shuffles total at any corpus size. ``n_docs`` is one exact scalar
+    (same convention as tfidf_top_terms); a production variant could
+    swap the exact df pass for a CMS heavy-hitter pass (sketches.py) to
+    skip the line-table shuffle entirely.
+
+    Emits (id, n_lines, n_dropped, clean_text).
+    """
+    import math
+
+    n_docs = df.select(id_col).distinct().count()  # one scalar, exact integer
+    threshold = max(min_docs, math.ceil(max_doc_frac * n_docs))
+
+    toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: t != F.lit(""))
+    base = df.select(F.col(id_col).alias("id"), toks.alias("w")).filter(
+        F.size("w") > 0
+    )
+    lines = base.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("w") - 1, F.lit(line_tokens)),
+                lambda s: F.concat_ws(" ", F.slice("w", s + 1, line_tokens)),
+            )
+        ).alias("line_idx", "line"),
+    )
+    boiler = (
+        lines.groupBy("line")
+        .agg(F.countDistinct("id").alias("doc_df"))
+        .filter(F.col("doc_df") >= threshold)
+        .select("line")
+        .withColumn("_drop", F.lit(True))
+    )
+    flagged = lines.join(boiler, "line", "left")
+    return (
+        flagged.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.when(F.col("_drop"), 1).otherwise(0)).alias("n_dropped"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_drop").isNull(),
+                                F.struct(
+                                    F.col("line_idx").alias("i"),
+                                    F.col("line").alias("l"),
+                                ),
+                            )
+                        )
+                    ),
+                    lambda s: s["l"],
+                ),
+            ).alias("clean_text"),
+        )
+        .select(
+            "id",
+            F.col("n_lines").cast("long").alias("n_lines"),
+            F.col("n_dropped").cast("long").alias("n_dropped"),
+            "clean_text",
+        )
+    )

@@ -1504,3 +1504,33 @@ def test_community_stats_hand_graph(spark):
         30: (1, 1, 0),   # self-loop 9-9 is internal
         40: (1, 0, 0),   # labeled node with no edges
     }
+
+
+def test_boilerplate_removal_hand_fixture(spark):
+    """Banner lines shared by >= threshold docs are dropped everywhere,
+    unique content survives in original order, and a doc that is ALL
+    boilerplate cleans to the empty string (not a dropped row)."""
+    from chronographer_spark.operators.text import boilerplate_removal
+
+    banner = "accept cookies"
+    docs = [
+        (1, f"{banner} alpha beta gamma delta"),
+        (2, f"{banner} epsilon zeta eta theta"),
+        (3, f"{banner} iota kappa {banner}"),
+        (4, banner),  # all boilerplate
+        (5, "lonely words only here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    # threshold = max(2, ceil(0.5 * 5)) = 3; banner df = 4 -> dropped
+    out = {
+        r["id"]: (r["n_lines"], r["n_dropped"], r["clean_text"])
+        for r in boilerplate_removal(
+            df, line_tokens=2, max_doc_frac=0.5, min_docs=2
+        ).collect()
+    }
+    assert out[1] == (3, 1, "alpha beta gamma delta")
+    assert out[2] == (3, 1, "epsilon zeta eta theta")
+    assert out[3] == (3, 2, "iota kappa")
+    assert out[4] == (1, 1, "")
+    # "lonely words"/"only here" appear in one doc each: kept
+    assert out[5] == (2, 0, "lonely words only here")
