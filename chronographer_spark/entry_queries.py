@@ -3635,6 +3635,76 @@ FROM est0 JOIN est1 USING (node) JOIN est2 USING (node)
 """
 
 
+def q_bfs_landmarks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark BFS distances (operators/graph_algos.bfs_distances, 3
+    rounds) over the symmetrized customer->nation->region membership
+    chain from landmark customers 0 and 1: own nation at 1, region at 2,
+    sibling nations at 3 — all four distance values realized. The oracle
+    unrolls three min-propagation rounds (provably equal to the frontier
+    formulation for unweighted BFS: first discovery = final distance)."""
+    from .operators.graph_algos import bfs_distances
+
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    cn = cust.select(
+        F.col("c_custkey").alias("src"),
+        (F.col("c_nationkey") + 1000000).alias("dst"),
+    )
+    nr = nat.select(
+        (F.col("n_nationkey") + 1000000).alias("src"),
+        (F.col("n_regionkey") + 2000000).alias("dst"),
+    )
+    e = cn.unionByName(nr)
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return bfs_distances(sym, landmarks=[0, 1], rounds=3).select(
+        "node", "landmark", F.col("dist").cast("long").alias("dist")
+    )
+
+
+BFS_LANDMARKS_SQL = """
+WITH cn AS (
+  SELECT c_custkey AS src, c_nationkey + 1000000 AS dst FROM customer
+),
+nr AS (
+  SELECT n_nationkey + 1000000 AS src, n_regionkey + 2000000 AS dst
+  FROM nation
+),
+e AS (SELECT * FROM cn UNION ALL SELECT * FROM nr),
+sym AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+d0 AS (
+  SELECT 0 AS node, 0 AS landmark, 0 AS dist
+  UNION ALL SELECT 1, 1, 0
+),
+d1 AS (
+  SELECT node, landmark, min(dist) AS dist FROM (
+    SELECT node, landmark, dist FROM d0
+    UNION ALL
+    SELECT s.dst AS node, d.landmark, d.dist + 1
+    FROM sym s JOIN d0 d ON s.src = d.node
+  ) GROUP BY 1, 2
+),
+d2 AS (
+  SELECT node, landmark, min(dist) AS dist FROM (
+    SELECT node, landmark, dist FROM d1
+    UNION ALL
+    SELECT s.dst AS node, d.landmark, d.dist + 1
+    FROM sym s JOIN d1 d ON s.src = d.node
+  ) GROUP BY 1, 2
+),
+d3 AS (
+  SELECT node, landmark, min(dist) AS dist FROM (
+    SELECT node, landmark, dist FROM d2
+    UNION ALL
+    SELECT s.dst AS node, d.landmark, d.dist + 1
+    FROM sym s JOIN d2 d ON s.src = d.node
+  ) GROUP BY 1, 2
+)
+SELECT node, landmark, CAST(dist AS BIGINT) AS dist FROM d3
+"""
+
+
 def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality metrics (operators/text.py
     repetition_metrics): per-doc fraction of characters covered by the top
@@ -6258,6 +6328,7 @@ QUERIES = {
     "shape_violations": q_shape_violations,
     "bm25_many": q_bm25_many,
     "hyperball_balls": q_hyperball,
+    "bfs_landmarks": q_bfs_landmarks,
     "topic_boundaries": q_topic_boundaries,
     "comention_graph": q_comention_graph,
     "kg_profile": q_kg_profile,
@@ -6404,6 +6475,7 @@ ORACLE_SQL = {
     "shape_violations": SHAPE_VIOLATIONS_SQL,
     "bm25_many": BM25_MANY_SQL,
     "hyperball_balls": HYPERBALL_SQL,
+    "bfs_landmarks": BFS_LANDMARKS_SQL,
     "topic_boundaries": TOPIC_BOUNDARIES_SQL,
     "comention_graph": COMENTION_SQL,
     "kg_profile": KG_PROFILE_SQL,

@@ -775,3 +775,55 @@ def community_stats(edges: DataFrame, labels: DataFrame) -> DataFrame:
             F.coalesce("n_cut", F.lit(0)).alias("n_cut"),
         )
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    landmarks: list,
+    rounds: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Multi-source landmark BFS: exact hop distance from each of k landmark
+    nodes to every node within ``rounds`` hops — the landmark-distance
+    feature scheme (Potamias et al. 2009, "Fast shortest path distance
+    estimation in large networks"): per-node distance vectors to a small
+    landmark set stand in for pairwise graph distance at scale. Complements
+    hyperball (which answers |ball| only, not WHICH nodes / how far).
+
+    Frontier-based: in unweighted BFS a (node, landmark) pair's first
+    discovery is its final distance, so each round joins edges against
+    ONLY the rows discovered last round, anti-joins already-known pairs,
+    and appends. State is <= k·V rows total and the per-round join input
+    shrinks as frontiers saturate — the whole-table min-merge alternative
+    re-derives every prior round's contributions each round. One edge
+    join (AQE skew split covers hubs) + one anti-join per round;
+    per-round eager localCheckpoint cuts lineage like every other
+    iterative loop in this module. Distances follow edge direction; pass
+    a symmetrized edge list for undirected distance.
+
+    Returns (node, landmark, dist), one row per pair reached within
+    ``rounds`` hops (unreached pairs are absent, not NULL).
+    """
+    spark = edges.sparkSession
+    e = edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"))
+    dist = spark.createDataFrame(
+        [(int(l), int(l), 0) for l in landmarks],
+        "node long, landmark long, dist int",
+    ).localCheckpoint(eager=True)
+    frontier = dist
+    for t in range(1, rounds + 1):
+        cand = (
+            e.join(frontier, e["_s"] == frontier["node"])
+            .select(
+                F.col("_d").alias("node"),
+                "landmark",
+                F.lit(t).cast("int").alias("dist"),
+            )
+            .dropDuplicates(["node", "landmark"])
+        )
+        frontier = cand.join(
+            dist.select("node", "landmark"), ["node", "landmark"], "left_anti"
+        ).localCheckpoint(eager=True)
+        dist = dist.unionByName(frontier).localCheckpoint(eager=True)
+    return dist

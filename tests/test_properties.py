@@ -423,3 +423,37 @@ def test_conversation_metrics_matches_python_model(spark, rows):
         for r in conversation_metrics(tx, long_gap_s=300).collect()
     }
     assert got == exp
+
+
+@given(edges=pr_edges_strategy)
+@settings(**SETTINGS)
+def test_bfs_distances_matches_python_model(spark, edges):
+    """bfs_distances vs a driver-side BFS on arbitrary small directed
+    multigraphs (self-loops, parallel edges, unreachable nodes) from two
+    landmarks, capped at 3 rounds."""
+    from chronographer_spark.operators.graph_algos import bfs_distances
+
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        (r["node"], r["landmark"]): r["dist"]
+        for r in bfs_distances(e, landmarks=[0, 3], rounds=3).collect()
+    }
+
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+    expect = {}
+    for lm in (0, 3):
+        dist = {lm: 0}
+        frontier = [lm]
+        for t in (1, 2, 3):
+            nxt = []
+            for u in frontier:
+                for v in adj.get(u, ()):
+                    if v not in dist:
+                        dist[v] = t
+                        nxt.append(v)
+            frontier = nxt
+        for n, d in dist.items():
+            expect[(n, lm)] = d
+    assert got == expect
