@@ -1195,20 +1195,96 @@ nodes AS (
 outdeg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
 r0 AS (SELECT node, 1.0 AS r FROM nodes),
 r1 AS (
-  SELECT n.node, 0.15 + 0.85 * coalesce(s.m, 0) AS r
+  SELECT n.node, (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+           + CAST(0.85 AS DOUBLE) * coalesce(s.m, CAST(0 AS DOUBLE)) AS r
   FROM nodes n LEFT JOIN (
     SELECT e.dst AS node, sum(r0.r / o.d) AS m
     FROM e JOIN r0 ON r0.node = e.src JOIN outdeg o ON o.src = e.src
     GROUP BY e.dst) s ON s.node = n.node
 ),
 r2 AS (
-  SELECT n.node, 0.15 + 0.85 * coalesce(s.m, 0) AS r
+  SELECT n.node, (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+           + CAST(0.85 AS DOUBLE) * coalesce(s.m, CAST(0 AS DOUBLE)) AS r
   FROM nodes n LEFT JOIN (
     SELECT e.dst AS node, sum(r1.r / o.d) AS m
     FROM e JOIN r1 ON r1.node = e.src JOIN outdeg o ON o.src = e.src
     GROUP BY e.dst) s ON s.node = n.node
 )
 SELECT node, CAST(floor(r * 1000000 + 0.5) AS BIGINT) AS rank_x1e6 FROM r2
+"""
+
+
+def q_ppr_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (operators/graph_algos.personalized_pagerank,
+    2 iterations) from seed customers c0/c1 over the SYMMETRIZED
+    order<->customer<->nation graph: mass reaches the seeds' nations and
+    orders in round 1, sibling customers in round 2, and the rank table
+    stays sparse throughout (only the seed neighborhood, never V). The
+    oracle unrolls both rounds with the same sparse full-join-on-seeds
+    recurrence; ranks scaled to 1e6 like the global pagerank gates."""
+    from .operators.graph_algos import personalized_pagerank
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    e1 = orders.select(
+        F.concat(F.lit("o"), F.col("o_orderkey").cast("string")).alias("src"),
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
+    )
+    e2 = cust.select(
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("n"), F.col("c_nationkey").cast("string")).alias("dst"),
+    )
+    e = e1.unionByName(e2)
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    out = personalized_pagerank(sym, seeds=["c0", "c1"], iterations=2)
+    return out.select(
+        "node",
+        F.floor(F.col("rank") * 1000000 + F.lit(0.5)).cast("long").alias("rank_x1e6"),
+    )
+
+
+PPR_SEEDS_SQL = """
+WITH e0 AS (
+  SELECT 'o' || CAST(o_orderkey AS VARCHAR) AS src,
+         'c' || CAST(o_custkey AS VARCHAR) AS dst
+  FROM orders
+  UNION ALL
+  SELECT 'c' || CAST(c_custkey AS VARCHAR),
+         'n' || CAST(c_nationkey AS VARCHAR)
+  FROM customer
+),
+e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+outdeg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+seeds AS (SELECT 'c0' AS node, CAST(0.5 AS DOUBLE) AS p
+          UNION ALL SELECT 'c1', CAST(0.5 AS DOUBLE)),
+r0 AS (SELECT node, p AS rank FROM seeds),
+c1 AS (
+  SELECT e.dst AS node, sum(r.rank / o.d) AS m
+  FROM e JOIN r0 r ON e.src = r.node JOIN outdeg o ON o.src = e.src
+  GROUP BY e.dst
+),
+r1 AS (
+  SELECT coalesce(c.node, s.node) AS node,
+         (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+             * coalesce(s.p, CAST(0 AS DOUBLE))
+           + CAST(0.85 AS DOUBLE) * coalesce(c.m, CAST(0 AS DOUBLE)) AS rank
+  FROM c1 c FULL JOIN seeds s ON c.node = s.node
+),
+c2 AS (
+  SELECT e.dst AS node, sum(r.rank / o.d) AS m
+  FROM e JOIN r1 r ON e.src = r.node JOIN outdeg o ON o.src = e.src
+  GROUP BY e.dst
+),
+r2 AS (
+  SELECT coalesce(c.node, s.node) AS node,
+         (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+             * coalesce(s.p, CAST(0 AS DOUBLE))
+           + CAST(0.85 AS DOUBLE) * coalesce(c.m, CAST(0 AS DOUBLE)) AS rank
+  FROM c2 c FULL JOIN seeds s ON c.node = s.node
+)
+SELECT node, CAST(floor(rank * 1000000 + 0.5) AS BIGINT) AS rank_x1e6 FROM r2
 """
 
 
@@ -3941,7 +4017,9 @@ d0 AS (
   FROM r0 WHERE node NOT IN (SELECT src FROM e)
 ),
 r1 AS (
-  SELECT n.node, 0.15 + 0.85 * (coalesce(s.m, 0) + (SELECT share FROM d0)) AS r
+  SELECT n.node, (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+           + CAST(0.85 AS DOUBLE)
+             * (coalesce(s.m, CAST(0 AS DOUBLE)) + (SELECT share FROM d0)) AS r
   FROM nodes n LEFT JOIN (
     SELECT e.dst AS node, sum(r0.r / o.d) AS m
     FROM e JOIN r0 ON r0.node = e.src JOIN outdeg o ON o.src = e.src
@@ -3952,7 +4030,9 @@ d1 AS (
   FROM r1 WHERE node NOT IN (SELECT src FROM e)
 ),
 r2 AS (
-  SELECT n.node, 0.15 + 0.85 * (coalesce(s.m, 0) + (SELECT share FROM d1)) AS r
+  SELECT n.node, (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+           + CAST(0.85 AS DOUBLE)
+             * (coalesce(s.m, CAST(0 AS DOUBLE)) + (SELECT share FROM d1)) AS r
   FROM nodes n LEFT JOIN (
     SELECT e.dst AS node, sum(r1.r / o.d) AS m
     FROM e JOIN r1 ON r1.node = e.src JOIN outdeg o ON o.src = e.src
@@ -6329,6 +6409,7 @@ QUERIES = {
     "bm25_many": q_bm25_many,
     "hyperball_balls": q_hyperball,
     "bfs_landmarks": q_bfs_landmarks,
+    "ppr_seeds": q_ppr_seeds,
     "topic_boundaries": q_topic_boundaries,
     "comention_graph": q_comention_graph,
     "kg_profile": q_kg_profile,
@@ -6476,6 +6557,7 @@ ORACLE_SQL = {
     "bm25_many": BM25_MANY_SQL,
     "hyperball_balls": HYPERBALL_SQL,
     "bfs_landmarks": BFS_LANDMARKS_SQL,
+    "ppr_seeds": PPR_SEEDS_SQL,
     "topic_boundaries": TOPIC_BOUNDARIES_SQL,
     "comention_graph": COMENTION_SQL,
     "kg_profile": KG_PROFILE_SQL,

@@ -827,3 +827,58 @@ def bfs_distances(
         ).localCheckpoint(eager=True)
         dist = dist.unionByName(frontier).localCheckpoint(eager=True)
     return dist
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: list,
+    damping: float = 0.85,
+    iterations: int = 3,
+) -> DataFrame:
+    """Personalized PageRank: random walk with restart to a seed set —
+    r_{t+1}(v) = (1-d)·p(v) + d·Σ_{u→v} r_t(u)/outdeg(u), with p uniform
+    over ``seeds`` and r_0 = p. THE entity-relevance primitive around
+    known-good seed entities in a KG (local community / related-entity
+    scoring; the global `pagerank` answers importance, PPR answers
+    importance *to these seeds*). Same iterative shape as pagerank: one
+    hash join + one aggregate per round, per-round eager localCheckpoint;
+    unlike global PR the rank table STAYS SPARSE — only nodes within t
+    hops of a seed ever hold mass, so the per-round join input is the
+    seed neighborhood, not V (the reason PPR is the scalable choice for
+    per-entity relevance at 100 TB: k seed sets are k cheap sparse loops,
+    not k full-graph sweeps).
+
+    Sink mass is dropped (matches pagerank's default). Returns
+    (node, rank) for nodes with rank > 0 only.
+    """
+    spark = edges.sparkSession
+    p0 = 1.0 / len(seeds)
+    outdeg = (
+        edges.groupBy("src").agg(F.count("*").alias("d")).localCheckpoint(eager=True)
+    )
+    seed_df = spark.createDataFrame(
+        [(s, p0) for s in seeds], ["node", "p"]  # node type inferred from seeds
+    ).localCheckpoint(eager=True)
+    ranks = seed_df.select("node", F.col("p").alias("rank"))
+    for _ in range(iterations):
+        contribs = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .join(outdeg, "src")
+            .select(
+                F.col("dst").alias("node"), (F.col("rank") / F.col("d")).alias("c")
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("m"))
+        )
+        ranks = (
+            contribs.join(seed_df, "node", "full")
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping) * F.coalesce("p", F.lit(0.0))
+                    + F.lit(damping) * F.coalesce("m", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

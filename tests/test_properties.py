@@ -457,3 +457,38 @@ def test_bfs_distances_matches_python_model(spark, edges):
         for n, d in dist.items():
             expect[(n, lm)] = d
     assert got == expect
+
+
+@given(edges=pr_edges_strategy)
+@settings(**SETTINGS)
+def test_personalized_pagerank_matches_python_model(spark, edges):
+    """personalized_pagerank vs a driver-side sparse random-walk-with-
+    restart recurrence on arbitrary small multigraphs; the Spark result
+    must cover exactly the touched node set (seeds + anything that ever
+    received mass) with matching values."""
+    from chronographer_spark.operators.graph_algos import personalized_pagerank
+
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["rank"]
+        for r in personalized_pagerank(e, seeds=[0, 3], iterations=3).collect()
+    }
+
+    out: dict = {}
+    for a, b in edges:
+        out.setdefault(a, []).append(b)
+    d = 0.85
+    p = {0: 0.5, 3: 0.5}
+    r = dict(p)
+    for _ in range(3):
+        m: dict = {}
+        for u, rank in r.items():
+            for v in out.get(u, ()):
+                m[v] = m.get(v, 0.0) + rank / len(out[u])
+        r = {
+            v: (1.0 - d) * p.get(v, 0.0) + d * m.get(v, 0.0)
+            for v in set(m) | set(p)
+        }
+    assert set(got) == set(r)
+    for v, rank in r.items():
+        assert abs(got[v] - rank) < 1e-9, (v, got[v], rank)
