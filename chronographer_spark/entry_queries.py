@@ -1214,6 +1214,101 @@ SELECT node, CAST(floor(r * 1000000 + 0.5) AS BIGINT) AS rank_x1e6 FROM r2
 """
 
 
+def q_luby_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Luby MIS (operators/graph_algos.luby_mis, 2 rounds)
+    over the symmetrized order<->customer<->nation graph: order leaves
+    mostly decide in round 1 (their only neighbor is their customer),
+    customer/nation hubs contend on md5 priority; some nodes stay
+    undecided after 2 rounds — all three states realized. The oracle
+    unrolls both rounds with the identical zero-padded (md5_32, node)
+    priority strings."""
+    from .operators.graph_algos import luby_mis
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    e1 = orders.select(
+        (F.col("o_orderkey") + 2000000).alias("src"),
+        F.col("o_custkey").alias("dst"),
+    )
+    e2 = cust.select(
+        F.col("c_custkey").alias("src"),
+        (F.col("c_nationkey") + 1000000).alias("dst"),
+    )
+    e = e1.unionByName(e2)
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return luby_mis(sym, rounds=2).select(
+        "node", "state", F.col("decided_round").cast("long").alias("decided_round")
+    )
+
+
+LUBY_MIS_SQL = """
+WITH e0 AS (
+  SELECT o_orderkey + 2000000 AS src, o_custkey AS dst FROM orders
+  UNION ALL
+  SELECT c_custkey AS src, c_nationkey + 1000000 AS dst FROM customer
+),
+e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+nodes AS (
+  SELECT DISTINCT node
+  FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+),
+u0 AS (
+  SELECT node,
+         printf('%010d%019d',
+                CAST(concat('0x', substr(md5(CAST(node AS VARCHAR)), 1, 8))
+                     AS BIGINT),
+                node) AS p
+  FROM nodes
+),
+m1 AS (
+  SELECT e.dst AS node, min(u.p) AS np
+  FROM e JOIN u0 u ON e.src = u.node GROUP BY e.dst
+),
+w1 AS (
+  SELECT u.node FROM u0 u LEFT JOIN m1 ON u.node = m1.node
+  WHERE m1.np IS NULL OR u.p < m1.np
+),
+x1 AS (
+  SELECT DISTINCT e.dst AS node FROM e JOIN w1 ON e.src = w1.node
+  WHERE e.dst NOT IN (SELECT node FROM w1)
+),
+u1 AS (
+  SELECT * FROM u0
+  WHERE node NOT IN (SELECT node FROM w1)
+    AND node NOT IN (SELECT node FROM x1)
+),
+m2 AS (
+  SELECT e.dst AS node, min(u.p) AS np
+  FROM e JOIN u1 u ON e.src = u.node GROUP BY e.dst
+),
+w2 AS (
+  SELECT u.node FROM u1 u LEFT JOIN m2 ON u.node = m2.node
+  WHERE m2.np IS NULL OR u.p < m2.np
+),
+x2 AS (
+  SELECT DISTINCT e.dst AS node FROM e JOIN w2 ON e.src = w2.node
+  WHERE e.dst IN (SELECT node FROM u1)
+    AND e.dst NOT IN (SELECT node FROM w2)
+),
+u2 AS (
+  SELECT * FROM u1
+  WHERE node NOT IN (SELECT node FROM w2)
+    AND node NOT IN (SELECT node FROM x2)
+)
+SELECT node, 'in' AS state, CAST(1 AS BIGINT) AS decided_round FROM w1
+UNION ALL
+SELECT node, 'out', CAST(1 AS BIGINT) FROM x1
+UNION ALL
+SELECT node, 'in', CAST(2 AS BIGINT) FROM w2
+UNION ALL
+SELECT node, 'out', CAST(2 AS BIGINT) FROM x2
+UNION ALL
+SELECT node, 'undecided', CAST(0 AS BIGINT) FROM u2
+"""
+
+
 def q_ppr_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Personalized PageRank (operators/graph_algos.personalized_pagerank,
     2 iterations) from seed customers c0/c1 over the SYMMETRIZED
@@ -6410,6 +6505,7 @@ QUERIES = {
     "hyperball_balls": q_hyperball,
     "bfs_landmarks": q_bfs_landmarks,
     "ppr_seeds": q_ppr_seeds,
+    "luby_mis_2round": q_luby_mis,
     "topic_boundaries": q_topic_boundaries,
     "comention_graph": q_comention_graph,
     "kg_profile": q_kg_profile,
@@ -6558,6 +6654,7 @@ ORACLE_SQL = {
     "hyperball_balls": HYPERBALL_SQL,
     "bfs_landmarks": BFS_LANDMARKS_SQL,
     "ppr_seeds": PPR_SEEDS_SQL,
+    "luby_mis_2round": LUBY_MIS_SQL,
     "topic_boundaries": TOPIC_BOUNDARIES_SQL,
     "comention_graph": COMENTION_SQL,
     "kg_profile": KG_PROFILE_SQL,

@@ -882,3 +882,87 @@ def personalized_pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def luby_mis(
+    edges: DataFrame,
+    rounds: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Deterministic Luby maximal independent set (Luby 1986, the
+    parallel symmetry-breaking primitive — conflict-free task batches,
+    landmark spreading, distributed greedy coloring's first color
+    class). Priorities are engine-portable: the zero-padded string
+    (md5_32(node), node), so ties are impossible and a DuckDB oracle
+    replays every round bit-for-bit. Per round, an undecided node joins
+    the MIS iff its priority is strictly smallest among its UNDECIDED
+    neighbors (no undecided neighbor -> joins); its neighbors are then
+    excluded. This is the lexicographically-first MIS in priority order
+    — same output at any parallelism.
+
+    Scale shape per round: one edge join carrying undecided priorities
+    (AQE skew split covers hubs) + one min agg with map-side partials +
+    two anti-joins; the undecided set SHRINKS geometrically (Luby's
+    expected-constant-fraction argument), so later rounds are nearly
+    free. Per-round eager localCheckpoint, as everywhere in this module.
+    Self-loops are dropped (a self-adjacent node can never join).
+
+    Pass a symmetrized edge list. Returns (node, state, decided_round)
+    with state in ('in', 'out', 'undecided'); decided_round = 0 for
+    nodes still undecided after ``rounds``.
+    """
+    from .sketches import _hash32
+
+    e = edges.filter(F.col(src_col) != F.col(dst_col)).select(
+        F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
+    )
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .unionByName(e.select(F.col("_d").alias("node")))
+        .dropDuplicates()
+    )
+    u = nodes.select(
+        "node",
+        F.format_string(
+            "%010d%019d", _hash32(F.col("node")), F.col("node")
+        ).alias("p"),
+    ).localCheckpoint(eager=True)
+    decided = None
+    for t in range(1, rounds + 1):
+        nbrmin = (
+            e.join(u, e["_s"] == u["node"])
+            .select(F.col("_d").alias("node"), F.col("p").alias("np"))
+            .groupBy("node")
+            .agg(F.min("np").alias("np"))
+        )
+        winners = (
+            u.join(nbrmin, "node", "left")
+            .filter(F.col("np").isNull() | (F.col("p") < F.col("np")))
+            .select("node")
+            .localCheckpoint(eager=True)
+        )
+        excl = (
+            e.join(winners, e["_s"] == winners["node"])
+            .select(F.col("_d").alias("node"))
+            .dropDuplicates()
+            .join(u.select("node"), "node", "left_semi")
+            .join(winners, "node", "left_anti")
+        )
+        batch = winners.select(
+            "node", F.lit("in").alias("state"), F.lit(t).alias("decided_round")
+        ).unionByName(
+            excl.select(
+                "node", F.lit("out").alias("state"), F.lit(t).alias("decided_round")
+            )
+        )
+        decided = (
+            batch if decided is None else decided.unionByName(batch)
+        ).localCheckpoint(eager=True)
+        u = u.join(decided.select("node"), "node", "left_anti").localCheckpoint(
+            eager=True
+        )
+    rest = u.select(
+        "node", F.lit("undecided").alias("state"), F.lit(0).alias("decided_round")
+    )
+    return decided.unionByName(rest) if decided is not None else rest

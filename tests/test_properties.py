@@ -492,3 +492,61 @@ def test_personalized_pagerank_matches_python_model(spark, edges):
     assert set(got) == set(r)
     for v, rank in r.items():
         assert abs(got[v] - rank) < 1e-9, (v, got[v], rank)
+
+
+@given(edges=pr_edges_strategy)
+@settings(**SETTINGS)
+def test_luby_mis_matches_python_model(spark, edges):
+    """luby_mis vs a driver-side replay of the same deterministic rounds
+    on arbitrary small graphs (self-loops, parallel edges); also asserts
+    the output is a valid independent set and maximal over decided
+    nodes."""
+    import hashlib
+
+    from chronographer_spark.operators.graph_algos import luby_mis
+
+    e_in = spark.createDataFrame(edges, "src long, dst long")
+    sym = [(a, b) for a, b in edges if a != b]
+    sym = sorted(set(sym) | {(b, a) for a, b in sym})
+    got = {
+        r["node"]: (r["state"], r["decided_round"])
+        for r in luby_mis(
+            e_in.unionByName(
+                e_in.selectExpr("dst as src", "src as dst")
+            ),
+            rounds=3,
+        ).collect()
+    }
+
+    def prio(n):
+        h = int(hashlib.md5(str(n).encode()).hexdigest()[:8], 16)
+        return "%010d%019d" % (h, n)
+
+    adj: dict = {}
+    for a, b in sym:
+        adj.setdefault(a, set()).add(b)
+    nodes = {a for a, _ in sym} | {b for _, b in sym}
+    undecided = set(nodes)
+    expect = {}
+    for t in (1, 2, 3):
+        winners = {
+            v
+            for v in undecided
+            if all(
+                prio(v) < prio(u) for u in adj.get(v, ()) if u in undecided
+            )
+        }
+        excl = (
+            {u for v in winners for u in adj.get(v, ())} & undecided
+        ) - winners
+        for v in winners:
+            expect[v] = ("in", t)
+        for v in excl:
+            expect[v] = ("out", t)
+        undecided -= winners | excl
+    for v in undecided:
+        expect[v] = ("undecided", 0)
+    assert got == expect
+    mis = {v for v, (s, _) in expect.items() if s == "in"}
+    for a, b in sym:
+        assert not (a in mis and b in mis), "not independent"
