@@ -1214,6 +1214,86 @@ SELECT node, CAST(floor(r * 1000000 + 0.5) AS BIGINT) AS rank_x1e6 FROM r2
 """
 
 
+def q_clustering_coef(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient (operators/graph_algos
+    clustering_coefficient) over the same triangle-per-customer
+    customer/nation/region membership graph as the global triangle gate:
+    customers close exactly one triangle (lcc = 1e6), nation/region hubs
+    get graded quotients. Exact integer arithmetic end to end — the
+    oracle replays orientation, single-corner enumeration, 3-corner
+    credit, and the (2·t·1e6) DIV (d·(d−1)) quotient."""
+    from .operators.graph_algos import clustering_coefficient
+
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    cn = cust.select(
+        F.col("c_custkey").alias("src"),
+        (F.col("c_nationkey") + 1000000).alias("dst"),
+    )
+    cr = cust.join(nat, cust["c_nationkey"] == nat["n_nationkey"]).select(
+        F.col("c_custkey").alias("src"),
+        (F.col("n_regionkey") + 2000000).alias("dst"),
+    )
+    nr = nat.select(
+        (F.col("n_nationkey") + 1000000).alias("src"),
+        (F.col("n_regionkey") + 2000000).alias("dst"),
+    )
+    return clustering_coefficient(cn.unionByName(cr).unionByName(nr))
+
+
+CLUSTERING_COEF_SQL = """
+WITH raw AS (
+  SELECT c_custkey AS s, c_nationkey + 1000000 AS t FROM customer
+  UNION ALL
+  SELECT c.c_custkey, n.n_regionkey + 2000000
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+  UNION ALL
+  SELECT n_nationkey + 1000000, n_regionkey + 2000000 FROM nation
+),
+e AS (
+  SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+  FROM raw WHERE s <> t
+),
+deg AS (
+  SELECT n, count(*) AS d FROM (
+    SELECT a AS n FROM e UNION ALL SELECT b FROM e
+  ) GROUP BY n
+),
+oriented AS (
+  SELECT CASE WHEN lf THEN a ELSE b END AS u,
+         CASE WHEN lf THEN b ELSE a END AS v,
+         CASE WHEN lf THEN db ELSE da END AS dv
+  FROM (
+    SELECT e.a, e.b, da.d AS da, db.d AS db,
+           (da.d < db.d OR (da.d = db.d AND e.a < e.b)) AS lf
+    FROM e JOIN deg da ON e.a = da.n JOIN deg db ON e.b = db.n
+  )
+),
+wedges AS (
+  SELECT w1.u, w1.v AS x, w2.v AS y
+  FROM oriented w1 JOIN oriented w2 ON w1.u = w2.u
+  WHERE w1.dv < w2.dv OR (w1.dv = w2.dv AND w1.v < w2.v)
+),
+tri AS (
+  SELECT w.u, w.x, w.y
+  FROM wedges w JOIN oriented o ON w.x = o.u AND w.y = o.v
+),
+corners AS (
+  SELECT n, count(*) AS t FROM (
+    SELECT u AS n FROM tri UNION ALL SELECT x FROM tri
+    UNION ALL SELECT y FROM tri
+  ) GROUP BY n
+)
+SELECT deg.n AS node,
+       CAST(deg.d AS BIGINT) AS degree,
+       CAST(coalesce(c.t, 0) AS BIGINT) AS n_triangles,
+       CAST(CASE WHEN deg.d >= 2
+                 THEN (2 * coalesce(c.t, 0) * 1000000) // (deg.d * (deg.d - 1))
+                 ELSE 0 END AS BIGINT) AS lcc_x1e6
+FROM deg LEFT JOIN corners c ON deg.n = c.n
+"""
+
+
 def q_luby_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic Luby MIS (operators/graph_algos.luby_mis, 2 rounds)
     over the symmetrized order<->customer<->nation graph: order leaves
@@ -6506,6 +6586,7 @@ QUERIES = {
     "bfs_landmarks": q_bfs_landmarks,
     "ppr_seeds": q_ppr_seeds,
     "luby_mis_2round": q_luby_mis,
+    "clustering_coef": q_clustering_coef,
     "topic_boundaries": q_topic_boundaries,
     "comention_graph": q_comention_graph,
     "kg_profile": q_kg_profile,
@@ -6655,6 +6736,7 @@ ORACLE_SQL = {
     "bfs_landmarks": BFS_LANDMARKS_SQL,
     "ppr_seeds": PPR_SEEDS_SQL,
     "luby_mis_2round": LUBY_MIS_SQL,
+    "clustering_coef": CLUSTERING_COEF_SQL,
     "topic_boundaries": TOPIC_BOUNDARIES_SQL,
     "comention_graph": COMENTION_SQL,
     "kg_profile": KG_PROFILE_SQL,

@@ -966,3 +966,75 @@ def luby_mis(
         "node", F.lit("undecided").alias("state"), F.lit(0).alias("decided_round")
     )
     return decided.unionByName(rest) if decided is not None else rest
+
+
+def clustering_coefficient(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node local clustering coefficient: lcc(v) = 2·tri(v) /
+    (deg(v)·(deg(v)−1)) over the undirected simple graph — the standard
+    per-node cohesion feature (Watts & Strogatz 1998) for KG entity
+    typing and spam/hub detection. Same degree-ordered orientation as
+    triangle_count (each triangle is enumerated exactly ONCE at its
+    lowest-(degree,id) corner, O(m^1.5) wedges, hub-safe), then each
+    closed triangle credits all three corners via one explode — per-node
+    counts cost one extra groupBy over the global count's agg.
+
+    Emitted as an exact integer quotient (2·tri·1e6) DIV (deg·(deg−1))
+    — no float anywhere, so cross-engine replay is exact (CLAUDE.md
+    round-3 rule). Returns (node, degree, n_triangles, lcc_x1e6) for
+    every node of the simple graph; degree-1 and isolated-in-simple-graph
+    nodes get lcc 0.
+    """
+    u, v = F.col(src), F.col(dst)
+    e = (
+        edges.filter(u != v)
+        .select(F.least(u, v).alias("a"), F.greatest(u, v).alias("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    ).localCheckpoint(eager=True)
+    ed = e.join(
+        deg.withColumnRenamed("n", "a").withColumnRenamed("d", "da"), "a"
+    ).join(deg.withColumnRenamed("n", "b").withColumnRenamed("d", "db"), "b")
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ed.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower_first, F.col("da")).otherwise(F.col("db")).alias("du"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    )
+    w1 = oriented.select("u", F.col("v").alias("x"), F.col("dv").alias("dx"))
+    w2 = oriented.select("u", F.col("v").alias("y"), F.col("dv").alias("dy"))
+    wedges = w1.join(w2, "u").filter(
+        (F.col("dx") < F.col("dy"))
+        | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+    )
+    closing = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    tri_corners = (
+        wedges.join(closing, ["x", "y"], "left_semi")
+        .select(F.explode(F.array("u", "x", "y")).alias("n"))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    return (
+        deg.join(tri_corners, "n", "left")
+        .select(
+            F.col("n").alias("node"),
+            F.col("d").cast("long").alias("degree"),
+            F.coalesce("t", F.lit(0)).cast("long").alias("n_triangles"),
+            F.when(
+                F.col("d") >= 2,
+                F.expr("(2 * coalesce(t, 0) * 1000000) DIV (d * (d - 1))"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("lcc_x1e6"),
+        )
+    )

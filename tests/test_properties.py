@@ -550,3 +550,36 @@ def test_luby_mis_matches_python_model(spark, edges):
     mis = {v for v, (s, _) in expect.items() if s == "in"}
     for a, b in sym:
         assert not (a in mis and b in mis), "not independent"
+
+
+@given(edges=pr_edges_strategy)
+@settings(**SETTINGS)
+def test_clustering_coefficient_matches_python_model(spark, edges):
+    """clustering_coefficient vs a brute-force driver-side model on
+    arbitrary small graphs (self-loops and parallel edges collapse to
+    the simple graph first)."""
+    from chronographer_spark.operators.graph_algos import clustering_coefficient
+
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: (r["degree"], r["n_triangles"], r["lcc_x1e6"])
+        for r in clustering_coefficient(e).collect()
+    }
+
+    simple = {tuple(sorted((a, b))) for a, b in edges if a != b}
+    adj: dict = {}
+    for a, b in simple:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expect = {}
+    for v, nb in adj.items():
+        tri = sum(
+            1
+            for x in nb
+            for y in nb
+            if x < y and y in adj.get(x, ())
+        )
+        d = len(nb)
+        lcc = (2 * tri * 1000000) // (d * (d - 1)) if d >= 2 else 0
+        expect[v] = (d, tri, lcc)
+    assert got == expect
