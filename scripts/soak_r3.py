@@ -349,6 +349,103 @@ def main() -> None:
 
         return corpus_overlap(docs_r, n_hashes=16).count()
 
+    def job_hyperball():
+        # 2 HLL-propagation rounds over the replicated customer<->nation
+        # graph: hub register fan-out rides repl x 64 registers — the
+        # constant-state-per-node claim under a growing ball
+        from chronographer_spark.operators.graph_algos import hyperball
+
+        e = cust_r.select(
+            F.col("c_custkey").alias("src"),
+            (F.col("c_nationkey") + 100000000).alias("dst"),
+        )
+        sym = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        out = hyperball(sym, rounds=2).count()
+        assert out == 3 * (repl * n_cust + 25), out  # (t=0,1,2) x V
+        return out
+
+    def job_bfs():
+        # landmark BFS from customers 0/1: round-2 frontier = all replicated
+        # customers of two nations (rides repl); the nation-hub edge join is
+        # the skew case AQE must split
+        from chronographer_spark.operators.graph_algos import bfs_distances
+
+        e = cust_r.select(
+            F.col("c_custkey").alias("src"),
+            (F.col("c_nationkey") + 100000000).alias("dst"),
+        )
+        sym = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        return bfs_distances(sym, landmarks=[0, 1], rounds=2).count()
+
+    def job_ppr():
+        # sparse personalized pagerank from 2 seeds: touched set = the
+        # seeds' nation communities (rides repl), never V
+        from chronographer_spark.operators.graph_algos import personalized_pagerank
+
+        e = cust_r.select(
+            F.col("c_custkey").alias("src"),
+            (F.col("c_nationkey") + 100000000).alias("dst"),
+        )
+        sym = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        return personalized_pagerank(sym, seeds=[0, 1], iterations=2).count()
+
+    def job_luby():
+        # symmetry breaking on the star graph: every customer contends only
+        # with its nation hub, so round 1 decides ~everything — the
+        # priority-carrying hub join is the whole cost
+        from chronographer_spark.operators.graph_algos import luby_mis
+
+        e = cust_r.select(
+            F.col("c_custkey").alias("src"),
+            (F.col("c_nationkey") + 100000000).alias("dst"),
+        )
+        sym = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        out = luby_mis(sym, rounds=2)
+        return out.filter(F.col("state") == "in").count()
+
+    def job_lcc():
+        # per-node triangle credit over the triangle-per-customer graph;
+        # every customer must score lcc = 1e6 at any repl
+        from chronographer_spark.operators.graph_algos import clustering_coefficient
+
+        cn = cust_r.select(
+            F.col("c_custkey").alias("src"),
+            (F.col("c_nationkey") + 100000000).alias("dst"),
+        )
+        cr = cust_r.join(nat, cust_r["c_nationkey"] == nat["n_nationkey"]).select(
+            F.col("c_custkey").alias("src"),
+            (F.col("n_regionkey") + 200000000).alias("dst"),
+        )
+        nr = nat.select(
+            (F.col("n_nationkey") + 100000000).alias("src"),
+            (F.col("n_regionkey") + 200000000).alias("dst"),
+        )
+        out = clustering_coefficient(cn.unionByName(cr).unionByName(nr))
+        bad = out.filter(
+            (F.col("node") < 100000000) & (F.col("lcc_x1e6") != 1000000)
+        ).count()
+        assert bad == 0, bad
+        return out.count()
+
+    def job_boilerplate():
+        # corpus-level line-df pass + reassembly: replication multiplies
+        # every line's df by repl while the threshold rides n_docs, so the
+        # boilerplate set (and per-doc drop profile) is repl-invariant —
+        # cost is pure bandwidth in the line table
+        from chronographer_spark.operators.text import boilerplate_removal
+
+        return boilerplate_removal(
+            docs_r, line_tokens=2, max_doc_frac=0.03125, min_docs=2
+        ).count()
+
     jobs = [
         ("pack", job_pack),
         ("repetition", job_repetition),
@@ -368,6 +465,12 @@ def main() -> None:
         ("bloom_pass", job_bloom_pass),
         ("pq_encode", job_pq_encode),
         ("triangles", job_triangles),
+        ("hyperball", job_hyperball),
+        ("bfs", job_bfs),
+        ("ppr", job_ppr),
+        ("luby", job_luby),
+        ("lcc", job_lcc),
+        ("boilerplate", job_boilerplate),
     ]
     only = set(sys.argv[3:])
     for name, fn in jobs:
