@@ -4553,6 +4553,75 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def q_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset selection (operators/similarity.py
+    kcenter_greedy, k=3) over the int8-quantized embeddings: seed at the
+    smallest vec_id, then twice promote the farthest point; emits the
+    full nearest-center assignment in exact integer squared L2. The
+    oracle unrolls both promotions with the identical argmax and
+    tie-break rules."""
+    from .operators.similarity import kcenter_greedy
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kcenter_greedy(emb, k=3).select(
+        F.col("id").alias("vec_id"), "center_id", "dist_sq"
+    )
+
+
+KCENTER_SQL = """
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+qz AS (
+  SELECT vec_id,
+         CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0
+              THEN list_transform(v, x -> 0)
+              ELSE list_transform(v, x -> CAST(floor(x * 127.0 / list_max(list_transform(v, y -> abs(y))) + 0.5) AS INTEGER))
+         END AS q
+  FROM emb
+),
+c1 AS (SELECT vec_id AS cid, q FROM qz ORDER BY vec_id LIMIT 1),
+d1 AS (
+  SELECT z.vec_id, z.q, (SELECT cid FROM c1) AS center_id,
+         list_sum(list_transform(list_zip(z.q, (SELECT q FROM c1)),
+           x -> (CAST(x[1] AS BIGINT) - CAST(x[2] AS BIGINT))
+              * (CAST(x[1] AS BIGINT) - CAST(x[2] AS BIGINT)))) AS dist_sq
+  FROM qz z
+),
+c2 AS (SELECT vec_id AS cid, q FROM d1 ORDER BY dist_sq DESC, vec_id ASC LIMIT 1),
+d2 AS (
+  SELECT vec_id, q,
+         CASE WHEN nd < dist_sq OR (nd = dist_sq AND c2id < center_id)
+              THEN c2id ELSE center_id END AS center_id,
+         CASE WHEN nd < dist_sq OR (nd = dist_sq AND c2id < center_id)
+              THEN nd ELSE dist_sq END AS dist_sq
+  FROM (
+    SELECT d.vec_id, d.q, d.center_id, d.dist_sq,
+           (SELECT cid FROM c2) AS c2id,
+           list_sum(list_transform(list_zip(d.q, (SELECT q FROM c2)),
+             x -> (CAST(x[1] AS BIGINT) - CAST(x[2] AS BIGINT))
+                * (CAST(x[1] AS BIGINT) - CAST(x[2] AS BIGINT)))) AS nd
+    FROM d1 d
+  )
+),
+c3 AS (SELECT vec_id AS cid, q FROM d2 ORDER BY dist_sq DESC, vec_id ASC LIMIT 1),
+d3 AS (
+  SELECT vec_id,
+         CASE WHEN nd < dist_sq OR (nd = dist_sq AND c3id < center_id)
+              THEN c3id ELSE center_id END AS center_id,
+         CASE WHEN nd < dist_sq OR (nd = dist_sq AND c3id < center_id)
+              THEN nd ELSE dist_sq END AS dist_sq
+  FROM (
+    SELECT d.vec_id, d.center_id, d.dist_sq,
+           (SELECT cid FROM c3) AS c3id,
+           list_sum(list_transform(list_zip(d.q, (SELECT q FROM c3)),
+             x -> (CAST(x[1] AS BIGINT) - CAST(x[2] AS BIGINT))
+                * (CAST(x[1] AS BIGINT) - CAST(x[2] AS BIGINT)))) AS nd
+    FROM d2 d
+  )
+)
+SELECT vec_id, center_id, CAST(dist_sq AS BIGINT) AS dist_sq FROM d3
+"""
+
+
 def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8-quantized cosine top-10 for query vec 0 (operators/similarity.py
     quantize_vectors/quantized_topk): per-vector scales cancel in the
@@ -6587,6 +6656,7 @@ QUERIES = {
     "ppr_seeds": q_ppr_seeds,
     "luby_mis_2round": q_luby_mis,
     "clustering_coef": q_clustering_coef,
+    "kcenter_coreset": q_kcenter,
     "topic_boundaries": q_topic_boundaries,
     "comention_graph": q_comention_graph,
     "kg_profile": q_kg_profile,
@@ -6737,6 +6807,7 @@ ORACLE_SQL = {
     "ppr_seeds": PPR_SEEDS_SQL,
     "luby_mis_2round": LUBY_MIS_SQL,
     "clustering_coef": CLUSTERING_COEF_SQL,
+    "kcenter_coreset": KCENTER_SQL,
     "topic_boundaries": TOPIC_BOUNDARIES_SQL,
     "comention_graph": COMENTION_SQL,
     "kg_profile": KG_PROFILE_SQL,

@@ -520,3 +520,77 @@ def ann_recall_report(
         )
         .withColumn("recall_x1e6", F.expr(f"(n_hits * 1000000) div {int(k)}"))
     )
+
+
+def int_sqdist(a, b):
+    """Exact integer squared L2 distance of two int arrays as a LONG."""
+    return F.aggregate(
+        F.zip_with(
+            a, b, lambda x, y: ((x - y).cast("long") * (x - y).cast("long"))
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def kcenter_greedy(
+    df: DataFrame,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center / farthest-point coreset selection (Gonzalez 1985,
+    the classic 2-approximation): seed with the smallest id, then k−1
+    times promote the point FARTHEST from its nearest chosen center —
+    the standard diversity-sampling pass over an embedded corpus
+    (coreset picking, dedup-aware eval-set selection, cluster seeding).
+
+    All arithmetic is exact: int8 quantization (quantize_vectors) +
+    integer squared L2, ties broken by smallest id — deterministic at
+    any parallelism, and a DuckDB oracle replays it bit-for-bit (no
+    grid snapping needed, per the round-3 integer-oracle rule).
+
+    Scale shape: each of the k rounds is ONE map-only pass (distance to
+    the single newest center, a literal int8 array riding the closure —
+    no join) + one TakeOrderedAndProject(1); the running nearest-center
+    assignment is carried forward with eager localCheckpoint, so the
+    whole selection is k linear scans however large the corpus. Only k
+    (id, qvec) rows ever cross the driver — same contract as the
+    k-means centroid collect the kmeans gate pins.
+
+    Returns the full assignment (id, center_id, dist_sq): every point
+    labeled with its nearest chosen center (smallest center id on
+    distance ties); chosen centers are the rows with center_id == id
+    and dist_sq == 0.
+    """
+    qdf = (
+        quantize_vectors(df.select(id_col, vec_col), vec_col)
+        .select(F.col(id_col).alias("id"), "qvec")
+        .localCheckpoint(eager=True)
+    )
+    seed = qdf.orderBy("id").limit(1).collect()[0]
+
+    def lit_vec(v):
+        return F.array([F.lit(int(x)) for x in v])
+
+    best = qdf.select(
+        "id",
+        "qvec",
+        F.lit(seed["id"]).alias("center_id"),
+        int_sqdist(F.col("qvec"), lit_vec(seed["qvec"])).alias("dist_sq"),
+    ).localCheckpoint(eager=True)
+    for _ in range(k - 1):
+        far = best.orderBy(F.desc("dist_sq"), F.asc("id")).limit(1).collect()[0]
+        d_new = int_sqdist(F.col("qvec"), lit_vec(far["qvec"]))
+        closer = (d_new < F.col("dist_sq")) | (
+            (d_new == F.col("dist_sq")) & (F.lit(far["id"]) < F.col("center_id"))
+        )
+        best = best.select(
+            "id",
+            "qvec",
+            F.when(closer, F.lit(far["id"])).otherwise(F.col("center_id")).alias(
+                "center_id"
+            ),
+            F.when(closer, d_new).otherwise(F.col("dist_sq")).alias("dist_sq"),
+        ).localCheckpoint(eager=True)
+    return best.select("id", "center_id", "dist_sq")

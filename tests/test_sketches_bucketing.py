@@ -456,3 +456,53 @@ def test_hyperball_matches_exact_ball_sketches(spark):
         }
         for v in nodes:
             assert got[(v, t)] == want[v], (v, t, got[(v, t)], want[v])
+
+
+def test_kcenter_greedy_matches_python_model(spark):
+    """kcenter_greedy vs a brute-force driver-side Gonzalez replay on a
+    small deterministic vector set — including the max-coverage property
+    (every point's dist to its center <= the dist promoted last round)."""
+    import random
+
+    from chronographer_spark.operators.similarity import kcenter_greedy
+
+    rng = random.Random(11)
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    got = {
+        r["id"]: (r["center_id"], r["dist_sq"])
+        for r in kcenter_greedy(df, k=4).collect()
+    }
+
+    import struct
+
+    def f32(x):  # python float -> float32, as parquet/Spark stores it
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    def quant(v):
+        v = [f32(x) for x in v]
+        m = max(abs(x) for x in v)
+        if m == 0:
+            return [0] * len(v)
+        import math
+
+        return [int(math.floor(x * 127.0 / m + 0.5)) for x in v]
+
+    q = {i: quant(v) for i, v in vecs}
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    centers = [0]
+    best = {i: (0, d2(q[i], q[0])) for i in q}
+    for _ in range(3):
+        far = min(best, key=lambda i: (-best[i][1], i))
+        centers.append(far)
+        for i in q:
+            nd = d2(q[i], q[far])
+            c, d = best[i]
+            if nd < d or (nd == d and far < c):
+                best[i] = (far, nd)
+    assert got == best
+    for i, (c, d) in best.items():
+        assert c in centers and d <= max(x[1] for x in best.values())
