@@ -127,6 +127,53 @@ FROM tx
 """
 
 
+def q_anaphora(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-turn anaphora resolution (extraction/mentions.py
+    resolve_anaphora) over the transcript view: user turns contribute
+    entity mentions (the event type), assistant turns contribute an 'it'
+    pronoun; each pronoun resolves to the latest strictly-earlier entity
+    in its conversation via one RANGE-frame struct-max window. The
+    oracle replays the identical window."""
+    from .extraction.mentions import resolve_anaphora
+
+    tx = transcripts_from_events(spark, sf_dir)
+    ents = tx.filter(F.col("role") == "user").select(
+        "conv_id",
+        "turn_idx",
+        F.lit("entity").alias("kind"),
+        F.split("text", " ")[1].alias("surface"),
+    )
+    pros = tx.filter(F.col("role") == "assistant").select(
+        "conv_id",
+        "turn_idx",
+        F.lit("pronoun").alias("kind"),
+        F.lit("it").alias("surface"),
+    )
+    return resolve_anaphora(ents.unionByName(pros))
+
+
+ANAPHORA_SQL = f"""
+{TX_SQL},
+m AS (
+  SELECT conv_id, turn_idx, 'entity' AS kind,
+         string_split(text, ' ')[2] AS surface
+  FROM tx WHERE role = 'user'
+  UNION ALL
+  SELECT conv_id, turn_idx, 'pronoun', 'it' FROM tx WHERE role = 'assistant'
+),
+r AS (
+  SELECT conv_id, turn_idx, kind, surface,
+         max(CASE WHEN kind = 'entity'
+                  THEN struct_pack(o := turn_idx, s := surface) END)
+           OVER (PARTITION BY conv_id ORDER BY turn_idx
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS a
+  FROM m
+)
+SELECT conv_id, turn_idx, surface, coalesce(a.s, '') AS antecedent
+FROM r WHERE kind = 'pronoun'
+"""
+
+
 # ---------------------------------------------------------------------------
 # A1: occurrence counting (path popularity)
 # ---------------------------------------------------------------------------
@@ -6657,6 +6704,7 @@ QUERIES = {
     "luby_mis_2round": q_luby_mis,
     "clustering_coef": q_clustering_coef,
     "kcenter_coreset": q_kcenter,
+    "anaphora_resolution": q_anaphora,
     "topic_boundaries": q_topic_boundaries,
     "comention_graph": q_comention_graph,
     "kg_profile": q_kg_profile,
@@ -6808,6 +6856,7 @@ ORACLE_SQL = {
     "luby_mis_2round": LUBY_MIS_SQL,
     "clustering_coef": CLUSTERING_COEF_SQL,
     "kcenter_coreset": KCENTER_SQL,
+    "anaphora_resolution": ANAPHORA_SQL,
     "topic_boundaries": TOPIC_BOUNDARIES_SQL,
     "comention_graph": COMENTION_SQL,
     "kg_profile": KG_PROFILE_SQL,

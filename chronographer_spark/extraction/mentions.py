@@ -162,3 +162,55 @@ def extract_mentions_sqlonly(
         .unionByName(tools)
     )
     return out.dropDuplicates(["conv_id", "turn_idx", "mention", "dimension"])
+
+
+def resolve_anaphora(
+    mentions: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    kind_col: str = "kind",
+    surface_col: str = "surface",
+) -> DataFrame:
+    """Rule-based cross-turn anaphora resolution: each 'pronoun' mention
+    resolves to the SURFACE of the most recent prior 'entity' mention in
+    the same conversation (the recency heuristic — the deterministic
+    baseline coreference rule; the reference links mentions per-document
+    via Spotlight with no cross-sentence coreference, so this extends
+    the extraction layer the same way frames extend mentions).
+
+    One window pass, zero joins: max(struct(order, surface)) over entity
+    rows of STRICTLY EARLIER turns (RANGE UNBOUNDED PRECEDING..1
+    PRECEDING) — a RANGE frame + struct max instead of last()-over-ROWS
+    so multi-mention turns resolve deterministically at any row order
+    (latest turn wins, lexicographically greatest surface breaks
+    same-turn ties). Conversations are the partition key, so the pass
+    shuffles once on conv_id like every other per-conversation operator
+    (sessionizer, dialogue metrics) and scales with turn count.
+    Unresolvable pronouns (no prior entity) get antecedent ''.
+
+    Input rows: (conv, order, kind in ('entity','pronoun'), surface).
+    Returns the pronoun rows as (conv, order, surface, antecedent).
+    """
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(conv_col)
+        .orderBy(order_col)
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    ante = F.max(
+        F.when(
+            F.col(kind_col) == "entity",
+            F.struct(F.col(order_col).alias("o"), F.col(surface_col).alias("s")),
+        )
+    ).over(w)["s"]
+    return (
+        mentions.withColumn("_ante", ante)
+        .filter(F.col(kind_col) == "pronoun")
+        .select(
+            conv_col,
+            order_col,
+            surface_col,
+            F.coalesce("_ante", F.lit("")).alias("antecedent"),
+        )
+    )

@@ -225,3 +225,32 @@ def test_heavyweight_model_extractor_once_per_worker(spark, tx, tx_pdf):
     assert (
         _norm_mentions(got[key + ["text"]]).equals(_norm_mentions(want[key + ["text"]]))
     )
+
+
+def test_resolve_anaphora_hand_fixture(spark):
+    """Recency rule on a hand conversation: latest strictly-earlier entity
+    wins, same-turn ties break by greatest surface, no antecedent -> ''."""
+    from chronographer_spark.extraction.mentions import resolve_anaphora
+
+    rows = [
+        ("c1", 0, "pronoun", "it"),       # nothing before -> ''
+        ("c1", 1, "entity", "alice"),
+        ("c1", 1, "entity", "bob"),       # same-turn tie: 'bob' wins later
+        ("c1", 2, "pronoun", "it"),       # -> bob
+        ("c1", 3, "entity", "carol"),
+        ("c1", 4, "pronoun", "they"),     # -> carol
+        ("c2", 5, "pronoun", "it"),       # other conv isolated -> ''
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, kind string, surface string"
+    )
+    got = {
+        (r["conv_id"], r["turn_idx"], r["surface"]): r["antecedent"]
+        for r in resolve_anaphora(df).collect()
+    }
+    assert got == {
+        ("c1", 0, "it"): "",
+        ("c1", 2, "it"): "bob",
+        ("c1", 4, "they"): "carol",
+        ("c2", 5, "it"): "",
+    }
