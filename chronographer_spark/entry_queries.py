@@ -3465,6 +3465,74 @@ FROM isl GROUP BY doc_id, g
 """
 
 
+def q_span_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact-substring dedup rewrite (operators/dedup.py
+    remove_repeated_spans, 3-grams): every 3-gram shared by >= 2 docs
+    survives only in its min-doc_id owner; other occurrences lose their
+    covered tokens, and the cleaned text is reassembled in order. The
+    oracle replays ownership, coverage expansion, and reassembly."""
+    from .operators.dedup import remove_repeated_spans
+
+    out = remove_repeated_spans(
+        _t(spark, sf_dir, "documents"), n=3, min_docs=2
+    )
+    return out.select(
+        F.col("id").alias("doc_id"), "n_tokens", "n_dropped", "clean_text"
+    )
+
+
+SPAN_DEDUP_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+  FROM documents
+),
+base AS (SELECT doc_id, t FROM toks WHERE len(t) > 0),
+grams AS (
+  SELECT doc_id, (u).pos AS pos, (u).gram AS gram
+  FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(t) - 3 + 2),
+             i -> struct_pack(pos := i, gram := array_to_string(t[i:i+2], ' ')))) AS u
+    FROM base WHERE len(t) >= 3
+  )
+),
+own AS (
+  SELECT gram, min(doc_id) AS owner FROM grams
+  GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+),
+cov AS (
+  SELECT DISTINCT doc_id, pos FROM (
+    SELECT g.doc_id, unnest(range(g.pos, g.pos + 3)) AS pos
+    FROM grams g JOIN own o ON g.gram = o.gram
+    WHERE g.doc_id <> o.owner
+  )
+),
+tokrows AS (
+  SELECT doc_id, (u).pos AS pos, (u).tok AS tok
+  FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(t) + 1),
+             i -> struct_pack(pos := i, tok := t[i]))) AS u
+    FROM base
+  )
+),
+kept AS (
+  SELECT tr.doc_id, tr.pos, tr.tok
+  FROM tokrows tr LEFT JOIN cov c ON tr.doc_id = c.doc_id AND tr.pos = c.pos
+  WHERE c.pos IS NULL
+),
+re AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY pos) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(len(b.t) AS BIGINT) AS n_tokens,
+       CAST(len(b.t) - coalesce(r.n_kept, 0) AS BIGINT) AS n_dropped,
+       coalesce(r.clean_text, '') AS clean_text
+FROM base b LEFT JOIN re r ON b.doc_id = r.doc_id
+"""
+
+
 def q_domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic domain reweighting (operators/sampling.py
     domain_mix_sample): keep all of the curated sources (src0-4), half of
@@ -6705,6 +6773,7 @@ QUERIES = {
     "clustering_coef": q_clustering_coef,
     "kcenter_coreset": q_kcenter,
     "anaphora_resolution": q_anaphora,
+    "span_dedup_rewrite": q_span_dedup_rewrite,
     "topic_boundaries": q_topic_boundaries,
     "comention_graph": q_comention_graph,
     "kg_profile": q_kg_profile,
@@ -6857,6 +6926,7 @@ ORACLE_SQL = {
     "clustering_coef": CLUSTERING_COEF_SQL,
     "kcenter_coreset": KCENTER_SQL,
     "anaphora_resolution": ANAPHORA_SQL,
+    "span_dedup_rewrite": SPAN_DEDUP_SQL,
     "topic_boundaries": TOPIC_BOUNDARIES_SQL,
     "comention_graph": COMENTION_SQL,
     "kg_profile": KG_PROFILE_SQL,

@@ -719,3 +719,92 @@ def prefix_jaccard_join(
             (F.col("inter").cast("double") / union).alias("jaccard"),
         )
     )
+
+
+def remove_repeated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact-substring dedup REWRITE (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): where
+    repeated_ngram_spans only REPORTS cross-document duplicated spans,
+    this drops them — at gram granularity with deterministic ownership:
+    every n-gram occurring in >= min_docs distinct documents is kept
+    ONLY in its smallest-doc_id owner; all other occurrences have their
+    n covered token positions deleted, and each document's surviving
+    tokens are re-joined in order. One canonical copy of boilerplate/
+    leaked spans survives corpus-wide instead of none (the usual
+    aggressive-clip loss).
+
+    Shape: positional n-grams (one explode) -> ONE gram-keyed shuffle
+    computing (distinct-doc df, min owner) together -> hit join back
+    (duplicated-gram set is the small side; stopword-run skew handled
+    by AQE, raising n collapses it geometrically) -> per-doc position
+    anti-join + ordered reassembly, both keyed by doc. No driver state,
+    no floats.
+
+    Returns (id, n_tokens, n_dropped, clean_text).
+    """
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    base = df.select(F.col(id_col).alias("id"), toks.alias("t")).filter(
+        F.size("t") > 0
+    )
+    base = base.localCheckpoint(eager=True)  # feeds grams AND token rows
+    grams = base.select(
+        "id",
+        F.posexplode(
+            F.when(
+                F.size("t") >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - n + 1),
+                    lambda i: F.concat_ws(" ", F.slice("t", i, n)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("__p0", "gram"),
+    ).select("id", (F.col("__p0") + 1).alias("pos"), "gram")
+    own = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("id").alias("ddf"), F.min("id").alias("owner"))
+        .filter(F.col("ddf") >= min_docs)
+        .select("gram", "owner")
+    )
+    covered = (
+        grams.join(own, "gram")
+        .filter(F.col("id") != F.col("owner"))
+        .select("id", F.explode(F.sequence("pos", F.col("pos") + n - 1)).alias("pos"))
+        .dropDuplicates()
+    )
+    tok_rows = base.select(
+        "id",
+        F.posexplode("t").alias("__p0", "tok"),
+    ).select("id", (F.col("__p0") + 1).alias("pos"), "tok")
+    kept = tok_rows.join(covered, ["id", "pos"], "left_anti")
+    reassembled = kept.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("pos").alias("p"), F.col("tok").alias("w"))
+                    )
+                ),
+                lambda s: s["w"],
+            ),
+        ).alias("clean_text"),
+    )
+    return (
+        base.select("id", F.size("t").alias("n_tokens"))
+        .join(reassembled, "id", "left")
+        .select(
+            "id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_dropped"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )

@@ -1534,3 +1534,30 @@ def test_boilerplate_removal_hand_fixture(spark):
     assert out[4] == (1, 1, "")
     # "lonely words"/"only here" appear in one doc each: kept
     assert out[5] == (2, 0, "lonely words only here")
+
+
+def test_remove_repeated_spans_ownership(spark):
+    """Gram-level ownership on a hand corpus: the min-doc_id owner keeps
+    the duplicated run verbatim, later docs lose exactly the covered
+    tokens, unique text is untouched, and a doc that is ONE big
+    duplicated span cleans to ''."""
+    from chronographer_spark.operators.dedup import remove_repeated_spans
+
+    dup = "the quick brown fox"
+    docs = [
+        (1, f"{dup} alpha beta"),
+        (2, f"gamma {dup} delta"),
+        (3, dup),
+        (4, "totally unique words here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["id"]: (r["n_tokens"], r["n_dropped"], r["clean_text"])
+        for r in remove_repeated_spans(df, n=3, min_docs=2).collect()
+    }
+    # doc 1 owns both 3-grams of `dup`: keeps everything
+    assert got[1] == (6, 0, "the quick brown fox alpha beta")
+    # docs 2/3: positions covered by non-owned grams drop (the 4 dup tokens)
+    assert got[2] == (6, 4, "gamma delta")
+    assert got[3] == (4, 4, "")
+    assert got[4] == (4, 0, "totally unique words here")
