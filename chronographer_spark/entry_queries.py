@@ -4071,6 +4071,55 @@ SELECT node, landmark, CAST(dist AS BIGINT) AS dist FROM d3
 """
 
 
+def q_neighborhood_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph neighborhood function + effective-diameter certificate from
+    hyperball (the ANF use Boldi & Vigna built HyperBall for): N(t) =
+    Σ_v |B(v,t)| summed over the same per-node HLL estimates the
+    hyperball_balls gate pins, plus reach_frac_x1e6 = N(t)·1e6 DIV N(2)
+    — the effective diameter is the first t whose fraction clears 90%.
+    Pure integer aggregation over the register estimates; the oracle
+    replays the full register pipeline then the same sums."""
+    from .operators.graph_algos import hyperball
+
+    cust = _t(spark, sf_dir, "customer")
+    e = cust.select(
+        F.col("c_custkey").alias("src"),
+        (F.col("c_nationkey") + 1000000).alias("dst"),
+    )
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    est = hyperball(sym, rounds=2)
+    nf = est.groupBy("t").agg(F.sum("estimate").alias("n_reach"))
+    total = nf.agg(F.max(F.when(F.col("t") == 2, F.col("n_reach"))).alias("nt"))
+    return nf.crossJoin(total).select(
+        F.col("t").cast("long").alias("t"),
+        F.col("n_reach").cast("long").alias("n_reach"),
+        F.expr("(n_reach * 1000000) DIV nt").cast("long").alias("reach_frac_x1e6"),
+    )
+
+
+NEIGHBORHOOD_FN_SQL = (
+    HYPERBALL_SQL.replace(
+        """SELECT node, b0, b1, b2,
+  CAST(greatest(b1 - b0, 0) * 1000000
+       + (greatest(b2 - b1, 0) * 1000000) // 2 AS BIGINT) AS harmonic_x1e6
+FROM est0 JOIN est1 USING (node) JOIN est2 USING (node)""",
+        """, nf AS (
+  SELECT 0 AS t, CAST(sum(b0) AS BIGINT) AS n_reach FROM est0
+  UNION ALL
+  SELECT 1, CAST(sum(b1) AS BIGINT) FROM est1
+  UNION ALL
+  SELECT 2, CAST(sum(b2) AS BIGINT) FROM est2
+)
+SELECT CAST(t AS BIGINT) AS t, n_reach,
+       CAST((n_reach * 1000000) // (SELECT n_reach FROM nf WHERE t = 2)
+            AS BIGINT) AS reach_frac_x1e6
+FROM nf""",
+    )
+)
+
+
 def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality metrics (operators/text.py
     repetition_metrics): per-doc fraction of characters covered by the top
@@ -6774,6 +6823,7 @@ QUERIES = {
     "kcenter_coreset": q_kcenter,
     "anaphora_resolution": q_anaphora,
     "span_dedup_rewrite": q_span_dedup_rewrite,
+    "neighborhood_function": q_neighborhood_function,
     "topic_boundaries": q_topic_boundaries,
     "comention_graph": q_comention_graph,
     "kg_profile": q_kg_profile,
@@ -6927,6 +6977,7 @@ ORACLE_SQL = {
     "kcenter_coreset": KCENTER_SQL,
     "anaphora_resolution": ANAPHORA_SQL,
     "span_dedup_rewrite": SPAN_DEDUP_SQL,
+    "neighborhood_function": NEIGHBORHOOD_FN_SQL,
     "topic_boundaries": TOPIC_BOUNDARIES_SQL,
     "comention_graph": COMENTION_SQL,
     "kg_profile": KG_PROFILE_SQL,
