@@ -4071,6 +4071,98 @@ SELECT node, landmark, CAST(dist AS BIGINT) AS dist FROM d3
 """
 
 
+def q_k_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-truss edge peeling (operators/graph_algos.k_truss, k=3, one
+    exact peel round) over the triangle-per-customer c-n-r graph plus
+    order->customer chaff edges: the chaff sits in zero triangles and is
+    peeled in round 1; every membership edge survives with its support
+    recomputed on the survivor set. The oracle replays the oriented
+    support pass twice (peel + final readout)."""
+    from .operators.graph_algos import k_truss
+
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    cn = cust.select(
+        F.col("c_custkey").alias("src"),
+        (F.col("c_nationkey") + 1000000).alias("dst"),
+    )
+    cr = cust.join(nat, cust["c_nationkey"] == nat["n_nationkey"]).select(
+        F.col("c_custkey").alias("src"),
+        (F.col("n_regionkey") + 2000000).alias("dst"),
+    )
+    nr = nat.select(
+        (F.col("n_nationkey") + 1000000).alias("src"),
+        (F.col("n_regionkey") + 2000000).alias("dst"),
+    )
+    oc = orders.select(
+        (F.col("o_orderkey") + 3000000).alias("src"),
+        F.col("o_custkey").alias("dst"),
+    )
+    e = cn.unionByName(cr).unionByName(nr).unionByName(oc)
+    return k_truss(e, k=3, max_rounds=1, exact_rounds=True)
+
+
+def _truss_support_sql(src: str, p: str) -> str:
+    """One oriented triangle-support pass as SQL CTEs: {p}sup(a,b,support)
+    over canonical edge table `src` — the same pipeline the Spark
+    _edge_support runs, templated so the peel oracle can apply it twice."""
+    return f"""{p}deg AS (
+  SELECT n, count(*) AS d FROM (
+    SELECT a AS n FROM {src} UNION ALL SELECT b FROM {src}
+  ) GROUP BY n
+),
+{p}o AS (
+  SELECT CASE WHEN lf THEN a ELSE b END AS u,
+         CASE WHEN lf THEN b ELSE a END AS v,
+         CASE WHEN lf THEN db ELSE da END AS dv
+  FROM (
+    SELECT e.a, e.b, da.d AS da, db.d AS db,
+           (da.d < db.d OR (da.d = db.d AND e.a < e.b)) AS lf
+    FROM {src} e JOIN {p}deg da ON e.a = da.n JOIN {p}deg db ON e.b = db.n
+  )
+),
+{p}tri AS (
+  SELECT w1.u, w1.v AS x, w2.v AS y
+  FROM {p}o w1 JOIN {p}o w2 ON w1.u = w2.u
+  WHERE (w1.dv < w2.dv OR (w1.dv = w2.dv AND w1.v < w2.v))
+    AND EXISTS (SELECT 1 FROM {p}o o WHERE o.u = w1.v AND o.v = w2.v)
+),
+{p}credit AS (
+  SELECT a, b, count(*) AS support FROM (
+    SELECT least(u, x) AS a, greatest(u, x) AS b FROM {p}tri
+    UNION ALL SELECT least(u, y), greatest(u, y) FROM {p}tri
+    UNION ALL SELECT least(x, y), greatest(x, y) FROM {p}tri
+  ) GROUP BY a, b
+),
+{p}sup AS (
+  SELECT e.a, e.b, CAST(coalesce(c.support, 0) AS BIGINT) AS support
+  FROM {src} e LEFT JOIN {p}credit c ON e.a = c.a AND e.b = c.b
+)"""
+
+
+KTRUSS_SQL = f"""
+WITH raw AS (
+  SELECT c_custkey AS s, c_nationkey + 1000000 AS t FROM customer
+  UNION ALL
+  SELECT c.c_custkey, n.n_regionkey + 2000000
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+  UNION ALL
+  SELECT n_nationkey + 1000000, n_regionkey + 2000000 FROM nation
+  UNION ALL
+  SELECT o_orderkey + 3000000, o_custkey FROM orders
+),
+e0 AS (
+  SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+  FROM raw WHERE s <> t
+),
+{_truss_support_sql("e0", "s0")},
+e1 AS (SELECT a, b FROM s0sup WHERE support >= 1),
+{_truss_support_sql("e1", "s1")}
+SELECT a, b, support FROM s1sup
+"""
+
+
 def q_neighborhood_function(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph neighborhood function + effective-diameter certificate from
     hyperball (the ANF use Boldi & Vigna built HyperBall for): N(t) =
@@ -6824,6 +6916,7 @@ QUERIES = {
     "anaphora_resolution": q_anaphora,
     "span_dedup_rewrite": q_span_dedup_rewrite,
     "neighborhood_function": q_neighborhood_function,
+    "k_truss_edges": q_k_truss,
     "topic_boundaries": q_topic_boundaries,
     "comention_graph": q_comention_graph,
     "kg_profile": q_kg_profile,
@@ -6978,6 +7071,7 @@ ORACLE_SQL = {
     "anaphora_resolution": ANAPHORA_SQL,
     "span_dedup_rewrite": SPAN_DEDUP_SQL,
     "neighborhood_function": NEIGHBORHOOD_FN_SQL,
+    "k_truss_edges": KTRUSS_SQL,
     "topic_boundaries": TOPIC_BOUNDARIES_SQL,
     "comention_graph": COMENTION_SQL,
     "kg_profile": KG_PROFILE_SQL,

@@ -583,3 +583,35 @@ def test_clustering_coefficient_matches_python_model(spark, edges):
         lcc = (2 * tri * 1000000) // (d * (d - 1)) if d >= 2 else 0
         expect[v] = (d, tri, lcc)
     assert got == expect
+
+
+@given(edges=pr_edges_strategy)
+@settings(**SETTINGS)
+def test_k_truss_matches_python_model(spark, edges):
+    """k_truss (fixpoint) vs a driver-side peel on arbitrary small graphs,
+    k=3: surviving edges each sit in >= 1 triangle of the surviving set."""
+    from chronographer_spark.operators.graph_algos import k_truss
+
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        (r["a"], r["b"]): r["support"] for r in k_truss(e, k=3).collect()
+    }
+
+    cur = {tuple(sorted((a, b))) for a, b in edges if a != b}
+
+    def support(es):
+        adj: dict = {}
+        for a, b in es:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        return {
+            (a, b): len(adj[a] & adj[b])
+            for a, b in es
+        }
+    while True:
+        sup = support(cur)
+        nxt = {e_ for e_, s in sup.items() if s >= 1}
+        if nxt == cur:
+            break
+        cur = nxt
+    assert got == support(cur)
