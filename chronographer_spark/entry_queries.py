@@ -3533,6 +3533,68 @@ FROM base b LEFT JOIN re r ON b.doc_id = r.doc_id
 """
 
 
+def q_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup profile (operators/dedup.py
+    cdc_chunks/cdc_dedup_stats, trigger mod 8): chunk boundaries anchor
+    to token-hash triggers, so local edits move one chunk, not every
+    shingle; per doc, how many chunks (and tokens) recur verbatim
+    anywhere in the corpus. The oracle replays tokenization, boundary
+    flags, running-sum segmentation, and both aggregations."""
+    from .operators.dedup import cdc_dedup_stats
+
+    out = cdc_dedup_stats(_t(spark, sf_dir, "documents"), trigger_mod=8)
+    return out.select(
+        F.col("id").alias("doc_id"), "n_chunks", "n_dup_chunks", "dup_tokens"
+    )
+
+
+CDC_DEDUP_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(
+           string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+           x -> x <> '') AS t
+  FROM documents
+),
+tokrows AS (
+  SELECT doc_id, (u).pos AS pos, (u).tok AS tok
+  FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(t) + 1),
+             i -> struct_pack(pos := i - 1, tok := t[i]))) AS u
+    FROM toks WHERE len(t) > 0
+  )
+),
+flagged AS (
+  SELECT doc_id, pos, tok,
+         CASE WHEN pos > 0
+                   AND (CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT)
+                        % 8) = 0
+              THEN 1 ELSE 0 END AS b
+  FROM tokrows
+),
+chunks AS (
+  SELECT doc_id, chunk_idx, count(*) AS n_tokens,
+         string_agg(tok, ' ' ORDER BY pos) AS chunk_text
+  FROM (
+    SELECT doc_id, pos, tok,
+           sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS chunk_idx
+    FROM flagged
+  )
+  GROUP BY doc_id, chunk_idx
+),
+gc AS (SELECT chunk_text, count(*) AS n_inst FROM chunks GROUP BY chunk_text)
+SELECT c.doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN g.n_inst >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_chunks,
+       CAST(sum(CASE WHEN g.n_inst >= 2 THEN c.n_tokens ELSE 0 END) AS BIGINT)
+         AS dup_tokens
+FROM chunks c JOIN gc g USING (chunk_text)
+GROUP BY c.doc_id
+"""
+
+
 def q_domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic domain reweighting (operators/sampling.py
     domain_mix_sample): keep all of the curated sources (src0-4), half of
@@ -6915,6 +6977,7 @@ QUERIES = {
     "kcenter_coreset": q_kcenter,
     "anaphora_resolution": q_anaphora,
     "span_dedup_rewrite": q_span_dedup_rewrite,
+    "cdc_dedup_profile": q_cdc_dedup,
     "neighborhood_function": q_neighborhood_function,
     "k_truss_edges": q_k_truss,
     "topic_boundaries": q_topic_boundaries,
@@ -7070,6 +7133,7 @@ ORACLE_SQL = {
     "kcenter_coreset": KCENTER_SQL,
     "anaphora_resolution": ANAPHORA_SQL,
     "span_dedup_rewrite": SPAN_DEDUP_SQL,
+    "cdc_dedup_profile": CDC_DEDUP_SQL,
     "neighborhood_function": NEIGHBORHOOD_FN_SQL,
     "k_truss_edges": KTRUSS_SQL,
     "topic_boundaries": TOPIC_BOUNDARIES_SQL,

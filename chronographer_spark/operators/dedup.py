@@ -808,3 +808,110 @@ def remove_repeated_spans(
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    trigger_mod: int = 8,
+) -> DataFrame:
+    """Content-defined chunking over the token stream (the FastCDC/rsync
+    idea at token granularity): a chunk boundary opens at every token
+    whose portable hash ≡ 0 (mod ``trigger_mod``), so expected chunk
+    length is ``trigger_mod`` tokens and — the CDC property — boundaries
+    are ANCHORED TO CONTENT, not offsets: an insertion early in a
+    document shifts every fixed-window shingle but only the ONE chunk it
+    touches here. The storage/dataset-level dedup primitive for crawl
+    re-snapshots, where near-identical documents recur with local edits.
+
+    Map-only (one explode + one per-doc running sum window keyed by the
+    doc — no cross-doc shuffle); per-token md5 is the portable-oracle
+    choice, a production build would swap in a gear-table hash inside
+    codegen without changing the contract.
+
+    Returns (id, chunk_idx, n_tokens, chunk_text).
+    """
+    from pyspark.sql.window import Window
+
+    from .sketches import _hash32
+
+    toks = F.filter(
+        F.split(normalize_text(F.col(text_col)), " "), lambda t: t != F.lit("")
+    )
+    tok_rows = (
+        df.select(F.col(id_col).alias("id"), toks.alias("t"))
+        .filter(F.size("t") > 0)
+        .select("id", F.posexplode("t").alias("pos", "tok"))
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    flagged = tok_rows.withColumn(
+        "boundary",
+        F.when(
+            (_hash32(F.col("tok")) % trigger_mod == 0) & (F.col("pos") > 0), 1
+        ).otherwise(0),
+    ).withColumn("chunk_idx", F.sum("boundary").over(w))
+    return (
+        flagged.groupBy("id", "chunk_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col("pos").alias("p"), F.col("tok").alias("w"))
+                        )
+                    ),
+                    lambda s: s["w"],
+                ),
+            ).alias("chunk_text"),
+        )
+        .select(
+            "id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "chunk_text",
+        )
+    )
+
+
+def cdc_dedup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    trigger_mod: int = 8,
+) -> DataFrame:
+    """Per-document chunk-level dedup profile over cdc_chunks: how many of
+    a document's content-defined chunks also occur elsewhere in the corpus
+    (identical chunk text in ANOTHER document, or more than once in this
+    one) and how many tokens those shared chunks cover — the dataset-
+    curation readout of CDC dedup (what fraction of the corpus is
+    re-snapshot bytes). ONE chunk-text-keyed shuffle for the global
+    instance/doc counts, then a doc-keyed rollup. Returns
+    (id, n_chunks, n_dup_chunks, dup_tokens)."""
+    chunks = cdc_chunks(df, text_col, id_col, trigger_mod).localCheckpoint(
+        eager=True
+    )  # feeds the global count AND the rollup
+    global_counts = chunks.groupBy("chunk_text").agg(
+        F.count(F.lit(1)).alias("n_inst")
+    )
+    flagged = chunks.join(global_counts, "chunk_text")
+    return (
+        flagged.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("n_inst") >= 2, 1).otherwise(0)).alias(
+                "n_dup_chunks"
+            ),
+            F.sum(
+                F.when(F.col("n_inst") >= 2, F.col("n_tokens")).otherwise(0)
+            ).alias("dup_tokens"),
+        )
+        .select(
+            "id",
+            F.col("n_chunks").cast("long").alias("n_chunks"),
+            F.col("n_dup_chunks").cast("long").alias("n_dup_chunks"),
+            F.col("dup_tokens").cast("long").alias("dup_tokens"),
+        )
+    )

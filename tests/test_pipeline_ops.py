@@ -1561,3 +1561,40 @@ def test_remove_repeated_spans_ownership(spark):
     assert got[2] == (6, 4, "gamma delta")
     assert got[3] == (4, 4, "")
     assert got[4] == (4, 0, "totally unique words here")
+
+
+def test_cdc_chunks_edit_locality(spark):
+    """The CDC property: inserting one token early in a document changes
+    only the chunk containing the edit — every other chunk text is
+    reproduced verbatim (a fixed-offset windowing would shift them all).
+    Also pins boundary semantics: chunk 0 starts at pos 0, boundaries
+    open at trigger tokens."""
+    import random
+
+    from chronographer_spark.operators.dedup import cdc_chunks, cdc_dedup_stats
+
+    rng = random.Random(3)
+    words = [f"w{rng.randrange(200)}" for _ in range(400)]
+    original = " ".join(words)
+    edited = " ".join(words[:5] + ["INSERTED"] + words[5:])
+    df = spark.createDataFrame(
+        [(1, original), (2, edited)], "doc_id long, text string"
+    )
+    chunks = cdc_chunks(df, trigger_mod=8).collect()
+    a = [r["chunk_text"] for r in chunks if r["id"] == 1]
+    b = [r["chunk_text"] for r in chunks if r["id"] == 2]
+    assert len(a) > 10  # expected chunk length ~8 tokens over 400
+    from collections import Counter
+
+    diff = Counter(b) - Counter(a)
+    # the edit lands in exactly one chunk: one new chunk text (or two if
+    # the inserted token itself opened a boundary), everything else reused
+    assert sum(diff.values()) <= 2, diff
+    stats = {
+        r["id"]: (r["n_chunks"], r["n_dup_chunks"])
+        for r in cdc_dedup_stats(df, trigger_mod=8).collect()
+    }
+    # nearly every chunk of each doc is seen in the other
+    for i in (1, 2):
+        n, dup = stats[i]
+        assert dup >= n - 2, stats
