@@ -446,6 +446,39 @@ def main() -> None:
             docs_r, line_tokens=2, max_doc_frac=0.03125, min_docs=2
         ).count()
 
+    def job_span_rewrite():
+        # replication makes EVERY gram cross-doc duplicated with the lowest
+        # replica as owner: all other replicas are rewritten to ~empty.
+        # Coverage stays linear in the gram table (each hit expands to n
+        # positions, then a per-doc anti-join) — judge per DOC
+        from chronographer_spark.operators.dedup import remove_repeated_spans
+
+        out = remove_repeated_spans(docs_r, n=3, min_docs=2)
+        # sum a real column: a bare count() lets Catalyst ELIMINATE the
+        # left join (aggregate right side has unique keys) and measure
+        # only the token-count scan
+        agg = out.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("n_dropped").alias("d")
+        ).first()
+        assert agg["d"] > 0
+        return agg["n"]
+
+    def job_cdc():
+        # chunk segmentation is map-only per doc; replicas produce byte-
+        # identical chunk texts, so the global chunk-text agg's GROUP
+        # cardinality is repl-invariant while instance counts ride repl
+        from chronographer_spark.operators.dedup import cdc_dedup_stats
+
+        return cdc_dedup_stats(docs_r, trigger_mod=8).count()
+
+    def job_kcenter():
+        # k map-only distance passes + k TakeOrdered(1); replicas of the
+        # chosen centers sit at distance 0, so selection stays stable and
+        # cost is k linear scans of the replicated corpus
+        from chronographer_spark.operators.similarity import kcenter_greedy
+
+        return kcenter_greedy(emb_r, k=4).count()
+
     jobs = [
         ("pack", job_pack),
         ("repetition", job_repetition),
@@ -471,6 +504,9 @@ def main() -> None:
         ("luby", job_luby),
         ("lcc", job_lcc),
         ("boilerplate", job_boilerplate),
+        ("span_rewrite", job_span_rewrite),
+        ("cdc", job_cdc),
+        ("kcenter", job_kcenter),
     ]
     only = set(sys.argv[3:])
     for name, fn in jobs:
