@@ -4535,6 +4535,161 @@ SELECT node, CAST(floor(r * 1000000 + 0.5) AS BIGINT) AS rank_x1e6 FROM r2
 """
 
 
+_WD_E = "http://www.wikidata.org/entity/"
+_RDFS_NS = "http://www.w3.org/2000/01/rdf-schema#"
+
+
+def q_domain_range_direct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared domain/range extraction (graph/constraints.py
+    extract_domain_range; reference src/extract_domain_range.py:92-101
+    get_pred + 63-90 pre_process_yago): rdfs:domain/range triples
+    synthesized from customers, with every 5th domain value a YAGO
+    blank-node union template that must expand to one row per member
+    with short prefixes rewritten. The oracle replays the filter, the
+    template split, and the prefix map."""
+    from .graph.constraints import extract_domain_range
+
+    cust = _t(spark, sf_dir, "customer")
+    p = F.concat(F.lit(_WD_E + "P"), F.col("c_custkey").cast("string"))
+    dom_val = F.when(
+        F.col("c_custkey") % 5 == 0,
+        F.lit("_:p-rdfs-domain-owl-unionOf-schema-Thing-xsd-string"),
+    ).otherwise(F.concat(F.lit("D"), F.col("c_nationkey").cast("string")))
+    t = (
+        cust.select(
+            p.alias("subject"),
+            F.lit(_RDFS_NS + "domain").alias("predicate"),
+            dom_val.alias("object"),
+        )
+        .unionByName(
+            cust.select(
+                p.alias("subject"),
+                F.lit(_RDFS_NS + "range").alias("predicate"),
+                F.concat(F.lit("R"), F.col("c_nationkey").cast("string")).alias(
+                    "object"
+                ),
+            )
+        )
+        .unionByName(
+            cust.select(  # chaff the predicate filter must drop
+                p.alias("subject"),
+                F.lit(_RDFS_NS + "label").alias("predicate"),
+                F.col("c_name").alias("object"),
+            )
+        )
+    )
+    return extract_domain_range(
+        t,
+        _RDFS_NS + "domain",
+        _RDFS_NS + "range",
+        expand_yago_unions=True,
+    )
+
+
+DOMAIN_RANGE_SQL = """
+WITH cust AS (
+  SELECT 'http://www.wikidata.org/entity/P' || CAST(c_custkey AS VARCHAR)
+           AS pred,
+         c_custkey AS ck, c_nationkey AS nk
+  FROM customer
+),
+base AS (
+  SELECT pred, 'domain' AS kind,
+         CASE WHEN ck % 5 = 0
+              THEN '_:p-rdfs-domain-owl-unionOf-schema-Thing-xsd-string'
+              ELSE 'D' || CAST(nk AS VARCHAR) END AS value
+  FROM cust
+  UNION ALL
+  SELECT pred, 'range', 'R' || CAST(nk AS VARCHAR) FROM cust
+),
+expanded AS (
+  SELECT pred, kind,
+         CASE WHEN NOT starts_with(value, '_:') THEN value
+              ELSE (CASE l[2*i+1]
+                      WHEN 'schema' THEN 'http://schema.org/'
+                      WHEN 'xsd' THEN 'http://www.w3.org/2001/XMLSchema#'
+                      ELSE l[2*i+1] END) || l[2*i+2]
+              END AS value
+  FROM (
+    SELECT pred, kind, value,
+           string_split(string_split(value, 'owl-unionOf-')[2], '-') AS l,
+           unnest(range(0, CASE WHEN starts_with(value, '_:')
+                                THEN CAST(floor(len(string_split(
+                                       string_split(value, 'owl-unionOf-')[2],
+                                       '-')) / 2) AS INT)
+                                ELSE 1 END)) AS i
+    FROM base
+  )
+)
+SELECT DISTINCT pred, kind, value FROM expanded
+"""
+
+
+def q_constraint_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wikidata property-constraint walk (graph/constraints.py
+    extract_constraint_classes; reference src/extract_domain_range.py:
+    103-134 get_type_wikidata): even-nation predicates carry the domain
+    constraint Q-id, customers supply the P2302 statements and the P2308
+    class qualifiers — the reference's per-predicate/per-statement HDT
+    request loops become two hash joins. The oracle replays the walk."""
+    from .graph.constraints import extract_constraint_classes
+    from .profiles import WIKIDATA
+
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    pred_of = lambda c: F.concat(F.lit(_WD_E + "P"), F.col(c).cast("string"))  # noqa: E731
+    t_direct = nat.select(
+        pred_of("n_nationkey").alias("subject"),
+        F.lit("http://www.wikidata.org/prop/direct/P2302").alias("predicate"),
+        F.when(
+            F.col("n_nationkey") % 2 == 0, F.lit(_WD_E + "Q21503250")
+        ).otherwise(F.lit(_WD_E + "Q21510865")).alias("object"),
+    )
+    t_prop = cust.select(
+        pred_of("c_nationkey").alias("subject"),
+        F.lit("http://www.wikidata.org/prop/P2302").alias("predicate"),
+        F.concat(F.lit("S"), F.col("c_custkey").cast("string")).alias("object"),
+    )
+    t_qual = cust.select(
+        F.concat(F.lit("S"), F.col("c_custkey").cast("string")).alias("subject"),
+        F.lit("http://www.wikidata.org/prop/qualifier/P2308").alias("predicate"),
+        F.concat(F.lit("C"), (F.col("c_custkey") % 7).cast("string")).alias(
+            "object"
+        ),
+    )
+    return extract_constraint_classes(
+        t_direct.unionByName(t_prop).unionByName(t_qual),
+        constraint_kind_obj=WIKIDATA.domain_pred,
+        constraint_direct="http://www.wikidata.org/prop/direct/P2302",
+        constraint_prop="http://www.wikidata.org/prop/P2302",
+        class_qualifier="http://www.wikidata.org/prop/qualifier/P2308",
+    )
+
+
+CONSTRAINT_WALK_SQL = """
+WITH flagged AS (
+  SELECT DISTINCT 'http://www.wikidata.org/entity/P'
+           || CAST(n_nationkey AS VARCHAR) AS pred
+  FROM nation WHERE n_nationkey % 2 = 0
+),
+statements AS (
+  SELECT 'http://www.wikidata.org/entity/P' || CAST(c_nationkey AS VARCHAR)
+           AS pred,
+         'S' || CAST(c_custkey AS VARCHAR) AS statement
+  FROM customer
+),
+classes AS (
+  SELECT 'S' || CAST(c_custkey AS VARCHAR) AS statement,
+         'C' || CAST(c_custkey % 7 AS VARCHAR) AS class_type
+  FROM customer
+)
+SELECT DISTINCT f.pred, c.class_type
+FROM flagged f
+JOIN statements s ON f.pred = s.pred
+JOIN classes c ON s.statement = c.statement
+"""
+
+
 def q_wikidata_scan_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Profile-driven per-KB scan chain (profiles.py WIKIDATA), mirroring
     the reference's two post-scan streams (interface.py:44-117,141-146):
@@ -6978,6 +7133,8 @@ QUERIES = {
     "anaphora_resolution": q_anaphora,
     "span_dedup_rewrite": q_span_dedup_rewrite,
     "cdc_dedup_profile": q_cdc_dedup,
+    "domain_range_direct": q_domain_range_direct,
+    "constraint_class_walk": q_constraint_walk,
     "neighborhood_function": q_neighborhood_function,
     "k_truss_edges": q_k_truss,
     "topic_boundaries": q_topic_boundaries,
@@ -7134,6 +7291,8 @@ ORACLE_SQL = {
     "anaphora_resolution": ANAPHORA_SQL,
     "span_dedup_rewrite": SPAN_DEDUP_SQL,
     "cdc_dedup_profile": CDC_DEDUP_SQL,
+    "domain_range_direct": DOMAIN_RANGE_SQL,
+    "constraint_class_walk": CONSTRAINT_WALK_SQL,
     "neighborhood_function": NEIGHBORHOOD_FN_SQL,
     "k_truss_edges": KTRUSS_SQL,
     "topic_boundaries": TOPIC_BOUNDARIES_SQL,
