@@ -4539,6 +4539,53 @@ _WD_E = "http://www.wikidata.org/entity/"
 _RDFS_NS = "http://www.w3.org/2000/01/rdf-schema#"
 
 
+def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS inner-product join-cardinality estimate (operators/sketches.py
+    cms_join_size_estimate) for the lineitem self-equi-join on l_partkey
+    — a genuinely multi-multi key — next to the exact size (Σ cnt(k)²)
+    so the one-sided guarantee is visible in the gate row: est >= true,
+    both exact integers. The oracle replays both sketches bucket-for-
+    bucket and the exact count."""
+    from .operators.sketches import cms_join_size_estimate
+
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey")
+    est = cms_join_size_estimate(li, li, "l_partkey", depth=4, width=256)
+    true = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).cast("long").alias("true_join_rows"))
+    )
+    return est.crossJoin(true).select(
+        "est_join_rows",
+        "true_join_rows",
+        (F.col("est_join_rows") >= F.col("true_join_rows")).alias("never_under"),
+    )
+
+
+JOIN_SIZE_EST_SQL = """
+WITH items AS (SELECT l_partkey AS item FROM lineitem),
+fanned AS (
+  SELECT d, CAST(concat('0x', substr(md5(CAST(d AS VARCHAR) || ':'
+              || CAST(item AS VARCHAR)), 1, 8)) AS BIGINT) % 256 AS bucket
+  FROM items, unnest([0, 1, 2, 3]) AS t(d)
+),
+cms AS (SELECT d, bucket, count(*) AS cnt FROM fanned GROUP BY d, bucket),
+ip AS (
+  SELECT a.d, sum(a.cnt * b.cnt) AS ip
+  FROM cms a JOIN cms b ON a.d = b.d AND a.bucket = b.bucket
+  GROUP BY a.d
+),
+est AS (SELECT CAST(min(ip) AS BIGINT) AS est_join_rows FROM ip),
+tru AS (
+  SELECT CAST(sum(c * c) AS BIGINT) AS true_join_rows
+  FROM (SELECT count(*) AS c FROM items GROUP BY item)
+)
+SELECT est_join_rows, true_join_rows,
+       est_join_rows >= true_join_rows AS never_under
+FROM est, tru
+"""
+
+
 def q_domain_range_direct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declared domain/range extraction (graph/constraints.py
     extract_domain_range; reference src/extract_domain_range.py:92-101
@@ -7134,6 +7181,7 @@ QUERIES = {
     "span_dedup_rewrite": q_span_dedup_rewrite,
     "cdc_dedup_profile": q_cdc_dedup,
     "domain_range_direct": q_domain_range_direct,
+    "join_size_estimate": q_join_size_estimate,
     "constraint_class_walk": q_constraint_walk,
     "neighborhood_function": q_neighborhood_function,
     "k_truss_edges": q_k_truss,
@@ -7292,6 +7340,7 @@ ORACLE_SQL = {
     "span_dedup_rewrite": SPAN_DEDUP_SQL,
     "cdc_dedup_profile": CDC_DEDUP_SQL,
     "domain_range_direct": DOMAIN_RANGE_SQL,
+    "join_size_estimate": JOIN_SIZE_EST_SQL,
     "constraint_class_walk": CONSTRAINT_WALK_SQL,
     "neighborhood_function": NEIGHBORHOOD_FN_SQL,
     "k_truss_edges": KTRUSS_SQL,

@@ -476,3 +476,35 @@ def hll_estimate_by(registers: DataFrame) -> DataFrame:
         F.floor(F.lit(float(M)) * F.log(F.lit(float(M)) / v) + F.lit(0.5)),
     ).otherwise(F.floor(raw + F.lit(0.5)))
     return agg.select("grp", est.cast("long").alias("estimate"))
+
+
+def cms_join_size_estimate(
+    a: DataFrame,
+    b: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Equi-join output-cardinality estimate from two CMS sketches: the
+    inner-product estimator (Cormode & Muthukrishnan 2005 §4.2 — the
+    AMS/F2 idea carried over to CMS): for each hash row d,
+    Σ_bucket cntA[d][b]·cntB[d][b] OVERestimates |A ⋈ B| (collisions only
+    add), so the min over rows is the estimate and it NEVER
+    underestimates. The planner-side primitive for sizing a shuffle
+    before paying for it — decide broadcast vs sort-merge vs salting
+    from two ≤ depth·width-row sketch tables instead of running the
+    join. Error ≤ ||A||₁·||B||₁·2/width per row with the usual CMS
+    probability; exact integer arithmetic end to end.
+
+    Build is one pass per side (map-side-combined groupBy on (d,
+    bucket)); the product join is sketch-sized (≤ depth·width rows).
+    Returns one row: (est_join_rows,).
+    """
+    sa = cms_table(a, col, depth, width).withColumnRenamed("cnt", "ca")
+    sb = cms_table(b, col, depth, width).withColumnRenamed("cnt", "cb")
+    per_row = (
+        sa.join(sb, ["d", "bucket"])
+        .groupBy("d")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("ip"))
+    )
+    return per_row.agg(F.min("ip").cast("long").alias("est_join_rows"))

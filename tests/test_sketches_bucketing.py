@@ -506,3 +506,39 @@ def test_kcenter_greedy_matches_python_model(spark):
     assert got == best
     for i, (c, d) in best.items():
         assert c in centers and d <= max(x[1] for x in best.values())
+
+
+def test_cms_join_size_never_underestimates(spark):
+    """Inner-product estimate >= exact join size on skewed keys, and the
+    estimate tightens as width grows (monotone in expectation — assert
+    exactness at a width far above the key count)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from chronographer_spark.operators.sketches import cms_join_size_estimate
+
+    rng = random.Random(5)
+    a = spark.createDataFrame(
+        [(rng.choice([1, 1, 1, 2, 3, 4, 5]),) for _ in range(300)], ["k"]
+    )
+    b = spark.createDataFrame(
+        [(rng.choice([1, 2, 2, 6]),) for _ in range(200)], ["k"]
+    )
+    true = (
+        a.groupBy("k").count().withColumnRenamed("count", "ca")
+        .join(b.groupBy("k").count().withColumnRenamed("count", "cb"), "k")
+        .agg(F.sum(F.col("ca") * F.col("cb")))
+        .first()[0]
+    )
+    est_narrow = cms_join_size_estimate(a, b, "k", depth=4, width=4).first()[
+        "est_join_rows"
+    ]
+    est_wide = cms_join_size_estimate(a, b, "k", depth=4, width=4096).first()[
+        "est_join_rows"
+    ]
+    assert est_narrow >= true
+    assert est_wide >= true
+    assert est_wide <= est_narrow
+    # 6 distinct keys in 4096 buckets x 4 rows: some row is collision-free
+    assert est_wide == true
