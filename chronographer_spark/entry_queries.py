@@ -4539,6 +4539,66 @@ _WD_E = "http://www.wikidata.org/entity/"
 _RDFS_NS = "http://www.w3.org/2000/01/rdf-schema#"
 
 
+def q_rdfs_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDFS-lite forward chaining (graph/rdfs.py rdfs_materialize, 2
+    exact rounds) over order-derived instance triples and an interacting
+    schema: p0 edges become p1 edges (rdfs7) in round 1, original p1
+    edges type their endpoints (rdfs2/3) in round 1 and climb one
+    subclass level (rdfs9) in round 2, derived p1 edges type in round 2
+    — every rule and the round interaction land in the gate. The oracle
+    unrolls both union-distinct rounds."""
+    from .graph.rdfs import rdfs_materialize
+
+    orders = _t(spark, sf_dir, "orders")
+    data = orders.select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("subject"),
+        F.concat(F.lit("p"), (F.col("o_orderkey") % 2).cast("string")).alias(
+            "predicate"
+        ),
+        F.concat(F.lit("o"), F.col("o_orderkey").cast("string")).alias("object"),
+    )
+    schema = spark.createDataFrame(
+        [
+            ("p0", "rdfs:subPropertyOf", "p1"),
+            ("p1", "rdfs:domain", "C1"),
+            ("p1", "rdfs:range", "C2"),
+            ("C1", "rdfs:subClassOf", "C0"),
+            ("C0", "rdfs:subClassOf", "CT"),
+        ],
+        "subject string, predicate string, object string",
+    )
+    return rdfs_materialize(data, schema, max_rounds=2, exact_rounds=True)
+
+
+_RDFS_ROUND_SQL = """
+SELECT DISTINCT subject, predicate, object FROM (
+  SELECT subject, predicate, object FROM {src}
+  UNION ALL
+  SELECT subject, 'p1', object FROM {src} WHERE predicate = 'p0'
+  UNION ALL
+  SELECT subject, 'rdf:type', 'C1' FROM {src} WHERE predicate = 'p1'
+  UNION ALL
+  SELECT object, 'rdf:type', 'C2' FROM {src} WHERE predicate = 'p1'
+  UNION ALL
+  SELECT subject, 'rdf:type',
+         CASE object WHEN 'C1' THEN 'C0' ELSE 'CT' END
+  FROM {src}
+  WHERE predicate = 'rdf:type' AND object IN ('C1', 'C0')
+)"""
+
+RDFS_CLOSURE_SQL = f"""
+WITH t0 AS (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS subject,
+         'p' || CAST(o_orderkey % 2 AS VARCHAR) AS predicate,
+         'o' || CAST(o_orderkey AS VARCHAR) AS object
+  FROM orders
+),
+t1 AS ({_RDFS_ROUND_SQL.format(src="t0")}),
+t2 AS ({_RDFS_ROUND_SQL.format(src="t1")})
+SELECT subject, predicate, object FROM t2
+"""
+
+
 def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CMS inner-product join-cardinality estimate (operators/sketches.py
     cms_join_size_estimate) for the lineitem self-equi-join on l_partkey
@@ -7182,6 +7242,7 @@ QUERIES = {
     "cdc_dedup_profile": q_cdc_dedup,
     "domain_range_direct": q_domain_range_direct,
     "join_size_estimate": q_join_size_estimate,
+    "rdfs_closure": q_rdfs_closure,
     "constraint_class_walk": q_constraint_walk,
     "neighborhood_function": q_neighborhood_function,
     "k_truss_edges": q_k_truss,
@@ -7341,6 +7402,7 @@ ORACLE_SQL = {
     "cdc_dedup_profile": CDC_DEDUP_SQL,
     "domain_range_direct": DOMAIN_RANGE_SQL,
     "join_size_estimate": JOIN_SIZE_EST_SQL,
+    "rdfs_closure": RDFS_CLOSURE_SQL,
     "constraint_class_walk": CONSTRAINT_WALK_SQL,
     "neighborhood_function": NEIGHBORHOOD_FN_SQL,
     "k_truss_edges": KTRUSS_SQL,

@@ -1,0 +1,98 @@
+"""RDFS-lite forward-chaining materialization over triple DataFrames.
+
+The standard KG inference pass (RDFS entailment rules, W3C RDF 1.1
+Semantics §9.2) the reference applies only implicitly — its emission
+rules consume precomputed domain/range/superclass JSONs one hop at a
+time (src/build_ng/generic_kb_to_ng.py:83-110), while a materializer
+closes them: derived edges feed further derivations until fixpoint.
+
+Rules applied each round, all against the CURRENT closure:
+- rdfs7  (s p o)        + (p subPropertyOf q) -> (s q o)
+- rdfs2  (s p o)        + (p domain C)        -> (s rdf:type C)
+- rdfs3  (s p o)        + (p range C)         -> (o rdf:type C)
+- rdfs9  (s rdf:type C) + (C subClassOf D)    -> (s rdf:type D)
+
+Scale shape: the schema (domain/range/subPropertyOf/subClassOf rows) is
+dimension-table-small next to the instance triples — every rule is ONE
+broadcast hash join per round, so a round costs four map-side joins plus
+the union-distinct (the only instance-sized shuffle). Per-round eager
+localCheckpoint cuts lineage exactly like the other iterative families;
+convergence is a triple-count scalar per round (the CC/k-core
+convention). Rule interaction (subproperty edge derived in round t feeds
+domain typing in round t+1; subclass chains climb one level per round)
+is why the loop exists — `exact_rounds=True` pins the round count so an
+unrolled oracle replays bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+RDF_TYPE = "rdf:type"
+RDFS_DOMAIN = "rdfs:domain"
+RDFS_RANGE = "rdfs:range"
+RDFS_SUBPROP = "rdfs:subPropertyOf"
+RDFS_SUBCLASS = "rdfs:subClassOf"
+
+_S, _P, _O = "subject", "predicate", "object"
+
+
+def rdfs_materialize(
+    triples: DataFrame,
+    schema: DataFrame,
+    max_rounds: int = 10,
+    exact_rounds: bool = False,
+) -> DataFrame:
+    """Close `triples` under rdfs2/3/7/9 given `schema` (both (subject,
+    predicate, object)). Returns the materialized triple set including
+    the inputs; duplicates collapse every round."""
+    sub_prop = F.broadcast(
+        schema.filter(F.col(_P) == RDFS_SUBPROP)
+        .select(F.col(_S).alias("p_from"), F.col(_O).alias("p_to"))
+        .dropDuplicates()
+    )
+    domain = F.broadcast(
+        schema.filter(F.col(_P) == RDFS_DOMAIN)
+        .select(F.col(_S).alias("p_of"), F.col(_O).alias("cls"))
+        .dropDuplicates()
+    )
+    rng = F.broadcast(
+        schema.filter(F.col(_P) == RDFS_RANGE)
+        .select(F.col(_S).alias("p_of"), F.col(_O).alias("cls"))
+        .dropDuplicates()
+    )
+    sub_cls = F.broadcast(
+        schema.filter(F.col(_P) == RDFS_SUBCLASS)
+        .select(F.col(_S).alias("c_from"), F.col(_O).alias("c_to"))
+        .dropDuplicates()
+    )
+    cur = triples.select(_S, _P, _O).dropDuplicates().localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        r7 = cur.join(sub_prop, cur[_P] == sub_prop["p_from"]).select(
+            _S, F.col("p_to").alias(_P), _O
+        )
+        r2 = cur.join(domain, cur[_P] == domain["p_of"]).select(
+            _S, F.lit(RDF_TYPE).alias(_P), F.col("cls").alias(_O)
+        )
+        r3 = cur.join(rng, cur[_P] == rng["p_of"]).select(
+            F.col(_O).alias(_S), F.lit(RDF_TYPE).alias(_P), F.col("cls").alias(_O)
+        )
+        r9 = (
+            cur.filter(F.col(_P) == RDF_TYPE)
+            .join(sub_cls, F.col(_O) == F.col("c_from"))
+            .select(_S, F.lit(RDF_TYPE).alias(_P), F.col("c_to").alias(_O))
+        )
+        nxt = (
+            cur.unionByName(r7)
+            .unionByName(r2)
+            .unionByName(r3)
+            .unionByName(r9)
+            .dropDuplicates()
+            .localCheckpoint(eager=True)
+        )
+        if not exact_rounds and nxt.count() == cur.count():
+            cur = nxt
+            break
+        cur = nxt
+    return cur

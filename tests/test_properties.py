@@ -615,3 +615,66 @@ def test_k_truss_matches_python_model(spark, edges):
             break
         cur = nxt
     assert got == support(cur)
+
+
+tr_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),
+        st.integers(min_value=0, max_value=2),
+        st.integers(min_value=0, max_value=5),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(data=tr_strategy)
+@settings(**SETTINGS)
+def test_rdfs_materialize_matches_python_fixpoint(spark, data):
+    """rdfs_materialize (fixpoint mode) vs a driver-side closure of
+    rdfs2/3/7/9 on arbitrary small instance data against a fixed schema
+    with interacting rules (subproperty -> domain/range -> subclass)."""
+    from chronographer_spark.graph.rdfs import rdfs_materialize
+
+    schema_rows = [
+        ("p0", "rdfs:subPropertyOf", "p1"),
+        ("p1", "rdfs:domain", "C1"),
+        ("p1", "rdfs:range", "C2"),
+        ("C1", "rdfs:subClassOf", "C0"),
+        ("C0", "rdfs:subClassOf", "CT"),
+    ]
+    rows = [(f"s{a}", f"p{b}", f"o{c}") for a, b, c in data]
+    t = spark.createDataFrame(rows, "subject string, predicate string, object string")
+    sch = spark.createDataFrame(
+        schema_rows, "subject string, predicate string, object string"
+    )
+    got = {
+        (r["subject"], r["predicate"], r["object"])
+        for r in rdfs_materialize(t, sch).collect()
+    }
+
+    sub_prop = {("p0", "p1")}
+    dom = {("p1", "C1")}
+    rng = {("p1", "C2")}
+    sub_cls = {("C1", "C0"), ("C0", "CT")}
+    cur = set(rows)
+    while True:
+        new = set(cur)
+        for s, p, o in cur:
+            for pf, pt in sub_prop:
+                if p == pf:
+                    new.add((s, pt, o))
+            for pf, c in dom:
+                if p == pf:
+                    new.add((s, "rdf:type", c))
+            for pf, c in rng:
+                if p == pf:
+                    new.add((o, "rdf:type", c))
+            if p == "rdf:type":
+                for cf, ct in sub_cls:
+                    if o == cf:
+                        new.add((s, "rdf:type", ct))
+        if new == cur:
+            break
+        cur = new
+    assert got == cur
