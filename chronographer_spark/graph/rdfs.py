@@ -43,10 +43,22 @@ def rdfs_materialize(
     schema: DataFrame,
     max_rounds: int = 10,
     exact_rounds: bool = False,
+    seminaive: bool = False,
 ) -> DataFrame:
     """Close `triples` under rdfs2/3/7/9 given `schema` (both (subject,
     predicate, object)). Returns the materialized triple set including
-    the inputs; duplicates collapse every round."""
+    the inputs; duplicates collapse every round.
+
+    ``seminaive=True`` switches to semi-naive Datalog evaluation (the
+    textbook fixpoint optimization): each round applies the rules ONLY
+    to the previous round's NEWLY derived triples (every derivation has
+    a last-derived premise, and these rules are linear — one instance
+    premise each — so delta-only application is exhaustive), then
+    anti-joins the closure. Round cost shrinks with the delta instead of
+    re-deriving the whole closure every round — at a deep subclass chain
+    over 10^12 triples this is the difference between rounds that cost
+    O(closure) and rounds that cost O(frontier), identical output
+    (pinned by test_rdfs_seminaive_equals_naive)."""
     sub_prop = F.broadcast(
         schema.filter(F.col(_P) == RDFS_SUBPROP)
         .select(F.col(_S).alias("p_from"), F.col(_O).alias("p_to"))
@@ -68,6 +80,37 @@ def rdfs_materialize(
         .dropDuplicates()
     )
     cur = triples.select(_S, _P, _O).dropDuplicates().localCheckpoint(eager=True)
+    if seminaive:
+        delta = cur
+        for _ in range(max_rounds):
+            r7 = delta.join(sub_prop, delta[_P] == sub_prop["p_from"]).select(
+                _S, F.col("p_to").alias(_P), _O
+            )
+            r2 = delta.join(domain, delta[_P] == domain["p_of"]).select(
+                _S, F.lit(RDF_TYPE).alias(_P), F.col("cls").alias(_O)
+            )
+            r3 = delta.join(rng, delta[_P] == rng["p_of"]).select(
+                F.col(_O).alias(_S),
+                F.lit(RDF_TYPE).alias(_P),
+                F.col("cls").alias(_O),
+            )
+            r9 = (
+                delta.filter(F.col(_P) == RDF_TYPE)
+                .join(sub_cls, F.col(_O) == F.col("c_from"))
+                .select(_S, F.lit(RDF_TYPE).alias(_P), F.col("c_to").alias(_O))
+            )
+            delta = (
+                r7.unionByName(r2)
+                .unionByName(r3)
+                .unionByName(r9)
+                .dropDuplicates()
+                .join(cur, [_S, _P, _O], "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            if delta.isEmpty():
+                break
+            cur = cur.unionByName(delta).localCheckpoint(eager=True)
+        return cur
     for _ in range(max_rounds):
         r7 = cur.join(sub_prop, cur[_P] == sub_prop["p_from"]).select(
             _S, F.col("p_to").alias(_P), _O

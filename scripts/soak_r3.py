@@ -479,6 +479,37 @@ def main() -> None:
 
         return kcenter_greedy(emb_r, k=4).count()
 
+    def _rdfs_chain(seminaive):
+        # 12-deep subclass chain over replicated typed instances: naive
+        # evaluation re-derives the whole closure every round (round t
+        # carries t x instances), semi-naive carries only the frontier —
+        # the round-cost claim in graph/rdfs.py measured head to head
+        from chronographer_spark.graph.rdfs import rdfs_materialize
+
+        depth = 12
+        schema = spark.createDataFrame(
+            [(f"C{i}", "rdfs:subClassOf", f"C{i+1}") for i in range(depth)],
+            "subject string, predicate string, object string",
+        )
+        data = cust_r.select(
+            F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias(
+                "subject"
+            ),
+            F.lit("rdf:type").alias("predicate"),
+            F.lit("C0").alias("object"),
+        )
+        out = rdfs_materialize(
+            data, schema, max_rounds=depth + 1, seminaive=seminaive
+        ).count()
+        assert out == (depth + 1) * repl * n_cust, out
+        return out
+
+    def job_rdfs_naive():
+        return _rdfs_chain(False)
+
+    def job_rdfs_semi():
+        return _rdfs_chain(True)
+
     jobs = [
         ("pack", job_pack),
         ("repetition", job_repetition),
@@ -507,6 +538,8 @@ def main() -> None:
         ("span_rewrite", job_span_rewrite),
         ("cdc", job_cdc),
         ("kcenter", job_kcenter),
+        ("rdfs_naive", job_rdfs_naive),
+        ("rdfs_semi", job_rdfs_semi),
     ]
     only = set(sys.argv[3:])
     for name, fn in jobs:

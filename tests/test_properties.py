@@ -678,3 +678,31 @@ def test_rdfs_materialize_matches_python_fixpoint(spark, data):
             break
         cur = new
     assert got == cur
+
+
+@given(data=tr_strategy)
+@settings(**SETTINGS)
+def test_rdfs_seminaive_equals_naive(spark, data):
+    """Semi-naive (delta-only) evaluation derives exactly the naive
+    closure on arbitrary instance data — the optimization changes round
+    cost, never the fixpoint."""
+    from chronographer_spark.graph.rdfs import rdfs_materialize
+
+    schema_rows = [
+        ("p0", "rdfs:subPropertyOf", "p1"),
+        ("p1", "rdfs:domain", "C1"),
+        ("p1", "rdfs:range", "C2"),
+        ("C1", "rdfs:subClassOf", "C0"),
+        ("C0", "rdfs:subClassOf", "CT"),
+    ]
+    rows = [(f"s{a}", f"p{b}", f"o{c}") for a, b, c in data]
+    t = spark.createDataFrame(rows, "subject string, predicate string, object string")
+    sch = spark.createDataFrame(
+        schema_rows, "subject string, predicate string, object string"
+    )
+    tripleset = lambda df: {  # noqa: E731
+        (r["subject"], r["predicate"], r["object"]) for r in df.collect()
+    }
+    assert tripleset(rdfs_materialize(t, sch, seminaive=True)) == tripleset(
+        rdfs_materialize(t, sch)
+    )
