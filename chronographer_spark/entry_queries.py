@@ -4539,6 +4539,30 @@ _WD_E = "http://www.wikidata.org/entity/"
 _RDFS_NS = "http://www.w3.org/2000/01/rdf-schema#"
 
 
+def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (operators/
+    sampling.py priority_sample): 50 documents weighted by n_chars, the
+    k smallest integer-quotient priorities win. The oracle replays the
+    hash, the quotient, and the (priority, key) order."""
+    from .operators.sampling import priority_sample
+
+    out = priority_sample(
+        _t(spark, sf_dir, "documents"), weight_col="n_chars", k=50
+    )
+    return out.select("doc_id", F.col("n_chars").cast("long").alias("w"), "priority")
+
+
+PRIORITY_SAMPLE_SQL = """
+WITH pri AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+         (CAST(concat('0x', substr(md5('23:' || CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) * 1000000) // CAST(n_chars AS BIGINT) AS priority
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, w, priority FROM pri ORDER BY priority, doc_id LIMIT 50
+"""
+
+
 def q_rdfs_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RDFS-lite forward chaining (graph/rdfs.py rdfs_materialize, 2
     exact rounds) over order-derived instance triples and an interacting
@@ -7243,6 +7267,7 @@ QUERIES = {
     "domain_range_direct": q_domain_range_direct,
     "join_size_estimate": q_join_size_estimate,
     "rdfs_closure": q_rdfs_closure,
+    "priority_sample": q_priority_sample,
     "constraint_class_walk": q_constraint_walk,
     "neighborhood_function": q_neighborhood_function,
     "k_truss_edges": q_k_truss,
@@ -7403,6 +7428,7 @@ ORACLE_SQL = {
     "domain_range_direct": DOMAIN_RANGE_SQL,
     "join_size_estimate": JOIN_SIZE_EST_SQL,
     "rdfs_closure": RDFS_CLOSURE_SQL,
+    "priority_sample": PRIORITY_SAMPLE_SQL,
     "constraint_class_walk": CONSTRAINT_WALK_SQL,
     "neighborhood_function": NEIGHBORHOOD_FN_SQL,
     "k_truss_edges": KTRUSS_SQL,

@@ -151,3 +151,41 @@ def domain_mix_sample(
     for dom, r in sorted(rates_x1e6.items()):
         rate = F.when(F.col(domain_col) == F.lit(dom), F.lit(int(r))).otherwise(rate)
     return hash_rate_sample(df, rate, key, seed)
+
+
+def priority_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    key: str = "doc_id",
+    seed: int = 23,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (the priority-
+    sampling idea of Duffield, Lund & Thorup 2007, with the uniform draw
+    replaced by the portable md5 hash): each row gets priority
+    q = (md5_32(seed:key) * 1e6) DIV weight — an EXACT integer quotient
+    (CLAUDE.md round-3 rule: no float, no grid snapping), so heavier
+    rows draw stochastically smaller priorities — and the sample is the
+    k smallest (priority, key) pairs. Hash-stable: the same keys win
+    under any partitioning and any engine, and membership is auditable
+    row-by-row (rand()-based sampling is neither).
+
+    One map pass + one TakeOrderedAndProject(k); no full shuffle. Rows
+    with weight <= 0 carry no sampling mass and are excluded.
+
+    Returns the k sampled rows with `priority` attached.
+    """
+    from .sketches import _hash32
+
+    h = _hash32(F.concat_ws(":", F.lit(str(seed)), F.col(key).cast("string")))
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__h", h)
+        .withColumn(
+            "priority",
+            F.expr(f"(__h * 1000000) DIV CAST({weight_col} AS BIGINT)"),
+        )
+        .drop("__h")
+        .orderBy("priority", key)
+        .limit(k)
+    )

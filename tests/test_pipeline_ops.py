@@ -1598,3 +1598,31 @@ def test_cdc_chunks_edit_locality(spark):
     for i in (1, 2):
         n, dup = stats[i]
         assert dup >= n - 2, stats
+
+
+def test_priority_sample_weight_bias_and_stability(spark):
+    """Across 20 seeds, rows with 10x the weight win far more often; the
+    sample for one seed is identical under repartitioning; weight-0 rows
+    never appear."""
+    rows = [(i, 1000 if i < 10 else 100) for i in range(100)] + [(500, 0)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    from chronographer_spark.operators.sampling import priority_sample
+
+    heavy_wins = 0
+    for seed in range(20):
+        got = [
+            r["doc_id"] for r in priority_sample(df, "w", k=10, seed=seed).collect()
+        ]
+        assert 500 not in got
+        heavy_wins += sum(1 for d in got if d < 10)
+    # heavy rows are 10% of the population but 10x the mass: they must
+    # take well over half the slots on aggregate (exact share is hash-
+    # dependent; 1/3 is a loose floor far above the unweighted 10%)
+    assert heavy_wins > 20 * 10 / 3, heavy_wins
+
+    a = [r["doc_id"] for r in priority_sample(df, "w", k=10, seed=7).collect()]
+    b = [
+        r["doc_id"]
+        for r in priority_sample(df.repartition(13), "w", k=10, seed=7).collect()
+    ]
+    assert a == b
