@@ -38,6 +38,27 @@ RDFS_SUBCLASS = "rdfs:subClassOf"
 _S, _P, _O = "subject", "predicate", "object"
 
 
+def _apply_rules(src, sub_prop, domain, rng, sub_cls):
+    """The four rule joins against `src` (one round's derivations, before
+    dedup/merge) — factored out so plan tests can pin the broadcast shape
+    that the per-round localCheckpoint otherwise hides."""
+    r7 = src.join(sub_prop, src[_P] == sub_prop["p_from"]).select(
+        _S, F.col("p_to").alias(_P), _O
+    )
+    r2 = src.join(domain, src[_P] == domain["p_of"]).select(
+        _S, F.lit(RDF_TYPE).alias(_P), F.col("cls").alias(_O)
+    )
+    r3 = src.join(rng, src[_P] == rng["p_of"]).select(
+        F.col(_O).alias(_S), F.lit(RDF_TYPE).alias(_P), F.col("cls").alias(_O)
+    )
+    r9 = (
+        src.filter(F.col(_P) == RDF_TYPE)
+        .join(sub_cls, F.col(_O) == F.col("c_from"))
+        .select(_S, F.lit(RDF_TYPE).alias(_P), F.col("c_to").alias(_O))
+    )
+    return r7.unionByName(r2).unionByName(r3).unionByName(r9)
+
+
 def rdfs_materialize(
     triples: DataFrame,
     schema: DataFrame,
@@ -83,26 +104,8 @@ def rdfs_materialize(
     if seminaive:
         delta = cur
         for _ in range(max_rounds):
-            r7 = delta.join(sub_prop, delta[_P] == sub_prop["p_from"]).select(
-                _S, F.col("p_to").alias(_P), _O
-            )
-            r2 = delta.join(domain, delta[_P] == domain["p_of"]).select(
-                _S, F.lit(RDF_TYPE).alias(_P), F.col("cls").alias(_O)
-            )
-            r3 = delta.join(rng, delta[_P] == rng["p_of"]).select(
-                F.col(_O).alias(_S),
-                F.lit(RDF_TYPE).alias(_P),
-                F.col("cls").alias(_O),
-            )
-            r9 = (
-                delta.filter(F.col(_P) == RDF_TYPE)
-                .join(sub_cls, F.col(_O) == F.col("c_from"))
-                .select(_S, F.lit(RDF_TYPE).alias(_P), F.col("c_to").alias(_O))
-            )
             delta = (
-                r7.unionByName(r2)
-                .unionByName(r3)
-                .unionByName(r9)
+                _apply_rules(delta, sub_prop, domain, rng, sub_cls)
                 .dropDuplicates()
                 .join(cur, [_S, _P, _O], "left_anti")
                 .localCheckpoint(eager=True)
@@ -112,25 +115,8 @@ def rdfs_materialize(
             cur = cur.unionByName(delta).localCheckpoint(eager=True)
         return cur
     for _ in range(max_rounds):
-        r7 = cur.join(sub_prop, cur[_P] == sub_prop["p_from"]).select(
-            _S, F.col("p_to").alias(_P), _O
-        )
-        r2 = cur.join(domain, cur[_P] == domain["p_of"]).select(
-            _S, F.lit(RDF_TYPE).alias(_P), F.col("cls").alias(_O)
-        )
-        r3 = cur.join(rng, cur[_P] == rng["p_of"]).select(
-            F.col(_O).alias(_S), F.lit(RDF_TYPE).alias(_P), F.col("cls").alias(_O)
-        )
-        r9 = (
-            cur.filter(F.col(_P) == RDF_TYPE)
-            .join(sub_cls, F.col(_O) == F.col("c_from"))
-            .select(_S, F.lit(RDF_TYPE).alias(_P), F.col("c_to").alias(_O))
-        )
         nxt = (
-            cur.unionByName(r7)
-            .unionByName(r2)
-            .unionByName(r3)
-            .unionByName(r9)
+            cur.unionByName(_apply_rules(cur, sub_prop, domain, rng, sub_cls))
             .dropDuplicates()
             .localCheckpoint(eager=True)
         )

@@ -325,3 +325,81 @@ def test_cooccurrence_lift_broadcasts_capped_vocab(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     plan = _plan(cooccurrence_lift(docs, top_k=10))
     assert plan.count("BroadcastExchange") >= 2, plan
+
+
+def test_rdfs_round_broadcasts_schema_rules(spark):
+    """Every rdfs rule join must broadcast the schema side — a sort-merge
+    join here would shuffle the instance triples four times per round."""
+    from pyspark.sql import functions as F2
+
+    from chronographer_spark.graph import rdfs
+
+    data = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .selectExpr(
+            "concat('c', o_custkey) AS subject",
+            "concat('p', o_orderkey % 2) AS predicate",
+            "concat('o', o_orderkey) AS object",
+        )
+    )
+    schema = spark.createDataFrame(
+        [
+            ("p0", "rdfs:subPropertyOf", "p1"),
+            ("p1", "rdfs:domain", "C1"),
+            ("p1", "rdfs:range", "C2"),
+            ("C1", "rdfs:subClassOf", "C0"),
+        ],
+        "subject string, predicate string, object string",
+    )
+    pick = lambda pred, a, b: F2.broadcast(  # noqa: E731
+        schema.filter(F2.col("predicate") == pred)
+        .selectExpr(f"subject AS {a}", f"object AS {b}")
+        .dropDuplicates()
+    )
+    round_df = rdfs._apply_rules(
+        data,
+        pick("rdfs:subPropertyOf", "p_from", "p_to"),
+        pick("rdfs:domain", "p_of", "cls"),
+        pick("rdfs:range", "p_of", "cls"),
+        pick("rdfs:subClassOf", "c_from", "c_to"),
+    ).dropDuplicates()
+    plan = _plan(round_df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+    # ONE instance-sized exchange (the union-distinct); the other four are
+    # the <=4-row schema-rule dedups inside the broadcast builds
+    assert _exchanges(plan) <= 5, plan
+
+
+def test_priority_sample_is_takeordered_no_full_shuffle(spark):
+    """Weighted sampling must reduce via TakeOrderedAndProject — a global
+    sort exchange would materialize the whole corpus ordering."""
+    from chronographer_spark.operators.sampling import priority_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(priority_sample(docs, "n_chars", k=50))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert _exchanges(plan) == 0, plan
+
+
+def test_kcenter_distance_pass_is_map_only(spark):
+    """Each k-center round's distance update must be a map-only pass over
+    the assignment — centers ride the closure as literals, no join."""
+    from chronographer_spark.operators.similarity import kcenter_greedy
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = kcenter_greedy(emb, k=3)
+    # after the operator's internal eager checkpoints, the returned frame
+    # is a projection of the final checkpointed assignment: zero exchanges
+    plan = _plan(out)
+    assert _exchanges(plan) == 0 and "Join" not in plan, plan
+
+
+def test_boilerplate_flag_join_broadcasts_heavy_hitters(spark):
+    """The boilerplate set (heavy hitters only) must broadcast back onto
+    the line table; the line-df aggregation is the one real shuffle."""
+    from chronographer_spark.operators.text import boilerplate_removal
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(boilerplate_removal(docs, line_tokens=2, max_doc_frac=0.03125))
+    assert "BroadcastHashJoin" in plan, plan
