@@ -4539,6 +4539,83 @@ _WD_E = "http://www.wikidata.org/entity/"
 _RDFS_NS = "http://www.w3.org/2000/01/rdf-schema#"
 
 
+def q_blocked_er(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked ER scoring (linking/blocking.py blocked_match_scores):
+    match customers against a deterministically perturbed copy of
+    themselves (every 3rd account balance shifted, ids offset) through
+    two blocking keys — (nation, segment) and (segment, balance-band) —
+    with integer agreement weights on name/segment/balance-cents;
+    min_score 10 keeps pairs whose name agrees. The oracle replays the
+    block union, pair dedup, and weight sum."""
+    from .linking.blocking import blocked_match_scores
+
+    cust = _t(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    pert = base.select(
+        (F.col("id") + 1000000).alias("id"),
+        "name",
+        "nation",
+        "segment",
+        F.when(F.col("id") % 3 == 0, F.col("cents") + 10000)
+        .otherwise(F.col("cents"))
+        .alias("cents"),
+    ).withColumn("band", F.expr("cents DIV 100000"))
+    base = base.withColumn("band", F.expr("cents DIV 100000"))
+    return blocked_match_scores(
+        base,
+        pert,
+        id_col="id",
+        blocks=[["nation", "segment"], ["segment", "band"]],
+        agreements=[("name", 10), ("segment", 2), ("cents", 3)],
+        min_score=10,
+    )
+
+
+BLOCKED_ER_SQL = """
+WITH base AS (
+  SELECT c_custkey AS id, c_name AS name, c_nationkey AS nation,
+         c_mktsegment AS segment,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+  FROM customer
+),
+ba AS (SELECT *, cents // 100000 AS band FROM base),
+bb AS (
+  SELECT id + 1000000 AS id, name, nation, segment,
+         CASE WHEN id % 3 = 0 THEN cents + 10000 ELSE cents END AS cents
+  FROM base
+),
+bb2 AS (SELECT *, cents // 100000 AS band FROM bb),
+cands AS (
+  SELECT DISTINCT a.id AS a_id, b.id AS b_id,
+         a.name AS a_name, b.name AS b_name,
+         a.segment AS a_segment, b.segment AS b_segment,
+         a.cents AS a_cents, b.cents AS b_cents
+  FROM ba a JOIN bb2 b
+    ON (a.nation = b.nation AND a.segment = b.segment)
+  UNION
+  SELECT DISTINCT a.id, b.id, a.name, b.name, a.segment, b.segment,
+         a.cents, b.cents
+  FROM ba a JOIN bb2 b
+    ON (a.segment = b.segment AND a.band = b.band)
+)
+SELECT a_id, b_id,
+       CAST(CASE WHEN a_name = b_name THEN 10 ELSE 0 END
+            + CASE WHEN a_segment = b_segment THEN 2 ELSE 0 END
+            + CASE WHEN a_cents = b_cents THEN 3 ELSE 0 END AS BIGINT) AS score
+FROM (SELECT DISTINCT a_id, b_id, a_name, b_name, a_segment, b_segment,
+             a_cents, b_cents FROM cands)
+WHERE CASE WHEN a_name = b_name THEN 10 ELSE 0 END
+      + CASE WHEN a_segment = b_segment THEN 2 ELSE 0 END
+      + CASE WHEN a_cents = b_cents THEN 3 ELSE 0 END >= 10
+"""
+
+
 def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted sampling without replacement (operators/
     sampling.py priority_sample): 50 documents weighted by n_chars, the
@@ -7268,6 +7345,7 @@ QUERIES = {
     "join_size_estimate": q_join_size_estimate,
     "rdfs_closure": q_rdfs_closure,
     "priority_sample": q_priority_sample,
+    "blocked_er_scores": q_blocked_er,
     "constraint_class_walk": q_constraint_walk,
     "neighborhood_function": q_neighborhood_function,
     "k_truss_edges": q_k_truss,
@@ -7429,6 +7507,7 @@ ORACLE_SQL = {
     "join_size_estimate": JOIN_SIZE_EST_SQL,
     "rdfs_closure": RDFS_CLOSURE_SQL,
     "priority_sample": PRIORITY_SAMPLE_SQL,
+    "blocked_er_scores": BLOCKED_ER_SQL,
     "constraint_class_walk": CONSTRAINT_WALK_SQL,
     "neighborhood_function": NEIGHBORHOOD_FN_SQL,
     "k_truss_edges": KTRUSS_SQL,

@@ -1626,3 +1626,40 @@ def test_priority_sample_weight_bias_and_stability(spark):
         for r in priority_sample(df.repartition(13), "w", k=10, seed=7).collect()
     ]
     assert a == b
+
+
+def test_blocked_match_scores_hand_fixture(spark):
+    """Blocking bounds candidates (pairs outside every block never appear,
+    even perfect matches), multi-block hits dedup to one row, weights sum
+    per agreeing field, nulls never agree."""
+    from chronographer_spark.linking.blocking import blocked_match_scores
+
+    a = spark.createDataFrame(
+        [
+            (1, "ann", "US", "A"),
+            (2, "bob", "US", "B"),
+            (3, "cat", "FR", None),
+        ],
+        "id long, name string, country string, seg string",
+    )
+    b = spark.createDataFrame(
+        [
+            (11, "ann", "US", "A"),   # blocks: country AND seg -> dedup
+            (12, "bob", "DE", "B"),   # seg block only; country disagrees
+            (13, "cat", "FR", None),  # country block; null seg never agrees
+            (14, "ann", "JP", "Z"),   # no shared block: never a candidate
+        ],
+        "id long, name string, country string, seg string",
+    )
+    got = {
+        (r["a_id"], r["b_id"]): r["score"]
+        for r in blocked_match_scores(
+            a,
+            b,
+            id_col="id",
+            blocks=[["country"], ["seg"]],
+            agreements=[("name", 5), ("country", 2), ("seg", 1)],
+            min_score=5,
+        ).collect()
+    }
+    assert got == {(1, 11): 8, (2, 12): 6, (3, 13): 7}
