@@ -4539,6 +4539,69 @@ _WD_E = "http://www.wikidata.org/entity/"
 _RDFS_NS = "http://www.w3.org/2000/01/rdf-schema#"
 
 
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 compaction / temporal fact scoping (operators/temporal.py
+    scd2_compact): per (user, event_type), the bucketed value stream
+    collapses to validity intervals — one row per maximal equal-value
+    run, half-open, current run open-ended. The oracle replays the
+    change-point lag, the island sum, and the lead."""
+    from .operators.temporal import scd2_compact
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        "ts",
+        F.floor(F.col("value") / 25).cast("long").alias("v"),
+    )
+    out = scd2_compact(
+        ev, keys=["user_id", "event_type"], value_col="v", tiebreak="event_id"
+    )
+    return out.select(
+        "user_id",
+        "event_type",
+        "value",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("from_str"),
+        F.coalesce(
+            F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss"), F.lit("")
+        ).alias("to_str"),
+        "n_obs",
+    )
+
+
+SCD2_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type, event_id, ts,
+         CAST(floor(value / 25) AS BIGINT) AS v
+  FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN lag(v) OVER w IS NOT DISTINCT FROM v THEN 0 ELSE 1 END
+              AS chg
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+),
+isl AS (
+  SELECT *, sum(chg) OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+),
+runs AS (
+  SELECT user_id, event_type, island, min(v) AS value,
+         min(ts) AS valid_from, CAST(count(*) AS BIGINT) AS n_obs
+  FROM isl GROUP BY user_id, event_type, island
+)
+SELECT user_id, event_type, value,
+       strftime(valid_from, '%Y-%m-%d %H:%M:%S') AS from_str,
+       coalesce(strftime(lead(valid_from) OVER (PARTITION BY user_id,
+                  event_type ORDER BY valid_from), '%Y-%m-%d %H:%M:%S'),
+                '') AS to_str,
+       n_obs
+FROM runs
+"""
+
+
 def q_blocked_er(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked ER scoring (linking/blocking.py blocked_match_scores):
     match customers against a deterministically perturbed copy of
@@ -7346,6 +7409,7 @@ QUERIES = {
     "rdfs_closure": q_rdfs_closure,
     "priority_sample": q_priority_sample,
     "blocked_er_scores": q_blocked_er,
+    "scd2_intervals": q_scd2_intervals,
     "constraint_class_walk": q_constraint_walk,
     "neighborhood_function": q_neighborhood_function,
     "k_truss_edges": q_k_truss,
@@ -7508,6 +7572,7 @@ ORACLE_SQL = {
     "rdfs_closure": RDFS_CLOSURE_SQL,
     "priority_sample": PRIORITY_SAMPLE_SQL,
     "blocked_er_scores": BLOCKED_ER_SQL,
+    "scd2_intervals": SCD2_SQL,
     "constraint_class_walk": CONSTRAINT_WALK_SQL,
     "neighborhood_function": NEIGHBORHOOD_FN_SQL,
     "k_truss_edges": KTRUSS_SQL,

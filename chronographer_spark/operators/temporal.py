@@ -285,3 +285,54 @@ def burst_buckets(
         )
         .select(key, "bucket_ts", "n_events", "total_events", "n_buckets")
     )
+
+
+def scd2_compact(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    ts_col: str = "ts",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 compaction — equivalently, temporal
+    fact scoping for the KG: an assertion stream (entity keys, value,
+    observed-at) collapses to validity intervals, one row per maximal run
+    of the SAME value, [valid_from, valid_to) half-open with the current
+    run's valid_to NULL. The operator that turns 10^12 observed turns
+    into the O(#changes) fact table a temporal KG actually stores, and
+    the standard lakehouse history-table shape (MERGE-friendly: only
+    change points write).
+
+    One window pass keyed by the entity (change-point flag via null-safe
+    lag compare -> running-sum island id -> per-island min/max), then a
+    second window over the O(#changes) island table for valid_to — the
+    lag/island idiom shared with sessionize and repeated-span merge.
+    Entity-popularity skew is the usual window hot-partition; keys should
+    include the attribute (one partition per (entity, attr), not per
+    entity).
+
+    Returns keys + (value, valid_from, valid_to, n_obs).
+    """
+    from pyspark.sql.window import Window
+
+    order = [ts_col] + ([tiebreak] if tiebreak else [])
+    w = Window.partitionBy(*keys).orderBy(*order)
+    chg = F.when(
+        F.lag(value_col).over(w).eqNullSafe(F.col(value_col)), 0
+    ).otherwise(1)
+    islands = df.withColumn("__chg", chg).withColumn(
+        "__isl", F.sum("__chg").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    runs = islands.groupBy(*keys, "__isl").agg(
+        F.first(value_col).alias("value"),
+        F.min(ts_col).alias("valid_from"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+    w2 = Window.partitionBy(*keys).orderBy("valid_from")
+    return runs.select(
+        *keys,
+        "value",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.col("n_obs").cast("long").alias("n_obs"),
+    )

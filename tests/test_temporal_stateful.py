@@ -938,3 +938,42 @@ def test_streaming_conversation_metrics_restart_state_recovery(spark, tmp_path):
     got = {tuple(r) for r in latest.select(*cols).collect()}
     exp = {tuple(r) for r in conversation_metrics(tx, long_gap_s=90).select(*cols).collect()}
     assert got == exp
+
+
+def test_scd2_compact_hand_fixture(spark):
+    """Runs collapse, intervals tile the timeline half-open, the current
+    run stays open, a value REVISITED later opens a NEW interval, and
+    null values form their own runs (null-safe compare)."""
+    from datetime import datetime
+
+    from chronographer_spark.operators.temporal import scd2_compact
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        ("e1", "a", t(0), 1, 10),
+        ("e1", "a", t(1), 2, 10),   # same value: same run
+        ("e1", "a", t(2), 3, 20),   # change
+        ("e1", "a", t(3), 4, 10),   # back to 10: NEW interval
+        ("e1", "a", t(4), 5, None), # null run
+        ("e1", "a", t(5), 6, None),
+        ("e2", "a", t(0), 7, 99),   # other entity independent
+    ]
+    df = spark.createDataFrame(
+        rows, "ent string, attr string, ts timestamp, event_id long, v long"
+    )
+    got = {
+        (r["ent"], r["value"], r["valid_from"].minute): (
+            r["valid_to"].minute if r["valid_to"] else None,
+            r["n_obs"],
+        )
+        for r in scd2_compact(
+            df, keys=["ent", "attr"], value_col="v", tiebreak="event_id"
+        ).collect()
+    }
+    assert got == {
+        ("e1", 10, 0): (2, 2),
+        ("e1", 20, 2): (3, 1),
+        ("e1", 10, 3): (4, 1),
+        ("e1", None, 4): (None, 2),
+        ("e2", 99, 0): (None, 1),
+    }
