@@ -4539,6 +4539,71 @@ _WD_E = "http://www.wikidata.org/entity/"
 _RDFS_NS = "http://www.w3.org/2000/01/rdf-schema#"
 
 
+def q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keywords (operators/text.py textrank_keywords): window-2
+    co-occurrence edges over the whole documents corpus, 2 PageRank
+    iterations, top-20 tokens ordered by the SCALED rank (so tie order
+    is engine-stable). The oracle rebuilds the edge set and unrolls both
+    rank rounds with the hardened double constants."""
+    from .operators.text import textrank_keywords
+
+    return textrank_keywords(_t(spark, sf_dir, "documents"), top_k=20)
+
+
+TEXTRANK_SQL = r"""
+WITH toks AS (
+  SELECT list_filter(
+           string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+           x -> x <> '') AS w
+  FROM documents
+),
+pairs AS (
+  SELECT w[i] AS src, w[i + 1] AS dst
+  FROM (SELECT w, unnest(range(1, len(w))) AS i FROM toks WHERE len(w) >= 2)
+  WHERE w[i] <> w[i + 1]
+),
+e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs
+  )
+),
+nodes AS (
+  SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+),
+outdeg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS r FROM nodes),
+r1 AS (
+  SELECT n.node,
+         (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+           + CAST(0.85 AS DOUBLE) * coalesce(s.m, CAST(0 AS DOUBLE)) AS r
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, sum(r0.r / o.d) AS m
+    FROM e JOIN r0 ON r0.node = e.src JOIN outdeg o ON o.src = e.src
+    GROUP BY e.dst) s ON s.node = n.node
+),
+r2 AS (
+  SELECT n.node,
+         (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+           + CAST(0.85 AS DOUBLE) * coalesce(s.m, CAST(0 AS DOUBLE)) AS r
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, sum(r1.r / o.d) AS m
+    FROM e JOIN r1 ON r1.node = e.src JOIN outdeg o ON o.src = e.src
+    GROUP BY e.dst) s ON s.node = n.node
+),
+scaled AS (
+  SELECT node AS token,
+         CAST(floor(r * 1000000 + 0.5) AS BIGINT) AS rank_x1e6
+  FROM r2
+)
+SELECT token, rank_x1e6,
+       CAST(row_number() OVER (ORDER BY rank_x1e6 DESC, token ASC) AS BIGINT)
+         AS rnk
+FROM scaled
+ORDER BY rank_x1e6 DESC, token ASC
+LIMIT 20
+"""
+
+
 def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD-2 compaction / temporal fact scoping (operators/temporal.py
     scd2_compact): per (user, event_type), the bucketed value stream
@@ -7410,6 +7475,7 @@ QUERIES = {
     "priority_sample": q_priority_sample,
     "blocked_er_scores": q_blocked_er,
     "scd2_intervals": q_scd2_intervals,
+    "textrank_keywords": q_textrank,
     "constraint_class_walk": q_constraint_walk,
     "neighborhood_function": q_neighborhood_function,
     "k_truss_edges": q_k_truss,
@@ -7573,6 +7639,7 @@ ORACLE_SQL = {
     "priority_sample": PRIORITY_SAMPLE_SQL,
     "blocked_er_scores": BLOCKED_ER_SQL,
     "scd2_intervals": SCD2_SQL,
+    "textrank_keywords": TEXTRANK_SQL,
     "constraint_class_walk": CONSTRAINT_WALK_SQL,
     "neighborhood_function": NEIGHBORHOOD_FN_SQL,
     "k_truss_edges": KTRUSS_SQL,

@@ -568,3 +568,63 @@ def boilerplate_removal(
             "clean_text",
         )
     )
+
+
+def textrank_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    iterations: int = 2,
+    top_k: int = 20,
+) -> DataFrame:
+    """Corpus-level TextRank keywords (Mihalcea & Tarau 2004): adjacent-
+    token co-occurrence edges (window 2, the paper's default) over the
+    whole corpus, symmetrized and deduplicated, ranked by the same
+    fixed-iteration PageRank the graph gates pin — keywords are the
+    tokens random walks keep landing on, a model-free complement to
+    tf-idf (which scores per-doc; TextRank scores corpus-global
+    centrality). Top-k by (rank, token) with ranks scaled to exact-
+    comparable integers.
+
+    Scale shape: the vocabulary graph is tiny next to the corpus — the
+    explode dominates, the distinct edge set then rides the pagerank
+    loop's dimension-table economics. Returns (token, rank_x1e6, rnk).
+    """
+    from pyspark.sql.window import Window
+
+    from .dedup import normalize_text
+    from .graph_algos import pagerank
+
+    toks = F.filter(
+        F.split(normalize_text(F.col(text_col)), " "), lambda t: t != F.lit("")
+    )
+    base = df.select(toks.alias("w")).filter(F.size("w") >= 2)
+    pairs = base.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - 1),
+                lambda i: F.struct(
+                    F.element_at("w", i).alias("src"),
+                    F.element_at("w", i + 1).alias("dst"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst").filter(F.col("src") != F.col("dst"))
+    edges = (
+        pairs.unionByName(
+            pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    ranks = pagerank(edges, iterations=iterations)
+    scaled = ranks.select(
+        F.col("node").alias("token"),
+        F.floor(F.col("rank") * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("rank_x1e6"),
+    )
+    w = Window.orderBy(F.desc("rank_x1e6"), F.asc("token"))
+    return (
+        scaled.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= top_k)
+    )

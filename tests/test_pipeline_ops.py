@@ -1663,3 +1663,21 @@ def test_blocked_match_scores_hand_fixture(spark):
         ).collect()
     }
     assert got == {(1, 11): 8, (2, 12): 6, (3, 13): 7}
+
+
+def test_textrank_hub_token_ranks_first(spark):
+    """A token adjacent to everything must out-rank peripheral tokens; a
+    corpus with symmetric structure ties deterministically by token."""
+    from chronographer_spark.operators.text import textrank_keywords
+
+    docs = [
+        (1, "hub alpha hub beta hub gamma hub delta"),
+        (2, "hub epsilon hub zeta"),
+        (3, "alpha beta"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = textrank_keywords(df, iterations=3, top_k=3).collect()
+    by_rnk = {r["rnk"]: r["token"] for r in rows}
+    assert by_rnk[1] == "hub"
+    ranks = [r["rank_x1e6"] for r in sorted(rows, key=lambda r: r["rnk"])]
+    assert ranks == sorted(ranks, reverse=True)
