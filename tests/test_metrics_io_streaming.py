@@ -666,3 +666,101 @@ def test_incremental_bloom_stream_matches_batch(spark, tmp_path):
     }
     assert got["definitely unseen text"] == 0
     assert sum(v for t, v in got.items() if t != "definitely unseen text") == 3
+
+
+def _scd2_events_schema():
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    return StructType(
+        [
+            StructField("ent", StringType()),
+            StructField("ts", TimestampType()),
+            StructField("event_id", LongType()),
+            StructField("v", LongType()),
+        ]
+    )
+
+
+def _scd2_rows(spark, rows):
+    return spark.createDataFrame(rows, _scd2_events_schema())
+
+
+def test_scd2_stream_parity_and_restart(spark, tmp_path):
+    """After each micro-batch the reconstructed interval table equals the
+    batch operator over all events so far; replay after checkpoint loss of
+    the sink (but not the source checkpoint) cannot occur, so instead we
+    restart the SAME checkpoint with new input and verify no double
+    counting; compaction preserves the table."""
+    from datetime import datetime
+
+    from chronographer_spark.operators.temporal import scd2_compact
+    from chronographer_spark.streaming.scd2 import (
+        compact_scd2_log,
+        read_scd2_table,
+        start_scd2_stream,
+    )
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+    src = tmp_path / "in"
+    src.mkdir()
+    log_dir = str(tmp_path / "log")
+    ckpt = str(tmp_path / "ckpt")
+
+    batch1 = [
+        ("e1", t(0), 1, 10),
+        ("e1", t(1), 2, 10),
+        ("e1", t(2), 3, 20),
+        ("e2", t(0), 4, 5),
+    ]
+    batch2 = [
+        ("e1", t(3), 5, 20),   # extends open run
+        ("e1", t(4), 6, 10),   # closes it, reopens 10
+        ("e3", t(0), 7, 1),    # new key
+    ]
+
+    def run_stream():
+        q = start_scd2_stream(
+            spark,
+            str(src),
+            log_dir,
+            ckpt,
+            key_cols=["ent"],
+            value_col="v",
+            tiebreak="event_id",
+            schema=_scd2_events_schema(),
+        )
+        q.awaitTermination(120)
+
+    def expected(rows):
+        df = _scd2_rows(spark, rows).withColumn("key", F.col("ent"))
+        out = scd2_compact(df, keys=["key"], value_col="v", tiebreak="event_id")
+        return {
+            (r["key"], r["value"], r["valid_from"], r["valid_to"], r["n_obs"])
+            for r in out.collect()
+        }
+
+    def got():
+        cur = read_scd2_table(spark, log_dir)
+        return {
+            (r["key"], r["value"], r["valid_from"], r["valid_to"], r["n_obs"])
+            for r in cur.collect()
+        }
+
+    _scd2_rows(spark, batch1).coalesce(1).write.mode("append").parquet(str(src))
+    run_stream()
+    assert got() == expected(batch1)
+
+    # restart the SAME checkpoint with one more file: only the new file
+    # processes (no double counting of batch1)
+    _scd2_rows(spark, batch2).coalesce(1).write.mode("append").parquet(str(src))
+    run_stream()
+    assert got() == expected(batch1 + batch2)
+
+    compact_scd2_log(spark, log_dir)
+    assert got() == expected(batch1 + batch2)
