@@ -1681,3 +1681,62 @@ def test_textrank_hub_token_ranks_first(spark):
     assert by_rnk[1] == "hub"
     ranks = [r["rank_x1e6"] for r in sorted(rows, key=lambda r: r["rnk"])]
     assert ranks == sorted(ranks, reverse=True)
+
+
+def test_unicode_parity_cdc_boilerplate_spans(spark):
+    """Cross-engine unicode discipline for the new text operators: on a
+    corpus with accents, CJK, and exotic whitespace, the Spark output of
+    cdc_dedup_stats / boilerplate_removal / remove_repeated_spans matches
+    a DuckDB replay of the same normalization (lower + \\s+ collapse) —
+    the hazards are md5-of-multibyte, regex whitespace classes, and
+    lower() on non-ASCII."""
+    import duckdb
+
+    from chronographer_spark.operators.dedup import (
+        cdc_dedup_stats,
+        remove_repeated_spans,
+    )
+    from chronographer_spark.operators.text import boilerplate_removal
+
+    docs = [
+        (1, "Café au lait est bon Café au lait encore"),
+        (2, "café AU Lait est bon 日本語 テスト"),
+        (3, "日本語 テスト compte rendu naïve"),
+        (4, "Tabs\tand\nnewlines   collapse  too est bon"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS SELECT * FROM (VALUES "
+                + ",".join("(%d, '%s')" % (i, t.replace("'", "''")) for i, t in docs)
+                + ") t(doc_id, text)")
+
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from chronographer_spark import entry_queries as eq
+
+    for name, op in [
+        ("cdc", lambda: cdc_dedup_stats(df, trigger_mod=2)),
+        ("boiler", lambda: boilerplate_removal(df, line_tokens=2,
+                                               max_doc_frac=0.5, min_docs=2)),
+        ("spans", lambda: remove_repeated_spans(df, n=2, min_docs=2)),
+    ]:
+        sql = {
+            "cdc": eq.ORACLE_SQL["cdc_dedup_profile"].replace("% 8", "% 2"),
+            "boiler": eq.ORACLE_SQL["boilerplate_clean"]
+            .replace("0.03125", "0.5")
+            .replace("s // 2", "s // 2")  # same line size
+            ,
+            "spans": eq.ORACLE_SQL["span_dedup_rewrite"]
+            .replace("len(t) - 3 + 2", "len(t) - 2 + 2")
+            .replace("t[i:i+2]", "t[i:i+1]")
+            .replace("len(t) >= 3", "len(t) >= 2")
+            .replace("range(g.pos, g.pos + 3)", "range(g.pos, g.pos + 2)"),
+        }[name]
+        exp = con.sql(sql).df()
+        out = op().toPandas()
+        out.columns = list(exp.columns)
+        a = out.sort_values(list(out.columns)).reset_index(drop=True)
+        b = exp.sort_values(list(exp.columns)).reset_index(drop=True)
+        for c in a.columns:
+            assert list(a[c].astype(str)) == list(b[c].astype(str)), (name, c)
