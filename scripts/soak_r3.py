@@ -510,6 +510,80 @@ def main() -> None:
     def job_rdfs_semi():
         return _rdfs_chain(True)
 
+    def job_scd2():
+        # change-point window per (user, type): rides event count, one
+        # entity-keyed shuffle; replicas are independent users
+        from chronographer_spark.operators.temporal import scd2_compact
+
+        ev2 = ev_r.select(
+            "user_id", "event_type", "event_id", "ts",
+            F.floor(F.col("value") / 25).cast("long").alias("v"),
+        )
+        return scd2_compact(
+            ev2, keys=["user_id", "event_type"], value_col="v",
+            tiebreak="event_id",
+        ).count()
+
+    def job_blocked_er():
+        # replicas share names -> cross-replica pairs are REAL matches, so
+        # block joins grow ~repl^2 by construction (minhash_lsh family) —
+        # judge per output PAIR
+        from chronographer_spark.linking.blocking import blocked_match_scores
+
+        base = cust_r.select(
+            F.col("c_custkey").alias("id"),
+            F.col("c_name").alias("name"),
+            F.col("c_nationkey").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        pert = base.withColumn("id", F.col("id") + 1000000000)
+        return blocked_match_scores(
+            base, pert, id_col="id",
+            blocks=[["nation", "segment"]],
+            agreements=[("name", 10), ("segment", 2)],
+            min_score=10,
+        ).count()
+
+    def job_textrank():
+        # vocab graph is repl-invariant; the corpus explode dominates
+        from chronographer_spark.operators.text import textrank_keywords
+
+        return textrank_keywords(docs_r, top_k=20).count()
+
+    def job_ktruss():
+        # one exact peel + final support readout over the c-n-r triangle
+        # graph with order->cust chaff (chaff = 10 x customers, all peeled
+        # in round 1); hub degrees ride repl, the orientation keeps wedge
+        # generation at the degree-2 customers
+        from chronographer_spark.operators.graph_algos import k_truss
+
+        cn = cust_r.select(
+            F.col("c_custkey").alias("src"),
+            (F.col("c_nationkey") + 100000000).alias("dst"),
+        )
+        cr = cust_r.join(nat, cust_r["c_nationkey"] == nat["n_nationkey"]).select(
+            F.col("c_custkey").alias("src"),
+            (F.col("n_regionkey") + 200000000).alias("dst"),
+        )
+        nr = nat.select(
+            (F.col("n_nationkey") + 100000000).alias("src"),
+            (F.col("n_regionkey") + 200000000).alias("dst"),
+        )
+        chaff = cust_r.select(
+            F.col("c_custkey").alias("dst"),
+            F.explode(
+                F.sequence(
+                    F.col("c_custkey") * 10 + 300000000,
+                    F.col("c_custkey") * 10 + 300000009,
+                )
+            ).alias("src"),
+        ).select("src", "dst")
+        e = cn.unionByName(cr).unionByName(nr).unionByName(chaff)
+        out = k_truss(e, k=3, max_rounds=1, exact_rounds=True)
+        n = out.count()
+        assert n == 2 * repl * n_cust + 25, n  # cn + cr + nr survive
+        return n
+
     jobs = [
         ("pack", job_pack),
         ("repetition", job_repetition),
@@ -540,6 +614,10 @@ def main() -> None:
         ("kcenter", job_kcenter),
         ("rdfs_naive", job_rdfs_naive),
         ("rdfs_semi", job_rdfs_semi),
+        ("scd2", job_scd2),
+        ("blocked_er", job_blocked_er),
+        ("textrank", job_textrank),
+        ("ktruss", job_ktruss),
     ]
     only = set(sys.argv[3:])
     for name, fn in jobs:
