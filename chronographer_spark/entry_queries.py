@@ -4539,6 +4539,43 @@ _WD_E = "http://www.wikidata.org/entity/"
 _RDFS_NS = "http://www.w3.org/2000/01/rdf-schema#"
 
 
+def q_tool_loops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stuck-agent tool-loop detection (operators/dialogue.py
+    tool_loop_runs, min_len=3) over the transcript view: maximal runs of
+    identical consecutive tool calls per conversation. The oracle
+    replays the tool-subsequence island windows."""
+    from .operators.dialogue import tool_loop_runs
+
+    tx = transcripts_from_events(spark, sf_dir)
+    return tool_loop_runs(tx, min_len=3)
+
+
+TOOL_LOOPS_SQL = f"""
+{TX_SQL},
+tools AS (
+  SELECT conv_id, turn_idx, tool FROM tx
+  WHERE role = 'tool' AND coalesce(tool, '') <> ''
+),
+flagged AS (
+  SELECT *, CASE WHEN lag(tool) OVER w IS NOT DISTINCT FROM tool
+                 THEN 0 ELSE 1 END AS chg
+  FROM tools
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+),
+isl AS (
+  SELECT *, sum(chg) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                           ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+)
+SELECT conv_id, min(tool) AS tool,
+       CAST(count(*) AS BIGINT) AS run_len,
+       CAST(min(turn_idx) AS BIGINT) AS first_turn,
+       CAST(max(turn_idx) AS BIGINT) AS last_turn
+FROM isl GROUP BY conv_id, island
+HAVING count(*) >= 3
+"""
+
+
 def q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TextRank keywords (operators/text.py textrank_keywords): window-2
     co-occurrence edges over the whole documents corpus, 2 PageRank
@@ -7476,6 +7513,7 @@ QUERIES = {
     "blocked_er_scores": q_blocked_er,
     "scd2_intervals": q_scd2_intervals,
     "textrank_keywords": q_textrank,
+    "tool_loop_runs": q_tool_loops,
     "constraint_class_walk": q_constraint_walk,
     "neighborhood_function": q_neighborhood_function,
     "k_truss_edges": q_k_truss,
@@ -7640,6 +7678,7 @@ ORACLE_SQL = {
     "blocked_er_scores": BLOCKED_ER_SQL,
     "scd2_intervals": SCD2_SQL,
     "textrank_keywords": TEXTRANK_SQL,
+    "tool_loop_runs": TOOL_LOOPS_SQL,
     "constraint_class_walk": CONSTRAINT_WALK_SQL,
     "neighborhood_function": NEIGHBORHOOD_FN_SQL,
     "k_truss_edges": KTRUSS_SQL,

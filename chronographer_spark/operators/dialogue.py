@@ -281,3 +281,47 @@ def context_windows(tx: DataFrame, k: int = 4) -> DataFrame:
         F.col("role").alias("target_role"),
         F.col("text").alias("target_text"),
     )
+
+
+def tool_loop_runs(
+    tx: DataFrame,
+    min_len: int = 3,
+) -> DataFrame:
+    """Stuck-agent loop detection over transcripts: maximal runs of
+    CONSECUTIVE tool turns invoking the SAME tool within a conversation,
+    reported when the run reaches ``min_len`` — the agent-trajectory
+    pathology (retry loops, oscillating tool calls) a training-data
+    pipeline drops or downweights before SFT, and a live-ops alarm on
+    agent fleets. Consecutiveness is defined on the conversation's
+    tool-turn subsequence (intervening user/assistant turns don't break
+    a run; a different tool does).
+
+    One conv_id-keyed window pass (the sessionize/SCD-2 lag/island
+    idiom): rank tool turns, change-point on tool, running-sum island,
+    per-island agg. Scales with tool-turn count, shuffles once.
+
+    Returns (conv_id, tool, run_len, first_turn, last_turn).
+    """
+    from pyspark.sql.window import Window
+
+    tools = tx.filter(
+        (F.col("role") == "tool") & (F.coalesce("tool", F.lit("")) != "")
+    ).select("conv_id", "turn_idx", "tool")
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    flagged = tools.withColumn(
+        "__chg",
+        F.when(F.lag("tool").over(w).eqNullSafe(F.col("tool")), 0).otherwise(1),
+    ).withColumn(
+        "__isl", F.sum("__chg").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        flagged.groupBy("conv_id", "__isl")
+        .agg(
+            F.first("tool").alias("tool"),
+            F.count(F.lit(1)).cast("long").alias("run_len"),
+            F.min("turn_idx").cast("long").alias("first_turn"),
+            F.max("turn_idx").cast("long").alias("last_turn"),
+        )
+        .filter(F.col("run_len") >= min_len)
+        .select("conv_id", "tool", "run_len", "first_turn", "last_turn")
+    )

@@ -1740,3 +1740,28 @@ def test_unicode_parity_cdc_boilerplate_spans(spark):
         b = exp.sort_values(list(exp.columns)).reset_index(drop=True)
         for c in a.columns:
             assert list(a[c].astype(str)) == list(b[c].astype(str)), (name, c)
+
+
+def test_tool_loop_runs_hand_fixture(spark):
+    """Runs count only the tool-turn subsequence (user/assistant turns
+    between calls don't break a run), different tool breaks it, min_len
+    filters, runs don't cross conversations."""
+    from chronographer_spark.operators.dialogue import tool_loop_runs
+
+    rows = [
+        ("c1", 0, "user", ""),
+        ("c1", 1, "tool", "search"),
+        ("c1", 2, "assistant", ""),
+        ("c1", 3, "tool", "search"),
+        ("c1", 4, "tool", "search"),   # run of 3 'search'
+        ("c1", 5, "tool", "browse"),   # breaks it
+        ("c1", 6, "tool", "browse"),
+        ("c2", 0, "tool", "search"),   # other conv: its own run of 1
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, tool string")
+    got = {
+        (r["conv_id"], r["tool"]): (r["run_len"], r["first_turn"], r["last_turn"])
+        for r in tool_loop_runs(df, min_len=2).collect()
+    }
+    assert got == {("c1", "search"): (3, 1, 4), ("c1", "browse"): (2, 5, 6)}
+    assert tool_loop_runs(df, min_len=4).count() == 0
