@@ -803,7 +803,8 @@ def bfs_distances(
     a symmetrized edge list for undirected distance.
 
     Returns (node, landmark, dist), one row per pair reached within
-    ``rounds`` hops (unreached pairs are absent, not NULL).
+    ``rounds`` hops (unreached pairs are absent, not NULL). A landmark
+    always reports itself at distance 0, even if it has no edges.
     """
     spark = edges.sparkSession
     e = edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"))
@@ -849,7 +850,9 @@ def personalized_pagerank(
     not k full-graph sweeps).
 
     Sink mass is dropped (matches pagerank's default). Returns
-    (node, rank) for nodes with rank > 0 only.
+    (node, rank) for the touched set only: seeds plus every node that has
+    ever received contribution rows (a touched node's rank can be exactly
+    0.0 when all its contributors had zero rank that round).
     """
     spark = edges.sparkSession
     p0 = 1.0 / len(seeds)
@@ -908,9 +911,10 @@ def luby_mis(
     free. Per-round eager localCheckpoint, as everywhere in this module.
     Self-loops are dropped (a self-adjacent node can never join).
 
-    Pass a symmetrized edge list. Returns (node, state, decided_round)
-    with state in ('in', 'out', 'undecided'); decided_round = 0 for
-    nodes still undecided after ``rounds``.
+    Pass a symmetrized edge list; node ids must be non-negative (the
+    zero-padded priority string assumes it). Returns (node, state,
+    decided_round) with state in ('in', 'out', 'undecided');
+    decided_round = 0 for nodes still undecided after ``rounds``.
     """
     from .sketches import _hash32
 
