@@ -4805,6 +4805,39 @@ SELECT doc_id, w, priority FROM pri ORDER BY priority, doc_id LIMIT 50
 """
 
 
+def q_priority_sample_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source weighted quota (operators/sampling.py
+    priority_sample_per_group): 5 documents per source, weighted by
+    n_chars, hash-stable. The oracle replays the quotient and the
+    per-group rank."""
+    from .operators.sampling import priority_sample_per_group
+
+    out = priority_sample_per_group(
+        _t(spark, sf_dir, "documents"), group_col="source",
+        weight_col="n_chars", k=5,
+    )
+    return out.select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("w"),
+        "priority", "rnk",
+    )
+
+
+PRIORITY_GROUP_SQL = """
+WITH pri AS (
+  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS w,
+         (CAST(concat('0x', substr(md5('23:' || CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) * 1000000) // CAST(n_chars AS BIGINT) AS priority
+  FROM documents WHERE n_chars > 0
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY source
+              ORDER BY priority, doc_id) AS BIGINT) AS rnk
+  FROM pri
+)
+SELECT doc_id, source, w, priority, rnk FROM ranked WHERE rnk <= 5
+"""
+
+
 def q_rdfs_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RDFS-lite forward chaining (graph/rdfs.py rdfs_materialize, 2
     exact rounds) over order-derived instance triples and an interacting
@@ -7510,6 +7543,7 @@ QUERIES = {
     "join_size_estimate": q_join_size_estimate,
     "rdfs_closure": q_rdfs_closure,
     "priority_sample": q_priority_sample,
+    "priority_sample_groups": q_priority_sample_groups,
     "blocked_er_scores": q_blocked_er,
     "scd2_intervals": q_scd2_intervals,
     "textrank_keywords": q_textrank,
@@ -7675,6 +7709,7 @@ ORACLE_SQL = {
     "join_size_estimate": JOIN_SIZE_EST_SQL,
     "rdfs_closure": RDFS_CLOSURE_SQL,
     "priority_sample": PRIORITY_SAMPLE_SQL,
+    "priority_sample_groups": PRIORITY_GROUP_SQL,
     "blocked_er_scores": BLOCKED_ER_SQL,
     "scd2_intervals": SCD2_SQL,
     "textrank_keywords": TEXTRANK_SQL,

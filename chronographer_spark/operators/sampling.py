@@ -189,3 +189,40 @@ def priority_sample(
         .orderBy("priority", key)
         .limit(k)
     )
+
+
+def priority_sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    k: int,
+    key: str = "doc_id",
+    seed: int = 23,
+) -> DataFrame:
+    """Per-group deterministic weighted sampling without replacement: the
+    k smallest integer-quotient priorities WITHIN each group — the
+    domain-balanced corpus quota (k docs per source, weighted by length/
+    quality) in one pass. Same hash-stable priority as priority_sample;
+    the reduction is a per-group window top-k (one shuffle on the group
+    key) instead of a global TakeOrdered. Group skew is the usual window
+    hot-partition: rank, don't sort-collect.
+
+    Returns the sampled rows with (priority, rnk) attached.
+    """
+    from pyspark.sql.window import Window
+
+    from .sketches import _hash32
+
+    h = _hash32(F.concat_ws(":", F.lit(str(seed)), F.col(key).cast("string")))
+    w = Window.partitionBy(group_col).orderBy("priority", key)
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__h", h)
+        .withColumn(
+            "priority",
+            F.expr(f"(__h * 1000000) DIV CAST({weight_col} AS BIGINT)"),
+        )
+        .drop("__h")
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+    )
