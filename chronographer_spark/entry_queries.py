@@ -7446,6 +7446,112 @@ FROM per, tot
 """
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training: the first 4 merge rules learned from the
+    documents corpus (operators/bpe.py — Sennrich et al. 2016 as DataFrame
+    algebra). The corpus collapses to a distinct-word frequency table after
+    one shuffle; each round is a map-side pair explode + agg on that table
+    and only the argmax row (strings + an exact integer count) crosses the
+    driver. Merge application is DEFINED as the engines' shared
+    left-to-right non-overlapping replace() scan, so the oracle replays
+    training exactly; ties break on (count DESC, left, right) binary
+    string order."""
+    from .operators.bpe import bpe_train, word_freqs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    _, merges_df = bpe_train(word_freqs(docs), n_merges=4)
+    return merges_df.select(
+        "merge_round", "left_sym", "right_sym", "pair_count"
+    )
+
+
+def q_bpe_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword token counts per document under the 4 learned BPE merges —
+    the segmentation half of the tokenizer (operators/bpe.py bpe_segment).
+    Training reuses q_bpe_merges' recipe; segmentation itself adds NO
+    shuffle (pure projection: per-word symbol runs joined by double spaces
+    so merges cannot cross word boundaries, then the merge replaces in
+    training order)."""
+    from .operators.bpe import bpe_segment, bpe_train, word_freqs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges, _ = bpe_train(word_freqs(docs), n_merges=4)
+    return bpe_segment(docs, merges).select("doc_id", "n_tokens_bpe")
+
+
+def _bpe_training_ctes(n_rounds: int) -> str:
+    """Unrolled DuckDB CTE chain m1..mN replaying bpe_train: words ->
+    symbol strings -> per-round (pair count argmax, replace). Kept as a
+    generator so the round count stays pinned to the queries above."""
+    pairs = (
+        "SELECT u['l'] AS l, u['r'] AS r, CAST(sum(freq) AS BIGINT) AS cnt\n"
+        "  FROM (SELECT unnest(list_transform(range(1, len(string_split(trim(s), ' '))),\n"
+        "               i -> {{'l': string_split(trim(s), ' ')[i],"
+        " 'r': string_split(trim(s), ' ')[i+1]}})) AS u, freq\n"
+        "        FROM {src})\n"
+        "  GROUP BY 1, 2"
+    )
+    parts = [
+        "words AS (\n"
+        "  SELECT w AS word, CAST(count(*) AS BIGINT) AS freq\n"
+        "  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)\n"
+        "  WHERE w <> '' GROUP BY w\n"
+        "),\n"
+        "w0 AS (\n"
+        "  SELECT ' ' || array_to_string(list_transform(range(1, length(word)+1),\n"
+        "         i -> substr(word, i, 1)), ' ') || ' ' AS s, freq\n"
+        "  FROM words\n"
+        ")"
+    ]
+    for r in range(1, n_rounds + 1):
+        parts.append(f"p{r} AS (\n  {pairs.format(src=f'w{r - 1}')}\n)")
+        parts.append(
+            f"m{r} AS (SELECT l, r, cnt FROM p{r} ORDER BY cnt DESC, l, r LIMIT 1)"
+        )
+        parts.append(
+            f"w{r} AS (\n"
+            f"  SELECT replace(s, ' ' || (SELECT l FROM m{r}) || ' ' ||"
+            f" (SELECT r FROM m{r}) || ' ',\n"
+            f"                    ' ' || (SELECT l FROM m{r}) ||"
+            f" (SELECT r FROM m{r}) || ' ') AS s, freq\n"
+            f"  FROM w{r - 1}\n)"
+        )
+    return ",\n".join(parts)
+
+
+BPE_MERGES_SQL = f"""
+WITH {_bpe_training_ctes(4)}
+SELECT * FROM (
+  SELECT 1 AS merge_round, l AS left_sym, r AS right_sym, cnt AS pair_count FROM m1
+  UNION ALL SELECT 2, l, r, cnt FROM m2
+  UNION ALL SELECT 3, l, r, cnt FROM m3
+  UNION ALL SELECT 4, l, r, cnt FROM m4
+)
+"""
+
+BPE_SEGMENT_SQL = f"""
+WITH {_bpe_training_ctes(4)},
+d0 AS (
+  SELECT doc_id,
+         ' ' || array_to_string(list_transform(
+                  list_filter(string_split(text, ' '), x -> x <> ''),
+                  x -> array_to_string(list_transform(range(1, length(x)+1),
+                       i -> substr(x, i, 1)), ' ')), '  ') || ' ' AS s
+  FROM documents
+),
+d1 AS (SELECT doc_id, replace(s, ' ' || (SELECT l FROM m1) || ' ' || (SELECT r FROM m1) || ' ',
+                                 ' ' || (SELECT l FROM m1) || (SELECT r FROM m1) || ' ') AS s FROM d0),
+d2 AS (SELECT doc_id, replace(s, ' ' || (SELECT l FROM m2) || ' ' || (SELECT r FROM m2) || ' ',
+                                 ' ' || (SELECT l FROM m2) || (SELECT r FROM m2) || ' ') AS s FROM d1),
+d3 AS (SELECT doc_id, replace(s, ' ' || (SELECT l FROM m3) || ' ' || (SELECT r FROM m3) || ' ',
+                                 ' ' || (SELECT l FROM m3) || (SELECT r FROM m3) || ' ') AS s FROM d2),
+d4 AS (SELECT doc_id, replace(s, ' ' || (SELECT l FROM m4) || ' ' || (SELECT r FROM m4) || ' ',
+                                 ' ' || (SELECT l FROM m4) || (SELECT r FROM m4) || ' ') AS s FROM d3)
+SELECT doc_id, CAST(len(string_split_regex(trim(s), ' +')) AS BIGINT) AS n_tokens_bpe
+FROM d4
+"""
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -7526,6 +7632,8 @@ QUERIES = {
     "metapath_counts": q_metapath_counts,
     "degree_histogram": q_degree_histogram,
     "split_token_budget": q_split_token_budget,
+    "bpe_merges": q_bpe_merges,
+    "bpe_segment_counts": q_bpe_segment_counts,
     "context_windows": q_context_windows,
     "bgp_path_ancestors": q_bgp_path_ancestors,
     "shape_violations": q_shape_violations,
@@ -7692,6 +7800,8 @@ ORACLE_SQL = {
     "metapath_counts": METAPATH_SQL,
     "degree_histogram": DEGREE_HIST_SQL,
     "split_token_budget": SPLIT_TOKEN_BUDGET_SQL,
+    "bpe_merges": BPE_MERGES_SQL,
+    "bpe_segment_counts": BPE_SEGMENT_SQL,
     "context_windows": CONTEXT_WINDOWS_SQL,
     "bgp_path_ancestors": BGP_PATH_SQL,
     "shape_violations": SHAPE_VIOLATIONS_SQL,

@@ -1765,3 +1765,80 @@ def test_tool_loop_runs_hand_fixture(spark):
     }
     assert got == {("c1", "search"): (3, 1, 4), ("c1", "browse"): (2, 5, 6)}
     assert tool_loop_runs(df, min_len=4).count() == 0
+
+
+def _bpe_python_model(word_freq, n_merges):
+    """Driver-side replay of bpe_train: same sentinel-space encoding, same
+    str.replace (left-to-right non-overlapping, identical to Spark/DuckDB
+    replace()), same (count DESC, left, right) tie-break."""
+    strs = {w: " " + " ".join(w) + " " for w in word_freq}
+    merges = []
+    for rnd in range(1, n_merges + 1):
+        cnt = {}
+        for w, s in strs.items():
+            a = s.strip().split(" ")
+            for i in range(len(a) - 1):
+                cnt[(a[i], a[i + 1])] = cnt.get((a[i], a[i + 1]), 0) + word_freq[w]
+        if not cnt:
+            break
+        (l, r), c = min(cnt.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((rnd, l, r, c))
+        strs = {w: s.replace(f" {l} {r} ", f" {l}{r} ") for w, s in strs.items()}
+    return merges
+
+
+def test_bpe_train_matches_python_model(spark):
+    from chronographer_spark.operators.bpe import bpe_segment, bpe_train, word_freqs
+
+    rows = [
+        (0, "banana bandana banana cabana"),
+        (1, "naïve café naïve 日本語 banana"),
+        (2, "aaaa aaaa aa banana bandana"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    wf = word_freqs(docs)
+    freqs = {r["word"]: r["freq"] for r in wf.collect()}
+    merges, mdf = bpe_train(wf, n_merges=5)
+    assert [tuple(m) for m in merges] == _bpe_python_model(freqs, 5)
+    assert mdf.count() == len(merges)
+
+    # segmentation matches a per-doc replay; merges never cross the
+    # double-space word boundary
+    seg = {
+        r["doc_id"]: r["n_tokens_bpe"]
+        for r in bpe_segment(docs, merges).select("doc_id", "n_tokens_bpe").collect()
+    }
+    import re
+
+    for doc_id, text in rows:
+        words = [w for w in text.split(" ") if w]
+        s = " " + "  ".join(" ".join(w) for w in words) + " "
+        for _, l, r, _ in merges:
+            s = s.replace(f" {l} {r} ", f" {l}{r} ")
+        assert seg[doc_id] == len(re.split(" +", s.strip())), doc_id
+
+
+def test_bpe_unicode_cross_engine(spark):
+    """substr/char_length vs DuckDB substr/length on multibyte text: the
+    BPE oracle must pick the same merges on accents + CJK."""
+    import duckdb
+
+    from chronographer_spark import entry_queries as eq
+    from chronographer_spark.operators.bpe import bpe_train, word_freqs
+
+    rows = [(1, "héllo héllo héllé 日本語 日本 語語"), (2, "héllo 日本語 ü ü üü")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ",".join("(%d, '%s')" % (i, t) for i, t in rows)
+        + ") t(doc_id, text)"
+    )
+    exp = con.sql(eq.BPE_MERGES_SQL).df()
+    merges, _ = bpe_train(word_freqs(docs), n_merges=4)
+    got = [(m[0], m[1], m[2], m[3]) for m in merges]
+    expected = [
+        (int(r.merge_round), r.left_sym, r.right_sym, int(r.pair_count))
+        for r in exp.itertuples()
+    ]
+    assert got == sorted(expected)
