@@ -584,8 +584,33 @@ def main() -> None:
         assert n == 2 * repl * n_cust + 25, n  # cn + cr + nr survive
         return n
 
+    def job_bpe():
+        # word_freqs' corpus-wide explode+agg rides repl (the one real
+        # shuffle); the vocab table it emits is repl-INVARIANT (replicas
+        # share the word distribution), so the 4 merge rounds are
+        # constant-cost — judge throughput per corpus TOKEN. Segmentation
+        # is a pure projection over the replicated corpus.
+        from chronographer_spark.operators.bpe import (
+            bpe_segment,
+            bpe_train,
+            word_freqs,
+        )
+
+        merges, _ = bpe_train(word_freqs(docs_r), n_merges=4)
+        row = (
+            bpe_segment(docs_r, merges)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("n_tokens_bpe").alias("t"),
+            )
+            .collect()[0]
+        )
+        assert len(merges) == 4 and row["t"] > row["n"]
+        return int(row["n"])
+
     jobs = [
         ("pack", job_pack),
+        ("bpe", job_bpe),
         ("repetition", job_repetition),
         ("corpus_overlap", job_corpus_overlap),
         ("prefix_jaccard", job_prefix_jaccard),
