@@ -7552,6 +7552,38 @@ FROM d4
 """
 
 
+def q_path_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMIE-lite rule mining over the flagship event graph (graph/rules.py):
+    closed Horn rules p1(x,y) ∧ p2(y,z) ⇒ head(x,z) with support and exact
+    integer-quotient standard confidence. The distinct endpoint-binding
+    body is the one irreducible wedge join — checkpointed once and shared
+    by the denominator agg and the head-support join; at scale the
+    degree-product budget guard (max_est_paths) fences the wedge before it
+    is paid for. Finds the graph's real invariants (e.g. nextEvent ∧
+    inConversation ⇒ inConversation at confidence 1.0)."""
+    from .graph.materialize import build_event_graph
+    from .graph.rules import mine_path_rules
+
+    tx = transcripts_from_events(spark, sf_dir)
+    g = build_event_graph(tx)
+    return mine_path_rules(g, min_support=5)
+
+
+PATH_RULES_SQL = (
+    "WITH g AS (" + FLAGSHIP_SQL + ")\n"
+    """, t AS (SELECT subject s, predicate p, object o FROM g),
+body AS (SELECT DISTINCT a.s AS x, a.p AS p1, b.p AS p2, b.o AS z
+         FROM t a JOIN t b ON a.o = b.s),
+np AS (SELECT p1, p2, CAST(count(*) AS BIGINT) AS n_pairs FROM body GROUP BY 1, 2),
+sup AS (SELECT body.p1, body.p2, t.p AS head_pred, CAST(count(*) AS BIGINT) AS support
+        FROM body JOIN t ON body.x = t.s AND body.z = t.o GROUP BY 1, 2, 3)
+SELECT s.p1, s.p2, s.head_pred, s.support, np.n_pairs,
+       CAST(s.support * 1000000 // np.n_pairs AS BIGINT) AS conf_x1e6
+FROM sup s JOIN np USING (p1, p2) WHERE s.support >= 5
+"""
+)
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -7634,6 +7666,7 @@ QUERIES = {
     "split_token_budget": q_split_token_budget,
     "bpe_merges": q_bpe_merges,
     "bpe_segment_counts": q_bpe_segment_counts,
+    "path_rules": q_path_rules,
     "context_windows": q_context_windows,
     "bgp_path_ancestors": q_bgp_path_ancestors,
     "shape_violations": q_shape_violations,
@@ -7802,6 +7835,7 @@ ORACLE_SQL = {
     "split_token_budget": SPLIT_TOKEN_BUDGET_SQL,
     "bpe_merges": BPE_MERGES_SQL,
     "bpe_segment_counts": BPE_SEGMENT_SQL,
+    "path_rules": PATH_RULES_SQL,
     "context_windows": CONTEXT_WINDOWS_SQL,
     "bgp_path_ancestors": BGP_PATH_SQL,
     "shape_violations": SHAPE_VIOLATIONS_SQL,

@@ -1842,3 +1842,54 @@ def test_bpe_unicode_cross_engine(spark):
         for r in exp.itertuples()
     ]
     assert got == sorted(expected)
+
+
+def test_mine_path_rules_hand_graph(spark):
+    """Hand-checkable KG: livesIn(x,y) ∧ inCountry(y,z) ⇒ citizenOf(x,z)
+    holds for 2 of 3 people; support/confidence verified by hand, and a
+    two-bridge endpoint pair counts ONCE (distinct-before-head-join)."""
+    from chronographer_spark.graph.rules import mine_path_rules
+
+    triples = [
+        ("alice", "livesIn", "paris"),
+        ("bob", "livesIn", "lyon"),
+        ("carol", "livesIn", "paris"),
+        ("paris", "inCountry", "france"),
+        ("lyon", "inCountry", "france"),
+        ("alice", "citizenOf", "france"),
+        ("bob", "citizenOf", "france"),
+        # two bridges between dave and germany: endpoint pair counts once
+        ("dave", "livesIn", "berlin"),
+        ("dave", "livesIn", "bonn"),
+        ("berlin", "inCountry", "germany"),
+        ("bonn", "inCountry", "germany"),
+    ]
+    g = spark.createDataFrame(triples, "subject string, predicate string, object string")
+    rules = {
+        (r["p1"], r["p2"], r["head_pred"]): (r["support"], r["n_pairs"], r["conf_x1e6"])
+        for r in mine_path_rules(g, min_support=1).collect()
+    }
+    # bodies: alice/carol->paris->france, bob->lyon->france, dave->germany (x1)
+    assert rules[("livesIn", "inCountry", "citizenOf")] == (2, 4, 500000)
+
+
+def test_mine_path_rules_budget_guard(spark):
+    """max_est_paths computes the exact degree-product wedge size and
+    raises before paying for the join."""
+    import pytest as _pytest
+
+    from chronographer_spark.graph.rules import mine_path_rules
+
+    g = spark.createDataFrame(
+        [(f"s{i}", "p", "hub") for i in range(5)]
+        + [("hub", "q", f"t{i}") for i in range(5)]
+        + [("s0", "r", "t0")],  # one head edge so a rule survives
+        "subject string, predicate string, object string",
+    )
+    with _pytest.raises(ValueError, match="25 paths exceeds budget"):
+        mine_path_rules(g, max_est_paths=10)
+    got = {
+        (r["p1"], r["p2"], r["head_pred"]): (r["support"], r["n_pairs"])
+        for r in mine_path_rules(g, max_est_paths=25).collect()
+    }
+    assert got[("p", "q", "r")] == (1, 25)
