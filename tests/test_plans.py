@@ -403,3 +403,15 @@ def test_boilerplate_flag_join_broadcasts_heavy_hitters(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     plan = _plan(boilerplate_removal(docs, line_tokens=2, max_doc_frac=0.03125))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_bpe_segment_is_pure_projection(spark):
+    """Segmentation under learned merges adds ZERO exchanges — chained
+    replaces over per-word symbol runs are map-side, so segmenting 100 TB
+    is a scan-speed pass."""
+    from chronographer_spark.operators.bpe import bpe_segment
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    merges = [(1, "a", "b", 3), (2, "ab", "c", 2)]
+    plan = _plan(bpe_segment(docs, merges))
+    assert _exchanges(plan) == 0 and "BroadcastExchange" not in plan
