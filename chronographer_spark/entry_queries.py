@@ -7584,6 +7584,60 @@ FROM sup s JOIN np USING (p1, p2) WHERE s.support >= 5
 )
 
 
+def q_fuse_attributes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-ER attribute fusion (linking/fusion.py): majority-vote truth
+    discovery per canonical entity with a pinned tie-break (max votes, then
+    smallest value) — the knowledge-consolidation step the reference leaves
+    to driver-side dict update order (src/make_narrative_graph.py property
+    dicts). Fixture: event assertions pooled through a mod-97 referent
+    dictionary; two attributes (event type, value band) fused per canonical
+    user. Two cascaded aggs, no windows; confidence is an exact integer
+    quotient so DuckDB replays it bit-exactly."""
+    from .linking.fusion import fuse_attributes
+
+    ev = _t(spark, sf_dir, "events")
+    assertions = ev.select(
+        F.col("user_id").alias("entity"),
+        F.lit("etype").alias("attr"),
+        F.col("event_type").alias("value"),
+    ).unionAll(
+        ev.select(
+            F.col("user_id").alias("entity"),
+            F.lit("vband").alias("attr"),
+            F.floor(F.col("value") / F.lit(100.0)).cast("string").alias("value"),
+        )
+    )
+    referents = (
+        ev.select(F.col("user_id").alias("alias"))
+        .distinct()
+        .withColumn("canonical", F.col("alias") % 97)
+    )
+    return fuse_attributes(assertions, referents)
+
+
+FUSE_ATTRIBUTES_SQL = """
+WITH a AS (
+  SELECT user_id % 97 AS entity, 'etype' AS attr, event_type AS value FROM events
+  UNION ALL
+  SELECT user_id % 97, 'vband', CAST(CAST(floor(value / 100) AS BIGINT) AS VARCHAR)
+  FROM events
+),
+c AS (SELECT entity, attr, value, count(*) AS cnt FROM a GROUP BY 1, 2, 3),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY entity, attr
+                            ORDER BY cnt DESC, value ASC) AS rn,
+         sum(cnt)  OVER (PARTITION BY entity, attr) AS total,
+         count(*)  OVER (PARTITION BY entity, attr) AS n_values
+  FROM c
+)
+SELECT entity, attr, value AS fused_value, CAST(cnt AS BIGINT) AS votes,
+       CAST(total AS BIGINT) AS total, CAST(n_values AS BIGINT) AS n_values,
+       CAST((cnt * 1000000) // total AS BIGINT) AS confidence_x1e6
+FROM r WHERE rn = 1
+"""
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -7667,6 +7721,7 @@ QUERIES = {
     "bpe_merges": q_bpe_merges,
     "bpe_segment_counts": q_bpe_segment_counts,
     "path_rules": q_path_rules,
+    "fuse_attributes": q_fuse_attributes,
     "context_windows": q_context_windows,
     "bgp_path_ancestors": q_bgp_path_ancestors,
     "shape_violations": q_shape_violations,
@@ -7836,6 +7891,7 @@ ORACLE_SQL = {
     "bpe_merges": BPE_MERGES_SQL,
     "bpe_segment_counts": BPE_SEGMENT_SQL,
     "path_rules": PATH_RULES_SQL,
+    "fuse_attributes": FUSE_ATTRIBUTES_SQL,
     "context_windows": CONTEXT_WINDOWS_SQL,
     "bgp_path_ancestors": BGP_PATH_SQL,
     "shape_violations": SHAPE_VIOLATIONS_SQL,

@@ -1893,3 +1893,53 @@ def test_mine_path_rules_budget_guard(spark):
         for r in mine_path_rules(g, max_est_paths=25).collect()
     }
     assert got[("p", "q", "r")] == (1, 25)
+
+
+def test_fuse_attributes_majority_and_tiebreak(spark):
+    """Majority wins; exact ties fall to the lexicographically smallest
+    value; counters and the exact integer confidence are hand-checked."""
+    from chronographer_spark.linking.fusion import fuse_attributes
+
+    rows = [
+        # e1 type: Person x3 vs Org x1 -> Person, 3/4
+        ("e1", "type", "Person"), ("e1", "type", "Person"),
+        ("e1", "type", "Person"), ("e1", "type", "Org"),
+        # e1 name: exact 2-2 tie -> 'Alicia' < 'Alyce'
+        ("e1", "name", "Alyce"), ("e1", "name", "Alicia"),
+        ("e1", "name", "Alicia"), ("e1", "name", "Alyce"),
+        ("e2", "type", "Place"),
+    ]
+    a = spark.createDataFrame(rows, "entity string, attr string, value string")
+    got = {
+        (r["entity"], r["attr"]): (
+            r["fused_value"], r["votes"], r["total"], r["n_values"],
+            r["confidence_x1e6"],
+        )
+        for r in fuse_attributes(a).collect()
+    }
+    assert got[("e1", "type")] == ("Person", 3, 4, 2, 750000)
+    assert got[("e1", "name")] == ("Alicia", 2, 4, 2, 500000)
+    assert got[("e2", "type")] == ("Place", 1, 1, 1, 1000000)
+
+
+def test_fuse_attributes_pools_votes_through_referents(spark):
+    """Aliases of one canonical entity pool their votes: separately each
+    alias would fuse 'X', pooled the canonical entity fuses 'Y'."""
+    from chronographer_spark.linking.fusion import fuse_attributes
+
+    rows = [
+        ("a1", "t", "X"), ("a1", "t", "Y"),
+        ("a2", "t", "Y"), ("a2", "t", "Y"),
+        ("a3", "t", "X"),
+    ]
+    a = spark.createDataFrame(rows, "entity string, attr string, value string")
+    refs = spark.createDataFrame(
+        [("a1", "a1"), ("a2", "a1"), ("a3", "z9")],
+        "alias string, canonical string",
+    )
+    got = {
+        (r["entity"], r["attr"]): (r["fused_value"], r["votes"], r["total"])
+        for r in fuse_attributes(a, referents=refs).collect()
+    }
+    assert got[("a1", "t")] == ("Y", 3, 4)
+    assert got[("z9", "t")] == ("X", 1, 1)

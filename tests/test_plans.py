@@ -415,3 +415,18 @@ def test_bpe_segment_is_pure_projection(spark):
     merges = [(1, "a", "b", 3), (2, "ab", "c", 2)]
     plan = _plan(bpe_segment(docs, merges))
     assert _exchanges(plan) == 0 and "BroadcastExchange" not in plan
+
+
+def test_fuse_attributes_no_window_two_exchanges(spark):
+    """Fusion is two cascaded aggs (partial-agg combinable), never a
+    window sort — a hub entity with millions of assertions must not
+    funnel through one sorted partition."""
+    from chronographer_spark.linking.fusion import fuse_attributes
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    a = ev.selectExpr(
+        "user_id AS entity", "'etype' AS attr", "event_type AS value"
+    )
+    plan = _plan(fuse_attributes(a))
+    assert "Window" not in plan, plan
+    assert _exchanges(plan) == 2, plan
