@@ -7638,6 +7638,100 @@ FROM r WHERE rn = 1
 """
 
 
+def q_er_fuse_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution: blocked scoring -> match edges ->
+    connected components -> referent dictionary -> attribute fusion, the
+    full production composition (each stage individually gated:
+    blocked_er_scores, cc_canonical, fuse_attributes). Fixture: customers
+    vs a deterministically perturbed copy (ids offset by 1e6, every 3rd
+    balance shifted); names are unique, so the only pairs clearing
+    min_score=10 are (k, k+1e6) — the oracle replays the provably-equal
+    canonical mapping (component min = k) in closed form while Spark runs
+    the real CC, then both fuse: segment agrees 2/2, cents ties 1-1 for
+    the perturbed third (smallest string wins)."""
+    from .linking.blocking import blocked_match_scores
+    from .linking.canonicalize import connected_components
+    from .linking.fusion import fuse_attributes
+
+    cust = _t(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    pert = base.select(
+        (F.col("id") + 1000000).alias("id"),
+        "name",
+        "nation",
+        "segment",
+        F.when(F.col("id") % 3 == 0, F.col("cents") + 10000)
+        .otherwise(F.col("cents"))
+        .alias("cents"),
+    )
+    edges = blocked_match_scores(
+        base,
+        pert,
+        id_col="id",
+        blocks=[["nation", "segment"]],
+        agreements=[("name", 10)],
+        min_score=10,
+    ).select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    recs = base.unionByName(pert)
+    cc = connected_components(edges, all_nodes=recs.select(F.col("id").alias("node")))
+    refs = cc.select(
+        F.col("node").alias("alias"), F.col("component").alias("canonical")
+    )
+    assertions = recs.select(
+        F.col("id").alias("entity"),
+        F.lit("segment").alias("attr"),
+        F.col("segment").alias("value"),
+    ).unionByName(
+        recs.select(
+            F.col("id").alias("entity"),
+            F.lit("cents").alias("attr"),
+            F.col("cents").cast("string").alias("value"),
+        )
+    )
+    return fuse_attributes(assertions, referents=refs)
+
+
+ER_FUSE_PIPELINE_SQL = """
+WITH base AS (
+  SELECT c_custkey AS k, c_mktsegment AS segment,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+  FROM customer
+),
+pert AS (
+  SELECT k, segment,
+         CASE WHEN k % 3 = 0 THEN cents + 10000 ELSE cents END AS cents
+  FROM base
+),
+recs AS (
+  SELECT k AS entity, segment, cents FROM base
+  UNION ALL SELECT k, segment, cents FROM pert
+),
+a AS (
+  SELECT entity, 'segment' AS attr, segment AS value FROM recs
+  UNION ALL SELECT entity, 'cents', CAST(cents AS VARCHAR) FROM recs
+),
+c AS (SELECT entity, attr, value, count(*) AS cnt FROM a GROUP BY 1, 2, 3),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY entity, attr
+                            ORDER BY cnt DESC, value ASC) AS rn,
+         sum(cnt)  OVER (PARTITION BY entity, attr) AS total,
+         count(*)  OVER (PARTITION BY entity, attr) AS n_values
+  FROM c
+)
+SELECT entity, attr, value AS fused_value, CAST(cnt AS BIGINT) AS votes,
+       CAST(total AS BIGINT) AS total, CAST(n_values AS BIGINT) AS n_values,
+       CAST((cnt * 1000000) // total AS BIGINT) AS confidence_x1e6
+FROM r WHERE rn = 1
+"""
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -7722,6 +7816,7 @@ QUERIES = {
     "bpe_segment_counts": q_bpe_segment_counts,
     "path_rules": q_path_rules,
     "fuse_attributes": q_fuse_attributes,
+    "er_fuse_pipeline": q_er_fuse_pipeline,
     "context_windows": q_context_windows,
     "bgp_path_ancestors": q_bgp_path_ancestors,
     "shape_violations": q_shape_violations,
@@ -7892,6 +7987,7 @@ ORACLE_SQL = {
     "bpe_segment_counts": BPE_SEGMENT_SQL,
     "path_rules": PATH_RULES_SQL,
     "fuse_attributes": FUSE_ATTRIBUTES_SQL,
+    "er_fuse_pipeline": ER_FUSE_PIPELINE_SQL,
     "context_windows": CONTEXT_WINDOWS_SQL,
     "bgp_path_ancestors": BGP_PATH_SQL,
     "shape_violations": SHAPE_VIOLATIONS_SQL,
