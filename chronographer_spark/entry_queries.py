@@ -7732,6 +7732,90 @@ FROM r WHERE rn = 1
 """
 
 
+def q_transe_link_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TransE-style link-prediction eval (graph/link_prediction.py): learn
+    the integer translation prototype of relation t = h+17 over the int8-
+    quantized embeddings, then rank each test triple's true tail among ALL
+    entities by the n²-scaled exact-integer distance (same argsort as the
+    rational TransE distance, no float ever enters). Candidates scan is a
+    map-only broadcast nested loop over the entity table; ranks, reciprocal
+    ranks, and hits@10 are exact integers the oracle replays bit-for-bit."""
+    from .graph.link_prediction import transe_rank_eval
+    from .operators.similarity import quantize_vectors
+
+    emb = _t(spark, sf_dir, "embeddings")
+    ents = quantize_vectors(emb).select("vec_id", "qvec")
+    triples = (
+        ents.select(
+            F.col("vec_id").alias("h"),
+            F.lit("shift17").alias("r"),
+            (F.col("vec_id") + 17).alias("t"),
+        )
+        .join(ents.select(F.col("vec_id").alias("tid")), F.col("t") == F.col("tid"))
+        .drop("tid")
+    )
+    out = transe_rank_eval(triples, ents, k=10, test_filter=F.col("h") % 10 == 0)
+    return out.select(
+        "h", "t", "rank", "rr_x1e6", F.col("hit").alias("hit_at_10")
+    )
+
+
+TRANSE_LINK_PRED_SQL = """
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+qz AS (
+  SELECT vec_id,
+         CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0
+              THEN list_transform(v, x -> 0)
+              ELSE list_transform(v, x -> CAST(floor(x * 127.0 / list_max(list_transform(v, y -> abs(y))) + 0.5) AS INTEGER))
+         END AS q
+  FROM emb
+),
+tr AS (
+  SELECT hq.vec_id AS h, hq.q AS hv, tq.vec_id AS t, tq.q AS tvx
+  FROM qz hq JOIN qz tq ON tq.vec_id = hq.vec_id + 17
+),
+dx AS (
+  SELECT generate_subscripts(hv, 1) AS pos,
+         CAST(unnest(tvx) AS BIGINT) - CAST(unnest(hv) AS BIGINT) AS d
+  FROM tr
+),
+rel AS (SELECT pos, CAST(sum(d) AS BIGINT) AS s, count(*) AS n FROM dx GROUP BY pos),
+tx AS (
+  SELECT h, t, generate_subscripts(hv, 1) AS pos,
+         CAST(unnest(hv) AS BIGINT) AS hx, CAST(unnest(tvx) AS BIGINT) AS tvv
+  FROM tr WHERE h % 10 = 0
+),
+qvx AS (
+  SELECT h, t, pos, rel.n * hx + rel.s AS qx, rel.n AS n, tvv
+  FROM tx JOIN rel USING (pos)
+),
+dtrue AS (
+  SELECT h, t, CAST(sum((qx - n * tvv) * (qx - n * tvv)) AS BIGINT) AS d_true
+  FROM qvx GROUP BY 1, 2
+),
+cx AS (
+  SELECT vec_id AS cid, generate_subscripts(q, 1) AS pos,
+         CAST(unnest(q) AS BIGINT) AS cv
+  FROM qz
+),
+dc AS (
+  SELECT q.h, q.t, c.cid,
+         CAST(sum((q.qx - q.n * c.cv) * (q.qx - q.n * c.cv)) AS BIGINT) AS d
+  FROM qvx q JOIN cx c USING (pos) GROUP BY 1, 2, 3
+),
+rk AS (
+  SELECT c.h, c.t,
+         CAST(1 + sum(CASE WHEN c.d < s.d_true
+                             OR (c.d = s.d_true AND c.cid < c.t)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS rank
+  FROM dc c JOIN dtrue s USING (h, t) GROUP BY 1, 2
+)
+SELECT h, t, rank, CAST(1000000 // rank AS BIGINT) AS rr_x1e6,
+       CAST(CASE WHEN rank <= 10 THEN 1 ELSE 0 END AS BIGINT) AS hit_at_10
+FROM rk
+"""
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -7817,6 +7901,7 @@ QUERIES = {
     "path_rules": q_path_rules,
     "fuse_attributes": q_fuse_attributes,
     "er_fuse_pipeline": q_er_fuse_pipeline,
+    "transe_link_pred": q_transe_link_pred,
     "context_windows": q_context_windows,
     "bgp_path_ancestors": q_bgp_path_ancestors,
     "shape_violations": q_shape_violations,
@@ -7988,6 +8073,7 @@ ORACLE_SQL = {
     "path_rules": PATH_RULES_SQL,
     "fuse_attributes": FUSE_ATTRIBUTES_SQL,
     "er_fuse_pipeline": ER_FUSE_PIPELINE_SQL,
+    "transe_link_pred": TRANSE_LINK_PRED_SQL,
     "context_windows": CONTEXT_WINDOWS_SQL,
     "bgp_path_ancestors": BGP_PATH_SQL,
     "shape_violations": SHAPE_VIOLATIONS_SQL,

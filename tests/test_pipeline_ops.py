@@ -1943,3 +1943,28 @@ def test_fuse_attributes_pools_votes_through_referents(spark):
     }
     assert got[("a1", "t")] == ("Y", 3, 4)
     assert got[("z9", "t")] == ("X", 1, 1)
+
+
+def test_transe_rank_eval_hand_values(spark):
+    """Perfect translation ranks every true tail first; duplicate-vector
+    ties fall to the smaller candidate id; rr/hit are exact integers."""
+    from chronographer_spark.graph.link_prediction import transe_rank_eval
+
+    line_e = spark.createDataFrame(
+        [(i, [i]) for i in range(6)], "vec_id long, qvec array<int>"
+    )
+    line_t = spark.createDataFrame(
+        [(i, "next", i + 1) for i in range(5)], "h long, r string, t long"
+    )
+    got = transe_rank_eval(line_t, line_e, k=2).collect()
+    assert all(r["rank"] == 1 and r["rr_x1e6"] == 1000000 and r["hit"] == 1
+               for r in got) and len(got) == 5
+
+    # entity 0 and 1 share a vector; the true tail 1 ties with candidate 0
+    # at distance 0 -> candidate 0 (smaller id) outranks it -> rank 2
+    dup_e = spark.createDataFrame(
+        [(0, [0]), (1, [0]), (2, [10])], "vec_id long, qvec array<int>"
+    )
+    dup_t = spark.createDataFrame([(0, "r", 1)], "h long, r string, t long")
+    (row,) = transe_rank_eval(dup_t, dup_e, k=1).collect()
+    assert (row["rank"], row["rr_x1e6"], row["hit"]) == (2, 500000, 0)

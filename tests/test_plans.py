@@ -430,3 +430,18 @@ def test_fuse_attributes_no_window_two_exchanges(spark):
     plan = _plan(fuse_attributes(a))
     assert "Window" not in plan, plan
     assert _exchanges(plan) == 2, plan
+
+
+def test_transe_rank_candidates_broadcast_nested_loop(spark):
+    """Link-prediction ranking streams the entity table once against the
+    BROADCAST test set (map-only nested loop) — the 10^9-entity side is
+    never shuffled; only the final triple-keyed agg exchanges."""
+    from chronographer_spark.graph.link_prediction import transe_rank_eval
+    from chronographer_spark.operators.similarity import quantize_vectors
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    ents = quantize_vectors(emb).select("vec_id", "qvec")
+    trips = ents.selectExpr("vec_id AS h", "'r' AS r", "vec_id + 17 AS t")
+    plan = _plan(transe_rank_eval(trips, ents))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
