@@ -7816,6 +7816,250 @@ FROM rk
 """
 
 
+def q_er_clustering_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ER evaluation harness: run the REAL blocked-scoring -> connected-
+    components pipeline on a fixture with deterministic errors, then score
+    the predicted clustering against record identity with pairwise P/R/F1
+    + B-cubed (linking/er_eval.clustering_eval — the clustering-side
+    counterpart of the reference's set-overlap eval, src/evaluation.py).
+    Fixture: customers vs a perturbed copy (ids +1e6; gold entity = k for
+    both copies). Errors: every 5th key's copy gets an 'X'-suffixed name
+    (false negative -> singleton); every 22nd key's copy takes the name of
+    base k+11 ('R' suffix when k+11 is absent), creating a false-positive
+    merge into entity k+11 whenever k and k+11 share (nation, segment).
+    Components stay diameter <= 2 with a base-node center, so the oracle
+    replays canonical = min in closed form while Spark runs the real CC."""
+    from .linking.blocking import blocked_match_scores
+    from .linking.canonicalize import connected_components
+    from .linking.er_eval import clustering_eval
+
+    cust = _t(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    nxt = base.select(
+        (F.col("id") - 11).alias("id"),
+        F.col("name").alias("rname"),
+        F.col("nation").alias("rnation"),
+        F.col("segment").alias("rsegment"),
+    )
+    pert = (
+        base.join(nxt, "id", "left")
+        .select(
+            (F.col("id") + 1000000).alias("id"),
+            F.when(
+                F.col("id") % 22 == 0,
+                F.coalesce("rname", F.concat("name", F.lit("R"))),
+            )
+            .when(F.col("id") % 5 == 0, F.concat("name", F.lit("X")))
+            .otherwise(F.col("name"))
+            .alias("name"),
+            "nation",
+            "segment",
+        )
+    )
+    edges = blocked_match_scores(
+        base,
+        pert,
+        id_col="id",
+        blocks=[["nation", "segment"]],
+        agreements=[("name", 10)],
+        min_score=10,
+    ).select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    recs = base.select("id").unionByName(pert.select("id"))
+    cc = connected_components(
+        edges, all_nodes=recs.select(F.col("id").alias("node"))
+    )
+    labeled = cc.select(
+        F.col("component").alias("pred"),
+        (F.col("node") % 1000000).alias("gold"),
+    )
+    return clustering_eval(labeled)
+
+
+ER_CLUSTERING_EVAL_SQL = """
+WITH base AS (
+  SELECT c_custkey AS k, c_name AS name, c_nationkey AS n, c_mktsegment AS s
+  FROM customer
+),
+pcl AS (
+  SELECT b.k + 1000000 AS id,
+         CASE WHEN b.k % 22 = 0 THEN
+                CASE WHEN nb.k IS NOT NULL AND nb.n = b.n AND nb.s = b.s
+                     THEN b.k + 11 ELSE b.k + 1000000 END
+              WHEN b.k % 5 = 0 THEN b.k + 1000000
+              ELSE b.k END AS pred,
+         b.k AS gold
+  FROM base b LEFT JOIN base nb ON nb.k = b.k + 11
+),
+l AS (
+  SELECT k AS id, k AS pred, k AS gold FROM base
+  UNION ALL SELECT id, pred, gold FROM pcl
+),
+cells AS (SELECT pred, gold, CAST(count(*) AS BIGINT) AS c FROM l GROUP BY 1, 2),
+ps AS (SELECT pred, CAST(count(*) AS BIGINT) AS np FROM l GROUP BY 1),
+gs AS (SELECT gold, CAST(count(*) AS BIGINT) AS ng FROM l GROUP BY 1),
+cs AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n_records,
+         CAST(sum(c * (c - 1) // 2) AS BIGINT) AS tp_pairs,
+         CAST(sum(c * ((c * 1000000) // np)) AS BIGINT) AS b3p,
+         CAST(sum(c * ((c * 1000000) // ng)) AS BIGINT) AS b3r
+  FROM cells JOIN ps USING (pred) JOIN gs USING (gold)
+),
+pp AS (SELECT CAST(count(*) AS BIGINT) AS n_pred,
+              CAST(sum(np * (np - 1) // 2) AS BIGINT) AS pred_pairs FROM ps),
+gp AS (SELECT CAST(count(*) AS BIGINT) AS n_gold,
+              CAST(sum(ng * (ng - 1) // 2) AS BIGINT) AS gold_pairs FROM gs)
+SELECT n_records, n_pred, n_gold, pred_pairs, gold_pairs, tp_pairs,
+       CAST(tp_pairs * 1000000 // nullif(pred_pairs, 0) AS BIGINT) AS pair_p_x1e6,
+       CAST(tp_pairs * 1000000 // nullif(gold_pairs, 0) AS BIGINT) AS pair_r_x1e6,
+       CAST(2 * tp_pairs * 1000000 // nullif(pred_pairs + gold_pairs, 0) AS BIGINT) AS pair_f1_x1e6,
+       CAST(b3p // nullif(n_records, 0) AS BIGINT) AS b3_p_x1e6,
+       CAST(b3r // nullif(n_records, 0) AS BIGINT) AS b3_r_x1e6
+FROM cs, pp, gp
+"""
+
+
+def q_gazetteer_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gazetteer entity spotting (extraction/gazetteer.py — the scalable
+    stand-in for the reference's per-text Spotlight annotator,
+    src/dbpedia_spotlight.py:25-44): dictionary = the corpus's top-20
+    bigrams (count desc, bigram asc — pinned), matched back over the
+    corpus via the rarest-token-anchored join plan; per phrase the total
+    occurrence count and distinct-document frequency. The oracle counts
+    occurrences by the direct definition (adjacent-token join), so the
+    anchor/verify machinery is checked against the semantics, not itself."""
+    from .extraction.gazetteer import gazetteer_match
+
+    docs = _t(spark, sf_dir, "documents")
+    w = F.split(F.lower(F.col("text")), " ")
+    bigrams = docs.filter(F.size(w) >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(w, i), F.element_at(w, i + 1)
+                ),
+            )
+        ).alias("bigram")
+    )
+    top = (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("bigram"))
+        .limit(20)
+        .select(F.col("bigram").alias("phrase"))
+    )
+    occ = gazetteer_match(docs, top)
+    return occ.groupBy("phrase").agg(
+        F.count(F.lit(1)).alias("n_occ"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
+GAZETTEER_MENTIONS_SQL = """
+WITH ws AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+bg AS (
+  SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                               i -> w[i] || ' ' || w[i + 1])) AS bigram
+  FROM ws WHERE len(w) >= 2
+),
+top AS (
+  SELECT bigram AS phrase, count(*) AS c FROM bg
+  GROUP BY 1 ORDER BY c DESC, bigram LIMIT 20
+),
+toks AS (
+  SELECT doc_id, generate_subscripts(w, 1) - 1 AS pos, unnest(w) AS tok
+  FROM ws
+),
+occ AS (
+  SELECT t0.doc_id, tp.phrase
+  FROM toks t0
+  JOIN toks t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+  JOIN top tp ON tp.phrase = t0.tok || ' ' || t1.tok
+)
+SELECT phrase, CAST(count(*) AS BIGINT) AS n_occ,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM occ GROUP BY 1
+"""
+
+
+def q_temporal_kg_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time KG snapshot: the temporal-scoping read that the SCD-2
+    fact table exists for — "what did the graph believe at T" (north-star
+    temporal ordering surface; the reference keeps only current values,
+    make_narrative_graph's dict overwrite). Composes the gated
+    scd2_compact on the same (user, event_type) fixture, then selects the
+    interval covering T = 2024-01-15 00:00:00: valid_from <= T < valid_to
+    (open current run counts). Half-open semantics make the snapshot
+    unique per key by construction. At rest this is the partition-pruned
+    read of a history table partitioned on a valid_to bucket — a filter,
+    never a window."""
+    from .operators.temporal import scd2_compact
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        "ts",
+        F.floor(F.col("value") / 25).cast("long").alias("v"),
+    )
+    out = scd2_compact(
+        ev, keys=["user_id", "event_type"], value_col="v", tiebreak="event_id"
+    )
+    t = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    return out.filter(
+        (F.col("valid_from") <= t)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+    ).select(
+        "user_id",
+        "event_type",
+        "value",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("from_str"),
+        "n_obs",
+    )
+
+
+TEMPORAL_KG_ASOF_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type, event_id, ts,
+         CAST(floor(value / 25) AS BIGINT) AS v
+  FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN lag(v) OVER w IS NOT DISTINCT FROM v THEN 0 ELSE 1 END
+              AS chg
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+),
+isl AS (
+  SELECT *, sum(chg) OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+),
+runs AS (
+  SELECT user_id, event_type, island, min(v) AS value,
+         min(ts) AS valid_from, CAST(count(*) AS BIGINT) AS n_obs
+  FROM isl GROUP BY user_id, event_type, island
+),
+iv AS (
+  SELECT user_id, event_type, value, valid_from, n_obs,
+         lead(valid_from) OVER (PARTITION BY user_id, event_type
+                                ORDER BY valid_from) AS valid_to
+  FROM runs
+)
+SELECT user_id, event_type, value,
+       strftime(valid_from, '%Y-%m-%d %H:%M:%S') AS from_str, n_obs
+FROM iv
+WHERE valid_from <= TIMESTAMP '2024-01-15 00:00:00'
+  AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15 00:00:00')
+"""
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -7902,6 +8146,9 @@ QUERIES = {
     "fuse_attributes": q_fuse_attributes,
     "er_fuse_pipeline": q_er_fuse_pipeline,
     "transe_link_pred": q_transe_link_pred,
+    "er_clustering_eval": q_er_clustering_eval,
+    "gazetteer_mentions": q_gazetteer_mentions,
+    "temporal_kg_asof": q_temporal_kg_asof,
     "context_windows": q_context_windows,
     "bgp_path_ancestors": q_bgp_path_ancestors,
     "shape_violations": q_shape_violations,
@@ -8074,6 +8321,9 @@ ORACLE_SQL = {
     "fuse_attributes": FUSE_ATTRIBUTES_SQL,
     "er_fuse_pipeline": ER_FUSE_PIPELINE_SQL,
     "transe_link_pred": TRANSE_LINK_PRED_SQL,
+    "er_clustering_eval": ER_CLUSTERING_EVAL_SQL,
+    "gazetteer_mentions": GAZETTEER_MENTIONS_SQL,
+    "temporal_kg_asof": TEMPORAL_KG_ASOF_SQL,
     "context_windows": CONTEXT_WINDOWS_SQL,
     "bgp_path_ancestors": BGP_PATH_SQL,
     "shape_violations": SHAPE_VIOLATIONS_SQL,

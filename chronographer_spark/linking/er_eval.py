@@ -1,0 +1,112 @@
+"""Clustering / entity-resolution evaluation: pairwise P/R/F1 and B-cubed.
+
+The reference evaluates its constructed graph with set-overlap P/R/F1 at the
+event and triple level (reference: src/evaluation.py — precision/recall over
+emitted vs gold triples). An ER stage needs the corresponding CLUSTERING
+metrics: given a predicted entity clustering (e.g. the component ids from
+linking/canonicalize.connected_components) and a gold clustering, report
+
+  - pairwise precision / recall / F1 over co-clustered record pairs
+    (the Fellegi-Sunter-era standard), and
+  - B-cubed precision / recall (Bagga & Baldwin 1998), the per-record
+    average used by coreference evaluations — robust to one giant cluster
+    dominating the pair counts.
+
+Neither metric is computed by materializing pairs. Every quantity reduces
+to aggregations over the (pred, gold) CONTINGENCY CELLS:
+
+  pairs within pred clusters  = sum n_p * (n_p - 1) / 2
+  pairs within gold clusters  = sum n_g * (n_g - 1) / 2
+  true-positive pairs         = sum c * (c - 1) / 2        (c = cell count)
+  B3 precision                = avg over records of c / n_p
+                              = (1/N) * sum_cells c * (c / n_p)
+  B3 recall                   = (1/N) * sum_cells c * (c / n_g)
+
+so the plan is three partial-aggregated shuffles on the label columns
+(records -> cells, -> pred sizes, -> gold sizes), two joins of the tiny
+cell table against the size tables, and single-row crossJoins — no pair
+explosion, no windows; a 10^12-record input with a hub cluster of 10^9
+members costs the same three combinable aggs (the hub never sorts or
+enumerates its pairs).
+
+Float discipline (CLAUDE.md): every ratio is an exact integer quotient
+`x * 1e6 DIV y` (per-record B3 quotients are computed per CELL, then
+vote-weighted and averaged with a second DIV), so DuckDB replays every
+output bit-for-bit with `//`. Division by zero -> NULL via nullif in both
+engines (empty input or all-singleton clusterings).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def clustering_eval(
+    labeled: DataFrame,
+    pred_col: str = "pred",
+    gold_col: str = "gold",
+) -> DataFrame:
+    """Evaluate a predicted clustering against gold labels.
+
+    labeled: one row per record carrying its predicted cluster id
+      (`pred_col`, e.g. the `component` from connected_components) and its
+      gold entity id (`gold_col`). Any orderable types.
+
+    Returns ONE row:
+      n_records, n_pred (clusters), n_gold (entities),
+      pred_pairs, gold_pairs, tp_pairs,
+      pair_p_x1e6, pair_r_x1e6, pair_f1_x1e6  (exact integer quotients),
+      b3_p_x1e6, b3_r_x1e6                    (macro per-record averages).
+    """
+    pred, gold = F.col(pred_col), F.col(gold_col)
+    cells = labeled.groupBy(pred.alias("p"), gold.alias("g")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    pred_sizes = labeled.groupBy(pred.alias("p")).agg(
+        F.count(F.lit(1)).alias("np")
+    )
+    gold_sizes = labeled.groupBy(gold.alias("g")).agg(
+        F.count(F.lit(1)).alias("ng")
+    )
+    cell_stats = (
+        cells.join(pred_sizes, "p")
+        .join(gold_sizes, "g")
+        .agg(
+            F.sum("c").alias("n_records"),
+            F.sum(F.expr("c * (c - 1) DIV 2")).alias("tp_pairs"),
+            F.sum(F.expr("c * ((c * 1000000) DIV np)")).alias("b3_p_total"),
+            F.sum(F.expr("c * ((c * 1000000) DIV ng)")).alias("b3_r_total"),
+        )
+    )
+    pred_stats = pred_sizes.agg(
+        F.count(F.lit(1)).alias("n_pred"),
+        F.sum(F.expr("np * (np - 1) DIV 2")).alias("pred_pairs"),
+    )
+    gold_stats = gold_sizes.agg(
+        F.count(F.lit(1)).alias("n_gold"),
+        F.sum(F.expr("ng * (ng - 1) DIV 2")).alias("gold_pairs"),
+    )
+    return (
+        cell_stats.crossJoin(pred_stats)
+        .crossJoin(gold_stats)
+        .select(
+            F.coalesce("n_records", F.lit(0)).alias("n_records"),
+            "n_pred",
+            "n_gold",
+            F.coalesce("pred_pairs", F.lit(0)).alias("pred_pairs"),
+            F.coalesce("gold_pairs", F.lit(0)).alias("gold_pairs"),
+            F.coalesce("tp_pairs", F.lit(0)).alias("tp_pairs"),
+            F.expr(
+                "tp_pairs * 1000000 DIV nullif(pred_pairs, 0)"
+            ).alias("pair_p_x1e6"),
+            F.expr(
+                "tp_pairs * 1000000 DIV nullif(gold_pairs, 0)"
+            ).alias("pair_r_x1e6"),
+            F.expr(
+                "2 * tp_pairs * 1000000 DIV nullif(pred_pairs + gold_pairs, 0)"
+            ).alias("pair_f1_x1e6"),
+            F.expr("b3_p_total DIV nullif(n_records, 0)").alias("b3_p_x1e6"),
+            F.expr("b3_r_total DIV nullif(n_records, 0)").alias("b3_r_x1e6"),
+        )
+    )

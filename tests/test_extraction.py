@@ -254,3 +254,43 @@ def test_resolve_anaphora_hand_fixture(spark):
         ("c1", 4, "they"): "carol",
         ("c2", 5, "it"): "",
     }
+
+
+def test_gazetteer_match_hand_fixture(spark):
+    """Token-aligned phrase occurrences: multi-token, single-token,
+    overlapping, repeated-token phrases; case-insensitive; duplicate
+    dictionary rows collapse; anchor offset never matches across a
+    document-start boundary (start >= 0)."""
+    from chronographer_spark.extraction.gazetteer import gazetteer_match
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the University of Oslo and the university of oslo campus"),
+            (2, "university a a a end"),
+            (3, "oslo"),
+        ],
+        "doc_id long, text string",
+    )
+    phrases = spark.createDataFrame(
+        [
+            ("university of oslo",),
+            ("university of oslo",),  # duplicate row must not double-count
+            ("a a",),                 # overlapping starts 1 and 2
+            ("oslo",),                # 1-token phrase
+            ("oslo campus end",),     # absent
+        ],
+        "phrase string",
+    )
+    got = {
+        (r["doc_id"], r["phrase"], r["start"])
+        for r in gazetteer_match(docs, phrases).collect()
+    }
+    assert got == {
+        (1, "university of oslo", 1),
+        (1, "university of oslo", 6),
+        (2, "a a", 1),
+        (2, "a a", 2),
+        (1, "oslo", 3),
+        (1, "oslo", 8),
+        (3, "oslo", 0),
+    }

@@ -1968,3 +1968,61 @@ def test_transe_rank_eval_hand_values(spark):
     dup_t = spark.createDataFrame([(0, "r", 1)], "h long, r string, t long")
     (row,) = transe_rank_eval(dup_t, dup_e, k=1).collect()
     assert (row["rank"], row["rr_x1e6"], row["hit"]) == (2, 500000, 0)
+
+
+def test_clustering_eval_matches_python_model(spark):
+    """Pairwise P/R/F1 and B-cubed from the cell-count identities match a
+    brute-force Python model that enumerates record pairs."""
+    from itertools import combinations
+
+    from chronographer_spark.linking.er_eval import clustering_eval
+
+    # 8 records, 3 pred clusters vs 3 gold entities with real disagreement
+    rows = [
+        (1, "p1", "g1"), (2, "p1", "g1"), (3, "p1", "g2"),
+        (4, "p2", "g2"), (5, "p2", "g2"), (6, "p2", "g3"),
+        (7, "p3", "g3"), (8, "p3", "g1"),
+    ]
+    labeled = spark.createDataFrame(rows, "id long, pred string, gold string")
+    r = clustering_eval(labeled).collect()[0]
+
+    pred = {i: p for i, p, _ in rows}
+    gold = {i: g for i, _, g in rows}
+    ids = sorted(pred)
+    pp = {frozenset(x) for x in combinations(ids, 2) if pred[x[0]] == pred[x[1]]}
+    gp = {frozenset(x) for x in combinations(ids, 2) if gold[x[0]] == gold[x[1]]}
+    tp = pp & gp
+    assert r["n_records"] == 8 and r["n_pred"] == 3 and r["n_gold"] == 3
+    assert r["pred_pairs"] == len(pp) and r["gold_pairs"] == len(gp)
+    assert r["tp_pairs"] == len(tp)
+    assert r["pair_p_x1e6"] == len(tp) * 1000000 // len(pp)
+    assert r["pair_r_x1e6"] == len(tp) * 1000000 // len(gp)
+    assert r["pair_f1_x1e6"] == 2 * len(tp) * 1000000 // (len(pp) + len(gp))
+    # B3: per-record cell/np and cell/ng quotients, then macro average
+    cells: dict[tuple[str, str], int] = {}
+    for i in ids:
+        cells[(pred[i], gold[i])] = cells.get((pred[i], gold[i]), 0) + 1
+    np_ = {p: sum(1 for i in ids if pred[i] == p) for p in pred.values()}
+    ng_ = {g: sum(1 for i in ids if gold[i] == g) for g in gold.values()}
+    b3p = sum(cells[(pred[i], gold[i])] * 1000000 // np_[pred[i]] for i in ids)
+    b3r = sum(cells[(pred[i], gold[i])] * 1000000 // ng_[gold[i]] for i in ids)
+    assert r["b3_p_x1e6"] == b3p // 8 and r["b3_r_x1e6"] == b3r // 8
+
+
+def test_clustering_eval_empty_and_singletons(spark):
+    """Totality: empty input and all-singleton clusterings (zero pairs)
+    yield NULL quotients, never a division error."""
+    from chronographer_spark.linking.er_eval import clustering_eval
+
+    empty = spark.createDataFrame([], "id long, pred string, gold string")
+    r = clustering_eval(empty).collect()[0]
+    assert r["n_records"] == 0 and r["tp_pairs"] == 0
+    assert r["pair_p_x1e6"] is None and r["b3_p_x1e6"] is None
+
+    singles = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y")], "id long, pred string, gold string"
+    )
+    r = clustering_eval(singles).collect()[0]
+    assert r["pred_pairs"] == 0 and r["gold_pairs"] == 0
+    assert r["pair_f1_x1e6"] is None
+    assert r["b3_p_x1e6"] == 1000000 and r["b3_r_x1e6"] == 1000000

@@ -445,3 +445,20 @@ def test_transe_rank_candidates_broadcast_nested_loop(spark):
     plan = _plan(transe_rank_eval(trips, ents))
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_gazetteer_dictionary_joins_broadcast(spark):
+    """The dictionary (anchors + phrase tokens) must ride broadcast joins;
+    the only wide shuffles are the (id, pos) verify join and the final
+    occurrence agg — the token table is never broadcast and never
+    shuffled twice per side."""
+    from chronographer_spark.extraction.gazetteer import gazetteer_match
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    phrases = docs.limit(3).select(
+        F.substring("text", 1, 9).alias("phrase")
+    )
+    plan = _plan(gazetteer_match(docs, phrases))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    # verify join + dedup of the dictionary + final agg; bound the rest
+    assert _exchanges(plan) <= 4, plan
