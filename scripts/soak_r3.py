@@ -608,6 +608,118 @@ def main() -> None:
         assert len(merges) == 4 and row["t"] > row["n"]
         return int(row["n"])
 
+    def job_er_fuse():
+        # full ER composition: blocked scores -> CC -> attribute fusion.
+        # Replicas share names, so every original customer's 2·repl records
+        # (base+pert across replicas) collapse into ONE component: match
+        # edges grow ~repl² (judge per EDGE, same family as blocked_er),
+        # components stay n_cust, fusion input rides repl.
+        from chronographer_spark.linking.blocking import blocked_match_scores
+        from chronographer_spark.linking.canonicalize import connected_components
+        from chronographer_spark.linking.fusion import fuse_attributes
+
+        base = cust_r.select(
+            F.col("c_custkey").alias("id"),
+            F.col("c_name").alias("name"),
+            F.col("c_nationkey").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        pert = base.withColumn("id", F.col("id") + 1000000000)
+        edges = blocked_match_scores(
+            base, pert, id_col="id",
+            blocks=[["nation", "segment"]],
+            agreements=[("name", 10)],
+            min_score=10,
+        ).select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+        recs = base.unionByName(pert)
+        cc = connected_components(
+            edges, all_nodes=recs.select(F.col("id").alias("node"))
+        )
+        refs = cc.select(
+            F.col("node").alias("alias"), F.col("component").alias("canonical")
+        )
+        assertions = recs.select(
+            F.col("id").alias("entity"),
+            F.lit("segment").alias("attr"),
+            F.col("segment").alias("value"),
+        ).unionByName(
+            recs.select(
+                F.col("id").alias("entity"),
+                F.lit("nation").alias("attr"),
+                F.col("nation").cast("string").alias("value"),
+            )
+        )
+        fused = fuse_attributes(assertions, referents=refs)
+        row = fused.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("total").alias("t")
+        ).collect()[0]
+        assert row["n"] == 2 * n_cust, row  # n_cust components x 2 attrs
+        assert row["t"] == 4 * repl * n_cust, row  # every vote pooled
+        return int(row["t"])
+
+    def job_transe():
+        # link-prediction eval: the candidates pass is entities x
+        # BROADCAST(test) — work linear in entity count at pinned test size
+        # (h % (100·repl) == 0 keeps ~n_emb/100 test triples) — judge per
+        # CANDIDATE (= test · entities)
+        from chronographer_spark.graph.link_prediction import transe_rank_eval
+        from chronographer_spark.operators.similarity import quantize_vectors
+
+        ents = quantize_vectors(emb_r).select("vec_id", "qvec")
+        trips = (
+            ents.select(
+                F.col("vec_id").alias("h"),
+                F.lit("r").alias("r"),
+                (F.col("vec_id") + 17).alias("t"),
+            )
+            .join(
+                ents.select(F.col("vec_id").alias("tid")),
+                F.col("t") == F.col("tid"),
+            )
+            .drop("tid")
+        )
+        out = transe_rank_eval(
+            trips, ents, k=10, test_filter=F.col("h") % (100 * repl) == 0
+        )
+        row = out.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("rank").alias("s")
+        ).collect()[0]
+        assert row["n"] > 0 and row["s"] >= row["n"]
+        return int(row["n"]) * repl * n_emb  # candidates scored
+
+    def job_gazetteer():
+        # dictionary spotting: word-soup vocabulary makes EVERY anchor a
+        # corpus-scale hub (worst case for the candidate join, on purpose);
+        # candidates = occurrences of the 20 anchor tokens, linear in
+        # corpus size — judge per TOKEN scanned (repl-linear)
+        from chronographer_spark.extraction.gazetteer import gazetteer_match
+
+        w = F.split(F.lower(F.col("text")), " ")
+        top = (
+            docs_r.filter(F.size(w) >= 2)
+            .select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(w) - 1),
+                        lambda i: F.concat_ws(
+                            " ", F.element_at(w, i), F.element_at(w, i + 1)
+                        ),
+                    )
+                ).alias("bigram")
+            )
+            .groupBy("bigram")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .orderBy(F.col("c").desc(), F.col("bigram"))
+            .limit(20)
+            .select(F.col("bigram").alias("phrase"))
+        )
+        occ = gazetteer_match(docs_r, top)
+        row = occ.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("start").alias("s")
+        ).collect()[0]
+        assert row["n"] > 0 and row["s"] is not None
+        return int(row["n"])
+
     jobs = [
         ("pack", job_pack),
         ("bpe", job_bpe),
@@ -643,6 +755,9 @@ def main() -> None:
         ("blocked_er", job_blocked_er),
         ("textrank", job_textrank),
         ("ktruss", job_ktruss),
+        ("er_fuse", job_er_fuse),
+        ("transe", job_transe),
+        ("gazetteer", job_gazetteer),
     ]
     only = set(sys.argv[3:])
     for name, fn in jobs:
