@@ -7552,6 +7552,76 @@ FROM d4
 """
 
 
+def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility report: pieces-per-word of the learned BPE, per
+    corpus source — the standard tokenizer-eval readout (a fertility far
+    above ~1.3 on a source means the vocab under-serves it; the signal a
+    pipeline uses to rebalance tokenizer training data). Pure composition
+    of the gated bpe_train/bpe_segment path plus one source-keyed agg;
+    fertility is an exact integer quotient so the oracle replays the
+    whole chain bit-for-bit."""
+    from .operators.bpe import bpe_segment, bpe_train, word_freqs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges, _ = bpe_train(word_freqs(docs), n_merges=4)
+    seg = bpe_segment(docs, merges)
+    words = F.size(
+        F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
+    ).cast("long")
+    return (
+        seg.withColumn("n_words", words)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_tokens_bpe").alias("n_pieces"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_words",
+            "n_pieces",
+            F.expr("n_pieces * 1000000 DIV nullif(n_words, 0)").alias(
+                "fertility_x1e6"
+            ),
+        )
+    )
+
+
+BPE_FERTILITY_SQL = f"""
+WITH {_bpe_training_ctes(4)},
+d0 AS (
+  SELECT source, doc_id,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS BIGINT) AS n_words,
+         ' ' || array_to_string(list_transform(
+                  list_filter(string_split(text, ' '), x -> x <> ''),
+                  x -> array_to_string(list_transform(range(1, length(x)+1),
+                       i -> substr(x, i, 1)), ' ')), '  ') || ' ' AS s
+  FROM documents
+),
+d1 AS (SELECT source, doc_id, n_words, replace(s, ' ' || (SELECT l FROM m1) || ' ' || (SELECT r FROM m1) || ' ',
+                                 ' ' || (SELECT l FROM m1) || (SELECT r FROM m1) || ' ') AS s FROM d0),
+d2 AS (SELECT source, doc_id, n_words, replace(s, ' ' || (SELECT l FROM m2) || ' ' || (SELECT r FROM m2) || ' ',
+                                 ' ' || (SELECT l FROM m2) || (SELECT r FROM m2) || ' ') AS s FROM d1),
+d3 AS (SELECT source, doc_id, n_words, replace(s, ' ' || (SELECT l FROM m3) || ' ' || (SELECT r FROM m3) || ' ',
+                                 ' ' || (SELECT l FROM m3) || (SELECT r FROM m3) || ' ') AS s FROM d2),
+d4 AS (SELECT source, doc_id, n_words, replace(s, ' ' || (SELECT l FROM m4) || ' ' || (SELECT r FROM m4) || ' ',
+                                 ' ' || (SELECT l FROM m4) || (SELECT r FROM m4) || ' ') AS s FROM d3),
+seg AS (
+  SELECT source, doc_id, n_words,
+         CAST(len(string_split_regex(trim(s), ' +')) AS BIGINT) AS n_tokens_bpe
+  FROM d4
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS n_words,
+       CAST(sum(n_tokens_bpe) AS BIGINT) AS n_pieces,
+       CAST(sum(n_tokens_bpe) * 1000000 // nullif(sum(n_words), 0) AS BIGINT)
+         AS fertility_x1e6
+FROM seg GROUP BY 1
+"""
+
+
 def q_path_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AMIE-lite rule mining over the flagship event graph (graph/rules.py):
     closed Horn rules p1(x,y) ∧ p2(y,z) ⇒ head(x,z) with support and exact
@@ -8149,6 +8219,7 @@ QUERIES = {
     "er_clustering_eval": q_er_clustering_eval,
     "gazetteer_mentions": q_gazetteer_mentions,
     "temporal_kg_asof": q_temporal_kg_asof,
+    "bpe_fertility": q_bpe_fertility,
     "context_windows": q_context_windows,
     "bgp_path_ancestors": q_bgp_path_ancestors,
     "shape_violations": q_shape_violations,
@@ -8324,6 +8395,7 @@ ORACLE_SQL = {
     "er_clustering_eval": ER_CLUSTERING_EVAL_SQL,
     "gazetteer_mentions": GAZETTEER_MENTIONS_SQL,
     "temporal_kg_asof": TEMPORAL_KG_ASOF_SQL,
+    "bpe_fertility": BPE_FERTILITY_SQL,
     "context_windows": CONTEXT_WINDOWS_SQL,
     "bgp_path_ancestors": BGP_PATH_SQL,
     "shape_violations": SHAPE_VIOLATIONS_SQL,
