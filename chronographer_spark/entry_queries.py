@@ -7622,6 +7622,43 @@ FROM seg GROUP BY 1
 """
 
 
+def q_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture sampling (operators/sampling.py
+    budget_sample_per_source): per source keep hash-ordered documents
+    until 5000 cumulative tokens — the "N tokens per domain" primitive.
+    Spark runs the two-phase per-source prefix sum (no driver collect,
+    no single-partition window); the oracle replays the SAME pinned
+    semantics with one window per source, which is provably equal because
+    range partitioning preserves md5 order across partition ids."""
+    from .operators.sampling import budget_sample_per_source
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.size(
+        F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
+    ).cast("long")
+    d = docs.select("doc_id", "source", toks.alias("n_tokens"))
+    return budget_sample_per_source(d, budget=5000)
+
+
+BUDGET_SAMPLE_SQL = """
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS BIGINT) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS ok
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY ok
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cum_before
+  FROM t
+)
+SELECT doc_id, source, n_tokens, cum_before FROM c WHERE cum_before < 5000
+"""
+
+
 def q_path_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AMIE-lite rule mining over the flagship event graph (graph/rules.py):
     closed Horn rules p1(x,y) ∧ p2(y,z) ⇒ head(x,z) with support and exact
@@ -8220,6 +8257,7 @@ QUERIES = {
     "gazetteer_mentions": q_gazetteer_mentions,
     "temporal_kg_asof": q_temporal_kg_asof,
     "bpe_fertility": q_bpe_fertility,
+    "budget_sample": q_budget_sample,
     "context_windows": q_context_windows,
     "bgp_path_ancestors": q_bgp_path_ancestors,
     "shape_violations": q_shape_violations,
@@ -8396,6 +8434,7 @@ ORACLE_SQL = {
     "gazetteer_mentions": GAZETTEER_MENTIONS_SQL,
     "temporal_kg_asof": TEMPORAL_KG_ASOF_SQL,
     "bpe_fertility": BPE_FERTILITY_SQL,
+    "budget_sample": BUDGET_SAMPLE_SQL,
     "context_windows": CONTEXT_WINDOWS_SQL,
     "bgp_path_ancestors": BGP_PATH_SQL,
     "shape_violations": SHAPE_VIOLATIONS_SQL,

@@ -226,3 +226,73 @@ def priority_sample_per_group(
         .withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= k)
     )
+
+
+def budget_sample_per_source(
+    df: DataFrame,
+    budget: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    n_parts: int = 32,
+) -> DataFrame:
+    """Token-budget-constrained corpus sampling: per source, keep documents
+    in deterministic hash order until the source's cumulative token count
+    reaches `budget` — the mixture-building primitive ("100B tokens of web,
+    10B of code") a pretraining pipeline runs after curation. A document is
+    kept iff the cumulative count BEFORE it is < budget (pinned rule: the
+    straddling document is included, nothing is truncated).
+
+    The per-source prefix sum is TWO-PHASE like pack_sequences, but with
+    NO driver collect: range-partition on (source, md5(id)), local window
+    cumsum per (source, partition id); per-(source, partition) totals —
+    n_sources x n_parts rows, dimension-table-small — get exclusive
+    offsets from a window over that tiny table and broadcast-join back.
+    A 10^12-token source never sorts in one partition.
+
+    Returns (id_col, source_col, token_col, cum_before) for kept rows;
+    md5-hex ordering replays identically in any engine.
+    """
+    ok = F.md5(F.col(id_col).cast("string"))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(source_col).alias("src"),
+        F.col(token_col).cast("long").alias("n_tokens"),
+        ok.alias("_ok"),
+    )
+    parted = base.repartitionByRange(n_parts, "src", "_ok").withColumn(
+        "_part", F.spark_partition_id()
+    )
+    local_w = (
+        Window.partitionBy("src", "_part")
+        .orderBy("_ok")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = parted.withColumn(
+        "_cum_local", F.sum("n_tokens").over(local_w)
+    ).localCheckpoint(eager=True)  # totals + main path share one pass
+
+    off_w = (
+        Window.partitionBy("src")
+        .orderBy("_part")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        local.groupBy("src", "_part")
+        .agg(F.sum("n_tokens").alias("_tot"))
+        .withColumn("_off", F.coalesce(F.sum("_tot").over(off_w), F.lit(0)))
+        .select("src", "_part", "_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), ["src", "_part"])
+        .withColumn(
+            "cum_before", F.col("_off") + F.col("_cum_local") - F.col("n_tokens")
+        )
+        .filter(F.col("cum_before") < budget)
+        .select(
+            F.col("id").alias(id_col),
+            F.col("src").alias(source_col),
+            F.col("n_tokens").alias(token_col),
+            "cum_before",
+        )
+    )

@@ -2026,3 +2026,32 @@ def test_clustering_eval_empty_and_singletons(spark):
     assert r["pred_pairs"] == 0 and r["gold_pairs"] == 0
     assert r["pair_f1_x1e6"] is None
     assert r["b3_p_x1e6"] == 1000000 and r["b3_r_x1e6"] == 1000000
+
+
+def test_budget_sample_matches_python_model(spark):
+    """Two-phase per-source prefix sampling equals the single-window
+    definition: hash-ordered greedy take until budget, straddling doc
+    included; zero-token docs ride along while under budget."""
+    import hashlib
+
+    from chronographer_spark.operators.sampling import budget_sample_per_source
+
+    rows = [(i, "s%d" % (i % 3), (i * 7) % 50) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    got = {
+        (r["doc_id"], r["source"], r["n_tokens"], r["cum_before"])
+        for r in budget_sample_per_source(df, budget=300, n_parts=8).collect()
+    }
+
+    expect = set()
+    for s in {"s0", "s1", "s2"}:
+        docs = sorted(
+            (r for r in rows if r[1] == s),
+            key=lambda r: hashlib.md5(str(r[0]).encode()).hexdigest(),
+        )
+        cum = 0
+        for i, src, nt in docs:
+            if cum < 300:
+                expect.add((i, src, nt, cum))
+            cum += nt
+    assert got == expect and len(got) > 0
