@@ -7622,6 +7622,32 @@ FROM seg GROUP BY 1
 """
 
 
+def q_template_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template induction over the transcript view (operators/text.py
+    template_skeletons): digit runs mask to '#', identical skeletons
+    group — the machine-boilerplate detector exact dedup misses because
+    the numbers differ. Per skeleton: turn count, distinct conversations,
+    pinned min-text example. One combinable shuffle."""
+    from .operators.text import template_skeletons
+
+    tx = transcripts_from_events(spark, sf_dir)
+    return template_skeletons(tx, text_col="text", id_col="conv_id", min_count=2)
+
+
+TEMPLATE_PROFILE_SQL = f"""
+{TX_SQL},
+sk AS (
+  SELECT regexp_replace(text, '[0-9]+', '#', 'g') AS skeleton,
+         text, conv_id
+  FROM tx
+)
+SELECT skeleton, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_groups,
+       min(text) AS example
+FROM sk GROUP BY 1 HAVING count(*) >= 2
+"""
+
+
 def q_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget mixture sampling (operators/sampling.py
     budget_sample_per_source): per source keep hash-ordered documents
@@ -8258,6 +8284,7 @@ QUERIES = {
     "temporal_kg_asof": q_temporal_kg_asof,
     "bpe_fertility": q_bpe_fertility,
     "budget_sample": q_budget_sample,
+    "template_profile": q_template_profile,
     "context_windows": q_context_windows,
     "bgp_path_ancestors": q_bgp_path_ancestors,
     "shape_violations": q_shape_violations,
@@ -8435,6 +8462,7 @@ ORACLE_SQL = {
     "temporal_kg_asof": TEMPORAL_KG_ASOF_SQL,
     "bpe_fertility": BPE_FERTILITY_SQL,
     "budget_sample": BUDGET_SAMPLE_SQL,
+    "template_profile": TEMPLATE_PROFILE_SQL,
     "context_windows": CONTEXT_WINDOWS_SQL,
     "bgp_path_ancestors": BGP_PATH_SQL,
     "shape_violations": SHAPE_VIOLATIONS_SQL,

@@ -628,3 +628,40 @@ def textrank_keywords(
         scaled.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= top_k)
     )
+
+
+def template_skeletons(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str | None = None,
+    min_count: int = 2,
+) -> DataFrame:
+    """Template induction: mask every digit run to '#', group identical
+    skeletons, report the frequent ones — the detector for machine-
+    generated boilerplate ("Order 1234 shipped on 2024-01-02") that exact
+    dedup misses because the numbers differ. A curation pipeline drops or
+    downweights high-frequency templates; on agent transcripts the same
+    profile surfaces templated tool outputs worth collapsing before KG
+    extraction (the reference normalizes per-turn text before extraction,
+    src/corpus_processing.py — this is the corpus-level view of that).
+
+    ONE combinable groupBy shuffle on the skeleton string; the mask is a
+    map-side regexp. `id_col` (e.g. conv_id) additionally reports how many
+    distinct containers share the template. Example is min(text) — pinned.
+
+    Returns (skeleton, n_rows[, n_groups], example) for skeletons with
+    n_rows >= min_count.
+    """
+    skel = F.regexp_replace(F.col(text_col), "[0-9]+", "#").alias("skeleton")
+    base = df.select(
+        skel, F.col(text_col).alias("__t"),
+        *([F.col(id_col).alias("__g")] if id_col else []),
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        *([F.countDistinct("__g").alias("n_groups")] if id_col else []),
+        F.min("__t").alias("example"),
+    ]
+    return base.groupBy("skeleton").agg(*aggs).filter(
+        F.col("n_rows") >= min_count
+    )

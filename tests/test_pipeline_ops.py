@@ -2055,3 +2055,23 @@ def test_budget_sample_matches_python_model(spark):
                 expect.add((i, src, nt, cum))
             cum += nt
     assert got == expect and len(got) > 0
+
+
+def test_template_skeletons_hand_fixture(spark):
+    """Digit runs mask to '#'; identical skeletons group across rows and
+    containers; min_count filters; example is the pinned min text."""
+    from chronographer_spark.operators.text import template_skeletons
+
+    rows = [
+        ("c1", "order 123 shipped on 2024-01-02"),
+        ("c2", "order 9 shipped on 2025-12-31"),
+        ("c1", "order 55 shipped on 2024-01-02"),
+        ("c1", "hello world"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, text string")
+    out = template_skeletons(df, id_col="conv_id", min_count=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["skeleton"] == "order # shipped on #-#-#"
+    assert r["n_rows"] == 3 and r["n_groups"] == 2
+    assert r["example"] == "order 123 shipped on 2024-01-02"
