@@ -7622,6 +7622,99 @@ FROM seg GROUP BY 1
 """
 
 
+def q_er_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ER threshold sweep (linking/er_eval.threshold_curve over
+    linking/blocking.blocked_match_scores): precision/recall at every
+    score cutoff on the er_fuse_pipeline fixture plus a balance-band
+    agreement feature (cents DIV 5000 via exact double floor). True pair
+    = (k, k+1e6). Every 3rd copy's cents shift by exactly two bands, so
+    the curve is non-degenerate: score 11 = name+band (~2/3 of gold),
+    10 = name only (~1/3), 1 = band-only false candidates in the
+    (nation, segment) block. The cumulative window runs over distinct
+    scores only (3 rows). gold_total = customer count (one eager scalar,
+    like boilerplate's threshold)."""
+    from .linking.blocking import blocked_match_scores
+    from .linking.er_eval import threshold_curve
+
+    cust = _t(spark, sf_dir, "customer")
+    cents = F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long")
+    base = cust.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        cents.alias("cents"),
+    )
+    pert = base.select(
+        (F.col("id") + 1000000).alias("id"),
+        "name",
+        "nation",
+        "segment",
+        F.when(F.col("id") % 3 == 0, F.col("cents") + 10000)
+        .otherwise(F.col("cents"))
+        .alias("cents"),
+    )
+    band = F.expr("CAST(floor(cents / 5000.0) AS BIGINT)").alias("band")
+    a = base.select("id", "name", "nation", "segment", band)
+    b = pert.select("id", "name", "nation", "segment", band)
+    scored = blocked_match_scores(
+        a,
+        b,
+        id_col="id",
+        blocks=[["nation", "segment"]],
+        agreements=[("name", 10), ("band", 1)],
+        min_score=1,
+    ).withColumn(
+        "is_true", (F.col("b_id") == F.col("a_id") + 1000000).cast("long")
+    )
+    return threshold_curve(scored, gold_total=base.count())
+
+
+ER_THRESHOLD_CURVE_SQL = """
+WITH base AS (
+  SELECT c_custkey AS k, c_name AS name, c_nationkey AS n, c_mktsegment AS s,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+  FROM customer
+),
+a AS (
+  SELECT k, name, n, s, CAST(floor(cents / 5000.0) AS BIGINT) AS band
+  FROM base
+),
+b AS (
+  SELECT k + 1000000 AS pk, name, n, s,
+         CAST(floor((CASE WHEN k % 3 = 0 THEN cents + 10000 ELSE cents END)
+              / 5000.0) AS BIGINT) AS band
+  FROM base
+),
+pairs AS (
+  SELECT a.k AS a_id, b.pk AS b_id,
+         CAST(CASE WHEN a.name = b.name THEN 10 ELSE 0 END +
+              CASE WHEN a.band = b.band THEN 1 ELSE 0 END AS BIGINT) AS score
+  FROM a JOIN b ON a.n = b.n AND a.s = b.s
+),
+f AS (
+  SELECT score,
+         CASE WHEN b_id = a_id + 1000000 THEN 1 ELSE 0 END AS is_true
+  FROM pairs WHERE score >= 1
+),
+per AS (
+  SELECT score, CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(is_true) AS BIGINT) AS n_true
+  FROM f GROUP BY 1
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS gold FROM base)
+SELECT score, n_pairs, n_true,
+       CAST(sum(n_pairs) OVER w AS BIGINT) AS cum_pairs,
+       CAST(sum(n_true) OVER w AS BIGINT) AS cum_true,
+       CAST((sum(n_true) OVER w) * 1000000 // (sum(n_pairs) OVER w)
+            AS BIGINT) AS precision_x1e6,
+       CAST((sum(n_true) OVER w) * 1000000 // (SELECT gold FROM tot)
+            AS BIGINT) AS recall_x1e6
+FROM per
+WINDOW w AS (ORDER BY score DESC ROWS UNBOUNDED PRECEDING)
+"""
+
+
 def q_template_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Template induction over the transcript view (operators/text.py
     template_skeletons): digit runs mask to '#', identical skeletons
@@ -8285,6 +8378,7 @@ QUERIES = {
     "bpe_fertility": q_bpe_fertility,
     "budget_sample": q_budget_sample,
     "template_profile": q_template_profile,
+    "er_threshold_curve": q_er_threshold_curve,
     "context_windows": q_context_windows,
     "bgp_path_ancestors": q_bgp_path_ancestors,
     "shape_violations": q_shape_violations,
@@ -8463,6 +8557,7 @@ ORACLE_SQL = {
     "bpe_fertility": BPE_FERTILITY_SQL,
     "budget_sample": BUDGET_SAMPLE_SQL,
     "template_profile": TEMPLATE_PROFILE_SQL,
+    "er_threshold_curve": ER_THRESHOLD_CURVE_SQL,
     "context_windows": CONTEXT_WINDOWS_SQL,
     "bgp_path_ancestors": BGP_PATH_SQL,
     "shape_violations": SHAPE_VIOLATIONS_SQL,

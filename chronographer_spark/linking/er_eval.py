@@ -110,3 +110,56 @@ def clustering_eval(
             F.expr("b3_r_total DIV nullif(n_records, 0)").alias("b3_r_x1e6"),
         )
     )
+
+
+def threshold_curve(
+    scored: DataFrame,
+    gold_total: int,
+    score_col: str = "score",
+    truth_col: str = "is_true",
+) -> DataFrame:
+    """Precision/recall at every score cutoff — the tuning readout for a
+    Fellegi-Sunter-style scorer (linking/blocking.py): which min_score
+    buys which precision, and what recall it costs. One combinable
+    groupBy collapses the pair table to per-score counts; the cumulative
+    window then runs over DISTINCT SCORES ONLY — bounded by the sum of
+    agreement weights (a dimension table), so the single-partition
+    ordered window is O(#weights), never O(#pairs).
+
+    scored: (score_col, truth_col 0/1) one row per candidate pair.
+    gold_total: number of gold pairs (recall denominator; pass the known
+      entity count, or the labeled-pair count when evaluating a sample).
+
+    Returns one row per distinct score, descending semantics via the
+    cumulative columns: score, n_pairs, n_true, cum_pairs, cum_true,
+    precision_x1e6, recall_x1e6 (exact integer quotients).
+    """
+    per = scored.groupBy(score_col).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.col(truth_col).cast("long")).alias("n_true"),
+    )
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.orderBy(F.col(score_col).desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return per.select(
+        score_col,
+        "n_pairs",
+        "n_true",
+        F.sum("n_pairs").over(w).alias("cum_pairs"),
+        F.sum("n_true").over(w).alias("cum_true"),
+    ).select(
+        score_col,
+        "n_pairs",
+        "n_true",
+        "cum_pairs",
+        "cum_true",
+        F.expr("cum_true * 1000000 DIV nullif(cum_pairs, 0)").alias(
+            "precision_x1e6"
+        ),
+        F.expr(f"cum_true * 1000000 DIV nullif({gold_total}, 0)").alias(
+            "recall_x1e6"
+        ),
+    )

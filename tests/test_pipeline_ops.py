@@ -2075,3 +2075,19 @@ def test_template_skeletons_hand_fixture(spark):
     assert r["skeleton"] == "order # shipped on #-#-#"
     assert r["n_rows"] == 3 and r["n_groups"] == 2
     assert r["example"] == "order 123 shipped on 2024-01-02"
+
+
+def test_threshold_curve_hand_values(spark):
+    """Cumulative precision/recall per score cutoff, descending."""
+    from chronographer_spark.linking.er_eval import threshold_curve
+
+    rows = [(11, 1), (11, 1), (10, 1), (1, 0), (1, 0), (1, 1)]
+    df = spark.createDataFrame(rows, "score long, is_true long")
+    got = {r["score"]: r for r in threshold_curve(df, gold_total=4).collect()}
+    assert got[11]["cum_pairs"] == 2 and got[11]["cum_true"] == 2
+    assert got[11]["precision_x1e6"] == 1000000
+    assert got[11]["recall_x1e6"] == 500000
+    assert got[10]["cum_pairs"] == 3 and got[10]["cum_true"] == 3
+    assert got[1]["cum_pairs"] == 6 and got[1]["cum_true"] == 4
+    assert got[1]["precision_x1e6"] == 4 * 1000000 // 6
+    assert got[1]["recall_x1e6"] == 1000000
