@@ -7715,6 +7715,83 @@ WINDOW w AS (ORDER BY score DESC ROWS UNBOUNDED PRECEDING)
 """
 
 
+def q_distant_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distant-supervision pattern profile (extraction/distant.py,
+    Mintz 2009) over the documents corpus: spot the 5-word vocab_mentions
+    dictionary, form <=4-gap co-occurrence pairs, label them against a
+    4-triple seed KB, and report per between-text pattern the pair count,
+    doc count, KB hit count, pinned relation and exact integer precision.
+    The word-soup vocabulary keeps the pattern space dense enough that
+    the min_pairs=2 floor still leaves hundreds of rows at sf0.01."""
+    from .extraction.distant import distant_supervision_patterns
+
+    docs = _t(spark, sf_dir, "documents")
+    kb = spark.createDataFrame(
+        [
+            ("join", "needs", "merge"),
+            ("merge", "precedes", "join"),
+            ("spark", "runs", "join"),
+            ("customer", "filters", "window"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    return distant_supervision_patterns(
+        docs,
+        ["spark", "join", "merge", "customer", "window"],
+        kb,
+        max_gap=4,
+        min_pairs=2,
+    )
+
+
+DISTANT_PATTERNS_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(
+    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS l
+  FROM documents
+),
+m AS (
+  SELECT doc_id, u.tok AS tok, CAST(u.pos AS BIGINT) AS pos
+  FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(l) + 1),
+             i -> struct_pack(pos := i, tok := l[i]))) AS u
+    FROM t
+  )
+  WHERE u.tok IN ('spark', 'join', 'merge', 'customer', 'window')
+),
+p AS (
+  SELECT a.doc_id, a.tok AS e1, b.tok AS e2, a.pos AS p1, b.pos AS p2
+  FROM m a JOIN m b
+    ON a.doc_id = b.doc_id AND b.pos > a.pos
+   AND b.pos - a.pos <= 4 AND b.tok <> a.tok
+),
+pat AS (
+  SELECT p.doc_id, e1, e2,
+         coalesce(
+           array_to_string(l[CAST(p1 + 1 AS INT):CAST(p2 - 1 AS INT)], ' '),
+           '') AS pattern
+  FROM p JOIN t ON p.doc_id = t.doc_id
+),
+kb(subj, pred, obj) AS (
+  VALUES ('join', 'needs', 'merge'), ('merge', 'precedes', 'join'),
+         ('spark', 'runs', 'join'), ('customer', 'filters', 'window')
+),
+lab AS (
+  SELECT pat.doc_id, pat.pattern, kb.pred
+  FROM pat LEFT JOIN kb ON pat.e1 = kb.subj AND pat.e2 = kb.obj
+)
+SELECT pattern,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN pred IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kb,
+       max(pred) AS top_pred,
+       CAST(sum(CASE WHEN pred IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS kb_precision_x1e6
+FROM lab GROUP BY 1 HAVING count(*) >= 2
+"""
+
+
 def q_template_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Template induction over the transcript view (operators/text.py
     template_skeletons): digit runs mask to '#', identical skeletons
@@ -8379,6 +8456,7 @@ QUERIES = {
     "budget_sample": q_budget_sample,
     "template_profile": q_template_profile,
     "er_threshold_curve": q_er_threshold_curve,
+    "distant_patterns": q_distant_patterns,
     "context_windows": q_context_windows,
     "bgp_path_ancestors": q_bgp_path_ancestors,
     "shape_violations": q_shape_violations,
@@ -8558,6 +8636,7 @@ ORACLE_SQL = {
     "budget_sample": BUDGET_SAMPLE_SQL,
     "template_profile": TEMPLATE_PROFILE_SQL,
     "er_threshold_curve": ER_THRESHOLD_CURVE_SQL,
+    "distant_patterns": DISTANT_PATTERNS_SQL,
     "context_windows": CONTEXT_WINDOWS_SQL,
     "bgp_path_ancestors": BGP_PATH_SQL,
     "shape_violations": SHAPE_VIOLATIONS_SQL,

@@ -2091,3 +2091,37 @@ def test_threshold_curve_hand_values(spark):
     assert got[1]["cum_pairs"] == 6 and got[1]["cum_true"] == 4
     assert got[1]["precision_x1e6"] == 4 * 1000000 // 6
     assert got[1]["recall_x1e6"] == 1000000
+
+
+def test_distant_supervision_hand_fixture(spark):
+    """Pattern profile + KB labeling on a 4-doc hand corpus."""
+    from chronographer_spark.extraction.distant import (
+        distant_supervision_patterns,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alice met bob today"),
+            (2, "alice later met bob"),
+            (3, "bob met alice"),
+            (4, "alice met bob"),
+        ],
+        "doc_id long, text string",
+    )
+    kb = spark.createDataFrame(
+        [("alice", "knows", "bob")], "subj string, pred string, obj string"
+    )
+    out = {
+        r["pattern"]: r
+        for r in distant_supervision_patterns(
+            docs, ["alice", "bob"], kb, min_pairs=1
+        ).collect()
+    }
+    met = out["met"]
+    # d1 (a,b), d3 (b,a), d4 (a,b) carry "met"; KB labels only (alice,bob)
+    assert met["n_pairs"] == 3 and met["n_docs"] == 3
+    assert met["n_kb"] == 2 and met["top_pred"] == "knows"
+    assert met["kb_precision_x1e6"] == 2 * 1000000 // 3
+    later = out["later met"]
+    assert later["n_pairs"] == 1 and later["n_kb"] == 1
+    assert later["kb_precision_x1e6"] == 1000000

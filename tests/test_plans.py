@@ -462,3 +462,16 @@ def test_gazetteer_dictionary_joins_broadcast(spark):
     assert plan.count("BroadcastHashJoin") >= 2, plan
     # verify join + dedup of the dictionary + final agg; bound the rest
     assert _exchanges(plan) <= 4, plan
+
+
+def test_distant_supervision_kb_broadcast_and_bounded_exchanges(spark):
+    """The seed-KB label join broadcasts (never shuffles the pair table on
+    the KB's account) and the whole pipeline stays within the designed
+    exchange budget: mention self-join + pattern join share the doc-id
+    key, plus the final pattern aggregation."""
+    import __spark_entry__ as entry_mod
+
+    plan = _plan(entry_mod.queries()["distant_patterns"](spark, SF))
+    assert "BroadcastExchange" in plan
+    # doc-id-keyed joins + one combinable pattern agg: <=4 hash exchanges
+    assert _exchanges(plan) <= 4, plan
