@@ -7792,6 +7792,49 @@ FROM lab GROUP BY 1 HAVING count(*) >= 2
 """
 
 
+def q_affinity_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained quality/domain classifier (operators/classifier.py): train
+    Laplace-smoothed token affinities on the lang='en' label over the
+    documents corpus, score every document by exact-integer mean affinity
+    of its model-known tokens. min_count=5 bounds the broadcast model."""
+    from .operators.classifier import classify_documents
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "is_en", (F.col("lang") == "en").cast("long")
+    )
+    return classify_documents(docs, label_col="is_en", min_count=5).select(
+        F.col("id").alias("doc_id"), "n_scored", "score_x1e6"
+    )
+
+
+AFFINITY_CLASSIFIER_SQL = """
+WITH tok AS (
+  SELECT doc_id AS id,
+         CAST(lang = 'en' AS BIGINT) AS is_pos,
+         unnest(string_split(
+           regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+  FROM documents
+),
+model AS (
+  SELECT tok,
+         CAST(sum(is_pos) AS BIGINT) AS n_pos,
+         CAST(sum(1 - is_pos) AS BIGINT) AS n_neg
+  FROM tok GROUP BY 1 HAVING count(*) >= 5
+),
+m2 AS (
+  SELECT tok, (n_pos + 1) * 1000000 // (n_pos + n_neg + 2) AS aff FROM model
+),
+sc AS (
+  SELECT id, count(*) AS n_scored, sum(aff) AS total
+  FROM tok JOIN m2 USING (tok) GROUP BY 1
+)
+SELECT id AS doc_id,
+       CAST(n_scored AS BIGINT) AS n_scored,
+       CAST(total // n_scored AS BIGINT) AS score_x1e6
+FROM sc
+"""
+
+
 def q_template_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Template induction over the transcript view (operators/text.py
     template_skeletons): digit runs mask to '#', identical skeletons
@@ -8457,6 +8500,7 @@ QUERIES = {
     "template_profile": q_template_profile,
     "er_threshold_curve": q_er_threshold_curve,
     "distant_patterns": q_distant_patterns,
+    "affinity_classifier": q_affinity_classifier,
     "context_windows": q_context_windows,
     "bgp_path_ancestors": q_bgp_path_ancestors,
     "shape_violations": q_shape_violations,
@@ -8637,6 +8681,7 @@ ORACLE_SQL = {
     "template_profile": TEMPLATE_PROFILE_SQL,
     "er_threshold_curve": ER_THRESHOLD_CURVE_SQL,
     "distant_patterns": DISTANT_PATTERNS_SQL,
+    "affinity_classifier": AFFINITY_CLASSIFIER_SQL,
     "context_windows": CONTEXT_WINDOWS_SQL,
     "bgp_path_ancestors": BGP_PATH_SQL,
     "shape_violations": SHAPE_VIOLATIONS_SQL,

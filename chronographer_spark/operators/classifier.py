@@ -1,0 +1,125 @@
+"""Trained token-affinity classifier — the "quality classifier" stage of a
+web-scale curation pipeline (GPT-3 quality filtering, Brown et al. 2020;
+DSIR-style domain classifiers): train per-token class statistics from a
+labeled seed set, then score every document by the mean class affinity of
+its tokens.
+
+This is the trained counterpart of the hand-written heuristics in
+operators/text.py (quality_score, bigram_typicality): same corpus-scale
+shape, but the signal comes from labeled counts, not fixed rules. The
+reference has no classifier stage (its filtering is rule-based,
+/root/reference/src/filtering.py); this op is the training-data-pipeline
+extension the brief asks for.
+
+Numeric discipline: a real deployment would use log-prob naive Bayes or a
+fastText linear model. Here the per-token statistic is the Laplace-smoothed
+positive-class rate as an EXACT integer ((n_pos+α)·10^6 DIV (n_pos+n_neg+2α))
+and the document score is the exact integer mean of those affinities — a
+monotone surrogate for NB posterior odds that both engines replay
+bit-for-bit, with no float/log cross-engine discipline at all.
+
+Plan shape:
+- ONE tokenize+explode pass feeds both training counts and scoring — the
+  exploded token table is eagerly localCheckpoint-ed, the same shared-
+  subtree treatment as TF-IDF's tf/df and minhash's bands (re-executing a
+  corpus-scale explode per consumer is the measured 3.7x trap);
+- the trained model is vocabulary-sized (a dimension table) → broadcast
+  into the scoring join;
+- both aggregations are map-side combinable groupBys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _tokens(docs: DataFrame, id_col: str, text_col: str, label_col: str | None):
+    cols = [F.col(id_col).alias("id")]
+    if label_col is not None:
+        cols.append(F.col(label_col).cast("long").alias("is_pos"))
+    toks = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
+    )
+    return docs.select(*cols, F.explode(toks).alias("tok"))
+
+
+def train_affinity_classifier(
+    tokens: DataFrame,
+    alpha: int = 1,
+    min_count: int = 1,
+) -> DataFrame:
+    """Per-token model from an exploded (id, is_pos, tok) table.
+
+    Returns (tok, n_pos, n_neg, affinity_x1e6) with
+    affinity_x1e6 = (n_pos + alpha) * 10^6 DIV (n_pos + n_neg + 2*alpha) —
+    Laplace-smoothed token-occurrence positive rate, exact integer.
+    min_count drops tokens with fewer total occurrences (rare-token noise,
+    and it keeps the broadcast model bounded).
+    """
+    return (
+        tokens.groupBy("tok")
+        .agg(
+            F.sum("is_pos").alias("n_pos"),
+            F.sum(F.lit(1) - F.col("is_pos")).alias("n_neg"),
+        )
+        .filter(F.col("n_pos") + F.col("n_neg") >= min_count)
+        .select(
+            "tok",
+            "n_pos",
+            "n_neg",
+            F.expr(
+                f"(n_pos + {alpha}) * 1000000 DIV (n_pos + n_neg + 2 * {alpha})"
+            ).alias("affinity_x1e6"),
+        )
+    )
+
+
+def score_affinity(
+    tokens: DataFrame,
+    model: DataFrame,
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Score documents from an exploded (id, tok) table against a trained
+    model: exact integer mean affinity over the doc's MODEL-KNOWN tokens
+    (inner join — unseen tokens contribute nothing; documents with no
+    known token produce no row, by contract).
+
+    Returns (id, n_scored, score_x1e6).
+    """
+    m = model.select("tok", "affinity_x1e6")
+    if broadcast_model:
+        m = F.broadcast(m)
+    return (
+        tokens.join(m, "tok")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_scored"),
+            F.sum("affinity_x1e6").alias("aff_total"),
+        )
+        .select(
+            "id",
+            "n_scored",
+            F.expr("aff_total DIV n_scored").alias("score_x1e6"),
+        )
+    )
+
+
+def classify_documents(
+    docs: DataFrame,
+    label_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: int = 1,
+    min_count: int = 1,
+) -> DataFrame:
+    """Train on `docs` (label_col: boolean/0-1) and score the same corpus —
+    the self-training readout used to pick a filter threshold. The exploded
+    token table feeds both the training agg and the scoring join, so it is
+    eagerly checkpointed once (shared-subtree rule).
+
+    Returns (id, n_scored, score_x1e6).
+    """
+    tokens = _tokens(docs, id_col, text_col, label_col).localCheckpoint(eager=True)
+    model = train_affinity_classifier(tokens, alpha=alpha, min_count=min_count)
+    return score_affinity(tokens.select("id", "tok"), model)

@@ -2125,3 +2125,23 @@ def test_distant_supervision_hand_fixture(spark):
     later = out["later met"]
     assert later["n_pairs"] == 1 and later["n_kb"] == 1
     assert later["kb_precision_x1e6"] == 1000000
+
+
+def test_affinity_classifier_hand_values(spark):
+    """Laplace-smoothed token affinities and exact-integer doc scores."""
+    from chronographer_spark.operators.classifier import classify_documents
+
+    docs = spark.createDataFrame(
+        [(1, "good good text", 1), (2, "bad bad text", 0)],
+        "doc_id long, text string, is_pos long",
+    )
+    got = {
+        r["id"]: r
+        for r in classify_documents(docs, label_col="is_pos").collect()
+    }
+    # good: (2+1)*1e6 DIV 4 = 750000; bad: 1e6 DIV 4 = 250000; text: 500000
+    assert got[1]["n_scored"] == 3
+    assert got[1]["score_x1e6"] == (750000 * 2 + 500000) // 3
+    assert got[2]["score_x1e6"] == (250000 * 2 + 500000) // 3
+    # the positive-labeled doc scores strictly higher
+    assert got[1]["score_x1e6"] > got[2]["score_x1e6"]

@@ -475,3 +475,14 @@ def test_distant_supervision_kb_broadcast_and_bounded_exchanges(spark):
     assert "BroadcastExchange" in plan
     # doc-id-keyed joins + one combinable pattern agg: <=4 hash exchanges
     assert _exchanges(plan) <= 4, plan
+
+
+def test_affinity_classifier_model_broadcast_shared_subtree(spark):
+    """The trained model joins back by broadcast, and the corpus-scale
+    tokenize+explode subtree was executed ONCE (eager localCheckpoint):
+    the scoring plan reads the checkpointed RDD, it does not re-Generate."""
+    import __spark_entry__ as entry_mod
+
+    plan = _plan(entry_mod.queries()["affinity_classifier"](spark, SF))
+    assert "BroadcastExchange" in plan
+    assert "Generate explode" not in plan, plan
