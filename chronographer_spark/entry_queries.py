@@ -7792,6 +7792,91 @@ FROM lab GROUP BY 1 HAVING count(*) >= 2
 """
 
 
+def q_snowball_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowball/Mintz bootstrap round (extraction/distant.py
+    snowball_extract): patterns with >=2 pairs and exact precision
+    >=600000 against the 4-triple seed KB apply back to the corpus and
+    emit the NEW (subj, pred, obj) triples they cover, with support.
+    Same dictionary/KB fixture as distant_patterns."""
+    from .extraction.distant import snowball_extract
+
+    docs = _t(spark, sf_dir, "documents")
+    kb = spark.createDataFrame(
+        [
+            ("join", "needs", "merge"),
+            ("merge", "precedes", "join"),
+            ("spark", "runs", "join"),
+            ("customer", "filters", "window"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    return snowball_extract(
+        docs,
+        ["spark", "join", "merge", "customer", "window"],
+        kb,
+        max_gap=4,
+        min_pattern_pairs=2,
+        min_precision_x1e6=600000,
+    )
+
+
+SNOWBALL_TRIPLES_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(
+    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS l
+  FROM documents
+),
+m AS (
+  SELECT doc_id, u.tok AS tok, CAST(u.pos AS BIGINT) AS pos
+  FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(l) + 1),
+             i -> struct_pack(pos := i, tok := l[i]))) AS u
+    FROM t
+  )
+  WHERE u.tok IN ('spark', 'join', 'merge', 'customer', 'window')
+),
+p AS (
+  SELECT a.doc_id, a.tok AS e1, b.tok AS e2, a.pos AS p1, b.pos AS p2
+  FROM m a JOIN m b
+    ON a.doc_id = b.doc_id AND b.pos > a.pos
+   AND b.pos - a.pos <= 4 AND b.tok <> a.tok
+),
+pat AS (
+  SELECT p.doc_id, e1, e2,
+         coalesce(
+           array_to_string(l[CAST(p1 + 1 AS INT):CAST(p2 - 1 AS INT)], ' '),
+           '') AS pattern
+  FROM p JOIN t ON p.doc_id = t.doc_id
+),
+kb(subj, pred, obj) AS (
+  VALUES ('join', 'needs', 'merge'), ('merge', 'precedes', 'join'),
+         ('spark', 'runs', 'join'), ('customer', 'filters', 'window')
+),
+lab AS (
+  SELECT pat.doc_id, pat.pattern, kb.pred
+  FROM pat LEFT JOIN kb ON pat.e1 = kb.subj AND pat.e2 = kb.obj
+),
+rel AS (
+  SELECT pattern, max(pred) AS pred
+  FROM lab GROUP BY 1
+  HAVING count(*) >= 2 AND max(pred) IS NOT NULL
+     AND sum(CASE WHEN pred IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+         // count(*) >= 600000
+),
+nw AS (
+  SELECT pat.e1, rel.pred, pat.e2, pat.doc_id
+  FROM pat JOIN rel USING (pattern)
+  LEFT JOIN (SELECT DISTINCT subj, obj FROM kb) k
+    ON pat.e1 = k.subj AND pat.e2 = k.obj
+  WHERE k.subj IS NULL
+)
+SELECT e1 AS subj, pred, e2 AS obj,
+       CAST(count(*) AS BIGINT) AS support,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM nw GROUP BY 1, 2, 3
+"""
+
+
 def q_affinity_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained quality/domain classifier (operators/classifier.py): train
     Laplace-smoothed token affinities on the lang='en' label over the
@@ -8501,6 +8586,7 @@ QUERIES = {
     "er_threshold_curve": q_er_threshold_curve,
     "distant_patterns": q_distant_patterns,
     "affinity_classifier": q_affinity_classifier,
+    "snowball_triples": q_snowball_triples,
     "context_windows": q_context_windows,
     "bgp_path_ancestors": q_bgp_path_ancestors,
     "shape_violations": q_shape_violations,
@@ -8682,6 +8768,7 @@ ORACLE_SQL = {
     "er_threshold_curve": ER_THRESHOLD_CURVE_SQL,
     "distant_patterns": DISTANT_PATTERNS_SQL,
     "affinity_classifier": AFFINITY_CLASSIFIER_SQL,
+    "snowball_triples": SNOWBALL_TRIPLES_SQL,
     "context_windows": CONTEXT_WINDOWS_SQL,
     "bgp_path_ancestors": BGP_PATH_SQL,
     "shape_violations": SHAPE_VIOLATIONS_SQL,

@@ -2145,3 +2145,37 @@ def test_affinity_classifier_hand_values(spark):
     assert got[2]["score_x1e6"] == (250000 * 2 + 500000) // 3
     # the positive-labeled doc scores strictly higher
     assert got[1]["score_x1e6"] > got[2]["score_x1e6"]
+
+
+def test_snowball_extract_emits_new_triples_only(spark):
+    """Reliable patterns apply back to the corpus; KB pairs are excluded."""
+    from chronographer_spark.extraction.distant import snowball_extract
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alice met bob today"),
+            (2, "alice met bob"),
+            (3, "carol met dave"),
+            (4, "bob met alice"),
+        ],
+        "doc_id long, text string",
+    )
+    kb = spark.createDataFrame(
+        [("alice", "knows", "bob")], "subj string, pred string, obj string"
+    )
+    out = {
+        (r["subj"], r["pred"], r["obj"]): r
+        for r in snowball_extract(
+            docs,
+            ["alice", "bob", "carol", "dave"],
+            kb,
+            min_pattern_pairs=2,
+            min_precision_x1e6=500000,
+        ).collect()
+    }
+    # pattern "met": 4 pairs, 2 KB-labeled -> precision exactly 500000
+    assert ("carol", "knows", "dave") in out
+    assert ("bob", "knows", "alice") in out
+    # the seed pair itself is never re-emitted
+    assert ("alice", "knows", "bob") not in out
+    assert out[("carol", "knows", "dave")]["support"] == 1
