@@ -720,6 +720,44 @@ def main() -> None:
         assert row["n"] > 0 and row["s"] is not None
         return int(row["n"])
 
+    def job_snowball():
+        # full bootstrap round: pairs (checkpointed once) -> pattern profile
+        # -> reliable patterns -> new-triple extraction. Pattern/pair volume
+        # rides repl linearly; the profile and KB stay dimension-sized.
+        from chronographer_spark.extraction.distant import snowball_extract
+
+        kb = spark.createDataFrame(
+            [
+                ("join", "needs", "merge"),
+                ("merge", "precedes", "join"),
+                ("spark", "runs", "join"),
+                ("customer", "filters", "window"),
+            ],
+            "subj string, pred string, obj string",
+        )
+        out = snowball_extract(
+            docs_r,
+            ["spark", "join", "merge", "customer", "window"],
+            kb,
+            max_gap=4,
+            min_pattern_pairs=2,
+            min_precision_x1e6=600000,
+        )
+        # force the real aggregation (bench hygiene: count real columns)
+        return out.agg(F.count(F.lit(1)), F.sum("support")).first()[0]
+
+    def job_classifier():
+        # train + score in one pass over the replicated corpus; the token
+        # explode runs once (eager checkpoint), model stays vocab-sized.
+        from chronographer_spark.operators.classifier import classify_documents
+
+        out = classify_documents(
+            docs_r.withColumn("is_en", (F.col("lang") == "en").cast("long")),
+            label_col="is_en",
+            min_count=5,
+        )
+        return out.agg(F.count(F.lit(1)), F.sum("score_x1e6")).first()[0]
+
     jobs = [
         ("pack", job_pack),
         ("bpe", job_bpe),
@@ -758,6 +796,8 @@ def main() -> None:
         ("er_fuse", job_er_fuse),
         ("transe", job_transe),
         ("gazetteer", job_gazetteer),
+        ("snowball", job_snowball),
+        ("classifier", job_classifier),
     ]
     only = set(sys.argv[3:])
     for name, fn in jobs:
