@@ -7792,6 +7792,74 @@ FROM lab GROUP BY 1 HAVING count(*) >= 2
 """
 
 
+def q_classifier_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-filter threshold tuning: band the affinity_classifier's doc
+    scores to score_x1e6 DIV 10000 (<=100 bands, so linking/er_eval
+    threshold_curve's single-partition cumulative window stays O(bands)
+    at ANY corpus size) and report precision/recall per cutoff against
+    the lang='en' truth. gold_total = all positive docs — unscored
+    positives count against recall by contract (one eager scalar)."""
+    from .linking.er_eval import threshold_curve
+    from .operators.classifier import classify_documents
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "is_en", (F.col("lang") == "en").cast("long")
+    )
+    scored = classify_documents(docs, label_col="is_en", min_count=5)
+    labeled = scored.join(
+        docs.select(F.col("doc_id").alias("id"), "is_en"), "id"
+    ).select(
+        F.expr("score_x1e6 DIV 10000").alias("score"),
+        F.col("is_en").alias("is_true"),
+    )
+    gold = docs.filter(F.col("is_en") == 1).count()
+    return threshold_curve(labeled, gold_total=gold)
+
+
+CLASSIFIER_PR_CURVE_SQL = """
+WITH tok AS (
+  SELECT doc_id AS id,
+         CAST(lang = 'en' AS BIGINT) AS is_pos,
+         unnest(string_split(
+           regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+  FROM documents
+),
+model AS (
+  SELECT tok,
+         CAST(sum(is_pos) AS BIGINT) AS n_pos,
+         CAST(sum(1 - is_pos) AS BIGINT) AS n_neg
+  FROM tok GROUP BY 1 HAVING count(*) >= 5
+),
+m2 AS (
+  SELECT tok, (n_pos + 1) * 1000000 // (n_pos + n_neg + 2) AS aff FROM model
+),
+sc AS (
+  SELECT id, CAST(sum(aff) // count(*) AS BIGINT) AS score_x1e6
+  FROM tok JOIN m2 USING (tok) GROUP BY 1
+),
+lab AS (
+  SELECT sc.score_x1e6 // 10000 AS score,
+         CAST(d.lang = 'en' AS BIGINT) AS is_true
+  FROM sc JOIN documents d ON sc.id = d.doc_id
+),
+per AS (
+  SELECT score, CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(is_true) AS BIGINT) AS n_true
+  FROM lab GROUP BY 1
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS gold FROM documents WHERE lang = 'en')
+SELECT score, n_pairs, n_true,
+       CAST(sum(n_pairs) OVER w AS BIGINT) AS cum_pairs,
+       CAST(sum(n_true) OVER w AS BIGINT) AS cum_true,
+       CAST((sum(n_true) OVER w) * 1000000 // (sum(n_pairs) OVER w)
+            AS BIGINT) AS precision_x1e6,
+       CAST((sum(n_true) OVER w) * 1000000 // (SELECT gold FROM tot)
+            AS BIGINT) AS recall_x1e6
+FROM per
+WINDOW w AS (ORDER BY score DESC ROWS UNBOUNDED PRECEDING)
+"""
+
+
 def q_snowball_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snowball/Mintz bootstrap round (extraction/distant.py
     snowball_extract): patterns with >=2 pairs and exact precision
@@ -8587,6 +8655,7 @@ QUERIES = {
     "distant_patterns": q_distant_patterns,
     "affinity_classifier": q_affinity_classifier,
     "snowball_triples": q_snowball_triples,
+    "classifier_pr_curve": q_classifier_pr_curve,
     "context_windows": q_context_windows,
     "bgp_path_ancestors": q_bgp_path_ancestors,
     "shape_violations": q_shape_violations,
@@ -8769,6 +8838,7 @@ ORACLE_SQL = {
     "distant_patterns": DISTANT_PATTERNS_SQL,
     "affinity_classifier": AFFINITY_CLASSIFIER_SQL,
     "snowball_triples": SNOWBALL_TRIPLES_SQL,
+    "classifier_pr_curve": CLASSIFIER_PR_CURVE_SQL,
     "context_windows": CONTEXT_WINDOWS_SQL,
     "bgp_path_ancestors": BGP_PATH_SQL,
     "shape_violations": SHAPE_VIOLATIONS_SQL,
