@@ -7792,6 +7792,104 @@ FROM lab GROUP BY 1 HAVING count(*) >= 2
 """
 
 
+def q_ssl_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label propagation (graph_algos.ssl_label_propagation)
+    over the users' temporal-adjacency graph: edge (a, b) when b's event
+    directly follows a's within the same event_type (lead over (ts,
+    event_id) — a total order, deterministic); seeds = every 5th user
+    labeled with their first event_type. Two clamped synchronous rounds.
+    The oracle replays the identical (-count, label) arg-min tie-break."""
+    from .operators.graph_algos import ssl_label_propagation
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    edges = (
+        ev.select(
+            F.col("user_id").alias("src"),
+            F.lead("user_id").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull() & (F.col("dst") != F.col("src")))
+    )
+    seeds = (
+        ev.groupBy("user_id")
+        .agg(F.min(F.struct("ts", "event_id", "event_type")).alias("f"))
+        .filter(F.col("user_id") % 5 == 0)
+        .select(F.col("user_id").alias("node"), F.col("f.event_type").alias("label"))
+    )
+    return ssl_label_propagation(edges, seeds, iterations=2)
+
+
+SSL_LABELS_SQL = """
+WITH ed AS (
+  SELECT src, dst FROM (
+    SELECT user_id AS src,
+           lead(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id)
+             AS dst
+    FROM events
+  ) WHERE dst IS NOT NULL AND dst <> src
+),
+sym AS (
+  SELECT src, dst FROM ed
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM ed
+),
+sd AS (
+  SELECT user_id AS node, event_type AS label FROM (
+    SELECT user_id, event_type,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events
+  ) WHERE rn = 1 AND user_id % 5 = 0
+),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM sym UNION ALL SELECT node FROM sd
+  )
+),
+l0 AS (
+  SELECT n.node, sd.label FROM nodes n LEFT JOIN sd ON n.node = sd.node
+),
+v1 AS (
+  SELECT s.dst AS node, l.label, count(*) AS c
+  FROM sym s JOIN l0 l ON s.src = l.node
+  WHERE l.label IS NOT NULL GROUP BY 1, 2
+),
+b1 AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC)
+             AS rn
+    FROM v1
+  ) WHERE rn = 1
+),
+l1 AS (
+  SELECT l0.node, coalesce(sd.label, b1.label, l0.label) AS label
+  FROM l0
+  LEFT JOIN sd ON l0.node = sd.node
+  LEFT JOIN b1 ON l0.node = b1.node
+),
+v2 AS (
+  SELECT s.dst AS node, l.label, count(*) AS c
+  FROM sym s JOIN l1 l ON s.src = l.node
+  WHERE l.label IS NOT NULL GROUP BY 1, 2
+),
+b2 AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC)
+             AS rn
+    FROM v2
+  ) WHERE rn = 1
+),
+l2 AS (
+  SELECT l1.node, coalesce(sd.label, b2.label, l1.label) AS label
+  FROM l1
+  LEFT JOIN sd ON l1.node = sd.node
+  LEFT JOIN b2 ON l1.node = b2.node
+)
+SELECT node, label FROM l2
+"""
+
+
 def q_classifier_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained-filter threshold tuning: band the affinity_classifier's doc
     scores to score_x1e6 DIV 10000 (<=100 bands, so linking/er_eval
@@ -8656,6 +8754,7 @@ QUERIES = {
     "affinity_classifier": q_affinity_classifier,
     "snowball_triples": q_snowball_triples,
     "classifier_pr_curve": q_classifier_pr_curve,
+    "ssl_labels": q_ssl_labels,
     "context_windows": q_context_windows,
     "bgp_path_ancestors": q_bgp_path_ancestors,
     "shape_violations": q_shape_violations,
@@ -8839,6 +8938,7 @@ ORACLE_SQL = {
     "affinity_classifier": AFFINITY_CLASSIFIER_SQL,
     "snowball_triples": SNOWBALL_TRIPLES_SQL,
     "classifier_pr_curve": CLASSIFIER_PR_CURVE_SQL,
+    "ssl_labels": SSL_LABELS_SQL,
     "context_windows": CONTEXT_WINDOWS_SQL,
     "bgp_path_ancestors": BGP_PATH_SQL,
     "shape_violations": SHAPE_VIOLATIONS_SQL,

@@ -1139,3 +1139,74 @@ def k_truss(
             break
         cur = nxt
     return _edge_support(cur)
+
+
+def ssl_label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 2,
+) -> DataFrame:
+    """Semi-supervised label propagation (Zhu & Ghahramani 2002) over
+    undirected (src, dst) edges: seed nodes carry fixed labels, unlabeled
+    nodes adopt their neighbors' most frequent CURRENT label each
+    synchronous round. The defining difference from label_propagation
+    (community detection, labels start as node ids and everyone moves):
+    here SEEDS ARE CLAMPED — they vote but never change — so label mass
+    flows outward from the labeled set, the transductive classification
+    read over a built KG ("propagate entity types along edges").
+
+    Deterministic: votes counted with edge multiplicity; per node the
+    winner is min over (-count, label) — highest count, then the
+    lexicographically smallest label. Unlabeled nodes with no labeled
+    neighbor stay NULL that round. Fixed iteration count; per round one
+    node-keyed join + one combinable count + one struct arg-min, with
+    eager localCheckpoint lineage cuts — the same scale shape as the CC /
+    PageRank / LPA rounds (AQE handles hub skew; no driver state).
+
+    seeds: (node, label) — label must be non-null.
+    Returns (node, label nullable) for every node appearing in edges or
+    seeds.
+    """
+    sym = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    sym = sym.localCheckpoint(eager=True)
+    nodes = (
+        sym.select(F.col("src").alias("node"))
+        .unionByName(seeds.select("node"))
+        .dropDuplicates()
+    )
+    seed_l = seeds.select("node", F.col("label").alias("seed_label"))
+    labels = nodes.join(seed_l, "node", "left").select(
+        "node", F.col("seed_label").alias("label")
+    )
+    for _ in range(iterations):
+        votes = (
+            sym.join(
+                labels.filter(F.col("label").isNotNull()),
+                sym["src"] == labels["node"],
+            )
+            .select(F.col("dst").alias("node"), "label")
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        best = (
+            votes.groupBy("node")
+            .agg(F.min(F.struct((-F.col("c")).alias("nc"), F.col("label"))).alias("b"))
+            .select("node", F.col("b.label").alias("vote_label"))
+        )
+        prev = labels.select("node", F.col("label").alias("prev_label"))
+        labels = (
+            nodes.join(seed_l, "node", "left")
+            .join(best, "node", "left")
+            .join(prev, "node", "left")
+            .select(
+                "node",
+                # seeds clamp; fresh votes override; else keep last round's
+                F.coalesce("seed_label", "vote_label", "prev_label").alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels

@@ -2179,3 +2179,27 @@ def test_snowball_extract_emits_new_triples_only(spark):
     # the seed pair itself is never re-emitted
     assert ("alice", "knows", "bob") not in out
     assert out[("carol", "knows", "dave")]["support"] == 1
+
+
+def test_ssl_label_propagation_path_graph(spark):
+    """Seeds clamp; labels flow outward; midpoint tie -> smallest label."""
+    from chronographer_spark.operators.graph_algos import ssl_label_propagation
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame(
+        [(1, "a"), (5, "b")], "node long, label string"
+    )
+    got = {
+        r["node"]: r["label"]
+        for r in ssl_label_propagation(edges, seeds, iterations=2).collect()
+    }
+    # round 1: 2<-a, 4<-b, 3 unlabeled; round 2: 3 ties a/b -> 'a'
+    assert got == {1: "a", 2: "a", 3: "a", 4: "b", 5: "b"}
+
+    one = {
+        r["node"]: r["label"]
+        for r in ssl_label_propagation(edges, seeds, iterations=1).collect()
+    }
+    assert one[3] is None and one[2] == "a" and one[4] == "b"
