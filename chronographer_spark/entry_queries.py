@@ -7792,6 +7792,44 @@ FROM lab GROUP BY 1 HAVING count(*) >= 2
 """
 
 
+def q_subclass_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical subclass induction (graph/constraints.py
+    induce_subclass_candidates) over the user-typed-by-event-type
+    extension sets: propose sub->sup when >=90% of sub's users also
+    carry sup, support >= 5. With dense random typing most common types
+    mutually contain each other — the mutual flag separates candidate
+    equivalences from true one-way subsumption."""
+    from .graph.constraints import induce_subclass_candidates
+
+    ev = _t(spark, sf_dir, "events")
+    typed = ev.select(
+        F.col("user_id").alias("instance"), F.col("event_type").alias("type")
+    )
+    return induce_subclass_candidates(
+        typed, min_support=5, min_containment_x1e6=900000
+    )
+
+
+SUBCLASS_INDUCTION_SQL = """
+WITH t AS (SELECT DISTINCT user_id AS i, event_type AS ty FROM events),
+ext AS (SELECT ty, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1),
+p AS (
+  SELECT a.ty, b.ty AS ty2, CAST(count(*) AS BIGINT) AS n_both
+  FROM t a JOIN t b ON a.i = b.i AND a.ty <> b.ty GROUP BY 1, 2
+),
+cand AS (
+  SELECT p.ty AS sub, p.ty2 AS sup, e.n AS n_sub, p.n_both,
+         n_both * 1000000 // e.n AS cx
+  FROM p JOIN ext e ON p.ty = e.ty
+  WHERE e.n >= 5 AND n_both * 1000000 // e.n >= 900000
+)
+SELECT c.sub, c.sup, c.n_sub, c.n_both,
+       CAST(c.cx AS BIGINT) AS containment_x1e6,
+       CAST(CASE WHEN r.sub IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS mutual
+FROM cand c LEFT JOIN cand r ON c.sub = r.sup AND c.sup = r.sub
+"""
+
+
 def q_ssl_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-supervised label propagation (graph_algos.ssl_label_propagation)
     over the users' temporal-adjacency graph: edge (a, b) when b's event
@@ -8755,6 +8793,7 @@ QUERIES = {
     "snowball_triples": q_snowball_triples,
     "classifier_pr_curve": q_classifier_pr_curve,
     "ssl_labels": q_ssl_labels,
+    "subclass_induction": q_subclass_induction,
     "context_windows": q_context_windows,
     "bgp_path_ancestors": q_bgp_path_ancestors,
     "shape_violations": q_shape_violations,
@@ -8939,6 +8978,7 @@ ORACLE_SQL = {
     "snowball_triples": SNOWBALL_TRIPLES_SQL,
     "classifier_pr_curve": CLASSIFIER_PR_CURVE_SQL,
     "ssl_labels": SSL_LABELS_SQL,
+    "subclass_induction": SUBCLASS_INDUCTION_SQL,
     "context_windows": CONTEXT_WINDOWS_SQL,
     "bgp_path_ancestors": BGP_PATH_SQL,
     "shape_violations": SHAPE_VIOLATIONS_SQL,

@@ -122,3 +122,70 @@ def extract_constraint_classes(
         .select("pred", "class_type")
         .dropDuplicates()
     )
+
+
+def induce_subclass_candidates(
+    typed: DataFrame,
+    min_support: int = 5,
+    min_containment_x1e6: int = 900000,
+) -> DataFrame:
+    """Subclass-of induction from instance data (ontology learning over
+    the built KG — Völker & Niepert 2011 statistical schema induction):
+    propose `sub rdfs:subClassOf sup` whenever sup's extension nearly
+    contains sub's: |ext(sub) ∩ ext(sup)| / |ext(sub)| >= threshold, as an
+    exact integer quotient. The inductive complement of the DECLARED
+    domain/range extraction above (the reference only reads declared
+    schema, src/extract_domain_range.py; at transcript scale the schema
+    must be induced because none is declared).
+
+    typed: (instance, type) pairs; duplicates are collapsed first, so
+    multiplicity never inflates containment.
+
+    Plan shape: one instance-keyed self-join builds co-typed pairs
+    (fan-out bounded by types-per-instance squared — type assertions per
+    instance are bounded in any real KG); the pair count and the
+    per-type extension count are both map-side-combinable aggs; the
+    extension-size table is dimension-sized (one row per TYPE) and
+    broadcast back onto the pairs. `mutual` marks candidate equivalences
+    (both directions pass) via a self-join on the candidate table itself
+    — also dimension-sized.
+
+    Returns (sub, sup, n_sub, n_both, containment_x1e6, mutual).
+    """
+    t = typed.select(
+        F.col("instance").alias("i"), F.col("type").alias("ty")
+    ).dropDuplicates(["i", "ty"])
+    ext = t.groupBy("ty").agg(F.count(F.lit(1)).alias("n"))
+    pairs = (
+        t.join(t.select(F.col("i"), F.col("ty").alias("ty2")), "i")
+        .filter(F.col("ty") != F.col("ty2"))
+        .groupBy("ty", "ty2")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    cand = (
+        pairs.join(
+            F.broadcast(ext.select(F.col("ty"), F.col("n").alias("n_sub"))), "ty"
+        )
+        .select(
+            F.col("ty").alias("sub"),
+            F.col("ty2").alias("sup"),
+            "n_sub",
+            "n_both",
+            F.expr("n_both * 1000000 DIV n_sub").alias("containment_x1e6"),
+        )
+        .filter(
+            (F.col("n_sub") >= min_support)
+            & (F.col("containment_x1e6") >= min_containment_x1e6)
+        )
+    )
+    rev = cand.select(
+        F.col("sub").alias("sup"), F.col("sup").alias("sub"), F.lit(1).alias("m")
+    )
+    return cand.join(F.broadcast(rev), ["sub", "sup"], "left").select(
+        "sub",
+        "sup",
+        "n_sub",
+        "n_both",
+        "containment_x1e6",
+        F.col("m").isNotNull().cast("long").alias("mutual"),
+    )

@@ -2203,3 +2203,28 @@ def test_ssl_label_propagation_path_graph(spark):
         for r in ssl_label_propagation(edges, seeds, iterations=1).collect()
     }
     assert one[3] is None and one[2] == "a" and one[4] == "b"
+
+
+def test_induce_subclass_hand_fixture(spark):
+    """Containment direction, support floor, and mutual flag."""
+    from chronographer_spark.graph.constraints import induce_subclass_candidates
+
+    rows = [(i, "B") for i in range(1, 7)]          # B = {1..6}
+    rows += [(i, "A") for i in range(1, 6)]         # A = {1..5} subset of B
+    rows += [(i, "C") for i in range(1, 4)]         # C = {1,2,3}, support 3
+    rows += [(i, "D") for i in range(10, 15)]       # D == E (equivalence)
+    rows += [(i, "E") for i in range(10, 15)]
+    typed = spark.createDataFrame(rows, "instance long, type string")
+    got = {
+        (r["sub"], r["sup"]): r
+        for r in induce_subclass_candidates(
+            typed, min_support=5, min_containment_x1e6=900000
+        ).collect()
+    }
+    a_b = got[("A", "B")]
+    assert a_b["n_sub"] == 5 and a_b["n_both"] == 5
+    assert a_b["containment_x1e6"] == 1000000 and a_b["mutual"] == 0
+    assert ("B", "A") not in got          # 5/6 = 833333 below threshold
+    assert ("C", "B") not in got          # support 3 below the floor
+    assert got[("D", "E")]["mutual"] == 1 and got[("E", "D")]["mutual"] == 1
+    assert len(got) == 3
