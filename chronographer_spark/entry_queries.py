@@ -7836,7 +7836,12 @@ def q_ssl_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     directly follows a's within the same event_type (lead over (ts,
     event_id) — a total order, deterministic); seeds = every 5th user
     labeled with their first event_type. Two clamped synchronous rounds.
-    The oracle replays the identical (-count, label) arg-min tie-break."""
+    The oracle replays the identical (-count, label) arg-min tie-break.
+
+    Scale note: the lead-window partitions on event_type (6 values) —
+    fine as FIXTURE edge derivation for oracle parity, but a 100 TB edge
+    list would come from the canonicalization/co-occurrence joins; the
+    operator itself only sees (src, dst) and scales with the CC rounds."""
     from .operators.graph_algos import ssl_label_propagation
 
     ev = _t(spark, sf_dir, "events")

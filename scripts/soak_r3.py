@@ -758,6 +758,46 @@ def main() -> None:
         )
         return out.agg(F.count(F.lit(1)), F.sum("score_x1e6")).first()[0]
 
+    def job_ssl():
+        # 2 clamped rounds over the replicated users' temporal-adjacency
+        # graph; edges ride repl linearly, votes are node-keyed aggs.
+        from chronographer_spark.operators.graph_algos import ssl_label_propagation
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+        edges = (
+            ev_r.select(
+                F.col("user_id").alias("src"),
+                F.lead("user_id").over(w).alias("dst"),
+            )
+            .filter(F.col("dst").isNotNull() & (F.col("dst") != F.col("src")))
+        )
+        seeds = (
+            ev_r.groupBy("user_id")
+            .agg(F.min(F.struct("ts", "event_id", "event_type")).alias("f"))
+            .filter(F.col("user_id") % 5 == 0)
+            .select(
+                F.col("user_id").alias("node"), F.col("f.event_type").alias("label")
+            )
+        )
+        out = ssl_label_propagation(edges, seeds, iterations=2)
+        return out.agg(
+            F.count(F.lit(1)), F.count("label")
+        ).first()[0]
+
+    def job_subclass():
+        # instance-keyed self-join over replicated typed users; the type
+        # vocabulary (and so the candidate table) is repl-invariant.
+        from chronographer_spark.graph.constraints import induce_subclass_candidates
+
+        typed = ev_r.select(
+            F.col("user_id").alias("instance"), F.col("event_type").alias("type")
+        )
+        out = induce_subclass_candidates(
+            typed, min_support=5, min_containment_x1e6=900000
+        )
+        return out.agg(F.count(F.lit(1)), F.sum("n_both")).first()[0]
+
     jobs = [
         ("pack", job_pack),
         ("bpe", job_bpe),
@@ -798,6 +838,8 @@ def main() -> None:
         ("gazetteer", job_gazetteer),
         ("snowball", job_snowball),
         ("classifier", job_classifier),
+        ("ssl", job_ssl),
+        ("subclass", job_subclass),
     ]
     only = set(sys.argv[3:])
     for name, fn in jobs:
