@@ -706,3 +706,118 @@ def test_rdfs_seminaive_equals_naive(spark, data):
     assert tripleset(rdfs_materialize(t, sch, seminaive=True)) == tripleset(
         rdfs_materialize(t, sch)
     )
+
+
+docs_strategy = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "x", "y", "z"]), min_size=1, max_size=12
+    ),
+    min_size=1,
+    max_size=12,
+)
+kb_strategy = st.dictionaries(
+    st.tuples(st.sampled_from(["a", "b", "c"]), st.sampled_from(["a", "b", "c"])),
+    st.sampled_from(["p", "q"]),
+    max_size=4,
+)
+
+
+@given(docs=docs_strategy, kbmap=kb_strategy)
+@settings(**SETTINGS)
+def test_distant_supervision_matches_python_model(spark, docs, kbmap):
+    from chronographer_spark.extraction.distant import (
+        distant_supervision_patterns,
+    )
+
+    ents = ["a", "b", "c"]
+    kbmap = {(s, o): p for (s, o), p in kbmap.items() if s != o}
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kb = spark.createDataFrame(
+        [(s, p, o) for (s, o), p in kbmap.items()] or [("_", "_", "_")],
+        "subj string, pred string, obj string",
+    )
+    got = {
+        r["pattern"]: r
+        for r in distant_supervision_patterns(
+            df, ents, kb, max_gap=3, min_pairs=1
+        ).collect()
+    }
+
+    stats: dict = {}
+    for doc_id, toks in enumerate(docs):
+        ments = [(i + 1, t) for i, t in enumerate(toks) if t in ents]
+        for p1, t1 in ments:
+            for p2, t2 in ments:
+                if p2 > p1 and p2 - p1 <= 3 and t1 != t2:
+                    pat = " ".join(toks[p1 : p2 - 1])
+                    s = stats.setdefault(pat, [0, set(), 0, None])
+                    s[0] += 1
+                    s[1].add(doc_id)
+                    pr = kbmap.get((t1, t2))
+                    if pr is not None:
+                        s[2] += 1
+                        s[3] = pr if s[3] is None else max(s[3], pr)
+
+    assert set(got) == set(stats)
+    for pat, (n_pairs, d, n_kb, top) in stats.items():
+        r = got[pat]
+        assert r["n_pairs"] == n_pairs and r["n_docs"] == len(d)
+        assert r["n_kb"] == n_kb and r["top_pred"] == top
+        assert r["kb_precision_x1e6"] == n_kb * 1000000 // n_pairs
+
+
+ssl_edges_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=8), st.integers(min_value=1, max_value=8)
+    ),
+    min_size=1,
+    max_size=20,
+)
+ssl_seeds_strategy = st.dictionaries(
+    st.integers(min_value=1, max_value=8),
+    st.sampled_from(["r", "s", "t"]),
+    min_size=1,
+    max_size=4,
+)
+
+
+@given(edges=ssl_edges_strategy, seeds=ssl_seeds_strategy)
+@settings(**SETTINGS)
+def test_ssl_label_propagation_matches_python_model(spark, edges, seeds):
+    from collections import Counter, defaultdict
+
+    from chronographer_spark.operators.graph_algos import ssl_label_propagation
+
+    edges = [(s, d) for s, d in edges if s != d]
+    if not edges:
+        edges = [(1, 2)]
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    sdf = spark.createDataFrame(list(seeds.items()), "node long, label string")
+    got = {
+        r["node"]: r["label"]
+        for r in ssl_label_propagation(edf, sdf, iterations=2).collect()
+    }
+
+    adj = defaultdict(list)
+    for s, d in edges:
+        adj[s].append(d)
+        adj[d].append(s)
+    nodes = set(adj) | set(seeds)
+    labels = {n: seeds.get(n) for n in nodes}
+    for _ in range(2):
+        new = {}
+        for n in nodes:
+            if n in seeds:
+                new[n] = seeds[n]
+                continue
+            votes = Counter(
+                labels[m] for m in adj[n] if labels[m] is not None
+            )
+            if votes:
+                c = max(votes.values())
+                new[n] = min(l for l, v in votes.items() if v == c)
+            else:
+                new[n] = labels[n]
+        labels = new
+    assert got == labels
