@@ -7830,6 +7830,55 @@ FROM cand c LEFT JOIN cand r ON c.sub = r.sup AND c.sup = r.sub
 """
 
 
+def q_disjointness_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """owl:disjointWith induction (graph/constraints.py
+    induce_disjointness_candidates) over documents typed by BOTH their
+    lang: and src: labels — the miner must rediscover that languages are
+    mutually exclusive and sources are mutually exclusive, while
+    lang-x-source pairs (which genuinely co-occur) stay out."""
+    from .graph.constraints import induce_disjointness_candidates
+
+    docs = _t(spark, sf_dir, "documents")
+    typed = docs.select(
+        F.col("doc_id").alias("instance"),
+        F.concat(F.lit("lang:"), F.col("lang")).alias("type"),
+    ).unionByName(
+        docs.select(
+            F.col("doc_id").alias("instance"),
+            F.concat(F.lit("src:"), F.col("source")).alias("type"),
+        )
+    )
+    return induce_disjointness_candidates(
+        typed, min_support=5, max_overlap_x1e6=0
+    )
+
+
+DISJOINTNESS_INDUCTION_SQL = """
+WITH typed AS (
+  SELECT doc_id AS i, 'lang:' || lang AS ty FROM documents
+  UNION ALL
+  SELECT doc_id AS i, 'src:' || source AS ty FROM documents
+),
+t AS (SELECT DISTINCT i, ty FROM typed),
+ext AS (SELECT ty, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1),
+p AS (
+  SELECT a.ty, b.ty AS ty2, CAST(count(*) AS BIGINT) AS n_both
+  FROM t a JOIN t b ON a.i = b.i AND a.ty < b.ty GROUP BY 1, 2
+),
+g AS (
+  SELECT x.ty AS type_a, y.ty AS type_b, x.n AS n_a, y.n AS n_b
+  FROM ext x, ext y
+  WHERE x.ty < y.ty AND x.n >= 5 AND y.n >= 5
+)
+SELECT type_a, type_b, n_a, n_b,
+       CAST(coalesce(p.n_both, 0) AS BIGINT) AS n_both,
+       CAST(coalesce(p.n_both, 0) * 1000000 // least(n_a, n_b) AS BIGINT)
+         AS overlap_x1e6
+FROM g LEFT JOIN p ON g.type_a = p.ty AND g.type_b = p.ty2
+WHERE coalesce(p.n_both, 0) * 1000000 // least(n_a, n_b) <= 0
+"""
+
+
 def q_ssl_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-supervised label propagation (graph_algos.ssl_label_propagation)
     over the users' temporal-adjacency graph: edge (a, b) when b's event
@@ -8799,6 +8848,7 @@ QUERIES = {
     "classifier_pr_curve": q_classifier_pr_curve,
     "ssl_labels": q_ssl_labels,
     "subclass_induction": q_subclass_induction,
+    "disjointness_induction": q_disjointness_induction,
     "context_windows": q_context_windows,
     "bgp_path_ancestors": q_bgp_path_ancestors,
     "shape_violations": q_shape_violations,
@@ -8984,6 +9034,7 @@ ORACLE_SQL = {
     "classifier_pr_curve": CLASSIFIER_PR_CURVE_SQL,
     "ssl_labels": SSL_LABELS_SQL,
     "subclass_induction": SUBCLASS_INDUCTION_SQL,
+    "disjointness_induction": DISJOINTNESS_INDUCTION_SQL,
     "context_windows": CONTEXT_WINDOWS_SQL,
     "bgp_path_ancestors": BGP_PATH_SQL,
     "shape_violations": SHAPE_VIOLATIONS_SQL,

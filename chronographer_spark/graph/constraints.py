@@ -189,3 +189,62 @@ def induce_subclass_candidates(
         "containment_x1e6",
         F.col("m").isNotNull().cast("long").alias("mutual"),
     )
+
+
+def induce_disjointness_candidates(
+    typed: DataFrame,
+    min_support: int = 5,
+    max_overlap_x1e6: int = 0,
+) -> DataFrame:
+    """owl:disjointWith induction — the negative complement of
+    induce_subclass_candidates: propose (a, b) disjoint when both
+    extensions meet the support floor and their overlap ratio
+    |ext(a) ∩ ext(b)| * 10^6 DIV min(|ext(a)|, |ext(b)|) is at most
+    max_overlap_x1e6 (0 = strictly never co-typed). Disjointness axioms
+    are what make downstream ER/fusion able to REJECT merges, so mining
+    them matters as much as mining subsumptions.
+
+    Plan shape: the per-type extension table has one row per TYPE — two
+    broadcast-sized inputs cross-joined (types² pairs, a dimension-scale
+    product by construction), left-joined against the same co-typed pair
+    counts the subclass induction uses; no corpus-scale shuffle beyond
+    the two aggs.
+
+    Returns (type_a, type_b, n_a, n_b, n_both, overlap_x1e6) with
+    type_a < type_b (each unordered pair once).
+    """
+    t = typed.select(
+        F.col("instance").alias("i"), F.col("type").alias("ty")
+    ).dropDuplicates(["i", "ty"])
+    ext = t.groupBy("ty").agg(F.count(F.lit(1)).alias("n"))
+    pairs = (
+        t.join(t.select(F.col("i"), F.col("ty").alias("ty2")), "i")
+        .filter(F.col("ty") < F.col("ty2"))
+        .groupBy("ty", "ty2")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    a = ext.select(F.col("ty").alias("type_a"), F.col("n").alias("n_a"))
+    b = ext.select(F.col("ty").alias("type_b"), F.col("n").alias("n_b"))
+    grid = (
+        a.crossJoin(b)
+        .filter(F.col("type_a") < F.col("type_b"))
+        .filter((F.col("n_a") >= min_support) & (F.col("n_b") >= min_support))
+    )
+    return (
+        grid.join(
+            pairs.select(
+                F.col("ty").alias("type_a"),
+                F.col("ty2").alias("type_b"),
+                "n_both",
+            ),
+            ["type_a", "type_b"],
+            "left",
+        )
+        .withColumn("n_both", F.coalesce("n_both", F.lit(0)))
+        .withColumn(
+            "overlap_x1e6",
+            F.expr("n_both * 1000000 DIV least(n_a, n_b)"),
+        )
+        .filter(F.col("overlap_x1e6") <= max_overlap_x1e6)
+        .select("type_a", "type_b", "n_a", "n_b", "n_both", "overlap_x1e6")
+    )

@@ -2228,3 +2228,23 @@ def test_induce_subclass_hand_fixture(spark):
     assert ("C", "B") not in got          # support 3 below the floor
     assert got[("D", "E")]["mutual"] == 1 and got[("E", "D")]["mutual"] == 1
     assert len(got) == 3
+
+
+def test_induce_disjointness_hand_fixture(spark):
+    """Never-co-typed pairs surface once; overlapping pairs drop."""
+    from chronographer_spark.graph.constraints import (
+        induce_disjointness_candidates,
+    )
+
+    rows = [(i, "A") for i in range(5)]
+    rows += [(i, "B") for i in range(5, 10)]          # disjoint from A
+    rows += [(i, "C") for i in range(4, 9)]           # overlaps both
+    typed = spark.createDataFrame(rows, "instance long, type string")
+    got = {
+        (r["type_a"], r["type_b"]): r
+        for r in induce_disjointness_candidates(typed, min_support=5).collect()
+    }
+    assert set(got) == {("A", "B")}
+    r = got[("A", "B")]
+    assert r["n_a"] == 5 and r["n_b"] == 5 and r["n_both"] == 0
+    assert r["overlap_x1e6"] == 0
