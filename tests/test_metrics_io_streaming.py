@@ -764,3 +764,102 @@ def test_scd2_stream_parity_and_restart(spark, tmp_path):
 
     compact_scd2_log(spark, log_dir)
     assert got() == expected(batch1 + batch2)
+
+
+def test_incremental_cc_stream_matches_batch(spark, tmp_path):
+    """Streaming chain edges in interleaved slices (so later batches MERGE
+    components built by earlier ones) plus a re-delivered slice yields
+    exactly the batch connected_components dictionary."""
+    import os
+    import time as _t
+
+    from chronographer_spark.linking.canonicalize import connected_components
+    from chronographer_spark.streaming.canonical import (
+        read_cc_index,
+        start_incremental_cc_stream,
+    )
+
+    # two chains (0..30 and 100..118) sliced by i % 3: slice 2's edges
+    # bridge the singleton/partial components slices 0-1 created
+    all_edges = [(i, i + 1) for i in range(30)] + [
+        (i, i + 1) for i in range(100, 118)
+    ]
+    edf = spark.createDataFrame(all_edges, "src long, dst long")
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    for s in range(3):
+        rows = [e for j, e in enumerate(all_edges) if j % 3 == s]
+        spark.createDataFrame(rows, "src long, dst long").coalesce(1).write.parquet(
+            os.path.join(in_dir, f"b{s}")
+        )
+    rows0 = [e for j, e in enumerate(all_edges) if j % 3 == 0]
+    spark.createDataFrame(rows0, "src long, dst long").coalesce(1).write.parquet(
+        os.path.join(in_dir, "b0_redelivered")
+    )
+
+    index_dir = str(tmp_path / "index")
+    q = start_incremental_cc_stream(
+        spark, in_dir + "/*", index_dir, str(tmp_path / "ckpt"), n_parts=4
+    )
+    q.awaitTermination(240)
+    _t.sleep(1)
+
+    streamed = {
+        (r["node"], r["comp"])
+        for r in read_cc_index(spark, index_dir).collect()
+    }
+    batch = {
+        (r["node"], r["component"])
+        for r in connected_components(edf).collect()
+    }
+    assert streamed == batch
+    # exactly one row per node (idempotent rewrites, no duplicates)
+    assert read_cc_index(spark, index_dir).count() == len(
+        {n for n, _ in batch}
+    )
+
+
+def test_incremental_cc_stream_restart_merges_across_runs(spark, tmp_path):
+    """Restart from checkpoint: the second run's edges merge components the
+    first run built, and the final index equals batch CC over everything."""
+    import os
+    import time as _t
+
+    from chronographer_spark.linking.canonicalize import connected_components
+    from chronographer_spark.streaming.canonical import (
+        read_cc_index,
+        start_incremental_cc_stream,
+    )
+
+    first = [(1, 2), (3, 4), (10, 11)]
+    second = [(2, 3), (11, 12), (20, 21)]  # (2,3) merges {1,2} with {3,4}
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    args = dict(
+        index_dir=str(tmp_path / "index"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        n_parts=4,
+    )
+    spark.createDataFrame(first, "src long, dst long").coalesce(1).write.parquet(
+        os.path.join(in_dir, "h0")
+    )
+    q = start_incremental_cc_stream(spark, in_dir + "/*", **args)
+    q.awaitTermination(120)
+    _t.sleep(1)
+    spark.createDataFrame(second, "src long, dst long").coalesce(1).write.parquet(
+        os.path.join(in_dir, "h1")
+    )
+    q2 = start_incremental_cc_stream(spark, in_dir + "/*", **args)
+    q2.awaitTermination(120)
+    _t.sleep(1)
+
+    streamed = {
+        (r["node"], r["comp"])
+        for r in read_cc_index(spark, args["index_dir"]).collect()
+    }
+    edf = spark.createDataFrame(first + second, "src long, dst long")
+    batch = {
+        (r["node"], r["component"])
+        for r in connected_components(edf).collect()
+    }
+    assert streamed == batch
