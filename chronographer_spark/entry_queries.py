@@ -8749,6 +8749,151 @@ WHERE valid_from <= TIMESTAMP '2024-01-15 00:00:00'
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Q: strongly connected components of the nation trade-flow digraph
+# ---------------------------------------------------------------------------
+
+# Shared fragment: directed nation->nation trade flows (customer nation ships
+# demand to supplier nation), the relational digraph the SCC/SSSP operators
+# condense. count(*) is BIGINT in both engines.
+FLOWS_FRAGMENT = """
+flows AS (
+  SELECT cn.n_name AS src, sn.n_name AS dst, CAST(count(*) AS BIGINT) AS n_flows
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+  WHERE cn.n_name <> sn.n_name
+  GROUP BY 1, 2
+)
+"""
+
+
+def _nation_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src, dst, n_flows): mirrors FLOWS_FRAGMENT. nation is 25 rows ->
+    broadcast twice; the lineitem->orders->customer chain shuffles on its
+    natural keys and the final agg is 625-key map-side combined."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("src"))),
+            F.col("c_nationkey") == F.col("ck"),
+        )
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("dst"))),
+            F.col("s_nationkey") == F.col("sk"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n_flows"))
+    )
+
+
+def q_scc_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCC over the thresholded trade digraph (keep edges whose flow count
+    is at least half the max flow): a dense mutual-trade core plus
+    peripheral one-way exporters/importers, so the run exercises trim,
+    color, AND mark. scc = min member nation name; the oracle recomputes
+    it from recursive-CTE mutual reachability."""
+    from .operators.graph_algos import strongly_connected_components
+
+    flows = _nation_flows(spark, sf_dir)
+    mx = flows.agg(F.max("n_flows").alias("m"))
+    edges = (
+        flows.crossJoin(F.broadcast(mx))
+        .filter(F.col("n_flows") * 2 >= F.col("m"))
+        .select("src", "dst")
+    )
+    return strongly_connected_components(edges).select("node", "scc")
+
+
+SCC_NATIONS_SQL = f"""
+WITH RECURSIVE {FLOWS_FRAGMENT.strip()},
+mx AS (SELECT max(n_flows) AS m FROM flows),
+edges AS (SELECT src, dst FROM flows, mx WHERE n_flows * 2 >= m),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+mutual AS (
+  SELECT a.src AS node, a.dst AS m
+  FROM reach a JOIN reach b ON a.src = b.dst AND a.dst = b.src
+)
+SELECT node, min(m) AS scc FROM (
+  SELECT node, node AS m FROM nodes
+  UNION ALL
+  SELECT node, m FROM mutual
+) GROUP BY node
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: bounded-hop weighted shortest path over the trade-flow digraph
+# ---------------------------------------------------------------------------
+
+
+def q_sssp_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-round Bellman-Ford from the highest-outflow nation with integer
+    "rarity" edge costs (10^6 DIV n_flows: rare trade lanes are
+    expensive). Exact-integer quotients keep the oracle float-free; the
+    oracle unrolls the identical 4 relaxations. The 1-row source pick is
+    the only driver collect."""
+    from .operators.graph_algos import bounded_sssp
+
+    flows = _nation_flows(spark, sf_dir).localCheckpoint(eager=True)
+    wedges = flows.select(
+        "src", "dst", F.expr("CAST(1000000 AS BIGINT) DIV n_flows").alias("w")
+    )
+    src_row = (
+        flows.groupBy("src")
+        .agg(F.sum("n_flows").alias("t"))
+        .orderBy(F.desc("t"), F.asc("src"))
+        .first()
+    )
+    return bounded_sssp(wedges, src_row["src"], rounds=4).select("node", "dist")
+
+
+def _sssp_rounds_sql(k: int) -> str:
+    parts = []
+    for i in range(1, k + 1):
+        parts.append(
+            f""",
+d{i} AS (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM d{i - 1}
+    UNION ALL
+    SELECT e.dst AS node, d.dist + e.w AS dist
+    FROM d{i - 1} d JOIN wedges e ON d.node = e.src
+  ) GROUP BY node
+)"""
+        )
+    return "".join(parts)
+
+
+SSSP_NATIONS_SQL = f"""
+WITH {FLOWS_FRAGMENT.strip()},
+wedges AS (
+  SELECT src, dst, CAST(1000000 AS BIGINT) // n_flows AS w FROM flows
+),
+totals AS (SELECT src, sum(n_flows) AS t FROM flows GROUP BY src),
+src_pick AS (SELECT src AS node FROM totals ORDER BY t DESC, src ASC LIMIT 1),
+d0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM src_pick){_sssp_rounds_sql(4)}
+SELECT node, CAST(dist AS BIGINT) AS dist FROM d4
+"""
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -8929,6 +9074,8 @@ QUERIES = {
     "contamination": q_contamination,
     "curation_pipeline": q_curation_pipeline,
     "sql_revenue_by_nation": q_sql_revenue_by_nation,
+    "scc_nations": q_scc_nations,
+    "sssp_nations": q_sssp_nations,
 }
 
 ORACLE_SQL = {
@@ -8936,6 +9083,8 @@ ORACLE_SQL = {
     # (simhash64, non-portable lsh_topk) are bench/test-only because a JVM
     # hash is semantically required there; their portable md5 twins
     # (simhash_portable, lsh_topk_portable) carry the gate.
+    "scc_nations": SCC_NATIONS_SQL,
+    "sssp_nations": SSSP_NATIONS_SQL,
     "lsh_topk_portable": LSH_TOPK_SQL,
     "multimodal_features": MULTIMODAL_FEATURES_SQL,
     "multimodal_frames": MULTIMODAL_FRAMES_SQL,

@@ -1210,3 +1210,225 @@ def ssl_label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_outer: int = 25,
+) -> DataFrame:
+    """Strongly connected components of a directed graph: (node, scc) with
+    scc = the minimum member id of the node's SCC — the canonical label a
+    mutual-reachability oracle recomputes independently. The reference has
+    only undirected alias canonicalization (src/get_equivalent_url.py:13-35
+    -> our linking/canonicalize.py CC); SCC is the DIRECTED analog a KG
+    pipeline needs for cycle detection (subClassOf loops poison the
+    transitive-closure fixpoint) and for condensing a predicate/tool
+    transition graph into its DAG of behavioral cores.
+
+    Trim + forward-coloring + backward-marking (the FW-BW-Trim family of
+    Hong/Slota et al., the standard bulk-synchronous SCC):
+
+    1. TRIM to fixpoint: a node with no in-edge or no out-edge inside the
+       remaining graph is its own SCC — removed immediately. This is what
+       makes DAG-heavy graphs cheap: a pure DAG trims to nothing without
+       a single coloring round.
+    2. COLOR forward to fixpoint: color(v) = min id that reaches v
+       (iterated min over in-neighbors, starting at v). Roots are nodes
+       with color(v) == v.
+    3. MARK backward from the roots, restricted to equal color: exactly
+       the nodes mutually reachable with their root — one whole SCC per
+       root, labeled by the root, which IS the min member (the min id
+       reaching the root mutually reaches it).
+    4. Remove marked nodes and repeat on the remainder.
+
+    Every step is an equi-join + aggregate on the node key (AQE covers hub
+    skew); per-round eager localCheckpoint cuts lineage exactly like the
+    CC loop in linking/canonicalize.py. Convergence actions are per-round
+    counts on batch-sized deltas. Each outer round removes at least every
+    current root, so <= max_outer outer rounds on any graph whose
+    condensation depth is bounded; pathological chains (one SCC peeled per
+    round) raise rather than spin — at web scale the known fix is to run
+    precontraction (union-find on mutual 1-cycles) first, the same lever
+    canonicalize.py uses for CC.
+
+    Self-loops are irrelevant to SCC membership and dropped on entry.
+    Returns one row per node that appears in any edge.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    done_parts = []
+    for _ in range(max_outer):
+        # --- 1. trim to fixpoint -------------------------------------------
+        while True:
+            has_in = e.select(F.col("dst").alias("node")).dropDuplicates()
+            has_out = e.select(F.col("src").alias("node")).dropDuplicates()
+            keep = has_in.join(has_out, "node")  # in-AND-out nodes survive
+            trimmed = nodes.join(keep, "node", "left_anti").localCheckpoint(
+                eager=True
+            )
+            if trimmed.isEmpty():
+                break
+            done_parts.append(trimmed.select("node", F.col("node").alias("scc")))
+            nodes = nodes.join(trimmed, "node", "left_anti").localCheckpoint(
+                eager=True
+            )
+            e = (
+                e.join(nodes, e["src"] == nodes["node"], "left_semi")
+                .join(nodes, e["dst"] == nodes["node"], "left_semi")
+                .localCheckpoint(eager=True)
+            )
+        if nodes.isEmpty():
+            break
+        # --- 2. color: forward min-id propagation to fixpoint --------------
+        color = nodes.select("node", F.col("node").alias("color"))
+        while True:
+            incoming = (
+                e.join(color, e["src"] == color["node"])
+                .select(F.col("dst").alias("node"), F.col("color").alias("c_in"))
+                .groupBy("node")
+                .agg(F.min("c_in").alias("c_in"))
+            )
+            new_color = (
+                color.join(incoming, "node", "left")
+                .select(
+                    "node",
+                    F.least(F.col("color"), F.coalesce("c_in", F.col("color"))).alias(
+                        "color"
+                    ),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new_color.join(
+                    color.select("node", F.col("color").alias("old")), "node"
+                )
+                .filter(F.col("color") != F.col("old"))
+                .isEmpty()
+            )
+            color = new_color
+            if changed:
+                break
+        # --- 3. mark: backward closure inside one color --------------------
+        marked = color.filter(F.col("node") == F.col("color")).select(
+            "node", F.col("color").alias("scc")
+        ).localCheckpoint(eager=True)
+        frontier = marked
+        while True:
+            cand = (
+                e.join(frontier, e["dst"] == frontier["node"])
+                .select(F.col("src").alias("node"), "scc")
+                .dropDuplicates()
+            )
+            fresh = (
+                cand.join(color, "node")
+                .filter(F.col("color") == F.col("scc"))
+                .select("node", "scc")
+                .join(marked.select("node"), "node", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            if fresh.isEmpty():
+                break
+            marked = marked.unionByName(fresh).localCheckpoint(eager=True)
+            frontier = fresh
+        done_parts.append(marked)
+        # --- 4. peel the finished SCCs and repeat ---------------------------
+        nodes = nodes.join(marked, "node", "left_anti").localCheckpoint(eager=True)
+        if nodes.isEmpty():
+            break
+        e = (
+            e.join(nodes, e["src"] == nodes["node"], "left_semi")
+            .join(nodes, e["dst"] == nodes["node"], "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    else:
+        raise RuntimeError(
+            f"SCC did not converge within max_outer={max_outer} rounds"
+        )
+    if not done_parts:  # no edges survive the self-loop filter
+        return nodes.select("node", F.col("node").alias("scc"))
+    out = done_parts[0]
+    for part in done_parts[1:]:
+        out = out.unionByName(part)
+    return out
+
+
+def bounded_sssp(
+    edges: DataFrame,
+    source,
+    rounds: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+) -> DataFrame:
+    """Bounded-hop weighted shortest path: min total edge weight from
+    ``source`` to every node reachable over paths of <= ``rounds`` edges —
+    exactly ``rounds`` synchronous Bellman-Ford relaxations, the
+    every-distributed-graph-engine SSSP (bfs_distances covers the
+    unweighted case; this is its weighted sibling, and like pagerank_2iter
+    the FIXED round count is the cross-engine contract: an unrolled
+    oracle replays the identical K rounds, no convergence test to
+    reconcile).
+
+    Frontier-relaxation: round t joins edges against only the rows whose
+    distance improved in round t-1, then min-merges into the running
+    table. After round t the table holds exactly min cost over <= t-edge
+    paths (an improved predecessor re-offers its final value the round
+    after it last improved — the usual frontier Bellman-Ford invariant),
+    so the result is bit-identical to whole-table relaxation while the
+    per-round join input shrinks to the active frontier. Weights are the
+    caller's integers (exact-integer costs avoid every cross-engine float
+    trap); negative weights are legal for the bounded semantics (no
+    negative-cycle divergence inside a fixed round count).
+
+    Returns (node, dist): the source at 0 plus every node reached within
+    ``rounds`` hops.
+    """
+    spark = edges.sparkSession
+    e = edges.select(
+        F.col(src_col).alias("_s"),
+        F.col(dst_col).alias("_d"),
+        F.col(weight_col).cast("long").alias("_w"),
+    )
+    dist = spark.createDataFrame([(source, 0)], ["node", "dist"]).select(
+        "node", F.col("dist").cast("long").alias("dist")
+    ).localCheckpoint(eager=True)
+    frontier = dist
+    for _ in range(rounds):
+        offers = (
+            e.join(frontier, e["_s"] == frontier["node"])
+            .select(
+                F.col("_d").alias("node"), (F.col("dist") + F.col("_w")).alias("d")
+            )
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+        )
+        merged = (
+            dist.join(offers, "node", "full")
+            .select(
+                "node",
+                F.least(
+                    F.coalesce("dist", F.col("d")), F.coalesce("d", F.col("dist"))
+                ).alias("dist"),
+                (F.col("dist").isNull() | (F.col("d") < F.col("dist"))).alias(
+                    "_improved"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        frontier = merged.filter(F.col("_improved")).select("node", "dist")
+        dist = merged.select("node", "dist")
+        if frontier.isEmpty():
+            break
+    return dist

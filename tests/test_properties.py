@@ -821,3 +821,107 @@ def test_ssl_label_propagation_matches_python_model(spark, edges, seeds):
                 new[n] = labels[n]
         labels = new
     assert got == labels
+
+
+scc_edges_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=7), st.integers(min_value=0, max_value=7)
+    ),
+    min_size=1,
+    max_size=16,
+)
+
+
+@given(edges=scc_edges_strategy)
+@settings(**SETTINGS)
+def test_scc_matches_tarjan(spark, edges):
+    """strongly_connected_components vs a driver-side Tarjan on arbitrary
+    small digraphs (self-loops, parallel edges, DAG chains, cycles): the
+    (node, min-member scc label) sets must be identical."""
+    from chronographer_spark.operators.graph_algos import (
+        strongly_connected_components,
+    )
+
+    e_in = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        (r["node"], r["scc"])
+        for r in strongly_connected_components(e_in).collect()
+    }
+
+    simple = sorted({(a, b) for a, b in edges if a != b})
+    nodes = sorted({a for a, b in simple} | {b for _, b in simple})
+    adj: dict = {}
+    for a, b in simple:
+        adj.setdefault(a, []).append(b)
+    idx: dict = {}
+    low: dict = {}
+    onstk: set = set()
+    stk: list = []
+    comps: list = []
+    counter = [0]
+
+    def dfs(v):
+        idx[v] = low[v] = counter[0]
+        counter[0] += 1
+        stk.append(v)
+        onstk.add(v)
+        for w in adj.get(v, ()):
+            if w not in idx:
+                dfs(w)
+                low[v] = min(low[v], low[w])
+            elif w in onstk:
+                low[v] = min(low[v], idx[w])
+        if low[v] == idx[v]:
+            comp = []
+            while True:
+                w = stk.pop()
+                onstk.discard(w)
+                comp.append(w)
+                if w == v:
+                    break
+            comps.append(comp)
+
+    for v in nodes:
+        if v not in idx:
+            dfs(v)
+    expect = {(v, min(c)) for c in comps for v in c}
+    assert got == expect
+
+
+sssp_edges_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=6),
+        st.integers(min_value=0, max_value=6),
+        st.integers(min_value=1, max_value=9),
+    ),
+    min_size=1,
+    max_size=14,
+)
+
+
+@given(edges=sssp_edges_strategy)
+@settings(**SETTINGS)
+def test_bounded_sssp_matches_bellman_ford(spark, edges):
+    """bounded_sssp vs a driver-side K-round Bellman-Ford (whole-table
+    relaxation): the frontier optimization must be value-identical, and
+    parallel edges must resolve to the min weight."""
+    from chronographer_spark.operators.graph_algos import bounded_sssp
+
+    K = 3
+    e_in = spark.createDataFrame(edges, "src long, dst long, w long")
+    source = min(min(a for a, _, _ in edges), min(b for _, b, _ in edges))
+    got = {
+        (r["node"], r["dist"])
+        for r in bounded_sssp(e_in, source, rounds=K).collect()
+    }
+
+    dist = {source: 0}
+    for _ in range(K):
+        new = dict(dist)
+        for a, b, w in edges:
+            if a in dist:
+                cand = dist[a] + w
+                if b not in new or cand < new[b]:
+                    new[b] = cand
+        dist = new
+    assert got == set(dist.items())
