@@ -8894,6 +8894,72 @@ SELECT node, CAST(dist AS BIGINT) AS dist FROM d4
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Q: iterative truth discovery (source-reliability fusion) over event claims
+# ---------------------------------------------------------------------------
+
+
+def q_truth_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sources are user buckets, each claiming a quantized daily value per
+    event type; 2 rounds (majority vote, then reliability-weighted
+    re-vote). The oracle unrolls the identical integer-exact rounds."""
+    from .linking.fusion import truth_discovery
+
+    ev = _t(spark, sf_dir, "events")
+    claims = ev.select(
+        (F.col("user_id") % 20).cast("long").alias("src"),
+        F.col("event_type").alias("entity"),
+        F.date_format("ts", "yyyy-MM-dd").alias("attr"),
+        F.floor(F.col("value") / 50).cast("long").cast("string").alias("value"),
+    )
+    return truth_discovery(claims, rounds=2).select(
+        "entity", "attr", "fused_value", "score", "n_sources"
+    )
+
+
+TRUTH_DISCOVERY_SQL = """
+WITH claims AS (
+  SELECT DISTINCT CAST(user_id % 20 AS BIGINT) AS src,
+         event_type AS entity,
+         strftime(ts, '%Y-%m-%d') AS attr,
+         CAST(CAST(floor(value / 50) AS BIGINT) AS VARCHAR) AS value
+  FROM events
+),
+srcstats AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS n_claims FROM claims GROUP BY src
+),
+s1 AS (
+  SELECT entity, attr, value, CAST(count(*) AS BIGINT) * 1000000 AS score
+  FROM claims GROUP BY entity, attr, value
+),
+w1 AS (
+  SELECT entity, attr, value AS fused_value FROM s1
+  QUALIFY row_number() OVER (
+    PARTITION BY entity, attr ORDER BY score DESC, value ASC) = 1
+),
+backing AS (
+  SELECT c.src, CAST(count(*) AS BIGINT) AS n_backing
+  FROM claims c JOIN w1
+    ON c.entity = w1.entity AND c.attr = w1.attr AND c.value = w1.fused_value
+  GROUP BY c.src
+),
+trust AS (
+  SELECT s.src, COALESCE(b.n_backing, 0) * 1000000 // s.n_claims AS trust
+  FROM srcstats s LEFT JOIN backing b ON s.src = b.src
+),
+s2 AS (
+  SELECT entity, attr, value, CAST(sum(t.trust) AS BIGINT) AS score,
+         CAST(count(*) AS BIGINT) AS n_sources
+  FROM claims c JOIN trust t ON c.src = t.src
+  GROUP BY entity, attr, value
+)
+SELECT entity, attr, value AS fused_value, score, n_sources FROM s2
+QUALIFY row_number() OVER (
+  PARTITION BY entity, attr ORDER BY score DESC, value ASC) = 1
+"""
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -9076,6 +9142,7 @@ QUERIES = {
     "sql_revenue_by_nation": q_sql_revenue_by_nation,
     "scc_nations": q_scc_nations,
     "sssp_nations": q_sssp_nations,
+    "truth_discovery": q_truth_discovery,
 }
 
 ORACLE_SQL = {
@@ -9083,6 +9150,7 @@ ORACLE_SQL = {
     # (simhash64, non-portable lsh_topk) are bench/test-only because a JVM
     # hash is semantically required there; their portable md5 twins
     # (simhash_portable, lsh_topk_portable) carry the gate.
+    "truth_discovery": TRUTH_DISCOVERY_SQL,
     "scc_nations": SCC_NATIONS_SQL,
     "sssp_nations": SSSP_NATIONS_SQL,
     "lsh_topk_portable": LSH_TOPK_SQL,

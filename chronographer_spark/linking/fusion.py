@@ -81,3 +81,93 @@ def fuse_attributes(
             "CAST(max(cnt) * 1000000L DIV sum(cnt) AS BIGINT)"
         ).alias("confidence_x1e6"),
     )
+
+
+def truth_discovery(
+    claims: DataFrame,
+    rounds: int = 2,
+    src_col: str = "src",
+    entity_col: str = "entity",
+    attr_col: str = "attr",
+    value_col: str = "value",
+) -> DataFrame:
+    """Iterative truth discovery (the Sums / TruthFinder family, Yin et
+    al. 2008; Dong et al.'s knowledge-fusion survey): majority voting is
+    wrong when sources differ in reliability, so alternate
+
+        value score(e, a, v)  = Σ trust(s) over sources claiming v
+        trust(s)              = (#claims of s backing a current winner)
+                                  · 10^6 DIV (#claims of s)
+
+    for a FIXED ``rounds`` count, starting from uniform trust 10^6.
+    Round 1 therefore reproduces plain majority voting; round 2 re-votes
+    with agreement-derived trust — sources that sided with consensus
+    count more. Everything is exact integer arithmetic (trust is scaled
+    by 10^6, scores are long sums, the trust update is an integer
+    quotient), so an unrolled SQL oracle replays it bit-exactly; the
+    fixed round count is the cross-engine contract exactly as in
+    pagerank_2iter.
+
+    Votes are deduplicated to one per (source, entity, attr, value) —
+    a source repeating itself is not extra evidence. Winner tie-break is
+    pinned: highest score, then lexicographically smallest value. A
+    source whose claims never back a winner gets trust 0 (it still
+    votes — with weight 0 — which can matter for ties only through the
+    pinned value order, never through score).
+
+    Scale shape per round: one shuffle for the score agg (keyed by the
+    (entity, attr, value) triple — hub entities spread across values),
+    one min_by agg for winners (O(1) state, no window sort), one
+    broadcast-sized join back for the trust update (winners table is one
+    row per (entity, attr)). Per-round eager localCheckpoint cuts
+    lineage. Returns one row per (entity, attr): fused_value, score
+    (winner's summed trust), n_sources (winner's distinct backers).
+    """
+    c = claims.select(
+        F.col(src_col).alias("src"),
+        F.col(entity_col).alias("entity"),
+        F.col(attr_col).alias("attr"),
+        F.col(value_col).alias("value"),
+    ).dropDuplicates().localCheckpoint(eager=True)
+    src_claims = c.groupBy("src").agg(F.count(F.lit(1)).alias("n_claims"))
+    trust = src_claims.select(
+        "src", F.lit(1_000_000).cast("long").alias("trust")
+    ).localCheckpoint(eager=True)
+    win = None
+    for t in range(rounds):
+        scored = (
+            c.join(trust, "src")
+            .groupBy("entity", "attr", "value")
+            .agg(
+                F.sum("trust").alias("score"),
+                F.count(F.lit(1)).alias("n_sources"),
+            )
+        )
+        win = scored.groupBy("entity", "attr").agg(
+            F.expr("min_by(value, struct(-score, value))").alias("fused_value"),
+            F.max("score").alias("score"),
+            F.expr("min_by(n_sources, struct(-score, value))").alias("n_sources"),
+        ).localCheckpoint(eager=True)
+        if t < rounds - 1:
+            backing = (
+                c.join(
+                    win.select(
+                        "entity", "attr", F.col("fused_value").alias("value")
+                    ),
+                    ["entity", "attr", "value"],
+                )
+                .groupBy("src")
+                .agg(F.count(F.lit(1)).alias("n_backing"))
+            )
+            trust = (
+                src_claims.join(backing, "src", "left")
+                .select(
+                    "src",
+                    F.expr(
+                        "CAST(coalesce(n_backing, 0L) * 1000000L"
+                        " DIV n_claims AS LONG)"
+                    ).alias("trust"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    return win

@@ -925,3 +925,59 @@ def test_bounded_sssp_matches_bellman_ford(spark, edges):
                     new[b] = cand
         dist = new
     assert got == set(dist.items())
+
+
+claims_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),  # src
+        st.integers(min_value=0, max_value=2),  # entity
+        st.integers(min_value=0, max_value=1),  # attr
+        st.integers(min_value=0, max_value=3),  # value
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(rows=claims_strategy)
+@settings(**SETTINGS)
+def test_truth_discovery_matches_python_model(spark, rows):
+    """truth_discovery vs a driver-side replay of the same integer-exact
+    rounds on arbitrary claim sets (duplicate votes, all-zero-trust
+    groups, score ties)."""
+    from chronographer_spark.linking.fusion import truth_discovery
+
+    data = [(s, f"e{e}", f"a{a}", f"v{v}") for s, e, a, v in rows]
+    df = spark.createDataFrame(data, "src long, entity string, attr string, value string")
+    got = {
+        (r["entity"], r["attr"]): (r["fused_value"], r["score"], r["n_sources"])
+        for r in truth_discovery(df, rounds=2).collect()
+    }
+
+    claims = sorted(set(data))
+    n_claims = {}
+    for s, _, _, _ in claims:
+        n_claims[s] = n_claims.get(s, 0) + 1
+    trust = {s: 1_000_000 for s in n_claims}
+    win = {}
+    for t in range(2):
+        scored = {}
+        for s, e, a, v in claims:
+            key = (e, a, v)
+            sc, ns = scored.get(key, (0, 0))
+            scored[key] = (sc + trust[s], ns + 1)
+        win = {}
+        for (e, a, v), (sc, ns) in scored.items():
+            cur = win.get((e, a))
+            # pinned tie-break: score desc, then value asc
+            if cur is None or (-sc, v) < (-cur[1], cur[0]):
+                win[(e, a)] = (v, sc, ns)
+        if t == 0:
+            backing = {}
+            for s, e, a, v in claims:
+                if win[(e, a)][0] == v:
+                    backing[s] = backing.get(s, 0) + 1
+            trust = {
+                s: backing.get(s, 0) * 1_000_000 // n_claims[s] for s in n_claims
+            }
+    assert got == win
