@@ -8960,6 +8960,68 @@ QUALIFY row_number() OVER (
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Q: approximate functional-dependency profile (schema discovery)
+# ---------------------------------------------------------------------------
+
+
+def q_fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four candidate FDs over events, one exact (event_id -> event_type,
+    g3 = 0) and three approximate, so the profile spans both regimes."""
+    from .graph.constraints import induce_fd_candidates
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    return induce_fd_candidates(
+        ev,
+        [
+            ("event2type", "event_id", "event_type"),
+            ("user2type", "user_id", "event_type"),
+            ("type2day", "event_type", "day"),
+            ("day2type", "day", "event_type"),
+        ],
+    ).select("fd", "total", "n_groups", "viol_groups", "g3_x1e6")
+
+
+FD_PROFILE_SQL = """
+WITH ev AS (
+  SELECT CAST(event_id AS VARCHAR) AS event_id,
+         CAST(user_id AS VARCHAR) AS user_id,
+         event_type,
+         strftime(ts, '%Y-%m-%d') AS day
+  FROM events
+),
+pairs AS (
+  SELECT 'event2type' AS fd, event_id AS det, event_type AS dep FROM ev
+  UNION ALL
+  SELECT 'user2type' AS fd, user_id AS det, event_type AS dep FROM ev
+  UNION ALL
+  SELECT 'type2day' AS fd, event_type AS det, day AS dep FROM ev
+  UNION ALL
+  SELECT 'day2type' AS fd, day AS det, event_type AS dep FROM ev
+),
+vc AS (
+  SELECT fd, det, dep, CAST(count(*) AS BIGINT) AS cnt
+  FROM pairs GROUP BY fd, det, dep
+),
+per_det AS (
+  SELECT fd, det, CAST(sum(cnt) AS BIGINT) AS n_rows,
+         CAST(max(cnt) AS BIGINT) AS keep,
+         CAST(count(*) AS BIGINT) AS n_vals
+  FROM vc GROUP BY fd, det
+)
+SELECT fd, CAST(sum(n_rows) AS BIGINT) AS total,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(CASE WHEN n_vals > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS viol_groups,
+       CAST((CAST(sum(n_rows) AS BIGINT) - CAST(sum(keep) AS BIGINT))
+            * 1000000 // CAST(sum(n_rows) AS BIGINT) AS BIGINT) AS g3_x1e6
+FROM per_det GROUP BY fd
+"""
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -9143,6 +9205,7 @@ QUERIES = {
     "scc_nations": q_scc_nations,
     "sssp_nations": q_sssp_nations,
     "truth_discovery": q_truth_discovery,
+    "fd_profile": q_fd_profile,
 }
 
 ORACLE_SQL = {
@@ -9151,6 +9214,7 @@ ORACLE_SQL = {
     # hash is semantically required there; their portable md5 twins
     # (simhash_portable, lsh_topk_portable) carry the gate.
     "truth_discovery": TRUTH_DISCOVERY_SQL,
+    "fd_profile": FD_PROFILE_SQL,
     "scc_nations": SCC_NATIONS_SQL,
     "sssp_nations": SSSP_NATIONS_SQL,
     "lsh_topk_portable": LSH_TOPK_SQL,

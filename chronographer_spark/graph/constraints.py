@@ -248,3 +248,53 @@ def induce_disjointness_candidates(
         .filter(F.col("overlap_x1e6") <= max_overlap_x1e6)
         .select("type_a", "type_b", "n_a", "n_b", "n_both", "overlap_x1e6")
     )
+
+
+def induce_fd_candidates(df: DataFrame, fds) -> DataFrame:
+    """Approximate functional-dependency profiling: for each candidate FD
+    det -> dep in ``fds`` (a list of (fd_name, det_col, dep_col)), measure
+    how far the data is from satisfying it — the schema-discovery pass a
+    KG-construction pipeline runs to decide which column pairs are
+    key-like enough to become graph constraints (TANE/ Kivinen-Mannila's
+    g3: the minimum fraction of rows to delete so the FD holds exactly;
+    the reference hardcodes its schema, so this is induction the same way
+    induce_subclass_candidates is).
+
+    Returns one row per candidate: fd, total (rows), n_groups (distinct
+    determinant values), viol_groups (determinants seeing >1 dependent),
+    g3_x1e6 = (total - Σ per-group max value count) · 10^6 DIV total —
+    exact integer, 0 iff the FD holds.
+
+    Scale shape: one explode fans each row into |fds| (fd, det, dep)
+    structs — map-only, no N-branch UNION over the scan (the shared-
+    subtree re-execution trap) — then two map-side-combinable aggregates:
+    (fd, det, dep) value counts, then per-(fd, det) group stats, then a
+    |fds|-row final agg. Hot determinant values are ordinary groupBy skew
+    (AQE splits); nothing is collected driver-side. Columns are cast to
+    string so heterogeneous candidate pairs share one exploded schema.
+    """
+    structs = [
+        F.struct(
+            F.lit(name).alias("fd"),
+            F.col(det).cast("string").alias("det"),
+            F.col(dep).cast("string").alias("dep"),
+        )
+        for name, det, dep in fds
+    ]
+    pairs = df.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+    vc = pairs.groupBy("fd", "det", "dep").agg(F.count(F.lit(1)).alias("cnt"))
+    per_det = vc.groupBy("fd", "det").agg(
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("keep"),
+        F.count(F.lit(1)).alias("n_vals"),
+    )
+    return per_det.groupBy("fd").agg(
+        F.sum("n_rows").alias("total"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.when(F.col("n_vals") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("viol_groups"),
+        F.expr(
+            "CAST((sum(n_rows) - sum(keep)) * 1000000 DIV sum(n_rows) AS BIGINT)"
+        ).alias("g3_x1e6"),
+    )

@@ -2248,3 +2248,30 @@ def test_induce_disjointness_hand_fixture(spark):
     r = got[("A", "B")]
     assert r["n_a"] == 5 and r["n_b"] == 5 and r["n_both"] == 0
     assert r["overlap_x1e6"] == 0
+
+
+def test_induce_fd_candidates_hand_computed(spark):
+    """g3 on a hand-computed mixed frame: one exact FD, one approximate
+    (a determinant with a 2-1 value split keeps 2 of 3 rows), one total
+    violation (every group split evenly)."""
+    from chronographer_spark.graph.constraints import induce_fd_candidates
+
+    rows = [
+        # (k, a, b): k->a holds exactly; k->b approximate
+        (1, "x", "p"),
+        (1, "x", "p"),
+        (1, "x", "q"),  # det 1: b split 2-1 -> keep 2 of 3
+        (2, "y", "r"),
+        (2, "y", "s"),  # det 2: b split 1-1 -> keep 1 of 2
+        (3, "z", "t"),  # det 3: single row, holds
+    ]
+    df = spark.createDataFrame(rows, "k long, a string, b string")
+    got = {
+        r["fd"]: (r["total"], r["n_groups"], r["viol_groups"], r["g3_x1e6"])
+        for r in induce_fd_candidates(
+            df, [("k2a", "k", "a"), ("k2b", "k", "b")]
+        ).collect()
+    }
+    assert got["k2a"] == (6, 3, 0, 0)
+    # k2b: total 6, keep 2+1+1=4, drop 2 -> g3 = 2e6 DIV 6 = 333333
+    assert got["k2b"] == (6, 3, 2, 333333)
