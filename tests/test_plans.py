@@ -486,3 +486,48 @@ def test_affinity_classifier_model_broadcast_shared_subtree(spark):
     plan = _plan(entry_mod.queries()["affinity_classifier"](spark, SF))
     assert "BroadcastExchange" in plan
     assert "Generate explode" not in plan, plan
+
+
+def test_nation_flows_broadcasts_dims_one_shuffle_agg(spark):
+    """The trade-flow digraph (scc_nations/sssp_nations input): supplier
+    and both nation lookups broadcast, so the only exchanges are the
+    lineitem-orders-customer key joins plus the 625-key final agg."""
+    from chronographer_spark.entry_queries import _nation_flows
+
+    plan = _plan(_nation_flows(spark, SF))
+    assert plan.count("BroadcastExchange") >= 3, plan
+    # lineitem->orders, orders->customer, final agg: nothing else shuffles
+    assert _exchanges(plan) <= 5, plan
+
+
+def test_truth_discovery_no_window_bounded_exchanges(spark):
+    """Per round: score agg + min_by winner agg + trust join — aggregates
+    only (no window sort anywhere), winners broadcast back for the trust
+    update."""
+    from chronographer_spark.linking.fusion import truth_discovery
+
+    claims = spark.createDataFrame(
+        [(i % 5, f"e{i % 3}", "a", f"v{i % 2}") for i in range(40)],
+        "src long, entity string, attr string, value string",
+    )
+    plan = _plan(truth_discovery(claims, rounds=2))
+    assert "Window" not in plan, plan
+    # final round only (earlier rounds are behind localCheckpoint):
+    # claims-trust join + (entity,attr,value) agg + winner agg
+    assert _exchanges(plan) <= 6, plan
+
+
+def test_fd_candidates_single_scan_two_aggs(spark):
+    """The FD fan-out must be one explode over ONE scan (no per-candidate
+    union re-reading the input) followed by map-side-combinable aggs."""
+    from chronographer_spark.graph.constraints import induce_fd_candidates
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    plan = _plan(
+        induce_fd_candidates(
+            ev, [("a", "event_id", "event_type"), ("b", "user_id", "event_type")]
+        )
+    )
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Generate explode" in plan, plan
+    assert _exchanges(plan) <= 3, plan
