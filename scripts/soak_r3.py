@@ -798,6 +798,65 @@ def main() -> None:
         )
         return out.agg(F.count(F.lit(1)), F.sum("n_both")).first()[0]
 
+    def job_scc():
+        # 25 x repl disjoint double-star SCCs (hub <-> each member): SCC
+        # diameter 2, so coloring converges in a constant round count and
+        # cost is pure edge bandwidth riding repl; every group must come
+        # back as ONE component labeled by its min member
+        from chronographer_spark.operators.graph_algos import (
+            strongly_connected_components,
+        )
+
+        hub = (F.col("c_nationkey") + F.floor(F.col("c_custkey") / (10 * n_cust))
+               * 1000 + 100000000)
+        e = cust_r.select(F.col("c_custkey").alias("src"), hub.alias("dst"))
+        edges = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        out = strongly_connected_components(edges)
+        n_sccs = out.select("scc").distinct().count()
+        assert n_sccs == 25 * repl, n_sccs
+        return out.count()
+
+    def job_sssp():
+        # 3-round Bellman-Ford from customer 0 over the symmetrized
+        # customer<->nation star with unit costs: round 2's frontier is one
+        # nation's customers (rides repl), round 3 fans across hub-hub
+        # bridges — the weighted sibling of job_bfs, same skew shape
+        from chronographer_spark.operators.graph_algos import bounded_sssp
+
+        e = cust_r.select(
+            F.col("c_custkey").alias("src"),
+            (F.col("c_nationkey") + 100000000).alias("dst"),
+            F.lit(1).alias("w"),
+        )
+        bridges = nat.select(
+            (F.col("n_nationkey") + 100000000).alias("src"),
+            (F.col("n_regionkey") + 100000050).alias("dst"),
+            F.lit(3).alias("w"),
+        )
+        sym = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+        ).unionByName(bridges)
+        return bounded_sssp(sym, 0, rounds=3).count()
+
+    def job_truth():
+        # claims ride repl while the source set stays 20 and the
+        # (entity, attr) groups stay repl-invariant: per-round cost is the
+        # claim-table scan + two map-side-combinable aggs
+        from chronographer_spark.linking.fusion import truth_discovery
+
+        claims = ev_r.select(
+            (F.col("user_id") % 20).cast("long").alias("src"),
+            F.col("event_type").alias("entity"),
+            F.date_format("ts", "yyyy-MM-dd").alias("attr"),
+            F.floor(F.col("value") / 50).cast("long").cast("string").alias("value"),
+        )
+        out = truth_discovery(claims, rounds=2)
+        agg = out.agg(F.count(F.lit(1)).alias("n"), F.sum("score").alias("s")).first()
+        assert agg["s"] > 0
+        return agg["n"]
+
     jobs = [
         ("pack", job_pack),
         ("bpe", job_bpe),
@@ -840,6 +899,9 @@ def main() -> None:
         ("classifier", job_classifier),
         ("ssl", job_ssl),
         ("subclass", job_subclass),
+        ("scc", job_scc),
+        ("sssp", job_sssp),
+        ("truth", job_truth),
     ]
     only = set(sys.argv[3:])
     for name, fn in jobs:
