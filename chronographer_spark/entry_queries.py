@@ -9022,6 +9022,51 @@ FROM per_det GROUP BY fd
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Q: k-anonymity risk profile over event quasi-identifiers
+# ---------------------------------------------------------------------------
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quasi-identifiers = (event_type, day, value decile bucket): coarse
+    enough that most classes are large, fine enough that some day/type
+    combinations fall below k — both branches of the risk agg exercise."""
+    from .operators.text import k_anonymity_profile
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.floor(F.col("value") / 100).cast("long").alias("vband"),
+    )
+    return k_anonymity_profile(
+        ev, ["event_type", "day", "vband"], k_thresholds=(2, 5, 20)
+    ).select("k", "n_classes", "classes_below", "rows_at_risk", "risk_x1e6")
+
+
+K_ANONYMITY_SQL = """
+WITH ev AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         CAST(floor(value / 100) AS BIGINT) AS vband
+  FROM events
+),
+classes AS (
+  SELECT event_type, day, vband, CAST(count(*) AS BIGINT) AS sz
+  FROM ev GROUP BY event_type, day, vband
+),
+fan AS (
+  SELECT sz, k FROM classes, (VALUES (2), (5), (20)) AS t(k)
+)
+SELECT CAST(k AS INT) AS k,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sum(CASE WHEN sz < k THEN 1 ELSE 0 END) AS BIGINT) AS classes_below,
+       CAST(sum(CASE WHEN sz < k THEN sz ELSE 0 END) AS BIGINT) AS rows_at_risk,
+       CAST(CAST(sum(CASE WHEN sz < k THEN sz ELSE 0 END) AS BIGINT)
+            * 1000000 // CAST(sum(sz) AS BIGINT) AS BIGINT) AS risk_x1e6
+FROM fan GROUP BY k
+"""
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -9206,6 +9251,7 @@ QUERIES = {
     "sssp_nations": q_sssp_nations,
     "truth_discovery": q_truth_discovery,
     "fd_profile": q_fd_profile,
+    "k_anonymity": q_k_anonymity,
 }
 
 ORACLE_SQL = {
@@ -9215,6 +9261,7 @@ ORACLE_SQL = {
     # (simhash_portable, lsh_topk_portable) carry the gate.
     "truth_discovery": TRUTH_DISCOVERY_SQL,
     "fd_profile": FD_PROFILE_SQL,
+    "k_anonymity": K_ANONYMITY_SQL,
     "scc_nations": SCC_NATIONS_SQL,
     "sssp_nations": SSSP_NATIONS_SQL,
     "lsh_topk_portable": LSH_TOPK_SQL,

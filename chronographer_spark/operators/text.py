@@ -665,3 +665,52 @@ def template_skeletons(
     return base.groupBy("skeleton").agg(*aggs).filter(
         F.col("n_rows") >= min_count
     )
+
+
+def k_anonymity_profile(
+    df: DataFrame, quasi_cols: list, k_thresholds: list = (2, 5, 10)
+) -> DataFrame:
+    """k-anonymity risk profile (Sweeney 2002): group rows into
+    equivalence classes over the quasi-identifier columns and report, per
+    candidate k, how exposed the dataset is — the privacy-governance
+    readout a transcript corpus needs BEFORE release (scrub_pii removes
+    surface PII; this measures re-identification risk from the columns
+    that remain).
+
+    Returns one row per k in ``k_thresholds``: k, n_classes (total
+    equivalence classes), classes_below (classes smaller than k),
+    rows_at_risk (rows in those classes), risk_x1e6 = rows_at_risk · 10^6
+    DIV total rows (exact integer; 0 means the table IS k-anonymous).
+
+    Scale shape: ONE groupBy over the quasi columns (map-side combined,
+    hot classes are ordinary agg skew), then the threshold fan-out runs
+    on the class-size table — already collapsed to one row per class —
+    via explode, never re-scanning the input; the final agg is
+    |k_thresholds| rows.
+    """
+    classes = df.groupBy(*[F.col(c) for c in quasi_cols]).agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    ks = F.array(*[F.lit(int(k)) for k in k_thresholds])
+    fan = classes.select(
+        "sz", F.explode(ks).alias("k")
+    )
+    per_k = fan.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum(F.when(F.col("sz") < F.col("k"), 1).otherwise(0))
+        .cast("long")
+        .alias("classes_below"),
+        F.sum(F.when(F.col("sz") < F.col("k"), F.col("sz")).otherwise(0))
+        .cast("long")
+        .alias("rows_at_risk"),
+        F.sum("sz").alias("_total"),
+    )
+    return per_k.select(
+        "k",
+        "n_classes",
+        "classes_below",
+        "rows_at_risk",
+        F.expr("CAST(rows_at_risk * 1000000 DIV _total AS BIGINT)").alias(
+            "risk_x1e6"
+        ),
+    )

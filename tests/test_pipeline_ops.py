@@ -2077,6 +2077,29 @@ def test_template_skeletons_hand_fixture(spark):
     assert r["example"] == "order 123 shipped on 2024-01-02"
 
 
+def test_k_anonymity_profile_hand_fixture(spark):
+    """Classes over (a, b): sizes 3, 2, 1 → per-k exposure hand-checked."""
+    from chronographer_spark.operators.text import k_anonymity_profile
+
+    rows = [
+        ("x", 1), ("x", 1), ("x", 1),
+        ("y", 1), ("y", 1),
+        ("z", 2),
+    ]
+    df = spark.createDataFrame(rows, "a string, b int")
+    got = {
+        r["k"]: r
+        for r in k_anonymity_profile(df, ["a", "b"], k_thresholds=(2, 3, 4)).collect()
+    }
+    assert got[2]["n_classes"] == 3
+    assert got[2]["classes_below"] == 1 and got[2]["rows_at_risk"] == 1
+    assert got[2]["risk_x1e6"] == 1_000_000 // 6
+    assert got[3]["classes_below"] == 2 and got[3]["rows_at_risk"] == 3
+    assert got[3]["risk_x1e6"] == 500_000
+    assert got[4]["classes_below"] == 3 and got[4]["rows_at_risk"] == 6
+    assert got[4]["risk_x1e6"] == 1_000_000
+
+
 def test_threshold_curve_hand_values(spark):
     """Cumulative precision/recall per score cutoff, descending."""
     from chronographer_spark.linking.er_eval import threshold_curve
