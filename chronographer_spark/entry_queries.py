@@ -9024,6 +9024,71 @@ FROM per_det GROUP BY fd
 
 
 # ---------------------------------------------------------------------------
+# Q: unary inclusion-dependency discovery across the TPC-H key columns
+# ---------------------------------------------------------------------------
+
+
+def q_ind_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seven key/foreign-key columns across five tables: the genuine
+    TPC-H INDs (c_nationkey ⊆ n_nationkey, s_nationkey ⊆ n_nationkey,
+    n_regionkey ⊆ r_regionkey, o_custkey ⊆ c_custkey) must come out with
+    holds=1; reverse directions exercise the partial-containment path."""
+    from .graph.constraints import discover_unary_inds
+
+    attrs = [
+        ("nation.n_nationkey", _t(spark, sf_dir, "nation"), "n_nationkey"),
+        ("nation.n_regionkey", _t(spark, sf_dir, "nation"), "n_regionkey"),
+        ("region.r_regionkey", _t(spark, sf_dir, "region"), "r_regionkey"),
+        ("customer.c_nationkey", _t(spark, sf_dir, "customer"), "c_nationkey"),
+        ("customer.c_custkey", _t(spark, sf_dir, "customer"), "c_custkey"),
+        ("supplier.s_nationkey", _t(spark, sf_dir, "supplier"), "s_nationkey"),
+        ("orders.o_custkey", _t(spark, sf_dir, "orders"), "o_custkey"),
+    ]
+    return discover_unary_inds(attrs).select(
+        "dep", "ref", "n_dep", "n_common", "holds", "containment_x1e6"
+    )
+
+
+IND_PROFILE_SQL = """
+WITH raw AS (
+  SELECT 'nation.n_nationkey' AS attr, CAST(n_nationkey AS VARCHAR) AS value
+  FROM nation WHERE n_nationkey IS NOT NULL
+  UNION ALL
+  SELECT 'nation.n_regionkey', CAST(n_regionkey AS VARCHAR) FROM nation
+  WHERE n_regionkey IS NOT NULL
+  UNION ALL
+  SELECT 'region.r_regionkey', CAST(r_regionkey AS VARCHAR) FROM region
+  WHERE r_regionkey IS NOT NULL
+  UNION ALL
+  SELECT 'customer.c_nationkey', CAST(c_nationkey AS VARCHAR) FROM customer
+  WHERE c_nationkey IS NOT NULL
+  UNION ALL
+  SELECT 'customer.c_custkey', CAST(c_custkey AS VARCHAR) FROM customer
+  WHERE c_custkey IS NOT NULL
+  UNION ALL
+  SELECT 'supplier.s_nationkey', CAST(s_nationkey AS VARCHAR) FROM supplier
+  WHERE s_nationkey IS NOT NULL
+  UNION ALL
+  SELECT 'orders.o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+  WHERE o_custkey IS NOT NULL
+),
+dv AS (SELECT DISTINCT attr, value FROM raw),
+pair_counts AS (
+  SELECT a.attr AS dep, b.attr AS ref, CAST(count(*) AS BIGINT) AS n_common
+  FROM dv a JOIN dv b USING (value) GROUP BY a.attr, b.attr
+)
+SELECT p.dep, p.ref, t.n_common AS n_dep, p.n_common,
+       CAST(CASE WHEN p.n_common = t.n_common THEN 1 ELSE 0 END AS INT)
+         AS holds,
+       CAST(p.n_common * 1000000 // t.n_common AS BIGINT)
+         AS containment_x1e6
+FROM pair_counts p
+JOIN pair_counts t ON t.dep = p.dep AND t.ref = p.dep
+WHERE p.dep <> p.ref
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: k-anonymity risk profile over event quasi-identifiers
 # ---------------------------------------------------------------------------
 
@@ -9252,6 +9317,7 @@ QUERIES = {
     "truth_discovery": q_truth_discovery,
     "fd_profile": q_fd_profile,
     "k_anonymity": q_k_anonymity,
+    "ind_profile": q_ind_profile,
 }
 
 ORACLE_SQL = {
@@ -9262,6 +9328,7 @@ ORACLE_SQL = {
     "truth_discovery": TRUTH_DISCOVERY_SQL,
     "fd_profile": FD_PROFILE_SQL,
     "k_anonymity": K_ANONYMITY_SQL,
+    "ind_profile": IND_PROFILE_SQL,
     "scc_nations": SCC_NATIONS_SQL,
     "sssp_nations": SSSP_NATIONS_SQL,
     "lsh_topk_portable": LSH_TOPK_SQL,

@@ -250,6 +250,75 @@ def induce_disjointness_candidates(
     )
 
 
+def discover_unary_inds(attrs) -> DataFrame:
+    """Unary inclusion-dependency discovery (Binder/SPIDER family): for
+    every ordered pair of candidate attributes, measure value containment
+    dep ⊆ ref — the foreign-key discovery pass that tells a
+    KG-construction pipeline which columns are join-able into edges
+    (complements induce_fd_candidates: FDs find keys, INDs find the
+    references between them; the reference hardcodes its join graph).
+
+    ``attrs`` is a list of (attr_name, DataFrame, col_name). Returns one
+    row per ordered pair with shared values: dep, ref, n_dep (distinct
+    non-null dep values), n_common (of those, how many also occur in
+    ref), holds (1 iff n_common == n_dep), containment_x1e6 =
+    n_common · 10^6 DIV n_dep (exact integer).
+
+    Scale shape: per-attribute single-column projections union into one
+    (attr, value) stream; ONE groupBy(value) with collect_set(attr)
+    collapses duplicates and yields each value's attribute set (hot
+    values are ordinary agg skew; the set is bounded by |attrs|, which
+    is small by construction). The pair fan-out explodes that set twice
+    — O(|attrs|²) per value, never per row — and keeps self-pairs so the
+    per-attribute distinct totals fall out of the SAME aggregate
+    (cnt(a,a)): the big value table is consumed exactly once. The
+    resulting ≤|attrs|² pair-count rows feed two consumers (totals +
+    cross pairs), so THEY are eager-localCheckpointed — the scan never
+    re-executes. Values are cast to string so heterogeneous columns
+    share one schema.
+    """
+    parts = [
+        df.where(F.col(col).isNotNull()).select(
+            F.lit(name).alias("attr"),
+            F.col(col).cast("string").alias("value"),
+        )
+        for name, df, col in attrs
+    ]
+    raw = parts[0]
+    for p in parts[1:]:
+        raw = raw.unionByName(p)
+    by_val = raw.groupBy("value").agg(F.collect_set("attr").alias("attrs"))
+    pair_counts = (
+        by_val.select(F.explode("attrs").alias("dep"), "attrs")
+        .select("dep", F.explode("attrs").alias("ref"))
+        .groupBy("dep", "ref")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        # two consumers below (totals + cross pairs): materialize the
+        # ≤|attrs|² rows once so the scan+agg subtree never re-executes
+        .localCheckpoint(eager=True)
+    )
+    totals = pair_counts.where(F.col("dep") == F.col("ref")).select(
+        F.col("dep").alias("t_attr"), F.col("n_common").alias("n_dep")
+    )
+    return (
+        pair_counts.where(F.col("dep") != F.col("ref"))
+        .join(totals, F.col("dep") == F.col("t_attr"))
+        .select(
+            "dep",
+            "ref",
+            "n_dep",
+            "n_common",
+            F.when(F.col("n_common") == F.col("n_dep"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("holds"),
+            F.expr("CAST(n_common * 1000000 DIV n_dep AS BIGINT)").alias(
+                "containment_x1e6"
+            ),
+        )
+    )
+
+
 def induce_fd_candidates(df: DataFrame, fds) -> DataFrame:
     """Approximate functional-dependency profiling: for each candidate FD
     det -> dep in ``fds`` (a list of (fd_name, det_col, dep_col)), measure

@@ -2298,3 +2298,24 @@ def test_induce_fd_candidates_hand_computed(spark):
     assert got["k2a"] == (6, 3, 0, 0)
     # k2b: total 6, keep 2+1+1=4, drop 2 -> g3 = 2e6 DIV 6 = 333333
     assert got["k2b"] == (6, 3, 2, 333333)
+
+
+def test_discover_unary_inds_hand_computed(spark):
+    """A ⊆ B holds, B ⊄ A (partial 2/3), C disjoint from both (no rows);
+    duplicates within a column collapse; NULLs are ignored."""
+    from chronographer_spark.graph.constraints import discover_unary_inds
+
+    a = spark.createDataFrame([(1,), (2,), (2,), (None,)], "v int")
+    b = spark.createDataFrame([(1,), (2,), (3,)], "v int")
+    c = spark.createDataFrame([(9,)], "v int")
+    got = {
+        (r["dep"], r["ref"]): (
+            r["n_dep"], r["n_common"], r["holds"], r["containment_x1e6"]
+        )
+        for r in discover_unary_inds(
+            [("A", a, "v"), ("B", b, "v"), ("C", c, "v")]
+        ).collect()
+    }
+    assert got[("A", "B")] == (2, 2, 1, 1_000_000)
+    assert got[("B", "A")] == (3, 2, 0, 666_666)
+    assert ("A", "C") not in got and ("C", "B") not in got
