@@ -9024,6 +9024,57 @@ FROM per_det GROUP BY fd
 
 
 # ---------------------------------------------------------------------------
+# Q: frequent sequential patterns over per-conversation tool calls
+# ---------------------------------------------------------------------------
+
+
+def q_frequent_subseqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_support=10 prunes real patterns at sf0.001 (15 conversations)
+    and keeps the 5-tool vocabulary fan-out bounded at any scale."""
+    from .operators.sequence import frequent_subsequences
+
+    tx = transcripts_from_events(spark, sf_dir)
+    return frequent_subsequences(
+        tx, seq_col="conv_id", order_col="turn_idx", item_col="tool",
+        min_support=10, max_len=3,
+    ).select("pattern", "length", "support")
+
+
+# Oracle: brute-force position-level joins. Anti-monotonicity makes the
+# unpruned brute force return exactly the frequent sets the levelwise
+# Spark miner emits.
+FREQUENT_SUBSEQS_SQL = f"""
+{TX_SQL},
+calls AS (
+  SELECT conv_id AS seq, turn_idx AS pos, tool AS item
+  FROM tx WHERE tool <> ''
+),
+l1 AS (
+  SELECT item AS pattern, 1 AS length,
+         CAST(count(DISTINCT seq) AS BIGINT) AS support
+  FROM calls GROUP BY item HAVING count(DISTINCT seq) >= 10
+),
+l2 AS (
+  SELECT a.item || '>' || b.item AS pattern, 2 AS length,
+         CAST(count(DISTINCT a.seq) AS BIGINT) AS support
+  FROM calls a JOIN calls b ON a.seq = b.seq AND a.pos < b.pos
+  GROUP BY a.item, b.item HAVING count(DISTINCT a.seq) >= 10
+),
+l3 AS (
+  SELECT a.item || '>' || b.item || '>' || c.item AS pattern, 3 AS length,
+         CAST(count(DISTINCT a.seq) AS BIGINT) AS support
+  FROM calls a
+  JOIN calls b ON a.seq = b.seq AND a.pos < b.pos
+  JOIN calls c ON b.seq = c.seq AND b.pos < c.pos
+  GROUP BY a.item, b.item, c.item HAVING count(DISTINCT a.seq) >= 10
+)
+SELECT pattern, CAST(length AS INT) AS length, support FROM l1
+UNION ALL SELECT pattern, CAST(length AS INT), support FROM l2
+UNION ALL SELECT pattern, CAST(length AS INT), support FROM l3
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: unary inclusion-dependency discovery across the TPC-H key columns
 # ---------------------------------------------------------------------------
 
@@ -9318,6 +9369,7 @@ QUERIES = {
     "fd_profile": q_fd_profile,
     "k_anonymity": q_k_anonymity,
     "ind_profile": q_ind_profile,
+    "frequent_subseqs": q_frequent_subseqs,
 }
 
 ORACLE_SQL = {
@@ -9329,6 +9381,7 @@ ORACLE_SQL = {
     "fd_profile": FD_PROFILE_SQL,
     "k_anonymity": K_ANONYMITY_SQL,
     "ind_profile": IND_PROFILE_SQL,
+    "frequent_subseqs": FREQUENT_SUBSEQS_SQL,
     "scc_nations": SCC_NATIONS_SQL,
     "sssp_nations": SSSP_NATIONS_SQL,
     "lsh_topk_portable": LSH_TOPK_SQL,

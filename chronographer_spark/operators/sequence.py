@@ -74,3 +74,113 @@ def match_sequence(
         *[f"id_{i}" for i in range(len(steps))],
         (F.col(f"s_{k}") - F.col("s_0")).alias("span_seconds"),
     )
+
+
+def frequent_subsequences(
+    df: DataFrame,
+    seq_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    item_col: str = "tool",
+    min_support: int = 2,
+    max_len: int = 3,
+) -> DataFrame:
+    """Frequent sequential patterns (PrefixSpan family, Pei et al. 2001)
+    up to length ``max_len`` (≤3): patterns are order-preserving — NOT
+    necessarily contiguous — item subsequences, supported once per
+    sequence that contains them (standard sequence support). The
+    sequence-mining complement to match_sequence (which finds matches of
+    a GIVEN pattern; this DISCOVERS the patterns worth matching, e.g.
+    recurring tool-call motifs across conversations).
+
+    Returns (pattern STRING 'a>b>c', length INT, support BIGINT), only
+    patterns with support >= min_support.
+
+    Scale shape — levelwise with greedy witnesses, never position-level
+    self-joins: one groupBy(seq,item) collapses each sequence to sorted
+    position arrays + first/last (per-sequence payload bounded by the
+    item VOCABULARY, not sequence length). Length-2 existence is
+    first(a) < last(b); the length-3 extension binds b to its EARLIEST
+    position after first(a) (array filter+min on the sorted positions —
+    greedy/skip-till-next is sound and complete for existence) and needs
+    only last(c) beyond it. Joins fan out per sequence by frequent-item
+    count squared/cubed — vocabulary-bounded, the PrefixSpan projected-DB
+    idea in columnar form. Infrequent items are pruned BEFORE any pair
+    fan-out (anti-monotonicity), broadcast as a semi-join. The
+    (seq,item) position table feeds three roles (a/b/c) and the support
+    aggs, so it is eager-localCheckpointed once; pairs likewise feed
+    both the L2 support agg and the L3 extension.
+    """
+    if max_len < 1 or max_len > 3:
+        raise ValueError("max_len must be 1, 2, or 3")
+    pos = (
+        df.where(F.col(item_col).isNotNull() & (F.col(item_col) != ""))
+        .groupBy(F.col(seq_col).alias("seq"), F.col(item_col).alias("item"))
+        .agg(
+            F.sort_array(F.collect_list(order_col)).alias("positions"),
+            F.min(order_col).alias("first_pos"),
+            F.max(order_col).alias("last_pos"),
+        )
+    )
+    sup1 = pos.groupBy("item").agg(F.count(F.lit(1)).alias("support"))
+    f1 = sup1.where(F.col("support") >= min_support)
+    posf = pos.join(F.broadcast(f1.select("item")), "item").localCheckpoint(
+        eager=True
+    )
+    out = f1.select(
+        F.col("item").alias("pattern"), F.lit(1).alias("length"), "support"
+    )
+    if max_len == 1:
+        return out
+    a = posf.select(
+        "seq",
+        F.col("item").alias("i1"),
+        F.col("first_pos").alias("fp1"),
+    )
+    b = posf.select(
+        "seq",
+        F.col("item").alias("i2"),
+        F.col("positions").alias("pos2"),
+        F.col("last_pos").alias("lp2"),
+    )
+    pairs = (
+        a.join(b, "seq")
+        .where(F.col("fp1") < F.col("lp2"))
+        .localCheckpoint(eager=True)
+    )
+    sup2 = pairs.groupBy("i1", "i2").agg(F.count(F.lit(1)).alias("support"))
+    f2 = sup2.where(F.col("support") >= min_support)
+    out = out.unionByName(
+        f2.select(
+            F.concat_ws(">", "i1", "i2").alias("pattern"),
+            F.lit(2).alias("length"),
+            "support",
+        )
+    )
+    if max_len == 2:
+        return out
+    ext = (
+        pairs.join(F.broadcast(f2.select("i1", "i2")), ["i1", "i2"])
+        .withColumn(
+            "mid_pos",
+            F.array_min(
+                F.filter("pos2", lambda p: p > F.col("fp1"))
+            ),
+        )
+    )
+    c = posf.select(
+        "seq", F.col("item").alias("i3"), F.col("last_pos").alias("lp3")
+    )
+    sup3 = (
+        ext.join(c, "seq")
+        .where(F.col("lp3") > F.col("mid_pos"))
+        .groupBy("i1", "i2", "i3")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= min_support)
+    )
+    return out.unionByName(
+        sup3.select(
+            F.concat_ws(">", "i1", "i2", "i3").alias("pattern"),
+            F.lit(3).alias("length"),
+            "support",
+        )
+    )

@@ -2077,6 +2077,45 @@ def test_template_skeletons_hand_fixture(spark):
     assert r["example"] == "order 123 shipped on 2024-01-02"
 
 
+def test_frequent_subsequences_hand_enumerated(spark):
+    """Single sequence (a,b,a,c): the four position triples are exactly
+    {aba, abc, aac, bac}; greedy witnesses must find all of them and
+    reject a>a>a (needs 3 a's) and a>c>x (nothing after pos 3)."""
+    from chronographer_spark.operators.sequence import frequent_subsequences
+
+    rows = [("s1", 0, "a"), ("s1", 1, "b"), ("s1", 2, "a"), ("s1", 3, "c")]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, tool string")
+    got = {
+        r["pattern"]: (r["length"], r["support"])
+        for r in frequent_subsequences(df, min_support=1).collect()
+    }
+    assert {p for p, (l, _) in got.items() if l == 1} == {"a", "b", "c"}
+    assert {p for p, (l, _) in got.items() if l == 2} == {
+        "a>a", "a>b", "a>c", "b>a", "b>c",
+    }
+    assert {p for p, (l, _) in got.items() if l == 3} == {
+        "a>b>a", "a>b>c", "a>a>c", "b>a>c",
+    }
+    assert all(s == 1 for _, s in got.values())
+
+
+def test_frequent_subsequences_support_prunes(spark):
+    """Support counts once per sequence; min_support=2 keeps only
+    patterns present in both sequences."""
+    from chronographer_spark.operators.sequence import frequent_subsequences
+
+    rows = [
+        ("s1", 0, "a"), ("s1", 1, "b"), ("s1", 2, "c"),
+        ("s2", 0, "a"), ("s2", 1, "b"), ("s2", 5, "b"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, tool string")
+    got = {
+        r["pattern"]: r["support"]
+        for r in frequent_subsequences(df, min_support=2).collect()
+    }
+    assert got == {"a": 2, "b": 2, "a>b": 2}
+
+
 def test_k_anonymity_profile_hand_fixture(spark):
     """Classes over (a, b): sizes 3, 2, 1 → per-k exposure hand-checked."""
     from chronographer_spark.operators.text import k_anonymity_profile
