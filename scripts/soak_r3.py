@@ -857,6 +857,76 @@ def main() -> None:
         assert agg["s"] > 0
         return agg["n"]
 
+    def job_kanon():
+        # one quasi-identifier groupBy over the replicated events + a
+        # class-level threshold fan: replicas are distinct users, so class
+        # COUNT rides repl while per-class size distribution is invariant
+        from chronographer_spark.operators.text import k_anonymity_profile
+
+        ev2 = ev_r.select(
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            F.floor(F.col("value") / 100).cast("long").alias("vband"),
+            (F.col("user_id") % 50).alias("ubkt"),
+        )
+        out = k_anonymity_profile(
+            ev2, ["event_type", "day", "vband", "ubkt"], k_thresholds=(2, 5, 20)
+        )
+        agg = out.agg(F.count(F.lit(1)).alias("n"), F.sum("n_classes").alias("c")).first()
+        assert agg["n"] == 3 and agg["c"] > 0
+        return int(agg["c"]) // 3
+
+    def job_ind():
+        # value stream rides repl (replicated customer/order keys); the
+        # attr-set agg and |attrs|^2 pair fan are value-count-bounded
+        from chronographer_spark.graph.constraints import discover_unary_inds
+
+        ords = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        n_ord = ords.count()
+        ords_r = (
+            ords.withColumn(
+                "rep", F.explode(F.sequence(F.lit(0), F.lit(repl - 1)))
+            )
+            .withColumn(
+                "o_custkey", F.col("o_custkey") + F.col("rep") * (10 * n_cust)
+            )
+            .drop("rep")
+            .repartition(4 * CPUS)
+        )
+        out = discover_unary_inds(
+            [
+                ("cust.key", cust_r, "c_custkey"),
+                ("cust.nation", cust_r, "c_nationkey"),
+                ("orders.cust", ords_r, "o_custkey"),
+                ("nation.key", nat, "n_nationkey"),
+                ("nation.region", nat, "n_regionkey"),
+            ]
+        )
+        agg = out.agg(F.count(F.lit(1)).alias("n"), F.sum("n_common").alias("s")).first()
+        assert agg["s"] > 0
+        return agg["n"]
+
+    def job_subseq():
+        # replicated users = replicated conversations: the (seq,item)
+        # position table rides repl, the vocabulary (5 tools) is fixed,
+        # so pair/triple fan-out stays 25/125 PER SEQUENCE by design
+        from pyspark.sql.window import Window
+
+        from chronographer_spark.operators.sequence import frequent_subsequences
+
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        tx = ev_r.withColumn("rn", F.row_number().over(w)).select(
+            F.col("user_id").cast("string").alias("conv_id"),
+            (F.col("rn") - 1).cast("int").alias("turn_idx"),
+            F.when((F.col("rn") - 1) % 3 == 2, F.col("event_type"))
+            .otherwise(F.lit(""))
+            .alias("tool"),
+        )
+        out = frequent_subsequences(tx, min_support=10, max_len=3)
+        agg = out.agg(F.count(F.lit(1)).alias("n"), F.sum("support").alias("s")).first()
+        assert agg["s"] > 0
+        return agg["n"]
+
     jobs = [
         ("pack", job_pack),
         ("bpe", job_bpe),
@@ -902,6 +972,9 @@ def main() -> None:
         ("scc", job_scc),
         ("sssp", job_sssp),
         ("truth", job_truth),
+        ("kanon", job_kanon),
+        ("ind", job_ind),
+        ("subseq", job_subseq),
     ]
     only = set(sys.argv[3:])
     for name, fn in jobs:
