@@ -531,3 +531,50 @@ def test_fd_candidates_single_scan_two_aggs(spark):
     assert plan.count("Scan parquet") == 1, plan
     assert "Generate explode" in plan, plan
     assert _exchanges(plan) <= 3, plan
+
+
+def test_k_anonymity_single_scan_two_aggs(spark):
+    """One quasi-identifier groupBy over ONE scan; the threshold fan-out
+    explodes the collapsed class-size table, never re-scanning input."""
+    from chronographer_spark.operators.text import k_anonymity_profile
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    plan = _plan(
+        k_anonymity_profile(ev, ["event_type", "user_id"], k_thresholds=(2, 5))
+    )
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Generate explode" in plan, plan
+    assert _exchanges(plan) <= 2, plan
+
+
+def test_ind_discovery_pair_table_checkpointed_once(spark):
+    """The per-value attr-set agg is the only big shuffle; both consumers
+    (totals + cross pairs) read the checkpointed pair counts, so the
+    executed plan contains NO parquet scan and no re-aggregation of the
+    value table."""
+    from chronographer_spark.graph.constraints import discover_unary_inds
+
+    nat = spark.read.parquet(f"{SF}/nation.parquet")
+    reg = spark.read.parquet(f"{SF}/region.parquet")
+    out = discover_unary_inds(
+        [("n.region", nat, "n_regionkey"), ("r.key", reg, "r_regionkey")]
+    )
+    plan = _plan(out)
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan, plan
+    assert plan.count("Scan parquet") == 0, plan
+
+
+def test_frequent_subseqs_broadcasts_frequent_items(spark):
+    """Infrequent items prune via BROADCAST semi-joins before any pair
+    fan-out; the position table is checkpointed (scanned as an RDD, not
+    re-aggregated from parquet per role)."""
+    from chronographer_spark.operators.sequence import frequent_subsequences
+
+    tx = spark.createDataFrame(
+        [("s1", 0, "a"), ("s1", 1, "b"), ("s2", 0, "a"), ("s2", 1, "b")],
+        "conv_id string, turn_idx int, tool string",
+    )
+    plan = _plan(frequent_subsequences(tx, min_support=2, max_len=3))
+    assert "BroadcastExchange" in plan, plan
+    # all three roles (a/b/c) must read the checkpointed position table
+    assert plan.count("Scan ExistingRDD") >= 3, plan
