@@ -9024,6 +9024,64 @@ FROM per_det GROUP BY fd
 
 
 # ---------------------------------------------------------------------------
+# Q: HITS hubs/authorities over the thresholded trade digraph
+# ---------------------------------------------------------------------------
+
+
+def q_hits_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2 unnormalized iterations over the same thresholded flow digraph
+    scc_nations uses: the mutual-trade core scores high on both axes,
+    one-way exporters separate hub from authority."""
+    from .operators.graph_algos import hits
+
+    flows = _nation_flows(spark, sf_dir)
+    mx = flows.agg(F.max("n_flows").alias("m"))
+    edges = (
+        flows.crossJoin(F.broadcast(mx))
+        .filter(F.col("n_flows") * 2 >= F.col("m"))
+        .select("src", "dst")
+    )
+    return hits(edges, iterations=2).select("node", "hub", "auth")
+
+
+HITS_NATIONS_SQL = f"""
+WITH {FLOWS_FRAGMENT.strip().lstrip()},
+mx AS (SELECT max(n_flows) AS m FROM flows),
+edges AS (SELECT src, dst FROM flows, mx WHERE n_flows * 2 >= m),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges),
+auth1 AS (
+  SELECT n.node,
+         CAST(coalesce((SELECT count(*) FROM edges e WHERE e.dst = n.node), 0)
+              AS BIGINT) AS auth
+  FROM nodes n
+),
+hub1 AS (
+  SELECT n.node,
+         CAST(coalesce((SELECT sum(a.auth) FROM edges e
+                        JOIN auth1 a ON a.node = e.dst
+                        WHERE e.src = n.node), 0) AS BIGINT) AS hub
+  FROM nodes n
+),
+auth2 AS (
+  SELECT n.node,
+         CAST(coalesce((SELECT sum(h.hub) FROM edges e
+                        JOIN hub1 h ON h.node = e.src
+                        WHERE e.dst = n.node), 0) AS BIGINT) AS auth
+  FROM nodes n
+),
+hub2 AS (
+  SELECT n.node,
+         CAST(coalesce((SELECT sum(a.auth) FROM edges e
+                        JOIN auth2 a ON a.node = e.dst
+                        WHERE e.src = n.node), 0) AS BIGINT) AS hub
+  FROM nodes n
+)
+SELECT h.node, h.hub, a.auth
+FROM hub2 h JOIN auth2 a ON h.node = a.node
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: frequent sequential patterns over per-conversation tool calls
 # ---------------------------------------------------------------------------
 
@@ -9370,6 +9428,7 @@ QUERIES = {
     "k_anonymity": q_k_anonymity,
     "ind_profile": q_ind_profile,
     "frequent_subseqs": q_frequent_subseqs,
+    "hits_nations": q_hits_nations,
 }
 
 ORACLE_SQL = {
@@ -9382,6 +9441,7 @@ ORACLE_SQL = {
     "k_anonymity": K_ANONYMITY_SQL,
     "ind_profile": IND_PROFILE_SQL,
     "frequent_subseqs": FREQUENT_SUBSEQS_SQL,
+    "hits_nations": HITS_NATIONS_SQL,
     "scc_nations": SCC_NATIONS_SQL,
     "sssp_nations": SSSP_NATIONS_SQL,
     "lsh_topk_portable": LSH_TOPK_SQL,

@@ -1432,3 +1432,63 @@ def bounded_sssp(
         if frontier.isEmpty():
             break
     return dist
+
+
+def hits(edges: DataFrame, iterations: int = 2) -> DataFrame:
+    """Fixed-iteration UNNORMALIZED HITS (Kleinberg 1999, JACM 46(5)):
+    per round, auth(v) := Σ_{(u,v)} hub(u) over in-edges, then
+    hub(u) := Σ_{(u,v)} auth_new(v) over out-edges (the standard
+    power iteration on AᵀA / AAᵀ). Starting from all-ones, every score
+    stays an exact BIGINT — normalization is a positive scalar divide
+    that never changes the ranking, so it is deliberately omitted: the
+    cross-engine oracle replays the rounds in pure integer arithmetic
+    with zero float discipline (the integer-quotient rule from the
+    working notes), and a production caller can rescale afterwards.
+    Directed complement of pagerank for bow-tie-shaped KGs: hubs =
+    nodes pointing at many good authorities (e.g. conversations citing
+    many canonical entities), authorities = nodes cited by many good
+    hubs. Multi-edges count with multiplicity (no dedup inside).
+
+    Scale shape: per round two edge-keyed hash joins + two map-side
+    combinable sums (the pagerank family); edges and nodes are
+    checkpointed once, the per-round auth table feeds both the hub
+    update and the next round so it is checkpointed per round —
+    identical lineage discipline to `pagerank`.
+
+    Returns (node, hub BIGINT, auth BIGINT).
+    """
+    edges = edges.select("src", "dst").localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    hub = nodes.withColumn("hub", F.lit(1).cast("long"))
+    auth = nodes.withColumn("auth", F.lit(1).cast("long"))
+    for _ in range(iterations):
+        a = (
+            edges.join(
+                hub.select(F.col("node").alias("src"), "hub"), "src"
+            )
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("s"))
+        )
+        auth = (
+            nodes.join(a, nodes["node"] == a["dst"], "left")
+            .select("node", F.coalesce("s", F.lit(0)).cast("long").alias("auth"))
+            .localCheckpoint(eager=True)
+        )
+        h = (
+            edges.join(
+                auth.select(F.col("node").alias("dst"), "auth"), "dst"
+            )
+            .groupBy("src")
+            .agg(F.sum("auth").alias("s"))
+        )
+        hub = (
+            nodes.join(h, nodes["node"] == h["src"], "left")
+            .select("node", F.coalesce("s", F.lit(0)).cast("long").alias("hub"))
+            .localCheckpoint(eager=True)
+        )
+    return hub.join(auth, "node").select("node", "hub", "auth")

@@ -2077,6 +2077,18 @@ def test_template_skeletons_hand_fixture(spark):
     assert r["example"] == "order 123 shipped on 2024-01-02"
 
 
+def test_hits_hand_computed(spark):
+    """Two unnormalized iterations on a->b, a->c, b->c, c->a, traced by
+    hand: auth1=(1,1,2), hub1=(3,2,1), auth2=(1,3,5), hub2=(8,5,1)."""
+    from chronographer_spark.operators.graph_algos import hits
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    got = {r["node"]: (r["hub"], r["auth"]) for r in hits(edges, 2).collect()}
+    assert got == {"a": (8, 1), "b": (5, 3), "c": (1, 5)}
+
+
 def test_frequent_subsequences_hand_enumerated(spark):
     """Single sequence (a,b,a,c): the four position triples are exactly
     {aba, abc, aac, bac}; greedy witnesses must find all of them and
