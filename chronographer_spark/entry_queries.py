@@ -9024,6 +9024,76 @@ FROM per_det GROUP BY fd
 
 
 # ---------------------------------------------------------------------------
+# Q: time-series resample + gap-fill (linear) per (event_type, user)
+# ---------------------------------------------------------------------------
+
+
+def q_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """6h buckets per (event_type, user_id): ~13 events per key over 30
+    days → most of the 120-slot spine is gaps, exercising interpolation,
+    boundary fallbacks, and the obs path in one run."""
+    from .operators.temporal import resample_timeseries
+
+    ev = _t(spark, sf_dir, "events")
+    return resample_timeseries(
+        ev, keys=["event_type", "user_id"], bucket_seconds=21600,
+        value_scale=100, method="linear",
+    ).select("event_type", "user_id", "bucket_ts", "n_events", "v_x", "fill")
+
+
+RESAMPLE_GAPFILL_SQL = """
+WITH obs AS (
+  SELECT event_type, user_id,
+         CAST(floor(epoch(ts) / 21600) AS BIGINT) AS b,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) // count(*)
+              AS BIGINT) AS v_obs
+  FROM events GROUP BY 1, 2, 3
+),
+bounds AS (
+  SELECT event_type, user_id, min(b) AS lo, max(b) AS hi
+  FROM obs GROUP BY 1, 2
+),
+spine AS (
+  SELECT event_type, user_id, unnest(generate_series(lo, hi)) AS b
+  FROM bounds
+),
+grid AS (
+  SELECT s.event_type, s.user_id, s.b, o.n_events, o.v_obs,
+         CASE WHEN o.n_events IS NOT NULL THEN 'obs' ELSE 'gap' END AS fill
+  FROM spine s
+  LEFT JOIN obs o ON o.event_type = s.event_type
+    AND o.user_id = s.user_id AND o.b = s.b
+),
+w AS (
+  SELECT *,
+    last_value(v_obs IGNORE NULLS) OVER
+      (PARTITION BY event_type, user_id ORDER BY b
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+    last_value(CASE WHEN fill = 'obs' THEN b END IGNORE NULLS) OVER
+      (PARTITION BY event_type, user_id ORDER BY b
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+    first_value(v_obs IGNORE NULLS) OVER
+      (PARTITION BY event_type, user_id ORDER BY b
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+    first_value(CASE WHEN fill = 'obs' THEN b END IGNORE NULLS) OVER
+      (PARTITION BY event_type, user_id ORDER BY b
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+  FROM grid
+)
+SELECT event_type, user_id, b * 21600 AS bucket_ts,
+       CAST(coalesce(n_events, 0) AS BIGINT) AS n_events,
+       CAST(CASE WHEN fill = 'obs' THEN v_obs
+                 WHEN pv IS NULL THEN nv
+                 WHEN nv IS NULL THEN pv
+                 ELSE pv + (nv - pv) * (b - pb) // (nb - pb)
+            END AS BIGINT) AS v_x,
+       fill
+FROM w
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: HITS hubs/authorities over the thresholded trade digraph
 # ---------------------------------------------------------------------------
 
@@ -9429,6 +9499,7 @@ QUERIES = {
     "ind_profile": q_ind_profile,
     "frequent_subseqs": q_frequent_subseqs,
     "hits_nations": q_hits_nations,
+    "resample_gapfill": q_resample_gapfill,
 }
 
 ORACLE_SQL = {
@@ -9442,6 +9513,7 @@ ORACLE_SQL = {
     "ind_profile": IND_PROFILE_SQL,
     "frequent_subseqs": FREQUENT_SUBSEQS_SQL,
     "hits_nations": HITS_NATIONS_SQL,
+    "resample_gapfill": RESAMPLE_GAPFILL_SQL,
     "scc_nations": SCC_NATIONS_SQL,
     "sssp_nations": SSSP_NATIONS_SQL,
     "lsh_topk_portable": LSH_TOPK_SQL,

@@ -2077,6 +2077,48 @@ def test_template_skeletons_hand_fixture(spark):
     assert r["example"] == "order 123 shipped on 2024-01-02"
 
 
+def test_resample_timeseries_linear_hand_computed(spark):
+    """Bucket width 10, one key: obs at b0 (two events, floor-mean 10)
+    and b3 (41); gaps b1/b2 interpolate with floor semantics 20/30."""
+    from chronographer_spark.operators.temporal import resample_timeseries
+
+    rows = [("k", 5, 10.0), ("k", 6, 11.0), ("k", 35, 41.0)]
+    df = spark.createDataFrame(rows, "g string, e long, value double").select(
+        "g", F.col("e").cast("timestamp").alias("ts"), "value"
+    )
+    out = resample_timeseries(
+        df, keys=["g"], bucket_seconds=10, value_scale=1, method="linear"
+    )
+    got = {
+        r["bucket_ts"]: (r["n_events"], r["v_x"], r["fill"])
+        for r in out.collect()
+    }
+    assert got == {
+        0: (2, 10, "obs"),      # (10+11) DIV 2 floor
+        10: (0, 20, "gap"),     # 10 + 31*1 // 3 = 20
+        20: (0, 30, "gap"),     # 10 + 31*2 // 3 = 30
+        30: (1, 41, "obs"),
+    }
+
+
+def test_resample_timeseries_ffill_and_negative_truncation(spark):
+    """ffill carries the last observation; the bucket mean of a negative
+    sum truncates toward zero — Spark DIV == DuckDB integer `//`
+    (measured: -3 // 2 = -1, -5266 // 11 = -478; NOT floor)."""
+    from chronographer_spark.operators.temporal import resample_timeseries
+
+    rows = [("k", 5, -1.0), ("k", 6, -2.0), ("k", 25, 7.0)]
+    df = spark.createDataFrame(rows, "g string, e long, value double").select(
+        "g", F.col("e").cast("timestamp").alias("ts"), "value"
+    )
+    out = resample_timeseries(
+        df, keys=["g"], bucket_seconds=10, value_scale=1, method="ffill"
+    )
+    got = {r["bucket_ts"]: (r["v_x"], r["fill"]) for r in out.collect()}
+    # sum -3 DIV 2 truncates to -1 (Spark DIV == DuckDB integer //)
+    assert got == {0: (-1, "obs"), 10: (-1, "gap"), 20: (7, "obs")}
+
+
 def test_hits_hand_computed(spark):
     """Two unnormalized iterations on a->b, a->c, b->c, c->a, traced by
     hand: auth1=(1,1,2), hub1=(3,2,1), auth2=(1,3,5), hub2=(8,5,1)."""
