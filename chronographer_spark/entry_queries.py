@@ -9024,6 +9024,53 @@ FROM per_det GROUP BY fd
 
 
 # ---------------------------------------------------------------------------
+# Q: l-diversity of event_type within (day, value-band) classes
+# ---------------------------------------------------------------------------
+
+
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sensitive attribute = event_type (5 values): l=2,4,6 spans both
+    sides — every class is below l=6 by pigeonhole, few below l=2."""
+    from .operators.text import l_diversity_profile
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.floor(F.col("value") / 50).cast("long").alias("vband"),
+        "event_type",
+    )
+    return l_diversity_profile(
+        ev, ["day", "vband"], "event_type", l_thresholds=(2, 4, 6)
+    ).select("l", "n_classes", "classes_below", "rows_at_risk", "risk_x1e6")
+
+
+L_DIVERSITY_SQL = """
+WITH pv AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day,
+         CAST(floor(value / 50) AS BIGINT) AS vband,
+         event_type, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2, 3
+),
+classes AS (
+  SELECT day, vband, CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(sum(n) AS BIGINT) AS sz
+  FROM pv GROUP BY day, vband
+),
+fan AS (
+  SELECT n_distinct, sz, l FROM classes, (VALUES (2), (4), (6)) AS t(l)
+)
+SELECT CAST(l AS INT) AS l,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sum(CASE WHEN n_distinct < l THEN 1 ELSE 0 END) AS BIGINT)
+         AS classes_below,
+       CAST(sum(CASE WHEN n_distinct < l THEN sz ELSE 0 END) AS BIGINT)
+         AS rows_at_risk,
+       CAST(CAST(sum(CASE WHEN n_distinct < l THEN sz ELSE 0 END) AS BIGINT)
+            * 1000000 // CAST(sum(sz) AS BIGINT) AS BIGINT) AS risk_x1e6
+FROM fan GROUP BY l
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: time-series resample + gap-fill (linear) per (event_type, user)
 # ---------------------------------------------------------------------------
 
@@ -9500,6 +9547,7 @@ QUERIES = {
     "frequent_subseqs": q_frequent_subseqs,
     "hits_nations": q_hits_nations,
     "resample_gapfill": q_resample_gapfill,
+    "l_diversity": q_l_diversity,
 }
 
 ORACLE_SQL = {
@@ -9514,6 +9562,7 @@ ORACLE_SQL = {
     "frequent_subseqs": FREQUENT_SUBSEQS_SQL,
     "hits_nations": HITS_NATIONS_SQL,
     "resample_gapfill": RESAMPLE_GAPFILL_SQL,
+    "l_diversity": L_DIVERSITY_SQL,
     "scc_nations": SCC_NATIONS_SQL,
     "sssp_nations": SSSP_NATIONS_SQL,
     "lsh_topk_portable": LSH_TOPK_SQL,

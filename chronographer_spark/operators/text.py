@@ -714,3 +714,52 @@ def k_anonymity_profile(
             "risk_x1e6"
         ),
     )
+
+
+def l_diversity_profile(
+    df: DataFrame, quasi_cols: list, sensitive_col: str,
+    l_thresholds: list = (2, 3, 5),
+) -> DataFrame:
+    """l-diversity profile (Machanavajjhala 2006): k-anonymity's blind
+    spot is a large equivalence class whose SENSITIVE attribute is
+    uniform — re-identification isn't needed to learn the secret. Per
+    candidate l, report classes whose distinct-sensitive-value count is
+    below l and the rows exposed in them.
+
+    Returns one row per l: l, n_classes, classes_below, rows_at_risk,
+    risk_x1e6 (exact integer quotient of exposed rows).
+
+    Scale shape: groupBy(quasi, sensitive) collapses duplicates first
+    (map-side combinable), then a per-class agg counts distinct values
+    WITHOUT countDistinct's expand — two combinable shuffles; the
+    threshold fan explodes the collapsed class table like
+    k_anonymity_profile, never re-scanning input.
+    """
+    per_value = df.groupBy(
+        *[F.col(c) for c in quasi_cols], F.col(sensitive_col)
+    ).agg(F.count(F.lit(1)).alias("n"))
+    classes = per_value.groupBy(*[F.col(c) for c in quasi_cols]).agg(
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum("n").alias("sz"),
+    )
+    ls = F.array(*[F.lit(int(x)) for x in l_thresholds])
+    fan = classes.select("n_distinct", "sz", F.explode(ls).alias("l"))
+    per_l = fan.groupBy("l").agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum(F.when(F.col("n_distinct") < F.col("l"), 1).otherwise(0))
+        .cast("long")
+        .alias("classes_below"),
+        F.sum(F.when(F.col("n_distinct") < F.col("l"), F.col("sz")).otherwise(0))
+        .cast("long")
+        .alias("rows_at_risk"),
+        F.sum("sz").alias("_total"),
+    )
+    return per_l.select(
+        "l",
+        "n_classes",
+        "classes_below",
+        "rows_at_risk",
+        F.expr("CAST(rows_at_risk * 1000000 DIV _total AS BIGINT)").alias(
+            "risk_x1e6"
+        ),
+    )

@@ -2119,6 +2119,21 @@ def test_resample_timeseries_ffill_and_negative_truncation(spark):
     assert got == {0: (-1, "obs"), 10: (-1, "gap"), 20: (7, "obs")}
 
 
+def test_l_diversity_profile_hand_fixture(spark):
+    """Class (x): sensitive values {p,p,q} → 2 distinct over 3 rows;
+    class (y): {p} → 1 distinct over 2 rows. l=2 exposes y; l=3 both."""
+    from chronographer_spark.operators.text import l_diversity_profile
+
+    rows = [("x", "p"), ("x", "p"), ("x", "q"), ("y", "p"), ("y", "p")]
+    df = spark.createDataFrame(rows, "qi string, s string")
+    got = {
+        r["l"]: (r["n_classes"], r["classes_below"], r["rows_at_risk"], r["risk_x1e6"])
+        for r in l_diversity_profile(df, ["qi"], "s", l_thresholds=(2, 3)).collect()
+    }
+    assert got[2] == (2, 1, 2, 400_000)
+    assert got[3] == (2, 2, 5, 1_000_000)
+
+
 def test_hits_hand_computed(spark):
     """Two unnormalized iterations on a->b, a->c, b->c, c->a, traced by
     hand: auth1=(1,1,2), hub1=(3,2,1), auth2=(1,3,5), hub2=(8,5,1)."""
