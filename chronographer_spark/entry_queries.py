@@ -9024,6 +9024,64 @@ FROM per_det GROUP BY fd
 
 
 # ---------------------------------------------------------------------------
+# Q: fixed-point power-iteration PCA projection over the embeddings
+# ---------------------------------------------------------------------------
+
+
+def q_pca_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-principal-direction projection of every embedding, exact
+    BIGINT end to end (quantize → scatter matrix → 2 rescaled power
+    steps → projection); the oracle replays the identical fixed-point
+    algebra, so the gate is a full bit-match with zero float discipline."""
+    from .operators.similarity import pca_power_scores
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pca_power_scores(emb, "embedding", "vec_id").select(
+        "vec_id", "pc1_score"
+    )
+
+
+PCA_SCORES_SQL = """
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+qz AS (
+  SELECT vec_id,
+         CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0
+              THEN list_transform(v, x -> 0)
+              ELSE list_transform(v, x -> CAST(floor(x * 127.0 / list_max(list_transform(v, y -> abs(y))) + 0.5) AS INTEGER))
+         END AS q
+  FROM emb
+),
+idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+qi AS (SELECT vec_id, i, CAST(q[i] AS BIGINT) AS v FROM qz, idx),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM qz),
+s1 AS (SELECT i, CAST(sum(v) AS BIGINT) AS s1 FROM qi GROUP BY i),
+s2 AS (
+  SELECT a.i AS i, b.i AS j, CAST(sum(a.v * b.v) AS BIGINT) AS s2
+  FROM qi a JOIN qi b USING (vec_id) GROUP BY 1, 2
+),
+mraw AS (
+  SELECT s2.i, s2.j, CAST(nn.n * s2.s2 - sa.s1 * sb.s1 AS BIGINT) AS m
+  FROM s2 CROSS JOIN nn
+  JOIN s1 sa ON sa.i = s2.i
+  JOIN s1 sb ON sb.i = s2.j
+),
+dm AS (SELECT greatest(1, CAST(max(abs(m)) AS BIGINT) // 1073741824) AS d FROM mraw),
+m AS (SELECT i, j, CAST(m // (SELECT d FROM dm) AS BIGINT) AS m FROM mraw),
+v1r AS (SELECT i, CAST(sum(m) AS BIGINT) AS raw FROM m GROUP BY i),
+d1 AS (SELECT greatest(1, CAST(max(abs(raw)) AS BIGINT) // 65536) AS d FROM v1r),
+v1 AS (SELECT i AS j, CAST(raw // (SELECT d FROM d1) AS BIGINT) AS w FROM v1r),
+v2r AS (
+  SELECT m.i, CAST(sum(m.m * v1.w) AS BIGINT) AS raw
+  FROM m JOIN v1 ON v1.j = m.j GROUP BY m.i
+),
+d2 AS (SELECT greatest(1, CAST(max(abs(raw)) AS BIGINT) // 65536) AS d FROM v2r),
+v2 AS (SELECT i, CAST(raw // (SELECT d FROM d2) AS BIGINT) AS w FROM v2r)
+SELECT qi.vec_id, CAST(sum(qi.v * v2.w) AS BIGINT) AS pc1_score
+FROM qi JOIN v2 ON v2.i = qi.i GROUP BY qi.vec_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: l-diversity of event_type within (day, value-band) classes
 # ---------------------------------------------------------------------------
 
@@ -9548,6 +9606,7 @@ QUERIES = {
     "hits_nations": q_hits_nations,
     "resample_gapfill": q_resample_gapfill,
     "l_diversity": q_l_diversity,
+    "pca_scores": q_pca_scores,
 }
 
 ORACLE_SQL = {
@@ -9563,6 +9622,7 @@ ORACLE_SQL = {
     "hits_nations": HITS_NATIONS_SQL,
     "resample_gapfill": RESAMPLE_GAPFILL_SQL,
     "l_diversity": L_DIVERSITY_SQL,
+    "pca_scores": PCA_SCORES_SQL,
     "scc_nations": SCC_NATIONS_SQL,
     "sssp_nations": SSSP_NATIONS_SQL,
     "lsh_topk_portable": LSH_TOPK_SQL,

@@ -594,3 +594,110 @@ def kcenter_greedy(
             F.when(closer, d_new).otherwise(F.col("dist_sq")).alias("dist_sq"),
         ).localCheckpoint(eager=True)
     return best.select("id", "center_id", "dist_sq")
+
+
+def pca_power_scores(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    precision_bits: int = 16,
+) -> DataFrame:
+    """Projection of every vector onto the corpus's top principal
+    direction, computed ENTIRELY in exact fixed-point integers — the
+    embedding-analytics pass (whitening axis, outlier screening,
+    split-by-dominant-direction) a curation pipeline wants before
+    clustering. Method: int8-quantize (quantize_vectors), accumulate the
+    scatter matrix in sum form M = n·Σqqᵀ − (Σq)(Σq)ᵀ (centered
+    covariance times n², exact BIGINT), then two unnormalized power
+    steps v₂ = M·(M·1) with data-adaptive rescales (M is capped at
+    max|M| ≤ 2^30 and each matvec result at 2^precision_bits via
+    greatest(1, max|·| DIV 2^k) truncating divides — bit-identical in
+    DuckDB) so no intermediate exceeds dim · 2^30 · 2^(bits+1) ≲ 2^53
+    at ANY corpus size. Score = qᵀv₂′, an exact
+    BIGINT whose ORDER equals the true PC1 projection order up to
+    quantization+truncation (deterministic, replayable — the
+    integer-quotient oracle rule; no grid snapping anywhere).
+
+    Scale shape: one posexplode to (id, i, v) — eagerly checkpointed
+    once, it feeds the marginal sums, the scatter self-join, and the
+    projection; the scatter agg groups on (i, j) (dim²-bounded,
+    map-side combined — the ONLY corpus-scale shuffle); matvecs run on
+    the dim²-row M table (checkpointed, two consumers); rescale divisors
+    are 1-row aggregates collected driver-side (O(1) traffic, the IVF
+    centroid exception); the final projection is a broadcast join +
+    per-id agg. Power iteration from the all-ones vector is
+    deterministic including sign; a spectrum needing more than 2 steps
+    to separate merely yields a mixed-but-deterministic axis (documented
+    contract, like fixed-iteration pagerank).
+
+    Returns (id_col, pc1_score BIGINT).
+    """
+    q = quantize_vectors(df, vec_col)
+    qi = (
+        q.select(F.col(id_col), F.posexplode("qvec").alias("i", "v"))
+        .withColumn("v", F.col("v").cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    n = qi.select(id_col).distinct().count()
+    s1 = qi.groupBy("i").agg(F.sum("v").alias("s1"))
+    a = qi.select(F.col(id_col).alias("__id"), F.col("i"), F.col("v"))
+    b = qi.select(
+        F.col(id_col).alias("__id"), F.col("i").alias("j"), F.col("v").alias("w")
+    )
+    s2 = (
+        a.join(b, "__id")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("v") * F.col("w")).alias("s2"))
+    )
+    m_raw = (
+        s2.join(s1, "i")
+        .join(
+            s1.select(F.col("i").alias("j"), F.col("s1").alias("s1j")), "j"
+        )
+        .select(
+            "i", "j",
+            (F.lit(n).cast("long") * F.col("s2") - F.col("s1") * F.col("s1j"))
+            .alias("m"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    # cap max|M| at 2^30 so every later bound is n-INDEPENDENT:
+    # matvec magnitude <= dim · 2^30 · 2^(bits+1) << 2^63 at any corpus size
+    dm = m_raw.agg(
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.expr(f"CAST(max(abs(m)) DIV {1 << 30} AS BIGINT)"),
+        )
+    ).first()[0]
+    m = m_raw.select(
+        "i", "j", F.expr(f"CAST(m DIV {dm} AS BIGINT)").alias("m")
+    ).localCheckpoint(eager=True)
+
+    def _matvec(vec: DataFrame) -> DataFrame:
+        # vec: (j, w) -> returns rescaled (j, w) for the next consumer
+        out = (
+            m.join(vec.select(F.col("j"), F.col("w")), "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("m") * F.col("w")).alias("raw"))
+        )
+        d = out.agg(
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.expr(f"CAST(max(abs(raw)) DIV {1 << precision_bits} AS BIGINT)"),
+            )
+        ).first()[0]
+        return out.select(
+            F.col("i").alias("j"),
+            F.expr(f"CAST(raw DIV {d} AS BIGINT)").alias("w"),
+        ).localCheckpoint(eager=True)
+
+    ones = m.select(F.col("j")).distinct().withColumn(
+        "w", F.lit(1).cast("long")
+    )
+    v1 = _matvec(ones)
+    v2 = _matvec(v1)
+    return (
+        qi.join(F.broadcast(v2.select(F.col("j").alias("i"), "w")), "i")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("v") * F.col("w")).alias("pc1_score"))
+    )

@@ -2427,3 +2427,80 @@ def test_discover_unary_inds_hand_computed(spark):
     assert got[("A", "B")] == (2, 2, 1, 1_000_000)
     assert got[("B", "A")] == (3, 2, 0, 666_666)
     assert ("A", "C") not in got and ("C", "B") not in got
+
+
+def _py_pca_scores(vecs, bits=16):
+    """Driver-side replica of pca_power_scores' exact integer algorithm."""
+    def tdiv(a, d):
+        return a // d if (a >= 0) == (d > 0) else -((-a) // d)
+
+    dim = len(next(iter(vecs.values())))
+    q = {}
+    for k, v in vecs.items():
+        ma = max(abs(x) for x in v)
+        q[k] = [0] * dim if ma == 0 else [
+            __import__("math").floor(x * 127.0 / ma + 0.5) for x in v
+        ]
+    n = len(q)
+    s1 = [sum(q[k][i] for k in q) for i in range(dim)]
+    m = [
+        [
+            n * sum(q[k][i] * q[k][j] for k in q) - s1[i] * s1[j]
+            for j in range(dim)
+        ]
+        for i in range(dim)
+    ]
+    dm = max(1, max(abs(m[i][j]) for i in range(dim) for j in range(dim)) // (1 << 30))
+    m = [[tdiv(m[i][j], dm) for j in range(dim)] for i in range(dim)]
+    w = [1] * dim
+    for _ in range(2):
+        raw = [sum(m[i][j] * w[j] for j in range(dim)) for i in range(dim)]
+        d = max(1, max(abs(x) for x in raw) // (1 << bits))
+        w = [tdiv(x, d) for x in raw]
+    return {k: sum(q[k][i] * w[i] for i in range(dim)) for k in q}
+
+
+def test_pca_power_scores_matches_python_model(spark):
+    """Exact integer equality with a driver-side replica, plus the scores
+    must order by the dominant axis (variance 100x the others)."""
+    from chronographer_spark.operators.similarity import pca_power_scores
+
+    vecs = {
+        k: [
+            float(10 * ((k * 7) % 13) - 60),
+            float((k * 3) % 5 - 2),
+            float((k * 11) % 7 - 3),
+            float(k % 2),
+        ]
+        for k in range(24)
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in vecs.items()], "vec_id long, embedding array<float>"
+    )
+    got = {
+        r["vec_id"]: r["pc1_score"]
+        for r in pca_power_scores(df, "embedding", "vec_id").collect()
+    }
+    exp = _py_pca_scores({k: list(map(float, v)) for k, v in vecs.items()})
+    assert got == exp
+    # the fixed-point power iteration must track the TRUE PC1 projection
+    # of the quantized matrix (quantization itself is the documented
+    # input transform; PCA is not scale-invariant, so the raw-axis
+    # correlation is necessarily weaker)
+    import math
+
+    import numpy as np
+
+    q = np.array(
+        [
+            [math.floor(x * 127.0 / max(abs(y) for y in v) + 0.5) for x in v]
+            for v in (vecs[k] for k in sorted(vecs))
+        ],
+        dtype=float,
+    )
+    qc = q - q.mean(axis=0)
+    _, _, vt = np.linalg.svd(qc, full_matrices=False)
+    true_proj = q @ vt[0]
+    ours = np.array([got[k] for k in sorted(vecs)], dtype=float)
+    r = abs(np.corrcoef(ours, true_proj)[0, 1])
+    assert r > 0.99, r
