@@ -9129,6 +9129,68 @@ FROM fan GROUP BY l
 
 
 # ---------------------------------------------------------------------------
+# Q: t-closeness of event_type within (day, value-band) classes
+# ---------------------------------------------------------------------------
+
+
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same (day, vband) classes as l_diversity so the two readouts
+    compose into one governance report; thresholds straddle the observed
+    per-class TVD range so classes_above is non-trivial at every t."""
+    from .operators.text import t_closeness_profile
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.floor(F.col("value") / 50).cast("long").alias("vband"),
+        "event_type",
+    )
+    return t_closeness_profile(
+        ev, ["day", "vband"], "event_type",
+        t_thresholds_x1e6=(50000, 150000, 300000),
+    ).select("t_x1e6", "n_classes", "classes_above", "rows_at_risk", "risk_x1e6")
+
+
+T_CLOSENESS_SQL = """
+WITH pv AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day,
+         CAST(floor(value / 50) AS BIGINT) AS vband,
+         event_type AS v, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2, 3
+),
+gv AS (SELECT v, CAST(sum(n) AS BIGINT) AS gn FROM pv GROUP BY v),
+tt AS (SELECT CAST(sum(gn) AS BIGINT) AS total FROM gv),
+cl AS (
+  SELECT day, vband,
+         CAST(sum(abs(n * total - gn * sz)) AS BIGINT) AS present,
+         CAST(sum(gn) AS BIGINT) AS covered,
+         CAST(max(sz) AS BIGINT) AS sz, CAST(max(total) AS BIGINT) AS total
+  FROM (
+    SELECT pv.day, pv.vband, pv.n, gv.gn, tt.total,
+           CAST(sum(pv.n) OVER (PARTITION BY pv.day, pv.vband) AS BIGINT) AS sz
+    FROM pv JOIN gv USING (v) CROSS JOIN tt
+  ) GROUP BY day, vband
+),
+dist AS (
+  SELECT sz, total,
+         CAST((present + sz * (total - covered)) * 1000000
+              // (2 * sz * total) AS BIGINT) AS d
+  FROM cl
+),
+fan AS (
+  SELECT sz, total, d, t
+  FROM dist, (VALUES (50000), (150000), (300000)) AS th(t)
+)
+SELECT CAST(t AS INT) AS t_x1e6,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sum(CASE WHEN d > t THEN 1 ELSE 0 END) AS BIGINT) AS classes_above,
+       CAST(sum(CASE WHEN d > t THEN sz ELSE 0 END) AS BIGINT) AS rows_at_risk,
+       CAST(CAST(sum(CASE WHEN d > t THEN sz ELSE 0 END) AS BIGINT) * 1000000
+            // CAST(max(total) AS BIGINT) AS BIGINT) AS risk_x1e6
+FROM fan GROUP BY t
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: time-series resample + gap-fill (linear) per (event_type, user)
 # ---------------------------------------------------------------------------
 
@@ -9607,6 +9669,7 @@ QUERIES = {
     "resample_gapfill": q_resample_gapfill,
     "l_diversity": q_l_diversity,
     "pca_scores": q_pca_scores,
+    "t_closeness": q_t_closeness,
 }
 
 ORACLE_SQL = {
@@ -9623,6 +9686,7 @@ ORACLE_SQL = {
     "resample_gapfill": RESAMPLE_GAPFILL_SQL,
     "l_diversity": L_DIVERSITY_SQL,
     "pca_scores": PCA_SCORES_SQL,
+    "t_closeness": T_CLOSENESS_SQL,
     "scc_nations": SCC_NATIONS_SQL,
     "sssp_nations": SSSP_NATIONS_SQL,
     "lsh_topk_portable": LSH_TOPK_SQL,

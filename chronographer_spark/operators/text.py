@@ -10,7 +10,7 @@ All pure native expressions (whole-stage codegen end-to-end):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import normalize_text
@@ -758,6 +758,91 @@ def l_diversity_profile(
         "l",
         "n_classes",
         "classes_below",
+        "rows_at_risk",
+        F.expr("CAST(rows_at_risk * 1000000 DIV _total AS BIGINT)").alias(
+            "risk_x1e6"
+        ),
+    )
+
+
+def t_closeness_profile(
+    df: DataFrame, quasi_cols: list, sensitive_col: str,
+    t_thresholds_x1e6: list = (100000, 200000, 350000),
+) -> DataFrame:
+    """t-closeness profile (Li 2007) — the third privacy readout beside
+    k_anonymity_profile and l_diversity_profile: l-diversity's blind spot
+    is a class whose sensitive values are distinct but SKEWED relative to
+    the corpus (99% 'flu' in a class vs 1% globally leaks plenty).
+    Per class, the distance between the class's sensitive-value
+    distribution and the global one is the Earth Mover's Distance, which
+    for categorical values under uniform ground distance is the total
+    variation distance ½·Σ|p_i − q_i| — computed here as an EXACT integer:
+    emd_num = Σ_{i∈class} |n_ci·total − gn_i·sz| + sz·(total − Σ_{i∈class} gn_i)
+    (the second term folds in every value ABSENT from the class without
+    fanning classes × vocabulary), and
+    t_class_x1e6 = emd_num·10^6 DIV (2·sz·total).
+
+    Returns one row per threshold t in ``t_thresholds_x1e6``: t_x1e6,
+    n_classes, classes_above (classes whose distance exceeds t),
+    rows_at_risk (rows in those classes), risk_x1e6 (exact quotient).
+
+    Scale shape: groupBy(quasi, sensitive) collapses the input once
+    (map-side combined) and is eagerly checkpointed — it feeds the global
+    value marginal (vocabulary-sized, BROADCAST back), the class-size
+    rollup, and the distance agg, so the input is scanned exactly once;
+    the threshold fan explodes the collapsed per-class table. Exactness
+    bound: n_ci·total must fit a BIGINT, i.e. total ≲ 3·10^9 rows — the
+    governance readout runs on a release candidate or a sample, not the
+    raw crawl; beyond that, profile a hash-sample per class.
+    """
+    qc = [F.col(c) for c in quasi_cols]
+    per_value = (
+        df.groupBy(*qc, F.col(sensitive_col).alias("__v"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    global_v = per_value.groupBy("__v").agg(F.sum("n").alias("gn"))
+    total_t = global_v.agg(F.sum("gn").alias("total"))
+    # class size via a window over the already-collapsed per-value table:
+    # partitioned by the quasi columns, no second shuffle of the input
+    w = Window.partitionBy(*quasi_cols)
+    joined = (
+        per_value.join(F.broadcast(global_v), "__v")
+        .crossJoin(F.broadcast(total_t))
+        .withColumn("sz", F.sum("n").over(w))
+    )
+    classes = joined.groupBy(*[F.col(c) for c in quasi_cols]).agg(
+        F.sum(F.abs(F.col("n") * F.col("total") - F.col("gn") * F.col("sz")))
+        .alias("present"),
+        F.sum("gn").alias("covered"),
+        F.max("sz").alias("sz"),
+        F.max("total").alias("total"),
+    )
+    dist = classes.select(
+        "sz", "total",
+        F.expr(
+            "CAST((present + sz * (total - covered)) * 1000000"
+            " DIV (2 * sz * total) AS BIGINT)"
+        ).alias("t_class_x1e6"),
+    )
+    ts = F.array(*[F.lit(int(t)) for t in t_thresholds_x1e6])
+    fan = dist.select("sz", "total", "t_class_x1e6", F.explode(ts).alias("t_x1e6"))
+    per_t = fan.groupBy("t_x1e6").agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum(F.when(F.col("t_class_x1e6") > F.col("t_x1e6"), 1).otherwise(0))
+        .cast("long")
+        .alias("classes_above"),
+        F.sum(
+            F.when(F.col("t_class_x1e6") > F.col("t_x1e6"), F.col("sz")).otherwise(0)
+        )
+        .cast("long")
+        .alias("rows_at_risk"),
+        F.max("total").alias("_total"),
+    )
+    return per_t.select(
+        "t_x1e6",
+        "n_classes",
+        "classes_above",
         "rows_at_risk",
         F.expr("CAST(rows_at_risk * 1000000 DIV _total AS BIGINT)").alias(
             "risk_x1e6"

@@ -2504,3 +2504,27 @@ def test_pca_power_scores_matches_python_model(spark):
     ours = np.array([got[k] for k in sorted(vecs)], dtype=float)
     r = abs(np.corrcoef(ours, true_proj)[0, 1])
     assert r > 0.99, r
+
+
+def test_t_closeness_profile_hand_fixture(spark):
+    """Two classes, both at exact TVD 0.25 from the global distribution
+    (hand-computed: class A {x:2,y:2} vs global {x:.75,y:.25} -> 0.25;
+    class B {x:4} with y ABSENT -> the absent-value term carries 0.25),
+    so thresholds straddling 250000 flip classes_above between 2 and 0."""
+    from chronographer_spark.operators.text import t_closeness_profile
+
+    rows = [("A", "x")] * 2 + [("A", "y")] * 2 + [("B", "x")] * 4
+    df = spark.createDataFrame(rows, "cls string, sens string")
+    got = {
+        r["t_x1e6"]: (
+            r["n_classes"], r["classes_above"], r["rows_at_risk"], r["risk_x1e6"]
+        )
+        for r in t_closeness_profile(
+            df, ["cls"], "sens", t_thresholds_x1e6=(200000, 250000, 300000)
+        ).collect()
+    }
+    assert got == {
+        200000: (2, 2, 8, 1000000),
+        250000: (2, 0, 0, 0),
+        300000: (2, 0, 0, 0),
+    }

@@ -578,3 +578,20 @@ def test_frequent_subseqs_broadcasts_frequent_items(spark):
     assert "BroadcastExchange" in plan, plan
     # all three roles (a/b/c) must read the checkpointed position table
     assert plan.count("Scan ExistingRDD") >= 3, plan
+
+
+def test_t_closeness_fan_on_collapsed_table(spark):
+    """The (quasi, sensitive) collapse is eagerly checkpointed, so the
+    executed distance/threshold plan reads NO parquet at all (global
+    marginal, class sizes, and the fan all consume the checkpoint), and
+    the vocabulary marginal comes back as a broadcast."""
+    from chronographer_spark.operators.text import t_closeness_profile
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    plan = _plan(
+        t_closeness_profile(ev, ["event_type"], "user_id",
+                            t_thresholds_x1e6=(100000,))
+    )
+    assert plan.count("Scan parquet") == 0, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    assert "Generate explode" in plan, plan
