@@ -9129,6 +9129,70 @@ FROM fan GROUP BY l
 
 
 # ---------------------------------------------------------------------------
+# Q: modularity of the region partition over the nation trade graph
+# ---------------------------------------------------------------------------
+
+
+def q_modularity_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Region-partition quality over the undirected nation-trade graph:
+    trade is global, so the readout shows WEAK community structure
+    (q_x1e6 near or below zero per region) — the evaluation companion to
+    label_propagation/cc clustering."""
+    from .operators.graph_algos import modularity_profile
+
+    flows = _nation_flows(spark, sf_dir)
+    und = flows.select(
+        F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+    ).distinct()
+    n = _t(spark, sf_dir, "nation").select("n_name", "n_regionkey")
+    r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    comm = n.join(
+        F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]
+    ).select(F.col("n_name").alias("node"), F.col("r_name").alias("community"))
+    return modularity_profile(und, comm).select(
+        "community", "n_nodes", "degree_sum", "intra_edges", "q_x1e6"
+    )
+
+
+MODULARITY_REGIONS_SQL = f"""
+WITH {FLOWS_FRAGMENT.strip().lstrip()},
+und AS (
+  SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst FROM flows
+),
+mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und),
+deg AS (
+  SELECT n, CAST(count(*) AS BIGINT) AS deg
+  FROM (SELECT src AS n FROM und UNION ALL SELECT dst AS n FROM und)
+  GROUP BY n
+),
+comm AS (
+  SELECT n_name AS node, r_name AS community
+  FROM nation JOIN region ON n_regionkey = r_regionkey
+),
+dc AS (
+  SELECT community, CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(sum(deg) AS BIGINT) AS degree_sum
+  FROM deg JOIN comm ON deg.n = comm.node GROUP BY community
+),
+intra AS (
+  SELECT cs.community, CAST(count(*) AS BIGINT) AS intra_edges
+  FROM und
+  JOIN comm cs ON und.src = cs.node
+  JOIN comm cd ON und.dst = cd.node
+  WHERE cs.community = cd.community
+  GROUP BY cs.community
+)
+SELECT dc.community, dc.n_nodes, dc.degree_sum,
+       CAST(coalesce(intra.intra_edges, 0) AS BIGINT) AS intra_edges,
+       CAST((coalesce(intra.intra_edges, 0) * 1000000 // mm.m)
+            - ((dc.degree_sum * 1000 // (2 * mm.m))
+               * (dc.degree_sum * 1000 // (2 * mm.m))
+               * 1000000 // (1000 * 1000)) AS BIGINT) AS q_x1e6
+FROM dc LEFT JOIN intra ON dc.community = intra.community CROSS JOIN mm
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: t-closeness of event_type within (day, value-band) classes
 # ---------------------------------------------------------------------------
 
@@ -9670,6 +9734,7 @@ QUERIES = {
     "l_diversity": q_l_diversity,
     "pca_scores": q_pca_scores,
     "t_closeness": q_t_closeness,
+    "modularity_regions": q_modularity_regions,
 }
 
 ORACLE_SQL = {
@@ -9687,6 +9752,7 @@ ORACLE_SQL = {
     "l_diversity": L_DIVERSITY_SQL,
     "pca_scores": PCA_SCORES_SQL,
     "t_closeness": T_CLOSENESS_SQL,
+    "modularity_regions": MODULARITY_REGIONS_SQL,
     "scc_nations": SCC_NATIONS_SQL,
     "sssp_nations": SSSP_NATIONS_SQL,
     "lsh_topk_portable": LSH_TOPK_SQL,

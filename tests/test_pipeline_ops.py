@@ -2528,3 +2528,54 @@ def test_t_closeness_profile_hand_fixture(spark):
         250000: (2, 0, 0, 0),
         300000: (2, 0, 0, 0),
     }
+
+
+def test_modularity_profile_hand_computed(spark):
+    """Two triangles joined by a bridge, communities = the triangles:
+    m=7, each community has e_c=3, d_c=7 -> s=500,
+    q_x1e6 = 3000000//7 - 250000 = 178571 (exact: quantization lands on
+    the true value here since 7/14 = 0.5 exactly)."""
+    from chronographer_spark.operators.graph_algos import modularity_profile
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6), (4, 6)],
+        "src long, dst long",
+    )
+    comm = spark.createDataFrame(
+        [(n, "L") for n in (1, 2, 3)] + [(n, "R") for n in (4, 5, 6)],
+        "node long, community string",
+    )
+    got = {
+        r["community"]: (
+            r["n_nodes"], r["degree_sum"], r["intra_edges"], r["q_x1e6"]
+        )
+        for r in modularity_profile(edges, comm).collect()
+    }
+    assert got == {"L": (3, 7, 3, 178571), "R": (3, 7, 3, 178571)}
+
+
+def test_modularity_single_community_is_zero(spark):
+    """Invariant: the all-in-one partition has Q = m/m - 1 = 0 exactly,
+    and a community with NO intra edges gets the pure -s^2 penalty."""
+    from chronographer_spark.operators.graph_algos import modularity_profile
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    one = spark.createDataFrame(
+        [(n, "all") for n in (1, 2, 3, 4)], "node long, community string"
+    )
+    [r] = modularity_profile(edges, one).collect()
+    assert (r["intra_edges"], r["q_x1e6"]) == (3, 0)
+    # bipartite-split: no intra edges on either side
+    alt = spark.createDataFrame(
+        [(1, "A"), (3, "A"), (2, "B"), (4, "B")],
+        "node long, community string",
+    )
+    got = {
+        r["community"]: (r["intra_edges"], r["q_x1e6"])
+        for r in modularity_profile(edges, alt).collect()
+    }
+    # d_A = deg(1)+deg(3) = 1+2 = 3 -> s = 3000//6 = 500 -> -250000
+    # d_B = deg(2)+deg(4) = 2+1 = 3 -> same
+    assert got == {"A": (0, -250000), "B": (0, -250000)}
