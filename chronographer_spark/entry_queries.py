@@ -9129,6 +9129,59 @@ FROM fan GROUP BY l
 
 
 # ---------------------------------------------------------------------------
+# Q: coalesce per-(user, type) activity intervals (gaps-and-islands)
+# ---------------------------------------------------------------------------
+
+
+def q_coalesce_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each event opens a 1-hour activity window; overlapping windows per
+    (user, event_type) conflate to disjoint validity intervals — ~13
+    events per key over 30 days yields a mix of singletons and chained
+    merges."""
+    from .operators.temporal import coalesce_intervals
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_timestamp("ts").alias("start"),
+        (F.unix_timestamp("ts") + 3600).alias("end"),
+    )
+    return coalesce_intervals(
+        ev, ["user_id", "event_type"], "start", "end"
+    ).select("user_id", "event_type", "start", "end", "n_merged")
+
+
+COALESCE_INTERVALS_SQL = """
+WITH iv AS (
+  SELECT user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         CAST(floor(epoch(ts)) AS BIGINT) + 3600 AS e
+  FROM events
+),
+flg AS (
+  SELECT user_id, event_type, s, e,
+         CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w
+              THEN 1 ELSE 0 END AS nw
+  FROM iv
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+isl AS (
+  SELECT user_id, event_type, s, e,
+         sum(nw) OVER (PARTITION BY user_id, event_type ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM flg
+)
+SELECT user_id, event_type,
+       CAST(min(s) AS BIGINT) AS start,
+       CAST(max(e) AS BIGINT) AS "end",
+       CAST(count(*) AS BIGINT) AS n_merged
+FROM isl GROUP BY user_id, event_type, island
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: modularity of the region partition over the nation trade graph
 # ---------------------------------------------------------------------------
 
@@ -9735,6 +9788,7 @@ QUERIES = {
     "pca_scores": q_pca_scores,
     "t_closeness": q_t_closeness,
     "modularity_regions": q_modularity_regions,
+    "coalesce_intervals": q_coalesce_intervals,
 }
 
 ORACLE_SQL = {
@@ -9753,6 +9807,7 @@ ORACLE_SQL = {
     "pca_scores": PCA_SCORES_SQL,
     "t_closeness": T_CLOSENESS_SQL,
     "modularity_regions": MODULARITY_REGIONS_SQL,
+    "coalesce_intervals": COALESCE_INTERVALS_SQL,
     "scc_nations": SCC_NATIONS_SQL,
     "sssp_nations": SSSP_NATIONS_SQL,
     "lsh_topk_portable": LSH_TOPK_SQL,

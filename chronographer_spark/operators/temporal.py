@@ -447,3 +447,57 @@ def resample_timeseries(
         "v_x",
         "fill",
     )
+
+
+def coalesce_intervals(
+    df: DataFrame,
+    keys: list,
+    start_col: str = "start",
+    end_col: str = "end",
+    max_gap: int = 0,
+) -> DataFrame:
+    """Merge overlapping (or within-``max_gap``) validity intervals per
+    key — the temporal-KG conflation pass: many extracted assertions of
+    the same (subj, pred, obj) with ragged validity windows collapse to
+    the minimal set of disjoint intervals (scd2_compact builds intervals
+    from change events; this is its dual, normalizing intervals that
+    already exist). Classic gaps-and-islands: per key, ordered by start,
+    an interval opens a new island iff its start exceeds the running max
+    of prior ends by more than max_gap; islands aggregate to
+    (min start, max end, n_merged).
+
+    Scale shape: ONE hash partition by key with an in-partition sort
+    (window functions over partitionBy(keys) — no global sort, no
+    single-partition WindowExec); two stacked windows (running max, then
+    running island count) share the same partitioning+ordering so
+    Catalyst plans ONE exchange + ONE sort; the island agg reuses the
+    partitioning. Works on numeric or timestamp bounds (max_gap > 0
+    requires numeric bounds, in the column's own units); ordering ties on
+    (start, end) are deterministic because max-end and island sums are
+    order-insensitive under equal starts.
+
+    Returns keys + (start, end, n_merged), one row per coalesced island.
+    """
+    ks = [F.col(k) for k in keys]
+    w = Window.partitionBy(*keys).orderBy(F.col(start_col), F.col(end_col))
+    prev_max_end = F.max(F.col(end_col)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bound = prev_max_end if max_gap == 0 else prev_max_end + F.lit(max_gap)
+    opens = F.when(
+        prev_max_end.isNull() | (F.col(start_col) > bound),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    flagged = df.withColumn("__new", opens).withColumn(
+        "__island",
+        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        flagged.groupBy(*ks, F.col("__island"))
+        .agg(
+            F.min(start_col).alias(start_col),
+            F.max(end_col).alias(end_col),
+            F.count(F.lit(1)).alias("n_merged"),
+        )
+        .drop("__island")
+    )

@@ -2579,3 +2579,31 @@ def test_modularity_single_community_is_zero(spark):
     # d_A = deg(1)+deg(3) = 1+2 = 3 -> s = 3000//6 = 500 -> -250000
     # d_B = deg(2)+deg(4) = 2+1 = 3 -> same
     assert got == {"A": (0, -250000), "B": (0, -250000)}
+
+
+def test_coalesce_intervals_hand_computed(spark):
+    """Chained overlap merges transitively ([1,5],[4,8],[8,10] -> one
+    island: touching endpoints overlap), a contained interval doesn't
+    extend the running end, a gap opens a new island, and max_gap bridges
+    it; keys never merge across each other."""
+    from chronographer_spark.operators.temporal import coalesce_intervals
+
+    rows = [
+        ("a", 1, 5), ("a", 4, 8), ("a", 8, 10),   # one island via chaining
+        ("a", 2, 3),                              # contained
+        ("a", 12, 13),                            # gap of 2 after 10
+        ("b", 1, 2), ("b", 100, 101),
+    ]
+    df = spark.createDataFrame(rows, "k string, start long, end long")
+    got = sorted(
+        (r["k"], r["start"], r["end"], r["n_merged"])
+        for r in coalesce_intervals(df, ["k"], "start", "end").collect()
+    )
+    assert got == [
+        ("a", 1, 10, 4), ("a", 12, 13, 1), ("b", 1, 2, 1), ("b", 100, 101, 1)
+    ]
+    bridged = sorted(
+        (r["k"], r["start"], r["end"], r["n_merged"])
+        for r in coalesce_intervals(df, ["k"], "start", "end", max_gap=2).collect()
+    )
+    assert bridged == [("a", 1, 13, 5), ("b", 1, 2, 1), ("b", 100, 101, 1)]

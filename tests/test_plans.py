@@ -595,3 +595,21 @@ def test_t_closeness_fan_on_collapsed_table(spark):
     assert plan.count("Scan parquet") == 0, plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
     assert "Generate explode" in plan, plan
+
+
+def test_coalesce_intervals_one_exchange_one_sort(spark):
+    """Both window passes AND the island agg share the per-key hash
+    partitioning (agg keys are a superset of the window partition keys),
+    so the whole gaps-and-islands plan is ONE exchange + ONE sort — and
+    never a global-order single-partition window."""
+    from chronographer_spark.operators.temporal import coalesce_intervals
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").selectExpr(
+        "user_id", "event_type",
+        "CAST(unix_timestamp(ts) AS LONG) AS start",
+        "CAST(unix_timestamp(ts) + 3600 AS LONG) AS end",
+    )
+    plan = _plan(coalesce_intervals(ev, ["user_id", "event_type"], "start", "end"))
+    assert _exchanges(plan) == 1, plan
+    assert plan.count("Sort ") == 1, plan
+    assert "SinglePartition" not in plan, plan
