@@ -9129,6 +9129,46 @@ FROM fan GROUP BY l
 
 
 # ---------------------------------------------------------------------------
+# Q: Pareto skyline of documents on (length, distinct-token count)
+# ---------------------------------------------------------------------------
+
+
+def q_skyline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents no other document beats on BOTH length and vocabulary —
+    the multi-criteria keep set; the oracle is the literal NOT-EXISTS
+    dominance definition, so the grid-pruned two-phase plan is verified
+    against brute force."""
+    from .operators.sampling import skyline_2d
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.size(F.array_distinct(F.split("text", " ")))
+        .cast("long")
+        .alias("n_unique"),
+    )
+    return skyline_2d(docs, "n_chars", "n_unique", bucket_width=256).select(
+        "doc_id", "n_chars", "n_unique"
+    )
+
+
+SKYLINE_DOCS_SQL = """
+WITH d AS (
+  SELECT doc_id, n_chars,
+         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+           AS n_unique
+  FROM documents
+)
+SELECT r.doc_id, r.n_chars, r.n_unique FROM d r
+WHERE NOT EXISTS (
+  SELECT 1 FROM d s
+  WHERE s.n_chars >= r.n_chars AND s.n_unique >= r.n_unique
+    AND (s.n_chars > r.n_chars OR s.n_unique > r.n_unique)
+)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: coalesce per-(user, type) activity intervals (gaps-and-islands)
 # ---------------------------------------------------------------------------
 
@@ -9789,6 +9829,7 @@ QUERIES = {
     "t_closeness": q_t_closeness,
     "modularity_regions": q_modularity_regions,
     "coalesce_intervals": q_coalesce_intervals,
+    "skyline_docs": q_skyline_docs,
 }
 
 ORACLE_SQL = {
@@ -9808,6 +9849,7 @@ ORACLE_SQL = {
     "t_closeness": T_CLOSENESS_SQL,
     "modularity_regions": MODULARITY_REGIONS_SQL,
     "coalesce_intervals": COALESCE_INTERVALS_SQL,
+    "skyline_docs": SKYLINE_DOCS_SQL,
     "scc_nations": SCC_NATIONS_SQL,
     "sssp_nations": SSSP_NATIONS_SQL,
     "lsh_topk_portable": LSH_TOPK_SQL,

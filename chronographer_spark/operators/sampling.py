@@ -296,3 +296,67 @@ def budget_sample_per_source(
             "cum_before",
         )
     )
+
+
+def skyline_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    bucket_width: int = 64,
+) -> DataFrame:
+    """Pareto frontier (skyline) on two maximize-dimensions — the
+    multi-criteria curation selector: keep documents no other document
+    beats on BOTH axes (e.g. length vs uniqueness, quality vs recency).
+    A row is dominated iff some row has x'≥x, y'≥y with at least one
+    strict; ties on both axes all stay on the frontier.
+
+    Scale shape (grid pruning, the distributed-skyline standard): (1) a
+    map-side combinable agg collapses x-buckets (x DIV bucket_width) to
+    per-bucket max-y — bucket-count rows; (2) the strictly-higher-bucket
+    running max (thr) is computed on that TINY table and broadcast back;
+    (3) the only full scan keeps rows with y > thr[bucket] — every true
+    skyline row survives (a higher bucket means strictly greater x, so
+    y' ≥ y there would dominate), and survivors are bounded by the
+    per-bucket frontier; (4) the exact pass collapses survivors to one
+    row per distinct x (max y + tie count), runs the strictly-greater-x
+    running max on that frontier-sized table (single-partition window on
+    a COLLAPSED table — vetted: |distinct x| of survivors, not corpus
+    rows), and joins winners back to recover all (x, ymax) ties.
+
+    Returns the skyline rows of ``df`` (all original columns).
+    """
+    b = int(bucket_width)
+    withb = df.withColumn("__b", F.expr(f"CAST({x_col} DIV {b} AS BIGINT)"))
+    bmax = withb.groupBy("__b").agg(F.max(y_col).alias("__bymax"))
+    wdesc = Window.orderBy(F.desc("__b")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    thr = bmax.withColumn("__thr", F.max("__bymax").over(wdesc)).select(
+        "__b", "__thr"
+    )
+    # survivors are frontier-bounded (small) and consumed twice (winner
+    # derivation + final join) — eager checkpoint so the corpus is
+    # scanned exactly twice total, not re-pruned per consumer
+    surv = (
+        withb.join(F.broadcast(thr), "__b")
+        .filter(F.col("__thr").isNull() | (F.col(y_col) > F.col("__thr")))
+        .localCheckpoint(eager=True)
+    )
+    perx = surv.groupBy(F.col(x_col).alias("__x")).agg(
+        F.max(y_col).alias("__ymax")
+    )
+    wx = Window.orderBy(F.desc("__x")).rowsBetween(Window.unboundedPreceding, -1)
+    # a distinct-x point survives iff its ymax strictly beats every
+    # strictly-greater-x frontier value (>= there would dominate it)
+    winners = (
+        perx.withColumn("__gt", F.max("__ymax").over(wx))
+        .filter(F.col("__gt").isNull() | (F.col("__ymax") > F.col("__gt")))
+        .select("__x", "__ymax")
+    )
+    return (
+        surv.join(
+            F.broadcast(winners),
+            (F.col(x_col) == F.col("__x")) & (F.col(y_col) == F.col("__ymax")),
+        )
+        .drop("__b", "__thr", "__x", "__ymax")
+    )

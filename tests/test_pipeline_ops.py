@@ -2607,3 +2607,32 @@ def test_coalesce_intervals_hand_computed(spark):
         for r in coalesce_intervals(df, ["k"], "start", "end", max_gap=2).collect()
     )
     assert bridged == [("a", 1, 13, 5), ("b", 1, 2, 1), ("b", 100, 101, 1)]
+
+
+def _brute_skyline(pts):
+    def dominated(r, s):
+        return s[0] >= r[0] and s[1] >= r[1] and (s[0] > r[0] or s[1] > r[1])
+
+    return sorted(
+        r for i, r in enumerate(pts)
+        if not any(dominated(r, s) for j, s in enumerate(pts) if j != i)
+    )
+
+
+def test_skyline_2d_matches_brute_force(spark):
+    """Pseudo-random points incl. exact (x,y) duplicates and same-x ties;
+    grid-pruned two-phase result must equal the NOT-EXISTS definition,
+    at a bucket width that forces multi-bucket pruning AND width 1e9
+    (single bucket: pruning disabled, exact pass does all the work)."""
+    from chronographer_spark.operators.sampling import skyline_2d
+
+    pts = [((k * 37) % 101, (k * 61) % 97) for k in range(120)]
+    pts += [(100, 5), (100, 5), (50, 96), (50, 90)]  # dupes + same-x tie
+    df = spark.createDataFrame(pts, "x long, y long")
+    exp = _brute_skyline(pts)
+    for width in (16, 10**9):
+        got = sorted(
+            (r["x"], r["y"])
+            for r in skyline_2d(df, "x", "y", bucket_width=width).collect()
+        )
+        assert got == exp, (width, got, exp)

@@ -613,3 +613,20 @@ def test_coalesce_intervals_one_exchange_one_sort(spark):
     assert _exchanges(plan) == 1, plan
     assert plan.count("Sort ") == 1, plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_skyline_grid_prune_broadcasts(spark):
+    """Grid-pruned skyline: survivors are eagerly checkpointed (they are
+    frontier-bounded and consumed twice), so the FINAL plan reads no
+    parquet at all — the corpus was scanned exactly twice during
+    materialization (bucket max-y pass + survivor pass) — and the
+    distinct-x winner table comes back as a BROADCAST join."""
+    from chronographer_spark.operators.sampling import skyline_2d
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "n_chars",
+        F.size(F.array_distinct(F.split("text", " "))).cast("long").alias("u"),
+    )
+    plan = _plan(skyline_2d(docs, "n_chars", "u", bucket_width=256))
+    assert plan.count("Scan parquet") == 0, plan
+    assert plan.count("BroadcastHashJoin") >= 1, plan
