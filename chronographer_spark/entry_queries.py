@@ -9129,6 +9129,37 @@ FROM fan GROUP BY l
 
 
 # ---------------------------------------------------------------------------
+# Q: sorted-neighborhood candidate pairs over a text-prefix order
+# ---------------------------------------------------------------------------
+
+
+def q_snm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge/purge blocking over the 16-char text prefix (corpus is
+    ASCII, so the two engines' string orders agree byte-for-byte);
+    window 5 emits ~5n candidate pairs."""
+    from .linking.blocking import sorted_neighborhood_pairs
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.substring("text", 1, 16).alias("key"), "doc_id"
+    )
+    return sorted_neighborhood_pairs(docs, ["key"], "doc_id", window=5).select(
+        "id_a", "id_b", F.col("dist").cast("long").alias("dist")
+    )
+
+
+SNM_PAIRS_SQL = """
+WITH r AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY substring(text, 1, 16), doc_id) AS rank
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(b.rank - a.rank AS BIGINT) AS dist
+FROM r a JOIN r b ON b.rank > a.rank AND b.rank - a.rank <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: Pareto skyline of documents on (length, distinct-token count)
 # ---------------------------------------------------------------------------
 
@@ -9830,6 +9861,7 @@ QUERIES = {
     "modularity_regions": q_modularity_regions,
     "coalesce_intervals": q_coalesce_intervals,
     "skyline_docs": q_skyline_docs,
+    "snm_pairs": q_snm_pairs,
 }
 
 ORACLE_SQL = {
@@ -9850,6 +9882,7 @@ ORACLE_SQL = {
     "modularity_regions": MODULARITY_REGIONS_SQL,
     "coalesce_intervals": COALESCE_INTERVALS_SQL,
     "skyline_docs": SKYLINE_DOCS_SQL,
+    "snm_pairs": SNM_PAIRS_SQL,
     "scc_nations": SCC_NATIONS_SQL,
     "sssp_nations": SSSP_NATIONS_SQL,
     "lsh_topk_portable": LSH_TOPK_SQL,

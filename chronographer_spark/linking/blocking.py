@@ -71,3 +71,75 @@ def blocked_match_scores(
             "score",
         )
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    key_cols: list,
+    id_col: str,
+    window: int = 3,
+    n_parts: int = 32,
+) -> DataFrame:
+    """Sorted-neighborhood ER blocking (Hernández & Stolfo 1995
+    merge/purge): records within ``window`` positions of each other in
+    the GLOBAL sort order of the blocking key become candidate pairs —
+    the complement of equality blocking (blocked_match_scores), catching
+    near-misses that share a sort prefix but no exact block value.
+
+    Scale shape: the global rank is computed WITHOUT a single-partition
+    window — range-partition on (key, id), per-partition row_number, and
+    per-partition counts (≤ n_parts rows over the driver, the IVF-
+    centroid O(1) exception) turned into broadcast offsets, mirroring
+    pack_sequences' two-phase prefix sum. Pair generation is ONE
+    bucket-equi-join: ranks bucket by rank DIV window, the smaller side
+    fans each row to its own and the next bucket (a pair at distance
+    ≤ window can only straddle adjacent buckets), so the join fan-out is
+    bounded by 2·window per row — never a rank-range theta join.
+
+    Ordering contract: (key_cols..., id_col) must be unique per row
+    (id_col uniqueness suffices), making the rank — and the emitted
+    pair set — fully deterministic and oracle-replayable.
+
+    Returns (id_a, id_b, dist) with dist = rank_b − rank_a ∈ [1, window].
+    """
+    from pyspark.sql.window import Window
+
+    ks = [F.col(c) for c in key_cols]
+    base = df.select(*ks, F.col(id_col).alias("__id"))
+    parted = base.repartitionByRange(n_parts, *key_cols, "__id").withColumn(
+        "_part", F.spark_partition_id()
+    )
+    lw = Window.partitionBy("_part").orderBy(*key_cols, "__id")
+    local = parted.withColumn("_rn", F.row_number().over(lw)).localCheckpoint(
+        eager=True
+    )
+    counts = sorted(
+        (r["_part"], r["c"])
+        for r in local.groupBy("_part").agg(F.count(F.lit(1)).alias("c")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, c in counts:
+        offsets.append((int(pid), int(acc)))
+        acc += c
+    off_df = local.sparkSession.createDataFrame(offsets, "_part int, _off long")
+    ranked = local.join(F.broadcast(off_df), "_part").select(
+        "__id", (F.col("_off") + F.col("_rn")).cast("long").alias("rank")
+    )
+    w = int(window)
+    left = ranked.select(
+        F.col("__id").alias("id_a"),
+        F.col("rank").alias("ra"),
+        F.explode(
+            F.array(F.expr(f"rank DIV {w}"), F.expr(f"rank DIV {w} + 1"))
+        ).alias("__g"),
+    )
+    right = ranked.select(
+        F.col("__id").alias("id_b"),
+        F.col("rank").alias("rb"),
+        F.expr(f"rank DIV {w}").alias("__g"),
+    )
+    return (
+        left.join(right, "__g")
+        .filter((F.col("rb") > F.col("ra")) & (F.col("rb") - F.col("ra") <= w))
+        .select("id_a", "id_b", (F.col("rb") - F.col("ra")).alias("dist"))
+    )

@@ -2636,3 +2636,28 @@ def test_skyline_2d_matches_brute_force(spark):
             for r in skyline_2d(df, "x", "y", bucket_width=width).collect()
         )
         assert got == exp, (width, got, exp)
+
+
+def test_sorted_neighborhood_pairs_matches_model(spark):
+    """Pairs must be exactly {(a,b): 0 < rank_b - rank_a <= w} under the
+    (key, id) global order — verified against a Python sort at a window
+    that crosses both range-partition AND rank-bucket boundaries."""
+    from chronographer_spark.linking.blocking import sorted_neighborhood_pairs
+
+    rows = [(f"k{(i * 7) % 23:02d}", i) for i in range(57)]
+    df = spark.createDataFrame(rows, "key string, rid long")
+    order = [rid for _, rid in sorted((k, rid) for k, rid in rows)]
+    w = 4
+    exp = sorted(
+        (order[i], order[j], j - i)
+        for i in range(len(order))
+        for j in range(i + 1, min(i + w + 1, len(order)))
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in sorted_neighborhood_pairs(
+            df, ["key"], "rid", window=w, n_parts=8
+        ).collect()
+    )
+    assert got == exp
+    assert len(got) == 57 * w - w * (w + 1) // 2

@@ -630,3 +630,20 @@ def test_skyline_grid_prune_broadcasts(spark):
     plan = _plan(skyline_2d(docs, "n_chars", "u", bucket_width=256))
     assert plan.count("Scan parquet") == 0, plan
     assert plan.count("BroadcastHashJoin") >= 1, plan
+
+
+def test_sorted_neighborhood_no_global_window(spark):
+    """The global rank comes from range-partition + per-partition
+    row_number + broadcast offsets — the executed plan must contain NO
+    single-partition exchange, and pair generation is one bucket
+    equi-join (a SortMergeJoin/ShuffledHashJoin on __g), never a
+    rank-range theta join (BroadcastNestedLoop)."""
+    from chronographer_spark.linking.blocking import sorted_neighborhood_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.substring("text", 1, 16).alias("key"), "doc_id"
+    )
+    plan = _plan(sorted_neighborhood_pairs(docs, ["key"], "doc_id", window=5))
+    assert "SinglePartition" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
