@@ -9449,6 +9449,74 @@ FROM w
 
 
 # ---------------------------------------------------------------------------
+# Q: CUSUM level-shift alarms over daily event-type rates
+# ---------------------------------------------------------------------------
+
+
+def q_cusum_level_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthetic events table is rate-uniform, so a deterministic
+    level shift is injected in-query: 'click' events from Jan 21 on are
+    duplicated (rate doubles for the last third). CUSUM accumulates the
+    sustained surplus and alarms in the shifted tail; the other four keys
+    stay silent, proving the max(0, .) reset absorbs uniform noise. The
+    oracle replays the identical union + prefix-sum identity."""
+    from .operators.temporal import cusum_alarms
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts")
+    shift = ev.filter(
+        (F.col("event_type") == "click")
+        & (F.col("ts") >= F.lit("2024-01-21").cast("timestamp"))
+    )
+    return cusum_alarms(
+        ev.unionAll(shift), key="event_type", ts_col="ts",
+        bucket="day", thr_buckets=2,
+    ).select(
+        "event_type",
+        F.date_format("bucket_ts", "yyyy-MM-dd").alias("day"),
+        "n_events", "s_scaled", "total_events", "n_buckets",
+    )
+
+
+CUSUM_LEVEL_SHIFT_SQL = """
+WITH ev AS (
+  SELECT event_type, ts FROM events
+  UNION ALL
+  SELECT event_type, ts FROM events
+  WHERE event_type = 'click' AND ts >= TIMESTAMP '2024-01-21'
+),
+cnt AS (
+  SELECT event_type, date_trunc('day', ts) AS bucket_ts,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM ev GROUP BY 1, 2
+),
+pk AS (
+  SELECT event_type, CAST(sum(n_events) AS BIGINT) AS total_events,
+         CAST(count(*) AS BIGINT) AS n_buckets
+  FROM cnt GROUP BY event_type
+),
+st AS (
+  SELECT c.event_type, c.bucket_ts, c.n_events, p.total_events, p.n_buckets,
+         CAST(sum(c.n_events * p.n_buckets - p.total_events) OVER w
+              AS BIGINT) AS pre
+  FROM cnt c JOIN pk p USING (event_type)
+  WINDOW w AS (PARTITION BY c.event_type ORDER BY c.bucket_ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+s2 AS (
+  SELECT event_type, bucket_ts, n_events, total_events, n_buckets,
+         CAST(pre - least(CAST(0 AS BIGINT), min(pre) OVER
+              (PARTITION BY event_type ORDER BY bucket_ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+              AS BIGINT) AS s_scaled
+  FROM st
+)
+SELECT event_type, strftime(bucket_ts, '%Y-%m-%d') AS day,
+       n_events, s_scaled, total_events, n_buckets
+FROM s2 WHERE s_scaled > 2 * total_events
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: HITS hubs/authorities over the thresholded trade digraph
 # ---------------------------------------------------------------------------
 
@@ -9862,9 +9930,11 @@ QUERIES = {
     "coalesce_intervals": q_coalesce_intervals,
     "skyline_docs": q_skyline_docs,
     "snm_pairs": q_snm_pairs,
+    "cusum_level_shift": q_cusum_level_shift,
 }
 
 ORACLE_SQL = {
+    "cusum_level_shift": CUSUM_LEVEL_SHIFT_SQL,
     # Every registered query is oracle-gated. The xxhash64 variants
     # (simhash64, non-portable lsh_topk) are bench/test-only because a JVM
     # hash is semantically required there; their portable md5 twins

@@ -501,3 +501,64 @@ def coalesce_intervals(
         )
         .drop("__island")
     )
+
+
+def cusum_alarms(
+    df: DataFrame,
+    key: str = "event_type",
+    ts_col: str = "ts",
+    bucket: str = "day",
+    thr_buckets: int = 2,
+) -> DataFrame:
+    """CUSUM level-shift detection (Page 1954) per key over bucketed
+    counts — the sustained-drift complement to burst_buckets' single-bin
+    spikes: a rate that creeps up 20% never trips a 2x burst factor but
+    accumulates in the CUSUM statistic. Exact integers throughout: with
+    B = the key's active-bucket count and T = its total events, the
+    deviation d_t = n_t·B − T is zero-mean by construction (no float
+    mean), and the classic recurrence S_t = max(0, S_{t−1} + d_t) is
+    computed WINDOW-ONLY via the prefix-sum identity
+    S_t = P_t − min(0, min_{j≤t} P_j) — no recursive UDF, no driver loop.
+    A bucket alarms when S_t > thr_buckets·T, i.e. the cumulative surplus
+    (in count·B units) exceeds ``thr_buckets`` bucket-means' worth of
+    excess above the key's own rate.
+
+    Contract: the statistic runs over the key's ACTIVE buckets in order
+    (empty buckets contribute nothing, like burst_buckets); no post-alarm
+    reset — S is the textbook running statistic.
+
+    Scale shape: one (key, bucket) count with map-side combine, a per-key
+    rollup joined back on aggregated rows, then ONE per-key window
+    exchange shared by the prefix sum and running min.
+
+    Returns alarm rows (key, bucket_ts, n_events, s_scaled, total_events,
+    n_buckets), s_scaled being S_t in count·B units.
+    """
+    binned = df.select(key, F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts"))
+    counts = binned.groupBy(key, "bucket_ts").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    per_key = counts.groupBy(key).agg(
+        F.sum("n_events").alias("total_events"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    d = F.col("n_events") * F.col("n_buckets") - F.col("total_events")
+    staged = (
+        counts.join(per_key, key)
+        .withColumn("__p", F.sum(d).over(w))
+        .withColumn("__m", F.min(F.col("__p")).over(w))
+    )
+    s = F.col("__p") - F.least(F.lit(0).cast("long"), F.col("__m"))
+    return (
+        staged.withColumn("s_scaled", s.cast("long"))
+        .filter(
+            F.col("s_scaled")
+            > F.lit(int(thr_buckets)).cast("long") * F.col("total_events")
+        )
+        .select(key, "bucket_ts", "n_events", "s_scaled", "total_events", "n_buckets")
+    )

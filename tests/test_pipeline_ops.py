@@ -2661,3 +2661,38 @@ def test_sorted_neighborhood_pairs_matches_model(spark):
     )
     assert got == exp
     assert len(got) == 57 * w - w * (w + 1) // 2
+
+
+def test_cusum_alarms_matches_recurrence(spark):
+    """The window-identity S must equal the textbook recurrence
+    max(0, S_prev + d) replayed in Python, and a level shift (rate
+    doubles halfway) must alarm in the shifted half while a flat series
+    never alarms."""
+    import datetime as dt
+
+    from chronographer_spark.operators.temporal import cusum_alarms
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # key "shift": 5 events/day for 6 days, then 11/day for 6 days
+    for day in range(12):
+        n = 5 if day < 6 else 11
+        for i in range(n):
+            rows.append(("shift", base + dt.timedelta(days=day, minutes=i)))
+    # key "flat": constant 7/day
+    for day in range(12):
+        for i in range(7):
+            rows.append(("flat", base + dt.timedelta(days=day, minutes=i)))
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    got = {
+        (r["event_type"], r["bucket_ts"].day): r["s_scaled"]
+        for r in cusum_alarms(df, thr_buckets=2).collect()
+    }
+    # python replica: B=12, T=96 for shift; d = n*12 - 96
+    s, expected = 0, {}
+    for day in range(12):
+        n = 5 if day < 6 else 11
+        s = max(0, s + n * 12 - 96)
+        if s > 2 * 96:
+            expected[("shift", day + 1)] = s
+    assert expected and got == expected
