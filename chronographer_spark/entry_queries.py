@@ -9517,6 +9517,53 @@ FROM s2 WHERE s_scaled > 2 * total_events
 
 
 # ---------------------------------------------------------------------------
+# Q: brand co-purchase lift over order baskets
+# ---------------------------------------------------------------------------
+
+
+def q_copurchase_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order = basket, part brand = item (25 brands keep the pair grid
+    dense enough that lift separates from 1.0); the part dimension is
+    broadcast, the pair fan is bounded by lineitems-per-order <= 7."""
+    from .operators.baskets import copurchase_lift
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    b = li.join(
+        F.broadcast(part), li["l_partkey"] == part["p_partkey"]
+    ).select(
+        F.col("l_orderkey").alias("basket_id"), F.col("p_brand").alias("item")
+    )
+    return copurchase_lift(b, min_pairs=5).select(
+        "item_a", "item_b", "n_pairs", "n_a", "n_b", "n_baskets", "lift_x1e6"
+    )
+
+
+COPURCHASE_BRANDS_SQL = """
+WITH b AS (
+  SELECT DISTINCT l_orderkey AS bsk, p_brand AS item
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+marg AS (SELECT item, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY item),
+tot AS (SELECT CAST(count(DISTINCT bsk) AS BIGINT) AS nb FROM b),
+pairs AS (
+  SELECT a.item AS item_a, c.item AS item_b,
+         CAST(count(*) AS BIGINT) AS n_pairs
+  FROM b a JOIN b c ON a.bsk = c.bsk AND a.item < c.item
+  GROUP BY 1, 2 HAVING count(*) >= 5
+)
+SELECT item_a, item_b, n_pairs, ma.n AS n_a, mb.n AS n_b,
+       tot.nb AS n_baskets,
+       CAST(((n_pairs * 1000000) // ma.n) * tot.nb // mb.n AS BIGINT)
+         AS lift_x1e6
+FROM pairs
+JOIN marg ma ON ma.item = item_a
+JOIN marg mb ON mb.item = item_b
+CROSS JOIN tot
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: HITS hubs/authorities over the thresholded trade digraph
 # ---------------------------------------------------------------------------
 
@@ -9931,10 +9978,12 @@ QUERIES = {
     "skyline_docs": q_skyline_docs,
     "snm_pairs": q_snm_pairs,
     "cusum_level_shift": q_cusum_level_shift,
+    "copurchase_brands": q_copurchase_brands,
 }
 
 ORACLE_SQL = {
     "cusum_level_shift": CUSUM_LEVEL_SHIFT_SQL,
+    "copurchase_brands": COPURCHASE_BRANDS_SQL,
     # Every registered query is oracle-gated. The xxhash64 variants
     # (simhash64, non-portable lsh_topk) are bench/test-only because a JVM
     # hash is semantically required there; their portable md5 twins

@@ -2696,3 +2696,50 @@ def test_cusum_alarms_matches_recurrence(spark):
         if s > 2 * 96:
             expected[("shift", day + 1)] = s
     assert expected and got == expected
+
+
+def test_copurchase_lift_matches_model(spark):
+    """Staged integer lift must equal an itertools replica, presence
+    semantics must collapse duplicate (basket, item) rows, and max_basket
+    must drop the oversized basket before the pair fan."""
+    from itertools import combinations
+
+    from chronographer_spark.operators.baskets import copurchase_lift
+
+    baskets = {
+        "b1": ["milk", "bread", "eggs"],
+        "b2": ["milk", "bread"],
+        "b3": ["milk", "eggs"],
+        "b4": ["bread"],
+        "b5": ["milk", "bread", "eggs"],
+    }
+    rows = [(b, i) for b, items in baskets.items() for i in items]
+    rows.append(("b1", "milk"))  # duplicate observation: must collapse
+    df = spark.createDataFrame(rows, "basket_id string, item string")
+    got = {
+        (r["item_a"], r["item_b"]): (
+            r["n_pairs"], r["n_a"], r["n_b"], r["n_baskets"], r["lift_x1e6"]
+        )
+        for r in copurchase_lift(df).collect()
+    }
+    n = {}
+    pair = {}
+    for b, items in baskets.items():
+        for i in set(items):
+            n[i] = n.get(i, 0) + 1
+        for a, c in combinations(sorted(set(items)), 2):
+            pair[(a, c)] = pair.get((a, c), 0) + 1
+    N = len(baskets)
+    exp = {
+        k: (v, n[k[0]], n[k[1]], N, ((v * 1000000) // n[k[0]]) * N // n[k[1]])
+        for k, v in pair.items()
+    }
+    assert got == exp
+    # milk+bread: 3 of 5 baskets, n_milk=4, n_bread=4 -> lift 0.9375
+    assert got[("bread", "milk")][4] == ((3 * 1000000) // 4) * 5 // 4
+
+    guarded = copurchase_lift(df, max_basket=2).collect()
+    # b1/b5 (3 items) are dropped; survivors b2, b3 and singleton b4 -> N=3
+    assert {(r["item_a"], r["item_b"], r["n_baskets"]) for r in guarded} == {
+        ("bread", "milk", 3), ("eggs", "milk", 3)
+    }
