@@ -9517,6 +9517,42 @@ FROM s2 WHERE s_scaled > 2 * total_events
 
 
 # ---------------------------------------------------------------------------
+# Q: cohort retention matrix over daily user activity
+# ---------------------------------------------------------------------------
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-granularity cohorts over the events table: users average ~13
+    events across 30 days, so per-day activity probability is ~0.35 —
+    retention decays from the mandatory 1e6 at age 0 to a non-trivial
+    plateau, exercising the full (cohort, age) matrix."""
+    from .operators.temporal import cohort_retention
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    return cohort_retention(ev, bucket="day").select(
+        "cohort", "age", "n_active", "cohort_size", "retention_x1e6"
+    )
+
+
+COHORT_RETENTION_SQL = """
+WITH act AS (
+  SELECT DISTINCT user_id AS u, date_trunc('day', ts) AS b FROM events
+),
+coh AS (SELECT u, min(b) AS c FROM act GROUP BY u),
+mat AS (
+  SELECT c, CAST(date_diff('day', c, b) AS BIGINT) AS age,
+         CAST(count(*) AS BIGINT) AS n_active
+  FROM act JOIN coh USING (u) GROUP BY c, age
+),
+sz AS (SELECT c, n_active AS cohort_size FROM mat WHERE age = 0)
+SELECT strftime(mat.c, '%Y-%m-%d') AS cohort, age, n_active,
+       cohort_size,
+       CAST(n_active * 1000000 // cohort_size AS BIGINT) AS retention_x1e6
+FROM mat JOIN sz ON mat.c = sz.c
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: brand co-purchase lift over order baskets
 # ---------------------------------------------------------------------------
 
@@ -9979,11 +10015,13 @@ QUERIES = {
     "snm_pairs": q_snm_pairs,
     "cusum_level_shift": q_cusum_level_shift,
     "copurchase_brands": q_copurchase_brands,
+    "cohort_retention": q_cohort_retention,
 }
 
 ORACLE_SQL = {
     "cusum_level_shift": CUSUM_LEVEL_SHIFT_SQL,
     "copurchase_brands": COPURCHASE_BRANDS_SQL,
+    "cohort_retention": COHORT_RETENTION_SQL,
     # Every registered query is oracle-gated. The xxhash64 variants
     # (simhash64, non-portable lsh_topk) are bench/test-only because a JVM
     # hash is semantically required there; their portable md5 twins

@@ -562,3 +562,62 @@ def cusum_alarms(
         )
         .select(key, "bucket_ts", "n_events", "s_scaled", "total_events", "n_buckets")
     )
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    bucket: str = "day",
+) -> DataFrame:
+    """Cohort retention matrix — the standard "what fraction of the users
+    first seen in bucket C are still active k buckets later" readout a
+    production pipeline runs on any user-keyed event table (and a transcript
+    pipeline runs per conv-author to measure corpus churn).
+
+    Exact integers: age is a day-difference (DIV 7 for week buckets) and
+    retention_x1e6 = n_active·1e6 DIV cohort_size, where cohort_size is BY
+    DEFINITION the age-0 active count (every user is active in their own
+    first bucket), so the age-0 row always reads 1000000.
+
+    Scale shape: distinct (user, bucket) is one combinable shuffle; the
+    per-user min-bucket cohort agg and the activity→cohort join share the
+    user hash partitioning; the (cohort, age) rollup collapses to a
+    dimension-scale matrix (#cohorts × #ages), and cohort sizes re-enter by
+    a broadcast self-join on the age-0 slice. No windows, no driver
+    collect; a 10^9-user table costs two user-keyed exchanges + one tiny
+    rollup.
+    """
+    per = 7 if bucket == "week" else 1
+    act = df.select(
+        F.col(user_col).alias("__u"),
+        F.date_trunc(bucket, F.col(ts_col)).alias("__b"),
+    ).distinct()
+    cohort = act.groupBy("__u").agg(F.min("__b").alias("__c"))
+    matrix = (
+        act.join(cohort, "__u")
+        .select(
+            "__c",
+            (F.datediff(F.col("__b"), F.col("__c")) / per)
+            .cast("long")
+            .alias("age"),
+        )
+        .groupBy("__c", "age")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    size = (
+        matrix.filter(F.col("age") == 0)
+        .select("__c", F.col("n_active").alias("cohort_size"))
+    )
+    return (
+        matrix.join(F.broadcast(size), "__c")
+        .select(
+            F.date_format("__c", "yyyy-MM-dd").alias("cohort"),
+            "age",
+            F.col("n_active").cast("long").alias("n_active"),
+            F.col("cohort_size").cast("long").alias("cohort_size"),
+            F.expr("n_active * 1000000 DIV cohort_size")
+            .cast("long")
+            .alias("retention_x1e6"),
+        )
+    )

@@ -2743,3 +2743,46 @@ def test_copurchase_lift_matches_model(spark):
     assert {(r["item_a"], r["item_b"], r["n_baskets"]) for r in guarded} == {
         ("bread", "milk", 3), ("eggs", "milk", 3)
     }
+
+
+def test_cohort_retention_matches_model(spark):
+    """Hand fixture: two cohorts with known day-level activity; the age-0
+    row must read exactly 1e6, multiple same-day events must collapse, and
+    week bucketing must divide ages by 7."""
+    import datetime as dt
+
+    from chronographer_spark.operators.temporal import cohort_retention
+
+    d0 = dt.datetime(2024, 3, 4)  # a Monday (clean week truncation)
+
+    def ev(u, day, hour=9):
+        return (u, d0 + dt.timedelta(days=day, hours=hour))
+
+    rows = [
+        # cohort day 0: u1 active days 0,1,3; u2 active days 0,1; u3 day 0 only
+        ev("u1", 0), ev("u1", 0, 15), ev("u1", 1), ev("u1", 3),
+        ev("u2", 0), ev("u2", 1),
+        ev("u3", 0),
+        # cohort day 2: u4 active days 2,3
+        ev("u4", 2), ev("u4", 3),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    got = {
+        (r["cohort"], r["age"]): (r["n_active"], r["cohort_size"], r["retention_x1e6"])
+        for r in cohort_retention(df).collect()
+    }
+    exp = {
+        ("2024-03-04", 0): (3, 3, 1000000),
+        ("2024-03-04", 1): (2, 3, 666666),
+        ("2024-03-04", 3): (1, 3, 333333),
+        ("2024-03-06", 0): (1, 1, 1000000),
+        ("2024-03-06", 1): (1, 1, 1000000),
+    }
+    assert got == exp
+
+    wk = {
+        (r["cohort"], r["age"]): r["n_active"]
+        for r in cohort_retention(df, bucket="week").collect()
+    }
+    # all activity lands in the week of 2024-03-04 -> one cohort, age 0
+    assert wk == {("2024-03-04", 0): 4}
