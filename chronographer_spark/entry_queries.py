@@ -9517,6 +9517,85 @@ FROM s2 WHERE s_scaled > 2 * total_events
 
 
 # ---------------------------------------------------------------------------
+# Q: lag-k autocorrelation of daily event-type rates
+# ---------------------------------------------------------------------------
+
+
+def q_acf_daily_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same injected 'click' level shift as cusum_level_shift, read through
+    the stationarity lens: the shifted key's sustained deviation shows up
+    as strong positive low-lag ACF while the untouched uniform keys hover
+    near zero — the two operators corroborate on one fixture."""
+    from .operators.temporal import acf_buckets
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts")
+    shift = ev.filter(
+        (F.col("event_type") == "click")
+        & (F.col("ts") >= F.lit("2024-01-21").cast("timestamp"))
+    )
+    return acf_buckets(
+        ev.unionAll(shift), key="event_type", ts_col="ts",
+        bucket="day", lags=(1, 2, 3),
+    ).select("event_type", "lag", "n_buckets", "n_pairs", "acf_x1e3")
+
+
+ACF_DAILY_RATES_SQL = """
+WITH ev AS (
+  SELECT event_type, ts FROM events
+  UNION ALL
+  SELECT event_type, ts FROM events
+  WHERE event_type = 'click' AND ts >= TIMESTAMP '2024-01-21'
+),
+cnt AS (
+  SELECT event_type, date_trunc('day', ts) AS b,
+         CAST(count(*) AS BIGINT) AS n
+  FROM ev GROUP BY 1, 2
+),
+pk AS (
+  SELECT event_type, CAST(sum(n) AS BIGINT) AS t,
+         CAST(count(*) AS BIGINT) AS nb
+  FROM cnt GROUP BY 1
+),
+dev AS (
+  SELECT c.event_type, c.b, p.nb,
+         least(CAST(1000000 AS BIGINT), greatest(CAST(-1000000 AS BIGINT),
+           (c.n * p.nb - p.t) // p.t * 1000
+           + (c.n * p.nb - p.t) % p.t * 1000 // p.t)) AS d
+  FROM cnt c JOIN pk p USING (event_type)
+),
+led AS (
+  SELECT event_type, nb, d,
+         lead(d, 1) OVER w AS l1,
+         lead(d, 2) OVER w AS l2,
+         lead(d, 3) OVER w AS l3
+  FROM dev WINDOW w AS (PARTITION BY event_type ORDER BY b)
+),
+roll AS (
+  SELECT event_type, CAST(max(nb) AS BIGINT) AS n_buckets,
+         CAST(sum(d * d) AS BIGINT) AS den,
+         CAST(sum(d * l1) AS BIGINT) AS num1, CAST(count(l1) AS BIGINT) AS np1,
+         CAST(sum(d * l2) AS BIGINT) AS num2, CAST(count(l2) AS BIGINT) AS np2,
+         CAST(sum(d * l3) AS BIGINT) AS num3, CAST(count(l3) AS BIGINT) AS np3
+  FROM led GROUP BY event_type
+),
+fan AS (
+  SELECT event_type, n_buckets, den,
+         unnest([
+           struct_pack(lag := 1, num := num1, np := np1),
+           struct_pack(lag := 2, num := num2, np := np2),
+           struct_pack(lag := 3, num := num3, np := np3)
+         ]) AS x
+  FROM roll
+)
+SELECT event_type, CAST(x.lag AS INT) AS lag, n_buckets,
+       CAST(x.np AS BIGINT) AS n_pairs,
+       CAST(CASE WHEN den = 0 THEN 0
+                 ELSE x.num * 1000 // den END AS BIGINT) AS acf_x1e3
+FROM fan
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: cohort retention matrix over daily user activity
 # ---------------------------------------------------------------------------
 
@@ -10016,9 +10095,11 @@ QUERIES = {
     "cusum_level_shift": q_cusum_level_shift,
     "copurchase_brands": q_copurchase_brands,
     "cohort_retention": q_cohort_retention,
+    "acf_daily_rates": q_acf_daily_rates,
 }
 
 ORACLE_SQL = {
+    "acf_daily_rates": ACF_DAILY_RATES_SQL,
     "cusum_level_shift": CUSUM_LEVEL_SHIFT_SQL,
     "copurchase_brands": COPURCHASE_BRANDS_SQL,
     "cohort_retention": COHORT_RETENTION_SQL,

@@ -621,3 +621,99 @@ def cohort_retention(
             .alias("retention_x1e6"),
         )
     )
+
+
+def acf_buckets(
+    df: DataFrame,
+    key: str = "event_type",
+    ts_col: str = "ts",
+    bucket: str = "day",
+    lags: Sequence[int] = (1, 2, 3),
+) -> DataFrame:
+    """Lag-k autocorrelation of per-key bucketed event counts — the
+    stationarity readout that complements cusum_alarms: a level shift or
+    trend shows up as strong positive low-lag ACF, while a well-mixed
+    stream reads near zero at every lag.
+
+    Exact-integer contract: deviations are milli-mean units
+    d_t = (n_t·B − T)·1000 / T computed by the STAGED quotient
+    (a DIV T)·1000 + (a % T)·1000 DIV T (exact — both engines truncate
+    DIV and % toward zero identically), then clamped to ±1e6 (a bucket
+    1000× its key's mean saturates; documented). With B ≤ ~9000 active
+    buckets per key (a quarter-century of days), Σd² ≤ 1e12·B keeps
+    num·1000 under 2^63 — n-INDEPENDENT in the event count. ACF is
+    emitted as acf_x1e3 = num·1000 DIV den (truncated toward zero, like
+    every ratio oracle in this repo); den = 0 (a constant series) reads 0.
+
+    Plan shape: one (key, bucket) count with map-side combine, a per-key
+    rollup broadcast-scale join, ONE per-key window exchange providing all
+    lead columns at once, one per-key agg computing den and every lag's
+    numerator together, then the lag fan EXPLODES the collapsed per-key row
+    (never a UNION of per-lag selects over the shared subtree — the
+    minhash-bands re-execution rule).
+
+    Contract: like cusum_alarms, the series is the key's ACTIVE buckets in
+    order; lags count positions in that sequence, not calendar gaps.
+    """
+    binned = df.select(key, F.date_trunc(bucket, F.col(ts_col)).alias("__b"))
+    counts = binned.groupBy(key, "__b").agg(F.count(F.lit(1)).alias("__n"))
+    per_key = counts.groupBy(key).agg(
+        F.sum("__n").alias("__T"), F.count(F.lit(1)).alias("__nb")
+    )
+    w = Window.partitionBy(key).orderBy("__b")
+    sided = (
+        counts.join(per_key, key)
+        .withColumn(
+            "__d",
+            F.least(
+                F.lit(1000000).cast("long"),
+                F.greatest(
+                    F.lit(-1000000).cast("long"),
+                    F.expr(
+                        "(__n * __nb - __T) DIV __T * 1000"
+                        " + (__n * __nb - __T) % __T * 1000 DIV __T"
+                    ).cast("long"),
+                ),
+            ),
+        )
+        .select(
+            key, "__d", "__nb",
+            *[
+                F.lead("__d", int(k)).over(w).alias(f"__l{k}")
+                for k in lags
+            ],
+        )
+    )
+    rolled = sided.groupBy(key).agg(
+        F.sum(F.col("__d") * F.col("__d")).alias("__den"),
+        F.max("__nb").alias("n_buckets"),
+        *[
+            F.sum(F.col("__d") * F.col(f"__l{k}")).alias(f"__num{k}")
+            for k in lags
+        ],
+        *[F.count(F.col(f"__l{k}")).alias(f"__np{k}") for k in lags],
+    )
+    fan = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(int(k)).alias("lag"),
+                    F.col(f"__num{k}").alias("num"),
+                    F.col(f"__np{k}").alias("n_pairs"),
+                )
+                for k in lags
+            ]
+        )
+    ).alias("__x")
+    return (
+        rolled.select(key, "n_buckets", "__den", fan)
+        .select(
+            key,
+            F.col("__x.lag").alias("lag"),
+            F.col("n_buckets").cast("long").alias("n_buckets"),
+            F.col("__x.n_pairs").cast("long").alias("n_pairs"),
+            F.when(F.col("__den") == 0, F.lit(0).cast("long"))
+            .otherwise(F.expr("__x.num * 1000 DIV __den").cast("long"))
+            .alias("acf_x1e3"),
+        )
+    )

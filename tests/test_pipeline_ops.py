@@ -2786,3 +2786,51 @@ def test_cohort_retention_matches_model(spark):
     }
     # all activity lands in the week of 2024-03-04 -> one cohort, age 0
     assert wk == {("2024-03-04", 0): 4}
+
+
+def test_acf_buckets_matches_model(spark):
+    """ACF vs a Python replica of the exact staged-integer semantics
+    (truncated DIV/% like both engines): a sawtooth alternation must read
+    strongly negative at lag 1 and positive at lag 2; a constant series
+    (den = 0) must read 0 at every lag."""
+    import datetime as dt
+
+    from chronographer_spark.operators.temporal import acf_buckets
+
+    def tdiv(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    def tmod(a, b):
+        return a - tdiv(a, b) * b
+
+    base = dt.datetime(2024, 5, 1)
+    series = {"saw": [2, 10, 2, 10, 2, 10, 2, 10], "flat": [4] * 8}
+    rows = [
+        (k, base + dt.timedelta(days=day, minutes=i))
+        for k, ns in series.items()
+        for day, n in enumerate(ns)
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    got = {
+        (r["event_type"], r["lag"]): (r["n_buckets"], r["n_pairs"], r["acf_x1e3"])
+        for r in acf_buckets(df, lags=(1, 2)).collect()
+    }
+    exp = {}
+    for k, ns in series.items():
+        T, B = sum(ns), len(ns)
+        d = [
+            max(-1000000, min(1000000,
+                tdiv(n * B - T, T) * 1000 + tdiv(tmod(n * B - T, T) * 1000, T)))
+            for n in ns
+        ]
+        den = sum(x * x for x in d)
+        for lag in (1, 2):
+            num = sum(d[i] * d[i + lag] for i in range(B - lag))
+            acf = 0 if den == 0 else tdiv(num * 1000, den)
+            exp[(k, lag)] = (B, B - lag, acf)
+    assert got == exp
+    assert got[("saw", 1)][2] < -800  # alternation: near-perfect anticorrelation
+    assert got[("saw", 2)][2] == 750  # 6 of 8 aligned pairs: 6d²/8d²
+    assert got[("flat", 1)][2] == 0 and got[("flat", 2)][2] == 0
