@@ -9517,6 +9517,59 @@ FROM s2 WHERE s_scaled > 2 * total_events
 
 
 # ---------------------------------------------------------------------------
+# Q: truncated harmonic closeness over the thresholded trade digraph
+# ---------------------------------------------------------------------------
+
+
+def q_harmonic_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-hop harmonic centrality on the same thresholded digraph scc/hits
+    use (full trade graph is near-complete — every node would read
+    (V−1)·1e6); every node is a source (25 nations is dimension-scale, the
+    all-sources case the operator documents as fine there)."""
+    from .operators.graph_algos import harmonic_closeness
+
+    flows = _nation_flows(spark, sf_dir)
+    mx = flows.agg(F.max("n_flows").alias("m"))
+    edges = (
+        flows.crossJoin(F.broadcast(mx))
+        .filter(F.col("n_flows") * 2 >= F.col("m"))
+        .select("src", "dst")
+    )
+    return harmonic_closeness(edges, rounds=3).select(
+        "node", "n_reached", "harmonic_x1e6"
+    )
+
+
+HARMONIC_CLOSENESS_SQL = f"""
+WITH RECURSIVE {FLOWS_FRAGMENT.strip()},
+mx AS (SELECT max(n_flows) AS m FROM flows),
+edges AS (SELECT src, dst FROM flows, mx WHERE n_flows * 2 >= m),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges),
+walk(lm, node, dist) AS (
+  SELECT node, node, 0 FROM nodes
+  UNION
+  SELECT w.lm, e.dst, w.dist + 1
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.dist < 3
+),
+d AS (
+  SELECT lm, node, min(dist) AS dist FROM walk GROUP BY lm, node
+),
+agg AS (
+  SELECT lm, CAST(count(*) AS BIGINT) AS n_reached,
+         CAST(sum(1000000 // dist) AS BIGINT) AS harmonic_x1e6
+  FROM d WHERE dist > 0 GROUP BY lm
+)
+SELECT nd.node,
+       CAST(coalesce(agg.n_reached, 0) AS BIGINT) AS n_reached,
+       CAST(coalesce(agg.harmonic_x1e6, 0) AS BIGINT) AS harmonic_x1e6
+-- DISTINCT guard: under WITH RECURSIVE DuckDB re-expands a non-recursive
+-- CTE referenced by the recursive member, dropping `nodes`' UNION dedup
+FROM (SELECT DISTINCT node FROM nodes) nd LEFT JOIN agg ON agg.lm = nd.node
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: lag-k autocorrelation of daily event-type rates
 # ---------------------------------------------------------------------------
 
@@ -10096,10 +10149,12 @@ QUERIES = {
     "copurchase_brands": q_copurchase_brands,
     "cohort_retention": q_cohort_retention,
     "acf_daily_rates": q_acf_daily_rates,
+    "harmonic_closeness": q_harmonic_closeness,
 }
 
 ORACLE_SQL = {
     "acf_daily_rates": ACF_DAILY_RATES_SQL,
+    "harmonic_closeness": HARMONIC_CLOSENESS_SQL,
     "cusum_level_shift": CUSUM_LEVEL_SHIFT_SQL,
     "copurchase_brands": COPURCHASE_BRANDS_SQL,
     "cohort_retention": COHORT_RETENTION_SQL,

@@ -1570,3 +1570,81 @@ def modularity_profile(
             ).alias("q_x1e6"),
         )
     )
+
+
+def harmonic_closeness(
+    edges: DataFrame,
+    sources: DataFrame | None = None,
+    rounds: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Truncated harmonic closeness centrality (Boldi & Vigna 2014, "Axioms
+    for centrality"): c(v) = Σ_{u reached within `rounds` hops, u≠v} 1/d(v,u),
+    the centrality readout that stays meaningful on DISCONNECTED graphs
+    (classic closeness 1/Σd degenerates there) — ranking hub entities /
+    pivotal event nodes in the constructed KG.
+
+    Exact integers: each reciprocal is 1e6 DIV dist (dist ∈ 1..rounds), so
+    harmonic_x1e6 is a bounded sum of exact terms — no float discipline —
+    and a recursive-CTE oracle replays it bit-for-bit.
+
+    `sources` bounds the work: closeness is inherently all-sources
+    (O(V·E) exact), so at scale callers pass a sampled/priority source set
+    (the landmark approximation, same contract as bfs_distances); None
+    means every edge endpoint (fine on dimension-scale graphs).
+
+    Plan shape: the frontier loop is bfs_distances' (first discovery = final
+    hop distance in unweighted BFS): per round ONE edge join against only
+    the last frontier + ONE anti-join against known pairs, eager
+    localCheckpoint lineage cuts; state ≤ |sources|·V rows. The readout is
+    one (landmark)-keyed combinable agg. Distances follow edge direction;
+    pass a symmetrized edge list for undirected centrality.
+
+    Returns (node, n_reached, harmonic_x1e6), one row per source, sources
+    reaching nothing included with zeros.
+    """
+    e = edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"))
+    if sources is None:
+        sources = (
+            e.select(F.col("_s").alias("node"))
+            .unionAll(e.select(F.col("_d").alias("node")))
+            .distinct()
+        )
+    src = sources.select(F.col(sources.columns[0]).alias("node")).distinct()
+    dist = src.select(
+        "node", F.col("node").alias("landmark"), F.lit(0).cast("int").alias("dist")
+    ).localCheckpoint(eager=True)
+    frontier = dist
+    for t in range(1, rounds + 1):
+        cand = (
+            e.join(frontier, e["_s"] == frontier["node"])
+            .select(
+                F.col("_d").alias("node"),
+                "landmark",
+                F.lit(t).cast("int").alias("dist"),
+            )
+            .dropDuplicates(["node", "landmark"])
+        )
+        frontier = cand.join(
+            dist.select("node", "landmark"), ["node", "landmark"], "left_anti"
+        ).localCheckpoint(eager=True)
+        dist = dist.unionByName(frontier).localCheckpoint(eager=True)
+    reached = dist.filter(F.col("dist") > 0)
+    return (
+        src.join(
+            reached.groupBy("landmark").agg(
+                F.count(F.lit(1)).alias("n_reached"),
+                F.sum(F.expr("1000000 DIV dist")).alias("harmonic_x1e6"),
+            ),
+            src["node"] == F.col("landmark"),
+            "left",
+        )
+        .select(
+            "node",
+            F.coalesce(F.col("n_reached"), F.lit(0)).cast("long").alias("n_reached"),
+            F.coalesce(F.col("harmonic_x1e6"), F.lit(0))
+            .cast("long")
+            .alias("harmonic_x1e6"),
+        )
+    )

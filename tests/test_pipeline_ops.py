@@ -2834,3 +2834,34 @@ def test_acf_buckets_matches_model(spark):
     assert got[("saw", 1)][2] < -800  # alternation: near-perfect anticorrelation
     assert got[("saw", 2)][2] == 750  # 6 of 8 aligned pairs: 6d²/8d²
     assert got[("flat", 1)][2] == 0 and got[("flat", 2)][2] == 0
+
+
+def test_harmonic_closeness_hand_graph(spark):
+    """Directed path a->b->c->d plus isolate source e: hand-computed
+    truncated harmonic sums, direction respected, unreached source reads
+    zeros, rounds bound honored."""
+    from chronographer_spark.operators.graph_algos import harmonic_closeness
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string"
+    )
+    srcs = spark.createDataFrame([("a",), ("c",), ("e",)], "node string")
+    got = {
+        r["node"]: (r["n_reached"], r["harmonic_x1e6"])
+        for r in harmonic_closeness(edges, sources=srcs, rounds=2).collect()
+    }
+    # a reaches b@1, c@2 (d is 3 hops, beyond rounds=2): 1e6 + 5e5
+    # c reaches d@1; e reaches nothing
+    assert got == {"a": (2, 1500000), "c": (1, 1000000), "e": (0, 0)}
+
+    all_src = {
+        r["node"]: r["harmonic_x1e6"]
+        for r in harmonic_closeness(edges, rounds=3).collect()
+    }
+    # default sources = every endpoint; a now reaches d@3 too
+    assert all_src == {
+        "a": 1000000 + 500000 + 333333,
+        "b": 1500000,
+        "c": 1000000,
+        "d": 0,
+    }
