@@ -270,8 +270,13 @@ def burst_buckets(
     n_buckets); thresholds are longs.
     """
     binned = df.select(key, F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts"))
-    counts = binned.groupBy(key, "bucket_ts").agg(
-        F.count(F.lit(1)).alias("n_events")
+    # counts feeds BOTH the per-key rollup and the flag join — eager
+    # localCheckpoint (the tf/df shared-subtree rule) so the input is
+    # scanned once; the checkpointed table is |keys × buckets|, tiny.
+    counts = (
+        binned.groupBy(key, "bucket_ts")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .localCheckpoint(eager=True)
     )
     per_key = counts.groupBy(key).agg(
         F.sum("n_events").alias("total_events"),
@@ -535,8 +540,13 @@ def cusum_alarms(
     n_buckets), s_scaled being S_t in count·B units.
     """
     binned = df.select(key, F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts"))
-    counts = binned.groupBy(key, "bucket_ts").agg(
-        F.count(F.lit(1)).alias("n_events")
+    # counts feeds BOTH the per-key rollup and the window stage — eager
+    # localCheckpoint (the tf/df shared-subtree rule) so the input is
+    # scanned once; the checkpointed table is |keys × buckets|, tiny.
+    counts = (
+        binned.groupBy(key, "bucket_ts")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .localCheckpoint(eager=True)
     )
     per_key = counts.groupBy(key).agg(
         F.sum("n_events").alias("total_events"),
@@ -656,7 +666,12 @@ def acf_buckets(
     order; lags count positions in that sequence, not calendar gaps.
     """
     binned = df.select(key, F.date_trunc(bucket, F.col(ts_col)).alias("__b"))
-    counts = binned.groupBy(key, "__b").agg(F.count(F.lit(1)).alias("__n"))
+    # shared by the per-key rollup and the window stage: scan input once
+    counts = (
+        binned.groupBy(key, "__b")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .localCheckpoint(eager=True)
+    )
     per_key = counts.groupBy(key).agg(
         F.sum("__n").alias("__T"), F.count(F.lit(1)).alias("__nb")
     )

@@ -647,3 +647,63 @@ def test_sorted_neighborhood_no_global_window(spark):
     assert "SinglePartition" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_cusum_one_window_exchange_shared(spark):
+    """CUSUM: the (key,bucket) count, the per-key rollup, and ONE per-key
+    window exchange shared by the prefix sum and the running min — never a
+    single-partition window, never more than 3 exchanges total."""
+    from chronographer_spark.operators.temporal import cusum_alarms
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select("event_type", "ts")
+    plan = _plan(cusum_alarms(ev))
+    assert "SinglePartition" not in plan, plan
+    # two Window nodes (prefix sum, running min) share ONE sort + exchange
+    assert plan.count("Window") == 2, plan
+    assert plan.count("Sort ") == 1, plan
+    # counts is checkpointed: the final plan reads NO parquet (input was
+    # scanned exactly once during materialization)
+    assert plan.count("Scan parquet") == 0, plan
+    assert _exchanges(plan) <= 2, plan
+
+
+def test_acf_one_window_all_leads(spark):
+    """ACF: all lag lead columns come from ONE Window operator over one
+    per-key exchange; the lag fan is a Generate (explode) over the
+    collapsed per-key row — never a Union re-executing the agg subtree."""
+    from chronographer_spark.operators.temporal import acf_buckets
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select("event_type", "ts")
+    plan = _plan(acf_buckets(ev, lags=(1, 2, 3)))
+    assert plan.count("Window") == 1, plan
+    assert "Generate explode" in plan, plan
+    assert "Union" not in plan, plan
+    # counts is checkpointed: one input scan at materialization, none here
+    assert plan.count("Scan parquet") == 0, plan
+
+
+def test_copurchase_broadcasts_marginals(spark):
+    """Co-purchase: item marginals and the basket total are broadcast back
+    onto the pair counts (dimension-scale), and the pair fan is an
+    equi-join on the basket key — no nested-loop, no cartesian beyond the
+    1-row total."""
+    from chronographer_spark.operators.baskets import copurchase_lift
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        F.col("user_id").alias("basket_id"), F.col("event_type").alias("item")
+    )
+    plan = _plan(copurchase_lift(ev, min_pairs=2))
+    assert plan.count("BroadcastExchange") >= 3, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_cohort_retention_broadcast_age0(spark):
+    """Cohort retention: cohort sizes re-enter via a BROADCAST self-join on
+    the age-0 slice of the dimension-scale matrix; no single-partition
+    stage anywhere."""
+    from chronographer_spark.operators.temporal import cohort_retention
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select("user_id", "ts")
+    plan = _plan(cohort_retention(ev))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SinglePartition" not in plan, plan
