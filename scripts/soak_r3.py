@@ -927,6 +927,71 @@ def main() -> None:
         assert agg["s"] > 0
         return agg["n"]
 
+    def job_cusum():
+        # per-user daily series: the (key,bucket) checkpoint table and the
+        # per-key window exchange both ride repl (users are distinct per
+        # replica); thr=0 keeps the alarm set non-trivial so the final
+        # filter+project is timed too
+        from chronographer_spark.operators.temporal import cusum_alarms
+
+        out = cusum_alarms(ev_r, key="user_id", ts_col="ts", thr_buckets=0)
+        agg = out.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("s_scaled").alias("s")
+        ).first()
+        assert agg["s"] is None or agg["s"] >= 0
+        return agg["n"]
+
+    def job_acf():
+        # same scale shape as cusum plus the lead columns and the lag fan
+        from chronographer_spark.operators.temporal import acf_buckets
+
+        out = acf_buckets(ev_r, key="user_id", ts_col="ts", lags=(1, 2, 3))
+        agg = out.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("acf_x1e3").alias("s")
+        ).first()
+        assert agg["n"] > 0
+        return agg["n"]
+
+    def job_cohort():
+        # distinct(user,day) and the min-cohort agg ride repl linearly; the
+        # (cohort, age) matrix saturates at 30x30
+        from chronographer_spark.operators.temporal import cohort_retention
+
+        out = cohort_retention(ev_r, user_col="user_id", ts_col="ts")
+        agg = out.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("n_active").alias("s")
+        ).first()
+        assert agg["s"] > 0
+        return agg["n"]
+
+    def job_copurchase():
+        # replicated orders with distinct keys: the basket self-join fan
+        # rides repl x (<=7 lineitems)^2; marginals/total stay broadcast
+        from chronographer_spark.operators.baskets import copurchase_lift
+
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+            "l_orderkey", "l_partkey"
+        )
+        part = spark.read.parquet(f"{SF_DIR}/part.parquet").select(
+            "p_partkey", "p_brand"
+        )
+        n_ord = li.agg(F.max("l_orderkey")).first()[0]
+        li_r = (
+            li.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(repl - 1))))
+            .withColumn("l_orderkey", F.col("l_orderkey") + F.col("rep") * (10 * n_ord))
+            .drop("rep")
+            .repartition(4 * CPUS)
+        )
+        b = li_r.join(F.broadcast(part), li_r["l_partkey"] == part["p_partkey"]).select(
+            F.col("l_orderkey").alias("basket_id"), F.col("p_brand").alias("item")
+        )
+        out = copurchase_lift(b, min_pairs=5)
+        agg = out.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("n_pairs").alias("s")
+        ).first()
+        assert agg["s"] > 0
+        return agg["n"]
+
     jobs = [
         ("pack", job_pack),
         ("bpe", job_bpe),
@@ -975,6 +1040,10 @@ def main() -> None:
         ("kanon", job_kanon),
         ("ind", job_ind),
         ("subseq", job_subseq),
+        ("cusum", job_cusum),
+        ("acf", job_acf),
+        ("cohort", job_cohort),
+        ("copurchase", job_copurchase),
     ]
     only = set(sys.argv[3:])
     for name, fn in jobs:
