@@ -9517,6 +9517,57 @@ FROM s2 WHERE s_scaled > 2 * total_events
 
 
 # ---------------------------------------------------------------------------
+# Q: Mann-Kendall trend over daily event-type rates
+# ---------------------------------------------------------------------------
+
+
+def q_mk_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third lens on the injected 'click' level shift (with cusum and acf):
+    a step change is monotone-ish in the pair order, so click reads a
+    strongly positive Kendall tau while the uniform keys straddle zero."""
+    from .operators.temporal import mk_trend
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts")
+    shift = ev.filter(
+        (F.col("event_type") == "click")
+        & (F.col("ts") >= F.lit("2024-01-21").cast("timestamp"))
+    )
+    return mk_trend(
+        ev.unionAll(shift), key="event_type", ts_col="ts", bucket="day"
+    ).select("event_type", "n_buckets", "n_pairs", "s_stat", "tau_x1e6")
+
+
+MK_TREND_SQL = """
+WITH ev AS (
+  SELECT event_type, ts FROM events
+  UNION ALL
+  SELECT event_type, ts FROM events
+  WHERE event_type = 'click' AND ts >= TIMESTAMP '2024-01-21'
+),
+cnt AS (
+  SELECT event_type, date_trunc('day', ts) AS b,
+         CAST(count(*) AS BIGINT) AS n
+  FROM ev GROUP BY 1, 2
+),
+pk AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_buckets
+  FROM cnt GROUP BY 1
+),
+pairs AS (
+  SELECT a.event_type,
+         CAST(sum(CASE WHEN c.n > a.n THEN 1
+                       WHEN c.n < a.n THEN -1 ELSE 0 END) AS BIGINT) AS s_stat,
+         CAST(count(*) AS BIGINT) AS n_pairs
+  FROM cnt a JOIN cnt c ON a.event_type = c.event_type AND c.b > a.b
+  GROUP BY a.event_type
+)
+SELECT p.event_type, pk.n_buckets, p.n_pairs, p.s_stat,
+       CAST(p.s_stat * 1000000 // p.n_pairs AS BIGINT) AS tau_x1e6
+FROM pairs p JOIN pk ON p.event_type = pk.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: truncated harmonic closeness over the thresholded trade digraph
 # ---------------------------------------------------------------------------
 
@@ -10150,9 +10201,11 @@ QUERIES = {
     "cohort_retention": q_cohort_retention,
     "acf_daily_rates": q_acf_daily_rates,
     "harmonic_closeness": q_harmonic_closeness,
+    "mk_trend": q_mk_trend,
 }
 
 ORACLE_SQL = {
+    "mk_trend": MK_TREND_SQL,
     "acf_daily_rates": ACF_DAILY_RATES_SQL,
     "harmonic_closeness": HARMONIC_CLOSENESS_SQL,
     "cusum_level_shift": CUSUM_LEVEL_SHIFT_SQL,

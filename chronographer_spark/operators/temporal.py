@@ -732,3 +732,64 @@ def acf_buckets(
             .alias("acf_x1e3"),
         )
     )
+
+
+def mk_trend(
+    df: DataFrame,
+    key: str = "event_type",
+    ts_col: str = "ts",
+    bucket: str = "day",
+) -> DataFrame:
+    """Mann-Kendall trend test statistic (Mann 1945, Kendall 1975) per key
+    over bucketed counts — the MONOTONIC-trend complement to cusum_alarms
+    (abrupt shift) and acf_buckets (stationarity): S = Σ_{i<j}
+    sign(n_j − n_i) over all bucket pairs in time order, and Kendall's
+    tau = S / (B(B−1)/2). Pure integers end to end: sign is a 3-way CASE
+    (no float signum), tau_x1e6 = S·1e6 DIV n_pairs with the truncation
+    both engines share.
+
+    Scale shape: the input collapses to the (key, bucket) count table
+    (eager localCheckpoint — it feeds both sides of the pair join), and
+    the O(B²) pair fan runs ONLY on that collapsed table: B is a calendar
+    bound (a decade of days is 3653 buckets → ~6.7M pairs per key), never
+    the event count. For longer series, coarsen `bucket` — the statistic
+    is rank-based and robust to aggregation. S ≤ B²/2 keeps S·1e6 far
+    under 2^63 for any calendar-bounded B.
+
+    Returns (key, n_buckets, n_pairs, s_stat, tau_x1e6); keys with a
+    single active bucket are absent (no pairs — tau undefined).
+    """
+    binned = df.select(key, F.date_trunc(bucket, F.col(ts_col)).alias("__b"))
+    counts = (
+        binned.groupBy(key, "__b")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .localCheckpoint(eager=True)
+    )
+    a = counts.select(key, F.col("__b").alias("__b1"), F.col("__n").alias("__n1"))
+    b = counts.select(key, F.col("__b").alias("__b2"), F.col("__n").alias("__n2"))
+    sgn = (
+        F.when(F.col("__n2") > F.col("__n1"), F.lit(1))
+        .when(F.col("__n2") < F.col("__n1"), F.lit(-1))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    # exact bucket count from the collapsed checkpointed table (never a
+    # float sqrt inverse of the pair count — cross-engine ULP trap)
+    per_key = counts.groupBy(key).agg(F.count(F.lit(1)).alias("n_buckets"))
+    return (
+        a.join(b, key)
+        .filter(F.col("__b2") > F.col("__b1"))
+        .groupBy(key)
+        .agg(
+            F.sum(sgn).alias("s_stat"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        )
+        .join(F.broadcast(per_key), key)
+        .select(
+            key,
+            F.col("n_buckets").cast("long").alias("n_buckets"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            "s_stat",
+            F.expr("s_stat * 1000000 DIV n_pairs").cast("long").alias("tau_x1e6"),
+        )
+    )

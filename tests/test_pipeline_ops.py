@@ -2865,3 +2865,50 @@ def test_harmonic_closeness_hand_graph(spark):
         "c": 1000000,
         "d": 0,
     }
+
+
+def test_mk_trend_matches_model(spark):
+    """Kendall S vs an itertools replica: a strictly increasing series
+    reads tau = 1e6, a sawtooth reads near 0, and single-bucket keys are
+    absent (tau undefined)."""
+    import datetime as dt
+    from itertools import combinations
+
+    from chronographer_spark.operators.temporal import mk_trend
+
+    base = dt.datetime(2024, 7, 1)
+    series = {
+        "up": [1, 2, 3, 5, 8],
+        "saw": [3, 1, 3, 1, 3],
+        "lone": [4],
+    }
+    rows = [
+        (k, base + dt.timedelta(days=day, minutes=i))
+        for k, ns in series.items()
+        for day, n in enumerate(ns)
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    got = {
+        r["event_type"]: (r["n_buckets"], r["n_pairs"], r["s_stat"], r["tau_x1e6"])
+        for r in mk_trend(df).collect()
+    }
+
+    def tdiv(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    exp = {}
+    for k, ns in series.items():
+        if len(ns) < 2:
+            continue
+        pairs = list(combinations(range(len(ns)), 2))
+        s = sum(
+            (1 if ns[j] > ns[i] else -1 if ns[j] < ns[i] else 0)
+            for i, j in pairs
+        )
+        exp[k] = (len(ns), len(pairs), s, tdiv(s * 1000000, len(pairs)))
+    assert got == exp
+    assert got["up"][3] == 1000000
+    assert abs(got["saw"][3]) < 300000
+    assert "lone" not in got
