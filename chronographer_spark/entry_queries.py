@@ -9517,6 +9517,46 @@ FROM s2 WHERE s_scaled > 2 * total_events
 
 
 # ---------------------------------------------------------------------------
+# Q: Gini concentration of per-user mass within event types
+# ---------------------------------------------------------------------------
+
+
+def q_gini_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-mass inequality per event type: Poisson thinning of a uniform
+    assignment gives a small but non-zero Gini per key — the skew readout
+    a partitioner consults before choosing hash vs salt."""
+    from .operators.text import gini_concentration
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id")
+    return gini_concentration(ev, key="event_type", unit_col="user_id").select(
+        "event_type", "n_units", "total", "gini_x1e6"
+    )
+
+
+GINI_USERS_SQL = """
+WITH cnt AS (
+  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT event_type, x,
+         CAST(row_number() OVER (PARTITION BY event_type
+                                 ORDER BY x, user_id) AS BIGINT) AS r
+  FROM cnt
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_units,
+       CAST(sum(x) AS BIGINT) AS total,
+       CAST((2 * CAST(sum(r * x) AS BIGINT)
+             - (CAST(count(*) AS BIGINT) + 1) * CAST(sum(x) AS BIGINT))
+            * 1000000
+            // (CAST(count(*) AS BIGINT) * CAST(sum(x) AS BIGINT))
+            AS BIGINT) AS gini_x1e6
+FROM ranked GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: Mann-Kendall trend over daily event-type rates
 # ---------------------------------------------------------------------------
 
@@ -10202,10 +10242,12 @@ QUERIES = {
     "acf_daily_rates": q_acf_daily_rates,
     "harmonic_closeness": q_harmonic_closeness,
     "mk_trend": q_mk_trend,
+    "gini_users": q_gini_users,
 }
 
 ORACLE_SQL = {
     "mk_trend": MK_TREND_SQL,
+    "gini_users": GINI_USERS_SQL,
     "acf_daily_rates": ACF_DAILY_RATES_SQL,
     "harmonic_closeness": HARMONIC_CLOSENESS_SQL,
     "cusum_level_shift": CUSUM_LEVEL_SHIFT_SQL,

@@ -848,3 +848,55 @@ def t_closeness_profile(
             "risk_x1e6"
         ),
     )
+
+
+def gini_concentration(
+    df: DataFrame,
+    key: str = "event_type",
+    unit_col: str = "user_id",
+) -> DataFrame:
+    """Gini coefficient of per-unit mass within each key — the
+    concentration/skew readout a pipeline operator consults before
+    choosing a partitioning strategy (a key whose mass Gini approaches 1
+    is hub-dominated: salt it; near 0 is uniform: hash it) and the
+    standard inequality profile for corpus governance (author/source
+    concentration).
+
+    Exact integers via the sorted-rank identity
+    G = (2·Σ r·x_(r) − (B+1)·Σx) / (B·Σx), ranks assigned by the PINNED
+    order (count, unit) so ties replay identically cross-engine (any total
+    order among equal counts yields the same Σ r·x, the pin is for the
+    hash gate). gini_x1e6 is the (B·Σx)-denominator integer quotient.
+    Bound (documented, n-independent per modularity's precedent): needs
+    B·T < 2^63/2e6 per key — units-per-key up to ~1e6 with totals up to
+    ~4e9, or any mix with B·T ≲ 4.6e12·1e6; beyond that, pre-aggregate
+    units into quantile bands.
+
+    Plan shape: one (key, unit) combinable count collapses the input; the
+    rank window and BOTH rollup aggs run on the collapsed table sharing
+    its (key) exchange. No driver collect.
+
+    Returns (key, n_units, total, gini_x1e6); single-unit keys read 0.
+    """
+    counts = df.groupBy(key, unit_col).agg(F.count(F.lit(1)).alias("__x"))
+    w = Window.partitionBy(key).orderBy(F.col("__x").asc(), F.col(unit_col).asc())
+    ranked = counts.withColumn("__r", F.row_number().over(w))
+    return (
+        ranked.groupBy(key)
+        .agg(
+            F.count(F.lit(1)).alias("n_units"),
+            F.sum("__x").alias("total"),
+            F.sum(F.col("__r") * F.col("__x")).alias("__rx"),
+        )
+        .select(
+            key,
+            F.col("n_units").cast("long").alias("n_units"),
+            F.col("total").cast("long").alias("total"),
+            F.expr(
+                "(2 * __rx - (n_units + 1) * total) * 1000000"
+                " DIV (n_units * total)"
+            )
+            .cast("long")
+            .alias("gini_x1e6"),
+        )
+    )

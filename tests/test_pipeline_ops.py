@@ -2912,3 +2912,37 @@ def test_mk_trend_matches_model(spark):
     assert got["up"][3] == 1000000
     assert abs(got["saw"][3]) < 300000
     assert "lone" not in got
+
+
+def test_gini_concentration_matches_model(spark):
+    """Hand fixture vs the sorted-rank identity replayed in Python: a
+    uniform key reads 0, a hub-dominated key reads high, and a single-unit
+    key reads 0 by the identity (2·1·T − 2T = 0)."""
+    from chronographer_spark.operators.text import gini_concentration
+
+    masses = {
+        "uniform": {"u1": 5, "u2": 5, "u3": 5, "u4": 5},
+        "hub": {"u1": 1, "u2": 1, "u3": 1, "u4": 97},
+        "solo": {"u9": 7},
+    }
+    rows = [
+        (k, u, i)
+        for k, us in masses.items()
+        for u, n in us.items()
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "event_type string, user_id string, i int")
+    got = {
+        r["event_type"]: (r["n_units"], r["total"], r["gini_x1e6"])
+        for r in gini_concentration(df).collect()
+    }
+    exp = {}
+    for k, us in masses.items():
+        xs = sorted(us.values())
+        b, t = len(xs), sum(xs)
+        rx = sum((i + 1) * x for i, x in enumerate(xs))
+        exp[k] = (b, t, (2 * rx - (b + 1) * t) * 1000000 // (b * t))
+    assert got == exp
+    assert got["uniform"][2] == 0
+    assert got["hub"][2] > 700000
+    assert got["solo"][2] == 0
