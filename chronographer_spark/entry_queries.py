@@ -9517,6 +9517,72 @@ FROM s2 WHERE s_scaled > 2 * total_events
 
 
 # ---------------------------------------------------------------------------
+# Q: online-CUSUM batch twin (calibration mode) over daily rates
+# ---------------------------------------------------------------------------
+
+
+def q_cusum_online(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming drift detector's batch twin in calibration mode:
+    target = per-key empirical bucket mean (exact DIV), thr = 2×target —
+    scale-free, so the injected click shift alarms at every sf. The
+    parity test ties the stream to this exact semantics; this gate ties
+    the semantics to DuckDB."""
+    from .streaming.drift import cusum_stream_batch_twin
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts")
+    shift = ev.filter(
+        (F.col("event_type") == "click")
+        & (F.col("ts") >= F.lit("2024-01-21").cast("timestamp"))
+    )
+    return cusum_stream_batch_twin(
+        ev.unionAll(shift), key_col="event_type", ts_col="ts",
+        bucket="day", target=None, thr=None, thr_mult=2,
+    ).select(
+        "key",
+        F.date_format("bucket_ts", "yyyy-MM-dd").alias("day"),
+        "n_events", "s_scaled", "alarm",
+    )
+
+
+CUSUM_ONLINE_SQL = """
+WITH ev AS (
+  SELECT event_type, ts FROM events
+  UNION ALL
+  SELECT event_type, ts FROM events
+  WHERE event_type = 'click' AND ts >= TIMESTAMP '2024-01-21'
+),
+cnt AS (
+  SELECT CAST(event_type AS VARCHAR) AS key, date_trunc('day', ts) AS b,
+         CAST(count(*) AS BIGINT) AS n
+  FROM ev GROUP BY 1, 2
+),
+pk AS (
+  SELECT key, CAST(sum(n) // count(*) AS BIGINT) AS tgt,
+         max(b) AS last_b
+  FROM cnt GROUP BY key
+),
+pre AS (
+  SELECT c.key, c.b, c.n, p.tgt, p.last_b,
+         CAST(sum(c.n - p.tgt) OVER w AS BIGINT) AS p
+  FROM cnt c JOIN pk p USING (key)
+  WINDOW w AS (PARTITION BY c.key ORDER BY c.b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+st AS (
+  SELECT key, b, n, tgt, last_b, p,
+         CAST(min(p) OVER (PARTITION BY key ORDER BY b
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS m
+  FROM pre
+)
+SELECT key, strftime(b, '%Y-%m-%d') AS day, n AS n_events,
+       CAST(p - least(CAST(0 AS BIGINT), m) AS BIGINT) AS s_scaled,
+       CAST(CASE WHEN p - least(CAST(0 AS BIGINT), m) > 2 * tgt
+                 THEN 1 ELSE 0 END AS INT) AS alarm
+FROM st WHERE b < last_b
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: Gini concentration of per-user mass within event types
 # ---------------------------------------------------------------------------
 
@@ -10243,9 +10309,11 @@ QUERIES = {
     "harmonic_closeness": q_harmonic_closeness,
     "mk_trend": q_mk_trend,
     "gini_users": q_gini_users,
+    "cusum_online": q_cusum_online,
 }
 
 ORACLE_SQL = {
+    "cusum_online": CUSUM_ONLINE_SQL,
     "mk_trend": MK_TREND_SQL,
     "gini_users": GINI_USERS_SQL,
     "acf_daily_rates": ACF_DAILY_RATES_SQL,

@@ -863,3 +863,83 @@ def test_incremental_cc_stream_restart_merges_across_runs(spark, tmp_path):
         for r in connected_components(edf).collect()
     }
     assert streamed == batch
+
+
+def test_cusum_stream_parity_and_restart(spark, tmp_path):
+    """The streaming online CUSUM equals the batch twin over all input so
+    far (closed buckets only), alarms fire exactly where the hand-computed
+    recurrence says, and restarting the same checkpoint with new input
+    emits each closed bucket exactly once."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql.types import (
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from chronographer_spark.streaming.drift import (
+        cusum_stream_batch_twin,
+        start_cusum_stream,
+    )
+
+    schema = StructType(
+        [StructField("event_type", StringType()), StructField("ts", TimestampType())]
+    )
+    base = datetime(2024, 1, 1)
+
+    def rows(day_counts, start_day):
+        out = []
+        for off, n in enumerate(day_counts):
+            for i in range(n):
+                out.append(("a", base + timedelta(days=start_day + off, minutes=i)))
+        return out
+
+    # target 3/day, thr 5: days 0-2 at rate -> S=0; days 3-5 at 6/day ->
+    # S = 3, 6, 9 -> alarms once S > 5 (days 4 and 5)
+    batch1 = rows([3, 3, 3, 6], 0)
+    batch2 = rows([6, 6, 2], 4)  # day 6 (count 2) closes day 5; day 6 stays open
+
+    src = tmp_path / "in"
+    src.mkdir()
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = start_cusum_stream(
+            spark, str(src), out_dir, ckpt, schema, target=3, thr=5
+        )
+        q.awaitTermination(120)
+
+    def got():
+        return {
+            (r["key"], r["bucket_ts"].day, r["n_events"], r["s_scaled"], r["alarm"])
+            for r in spark.read.parquet(out_dir).collect()
+        }
+
+    def expected(data):
+        df = spark.createDataFrame(data, schema)
+        return {
+            (r["key"], r["bucket_ts"].day, r["n_events"], r["s_scaled"], r["alarm"])
+            for r in cusum_stream_batch_twin(df, target=3, thr=5).collect()
+        }
+
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode("append").parquet(
+        str(src)
+    )
+    drain()
+    assert got() == expected(batch1)
+
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode("append").parquet(
+        str(src)
+    )
+    drain()
+    full = got()
+    assert full == expected(batch1 + batch2)
+    # hand-checked recurrence: alarms exactly on the days S reached 6 and 9
+    alarms = {(d, s) for (_, d, _, s, a) in full if a == 1}
+    assert alarms == {(5, 6), (6, 9)}
+    # exactly-once: one row per closed bucket across both drains
+    days = sorted(d for (_, d, _, _, _) in full)
+    assert days == [1, 2, 3, 4, 5, 6]
