@@ -9517,6 +9517,77 @@ FROM s2 WHERE s_scaled > 2 * total_events
 
 
 # ---------------------------------------------------------------------------
+# Q: Goodman-Kruskal lambda association profile over event columns
+# ---------------------------------------------------------------------------
+
+
+def q_gk_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three associations spanning the range: day→month is a perfect
+    predictor (λ = 1e6), user→type and type→valueband are independent by
+    construction (λ near 0) — the error-reduction companion readout to
+    fd_profile's g3 over the same table."""
+    from .graph.constraints import gk_lambda
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.date_format("ts", "yyyy-MM").alias("month"),
+        F.floor(F.col("value") / 50).cast("long").alias("vband"),
+    )
+    return gk_lambda(
+        ev,
+        [
+            ("user_to_type", "user_id", "event_type"),
+            ("day_to_month", "day", "month"),
+            ("type_to_vband", "event_type", "vband"),
+        ],
+    ).select("assoc", "total", "n_x", "s_max", "maxcol", "lambda_x1e6")
+
+
+GK_LAMBDA_SQL = """
+WITH base AS (
+  SELECT CAST(user_id AS VARCHAR) AS user_id, event_type,
+         strftime(ts, '%Y-%m-%d') AS day, strftime(ts, '%Y-%m') AS month,
+         CAST(CAST(floor(value / 50) AS BIGINT) AS VARCHAR) AS vband
+  FROM events
+),
+p AS (
+  SELECT 'user_to_type' AS assoc, user_id AS x, event_type AS y FROM base
+  UNION ALL
+  SELECT 'day_to_month', day, month FROM base
+  UNION ALL
+  SELECT 'type_to_vband', event_type, vband FROM base
+),
+vc AS (
+  SELECT assoc, x, y, CAST(count(*) AS BIGINT) AS cnt
+  FROM p GROUP BY 1, 2, 3
+),
+per_x AS (
+  SELECT assoc, x, CAST(max(cnt) AS BIGINT) AS keep,
+         CAST(sum(cnt) AS BIGINT) AS n_rows
+  FROM vc GROUP BY assoc, x
+),
+top AS (
+  SELECT assoc, CAST(sum(n_rows) AS BIGINT) AS total,
+         CAST(count(*) AS BIGINT) AS n_x,
+         CAST(sum(keep) AS BIGINT) AS s_max
+  FROM per_x GROUP BY assoc
+),
+cm AS (
+  SELECT assoc, CAST(max(c) AS BIGINT) AS maxcol FROM (
+    SELECT assoc, y, CAST(sum(cnt) AS BIGINT) AS c FROM vc GROUP BY assoc, y
+  ) GROUP BY assoc
+)
+SELECT top.assoc, total, n_x, s_max, maxcol,
+       CAST(CASE WHEN total = maxcol THEN 0
+                 ELSE (s_max - maxcol) * 1000000 // (total - maxcol)
+            END AS BIGINT) AS lambda_x1e6
+FROM top JOIN cm ON top.assoc = cm.assoc
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: online-CUSUM batch twin (calibration mode) over daily rates
 # ---------------------------------------------------------------------------
 
@@ -10310,10 +10381,12 @@ QUERIES = {
     "mk_trend": q_mk_trend,
     "gini_users": q_gini_users,
     "cusum_online": q_cusum_online,
+    "gk_lambda": q_gk_lambda,
 }
 
 ORACLE_SQL = {
     "cusum_online": CUSUM_ONLINE_SQL,
+    "gk_lambda": GK_LAMBDA_SQL,
     "mk_trend": MK_TREND_SQL,
     "gini_users": GINI_USERS_SQL,
     "acf_daily_rates": ACF_DAILY_RATES_SQL,

@@ -367,3 +367,74 @@ def induce_fd_candidates(df: DataFrame, fds) -> DataFrame:
             "CAST((sum(n_rows) - sum(keep)) * 1000000 DIV sum(n_rows) AS BIGINT)"
         ).alias("g3_x1e6"),
     )
+
+
+def gk_lambda(df: DataFrame, pairs) -> DataFrame:
+    """Goodman-Kruskal lambda association profile: for each candidate pair
+    (name, x_col, y_col) in ``pairs``, the proportional reduction in error
+    when predicting y from x — λ = (Σ_x max_y O_xy − max_y c_y) /
+    (N − max_y c_y). The error-reduction complement to g3 FD profiling
+    (induce_fd_candidates): g3 asks "how many rows break determinism",
+    λ asks "how much better than the majority-class guess does knowing x
+    make you" — the measure that stays informative when no FD is close to
+    holding. PURE integers (counts and one exact quotient): unlike χ²/
+    Cramér's V (squared float expectations) or Theil's U (logs), λ needs
+    no float discipline at all, which is why it is the association measure
+    this engine profiles.
+
+    Returns one row per candidate: assoc (name), total, n_x (distinct x),
+    s_max (Σ per-x majority), maxcol (global y majority),
+    lambda_x1e6 = (s_max − maxcol)·1e6 DIV (total − maxcol); a constant y
+    column (total == maxcol, λ undefined) reads 0 by convention.
+
+    Scale shape: one explode fans each row into |pairs| structs over a
+    SINGLE scan (the fd-profile pattern — never an N-branch UNION); the
+    (assoc, x, y) cell table is eagerly checkpointed (it feeds both the
+    per-x majority rollup and the y-marginal rollup); everything after is
+    dimension-scale and the final join is |pairs| rows broadcast.
+    """
+    structs = [
+        F.struct(
+            F.lit(name).alias("assoc"),
+            F.col(x).cast("string").alias("x"),
+            F.col(y).cast("string").alias("y"),
+        )
+        for name, x, y in pairs
+    ]
+    p = df.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+    vc = (
+        p.groupBy("assoc", "x", "y")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    per_x = vc.groupBy("assoc", "x").agg(
+        F.max("cnt").alias("keep"), F.sum("cnt").alias("n_rows")
+    )
+    top = per_x.groupBy("assoc").agg(
+        F.sum("n_rows").alias("total"),
+        F.count(F.lit(1)).alias("n_x"),
+        F.sum("keep").alias("s_max"),
+    )
+    col_max = (
+        vc.groupBy("assoc", "y")
+        .agg(F.sum("cnt").alias("c"))
+        .groupBy("assoc")
+        .agg(F.max("c").alias("maxcol"))
+    )
+    return (
+        top.join(F.broadcast(col_max), "assoc")
+        .select(
+            "assoc",
+            F.col("total").cast("long").alias("total"),
+            F.col("n_x").cast("long").alias("n_x"),
+            F.col("s_max").cast("long").alias("s_max"),
+            F.col("maxcol").cast("long").alias("maxcol"),
+            F.when(F.col("total") == F.col("maxcol"), F.lit(0).cast("long"))
+            .otherwise(
+                F.expr(
+                    "(s_max - maxcol) * 1000000 DIV (total - maxcol)"
+                ).cast("long")
+            )
+            .alias("lambda_x1e6"),
+        )
+    )

@@ -2946,3 +2946,42 @@ def test_gini_concentration_matches_model(spark):
     assert got["uniform"][2] == 0
     assert got["hub"][2] > 700000
     assert got["solo"][2] == 0
+
+
+def test_gk_lambda_matches_model(spark):
+    """Hand contingency vs a Python replica; a perfect predictor reads
+    1e6, an independent column reads 0, and a constant target reads 0 by
+    the documented convention."""
+    from collections import Counter
+
+    from chronographer_spark.graph.constraints import gk_lambda
+
+    rows = []
+    # mixed association: a->mostly y1, b->always y2, c->split
+    data = [("a", "y1")] * 3 + [("a", "y2")] + [("b", "y2")] * 4 \
+        + [("c", "y1")] + [("c", "y2")]
+    for x, y in data:
+        # perfect: y copies x; const: always "k"
+        rows.append((x, y, x, "k"))
+    df = spark.createDataFrame(rows, "x string, y string, px string, const string")
+    got = {
+        r["assoc"]: (r["total"], r["n_x"], r["s_max"], r["maxcol"], r["lambda_x1e6"])
+        for r in gk_lambda(
+            df, [("xy", "x", "y"), ("perfect", "x", "px"), ("const", "x", "const")]
+        ).collect()
+    }
+
+    def model(pairs):
+        n = len(pairs)
+        cells = Counter(pairs)
+        xs = {x for x, _ in pairs}
+        s_max = sum(max(c for (xx, _), c in cells.items() if xx == x) for x in xs)
+        maxcol = max(Counter(y for _, y in pairs).values())
+        lam = 0 if n == maxcol else (s_max - maxcol) * 1000000 // (n - maxcol)
+        return (n, len(xs), s_max, maxcol, lam)
+
+    assert got["xy"] == model([(x, y) for x, y, _, _ in rows])
+    assert got["perfect"] == model([(x, px) for x, _, px, _ in rows])
+    assert got["const"] == model([(x, c) for x, _, _, c in rows])
+    assert got["perfect"][4] == 1000000
+    assert got["const"][4] == 0
