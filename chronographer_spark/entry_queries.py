@@ -9517,6 +9517,36 @@ FROM s2 WHERE s_scaled > 2 * total_events
 
 
 # ---------------------------------------------------------------------------
+# Q: recency-weighted activity scores per user
+# ---------------------------------------------------------------------------
+
+
+def q_decayed_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot asof the day after the fixture's last event (2024-01-31),
+    half-life one week: ~13 events per user spread over 30 days give every
+    user a distinct mix of full/half/quarter weights."""
+    from .operators.temporal import decayed_activity
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    return decayed_activity(
+        ev, key="user_id", ts_col="ts", asof="2024-01-31", halflife_days=7
+    ).select("key", "n_events", "last_age_days", "score_x1e6")
+
+
+DECAYED_ACTIVITY_SQL = """
+SELECT user_id AS key,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(date_diff('day', CAST(ts AS DATE), DATE '2024-01-31'))
+            AS BIGINT) AS last_age_days,
+       CAST(sum(1000000 // (CAST(1 AS BIGINT) << CAST(least(40, greatest(0,
+              CAST(date_diff('day', CAST(ts AS DATE), DATE '2024-01-31')
+                   AS BIGINT) // 7)) AS INT)))
+            AS BIGINT) AS score_x1e6
+FROM events GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: Goodman-Kruskal lambda association profile over event columns
 # ---------------------------------------------------------------------------
 
@@ -10382,11 +10412,13 @@ QUERIES = {
     "gini_users": q_gini_users,
     "cusum_online": q_cusum_online,
     "gk_lambda": q_gk_lambda,
+    "decayed_activity": q_decayed_activity,
 }
 
 ORACLE_SQL = {
     "cusum_online": CUSUM_ONLINE_SQL,
     "gk_lambda": GK_LAMBDA_SQL,
+    "decayed_activity": DECAYED_ACTIVITY_SQL,
     "mk_trend": MK_TREND_SQL,
     "gini_users": GINI_USERS_SQL,
     "acf_daily_rates": ACF_DAILY_RATES_SQL,

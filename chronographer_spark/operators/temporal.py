@@ -793,3 +793,47 @@ def mk_trend(
             F.expr("s_stat * 1000000 DIV n_pairs").cast("long").alias("tau_x1e6"),
         )
     )
+
+
+def decayed_activity(
+    df: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    asof: str = "2024-01-31",
+    halflife_days: int = 7,
+) -> DataFrame:
+    """Recency-weighted activity score per key — the recency×frequency
+    feature (churn screens, contributor-quality priors, "is this source
+    still alive") with EXACT integer decay: each event contributes
+    1e6 >> (age_days DIV halflife) — halving per elapsed half-life via a
+    bit shift instead of exp(−λt), so both engines replay the score
+    bit-for-bit with zero float discipline. Shifts clamp at 40 (weight 0
+    beyond ~40 half-lives — already sub-ppm).
+
+    ``asof`` is an explicit date string: scores are reproducible
+    snapshots, never wall-clock dependent.
+
+    Scale shape: the weight is a map-side expression; ONE combinable
+    groupBy emits score, event count, and last-seen age. No windows, no
+    joins.
+
+    Returns (key, n_events, last_age_days, score_x1e6).
+    """
+    age = F.datediff(F.lit(asof).cast("date"), F.col(ts_col).cast("date"))
+    return (
+        df.select(
+            F.col(key).alias("key"),
+            age.cast("long").alias("__age"),
+            F.expr(
+                f"1000000 DIV shiftleft(CAST(1 AS BIGINT), CAST(least(40, "
+                f"greatest(0, CAST(datediff(DATE'{asof}', CAST({ts_col} AS DATE))"
+                f" AS LONG) DIV {int(halflife_days)})) AS INT))"
+            ).cast("long").alias("__w"),
+        )
+        .groupBy("key")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min("__age").cast("long").alias("last_age_days"),
+            F.sum("__w").cast("long").alias("score_x1e6"),
+        )
+    )

@@ -2985,3 +2985,39 @@ def test_gk_lambda_matches_model(spark):
     assert got["const"] == model([(x, c) for x, _, _, c in rows])
     assert got["perfect"][4] == 1000000
     assert got["const"][4] == 0
+
+
+def test_decayed_activity_matches_model(spark):
+    """Exact bit-shift decay vs a Python replica: an event today weighs
+    1e6, one exactly one half-life old weighs 5e5, the clamp floors
+    ancient events at weight 0 (1e6 >> 40), and negative ages (events
+    after asof) clamp to shift 0."""
+    import datetime as dt
+
+    from chronographer_spark.operators.temporal import decayed_activity
+
+    asof = dt.date(2024, 1, 31)
+    rows = [
+        ("fresh", dt.datetime(2024, 1, 31, 12)),      # age 0 -> 1e6
+        ("fresh", dt.datetime(2024, 1, 24, 8)),        # age 7 -> 5e5
+        ("fresh", dt.datetime(2024, 1, 10, 8)),        # age 21 -> 125000
+        ("stale", dt.datetime(2014, 1, 1)),            # ~3600 days -> shift 40 -> 0
+        ("future", dt.datetime(2024, 2, 3)),           # age -3 -> clamp 0 -> 1e6
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    got = {
+        r["key"]: (r["n_events"], r["last_age_days"], r["score_x1e6"])
+        for r in decayed_activity(
+            df, key="user_id", asof="2024-01-31", halflife_days=7
+        ).collect()
+    }
+    exp = {}
+    for k, ts in rows:
+        age = (asof - ts.date()).days
+        sh = min(40, max(0, age // 7))
+        n, last, s = exp.get(k, (0, 10**9, 0))
+        exp[k] = (n + 1, min(last, age), s + (1000000 >> sh))
+    assert got == exp
+    assert got["fresh"] == (3, 0, 1000000 + 500000 + 125000)
+    assert got["stale"][2] == 0
+    assert got["future"] == (1, -3, 1000000)
