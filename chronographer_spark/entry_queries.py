@@ -9517,6 +9517,40 @@ FROM s2 WHERE s_scaled > 2 * total_events
 
 
 # ---------------------------------------------------------------------------
+# Q: Levenshtein-verified merge/purge candidate pairs
+# ---------------------------------------------------------------------------
+
+
+def q_snm_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fuzzy-ER composition: window-5 sorted-neighborhood candidates
+    over the 16-char prefix order, verified by edit distance on the
+    64-char surface — exact/near duplicates in the corpus land at lev 0/
+    small, prefix-coincidence pairs get filtered by max_dist=8."""
+    from .linking.blocking import blocked_levenshtein_pairs
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.substring("text", 1, 16).alias("key"), "doc_id", "text"
+    )
+    return blocked_levenshtein_pairs(
+        docs, ["key"], "doc_id", "text", window=5, max_dist=8, max_len=64
+    ).select("id_a", "id_b", "dist", "lev")
+
+
+SNM_LEVENSHTEIN_SQL = """
+WITH r AS (
+  SELECT doc_id, substring(text, 1, 64) AS t,
+         row_number() OVER (ORDER BY substring(text, 1, 16), doc_id) AS rank
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(b.rank - a.rank AS BIGINT) AS dist,
+       CAST(levenshtein(a.t, b.t) AS BIGINT) AS lev
+FROM r a JOIN r b ON b.rank > a.rank AND b.rank - a.rank <= 5
+WHERE levenshtein(a.t, b.t) <= 8
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: recency-weighted activity scores per user
 # ---------------------------------------------------------------------------
 
@@ -10413,9 +10447,11 @@ QUERIES = {
     "cusum_online": q_cusum_online,
     "gk_lambda": q_gk_lambda,
     "decayed_activity": q_decayed_activity,
+    "snm_levenshtein": q_snm_levenshtein,
 }
 
 ORACLE_SQL = {
+    "snm_levenshtein": SNM_LEVENSHTEIN_SQL,
     "cusum_online": CUSUM_ONLINE_SQL,
     "gk_lambda": GK_LAMBDA_SQL,
     "decayed_activity": DECAYED_ACTIVITY_SQL,

@@ -143,3 +143,50 @@ def sorted_neighborhood_pairs(
         .filter((F.col("rb") > F.col("ra")) & (F.col("rb") - F.col("ra") <= w))
         .select("id_a", "id_b", (F.col("rb") - F.col("ra")).alias("dist"))
     )
+
+
+def blocked_levenshtein_pairs(
+    df: DataFrame,
+    key_cols: list,
+    id_col: str,
+    text_col: str,
+    window: int = 5,
+    max_dist: int = 2,
+    max_len: int = 64,
+) -> DataFrame:
+    """Merge/purge with an edit-distance verifier: sorted-neighborhood
+    candidates (see sorted_neighborhood_pairs) scored by Levenshtein
+    distance on a length-capped surface string, keeping pairs within
+    ``max_dist`` — the classic fuzzy-match ER composition (blocking bounds
+    the candidate set to ~window·n, the O(len²) DP runs only on
+    candidates, never all pairs). Complements ed1_pairs (exact distance-1
+    on a VOCABULARY via deletion variants): this scores arbitrary
+    distances on RECORD surfaces inside blocks.
+
+    ``max_len`` truncates the compared surface (substring, not hash) so
+    the per-pair DP cost is bounded at max_len² regardless of record
+    size — the distance is then over the truncated surface, documented.
+
+    Both engines implement textbook unit-cost Levenshtein over unicode
+    codepoints (Spark `levenshtein`, DuckDB `levenshtein`), so the gate
+    replays scores exactly.
+
+    Returns (id_a, id_b, dist, lev) — dist is the rank gap from blocking,
+    lev the edit distance.
+    """
+    keyed = df.select(
+        *key_cols, F.col(id_col), F.substring(F.col(text_col), 1, max_len).alias("__t")
+    )
+    pairs = sorted_neighborhood_pairs(
+        keyed.select(*key_cols, id_col), key_cols, id_col, window=window
+    )
+    t = keyed.select(F.col(id_col), F.col("__t"))
+    ta = t.select(F.col(id_col).alias("id_a"), F.col("__t").alias("__ta"))
+    tb = t.select(F.col(id_col).alias("id_b"), F.col("__t").alias("__tb"))
+    return (
+        pairs.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn("lev", F.levenshtein("__ta", "__tb").cast("long"))
+        .filter(F.col("lev") <= int(max_dist))
+        .select("id_a", "id_b", F.col("dist").cast("long").alias("dist"), "lev")
+    )

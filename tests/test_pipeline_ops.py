@@ -3021,3 +3021,50 @@ def test_decayed_activity_matches_model(spark):
     assert got["fresh"] == (3, 0, 1000000 + 500000 + 125000)
     assert got["stale"][2] == 0
     assert got["future"] == (1, -3, 1000000)
+
+
+def test_blocked_levenshtein_pairs_hand_fixture(spark):
+    """Near-miss surfaces inside the sort window score their true edit
+    distance; pairs beyond max_dist and records outside the window are
+    absent; truncation caps the compared surface."""
+    from chronographer_spark.linking.blocking import blocked_levenshtein_pairs
+
+    rows = [
+        (1, "apple pie"),
+        (2, "apple pia"),      # lev 1 from apple pie
+        (3, "apple tart"),     # lev 4 from pie (filtered at max_dist=2)
+        (4, "zzzz totally different"),
+        (5, "apple pi"),       # lev 1 from pie, 2 from pia... within window
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "key", F.substring("text", 1, 16)
+    )
+    got = {
+        frozenset((r["id_a"], r["id_b"])): r["lev"]
+        for r in blocked_levenshtein_pairs(
+            df, ["key"], "doc_id", "text", window=4, max_dist=2
+        ).collect()
+    }
+    import itertools
+
+    def lev(a, b):
+        d = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, d[0] = d[0], i
+            for j, cb in enumerate(b, 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1, prev + (ca != cb))
+        return d[len(b)]
+
+    texts = dict(rows)
+    exp = {
+        frozenset((a, b)): lev(texts[a], texts[b])
+        for a, b in itertools.combinations(sorted(texts), 2)
+        if lev(texts[a], texts[b]) <= 2
+    }
+    # window 4 over 5 records: every pair is a candidate, so blocking
+    # doesn't drop any qualifying pair in this fixture (pair orientation
+    # follows the blocking-key rank, hence the unordered comparison)
+    assert got == exp
+    assert got[frozenset((1, 2))] == 1 and got[frozenset((1, 5))] == 1
+    assert got[frozenset((2, 5))] == 1  # "apple pia" vs "apple pi"
+    assert frozenset((1, 3)) not in got
