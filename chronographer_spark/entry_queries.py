@@ -9517,6 +9517,50 @@ FROM s2 WHERE s_scaled > 2 * total_events
 
 
 # ---------------------------------------------------------------------------
+# Q: reciprocity of the thresholded trade digraph
+# ---------------------------------------------------------------------------
+
+
+def q_reciprocity_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same thresholded digraph as scc/hits/closeness: the mutual-trade
+    core contributes reciprocal edges, one-way exporters dilute the ratio
+    into the informative mid-range."""
+    from .operators.graph_algos import reciprocity_profile
+
+    flows = _nation_flows(spark, sf_dir)
+    mx = flows.agg(F.max("n_flows").alias("m"))
+    edges = (
+        flows.crossJoin(F.broadcast(mx))
+        .filter(F.col("n_flows") * 2 >= F.col("m"))
+        .select("src", "dst")
+    )
+    return reciprocity_profile(edges).select(
+        "n_nodes", "n_edges", "n_reciprocal", "n_self", "reciprocity_x1e6"
+    )
+
+
+RECIPROCITY_TRADE_SQL = f"""
+WITH {FLOWS_FRAGMENT.strip()},
+mx AS (SELECT max(n_flows) AS m FROM flows),
+e AS (SELECT DISTINCT src AS s, dst AS d FROM flows, mx WHERE n_flows * 2 >= m),
+nl AS (SELECT s, d FROM e WHERE s <> d),
+recip AS (
+  SELECT a.s, a.d FROM nl a JOIN nl b ON a.s = b.d AND a.d = b.s
+)
+SELECT
+  CAST((SELECT count(DISTINCT n) FROM
+        (SELECT s AS n FROM e UNION ALL SELECT d FROM e)) AS BIGINT) AS n_nodes,
+  CAST((SELECT count(*) FROM nl) AS BIGINT) AS n_edges,
+  CAST((SELECT count(*) FROM recip) AS BIGINT) AS n_reciprocal,
+  CAST((SELECT count(*) FROM e WHERE s = d) AS BIGINT) AS n_self,
+  CAST(CASE WHEN (SELECT count(*) FROM nl) = 0 THEN 0
+            ELSE (SELECT count(*) FROM recip) * 1000000
+                 // (SELECT count(*) FROM nl) END AS BIGINT)
+    AS reciprocity_x1e6
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: Levenshtein-verified merge/purge candidate pairs
 # ---------------------------------------------------------------------------
 
@@ -10448,10 +10492,12 @@ QUERIES = {
     "gk_lambda": q_gk_lambda,
     "decayed_activity": q_decayed_activity,
     "snm_levenshtein": q_snm_levenshtein,
+    "reciprocity_trade": q_reciprocity_trade,
 }
 
 ORACLE_SQL = {
     "snm_levenshtein": SNM_LEVENSHTEIN_SQL,
+    "reciprocity_trade": RECIPROCITY_TRADE_SQL,
     "cusum_online": CUSUM_ONLINE_SQL,
     "gk_lambda": GK_LAMBDA_SQL,
     "decayed_activity": DECAYED_ACTIVITY_SQL,

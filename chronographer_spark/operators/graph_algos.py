@@ -1648,3 +1648,49 @@ def harmonic_closeness(
             .alias("harmonic_x1e6"),
         )
     )
+
+
+def reciprocity_profile(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Directed-graph reciprocity readout: the fraction of non-loop edges
+    whose reverse edge also exists — the first diagnostic on any
+    constructed relation ("is mention-of symmetric in practice?",
+    "is the trade graph mutual?") and the standard sanity check before
+    symmetrizing a digraph for CC/community passes.
+
+    Exact integers: reciprocity_x1e6 = n_reciprocal·1e6 DIV n_edges over
+    deduplicated directed edges; self-loops are counted separately (they
+    are trivially "reciprocal" and would inflate the ratio).
+
+    Plan shape: one distinct on the edge list, ONE self-equi-join on the
+    swapped key (hash join, no theta), three combinable aggs folded into
+    one pass; output is a single row.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nonloop = e.filter(F.col("s") != F.col("d"))
+    rev = nonloop.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    recip = nonloop.join(rev, ["s", "d"]).select("s", "d")
+    nodes = e.select(F.col("s").alias("n")).unionAll(e.select(F.col("d").alias("n")))
+    counts = nonloop.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
+        recip.agg(F.count(F.lit(1)).alias("n_reciprocal"))
+    ).crossJoin(
+        e.filter(F.col("s") == F.col("d")).agg(F.count(F.lit(1)).alias("n_self"))
+    ).crossJoin(nodes.agg(F.countDistinct("n").alias("n_nodes")))
+    return counts.select(
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.col("n_edges").cast("long").alias("n_edges"),
+        F.col("n_reciprocal").cast("long").alias("n_reciprocal"),
+        F.col("n_self").cast("long").alias("n_self"),
+        F.when(F.col("n_edges") == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.expr("n_reciprocal * 1000000 DIV n_edges").cast("long")
+        )
+        .alias("reciprocity_x1e6"),
+    )

@@ -3068,3 +3068,23 @@ def test_blocked_levenshtein_pairs_hand_fixture(spark):
     assert got[frozenset((1, 2))] == 1 and got[frozenset((1, 5))] == 1
     assert got[frozenset((2, 5))] == 1  # "apple pia" vs "apple pi"
     assert frozenset((1, 3)) not in got
+
+
+def test_reciprocity_profile_hand_graph(spark):
+    """Hand graph: 2 mutual pairs (4 reciprocal edge rows), 2 one-way
+    edges, 1 self-loop, 1 duplicate row that must collapse."""
+    from chronographer_spark.operators.graph_algos import reciprocity_profile
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b"), ("b", "a"),          # mutual
+            ("c", "d"), ("d", "c"),          # mutual
+            ("a", "c"), ("e", "a"),          # one-way
+            ("e", "e"),                        # self loop
+            ("a", "b"),                        # duplicate
+        ],
+        "src string, dst string",
+    )
+    r = reciprocity_profile(edges).collect()[0]
+    assert (r["n_nodes"], r["n_edges"], r["n_reciprocal"], r["n_self"]) == (5, 6, 4, 1)
+    assert r["reciprocity_x1e6"] == 4 * 1000000 // 6
