@@ -9517,6 +9517,64 @@ FROM s2 WHERE s_scaled > 2 * total_events
 
 
 # ---------------------------------------------------------------------------
+# Q: column completeness/cardinality profile of documents
+# ---------------------------------------------------------------------------
+
+
+def q_completeness_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-card page one over the documents table: id/text columns are
+    all-distinct, lang/source are low-cardinality with meaningful top
+    values, n_chars sits between."""
+    from .operators.text import completeness_profile
+
+    docs = _t(spark, sf_dir, "documents")
+    return completeness_profile(
+        docs, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).select(
+        "col", "n_rows", "n_null", "n_empty", "n_distinct",
+        "top_value", "top_count",
+    )
+
+
+COMPLETENESS_DOCS_SQL = """
+WITH p AS (
+  SELECT 'doc_id' AS col, CAST(doc_id AS VARCHAR) AS v,
+         CAST(doc_id IS NULL AS INT) AS is_null FROM documents
+  UNION ALL
+  SELECT 'text', text, CAST(text IS NULL AS INT) FROM documents
+  UNION ALL
+  SELECT 'lang', lang, CAST(lang IS NULL AS INT) FROM documents
+  UNION ALL
+  SELECT 'source', source, CAST(source IS NULL AS INT) FROM documents
+  UNION ALL
+  SELECT 'n_chars', CAST(n_chars AS VARCHAR),
+         CAST(n_chars IS NULL AS INT) FROM documents
+),
+vc AS (
+  SELECT col, v, is_null, CAST(count(*) AS BIGINT) AS cnt
+  FROM p GROUP BY 1, 2, 3
+),
+agg AS (
+  SELECT col, CAST(sum(cnt) AS BIGINT) AS n_rows,
+         CAST(sum(CASE WHEN is_null = 1 THEN cnt ELSE 0 END) AS BIGINT)
+           AS n_null,
+         CAST(sum(CASE WHEN is_null = 0 AND trim(v) = '' THEN cnt ELSE 0 END)
+              AS BIGINT) AS n_empty,
+         CAST(count(CASE WHEN is_null = 0 THEN 1 END) AS BIGINT) AS n_distinct
+  FROM vc GROUP BY col
+),
+top AS (
+  SELECT col, v AS top_value, cnt AS top_count,
+         row_number() OVER (PARTITION BY col ORDER BY cnt DESC, v DESC) AS rn
+  FROM vc WHERE is_null = 0
+)
+SELECT agg.col, n_rows, n_null, n_empty, n_distinct,
+       t.top_value, CAST(coalesce(t.top_count, 0) AS BIGINT) AS top_count
+FROM agg LEFT JOIN (SELECT * FROM top WHERE rn = 1) t ON agg.col = t.col
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: reciprocity of the thresholded trade digraph
 # ---------------------------------------------------------------------------
 
@@ -10493,9 +10551,11 @@ QUERIES = {
     "decayed_activity": q_decayed_activity,
     "snm_levenshtein": q_snm_levenshtein,
     "reciprocity_trade": q_reciprocity_trade,
+    "completeness_docs": q_completeness_docs,
 }
 
 ORACLE_SQL = {
+    "completeness_docs": COMPLETENESS_DOCS_SQL,
     "snm_levenshtein": SNM_LEVENSHTEIN_SQL,
     "reciprocity_trade": RECIPROCITY_TRADE_SQL,
     "cusum_online": CUSUM_ONLINE_SQL,

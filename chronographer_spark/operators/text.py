@@ -900,3 +900,74 @@ def gini_concentration(
             .alias("gini_x1e6"),
         )
     )
+
+
+def completeness_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Column completeness/cardinality profile — the first page of a data
+    card and the pass that decides which columns are usable as ER keys or
+    KG attributes before FD/IND/λ profiling runs: per column, row count,
+    nulls, empty-after-trim strings, distinct non-null values, and the
+    top value with its count (pinned tie-break: max count then LARGEST
+    value string — the struct-max order both engines replay).
+
+    Scale shape: ONE explode fans each row into |cols| (col, value)
+    structs over a single scan (the fd-profile pattern); a (col, value)
+    combinable count collapses the input, and every readout — including
+    n_distinct and the argmax value — comes from ONE rollup over that
+    collapsed table (max_by with a pinned tie-break struct). Null/empty
+    counts ride the same collapsed table (null encodes as a sentinel
+    struct field, never a sentinel VALUE that could collide with data).
+    """
+    structs = [
+        F.struct(
+            F.lit(c).alias("col"),
+            F.col(c).cast("string").alias("v"),
+            F.col(c).isNull().cast("int").alias("is_null"),
+        )
+        for c in cols
+    ]
+    p = df.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+    vc = p.groupBy("col", "v", "is_null").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        vc.groupBy("col")
+        .agg(
+            F.sum("cnt").alias("n_rows"),
+            F.sum(F.when(F.col("is_null") == 1, F.col("cnt")).otherwise(0))
+            .alias("n_null"),
+            F.sum(
+                F.when(
+                    (F.col("is_null") == 0) & (F.trim(F.col("v")) == ""),
+                    F.col("cnt"),
+                ).otherwise(0)
+            ).alias("n_empty"),
+            F.count(F.when(F.col("is_null") == 0, F.lit(1))).alias("n_distinct"),
+            F.max_by(
+                F.col("v"),
+                F.when(
+                    F.col("is_null") == 0,
+                    F.struct(
+                        F.col("cnt").alias("c"),
+                        # negate lexicographic order via a paired struct is
+                        # not expressible; pin ties by max (cnt, v) instead:
+                        # max count wins, then LARGEST value string — the
+                        # pin just has to be total and replayable
+                        F.col("v").alias("tv"),
+                    ),
+                ),
+            ).alias("top_value"),
+            F.max(
+                F.when(F.col("is_null") == 0, F.col("cnt")).otherwise(
+                    F.lit(None).cast("long")
+                )
+            ).alias("top_count"),
+        )
+        .select(
+            "col",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("n_null").cast("long").alias("n_null"),
+            F.col("n_empty").cast("long").alias("n_empty"),
+            F.col("n_distinct").cast("long").alias("n_distinct"),
+            "top_value",
+            F.coalesce(F.col("top_count"), F.lit(0)).cast("long").alias("top_count"),
+        )
+    )

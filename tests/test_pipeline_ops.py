@@ -3088,3 +3088,32 @@ def test_reciprocity_profile_hand_graph(spark):
     r = reciprocity_profile(edges).collect()[0]
     assert (r["n_nodes"], r["n_edges"], r["n_reciprocal"], r["n_self"]) == (5, 6, 4, 1)
     assert r["reciprocity_x1e6"] == 4 * 1000000 // 6
+
+
+def test_completeness_profile_hand_fixture(spark):
+    """Nulls, empties, distinct counts, and the pinned (count, value)
+    arg-max replayed by hand; the null sentinel never collides with a
+    literal value."""
+    from chronographer_spark.operators.text import completeness_profile
+
+    rows = [
+        ("a", "x", None),
+        ("a", " ", 1),
+        ("b", "x", 2),
+        (None, "y", 2),
+        ("b", None, 2),
+    ]
+    df = spark.createDataFrame(rows, "c1 string, c2 string, c3 int")
+    got = {
+        r["col"]: (
+            r["n_rows"], r["n_null"], r["n_empty"], r["n_distinct"],
+            r["top_value"], r["top_count"],
+        )
+        for r in completeness_profile(df, ["c1", "c2", "c3"]).collect()
+    }
+    # c1: 5 rows, 1 null, distinct {a,b}; tie a=2 b=2 -> largest value "b"
+    assert got["c1"] == (5, 1, 0, 2, "b", 2)
+    # c2: 1 null, 1 empty-after-trim (" "), distinct {x," ",y}; top "x"=2
+    assert got["c2"] == (5, 1, 1, 3, "x", 2)
+    # c3 ints cast to string; top "2"=3
+    assert got["c3"] == (5, 1, 0, 2, "2", 3)
