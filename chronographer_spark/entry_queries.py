@@ -9517,6 +9517,99 @@ FROM s2 WHERE s_scaled > 2 * total_events
 
 
 # ---------------------------------------------------------------------------
+# Q: Benford first-digit forensics over order totals
+# ---------------------------------------------------------------------------
+
+
+def q_benford_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-digit profile of o_totalprice: TPC-H prices are synthetic
+    sums of uniform draws, so the profile deviates from Benford with the
+    characteristic mid-digit hump — exactly what the forensic exists to
+    flag."""
+    from .operators.text import benford_profile
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("value")
+    )
+    return benford_profile(o, value_col="value").select(
+        "digit", "n", "share_x1e6", "benford_x1e6", "dev_x1e6"
+    )
+
+
+BENFORD_ORDERS_SQL = """
+WITH exp(digit, benford_x1e6) AS (
+  VALUES (1, 301029), (2, 176091), (3, 124938), (4, 96910), (5, 79181),
+         (6, 66946), (7, 57991), (8, 51152), (9, 45757)
+),
+scaled AS (
+  SELECT CAST(floor(abs(o_totalprice) * 1000000) AS BIGINT) AS s
+  FROM orders
+),
+d AS (
+  SELECT CAST(substring(CAST(s AS VARCHAR), 1, 1) AS INT) AS digit,
+         CAST(count(*) AS BIGINT) AS n
+  FROM scaled WHERE s > 0 GROUP BY 1
+),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM d)
+SELECT d.digit, d.n,
+       CAST(d.n * 1000000 // t.tot AS BIGINT) AS share_x1e6,
+       CAST(exp.benford_x1e6 AS BIGINT) AS benford_x1e6,
+       CAST(d.n * 1000000 // t.tot - exp.benford_x1e6 AS BIGINT) AS dev_x1e6
+FROM d JOIN exp ON d.digit = exp.digit CROSS JOIN t
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: n-gram novelty curve over the documents corpus
+# ---------------------------------------------------------------------------
+
+
+def q_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus saturation in doc_id order, 100-doc buckets, word 3-grams:
+    the word-soup corpus repeats heavily, so the curve drops fast from
+    its all-novel first bucket — the dedup-ROI readout."""
+    from .operators.text import ngram_novelty_curve
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return ngram_novelty_curve(
+        docs, text_col="text", id_col="doc_id", n=3, bucket_size=100
+    ).select("bucket", "n_grams", "n_novel", "cum_novel", "cum_grams", "novelty_x1e6")
+
+
+NOVELTY_CURVE_SQL = """
+WITH toks AS (
+  SELECT doc_id // 100 AS bkt, string_split(text, ' ') AS w
+  FROM documents WHERE len(string_split(text, ' ')) >= 3
+),
+grams AS (
+  SELECT bkt, list_aggr(w[i : i + 2], 'string_agg', ' ') AS g
+  FROM toks, unnest(generate_series(1, len(w) - 2)) AS t(i)
+),
+first AS (
+  SELECT g, CAST(min(bkt) AS BIGINT) AS bkt FROM grams GROUP BY g
+),
+novel AS (
+  SELECT bkt, CAST(count(*) AS BIGINT) AS n_novel FROM first GROUP BY bkt
+),
+tot AS (
+  SELECT bkt, CAST(count(*) AS BIGINT) AS n_grams FROM grams GROUP BY bkt
+),
+cur AS (
+  SELECT t.bkt, t.n_grams, coalesce(nv.n_novel, 0) AS n_novel,
+         CAST(sum(coalesce(nv.n_novel, 0)) OVER w AS BIGINT) AS cum_novel,
+         CAST(sum(t.n_grams) OVER w AS BIGINT) AS cum_grams
+  FROM tot t LEFT JOIN novel nv ON t.bkt = nv.bkt
+  WINDOW w AS (ORDER BY t.bkt ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)
+)
+SELECT CAST(bkt AS BIGINT) AS bucket, n_grams,
+       CAST(n_novel AS BIGINT) AS n_novel, cum_novel, cum_grams,
+       CAST(cum_novel * 1000000 // cum_grams AS BIGINT) AS novelty_x1e6
+FROM cur
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: column completeness/cardinality profile of documents
 # ---------------------------------------------------------------------------
 
@@ -10552,10 +10645,14 @@ QUERIES = {
     "snm_levenshtein": q_snm_levenshtein,
     "reciprocity_trade": q_reciprocity_trade,
     "completeness_docs": q_completeness_docs,
+    "benford_orders": q_benford_orders,
+    "novelty_curve": q_novelty_curve,
 }
 
 ORACLE_SQL = {
     "completeness_docs": COMPLETENESS_DOCS_SQL,
+    "benford_orders": BENFORD_ORDERS_SQL,
+    "novelty_curve": NOVELTY_CURVE_SQL,
     "snm_levenshtein": SNM_LEVENSHTEIN_SQL,
     "reciprocity_trade": RECIPROCITY_TRADE_SQL,
     "cusum_online": CUSUM_ONLINE_SQL,

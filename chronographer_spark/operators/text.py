@@ -971,3 +971,115 @@ def completeness_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
             F.coalesce(F.col("top_count"), F.lit(0)).cast("long").alias("top_count"),
         )
     )
+
+
+# floor(log10(1 + 1/d) * 1e6) for d = 1..9 — Benford's law expected shares
+# as exact integer literals, so neither engine evaluates a log at runtime.
+BENFORD_X1E6 = (301029, 176091, 124938, 96910, 79181, 66946, 57991, 51152, 45757)
+
+
+def benford_profile(
+    df: DataFrame,
+    value_col: str = "value",
+) -> DataFrame:
+    """First-significant-digit profile vs Benford's law — the synthetic-
+    data / fabricated-metrics forensic: naturally-occurring multiplicative
+    quantities follow P(d) = log10(1 + 1/d); uniform generators (like this
+    fixture's) deviate with a signature excess on high digits. Emits exact
+    observed shares beside the expected constants plus the per-digit
+    deviation, all integers (the log10 constants are baked literals, never
+    runtime floats).
+
+    Rows with value <= 0 or NULL are excluded (first significant digit is
+    undefined); the first digit is extracted LEXICALLY from the plain
+    decimal rendering of floor(abs(value) * 1e6) — pure integer string
+    logic both engines share, no float formatting drift.
+
+    Scale shape: map-side digit extraction, ONE 9-key combinable groupBy,
+    expected table joined as a 9-row broadcast. Returns (digit, n,
+    share_x1e6, benford_x1e6, dev_x1e6 = share − expected).
+    """
+    spark = df.sparkSession
+    exp_rows = [(i + 1, v) for i, v in enumerate(BENFORD_X1E6)]
+    expected = spark.createDataFrame(exp_rows, "digit int, benford_x1e6 long")
+    scaled = df.select(
+        F.floor(F.abs(F.col(value_col)) * 1000000).cast("long").alias("__s")
+    ).filter(F.col("__s") > 0)
+    digits = scaled.select(
+        F.substring(F.col("__s").cast("string"), 1, 1).cast("int").alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("__t"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .join(F.broadcast(expected), "digit")
+        .select(
+            "digit",
+            F.col("n").cast("long").alias("n"),
+            F.expr("n * 1000000 DIV __t").cast("long").alias("share_x1e6"),
+            "benford_x1e6",
+            (F.expr("n * 1000000 DIV __t") - F.col("benford_x1e6"))
+            .cast("long")
+            .alias("dev_x1e6"),
+        )
+    )
+
+
+def ngram_novelty_curve(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    bucket_size: int = 100,
+) -> DataFrame:
+    """Corpus saturation curve: cumulative distinct word n-grams as the
+    corpus grows in ``id_col`` order, bucketed every ``bucket_size`` docs —
+    the dedup-ROI estimator (a curve that flattens early says new documents
+    add little novel text; the slope at the tail prices further crawling).
+
+    Exact semantics: an n-gram's FIRST occurrence is the minimum doc bucket
+    containing it; per-bucket first-occurrence counts then a cumulative
+    window over the ≤ (n_docs/bucket_size)-row bucket table. share_x1e6 is
+    cumulative novel grams ·1e6 DIV cumulative total grams (both exact).
+
+    Scale shape: the gram explode is the only corpus-scale stage (same
+    shape as every shingle pipeline here); min-bucket per gram and per-
+    bucket totals are combinable aggs; the cumulative window runs on the
+    collapsed bucket table, never the grams. The gram table is consumed
+    by BOTH rollups — eagerly checkpointed (tf/df rule).
+    """
+    toks = F.split(F.col(text_col), " ")
+    grams = (
+        df.select(
+            (F.col(id_col).cast("long") / bucket_size).cast("long").alias("__bkt"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - n),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+                )
+            ).alias("__g"),
+        )
+        .filter(F.size(toks) >= n)
+        .localCheckpoint(eager=True)
+    )
+    first = grams.groupBy("__g").agg(F.min("__bkt").alias("__bkt"))
+    novel = first.groupBy("__bkt").agg(F.count(F.lit(1)).alias("n_novel"))
+    totals = grams.groupBy("__bkt").agg(F.count(F.lit(1)).alias("n_grams"))
+    w = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        totals.join(novel, "__bkt", "left")
+        .select(
+            F.col("__bkt").cast("long").alias("bucket"),
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.coalesce(F.col("n_novel"), F.lit(0)).cast("long").alias("n_novel"),
+        )
+        .withColumn("cum_novel", F.sum("n_novel").over(w).cast("long"))
+        .withColumn("cum_grams", F.sum("n_grams").over(w).cast("long"))
+        .withColumn(
+            "novelty_x1e6",
+            F.expr("cum_novel * 1000000 DIV cum_grams").cast("long"),
+        )
+    )

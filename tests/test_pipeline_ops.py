@@ -3117,3 +3117,56 @@ def test_completeness_profile_hand_fixture(spark):
     assert got["c2"] == (5, 1, 1, 3, "x", 2)
     # c3 ints cast to string; top "2"=3
     assert got["c3"] == (5, 1, 0, 2, "2", 3)
+
+
+def test_benford_profile_matches_model(spark):
+    """Digit extraction from the scaled-integer rendering, exact shares,
+    and zero/negative/null exclusion — vs a Python replica."""
+    from collections import Counter
+
+    from chronographer_spark.operators.text import BENFORD_X1E6, benford_profile
+
+    vals = [1.0, 1.5, 19.0, 0.002, 23.0, 31.0, 345.6, 0.0, -27.0, None, 9.9]
+    df = spark.createDataFrame([(v,) for v in vals], "value double")
+    got = {
+        r["digit"]: (r["n"], r["share_x1e6"], r["benford_x1e6"], r["dev_x1e6"])
+        for r in benford_profile(df).collect()
+    }
+    kept = [abs(v) for v in vals if v is not None and abs(v) > 0]
+    digits = Counter(int(str(int(v * 1000000))[0]) for v in kept)
+    t = sum(digits.values())
+    exp = {
+        d: (c, c * 1000000 // t, BENFORD_X1E6[d - 1],
+            c * 1000000 // t - BENFORD_X1E6[d - 1])
+        for d, c in digits.items()
+    }
+    assert got == exp
+    assert 2 in got and got[2][0] == 3  # 0.002, 23.0, -27.0 (sign stripped)
+
+
+def test_ngram_novelty_curve_hand_fixture(spark):
+    """First-occurrence attribution, cumulative exact shares, and the
+    saturating-corpus shape: a repeated document contributes zero novel
+    grams in its later bucket."""
+    from chronographer_spark.operators.text import ngram_novelty_curve
+
+    rows = [
+        (0, "a b c d"),        # bucket 0: grams 'a b c', 'b c d' (both novel)
+        (1, "a b c e"),        # bucket 0: 'a b c' seen, 'b c e' novel
+        (2, "x y z w"),        # bucket 1: 2 novel
+        (3, "a b c d"),        # bucket 1: 0 novel (exact repeat)
+        (4, "q"),              # too short: dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["bucket"]: (
+            r["n_grams"], r["n_novel"], r["cum_novel"], r["cum_grams"],
+            r["novelty_x1e6"],
+        )
+        for r in ngram_novelty_curve(df, n=3, bucket_size=2).collect()
+    }
+    # bucket 0: 4 grams, 3 novel; bucket 1: 4 grams, 2 novel
+    assert got == {
+        0: (4, 3, 3, 4, 750000),
+        1: (4, 2, 5, 8, 625000),
+    }
