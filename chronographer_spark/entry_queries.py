@@ -9517,6 +9517,43 @@ FROM s2 WHERE s_scaled > 2 * total_events
 
 
 # ---------------------------------------------------------------------------
+# Q: trailing 7-day rolling counts per event type
+# ---------------------------------------------------------------------------
+
+
+def q_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar RANGE frames over daily counts: the first six days ramp
+    the trailing sum up (partial frames), then it plateaus — per-key,
+    both trailing aggregates from ONE window."""
+    from .operators.temporal import rolling_counts
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts")
+    return rolling_counts(
+        ev, key="event_type", ts_col="ts", bucket="day", trail_buckets=7
+    ).select(
+        "event_type",
+        F.date_format("bucket_ts", "yyyy-MM-dd").alias("day"),
+        "n_events", "trail_sum", "trail_active",
+    )
+
+
+ROLLING_7D_SQL = """
+WITH cnt AS (
+  SELECT event_type, date_trunc('day', ts) AS b,
+         CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS ep,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, strftime(b, '%Y-%m-%d') AS day, n AS n_events,
+       CAST(sum(n) OVER w AS BIGINT) AS trail_sum,
+       CAST(count(*) OVER w AS BIGINT) AS trail_active
+FROM cnt
+WINDOW w AS (PARTITION BY event_type ORDER BY ep
+             RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: Benford first-digit forensics over order totals
 # ---------------------------------------------------------------------------
 
@@ -10647,9 +10684,11 @@ QUERIES = {
     "completeness_docs": q_completeness_docs,
     "benford_orders": q_benford_orders,
     "novelty_curve": q_novelty_curve,
+    "rolling_7d": q_rolling_7d,
 }
 
 ORACLE_SQL = {
+    "rolling_7d": ROLLING_7D_SQL,
     "completeness_docs": COMPLETENESS_DOCS_SQL,
     "benford_orders": BENFORD_ORDERS_SQL,
     "novelty_curve": NOVELTY_CURVE_SQL,

@@ -837,3 +837,46 @@ def decayed_activity(
             F.sum("__w").cast("long").alias("score_x1e6"),
         )
     )
+
+
+def rolling_counts(
+    df: DataFrame,
+    key: str = "event_type",
+    ts_col: str = "ts",
+    bucket: str = "day",
+    trail_buckets: int = 7,
+) -> DataFrame:
+    """Trailing calendar-window features per key — the moving-sum/
+    moving-active-days feature block every forecasting or anomaly layer
+    consumes (7-day rolling volume, active-day density). CALENDAR
+    semantics, not row semantics: the frame is a RANGE window over the
+    bucket epoch, so gaps in activity genuinely shrink the trailing sum —
+    the distinction the ROWS-frame operators here (cusum/acf prefix sums)
+    deliberately do not make.
+
+    Exact integers throughout (counts and epoch arithmetic only). Plan
+    shape: one (key, bucket) combinable count, then ONE per-key RANGE
+    window over the collapsed table providing both trailing aggregates;
+    a bucket's frame spans [epoch − (trail−1)·width, epoch].
+
+    Returns (key, bucket_ts, n_events, trail_sum, trail_active).
+    """
+    width = 86400 if bucket == "day" else 3600
+    counts = (
+        df.select(key, F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts"))
+        .groupBy(key, "bucket_ts")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .withColumn("__epoch", F.unix_timestamp("bucket_ts"))
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy("__epoch")
+        .rangeBetween(-(int(trail_buckets) - 1) * width, 0)
+    )
+    return counts.select(
+        key,
+        "bucket_ts",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.sum("n_events").over(w).cast("long").alias("trail_sum"),
+        F.count(F.lit(1)).over(w).cast("long").alias("trail_active"),
+    )

@@ -3170,3 +3170,33 @@ def test_ngram_novelty_curve_hand_fixture(spark):
         0: (4, 3, 3, 4, 750000),
         1: (4, 2, 5, 8, 625000),
     }
+
+
+def test_rolling_counts_calendar_semantics(spark):
+    """RANGE (calendar) frames vs a Python replica: a gap in activity
+    shrinks the trailing sum — the frame is time, not rows."""
+    import datetime as dt
+
+    from chronographer_spark.operators.temporal import rolling_counts
+
+    base = dt.datetime(2024, 1, 1)
+    # active days 0,1,2 then a 5-day gap then 8,9
+    day_counts = {0: 2, 1: 3, 2: 1, 8: 4, 9: 2}
+    rows = [
+        ("k", base + dt.timedelta(days=d, minutes=i))
+        for d, n in day_counts.items()
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    got = {
+        r["bucket_ts"].day - 1: (r["n_events"], r["trail_sum"], r["trail_active"])
+        for r in rolling_counts(df, trail_buckets=3).collect()
+    }
+    exp = {}
+    for d, n in day_counts.items():
+        in_frame = [dd for dd in day_counts if d - 2 <= dd <= d]
+        exp[d] = (n, sum(day_counts[dd] for dd in in_frame), len(in_frame))
+    assert got == exp
+    # the day after the gap sees ONLY itself (days 6,7 empty)
+    assert got[8] == (4, 4, 1)
+    assert got[9] == (2, 6, 2)
