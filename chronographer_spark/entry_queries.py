@@ -9517,6 +9517,50 @@ FROM s2 WHERE s_scaled > 2 * total_events
 
 
 # ---------------------------------------------------------------------------
+# Q: group-aware K-fold balance + leakage report
+# ---------------------------------------------------------------------------
+
+
+def q_kfold_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold group split keyed on user_id over events: folds are a pure
+    function of the group key (md5), shares land near 200k ppm each, and
+    n_leaky is structurally zero — asserted, not assumed."""
+    from .operators.sampling import kfold_report
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id")
+    return kfold_report(ev, "user_id", k=5, seed=23).select(
+        "fold", "n_rows", "n_groups", "n_leaky", "share_x1e6"
+    )
+
+
+KFOLD_REPORT_SQL = """
+WITH folded AS (
+  SELECT CAST(
+           CAST(concat('0x', substr(md5('23:' || CAST(user_id AS VARCHAR)),
+                1, 8)) AS BIGINT) % 5 AS INT) AS fold,
+         user_id
+  FROM events
+),
+pg AS (
+  SELECT fold, user_id, CAST(count(*) AS BIGINT) AS n_rows
+  FROM folded GROUP BY fold, user_id
+),
+span AS (
+  SELECT user_id, CAST(count(DISTINCT fold) AS BIGINT) AS nf
+  FROM pg GROUP BY user_id
+),
+tot AS (SELECT CAST(sum(n_rows) AS BIGINT) AS t FROM pg)
+SELECT pg.fold,
+       CAST(sum(pg.n_rows) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(CASE WHEN span.nf > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_leaky,
+       CAST(sum(pg.n_rows) * 1000000 // max(tot.t) AS BIGINT) AS share_x1e6
+FROM pg JOIN span USING (user_id) CROSS JOIN tot
+GROUP BY pg.fold
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: trailing 7-day rolling counts per event type
 # ---------------------------------------------------------------------------
 
@@ -10685,10 +10729,12 @@ QUERIES = {
     "benford_orders": q_benford_orders,
     "novelty_curve": q_novelty_curve,
     "rolling_7d": q_rolling_7d,
+    "kfold_report": q_kfold_report,
 }
 
 ORACLE_SQL = {
     "rolling_7d": ROLLING_7D_SQL,
+    "kfold_report": KFOLD_REPORT_SQL,
     "completeness_docs": COMPLETENESS_DOCS_SQL,
     "benford_orders": BENFORD_ORDERS_SQL,
     "novelty_curve": NOVELTY_CURVE_SQL,

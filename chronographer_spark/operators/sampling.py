@@ -360,3 +360,77 @@ def skyline_2d(
         )
         .drop("__b", "__thr", "__x", "__ymax")
     )
+
+
+def group_kfold(
+    df: DataFrame,
+    group_col: str,
+    k: int = 5,
+    seed: int = 23,
+) -> DataFrame:
+    """Group-aware K-fold assignment: every row of a group (conversation,
+    user, document cluster) lands in the SAME fold — the split discipline
+    that prevents near-duplicate leakage across train/validation (the
+    within-group twin of cross_corpus_contamination's between-corpus
+    check). fold = md5_32(seed:group) mod k: a pure function of the group
+    key, so membership is stable under repartitioning, re-runs, and
+    independent recomputation by two pipelines (hash_rate_sample's
+    property, extended to folds).
+
+    Map-only: one expression, no shuffle, no state. Returns the input plus
+    a `fold` int column.
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(":", F.lit(str(seed)), F.col(group_col).cast("string"))
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return df.withColumn("fold", F.pmod(h, F.lit(int(k))).cast("int"))
+
+
+def kfold_report(
+    df: DataFrame,
+    group_col: str,
+    k: int = 5,
+    seed: int = 23,
+) -> DataFrame:
+    """Fold-balance + leakage readout over group_kfold: per fold, row and
+    group counts, the share of rows, and n_leaky — groups observed in more
+    than one fold, which is ZERO by construction (the assignment is a
+    function of the group key; the column exists so the invariant is
+    continuously asserted where a hand-rolled split would silently rot).
+
+    One (fold, group) combinable collapse; everything after is k-row
+    arithmetic.
+    """
+    folded = group_kfold(df, group_col, k=k, seed=seed)
+    per_group = folded.groupBy("fold", group_col).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    span = per_group.groupBy(group_col).agg(
+        F.countDistinct("fold").alias("__nf")
+    )
+    total = per_group.agg(F.sum("n_rows").alias("__t"))
+    return (
+        per_group.join(span, group_col)
+        .groupBy("fold")
+        .agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum(F.when(F.col("__nf") > 1, 1).otherwise(0)).alias("n_leaky"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "fold",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("n_groups").cast("long").alias("n_groups"),
+            F.col("n_leaky").cast("long").alias("n_leaky"),
+            F.expr("n_rows * 1000000 DIV __t").cast("long").alias("share_x1e6"),
+        )
+    )

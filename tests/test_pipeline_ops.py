@@ -3200,3 +3200,31 @@ def test_rolling_counts_calendar_semantics(spark):
     # the day after the gap sees ONLY itself (days 6,7 empty)
     assert got[8] == (4, 4, 1)
     assert got[9] == (2, 6, 2)
+
+
+def test_group_kfold_stability_and_leakage(spark):
+    """Fold assignment is a pure function of the group key (same fold for
+    every row of a group, identical across independent calls and k-subset
+    inputs); the report shows zero leakage and exact shares."""
+    from chronographer_spark.operators.sampling import group_kfold, kfold_report
+
+    rows = [(f"g{i % 20}", i) for i in range(200)]
+    df = spark.createDataFrame(rows, "conv_id string, i long")
+    folded = group_kfold(df, "conv_id", k=4).collect()
+    by_group = {}
+    for r in folded:
+        by_group.setdefault(r["conv_id"], set()).add(r["fold"])
+    assert all(len(s) == 1 for s in by_group.values())
+    assert {f for s in by_group.values() for f in s} <= {0, 1, 2, 3}
+
+    # stability: a subset input yields the same assignment per group
+    sub = group_kfold(df.filter(F.col("i") < 50), "conv_id", k=4).collect()
+    for r in sub:
+        assert {r["fold"]} == by_group[r["conv_id"]]
+
+    rep = {r["fold"]: (r["n_rows"], r["n_groups"], r["n_leaky"], r["share_x1e6"])
+           for r in kfold_report(df, "conv_id", k=4).collect()}
+    assert sum(v[0] for v in rep.values()) == 200
+    assert sum(v[1] for v in rep.values()) == 20
+    assert all(v[2] == 0 for v in rep.values())
+    assert all(v[3] == v[0] * 1000000 // 200 for v in rep.values())
