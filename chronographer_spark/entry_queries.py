@@ -9517,6 +9517,80 @@ FROM s2 WHERE s_scaled > 2 * total_events
 
 
 # ---------------------------------------------------------------------------
+# Q: GCN-style feature propagation over a ring+skip fixture graph
+# ---------------------------------------------------------------------------
+
+
+def q_feature_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two smoothing rounds over vec_ids wired as a ring with +7 skip
+    edges (a deterministic fixture graph derived from the embeddings
+    table itself — the operator is graph-agnostic; production edges come
+    from the canonicalization/co-occurrence joins). Features: the first 4
+    embedding dims quantized x1000; output stays exploded (node, dim,
+    val) for exact integer compare."""
+    from .operators.graph_algos import feature_propagation
+
+    emb = _t(spark, sf_dir, "embeddings")
+    n = emb.agg(F.count(F.lit(1)).alias("c"))
+    feats = emb.select(
+        F.col("vec_id").alias("node"),
+        F.transform(
+            F.slice("embedding", 1, 4),
+            lambda x: F.floor(x.cast("double") * 1000 + F.lit(0.5)).cast("long"),
+        ).alias("vec"),
+    )
+    base = emb.select("vec_id").crossJoin(F.broadcast(n))
+    edges = base.select(
+        F.col("vec_id").alias("src"),
+        F.pmod(F.col("vec_id") + 1, F.col("c")).alias("dst"),
+    ).unionAll(
+        base.select(
+            F.col("vec_id").alias("src"),
+            F.pmod(F.col("vec_id") + 7, F.col("c")).alias("dst"),
+        )
+    )
+    return feature_propagation(edges, feats, rounds=2).select(
+        "node", "dim", "val"
+    )
+
+
+FEATURE_PROP_SQL = """
+WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS c FROM embeddings),
+f0 AS (
+  SELECT vec_id AS node, CAST(i - 1 AS INT) AS dim,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+           AS val
+  FROM embeddings, unnest(generate_series(1, 4)) AS t(i)
+),
+e AS (
+  SELECT vec_id AS src, (vec_id + 1) % nn.c AS dst FROM embeddings, nn
+  UNION ALL
+  SELECT vec_id, (vec_id + 7) % nn.c FROM embeddings, nn
+),
+a1 AS (
+  SELECT e.dst AS node, g.dim, CAST(sum(g.val) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM e JOIN f0 g ON g.node = e.src GROUP BY e.dst, g.dim
+),
+f1 AS (
+  SELECT f.node, f.dim,
+         CAST(CASE WHEN a1.n IS NULL THEN f.val
+                   ELSE (f.val + a1.s) // (1 + a1.n) END AS BIGINT) AS val
+  FROM f0 f LEFT JOIN a1 ON f.node = a1.node AND f.dim = a1.dim
+),
+a2 AS (
+  SELECT e.dst AS node, g.dim, CAST(sum(g.val) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM e JOIN f1 g ON g.node = e.src GROUP BY e.dst, g.dim
+)
+SELECT f.node, f.dim,
+       CAST(CASE WHEN a2.n IS NULL THEN f.val
+                 ELSE (f.val + a2.s) // (1 + a2.n) END AS BIGINT) AS val
+FROM f1 f LEFT JOIN a2 ON f.node = a2.node AND f.dim = a2.dim
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: group-aware K-fold balance + leakage report
 # ---------------------------------------------------------------------------
 
@@ -10730,9 +10804,11 @@ QUERIES = {
     "novelty_curve": q_novelty_curve,
     "rolling_7d": q_rolling_7d,
     "kfold_report": q_kfold_report,
+    "feature_propagation": q_feature_propagation,
 }
 
 ORACLE_SQL = {
+    "feature_propagation": FEATURE_PROP_SQL,
     "rolling_7d": ROLLING_7D_SQL,
     "kfold_report": KFOLD_REPORT_SQL,
     "completeness_docs": COMPLETENESS_DOCS_SQL,

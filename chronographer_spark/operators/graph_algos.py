@@ -1694,3 +1694,75 @@ def reciprocity_profile(
         )
         .alias("reciprocity_x1e6"),
     )
+
+
+def feature_propagation(
+    edges: DataFrame,
+    feats: DataFrame,
+    node_col: str = "node",
+    vec_col: str = "vec",
+    rounds: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    assemble: bool = False,
+) -> DataFrame:
+    """GCN-style feature smoothing over the graph (the aggregation step of
+    Kipf & Welling 2017 / the "feature propagation" missing-feature filler
+    of Rossi 2021): for ``rounds`` synchronous rounds, each node's vector
+    becomes the SELF-INCLUSIVE mean of itself and its in-neighbors,
+    element-wise — the cheapest graph×vector primitive that turns entity
+    embeddings + KG edges into neighborhood-aware features without a
+    training loop.
+
+    Exact integers: vectors are pre-quantized longs (callers quantize via
+    floor(x·K + 0.5), the repo-wide convention); each round computes
+    (self + Σ neighbors) DIV (1 + n_neighbors) per dimension — truncated
+    integer division both engines replay bit-for-bit. Nodes with no
+    in-edges keep their vector unchanged.
+
+    Scale shape: features live EXPLODED as (node, dim, val) rows across
+    rounds — one posexplode up front, one (node, dim) re-assembly at the
+    end if ``assemble`` — so each round is ONE edge join (fans src values
+    to dst, AQE-skew-split on hubs) + ONE (node, dim) combinable agg +
+    ONE left join back, with per-round eager localCheckpoint lineage cuts
+    like every iterative loop in this module. Cost rides |E|·d per round:
+    keep d small (PCA/sliced embeddings) — the honest cost of the
+    operation, stated rather than hidden.
+
+    Returns (node, dim, val) exploded rows, or (node, vec) when
+    ``assemble`` (array ordered by dim via sorted-struct collect).
+    """
+    d = feats.select(
+        F.col(node_col).alias("node"),
+        F.posexplode(F.col(vec_col)).alias("dim", "val"),
+    ).localCheckpoint(eager=True)
+    e = edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"))
+    for _ in range(rounds):
+        nbr = (
+            e.join(d, e["_s"] == d["node"])
+            .groupBy(F.col("_d").alias("node"), "dim")
+            .agg(F.sum("val").alias("__s"), F.count(F.lit(1)).alias("__n"))
+        )
+        d = (
+            d.join(nbr, ["node", "dim"], "left")
+            .select(
+                "node",
+                "dim",
+                F.when(F.col("__n").isNull(), F.col("val"))
+                .otherwise(
+                    F.expr("(val + __s) DIV (1 + __n)").cast("long")
+                )
+                .alias("val"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    if not assemble:
+        return d
+    return d.groupBy("node").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("dim"), F.col("val")))
+            ),
+            lambda s: s["val"],
+        ).alias("vec")
+    )

@@ -3228,3 +3228,48 @@ def test_group_kfold_stability_and_leakage(spark):
     assert sum(v[1] for v in rep.values()) == 20
     assert all(v[2] == 0 for v in rep.values())
     assert all(v[3] == v[0] * 1000000 // 200 for v in rep.values())
+
+
+def test_feature_propagation_matches_model(spark):
+    """Two smoothing rounds on a hand graph vs a Python replica of the
+    exact self-inclusive integer-mean recurrence; isolated nodes keep
+    their vector; assemble=True returns dim-ordered arrays."""
+    from chronographer_spark.operators.graph_algos import feature_propagation
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "b")], "src string, dst string"
+    )
+    feats = spark.createDataFrame(
+        [("a", [100, 0]), ("b", [0, 100]), ("c", [50, 50]), ("z", [7, 7])],
+        "node string, vec array<long>",
+    )
+    got = {
+        (r["node"], r["dim"]): r["val"]
+        for r in feature_propagation(edges, feats, rounds=2).collect()
+    }
+
+    def tdiv(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    vecs = {"a": [100, 0], "b": [0, 100], "c": [50, 50], "z": [7, 7]}
+    inn = {"b": ["a", "c"], "c": ["b"]}
+    for _ in range(2):
+        vecs = {
+            n: [
+                tdiv(v[i] + sum(vecs[u][i] for u in inn.get(n, [])),
+                     1 + len(inn.get(n, [])))
+                if n in inn else v[i]
+                for i in range(2)
+            ]
+            for n, v in vecs.items()
+        }
+    exp = {(n, i): v[i] for n, v in vecs.items() for i in range(2)}
+    assert got == exp
+    assert got[("z", 0)] == 7  # isolate untouched
+
+    asm = {
+        r["node"]: r["vec"]
+        for r in feature_propagation(edges, feats, rounds=2, assemble=True).collect()
+    }
+    assert asm == {n: [vecs[n][0], vecs[n][1]] for n in vecs}
