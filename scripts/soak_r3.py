@@ -992,6 +992,61 @@ def main() -> None:
         assert agg["s"] > 0
         return agg["n"]
 
+    def job_featprop():
+        # ring+skip graph over replicated vec ids: |E| = 2n rides repl,
+        # d = 8 dims; per-round cost is the (node, dim) agg — the honest
+        # |E|·d shape
+        from chronographer_spark.operators.graph_algos import feature_propagation
+
+        n_nodes = emb_r.count()
+        feats = emb_r.select(
+            F.col("vec_id").alias("node"),
+            F.transform(
+                F.slice("embedding", 1, 8),
+                lambda x: F.floor(x.cast("double") * 1000 + F.lit(0.5)).cast("long"),
+            ).alias("vec"),
+        )
+        base = emb_r.select("vec_id")
+        edges = base.select(
+            F.col("vec_id").alias("src"),
+            F.pmod(F.col("vec_id") + 1, F.lit(n_nodes)).alias("dst"),
+        ).unionAll(
+            base.select(
+                F.col("vec_id").alias("src"),
+                F.pmod(F.col("vec_id") + 7, F.lit(n_nodes)).alias("dst"),
+            )
+        )
+        out = feature_propagation(edges, feats, rounds=2)
+        agg = out.agg(F.count(F.lit(1)).alias("n"), F.sum("val").alias("s")).first()
+        assert agg["n"] > 0
+        return agg["n"]
+
+    def job_snm_lev():
+        # window-5 candidates ride n linearly; each pair pays a <=64x64 DP
+        from chronographer_spark.linking.blocking import blocked_levenshtein_pairs
+
+        keyed = docs_r.select(
+            F.substring("text", 1, 16).alias("key"), "doc_id", "text"
+        )
+        out = blocked_levenshtein_pairs(
+            keyed, ["key"], "doc_id", "text", window=5, max_dist=8
+        )
+        agg = out.agg(F.count(F.lit(1)).alias("n"), F.sum("lev").alias("s")).first()
+        assert agg["n"] > 0
+        return agg["n"]
+
+    def job_novelty():
+        # gram explode rides corpus size; replicas make later buckets
+        # pure repeats, so the curve's tail novelty collapses on purpose
+        from chronographer_spark.operators.text import ngram_novelty_curve
+
+        out = ngram_novelty_curve(docs_r, n=3, bucket_size=1000)
+        agg = out.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("n_novel").alias("s")
+        ).first()
+        assert agg["s"] > 0
+        return agg["n"]
+
     jobs = [
         ("pack", job_pack),
         ("bpe", job_bpe),
@@ -1044,6 +1099,9 @@ def main() -> None:
         ("acf", job_acf),
         ("cohort", job_cohort),
         ("copurchase", job_copurchase),
+        ("featprop", job_featprop),
+        ("snm_lev", job_snm_lev),
+        ("novelty", job_novelty),
     ]
     only = set(sys.argv[3:])
     for name, fn in jobs:
