@@ -9517,6 +9517,129 @@ FROM s2 WHERE s_scaled > 2 * total_events
 
 
 # ---------------------------------------------------------------------------
+# Q: rdfs:domain/range induction over a TPC-H entity KG
+# ---------------------------------------------------------------------------
+
+
+def q_domain_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG built in-query from TPC-H entities: in_nation has a MIXED domain
+    (customers outnumber suppliers 15:1 — share ~937500), in_region is
+    clean; nations/regions are multi-typed with 'Place' so the
+    extensional counting path is exercised."""
+    from .graph.constraints import induce_domain_range
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.concat(F.lit("c"), F.col("c_custkey")).alias("s"),
+        F.lit("in_nation").alias("p"),
+        F.concat(F.lit("n"), F.col("c_nationkey")).alias("o"),
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.concat(F.lit("s"), F.col("s_suppkey")).alias("s"),
+        F.lit("in_nation").alias("p"),
+        F.concat(F.lit("n"), F.col("s_nationkey")).alias("o"),
+    )
+    n = _t(spark, sf_dir, "nation").select(
+        F.concat(F.lit("n"), F.col("n_nationkey")).alias("s"),
+        F.lit("in_region").alias("p"),
+        F.concat(F.lit("r"), F.col("n_regionkey")).alias("o"),
+    )
+    triples = c.unionAll(s).unionAll(n)
+    types = (
+        _t(spark, sf_dir, "customer")
+        .select(F.concat(F.lit("c"), F.col("c_custkey")).alias("node"),
+                F.lit("Customer").alias("type"))
+        .unionAll(
+            _t(spark, sf_dir, "supplier").select(
+                F.concat(F.lit("s"), F.col("s_suppkey")).alias("node"),
+                F.lit("Supplier").alias("type"))
+        )
+        .unionAll(
+            _t(spark, sf_dir, "nation").select(
+                F.concat(F.lit("n"), F.col("n_nationkey")).alias("node"),
+                F.lit("Nation").alias("type"))
+        )
+        .unionAll(
+            _t(spark, sf_dir, "nation").select(
+                F.concat(F.lit("n"), F.col("n_nationkey")).alias("node"),
+                F.lit("Place").alias("type"))
+        )
+        .unionAll(
+            _t(spark, sf_dir, "region").select(
+                F.concat(F.lit("r"), F.col("r_regionkey")).alias("node"),
+                F.lit("Region").alias("type"))
+        )
+        .unionAll(
+            _t(spark, sf_dir, "region").select(
+                F.concat(F.lit("r"), F.col("r_regionkey")).alias("node"),
+                F.lit("Place").alias("type"))
+        )
+    )
+    return induce_domain_range(triples, types).select(
+        "p", "n_triples", "domain_type", "domain_share_x1e6",
+        "range_type", "range_share_x1e6",
+    )
+
+
+DOMAIN_RANGE_SQL = """
+WITH triples AS (
+  SELECT 'c' || CAST(c_custkey AS VARCHAR) AS s, 'in_nation' AS p,
+         'n' || CAST(c_nationkey AS VARCHAR) AS o FROM customer
+  UNION ALL
+  SELECT 's' || CAST(s_suppkey AS VARCHAR), 'in_nation',
+         'n' || CAST(s_nationkey AS VARCHAR) FROM supplier
+  UNION ALL
+  SELECT 'n' || CAST(n_nationkey AS VARCHAR), 'in_region',
+         'r' || CAST(n_regionkey AS VARCHAR) FROM nation
+),
+types AS (
+  SELECT 'c' || CAST(c_custkey AS VARCHAR) AS node, 'Customer' AS typ
+  FROM customer
+  UNION ALL
+  SELECT 's' || CAST(s_suppkey AS VARCHAR), 'Supplier' FROM supplier
+  UNION ALL
+  SELECT 'n' || CAST(n_nationkey AS VARCHAR), 'Nation' FROM nation
+  UNION ALL
+  SELECT 'n' || CAST(n_nationkey AS VARCHAR), 'Place' FROM nation
+  UNION ALL
+  SELECT 'r' || CAST(r_regionkey AS VARCHAR), 'Region' FROM region
+  UNION ALL
+  SELECT 'r' || CAST(r_regionkey AS VARCHAR), 'Place' FROM region
+),
+nt AS (SELECT p, CAST(count(*) AS BIGINT) AS n_triples FROM triples GROUP BY p),
+dside AS (
+  SELECT p, typ, CAST(count(*) AS BIGINT) AS cnt
+  FROM triples JOIN types ON triples.s = types.node GROUP BY p, typ
+),
+dtop AS (
+  SELECT p, typ, cnt,
+         CAST(sum(cnt) OVER (PARTITION BY p) AS BIGINT) AS typed,
+         row_number() OVER (PARTITION BY p ORDER BY cnt DESC, typ DESC) AS rn
+  FROM dside
+),
+rside AS (
+  SELECT p, typ, CAST(count(*) AS BIGINT) AS cnt
+  FROM triples JOIN types ON triples.o = types.node GROUP BY p, typ
+),
+rtop AS (
+  SELECT p, typ, cnt,
+         CAST(sum(cnt) OVER (PARTITION BY p) AS BIGINT) AS typed,
+         row_number() OVER (PARTITION BY p ORDER BY cnt DESC, typ DESC) AS rn
+  FROM rside
+)
+SELECT nt.p, nt.n_triples,
+       d.typ AS domain_type,
+       CAST(coalesce(d.cnt * 1000000 // d.typed, 0) AS BIGINT)
+         AS domain_share_x1e6,
+       r.typ AS range_type,
+       CAST(coalesce(r.cnt * 1000000 // r.typed, 0) AS BIGINT)
+         AS range_share_x1e6
+FROM nt
+LEFT JOIN (SELECT * FROM dtop WHERE rn = 1) d ON nt.p = d.p
+LEFT JOIN (SELECT * FROM rtop WHERE rn = 1) r ON nt.p = r.p
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: GCN-style feature propagation over a ring+skip fixture graph
 # ---------------------------------------------------------------------------
 
@@ -10805,10 +10928,12 @@ QUERIES = {
     "rolling_7d": q_rolling_7d,
     "kfold_report": q_kfold_report,
     "feature_propagation": q_feature_propagation,
+    "domain_range": q_domain_range,
 }
 
 ORACLE_SQL = {
     "feature_propagation": FEATURE_PROP_SQL,
+    "domain_range": DOMAIN_RANGE_SQL,
     "rolling_7d": ROLLING_7D_SQL,
     "kfold_report": KFOLD_REPORT_SQL,
     "completeness_docs": COMPLETENESS_DOCS_SQL,

@@ -438,3 +438,75 @@ def gk_lambda(df: DataFrame, pairs) -> DataFrame:
             .alias("lambda_x1e6"),
         )
     )
+
+
+def induce_domain_range(
+    triples: DataFrame,
+    types: DataFrame,
+    s_col: str = "s",
+    p_col: str = "p",
+    o_col: str = "o",
+    node_col: str = "node",
+    type_col: str = "type",
+) -> DataFrame:
+    """rdfs:domain / rdfs:range induction per predicate: the most common
+    subject type and object type with exact support quotients — the
+    schema-induction pass that completes the constraints family
+    (subclass containment, disjointness overlap, FD/λ column association)
+    on the TRIPLE level: transcript-scale KGs declare no schema, so
+    domain/range must be mined before validation rules can fire
+    (the reference hardcodes its FRED/SEM signatures; this induces them).
+
+    Multi-typed nodes contribute one observation per type (standard
+    extensional counting); share_x1e6 = top-type observations ·1e6 DIV
+    typed observations on that side, the usual exact quotient. Tie pin:
+    max (count, type) struct — largest count then largest type string,
+    replayed by the oracle's (cnt DESC, type DESC) rank.
+
+    Scale shape: two triples→types hash joins (the type table is
+    entity-count-scale; broadcast when dimensional), per-(p, side, type)
+    combinable counts, max_by arg-max on the collapsed table, one |p|-row
+    join to stitch sides. Untyped subjects/objects fall out of their
+    side's quotient (absent, not zero-weighted).
+
+    Returns (p, n_triples, domain_type, domain_share_x1e6, range_type,
+    range_share_x1e6); a predicate whose side has NO typed nodes reads
+    NULL type and 0 share on that side.
+    """
+    t = types.select(
+        F.col(node_col).alias("__n"), F.col(type_col).alias("__t")
+    ).distinct()
+    base = triples.select(
+        F.col(s_col).alias("__s"), F.col(p_col).alias("__p"), F.col(o_col).alias("__o")
+    )
+    n_tr = base.groupBy("__p").agg(F.count(F.lit(1)).alias("n_triples"))
+
+    def side(col: str, prefix: str) -> DataFrame:
+        typed = (
+            base.join(t, base[col] == t["__n"])
+            .groupBy("__p", "__t")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        return typed.groupBy("__p").agg(
+            F.sum("cnt").alias(f"{prefix}_typed"),
+            F.max_by(F.col("__t"), F.struct("cnt", "__t")).alias(f"{prefix}_type"),
+            F.max(F.struct("cnt", "__t"))["cnt"].alias(f"{prefix}_cnt"),
+        )
+    dom = side("__s", "domain")
+    rng = side("__o", "range")
+    return (
+        n_tr.join(dom, "__p", "left")
+        .join(rng, "__p", "left")
+        .select(
+            F.col("__p").alias("p"),
+            F.col("n_triples").cast("long").alias("n_triples"),
+            F.col("domain_type").alias("domain_type"),
+            F.coalesce(
+                F.expr("domain_cnt * 1000000 DIV domain_typed"), F.lit(0)
+            ).cast("long").alias("domain_share_x1e6"),
+            F.col("range_type").alias("range_type"),
+            F.coalesce(
+                F.expr("range_cnt * 1000000 DIV range_typed"), F.lit(0)
+            ).cast("long").alias("range_share_x1e6"),
+        )
+    )

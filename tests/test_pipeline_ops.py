@@ -3273,3 +3273,41 @@ def test_feature_propagation_matches_model(spark):
         for r in feature_propagation(edges, feats, rounds=2, assemble=True).collect()
     }
     assert asm == {n: [vecs[n][0], vecs[n][1]] for n in vecs}
+
+
+def test_induce_domain_range_hand_kg(spark):
+    """Hand KG: multi-typed subjects count once per type, ties pin to the
+    largest (count, type), untyped objects read NULL/0."""
+    from chronographer_spark.graph.constraints import induce_domain_range
+
+    triples = spark.createDataFrame(
+        [
+            ("c1", "in", "n1"), ("c2", "in", "n1"), ("s1", "in", "n2"),
+            ("n1", "part_of", "r1"), ("n2", "part_of", "rX"),  # rX untyped
+            ("c1", "likes", "c2"),
+        ],
+        "s string, p string, o string",
+    )
+    types = spark.createDataFrame(
+        [
+            ("c1", "Customer"), ("c2", "Customer"), ("s1", "Supplier"),
+            ("c1", "Party"),  # multi-typed
+            ("n1", "Nation"), ("n2", "Nation"), ("r1", "Region"),
+        ],
+        "node string, type string",
+    )
+    got = {
+        r["p"]: (
+            r["n_triples"], r["domain_type"], r["domain_share_x1e6"],
+            r["range_type"], r["range_share_x1e6"],
+        )
+        for r in induce_domain_range(triples, types).collect()
+    }
+    # "in": subjects c1(Customer+Party), c2(Customer), s1(Supplier)
+    #   -> typed obs 4: Customer 2, Party 1, Supplier 1 -> top Customer 2/4
+    assert got["in"] == (3, "Customer", 500000, "Nation", 1000000)
+    # "part_of": range has ONE typed object (r1); rX absent from quotient
+    assert got["part_of"] == (2, "Nation", 1000000, "Region", 1000000)
+    # "likes": domain ties Customer 1 / Party 1 -> pin picks the larger
+    # type string (Party); share 1/2 of the typed observations
+    assert got["likes"] == (1, "Party", 500000, "Customer", 1000000)
