@@ -9522,65 +9522,20 @@ FROM s2 WHERE s_scaled > 2 * total_events
 
 
 def q_domain_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KG built in-query from TPC-H entities: in_nation has a MIXED domain
-    (customers outnumber suppliers 15:1 — share ~937500), in_region is
-    clean; nations/regions are multi-typed with 'Place' so the
-    extensional counting path is exercised."""
+    """KG built in-query from TPC-H entities (shared _tpch_kg fixture):
+    in_nation has a MIXED domain (customers outnumber suppliers 15:1 —
+    share ~937500), in_region is clean; nations/regions are multi-typed
+    with 'Place' so the extensional counting path is exercised."""
     from .graph.constraints import induce_domain_range
 
-    c = _t(spark, sf_dir, "customer").select(
-        F.concat(F.lit("c"), F.col("c_custkey")).alias("s"),
-        F.lit("in_nation").alias("p"),
-        F.concat(F.lit("n"), F.col("c_nationkey")).alias("o"),
-    )
-    s = _t(spark, sf_dir, "supplier").select(
-        F.concat(F.lit("s"), F.col("s_suppkey")).alias("s"),
-        F.lit("in_nation").alias("p"),
-        F.concat(F.lit("n"), F.col("s_nationkey")).alias("o"),
-    )
-    n = _t(spark, sf_dir, "nation").select(
-        F.concat(F.lit("n"), F.col("n_nationkey")).alias("s"),
-        F.lit("in_region").alias("p"),
-        F.concat(F.lit("r"), F.col("n_regionkey")).alias("o"),
-    )
-    triples = c.unionAll(s).unionAll(n)
-    types = (
-        _t(spark, sf_dir, "customer")
-        .select(F.concat(F.lit("c"), F.col("c_custkey")).alias("node"),
-                F.lit("Customer").alias("type"))
-        .unionAll(
-            _t(spark, sf_dir, "supplier").select(
-                F.concat(F.lit("s"), F.col("s_suppkey")).alias("node"),
-                F.lit("Supplier").alias("type"))
-        )
-        .unionAll(
-            _t(spark, sf_dir, "nation").select(
-                F.concat(F.lit("n"), F.col("n_nationkey")).alias("node"),
-                F.lit("Nation").alias("type"))
-        )
-        .unionAll(
-            _t(spark, sf_dir, "nation").select(
-                F.concat(F.lit("n"), F.col("n_nationkey")).alias("node"),
-                F.lit("Place").alias("type"))
-        )
-        .unionAll(
-            _t(spark, sf_dir, "region").select(
-                F.concat(F.lit("r"), F.col("r_regionkey")).alias("node"),
-                F.lit("Region").alias("type"))
-        )
-        .unionAll(
-            _t(spark, sf_dir, "region").select(
-                F.concat(F.lit("r"), F.col("r_regionkey")).alias("node"),
-                F.lit("Place").alias("type"))
-        )
-    )
+    triples, types = _tpch_kg(spark, sf_dir)
     return induce_domain_range(triples, types).select(
         "p", "n_triples", "domain_type", "domain_share_x1e6",
         "range_type", "range_share_x1e6",
     )
 
 
-DOMAIN_RANGE_SQL = """
+DOMAIN_RANGE_KG_SQL = """
 WITH triples AS (
   SELECT 'c' || CAST(c_custkey AS VARCHAR) AS s, 'in_nation' AS p,
          'n' || CAST(c_nationkey AS VARCHAR) AS o FROM customer
@@ -9636,6 +9591,164 @@ SELECT nt.p, nt.n_triples,
 FROM nt
 LEFT JOIN (SELECT * FROM dtop WHERE rn = 1) d ON nt.p = d.p
 LEFT JOIN (SELECT * FROM rtop WHERE rn = 1) r ON nt.p = r.p
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: SHACL-lite constraint validation over the TPC-H entity KG
+# ---------------------------------------------------------------------------
+
+
+def _tpch_kg(spark: SparkSession, sf_dir: str):
+    """The in-query TPC-H entity KG shared by domain_range and
+    validate_rules: triples (customers/suppliers in_nation, nations
+    in_region), types with multi-typed Place nations/regions."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.concat(F.lit("c"), F.col("c_custkey")).alias("s"),
+        F.lit("in_nation").alias("p"),
+        F.concat(F.lit("n"), F.col("c_nationkey")).alias("o"),
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.concat(F.lit("s"), F.col("s_suppkey")).alias("s"),
+        F.lit("in_nation").alias("p"),
+        F.concat(F.lit("n"), F.col("s_nationkey")).alias("o"),
+    )
+    n = _t(spark, sf_dir, "nation").select(
+        F.concat(F.lit("n"), F.col("n_nationkey")).alias("s"),
+        F.lit("in_region").alias("p"),
+        F.concat(F.lit("r"), F.col("n_regionkey")).alias("o"),
+    )
+    triples = c.unionAll(s).unionAll(n)
+    types = (
+        _t(spark, sf_dir, "customer")
+        .select(F.concat(F.lit("c"), F.col("c_custkey")).alias("node"),
+                F.lit("Customer").alias("type"))
+        .unionAll(
+            _t(spark, sf_dir, "supplier").select(
+                F.concat(F.lit("s"), F.col("s_suppkey")).alias("node"),
+                F.lit("Supplier").alias("type"))
+        )
+        .unionAll(
+            _t(spark, sf_dir, "nation").select(
+                F.concat(F.lit("n"), F.col("n_nationkey")).alias("node"),
+                F.lit("Nation").alias("type"))
+        )
+        .unionAll(
+            _t(spark, sf_dir, "nation").select(
+                F.concat(F.lit("n"), F.col("n_nationkey")).alias("node"),
+                F.lit("Place").alias("type"))
+        )
+        .unionAll(
+            _t(spark, sf_dir, "region").select(
+                F.concat(F.lit("r"), F.col("r_regionkey")).alias("node"),
+                F.lit("Region").alias("type"))
+        )
+        .unionAll(
+            _t(spark, sf_dir, "region").select(
+                F.concat(F.lit("r"), F.col("r_regionkey")).alias("node"),
+                F.lit("Place").alias("type"))
+        )
+    )
+    return triples, types
+
+
+def q_validate_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four rule kinds over the TPC-H KG: a domain rule suppliers violate
+    (~62500 ppm at every sf), a clean range rule, a clean cardinality cap,
+    and a disjointness rule every multi-typed nation violates (25/30 —
+    scale-invariant by construction)."""
+    from .graph.constraints import validate_constraints
+
+    triples, types = _tpch_kg(spark, sf_dir)
+    rules = [
+        ("dom_in_nation", "domain", "in_nation", "Customer"),
+        ("rng_in_nation", "range", "in_nation", "Place"),
+        ("one_nation", "max_card", "in_nation", "1"),
+        ("nation_place", "disjoint", "Nation", "Place"),
+    ]
+    return validate_constraints(triples, types, rules).select(
+        "rule", "kind", "n_checked", "n_violations", "viol_x1e6",
+        "example_node",
+    )
+
+
+VALIDATE_RULES_SQL = """
+WITH triples AS (
+  SELECT 'c' || CAST(c_custkey AS VARCHAR) AS s, 'in_nation' AS p,
+         'n' || CAST(c_nationkey AS VARCHAR) AS o FROM customer
+  UNION ALL
+  SELECT 's' || CAST(s_suppkey AS VARCHAR), 'in_nation',
+         'n' || CAST(s_nationkey AS VARCHAR) FROM supplier
+  UNION ALL
+  SELECT 'n' || CAST(n_nationkey AS VARCHAR), 'in_region',
+         'r' || CAST(n_regionkey AS VARCHAR) FROM nation
+),
+types AS (
+  SELECT 'c' || CAST(c_custkey AS VARCHAR) AS node, 'Customer' AS typ
+  FROM customer
+  UNION ALL
+  SELECT 's' || CAST(s_suppkey AS VARCHAR), 'Supplier' FROM supplier
+  UNION ALL
+  SELECT 'n' || CAST(n_nationkey AS VARCHAR), 'Nation' FROM nation
+  UNION ALL
+  SELECT 'n' || CAST(n_nationkey AS VARCHAR), 'Place' FROM nation
+  UNION ALL
+  SELECT 'r' || CAST(r_regionkey AS VARCHAR), 'Region' FROM region
+  UNION ALL
+  SELECT 'r' || CAST(r_regionkey AS VARCHAR), 'Place' FROM region
+),
+dom AS (
+  SELECT 'dom_in_nation' AS rule, 'domain' AS kind,
+         CAST(count(*) AS BIGINT) AS n_checked,
+         CAST(sum(CASE WHEN ok.node IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_violations,
+         min(CASE WHEN ok.node IS NULL THEN t.s END) AS example_node
+  FROM (SELECT s FROM triples WHERE p = 'in_nation') t
+  LEFT JOIN (SELECT DISTINCT node FROM types WHERE typ = 'Customer') ok
+    ON t.s = ok.node
+),
+rng AS (
+  SELECT 'rng_in_nation' AS rule, 'range' AS kind,
+         CAST(count(*) AS BIGINT) AS n_checked,
+         CAST(sum(CASE WHEN ok.node IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_violations,
+         min(CASE WHEN ok.node IS NULL THEN t.o END) AS example_node
+  FROM (SELECT o FROM triples WHERE p = 'in_nation') t
+  LEFT JOIN (SELECT DISTINCT node FROM types WHERE typ = 'Place') ok
+    ON t.o = ok.node
+),
+card AS (
+  SELECT 'one_nation' AS rule, 'max_card' AS kind,
+         CAST(count(*) AS BIGINT) AS n_checked,
+         CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_violations,
+         min(CASE WHEN n > 1 THEN s END) AS example_node
+  FROM (
+    SELECT s, CAST(count(DISTINCT o) AS BIGINT) AS n
+    FROM triples WHERE p = 'in_nation' GROUP BY s
+  )
+),
+dis AS (
+  SELECT 'nation_place' AS rule, 'disjoint' AS kind,
+         CAST(count(*) AS BIGINT) AS n_checked,
+         CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_violations,
+         min(CASE WHEN k > 1 THEN node END) AS example_node
+  FROM (
+    SELECT node, CAST(count(DISTINCT typ) AS BIGINT) AS k
+    FROM types WHERE typ IN ('Nation', 'Place') GROUP BY node
+  )
+),
+u AS (
+  SELECT * FROM dom UNION ALL SELECT * FROM rng
+  UNION ALL SELECT * FROM card UNION ALL SELECT * FROM dis
+)
+SELECT rule, kind, n_checked, n_violations,
+       CAST(CASE WHEN n_checked = 0 THEN 0
+                 ELSE n_violations * 1000000 // n_checked END AS BIGINT)
+         AS viol_x1e6,
+       example_node
+FROM u
 """
 
 
@@ -10929,11 +11042,13 @@ QUERIES = {
     "kfold_report": q_kfold_report,
     "feature_propagation": q_feature_propagation,
     "domain_range": q_domain_range,
+    "validate_rules": q_validate_rules,
 }
 
 ORACLE_SQL = {
+    "validate_rules": VALIDATE_RULES_SQL,
     "feature_propagation": FEATURE_PROP_SQL,
-    "domain_range": DOMAIN_RANGE_SQL,
+    "domain_range": DOMAIN_RANGE_KG_SQL,
     "rolling_7d": ROLLING_7D_SQL,
     "kfold_report": KFOLD_REPORT_SQL,
     "completeness_docs": COMPLETENESS_DOCS_SQL,

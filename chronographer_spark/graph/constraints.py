@@ -510,3 +510,132 @@ def induce_domain_range(
             ).cast("long").alias("range_share_x1e6"),
         )
     )
+
+
+def validate_constraints(
+    triples: DataFrame,
+    types: DataFrame,
+    rules,
+    s_col: str = "s",
+    p_col: str = "p",
+    o_col: str = "o",
+    node_col: str = "node",
+    type_col: str = "type",
+) -> DataFrame:
+    """SHACL-lite constraint validation — the enforcement half of the
+    constraints family (induce_* mines domain/range, subclass,
+    disjointness, FD; this VALIDATES a declared rule set and counts the
+    violators, the pass a KG pipeline runs per build to catch extraction
+    regressions).
+
+    ``rules``: tuples (rule_name, kind, a, b) with kinds
+      - ("r", "domain",   p, T): every subject of p must carry type T
+      - ("r", "range",    p, T): every object of p must carry type T
+      - ("r", "max_card", p, k): at most k objects per subject for p
+      - ("r", "disjoint", T1, T2): no node carries both types
+
+    Returns one row per rule: (rule, kind, n_checked, n_violations,
+    viol_x1e6 — exact quotient, 0 when nothing checked — and
+    example_node, the MINIMUM violating subject/node, pinned so the gate
+    hashes deterministically; NULL when clean).
+
+    Scale shape: each kind is one pass — domain/range join triples against
+    the BROADCAST rule table on p then left-anti-check type membership
+    with ONE (node, type) join; max_card is a (p, s) combinable count
+    against broadcast caps; disjoint is a type-filtered self-join on node.
+    Per-rule rollups are rule-count-scale; the final union is rows of
+    results, never re-executed corpus branches.
+    """
+    spark = triples.sparkSession
+    base = triples.select(
+        F.col(s_col).alias("s"), F.col(p_col).alias("p"), F.col(o_col).alias("o")
+    )
+    t = types.select(
+        F.col(node_col).alias("node"), F.col(type_col).alias("type")
+    ).distinct()
+    out = []
+
+    def _typed_check(side: str, kind: str) -> DataFrame:
+        kr = [(name, p, a) for name, k, p, a in rules if k == kind]
+        if not kr:
+            return None
+        rt = spark.createDataFrame(kr, "rule string, p string, req string")
+        checked = base.join(F.broadcast(rt), "p").select(
+            "rule", F.col(side).alias("nd"), "req"
+        )
+        ok = t.select(F.col("node").alias("nd"), F.col("type").alias("req"))
+        flagged = checked.join(ok, ["nd", "req"], "left_semi").select(
+            "rule", "nd"
+        ).withColumn("__v", F.lit(0)).unionAll(
+            checked.join(ok, ["nd", "req"], "left_anti").select(
+                "rule", "nd"
+            ).withColumn("__v", F.lit(1))
+        )
+        return flagged.groupBy("rule").agg(
+            F.count(F.lit(1)).alias("n_checked"),
+            F.sum("__v").alias("n_violations"),
+            F.min(F.when(F.col("__v") == 1, F.col("nd"))).alias("example_node"),
+        ).withColumn("kind", F.lit(kind))
+
+    dom = _typed_check("s", "domain")
+    rng = _typed_check("o", "range")
+    if dom is not None:
+        out.append(dom)
+    if rng is not None:
+        out.append(rng)
+
+    card = [(name, p, int(a)) for name, k, p, a in rules if k == "max_card"]
+    if card:
+        rt = spark.createDataFrame(card, "rule string, p string, cap int")
+        per_s = (
+            base.join(F.broadcast(rt), "p")
+            .groupBy("rule", "cap", "s")
+            .agg(F.countDistinct("o").alias("__n"))
+        )
+        out.append(
+            per_s.groupBy("rule").agg(
+                F.count(F.lit(1)).alias("n_checked"),
+                F.sum(F.when(F.col("__n") > F.col("cap"), 1).otherwise(0))
+                .alias("n_violations"),
+                F.min(F.when(F.col("__n") > F.col("cap"), F.col("s")))
+                .alias("example_node"),
+            ).withColumn("kind", F.lit("max_card"))
+        )
+
+    dis = [(name, a, b) for name, k, a, b in rules if k == "disjoint"]
+    if dis:
+        rt = spark.createDataFrame(dis, "rule string, t1 string, t2 string")
+        either = (
+            t.join(
+                F.broadcast(
+                    rt.select("rule", F.col("t1").alias("type"))
+                    .unionAll(rt.select("rule", F.col("t2").alias("type")))
+                ),
+                "type",
+            )
+            .groupBy("rule", "node")
+            .agg(F.countDistinct("type").alias("__k"))
+        )
+        out.append(
+            either.groupBy("rule").agg(
+                F.count(F.lit(1)).alias("n_checked"),
+                F.sum(F.when(F.col("__k") > 1, 1).otherwise(0))
+                .alias("n_violations"),
+                F.min(F.when(F.col("__k") > 1, F.col("node")))
+                .alias("example_node"),
+            ).withColumn("kind", F.lit("disjoint"))
+        )
+
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res.select(
+        "rule",
+        "kind",
+        F.col("n_checked").cast("long").alias("n_checked"),
+        F.col("n_violations").cast("long").alias("n_violations"),
+        F.when(F.col("n_checked") == 0, F.lit(0).cast("long"))
+        .otherwise(F.expr("n_violations * 1000000 DIV n_checked").cast("long"))
+        .alias("viol_x1e6"),
+        "example_node",
+    )

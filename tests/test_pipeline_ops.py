@@ -3311,3 +3311,45 @@ def test_induce_domain_range_hand_kg(spark):
     # "likes": domain ties Customer 1 / Party 1 -> pin picks the larger
     # type string (Party); share 1/2 of the typed observations
     assert got["likes"] == (1, "Party", 500000, "Customer", 1000000)
+
+
+def test_validate_constraints_hand_kg(spark):
+    """All four rule kinds on a hand KG with known violators; clean rules
+    read NULL example and 0 violations; the example is the MINIMUM
+    violator."""
+    from chronographer_spark.graph.constraints import validate_constraints
+
+    triples = spark.createDataFrame(
+        [
+            ("c1", "in", "n1"), ("c2", "in", "n1"), ("x9", "in", "n2"),
+            ("c1", "owns", "o1"), ("c1", "owns", "o2"), ("c2", "owns", "o3"),
+        ],
+        "s string, p string, o string",
+    )
+    types = spark.createDataFrame(
+        [
+            ("c1", "Customer"), ("c2", "Customer"),
+            ("n1", "Nation"), ("n2", "Nation"),
+            ("c1", "Robot"),  # violates human/robot disjointness
+            ("c1", "Human"), ("c2", "Human"),
+        ],
+        "node string, type string",
+    )
+    rules = [
+        ("dom_in", "domain", "in", "Customer"),     # x9 untyped -> 1 viol
+        ("rng_in", "range", "in", "Nation"),        # clean
+        ("one_owner", "max_card", "owns", "1"),     # c1 owns 2 -> 1 viol
+        ("hr", "disjoint", "Human", "Robot"),       # c1 both -> 1 viol
+    ]
+    got = {
+        r["rule"]: (
+            r["kind"], r["n_checked"], r["n_violations"], r["viol_x1e6"],
+            r["example_node"],
+        )
+        for r in validate_constraints(triples, types, rules).collect()
+    }
+    assert got["dom_in"] == ("domain", 3, 1, 333333, "x9")
+    assert got["rng_in"] == ("range", 3, 0, 0, None)
+    assert got["one_owner"] == ("max_card", 2, 1, 500000, "c1")
+    # nodes carrying Human or Robot: c1, c2 -> checked 2, c1 violates
+    assert got["hr"] == ("disjoint", 2, 1, 500000, "c1")
