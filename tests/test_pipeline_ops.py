@@ -3353,3 +3353,26 @@ def test_validate_constraints_hand_kg(spark):
     assert got["one_owner"] == ("max_card", 2, 1, 500000, "c1")
     # nodes carrying Human or Robot: c1, c2 -> checked 2, c1 violates
     assert got["hr"] == ("disjoint", 2, 1, 500000, "c1")
+
+
+def test_entry_queries_no_shadowed_definitions():
+    """A later module-level def/const silently shadows an earlier one —
+    a duplicated ORACLE *_SQL name once repointed a different query's
+    oracle (caught in-session). Parse the module and reject duplicates
+    outright."""
+    import ast
+    from collections import Counter
+
+    import chronographer_spark.entry_queries as eq
+
+    tree = ast.parse(open(eq.__file__.replace(".pyc", ".py")).read())
+    names = []
+    for node in tree.body:
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            names.append(node.name)
+        elif isinstance(node, ast.Assign):
+            for t in node.targets:
+                if isinstance(t, ast.Name):
+                    names.append(t.id)
+    dupes = [n for n, c in Counter(names).items() if c > 1]
+    assert not dupes, f"shadowed module-level definitions: {dupes}"
