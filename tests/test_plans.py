@@ -707,3 +707,82 @@ def test_cohort_retention_broadcast_age0(spark):
     plan = _plan(cohort_retention(ev))
     assert "BroadcastHashJoin" in plan, plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_gk_lambda_single_scan_checkpoint(spark):
+    """The candidate fan is one explode over a single scan; the cell
+    table is checkpointed, so the FINAL plan reads no parquet and never
+    unions corpus branches."""
+    from chronographer_spark.graph.constraints import gk_lambda
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        "user_id", "event_type"
+    )
+    plan = _plan(gk_lambda(ev, [("a", "user_id", "event_type"),
+                                ("b", "event_type", "user_id")]))
+    assert plan.count("Scan parquet") == 0, plan
+    assert "Union" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_completeness_single_scan_one_union_free_fan(spark):
+    """One explode fan over one scan — never an N-column UNION."""
+    from chronographer_spark.operators.text import completeness_profile
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(completeness_profile(docs, ["doc_id", "lang", "source"]))
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Union" not in plan, plan
+    assert "Generate explode" in plan, plan
+
+
+def test_mk_trend_pair_join_on_collapsed_table(spark):
+    """Both sides of the O(B²) pair join read the CHECKPOINTED collapsed
+    count table — the final plan reads no parquet; the join is a hash
+    equi-join on the key, never a nested loop."""
+    from chronographer_spark.operators.temporal import mk_trend
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select("event_type", "ts")
+    plan = _plan(mk_trend(ev))
+    assert plan.count("Scan parquet") == 0, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_snm_levenshtein_no_nested_loop(spark):
+    """Blocking + verify stays equi-join shaped end to end: no
+    single-partition stage, no nested-loop, no cartesian."""
+    from chronographer_spark.linking.blocking import blocked_levenshtein_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.substring("text", 1, 16).alias("key"), "doc_id", "text"
+    )
+    plan = _plan(
+        blocked_levenshtein_pairs(docs, ["key"], "doc_id", "text", window=5)
+    )
+    assert "SinglePartition" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_feature_propagation_round_shape(spark):
+    """After the per-round checkpoints the final plan is a scan of the
+    materialized (node, dim) rows — per-round work never re-enters the
+    lineage (the iterative-loop rule every round-based operator here
+    follows)."""
+    from chronographer_spark.operators.graph_algos import feature_propagation
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    feats = emb.select(
+        F.col("vec_id").alias("node"),
+        F.transform(
+            F.slice("embedding", 1, 4),
+            lambda x: F.floor(x.cast("double") * 1000 + F.lit(0.5)).cast("long"),
+        ).alias("vec"),
+    )
+    edges = emb.select(
+        F.col("vec_id").alias("src"), (F.col("vec_id") + 1).alias("dst")
+    )
+    plan = _plan(feature_propagation(edges, feats, rounds=2))
+    assert plan.count("Scan parquet") == 0, plan
+    assert "Exchange" not in plan, plan
