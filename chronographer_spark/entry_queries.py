@@ -9595,6 +9595,47 @@ LEFT JOIN (SELECT * FROM rtop WHERE rn = 1) r ON nt.p = r.p
 
 
 # ---------------------------------------------------------------------------
+# Q: label-centroid pooling over the embeddings table
+# ---------------------------------------------------------------------------
+
+
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-pool the 64-dim embeddings per label (10 centroids), then
+    re-explode the assembled arrays so the gate compares exact integers
+    row-wise — exercising quantization, the integer mean, AND the
+    dim-ordered reassembly."""
+    from .operators.similarity import pool_vectors
+
+    emb = _t(spark, sf_dir, "embeddings").select("label", "embedding")
+    pooled = pool_vectors(emb, "label", vec_col="embedding", scale=1000)
+    return pooled.select(
+        F.col("key").cast("int").alias("label"),
+        "n_vectors",
+        F.posexplode("vec").alias("dim", "val"),
+    )
+
+
+LABEL_CENTROIDS_SQL = """
+WITH q AS (
+  SELECT label, CAST(i - 1 AS INT) AS dim,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+           AS val
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+  WHERE embedding IS NOT NULL
+),
+a AS (
+  SELECT label, dim, CAST(sum(val) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM q GROUP BY label, dim
+)
+SELECT CAST(label AS INT) AS label, CAST(max(n) OVER (PARTITION BY label)
+         AS BIGINT) AS n_vectors,
+       dim, CAST(s // n AS BIGINT) AS val
+FROM a
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: SHACL-lite constraint validation over the TPC-H entity KG
 # ---------------------------------------------------------------------------
 
@@ -11043,10 +11084,12 @@ QUERIES = {
     "feature_propagation": q_feature_propagation,
     "domain_range": q_domain_range,
     "validate_rules": q_validate_rules,
+    "label_centroids": q_label_centroids,
 }
 
 ORACLE_SQL = {
     "validate_rules": VALIDATE_RULES_SQL,
+    "label_centroids": LABEL_CENTROIDS_SQL,
     "feature_propagation": FEATURE_PROP_SQL,
     "domain_range": DOMAIN_RANGE_KG_SQL,
     "rolling_7d": ROLLING_7D_SQL,

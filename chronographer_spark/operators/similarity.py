@@ -701,3 +701,56 @@ def pca_power_scores(
         .groupBy(id_col)
         .agg(F.sum(F.col("v") * F.col("w")).alias("pc1_score"))
     )
+
+
+def pool_vectors(
+    df: DataFrame,
+    key: str,
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Group-wise mean pooling of vectors — the aggregation primitive
+    between row-level embeddings and entity/conversation/source-level
+    representations (mean-pooled turn embeddings ARE the conversation
+    embedding in every practical retrieval pipeline; centroids for
+    cluster labeling; source profiles for mixture planning).
+
+    Exact integers: inputs quantize per component to floor(x·scale + 0.5)
+    (the repo-wide convention), the pooled value is the exact truncated
+    integer mean sum DIV n — both engines replay it; no float mean ever
+    materializes. Rows with NULL vectors are excluded; ragged dimensions
+    are a caller bug surfaced by the pooled array length.
+
+    Scale shape: ONE posexplode to (key, dim, val) rows, ONE (key, dim)
+    combinable agg, ONE (key) collect re-assembly ordered by dim via
+    sorted-struct transform — the same exploded-vector discipline as
+    feature_propagation, with d·n intermediate rows as the honest cost.
+
+    Returns (key, n_vectors, vec) with vec: array<long> of pooled
+    components in dim order.
+    """
+    q = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(key).alias("key"),
+        F.posexplode(
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast(
+                    "long"
+                ),
+            )
+        ).alias("dim", "val"),
+    )
+    agg = q.groupBy("key", "dim").agg(
+        F.sum("val").alias("__s"), F.count(F.lit(1)).alias("__n")
+    )
+    return agg.groupBy("key").agg(
+        F.max("__n").cast("long").alias("n_vectors"),
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("dim"), F.expr("__s DIV __n").alias("m"))
+                )
+            ),
+            lambda s: s["m"],
+        ).alias("vec"),
+    )

@@ -3376,3 +3376,32 @@ def test_entry_queries_no_shadowed_definitions():
                     names.append(t.id)
     dupes = [n for n, c in Counter(names).items() if c > 1]
     assert not dupes, f"shadowed module-level definitions: {dupes}"
+
+
+def test_pool_vectors_matches_model(spark):
+    """Exact integer mean per dimension (truncated, negatives included),
+    dim-ordered reassembly, NULL vectors excluded."""
+    from chronographer_spark.operators.similarity import pool_vectors
+
+    rows = [
+        ("a", [1.0, -0.5]), ("a", [0.5, 0.5]), ("a", [0.0, 0.26]),
+        ("b", [2.0, 2.0]),
+        ("b", None),
+    ]
+    df = spark.createDataFrame(rows, "src string, embedding array<double>")
+    got = {
+        r["key"]: (r["n_vectors"], r["vec"])
+        for r in pool_vectors(df, "src", scale=100).collect()
+    }
+
+    def tdiv(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    import math
+    a_q = [[int(math.floor(x * 100 + 0.5)) for x in v]
+           for v in ([1.0, -0.5], [0.5, 0.5], [0.0, 0.26])]
+    a_mean = [tdiv(sum(col), 3) for col in zip(*a_q)]
+    assert got["a"] == (3, a_mean)
+    assert got["b"] == (1, [200, 200])
+    assert a_mean == [50, 8]  # (100+50+0)/3=50; (-50+50+26)/3=8
