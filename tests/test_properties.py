@@ -981,3 +981,101 @@ def test_truth_discovery_matches_python_model(spark, rows):
                 s: backing.get(s, 0) * 1_000_000 // n_claims[s] for s in n_claims
             }
     assert got == win
+
+
+@given(rows=events_strategy)
+@settings(**SETTINGS)
+def test_cusum_matches_recurrence_any_series(spark, rows):
+    """cusum_alarms equals the textbook max(0, S+d) recurrence on
+    arbitrary per-key daily series, under any input order and
+    partitioning."""
+    from chronographer_spark.operators.temporal import cusum_alarms
+
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (f"k{u}", base + dt.timedelta(days=sec % 14, minutes=sec % 59))
+        for u, sec in rows
+    ]
+    df = spark.createDataFrame(data, "event_type string, ts timestamp")
+    got = {
+        (r["event_type"], r["bucket_ts"].day): r["s_scaled"]
+        for r in cusum_alarms(df.repartition(7), thr_buckets=0).collect()
+    }
+    per_key: dict = {}
+    for k, ts in data:
+        per_key.setdefault(k, {}).setdefault(ts.date(), 0)
+        per_key[k][ts.date()] += 1
+    exp = {}
+    for k, days in per_key.items():
+        t, b = sum(days.values()), len(days)
+        s = 0
+        for day in sorted(days):
+            s = max(0, s + days[day] * b - t)
+            if s > 0:
+                exp[(k, day.day)] = s
+    assert got == exp
+
+
+@given(rows=events_strategy)
+@settings(**SETTINGS)
+def test_mk_trend_matches_brute_force_any_series(spark, rows):
+    """Kendall S / tau on arbitrary series equals the brute-force pair
+    enumeration, independent of partitioning."""
+    from itertools import combinations
+
+    from chronographer_spark.operators.temporal import mk_trend
+
+    base = dt.datetime(2024, 3, 1)
+    data = [
+        (f"k{u}", base + dt.timedelta(days=sec % 9, minutes=sec % 47))
+        for u, sec in rows
+    ]
+    df = spark.createDataFrame(data, "event_type string, ts timestamp")
+    got = {
+        r["event_type"]: (r["n_buckets"], r["s_stat"], r["tau_x1e6"])
+        for r in mk_trend(df.repartition(5)).collect()
+    }
+
+    def tdiv(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    per_key: dict = {}
+    for k, ts in data:
+        per_key.setdefault(k, {}).setdefault(ts.date(), 0)
+        per_key[k][ts.date()] += 1
+    exp = {}
+    for k, days in per_key.items():
+        ns = [days[d] for d in sorted(days)]
+        if len(ns) < 2:
+            continue
+        pairs = list(combinations(range(len(ns)), 2))
+        s = sum((ns[j] > ns[i]) - (ns[j] < ns[i]) for i, j in pairs)
+        exp[k] = (len(ns), s, tdiv(s * 1000000, len(pairs)))
+    assert got == exp
+
+
+@given(rows=events_strategy)
+@settings(**SETTINGS)
+def test_gini_rank_identity_any_masses(spark, rows):
+    """Gini via the sorted-rank identity on arbitrary mass profiles —
+    ties included — equals the Python replica and is order-invariant."""
+    from chronographer_spark.operators.text import gini_concentration
+
+    data = [(f"k{u % 2}", f"u{sec % 7}") for u, sec in rows]
+    df = spark.createDataFrame(data, "event_type string, user_id string")
+    got = {
+        r["event_type"]: (r["n_units"], r["total"], r["gini_x1e6"])
+        for r in gini_concentration(df.repartition(6)).collect()
+    }
+    per_key: dict = {}
+    for k, u in data:
+        per_key.setdefault(k, {}).setdefault(u, 0)
+        per_key[k][u] += 1
+    exp = {}
+    for k, us in per_key.items():
+        xs = sorted(us.values())
+        b, t = len(xs), sum(xs)
+        rx = sum((i + 1) * x for i, x in enumerate(xs))
+        exp[k] = (b, t, (2 * rx - (b + 1) * t) * 1000000 // (b * t))
+    assert got == exp
