@@ -9595,6 +9595,68 @@ LEFT JOIN (SELECT * FROM rtop WHERE rn = 1) r ON nt.p = r.p
 
 
 # ---------------------------------------------------------------------------
+# Q: event-type distribution drift, first half vs shifted second half
+# ---------------------------------------------------------------------------
+
+
+def q_type_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The train/serve skew readout over the cusum fixture: first 15 days
+    vs the rest with the injected click duplication — drift concentrates
+    on 'click' (positive delta) and dilutes every other share."""
+    from .operators.text import distribution_drift
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    a = ev.filter(F.col("ts") < cut)
+    late = ev.filter(F.col("ts") >= cut)
+    shift = late.filter(
+        (F.col("event_type") == "click")
+        & (F.col("ts") >= F.lit("2024-01-21").cast("timestamp"))
+    )
+    return distribution_drift(a, late.unionAll(shift), "event_type").select(
+        F.col("cat").alias("event_type"),
+        "n_a", "n_b", "share_a_x1e6", "share_b_x1e6", "delta_x1e6",
+        "tvd_x1e6",
+    )
+
+
+TYPE_DRIFT_SQL = """
+WITH a AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_a
+  FROM events WHERE ts < TIMESTAMP '2024-01-16' GROUP BY 1
+),
+braw AS (
+  SELECT event_type, ts FROM events WHERE ts >= TIMESTAMP '2024-01-16'
+  UNION ALL
+  SELECT event_type, ts FROM events
+  WHERE event_type = 'click' AND ts >= TIMESTAMP '2024-01-21'
+),
+b AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_b FROM braw GROUP BY 1
+),
+j AS (
+  SELECT coalesce(a.event_type, b.event_type) AS event_type,
+         CAST(coalesce(n_a, 0) AS BIGINT) AS n_a,
+         CAST(coalesce(n_b, 0) AS BIGINT) AS n_b
+  FROM a FULL OUTER JOIN b ON a.event_type = b.event_type
+),
+t AS (
+  SELECT CAST(sum(n_a) AS BIGINT) AS ta, CAST(sum(n_b) AS BIGINT) AS tb,
+         CAST(sum(abs(n_a * (SELECT sum(n_b) FROM j)
+                      - n_b * (SELECT sum(n_a) FROM j))) AS BIGINT) AS dsum
+  FROM j
+)
+SELECT j.event_type, j.n_a, j.n_b,
+       CAST(j.n_a * 1000000 // t.ta AS BIGINT) AS share_a_x1e6,
+       CAST(j.n_b * 1000000 // t.tb AS BIGINT) AS share_b_x1e6,
+       CAST(abs(j.n_a * t.tb - j.n_b * t.ta) * 1000000
+            // (t.ta * t.tb) AS BIGINT) AS delta_x1e6,
+       CAST(t.dsum * 1000000 // (2 * t.ta * t.tb) AS BIGINT) AS tvd_x1e6
+FROM j CROSS JOIN t
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: label-centroid pooling over the embeddings table
 # ---------------------------------------------------------------------------
 
@@ -11085,9 +11147,11 @@ QUERIES = {
     "domain_range": q_domain_range,
     "validate_rules": q_validate_rules,
     "label_centroids": q_label_centroids,
+    "type_drift": q_type_drift,
 }
 
 ORACLE_SQL = {
+    "type_drift": TYPE_DRIFT_SQL,
     "validate_rules": VALIDATE_RULES_SQL,
     "label_centroids": LABEL_CENTROIDS_SQL,
     "feature_propagation": FEATURE_PROP_SQL,

@@ -1083,3 +1083,72 @@ def ngram_novelty_curve(
             F.expr("cum_novel * 1000000 DIV cum_grams").cast("long"),
         )
     )
+
+
+def distribution_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    suffix_a: str = "a",
+    suffix_b: str = "b",
+) -> DataFrame:
+    """Categorical distribution drift between two snapshots — the
+    train/serve skew monitor (PSI's job without PSI's logarithms): total
+    variation distance between the two corpora's category shares, with
+    per-category contributions so the drifting categories are named, not
+    just scored. Complements t_closeness (class-vs-global TVD within ONE
+    corpus) with the corpus-vs-corpus comparison.
+
+    Exact integers: with totals Na, Nb, the per-category share delta is
+    |n_a·Nb − n_b·Na| · 1e6 DIV (Na·Nb) and tvd_x1e6 is the same sum DIV
+    (2·Na·Nb) — no float share ever materializes. Bound (documented):
+    needs Na·Nb < 2^63/1e6, i.e. snapshots up to ~3e6 rows each compared
+    raw; beyond that pre-aggregate to category counts first (the operator
+    only ever sees counts, so callers can feed pre-collapsed tables by
+    passing them straight in).
+
+    Categories absent from one side count with n = 0 (full outer join).
+
+    Scale shape: one combinable count per side, a category-keyed full
+    outer join on the two COLLAPSED tables, totals broadcast back, and
+    the TVD total attached to every row from a window over the ≤
+    |categories| result (the er_threshold_curve collapsed-window rule).
+
+    Returns (cat, n_a, n_b, share_a_x1e6, share_b_x1e6, delta_x1e6,
+    tvd_x1e6) — tvd repeated per row for single-readout consumers.
+    """
+    ca = df_a.groupBy(F.col(col).alias("cat")).agg(
+        F.count(F.lit(1)).alias("n_a")
+    )
+    cb = df_b.groupBy(F.col(col).alias("cat")).agg(
+        F.count(F.lit(1)).alias("n_b")
+    )
+    ta = ca.agg(F.sum("n_a").alias("__ta"))
+    tb = cb.agg(F.sum("n_b").alias("__tb"))
+    joined = (
+        ca.join(cb, "cat", "full_outer")
+        .na.fill({"n_a": 0, "n_b": 0})
+        .crossJoin(F.broadcast(ta))
+        .crossJoin(F.broadcast(tb))
+    )
+    w = Window.partitionBy()
+    delta_raw = F.abs(
+        F.col("n_a") * F.col("__tb") - F.col("n_b") * F.col("__ta")
+    )
+    return (
+        joined.withColumn("__d", delta_raw)
+        .withColumn("__dsum", F.sum("__d").over(w))
+        .select(
+            "cat",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.expr("n_a * 1000000 DIV __ta").cast("long").alias("share_a_x1e6"),
+            F.expr("n_b * 1000000 DIV __tb").cast("long").alias("share_b_x1e6"),
+            F.expr("__d * 1000000 DIV (__ta * __tb)")
+            .cast("long")
+            .alias("delta_x1e6"),
+            F.expr("__dsum * 1000000 DIV (2 * __ta * __tb)")
+            .cast("long")
+            .alias("tvd_x1e6"),
+        )
+    )

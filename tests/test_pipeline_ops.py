@@ -3405,3 +3405,31 @@ def test_pool_vectors_matches_model(spark):
     assert got["a"] == (3, a_mean)
     assert got["b"] == (1, [200, 200])
     assert a_mean == [50, 8]  # (100+50+0)/3=50; (-50+50+26)/3=8
+
+
+def test_distribution_drift_matches_model(spark):
+    """Exact TVD and per-category deltas vs a Python replica; categories
+    absent from one side count as zero; tvd repeats identically on every
+    row."""
+    from chronographer_spark.operators.text import distribution_drift
+
+    a = [("x",)] * 6 + [("y",)] * 3 + [("z",)] * 1
+    b = [("x",)] * 2 + [("y",)] * 6 + [("w",)] * 2
+    dfa = spark.createDataFrame(a, "cat string")
+    dfb = spark.createDataFrame(b, "cat string")
+    got = {
+        r["cat"]: (r["n_a"], r["n_b"], r["share_a_x1e6"], r["share_b_x1e6"],
+                   r["delta_x1e6"], r["tvd_x1e6"])
+        for r in distribution_drift(dfa, dfb, "cat").collect()
+    }
+    na, nb = 10, 10
+    counts = {"x": (6, 2), "y": (3, 6), "z": (1, 0), "w": (0, 2)}
+    dsum = sum(abs(ca * nb - cb * na) for ca, cb in counts.values())
+    tvd = dsum * 1000000 // (2 * na * nb)
+    exp = {
+        c: (ca, cb, ca * 1000000 // na, cb * 1000000 // nb,
+            abs(ca * nb - cb * na) * 1000000 // (na * nb), tvd)
+        for c, (ca, cb) in counts.items()
+    }
+    assert got == exp
+    assert tvd == 500000  # |.6-.2|+|.3-.6|+|.1-0|+|0-.2| = 1.0 -> /2
