@@ -9595,6 +9595,74 @@ LEFT JOIN (SELECT * FROM rtop WHERE rn = 1) r ON nt.p = r.p
 
 
 # ---------------------------------------------------------------------------
+# Q: co-burst cross-correlation between event-type series
+# ---------------------------------------------------------------------------
+
+
+def q_coburst_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOTH click and view get the Jan-21 duplication, so the pair
+    (click, view) co-bursts (r² strongly positive) while pairs with
+    untouched keys hover near zero — the co-movement readout beside
+    cusum/acf/mk on the same fixture family."""
+    from .operators.temporal import cross_correlation
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts")
+    shift = ev.filter(
+        F.col("event_type").isin("click", "view")
+        & (F.col("ts") >= F.lit("2024-01-21").cast("timestamp"))
+    )
+    return cross_correlation(
+        ev.unionAll(shift), key="event_type", ts_col="ts", bucket="day"
+    ).select("key_a", "key_b", "n_joint", "num", "r2_x1e6")
+
+
+COBURST_XCORR_SQL = """
+WITH ev AS (
+  SELECT event_type, ts FROM events
+  UNION ALL
+  SELECT event_type, ts FROM events
+  WHERE event_type IN ('click', 'view')
+    AND ts >= TIMESTAMP '2024-01-21'
+),
+cnt AS (
+  SELECT event_type, date_trunc('day', ts) AS b,
+         CAST(count(*) AS BIGINT) AS n
+  FROM ev GROUP BY 1, 2
+),
+pk AS (
+  SELECT event_type, CAST(sum(n) AS BIGINT) AS t,
+         CAST(count(*) AS BIGINT) AS nb
+  FROM cnt GROUP BY 1
+),
+dev AS (
+  SELECT c.event_type AS k, c.b,
+         least(CAST(1000000 AS BIGINT), greatest(CAST(-1000000 AS BIGINT),
+           (c.n * p.nb - p.t) // p.t * 1000
+           + (c.n * p.nb - p.t) % p.t * 1000 // p.t)) AS d
+  FROM cnt c JOIN pk p USING (event_type)
+),
+paired AS (
+  SELECT a.k AS key_a, b.k AS key_b, a.d AS da, b.d AS db
+  FROM dev a JOIN dev b ON a.b = b.b AND a.k < b.k
+),
+rolled AS (
+  SELECT key_a, key_b, CAST(count(*) AS BIGINT) AS n_joint,
+         CAST(sum(da * db) AS BIGINT) AS num,
+         CAST(sum(da * da) AS BIGINT) AS da2,
+         CAST(sum(db * db) AS BIGINT) AS db2
+  FROM paired GROUP BY key_a, key_b
+)
+SELECT key_a, key_b, n_joint, num,
+       CAST(CASE WHEN da2 = 0 OR db2 = 0 THEN 0
+                 ELSE (CASE WHEN num < 0 THEN -1 ELSE 1 END)
+                      * (abs(num) * 1000 // da2)
+                      * (abs(num) * 1000 // db2)
+            END AS BIGINT) AS r2_x1e6
+FROM rolled
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: event-type distribution drift, first half vs shifted second half
 # ---------------------------------------------------------------------------
 
@@ -11148,10 +11216,12 @@ QUERIES = {
     "validate_rules": q_validate_rules,
     "label_centroids": q_label_centroids,
     "type_drift": q_type_drift,
+    "coburst_xcorr": q_coburst_xcorr,
 }
 
 ORACLE_SQL = {
     "type_drift": TYPE_DRIFT_SQL,
+    "coburst_xcorr": COBURST_XCORR_SQL,
     "validate_rules": VALIDATE_RULES_SQL,
     "label_centroids": LABEL_CENTROIDS_SQL,
     "feature_propagation": FEATURE_PROP_SQL,

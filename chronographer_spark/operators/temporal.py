@@ -880,3 +880,85 @@ def rolling_counts(
         F.sum("n_events").over(w).cast("long").alias("trail_sum"),
         F.count(F.lit(1)).over(w).cast("long").alias("trail_active"),
     )
+
+
+def cross_correlation(
+    df: DataFrame,
+    key: str = "event_type",
+    ts_col: str = "ts",
+    bucket: str = "day",
+) -> DataFrame:
+    """Lag-0 cross-correlation between every pair of key series — the
+    co-movement readout (which metrics burst TOGETHER) completing the
+    family: cusum (shift), acf (self-correlation), mk (trend). Deviations
+    are acf_buckets' clamped staged milli-mean integers; the score is the
+    SIGNED r² via the Cauchy-Schwarz-bounded staged quotient
+
+        r2_x1e6 = sign(num) · (|num|·1000 DIV den_a) · (|num|·1000 DIV den_b)
+
+    — each factor is ≤ 1000·√(den_b/den_a) (and vice versa), so the
+    product is ≤ 1e6 by C-S while every intermediate stays far under 2^63
+    for any calendar-bounded B: exact, n-independent, replayed verbatim by
+    the oracle (truncation slop is part of the defined semantics).
+
+    Pairs join on the bucket axis: deviations co-group by bucket, so the
+    pair fan is |keys|² per bucket — a DIMENSION bound (callers pre-filter
+    keys when |keys| is large; series pairs beyond ~10³ keys should go
+    through a sketch, not exact all-pairs).
+
+    Returns (key_a, key_b, n_joint, num, r2_x1e6) for key_a < key_b;
+    n_joint = buckets where BOTH series are active (inner join —
+    the statistic is over co-active buckets; a constant/absent side
+    reads r2 = 0 via the den = 0 guard).
+    """
+    binned = df.select(key, F.date_trunc(bucket, F.col(ts_col)).alias("__b"))
+    counts = (
+        binned.groupBy(key, "__b")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .localCheckpoint(eager=True)
+    )
+    per_key = counts.groupBy(key).agg(
+        F.sum("__n").alias("__T"), F.count(F.lit(1)).alias("__nb")
+    )
+    dev = (
+        counts.join(per_key, key)
+        .select(
+            F.col(key).alias("k"),
+            "__b",
+            F.least(
+                F.lit(1000000).cast("long"),
+                F.greatest(
+                    F.lit(-1000000).cast("long"),
+                    F.expr(
+                        "(__n * __nb - __T) DIV __T * 1000"
+                        " + (__n * __nb - __T) % __T * 1000 DIV __T"
+                    ).cast("long"),
+                ),
+            ).alias("d"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    a = dev.select(F.col("k").alias("key_a"), "__b", F.col("d").alias("da"))
+    b = dev.select(F.col("k").alias("key_b"), "__b", F.col("d").alias("db"))
+    paired = a.join(b, "__b").filter(F.col("key_a") < F.col("key_b"))
+    rolled = paired.groupBy("key_a", "key_b").agg(
+        F.count(F.lit(1)).alias("n_joint"),
+        F.sum(F.col("da") * F.col("db")).alias("num"),
+        F.sum(F.col("da") * F.col("da")).alias("__da2"),
+        F.sum(F.col("db") * F.col("db")).alias("__db2"),
+    )
+    return rolled.select(
+        "key_a",
+        "key_b",
+        F.col("n_joint").cast("long").alias("n_joint"),
+        F.col("num").cast("long").alias("num"),
+        F.when((F.col("__da2") == 0) | (F.col("__db2") == 0), F.lit(0).cast("long"))
+        .otherwise(
+            F.expr(
+                "CASE WHEN num < 0 THEN -1 ELSE 1 END"
+                " * (abs(num) * 1000 DIV __da2)"
+                " * (abs(num) * 1000 DIV __db2)"
+            ).cast("long")
+        )
+        .alias("r2_x1e6"),
+    )

@@ -3433,3 +3433,61 @@ def test_distribution_drift_matches_model(spark):
     }
     assert got == exp
     assert tvd == 500000  # |.6-.2|+|.3-.6|+|.1-0|+|0-.2| = 1.0 -> /2
+
+
+def test_cross_correlation_matches_model(spark):
+    """Identical sawtooths read r² near +1e6, mirrored ones near −1e6,
+    and everything matches the staged-quotient Python replica exactly."""
+    import datetime as dt
+
+    from chronographer_spark.operators.temporal import cross_correlation
+
+    base = dt.datetime(2024, 6, 1)
+    series = {
+        "s1": [2, 8, 2, 8, 2, 8],
+        "s2": [4, 16, 4, 16, 4, 16],   # same shape, different scale
+        "anti": [8, 2, 8, 2, 8, 2],    # mirrored
+        "flat": [5, 5, 5, 5, 5, 5],
+    }
+    rows = [
+        (k, base + dt.timedelta(days=d, minutes=i))
+        for k, ns in series.items()
+        for d, n in enumerate(ns)
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    got = {
+        (r["key_a"], r["key_b"]): (r["n_joint"], r["num"], r["r2_x1e6"])
+        for r in cross_correlation(df).collect()
+    }
+
+    def tdiv(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    dev = {}
+    for k, ns in series.items():
+        t, bn = sum(ns), len(ns)
+        dev[k] = [
+            max(-1000000, min(1000000,
+                tdiv(a, t) * 1000 + tdiv((a - tdiv(a, t) * t) * 1000, t)))
+            for n in ns
+            for a in [n * bn - t]
+        ]
+    exp = {}
+    keys = sorted(series)
+    for i, ka in enumerate(keys):
+        for kb in keys[i + 1:]:
+            da, db = dev[ka], dev[kb]
+            num = sum(x * y for x, y in zip(da, db))
+            d2a, d2b = sum(x * x for x in da), sum(y * y for y in db)
+            if d2a == 0 or d2b == 0:
+                r2 = 0
+            else:
+                sgn = -1 if num < 0 else 1
+                r2 = sgn * (abs(num) * 1000 // d2a) * (abs(num) * 1000 // d2b)
+            exp[(ka, kb)] = (6, num, r2)
+    assert got == exp
+    assert got[("s1", "s2")][2] > 990000
+    assert got[("anti", "s1")][2] < -990000
+    assert got[("flat", "s1")][2] == 0
