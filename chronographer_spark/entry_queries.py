@@ -9595,6 +9595,51 @@ LEFT JOIN (SELECT * FROM rtop WHERE rn = 1) r ON nt.p = r.p
 
 
 # ---------------------------------------------------------------------------
+# Q: Z-order layout keys over document (length, vocabulary) space
+# ---------------------------------------------------------------------------
+
+
+def q_zorder_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton keys over (n_chars, distinct-token count) — the layout key
+    a 100 TB curation table would be z-ordered by so scans filtered on
+    EITHER dimension prune row groups; emitted per doc for the exact
+    cross-engine bit-arithmetic check."""
+    from .operators.sampling import morton_key
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.size(F.array_distinct(F.split("text", " ")))
+        .cast("long")
+        .alias("n_unique"),
+    )
+    return morton_key(docs, "n_chars", "n_unique", bits=16).select(
+        "doc_id", "n_chars", "n_unique", "zkey"
+    )
+
+
+ZORDER_DOCS_SQL = f"""
+WITH d AS (
+  SELECT doc_id, n_chars,
+         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+           AS n_unique,
+         least(CAST(65535 AS BIGINT),
+               greatest(CAST(0 AS BIGINT), CAST(n_chars AS BIGINT))) AS cx,
+         least(CAST(65535 AS BIGINT), greatest(CAST(0 AS BIGINT),
+               CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)))
+           AS cy
+  FROM documents
+)
+SELECT doc_id, n_chars, n_unique,
+       CAST({" | ".join(
+           f"(((cx >> {i}) & 1) << {2 * i}) | (((cy >> {i}) & 1) << {2 * i + 1})"
+           for i in range(16)
+       )} AS BIGINT) AS zkey
+FROM d
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: co-burst cross-correlation between event-type series
 # ---------------------------------------------------------------------------
 
@@ -11217,9 +11262,11 @@ QUERIES = {
     "label_centroids": q_label_centroids,
     "type_drift": q_type_drift,
     "coburst_xcorr": q_coburst_xcorr,
+    "zorder_docs": q_zorder_docs,
 }
 
 ORACLE_SQL = {
+    "zorder_docs": ZORDER_DOCS_SQL,
     "type_drift": TYPE_DRIFT_SQL,
     "coburst_xcorr": COBURST_XCORR_SQL,
     "validate_rules": VALIDATE_RULES_SQL,

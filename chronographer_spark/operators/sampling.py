@@ -434,3 +434,40 @@ def kfold_report(
             F.expr("n_rows * 1000000 DIV __t").cast("long").alias("share_x1e6"),
         )
     )
+
+
+def morton_key(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    bits: int = 16,
+) -> DataFrame:
+    """Z-order (Morton) interleaved sort key over two integer columns —
+    the data-LAYOUT operator behind multi-dimensional pruning: a table
+    written sorted by `zkey` keeps rows close in BOTH dimensions inside
+    the same parquet row groups, so min/max statistics prune scans
+    filtered on either column (the effect Delta/Iceberg OPTIMIZE ZORDER
+    buys; here it is an explicit, engine-replayable expression).
+
+    Exact integer bit arithmetic: each input is clamped to [0, 2^bits)
+    and its bit i lands at output bit 2i (x) / 2i+1 (y) via shifts and
+    masks — a deterministic pure function both engines replay (DuckDB has
+    the same <<, &, | semantics on BIGINT). bits ≤ 31 keeps the key in
+    int64.
+
+    Map-only: one expression, no shuffle. Callers typically follow with
+    repartitionByRange(zkey).sortWithinPartitions(zkey).write — the
+    layout job; this operator owns the key semantics.
+
+    Returns the input plus `zkey` (long).
+    """
+    if not 1 <= bits <= 31:
+        raise ValueError("bits must be in [1, 31]")
+    top = (1 << bits) - 1
+    cx = f"least(CAST({top} AS BIGINT), greatest(CAST(0 AS BIGINT), CAST({x_col} AS BIGINT)))"
+    cy = f"least(CAST({top} AS BIGINT), greatest(CAST(0 AS BIGINT), CAST({y_col} AS BIGINT)))"
+    parts = []
+    for i in range(bits):
+        parts.append(f"(({cx} >> {i}) & 1) << {2 * i}")
+        parts.append(f"(({cy} >> {i}) & 1) << {2 * i + 1}")
+    return df.withColumn("zkey", F.expr(" | ".join(parts)).cast("long"))

@@ -3491,3 +3491,33 @@ def test_cross_correlation_matches_model(spark):
     assert got[("s1", "s2")][2] > 990000
     assert got[("anti", "s1")][2] < -990000
     assert got[("flat", "s1")][2] == 0
+
+
+def test_morton_key_interleave_and_locality(spark):
+    """Bit-exact interleave vs a Python replica, clamping at both ends,
+    and the locality property the layout exists for: sorting by zkey
+    keeps each quartile of the key space inside one quadrant of the
+    (x, y) plane."""
+    from chronographer_spark.operators.sampling import morton_key
+
+    rows = [(x, y) for x in range(0, 16) for y in range(0, 16)]
+    rows += [(-5, 3), (70000, 2)]  # clamp below / above at bits=16
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {(r["x"], r["y"]): r["zkey"]
+           for r in morton_key(df, "x", "y", bits=16).collect()}
+
+    def interleave(x, y, bits=16):
+        x = min((1 << bits) - 1, max(0, x))
+        y = min((1 << bits) - 1, max(0, y))
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    assert got == {(x, y): interleave(x, y) for x, y in rows}
+    # locality: the first 64 keys of the 16x16 grid = the (x<8, y<8) quadrant
+    grid = sorted((z, x, y) for (x, y), z in got.items()
+                  if 0 <= x < 16 and 0 <= y < 16)
+    first_quarter = grid[:64]
+    assert all(x < 8 and y < 8 for _, x, y in first_quarter)
