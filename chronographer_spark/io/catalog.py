@@ -375,3 +375,64 @@ def zorder_value(*cols, bits: int = 16):
     for t in terms[1:]:
         out = out + t
     return out.cast("long")
+
+
+def snapshot_diff(
+    catalog: "VersionedCatalog",
+    table: str,
+    keys: list[str],
+    v_old: int,
+    v_new: int,
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Change-data-capture between two published snapshots — the
+    "what changed between KG build N and N+1" readout (Iceberg's
+    changelog scan, expressed over the versioned parquet shim): per key,
+    one of `added` / `removed` / `changed` (any compared column differs)
+    with both sides' column values carried as `<col>_old` / `<col>_new`.
+    Unchanged keys are absent — the diff is the delta, not the table.
+
+    Requires `keys` to be unique per snapshot (the same invariant
+    merge_upsert maintains); duplicate-key snapshots make "changed"
+    ill-defined and this surfaces as a row-count blowup the caller owns.
+
+    Scale shape: ONE full-outer key join between the two snapshot reads
+    (both partition-pruned as written); change classification is a null-
+    safe map-side expression (`<=>` so NULL→value and value→NULL count as
+    changes); no windows, no collects. Both snapshot reads stay
+    time-travel-pinned, so the diff is stable under concurrent writers.
+    """
+    old = catalog.read(table, version=v_old)
+    new = catalog.read(table, version=v_new)
+    compare_cols = compare_cols or [c for c in old.columns if c not in keys]
+    o = old.select(
+        *[F.col(k).alias(f"__k{i}") for i, k in enumerate(keys)],
+        *[F.col(c).alias(f"{c}_old") for c in compare_cols],
+        F.lit(1).alias("__in_old"),
+    )
+    n = new.select(
+        *[F.col(k).alias(f"__k{i}") for i, k in enumerate(keys)],
+        *[F.col(c).alias(f"{c}_new") for c in compare_cols],
+        F.lit(1).alias("__in_new"),
+    )
+    kcols = [f"__k{i}" for i in range(len(keys))]
+    j = o.join(n, kcols, "full_outer")
+    changed = None
+    for c in compare_cols:
+        neq = ~F.col(f"{c}_old").eqNullSafe(F.col(f"{c}_new"))
+        changed = neq if changed is None else (changed | neq)
+    status = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(changed, F.lit("changed"))
+    )
+    return (
+        j.withColumn("status", status)
+        .filter(F.col("status").isNotNull())
+        .select(
+            *[F.col(f"__k{i}").alias(k) for i, k in enumerate(keys)],
+            "status",
+            *[F.col(f"{c}_old") for c in compare_cols],
+            *[F.col(f"{c}_new") for c in compare_cols],
+        )
+    )

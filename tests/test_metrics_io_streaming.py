@@ -943,3 +943,38 @@ def test_cusum_stream_parity_and_restart(spark, tmp_path):
     # exactly-once: one row per closed bucket across both drains
     days = sorted(d for (_, d, _, _, _) in full)
     assert days == [1, 2, 3, 4, 5, 6]
+
+
+def test_snapshot_diff_cdc(spark, tmp_path):
+    """CDC between two published versions: added / removed / changed
+    classified null-safely (value→NULL counts as changed), unchanged keys
+    absent, and both reads pinned to their versions."""
+    from chronographer_spark.io.catalog import VersionedCatalog, snapshot_diff
+
+    cat = VersionedCatalog(spark, str(tmp_path))
+    v0 = cat.write(
+        spark.createDataFrame(
+            [("e1", "a", 1), ("e2", "b", 2), ("e3", "c", None), ("e4", "d", 4)],
+            "ent string, label string, score int",
+        ),
+        "entities",
+    )
+    v1 = cat.write(
+        spark.createDataFrame(
+            [("e1", "a", 1), ("e2", "B", 2), ("e3", "c", 3), ("e5", "x", 9)],
+            "ent string, label string, score int",
+        ),
+        "entities",
+    )
+    diff = {
+        r["ent"]: (r["status"], r["label_old"], r["label_new"],
+                   r["score_old"], r["score_new"])
+        for r in snapshot_diff(cat, "entities", ["ent"], v0, v1).collect()
+    }
+    assert diff == {
+        "e2": ("changed", "b", "B", 2, 2),
+        "e3": ("changed", "c", "c", None, 3),   # NULL -> value IS a change
+        "e4": ("removed", "d", None, 4, None),
+        "e5": ("added", None, "x", None, 9),
+    }
+    assert "e1" not in diff  # unchanged keys absent
