@@ -9595,6 +9595,85 @@ LEFT JOIN (SELECT * FROM rtop WHERE rn = 1) r ON nt.p = r.p
 
 
 # ---------------------------------------------------------------------------
+# Q: label-noise report by quantized-cosine neighbor voting
+# ---------------------------------------------------------------------------
+
+
+def q_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood voting over the embeddings table (labels are random
+    w.r.t. the vectors, so flagged rows are the chance 3-of-5 agreements
+    — the null-calibration reading an auditor compares a REAL corpus
+    against); exactness is the point: the oracle replays the full
+    n² quantized-cosine vote bit-for-bit."""
+    from .operators.similarity import label_noise_report
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    return label_noise_report(emb, k=5, min_votes=3).select(
+        F.col("label").cast("int").alias("label"), "n", "n_flagged", "noise_x1e6"
+    )
+
+
+LABEL_NOISE_SQL = """
+WITH emb AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+qz AS (
+  SELECT vec_id, label,
+         CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0
+              THEN list_transform(v, x -> 0)
+              ELSE list_transform(v, x -> CAST(floor(x * 127.0
+                   / list_max(list_transform(v, y -> abs(y))) + 0.5)
+                   AS INTEGER))
+         END AS q
+  FROM emb
+),
+qn AS (
+  SELECT vec_id, label, q,
+         CAST(list_sum(list_transform(q, x -> CAST(x AS BIGINT)
+              * CAST(x AS BIGINT))) AS BIGINT) AS n2
+  FROM qz
+),
+sims AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS vid, b.label AS nl,
+         CAST(list_sum(list_transform(list_zip(a.q, b.q),
+              x -> CAST(x[1] AS BIGINT) * CAST(x[2] AS BIGINT))) AS DOUBLE)
+         / sqrt(CAST(a.n2 * b.n2 AS DOUBLE)) AS qcos
+  FROM qn a JOIN qn b ON true
+),
+ranked AS (
+  SELECT query_id, vid, nl,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY qcos DESC, vid ASC) AS rn
+  FROM sims
+),
+nbrs AS (
+  SELECT query_id, vid, nl FROM ranked WHERE rn <= 6 AND vid <> query_id
+),
+votes AS (
+  SELECT query_id, nl, CAST(count(*) AS BIGINT) AS cnt
+  FROM nbrs GROUP BY query_id, nl
+),
+best AS (
+  SELECT query_id, nl AS maj_label, cnt AS maj_cnt,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cnt DESC, nl DESC) AS rn
+  FROM votes
+),
+flagged AS (
+  SELECT e.label AS own,
+         CASE WHEN b.maj_label IS NOT NULL AND b.maj_label <> e.label
+                   AND b.maj_cnt >= 3 THEN 1 ELSE 0 END AS f
+  FROM emb e LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+    ON e.vec_id = b.query_id
+)
+SELECT CAST(own AS INT) AS label, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(f) AS BIGINT) AS n_flagged,
+       CAST(sum(f) * 1000000 // count(*) AS BIGINT) AS noise_x1e6
+FROM flagged GROUP BY own
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: Z-order layout keys over document (length, vocabulary) space
 # ---------------------------------------------------------------------------
 
@@ -11263,10 +11342,12 @@ QUERIES = {
     "type_drift": q_type_drift,
     "coburst_xcorr": q_coburst_xcorr,
     "zorder_docs": q_zorder_docs,
+    "label_noise": q_label_noise,
 }
 
 ORACLE_SQL = {
     "zorder_docs": ZORDER_DOCS_SQL,
+    "label_noise": LABEL_NOISE_SQL,
     "type_drift": TYPE_DRIFT_SQL,
     "coburst_xcorr": COBURST_XCORR_SQL,
     "validate_rules": VALIDATE_RULES_SQL,

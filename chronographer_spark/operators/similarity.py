@@ -754,3 +754,80 @@ def pool_vectors(
             lambda s: s["m"],
         ).alias("vec"),
     )
+
+
+def label_noise_report(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+    min_votes: int = 3,
+) -> DataFrame:
+    """Mislabeled-example detection by neighborhood voting (the workhorse
+    of confident-learning-style dataset audits, Northcutt 2021): a row is
+    flagged when at least ``min_votes`` of its ``k`` nearest neighbors
+    (quantized cosine — the gated exact-integer scorer) agree on a label
+    DIFFERENT from its own. The per-label noise rate is the first number
+    a training-data audit reports.
+
+    Majority pin: max (count, label) struct — largest count, then largest
+    label — replayed by the oracle's (cnt DESC, label DESC) rank.
+
+    Neighbor-set contract: top-(k+1) by (cos desc, id asc) with the row's
+    own id dropped — exactly k voters normally; when duplicates push the
+    row's own vector out of its top-(k+1), all k+1 survivors vote (a
+    defined, replayable corner, not an error).
+
+    Scale shape: neighbor search is quantized_topk's broadcast crossJoin —
+    the documented EXACT baseline; at corpus scale swap the neighbor
+    stage for lsh_topk/ivf_topk (same (query, neighbor) contract), the
+    voting joins are unchanged. Voting is one (query, label) combinable
+    count + an arg-max on the collapsed table + one label join back; the
+    report is a |labels|-row rollup.
+
+    Returns (label, n, n_flagged, noise_x1e6).
+    """
+    q = emb.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias(vec_col)
+    )
+    nbrs = quantized_topk(
+        emb.select(id_col, vec_col), q, k=k + 1,
+        id_col=id_col, vec_col=vec_col,
+    ).filter(F.col(id_col) != F.col("query_id")).filter(F.col("rank") <= k + 1)
+    lab = emb.select(F.col(id_col).alias("__nid"), F.col(label_col).alias("__nl"))
+    votes = (
+        nbrs.join(lab, nbrs[id_col] == lab["__nid"])
+        .groupBy("query_id", "__nl")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    best = votes.groupBy("query_id").agg(
+        F.max(F.struct("cnt", "__nl")).alias("__b")
+    ).select(
+        "query_id",
+        F.col("__b.cnt").alias("maj_cnt"),
+        F.col("__b.__nl").alias("maj_label"),
+    )
+    own = emb.select(F.col(id_col).alias("query_id"), F.col(label_col).alias("own"))
+    flagged = own.join(best, "query_id", "left").withColumn(
+        "__f",
+        F.when(
+            F.col("maj_label").isNotNull()
+            & (F.col("maj_label") != F.col("own"))
+            & (F.col("maj_cnt") >= int(min_votes)),
+            1,
+        ).otherwise(0),
+    )
+    return (
+        flagged.groupBy(F.col("own").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__f").alias("n_flagged"),
+        )
+        .select(
+            "label",
+            F.col("n").cast("long").alias("n"),
+            F.col("n_flagged").cast("long").alias("n_flagged"),
+            F.expr("n_flagged * 1000000 DIV n").cast("long").alias("noise_x1e6"),
+        )
+    )

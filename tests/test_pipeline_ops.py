@@ -3521,3 +3521,27 @@ def test_morton_key_interleave_and_locality(spark):
                   if 0 <= x < 16 and 0 <= y < 16)
     first_quarter = grid[:64]
     assert all(x < 8 and y < 8 for _, x, y in first_quarter)
+
+
+def test_label_noise_report_planted_outlier(spark):
+    """Two tight clusters; one point carries the WRONG cluster's label and
+    must be flagged; correctly-labeled points must not be."""
+    from chronographer_spark.operators.similarity import label_noise_report
+
+    a = [1.0, 0.0, 0.0, 0.0]
+    b = [0.0, 1.0, 0.0, 0.0]
+
+    def jitter(v, i):
+        return [x + (0.01 * ((i % 3) + 1) if x > 0 else 0.002 * i) for x in v]
+
+    rows = [(i, jitter(a, i), 0) for i in range(6)]            # cluster A, label 0
+    rows += [(10 + i, jitter(b, i), 1) for i in range(6)]       # cluster B, label 1
+    rows += [(99, jitter(a, 7), 1)]                              # A-point mislabeled 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    got = {
+        r["label"]: (r["n"], r["n_flagged"], r["noise_x1e6"])
+        for r in label_noise_report(df, k=5, min_votes=3).collect()
+    }
+    # label 1 has 7 rows, exactly the planted outlier flagged
+    assert got[1] == (7, 1, 1000000 // 7)
+    assert got[0] == (6, 0, 0)
