@@ -9595,6 +9595,57 @@ LEFT JOIN (SELECT * FROM rtop WHERE rn = 1) r ON nt.p = r.p
 
 
 # ---------------------------------------------------------------------------
+# Q: survival / at-risk life table over user activity spans
+# ---------------------------------------------------------------------------
+
+
+def q_survival_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KM life-table ingredients over the events fixture: most users'
+    first/last events cluster near the corpus edges (13 draws over 30
+    days), so endings ramp up toward the censoring boundary — the shape a
+    retention analyst expects from a bounded observation window."""
+    from .operators.temporal import survival_table
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    return survival_table(ev, bucket="day").select(
+        F.date_format("bucket_ts", "yyyy-MM-dd").alias("day"),
+        "n_starting", "n_ending", "n_at_risk", "censored", "hazard_x1e6",
+    )
+
+
+SURVIVAL_USERS_SQL = """
+WITH span AS (
+  SELECT user_id, min(date_trunc('day', ts)) AS f,
+         max(date_trunc('day', ts)) AS l
+  FROM events GROUP BY user_id
+),
+mx AS (SELECT max(l) AS maxb FROM span),
+st AS (SELECT f AS b, CAST(count(*) AS BIGINT) AS n_starting
+       FROM span GROUP BY f),
+en AS (SELECT l AS b, CAST(count(*) AS BIGINT) AS n_ending
+       FROM span GROUP BY l),
+m AS (
+  SELECT coalesce(st.b, en.b) AS b,
+         CAST(coalesce(n_starting, 0) AS BIGINT) AS n_starting,
+         CAST(coalesce(n_ending, 0) AS BIGINT) AS n_ending
+  FROM st FULL OUTER JOIN en ON st.b = en.b
+),
+c AS (
+  SELECT b, n_starting, n_ending,
+         CAST(sum(n_starting) OVER w - sum(n_ending) OVER w + n_ending
+              AS BIGINT) AS n_at_risk
+  FROM m
+  WINDOW w AS (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT strftime(b, '%Y-%m-%d') AS day, n_starting, n_ending, n_at_risk,
+       CAST(CASE WHEN b = mx.maxb THEN n_ending ELSE 0 END AS BIGINT)
+         AS censored,
+       CAST(n_ending * 1000000 // n_at_risk AS BIGINT) AS hazard_x1e6
+FROM c CROSS JOIN mx
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: label-noise report by quantized-cosine neighbor voting
 # ---------------------------------------------------------------------------
 
@@ -11343,11 +11394,13 @@ QUERIES = {
     "coburst_xcorr": q_coburst_xcorr,
     "zorder_docs": q_zorder_docs,
     "label_noise": q_label_noise,
+    "survival_users": q_survival_users,
 }
 
 ORACLE_SQL = {
     "zorder_docs": ZORDER_DOCS_SQL,
     "label_noise": LABEL_NOISE_SQL,
+    "survival_users": SURVIVAL_USERS_SQL,
     "type_drift": TYPE_DRIFT_SQL,
     "coburst_xcorr": COBURST_XCORR_SQL,
     "validate_rules": VALIDATE_RULES_SQL,

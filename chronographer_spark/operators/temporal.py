@@ -962,3 +962,78 @@ def cross_correlation(
         )
         .alias("r2_x1e6"),
     )
+
+
+def survival_table(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    bucket: str = "day",
+) -> DataFrame:
+    """Survival-analysis ingredient table (the Kaplan-Meier life table's
+    integer core): per bucket, how many users are AT RISK (first activity
+    ≤ bucket ≤ last activity) and how many END that bucket (their last
+    observed activity) — retention's complement to cohort_retention's
+    matrix, and the right-censoring caveat is explicit: the final bucket's
+    "endings" are censored observations, not churn (downstream KM
+    estimators drop or flag them; the column `censored` carries the
+    count).
+
+    hazard_x1e6 = n_ending·1e6 DIV n_at_risk — exact; the KM survivor
+    curve is a product downstream consumers fold over these rows (a
+    product of exact quotients is no longer integer; the INGREDIENTS
+    are the stable cross-engine contract, as with degree-mixing moments).
+
+    Scale shape: one per-user (first, last) agg; the at-risk count uses
+    the ±1 DELTA trick — +1 at first bucket, −1 after last — so it is a
+    prefix sum over the ≤ |buckets|-row delta table, never a per-day
+    explode of user lifespans. One user-keyed agg + one tiny ordered
+    window (er_threshold_curve's collapsed-window rule).
+
+    Rows exist only at buckets where a lifespan starts or ends — exactly
+    the KM convention (the estimator only changes at event times; a
+    mid-lifespan bucket with no events carries no information).
+
+    Returns (bucket_ts, n_starting, n_ending, n_at_risk, censored,
+    hazard_x1e6).
+    """
+    span = df.select(
+        F.col(user_col).alias("__u"),
+        F.date_trunc(bucket, F.col(ts_col)).alias("__b"),
+    ).groupBy("__u").agg(
+        F.min("__b").alias("__first"), F.max("__b").alias("__last")
+    )
+    last_bucket = span.agg(F.max("__last").alias("__maxb"))
+    starts = span.groupBy(F.col("__first").alias("bucket_ts")).agg(
+        F.count(F.lit(1)).alias("n_starting")
+    )
+    ends = span.groupBy(F.col("__last").alias("bucket_ts")).agg(
+        F.count(F.lit(1)).alias("n_ending")
+    )
+    merged = (
+        starts.join(ends, "bucket_ts", "full_outer")
+        .na.fill({"n_starting": 0, "n_ending": 0})
+    )
+    w = Window.orderBy("bucket_ts").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        merged.withColumn("__cum_start", F.sum("n_starting").over(w))
+        .withColumn("__cum_end", F.sum("n_ending").over(w))
+        .withColumn(
+            "n_at_risk",
+            (F.col("__cum_start") - F.col("__cum_end") + F.col("n_ending"))
+            .cast("long"),
+        )
+        .crossJoin(F.broadcast(last_bucket))
+        .select(
+            "bucket_ts",
+            F.col("n_starting").cast("long").alias("n_starting"),
+            F.col("n_ending").cast("long").alias("n_ending"),
+            "n_at_risk",
+            F.when(F.col("bucket_ts") == F.col("__maxb"), F.col("n_ending"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("censored"),
+            F.expr("n_ending * 1000000 DIV n_at_risk").cast("long")
+            .alias("hazard_x1e6"),
+        )
+    )

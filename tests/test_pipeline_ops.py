@@ -3545,3 +3545,36 @@ def test_label_noise_report_planted_outlier(spark):
     # label 1 has 7 rows, exactly the planted outlier flagged
     assert got[1] == (7, 1, 1000000 // 7)
     assert got[0] == (6, 0, 0)
+
+
+def test_survival_table_hand_lifespans(spark):
+    """Hand lifespans vs manual at-risk/ending accounting; the final
+    bucket's endings are marked censored; mid-lifespan silence does not
+    produce rows."""
+    import datetime as dt
+
+    from chronographer_spark.operators.temporal import survival_table
+
+    d = lambda day: dt.datetime(2024, 1, 1 + day, 9)  # noqa: E731
+    spans = {"u1": (0, 4), "u2": (0, 2), "u3": (1, 4), "u4": (2, 2)}
+    rows = [(u, d(a)) for u, (a, _) in spans.items()]
+    rows += [(u, d(b)) for u, (_, b) in spans.items()]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    got = {
+        r["bucket_ts"].day - 1: (
+            r["n_starting"], r["n_ending"], r["n_at_risk"], r["censored"],
+            r["hazard_x1e6"],
+        )
+        for r in survival_table(df).collect()
+    }
+    # day0: u1,u2 start, at risk 2; day1: u3 starts (no row for day with
+    # no start/end would be day3); day2: u4 starts AND ends, u2 ends ->
+    # at risk u1,u2,u3,u4 = 4, ending 2; day4: u1,u3 end (censored: last
+    # bucket)
+    assert got == {
+        0: (2, 0, 2, 0, 0),
+        1: (1, 0, 3, 0, 0),
+        2: (1, 2, 4, 0, 500000),
+        4: (0, 2, 2, 2, 1000000),
+    }
+    assert 3 not in got
