@@ -9595,6 +9595,57 @@ LEFT JOIN (SELECT * FROM rtop WHERE rn = 1) r ON nt.p = r.p
 
 
 # ---------------------------------------------------------------------------
+# Q: weighted PageRank over the nation trade graph
+# ---------------------------------------------------------------------------
+
+
+def q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2 iterations with rank flowing proportional to n_flows — heavy
+    trade routes carry endorsement; the unrolled oracle replays the same
+    double arithmetic (float discipline per the pagerank_2iter family:
+    gate values scaled with margin)."""
+    from .operators.graph_algos import pagerank
+
+    flows = _nation_flows(spark, sf_dir).select(
+        "src", "dst", F.col("n_flows").alias("w")
+    )
+    return pagerank(flows, iterations=2, weight_col="w").select(
+        "node",
+        F.floor(F.col("rank") * 1000000 + F.lit(0.5)).cast("long")
+        .alias("rank_x1e6"),
+    )
+
+
+PAGERANK_WEIGHTED_SQL = f"""
+WITH {FLOWS_FRAGMENT.strip()},
+e AS (SELECT src, dst, CAST(n_flows AS DOUBLE) AS w FROM flows),
+nodes AS (
+  SELECT DISTINCT node FROM
+    (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+),
+outw AS (SELECT src, sum(w) AS d FROM e GROUP BY src),
+r0 AS (SELECT node, CAST(1 AS DOUBLE) AS r FROM nodes),
+r1 AS (
+  SELECT n.node, (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+           + CAST(0.85 AS DOUBLE) * coalesce(s.m, CAST(0 AS DOUBLE)) AS r
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, sum(r0.r * e.w / o.d) AS m
+    FROM e JOIN r0 ON r0.node = e.src JOIN outw o ON o.src = e.src
+    GROUP BY e.dst) s ON s.node = n.node
+),
+r2 AS (
+  SELECT n.node, (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+           + CAST(0.85 AS DOUBLE) * coalesce(s.m, CAST(0 AS DOUBLE)) AS r
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, sum(r1.r * e.w / o.d) AS m
+    FROM e JOIN r1 ON r1.node = e.src JOIN outw o ON o.src = e.src
+    GROUP BY e.dst) s ON s.node = n.node
+)
+SELECT node, CAST(floor(r * 1000000 + 0.5) AS BIGINT) AS rank_x1e6 FROM r2
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: survival / at-risk life table over user activity spans
 # ---------------------------------------------------------------------------
 
@@ -11395,12 +11446,14 @@ QUERIES = {
     "zorder_docs": q_zorder_docs,
     "label_noise": q_label_noise,
     "survival_users": q_survival_users,
+    "pagerank_weighted": q_pagerank_weighted,
 }
 
 ORACLE_SQL = {
     "zorder_docs": ZORDER_DOCS_SQL,
     "label_noise": LABEL_NOISE_SQL,
     "survival_users": SURVIVAL_USERS_SQL,
+    "pagerank_weighted": PAGERANK_WEIGHTED_SQL,
     "type_drift": TYPE_DRIFT_SQL,
     "coburst_xcorr": COBURST_XCORR_SQL,
     "validate_rules": VALIDATE_RULES_SQL,

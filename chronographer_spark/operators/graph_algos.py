@@ -45,6 +45,7 @@ def pagerank(
     all_nodes: DataFrame | None = None,
     dangling: bool = False,
     tol: float | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Classic (unnormalized) PageRank over (src, dst) edges:
     rank := (1-d) + d · (Σ rank(in-neighbor)/outdeg [+ dangling_mass/N]).
@@ -64,8 +65,15 @@ def pagerank(
     - `tol` stops early once max |Δrank| < tol between rounds (checked with
       a scalar aggregate); `iterations` then acts as the round cap.
 
-    Defaults (dangling=False, tol=None) reproduce the fixed-iteration
-    variant the `pagerank_2iter` gate pins: sinks contribute nothing.
+    - `weight_col` makes rank flow PROPORTIONAL to edge weight (share of
+      the source's total out-weight) instead of uniformly over out-edges —
+      the variant a trade/mention/co-occurrence graph actually wants
+      (an edge carrying 90% of a node's interactions should carry 90% of
+      its endorsement). None reproduces the uniform split exactly.
+
+    Defaults (dangling=False, tol=None, weight_col=None) reproduce the
+    fixed-iteration variant the `pagerank_2iter` gate pins: sinks
+    contribute nothing.
     Deterministic up to float summation order; gate values are scaled with
     a wide margin.
     """
@@ -76,14 +84,22 @@ def pagerank(
     if all_nodes is not None:
         nodes = nodes.unionByName(all_nodes.select("node"))
     nodes = nodes.dropDuplicates().localCheckpoint(eager=True)
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("d")).localCheckpoint(eager=True)
+    wsum = (
+        F.sum(F.col(weight_col).cast("double")) if weight_col else F.count("*")
+    )
+    outdeg = edges.groupBy("src").agg(wsum.alias("d")).localCheckpoint(eager=True)
     n_nodes = nodes.count() if dangling else None
     ranks = nodes.withColumn("rank", F.lit(1.0))
     for _ in range(iterations):
+        flow = (
+            (F.col("rank") * F.col(weight_col).cast("double") / F.col("d"))
+            if weight_col
+            else (F.col("rank") / F.col("d"))
+        )
         contribs = (
             edges.join(ranks, edges["src"] == ranks["node"])
             .join(outdeg, "src")
-            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("d")).alias("c"))
+            .select(F.col("dst").alias("node"), flow.alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("m"))
         )

@@ -3578,3 +3578,28 @@ def test_survival_table_hand_lifespans(spark):
         4: (0, 2, 2, 2, 1000000),
     }
     assert 3 not in got
+
+
+def test_pagerank_weighted_hand_values(spark):
+    """Weighted flow: a node receiving 90% of its source's out-weight gets
+    90% of the endorsement; weight_col=None stays bit-identical to the
+    uniform split."""
+    from chronographer_spark.operators.graph_algos import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b", 9), ("a", "c", 1)], "src string, dst string, w int"
+    )
+    r = {x["node"]: x["rank"] for x in
+         pagerank(edges, iterations=1, weight_col="w").collect()}
+    # one round: b = 0.15 + 0.85·(1·0.9); c = 0.15 + 0.85·(1·0.1)
+    assert abs(r["b"] - (0.15 + 0.85 * 0.9)) < 1e-12
+    assert abs(r["c"] - (0.15 + 0.85 * 0.1)) < 1e-12
+
+    uni_w = spark.createDataFrame(
+        [("a", "b", 1), ("a", "c", 1)], "src string, dst string, w int"
+    )
+    with_w = {x["node"]: x["rank"] for x in
+              pagerank(uni_w, iterations=2, weight_col="w").collect()}
+    without = {x["node"]: x["rank"] for x in
+               pagerank(uni_w.drop("w").withColumn("w", F.lit(1)), iterations=2).collect()}
+    assert with_w == without
