@@ -9595,6 +9595,66 @@ LEFT JOIN (SELECT * FROM rtop WHERE rn = 1) r ON nt.p = r.p
 
 
 # ---------------------------------------------------------------------------
+# Q: calibration table for the trained affinity classifier
+# ---------------------------------------------------------------------------
+
+
+def q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram of the gated affinity classifier against its
+    own training label (is_en): scores cluster around the base rate, so
+    occupied bands sit near the diagonal — the calibration companion to
+    classifier_pr_curve."""
+    from .operators.classifier import calibration_table, classify_documents
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "is_en", (F.col("lang") == "en").cast("long")
+    )
+    scored = classify_documents(docs, label_col="is_en", min_count=5).select(
+        F.col("id").alias("doc_id"), "score_x1e6"
+    )
+    labeled = scored.join(
+        docs.select(F.col("doc_id"), "is_en"), "doc_id"
+    )
+    return calibration_table(labeled, "is_en", band_width=50000).select(
+        "band", "n", "n_pos", "pos_rate_x1e6", "mean_score_x1e6"
+    )
+
+
+CLASSIFIER_CALIBRATION_SQL = """
+WITH tok AS (
+  SELECT doc_id AS id,
+         CAST(lang = 'en' AS BIGINT) AS is_pos,
+         unnest(string_split(
+           regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+  FROM documents
+),
+model AS (
+  SELECT tok,
+         CAST(sum(is_pos) AS BIGINT) AS n_pos,
+         CAST(sum(1 - is_pos) AS BIGINT) AS n_neg
+  FROM tok GROUP BY 1 HAVING count(*) >= 5
+),
+m2 AS (
+  SELECT tok, (n_pos + 1) * 1000000 // (n_pos + n_neg + 2) AS aff FROM model
+),
+sc AS (
+  SELECT id, CAST(sum(aff) // count(*) AS BIGINT) AS score
+  FROM tok JOIN m2 USING (tok) GROUP BY 1
+),
+lab AS (
+  SELECT sc.id, sc.score, CAST(d.lang = 'en' AS BIGINT) AS y
+  FROM sc JOIN documents d ON sc.id = d.doc_id
+)
+SELECT CAST(score // 50000 AS BIGINT) AS band,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(y) AS BIGINT) AS n_pos,
+       CAST(sum(y) * 1000000 // count(*) AS BIGINT) AS pos_rate_x1e6,
+       CAST(sum(score) // count(*) AS BIGINT) AS mean_score_x1e6
+FROM lab GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: weighted PageRank over the nation trade graph
 # ---------------------------------------------------------------------------
 
@@ -11447,6 +11507,7 @@ QUERIES = {
     "label_noise": q_label_noise,
     "survival_users": q_survival_users,
     "pagerank_weighted": q_pagerank_weighted,
+    "classifier_calibration": q_classifier_calibration,
 }
 
 ORACLE_SQL = {
@@ -11454,6 +11515,7 @@ ORACLE_SQL = {
     "label_noise": LABEL_NOISE_SQL,
     "survival_users": SURVIVAL_USERS_SQL,
     "pagerank_weighted": PAGERANK_WEIGHTED_SQL,
+    "classifier_calibration": CLASSIFIER_CALIBRATION_SQL,
     "type_drift": TYPE_DRIFT_SQL,
     "coburst_xcorr": COBURST_XCORR_SQL,
     "validate_rules": VALIDATE_RULES_SQL,

@@ -123,3 +123,43 @@ def classify_documents(
     tokens = _tokens(docs, id_col, text_col, label_col).localCheckpoint(eager=True)
     model = train_affinity_classifier(tokens, alpha=alpha, min_count=min_count)
     return score_affinity(tokens.select("id", "tok"), model)
+
+
+def calibration_table(
+    scored: DataFrame,
+    label_col: str,
+    score_col: str = "score_x1e6",
+    band_width: int = 100000,
+) -> DataFrame:
+    """Reliability diagram for a trained scorer — the calibration readout
+    beside the PR curve (threshold_curve): per score band, how often the
+    label ACTUALLY fires vs where the band sits. A well-calibrated scorer
+    tracks the diagonal; the trained affinity classifier's drift off it
+    prices how much to trust raw scores as probabilities.
+
+    Exact integers: band = score DIV band_width, empirical rate and mean
+    score are exact quotients; band count is bounded by 1e6/band_width —
+    the rollup runs on a collapsed table of at most that many rows.
+
+    Returns (band, n, n_pos, pos_rate_x1e6, mean_score_x1e6).
+    """
+    banded = scored.select(
+        F.expr(f"{score_col} DIV {int(band_width)}").cast("long").alias("band"),
+        F.col(label_col).cast("long").alias("__y"),
+        F.col(score_col).cast("long").alias("__s"),
+    )
+    return (
+        banded.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__y").alias("n_pos"),
+            F.sum("__s").alias("__ssum"),
+        )
+        .select(
+            "band",
+            F.col("n").cast("long").alias("n"),
+            F.col("n_pos").cast("long").alias("n_pos"),
+            F.expr("n_pos * 1000000 DIV n").cast("long").alias("pos_rate_x1e6"),
+            F.expr("__ssum DIV n").cast("long").alias("mean_score_x1e6"),
+        )
+    )

@@ -3603,3 +3603,23 @@ def test_pagerank_weighted_hand_values(spark):
     without = {x["node"]: x["rank"] for x in
                pagerank(uni_w.drop("w").withColumn("w", F.lit(1)), iterations=2).collect()}
     assert with_w == without
+
+
+def test_calibration_table_hand_values(spark):
+    """Banding, exact rates, and exact mean scores on a hand scorer."""
+    from chronographer_spark.operators.classifier import calibration_table
+
+    rows = [
+        (50000, 0), (80000, 0), (120000, 1), (150000, 0),
+        (950000, 1), (990000, 1), (910000, 0),
+    ]
+    df = spark.createDataFrame(rows, "score_x1e6 long, y int")
+    got = {
+        r["band"]: (r["n"], r["n_pos"], r["pos_rate_x1e6"], r["mean_score_x1e6"])
+        for r in calibration_table(df, "y").collect()
+    }
+    assert got == {
+        0: (2, 0, 0, 65000),
+        1: (2, 1, 500000, 135000),
+        9: (3, 2, 666666, (950000 + 990000 + 910000) // 3),
+    }
