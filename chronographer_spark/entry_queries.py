@@ -9595,6 +9595,69 @@ LEFT JOIN (SELECT * FROM rtop WHERE rn = 1) r ON nt.p = r.p
 
 
 # ---------------------------------------------------------------------------
+# Q: brand rank movers between order-date halves
+# ---------------------------------------------------------------------------
+
+
+def q_brand_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand popularity leaderboard, pre-1998 vs 1998-onward order halves:
+    25 brands all present on both sides, so every row is moved/steady —
+    the leaderboard-diff companion to type_drift."""
+    from .operators.ranking import rank_movers
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    base = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .select("p_brand", "o_orderdate")
+    )
+    a = base.filter(F.col("o_orderdate") < "1998-01-01")
+    b = base.filter(F.col("o_orderdate") >= "1998-01-01")
+    return rank_movers(a, b, "p_brand").select(
+        "key", "n_a", "n_b", "rank_a", "rank_b", "rank_delta", "status"
+    )
+
+
+BRAND_MOVERS_SQL = """
+WITH base AS (
+  SELECT p_brand, o_orderdate
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+),
+ca AS (
+  SELECT p_brand AS key, CAST(count(*) AS BIGINT) AS n_a
+  FROM base WHERE o_orderdate < DATE '1998-01-01' GROUP BY 1
+),
+cb AS (
+  SELECT p_brand AS key, CAST(count(*) AS BIGINT) AS n_b
+  FROM base WHERE o_orderdate >= DATE '1998-01-01' GROUP BY 1
+),
+ra AS (
+  SELECT key, n_a,
+         CAST(row_number() OVER (ORDER BY n_a DESC, key ASC) AS BIGINT)
+           AS rank_a
+  FROM ca
+),
+rb AS (
+  SELECT key, n_b,
+         CAST(row_number() OVER (ORDER BY n_b DESC, key ASC) AS BIGINT)
+           AS rank_b
+  FROM cb
+)
+SELECT coalesce(ra.key, rb.key) AS key, n_a, n_b, rank_a, rank_b,
+       CAST(rank_a - rank_b AS BIGINT) AS rank_delta,
+       CASE WHEN rank_a IS NULL THEN 'new'
+            WHEN rank_b IS NULL THEN 'vanished'
+            WHEN rank_a - rank_b <> 0 THEN 'moved'
+            ELSE 'steady' END AS status
+FROM ra FULL OUTER JOIN rb ON ra.key = rb.key
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: calibration table for the trained affinity classifier
 # ---------------------------------------------------------------------------
 
@@ -11508,6 +11571,7 @@ QUERIES = {
     "survival_users": q_survival_users,
     "pagerank_weighted": q_pagerank_weighted,
     "classifier_calibration": q_classifier_calibration,
+    "brand_movers": q_brand_movers,
 }
 
 ORACLE_SQL = {
@@ -11516,6 +11580,7 @@ ORACLE_SQL = {
     "survival_users": SURVIVAL_USERS_SQL,
     "pagerank_weighted": PAGERANK_WEIGHTED_SQL,
     "classifier_calibration": CLASSIFIER_CALIBRATION_SQL,
+    "brand_movers": BRAND_MOVERS_SQL,
     "type_drift": TYPE_DRIFT_SQL,
     "coburst_xcorr": COBURST_XCORR_SQL,
     "validate_rules": VALIDATE_RULES_SQL,

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Row
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def occurrence_delta(
@@ -139,3 +140,53 @@ def rank_top1(
         .first()
     )
     return row
+
+
+def rank_movers(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    key_col: str,
+) -> DataFrame:
+    """Top movers between two periods: each key's dense popularity rank in
+    snapshot A vs snapshot B and the signed delta — the leaderboard-diff
+    readout (which entities/tools/sources surged or collapsed) that pairs
+    with distribution_drift (drift says THAT the mix moved; this names the
+    movers in rank space, which is robust to volume growth).
+
+    Ranks are row_number over (count DESC, key ASC) — fully pinned, so
+    ties replay identically cross-engine. Keys absent from a side carry
+    NULL rank there and delta NULL (new/vanished keys are their own
+    status, not a fake numeric move).
+
+    Scale shape: one combinable count per side, each ranked by a window
+    over its COLLAPSED |keys|-row table, one full-outer key join. The
+    single-partition rank window is the er_threshold_curve collapsed-table
+    exception (|keys| rows, never input rows).
+
+    Returns (key, n_a, n_b, rank_a, rank_b, rank_delta, status) with
+    status in {'moved','steady','new','vanished'}.
+    """
+    def ranked(d: DataFrame, side: str) -> DataFrame:
+        c = d.groupBy(F.col(key_col).alias("key")).agg(
+            F.count(F.lit(1)).alias(f"n_{side}")
+        )
+        w = Window.orderBy(F.col(f"n_{side}").desc(), F.col("key").asc())
+        return c.withColumn(f"rank_{side}", F.row_number().over(w))
+
+    j = ranked(df_a, "a").join(ranked(df_b, "b"), "key", "full_outer")
+    delta = F.col("rank_a") - F.col("rank_b")
+    status = (
+        F.when(F.col("rank_a").isNull(), F.lit("new"))
+        .when(F.col("rank_b").isNull(), F.lit("vanished"))
+        .when(delta != 0, F.lit("moved"))
+        .otherwise(F.lit("steady"))
+    )
+    return j.select(
+        "key",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("rank_a").cast("long").alias("rank_a"),
+        F.col("rank_b").cast("long").alias("rank_b"),
+        delta.cast("long").alias("rank_delta"),
+        status.alias("status"),
+    )

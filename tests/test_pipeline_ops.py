@@ -3623,3 +3623,24 @@ def test_calibration_table_hand_values(spark):
         1: (2, 1, 500000, 135000),
         9: (3, 2, 666666, (950000 + 990000 + 910000) // 3),
     }
+
+
+def test_rank_movers_hand_values(spark):
+    """Pinned ranks, signed deltas, and new/vanished statuses."""
+    from chronographer_spark.operators.ranking import rank_movers
+
+    a = [("x",)] * 5 + [("y",)] * 3 + [("z",)] * 1
+    b = [("x",)] * 2 + [("y",)] * 6 + [("w",)] * 4
+    got = {
+        r["key"]: (r["rank_a"], r["rank_b"], r["rank_delta"], r["status"])
+        for r in rank_movers(
+            spark.createDataFrame(a, "k string"),
+            spark.createDataFrame(b, "k string"), "k",
+        ).collect()
+    }
+    assert got == {
+        "x": (1, 3, -2, "moved"),
+        "y": (2, 1, 1, "moved"),
+        "z": (3, None, None, "vanished"),
+        "w": (None, 2, None, "new"),
+    }
