@@ -546,6 +546,8 @@ def validate_constraints(
     Per-rule rollups are rule-count-scale; the final union is rows of
     results, never re-executed corpus branches.
     """
+    if not rules:
+        raise ValueError("validate_constraints: rules must be non-empty")
     spark = triples.sparkSession
     base = triples.select(
         F.col(s_col).alias("s"), F.col(p_col).alias("p"), F.col(o_col).alias("o")

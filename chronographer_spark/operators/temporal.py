@@ -819,6 +819,9 @@ def decayed_activity(
 
     Returns (key, n_events, last_age_days, score_x1e6).
     """
+    import datetime as _dt
+
+    _dt.date.fromisoformat(asof)  # asof is interpolated into SQL: validate
     age = F.datediff(F.lit(asof).cast("date"), F.col(ts_col).cast("date"))
     return (
         df.select(

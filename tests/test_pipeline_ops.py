@@ -3644,3 +3644,21 @@ def test_rank_movers_hand_values(spark):
         "z": (3, None, None, "vanished"),
         "w": (None, 2, None, "new"),
     }
+
+
+def test_operator_input_guards(spark):
+    """Empty rule sets and malformed asof dates fail loudly, not deep in
+    a Spark plan."""
+    import pytest as _pytest
+
+    from chronographer_spark.graph.constraints import validate_constraints
+    from chronographer_spark.operators.temporal import decayed_activity
+
+    t = spark.createDataFrame([("a", "p", "b")], "s string, p string, o string")
+    ty = spark.createDataFrame([("a", "T")], "node string, type string")
+    with _pytest.raises(ValueError, match="non-empty"):
+        validate_constraints(t, ty, [])
+    ev = spark.createDataFrame([("u", "2024-01-01")], "user_id string, d string")
+    with _pytest.raises(ValueError):
+        decayed_activity(ev.select("user_id", F.col("d").alias("ts")),
+                         asof="2024-01-31'; DROP TABLE x")
