@@ -9595,6 +9595,53 @@ LEFT JOIN (SELECT * FROM rtop WHERE rn = 1) r ON nt.p = r.p
 
 
 # ---------------------------------------------------------------------------
+# Q: median/MAD robust outlier screen over event values
+# ---------------------------------------------------------------------------
+
+
+def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type value outliers at 3 MADs, cents quantization: the events
+    value column is uniform so outliers are the distribution's tails —
+    exact doubled-integer medians make the whole screen hash-gateable."""
+    from .operators.temporal import robust_outlier_report
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    return robust_outlier_report(
+        ev, key="event_type", value_col="value", scale=100, k_mad=3
+    ).select("event_type", "n", "med2", "mad2", "n_outliers", "outlier_x1e6")
+
+
+VALUE_OUTLIERS_SQL = """
+WITH q AS (
+  SELECT event_type,
+         CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT) AS v
+  FROM events
+),
+med AS (
+  SELECT event_type, CAST(median(v) * 2 AS BIGINT) AS med2
+  FROM q GROUP BY event_type
+),
+dev AS (
+  SELECT q.event_type, q.v, med.med2, abs(q.v * 2 - med.med2) AS d
+  FROM q JOIN med USING (event_type)
+),
+mad AS (
+  SELECT event_type, CAST(median(d) * 2 AS BIGINT) AS mad2
+  FROM dev GROUP BY event_type
+)
+SELECT dev.event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(max(dev.med2) AS BIGINT) AS med2,
+       CAST(max(mad.mad2) AS BIGINT) AS mad2,
+       CAST(sum(CASE WHEN dev.d * 2 > 3 * mad.mad2 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers,
+       CAST(sum(CASE WHEN dev.d * 2 > 3 * mad.mad2 THEN 1 ELSE 0 END)
+            * 1000000 // count(*) AS BIGINT) AS outlier_x1e6
+FROM dev JOIN mad USING (event_type)
+GROUP BY dev.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: brand rank movers between order-date halves
 # ---------------------------------------------------------------------------
 
@@ -11572,6 +11619,7 @@ QUERIES = {
     "pagerank_weighted": q_pagerank_weighted,
     "classifier_calibration": q_classifier_calibration,
     "brand_movers": q_brand_movers,
+    "value_outliers": q_value_outliers,
 }
 
 ORACLE_SQL = {
@@ -11581,6 +11629,7 @@ ORACLE_SQL = {
     "pagerank_weighted": PAGERANK_WEIGHTED_SQL,
     "classifier_calibration": CLASSIFIER_CALIBRATION_SQL,
     "brand_movers": BRAND_MOVERS_SQL,
+    "value_outliers": VALUE_OUTLIERS_SQL,
     "type_drift": TYPE_DRIFT_SQL,
     "coburst_xcorr": COBURST_XCORR_SQL,
     "validate_rules": VALIDATE_RULES_SQL,

@@ -1040,3 +1040,71 @@ def survival_table(
             .alias("hazard_x1e6"),
         )
     )
+
+
+def robust_outlier_report(
+    df: DataFrame,
+    key: str = "event_type",
+    value_col: str = "value",
+    scale: int = 100,
+    k_mad: int = 3,
+) -> DataFrame:
+    """Median/MAD outlier screen per key — the ROBUST complement to
+    burst/cusum (which watch counts): a value column's heavy tail is
+    measured against the median absolute deviation, immune to the very
+    outliers it hunts (mean/stddev screens are not).
+
+    Exact-integer discipline via DOUBLED medians: values quantize to
+    v = floor(x·scale + 0.5); med2 = 2·median(v) is ALWAYS an exact
+    integer (odd count: 2a; even: a+b — both engines interpolate the
+    midpoint exactly, and 2·midpoint is integral, so the double is
+    bit-safe for |v| < 2^51); deviations d = |2v − med2| are exact ints;
+    mad2 = median(d) doubled again the same way. The outlier test
+    |2v − med2| · 2 > k · mad2 is pure integer comparison.
+
+    Scale note: exact percentile sorts each key's values — right for
+    bounded per-key cardinality (event types, sources); at unbounded
+    scale swap percentile→percentile_approx and drop the oracle to
+    rows-only (documented, same convention as quantiles_by_type).
+
+    Returns (key, n, med2, mad2, n_outliers, outlier_x1e6).
+    """
+    q = df.select(
+        key,
+        F.floor(F.col(value_col).cast("double") * scale + F.lit(0.5))
+        .cast("long")
+        .alias("__v"),
+    ).localCheckpoint(eager=True)
+    med = q.groupBy(key).agg(
+        F.expr("CAST(percentile(__v, 0.5) * 2 AS BIGINT)").alias("med2")
+    )
+    dev = q.join(F.broadcast(med), key).select(
+        key, "__v", "med2", F.abs(F.col("__v") * 2 - F.col("med2")).alias("__d")
+    )
+    mad = dev.groupBy(key).agg(
+        F.expr("CAST(percentile(__d, 0.5) * 2 AS BIGINT)").alias("mad2")
+    )
+    return (
+        dev.join(F.broadcast(mad), key)
+        .withColumn(
+            "__out",
+            (F.col("__d") * 2 > F.lit(int(k_mad)).cast("long") * F.col("mad2"))
+            .cast("long"),
+        )
+        .groupBy(key)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("med2").alias("med2"),
+            F.max("mad2").alias("mad2"),
+            F.sum("__out").alias("n_outliers"),
+        )
+        .select(
+            key,
+            F.col("n").cast("long").alias("n"),
+            "med2",
+            "mad2",
+            F.col("n_outliers").cast("long").alias("n_outliers"),
+            F.expr("n_outliers * 1000000 DIV n").cast("long")
+            .alias("outlier_x1e6"),
+        )
+    )

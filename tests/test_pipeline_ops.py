@@ -3662,3 +3662,25 @@ def test_operator_input_guards(spark):
     with _pytest.raises(ValueError):
         decayed_activity(ev.select("user_id", F.col("d").alias("ts")),
                          asof="2024-01-31'; DROP TABLE x")
+
+
+def test_robust_outlier_report_hand_values(spark):
+    """Median/MAD vs hand computation: the planted spike is the ONLY
+    outlier and does not drag the screen (robustness); a symmetric clean
+    key reports zero."""
+    from chronographer_spark.operators.temporal import robust_outlier_report
+
+    rows = [("k", v) for v in [1.0, 1.1, 0.9, 1.05, 0.95, 1.0, 50.0]]
+    rows += [("clean", v) for v in [2.0, 2.1, 1.9, 2.0]]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    got = {
+        r["event_type"]: (r["n"], r["med2"], r["mad2"], r["n_outliers"])
+        for r in robust_outlier_report(df, scale=100, k_mad=3).collect()
+    }
+    # k: values x100 = [100,110,90,105,95,100,5000]; median 100 -> med2 200
+    # d = |2v-200| = [0,20,20,10,10,0,9800]; median d = 10 -> mad2 20
+    # outlier: 2d > 3*20=60 -> only 9800
+    assert got["k"] == (7, 200, 20, 1)
+    # clean: [200,210,190,200] median (200+200)/2=200 -> med2 400
+    # d = [0,20,20,0] -> median 10 -> mad2 20; 2d>60 none
+    assert got["clean"] == (4, 400, 20, 0)
