@@ -9595,6 +9595,74 @@ LEFT JOIN (SELECT * FROM rtop WHERE rn = 1) r ON nt.p = r.p
 
 
 # ---------------------------------------------------------------------------
+# Q: unicode script-mix audit per source
+# ---------------------------------------------------------------------------
+
+
+def q_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus is ASCII by construction, so the confusable signal is
+    injected deterministically in-query: docs with doc_id%7==0 get a
+    Cyrillic suffix, doc_id%11==0 a CJK one — mixed_docs then counts
+    exactly those, replayed by codepoint arithmetic in both engines."""
+    from .operators.text import script_profile
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" привет")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(" 中文")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return script_profile(docs, text_col="text", group_col="source").select(
+        "source", "n_docs", "n_chars", "n_latin", "n_digit", "n_space",
+        "n_cyrillic", "n_cjk", "n_other", "mixed_docs",
+    )
+
+
+SCRIPT_MIX_SQL = """
+WITH d AS (
+  SELECT source,
+         text || CASE WHEN doc_id % 7 = 0 THEN ' привет' ELSE '' END
+              || CASE WHEN doc_id % 11 = 0 THEN ' 中文' ELSE '' END AS t
+  FROM documents
+  WHERE text IS NOT NULL AND len(text) > 0
+),
+cls AS (
+  SELECT source, length(t) AS n_chars,
+         list_transform(string_split(t, ''), c -> unicode(c)) AS cps
+  FROM d
+),
+per AS (
+  SELECT source, n_chars,
+         CAST(len(list_filter(cps, p -> (p >= 65 AND p <= 90)
+              OR (p >= 97 AND p <= 122))) AS BIGINT) AS lat,
+         CAST(len(list_filter(cps, p -> p >= 48 AND p <= 57)) AS BIGINT)
+           AS dig,
+         CAST(len(list_filter(cps, p -> p = 32 OR p = 9 OR p = 10
+              OR p = 13)) AS BIGINT) AS spc,
+         CAST(len(list_filter(cps, p -> p >= 1024 AND p <= 1279)) AS BIGINT)
+           AS cyr,
+         CAST(len(list_filter(cps, p -> p >= 19968 AND p <= 40959))
+              AS BIGINT) AS cjk
+  FROM cls
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       CAST(sum(lat) AS BIGINT) AS n_latin,
+       CAST(sum(dig) AS BIGINT) AS n_digit,
+       CAST(sum(spc) AS BIGINT) AS n_space,
+       CAST(sum(cyr) AS BIGINT) AS n_cyrillic,
+       CAST(sum(cjk) AS BIGINT) AS n_cjk,
+       CAST(sum(n_chars) - sum(lat) - sum(dig) - sum(spc) - sum(cyr)
+            - sum(cjk) AS BIGINT) AS n_other,
+       CAST(sum(CASE WHEN lat > 0 AND (cyr > 0 OR cjk > 0) THEN 1 ELSE 0 END)
+            AS BIGINT) AS mixed_docs
+FROM per GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: median/MAD robust outlier screen over event values
 # ---------------------------------------------------------------------------
 
@@ -11620,6 +11688,7 @@ QUERIES = {
     "classifier_calibration": q_classifier_calibration,
     "brand_movers": q_brand_movers,
     "value_outliers": q_value_outliers,
+    "script_mix": q_script_mix,
 }
 
 ORACLE_SQL = {
@@ -11630,6 +11699,7 @@ ORACLE_SQL = {
     "classifier_calibration": CLASSIFIER_CALIBRATION_SQL,
     "brand_movers": BRAND_MOVERS_SQL,
     "value_outliers": VALUE_OUTLIERS_SQL,
+    "script_mix": SCRIPT_MIX_SQL,
     "type_drift": TYPE_DRIFT_SQL,
     "coburst_xcorr": COBURST_XCORR_SQL,
     "validate_rules": VALIDATE_RULES_SQL,

@@ -1152,3 +1152,84 @@ def distribution_drift(
             .alias("tvd_x1e6"),
         )
     )
+
+
+def script_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Unicode script-mix audit per group — the multilingual-integrity /
+    spoofing screen (mixed-script tokens are the confusable-attack and
+    mojibake signature; a 'latin' corpus with creeping CJK or Cyrillic
+    mass has an ingestion bug). NO regex: characters classify by CODEPOINT
+    arithmetic (transform(split(text,''), c -> ascii(c)) gives identical
+    codepoint arrays in both engines — measured), so there is no
+    regex-dialect hazard at all.
+
+    Classes: latin letters, digits, whitespace (space/tab/newline),
+    Cyrillic (U+0400-04FF), CJK unified (U+4E00-9FFF), other.
+    mixed_docs counts documents carrying BOTH latin and (cyrillic|cjk)
+    letters — the confusable signal.
+
+    Scale shape: the per-char explode-free classification happens inside
+    array expressions (size(filter(...)) — whole-stage codegen, no
+    Generate); one combinable group rollup.
+
+    Returns (group, n_docs, n_chars, n_latin, n_digit, n_space,
+    n_cyrillic, n_cjk, n_other, mixed_docs).
+    """
+    cps = f"transform(split({text_col}, ''), c -> ascii(c))"
+
+    def cnt(cond: str):
+        return F.expr(f"size(filter({cps}, p -> {cond}))").cast("long")
+
+    latin = cnt("(p >= 65 AND p <= 90) OR (p >= 97 AND p <= 122)")
+    digit = cnt("p >= 48 AND p <= 57")
+    space = cnt("p = 32 OR p = 9 OR p = 10 OR p = 13")
+    cyr = cnt("p >= 1024 AND p <= 1279")
+    cjk = cnt("p >= 19968 AND p <= 40959")
+    per_doc = df.filter(
+        F.col(text_col).isNotNull() & (F.length(text_col) > 0)
+    ).select(
+        F.col(group_col).alias("grp"),
+        F.length(text_col).cast("long").alias("__len"),
+        latin.alias("__lat"),
+        digit.alias("__dig"),
+        space.alias("__spc"),
+        cyr.alias("__cyr"),
+        cjk.alias("__cjk"),
+    )
+    return (
+        per_doc.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__len").alias("n_chars"),
+            F.sum("__lat").alias("n_latin"),
+            F.sum("__dig").alias("n_digit"),
+            F.sum("__spc").alias("n_space"),
+            F.sum("__cyr").alias("n_cyrillic"),
+            F.sum("__cjk").alias("n_cjk"),
+            F.sum(
+                F.when(
+                    (F.col("__lat") > 0)
+                    & ((F.col("__cyr") > 0) | (F.col("__cjk") > 0)),
+                    1,
+                ).otherwise(0)
+            ).alias("mixed_docs"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            *[
+                F.col(c).cast("long").alias(c)
+                for c in (
+                    "n_docs", "n_chars", "n_latin", "n_digit", "n_space",
+                    "n_cyrillic", "n_cjk", "mixed_docs",
+                )
+            ],
+            (
+                F.col("n_chars") - F.col("n_latin") - F.col("n_digit")
+                - F.col("n_space") - F.col("n_cyrillic") - F.col("n_cjk")
+            ).cast("long").alias("n_other"),
+        )
+    )

@@ -3684,3 +3684,30 @@ def test_robust_outlier_report_hand_values(spark):
     # clean: [200,210,190,200] median (200+200)/2=200 -> med2 400
     # d = [0,20,20,0] -> median 10 -> mad2 20; 2d>60 none
     assert got["clean"] == (4, 400, 20, 0)
+
+
+def test_script_profile_hand_fixture(spark):
+    """Codepoint-range classification on a mixed fixture: counts per
+    class, the confusable mixed-doc flag, and empty-text exclusion."""
+    from chronographer_spark.operators.text import script_profile
+
+    rows = [
+        ("s1", "abc 12"),             # 3 latin, 2 digit, 1 space
+        ("s1", "pay pаl"),        # latin + Cyrillic a -> mixed
+        ("s2", "中文 ok"),     # 2 cjk + latin -> mixed
+        ("s2", ""),                     # excluded
+        ("s2", "!!"),                   # other only
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {
+        r["source"]: (
+            r["n_docs"], r["n_chars"], r["n_latin"], r["n_digit"],
+            r["n_space"], r["n_cyrillic"], r["n_cjk"], r["n_other"],
+            r["mixed_docs"],
+        )
+        for r in script_profile(df).collect()
+    }
+    # s1: "abc 12" (6 chars) + "pay pаl" (7 chars: 5 latin, 1 space, 1 cyr)
+    assert got["s1"] == (2, 13, 8, 2, 2, 1, 0, 0, 1)
+    # s2: "中文 ok" (5 chars: 2 cjk, 1 space, 2 latin) + "!!" (2 other)
+    assert got["s2"] == (2, 7, 2, 0, 1, 0, 2, 2, 1)
