@@ -9595,6 +9595,69 @@ LEFT JOIN (SELECT * FROM rtop WHERE rn = 1) r ON nt.p = r.p
 
 
 # ---------------------------------------------------------------------------
+# Q: end-to-end SFT curation pipeline (filter -> dedup -> fold -> account)
+# ---------------------------------------------------------------------------
+
+
+def q_sft_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The integration composition a training-data team actually ships:
+    quality filter (length + lang) -> exact dedup (min-id representative
+    per normalized text) -> group-aware 3-fold split -> per-fold document
+    / token / char accounting. Four individually-gated stages chained;
+    the oracle replays the whole flow in one CTE chain."""
+    from .operators.dedup import exact_dedup
+    from .operators.sampling import group_kfold
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        (F.col("n_chars") >= 50) & (F.col("lang") == "en")
+    )
+    kept = exact_dedup(docs, text_col="text", id_col="doc_id")
+    folded = group_kfold(kept, "doc_id", k=3, seed=23)
+    toks = F.size(F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " "))
+    return (
+        folded.select("fold", toks.cast("long").alias("__t"),
+                      F.col("n_chars").cast("long").alias("__c"))
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__t").cast("long").alias("n_tokens"),
+            F.sum("__c").cast("long").alias("n_chars"),
+        )
+    )
+
+
+SFT_PIPELINE_SQL = """
+WITH filt AS (
+  SELECT doc_id, text, n_chars FROM documents
+  WHERE n_chars >= 50 AND lang = 'en'
+),
+norm AS (
+  SELECT doc_id, text, n_chars,
+         regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+  FROM filt
+),
+keep AS (
+  SELECT nt, min(doc_id) AS doc_id FROM norm GROUP BY nt
+),
+kept AS (
+  SELECT n.doc_id, n.text, n.n_chars, n.nt
+  FROM norm n JOIN keep k ON n.doc_id = k.doc_id AND n.nt = k.nt
+),
+folded AS (
+  SELECT CAST(CAST(concat('0x', substr(md5('23:' || CAST(doc_id AS VARCHAR)),
+              1, 8)) AS BIGINT) % 3 AS INT) AS fold,
+         CAST(len(string_split(nt, ' ')) AS BIGINT) AS t,
+         CAST(n_chars AS BIGINT) AS c
+  FROM kept
+)
+SELECT fold, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(t) AS BIGINT) AS n_tokens,
+       CAST(sum(c) AS BIGINT) AS n_chars
+FROM folded GROUP BY fold
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: unicode script-mix audit per source
 # ---------------------------------------------------------------------------
 
@@ -11689,6 +11752,7 @@ QUERIES = {
     "brand_movers": q_brand_movers,
     "value_outliers": q_value_outliers,
     "script_mix": q_script_mix,
+    "sft_pipeline": q_sft_pipeline,
 }
 
 ORACLE_SQL = {
@@ -11700,6 +11764,7 @@ ORACLE_SQL = {
     "brand_movers": BRAND_MOVERS_SQL,
     "value_outliers": VALUE_OUTLIERS_SQL,
     "script_mix": SCRIPT_MIX_SQL,
+    "sft_pipeline": SFT_PIPELINE_SQL,
     "type_drift": TYPE_DRIFT_SQL,
     "coburst_xcorr": COBURST_XCORR_SQL,
     "validate_rules": VALIDATE_RULES_SQL,
