@@ -9595,6 +9595,76 @@ LEFT JOIN (SELECT * FROM rtop WHERE rn = 1) r ON nt.p = r.p
 
 
 # ---------------------------------------------------------------------------
+# Q: hard-negative mining over the embeddings table
+# ---------------------------------------------------------------------------
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 cross-label neighbors from a 20-candidate window per anchor —
+    the contrastive-training pair miner; the oracle replays the full n²
+    quantized-cosine ranking, the candidate cut, the cross-label filter,
+    and the re-rank."""
+    from .operators.similarity import hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    return hard_negatives(emb, k=3, candidates=20).select(
+        "anchor_id", "neg_id", "neg_rank", "cos_x1e6"
+    )
+
+
+HARD_NEGATIVES_SQL = """
+WITH emb AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+qz AS (
+  SELECT vec_id, label,
+         CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0
+              THEN list_transform(v, x -> 0)
+              ELSE list_transform(v, x -> CAST(floor(x * 127.0
+                   / list_max(list_transform(v, y -> abs(y))) + 0.5)
+                   AS INTEGER))
+         END AS q
+  FROM emb
+),
+qn AS (
+  SELECT vec_id, label, q,
+         CAST(list_sum(list_transform(q, x -> CAST(x AS BIGINT)
+              * CAST(x AS BIGINT))) AS BIGINT) AS n2
+  FROM qz
+),
+sims AS (
+  SELECT a.vec_id AS query_id, a.label AS ol, b.vec_id AS vid,
+         b.label AS nl,
+         CAST(list_sum(list_transform(list_zip(a.q, b.q),
+              x -> CAST(x[1] AS BIGINT) * CAST(x[2] AS BIGINT))) AS DOUBLE)
+         / sqrt(CAST(a.n2 * b.n2 AS DOUBLE)) AS qcos
+  FROM qn a JOIN qn b ON true
+),
+ranked AS (
+  SELECT query_id, ol, vid, nl, qcos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY qcos DESC, vid ASC) AS rn
+  FROM sims
+),
+cand AS (
+  SELECT query_id, ol, vid, nl, qcos
+  FROM ranked WHERE rn <= 20 AND vid <> query_id
+),
+cross_lab AS (
+  SELECT query_id, vid, qcos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY floor(qcos * 1000000 + 0.5) DESC,
+                                     vid ASC) AS neg_rank
+  FROM cand WHERE nl <> ol
+)
+SELECT query_id AS anchor_id, vid AS neg_id,
+       CAST(neg_rank AS INT) AS neg_rank,
+       CAST(floor(qcos * 1000000 + 0.5) AS BIGINT) AS cos_x1e6
+FROM cross_lab WHERE neg_rank <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: end-to-end SFT curation pipeline (filter -> dedup -> fold -> account)
 # ---------------------------------------------------------------------------
 
@@ -11753,6 +11823,7 @@ QUERIES = {
     "value_outliers": q_value_outliers,
     "script_mix": q_script_mix,
     "sft_pipeline": q_sft_pipeline,
+    "hard_negatives": q_hard_negatives,
 }
 
 ORACLE_SQL = {
@@ -11765,6 +11836,7 @@ ORACLE_SQL = {
     "value_outliers": VALUE_OUTLIERS_SQL,
     "script_mix": SCRIPT_MIX_SQL,
     "sft_pipeline": SFT_PIPELINE_SQL,
+    "hard_negatives": HARD_NEGATIVES_SQL,
     "type_drift": TYPE_DRIFT_SQL,
     "coburst_xcorr": COBURST_XCORR_SQL,
     "validate_rules": VALIDATE_RULES_SQL,

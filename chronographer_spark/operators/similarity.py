@@ -831,3 +831,57 @@ def label_noise_report(
             F.expr("n_flagged * 1000000 DIV n").cast("long").alias("noise_x1e6"),
         )
     )
+
+
+def hard_negatives(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 3,
+    candidates: int = 20,
+) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: per
+    anchor, the ``k`` most similar vectors carrying a DIFFERENT label —
+    the pairs that actually move a metric-learning loss (easy negatives
+    are free; hard ones must be mined). The dual of label_noise_report's
+    vote (there cross-label neighbors are suspicion; here they are
+    training signal).
+
+    Neighbor stage: quantized_topk over ``candidates`` nearest (the gated
+    exact-integer baseline — swap lsh_topk/ivf_topk at corpus scale, same
+    contract); the cross-label filter then keeps at most k by the SAME
+    (cos desc, id asc) order, re-ranked 1..k per anchor. If fewer than k
+    cross-label vectors appear in the candidate window, fewer rows emit —
+    widen ``candidates`` (documented recall knob, the standard ANN-mining
+    trade).
+
+    Returns (anchor_id, neg_id, neg_rank, cos_x1e6).
+    """
+    q = emb.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias(vec_col))
+    nbrs = quantized_topk(
+        emb.select(id_col, vec_col), q, k=candidates,
+        id_col=id_col, vec_col=vec_col,
+    ).filter(F.col(id_col) != F.col("query_id"))
+    lab = emb.select(F.col(id_col).alias("__nid"), F.col(label_col).alias("__nl"))
+    own = emb.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("__ol")
+    )
+    cross = (
+        nbrs.join(lab, nbrs[id_col] == lab["__nid"])
+        .join(own, "query_id")
+        .filter(F.col("__nl") != F.col("__ol"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_x1e6"), F.asc(F.col(id_col))
+    )
+    return (
+        cross.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= int(k))
+        .select(
+            F.col("query_id").alias("anchor_id"),
+            F.col(id_col).alias("neg_id"),
+            F.col("neg_rank").cast("int").alias("neg_rank"),
+            "cos_x1e6",
+        )
+    )

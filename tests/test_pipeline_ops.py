@@ -3711,3 +3711,32 @@ def test_script_profile_hand_fixture(spark):
     assert got["s1"] == (2, 13, 8, 2, 2, 1, 0, 0, 1)
     # s2: "中文 ok" (5 chars: 2 cjk, 1 space, 2 latin) + "!!" (2 other)
     assert got["s2"] == (2, 7, 2, 0, 1, 0, 2, 2, 1)
+
+
+def test_hard_negatives_planted_clusters(spark):
+    """Anchors in cluster A mine the mislabeled A-point (nearest
+    cross-label vector) as their #1 hard negative; same-label neighbors
+    never appear."""
+    from chronographer_spark.operators.similarity import hard_negatives
+
+    a = [1.0, 0.0, 0.0, 0.0]
+    b = [0.0, 1.0, 0.0, 0.0]
+
+    def jit(v, i):
+        return [x + (0.01 * (i + 1) if x > 0 else 0.001 * i) for x in v]
+
+    rows = [(i, jit(a, i), 0) for i in range(4)]
+    rows += [(10 + i, jit(b, i), 1) for i in range(4)]
+    rows += [(99, jit(a, 5), 1)]  # an A-shaped vector labeled 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    got = hard_negatives(df, k=2, candidates=8).collect()
+    by_anchor = {}
+    for r in got:
+        by_anchor.setdefault(r["anchor_id"], []).append((r["neg_rank"], r["neg_id"]))
+    # every A anchor's top hard negative is 99 (the A-shaped label-1 row)
+    for aid in range(4):
+        assert sorted(by_anchor[aid])[0] == (1, 99)
+    # labels always differ from the anchor's
+    lab = {r[0]: r[2] for r in rows}
+    for r in got:
+        assert lab[r["anchor_id"]] != lab[r["neg_id"]]
