@@ -9595,6 +9595,39 @@ LEFT JOIN (SELECT * FROM rtop WHERE rn = 1) r ON nt.p = r.p
 
 
 # ---------------------------------------------------------------------------
+# Q: order-independent partition checksums of the orders table
+# ---------------------------------------------------------------------------
+
+
+def q_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integrity manifest of orders partitioned by order status: count +
+    additive md5-int checksum over (o_orderkey, o_custkey, o_orderdate) —
+    the copy-validation readout two engines can compute independently and
+    compare, which is exactly what the gate does."""
+    from .io.catalog import partition_checksums
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_orderkey", "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("od"),
+    )
+    return partition_checksums(
+        o, "o_orderstatus", cols=["o_orderkey", "o_custkey", "od"]
+    ).select("partition", "n_rows", "checksum")
+
+
+PARTITION_CHECKSUMS_SQL = """
+SELECT o_orderstatus AS partition,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(concat('0x', substr(md5(
+              CAST(o_orderkey AS VARCHAR) || '|' ||
+              CAST(o_custkey AS VARCHAR) || '|' ||
+              strftime(o_orderdate, '%Y-%m-%d')), 1, 8)) AS BIGINT))
+            AS BIGINT) AS checksum
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: hard-negative mining over the embeddings table
 # ---------------------------------------------------------------------------
 
@@ -11824,6 +11857,7 @@ QUERIES = {
     "script_mix": q_script_mix,
     "sft_pipeline": q_sft_pipeline,
     "hard_negatives": q_hard_negatives,
+    "partition_checksums": q_partition_checksums,
 }
 
 ORACLE_SQL = {
@@ -11837,6 +11871,7 @@ ORACLE_SQL = {
     "script_mix": SCRIPT_MIX_SQL,
     "sft_pipeline": SFT_PIPELINE_SQL,
     "hard_negatives": HARD_NEGATIVES_SQL,
+    "partition_checksums": PARTITION_CHECKSUMS_SQL,
     "type_drift": TYPE_DRIFT_SQL,
     "coburst_xcorr": COBURST_XCORR_SQL,
     "validate_rules": VALIDATE_RULES_SQL,

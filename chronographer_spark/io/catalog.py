@@ -436,3 +436,39 @@ def snapshot_diff(
             *[F.col(f"{c}_new") for c in compare_cols],
         )
     )
+
+
+def partition_checksums(
+    df: DataFrame,
+    part_col: str,
+    cols: list[str] | None = None,
+) -> DataFrame:
+    """Order-independent content checksums per partition — the integrity
+    manifest for replication/migration validation ("does the copied table
+    match?") without sorting either side: per partition, the row count and
+    the SUM of per-row md5-derived 32-bit integers over the canonical
+    '|'-joined column rendering. Sums are order-independent and mergeable
+    (a partition's checksum is the sum of its files' checksums), and two
+    tables agree iff every (partition, n_rows, checksum) row agrees —
+    modulo the 2^-32-per-row collision bound, the standard trade for an
+    unordered checksum.
+
+    NULLs render as the literal 'NULL' — indistinguishable from a real
+    "NULL" string by design trade-off; callers with adversarial string
+    domains add a type/flag prefix column. Column order is the caller's
+    `cols` list — pin it in the manifest.
+
+    Map-side hash + ONE combinable groupBy; no sort anywhere.
+    """
+    cols = cols or [c for c in df.columns if c != part_col]
+    rendered = F.concat_ws(
+        "|", *[F.coalesce(F.col(c).cast("string"), F.lit("NULL")) for c in cols]
+    )
+    h = F.conv(F.substring(F.md5(rendered), 1, 8), 16, 10).cast("long")
+    return (
+        df.groupBy(F.col(part_col).alias("partition"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(h).cast("long").alias("checksum"),
+        )
+    )

@@ -978,3 +978,25 @@ def test_snapshot_diff_cdc(spark, tmp_path):
         "e5": ("added", None, "x", None, 9),
     }
     assert "e1" not in diff  # unchanged keys absent
+
+
+def test_partition_checksums_integrity(spark):
+    """Checksums are order/partitioning-independent, detect a single
+    changed value, and merge additively."""
+    from chronographer_spark.io.catalog import partition_checksums
+
+    rows = [("p1", i, f"v{i}") for i in range(20)] + [("p2", 9, "x")]
+    df = spark.createDataFrame(rows, "part string, k int, v string")
+    a = {r["partition"]: (r["n_rows"], r["checksum"])
+         for r in partition_checksums(df, "part").collect()}
+    b = {r["partition"]: (r["n_rows"], r["checksum"])
+         for r in partition_checksums(df.repartition(7).orderBy("v"), "part").collect()}
+    assert a == b
+    mutated = spark.createDataFrame(
+        [("p1", i, "CHANGED" if i == 5 else f"v{i}") for i in range(20)]
+        + [("p2", 9, "x")],
+        "part string, k int, v string",
+    )
+    c = {r["partition"]: (r["n_rows"], r["checksum"])
+         for r in partition_checksums(mutated, "part").collect()}
+    assert c["p2"] == a["p2"] and c["p1"] != a["p1"]
