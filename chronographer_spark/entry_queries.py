@@ -9595,6 +9595,49 @@ LEFT JOIN (SELECT * FROM rtop WHERE rn = 1) r ON nt.p = r.p
 
 
 # ---------------------------------------------------------------------------
+# Q: bag-of-words duplicate groups over documents
+# ---------------------------------------------------------------------------
+
+
+def q_bow_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reorder-duplicates are injected deterministically (every 20th doc
+    gets a token-REVERSED twin at id+10^9 — same multiset, different
+    surface), proving the bag key groups what exact dedup cannot; both
+    engines replay the reversal."""
+    from .operators.dedup import bow_dup_groups
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    twins = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 1000000000).alias("doc_id"),
+        F.concat_ws(" ", F.reverse(F.split("text", " "))).alias("text"),
+    )
+    return bow_dup_groups(docs.unionAll(twins), min_group=2).select(
+        "bow_fp", "group_size", "rep_id"
+    )
+
+
+BOW_DUPS_SQL = """
+WITH d AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000000,
+         array_to_string(list_reverse(string_split(text, ' ')), ' ')
+  FROM documents WHERE doc_id % 20 = 0
+),
+fp AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(string_split(
+           regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')), ' '))
+           AS bow_fp
+  FROM d
+)
+SELECT bow_fp, CAST(count(*) AS BIGINT) AS group_size,
+       CAST(min(doc_id) AS BIGINT) AS rep_id
+FROM fp GROUP BY bow_fp HAVING count(*) >= 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: order-independent partition checksums of the orders table
 # ---------------------------------------------------------------------------
 
@@ -11858,6 +11901,7 @@ QUERIES = {
     "sft_pipeline": q_sft_pipeline,
     "hard_negatives": q_hard_negatives,
     "partition_checksums": q_partition_checksums,
+    "bow_dups": q_bow_dups,
 }
 
 ORACLE_SQL = {
@@ -11872,6 +11916,7 @@ ORACLE_SQL = {
     "sft_pipeline": SFT_PIPELINE_SQL,
     "hard_negatives": HARD_NEGATIVES_SQL,
     "partition_checksums": PARTITION_CHECKSUMS_SQL,
+    "bow_dups": BOW_DUPS_SQL,
     "type_drift": TYPE_DRIFT_SQL,
     "coburst_xcorr": COBURST_XCORR_SQL,
     "validate_rules": VALIDATE_RULES_SQL,

@@ -915,3 +915,37 @@ def cdc_dedup_stats(
             F.col("dup_tokens").cast("long").alias("dup_tokens"),
         )
     )
+
+
+def bow_dup_groups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_group: int = 2,
+) -> DataFrame:
+    """Bag-of-words duplicate groups: documents whose SORTED token
+    multisets match — the reorder-invariant exact tier between
+    exact_dedup (misses any word shuffle) and minhash near-dup (pays
+    shingle machinery for what is here a pure hash): template engines,
+    list reorderings, and shuffled boilerplate all land in one group.
+
+    Fingerprint = md5 of the space-joined array_sort of normalized
+    tokens — a multiset key (duplicate tokens preserved), replayed
+    bit-for-bit by DuckDB's list_sort + md5. One map-side fingerprint +
+    ONE combinable groupBy; representative = min id (the exact_dedup
+    pin).
+
+    Returns one row per duplicate group (size >= min_group):
+    (bow_fp, group_size, rep_id) — the keep/drop decision table.
+    """
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    fp = F.md5(F.concat_ws(" ", F.array_sort(toks)))
+    return (
+        df.select(fp.alias("bow_fp"), F.col(id_col))
+        .groupBy("bow_fp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("group_size"),
+            F.min(id_col).cast("long").alias("rep_id"),
+        )
+        .filter(F.col("group_size") >= int(min_group))
+    )

@@ -3740,3 +3740,20 @@ def test_hard_negatives_planted_clusters(spark):
     lab = {r[0]: r[2] for r in rows}
     for r in got:
         assert lab[r["anchor_id"]] != lab[r["neg_id"]]
+
+
+def test_bow_dup_groups_reorder_invariance(spark):
+    """Token reorderings group together (multiset semantics: duplicate
+    tokens distinguish), case/whitespace normalize, singletons drop."""
+    from chronographer_spark.operators.dedup import bow_dup_groups
+
+    rows = [
+        (1, "the cat sat"),
+        (2, "sat  THE cat"),       # reorder + case + whitespace -> dup of 1
+        (3, "cat sat"),             # different multiset
+        (4, "the the cat sat"),     # extra 'the' -> different multiset
+        (5, "cat the sat the"),     # same multiset as 4
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["rep_id"]: r["group_size"] for r in bow_dup_groups(df).collect()}
+    assert got == {1: 2, 4: 2}
