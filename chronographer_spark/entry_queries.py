@@ -9595,6 +9595,73 @@ LEFT JOIN (SELECT * FROM rtop WHERE rn = 1) r ON nt.p = r.p
 
 
 # ---------------------------------------------------------------------------
+# Q: transcript schema-conformance report with injected corruptions
+# ---------------------------------------------------------------------------
+
+
+def q_tx_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthetic transcripts are conformant by construction, so three
+    corruption kinds are injected deterministically in-query (text blanked
+    on idx%13==5, ts pushed back 2 days on idx%17==9, role forced 'user'
+    on idx%11==4 — the last also creates repeats with natural user turns);
+    the validator counts exactly those plus any idx gaps (none)."""
+    from .operators.dialogue import transcript_conformance
+
+    tx = transcripts_from_events(spark, sf_dir).select(
+        "conv_id", "turn_idx",
+        F.when(F.col("turn_idx") % 11 == 4, F.lit("user"))
+        .otherwise(F.col("role")).alias("role"),
+        F.when(F.col("turn_idx") % 13 == 5, F.lit(""))
+        .otherwise(F.col("text")).alias("text"),
+        "tool",
+        F.when(
+            F.col("turn_idx") % 17 == 9,
+            F.col("ts") - F.expr("INTERVAL 2 DAYS"),
+        ).otherwise(F.col("ts")).alias("ts"),
+    )
+    return transcript_conformance(tx).select(
+        "check", "n_violations", "n_convs_affected"
+    )
+
+
+TX_CONFORMANCE_SQL = f"""
+{TX_SQL},
+cor AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN turn_idx % 11 = 4 THEN 'user' ELSE role END AS role,
+         CASE WHEN turn_idx % 13 = 5 THEN '' ELSE text END AS text,
+         CASE WHEN turn_idx % 17 = 9 THEN ts - INTERVAL 2 DAY ELSE ts END
+           AS ts
+  FROM tx
+),
+lagged AS (
+  SELECT conv_id, turn_idx, role, text, ts,
+         lag(role) OVER w AS pr, lag(ts) OVER w AS pt,
+         lag(turn_idx) OVER w AS pi
+  FROM cor
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+),
+fan AS (
+  SELECT conv_id, x.chk AS chk, coalesce(x.flag, 0) AS flag
+  FROM lagged, unnest([
+    struct_pack(chk := 'role_repeat',
+                flag := CAST(pr = role AS INT)),
+    struct_pack(chk := 'ts_inversion',
+                flag := CAST(pt > ts AS INT)),
+    struct_pack(chk := 'empty_text',
+                flag := CAST(text IS NULL OR trim(text) = '' AS INT)),
+    struct_pack(chk := 'idx_gap',
+                flag := CAST(pi IS NOT NULL AND turn_idx <> pi + 1 AS INT))
+  ]) AS t(x)
+)
+SELECT chk AS "check", CAST(sum(flag) AS BIGINT) AS n_violations,
+       CAST(count(DISTINCT CASE WHEN flag = 1 THEN conv_id END) AS BIGINT)
+         AS n_convs_affected
+FROM fan GROUP BY chk
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: bag-of-words duplicate groups over documents
 # ---------------------------------------------------------------------------
 
@@ -11902,6 +11969,7 @@ QUERIES = {
     "hard_negatives": q_hard_negatives,
     "partition_checksums": q_partition_checksums,
     "bow_dups": q_bow_dups,
+    "tx_conformance": q_tx_conformance,
 }
 
 ORACLE_SQL = {
@@ -11917,6 +11985,7 @@ ORACLE_SQL = {
     "hard_negatives": HARD_NEGATIVES_SQL,
     "partition_checksums": PARTITION_CHECKSUMS_SQL,
     "bow_dups": BOW_DUPS_SQL,
+    "tx_conformance": TX_CONFORMANCE_SQL,
     "type_drift": TYPE_DRIFT_SQL,
     "coburst_xcorr": COBURST_XCORR_SQL,
     "validate_rules": VALIDATE_RULES_SQL,

@@ -325,3 +325,69 @@ def tool_loop_runs(
         .filter(F.col("run_len") >= min_len)
         .select("conv_id", "tool", "run_len", "first_turn", "last_turn")
     )
+
+
+def transcript_conformance(tx: DataFrame) -> DataFrame:
+    """Schema-conformance validator for the transcripts contract
+    (conv_id, turn_idx, role, text, tool, ts) — the ingest gate a
+    transcript pipeline runs BEFORE extraction so malformed conversations
+    are quarantined, not propagated into the KG: per check, how many
+    violations and how many conversations are affected.
+
+    Checks (all window/lag derived, ONE (conv_id, turn_idx) sort):
+      role_repeat   consecutive turns with the same role
+      ts_inversion  ts strictly decreasing while turn_idx increases
+      empty_text    NULL or whitespace-only text
+      idx_gap       turn_idx not exactly prev+1 (dropped/duplicated turns)
+
+    One window pass computes every flag, then the check fan EXPLODES the
+    flagged row (the minhash-bands rule — never a UNION of per-check
+    passes over the corpus); the rollup is 4 rows.
+
+    Returns (check, n_violations, n_convs_affected).
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    lagged = tx.select(
+        "conv_id", "turn_idx", "role", "text", "ts",
+        F.lag("role").over(w).alias("__pr"),
+        F.lag("ts").over(w).alias("__pt"),
+        F.lag("turn_idx").over(w).alias("__pi"),
+    )
+    flagged = lagged.select(
+        "conv_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("role_repeat").alias("check"),
+                    (F.col("__pr") == F.col("role")).cast("int").alias("flag"),
+                ),
+                F.struct(
+                    F.lit("ts_inversion").alias("check"),
+                    (F.col("__pt") > F.col("ts")).cast("int").alias("flag"),
+                ),
+                F.struct(
+                    F.lit("empty_text").alias("check"),
+                    (
+                        F.col("text").isNull() | (F.trim("text") == "")
+                    ).cast("int").alias("flag"),
+                ),
+                F.struct(
+                    F.lit("idx_gap").alias("check"),
+                    (
+                        F.col("__pi").isNotNull()
+                        & (F.col("turn_idx") != F.col("__pi") + 1)
+                    ).cast("int").alias("flag"),
+                ),
+            )
+        ).alias("__x"),
+    ).select("conv_id", F.col("__x.check").alias("check"),
+             F.coalesce(F.col("__x.flag"), F.lit(0)).alias("flag"))
+    return (
+        flagged.groupBy("check")
+        .agg(
+            F.sum("flag").cast("long").alias("n_violations"),
+            F.countDistinct(
+                F.when(F.col("flag") == 1, F.col("conv_id"))
+            ).cast("long").alias("n_convs_affected"),
+        )
+    )

@@ -3757,3 +3757,39 @@ def test_bow_dup_groups_reorder_invariance(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["rep_id"]: r["group_size"] for r in bow_dup_groups(df).collect()}
     assert got == {1: 2, 4: 2}
+
+
+def test_transcript_conformance_hand_fixture(spark):
+    """Planted violations of all four kinds are counted exactly; a clean
+    conversation contributes nothing."""
+    import datetime as dt
+
+    from chronographer_spark.operators.dialogue import transcript_conformance
+
+    t0 = dt.datetime(2024, 1, 1, 9)
+    m = lambda k: t0 + dt.timedelta(minutes=k)  # noqa: E731
+    rows = [
+        # clean conv
+        ("c1", 0, "user", "hi", "", m(0)),
+        ("c1", 1, "assistant", "hello", "", m(1)),
+        # violations: role repeat at idx1, ts inversion at idx2,
+        # empty text at idx2, idx gap 2->4
+        ("c2", 0, "user", "a", "", m(0)),
+        ("c2", 1, "user", "b", "", m(1)),
+        ("c2", 2, "assistant", "  ", "", m(0)),   # ts goes back + empty
+        ("c2", 4, "user", "d", "", m(3)),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp"
+    )
+    got = {
+        r["check"]: (r["n_violations"], r["n_convs_affected"])
+        for r in transcript_conformance(df).collect()
+    }
+    assert got == {
+        "role_repeat": (1, 1),
+        "ts_inversion": (1, 1),
+        "empty_text": (1, 1),
+        "idx_gap": (1, 1),
+    }
