@@ -9595,6 +9595,56 @@ LEFT JOIN (SELECT * FROM rtop WHERE rn = 1) r ON nt.p = r.p
 
 
 # ---------------------------------------------------------------------------
+# Q: per-label centroid shift between vec_id-parity snapshot halves
+# ---------------------------------------------------------------------------
+
+
+def q_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Even vs odd vec_ids stand in for two snapshots: same distribution,
+    so shifts are small sampling noise — the null calibration a monitor
+    alerts against; exactness (not magnitude) is what the gate checks."""
+    from .operators.similarity import centroid_shift
+
+    emb = _t(spark, sf_dir, "embeddings").select("label", "embedding", "vec_id")
+    a = emb.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("label").alias("src"), "embedding"
+    )
+    b = emb.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("label").alias("src"), "embedding"
+    )
+    return centroid_shift(a, b, "src", scale=1000).select(
+        F.col("key").cast("int").alias("label"), "n_a", "n_b", "dim", "shift_sq"
+    )
+
+
+CENTROID_SHIFT_SQL = """
+WITH q AS (
+  SELECT label, vec_id % 2 AS half, CAST(i - 1 AS INT) AS dim,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+           AS val
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+  WHERE embedding IS NOT NULL
+),
+m AS (
+  SELECT label, half, dim, CAST(sum(val) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM q GROUP BY 1, 2, 3
+),
+c AS (SELECT label, half, dim, s // n AS v, n FROM m),
+j AS (
+  SELECT a.label, a.dim, a.v AS va, b.v AS vb, a.n AS n_a, b.n AS n_b
+  FROM c a JOIN c b ON a.label = b.label AND a.dim = b.dim
+  WHERE a.half = 0 AND b.half = 1
+)
+SELECT CAST(label AS INT) AS label,
+       CAST(max(n_a) AS BIGINT) AS n_a, CAST(max(n_b) AS BIGINT) AS n_b,
+       CAST(count(*) AS INT) AS dim,
+       CAST(sum((va - vb) * (va - vb)) AS BIGINT) AS shift_sq
+FROM j GROUP BY label
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: transcript schema-conformance report with injected corruptions
 # ---------------------------------------------------------------------------
 
@@ -11970,6 +12020,7 @@ QUERIES = {
     "partition_checksums": q_partition_checksums,
     "bow_dups": q_bow_dups,
     "tx_conformance": q_tx_conformance,
+    "centroid_shift": q_centroid_shift,
 }
 
 ORACLE_SQL = {
@@ -11986,6 +12037,7 @@ ORACLE_SQL = {
     "partition_checksums": PARTITION_CHECKSUMS_SQL,
     "bow_dups": BOW_DUPS_SQL,
     "tx_conformance": TX_CONFORMANCE_SQL,
+    "centroid_shift": CENTROID_SHIFT_SQL,
     "type_drift": TYPE_DRIFT_SQL,
     "coburst_xcorr": COBURST_XCORR_SQL,
     "validate_rules": VALIDATE_RULES_SQL,

@@ -885,3 +885,45 @@ def hard_negatives(
             "cos_x1e6",
         )
     )
+
+
+def centroid_shift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    key: str,
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Embedding-space drift between two snapshots: per key, the squared
+    integer distance between the snapshots' mean-pooled centroids — the
+    vector-space companion to distribution_drift (categorical mix) and
+    rank_movers (popularity): a retrained encoder, a corpus shift, or an
+    ingestion bug all move centroids long before nearest-neighbor quality
+    visibly degrades.
+
+    Exact integers end to end: both sides pool via pool_vectors (exact
+    truncated integer means of scale-quantized components), the shift is
+    Σ (a_i − b_i)² in quantized units — comparable across keys at the
+    same scale. n_a/n_b carry the support so a thin side is visible.
+
+    Scale shape: two pool_vectors passes + one |keys|-row join; the
+    zip_with distance is a map expression on the tiny joined table.
+
+    Returns (key, n_a, n_b, dim, shift_sq).
+    """
+    a = pool_vectors(df_a, key, vec_col=vec_col, scale=scale).select(
+        "key", F.col("n_vectors").alias("n_a"), F.col("vec").alias("__va")
+    )
+    b = pool_vectors(df_b, key, vec_col=vec_col, scale=scale).select(
+        "key", F.col("n_vectors").alias("n_b"), F.col("vec").alias("__vb")
+    )
+    dist = F.aggregate(
+        F.zip_with("__va", "__vb", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return a.join(b, "key").select(
+        "key", "n_a", "n_b",
+        F.size("__va").cast("int").alias("dim"),
+        dist.cast("long").alias("shift_sq"),
+    )

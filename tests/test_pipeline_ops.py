@@ -3793,3 +3793,25 @@ def test_transcript_conformance_hand_fixture(spark):
         "empty_text": (1, 1),
         "idx_gap": (1, 1),
     }
+
+
+def test_centroid_shift_hand_values(spark):
+    """Identical snapshots read zero; a planted displacement reads its
+    exact squared quantized magnitude."""
+    from chronographer_spark.operators.similarity import centroid_shift
+
+    a = spark.createDataFrame(
+        [("k", [1.0, 0.0]), ("k", [3.0, 0.0])], "src string, embedding array<double>"
+    )
+    b_same = spark.createDataFrame(
+        [("k", [2.0, 0.0])], "src string, embedding array<double>"
+    )
+    # centroid(a) = (2000, 0); centroid(b_same) = (2000, 0) -> 0
+    r = centroid_shift(a, b_same, "src").collect()[0]
+    assert (r["n_a"], r["n_b"], r["dim"], r["shift_sq"]) == (2, 1, 2, 0)
+
+    b_moved = spark.createDataFrame(
+        [("k", [2.0, 0.5])], "src string, embedding array<double>"
+    )
+    r2 = centroid_shift(a, b_moved, "src").collect()[0]
+    assert r2["shift_sq"] == 500 * 500
