@@ -9595,6 +9595,96 @@ LEFT JOIN (SELECT * FROM rtop WHERE rn = 1) r ON nt.p = r.p
 
 
 # ---------------------------------------------------------------------------
+# Q: quality-ranked token-budget planning curve
+# ---------------------------------------------------------------------------
+
+
+def q_budget_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """"Take the best-scoring documents until the token budget" as a
+    planning table: per classifier-score band (descending), cumulative
+    docs and whitespace tokens — the curve a data lead reads the budget
+    off before launching the mixture job (budget_sample then executes
+    it). Cumulative window runs over the ≤20 collapsed bands."""
+    from .operators.classifier import classify_documents
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "is_en", (F.col("lang") == "en").cast("long")
+    )
+    scored = classify_documents(docs, label_col="is_en", min_count=5).select(
+        F.col("id").alias("doc_id"), "score_x1e6"
+    )
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " "))
+        .cast("long")
+        .alias("__t"),
+    )
+    banded = (
+        scored.join(toks, "doc_id")
+        .select(
+            F.expr("score_x1e6 DIV 50000").cast("long").alias("band"), "__t"
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__t").alias("n_tokens"),
+        )
+    )
+    w = Window.orderBy(F.desc("band")).rowsBetween(Window.unboundedPreceding, 0)
+    return banded.select(
+        "band",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.sum("n_docs").over(w).cast("long").alias("cum_docs"),
+        F.sum("n_tokens").over(w).cast("long").alias("cum_tokens"),
+    )
+
+
+BUDGET_CURVE_SQL = """
+WITH tok AS (
+  SELECT doc_id AS id,
+         CAST(lang = 'en' AS BIGINT) AS is_pos,
+         unnest(string_split(
+           regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+  FROM documents
+),
+model AS (
+  SELECT tok,
+         CAST(sum(is_pos) AS BIGINT) AS n_pos,
+         CAST(sum(1 - is_pos) AS BIGINT) AS n_neg
+  FROM tok GROUP BY 1 HAVING count(*) >= 5
+),
+m2 AS (
+  SELECT tok, (n_pos + 1) * 1000000 // (n_pos + n_neg + 2) AS aff FROM model
+),
+sc AS (
+  SELECT id, CAST(sum(aff) // count(*) AS BIGINT) AS score
+  FROM tok JOIN m2 USING (tok) GROUP BY 1
+),
+tl AS (
+  SELECT doc_id AS id,
+         CAST(len(string_split(
+           regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))
+           AS BIGINT) AS t
+  FROM documents
+),
+banded AS (
+  SELECT CAST(sc.score // 50000 AS BIGINT) AS band,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(tl.t) AS BIGINT) AS n_tokens
+  FROM sc JOIN tl ON sc.id = tl.id
+  GROUP BY 1
+)
+SELECT band, n_docs, n_tokens,
+       CAST(sum(n_docs) OVER w AS BIGINT) AS cum_docs,
+       CAST(sum(n_tokens) OVER w AS BIGINT) AS cum_tokens
+FROM banded
+WINDOW w AS (ORDER BY band DESC ROWS BETWEEN UNBOUNDED PRECEDING
+             AND CURRENT ROW)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: per-label centroid shift between vec_id-parity snapshot halves
 # ---------------------------------------------------------------------------
 
@@ -12021,6 +12111,7 @@ QUERIES = {
     "bow_dups": q_bow_dups,
     "tx_conformance": q_tx_conformance,
     "centroid_shift": q_centroid_shift,
+    "budget_curve": q_budget_curve,
 }
 
 ORACLE_SQL = {
@@ -12038,6 +12129,7 @@ ORACLE_SQL = {
     "bow_dups": BOW_DUPS_SQL,
     "tx_conformance": TX_CONFORMANCE_SQL,
     "centroid_shift": CENTROID_SHIFT_SQL,
+    "budget_curve": BUDGET_CURVE_SQL,
     "type_drift": TYPE_DRIFT_SQL,
     "coburst_xcorr": COBURST_XCORR_SQL,
     "validate_rules": VALIDATE_RULES_SQL,
