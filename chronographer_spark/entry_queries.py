@@ -9595,6 +9595,54 @@ LEFT JOIN (SELECT * FROM rtop WHERE rn = 1) r ON nt.p = r.p
 
 
 # ---------------------------------------------------------------------------
+# Q: cross-source duplicate overlap matrix
+# ---------------------------------------------------------------------------
+
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A deterministic 'mirror' feed re-serves every 20th document (and
+    every 40th TWICE, populating the mirror's own diagonal), so the
+    matrix shows exactly the cross-source and within-source duplicate
+    mass the operator exists to expose."""
+    from .operators.dedup import source_overlap_matrix
+
+    docs = _t(spark, sf_dir, "documents").select("source", "text", "doc_id")
+    mirror = docs.filter(F.col("doc_id") % 20 == 0).select(
+        F.lit("mirror").alias("source"), "text", "doc_id"
+    )
+    mirror2 = docs.filter(F.col("doc_id") % 40 == 0).select(
+        F.lit("mirror").alias("source"), "text", "doc_id"
+    )
+    return source_overlap_matrix(
+        docs.unionAll(mirror).unionAll(mirror2).select("source", "text")
+    ).select("source_a", "source_b", "n_shared")
+
+
+SOURCE_OVERLAP_SQL = """
+WITH d AS (
+  SELECT source, text FROM documents
+  UNION ALL
+  SELECT 'mirror', text FROM documents WHERE doc_id % 20 = 0
+  UNION ALL
+  SELECT 'mirror', text FROM documents WHERE doc_id % 40 = 0
+),
+fp AS (
+  SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f,
+         source AS s
+  FROM d
+),
+per AS (
+  SELECT f, s, CAST(count(*) AS BIGINT) AS n FROM fp GROUP BY f, s
+)
+SELECT a.s AS source_a, b.s AS source_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM per a JOIN per b ON a.f = b.f AND a.s <= b.s
+WHERE a.s <> b.s OR a.n > 1
+GROUP BY a.s, b.s
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: quality-ranked token-budget planning curve
 # ---------------------------------------------------------------------------
 
@@ -12112,6 +12160,7 @@ QUERIES = {
     "tx_conformance": q_tx_conformance,
     "centroid_shift": q_centroid_shift,
     "budget_curve": q_budget_curve,
+    "source_overlap": q_source_overlap,
 }
 
 ORACLE_SQL = {
@@ -12130,6 +12179,7 @@ ORACLE_SQL = {
     "tx_conformance": TX_CONFORMANCE_SQL,
     "centroid_shift": CENTROID_SHIFT_SQL,
     "budget_curve": BUDGET_CURVE_SQL,
+    "source_overlap": SOURCE_OVERLAP_SQL,
     "type_drift": TYPE_DRIFT_SQL,
     "coburst_xcorr": COBURST_XCORR_SQL,
     "validate_rules": VALIDATE_RULES_SQL,

@@ -949,3 +949,40 @@ def bow_dup_groups(
         )
         .filter(F.col("group_size") >= int(min_group))
     )
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-source duplicate mass: for every unordered source pair, how
+    many distinct normalized fingerprints occur in BOTH — the provenance
+    readout that tells a crawl team which feeds re-serve each other's
+    content (and which source to drop first). Within-source duplicate
+    mass appears on the diagonal pairs (a = b) as distinct fingerprints
+    with >1 occurrence in that source.
+
+    Scale shape: fingerprint collapse (md5 of normalized text) → distinct
+    (fp, source) — both combinable; the pair fan is a self-join on fp
+    whose fan-out is bounded by sources-per-fingerprint² (≤ |sources|²,
+    a dimension bound), never documents².
+
+    Returns (source_a, source_b, n_shared) for source_a <= source_b;
+    diagonal rows count fingerprints duplicated WITHIN the source.
+    """
+    fp = df.select(
+        F.md5(normalize_text(F.col(text_col))).alias("__fp"),
+        F.col(source_col).alias("__s"),
+    )
+    per = fp.groupBy("__fp", "__s").agg(F.count(F.lit(1)).alias("__n"))
+    a = per.select("__fp", F.col("__s").alias("source_a"), F.col("__n").alias("__na"))
+    b = per.select("__fp", F.col("__s").alias("source_b"), F.col("__n").alias("__nb"))
+    pairs = a.join(b, "__fp").filter(F.col("source_a") <= F.col("source_b"))
+    return (
+        pairs.filter(
+            (F.col("source_a") != F.col("source_b")) | (F.col("__na") > 1)
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )

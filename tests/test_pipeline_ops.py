@@ -3815,3 +3815,27 @@ def test_centroid_shift_hand_values(spark):
     )
     r2 = centroid_shift(a, b_moved, "src").collect()[0]
     assert r2["shift_sq"] == 500 * 500
+
+
+def test_source_overlap_matrix_hand_fixture(spark):
+    """Shared fingerprints count once per pair; the diagonal counts
+    within-source duplicate fingerprints only."""
+    from chronographer_spark.operators.dedup import source_overlap_matrix
+
+    rows = [
+        ("s1", "same text"), ("s2", "Same  TEXT"),   # cross-source dup
+        ("s1", "only one"),
+        ("s2", "twice here"), ("s2", "twice  here"), # within-s2 dup
+        ("s3", "same text"),                           # s3 shares with s1, s2
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {
+        (r["source_a"], r["source_b"]): r["n_shared"]
+        for r in source_overlap_matrix(df).collect()
+    }
+    assert got == {
+        ("s1", "s2"): 1,
+        ("s1", "s3"): 1,
+        ("s2", "s3"): 1,
+        ("s2", "s2"): 1,
+    }
