@@ -9595,6 +9595,86 @@ LEFT JOIN (SELECT * FROM rtop WHERE rn = 1) r ON nt.p = r.p
 
 
 # ---------------------------------------------------------------------------
+# Q: blocking quality of sorted-neighborhood vs exact-dup gold pairs
+# ---------------------------------------------------------------------------
+
+
+def q_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does window-5 prefix blocking keep the true exact-duplicate pairs?
+    Gold = pairs sharing the normalized-text md5; candidates = the gated
+    snm_pairs set. Exact dups share their 16-char prefix, so PC should
+    read high while RR stays near 1 — the combination that justifies the
+    blocker. Runs one eager count (n_records), like tfidf's documented
+    exception."""
+    from .linking.blocking import sorted_neighborhood_pairs
+    from .linking.er_eval import blocking_quality
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.substring("text", 1, 16).alias("key")
+    )
+    n = docs.count()
+    cand = sorted_neighborhood_pairs(
+        docs.select("key", "doc_id"), ["key"], "doc_id", window=5
+    )
+    fp = docs.select(
+        F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")).alias("f"),
+        "doc_id",
+    )
+    gold = (
+        fp.alias("x")
+        .join(fp.alias("y"), "f")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b")
+        )
+    )
+    return blocking_quality(cand, gold, n_records=n).select(
+        "n_records", "n_candidates", "n_gold", "n_covered", "all_pairs",
+        "rr_x1e6", "pc_x1e6",
+    )
+
+
+BLOCKING_QUALITY_SQL = """
+WITH n AS (SELECT CAST(count(*) AS BIGINT) AS c FROM documents),
+r AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY substring(text, 1, 16), doc_id) AS rank
+  FROM documents
+),
+cand AS (
+  SELECT DISTINCT least(a.doc_id, b.doc_id) AS pa,
+         greatest(a.doc_id, b.doc_id) AS pb
+  FROM r a JOIN r b ON b.rank > a.rank AND b.rank - a.rank <= 5
+),
+fp AS (
+  SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f,
+         doc_id
+  FROM documents
+),
+gold AS (
+  SELECT DISTINCT least(x.doc_id, y.doc_id) AS pa,
+         greatest(x.doc_id, y.doc_id) AS pb
+  FROM fp x JOIN fp y ON x.f = y.f AND x.doc_id < y.doc_id
+),
+cov AS (
+  SELECT g.pa, g.pb FROM gold g JOIN cand c ON g.pa = c.pa AND g.pb = c.pb
+)
+SELECT n.c AS n_records,
+       (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+       (SELECT CAST(count(*) AS BIGINT) FROM gold) AS n_gold,
+       (SELECT CAST(count(*) AS BIGINT) FROM cov) AS n_covered,
+       CAST(n.c * (n.c - 1) // 2 AS BIGINT) AS all_pairs,
+       CAST((n.c * (n.c - 1) // 2 - (SELECT count(*) FROM cand)) * 1000000
+            // (n.c * (n.c - 1) // 2) AS BIGINT) AS rr_x1e6,
+       CAST(CASE WHEN (SELECT count(*) FROM gold) = 0 THEN 0
+                 ELSE (SELECT count(*) FROM cov) * 1000000
+                      // (SELECT count(*) FROM gold) END AS BIGINT)
+         AS pc_x1e6
+FROM n
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: cross-source duplicate overlap matrix
 # ---------------------------------------------------------------------------
 
@@ -12161,6 +12241,7 @@ QUERIES = {
     "centroid_shift": q_centroid_shift,
     "budget_curve": q_budget_curve,
     "source_overlap": q_source_overlap,
+    "blocking_quality": q_blocking_quality,
 }
 
 ORACLE_SQL = {
@@ -12180,6 +12261,7 @@ ORACLE_SQL = {
     "centroid_shift": CENTROID_SHIFT_SQL,
     "budget_curve": BUDGET_CURVE_SQL,
     "source_overlap": SOURCE_OVERLAP_SQL,
+    "blocking_quality": BLOCKING_QUALITY_SQL,
     "type_drift": TYPE_DRIFT_SQL,
     "coburst_xcorr": COBURST_XCORR_SQL,
     "validate_rules": VALIDATE_RULES_SQL,

@@ -163,3 +163,57 @@ def threshold_curve(
             "recall_x1e6"
         ),
     )
+
+
+def blocking_quality(
+    candidates: DataFrame,
+    gold_pairs: DataFrame,
+    n_records: int,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Blocking-stage evaluation (Christen 2012's standard pair metrics):
+    REDUCTION RATIO — how much of the all-pairs space the blocker pruned —
+    and PAIR COMPLETENESS — how many true-match pairs survived into the
+    candidate set. clustering_eval judges the END clustering; this judges
+    the blocker, which is where recall is silently lost at scale (a
+    blocker with 0.99 RR and 0.6 PC is a broken pipeline that still
+    "works" on every sampled pair you eyeball).
+
+    Pairs normalize to unordered (least, greatest) and dedup on both
+    sides, so orientation conventions can't double-count. Exact integer
+    quotients; all_pairs = n·(n−1)/2 from the caller-supplied record
+    count (the blocker input's count — callers pass it rather than this
+    function recounting a possibly-expensive frame).
+
+    Scale shape: two distinct-pair collapses + ONE semi-join
+    (gold ∩ candidates) + three scalar aggs; output is a single row.
+    """
+    def norm(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.least(F.col(id_a), F.col(id_b)).alias("a"),
+            F.greatest(F.col(id_a), F.col(id_b)).alias("b"),
+        ).distinct()
+
+    cand = norm(candidates).localCheckpoint(eager=True)
+    gold = norm(gold_pairs).localCheckpoint(eager=True)
+    covered = gold.join(cand, ["a", "b"], "left_semi")
+    all_pairs = int(n_records) * (int(n_records) - 1) // 2
+    return (
+        cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+        .crossJoin(gold.agg(F.count(F.lit(1)).alias("n_gold")))
+        .crossJoin(covered.agg(F.count(F.lit(1)).alias("n_covered")))
+        .select(
+            F.lit(int(n_records)).cast("long").alias("n_records"),
+            F.col("n_candidates").cast("long").alias("n_candidates"),
+            F.col("n_gold").cast("long").alias("n_gold"),
+            F.col("n_covered").cast("long").alias("n_covered"),
+            F.lit(all_pairs).cast("long").alias("all_pairs"),
+            F.expr(
+                f"({all_pairs} - n_candidates) * 1000000 DIV {all_pairs}"
+            ).cast("long").alias("rr_x1e6"),
+            F.when(F.col("n_gold") == 0, F.lit(0).cast("long"))
+            .otherwise(F.expr("n_covered * 1000000 DIV n_gold").cast("long"))
+            .alias("pc_x1e6"),
+        )
+    )

@@ -3839,3 +3839,21 @@ def test_source_overlap_matrix_hand_fixture(spark):
         ("s2", "s3"): 1,
         ("s2", "s2"): 1,
     }
+
+
+def test_blocking_quality_hand_values(spark):
+    """RR and PC on hand pairs: orientation and duplicates in either
+    input cannot double-count."""
+    from chronographer_spark.linking.er_eval import blocking_quality
+
+    cand = spark.createDataFrame(
+        [(1, 2), (2, 1), (3, 4), (5, 6)], "id_a long, id_b long"
+    )  # 3 distinct unordered pairs
+    gold = spark.createDataFrame(
+        [(2, 1), (3, 4), (7, 8)], "id_a long, id_b long"
+    )  # 3 gold; 2 covered
+    r = blocking_quality(cand, gold, n_records=10).collect()[0]
+    assert (r["n_candidates"], r["n_gold"], r["n_covered"], r["all_pairs"]) \
+        == (3, 3, 2, 45)
+    assert r["rr_x1e6"] == (45 - 3) * 1000000 // 45
+    assert r["pc_x1e6"] == 2 * 1000000 // 3
