@@ -9595,6 +9595,37 @@ LEFT JOIN (SELECT * FROM rtop WHERE rn = 1) r ON nt.p = r.p
 
 
 # ---------------------------------------------------------------------------
+# Q: hour-of-day x day-of-week seasonal profile
+# ---------------------------------------------------------------------------
+
+
+def q_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity rhythm of the events stream — uniform by construction, so
+    every occupied cell's share hovers near 1/168; the value is the
+    engine-neutral calendar arithmetic being hash-gated."""
+    from .operators.temporal import seasonal_profile
+
+    ev = _t(spark, sf_dir, "events").select("ts")
+    return seasonal_profile(ev).select("dow", "hour", "n", "share_x1e6")
+
+
+SEASONAL_PROFILE_SQL = """
+WITH c AS (
+  SELECT CAST((CAST(floor(epoch(ts)) AS BIGINT) // 86400 + 4) % 7 AS INT)
+           AS dow,
+         CAST(CAST(floor(epoch(ts)) AS BIGINT) % 86400 // 3600 AS INT)
+           AS hour,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c)
+SELECT dow, hour, n,
+       CAST(n * 1000000 // t.tot AS BIGINT) AS share_x1e6
+FROM c CROSS JOIN t
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: blocking quality of sorted-neighborhood vs exact-dup gold pairs
 # ---------------------------------------------------------------------------
 
@@ -12242,6 +12273,7 @@ QUERIES = {
     "budget_curve": q_budget_curve,
     "source_overlap": q_source_overlap,
     "blocking_quality": q_blocking_quality,
+    "seasonal_profile": q_seasonal_profile,
 }
 
 ORACLE_SQL = {
@@ -12262,6 +12294,7 @@ ORACLE_SQL = {
     "budget_curve": BUDGET_CURVE_SQL,
     "source_overlap": SOURCE_OVERLAP_SQL,
     "blocking_quality": BLOCKING_QUALITY_SQL,
+    "seasonal_profile": SEASONAL_PROFILE_SQL,
     "type_drift": TYPE_DRIFT_SQL,
     "coburst_xcorr": COBURST_XCORR_SQL,
     "validate_rules": VALIDATE_RULES_SQL,

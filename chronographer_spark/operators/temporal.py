@@ -1108,3 +1108,40 @@ def robust_outlier_report(
             .alias("outlier_x1e6"),
         )
     )
+
+
+def seasonal_profile(
+    df: DataFrame,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Hour-of-day × day-of-week activity heat table — the seasonal
+    baseline every anomaly layer normalizes against (a Monday-9am spike
+    is noise; a Sunday-3am one is a signal) and the first look at any
+    event stream's rhythm.
+
+    Engine-neutral calendar arithmetic: BOTH fields derive from the epoch
+    second — dow = (epoch_days + 4) % 7 (0 = Sunday; 1970-01-01 was a
+    Thursday) and hour = epoch_seconds % 86400 DIV 3600 (UTC) — never the
+    engines' dayofweek()/dow() builtins, whose numbering conventions
+    disagree (Spark 1=Sunday, DuckDB 0=Sunday). share_x1e6 is the exact
+    cell share of total events.
+
+    One map-side derivation + ONE ≤168-key combinable groupBy; the total
+    re-enters by broadcast.
+
+    Returns (dow, hour, n, share_x1e6).
+    """
+    ep = F.unix_timestamp(F.col(ts_col))
+    cells = df.select(
+        ((F.floor(ep / 86400) + 4) % 7).cast("int").alias("dow"),
+        F.expr(
+            f"CAST(CAST(unix_timestamp({ts_col}) AS BIGINT) % 86400"
+            " DIV 3600 AS INT)"
+        ).alias("hour"),
+    ).groupBy("dow", "hour").agg(F.count(F.lit(1)).alias("n"))
+    total = cells.agg(F.sum("n").alias("__t"))
+    return cells.crossJoin(F.broadcast(total)).select(
+        "dow", "hour",
+        F.col("n").cast("long").alias("n"),
+        F.expr("n * 1000000 DIV __t").cast("long").alias("share_x1e6"),
+    )

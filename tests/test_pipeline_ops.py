@@ -3857,3 +3857,27 @@ def test_blocking_quality_hand_values(spark):
         == (3, 3, 2, 45)
     assert r["rr_x1e6"] == (45 - 3) * 1000000 // 45
     assert r["pc_x1e6"] == 2 * 1000000 // 3
+
+
+def test_seasonal_profile_hand_values(spark):
+    """The engine-neutral dow/hour arithmetic lands known timestamps in
+    the right cells: 1970-01-01 is Thursday (dow 4), 2024-01-01 is Monday
+    (dow 1); hours are UTC."""
+    import datetime as dt
+
+    from chronographer_spark.operators.temporal import seasonal_profile
+
+    rows = [
+        (dt.datetime(1970, 1, 1, 0, 30),),   # Thu 00h
+        (dt.datetime(2024, 1, 1, 9, 5),),    # Mon 09h
+        (dt.datetime(2024, 1, 1, 9, 55),),   # Mon 09h
+        (dt.datetime(2024, 1, 7, 23, 1),),   # Sun 23h
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp")
+    got = {(r["dow"], r["hour"]): (r["n"], r["share_x1e6"])
+           for r in seasonal_profile(df).collect()}
+    assert got == {
+        (4, 0): (1, 250000),
+        (1, 9): (2, 500000),
+        (0, 23): (1, 250000),
+    }
