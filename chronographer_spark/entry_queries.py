@@ -9595,6 +9595,52 @@ LEFT JOIN (SELECT * FROM rtop WHERE rn = 1) r ON nt.p = r.p
 
 
 # ---------------------------------------------------------------------------
+# Q: inter-arrival gap histogram per event type
+# ---------------------------------------------------------------------------
+
+
+def q_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~2000 events per type over 30 days → mean gap ~20 min: mass
+    concentrates in the lt_1h band with honest tails both ways — the
+    empirical input to sessionize's threshold."""
+    from .operators.temporal import gap_histogram
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts", "event_id")
+    return gap_histogram(ev, id_col="event_id").select(
+        "event_type", "band", "n", "share_x1e6"
+    )
+
+
+GAP_HISTOGRAM_SQL = """
+WITH g AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - lag(CAST(floor(epoch(ts)) AS BIGINT))
+             OVER (PARTITION BY event_type ORDER BY ts, event_id) AS gp
+  FROM events
+),
+banded AS (
+  SELECT event_type,
+         CASE WHEN gp < 60 THEN 'lt_1m'
+              WHEN gp < 600 THEN 'lt_10m'
+              WHEN gp < 3600 THEN 'lt_1h'
+              WHEN gp < 21600 THEN 'lt_6h'
+              WHEN gp < 86400 THEN 'lt_1d'
+              ELSE 'ge_1d' END AS band
+  FROM g WHERE gp IS NOT NULL
+),
+c AS (
+  SELECT event_type, band, CAST(count(*) AS BIGINT) AS n
+  FROM banded GROUP BY 1, 2
+),
+t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1)
+SELECT c.event_type, c.band, c.n,
+       CAST(c.n * 1000000 // t.tot AS BIGINT) AS share_x1e6
+FROM c JOIN t ON c.event_type = t.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: hour-of-day x day-of-week seasonal profile
 # ---------------------------------------------------------------------------
 
@@ -12274,6 +12320,7 @@ QUERIES = {
     "source_overlap": q_source_overlap,
     "blocking_quality": q_blocking_quality,
     "seasonal_profile": q_seasonal_profile,
+    "gap_histogram": q_gap_histogram,
 }
 
 ORACLE_SQL = {
@@ -12295,6 +12342,7 @@ ORACLE_SQL = {
     "source_overlap": SOURCE_OVERLAP_SQL,
     "blocking_quality": BLOCKING_QUALITY_SQL,
     "seasonal_profile": SEASONAL_PROFILE_SQL,
+    "gap_histogram": GAP_HISTOGRAM_SQL,
     "type_drift": TYPE_DRIFT_SQL,
     "coburst_xcorr": COBURST_XCORR_SQL,
     "validate_rules": VALIDATE_RULES_SQL,

@@ -1145,3 +1145,53 @@ def seasonal_profile(
         F.col("n").cast("long").alias("n"),
         F.expr("n * 1000000 DIV __t").cast("long").alias("share_x1e6"),
     )
+
+
+GAP_BANDS = (
+    ("lt_1m", 60),
+    ("lt_10m", 600),
+    ("lt_1h", 3600),
+    ("lt_6h", 21600),
+    ("lt_1d", 86400),
+)
+
+
+def gap_histogram(
+    df: DataFrame,
+    key: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str | None = None,
+) -> DataFrame:
+    """Inter-arrival-gap banded histogram per key — the burstiness /
+    liveness fingerprint (a key whose gaps pile into the shortest band is
+    machine-generated; one drifting into the longest is dying), and the
+    empirical input to choosing sessionize's gap threshold.
+
+    Bands are a fixed CASE ladder (GAP_BANDS + 'ge_1d') — exact integer
+    second comparisons both engines replay; no logs, no float binning.
+    Ordering ties pin on ``id_col`` when given (keys with equal-ts rows
+    need it for a deterministic gap sequence; None orders by ts alone).
+
+    ONE (key, ts) window for the lag + ONE ≤6·|keys| combinable rollup;
+    per-key shares are exact quotients of the key's gap count.
+
+    Returns (key, band, n, share_x1e6).
+    """
+    order = [F.col(ts_col).asc()] + ([F.col(id_col).asc()] if id_col else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    gap = F.unix_timestamp(F.col(ts_col)) - F.lag(
+        F.unix_timestamp(F.col(ts_col))
+    ).over(w)
+    band = F.lit("ge_1d")
+    for name, ub in reversed(GAP_BANDS):
+        band = F.when(gap < ub, F.lit(name)).otherwise(band)
+    gaps = df.select(key, band.alias("band"), gap.alias("__g")).filter(
+        F.col("__g").isNotNull()
+    )
+    counts = gaps.groupBy(key, "band").agg(F.count(F.lit(1)).alias("n"))
+    per_key = counts.groupBy(key).agg(F.sum("n").alias("__t"))
+    return counts.join(F.broadcast(per_key), key).select(
+        key, "band",
+        F.col("n").cast("long").alias("n"),
+        F.expr("n * 1000000 DIV __t").cast("long").alias("share_x1e6"),
+    )

@@ -3881,3 +3881,27 @@ def test_seasonal_profile_hand_values(spark):
         (1, 9): (2, 500000),
         (0, 23): (1, 250000),
     }
+
+
+def test_gap_histogram_hand_values(spark):
+    """Gaps band by exact second thresholds; the first row per key has no
+    gap; shares are per-key exact quotients."""
+    import datetime as dt
+
+    from chronographer_spark.operators.temporal import gap_histogram
+
+    t0 = dt.datetime(2024, 2, 1)
+    offs = [0, 30, 90, 4000, 90000]  # gaps: 30s, 60s, 3910s, 86000s
+    rows = [("k", t0 + dt.timedelta(seconds=o), i) for i, o in enumerate(offs)]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, event_id int")
+    got = {
+        r["band"]: (r["n"], r["share_x1e6"])
+        for r in gap_histogram(df, id_col="event_id").collect()
+    }
+    # 30 -> lt_1m; 60 -> lt_10m (not < 60); 3910 -> lt_6h; 86000 -> lt_1d
+    assert got == {
+        "lt_1m": (1, 250000),
+        "lt_10m": (1, 250000),
+        "lt_6h": (1, 250000),
+        "lt_1d": (1, 250000),
+    }
