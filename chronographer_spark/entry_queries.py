@@ -9595,6 +9595,66 @@ LEFT JOIN (SELECT * FROM rtop WHERE rn = 1) r ON nt.p = r.p
 
 
 # ---------------------------------------------------------------------------
+# Q: vocabulary rank movers between doc-id halves
+# ---------------------------------------------------------------------------
+
+
+def q_term_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank_movers applied to token frequencies of the corpus's doc-id
+    halves — the vocabulary-shift readout (same-distribution halves, so
+    moves are sampling noise: the null calibration again)."""
+    from .operators.ranking import rank_movers
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " ")
+        ).alias("tok"),
+    ).filter(F.col("tok") != "")
+    half = toks.agg(F.max("doc_id")).first()[0] // 2
+    a = toks.filter(F.col("doc_id") <= half).select("tok")
+    b = toks.filter(F.col("doc_id") > half).select("tok")
+    return rank_movers(a, b, "tok").select(
+        "key", "n_a", "n_b", "rank_a", "rank_b", "rank_delta", "status"
+    )
+
+
+TERM_MOVERS_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(
+    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+  FROM documents
+),
+tk AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+h AS (SELECT CAST(max(doc_id) AS BIGINT) // 2 AS m FROM tk),
+ca AS (
+  SELECT tok AS key, CAST(count(*) AS BIGINT) AS n_a
+  FROM tk, h WHERE doc_id <= h.m GROUP BY tok
+),
+cb AS (
+  SELECT tok AS key, CAST(count(*) AS BIGINT) AS n_b
+  FROM tk, h WHERE doc_id > h.m GROUP BY tok
+),
+ra AS (
+  SELECT key, n_a, CAST(row_number() OVER (ORDER BY n_a DESC, key ASC)
+         AS BIGINT) AS rank_a FROM ca
+),
+rb AS (
+  SELECT key, n_b, CAST(row_number() OVER (ORDER BY n_b DESC, key ASC)
+         AS BIGINT) AS rank_b FROM cb
+)
+SELECT coalesce(ra.key, rb.key) AS key, n_a, n_b, rank_a, rank_b,
+       CAST(rank_a - rank_b AS BIGINT) AS rank_delta,
+       CASE WHEN rank_a IS NULL THEN 'new'
+            WHEN rank_b IS NULL THEN 'vanished'
+            WHEN rank_a - rank_b <> 0 THEN 'moved'
+            ELSE 'steady' END AS status
+FROM ra FULL OUTER JOIN rb ON ra.key = rb.key
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: inter-arrival gap histogram per event type
 # ---------------------------------------------------------------------------
 
@@ -12321,6 +12381,7 @@ QUERIES = {
     "blocking_quality": q_blocking_quality,
     "seasonal_profile": q_seasonal_profile,
     "gap_histogram": q_gap_histogram,
+    "term_movers": q_term_movers,
 }
 
 ORACLE_SQL = {
@@ -12343,6 +12404,7 @@ ORACLE_SQL = {
     "blocking_quality": BLOCKING_QUALITY_SQL,
     "seasonal_profile": SEASONAL_PROFILE_SQL,
     "gap_histogram": GAP_HISTOGRAM_SQL,
+    "term_movers": TERM_MOVERS_SQL,
     "type_drift": TYPE_DRIFT_SQL,
     "coburst_xcorr": COBURST_XCORR_SQL,
     "validate_rules": VALIDATE_RULES_SQL,
