@@ -1000,11 +1000,17 @@ def survival_table(
     Returns (bucket_ts, n_starting, n_ending, n_at_risk, censored,
     hazard_x1e6).
     """
-    span = df.select(
-        F.col(user_col).alias("__u"),
-        F.date_trunc(bucket, F.col(ts_col)).alias("__b"),
-    ).groupBy("__u").agg(
-        F.min("__b").alias("__first"), F.max("__b").alias("__last")
+    # span feeds THREE consumers (starts, ends, censoring boundary) —
+    # eager localCheckpoint (the tf/df shared-subtree rule) so the input
+    # is scanned once; the checkpointed table is one row per user
+    span = (
+        df.select(
+            F.col(user_col).alias("__u"),
+            F.date_trunc(bucket, F.col(ts_col)).alias("__b"),
+        )
+        .groupBy("__u")
+        .agg(F.min("__b").alias("__first"), F.max("__b").alias("__last"))
+        .localCheckpoint(eager=True)
     )
     last_bucket = span.agg(F.max("__last").alias("__maxb"))
     starts = span.groupBy(F.col("__first").alias("bucket_ts")).agg(
@@ -1188,7 +1194,13 @@ def gap_histogram(
     gaps = df.select(key, band.alias("band"), gap.alias("__g")).filter(
         F.col("__g").isNotNull()
     )
-    counts = gaps.groupBy(key, "band").agg(F.count(F.lit(1)).alias("n"))
+    # counts feeds the final join AND the per-key total — checkpoint the
+    # ≤6·|keys| collapsed table so the window pass runs once
+    counts = (
+        gaps.groupBy(key, "band")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
     per_key = counts.groupBy(key).agg(F.sum("n").alias("__t"))
     return counts.join(F.broadcast(per_key), key).select(
         key, "band",

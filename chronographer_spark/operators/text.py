@@ -1117,11 +1117,17 @@ def distribution_drift(
     Returns (cat, n_a, n_b, share_a_x1e6, share_b_x1e6, delta_x1e6,
     tvd_x1e6) — tvd repeated per row for single-readout consumers.
     """
-    ca = df_a.groupBy(F.col(col).alias("cat")).agg(
-        F.count(F.lit(1)).alias("n_a")
+    # each side's collapsed count table feeds the join AND its total —
+    # checkpoint both (≤|categories| rows) so each corpus is scanned once
+    ca = (
+        df_a.groupBy(F.col(col).alias("cat"))
+        .agg(F.count(F.lit(1)).alias("n_a"))
+        .localCheckpoint(eager=True)
     )
-    cb = df_b.groupBy(F.col(col).alias("cat")).agg(
-        F.count(F.lit(1)).alias("n_b")
+    cb = (
+        df_b.groupBy(F.col(col).alias("cat"))
+        .agg(F.count(F.lit(1)).alias("n_b"))
+        .localCheckpoint(eager=True)
     )
     ta = ca.agg(F.sum("n_a").alias("__ta"))
     tb = cb.agg(F.sum("n_b").alias("__tb"))

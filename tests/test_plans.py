@@ -786,3 +786,49 @@ def test_feature_propagation_round_shape(spark):
     plan = _plan(feature_propagation(edges, feats, rounds=2))
     assert plan.count("Scan parquet") == 0, plan
     assert "Exchange" not in plan, plan
+
+
+def test_survival_table_no_lifespan_explode(spark):
+    """The ±1 delta trick: NO Generate (per-day lifespan explode) anywhere;
+    the cumulative window runs on the collapsed event-time table."""
+    from chronographer_spark.operators.temporal import survival_table
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select("user_id", "ts")
+    plan = _plan(survival_table(ev))
+    assert "Generate" not in plan, plan
+    # span is checkpointed (three consumers): the final plan reads NO
+    # parquet — one input scan at materialization. The single-partition
+    # window is the collapsed-table exception (≤ |event-time buckets|).
+    assert plan.count("Scan parquet") == 0, plan
+
+
+def test_distribution_drift_collapsed_join(spark):
+    """Drift joins the two COLLAPSED count tables (full outer), totals
+    broadcast; the corpus is scanned once per side."""
+    from chronographer_spark.operators.text import distribution_drift
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    a = ev.filter(F.col("user_id") % 2 == 0).select("event_type")
+    b = ev.filter(F.col("user_id") % 2 == 1).select("event_type")
+    plan = _plan(distribution_drift(a, b, "event_type"))
+    # both collapsed count tables checkpointed: each corpus scanned once
+    # at materialization, the final plan reads none
+    assert plan.count("Scan parquet") == 0, plan
+    assert "BroadcastExchange" in plan, plan
+
+
+def test_gap_histogram_one_window_one_rollup(spark):
+    """One (key, ts) window for the lag; the band rollup combines
+    map-side; totals broadcast back."""
+    from chronographer_spark.operators.temporal import gap_histogram
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        "event_type", "ts", "event_id"
+    )
+    plan = _plan(gap_histogram(ev, id_col="event_id"))
+    # the lag window ran ONCE at counts materialization; the final plan is
+    # a join of the checkpointed collapsed table with its rollup
+    assert plan.count("Window") == 0, plan
+    assert plan.count("Scan parquet") == 0, plan
+    assert "SinglePartition" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
