@@ -12143,6 +12143,47 @@ FROM fan GROUP BY k
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: resource-allocation link prediction over the user<->event-type graph
+# ---------------------------------------------------------------------------
+
+
+def q_ra_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resource-allocation index (Zhou 2009) over the same bipartite
+    user<->event-type graph as `neighborhood_overlap`: the degree-weighted
+    merge-candidate ranking — pairs sharing only hub event types score near
+    zero even when their raw common-neighbor count clears the bar."""
+    from .operators.graph_algos import resource_allocation
+
+    ev = _t(spark, sf_dir, "events")
+    edges = ev.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("src"),
+        F.concat(F.lit("t"), F.col("event_type")).alias("dst"),
+    )
+    return resource_allocation(edges, min_common=4)
+
+
+RA_LINKPRED_SQL = """
+WITH e0 AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT 'u' || CAST(user_id AS VARCHAR) AS src, 't' || event_type AS dst
+    FROM events
+    UNION ALL
+    SELECT 't' || event_type, 'u' || CAST(user_id AS VARCHAR) FROM events
+  )
+),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e0 GROUP BY src)
+SELECT a.src AS node_a, b.src AS node_b,
+       CAST(count(*) AS BIGINT) AS n_common,
+       CAST(sum(CAST(1000000 AS BIGINT) // dz.deg) AS BIGINT) AS ra_x1e6
+FROM e0 a
+JOIN e0 b ON a.dst = b.dst AND a.src < b.src
+JOIN deg dz ON dz.src = a.dst
+GROUP BY 1, 2
+HAVING count(*) >= 4
+"""
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -12382,6 +12423,7 @@ QUERIES = {
     "seasonal_profile": q_seasonal_profile,
     "gap_histogram": q_gap_histogram,
     "term_movers": q_term_movers,
+    "ra_linkpred": q_ra_linkpred,
 }
 
 ORACLE_SQL = {
@@ -12405,6 +12447,7 @@ ORACLE_SQL = {
     "seasonal_profile": SEASONAL_PROFILE_SQL,
     "gap_histogram": GAP_HISTOGRAM_SQL,
     "term_movers": TERM_MOVERS_SQL,
+    "ra_linkpred": RA_LINKPRED_SQL,
     "type_drift": TYPE_DRIFT_SQL,
     "coburst_xcorr": COBURST_XCORR_SQL,
     "validate_rules": VALIDATE_RULES_SQL,

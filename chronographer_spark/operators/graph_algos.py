@@ -382,6 +382,62 @@ def neighborhood_overlap(
     )
 
 
+def resource_allocation(
+    edges: DataFrame,
+    min_common: int = 1,
+) -> DataFrame:
+    """Resource-allocation link-prediction index (Zhou, Lü & Zhang 2009):
+    for a node pair (a, b), RA = Σ_{z ∈ N(a)∩N(b)} 1/deg(z) — the
+    degree-weighted sibling of `neighborhood_overlap`'s raw common-neighbor
+    count. A shared neighbor that connects to everything (a hub type, a
+    stopword-like entity) contributes almost nothing, while an exclusive
+    shared neighbor contributes a full unit — empirically the strongest of
+    the classic local link-prediction indices and the robust stand-in for
+    Adamic-Adar (whose 1/log deg needs floats; 1/deg is exact-integer).
+    In the KG pipeline this ranks candidate entity merges where
+    `neighborhood_overlap` over-scores pairs that only share hubs.
+
+    Exact-integer contract: each shared neighbor z contributes
+    `1000000 DIV deg(z)` (deg(z) >= 2 for any common neighbor, so no zero
+    division); the summed `ra_x1e6` is engine-exact — DuckDB's integer `//`
+    truncates identically (CLAUDE.md sign caveat; all values positive here).
+
+    Shape: the same single wedge self-join as `neighborhood_overlap`, but
+    the shared-neighbor side pre-joins its own degree so the per-pair
+    aggregate is one map-side-combinable sum — no extra shuffle vs the
+    plain common-neighbor count, and the pair's own degrees are never
+    needed (no trailing degree joins). Hub-wedge skew (C(d,2) pairs per
+    shared neighbor of degree d) is shared with triangle counting; cap
+    upstream or let AQE split, both documented there. `min_common` prunes
+    the long tail inside the same aggregate.
+
+    Returns (node_a, node_b, n_common, ra_x1e6), node_a < node_b.
+    """
+    und = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+    sym = (
+        und.unionByName(
+            und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    deg_z = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg_z"))
+    a = sym.join(
+        deg_z.select(F.col("src").alias("dst"), "deg_z"), "dst"
+    ).select(F.col("src").alias("node_a"), "dst", "deg_z")
+    b = sym.select(F.col("src").alias("node_b"), "dst")
+    return (
+        a.join(b, "dst")
+        .filter(F.col("node_a") < F.col("node_b"))
+        .groupBy("node_a", "node_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.sum(F.expr("CAST(1000000 AS BIGINT) DIV deg_z")).alias("ra_x1e6"),
+        )
+        .filter(F.col("n_common") >= min_common)
+    )
+
+
 def random_walks(
     edges: DataFrame,
     n_steps: int = 2,

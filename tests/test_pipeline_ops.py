@@ -985,6 +985,31 @@ def test_neighborhood_overlap_hand_graph(spark):
     }
 
 
+def test_resource_allocation_hand_graph(spark):
+    """Kite: a and b share neighbors {c, d}; deg(c)=3 (a,b,d), deg(d)=3
+    (a,b,c), so RA(a,b) = 1/3 + 1/3 -> 333333 + 333333. The hub-discount
+    property: c-d share {a, b} with deg(a)=deg(b)=2 -> RA = 500000*2."""
+    from chronographer_spark.operators.graph_algos import resource_allocation
+
+    edges = spark.createDataFrame(
+        [("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")],
+        ["src", "dst"],
+    )
+    out = {
+        (r.node_a, r.node_b): (r.n_common, r.ra_x1e6)
+        for r in resource_allocation(edges).collect()
+    }
+    assert out == {
+        ("a", "b"): (2, 666666),
+        ("c", "d"): (2, 1000000),
+        # single-common pairs through c or d (deg 3): 333333 each
+        ("a", "c"): (1, 333333),
+        ("a", "d"): (1, 333333),
+        ("b", "c"): (1, 333333),
+        ("b", "d"): (1, 333333),
+    }
+
+
 def _lev(a: str, b: str) -> int:
     prev = list(range(len(b) + 1))
     for i, ca in enumerate(a, 1):
