@@ -12184,6 +12184,76 @@ HAVING count(*) >= 4
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: two-sample Kolmogorov-Smirnov drift on the event value column
+# ---------------------------------------------------------------------------
+
+
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer two-sample KS between even-event values and odd-event
+    values shifted by +25 (pre-scaled to x1e6 integers per row) — the
+    ordered-value drift lens beside type_drift's categorical TVD. The
+    injected +25 shift guarantees a decisive D; the even/odd split is the
+    same-distribution null underneath it."""
+    from .operators.temporal import ks_two_sample
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    scaled = F.floor(
+        F.col("value") * F.lit(1000000.0) + F.lit(0.5)
+    ).cast("long")
+    a = ev.filter(F.col("event_id") % 2 == 0).select(scaled.alias("v"))
+    b = ev.filter(F.col("event_id") % 2 == 1).select(
+        (scaled + F.lit(25000000)).alias("v")
+    )
+    return ks_two_sample(a, b, "v")
+
+
+KS_DRIFT_SQL = """
+WITH av AS (
+  SELECT CAST(floor(value * CAST(1000000 AS DOUBLE)
+              + CAST(0.5 AS DOUBLE)) AS BIGINT) AS v
+  FROM events WHERE event_id % 2 = 0
+),
+bv AS (
+  SELECT CAST(floor(value * CAST(1000000 AS DOUBLE)
+              + CAST(0.5 AS DOUBLE)) AS BIGINT) + 25000000 AS v
+  FROM events WHERE event_id % 2 = 1
+),
+cnt AS (
+  SELECT v,
+         CAST(sum(ia) AS BIGINT) AS ca,
+         CAST(sum(ib) AS BIGINT) AS cb
+  FROM (
+    SELECT v, 1 AS ia, 0 AS ib FROM av
+    UNION ALL
+    SELECT v, 0, 1 FROM bv
+  )
+  GROUP BY v
+),
+tot AS (
+  SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+  FROM cnt
+),
+cum AS (
+  SELECT v,
+         CAST(sum(ca) OVER (ORDER BY v) AS BIGINT) AS cuma,
+         CAST(sum(cb) OVER (ORDER BY v) AS BIGINT) AS cumb
+  FROM cnt
+),
+d AS (
+  SELECT v, abs(cuma * t.nb - cumb * t.na) AS dnum
+  FROM cum, tot t
+),
+sel AS (SELECT v, dnum FROM d ORDER BY dnum DESC, v ASC LIMIT 1)
+SELECT t.na AS n_a, t.nb AS n_b,
+       CAST(s.dnum AS BIGINT) AS d_num,
+       CAST(CAST(s.dnum AS BIGINT) * CAST(1000000 AS BIGINT)
+            // (t.na * t.nb) AS BIGINT) AS ks_x1e6,
+       s.v AS at_value
+FROM sel s, tot t
+"""
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -12424,6 +12494,7 @@ QUERIES = {
     "gap_histogram": q_gap_histogram,
     "term_movers": q_term_movers,
     "ra_linkpred": q_ra_linkpred,
+    "ks_drift": q_ks_drift,
 }
 
 ORACLE_SQL = {
@@ -12448,6 +12519,7 @@ ORACLE_SQL = {
     "gap_histogram": GAP_HISTOGRAM_SQL,
     "term_movers": TERM_MOVERS_SQL,
     "ra_linkpred": RA_LINKPRED_SQL,
+    "ks_drift": KS_DRIFT_SQL,
     "type_drift": TYPE_DRIFT_SQL,
     "coburst_xcorr": COBURST_XCORR_SQL,
     "validate_rules": VALIDATE_RULES_SQL,

@@ -1207,3 +1207,97 @@ def gap_histogram(
         F.col("n").cast("long").alias("n"),
         F.expr("n * 1000000 DIV __t").cast("long").alias("share_x1e6"),
     )
+
+
+def ks_two_sample(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str = "v",
+    n_parts: int = 32,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic over an INTEGER value
+    column — the ordered-value drift monitor beside `distribution_drift`'s
+    categorical TVD: TVD sees a relabeled category, KS sees a SHIFTED or
+    re-scaled numeric distribution that leaves every category's mass alone.
+    Deployed as the train/serve skew check on score or latency columns.
+
+    D = max_v |F_a(v) - F_b(v)| computed entirely in integers: with
+    cumulative counts cum_a/cum_b and totals n_a/n_b, the per-value
+    deviation is |cum_a*n_b - cum_b*n_a| and D's numerator is its maximum
+    (denominator n_a*n_b), so both engines agree bit-for-bit — callers
+    pre-scale float columns per row (floor(x*1e6 + 0.5)), never post-divide.
+    BIGINT headroom: d_num <= n_a*n_b and ks_x1e6 multiplies by 1e6, so the
+    integer path is exact up to n_a*n_b ~ 9.2e12 (e.g. 3M x 3M rows);
+    beyond that cast the two products to DECIMAL(38,0) — the shape is
+    unchanged.
+
+    Scale shape: one (value)-keyed map-side-combinable count collapse, then
+    the two-phase distributed prefix sum over the COLLAPSED value table
+    (range partition -> per-partition local cumsum -> <= n_parts total rows
+    cross the driver as offsets, the same pattern as `pack_sequences`) —
+    never a global single-partition window. The final argmax is one
+    struct-max aggregate; ties break to the smallest value.
+
+    Returns one row (n_a, n_b, d_num, ks_x1e6, at_value).
+    """
+    tagged = a.select(
+        F.col(value_col).cast("long").alias("v"),
+        F.lit(1).alias("_ia"),
+        F.lit(0).alias("_ib"),
+    ).unionByName(
+        b.select(
+            F.col(value_col).cast("long").alias("v"),
+            F.lit(0).alias("_ia"),
+            F.lit(1).alias("_ib"),
+        )
+    )
+    cnt = tagged.groupBy("v").agg(
+        F.sum("_ia").alias("ca"), F.sum("_ib").alias("cb")
+    )
+    parted = cnt.repartitionByRange(n_parts, "v").withColumn(
+        "_part", F.spark_partition_id()
+    )
+    local_w = (
+        Window.partitionBy("_part")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = (
+        parted.withColumn("_la", F.sum("ca").over(local_w))
+        .withColumn("_lb", F.sum("cb").over(local_w))
+        .localCheckpoint(eager=True)  # offsets agg + main path share it
+    )
+    totals = sorted(
+        (r["_part"], r["ta"] or 0, r["tb"] or 0)
+        for r in local.groupBy("_part")
+        .agg(F.sum("ca").alias("ta"), F.sum("cb").alias("tb"))
+        .collect()
+    )
+    offs, acc_a, acc_b = [], 0, 0
+    for pid, ta, tb in totals:
+        offs.append((int(pid), acc_a, acc_b))
+        acc_a += ta
+        acc_b += tb
+    n_a, n_b = acc_a, acc_b
+    off_df = local.sparkSession.createDataFrame(
+        offs, "_part int, _oa long, _ob long"
+    )
+    d = local.join(F.broadcast(off_df), "_part").select(
+        "v",
+        F.abs(
+            (F.col("_oa") + F.col("_la")) * F.lit(n_b)
+            - (F.col("_ob") + F.col("_lb")) * F.lit(n_a)
+        ).alias("d_num"),
+    )
+    best = d.agg(
+        F.max(F.struct(F.col("d_num"), (-F.col("v")).alias("_negv"))).alias("m")
+    )
+    return best.select(
+        F.lit(n_a).cast("long").alias("n_a"),
+        F.lit(n_b).cast("long").alias("n_b"),
+        F.col("m.d_num").cast("long").alias("d_num"),
+        F.expr(f"CAST(m.d_num * CAST(1000000 AS BIGINT) DIV "
+               f"(CAST({n_a} AS BIGINT) * CAST({n_b} AS BIGINT)) AS BIGINT)")
+        .alias("ks_x1e6"),
+        (-F.col("m._negv")).cast("long").alias("at_value"),
+    )

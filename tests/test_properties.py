@@ -1079,3 +1079,39 @@ def test_gini_rank_identity_any_masses(spark, rows):
         rx = sum((i + 1) * x for i, x in enumerate(xs))
         exp[k] = (b, t, (2 * rx - (b + 1) * t) * 1000000 // (b * t))
     assert got == exp
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    a=st.lists(st.integers(min_value=-50, max_value=50), min_size=1, max_size=40),
+    b=st.lists(st.integers(min_value=-50, max_value=50), min_size=1, max_size=40),
+)
+def test_ks_two_sample_matches_python_model(spark, a, b):
+    """Exact KS numerator/argmax equals a brute-force CDF sweep, including
+    negative values, heavy ties, and the identical-sample null (D = 0)."""
+    from chronographer_spark.operators.temporal import ks_two_sample
+
+    da = spark.createDataFrame([(v,) for v in a], "v long")
+    db = spark.createDataFrame([(v,) for v in b], "v long")
+    row = ks_two_sample(da.repartition(4), db.repartition(3), "v", n_parts=4).first()
+
+    na, nb = len(a), len(b)
+    vals = sorted(set(a) | set(b))
+    best_d, best_v = -1, None
+    cum_a = cum_b = 0
+    for v in vals:
+        cum_a += sum(1 for x in a if x == v)
+        cum_b += sum(1 for x in b if x == v)
+        d = abs(cum_a * nb - cum_b * na)
+        if d > best_d or (d == best_d and v < best_v):
+            best_d, best_v = d, v
+    assert (row.n_a, row.n_b, row.d_num, row.at_value) == (na, nb, best_d, best_v)
+    assert row.ks_x1e6 == best_d * 1000000 // (na * nb)
+
+
+def test_ks_two_sample_identical_is_zero(spark):
+    from chronographer_spark.operators.temporal import ks_two_sample
+
+    d = spark.createDataFrame([(v,) for v in [1, 2, 2, 3, 9]], "v long")
+    row = ks_two_sample(d, d, "v").first()
+    assert (row.d_num, row.ks_x1e6) == (0, 0)
