@@ -12254,6 +12254,71 @@ FROM sel s, tot t
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: degree assortativity of the user<->event-type graph
+# ---------------------------------------------------------------------------
+
+
+def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman degree assortativity over the bipartite user<->event-type
+    graph — strongly negative by construction (few hub types, many
+    low-degree users), the KG-profile readout that flags hub-skewed
+    traversals before they run."""
+    from .operators.graph_algos import degree_assortativity
+
+    ev = _t(spark, sf_dir, "events")
+    edges = ev.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("src"),
+        F.concat(F.lit("t"), F.col("event_type")).alias("dst"),
+    )
+    return degree_assortativity(edges)
+
+
+ASSORTATIVITY_SQL = """
+WITH e0 AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT 'u' || CAST(user_id AS VARCHAR) AS src, 't' || event_type AS dst
+    FROM events
+    UNION ALL
+    SELECT 't' || event_type, 'u' || CAST(user_id AS VARCHAR) FROM events
+  )
+),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e0 GROUP BY src),
+ed AS (
+  SELECT dx.deg AS dx, dy.deg AS dy
+  FROM e0
+  JOIN deg dx ON dx.src = e0.src
+  JOIN deg dy ON dy.src = e0.dst
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS m, CAST(sum(dx) AS BIGINT) AS s
+  FROM ed
+),
+dev AS (
+  SELECT
+    least(CAST(10000 AS BIGINT), greatest(CAST(-10000 AS BIGINT),
+      (dx * t.m - t.s) // t.s * 1000
+      + (dx * t.m - t.s) % t.s * 1000 // t.s)) AS ddx,
+    least(CAST(10000 AS BIGINT), greatest(CAST(-10000 AS BIGINT),
+      (dy * t.m - t.s) // t.s * 1000
+      + (dy * t.m - t.s) % t.s * 1000 // t.s)) AS ddy
+  FROM ed, tot t
+),
+rolled AS (
+  SELECT CAST(sum(ddx * ddy) AS BIGINT) AS num,
+         CAST(sum(ddx * ddx) AS BIGINT) AS sxx,
+         CAST(sum(ddy * ddy) AS BIGINT) AS syy
+  FROM dev
+)
+SELECT t.m AS m_edges, t.s AS s_deg, num, sxx, syy,
+       CAST(CASE WHEN sxx = 0 OR syy = 0 THEN 0
+            ELSE (CASE WHEN num < 0 THEN -1 ELSE 1 END)
+                 * (abs(num) * 1000 // sxx)
+                 * (abs(num) * 1000 // syy) END AS BIGINT) AS r2_x1e6
+FROM rolled, tot t
+"""
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -12495,6 +12560,7 @@ QUERIES = {
     "term_movers": q_term_movers,
     "ra_linkpred": q_ra_linkpred,
     "ks_drift": q_ks_drift,
+    "assortativity": q_assortativity,
 }
 
 ORACLE_SQL = {
@@ -12520,6 +12586,7 @@ ORACLE_SQL = {
     "term_movers": TERM_MOVERS_SQL,
     "ra_linkpred": RA_LINKPRED_SQL,
     "ks_drift": KS_DRIFT_SQL,
+    "assortativity": ASSORTATIVITY_SQL,
     "type_drift": TYPE_DRIFT_SQL,
     "coburst_xcorr": COBURST_XCORR_SQL,
     "validate_rules": VALIDATE_RULES_SQL,

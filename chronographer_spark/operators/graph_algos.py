@@ -1838,3 +1838,85 @@ def feature_propagation(
             lambda s: s["val"],
         ).alias("vec")
     )
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Degree-assortativity readout (Newman 2002): the Pearson correlation
+    between the endpoint degrees of every (directed) edge of the
+    symmetrized graph — positive when hubs link to hubs (social cores),
+    negative when hubs link to leaves (star/bipartite shapes). The
+    KG-profile number that predicts which join strategy a traversal needs:
+    strongly negative assortativity means frontier joins repeatedly hit
+    hub rows and AQE skew-splitting is load-bearing.
+
+    Exact cross-engine integer contract (CLAUDE.md staged-quotient
+    toolkit): per endpoint the deviation from the mean edge-endpoint
+    degree is the staged relative quotient
+        d = (x*m - S) DIV S * 1000 + (x*m - S) % S * 1000 DIV S
+    winsorized to ±10000 (relative deviation ±10x in 0.001 steps; both
+    engines truncate DIV identically for either sign, and the oracle
+    replays the SAME winsorization, so saturating hubs stays bit-equal).
+    Signed r² is then sign(num)·(|num|·1000 DIV Sxx)·(|num|·1000 DIV Syy)
+    — Cauchy-Schwarz-bounded ≤ 1e6. BIGINT headroom: |num| ≤ m·1e8, so
+    |num|·1000 stays in range up to m ≈ 9e7 directed edges; beyond that
+    lift the three sums to DECIMAL(38,0), shape unchanged.
+
+    Shape: one degree aggregate, two broadcast-sized scalar totals (m, S)
+    collected as a single row, then a map-only pass over edges with the
+    two degree joins and one global aggregate — no per-pair state.
+
+    Returns one row (m_edges, s_deg, num, sxx, syy, r2_x1e6) with num and
+    r2_x1e6 signed.
+    """
+    und = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+    sym = (
+        und.unionByName(
+            und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .dropDuplicates()
+        .localCheckpoint(eager=True)  # deg + edge pass + totals share it
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ed = sym.join(
+        deg.select(F.col("src"), F.col("deg").alias("dx")), "src"
+    ).join(
+        deg.select(F.col("src").alias("dst"), F.col("deg").alias("dy")), "dst"
+    )
+    tot = ed.agg(
+        F.count(F.lit(1)).alias("m"), F.sum("dx").alias("s")
+    ).first()
+    m, s = int(tot["m"]), int(tot["s"])
+
+    def _dev(col: str):
+        staged = (
+            F.expr(f"({col} * {m} - {s}) DIV {s}") * F.lit(1000)
+            + F.expr(f"(({col} * {m} - {s}) % {s}) * 1000 DIV {s}")
+        )
+        return F.least(
+            F.lit(10000).cast("long"),
+            F.greatest(F.lit(-10000).cast("long"), staged.cast("long")),
+        )
+
+    rolled = ed.select(
+        _dev("dx").alias("ddx"), _dev("dy").alias("ddy")
+    ).agg(
+        F.sum(F.col("ddx") * F.col("ddy")).alias("num"),
+        F.sum(F.col("ddx") * F.col("ddx")).alias("sxx"),
+        F.sum(F.col("ddy") * F.col("ddy")).alias("syy"),
+    )
+    sign = F.when(F.col("num") < 0, F.lit(-1)).otherwise(F.lit(1))
+    r2 = F.when(
+        (F.col("sxx") == 0) | (F.col("syy") == 0), F.lit(0).cast("long")
+    ).otherwise(
+        sign
+        * F.expr("abs(num) * 1000 DIV sxx")
+        * F.expr("abs(num) * 1000 DIV syy")
+    )
+    return rolled.select(
+        F.lit(m).cast("long").alias("m_edges"),
+        F.lit(s).cast("long").alias("s_deg"),
+        F.col("num").cast("long").alias("num"),
+        F.col("sxx").cast("long").alias("sxx"),
+        F.col("syy").cast("long").alias("syy"),
+        r2.cast("long").alias("r2_x1e6"),
+    )

@@ -3930,3 +3930,22 @@ def test_gap_histogram_hand_values(spark):
         "lt_6h": (1, 250000),
         "lt_1d": (1, 250000),
     }
+
+
+def test_degree_assortativity_star_and_cycle(spark):
+    """Star K_{1,3}: every edge pairs deg 3 with deg 1 -> perfect
+    anticorrelation, signed r2 = -1e6 exactly (deviations +-500 after the
+    staged quotient). 4-cycle: all degrees equal -> zero variance -> 0."""
+    from chronographer_spark.operators.graph_algos import degree_assortativity
+
+    star = spark.createDataFrame(
+        [("c", "a"), ("c", "b"), ("c", "d")], ["src", "dst"]
+    )
+    row = degree_assortativity(star).first()
+    assert (row.m_edges, row.s_deg, row.r2_x1e6) == (6, 12, -1000000)
+    assert row.sxx == row.syy == 1500000 and row.num == -1500000
+
+    cyc = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")], ["src", "dst"]
+    )
+    assert degree_assortativity(cyc).first().r2_x1e6 == 0
