@@ -12319,6 +12319,103 @@ FROM rolled, tot t
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: Weisfeiler-Leman structural color classes of the user<->type graph
+# ---------------------------------------------------------------------------
+
+
+def q_wl_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-round WL refinement over the customer/supplier–nation–region
+    tree, starting from the node-kind letter: customers split by their
+    nation's population profile (two customers are same-colored iff their
+    nations host identical customer/supplier counts), nations by their
+    own neighborhood shape — the color-class profile (color, n_nodes) is
+    the subgraph-dedup readout. (The user<->event-type graph is complete
+    at every SF — every user hits all 5 types — so WL there collapses to
+    2 classes; this tree actually refines.)"""
+    from .operators.graph_algos import wl_colors
+
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    edges = (
+        cust.select(
+            F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("n"), F.col("c_nationkey").cast("string")).alias("dst"),
+        )
+        .unionByName(
+            supp.select(
+                F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("src"),
+                F.concat(F.lit("n"), F.col("s_nationkey").cast("string")).alias("dst"),
+            )
+        )
+        .unionByName(
+            nat.select(
+                F.concat(F.lit("n"), F.col("n_nationkey").cast("string")).alias("src"),
+                F.concat(F.lit("r"), F.col("n_regionkey").cast("string")).alias("dst"),
+            )
+        )
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    labels = nodes.select("node", F.substring("node", 1, 1).alias("label"))
+    return (
+        wl_colors(edges, labels, rounds=2)
+        .groupBy("color")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    )
+
+
+_WL_ROUND_SQL = """
+d{r} AS (
+  SELECT e.src AS node,
+         CAST(sum(CAST(concat('0x', substr(md5(c.color), 1, 8)) AS BIGINT))
+              AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS d
+  FROM e0 e JOIN c{p} c ON c.node = e.dst
+  GROUP BY e.src
+),
+c{r} AS (
+  SELECT c.node,
+         md5(c.color || '#' || CAST(coalesce(d.s, 0) AS VARCHAR)
+             || '#' || CAST(coalesce(d.d, 0) AS VARCHAR)) AS color
+  FROM c{p} c LEFT JOIN d{r} d ON d.node = c.node
+)"""
+
+WL_CLASSES_SQL = (
+    """
+WITH raw AS (
+  SELECT 'c' || CAST(c_custkey AS VARCHAR) AS src,
+         'n' || CAST(c_nationkey AS VARCHAR) AS dst FROM customer
+  UNION ALL
+  SELECT 's' || CAST(s_suppkey AS VARCHAR),
+         'n' || CAST(s_nationkey AS VARCHAR) FROM supplier
+  UNION ALL
+  SELECT 'n' || CAST(n_nationkey AS VARCHAR),
+         'r' || CAST(n_regionkey AS VARCHAR) FROM nation
+),
+e0 AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM raw UNION ALL SELECT dst, src FROM raw
+  )
+),
+c0 AS (
+  SELECT node, substr(node, 1, 1) AS color
+  FROM (SELECT DISTINCT src AS node FROM e0)
+),"""
+    + _WL_ROUND_SQL.format(r=1, p=0)
+    + ","
+    + _WL_ROUND_SQL.format(r=2, p=1)
+    + """
+SELECT color, CAST(count(*) AS BIGINT) AS n_nodes
+FROM c2 GROUP BY color
+"""
+)
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -12561,6 +12658,7 @@ QUERIES = {
     "ra_linkpred": q_ra_linkpred,
     "ks_drift": q_ks_drift,
     "assortativity": q_assortativity,
+    "wl_classes": q_wl_classes,
 }
 
 ORACLE_SQL = {
@@ -12587,6 +12685,7 @@ ORACLE_SQL = {
     "ra_linkpred": RA_LINKPRED_SQL,
     "ks_drift": KS_DRIFT_SQL,
     "assortativity": ASSORTATIVITY_SQL,
+    "wl_classes": WL_CLASSES_SQL,
     "type_drift": TYPE_DRIFT_SQL,
     "coburst_xcorr": COBURST_XCORR_SQL,
     "validate_rules": VALIDATE_RULES_SQL,

@@ -1920,3 +1920,70 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
         F.col("syy").cast("long").alias("syy"),
         r2.cast("long").alias("r2_x1e6"),
     )
+
+
+def wl_colors(
+    edges: DataFrame,
+    labels: DataFrame,
+    rounds: int = 2,
+) -> DataFrame:
+    """Weisfeiler-Leman color refinement (1-WL; Shervashidze 2011 WL
+    kernels): iteratively re-label every node with a hash of (its own
+    color, a digest of its neighbors' color MULTISET). After R rounds two
+    nodes share a color only if their R-hop neighborhood structure agrees
+    — the structural-equivalence fingerprint behind graph-isomorphism
+    screening, entity-subgraph dedup ("these two KG entities sit in
+    identical local shapes"), and GNN expressivity analysis.
+
+    The textbook step sorts each node's neighbor colors and hashes the
+    concatenation — a per-node sort of up to deg(v) strings, which a hub
+    turns into a memory cliff. Here the multiset digest is ORDER-FREE:
+    sum of per-neighbor md5-derived 32-bit integers plus the neighbor
+    count (the `partition_checksums` trick, io/catalog.py:441) — one
+    map-side-combinable aggregate per round, no collect_list, no sort,
+    hub-proof. Collision bound 2^-32 per multiset compare, the standard
+    unordered-checksum trade; both engines evaluate the identical md5 /
+    hex-prefix arithmetic, so colors replay bit-exact.
+
+    ``labels`` is (node, label) — the round-0 color (node type, entity
+    class). Nodes with no edges keep refining on (color, 0, 0).
+
+    Per-round cost: one edge join + one node-keyed agg + one left join,
+    colors checkpointed per round (the CC/PageRank iterative-joins
+    family). Returns (node, color) after ``rounds`` refinements.
+    """
+    und = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+    sym = (
+        und.unionByName(
+            und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    colors = labels.select("node", F.col("label").cast("string").alias("color"))
+    for _ in range(rounds):
+        nbr = sym.join(
+            colors.select(F.col("node").alias("dst"), "color"), "dst"
+        ).select(F.col("src").alias("node"), "color")
+        digest = nbr.groupBy("node").agg(
+            F.sum(
+                F.conv(F.substring(F.md5("color"), 1, 8), 16, 10).cast("long")
+            ).alias("s"),
+            F.count(F.lit(1)).alias("d"),
+        )
+        colors = (
+            colors.join(digest, "node", "left")
+            .select(
+                "node",
+                F.md5(
+                    F.concat_ws(
+                        "#",
+                        F.col("color"),
+                        F.coalesce(F.col("s"), F.lit(0)).cast("string"),
+                        F.coalesce(F.col("d"), F.lit(0)).cast("string"),
+                    )
+                ).alias("color"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return colors

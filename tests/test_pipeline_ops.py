@@ -3949,3 +3949,36 @@ def test_degree_assortativity_star_and_cycle(spark):
         [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")], ["src", "dst"]
     )
     assert degree_assortativity(cyc).first().r2_x1e6 == 0
+
+
+def test_wl_colors_refines_structure_and_known_limit(spark):
+    """Path a-b-c-d: round-2 colors split ends from middles (2 classes of
+    2). Known 1-WL limit documented by construction: a 6-cycle and two
+    disjoint triangles are both 2-regular with a single label, so every
+    node converges to ONE shared color — WL cannot tell them apart."""
+    from chronographer_spark.operators.graph_algos import wl_colors
+
+    def classes(edge_list, rounds=2):
+        edges = spark.createDataFrame(edge_list, ["src", "dst"])
+        nodes = (
+            edges.select(F.col("src").alias("node"))
+            .unionByName(edges.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+        labels = nodes.select("node", F.lit("x").alias("label"))
+        out = wl_colors(edges, labels, rounds=rounds).collect()
+        by_color = {}
+        for r in out:
+            by_color.setdefault(r.color, set()).add(r.node)
+        return {frozenset(v) for v in by_color.values()}
+
+    path = classes([("a", "b"), ("b", "c"), ("c", "d")])
+    assert path == {frozenset({"a", "d"}), frozenset({"b", "c"})}
+
+    c6 = classes(
+        [("1", "2"), ("2", "3"), ("3", "4"), ("4", "5"), ("5", "6"), ("6", "1")]
+    )
+    two_c3 = classes(
+        [("1", "2"), ("2", "3"), ("3", "1"), ("4", "5"), ("5", "6"), ("6", "4")]
+    )
+    assert len(c6) == 1 and len(two_c3) == 1
