@@ -2339,6 +2339,46 @@ GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
 
 
+def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE over (status, priority) — completes the grouping-sets
+    family beside rollup: adds the (priority-only) marginal the hierarchy
+    skips. The gid column is built from per-column grouping() bits
+    explicitly (2*g(status)+g(priority)) so the bitmask is engine-neutral
+    rather than relying on either engine's grouping_id ordering."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+            .alias("total_x100"),
+            (
+                F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority")
+            ).cast("long").alias("gid"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "gid",
+            "n",
+            "total_x100",
+        )
+    )
+
+
+CUBE_SQL = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       CAST(2 * GROUPING(o_orderstatus) + GROUPING(o_orderpriority)
+            AS BIGINT) AS gid,
+       count(*) AS n,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_x100
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
 def q_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user event-type counts pivoted to columns. Pivot values are pinned
     explicitly (no discovery scan; deterministic column order)."""
@@ -12659,6 +12699,7 @@ QUERIES = {
     "ks_drift": q_ks_drift,
     "assortativity": q_assortativity,
     "wl_classes": q_wl_classes,
+    "cube_orders": q_cube_orders,
 }
 
 ORACLE_SQL = {
@@ -12686,6 +12727,7 @@ ORACLE_SQL = {
     "ks_drift": KS_DRIFT_SQL,
     "assortativity": ASSORTATIVITY_SQL,
     "wl_classes": WL_CLASSES_SQL,
+    "cube_orders": CUBE_SQL,
     "type_drift": TYPE_DRIFT_SQL,
     "coburst_xcorr": COBURST_XCORR_SQL,
     "validate_rules": VALIDATE_RULES_SQL,
