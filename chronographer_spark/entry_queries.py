@@ -12456,6 +12456,88 @@ FROM c2 GROUP BY color
 )
 
 
+# ---------------------------------------------------------------------------
+# Q: unique-column-combination (key) discovery over orders
+# ---------------------------------------------------------------------------
+
+_UCC_COMBOS = [
+    ("o_orderkey", ["o_orderkey"]),
+    ("o_custkey", ["o_custkey"]),
+    ("o_orderstatus", ["o_orderstatus"]),
+    ("o_orderdate", ["o_orderdate"]),
+    ("o_custkey,o_orderdate", ["o_custkey", "o_orderdate"]),
+    ("o_custkey,o_orderstatus", ["o_custkey", "o_orderstatus"]),
+    ("o_orderstatus,o_orderdate", ["o_orderstatus", "o_orderdate"]),
+    ("o_orderkey,o_orderstatus", ["o_orderkey", "o_orderstatus"]),
+]
+
+
+def q_ucc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key discovery over orders: o_orderkey is the minimal UCC,
+    (o_orderkey, o_orderstatus) is unique but NON-minimal (dominated by
+    its singleton), and the non-key combos report their duplicate-class
+    profile — the readout merge_upsert key choice runs on."""
+    from .graph.constraints import discover_uccs
+
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "o_orderdate", F.col("o_orderdate").cast("string")
+    )
+    return discover_uccs(orders, _UCC_COMBOS)
+
+
+def _ucc_branch(name: str, cols: list[str]) -> str:
+    rendered = " || '|' || ".join(
+        f"coalesce(CAST({c} AS VARCHAR), 'NULL')" for c in cols
+    )
+    return f"SELECT '{name}' AS combo, {rendered} AS val FROM o"
+
+
+UCC_PROFILE_SQL = (
+    """
+WITH o AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
+  FROM orders
+),
+vals AS (
+"""
+    + "\n  UNION ALL\n".join(
+        "  " + _ucc_branch(name, cols) for name, cols in _UCC_COMBOS
+    )
+    + """
+),
+vc AS (
+  SELECT combo, val, CAST(count(*) AS BIGINT) AS cnt
+  FROM vals GROUP BY combo, val
+),
+per AS (
+  SELECT combo,
+         CAST(sum(cnt) AS BIGINT) AS n_rows,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(max(cnt) AS BIGINT) AS max_group
+  FROM vc GROUP BY combo
+),
+flags AS (
+  SELECT *, CAST(CASE WHEN n_distinct = n_rows THEN 1 ELSE 0 END AS BIGINT)
+           AS is_unique
+  FROM per
+),
+dominated AS (
+  SELECT DISTINCT p.combo
+  FROM flags p JOIN flags s
+    ON s.combo <> p.combo
+   AND strpos(',' || p.combo || ',', ',' || s.combo || ',') > 0
+   AND strpos(s.combo, ',') = 0
+   AND s.is_unique = 1
+)
+SELECT f.combo, f.n_rows, f.n_distinct, f.max_group, f.is_unique,
+       CAST(CASE WHEN f.is_unique = 1 AND d.combo IS NULL THEN 1 ELSE 0 END
+            AS BIGINT) AS is_minimal_unique
+FROM flags f LEFT JOIN dominated d ON d.combo = f.combo
+"""
+)
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -12700,6 +12782,7 @@ QUERIES = {
     "assortativity": q_assortativity,
     "wl_classes": q_wl_classes,
     "cube_orders": q_cube_orders,
+    "ucc_profile": q_ucc_profile,
 }
 
 ORACLE_SQL = {
@@ -12728,6 +12811,7 @@ ORACLE_SQL = {
     "assortativity": ASSORTATIVITY_SQL,
     "wl_classes": WL_CLASSES_SQL,
     "cube_orders": CUBE_SQL,
+    "ucc_profile": UCC_PROFILE_SQL,
     "type_drift": TYPE_DRIFT_SQL,
     "coburst_xcorr": COBURST_XCORR_SQL,
     "validate_rules": VALIDATE_RULES_SQL,

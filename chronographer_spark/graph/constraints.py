@@ -641,3 +641,89 @@ def validate_constraints(
         .alias("viol_x1e6"),
         "example_node",
     )
+
+
+def discover_uccs(df: DataFrame, combos) -> DataFrame:
+    """Unique-column-combination discovery (Heise/Papenbrock DUCC/HyUCC
+    family): for each candidate combination in ``combos`` (a list of
+    (name, [col, ...])), decide whether it is a KEY of the table — the
+    third leg of the profiling suite beside FD (induce_fd_candidates) and
+    IND (discover_unary_inds): FDs say which columns determine others,
+    INDs say which columns reference others, UCCs say which column sets
+    identify rows. A KG pipeline runs this to pick entity keys before
+    canonicalization and merge_upsert.
+
+    Returns one row per candidate: combo, n_rows, n_distinct, max_group
+    (largest duplicate class; 1 iff unique), is_unique, and
+    is_minimal_unique — unique with NO unique proper single-column subset
+    among the candidates (the DUCC minimality pruning, evaluated on the
+    tiny combo-level result by a broadcast join against the singleton
+    verdicts, never on row data).
+
+    Scale shape: one explode fans each row into |combos| (combo, rendered
+    value) structs — map-only, no N-branch UNION over the scan — then a
+    (combo, value)-keyed count and a |combos|-row rollup. NULLs render as
+    'NULL' inside the canonical '|'-joined rendering (the
+    partition_checksums convention, io/catalog.py:441): SQL NULL
+    semantics would make NULL != NULL and declare a column of NULLs
+    unique, which is not what a key check wants.
+    """
+    structs = [
+        F.struct(
+            F.lit(name).alias("combo"),
+            F.concat_ws(
+                "|",
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("NULL"))
+                    for c in cols
+                ],
+            ).alias("val"),
+        )
+        for name, cols in combos
+    ]
+    vals = df.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+    vc = vals.groupBy("combo", "val").agg(F.count(F.lit(1)).alias("cnt"))
+    per = vc.groupBy("combo").agg(
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.max("cnt").cast("long").alias("max_group"),
+    ).withColumn(
+        "is_unique",
+        F.when(F.col("n_distinct") == F.col("n_rows"), 1).otherwise(0).cast("long"),
+    ).localCheckpoint(eager=True)  # singleton verdicts + main path share it
+
+    single_names = {name: cols[0] for name, cols in combos if len(cols) == 1}
+    col_unique = per.filter(
+        F.col("combo").isin(*single_names) if single_names else F.lit(False)
+    ).select(
+        F.col("combo").alias("_sc"), F.col("is_unique").alias("_su")
+    )
+    # map each combo to the candidate singleton NAMES covering its columns
+    sub_rows = [
+        (name, sname)
+        for name, cols in combos
+        for sname, scol in single_names.items()
+        if scol in cols and name != sname
+    ]
+    if sub_rows:
+        subs = df.sparkSession.createDataFrame(sub_rows, "combo string, _sc string")
+        dominated = (
+            subs.join(F.broadcast(col_unique), "_sc")
+            .filter(F.col("_su") == 1)
+            .select("combo")
+            .distinct()
+            .withColumn("_dom", F.lit(1))
+        )
+        per = per.join(F.broadcast(dominated), "combo", "left")
+    else:
+        per = per.withColumn("_dom", F.lit(None).cast("int"))
+    return per.select(
+        "combo",
+        "n_rows",
+        "n_distinct",
+        "max_group",
+        "is_unique",
+        F.when(
+            (F.col("is_unique") == 1) & F.col("_dom").isNull(), 1
+        ).otherwise(0).cast("long").alias("is_minimal_unique"),
+    )

@@ -3982,3 +3982,29 @@ def test_wl_colors_refines_structure_and_known_limit(spark):
         [("1", "2"), ("2", "3"), ("3", "1"), ("4", "5"), ("5", "6"), ("6", "4")]
     )
     assert len(c6) == 1 and len(two_c3) == 1
+
+
+def test_discover_uccs_minimality_and_nulls(spark):
+    """(a) unique, (a,b) unique-but-dominated, (b) and (b,c) non-keys;
+    NULLs render as 'NULL' so an all-NULL column is a (degenerate) dup
+    class, not spuriously unique."""
+    from chronographer_spark.graph.constraints import discover_uccs
+
+    df = spark.createDataFrame(
+        [(1, "x", None), (2, "x", None), (3, "y", None)],
+        "a int, b string, c string",
+    )
+    out = {
+        r.combo: (r.n_rows, r.n_distinct, r.max_group, r.is_unique,
+                  r.is_minimal_unique)
+        for r in discover_uccs(
+            df,
+            [("a", ["a"]), ("b", ["b"]), ("c", ["c"]),
+             ("a,b", ["a", "b"]), ("b,c", ["b", "c"])],
+        ).collect()
+    }
+    assert out["a"] == (3, 3, 1, 1, 1)
+    assert out["a,b"] == (3, 3, 1, 1, 0)  # dominated by 'a'
+    assert out["b"] == (3, 2, 2, 0, 0)
+    assert out["c"] == (3, 1, 3, 0, 0)   # all-NULL: one class of 3
+    assert out["b,c"] == (3, 2, 2, 0, 0)
