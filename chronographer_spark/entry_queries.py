@@ -12538,6 +12538,45 @@ FROM flags f LEFT JOIN dominated d ON d.combo = f.combo
 )
 
 
+# ---------------------------------------------------------------------------
+# Q: DP geometric-mechanism count release per event type
+# ---------------------------------------------------------------------------
+
+
+def q_dp_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided-geometric (discrete Laplace) DP release of the per-type
+    event counts at epsilon = ln 2 — the perturbation mechanism beside
+    the k-anon/l-div/t-closeness risk readouts; hash-seeded so the
+    oracle replays the draw (see the operator's honesty note)."""
+    from .operators.text import dp_geometric_release
+
+    ev = _t(spark, sf_dir, "events")
+    return dp_geometric_release(ev, "event_type", eps_log2=1, seed="dp")
+
+
+DP_TYPE_COUNTS_SQL = """
+WITH counts AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type
+),
+noise AS (
+  SELECT event_type, n,
+    least(CAST(bit_count((ha & -ha) - 1) AS BIGINT), 40) AS g1,
+    least(CAST(bit_count((hb & -hb) - 1) AS BIGINT), 40) AS g2
+  FROM (
+    SELECT event_type, n,
+      CAST(concat('0x', substr(md5('dp' || '#' || 'a' || '#' || event_type),
+           1, 15)) AS BIGINT) AS ha,
+      CAST(concat('0x', substr(md5('dp' || '#' || 'b' || '#' || event_type),
+           1, 15)) AS BIGINT) AS hb
+    FROM counts
+  )
+)
+SELECT event_type, CAST(n + g1 - g2 AS BIGINT) AS n_released
+FROM noise
+"""
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -12783,6 +12822,7 @@ QUERIES = {
     "wl_classes": q_wl_classes,
     "cube_orders": q_cube_orders,
     "ucc_profile": q_ucc_profile,
+    "dp_type_counts": q_dp_type_counts,
 }
 
 ORACLE_SQL = {
@@ -12812,6 +12852,7 @@ ORACLE_SQL = {
     "wl_classes": WL_CLASSES_SQL,
     "cube_orders": CUBE_SQL,
     "ucc_profile": UCC_PROFILE_SQL,
+    "dp_type_counts": DP_TYPE_COUNTS_SQL,
     "type_drift": TYPE_DRIFT_SQL,
     "coburst_xcorr": COBURST_XCORR_SQL,
     "validate_rules": VALIDATE_RULES_SQL,

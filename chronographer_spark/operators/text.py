@@ -1239,3 +1239,69 @@ def script_profile(
             ).cast("long").alias("n_other"),
         )
     )
+
+
+def dp_geometric_release(
+    df: DataFrame,
+    key_col: str,
+    eps_log2: int = 1,
+    seed: str = "dp",
+) -> DataFrame:
+    """Differentially-private count release via the two-sided geometric
+    mechanism (Ghosh, Roughgarden & Sundararajan 2009) — the MECHANISM
+    completing the privacy readout trio (k-anonymity / l-diversity /
+    t-closeness measure risk; this one actually perturbs the release).
+    Per key the true count n is published as n + (G1 - G2) where each Gi
+    is geometric with ratio alpha = 2^-eps_log2, i.e. discrete Laplace
+    with epsilon = eps_log2 * ln 2 for the count query's sensitivity 1.
+
+    Exact-integer noise, no float log anywhere: a md5-derived 60-bit
+    uniform h has trailing-zero count tz = bit_count((h & -h) - 1)
+    distributed Geometric(1/2) (P(tz >= k) = 2^-k), and tz DIV j is
+    exactly Geometric(2^-j) — so the whole draw is hash + bit arithmetic
+    that DuckDB replays bit-for-bit (both engines have bit_count, &, -).
+    tz is clamped at 40 to bound the astronomically-rare all-zero tail
+    identically in both engines.
+
+    HONESTY NOTE (same contract as the multimodal codec stub): the draw
+    is seeded from (seed, key), which makes runs reproducible and the
+    oracle replayable, but a DETERMINISTIC draw is pseudo-randomness, not
+    privacy — an adversary who knows the seed can subtract the noise.
+    Production swaps `_tz` for a CSPRNG geometric draw; every other line
+    (sensitivity, alpha, the G1-G2 composition, the release shape) is the
+    real mechanism. Supported epsilon grid is {j*ln 2}: ratios off the
+    2^-j grid need rational-arithmetic inverse-CDF sampling, which no
+    longer replays in integer SQL.
+
+    One map-side-combinable count + map-only noise: scales trivially.
+    Negative releases are kept (the unbiased estimator convention).
+    """
+    if eps_log2 < 1:
+        raise ValueError("eps_log2 must be >= 1 (epsilon = eps_log2 * ln 2)")
+
+    def _tz(tag: str):
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat_ws("#", F.lit(seed), F.lit(tag), F.col(key_col))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        raw = F.bit_count((h.bitwiseAND(-h)) - F.lit(1)).cast("long")
+        tz = F.least(raw, F.lit(40).cast("long"))
+        # tz DIV j: both non-negative and tiny, so the double quotient
+        # never crosses an integer boundary — floor() is exact here and
+        # matches DuckDB's integer // bit-for-bit
+        return F.floor(tz / F.lit(eps_log2)).cast("long")
+
+    g1 = _tz("a")
+    g2 = _tz("b")
+    counts = df.groupBy(F.col(key_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    return counts.select(
+        F.col(key_col),
+        (F.col("_n") + g1 - g2).cast("long").alias("n_released"),
+    )

@@ -4008,3 +4008,31 @@ def test_discover_uccs_minimality_and_nulls(spark):
     assert out["b"] == (3, 2, 2, 0, 0)
     assert out["c"] == (3, 1, 3, 0, 0)   # all-NULL: one class of 3
     assert out["b,c"] == (3, 2, 2, 0, 0)
+
+
+def test_dp_geometric_release_replays_and_distributes(spark):
+    """The released counts equal true count + hand-computed md5 noise
+    (Python replay of the same draw); over 2048 keys the Geometric(1/2)
+    draw has P(g=0) near 1/2 and the noise is centered (two-sided)."""
+    import hashlib
+
+    from chronographer_spark.operators.text import dp_geometric_release
+
+    def tz_draw(seed, tag, key, j=1):
+        h = int(hashlib.md5(f"{seed}#{tag}#{key}".encode()).hexdigest()[:15], 16)
+        raw = 64 if h == 0 else (h & -h).bit_length() - 1
+        return min(raw, 40) // j
+
+    rows = [(f"k{i % 2048}",) for i in range(4096)]
+    df = spark.createDataFrame(rows, "k string")
+    out = {r.k: r.n_released for r in dp_geometric_release(df, "k", 1, "s").collect()}
+    assert len(out) == 2048
+    noises = []
+    for k, rel in out.items():
+        noise = tz_draw("s", "a", k) - tz_draw("s", "b", k)
+        assert rel == 2 + noise, k
+        noises.append(noise)
+    zero_share = sum(1 for n in noises if n == 0) / len(noises)
+    # P(G1 == G2) for Geometric(1/2) pair = sum 4^-k-ish ~ 0.333..; loose band
+    assert 0.25 < zero_share < 0.45
+    assert abs(sum(noises)) < 200  # centered
