@@ -12577,6 +12577,77 @@ FROM noise
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: Soundex phonetic blocking pairs over part-name lead tokens
+# ---------------------------------------------------------------------------
+
+
+def q_soundex_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phonetic ER blocking: part-name tokens plus deterministic
+    vowel-rotated misspellings (translate aeiou->oieau — Soundex is
+    vowel-blind, so every misspelling rejoins its original's block BY
+    CONSTRUCTION, beside genuine collisions like red/rod), paired within
+    a shared simplified-Soundex code — the sound-alike candidate set
+    spelling-distance blocking (snm_levenshtein, ED-1) cannot produce."""
+    from .functions.scalars import soundex_expr
+
+    part = _t(spark, sf_dir, "part")
+    base = part.select(
+        F.explode(F.split(F.col("p_name"), " ")).alias("tok")
+    ).distinct()
+    toks = base.unionByName(
+        base.select(F.translate("tok", "aeiou", "oieau").alias("tok"))
+    ).distinct()
+    coded = toks.select(
+        "tok", soundex_expr(F.col("tok")).alias("code")
+    ).filter(F.col("code") != "")
+    a = coded.select(F.col("code"), F.col("tok").alias("tok_a"))
+    b = coded.select(F.col("code"), F.col("tok").alias("tok_b"))
+    return a.join(b, "code").filter(F.col("tok_a") < F.col("tok_b")).select(
+        "code", "tok_a", "tok_b"
+    )
+
+
+SOUNDEX_BLOCKS_SQL = """
+WITH base AS (
+  SELECT DISTINCT unnest(string_split(p_name, ' ')) AS tok FROM part
+),
+toks AS (
+  SELECT DISTINCT tok FROM (
+    SELECT tok FROM base
+    UNION ALL
+    SELECT translate(tok, 'aeiou', 'oieau') FROM base
+  )
+),
+s AS (
+  SELECT tok, upper(regexp_replace(tok, '[^A-Za-z]', '', 'g')) AS su
+  FROM toks
+),
+c AS (
+  SELECT tok, su,
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           regexp_replace(regexp_replace(
+             translate(su, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                           '01230120022455012623010202'),
+           '11+', '1', 'g'), '22+', '2', 'g'), '33+', '3', 'g'),
+           '44+', '4', 'g'), '55+', '5', 'g'), '66+', '6', 'g') AS code0
+  FROM s
+),
+sx AS (
+  SELECT tok,
+         CASE WHEN su = '' THEN ''
+              ELSE substr(su, 1, 1) ||
+                   rpad(substr(regexp_replace(substr(code0, 2), '0', '', 'g'),
+                        1, 3), 3, '0')
+         END AS code
+  FROM c
+)
+SELECT a.code AS code, a.tok AS tok_a, b.tok AS tok_b
+FROM sx a JOIN sx b ON a.code = b.code AND a.tok < b.tok
+WHERE a.code <> ''
+"""
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -12823,6 +12894,7 @@ QUERIES = {
     "cube_orders": q_cube_orders,
     "ucc_profile": q_ucc_profile,
     "dp_type_counts": q_dp_type_counts,
+    "soundex_blocks": q_soundex_blocks,
 }
 
 ORACLE_SQL = {
@@ -12853,6 +12925,7 @@ ORACLE_SQL = {
     "cube_orders": CUBE_SQL,
     "ucc_profile": UCC_PROFILE_SQL,
     "dp_type_counts": DP_TYPE_COUNTS_SQL,
+    "soundex_blocks": SOUNDEX_BLOCKS_SQL,
     "type_drift": TYPE_DRIFT_SQL,
     "coburst_xcorr": COBURST_XCORR_SQL,
     "validate_rules": VALIDATE_RULES_SQL,

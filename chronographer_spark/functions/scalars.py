@@ -82,3 +82,36 @@ def lexical_in_window(col, start_d: str, end_d: str) -> Column:
 def entropy_term(count_col, total_col) -> Column:
     p = count_col.cast("double") / total_col.cast("double")
     return -p * F.log(p)
+
+
+# American Soundex letter->digit map for A..Z (vowels + H/W/Y -> 0).
+_SOUNDEX_FROM = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_SOUNDEX_TO = "01230120022455012623010202"
+
+
+def soundex_expr(col) -> Column:
+    """Simplified American Soundex, built ONLY from expressions both Spark
+    and DuckDB evaluate identically (upper/regexp_replace/translate/
+    substr/rpad) — deliberately NOT Spark's built-in `soundex()`, whose
+    JVM edge-case behavior (non-ASCII, h/w transparency) has no DuckDB
+    twin to replay. Simplification: H and W break duplicate runs like
+    vowels do (full Soundex treats them as transparent); everything else
+    is the textbook algorithm — keep the first letter, map the rest to
+    digits, collapse adjacent duplicate digits, drop zeros, pad to 4.
+    RE2-safe: the duplicate collapse is six per-digit patterns ('11+'...)
+    because DuckDB's RE2 has no backreferences.
+
+    The classic phonetic BLOCKING key for entity resolution (the third
+    blocking scheme beside sorted-neighborhood and ED-1 deletion
+    variants): names that sound alike land in one block regardless of
+    spelling distance, so 'Robert'/'Rupert' pair up where ED-1 cannot.
+    Empty / non-alphabetic input yields ''.
+    """
+    s = F.upper(F.regexp_replace(col.cast("string"), "[^A-Za-z]", ""))
+    code = F.translate(s, _SOUNDEX_FROM, _SOUNDEX_TO)
+    for d in "123456":
+        code = F.regexp_replace(code, f"{d}{d}+", d)
+    tail = F.regexp_replace(F.substring(code, 2, 1000000), "0", "")
+    return F.when(s == "", F.lit("")).otherwise(
+        F.concat(F.substring(s, 1, 1), F.rpad(F.substring(tail, 1, 3), 3, "0"))
+    )

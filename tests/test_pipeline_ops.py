@@ -4036,3 +4036,22 @@ def test_dp_geometric_release_replays_and_distributes(spark):
     # P(G1 == G2) for Geometric(1/2) pair = sum 4^-k-ish ~ 0.333..; loose band
     assert 0.25 < zero_share < 0.45
     assert abs(sum(noises)) < 200  # centered
+
+
+def test_soundex_expr_textbook_codes(spark):
+    """Textbook vectors for the simplified variant: Robert/Rupert share
+    R163; Tymczak T522, Pfister P236 (first-letter dedup across position
+    1); Ashcraft A226 (H breaks the run — the documented simplification
+    vs full Soundex's A261); non-alpha input -> ''."""
+    from chronographer_spark.functions.scalars import soundex_expr
+
+    df = spark.createDataFrame(
+        [("Robert",), ("Rupert",), ("Tymczak",), ("Pfister",),
+         ("Ashcraft",), ("123",), ("",)],
+        "w string",
+    )
+    out = {r.w: r.sx for r in df.select("w", soundex_expr(F.col("w")).alias("sx")).collect()}
+    assert out == {
+        "Robert": "R163", "Rupert": "R163", "Tymczak": "T522",
+        "Pfister": "P236", "Ashcraft": "A226", "123": "", "": "",
+    }
