@@ -1047,7 +1047,76 @@ def main() -> None:
         assert agg["s"] > 0
         return agg["n"]
 
+    def _typed_minute_edges():
+        # user <-> (type, minute, rep) bipartite graph; dst carries the
+        # replica index so replicas are DISJOINT components — the soak
+        # measures the machinery riding edge count, per the operators'
+        # documented contract (bucket the neighbor space; hub wedges are
+        # C(d,2) and must be capped upstream)
+        return ev_r.select(
+            F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("src"),
+            F.concat(
+                F.lit("t"),
+                F.col("event_type"),
+                F.lit("_"),
+                F.date_format("ts", "yyyy-MM-dd-HH-mm"),
+                F.lit("_"),
+                F.expr(f"user_id DIV {10 * n_users}").cast("string"),
+            ).alias("dst"),
+        )
+
+    def job_wl():
+        # 2-round WL refinement: per-round cost = one edge join + one
+        # combinable digest agg; color cardinality rides nodes
+        from chronographer_spark.operators.graph_algos import wl_colors
+
+        edges = _typed_minute_edges()
+        nodes = (
+            edges.select(F.col("src").alias("node"))
+            .unionByName(edges.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+        labels = nodes.select("node", F.substring("node", 1, 1).alias("label"))
+        out = (
+            wl_colors(edges, labels, rounds=2)
+            .groupBy("color")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        agg = out.agg(F.count(F.lit(1)).alias("k"), F.sum("n").alias("s")).first()
+        assert agg["s"] > 0
+        return agg["k"]
+
+    def job_ra():
+        # wedges generate inside minute buckets (bounded occupancy), so
+        # candidate pairs ride the edge count, not users²
+        from chronographer_spark.operators.graph_algos import resource_allocation
+
+        out = resource_allocation(_typed_minute_edges(), min_common=1)
+        agg = out.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("ra_x1e6").alias("s")
+        ).first()
+        assert agg["n"] > 0
+        return agg["n"]
+
+    def job_ks():
+        # replicas repeat the same values, so the collapsed distinct-value
+        # table (and the whole prefix-sum stage) is repl-INVARIANT; only
+        # the count scan rides repl
+        from chronographer_spark.operators.temporal import ks_two_sample
+
+        scaled = F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long")
+        a = ev_r.filter(F.col("event_id") % 2 == 0).select(scaled.alias("v"))
+        b = ev_r.filter(F.col("event_id") % 2 == 1).select(
+            (scaled + F.lit(25000000)).alias("v")
+        )
+        row = ks_two_sample(a, b, "v", n_parts=4 * CPUS).first()
+        assert row.d_num > 0
+        return int(row.ks_x1e6)
+
     jobs = [
+        ("wl", job_wl),
+        ("ra", job_ra),
+        ("ks", job_ks),
         ("pack", job_pack),
         ("bpe", job_bpe),
         ("repetition", job_repetition),
