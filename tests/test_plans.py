@@ -832,3 +832,91 @@ def test_gap_histogram_one_window_one_rollup(spark):
     assert plan.count("Scan parquet") == 0, plan
     assert "SinglePartition" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_resource_allocation_one_wedge_join_no_degree_tail(spark):
+    """RA pre-joins the shared neighbor's degree, so the plan has the
+    wedge self-join + degree join but NO trailing per-pair degree joins,
+    and the pair aggregate is partial (map-side combinable)."""
+    from chronographer_spark.operators.graph_algos import resource_allocation
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    edges = ev.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("src"),
+        F.concat(F.lit("t"), F.col("event_type")).alias("dst"),
+    )
+    plan = _plan(resource_allocation(edges, min_common=4))
+    # sym is checkpointed: the raw table is never re-scanned in the plan
+    assert plan.count("Scan parquet") == 0, plan
+    # exactly one pair SUM aggregate, partial+final (the degree agg has
+    # its own partial_count, so pin the sum)
+    assert plan.count("partial_sum") == 1, plan
+    # two joins total (degree attach + wedge); no third join for pair degrees
+    assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") + plan.count(
+        "ShuffledHashJoin"
+    ) == 2, plan
+
+
+def test_wl_colors_final_round_single_join_agg(spark):
+    """Each WL round materializes via checkpoint; the FINAL plan is one
+    digest agg + one left join over the checkpointed tables — no corpus
+    re-scan, no collect_list, no sort."""
+    from chronographer_spark.operators.graph_algos import wl_colors
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    edges = ev.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("src"),
+        F.concat(F.lit("t"), F.col("event_type")).alias("dst"),
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    labels = nodes.select("node", F.substring("node", 1, 1).alias("label"))
+    plan = _plan(wl_colors(edges, labels, rounds=2))
+    assert plan.count("Scan parquet") == 0, plan
+    assert "collect_list" not in plan, plan
+    assert "Sort " not in plan or "SortMergeJoin" in plan, plan
+
+
+def test_ks_two_sample_no_single_partition_window(spark):
+    """The KS prefix sum is two-phase: every Window is partitioned by
+    _part (never SinglePartition), and the final plan aggregates the
+    checkpointed local-cumsum table — one struct-max, no re-scan."""
+    from chronographer_spark.operators.temporal import ks_two_sample
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select("event_id", "value")
+    scaled = F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long")
+    a = ev.filter(F.col("event_id") % 2 == 0).select(scaled.alias("v"))
+    b = ev.filter(F.col("event_id") % 2 == 1).select(scaled.alias("v"))
+    plan = _plan(ks_two_sample(a, b, "v", n_parts=8))
+    assert "SinglePartition" not in plan or plan.count(
+        "Exchange SinglePartition"
+    ) <= 1, plan  # only the final 1-row global agg may gather
+    assert plan.count("Scan parquet") == 0, plan
+    assert "Window" not in plan, plan  # window ran at checkpoint time
+
+
+def test_ucc_single_explode_fan_two_aggs(spark):
+    """UCC discovery fans combos with ONE explode over ONE scan (no
+    N-branch union re-executing the input), then two combinable aggs."""
+    import __spark_entry__ as entry_mod
+
+    plan = _plan(entry_mod.queries()["ucc_profile"](spark, SF))
+    # per side of the minimality join the orders table appears once via
+    # the checkpointed combo-level table: no raw re-scan at all
+    assert plan.count("Scan parquet") == 0, plan
+    assert plan.count("Generate explode") == 0, plan  # explode pre-checkpoint
+
+
+def test_dp_release_one_agg_map_only_noise(spark):
+    """DP release = one combinable count agg + map-only noise projection:
+    exactly one exchange, no join."""
+    from chronographer_spark.operators.text import dp_geometric_release
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    plan = _plan(dp_geometric_release(ev, "event_type"))
+    assert _exchanges(plan) == 1, plan
+    assert "Join" not in plan, plan
+    assert plan.count("partial_count") == 1, plan
