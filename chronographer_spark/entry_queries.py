@@ -12648,6 +12648,84 @@ WHERE a.code <> ''
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: densest-subgraph peeling over a clique-plus-periphery graph
+# ---------------------------------------------------------------------------
+
+
+def q_densest_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bahmani-peeling stats over a deterministic clique+periphery graph:
+    the 25-nation clique (density 12) wrapped in the degree-1
+    customer->nation periphery. Round 1 peels the periphery and the
+    density readout jumps to the clique's 12.0 — the max row IS the
+    densest core the approximation finds before overshooting."""
+    from .operators.graph_algos import densest_subgraph
+
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    periphery = cust.select(
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("n"), F.col("c_nationkey").cast("string")).alias("dst"),
+    )
+    na = nat.select(F.col("n_nationkey").alias("a"))
+    nb = nat.select(F.col("n_nationkey").alias("b"))
+    clique = (
+        na.crossJoin(nb)
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            F.concat(F.lit("n"), F.col("a").cast("string")).alias("src"),
+            F.concat(F.lit("n"), F.col("b").cast("string")).alias("dst"),
+        )
+    )
+    return densest_subgraph(periphery.unionByName(clique), rounds=2)
+
+
+DENSEST_ROUNDS_SQL = """
+WITH raw AS (
+  SELECT 'c' || CAST(c_custkey AS VARCHAR) AS src,
+         'n' || CAST(c_nationkey AS VARCHAR) AS dst FROM customer
+  UNION ALL
+  SELECT 'n' || CAST(a.n_nationkey AS VARCHAR),
+         'n' || CAST(b.n_nationkey AS VARCHAR)
+  FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+),
+e0 AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM raw UNION ALL SELECT dst, src FROM raw
+  ) WHERE src <> dst
+),
+t0 AS (SELECT CAST(count(DISTINCT src) AS BIGINT) AS v,
+              CAST(count(*) AS BIGINT) AS m FROM e0),
+deg0 AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e0 GROUP BY src),
+keep0 AS (SELECT d.src FROM deg0 d, t0 WHERE d.deg * 10 * t0.v >= 11 * t0.m),
+e1 AS (
+  SELECT e.src, e.dst FROM e0 e
+  JOIN keep0 a ON a.src = e.src
+  JOIN keep0 b ON b.src = e.dst
+),
+t1 AS (SELECT CAST(count(DISTINCT src) AS BIGINT) AS v,
+              CAST(count(*) AS BIGINT) AS m FROM e1),
+deg1 AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e1 GROUP BY src),
+keep1 AS (SELECT d.src FROM deg1 d, t1 WHERE d.deg * 10 * t1.v >= 11 * t1.m),
+e2 AS (
+  SELECT e.src, e.dst FROM e1 e
+  JOIN keep1 a ON a.src = e.src
+  JOIN keep1 b ON b.src = e.dst
+),
+t2 AS (SELECT CAST(count(DISTINCT src) AS BIGINT) AS v,
+              CAST(count(*) AS BIGINT) AS m FROM e2)
+SELECT CAST(0 AS BIGINT) AS round, v AS n_nodes, m // 2 AS n_edges,
+       CASE WHEN v = 0 THEN 0 ELSE m // 2 * 1000000 // v END AS density_x1e6
+FROM t0
+UNION ALL
+SELECT CAST(1 AS BIGINT), v, m // 2,
+       CASE WHEN v = 0 THEN 0 ELSE m // 2 * 1000000 // v END FROM t1
+UNION ALL
+SELECT CAST(2 AS BIGINT), v, m // 2,
+       CASE WHEN v = 0 THEN 0 ELSE m // 2 * 1000000 // v END FROM t2
+"""
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -12895,6 +12973,7 @@ QUERIES = {
     "ucc_profile": q_ucc_profile,
     "dp_type_counts": q_dp_type_counts,
     "soundex_blocks": q_soundex_blocks,
+    "densest_rounds": q_densest_rounds,
 }
 
 ORACLE_SQL = {
@@ -12926,6 +13005,7 @@ ORACLE_SQL = {
     "ucc_profile": UCC_PROFILE_SQL,
     "dp_type_counts": DP_TYPE_COUNTS_SQL,
     "soundex_blocks": SOUNDEX_BLOCKS_SQL,
+    "densest_rounds": DENSEST_ROUNDS_SQL,
     "type_drift": TYPE_DRIFT_SQL,
     "coburst_xcorr": COBURST_XCORR_SQL,
     "validate_rules": VALIDATE_RULES_SQL,

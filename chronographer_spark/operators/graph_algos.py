@@ -1987,3 +1987,77 @@ def wl_colors(
             .localCheckpoint(eager=True)
         )
     return colors
+
+
+def densest_subgraph(
+    edges: DataFrame,
+    rounds: int = 2,
+    eps_x10: int = 1,
+) -> DataFrame:
+    """Densest-subgraph peeling (Charikar 2000 greedy, distributed as in
+    Bahmani, Kumar & Vassilvitskii 2012 "Densest subgraph in streaming
+    and MapReduce"): each round removes EVERY node whose degree is below
+    2(1+eps) times the current average density E/V, shrinking the graph
+    toward its densest core in O(log n) rounds — the community-core /
+    spam-cluster / bot-ring extractor that k_core's fixed threshold
+    cannot parameterize. 2(1+eps)-approximation guarantee.
+
+    All-integer threshold, no floats and NO driver collect: with m the
+    DIRECTED edge count (= 2E) and v the node count of the current
+    subgraph, "deg < 2(1+eps)·E/V" is evaluated as
+    deg·10·v < (10+eps_x10)·m by cross-multiplication; the one-row
+    totals aggregate is broadcast back into the degree filter.
+
+    Returns one stats row per peel state: (round, n_nodes, n_edges,
+    density_x1e6 = E·1e6 DIV V) — row 0 is the input graph, row r the
+    graph after r peels; the densest round is the max density_x1e6 row
+    (ties: earliest round has the larger graph). Per-round cost: one
+    degree agg + one broadcast threshold filter + two semi-joins, graph
+    checkpointed per round (the CC/PageRank iterative family).
+    """
+    und = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+    cur = (
+        und.unionByName(
+            und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    stats = []
+
+    def _stats(df: DataFrame, r: int) -> DataFrame:
+        return df.agg(
+            F.countDistinct("src").alias("_v"), F.count(F.lit(1)).alias("_m")
+        ).select(
+            F.lit(r).cast("long").alias("round"),
+            F.col("_v").cast("long").alias("n_nodes"),
+            (F.col("_m") / 2).cast("long").alias("n_edges"),
+            F.when(F.col("_v") == 0, F.lit(0).cast("long")).otherwise(
+                F.expr("CAST(_m DIV 2 * 1000000 DIV _v AS BIGINT)")
+            ).alias("density_x1e6"),
+        )
+
+    for r in range(rounds):
+        stats.append(_stats(cur, r))
+        tot = cur.agg(
+            F.countDistinct("src").alias("_v"), F.count(F.lit(1)).alias("_m")
+        )
+        deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+        keep = (
+            deg.crossJoin(F.broadcast(tot))
+            .filter(
+                F.col("_deg") * F.lit(10) * F.col("_v")
+                >= F.lit(10 + eps_x10) * F.col("_m")
+            )
+            .select("src")
+        )
+        cur = (
+            cur.join(keep, "src", "left_semi")
+            .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    stats.append(_stats(cur, rounds))
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.unionByName(s)
+    return out

@@ -4055,3 +4055,23 @@ def test_soundex_expr_textbook_codes(spark):
         "Robert": "R163", "Rupert": "R163", "Tymczak": "T522",
         "Pfister": "P236", "Ashcraft": "A226", "123": "", "": "",
     }
+
+
+def test_densest_subgraph_isolates_clique(spark):
+    """K5 clique + 10 pendant leaves: round 0 density = 20/15, round 1
+    peels every deg-1 leaf (threshold 2.2*20/15 = 2.93) and the K5 core
+    survives with density 10/5 = 2.0 exactly — the max-density row."""
+    from chronographer_spark.operators.graph_algos import densest_subgraph
+
+    clique = [(f"k{i}", f"k{j}") for i in range(5) for j in range(i + 1, 5)]
+    leaves = [(f"k{i % 5}", f"p{i}") for i in range(10)]
+    out = {
+        r.round: (r.n_nodes, r.n_edges, r.density_x1e6)
+        for r in densest_subgraph(
+            spark.createDataFrame(clique + leaves, ["src", "dst"]), rounds=2
+        ).collect()
+    }
+    assert out[0] == (15, 20, 1333333)
+    assert out[1] == (5, 10, 2000000)
+    # K5 is 4-regular with density 2: threshold 2.2*2 = 4.4 > 4 peels it
+    assert out[2] == (0, 0, 0)
