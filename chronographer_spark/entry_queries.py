@@ -12726,6 +12726,74 @@ SELECT CAST(2 AS BIGINT), v, m // 2,
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: encoding-anomaly (mojibake) screen with injected corruption
+# ---------------------------------------------------------------------------
+
+
+def q_encoding_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-integrity screen over documents with deterministic
+    injected corruption (doc_id residues get a mojibake 'é'-as-Latin-1,
+    a U+FFFD, or a mis-decoded smart quote appended) — the clean corpus
+    underneath calibrates the zero rows."""
+    from .operators.text import encoding_anomaly_report
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
+    fixture = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 11 == 0, F.lit("Ã©")).otherwise(
+                F.lit("")
+            ),
+            F.when(F.col("doc_id") % 13 == 0, F.lit("�")).otherwise(
+                F.lit("")
+            ),
+            F.when(
+                F.col("doc_id") % 17 == 0, F.lit("â")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return encoding_anomaly_report(fixture)
+
+
+ENCODING_ANOMALIES_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         coalesce(text, '')
+         || CASE WHEN doc_id % 11 = 0 THEN chr(195) || chr(169) ELSE '' END
+         || CASE WHEN doc_id % 13 = 0 THEN chr(65533) ELSE '' END
+         || CASE WHEN doc_id % 17 = 0
+                 THEN chr(226) || chr(128) || chr(153) ELSE '' END AS text
+  FROM documents
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+markers AS (
+  SELECT * FROM (VALUES
+    ('mojibake_a_tilde', chr(195)),
+    ('mojibake_smartq', chr(226) || chr(128)),
+    ('mojibake_a_caret', chr(194)),
+    ('replacement_char', chr(65533)),
+    ('bom_in_body', chr(239) || chr(187) || chr(191)),
+    ('nul_byte', chr(0))
+  ) AS t(anomaly, marker)
+),
+fan AS (
+  SELECT m.anomaly,
+         CASE WHEN strpos(d.text, m.marker) > 0 THEN 1 ELSE 0 END AS hit
+  FROM d, markers m
+)
+SELECT anomaly,
+       CAST(sum(hit) AS BIGINT) AS n_docs,
+       (SELECT n FROM tot) AS n_total,
+       CAST(CAST(sum(hit) AS BIGINT) * 1000000
+            // greatest((SELECT n FROM tot), 1) AS BIGINT) AS share_x1e6
+FROM fan GROUP BY anomaly
+"""
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -12974,6 +13042,7 @@ QUERIES = {
     "dp_type_counts": q_dp_type_counts,
     "soundex_blocks": q_soundex_blocks,
     "densest_rounds": q_densest_rounds,
+    "encoding_anomalies": q_encoding_anomalies,
 }
 
 ORACLE_SQL = {
@@ -13006,6 +13075,7 @@ ORACLE_SQL = {
     "dp_type_counts": DP_TYPE_COUNTS_SQL,
     "soundex_blocks": SOUNDEX_BLOCKS_SQL,
     "densest_rounds": DENSEST_ROUNDS_SQL,
+    "encoding_anomalies": ENCODING_ANOMALIES_SQL,
     "type_drift": TYPE_DRIFT_SQL,
     "coburst_xcorr": COBURST_XCORR_SQL,
     "validate_rules": VALIDATE_RULES_SQL,

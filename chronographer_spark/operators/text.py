@@ -1305,3 +1305,53 @@ def dp_geometric_release(
         F.col(key_col),
         (F.col("_n") + g1 - g2).cast("long").alias("n_released"),
     )
+
+
+# UTF-8-decoded-as-Latin-1 signatures + hard corruption markers. Each entry
+# is (anomaly_name, marker substring), spelled as escapes so the source
+# stays ASCII-clean.
+_ENCODING_MARKERS = [
+    ("mojibake_a_tilde", "\u00c3"),   # UTF-8 2-byte lead read as Latin-1
+    ("mojibake_smartq", "\u00e2\u0080"),  # smart-quote family mis-decode
+    ("mojibake_a_caret", "\u00c2"),   # NBSP/degree-sign mis-decode
+    ("replacement_char", "\ufffd"),   # decoder already gave up
+    ("bom_in_body", "\u00ef\u00bb\u00bf"),  # UTF-8 BOM mis-decoded mid-text
+    ("nul_byte", "\u0000"),
+]
+
+
+def encoding_anomaly_report(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus encoding-integrity screen: per anomaly class, how many
+    documents carry a mojibake / corruption signature — the double-decode
+    detector (UTF-8 bytes re-read as Latin-1 leave U+00C3 / U+00E2,U+0080 /
+    U+00C2 fingerprints) plus U+FFFD, in-body BOM, and NUL. The
+    data-cleaning readout a crawl pipeline runs BEFORE tokenization:
+    script_mix sees legitimate multilingual text, this sees text that was
+    never decoded correctly at all.
+
+    Substring markers only (instr/strpos — identical semantics in both
+    engines), no regex dialect exposure. One explode fans each doc into
+    |markers| (anomaly, hit) pairs — single scan, no per-marker UNION —
+    then one combinable rollup. The total crosses the driver as one
+    integer (same contract as the assortativity scalars).
+
+    Returns (anomaly, n_docs, n_total, share_x1e6).
+    """
+    total = df.count()
+    structs = [
+        F.struct(
+            F.lit(name).alias("anomaly"),
+            F.when(
+                F.instr(F.col(text_col), marker) > 0, F.lit(1)
+            ).otherwise(F.lit(0)).alias("hit"),
+        )
+        for name, marker in _ENCODING_MARKERS
+    ]
+    fan = df.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+    return fan.groupBy("anomaly").agg(
+        F.sum("hit").cast("long").alias("n_docs"),
+        F.lit(total).cast("long").alias("n_total"),
+        F.expr(f"CAST(sum(hit) * 1000000 DIV {max(total, 1)} AS BIGINT)").alias(
+            "share_x1e6"
+        ),
+    )

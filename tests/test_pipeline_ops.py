@@ -4075,3 +4075,31 @@ def test_densest_subgraph_isolates_clique(spark):
     assert out[1] == (5, 10, 2000000)
     # K5 is 4-regular with density 2: threshold 2.2*2 = 4.4 > 4 peels it
     assert out[2] == (0, 0, 0)
+
+
+def test_encoding_anomaly_report_detects_each_marker(spark):
+    """Each corruption class fires on exactly its doc; the clean doc
+    fires nothing; counts and shares are exact."""
+    from chronographer_spark.operators.text import encoding_anomaly_report
+
+    rows = [
+        (0, "clean ascii text"),
+        (1, "caf\u00c3\u00a9 double decoded"),
+        (2, "it\u00e2\u0080\u0099s a smart quote"),
+        (3, "nbsp\u00c2 here"),
+        (4, "lost \ufffd char"),
+        (5, "mid\u00ef\u00bb\u00bfbom"),
+        (6, "nul\u0000byte"),
+        (7, "clean again"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.anomaly: (r.n_docs, r.n_total, r.share_x1e6)
+           for r in encoding_anomaly_report(df).collect()}
+    assert out == {
+        "mojibake_a_tilde": (1, 8, 125000),
+        "mojibake_smartq": (1, 8, 125000),
+        "mojibake_a_caret": (1, 8, 125000),
+        "replacement_char": (1, 8, 125000),
+        "bom_in_body": (1, 8, 125000),
+        "nul_byte": (1, 8, 125000),
+    }
