@@ -12794,6 +12794,61 @@ FROM fan GROUP BY anomaly
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: split conformal calibration on the event value column
+# ---------------------------------------------------------------------------
+
+
+def q_conformal_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split conformal at alpha=0.10: calibrate qhat on even-event scores,
+    audit coverage on odd-event scores — same-distribution halves, so the
+    audited coverage lands at the >= 90% guarantee."""
+    from .operators.classifier import conformal_report
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    scaled = F.floor(
+        F.col("value") * F.lit(1000000.0) + F.lit(0.5)
+    ).cast("long")
+    cal = ev.filter(F.col("event_id") % 2 == 0).select(scaled.alias("score"))
+    test = ev.filter(F.col("event_id") % 2 == 1).select(scaled.alias("score"))
+    return conformal_report(cal, test, "score", alpha_x100=10)
+
+
+CONFORMAL_VALUE_SQL = """
+WITH c AS (
+  SELECT CAST(floor(value * CAST(1000000 AS DOUBLE)
+              + CAST(0.5 AS DOUBLE)) AS BIGINT) AS v
+  FROM events WHERE event_id % 2 = 0
+),
+t AS (
+  SELECT CAST(floor(value * CAST(1000000 AS DOUBLE)
+              + CAST(0.5 AS DOUBLE)) AS BIGINT) AS v
+  FROM events WHERE event_id % 2 = 1
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_cal FROM c),
+kk AS (
+  SELECT n_cal,
+         least(greatest(((n_cal + 1) * 90 + 99) // 100, 1), n_cal) AS k
+  FROM n
+),
+cum AS (
+  SELECT v, CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS cum
+  FROM (SELECT v, count(*) AS cnt FROM c GROUP BY v)
+),
+q AS (SELECT min(v) AS qhat FROM cum, kk WHERE cum.cum >= kk.k)
+SELECT kk.n_cal AS n_cal,
+       CAST(kk.k AS BIGINT) AS k_rank,
+       q.qhat AS qhat,
+       CAST(count(*) AS BIGINT) AS n_test,
+       CAST(sum(CASE WHEN t.v <= q.qhat THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_covered,
+       CAST(CAST(sum(CASE WHEN t.v <= q.qhat THEN 1 ELSE 0 END) AS BIGINT)
+            * 1000000 // greatest(count(*), 1) AS BIGINT) AS coverage_x1e6
+FROM t, kk, q
+GROUP BY kk.n_cal, kk.k, q.qhat
+"""
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -13043,6 +13098,7 @@ QUERIES = {
     "soundex_blocks": q_soundex_blocks,
     "densest_rounds": q_densest_rounds,
     "encoding_anomalies": q_encoding_anomalies,
+    "conformal_value": q_conformal_value,
 }
 
 ORACLE_SQL = {
@@ -13076,6 +13132,7 @@ ORACLE_SQL = {
     "soundex_blocks": SOUNDEX_BLOCKS_SQL,
     "densest_rounds": DENSEST_ROUNDS_SQL,
     "encoding_anomalies": ENCODING_ANOMALIES_SQL,
+    "conformal_value": CONFORMAL_VALUE_SQL,
     "type_drift": TYPE_DRIFT_SQL,
     "coburst_xcorr": COBURST_XCORR_SQL,
     "validate_rules": VALIDATE_RULES_SQL,

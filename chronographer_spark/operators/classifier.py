@@ -163,3 +163,83 @@ def calibration_table(
             F.expr("__ssum DIV n").cast("long").alias("mean_score_x1e6"),
         )
     )
+
+
+def conformal_report(
+    cal: DataFrame,
+    test: DataFrame,
+    score_col: str = "score",
+    alpha_x100: int = 10,
+    n_parts: int = 32,
+) -> DataFrame:
+    """Split conformal prediction calibration (Vovk et al.; Angelopoulos &
+    Bates 2021 tutorial): from a calibration set of INTEGER nonconformity
+    scores, the threshold qhat is the ceil((n+1)(1-alpha))-th smallest
+    calibration score, and any test point with score <= qhat falls inside
+    the distribution-free prediction set — guaranteed >= 1-alpha coverage
+    on exchangeable data with NO model assumptions. The modern ML-ops
+    companion to the reliability diagram (`calibration_table`): that one
+    diagnoses a classifier's probabilities, this one wraps ANY score in a
+    finite-sample guarantee and audits it on a holdout.
+
+    Exact integer rank selection, no percentile approximation: k =
+    ceil((n_cal+1)·(100-alpha_x100)/100) by integer arithmetic, and qhat
+    is the minimum score whose cumulative calibration count reaches k —
+    computed on the COLLAPSED per-score count table with the same
+    two-phase distributed prefix sum as `ks_two_sample` (range partition
+    -> local cumsum -> <= n_parts offset rows through the driver), never
+    a global single-partition window. Coverage is one combinable test agg
+    against the broadcast 1-row threshold.
+
+    Returns one row (n_cal, k_rank, qhat, n_test, n_covered,
+    coverage_x1e6).
+    """
+    from pyspark.sql.window import Window
+
+    c = cal.select(F.col(score_col).cast("long").alias("v"))
+    n_cal = c.count()
+    k = ((n_cal + 1) * (100 - alpha_x100) + 99) // 100
+    k = min(max(k, 1), n_cal)
+    cnt = c.groupBy("v").agg(F.count(F.lit(1)).alias("n"))
+    parted = cnt.repartitionByRange(n_parts, "v").withColumn(
+        "_part", F.spark_partition_id()
+    )
+    local_w = (
+        Window.partitionBy("_part")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = parted.withColumn("_lc", F.sum("n").over(local_w)).localCheckpoint(
+        eager=True
+    )
+    totals = sorted(
+        (r["_part"], r["t"] or 0)
+        for r in local.groupBy("_part").agg(F.sum("n").alias("t")).collect()
+    )
+    offs, acc = [], 0
+    for pid, t in totals:
+        offs.append((int(pid), acc))
+        acc += t
+    off_df = local.sparkSession.createDataFrame(offs, "_part int, _off long")
+    qhat_df = (
+        local.join(F.broadcast(off_df), "_part")
+        .filter(F.col("_off") + F.col("_lc") >= k)
+        .agg(F.min("v").alias("qhat"))
+    )
+    t = test.select(F.col(score_col).cast("long").alias("v"))
+    return (
+        t.crossJoin(F.broadcast(qhat_df))
+        .agg(
+            F.lit(n_cal).cast("long").alias("n_cal"),
+            F.lit(k).cast("long").alias("k_rank"),
+            F.first("qhat").alias("qhat"),
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(F.when(F.col("v") <= F.col("qhat"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_covered"),
+        )
+        .withColumn(
+            "coverage_x1e6",
+            F.expr("CAST(n_covered * 1000000 DIV greatest(n_test, 1) AS BIGINT)"),
+        )
+    )

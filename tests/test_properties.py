@@ -1115,3 +1115,29 @@ def test_ks_two_sample_identical_is_zero(spark):
     d = spark.createDataFrame([(v,) for v in [1, 2, 2, 3, 9]], "v long")
     row = ks_two_sample(d, d, "v").first()
     assert (row.d_num, row.ks_x1e6) == (0, 0)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    cal=st.lists(st.integers(min_value=-30, max_value=30), min_size=2, max_size=40),
+    test=st.lists(st.integers(min_value=-30, max_value=30), min_size=1, max_size=40),
+)
+def test_conformal_report_matches_python_model(spark, cal, test):
+    """qhat is exactly the ceil((n+1)(1-alpha))-th smallest calibration
+    score (ties included) and coverage counts test scores <= qhat."""
+    from chronographer_spark.operators.classifier import conformal_report
+
+    dc = spark.createDataFrame([(v,) for v in cal], "score long")
+    dt = spark.createDataFrame([(v,) for v in test], "score long")
+    row = conformal_report(
+        dc.repartition(3), dt.repartition(2), "score", alpha_x100=10, n_parts=4
+    ).first()
+
+    n = len(cal)
+    k = min(max(((n + 1) * 90 + 99) // 100, 1), n)
+    qhat = sorted(cal)[k - 1]
+    covered = sum(1 for v in test if v <= qhat)
+    assert (row.n_cal, row.k_rank, row.qhat, row.n_test, row.n_covered) == (
+        n, k, qhat, len(test), covered,
+    )
+    assert row.coverage_x1e6 == covered * 1000000 // len(test)
