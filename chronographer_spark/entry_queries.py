@@ -12849,6 +12849,57 @@ GROUP BY kk.n_cal, kk.k, q.qhat
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: tool-call memoization (cache-hit) profile per conversation
+# ---------------------------------------------------------------------------
+
+
+def q_tool_cache_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cache-hit profile over the transcript view's tool turns, keyed on
+    (tool, date argument) — the last 10 chars of the templated turn text;
+    repeats mark the memoization opportunities a tool-result cache would
+    recover. Only conversations with at least one repeat are returned
+    (bounded, interesting rows)."""
+    from .operators.dialogue import tool_cache_hits
+
+    tx = transcripts_from_events(spark, sf_dir)
+    out = tool_cache_hits(
+        tx, arg_expr=F.substring(F.col("text"), -10, 10)
+    )
+    return out.filter(F.col("n_repeats") > 0)
+
+
+TOOL_CACHE_HITS_SQL = f"""
+{TX_SQL},
+calls AS (
+  SELECT conv_id, turn_idx, tool,
+         substr(text, length(text) - 9, 10) AS arg
+  FROM tx WHERE tool IS NOT NULL AND tool <> ''
+),
+flagged AS (
+  SELECT conv_id, turn_idx, tool, arg,
+         CASE WHEN row_number() OVER (
+                PARTITION BY conv_id, tool, arg ORDER BY turn_idx
+              ) > 1 THEN 1 ELSE 0 END AS is_repeat,
+         CASE WHEN lag(tool) OVER (
+                PARTITION BY conv_id ORDER BY turn_idx) = tool
+               AND lag(arg) OVER (
+                PARTITION BY conv_id ORDER BY turn_idx) = arg
+              THEN 1 ELSE 0 END AS is_adjacent_repeat
+  FROM calls
+)
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_tool_turns,
+       CAST(sum(is_repeat) AS BIGINT) AS n_repeats,
+       CAST(sum(is_adjacent_repeat) AS BIGINT) AS n_adjacent_repeats,
+       CAST(CAST(sum(is_repeat) AS BIGINT) * 1000000
+            // greatest(count(*), 1) AS BIGINT) AS hit_share_x1e6
+FROM flagged
+GROUP BY conv_id
+HAVING sum(is_repeat) > 0
+"""
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -13099,6 +13150,7 @@ QUERIES = {
     "densest_rounds": q_densest_rounds,
     "encoding_anomalies": q_encoding_anomalies,
     "conformal_value": q_conformal_value,
+    "tool_cache_hits": q_tool_cache_hits,
 }
 
 ORACLE_SQL = {
@@ -13133,6 +13185,7 @@ ORACLE_SQL = {
     "densest_rounds": DENSEST_ROUNDS_SQL,
     "encoding_anomalies": ENCODING_ANOMALIES_SQL,
     "conformal_value": CONFORMAL_VALUE_SQL,
+    "tool_cache_hits": TOOL_CACHE_HITS_SQL,
     "type_drift": TYPE_DRIFT_SQL,
     "coburst_xcorr": COBURST_XCORR_SQL,
     "validate_rules": VALIDATE_RULES_SQL,

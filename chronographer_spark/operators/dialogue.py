@@ -391,3 +391,53 @@ def transcript_conformance(tx: DataFrame) -> DataFrame:
             ).cast("long").alias("n_convs_affected"),
         )
     )
+
+
+def tool_cache_hits(
+    tx: DataFrame,
+    arg_expr=None,
+) -> DataFrame:
+    """Tool-call memoization profile: per conversation, how many tool
+    invocations repeat a (tool, argument) pair already issued EARLIER in
+    the same conversation — the cache-hit-rate readout that quantifies
+    how much latency/cost a tool-result cache would recover. Distinct
+    from `tool_loop_runs` (consecutive identical calls = a stuck agent):
+    here any earlier occurrence counts, and the adjacent subset is broken
+    out so the two diagnoses stay separable.
+
+    ``arg_expr`` extracts the memoization key from the turn text
+    (default: the full text). Shape: ONE (conv, tool, arg) window for
+    first-seen marking plus a lag over the conversation's tool turns for
+    adjacency, then a per-conversation combinable rollup — two window
+    exchanges on conversation-bounded partitions, no self-join.
+
+    Returns (conv_id, n_tool_turns, n_repeats, n_adjacent_repeats,
+    hit_share_x1e6).
+    """
+    from pyspark.sql.window import Window
+
+    arg = arg_expr if arg_expr is not None else F.col("text")
+    calls = tx.filter(
+        F.col("tool").isNotNull() & (F.col("tool") != "")
+    ).select("conv_id", "turn_idx", "tool", arg.alias("arg"))
+    seen_w = Window.partitionBy("conv_id", "tool", "arg").orderBy("turn_idx")
+    adj_w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    flagged = calls.withColumn(
+        "is_repeat",
+        F.when(F.row_number().over(seen_w) > 1, 1).otherwise(0),
+    ).withColumn(
+        "is_adjacent_repeat",
+        F.when(
+            (F.lag("tool").over(adj_w) == F.col("tool"))
+            & (F.lag("arg").over(adj_w) == F.col("arg")),
+            1,
+        ).otherwise(0),
+    )
+    return flagged.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tool_turns"),
+        F.sum("is_repeat").cast("long").alias("n_repeats"),
+        F.sum("is_adjacent_repeat").cast("long").alias("n_adjacent_repeats"),
+        F.expr(
+            "CAST(sum(is_repeat) * 1000000 DIV greatest(count(1), 1) AS BIGINT)"
+        ).alias("hit_share_x1e6"),
+    )

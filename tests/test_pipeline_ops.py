@@ -4103,3 +4103,26 @@ def test_encoding_anomaly_report_detects_each_marker(spark):
         "bom_in_body": (1, 8, 125000),
         "nul_byte": (1, 8, 125000),
     }
+
+
+def test_tool_cache_hits_separates_adjacent_and_distant(spark):
+    """conv A: search(x) at 2, fetch(y) at 5, search(x) at 8 (distant
+    repeat), search(x) at 11 (adjacent repeat: the previous TOOL TURN is
+    identical). conv B: no repeats."""
+    from chronographer_spark.operators.dialogue import tool_cache_hits
+
+    rows = [
+        ("A", 2, "search", "x"), ("A", 5, "fetch", "y"),
+        ("A", 8, "search", "x"), ("A", 11, "search", "x"),
+        ("B", 1, "search", "x"), ("B", 4, "fetch", "x"),
+    ]
+    tx = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, tool string, text string"
+    )
+    out = {
+        r.conv_id: (r.n_tool_turns, r.n_repeats, r.n_adjacent_repeats,
+                    r.hit_share_x1e6)
+        for r in tool_cache_hits(tx).collect()
+    }
+    assert out["A"] == (4, 2, 1, 500000)
+    assert out["B"] == (2, 0, 0, 0)
