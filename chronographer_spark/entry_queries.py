@@ -12900,6 +12900,71 @@ HAVING sum(is_repeat) > 0
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: Wasserstein-1 drift on unit-bucketed event values
+# ---------------------------------------------------------------------------
+
+
+def q_w1_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Earth-mover distance between even-event unit-bucketed values and
+    odd-event values shifted +25: W1 prices the shift at ~25 units
+    (w1_x1e6 ~ 25e6) where ks_drift only reports the crossing — the
+    integral drift lens beside KS's max and TVD's categorical view."""
+    from .operators.temporal import wasserstein_two_sample
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    bucket = F.floor(F.col("value")).cast("long")
+    a = ev.filter(F.col("event_id") % 2 == 0).select(bucket.alias("v"))
+    b = ev.filter(F.col("event_id") % 2 == 1).select(
+        (bucket + F.lit(25)).alias("v")
+    )
+    return wasserstein_two_sample(a, b, "v")
+
+
+W1_DRIFT_SQL = """
+WITH av AS (
+  SELECT CAST(floor(value) AS BIGINT) AS v
+  FROM events WHERE event_id % 2 = 0
+),
+bv AS (
+  SELECT CAST(floor(value) AS BIGINT) + 25 AS v
+  FROM events WHERE event_id % 2 = 1
+),
+cnt AS (
+  SELECT v,
+         CAST(sum(ia) AS BIGINT) AS ca,
+         CAST(sum(ib) AS BIGINT) AS cb
+  FROM (
+    SELECT v, 1 AS ia, 0 AS ib FROM av
+    UNION ALL
+    SELECT v, 0, 1 FROM bv
+  )
+  GROUP BY v
+),
+tot AS (
+  SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+  FROM cnt
+),
+cum AS (
+  SELECT v,
+         CAST(sum(ca) OVER (ORDER BY v) AS BIGINT) AS cuma,
+         CAST(sum(cb) OVER (ORDER BY v) AS BIGINT) AS cumb,
+         lead(v) OVER (ORDER BY v) AS nv
+  FROM cnt
+),
+d AS (
+  SELECT abs(cuma * t.nb - cumb * t.na) * (coalesce(nv, v) - v) AS term
+  FROM cum, tot t
+)
+SELECT t.na AS n_a, t.nb AS n_b,
+       CAST(coalesce(sum(term), 0) AS BIGINT) AS w1_num,
+       CAST(CAST(coalesce(sum(term), 0) AS BIGINT) * CAST(1000000 AS BIGINT)
+            // (greatest(t.na, 1) * greatest(t.nb, 1)) AS BIGINT) AS w1_x1e6
+FROM d, tot t
+GROUP BY t.na, t.nb
+"""
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -13151,6 +13216,7 @@ QUERIES = {
     "encoding_anomalies": q_encoding_anomalies,
     "conformal_value": q_conformal_value,
     "tool_cache_hits": q_tool_cache_hits,
+    "w1_drift": q_w1_drift,
 }
 
 ORACLE_SQL = {
@@ -13186,6 +13252,7 @@ ORACLE_SQL = {
     "encoding_anomalies": ENCODING_ANOMALIES_SQL,
     "conformal_value": CONFORMAL_VALUE_SQL,
     "tool_cache_hits": TOOL_CACHE_HITS_SQL,
+    "w1_drift": W1_DRIFT_SQL,
     "type_drift": TYPE_DRIFT_SQL,
     "coburst_xcorr": COBURST_XCORR_SQL,
     "validate_rules": VALIDATE_RULES_SQL,

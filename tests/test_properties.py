@@ -1141,3 +1141,43 @@ def test_conformal_report_matches_python_model(spark, cal, test):
         n, k, qhat, len(test), covered,
     )
     assert row.coverage_x1e6 == covered * 1000000 // len(test)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    a=st.lists(st.integers(min_value=-40, max_value=40), min_size=1, max_size=30),
+    b=st.lists(st.integers(min_value=-40, max_value=40), min_size=1, max_size=30),
+)
+def test_wasserstein_two_sample_matches_python_model(spark, a, b):
+    """W1 numerator equals the brute-force CDF-area sweep — including the
+    cross-partition next-value stitch (n_parts=4 forces boundaries) and
+    identical samples (W1 = 0)."""
+    from chronographer_spark.operators.temporal import wasserstein_two_sample
+
+    da = spark.createDataFrame([(v,) for v in a], "v long")
+    db = spark.createDataFrame([(v,) for v in b], "v long")
+    row = wasserstein_two_sample(
+        da.repartition(3), db.repartition(2), "v", n_parts=4
+    ).first()
+
+    na, nb = len(a), len(b)
+    vals = sorted(set(a) | set(b))
+    cum_a = cum_b = 0
+    num = 0
+    for i, v in enumerate(vals):
+        cum_a += sum(1 for x in a if x == v)
+        cum_b += sum(1 for x in b if x == v)
+        if i + 1 < len(vals):
+            num += abs(cum_a * nb - cum_b * na) * (vals[i + 1] - v)
+    assert (row.n_a, row.n_b, row.w1_num) == (na, nb, num)
+    assert row.w1_x1e6 == num * 1000000 // (na * nb)
+
+
+def test_wasserstein_identical_is_zero_and_shift_prices(spark):
+    from chronographer_spark.operators.temporal import wasserstein_two_sample
+
+    d = spark.createDataFrame([(v,) for v in [3, 5, 5, 9]], "v long")
+    assert wasserstein_two_sample(d, d, "v").first().w1_num == 0
+    shifted = spark.createDataFrame([(v + 7,) for v in [3, 5, 5, 9]], "v long")
+    row = wasserstein_two_sample(d, shifted, "v").first()
+    assert row.w1_x1e6 == 7000000  # a pure +7 shift costs exactly 7
