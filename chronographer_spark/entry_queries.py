@@ -12965,6 +12965,73 @@ GROUP BY t.na, t.nb
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: Cohen's kappa between two rule raters over documents
+# ---------------------------------------------------------------------------
+
+
+def q_kappa_raters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chance-corrected agreement between a char-length rater and a
+    token-count rater labeling docs long/short — correlated rules, so
+    kappa lands well above 0 (raw agreement alone would overstate it;
+    kappa subtracts the chance floor)."""
+    from .operators.classifier import cohens_kappa
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
+    labeled = docs.select(
+        F.when(F.length("text") >= 60, F.lit("long"))
+        .otherwise(F.lit("short"))
+        .alias("rater_a"),
+        F.when(
+            F.size(
+                F.split(
+                    F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " "
+                )
+            )
+            >= 12,
+            F.lit("long"),
+        )
+        .otherwise(F.lit("short"))
+        .alias("rater_b"),
+    )
+    return cohens_kappa(labeled, "rater_a", "rater_b")
+
+
+KAPPA_RATERS_SQL = r"""
+WITH d AS (SELECT coalesce(text, '') AS text FROM documents),
+lab AS (
+  SELECT
+    CASE WHEN length(text) >= 60 THEN 'long' ELSE 'short' END AS la,
+    CASE WHEN len(string_split(
+           regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) >= 12
+         THEN 'long' ELSE 'short' END AS lb
+  FROM d
+),
+ct AS (SELECT la, lb, CAST(count(*) AS BIGINT) AS n FROM lab GROUP BY la, lb),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN la = lb THEN n ELSE 0 END) AS BIGINT) AS diag
+  FROM ct
+),
+pe AS (
+  SELECT CAST(coalesce(sum(ra * cb), 0) AS BIGINT) AS pe_num
+  FROM (SELECT la, CAST(sum(n) AS BIGINT) AS ra FROM ct GROUP BY la) r
+  JOIN (SELECT lb, CAST(sum(n) AS BIGINT) AS cb FROM ct GROUP BY lb) c
+    ON r.la = c.lb
+)
+SELECT t.n AS n, t.diag AS diag, p.pe_num AS pe_num,
+       CAST(t.diag * 1000000 // t.n AS BIGINT) AS po_x1e6,
+       CAST(CASE WHEN t.n * t.n = p.pe_num THEN 0
+            ELSE (CASE WHEN t.diag * t.n - p.pe_num < 0 THEN -1 ELSE 1 END)
+                 * (abs(t.diag * t.n - p.pe_num) * 1000000
+                    // (t.n * t.n - p.pe_num))
+            END AS BIGINT) AS kappa_x1e6
+FROM tot t, pe p
+"""
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -13217,6 +13284,7 @@ QUERIES = {
     "conformal_value": q_conformal_value,
     "tool_cache_hits": q_tool_cache_hits,
     "w1_drift": q_w1_drift,
+    "kappa_raters": q_kappa_raters,
 }
 
 ORACLE_SQL = {
@@ -13253,6 +13321,7 @@ ORACLE_SQL = {
     "conformal_value": CONFORMAL_VALUE_SQL,
     "tool_cache_hits": TOOL_CACHE_HITS_SQL,
     "w1_drift": W1_DRIFT_SQL,
+    "kappa_raters": KAPPA_RATERS_SQL,
     "type_drift": TYPE_DRIFT_SQL,
     "coburst_xcorr": COBURST_XCORR_SQL,
     "validate_rules": VALIDATE_RULES_SQL,

@@ -243,3 +243,60 @@ def conformal_report(
             F.expr("CAST(n_covered * 1000000 DIV greatest(n_test, 1) AS BIGINT)"),
         )
     )
+
+
+def cohens_kappa(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Cohen's kappa inter-rater agreement (Cohen 1960): chance-corrected
+    agreement between two categorical labelings of the same rows — the
+    annotation-quality gate a labeling pipeline runs before trusting a
+    rater (or a model-as-judge) enough to train on its output. kappa = 1
+    is perfect, 0 is chance-level, < 0 worse than chance.
+
+    Exact integers end-to-end: with N rows, diag = Σ agreements, and
+    pe_num = Σ_k row_k·col_k (the chance-agreement numerator over the
+    marginals), kappa = (po − pe)/(1 − pe) cross-multiplies to
+        kappa_x1e6 = (diag·N − pe_num) · 1e6 DIV (N² − pe_num)
+    — one contingency aggregate (map-side combinable), two label-sized
+    marginal aggregates joined on the label (broadcast), one final row.
+    Degenerate pe = 1 (both raters constant) returns kappa = 0 with
+    agreement still reported. Headroom: pe_num <= N², so N <= ~3e6 rows
+    per call in pure BIGINT; beyond that lift the two products to
+    DECIMAL(38,0).
+
+    Returns one row (n, diag, pe_num, po_x1e6, kappa_x1e6).
+    """
+    pairs = df.select(
+        F.col(col_a).cast("string").alias("la"),
+        F.col(col_b).cast("string").alias("lb"),
+    )
+    ct = pairs.groupBy("la", "lb").agg(F.count(F.lit(1)).alias("n")).localCheckpoint(
+        eager=True
+    )  # contingency feeds N, diag, and both marginals
+    row_m = ct.groupBy("la").agg(F.sum("n").alias("ra"))
+    col_m = ct.groupBy("lb").agg(F.sum("n").alias("cb"))
+    pe = (
+        row_m.join(col_m, row_m["la"] == col_m["lb"])
+        .agg(F.sum(F.col("ra") * F.col("cb")).alias("pe_num"))
+        .select(F.coalesce("pe_num", F.lit(0)).alias("pe_num"))
+    )
+    tot = ct.agg(
+        F.sum("n").alias("n"),
+        F.sum(F.when(F.col("la") == F.col("lb"), F.col("n")).otherwise(0)).alias(
+            "diag"
+        ),
+    )
+    return (
+        tot.crossJoin(F.broadcast(pe))
+        .select(
+            F.col("n").cast("long").alias("n"),
+            F.col("diag").cast("long").alias("diag"),
+            F.col("pe_num").cast("long").alias("pe_num"),
+            F.expr("CAST(diag * 1000000 DIV n AS BIGINT)").alias("po_x1e6"),
+            F.expr(
+                "CAST(CASE WHEN n * n = pe_num THEN 0 "
+                "ELSE (CASE WHEN diag * n - pe_num < 0 THEN -1 ELSE 1 END) "
+                "* (abs(diag * n - pe_num) * 1000000 DIV (n * n - pe_num)) "
+                "END AS BIGINT)"
+            ).alias("kappa_x1e6"),
+        )
+    )

@@ -4126,3 +4126,26 @@ def test_tool_cache_hits_separates_adjacent_and_distant(spark):
     }
     assert out["A"] == (4, 2, 1, 500000)
     assert out["B"] == (2, 0, 0, 0)
+
+
+def test_cohens_kappa_textbook_and_edges(spark):
+    """Textbook 2x2 (diag 45, N 60, pe_num 1830): kappa = 0.4915...;
+    perfect agreement = 1e6; constant raters (pe = 1) = 0 by convention;
+    systematic disagreement goes negative."""
+    from chronographer_spark.operators.classifier import cohens_kappa
+
+    def kappa(pairs):
+        df = spark.createDataFrame(pairs, "a string, b string")
+        return cohens_kappa(df, "a", "b").first()
+
+    # classic example: 20 yes/yes, 15 no/no, 10 yes/no, 15 no/yes
+    pairs = ([("y", "y")] * 20 + [("n", "n")] * 15
+             + [("y", "n")] * 10 + [("n", "y")] * 15)
+    r = kappa(pairs)
+    # po = 35/60, pe = (30*35 + 30*25)/3600 = 1800/3600
+    # kappa = (35*60 - 1800)/(3600 - 1800) = 300/1800 = 1/6
+    assert (r.n, r.diag, r.pe_num) == (60, 35, 1800)
+    assert r.kappa_x1e6 == 166666
+    assert kappa([("y", "y")] * 3 + [("n", "n")] * 2).kappa_x1e6 == 1000000
+    assert kappa([("y", "y"), ("y", "y")]).kappa_x1e6 == 0  # constant raters
+    assert kappa([("y", "n"), ("n", "y")]).kappa_x1e6 == -1000000
