@@ -13032,6 +13032,77 @@ FROM tot t, pe p
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: Markov next-tool model eval, even->odd conversation split
+# ---------------------------------------------------------------------------
+
+
+def q_markov_tool_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit the transition model on even-numbered conversations, score
+    top-1 next-tool accuracy on odd ones — the predictability baseline
+    any learned tool policy must beat, per predecessor tool."""
+    from .operators.dialogue import markov_next_tool_eval
+
+    tx = transcripts_from_events(spark, sf_dir)
+    num = F.substring("conv_id", 5, 6).cast("long")
+    train = tx.filter(num % 2 == 0)
+    test = tx.filter(num % 2 == 1)
+    return markov_next_tool_eval(train, test)
+
+
+MARKOV_TOOL_EVAL_SQL = f"""
+{TX_SQL},
+split AS (
+  SELECT *, CAST(substr(conv_id, 5, 6) AS BIGINT) % 2 AS par FROM tx
+),
+tr_calls AS (
+  SELECT conv_id, turn_idx, tool AS tool_to
+  FROM split WHERE tool <> '' AND par = 0
+),
+tr_pairs AS (
+  SELECT lag(tool_to) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           AS tool_from,
+         tool_to
+  FROM tr_calls
+),
+model AS (
+  SELECT tool_from, tool_to AS predicted
+  FROM (
+    SELECT tool_from, tool_to,
+           row_number() OVER (
+             PARTITION BY tool_from
+             ORDER BY count(*) DESC, tool_to DESC) AS rk
+    FROM tr_pairs WHERE tool_from IS NOT NULL
+    GROUP BY tool_from, tool_to
+  ) WHERE rk = 1
+),
+te_calls AS (
+  SELECT conv_id, turn_idx, tool AS tool_to
+  FROM split WHERE tool <> '' AND par = 1
+),
+te_pairs AS (
+  SELECT * FROM (
+    SELECT lag(tool_to) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+             AS tool_from,
+           tool_to
+    FROM te_calls
+  ) WHERE tool_from IS NOT NULL
+),
+scored AS (
+  SELECT CASE WHEN m.predicted IS NULL THEN '(unseen)'
+              ELSE p.tool_from END AS tool_from,
+         CASE WHEN m.predicted = p.tool_to THEN 1 ELSE 0 END AS hit
+  FROM te_pairs p LEFT JOIN model m ON m.tool_from = p.tool_from
+)
+SELECT tool_from,
+       CAST(count(*) AS BIGINT) AS n_test,
+       CAST(sum(hit) AS BIGINT) AS n_correct,
+       CAST(CAST(sum(hit) AS BIGINT) * 1000000
+            // greatest(count(*), 1) AS BIGINT) AS acc_x1e6
+FROM scored GROUP BY tool_from
+"""
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -13285,6 +13356,7 @@ QUERIES = {
     "tool_cache_hits": q_tool_cache_hits,
     "w1_drift": q_w1_drift,
     "kappa_raters": q_kappa_raters,
+    "markov_tool_eval": q_markov_tool_eval,
 }
 
 ORACLE_SQL = {
@@ -13322,6 +13394,7 @@ ORACLE_SQL = {
     "tool_cache_hits": TOOL_CACHE_HITS_SQL,
     "w1_drift": W1_DRIFT_SQL,
     "kappa_raters": KAPPA_RATERS_SQL,
+    "markov_tool_eval": MARKOV_TOOL_EVAL_SQL,
     "type_drift": TYPE_DRIFT_SQL,
     "coburst_xcorr": COBURST_XCORR_SQL,
     "validate_rules": VALIDATE_RULES_SQL,

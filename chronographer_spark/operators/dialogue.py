@@ -441,3 +441,59 @@ def tool_cache_hits(
             "CAST(sum(is_repeat) * 1000000 DIV greatest(count(1), 1) AS BIGINT)"
         ).alias("hit_share_x1e6"),
     )
+
+
+def markov_next_tool_eval(
+    train_tx: DataFrame,
+    test_tx: DataFrame,
+) -> DataFrame:
+    """Train/test evaluation of the first-order Markov next-tool model:
+    fit `tool_transitions` counts on the training conversations, predict
+    each test transition's next tool as the argmax next tool of its
+    predecessor (count desc, tool asc tie-break — deterministic), and
+    score top-1 accuracy per predecessor tool. The agent-behavior model
+    eval: how predictable is the NEXT tool call, and for which tools —
+    the baseline any learned tool-policy must beat.
+
+    Shape: two conv_id-window passes (one per split), one |tools|²-row
+    transition aggregate, the argmax picked by one struct-max over the
+    TINY transition table, broadcast onto the test transitions, one
+    combinable rollup. Test transitions whose predecessor was never seen
+    in training are scored in their own '(unseen)' row rather than
+    dropped — coverage gaps are the finding, not noise. Tie-break on
+    equal counts: lexicographically LARGER tool wins (struct-max order;
+    binary string comparison in both engines).
+
+    Returns (tool_from, n_test, n_correct, acc_x1e6).
+    """
+    model = (
+        tool_transitions(train_tx)
+        .groupBy("tool_from")
+        .agg(
+            F.max(
+                F.struct(F.col("n_transitions"), F.col("tool_to"))
+            )["tool_to"].alias("predicted")
+        )
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    calls = test_tx.filter(F.col("tool") != "").select(
+        "conv_id", "turn_idx", F.col("tool").alias("tool_to")
+    )
+    pairs = calls.withColumn("tool_from", F.lag("tool_to").over(w)).filter(
+        F.col("tool_from").isNotNull()
+    )
+    scored = pairs.join(F.broadcast(model), "tool_from", "left").select(
+        F.when(F.col("predicted").isNull(), F.lit("(unseen)"))
+        .otherwise(F.col("tool_from"))
+        .alias("tool_from"),
+        F.when(F.col("predicted") == F.col("tool_to"), 1).otherwise(0).alias(
+            "hit"
+        ),
+    )
+    return scored.groupBy("tool_from").agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.sum("hit").cast("long").alias("n_correct"),
+        F.expr(
+            "CAST(sum(hit) * 1000000 DIV greatest(count(1), 1) AS BIGINT)"
+        ).alias("acc_x1e6"),
+    )

@@ -4149,3 +4149,32 @@ def test_cohens_kappa_textbook_and_edges(spark):
     assert kappa([("y", "y")] * 3 + [("n", "n")] * 2).kappa_x1e6 == 1000000
     assert kappa([("y", "y"), ("y", "y")]).kappa_x1e6 == 0  # constant raters
     assert kappa([("y", "n"), ("n", "y")]).kappa_x1e6 == -1000000
+
+
+def test_markov_next_tool_eval_model_and_unseen(spark):
+    """Train: a->b twice, a->c once (argmax after 'a' is 'b'); b->a.
+    Test: a->b (hit), a->c (miss), b->a (hit), z->a (unseen bucket)."""
+    from chronographer_spark.operators.dialogue import markov_next_tool_eval
+
+    def tx(rows):
+        return spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, tool string"
+        )
+
+    train = tx([
+        ("c1", 1, "a"), ("c1", 2, "b"), ("c1", 3, "a"), ("c1", 4, "c"),
+        ("c2", 1, "a"), ("c2", 2, "b"), ("c2", 3, "b"), ("c2", 4, "a"),
+    ])
+    test = tx([
+        ("t1", 1, "a"), ("t1", 2, "b"),      # a->b hit
+        ("t2", 1, "a"), ("t2", 2, "c"),      # a->c miss
+        ("t3", 1, "b"), ("t3", 2, "a"),      # b->a hit
+        ("t4", 1, "z"), ("t4", 2, "a"),      # z unseen
+    ])
+    out = {
+        r.tool_from: (r.n_test, r.n_correct, r.acc_x1e6)
+        for r in markov_next_tool_eval(train, test).collect()
+    }
+    assert out["a"] == (2, 1, 500000)
+    assert out["b"] == (1, 1, 1000000)
+    assert out["(unseen)"] == (1, 0, 0)
