@@ -13103,6 +13103,55 @@ FROM scored GROUP BY tool_from
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: dispersion (variance-to-mean) index per event type
+# ---------------------------------------------------------------------------
+
+
+def q_dispersion_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher dispersion of daily counts per type, with 'click' events on
+    2024-01-21 tripled in — the clumped key reads D >> the untouched
+    keys, calibrating what the burst/CUSUM detectors should assume."""
+    from .operators.temporal import dispersion_index
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts")
+    burst = ev.filter(
+        (F.col("event_type") == "click")
+        & (F.to_date("ts") == F.lit("2024-01-21"))
+    )
+    return dispersion_index(
+        ev.unionAll(burst).unionAll(burst), "event_type", "ts", "day"
+    )
+
+
+DISPERSION_TYPES_SQL = """
+WITH ev AS (
+  SELECT event_type, ts FROM events
+  UNION ALL
+  SELECT event_type, ts FROM events
+  WHERE event_type = 'click' AND CAST(ts AS DATE) = DATE '2024-01-21'
+  UNION ALL
+  SELECT event_type, ts FROM events
+  WHERE event_type = 'click' AND CAST(ts AS DATE) = DATE '2024-01-21'
+),
+cnt AS (
+  SELECT event_type, date_trunc('day', ts) AS b,
+         CAST(count(*) AS BIGINT) AS n
+  FROM ev GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(sum(n) AS BIGINT) AS total,
+       CAST(sum(n * n) AS BIGINT) AS sum_sq,
+       CAST(CASE WHEN count(*) <= 1 OR sum(n) = 0 THEN 0
+            ELSE (count(*) * CAST(sum(n * n) AS BIGINT)
+                  - CAST(sum(n) AS BIGINT) * CAST(sum(n) AS BIGINT)) * 1000000
+                 // ((count(*) - 1) * CAST(sum(n) AS BIGINT))
+            END AS BIGINT) AS dispersion_x1e6
+FROM cnt GROUP BY event_type
+"""
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -13357,6 +13406,7 @@ QUERIES = {
     "w1_drift": q_w1_drift,
     "kappa_raters": q_kappa_raters,
     "markov_tool_eval": q_markov_tool_eval,
+    "dispersion_types": q_dispersion_types,
 }
 
 ORACLE_SQL = {
@@ -13395,6 +13445,7 @@ ORACLE_SQL = {
     "w1_drift": W1_DRIFT_SQL,
     "kappa_raters": KAPPA_RATERS_SQL,
     "markov_tool_eval": MARKOV_TOOL_EVAL_SQL,
+    "dispersion_types": DISPERSION_TYPES_SQL,
     "type_drift": TYPE_DRIFT_SQL,
     "coburst_xcorr": COBURST_XCORR_SQL,
     "validate_rules": VALIDATE_RULES_SQL,

@@ -1409,3 +1409,41 @@ def wasserstein_two_sample(
             f"AS BIGINT)"
         ).alias("w1_x1e6"),
     )
+
+
+def dispersion_index(
+    df: DataFrame,
+    key: str = "event_type",
+    ts_col: str = "ts",
+    bucket: str = "day",
+) -> DataFrame:
+    """Fisher dispersion index (variance-to-mean ratio of per-bucket
+    counts) per key — the overdispersion diagnostic that calibrates the
+    whole burst/CUSUM/ACF family: a Poisson-like stream has D ~ 1, bursty
+    or clumped arrivals push D >> 1, and an anomaly detector tuned on a
+    D=1 assumption over a D=10 stream fires constantly. Observed buckets
+    only (a key's silent days are not rows; callers wanting calendar
+    zeros resample first — `resample_timeseries`).
+
+    Exact integers: with N buckets, S = Σx, Q = Σx², the unbiased
+    var/mean ratio (N·Q − S²)/((N−1)·S) is emitted as
+    dispersion_x1e6 = (N·Q − S²)·1e6 DIV ((N−1)·S); N <= 1 or S = 0
+    returns 0. Headroom: N·Q·1e6 — fine to ~9e12 count-mass per key,
+    then lift to DECIMAL(38,0).
+
+    One (key, bucket) map-side-combinable count, one per-key rollup.
+    Returns (key, n_buckets, total, sum_sq, dispersion_x1e6).
+    """
+    counts = df.groupBy(
+        F.col(key), F.date_trunc(bucket, F.col(ts_col)).alias("_b")
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    return counts.groupBy(key).agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum("_n").cast("long").alias("total"),
+        F.sum(F.col("_n") * F.col("_n")).cast("long").alias("sum_sq"),
+        F.expr(
+            "CAST(CASE WHEN count(1) <= 1 OR sum(_n) = 0 THEN 0 "
+            "ELSE (count(1) * sum(_n * _n) - sum(_n) * sum(_n)) * 1000000 "
+            "DIV ((count(1) - 1) * sum(_n)) END AS BIGINT)"
+        ).alias("dispersion_x1e6"),
+    )

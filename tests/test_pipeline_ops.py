@@ -4178,3 +4178,29 @@ def test_markov_next_tool_eval_model_and_unseen(spark):
     assert out["a"] == (2, 1, 500000)
     assert out["b"] == (1, 1, 1000000)
     assert out["(unseen)"] == (1, 0, 0)
+
+
+def test_dispersion_index_poisson_like_vs_clumped(spark):
+    """Uniform key (1 per day x 4 days): var = 0 -> D = 0. Clumped key
+    (4,0-omitted,.. counts [4, 1, 1]): N=3, S=6, Q=18 ->
+    D = (54 - 36)/(2*6) = 1.5. Constant-2 key: D = 0."""
+    import datetime as dt
+
+    from chronographer_spark.operators.temporal import dispersion_index
+
+    def ts(day):
+        return dt.datetime(2024, 1, day)
+
+    rows = (
+        [("u", ts(d)) for d in (1, 2, 3, 4)]
+        + [("c", ts(1))] * 4 + [("c", ts(2)), ("c", ts(3))]
+        + [("k", ts(1))] * 2 + [("k", ts(2))] * 2
+    )
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    out = {
+        r.event_type: (r.n_buckets, r.total, r.sum_sq, r.dispersion_x1e6)
+        for r in dispersion_index(df).collect()
+    }
+    assert out["u"] == (4, 4, 4, 0)
+    assert out["c"] == (3, 6, 18, 1500000)
+    assert out["k"] == (2, 4, 8, 0)
