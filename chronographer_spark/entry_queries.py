@@ -13152,6 +13152,138 @@ FROM cnt GROUP BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: bond-percolation robustness profile of the user<->type graph
+# ---------------------------------------------------------------------------
+
+_PERC_RATES = (100, 75, 50, 25)
+
+
+def q_percolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bond-percolation robustness: keep each edge iff its md5 draw falls
+    under the keep rate (NESTED across rates — the 25% graph is a subset
+    of the 50% graph, the standard monotone percolation), then ONE
+    connected-components run over the rate-prefixed disjoint union scores
+    fragmentation per rate — the giant-component curve that tells a KG
+    how sensitive its connectivity is to edge loss (missing extractions,
+    filtered predicates). Returns per rate: n_nodes, n_edges,
+    n_components, largest, largest_share_x1e6."""
+    from .linking.canonicalize import connected_components
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("a"),
+        F.concat(F.lit("t"), F.col("event_type")).alias("b"),
+    ).distinct()
+    h = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws("#", "a", "b")), 1, 8), 16, 10
+        ).cast("long")
+        % 100
+    )
+    rates = F.array(*[F.lit(r) for r in _PERC_RATES])
+    fan = (
+        base.withColumn("h", h)
+        .select("a", "b", "h", F.explode(rates).alias("rate"))
+        .filter(F.col("h") < F.col("rate"))
+        .localCheckpoint(eager=True)  # edges + per-rate edge counts share it
+    )
+    pref = lambda r, c: F.concat_ws("|", F.col(r).cast("string"), F.col(c))
+    edges = fan.select(pref("rate", "a").alias("src"), pref("rate", "b").alias("dst"))
+    node_base = (
+        base.select(F.col("a").alias("n"))
+        .unionByName(base.select(F.col("b").alias("n")))
+        .distinct()
+    )
+    all_nodes = node_base.select(
+        F.explode(rates).alias("rate"), "n"
+    ).select(pref("rate", "n").alias("node"))
+    cc = connected_components(edges, all_nodes=all_nodes)
+    sizes = cc.select(
+        F.split("node", r"\|").getItem(0).cast("long").alias("keep_rate"),
+        "component",
+    ).groupBy("keep_rate", "component").agg(F.count(F.lit(1)).alias("sz"))
+    ec = fan.groupBy(F.col("rate").cast("long").alias("keep_rate")).agg(
+        F.count(F.lit(1)).alias("n_edges")
+    )
+    return (
+        sizes.groupBy("keep_rate")
+        .agg(
+            F.sum("sz").cast("long").alias("n_nodes"),
+            F.count(F.lit(1)).cast("long").alias("n_components"),
+            F.max("sz").cast("long").alias("largest"),
+            F.expr("CAST(max(sz) * 1000000 DIV sum(sz) AS BIGINT)").alias(
+                "largest_share_x1e6"
+            ),
+        )
+        .join(F.broadcast(ec), "keep_rate", "left")
+        .select(
+            "keep_rate",
+            "n_nodes",
+            F.coalesce("n_edges", F.lit(0)).cast("long").alias("n_edges"),
+            "n_components",
+            "largest",
+            "largest_share_x1e6",
+        )
+    )
+
+
+PERCOLATION_SQL = """
+WITH RECURSIVE base AS (
+  SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS a,
+                  't' || event_type AS b
+  FROM events
+),
+hb AS (
+  SELECT a, b,
+         CAST(concat('0x', substr(md5(a || '#' || b), 1, 8)) AS BIGINT)
+           % 100 AS h
+  FROM base
+),
+fan AS (
+  SELECT r, a, b
+  FROM hb, (VALUES (100), (75), (50), (25)) AS t(r)
+  WHERE h < r
+),
+edges AS (
+  SELECT CAST(r AS VARCHAR) || '|' || a AS src,
+         CAST(r AS VARCHAR) || '|' || b AS dst FROM fan
+  UNION
+  SELECT CAST(r AS VARCHAR) || '|' || b,
+         CAST(r AS VARCHAR) || '|' || a FROM fan
+),
+nodes AS (
+  SELECT CAST(r AS VARCHAR) || '|' || n AS node
+  FROM (SELECT a AS n FROM base UNION SELECT b FROM base),
+       (VALUES (100), (75), (50), (25)) AS t(r)
+),
+reach(node, lbl) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node, min(lbl) AS c FROM reach GROUP BY node),
+sizes AS (
+  SELECT CAST(string_split(node, '|')[1] AS BIGINT) AS keep_rate, c,
+         CAST(count(*) AS BIGINT) AS sz
+  FROM comp GROUP BY 1, 2
+),
+ec AS (
+  SELECT CAST(r AS BIGINT) AS keep_rate, CAST(count(*) AS BIGINT) AS n_edges
+  FROM fan GROUP BY 1
+)
+SELECT s.keep_rate,
+       CAST(sum(sz) AS BIGINT) AS n_nodes,
+       coalesce(max(ec.n_edges), 0) AS n_edges,
+       CAST(count(*) AS BIGINT) AS n_components,
+       CAST(max(sz) AS BIGINT) AS largest,
+       CAST(CAST(max(sz) AS BIGINT) * 1000000
+            // CAST(sum(sz) AS BIGINT) AS BIGINT) AS largest_share_x1e6
+FROM sizes s LEFT JOIN ec ON ec.keep_rate = s.keep_rate
+GROUP BY s.keep_rate
+"""
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -13407,6 +13539,7 @@ QUERIES = {
     "kappa_raters": q_kappa_raters,
     "markov_tool_eval": q_markov_tool_eval,
     "dispersion_types": q_dispersion_types,
+    "percolation": q_percolation,
 }
 
 ORACLE_SQL = {
@@ -13446,6 +13579,7 @@ ORACLE_SQL = {
     "kappa_raters": KAPPA_RATERS_SQL,
     "markov_tool_eval": MARKOV_TOOL_EVAL_SQL,
     "dispersion_types": DISPERSION_TYPES_SQL,
+    "percolation": PERCOLATION_SQL,
     "type_drift": TYPE_DRIFT_SQL,
     "coburst_xcorr": COBURST_XCORR_SQL,
     "validate_rules": VALIDATE_RULES_SQL,

@@ -4204,3 +4204,24 @@ def test_dispersion_index_poisson_like_vs_clumped(spark):
     assert out["u"] == (4, 4, 4, 0)
     assert out["c"] == (3, 6, 18, 1500000)
     assert out["k"] == (2, 4, 8, 0)
+
+
+def test_percolation_is_nested_and_monotone(spark):
+    """Percolation invariants at sf0.001: rate-100 keeps every edge in
+    one giant bipartite component; edge counts are NESTED (monotone
+    non-increasing with rate, since the md5 draw is shared across
+    rates); largest-share never increases as the rate drops."""
+    import __spark_entry__ as entry_mod
+
+    rows = sorted(
+        entry_mod.queries()["percolation"](spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: -r.keep_rate,
+    )
+    assert [r.keep_rate for r in rows] == [100, 75, 50, 25]
+    assert rows[0].n_components == 1
+    assert rows[0].largest_share_x1e6 == 1000000
+    edges = [r.n_edges for r in rows]
+    assert edges == sorted(edges, reverse=True)
+    shares = [r.largest_share_x1e6 for r in rows]
+    assert shares == sorted(shares, reverse=True)
+    assert all(r.n_nodes == rows[0].n_nodes for r in rows)  # fixed node set
