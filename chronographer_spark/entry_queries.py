@@ -13284,6 +13284,68 @@ GROUP BY s.keep_rate
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: dictionary-encoding advisor over orders columns
+# ---------------------------------------------------------------------------
+
+
+def q_dict_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column dictionary-vs-plain byte arithmetic over orders:
+    o_orderstatus (3 values) wins big, o_orderkey (all-distinct) reads
+    negative — keep it plain; the encoding half of the layout family."""
+    from .operators.text import dict_encoding_advisor
+
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "o_orderdate", F.date_format("o_orderdate", "yyyy-MM-dd")
+    )
+    return dict_encoding_advisor(
+        orders,
+        ["o_orderkey", "o_orderstatus", "o_orderpriority", "o_orderdate"],
+    )
+
+
+def _dict_branch(c: str) -> str:
+    return (
+        f"SELECT '{c}' AS col, coalesce(CAST({c} AS VARCHAR), NULL) AS val "
+        f"FROM o"
+    )
+
+
+DICT_ADVISOR_SQL = (
+    """
+WITH o AS (
+  SELECT o_orderkey, o_orderstatus, o_orderpriority,
+         strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
+  FROM orders
+),
+fan AS (
+"""
+    + "\n  UNION ALL\n".join(
+        "  " + _dict_branch(c)
+        for c in ["o_orderkey", "o_orderstatus", "o_orderpriority", "o_orderdate"]
+    )
+    + """
+),
+vc AS (
+  SELECT col, val, CAST(count(*) AS BIGINT) AS n FROM fan GROUP BY col, val
+)
+SELECT col,
+       CAST(sum(n) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN val IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_distinct,
+       CAST(sum(coalesce(length(val), 0) * n) AS BIGINT) AS plain_bytes,
+       CAST(sum(coalesce(length(val), 0)) + sum(n) * 4 AS BIGINT)
+         AS dict_bytes,
+       CAST((CAST(sum(coalesce(length(val), 0) * n) AS BIGINT)
+             - (CAST(sum(coalesce(length(val), 0)) AS BIGINT)
+                + CAST(sum(n) AS BIGINT) * 4)) * 1000000
+            // greatest(CAST(sum(coalesce(length(val), 0) * n) AS BIGINT), 1)
+            AS BIGINT) AS savings_x1e6
+FROM vc GROUP BY col
+"""
+)
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -13540,6 +13602,7 @@ QUERIES = {
     "markov_tool_eval": q_markov_tool_eval,
     "dispersion_types": q_dispersion_types,
     "percolation": q_percolation,
+    "dict_advisor": q_dict_advisor,
 }
 
 ORACLE_SQL = {
@@ -13580,6 +13643,7 @@ ORACLE_SQL = {
     "markov_tool_eval": MARKOV_TOOL_EVAL_SQL,
     "dispersion_types": DISPERSION_TYPES_SQL,
     "percolation": PERCOLATION_SQL,
+    "dict_advisor": DICT_ADVISOR_SQL,
     "type_drift": TYPE_DRIFT_SQL,
     "coburst_xcorr": COBURST_XCORR_SQL,
     "validate_rules": VALIDATE_RULES_SQL,

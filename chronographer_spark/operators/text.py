@@ -1355,3 +1355,50 @@ def encoding_anomaly_report(df: DataFrame, text_col: str = "text") -> DataFrame:
             "share_x1e6"
         ),
     )
+
+
+def dict_encoding_advisor(df: DataFrame, cols: list) -> DataFrame:
+    """Storage-layout advisor for dictionary encoding: per string column,
+    the exact byte arithmetic Parquet's encoder faces — plain size
+    (sum of value lengths) vs dictionary size (sum of DISTINCT value
+    lengths + a 4-byte index per row) — and the integer savings share.
+    The companion readout to the Z-order layout keys: zorder decides row
+    ORDER, this decides per-column ENCODING, both before a 100 TB
+    rewrite. Columns whose savings_x1e6 <= 0 (high-cardinality, long
+    tails) should stay plain — dictionary pages would bloat.
+
+    One explode fans each row into |cols| (col, value) pairs — single
+    scan, no per-column UNION — then a (col, value) collapse and a
+    |cols|-row rollup; NULLs count 0 bytes plain and are excluded from
+    the dictionary (Parquet stores them in def-levels either way).
+
+    Returns (col, n_rows, n_distinct, plain_bytes, dict_bytes,
+    savings_x1e6).
+    """
+    structs = [
+        F.struct(
+            F.lit(c).alias("col"),
+            F.col(c).cast("string").alias("val"),
+        )
+        for c in cols
+    ]
+    fan = df.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+    vc = fan.groupBy("col", "val").agg(F.count(F.lit(1)).alias("n"))
+    return vc.groupBy("col").agg(
+        F.sum("n").cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("val").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_distinct"),
+        F.sum(F.coalesce(F.length("val"), F.lit(0)) * F.col("n"))
+        .cast("long")
+        .alias("plain_bytes"),
+        (
+            F.sum(F.coalesce(F.length("val"), F.lit(0)))
+            + F.sum("n") * F.lit(4)
+        ).cast("long").alias("dict_bytes"),
+        F.expr(
+            "CAST((sum(coalesce(length(val), 0) * n) "
+            " - (sum(coalesce(length(val), 0)) + sum(n) * 4)) * 1000000 "
+            "DIV greatest(sum(coalesce(length(val), 0) * n), 1) AS BIGINT)"
+        ).alias("savings_x1e6"),
+    )

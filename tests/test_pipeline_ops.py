@@ -4225,3 +4225,25 @@ def test_percolation_is_nested_and_monotone(spark):
     shares = [r.largest_share_x1e6 for r in rows]
     assert shares == sorted(shares, reverse=True)
     assert all(r.n_nodes == rows[0].n_nodes for r in rows)  # fixed node set
+
+
+def test_dict_encoding_advisor_exact_bytes(spark):
+    """Column 'rep' ('aaaa' x3, 'bb' x1): plain 14, dict 6+16=22 ->
+    negative savings at tiny n; column 'big' (one 40-char value x4):
+    plain 160, dict 40+16=56, savings 65%. NULLs excluded from the
+    dictionary and 0-byte plain."""
+    from chronographer_spark.operators.text import dict_encoding_advisor
+
+    rows = [("aaaa", "x" * 40), ("aaaa", "x" * 40), ("aaaa", "x" * 40),
+            ("bb", "x" * 40), (None, None)]
+    df = spark.createDataFrame(rows, "rep string, big string")
+    out = {
+        r.col: (r.n_rows, r.n_distinct, r.plain_bytes, r.dict_bytes,
+                r.savings_x1e6)
+        for r in dict_encoding_advisor(df, ["rep", "big"]).collect()
+    }
+    # rep: n=5 rows (NULL row included), distinct non-null 2,
+    # plain 4*3+2 = 14, dict (4+2) + 5*4 = 26. DIV truncates toward zero
+    # (CLAUDE.md sign caveat), so int(), not Python's floor //.
+    assert out["rep"] == (5, 2, 14, 26, int((14 - 26) * 1000000 / 14))
+    assert out["big"] == (5, 1, 160, 40 + 20, (160 - 60) * 1000000 // 160)
