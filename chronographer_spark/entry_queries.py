@@ -13346,6 +13346,38 @@ FROM vc GROUP BY col
 )
 
 
+# ---------------------------------------------------------------------------
+# Q: consecutive temporal 3-motif census per user
+# ---------------------------------------------------------------------------
+
+
+def q_temporal_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which ordered event-type triples actually occur back-to-back
+    (within 1 day, per user), and how often — the behavioral-pattern
+    census beside funnel_3step's single-pattern matcher."""
+    from .operators.sequence import temporal_motifs
+
+    ev = _t(spark, sf_dir, "events")
+    return temporal_motifs(ev, within_seconds=86400)
+
+
+TEMPORAL_MOTIFS_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type AS t0,
+         lead(event_type, 1) OVER w AS t1,
+         lead(event_type, 2) OVER w AS t2,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s0,
+         CAST(floor(epoch(lead(ts, 2) OVER w)) AS BIGINT) AS s2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT t0, t1, t2, CAST(count(*) AS BIGINT) AS n
+FROM seq
+WHERE t2 IS NOT NULL AND s2 - s0 <= 86400
+GROUP BY t0, t1, t2
+"""
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -13603,6 +13635,7 @@ QUERIES = {
     "dispersion_types": q_dispersion_types,
     "percolation": q_percolation,
     "dict_advisor": q_dict_advisor,
+    "temporal_motifs": q_temporal_motifs,
 }
 
 ORACLE_SQL = {
@@ -13644,6 +13677,7 @@ ORACLE_SQL = {
     "dispersion_types": DISPERSION_TYPES_SQL,
     "percolation": PERCOLATION_SQL,
     "dict_advisor": DICT_ADVISOR_SQL,
+    "temporal_motifs": TEMPORAL_MOTIFS_SQL,
     "type_drift": TYPE_DRIFT_SQL,
     "coburst_xcorr": COBURST_XCORR_SQL,
     "validate_rules": VALIDATE_RULES_SQL,

@@ -184,3 +184,54 @@ def frequent_subsequences(
             "support",
         )
     )
+
+
+def temporal_motifs(
+    df: DataFrame,
+    key: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    within_seconds: int = 86400,
+) -> DataFrame:
+    """Consecutive temporal 3-motif census (the CONSECUTIVE-window
+    restriction of Paranjape, Benson & Leskovec 2017 temporal motifs):
+    per key, count each ordered triple of event types occurring as three
+    consecutive events whose first->third span fits in
+    ``within_seconds`` — the temporal-pattern profile behind behavioral
+    fingerprinting and anomaly baselining. `match_sequence` asks "did
+    THIS pattern occur" (skip-till-next); this asks "WHICH patterns
+    occur, how often" — census, not matcher. The consecutive restriction
+    is what keeps it one window pass instead of a k-way join: the full
+    skip-till-any-event motif count is match_sequence's join shape, run
+    per candidate pattern.
+
+    One (key, ts, id) window exchange (two leads share it) + one
+    map-side-combinable count; deterministic under ties via the id
+    column in the sort.
+
+    Returns (t0, t1, t2, n).
+    """
+    w = Window.partitionBy(key).orderBy(F.col(ts_col), F.col(id_col))
+    trip = (
+        df.select(
+            F.col(key),
+            F.col(type_col).alias("t0"),
+            F.col(ts_col),
+            F.col(id_col),
+        )
+        .withColumn("t1", F.lead("t0", 1).over(w))
+        .withColumn("t2", F.lead("t0", 2).over(w))
+        .withColumn("_ts2", F.lead(ts_col, 2).over(w))
+        .filter(
+            F.col("t2").isNotNull()
+            & (
+                F.unix_timestamp(F.col("_ts2"))
+                - F.unix_timestamp(F.col(ts_col))
+                <= within_seconds
+            )
+        )
+    )
+    return trip.groupBy("t0", "t1", "t2").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )

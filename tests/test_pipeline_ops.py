@@ -4247,3 +4247,29 @@ def test_dict_encoding_advisor_exact_bytes(spark):
     # (CLAUDE.md sign caveat), so int(), not Python's floor //.
     assert out["rep"] == (5, 2, 14, 26, int((14 - 26) * 1000000 / 14))
     assert out["big"] == (5, 1, 160, 40 + 20, (160 - 60) * 1000000 // 160)
+
+
+def test_temporal_motifs_window_and_order(spark):
+    """u1 has a->b->c (span 2s, counted) then b->c->a (span too wide,
+    dropped when the third event is 2 days later); ordering is by
+    (ts, event_id) so same-ts ties are deterministic."""
+    import datetime as dt
+
+    from chronographer_spark.operators.sequence import temporal_motifs
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(i, typ, sec):
+        return (i, 1, typ, t0 + dt.timedelta(seconds=sec))
+
+    rows = [ev(1, "a", 0), ev(2, "b", 1), ev(3, "c", 2),
+            ev(4, "a", 200000)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    out = {
+        (r.t0, r.t1, r.t2): r.n
+        for r in temporal_motifs(df, within_seconds=86400).collect()
+    }
+    # b->c->a spans 200000-1 s > 86400: dropped
+    assert out == {("a", "b", "c"): 1}
