@@ -13378,6 +13378,71 @@ GROUP BY t0, t1, t2
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: perceptual-hash near-dup candidates over binary assets
+# ---------------------------------------------------------------------------
+
+
+def q_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asset near-dup via the banded Hamming join: each asset gets a
+    one-bit-perturbed variant (id + 100000, phash XOR one bit keyed by
+    id) — every (asset, variant) pair sits at Hamming 1 and MUST surface
+    under the n_blocks-1 pigeonhole guarantee; unrelated assets collide
+    only by chance. The multimodal dedup path over documents-derived
+    payload bytes."""
+    from .operators.dedup import simhash_candidates
+    from .operators.multimodal import assets_from_documents, phash_signatures
+
+    docs = _t(spark, sf_dir, "documents")
+    sig = phash_signatures(assets_from_documents(docs, limit=200))
+    variants = sig.select(
+        (F.col("asset_id") + 100000).alias("asset_id"),
+        F.expr(
+            "phash ^ shiftleft(CAST(1 AS BIGINT), CAST(asset_id % 60 AS INT))"
+        ).alias("phash"),
+    )
+    all_sig = sig.unionByName(variants).select(
+        F.col("asset_id").alias("doc_id"), F.col("phash").alias("simhash")
+    )
+    return simhash_candidates(
+        all_sig, bits=60, n_blocks=4, max_hamming=3
+    ).select(
+        F.col("id_a").alias("asset_a"),
+        F.col("id_b").alias("asset_b"),
+        "hamming",
+    )
+
+
+PHASH_DUPS_SQL = """
+WITH sig AS (
+  SELECT doc_id AS asset_id,
+         -- DuckDB's md5 takes VARCHAR and hashes its UTF-8 bytes — the
+         -- same bytes Spark's md5(payload) sees (payload = encode(text))
+         CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS phash
+  FROM documents WHERE doc_id < 200
+),
+allsig AS (
+  SELECT asset_id, phash FROM sig
+  UNION ALL
+  SELECT asset_id + 100000,
+         xor(phash, CAST(1 AS BIGINT) << CAST(asset_id % 60 AS INT))
+  FROM sig
+),
+blocks AS (
+  SELECT asset_id, phash, b,
+         (phash >> (b * 15)) & 32767 AS val
+  FROM allsig, (VALUES (0), (1), (2), (3)) AS t(b)
+),
+cand AS (
+  SELECT DISTINCT a.asset_id AS asset_a, b.asset_id AS asset_b,
+         CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+  FROM blocks a JOIN blocks b ON a.b = b.b AND a.val = b.val
+   AND a.asset_id < b.asset_id
+)
+SELECT asset_a, asset_b, hamming FROM cand WHERE hamming <= 3
+"""
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -13636,6 +13701,7 @@ QUERIES = {
     "percolation": q_percolation,
     "dict_advisor": q_dict_advisor,
     "temporal_motifs": q_temporal_motifs,
+    "phash_dups": q_phash_dups,
 }
 
 ORACLE_SQL = {
@@ -13678,6 +13744,7 @@ ORACLE_SQL = {
     "percolation": PERCOLATION_SQL,
     "dict_advisor": DICT_ADVISOR_SQL,
     "temporal_motifs": TEMPORAL_MOTIFS_SQL,
+    "phash_dups": PHASH_DUPS_SQL,
     "type_drift": TYPE_DRIFT_SQL,
     "coburst_xcorr": COBURST_XCORR_SQL,
     "validate_rules": VALIDATE_RULES_SQL,

@@ -202,3 +202,26 @@ def synthetic_assets(spark, n: int = 20, seed: int = 42) -> DataFrame:
     from ..schemas import ASSET_SCHEMA
 
     return spark.createDataFrame(rows, ASSET_SCHEMA)
+
+
+def phash_signatures(assets: DataFrame) -> DataFrame:
+    """60-bit perceptual-hash signatures for binary assets — the
+    image/audio near-dup KEY. The hash here is the md5-prefix stand-in
+    (same honesty contract as decode_and_featurize: no image libs exist
+    in this sandbox, so the DCT/aHash step that would normally produce a
+    locality-sensitive fingerprint is replaced by a deterministic hash of
+    the payload bytes; a real deployment swaps ONLY this expression for a
+    Pandas-UDF pHash — column name, width, and everything downstream
+    stay identical). The actual scale machinery — the block-partition
+    banded Hamming join with its pigeonhole recall guarantee — is
+    `dedup.simhash_candidates`, reused unchanged on the asset table:
+    asset near-dup IS simhash dedup over a different signature source.
+
+    Returns (asset_id, phash) with phash in [0, 2^60).
+    """
+    return assets.select(
+        F.col("asset_id"),
+        F.conv(F.substring(F.md5(F.col("payload")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("phash"),
+    )

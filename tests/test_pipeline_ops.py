@@ -4273,3 +4273,16 @@ def test_temporal_motifs_window_and_order(spark):
     }
     # b->c->a spans 200000-1 s > 86400: dropped
     assert out == {("a", "b", "c"): 1}
+
+
+def test_phash_dups_finds_every_one_bit_variant(spark):
+    """Every (asset, +100000 variant) pair sits at Hamming 1 and must
+    surface under the 4-block pigeonhole guarantee — exactly 200 pairs,
+    all (i, i+100000, 1), nothing spurious at sf0.001."""
+    import __spark_entry__ as entry_mod
+
+    rows = entry_mod.queries()["phash_dups"](spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 200
+    assert all(
+        r.asset_b == r.asset_a + 100000 and r.hamming == 1 for r in rows
+    )
