@@ -13443,6 +13443,78 @@ SELECT asset_a, asset_b, hamming FROM cand WHERE hamming <= 3
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: rich-club coefficient of the clique+periphery graph
+# ---------------------------------------------------------------------------
+
+
+def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club curve over the nation-clique + customer-periphery graph:
+    above k=23 only the 25 clique nations remain and phi hits exactly
+    1e6 — the elite-core readout that complements assortativity's
+    edge-level correlation (same graph as densest_rounds)."""
+    from .operators.graph_algos import rich_club
+
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    periphery = cust.select(
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("n"), F.col("c_nationkey").cast("string")).alias("dst"),
+    )
+    na = nat.select(F.col("n_nationkey").alias("a"))
+    nb = nat.select(F.col("n_nationkey").alias("b"))
+    clique = (
+        na.crossJoin(nb)
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            F.concat(F.lit("n"), F.col("a").cast("string")).alias("src"),
+            F.concat(F.lit("n"), F.col("b").cast("string")).alias("dst"),
+        )
+    )
+    return rich_club(periphery.unionByName(clique), thresholds=(2, 8, 23))
+
+
+RICH_CLUB_SQL = """
+WITH raw AS (
+  SELECT 'c' || CAST(c_custkey AS VARCHAR) AS src,
+         'n' || CAST(c_nationkey AS VARCHAR) AS dst FROM customer
+  UNION ALL
+  SELECT 'n' || CAST(a.n_nationkey AS VARCHAR),
+         'n' || CAST(b.n_nationkey AS VARCHAR)
+  FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+),
+e0 AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM raw UNION ALL SELECT dst, src FROM raw
+  ) WHERE src <> dst
+),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e0 GROUP BY src),
+ed AS (
+  SELECT least(da.deg, db.deg) AS mindeg
+  FROM e0
+  JOIN deg da ON da.src = e0.src
+  JOIN deg db ON db.src = e0.dst
+  WHERE e0.src < e0.dst
+),
+ks AS (SELECT * FROM (VALUES (2), (8), (23)) AS t(k)),
+ek AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS n_edges
+  FROM ed, ks WHERE mindeg > k GROUP BY k
+),
+nk AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS n_nodes
+  FROM deg, ks WHERE deg > k GROUP BY k
+)
+SELECT CAST(nk.k AS BIGINT) AS k, nk.n_nodes,
+       coalesce(ek.n_edges, 0) AS n_edges,
+       CAST(CASE WHEN nk.n_nodes <= 1 THEN 0
+            ELSE 2 * coalesce(ek.n_edges, 0) * 1000000
+                 // (nk.n_nodes * (nk.n_nodes - 1)) END AS BIGINT)
+         AS phi_x1e6
+FROM nk LEFT JOIN ek ON ek.k = nk.k
+"""
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -13702,6 +13774,7 @@ QUERIES = {
     "dict_advisor": q_dict_advisor,
     "temporal_motifs": q_temporal_motifs,
     "phash_dups": q_phash_dups,
+    "rich_club": q_rich_club,
 }
 
 ORACLE_SQL = {
@@ -13745,6 +13818,7 @@ ORACLE_SQL = {
     "dict_advisor": DICT_ADVISOR_SQL,
     "temporal_motifs": TEMPORAL_MOTIFS_SQL,
     "phash_dups": PHASH_DUPS_SQL,
+    "rich_club": RICH_CLUB_SQL,
     "type_drift": TYPE_DRIFT_SQL,
     "coburst_xcorr": COBURST_XCORR_SQL,
     "validate_rules": VALIDATE_RULES_SQL,

@@ -2061,3 +2061,73 @@ def densest_subgraph(
     for s in stats[1:]:
         out = out.unionByName(s)
     return out
+
+
+def rich_club(
+    edges: DataFrame,
+    thresholds=(2, 4, 8),
+) -> DataFrame:
+    """Rich-club coefficient (Colizza et al. 2006): for each degree
+    threshold k, the realized edge density among nodes of degree > k —
+    phi(k) -> 1 means the hubs form a near-clique (an elite core routing
+    everything), phi(k) ~ overall density means hubs ignore each other.
+    Reads together with `degree_assortativity`: assortativity is the
+    edge-level correlation, the rich club is the subgraph-level readout
+    of the same question. (Raw phi, not the randomized-null-normalized
+    variant — the null model needs degree-preserving rewiring, which is
+    a sampling procedure, not a query.)
+
+    Shape: one degree aggregate joined onto edges ONCE (both endpoint
+    degrees attached in two joins), then every threshold is a map-only
+    explode fan over that single edge pass — never |thresholds| scans;
+    node counts per k fan off the degree table the same way. Exact
+    integers: phi_x1e6 = 2·E_k·1e6 DIV (n_k·(n_k−1)).
+
+    Returns (k, n_nodes, n_edges, phi_x1e6) — n_edges undirected.
+    """
+    und = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+    sym = (
+        und.unionByName(
+            und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(
+        eager=True
+    )  # edge-degree joins + node fan share it
+    ks = F.array(*[F.lit(int(k)) for k in thresholds])
+    ed = (
+        sym.join(deg.select(F.col("src"), F.col("deg").alias("dga")), "src")
+        .join(
+            deg.select(F.col("src").alias("dst"), F.col("deg").alias("dgb")),
+            "dst",
+        )
+        .filter(F.col("src") < F.col("dst"))  # undirected once
+    )
+    e_k = (
+        ed.select(F.least("dga", "dgb").alias("mindeg"))
+        .select("mindeg", F.explode(ks).alias("k"))
+        .filter(F.col("mindeg") > F.col("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+    )
+    n_k = (
+        deg.select("deg", F.explode(ks).alias("k"))
+        .filter(F.col("deg") > F.col("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+    return (
+        n_k.join(e_k, "k", "left")
+        .select(
+            F.col("k").cast("long").alias("k"),
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.coalesce("n_edges", F.lit(0)).cast("long").alias("n_edges"),
+            F.expr(
+                "CAST(CASE WHEN n_nodes <= 1 THEN 0 "
+                "ELSE 2 * coalesce(n_edges, 0) * 1000000 "
+                "DIV (n_nodes * (n_nodes - 1)) END AS BIGINT)"
+            ).alias("phi_x1e6"),
+        )
+    )

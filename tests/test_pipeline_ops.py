@@ -4286,3 +4286,22 @@ def test_phash_dups_finds_every_one_bit_variant(spark):
     assert all(
         r.asset_b == r.asset_a + 100000 and r.hamming == 1 for r in rows
     )
+
+
+def test_rich_club_clique_core(spark):
+    """K4 clique wired to 4 pendant leaves (one per clique node): at k=1
+    only clique nodes (deg 4) remain -> phi = 1.0; at k=0 everything
+    (8 nodes, 10 edges) -> phi = 20/56."""
+    from chronographer_spark.operators.graph_algos import rich_club
+
+    clique = [(f"k{i}", f"k{j}") for i in range(4) for j in range(i + 1, 4)]
+    leaves = [(f"k{i}", f"p{i}") for i in range(4)]
+    out = {
+        r.k: (r.n_nodes, r.n_edges, r.phi_x1e6)
+        for r in rich_club(
+            spark.createDataFrame(clique + leaves, ["src", "dst"]),
+            thresholds=(0, 1),
+        ).collect()
+    }
+    assert out[1] == (4, 6, 1000000)
+    assert out[0] == (8, 10, 2 * 10 * 1000000 // (8 * 7))
