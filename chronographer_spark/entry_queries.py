@@ -13515,6 +13515,80 @@ FROM nk LEFT JOIN ek ON ek.k = nk.k
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: seasonally-adjusted residual anomalies per (type, dow, hour) cell
+# ---------------------------------------------------------------------------
+
+
+def q_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cells whose hourly counts spike against their OWN day-of-week x
+    hour baseline: 'click' events on 2024-01-21 12:00-13:00 UTC are
+    quadrupled, so exactly that cell family flags — anomalies the raw
+    median screen dilutes away. Returns only flagged cells (bounded)."""
+    from .operators.temporal import seasonal_anomaly_report
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts")
+    spike = ev.filter(
+        (F.col("event_type") == "click")
+        & (F.to_date("ts") == F.lit("2024-01-21"))
+        & (F.expr("CAST(unix_timestamp(ts) AS BIGINT) % 86400 DIV 3600") == 12)
+    )
+    fixture = ev.unionAll(spike).unionAll(spike).unionAll(spike)
+    out = seasonal_anomaly_report(fixture, "event_type", "ts", k_mad=3)
+    return out.filter(F.col("n_anom") > 0)
+
+
+SEASONAL_ANOMALIES_SQL = """
+WITH base AS (
+  SELECT event_type, ts FROM events
+),
+spike AS (
+  SELECT event_type, ts FROM base
+  WHERE event_type = 'click' AND CAST(ts AS DATE) = DATE '2024-01-21'
+    AND CAST(floor(epoch(ts)) AS BIGINT) % 86400 // 3600 = 12
+),
+ev AS (
+  SELECT * FROM base
+  UNION ALL SELECT * FROM spike
+  UNION ALL SELECT * FROM spike
+  UNION ALL SELECT * FROM spike
+),
+obs AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d,
+         CAST(CAST(floor(epoch(ts)) AS BIGINT) % 86400 // 3600 AS INT)
+           AS hour,
+         CAST(count(*) AS BIGINT) AS n
+  FROM ev GROUP BY 1, 2, 3
+),
+cells AS (
+  SELECT event_type, CAST((d + 4) % 7 AS INT) AS dow, hour, n FROM obs
+),
+med AS (
+  SELECT event_type, dow, hour, CAST(median(n) * 2 AS BIGINT) AS med2
+  FROM cells GROUP BY 1, 2, 3
+),
+dev AS (
+  SELECT c.event_type, c.dow, c.hour, c.n, m.med2,
+         abs(c.n * 2 - m.med2) AS dd
+  FROM cells c JOIN med m USING (event_type, dow, hour)
+),
+mad AS (
+  SELECT event_type, dow, hour, CAST(median(dd) * 2 AS BIGINT) AS mad2
+  FROM dev GROUP BY 1, 2, 3
+)
+SELECT d.event_type, d.dow, d.hour,
+       CAST(count(*) AS BIGINT) AS n_obs,
+       CAST(max(d.med2) AS BIGINT) AS med2,
+       CAST(max(m.mad2) AS BIGINT) AS mad2,
+       CAST(sum(CASE WHEN d.dd * 2 > 3 * m.mad2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_anom
+FROM dev d JOIN mad m USING (event_type, dow, hour)
+GROUP BY 1, 2, 3
+HAVING sum(CASE WHEN d.dd * 2 > 3 * m.mad2 THEN 1 ELSE 0 END) > 0
+"""
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -13775,6 +13849,7 @@ QUERIES = {
     "temporal_motifs": q_temporal_motifs,
     "phash_dups": q_phash_dups,
     "rich_club": q_rich_club,
+    "seasonal_anomalies": q_seasonal_anomalies,
 }
 
 ORACLE_SQL = {
@@ -13819,6 +13894,7 @@ ORACLE_SQL = {
     "temporal_motifs": TEMPORAL_MOTIFS_SQL,
     "phash_dups": PHASH_DUPS_SQL,
     "rich_club": RICH_CLUB_SQL,
+    "seasonal_anomalies": SEASONAL_ANOMALIES_SQL,
     "type_drift": TYPE_DRIFT_SQL,
     "coburst_xcorr": COBURST_XCORR_SQL,
     "validate_rules": VALIDATE_RULES_SQL,

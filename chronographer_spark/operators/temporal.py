@@ -1447,3 +1447,72 @@ def dispersion_index(
             "DIV ((count(1) - 1) * sum(_n)) END AS BIGINT)"
         ).alias("dispersion_x1e6"),
     )
+
+
+def seasonal_anomaly_report(
+    df: DataFrame,
+    key: str = "event_type",
+    ts_col: str = "ts",
+    k_mad: int = 3,
+) -> DataFrame:
+    """Seasonally-adjusted anomaly screen: per (key, day-of-week, hour)
+    CELL, the robust median/MAD test of `robust_outlier_report` applied
+    to the cell's observed hourly COUNTS across days — the composition of
+    `seasonal_profile` (what is normal for Monday 9am) and the doubled-
+    median discipline, catching the Sunday-3am spike a raw median over
+    all hours would wash out. Observed hours only (zero-count hours are
+    not rows; resample first for calendar-complete series).
+
+    Same engine-neutral calendar arithmetic as seasonal_profile (epoch
+    days + 4 mod 7, UTC hours — never the engines' disagreeing dow()
+    builtins); same exact-integer doubled medians as
+    robust_outlier_report (exact per-cell percentile is right because a
+    cell holds at most #days observations).
+
+    One (key, day, hour) combinable count, two bounded-cardinality
+    median aggregates, one ≤ |keys|·168-row rollup.
+
+    Returns (key, dow, hour, n_obs, med2, mad2, n_anom).
+    """
+    ep = F.unix_timestamp(F.col(ts_col))
+    obs = (
+        df.select(
+            F.col(key),
+            F.floor(ep / 86400).cast("long").alias("_day"),
+            F.expr(
+                f"CAST(CAST(unix_timestamp({ts_col}) AS BIGINT) % 86400"
+                " DIV 3600 AS INT)"
+            ).alias("hour"),
+        )
+        .groupBy(key, "_day", "hour")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("dow", ((F.col("_day") + 4) % 7).cast("int"))
+        .localCheckpoint(eager=True)  # median + dev + rollup share it
+    )
+    med = obs.groupBy(key, "dow", "hour").agg(
+        F.expr("CAST(percentile(n, 0.5) * 2 AS BIGINT)").alias("med2")
+    )
+    dev = obs.join(med, [key, "dow", "hour"]).select(
+        key, "dow", "hour", "n", "med2",
+        F.abs(F.col("n") * 2 - F.col("med2")).alias("_d"),
+    )
+    mad = dev.groupBy(key, "dow", "hour").agg(
+        F.expr("CAST(percentile(_d, 0.5) * 2 AS BIGINT)").alias("mad2")
+    )
+    return (
+        dev.join(mad, [key, "dow", "hour"])
+        .groupBy(key, "dow", "hour")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_obs"),
+            F.max("med2").alias("med2"),
+            F.max("mad2").alias("mad2"),
+            F.sum(
+                F.when(
+                    F.col("_d") * 2 > F.lit(int(k_mad)).cast("long") * F.col("mad2"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_anom"),
+        )
+    )

@@ -4305,3 +4305,26 @@ def test_rich_club_clique_core(spark):
     }
     assert out[1] == (4, 6, 1000000)
     assert out[0] == (8, 10, 2 * 10 * 1000000 // (8 * 7))
+
+
+def test_seasonal_anomaly_report_flags_spiked_cell(spark):
+    """Five Mondays at hour 05: counts [2,2,2,2,10] -> med2=4, the 10
+    deviates 16 doubled vs mad2=0, flagged; the steady cells are not.
+    A different hour with uniform counts stays clean."""
+    import datetime as dt
+
+    from chronographer_spark.operators.temporal import seasonal_anomaly_report
+
+    rows = []
+    mondays = [dt.datetime(2024, 1, d, 5, 30) for d in (1, 8, 15, 22, 29)]
+    for i, m in enumerate(mondays):
+        reps = 10 if i == 4 else 2
+        rows += [("a", m)] * reps
+        rows += [("a", m.replace(hour=9))] * 3  # clean cell
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    out = {
+        (r.event_type, r.dow, r.hour): (r.n_obs, r.med2, r.mad2, r.n_anom)
+        for r in seasonal_anomaly_report(df).collect()
+    }
+    assert out[("a", 1, 5)] == (5, 4, 0, 1)   # 2024-01-01 was a Monday
+    assert out[("a", 1, 9)] == (5, 6, 0, 0)
