@@ -13589,6 +13589,42 @@ HAVING sum(CASE WHEN d.dd * 2 > 3 * m.mad2 THEN 1 ELSE 0 END) > 0
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: persistent daily top-k heavy hitters
+# ---------------------------------------------------------------------------
+
+
+def q_persistent_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users appearing in the daily top-10 by event count on >= 3 days —
+    persistence separates every-day power users from one-day spikes that
+    top a single chart."""
+    from .operators.ranking import persistent_topk
+
+    ev = _t(spark, sf_dir, "events")
+    return persistent_topk(ev, "user_id", "ts", k=10, min_days=3)
+
+
+PERSISTENT_USERS_SQL = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT user_id, d, n,
+         row_number() OVER (PARTITION BY d ORDER BY n DESC, user_id ASC)
+           AS rk
+  FROM daily
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS days_in_topk,
+       CAST(min(rk) AS BIGINT) AS best_rank,
+       CAST(sum(n) AS BIGINT) AS total_in_topk
+FROM ranked WHERE rk <= 10
+GROUP BY user_id
+HAVING count(*) >= 3
+"""
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -13850,6 +13886,7 @@ QUERIES = {
     "phash_dups": q_phash_dups,
     "rich_club": q_rich_club,
     "seasonal_anomalies": q_seasonal_anomalies,
+    "persistent_users": q_persistent_users,
 }
 
 ORACLE_SQL = {
@@ -13895,6 +13932,7 @@ ORACLE_SQL = {
     "phash_dups": PHASH_DUPS_SQL,
     "rich_club": RICH_CLUB_SQL,
     "seasonal_anomalies": SEASONAL_ANOMALIES_SQL,
+    "persistent_users": PERSISTENT_USERS_SQL,
     "type_drift": TYPE_DRIFT_SQL,
     "coburst_xcorr": COBURST_XCORR_SQL,
     "validate_rules": VALIDATE_RULES_SQL,

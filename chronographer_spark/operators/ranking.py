@@ -190,3 +190,47 @@ def rank_movers(
         delta.cast("long").alias("rank_delta"),
         status.alias("status"),
     )
+
+
+def persistent_topk(
+    df: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    k: int = 20,
+    min_days: int = 2,
+) -> DataFrame:
+    """Persistent heavy hitters: keys that land in the per-day top-k by
+    event count on at least ``min_days`` distinct days — the trending-vs-
+    persistent separation a feed/abuse pipeline needs: a one-day viral
+    spike and a every-day power user both top a single day's chart, only
+    persistence tells them apart (the 'persistent items' problem of the
+    streaming literature, answered exactly here in batch).
+
+    Deterministic rank: count desc, key asc. One (key, day) combinable
+    count, one rank window partitioned BY DAY (each day's partition holds
+    at most distinct-keys-that-day rows — bounded, never a global sort),
+    one key-level rollup.
+
+    Returns (key, days_in_topk, best_rank, total_in_topk) filtered to
+    persistence >= min_days.
+    """
+    from pyspark.sql.window import Window
+
+    daily = df.groupBy(
+        F.col(key), F.to_date(F.col(ts_col)).alias("_day")
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    w = Window.partitionBy("_day").orderBy(
+        F.col("_n").desc(), F.col(key).asc()
+    )
+    ranked = daily.withColumn("_rk", F.row_number().over(w)).filter(
+        F.col("_rk") <= k
+    )
+    return (
+        ranked.groupBy(key)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("days_in_topk"),
+            F.min("_rk").cast("long").alias("best_rank"),
+            F.sum("_n").cast("long").alias("total_in_topk"),
+        )
+        .filter(F.col("days_in_topk") >= min_days)
+    )

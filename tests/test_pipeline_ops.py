@@ -4328,3 +4328,28 @@ def test_seasonal_anomaly_report_flags_spiked_cell(spark):
     }
     assert out[("a", 1, 5)] == (5, 4, 0, 1)   # 2024-01-01 was a Monday
     assert out[("a", 1, 9)] == (5, 6, 0, 0)
+
+
+def test_persistent_topk_separates_spike_from_power_user(spark):
+    """'power' tops 3 days, 'spike' tops one day with a huge count,
+    'steady-low' never makes top-1: k=1, min_days=2 keeps only power."""
+    import datetime as dt
+
+    from chronographer_spark.operators.ranking import persistent_topk
+
+    def day(d):
+        return dt.datetime(2024, 1, d, 10)
+
+    rows = (
+        [("power", day(1))] * 3 + [("power", day(2))] * 3
+        + [("power", day(3))] * 3
+        + [("spike", day(2))] * 50
+        + [("low", day(1))] * 1
+    )
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    out = {
+        r.user_id: (r.days_in_topk, r.best_rank, r.total_in_topk)
+        for r in persistent_topk(df, "user_id", "ts", k=1, min_days=2).collect()
+    }
+    # spike wins day 2; power wins days 1 and 3 only
+    assert out == {"power": (2, 1, 6)}
