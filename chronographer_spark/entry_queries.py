@@ -13625,6 +13625,47 @@ HAVING count(*) >= 3
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: pass@k over event types as tasks
+# ---------------------------------------------------------------------------
+
+
+def q_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pass@1 / pass@5 per task (event type as the task id, value > 900
+    as 'correct') — the sampled-generation eval metric; rare successes
+    make pass@5 >> pass@1, exactly the rejection-sampling story."""
+    from .operators.classifier import pass_at_k
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", (F.col("value") > 900).alias("ok")
+    )
+    return pass_at_k(ev, "event_type", "ok", k=5)
+
+
+def _passk_staged_sql(k: int) -> str:
+    expr = "CAST(1000000 AS BIGINT)"
+    for i in range(k):
+        expr = f"(({expr}) * (n - c - {i}) // (n - {i}))"
+    return expr
+
+
+PASS_AT_K_SQL = f"""
+WITH agg AS (
+  SELECT event_type AS task,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN value > 900 THEN 1 ELSE 0 END) AS BIGINT) AS c
+  FROM events GROUP BY event_type
+)
+SELECT task, n AS n_attempts, c AS n_correct,
+       CAST(c * 1000000 // n AS BIGINT) AS pass1_x1e6,
+       CAST(CASE WHEN c = 0 THEN 0
+            WHEN n - c < 5 THEN 1000000
+            ELSE 1000000 - {_passk_staged_sql(5)} END AS BIGINT)
+         AS passk_x1e6
+FROM agg
+"""
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -13887,6 +13928,7 @@ QUERIES = {
     "rich_club": q_rich_club,
     "seasonal_anomalies": q_seasonal_anomalies,
     "persistent_users": q_persistent_users,
+    "pass_at_k": q_pass_at_k,
 }
 
 ORACLE_SQL = {
@@ -13933,6 +13975,7 @@ ORACLE_SQL = {
     "rich_club": RICH_CLUB_SQL,
     "seasonal_anomalies": SEASONAL_ANOMALIES_SQL,
     "persistent_users": PERSISTENT_USERS_SQL,
+    "pass_at_k": PASS_AT_K_SQL,
     "type_drift": TYPE_DRIFT_SQL,
     "coburst_xcorr": COBURST_XCORR_SQL,
     "validate_rules": VALIDATE_RULES_SQL,

@@ -300,3 +300,57 @@ def cohens_kappa(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
             ).alias("kappa_x1e6"),
         )
     )
+
+
+def pass_at_k(
+    df: DataFrame,
+    task_col: str,
+    correct_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """pass@k evaluation (Chen et al. 2021, Codex): per task with n
+    attempts of which c are correct, the unbiased estimator
+    pass@k = 1 − C(n−c, k)/C(n, k) — the probability at least one of k
+    sampled attempts is correct; THE metric of sampled-generation evals
+    and the selection signal for rejection-sampling data pipelines.
+
+    Integer discipline: the binomial ratio telescopes to
+    Π_{i=0..k−1} (n−c−i)/(n−i), evaluated as a STAGED product in 1e6
+    scale — a_{i+1} = a_i·(n−c−i) DIV (n−i), each stage <= 1e6 so no
+    overflow at any n, and both engines truncate DIV identically, so the
+    result replays bit-exact (quantization <= k ppm vs the real ratio —
+    documented, deterministic, and monotone). n−c < k means C(n−c,k)=0:
+    pass@k = 1e6 exactly. pass@1 = c·1e6 DIV n needs no staging.
+
+    ``k`` is a plan-time constant (the product unrolls into the
+    expression tree — no per-row loop). One combinable (task) aggregate.
+
+    Returns (task, n_attempts, n_correct, pass1_x1e6, passk_x1e6).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    agg = df.groupBy(F.col(task_col).alias("task")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col(correct_col).cast("boolean"), 1).otherwise(0))
+        .cast("long")
+        .alias("c"),
+    )
+    expr = "CAST(1000000 AS BIGINT)"
+    for i in range(k):
+        expr = f"(({expr}) * (n - c - {i}) DIV (n - {i}))"
+    # c = 0 is pass@k = 0 regardless of n; n−c < k means every k-subset
+    # contains a correct attempt (pass = 1) — this also covers n < k with
+    # c > 0, i.e. pass@min(k, n) clamp semantics (n >= k is the
+    # estimator's own precondition).
+    passk = (
+        f"CAST(CASE WHEN c = 0 THEN 0 "
+        f"WHEN n - c < {k} THEN 1000000 "
+        f"ELSE 1000000 - {expr} END AS BIGINT)"
+    )
+    return agg.select(
+        "task",
+        F.col("n").alias("n_attempts"),
+        F.col("c").alias("n_correct"),
+        F.expr("CAST(c * 1000000 DIV n AS BIGINT)").alias("pass1_x1e6"),
+        F.expr(passk).alias("passk_x1e6"),
+    )

@@ -4353,3 +4353,30 @@ def test_persistent_topk_separates_spike_from_power_user(spark):
     }
     # spike wins day 2; power wins days 1 and 3 only
     assert out == {"power": (2, 1, 6)}
+
+
+def test_pass_at_k_matches_exact_combinatorics(spark):
+    """Staged product vs exact C(n-c,k)/C(n,k) within k ppm; boundary
+    semantics: c=0 -> 0, n-c<k -> 1e6."""
+    from math import comb
+
+    from chronographer_spark.operators.classifier import pass_at_k
+
+    cases = {"t1": (10, 2), "t2": (10, 0), "t3": (10, 7), "t4": (6, 1),
+             "t5": (3, 1)}
+    rows = []
+    for t, (n, c) in cases.items():
+        rows += [(t, True)] * c + [(t, False)] * (n - c)
+    df = spark.createDataFrame(rows, "task string, ok boolean")
+    out = {r.task: r for r in pass_at_k(df, "task", "ok", k=5).collect()}
+    for t, (n, c) in cases.items():
+        r = out[t]
+        assert (r.n_attempts, r.n_correct) == (n, c)
+        assert r.pass1_x1e6 == c * 1000000 // n
+        if c == 0:
+            assert r.passk_x1e6 == 0
+        elif n - c < 5:
+            assert r.passk_x1e6 == 1000000
+        else:
+            exact = 1000000 - comb(n - c, 5) * 1000000 // comb(n, 5)
+            assert abs(r.passk_x1e6 - exact) <= 5, (t, r.passk_x1e6, exact)
