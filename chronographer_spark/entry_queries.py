@@ -12958,8 +12958,15 @@ d AS (
 )
 SELECT t.na AS n_a, t.nb AS n_b,
        CAST(coalesce(sum(term), 0) AS BIGINT) AS w1_num,
-       CAST(CAST(coalesce(sum(term), 0) AS BIGINT) * CAST(1000000 AS BIGINT)
-            // (greatest(t.na, 1) * greatest(t.nb, 1)) AS BIGINT) AS w1_x1e6
+       -- staged quotient: same headroom contract as the operator
+       CAST(CAST(coalesce(sum(term), 0) AS BIGINT)
+              // greatest(t.na, 1) // greatest(t.nb, 1)
+              * CAST(1000000 AS BIGINT)
+            + CAST(coalesce(sum(term), 0) AS BIGINT)
+              % (greatest(t.na, 1) * greatest(t.nb, 1))
+              * CAST(1000000 AS BIGINT)
+              // (greatest(t.na, 1) * greatest(t.nb, 1)) AS BIGINT)
+         AS w1_x1e6
 FROM d, tot t
 GROUP BY t.na, t.nb
 """

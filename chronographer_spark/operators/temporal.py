@@ -1403,8 +1403,15 @@ def wasserstein_two_sample(
         F.lit(n_a).cast("long").alias("n_a"),
         F.lit(n_b).cast("long").alias("n_b"),
         F.coalesce(F.col("w1_num"), F.lit(0)).cast("long").alias("w1_num"),
+        # staged quotient (CLAUDE.md toolkit): headroom is w1_num < 2^63
+        # and (w1_num % D)·1e6 < 2^63, i.e. n_a·n_b up to ~9e12 — a plain
+        # w1_num·1e6 would already overflow at the 10x soak scale
         F.expr(
-            f"CAST(coalesce(w1_num, 0) * CAST(1000000 AS BIGINT) DIV "
+            f"CAST(coalesce(w1_num, 0) DIV {max(n_a, 1)} DIV {max(n_b, 1)} "
+            f"* CAST(1000000 AS BIGINT) "
+            f"+ coalesce(w1_num, 0) % "
+            f"(CAST({max(n_a, 1)} AS BIGINT) * CAST({max(n_b, 1)} AS BIGINT)) "
+            f"* CAST(1000000 AS BIGINT) DIV "
             f"(CAST({max(n_a, 1)} AS BIGINT) * CAST({max(n_b, 1)} AS BIGINT)) "
             f"AS BIGINT)"
         ).alias("w1_x1e6"),

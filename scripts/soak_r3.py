@@ -1113,10 +1113,75 @@ def main() -> None:
         assert row.d_num > 0
         return int(row.ks_x1e6)
 
+    def job_perc():
+        # ONE CC run over 4 nested keep rates of the replicated
+        # user<->type star (type hubs ride repl); CC rounds stay O(log)
+        from chronographer_spark.linking.canonicalize import connected_components
+
+        base = ev_r.select(
+            F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("a"),
+            F.concat(F.lit("t"), F.col("event_type")).alias("b"),
+        ).distinct()
+        h = (
+            F.conv(
+                F.substring(F.md5(F.concat_ws("#", "a", "b")), 1, 8), 16, 10
+            ).cast("long")
+            % 100
+        )
+        rates = F.array(F.lit(100), F.lit(50), F.lit(25))
+        fan = (
+            base.withColumn("h", h)
+            .select("a", "b", "h", F.explode(rates).alias("rate"))
+            .filter(F.col("h") < F.col("rate"))
+        )
+        pref = lambda r, c: F.concat_ws("|", F.col(r).cast("string"), F.col(c))
+        edges = fan.select(
+            pref("rate", "a").alias("src"), pref("rate", "b").alias("dst")
+        )
+        cc = connected_components(edges)
+        agg = cc.groupBy(
+            F.split("node", r"\|").getItem(0).alias("rate")
+        ).agg(F.countDistinct("component").alias("k"))
+        rows = {r["rate"]: r["k"] for r in agg.collect()}
+        assert rows["100"] >= 1
+        return sum(rows.values())
+
+    def job_seasanom():
+        # bounded cell cardinality (5 types x 168 cells); medians run on
+        # per-cell day lists that ride repl only through count values
+        from chronographer_spark.operators.temporal import seasonal_anomaly_report
+
+        out = seasonal_anomaly_report(ev_r, "event_type", "ts", k_mad=3)
+        agg = out.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("n_anom").alias("s")
+        ).first()
+        assert agg["n"] > 0
+        return agg["n"]
+
+    def job_w1():
+        # same repl-invariant collapsed-value-table shape as ks. UNIT
+        # buckets, not the x1e6 grid: w1_num <= n_a*n_b*range and at 30x
+        # (n ~ 9M per side) the fine grid's range 1e9 overflows BIGINT —
+        # exactly the documented headroom contract (coarsen the grid or
+        # lift to DECIMAL); the staged final quotient then stays exact
+        from chronographer_spark.operators.temporal import wasserstein_two_sample
+
+        bucket = F.floor(F.col("value")).cast("long")
+        a = ev_r.filter(F.col("event_id") % 2 == 0).select(bucket.alias("v"))
+        b = ev_r.filter(F.col("event_id") % 2 == 1).select(
+            (bucket + F.lit(25)).alias("v")
+        )
+        row = wasserstein_two_sample(a, b, "v", n_parts=4 * CPUS).first()
+        assert row.w1_x1e6 > 0
+        return int(row.w1_x1e6)
+
     jobs = [
         ("wl", job_wl),
         ("ra", job_ra),
         ("ks", job_ks),
+        ("perc", job_perc),
+        ("seasanom", job_seasanom),
+        ("w1", job_w1),
         ("pack", job_pack),
         ("bpe", job_bpe),
         ("repetition", job_repetition),
