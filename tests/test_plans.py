@@ -920,3 +920,85 @@ def test_dp_release_one_agg_map_only_noise(spark):
     assert _exchanges(plan) == 1, plan
     assert "Join" not in plan, plan
     assert plan.count("partial_count") == 1, plan
+
+
+def test_w1_no_single_partition_window(spark):
+    """Wasserstein shares the KS two-phase shape: no Window in the final
+    plan (ran at checkpoint), at most the 1-row global agg gathers."""
+    from chronographer_spark.operators.temporal import wasserstein_two_sample
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select("event_id", "value")
+    b = F.floor(F.col("value")).cast("long")
+    a = ev.filter(F.col("event_id") % 2 == 0).select(b.alias("v"))
+    c = ev.filter(F.col("event_id") % 2 == 1).select((b + 25).alias("v"))
+    plan = _plan(wasserstein_two_sample(a, c, "v", n_parts=8))
+    assert plan.count("Scan parquet") == 0, plan
+    assert plan.count("Exchange SinglePartition") <= 1, plan
+
+
+def test_conformal_qhat_broadcast_one_test_agg(spark):
+    """The threshold crosses as a broadcast 1-row table; the test side is
+    one combinable agg; the cal-side window ran at checkpoint time."""
+    from chronographer_spark.operators.classifier import conformal_report
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select("event_id", "value")
+    s = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    cal = ev.filter(F.col("event_id") % 2 == 0).select(s.alias("score"))
+    test = ev.filter(F.col("event_id") % 2 == 1).select(s.alias("score"))
+    plan = _plan(conformal_report(cal, test, "score", 10, n_parts=8))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "Window" not in plan, plan
+    assert plan.count("Scan parquet") == 1, plan  # only the TEST side scans
+
+
+def test_cohens_kappa_contingency_checkpointed_once(spark):
+    """All three aggregates (totals, row marginals, col marginals) read
+    the checkpointed contingency table — the corpus is never re-scanned."""
+    from chronographer_spark.operators.classifier import cohens_kappa
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    lab = docs.select(
+        (F.length("text") >= 60).cast("string").alias("a"),
+        (F.col("n_chars") >= 60).cast("string").alias("b"),
+    )
+    plan = _plan(cohens_kappa(lab, "a", "b"))
+    assert plan.count("Scan parquet") == 0, plan
+
+
+def test_pass_at_k_one_exchange_no_join(spark):
+    from chronographer_spark.operators.classifier import pass_at_k
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        "event_type", (F.col("value") > 900).alias("ok")
+    )
+    plan = _plan(pass_at_k(ev, "event_type", "ok", k=5))
+    assert _exchanges(plan) == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_rich_club_single_edge_pass_threshold_fan(spark):
+    """Thresholds fan via explode over the ONE edge-degree pass — the
+    plan has exactly two explode generators (edge fan + node fan), not
+    |thresholds| scans of anything."""
+    from chronographer_spark.operators.graph_algos import rich_club
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    edges = ev.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("src"),
+        F.concat(F.lit("t"), F.col("event_type")).alias("dst"),
+    )
+    plan = _plan(rich_club(edges, thresholds=(2, 4, 8)))
+    assert plan.count("Scan parquet") == 0, plan  # sym + deg checkpointed
+    assert plan.count("Generate explode") == 2, plan
+
+
+def test_persistent_topk_day_partitioned_rank(spark):
+    from chronographer_spark.operators.ranking import persistent_topk
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    plan = _plan(persistent_topk(ev, "user_id", "ts", k=10, min_days=3))
+    assert "SinglePartition" not in plan, plan
+    assert plan.count("Window [") == 1, plan
+    # rank<=k pushes down as WindowGroupLimit (partial+final): each task
+    # keeps only its top-k candidates BEFORE the day shuffle — pin it
+    assert "WindowGroupLimit" in plan, plan
