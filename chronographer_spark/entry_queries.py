@@ -13673,6 +13673,130 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: landmark stress centrality from region nodes over the geo tree
+# ---------------------------------------------------------------------------
+
+
+def q_stress_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stress centrality from the 5 region landmarks over the symmetric
+    customer/supplier-nation-region tree (2 BFS rounds): every nation's
+    stress = its population (all region->member shortest paths run
+    through it) — the load-bearing-node readout, exact integers."""
+    from .operators.graph_algos import landmark_stress
+
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    edges = (
+        cust.select(
+            F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("n"), F.col("c_nationkey").cast("string")).alias("dst"),
+        )
+        .unionByName(
+            supp.select(
+                F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("src"),
+                F.concat(F.lit("n"), F.col("s_nationkey").cast("string")).alias("dst"),
+            )
+        )
+        .unionByName(
+            nat.select(
+                F.concat(F.lit("n"), F.col("n_nationkey").cast("string")).alias("src"),
+                F.concat(F.lit("r"), F.col("n_regionkey").cast("string")).alias("dst"),
+            )
+        )
+    )
+    region = _t(spark, sf_dir, "region")
+    lms = region.select(
+        F.concat(F.lit("r"), F.col("r_regionkey").cast("string")).alias("node")
+    )
+    out = landmark_stress(edges, lms, rounds=2)
+    return out.filter(F.col("stress") > 0)
+
+
+STRESS_CENTRALITY_SQL = """
+WITH raw AS (
+  SELECT 'c' || CAST(c_custkey AS VARCHAR) AS src,
+         'n' || CAST(c_nationkey AS VARCHAR) AS dst FROM customer
+  UNION ALL
+  SELECT 's' || CAST(s_suppkey AS VARCHAR),
+         'n' || CAST(s_nationkey AS VARCHAR) FROM supplier
+  UNION ALL
+  SELECT 'n' || CAST(n_nationkey AS VARCHAR),
+         'r' || CAST(n_regionkey AS VARCHAR) FROM nation
+),
+e0 AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM raw UNION ALL SELECT dst, src FROM raw
+  ) WHERE src <> dst
+),
+s0 AS (
+  SELECT 'r' || CAST(r_regionkey AS VARCHAR) AS lm,
+         'r' || CAST(r_regionkey AS VARCHAR) AS node,
+         0 AS dist, CAST(1 AS BIGINT) AS sigma
+  FROM region
+),
+f1 AS (
+  SELECT s.lm, e.dst AS node, 1 AS dist,
+         CAST(sum(s.sigma) AS BIGINT) AS sigma
+  FROM s0 s JOIN e0 e ON e.src = s.node
+  WHERE NOT EXISTS (
+    SELECT 1 FROM s0 p WHERE p.lm = s.lm AND p.node = e.dst)
+  GROUP BY s.lm, e.dst
+),
+f2 AS (
+  SELECT f.lm, e.dst AS node, 2 AS dist,
+         CAST(sum(f.sigma) AS BIGINT) AS sigma
+  FROM f1 f JOIN e0 e ON e.src = f.node
+  WHERE NOT EXISTS (
+    SELECT 1 FROM s0 p WHERE p.lm = f.lm AND p.node = e.dst)
+    AND NOT EXISTS (
+    SELECT 1 FROM f1 p WHERE p.lm = f.lm AND p.node = e.dst)
+  GROUP BY f.lm, e.dst
+),
+settled AS (
+  SELECT * FROM s0 UNION ALL SELECT * FROM f1 UNION ALL SELECT * FROM f2
+),
+succ AS (
+  SELECT a.lm, a.node AS src, b.node AS dst, a.dist AS dv
+  FROM settled a
+  JOIN e0 e ON e.src = a.node
+  JOIN settled b ON b.lm = a.lm AND b.node = e.dst
+  WHERE b.dist = a.dist + 1
+),
+chi2 AS (
+  SELECT lm, node, CAST(0 AS BIGINT) AS chi FROM settled WHERE dist = 2
+),
+chi1 AS (
+  SELECT l.lm, l.node,
+         CAST(coalesce(sum(c.chi + 1), 0) AS BIGINT) AS chi
+  FROM (SELECT lm, node FROM settled WHERE dist = 1) l
+  LEFT JOIN succ s ON s.lm = l.lm AND s.src = l.node AND s.dv = 1
+  LEFT JOIN chi2 c ON c.lm = s.lm AND c.node = s.dst
+  GROUP BY l.lm, l.node
+),
+chi0 AS (
+  SELECT l.lm, l.node,
+         CAST(coalesce(sum(c.chi + 1), 0) AS BIGINT) AS chi
+  FROM (SELECT lm, node FROM settled WHERE dist = 0) l
+  LEFT JOIN succ s ON s.lm = l.lm AND s.src = l.node AND s.dv = 0
+  LEFT JOIN chi1 c ON c.lm = s.lm AND c.node = s.dst
+  GROUP BY l.lm, l.node
+),
+acc AS (
+  SELECT * FROM chi2 UNION ALL SELECT * FROM chi1 UNION ALL SELECT * FROM chi0
+)
+SELECT st.node,
+       CAST(min(st.dist) AS BIGINT) AS dist,
+       CAST(sum(st.sigma) AS BIGINT) AS sigma,
+       CAST(sum(a.chi) AS BIGINT) AS chi,
+       CAST(sum(st.sigma * a.chi) AS BIGINT) AS stress
+FROM settled st JOIN acc a ON a.lm = st.lm AND a.node = st.node
+GROUP BY st.node
+HAVING sum(st.sigma * a.chi) > 0
+"""
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -13936,6 +14060,7 @@ QUERIES = {
     "seasonal_anomalies": q_seasonal_anomalies,
     "persistent_users": q_persistent_users,
     "pass_at_k": q_pass_at_k,
+    "stress_centrality": q_stress_centrality,
 }
 
 ORACLE_SQL = {
@@ -13983,6 +14108,7 @@ ORACLE_SQL = {
     "seasonal_anomalies": SEASONAL_ANOMALIES_SQL,
     "persistent_users": PERSISTENT_USERS_SQL,
     "pass_at_k": PASS_AT_K_SQL,
+    "stress_centrality": STRESS_CENTRALITY_SQL,
     "type_drift": TYPE_DRIFT_SQL,
     "coburst_xcorr": COBURST_XCORR_SQL,
     "validate_rules": VALIDATE_RULES_SQL,

@@ -2131,3 +2131,112 @@ def rich_club(
             ).alias("phi_x1e6"),
         )
     )
+
+
+def landmark_stress(
+    edges: DataFrame,
+    sources: DataFrame,
+    rounds: int = 2,
+) -> DataFrame:
+    """Landmark stress centrality (Shimbel 1953; landmark restriction per
+    Brandes & Pich 2007): how many shortest paths from the landmark set
+    pass THROUGH each node — the load-bearing-node readout beside
+    harmonic closeness (how near) and PageRank (how endorsed).
+    Betweenness proper divides by sigma_st and leaves the integers;
+    stress keeps the raw path counts, so the whole two-pass Brandes
+    machinery stays EXACT-integer and oracle-replayable:
+
+      forward  (r rounds): BFS levels with path multiplicities
+                sigma(v) = SUM over predecessors' sigma,
+      backward (r rounds): chi(v) = SUM over DAG successors (chi(w) + 1)
+                = number of shortest-path ENDPOINTS beyond v,
+      stress(v) = sigma(v) * chi(v), summed over landmarks.
+
+    Landmarks run SIMULTANEOUSLY (the landmark id is part of every key),
+    so the round count does not multiply by |landmarks|. Per forward
+    round: frontier join + anti-join against visited + combinable sigma
+    sum; per backward round: one join of the next level's chi onto the
+    DAG successor relation (built once from the settled level table).
+    Everything checkpointed per round — the CC/PageRank iterative
+    family. Truncation at ``rounds`` is the documented landmark-BFS
+    contract (bfs_distances): paths longer than r are not counted.
+
+    ``sources``: (node) landmarks. Returns (node, dist, sigma, chi,
+    stress) aggregated over landmarks (dist = min over landmarks).
+    """
+    und = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+    sym = (
+        und.unionByName(
+            und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    settled = sources.select(
+        F.col("node").alias("lm"),
+        F.col("node"),
+        F.lit(0).cast("int").alias("dist"),
+        F.lit(1).cast("long").alias("sigma"),
+    ).localCheckpoint(eager=True)
+    frontier = settled
+    for t in range(1, rounds + 1):
+        nxt = (
+            frontier.join(sym, frontier["node"] == sym["src"])
+            .groupBy("lm", "dst")
+            .agg(F.sum("sigma").alias("sigma"))
+            .join(
+                settled.select("lm", F.col("node").alias("dst")),
+                ["lm", "dst"],
+                "left_anti",
+            )
+            .select(
+                "lm",
+                F.col("dst").alias("node"),
+                F.lit(t).cast("int").alias("dist"),
+                "sigma",
+            )
+            .localCheckpoint(eager=True)
+        )
+        settled = settled.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    # DAG successor relation: settled v -> settled w, edge v->w, dist+1
+    a = settled.select("lm", F.col("node").alias("src"), F.col("dist").alias("dv"))
+    b = settled.select(
+        "lm", F.col("node").alias("dst"), F.col("dist").alias("dw"),
+        F.col("sigma").alias("sw"),
+    )
+    succ = (
+        a.join(sym, "src")
+        .join(b, ["lm", "dst"])
+        .filter(F.col("dw") == F.col("dv") + 1)
+        .select("lm", "src", "dst", "dv", "dw")
+        .localCheckpoint(eager=True)
+    )
+    # backward chi accumulation, deepest level first
+    chi = settled.filter(F.col("dist") == rounds).select(
+        "lm", "node", F.lit(0).cast("long").alias("chi")
+    )
+    acc = chi
+    for d in range(rounds - 1, -1, -1):
+        level = settled.filter(F.col("dist") == d).select("lm", "node")
+        contrib = (
+            succ.filter(F.col("dv") == d)
+            .join(
+                acc.select("lm", F.col("node").alias("dst"), "chi"),
+                ["lm", "dst"],
+            )
+            .groupBy("lm", "src")
+            .agg(F.sum(F.col("chi") + F.lit(1)).alias("chi"))
+            .select("lm", F.col("src").alias("node"), "chi")
+        )
+        lvl_chi = level.join(contrib, ["lm", "node"], "left").select(
+            "lm", "node", F.coalesce("chi", F.lit(0)).cast("long").alias("chi")
+        ).localCheckpoint(eager=True)
+        acc = acc.unionByName(lvl_chi)
+    out = settled.join(acc, ["lm", "node"])
+    return out.groupBy("node").agg(
+        F.min("dist").cast("long").alias("dist"),
+        F.sum("sigma").cast("long").alias("sigma"),
+        F.sum("chi").cast("long").alias("chi"),
+        F.sum(F.col("sigma") * F.col("chi")).cast("long").alias("stress"),
+    )

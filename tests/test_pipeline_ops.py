@@ -4380,3 +4380,31 @@ def test_pass_at_k_matches_exact_combinatorics(spark):
         else:
             exact = 1000000 - comb(n - c, 5) * 1000000 // comb(n, 5)
             assert abs(r.passk_x1e6 - exact) <= 5, (t, r.passk_x1e6, exact)
+
+
+def test_landmark_stress_path_and_star(spark):
+    """Path a-b-c from landmark a: sigma all 1; chi(b)=1 (endpoint c
+    beyond it), chi(a)=2; stress(b) = 1 — the one a->c path runs through
+    b. Star center from two leaf landmarks: each landmark's BFS puts the
+    center at dist 1 with chi = #other leaves; stress(center) = 2*(k-1)
+    for k=3 leaves -> 4."""
+    from chronographer_spark.operators.graph_algos import landmark_stress
+
+    path = spark.createDataFrame([("a", "b"), ("b", "c")], ["src", "dst"])
+    lm = spark.createDataFrame([("a",)], ["node"])
+    out = {r.node: (r.dist, r.sigma, r.chi, r.stress)
+           for r in landmark_stress(path, lm, rounds=2).collect()}
+    assert out["a"] == (0, 1, 2, 2)
+    assert out["b"] == (1, 1, 1, 1)
+    assert out["c"] == (2, 1, 0, 0)
+
+    star = spark.createDataFrame(
+        [("hub", "l1"), ("hub", "l2"), ("hub", "l3")], ["src", "dst"]
+    )
+    lms = spark.createDataFrame([("l1",), ("l2",)], ["node"])
+    out = {r.node: (r.dist, r.sigma, r.chi, r.stress)
+           for r in landmark_stress(star, lms, rounds=2).collect()}
+    # per landmark: hub at dist 1 (sigma 1, chi = 2 other leaves)
+    assert out["hub"] == (1, 2, 4, 4)
+    # l1 seen from l2's BFS at dist 2 (chi 0) and as its own landmark
+    assert out["l1"][3] == out["l1"][1] * 0 + 3  # own-landmark chi=3 paths
