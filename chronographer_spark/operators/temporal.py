@@ -1254,6 +1254,16 @@ def ks_two_sample(
     cnt = tagged.groupBy("v").agg(
         F.sum("_ia").alias("ca"), F.sum("_ib").alias("cb")
     )
+    return ks_from_counts(cnt, n_parts=n_parts)
+
+
+def ks_from_counts(cnt: DataFrame, n_parts: int = 32) -> DataFrame:
+    """KS statistic from a pre-collapsed (v, ca, cb) count table — the
+    core `ks_two_sample` delegates to, exposed so MERGEABLE count
+    fragments (the streaming drift monitor's accumulated state, a
+    reference histogram) can be compared without re-expanding rows. Same
+    two-phase prefix sum, same exact-integer contract, same one-row
+    (n_a, n_b, d_num, ks_x1e6, at_value) output."""
     parted = cnt.repartitionByRange(n_parts, "v").withColumn(
         "_part", F.spark_partition_id()
     )

@@ -228,3 +228,90 @@ def start_cusum_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental distribution-drift monitor: cumulative exact KS vs a frozen
+# reference, maintained as mergeable per-batch count fragments.
+# ---------------------------------------------------------------------------
+
+
+def read_ks_drift(
+    spark: SparkSession,
+    frag_dir: str,
+    reference: DataFrame,
+    n_parts: int = 32,
+) -> DataFrame:
+    """Exact KS between everything streamed so far and a frozen reference
+    count table (v, n). The accumulated side is the fragment sum — counts
+    are mergeable, so the statistic equals the batch `ks_two_sample` over
+    the full delivered corpus in ANY batch split (parity-tested)."""
+    from ..operators.temporal import ks_from_counts
+
+    acc = (
+        spark.read.parquet(frag_dir)
+        .groupBy("v")
+        .agg(F.sum("n").alias("ca"))
+    )
+    ref = reference.select(
+        F.col("v").cast("long").alias("v"), F.col("n").cast("long").alias("cb")
+    )
+    cnt = (
+        acc.join(ref, "v", "full_outer")
+        .select(
+            "v",
+            F.coalesce("ca", F.lit(0)).cast("long").alias("ca"),
+            F.coalesce("cb", F.lit(0)).cast("long").alias("cb"),
+        )
+    )
+    return ks_from_counts(cnt, n_parts=n_parts)
+
+
+def start_incremental_ks_stream(
+    spark: SparkSession,
+    input_dir: str,
+    frag_dir: str,
+    checkpoint_dir: str,
+    value_expr,
+    schema,
+    available_now: bool = True,
+):
+    """events/documents parquet dir -> per-batch (v, n) count fragments
+    under `frag_dir/frag=<batch_id>` — the state a live drift monitor
+    accumulates. Crash-safety is the sketch-fragment mechanism
+    (streaming/sketches.py): DYNAMIC PARTITION OVERWRITE on
+    frag=batch_id makes a replayed micro-batch overwrite its own
+    fragment with identical content instead of double-counting; counts
+    are mergeable, so compaction/merging is a groupBy-sum away, and
+    `read_ks_drift` is exact at any point. ``value_expr`` maps a row to
+    the INTEGER drift value (pre-scale floats per the ks_two_sample
+    contract)."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        frag = (
+            batch_df.select(value_expr.cast("long").alias("v"))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("frag", F.lit(int(batch_id)))
+        )
+        (
+            frag.coalesce(1)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("frag")
+            .parquet(frag_dir)
+        )
+
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

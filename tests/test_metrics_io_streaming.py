@@ -1000,3 +1000,60 @@ def test_partition_checksums_integrity(spark):
     c = {r["partition"]: (r["n_rows"], r["checksum"])
          for r in partition_checksums(mutated, "part").collect()}
     assert c["p2"] == a["p2"] and c["p1"] != a["p1"]
+
+
+def test_incremental_ks_stream_matches_batch(spark, tmp_path):
+    """Cumulative KS from streamed count fragments equals the batch
+    statistic over the full corpus vs the same reference, regardless of
+    the file/batch split; fragments are per-batch partitions."""
+    from chronographer_spark.operators.temporal import ks_from_counts
+    from chronographer_spark.streaming.drift import (
+        read_ks_drift,
+        start_incremental_ks_stream,
+    )
+
+    src = str(tmp_path / "src")
+    rows = [(i, float(i % 40)) for i in range(600)]
+    df = spark.createDataFrame(rows, "event_id long, value double")
+    # three separate files -> three micro-batches (maxFilesPerTrigger=1)
+    for part in range(3):
+        df.filter(F.col("event_id") % 3 == part).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    reference = spark.createDataFrame(
+        [(v, 10) for v in range(25, 65)], "v long, n long"
+    )
+    frag_dir = str(tmp_path / "frags")
+    q = start_incremental_ks_stream(
+        spark,
+        src,
+        frag_dir,
+        str(tmp_path / "ckpt"),
+        value_expr=F.col("value"),
+        schema="event_id long, value double",
+    )
+    q.awaitTermination(120)
+
+    got = read_ks_drift(spark, frag_dir, reference, n_parts=4).first()
+
+    full = df.select(F.col("value").cast("long").alias("v")).groupBy("v").agg(
+        F.count(F.lit(1)).alias("ca")
+    )
+    cnt = (
+        full.join(reference.select("v", F.col("n").alias("cb")), "v", "full_outer")
+        .select(
+            "v",
+            F.coalesce("ca", F.lit(0)).cast("long").alias("ca"),
+            F.coalesce("cb", F.lit(0)).cast("long").alias("cb"),
+        )
+    )
+    exp = ks_from_counts(cnt, n_parts=4).first()
+    assert (got.n_a, got.n_b, got.d_num, got.ks_x1e6, got.at_value) == (
+        exp.n_a, exp.n_b, exp.d_num, exp.ks_x1e6, exp.at_value,
+    )
+    assert got.n_a == 600 and got.d_num > 0
+    # three fragment partitions landed
+    import glob as _g
+
+    assert len(_g.glob(f"{frag_dir}/frag=*")) == 3
