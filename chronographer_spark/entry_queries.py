@@ -13797,6 +13797,63 @@ HAVING sum(st.sigma * a.chi) > 0
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: Theil-Sen robust daily trend per event type
+# ---------------------------------------------------------------------------
+
+
+def q_theilsen_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen slope of daily counts per type with a linear ramp
+    injected on 'click' (one extra copy of each click per day-index
+    step is approximated by doubling the last third of days) — the
+    spiked key reads a positive slope, the stationary keys hover near
+    zero; magnitude beside mk_trend's sign."""
+    from .operators.temporal import theilsen_trend
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts")
+    ramp = ev.filter(
+        (F.col("event_type") == "click")
+        & (F.col("ts") >= F.lit("2024-01-21").cast("timestamp"))
+    )
+    return theilsen_trend(ev.unionAll(ramp), "event_type", "ts", "day")
+
+
+THEILSEN_TYPES_SQL = """
+WITH ev AS (
+  SELECT event_type, ts FROM events
+  UNION ALL
+  SELECT event_type, ts FROM events
+  WHERE event_type = 'click' AND ts >= TIMESTAMP '2024-01-21'
+),
+cnt AS (
+  SELECT event_type,
+         CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) // 86400 AS t,
+         CAST(count(*) AS BIGINT) AS n
+  FROM ev GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.event_type,
+         (b.n - a.n) * CAST(1000000 AS BIGINT) // (b.t - a.t) AS slope
+  FROM cnt a JOIN cnt b
+    ON a.event_type = b.event_type AND a.t < b.t
+),
+stats AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_buckets
+  FROM cnt GROUP BY event_type
+),
+med AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(median(slope) * 2 AS BIGINT) AS slope2_x1e6
+  FROM pairs GROUP BY event_type
+)
+SELECT s.event_type, s.n_buckets,
+       coalesce(m.n_pairs, 0) AS n_pairs,
+       coalesce(m.slope2_x1e6, 0) AS slope2_x1e6
+FROM stats s LEFT JOIN med m ON m.event_type = s.event_type
+"""
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -14061,6 +14118,7 @@ QUERIES = {
     "persistent_users": q_persistent_users,
     "pass_at_k": q_pass_at_k,
     "stress_centrality": q_stress_centrality,
+    "theilsen_types": q_theilsen_types,
 }
 
 ORACLE_SQL = {
@@ -14109,6 +14167,7 @@ ORACLE_SQL = {
     "persistent_users": PERSISTENT_USERS_SQL,
     "pass_at_k": PASS_AT_K_SQL,
     "stress_centrality": STRESS_CENTRALITY_SQL,
+    "theilsen_types": THEILSEN_TYPES_SQL,
     "type_drift": TYPE_DRIFT_SQL,
     "coburst_xcorr": COBURST_XCORR_SQL,
     "validate_rules": VALIDATE_RULES_SQL,

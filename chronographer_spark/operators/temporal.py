@@ -1533,3 +1533,77 @@ def seasonal_anomaly_report(
             .alias("n_anom"),
         )
     )
+
+
+def theilsen_trend(
+    df: DataFrame,
+    key: str = "event_type",
+    ts_col: str = "ts",
+    bucket: str = "day",
+    scale: int = 1000000,
+) -> DataFrame:
+    """Theil-Sen robust trend slope per key (Theil 1950, Sen 1968): the
+    median over all bucket pairs of (count_j − count_i)/(t_j − t_i) —
+    the MAGNITUDE companion to `mk_trend` (which only signs the trend),
+    with the same 29%-contamination breakdown point that makes it the
+    right slope for bursty count series (OLS chases every spike).
+
+    Exact cross-engine discipline: each pair's slope is the scaled
+    integer quotient dy·scale DIV dx (both engines truncate DIV
+    identically — CLAUDE.md sign caveat: truncation toward zero on
+    either sign), and the median over slopes uses the DOUBLED-median
+    trick (med2 = 2·median is always an exact integer for integer
+    inputs). Slope units: counts per bucket, x`scale`.
+
+    Shape: the pair fan runs on the COLLAPSED (key, bucket) count table
+    — C(n_buckets, 2) rows per key, bounded by the calendar, never by
+    corpus size; one combinable count + one self-join + one median agg.
+
+    Returns (key, n_buckets, n_pairs, slope2_x1e6).
+    """
+    bucket_s = {"day": 86400, "hour": 3600, "minute": 60}[bucket]
+    counts = (
+        df.groupBy(
+            F.col(key), F.date_trunc(bucket, F.col(ts_col)).alias("_b")
+        )
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            key,
+            # bucket index, not epoch seconds: slopes come out in
+            # counts-per-BUCKET x scale, the unit a human reads
+            F.expr(
+                f"CAST(unix_timestamp(_b) AS BIGINT) DIV {bucket_s}"
+            ).alias("_t"),
+            "_n",
+        )
+        .localCheckpoint(eager=True)  # both join sides + stats share it
+    )
+    a = counts.select(
+        F.col(key), F.col("_t").alias("ta"), F.col("_n").alias("na")
+    )
+    b = counts.select(
+        F.col(key), F.col("_t").alias("tb"), F.col("_n").alias("nb")
+    )
+    pairs = (
+        a.join(b, key)
+        .filter(F.col("ta") < F.col("tb"))
+        .select(
+            key,
+            F.expr(
+                f"(nb - na) * CAST({scale} AS BIGINT) DIV (tb - ta)"
+            ).alias("_slope"),
+        )
+    )
+    stats = counts.groupBy(key).agg(F.count(F.lit(1)).alias("n_buckets"))
+    out = pairs.groupBy(key).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.expr("CAST(percentile(_slope, 0.5) * 2 AS BIGINT)").alias(
+            "slope2_x1e6"
+        ),
+    )
+    return stats.join(out, key, "left").select(
+        key,
+        F.col("n_buckets").cast("long").alias("n_buckets"),
+        F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+        F.coalesce("slope2_x1e6", F.lit(0)).cast("long").alias("slope2_x1e6"),
+    )

@@ -4408,3 +4408,28 @@ def test_landmark_stress_path_and_star(spark):
     assert out["hub"] == (1, 2, 4, 4)
     # l1 seen from l2's BFS at dist 2 (chi 0) and as its own landmark
     assert out["l1"][3] == out["l1"][1] * 0 + 3  # own-landmark chi=3 paths
+
+
+def test_theilsen_trend_exact_slopes(spark):
+    """Perfect ramp 1,2,3,4 per day -> every pairwise slope is exactly
+    1e6, slope2 = 2e6; a flat key reads 0; an outlier day in an
+    otherwise-flat series leaves the median slope at 0 (robustness)."""
+    import datetime as dt
+
+    from chronographer_spark.operators.temporal import theilsen_trend
+
+    rows = []
+    for d in range(4):
+        ts = dt.datetime(2024, 1, 1 + d, 8)
+        rows += [("ramp", ts)] * (d + 1)
+        rows += [("flat", ts)] * 3
+        rows += [("spiky", ts)] * (20 if d == 2 else 2)
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    out = {
+        r.event_type: (r.n_buckets, r.n_pairs, r.slope2_x1e6)
+        for r in theilsen_trend(df).collect()
+    }
+    assert out["ramp"] == (4, 6, 2000000)
+    assert out["flat"] == (4, 6, 0)
+    # spiky: slopes {+18/1,+18/2,-18/1,-18/2,0,0} -> median 0
+    assert out["spiky"][2] == 0
