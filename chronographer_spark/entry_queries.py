@@ -13854,6 +13854,77 @@ FROM stats s LEFT JOIN med m ON m.event_type = s.event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: funnel conversion + latency report (signup -> click -> purchase)
+# ---------------------------------------------------------------------------
+
+
+def q_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Step-level conversion funnel with exact median step latencies over
+    the funnel_3step pattern — the dashboard readout derived from the
+    same matcher the CEP gate verifies."""
+    from .operators.sequence import funnel_report
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_report(
+        ev,
+        ["signup", "click", "purchase"],
+        on=["user_id"],
+        within_seconds=604800,
+    )
+
+
+FUNNEL_REPORT_SQL = """
+WITH b AS (
+  SELECT user_id, event_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s
+  FROM events
+),
+s0 AS (
+  SELECT user_id, event_id AS id_0, s AS s_0 FROM b
+  WHERE event_type = 'signup'
+),
+m1 AS (
+  SELECT s0.user_id, s0.id_0, s0.s_0, b.event_id AS id_1, b.s AS s_1
+  FROM s0 JOIN b ON b.user_id = s0.user_id AND b.event_type = 'click'
+   AND b.s > s0.s_0 AND b.s <= s0.s_0 + 604800
+  QUALIFY row_number() OVER (PARTITION BY s0.user_id, s0.id_0
+                             ORDER BY b.s ASC, b.event_id ASC) = 1
+),
+m2 AS (
+  SELECT m1.user_id, m1.id_0, m1.s_0, m1.id_1, m1.s_1,
+         b.event_id AS id_2, b.s AS s_2
+  FROM m1 JOIN b ON b.user_id = m1.user_id AND b.event_type = 'purchase'
+   AND b.s > m1.s_1 AND b.s <= m1.s_0 + 604800
+  QUALIFY row_number() OVER (PARTITION BY m1.user_id, m1.id_0, m1.id_1
+                             ORDER BY b.s ASC, b.event_id ASC) = 1
+),
+c0 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s0),
+c1 AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(coalesce(median(s_1 - s_0) * 2, 0) AS BIGINT) AS med2
+  FROM m1
+),
+c2 AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(coalesce(median(s_2 - s_0) * 2, 0) AS BIGINT) AS med2
+  FROM m2
+)
+SELECT CAST(0 AS BIGINT) AS step_idx, 'signup' AS step, c0.n AS n_matched,
+       CAST(1000000 AS BIGINT) AS conv_from_prev_x1e6,
+       CAST(0 AS BIGINT) AS med2_from_anchor_s
+FROM c0
+UNION ALL
+SELECT 1, 'click', c1.n,
+       CAST(c1.n * 1000000 // greatest(c0.n, 1) AS BIGINT), c1.med2
+FROM c0, c1
+UNION ALL
+SELECT 2, 'purchase', c2.n,
+       CAST(c2.n * 1000000 // greatest(c1.n, 1) AS BIGINT), c2.med2
+FROM c1, c2
+"""
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -14119,6 +14190,7 @@ QUERIES = {
     "pass_at_k": q_pass_at_k,
     "stress_centrality": q_stress_centrality,
     "theilsen_types": q_theilsen_types,
+    "funnel_report": q_funnel_report,
 }
 
 ORACLE_SQL = {
@@ -14168,6 +14240,7 @@ ORACLE_SQL = {
     "pass_at_k": PASS_AT_K_SQL,
     "stress_centrality": STRESS_CENTRALITY_SQL,
     "theilsen_types": THEILSEN_TYPES_SQL,
+    "funnel_report": FUNNEL_REPORT_SQL,
     "type_drift": TYPE_DRIFT_SQL,
     "coburst_xcorr": COBURST_XCORR_SQL,
     "validate_rules": VALIDATE_RULES_SQL,

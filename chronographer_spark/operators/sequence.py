@@ -235,3 +235,65 @@ def temporal_motifs(
     return trip.groupBy("t0", "t1", "t2").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
+
+
+def funnel_report(
+    events: DataFrame,
+    steps: Sequence[str],
+    on: Sequence[str] = ("user_id",),
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    within_seconds: int | None = None,
+) -> DataFrame:
+    """Conversion-funnel analytics over `match_sequence`: per step, how
+    many anchors survive this far (skip-till-next semantics: one funnel
+    instance per step-0 event) and the exact MEDIAN seconds from the
+    previous step — the step-level report a product/agent dashboard
+    shows, derived from the same matcher the CEP gate verifies.
+
+    Step 0's count is the anchor population (every step-0 event); step
+    L's count is completed L-step prefixes. Conversion is the exact
+    integer share vs the PREVIOUS step; the latency column is the median
+    seconds FROM THE ANCHOR to this step (the cumulative time-to-reach
+    curve — monotone by construction), doubled-median exact
+    (robust_outlier_report trick). Prefix matches run the matcher per
+    prefix length — k−1 passes over the type-filtered base, each the
+    documented match_sequence join shape; fine for dashboard-sized k.
+
+    Returns (step_idx, step, n_matched, conv_from_prev_x1e6,
+    med2_from_anchor_s).
+    """
+    if len(steps) < 2:
+        raise ValueError("need at least two steps")
+    spark = events.sparkSession
+    anchors = events.filter(F.col(type_col) == steps[0]).count()
+    rows = [(0, steps[0], int(anchors), 1000000, 0)]
+    prev = anchors
+    for length in range(2, len(steps) + 1):
+        m = match_sequence(
+            events,
+            steps[:length],
+            on=on,
+            type_col=type_col,
+            ts_col=ts_col,
+            id_col=id_col,
+            within_seconds=within_seconds,
+        )
+        i = length - 1
+        agg = m.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(
+                "CAST(percentile(span_seconds, 0.5) * 2 AS BIGINT)"
+            ).alias("med2"),
+        ).first()
+        n = int(agg["n"] or 0)
+        med2 = int(agg["med2"]) if agg["med2"] is not None else 0
+        conv = n * 1000000 // prev if prev > 0 else 0
+        rows.append((i, steps[i], n, int(conv), med2))
+        prev = n
+    return spark.createDataFrame(
+        rows,
+        "step_idx long, step string, n_matched long, "
+        "conv_from_prev_x1e6 long, med2_from_anchor_s long",
+    )

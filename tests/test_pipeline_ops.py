@@ -4433,3 +4433,35 @@ def test_theilsen_trend_exact_slopes(spark):
     assert out["flat"] == (4, 6, 0)
     # spiky: slopes {+18/1,+18/2,-18/1,-18/2,0,0} -> median 0
     assert out["spiky"][2] == 0
+
+
+def test_funnel_report_conversions_and_medians(spark):
+    """3 signups; 2 reach click (conv 666666); 1 reaches purchase
+    (conv 500000); medians-from-anchor are exact doubled integers."""
+    import datetime as dt
+
+    from chronographer_spark.operators.sequence import funnel_report
+
+    t0 = dt.datetime(2024, 1, 1, 12)
+
+    def ev(i, u, typ, sec):
+        return (i, u, typ, t0 + dt.timedelta(seconds=sec))
+
+    rows = [
+        ev(1, 1, "signup", 0), ev(2, 1, "click", 10), ev(3, 1, "purchase", 30),
+        ev(4, 2, "signup", 0), ev(5, 2, "click", 20),
+        ev(6, 3, "signup", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    out = {
+        r.step_idx: (r.step, r.n_matched, r.conv_from_prev_x1e6,
+                     r.med2_from_anchor_s)
+        for r in funnel_report(
+            df, ["signup", "click", "purchase"], within_seconds=3600
+        ).collect()
+    }
+    assert out[0] == ("signup", 3, 1000000, 0)
+    assert out[1] == ("click", 2, 666666, 30)   # median(10, 20) = 15 -> 30
+    assert out[2] == ("purchase", 1, 500000, 60)
