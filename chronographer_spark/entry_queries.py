@@ -13925,6 +13925,44 @@ FROM c1, c2
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: exact global quantiles of scaled event values
+# ---------------------------------------------------------------------------
+
+
+def q_global_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99/p999 of the x100-scaled value column via
+    distributed rank selection — the 100TB-correct global quantile
+    (no global sort, no percentile_approx error bars)."""
+    from .operators.temporal import exact_quantiles
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v")
+    )
+    return exact_quantiles(ev, "v", ps_x100=(50, 90, 99))
+
+
+GLOBAL_QUANTILES_SQL = """
+WITH q AS (
+  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v FROM events
+),
+cnt AS (SELECT v, CAST(count(*) AS BIGINT) AS n FROM q GROUP BY v),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM cnt),
+cum AS (
+  SELECT v, CAST(sum(n) OVER (ORDER BY v) AS BIGINT) AS cum FROM cnt
+),
+ks AS (
+  SELECT CAST(p AS BIGINT) AS p_x100,
+         greatest((p * t.nt + 99) // 100, 1) AS k_rank
+  FROM (VALUES (50), (90), (99)) AS ps(p), tot t
+)
+SELECT k.p_x100, CAST(k.k_rank AS BIGINT) AS k_rank,
+       CAST(min(c.v) AS BIGINT) AS value
+FROM cum c JOIN ks k ON c.cum >= k.k_rank
+GROUP BY k.p_x100, k.k_rank
+"""
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -14191,6 +14229,7 @@ QUERIES = {
     "stress_centrality": q_stress_centrality,
     "theilsen_types": q_theilsen_types,
     "funnel_report": q_funnel_report,
+    "global_quantiles": q_global_quantiles,
 }
 
 ORACLE_SQL = {
@@ -14241,6 +14280,7 @@ ORACLE_SQL = {
     "stress_centrality": STRESS_CENTRALITY_SQL,
     "theilsen_types": THEILSEN_TYPES_SQL,
     "funnel_report": FUNNEL_REPORT_SQL,
+    "global_quantiles": GLOBAL_QUANTILES_SQL,
     "type_drift": TYPE_DRIFT_SQL,
     "coburst_xcorr": COBURST_XCORR_SQL,
     "validate_rules": VALIDATE_RULES_SQL,

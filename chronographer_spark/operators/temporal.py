@@ -1607,3 +1607,58 @@ def theilsen_trend(
         F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
         F.coalesce("slope2_x1e6", F.lit(0)).cast("long").alias("slope2_x1e6"),
     )
+
+
+def exact_quantiles(
+    df: DataFrame,
+    value_col: str = "v",
+    ps_x100=(50, 90, 99),
+    n_parts: int = 32,
+) -> DataFrame:
+    """EXACT global quantiles of an integer column without a global sort
+    and without approximation — the scale answer to percentile():
+    percentile() sorts (single-partition at the global level),
+    percentile_approx() gives error bounds; rank selection over the
+    COLLAPSED per-value count table gives the exact lower-quantile order
+    statistic with one combinable count + the two-phase prefix sum
+    (`ks_from_counts` machinery) + one map-only fan over the requested
+    quantiles. The q-th quantile is the k = ceil(q·n)-th smallest value
+    (type-1 / lower quantile — both engines replay this definition
+    exactly; interpolating definitions are floats by nature).
+
+    Returns (p_x100, k_rank, value) — one row per requested quantile.
+    """
+    c = df.select(F.col(value_col).cast("long").alias("v"))
+    cnt = c.groupBy("v").agg(F.count(F.lit(1)).alias("n"))
+    parted = cnt.repartitionByRange(n_parts, "v").withColumn(
+        "_part", F.spark_partition_id()
+    )
+    local_w = (
+        Window.partitionBy("_part")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = parted.withColumn("_lc", F.sum("n").over(local_w)).localCheckpoint(
+        eager=True
+    )
+    totals = sorted(
+        (r["_part"], r["t"] or 0)
+        for r in local.groupBy("_part").agg(F.sum("n").alias("t")).collect()
+    )
+    offs, acc = [], 0
+    for pid, t in totals:
+        offs.append((int(pid), acc))
+        acc += t
+    n_total = acc
+    off_df = local.sparkSession.createDataFrame(offs, "_part int, _off long")
+    cum = local.join(F.broadcast(off_df), "_part").select(
+        "v", (F.col("_off") + F.col("_lc")).alias("cum")
+    )
+    ks = [(int(p), max((int(p) * n_total + 99) // 100, 1)) for p in ps_x100]
+    k_df = local.sparkSession.createDataFrame(ks, "p_x100 long, k_rank long")
+    return (
+        cum.crossJoin(F.broadcast(k_df))
+        .filter(F.col("cum") >= F.col("k_rank"))
+        .groupBy("p_x100", "k_rank")
+        .agg(F.min("v").alias("value"))
+    )

@@ -1181,3 +1181,25 @@ def test_wasserstein_identical_is_zero_and_shift_prices(spark):
     shifted = spark.createDataFrame([(v + 7,) for v in [3, 5, 5, 9]], "v long")
     row = wasserstein_two_sample(d, shifted, "v").first()
     assert row.w1_x1e6 == 7000000  # a pure +7 shift costs exactly 7
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    xs=st.lists(st.integers(min_value=-100, max_value=100), min_size=1, max_size=60),
+)
+def test_exact_quantiles_match_sorted_order_statistics(spark, xs):
+    """Every requested quantile equals the ceil(p·n)-th smallest element
+    of the sorted list (type-1 lower quantile), ties included, across
+    partition boundaries (n_parts=4)."""
+    from chronographer_spark.operators.temporal import exact_quantiles
+
+    df = spark.createDataFrame([(v,) for v in xs], "v long").repartition(3)
+    out = {
+        r.p_x100: (r.k_rank, r.value)
+        for r in exact_quantiles(df, "v", ps_x100=(1, 50, 90, 100), n_parts=4).collect()
+    }
+    s = sorted(xs)
+    n = len(xs)
+    for p in (1, 50, 90, 100):
+        k = max((p * n + 99) // 100, 1)
+        assert out[p] == (k, s[k - 1]), (p, out[p], s)
