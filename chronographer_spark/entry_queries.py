@@ -13963,6 +13963,52 @@ GROUP BY k.p_x100, k.k_rank
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: Bowley quartile skewness per event type
+# ---------------------------------------------------------------------------
+
+
+def q_bowley_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust tail-asymmetry per type with a right tail injected on
+    'click' (values re-appended at 3x): the spiked key reads positive
+    Bowley skew, the symmetric keys hover near 0."""
+    from .operators.temporal import bowley_skew
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    tail = ev.filter(F.col("event_type") == "click").select(
+        "event_type", (F.col("value") * 3).alias("value")
+    )
+    return bowley_skew(ev.unionAll(tail), "event_type", "value", scale=100)
+
+
+BOWLEY_TYPES_SQL = """
+WITH ev AS (
+  SELECT event_type, value FROM events
+  UNION ALL
+  SELECT event_type, value * 3 FROM events WHERE event_type = 'click'
+),
+q AS (
+  SELECT event_type,
+         CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT) AS v
+  FROM ev
+),
+per AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(quantile_cont(v, 0.25) * 4 AS BIGINT) AS q1_4,
+         CAST(quantile_cont(v, 0.5) * 4 AS BIGINT) AS q2_4,
+         CAST(quantile_cont(v, 0.75) * 4 AS BIGINT) AS q3_4
+  FROM q GROUP BY event_type
+)
+SELECT event_type, n, q1_4, q2_4, q3_4,
+       CAST(CASE WHEN q3_4 = q1_4 THEN 0
+            ELSE (CASE WHEN q3_4 + q1_4 - 2 * q2_4 < 0 THEN -1 ELSE 1 END)
+                 * (abs(q3_4 + q1_4 - 2 * q2_4) * 1000000
+                    // (q3_4 - q1_4)) END AS BIGINT) AS bowley_x1e6
+FROM per
+"""
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -14230,6 +14276,7 @@ QUERIES = {
     "theilsen_types": q_theilsen_types,
     "funnel_report": q_funnel_report,
     "global_quantiles": q_global_quantiles,
+    "bowley_types": q_bowley_types,
 }
 
 ORACLE_SQL = {
@@ -14281,6 +14328,7 @@ ORACLE_SQL = {
     "theilsen_types": THEILSEN_TYPES_SQL,
     "funnel_report": FUNNEL_REPORT_SQL,
     "global_quantiles": GLOBAL_QUANTILES_SQL,
+    "bowley_types": BOWLEY_TYPES_SQL,
     "type_drift": TYPE_DRIFT_SQL,
     "coburst_xcorr": COBURST_XCORR_SQL,
     "validate_rules": VALIDATE_RULES_SQL,

@@ -1662,3 +1662,52 @@ def exact_quantiles(
         .groupBy("p_x100", "k_rank")
         .agg(F.min("v").alias("value"))
     )
+
+
+def bowley_skew(
+    df: DataFrame,
+    key: str = "event_type",
+    value_col: str = "value",
+    scale: int = 100,
+) -> DataFrame:
+    """Bowley quartile skewness per key (Bowley 1901):
+    (Q3 + Q1 − 2·Q2)/(Q3 − Q1) — the ROBUST shape statistic (moment
+    skewness needs a cube-normalized third moment: float-irrational and
+    outlier-hostage; Bowley is pure order statistics, bounded in [−1, 1]).
+    The tail-asymmetry readout beside the median/MAD outlier screen.
+
+    Exact-integer discipline via QUADRUPLED quartiles (the doubled-median
+    trick at p = .25 granularity): linear interpolation at the quartiles
+    of integer data lands on quarter-fractions, so q·4 is always an exact
+    integer in BOTH engines (Spark percentile and DuckDB quantile_cont
+    interpolate identically); the final ratio is one integer quotient
+    ×1e6. Per-key exact percentile is right for bounded key cardinality
+    (same contract as robust_outlier_report).
+
+    Returns (key, n, q1_4, q2_4, q3_4, bowley_x1e6).
+    """
+    q = df.select(
+        key,
+        F.floor(F.col(value_col).cast("double") * scale + F.lit(0.5))
+        .cast("long")
+        .alias("__v"),
+    )
+    per = q.groupBy(key).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr("CAST(percentile(__v, 0.25) * 4 AS BIGINT)").alias("q1_4"),
+        F.expr("CAST(percentile(__v, 0.5) * 4 AS BIGINT)").alias("q2_4"),
+        F.expr("CAST(percentile(__v, 0.75) * 4 AS BIGINT)").alias("q3_4"),
+    )
+    return per.select(
+        key,
+        "n",
+        "q1_4",
+        "q2_4",
+        "q3_4",
+        F.expr(
+            "CAST(CASE WHEN q3_4 = q1_4 THEN 0 "
+            "ELSE (CASE WHEN q3_4 + q1_4 - 2 * q2_4 < 0 THEN -1 ELSE 1 END) "
+            "* (abs(q3_4 + q1_4 - 2 * q2_4) * 1000000 DIV (q3_4 - q1_4)) "
+            "END AS BIGINT)"
+        ).alias("bowley_x1e6"),
+    )

@@ -4465,3 +4465,30 @@ def test_funnel_report_conversions_and_medians(spark):
     assert out[0] == ("signup", 3, 1000000, 0)
     assert out[1] == ("click", 2, 666666, 30)   # median(10, 20) = 15 -> 30
     assert out[2] == ("purchase", 1, 500000, 60)
+
+
+def test_bowley_skew_hand_values(spark):
+    """Symmetric 1..5 -> 0; right tail [1,1,2,3,10] ->
+    quartiles q1=1, q2=2, q3=3 -> (3+1-4)/(3-1) = 0; stronger tail
+    [1,2,3,4,100]: q1=2 q2=3 q3=4 -> 0 as well — so use [0,0,1,4,4,9]:
+    q1_4 = interpolated; verified against Python quartiles."""
+    from chronographer_spark.operators.temporal import bowley_skew
+
+    def quart4(xs, p):
+        n = len(xs)
+        pos = (n - 1) * p
+        lo = int(pos)
+        frac = pos - lo
+        s = sorted(xs)
+        return round((s[lo] + frac * (s[min(lo + 1, n - 1)] - s[lo])) * 4)
+
+    data = {"sym": [1, 2, 3, 4, 5], "tail": [0, 0, 1, 4, 4, 9]}
+    rows = [(k, float(v)) for k, vs in data.items() for v in vs]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    out = {r.event_type: r for r in bowley_skew(df, scale=1).collect()}
+    assert out["sym"].bowley_x1e6 == 0
+    q1, q2, q3 = (quart4(data["tail"], p) for p in (0.25, 0.5, 0.75))
+    assert (out["tail"].q1_4, out["tail"].q2_4, out["tail"].q3_4) == (q1, q2, q3)
+    num = q3 + q1 - 2 * q2
+    exp = (1 if num >= 0 else -1) * (abs(num) * 1000000 // (q3 - q1))
+    assert out["tail"].bowley_x1e6 == exp
