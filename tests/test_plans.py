@@ -1002,3 +1002,30 @@ def test_persistent_topk_day_partitioned_rank(spark):
     # rank<=k pushes down as WindowGroupLimit (partial+final): each task
     # keeps only its top-k candidates BEFORE the day shuffle — pin it
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    """The star-join scale path: a partitioned fact table joined to a
+    filtered dim must prune fact partitions AT RUNTIME (DPP) — the scan
+    carries dynamicpruning#/dynamicpruningexpression instead of reading
+    every partition and post-filtering."""
+    fact_dir = str(tmp_path / "fact")
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    ev.write.partitionBy("event_type").parquet(fact_dir)
+    fact = spark.read.parquet(fact_dir)
+    dim = spark.createDataFrame(
+        [("click", 1), ("view", 2)], "event_type string, grp int"
+    ).filter(F.col("grp") == 1)
+    old = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.dynamicPartitionPruning.enabled", "true"
+        )
+        j = fact.join(dim, "event_type").select("event_id", "grp")
+        plan = _plan(j)
+        assert "dynamicpruning" in plan.lower(), plan
+        assert j.count() == ev.filter(F.col("event_type") == "click").count()
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.dynamicPartitionPruning.enabled", old
+        )
