@@ -1175,6 +1175,50 @@ def main() -> None:
         assert row.w1_x1e6 > 0
         return int(row.w1_x1e6)
 
+    def job_stress():
+        # 2-round BFS from 2 type-node landmarks over the replicated
+        # user<->type star: frontier and sigma sums ride repl, the
+        # backward chi pass runs on the settled table only
+        from chronographer_spark.operators.graph_algos import landmark_stress
+
+        edges = ev_r.select(
+            F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("src"),
+            F.concat(F.lit("t"), F.col("event_type")).alias("dst"),
+        )
+        lms = spark.createDataFrame([("tclick",), ("tview",)], ["node"])
+        out = landmark_stress(edges, lms, rounds=2)
+        agg = out.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("stress").alias("s")
+        ).first()
+        assert agg["s"] > 0
+        return agg["n"]
+
+    def job_densest():
+        # 2 peel rounds over the replicated star: per-round degree agg +
+        # broadcast integer threshold + two semi-joins
+        from chronographer_spark.operators.graph_algos import densest_subgraph
+
+        edges = ev_r.select(
+            F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("src"),
+            F.concat(F.lit("t"), F.col("event_type")).alias("dst"),
+        )
+        out = densest_subgraph(edges, rounds=2)
+        rows = out.collect()
+        assert rows[0]["n_edges"] > 0
+        return int(rows[0]["n_edges"])
+
+    def job_theilsen():
+        # pair fan is C(n_days, 2) per type — calendar-bounded; only the
+        # (key, day) count scan rides repl
+        from chronographer_spark.operators.temporal import theilsen_trend
+
+        out = theilsen_trend(ev_r, "event_type", "ts", "day")
+        agg = out.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("n_pairs").alias("s")
+        ).first()
+        assert agg["s"] > 0
+        return agg["n"]
+
     jobs = [
         ("wl", job_wl),
         ("ra", job_ra),
@@ -1182,6 +1226,9 @@ def main() -> None:
         ("perc", job_perc),
         ("seasanom", job_seasanom),
         ("w1", job_w1),
+        ("stress", job_stress),
+        ("densest", job_densest),
+        ("theilsen", job_theilsen),
         ("pack", job_pack),
         ("bpe", job_bpe),
         ("repetition", job_repetition),
