@@ -14009,6 +14009,43 @@ FROM per
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: BGP MINUS — sub-events with no end timestamp
+# ---------------------------------------------------------------------------
+
+
+def q_bgp_minus_open(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL MINUS through the BGP compiler: TERMINAL events — carrying
+    a begin timestamp but no ng:nextEvent edge (each conversation's last
+    turn) — the exclusion-pattern surface (anti-join on the shared
+    variable) beside bgp_sub_events' OPTIONAL. (Earlier fixtures tried
+    'sub-events with no end' and 'root events': both EMPTY by
+    construction — the A8 end:=begin rule materializes an end for every
+    event and every begin-holder IS a sub-event — themselves verified
+    invariants.)"""
+    from .graph.bgp import bgp
+    from .graph.ng_queries import P_BEGIN
+
+    triples = _flagship_triples(spark, sf_dir)
+    out = bgp(
+        triples,
+        patterns=[("?event", P_BEGIN, "?begin")],
+        minus=[[("?event", "ng:nextEvent", "?nxt")]],
+    )
+    return out.select("event", "begin")
+
+
+BGP_MINUS_OPEN_SQL = f"""
+WITH g AS ({FLAGSHIP_SQL})
+SELECT b.subject AS event, b.object AS begin
+FROM (SELECT * FROM g WHERE predicate = 'sem:hasBeginTimeStamp') b
+WHERE NOT EXISTS (
+  SELECT 1 FROM g s
+  WHERE s.predicate = 'ng:nextEvent' AND s.subject = b.subject
+)
+"""
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -14277,6 +14314,7 @@ QUERIES = {
     "funnel_report": q_funnel_report,
     "global_quantiles": q_global_quantiles,
     "bowley_types": q_bowley_types,
+    "bgp_minus_open": q_bgp_minus_open,
 }
 
 ORACLE_SQL = {
@@ -14329,6 +14367,7 @@ ORACLE_SQL = {
     "funnel_report": FUNNEL_REPORT_SQL,
     "global_quantiles": GLOBAL_QUANTILES_SQL,
     "bowley_types": BOWLEY_TYPES_SQL,
+    "bgp_minus_open": BGP_MINUS_OPEN_SQL,
     "type_drift": TYPE_DRIFT_SQL,
     "coburst_xcorr": COBURST_XCORR_SQL,
     "validate_rules": VALIDATE_RULES_SQL,

@@ -208,13 +208,19 @@ def bgp(
     patterns: Sequence[Pattern],
     optional: Sequence[Sequence[Pattern]] = (),
     values: dict[str, Sequence[str]] | None = None,
+    minus: Sequence[Sequence[Pattern]] = (),
     product_guard_bytes: int = DEFAULT_PRODUCT_GUARD_BYTES,
 ) -> DataFrame:
     """Match a basic graph pattern; returns one column per variable.
 
     `optional` is a list of pattern GROUPS, each left-joined on the
     variables it shares with the required part (SPARQL OPTIONAL); `values`
-    restricts a variable to a constant list (SPARQL VALUES).
+    restricts a variable to a constant list (SPARQL VALUES); `minus` is a
+    list of pattern groups whose solutions are REMOVED (SPARQL MINUS):
+    a left anti-join on the shared variables. Per the SPARQL spec, a
+    MINUS group sharing NO variable with the required part removes
+    nothing — here that degenerate case raises instead (it is always a
+    query bug), mirroring the OPTIONAL guard.
 
     Patterns are joined in selectivity-greedy order (_order_patterns), not
     user order. Disconnected patterns cross-join with a warning; a big×big
@@ -230,6 +236,17 @@ def bgp(
             )
         result = result.join(part, shared, "left")
         bound += [v for v in pvars if v not in bound]
+    for group in minus:
+        part, pvars = _join_group(triples, group, product_guard_bytes)
+        shared = [v for v in pvars if v in bound]
+        if not shared:
+            raise ValueError(
+                f"minus group {group!r} shares no variable with the required "
+                "part (SPARQL says it would remove nothing)"
+            )
+        result = result.join(
+            part.select(*shared).dropDuplicates(), shared, "left_anti"
+        )
     if values:
         for var, allowed in values.items():
             result = result.filter(F.col(var).isin(list(allowed)))

@@ -4492,3 +4492,28 @@ def test_bowley_skew_hand_values(spark):
     num = q3 + q1 - 2 * q2
     exp = (1 if num >= 0 else -1) * (abs(num) * 1000000 // (q3 - q1))
     assert out["tail"].bowley_x1e6 == exp
+
+
+def test_bgp_minus_semantics_and_guard(spark):
+    """MINUS removes solutions sharing bindings with the minus group; a
+    disconnected minus group raises (the always-a-bug degenerate case)."""
+    import pytest as _pytest
+
+    from chronographer_spark.graph.bgp import bgp
+
+    triples = spark.createDataFrame(
+        [("a", "p", "x"), ("b", "p", "y"), ("a", "q", "z")],
+        ["subject", "predicate", "object"],
+    )
+    out = bgp(
+        triples,
+        patterns=[("?s", "p", "?o")],
+        minus=[[("?s", "q", "?z")]],
+    )
+    assert [(r.s, r.o) for r in out.collect()] == [("b", "y")]
+    with _pytest.raises(ValueError, match="minus group"):
+        bgp(
+            triples,
+            patterns=[("?s", "p", "?o")],
+            minus=[[("?other", "q", "?z")]],
+        ).collect()
