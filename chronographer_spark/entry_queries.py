@@ -14046,6 +14046,56 @@ WHERE NOT EXISTS (
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: per-type exact quantiles via grouped rank selection
+# ---------------------------------------------------------------------------
+
+
+def q_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-type p50/p90/p99 of x100-scaled values via grouped rank
+    selection on the collapsed value table — the scale-correct per-key
+    quantile (quantiles_by_type's production caveat, answered)."""
+    from .operators.temporal import grouped_exact_quantiles
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
+    )
+    return grouped_exact_quantiles(ev, "event_type", "v", ps_x100=(50, 90, 99))
+
+
+GROUPED_QUANTILES_SQL = """
+WITH q AS (
+  SELECT event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+  FROM events
+),
+cnt AS (
+  SELECT event_type, v, CAST(count(*) AS BIGINT) AS n
+  FROM q GROUP BY event_type, v
+),
+cum AS (
+  SELECT event_type, v,
+         CAST(sum(n) OVER (PARTITION BY event_type ORDER BY v)
+              AS BIGINT) AS cum
+  FROM cnt
+),
+tot AS (
+  SELECT event_type, CAST(max(cum) AS BIGINT) AS nt FROM cum
+  GROUP BY event_type
+),
+ks AS (
+  SELECT event_type, CAST(p AS BIGINT) AS p_x100,
+         greatest((p * nt + 99) // 100, 1) AS k_rank
+  FROM tot, (VALUES (50), (90), (99)) AS ps(p)
+)
+SELECT c.event_type, k.p_x100, CAST(k.k_rank AS BIGINT) AS k_rank,
+       CAST(min(c.v) AS BIGINT) AS value
+FROM cum c JOIN ks k ON k.event_type = c.event_type AND c.cum >= k.k_rank
+GROUP BY c.event_type, k.p_x100, k.k_rank
+"""
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -14315,6 +14365,7 @@ QUERIES = {
     "global_quantiles": q_global_quantiles,
     "bowley_types": q_bowley_types,
     "bgp_minus_open": q_bgp_minus_open,
+    "grouped_quantiles": q_grouped_quantiles,
 }
 
 ORACLE_SQL = {
@@ -14368,6 +14419,7 @@ ORACLE_SQL = {
     "global_quantiles": GLOBAL_QUANTILES_SQL,
     "bowley_types": BOWLEY_TYPES_SQL,
     "bgp_minus_open": BGP_MINUS_OPEN_SQL,
+    "grouped_quantiles": GROUPED_QUANTILES_SQL,
     "type_drift": TYPE_DRIFT_SQL,
     "coburst_xcorr": COBURST_XCORR_SQL,
     "validate_rules": VALIDATE_RULES_SQL,

@@ -1711,3 +1711,60 @@ def bowley_skew(
             "END AS BIGINT)"
         ).alias("bowley_x1e6"),
     )
+
+
+def grouped_exact_quantiles(
+    df: DataFrame,
+    key: str,
+    value_col: str = "v",
+    ps_x100=(50, 90, 99),
+) -> DataFrame:
+    """EXACT per-key quantiles that survive scale — the production
+    answer to quantiles_by_type's documented caveat (exact percentile()
+    sorts each key's raw VALUES; percentile_approx trades error bars):
+    rank selection over each key's COLLAPSED distinct-value counts. The
+    cumulative window partitions BY KEY over the collapsed table, so a
+    key's partition holds its distinct-value count, not its row count —
+    hot keys with heavy ties (status codes, prices, latencies bucketed
+    by ms) collapse massively; a key whose values are all-distinct
+    degrades to its row count and wants the global two-phase machinery
+    (`exact_quantiles`) per key-range instead, documented trade.
+
+    Type-1 lower quantile (k = ceil(q·n)-th smallest), engine-exact by
+    definition. One combinable (key, v) count, ONE key-partitioned
+    window shared by all quantiles, a map-only fan over requested ps.
+
+    Returns (key, p_x100, k_rank, value).
+    """
+    cnt = df.select(
+        F.col(key), F.col(value_col).cast("long").alias("v")
+    ).groupBy(key, "v").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy(key).orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = cnt.withColumn("cum", F.sum("n").over(w)).localCheckpoint(
+        eager=True
+    )  # totals + quantile fan share the windowed table
+    tot = cum.groupBy(key).agg(F.max("cum").alias("nt"))
+    ks = F.array(*[F.lit(int(p)) for p in ps_x100])
+    k_fan = tot.select(
+        key, F.explode(ks).alias("p_x100"), "nt"
+    ).select(
+        key,
+        "p_x100",
+        F.greatest(
+            F.expr("(p_x100 * nt + 99) DIV 100"), F.lit(1)
+        ).alias("k_rank"),
+    )
+    return (
+        cum.join(k_fan, key)
+        .filter(F.col("cum") >= F.col("k_rank"))
+        .groupBy(key, "p_x100", "k_rank")
+        .agg(F.min("v").alias("value"))
+        .select(
+            key,
+            F.col("p_x100").cast("long").alias("p_x100"),
+            F.col("k_rank").cast("long").alias("k_rank"),
+            "value",
+        )
+    )

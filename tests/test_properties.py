@@ -1203,3 +1203,30 @@ def test_exact_quantiles_match_sorted_order_statistics(spark, xs):
     for p in (1, 50, 90, 100):
         k = max((p * n + 99) // 100, 1)
         assert out[p] == (k, s[k - 1]), (p, out[p], s)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["a", "b"]),
+                  st.integers(min_value=-50, max_value=50)),
+        min_size=1, max_size=50,
+    ),
+)
+def test_grouped_exact_quantiles_match_per_key_order_stats(spark, rows):
+    from chronographer_spark.operators.temporal import grouped_exact_quantiles
+
+    df = spark.createDataFrame(rows, "k string, v long").repartition(3)
+    out = {
+        (r.k, r.p_x100): (r.k_rank, r.value)
+        for r in grouped_exact_quantiles(df, "k", "v", ps_x100=(10, 50, 99)).collect()
+    }
+    per = {}
+    for k, v in rows:
+        per.setdefault(k, []).append(v)
+    for k, vs in per.items():
+        s = sorted(vs)
+        n = len(vs)
+        for p in (10, 50, 99):
+            kr = max((p * n + 99) // 100, 1)
+            assert out[(k, p)] == (kr, s[kr - 1]), (k, p, out[(k, p)], s)
