@@ -14096,6 +14096,71 @@ GROUP BY c.event_type, k.p_x100, k.k_rank
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: winsorized mean per event type
+# ---------------------------------------------------------------------------
+
+
+def q_winsorized_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile-winsorized mean of the value column per type, with a
+    garbage tail injected on 'click' (values x100, first 1000 clicks by
+    event_id — deterministic, matching the oracle's ORDER BY) — the
+    robust center barely moves while a plain mean would triple;
+    completes the robust family's location estimate."""
+    from .operators.temporal import winsorized_mean
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    tail = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .orderBy("event_id")
+        .limit(1000)
+        .select("event_type", (F.col("value") * 100).alias("value"))
+    )
+    fixture = ev.unionAll(tail)
+    return winsorized_mean(fixture, "event_type", "value", scale=100)
+
+
+WINSORIZED_VALUE_SQL = """
+WITH tail AS (
+  SELECT event_type, value * 100 AS value
+  FROM events WHERE event_type = 'click'
+  ORDER BY event_id LIMIT 1000
+),
+ev AS (
+  SELECT event_type, value FROM events
+  UNION ALL
+  SELECT event_type, value FROM tail
+),
+q AS (
+  SELECT event_type,
+         CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT) AS v
+  FROM ev
+),
+bounds AS (
+  SELECT event_type,
+         CAST(quantile_cont(v, 0.25) * 4 AS BIGINT) AS lo4,
+         CAST(quantile_cont(v, 0.75) * 4 AS BIGINT) AS hi4
+  FROM q GROUP BY event_type
+),
+clamped AS (
+  SELECT q.event_type, b.lo4, b.hi4,
+         least(greatest(q.v * 4, b.lo4), b.hi4) AS c4
+  FROM q JOIN bounds b USING (event_type)
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       lo4, hi4,
+       CAST(sum(c4) AS BIGINT) AS sum4,
+       CAST(CAST(sum(c4) AS BIGINT) // (4 * count(*))
+              * CAST(1000000 AS BIGINT)
+            + CAST(sum(c4) AS BIGINT) % (4 * count(*))
+              * CAST(1000000 AS BIGINT) // (4 * count(*)) AS BIGINT)
+         AS wmean_x1e6
+FROM clamped GROUP BY event_type, lo4, hi4
+"""
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -14366,6 +14431,7 @@ QUERIES = {
     "bowley_types": q_bowley_types,
     "bgp_minus_open": q_bgp_minus_open,
     "grouped_quantiles": q_grouped_quantiles,
+    "winsorized_value": q_winsorized_value,
 }
 
 ORACLE_SQL = {
@@ -14642,4 +14708,5 @@ ORACLE_SQL = {
     "contamination": CONTAMINATION_SQL,
     "curation_pipeline": CURATION_SQL,
     "sql_revenue_by_nation": SQL_REVENUE_SQL,
+    "winsorized_value": WINSORIZED_VALUE_SQL,
 }

@@ -1768,3 +1768,58 @@ def grouped_exact_quantiles(
             "value",
         )
     )
+
+
+def winsorized_mean(
+    df: DataFrame,
+    key: str = "event_type",
+    value_col: str = "value",
+    scale: int = 100,
+) -> DataFrame:
+    """Quartile-winsorized mean per key: clamp values at Q1 and Q3, then
+    average — the robust LOCATION estimate completing the family
+    (median/MAD = robust spread + outliers, Bowley = robust shape, this
+    = robust center that, unlike the median, still moves with the bulk
+    of the data). The metric a latency SLO should quote when p99 garbage
+    would drag a plain mean.
+
+    Clamping is pinned to the QUARTILES, not an arbitrary p: quartile
+    positions (n−1)·0.25 are exact in double (0.25 is a binary power)
+    so interpolation lands on exact quarter-fractions and q·4 is an
+    exact integer in BOTH engines (bowley_skew trick). A p like 0.1 is
+    NOT binary-exact — its interpolated tenth-fractions truncate
+    differently across engines by ULPs. The mean is the staged integer
+    quotient sum4·1e6 DIV (4n) — bit-exact cross-engine. Per-key exact
+    percentile is right for bounded key cardinality
+    (robust_outlier_report contract).
+
+    Returns (key, n, lo4, hi4, sum4, wmean_x1e6) — wmean in scaled-value
+    units ×1e6.
+    """
+    q = df.select(
+        key,
+        F.floor(F.col(value_col).cast("double") * scale + F.lit(0.5))
+        .cast("long")
+        .alias("__v"),
+    ).localCheckpoint(eager=True)  # bounds + clamp pass share it
+    bounds = q.groupBy(key).agg(
+        F.expr("CAST(percentile(__v, 0.25) * 4 AS BIGINT)").alias("lo4"),
+        F.expr("CAST(percentile(__v, 0.75) * 4 AS BIGINT)").alias("hi4"),
+    )
+    clamped = q.join(F.broadcast(bounds), key).select(
+        key,
+        "lo4",
+        "hi4",
+        F.least(F.greatest(F.col("__v") * 4, F.col("lo4")), F.col("hi4")).alias(
+            "__c4"
+        ),
+    )
+    return clamped.groupBy(key, "lo4", "hi4").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__c4").cast("long").alias("sum4"),
+        F.expr(
+            "CAST(sum(__c4) DIV (4 * count(1)) * CAST(1000000 AS BIGINT) "
+            "+ sum(__c4) % (4 * count(1)) * CAST(1000000 AS BIGINT) "
+            "DIV (4 * count(1)) AS BIGINT)"
+        ).alias("wmean_x1e6"),
+    ).select(key, "n", "lo4", "hi4", "sum4", "wmean_x1e6")

@@ -4494,6 +4494,25 @@ def test_bowley_skew_hand_values(spark):
     assert out["tail"].bowley_x1e6 == exp
 
 
+def test_winsorized_mean_hand_values(spark):
+    """[1,2,3,4,100]: Q1=2, Q3=4 -> clamped x4 [8,8,12,16,16], sum4=60,
+    n=5 -> wmean 3.0 (plain mean 22 — robust center ignores the 100).
+    Interpolated quartiles [0,1,10,100]: Q1*4=3 (0.75), Q3*4=130 (32.5)
+    -> clamped [3,4,40,130] sum4=177 -> 177e6 DIV 16."""
+    from chronographer_spark.operators.temporal import winsorized_mean
+
+    data = {"spike": [1, 2, 3, 4, 100], "interp": [0, 1, 10, 100]}
+    rows = [(k, float(v)) for k, vs in data.items() for v in vs]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    out = {r.event_type: r for r in winsorized_mean(df, scale=1).collect()}
+    assert (out["spike"].lo4, out["spike"].hi4) == (8, 16)
+    assert out["spike"].sum4 == 60
+    assert out["spike"].wmean_x1e6 == 3_000_000
+    assert (out["interp"].lo4, out["interp"].hi4) == (3, 130)
+    assert out["interp"].sum4 == 177
+    assert out["interp"].wmean_x1e6 == 177 * 1_000_000 // 16
+
+
 def test_bgp_minus_semantics_and_guard(spark):
     """MINUS removes solutions sharing bindings with the minus group; a
     disconnected minus group raises (the always-a-bug degenerate case)."""
