@@ -14161,6 +14161,203 @@ FROM clamped GROUP BY event_type, lo4, hi4
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: Boruvka minimum spanning forest over the nation trade graph
+# ---------------------------------------------------------------------------
+
+
+def q_mst_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum spanning forest of the undirected nation trade graph with
+    rarity weights (1e6 DIV flow: high-volume lanes are cheap) — the
+    cheapest backbone connecting all trading nations through their
+    strongest lanes. Weights get a nationkey tie-break composed in
+    (rarity*1000 + uk*25 + vk), making them UNIQUE, so the MST is unique
+    and the oracle can verify via the cycle property (edge in MST iff
+    endpoints not connected by strictly lighter edges — one recursive
+    reachability CTE) instead of replaying Boruvka rounds."""
+    from .operators.graph_algos import boruvka_mst
+
+    flows = _nation_flows(spark, sf_dir)
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    und = (
+        flows.select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+            "n_flows",
+        )
+        .groupBy("u", "v")
+        .agg(F.sum("n_flows").alias("flow"))
+    )
+    e = (
+        und.join(
+            F.broadcast(
+                n.select(F.col("n_name").alias("u"), F.col("n_nationkey").alias("uk"))
+            ),
+            "u",
+        )
+        .join(
+            F.broadcast(
+                n.select(F.col("n_name").alias("v"), F.col("n_nationkey").alias("vk"))
+            ),
+            "v",
+        )
+        .select(
+            "u",
+            "v",
+            (
+                F.expr("CAST(1000000 AS BIGINT) DIV flow") * 1000
+                + F.col("uk") * 25
+                + F.col("vk")
+            ).alias("w"),
+        )
+    )
+    return boruvka_mst(e).select("u", "v", F.col("w").cast("long").alias("w"))
+
+
+MST_TRADE_SQL = f"""
+WITH RECURSIVE {FLOWS_FRAGMENT.strip().lstrip()},
+und AS (
+  SELECT least(src, dst) AS u, greatest(src, dst) AS v,
+         CAST(sum(n_flows) AS BIGINT) AS flow
+  FROM flows GROUP BY 1, 2
+),
+ed AS (
+  SELECT und.u, und.v,
+         (1000000 // flow) * 1000 + nu.n_nationkey * 25 + nv.n_nationkey AS w
+  FROM und
+  JOIN nation nu ON nu.n_name = und.u
+  JOIN nation nv ON nv.n_name = und.v
+),
+reach AS (
+  SELECT u AS eu, v AS ev, w AS ew, u AS node FROM ed
+  UNION
+  SELECT r.eu, r.ev, r.ew,
+         CASE WHEN e.u = r.node THEN e.v ELSE e.u END AS node
+  FROM reach r JOIN ed e ON (e.u = r.node OR e.v = r.node) AND e.w < r.ew
+)
+SELECT DISTINCT d.u, d.v, CAST(d.w AS BIGINT) AS w
+FROM ed d
+WHERE NOT EXISTS (
+  SELECT 1 FROM reach r WHERE r.eu = d.u AND r.ev = d.v AND r.node = d.v
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: Katz centrality over the tool-transition graph
+# ---------------------------------------------------------------------------
+
+
+def q_katz_tools(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Katz centrality (3 unrolled terms, β = 1/8) over the weighted
+    tool-transition graph: ranks tools by attenuated workflow traffic
+    flowing INTO them through walks of length <= 3 — the reachability
+    centrality beside PageRank's random surfer. Exact integers: β is a
+    binary power so katz_scaled = 64·A1 + 8·A²1 + A³1 with weighted
+    adjacency A — both engines replay the three join+agg rounds
+    bit-for-bit."""
+    from .operators.dialogue import tool_transitions
+    from .operators.graph_algos import katz_unrolled
+
+    tx = transcripts_from_events(spark, sf_dir)
+    ed = tool_transitions(tx).select(
+        F.col("tool_from").alias("src"),
+        F.col("tool_to").alias("dst"),
+        F.col("n_transitions").alias("nt"),
+    )
+    return katz_unrolled(ed, rounds=3, beta_shift=3, weight_col="nt")
+
+
+KATZ_TOOLS_SQL = f"""
+{TX_SQL},
+calls AS (
+  SELECT conv_id, turn_idx, tool AS tool_to FROM tx WHERE tool <> ''
+),
+pairs AS (
+  SELECT lag(tool_to) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS tool_from,
+         tool_to
+  FROM calls
+),
+ed AS (
+  SELECT tool_from AS src, tool_to AS dst, CAST(count(*) AS BIGINT) AS nt
+  FROM pairs WHERE tool_from IS NOT NULL GROUP BY 1, 2
+),
+nodes AS (
+  SELECT src AS node FROM ed UNION SELECT dst FROM ed
+),
+x1 AS (
+  SELECT dst AS node, CAST(sum(nt) AS BIGINT) AS x FROM ed GROUP BY dst
+),
+x2 AS (
+  SELECT e.dst AS node, CAST(sum(e.nt * x1.x) AS BIGINT) AS x
+  FROM ed e JOIN x1 ON x1.node = e.src GROUP BY e.dst
+),
+x3 AS (
+  SELECT e.dst AS node, CAST(sum(e.nt * x2.x) AS BIGINT) AS x
+  FROM ed e JOIN x2 ON x2.node = e.src GROUP BY e.dst
+)
+SELECT n.node,
+       CAST(coalesce(a.x, 0) * 64 + coalesce(b.x, 0) * 8 + coalesce(c.x, 0)
+            AS BIGINT) AS katz_scaled
+FROM nodes n
+LEFT JOIN x1 a ON a.node = n.node
+LEFT JOIN x2 b ON b.node = n.node
+LEFT JOIN x3 c ON c.node = n.node
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: exact ROC AUC of order total price vs priority label
+# ---------------------------------------------------------------------------
+
+
+def q_auc_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC of the order total price (integer cents) as a
+    predictor of urgent/high priority — the Mann-Whitney U identity over
+    collapsed per-value counts with the KS family's two-phase prefix
+    sum; ties contribute half. One row (n_pos, n_neg, u2, auc_x1e6),
+    bit-exact in both engines."""
+    from .operators.classifier import auc_exact
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice").cast("double") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("score"),
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("label"),
+    )
+    return auc_exact(o, "score", "label")
+
+
+AUC_PRIORITY_SQL = """
+WITH s AS (
+  SELECT CAST(floor(CAST(o_totalprice AS DOUBLE) * 100 + 0.5) AS BIGINT) AS v,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS p
+  FROM orders
+),
+cnt AS (
+  SELECT v, CAST(sum(p) AS BIGINT) AS cp,
+         CAST(count(*) - sum(p) AS BIGINT) AS cn
+  FROM s GROUP BY v
+),
+cum AS (
+  SELECT v, cp, cn,
+         CAST(sum(cn) OVER (ORDER BY v) AS BIGINT) AS cum_n
+  FROM cnt
+),
+tot AS (
+  SELECT CAST(sum(cp) AS BIGINT) AS np, CAST(sum(cn) AS BIGINT) AS nn FROM cnt
+),
+u AS (
+  SELECT CAST(sum(cp * (2 * (cum_n - cn) + cn)) AS BIGINT) AS u2 FROM cum
+)
+SELECT np AS n_pos, nn AS n_neg, u2,
+       CAST(u2 // (2 * np * nn) * CAST(1000000 AS BIGINT)
+            + u2 % (2 * np * nn) * CAST(1000000 AS BIGINT) // (2 * np * nn)
+            AS BIGINT) AS auc_x1e6
+FROM u, tot
+"""
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -14432,6 +14629,9 @@ QUERIES = {
     "bgp_minus_open": q_bgp_minus_open,
     "grouped_quantiles": q_grouped_quantiles,
     "winsorized_value": q_winsorized_value,
+    "mst_trade": q_mst_trade,
+    "katz_tools": q_katz_tools,
+    "auc_priority": q_auc_priority,
 }
 
 ORACLE_SQL = {
@@ -14709,4 +14909,7 @@ ORACLE_SQL = {
     "curation_pipeline": CURATION_SQL,
     "sql_revenue_by_nation": SQL_REVENUE_SQL,
     "winsorized_value": WINSORIZED_VALUE_SQL,
+    "mst_trade": MST_TRADE_SQL,
+    "katz_tools": KATZ_TOOLS_SQL,
+    "auc_priority": AUC_PRIORITY_SQL,
 }

@@ -354,3 +354,98 @@ def pass_at_k(
         F.expr("CAST(c * 1000000 DIV n AS BIGINT)").alias("pass1_x1e6"),
         F.expr(passk).alias("passk_x1e6"),
     )
+
+
+def auc_exact(
+    df: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    n_parts: int = 32,
+) -> DataFrame:
+    """Exact ROC AUC via the Mann-Whitney U identity over an INTEGER
+    score column — THE threshold-free ranking metric beside
+    `calibration_table` (is the score well-calibrated?) and
+    `classifier_pr_curve` (operating points): AUC = P(score⁺ > score⁻)
+    + ½·P(tie), the probability a random positive outranks a random
+    negative. The model-selection number every quality-classifier
+    training loop reports.
+
+    No sort, no global window, no pair join: with the score column
+    COLLAPSED to per-value (cp, cn) counts, U doubles to
+    U2 = Σ_v cp_v · (2·cn_below(v) + cn_v)  (ties at v contribute ½ each),
+    and cn_below comes from the same two-phase distributed prefix sum as
+    `ks_two_sample` (range partition → local cumsum → ≤ n_parts offset
+    rows cross the driver). AUC = U2 / (2·n_pos·n_neg), emitted as the
+    staged integer quotient ×1e6 — bit-exact in both engines. Callers
+    pre-scale float scores per row (floor(x*K + 0.5)).
+
+    BIGINT headroom: U2 <= 2·n_pos·n_neg and the staged quotient keeps
+    every intermediate <= max(U2, 1e6·denominator-remainder); exact up
+    to n_pos·n_neg ~ 9.2e12 like the KS family.
+
+    Returns one row (n_pos, n_neg, u2, auc_x1e6).
+    """
+    tagged = df.select(
+        F.col(score_col).cast("long").alias("v"),
+        F.when(F.col(label_col).cast("boolean"), 1).otherwise(0).alias("_p"),
+    )
+    cnt = tagged.groupBy("v").agg(
+        F.sum("_p").cast("long").alias("cp"),
+        (F.count(F.lit(1)) - F.sum("_p")).cast("long").alias("cn"),
+    )
+    parted = cnt.repartitionByRange(n_parts, "v").withColumn(
+        "_part", F.spark_partition_id()
+    )
+    from pyspark.sql import Window
+
+    local_w = (
+        Window.partitionBy("_part")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = parted.withColumn("_ln", F.sum("cn").over(local_w)).localCheckpoint(
+        eager=True
+    )  # offsets agg + main path share it
+    totals = sorted(
+        (r["_part"], r["tn"] or 0, r["tp"] or 0)
+        for r in local.groupBy("_part")
+        .agg(F.sum("cn").alias("tn"), F.sum("cp").alias("tp"))
+        .collect()
+    )
+    offs, acc_n, acc_p = [], 0, 0
+    for pid, tn, tp in totals:
+        offs.append((int(pid), acc_n))
+        acc_n += tn
+        acc_p += tp
+    n_neg, n_pos = acc_n, acc_p
+    off_df = local.sparkSession.createDataFrame(offs, "_part int, _on long")
+    u2row = (
+        local.join(F.broadcast(off_df), "_part")
+        .select(
+            (
+                F.col("cp")
+                * (
+                    2 * (F.col("_on") + F.col("_ln") - F.col("cn"))
+                    + F.col("cn")
+                )
+            ).alias("u2c")
+        )
+        .agg(F.sum("u2c").cast("long").alias("u2"))
+    )
+    d = 2 * n_pos * n_neg
+    if d == 0:
+        return u2row.select(
+            F.lit(n_pos).cast("long").alias("n_pos"),
+            F.lit(n_neg).cast("long").alias("n_neg"),
+            F.coalesce(F.col("u2"), F.lit(0)).cast("long").alias("u2"),
+            F.lit(None).cast("long").alias("auc_x1e6"),
+        )
+    return u2row.select(
+        F.lit(n_pos).cast("long").alias("n_pos"),
+        F.lit(n_neg).cast("long").alias("n_neg"),
+        F.col("u2").cast("long").alias("u2"),
+        F.expr(
+            f"CAST(u2 DIV {d} * CAST(1000000 AS BIGINT) "
+            f"+ u2 % {d} * CAST(1000000 AS BIGINT) DIV {d} AS BIGINT)"
+        ).alias("auc_x1e6"),
+    )

@@ -2240,3 +2240,199 @@ def landmark_stress(
         F.sum("chi").cast("long").alias("chi"),
         F.sum(F.col("sigma") * F.col("chi")).cast("long").alias("stress"),
     )
+
+
+def boruvka_mst(
+    edges: DataFrame,
+    max_rounds: int = 16,
+) -> DataFrame:
+    """Minimum spanning forest by Boruvka's algorithm over undirected
+    `(u, v, w)` edges with UNIQUE integer weights — the classic
+    O(log V)-round distributed MST (each round every component grabs its
+    min-weight outgoing edge, components at least halve). The backbone
+    extractor for KG entity graphs: the cheapest skeleton connecting all
+    canonical entities through their strongest links (weights =
+    inverted affinity).
+
+    UNIQUE weights are the caller's contract (compose a tie-break into
+    `w`, e.g. `rarity*1000 + u_key*K + v_key`): unique weights make the
+    MST unique, so ANY correct algorithm emits the identical edge set —
+    which is how the DuckDB oracle replays this without simulating
+    rounds: it uses the cycle-property characterization (an edge is in
+    the MST iff its endpoints are NOT connected by strictly lighter
+    edges) via one recursive reachability CTE.
+
+    Round shape (all hash joins + map-side-combinable aggs):
+    1. tag edges with endpoint components (2 joins vs the comp table);
+    2. per component, min-of-struct over its cross edges (ONE agg —
+       struct compares `w` first, unique weights ⇒ deterministic);
+    3. merge: selected edges form a pointer pseudoforest whose only
+       cycles are 2-cycles (both endpoints of a cluster's global-min
+       edge pick each other); break them toward the smaller label, then
+       pointer-jump ceil(log2) times to relabel every component to its
+       root — same doubling as the CC star rounds, but on the
+       COMPONENT table (≤ |V| rows, halving each outer round).
+    Per-round localCheckpoint cuts lineage; driver traffic is one
+    isEmpty + one count per round (O(1) rows).
+
+    Returns the forest edges (u, v, w).
+    """
+    comp = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .dropDuplicates()
+        .select("node", F.col("node").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+    e = edges.select("u", "v", "w")
+    forest = None
+    for _ in range(max_rounds):
+        cross = (
+            e.join(
+                comp.select(F.col("node").alias("u"), F.col("comp").alias("cu")),
+                "u",
+            )
+            .join(
+                comp.select(F.col("node").alias("v"), F.col("comp").alias("cv")),
+                "v",
+            )
+            .filter(F.col("cu") != F.col("cv"))
+            .localCheckpoint(eager=True)
+        )
+        if cross.isEmpty():
+            break
+        cand = cross.select(
+            F.col("cu").alias("c"), "w", "u", "v", "cu", "cv"
+        ).unionByName(
+            cross.select(F.col("cv").alias("c"), "w", "u", "v", "cu", "cv")
+        )
+        sel = (
+            cand.groupBy("c")
+            .agg(F.min(F.struct("w", "u", "v", "cu", "cv")).alias("m"))
+            .select(
+                "c",
+                F.col("m.w").alias("w"),
+                F.col("m.u").alias("u"),
+                F.col("m.v").alias("v"),
+                F.col("m.cu").alias("cu"),
+                F.col("m.cv").alias("cv"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        new_edges = sel.select("u", "v", "w").dropDuplicates(["u", "v"])
+        forest = (
+            new_edges if forest is None else forest.unionByName(new_edges)
+        ).localCheckpoint(eager=True)
+        ptr = sel.select(
+            "c",
+            F.when(F.col("cu") == F.col("c"), F.col("cv"))
+            .otherwise(F.col("cu"))
+            .alias("p"),
+        )
+        # break 2-cycles toward the smaller label (those become roots)
+        ptr = (
+            ptr.alias("a")
+            .join(
+                ptr.select(F.col("c").alias("p"), F.col("p").alias("gp")).alias(
+                    "b"
+                ),
+                "p",
+            )
+            .select(
+                "c",
+                F.when(
+                    (F.col("gp") == F.col("c")) & (F.col("c") < F.col("p")),
+                    F.col("c"),
+                )
+                .otherwise(F.col("p"))
+                .alias("p"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_comps = ptr.count()
+        jumps = max(1, int(n_comps).bit_length())
+        for _ in range(jumps):
+            ptr = (
+                ptr.alias("a")
+                .join(
+                    ptr.select(
+                        F.col("c").alias("p"), F.col("p").alias("gp")
+                    ).alias("b"),
+                    "p",
+                    "left",
+                )
+                .select("c", F.coalesce("gp", "p").alias("p"))
+                .localCheckpoint(eager=True)
+            )
+        comp = (
+            comp.join(ptr.withColumnRenamed("c", "comp"), "comp", "left")
+            .select("node", F.coalesce("p", "comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+    if forest is None:
+        return edges.select("u", "v", "w").limit(0)
+    return forest
+
+
+def katz_unrolled(
+    edges: DataFrame,
+    rounds: int = 3,
+    beta_shift: int = 3,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Katz centrality, `rounds` terms unrolled with attenuation
+    β = 2^-beta_shift, in EXACT integer arithmetic: returns per node
+    katz_scaled = Σ_{i=1..r} 8^{r-i} · (Aᵀ)ⁱ·1  (for beta_shift=3),
+    i.e. the Katz sum × 8^r with every product an exact BIGINT — walks
+    of length i into a node, attenuated by β^i, with β a binary power
+    so the scaling is a bit shift both engines replay exactly
+    (the bit-shift-decay discipline from `decayed_activity`).
+
+    The "how reachable is this node through short weighted walks"
+    centrality beside PageRank (random-surfer) and stress (shortest
+    paths): on a tool-transition graph it ranks tools by how much
+    attenuated workflow traffic flows INTO them. One hash join + one
+    map-side-combinable agg per round over (src, dst[, weight]) edges;
+    per-round localCheckpoint; headroom katz ≤ (Σw)^rounds · 8^rounds —
+    callers keep rounds small (the attenuated tail is negligible
+    anyway: β³ = 1/512).
+    """
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col
+        else F.lit(1).cast("long")
+    )
+    e = edges.select("src", "dst", w.alias("w")).localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    x = nodes.select("node", F.lit(1).cast("long").alias("x"))
+    total = None
+    mult = 2 ** (beta_shift * (rounds - 1))
+    for _ in range(rounds):
+        x = (
+            e.join(x.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("w") * F.col("x")).alias("x"))
+            .withColumnRenamed("dst", "node")
+            .localCheckpoint(eager=True)
+        )
+        term = x.select("node", (F.col("x") * F.lit(mult)).alias("t"))
+        total = term if total is None else total.unionByName(term)
+        mult //= 2 ** beta_shift
+    return (
+        nodes.join(
+            total.groupBy("node").agg(F.sum("t").alias("katz_scaled")),
+            "node",
+            "left",
+        )
+        .select(
+            "node",
+            F.coalesce("katz_scaled", F.lit(0)).cast("long").alias(
+                "katz_scaled"
+            ),
+        )
+    )

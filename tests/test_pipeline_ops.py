@@ -4513,6 +4513,84 @@ def test_winsorized_mean_hand_values(spark):
     assert out["interp"].wmean_x1e6 == 177 * 1_000_000 // 16
 
 
+def test_boruvka_mst_matches_kruskal(spark):
+    """Boruvka over random multi-component graphs with unique weights ==
+    driver-side Kruskal (unique weights make the MST unique, so any two
+    correct algorithms agree on the exact edge set)."""
+    import random
+
+    from chronographer_spark.operators.graph_algos import boruvka_mst
+
+    def kruskal(es, nodes):
+        parent = {n: n for n in nodes}
+
+        def find(a):
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        out = []
+        for u, v, w in sorted(es, key=lambda e: e[2]):
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[ru] = rv
+                out.append((u, v, w))
+        return sorted(out)
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 30 + trial * 10
+        nodes = [f"n{i:02d}" for i in range(n)]
+        pairs = set()
+        while len(pairs) < n * 2:
+            a, b = rng.sample(range(n), 2)
+            pairs.add((min(a, b), max(a, b)))
+        edges = [
+            (nodes[a], nodes[b], i * 7 + 1)  # unique weights
+            for i, (a, b) in enumerate(sorted(pairs))
+        ]
+        rng.shuffle(edges)
+        df = spark.createDataFrame(edges, "u string, v string, w long")
+        got = sorted(tuple(r) for r in boruvka_mst(df).collect())
+        assert got == kruskal(edges, nodes), f"trial {trial}"
+
+
+def test_katz_unrolled_hand_values(spark):
+    """a->b(2), b->c(1), a->c(3), rounds=2, beta=1/8: terms x8 then x1:
+    k(a)=0, k(b)=2*8=16, k(c)=4*8 + (3*0+1*2) = 34."""
+    from chronographer_spark.operators.graph_algos import katz_unrolled
+
+    kedges = [("a", "b", 2), ("b", "c", 1), ("a", "c", 3)]
+    kdf = spark.createDataFrame(kedges, "src string, dst string, w long")
+    out = {
+        r.node: r.katz_scaled
+        for r in katz_unrolled(kdf, rounds=2, weight_col="w").collect()
+    }
+    assert out == {"a": 0, "b": 16, "c": 34}
+
+
+def test_auc_exact_vs_bruteforce_pairs(spark):
+    """auc_exact == brute-force pairwise win/tie counting on random
+    labeled scores with heavy ties (the midrank path)."""
+    import random
+
+    from chronographer_spark.operators.classifier import auc_exact
+
+    rng = random.Random(13)
+    rows = [(rng.randrange(0, 20), rng.random() < 0.4) for _ in range(500)]
+    pos = [s for s, l in rows if l]
+    neg = [s for s, l in rows if not l]
+    u2 = sum(
+        2 if p > q else (1 if p == q else 0) for p in pos for q in neg
+    )
+    df = spark.createDataFrame(rows, "score long, label boolean")
+    r = auc_exact(df).collect()[0]
+    assert (r.n_pos, r.n_neg, r.u2) == (len(pos), len(neg), u2)
+    d = 2 * len(pos) * len(neg)
+    assert r.auc_x1e6 == u2 // d * 1_000_000 + u2 % d * 1_000_000 // d
+
+
 def test_bgp_minus_semantics_and_guard(spark):
     """MINUS removes solutions sharing bindings with the minus group; a
     disconnected minus group raises (the always-a-bug degenerate case)."""
