@@ -14166,17 +14166,12 @@ FROM clamped GROUP BY event_type, lo4, hi4
 # ---------------------------------------------------------------------------
 
 
-def q_mst_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Minimum spanning forest of the undirected nation trade graph with
-    rarity weights (1e6 DIV flow: high-volume lanes are cheap) — the
-    cheapest backbone connecting all trading nations through their
-    strongest lanes. Weights get a nationkey tie-break composed in
-    (rarity*1000 + uk*25 + vk), making them UNIQUE, so the MST is unique
-    and the oracle can verify via the cycle property (edge in MST iff
-    endpoints not connected by strictly lighter edges — one recursive
-    reachability CTE) instead of replaying Boruvka rounds."""
-    from .operators.graph_algos import boruvka_mst
-
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected nation trade graph (u, v, w) with UNIQUE rarity
+    weights: w = (1e6 DIV flow)·1000 + uk·25 + vk — high-volume lanes
+    are cheap, the nationkey term is an injective per-pair tie-break.
+    Shared fixture for `mst_trade` and `matching_trade`; mirrors the
+    oracle's TRADE_EDGES_FRAGMENT."""
     flows = _nation_flows(spark, sf_dir)
     n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     und = (
@@ -14188,7 +14183,7 @@ def q_mst_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("u", "v")
         .agg(F.sum("n_flows").alias("flow"))
     )
-    e = (
+    return (
         und.join(
             F.broadcast(
                 n.select(F.col("n_name").alias("u"), F.col("n_nationkey").alias("uk"))
@@ -14211,11 +14206,9 @@ def q_mst_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("w"),
         )
     )
-    return boruvka_mst(e).select("u", "v", F.col("w").cast("long").alias("w"))
 
 
-MST_TRADE_SQL = f"""
-WITH RECURSIVE {FLOWS_FRAGMENT.strip().lstrip()},
+TRADE_EDGES_FRAGMENT = f"""{FLOWS_FRAGMENT.strip().lstrip()},
 und AS (
   SELECT least(src, dst) AS u, greatest(src, dst) AS v,
          CAST(sum(n_flows) AS BIGINT) AS flow
@@ -14227,7 +14220,25 @@ ed AS (
   FROM und
   JOIN nation nu ON nu.n_name = und.u
   JOIN nation nv ON nv.n_name = und.v
-),
+)"""
+
+
+def q_mst_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum spanning forest of the undirected nation trade graph with
+    rarity weights (1e6 DIV flow: high-volume lanes are cheap) — the
+    cheapest backbone connecting all trading nations through their
+    strongest lanes. UNIQUE weights (see _trade_edges) make the MST
+    unique, so the oracle can verify via the cycle property (edge in MST
+    iff endpoints not connected by strictly lighter edges — one
+    recursive reachability CTE) instead of replaying Boruvka rounds."""
+    from .operators.graph_algos import boruvka_mst
+
+    e = _trade_edges(spark, sf_dir)
+    return boruvka_mst(e).select("u", "v", F.col("w").cast("long").alias("w"))
+
+
+MST_TRADE_SQL = f"""
+WITH RECURSIVE {TRADE_EDGES_FRAGMENT},
 reach AS (
   SELECT u AS eu, v AS ev, w AS ew, u AS node FROM ed
   UNION
@@ -14240,6 +14251,75 @@ FROM ed d
 WHERE NOT EXISTS (
   SELECT 1 FROM reach r WHERE r.eu = d.u AND r.ev = d.v AND r.node = d.v
 )
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: greedy maximum-weight matching over the nation trade graph
+# ---------------------------------------------------------------------------
+
+
+def q_matching_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Locally-dominant greedy matching (Preis) over the trade graph
+    with INVERTED rarity weights (max-weight = strongest lane): each
+    nation pairs exclusively with its best available partner — the
+    one-to-one alignment primitive. With the fixture's unique weights
+    the result equals sequential greedy exactly, so the oracle replays
+    a FIXED 13 rounds (25 nodes: worst case |V|/2 matching rounds;
+    converged rounds are no-ops, so both engines agree without agreeing
+    on when convergence happened)."""
+    from .operators.graph_algos import greedy_matching
+
+    # invert: strongest lanes have the largest weight, tie-break intact
+    e = _trade_edges(spark, sf_dir).select(
+        "u", "v", (F.lit(2_000_000_000) - F.col("w")).alias("w")
+    )
+    return greedy_matching(e, max_rounds=13).select(
+        "u", "v", F.col("w").cast("long").alias("w")
+    )
+
+
+def _matching_rounds_sql(k: int) -> str:
+    # AS MATERIALIZED is load-bearing: without it DuckDB inlines each
+    # multiply-referenced a{i}/s{i} CTE, the expansion grows ~3^k and the
+    # flows fragment's parquet scans multiply until fd exhaustion
+    # ("Too many open files" at k=13, observed).
+    parts = [
+        """,
+a0 AS MATERIALIZED (SELECT u, v, 2000000000 - w AS w FROM ed),
+m0 AS (SELECT u, v, w FROM a0 WHERE false)"""
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f""",
+b{i} AS MATERIALIZED (
+  SELECT node, max(w) AS bw FROM (
+    SELECT u AS node, w FROM a{i - 1}
+    UNION ALL
+    SELECT v AS node, w FROM a{i - 1}
+  ) GROUP BY node
+),
+s{i} AS MATERIALIZED (
+  SELECT a.u, a.v, a.w
+  FROM a{i - 1} a
+  JOIN b{i} bu ON bu.node = a.u AND bu.bw = a.w
+  JOIN b{i} bv ON bv.node = a.v AND bv.bw = a.w
+),
+m{i} AS (SELECT u, v, w FROM m{i - 1} UNION ALL SELECT u, v, w FROM s{i}),
+a{i} AS MATERIALIZED (
+  SELECT a.u, a.v, a.w FROM a{i - 1} a
+  WHERE NOT EXISTS (
+    SELECT 1 FROM s{i} s
+    WHERE s.u IN (a.u, a.v) OR s.v IN (a.u, a.v)
+  )
+)"""
+        )
+    return "".join(parts)
+
+
+MATCHING_TRADE_SQL = f"""
+WITH {TRADE_EDGES_FRAGMENT}{_matching_rounds_sql(13)}
+SELECT u, v, CAST(w AS BIGINT) AS w FROM m13
 """
 
 
@@ -14630,6 +14710,7 @@ QUERIES = {
     "grouped_quantiles": q_grouped_quantiles,
     "winsorized_value": q_winsorized_value,
     "mst_trade": q_mst_trade,
+    "matching_trade": q_matching_trade,
     "katz_tools": q_katz_tools,
     "auc_priority": q_auc_priority,
 }
@@ -14910,6 +14991,7 @@ ORACLE_SQL = {
     "sql_revenue_by_nation": SQL_REVENUE_SQL,
     "winsorized_value": WINSORIZED_VALUE_SQL,
     "mst_trade": MST_TRADE_SQL,
+    "matching_trade": MATCHING_TRADE_SQL,
     "katz_tools": KATZ_TOOLS_SQL,
     "auc_priority": AUC_PRIORITY_SQL,
 }

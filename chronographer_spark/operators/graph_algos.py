@@ -2436,3 +2436,75 @@ def katz_unrolled(
             ),
         )
     )
+
+
+def greedy_matching(
+    edges: DataFrame,
+    max_rounds: int = 16,
+) -> DataFrame:
+    """Maximum-weight greedy matching by locally-dominant edges (Preis
+    1999): each round selects every edge that is the max-weight incident
+    edge at BOTH endpoints (with unique weights these are exactly the
+    edges sequential greedy would pick next), removes matched nodes, and
+    repeats. The one-to-one pairing primitive behind exclusive entity
+    alignment (each KB entity claims at most one partner) — the
+    generalization of `kb_alignment_mutual`'s single mutual-best round
+    to a full matching, with the same 1/2-approximation guarantee as
+    sequential greedy (which it reproduces EXACTLY for unique weights).
+
+    UNIQUE weights are the caller's contract (compose a tie-break into
+    `w` like `boruvka_mst`); they make the per-node argmax and hence the
+    whole matching unique, so a fixed-round SQL replay emits the
+    identical edge set — extra rounds after convergence are no-ops, so
+    engines need not agree on when convergence happened, only on the
+    round count being LARGE ENOUGH (worst case: a weight-increasing
+    path matches one edge per 2 removed nodes → |V|/2 rounds; callers
+    size max_rounds to the fixture or rely on the expected-O(log V)
+    behavior on random weights).
+
+    Round shape: per-node max over incident alive edges (one combinable
+    agg over the 2x exploded endpoint view), two semi-joins to keep
+    edges winning at both ends, two anti-joins to drop matched nodes.
+    Per-round localCheckpoint; one isEmpty driver check per round.
+
+    Returns the matched edges (u, v, w).
+    """
+    alive = edges.select("u", "v", "w").localCheckpoint(eager=True)
+    matched = None
+    for _ in range(max_rounds):
+        if alive.isEmpty():
+            break
+        ends = alive.select(F.col("u").alias("node"), "w").unionByName(
+            alive.select(F.col("v").alias("node"), "w")
+        )
+        best = ends.groupBy("node").agg(F.max("w").alias("bw"))
+        sel = (
+            alive.join(
+                best.select(F.col("node").alias("u"), F.col("bw").alias("bu")),
+                "u",
+            )
+            .join(
+                best.select(F.col("node").alias("v"), F.col("bw").alias("bv")),
+                "v",
+            )
+            .filter((F.col("w") == F.col("bu")) & (F.col("w") == F.col("bv")))
+            .select("u", "v", "w")
+            .localCheckpoint(eager=True)
+        )
+        if sel.isEmpty():
+            break
+        matched = (
+            sel if matched is None else matched.unionByName(sel)
+        ).localCheckpoint(eager=True)
+        mnodes = sel.select(F.col("u").alias("node")).unionByName(
+            sel.select(F.col("v").alias("node"))
+        )
+        alive = (
+            alive.join(mnodes.withColumnRenamed("node", "u"), "u", "left_anti")
+            .join(mnodes.withColumnRenamed("node", "v"), "v", "left_anti")
+            .select("u", "v", "w")
+            .localCheckpoint(eager=True)
+        )
+    if matched is None:
+        return edges.select("u", "v", "w").limit(0)
+    return matched

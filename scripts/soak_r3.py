@@ -1219,7 +1219,82 @@ def main() -> None:
         assert agg["s"] > 0
         return agg["n"]
 
+    def job_mst():
+        # Boruvka spanning forest over the weighted user/type-hour
+        # bipartite graph: rounds = O(log V); per round 2 comp joins +
+        # min-of-struct agg + pointer jumps on the (halving) comp table.
+        # Weights made unique-enough by a hash tie-break (struct-min's
+        # (w,u,v) order is a total order regardless).
+        from chronographer_spark.operators.graph_algos import boruvka_mst
+
+        edges = (
+            ev_r.select(
+                F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("u"),
+                F.concat(
+                    F.lit("t"),
+                    F.col("event_type"),
+                    F.lit("#"),
+                    F.hour("ts").cast("string"),
+                ).alias("v"),
+            )
+            .groupBy("u", "v")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(
+                "u",
+                "v",
+                (
+                    F.expr("CAST(1000000 AS BIGINT) DIV cnt") * 100000
+                    + F.pmod(F.xxhash64("u", "v"), F.lit(100000))
+                ).alias("w"),
+            )
+        )
+        out = boruvka_mst(edges)
+        agg = out.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("w").alias("s")
+        ).first()
+        assert agg["s"] > 0
+        return agg["n"]
+
+    def job_katz():
+        # 3 weighted join+agg rounds over the user->type digraph
+        from chronographer_spark.operators.graph_algos import katz_unrolled
+
+        edges = (
+            ev_r.select(
+                F.concat(F.lit("u"), F.col("user_id").cast("string")).alias(
+                    "src"
+                ),
+                F.concat(F.lit("t"), F.col("event_type")).alias("dst"),
+            )
+            .groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).alias("nt"))
+        )
+        out = katz_unrolled(edges, rounds=3, weight_col="nt")
+        agg = out.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("katz_scaled").alias("s")
+        ).first()
+        assert agg["s"] > 0
+        return agg["n"]
+
+    def job_auc():
+        # collapsed distinct-value table is repl-INVARIANT (same value
+        # grid per replica) — only the count scan rides repl, like ks
+        from chronographer_spark.operators.classifier import auc_exact
+
+        scored = ev_r.select(
+            F.floor(F.col("value").cast("double") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("score"),
+            (F.col("event_type") == "purchase").alias("label"),
+        )
+        r = auc_exact(scored).collect()[0]
+        assert r["u2"] > 0
+        return int(r["auc_x1e6"])
+
     jobs = [
+        ("mst", job_mst),
+        ("katz", job_katz),
+        ("auc", job_auc),
         ("wl", job_wl),
         ("ra", job_ra),
         ("ks", job_ks),

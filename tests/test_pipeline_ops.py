@@ -4556,6 +4556,47 @@ def test_boruvka_mst_matches_kruskal(spark):
         assert got == kruskal(edges, nodes), f"trial {trial}"
 
 
+def test_greedy_matching_matches_sequential(spark):
+    """Locally-dominant rounds == sequential greedy for unique weights,
+    including the weight-increasing path (one matched edge per round —
+    the worst case the fixed-round oracle must out-last)."""
+    import random
+
+    from chronographer_spark.operators.graph_algos import greedy_matching
+
+    def seq_greedy(es):
+        matched, used = [], set()
+        for u, v, w in sorted(es, key=lambda e: -e[2]):
+            if u not in used and v not in used:
+                used |= {u, v}
+                matched.append((u, v, w))
+        return sorted(matched)
+
+    rng = random.Random(3)
+    for trial in range(2):
+        n = 20 + 10 * trial
+        nodes = [f"n{i}" for i in range(n)]
+        pairs = set()
+        while len(pairs) < n * 2:
+            a, b = rng.sample(range(n), 2)
+            pairs.add((min(a, b), max(a, b)))
+        edges = [
+            (nodes[a], nodes[b], i * 13 + 1)
+            for i, (a, b) in enumerate(sorted(pairs))
+        ]
+        df = spark.createDataFrame(edges, "u string, v string, w long")
+        got = sorted(
+            tuple(r) for r in greedy_matching(df, max_rounds=32).collect()
+        )
+        assert got == seq_greedy(edges), f"trial {trial}"
+    path = [(f"p{i}", f"p{i+1}", i + 1) for i in range(9)]
+    df = spark.createDataFrame(path, "u string, v string, w long")
+    got = sorted(
+        tuple(r) for r in greedy_matching(df, max_rounds=16).collect()
+    )
+    assert got == seq_greedy(path)
+
+
 def test_katz_unrolled_hand_values(spark):
     """a->b(2), b->c(1), a->c(3), rounds=2, beta=1/8: terms x8 then x1:
     k(a)=0, k(b)=2*8=16, k(c)=4*8 + (3*0+1*2) = 34."""
