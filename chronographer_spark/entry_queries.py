@@ -14495,6 +14495,87 @@ FROM u, tot
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: Poisson-bootstrap CI for the per-type mean value
+# ---------------------------------------------------------------------------
+
+
+def q_bootstrap_value_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson-bootstrap 95% CI for the mean event value
+    per type (B = 40 resamples, md5-hash multiplicities, exact staged
+    integer resample means, order-statistic interval) — the uncertainty
+    companion to the robust location family."""
+    from .operators.sampling import bootstrap_mean_ci
+
+    ev = _t(spark, sf_dir, "events")
+    return bootstrap_mean_ci(
+        ev, key="event_type", value_col="value", id_col="event_id", b=40
+    )
+
+
+BOOTSTRAP_VALUE_CI_SQL = """
+WITH rows_t AS (
+  SELECT event_type,
+         CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT) AS v,
+         CAST(event_id AS VARCHAR) AS id
+  FROM events
+),
+fan AS (
+  SELECT r.event_type, r.v, r.id, b.b
+  FROM rows_t r CROSS JOIN (SELECT unnest(range(40)) AS b) b
+),
+wt AS (
+  SELECT event_type, b, v,
+         (CASE WHEN u >= 367879 THEN 1 ELSE 0 END)
+       + (CASE WHEN u >= 735759 THEN 1 ELSE 0 END)
+       + (CASE WHEN u >= 919699 THEN 1 ELSE 0 END)
+       + (CASE WHEN u >= 981012 THEN 1 ELSE 0 END)
+       + (CASE WHEN u >= 996340 THEN 1 ELSE 0 END)
+       + (CASE WHEN u >= 999406 THEN 1 ELSE 0 END)
+       + (CASE WHEN u >= 999917 THEN 1 ELSE 0 END) AS w
+  FROM (
+    SELECT event_type, b, v,
+           CAST(concat('0x', substr(
+             md5('7:' || CAST(b AS VARCHAR) || ':' || id), 1, 8)) AS BIGINT)
+             % 1000000 AS u
+    FROM fan
+  )
+),
+per_b AS (
+  SELECT event_type, b,
+         CAST(sum(w) AS BIGINT) AS n_eff,
+         CAST(sum(w * v) AS BIGINT) AS s
+  FROM wt GROUP BY 1, 2 HAVING sum(w) > 0
+),
+means AS (
+  SELECT event_type, b,
+         CAST(s // n_eff * CAST(1000000 AS BIGINT)
+              + s % n_eff * CAST(1000000 AS BIGINT) // n_eff AS BIGINT) AS m
+  FROM per_b
+),
+ranked AS (
+  SELECT event_type, b, m,
+         row_number() OVER (PARTITION BY event_type ORDER BY m, b) AS r
+  FROM means
+),
+ci AS (
+  SELECT event_type,
+         max(CASE WHEN r = 2 THEN m END) AS lo_x1e6,
+         max(CASE WHEN r = 39 THEN m END) AS hi_x1e6
+  FROM ranked GROUP BY event_type
+),
+full_t AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(CAST(sum(v) AS BIGINT) // count(*) * CAST(1000000 AS BIGINT)
+              + CAST(sum(v) AS BIGINT) % count(*) * CAST(1000000 AS BIGINT)
+                // count(*) AS BIGINT) AS mean_x1e6
+  FROM rows_t GROUP BY event_type
+)
+SELECT f.event_type, n_rows, mean_x1e6, lo_x1e6, hi_x1e6
+FROM full_t f JOIN ci USING (event_type)
+"""
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -14769,6 +14850,7 @@ QUERIES = {
     "mst_trade": q_mst_trade,
     "matching_trade": q_matching_trade,
     "simrank_trade": q_simrank_trade,
+    "bootstrap_value_ci": q_bootstrap_value_ci,
     "katz_tools": q_katz_tools,
     "auc_priority": q_auc_priority,
 }
@@ -15051,6 +15133,7 @@ ORACLE_SQL = {
     "mst_trade": MST_TRADE_SQL,
     "matching_trade": MATCHING_TRADE_SQL,
     "simrank_trade": SIMRANK_TRADE_SQL,
+    "bootstrap_value_ci": BOOTSTRAP_VALUE_CI_SQL,
     "katz_tools": KATZ_TOOLS_SQL,
     "auc_priority": AUC_PRIORITY_SQL,
 }

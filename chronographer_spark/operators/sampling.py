@@ -471,3 +471,118 @@ def morton_key(
         parts.append(f"(({cx} >> {i}) & 1) << {2 * i}")
         parts.append(f"(({cy} >> {i}) & 1) << {2 * i + 1}")
     return df.withColumn("zkey", F.expr(" | ".join(parts)).cast("long"))
+
+
+# Poisson(1) inverse-CDF thresholds on the 1e6 integer grid:
+# cum P(X<=k) for k=0..6, rounded to the grid; w = #thresholds <= u,
+# capping w at 7 (the truncated tail holds ~83ppm of mass).
+_POISSON1_CUM_X1E6 = (367879, 735759, 919699, 981012, 996340, 999406, 999917)
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    key: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    b: int = 40,
+    seed: int = 7,
+    scale: int = 100,
+) -> DataFrame:
+    """Deterministic Poisson-bootstrap 95% CI for the per-key mean —
+    the uncertainty readout the robust family lacks (winsorized_mean
+    says WHERE the center is; this says how sure we are). Every metrics
+    dashboard quoting a mean off a sampled corpus needs the interval.
+
+    Poisson bootstrap (each of B resamples draws every row with
+    multiplicity w ~ Poisson(1)) instead of classic n-out-of-n: w is a
+    pure per-(row, b) function, so the whole thing is ONE map-only fan
+    (explode of B) + ONE combinable (key, b) aggregate — no global
+    resample materialization, no driver randomness, and it composes
+    with streaming/sharded inputs where n isn't known up front (Hanley
+    & MacGibbon 2006; Google's Poisson bootstrap at scale, Chamandy
+    2012). Determinism: w = inverse-CDF of Poisson(1) over the 1e6
+    integer grid at u = md5_32(seed:b:id) mod 1e6 — the portable-hash
+    discipline of `hash_rate_sample`, replayed bit-exact by the oracle
+    (w capped at 7; the truncated tail is ~83ppm of mass and part of
+    the quantized spec).
+
+    Resample means are EXACT staged integer quotients of the
+    (×scale)-grid values; the CI picks order statistics
+    lo = floor(.025·B)+1, hi = B − floor(.025·B) (1-based, ties broken
+    by resample id) over the ≤ B·|keys| tiny mean table.
+
+    Returns (key, n_rows, mean_x1e6, lo_x1e6, hi_x1e6) — all means in
+    scaled-value units ×1e6.
+    """
+    rows = df.select(
+        key,
+        F.floor(F.col(value_col).cast("double") * scale + F.lit(0.5))
+        .cast("long")
+        .alias("__v"),
+        F.col(id_col).cast("string").alias("__id"),
+    )
+    fan = rows.withColumn(
+        "__b", F.explode(F.sequence(F.lit(0), F.lit(b - 1)))
+    )
+    u = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.lit(str(seed)),
+                        F.col("__b").cast("string"),
+                        F.col("__id"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(1000000),
+    )
+    w = sum(
+        F.when(u >= F.lit(t), 1).otherwise(0) for t in _POISSON1_CUM_X1E6
+    )
+    per_b = (
+        fan.select(key, "__b", F.col("__v"), w.alias("__w"))
+        .groupBy(key, "__b")
+        .agg(
+            F.sum("__w").cast("long").alias("n_eff"),
+            F.sum(F.col("__w") * F.col("__v")).cast("long").alias("s"),
+        )
+        .filter(F.col("n_eff") > 0)
+        .select(
+            key,
+            "__b",
+            F.expr(
+                "CAST(s DIV n_eff * CAST(1000000 AS BIGINT) "
+                "+ s % n_eff * CAST(1000000 AS BIGINT) DIV n_eff AS BIGINT)"
+            ).alias("m"),
+        )
+    )
+    lo_rank = int(0.025 * b) + 1
+    hi_rank = b - int(0.025 * b)
+    ordered = per_b.withColumn(
+        "__r",
+        F.row_number().over(
+            Window.partitionBy(key).orderBy("m", "__b")
+        ),
+    )
+    ci = ordered.groupBy(key).agg(
+        F.max(F.when(F.col("__r") == lo_rank, F.col("m"))).alias("lo_x1e6"),
+        F.max(F.when(F.col("__r") == hi_rank, F.col("m"))).alias("hi_x1e6"),
+    )
+    full = rows.groupBy(key).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.expr(
+            "CAST(sum(__v) DIV count(1) * CAST(1000000 AS BIGINT) "
+            "+ sum(__v) % count(1) * CAST(1000000 AS BIGINT) "
+            "DIV count(1) AS BIGINT)"
+        ).alias("mean_x1e6"),
+    )
+    return full.join(ci, key).select(
+        key, "n_rows", "mean_x1e6", "lo_x1e6", "hi_x1e6"
+    )

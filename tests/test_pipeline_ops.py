@@ -4611,6 +4611,48 @@ def test_katz_unrolled_hand_values(spark):
     assert out == {"a": 0, "b": 16, "c": 34}
 
 
+def test_simrank_unrolled_hand_values(spark):
+    """c->x, c->y, x->u, y->v: s1(x,y) = 1e6 DIV 2 = 500000 (shared
+    in-neighbor, degree 1 each); s2(u,v) = s1(x,y) DIV 2 = 250000
+    (second-order similarity through similar, not identical, parents);
+    s2(x,y) unchanged."""
+    from chronographer_spark.operators.graph_algos import simrank_unrolled
+
+    edges = [("c", "x"), ("c", "y"), ("x", "u"), ("y", "v")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out1 = sorted(tuple(r) for r in simrank_unrolled(df, rounds=1).collect())
+    assert out1 == [("x", "y", 500000)]
+    out2 = sorted(tuple(r) for r in simrank_unrolled(df, rounds=2).collect())
+    assert out2 == [("u", "v", 250000), ("x", "y", 500000)]
+
+
+def test_bootstrap_mean_ci_constant_and_order(spark):
+    """Constant values: every Poisson resample mean equals the value, so
+    lo = hi = mean exactly (x1e6 grid). Mixed values: lo <= hi and the
+    full-data mean is the exact staged quotient; output is deterministic
+    across runs (hash-driven multiplicities, no RNG state)."""
+    from chronographer_spark.operators.sampling import bootstrap_mean_ci
+
+    const = spark.createDataFrame(
+        [("a", 3.0, f"id{i}") for i in range(50)],
+        "event_type string, value double, event_id string",
+    )
+    r = bootstrap_mean_ci(const, b=40).collect()[0]
+    assert (r.n_rows, r.mean_x1e6) == (50, 300 * 1_000_000)
+    assert r.lo_x1e6 == r.hi_x1e6 == r.mean_x1e6
+
+    mixed = spark.createDataFrame(
+        [("a", float(i % 7), f"m{i}") for i in range(200)],
+        "event_type string, value double, event_id string",
+    )
+    r1 = bootstrap_mean_ci(mixed, b=40).collect()[0]
+    r2 = bootstrap_mean_ci(mixed, b=40).collect()[0]
+    assert tuple(r1) == tuple(r2)
+    assert r1.lo_x1e6 <= r1.hi_x1e6
+    s = sum(round(i % 7) * 100 for i in range(200))
+    assert r1.mean_x1e6 == s // 200 * 1_000_000 + s % 200 * 1_000_000 // 200
+
+
 def test_auc_exact_vs_bruteforce_pairs(spark):
     """auc_exact == brute-force pairwise win/tie counting on random
     labeled scores with heavy ties (the midrank path)."""
