@@ -14576,6 +14576,229 @@ FROM full_t f JOIN ci USING (event_type)
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: Spearman rank correlation (value vs time) per type
+# ---------------------------------------------------------------------------
+
+
+def q_spearman_value_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monotone association between event time and value per type, with
+    opposite-sign injections: 'click' values get +epoch (rank-perfectly
+    increasing, r2 -> +1e6), 'view' gets -epoch (decreasing, -1e6), the
+    untouched types read near zero — sign handling, tie midranks, and
+    the quantized-grid spec all exercised in one readout."""
+    from .operators.temporal import spearman_corr
+
+    ev = _t(spark, sf_dir, "events")
+    sec = F.unix_timestamp("ts").cast("long")
+    rows = ev.select(
+        "event_type",
+        sec.alias("x"),
+        (
+            F.floor(F.col("value").cast("double") * 100 + F.lit(0.5)).cast("long")
+            + F.when(F.col("event_type") == "click", sec)
+            .when(F.col("event_type") == "view", -sec)
+            .otherwise(F.lit(0))
+        ).alias("y"),
+    )
+    return spearman_corr(rows, key="event_type", x_col="x", y_col="y")
+
+
+SPEARMAN_VALUE_TS_SQL = """
+WITH rows_t AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS x,
+         CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT)
+         + CASE WHEN event_type = 'click' THEN CAST(floor(epoch(ts)) AS BIGINT)
+                WHEN event_type = 'view' THEN -CAST(floor(epoch(ts)) AS BIGINT)
+                ELSE 0 END AS y
+  FROM events
+),
+ranked AS (
+  SELECT event_type,
+         rank() OVER (PARTITION BY event_type ORDER BY x)
+         + count(*) OVER (PARTITION BY event_type ORDER BY x
+                          RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS dx,
+         rank() OVER (PARTITION BY event_type ORDER BY y)
+         + count(*) OVER (PARTITION BY event_type ORDER BY y
+                          RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS dy,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM rows_t
+),
+grid AS (
+  SELECT event_type, n,
+         (dx - (n + 1)) * CAST(1000000 AS BIGINT) // n AS gx,
+         (dy - (n + 1)) * CAST(1000000 AS BIGINT) // n AS gy
+  FROM ranked
+),
+m AS (
+  SELECT event_type,
+         CAST(max(n) AS BIGINT) AS n,
+         CAST(sum(gx * gy) AS BIGINT) AS num,
+         CAST(sum(gx * gx) AS BIGINT) AS sxx,
+         CAST(sum(gy * gy) AS BIGINT) AS syy
+  FROM grid GROUP BY event_type
+)
+SELECT event_type, n, num,
+       CAST(CASE WHEN sxx = 0 OR syy = 0 THEN 0 ELSE
+            (CASE WHEN num < 0 THEN -1 ELSE 1 END)
+            * (abs(num) * 1000 // sxx)
+            * (abs(num) * 1000 // syy) END AS BIGINT) AS spearman_r2_x1e6
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: Adamic-Adar link prediction on the user<->type bipartite graph
+# ---------------------------------------------------------------------------
+
+
+def q_aa_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized Adamic-Adar over the same bipartite user<->event-type
+    graph as `ra_linkpred` — the log-damped middle setting between the
+    raw common-neighbor count and RA's 1/deg, with the 1/log2 factor
+    made exact-integer via bin()-length msb."""
+    from .operators.graph_algos import adamic_adar
+
+    ev = _t(spark, sf_dir, "events")
+    edges = ev.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("src"),
+        F.concat(F.lit("t"), F.col("event_type")).alias("dst"),
+    )
+    return adamic_adar(edges, min_common=4)
+
+
+AA_LINKPRED_SQL = """
+WITH e0 AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT 'u' || CAST(user_id AS VARCHAR) AS src, 't' || event_type AS dst
+    FROM events
+    UNION ALL
+    SELECT 't' || event_type, 'u' || CAST(user_id AS VARCHAR) FROM events
+  )
+),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e0 GROUP BY src)
+SELECT a.src AS node_a, b.src AS node_b,
+       CAST(count(*) AS BIGINT) AS n_common,
+       CAST(sum(CAST(1000000 AS BIGINT) // (length(bin(d.deg)) - 1))
+            AS BIGINT) AS aa_x1e6
+FROM e0 a
+JOIN e0 b ON a.dst = b.dst AND a.src < b.src
+JOIN deg d ON d.src = a.dst
+GROUP BY 1, 2
+HAVING count(*) >= 4
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: KMV bottom-k distinct-user sketch per type
+# ---------------------------------------------------------------------------
+
+
+def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (bottom-k, k=64) distinct-user estimate per event type beside
+    the exact count — at 150 distinct users per type the sketch is in
+    estimation territory (n_kept = k) and the order-statistic estimator
+    is an exact integer quotient both engines replay."""
+    from .operators.sketches import kmv_bottomk, kmv_estimate
+
+    ev = _t(spark, sf_dir, "events")
+    est = kmv_estimate(
+        kmv_bottomk(ev, "event_type", "user_id", k=64), "event_type", k=64
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type", "n_exact", "n_kept", "kth_min", "kmv_est"
+    )
+
+
+KMV_DISTINCT_USERS_SQL = """
+WITH hashed AS (
+  SELECT DISTINCT event_type,
+         CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+              AS BIGINT) AS h
+  FROM events
+),
+bk AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS r
+  FROM hashed
+),
+est AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_kept,
+         CAST(max(h) AS BIGINT) AS kth_min
+  FROM bk WHERE r <= 64 GROUP BY event_type
+),
+exact AS (
+  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type, n_exact, n_kept, kth_min,
+       CAST(CASE WHEN n_kept < 64 THEN n_kept
+                 ELSE 63 * CAST(4294967296 AS BIGINT) // kth_min
+            END AS BIGINT) AS kmv_est
+FROM est e JOIN exact USING (event_type)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: HHI concentration of user mass per type
+# ---------------------------------------------------------------------------
+
+
+def q_hhi_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl concentration of per-user event mass within each type,
+    with a hub injection: 'error' events on user 0 are tripled, so the
+    error key reads a higher HHI / lower effective-user count than the
+    untouched near-uniform keys — the mergeable (no-sort) companion to
+    gini_users on the identical fixture family."""
+    from .operators.text import hhi_concentration
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id")
+    hub = ev.filter(
+        (F.col("event_type") == "error") & (F.col("user_id") == 0)
+    )
+    return hhi_concentration(
+        ev.unionAll(hub).unionAll(hub), key="event_type", unit_col="user_id"
+    )
+
+
+HHI_USERS_SQL = """
+WITH ev AS (
+  SELECT event_type, user_id FROM events
+  UNION ALL
+  SELECT event_type, user_id FROM events
+  WHERE event_type = 'error' AND user_id = 0
+  UNION ALL
+  SELECT event_type, user_id FROM events
+  WHERE event_type = 'error' AND user_id = 0
+),
+cnt AS (
+  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS x
+  FROM ev GROUP BY 1, 2
+),
+m AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_units,
+         CAST(sum(x) AS BIGINT) AS total,
+         CAST(sum(x * x) AS BIGINT) AS s2
+  FROM cnt GROUP BY event_type
+)
+SELECT event_type, n_units, total, s2,
+       CAST((s2 // total * CAST(1000000 AS BIGINT)
+             + s2 % total * CAST(1000000 AS BIGINT) // total)
+            // total AS BIGINT) AS hhi_x1e6,
+       CAST(total * total * 1000 // s2 AS BIGINT) AS eff_x1e3
+FROM m
+"""
+
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -14851,6 +15074,10 @@ QUERIES = {
     "matching_trade": q_matching_trade,
     "simrank_trade": q_simrank_trade,
     "bootstrap_value_ci": q_bootstrap_value_ci,
+    "spearman_value_ts": q_spearman_value_ts,
+    "aa_linkpred": q_aa_linkpred,
+    "kmv_distinct_users": q_kmv_distinct_users,
+    "hhi_users": q_hhi_users,
     "katz_tools": q_katz_tools,
     "auc_priority": q_auc_priority,
 }
@@ -15134,6 +15361,10 @@ ORACLE_SQL = {
     "matching_trade": MATCHING_TRADE_SQL,
     "simrank_trade": SIMRANK_TRADE_SQL,
     "bootstrap_value_ci": BOOTSTRAP_VALUE_CI_SQL,
+    "spearman_value_ts": SPEARMAN_VALUE_TS_SQL,
+    "aa_linkpred": AA_LINKPRED_SQL,
+    "kmv_distinct_users": KMV_DISTINCT_USERS_SQL,
+    "hhi_users": HHI_USERS_SQL,
     "katz_tools": KATZ_TOOLS_SQL,
     "auc_priority": AUC_PRIORITY_SQL,
 }

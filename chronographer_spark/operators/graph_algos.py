@@ -2613,3 +2613,57 @@ def simrank_unrolled(
             [], "a string, b string, s_x1e6 long"
         )
     return s
+
+
+def adamic_adar(
+    edges: DataFrame,
+    min_common: int = 1,
+) -> DataFrame:
+    """Adamic-Adar link-prediction index, quantized to exact integers —
+    the 1/log(deg) sibling `resource_allocation` documents skipping
+    ("needs floats"): AA damps hub neighbors LOGARITHMICALLY, sitting
+    between the raw common-neighbor count (no damping) and RA's 1/deg
+    (aggressive damping), and is the classic middle setting an ER
+    blocking stage sweeps (Adamic & Adar 2003; reference merges rank
+    by raw co-occurrence only, src/ranking.py).
+
+    Exact-integer contract: 1/log2(deg) is quantized as
+    `1e6 DIV msb(deg)` with msb(d) = length(bin(d)) − 1 = floor(log2 d)
+    — `bin()` exists with identical semantics in Spark and DuckDB, so
+    the oracle replays the score bit-for-bit. Any common neighbor has
+    deg ≥ 2, hence msb ≥ 1: no zero division. Monotonicity of the
+    damping in deg is preserved exactly at power-of-two boundaries,
+    which is what the ranking consumes.
+
+    Shape: identical single wedge self-join as `resource_allocation`
+    (degree pre-joined on the shared-neighbor side, one combinable
+    per-pair sum, no trailing joins); the same hub-wedge skew caveat
+    applies. `min_common` prunes inside the aggregate.
+
+    Returns (node_a, node_b, n_common, aa_x1e6), node_a < node_b.
+    """
+    und = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+    sym = (
+        und.unionByName(
+            und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    deg_z = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg_z"))
+    a = sym.join(
+        deg_z.select(F.col("src").alias("dst"), "deg_z"), "dst"
+    ).select(F.col("src").alias("node_a"), "dst", "deg_z")
+    b = sym.select(F.col("src").alias("node_b"), "dst")
+    return (
+        a.join(b, "dst")
+        .filter(F.col("node_a") < F.col("node_b"))
+        .groupBy("node_a", "node_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.sum(
+                F.expr("CAST(1000000 AS BIGINT) DIV (length(bin(deg_z)) - 1)")
+            ).alias("aa_x1e6"),
+        )
+        .filter(F.col("n_common") >= min_common)
+    )

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # alpha constant for m=64 registers (Flajolet et al. 2007, Fig. 3)
 ALPHA_64 = 0.709
@@ -508,3 +509,82 @@ def cms_join_size_estimate(
         .agg(F.sum(F.col("ca") * F.col("cb")).alias("ip"))
     )
     return per_row.agg(F.min("ip").cast("long").alias("est_join_rows"))
+
+
+# ---------------------------------------------------------------------------
+# KMV (bottom-k) distinct sketch
+# ---------------------------------------------------------------------------
+
+
+def kmv_bottomk(df: DataFrame, group_col: str, col: str, k: int = 64) -> DataFrame:
+    """Per-group bottom-k table of DISTINCT 32-bit hashes — the KMV /
+    theta-sketch state (Bar-Yossef et al. 2002). Order statistics of
+    uniform hashes carry the cardinality: if the k-th smallest of
+    distinct hashes over [0, 2^32) is h_k, the distinct count is about
+    (k−1)·2^32/h_k. Unlike HLL's registers (max-of-rho), the KMV state
+    is a plain sorted id set, so the SAME table also powers bottom-k
+    Jaccard between groups; this module keeps both sketch families
+    because they merge differently (HLL: max per bucket; KMV: union →
+    re-take bottom k — see `kmv_merge`).
+
+    Shape: a (group, hash) combinable distinct collapses the input, then
+    ONE rank window on the collapsed table keeps ≤ k rows per group.
+    Hash collisions only ever DROP a distinct value, identically in the
+    oracle (md5-portable).
+
+    Returns (group, h) with ≤ k rows per group.
+    """
+    hashed = (
+        df.select(F.col(group_col).alias("g"), _hash32(F.col(col)).alias("h"))
+        .dropDuplicates()
+    )
+    w = Window.partitionBy("g").orderBy("h")
+    return (
+        hashed.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k)
+        .select(F.col("g").alias(group_col), "h")
+    )
+
+
+def kmv_merge(k: int, *sketches: DataFrame) -> DataFrame:
+    """Union bottom-k tables and re-take the bottom k per group — the
+    KMV merge law (bottomk(A ∪ B) == bottomk(bottomk(A) ∪ bottomk(B)),
+    exact, not approximate). Distributed shape: tiny inputs (≤ k rows
+    per group each), one union + one rank window."""
+    merged = sketches[0]
+    for s in sketches[1:]:
+        merged = merged.unionByName(s)
+    cols = merged.columns
+    group_col = [c for c in cols if c != "h"][0]
+    w = Window.partitionBy(group_col).orderBy("h")
+    return (
+        merged.dropDuplicates()
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k)
+        .select(group_col, "h")
+    )
+
+
+def kmv_estimate(bottomk: DataFrame, group_col: str, k: int = 64) -> DataFrame:
+    """(group, n_kept, kth_min, kmv_est) from a bottom-k table: when the
+    group holds fewer than k distinct hashes the sketch IS the exact
+    distinct count; otherwise est = (k−1)·2^32 DIV h_k — an exact
+    integer quotient both engines replay (no floats anywhere in the
+    estimator, unlike HLL's harmonic mean)."""
+    return (
+        bottomk.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.max("h").cast("long").alias("kth_min"),
+        )
+        .select(
+            group_col,
+            "n_kept",
+            "kth_min",
+            F.expr(
+                f"CAST(CASE WHEN n_kept < {k} THEN n_kept "
+                f"ELSE ({k} - 1) * CAST(4294967296 AS BIGINT) DIV kth_min "
+                "END AS BIGINT)"
+            ).alias("kmv_est"),
+        )
+    )

@@ -1823,3 +1823,84 @@ def winsorized_mean(
             "DIV (4 * count(1)) AS BIGINT)"
         ).alias("wmean_x1e6"),
     ).select(key, "n", "lo4", "hi4", "sum4", "wmean_x1e6")
+
+
+def spearman_corr(
+    df: DataFrame,
+    key: str = "event_type",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Spearman rank correlation per key — the monotone-association
+    readout beside `cross_correlation`'s linear r² (Pearson on bucket
+    deviations) and `theilsen_trend`'s slope: rank first, correlate
+    second, so one wild outlier or any monotone rescaling of either
+    variable leaves the score untouched. The screen a feature-audit
+    runs over (feature, label) pairs before trusting a linear fit.
+
+    Exact-integer quantized spec (replayed bit-for-bit by the oracle):
+    x and y must already be BIGINTs (callers pre-scale floats to a
+    grid). Ties get DOUBLED midranks — for a tie block the doubled
+    midrank is min_rank + max_rank, computed as rank() plus a
+    RANGE-unbounded-preceding count over the SAME (key, value) sort, so
+    no extra (key, value) exchange is ever introduced. Σ(2·midrank) is
+    n(n+1) regardless of ties, so the exact deviation is
+    dmr − (n+1); deviations are snapped to a ±1e6 grid
+    (dev·1e6 DIV n, truncation identical cross-engine per the sign
+    caveat) making every moment n-bounded: Σg² ≤ n·1e12 — safe in
+    BIGINT to ~9e6 rows per key; beyond that pre-bucket values or lift
+    the moments to DECIMAL(38). The signed r² is the toolkit quotient
+    sign(num)·(|num|·1e3 DIV Sxx)·(|num|·1e3 DIV Syy), Cauchy-Schwarz-
+    bounded within ±1e6.
+
+    Plan shape: both rank windows partition by `key` (two in-partition
+    sorts, ONE exchange Catalyst shares); the final moment rollup reuses
+    the same key partitioning. No driver collect, no self-join.
+
+    Returns (key, n, num, spearman_r2_x1e6) — r² carries the sign of
+    the correlation (−1e6 = perfectly discordant, 1e6 = perfectly
+    concordant, 0 = no monotone association or a constant side).
+    """
+    rows = df.select(key, F.col(x_col).alias("__x"), F.col(y_col).alias("__y"))
+
+    def dmr(col: str) -> F.Column:
+        ws = Window.partitionBy(key).orderBy(col)
+        cum = (
+            Window.partitionBy(key)
+            .orderBy(col)
+            .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return F.rank().over(ws) + F.count(F.lit(1)).over(cum)
+
+    wk = Window.partitionBy(key)
+    ranked = rows.select(
+        key,
+        dmr("__x").alias("__dx"),
+        dmr("__y").alias("__dy"),
+        F.count(F.lit(1)).over(wk).alias("__n"),
+    ).select(
+        key,
+        "__n",
+        F.expr("(__dx - (__n + 1)) * CAST(1000000 AS BIGINT) DIV __n").alias("__gx"),
+        F.expr("(__dy - (__n + 1)) * CAST(1000000 AS BIGINT) DIV __n").alias("__gy"),
+    )
+    return (
+        ranked.groupBy(key)
+        .agg(
+            F.max("__n").cast("long").alias("n"),
+            F.sum(F.col("__gx") * F.col("__gy")).cast("long").alias("num"),
+            F.sum(F.col("__gx") * F.col("__gx")).cast("long").alias("__sxx"),
+            F.sum(F.col("__gy") * F.col("__gy")).cast("long").alias("__syy"),
+        )
+        .select(
+            key,
+            "n",
+            "num",
+            F.expr(
+                "CAST(CASE WHEN __sxx = 0 OR __syy = 0 THEN 0 ELSE "
+                "(CASE WHEN num < 0 THEN -1 ELSE 1 END) "
+                "* (abs(num) * 1000 DIV __sxx) "
+                "* (abs(num) * 1000 DIV __syy) END AS BIGINT)"
+            ).alias("spearman_r2_x1e6"),
+        )
+    )

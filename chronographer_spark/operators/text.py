@@ -1402,3 +1402,52 @@ def dict_encoding_advisor(df: DataFrame, cols: list) -> DataFrame:
             "DIV greatest(sum(coalesce(length(val), 0) * n), 1) AS BIGINT)"
         ).alias("savings_x1e6"),
     )
+
+
+def hhi_concentration(
+    df: DataFrame,
+    key: str = "event_type",
+    unit_col: str = "user_id",
+) -> DataFrame:
+    """Herfindahl-Hirschman concentration index per key — Σ share² over
+    per-unit mass — plus its reciprocal, the EFFECTIVE number of units.
+    The pair complements `gini_concentration` on the same (key, unit)
+    collapsed table: Gini reads inequality of the distribution's shape,
+    HHI reads how few units dominate (the number a corpus governance
+    report quotes as "effectively N sources"), and unlike Gini the HHI
+    is mergeable from (Σc², Σc) partials alone — no global sort, no
+    rank window, ONE combinable aggregate end to end.
+
+    Exact integers: hhi_x1e6 = Σc²·1e6 / N² as a twice-staged truncated
+    quotient (floor-composition identity keeps it exact); eff_x1e3 =
+    N²·1e3 DIV Σc². Bounds (documented, same family as gini's): needs
+    N²·1e3 < 2^63 — totals up to ~3e6 per key exactly; beyond that,
+    drop eff or lift to DECIMAL(38).
+
+    Returns (key, n_units, total, s2, hhi_x1e6, eff_x1e3); a single
+    dominating unit reads hhi = 1e6, a uniform spread over u units
+    reads ≈ 1e6/u and eff ≈ u·1e3.
+    """
+    counts = df.groupBy(key, unit_col).agg(F.count(F.lit(1)).alias("__x"))
+    return (
+        counts.groupBy(key)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_units"),
+            F.sum("__x").cast("long").alias("total"),
+            F.sum(F.col("__x") * F.col("__x")).cast("long").alias("s2"),
+        )
+        .select(
+            key,
+            "n_units",
+            "total",
+            "s2",
+            F.expr(
+                "CAST((s2 DIV total * CAST(1000000 AS BIGINT)"
+                " + s2 % total * CAST(1000000 AS BIGINT) DIV total)"
+                " DIV total AS BIGINT)"
+            ).alias("hhi_x1e6"),
+            F.expr(
+                "CAST(total * total * 1000 DIV s2 AS BIGINT)"
+            ).alias("eff_x1e3"),
+        )
+    )

@@ -4697,3 +4697,97 @@ def test_bgp_minus_semantics_and_guard(spark):
             patterns=[("?s", "p", "?o")],
             minus=[[("?other", "q", "?z")]],
         ).collect()
+
+
+def test_spearman_hand_values(spark):
+    """Perfect monotone -> +1e6 exactly (also through a tie block, whose
+    doubled midranks stay aligned); reversed -> -1e6; constant side -> 0."""
+    from chronographer_spark.operators.temporal import spearman_corr
+
+    rows = (
+        [("up", x, 2 * x) for x in (1, 2, 3, 4, 5)]
+        + [("down", x, -3 * x) for x in (1, 2, 3, 4, 5)]
+        + [("tied", x, 10 * x) for x in (1, 2, 2, 3)]
+        + [("const", x, 7) for x in (1, 2, 3)]
+    )
+    df = spark.createDataFrame(rows, "k string, x long, y long")
+    out = {r.k: (r.n, r.spearman_r2_x1e6) for r in
+           spearman_corr(df, key="k", x_col="x", y_col="y").collect()}
+    assert out == {
+        "up": (5, 1_000_000),
+        "down": (5, -1_000_000),
+        "tied": (4, 1_000_000),
+        "const": (3, 0),
+    }
+
+
+def test_adamic_adar_matches_bruteforce(spark):
+    """aa_x1e6 == brute-force sum of 1e6 // floor(log2(deg)) over common
+    neighbors on a small hub graph (z2 is a degree-4 hub, damped 2x
+    harder than the exclusive degree-2 neighbor z1)."""
+    import math
+
+    from chronographer_spark.operators.graph_algos import adamic_adar
+
+    edges = [("a", "z1"), ("b", "z1"), ("a", "z2"), ("b", "z2"),
+             ("c", "z2"), ("d", "z2")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {(r.node_a, r.node_b): (r.n_common, r.aa_x1e6)
+           for r in adamic_adar(df).collect()}
+
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    exp = {}
+    nodes = sorted(adj)
+    for i, u in enumerate(nodes):
+        for v in nodes[i + 1:]:
+            common = adj[u] & adj[v]
+            if common:
+                exp[(u, v)] = (
+                    len(common),
+                    sum(1_000_000 // int(math.log2(len(adj[z])))
+                        for z in common),
+                )
+    assert got == exp
+    assert got[("a", "b")] == (2, 1_500_000)  # z1: 1e6, z2 hub: 5e5
+
+
+def test_kmv_merge_law_and_estimate(spark):
+    """bottomk(whole) == merge(bottomk(half1), bottomk(half2)) exactly
+    (the KMV merge law); under-k groups report the exact distinct count;
+    a 1000-distinct group estimates within 30% at k=64."""
+    from chronographer_spark.operators.sketches import (
+        kmv_bottomk, kmv_estimate, kmv_merge)
+
+    rows = [("big", f"u{i}") for i in range(1000)] * 2 + [
+        ("small", f"s{i}") for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "g string, u string")
+    whole = kmv_bottomk(df, "g", "u", k=64)
+    h1 = kmv_bottomk(df.filter(F.length("u") % 2 == 0), "g", "u", k=64)
+    h2 = kmv_bottomk(df.filter(F.length("u") % 2 == 1), "g", "u", k=64)
+    merged = kmv_merge(64, h1, h2)
+    assert sorted(map(tuple, whole.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
+    est = {r.g: r for r in kmv_estimate(whole, "g", k=64).collect()}
+    assert (est["small"].n_kept, est["small"].kmv_est) == (10, 10)
+    assert est["big"].n_kept == 64
+    assert abs(est["big"].kmv_est - 1000) <= 300
+
+
+def test_hhi_hand_values(spark):
+    """One dominating unit -> hhi = 1e6, eff = 1.000; uniform 4x2 ->
+    hhi = 250000, eff = 4.000 — exact staged quotients."""
+    from chronographer_spark.operators.text import hhi_concentration
+
+    rows = [("mono", 1)] * 5 + [("uni", u) for u in (1, 2, 3, 4)] * 2
+    df = spark.createDataFrame(rows, "k string, u long")
+    out = {r.k: (r.n_units, r.total, r.s2, r.hhi_x1e6, r.eff_x1e3)
+           for r in hhi_concentration(df, key="k", unit_col="u").collect()}
+    assert out == {
+        "mono": (1, 5, 25, 1_000_000, 1_000),
+        "uni": (4, 8, 16, 250_000, 4_000),
+    }
