@@ -14799,6 +14799,308 @@ FROM m
 
 
 
+# ---------------------------------------------------------------------------
+# Q: grid-bucketed DBSCAN over a deterministic blob fixture
+# ---------------------------------------------------------------------------
+
+
+def q_dbscan_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six hash-jittered blobs (radius <= ~70, centers 1000 apart) plus a
+    hash-scattered outlier sprinkle at (5000+, *) — DBSCAN(eps=200,
+    min_pts=4) recovers each blob as one cluster labeled by its min id
+    and reads the sprinkle as noise/micro-clusters, all pinned by the
+    deterministic border rule."""
+    from .operators.clustering import dbscan_grid
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 7 == 0)
+    h = lambda tag: F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(tag), F.col("event_id").cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long"),
+        F.lit(101),
+    )
+    out = F.col("event_id") % 91 == 0
+    ox = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ox:"), F.col("event_id").cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long"),
+        F.lit(20),
+    )
+    oy = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("oy:"), F.col("event_id").cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long"),
+        F.lit(3000),
+    )
+    pts = ev.select(
+        F.col("event_id").alias("id"),
+        F.when(out, F.lit(5000) + ox * 500)
+        .otherwise((F.col("event_id") % 3) * 1000 + h("dx:") - 50)
+        .cast("long")
+        .alias("x"),
+        F.when(out, F.lit(5000) + oy)
+        .otherwise(
+            F.expr("event_id DIV 3 % 2 * 1000") + h("dy:") - 50
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    return dbscan_grid(pts, id_col="id", x_col="x", y_col="y",
+                       eps=200, min_pts=4)
+
+
+DBSCAN_BLOBS_SQL = """
+WITH RECURSIVE pts AS (
+  SELECT event_id AS pid,
+    CAST(CASE WHEN event_id % 91 = 0
+      THEN 5000 + CAST(concat('0x', substr(md5('ox:' || CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 20 * 500
+      ELSE event_id % 3 * 1000
+           + CAST(concat('0x', substr(md5('dx:' || CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 101 - 50
+      END AS BIGINT) AS px,
+    CAST(CASE WHEN event_id % 91 = 0
+      THEN 5000 + CAST(concat('0x', substr(md5('oy:' || CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 3000
+      ELSE event_id // 3 % 2 * 1000
+           + CAST(concat('0x', substr(md5('dy:' || CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 101 - 50
+      END AS BIGINT) AS py
+  FROM events WHERE event_id % 7 = 0
+),
+cand AS (
+  SELECT a.pid AS id_a, b.pid AS id_b
+  FROM (
+    SELECT pid, px, py,
+           CAST(floor(CAST(px AS DOUBLE) / 200) AS BIGINT) + ox.o AS cx,
+           CAST(floor(CAST(py AS DOUBLE) / 200) AS BIGINT) + oy.o AS cy
+    FROM pts, (SELECT unnest([-1, 0, 1]) AS o) ox,
+         (SELECT unnest([-1, 0, 1]) AS o) oy
+  ) a
+  JOIN (
+    SELECT pid, px, py,
+           CAST(floor(CAST(px AS DOUBLE) / 200) AS BIGINT) AS cx,
+           CAST(floor(CAST(py AS DOUBLE) / 200) AS BIGINT) AS cy
+    FROM pts
+  ) b USING (cx, cy)
+  WHERE a.pid != b.pid
+    AND (a.px - b.px) * (a.px - b.px) + (a.py - b.py) * (a.py - b.py) <= 40000
+),
+ncnt AS (SELECT id_a AS pid, count(*) + 1 AS n FROM cand GROUP BY 1),
+flags AS (
+  SELECT p.pid, coalesce(n.n, 1) >= 4 AS is_core
+  FROM pts p LEFT JOIN ncnt n USING (pid)
+),
+core_edges AS (
+  SELECT id_a AS src, id_b AS dst FROM cand
+  WHERE id_a IN (SELECT pid FROM flags WHERE is_core)
+    AND id_b IN (SELECT pid FROM flags WHERE is_core)
+),
+reach(node, lbl) AS (
+  SELECT pid, pid FROM flags WHERE is_core
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN core_edges e ON e.src = r.node
+),
+cc AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node),
+border AS (
+  SELECT c.id_a AS pid, min(cc.component) AS b_cluster
+  FROM cand c JOIN cc ON cc.node = c.id_b GROUP BY 1
+)
+SELECT f.pid AS id, f.is_core,
+       CAST(CASE WHEN f.is_core THEN cc.component
+                 ELSE coalesce(b.b_cluster, -1) END AS BIGINT) AS cluster
+FROM flags f
+LEFT JOIN cc ON cc.node = f.pid
+LEFT JOIN border b ON b.pid = f.pid
+"""
+
+
+
+# ---------------------------------------------------------------------------
+# Q: KMV-sketch Jaccard between per-type user sets
+# ---------------------------------------------------------------------------
+
+
+def q_kmv_jaccard_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise user-set Jaccard between event types estimated purely
+    from their bottom-k sketches — each type keeps the ~2/3 of users
+    with (user_id + len(type)) % 3 != 0, so sets overlap heavily but
+    differ by type-name length, and the estimates spread accordingly."""
+    from .operators.sketches import kmv_bottomk, kmv_jaccard
+
+    ev = _t(spark, sf_dir, "events").filter(
+        (F.col("user_id") + F.length("event_type")) % 3 != 0
+    )
+    bk = kmv_bottomk(ev, "event_type", "user_id", k=64)
+    return kmv_jaccard(bk, "event_type", k=64)
+
+
+KMV_JACCARD_TYPES_SQL = """
+WITH ev AS (
+  SELECT event_type, user_id FROM events
+  WHERE (user_id + length(event_type)) % 3 != 0
+),
+hashed AS (
+  SELECT DISTINCT event_type,
+         CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+              AS BIGINT) AS h
+  FROM ev
+),
+bk AS (
+  SELECT event_type, h FROM (
+    SELECT event_type, h,
+           row_number() OVER (PARTITION BY event_type ORDER BY h) AS r
+    FROM hashed
+  ) WHERE r <= 64
+),
+g AS (SELECT DISTINCT event_type FROM bk),
+pairs AS (
+  SELECT a.event_type AS ga, b.event_type AS gb
+  FROM g a JOIN g b ON a.event_type < b.event_type
+),
+u AS (
+  SELECT p.ga, p.gb, k.h, 1 AS in_a FROM pairs p JOIN bk k ON k.event_type = p.ga
+  UNION ALL
+  SELECT p.ga, p.gb, k.h, 0 AS in_a FROM pairs p JOIN bk k ON k.event_type = p.gb
+),
+m AS (
+  SELECT ga, gb, h, max(in_a) AS has_a, 1 - min(in_a) AS has_b
+  FROM u GROUP BY ga, gb, h
+),
+topk AS (
+  SELECT * FROM (
+    SELECT ga, gb, has_a, has_b,
+           row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS r
+    FROM m
+  ) WHERE r <= 64
+)
+SELECT ga AS group_a, gb AS group_b,
+       CAST(count(*) AS BIGINT) AS denom,
+       CAST(sum(has_a * has_b) AS BIGINT) AS n_match,
+       CAST(sum(has_a * has_b) * CAST(1000000 AS BIGINT) // count(*)
+            AS BIGINT) AS jacc_x1e6
+FROM topk GROUP BY ga, gb
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: exact-integer OLS slope of daily counts per type
+# ---------------------------------------------------------------------------
+
+
+def q_ols_slope_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS slope on the IDENTICAL ramp fixture as theilsen_types (click
+    doubled from Jan 21): the least-squares readout to hold against
+    Theil-Sen's median-of-slopes — click reads strongly positive, the
+    untouched keys hover near zero."""
+    from .operators.temporal import ols_slope
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts")
+    ramp = ev.filter(
+        (F.col("event_type") == "click")
+        & (F.col("ts") >= F.lit("2024-01-21").cast("timestamp"))
+    )
+    return ols_slope(ev.unionAll(ramp), "event_type", "ts", "day")
+
+
+OLS_SLOPE_TYPES_SQL = """
+WITH ev AS (
+  SELECT event_type, ts FROM events
+  UNION ALL
+  SELECT event_type, ts FROM events
+  WHERE event_type = 'click' AND ts >= TIMESTAMP '2024-01-21'
+),
+cnt AS (
+  SELECT event_type,
+         CAST(floor(epoch(date_trunc('day', ts)) / 86400) AS BIGINT) AS x,
+         CAST(count(*) AS BIGINT) AS y
+  FROM ev GROUP BY 1, 2
+),
+m AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_buckets,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM cnt GROUP BY event_type
+)
+SELECT event_type, n_buckets,
+       CAST(n_buckets * sxy - sx * sy AS BIGINT) AS num,
+       CAST(n_buckets * sxx - sx * sx AS BIGINT) AS den,
+       CAST(CASE WHEN n_buckets * sxx - sx * sx = 0 THEN 0 ELSE
+            (n_buckets * sxy - sx * sy) // (n_buckets * sxx - sx * sx)
+              * CAST(1000000 AS BIGINT)
+            + (n_buckets * sxy - sx * sy) % (n_buckets * sxx - sx * sx)
+              * CAST(1000000 AS BIGINT)
+              // (n_buckets * sxx - sx * sx) END AS BIGINT) AS slope_x1e6
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: joint-vs-marginals TVD independence screen (type x 4h day-part)
+# ---------------------------------------------------------------------------
+
+
+def q_contingency_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association between event type and 4-hour day-part with a planted
+    dependence: click events before 08:00 are duplicated, skewing click
+    mass into the first two day-parts — the TVD reads well above the
+    near-independent baseline of the untouched table."""
+    from .operators.text import contingency_tvd
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", (F.hour("ts").cast("long") / F.lit(4)).cast("long").alias("dp"), "ts"
+    )
+    extra = ev.filter((F.col("event_type") == "click") & (F.col("dp") < 2))
+    return contingency_tvd(
+        ev.unionAll(extra).select("event_type", "dp"), "event_type", "dp"
+    )
+
+
+CONTINGENCY_TYPE_HOUR_SQL = """
+WITH base AS (
+  SELECT event_type, CAST(hour(ts) // 4 AS BIGINT) AS dp FROM events
+),
+ev AS (
+  SELECT event_type, dp FROM base
+  UNION ALL
+  SELECT event_type, dp FROM base WHERE event_type = 'click' AND dp < 2
+),
+cells AS (
+  SELECT event_type AS r, dp AS c, CAST(count(*) AS BIGINT) AS o
+  FROM ev GROUP BY 1, 2
+),
+rm AS (SELECT r, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY r),
+cm AS (SELECT c, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY c),
+tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+fold AS (
+  SELECT max(t.n) AS n,
+         CAST(count(DISTINCT cells.r) AS BIGINT) AS n_row_cats,
+         CAST(count(DISTINCT cells.c) AS BIGINT) AS n_col_cats,
+         CAST(sum(abs(cells.o * t.n - rm.rt * cm.ct))
+              + max(t.n * t.n) - sum(rm.rt * cm.ct) AS BIGINT) AS s_abs
+  FROM cells
+  JOIN rm USING (r) JOIN cm USING (c) CROSS JOIN tot t
+)
+SELECT n, n_row_cats, n_col_cats, s_abs,
+       CAST((s_abs // n * CAST(1000000 AS BIGINT)
+             + s_abs % n * CAST(1000000 AS BIGINT) // n)
+            // (2 * n) AS BIGINT) AS tvd_x1e6
+FROM fold
+"""
+
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -15078,6 +15380,10 @@ QUERIES = {
     "aa_linkpred": q_aa_linkpred,
     "kmv_distinct_users": q_kmv_distinct_users,
     "hhi_users": q_hhi_users,
+    "dbscan_blobs": q_dbscan_blobs,
+    "kmv_jaccard_types": q_kmv_jaccard_types,
+    "ols_slope_types": q_ols_slope_types,
+    "contingency_type_hour": q_contingency_type_hour,
     "katz_tools": q_katz_tools,
     "auc_priority": q_auc_priority,
 }
@@ -15365,6 +15671,10 @@ ORACLE_SQL = {
     "aa_linkpred": AA_LINKPRED_SQL,
     "kmv_distinct_users": KMV_DISTINCT_USERS_SQL,
     "hhi_users": HHI_USERS_SQL,
+    "dbscan_blobs": DBSCAN_BLOBS_SQL,
+    "kmv_jaccard_types": KMV_JACCARD_TYPES_SQL,
+    "ols_slope_types": OLS_SLOPE_TYPES_SQL,
+    "contingency_type_hour": CONTINGENCY_TYPE_HOUR_SQL,
     "katz_tools": KATZ_TOOLS_SQL,
     "auc_priority": AUC_PRIORITY_SQL,
 }

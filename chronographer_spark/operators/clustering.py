@@ -127,3 +127,116 @@ def kmeans(
         )
         centroids = sorted((r["cluster"], list(r["v"])) for r in upd)
     return assigned.select(id_col, "cluster"), centroids
+
+
+def dbscan_grid(
+    points: DataFrame,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+    eps: int = 200,
+    min_pts: int = 4,
+) -> DataFrame:
+    """Grid-bucketed DBSCAN over integer 2-D points — the density
+    clustering the k-means family can't do (arbitrary-shape clusters, an
+    explicit NOISE verdict, no k to pick): the classic screen for
+    "how many dense regions does this projection of the corpus have, and
+    which points are stragglers" (Ester et al. 1996). Callers pre-quantize
+    coordinates to an integer grid (the repo's float discipline).
+
+    Deterministic variant, pinned identically in the oracle: core points
+    (|N_eps| ≥ min_pts, counting self) cluster by connected components
+    over core-core ε-edges with component = MIN core id; border points
+    (non-core within ε of a core) join the MINIMUM cluster label among
+    their core neighbors — classic DBSCAN leaves border assignment
+    scan-order-dependent, this pins it. Everything else (noise = -1) is
+    textbook.
+
+    Scale shape — the grid IS the index: cell side = ε, each point
+    replicates into its 3×3 neighbor cells (map-only ×9 fan), and every
+    ε-pair provably shares a (cell_x, cell_y) bucket, so the candidate
+    join is an equi-join on cell keys — no crossJoin, no R-tree. Cost is
+    O(n · points-per-cell): bounded by data density, the same contract
+    as every production DBSCAN; a pathological all-points-in-one-cell
+    input degrades to the quadratic truth with AQE splitting the skewed
+    bucket. Neighbor counts, core flags, edges, and border attachment
+    all reuse ONE candidate-pair table (localCheckpoint so the LSH-band
+    re-execution family bug can't bite); the CC loop is
+    `connected_components` (window strategy — ε-graphs are
+    bounded-degree by the same density argument).
+
+    Returns (id, is_core, cluster): cluster = -1 for noise.
+    """
+    from ..linking.canonicalize import connected_components
+
+    pts = points.select(
+        F.col(id_col).cast("long").alias("pid"),
+        F.col(x_col).cast("long").alias("px"),
+        F.col(y_col).cast("long").alias("py"),
+    ).localCheckpoint(eager=True)
+    # left side fans into the 3x3 neighborhood; right side stays put
+    off = F.explode(
+        F.array(*[
+            F.struct(F.lit(dx).alias("ox"), F.lit(dy).alias("oy"))
+            for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+        ])
+    )
+    left = pts.withColumn("o", off).select(
+        F.col("pid").alias("id_a"),
+        F.col("px").alias("xa"),
+        F.col("py").alias("ya"),
+        (F.floor(F.col("px") / eps) + F.col("o.ox")).alias("cx"),
+        (F.floor(F.col("py") / eps) + F.col("o.oy")).alias("cy"),
+    )
+    right = pts.select(
+        F.col("pid").alias("id_b"),
+        F.col("px").alias("xb"),
+        F.col("py").alias("yb"),
+        F.floor(F.col("px") / eps).alias("cx"),
+        F.floor(F.col("py") / eps).alias("cy"),
+    )
+    pairs = (
+        left.join(right, ["cx", "cy"])
+        .filter(F.col("id_a") != F.col("id_b"))
+        .filter(
+            (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb"))
+            + (F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb"))
+            <= F.lit(eps * eps)
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    ncnt = pairs.groupBy("id_a").agg((F.count(F.lit(1)) + 1).alias("n_eps"))
+    flagged = pts.join(ncnt, pts.pid == ncnt.id_a, "left").select(
+        "pid",
+        (F.coalesce(F.col("n_eps"), F.lit(1)) >= min_pts).alias("is_core"),
+    ).localCheckpoint(eager=True)
+    core = flagged.filter("is_core").select("pid")
+    core_edges = (
+        pairs.join(core.withColumnRenamed("pid", "id_a"), "id_a")
+        .join(core.withColumnRenamed("pid", "id_b"), "id_b")
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    cc = connected_components(
+        core_edges, all_nodes=core.withColumnRenamed("pid", "node"),
+        strategy="window",
+    )
+    border = (
+        pairs.join(
+            cc.select(F.col("node").alias("id_b"), "component"), "id_b"
+        )
+        .groupBy("id_a")
+        .agg(F.min("component").alias("b_cluster"))
+    )
+    return (
+        flagged.join(cc.withColumnRenamed("node", "pid"), "pid", "left")
+        .join(border.withColumnRenamed("id_a", "pid"), "pid", "left")
+        .select(
+            F.col("pid").alias(id_col),
+            "is_core",
+            F.when(F.col("is_core"), F.col("component"))
+            .otherwise(F.coalesce(F.col("b_cluster"), F.lit(-1)))
+            .cast("long")
+            .alias("cluster"),
+        )
+    )

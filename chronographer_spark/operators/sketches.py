@@ -588,3 +588,67 @@ def kmv_estimate(bottomk: DataFrame, group_col: str, k: int = 64) -> DataFrame:
             ).alias("kmv_est"),
         )
     )
+
+
+def kmv_jaccard(
+    bottomk: DataFrame, group_col: str, k: int = 64
+) -> DataFrame:
+    """Pairwise Jaccard similarity between groups ESTIMATED FROM THEIR
+    KMV SKETCHES alone — the second dividend of the bottom-k state
+    (kmv_bottomk's docstring): bottomk(A ∪ B) is computable from
+    bottomk(A) ∪ bottomk(B), and any of its members that belongs to A
+    also belongs to bottomk(A) (fewer than k union hashes precede it, a
+    fortiori fewer of A's), so intersection membership is decidable
+    inside the sketches. J ≈ |{h ∈ bottomk(A∪B): h ∈ both}| / |bottomk(A∪B)|
+    — the classic bottom-k Jaccard estimator (Cohen & Kaplan 2007), and
+    the set-similarity companion to MinHash that needs ONE sketch per
+    group instead of one per (group, hash-function).
+
+    Shape: the group list is tiny by contract (sketches exist per
+    group); pairs fan ≤ |G|²/2 each carrying ≤ 2k sketch rows — an
+    all-pairs-of-sketches join, never an all-pairs-of-members join.
+    Exact integers end to end: jacc_x1e6 = matches·1e6 DIV denom.
+
+    Returns (group_a, group_b, denom, n_match, jacc_x1e6), group_a <
+    group_b.
+    """
+    groups = bottomk.select(F.col(group_col).alias("ga")).distinct()
+    pairs = groups.join(
+        groups.select(F.col("ga").alias("gb")),
+        F.col("ga") < F.col("gb"),
+    )
+    a = bottomk.select(F.col(group_col).alias("ga"), "h")
+    b = bottomk.select(F.col(group_col).alias("gb"), "h")
+    ua = pairs.join(a, "ga").select("ga", "gb", "h", F.lit(1).alias("in_a"))
+    ub = pairs.join(b, "gb").select(
+        "ga", "gb", "h", F.lit(0).alias("in_a")
+    )
+    merged = (
+        ua.unionByName(ub)
+        .groupBy("ga", "gb", "h")
+        .agg(F.max("in_a").alias("has_a"), F.min("in_a").alias("__lo"))
+        .select(
+            "ga", "gb", "h", "has_a",
+            (1 - F.col("__lo")).alias("has_b"),
+        )
+    )
+    w = Window.partitionBy("ga", "gb").orderBy("h")
+    topk = merged.withColumn("__r", F.row_number().over(w)).filter(
+        F.col("__r") <= k
+    )
+    return (
+        topk.groupBy("ga", "gb")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("denom"),
+            F.sum(F.col("has_a") * F.col("has_b")).cast("long").alias("n_match"),
+        )
+        .select(
+            F.col("ga").alias("group_a"),
+            F.col("gb").alias("group_b"),
+            "denom",
+            "n_match",
+            F.expr(
+                "n_match * CAST(1000000 AS BIGINT) DIV denom"
+            ).alias("jacc_x1e6"),
+        )
+    )

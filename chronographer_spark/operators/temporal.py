@@ -1904,3 +1904,78 @@ def spearman_corr(
             ).alias("spearman_r2_x1e6"),
         )
     )
+
+
+def ols_slope(
+    df: DataFrame,
+    key: str = "event_type",
+    ts_col: str = "ts",
+    bucket: str = "day",
+) -> DataFrame:
+    """Exact-integer OLS slope of per-bucket counts per key — the
+    least-squares companion to `theilsen_trend` (median-of-slopes) and
+    `mk_trend` (sign test) on the same collapsed bucket-count table: the
+    number a capacity forecast extrapolates with, where Theil-Sen gives
+    the outlier-robust check. Reporting BOTH and comparing is the
+    standard trend-audit recipe (a large OLS/Theil-Sen gap flags
+    leverage points).
+
+    slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) with x = epoch-bucket
+    index and y = bucket count: all moments are BIGINT-exact off the
+    tiny collapsed table (buckets-per-key rows, not events), and
+    slope_x1e6 is the signed staged quotient — truncation toward zero
+    identical in both engines (CLAUDE.md sign caveat: replay plain DIV,
+    never "fix" it). Bounds: n·Σxy needs buckets·(epoch_index·count)² ≪
+    2^63 — epoch-DAY indices (~2e4) keep it safe for ~1e9 buckets;
+    finer buckets should rebase the index before the moments.
+
+    Shape: one combinable (key, bucket) count collapses the input;
+    every moment is ONE rollup over that table sharing its key
+    exchange. Single-bucket keys read slope 0 (den = 0 guard).
+
+    Returns (key, n_buckets, num, den, slope_x1e6).
+    """
+    trunc = F.date_trunc(bucket, F.col(ts_col))
+    cnt = (
+        df.select(key, trunc.alias("__b"))
+        .groupBy(key, "__b")
+        .agg(F.count(F.lit(1)).cast("long").alias("__y"))
+        .select(
+            key,
+            F.floor(F.unix_timestamp("__b") / F.lit(86400)).cast("long").alias("__x")
+            if bucket == "day"
+            else F.unix_timestamp("__b").cast("long").alias("__x"),
+            "__y",
+        )
+    )
+    return (
+        cnt.groupBy(key)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.sum("__x").cast("long").alias("__sx"),
+            F.sum("__y").cast("long").alias("__sy"),
+            F.sum(F.col("__x") * F.col("__y")).cast("long").alias("__sxy"),
+            F.sum(F.col("__x") * F.col("__x")).cast("long").alias("__sxx"),
+        )
+        .select(
+            key,
+            "n_buckets",
+            (F.col("n_buckets") * F.col("__sxy") - F.col("__sx") * F.col("__sy"))
+            .cast("long")
+            .alias("num"),
+            (F.col("n_buckets") * F.col("__sxx") - F.col("__sx") * F.col("__sx"))
+            .cast("long")
+            .alias("den"),
+        )
+        .select(
+            key,
+            "n_buckets",
+            "num",
+            "den",
+            F.expr(
+                "CAST(CASE WHEN den = 0 THEN 0 ELSE "
+                "num DIV den * CAST(1000000 AS BIGINT) "
+                "+ num % den * CAST(1000000 AS BIGINT) DIV den END AS BIGINT)"
+            ).alias("slope_x1e6"),
+        )
+    )

@@ -1451,3 +1451,72 @@ def hhi_concentration(
             ).alias("eff_x1e3"),
         )
     )
+
+
+def contingency_tvd(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+) -> DataFrame:
+    """Total-variation distance between the JOINT distribution of two
+    categoricals and the PRODUCT of their marginals — the exact-integer
+    independence screen (the role a chi-square test plays, without
+    chi-square's float sums): 0 iff the columns are independent on this
+    data, 1 at maximal association. The readout a feature audit runs
+    before trusting "column A adds signal beyond column B", and the
+    leakage screen between a label and a supposedly-neutral attribute.
+
+    TVD = ½ Σ_cells |P(r,c) − P(r)P(c)| over ALL marginal combinations;
+    unobserved cells contribute P(r)P(c), folded in without enumerating
+    them: Σ_all |O·N − r·c| = Σ_obs |O·N − r·c| + (N² − Σ_obs r·c).
+    tvd_x1e6 is the twice-staged truncated quotient of S·1e6/(2N²)
+    (floor-composition exact; every term BIGINT). Bound: S ≤ 2N² needs
+    N ≲ 3e6 for the staged ×1e6 — beyond, lift to DECIMAL(38).
+
+    Shape: ONE combinable (row, col) count collapses the input; both
+    marginals and the final fold are rollups over that collapsed table
+    (≤ |R|·|C| rows), broadcast-joined back. No second scan of the
+    input.
+
+    Returns one row (n, n_row_cats, n_col_cats, s_abs, tvd_x1e6).
+    """
+    cells = (
+        df.select(F.col(row_col).alias("__r"), F.col(col_col).alias("__c"))
+        .groupBy("__r", "__c")
+        .agg(F.count(F.lit(1)).cast("long").alias("__o"))
+        .localCheckpoint(eager=True)  # marginals + fold share it
+    )
+    rm = cells.groupBy("__r").agg(F.sum("__o").alias("__rt"))
+    cm = cells.groupBy("__c").agg(F.sum("__o").alias("__ct"))
+    # the fold needs N inside per-cell terms: one broadcast single-row
+    # aggregate, then one pass over the collapsed cell table.
+    tot = cells.agg(F.sum("__o").cast("long").alias("__n"))
+    folded = (
+        cells.join(F.broadcast(rm), "__r")
+        .join(F.broadcast(cm), "__c")
+        .join(F.broadcast(tot))
+        .agg(
+            F.max("__n").alias("n"),
+            F.countDistinct("__r").cast("long").alias("n_row_cats"),
+            F.countDistinct("__c").cast("long").alias("n_col_cats"),
+            (
+                F.sum(F.abs(F.col("__o") * F.col("__n") - F.col("__rt") * F.col("__ct")))
+                + F.max(F.col("__n") * F.col("__n"))
+                - F.sum(F.col("__rt") * F.col("__ct"))
+            )
+            .cast("long")
+            .alias("s_abs"),
+        )
+        .select(
+            "n",
+            "n_row_cats",
+            "n_col_cats",
+            "s_abs",
+            F.expr(
+                "CAST((s_abs DIV n * CAST(1000000 AS BIGINT) "
+                "+ s_abs % n * CAST(1000000 AS BIGINT) DIV n) "
+                "DIV (2 * n) AS BIGINT)"
+            ).alias("tvd_x1e6"),
+        )
+    )
+    return folded

@@ -4791,3 +4791,82 @@ def test_hhi_hand_values(spark):
         "mono": (1, 5, 25, 1_000_000, 1_000),
         "uni": (4, 8, 16, 250_000, 4_000),
     }
+
+
+def test_dbscan_grid_hand_values(spark):
+    """3-point core clique -> one cluster labeled by min id; a point with
+    one core neighbor but too few neighbors -> border, inheriting the
+    cluster; an isolated point -> noise (-1). eps=2, min_pts=3."""
+    from chronographer_spark.operators.clustering import dbscan_grid
+
+    rows = [(1, 0, 0), (2, 1, 0), (3, 0, 1), (4, 3, 0), (5, 10, 10)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    out = {r.id: (r.is_core, r.cluster)
+           for r in dbscan_grid(df, eps=2, min_pts=3).collect()}
+    assert out == {
+        1: (True, 1), 2: (True, 1), 3: (True, 1),
+        4: (False, 1), 5: (False, -1),
+    }
+
+
+def test_kmv_jaccard_exact_when_union_fits(spark):
+    """When each union fits inside the sketch (distincts < k) the
+    bottom-k estimator IS the exact Jaccard: identical sets -> 1e6,
+    disjoint -> 0, a 2/6 overlap -> exactly 2*1e6 DIV 6."""
+    from chronographer_spark.operators.sketches import kmv_bottomk, kmv_jaccard
+
+    rows = (
+        [("a", f"x{i}") for i in range(4)]
+        + [("b", f"x{i}") for i in range(4)]          # b == a
+        + [("c", f"y{i}") for i in range(4)]          # c disjoint from a
+        + [("d", "x0"), ("d", "x1"), ("d", "z0"), ("d", "z1")]  # |d∩a|=2, |d∪a|=6
+    )
+    df = spark.createDataFrame(rows, "g string, u string")
+    bk = kmv_bottomk(df, "g", "u", k=64)
+    out = {(r.group_a, r.group_b): (r.denom, r.n_match, r.jacc_x1e6)
+           for r in kmv_jaccard(bk, "g", k=64).collect()}
+    assert out[("a", "b")] == (4, 4, 1_000_000)
+    assert out[("a", "c")] == (8, 0, 0)
+    assert out[("a", "d")] == (6, 2, 2 * 1_000_000 // 6)
+
+
+def test_ols_slope_hand_values(spark):
+    """Counts on an exact line y = 3x + c -> slope exactly 3e6; a
+    reversed line -> -3e6; a single bucket -> den 0 and slope 0."""
+    from chronographer_spark.operators.temporal import ols_slope
+
+    rows = []
+    for d in range(1, 6):          # days 1..5
+        rows += [("up", f"2024-01-0{d} 00:00:00")] * (3 * d + 2)
+        rows += [("down", f"2024-01-0{d} 00:00:00")] * (3 * (6 - d) + 2)
+    rows += [("one", "2024-01-01 00:00:00")] * 4
+    df = spark.createDataFrame(rows, "k string, s string").select(
+        "k", F.col("s").cast("timestamp").alias("ts")
+    )
+    out = {r.k: (r.n_buckets, r.slope_x1e6)
+           for r in ols_slope(df, key="k", ts_col="ts").collect()}
+    assert out == {
+        "up": (5, 3_000_000), "down": (5, -3_000_000), "one": (1, 0),
+    }
+
+
+def test_contingency_tvd_hand_values(spark):
+    """Independent uniform 2x2 -> 0; perfectly dependent (r == c) 2x2
+    -> 500000 (joint puts 1/2 on each diagonal cell, product 1/4 on all
+    four -> TVD = 1/2), including the unobserved-cell fold."""
+    from chronographer_spark.operators.text import contingency_tvd
+
+    ind = spark.createDataFrame(
+        [(r, c) for r in (0, 1) for c in (0, 1) for _ in range(5)],
+        "r long, c long",
+    )
+    got = contingency_tvd(ind, "r", "c").collect()[0]
+    assert (got.n, got.tvd_x1e6) == (20, 0)
+
+    dep = spark.createDataFrame(
+        [(v, v) for v in (0, 1) for _ in range(5)], "r long, c long"
+    )
+    got = contingency_tvd(dep, "r", "c").collect()[0]
+    assert (got.n, got.n_row_cats, got.n_col_cats, got.tvd_x1e6) == (
+        10, 2, 2, 500_000,
+    )
