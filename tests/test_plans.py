@@ -1029,3 +1029,112 @@ def test_dynamic_partition_pruning_fires(spark, tmp_path):
         spark.conf.set(
             "spark.sql.optimizer.dynamicPartitionPruning.enabled", old
         )
+
+
+def test_spearman_single_exchange(spark):
+    """Both rank windows and the moment rollup share ONE hash exchange on
+    the key — rank(), the RANGE-cumulative tie count, and the partition
+    count are all (key)-partitioned, and the tie count deliberately
+    avoids a (key, value) window that would force a second exchange."""
+    from chronographer_spark.operators.temporal import spearman_corr
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    rows = ev.select(
+        "event_type",
+        F.unix_timestamp("ts").cast("long").alias("x"),
+        F.floor(F.col("value") * 100).cast("long").alias("y"),
+    )
+    plan = _plan(spearman_corr(rows, key="event_type", x_col="x", y_col="y"))
+    assert _exchanges(plan) <= 1, plan
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_ols_slope_two_combinable_aggregates(spark):
+    """Bucket-count collapse + moment rollup: exactly two exchanges, all
+    aggregates partial (map-side combinable), one scan."""
+    from chronographer_spark.operators.temporal import ols_slope
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    plan = _plan(ols_slope(ev, "event_type", "ts", "day"))
+    assert _exchanges(plan) <= 2, plan
+    assert plan.count("Scan parquet") == 1, plan
+    assert "partial_count" in plan and "partial_sum" in plan, plan
+
+
+def test_hhi_two_combinable_aggregates_no_sort(spark):
+    """HHI's whole point vs Gini: NO rank window, just two combinable
+    aggregates — two exchanges, one scan, zero Window operators."""
+    from chronographer_spark.operators.text import hhi_concentration
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    plan = _plan(hhi_concentration(ev, "event_type", "user_id"))
+    assert _exchanges(plan) <= 2, plan
+    assert "Window" not in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_contingency_tvd_collapsed_once(spark):
+    """The (row, col) cell table is checkpointed once: the final plan
+    never re-scans the input; marginals broadcast back; the only
+    nested-loop join is the single-row total."""
+    from chronographer_spark.operators.text import contingency_tvd
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        "event_type", (F.hour("ts") / F.lit(4)).cast("long").alias("dp")
+    )
+    plan = _plan(contingency_tvd(ev, "event_type", "dp"))
+    assert plan.count("Scan parquet") == 0, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+    assert plan.count("BroadcastExchange") >= 2, plan
+
+
+def test_adamic_adar_same_wedge_shape_as_ra(spark):
+    """AA inherits RA's pinned shape: degree pre-joined on the shared-
+    neighbor side (two joins total, no per-pair degree tail), one
+    partial pair-sum, and the checkpointed symmetric edge table means
+    zero parquet scans in the final plan."""
+    from chronographer_spark.operators.graph_algos import adamic_adar
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    edges = ev.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("src"),
+        F.concat(F.lit("t"), F.col("event_type")).alias("dst"),
+    )
+    plan = _plan(adamic_adar(edges, min_common=4))
+    assert plan.count("Scan parquet") == 0, plan
+    assert plan.count("partial_sum") == 1, plan
+    assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") + plan.count(
+        "ShuffledHashJoin"
+    ) == 2, plan
+
+
+def test_kmv_two_exchanges(spark):
+    """Distinct-hash collapse + per-group rank/rollup: two exchanges,
+    one scan — the sketch build is a single pass."""
+    from chronographer_spark.operators.sketches import kmv_bottomk, kmv_estimate
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    plan = _plan(
+        kmv_estimate(kmv_bottomk(ev, "event_type", "user_id", k=64),
+                     "event_type", k=64)
+    )
+    assert _exchanges(plan) <= 2, plan
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_dbscan_equi_join_never_cartesian(spark):
+    """The eps-grid candidate join is an EQUI-join on (cx, cy) — no
+    CartesianProduct / BroadcastNestedLoopJoin anywhere — and the
+    checkpointed pair table means the final assembly re-scans nothing."""
+    from chronographer_spark.operators.clustering import dbscan_grid
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    pts = ev.select(
+        F.col("event_id").alias("id"),
+        (F.col("user_id") * 7).alias("x"),
+        (F.col("user_id") % 97 * 11).alias("y"),
+    )
+    plan = _plan(dbscan_grid(pts, eps=200, min_pts=4))
+    assert plan.count("CartesianProduct") == 0, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 0, plan
+    assert plan.count("Scan parquet") == 0, plan
