@@ -15101,6 +15101,183 @@ FROM fold
 
 
 
+# ---------------------------------------------------------------------------
+# Q: Viterbi decode of latent session state per conversation
+# ---------------------------------------------------------------------------
+
+VITERBI_STATES = ("ok", "confused", "acting")
+VITERBI_START = {"ok": 0, "confused": -2, "acting": -3}
+VITERBI_TRANS = {
+    "ok": {"ok": 0, "confused": -3, "acting": -1},
+    "confused": {"ok": -2, "confused": 0, "acting": -4},
+    "acting": {"ok": -1, "confused": -3, "acting": -2},
+}
+VITERBI_EMIT = {
+    "ok": {"user": 0, "assistant": 0, "lookup": -2, "action": -3},
+    "confused": {"user": -1, "assistant": -2, "lookup": 0, "action": -5},
+    "acting": {"user": -3, "assistant": -2, "lookup": -1, "action": 0},
+}
+
+
+def q_viterbi_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-plus Viterbi decode of a 3-state session-intent HMM over each
+    conversation's (role, tool-kind) observation stream — the DuckDB
+    oracle replays the identical integer DP as a recursive CTE carrying
+    the whole state vector as columns (no aggregation in the recursive
+    member needed for a fixed small state set)."""
+    from .data.transcripts import transcripts_from_events
+    from .operators.sequence import viterbi_decode
+
+    tx = transcripts_from_events(spark, sf_dir)
+    o = tx.select(
+        "conv_id",
+        "turn_idx",
+        F.when(
+            F.col("role") == "tool",
+            F.when(F.col("tool").isin("click", "view"), F.lit("lookup"))
+            .otherwise(F.lit("action")),
+        )
+        .otherwise(F.col("role"))
+        .alias("obs"),
+    )
+    out = viterbi_decode(
+        o,
+        states=VITERBI_STATES,
+        start=VITERBI_START,
+        trans=VITERBI_TRANS,
+        emit=VITERBI_EMIT,
+    )
+    return out.select("conv_id", "n_turns", "best_state", "best_score")
+
+
+_VIT_E_OK = "CASE {o} WHEN 'user' THEN 0 WHEN 'assistant' THEN 0 WHEN 'lookup' THEN -2 ELSE -3 END"
+_VIT_E_CF = "CASE {o} WHEN 'user' THEN -1 WHEN 'assistant' THEN -2 WHEN 'lookup' THEN 0 ELSE -5 END"
+_VIT_E_AC = "CASE {o} WHEN 'user' THEN -3 WHEN 'assistant' THEN -2 WHEN 'lookup' THEN -1 ELSE 0 END"
+
+VITERBI_SESSIONS_SQL = (
+    TX_SQL.replace("WITH ev_rn", "WITH RECURSIVE ev_rn", 1)
+    + f""",
+obs AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN role = 'tool'
+              THEN CASE WHEN tool IN ('click', 'view')
+                        THEN 'lookup' ELSE 'action' END
+              ELSE role END AS o
+  FROM tx
+),
+lastt AS (SELECT conv_id, max(turn_idx) AS last FROM obs GROUP BY 1),
+v(conv_id, i, vok, vcf, vac) AS (
+  SELECT conv_id, 0,
+         0 + {_VIT_E_OK.format(o='o')},
+         -2 + {_VIT_E_CF.format(o='o')},
+         -3 + {_VIT_E_AC.format(o='o')}
+  FROM obs WHERE turn_idx = 0
+  UNION ALL
+  SELECT o.conv_id, v.i + 1,
+         greatest(vok + 0, vcf + (-2), vac + (-1)) + {_VIT_E_OK.format(o='o.o')},
+         greatest(vok + (-3), vcf + 0, vac + (-3)) + {_VIT_E_CF.format(o='o.o')},
+         greatest(vok + (-1), vcf + (-4), vac + (-2)) + {_VIT_E_AC.format(o='o.o')}
+  FROM v JOIN obs o ON o.conv_id = v.conv_id AND o.turn_idx = v.i + 1
+)
+SELECT v.conv_id, CAST(l.last + 1 AS BIGINT) AS n_turns,
+       CASE WHEN vok >= vcf AND vok >= vac THEN 'ok'
+            WHEN vcf >= vac THEN 'confused' ELSE 'acting' END AS best_state,
+       CAST(greatest(vok, vcf, vac) AS BIGINT) AS best_score
+FROM v JOIN lastt l ON l.conv_id = v.conv_id AND v.i = l.last
+"""
+)
+
+
+
+# ---------------------------------------------------------------------------
+# Q: decision-stump best splits predicting the error label
+# ---------------------------------------------------------------------------
+
+
+def q_decision_stump_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best single-feature splits for label = (event_type = 'error'),
+    with a planted signal: every error event is appended once more with
+    value/10, concentrating positive mass at low values — the
+    value-cents stump should find a low threshold with a visibly lower
+    Gini than the uninformative hour and user-bucket stumps."""
+    from .operators.classifier import decision_stump
+
+    ev = _t(spark, sf_dir, "events")
+    extra = ev.filter(F.col("event_type") == "error").withColumn(
+        "value", F.col("value") / 10
+    )
+    rows = ev.unionByName(extra).select(
+        (F.col("event_type") == "error").alias("label"),
+        F.floor(F.col("value").cast("double") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("vcents"),
+        F.hour("ts").cast("long").alias("hour"),
+        (F.col("user_id") % 16).cast("long").alias("ubucket"),
+    )
+    return decision_stump(rows, ["vcents", "hour", "ubucket"], "label")
+
+
+DECISION_STUMP_ERROR_SQL = """
+WITH ev AS (
+  SELECT event_type, value, ts, user_id FROM events
+  UNION ALL
+  SELECT event_type, value / 10, ts, user_id FROM events
+  WHERE event_type = 'error'
+),
+fanned AS (
+  SELECT p.feat, p.v,
+         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS y
+  FROM ev, unnest([
+    {'feat': 'vcents',
+     'v': CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT)},
+    {'feat': 'hour', 'v': CAST(hour(ts) AS BIGINT)},
+    {'feat': 'ubucket', 'v': CAST(user_id % 16 AS BIGINT)}
+  ]) AS t(p)
+),
+cells AS (
+  SELECT feat, v, CAST(sum(y) AS BIGINT) AS cp,
+         CAST(sum(1 - y) AS BIGINT) AS cn
+  FROM fanned GROUP BY 1, 2
+),
+splits AS (
+  SELECT feat, v,
+         sum(cp) OVER w AS cpl, sum(cn) OVER w AS cnl,
+         sum(cp) OVER wa AS tp, sum(cn) OVER wa AS tn
+  FROM cells
+  WINDOW w AS (PARTITION BY feat ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wa AS (PARTITION BY feat)
+),
+scored AS (
+  SELECT feat, v,
+         cpl + cnl AS nl, tp + tn - cpl - cnl AS nr,
+         cpl, cnl, tp - cpl AS cpr, tn - cnl AS cnr, tp + tn AS n
+  FROM splits
+),
+g AS (
+  SELECT feat, v, nl, nr,
+         CAST(((( nl * nl - cpl * cpl - cnl * cnl) * nr
+               + (nr * nr - cpr * cpr - cnr * cnr) * nl) // (nl * nr)
+               * CAST(1000000 AS BIGINT)
+              + ((nl * nl - cpl * cpl - cnl * cnl) * nr
+               + (nr * nr - cpr * cpr - cnr * cnr) * nl) % (nl * nr)
+               * CAST(1000000 AS BIGINT) // (nl * nr)) // n AS BIGINT)
+           AS gini_x1e6
+  FROM scored WHERE nr > 0
+),
+pick AS (
+  SELECT feat, v, nl, nr, gini_x1e6,
+         row_number() OVER (PARTITION BY feat ORDER BY gini_x1e6, v) AS r
+  FROM g
+)
+SELECT feat AS feature, v AS threshold,
+       CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right,
+       gini_x1e6
+FROM pick WHERE r = 1
+"""
+
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -15384,6 +15561,8 @@ QUERIES = {
     "kmv_jaccard_types": q_kmv_jaccard_types,
     "ols_slope_types": q_ols_slope_types,
     "contingency_type_hour": q_contingency_type_hour,
+    "viterbi_sessions": q_viterbi_sessions,
+    "decision_stump_error": q_decision_stump_error,
     "katz_tools": q_katz_tools,
     "auc_priority": q_auc_priority,
 }
@@ -15675,6 +15854,8 @@ ORACLE_SQL = {
     "kmv_jaccard_types": KMV_JACCARD_TYPES_SQL,
     "ols_slope_types": OLS_SLOPE_TYPES_SQL,
     "contingency_type_hour": CONTINGENCY_TYPE_HOUR_SQL,
+    "viterbi_sessions": VITERBI_SESSIONS_SQL,
+    "decision_stump_error": DECISION_STUMP_ERROR_SQL,
     "katz_tools": KATZ_TOOLS_SQL,
     "auc_priority": AUC_PRIORITY_SQL,
 }

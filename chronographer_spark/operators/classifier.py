@@ -449,3 +449,103 @@ def auc_exact(
             f"+ u2 % {d} * CAST(1000000 AS BIGINT) DIV {d} AS BIGINT)"
         ).alias("auc_x1e6"),
     )
+
+
+def decision_stump(
+    df: DataFrame,
+    feature_cols,
+    label_col: str = "label",
+) -> DataFrame:
+    """Exact-integer decision-stump induction: for each integer feature,
+    the split threshold minimizing CART's weighted Gini impurity over a
+    binary label — the weak learner under boosting, the first split of
+    every tree ensemble, and the fastest "which single column predicts
+    this label" audit (the supervised sibling of `contingency_tvd`).
+
+    Exactness: with per-(feature, value) class counts collapsed, every
+    candidate split "x <= v" is one row of two prefix sums, and the
+    weighted impurity (nl·gini_l + nr·gini_r)/n has the closed integer
+    form S/(nl·nr·n) with S = (nl² − cpl² − cnl²)·nr + (nr² − cpr² −
+    cnr²)·nl. gini_x1e6 is the twice-staged truncated quotient (first by
+    nl·nr, then by n — floor composition keeps it exact); ties break to
+    the SMALLEST threshold via the same row_number both engines replay.
+    BIGINT headroom: r1·1e6 with r1 < nl·nr ≤ n²/4 needs n ≲ 6e6 rows;
+    beyond, lift the quotient to DECIMAL(38).
+
+    Shape: ONE explode fans each row into |features| (feature, value,
+    label) structs over a single scan (the fd-profile pattern); a
+    combinable (feature, value) count collapses the input; prefix sums,
+    totals, impurities, and the per-feature argmin all run as windows
+    over that collapsed table inside one (feature) exchange. Never a
+    per-candidate re-scan.
+
+    Returns (feature, threshold, n_left, n_right, gini_x1e6): split is
+    "value <= threshold"; the all-left split (nr = 0) is excluded, so a
+    single-valued feature yields no row.
+    """
+    from pyspark.sql.window import Window
+
+    structs = [
+        F.struct(
+            F.lit(c).alias("feat"),
+            F.col(c).cast("long").alias("v"),
+        )
+        for c in feature_cols
+    ]
+    lab = F.when(F.col(label_col).cast("boolean"), 1).otherwise(0)
+    fanned = df.select(lab.alias("__y"), F.explode(F.array(*structs)).alias("p")).select(
+        F.col("p.feat").alias("feat"), F.col("p.v").alias("v"), "__y"
+    )
+    cells = fanned.groupBy("feat", "v").agg(
+        F.sum("__y").cast("long").alias("cp"),
+        F.sum(1 - F.col("__y")).cast("long").alias("cn"),
+    )
+    wcum = (
+        Window.partitionBy("feat")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("feat")
+    splits = cells.select(
+        "feat",
+        "v",
+        F.sum("cp").over(wcum).alias("cpl"),
+        F.sum("cn").over(wcum).alias("cnl"),
+        F.sum("cp").over(wall).alias("tp"),
+        F.sum("cn").over(wall).alias("tn"),
+    ).select(
+        "feat",
+        "v",
+        (F.col("cpl") + F.col("cnl")).alias("nl"),
+        (F.col("tp") + F.col("tn") - F.col("cpl") - F.col("cnl")).alias("nr"),
+        "cpl", "cnl",
+        (F.col("tp") - F.col("cpl")).alias("cpr"),
+        (F.col("tn") - F.col("cnl")).alias("cnr"),
+        (F.col("tp") + F.col("tn")).alias("n"),
+    ).filter(F.col("nr") > 0)
+    scored = splits.select(
+        "feat",
+        "v",
+        "nl",
+        "nr",
+        F.expr(
+            "CAST((((nl * nl - cpl * cpl - cnl * cnl) * nr"
+            "  + (nr * nr - cpr * cpr - cnr * cnr) * nl) DIV (nl * nr)"
+            "  * CAST(1000000 AS BIGINT)"
+            " + ((nl * nl - cpl * cpl - cnl * cnl) * nr"
+            "  + (nr * nr - cpr * cpr - cnr * cnr) * nl) % (nl * nr)"
+            "  * CAST(1000000 AS BIGINT) DIV (nl * nr)) DIV n AS BIGINT)"
+        ).alias("gini_x1e6"),
+    )
+    wpick = Window.partitionBy("feat").orderBy("gini_x1e6", "v")
+    return (
+        scored.withColumn("__r", F.row_number().over(wpick))
+        .filter(F.col("__r") == 1)
+        .select(
+            F.col("feat").alias("feature"),
+            F.col("v").alias("threshold"),
+            F.col("nl").cast("long").alias("n_left"),
+            F.col("nr").cast("long").alias("n_right"),
+            "gini_x1e6",
+        )
+    )

@@ -297,3 +297,90 @@ def funnel_report(
         "step_idx long, step string, n_matched long, "
         "conv_from_prev_x1e6 long, med2_from_anchor_s long",
     )
+
+
+def viterbi_decode(
+    df: DataFrame,
+    states: Sequence[str],
+    start: dict,
+    trans: dict,
+    emit: dict,
+    key: str = "conv_id",
+    idx: str = "turn_idx",
+    obs: str = "obs",
+    miss: int = -10,
+) -> DataFrame:
+    """Exact-integer Viterbi decoding per key: the max-plus dynamic
+    program over an integer-scored HMM — which latent state sequence
+    best explains each conversation's observation sequence. The
+    sequence-LABELING family member beside `match_sequence` (pattern
+    FINDING) and markov_tool_eval (likelihood SCORING): session-intent
+    segmentation, bot/human phase tagging, error-spiral detection all
+    reduce to this decode with different score matrices.
+
+    All scores are plain integers (quantized log-likes — the repo's
+    float discipline makes the argmax engine-exact); ties break to the
+    EARLIEST state in `states` order, pinned identically in the oracle's
+    greatest()+CASE replay. Unknown observations score `miss`.
+
+    Shape — the one operator family where Python IS the right Spark
+    plan: the recurrence v_i(s) = max_p(v_{i-1}(p) + T[p][s]) + E[s][o_i]
+    is sequential in i, so it runs as ONE Arrow-batched applyInPandas
+    pass per key (linear work, |states|² per step, state = two small
+    arrays — the §2.12 pattern). The join-unrolled alternative costs a
+    shuffle per TURN; `match_sequence`'s docstring economics invert here
+    because sequence length, not pattern length, drives the rounds. At
+    100 TB: one shuffle on the key, then embarrassingly parallel.
+
+    Returns (key, n_turns, best_state, best_score, path) with path =
+    '>'-joined decoded states (backtraced, standard Viterbi).
+    """
+    import pandas as pd
+
+    state_list = list(states)
+    schema = (
+        f"{key} string, n_turns long, best_state string, "
+        "best_score long, path string"
+    )
+
+    def _decode(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(idx)
+        seq = pdf[obs].tolist()
+        k = str(pdf[key].iloc[0])
+        v = {
+            s: int(start[s]) + int(emit[s].get(seq[0], miss))
+            for s in state_list
+        }
+        back = []
+        for o in seq[1:]:
+            nv, bk = {}, {}
+            for s in state_list:
+                best_p, best = None, None
+                for p in state_list:  # earliest state wins ties
+                    c = v[p] + int(trans[p][s])
+                    if best is None or c > best:
+                        best, best_p = c, p
+                nv[s] = best + int(emit[s].get(o, miss))
+                bk[s] = best_p
+            v, _ = nv, back.append(bk)
+        cur = max(state_list, key=lambda s: (v[s], -state_list.index(s)))
+        path = [cur]
+        for bk in reversed(back):
+            cur = bk[cur]
+            path.append(cur)
+        path.reverse()
+        return pd.DataFrame(
+            {
+                key: [k],
+                "n_turns": [len(seq)],
+                "best_state": [path[-1]],
+                "best_score": [max(v.values())],
+                "path": [">".join(path)],
+            }
+        )
+
+    return (
+        df.select(key, idx, obs)
+        .groupBy(key)
+        .applyInPandas(_decode, schema=schema)
+    )

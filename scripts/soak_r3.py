@@ -1047,6 +1047,72 @@ def main() -> None:
         assert agg["s"] > 0
         return agg["n"]
 
+
+    def job_spearman():
+        # replicas multiply every (x, y) tie block by repl: the rank +
+        # RANGE-cumulative tie count does linear work per key on one
+        # exchange, so per-row cost should stay flat as repl grows
+        from chronographer_spark.operators.temporal import spearman_corr
+
+        rows = ev_r.select(
+            "event_type",
+            F.unix_timestamp("ts").cast("long").alias("x"),
+            F.floor(F.col("value") * 100).cast("long").alias("y"),
+        )
+        out = spearman_corr(rows, key="event_type", x_col="x", y_col="y")
+        agg = out.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.abs(F.col("spearman_r2_x1e6"))).alias("s"),
+        ).first()
+        assert agg["s"] is not None
+        return agg["n"]
+
+    def job_dbscan():
+        # density contract: blob COUNT scales with input (≈100 points per
+        # site), so points-per-cell is constant and candidate pairs grow
+        # linearly — the documented DBSCAN scale shape
+        from chronographer_spark.operators.clustering import dbscan_grid
+
+        n_ev = ev.count()
+        nb = max(n_ev * repl // 200, 1)
+        base = ev.select("event_id").withColumn(
+            "rep", F.explode(F.sequence(F.lit(0), F.lit(repl - 1)))
+        )
+        pid = (F.col("event_id") * repl + F.col("rep")).cast("long")
+
+        def h(tag):
+            return F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(tag), pid.cast("string"))), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(101),
+            )
+
+        pts = (
+            base.select(
+                pid.alias("id"),
+                (pid % nb * 1000 + h("sx:") - 50).cast("long").alias("x"),
+                (
+                    F.expr(f"(event_id * {repl} + rep) DIV {nb} % 2 * 1000")
+                    + h("sy:")
+                    - 50
+                ).cast("long").alias("y"),
+            )
+            .repartition(4 * CPUS)
+            .localCheckpoint(eager=True)
+        )
+        out = dbscan_grid(pts, eps=200, min_pts=4)
+        agg = out.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.abs(F.col("cluster"))).alias("s"),
+        ).first()
+        assert agg["s"] is not None
+        return agg["n"]
+
     def _typed_minute_edges():
         # user <-> (type, minute, rep) bipartite graph; dst carries the
         # replica index so replicas are DISJOINT components — the soak
@@ -1358,6 +1424,8 @@ def main() -> None:
         ("featprop", job_featprop),
         ("snm_lev", job_snm_lev),
         ("novelty", job_novelty),
+        ("spearman", job_spearman),
+        ("dbscan", job_dbscan),
     ]
     only = set(sys.argv[3:])
     for name, fn in jobs:

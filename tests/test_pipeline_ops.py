@@ -4870,3 +4870,97 @@ def test_contingency_tvd_hand_values(spark):
     assert (got.n, got.n_row_cats, got.n_col_cats, got.tvd_x1e6) == (
         10, 2, 2, 500_000,
     )
+
+
+def test_viterbi_matches_bruteforce_enumeration(spark):
+    """viterbi_decode's score AND backtraced path equal exhaustive
+    enumeration over all |S|^T state paths (with the pinned
+    earliest-state tie-break) on every observation sequence up to
+    length 4 over a 2-symbol alphabet."""
+    from itertools import product
+
+    from chronographer_spark.operators.sequence import viterbi_decode
+
+    states = ("ok", "confused", "acting")
+    start = {"ok": 0, "confused": -2, "acting": -3}
+    trans = {
+        "ok": {"ok": 0, "confused": -3, "acting": -1},
+        "confused": {"ok": -2, "confused": 0, "acting": -4},
+        "acting": {"ok": -1, "confused": -3, "acting": -2},
+    }
+    emit = {
+        "ok": {"x": 0, "y": -2},
+        "confused": {"x": -2, "y": 0},
+        "acting": {"x": -1, "y": -1},
+    }
+
+    seqs, rows = [], []
+    cid = 0
+    for t in (1, 2, 3, 4):
+        for seq in product("xy", repeat=t):
+            seqs.append((f"c{cid:03d}", list(seq)))
+            rows += [(f"c{cid:03d}", i, o) for i, o in enumerate(seq)]
+            cid += 1
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, obs string")
+    got = {
+        r.conv_id: (r.n_turns, r.best_score, r.path)
+        for r in viterbi_decode(
+            df, states=states, start=start, trans=trans, emit=emit
+        ).collect()
+    }
+
+    def brute(seq):
+        best = None
+        for path in product(states, repeat=len(seq)):
+            sc = start[path[0]] + emit[path[0]][seq[0]]
+            for i in range(1, len(seq)):
+                sc += trans[path[i - 1]][path[i]] + emit[path[i]][seq[i]]
+            key = (sc, tuple(-states.index(s) for s in path))
+            if best is None or key > best[0]:
+                best = (key, path)
+        return best[0][0], ">".join(best[1])
+
+    for conv, seq in seqs:
+        sc, path = brute(seq)
+        assert got[conv] == (len(seq), sc, path), (conv, seq, got[conv], (sc, path))
+
+
+def test_decision_stump_matches_bruteforce(spark):
+    """Best (threshold, quantized Gini) per feature equals exhaustive
+    evaluation of every candidate split on a small labeled set with a
+    clean split on f1 and noise on f2 (ties resolved to the smallest
+    threshold)."""
+    from chronographer_spark.operators.classifier import decision_stump
+
+    rows = []
+    for i in range(12):
+        f1 = i // 4            # 0,0,0,0,1,1,1,1,2,2,2,2
+        f2 = i % 3
+        label = i >= 4         # true iff f1 >= 1, so "f1 <= 0" is a perfect split
+        rows.append((bool(label), f1, f2))
+    df = spark.createDataFrame(rows, "label boolean, f1 long, f2 long")
+    got = {r.feature: (r.threshold, r.n_left, r.n_right, r.gini_x1e6)
+           for r in decision_stump(df, ["f1", "f2"], "label").collect()}
+
+    def brute(vals, labels):
+        best = None
+        n = len(vals)
+        for t in sorted(set(vals))[:-1]:
+            lp = sum(1 for v, y in zip(vals, labels) if v <= t and y)
+            ln = sum(1 for v, y in zip(vals, labels) if v <= t and not y)
+            rp = sum(1 for v, y in zip(vals, labels) if v > t and y)
+            rn = sum(1 for v, y in zip(vals, labels) if v > t and not y)
+            nl, nr = lp + ln, rp + rn
+            s = (nl * nl - lp * lp - ln * ln) * nr + (nr * nr - rp * rp - rn * rn) * nl
+            q1 = s // (nl * nr) * 10**6 + s % (nl * nr) * 10**6 // (nl * nr)
+            g = q1 // n
+            if best is None or (g, t) < best[0]:
+                best = ((g, t), (t, nl, nr, g))
+        return best[1]
+
+    vals1 = [r[1] for r in rows]
+    vals2 = [r[2] for r in rows]
+    labels = [r[0] for r in rows]
+    assert got["f1"] == brute(vals1, labels)
+    assert got["f2"] == brute(vals2, labels)
+    assert got["f1"][0] == 0 and got["f1"][3] == 0  # perfect split at f1 <= 0
