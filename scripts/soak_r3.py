@@ -1113,6 +1113,63 @@ def main() -> None:
         assert agg["s"] is not None
         return agg["n"]
 
+    def job_viterbi():
+        # the registry's only hot-path Python operator: one applyInPandas
+        # decode per conversation. Conversations ride repl (disjoint user
+        # ids), length distribution fixed — per-conv cost constant, so
+        # throughput per CONVERSATION is the scale judgment
+        from chronographer_spark.entry_queries import (
+            VITERBI_EMIT,
+            VITERBI_START,
+            VITERBI_STATES,
+            VITERBI_TRANS,
+        )
+        from pyspark.sql.window import Window
+
+        from chronographer_spark.operators.sequence import viterbi_decode
+
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        o = ev_r.withColumn("rn", F.row_number().over(w)).select(
+            F.col("user_id").cast("string").alias("conv_id"),
+            (F.col("rn") - 1).cast("long").alias("turn_idx"),
+            F.element_at(
+                F.array(F.lit("user"), F.lit("assistant"),
+                        F.lit("lookup"), F.lit("action")),
+                ((F.xxhash64("event_type", "event_id") % 4 + 4) % 4 + 1)
+                .cast("int"),
+            ).alias("obs"),
+        )
+        out = viterbi_decode(
+            o, states=VITERBI_STATES, start=VITERBI_START,
+            trans=VITERBI_TRANS, emit=VITERBI_EMIT,
+        )
+        agg = out.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("best_score").alias("s")
+        ).first()
+        assert agg["s"] is not None
+        return agg["n"]
+
+    def job_stump():
+        # explode fans each replicated event into 3 (feature, value)
+        # structs; the collapsed (feat, value) cell table is
+        # repl-INVARIANT (same value grid), so only the fan + map-side
+        # combine should ride repl
+        from chronographer_spark.operators.classifier import decision_stump
+
+        rows = ev_r.select(
+            (F.col("event_type") == "error").alias("label"),
+            F.floor(F.col("value").cast("double") * 100 + F.lit(0.5))
+            .cast("long").alias("vcents"),
+            F.hour("ts").cast("long").alias("hour"),
+            (F.col("user_id") % 16).cast("long").alias("ubucket"),
+        )
+        out = decision_stump(rows, ["vcents", "hour", "ubucket"], "label")
+        agg = out.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("gini_x1e6").alias("s")
+        ).first()
+        assert agg["s"] is not None
+        return agg["n"]
+
     def _typed_minute_edges():
         # user <-> (type, minute, rep) bipartite graph; dst carries the
         # replica index so replicas are DISJOINT components — the soak
@@ -1426,6 +1483,8 @@ def main() -> None:
         ("novelty", job_novelty),
         ("spearman", job_spearman),
         ("dbscan", job_dbscan),
+        ("viterbi", job_viterbi),
+        ("stump", job_stump),
     ]
     only = set(sys.argv[3:])
     for name, fn in jobs:
