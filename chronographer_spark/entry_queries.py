@@ -15278,6 +15278,68 @@ FROM pick WHERE r = 1
 
 
 
+
+# ---------------------------------------------------------------------------
+# Q: chi-squared / Cramer's V association between event type and weekday
+# ---------------------------------------------------------------------------
+
+
+def q_chi2_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared + Cramér's V² between event type and engine-neutral
+    weekday, with the same planted-dependence style as the TVD screen:
+    error events on dow 0-1 are duplicated, so the association reads
+    well above the near-independent baseline."""
+    from .operators.text import contingency_chi2
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(
+            "(CAST(unix_timestamp(ts) AS BIGINT) DIV 86400 + 4) % 7"
+        ).alias("dow"),
+    )
+    extra = ev.filter((F.col("event_type") == "error") & (F.col("dow") < 2))
+    return contingency_chi2(ev.unionAll(extra), "event_type", "dow")
+
+
+CHI2_TYPE_DOW_SQL = """
+WITH base AS (
+  SELECT event_type,
+         (CAST(floor(epoch(ts)) AS BIGINT) // 86400 + 4) % 7 AS dow
+  FROM events
+),
+ev AS (
+  SELECT event_type, dow FROM base
+  UNION ALL
+  SELECT event_type, dow FROM base WHERE event_type = 'error' AND dow < 2
+),
+cells AS (
+  SELECT event_type AS r, dow AS c, CAST(count(*) AS BIGINT) AS o
+  FROM ev GROUP BY 1, 2
+),
+rm AS (SELECT r, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY r),
+cm AS (SELECT c, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY c),
+fold AS (
+  SELECT CAST(sum(cells.o) AS BIGINT) AS n,
+         CAST(count(DISTINCT cells.r) AS BIGINT) AS n_row_cats,
+         CAST(count(DISTINCT cells.c) AS BIGINT) AS n_col_cats,
+         CAST(sum(cells.o * cells.o // (rm.rt * cm.ct)
+                  * CAST(1000000 AS BIGINT)
+                + cells.o * cells.o % (rm.rt * cm.ct)
+                  * CAST(1000000 AS BIGINT) // (rm.rt * cm.ct))
+              AS BIGINT) AS sum_t_x1e6
+  FROM cells JOIN rm USING (r) JOIN cm USING (c)
+)
+SELECT n, n_row_cats, n_col_cats, sum_t_x1e6,
+       greatest(CAST(0 AS BIGINT),
+                n * (sum_t_x1e6 - CAST(1000000 AS BIGINT))) AS chi2_x1e6,
+       greatest(CAST(0 AS BIGINT),
+                (sum_t_x1e6 - CAST(1000000 AS BIGINT))
+                // greatest(least(n_row_cats, n_col_cats) - 1,
+                            CAST(1 AS BIGINT))) AS cramers_v2_x1e6
+FROM fold
+"""
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -15561,6 +15623,7 @@ QUERIES = {
     "kmv_jaccard_types": q_kmv_jaccard_types,
     "ols_slope_types": q_ols_slope_types,
     "contingency_type_hour": q_contingency_type_hour,
+    "chi2_type_dow": q_chi2_type_dow,
     "viterbi_sessions": q_viterbi_sessions,
     "decision_stump_error": q_decision_stump_error,
     "katz_tools": q_katz_tools,
@@ -15854,6 +15917,7 @@ ORACLE_SQL = {
     "kmv_jaccard_types": KMV_JACCARD_TYPES_SQL,
     "ols_slope_types": OLS_SLOPE_TYPES_SQL,
     "contingency_type_hour": CONTINGENCY_TYPE_HOUR_SQL,
+    "chi2_type_dow": CHI2_TYPE_DOW_SQL,
     "viterbi_sessions": VITERBI_SESSIONS_SQL,
     "decision_stump_error": DECISION_STUMP_ERROR_SQL,
     "katz_tools": KATZ_TOOLS_SQL,

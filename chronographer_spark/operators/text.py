@@ -1520,3 +1520,79 @@ def contingency_tvd(
         )
     )
     return folded
+
+
+def contingency_chi2(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+) -> DataFrame:
+    """Pearson chi-squared independence statistic plus Cramér's V² over
+    two categoricals — the classical effect-size companion to
+    `contingency_tvd` (TVD answers "how far from independent on THIS
+    data"; V² normalizes by table size so thresholds transfer across
+    tables, the number a feature-selection pass actually ranks by).
+
+    Exact-integer core via the algebraic identity χ² = N·Σ_obs O²/(r·c)
+    − N (unobserved cells drop out of the sum entirely — no enumeration
+    of the full marginal cross product needed, unlike TVD's fold).
+    Each per-cell term t = O²·1e6 staged-DIV (r·c) is BOUNDED: O ≤ r and
+    O ≤ c imply O² ≤ r·c, so t ≤ 1e6 regardless of N — truncation is
+    replayed identically by the oracle (the quantized-statistic
+    contract). Then chi2_x1e6 = N·(Σt − 1e6) and cramers_v2_x1e6 =
+    (Σt − 1e6) DIV (min(R,C) − 1), both clamped at 0 (per-cell
+    truncation can push Σt one ulp under 1e6 on an exactly-independent
+    table). Headroom: O² needs O ≲ 3e9 per cell and N·Σt needs
+    N·cells·1e6 ≲ 9e18 — beyond, lift to DECIMAL(38).
+
+    Shape: identical to contingency_tvd — ONE combinable (row, col)
+    count collapses the input; marginals are rollups of the collapsed
+    table broadcast back; the statistic is one pass over ≤ |R|·|C|
+    rows. Degenerate 1×K / K×1 tables return v² = 0 (min − 1 = 0 is
+    guarded to divide by 1: χ² is identically 0 there anyway).
+
+    Returns one row (n, n_row_cats, n_col_cats, sum_t_x1e6, chi2_x1e6,
+    cramers_v2_x1e6).
+    """
+    cells = (
+        df.select(F.col(row_col).alias("__r"), F.col(col_col).alias("__c"))
+        .groupBy("__r", "__c")
+        .agg(F.count(F.lit(1)).cast("long").alias("__o"))
+        .localCheckpoint(eager=True)  # marginals + fold share it
+    )
+    rm = cells.groupBy("__r").agg(F.sum("__o").alias("__rt"))
+    cm = cells.groupBy("__c").agg(F.sum("__o").alias("__ct"))
+    return (
+        cells.join(F.broadcast(rm), "__r")
+        .join(F.broadcast(cm), "__c")
+        .agg(
+            F.sum("__o").cast("long").alias("n"),
+            F.countDistinct("__r").cast("long").alias("n_row_cats"),
+            F.countDistinct("__c").cast("long").alias("n_col_cats"),
+            F.sum(
+                F.expr(
+                    "__o * __o DIV (__rt * __ct) * CAST(1000000 AS BIGINT)"
+                    " + __o * __o % (__rt * __ct)"
+                    "   * CAST(1000000 AS BIGINT) DIV (__rt * __ct)"
+                )
+            )
+            .cast("long")
+            .alias("sum_t_x1e6"),
+        )
+        .select(
+            "n",
+            "n_row_cats",
+            "n_col_cats",
+            "sum_t_x1e6",
+            F.expr(
+                "greatest(CAST(0 AS BIGINT),"
+                " n * (sum_t_x1e6 - CAST(1000000 AS BIGINT)))"
+            ).alias("chi2_x1e6"),
+            F.expr(
+                "greatest(CAST(0 AS BIGINT),"
+                " (sum_t_x1e6 - CAST(1000000 AS BIGINT))"
+                " DIV greatest(least(n_row_cats, n_col_cats) - 1,"
+                "              CAST(1 AS BIGINT)))"
+            ).alias("cramers_v2_x1e6"),
+        )
+    )

@@ -4872,6 +4872,40 @@ def test_contingency_tvd_hand_values(spark):
     )
 
 
+def test_contingency_chi2_hand_values(spark):
+    """Independent uniform 2x2 -> chi2 = 0, v2 = 0; perfectly dependent
+    (r == c) 2x2 -> chi2 = N (phi = 1) and v2 = 1, exactly in x1e6
+    units (every per-cell quotient is exact on these tables: O² = r·c
+    or O = 0)."""
+    from chronographer_spark.operators.text import contingency_chi2
+
+    ind = spark.createDataFrame(
+        [(r, c) for r in (0, 1) for c in (0, 1) for _ in range(5)],
+        "r long, c long",
+    )
+    got = contingency_chi2(ind, "r", "c").collect()[0]
+    # four cells, each O=5, r=c=10: t = 25e6 DIV 100 = 250000 each
+    assert (got.n, got.sum_t_x1e6, got.chi2_x1e6, got.cramers_v2_x1e6) == (
+        20, 1_000_000, 0, 0,
+    )
+
+    dep = spark.createDataFrame(
+        [(v, v) for v in (0, 1) for _ in range(5)], "r long, c long"
+    )
+    got = contingency_chi2(dep, "r", "c").collect()[0]
+    # diagonal cells: O=5, r=c=5 -> t = 1e6 each; chi2 = N*(2e6-1e6)
+    assert (got.n, got.chi2_x1e6, got.cramers_v2_x1e6) == (
+        10, 10_000_000, 1_000_000,
+    )
+
+    # degenerate 1xK: chi2 = 0 and the v2 guard divides by 1, not 0
+    deg = spark.createDataFrame(
+        [(0, c) for c in (0, 1, 2) for _ in range(3)], "r long, c long"
+    )
+    got = contingency_chi2(deg, "r", "c").collect()[0]
+    assert (got.chi2_x1e6, got.cramers_v2_x1e6) == (0, 0)
+
+
 def test_viterbi_matches_bruteforce_enumeration(spark):
     """viterbi_decode's score AND backtraced path equal exhaustive
     enumeration over all |S|^T state paths (with the pinned

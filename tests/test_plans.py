@@ -1088,6 +1088,23 @@ def test_contingency_tvd_collapsed_once(spark):
     assert plan.count("BroadcastExchange") >= 2, plan
 
 
+def test_contingency_chi2_collapsed_once(spark):
+    """chi2 shares TVD's shape with one less join: the checkpointed
+    cell table is never re-scanned, both marginals broadcast back, and
+    — unlike TVD's fold — there is NO single-row-total nested-loop
+    join (the identity chi2 = N·Σ O²/(r·c) − N needs no N inside
+    per-cell terms)."""
+    from chronographer_spark.operators.text import contingency_chi2
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        "event_type", (F.hour("ts") / F.lit(4)).cast("long").alias("dp")
+    )
+    plan = _plan(contingency_chi2(ev, "event_type", "dp"))
+    assert plan.count("Scan parquet") == 0, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 0, plan
+    assert plan.count("BroadcastExchange") >= 2, plan
+
+
 def test_adamic_adar_same_wedge_shape_as_ra(spark):
     """AA inherits RA's pinned shape: degree pre-joined on the shared-
     neighbor side (two joins total, no per-pair degree tail), one
