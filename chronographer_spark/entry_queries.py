@@ -15340,6 +15340,138 @@ FROM fold
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Q: Kleinberg-style burst labeling of per-user activity gaps
+# ---------------------------------------------------------------------------
+
+BURST_STATES = ("calm", "burst")
+BURST_START = {"calm": 0, "burst": -4}
+BURST_TRANS = {
+    "calm": {"calm": 0, "burst": -3},
+    "burst": {"calm": -1, "burst": 0},
+}
+BURST_EMIT = {
+    "calm": {"fast": -3, "mid": -1, "slow": 0},
+    "burst": {"fast": 0, "mid": -2, "slow": -5},
+}
+
+
+def q_burst_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleinberg-style burst segmentation per user: the 2-state
+    (calm/burst) integer HMM decoded over the inter-arrival gap stream
+    (gaps banded fast <60s / mid <3600s / slow), a state-machine reuse
+    of `viterbi_decode` with a different score matrix — Kleinberg's
+    burst automaton IS this decode (enter cost = trans[calm][burst]).
+    Unlike viterbi_sessions this gate checks the FULL decoded path:
+    n_burst counts burst-labeled gaps, and the oracle replays both the
+    forward DP and the backtrace as recursive CTEs."""
+    from pyspark.sql.window import Window
+
+    from .operators.sequence import viterbi_decode
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    gaps = (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.unix_timestamp("ts").cast("long").alias("sec"),
+        )
+        .select(
+            "user_id",
+            (F.col("sec") - F.lag("sec").over(w)).alias("gap"),
+            (F.row_number().over(w) - 2).cast("long").alias("gidx"),
+        )
+        .filter(F.col("gap").isNotNull())
+        .select(
+            F.col("user_id").cast("string").alias("conv_id"),
+            F.col("gidx").alias("turn_idx"),
+            F.when(F.col("gap") < 60, F.lit("fast"))
+            .when(F.col("gap") < 3600, F.lit("mid"))
+            .otherwise(F.lit("slow"))
+            .alias("obs"),
+        )
+    )
+    out = viterbi_decode(
+        gaps,
+        states=BURST_STATES,
+        start=BURST_START,
+        trans=BURST_TRANS,
+        emit=BURST_EMIT,
+    )
+    return out.select(
+        F.col("conv_id").alias("user_id"),
+        F.col("n_turns").alias("n_gaps"),
+        F.size(
+            F.filter(F.split("path", ">"), lambda x: x == F.lit("burst"))
+        )
+        .cast("long")
+        .alias("n_burst"),
+        "best_score",
+    )
+
+
+BURST_SESSIONS_SQL = """
+WITH RECURSIVE seq AS (
+  SELECT user_id, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY CAST(floor(epoch(ts)) AS BIGINT),
+                                     event_id) AS rn
+  FROM events
+),
+obs AS (
+  SELECT a.user_id, CAST(a.rn - 2 AS BIGINT) AS i,
+         CASE WHEN a.sec - b.sec < 60 THEN 'fast'
+              WHEN a.sec - b.sec < 3600 THEN 'mid'
+              ELSE 'slow' END AS o
+  FROM seq a JOIN seq b
+    ON b.user_id = a.user_id AND b.rn = a.rn - 1
+),
+lastt AS (SELECT user_id, max(i) AS last FROM obs GROUP BY 1),
+ec AS (SELECT 'fast' AS o, -3 AS e UNION ALL SELECT 'mid', -1
+       UNION ALL SELECT 'slow', 0),
+eb AS (SELECT 'fast' AS o, 0 AS e UNION ALL SELECT 'mid', -2
+       UNION ALL SELECT 'slow', -5),
+v(user_id, i, vc, vb, bkc, bkb) AS (
+  SELECT obs.user_id, obs.i, 0 + ec.e, -4 + eb.e,
+         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+  FROM obs JOIN ec USING (o) JOIN eb USING (o)
+  WHERE obs.i = 0
+  UNION ALL
+  SELECT o.user_id, o.i,
+         greatest(v.vc + 0, v.vb + (-1)) + ec.e,
+         greatest(v.vc + (-3), v.vb + 0) + eb.e,
+         CASE WHEN v.vc + 0 >= v.vb + (-1) THEN 'calm' ELSE 'burst' END,
+         CASE WHEN v.vc + (-3) >= v.vb + 0 THEN 'calm' ELSE 'burst' END
+  FROM v
+  JOIN obs o ON o.user_id = v.user_id AND o.i = v.i + 1
+  JOIN ec USING (o) JOIN eb USING (o)
+),
+bt(user_id, i, st) AS (
+  SELECT v.user_id, v.i,
+         CASE WHEN vc >= vb THEN 'calm' ELSE 'burst' END
+  FROM v JOIN lastt l ON l.user_id = v.user_id AND v.i = l.last
+  UNION ALL
+  SELECT bt.user_id, bt.i - 1,
+         CASE bt.st WHEN 'calm' THEN v.bkc ELSE v.bkb END
+  FROM bt JOIN v ON v.user_id = bt.user_id AND v.i = bt.i
+  WHERE bt.i >= 1
+),
+score AS (
+  SELECT v.user_id, CAST(l.last + 1 AS BIGINT) AS n_gaps,
+         CAST(greatest(vc, vb) AS BIGINT) AS best_score
+  FROM v JOIN lastt l ON l.user_id = v.user_id AND v.i = l.last
+)
+SELECT CAST(s.user_id AS VARCHAR) AS user_id, s.n_gaps,
+       CAST(count(*) FILTER (WHERE bt.st = 'burst') AS BIGINT) AS n_burst,
+       s.best_score
+FROM score s JOIN bt ON bt.user_id = s.user_id
+GROUP BY 1, 2, 4
+"""
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -15625,6 +15757,7 @@ QUERIES = {
     "contingency_type_hour": q_contingency_type_hour,
     "chi2_type_dow": q_chi2_type_dow,
     "viterbi_sessions": q_viterbi_sessions,
+    "burst_sessions": q_burst_sessions,
     "decision_stump_error": q_decision_stump_error,
     "katz_tools": q_katz_tools,
     "auc_priority": q_auc_priority,
@@ -15919,6 +16052,7 @@ ORACLE_SQL = {
     "contingency_type_hour": CONTINGENCY_TYPE_HOUR_SQL,
     "chi2_type_dow": CHI2_TYPE_DOW_SQL,
     "viterbi_sessions": VITERBI_SESSIONS_SQL,
+    "burst_sessions": BURST_SESSIONS_SQL,
     "decision_stump_error": DECISION_STUMP_ERROR_SQL,
     "katz_tools": KATZ_TOOLS_SQL,
     "auc_priority": AUC_PRIORITY_SQL,

@@ -4959,6 +4959,59 @@ def test_viterbi_matches_bruteforce_enumeration(spark):
         assert got[conv] == (len(seq), sc, path), (conv, seq, got[conv], (sc, path))
 
 
+def test_burst_decode_hand_sequences(spark):
+    """The 2-state burst automaton decodes an obvious fast run as burst
+    and an all-slow stream as calm; a mixed stream's n_burst equals the
+    exhaustively enumerated best path's burst count (earliest-state
+    tie-break)."""
+    from itertools import product
+
+    from chronographer_spark.entry_queries import (
+        BURST_EMIT,
+        BURST_START,
+        BURST_STATES,
+        BURST_TRANS,
+    )
+    from chronographer_spark.operators.sequence import viterbi_decode
+
+    def brute(seq):
+        best = None
+        for path in product(BURST_STATES, repeat=len(seq)):
+            s = BURST_START[path[0]] + BURST_EMIT[path[0]][seq[0]]
+            for i in range(1, len(seq)):
+                s += BURST_TRANS[path[i - 1]][path[i]]
+                s += BURST_EMIT[path[i]][seq[i]]
+            # earliest-state tie-break == smallest state-index tuple
+            k = (-s, tuple(BURST_STATES.index(p) for p in path))
+            if best is None or k < best[0]:
+                best = (k, path, s)
+        return best[1], best[2]
+
+    cases = {
+        "fastrun": ["fast"] * 6,
+        "slowrun": ["slow"] * 6,
+        "mixed": ["slow", "fast", "fast", "fast", "slow", "slow",
+                  "fast", "fast"],
+    }
+    rows = [
+        (k, i, o) for k, seq in cases.items() for i, o in enumerate(seq)
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx long, obs string")
+    got = {
+        r.conv_id: r
+        for r in viterbi_decode(
+            df, states=BURST_STATES, start=BURST_START,
+            trans=BURST_TRANS, emit=BURST_EMIT,
+        ).collect()
+    }
+    assert got["fastrun"].path == ">".join(["burst"] * 6)
+    assert got["slowrun"].path == ">".join(["calm"] * 6)
+    for k, seq in cases.items():
+        path, score = brute(seq)
+        assert got[k].path == ">".join(path), k
+        assert got[k].best_score == score, k
+
+
 def test_decision_stump_matches_bruteforce(spark):
     """Best (threshold, quantized Gini) per feature equals exhaustive
     evaluation of every candidate split on a small labeled set with a
