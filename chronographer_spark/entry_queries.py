@@ -15472,6 +15472,75 @@ GROUP BY 1, 2, 4
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Q: max-weight non-overlapping session windows per user (weighted
+#    interval scheduling)
+# ---------------------------------------------------------------------------
+
+
+def q_wis_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted interval scheduling over per-user 1-hour windows: each
+    event opens [sec, sec+3600) weighted by its value in cents; the DP
+    picks the max-total non-overlapping subset — the "most valuable
+    non-overlapping hours" curation readout. The oracle replays the
+    exact DP by carrying the whole dp table as a LIST inside a
+    recursive CTE (dp[p(i)] needs random access, so a scalar column
+    can't carry it)."""
+    from .operators.sequence import weighted_interval_schedule
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").cast("long").alias("s"),
+        (F.unix_timestamp("ts").cast("long") + 3600).alias("e"),
+        F.floor(F.col("value").cast("double") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("w"),
+    )
+    return weighted_interval_schedule(
+        ev, key="user_id", start_col="s", end_col="e",
+        weight_col="w", id_col="event_id",
+    )
+
+
+WIS_SESSIONS_SQL = """
+WITH RECURSIVE iv AS (
+  SELECT CAST(user_id AS VARCHAR) AS user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         CAST(floor(epoch(ts)) AS BIGINT) + 3600 AS e,
+         CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT) AS w,
+         event_id,
+         row_number() OVER (
+           PARTITION BY user_id
+           ORDER BY CAST(floor(epoch(ts)) AS BIGINT) + 3600,
+                    CAST(floor(epoch(ts)) AS BIGINT), event_id
+         ) AS rn
+  FROM events
+),
+pidx AS (
+  SELECT a.user_id, a.rn, a.w,
+         CAST((SELECT count(*) FROM iv b
+               WHERE b.user_id = a.user_id AND b.e <= a.s) AS BIGINT) AS p
+  FROM iv a
+),
+nper AS (SELECT user_id, max(rn) AS n FROM iv GROUP BY 1),
+dp(user_id, i, hist) AS (
+  SELECT user_id, 0, [CAST(0 AS BIGINT)] FROM nper
+  UNION ALL
+  SELECT d.user_id, d.i + 1,
+         list_append(
+           d.hist,
+           greatest(d.hist[d.i + 1], x.w + d.hist[CAST(x.p AS INTEGER) + 1])
+         )
+  FROM dp d JOIN pidx x ON x.user_id = d.user_id AND x.rn = d.i + 1
+)
+SELECT d.user_id, CAST(n.n AS BIGINT) AS n_intervals,
+       CAST(d.hist[CAST(n.n AS INTEGER) + 1] AS BIGINT) AS best_total
+FROM dp d JOIN nper n ON n.user_id = d.user_id AND d.i = n.n
+"""
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -15758,6 +15827,7 @@ QUERIES = {
     "chi2_type_dow": q_chi2_type_dow,
     "viterbi_sessions": q_viterbi_sessions,
     "burst_sessions": q_burst_sessions,
+    "wis_sessions": q_wis_sessions,
     "decision_stump_error": q_decision_stump_error,
     "katz_tools": q_katz_tools,
     "auc_priority": q_auc_priority,
@@ -16053,6 +16123,7 @@ ORACLE_SQL = {
     "chi2_type_dow": CHI2_TYPE_DOW_SQL,
     "viterbi_sessions": VITERBI_SESSIONS_SQL,
     "burst_sessions": BURST_SESSIONS_SQL,
+    "wis_sessions": WIS_SESSIONS_SQL,
     "decision_stump_error": DECISION_STUMP_ERROR_SQL,
     "katz_tools": KATZ_TOOLS_SQL,
     "auc_priority": AUC_PRIORITY_SQL,

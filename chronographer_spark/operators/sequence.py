@@ -384,3 +384,99 @@ def viterbi_decode(
         .groupBy(key)
         .applyInPandas(_decode, schema=schema)
     )
+
+
+def weighted_interval_schedule(
+    df: DataFrame,
+    key: str = "user_id",
+    start_col: str = "start",
+    end_col: str = "end",
+    weight_col: str = "w",
+    id_col: str = "id",
+) -> DataFrame:
+    """Max-weight non-overlapping interval selection per key — the
+    classic weighted-interval-scheduling DP, the curation primitive for
+    "keep the most valuable non-overlapping session windows per user"
+    (training-data windows, rate-limit budgeting, attention-span
+    extraction). Two intervals conflict iff they overlap; touching
+    endpoints (end == start) are compatible.
+
+    Exactness: integer weights in, integer optimum out; ties need no
+    pinning because only the optimal VALUE is emitted (every optimal
+    schedule has the same total).
+
+    Shape — the heavy part stays JVM-side: intervals are ranked by
+    (end, start, id) per key, and each interval's compatibility index
+    p(i) = #{j : end_j <= start_i} comes from the two-phase prefix-sum
+    trick (union end-events and start-probes, ONE window per key over
+    the tagged stream — no range join, no per-pair work; ends sort
+    before probes at equal value so touching intervals count as
+    compatible). Only the O(n)-per-key dp[i] = max(dp[i-1], w_i +
+    dp[p_i]) recurrence runs in Arrow-batched applyInPandas (random
+    access to dp[p] rules out a window). At 100 TB: one shuffle on the
+    key, then embarrassingly parallel.
+
+    Returns (key, n_intervals, best_total).
+    """
+    import pandas as pd
+
+    base = df.select(
+        F.col(key).cast("string").alias("__k"),
+        F.col(start_col).cast("long").alias("__s"),
+        F.col(end_col).cast("long").alias("__e"),
+        F.col(weight_col).cast("long").alias("__w"),
+        F.col(id_col).cast("long").alias("__id"),
+    )
+    wrank = Window.partitionBy("__k").orderBy("__e", "__s", "__id")
+    # the ranked table feeds three consumers (both union branches of the
+    # tagged stream + the final join) — checkpoint once or the rank
+    # shuffle re-executes per branch (the minhash-band family)
+    iv = base.withColumn("__rn", F.row_number().over(wrank)).localCheckpoint(
+        eager=True
+    )
+    tagged = iv.select(
+        "__k", F.col("__e").alias("__v"), F.lit(0).alias("__kind"),
+        "__rn",
+    ).unionByName(
+        iv.select(
+            "__k", F.col("__s").alias("__v"), F.lit(1).alias("__kind"),
+            "__rn",
+        )
+    )
+    wrun = (
+        Window.partitionBy("__k")
+        .orderBy("__v", "__kind", "__rn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    probes = (
+        tagged.withColumn(
+            "__p",
+            F.sum(F.when(F.col("__kind") == 0, 1).otherwise(0)).over(wrun),
+        )
+        .filter(F.col("__kind") == 1)
+        .select("__k", "__rn", "__p")
+    )
+    rows = iv.join(probes, ["__k", "__rn"]).select(
+        "__k", "__rn", "__w", "__p"
+    )
+
+    schema = f"{key} string, n_intervals long, best_total long"
+
+    def _dp(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__rn")
+        n = len(pdf)
+        dp = [0] * (n + 1)
+        ws = pdf["__w"].tolist()
+        ps = pdf["__p"].tolist()
+        for i in range(1, n + 1):
+            take = ws[i - 1] + dp[ps[i - 1]]
+            dp[i] = take if take > dp[i - 1] else dp[i - 1]
+        return pd.DataFrame(
+            {
+                key: [str(pdf["__k"].iloc[0])],
+                "n_intervals": [n],
+                "best_total": [dp[n]],
+            }
+        )
+
+    return rows.groupBy("__k").applyInPandas(_dp, schema=schema)

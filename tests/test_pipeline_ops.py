@@ -5012,6 +5012,59 @@ def test_burst_decode_hand_sequences(spark):
         assert got[k].best_score == score, k
 
 
+def test_weighted_interval_schedule_matches_bruteforce(spark):
+    """best_total equals exhaustive all-subsets enumeration on keys
+    with overlapping, nested, touching (end == start is compatible),
+    and disjoint intervals — including a key where greedy-by-weight is
+    suboptimal."""
+    from itertools import combinations
+
+    from chronographer_spark.operators.sequence import (
+        weighted_interval_schedule,
+    )
+
+    cases = {
+        # (s, e, w): big middle interval blocks two that together win
+        "greedy_trap": [(0, 10, 7), (0, 4, 4), (6, 10, 4)],
+        "touching": [(0, 5, 3), (5, 10, 4), (10, 15, 2)],
+        "nested": [(0, 100, 5), (10, 20, 3), (30, 40, 4), (50, 60, 2)],
+        "disjoint": [(0, 1, 1), (2, 3, 2), (4, 5, 3)],
+        "all_overlap": [(0, 10, 3), (1, 11, 9), (2, 12, 4)],
+    }
+    rows = [
+        (k, i, s, e, w)
+        for k, ivs in cases.items()
+        for i, (s, e, w) in enumerate(ivs)
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, id long, s long, e long, w long"
+    )
+    got = {
+        r.k: r
+        for r in weighted_interval_schedule(
+            df, key="k", start_col="s", end_col="e",
+            weight_col="w", id_col="id",
+        ).collect()
+    }
+
+    def brute(ivs):
+        best = 0
+        for r in range(1, len(ivs) + 1):
+            for sub in combinations(ivs, r):
+                ok = all(
+                    a[1] <= b[0] or b[1] <= a[0]
+                    for a, b in combinations(sub, 2)
+                )
+                if ok:
+                    best = max(best, sum(w for _, _, w in sub))
+        return best
+
+    for k, ivs in cases.items():
+        assert got[k].n_intervals == len(ivs), k
+        assert got[k].best_total == brute(ivs), k
+    assert got["greedy_trap"].best_total == 8
+
+
 def test_decision_stump_matches_bruteforce(spark):
     """Best (threshold, quantized Gini) per feature equals exhaustive
     evaluation of every candidate split on a small labeled set with a

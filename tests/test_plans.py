@@ -1105,6 +1105,39 @@ def test_contingency_chi2_collapsed_once(spark):
     assert plan.count("BroadcastExchange") >= 2, plan
 
 
+def test_wis_one_window_no_range_join(spark):
+    """weighted_interval_schedule's compatibility index is the tagged
+    prefix-sum, never a range join: the final plan has no nested-loop
+    or cartesian join, exactly one equi-join (probes back onto the
+    checkpointed ranked table), and zero parquet re-scans."""
+    from chronographer_spark.operators.sequence import (
+        weighted_interval_schedule,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").cast("long").alias("s"),
+        (F.unix_timestamp("ts").cast("long") + 3600).alias("e"),
+        F.lit(1).alias("w"),
+    )
+    plan = _plan(
+        weighted_interval_schedule(
+            ev, key="user_id", start_col="s", end_col="e",
+            weight_col="w", id_col="event_id",
+        )
+    )
+    assert plan.count("Scan parquet") == 0, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 0, plan
+    assert plan.count("CartesianProduct") == 0, plan
+    assert (
+        plan.count("SortMergeJoin")
+        + plan.count("BroadcastHashJoin")
+        + plan.count("ShuffledHashJoin")
+        == 1
+    ), plan
+
+
 def test_adamic_adar_same_wedge_shape_as_ra(spark):
     """AA inherits RA's pinned shape: degree pre-joined on the shared-
     neighbor side (two joins total, no per-pair degree tail), one
