@@ -15541,6 +15541,50 @@ FROM dp d JOIN nper n ON n.user_id = d.user_id AND d.i = n.n
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Q: rephrase / self-repair detection over consecutive user turns
+# ---------------------------------------------------------------------------
+
+
+def q_rephrase_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive user-turn rephrase screen on the transcripts view:
+    templated texts make adjacent user turns near-identical whenever
+    type and date coincide, so the
+    threshold (lev <= 0.1 of max length — one field differing) splits
+    the pair population ~20/80 instead of flagging everything the
+    default 0.3 would on ~45-char templated texts."""
+    from .data.transcripts import transcripts_from_events
+    from .operators.dialogue import rephrase_spans
+
+    tx = transcripts_from_events(spark, sf_dir)
+    return rephrase_spans(tx, role="user", num=1, den=10)
+
+
+REPHRASE_TURNS_SQL = (
+    TX_SQL
+    + """,
+ut AS (
+  SELECT conv_id, turn_idx, text,
+         lag(text) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev
+  FROM tx WHERE role = 'user'
+)
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_role_turns,
+       CAST(count(prev) AS BIGINT) AS n_pairs,
+       CAST(coalesce(sum(CASE WHEN prev IS NOT NULL
+                     AND levenshtein(prev, text) > 0
+                     AND 10 * levenshtein(prev, text)
+                         <= 1 * greatest(length(prev), length(text))
+                THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_rephrase,
+       CAST(coalesce(sum(CASE WHEN prev IS NOT NULL
+                THEN levenshtein(prev, text) END), 0) AS BIGINT) AS sum_lev
+FROM ut
+GROUP BY conv_id
+"""
+)
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -15828,6 +15872,7 @@ QUERIES = {
     "viterbi_sessions": q_viterbi_sessions,
     "burst_sessions": q_burst_sessions,
     "wis_sessions": q_wis_sessions,
+    "rephrase_turns": q_rephrase_turns,
     "decision_stump_error": q_decision_stump_error,
     "katz_tools": q_katz_tools,
     "auc_priority": q_auc_priority,
@@ -16124,6 +16169,7 @@ ORACLE_SQL = {
     "viterbi_sessions": VITERBI_SESSIONS_SQL,
     "burst_sessions": BURST_SESSIONS_SQL,
     "wis_sessions": WIS_SESSIONS_SQL,
+    "rephrase_turns": REPHRASE_TURNS_SQL,
     "decision_stump_error": DECISION_STUMP_ERROR_SQL,
     "katz_tools": KATZ_TOOLS_SQL,
     "auc_priority": AUC_PRIORITY_SQL,

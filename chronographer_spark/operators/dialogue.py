@@ -497,3 +497,56 @@ def markov_next_tool_eval(
             "CAST(sum(hit) * 1000000 DIV greatest(count(1), 1) AS BIGINT)"
         ).alias("acc_x1e6"),
     )
+
+
+def rephrase_spans(
+    tx: DataFrame,
+    role: str = "user",
+    num: int = 3,
+    den: int = 10,
+) -> DataFrame:
+    """Self-repair / rephrase detection per conversation: consecutive
+    same-role turns whose texts are nearly identical by edit distance —
+    the transcript-quality signal a curation pass uses to find users
+    re-asking the same thing (model failure) and near-duplicate
+    assistant boilerplate. Reference parity: the reference dedups
+    verbatim repeats only (src/preprocessing.py drop_duplicates); this
+    is the graded generalization.
+
+    A pair counts as a rephrase when den·lev(prev, cur) <=
+    num·greatest(len(prev), len(cur)) AND lev > 0 (exact repeats are
+    `dedup`'s business, not a rephrase) — integer cross-multiplication,
+    no float ratio. `levenshtein` is a built-in with identical classic
+    semantics in Spark and DuckDB, so the whole readout hash-gates.
+
+    Shape: one (conv_id) window over the role-filtered turns (lag +
+    pair metrics), one combinable rollup. Levenshtein is O(len²) per
+    pair JVM-side — bounded by turn length, the same contract as the
+    SNM blocking pass.
+
+    Returns (conv_id, n_role_turns, n_pairs, n_rephrase, sum_lev).
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    pairs = (
+        tx.filter(F.col("role") == role)
+        .select("conv_id", "turn_idx", "text")
+        .withColumn("__prev", F.lag("text").over(w))
+    )
+    lev = F.levenshtein(F.col("__prev"), F.col("text"))
+    is_pair = F.col("__prev").isNotNull()
+    is_rephrase = (
+        is_pair
+        & (lev > 0)
+        & (
+            F.lit(den) * lev
+            <= F.lit(num) * F.greatest(F.length("__prev"), F.length("text"))
+        )
+    )
+    return pairs.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_role_turns"),
+        F.sum(is_pair.cast("long")).cast("long").alias("n_pairs"),
+        F.sum(is_rephrase.cast("long")).cast("long").alias("n_rephrase"),
+        F.coalesce(
+            F.sum(F.when(is_pair, lev)), F.lit(0)
+        ).cast("long").alias("sum_lev"),
+    )

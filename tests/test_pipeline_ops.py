@@ -4959,6 +4959,55 @@ def test_viterbi_matches_bruteforce_enumeration(spark):
         assert got[conv] == (len(seq), sc, path), (conv, seq, got[conv], (sc, path))
 
 
+def test_rephrase_spans_hand_values(spark):
+    """Hand-built conversation: exact repeat excluded (lev = 0), a
+    one-char edit within threshold counts, a rewrite beyond threshold
+    doesn't, non-user turns never pair, single-turn conv has 0 pairs."""
+    from chronographer_spark.operators.dialogue import rephrase_spans
+
+    rows = [
+        # conv a: 4 user turns; pairs: (t0,t2) lev=0 no, (t2,t4) lev=1
+        # yes (1*10 <= 1*10 chars? "hello word" vs "hello word"),
+        # (t4,t6) big rewrite no
+        ("a", 0, "user", "hello word"),
+        ("a", 1, "assistant", "x"),
+        ("a", 2, "user", "hello word"),
+        ("a", 3, "assistant", "y"),
+        ("a", 4, "user", "hello ward"),
+        ("a", 5, "assistant", "z"),
+        ("a", 6, "user", "completely different thing"),
+        ("b", 0, "user", "only turn"),
+    ]
+    tx = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    got = {
+        r.conv_id: r
+        for r in rephrase_spans(tx, role="user", num=1, den=10).collect()
+    }
+    def lev(x, y):
+        prev = list(range(len(y) + 1))
+        for i, cx in enumerate(x, 1):
+            cur = [i]
+            for j, cy in enumerate(y, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1,
+                        prev[j - 1] + (cx != cy))
+                )
+            prev = cur
+        return prev[-1]
+
+    a = got["a"]
+    assert (a.n_role_turns, a.n_pairs, a.n_rephrase) == (4, 3, 1)
+    assert a.sum_lev == 0 + 1 + lev(
+        "hello ward", "completely different thing"
+    )
+    b = got["b"]
+    assert (b.n_role_turns, b.n_pairs, b.n_rephrase, b.sum_lev) == (
+        1, 0, 0, 0,
+    )
+
+
 def test_burst_decode_hand_sequences(spark):
     """The 2-state burst automaton decodes an obvious fast run as burst
     and an all-slow stream as calm; a mixed stream's n_burst equals the
