@@ -15585,6 +15585,60 @@ GROUP BY conv_id
 )
 
 
+
+# ---------------------------------------------------------------------------
+# Q: RFM segmentation of users
+# ---------------------------------------------------------------------------
+
+
+def q_rfm_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quintile segmentation over events: recency anchored to the
+    corpus max timestamp, monetary in exact cents, band scores by
+    pinned rank position — the whole segmentation hash-gates."""
+    from .operators.temporal import rfm_segments
+
+    ev = _t(spark, sf_dir, "events")
+    return rfm_segments(
+        ev, key="user_id", ts_col="ts", value_col="value",
+        scale=100, n_bands=5,
+    )
+
+
+RFM_USERS_SQL = """
+WITH per AS (
+  SELECT user_id,
+         max(CAST(floor(epoch(ts)) AS BIGINT)) AS last_sec,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS monetary_cents
+  FROM events GROUP BY 1
+),
+gmax AS (SELECT max(last_sec) AS g FROM per),
+base AS (
+  SELECT p.user_id,
+         (g.g - p.last_sec) // 86400 AS recency_days,
+         p.frequency, p.monetary_cents
+  FROM per p CROSS JOIN gmax g
+),
+ranked AS (
+  SELECT *,
+         CAST(count(*) OVER () AS BIGINT) AS n,
+         row_number() OVER (ORDER BY recency_days DESC, user_id) AS rr,
+         row_number() OVER (ORDER BY frequency ASC, user_id) AS fr,
+         row_number() OVER (ORDER BY monetary_cents ASC, user_id) AS mr
+  FROM base
+)
+SELECT user_id, CAST(recency_days AS BIGINT) AS recency_days,
+       frequency, monetary_cents,
+       CAST(5 * (rr - 1) // n + 1 AS BIGINT) AS r_score,
+       CAST(5 * (fr - 1) // n + 1 AS BIGINT) AS f_score,
+       CAST(5 * (mr - 1) // n + 1 AS BIGINT) AS m_score,
+       CAST((5 * (rr - 1) // n + 1) * 100 + (5 * (fr - 1) // n + 1) * 10
+            + (5 * (mr - 1) // n + 1) AS BIGINT) AS rfm_code
+FROM ranked
+"""
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -15873,6 +15927,7 @@ QUERIES = {
     "burst_sessions": q_burst_sessions,
     "wis_sessions": q_wis_sessions,
     "rephrase_turns": q_rephrase_turns,
+    "rfm_users": q_rfm_users,
     "decision_stump_error": q_decision_stump_error,
     "katz_tools": q_katz_tools,
     "auc_priority": q_auc_priority,
@@ -16170,6 +16225,7 @@ ORACLE_SQL = {
     "burst_sessions": BURST_SESSIONS_SQL,
     "wis_sessions": WIS_SESSIONS_SQL,
     "rephrase_turns": REPHRASE_TURNS_SQL,
+    "rfm_users": RFM_USERS_SQL,
     "decision_stump_error": DECISION_STUMP_ERROR_SQL,
     "katz_tools": KATZ_TOOLS_SQL,
     "auc_priority": AUC_PRIORITY_SQL,

@@ -1979,3 +1979,108 @@ def ols_slope(
             ).alias("slope_x1e6"),
         )
     )
+
+
+def rfm_segments(
+    df: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    scale: int = 100,
+    n_bands: int = 5,
+) -> DataFrame:
+    """Classic RFM (recency / frequency / monetary) segmentation — the
+    retention readout beside `cohort_retention` and `survival_table`:
+    every user scored 1..n_bands on each axis by exact rank position,
+    then stamped with the 3-digit segment code marketing/curation rules
+    key on (555 = best on all three).
+
+    Engine-exact banding: no ntile (its remainder-spreading is
+    convention-dependent) — score = (n_bands·(rank−1)) DIV n + 1 over a
+    row_number with the key as the pinned tie-break, ordered worst →
+    best per axis (oldest last-touch, lowest frequency, lowest spend
+    first), so the best users always take the top band. Monetary is
+    integer cents (scale=100) summed per user BEFORE banding; recency
+    is days before the corpus max timestamp (integer DIV 86400).
+
+    Shape: one combinable per-key aggregate collapses events to one row
+    per key; the three ranking windows then run over the COLLAPSED
+    table (|keys| rows, not |events|) — the single-partition global
+    window is deliberate and bounded by user count, the same contract
+    as every "rank all customers" readout; at larger |keys| swap the
+    banding to thresholds from the exact distributed quantile selection
+    (global_quantiles) without changing scores.
+
+    Returns (key, recency_days, frequency, monetary_cents, r_score,
+    f_score, m_score, rfm_code).
+    """
+    per = df.groupBy(F.col(key).alias("__k")).agg(
+        F.max(F.unix_timestamp(ts_col).cast("long")).alias("__last"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum(
+            F.floor(F.col(value_col).cast("double") * scale + F.lit(0.5))
+            .cast("long")
+        ).cast("long").alias("monetary_cents"),
+    )
+    gmax = per.agg(F.max("__last").alias("__gmax"))
+    per = per.join(F.broadcast(gmax)).select(
+        "__k",
+        F.expr("(__gmax - __last) DIV 86400").alias("recency_days"),
+        "frequency",
+        "monetary_cents",
+        "__last",
+    )
+    ranked = per.select(
+        "__k",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("__n"),
+        # oldest (largest recency_days) first -> lowest band
+        F.row_number()
+        .over(
+            Window.partitionBy().orderBy(
+                F.col("recency_days").desc(), F.col("__k")
+            )
+        )
+        .alias("__rr"),
+        F.row_number()
+        .over(
+            Window.partitionBy().orderBy(F.col("frequency").asc(), F.col("__k"))
+        )
+        .alias("__fr"),
+        F.row_number()
+        .over(
+            Window.partitionBy().orderBy(
+                F.col("monetary_cents").asc(), F.col("__k")
+            )
+        )
+        .alias("__mr"),
+    )
+    scored = ranked.select(
+        "__k",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        F.expr(
+            f"CAST({n_bands} AS BIGINT) * (__rr - 1) DIV __n + 1"
+        ).alias("r_score"),
+        F.expr(
+            f"CAST({n_bands} AS BIGINT) * (__fr - 1) DIV __n + 1"
+        ).alias("f_score"),
+        F.expr(
+            f"CAST({n_bands} AS BIGINT) * (__mr - 1) DIV __n + 1"
+        ).alias("m_score"),
+    )
+    return scored.select(
+        F.col("__k").alias(key),
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        "r_score",
+        "f_score",
+        "m_score",
+        (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"))
+        .cast("long")
+        .alias("rfm_code"),
+    )

@@ -4959,6 +4959,33 @@ def test_viterbi_matches_bruteforce_enumeration(spark):
         assert got[conv] == (len(seq), sc, path), (conv, seq, got[conv], (sc, path))
 
 
+def test_rfm_segments_hand_values(spark):
+    """5 users, one event each at day offsets 0..4 with values 1..5:
+    every axis ranks them the same way, so user k gets identical
+    r/f/m... recency reverses (older last-touch = lower band). With
+    n = n_bands every user lands in their own band."""
+    from datetime import datetime
+
+    from chronographer_spark.operators.temporal import rfm_segments
+
+    rows = [
+        (u, datetime(2026, 1, 1 + u), float(u + 1)) for u in range(5)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = {r.user_id: r for r in rfm_segments(df).collect()}
+    for u in range(5):
+        r = got[u]
+        assert r.recency_days == 4 - u
+        assert r.frequency == 1
+        assert r.monetary_cents == (u + 1) * 100
+        # user 0 is oldest/lowest-value -> band 1 on every axis
+        assert (r.r_score, r.m_score) == (u + 1, u + 1), u
+        assert r.rfm_code == r.r_score * 100 + r.f_score * 10 + r.m_score
+
+    # frequency ties band by the pinned user_id order
+    assert [got[u].f_score for u in range(5)] == [1, 2, 3, 4, 5]
+
+
 def test_rephrase_spans_hand_values(spark):
     """Hand-built conversation: exact repeat excluded (lev = 0), a
     one-char edit within threshold counts, a rewrite beyond threshold
