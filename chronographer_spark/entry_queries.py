@@ -15639,6 +15639,103 @@ FROM ranked
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Q: pairwise Spearman correlation matrix over event features
+# ---------------------------------------------------------------------------
+
+
+def q_corr_matrix_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric-association profile: every feature PAIR becomes one key
+    of `spearman_corr` via a single explode fan (the fd-profile
+    pattern), so the whole C(4,2)-pair matrix costs one scan + the two
+    rank windows per pair key — completing the association trio beside
+    decision_stump (label) and chi2/TVD (categorical). `boosted` is the
+    planted signal: hour dominates its rank order, so (boosted~hour)
+    reads near +1e6 while the organic pairs calibrate the null."""
+    from .operators.temporal import spearman_corr
+
+    ev = _t(spark, sf_dir, "events")
+    sec = F.unix_timestamp("ts").cast("long")
+    vc = F.floor(F.col("value").cast("double") * 100 + F.lit(0.5)).cast("long")
+    hr = F.expr("CAST(unix_timestamp(ts) AS BIGINT) % 86400 DIV 3600")
+    dow = F.expr("(CAST(unix_timestamp(ts) AS BIGINT) DIV 86400 + 4) % 7")
+    boosted = vc + hr * 100000
+    feats = [("vcents", vc), ("hour", hr), ("dow", dow), ("boosted", boosted)]
+    pairs = [
+        (f"{na}~{nb}", ca, cb)
+        for i, (na, ca) in enumerate(feats)
+        for (nb, cb) in [f for f in feats[i + 1 :]]
+    ]
+    fan = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(nm).alias("pair"),
+                    ca.alias("x"),
+                    cb.alias("y"),
+                )
+                for nm, ca, cb in pairs
+            ]
+        )
+    )
+    rows = ev.select(fan.alias("p")).select("p.pair", "p.x", "p.y")
+    return spearman_corr(rows, key="pair", x_col="x", y_col="y")
+
+
+CORR_MATRIX_EVENTS_SQL = """
+WITH rows_t AS (
+  SELECT p.pair AS pair, p.x AS x, p.y AS y
+  FROM (
+    SELECT CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT) AS vc,
+           CAST(floor(epoch(ts)) AS BIGINT) % 86400 // 3600 AS hr,
+           (CAST(floor(epoch(ts)) AS BIGINT) // 86400 + 4) % 7 AS dow
+    FROM events
+  ), unnest([
+    {'pair': 'vcents~hour', 'x': vc, 'y': hr},
+    {'pair': 'vcents~dow', 'x': vc, 'y': dow},
+    {'pair': 'vcents~boosted', 'x': vc, 'y': vc + hr * 100000},
+    {'pair': 'hour~dow', 'x': hr, 'y': dow},
+    {'pair': 'hour~boosted', 'x': hr, 'y': vc + hr * 100000},
+    {'pair': 'dow~boosted', 'x': dow, 'y': vc + hr * 100000}
+  ]) AS t(p)
+),
+ranked AS (
+  SELECT pair,
+         rank() OVER (PARTITION BY pair ORDER BY x)
+         + count(*) OVER (PARTITION BY pair ORDER BY x
+                          RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS dx,
+         rank() OVER (PARTITION BY pair ORDER BY y)
+         + count(*) OVER (PARTITION BY pair ORDER BY y
+                          RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS dy,
+         count(*) OVER (PARTITION BY pair) AS n
+  FROM rows_t
+),
+grid AS (
+  SELECT pair, n,
+         (dx - (n + 1)) * CAST(1000000 AS BIGINT) // n AS gx,
+         (dy - (n + 1)) * CAST(1000000 AS BIGINT) // n AS gy
+  FROM ranked
+),
+m AS (
+  SELECT pair,
+         CAST(max(n) AS BIGINT) AS n,
+         CAST(sum(gx * gy) AS BIGINT) AS num,
+         CAST(sum(gx * gx) AS BIGINT) AS sxx,
+         CAST(sum(gy * gy) AS BIGINT) AS syy
+  FROM grid GROUP BY pair
+)
+SELECT pair, n, num,
+       CAST(CASE WHEN sxx = 0 OR syy = 0 THEN 0 ELSE
+            (CASE WHEN num < 0 THEN -1 ELSE 1 END)
+            * (abs(num) * 1000 // sxx)
+            * (abs(num) * 1000 // syy) END AS BIGINT) AS spearman_r2_x1e6
+FROM m
+"""
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -15928,6 +16025,7 @@ QUERIES = {
     "wis_sessions": q_wis_sessions,
     "rephrase_turns": q_rephrase_turns,
     "rfm_users": q_rfm_users,
+    "corr_matrix_events": q_corr_matrix_events,
     "decision_stump_error": q_decision_stump_error,
     "katz_tools": q_katz_tools,
     "auc_priority": q_auc_priority,
@@ -16226,6 +16324,7 @@ ORACLE_SQL = {
     "wis_sessions": WIS_SESSIONS_SQL,
     "rephrase_turns": REPHRASE_TURNS_SQL,
     "rfm_users": RFM_USERS_SQL,
+    "corr_matrix_events": CORR_MATRIX_EVENTS_SQL,
     "decision_stump_error": DECISION_STUMP_ERROR_SQL,
     "katz_tools": KATZ_TOOLS_SQL,
     "auc_priority": AUC_PRIORITY_SQL,
