@@ -15736,6 +15736,109 @@ FROM m
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Q: permutation test for the error-vs-click value gap
+# ---------------------------------------------------------------------------
+
+
+def q_perm_test_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample permutation test between error and click event
+    values with a planted +1000-cent shift on errors (values are
+    exponential-ish, sd ~5000 cents, so se(diff) ~158; the natural gap
+    is ~-119 cents of noise): the planted ~+881 ~ 5.6 se beats every
+    label shuffle (n_extreme = 0, p = 1/(K+1))
+    while the machinery — exact-size reassignment by portable md5
+    rank — hash-gates bit-for-bit."""
+    from .operators.classifier import permutation_test
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("error", "click")
+    )
+    rows = ev.select(
+        F.col("event_id").alias("id"),
+        (
+            F.floor(F.col("value").cast("double") * 100 + F.lit(0.5))
+            .cast("long")
+            + F.when(F.col("event_type") == "error", F.lit(1000)).otherwise(
+                F.lit(0)
+            )
+        ).alias("v"),
+        (F.col("event_type") == "error").alias("label"),
+    )
+    return permutation_test(
+        rows, label_col="label", value_col="v", id_col="id", n_perms=64
+    )
+
+
+PERM_TEST_VALUE_SQL = """
+WITH base AS (
+  SELECT CAST(event_id AS VARCHAR) AS id,
+         CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT)
+           + CASE WHEN event_type = 'error' THEN 1000 ELSE 0 END AS v,
+         event_type = 'error' AS a
+  FROM events WHERE event_type IN ('error', 'click')
+),
+obs AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(count(*) - sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(sum(CASE WHEN a THEN v ELSE 0 END) AS BIGINT) AS sum_a,
+         CAST(sum(CASE WHEN NOT a THEN v ELSE 0 END) AS BIGINT) AS sum_b
+  FROM base
+),
+obsd AS (
+  SELECT n, n_a, n_b,
+         (sum_a // n_a * CAST(1000000 AS BIGINT)
+          + sum_a % n_a * CAST(1000000 AS BIGINT) // n_a)
+         - (sum_b // n_b * CAST(1000000 AS BIGINT)
+            + sum_b % n_b * CAST(1000000 AS BIGINT) // n_b)
+           AS obs_diff_x1e6
+  FROM obs
+),
+fan AS (
+  SELECT p.perm AS perm, b.id, b.v,
+         CAST(concat('0x',
+              substr(md5('pt:' || CAST(p.perm AS VARCHAR) || ':' || b.id),
+                     1, 8)) AS BIGINT) AS h
+  FROM base b, unnest([
+    {'perm': r} FOR r IN range(64)
+  ]) AS t(p)
+),
+ranked AS (
+  SELECT perm, v,
+         row_number() OVER (PARTITION BY perm ORDER BY h, id) AS rn
+  FROM fan
+),
+perms AS (
+  SELECT r.perm, o.n, o.n_a, o.n_b, d.obs_diff_x1e6,
+         CAST(sum(CASE WHEN r.rn <= o.n_a THEN r.v ELSE 0 END)
+              AS BIGINT) AS sum_a,
+         CAST(sum(CASE WHEN r.rn > o.n_a THEN r.v ELSE 0 END)
+              AS BIGINT) AS sum_b
+  FROM ranked r CROSS JOIN obs o CROSS JOIN obsd d
+  GROUP BY 1, 2, 3, 4, 5
+),
+diffs AS (
+  SELECT n, n_a, obs_diff_x1e6,
+         (sum_a // n_a * CAST(1000000 AS BIGINT)
+          + sum_a % n_a * CAST(1000000 AS BIGINT) // n_a)
+         - (sum_b // n_b * CAST(1000000 AS BIGINT)
+            + sum_b % n_b * CAST(1000000 AS BIGINT) // n_b) AS diff_x1e6
+  FROM perms
+)
+SELECT n, n_a, obs_diff_x1e6,
+       CAST(sum(CASE WHEN abs(diff_x1e6) >= abs(obs_diff_x1e6)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+       CAST(64 AS BIGINT) AS n_perms,
+       CAST((sum(CASE WHEN abs(diff_x1e6) >= abs(obs_diff_x1e6)
+                 THEN 1 ELSE 0 END) + 1)
+            * CAST(1000000 AS BIGINT) // 65 AS BIGINT) AS p_x1e6
+FROM diffs
+GROUP BY 1, 2, 3
+"""
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -16026,6 +16129,7 @@ QUERIES = {
     "rephrase_turns": q_rephrase_turns,
     "rfm_users": q_rfm_users,
     "corr_matrix_events": q_corr_matrix_events,
+    "perm_test_value": q_perm_test_value,
     "decision_stump_error": q_decision_stump_error,
     "katz_tools": q_katz_tools,
     "auc_priority": q_auc_priority,
@@ -16325,6 +16429,7 @@ ORACLE_SQL = {
     "rephrase_turns": REPHRASE_TURNS_SQL,
     "rfm_users": RFM_USERS_SQL,
     "corr_matrix_events": CORR_MATRIX_EVENTS_SQL,
+    "perm_test_value": PERM_TEST_VALUE_SQL,
     "decision_stump_error": DECISION_STUMP_ERROR_SQL,
     "katz_tools": KATZ_TOOLS_SQL,
     "auc_priority": AUC_PRIORITY_SQL,

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def _tokens(docs: DataFrame, id_col: str, text_col: str, label_col: str | None):
@@ -548,4 +549,127 @@ def decision_stump(
             F.col("nr").cast("long").alias("n_right"),
             "gini_x1e6",
         )
+    )
+
+
+def permutation_test(
+    df: DataFrame,
+    label_col: str = "label",
+    value_col: str = "v",
+    id_col: str = "id",
+    n_perms: int = 64,
+    seed: str = "pt:",
+) -> DataFrame:
+    """Deterministic two-sample permutation test for a difference in
+    means — the inference capstone beside `bootstrap_value_ci` (which
+    answers "how wide is the mean's CI"; this answers "is the gap
+    between groups bigger than label-shuffling chance"). Group sizes
+    are preserved EXACTLY per permutation (a true permutation test,
+    not a binomial-split approximation): permutation r takes the first
+    n_a rows of the md5(seed‖r‖':'‖id) order as group A, ties pinned by
+    id, so both engines replay the identical reassignments.
+
+    All arithmetic is exact-integer: each group mean is the staged
+    quotient sum·1e6 DIV n (truncation sign-identical cross-engine),
+    the observed and permuted diffs compare by absolute value, and
+    p_x1e6 = (n_extreme + 1)·1e6 DIV (n_perms + 1) uses the add-one
+    convention (the identity permutation counts itself) so p is never
+    0.
+
+    Shape: ONE explode fans each row into n_perms (perm, id, v) rows;
+    the per-perm rank is one exchange on perm; per-perm sums collapse
+    map-side; n_a and the observed diff ride in on single-row broadcast
+    joins. Cost is n_perms·n rows through one sort — at crawl scale
+    drop to the binomial-split variant (hash-bit assignment, no rank)
+    and accept approximate group sizes; the fixed-size rank variant is
+    the gate-exact spec.
+
+    Returns one row (n, n_a, obs_diff_x1e6, n_extreme, n_perms,
+    p_x1e6).
+    """
+    base = df.select(
+        F.col(id_col).cast("string").alias("__id"),
+        F.col(value_col).cast("long").alias("__v"),
+        F.col(label_col).cast("boolean").alias("__a"),
+    ).localCheckpoint(eager=True)  # feeds the observed agg AND the fan
+
+    mean_a = (
+        "(sum_a DIV n_a * CAST(1000000 AS BIGINT)"
+        " + sum_a % n_a * CAST(1000000 AS BIGINT) DIV n_a)"
+    )
+    mean_b = (
+        "(sum_b DIV n_b * CAST(1000000 AS BIGINT)"
+        " + sum_b % n_b * CAST(1000000 AS BIGINT) DIV n_b)"
+    )
+    obs = (
+        base.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("__a").cast("long")).cast("long").alias("n_a"),
+            F.sum(F.when(F.col("__a"), F.col("__v")).otherwise(0))
+            .cast("long")
+            .alias("sum_a"),
+            F.sum(F.when(~F.col("__a"), F.col("__v")).otherwise(0))
+            .cast("long")
+            .alias("sum_b"),
+        )
+        .withColumn("n_b", F.col("n") - F.col("n_a"))
+        .withColumn("obs_diff_x1e6", F.expr(f"{mean_a} - {mean_b}"))
+        .select("n", "n_a", "n_b", "obs_diff_x1e6")
+        .localCheckpoint(eager=True)
+    )
+
+    fan = base.withColumn(
+        "__perm", F.explode(F.sequence(F.lit(0), F.lit(n_perms - 1)))
+    ).withColumn(
+        "__h",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(seed),
+                        F.col("__perm").cast("string"),
+                        F.lit(":"),
+                        F.col("__id"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+    )
+    wr = Window.partitionBy("__perm").orderBy("__h", "__id")
+    ranked = fan.withColumn("__rn", F.row_number().over(wr))
+    perms = (
+        ranked.join(F.broadcast(obs))
+        .groupBy("__perm", "n", "n_a", "n_b", "obs_diff_x1e6")
+        .agg(
+            F.sum(F.when(F.col("__rn") <= F.col("n_a"), F.col("__v")).otherwise(0))
+            .cast("long")
+            .alias("sum_a"),
+            F.sum(F.when(F.col("__rn") > F.col("n_a"), F.col("__v")).otherwise(0))
+            .cast("long")
+            .alias("sum_b"),
+        )
+        .withColumn("diff_x1e6", F.expr(f"{mean_a} - {mean_b}"))
+    )
+    return perms.groupBy("n", "n_a", "obs_diff_x1e6").agg(
+        F.sum(
+            (F.abs(F.col("diff_x1e6")) >= F.abs(F.col("obs_diff_x1e6")))
+            .cast("long")
+        )
+        .cast("long")
+        .alias("n_extreme"),
+        F.lit(n_perms).cast("long").alias("n_perms"),
+    ).select(
+        "n",
+        "n_a",
+        "obs_diff_x1e6",
+        "n_extreme",
+        "n_perms",
+        F.expr(
+            "(n_extreme + 1) * CAST(1000000 AS BIGINT)"
+            f" DIV ({n_perms} + 1)"
+        ).alias("p_x1e6"),
     )

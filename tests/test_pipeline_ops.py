@@ -4959,6 +4959,52 @@ def test_viterbi_matches_bruteforce_enumeration(spark):
         assert got[conv] == (len(seq), sc, path), (conv, seq, got[conv], (sc, path))
 
 
+def test_permutation_test_matches_python_replay(spark):
+    """The per-perm reassignment, staged mean quotients, and p-value
+    match an exact Python replay of the md5 ordering; degenerate
+    identical-values input gives every shuffle |0| >= |0| -> p = 1."""
+    import hashlib
+
+    from chronographer_spark.operators.classifier import permutation_test
+
+    rows = [(i, 100 + 7 * i, i % 3 == 0) for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, v long, label boolean")
+    K = 8
+    got = permutation_test(
+        df, label_col="label", value_col="v", id_col="id", n_perms=K
+    ).collect()[0]
+
+    def h(perm, rid):
+        return int(
+            hashlib.md5(f"pt:{perm}:{rid}".encode()).hexdigest()[:8], 16
+        )
+
+    def staged_diff(pairs, n_a):
+        sa = sum(v for v, a in pairs if a)
+        sb = sum(v for v, a in pairs if not a)
+        n_b = len(pairs) - n_a
+        q = lambda s, n: s // n * 10**6 + s % n * 10**6 // n
+        return q(sa, n_a) - q(sb, n_b)
+
+    n_a = sum(1 for _, _, a in rows if a)
+    obs = staged_diff([(v, a) for _, v, a in rows], n_a)
+    assert got.obs_diff_x1e6 == obs
+    n_ext = 0
+    for r in range(K):
+        order = sorted(rows, key=lambda t: (h(r, str(t[0])), str(t[0])))
+        relab = [(v, i < n_a) for i, (_, v, _) in enumerate(order)]
+        if abs(staged_diff(relab, n_a)) >= abs(obs):
+            n_ext += 1
+    assert got.n_extreme == n_ext
+    assert got.p_x1e6 == (n_ext + 1) * 10**6 // (K + 1)
+
+    same = spark.createDataFrame(
+        [(i, 5, i < 4) for i in range(10)], "id long, v long, label boolean"
+    )
+    g2 = permutation_test(same, n_perms=4, value_col="v").collect()[0]
+    assert (g2.obs_diff_x1e6, g2.n_extreme, g2.p_x1e6) == (0, 4, 1_000_000)
+
+
 def test_rfm_segments_hand_values(spark):
     """5 users, one event each at day offsets 0..4 with values 1..5:
     every axis ranks them the same way, so user k gets identical
