@@ -14644,8 +14644,9 @@ m AS (
 SELECT event_type, n, num,
        CAST(CASE WHEN sxx = 0 OR syy = 0 THEN 0 ELSE
             (CASE WHEN num < 0 THEN -1 ELSE 1 END)
-            * (abs(num) * 1000 // sxx)
-            * (abs(num) * 1000 // syy) END AS BIGINT) AS spearman_r2_x1e6
+            * (abs(num) // greatest(sxx // 1000, 1))
+            * (abs(num) // greatest(syy // 1000, 1)) END AS BIGINT)
+         AS spearman_r2_x1e6
 FROM m
 """
 
@@ -15730,8 +15731,9 @@ m AS (
 SELECT pair, n, num,
        CAST(CASE WHEN sxx = 0 OR syy = 0 THEN 0 ELSE
             (CASE WHEN num < 0 THEN -1 ELSE 1 END)
-            * (abs(num) * 1000 // sxx)
-            * (abs(num) * 1000 // syy) END AS BIGINT) AS spearman_r2_x1e6
+            * (abs(num) // greatest(sxx // 1000, 1))
+            * (abs(num) // greatest(syy // 1000, 1)) END AS BIGINT)
+         AS spearman_r2_x1e6
 FROM m
 """
 
@@ -15836,6 +15838,63 @@ SELECT n, n_a, obs_diff_x1e6,
             * CAST(1000000 AS BIGINT) // 65 AS BIGINT) AS p_x1e6
 FROM diffs
 GROUP BY 1, 2, 3
+"""
+
+
+
+# ---------------------------------------------------------------------------
+# Q: longest increasing value run per user
+# ---------------------------------------------------------------------------
+
+
+def q_lis_value_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest strictly-increasing subsequence of value cents per user
+    over event order — the monotone-engagement readout; random-ish
+    values give the ~2·sqrt(n) Ulam-Hammersley baseline, so the lengths
+    are a real distribution, not a constant."""
+    from pyspark.sql.window import Window
+
+    from .operators.sequence import lis_length
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    rows = ev.select(
+        "user_id",
+        F.row_number().over(w).cast("long").alias("i"),
+        F.floor(F.col("value").cast("double") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("v"),
+    )
+    return lis_length(rows, key="user_id", idx="i", val="v")
+
+
+LIS_VALUE_RUNS_SQL = """
+WITH RECURSIVE rows_t AS (
+  SELECT CAST(user_id AS VARCHAR) AS user_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS i,
+         CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT) AS v
+  FROM events
+),
+nper AS (SELECT user_id, max(i) AS n FROM rows_t GROUP BY 1),
+pat(user_id, i, tails) AS (
+  SELECT user_id, CAST(0 AS BIGINT), CAST([] AS BIGINT[]) FROM nper
+  UNION ALL
+  SELECT p.user_id, p.i + 1,
+         CASE WHEN len(list_filter(p.tails, t -> t < r.v)) = len(p.tails)
+              THEN list_append(p.tails, r.v)
+              ELSE list_slice(p.tails, 1,
+                              len(list_filter(p.tails, t -> t < r.v)))
+                   || [r.v]
+                   || list_slice(p.tails,
+                                 len(list_filter(p.tails, t -> t < r.v)) + 2,
+                                 len(p.tails))
+         END
+  FROM pat p JOIN rows_t r ON r.user_id = p.user_id AND r.i = p.i + 1
+)
+SELECT p.user_id, CAST(n.n AS BIGINT) AS n_turns,
+       CAST(len(p.tails) AS BIGINT) AS lis_len
+FROM pat p JOIN nper n ON n.user_id = p.user_id AND p.i = n.n
 """
 
 
@@ -16126,6 +16185,7 @@ QUERIES = {
     "viterbi_sessions": q_viterbi_sessions,
     "burst_sessions": q_burst_sessions,
     "wis_sessions": q_wis_sessions,
+    "lis_value_runs": q_lis_value_runs,
     "rephrase_turns": q_rephrase_turns,
     "rfm_users": q_rfm_users,
     "corr_matrix_events": q_corr_matrix_events,
@@ -16426,6 +16486,7 @@ ORACLE_SQL = {
     "viterbi_sessions": VITERBI_SESSIONS_SQL,
     "burst_sessions": BURST_SESSIONS_SQL,
     "wis_sessions": WIS_SESSIONS_SQL,
+    "lis_value_runs": LIS_VALUE_RUNS_SQL,
     "rephrase_turns": REPHRASE_TURNS_SQL,
     "rfm_users": RFM_USERS_SQL,
     "corr_matrix_events": CORR_MATRIX_EVENTS_SQL,

@@ -480,3 +480,55 @@ def weighted_interval_schedule(
         )
 
     return rows.groupBy("__k").applyInPandas(_dp, schema=schema)
+
+
+def lis_length(
+    df: DataFrame,
+    key: str = "conv_id",
+    idx: str = "turn_idx",
+    val: str = "v",
+) -> DataFrame:
+    """Longest strictly-increasing subsequence length per key — the
+    monotone-run readout (how long a best-case "numbers keep going up"
+    story each sequence supports: engagement ramps, escalating error
+    codes, price walks). Patience algorithm: one pass maintaining the
+    sorted tails array, O(n log n) per key, in ONE Arrow-batched
+    applyInPandas pass (dp needs bisect random access, so no window
+    expresses it); the DuckDB oracle replays the identical tails
+    evolution by carrying the array as a LIST in a recursive CTE
+    (list_filter count = bisect_left, slice-splice = replace).
+
+    Integer values only (the repo's float discipline); equal values do
+    NOT extend a run (strict). Returns (key, n_turns, lis_len).
+    """
+    import pandas as pd
+    from bisect import bisect_left
+
+    schema = f"{key} string, n_turns long, lis_len long"
+
+    def _lis(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(idx)
+        tails: list = []
+        for x in pdf[val].tolist():
+            pos = bisect_left(tails, x)
+            if pos == len(tails):
+                tails.append(x)
+            else:
+                tails[pos] = x
+        return pd.DataFrame(
+            {
+                key: [str(pdf[key].iloc[0])],
+                "n_turns": [len(pdf)],
+                "lis_len": [len(tails)],
+            }
+        )
+
+    return (
+        df.select(
+            F.col(key).cast("string").alias(key),
+            F.col(idx).cast("long").alias(idx),
+            F.col(val).cast("long").alias(val),
+        )
+        .groupBy(key)
+        .applyInPandas(_lis, schema=schema)
+    )

@@ -1849,9 +1849,14 @@ def spearman_corr(
     (dev·1e6 DIV n, truncation identical cross-engine per the sign
     caveat) making every moment n-bounded: Σg² ≤ n·1e12 — safe in
     BIGINT to ~9e6 rows per key; beyond that pre-bucket values or lift
-    the moments to DECIMAL(38). The signed r² is the toolkit quotient
-    sign(num)·(|num|·1e3 DIV Sxx)·(|num|·1e3 DIV Syy), Cauchy-Schwarz-
-    bounded within ±1e6.
+    the moments to DECIMAL(38). The signed r² is the DENOMINATOR-staged
+    toolkit quotient sign(num)·(|num| DIV max(Sxx DIV 1e3, 1))·(|num|
+    DIV max(Syy DIV 1e3, 1)) — pre-dividing each moment by 1e3 instead
+    of multiplying |num| keeps every intermediate within the moment
+    bound itself (the |num|·1e3 form overflowed at n ≳ 27k per key on
+    near-perfectly-correlated data: |num| → n·1e12/3); still
+    Cauchy-Schwarz-bounded within ±1e6 up to the 1e-3 denominator
+    quantization, replayed identically by the oracle.
 
     Plan shape: both rank windows partition by `key` (two in-partition
     sorts, ONE exchange Catalyst shares); the final moment rollup reuses
@@ -1899,8 +1904,8 @@ def spearman_corr(
             F.expr(
                 "CAST(CASE WHEN __sxx = 0 OR __syy = 0 THEN 0 ELSE "
                 "(CASE WHEN num < 0 THEN -1 ELSE 1 END) "
-                "* (abs(num) * 1000 DIV __sxx) "
-                "* (abs(num) * 1000 DIV __syy) END AS BIGINT)"
+                "* (abs(num) DIV greatest(__sxx DIV 1000, 1)) "
+                "* (abs(num) DIV greatest(__syy DIV 1000, 1)) END AS BIGINT)"
             ).alias("spearman_r2_x1e6"),
         )
     )

@@ -1170,6 +1170,80 @@ def main() -> None:
         assert agg["s"] is not None
         return agg["n"]
 
+    def job_wis():
+        # per-user interval count rides repl via disjoint users; the
+        # rank window + prefix-sum + DP are all per-key linear
+        from chronographer_spark.operators.sequence import (
+            weighted_interval_schedule,
+        )
+
+        rows = ev_r.select(
+            "user_id",
+            "event_id",
+            F.unix_timestamp("ts").cast("long").alias("s"),
+            (F.unix_timestamp("ts").cast("long") + 3600).alias("e"),
+            F.floor(F.col("value").cast("double") * 100 + F.lit(0.5))
+            .cast("long").alias("w"),
+        )
+        out = weighted_interval_schedule(
+            rows, key="user_id", start_col="s", end_col="e",
+            weight_col="w", id_col="event_id",
+        )
+        agg = out.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("best_total").alias("s")
+        ).first()
+        assert agg["s"] > 0
+        return agg["n"]
+
+    def job_permtest():
+        # the 64-way fan dominates: rows x 64 through ONE rank exchange
+        # on perm; per-perm sums collapse map-side
+        from chronographer_spark.operators.classifier import permutation_test
+
+        rows = ev_r.filter(F.col("event_type").isin("error", "click")).select(
+            F.col("event_id").alias("id"),
+            F.floor(F.col("value").cast("double") * 100 + F.lit(0.5))
+            .cast("long").alias("v"),
+            (F.col("event_type") == "error").alias("label"),
+        )
+        out = permutation_test(rows, n_perms=64)
+        agg = out.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("p_x1e6").alias("s")
+        ).first()
+        assert agg["s"] is not None
+        return agg["n"]
+
+    def job_corrmatrix():
+        # 6-pair fan x two rank windows per pair — 12 in-partition
+        # sorts over repl x rows on one exchange
+        from chronographer_spark.operators.temporal import spearman_corr
+
+        sec = F.unix_timestamp("ts").cast("long")
+        vc = F.floor(F.col("value").cast("double") * 100 + F.lit(0.5)).cast(
+            "long"
+        )
+        hr = F.expr("CAST(unix_timestamp(ts) AS BIGINT) % 86400 DIV 3600")
+        dow = F.expr("(CAST(unix_timestamp(ts) AS BIGINT) DIV 86400 + 4) % 7")
+        feats = [("vc", vc), ("hr", hr), ("dow", dow), ("bo", vc + hr * 100000)]
+        fan = F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(f"{na}~{nb}").alias("pair"),
+                    ca.alias("x"), cb.alias("y"),
+                )
+                for i, (na, ca) in enumerate(feats)
+                for (nb, cb) in feats[i + 1:]
+            ])
+        )
+        rows = ev_r.select(fan.alias("p")).select("p.pair", "p.x", "p.y")
+        out = spearman_corr(rows, key="pair", x_col="x", y_col="y")
+        agg = out.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.abs(F.col("spearman_r2_x1e6"))).alias("s"),
+        ).first()
+        assert agg["s"] is not None
+        return agg["n"]
+
     def _typed_minute_edges():
         # user <-> (type, minute, rep) bipartite graph; dst carries the
         # replica index so replicas are DISJOINT components — the soak
@@ -1485,6 +1559,9 @@ def main() -> None:
         ("dbscan", job_dbscan),
         ("viterbi", job_viterbi),
         ("stump", job_stump),
+        ("wis", job_wis),
+        ("permtest", job_permtest),
+        ("corrmatrix", job_corrmatrix),
     ]
     only = set(sys.argv[3:])
     for name, fn in jobs:

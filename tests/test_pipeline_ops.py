@@ -4959,6 +4959,42 @@ def test_viterbi_matches_bruteforce_enumeration(spark):
         assert got[conv] == (len(seq), sc, path), (conv, seq, got[conv], (sc, path))
 
 
+def test_lis_length_matches_bruteforce(spark):
+    """lis_len equals exhaustive strictly-increasing-subsequence search
+    on hand sequences covering: sorted, reversed, duplicates (strict —
+    equal values don't extend), and the classic interleave."""
+    from itertools import combinations
+
+    from chronographer_spark.operators.sequence import lis_length
+
+    cases = {
+        "sorted": [1, 2, 3, 4, 5],
+        "reversed": [5, 4, 3, 2, 1],
+        "dups": [2, 2, 2, 2],
+        "classic": [3, 1, 4, 1, 5, 9, 2, 6],
+        "single": [7],
+    }
+    rows = [
+        (k, i, v) for k, seq in cases.items() for i, v in enumerate(seq)
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx long, v long")
+    got = {r.conv_id: r for r in lis_length(df).collect()}
+
+    def brute(seq):
+        best = 0
+        for r in range(1, len(seq) + 1):
+            for sub in combinations(seq, r):
+                if all(a < b for a, b in zip(sub, sub[1:])):
+                    best = max(best, r)
+        return best
+
+    for k, seq in cases.items():
+        assert got[k].n_turns == len(seq), k
+        assert got[k].lis_len == brute(seq), k
+    assert got["dups"].lis_len == 1
+    assert got["classic"].lis_len == 4
+
+
 def test_permutation_test_matches_python_replay(spark):
     """The per-perm reassignment, staged mean quotients, and p-value
     match an exact Python replay of the md5 ordering; degenerate
