@@ -15898,6 +15898,83 @@ FROM pat p JOIN nper n ON n.user_id = p.user_id AND p.i = n.n
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Q: Brier decomposition of a synthetic forecaster with one bad bin
+# ---------------------------------------------------------------------------
+
+
+def q_brier_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition on a deterministic calibration fixture:
+    forecast f in {100,300,500,700,900} by user bucket, outcome drawn
+    by portable md5 bit at the TRUE rate calib(f) = f except the 900
+    bin is overconfident (true rate 400) — reliability concentrates in
+    that bin while resolution reads the genuine spread of the other
+    four, the textbook decomposition readout."""
+    from .operators.classifier import brier_decomposition
+
+    ev = _t(spark, sf_dir, "events")
+    f = (F.col("user_id") % 5).cast("long") * 200 + 100
+    calib = F.when(f == 900, F.lit(400)).otherwise(f)
+    draw = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("bd:"), F.col("event_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000
+    )
+    rows = ev.select(
+        f.alias("f"), (draw < calib).cast("long").alias("y")
+    )
+    return brier_decomposition(rows, forecast_col="f", label_col="y")
+
+
+BRIER_FORECAST_SQL = """
+WITH rows_t AS (
+  SELECT (user_id % 5) * 200 + 100 AS f,
+         CASE WHEN CAST(concat('0x',
+                    substr(md5('bd:' || CAST(event_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 1000
+                   < CASE WHEN (user_id % 5) * 200 + 100 = 900
+                          THEN 400 ELSE (user_id % 5) * 200 + 100 END
+              THEN 1 ELSE 0 END AS y
+  FROM events
+),
+bins AS (
+  SELECT f, CAST(count(*) AS BIGINT) AS nk,
+         CAST(sum(y) AS BIGINT) AS ok,
+         CAST(sum((f - 1000 * y) * (f - 1000 * y)) AS BIGINT) AS bsum
+  FROM rows_t GROUP BY f
+),
+tot AS (SELECT CAST(sum(nk) AS BIGINT) AS n, CAST(sum(ok) AS BIGINT) AS o
+        FROM bins),
+agg AS (
+  SELECT max(t.n) AS n,
+         CAST(count(DISTINCT b.f) AS BIGINT) AS n_bins,
+         CAST(sum(b.bsum) AS BIGINT) AS bsum,
+         CAST(sum((b.f * b.nk - 1000 * b.ok) * (b.f * b.nk - 1000 * b.ok)
+                  // b.nk) AS BIGINT) AS rel,
+         CAST(sum((b.ok * t.n - t.o * b.nk) * (b.ok * t.n - t.o * b.nk)
+                  // b.nk) AS BIGINT) AS res,
+         max(t.o) AS otot
+  FROM bins b CROSS JOIN tot t
+)
+SELECT n, n_bins,
+       CAST(bsum // n AS BIGINT) AS brier_x1e6,
+       CAST(rel // n AS BIGINT) AS reliability_x1e6,
+       CAST(res * CAST(1000000 AS BIGINT) // n // n // n AS BIGINT)
+         AS resolution_x1e6,
+       CAST(otot * (n - otot) * CAST(1000000 AS BIGINT) // n // n AS BIGINT)
+         AS uncertainty_x1e6
+FROM agg
+"""
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -16190,6 +16267,7 @@ QUERIES = {
     "rfm_users": q_rfm_users,
     "corr_matrix_events": q_corr_matrix_events,
     "perm_test_value": q_perm_test_value,
+    "brier_forecast": q_brier_forecast,
     "decision_stump_error": q_decision_stump_error,
     "katz_tools": q_katz_tools,
     "auc_priority": q_auc_priority,
@@ -16491,6 +16569,7 @@ ORACLE_SQL = {
     "rfm_users": RFM_USERS_SQL,
     "corr_matrix_events": CORR_MATRIX_EVENTS_SQL,
     "perm_test_value": PERM_TEST_VALUE_SQL,
+    "brier_forecast": BRIER_FORECAST_SQL,
     "decision_stump_error": DECISION_STUMP_ERROR_SQL,
     "katz_tools": KATZ_TOOLS_SQL,
     "auc_priority": AUC_PRIORITY_SQL,

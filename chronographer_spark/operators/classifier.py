@@ -673,3 +673,91 @@ def permutation_test(
             f" DIV ({n_perms} + 1)"
         ).alias("p_x1e6"),
     )
+
+
+def brier_decomposition(
+    df: DataFrame,
+    forecast_col: str = "f",
+    label_col: str = "y",
+) -> DataFrame:
+    """Murphy decomposition of the Brier score over forecast bins —
+    the calibration capstone beside the reliability-curve query
+    (`classifier_calibration`): Brier = reliability − resolution +
+    uncertainty, where reliability punishes bins whose forecast is off
+    their observed rate, resolution rewards bins that separate the base
+    rate, and uncertainty is the label's own variance. Bins are the
+    UNIQUE forecast values (the partition for which the identity is
+    exact in reals).
+
+    Exact-integer spec (truncations replayed identically): forecasts
+    are integers in [0, 1000] (p·1e3), labels 0/1. Per bin,
+    d = f·n_k − 1000·o_k and t = d² DIV n_k; reliability_x1e6 =
+    Σt DIV N. With e = o_k·N − O·n_k, resolution_x1e6 =
+    (Σ(e² DIV n_k))·1e6 DIV N DIV N DIV N (floor composition).
+    uncertainty_x1e6 and brier_x1e6 = Σ(f − 1000·y)² DIV N are
+    single staged quotients (the per-row Brier term is EXACT in 1e-6
+    units — no truncation before the final DIV). Headroom: d² needs
+    n_k ≲ 3e6 per bin and e² needs N·n_k ≲ 3e9 — beyond, lift to
+    DECIMAL(38); the N³ in resolution bounds N ≲ 2e6.
+
+    Shape: one combinable (forecast) bin collapse; every term is a
+    rollup over the ≤1001-row bin table with the single-row total
+    broadcast in. Returns one row (n, n_bins, brier_x1e6,
+    reliability_x1e6, resolution_x1e6, uncertainty_x1e6).
+    """
+    rows = df.select(
+        F.col(forecast_col).cast("long").alias("__f"),
+        F.col(label_col).cast("long").alias("__y"),
+    )
+    bins = rows.groupBy("__f").agg(
+        F.count(F.lit(1)).cast("long").alias("__nk"),
+        F.sum("__y").cast("long").alias("__ok"),
+        F.sum(
+            (F.col("__f") - 1000 * F.col("__y"))
+            * (F.col("__f") - 1000 * F.col("__y"))
+        )
+        .cast("long")
+        .alias("__bsum"),
+    )
+    tot = bins.agg(
+        F.sum("__nk").cast("long").alias("__n"),
+        F.sum("__ok").cast("long").alias("__o"),
+    )
+    return (
+        bins.join(F.broadcast(tot))
+        .agg(
+            F.max("__n").alias("n"),
+            F.countDistinct("__f").cast("long").alias("n_bins"),
+            F.sum("__bsum").cast("long").alias("__b"),
+            F.sum(
+                F.expr(
+                    "(__f * __nk - 1000 * __ok) * (__f * __nk - 1000 * __ok)"
+                    " DIV __nk"
+                )
+            )
+            .cast("long")
+            .alias("__rel"),
+            F.sum(
+                F.expr(
+                    "(__ok * __n - __o * __nk) * (__ok * __n - __o * __nk)"
+                    " DIV __nk"
+                )
+            )
+            .cast("long")
+            .alias("__res"),
+            F.max("__o").alias("__otot"),
+        )
+        .select(
+            "n",
+            "n_bins",
+            F.expr("__b DIV n").alias("brier_x1e6"),
+            F.expr("__rel DIV n").alias("reliability_x1e6"),
+            F.expr(
+                "__res * CAST(1000000 AS BIGINT) DIV n DIV n DIV n"
+            ).alias("resolution_x1e6"),
+            F.expr(
+                "__otot * (n - __otot) * CAST(1000000 AS BIGINT)"
+                " DIV n DIV n"
+            ).alias("uncertainty_x1e6"),
+        )
+    )

@@ -4959,6 +4959,27 @@ def test_viterbi_matches_bruteforce_enumeration(spark):
         assert got[conv] == (len(seq), sc, path), (conv, seq, got[conv], (sc, path))
 
 
+def test_brier_decomposition_hand_values(spark):
+    """Two 4-row bins, both at observed rate 0.25: f=250 is perfectly
+    calibrated (contributes 0 reliability), f=750 contributes the full
+    (0.5)² gap; resolution is 0 (both bins sit at the base rate);
+    uncertainty = 0.25·0.75; Brier = rel − res + unc exactly."""
+    from chronographer_spark.operators.classifier import brier_decomposition
+
+    rows = [(250, 1), (250, 0), (250, 0), (250, 0),
+            (750, 1), (750, 0), (750, 0), (750, 0)]
+    df = spark.createDataFrame(rows, "f long, y long")
+    got = brier_decomposition(df).collect()[0]
+    assert (got.n, got.n_bins) == (8, 2)
+    assert got.reliability_x1e6 == 125_000
+    assert got.resolution_x1e6 == 0
+    assert got.uncertainty_x1e6 == 187_500
+    assert got.brier_x1e6 == 312_500
+    assert got.brier_x1e6 == (
+        got.reliability_x1e6 - got.resolution_x1e6 + got.uncertainty_x1e6
+    )
+
+
 def test_lis_length_matches_bruteforce(spark):
     """lis_len equals exhaustive strictly-increasing-subsequence search
     on hand sequences covering: sorted, reversed, duplicates (strict —
