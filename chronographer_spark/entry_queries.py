@@ -15975,6 +15975,79 @@ FROM agg
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Q: multi-touch attribution of purchases to click/view touches
+# ---------------------------------------------------------------------------
+
+
+def q_attribution_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution of purchases to the click/view
+    touches in the preceding 7 days, remainder pinned to the last
+    touch so total credit is exactly 1e6 per attributed conversion."""
+    from .operators.temporal import touch_attribution
+
+    ev = _t(spark, sf_dir, "events")
+    return touch_attribution(
+        ev, key="user_id", type_col="event_type", ts_col="ts",
+        id_col="event_id", conversion="purchase",
+        touch_types=("click", "view"), window_seconds=7 * 86400,
+    )
+
+
+ATTRIBUTION_TOUCH_SQL = """
+WITH base AS (
+  SELECT user_id AS k, event_type AS t,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s, event_id AS id
+  FROM events
+),
+conv AS (SELECT k, s AS cs, id AS cid FROM base WHERE t = 'purchase'),
+touch AS (SELECT k, t AS touch_type, s AS ts2, id AS tid FROM base
+          WHERE t IN ('click', 'view')),
+pairs AS (
+  SELECT c.k, c.cid, t.touch_type, t.ts2, t.tid
+  FROM conv c JOIN touch t ON t.k = c.k
+  WHERE t.ts2 <= c.cs AND c.cs - t.ts2 <= 7 * 86400 AND t.tid <> c.cid
+),
+credited AS (
+  SELECT touch_type, cid,
+         CAST(1000000 AS BIGINT)
+           // count(*) OVER (PARTITION BY k, cid)
+         + CASE WHEN row_number() OVER (PARTITION BY k, cid
+                                        ORDER BY ts2 DESC, tid DESC) = 1
+                THEN CAST(1000000 AS BIGINT)
+                     % count(*) OVER (PARTITION BY k, cid)
+                ELSE 0 END AS credit,
+         CASE WHEN row_number() OVER (PARTITION BY k, cid
+                                      ORDER BY ts2 ASC, tid ASC) = 1
+              THEN 1 ELSE 0 END AS is_first,
+         CASE WHEN row_number() OVER (PARTITION BY k, cid
+                                      ORDER BY ts2 DESC, tid DESC) = 1
+              THEN 1 ELSE 0 END AS is_last
+  FROM pairs
+),
+per_type AS (
+  SELECT touch_type,
+         CAST(count(*) AS BIGINT) AS n_touches,
+         CAST(count(DISTINCT cid) AS BIGINT) AS n_conversions_touched,
+         CAST(sum(credit) AS BIGINT) AS credit_x1e6,
+         CAST(sum(is_first) AS BIGINT) AS first_touch,
+         CAST(sum(is_last) AS BIGINT) AS last_touch
+  FROM credited GROUP BY 1
+),
+unattr AS (
+  SELECT '__unattributed__' AS touch_type,
+         CAST(0 AS BIGINT) AS n_touches,
+         CAST(count(*) AS BIGINT) AS n_conversions_touched,
+         CAST(0 AS BIGINT) AS credit_x1e6,
+         CAST(0 AS BIGINT) AS first_touch,
+         CAST(0 AS BIGINT) AS last_touch
+  FROM conv WHERE cid NOT IN (SELECT DISTINCT cid FROM credited)
+)
+SELECT * FROM per_type UNION ALL SELECT * FROM unattr
+"""
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -16268,6 +16341,7 @@ QUERIES = {
     "corr_matrix_events": q_corr_matrix_events,
     "perm_test_value": q_perm_test_value,
     "brier_forecast": q_brier_forecast,
+    "attribution_touch": q_attribution_touch,
     "decision_stump_error": q_decision_stump_error,
     "katz_tools": q_katz_tools,
     "auc_priority": q_auc_priority,
@@ -16570,6 +16644,7 @@ ORACLE_SQL = {
     "corr_matrix_events": CORR_MATRIX_EVENTS_SQL,
     "perm_test_value": PERM_TEST_VALUE_SQL,
     "brier_forecast": BRIER_FORECAST_SQL,
+    "attribution_touch": ATTRIBUTION_TOUCH_SQL,
     "decision_stump_error": DECISION_STUMP_ERROR_SQL,
     "katz_tools": KATZ_TOOLS_SQL,
     "auc_priority": AUC_PRIORITY_SQL,

@@ -2089,3 +2089,106 @@ def rfm_segments(
         .cast("long")
         .alias("rfm_code"),
     )
+
+
+def touch_attribution(
+    df: DataFrame,
+    key: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    conversion: str = "purchase",
+    touch_types: tuple = ("click", "view"),
+    window_seconds: int = 7 * 86400,
+) -> DataFrame:
+    """Multi-touch attribution: every conversion distributes exactly
+    1e6 credit units over its preceding touch events inside the lookback
+    window — the marketing readout (which channel "caused" purchases)
+    and, on transcripts, the tool-credit readout (which tool calls
+    preceded task completion). Linear credit with an EXACT-sum pin:
+    each of the k touches gets 1e6 DIV k and the LAST touch (closest to
+    the conversion, ties by id) absorbs the remainder 1e6 % k, so
+    credit sums to exactly 1e6·|attributed conversions| — the invariant
+    an attribution report must satisfy and floats never do. First- and
+    last-touch columns come free from the same pair table (rank 1 from
+    each end).
+
+    Shape: one equi-join on the key with the window predicate as a
+    post-filter (the funnel contract: conversions prune hard; for keys
+    with very long histories ride a time-binned band join instead), two
+    ranks + the credit arithmetic inside ONE (key, conversion) window
+    partition family, one combinable rollup per touch type. Conversions
+    with zero in-window touches are counted separately (n_unattributed).
+
+    Returns one row per touch type: (touch_type, n_touches,
+    n_conversions_touched, credit_x1e6, first_touch, last_touch) plus
+    one '__unattributed__' row carrying n_conversions with no touches.
+    """
+    sec = F.unix_timestamp(F.col(ts_col)).cast("long")
+    base = df.select(
+        F.col(key).alias("__k"),
+        F.col(type_col).alias("__t"),
+        sec.alias("__s"),
+        F.col(id_col).cast("long").alias("__id"),
+    )
+    conv = base.filter(F.col("__t") == conversion).select(
+        "__k",
+        F.col("__s").alias("__cs"),
+        F.col("__id").alias("__cid"),
+    )
+    touch = base.filter(F.col("__t").isin(*touch_types)).select(
+        "__k",
+        F.col("__t").alias("touch_type"),
+        F.col("__s").alias("__ts"),
+        F.col("__id").alias("__tid"),
+    )
+    pairs = conv.join(touch, "__k").filter(
+        (F.col("__ts") <= F.col("__cs"))
+        & (F.col("__cs") - F.col("__ts") <= window_seconds)
+        & (F.col("__tid") != F.col("__cid"))
+    )
+    wconv = Window.partitionBy("__k", "__cid")
+    wlast = wconv.orderBy(F.col("__ts").desc(), F.col("__tid").desc())
+    wfirst = wconv.orderBy(F.col("__ts").asc(), F.col("__tid").asc())
+    credited = pairs.select(
+        "__k",
+        "__cid",
+        "touch_type",
+        F.count(F.lit(1)).over(wconv).alias("__kcnt"),
+        F.row_number().over(wlast).alias("__rl"),
+        F.row_number().over(wfirst).alias("__rf"),
+    ).select(
+        "touch_type",
+        "__cid",
+        F.expr(
+            "CAST(1000000 AS BIGINT) DIV __kcnt"
+            " + CASE WHEN __rl = 1 THEN CAST(1000000 AS BIGINT) % __kcnt"
+            "        ELSE 0 END"
+        ).alias("__credit"),
+        (F.col("__rf") == 1).cast("long").alias("__is_first"),
+        (F.col("__rl") == 1).cast("long").alias("__is_last"),
+    )
+    per_type = credited.groupBy("touch_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_touches"),
+        F.countDistinct("__cid").cast("long").alias("n_conversions_touched"),
+        F.sum("__credit").cast("long").alias("credit_x1e6"),
+        F.sum("__is_first").cast("long").alias("first_touch"),
+        F.sum("__is_last").cast("long").alias("last_touch"),
+    )
+    unattributed = (
+        conv.join(
+            credited.select(F.col("__cid").alias("__cid2")).distinct(),
+            conv["__cid"] == F.col("__cid2"),
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_conversions_touched"))
+        .select(
+            F.lit("__unattributed__").alias("touch_type"),
+            F.lit(0).cast("long").alias("n_touches"),
+            "n_conversions_touched",
+            F.lit(0).cast("long").alias("credit_x1e6"),
+            F.lit(0).cast("long").alias("first_touch"),
+            F.lit(0).cast("long").alias("last_touch"),
+        )
+    )
+    return per_type.unionByName(unattributed)

@@ -4959,6 +4959,49 @@ def test_viterbi_matches_bruteforce_enumeration(spark):
         assert got[conv] == (len(seq), sc, path), (conv, seq, got[conv], (sc, path))
 
 
+def test_touch_attribution_hand_values(spark):
+    """One conversion with 3 in-window touches splits 1e6 as
+    333333+333333+333334 (remainder to the LAST touch); a touch after
+    the conversion and one outside the window are excluded; a
+    touch-free conversion lands in __unattributed__."""
+    from datetime import datetime, timedelta
+
+    from chronographer_spark.operators.temporal import touch_attribution
+
+    t0 = datetime(2026, 3, 10, 12, 0, 0)
+
+    def ev(eid, uid, typ, dt_s):
+        return (eid, uid, typ, t0 + timedelta(seconds=dt_s))
+
+    rows = [
+        ev(1, 1, "click", -3600),          # in window
+        ev(2, 1, "view", -7200),           # in window
+        ev(3, 1, "click", -8 * 86400),     # outside 7d window
+        ev(4, 1, "view", -60),             # in window, LAST touch
+        ev(5, 1, "purchase", 0),
+        ev(6, 1, "click", 50),             # after conversion: excluded
+        ev(7, 2, "purchase", 0),           # no touches
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    got = {
+        r.touch_type: r
+        for r in touch_attribution(df, window_seconds=7 * 86400).collect()
+    }
+    assert got["click"].n_touches == 1
+    assert got["click"].credit_x1e6 == 333_333
+    assert got["view"].n_touches == 2
+    # remainder (1e6 % 3 = 1) goes to event 4, the last view
+    assert got["view"].credit_x1e6 == 333_333 + 333_334
+    assert (got["view"].first_touch, got["view"].last_touch) == (1, 1)
+    assert got["__unattributed__"].n_conversions_touched == 1
+    total = sum(
+        r.credit_x1e6 for k, r in got.items() if k != "__unattributed__"
+    )
+    assert total == 1_000_000
+
+
 def test_brier_decomposition_hand_values(spark):
     """Two 4-row bins, both at observed rate 0.25: f=250 is perfectly
     calibrated (contributes 0 reliability), f=750 contributes the full
