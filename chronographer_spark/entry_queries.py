@@ -16048,6 +16048,61 @@ SELECT * FROM per_type UNION ALL SELECT * FROM unattr
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Q: peak concurrent 1-hour windows per event type
+# ---------------------------------------------------------------------------
+
+
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak simultaneously-open 1-hour windows per event type and the
+    earliest second it is hit — the capacity readout over the same
+    interval fixture as wis_sessions."""
+    from .operators.temporal import peak_concurrency
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.unix_timestamp("ts").cast("long").alias("s"),
+        (F.unix_timestamp("ts").cast("long") + 3600).alias("e"),
+    )
+    return peak_concurrency(
+        ev, key="event_type", start_col="s", end_col="e", id_col="event_id"
+    )
+
+
+PEAK_CONCURRENCY_SQL = """
+WITH base AS (
+  SELECT event_type AS k,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         CAST(floor(epoch(ts)) AS BIGINT) + 3600 AS e,
+         event_id AS id
+  FROM events
+),
+tagged AS (
+  SELECT k, s AS at, 1 AS d, id FROM base
+  UNION ALL
+  SELECT k, e AS at, -1 AS d, id FROM base
+),
+run AS (
+  SELECT k, at, d,
+         sum(d) OVER (PARTITION BY k ORDER BY at, d, id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS c
+  FROM tagged
+),
+mx AS (
+  SELECT *, max(c) OVER (PARTITION BY k) AS m FROM run
+)
+SELECT k AS event_type,
+       CAST(count(*) / 2 AS BIGINT) AS n_intervals,
+       CAST(max(c) AS BIGINT) AS peak,
+       CAST(min(CASE WHEN c = m THEN at END) AS BIGINT) AS peak_at
+FROM mx
+GROUP BY k
+"""
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -16342,6 +16397,7 @@ QUERIES = {
     "perm_test_value": q_perm_test_value,
     "brier_forecast": q_brier_forecast,
     "attribution_touch": q_attribution_touch,
+    "peak_concurrency": q_peak_concurrency,
     "decision_stump_error": q_decision_stump_error,
     "katz_tools": q_katz_tools,
     "auc_priority": q_auc_priority,
@@ -16645,6 +16701,7 @@ ORACLE_SQL = {
     "perm_test_value": PERM_TEST_VALUE_SQL,
     "brier_forecast": BRIER_FORECAST_SQL,
     "attribution_touch": ATTRIBUTION_TOUCH_SQL,
+    "peak_concurrency": PEAK_CONCURRENCY_SQL,
     "decision_stump_error": DECISION_STUMP_ERROR_SQL,
     "katz_tools": KATZ_TOOLS_SQL,
     "auc_priority": AUC_PRIORITY_SQL,

@@ -2192,3 +2192,64 @@ def touch_attribution(
         )
     )
     return per_type.unionByName(unattributed)
+
+
+def peak_concurrency(
+    df: DataFrame,
+    key: str = "event_type",
+    start_col: str = "s",
+    end_col: str = "e",
+    id_col: str = "id",
+) -> DataFrame:
+    """Peak number of simultaneously-open intervals per key and the
+    earliest instant it is reached — the utilization/capacity readout
+    (max concurrent sessions, peak open tool calls, Little's-law
+    sanity input). Intervals are half-open [s, e): an interval ending
+    exactly when another starts does NOT overlap it.
+
+    Sweep line as columnar algebra: each interval becomes a +1 event at
+    s and a −1 at e; one (key) window ordered by (instant, delta, id)
+    — ends sort BEFORE starts at the same instant (half-open) via
+    delta ASC (−1 < +1) — and the running sum's maximum is the peak.
+    The earliest peak instant is pinned by taking min(instant) among
+    rows hitting the max. Ties inside an instant can only UNDERSTATE
+    never overstate intermediate sums, and the true concurrency is
+    attained at the last +1 of each instant, which the running sum
+    does visit — so the max is exact.
+
+    One exchange on the key, one in-partition sort, one rollup: the
+    same tagged-stream pattern as weighted_interval_schedule's
+    compatibility index. Returns (key, n_intervals, peak, peak_at).
+    """
+    base = df.select(
+        F.col(key).alias("__k"),
+        F.col(start_col).cast("long").alias("__s"),
+        F.col(end_col).cast("long").alias("__e"),
+        F.col(id_col).cast("long").alias("__id"),
+    )
+    tagged = base.select(
+        "__k", F.col("__s").alias("__at"), F.lit(1).alias("__d"), "__id"
+    ).unionByName(
+        base.select(
+            "__k", F.col("__e").alias("__at"), F.lit(-1).alias("__d"), "__id"
+        )
+    )
+    wrun = (
+        Window.partitionBy("__k")
+        .orderBy("__at", "__d", "__id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = tagged.withColumn("__c", F.sum("__d").over(wrun)).withColumn(
+        "__mx", F.max("__c").over(Window.partitionBy("__k"))
+    )
+    return (
+        run.groupBy("__k")
+        .agg(
+            (F.count(F.lit(1)) / 2).cast("long").alias("n_intervals"),
+            F.max("__c").cast("long").alias("peak"),
+            F.min(F.when(F.col("__c") == F.col("__mx"), F.col("__at")))
+            .cast("long")
+            .alias("peak_at"),
+        )
+        .select(F.col("__k").alias(key), "n_intervals", "peak", "peak_at")
+    )

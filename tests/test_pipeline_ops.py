@@ -4959,6 +4959,33 @@ def test_viterbi_matches_bruteforce_enumeration(spark):
         assert got[conv] == (len(seq), sc, path), (conv, seq, got[conv], (sc, path))
 
 
+def test_peak_concurrency_hand_values(spark):
+    """Hand sweep: three stacked intervals peak at 3 from the third
+    start; half-open semantics — an interval ending exactly when
+    another starts does NOT overlap (peak stays 1); earliest peak
+    instant pinned when the max recurs."""
+    from chronographer_spark.operators.temporal import peak_concurrency
+
+    rows = [
+        # key a: [0,10) [2,12) [4,6) -> peak 3 at t=4; again never
+        ("a", 1, 0, 10), ("a", 2, 2, 12), ("a", 3, 4, 6),
+        # key b: touching chain [0,5) [5,10) -> peak 1 at t=0
+        ("b", 4, 0, 5), ("b", 5, 5, 10),
+        # key c: peak 2 reached twice (t=1 and t=7) -> earliest pinned
+        ("c", 6, 0, 3), ("c", 7, 1, 2), ("c", 8, 6, 9), ("c", 9, 7, 8),
+    ]
+    df = spark.createDataFrame(rows, "k string, id long, s long, e long")
+    got = {
+        r.k: r
+        for r in peak_concurrency(
+            df, key="k", start_col="s", end_col="e", id_col="id"
+        ).collect()
+    }
+    assert (got["a"].n_intervals, got["a"].peak, got["a"].peak_at) == (3, 3, 4)
+    assert (got["b"].peak, got["b"].peak_at) == (1, 0)
+    assert (got["c"].peak, got["c"].peak_at) == (2, 1)
+
+
 def test_touch_attribution_hand_values(spark):
     """One conversion with 3 in-window touches splits 1e6 as
     333333+333333+333334 (remainder to the LAST touch); a touch after
