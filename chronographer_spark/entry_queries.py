@@ -16103,6 +16103,55 @@ GROUP BY k
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Q: Zipf slope of the documents token distribution
+# ---------------------------------------------------------------------------
+
+
+def q_zipf_slope_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """msb-quantized Zipf slope over the documents corpus."""
+    from .operators.text import zipf_msb_slope
+
+    return zipf_msb_slope(_t(spark, sf_dir, "documents"), text_col="text")
+
+
+ZIPF_SLOPE_DOCS_SQL = """
+WITH vocab AS (
+  SELECT t AS tok, CAST(count(*) AS BIGINT) AS f
+  FROM documents, unnest(string_split(text, ' ')) AS u(t)
+  WHERE t <> ''
+  GROUP BY 1
+),
+ranked AS (
+  SELECT CAST(length(bin(row_number()
+           OVER (ORDER BY f DESC, tok))) - 1 AS BIGINT) AS x,
+         CAST(length(bin(f)) - 1 AS BIGINT) AS y,
+         f
+  FROM vocab
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_vocab,
+         CAST(sum(f) AS BIGINT) AS n_tokens,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM ranked
+)
+SELECT n_vocab, n_tokens,
+       CAST(n_vocab * sxy - sx * sy AS BIGINT) AS num,
+       CAST(n_vocab * sxx - sx * sx AS BIGINT) AS den,
+       CASE WHEN n_vocab * sxx - sx * sx = 0 THEN CAST(0 AS BIGINT) ELSE
+       CAST((CASE WHEN n_vocab * sxy - sx * sy < 0 THEN -1 ELSE 1 END)
+            * (abs(n_vocab * sxy - sx * sy) // (n_vocab * sxx - sx * sx)
+               * CAST(1000000 AS BIGINT)
+             + abs(n_vocab * sxy - sx * sy) % (n_vocab * sxx - sx * sx)
+               * CAST(1000000 AS BIGINT) // (n_vocab * sxx - sx * sx))
+            AS BIGINT) END AS slope_x1e6
+FROM m
+"""
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -16398,6 +16447,7 @@ QUERIES = {
     "brier_forecast": q_brier_forecast,
     "attribution_touch": q_attribution_touch,
     "peak_concurrency": q_peak_concurrency,
+    "zipf_slope_docs": q_zipf_slope_docs,
     "decision_stump_error": q_decision_stump_error,
     "katz_tools": q_katz_tools,
     "auc_priority": q_auc_priority,
@@ -16702,6 +16752,7 @@ ORACLE_SQL = {
     "brier_forecast": BRIER_FORECAST_SQL,
     "attribution_touch": ATTRIBUTION_TOUCH_SQL,
     "peak_concurrency": PEAK_CONCURRENCY_SQL,
+    "zipf_slope_docs": ZIPF_SLOPE_DOCS_SQL,
     "decision_stump_error": DECISION_STUMP_ERROR_SQL,
     "katz_tools": KATZ_TOOLS_SQL,
     "auc_priority": AUC_PRIORITY_SQL,

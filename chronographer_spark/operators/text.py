@@ -1596,3 +1596,77 @@ def contingency_chi2(
             ).alias("cramers_v2_x1e6"),
         )
     )
+
+
+def zipf_msb_slope(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Zipf-law fit of the corpus token-frequency distribution — the
+    vocabulary-health fingerprint (natural text reads slope ≈ −1 in
+    log-log; template/boilerplate corpora flatten, spam steepens): OLS
+    slope of log2(freq) against log2(rank) with BOTH logs quantized to
+    the integer msb (length(bin(v)) − 1 = floor(log2), the same
+    bin()-length device as Adamic-Adar's 1/log), so every moment is
+    BIGINT-exact and the oracle replays the identical quantization —
+    no float log anywhere.
+
+    Shape: one explode+count collapses the corpus to the (token, freq)
+    vocabulary; rank is one window over the VOCABULARY (|V| rows, desc
+    freq, token-pinned ties); the four OLS moments are one rollup.
+    Moment bound: Σ(lx·lx) ≤ |V|·log2(|V|)² — safe far beyond any real
+    vocabulary.
+
+    Returns one row (n_vocab, n_tokens, num, den, slope_x1e6) with
+    slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) as the signed staged
+    quotient.
+    """
+    toks = F.filter(
+        F.split(F.col(text_col), " "), lambda t: t != F.lit("")
+    )
+    vocab = (
+        df.select(F.explode(toks).alias("__t"))
+        .groupBy("__t")
+        .agg(F.count(F.lit(1)).cast("long").alias("__f"))
+    )
+    ranked = vocab.select(
+        "__f",
+        F.row_number()
+        .over(Window.partitionBy().orderBy(F.col("__f").desc(), F.col("__t")))
+        .cast("long")
+        .alias("__r"),
+    ).select(
+        F.expr("length(bin(__r)) - 1").cast("long").alias("__x"),
+        F.expr("length(bin(__f)) - 1").cast("long").alias("__y"),
+        "__f",
+    )
+    return (
+        ranked.agg(
+            F.count(F.lit(1)).cast("long").alias("n_vocab"),
+            F.sum("__f").cast("long").alias("n_tokens"),
+            F.sum("__x").cast("long").alias("__sx"),
+            F.sum("__y").cast("long").alias("__sy"),
+            F.sum(F.col("__x") * F.col("__y")).cast("long").alias("__sxy"),
+            F.sum(F.col("__x") * F.col("__x")).cast("long").alias("__sxx"),
+        )
+        .select(
+            "n_vocab",
+            "n_tokens",
+            (F.col("n_vocab") * F.col("__sxy") - F.col("__sx") * F.col("__sy"))
+            .cast("long")
+            .alias("num"),
+            (F.col("n_vocab") * F.col("__sxx") - F.col("__sx") * F.col("__sx"))
+            .cast("long")
+            .alias("den"),
+        )
+        .select(
+            "n_vocab",
+            "n_tokens",
+            "num",
+            "den",
+            F.expr(
+                "CASE WHEN den = 0 THEN CAST(0 AS BIGINT) ELSE "
+                "CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END) * "
+                "(abs(num) DIV den * CAST(1000000 AS BIGINT) "
+                " + abs(num) % den * CAST(1000000 AS BIGINT) DIV den) "
+                "AS BIGINT) END"
+            ).alias("slope_x1e6"),
+        )
+    )

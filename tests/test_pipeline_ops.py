@@ -4959,6 +4959,41 @@ def test_viterbi_matches_bruteforce_enumeration(spark):
         assert got[conv] == (len(seq), sc, path), (conv, seq, got[conv], (sc, path))
 
 
+def test_zipf_msb_slope_powerlaw_fixture(spark):
+    """On an exact power-law vocabulary (freq(r) = 2^(7-r) for ranks
+    1..7) the msb-quantized OLS matches the Python-computed moments and
+    reads a steep negative slope; a uniform vocabulary reads den > 0,
+    slope ~ 0."""
+    from chronographer_spark.operators.text import zipf_msb_slope
+
+    toks = []
+    for r, w in enumerate("abcdefg", 1):
+        toks += [w] * (2 ** (7 - r))
+    df = spark.createDataFrame([(" ".join(toks),)], "text string")
+    got = zipf_msb_slope(df).collect()[0]
+    assert got.n_vocab == 7
+    assert got.n_tokens == 127  # 64+32+16+8+4+2+1
+
+    xs = [r.bit_length() - 1 for r in range(1, 8)]
+    ys = [(2 ** (7 - r)).bit_length() - 1 for r in range(1, 8)]
+    n = 7
+    num = n * sum(x * y for x, y in zip(xs, ys)) - sum(xs) * sum(ys)
+    den = n * sum(x * x for x in xs) - sum(xs) ** 2
+    assert (got.num, got.den) == (num, den)
+    sign = -1 if num < 0 else 1
+    assert got.slope_x1e6 == sign * (
+        abs(num) // den * 10**6 + abs(num) % den * 10**6 // den
+    )
+    assert got.slope_x1e6 < -1_000_000  # steeper than -1: msb floor bias
+
+    uni = spark.createDataFrame(
+        [(" ".join(w * 1 for w in ["aa", "bb", "cc", "dd"] * 3),)],
+        "text string",
+    )
+    g2 = zipf_msb_slope(uni).collect()[0]
+    assert g2.den > 0 and g2.slope_x1e6 == 0
+
+
 def test_peak_concurrency_hand_values(spark):
     """Hand sweep: three stacked intervals peak at 3 from the third
     start; half-open semantics — an interval ending exactly when
