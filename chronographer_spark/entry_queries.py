@@ -16152,6 +16152,102 @@ FROM m
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Q: uplift by day-part segment with a planted treated-only effect
+# ---------------------------------------------------------------------------
+
+
+def q_uplift_dayparts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic A/B over events: treatment = portable md5 bit of the
+    user (unit of randomization — all of a user's events share an arm),
+    outcome drawn at base rate 300/1000 with a planted +200 uplift ONLY
+    for treated rows in the night segment (dp = 0) — the report should
+    read ~+200k x1e6 uplift there and ~0 elsewhere."""
+    from .operators.classifier import uplift_by_segment
+
+    ev = _t(spark, sf_dir, "events")
+    treated = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("arm:"), F.col("user_id").cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
+        % 2
+        == 1
+    )
+    dp = F.expr("CAST(unix_timestamp(ts) AS BIGINT) % 86400 DIV 21600")
+    draw = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("out:"), F.col("event_id").cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
+        % 1000
+    )
+    thresh = F.lit(300) + F.when(treated & (dp == 0), F.lit(200)).otherwise(
+        F.lit(0)
+    )
+    rows = ev.select(
+        dp.alias("segment"),
+        treated.alias("treated"),
+        (draw < thresh).cast("long").alias("y"),
+    )
+    return uplift_by_segment(rows)
+
+
+UPLIFT_DAYPARTS_SQL = """
+WITH rows_t AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) % 86400 // 21600 AS segment,
+         CAST(concat('0x', substr(md5('arm:' || CAST(user_id AS VARCHAR)),
+                                  1, 8)) AS BIGINT) % 2 = 1 AS t,
+         CASE WHEN CAST(concat('0x',
+                   substr(md5('out:' || CAST(event_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 1000
+                  < 300 + CASE WHEN CAST(concat('0x',
+                            substr(md5('arm:' || CAST(user_id AS VARCHAR)),
+                                   1, 8)) AS BIGINT) % 2 = 1
+                           AND CAST(floor(epoch(ts)) AS BIGINT)
+                               % 86400 // 21600 = 0
+                          THEN 200 ELSE 0 END
+              THEN 1 ELSE 0 END AS y
+  FROM events
+),
+arms AS (
+  SELECT segment, t, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS c
+  FROM rows_t GROUP BY 1, 2
+),
+piv AS (
+  SELECT segment,
+         CAST(sum(CASE WHEN t THEN n ELSE 0 END) AS BIGINT) AS n_treated,
+         CAST(sum(CASE WHEN NOT t THEN n ELSE 0 END) AS BIGINT) AS n_control,
+         CAST(sum(CASE WHEN t THEN c ELSE 0 END) AS BIGINT) AS ct,
+         CAST(sum(CASE WHEN NOT t THEN c ELSE 0 END) AS BIGINT) AS cc
+  FROM arms GROUP BY 1
+)
+SELECT segment, n_treated, n_control,
+       CAST(ct // greatest(n_treated, 1) * CAST(1000000 AS BIGINT)
+            + ct % greatest(n_treated, 1) * CAST(1000000 AS BIGINT)
+              // greatest(n_treated, 1) AS BIGINT) AS rate_t_x1e6,
+       CAST(cc // greatest(n_control, 1) * CAST(1000000 AS BIGINT)
+            + cc % greatest(n_control, 1) * CAST(1000000 AS BIGINT)
+              // greatest(n_control, 1) AS BIGINT) AS rate_c_x1e6,
+       CAST((ct // greatest(n_treated, 1) * CAST(1000000 AS BIGINT)
+            + ct % greatest(n_treated, 1) * CAST(1000000 AS BIGINT)
+              // greatest(n_treated, 1))
+          - (cc // greatest(n_control, 1) * CAST(1000000 AS BIGINT)
+            + cc % greatest(n_control, 1) * CAST(1000000 AS BIGINT)
+              // greatest(n_control, 1)) AS BIGINT) AS uplift_x1e6,
+       CAST(ct * n_control - cc * n_treated AS BIGINT) AS inc_cross
+FROM piv
+"""
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -16448,6 +16544,7 @@ QUERIES = {
     "attribution_touch": q_attribution_touch,
     "peak_concurrency": q_peak_concurrency,
     "zipf_slope_docs": q_zipf_slope_docs,
+    "uplift_dayparts": q_uplift_dayparts,
     "decision_stump_error": q_decision_stump_error,
     "katz_tools": q_katz_tools,
     "auc_priority": q_auc_priority,
@@ -16753,6 +16850,7 @@ ORACLE_SQL = {
     "attribution_touch": ATTRIBUTION_TOUCH_SQL,
     "peak_concurrency": PEAK_CONCURRENCY_SQL,
     "zipf_slope_docs": ZIPF_SLOPE_DOCS_SQL,
+    "uplift_dayparts": UPLIFT_DAYPARTS_SQL,
     "decision_stump_error": DECISION_STUMP_ERROR_SQL,
     "katz_tools": KATZ_TOOLS_SQL,
     "auc_priority": AUC_PRIORITY_SQL,

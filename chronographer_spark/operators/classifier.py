@@ -761,3 +761,70 @@ def brier_decomposition(
             ).alias("uncertainty_x1e6"),
         )
     )
+
+
+def uplift_by_segment(
+    df: DataFrame,
+    segment_col: str = "segment",
+    treated_col: str = "treated",
+    outcome_col: str = "y",
+) -> DataFrame:
+    """Per-segment uplift report — the A/B experiment readout beside
+    `permutation_test` (which answers "is the overall gap real"; this
+    localizes WHERE the treatment moves the outcome): treated and
+    control conversion rates per segment plus their difference, every
+    rate the staged integer quotient conversions·1e6 DIV n (truncation
+    replayed identically cross-engine), so the report hash-gates.
+
+    Also emits the segment's share of total incremental conversions as
+    an exact integer: inc = y_t·n_c − y_c·n_t (positive iff the
+    treated rate exceeds control, scale-free across segments of equal
+    size products) — the quantity a targeting policy ranks segments by
+    without ever forming a float.
+
+    Shape: ONE combinable (segment, treated) count/sum collapse, then a
+    pivot of the two arms inside one segment-keyed rollup. Returns
+    (segment, n_treated, n_control, rate_t_x1e6, rate_c_x1e6,
+    uplift_x1e6, inc_cross).
+    """
+    arms = (
+        df.select(
+            F.col(segment_col).alias("__s"),
+            F.col(treated_col).cast("boolean").alias("__t"),
+            F.col(outcome_col).cast("long").alias("__y"),
+        )
+        .groupBy("__s", "__t")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            F.sum("__y").cast("long").alias("__c"),
+        )
+    )
+    piv = arms.groupBy("__s").agg(
+        F.sum(F.when(F.col("__t"), F.col("__n")).otherwise(0))
+        .cast("long")
+        .alias("n_treated"),
+        F.sum(F.when(~F.col("__t"), F.col("__n")).otherwise(0))
+        .cast("long")
+        .alias("n_control"),
+        F.sum(F.when(F.col("__t"), F.col("__c")).otherwise(0))
+        .cast("long")
+        .alias("__ct"),
+        F.sum(F.when(~F.col("__t"), F.col("__c")).otherwise(0))
+        .cast("long")
+        .alias("__cc"),
+    )
+    rate = (
+        "({c} DIV {n} * CAST(1000000 AS BIGINT)"
+        " + {c} % {n} * CAST(1000000 AS BIGINT) DIV {n})"
+    )
+    rt = rate.format(c="__ct", n="greatest(n_treated, CAST(1 AS BIGINT))")
+    rc = rate.format(c="__cc", n="greatest(n_control, CAST(1 AS BIGINT))")
+    return piv.select(
+        F.col("__s").alias(segment_col),
+        "n_treated",
+        "n_control",
+        F.expr(rt).alias("rate_t_x1e6"),
+        F.expr(rc).alias("rate_c_x1e6"),
+        F.expr(f"{rt} - {rc}").alias("uplift_x1e6"),
+        F.expr("__ct * n_control - __cc * n_treated").alias("inc_cross"),
+    )

@@ -4959,6 +4959,32 @@ def test_viterbi_matches_bruteforce_enumeration(spark):
         assert got[conv] == (len(seq), sc, path), (conv, seq, got[conv], (sc, path))
 
 
+def test_uplift_by_segment_hand_values(spark):
+    """Hand arms: segment s1 treated 3/4 vs control 1/4 (uplift
+    +500000, inc_cross = 3·4 − 1·4 = 8); s2 balanced (0, 0); an
+    empty-control segment divides by the guard, not by zero."""
+    from chronographer_spark.operators.classifier import uplift_by_segment
+
+    rows = (
+        [("s1", True, 1)] * 3 + [("s1", True, 0)]
+        + [("s1", False, 1)] + [("s1", False, 0)] * 3
+        + [("s2", True, 1), ("s2", True, 0),
+           ("s2", False, 1), ("s2", False, 0)]
+        + [("s3", True, 1), ("s3", True, 1)]
+    )
+    df = spark.createDataFrame(rows, "segment string, treated boolean, y long")
+    got = {r.segment: r for r in uplift_by_segment(df).collect()}
+    s1 = got["s1"]
+    assert (s1.n_treated, s1.n_control) == (4, 4)
+    assert (s1.rate_t_x1e6, s1.rate_c_x1e6) == (750_000, 250_000)
+    assert (s1.uplift_x1e6, s1.inc_cross) == (500_000, 8)
+    assert (got["s2"].uplift_x1e6, got["s2"].inc_cross) == (0, 0)
+    s3 = got["s3"]
+    assert (s3.n_control, s3.rate_c_x1e6, s3.uplift_x1e6) == (
+        0, 0, 1_000_000,
+    )
+
+
 def test_zipf_msb_slope_powerlaw_fixture(spark):
     """On an exact power-law vocabulary (freq(r) = 2^(7-r) for ranks
     1..7) the msb-quantized OLS matches the Python-computed moments and
