@@ -16248,6 +16248,40 @@ FROM piv
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Q: edge embeddedness / local bridges of the nation trade graph
+# ---------------------------------------------------------------------------
+
+
+def q_trade_embeddedness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddedness of every trade lane and the local bridges (lanes
+    whose endpoints share no common trading partner) — the weak-tie
+    screen over the same shared trade-graph fixture as mst/matching."""
+    from .operators.graph_algos import edge_embeddedness
+
+    e = _trade_edges(spark, sf_dir)
+    return edge_embeddedness(e, src="u", dst="v")
+
+
+TRADE_EMBEDDEDNESS_SQL = f"""
+WITH {TRADE_EDGES_FRAGMENT},
+ue AS (SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v FROM ed
+       WHERE u <> v),
+sym AS (SELECT u, v FROM ue UNION ALL SELECT v, u FROM ue),
+wedges AS (
+  SELECT a.u AS ua, b.u AS ub, CAST(count(*) AS BIGINT) AS cn
+  FROM sym a JOIN sym b ON a.v = b.v AND a.u < b.u
+  GROUP BY 1, 2
+)
+SELECT ue.u, ue.v,
+       CAST(coalesce(w.cn, 0) AS BIGINT) AS embeddedness,
+       CAST(CASE WHEN coalesce(w.cn, 0) = 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS is_local_bridge
+FROM ue LEFT JOIN wedges w ON w.ua = ue.u AND w.ub = ue.v
+"""
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -16545,6 +16579,7 @@ QUERIES = {
     "peak_concurrency": q_peak_concurrency,
     "zipf_slope_docs": q_zipf_slope_docs,
     "uplift_dayparts": q_uplift_dayparts,
+    "trade_embeddedness": q_trade_embeddedness,
     "decision_stump_error": q_decision_stump_error,
     "katz_tools": q_katz_tools,
     "auc_priority": q_auc_priority,
@@ -16851,6 +16886,7 @@ ORACLE_SQL = {
     "peak_concurrency": PEAK_CONCURRENCY_SQL,
     "zipf_slope_docs": ZIPF_SLOPE_DOCS_SQL,
     "uplift_dayparts": UPLIFT_DAYPARTS_SQL,
+    "trade_embeddedness": TRADE_EMBEDDEDNESS_SQL,
     "decision_stump_error": DECISION_STUMP_ERROR_SQL,
     "katz_tools": KATZ_TOOLS_SQL,
     "auc_priority": AUC_PRIORITY_SQL,

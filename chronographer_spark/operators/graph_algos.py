@@ -2667,3 +2667,64 @@ def adamic_adar(
         )
         .filter(F.col("n_common") >= min_common)
     )
+
+
+def edge_embeddedness(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+) -> DataFrame:
+    """Edge embeddedness and local bridges (Granovetter tie strength):
+    per undirected edge, the number of common neighbors of its
+    endpoints — 0 marks a LOCAL BRIDGE, the edge whose removal forces
+    traffic between its endpoints onto a path of length > 2, i.e. the
+    weak tie information actually flows across. The edge-level
+    companion to `clustering_coefficient` (node-level) and
+    `neighborhood_overlap`.
+
+    Shape: the adamic_adar wedge pattern pointed back at edges — the
+    symmetric adjacency self-joined on the shared endpoint gives each
+    unordered pair its common-neighbor count map-side; one LEFT join
+    from the distinct edge list attaches counts, so zero-embeddedness
+    edges (the bridges) survive. Cost is Σ deg² wedges, the triangle
+    bound; no per-edge re-scan.
+
+    Returns (u, v, embeddedness, is_local_bridge) with u < v.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    sym = und.unionByName(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)  # feeds both wedge sides + the edge list
+    a = sym.select(F.col("u").alias("__a"), F.col("v").alias("__w"))
+    b = sym.select(F.col("u").alias("__b"), F.col("v").alias("__w"))
+    wedges = (
+        a.join(b, "__w")
+        .filter(F.col("__a") < F.col("__b"))
+        .groupBy("__a", "__b")
+        .agg(F.count(F.lit(1)).cast("long").alias("__cn"))
+    )
+    return (
+        sym.filter(F.col("u") < F.col("v"))
+        .join(
+            wedges,
+            (F.col("u") == F.col("__a")) & (F.col("v") == F.col("__b")),
+            "left",
+        )
+        .select(
+            "u",
+            "v",
+            F.coalesce(F.col("__cn"), F.lit(0)).cast("long").alias(
+                "embeddedness"
+            ),
+            (F.coalesce(F.col("__cn"), F.lit(0)) == 0)
+            .cast("long")
+            .alias("is_local_bridge"),
+        )
+    )

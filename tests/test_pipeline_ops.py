@@ -4959,6 +4959,23 @@ def test_viterbi_matches_bruteforce_enumeration(spark):
         assert got[conv] == (len(seq), sc, path), (conv, seq, got[conv], (sc, path))
 
 
+def test_edge_embeddedness_hand_graph(spark):
+    """Triangle a-b-c plus pendant edge c-d: the triangle edges have
+    embeddedness 1 each, c-d is the local bridge (0); duplicate and
+    reversed input edges collapse."""
+    from chronographer_spark.operators.graph_algos import edge_embeddedness
+
+    edges = [("a", "b"), ("b", "a"), ("b", "c"), ("a", "c"),
+             ("c", "d"), ("c", "d")]
+    df = spark.createDataFrame(edges, "u string, v string")
+    got = {(r.u, r.v): r for r in edge_embeddedness(df).collect()}
+    assert len(got) == 4
+    for e in [("a", "b"), ("a", "c"), ("b", "c")]:
+        assert got[e].embeddedness == 1 and got[e].is_local_bridge == 0, e
+    assert got[("c", "d")].embeddedness == 0
+    assert got[("c", "d")].is_local_bridge == 1
+
+
 def test_uplift_by_segment_hand_values(spark):
     """Hand arms: segment s1 treated 3/4 vs control 1/4 (uplift
     +500000, inc_cross = 3·4 − 1·4 = 8); s2 balanced (0, 0); an
