@@ -1244,6 +1244,91 @@ def main() -> None:
         assert agg["s"] is not None
         return agg["n"]
 
+    def job_attribution():
+        # conversions x in-window touches per user: pair count rides
+        # repl linearly (disjoint users), the funnel-contract equi-join
+        from chronographer_spark.operators.temporal import touch_attribution
+
+        out = touch_attribution(
+            ev_r, key="user_id", type_col="event_type", ts_col="ts",
+            id_col="event_id", conversion="purchase",
+            touch_types=("click", "view"), window_seconds=7 * 86400,
+        )
+        agg = out.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("credit_x1e6").alias("s")
+        ).first()
+        assert agg["s"] > 0
+        return agg["n"]
+
+    def job_burst():
+        # gap-stream Viterbi: same Python-path economics as job_viterbi
+        # but 2 states and the lag window feeding it
+        from pyspark.sql.window import Window
+
+        from chronographer_spark.entry_queries import (
+            BURST_EMIT,
+            BURST_START,
+            BURST_STATES,
+            BURST_TRANS,
+        )
+        from chronographer_spark.operators.sequence import viterbi_decode
+
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        gaps = (
+            ev_r.select(
+                "user_id",
+                "event_id",
+                F.unix_timestamp("ts").cast("long").alias("sec"),
+                F.col("ts"),
+            )
+            .select(
+                "user_id",
+                (F.col("sec") - F.lag("sec").over(w)).alias("gap"),
+                (F.row_number().over(w) - 2).cast("long").alias("gidx"),
+            )
+            .filter(F.col("gap").isNotNull())
+            .select(
+                F.col("user_id").cast("string").alias("conv_id"),
+                F.col("gidx").alias("turn_idx"),
+                F.when(F.col("gap") < 60, F.lit("fast"))
+                .when(F.col("gap") < 3600, F.lit("mid"))
+                .otherwise(F.lit("slow"))
+                .alias("obs"),
+            )
+        )
+        out = viterbi_decode(
+            gaps, states=BURST_STATES, start=BURST_START,
+            trans=BURST_TRANS, emit=BURST_EMIT,
+        )
+        agg = out.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("best_score").alias("s")
+        ).first()
+        assert agg["s"] is not None
+        return agg["n"]
+
+    def job_peak():
+        # tagged sweep line: 2 rows per interval through one key window
+        from chronographer_spark.operators.temporal import peak_concurrency
+
+        rows = ev_r.select(
+            "event_type",
+            # distinct ids per replica (user_id already carries the rep)
+            (F.col("event_id") * repl + F.col("user_id") % repl).alias(
+                "event_id"
+            ),
+            F.unix_timestamp("ts").cast("long").alias("s"),
+            (F.unix_timestamp("ts").cast("long") + 3600).alias("e"),
+        )
+        out = peak_concurrency(
+            rows, key="event_type", start_col="s", end_col="e",
+            id_col="event_id",
+        )
+        agg = out.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("peak").alias("s")
+        ).first()
+        assert agg["s"] > 0
+        return agg["n"]
+
     def _typed_minute_edges():
         # user <-> (type, minute, rep) bipartite graph; dst carries the
         # replica index so replicas are DISJOINT components — the soak
@@ -1562,6 +1647,9 @@ def main() -> None:
         ("wis", job_wis),
         ("permtest", job_permtest),
         ("corrmatrix", job_corrmatrix),
+        ("attribution", job_attribution),
+        ("burst", job_burst),
+        ("peak", job_peak),
     ]
     only = set(sys.argv[3:])
     for name, fn in jobs:

@@ -1105,6 +1105,41 @@ def test_contingency_chi2_collapsed_once(spark):
     assert plan.count("BroadcastExchange") >= 2, plan
 
 
+def test_peak_concurrency_single_exchange(spark):
+    """The sweep line is one union of two selects over the same scan +
+    ONE key window: no joins at all in the plan."""
+    from chronographer_spark.operators.temporal import peak_concurrency
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        "event_type",
+        "event_id",
+        F.unix_timestamp("ts").cast("long").alias("s"),
+        (F.unix_timestamp("ts").cast("long") + 3600).alias("e"),
+    )
+    plan = _plan(
+        peak_concurrency(
+            ev, key="event_type", start_col="s", end_col="e",
+            id_col="event_id",
+        )
+    )
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+              "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert plan.count(j) == 0, (j, plan)
+
+
+def test_touch_attribution_no_cartesian(spark):
+    """Conversions meet touches on the user equi-key only — no
+    nested-loop/cartesian pair enumeration; credit windows share the
+    (key, conversion) partitioning."""
+    from chronographer_spark.operators.temporal import touch_attribution
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    plan = _plan(touch_attribution(ev))
+    assert plan.count("CartesianProduct") == 0, plan
+    # the single-row total broadcast in unattributed is the only NLJ
+    assert plan.count("BroadcastNestedLoopJoin") == 0, plan
+
+
 def test_wis_one_window_no_range_join(spark):
     """weighted_interval_schedule's compatibility index is the tagged
     prefix-sum, never a range join: the final plan has no nested-loop
