@@ -16282,6 +16282,62 @@ FROM ue LEFT JOIN wedges w ON w.ua = ue.u AND w.ub = ue.v
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Q: deterministic class rebalancing of event types
+# ---------------------------------------------------------------------------
+
+
+def q_rebalance_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class distribution after deterministic oversampling of event
+    types to the majority class: the Spark side MATERIALIZES the
+    replicas through rebalance_classes and counts them, the oracle
+    computes the same counts in closed form (n·⌊w/1e6⌋ + |{hash frac
+    draws under w%1e6}|) — so the gate checks the operator's actual
+    explode output, not just its arithmetic."""
+    from .operators.sampling import rebalance_classes
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("label"), F.col("event_id").alias("id")
+    )
+    out = rebalance_classes(ev, class_col="label", id_col="id")
+    return (
+        out.groupBy("label")
+        .agg(
+            F.sum((F.col("replica_idx") == 0).cast("long"))
+            .cast("long")
+            .alias("n_before"),
+            F.count(F.lit(1)).cast("long").alias("n_after"),
+        )
+    )
+
+
+REBALANCE_TYPES_SQL = """
+WITH counts AS (
+  SELECT event_type AS label, CAST(count(*) AS BIGINT) AS n FROM events
+  GROUP BY 1
+),
+w AS (
+  SELECT label, n,
+         (SELECT max(n) FROM counts) * CAST(1000000 AS BIGINT) // n AS w
+  FROM counts
+),
+fracs AS (
+  SELECT e.event_type AS label,
+         CASE WHEN CAST(concat('0x',
+                   substr(md5('rb:' || CAST(e.event_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 1000000
+                  < w.w % 1000000
+              THEN 1 ELSE 0 END AS extra
+  FROM events e JOIN w ON w.label = e.event_type
+)
+SELECT w.label, w.n AS n_before,
+       CAST(w.n * (w.w // 1000000) + sum(f.extra) AS BIGINT) AS n_after
+FROM w JOIN fracs f ON f.label = w.label
+GROUP BY 1, 2, w.w
+"""
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -16580,6 +16636,7 @@ QUERIES = {
     "zipf_slope_docs": q_zipf_slope_docs,
     "uplift_dayparts": q_uplift_dayparts,
     "trade_embeddedness": q_trade_embeddedness,
+    "rebalance_types": q_rebalance_types,
     "decision_stump_error": q_decision_stump_error,
     "katz_tools": q_katz_tools,
     "auc_priority": q_auc_priority,
@@ -16887,6 +16944,7 @@ ORACLE_SQL = {
     "zipf_slope_docs": ZIPF_SLOPE_DOCS_SQL,
     "uplift_dayparts": UPLIFT_DAYPARTS_SQL,
     "trade_embeddedness": TRADE_EMBEDDEDNESS_SQL,
+    "rebalance_types": REBALANCE_TYPES_SQL,
     "decision_stump_error": DECISION_STUMP_ERROR_SQL,
     "katz_tools": KATZ_TOOLS_SQL,
     "auc_priority": AUC_PRIORITY_SQL,

@@ -586,3 +586,76 @@ def bootstrap_mean_ci(
     return full.join(ci, key).select(
         key, "n_rows", "mean_x1e6", "lo_x1e6", "hi_x1e6"
     )
+
+
+def rebalance_classes(
+    df: DataFrame,
+    class_col: str = "label",
+    id_col: str = "id",
+    target: int | None = None,
+    seed: str = "rb:",
+) -> DataFrame:
+    """Deterministic class rebalancing by fractional oversampling —
+    the imbalanced-training-set fix that keeps every original row and
+    replicates each minority-class row the EXPECTED number of times
+    with no RNG state: row weight w = target·1e6 DIV n_class, each row
+    gets floor(w/1e6) copies plus one more iff md5(seed‖id) % 1e6 <
+    w % 1e6 — so class sizes land within one row per million of the
+    target in expectation, and the same input always produces the same
+    replicas (resumable shuffles, diffable datasets). target defaults
+    to the LARGEST class (pure oversampling).
+
+    Shape: one combinable class-count collapse broadcast back, then a
+    map-only sequence-explode — replication never shuffles; at 100 TB
+    this is the pattern (the alternative, sampling with replacement via
+    RNG, is neither deterministic nor resumable). Emits `replica_idx`
+    (0 = the original row) so downstream dedup/shuffling can tell
+    copies apart.
+
+    Returns the input columns plus replica_idx.
+    """
+    counts = df.groupBy(F.col(class_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    if target is None:
+        tgt = counts.agg(F.max("__n").alias("__t"))
+        counts = counts.join(F.broadcast(tgt))
+    else:
+        counts = counts.withColumn("__t", F.lit(int(target)).cast("long"))
+    w = counts.select(
+        class_col,
+        F.expr(
+            "__t * CAST(1000000 AS BIGINT) DIV __n"
+        ).alias("__w"),
+    )
+    frac_draw = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000000
+    )
+    n_copies = F.expr("__w DIV 1000000") + (
+        frac_draw < F.expr("__w % 1000000")
+    ).cast("long")
+    return (
+        df.join(F.broadcast(w), class_col)
+        .withColumn("__c", n_copies)
+        .withColumn(
+            "replica_idx",
+            # empty array when __c = 0 (target below class size =
+            # deterministic undersampling) — explode drops the row
+            F.explode(
+                F.when(
+                    F.col("__c") > 0,
+                    F.sequence(F.lit(0), (F.col("__c") - 1).cast("int")),
+                ).otherwise(F.array().cast("array<int>"))
+            ),
+        )
+        .drop("__w", "__c")
+    )

@@ -4959,6 +4959,53 @@ def test_viterbi_matches_bruteforce_enumeration(spark):
         assert got[conv] == (len(seq), sc, path), (conv, seq, got[conv], (sc, path))
 
 
+def test_rebalance_classes_exact_counts(spark):
+    """Every original row survives as replica_idx 0; integer-multiple
+    weights replicate exactly (majority 6 vs minority 2 -> minority
+    rows get exactly 3 copies each); fractional weights match the md5
+    closed form; undersampling (target below class size) drops rows
+    deterministically."""
+    import hashlib
+
+    from chronographer_spark.operators.sampling import rebalance_classes
+
+    rows = [("maj", i) for i in range(6)] + [("min", 100 + i) for i in range(2)]
+    df = spark.createDataFrame(rows, "label string, id long")
+    out = rebalance_classes(df, class_col="label", id_col="id").collect()
+    per = {}
+    for r in out:
+        per.setdefault(r.label, []).append(r)
+    assert len(per["maj"]) == 6
+    assert len(per["min"]) == 6  # w = 3.0 exactly -> 3 copies each
+    assert sum(1 for r in per["min"] if r.replica_idx == 0) == 2
+
+    # fractional: maj 3 vs min 2 -> w = 1.5: 1 copy + md5-frac extra
+    rows2 = [("a", i) for i in range(3)] + [("b", 10), ("b", 11)]
+    df2 = spark.createDataFrame(rows2, "label string, id long")
+    got2 = [
+        r
+        for r in rebalance_classes(df2, class_col="label", id_col="id").collect()
+        if r.label == "b"
+    ]
+    expected = 2
+    for rid in (10, 11):
+        h = int(hashlib.md5(f"rb:{rid}".encode()).hexdigest()[:8], 16)
+        expected += 1 if h % 1_000_000 < 500_000 else 0
+    assert len(got2) == expected
+
+    # undersampling: target 1 on a 2-row class keeps hash-chosen rows
+    under = rebalance_classes(df2, class_col="label", id_col="id", target=1)
+    kept_b = [r for r in under.collect() if r.label == "b"]
+    exp_b = sum(
+        1
+        for rid in (10, 11)
+        if int(hashlib.md5(f"rb:{rid}".encode()).hexdigest()[:8], 16)
+        % 1_000_000
+        < 500_000
+    )
+    assert len(kept_b) == exp_b
+
+
 def test_edge_embeddedness_hand_graph(spark):
     """Triangle a-b-c plus pendant edge c-d: the triangle edges have
     embeddedness 1 each, c-d is the local bridge (0); duplicate and
