@@ -16338,6 +16338,128 @@ GROUP BY 1, 2, w.w
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Q: difference-in-differences with a planted treated-post effect
+# ---------------------------------------------------------------------------
+
+
+def q_did_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DiD over events: arms by user-level md5 (same device as
+    uplift_dayparts), periods split at the fixed calendar midpoint of
+    the corpus (engine-neutral: epoch-day >= the constant both engines
+    compute from the data via one broadcast agg), with a planted
+    +2000-cent boost on treated-post rows (se(did) ~ 200 cents on the
+    heavy-tailed values) — did reads ~+1.8e9 micro-cents while pre_gap
+    calibrates within one se of 0."""
+    from .operators.classifier import diff_in_diff
+
+    ev = _t(spark, sf_dir, "events")
+    treated = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("arm:"), F.col("user_id").cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
+        % 2
+        == 1
+    )
+    sec = F.unix_timestamp("ts").cast("long")
+    mid = ev.agg(
+        ((F.min(sec) + F.max(sec)) / 2).cast("long").alias("__mid")
+    )
+    rows = ev.join(F.broadcast(mid)).select(
+        treated.alias("treated"),
+        (sec >= F.col("__mid")).alias("post"),
+        (
+            F.floor(F.col("value").cast("double") * 100 + F.lit(0.5))
+            .cast("long")
+            + F.when(treated & (sec >= F.col("__mid")), F.lit(2000)).otherwise(
+                F.lit(0)
+            )
+        ).alias("v"),
+    )
+    return diff_in_diff(rows)
+
+
+DID_VALUE_SQL = """
+WITH mid AS (
+  SELECT CAST((min(CAST(floor(epoch(ts)) AS BIGINT))
+             + max(CAST(floor(epoch(ts)) AS BIGINT))) // 2 AS BIGINT) AS m
+  FROM events
+),
+rows_t AS (
+  SELECT CAST(concat('0x', substr(md5('arm:' || CAST(user_id AS VARCHAR)),
+                                  1, 8)) AS BIGINT) % 2 = 1 AS t,
+         CAST(floor(epoch(ts)) AS BIGINT) >= mid.m AS p,
+         CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT)
+         + CASE WHEN CAST(concat('0x',
+                     substr(md5('arm:' || CAST(user_id AS VARCHAR)), 1, 8))
+                     AS BIGINT) % 2 = 1
+                 AND CAST(floor(epoch(ts)) AS BIGINT) >= mid.m
+                THEN 2000 ELSE 0 END AS v
+  FROM events CROSS JOIN mid
+),
+cells AS (
+  SELECT t, p, CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS s
+  FROM rows_t GROUP BY 1, 2
+),
+piv AS (
+  SELECT CAST(sum(CASE WHEN t AND NOT p THEN n ELSE 0 END) AS BIGINT)
+           AS n_t_pre,
+         CAST(sum(CASE WHEN t AND p THEN n ELSE 0 END) AS BIGINT)
+           AS n_t_post,
+         CAST(sum(CASE WHEN NOT t AND NOT p THEN n ELSE 0 END) AS BIGINT)
+           AS n_c_pre,
+         CAST(sum(CASE WHEN NOT t AND p THEN n ELSE 0 END) AS BIGINT)
+           AS n_c_post,
+         CAST(sum(CASE WHEN t AND NOT p THEN s ELSE 0 END) AS BIGINT)
+           AS s_t_pre,
+         CAST(sum(CASE WHEN t AND p THEN s ELSE 0 END) AS BIGINT)
+           AS s_t_post,
+         CAST(sum(CASE WHEN NOT t AND NOT p THEN s ELSE 0 END) AS BIGINT)
+           AS s_c_pre,
+         CAST(sum(CASE WHEN NOT t AND p THEN s ELSE 0 END) AS BIGINT)
+           AS s_c_post
+  FROM cells
+)
+SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
+       CAST(s_t_pre // greatest(n_t_pre, 1) * CAST(1000000 AS BIGINT)
+            + s_t_pre % greatest(n_t_pre, 1) * CAST(1000000 AS BIGINT)
+              // greatest(n_t_pre, 1) AS BIGINT) AS mean_t_pre_x1e6,
+       CAST(s_t_post // greatest(n_t_post, 1) * CAST(1000000 AS BIGINT)
+            + s_t_post % greatest(n_t_post, 1) * CAST(1000000 AS BIGINT)
+              // greatest(n_t_post, 1) AS BIGINT) AS mean_t_post_x1e6,
+       CAST(s_c_pre // greatest(n_c_pre, 1) * CAST(1000000 AS BIGINT)
+            + s_c_pre % greatest(n_c_pre, 1) * CAST(1000000 AS BIGINT)
+              // greatest(n_c_pre, 1) AS BIGINT) AS mean_c_pre_x1e6,
+       CAST(s_c_post // greatest(n_c_post, 1) * CAST(1000000 AS BIGINT)
+            + s_c_post % greatest(n_c_post, 1) * CAST(1000000 AS BIGINT)
+              // greatest(n_c_post, 1) AS BIGINT) AS mean_c_post_x1e6,
+       CAST((s_t_pre // greatest(n_t_pre, 1) * CAST(1000000 AS BIGINT)
+            + s_t_pre % greatest(n_t_pre, 1) * CAST(1000000 AS BIGINT)
+              // greatest(n_t_pre, 1))
+          - (s_c_pre // greatest(n_c_pre, 1) * CAST(1000000 AS BIGINT)
+            + s_c_pre % greatest(n_c_pre, 1) * CAST(1000000 AS BIGINT)
+              // greatest(n_c_pre, 1)) AS BIGINT) AS pre_gap_x1e6,
+       CAST(((s_t_post // greatest(n_t_post, 1) * CAST(1000000 AS BIGINT)
+            + s_t_post % greatest(n_t_post, 1) * CAST(1000000 AS BIGINT)
+              // greatest(n_t_post, 1))
+          - (s_t_pre // greatest(n_t_pre, 1) * CAST(1000000 AS BIGINT)
+            + s_t_pre % greatest(n_t_pre, 1) * CAST(1000000 AS BIGINT)
+              // greatest(n_t_pre, 1)))
+          - ((s_c_post // greatest(n_c_post, 1) * CAST(1000000 AS BIGINT)
+            + s_c_post % greatest(n_c_post, 1) * CAST(1000000 AS BIGINT)
+              // greatest(n_c_post, 1))
+          - (s_c_pre // greatest(n_c_pre, 1) * CAST(1000000 AS BIGINT)
+            + s_c_pre % greatest(n_c_pre, 1) * CAST(1000000 AS BIGINT)
+              // greatest(n_c_pre, 1))) AS BIGINT) AS did_x1e6
+FROM piv
+"""
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -16637,6 +16759,7 @@ QUERIES = {
     "uplift_dayparts": q_uplift_dayparts,
     "trade_embeddedness": q_trade_embeddedness,
     "rebalance_types": q_rebalance_types,
+    "did_value": q_did_value,
     "decision_stump_error": q_decision_stump_error,
     "katz_tools": q_katz_tools,
     "auc_priority": q_auc_priority,
@@ -16945,6 +17068,7 @@ ORACLE_SQL = {
     "uplift_dayparts": UPLIFT_DAYPARTS_SQL,
     "trade_embeddedness": TRADE_EMBEDDEDNESS_SQL,
     "rebalance_types": REBALANCE_TYPES_SQL,
+    "did_value": DID_VALUE_SQL,
     "decision_stump_error": DECISION_STUMP_ERROR_SQL,
     "katz_tools": KATZ_TOOLS_SQL,
     "auc_priority": AUC_PRIORITY_SQL,

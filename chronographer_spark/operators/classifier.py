@@ -828,3 +828,79 @@ def uplift_by_segment(
         F.expr(f"{rt} - {rc}").alias("uplift_x1e6"),
         F.expr("__ct * n_control - __cc * n_treated").alias("inc_cross"),
     )
+
+
+def diff_in_diff(
+    df: DataFrame,
+    treated_col: str = "treated",
+    post_col: str = "post",
+    value_col: str = "v",
+) -> DataFrame:
+    """Difference-in-differences estimate — the temporal companion to
+    `uplift_by_segment` (uplift compares arms cross-sectionally; DiD
+    nets out the shared time trend by differencing each arm against its
+    own pre-period): did = (ȳ_t,post − ȳ_t,pre) − (ȳ_c,post − ȳ_c,pre),
+    the workhorse readout when randomization is imperfect but both
+    groups ride the same seasonality.
+
+    All four cell means are staged integer quotients sum·1e6 DIV n
+    (truncation replayed identically cross-engine); the estimate is
+    their exact integer combination. The parallel-trends diagnostic is
+    the pre-period gap (ȳ_t,pre − ȳ_c,pre), emitted so a reviewer can
+    see whether the groups started level.
+
+    Shape: ONE combinable (treated, post) collapse — four rows — then
+    pure arithmetic on the pivot. Returns one row (n_t_pre, n_t_post,
+    n_c_pre, n_c_post, mean_t_pre_x1e6, mean_t_post_x1e6,
+    mean_c_pre_x1e6, mean_c_post_x1e6, pre_gap_x1e6, did_x1e6).
+    """
+    cells = (
+        df.select(
+            F.col(treated_col).cast("boolean").alias("__t"),
+            F.col(post_col).cast("boolean").alias("__p"),
+            F.col(value_col).cast("long").alias("__v"),
+        )
+        .groupBy("__t", "__p")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            F.sum("__v").cast("long").alias("__s"),
+        )
+    )
+
+    def cell(t, p, col):
+        return F.sum(
+            F.when((F.col("__t") == t) & (F.col("__p") == p), F.col(col))
+            .otherwise(0)
+        ).cast("long")
+
+    piv = cells.agg(
+        cell(True, False, "__n").alias("n_t_pre"),
+        cell(True, True, "__n").alias("n_t_post"),
+        cell(False, False, "__n").alias("n_c_pre"),
+        cell(False, True, "__n").alias("n_c_post"),
+        cell(True, False, "__s").alias("__s_t_pre"),
+        cell(True, True, "__s").alias("__s_t_post"),
+        cell(False, False, "__s").alias("__s_c_pre"),
+        cell(False, True, "__s").alias("__s_c_post"),
+    )
+    m = (
+        "({s} DIV greatest({n}, CAST(1 AS BIGINT)) * CAST(1000000 AS BIGINT)"
+        " + {s} % greatest({n}, CAST(1 AS BIGINT))"
+        "   * CAST(1000000 AS BIGINT) DIV greatest({n}, CAST(1 AS BIGINT)))"
+    )
+    mtp = m.format(s="__s_t_pre", n="n_t_pre")
+    mtq = m.format(s="__s_t_post", n="n_t_post")
+    mcp = m.format(s="__s_c_pre", n="n_c_pre")
+    mcq = m.format(s="__s_c_post", n="n_c_post")
+    return piv.select(
+        "n_t_pre",
+        "n_t_post",
+        "n_c_pre",
+        "n_c_post",
+        F.expr(mtp).alias("mean_t_pre_x1e6"),
+        F.expr(mtq).alias("mean_t_post_x1e6"),
+        F.expr(mcp).alias("mean_c_pre_x1e6"),
+        F.expr(mcq).alias("mean_c_post_x1e6"),
+        F.expr(f"{mtp} - {mcp}").alias("pre_gap_x1e6"),
+        F.expr(f"({mtq} - {mtp}) - ({mcq} - {mcp})").alias("did_x1e6"),
+    )

@@ -4959,6 +4959,34 @@ def test_viterbi_matches_bruteforce_enumeration(spark):
         assert got[conv] == (len(seq), sc, path), (conv, seq, got[conv], (sc, path))
 
 
+def test_diff_in_diff_hand_values(spark):
+    """Hand cells: control goes 10 -> 14 (trend +4), treated goes
+    12 -> 21 (trend +9): did = +5, pre_gap = +2 — all exact in x1e6
+    units; an empty cell divides by the guard."""
+    from chronographer_spark.operators.classifier import diff_in_diff
+
+    rows = (
+        [(False, False, 10)] * 2 + [(False, True, 14)] * 2
+        + [(True, False, 12)] * 2 + [(True, True, 21)] * 2
+    )
+    df = spark.createDataFrame(rows, "treated boolean, post boolean, v long")
+    got = diff_in_diff(df).collect()[0]
+    assert (got.n_t_pre, got.n_t_post, got.n_c_pre, got.n_c_post) == (
+        2, 2, 2, 2,
+    )
+    assert got.mean_c_pre_x1e6 == 10_000_000
+    assert got.pre_gap_x1e6 == 2_000_000
+    assert got.did_x1e6 == 5_000_000
+
+    # empty treated-post cell: guard divides by 1, means read 0
+    df2 = spark.createDataFrame(
+        [(False, False, 10), (False, True, 12), (True, False, 11)],
+        "treated boolean, post boolean, v long",
+    )
+    g2 = diff_in_diff(df2).collect()[0]
+    assert g2.n_t_post == 0 and g2.mean_t_post_x1e6 == 0
+
+
 def test_rebalance_classes_exact_counts(spark):
     """Every original row survives as replica_idx 0; integer-multiple
     weights replicate exactly (majority 6 vs minority 2 -> minority
