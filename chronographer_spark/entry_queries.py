@@ -16460,6 +16460,118 @@ FROM piv
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Q: CUPED variance reduction from the pre-period covariate
+# ---------------------------------------------------------------------------
+
+
+def q_cuped_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED over per-user pre/post mean values (cents, truncated —
+    replayed): the post outcome is planted to carry half the pre-period
+    signal (y' = y + x DIV 2), so θ reads ~+0.55 (0.5 planted + the
+    small organic covariance) and the variance reduction is a visibly
+    nonzero r² ~ 0.20 while the un-planted post noise keeps it well
+    below 1."""
+    from .operators.classifier import cuped_adjustment
+
+    ev = _t(spark, sf_dir, "events")
+    sec = F.unix_timestamp("ts").cast("long")
+    vc = F.floor(F.col("value").cast("double") * 100 + F.lit(0.5)).cast("long")
+    mid = ev.agg(((F.min(sec) + F.max(sec)) / 2).cast("long").alias("__mid"))
+    per = (
+        ev.join(F.broadcast(mid))
+        .select(
+            "user_id",
+            F.when(sec < F.col("__mid"), vc).alias("pre_v"),
+            F.when(sec >= F.col("__mid"), vc).alias("post_v"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("pre_v").cast("long").alias("n_pre"),
+            F.sum("pre_v").cast("long").alias("s_pre"),
+            F.count("post_v").cast("long").alias("n_post"),
+            F.sum("post_v").cast("long").alias("s_post"),
+        )
+        .filter((F.col("n_pre") > 0) & (F.col("n_post") > 0))
+    )
+    rows = per.select(
+        F.expr("s_pre DIV n_pre").alias("x"),
+        F.expr("s_post DIV n_post + (s_pre DIV n_pre) DIV 2").alias("y"),
+    )
+    return cuped_adjustment(rows)
+
+
+CUPED_VALUE_SQL = """
+WITH mid AS (
+  SELECT CAST((min(CAST(floor(epoch(ts)) AS BIGINT))
+             + max(CAST(floor(epoch(ts)) AS BIGINT))) // 2 AS BIGINT) AS m
+  FROM events
+),
+per AS (
+  SELECT user_id,
+         CAST(count(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) < mid.m
+                         THEN 1 END) AS BIGINT) AS n_pre,
+         CAST(coalesce(sum(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) < mid.m
+                  THEN CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5)
+                            AS BIGINT) END), 0) AS BIGINT) AS s_pre,
+         CAST(count(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) >= mid.m
+                         THEN 1 END) AS BIGINT) AS n_post,
+         CAST(coalesce(sum(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) >= mid.m
+                  THEN CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5)
+                            AS BIGINT) END), 0) AS BIGINT) AS s_post
+  FROM events CROSS JOIN mid
+  GROUP BY user_id
+),
+rows_t AS (
+  SELECT s_pre // n_pre AS x,
+         s_post // n_post + (s_pre // n_pre) // 2 AS y
+  FROM per WHERE n_pre > 0 AND n_post > 0
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy0,
+         CAST(sum(x * x) AS BIGINT) AS sxx0,
+         CAST(sum(y * y) AS BIGINT) AS syy0
+  FROM rows_t
+),
+c AS (
+  SELECT n,
+         CAST(n * sxy0 - sx * sy AS BIGINT) AS sxy,
+         CAST(n * sxx0 - sx * sx AS BIGINT) AS sxx,
+         CAST(n * syy0 - sy * sy AS BIGINT) AS syy
+  FROM m
+)
+SELECT n, sxy, sxx, syy,
+       CASE WHEN sxx = 0 THEN CAST(0 AS BIGINT) ELSE
+       CAST((CASE WHEN sxy < 0 THEN -1 ELSE 1 END)
+            * (CASE WHEN sxx >= 1000000
+               THEN abs(sxy) // (sxx // 1000000)
+               ELSE abs(sxy) * CAST(1000000 AS BIGINT) // sxx END)
+            AS BIGINT) END AS theta_x1e6,
+       CASE WHEN sxx = 0 OR syy = 0 THEN CAST(0 AS BIGINT) ELSE
+       CAST((CASE WHEN sxy < 0 THEN -1 ELSE 1 END)
+            * (CASE WHEN sxx >= 1000000
+               THEN abs(sxy) // (sxx // 1000)
+               ELSE abs(sxy) * CAST(1000 AS BIGINT) // sxx END)
+            * (CASE WHEN syy >= 1000000
+               THEN abs(sxy) // (syy // 1000)
+               ELSE abs(sxy) * CAST(1000 AS BIGINT) // syy END)
+            AS BIGINT) END AS r2_x1e6,
+       abs(CASE WHEN sxx = 0 OR syy = 0 THEN CAST(0 AS BIGINT) ELSE
+       CAST((CASE WHEN sxy < 0 THEN -1 ELSE 1 END)
+            * (CASE WHEN sxx >= 1000000
+               THEN abs(sxy) // (sxx // 1000)
+               ELSE abs(sxy) * CAST(1000 AS BIGINT) // sxx END)
+            * (CASE WHEN syy >= 1000000
+               THEN abs(sxy) // (syy // 1000)
+               ELSE abs(sxy) * CAST(1000 AS BIGINT) // syy END)
+            AS BIGINT) END) AS var_reduction_x1e6
+FROM c
+"""
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -16760,6 +16872,7 @@ QUERIES = {
     "trade_embeddedness": q_trade_embeddedness,
     "rebalance_types": q_rebalance_types,
     "did_value": q_did_value,
+    "cuped_value": q_cuped_value,
     "decision_stump_error": q_decision_stump_error,
     "katz_tools": q_katz_tools,
     "auc_priority": q_auc_priority,
@@ -17069,6 +17182,7 @@ ORACLE_SQL = {
     "trade_embeddedness": TRADE_EMBEDDEDNESS_SQL,
     "rebalance_types": REBALANCE_TYPES_SQL,
     "did_value": DID_VALUE_SQL,
+    "cuped_value": CUPED_VALUE_SQL,
     "decision_stump_error": DECISION_STUMP_ERROR_SQL,
     "katz_tools": KATZ_TOOLS_SQL,
     "auc_priority": AUC_PRIORITY_SQL,

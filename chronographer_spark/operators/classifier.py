@@ -904,3 +904,83 @@ def diff_in_diff(
         F.expr(f"{mtp} - {mcp}").alias("pre_gap_x1e6"),
         F.expr(f"({mtq} - {mtp}) - ({mcq} - {mcp})").alias("did_x1e6"),
     )
+
+
+def cuped_adjustment(
+    df: DataFrame,
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """CUPED readout (Deng et al. 2013 controlled-experiment variance
+    reduction): with a pre-period covariate x per unit, the adjusted
+    outcome y − θ(x − x̄) with θ = cov(x,y)/var(x) keeps the treatment
+    mean unbiased while shrinking variance by exactly r²(x, y) — so the
+    whole report reduces to integer moment algebra: the n-scaled
+    centered moments Sxx = nΣx² − (Σx)², Syy, Sxy are BIGINT-exact, θ
+    and r² are the DENOMINATOR-staged toolkit quotients (θ_x1e6 =
+    sign·|Sxy| DIV max(Sxx DIV 1e6, 1); r²_x1e6 = the spearman-family
+    two-factor form), and var_reduction_x1e6 = r². The experimentation
+    trio closes: uplift (where), DiD (netting trends), CUPED (how much
+    sample the covariate buys back).
+
+    Inputs must be pre-quantized integers (per-unit means in cents,
+    counts, …). Headroom: n·Σx² needs n²·x² ≲ 9e18 — with 5e4-cent
+    means that is n ≲ 6e4 units; beyond, rebase x/y or lift to
+    DECIMAL(38).
+
+    Shape: one combinable moment rollup — a single pass, no window, no
+    join. Returns one row (n, sxy, sxx, syy, theta_x1e6, r2_x1e6,
+    var_reduction_x1e6).
+    """
+    m = df.select(
+        F.col(x_col).cast("long").alias("__x"),
+        F.col(y_col).cast("long").alias("__y"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__x").cast("long").alias("__sx"),
+        F.sum("__y").cast("long").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__y")).cast("long").alias("__sxy"),
+        F.sum(F.col("__x") * F.col("__x")).cast("long").alias("__sxx"),
+        F.sum(F.col("__y") * F.col("__y")).cast("long").alias("__syy"),
+    ).select(
+        "n",
+        (F.col("n") * F.col("__sxy") - F.col("__sx") * F.col("__sy"))
+        .cast("long")
+        .alias("sxy"),
+        (F.col("n") * F.col("__sxx") - F.col("__sx") * F.col("__sx"))
+        .cast("long")
+        .alias("sxx"),
+        (F.col("n") * F.col("__syy") - F.col("__sy") * F.col("__sy"))
+        .cast("long")
+        .alias("syy"),
+    )
+    return m.select(
+        "n",
+        "sxy",
+        "sxx",
+        "syy",
+        # hybrid staging: numerator form is exact while the moment is
+        # below the stage constant (tiny-moment inputs), denominator
+        # form avoids overflow above it — both engines replay the CASE
+        F.expr(
+            "CASE WHEN sxx = 0 THEN CAST(0 AS BIGINT) ELSE "
+            "CAST((CASE WHEN sxy < 0 THEN -1 ELSE 1 END) * "
+            "(CASE WHEN sxx >= 1000000 "
+            " THEN abs(sxy) DIV (sxx DIV 1000000) "
+            " ELSE abs(sxy) * CAST(1000000 AS BIGINT) DIV sxx END) "
+            "AS BIGINT) END"
+        ).alias("theta_x1e6"),
+        F.expr(
+            "CASE WHEN sxx = 0 OR syy = 0 THEN CAST(0 AS BIGINT) ELSE "
+            "CAST((CASE WHEN sxy < 0 THEN -1 ELSE 1 END) * "
+            "(CASE WHEN sxx >= 1000000 "
+            " THEN abs(sxy) DIV (sxx DIV 1000) "
+            " ELSE abs(sxy) * CAST(1000 AS BIGINT) DIV sxx END) * "
+            "(CASE WHEN syy >= 1000000 "
+            " THEN abs(sxy) DIV (syy DIV 1000) "
+            " ELSE abs(sxy) * CAST(1000 AS BIGINT) DIV syy END) "
+            "AS BIGINT) END"
+        ).alias("r2_x1e6"),
+    ).withColumn(
+        "var_reduction_x1e6", F.abs(F.col("r2_x1e6"))
+    )

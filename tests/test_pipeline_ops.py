@@ -4959,6 +4959,39 @@ def test_viterbi_matches_bruteforce_enumeration(spark):
         assert got[conv] == (len(seq), sc, path), (conv, seq, got[conv], (sc, path))
 
 
+def test_cuped_adjustment_hand_values(spark):
+    """Exact line y = 2x + 7 gives theta = 2e6 and r² = 1e6 (full
+    variance reduction); a constant y gives syy = 0 -> everything 0;
+    anti-correlated data carries the sign on theta and r² but
+    var_reduction stays positive."""
+    from chronographer_spark.operators.classifier import cuped_adjustment
+
+    line = spark.createDataFrame(
+        [(x, 2 * x + 7) for x in (1, 2, 3, 4, 10)], "x long, y long"
+    )
+    got = cuped_adjustment(line).collect()[0]
+    assert got.theta_x1e6 == 2_000_000
+    assert got.r2_x1e6 == 1_000_000
+    assert got.var_reduction_x1e6 == 1_000_000
+
+    const = spark.createDataFrame(
+        [(x, 5) for x in (1, 2, 3)], "x long, y long"
+    )
+    g2 = cuped_adjustment(const).collect()[0]
+    assert (g2.theta_x1e6, g2.r2_x1e6) == (0, 0)
+
+    anti = spark.createDataFrame(
+        [(x, 100 - 3 * x) for x in (1, 2, 3, 4)], "x long, y long"
+    )
+    g3 = cuped_adjustment(anti).collect()[0]
+    assert g3.theta_x1e6 == -3_000_000
+    # two-factor quantization: 60*1000 DIV 20 = 3000, 60*1000 DIV 180
+    # = 333 -> 999000, one ulp under the true 1e6 (deterministic, the
+    # oracle replays it)
+    assert g3.r2_x1e6 == -999_000
+    assert g3.var_reduction_x1e6 == 999_000
+
+
 def test_diff_in_diff_hand_values(spark):
     """Hand cells: control goes 10 -> 14 (trend +4), treated goes
     12 -> 21 (trend +9): did = +5, pre_gap = +2 — all exact in x1e6
