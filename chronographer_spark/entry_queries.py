@@ -16572,6 +16572,112 @@ FROM c
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Q: growth accounting of active users per 30-day period
+# ---------------------------------------------------------------------------
+
+
+def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAU bridge over events: per 30-epoch-day period, active users
+    split into new / retained / resurrected, churn attributed into the
+    first inactive period — the bridge identities reconcile exactly."""
+    from .operators.temporal import growth_accounting
+
+    ev = _t(spark, sf_dir, "events")
+    return growth_accounting(ev, key="user_id", ts_col="ts", period="month")
+
+
+GROWTH_ACCOUNTING_SQL = """
+WITH act AS (
+  SELECT DISTINCT user_id AS k,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 // 30 AS p
+  FROM events
+),
+lagged AS (
+  SELECT k, p,
+         lag(p) OVER (PARTITION BY k ORDER BY p) AS prev,
+         lead(p) OVER (PARTITION BY k ORDER BY p) AS nxt
+  FROM act
+),
+classed AS (
+  SELECT p,
+         CAST(count(*) AS BIGINT) AS n_active,
+         CAST(sum(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_new,
+         CAST(sum(CASE WHEN p - prev = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_retained,
+         CAST(sum(CASE WHEN p - prev > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_resurrected
+  FROM lagged GROUP BY p
+),
+gmax AS (SELECT max(p) AS g FROM act),
+churned AS (
+  SELECT p + 1 AS p, CAST(count(*) AS BIGINT) AS n_churned
+  FROM lagged CROSS JOIN gmax
+  WHERE (nxt IS NULL OR nxt - p > 1) AND p + 1 <= gmax.g
+  GROUP BY p + 1
+)
+SELECT coalesce(c.p, ch.p) AS period,
+       CAST(coalesce(c.n_active, 0) AS BIGINT) AS n_active,
+       CAST(coalesce(c.n_new, 0) AS BIGINT) AS n_new,
+       CAST(coalesce(c.n_retained, 0) AS BIGINT) AS n_retained,
+       CAST(coalesce(c.n_resurrected, 0) AS BIGINT) AS n_resurrected,
+       CAST(coalesce(ch.n_churned, 0) AS BIGINT) AS n_churned
+FROM classed c FULL OUTER JOIN churned ch ON ch.p = c.p
+"""
+
+
+
+# ---------------------------------------------------------------------------
+# Q: running-maximum record counts per user
+# ---------------------------------------------------------------------------
+
+
+def q_record_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict record counts of value cents per user in event order —
+    exchangeable values read ~H(n) ≈ ln n records, the zero-parameter
+    trend null."""
+    from .operators.temporal import record_counts
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        F.floor(F.col("value").cast("double") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("v"),
+        F.col("event_id").alias("id"),
+    )
+    return record_counts(ev, key="user_id", ts_col="ts", val_col="v",
+                         id_col="id")
+
+
+RECORD_COUNTS_SQL = """
+WITH rows_t AS (
+  SELECT user_id AS k,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY CAST(floor(epoch(ts)) AS BIGINT),
+                                     event_id) AS pos,
+         CASE WHEN CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT)
+                   > coalesce(max(CAST(floor(CAST(value AS DOUBLE) * 100
+                                              + 0.5) AS BIGINT))
+                        OVER (PARTITION BY user_id
+                              ORDER BY CAST(floor(epoch(ts)) AS BIGINT),
+                                       event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING),
+                        CAST(-4611686018427387904 AS BIGINT))
+              THEN 1 ELSE 0 END AS rec
+  FROM events
+)
+SELECT k AS user_id, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(rec) AS BIGINT) AS n_records,
+       CAST(max(CASE WHEN rec = 1 THEN pos END) AS BIGINT)
+         AS last_record_pos
+FROM rows_t GROUP BY k
+"""
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -16873,6 +16979,8 @@ QUERIES = {
     "rebalance_types": q_rebalance_types,
     "did_value": q_did_value,
     "cuped_value": q_cuped_value,
+    "growth_accounting": q_growth_accounting,
+    "record_counts": q_record_counts,
     "decision_stump_error": q_decision_stump_error,
     "katz_tools": q_katz_tools,
     "auc_priority": q_auc_priority,
@@ -17183,6 +17291,8 @@ ORACLE_SQL = {
     "rebalance_types": REBALANCE_TYPES_SQL,
     "did_value": DID_VALUE_SQL,
     "cuped_value": CUPED_VALUE_SQL,
+    "growth_accounting": GROWTH_ACCOUNTING_SQL,
+    "record_counts": RECORD_COUNTS_SQL,
     "decision_stump_error": DECISION_STUMP_ERROR_SQL,
     "katz_tools": KATZ_TOOLS_SQL,
     "auc_priority": AUC_PRIORITY_SQL,

@@ -2253,3 +2253,138 @@ def peak_concurrency(
         )
         .select(F.col("__k").alias(key), "n_intervals", "peak", "peak_at")
     )
+
+
+def growth_accounting(
+    df: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "month",
+) -> DataFrame:
+    """Growth accounting (the MAU bridge): every active (key, period)
+    is classified NEW (first period ever), RETAINED (also active the
+    immediately preceding period) or RESURRECTED (active before, but
+    not last period); CHURNED counts keys active last period but not
+    this one. The identity active_t = new + retained + resurrected and
+    active_t − active_{t−1} = new + resurrected − churned both hold
+    exactly — the bridge a growth report must reconcile.
+
+    Engine-neutral periods: month = epoch-day DIV 30, week = DIV 7,
+    day = DIV 1 (calendar-month builtins disagree across engines; the
+    fixed-width grid is the hash-gateable spec, documented as such).
+
+    Shape: one distinct (key, period) collapse; classification is one
+    lag window per key over its ACTIVE periods only (gaps carry the
+    resurrected signal via period − lag > 1); churn re-aggregates the
+    same lagged table shifted one period forward. No self-join.
+
+    Returns (period, n_active, n_new, n_retained, n_resurrected,
+    n_churned) — churned counted INTO the first period after the
+    activity (so a user active in the data's last period is not
+    churned yet).
+    """
+    pd_expr = {"month": 30, "week": 7, "day": 1}[period]
+    act = (
+        df.select(
+            F.col(key).alias("__k"),
+            F.expr(
+                f"CAST(unix_timestamp({ts_col}) AS BIGINT) DIV 86400"
+                f" DIV {pd_expr}"
+            ).alias("__p"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("__k").orderBy("__p")
+    lagged = act.withColumn("__prev", F.lag("__p").over(w)).localCheckpoint(
+        eager=True
+    )  # feeds the class rollup AND the churn shift
+    classed = lagged.groupBy("__p").agg(
+        F.count(F.lit(1)).cast("long").alias("n_active"),
+        F.sum(F.col("__prev").isNull().cast("long"))
+        .cast("long")
+        .alias("n_new"),
+        F.sum((F.col("__p") - F.col("__prev") == 1).cast("long"))
+        .cast("long")
+        .alias("n_retained"),
+        F.sum((F.col("__p") - F.col("__prev") > 1).cast("long"))
+        .cast("long")
+        .alias("n_resurrected"),
+    )
+    # churn: a key active in p with no activity in p+1 churns INTO p+1;
+    # equivalently, count (prev -> p) transitions with gap > 1 plus
+    # last-activity rows, attributed to prev+1. Use the NEXT pointer.
+    wn = Window.partitionBy("__k").orderBy("__p")
+    nxt = lagged.withColumn("__next", F.lead("__p").over(wn))
+    gmax = lagged.agg(F.max("__p").alias("__gmax"))
+    churned = (
+        nxt.filter(
+            F.col("__next").isNull() | (F.col("__next") - F.col("__p") > 1)
+        )
+        .select((F.col("__p") + 1).alias("__p"))
+        .join(F.broadcast(gmax))
+        .filter(F.col("__p") <= F.col("__gmax"))  # last-period actives
+        # have not had a chance to churn yet
+        .groupBy("__p")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_churned"))
+    )
+    return (
+        classed.join(churned, "__p", "full_outer")
+        .select(
+            F.col("__p").alias("period"),
+            F.coalesce("n_active", F.lit(0)).cast("long").alias("n_active"),
+            F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+            F.coalesce("n_retained", F.lit(0)).cast("long").alias(
+                "n_retained"
+            ),
+            F.coalesce("n_resurrected", F.lit(0)).cast("long").alias(
+                "n_resurrected"
+            ),
+            F.coalesce("n_churned", F.lit(0)).cast("long").alias("n_churned"),
+        )
+    )
+
+
+def record_counts(
+    df: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "v",
+    id_col: str = "id",
+) -> DataFrame:
+    """Record (running-maximum) statistics per key — the nonparametric
+    trend screen from record theory: for exchangeable data the
+    expected number of strict records in n observations is the
+    harmonic number H(n) ≈ ln n, so a key whose record count far
+    exceeds ln n is trending up WITHOUT any distributional assumption
+    — the zero-parameter cousin of mk_trend, useful as a cheap first
+    pass. Also emits the last record's position (late records = the
+    trend is recent).
+
+    A record is v STRICTLY greater than every earlier value (first
+    observation counts); order is (ts, id) pinned. One key window
+    (running max over the preceding frame), one rollup — no join.
+
+    Returns (key, n, n_records, last_record_pos) with positions
+    1-based.
+    """
+    w = Window.partitionBy("__k").orderBy("__t", "__id")
+    wprev = w.rowsBetween(Window.unboundedPreceding, -1)
+    rows = df.select(
+        F.col(key).alias("__k"),
+        F.unix_timestamp(F.col(ts_col)).cast("long").alias("__t"),
+        F.col(val_col).cast("long").alias("__v"),
+        F.col(id_col).cast("long").alias("__id"),
+    ).select(
+        "__k",
+        F.row_number().over(w).cast("long").alias("__pos"),
+        (
+            F.col("__v") > F.coalesce(F.max("__v").over(wprev), F.lit(-(2**62)))
+        ).cast("long").alias("__rec"),
+    )
+    return rows.groupBy("__k").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__rec").cast("long").alias("n_records"),
+        F.max(F.when(F.col("__rec") == 1, F.col("__pos")))
+        .cast("long")
+        .alias("last_record_pos"),
+    ).select(F.col("__k").alias(key), "n", "n_records", "last_record_pos")

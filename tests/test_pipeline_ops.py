@@ -4959,6 +4959,87 @@ def test_viterbi_matches_bruteforce_enumeration(spark):
         assert got[conv] == (len(seq), sc, path), (conv, seq, got[conv], (sc, path))
 
 
+def test_record_counts_hand_values(spark):
+    """Strictly increasing -> every row a record; decreasing -> only
+    the first; ties do NOT count (strict); negative values beat the
+    sentinel floor; last_record_pos pins where the trend stopped."""
+    from datetime import datetime, timedelta
+
+    from chronographer_spark.operators.temporal import record_counts
+
+    t0 = datetime(2026, 1, 1)
+    cases = {
+        "up": [1, 2, 3, 4],
+        "down": [4, 3, 2, 1],
+        "ties": [2, 2, 3, 3],
+        "neg": [-5, -7, -2],
+        "midpeak": [1, 9, 3, 5],
+    }
+    rows = [
+        (k, t0 + timedelta(seconds=i), v, i)
+        for k, seq in cases.items()
+        for i, v in enumerate(seq)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v long, id long")
+    got = {
+        r.k: r
+        for r in record_counts(
+            df, key="k", ts_col="ts", val_col="v", id_col="id"
+        ).collect()
+    }
+    assert (got["up"].n_records, got["up"].last_record_pos) == (4, 4)
+    assert (got["down"].n_records, got["down"].last_record_pos) == (1, 1)
+    assert got["ties"].n_records == 2  # 2 then 3; repeats don't count
+    assert (got["neg"].n_records, got["neg"].last_record_pos) == (2, 3)
+    assert (got["midpeak"].n_records, got["midpeak"].last_record_pos) == (2, 2)
+
+
+def test_growth_accounting_hand_values(spark):
+    """Hand cohort across periods 0..3: u1 always active (retained),
+    u2 active 0 then 2 (churns into 1, resurrects in 2), u3 joins at 1
+    and churns into 2, u4 only period 3 (new; NOT churned — no period
+    after it in the data). Bridge identities hold per period."""
+    from datetime import datetime, timedelta
+
+    from chronographer_spark.operators.temporal import growth_accounting
+
+    t0 = datetime(2026, 1, 1)
+
+    def ev(uid, period):
+        return (uid, t0 + timedelta(days=30 * period + 3))
+
+    rows = (
+        [ev(1, p) for p in (0, 1, 2, 3)]
+        + [ev(2, 0), ev(2, 2)]
+        + [ev(3, 1)]
+        + [ev(4, 3)]
+    )
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        r.period: r
+        for r in growth_accounting(
+            df, key="user_id", ts_col="ts", period="month"
+        ).collect()
+    }
+    base = min(got)
+    g = {p - base: got[p] for p in got}
+    assert (g[0].n_active, g[0].n_new, g[0].n_churned) == (2, 2, 0)
+    assert (g[1].n_active, g[1].n_new, g[1].n_retained) == (2, 1, 1)
+    assert g[1].n_churned == 1  # u2 churned into period 1
+    assert (g[2].n_retained, g[2].n_resurrected) == (1, 1)
+    assert g[2].n_churned == 1  # u3 churned into period 2
+    assert (g[3].n_active, g[3].n_new) == (2, 1)
+    assert g[3].n_churned == 1  # u2 churned again into period 3
+    for p in g:
+        r = g[p]
+        assert r.n_active == r.n_new + r.n_retained + r.n_resurrected, p
+        if p - 1 in g:
+            assert (
+                r.n_active - g[p - 1].n_active
+                == r.n_new + r.n_resurrected - r.n_churned
+            ), p
+
+
 def test_cuped_adjustment_hand_values(spark):
     """Exact line y = 2x + 7 gives theta = 2e6 and r² = 1e6 (full
     variance reduction); a constant y gives syy = 0 -> everything 0;
