@@ -16678,6 +16678,195 @@ FROM rows_t GROUP BY k
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Q: vocabulary richness of the documents corpus
+# ---------------------------------------------------------------------------
+
+
+def q_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-token ratio, hapax/dis legomena counts, and msb-quantized
+    Herdan C (log vocab / log tokens) — the vocabulary-health card
+    beside zipf_slope_docs: shrinking TTR or a hapax share collapsing
+    toward 0 flags template/boilerplate corpora before any model sees
+    them. All ratios staged integer quotients; Herdan C uses the
+    bin()-length msb logs so it replays exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != F.lit(""))
+    vocab = (
+        docs.select(F.explode(toks).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    return vocab.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vocab"),
+        F.sum("f").cast("long").alias("n_tokens"),
+        F.sum((F.col("f") == 1).cast("long")).cast("long").alias("n_hapax"),
+        F.sum((F.col("f") == 2).cast("long")).cast("long").alias("n_dis"),
+    ).select(
+        "n_vocab",
+        "n_tokens",
+        "n_hapax",
+        "n_dis",
+        F.expr(
+            "n_vocab DIV n_tokens * CAST(1000000 AS BIGINT)"
+            " + n_vocab % n_tokens * CAST(1000000 AS BIGINT) DIV n_tokens"
+        ).alias("ttr_x1e6"),
+        F.expr(
+            "n_hapax * CAST(1000000 AS BIGINT) DIV greatest(n_vocab, 1)"
+        ).alias("hapax_share_x1e6"),
+        F.expr(
+            "CAST((length(bin(n_vocab)) - 1) AS BIGINT)"
+            " * CAST(1000000 AS BIGINT)"
+            " DIV greatest(CAST(length(bin(n_tokens)) - 1 AS BIGINT), 1)"
+        ).alias("herdan_c_msb_x1e6"),
+    )
+
+
+VOCAB_RICHNESS_SQL = """
+WITH vocab AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS f
+  FROM documents, unnest(string_split(text, ' ')) AS u(t)
+  WHERE t <> ''
+  GROUP BY 1
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_vocab,
+         CAST(sum(f) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+         CAST(sum(CASE WHEN f = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dis
+  FROM vocab
+)
+SELECT n_vocab, n_tokens, n_hapax, n_dis,
+       CAST(n_vocab // n_tokens * CAST(1000000 AS BIGINT)
+            + n_vocab % n_tokens * CAST(1000000 AS BIGINT) // n_tokens
+            AS BIGINT) AS ttr_x1e6,
+       CAST(n_hapax * CAST(1000000 AS BIGINT) // greatest(n_vocab, 1)
+            AS BIGINT) AS hapax_share_x1e6,
+       CAST(CAST(length(bin(n_vocab)) - 1 AS BIGINT)
+            * CAST(1000000 AS BIGINT)
+            // greatest(CAST(length(bin(n_tokens)) - 1 AS BIGINT), 1)
+            AS BIGINT) AS herdan_c_msb_x1e6
+FROM m
+"""
+
+
+
+# ---------------------------------------------------------------------------
+# Q: Simpson's paradox trap — segment uplifts positive, pooled negative
+# ---------------------------------------------------------------------------
+
+
+def q_simpsons_trap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The confounding demonstration every experimentation stack needs
+    on file: treatment assignment is deliberately CORRELATED with a
+    difficulty segment (easy base rate 700/1000 vs hard 200/1000;
+    treatment lands on the hard segment 80% of the time), while the
+    true per-segment effect is +50/1000. Both per-segment uplifts read
+    ~+50k x1e6; the pooled row reads strongly NEGATIVE — Simpson's
+    reversal, exactly why uplift must be read per segment when arms
+    aren't randomized. Same integer machinery as uplift_dayparts,
+    applied at two granularities and unioned."""
+    from .operators.classifier import uplift_by_segment
+
+    ev = _t(spark, sf_dir, "events")
+    seg = (F.col("user_id") % 2).cast("long")
+
+    def h(tag):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.lit(tag), F.col("user_id").cast("string"))
+                    ),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("long")
+            % 1000
+        )
+
+    ho = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("so:"), F.col("event_id").cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
+        % 1000
+    )
+    treated = h("sarm:") < F.when(seg == 0, F.lit(200)).otherwise(F.lit(800))
+    base = F.when(seg == 0, F.lit(700)).otherwise(F.lit(200))
+    y = (ho < base + F.when(treated, F.lit(50)).otherwise(F.lit(0))).cast(
+        "long"
+    )
+    rows = ev.select(
+        seg.cast("string").alias("segment"),
+        treated.alias("treated"),
+        y.alias("y"),
+    )
+    per = uplift_by_segment(rows)
+    pooled = uplift_by_segment(
+        rows.withColumn("segment", F.lit("__pooled__"))
+    )
+    return per.unionByName(pooled)
+
+
+SIMPSONS_TRAP_SQL = """
+WITH rows_t AS (
+  SELECT CAST(user_id % 2 AS VARCHAR) AS segment,
+         CAST(concat('0x', substr(md5('sarm:' || CAST(user_id AS VARCHAR)),
+                                  1, 8)) AS BIGINT) % 1000
+           < CASE WHEN user_id % 2 = 0 THEN 200 ELSE 800 END AS t,
+         CASE WHEN CAST(concat('0x',
+                   substr(md5('so:' || CAST(event_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 1000
+                  < CASE WHEN user_id % 2 = 0 THEN 700 ELSE 200 END
+                    + CASE WHEN CAST(concat('0x',
+                            substr(md5('sarm:' || CAST(user_id AS VARCHAR)),
+                                   1, 8)) AS BIGINT) % 1000
+                           < CASE WHEN user_id % 2 = 0 THEN 200 ELSE 800 END
+                      THEN 50 ELSE 0 END
+              THEN 1 ELSE 0 END AS y
+  FROM events
+),
+both_g AS (
+  SELECT segment, t, y FROM rows_t
+  UNION ALL
+  SELECT '__pooled__', t, y FROM rows_t
+),
+arms AS (
+  SELECT segment, t, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS c
+  FROM both_g GROUP BY 1, 2
+),
+piv AS (
+  SELECT segment,
+         CAST(sum(CASE WHEN t THEN n ELSE 0 END) AS BIGINT) AS n_treated,
+         CAST(sum(CASE WHEN NOT t THEN n ELSE 0 END) AS BIGINT) AS n_control,
+         CAST(sum(CASE WHEN t THEN c ELSE 0 END) AS BIGINT) AS ct,
+         CAST(sum(CASE WHEN NOT t THEN c ELSE 0 END) AS BIGINT) AS cc
+  FROM arms GROUP BY 1
+)
+SELECT segment, n_treated, n_control,
+       CAST(ct // greatest(n_treated, 1) * CAST(1000000 AS BIGINT)
+            + ct % greatest(n_treated, 1) * CAST(1000000 AS BIGINT)
+              // greatest(n_treated, 1) AS BIGINT) AS rate_t_x1e6,
+       CAST(cc // greatest(n_control, 1) * CAST(1000000 AS BIGINT)
+            + cc % greatest(n_control, 1) * CAST(1000000 AS BIGINT)
+              // greatest(n_control, 1) AS BIGINT) AS rate_c_x1e6,
+       CAST((ct // greatest(n_treated, 1) * CAST(1000000 AS BIGINT)
+            + ct % greatest(n_treated, 1) * CAST(1000000 AS BIGINT)
+              // greatest(n_treated, 1))
+          - (cc // greatest(n_control, 1) * CAST(1000000 AS BIGINT)
+            + cc % greatest(n_control, 1) * CAST(1000000 AS BIGINT)
+              // greatest(n_control, 1)) AS BIGINT) AS uplift_x1e6,
+       CAST(ct * n_control - cc * n_treated AS BIGINT) AS inc_cross
+FROM piv
+"""
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -16981,6 +17170,8 @@ QUERIES = {
     "cuped_value": q_cuped_value,
     "growth_accounting": q_growth_accounting,
     "record_counts": q_record_counts,
+    "vocab_richness": q_vocab_richness,
+    "simpsons_trap": q_simpsons_trap,
     "decision_stump_error": q_decision_stump_error,
     "katz_tools": q_katz_tools,
     "auc_priority": q_auc_priority,
@@ -17293,6 +17484,8 @@ ORACLE_SQL = {
     "cuped_value": CUPED_VALUE_SQL,
     "growth_accounting": GROWTH_ACCOUNTING_SQL,
     "record_counts": RECORD_COUNTS_SQL,
+    "vocab_richness": VOCAB_RICHNESS_SQL,
+    "simpsons_trap": SIMPSONS_TRAP_SQL,
     "decision_stump_error": DECISION_STUMP_ERROR_SQL,
     "katz_tools": KATZ_TOOLS_SQL,
     "auc_priority": AUC_PRIORITY_SQL,
