@@ -16867,6 +16867,87 @@ FROM piv
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Q: Bloom filter false-positive calibration on held-out probes
+# ---------------------------------------------------------------------------
+
+
+def q_bloom_fp_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured false-positive rate of the decontamination Bloom filter
+    against TRUE non-members: build on even event ids, probe the odd
+    half (disjoint by construction), report load and fp_x1e6 — the
+    calibration a pipeline must check before trusting maybe=0 pruning
+    at a new m/k/n operating point. At m=8192, k=3, n≈5000 the load
+    kn/m ≈ 1.8 puts the theoretical fp near 0.5 — deliberately
+    overloaded so the measurement is visibly nonzero and the
+    m-sizing lesson is on the record."""
+    from .operators.sketches import bloom_build, bloom_maybe_contains
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_id").cast("string").alias("eid"),
+        (F.col("event_id") % 2).alias("par"),
+    ).distinct()
+    members = ev.filter(F.col("par") == 0).select("eid")
+    probes = ev.filter(F.col("par") == 1).select("eid")
+    bloom = bloom_build(members, "eid", m_bits=8192, k_hashes=3)
+    res = bloom_maybe_contains(bloom, probes, "eid", m_bits=8192, k_hashes=3)
+    stats = members.agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    return (
+        res.agg(
+            F.count(F.lit(1)).cast("long").alias("n_probes"),
+            F.sum("maybe").cast("long").alias("n_false_pos"),
+        )
+        .join(F.broadcast(stats))
+        .select(
+            "n_members",
+            "n_probes",
+            "n_false_pos",
+            F.expr(
+                "n_false_pos * CAST(1000000 AS BIGINT)"
+                " DIV greatest(n_probes, 1)"
+            ).alias("fp_x1e6"),
+        )
+    )
+
+
+BLOOM_FP_CALIBRATION_SQL = """
+WITH ids AS (SELECT DISTINCT CAST(event_id AS VARCHAR) AS eid,
+                    event_id % 2 AS par FROM events),
+members AS (SELECT eid FROM ids WHERE par = 0),
+probes AS (SELECT eid FROM ids WHERE par = 1),
+bits AS (
+  SELECT DISTINCT
+    CAST(concat('0x', substr(md5(CAST(j AS VARCHAR) || ':' || eid), 1, 8))
+         AS BIGINT) % 8192 AS bit
+  FROM (SELECT eid, unnest(range(0, 3)) AS j FROM members)
+),
+pr AS (
+  SELECT eid, j,
+    CAST(concat('0x', substr(md5(CAST(j AS VARCHAR) || ':' || eid), 1, 8))
+         AS BIGINT) % 8192 AS bit
+  FROM (SELECT eid, unnest(range(0, 3)) AS j FROM probes)
+),
+maybe AS (
+  SELECT p.eid, CASE WHEN count(b.bit) = 3 THEN 1 ELSE 0 END AS maybe
+  FROM pr p LEFT JOIN bits b USING (bit)
+  GROUP BY p.eid
+),
+agg AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM members) AS n_members,
+         CAST(count(*) AS BIGINT) AS n_probes,
+         CAST(sum(maybe) AS BIGINT) AS n_false_pos
+  FROM maybe
+)
+SELECT n_members, n_probes, n_false_pos,
+       CAST(n_false_pos * CAST(1000000 AS BIGINT)
+            // greatest(n_probes, 1) AS BIGINT) AS fp_x1e6
+FROM agg
+"""
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -17172,6 +17253,7 @@ QUERIES = {
     "record_counts": q_record_counts,
     "vocab_richness": q_vocab_richness,
     "simpsons_trap": q_simpsons_trap,
+    "bloom_fp_calibration": q_bloom_fp_calibration,
     "decision_stump_error": q_decision_stump_error,
     "katz_tools": q_katz_tools,
     "auc_priority": q_auc_priority,
@@ -17486,6 +17568,7 @@ ORACLE_SQL = {
     "record_counts": RECORD_COUNTS_SQL,
     "vocab_richness": VOCAB_RICHNESS_SQL,
     "simpsons_trap": SIMPSONS_TRAP_SQL,
+    "bloom_fp_calibration": BLOOM_FP_CALIBRATION_SQL,
     "decision_stump_error": DECISION_STUMP_ERROR_SQL,
     "katz_tools": KATZ_TOOLS_SQL,
     "auc_priority": AUC_PRIORITY_SQL,
