@@ -9660,7 +9660,7 @@ def q_term_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-TERM_MOVERS_SQL = """
+TERM_MOVERS_SQL = r"""
 WITH toks AS (
   SELECT doc_id, unnest(string_split(
     regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
@@ -9811,7 +9811,7 @@ def q_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-BLOCKING_QUALITY_SQL = """
+BLOCKING_QUALITY_SQL = r"""
 WITH n AS (SELECT CAST(count(*) AS BIGINT) AS c FROM documents),
 r AS (
   SELECT doc_id,
@@ -9875,7 +9875,7 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("source_a", "source_b", "n_shared")
 
 
-SOURCE_OVERLAP_SQL = """
+SOURCE_OVERLAP_SQL = r"""
 WITH d AS (
   SELECT source, text FROM documents
   UNION ALL
@@ -9945,7 +9945,7 @@ def q_budget_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-BUDGET_CURVE_SQL = """
+BUDGET_CURVE_SQL = r"""
 WITH tok AS (
   SELECT doc_id AS id,
          CAST(lang = 'en' AS BIGINT) AS is_pos,
@@ -10128,7 +10128,7 @@ def q_bow_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-BOW_DUPS_SQL = """
+BOW_DUPS_SQL = r"""
 WITH d AS (
   SELECT doc_id, text FROM documents
   UNION ALL
@@ -10284,7 +10284,7 @@ def q_sft_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SFT_PIPELINE_SQL = """
+SFT_PIPELINE_SQL = r"""
 WITH filt AS (
   SELECT doc_id, text, n_chars FROM documents
   WHERE n_chars >= 50 AND lang = 'en'
@@ -14555,13 +14555,14 @@ means AS (
 ),
 ranked AS (
   SELECT event_type, b, m,
-         row_number() OVER (PARTITION BY event_type ORDER BY m, b) AS r
+         row_number() OVER (PARTITION BY event_type ORDER BY m, b) AS r,
+         count(*) OVER (PARTITION BY event_type) AS cnt
   FROM means
 ),
 ci AS (
   SELECT event_type,
-         max(CASE WHEN r = 2 THEN m END) AS lo_x1e6,
-         max(CASE WHEN r = 39 THEN m END) AS hi_x1e6
+         max(CASE WHEN r = least(2, cnt) THEN m END) AS lo_x1e6,
+         max(CASE WHEN r = least(39, cnt) THEN m END) AS hi_x1e6
   FROM ranked GROUP BY event_type
 ),
 full_t AS (

@@ -509,7 +509,11 @@ def bootstrap_mean_ci(
     Resample means are EXACT staged integer quotients of the
     (×scale)-grid values; the CI picks order statistics
     lo = floor(.025·B)+1, hi = B − floor(.025·B) (1-based, ties broken
-    by resample id) over the ≤ B·|keys| tiny mean table.
+    by resample id) over the ≤ B·|keys| tiny mean table. Both ranks are
+    clamped to the per-key SURVIVING resample count (zero-effective-mass
+    resamples are dropped), so tiny groups get the extreme surviving
+    mean rather than a NULL bound; lo == hi when fewer than lo_rank
+    resamples survive.
 
     Returns (key, n_rows, mean_x1e6, lo_x1e6, hi_x1e6) — all means in
     scaled-value units ×1e6.
@@ -565,15 +569,24 @@ def bootstrap_mean_ci(
     )
     lo_rank = int(0.025 * b) + 1
     hi_rank = b - int(0.025 * b)
+    # Zero-effective-mass resamples are dropped (n_eff > 0), so tiny
+    # groups can have fewer than hi_rank surviving resample means.
+    # Clamp both order-statistic ranks to the surviving count: a key
+    # with s < lo_rank survivors reads lo = hi = its extreme surviving
+    # mean instead of an unguarded NULL CI.
     ordered = per_b.withColumn(
         "__r",
         F.row_number().over(
             Window.partitionBy(key).orderBy("m", "__b")
         ),
+    ).withColumn(
+        "__cnt", F.count(F.lit(1)).over(Window.partitionBy(key))
     )
+    lo_eff = F.least(F.lit(lo_rank), F.col("__cnt"))
+    hi_eff = F.least(F.lit(hi_rank), F.col("__cnt"))
     ci = ordered.groupBy(key).agg(
-        F.max(F.when(F.col("__r") == lo_rank, F.col("m"))).alias("lo_x1e6"),
-        F.max(F.when(F.col("__r") == hi_rank, F.col("m"))).alias("hi_x1e6"),
+        F.max(F.when(F.col("__r") == lo_eff, F.col("m"))).alias("lo_x1e6"),
+        F.max(F.when(F.col("__r") == hi_eff, F.col("m"))).alias("hi_x1e6"),
     )
     full = rows.groupBy(key).agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),

@@ -546,16 +546,30 @@ def kmv_bottomk(df: DataFrame, group_col: str, col: str, k: int = 64) -> DataFra
     )
 
 
-def kmv_merge(k: int, *sketches: DataFrame) -> DataFrame:
+def kmv_merge(
+    k: int, *sketches: DataFrame, group_col: str | None = None
+) -> DataFrame:
     """Union bottom-k tables and re-take the bottom k per group — the
     KMV merge law (bottomk(A ∪ B) == bottomk(bottomk(A) ∪ bottomk(B)),
     exact, not approximate). Distributed shape: tiny inputs (≤ k rows
-    per group each), one union + one rank window."""
+    per group each), one union + one rank window.
+
+    group_col defaults to the single non-'h' column; inference refuses
+    wider inputs (extra columns would make the guess silently wrong) —
+    pass group_col explicitly for those."""
     merged = sketches[0]
     for s in sketches[1:]:
         merged = merged.unionByName(s)
     cols = merged.columns
-    group_col = [c for c in cols if c != "h"][0]
+    if group_col is None:
+        if len(cols) != 2 or "h" not in cols:
+            raise ValueError(
+                "kmv_merge cannot infer group_col from columns "
+                f"{cols}; pass group_col explicitly"
+            )
+        group_col = [c for c in cols if c != "h"][0]
+    elif group_col not in cols:
+        raise ValueError(f"group_col {group_col!r} not in {cols}")
     w = Window.partitionBy(group_col).orderBy("h")
     return (
         merged.dropDuplicates()

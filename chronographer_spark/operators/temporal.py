@@ -2245,7 +2245,9 @@ def peak_concurrency(
     return (
         run.groupBy("__k")
         .agg(
-            (F.count(F.lit(1)) / 2).cast("long").alias("n_intervals"),
+            F.sum(F.when(F.col("__d") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_intervals"),
             F.max("__c").cast("long").alias("peak"),
             F.min(F.when(F.col("__c") == F.col("__mx"), F.col("__at")))
             .cast("long")

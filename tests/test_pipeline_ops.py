@@ -4653,6 +4653,44 @@ def test_bootstrap_mean_ci_constant_and_order(spark):
     assert r1.mean_x1e6 == s // 200 * 1_000_000 + s % 200 * 1_000_000 // 200
 
 
+def test_bootstrap_mean_ci_tiny_group_clamped(spark):
+    """A 1-row group drops every zero-mass Poisson resample, leaving
+    fewer survivors than hi_rank (39 at b=40): the ranks clamp to the
+    surviving count, so both CI bounds are the (constant) surviving
+    mean — never NULL (ADVICE r3 item 1)."""
+    from chronographer_spark.operators.sampling import bootstrap_mean_ci
+
+    tiny = spark.createDataFrame(
+        [("solo", 5.0, "only")],
+        "event_type string, value double, event_id string",
+    )
+    r = bootstrap_mean_ci(tiny, b=40).collect()[0]
+    assert r.lo_x1e6 is not None and r.hi_x1e6 is not None
+    # every surviving resample of a single 5.0 row has mean 500 (x100
+    # scale), so the clamped bounds equal the mean exactly
+    assert r.lo_x1e6 == r.hi_x1e6 == 500 * 1_000_000
+    assert r.mean_x1e6 == 500 * 1_000_000
+
+
+def test_kmv_merge_group_col_inference_guard(spark):
+    """kmv_merge refuses to infer the group column from a >2-column
+    sketch table (silent wrong-column pick, ADVICE r3 item 2) but
+    accepts an explicit group_col for the same input."""
+    import pytest
+
+    from chronographer_spark.operators.sketches import kmv_merge
+
+    wide = spark.createDataFrame(
+        [("g1", 10, "x")], "grp string, h long, extra string"
+    )
+    with pytest.raises(ValueError, match="cannot infer group_col"):
+        kmv_merge(4, wide)
+    with pytest.raises(ValueError, match="not in"):
+        kmv_merge(4, wide, group_col="nope")
+    out = kmv_merge(4, wide.select("grp", "h"), group_col="grp").collect()
+    assert [(r.grp, r.h) for r in out] == [("g1", 10)]
+
+
 def test_auc_exact_vs_bruteforce_pairs(spark):
     """auc_exact == brute-force pairwise win/tie counting on random
     labeled scores with heavy ties (the midrank path)."""

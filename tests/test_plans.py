@@ -1136,7 +1136,8 @@ def test_touch_attribution_no_cartesian(spark):
     ev = spark.read.parquet(f"{SF}/events.parquet")
     plan = _plan(touch_attribution(ev))
     assert plan.count("CartesianProduct") == 0, plan
-    # the single-row total broadcast in unattributed is the only NLJ
+    # no nested-loop joins at all: the unattributed path is a
+    # left_anti equi-join, not a broadcast-total NLJ
     assert plan.count("BroadcastNestedLoopJoin") == 0, plan
 
 
