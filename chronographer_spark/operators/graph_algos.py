@@ -1289,6 +1289,7 @@ def strongly_connected_components(
     src_col: str = "src",
     dst_col: str = "dst",
     max_outer: int = 25,
+    precontract: bool = True,
 ) -> DataFrame:
     """Strongly connected components of a directed graph: (node, scc) with
     scc = the minimum member id of the node's SCC — the canonical label a
@@ -1319,11 +1320,23 @@ def strongly_connected_components(
     skew); per-round eager localCheckpoint cuts lineage exactly like the
     CC loop in linking/canonicalize.py. Convergence actions are per-round
     counts on batch-sized deltas. Each outer round removes at least every
-    current root, so <= max_outer outer rounds on any graph whose
-    condensation depth is bounded; pathological chains (one SCC peeled per
-    round) raise rather than spin — at web scale the known fix is to run
-    precontraction (union-find on mutual 1-cycles) first, the same lever
-    canonicalize.py uses for CC.
+    current root, so the loop terminates in <= |remaining nodes| rounds;
+    past max_outer it warns once (a long condensation chain at web scale
+    deserves an operator's eye) and keeps peeling to completion instead
+    of aborting.
+
+    ``precontract=True`` (default) collapses MUTUAL 1-CYCLES first — the
+    web-scale lever: every edge (u, v) whose reverse (v, u) also exists
+    certifies u, v mutually reachable, and paths of such edges compose,
+    so each connected component of the mutual-edge subgraph sits inside
+    one SCC. Those components are contracted with the same two-level CC
+    (per-partition union-find + star rounds) canonicalize.py uses for
+    alias graphs, the FW-BW-Trim loop runs on the condensation, and
+    labels expand back through the contraction map. Chains of 2-cycles —
+    the pathological one-SCC-peeled-per-round input — condense to a pure
+    DAG that TRIM retires without a single coloring round. Labels are
+    unchanged: each contracted rep is the min of its group, so the min
+    over reps in an SCC IS the min over its original members.
 
     Self-loops are irrelevant to SCC membership and dropped on entry.
     Returns one row per node that appears in any edge.
@@ -1334,6 +1347,47 @@ def strongly_connected_components(
         .dropDuplicates()
         .localCheckpoint(eager=True)
     )
+    orig_nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    contraction = None  # (node, rep) for nodes swallowed by a mutual group
+    if precontract:
+        from ..linking.canonicalize import connected_components
+
+        rev = e.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
+        mutual = (
+            e.join(rev, ["src", "dst"], "left_semi")
+            .filter(F.col("src") < F.col("dst"))
+            .localCheckpoint(eager=True)
+        )
+        if not mutual.isEmpty():
+            contraction = (
+                connected_components(mutual, precontract=True)
+                .select("node", F.col("component").alias("rep"))
+                .localCheckpoint(eager=True)
+            )
+            m_src = contraction.select(
+                F.col("node").alias("src"), F.col("rep").alias("__rs")
+            )
+            m_dst = contraction.select(
+                F.col("node").alias("dst"), F.col("rep").alias("__rd")
+            )
+            e = (
+                e.join(m_src, "src", "left")
+                .join(m_dst, "dst", "left")
+                .select(
+                    F.coalesce("__rs", F.col("src")).alias("src"),
+                    F.coalesce("__rd", F.col("dst")).alias("dst"),
+                )
+                .filter(F.col("src") != F.col("dst"))
+                .dropDuplicates()
+                .localCheckpoint(eager=True)
+            )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -1341,7 +1395,20 @@ def strongly_connected_components(
         .localCheckpoint(eager=True)
     )
     done_parts = []
-    for _ in range(max_outer):
+    outer = 0
+    while True:
+        outer += 1
+        if outer > max_outer:
+            import warnings
+
+            warnings.warn(
+                f"SCC condensation deeper than max_outer={max_outer} "
+                "rounds; continuing to peel (long condensation chain — "
+                "consider inspecting the graph)",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            max_outer = 1 << 62  # warn once, then run to completion
         # --- 1. trim to fixpoint -------------------------------------------
         while True:
             has_in = e.select(F.col("dst").alias("node")).dropDuplicates()
@@ -1424,16 +1491,22 @@ def strongly_connected_components(
             .join(nodes, e["dst"] == nodes["node"], "left_semi")
             .localCheckpoint(eager=True)
         )
-    else:
-        raise RuntimeError(
-            f"SCC did not converge within max_outer={max_outer} rounds"
-        )
-    if not done_parts:  # no edges survive the self-loop filter
-        return nodes.select("node", F.col("node").alias("scc"))
-    out = done_parts[0]
-    for part in done_parts[1:]:
-        out = out.unionByName(part)
-    return out
+    if done_parts:
+        out = done_parts[0]
+        for part in done_parts[1:]:
+            out = out.unionByName(part)
+    else:  # no edges survive self-loop filtering / contraction
+        out = nodes.select("node", F.col("node").alias("scc"))
+    if contraction is None:
+        return out
+    # expand condensation labels back to original nodes: a node's SCC is
+    # its rep's SCC; a rep with no surviving edge is its own SCC label
+    rep_of = orig_nodes.join(contraction, "node", "left").select(
+        "node", F.coalesce("rep", F.col("node")).alias("rep")
+    )
+    return rep_of.join(
+        out.select(F.col("node").alias("rep"), "scc"), "rep", "left"
+    ).select("node", F.coalesce("scc", F.col("rep")).alias("scc"))
 
 
 def bounded_sssp(
