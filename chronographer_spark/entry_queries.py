@@ -7496,10 +7496,10 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     left-to-right non-overlapping replace() scan, so the oracle replays
     training exactly; ties break on (count DESC, left, right) binary
     string order."""
-    from .operators.bpe import bpe_train, word_freqs
+    from .operators.bpe import bpe_train_batched, word_freqs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    _, merges_df = bpe_train(word_freqs(docs), n_merges=4)
+    _, merges_df = bpe_train_batched(word_freqs(docs), n_rounds=3, batch_k=4)
     return merges_df.select(
         "merge_round", "left_sym", "right_sym", "pair_count"
     )
@@ -7512,17 +7512,41 @@ def q_bpe_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle (pure projection: per-word symbol runs joined by double spaces
     so merges cannot cross word boundaries, then the merge replaces in
     training order)."""
-    from .operators.bpe import bpe_segment, bpe_train, word_freqs
+    from .operators.bpe import bpe_segment, bpe_train_batched, word_freqs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    merges, _ = bpe_train(word_freqs(docs), n_merges=4)
+    merges, _ = bpe_train_batched(word_freqs(docs), n_rounds=3, batch_k=4)
     return bpe_segment(docs, merges).select("doc_id", "n_tokens_bpe")
 
 
-def _bpe_training_ctes(n_rounds: int) -> str:
-    """Unrolled DuckDB CTE chain m1..mN replaying bpe_train: words ->
-    symbol strings -> per-round (pair count argmax, replace). Kept as a
-    generator so the round count stays pinned to the queries above."""
+def _bpe_apply_round_sql(r: int, batch_k: int, col: str) -> str:
+    """Nested replace() applying round r's kept merges in rank order;
+    unfilled positions fall back to a chr(1) identity replace (the
+    pattern never occurs in text, and replace(s, x, x) is the identity
+    anyway)."""
+    expr = col
+    for pos in range(1, batch_k + 1):
+        pat = (
+            f"coalesce((SELECT ' ' || l || ' ' || r || ' ' FROM k{r}"
+            f" WHERE pos = {pos}), chr(1))"
+        )
+        rep = (
+            f"coalesce((SELECT ' ' || l || r || ' ' FROM k{r}"
+            f" WHERE pos = {pos}), chr(1))"
+        )
+        expr = f"replace({expr}, {pat}, {rep})"
+    return expr
+
+
+def _bpe_training_ctes(n_rounds: int, batch_k: int) -> str:
+    """Unrolled DuckDB CTE chain replaying bpe_train_batched: per round R,
+    pR = pair counts over w(R-1); cR = the top-batch_k candidates ranked
+    by (cnt DESC, l, r); kR = candidates sharing no symbol with ANY
+    higher-ranked candidate in the window (the non-recursive batch rule —
+    one window + NOT EXISTS, exactly the Spark loop's driver-side filter);
+    wR = kR's replaces applied in rank order. batch_k=1 degenerates to
+    sequential Sennrich training. Kept as a generator so the round/batch
+    shape stays pinned to the queries above."""
     pairs = (
         "SELECT u['l'] AS l, u['r'] AS r, CAST(sum(freq) AS BIGINT) AS cnt\n"
         "  FROM (SELECT unnest(list_transform(range(1, len(string_split(trim(s), ' '))),\n"
@@ -7532,46 +7556,72 @@ def _bpe_training_ctes(n_rounds: int) -> str:
         "  GROUP BY 1, 2"
     )
     parts = [
-        "words AS (\n"
+        "words AS MATERIALIZED (\n"
         "  SELECT w AS word, CAST(count(*) AS BIGINT) AS freq\n"
         "  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)\n"
         "  WHERE w <> '' GROUP BY w\n"
         "),\n"
-        "w0 AS (\n"
+        "w0 AS MATERIALIZED (\n"
         "  SELECT ' ' || array_to_string(list_transform(range(1, length(word)+1),\n"
         "         i -> substr(word, i, 1)), ' ') || ' ' AS s, freq\n"
         "  FROM words\n"
         ")"
     ]
     for r in range(1, n_rounds + 1):
-        parts.append(f"p{r} AS (\n  {pairs.format(src=f'w{r - 1}')}\n)")
+        parts.append(f"p{r} AS MATERIALIZED (\n  {pairs.format(src=f'w{r - 1}')}\n)")
         parts.append(
-            f"m{r} AS (SELECT l, r, cnt FROM p{r} ORDER BY cnt DESC, l, r LIMIT 1)"
+            f"c{r} AS MATERIALIZED (\n"
+            f"  SELECT l, r, cnt,\n"
+            f"         row_number() OVER (ORDER BY cnt DESC, l, r) AS rk\n"
+            f"  FROM p{r} QUALIFY rk <= {batch_k}\n)"
         )
         parts.append(
-            f"w{r} AS (\n"
-            f"  SELECT replace(s, ' ' || (SELECT l FROM m{r}) || ' ' ||"
-            f" (SELECT r FROM m{r}) || ' ',\n"
-            f"                    ' ' || (SELECT l FROM m{r}) ||"
-            f" (SELECT r FROM m{r}) || ' ') AS s, freq\n"
-            f"  FROM w{r - 1}\n)"
+            f"k{r} AS MATERIALIZED (\n"
+            f"  SELECT c.l, c.r, c.cnt,\n"
+            f"         row_number() OVER (ORDER BY c.rk) AS pos\n"
+            f"  FROM c{r} c\n"
+            f"  WHERE NOT EXISTS (SELECT 1 FROM c{r} h WHERE h.rk < c.rk\n"
+            f"        AND (h.l = c.l OR h.l = c.r OR h.r = c.l OR h.r = c.r))\n)"
+        )
+        parts.append(
+            f"w{r} AS MATERIALIZED (SELECT {_bpe_apply_round_sql(r, batch_k, 's')} AS s,"
+            f" freq FROM w{r - 1})"
         )
     return ",\n".join(parts)
 
 
-BPE_MERGES_SQL = f"""
-WITH {_bpe_training_ctes(4)}
-SELECT * FROM (
-  SELECT 1 AS merge_round, l AS left_sym, r AS right_sym, cnt AS pair_count FROM m1
-  UNION ALL SELECT 2, l, r, cnt FROM m2
-  UNION ALL SELECT 3, l, r, cnt FROM m3
-  UNION ALL SELECT 4, l, r, cnt FROM m4
+def _bpe_doc_replay_ctes(n_rounds: int, batch_k: int, carry: str) -> str:
+    """d1..dN CTEs replaying the learned batched merges over document
+    symbol strings (column s), carrying `carry` columns through."""
+    parts = []
+    for r in range(1, n_rounds + 1):
+        parts.append(
+            f"d{r} AS MATERIALIZED (SELECT {carry},"
+            f" {_bpe_apply_round_sql(r, batch_k, 's')} AS s FROM d{r - 1})"
+        )
+    return ",\n".join(parts)
+
+
+_BPE_ROUNDS, _BPE_BATCH_K = 3, 4
+
+_BPE_ALL_K = "\n  UNION ALL ".join(
+    [f"SELECT {r} AS rnd, pos, l, r, cnt FROM k{r}"
+     for r in range(1, _BPE_ROUNDS + 1)]
 )
+
+BPE_MERGES_SQL = f"""
+WITH {_bpe_training_ctes(_BPE_ROUNDS, _BPE_BATCH_K)},
+all_k AS (
+  {_BPE_ALL_K}
+)
+SELECT CAST(row_number() OVER (ORDER BY rnd, pos) AS INT) AS merge_round,
+       l AS left_sym, r AS right_sym, CAST(cnt AS BIGINT) AS pair_count
+FROM all_k
 """
 
 BPE_SEGMENT_SQL = f"""
-WITH {_bpe_training_ctes(4)},
-d0 AS (
+WITH {_bpe_training_ctes(_BPE_ROUNDS, _BPE_BATCH_K)},
+d0 AS MATERIALIZED (
   SELECT doc_id,
          ' ' || array_to_string(list_transform(
                   list_filter(string_split(text, ' '), x -> x <> ''),
@@ -7579,16 +7629,9 @@ d0 AS (
                        i -> substr(x, i, 1)), ' ')), '  ') || ' ' AS s
   FROM documents
 ),
-d1 AS (SELECT doc_id, replace(s, ' ' || (SELECT l FROM m1) || ' ' || (SELECT r FROM m1) || ' ',
-                                 ' ' || (SELECT l FROM m1) || (SELECT r FROM m1) || ' ') AS s FROM d0),
-d2 AS (SELECT doc_id, replace(s, ' ' || (SELECT l FROM m2) || ' ' || (SELECT r FROM m2) || ' ',
-                                 ' ' || (SELECT l FROM m2) || (SELECT r FROM m2) || ' ') AS s FROM d1),
-d3 AS (SELECT doc_id, replace(s, ' ' || (SELECT l FROM m3) || ' ' || (SELECT r FROM m3) || ' ',
-                                 ' ' || (SELECT l FROM m3) || (SELECT r FROM m3) || ' ') AS s FROM d2),
-d4 AS (SELECT doc_id, replace(s, ' ' || (SELECT l FROM m4) || ' ' || (SELECT r FROM m4) || ' ',
-                                 ' ' || (SELECT l FROM m4) || (SELECT r FROM m4) || ' ') AS s FROM d3)
+{_bpe_doc_replay_ctes(_BPE_ROUNDS, _BPE_BATCH_K, "doc_id")}
 SELECT doc_id, CAST(len(string_split_regex(trim(s), ' +')) AS BIGINT) AS n_tokens_bpe
-FROM d4
+FROM d{_BPE_ROUNDS}
 """
 
 
@@ -7600,10 +7643,10 @@ def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the gated bpe_train/bpe_segment path plus one source-keyed agg;
     fertility is an exact integer quotient so the oracle replays the
     whole chain bit-for-bit."""
-    from .operators.bpe import bpe_segment, bpe_train, word_freqs
+    from .operators.bpe import bpe_segment, bpe_train_batched, word_freqs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    merges, _ = bpe_train(word_freqs(docs), n_merges=4)
+    merges, _ = bpe_train_batched(word_freqs(docs), n_rounds=3, batch_k=4)
     seg = bpe_segment(docs, merges)
     words = F.size(
         F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
@@ -7629,8 +7672,8 @@ def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BPE_FERTILITY_SQL = f"""
-WITH {_bpe_training_ctes(4)},
-d0 AS (
+WITH {_bpe_training_ctes(_BPE_ROUNDS, _BPE_BATCH_K)},
+d0 AS MATERIALIZED (
   SELECT source, doc_id,
          CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
               AS BIGINT) AS n_words,
@@ -7640,18 +7683,12 @@ d0 AS (
                        i -> substr(x, i, 1)), ' ')), '  ') || ' ' AS s
   FROM documents
 ),
-d1 AS (SELECT source, doc_id, n_words, replace(s, ' ' || (SELECT l FROM m1) || ' ' || (SELECT r FROM m1) || ' ',
-                                 ' ' || (SELECT l FROM m1) || (SELECT r FROM m1) || ' ') AS s FROM d0),
-d2 AS (SELECT source, doc_id, n_words, replace(s, ' ' || (SELECT l FROM m2) || ' ' || (SELECT r FROM m2) || ' ',
-                                 ' ' || (SELECT l FROM m2) || (SELECT r FROM m2) || ' ') AS s FROM d1),
-d3 AS (SELECT source, doc_id, n_words, replace(s, ' ' || (SELECT l FROM m3) || ' ' || (SELECT r FROM m3) || ' ',
-                                 ' ' || (SELECT l FROM m3) || (SELECT r FROM m3) || ' ') AS s FROM d2),
-d4 AS (SELECT source, doc_id, n_words, replace(s, ' ' || (SELECT l FROM m4) || ' ' || (SELECT r FROM m4) || ' ',
-                                 ' ' || (SELECT l FROM m4) || (SELECT r FROM m4) || ' ') AS s FROM d3),
+{_bpe_doc_replay_ctes(_BPE_ROUNDS, _BPE_BATCH_K, "source, doc_id, n_words")}
+,
 seg AS (
   SELECT source, doc_id, n_words,
          CAST(len(string_split_regex(trim(s), ' +')) AS BIGINT) AS n_tokens_bpe
-  FROM d4
+  FROM d{_BPE_ROUNDS}
 )
 SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n_words) AS BIGINT) AS n_words,

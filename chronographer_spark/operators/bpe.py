@@ -47,7 +47,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["word_freqs", "bpe_train", "bpe_segment"]
+__all__ = ["word_freqs", "bpe_train", "bpe_train_batched", "bpe_segment"]
 
 # ' h e l l o ' — single-space-joined characters with sentinel spaces.
 _SYM_STR = (
@@ -74,18 +74,45 @@ def word_freqs(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def bpe_train(
+def bpe_train_batched(
     words: DataFrame,
-    n_merges: int,
+    n_rounds: int,
+    batch_k: int,
     word_col: str = "word",
     freq_col: str = "freq",
+    target_merges: int | None = None,
+    stats_out: dict | None = None,
 ) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
-    """Learn `n_merges` BPE merge rules from a (word, freq) table.
+    """Learn BPE merges in BATCHED rounds: exactly ``n_rounds`` driver
+    rounds, each keeping up to ``batch_k`` pairwise-symbol-disjoint merges
+    — the fix for sequential BPE's one-driver-round-per-merge latency wall
+    (a 32k-merge production vocabulary means 32k synchronized rounds no
+    cluster size can hide; batching divides the round count by the
+    per-round yield).
 
-    Returns (merges, merges_df) where merges is the driver-side list of
-    (merge_round, left_sym, right_sym, pair_count) — needed as literals by
-    `bpe_segment` — and merges_df is the same as a DataFrame. Stops early
-    if no adjacent pair remains (every word fully merged).
+    Batch rule, chosen to be NON-RECURSIVE so the DuckDB oracle replays it
+    with one window + NOT EXISTS: rank the round's pair counts by
+    (count DESC, left, right); a candidate in the top-``batch_k`` window is
+    KEPT iff it shares no symbol (left or right) with ANY higher-ranked
+    candidate in the window — kept or not. (Greedy-vs-kept-only would keep
+    slightly more per round but is a sequential recurrence; the
+    conservative rule loses a little yield for exact cross-engine replay.)
+    Kept merges have pairwise-disjoint symbol sets, so their patterns
+    cannot create or consume each other's match sites; they are applied in
+    rank order inside ONE projection with ONE lineage checkpoint per
+    round. Recorded pair_count is the count measured at the START of the
+    round (the batched-BPE spec — the 2nd+ merge of a batch reports its
+    pre-batch count); ``batch_k=1`` degenerates to exact sequential
+    Sennrich training. merge_round numbers merges cumulatively across
+    rounds in application order, so `bpe_segment` replays them unchanged.
+
+    ``target_merges`` (bench/ad-hoc use, not oracle-replayed): stop as
+    soon as the cumulative merge count reaches it, truncating the last
+    batch — round count then adapts to per-round yield instead of being
+    fixed. Stops early in all modes when no adjacent pair remains.
+
+    Returns (merges, merges_df) with merges the driver-side list of
+    (merge_round, left_sym, right_sym, pair_count).
     """
     spark = words.sparkSession
     w = words.select(
@@ -93,33 +120,69 @@ def bpe_train(
         F.col(freq_col).cast("long").alias("freq"),
     ).localCheckpoint(eager=True)
     merges: list[tuple[int, str, str, int]] = []
-    for rnd in range(1, n_merges + 1):
-        top = (
+    rounds_used = 0
+    for _ in range(n_rounds):
+        rounds_used += 1
+        cand = (
             w.select(F.split(F.trim(F.col("s")), " ").alias("a"), "freq")
             .select(F.explode(F.expr(_PAIRS)).alias("p"), "freq")
             .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
             .agg(F.sum("freq").alias("cnt"))
             .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
-            .limit(1)
+            .limit(batch_k)
             .collect()
         )
-        if not top:
+        if not cand:
             break
-        left, right, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
-        merges.append((rnd, left, right, cnt))
-        w = w.select(
-            F.replace(
-                F.col("s"),
-                F.lit(f" {left} {right} "),
-                F.lit(f" {left}{right} "),
-            ).alias("s"),
-            "freq",
-        ).localCheckpoint(eager=True)
+        kept: list[tuple[str, str, int]] = []
+        for i, row in enumerate(cand):
+            syms = {row["l"], row["r"]}
+            if all(
+                syms.isdisjoint({h["l"], h["r"]}) for h in cand[:i]
+            ):
+                kept.append((row["l"], row["r"], int(row["cnt"])))
+        if target_merges is not None:
+            kept = kept[: target_merges - len(merges)]
+        col = F.col("s")
+        for left, right, cnt in kept:
+            merges.append((len(merges) + 1, left, right, cnt))
+            col = F.replace(
+                col, F.lit(f" {left} {right} "), F.lit(f" {left}{right} ")
+            )
+        w = w.select(col.alias("s"), "freq").localCheckpoint(eager=True)
+        if target_merges is not None and len(merges) >= target_merges:
+            break
+    if stats_out is not None:
+        stats_out["rounds"] = rounds_used
+        stats_out["merges"] = len(merges)
     merges_df = spark.createDataFrame(
         merges,
         "merge_round INT, left_sym STRING, right_sym STRING, pair_count BIGINT",
     )
     return merges, merges_df
+
+
+def bpe_train(
+    words: DataFrame,
+    n_merges: int,
+    word_col: str = "word",
+    freq_col: str = "freq",
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Learn `n_merges` BPE merge rules from a (word, freq) table —
+    classic SEQUENTIAL training (one argmax merge per round), i.e.
+    `bpe_train_batched` with batch_k=1: the top-1 candidate is always
+    kept (no higher-ranked candidate exists), so the batched loop
+    reproduces Sennrich's semantics bit-for-bit.
+
+    Returns (merges, merges_df) where merges is the driver-side list of
+    (merge_round, left_sym, right_sym, pair_count) — needed as literals by
+    `bpe_segment` — and merges_df is the same as a DataFrame. Stops early
+    if no adjacent pair remains (every word fully merged).
+    """
+    return bpe_train_batched(
+        words, n_rounds=n_merges, batch_k=1,
+        word_col=word_col, freq_col=freq_col,
+    )
 
 
 def bpe_segment(

@@ -1843,13 +1843,75 @@ def test_bpe_train_matches_python_model(spark):
         assert seg[doc_id] == len(re.split(" +", s.strip())), doc_id
 
 
+def _bpe_batched_python_model(word_freq, n_rounds, batch_k):
+    """Driver-side replay of bpe_train_batched: per round, rank pairs by
+    (count DESC, left, right), keep top-batch_k candidates symbol-disjoint
+    from every HIGHER-RANKED candidate in the window (kept or not), apply
+    in rank order with the shared left-to-right replace()."""
+    strs = {w: " " + " ".join(w) + " " for w in word_freq}
+    merges = []
+    for _ in range(n_rounds):
+        cnt = {}
+        for w, s in strs.items():
+            a = s.strip().split(" ")
+            for i in range(len(a) - 1):
+                cnt[(a[i], a[i + 1])] = (
+                    cnt.get((a[i], a[i + 1]), 0) + word_freq[w]
+                )
+        if not cnt:
+            break
+        cand = sorted(
+            cnt.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )[:batch_k]
+        for i, ((l, r), c) in enumerate(cand):
+            if all(
+                {l, r}.isdisjoint({hl, hr}) for (hl, hr), _ in cand[:i]
+            ):
+                merges.append((len(merges) + 1, l, r, c))
+                strs = {
+                    w: s.replace(f" {l} {r} ", f" {l}{r} ")
+                    for w, s in strs.items()
+                }
+    return merges
+
+
+def test_bpe_train_batched_matches_python_model(spark):
+    """bpe_train_batched vs the driver-side batched model on a corpus
+    engineered to force conflicts in the candidate window (shared
+    symbols among top pairs), plus batch_k=1 == sequential bpe_train
+    exactly (the degenerate case)."""
+    from chronographer_spark.operators.bpe import (
+        bpe_train, bpe_train_batched, word_freqs,
+    )
+
+    rows = [
+        (1, "abab abab abc bcd bcd cde abab"),
+        (2, "ab bc cd de ab bc abab cde"),
+        (3, "xyz xyz xy yz zz xyz"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    wf = {
+        r["word"]: r["freq"] for r in word_freqs(docs).collect()
+    }
+
+    merges, _ = bpe_train_batched(word_freqs(docs), n_rounds=3, batch_k=4)
+    model = _bpe_batched_python_model(wf, n_rounds=3, batch_k=4)
+    assert [tuple(m) for m in merges] == model
+    # at least one round must have kept >1 merge or the fixture is weak
+    assert len(merges) > 3
+
+    seq, _ = bpe_train(word_freqs(docs), n_merges=5)
+    b1, _ = bpe_train_batched(word_freqs(docs), n_rounds=5, batch_k=1)
+    assert [tuple(m) for m in seq] == [tuple(m) for m in b1]
+
+
 def test_bpe_unicode_cross_engine(spark):
     """substr/char_length vs DuckDB substr/length on multibyte text: the
     BPE oracle must pick the same merges on accents + CJK."""
     import duckdb
 
     from chronographer_spark import entry_queries as eq
-    from chronographer_spark.operators.bpe import bpe_train, word_freqs
+    from chronographer_spark.operators.bpe import bpe_train_batched, word_freqs
 
     rows = [(1, "héllo héllo héllé 日本語 日本 語語"), (2, "héllo 日本語 ü ü üü")]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
@@ -1860,7 +1922,9 @@ def test_bpe_unicode_cross_engine(spark):
         + ") t(doc_id, text)"
     )
     exp = con.sql(eq.BPE_MERGES_SQL).df()
-    merges, _ = bpe_train(word_freqs(docs), n_merges=4)
+    merges, _ = bpe_train_batched(
+        word_freqs(docs), n_rounds=eq._BPE_ROUNDS, batch_k=eq._BPE_BATCH_K
+    )
     got = [(m[0], m[1], m[2], m[3]) for m in merges]
     expected = [
         (int(r.merge_round), r.left_sym, r.right_sym, int(r.pair_count))
