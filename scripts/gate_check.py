@@ -2,9 +2,16 @@
 """Ad-hoc replica of the driver's correctness gate for a subset of queries.
 
 Usage: python scripts/gate_check.py <sf_dir> [query ...]
+       python scripts/gate_check.py --smoke [N] [sf_dir]   # per-commit gate
 Runs each named query (default: all) on Spark and its oracle on DuckDB over
 the same parquet tables, compares rows/columns/values, prints one line per
 query. Mirrors tests/test_oracle_queries.py's normalization.
+
+--smoke runs a deterministic N-query sample (default 30) seeded by the
+current commit hash — the pre-commit mini-gate: each commit exercises a
+different registry slice, so queries outside the driver's 50-row rotation
+can't rot between full sweeps. Run it before committing registry or
+operator changes; a full sweep (no --smoke) closes each session.
 """
 
 from __future__ import annotations
@@ -35,12 +42,50 @@ def _norm(pdf: pd.DataFrame) -> pd.DataFrame:
     return pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
 
 
+def _smoke_sample(all_names: list[str], n: int) -> list[str]:
+    """Deterministic per-commit sample: seed = current HEAD hash, so every
+    commit exercises a DIFFERENT 30-query slice of the registry and the
+    258 queries outside the driver's 50-row rotation can't rot silently
+    between full sweeps. Falls back to seed 0 outside a git checkout."""
+    import hashlib
+    import subprocess
+
+    try:
+        head = subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            capture_output=True, text=True, check=True,
+            cwd=__file__.rsplit("/", 2)[0],
+        ).stdout.strip()
+    except Exception:  # noqa: BLE001
+        head = "0"
+    ranked = sorted(
+        all_names,
+        key=lambda q: hashlib.md5(f"{head}:{q}".encode()).hexdigest(),
+    )
+    return sorted(ranked[:n])
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    argv = sys.argv[1:]
+    smoke = 0
+    if "--smoke" in argv:
+        i = argv.index("--smoke")
+        # optional count after the flag, default 30
+        if i + 1 < len(argv) and argv[i + 1].isdigit():
+            smoke = int(argv[i + 1])
+            del argv[i : i + 2]
+        else:
+            smoke = 30
+            del argv[i]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     from chronographer_spark import entry_queries
     from chronographer_spark.session import get_spark
 
-    names = sys.argv[2:] or sorted(entry_queries.QUERIES)
+    names = argv[1:] or sorted(entry_queries.QUERIES)
+    if smoke and len(argv) <= 1:
+        names = _smoke_sample(names, smoke)
+        print(f"smoke sample ({len(names)} of "
+              f"{len(entry_queries.QUERIES)}): {' '.join(names)}")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
