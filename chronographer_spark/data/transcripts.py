@@ -174,3 +174,49 @@ def transcripts_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts"),
         )
     )
+
+
+def transcripts_from_events_longkey(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """`transcripts_from_events` with conv_id kept as the raw BIGINT
+    user_id — the binary-id hot path (measured r4, scripts/bench_binids.py):
+    the ordering window already partitions on user_id, so every downstream
+    conv-keyed window/dedup reuses that ONE hashpartitioning instead of
+    re-exchanging on a derived string, and exchange rows carry an 8-byte
+    long instead of a 10-char string. Pair with
+    materialize_event_graph(conv_expr=conv_string_expr()) so emitted URIs
+    are bit-identical to the string-keyed derivation."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .select(
+            F.col("user_id").alias("conv_id"),  # BIGINT through the plan
+            (F.col("rn") - F.lit(1)).cast("int").alias("turn_idx"),
+            F.element_at(
+                F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")),
+                (F.col("rn") - 1) % 3 + 1,
+            ).alias("role"),
+            F.concat(
+                F.lit("event "),
+                F.col("event_type"),
+                F.lit(" with value "),
+                F.floor(F.col("value")).cast("long").cast("string"),
+                F.lit(" recorded on "),
+                F.date_format("ts", "yyyy-MM-dd"),
+            ).alias("text"),
+            F.when((F.col("rn") - 1) % 3 == 2, F.col("event_type"))
+            .otherwise(F.lit(""))
+            .alias("tool"),
+            F.col("ts"),
+        )
+    )
+
+
+def conv_string_expr(col: str = "conv_id"):
+    """The long->string conversation-id expansion ('conv%06d'), applied
+    only in post-shuffle projections."""
+    return F.concat(
+        F.lit("conv"), F.lpad(F.col(col).cast("string"), 6, "0")
+    )

@@ -59,10 +59,16 @@ RDF_TYPE = "rdf:type"
 
 
 def q_flagship_event_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .data.transcripts import conv_string_expr, transcripts_from_events_longkey
     from .graph.materialize import build_event_graph
 
-    tx = transcripts_from_events(spark, sf_dir)
-    return build_event_graph(tx)
+    # binary-id hot path (r4): conv key stays a BIGINT through every
+    # exchange/window; the 'conv%06d' string appears only in post-shuffle
+    # URI projections. Output bit-identical to the string-keyed path
+    # (scripts/bench_binids.py check), +6% at 32 cores and one fewer
+    # exchange (the user_id ordering partitioning is reused).
+    tx = transcripts_from_events_longkey(spark, sf_dir)
+    return build_event_graph(tx, conv_expr=conv_string_expr())
 
 
 FLAGSHIP_SQL = f"""

@@ -28,6 +28,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
 
 from ..schemas import MENTION_SCHEMA
 from ..vocab import PERSONS, PLACES
@@ -115,7 +116,18 @@ def extract_mentions(
         extractor = gen
 
     cols = ["conv_id", "turn_idx", "role", "text", "tool"]
-    out = transcripts.select(*cols).mapInPandas(extractor, schema=MENTION_SCHEMA)
+    # schema adapts to the conv key dtype: the long-key flagship path
+    # (transcripts_from_events_longkey) carries conv_id as BIGINT through
+    # every exchange; the extractor copies values, so dtype passes through
+    schema = MENTION_SCHEMA
+    if not isinstance(
+        transcripts.schema["conv_id"].dataType, StringType
+    ):
+        schema = StructType(
+            [StructField("conv_id", transcripts.schema["conv_id"].dataType, False)]
+            + [f for f in MENTION_SCHEMA.fields[1:]]
+        )
+    out = transcripts.select(*cols).mapInPandas(extractor, schema=schema)
     if not carry_text:
         out = out.drop("text")
     return out.dropDuplicates(["conv_id", "turn_idx", "mention", "dimension"])

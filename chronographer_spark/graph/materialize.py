@@ -61,7 +61,10 @@ def ent_uri(col):
 
 
 def build_event_graph(
-    transcripts: DataFrame, persist: bool = False, extractor=None
+    transcripts: DataFrame,
+    persist: bool = False,
+    extractor=None,
+    conv_expr=None,
 ) -> DataFrame:
     """Full pipeline: extraction (slim) -> materialization.
 
@@ -80,11 +83,14 @@ def build_event_graph(
     mentions = extract_mentions(transcripts, carry_text=False, extractor=extractor)
     if persist:
         mentions = mentions.persist()
-    return materialize_event_graph(transcripts, mentions)
+    return materialize_event_graph(transcripts, mentions, conv_expr=conv_expr)
 
 
 def materialize_event_graph(
-    transcripts: DataFrame, mentions: DataFrame, dedup_output: bool = False
+    transcripts: DataFrame,
+    mentions: DataFrame,
+    dedup_output: bool = False,
+    conv_expr=None,
 ) -> DataFrame:
     """(transcripts, mentions) -> SEM triples DataFrame (subject, predicate, object).
 
@@ -107,7 +113,19 @@ def materialize_event_graph(
       (src/interface.py:171) would shuffle the full output for nothing.
       Pass dedup_output=True when feeding externally-constructed mentions
       whose disjointness is not guaranteed.
+
+    ``conv_expr`` (binary-id hot path, measured r4): a Column producing
+    the conversation-id STRING from the `conv_id` column, for transcripts
+    that carry conv_id as a BIGINT surrogate through the exchanges (see
+    data/transcripts.py transcripts_from_events_longkey). With a long key
+    the ordering window (user_id) and the dedup/lead windows share ONE
+    hashpartitioning — Catalyst can't reuse hashpartitioning(user_id) for
+    a derived STRING key even when the mapping is 1:1 — and exchange rows
+    shrink; strings are built only here, in post-shuffle projections
+    (+6% flagship at 32 cores, scripts/bench_binids.py). Default keeps
+    the plain string-keyed behavior.
     """
+    conv_s = conv_expr if conv_expr is not None else F.col("conv_id")
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
     # dedup duplicate turn rows inside the same conv_id exchange the lead()
     # needs anyway: keep the first row per (conv_id, turn_idx)
@@ -117,11 +135,14 @@ def materialize_event_graph(
         .filter(F.col("__prev").isNull() | (F.col("__prev") != F.col("turn_idx")))
         .drop("__prev")
     )
-    ev = event_uri_col()
-    conv = conv_uri_col()
+    ev = F.concat(
+        F.lit(NS_NG + "event/"), conv_s, F.lit("/"),
+        F.col("turn_idx").cast("string"),
+    )
+    conv = F.concat(F.lit(NS_NG + "conversation/"), conv_s)
     next_ev = F.concat(
         F.lit(NS_NG + "event/"),
-        F.col("conv_id"),
+        conv_s,
         F.lit("/"),
         F.col("next_turn").cast("string"),
     )
@@ -154,7 +175,7 @@ def materialize_event_graph(
     # from extract_mentions; min/max below are duplicate-insensitive anyway)
     m = mentions.select("conv_id", "turn_idx", "mention", "dimension")
     non_date = m.filter(F.col("dimension").isin("who", "where", "tool")).select(
-        event_uri_col().alias("subject"),
+        ev.alias("subject"),
         F.when(F.col("dimension") == "who", F.lit(NF_TO_PRED["who"]))
         .when(F.col("dimension") == "where", F.lit(NF_TO_PRED["where"]))
         .otherwise(F.lit(USED_TOOL))
@@ -176,7 +197,7 @@ def materialize_event_graph(
         .withColumn("end", F.coalesce("end", "begin"))
     )
     date_triples = dates.select(
-        event_uri_col().alias("subject"),
+        ev.alias("subject"),
         F.explode(
             F.array(
                 F.struct(

@@ -253,6 +253,35 @@ def main() -> None:
                           "walls": walls, "min": min(walls)}), flush=True)
         return
 
+    if mode == "prep":
+        # replicate events 10x (disjoint users) so the measured job is big
+        # enough to exercise the exchange bandwidth, not fixed overheads
+        repl = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+        from pyspark.sql import functions as F
+
+        from chronographer_spark.session import get_spark
+
+        spark = get_spark(app_name="binid-prep", master="local[16]",
+                          shuffle_partitions=32)
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        hi = ev.agg(F.max("user_id")).first()[0] + 1
+        (
+            ev.withColumn(
+                "rep", F.explode(F.sequence(F.lit(0), F.lit(repl - 1)))
+            )
+            .withColumn("user_id", F.col("user_id") + F.col("rep") * hi)
+            .withColumn(
+                "event_id",
+                F.col("event_id") + F.col("rep") * F.lit(10**12),
+            )
+            .drop("rep")
+            .repartition(64)
+            .write.mode("overwrite")
+            .parquet("/tmp/binid_fixture/events.parquet")
+        )
+        print("prepped /tmp/binid_fixture")
+        return
+
     # all: fresh JVM per cell
     results = {}
     for cores in (8, 32):
