@@ -16992,6 +16992,112 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: operator-variant equivalences proven THROUGH the gate (r4): the same
+# oracle SQL validates two independent distributed implementations, so the
+# gate itself certifies strategy/contract equivalence at sf0.01 — the
+# in-repo analog of the soak_skew.py findings.
+# ---------------------------------------------------------------------------
+
+
+def q_cc_canonical_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cc_canonical's chain fixture under the OTHER strategy (agg + AQE,
+    no precontraction) — the hub-safe default for unknown degree
+    distributions (soak_skew.py: agg holds to 1e5-degree hubs). Same
+    oracle as cc_canonical: the gate certifies both strategies emit
+    identical components."""
+    from .linking.canonicalize import connected_components
+
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+    edges = (
+        cust.withColumn("nxt", F.lead("c_custkey").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select(F.col("c_custkey").alias("src"), F.col("nxt").alias("dst"))
+    )
+    singletons = cust.select(F.col("c_custkey").alias("node"))
+    cc = connected_components(
+        edges, all_nodes=singletons, strategy="agg", precontract=False
+    )
+    return cc.select("node", "component").withColumnRenamed(
+        "component", "canonical"
+    )
+
+
+def q_scc_nations_direct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """scc_nations WITHOUT mutual-1-cycle precontraction (the raw
+    FW-BW-Trim loop) — same oracle: the gate certifies the r4
+    precontraction preserves SCC labels exactly."""
+    from .operators.graph_algos import strongly_connected_components
+
+    flows = _nation_flows(spark, sf_dir)
+    mx = flows.agg(F.max("n_flows").alias("m"))
+    edges = (
+        flows.crossJoin(F.broadcast(mx))
+        .filter(F.col("n_flows") * 2 >= F.col("m"))
+        .select("src", "dst")
+    )
+    return strongly_connected_components(edges, precontract=False).select(
+        "node", "scc"
+    )
+
+
+def q_salted_count_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key counting through the explicit two-level salted aggregation
+    (operators/skew.py salted_count) — the extreme-hub fallback when
+    map-side combine is defeated by pre-partitioning. The oracle is the
+    PLAIN count: salting must never change results (soak_skew.py measured
+    it cost-neutral; this row certifies it value-neutral)."""
+    from .operators.skew import salted_count
+
+    ev = _t(spark, sf_dir, "events")
+    return salted_count(ev, ["event_type"], salt_buckets=16).select(
+        "event_type", F.col("count").cast("long").alias("n_events")
+    )
+
+
+SALTED_COUNT_TYPES_SQL = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1
+"""
+
+
+def q_salted_join_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonicalization-style fact-to-dim join through skew.py
+    salted_join (small side replicated S ways, big side scattered across
+    salt buckets): per-nation order count + exact integer-cents revenue.
+    Oracle = the plain equi-join — salting is a pure physical rewrite."""
+    from .operators.skew import salted_join
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_nationkey"
+    )
+    return (
+        salted_join(orders, cust, "custkey", salt_buckets=8)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+    )
+
+
+SALTED_JOIN_NATION_SQL = """
+SELECT c_nationkey,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -17046,6 +17152,7 @@ QUERIES = {
     "vocab_mentions": q_vocab_mentions,
     "cosine_topk": q_cosine_topk,
     "cc_canonical": q_cc_canonical,
+    "cc_canonical_agg": q_cc_canonical_agg,
     "asof_join_latest": q_asof_join_latest,
     "interval_join_pairs": q_interval_join_pairs,
     "sessionize_events": q_sessionize_events,
@@ -17173,6 +17280,9 @@ QUERIES = {
     "curation_pipeline": q_curation_pipeline,
     "sql_revenue_by_nation": q_sql_revenue_by_nation,
     "scc_nations": q_scc_nations,
+    "scc_nations_direct": q_scc_nations_direct,
+    "salted_count_types": q_salted_count_types,
+    "salted_join_nation": q_salted_join_nation,
     "sssp_nations": q_sssp_nations,
     "truth_discovery": q_truth_discovery,
     "fd_profile": q_fd_profile,
@@ -17397,6 +17507,9 @@ ORACLE_SQL = {
     "skyline_docs": SKYLINE_DOCS_SQL,
     "snm_pairs": SNM_PAIRS_SQL,
     "scc_nations": SCC_NATIONS_SQL,
+    "scc_nations_direct": SCC_NATIONS_SQL,
+    "salted_count_types": SALTED_COUNT_TYPES_SQL,
+    "salted_join_nation": SALTED_JOIN_NATION_SQL,
     "sssp_nations": SSSP_NATIONS_SQL,
     "lsh_topk_portable": LSH_TOPK_SQL,
     "multimodal_features": MULTIMODAL_FEATURES_SQL,
@@ -17451,6 +17564,7 @@ ORACLE_SQL = {
     "vocab_mentions": VOCAB_MENTIONS_SQL,
     "cosine_topk": COSINE_TOPK_SQL,
     "cc_canonical": CC_SQL,
+    "cc_canonical_agg": CC_SQL,
     "asof_join_latest": ASOF_SQL,
     "interval_join_pairs": INTERVAL_SQL,
     "sessionize_events": SESSIONIZE_SQL,
