@@ -16993,6 +16993,125 @@ FROM agg
 
 
 # ---------------------------------------------------------------------------
+# Q: characteristic sets (Neumann & Moerkotte) — structure synopsis +
+# star-join cardinality estimation (operators/cardinality.py)
+# ---------------------------------------------------------------------------
+
+
+def _user_type_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """high-value events as a (subject=user, predicate=event_type) triple
+    view — the entity-shape table characteristic sets summarize. The
+    value >= 90 restriction makes shapes DIFFER across users (15 distinct
+    sets at sf0.01; unfiltered, every user carries all 5 types and the
+    synopsis degenerates to one row)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value") >= 90)
+        .select(
+            F.col("user_id").cast("string").alias("subject"),
+            F.col("event_type").alias("predicate"),
+        )
+    )
+
+
+def q_char_sets_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Characteristic sets of the user/event-type shape table: one row per
+    distinct predicate SET with subject and triple counts — the exact
+    structure synopsis an RDF optimizer prices star joins from, and a
+    schema-discovery readout (which entity shapes exist) the reference
+    cannot produce. Two combinable aggs, no joins."""
+    from .operators.cardinality import characteristic_sets
+
+    return characteristic_sets(_user_type_triples(spark, sf_dir))
+
+
+CHAR_SETS_USERS_SQL = """
+WITH per AS (
+  SELECT CAST(user_id AS VARCHAR) AS s, event_type AS p, count(*) AS n
+  FROM events WHERE value >= 90 GROUP BY 1, 2
+),
+cs AS (
+  SELECT s, array_to_string(list_sort(list(p)), '|') AS cs_key,
+         CAST(sum(n) AS BIGINT) AS nt
+  FROM per GROUP BY s
+)
+SELECT cs_key, CAST(count(*) AS BIGINT) AS n_subjects,
+       CAST(sum(nt) AS BIGINT) AS n_triples
+FROM cs GROUP BY 1
+"""
+
+
+def q_char_sets_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Characteristic sets over the FLAGSHIP EVENT GRAPH itself: event
+    nodes split into shapes by which optional predicates they carry
+    (usedTool on tool turns, timestamps on date-mentioning turns,
+    nextEvent absent on last turns), conversation nodes into their own
+    set — the per-shape census of the KG this engine emits. Oracle
+    recomputes the graph via FLAGSHIP_SQL and collapses it identically."""
+    from .data.transcripts import conv_string_expr, transcripts_from_events_longkey
+    from .graph.materialize import build_event_graph
+    from .operators.cardinality import characteristic_sets
+
+    g = build_event_graph(
+        transcripts_from_events_longkey(spark, sf_dir),
+        conv_expr=conv_string_expr(),
+    )
+    return characteristic_sets(g)
+
+
+CHAR_SETS_GRAPH_SQL = f"""
+WITH per AS (
+  SELECT subject AS s, predicate AS p, count(*) AS n
+  FROM ({FLAGSHIP_SQL}) g GROUP BY 1, 2
+),
+cs AS (
+  SELECT s, array_to_string(list_sort(list(p)), '|') AS cs_key,
+         CAST(sum(n) AS BIGINT) AS nt
+  FROM per GROUP BY s
+)
+SELECT cs_key, CAST(count(*) AS BIGINT) AS n_subjects,
+       CAST(sum(nt) AS BIGINT) AS n_triples
+FROM cs GROUP BY 1
+"""
+
+
+def q_star_card_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-join pricing from characteristic sets: estimate
+    |?s click ?o1 . ?s view ?o2| via the per-set multiplicity formula
+    (exact integer quotients: Σ_S t1·t2 DIV n_subjects) next to the true
+    cardinality (Σ_s n1·n2) — the estimator-accuracy readout; the gap is
+    exactly the within-set non-uniformity the paper's assumption names."""
+    from .operators.cardinality import star_cardinality_estimate
+
+    return star_cardinality_estimate(
+        _user_type_triples(spark, sf_dir), ["click", "view"]
+    )
+
+
+STAR_CARD_ESTIMATE_SQL = """
+WITH per AS (
+  SELECT CAST(user_id AS VARCHAR) AS s, event_type AS p, count(*) AS n
+  FROM events WHERE value >= 90 GROUP BY 1, 2
+),
+wide AS (
+  SELECT s,
+         CAST(sum(CASE WHEN p = 'click' THEN n ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN p = 'view' THEN n ELSE 0 END) AS BIGINT) AS n2,
+         array_to_string(list_sort(list(p)), '|') AS cs_key
+  FROM per GROUP BY s
+),
+both_t AS (SELECT * FROM wide WHERE n1 > 0 AND n2 > 0),
+sets AS (
+  SELECT cs_key, CAST(count(*) AS BIGINT) AS ns,
+         CAST(sum(n1) AS BIGINT) AS t1, CAST(sum(n2) AS BIGINT) AS t2
+  FROM both_t GROUP BY 1
+)
+SELECT (SELECT CAST(sum(t1 * t2 // ns) AS BIGINT) FROM sets) AS est_rows,
+       (SELECT CAST(sum(n1 * n2) AS BIGINT) FROM both_t) AS true_rows
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: operator-variant equivalences proven THROUGH the gate (r4): the same
 # oracle SQL validates two independent distributed implementations, so the
 # gate itself certifies strategy/contract equivalence at sf0.01 — the
@@ -17283,6 +17402,9 @@ QUERIES = {
     "scc_nations_direct": q_scc_nations_direct,
     "salted_count_types": q_salted_count_types,
     "salted_join_nation": q_salted_join_nation,
+    "char_sets_users": q_char_sets_users,
+    "char_sets_graph": q_char_sets_graph,
+    "star_card_estimate": q_star_card_estimate,
     "sssp_nations": q_sssp_nations,
     "truth_discovery": q_truth_discovery,
     "fd_profile": q_fd_profile,
@@ -17510,6 +17632,9 @@ ORACLE_SQL = {
     "scc_nations_direct": SCC_NATIONS_SQL,
     "salted_count_types": SALTED_COUNT_TYPES_SQL,
     "salted_join_nation": SALTED_JOIN_NATION_SQL,
+    "char_sets_users": CHAR_SETS_USERS_SQL,
+    "char_sets_graph": CHAR_SETS_GRAPH_SQL,
+    "star_card_estimate": STAR_CARD_ESTIMATE_SQL,
     "sssp_nations": SSSP_NATIONS_SQL,
     "lsh_topk_portable": LSH_TOPK_SQL,
     "multimodal_features": MULTIMODAL_FEATURES_SQL,

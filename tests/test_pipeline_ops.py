@@ -1905,6 +1905,44 @@ def test_bpe_train_batched_matches_python_model(spark):
     assert [tuple(m) for m in seq] == [tuple(m) for m in b1]
 
 
+def test_characteristic_sets_and_star_estimate(spark):
+    """Hand fixture: s1 has {p,q} with counts (2,3), s2 has {p,q} with
+    (1,1), s3 has {p} only. Sets: 'p|q' (2 subjects, 7 triples), 'p'
+    (1 subject, 1 triple). Star estimate for (p,q): set p|q contributes
+    t1*t2 DIV ns = 3*4 DIV 2 = 6; true = 2*3 + 1*1 = 7 — the gap is the
+    within-set non-uniformity. A uniform fixture reads est == true."""
+    from chronographer_spark.operators.cardinality import (
+        characteristic_sets,
+        star_cardinality_estimate,
+    )
+
+    rows = (
+        [("s1", "p")] * 2 + [("s1", "q")] * 3
+        + [("s2", "p"), ("s2", "q"), ("s3", "p")]
+    )
+    t = spark.createDataFrame(rows, "subject string, predicate string")
+    cs = {
+        r["cs_key"]: (r["n_subjects"], r["n_triples"])
+        for r in characteristic_sets(t).collect()
+    }
+    assert cs == {"p|q": (2, 7), "p": (1, 1)}
+
+    r = star_cardinality_estimate(t, ["p", "q"]).collect()[0]
+    assert (r["est_rows"], r["true_rows"]) == (6, 7)
+
+    uniform = spark.createDataFrame(
+        [("a", "p"), ("a", "q"), ("b", "p"), ("b", "q")],
+        "subject string, predicate string",
+    )
+    r2 = star_cardinality_estimate(uniform, ["p", "q"]).collect()[0]
+    assert r2["est_rows"] == r2["true_rows"] == 2
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        star_cardinality_estimate(t, ["p"])
+
+
 def test_bpe_unicode_cross_engine(spark):
     """substr/char_length vs DuckDB substr/length on multibyte text: the
     BPE oracle must pick the same merges on accents + CJK."""
