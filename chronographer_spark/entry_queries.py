@@ -17217,6 +17217,181 @@ GROUP BY 1
 """
 
 
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (hashed-unigram LLR, msb16-quantized) and
+# exact DAG path statistics (layered Kahn DP vs recursive path enumeration)
+# ---------------------------------------------------------------------------
+
+
+def _duck_msb16(e: str) -> str:
+    """DuckDB replay of operators/sampling._msb16_sql: 16*floor(log2 q) +
+    (q*16 >> floor(log2 q)) - 16 with the same >=1 / <=2^52 clamps."""
+    g = f"least(greatest({e}, CAST(1 AS BIGINT)), CAST(4503599627370496 AS BIGINT))"
+    lg = f"(length(bin({g})) - 1)"
+    return f"(16 * {lg} + ({g}) * 16 // (CAST(1 AS BIGINT) << {lg}) - 16)"
+
+
+def q_dsir_bucket_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Xie et al. 2023) hashed-unigram importance scores: per md5
+    bucket, add-1 smoothed target/raw count ratio, log2-quantized with the
+    exact-integer msb16 device (16 sub-octave steps) — the bucket model a
+    data-selection pass broadcasts. No float log anywhere; the oracle
+    replays bin()/shift/DIV bit-for-bit."""
+    from .operators.sampling import dsir_bucket_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_bucket_scores(docs, F.col("lang") == "en", n_buckets=256)
+
+
+def q_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR selection: score every NON-target (lang != en) document by the
+    sum of its tokens' bucket LLRs and keep the deterministic top-100 by
+    (weight desc, doc_id) — the top-k variant of DSIR's importance
+    resampling. Bucket table broadcast (<=256 rows), one map-side-combined
+    groupBy(doc), TakeOrderedAndProject: no corpus-wide sort or window."""
+    from .operators.sampling import dsir_select
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_select(docs, F.col("lang") == "en", k=100, n_buckets=256)
+
+
+_DSIR_COMMON_SQL = """
+toks AS (
+  SELECT doc_id, (lang = 'en') AS is_t,
+         unnest(string_split(
+           regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+  FROM documents
+),
+tok2 AS (
+  SELECT doc_id, is_t,
+         CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % 256 AS bucket
+  FROM toks WHERE tok <> ''
+),
+bkt AS (
+  SELECT bucket,
+         CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+         CAST(sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS cr
+  FROM tok2 GROUP BY bucket
+),
+tot AS (
+  SELECT CAST(sum(ct) AS BIGINT) AS t_tot, CAST(sum(cr) AS BIGINT) AS r_tot
+  FROM bkt
+),
+sc AS (
+  SELECT bucket, ct, cr,
+         CAST({qn_m16} - {qd_m16} AS BIGINT) AS s16
+  FROM bkt, tot
+)
+""".format(
+    qn_m16=_duck_msb16("(ct + 1) * CAST(1048576 AS BIGINT) // (cr + 1)"),
+    qd_m16=_duck_msb16(
+        "(t_tot + 256) * CAST(1048576 AS BIGINT) // (r_tot + 256)"
+    ),
+)
+
+DSIR_BUCKET_SQL = "WITH " + _DSIR_COMMON_SQL + """
+SELECT bucket, ct, cr, s16 FROM sc
+"""
+
+DSIR_TOPK_SQL = "WITH " + _DSIR_COMMON_SQL + """,
+wgt AS (
+  SELECT r.doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+         CAST(sum(s.s16) AS BIGINT) AS w_s16
+  FROM (SELECT doc_id, bucket FROM tok2 WHERE NOT is_t) r
+  JOIN sc s USING (bucket)
+  GROUP BY r.doc_id
+)
+SELECT doc_id, n_toks, w_s16,
+       CAST(row_number() OVER (ORDER BY w_s16 DESC, doc_id ASC) AS BIGINT)
+         AS rnk
+FROM wgt
+QUALIFY rnk <= 100
+"""
+
+
+def _divide_dag_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic divide-lattice DAG on custkeys: k -> k DIV 2 and
+    k -> k DIV 3 (when distinct and >= 1). Every path terminates at 1;
+    depth is log-bounded, path multiplicity grows polynomially — the
+    multiple-inheritance fixture for the DAG DP."""
+    nodes = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") >= 1)
+        .select(F.col("c_custkey").cast("long").alias("k"))
+    )
+    e2 = nodes.filter(F.col("k") >= 2).select(
+        F.col("k").alias("src"), F.expr("k DIV 2").alias("dst")
+    )
+    e3 = nodes.filter(
+        (F.col("k") >= 3) & (F.expr("k DIV 3") != F.expr("k DIV 2"))
+    ).select(F.col("k").alias("src"), F.expr("k DIV 3").alias("dst"))
+    return e2.unionByName(e3)
+
+
+def q_dag_path_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DAG path statistics (longest/shortest root distance + EXACT
+    distinct-path count) by layered Kahn DP — a node finalizes only when
+    all its out-neighbors are final, so n_paths is a true sum, never a
+    relaxation. The oracle enumerates every path with a recursive CTE and
+    aggregates — two entirely different algorithms, identical answers."""
+    from .operators.graph_algos import dag_path_stats
+
+    return dag_path_stats(_divide_dag_edges(spark, sf_dir), root=1)
+
+
+def q_dag_depth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topological layer census of the divide DAG: nodes and total path
+    multiplicity per longest-path layer (the layering a taxonomy uses to
+    order superclass-annotation rounds)."""
+    from .operators.graph_algos import dag_path_stats
+
+    st = dag_path_stats(_divide_dag_edges(spark, sf_dir), root=1)
+    return st.groupBy("d_long").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum("n_paths").cast("long").alias("sum_paths"),
+    )
+
+
+_DAG_WALK_SQL = """
+nodes AS (
+  SELECT CAST(c_custkey AS BIGINT) AS k FROM customer WHERE c_custkey >= 1
+),
+edges AS (
+  SELECT k AS src, k // 2 AS dst FROM nodes WHERE k >= 2
+  UNION ALL
+  SELECT k AS src, k // 3 AS dst FROM nodes WHERE k >= 3 AND k // 3 <> k // 2
+),
+walk AS (
+  SELECT k AS start, k AS cur, 0 AS steps FROM nodes
+  UNION ALL
+  SELECT w.start, e.dst, w.steps + 1
+  FROM walk w JOIN edges e ON e.src = w.cur
+),
+fin AS (
+  SELECT start AS node,
+         CAST(max(steps) AS BIGINT) AS d_long,
+         CAST(min(steps) AS BIGINT) AS d_short,
+         CAST(count(*) AS BIGINT) AS n_paths
+  FROM walk WHERE cur = 1 GROUP BY start
+)
+"""
+
+DAG_PATH_STATS_SQL = (
+    "WITH RECURSIVE " + _DAG_WALK_SQL + """
+SELECT node, d_long, d_short, n_paths FROM fin
+"""
+)
+
+DAG_DEPTH_HIST_SQL = (
+    "WITH RECURSIVE " + _DAG_WALK_SQL + """
+SELECT d_long, CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(sum(n_paths) AS BIGINT) AS sum_paths
+FROM fin GROUP BY d_long
+"""
+)
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -17533,6 +17708,10 @@ QUERIES = {
     "decision_stump_error": q_decision_stump_error,
     "katz_tools": q_katz_tools,
     "auc_priority": q_auc_priority,
+    "dsir_bucket_llr": q_dsir_bucket_llr,
+    "dsir_topk": q_dsir_topk,
+    "dag_path_stats": q_dag_path_stats,
+    "dag_depth_hist": q_dag_depth_hist,
 }
 
 ORACLE_SQL = {
@@ -17855,4 +18034,8 @@ ORACLE_SQL = {
     "decision_stump_error": DECISION_STUMP_ERROR_SQL,
     "katz_tools": KATZ_TOOLS_SQL,
     "auc_priority": AUC_PRIORITY_SQL,
+    "dsir_bucket_llr": DSIR_BUCKET_SQL,
+    "dsir_topk": DSIR_TOPK_SQL,
+    "dag_path_stats": DAG_PATH_STATS_SQL,
+    "dag_depth_hist": DAG_DEPTH_HIST_SQL,
 }

@@ -2801,3 +2801,61 @@ def edge_embeddedness(
             .alias("is_local_bridge"),
         )
     )
+
+
+def dag_path_stats(
+    edges: DataFrame, root, max_rounds: int = 64
+) -> DataFrame:
+    """Exact DAG path statistics by Kahn-style layered dynamic programming:
+    for every node of a DAG whose every directed path terminates at `root`,
+    compute the longest and shortest path length to the root and the EXACT
+    number of distinct directed paths (multiple-inheritance multiplicity —
+    the quantity an ontology needs to weigh superclass annotation
+    specificity; the reference walks its class DAG one path at a time,
+    src/interface.py:52-64, and never counts multiplicity).
+
+    edges(src, dst): src -> dst steps TOWARD the root (acyclic). A node is
+    finalized only once ALL its out-neighbors are finalized (count of
+    resolved out-edges == outdegree), so max/min/sum are taken over final
+    values — n_paths(v) = Σ n_paths(out-neighbors) is exact, never a
+    relaxation. Rounds = DAG depth (log-bounded for the divide-lattice
+    fixture); each round is one hash join + map-side-combined aggregate,
+    per-round eager localCheckpoint cuts lineage (the CC/pagerank loop
+    discipline). n_paths is BIGINT; for path-count explosions beyond 2^63
+    the caller caps depth — counts stay exact up to that bound.
+
+    Returns (node, d_long, d_short, n_paths); the root row is
+    (root, 0, 0, 1).
+    """
+    spark = edges.sparkSession
+    outdeg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("__od")
+    )
+    resolved = spark.createDataFrame(
+        [(int(root), 0, 0, 1)],
+        "node long, d_long long, d_short long, n_paths long",
+    ).localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        cand = (
+            edges.join(resolved, edges["dst"] == resolved["node"])
+            .groupBy("src")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("__nres"),
+                (F.max("d_long") + 1).cast("long").alias("d_long"),
+                (F.min("d_short") + 1).cast("long").alias("d_short"),
+                F.sum("n_paths").cast("long").alias("n_paths"),
+            )
+            .join(outdeg, "src")
+            .filter(F.col("__nres") == F.col("__od"))
+            .join(
+                resolved.select(F.col("node").alias("src")), "src", "left_anti"
+            )
+            .select(
+                F.col("src").alias("node"), "d_long", "d_short", "n_paths"
+            )
+        )
+        merged = resolved.unionByName(cand).localCheckpoint(eager=True)
+        if merged.count() == resolved.count():
+            return merged
+        resolved = merged
+    return resolved

@@ -672,3 +672,154 @@ def rebalance_classes(
         )
         .drop("__w", "__c")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling") — exact-integer variant
+# ---------------------------------------------------------------------------
+
+
+def _msb16_sql(e: str) -> str:
+    """Piecewise-linear log2 with 4 fractional bits, exact-integer and
+    cross-engine: msb16(q) = 16*floor(log2 q) + (q*16 >> floor(log2 q)) - 16
+    for q >= 1 (inputs are clamped to >= 1, and to <= 2^52 so the *16 can
+    never overflow BIGINT). Monotone in q; the same `length(bin(v))-1` msb
+    device as zipf_msb_slope, refined with a linear within-octave term.
+    DuckDB replays it verbatim (bin(), <<, DIV all BIGINT-exact)."""
+    g = f"least(greatest({e}, CAST(1 AS BIGINT)), CAST(4503599627370496 AS BIGINT))"
+    lg = f"(length(bin({g})) - 1)"
+    return (
+        f"(16 * {lg} + ({g}) * 16 DIV shiftleft(CAST(1 AS BIGINT), {lg}) - 16)"
+    )
+
+
+def _dsir_tokens(df: DataFrame, text_col: str, id_col: str, target: "F.Column"):
+    toks = F.filter(
+        F.split(
+            F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
+        ),
+        lambda t: t != F.lit(""),
+    )
+    return df.select(
+        F.col(id_col).alias("__id"),
+        target.alias("__is_t"),
+        F.explode(toks).alias("__tok"),
+    )
+
+
+def dsir_bucket_scores(
+    df: DataFrame,
+    target: "F.Column",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Hashed-n-gram (unigram) importance scores: the DSIR recipe estimates
+    p_target / p_raw over a fixed hashed feature space and weighs every raw
+    document by its log-likelihood ratio under the two bag-of-buckets models
+    (Xie et al. 2023 §3; the reference pipeline has no data-selection stage —
+    this is LLM-pipeline surface beyond /root/reference).
+
+    Exact-integer cross-engine contract: bucket = md5_32(token) mod B (the
+    portable hash the gate replays), add-1 smoothed ratio scaled by 2^20,
+    and log2 quantized with the 4-fractional-bit msb16 device — no float
+    log anywhere, so the DuckDB oracle is bit-equal.
+
+    Shape: one explode+groupBy collapses the corpus to <= B bucket rows
+    (map-side combine, bounded output); totals are a 1-row broadcast.
+    Per-bucket BIGINT bound: counts < 2^43 (at B=256 that is ~2 PB of
+    tokens per bucket) before (c+1)*2^20 could overflow.
+
+    Returns (bucket, ct, cr, s16): target count, raw count, quantized LLR.
+    """
+    toks = _dsir_tokens(df, text_col, id_col, target)
+    bkt = (
+        toks.select(
+            F.pmod(
+                F.conv(F.substring(F.md5(F.col("__tok")), 1, 8), 16, 10).cast(
+                    "long"
+                ),
+                F.lit(n_buckets),
+            ).alias("bucket"),
+            F.col("__is_t"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("__is_t"), 1).otherwise(0))
+            .cast("long")
+            .alias("ct"),
+            F.sum(F.when(F.col("__is_t"), 0).otherwise(1))
+            .cast("long")
+            .alias("cr"),
+        )
+    )
+    tot = bkt.agg(
+        F.sum("ct").cast("long").alias("__t"), F.sum("cr").cast("long").alias("__r")
+    )
+    b = int(n_buckets)
+    qn = f"((ct + 1) * CAST(1048576 AS BIGINT) DIV (cr + 1))"
+    qd = f"((__t + {b}) * CAST(1048576 AS BIGINT) DIV (__r + {b}))"
+    return (
+        bkt.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "ct",
+            "cr",
+            F.expr(f"CAST({_msb16_sql(qn)} - {_msb16_sql(qd)} AS BIGINT)").alias(
+                "s16"
+            ),
+        )
+    )
+
+
+def dsir_select(
+    df: DataFrame,
+    target: "F.Column",
+    k: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Importance-resample the RAW (non-target) corpus toward the target
+    distribution: every raw document is scored w = sum over its tokens of
+    the bucket LLR s16, and the top-k by (w desc, id asc) survive — the
+    deterministic top-k variant of DSIR's Gumbel resampling.
+
+    Shape at 100 TB: the bucket-score table is <= B rows (eagerly
+    checkpointed, broadcast to the scoring join — no shuffle on the corpus
+    side beyond the final map-side-combined groupBy(doc)), and the top-k is
+    a TakeOrderedAndProject, never a global sort.
+
+    Returns (doc_id, n_toks, w_s16, rnk), rnk 1..k."""
+    scores = dsir_bucket_scores(
+        df, target, text_col=text_col, id_col=id_col, n_buckets=n_buckets
+    ).localCheckpoint(eager=True)
+    toks = _dsir_tokens(df, text_col, id_col, target).filter(~F.col("__is_t"))
+    weighted = (
+        toks.select(
+            "__id",
+            F.pmod(
+                F.conv(F.substring(F.md5(F.col("__tok")), 1, 8), 16, 10).cast(
+                    "long"
+                ),
+                F.lit(n_buckets),
+            ).alias("bucket"),
+        )
+        .join(F.broadcast(scores.select("bucket", "s16")), "bucket")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_toks"),
+            F.sum("s16").cast("long").alias("w_s16"),
+        )
+    )
+    topk = weighted.orderBy(F.col("w_s16").desc(), F.col("__id").asc()).limit(k)
+    # rank AFTER the TakeOrderedAndProject: the single-partition window only
+    # ever sees k rows, never the corpus
+    w = Window.partitionBy().orderBy(F.col("w_s16").desc(), F.col("__id").asc())
+    return topk.select(
+        F.col("__id").alias("doc_id"),
+        "n_toks",
+        "w_s16",
+        F.row_number().over(w).cast("long").alias("rnk"),
+    )

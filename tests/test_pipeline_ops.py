@@ -5760,3 +5760,113 @@ def test_decision_stump_matches_bruteforce(spark):
     assert got["f1"] == brute(vals1, labels)
     assert got["f2"] == brute(vals2, labels)
     assert got["f1"][0] == 0 and got["f1"][3] == 0  # perfect split at f1 <= 0
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling + DAG path statistics (round 4)
+# ---------------------------------------------------------------------------
+
+
+def _py_msb16(q: int) -> int:
+    q = min(max(q, 1), 1 << 52)
+    lg = q.bit_length() - 1
+    return 16 * lg + (q * 16) // (1 << lg) - 16
+
+
+def test_dsir_bucket_scores_match_python_model(spark):
+    from chronographer_spark.operators.sampling import dsir_bucket_scores
+    import hashlib
+
+    rows = [
+        (1, "alpha beta alpha gamma", "t"),
+        (2, "alpha alpha beta beta", "t"),
+        (3, "delta epsilon delta zeta", "r"),
+        (4, "beta delta eta eta theta", "r"),
+        (5, "alpha zeta zeta", "r"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "grp"])
+    got = {
+        r["bucket"]: (r["ct"], r["cr"], r["s16"])
+        for r in dsir_bucket_scores(
+            df, F.col("grp") == "t", n_buckets=64
+        ).collect()
+    }
+
+    # pure-python replay: md5 bucket, add-1 smoothed ratio, msb16 LLR
+    ct, cr = {}, {}
+    for _, text, grp in rows:
+        for tok in text.split():
+            b = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % 64
+            (ct if grp == "t" else cr)[b] = (
+                (ct if grp == "t" else cr).get(b, 0) + 1
+            )
+    t_tot, r_tot = sum(ct.values()), sum(cr.values())
+    qd = _py_msb16((t_tot + 64) * 1048576 // (r_tot + 64))
+    want = {}
+    for b in set(ct) | set(cr):
+        c_t, c_r = ct.get(b, 0), cr.get(b, 0)
+        want[b] = (c_t, c_r, _py_msb16((c_t + 1) * 1048576 // (c_r + 1)) - qd)
+    assert got == want
+
+
+def test_dsir_select_prefers_target_like_raw_docs(spark):
+    from chronographer_spark.operators.sampling import dsir_select
+
+    # target vocabulary {alpha beta}, raw-only vocabulary {delta epsilon}.
+    # raw doc 10 is written in the target's vocabulary, raw doc 11 is not:
+    # 10 must outrank 11, and only raw docs may appear at all.
+    rows = [
+        (1, "alpha beta alpha beta alpha", "t"),
+        (2, "beta alpha beta beta", "t"),
+        (10, "alpha beta alpha beta", "r"),
+        (11, "delta epsilon delta epsilon", "r"),
+        (12, "alpha delta", "r"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "grp"])
+    out = dsir_select(df, F.col("grp") == "t", k=10, n_buckets=64).collect()
+    ids = [r["doc_id"] for r in sorted(out, key=lambda r: r["rnk"])]
+    assert set(ids) == {10, 11, 12}
+    assert ids[0] == 10 and ids[-1] == 11
+    w = {r["doc_id"]: r["w_s16"] for r in out}
+    assert w[10] > w[12] > w[11]
+
+
+def test_dag_path_stats_matches_python_dp(spark):
+    from chronographer_spark.operators.graph_algos import dag_path_stats
+
+    n = 200
+    edges = []
+    for k in range(2, n + 1):
+        edges.append((k, k // 2))
+        if k >= 3 and k // 3 != k // 2:
+            edges.append((k, k // 3))
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: (r["d_long"], r["d_short"], r["n_paths"])
+        for r in dag_path_stats(edf, root=1).collect()
+    }
+
+    dp = {1: (0, 0, 1)}
+    for k in range(2, n + 1):
+        outs = {k // 2}
+        if k >= 3 and k // 3 != k // 2:
+            outs.add(k // 3)
+        dl = 1 + max(dp[o][0] for o in outs)
+        ds = 1 + min(dp[o][1] for o in outs)
+        np_ = sum(dp[o][2] for o in outs)
+        dp[k] = (dl, ds, np_)
+    assert got == dp
+
+
+def test_dag_path_stats_diamond_multiplicity(spark):
+    from chronographer_spark.operators.graph_algos import dag_path_stats
+
+    # 5 -> {4, 1}, 4 -> 1: two distinct paths from 5, short=1, long=2
+    edf = spark.createDataFrame(
+        [(5, 4), (5, 1), (4, 1)], "src long, dst long"
+    )
+    got = {
+        r["node"]: (r["d_long"], r["d_short"], r["n_paths"])
+        for r in dag_path_stats(edf, root=1).collect()
+    }
+    assert got == {1: (0, 0, 1), 4: (1, 1, 1), 5: (2, 1, 2)}
