@@ -17392,6 +17392,49 @@ FROM fin GROUP BY d_long
 )
 
 
+
+def q_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental canonicalization: the nation chains arrive in two waves
+    (history = chain edges between custkeys not divisible by 3; batch = the
+    remaining edges, each incident to a "new" custkey), the history labeling
+    is folded forward with incremental_components — CC runs only on the
+    contracted delta graph, never the history edges — and the result must be
+    bit-identical to batch CC over the full graph (the oracle's per-nation
+    min). Exercises old-old merges through new bridge nodes, new-node
+    labeling, and changed-representative relabeling in one fixture."""
+    from .linking.canonicalize import connected_components, incremental_components
+
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+    full = (
+        cust.withColumn("nxt", F.lead("c_custkey").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select(
+            F.col("c_custkey").cast("long").alias("src"),
+            F.col("nxt").cast("long").alias("dst"),
+        )
+    )
+    hist = full.filter((F.col("src") % 3 != 0) & (F.col("dst") % 3 != 0))
+    batch = full.filter((F.col("src") % 3 == 0) | (F.col("dst") % 3 == 0))
+    old_nodes = (
+        cust.filter(F.col("c_custkey") % 3 != 0)
+        .select(F.col("c_custkey").cast("long").alias("node"))
+    )
+    prior = connected_components(hist, all_nodes=old_nodes).localCheckpoint(
+        eager=True
+    )
+    out = incremental_components(prior, batch)
+    return out.select("node", F.col("component").alias("canonical"))
+
+
+INCREMENTAL_CC_SQL = """
+SELECT CAST(c_custkey AS BIGINT) AS node,
+       CAST(min(c_custkey) OVER (PARTITION BY c_nationkey) AS BIGINT)
+         AS canonical
+FROM customer
+"""
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -17712,6 +17755,7 @@ QUERIES = {
     "dsir_topk": q_dsir_topk,
     "dag_path_stats": q_dag_path_stats,
     "dag_depth_hist": q_dag_depth_hist,
+    "incremental_cc": q_incremental_cc,
 }
 
 ORACLE_SQL = {
@@ -18038,4 +18082,5 @@ ORACLE_SQL = {
     "dsir_topk": DSIR_TOPK_SQL,
     "dag_path_stats": DAG_PATH_STATS_SQL,
     "dag_depth_hist": DAG_DEPTH_HIST_SQL,
+    "incremental_cc": INCREMENTAL_CC_SQL,
 }

@@ -247,3 +247,82 @@ def apply_referents(df: DataFrame, referents: DataFrame, col: str) -> DataFrame:
         F.broadcast(ref), df[col] == F.col("__alias"), "left"
     ).withColumn(col, F.coalesce(F.col("__canonical"), F.col(col)))
     return out.drop("__alias", "__canonical")
+
+
+def incremental_components(
+    prior: DataFrame,
+    new_edges: DataFrame,
+    strategy: str = "agg",
+    precontract: bool = False,
+    max_iter: int = 50,
+) -> DataFrame:
+    """Incremental connected-components maintenance: fold a NEW batch of
+    alias edges into an existing (node, component) labeling without
+    recomputing CC over the full history — the daily-append concern of a
+    10^12-turn canonicalization pipeline (the reference rebuilds its
+    equivalence dictionary from scratch per run, src/get_equivalent_url.py;
+    at web scale the history graph dwarfs every batch).
+
+    Contract: `prior` labels components by their MIN node id (what
+    :func:`connected_components` emits). The batch's endpoints are
+    contracted to their prior representatives, CC runs ONLY on that
+    contracted delta graph (size = batch + touched components, never the
+    history), and the few components whose representative moved are
+    relabeled with one broadcast map-join. Output is bit-identical to
+    rerunning CC on (history ∪ batch) — pinned by property test.
+
+    Scale shape: two passes over `prior` total — one broadcast semi-join
+    to look up the batch endpoints' labels (partition-prunable when the
+    prior table is bucketed by node, io/catalog.py bucketing), one
+    map-only relabel against the broadcast CHANGED-component map. The
+    iterative loop never sees history edges. Batch endpoints are assumed
+    broadcastable (the incremental regime).
+    """
+    e = new_edges.select("src", "dst")
+    ids = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    # one history scan: labels of batch-incident OLD nodes
+    lookup = prior.join(F.broadcast(ids), "node").localCheckpoint(eager=True)
+    new_ids = ids.join(lookup.select("node"), "node", "left_anti")
+
+    def _contract(df: DataFrame, side: str) -> DataFrame:
+        lk = F.broadcast(
+            lookup.select(
+                F.col("node").alias(side), F.col("component").alias("__c")
+            )
+        )
+        return (
+            df.join(lk, side, "left")
+            .withColumn(side, F.coalesce("__c", F.col(side)))
+            .drop("__c")
+        )
+
+    contracted = _contract(_contract(e, "src"), "dst")
+    reps = (
+        contracted.select(F.col("src").alias("node"))
+        .unionByName(contracted.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    delta = connected_components(
+        contracted.filter(F.col("src") != F.col("dst")),
+        all_nodes=reps,
+        strategy=strategy,
+        precontract=precontract,
+        max_iter=max_iter,
+    )
+    changed = delta.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("component"), F.col("component").alias("__new")
+    )
+    relabeled = (
+        prior.join(F.broadcast(changed), "component", "left")
+        .select(
+            "node", F.coalesce("__new", F.col("component")).alias("component")
+        )
+    )
+    new_rows = delta.join(F.broadcast(new_ids), "node").select(
+        "node", "component"
+    )
+    return relabeled.unionByName(new_rows)

@@ -5870,3 +5870,67 @@ def test_dag_path_stats_diamond_multiplicity(spark):
         for r in dag_path_stats(edf, root=1).collect()
     }
     assert got == {1: (0, 0, 1), 4: (1, 1, 1), 5: (2, 1, 2)}
+
+
+def test_incremental_components_equals_full_recompute(spark):
+    from chronographer_spark.linking.canonicalize import (
+        connected_components,
+        incremental_components,
+    )
+
+    # deterministic pseudo-random graph, split into history + batch
+    full = []
+    for k in range(1, 200):
+        full.append((k, (k * 37) % 211 % 199 + 1))
+        if k % 6 == 0:
+            full.append((k, k // 2 + 1))
+    full = [(a, b) for a, b in full if a != b]
+    hist = [(a, b) for a, b in full if (a + b) % 5 != 0]
+    batch = [(a, b) for a, b in full if (a + b) % 5 == 0]
+
+    def nodes(pairs):
+        return sorted({x for p in pairs for x in p})
+
+    hdf = spark.createDataFrame(hist, "src long, dst long")
+    hnodes = spark.createDataFrame([(n,) for n in nodes(hist)], "node long")
+    prior = connected_components(hdf, all_nodes=hnodes)
+
+    bdf = spark.createDataFrame(batch, "src long, dst long")
+    got = {
+        r["node"]: r["component"]
+        for r in incremental_components(prior, bdf).collect()
+    }
+
+    fdf = spark.createDataFrame(full, "src long, dst long")
+    fnodes = spark.createDataFrame([(n,) for n in nodes(full)], "node long")
+    want = {
+        r["node"]: r["component"]
+        for r in connected_components(fdf, all_nodes=fnodes).collect()
+    }
+    assert got == want
+
+
+def test_incremental_components_composes_over_two_batches(spark):
+    from chronographer_spark.linking.canonicalize import (
+        connected_components,
+        incremental_components,
+    )
+
+    # long chain 1-2-3-...-40 delivered in three waves; after the final
+    # wave everything must collapse to component 1
+    full = [(k, k + 1) for k in range(1, 40)]
+    hist = [e for e in full if e[0] % 3 == 1]
+    b1 = [e for e in full if e[0] % 3 == 2]
+    b2 = [e for e in full if e[0] % 3 == 0]
+
+    hdf = spark.createDataFrame(hist, "src long, dst long")
+    hnodes = spark.createDataFrame(
+        [(n,) for n in sorted({x for p in hist for x in p})], "node long"
+    )
+    cur = connected_components(hdf, all_nodes=hnodes)
+    for wave in (b1, b2):
+        cur = incremental_components(
+            cur, spark.createDataFrame(wave, "src long, dst long")
+        ).localCheckpoint(eager=True)
+    got = {r["node"]: r["component"] for r in cur.collect()}
+    assert got == {k: 1 for k in range(1, 41)}
