@@ -1227,3 +1227,54 @@ def test_dbscan_equi_join_never_cartesian(spark):
     assert plan.count("CartesianProduct") == 0, plan
     assert plan.count("BroadcastNestedLoopJoin") == 0, plan
     assert plan.count("Scan parquet") == 0, plan
+
+
+def test_dsir_select_broadcasts_bucket_scores_no_global_sort(spark):
+    """DSIR scoring joins the corpus against the <=B-row bucket table as a
+    broadcast (never a shuffle on the corpus side), and the top-k is a
+    TakeOrderedAndProject — no corpus-wide Sort or single-partition window
+    over more than k rows."""
+    from chronographer_spark.operators.sampling import dsir_select
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(dsir_select(docs, F.col("lang") == "en", k=50, n_buckets=64))
+    assert "BroadcastExchange" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_incremental_cc_relabel_is_broadcast_map_join(spark):
+    """The incremental-CC relabel pass over the (huge) prior labeling must
+    be a broadcast hash join against the changed-component map — never a
+    sort-merge shuffle of the history — and the delta CC never touches
+    history edges (no history-sized exchange beyond the final union's
+    aggregates)."""
+    from chronographer_spark.linking.canonicalize import (
+        connected_components,
+        incremental_components,
+    )
+
+    full = [(k, k + 1) for k in range(1, 120) if (k + 1) % 6 != 0]
+    hist = [e for e in full if e[0] % 5 != 0 and e[1] % 5 != 0]
+    batch = [e for e in full if e[0] % 5 == 0 or e[1] % 5 == 0]
+    hdf = spark.createDataFrame(hist, "src long, dst long")
+    hnodes = spark.createDataFrame(
+        [(n,) for n in sorted({x for p in hist for x in p})], "node long"
+    )
+    prior = connected_components(hdf, all_nodes=hnodes).localCheckpoint(
+        eager=True
+    )
+    out = incremental_components(
+        prior, spark.createDataFrame(batch, "src long, dst long")
+    )
+    plan = _plan(out)
+    # the prior relabel: left-outer BHJ on component, changed-map built right
+    assert re.search(
+        r"BroadcastHashJoin \[component#\d+L?\], \[component#\d+L?\], "
+        r"LeftOuter, BuildRight",
+        plan,
+    ), plan
+    # SortMergeJoins may appear only inside the delta CC (delta-sized
+    # inputs, AQE converts them at runtime) — never on the prior relabel,
+    # which the regex above pins as broadcast
+    assert "CartesianProduct" not in plan, plan
