@@ -17435,6 +17435,68 @@ FROM customer
 """
 
 
+
+def q_incremental_cc_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MERGE INTO surface of incremental canonicalization: only the
+    rows the daily append must upsert — prior nodes whose canonical moved
+    when the batch bridged their chain segments, plus the new nodes. The
+    oracle reconstructs the prior labeling with gaps-and-islands SQL (a
+    history segment = a maximal run of consecutive non-%3 custkeys inside
+    a nation chain; its label = the run's min) and diffs it against the
+    full per-nation labeling."""
+    from .linking.canonicalize import connected_components, incremental_components
+
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+    full = (
+        cust.withColumn("nxt", F.lead("c_custkey").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select(
+            F.col("c_custkey").cast("long").alias("src"),
+            F.col("nxt").cast("long").alias("dst"),
+        )
+    )
+    hist = full.filter((F.col("src") % 3 != 0) & (F.col("dst") % 3 != 0))
+    batch = full.filter((F.col("src") % 3 == 0) | (F.col("dst") % 3 == 0))
+    old_nodes = (
+        cust.filter(F.col("c_custkey") % 3 != 0)
+        .select(F.col("c_custkey").cast("long").alias("node"))
+    )
+    prior = connected_components(hist, all_nodes=old_nodes).localCheckpoint(
+        eager=True
+    )
+    out = incremental_components(prior, batch, emit="delta")
+    return out.select("node", F.col("component").alias("canonical"))
+
+
+INCREMENTAL_CC_DELTA_SQL = """
+WITH chain AS (
+  SELECT CAST(c_custkey AS BIGINT) AS node, c_nationkey AS g,
+         CAST(min(c_custkey) OVER (PARTITION BY c_nationkey) AS BIGINT)
+           AS full_canon
+  FROM customer
+),
+islands AS (
+  -- history segments: runs of consecutive non-%3 nodes within the nation
+  -- chain; the island id counts %3==0 markers seen so far in chain order
+  SELECT node, g, full_canon,
+         CAST(sum(CASE WHEN node % 3 = 0 THEN 1 ELSE 0 END)
+              OVER (PARTITION BY g ORDER BY node
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS isl
+  FROM chain
+),
+prior AS (
+  SELECT node, full_canon,
+         CAST(min(node) OVER (PARTITION BY g, isl) AS BIGINT) AS prior_canon
+  FROM islands WHERE node % 3 <> 0
+)
+SELECT node, full_canon AS canonical FROM prior
+WHERE prior_canon <> full_canon
+UNION ALL
+SELECT node, full_canon AS canonical FROM chain WHERE node % 3 = 0
+"""
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -17756,6 +17818,7 @@ QUERIES = {
     "dag_path_stats": q_dag_path_stats,
     "dag_depth_hist": q_dag_depth_hist,
     "incremental_cc": q_incremental_cc,
+    "incremental_cc_delta": q_incremental_cc_delta,
 }
 
 ORACLE_SQL = {
@@ -18083,4 +18146,5 @@ ORACLE_SQL = {
     "dag_path_stats": DAG_PATH_STATS_SQL,
     "dag_depth_hist": DAG_DEPTH_HIST_SQL,
     "incremental_cc": INCREMENTAL_CC_SQL,
+    "incremental_cc_delta": INCREMENTAL_CC_DELTA_SQL,
 }

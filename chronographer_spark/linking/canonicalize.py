@@ -255,6 +255,7 @@ def incremental_components(
     strategy: str = "agg",
     precontract: bool = False,
     max_iter: int = 50,
+    emit: str = "full",
 ) -> DataFrame:
     """Incremental connected-components maintenance: fold a NEW batch of
     alias edges into an existing (node, component) labeling without
@@ -277,6 +278,12 @@ def incremental_components(
     map-only relabel against the broadcast CHANGED-component map. The
     iterative loop never sees history edges. Batch endpoints are assumed
     broadcastable (the incremental regime).
+
+    `emit`: "full" returns the complete updated (node, component) table;
+    "delta" returns ONLY the rows a MERGE INTO needs — prior rows whose
+    component changed plus the new nodes — so the daily-append write is
+    batch-sized, not history-sized (applying the delta over `prior` equals
+    the full output; pinned by property test).
     """
     e = new_edges.select("src", "dst")
     ids = (
@@ -316,13 +323,20 @@ def incremental_components(
     changed = delta.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("component"), F.col("component").alias("__new")
     )
+    new_rows = delta.join(F.broadcast(new_ids), "node").select(
+        "node", "component"
+    )
+    if emit == "delta":
+        # upsert rows only: prior rows whose label moved (inner join against
+        # the broadcast changed map — map-only over prior) + new nodes
+        moved = prior.join(F.broadcast(changed), "component").select(
+            "node", F.col("__new").alias("component")
+        )
+        return moved.unionByName(new_rows)
     relabeled = (
         prior.join(F.broadcast(changed), "component", "left")
         .select(
             "node", F.coalesce("__new", F.col("component")).alias("component")
         )
-    )
-    new_rows = delta.join(F.broadcast(new_ids), "node").select(
-        "node", "component"
     )
     return relabeled.unionByName(new_rows)

@@ -104,7 +104,7 @@ def main() -> None:
         return int(r["n"]), int(r["s"])
 
     results = {}
-    for job in ("full", "incr"):
+    for job in ("full", "incr", "incr_delta"):
         walls, rows, chks = [], None, None
         for _ in range(reps):
             t0 = time.time()
@@ -115,8 +115,11 @@ def main() -> None:
                     strategy="window",
                     precontract=True,
                 )
-            else:
+            elif job == "incr":
                 out = incremental_components(prior, batch_edges)
+            else:
+                # production daily-append: emit only the MERGE INTO rows
+                out = incremental_components(prior, batch_edges, emit="delta")
             rows, chks = force(out)
             walls.append(round(time.time() - t0, 2))
         results[job] = out
@@ -135,7 +138,24 @@ def main() -> None:
             flush=True,
         )
 
-    # correctness outside the timings: labelings must be row-identical
+    # correctness outside the timings: labelings must be row-identical,
+    # and prior ⊕ delta must equal the full labeling
+    d = results["incr_delta"].withColumnRenamed("component", "cd")
+    applied = (
+        prior.join(d, "node", "left")
+        .select("node", F.coalesce("cd", F.col("component")).alias("component"))
+        .unionByName(d.join(prior, "node", "left_anti").select("node", F.col("cd").alias("component")))
+    )
+    fa = results["full"].withColumnRenamed("component", "ca")
+    d_mism = (
+        fa.join(applied.withColumnRenamed("component", "cb"), "node", "full")
+        .filter(
+            F.col("ca").isNull()
+            | F.col("cb").isNull()
+            | (F.col("ca") != F.col("cb"))
+        )
+        .count()
+    )
     a = results["full"].withColumnRenamed("component", "ca")
     b = results["incr"].withColumnRenamed("component", "cb")
     mism = (
@@ -151,11 +171,17 @@ def main() -> None:
     expect = (nodes + GROUP - 1) // GROUP
     print(
         json.dumps(
-            {"job": "check", "mismatches": mism, "components": ncomp, "expected": expect}
+            {
+                "job": "check",
+                "mismatches": mism,
+                "delta_applied_mismatches": d_mism,
+                "components": ncomp,
+                "expected": expect,
+            }
         ),
         flush=True,
     )
-    assert mism == 0 and ncomp == expect
+    assert mism == 0 and d_mism == 0 and ncomp == expect
 
 
 if __name__ == "__main__":

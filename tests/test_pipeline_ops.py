@@ -5934,3 +5934,45 @@ def test_incremental_components_composes_over_two_batches(spark):
         ).localCheckpoint(eager=True)
     got = {r["node"]: r["component"] for r in cur.collect()}
     assert got == {k: 1 for k in range(1, 41)}
+
+
+def test_incremental_components_delta_mode_applies_to_full(spark):
+    from chronographer_spark.linking.canonicalize import (
+        connected_components,
+        incremental_components,
+    )
+
+    full = []
+    for k in range(1, 200):
+        full.append((k, (k * 37) % 211 % 199 + 1))
+        if k % 6 == 0:
+            full.append((k, k // 2 + 1))
+    full = [(a, b) for a, b in full if a != b]
+    hist = [(a, b) for a, b in full if (a + b) % 5 != 0]
+    batch = [(a, b) for a, b in full if (a + b) % 5 == 0]
+
+    def nodes(pairs):
+        return sorted({x for p in pairs for x in p})
+
+    hdf = spark.createDataFrame(hist, "src long, dst long")
+    hnodes = spark.createDataFrame([(n,) for n in nodes(hist)], "node long")
+    prior = connected_components(hdf, all_nodes=hnodes).localCheckpoint(
+        eager=True
+    )
+    bdf = spark.createDataFrame(batch, "src long, dst long")
+
+    full_out = {
+        r["node"]: r["component"]
+        for r in incremental_components(prior, bdf, emit="full").collect()
+    }
+    delta = {
+        r["node"]: r["component"]
+        for r in incremental_components(prior, bdf, emit="delta").collect()
+    }
+    applied = {r["node"]: r["component"] for r in prior.collect()}
+    applied.update(delta)
+    assert applied == full_out
+    # the delta must be a strict subset: only rows that differ from prior
+    pr = {r["node"]: r["component"] for r in prior.collect()}
+    assert all(n not in pr or pr[n] != c for n, c in delta.items())
+    assert len(delta) < len(full_out)
