@@ -17497,6 +17497,83 @@ SELECT node, full_canon AS canonical FROM chain WHERE node % 3 = 0
 """
 
 
+
+def q_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-step node2vec biased walks over the (triangle-rich) nation trade
+    graph: second-order p/q bias as integer weights (return 1, triangle 4,
+    far 2), deterministic rejection sampling (3 attempts, fallback pinned
+    to attempt 1). The oracle unrolls every step: candidate index-pick,
+    triangle membership, acceptance test, and arg_min first-accept — the
+    full sampler replayed bit-for-bit."""
+    from .operators.graph_algos import node2vec_walks
+
+    flows = _nation_flows(spark, sf_dir)
+    edges = flows.select("src", "dst")
+    starts = edges.select(F.col("src").alias("node")).distinct()
+    return node2vec_walks(
+        edges, n_steps=3, starts=starts, seed="n2v",
+        w_return=1, w_common=4, w_far=2, attempts=3,
+    )
+
+
+def _n2v_step_sql(i: int, attempts: int = 3, w_max: int = 4,
+                  w_ret: int = 1, w_com: int = 4, w_far: int = 2) -> str:
+    """One unrolled second-order step: candidates, index-pick, membership,
+    acceptance, first-accept arg_min (fallback = attempt 1)."""
+    return f"""
+s{i}c AS (
+  SELECT f.walk_id, f.prev, f.cur, j.j,
+         CAST(concat('0x', substr(md5(
+           'n2v|' || f.walk_id || '|{i}|' || CAST(j.j AS VARCHAR)
+            || '|' || f.prev || '|' || f.cur), 1, 8)) AS BIGINT) AS r,
+         d.deg
+  FROM s{i - 1} f
+  JOIN dg d ON f.cur = d.src
+  CROSS JOIN (SELECT unnest(range(1, {attempts + 1})) AS j) j
+),
+s{i}x AS (
+  SELECT c.walk_id, c.prev, c.cur, c.j, x.dst AS x,
+         (c.r // c.deg) % {w_max} AS u
+  FROM s{i}c c JOIN idx x ON x.src = c.cur AND x.i = c.r % c.deg
+),
+s{i}w AS (
+  SELECT s.walk_id, s.prev, s.cur, s.j, s.x, s.u,
+         CASE WHEN s.x = s.prev THEN {w_ret}
+              WHEN m.src IS NOT NULL THEN {w_com}
+              ELSE {w_far} END AS wc
+  FROM s{i}x s LEFT JOIN nb m ON m.src = s.prev AND m.dst = s.x
+),
+s{i} AS (
+  SELECT walk_id, cur AS prev,
+         arg_min(x, CASE WHEN u < wc THEN j ELSE {attempts} + j END) AS cur
+  FROM s{i}w GROUP BY walk_id, cur
+)"""
+
+
+NODE2VEC_WALKS_SQL = f"""
+WITH {FLOWS_FRAGMENT.strip()},
+nb AS (SELECT DISTINCT src, dst FROM flows),
+idx AS (
+  SELECT src, dst,
+         row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS i
+  FROM nb
+),
+dg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM nb GROUP BY src),
+s0 AS (SELECT DISTINCT src AS walk_id, src AS cur FROM nb),
+s1 AS (
+  SELECT f.walk_id, f.cur AS prev, x.dst AS cur
+  FROM s0 f JOIN dg d ON f.cur = d.src
+  JOIN idx x ON x.src = f.cur
+   AND x.i = CAST(concat('0x', substr(md5(
+         'n2v|' || f.walk_id || '|1|' || f.cur), 1, 8)) AS BIGINT) % d.deg
+),{_n2v_step_sql(2)},{_n2v_step_sql(3)}
+SELECT walk_id, CAST(0 AS INT) AS step, cur AS node FROM s0
+UNION ALL SELECT walk_id, CAST(1 AS INT) AS step, cur AS node FROM s1
+UNION ALL SELECT walk_id, CAST(2 AS INT) AS step, cur AS node FROM s2
+UNION ALL SELECT walk_id, CAST(3 AS INT) AS step, cur AS node FROM s3
+"""
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -17819,6 +17896,7 @@ QUERIES = {
     "dag_depth_hist": q_dag_depth_hist,
     "incremental_cc": q_incremental_cc,
     "incremental_cc_delta": q_incremental_cc_delta,
+    "node2vec_walks": q_node2vec_walks,
 }
 
 ORACLE_SQL = {
@@ -18147,4 +18225,5 @@ ORACLE_SQL = {
     "dag_depth_hist": DAG_DEPTH_HIST_SQL,
     "incremental_cc": INCREMENTAL_CC_SQL,
     "incremental_cc_delta": INCREMENTAL_CC_DELTA_SQL,
+    "node2vec_walks": NODE2VEC_WALKS_SQL,
 }

@@ -2859,3 +2859,182 @@ def dag_path_stats(
             return merged
         resolved = merged
     return resolved
+
+
+def node2vec_walks(
+    edges: DataFrame,
+    n_steps: int = 2,
+    starts: DataFrame | None = None,
+    seed: str = "n2v",
+    bucket: int = 1024,
+    w_return: int = 1,
+    w_common: int = 4,
+    w_far: int = 2,
+    attempts: int = 4,
+) -> DataFrame:
+    """Deterministic node2vec-style SECOND-ORDER biased walks (Grover &
+    Leskovec 2016): from state (prev t, cur v) the next node x is drawn with
+    weight w_return if x == t, w_common if x is also a neighbor of t
+    (triangle step), w_far otherwise — the p/q bias expressed as INTEGER
+    weights so the pick is exactly replayable cross-engine (w_return ~ 1/p,
+    w_far ~ 1/q in the paper's terms).
+
+    Hub-safe sampling: exact cumulative sampling needs per-(t,v) cumulative
+    weights — O(deg(v)) per step, the hub blowup the uniform walk's
+    index-pick avoids (CLAUDE.md round-3: 9.4x). Instead this uses the
+    paper's own scale trick, REJECTION sampling, made deterministic:
+    attempt j draws r_j = md5_32(seed|walk|i|j|t|v), candidate
+    x_j = sorted-neighbor[r_j mod deg(v)] via the same O(bucket) adjacency
+    bucket join as random_walks, and accepts iff
+    (r_j DIV deg) mod w_max < w_class(x_j). The walk takes the first
+    accepted attempt; if all `attempts` reject (prob (1 - w_min/w_max)^J),
+    it falls back to attempt 1's candidate — pinned, documented, and
+    replayed identically by the oracle. Per step: one degree join, J bucket
+    joins (exploded, still one shuffle), ONE membership join (t, x_j)
+    against the distinct edge set, one arg-min per walk. All costs are
+    O(attempts * bucket) per walk-step regardless of hub degree.
+
+    Step 1 has no prev and is the uniform index-pick (byte-identical to
+    random_walks' arithmetic). Dead-end walks stop. Returns
+    (walk_id, step, node); step 0 is the start node.
+    """
+    from pyspark.sql.window import Window
+
+    nb = (
+        edges.select(
+            F.col("src").cast("string").alias("src"),
+            F.col("dst").cast("string").alias("dst"),
+        )
+        .dropDuplicates(["src", "dst"])
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("src").orderBy("dst")
+    idx = nb.withColumn("i", F.row_number().over(w) - 1)
+    deg = idx.groupBy("src").agg(
+        F.count(F.lit(1)).alias("deg")
+    ).localCheckpoint(eager=True)
+    abuckets = (
+        idx.withColumn("b_id", F.expr(f"i DIV {int(bucket)}"))
+        .withColumn("off", F.expr(f"i % {int(bucket)}"))
+        .groupBy("src", "b_id")
+        .agg(
+            F.expr(
+                "transform(sort_array(collect_list(struct(off, dst))),"
+                " s -> s.dst)"
+            ).alias("nbrs")
+        )
+        .localCheckpoint(eager=True)
+    )
+    if starts is None:
+        starts = nb.select(F.col("src").alias("node")).dropDuplicates()
+
+    def _md5_32(*cols):
+        return F.conv(
+            F.substring(F.md5(F.concat_ws("|", *cols)), 1, 8), 16, 10
+        ).cast("long")
+
+    # step 1: uniform (no prev) — random_walks' exact arithmetic
+    frontier = starts.select(
+        F.col("node").cast("string").alias("walk_id"),
+        F.col("node").cast("string").alias("cur"),
+    )
+    out = frontier.select(
+        "walk_id", F.lit(0).alias("step"), F.col("cur").alias("node")
+    )
+    h1 = _md5_32(F.lit(seed), F.col("walk_id"), F.lit("1"), F.col("cur"))
+    picked = (
+        frontier.join(deg, frontier["cur"] == deg["src"])
+        .withColumn("k", F.pmod(h1, F.col("deg")))
+        .withColumn("b_id", F.expr(f"k DIV {int(bucket)}"))
+        .select("walk_id", "cur", "k", "b_id")
+    )
+    frontier = (
+        picked.join(
+            abuckets,
+            (picked["cur"] == abuckets["src"])
+            & (picked["b_id"] == abuckets["b_id"]),
+        )
+        .select(
+            "walk_id",
+            F.col("cur").alias("prev"),
+            F.element_at(
+                F.col("nbrs"), (F.col("k") % F.lit(int(bucket))).cast("int") + 1
+            ).alias("cur"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    out = out.unionByName(
+        frontier.select(
+            "walk_id", F.lit(1).alias("step"), F.col("cur").alias("node")
+        )
+    )
+
+    w_max = max(int(w_return), int(w_common), int(w_far))
+    for i in range(2, n_steps + 1):
+        att = frontier.withColumn(
+            "j", F.explode(F.sequence(F.lit(1), F.lit(int(attempts))))
+        )
+        r = _md5_32(
+            F.lit(seed),
+            F.col("walk_id"),
+            F.lit(str(i)),
+            F.col("j").cast("string"),
+            F.col("prev"),
+            F.col("cur"),
+        )
+        cand = (
+            att.withColumn("__r", r)
+            .join(deg, att["cur"] == deg["src"])
+            .withColumn("k", F.pmod(F.col("__r"), F.col("deg")))
+            .withColumn(
+                "u", F.pmod(F.expr("__r DIV deg"), F.lit(w_max)).cast("long")
+            )
+            .withColumn("b_id", F.expr(f"k DIV {int(bucket)}"))
+            .select("walk_id", "prev", "cur", "j", "k", "u", "b_id")
+        )
+        cand = (
+            cand.join(
+                abuckets,
+                (cand["cur"] == abuckets["src"])
+                & (cand["b_id"] == abuckets["b_id"]),
+            )
+            .select(
+                "walk_id",
+                "prev",
+                "cur",
+                "j",
+                "u",
+                F.element_at(
+                    F.col("nbrs"),
+                    (F.col("k") % F.lit(int(bucket))).cast("int") + 1,
+                ).alias("x"),
+            )
+        )
+        member = nb.select(
+            F.col("src").alias("prev"), F.col("dst").alias("x"), F.lit(1).alias("__m")
+        )
+        cand = (
+            cand.join(member, ["prev", "x"], "left")
+            .withColumn(
+                "w_class",
+                F.when(F.col("x") == F.col("prev"), F.lit(int(w_return)))
+                .when(F.col("__m").isNotNull(), F.lit(int(w_common)))
+                .otherwise(F.lit(int(w_far))),
+            )
+            .withColumn("acc", F.col("u") < F.col("w_class"))
+        )
+        # first accepted attempt; fallback = attempt 1's candidate
+        nxt = cand.groupBy("walk_id", "cur").agg(
+            F.expr(
+                f"min_by(x, CASE WHEN acc THEN j ELSE {int(attempts)} + j END)"
+            ).alias("x")
+        )
+        frontier = nxt.select(
+            "walk_id", F.col("cur").alias("prev"), F.col("x").alias("cur")
+        ).localCheckpoint(eager=True)
+        out = out.unionByName(
+            frontier.select(
+                "walk_id", F.lit(i).alias("step"), F.col("cur").alias("node")
+            )
+        )
+    return out

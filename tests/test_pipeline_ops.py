@@ -5976,3 +5976,63 @@ def test_incremental_components_delta_mode_applies_to_full(spark):
     pr = {r["node"]: r["component"] for r in prior.collect()}
     assert all(n not in pr or pr[n] != c for n, c in delta.items())
     assert len(delta) < len(full_out)
+
+
+def test_node2vec_walks_match_python_replay(spark):
+    from chronographer_spark.operators.graph_algos import node2vec_walks
+    import hashlib
+
+    # multi-digit node ids so STRING neighbor ordering differs from numeric
+    edges = [
+        (1, 2), (1, 3), (1, 10), (2, 1), (2, 3), (2, 11), (3, 1), (3, 4),
+        (10, 2), (10, 12), (11, 3), (11, 10), (12, 1), (4, 2), (4, 10),
+    ]
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    W_RET, W_COM, W_FAR, ATT = 1, 4, 2, 3
+    got = {
+        (r["walk_id"], r["step"]): r["node"]
+        for r in node2vec_walks(
+            edf, n_steps=3, seed="n2v", w_return=W_RET, w_common=W_COM,
+            w_far=W_FAR, attempts=ATT,
+        ).collect()
+    }
+
+    def md5_32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    adj, eset = {}, set()
+    for a, b in edges:
+        adj.setdefault(str(a), set()).add(str(b))
+        eset.add((str(a), str(b)))
+    adj = {k: sorted(v) for k, v in adj.items()}
+    w_max = max(W_RET, W_COM, W_FAR)
+
+    want = {}
+    for start in sorted(adj):
+        wid, cur, prev = start, start, None
+        want[(wid, 0)] = cur
+        # step 1: uniform index pick
+        if cur not in adj:
+            continue
+        r = md5_32(f"n2v|{wid}|1|{cur}")
+        prev, cur = cur, adj[cur][r % len(adj[cur])]
+        want[(wid, 1)] = cur
+        for i in (2, 3):
+            if cur not in adj:
+                break
+            cands = []
+            for j in range(1, ATT + 1):
+                r = md5_32(f"n2v|{wid}|{i}|{j}|{prev}|{cur}")
+                deg = len(adj[cur])
+                x = adj[cur][r % deg]
+                u = (r // deg) % w_max
+                wc = (
+                    W_RET if x == prev
+                    else W_COM if (prev, x) in eset
+                    else W_FAR
+                )
+                cands.append((j if u < wc else ATT + j, x))
+            nxt = min(cands)[1]
+            prev, cur = cur, nxt
+            want[(wid, i)] = cur
+    assert got == want
