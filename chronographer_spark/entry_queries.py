@@ -17574,6 +17574,44 @@ UNION ALL SELECT walk_id, CAST(3 AS INT) AS step, cur AS node FROM s3
 """
 
 
+
+def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO/RLHF preference pairs over the transcript view: best-vs-worst
+    assistant turn per conversation under the deterministic length proxy,
+    pinned ties both directions, margin emitted. The oracle replays both
+    rank windows and the >=2-turn admission."""
+    from .operators.dialogue import preference_pairs
+
+    tx = transcripts_from_events(spark, sf_dir)
+    return preference_pairs(tx, role="assistant")
+
+
+PREFERENCE_PAIRS_SQL = f"""
+{TX_SQL.strip()},
+a AS (
+  SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+         CAST(length(text) AS BIGINT) AS len
+  FROM tx WHERE role = 'assistant'
+),
+ranked AS (
+  SELECT conv_id, turn_idx, len,
+         row_number() OVER (PARTITION BY conv_id
+                            ORDER BY len DESC, turn_idx ASC) AS rc,
+         row_number() OVER (PARTITION BY conv_id
+                            ORDER BY len ASC, turn_idx DESC) AS rr,
+         count(*) OVER (PARTITION BY conv_id) AS n
+  FROM a
+),
+c AS (SELECT conv_id, turn_idx AS chosen_turn, len AS chosen_len
+      FROM ranked WHERE rc = 1 AND n >= 2),
+r AS (SELECT conv_id, turn_idx AS rejected_turn, len AS rejected_len
+      FROM ranked WHERE rr = 1 AND n >= 2)
+SELECT c.conv_id, c.chosen_turn, r.rejected_turn, c.chosen_len,
+       r.rejected_len, c.chosen_len - r.rejected_len AS margin
+FROM c JOIN r ON c.conv_id = r.conv_id
+"""
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -17897,6 +17935,7 @@ QUERIES = {
     "incremental_cc": q_incremental_cc,
     "incremental_cc_delta": q_incremental_cc_delta,
     "node2vec_walks": q_node2vec_walks,
+    "preference_pairs": q_preference_pairs,
 }
 
 ORACLE_SQL = {
@@ -18226,4 +18265,5 @@ ORACLE_SQL = {
     "incremental_cc": INCREMENTAL_CC_SQL,
     "incremental_cc_delta": INCREMENTAL_CC_DELTA_SQL,
     "node2vec_walks": NODE2VEC_WALKS_SQL,
+    "preference_pairs": PREFERENCE_PAIRS_SQL,
 }

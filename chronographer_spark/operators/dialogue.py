@@ -550,3 +550,56 @@ def rephrase_spans(
             F.sum(F.when(is_pair, lev)), F.lit(0)
         ).cast("long").alias("sum_lev"),
     )
+
+
+def preference_pairs(tx: DataFrame, role: str = "assistant") -> DataFrame:
+    """DPO/RLHF preference-pair construction from multi-turn transcripts:
+    per conversation, pair the best and worst `role` turns under a
+    deterministic quality proxy (text length here; swap the len expression
+    for a model score in production — the pairing plumbing is the operator).
+    Chosen = (len desc, turn_idx asc) rank 1; rejected = (len asc,
+    turn_idx desc) rank 1 — pinned ties, provably distinct once a
+    conversation has >= 2 role turns (all-equal lengths pair first vs last).
+
+    One conv_id-keyed exchange: both ranks and the turn count ride the same
+    partitioning; conversations are bounded, so no skew concern. Returns
+    (conv_id, chosen_turn, rejected_turn, chosen_len, rejected_len,
+    margin)."""
+    from pyspark.sql.window import Window
+
+    a = tx.filter(F.col("role") == role).select(
+        "conv_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        F.length("text").cast("long").alias("len"),
+    )
+    wc = Window.partitionBy("conv_id").orderBy(
+        F.desc("len"), F.asc("turn_idx")
+    )
+    wr = Window.partitionBy("conv_id").orderBy(
+        F.asc("len"), F.desc("turn_idx")
+    )
+    wn = Window.partitionBy("conv_id")
+    ranked = (
+        a.withColumn("rc", F.row_number().over(wc))
+        .withColumn("rr", F.row_number().over(wr))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .filter(F.col("n") >= 2)
+    )
+    chosen = ranked.filter(F.col("rc") == 1).select(
+        "conv_id",
+        F.col("turn_idx").alias("chosen_turn"),
+        F.col("len").alias("chosen_len"),
+    )
+    rejected = ranked.filter(F.col("rr") == 1).select(
+        "conv_id",
+        F.col("turn_idx").alias("rejected_turn"),
+        F.col("len").alias("rejected_len"),
+    )
+    return chosen.join(rejected, "conv_id").select(
+        "conv_id",
+        "chosen_turn",
+        "rejected_turn",
+        "chosen_len",
+        "rejected_len",
+        (F.col("chosen_len") - F.col("rejected_len")).alias("margin"),
+    )

@@ -6036,3 +6036,29 @@ def test_node2vec_walks_match_python_replay(spark):
             prev, cur = cur, nxt
             want[(wid, i)] = cur
     assert got == want
+
+
+def test_preference_pairs_hand_values(spark):
+    from chronographer_spark.operators.dialogue import preference_pairs
+
+    rows = [
+        # c1: clear best (idx 3, len 7) and worst (idx 1, len 2)
+        ("c1", 1, "assistant", "ab"),
+        ("c1", 2, "user", "ignored-role-row"),
+        ("c1", 3, "assistant", "abcdefg"),
+        ("c1", 5, "assistant", "abcd"),
+        # c2: ALL equal lengths -> chosen = first turn, rejected = last
+        ("c2", 2, "assistant", "xxx"),
+        ("c2", 4, "assistant", "yyy"),
+        ("c2", 6, "assistant", "zzz"),
+        # c3: single assistant turn -> excluded
+        ("c3", 1, "assistant", "only"),
+    ]
+    tx = spark.createDataFrame(rows, ["conv_id", "turn_idx", "role", "text"])
+    got = {
+        r["conv_id"]: (
+            r["chosen_turn"], r["rejected_turn"], r["margin"]
+        )
+        for r in preference_pairs(tx).collect()
+    }
+    assert got == {"c1": (3, 1, 5), "c2": (2, 6, 0)}
