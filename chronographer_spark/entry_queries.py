@@ -17612,6 +17612,68 @@ FROM c JOIN r ON c.conv_id = r.conv_id
 """
 
 
+
+def q_bigram_nll_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KenLM-style quality filter: per-document NLL under an add-1 bigram
+    LM trained on the English subset, -log2 p per bigram quantized with
+    the exact-integer msb16 device (no float log; constant +320 offset
+    from the 2^20 fraction scale, identical in both engines). The score a
+    CCNet-shaped pipeline buckets documents by."""
+    from .operators.text import bigram_nll
+
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_nll(docs, F.col("lang") == "en")
+
+
+BIGRAM_NLL_SQL = """
+WITH toks AS (
+  SELECT doc_id, (lang = 'en') AS is_t,
+         list_filter(string_split(
+           regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+           x -> x <> '') AS t
+  FROM documents
+),
+pairs AS (
+  SELECT doc_id, is_t, (u).a AS a, (u).b AS b
+  FROM (
+    SELECT doc_id, is_t,
+           unnest(list_transform(range(1, len(t)),
+             i -> struct_pack(a := t[i], b := t[i + 1]))) AS u
+    FROM toks WHERE len(t) >= 2
+  )
+),
+c2 AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c2 FROM pairs
+       WHERE is_t GROUP BY a, b),
+c1 AS (SELECT a, CAST(count(*) AS BIGINT) AS c1 FROM pairs
+       WHERE is_t GROUP BY a),
+vt AS (
+  SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM (
+    SELECT a AS tok FROM pairs WHERE is_t
+    UNION ALL SELECT b AS tok FROM pairs WHERE is_t
+  )
+),
+sc AS (
+  SELECT p.doc_id,
+         {m16} AS s
+  FROM pairs p
+  LEFT JOIN c2 ON p.a = c2.a AND p.b = c2.b
+  LEFT JOIN c1 ON p.a = c1.a
+  CROSS JOIN vt
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(s) AS BIGINT) AS nll_s16,
+       CAST(CAST(sum(s) AS BIGINT) * 1000 // count(*) AS BIGINT)
+         AS avg_nll_permille
+FROM sc GROUP BY doc_id
+""".format(
+    m16=_duck_msb16(
+        "(coalesce(c1.c1, CAST(0 AS BIGINT)) + vt.v)"
+        " * CAST(1048576 AS BIGINT)"
+        " // (coalesce(c2.c2, CAST(0 AS BIGINT)) + 1)"
+    )
+)
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -17936,6 +17998,7 @@ QUERIES = {
     "incremental_cc_delta": q_incremental_cc_delta,
     "node2vec_walks": q_node2vec_walks,
     "preference_pairs": q_preference_pairs,
+    "bigram_nll_docs": q_bigram_nll_docs,
 }
 
 ORACLE_SQL = {
@@ -18266,4 +18329,5 @@ ORACLE_SQL = {
     "incremental_cc_delta": INCREMENTAL_CC_DELTA_SQL,
     "node2vec_walks": NODE2VEC_WALKS_SQL,
     "preference_pairs": PREFERENCE_PAIRS_SQL,
+    "bigram_nll_docs": BIGRAM_NLL_SQL,
 }

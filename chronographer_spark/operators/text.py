@@ -1670,3 +1670,95 @@ def zipf_msb_slope(df: DataFrame, text_col: str = "text") -> DataFrame:
             ).alias("slope_x1e6"),
         )
     )
+
+
+def bigram_nll(
+    df: DataFrame,
+    target: "F.Column",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document negative log-likelihood under an add-1-smoothed bigram
+    language model trained on the TARGET subset — the KenLM-style
+    perplexity filter of a CCNet-shaped pipeline (score every document by
+    how surprising it is to a clean-corpus LM; filter or bucket on the
+    score), with the float-log problem solved the engine's way: each
+    bigram's -log2 p(b|a) = log2((c1(a)+V) / (c2(a,b)+1)) is quantized with
+    the exact-integer msb16 device (16 sub-octave steps, operators/
+    sampling._msb16_sql), so scores are BIGINT-exact and the DuckDB oracle
+    replays them bit-for-bit.
+
+    Shape: training collapses the target corpus to bigram counts (one
+    shuffle on the bigram key, map-side combined; Zipf-small output) +
+    unigram counts + a 1-row vocab size broadcast; scoring joins every doc
+    bigram against the two count tables (shuffle on the bigram/unigram
+    keys — broadcastable when the trained LM is small) and sums per doc.
+
+    Returns (doc_id, n_pairs, nll_s16, avg_nll_permille): total quantized
+    NLL and its per-pair mean in permille units (exact integer quotient
+    total*1000 DIV n_pairs). Documents with < 2 tokens are dropped."""
+    from .sampling import _msb16_sql
+
+    toks = F.filter(
+        F.split(
+            F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
+        ),
+        lambda t: t != F.lit(""),
+    )
+    base = df.select(
+        F.col(id_col).alias("__id"), target.alias("__is_t"), toks.alias("__t")
+    ).filter(F.size("__t") >= 2)
+    pairs = base.select(
+        "__id",
+        "__is_t",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(__t) - 1),"
+                " i -> struct(element_at(__t, i) AS a,"
+                "             element_at(__t, i + 1) AS b))"
+            )
+        ).alias("__p"),
+    ).select("__id", "__is_t", F.col("__p.a").alias("a"), F.col("__p.b").alias("b"))
+
+    train = pairs.filter(F.col("__is_t"))
+    c2 = train.groupBy("a", "b").agg(F.count(F.lit(1)).cast("long").alias("c2"))
+    c1 = train.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    # vocab = distinct tokens in the training corpus (both pair slots)
+    v = (
+        train.select(F.col("a").alias("t"))
+        .unionByName(train.select(F.col("b").alias("t")))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("v"))
+    )
+    scored = (
+        pairs.join(c2, ["a", "b"], "left")
+        .join(c1, ["a"], "left")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "__id",
+            F.expr(
+                "CAST("
+                + _msb16_sql(
+                    "(coalesce(c1, CAST(0 AS BIGINT)) + v)"
+                    " * CAST(1048576 AS BIGINT)"
+                    " DIV (coalesce(c2, CAST(0 AS BIGINT)) + 1)"
+                )
+                + " AS BIGINT)"
+            ).alias("__s"),
+        )
+    )
+    return (
+        scored.groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("__s").cast("long").alias("nll_s16"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            "n_pairs",
+            "nll_s16",
+            F.expr("nll_s16 * CAST(1000 AS BIGINT) DIV n_pairs").alias(
+                "avg_nll_permille"
+            ),
+        )
+    )

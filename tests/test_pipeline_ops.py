@@ -6062,3 +6062,52 @@ def test_preference_pairs_hand_values(spark):
         for r in preference_pairs(tx).collect()
     }
     assert got == {"c1": (3, 1, 5), "c2": (2, 6, 0)}
+
+
+def test_bigram_nll_matches_python_model(spark):
+    from chronographer_spark.operators.text import bigram_nll
+
+    rows = [
+        (1, "the cat sat on the mat", "t"),
+        (2, "the dog sat on the cat", "t"),
+        (3, "the cat sat on the mat", "r"),      # fluent under the LM
+        (4, "zebra quark flux zebra quark", "r"),  # all-unknown bigrams
+        (5, "one", "r"),                          # < 2 tokens -> dropped
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "grp"])
+    got = {
+        r["doc_id"]: (r["n_pairs"], r["nll_s16"], r["avg_nll_permille"])
+        for r in bigram_nll(df, F.col("grp") == "t").collect()
+    }
+
+    def msb16(q):
+        q = min(max(q, 1), 1 << 52)
+        lg = q.bit_length() - 1
+        return 16 * lg + (q * 16) // (1 << lg) - 16
+
+    c2, c1, vocab = {}, {}, set()
+    for _, text, grp in rows:
+        t = text.split()
+        if grp == "t" and len(t) >= 2:
+            for x, y in zip(t, t[1:]):
+                c2[(x, y)] = c2.get((x, y), 0) + 1
+                c1[x] = c1.get(x, 0) + 1
+                vocab.update((x, y))
+    v = len(vocab)
+    want = {}
+    for doc_id, text, _ in rows:
+        t = text.split()
+        if len(t) < 2:
+            continue
+        ss = [
+            msb16(
+                (c1.get(x, 0) + v) * 1048576 // (c2.get((x, y), 0) + 1)
+            )
+            for x, y in zip(t, t[1:])
+        ]
+        want[doc_id] = (len(ss), sum(ss), sum(ss) * 1000 // len(ss))
+    assert got == want
+    assert 5 not in got
+    # fluency ordering: the in-distribution doc scores lower than the
+    # unknown-vocabulary doc
+    assert got[3][2] < got[4][2]
