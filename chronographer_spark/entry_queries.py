@@ -17674,6 +17674,111 @@ FROM sc GROUP BY doc_id
 )
 
 
+
+def q_pagerank_warm_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warm-start PageRank for the incremental-append regime: a 2-iteration
+    prior is computed on the history subgraph (edges whose underlying keys
+    are not divisible by 3), then ONE resumed iteration runs on the full
+    graph initialized from the prior (new nodes start cold at 1.0). The
+    oracle unrolls all three rounds — two on history, one resumed on the
+    full edge set with the coalesced init."""
+    from .operators.graph_algos import pagerank
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+
+    def _edges(o, c):
+        e1 = o.select(
+            F.concat(F.lit("o"), F.col("o_orderkey").cast("string")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
+        )
+        e2 = c.select(
+            F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("n"), F.col("c_nationkey").cast("string")).alias("dst"),
+        )
+        return e1.unionByName(e2)
+
+    full = _edges(orders, cust)
+    hist = _edges(
+        orders.filter(
+            (F.col("o_orderkey") % 3 != 0) & (F.col("o_custkey") % 3 != 0)
+        ),
+        cust.filter(
+            (F.col("c_custkey") % 3 != 0) & (F.col("c_nationkey") % 3 != 0)
+        ),
+    )
+    prior = pagerank(hist, damping=0.85, iterations=2).localCheckpoint(
+        eager=True
+    )
+    out = pagerank(full, damping=0.85, iterations=1, init_ranks=prior)
+    return out.select(
+        "node",
+        F.floor(F.col("rank") * 1000000 + F.lit(0.5)).cast("long").alias(
+            "rank_x1e6"
+        ),
+    )
+
+
+PAGERANK_WARM_SQL = """
+WITH ef AS (
+  SELECT 'o' || CAST(o_orderkey AS VARCHAR) AS src,
+         'c' || CAST(o_custkey AS VARCHAR) AS dst
+  FROM orders
+  UNION ALL
+  SELECT 'c' || CAST(c_custkey AS VARCHAR),
+         'n' || CAST(c_nationkey AS VARCHAR)
+  FROM customer
+),
+eh AS (
+  SELECT 'o' || CAST(o_orderkey AS VARCHAR) AS src,
+         'c' || CAST(o_custkey AS VARCHAR) AS dst
+  FROM orders WHERE o_orderkey % 3 <> 0 AND o_custkey % 3 <> 0
+  UNION ALL
+  SELECT 'c' || CAST(c_custkey AS VARCHAR),
+         'n' || CAST(c_nationkey AS VARCHAR)
+  FROM customer WHERE c_custkey % 3 <> 0 AND c_nationkey % 3 <> 0
+),
+nh AS (
+  SELECT DISTINCT node FROM (SELECT src AS node FROM eh UNION ALL SELECT dst FROM eh)
+),
+nf AS (
+  SELECT DISTINCT node FROM (SELECT src AS node FROM ef UNION ALL SELECT dst FROM ef)
+),
+oh AS (SELECT src, count(*) AS d FROM eh GROUP BY src),
+odf AS (SELECT src, count(*) AS d FROM ef GROUP BY src),
+h0 AS (SELECT node, CAST(1 AS DOUBLE) AS r FROM nh),
+h1 AS (
+  SELECT n.node, (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+           + CAST(0.85 AS DOUBLE) * coalesce(s.m, CAST(0 AS DOUBLE)) AS r
+  FROM nh n LEFT JOIN (
+    SELECT e.dst AS node, sum(h0.r / o.d) AS m
+    FROM eh e JOIN h0 ON h0.node = e.src JOIN oh o ON o.src = e.src
+    GROUP BY e.dst) s ON s.node = n.node
+),
+h2 AS (
+  SELECT n.node, (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+           + CAST(0.85 AS DOUBLE) * coalesce(s.m, CAST(0 AS DOUBLE)) AS r
+  FROM nh n LEFT JOIN (
+    SELECT e.dst AS node, sum(h1.r / o.d) AS m
+    FROM eh e JOIN h1 ON h1.node = e.src JOIN oh o ON o.src = e.src
+    GROUP BY e.dst) s ON s.node = n.node
+),
+init AS (
+  SELECT n.node, coalesce(h2.r, CAST(1 AS DOUBLE)) AS r
+  FROM nf n LEFT JOIN h2 ON h2.node = n.node
+),
+w1 AS (
+  SELECT n.node, (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+           + CAST(0.85 AS DOUBLE) * coalesce(s.m, CAST(0 AS DOUBLE)) AS r
+  FROM nf n LEFT JOIN (
+    SELECT e.dst AS node, sum(i.r / o.d) AS m
+    FROM ef e JOIN init i ON i.node = e.src JOIN odf o ON o.src = e.src
+    GROUP BY e.dst) s ON s.node = n.node
+)
+SELECT node, CAST(floor(r * 1000000 + 0.5) AS BIGINT) AS rank_x1e6 FROM w1
+"""
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -17999,6 +18104,7 @@ QUERIES = {
     "node2vec_walks": q_node2vec_walks,
     "preference_pairs": q_preference_pairs,
     "bigram_nll_docs": q_bigram_nll_docs,
+    "pagerank_warm_resume": q_pagerank_warm_resume,
 }
 
 ORACLE_SQL = {
@@ -18330,4 +18436,5 @@ ORACLE_SQL = {
     "node2vec_walks": NODE2VEC_WALKS_SQL,
     "preference_pairs": PREFERENCE_PAIRS_SQL,
     "bigram_nll_docs": BIGRAM_NLL_SQL,
+    "pagerank_warm_resume": PAGERANK_WARM_SQL,
 }

@@ -46,6 +46,8 @@ def pagerank(
     dangling: bool = False,
     tol: float | None = None,
     weight_col: str | None = None,
+    init_ranks: DataFrame | None = None,
+    return_iters: bool = False,
 ) -> DataFrame:
     """Classic (unnormalized) PageRank over (src, dst) edges:
     rank := (1-d) + d · (Σ rank(in-neighbor)/outdeg [+ dangling_mass/N]).
@@ -89,8 +91,21 @@ def pagerank(
     )
     outdeg = edges.groupBy("src").agg(wsum.alias("d")).localCheckpoint(eager=True)
     n_nodes = nodes.count() if dangling else None
-    ranks = nodes.withColumn("rank", F.lit(1.0))
+    if init_ranks is not None:
+        # warm start: resume from a stored labeling (the incremental-append
+        # regime — after a small edge batch the prior ranks are near the new
+        # fixed point, so far fewer rounds reach `tol` than a cold 1.0 start;
+        # nodes absent from the prior start cold at 1.0)
+        ranks = nodes.join(
+            init_ranks.select("node", F.col("rank").alias("__r0")),
+            "node",
+            "left",
+        ).select("node", F.coalesce("__r0", F.lit(1.0)).alias("rank"))
+    else:
+        ranks = nodes.withColumn("rank", F.lit(1.0))
+    iters_run = 0
     for _ in range(iterations):
+        iters_run += 1
         flow = (
             (F.col("rank") * F.col(weight_col).cast("double") / F.col("d"))
             if weight_col
@@ -135,6 +150,8 @@ def pagerank(
                 break
         else:
             ranks = new_ranks
+    if return_iters:
+        return ranks, iters_run
     return ranks
 
 

@@ -6111,3 +6111,43 @@ def test_bigram_nll_matches_python_model(spark):
     # fluency ordering: the in-distribution doc scores lower than the
     # unknown-vocabulary doc
     assert got[3][2] < got[4][2]
+
+
+def test_pagerank_warm_start_converges_faster(spark):
+    from chronographer_spark.operators.graph_algos import pagerank
+
+    # ring + two low-rank high-outdeg spray nodes; the batch adds one more
+    # out-edge to each spray node — a SMALL flow perturbation
+    # (rank(src) ~ 1-d, split 11 ways), the regime where resuming from the
+    # prior fixed point must beat a cold 1.0 start
+    n = 40
+    full = [(f"v{k}", f"v{(k + 1) % n}") for k in range(n)]
+    for s, base in (("s1", 0), ("s2", 1)):
+        full += [(s, f"v{(base + 3 * j) % n}") for j in range(10)]
+    batch = [("s1", "v17"), ("s2", "v23")]
+    assert not set(batch) & set(full)
+    full += batch
+    hist = [e for e in full if e not in batch]
+
+    hdf = spark.createDataFrame(hist, "src string, dst string")
+    fdf = spark.createDataFrame(full, "src string, dst string")
+    prior = pagerank(hdf, damping=0.5, iterations=30, tol=1e-5).localCheckpoint(
+        eager=True
+    )
+
+    cold, ic = pagerank(
+        fdf, damping=0.5, iterations=30, tol=1e-4, return_iters=True
+    )
+    warm, iw = pagerank(
+        fdf, damping=0.5, iterations=30, tol=1e-4,
+        init_ranks=prior, return_iters=True,
+    )
+    assert iw < ic, (iw, ic)
+    # both converged to the same fixed point (within tol-scale agreement)
+    diff = (
+        cold.withColumnRenamed("rank", "rc")
+        .join(warm.withColumnRenamed("rank", "rw"), "node")
+        .agg(F.max(F.abs(F.col("rc") - F.col("rw"))))
+        .first()[0]
+    )
+    assert diff < 1e-3, diff
