@@ -17779,6 +17779,61 @@ SELECT node, CAST(floor(r * 1000000 + 0.5) AS BIGINT) AS rank_x1e6 FROM w1
 """
 
 
+
+def q_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom semi-join reduction — the classic distributed-join pre-filter:
+    the selective dimension (orders with o_totalprice > 490000, ~2%) sets a
+    broadcast Bloom filter; the fact table (lineitem) is pre-filtered to
+    maybe=1 rows BEFORE the exact join, so the shuffle carries only
+    candidates (true matches + the filter's bounded false positives)
+    instead of the whole fact table. The final exact semi-join removes the
+    false positives, so the RESULT is provably independent of the Bloom
+    layer — which is precisely what the oracle checks by running the plain
+    semi-join with no bloom at all. Sums are integer cents, scaled per row
+    before summing."""
+    from .operators.sketches import bloom_build, bloom_maybe_contains
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    dim = orders.filter(F.col("o_totalprice") > 490000).select(
+        F.col("o_orderkey").cast("long").alias("okey")
+    )
+    bloom = bloom_build(dim, "okey", m_bits=8192, k_hashes=3)
+    cand_keys = bloom_maybe_contains(
+        bloom,
+        li.select(F.col("l_orderkey").cast("long").alias("okey")).distinct(),
+        "okey",
+        m_bits=8192,
+        k_hashes=3,
+    ).filter(F.col("maybe") == 1)
+    cand = li.join(
+        F.broadcast(cand_keys.select(F.col("okey").alias("l_orderkey"))),
+        "l_orderkey",
+    )
+    exact = cand.join(
+        F.broadcast(dim.select(F.col("okey").alias("l_orderkey"))),
+        "l_orderkey",
+    )
+    return exact.groupBy(F.col("l_orderkey").alias("okey")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(
+            F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long")
+        ).cast("long").alias("qty_cents"),
+    )
+
+
+BLOOM_SEMIJOIN_SQL = """
+SELECT CAST(l.l_orderkey AS BIGINT) AS okey,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CAST(floor(l.l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS qty_cents
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_totalprice > 490000
+GROUP BY l.l_orderkey
+"""
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -18105,6 +18160,7 @@ QUERIES = {
     "preference_pairs": q_preference_pairs,
     "bigram_nll_docs": q_bigram_nll_docs,
     "pagerank_warm_resume": q_pagerank_warm_resume,
+    "bloom_semijoin": q_bloom_semijoin,
 }
 
 ORACLE_SQL = {
@@ -18437,4 +18493,5 @@ ORACLE_SQL = {
     "preference_pairs": PREFERENCE_PAIRS_SQL,
     "bigram_nll_docs": BIGRAM_NLL_SQL,
     "pagerank_warm_resume": PAGERANK_WARM_SQL,
+    "bloom_semijoin": BLOOM_SEMIJOIN_SQL,
 }
