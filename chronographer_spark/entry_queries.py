@@ -17834,6 +17834,41 @@ GROUP BY l.l_orderkey
 """
 
 
+
+def q_graph_coarsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One METIS-style coarsening level over the trade graph: contract the
+    locally-dominant matching's pairs (strongest lanes pair first), remap
+    endpoints, drop intra-pair loops, merge parallel edges with exact
+    weight sums. The oracle replays the full 13-round matching and the
+    contraction algebra."""
+    from .operators.graph_algos import coarsen_graph, greedy_matching
+
+    e = _trade_edges(spark, sf_dir)
+    inv = e.select("u", "v", (F.lit(2_000_000_000) - F.col("w")).alias("w"))
+    m = greedy_matching(inv, max_rounds=13).select("u", "v")
+    return coarsen_graph(e, m)
+
+
+GRAPH_COARSEN_SQL = f"""
+WITH {TRADE_EDGES_FRAGMENT}{_matching_rounds_sql(13)},
+mp AS (
+  SELECT u AS node, least(u, v) AS s FROM m13
+  UNION ALL
+  SELECT v AS node, least(u, v) AS s FROM m13
+),
+re AS (
+  SELECT coalesce(mu.s, e.u) AS su, coalesce(mv.s, e.v) AS sv, e.w
+  FROM ed e
+  LEFT JOIN mp mu ON mu.node = e.u
+  LEFT JOIN mp mv ON mv.node = e.v
+)
+SELECT least(su, sv) AS cu, greatest(su, sv) AS cv,
+       CAST(sum(w) AS BIGINT) AS w_sum,
+       CAST(count(*) AS BIGINT) AS n_merged
+FROM re WHERE su <> sv GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -18161,6 +18196,7 @@ QUERIES = {
     "bigram_nll_docs": q_bigram_nll_docs,
     "pagerank_warm_resume": q_pagerank_warm_resume,
     "bloom_semijoin": q_bloom_semijoin,
+    "graph_coarsen": q_graph_coarsen,
 }
 
 ORACLE_SQL = {
@@ -18494,4 +18530,5 @@ ORACLE_SQL = {
     "bigram_nll_docs": BIGRAM_NLL_SQL,
     "pagerank_warm_resume": PAGERANK_WARM_SQL,
     "bloom_semijoin": BLOOM_SEMIJOIN_SQL,
+    "graph_coarsen": GRAPH_COARSEN_SQL,
 }

@@ -3055,3 +3055,52 @@ def node2vec_walks(
             )
         )
     return out
+
+
+def coarsen_graph(edges: DataFrame, matching: DataFrame) -> DataFrame:
+    """One multilevel coarsening level (Karypis-Kumar style): contract each
+    matched pair into a supernode labeled min(u, v), remap every edge
+    endpoint through the (broadcastable) matching, drop the intra-pair
+    self-loops, and sum the weights of parallel edges that merge. The
+    matching half of METIS-style partitioning: |V| shrinks by the matching
+    size per level while total cut weight is preserved exactly.
+
+    `edges(u, v, w)` undirected, `matching(u, v)` node-disjoint pairs
+    (greedy_matching output). Mapping is 2·|M| rows — broadcast; the remap
+    is map-only over edges; the merge is one (cu, cv) shuffle with map-side
+    combine. Returns (cu, cv, w_sum, n_merged), cu < cv."""
+    mp = (
+        matching.select(F.col("u").alias("node"), F.least("u", "v").alias("s"))
+        .unionByName(
+            matching.select(
+                F.col("v").alias("node"), F.least("u", "v").alias("s")
+            )
+        )
+    )
+    e = (
+        edges.join(
+            F.broadcast(mp.select(F.col("node").alias("u"), F.col("s").alias("__su"))),
+            "u",
+            "left",
+        )
+        .join(
+            F.broadcast(mp.select(F.col("node").alias("v"), F.col("s").alias("__sv"))),
+            "v",
+            "left",
+        )
+        .select(
+            F.coalesce("__su", F.col("u")).alias("su"),
+            F.coalesce("__sv", F.col("v")).alias("sv"),
+            "w",
+        )
+        .filter(F.col("su") != F.col("sv"))
+    )
+    return (
+        e.groupBy(
+            F.least("su", "sv").alias("cu"), F.greatest("su", "sv").alias("cv")
+        )
+        .agg(
+            F.sum("w").cast("long").alias("w_sum"),
+            F.count(F.lit(1)).cast("long").alias("n_merged"),
+        )
+    )

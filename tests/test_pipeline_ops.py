@@ -6151,3 +6151,23 @@ def test_pagerank_warm_start_converges_faster(spark):
         .first()[0]
     )
     assert diff < 1e-3, diff
+
+
+def test_coarsen_graph_hand_values(spark):
+    from chronographer_spark.operators.graph_algos import coarsen_graph
+
+    edges = spark.createDataFrame(
+        [("a", "b", 10), ("b", "c", 20), ("c", "d", 30), ("a", "c", 40),
+         ("d", "e", 50)],
+        "u string, v string, w long",
+    )
+    matching = spark.createDataFrame(
+        [("a", "b"), ("c", "d")], "u string, v string"
+    )
+    got = {
+        (r["cu"], r["cv"]): (r["w_sum"], r["n_merged"])
+        for r in coarsen_graph(edges, matching).collect()
+    }
+    # a-b and c-d become self-loops (dropped); b-c and a-c merge into
+    # supernode edge (a, c) with summed weight; d-e remaps to (c, e)
+    assert got == {("a", "c"): (60, 2), ("c", "e"): (50, 1)}
