@@ -17869,6 +17869,141 @@ FROM re WHERE su <> sv GROUP BY 1, 2
 """
 
 
+
+def q_multilevel_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multilevel partitioning loop end-to-end (METIS shape): contract
+    the locally-dominant matching of the trade graph, run 2-round
+    deterministic label propagation on the COARSE graph (nationkey ids —
+    LP's numeric tie-break), then project the coarse labels back through
+    the matching to every original node. Matched pairs inherit one label
+    by construction — the invariant multilevel partitioning exists for.
+    The oracle replays matching, contraction, both LP rounds, and the
+    projection."""
+    from .operators.graph_algos import (
+        coarsen_graph,
+        greedy_matching,
+        label_propagation,
+    )
+
+    ed = _trade_edges(spark, sf_dir)
+    nk = _t(spark, sf_dir, "nation").select(
+        F.col("n_name").alias("name"),
+        F.col("n_nationkey").cast("long").alias("k"),
+    ).localCheckpoint(eager=True)
+    inv = ed.select("u", "v", (F.lit(2_000_000_000) - F.col("w")).alias("w"))
+    m = greedy_matching(inv, max_rounds=13).select("u", "v")
+    coarse = coarsen_graph(ed, m)
+    cek = (
+        coarse.join(
+            F.broadcast(nk.select(F.col("name").alias("cu"), F.col("k").alias("src"))),
+            "cu",
+        )
+        .join(
+            F.broadcast(nk.select(F.col("name").alias("cv"), F.col("k").alias("dst"))),
+            "cv",
+        )
+        .select("src", "dst")
+    )
+    lp = label_propagation(cek, iterations=2)
+    mp = (
+        m.select(F.col("u").alias("node"), F.least("u", "v").alias("s"))
+        .unionByName(
+            m.select(F.col("v").alias("node"), F.least("u", "v").alias("s"))
+        )
+    )
+    nodes = (
+        ed.select(F.col("u").alias("node"))
+        .unionByName(ed.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    assigned = (
+        nodes.join(F.broadcast(mp), "node", "left")
+        .select("node", F.coalesce("s", F.col("node")).alias("super"))
+        .join(
+            F.broadcast(nk.select(F.col("name").alias("super"), F.col("k").alias("sk"))),
+            "super",
+        )
+        .join(
+            F.broadcast(lp.select(F.col("node").alias("sk"), F.col("label").alias("lbl"))),
+            "sk",
+            "left",
+        )
+        .select(
+            "node", F.coalesce("lbl", F.col("sk")).cast("long").alias("part")
+        )
+    )
+    return assigned
+
+
+MULTILEVEL_PARTITION_SQL = f"""
+WITH {TRADE_EDGES_FRAGMENT}{_matching_rounds_sql(13)},
+mp AS (
+  SELECT u AS node, least(u, v) AS s FROM m13
+  UNION ALL
+  SELECT v AS node, least(u, v) AS s FROM m13
+),
+re AS (
+  SELECT coalesce(mu.s, e.u) AS su, coalesce(mv.s, e.v) AS sv
+  FROM ed e
+  LEFT JOIN mp mu ON mu.node = e.u
+  LEFT JOIN mp mv ON mv.node = e.v
+),
+ce AS (
+  SELECT DISTINCT least(su, sv) AS cu, greatest(su, sv) AS cv
+  FROM re WHERE su <> sv
+),
+nk AS (SELECT n_name AS name, CAST(n_nationkey AS BIGINT) AS k FROM nation),
+cek AS (
+  SELECT a.k AS src, b.k AS dst
+  FROM ce JOIN nk a ON ce.cu = a.name JOIN nk b ON ce.cv = b.name
+),
+sym AS (SELECT src, dst FROM cek UNION ALL SELECT dst AS src, src AS dst FROM cek),
+cn AS (SELECT DISTINCT src AS node FROM sym),
+l0 AS (SELECT node, node AS label FROM cn),
+v1 AS (
+  SELECT s.dst AS node, l.label, count(*) AS c
+  FROM sym s JOIN l0 l ON s.src = l.node GROUP BY 1, 2
+),
+p1 AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC)
+             AS rn
+    FROM v1) WHERE rn = 1
+),
+l1 AS (
+  SELECT n.node, coalesce(p.label, n.node) AS label
+  FROM cn n LEFT JOIN p1 p USING (node)
+),
+v2 AS (
+  SELECT s.dst AS node, l.label, count(*) AS c
+  FROM sym s JOIN l1 l ON s.src = l.node GROUP BY 1, 2
+),
+p2 AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC)
+             AS rn
+    FROM v2) WHERE rn = 1
+),
+lp AS (
+  SELECT n.node, coalesce(p.label, n.node) AS label
+  FROM cn n LEFT JOIN p2 p USING (node)
+),
+orig AS (
+  SELECT DISTINCT node FROM (
+    SELECT u AS node FROM ed UNION ALL SELECT v AS node FROM ed
+  )
+)
+SELECT o.node,
+       CAST(coalesce(lp.label, snk.k) AS BIGINT) AS part
+FROM orig o
+LEFT JOIN mp ON mp.node = o.node
+JOIN nk snk ON snk.name = coalesce(mp.s, o.node)
+LEFT JOIN lp ON lp.node = snk.k
+"""
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -18197,6 +18332,7 @@ QUERIES = {
     "pagerank_warm_resume": q_pagerank_warm_resume,
     "bloom_semijoin": q_bloom_semijoin,
     "graph_coarsen": q_graph_coarsen,
+    "multilevel_partition": q_multilevel_partition,
 }
 
 ORACLE_SQL = {
@@ -18531,4 +18667,5 @@ ORACLE_SQL = {
     "pagerank_warm_resume": PAGERANK_WARM_SQL,
     "bloom_semijoin": BLOOM_SEMIJOIN_SQL,
     "graph_coarsen": GRAPH_COARSEN_SQL,
+    "multilevel_partition": MULTILEVEL_PARTITION_SQL,
 }

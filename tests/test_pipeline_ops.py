@@ -6171,3 +6171,53 @@ def test_coarsen_graph_hand_values(spark):
     # a-b and c-d become self-loops (dropped); b-c and a-c merge into
     # supernode edge (a, c) with summed weight; d-e remaps to (c, e)
     assert got == {("a", "c"): (60, 2), ("c", "e"): (50, 1)}
+
+
+def test_multilevel_partition_matched_pairs_share_label(spark):
+    from chronographer_spark.operators.graph_algos import (
+        coarsen_graph,
+        greedy_matching,
+        label_propagation,
+    )
+
+    # two planted communities bridged by one weak edge; unique weights
+    edges = []
+    for base in (0, 10):
+        grp = list(range(base, base + 6))
+        edges += [
+            (a, b, 1000 + a * 31 + b)
+            for a in grp for b in grp if a < b
+        ]
+    edges.append((5, 10, 1))  # weak bridge
+    edf = spark.createDataFrame(edges, "u long, v long, w long")
+    m = greedy_matching(edf, max_rounds=8).select("u", "v")
+    coarse = coarsen_graph(edf, m)
+    lp = label_propagation(
+        coarse.select(F.col("cu").alias("src"), F.col("cv").alias("dst")),
+        iterations=2,
+    )
+    mp = m.select(F.col("u").alias("node"), F.least("u", "v").alias("s")).unionByName(
+        m.select(F.col("v").alias("node"), F.least("u", "v").alias("s"))
+    )
+    nodes = (
+        edf.select(F.col("u").alias("node"))
+        .unionByName(edf.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    part = {
+        r["node"]: r["part"]
+        for r in nodes.join(mp, "node", "left")
+        .select("node", F.coalesce("s", F.col("node")).alias("super"))
+        .join(
+            lp.select(F.col("node").alias("super"), F.col("label").alias("lbl")),
+            "super",
+            "left",
+        )
+        .select("node", F.coalesce("lbl", F.col("super")).alias("part"))
+        .collect()
+    }
+    # every matched pair landed in one part (the multilevel invariant)
+    for r in m.collect():
+        assert part[r["u"]] == part[r["v"]], (r, part)
+    # all 12 nodes assigned
+    assert len(part) == 12
