@@ -18004,6 +18004,78 @@ LEFT JOIN lp ON lp.node = snk.k
 """
 
 
+
+def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact isotonic calibration (PAVA) per event_type over a thinned
+    deterministic fixture (event_id % 8 == 0; label = (event_id DIV 8 +
+    score_cents) % 2): every row gets its block mean as an exact rational.
+    The oracle carries the PAVA block stack as two LISTs in a recursive
+    CTE; each insertion's merge cascade is replayed as a one-shot
+    maximal-violating-suffix collapse (cross-multiplied means, no float),
+    then rows are mapped to blocks by prefix-sum boundaries."""
+    from .operators.classifier import isotonic_calibrate
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 8 == 0)
+    fx = ev.select(
+        F.col("event_type").alias("grp"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("score"),
+        F.col("event_id").cast("long").alias("event_id"),
+    ).withColumn(
+        "label", ((F.expr("event_id DIV 8") + F.col("score")) % 2).cast("long")
+    )
+    return isotonic_calibrate(fx)
+
+
+ISOTONIC_SQL = """
+WITH RECURSIVE pts AS (
+  SELECT event_type AS grp,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY CAST(floor(value * 100 + 0.5) AS BIGINT),
+                                     event_id) AS i,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS score,
+         (event_id // 8 + CAST(floor(value * 100 + 0.5) AS BIGINT)) % 2
+           AS label
+  FROM events WHERE event_id % 8 = 0
+),
+nper AS (SELECT grp, max(i) AS n FROM pts GROUP BY 1),
+pav(grp, i, ss, nn) AS (
+  SELECT grp, CAST(0 AS BIGINT), CAST([] AS BIGINT[]), CAST([] AS BIGINT[])
+  FROM nper
+  UNION ALL
+  SELECT p.grp, p.i + 1,
+         list_slice(p.ss, 1, len(p.ss) - (CASE WHEN len(p.ss) = 0 THEN 0 ELSE coalesce(nullif(list_position(list_reverse(list_transform(range(1, len(p.ss) + 1), k -> p.ss[k] * (CAST(1 AS BIGINT) + coalesce(list_sum(list_slice(p.nn, k + 1, len(p.nn))), 0)) >= (CAST(r.label AS BIGINT) + coalesce(list_sum(list_slice(p.ss, k + 1, len(p.ss))), 0)) * p.nn[k])), false), 0) - 1, len(p.ss)) END)) ||
+           [CAST(r.label AS BIGINT) + coalesce(list_sum(
+              list_slice(p.ss, len(p.ss) - (CASE WHEN len(p.ss) = 0 THEN 0 ELSE coalesce(nullif(list_position(list_reverse(list_transform(range(1, len(p.ss) + 1), k -> p.ss[k] * (CAST(1 AS BIGINT) + coalesce(list_sum(list_slice(p.nn, k + 1, len(p.nn))), 0)) >= (CAST(r.label AS BIGINT) + coalesce(list_sum(list_slice(p.ss, k + 1, len(p.ss))), 0)) * p.nn[k])), false), 0) - 1, len(p.ss)) END) + 1, len(p.ss))), 0)],
+         list_slice(p.nn, 1, len(p.nn) - (CASE WHEN len(p.ss) = 0 THEN 0 ELSE coalesce(nullif(list_position(list_reverse(list_transform(range(1, len(p.ss) + 1), k -> p.ss[k] * (CAST(1 AS BIGINT) + coalesce(list_sum(list_slice(p.nn, k + 1, len(p.nn))), 0)) >= (CAST(r.label AS BIGINT) + coalesce(list_sum(list_slice(p.ss, k + 1, len(p.ss))), 0)) * p.nn[k])), false), 0) - 1, len(p.ss)) END)) ||
+           [CAST(1 AS BIGINT) + coalesce(list_sum(
+              list_slice(p.nn, len(p.nn) - (CASE WHEN len(p.ss) = 0 THEN 0 ELSE coalesce(nullif(list_position(list_reverse(list_transform(range(1, len(p.ss) + 1), k -> p.ss[k] * (CAST(1 AS BIGINT) + coalesce(list_sum(list_slice(p.nn, k + 1, len(p.nn))), 0)) >= (CAST(r.label AS BIGINT) + coalesce(list_sum(list_slice(p.ss, k + 1, len(p.ss))), 0)) * p.nn[k])), false), 0) - 1, len(p.ss)) END) + 1, len(p.nn))), 0)]
+  FROM pav p JOIN pts r ON r.grp = p.grp AND r.i = p.i + 1
+),
+fin AS (
+  SELECT p.grp, p.ss, p.nn
+  FROM pav p JOIN nper n ON n.grp = p.grp AND p.i = n.n
+),
+blocks AS (
+  SELECT grp, (x).b AS b, (x).s AS s, (x).n AS n
+  FROM (
+    SELECT grp, unnest(list_transform(range(1, len(ss) + 1),
+             j -> struct_pack(b := j, s := ss[j], n := nn[j]))) AS x
+    FROM fin)
+),
+bounds AS (
+  SELECT grp, s, n,
+         sum(n) OVER (PARTITION BY grp ORDER BY b) - n + 1 AS lo,
+         sum(n) OVER (PARTITION BY grp ORDER BY b) AS hi
+  FROM blocks
+)
+SELECT r.grp, CAST(r.i AS BIGINT) AS i, r.score, CAST(r.label AS BIGINT)
+         AS label,
+       CAST(bo.s * 1000000 // bo.n AS BIGINT) AS cal_x1e6
+FROM pts r JOIN bounds bo
+  ON bo.grp = r.grp AND r.i BETWEEN bo.lo AND bo.hi
+"""
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -18333,6 +18405,7 @@ QUERIES = {
     "bloom_semijoin": q_bloom_semijoin,
     "graph_coarsen": q_graph_coarsen,
     "multilevel_partition": q_multilevel_partition,
+    "isotonic_calibration": q_isotonic_calibration,
 }
 
 ORACLE_SQL = {
@@ -18668,4 +18741,5 @@ ORACLE_SQL = {
     "bloom_semijoin": BLOOM_SEMIJOIN_SQL,
     "graph_coarsen": GRAPH_COARSEN_SQL,
     "multilevel_partition": MULTILEVEL_PARTITION_SQL,
+    "isotonic_calibration": ISOTONIC_SQL,
 }

@@ -984,3 +984,64 @@ def cuped_adjustment(
     ).withColumn(
         "var_reduction_x1e6", F.abs(F.col("r2_x1e6"))
     )
+
+
+def isotonic_calibrate(
+    df: DataFrame,
+    group: str = "grp",
+    score: str = "score",
+    label: str = "label",
+    idx: str = "event_id",
+) -> DataFrame:
+    """Exact isotonic regression per group (pool-adjacent-violators): the
+    REAL calibration step behind a quality/安全 classifier threshold —
+    monotone-nondecreasing fit of label on score, each row calibrated to
+    its block mean as the exact rational (block_sum * 1e6) DIV block_n.
+    No float anywhere: block merges compare means by cross-multiplication.
+
+    Rows are processed in the pinned (score asc, idx asc) total order (ties
+    share a block only when PAVA pools them — the pinned order makes both
+    engines replay the identical cascade). One Arrow-batched applyInPandas
+    pass per group (the dp needs stack random access — the LIS/WIS family
+    where Python IS the right plan); the DuckDB oracle carries the PAVA
+    block stack as two LISTs in a recursive CTE and performs each step's
+    merge cascade as a one-shot maximal-violating-suffix collapse
+    (classical PAVA fact: each insertion merges a contiguous suffix).
+
+    Returns (group, i, score, label, cal_x1e6), i = 1-based rank in the
+    pinned order."""
+    import pandas as pd
+
+    schema = (
+        f"{group} string, i long, {score} long, {label} long, cal_x1e6 long"
+    )
+
+    def _pava(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([score, idx]).reset_index(drop=True)
+        sums: list = []
+        ns: list = []
+        for y in pdf[label].tolist():
+            s_new, n_new = int(y), 1
+            while sums and sums[-1] * n_new >= s_new * ns[-1]:
+                s_new += sums.pop()
+                n_new += ns.pop()
+            sums.append(s_new)
+            ns.append(n_new)
+        cal = []
+        for s, n in zip(sums, ns):
+            cal.extend([s * 1000000 // n] * n)
+        return pd.DataFrame(
+            {
+                group: pdf[group].astype(str),
+                "i": range(1, len(pdf) + 1),
+                score: pdf[score],
+                label: pdf[label],
+                "cal_x1e6": cal,
+            }
+        )
+
+    return (
+        df.select(group, score, label, idx)
+        .groupBy(group)
+        .applyInPandas(_pava, schema=schema)
+    )

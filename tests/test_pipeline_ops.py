@@ -6221,3 +6221,38 @@ def test_multilevel_partition_matched_pairs_share_label(spark):
         assert part[r["u"]] == part[r["v"]], (r, part)
     # all 12 nodes assigned
     assert len(part) == 12
+
+
+def test_isotonic_calibrate_matches_maxmin_formula(spark):
+    from chronographer_spark.operators.classifier import isotonic_calibrate
+    from fractions import Fraction
+
+    # deterministic noisy-monotone labels over unique scores
+    n = 40
+    rows = [
+        ("g", k * 10, ((k * 7 + 3) % 11 < (k // 4)) * 1, k)
+        for k in range(n)
+    ]
+    df = spark.createDataFrame(
+        rows, "grp string, score long, label long, event_id long"
+    )
+    got = {
+        r["i"]: r["cal_x1e6"]
+        for r in isotonic_calibrate(df).collect()
+    }
+
+    # independent check: the minimax characterization of isotonic L2
+    ys = [r[2] for r in sorted(rows, key=lambda r: (r[1], r[3]))]
+    want = {}
+    for i in range(n):
+        best = None
+        for j in range(i + 1):
+            m = min(
+                Fraction(sum(ys[j:k + 1]), k + 1 - j)
+                for k in range(i, n)
+            )
+            best = m if best is None or m > best else best
+        want[i + 1] = (best.numerator * 1000000) // best.denominator
+    assert got == want
+    # monotone nondecreasing in the pinned order
+    assert all(got[i] <= got[i + 1] for i in range(1, n))

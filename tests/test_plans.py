@@ -1278,3 +1278,15 @@ def test_incremental_cc_relabel_is_broadcast_map_join(spark):
     # inputs, AQE converts them at runtime) — never on the prior relabel,
     # which the regex above pins as broadcast
     assert "CartesianProduct" not in plan, plan
+
+
+def test_bloom_semijoin_broadcasts_filter_and_candidates(spark):
+    """The bloom semi-join reduction must keep the fact table un-shuffled:
+    the bloom bit table, the candidate key set, and the exact dimension all
+    broadcast — no SortMergeJoin anywhere in the pre-aggregation plan."""
+    import __spark_entry__ as entry_mod
+
+    plan = _plan(entry_mod.queries()["bloom_semijoin"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
