@@ -6256,3 +6256,58 @@ def test_isotonic_calibrate_matches_maxmin_formula(spark):
     assert got == want
     # monotone nondecreasing in the pinned order
     assert all(got[i] <= got[i + 1] for i in range(1, n))
+
+
+def test_incremental_cc_daily_append_via_catalog(spark, tmp_path):
+    """The full production daily-append loop: store a CC labeling
+    partitioned by a node-hash bucket, fold a new alias batch with
+    incremental_components(emit="delta"), MERGE the delta partition-pruned
+    (pbucket is derived from node, so keys never move partitions), and the
+    read-back must equal a cold full recompute."""
+    from chronographer_spark.io.catalog import Catalog
+    from chronographer_spark.linking.canonicalize import (
+        connected_components,
+        incremental_components,
+    )
+
+    full = [(k, k + 1) for k in range(1, 300) if (k + 1) % 20 != 0]
+    batch = [(a, b) for a, b in full if a % 5 == 0 or b % 5 == 0]
+    hist = [e for e in full if e not in set(batch)]
+    old_nodes = sorted({x for p in hist for x in p})
+    all_nodes = sorted({x for p in full for x in p})
+
+    prior = connected_components(
+        spark.createDataFrame(hist, "src long, dst long"),
+        all_nodes=spark.createDataFrame([(n,) for n in old_nodes], "node long"),
+    )
+    cat = Catalog(spark, str(tmp_path))
+    cat.write(
+        prior.withColumn("pbucket", (F.col("node") % 16).cast("int")),
+        "cc_labels",
+        partition_by=["pbucket"],
+    )
+
+    stored = cat.read("cc_labels").select("node", "component")
+    delta = incremental_components(
+        stored,
+        spark.createDataFrame(batch, "src long, dst long"),
+        emit="delta",
+    ).withColumn("pbucket", (F.col("node") % 16).cast("int"))
+    cat.merge_upsert(
+        delta, "cc_labels", keys=["node", "pbucket"], partition_col="pbucket"
+    )
+
+    got = {
+        r["node"]: r["component"]
+        for r in cat.read("cc_labels").select("node", "component").collect()
+    }
+    want = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            spark.createDataFrame(full, "src long, dst long"),
+            all_nodes=spark.createDataFrame(
+                [(n,) for n in all_nodes], "node long"
+            ),
+        ).collect()
+    }
+    assert got == want
