@@ -1721,12 +1721,21 @@ def bigram_nll(
     ).select("__id", "__is_t", F.col("__p.a").alias("a"), F.col("__p.b").alias("b"))
 
     train = pairs.filter(F.col("__is_t"))
-    c2 = train.groupBy("a", "b").agg(F.count(F.lit(1)).cast("long").alias("c2"))
-    c1 = train.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    # ONE pass over the training corpus: the Zipf-small bigram-count table
+    # is eagerly checkpointed and c1 / vocab are derived FROM it — computing
+    # them from `train` directly would re-execute the corpus explode per
+    # aggregate (the tf/df re-execution family; measured 3.7x on minhash
+    # bands)
+    c2 = (
+        train.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c2"))
+        .localCheckpoint(eager=True)
+    )
+    c1 = c2.groupBy("a").agg(F.sum("c2").cast("long").alias("c1"))
     # vocab = distinct tokens in the training corpus (both pair slots)
     v = (
-        train.select(F.col("a").alias("t"))
-        .unionByName(train.select(F.col("b").alias("t")))
+        c2.select(F.col("a").alias("t"))
+        .unionByName(c2.select(F.col("b").alias("t")))
         .distinct()
         .agg(F.count(F.lit(1)).cast("long").alias("v"))
     )
