@@ -18076,6 +18076,27 @@ FROM pts r JOIN bounds bo
 """
 
 
+
+def q_incremental_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-append near-dup candidates: new docs (doc_id % 5 == 0) probe
+    the stored LSH bucket index; old-old pairs are never enumerated. Must
+    equal the FULL banded-LSH candidate set restricted to pairs touching a
+    new doc — which is exactly what the oracle computes."""
+    from .operators.dedup import incremental_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return incremental_lsh_pairs(
+        docs, F.col("doc_id") % 5 == 0,
+        num_hashes=8, bands=2, shingle_n=1,
+    )
+
+
+INCREMENTAL_LSH_SQL = (
+    "WITH pairs AS (" + MINHASH_LSH_SQL + ")\n"
+    "SELECT id_a, id_b FROM pairs WHERE id_a % 5 = 0 OR id_b % 5 = 0"
+)
+
+
 QUERIES = {
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -18406,6 +18427,7 @@ QUERIES = {
     "graph_coarsen": q_graph_coarsen,
     "multilevel_partition": q_multilevel_partition,
     "isotonic_calibration": q_isotonic_calibration,
+    "incremental_lsh_pairs": q_incremental_lsh_pairs,
 }
 
 ORACLE_SQL = {
@@ -18742,4 +18764,5 @@ ORACLE_SQL = {
     "graph_coarsen": GRAPH_COARSEN_SQL,
     "multilevel_partition": MULTILEVEL_PARTITION_SQL,
     "isotonic_calibration": ISOTONIC_SQL,
+    "incremental_lsh_pairs": INCREMENTAL_LSH_SQL,
 }

@@ -986,3 +986,45 @@ def source_overlap_matrix(
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
     )
+
+
+def incremental_lsh_pairs(
+    df: DataFrame,
+    new_filter,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Append-only near-dup candidates: only the NEW batch probes the
+    (band, bucket) index — the batch analog of the streaming incremental
+    dedup (streaming/dedup.py persists exactly this bucket-table shape).
+    In production the full bucket table is the STORED index and only the
+    batch's signatures are computed; the probe join shuffles batch-sized
+    rows against the bucketed index (co-located when the index is written
+    bucketed by (band, bucket), io/catalog bucketing).
+
+    `new_filter`: a Column predicate over `id_col` marking batch rows.
+    Returns exactly the full-LSH candidate pairs that involve at least one
+    new document — (id_a < id_b), both orientations deduped, old-old pairs
+    never enumerated."""
+    buckets = minhash_buckets(
+        df, text_col, id_col, num_hashes, bands, shingle_n
+    ).localCheckpoint(eager=True)  # stand-in for the stored index
+    probe = buckets.filter(new_filter).select(
+        F.col(id_col).alias("__new_id"), "band", "bucket"
+    )
+    hits = (
+        probe.join(
+            buckets.select(F.col(id_col).alias("__other"), "band", "bucket"),
+            ["band", "bucket"],
+        )
+        .filter(F.col("__new_id") != F.col("__other"))
+        .select(
+            F.least("__new_id", "__other").alias("id_a"),
+            F.greatest("__new_id", "__other").alias("id_b"),
+        )
+        .dropDuplicates()
+    )
+    return hits
