@@ -18097,7 +18097,68 @@ INCREMENTAL_LSH_SQL = (
 )
 
 
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 PMI collocations over the documents corpus with a planted
+    phrase: every doc_id % 7 == 0 document gets ' qq zz' appended, so the
+    (qq, zz) bigram — whose slot marginals contain nothing else — reads
+    the maximal PMI ~ log2(n2 / c2) while organic word-soup pairs
+    calibrate the noise floor near 0. min_count=5 prunes the hapax tail
+    before any marginal join (the corpus is word soup: without the
+    threshold the top-k would be all count-1 accidents)."""
+    from .operators.text import pmi_collocations
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" qq zz"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text")
+    )
+    return pmi_collocations(docs, min_count=5, k=20)
+
+
+PMI_COLLOCATIONS_SQL = """
+WITH docs AS (
+  SELECT CASE WHEN doc_id % 7 = 0 THEN text || ' qq zz' ELSE text END AS text
+  FROM documents
+),
+toks AS (
+  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM docs
+),
+pairs AS (
+  SELECT (u).a AS a, (u).b AS b
+  FROM (
+    SELECT unnest(list_transform(range(1, len(t)),
+             i -> struct_pack(a := t[i], b := t[i + 1]))) AS u
+    FROM toks WHERE len(t) >= 2
+  )
+),
+c2 AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c2 FROM pairs GROUP BY a, b),
+ca AS (SELECT a, CAST(sum(c2) AS BIGINT) AS ca FROM c2 GROUP BY a),
+cb AS (SELECT b, CAST(sum(c2) AS BIGINT) AS cb FROM c2 GROUP BY b),
+n2 AS (SELECT CAST(sum(c2) AS BIGINT) AS n2 FROM c2),
+sc AS (
+  SELECT c2.a, c2.b, c2.c2, ca.ca, cb.cb,
+         CAST({m16} - 320 AS BIGINT) AS pmi_s16
+  FROM c2 JOIN ca ON c2.a = ca.a JOIN cb ON c2.b = cb.b CROSS JOIN n2
+  WHERE c2.c2 >= 5
+)
+SELECT a, b, c2, ca, cb, pmi_s16,
+       CAST(row_number() OVER (
+         ORDER BY pmi_s16 DESC, c2 DESC, a ASC, b ASC) AS BIGINT) AS rnk
+FROM sc
+QUALIFY rnk <= 20
+""".format(
+    m16=_duck_msb16(
+        "(c2.c2 * CAST(1048576 AS BIGINT) // ca.ca) * n2.n2 // cb.cb"
+    )
+)
+
+
+
 QUERIES = {
+    "pmi_collocations": q_pmi_collocations,
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
     "triple_prf1": q_triple_prf1,
@@ -18431,6 +18492,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "pmi_collocations": PMI_COLLOCATIONS_SQL,
     "zorder_docs": ZORDER_DOCS_SQL,
     "label_noise": LABEL_NOISE_SQL,
     "survival_users": SURVIVAL_USERS_SQL,

@@ -1771,3 +1771,79 @@ def bigram_nll(
             ),
         )
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 50,
+) -> DataFrame:
+    """Top-k adjacent-bigram collocations by pointwise mutual information —
+    the phrase-mining pass of a word2vec/tokenizer pipeline (Mikolov et
+    al. 2013 §4 learn phrases from exactly this statistic; the reference
+    pipeline has no phrase stage — LLM-pipeline surface beyond
+    /root/reference). PMI is computed over the BIGRAM event space with
+    slot marginals, so every quantity is a count off one collapsed table:
+    PMI(a,b) = log2( c2(a,b)·n2 / (ca(a)·cb(b)) ) with ca = a's
+    first-slot count, cb = b's second-slot count, n2 = total bigrams.
+
+    Exact-integer cross-engine contract: the ratio is the twice-staged
+    truncated quotient q = (c2·2^20 DIV ca)·n2 DIV cb (c2 <= ca keeps the
+    first stage <= 2^20, so the second fits while n2 < 2^42 — ~4e12
+    bigrams, the 10^12-turn scale), then pmi_s16 = msb16(q) − 320 in
+    1/16-bit units — no float log anywhere, the DuckDB oracle replays
+    bin()/shift/DIV bit-for-bit.
+
+    Shape at 100 TB: one corpus explode collapses to the Zipf-small
+    (a, b, c2) table (map-side combine), eagerly checkpointed so the slot
+    marginals and n2 derive from IT, not from a re-executed corpus scan
+    (the tf/df re-execution family); the min_count filter prunes the
+    hapax tail BEFORE the marginal joins; the final top-k window runs
+    over the thresholded vocabulary-sized table, never the corpus.
+
+    Returns (a, b, c2, ca, cb, pmi_s16, rnk), rnk 1..k by
+    (pmi_s16 desc, c2 desc, a, b).
+    """
+    from .sampling import _msb16_sql
+
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
+    base = df.select(toks.alias("__t")).filter(F.size("__t") >= 2)
+    pairs = base.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(__t) - 1),"
+                " i -> struct(element_at(__t, i) AS a,"
+                "             element_at(__t, i + 1) AS b))"
+            )
+        ).alias("__p")
+    ).select(F.col("__p.a").alias("a"), F.col("__p.b").alias("b"))
+    c2 = (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c2"))
+        .localCheckpoint(eager=True)
+    )
+    ca = c2.groupBy("a").agg(F.sum("c2").cast("long").alias("ca"))
+    cb = c2.groupBy("b").agg(F.sum("c2").cast("long").alias("cb"))
+    n2 = c2.agg(F.sum("c2").cast("long").alias("n2"))
+    q = "(c2 * CAST(1048576 AS BIGINT) DIV ca) * n2 DIV cb"
+    scored = (
+        c2.filter(F.col("c2") >= min_count)
+        .join(ca, ["a"])
+        .join(cb, ["b"])
+        .crossJoin(F.broadcast(n2))
+        .select(
+            "a",
+            "b",
+            "c2",
+            "ca",
+            "cb",
+            F.expr(f"CAST({_msb16_sql(q)} - 320 AS BIGINT)").alias("pmi_s16"),
+        )
+    )
+    w = Window.partitionBy().orderBy(
+        F.col("pmi_s16").desc(), F.col("c2").desc(), F.col("a"), F.col("b")
+    )
+    return scored.select(
+        "*", F.row_number().over(w).cast("long").alias("rnk")
+    ).filter(F.col("rnk") <= k)

@@ -6311,3 +6311,58 @@ def test_incremental_cc_daily_append_via_catalog(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_pmi_collocations_matches_python_model(spark):
+    from chronographer_spark.operators.text import pmi_collocations
+
+    # 'new york' always co-occurs (planted collocation); 'the' pairs with
+    # everything (high-frequency glue reads ~0 PMI); singleton pairs fall
+    # under min_count
+    rows = [(i, "the a new york the b new york the a") for i in range(4)] + [
+        (99, "solo pair solo pair solo pair solo pair solo"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["a"], r["b"]): (r["c2"], r["ca"], r["cb"], r["pmi_s16"], r["rnk"])
+        for r in pmi_collocations(df, min_count=4, k=10).collect()
+    }
+
+    def msb16(q):
+        q = min(max(q, 1), 1 << 52)
+        lg = q.bit_length() - 1
+        return 16 * lg + (q * 16) // (1 << lg) - 16
+
+    c2, ca, cb = {}, {}, {}
+    for _, text in rows:
+        t = text.split()
+        for x, y in zip(t, t[1:]):
+            c2[(x, y)] = c2.get((x, y), 0) + 1
+            ca[x] = ca.get(x, 0) + 1
+            cb[y] = cb.get(y, 0) + 1
+    n2 = sum(c2.values())
+    want_scored = {
+        (x, y): (
+            c,
+            ca[x],
+            cb[y],
+            msb16((c * 1048576 // ca[x]) * n2 // cb[y]) - 320,
+        )
+        for (x, y), c in c2.items()
+        if c >= 4
+    }
+    order = sorted(
+        want_scored.items(), key=lambda kv: (-kv[1][3], -kv[1][0], kv[0])
+    )
+    want = {
+        pair: vals + (i + 1,) for i, (pair, vals) in enumerate(order[:10])
+    }
+    assert got == want
+    # collocation ordering: the exclusive pair (solo, pair) outranks the
+    # planted (new, york) whose slots also host other partners, which in
+    # turn outranks the high-frequency glue (the, a)
+    assert (
+        got[("solo", "pair")][3]
+        > got[("new", "york")][3]
+        > got[("the", "a")][3]
+    )
