@@ -18157,7 +18157,67 @@ QUALIFY rnk <= 20
 
 
 
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event_type and UTC hour with planted
+    dependence: night-time (hour < 6) error events are tripled, coupling
+    the type marginal to the hour marginal — MI reads clearly positive
+    where the untouched corpus would calibrate near 0. Hour is the
+    engine-neutral epoch % 86400 DIV 3600 (the seasonal_profile
+    convention), never the builtins."""
+    from .operators.text import mutual_information
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(
+            "CAST(CAST(unix_timestamp(ts) AS BIGINT) % 86400"
+            " DIV 3600 AS BIGINT)"
+        ).alias("hour"),
+    )
+    hub = ev.filter((F.col("event_type") == "error") & (F.col("hour") < 6))
+    return mutual_information(
+        ev.unionAll(hub).unionAll(hub), row_col="event_type", col_col="hour"
+    )
+
+
+MUTUAL_INFORMATION_SQL = """
+WITH base AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) % 86400 // 3600 AS hour
+  FROM events
+),
+ev AS (
+  SELECT * FROM base
+  UNION ALL SELECT * FROM base WHERE event_type = 'error' AND hour < 6
+  UNION ALL SELECT * FROM base WHERE event_type = 'error' AND hour < 6
+),
+cells AS (
+  SELECT event_type AS r, hour AS c, CAST(count(*) AS BIGINT) AS o
+  FROM ev GROUP BY 1, 2
+),
+rm AS (SELECT r, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY r),
+cm AS (SELECT c, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY c),
+nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+agg AS (
+  SELECT max(nn.n) AS n,
+         CAST(count(DISTINCT cells.r) AS BIGINT) AS n_row_cats,
+         CAST(count(DISTINCT cells.c) AS BIGINT) AS n_col_cats,
+         CAST(sum(o * ({m16} - 320)) AS BIGINT) AS mi_x16n
+  FROM cells JOIN rm USING (r) JOIN cm USING (c) CROSS JOIN nn
+)
+SELECT n, n_row_cats, n_col_cats, mi_x16n,
+       CASE WHEN mi_x16n >= 0
+            THEN mi_x16n * CAST(62500 AS BIGINT) // n
+            ELSE -((-mi_x16n) * CAST(62500 AS BIGINT) // n) END
+         AS mi_bits_x1e6
+FROM agg
+""".format(
+    m16=_duck_msb16("(o * CAST(1048576 AS BIGINT) // rt) * nn.n // ct")
+)
+
+
+
 QUERIES = {
+    "mutual_information": q_mutual_information,
     "pmi_collocations": q_pmi_collocations,
     "event_search_2iter": q_event_search,
     "info_counters": q_info_counters,
@@ -18492,6 +18552,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "mutual_information": MUTUAL_INFORMATION_SQL,
     "pmi_collocations": PMI_COLLOCATIONS_SQL,
     "zorder_docs": ZORDER_DOCS_SQL,
     "label_noise": LABEL_NOISE_SQL,

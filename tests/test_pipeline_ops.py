@@ -6366,3 +6366,44 @@ def test_pmi_collocations_matches_python_model(spark):
         > got[("new", "york")][3]
         > got[("the", "a")][3]
     )
+
+
+def test_mutual_information_matches_python_model(spark):
+    from chronographer_spark.operators.text import mutual_information
+
+    # x perfectly determines y on keys a/b; c spreads uniformly over both
+    rows = (
+        [("a", 0)] * 6 + [("b", 1)] * 6 + [("c", 0)] * 3 + [("c", 1)] * 3
+    )
+    df = spark.createDataFrame(rows, ["x", "y"])
+    got = mutual_information(df, row_col="x", col_col="y").collect()[0]
+
+    def msb16(q):
+        q = min(max(q, 1), 1 << 52)
+        lg = q.bit_length() - 1
+        return 16 * lg + (q * 16) // (1 << lg) - 16
+
+    from collections import Counter
+
+    cells = Counter(rows)
+    rm = Counter(x for x, _ in rows)
+    cm = Counter(y for _, y in rows)
+    n = len(rows)
+    mi = sum(
+        o * (msb16((o * 1048576 // rm[x]) * n // cm[y]) - 320)
+        for (x, y), o in cells.items()
+    )
+    assert (
+        got["n"],
+        got["n_row_cats"],
+        got["n_col_cats"],
+        got["mi_x16n"],
+    ) == (n, 3, 2, mi)
+    assert got["mi_bits_x1e6"] == mi * 62500 // n
+    # dependence reads positive; a uniform-independent table reads ~0
+    assert got["mi_bits_x1e6"] > 300000  # H(Y)=1 bit, 3/4 mass informative
+    ind = [("a", 0), ("a", 1), ("b", 0), ("b", 1)] * 5
+    got0 = mutual_information(
+        spark.createDataFrame(ind, ["x", "y"]), row_col="x", col_col="y"
+    ).collect()[0]
+    assert abs(got0["mi_bits_x1e6"]) < 40000  # quantization floor only
