@@ -18216,7 +18216,64 @@ FROM agg
 
 
 
+def q_changepoint_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM maximum-deviation changepoint per event type with a planted
+    level shift: 'click' values gain +500.00 from 2024-01-15 on, so the
+    click key's gmax spikes at the boundary while untouched types
+    calibrate the no-shift null. The split is found on exact integer
+    cents — no per-key float mean ever exists."""
+    from .operators.temporal import changepoint_scan
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        "ts",
+        (
+            F.col("value")
+            + F.when(
+                (F.col("event_type") == "click")
+                & (F.col("ts") >= F.lit("2024-01-15").cast("timestamp")),
+                500.0,
+            ).otherwise(0.0)
+        ).alias("value"),
+    )
+    return changepoint_scan(ev)
+
+
+CHANGEPOINT_SCAN_SQL = """
+WITH ev AS (
+  SELECT event_type AS key, event_id, ts,
+         CAST(floor((value + CASE WHEN event_type = 'click'
+                                   AND ts >= TIMESTAMP '2024-01-15'
+                              THEN 500.0 ELSE 0.0 END) * 100 + 0.5)
+              AS BIGINT) AS v
+  FROM events
+),
+pref AS (
+  SELECT key, event_id AS split_id,
+         CAST(row_number() OVER w AS BIGINT) AS split_i,
+         CAST(sum(v) OVER w AS BIGINT) AS si,
+         CAST(count(*) OVER (PARTITION BY key) AS BIGINT) AS n,
+         CAST(sum(v) OVER (PARTITION BY key) AS BIGINT) AS sn
+  FROM ev
+  WINDOW w AS (PARTITION BY key ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+stat AS (
+  SELECT key, n, split_i, split_id,
+         CAST(abs(n * si - split_i * sn) AS BIGINT) AS gmax
+  FROM pref WHERE split_i < n
+)
+SELECT key, n, split_i, split_id, gmax
+FROM stat
+QUALIFY row_number() OVER (
+  PARTITION BY key ORDER BY gmax DESC, split_i ASC) = 1
+"""
+
+
+
 QUERIES = {
+    "changepoint_scan": q_changepoint_scan,
     "mutual_information": q_mutual_information,
     "pmi_collocations": q_pmi_collocations,
     "event_search_2iter": q_event_search,
@@ -18552,6 +18609,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "changepoint_scan": CHANGEPOINT_SCAN_SQL,
     "mutual_information": MUTUAL_INFORMATION_SQL,
     "pmi_collocations": PMI_COLLOCATIONS_SQL,
     "zorder_docs": ZORDER_DOCS_SQL,

@@ -2390,3 +2390,74 @@ def record_counts(
         .cast("long")
         .alias("last_record_pos"),
     ).select(F.col("__k").alias(key), "n", "n_records", "last_record_pos")
+
+
+def changepoint_scan(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    scale: int = 100,
+) -> DataFrame:
+    """Single most-likely mean changepoint per key — the CUSUM
+    maximum-deviation scan (Page 1954 / binary segmentation depth 1: the
+    split a monitoring pipeline alerts on, and the recursion step of full
+    binary segmentation run per detected segment): over the key's
+    time-ordered integer-cent values, the statistic at split i is
+    g_i = |n·S_i − i·S_n| (the cross-multiplied form of
+    |S_i − (i/n)·S_n|, so it is BIGINT-exact — no per-key mean float
+    ever exists), maximized over 1 <= i < n with the EARLIEST i pinned
+    on ties.
+
+    Shape: values are scaled to integer cents per row BEFORE any sum
+    (double summation order differs between engines; per-row floor does
+    not), then ONE (key, ts, id) window pass computes i, S_i, n, S_n —
+    prefix and total from the same exchange — and the per-key argmax is
+    a second window over the SAME key partitioning (no new exchange).
+    Nothing leaves the key's partition; the output is |keys| rows.
+
+    Overflow bound: |n·S_i| <= n·Σ|cents| — safe while a key's row count
+    times its absolute cent mass stays under 2^63 (~9.2e18; a key with
+    1e6 rows of ~$100 values sits at 1e13).
+
+    Returns (key, n, split_i, split_id, gmax): the 1-based prefix length
+    of the left segment, the id of its last row, and the raw statistic
+    in cent·row units. gmax near 0 reads "no level shift"; calibrate the
+    null by comparing keys.
+    """
+    cents = F.floor(
+        F.col(value_col).cast("double") * scale + F.lit(0.5)
+    ).cast("long")
+    w_ord = Window.partitionBy("key").orderBy("__ts", "__id")
+    w_all = Window.partitionBy("key")
+    pref = df.select(
+        F.col(key_col).alias("key"),
+        F.col(id_col).alias("__id"),
+        F.col(ts_col).alias("__ts"),
+        cents.alias("__v"),
+    ).select(
+        "key",
+        "__id",
+        F.row_number().over(w_ord).cast("long").alias("__i"),
+        F.sum("__v").over(w_ord).cast("long").alias("__si"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("n"),
+        F.sum("__v").over(w_all).cast("long").alias("__sn"),
+    )
+    stat = pref.filter(F.col("__i") < F.col("n")).select(
+        "key",
+        "n",
+        F.col("__i").alias("split_i"),
+        F.col("__id").alias("split_id"),
+        F.abs(
+            F.col("n") * F.col("__si") - F.col("__i") * F.col("__sn")
+        ).cast("long").alias("gmax"),
+    )
+    w_pick = Window.partitionBy("key").orderBy(
+        F.col("gmax").desc(), F.col("split_i").asc()
+    )
+    return (
+        stat.withColumn("__rn", F.row_number().over(w_pick))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

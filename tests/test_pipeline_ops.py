@@ -6407,3 +6407,49 @@ def test_mutual_information_matches_python_model(spark):
         spark.createDataFrame(ind, ["x", "y"]), row_col="x", col_col="y"
     ).collect()[0]
     assert abs(got0["mi_bits_x1e6"]) < 40000  # quantization floor only
+
+
+def test_changepoint_scan_matches_bruteforce(spark):
+    from chronographer_spark.operators.temporal import changepoint_scan
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    # key 'shift': clean level shift 10.0 -> 20.0 after position 4
+    # key 'flat': constant (gmax = 0, earliest split pinned)
+    # key 'tie': symmetric spike — two equal-gmax splits, earliest wins
+    rows = (
+        [("shift", i, t0 + dt.timedelta(hours=i), 10.0) for i in range(4)]
+        + [("shift", i, t0 + dt.timedelta(hours=i), 20.0) for i in range(4, 8)]
+        + [("flat", i, t0 + dt.timedelta(hours=i), 5.0) for i in range(6)]
+        + [
+            ("tie", i, t0 + dt.timedelta(hours=i), v)
+            for i, v in enumerate([1.0, 9.0, 1.0])
+        ]
+    )
+    df = spark.createDataFrame(rows, ["event_type", "event_id", "ts", "value"])
+    got = {
+        r["key"]: (r["n"], r["split_i"], r["split_id"], r["gmax"])
+        for r in changepoint_scan(df).collect()
+    }
+
+    want = {}
+    by_key = {}
+    for k, i, ts, v in rows:
+        by_key.setdefault(k, []).append((ts, i, int(v * 100 + 0.5)))
+    for k, seq in by_key.items():
+        seq.sort()
+        n = len(seq)
+        sn = sum(v for _, _, v in seq)
+        best = None
+        s = 0
+        for idx, (_, rid, v) in enumerate(seq[:-1], start=1):
+            s += v
+            g = abs(n * s - idx * sn)
+            if best is None or g > best[3]:
+                best = (n, idx, rid, g)
+        want[k] = best
+    assert got == want
+    # the planted shift splits exactly at the boundary; flat reads 0
+    assert got["shift"][1] == 4 and got["flat"][3] == 0
+    # symmetric spike: both splits read equal g; earliest (i=1) pinned
+    assert got["tie"][1] == 1
