@@ -18272,7 +18272,101 @@ QUALIFY row_number() OVER (
 
 
 
+def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keywords over the documents corpus with a planted collocation:
+    doc_id % 11 == 0 documents gain ' the deep learning the' — the
+    stopword fence isolates (deep, learning) as a clean 2-word candidate
+    whose exclusive words score degree/freq = 2 each. Word-soup runs are
+    capped at max_len=3 and thresholded at n_occ >= 3, so the readout is
+    the recurring-phrase vocabulary, not count-1 accidents."""
+    from .operators.text import rake_keywords
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.col("text"), F.lit(" the deep learning the")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return rake_keywords(docs, max_len=3, min_count=3, k=25)
+
+
+RAKE_KEYWORDS_SQL = """
+WITH docs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 0 THEN text || ' the deep learning the'
+              ELSE text END AS text
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM docs
+),
+pos AS (
+  SELECT doc_id, (u).p AS p, (u).w AS w,
+         list_contains(['the','a','an','of','and','or','to','in','on',
+                        'for','is','are','was','at','by','with','as','it',
+                        'this','that'], (u).w) AS stop
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t) + 1),
+             i -> struct_pack(p := i, w := t[i]))) AS u
+    FROM toks
+  )
+),
+runs AS (
+  SELECT doc_id, p, w,
+         sum(CASE WHEN stop THEN 1 ELSE 0 END) OVER (
+           PARTITION BY doc_id ORDER BY p
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run,
+         stop
+  FROM pos
+),
+phrases AS (
+  SELECT doc_id, run,
+         string_agg(w, ' ' ORDER BY p) AS phrase,
+         CAST(count(*) AS BIGINT) AS len
+  FROM runs WHERE NOT stop
+  GROUP BY doc_id, run
+  HAVING count(*) <= 3
+),
+words AS (
+  SELECT len, unnest(string_split(phrase, ' ')) AS w FROM phrases
+),
+ws AS (
+  SELECT w,
+         CAST(sum(len) AS BIGINT) * CAST(1000000 AS BIGINT)
+           // CAST(count(*) AS BIGINT) AS wsc
+  FROM words GROUP BY w
+),
+dphrase AS (
+  SELECT phrase, CAST(max(len) AS BIGINT) AS n_words,
+         CAST(count(*) AS BIGINT) AS n_occ
+  FROM phrases GROUP BY phrase
+  HAVING count(*) >= 3
+),
+scored AS (
+  SELECT d.phrase, d.n_words, d.n_occ,
+         CAST(sum(ws.wsc) AS BIGINT) AS score_x1e6
+  FROM (SELECT phrase, n_words, n_occ,
+               unnest(string_split(phrase, ' ')) AS w
+        FROM dphrase) d
+  JOIN ws USING (w)
+  GROUP BY d.phrase, d.n_words, d.n_occ
+)
+SELECT phrase, n_words, n_occ, score_x1e6,
+       CAST(row_number() OVER (
+         ORDER BY score_x1e6 DESC, n_occ DESC, phrase ASC) AS BIGINT) AS rnk
+FROM scored
+QUALIFY rnk <= 25
+"""
+
+
+
 QUERIES = {
+    "rake_keywords": q_rake_keywords,
     "changepoint_scan": q_changepoint_scan,
     "mutual_information": q_mutual_information,
     "pmi_collocations": q_pmi_collocations,
@@ -18609,6 +18703,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "rake_keywords": RAKE_KEYWORDS_SQL,
     "changepoint_scan": CHANGEPOINT_SCAN_SQL,
     "mutual_information": MUTUAL_INFORMATION_SQL,
     "pmi_collocations": PMI_COLLOCATIONS_SQL,

@@ -1919,3 +1919,117 @@ def mutual_information(
             ).alias("mi_bits_x1e6"),
         )
     )
+
+
+RAKE_DEFAULT_STOPWORDS = (
+    "the", "a", "an", "of", "and", "or", "to", "in", "on", "for",
+    "is", "are", "was", "at", "by", "with", "as", "it", "this", "that",
+)
+
+
+def rake_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stopwords: "tuple[str, ...]" = RAKE_DEFAULT_STOPWORDS,
+    max_len: int = 3,
+    min_count: int = 1,
+    k: int = 50,
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    the maximal stopword-free token runs, each word is scored
+    degree/frequency over the phrase corpus (degree = Σ length of the
+    phrases it occurs in, itself included — so glue words that only ever
+    appear alone score 1, words living in long collocations score up to
+    max_len), and a phrase's score is the sum of its words' scores — the
+    unsupervised keyword pass of a document-tagging pipeline (the
+    reference has no keyword stage; LLM-pipeline surface).
+
+    Exact integers: word_score_x1e6 = degree·1e6 DIV freq (bounded by
+    max_len·1e6); phrase score = Σ word scores — BIGINT throughout, no
+    tf-idf floats. Phrases longer than max_len are DISCARDED (the
+    practical RAKE cap): it bounds the per-row explode fan-out AND keeps
+    a stopword-free run in degenerate corpora from producing
+    document-sized phrases.
+
+    Shape: one posexplode fan per token (positions are needed for the
+    run split); phrase ids are a per-doc prefix sum of the stopword
+    flags — ONE (doc) window; phrase assembly is a per-(doc, phrase)
+    sorted collect; word stats and phrase scores are groupBys over the
+    Zipf-small phrase-word table. The final top-k window runs over the
+    thresholded distinct-phrase table only.
+
+    Returns (phrase, n_words, n_occ, score_x1e6, rnk), rnk 1..k by
+    (score desc, n_occ desc, phrase)."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    pos = (
+        df.select(F.col(id_col).alias("__id"), toks.alias("__t"))
+        .select("__id", F.posexplode("__t").alias("__p", "__w"))
+        .select(
+            "__id",
+            "__p",
+            "__w",
+            F.array_contains(sw, F.col("__w")).alias("__stop"),
+        )
+    )
+    w_doc = Window.partitionBy("__id").orderBy("__p")
+    runs = pos.select(
+        "__id",
+        "__p",
+        "__w",
+        "__stop",
+        F.sum(F.when(F.col("__stop"), 1).otherwise(0))
+        .over(w_doc)
+        .alias("__run"),
+    ).filter(~F.col("__stop"))
+    phrases = (
+        runs.groupBy("__id", "__run")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("__p"), F.col("__w")))
+                    ),
+                    lambda s: s["__w"],
+                ),
+            ).alias("phrase"),
+            F.count(F.lit(1)).cast("long").alias("__len"),
+        )
+        .filter(F.col("__len") <= max_len)
+        .localCheckpoint(eager=True)
+    )
+    words = phrases.select(
+        "__len", F.explode(F.split(F.col("phrase"), " ")).alias("__w")
+    )
+    wstats = words.groupBy("__w").agg(
+        F.count(F.lit(1)).cast("long").alias("__freq"),
+        F.sum("__len").cast("long").alias("__deg"),
+    )
+    wscore = wstats.select(
+        "__w",
+        F.expr("__deg * CAST(1000000 AS BIGINT) DIV __freq").alias("__ws"),
+    )
+    dphrase = phrases.groupBy("phrase").agg(
+        F.max("__len").cast("long").alias("n_words"),
+        F.count(F.lit(1)).cast("long").alias("n_occ"),
+    )
+    scored = (
+        dphrase.filter(F.col("n_occ") >= min_count)
+        .select(
+            "phrase",
+            "n_words",
+            "n_occ",
+            F.explode(F.split(F.col("phrase"), " ")).alias("__w"),
+        )
+        .join(wscore, ["__w"])
+        .groupBy("phrase", "n_words", "n_occ")
+        .agg(F.sum("__ws").cast("long").alias("score_x1e6"))
+    )
+    w_pick = Window.partitionBy().orderBy(
+        F.col("score_x1e6").desc(), F.col("n_occ").desc(), F.col("phrase")
+    )
+    return scored.select(
+        "*", F.row_number().over(w_pick).cast("long").alias("rnk")
+    ).filter(F.col("rnk") <= k)

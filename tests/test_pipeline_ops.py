@@ -6453,3 +6453,56 @@ def test_changepoint_scan_matches_bruteforce(spark):
     assert got["shift"][1] == 4 and got["flat"][3] == 0
     # symmetric spike: both splits read equal g; earliest (i=1) pinned
     assert got["tie"][1] == 1
+
+
+def test_rake_keywords_matches_python_model(spark):
+    from chronographer_spark.operators.text import rake_keywords
+
+    rows = [
+        (1, "deep learning of deep learning and neural nets"),
+        (2, "the deep learning is neural nets and nets"),
+        (3, "deep learning and nets on nets"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["phrase"]: (r["n_words"], r["n_occ"], r["score_x1e6"], r["rnk"])
+        for r in rake_keywords(df, max_len=3, min_count=1, k=10).collect()
+    }
+
+    from chronographer_spark.operators.text import RAKE_DEFAULT_STOPWORDS
+
+    stop = set(RAKE_DEFAULT_STOPWORDS)
+    phrases = []
+    for _, text in rows:
+        run = []
+        for w in text.split() + ["the"]:
+            if w in stop:
+                if run:
+                    phrases.append(tuple(run))
+                run = []
+            else:
+                run.append(w)
+    phrases = [p for p in phrases if len(p) <= 3]
+    freq, deg = {}, {}
+    for p in phrases:
+        for w in p:
+            freq[w] = freq.get(w, 0) + 1
+            deg[w] = deg.get(w, 0) + len(p)
+    ws = {w: deg[w] * 1000000 // freq[w] for w in freq}
+    from collections import Counter
+
+    occ = Counter(" ".join(p) for p in phrases)
+    scored = {
+        ph: (len(ph.split()), n, sum(ws[w] for w in ph.split()))
+        for ph, n in occ.items()
+    }
+    order = sorted(
+        scored.items(), key=lambda kv: (-kv[1][2], -kv[1][1], kv[0])
+    )
+    want = {
+        ph: vals + (i + 1,) for i, (ph, vals) in enumerate(order[:10])
+    }
+    assert got == want
+    # the recurring collocation outscores the lone glue word: every word
+    # of 'deep learning' lives in 2-3-word phrases
+    assert got["deep learning"][2] > got["nets"][2]
