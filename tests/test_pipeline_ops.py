@@ -6506,3 +6506,71 @@ def test_rake_keywords_matches_python_model(spark):
     # the recurring collocation outscores the lone glue word: every word
     # of 'deep learning' lives in 2-3-word phrases
     assert got["deep learning"][2] > got["nets"][2]
+
+
+def test_modularity_score_hand_values(spark):
+    from chronographer_spark.operators.graph_algos import modularity_score
+
+    # two 4-cliques joined by one bridge: the clique partition is the
+    # textbook high-Q labeling (m=13, e_c=6 each, d_c = 13 and 13)
+    cl1 = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    cl2 = [(a, b) for a in "efgh" for b in "efgh" if a < b]
+    edges = spark.createDataFrame(
+        cl1 + cl2 + [("d", "e")], ["src", "dst"]
+    )
+    lab_good = spark.createDataFrame(
+        [(n, "c1") for n in "abcd"] + [(n, "c2") for n in "efgh"],
+        ["node", "label"],
+    )
+    got = modularity_score(edges, lab_good).collect()[0]
+    m = 13
+    num = sum(4 * m * 6 - 13 * 13 for _ in range(2))
+    assert (got["m"], got["n_comms"], got["intra_edges"], got["num"]) == (
+        m, 2, 12, num,
+    )
+    assert got["q_x1e6"] == num * 1000000 // (4 * m * m)  # 286/676 ≈ +0.423
+    assert 410000 < got["q_x1e6"] < 440000
+
+    # everything in ONE community reads exactly 0: e_c = m, d_c = 2m
+    lab_one = spark.createDataFrame(
+        [(n, "all") for n in "abcdefgh"], ["node", "label"]
+    )
+    assert modularity_score(edges, lab_one).collect()[0]["q_x1e6"] == 0
+
+    # unlabeled nodes fall into the sentinel community rather than
+    # vanishing: drop one clique's labels, Q drops but stays defined
+    part = modularity_score(edges, lab_good.filter("label = 'c1'")).collect()[0]
+    assert part["n_comms"] == 2 and part["m"] == 13
+
+    # anti-aligned labeling (split across the cliques) reads negative
+    lab_bad = spark.createDataFrame(
+        [(n, "x" if n in "aceg" else "y") for n in "abcdefgh"],
+        ["node", "label"],
+    )
+    assert modularity_score(edges, lab_bad).collect()[0]["q_x1e6"] < 0
+
+
+def test_modularity_of_label_propagation_beats_metadata_partition(spark):
+    """Composition: LP labels on a two-clique graph reach the clique
+    partition, whose modularity strictly beats an arbitrary split —
+    the evaluate-your-clustering loop a KG pipeline runs."""
+    from chronographer_spark.operators.graph_algos import (
+        label_propagation,
+        modularity_score,
+    )
+
+    cl1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    cl2 = [(a + 10, b + 10) for a in range(4) for b in range(4) if a < b]
+    edges = spark.createDataFrame(
+        cl1 + cl2 + [(3, 10)], ["src", "dst"]
+    )
+    lp = label_propagation(edges, iterations=3).select(
+        F.col("node"), F.col("label")
+    )
+    q_lp = modularity_score(edges, lp).collect()[0]["q_x1e6"]
+    lab_bad = spark.createDataFrame(
+        [(n, n % 2) for n in list(range(4)) + list(range(10, 14))],
+        ["node", "label"],
+    )
+    q_bad = modularity_score(edges, lab_bad).collect()[0]["q_x1e6"]
+    assert q_lp > 300000 > q_bad
