@@ -18436,7 +18436,47 @@ FROM agg
 
 
 
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 3-gram novelty in ingestion (doc_id) order: the
+    corpus's exact-duplicate docs read 0 (every shingle first occurred
+    in the earlier twin), template re-serves read low, fresh word-soup
+    reads high — the self-referential redundancy screen beside dedup."""
+    from .operators.text import ngram_novelty
+
+    return ngram_novelty(_t(spark, sf_dir, "documents"), n=3)
+
+
+NGRAM_NOVELTY_SQL = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(u, ' ') AS s
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t) - 1),
+             i -> t[i:i+2])) AS u
+    FROM toks WHERE len(t) >= 3
+  )
+),
+own AS (SELECT s, min(doc_id) AS own FROM sh GROUP BY s)
+SELECT sh.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN own.own = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_new,
+       CAST(sum(CASE WHEN own.own = sh.doc_id THEN 1 ELSE 0 END)
+            * CAST(1000000 AS BIGINT) // count(*) AS BIGINT)
+         AS novelty_x1e6
+FROM sh JOIN own USING (s)
+GROUP BY sh.doc_id
+"""
+
+
+
 QUERIES = {
+    "ngram_novelty": q_ngram_novelty,
     "modularity_regions": q_modularity_regions,
     "rake_keywords": q_rake_keywords,
     "changepoint_scan": q_changepoint_scan,
@@ -18775,6 +18815,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "ngram_novelty": NGRAM_NOVELTY_SQL,
     "modularity_regions": MODULARITY_REGIONS_SQL,
     "rake_keywords": RAKE_KEYWORDS_SQL,
     "changepoint_scan": CHANGEPOINT_SCAN_SQL,

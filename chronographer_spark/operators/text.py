@@ -2033,3 +2033,67 @@ def rake_keywords(
     return scored.select(
         "*", F.row_number().over(w_pick).cast("long").alias("rnk")
     ).filter(F.col("rnk") <= k)
+
+
+def ngram_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram novelty — the share of the document's distinct
+    word n-grams whose FIRST corpus occurrence (minimum doc id =
+    ingestion order) is this document. The memorization/redundancy
+    screen beside the dedup family: exact duplicates of earlier docs
+    read 0, template re-serves read low, genuinely new content reads
+    high — and a training-curriculum pass orders or prunes on exactly
+    this number (Lee et al. 2022 measure the same statistic to motivate
+    dedup). Differs from `contamination` (cross-corpus overlap) in being
+    self-referential over one corpus with an explicit ingestion order.
+
+    Exact integers: novelty_x1e6 = n_new·1e6 DIV n_shingles.
+
+    Shape: one explode produces (doc, shingle) DISTINCT rows — the
+    shared subtree feeding BOTH the min-owner collapse and the per-doc
+    rollup, so it is eagerly checkpointed (the tf/df re-execution rule);
+    the owner join and both aggregates are keyed on the shingle / doc —
+    bounded fan-out, no pairs. Docs with < n tokens emit nothing.
+
+    Returns (doc_id, n_shingles, n_new, novelty_x1e6)."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
+    sh = (
+        df.select(F.col(id_col).alias("__id"), toks.alias("__t"))
+        .filter(F.size("__t") >= n)
+        .select(
+            "__id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(__t) - {n - 1}),"
+                    f" i -> concat_ws(' ', slice(__t, i, {n})))"
+                )
+            ).alias("__s"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    owner = sh.groupBy("__s").agg(F.min("__id").alias("__own"))
+    return (
+        sh.join(owner, ["__s"])
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("__own") == F.col("__id"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_new"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            "n_shingles",
+            "n_new",
+            F.expr(
+                "n_new * CAST(1000000 AS BIGINT) DIV n_shingles"
+            ).alias("novelty_x1e6"),
+        )
+    )

@@ -6574,3 +6574,26 @@ def test_modularity_of_label_propagation_beats_metadata_partition(spark):
     )
     q_bad = modularity_score(edges, lab_bad).collect()[0]["q_x1e6"]
     assert q_lp > 300000 > q_bad
+
+
+def test_ngram_novelty_hand_values(spark):
+    from chronographer_spark.operators.text import ngram_novelty
+
+    rows = [
+        (1, "a b c d"),            # shingles: abc, bcd — all new
+        (2, "a b c d"),            # exact duplicate -> novelty 0
+        (3, "a b c x y z"),        # abc old; bcx, cxy, xyz new -> 3/4
+        (4, "p q"),                # < 3 tokens -> dropped
+        (5, "a b c a b c"),        # abc old; bca, cab new (distinct) -> 2/3
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_new"], r["novelty_x1e6"])
+        for r in ngram_novelty(df, n=3).collect()
+    }
+    assert got == {
+        1: (2, 2, 1000000),
+        2: (2, 0, 0),
+        3: (4, 3, 750000),
+        5: (3, 2, 666666),
+    }
