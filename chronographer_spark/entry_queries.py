@@ -18475,7 +18475,64 @@ GROUP BY sh.doc_id
 
 
 
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the divide-lattice DAG viewed as an
+    undirected graph — a tree-like hub-and-spoke topology (every k feeds
+    k DIV 2 / k DIV 3, so low ids are hubs fed by leaves) that reads
+    clearly NEGATIVE: the disassortativity monitor a KG runs on its
+    alias graph to detect hub growth before the skewed joins hurt."""
+    from .operators.graph_algos import degree_assortativity
+
+    return degree_assortativity(_divide_dag_edges(spark, sf_dir))
+
+
+DEGREE_ASSORTATIVITY_SQL = """
+WITH nodes AS (
+  SELECT CAST(c_custkey AS BIGINT) AS k FROM customer WHERE c_custkey >= 1
+),
+edges AS (
+  SELECT k AS src, k // 2 AS dst FROM nodes WHERE k >= 2
+  UNION ALL
+  SELECT k AS src, k // 3 AS dst FROM nodes WHERE k >= 3 AND k // 3 <> k // 2
+),
+ue AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM edges WHERE src <> dst
+),
+deg AS (
+  SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT u AS n FROM ue UNION ALL SELECT v AS n FROM ue
+  ) GROUP BY n
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg),
+sym AS (SELECT u, v FROM ue UNION ALL SELECT v, u FROM ue),
+rolled AS (
+  SELECT CAST(count(*) // 2 AS BIGINT) AS m,
+         CAST(count(*) AS BIGINT) AS mm,
+         CAST(sum(du.d) AS BIGINT) AS s,
+         CAST(sum(du.d * dv.d) AS BIGINT) AS sxy,
+         CAST(sum(du.d * du.d) AS BIGINT) AS sxx
+  FROM sym JOIN deg du ON sym.u = du.n JOIN deg dv ON sym.v = dv.n
+),
+fin AS (
+  SELECT m, nn.n_nodes,
+         CAST(mm * sxy - s * s AS BIGINT) AS num,
+         CAST(mm * sxx - s * s AS BIGINT) AS den
+  FROM rolled CROSS JOIN nn
+)
+SELECT m, n_nodes, num, den,
+       CASE WHEN den = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)
+                 * (abs(num) // den * CAST(1000000 AS BIGINT)
+                    + abs(num) % den * CAST(1000000 AS BIGINT) // den)
+                 AS BIGINT) END AS r_x1e6
+FROM fin
+"""
+
+
+
 QUERIES = {
+    "degree_assortativity": q_degree_assortativity,
     "ngram_novelty": q_ngram_novelty,
     "modularity_regions": q_modularity_regions,
     "rake_keywords": q_rake_keywords,
@@ -18815,6 +18872,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "degree_assortativity": DEGREE_ASSORTATIVITY_SQL,
     "ngram_novelty": NGRAM_NOVELTY_SQL,
     "modularity_regions": MODULARITY_REGIONS_SQL,
     "rake_keywords": RAKE_KEYWORDS_SQL,

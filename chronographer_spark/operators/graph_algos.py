@@ -3204,3 +3204,89 @@ def modularity_score(
             "   DIV (4 * m * m) AS BIGINT)"
         ).alias("q_x1e6"),
     )
+
+
+def degree_assortativity(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002) of an undirected
+    simple graph — the Pearson correlation of endpoint degrees over
+    edges: social graphs read positive (hubs befriend hubs), web/biology
+    read negative (hubs attach to leaves). The graph-health fingerprint
+    beside the degree histogram: a KG whose alias graph turns strongly
+    disassortative has grown hub-and-spoke entities — exactly the skew
+    the salted join / precontraction path exists for, so this is the
+    cheap monitor that says WHEN that path matters.
+
+    Exactness: over the SYMMETRIZED directed edge list both endpoint
+    marginals are identical, so Pearson's sqrt(var_x·var_y) collapses to
+    one variance and r = num/den is a PLAIN RATIONAL of BIGINT moments:
+    num = M·Σxy − S², den = M·Σx² − S² (M = 2m, S = Σx = Σy = Σdeg²
+    ... all integer — degrees are counts). No sqrt, no float, no
+    quantization beyond the final sign-consistent staged 1e6 quotient.
+    Overflow bound: M·Σx² <= M²·dmax² — safe to ~2^63 for M·dmax < 3e9
+    (a 100M-edge graph with 10k-degree hubs: lift moments to
+    DECIMAL(38) past that).
+
+    Shape: orientation-dedupe (one distinct), degree groupBy, two
+    broadcastable degree joins back onto edges, one scalar rollup —
+    cost is edges, never pairs.
+
+    Returns one row (m, n_nodes, num, den, r_x1e6); den = 0 (regular
+    graph — constant degree) reads r = 0 by convention."""
+    ue = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        ue.select(F.col("u").alias("__n"))
+        .unionAll(ue.select(F.col("v").alias("__n")))
+        .groupBy("__n")
+        .agg(F.count(F.lit(1)).cast("long").alias("__d"))
+    )
+    sym = ue.unionAll(ue.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    du = deg.select(F.col("__n").alias("u"), F.col("__d").alias("__x"))
+    dv = deg.select(F.col("__n").alias("v"), F.col("__d").alias("__y"))
+    nn = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    rolled = (
+        sym.join(du, ["u"])
+        .join(dv, ["v"])
+        .agg(
+            F.expr("count(1) DIV 2").cast("long").alias("m"),
+            F.count(F.lit(1)).cast("long").alias("__M"),
+            F.sum("__x").cast("long").alias("__S"),
+            F.sum(F.col("__x") * F.col("__y")).cast("long").alias("__sxy"),
+            F.sum(F.col("__x") * F.col("__x")).cast("long").alias("__sxx"),
+        )
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "m",
+            "n_nodes",
+            (F.col("__M") * F.col("__sxy") - F.col("__S") * F.col("__S"))
+            .cast("long")
+            .alias("num"),
+            (F.col("__M") * F.col("__sxx") - F.col("__S") * F.col("__S"))
+            .cast("long")
+            .alias("den"),
+        )
+    )
+    return rolled.select(
+        "m",
+        "n_nodes",
+        "num",
+        "den",
+        F.when(F.col("den") == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.expr(
+                "CASE WHEN num < 0 THEN -1 ELSE 1 END"
+                " * (abs(num) DIV den * CAST(1000000 AS BIGINT)"
+                "    + abs(num) % den * CAST(1000000 AS BIGINT) DIV den)"
+            ).cast("long")
+        )
+        .alias("r_x1e6"),
+    )

@@ -6597,3 +6597,41 @@ def test_ngram_novelty_hand_values(spark):
         3: (4, 3, 750000),
         5: (3, 2, 666666),
     }
+
+
+def test_degree_assortativity_hand_values(spark):
+    from chronographer_spark.operators.graph_algos import degree_assortativity
+
+    # star K(1,4): perfectly disassortative, r = -1 exactly
+    star = spark.createDataFrame(
+        [("h", f"l{i}") for i in range(4)], ["src", "dst"]
+    )
+    got = degree_assortativity(star).collect()[0]
+    assert (got["m"], got["n_nodes"]) == (4, 5)
+    assert got["num"] == -got["den"] and got["r_x1e6"] == -1000000
+
+    # 4-cycle: regular graph, den = 0 -> r = 0 by convention
+    cyc = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")], ["src", "dst"]
+    )
+    got = degree_assortativity(cyc).collect()[0]
+    assert got["den"] == 0 and got["r_x1e6"] == 0
+
+    # exact Pearson replay on an irregular graph (path + pendant)
+    g = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("b", "e")], ["src", "dst"]
+    )
+    got = degree_assortativity(g).collect()[0]
+    deg = {"a": 1, "b": 3, "c": 2, "d": 1, "e": 1}
+    pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("b", "e")]
+    sym = pairs + [(v, u) for u, v in pairs]
+    M = len(sym)
+    S = sum(deg[u] for u, _ in sym)
+    sxy = sum(deg[u] * deg[v] for u, v in sym)
+    sxx = sum(deg[u] ** 2 for u, _ in sym)
+    num, den = M * sxy - S * S, M * sxx - S * S
+    assert (got["num"], got["den"]) == (num, den)
+    sgn = -1 if num < 0 else 1
+    assert got["r_x1e6"] == sgn * (
+        abs(num) // den * 1000000 + abs(num) % den * 1000000 // den
+    )
