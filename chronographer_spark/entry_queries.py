@@ -18531,7 +18531,60 @@ FROM fin
 
 
 
+def q_fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano-factor burstiness per event type over hourly buckets with a
+    planted burst: error timestamps are floored to 8-hour boundaries, so
+    every error bucket carries ~8 hours of mass and 7 of 8 are empty —
+    IoD reads >> 1 while organic near-uniform types calibrate ~1."""
+    from .operators.temporal import fano_burstiness
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(
+            F.col("event_type") == "error",
+            F.expr(
+                "timestamp_seconds(CAST(unix_timestamp(ts) AS BIGINT)"
+                " DIV 28800 * 28800)"
+            ),
+        )
+        .otherwise(F.col("ts"))
+        .alias("ts"),
+    )
+    return fano_burstiness(ev, bucket_seconds=3600)
+
+
+FANO_BURSTINESS_SQL = """
+WITH ev AS (
+  SELECT event_type AS key,
+         CASE WHEN event_type = 'error'
+              THEN CAST(floor(epoch(ts)) AS BIGINT) // 28800 * 28800
+              ELSE CAST(floor(epoch(ts)) AS BIGINT) END // 3600 AS b
+  FROM events
+),
+counts AS (
+  SELECT key, b, CAST(count(*) AS BIGINT) AS c FROM ev GROUP BY key, b
+),
+rolled AS (
+  SELECT key,
+         CAST(max(b) - min(b) + 1 AS BIGINT) AS n_buckets_span,
+         CAST(count(*) AS BIGINT) AS n_active_buckets,
+         CAST(sum(c) AS BIGINT) AS n_events,
+         CAST(sum(c * c) AS BIGINT) AS sum_sq
+  FROM counts GROUP BY key
+)
+SELECT key, n_buckets_span, n_active_buckets, n_events, sum_sq,
+       CAST((n_buckets_span * sum_sq - n_events * n_events)
+              // (n_buckets_span * n_events) * CAST(1000000 AS BIGINT)
+            + (n_buckets_span * sum_sq - n_events * n_events)
+              % (n_buckets_span * n_events) * CAST(1000000 AS BIGINT)
+              // (n_buckets_span * n_events) AS BIGINT) AS iod_x1e6
+FROM rolled
+"""
+
+
+
 QUERIES = {
+    "fano_burstiness": q_fano_burstiness,
     "degree_assortativity": q_degree_assortativity,
     "ngram_novelty": q_ngram_novelty,
     "modularity_regions": q_modularity_regions,
@@ -18872,6 +18925,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "fano_burstiness": FANO_BURSTINESS_SQL,
     "degree_assortativity": DEGREE_ASSORTATIVITY_SQL,
     "ngram_novelty": NGRAM_NOVELTY_SQL,
     "modularity_regions": MODULARITY_REGIONS_SQL,

@@ -2461,3 +2461,69 @@ def changepoint_scan(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def fano_burstiness(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Index of dispersion (Fano factor) of per-bucket event counts per
+    key — the burstiness readout a rate-limiter or capacity planner
+    quotes: a Poisson arrival process reads IoD ≈ 1, clumped/bursty
+    traffic reads > 1, a metronome reads < 1. Complements
+    `gap_histogram` (inter-arrival shape) and the Kleinberg burst
+    decoder (when the bursts are) with a single per-key dispersion
+    number.
+
+    Empty buckets COUNT: the denominator is the full observed span
+    B = max_bucket − min_bucket + 1 (engine-neutral epoch DIV
+    bucket_seconds integers), because a key that fires 1000 events in
+    one hour of a month-long span is the textbook burst — dropping the
+    empty hours would hide it.
+
+    Exactness: with T = Σ counts and Q = Σ counts², population
+    var/mean = (B·Q − T²)/(B·T) — a plain non-negative rational
+    (Cauchy-Schwarz gives B·Q >= T²) of BIGINT moments, emitted as the
+    staged 1e6 quotient. Overflow bound: B·Q <= B·T² — lift to
+    DECIMAL(38) past ~3e9 event-seconds per key.
+
+    Shape: ONE (key, bucket) collapse (map-side combined) + one per-key
+    rollup; output is |keys| rows.
+
+    Returns (key, n_buckets_span, n_active_buckets, n_events, sum_sq,
+    iod_x1e6)."""
+    b = F.expr(
+        f"CAST(unix_timestamp({ts_col}) AS BIGINT) DIV {bucket_seconds}"
+    )
+    counts = (
+        df.select(F.col(key_col).alias("key"), b.alias("__b"))
+        .groupBy("key", "__b")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    return (
+        counts.groupBy("key")
+        .agg(
+            (F.max("__b") - F.min("__b") + 1)
+            .cast("long")
+            .alias("n_buckets_span"),
+            F.count(F.lit(1)).cast("long").alias("n_active_buckets"),
+            F.sum("__c").cast("long").alias("n_events"),
+            F.sum(F.col("__c") * F.col("__c")).cast("long").alias("sum_sq"),
+        )
+        .select(
+            "key",
+            "n_buckets_span",
+            "n_active_buckets",
+            "n_events",
+            "sum_sq",
+            F.expr(
+                "CAST((n_buckets_span * sum_sq - n_events * n_events)"
+                " DIV (n_buckets_span * n_events) * CAST(1000000 AS BIGINT)"
+                " + (n_buckets_span * sum_sq - n_events * n_events)"
+                "   % (n_buckets_span * n_events) * CAST(1000000 AS BIGINT)"
+                "   DIV (n_buckets_span * n_events) AS BIGINT)"
+            ).alias("iod_x1e6"),
+        )
+    )

@@ -6635,3 +6635,36 @@ def test_degree_assortativity_hand_values(spark):
     assert got["r_x1e6"] == sgn * (
         abs(num) // den * 1000000 + abs(num) % den * 1000000 // den
     )
+
+
+def test_fano_burstiness_hand_values(spark):
+    from chronographer_spark.operators.temporal import fano_burstiness
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    # 'burst': 8 events in hour 0, then one event in hour 9 -> span 10
+    # 'steady': one event per hour for 6 hours -> IoD = 0 (metronome)
+    rows = [("burst", t0 + dt.timedelta(minutes=i)) for i in range(8)] + [
+        ("burst", t0 + dt.timedelta(hours=9)),
+        *[("steady", t0 + dt.timedelta(hours=h)) for h in range(6)],
+    ]
+    df = spark.createDataFrame(rows, ["event_type", "ts"])
+    got = {
+        r["key"]: (
+            r["n_buckets_span"],
+            r["n_active_buckets"],
+            r["n_events"],
+            r["sum_sq"],
+            r["iod_x1e6"],
+        )
+        for r in fano_burstiness(df).collect()
+    }
+    # burst: B=10, T=9, Q=64+1=65 -> (650-81)/90
+    num, den = 10 * 65 - 81, 10 * 9
+    assert got["burst"] == (
+        10, 2, 9, 65,
+        num // den * 1000000 + num % den * 1000000 // den,
+    )
+    assert got["burst"][4] > 6000000  # strongly over-dispersed
+    # metronome: B=6, T=6, Q=6 -> (36-36)/36 = 0
+    assert got["steady"] == (6, 6, 6, 6, 0)
