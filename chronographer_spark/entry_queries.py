@@ -18583,7 +18583,77 @@ FROM rolled
 
 
 
+def q_soundex_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable simplified-Soundex key per part (first p_name token) —
+    the phonetic ER blocker rebuilt from codepoint arithmetic in BOTH
+    engines (no builtin on either side), so the gate certifies the
+    collapse/zero-drop/pad pipeline bit-for-bit on real word data."""
+    from .linking.blocking import soundex_key
+
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey", F.split(F.col("p_name"), " ")[0].alias("tok")
+    )
+    return soundex_key(p, col="tok", id_col="p_partkey")
+
+
+SOUNDEX_BLOCKS_SQL = """
+WITH toks AS (
+  SELECT p_partkey, string_split(p_name, ' ')[1] AS tok FROM part
+),
+cs AS (
+  SELECT p_partkey, tok,
+         list_filter(string_split(upper(tok), ''),
+                     ch -> ascii(ch) >= 65 AND ascii(ch) <= 90) AS ltr
+  FROM toks
+),
+chars AS (
+  SELECT p_partkey, (u).p AS p, (u).c AS c
+  FROM (
+    SELECT p_partkey,
+           unnest(list_transform(range(1, len(ltr) + 1),
+             i -> struct_pack(p := i, c := ltr[i]))) AS u
+    FROM cs
+  )
+),
+coded AS (
+  SELECT p_partkey, p, c,
+         CASE WHEN ascii(c) IN (66,70,80,86) THEN 1
+              WHEN ascii(c) IN (67,71,74,75,81,83,88,90) THEN 2
+              WHEN ascii(c) IN (68,84) THEN 3
+              WHEN ascii(c) = 76 THEN 4
+              WHEN ascii(c) IN (77,78) THEN 5
+              WHEN ascii(c) = 82 THEN 6
+              ELSE 0 END AS code
+  FROM chars
+),
+runs AS (
+  SELECT p_partkey, p, c, code,
+         lag(code) OVER (PARTITION BY p_partkey ORDER BY p) AS prev
+  FROM coded
+),
+collapsed AS (
+  SELECT p_partkey, p, c, code,
+         row_number() OVER (PARTITION BY p_partkey ORDER BY p) AS r
+  FROM runs WHERE prev IS NULL OR code <> prev
+),
+fl AS (SELECT p_partkey, c AS lead FROM collapsed WHERE r = 1),
+ds AS (
+  SELECT p_partkey, string_agg(CAST(code AS VARCHAR), '' ORDER BY p) AS d
+  FROM collapsed WHERE r > 1 AND code <> 0 GROUP BY p_partkey
+)
+SELECT t.p_partkey, t.tok,
+       CASE WHEN fl.lead IS NULL THEN NULL
+            ELSE fl.lead || substr(coalesce(ds.d, '') || '000', 1, 3) END
+         AS sdx
+FROM toks t
+LEFT JOIN fl USING (p_partkey)
+LEFT JOIN ds USING (p_partkey)
+"""
+
+
+
 QUERIES = {
+    "soundex_blocks": q_soundex_blocks,
     "fano_burstiness": q_fano_burstiness,
     "degree_assortativity": q_degree_assortativity,
     "ngram_novelty": q_ngram_novelty,
@@ -18925,6 +18995,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "soundex_blocks": SOUNDEX_BLOCKS_SQL,
     "fano_burstiness": FANO_BURSTINESS_SQL,
     "degree_assortativity": DEGREE_ASSORTATIVITY_SQL,
     "ngram_novelty": NGRAM_NOVELTY_SQL,

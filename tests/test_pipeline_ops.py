@@ -6668,3 +6668,21 @@ def test_fano_burstiness_hand_values(spark):
     assert got["burst"][4] > 6000000  # strongly over-dispersed
     # metronome: B=6, T=6, Q=6 -> (36-36)/36 = 0
     assert got["steady"] == (6, 6, 6, 6, 0)
+
+
+def test_soundex_key_canonical_examples(spark):
+    from chronographer_spark.linking.blocking import soundex_key
+
+    rows = [
+        (1, "Robert"), (2, "Rupert"), (3, "Tymczak"), (4, "Pfister"),
+        (5, "Honeyman"), (6, "Jackson"), (7, ""), (8, "123"),
+        (9, "ashcraft"),  # simplified variant: H breaks the S..C run
+    ]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    got = {r["id"]: r["sdx"] for r in soundex_key(df).collect()}
+    assert got == {
+        1: "R163", 2: "R163", 3: "T522", 4: "P236", 5: "H555",
+        6: "J250", 7: None, 8: None, 9: "A226",
+    }
+    # the blocking property: spelling variants share a block
+    assert got[1] == got[2]
