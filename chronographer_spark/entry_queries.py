@@ -18365,7 +18365,7 @@ QUALIFY rnk <= 25
 
 
 
-def q_modularity_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_newman_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Newman modularity of the REGION partition over the nation trade
     graph — scores a metadata labeling against the graph's actual cut
     structure with the exact-integer Q = Σ(4m·e_c − d_c²)/(4m²)
@@ -18384,7 +18384,7 @@ def q_modularity_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return modularity_score(e, lab, src="u", dst="v")
 
 
-MODULARITY_REGIONS_SQL = f"""
+NEWMAN_MODULARITY_SQL = f"""
 WITH {TRADE_EDGES_FRAGMENT},
 ue AS (
   SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v FROM ed WHERE u <> v
@@ -18583,7 +18583,7 @@ FROM rolled
 
 
 
-def q_soundex_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_soundex_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable simplified-Soundex key per part (first p_name token) —
     the phonetic ER blocker rebuilt from codepoint arithmetic in BOTH
     engines (no builtin on either side), so the gate certifies the
@@ -18596,7 +18596,7 @@ def q_soundex_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return soundex_key(p, col="tok", id_col="p_partkey")
 
 
-SOUNDEX_BLOCKS_SQL = """
+SOUNDEX_PORTABLE_SQL = """
 WITH toks AS (
   SELECT p_partkey, string_split(p_name, ' ')[1] AS tok FROM part
 ),
@@ -18653,11 +18653,11 @@ LEFT JOIN ds USING (p_partkey)
 
 
 QUERIES = {
-    "soundex_blocks": q_soundex_blocks,
+    "soundex_portable": q_soundex_portable,
     "fano_burstiness": q_fano_burstiness,
     "degree_assortativity": q_degree_assortativity,
     "ngram_novelty": q_ngram_novelty,
-    "modularity_regions": q_modularity_regions,
+    "newman_modularity": q_newman_modularity,
     "rake_keywords": q_rake_keywords,
     "changepoint_scan": q_changepoint_scan,
     "mutual_information": q_mutual_information,
@@ -18995,11 +18995,11 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
-    "soundex_blocks": SOUNDEX_BLOCKS_SQL,
+    "soundex_portable": SOUNDEX_PORTABLE_SQL,
     "fano_burstiness": FANO_BURSTINESS_SQL,
     "degree_assortativity": DEGREE_ASSORTATIVITY_SQL,
     "ngram_novelty": NGRAM_NOVELTY_SQL,
-    "modularity_regions": MODULARITY_REGIONS_SQL,
+    "newman_modularity": NEWMAN_MODULARITY_SQL,
     "rake_keywords": RAKE_KEYWORDS_SQL,
     "changepoint_scan": CHANGEPOINT_SCAN_SQL,
     "mutual_information": MUTUAL_INFORMATION_SQL,
