@@ -18651,8 +18651,208 @@ LEFT JOIN ds USING (p_partkey)
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: Fellegi-Sunter probabilistic record linkage (weights + pair scoring)
+# over customer vs a deterministically perturbed twin
+# ---------------------------------------------------------------------------
+
+
+def _fs_customer_sides(spark: SparkSession, sf_dir: str):
+    """Customer vs its deterministic perturbed twin: nationkey rotated on
+    custkey%7==0, mktsegment clobbered on %3==0, balance +1 cent on %5==0 —
+    known m-rates (6/7, 2/3, 4/5) the FS estimator must recover."""
+    c = _t(spark, sf_dir, "customer")
+    bal = F.expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)")
+    a = c.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        bal.alias("bal_cents"),
+    )
+    b = c.select(
+        F.col("c_custkey").alias("id"),
+        F.expr(
+            "CASE WHEN c_custkey % 7 = 0 THEN (c_nationkey + 1) % 25"
+            " ELSE c_nationkey END"
+        ).alias("nat"),
+        F.expr(
+            "CASE WHEN c_custkey % 3 = 0 THEN 'PERTURBED'"
+            " ELSE c_mktsegment END"
+        ).alias("seg"),
+        (bal + F.expr("CASE WHEN c_custkey % 5 = 0 THEN 1 ELSE 0 END")).alias(
+            "bal_cents"
+        ),
+    )
+    seed = c.select(
+        F.col("c_custkey").alias("a_id"), F.col("c_custkey").alias("b_id")
+    )
+    return a, b, seed
+
+
+def q_fs_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter per-field weight estimation (the Splink recipe):
+    u from the exact value-frequency random-pairing closed form, m counted
+    on the labeled seed in one pass, weights as exact 16*log2 integers via
+    the msb16 staged quotient. The twin's planted perturbation rates give
+    known ground-truth m (6/7, 2/3, 4/5) and the low-cardinality fields
+    give high u — seg/nat earn small agree weights, the near-unique
+    balance earns a large one."""
+    from .linking.fs import fs_field_weights
+
+    a, b, seed = _fs_customer_sides(spark, sf_dir)
+    return fs_field_weights(a, b, "id", ["nat", "seg", "bal_cents"], seed)
+
+
+def _fs_sides_sql() -> str:
+    return """
+a AS (
+  SELECT c_custkey AS id, c_nationkey AS nat, c_mktsegment AS seg,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+  FROM customer
+),
+b AS (
+  SELECT c_custkey AS id,
+         CASE WHEN c_custkey % 7 = 0 THEN (c_nationkey + 1) % 25
+              ELSE c_nationkey END AS nat,
+         CASE WHEN c_custkey % 3 = 0 THEN 'PERTURBED'
+              ELSE c_mktsegment END AS seg,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+           + CASE WHEN c_custkey % 5 = 0 THEN 1 ELSE 0 END AS bal_cents
+  FROM customer
+),
+nn AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM a) AS na,
+              (SELECT CAST(count(*) AS BIGINT) FROM b) AS nb),
+u_nat AS (
+  SELECT CAST(coalesce(sum(ca * cb), 0) AS BIGINT) AS u
+  FROM (SELECT nat, CAST(count(*) AS BIGINT) AS ca FROM a
+        WHERE nat IS NOT NULL GROUP BY nat) x
+  JOIN (SELECT nat, CAST(count(*) AS BIGINT) AS cb FROM b
+        WHERE nat IS NOT NULL GROUP BY nat) y USING (nat)
+),
+u_seg AS (
+  SELECT CAST(coalesce(sum(ca * cb), 0) AS BIGINT) AS u
+  FROM (SELECT seg, CAST(count(*) AS BIGINT) AS ca FROM a
+        WHERE seg IS NOT NULL GROUP BY seg) x
+  JOIN (SELECT seg, CAST(count(*) AS BIGINT) AS cb FROM b
+        WHERE seg IS NOT NULL GROUP BY seg) y USING (seg)
+),
+u_bal AS (
+  SELECT CAST(coalesce(sum(ca * cb), 0) AS BIGINT) AS u
+  FROM (SELECT bal_cents, CAST(count(*) AS BIGINT) AS ca FROM a
+        WHERE bal_cents IS NOT NULL GROUP BY bal_cents) x
+  JOIN (SELECT bal_cents, CAST(count(*) AS BIGINT) AS cb FROM b
+        WHERE bal_cents IS NOT NULL GROUP BY bal_cents) y USING (bal_cents)
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS m_den,
+         CAST(sum(CASE WHEN a.nat = b.nat THEN 1 ELSE 0 END) AS BIGINT)
+           AS m_nat,
+         CAST(sum(CASE WHEN a.seg = b.seg THEN 1 ELSE 0 END) AS BIGINT)
+           AS m_seg,
+         CAST(sum(CASE WHEN a.bal_cents = b.bal_cents THEN 1 ELSE 0 END)
+              AS BIGINT) AS m_bal
+  FROM a JOIN b USING (id)
+),
+scal AS MATERIALIZED (
+  SELECT nn.na, nn.nb, un.u AS u_nat, us.u AS u_seg, ub.u AS u_bal,
+         m.m_den, m.m_nat, m.m_seg, m.m_bal
+  FROM nn, u_nat un, u_seg us, u_bal ub, m
+)
+""".strip()
+
+
+def _duck_fs_w(m_num: str, m_den: str, u_num: str) -> str:
+    """DuckDB replay of linking/fs._w_expr: msb16((m_num*2^20 //
+    m_den) * na*nb // u_num) - 320, with >=1 clamps."""
+    q = (
+        f"(({m_num}) * 1048576 // greatest({m_den}, CAST(1 AS BIGINT)))"
+        f" * (na * nb) // greatest({u_num}, CAST(1 AS BIGINT))"
+    )
+    return f"CAST({_duck_msb16(q)} - 320 AS BIGINT)"
+
+
+FS_WEIGHTS_SQL = f"""
+WITH {_fs_sides_sql()}
+SELECT 'nat' AS field, m_nat AS m_num, m_den, u_nat AS u_num,
+       CAST(na * nb AS BIGINT) AS u_den,
+       {_duck_fs_w('m_nat', 'm_den', 'u_nat')} AS w_agree_x16,
+       {_duck_fs_w('(m_den - m_nat)', 'm_den', '(na * nb - u_nat)')}
+         AS w_disagree_x16
+FROM scal
+UNION ALL
+SELECT 'seg', m_seg, m_den, u_seg, CAST(na * nb AS BIGINT),
+       {_duck_fs_w('m_seg', 'm_den', 'u_seg')},
+       {_duck_fs_w('(m_den - m_seg)', 'm_den', '(na * nb - u_seg)')}
+FROM scal
+UNION ALL
+SELECT 'bal_cents', m_bal, m_den, u_bal, CAST(na * nb AS BIGINT),
+       {_duck_fs_w('m_bal', 'm_den', 'u_bal')},
+       {_duck_fs_w('(m_den - m_bal)', 'm_den', '(na * nb - u_bal)')}
+FROM scal
+"""
+
+
+def q_fs_match_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FS pair scoring over nationkey-blocked customer x twin candidates:
+    per-pair score = sum of agree/disagree weights (16*log2 units), the
+    one-row weight scalars broadcast so scoring is map-side. Top-20 by
+    (score desc, a_id, b_id) — unperturbed true twins fill the head."""
+    from pyspark.sql import Window
+
+    from .linking.fs import fs_score_pairs
+
+    a, b, seed = _fs_customer_sides(spark, sf_dir)
+    scores = fs_score_pairs(
+        a, b, "id", ["nat", "seg", "bal_cents"], seed, block_cols=["nat"]
+    )
+    w = Window.orderBy(F.desc("score_x16"), F.asc("a_id"), F.asc("b_id"))
+    return (
+        scores.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 20)
+        .select("rnk", "a_id", "b_id", "n_agree", "score_x16")
+    )
+
+
+FS_MATCH_SCORES_SQL = f"""
+WITH {_fs_sides_sql()},
+cand AS (
+  SELECT a.id AS a_id, b.id AS b_id,
+         CASE WHEN a.nat = b.nat THEN 1 ELSE 0 END AS ag_nat,
+         CASE WHEN a.seg = b.seg THEN 1 ELSE 0 END AS ag_seg,
+         CASE WHEN a.bal_cents = b.bal_cents THEN 1 ELSE 0 END AS ag_bal
+  FROM a JOIN b ON a.nat = b.nat
+),
+scored AS (
+  SELECT a_id, b_id,
+         CAST(ag_nat + ag_seg + ag_bal AS BIGINT) AS n_agree,
+         CAST(
+           CASE WHEN ag_nat = 1
+                THEN {_duck_fs_w('m_nat', 'm_den', 'u_nat')}
+                ELSE {_duck_fs_w('(m_den - m_nat)', 'm_den',
+                                 '(na * nb - u_nat)')} END
+         + CASE WHEN ag_seg = 1
+                THEN {_duck_fs_w('m_seg', 'm_den', 'u_seg')}
+                ELSE {_duck_fs_w('(m_den - m_seg)', 'm_den',
+                                 '(na * nb - u_seg)')} END
+         + CASE WHEN ag_bal = 1
+                THEN {_duck_fs_w('m_bal', 'm_den', 'u_bal')}
+                ELSE {_duck_fs_w('(m_den - m_bal)', 'm_den',
+                                 '(na * nb - u_bal)')} END
+         AS BIGINT) AS score_x16
+  FROM cand CROSS JOIN scal
+)
+SELECT CAST(row_number() OVER (
+         ORDER BY score_x16 DESC, a_id ASC, b_id ASC) AS BIGINT) AS rnk,
+       a_id, b_id, n_agree, score_x16
+FROM scored
+QUALIFY rnk <= 20
+"""
+
+
 
 QUERIES = {
+    "fs_weights": q_fs_weights,
+    "fs_match_scores": q_fs_match_scores,
     "soundex_portable": q_soundex_portable,
     "fano_burstiness": q_fano_burstiness,
     "degree_assortativity": q_degree_assortativity,
@@ -18995,6 +19195,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "fs_weights": FS_WEIGHTS_SQL,
+    "fs_match_scores": FS_MATCH_SCORES_SQL,
     "soundex_portable": SOUNDEX_PORTABLE_SQL,
     "fano_burstiness": FANO_BURSTINESS_SQL,
     "degree_assortativity": DEGREE_ASSORTATIVITY_SQL,

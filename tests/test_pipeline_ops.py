@@ -6686,3 +6686,75 @@ def test_soundex_key_canonical_examples(spark):
     }
     # the blocking property: spelling variants share a block
     assert got[1] == got[2]
+
+
+def test_fs_weights_and_scores_match_python_model(spark):
+    """Fellegi-Sunter estimation on a hand fixture: u from the exact
+    value-frequency closed form (NULLs excluded), m from the seed pass
+    (NULL never agrees), weights = msb16 staged quotient - 320; scoring
+    sums agree/disagree weights over city-blocked candidates."""
+    from chronographer_spark.linking.fs import fs_field_weights, fs_score_pairs
+
+    a_rows = [(1, "NY", 10), (2, "LA", 20), (3, "NY", 30), (4, "SF", 40),
+              (5, None, 50)]
+    b_rows = [(1, "NY", 10), (2, "LA", 21), (3, "LA", 30), (4, "SF", 40),
+              (5, "NY", 50)]
+    sch = "id long, city string, zip long"
+    a = spark.createDataFrame(a_rows, sch)
+    b = spark.createDataFrame(b_rows, sch)
+    seed = spark.createDataFrame([(i, i) for i in range(1, 6)],
+                                 "a_id long, b_id long")
+
+    # python replica
+    def w(mn, md, un, ud):
+        q = (mn * 1048576 // max(md, 1)) * ud // max(un, 1)
+        return _py_msb16(q) - 320
+
+    na = nb = 5
+    u_den = na * nb
+    # value-frequency closed form, NULLs excluded
+    u_city = 2 * 2 + 1 * 2 + 1 * 1          # NY, LA, SF
+    u_zip = 4                                 # zips 10, 30, 40, 50 collide
+    m_den = 5
+    m_city = 3                                # ids 1, 2, 4 (NULL never agrees)
+    m_zip = 4                                 # ids 1, 3, 4, 5
+    want = {
+        "city": (m_city, m_den, u_city, u_den,
+                 w(m_city, m_den, u_city, u_den),
+                 w(m_den - m_city, m_den, u_den - u_city, u_den)),
+        "zip": (m_zip, m_den, u_zip, u_den,
+                w(m_zip, m_den, u_zip, u_den),
+                w(m_den - m_zip, m_den, u_den - u_zip, u_den)),
+    }
+    got = {
+        r["field"]: (r["m_num"], r["m_den"], r["u_num"], r["u_den"],
+                     r["w_agree_x16"], r["w_disagree_x16"])
+        for r in fs_field_weights(a, b, "id", ["city", "zip"], seed).collect()
+    }
+    assert got == want
+
+    # scoring over city-blocked candidates, exact per-pair replay
+    ad = {r[0]: r for r in a_rows}
+    bd = {r[0]: r for r in b_rows}
+    exp = {}
+    for ai, (_, ac, az) in ad.items():
+        for bi, (_, bc, bz) in bd.items():
+            if ac is None or ac != bc:
+                continue
+            s, n = 0, 0
+            for fld, av, bv in (("city", ac, bc), ("zip", az, bz)):
+                mn, _, un, _, wa, wd = want[fld]
+                if av is not None and av == bv:
+                    s, n = s + wa, n + 1
+                else:
+                    s += wd
+            exp[(ai, bi)] = (n, s)
+    got_s = {
+        (r["a_id"], r["b_id"]): (r["n_agree"], r["score_x16"])
+        for r in fs_score_pairs(
+            a, b, "id", ["city", "zip"], seed, block_cols=["city"]
+        ).collect()
+    }
+    assert got_s == exp
+    # the true twin outscores the same-block impostor
+    assert got_s[(1, 1)][1] > got_s[(3, 1)][1]
