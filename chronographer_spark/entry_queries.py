@@ -18481,9 +18481,9 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     k DIV 2 / k DIV 3, so low ids are hubs fed by leaves) that reads
     clearly NEGATIVE: the disassortativity monitor a KG runs on its
     alias graph to detect hub growth before the skewed joins hurt."""
-    from .operators.graph_algos import degree_assortativity
+    from .operators.graph_algos import assortativity_coefficient
 
-    return degree_assortativity(_divide_dag_edges(spark, sf_dir))
+    return assortativity_coefficient(_divide_dag_edges(spark, sf_dir))
 
 
 DEGREE_ASSORTATIVITY_SQL = """

@@ -3206,7 +3206,7 @@ def modularity_score(
     )
 
 
-def degree_assortativity(
+def assortativity_coefficient(
     edges: DataFrame, src: str = "src", dst: str = "dst"
 ) -> DataFrame:
     """Degree assortativity coefficient (Newman 2002) of an undirected

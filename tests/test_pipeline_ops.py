@@ -6600,7 +6600,9 @@ def test_ngram_novelty_hand_values(spark):
 
 
 def test_degree_assortativity_hand_values(spark):
-    from chronographer_spark.operators.graph_algos import degree_assortativity
+    from chronographer_spark.operators.graph_algos import (
+        assortativity_coefficient as degree_assortativity,
+    )
 
     # star K(1,4): perfectly disassortative, r = -1 exactly
     star = spark.createDataFrame(
@@ -6758,3 +6760,30 @@ def test_fs_weights_and_scores_match_python_model(spark):
     assert got_s == exp
     # the true twin outscores the same-block impostor
     assert got_s[(1, 1)][1] > got_s[(3, 1)][1]
+
+
+def test_no_shadowed_definitions_repo_wide():
+    """A later module-level def silently shadows an earlier one (bit
+    entry_queries twice and graph_algos.degree_assortativity once —
+    different schema, old callers silently repointed). AST-reject
+    duplicate module-level def/class names in EVERY package module."""
+    import ast
+    import pathlib
+
+    import chronographer_spark
+
+    root = pathlib.Path(chronographer_spark.__file__).parent
+    bad = {}
+    for py in sorted(root.rglob("*.py")):
+        from collections import Counter
+
+        tree = ast.parse(py.read_text())
+        names = [
+            n.name
+            for n in tree.body
+            if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef))
+        ]
+        dupes = [n for n, c in Counter(names).items() if c > 1]
+        if dupes:
+            bad[str(py.relative_to(root))] = dupes
+    assert not bad, f"shadowed module-level definitions: {bad}"
