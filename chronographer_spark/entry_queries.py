@@ -18850,7 +18850,75 @@ QUALIFY rnk <= 20
 
 
 
+# ---------------------------------------------------------------------------
+# Q: degree-discount influence maximization seeds over the divide lattice
+# ---------------------------------------------------------------------------
+
+
+def q_influence_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-discount influence-maximization seeds (Chen et al. KDD'09)
+    on the undirected divide-lattice: 6 seeds at p = 1/10, exact-integer
+    discounted-degree scores, ties pinned to the smallest node. The
+    oracle replays the identical 6 driver rounds as a recursive CTE
+    carrying the picked list (arg_max over a score*2^31 - node key —
+    window functions inside LATERAL are chunk-local in DuckDB and were
+    measured non-deterministic; the encoded-key argmax is not)."""
+    from .operators.graph_algos import influence_seeds
+
+    return influence_seeds(
+        _divide_dag_edges(spark, sf_dir), k=6, p_num=1, p_den=10
+    )
+
+
+INFLUENCE_SEEDS_SQL = """
+WITH RECURSIVE nodes AS (
+  SELECT CAST(c_custkey AS BIGINT) AS k FROM customer WHERE c_custkey >= 1
+),
+ed AS (
+  SELECT k AS src, k // 2 AS dst FROM nodes WHERE k >= 2
+  UNION ALL
+  SELECT k, k // 3 FROM nodes WHERE k >= 3 AND k // 3 <> k // 2
+),
+sym AS MATERIALIZED (
+  SELECT DISTINCT u, v FROM (
+    SELECT src AS u, dst AS v FROM ed WHERE src <> dst
+    UNION ALL
+    SELECT dst, src FROM ed WHERE src <> dst
+  )
+),
+deg AS MATERIALIZED (
+  SELECT u AS node, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY u
+),
+sel AS (
+  SELECT 0 AS r, CAST([] AS BIGINT[]) AS picked, CAST([] AS BIGINT[]) AS scores
+  UNION ALL
+  SELECT sel.r + 1,
+         list_append(sel.picked, cand.bn),
+         list_append(sel.scores, (cand.mk + cand.bn) // 2147483648)
+  FROM sel, LATERAL (
+    SELECT arg_max(node, key) AS bn, max(key) AS mk FROM (
+      SELECT d.node,
+             (d.d * 10 - 2 * tt.t * 10 - (d.d - tt.t) * tt.t * 1)
+               * 2147483648 - d.node AS key
+      FROM deg d,
+      LATERAL (SELECT CAST(coalesce((
+          SELECT count(*) FROM sym
+          WHERE sym.u = d.node AND list_contains(sel.picked, sym.v)), 0)
+        AS BIGINT) AS t) tt
+      WHERE NOT list_contains(sel.picked, d.node)
+    )
+  ) cand
+  WHERE sel.r < 6
+)
+SELECT CAST(unnest(range(1, 7)) AS BIGINT) AS rnk,
+       unnest(picked) AS node, unnest(scores) AS score
+FROM sel WHERE r = 6
+"""
+
+
+
 QUERIES = {
+    "influence_seeds": q_influence_seeds,
     "fs_weights": q_fs_weights,
     "fs_match_scores": q_fs_match_scores,
     "soundex_portable": q_soundex_portable,
@@ -19195,6 +19263,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "influence_seeds": INFLUENCE_SEEDS_SQL,
     "fs_weights": FS_WEIGHTS_SQL,
     "fs_match_scores": FS_MATCH_SCORES_SQL,
     "soundex_portable": SOUNDEX_PORTABLE_SQL,

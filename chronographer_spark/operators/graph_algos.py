@@ -3290,3 +3290,89 @@ def assortativity_coefficient(
         )
         .alias("r_x1e6"),
     )
+
+
+def influence_seeds(
+    edges: DataFrame,
+    k: int,
+    p_num: int = 1,
+    p_den: int = 10,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Degree-discount influence maximization (Chen, Wang & Yang KDD'09):
+    pick k spread seeds for the independent-cascade model with propagation
+    probability p = p_num/p_den by repeatedly taking the node with the
+    largest DISCOUNTED degree dd(v) = d_v - 2*t_v - (d_v - t_v)*t_v*p,
+    where t_v counts already-selected neighbors — the standard
+    1000x-cheaper stand-in for greedy simulation, within a few percent of
+    its spread on sparse graphs. The seed readout a KG pipeline runs to
+    choose which entities to annotate/expand first.
+
+    Exact-integer contract: score = dd * p_den = d*p_den - 2*t*p_den -
+    (d-t)*t*p_num, all BIGINT (bound ~ d^2 * p_num — overflow-free for any
+    real degree). Ties pinned to the smallest node. k driver-synchronized
+    rounds, each collecting exactly ONE row (the BPE/k-center argmax
+    family); per round one neighbor-membership filter + one degree join —
+    never pairs, and the t-computation is a broadcast `isin` against the
+    <=k picked seeds. The DuckDB oracle replays the identical k rounds as
+    a recursive CTE carrying the picked list.
+
+    Reference parity: no counterpart — the reference ranks nodes only by
+    per-type occurrence entropy (/root/reference/src/ranker.py:24-60);
+    cascade-aware seed selection is graph-pipeline surface beyond it.
+
+    Returns (rnk, node, score) in pick order.
+    """
+    spark = edges.sparkSession
+    und = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
+        F.col("u") != F.col("v")
+    )
+    sym = (
+        und.unionByName(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        sym.groupBy("u")
+        .agg(F.count("*").cast("long").alias("d"))
+        .localCheckpoint(eager=True)
+    )
+    picked: list = []
+    out: list = []
+    for r in range(1, k + 1):
+        if picked:
+            t_df = (
+                sym.filter(F.col("v").isin(picked))
+                .groupBy("u")
+                .agg(F.count("*").cast("long").alias("t"))
+            )
+            scored = (
+                deg.filter(~F.col("u").isin(picked))
+                .join(t_df, "u", "left")
+                .fillna(0, subset=["t"])
+            )
+        else:
+            scored = deg.withColumn("t", F.lit(0).cast("long"))
+        row = (
+            scored.select(
+                "u",
+                (
+                    F.col("d") * F.lit(p_den)
+                    - F.lit(2) * F.col("t") * F.lit(p_den)
+                    - (F.col("d") - F.col("t")) * F.col("t") * F.lit(p_num)
+                )
+                .cast("long")
+                .alias("score"),
+            )
+            .orderBy(F.desc("score"), F.asc("u"))
+            .limit(1)
+            .collect()
+        )
+        if not row:
+            break
+        out.append((r, row[0]["u"], row[0]["score"]))
+        picked.append(row[0]["u"])
+    if not out:
+        return spark.createDataFrame([], "rnk long, node long, score long")
+    return spark.createDataFrame(out, ["rnk", "node", "score"])

@@ -6787,3 +6787,42 @@ def test_no_shadowed_definitions_repo_wide():
         if dupes:
             bad[str(py.relative_to(root))] = dupes
     assert not bad, f"shadowed module-level definitions: {bad}"
+
+
+def test_influence_seeds_matches_python_replay(spark):
+    """Degree-discount seed selection: exact integer scores, discount
+    updates after each pick, smallest-node tie pin."""
+    from chronographer_spark.operators.graph_algos import influence_seeds
+
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (4, 5), (5, 6), (6, 7),
+             (7, 4), (3, 8), (8, 9)]
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "src long, dst long"
+    )
+    PN, PD, K = 1, 10, 4
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    picked, want = [], []
+    for r in range(1, K + 1):
+        best = None
+        for n in sorted(adj):
+            if n in picked:
+                continue
+            d = len(adj[n])
+            t = sum(1 for x in adj[n] if x in picked)
+            s = d * PD - 2 * t * PD - (d - t) * t * PN
+            if best is None or s > best[0] or (s == best[0] and n < best[1]):
+                best = (s, n)
+        picked.append(best[1])
+        want.append((r, best[1], best[0]))
+    got = [
+        (r["rnk"], r["node"], r["score"])
+        for r in influence_seeds(df, k=K, p_num=PN, p_den=PD)
+        .orderBy("rnk")
+        .collect()
+    ]
+    assert got == want
+    # k > |V| terminates at |V| picks
+    assert influence_seeds(df, k=20).count() == 9
