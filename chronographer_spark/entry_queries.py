@@ -18982,7 +18982,93 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10
 
 
 
+# ---------------------------------------------------------------------------
+# Q: one synchronous Louvain local-moving round over the divide lattice
+# ---------------------------------------------------------------------------
+
+
+def q_louvain_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One synchronous Louvain phase-1 round from the arbitrary 64-block
+    id partition of the divide lattice: every node takes its best
+    strictly-positive exact-integer modularity gain w.r.t. the old
+    labeling (ties to the smallest community label) — the greedy
+    refinement step that feeds modularity_score. The lattice's k->k/2
+    edges mostly CROSS the block partition, so the readout shows heavy
+    movement — an honest 'metadata partition does not match topology'
+    input, same family as newman_modularity's negative Q."""
+    from .operators.graph_algos import louvain_move_round
+
+    e = _divide_dag_edges(spark, sf_dir)
+    nodes = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") >= 1)
+        .select(F.col("c_custkey").cast("long").alias("node"))
+    )
+    lab = nodes.select(
+        "node", F.expr("CAST(node DIV 64 AS STRING)").alias("label")
+    )
+    return louvain_move_round(e, lab)
+
+
+LOUVAIN_ROUND_SQL = """
+WITH nodes AS (
+  SELECT CAST(c_custkey AS BIGINT) AS n FROM customer WHERE c_custkey >= 1
+),
+ed AS (
+  SELECT n AS src, n // 2 AS dst FROM nodes WHERE n >= 2
+  UNION ALL
+  SELECT n, n // 3 FROM nodes WHERE n >= 3 AND n // 3 <> n // 2
+),
+ue AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM ed WHERE src <> dst
+),
+sym AS (SELECT u, v FROM ue UNION ALL SELECT v AS u, u AS v FROM ue),
+deg AS (SELECT u, CAST(count(*) AS BIGINT) AS k FROM sym GROUP BY u),
+lab AS (SELECT u, CAST(u // 64 AS VARCHAR) AS lbl FROM deg),
+mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM ue),
+sig AS (
+  SELECT lbl, CAST(sum(k) AS BIGINT) AS sig
+  FROM deg JOIN lab USING (u) GROUP BY lbl
+),
+kic AS (
+  SELECT s.u, lb.lbl AS c, CAST(count(*) AS BIGINT) AS kic
+  FROM sym s JOIN lab lb ON s.v = lb.u GROUP BY s.u, lb.lbl
+),
+own AS (
+  SELECT deg.u, deg.k, lab.lbl AS old_label,
+         coalesce(ka.kic, 0) AS kia
+  FROM deg JOIN lab USING (u)
+  LEFT JOIN kic ka ON ka.u = deg.u AND ka.c = lab.lbl
+),
+cand AS (
+  SELECT own.u, own.old_label, kic.c,
+         CAST(4 * mm.m * (kic.kic - own.kia)
+              - 2 * own.k * (sc.sig - sa.sig + own.k) AS BIGINT) AS gain_x
+  FROM own
+  JOIN kic ON kic.u = own.u AND kic.c <> own.old_label
+  JOIN sig sc ON sc.lbl = kic.c
+  JOIN sig sa ON sa.lbl = own.old_label
+  CROSS JOIN mm
+),
+best AS (
+  SELECT u, c AS new_label, gain_x,
+         row_number() OVER (
+           PARTITION BY u ORDER BY gain_x DESC, c ASC) AS rn
+  FROM cand
+)
+SELECT own.u AS node, own.old_label,
+       CASE WHEN b.gain_x > 0 THEN b.new_label ELSE own.old_label END
+         AS new_label,
+       CAST(CASE WHEN b.gain_x > 0 THEN b.gain_x ELSE 0 END AS BIGINT)
+         AS gain_x
+FROM own LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.u = own.u
+"""
+
+
+
 QUERIES = {
+    "louvain_round": q_louvain_round,
     "incremental_bm25": q_incremental_bm25,
     "influence_seeds": q_influence_seeds,
     "fs_weights": q_fs_weights,
@@ -19329,6 +19415,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "louvain_round": LOUVAIN_ROUND_SQL,
     "incremental_bm25": INCREMENTAL_BM25_SQL,
     "influence_seeds": INFLUENCE_SEEDS_SQL,
     "fs_weights": FS_WEIGHTS_SQL,

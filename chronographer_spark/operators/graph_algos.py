@@ -3376,3 +3376,115 @@ def influence_seeds(
     if not out:
         return spark.createDataFrame([], "rnk long, node long, score long")
     return spark.createDataFrame(out, ["rnk", "node", "score"])
+
+
+def louvain_move_round(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    label_col: str = "label",
+) -> DataFrame:
+    """One SYNCHRONOUS Louvain local-moving round (Blondel et al. 2008
+    phase-1 step, parallelized): every node simultaneously evaluates
+    moving into each neighbor community against the CURRENT labeling and
+    takes the best strictly-positive modularity gain — the greedy
+    refinement that upgrades a seed labeling (label propagation output,
+    the multilevel partition, singletons) before `modularity_score`
+    re-scores it. Sequential Louvain guarantees monotone Q; the
+    synchronous variant is the standard distributed relaxation (one round
+    of Spark-Louvain) — each individual move is optimal w.r.t. the old
+    labeling, which is exactly what the oracle replays and the test pins.
+
+    Exact-integer gain: moving i (degree k_i, from community A) into
+    neighbor community C != A changes Q by
+        dQ = [k_iC - k_iA]/m - k_i*[Sig(C) - Sig(A\\{i})]/(2m^2)
+    (k_iX = edges from i into X, Sig = community degree mass, both with i
+    REMOVED from its own community first). Scaled by 4m^2 > 0:
+        gain_x = 4*m*(k_iC - k_iA) - 2*k_i*(Sig(C) - Sig(A) + k_i)
+    — an exact BIGINT (|gain_x| <= 12m^2; lift to DECIMAL(38) past
+    m ~ 8e8). Argmax per node over neighbor communities, ties pinned to
+    the smallest community label; a node moves only if gain_x > 0.
+
+    Shape: one (node, neighbor-community) aggregate over the symmetrized
+    edges + the |communities|-sized degree-mass table broadcast back —
+    cost is edges, never pairs; unlabeled nodes default to singleton
+    communities equal to their own id cast to string.
+
+    Returns (node, old_label, new_label, gain_x) for EVERY labeled-graph
+    node (gain_x = 0 and new_label = old_label for nodes with no
+    improving move).
+    """
+    und = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
+        F.col("u") != F.col("v")
+    )
+    ue = und.select(
+        F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+    ).dropDuplicates()
+    sym = ue.unionByName(
+        ue.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    deg = sym.groupBy("u").agg(F.count("*").cast("long").alias("k"))
+    lab = labels.select(
+        F.col(node_col).alias("u"), F.col(label_col).cast("string").alias("lbl")
+    )
+    nl = deg.join(lab, "u", "left").select(
+        "u", "k", F.coalesce("lbl", F.col("u").cast("string")).alias("lbl")
+    ).localCheckpoint(eager=True)
+    m_df = ue.agg(F.count("*").cast("long").alias("m"))
+    sig = nl.groupBy("lbl").agg(F.sum("k").cast("long").alias("sig"))
+    # k_iC: edges from each node into each neighbor community
+    kic = (
+        sym.join(nl.select(F.col("u").alias("v"), F.col("lbl").alias("c")), "v")
+        .groupBy("u", "c")
+        .agg(F.count("*").cast("long").alias("kic"))
+    )
+    own = nl.select("u", "k", F.col("lbl").alias("old_label"))
+    cand = (
+        kic.join(own, "u")
+        .join(F.broadcast(sig), kic["c"] == sig["lbl"])
+        .join(
+            F.broadcast(
+                sig.select(F.col("lbl").alias("old_label"), F.col("sig").alias("sig_a"))
+            ),
+            "old_label",
+        )
+        .crossJoin(F.broadcast(m_df))
+    )
+    from pyspark.sql.window import Window
+
+    kia = F.coalesce(
+        F.max(F.when(F.col("c") == F.col("old_label"), F.col("kic"))).over(
+            Window.partitionBy("u")
+        ),
+        F.lit(0),
+    )
+    cand = cand.withColumn("kia", kia).filter(F.col("c") != F.col("old_label"))
+    gain = (
+        F.lit(4) * F.col("m") * (F.col("kic") - F.col("kia"))
+        - F.lit(2)
+        * F.col("k")
+        * (F.col("sig") - F.col("sig_a") + F.col("k"))
+    ).cast("long")
+    scored = cand.select("u", "old_label", F.col("c"), gain.alias("gain_x"))
+    w = Window.partitionBy("u").orderBy(F.desc("gain_x"), F.asc("c"))
+    best = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("gain_x") > 0))
+        .select(
+            "u",
+            F.col("c").alias("new_label"),
+            F.col("gain_x").alias("bg"),
+        )
+    )
+    return (
+        nl.select("u", F.col("lbl").alias("old_label"))
+        .join(best, "u", "left")
+        .select(
+            F.col("u").alias("node"),
+            "old_label",
+            F.coalesce("new_label", "old_label").alias("new_label"),
+            F.coalesce("bg", F.lit(0)).cast("long").alias("gain_x"),
+        )
+    )

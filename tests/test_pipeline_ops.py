@@ -6850,3 +6850,50 @@ def test_merge_inverted_index_equals_full_rebuild(spark):
     want = build_inverted_index(full)
     assert merged.exceptAll(want).count() == 0
     assert want.exceptAll(merged).count() == 0
+
+
+def test_louvain_move_round_matches_python_replay(spark):
+    """Synchronous Louvain phase-1 round: per-node best strictly-positive
+    exact-integer modularity gain vs the old labeling, smallest-label tie
+    pin; non-movers emitted with gain 0."""
+    from chronographer_spark.operators.graph_algos import louvain_move_round
+
+    edges = [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)]
+    labels = {1: "a", 2: "a", 3: "b", 4: "b", 5: "b", 6: "c"}
+    e = spark.createDataFrame(edges, "src long, dst long")
+    lab = spark.createDataFrame(
+        [(n, c) for n, c in labels.items()], "node long, label string"
+    )
+    # python replica
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    m = len(edges)
+    k = {n: len(vs) for n, vs in adj.items()}
+    sig = {}
+    for n, c in labels.items():
+        sig[c] = sig.get(c, 0) + k[n]
+    want = {}
+    for i in sorted(adj):
+        a = labels[i]
+        kic = {}
+        for j in adj[i]:
+            kic[labels[j]] = kic.get(labels[j], 0) + 1
+        kia = kic.get(a, 0)
+        best = None
+        for c in sorted(set(kic) - {a}):
+            g = 4 * m * (kic[c] - kia) - 2 * k[i] * (sig[c] - sig[a] + k[i])
+            if best is None or g > best[0]:
+                best = (g, c)
+        if best and best[0] > 0:
+            want[i] = (a, best[1], best[0])
+        else:
+            want[i] = (a, a, 0)
+    got = {
+        r["node"]: (r["old_label"], r["new_label"], r["gain_x"])
+        for r in louvain_move_round(e, lab).collect()
+    }
+    assert got == want
+    # sanity: the bridge-misplaced node 3 moves home to 'a'
+    assert got[3][1] == "a" and got[3][2] > 0
