@@ -19067,7 +19067,83 @@ FROM own LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.u = own.u
 
 
 
+# ---------------------------------------------------------------------------
+# Q: Wald SPRT sequential decisions per event type
+# ---------------------------------------------------------------------------
+
+
+def q_sprt_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald SPRT per event type: H0 p=1/3 vs H1 p=1/2 at alpha=beta=5%,
+    success = cents%3==0 (~1/3, the null) except the planted 'error'
+    type whose success is cents%3!=2 (~2/3) — its LLR walk climbs ~+3
+    per observation and pins accept_h1 within a few dozen events, while
+    null types drift to accept_h0. All LLR increments and thresholds are
+    pure-integer llr16 constants shared verbatim with the oracle."""
+    from .operators.classifier import sprt_decisions
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    ev = ev.withColumn(
+        "succ",
+        F.expr(
+            "CASE WHEN event_type = 'error' THEN cents % 3 <> 2"
+            " ELSE cents % 3 = 0 END"
+        ),
+    )
+    out = sprt_decisions(ev, "event_type", "event_id", "succ")
+    return out.select(
+        F.col("key").alias("event_type"), "decision", "n_obs", "llr_x16"
+    )
+
+
+def _sprt_sql() -> str:
+    from .operators.classifier import llr16
+
+    s = llr16(1 * 3, 2 * 1)
+    f = llr16((2 - 1) * 3, 2 * (3 - 1))
+    up = llr16((100 - 5) * 100, 100 * 5)
+    lo = -up
+    return f"""
+WITH base AS (
+  SELECT event_type AS key, event_id AS o,
+         CASE WHEN (CASE WHEN event_type = 'error'
+                    THEN CAST(floor(value * 100 + 0.5) AS BIGINT) % 3 <> 2
+                    ELSE CAST(floor(value * 100 + 0.5) AS BIGINT) % 3 = 0 END)
+              THEN {s} ELSE {f} END AS step
+  FROM events
+),
+walked AS (
+  SELECT key, o,
+         row_number() OVER (PARTITION BY key ORDER BY o) AS rn,
+         sum(step) OVER (PARTITION BY key ORDER BY o
+                         ROWS UNBOUNDED PRECEDING) AS cum
+  FROM base
+),
+fl AS (
+  SELECT key, rn, cum,
+         min(CASE WHEN cum >= {up} OR cum <= {lo} THEN rn END)
+           OVER (PARTITION BY key) AS cross_rn,
+         max(rn) OVER (PARTITION BY key) AS last_rn
+  FROM walked
+)
+SELECT key AS event_type,
+       CASE WHEN cross_rn IS NULL THEN 'continue'
+            WHEN cum >= {up} THEN 'accept_h1'
+            ELSE 'accept_h0' END AS decision,
+       CAST(rn AS BIGINT) AS n_obs, CAST(cum AS BIGINT) AS llr_x16
+FROM fl WHERE rn = coalesce(cross_rn, last_rn)
+"""
+
+
+SPRT_DECISIONS_SQL = _sprt_sql()
+
+
+
 QUERIES = {
+    "sprt_decisions": q_sprt_decisions,
     "louvain_round": q_louvain_round,
     "incremental_bm25": q_incremental_bm25,
     "influence_seeds": q_influence_seeds,
@@ -19415,6 +19491,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "sprt_decisions": SPRT_DECISIONS_SQL,
     "louvain_round": LOUVAIN_ROUND_SQL,
     "incremental_bm25": INCREMENTAL_BM25_SQL,
     "influence_seeds": INFLUENCE_SEEDS_SQL,

@@ -1045,3 +1045,101 @@ def isotonic_calibrate(
         .groupBy(group)
         .applyInPandas(_pava, schema=schema)
     )
+
+
+def _msb16_int(q: int) -> int:
+    """Pure-Python twin of sampling._msb16_sql (same clamps)."""
+    q = min(max(q, 1), 1 << 52)
+    lg = q.bit_length() - 1
+    return 16 * lg + q * 16 // (1 << lg) - 16
+
+
+def llr16(num: int, den: int) -> int:
+    """16*log2(num/den) as an exact integer via the msb16 staged quotient,
+    sign-symmetric: ratios < 1 negate the inverse ratio's value. Pure
+    integer arithmetic — safe to inline as a literal in BOTH engines
+    (the CLAUDE.md Python-float-constant trap cannot apply)."""
+    if num <= 0 or den <= 0:
+        raise ValueError("llr16 requires positive num/den")
+    if num >= den:
+        return _msb16_int((num << 20) // den) - 320
+    return -(_msb16_int((den << 20) // num) - 320)
+
+
+def sprt_decisions(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    success_col: str,
+    p0: tuple[int, int] = (1, 3),
+    p1: tuple[int, int] = (1, 2),
+    alpha: tuple[int, int] = (5, 100),
+    beta: tuple[int, int] = (5, 100),
+) -> DataFrame:
+    """Wald's sequential probability ratio test per key (Wald 1945) — the
+    always-valid sequential decision a live experimentation pipeline runs
+    instead of a fixed-horizon test: observations arrive in `order_col`
+    order, the cumulative Bernoulli log-likelihood ratio walks until it
+    crosses log((1-beta)/alpha) (accept H1: p = p1) or log(beta/(1-alpha))
+    (accept H0: p = p0), and the key's decision is pinned at the FIRST
+    crossing — later data cannot un-decide it.
+
+    Exact-integer contract: the two per-observation LLR increments and the
+    two thresholds are 16*log2 units from `llr16` — pure-Python integer
+    constants inlined identically into the plan and the oracle, so the
+    cumulative walk is a BIGINT prefix sum with zero drift. All four
+    p0/p1/alpha/beta are integer rationals.
+
+    Shape: ONE (key)-partitioned window pass yields the running LLR and
+    the first-crossing index together (prefix sum + min-over-flagged on
+    the same partitioning — one exchange, the changepoint_scan family);
+    output is |keys| rows. Keys that never cross emit 'continue' with
+    their final LLR.
+
+    Returns (key, decision, n_obs, llr_x16).
+    """
+    p0n, p0d = p0
+    p1n, p1d = p1
+    an, ad = alpha
+    bn, bd = beta
+    s_llr = llr16(p1n * p0d, p1d * p0n)
+    f_llr = llr16((p1d - p1n) * p0d, p1d * (p0d - p0n))
+    up = llr16((bd - bn) * ad, bd * an)  # log2((1-beta)/alpha) > 0
+    lo = -llr16((ad - an) * bd, ad * bn)  # log2(beta/(1-alpha)) < 0
+
+    w = Window.partitionBy("key").orderBy("__o")
+    wall = Window.partitionBy("key")
+    stepped = df.select(
+        F.col(key_col).alias("key"),
+        F.col(order_col).alias("__o"),
+        F.when(F.col(success_col), F.lit(s_llr))
+        .otherwise(F.lit(f_llr))
+        .cast("long")
+        .alias("__step"),
+    )
+    walked = (
+        stepped.withColumn("__rn", F.row_number().over(w).cast("long"))
+        .withColumn("__cum", F.sum("__step").over(w))
+        .withColumn(
+            "__cross_rn",
+            F.min(
+                F.when(
+                    (F.col("__cum") >= up) | (F.col("__cum") <= lo),
+                    F.col("__rn"),
+                )
+            ).over(wall),
+        )
+        .withColumn("__last_rn", F.max("__rn").over(wall))
+    )
+    at = walked.filter(
+        F.col("__rn") == F.coalesce("__cross_rn", "__last_rn")
+    )
+    return at.select(
+        "key",
+        F.when(F.col("__cross_rn").isNull(), F.lit("continue"))
+        .when(F.col("__cum") >= up, F.lit("accept_h1"))
+        .otherwise(F.lit("accept_h0"))
+        .alias("decision"),
+        F.col("__rn").alias("n_obs"),
+        F.col("__cum").cast("long").alias("llr_x16"),
+    )

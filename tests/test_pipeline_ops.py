@@ -6897,3 +6897,46 @@ def test_louvain_move_round_matches_python_replay(spark):
     assert got == want
     # sanity: the bridge-misplaced node 3 moves home to 'a'
     assert got[3][1] == "a" and got[3][2] > 0
+
+
+def test_sprt_decisions_match_python_replay(spark):
+    """Wald SPRT per key: cumulative integer LLR walk, first-crossing
+    pin (later data cannot un-decide), continue on no crossing."""
+    from chronographer_spark.operators.classifier import llr16, sprt_decisions
+
+    s = llr16(3, 2)       # success step, p0=1/3 vs p1=1/2
+    f = llr16(3, 4)       # failure step
+    up = llr16(95 * 100, 100 * 5)
+    lo = -up
+    seqs = {
+        "hot": [True] * 15,                      # straight to accept_h1
+        "cold": [False] * 25,                    # straight to accept_h0
+        "short": [True, False] * 3,              # never crosses -> continue
+        # crosses h1 then collapses: decision still pinned at first crossing
+        "pinned": [True] * 12 + [False] * 60,
+    }
+    rows = [
+        (k, i, v) for k, seq in seqs.items() for i, v in enumerate(seq)
+    ]
+    df = spark.createDataFrame(rows, "key string, o long, succ boolean")
+    want = {}
+    for k, seq in seqs.items():
+        cum, dec, n = 0, "continue", len(seq)
+        for i, v in enumerate(seq, 1):
+            cum += s if v else f
+            if cum >= up or cum <= lo:
+                dec = "accept_h1" if cum >= up else "accept_h0"
+                n = i
+                break
+        else:
+            pass
+        # final llr for continue keys is the full-walk cum
+        if dec == "continue":
+            cum = sum(s if v else f for v in seq)
+        want[k] = (dec, n, cum)
+    got = {
+        r["key"]: (r["decision"], r["n_obs"], r["llr_x16"])
+        for r in sprt_decisions(df, "key", "o", "succ").collect()
+    }
+    assert got == want
+    assert got["pinned"][0] == "accept_h1"  # immutability of first crossing
