@@ -19142,7 +19142,72 @@ SPRT_DECISIONS_SQL = _sprt_sql()
 
 
 
+# ---------------------------------------------------------------------------
+# Q: Benjamini-Hochberg FDR selection over per-nation rational p-values
+# ---------------------------------------------------------------------------
+
+
+def q_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BH step-up FDR at alpha=10% over 25 hypotheses (one per nation):
+    null p-values are uniform md5 rationals (1 + h%1000)/1001, the four
+    nations with nationkey%8==0 carry planted tiny p = (1 + key%3)/1001.
+    The step-up rule (largest rank i with p_num*m*a_den <= i*a_num*p_den,
+    fully cross-multiplied BIGINT) rejects the planted heads plus any
+    lucky-small null — the multiple-testing gate run across per-metric
+    tests before alerting."""
+    from .operators.classifier import bh_select
+    from .operators.sketches import _hash32
+
+    n = _t(spark, sf_dir, "nation").select(
+        "n_name",
+        F.when(
+            F.expr("n_nationkey % 8 = 0"),
+            F.expr("1 + n_nationkey % 3"),
+        )
+        .otherwise(
+            _hash32(F.concat(F.lit("bh:"), F.col("n_name"))) % 1000 + 1
+        )
+        .cast("long")
+        .alias("p_num"),
+        F.lit(1001).cast("long").alias("p_den"),
+    )
+    out = bh_select(n, "n_name", "p_num", "p_den", alpha=(10, 100))
+    return out.select(
+        F.col("key").alias("n_name"), "p_num", "p_den", "rnk", "rejected"
+    )
+
+
+BH_FDR_SQL = """
+WITH hyp AS (
+  SELECT n_name,
+         CAST(CASE WHEN n_nationkey % 8 = 0 THEN 1 + n_nationkey % 3
+              ELSE CAST(concat('0x', substr(md5('bh:' || n_name), 1, 8))
+                   AS BIGINT) % 1000 + 1 END AS BIGINT) AS p_num,
+         CAST(1001 AS BIGINT) AS p_den
+  FROM nation
+),
+ranked AS (
+  SELECT n_name, p_num, p_den,
+         CAST(row_number() OVER (ORDER BY p_num ASC, n_name ASC) AS BIGINT)
+           AS rnk,
+         CAST(count(*) OVER () AS BIGINT) AS m
+  FROM hyp
+),
+crossed AS (
+  SELECT *,
+         max(CASE WHEN p_num * m * 100 <= rnk * 10 * p_den THEN rnk END)
+           OVER () AS istar
+  FROM ranked
+)
+SELECT n_name, p_num, p_den, rnk,
+       rnk <= coalesce(istar, 0) AS rejected
+FROM crossed
+"""
+
+
+
 QUERIES = {
+    "bh_fdr": q_bh_fdr,
     "sprt_decisions": q_sprt_decisions,
     "louvain_round": q_louvain_round,
     "incremental_bm25": q_incremental_bm25,
@@ -19491,6 +19556,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "bh_fdr": BH_FDR_SQL,
     "sprt_decisions": SPRT_DECISIONS_SQL,
     "louvain_round": LOUVAIN_ROUND_SQL,
     "incremental_bm25": INCREMENTAL_BM25_SQL,

@@ -1143,3 +1143,67 @@ def sprt_decisions(
         F.col("__rn").alias("n_obs"),
         F.col("__cum").cast("long").alias("llr_x16"),
     )
+
+
+def bh_select(
+    df: DataFrame,
+    key_col: str,
+    p_num_col: str,
+    p_den_col: str,
+    alpha: tuple[int, int] = (10, 100),
+) -> DataFrame:
+    """Benjamini-Hochberg step-up FDR selection (Benjamini & Hochberg
+    1995) over EXACT rational p-values — the multiple-testing gate a
+    metrics pipeline runs across its per-key tests (permutation tests,
+    SPRT families, changepoint scans) before alerting: sort p ascending,
+    find the LARGEST rank i with p_(i) <= alpha * i / m, reject every
+    hypothesis ranked <= that i.
+
+    Exactness contract: p-values arrive as integer rationals
+    (p_num, p_den) from the SAME test family, i.e. sharing one
+    denominator (permutation tests: n_perms + 1; add-one hash nulls:
+    N + 1) — the sort key is then p_num alone (ties pinned by key) and
+    the BH inequality is evaluated fully cross-multiplied:
+    p_num * m * a_den <= i * a_num * p_den — BIGINT-exact, no division
+    anywhere. Heterogeneous families must be rescaled to a common
+    denominator upstream (multiply num/den); the operator does not
+    guess.
+
+    Shape: hypotheses number in the hundreds (one per metric/key), so
+    the two global windows (rank, then max-crossing) on one ordering are
+    a deliberate single-partition pass over m rows — the rake/top-k
+    global-window family, never data-sized.
+
+    Returns (key, p_num, p_den, rnk, rejected) for every hypothesis.
+    """
+    an, ad = alpha
+    w = Window.orderBy(F.asc(p_num_col), F.asc(key_col))
+    wall = Window.partitionBy()
+    ranked = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.col(p_num_col).cast("long").alias("p_num"),
+            F.col(p_den_col).cast("long").alias("p_den"),
+        )
+        .withColumn("rnk", F.row_number().over(
+            Window.orderBy(F.asc("p_num"), F.asc("key"))
+        ).cast("long"))
+        .withColumn("__m", F.count(F.lit(1)).over(wall))
+    )
+    crossed = ranked.withColumn(
+        "__ok",
+        F.col("p_num") * F.col("__m") * F.lit(ad)
+        <= F.col("rnk") * F.lit(an) * F.col("p_den"),
+    ).withColumn(
+        "__istar",
+        F.max(F.when(F.col("__ok"), F.col("rnk"))).over(wall),
+    )
+    return crossed.select(
+        "key",
+        "p_num",
+        "p_den",
+        "rnk",
+        (F.col("rnk") <= F.coalesce(F.col("__istar"), F.lit(0))).alias(
+            "rejected"
+        ),
+    )

@@ -6940,3 +6940,43 @@ def test_sprt_decisions_match_python_replay(spark):
     }
     assert got == want
     assert got["pinned"][0] == "accept_h1"  # immutability of first crossing
+
+
+def test_bh_select_matches_fraction_replay(spark):
+    """BH step-up on exact rationals: Fraction-based replica, tie pin by
+    key, no-rejection case, and the step-up property (a later crossing
+    rescues all smaller ranks)."""
+    from fractions import Fraction
+
+    from chronographer_spark.operators.classifier import bh_select
+
+    # classic step-up shape: rank 1 fails its own bound but rank 4 passes,
+    # so ranks 1..4 are all rejected
+    rows = [("a", 30, 1000), ("b", 35, 1000), ("c", 36, 1000),
+            ("d", 152, 1000), ("e", 900, 1000), ("f", 35, 1000)]
+    df = spark.createDataFrame(rows, "key string, p_num long, p_den long")
+    an, ad = (40, 100)
+    m = len(rows)
+    srt = sorted(rows, key=lambda r: (r[1], r[0]))
+    istar = 0
+    for i, (k, pn, pd) in enumerate(srt, 1):
+        if Fraction(pn, pd) <= Fraction(an * i, ad * m):
+            istar = i
+    want = {
+        k: (pn, pd, i, i <= istar)
+        for i, (k, pn, pd) in enumerate(srt, 1)
+    }
+    got = {
+        r["key"]: (r["p_num"], r["p_den"], r["rnk"], r["rejected"])
+        for r in bh_select(df, "key", "p_num", "p_den", alpha=(an, ad)).collect()
+    }
+    assert got == want
+    assert istar == 5 and got["d"][3] and not got["e"][3]
+
+    # nothing passes -> nothing rejected
+    big = spark.createDataFrame(
+        [("x", 900, 1000), ("y", 950, 1000)], "key string, p_num long, p_den long"
+    )
+    got2 = {r["key"]: r["rejected"]
+            for r in bh_select(big, "key", "p_num", "p_den", (5, 100)).collect()}
+    assert got2 == {"x": False, "y": False}
