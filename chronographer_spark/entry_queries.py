@@ -19206,7 +19206,79 @@ FROM crossed
 
 
 
+# ---------------------------------------------------------------------------
+# Q: Kaplan-Meier survival curves per event type (censoring-aware)
+# ---------------------------------------------------------------------------
+
+
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier per event type over per-user activity spans:
+    t = seconds between a user's first and last event of the type,
+    observed = the user logged >= 3 such events (others are censored —
+    still under observation). Exact-integer curve in 16*log2 units via
+    the msb16 device; exhausted risk sets (S hits exact 0) emit NULL."""
+    from .operators.temporal import kaplan_meier
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "user_id", F.unix_timestamp("ts").alias("sec")
+    )
+    per = ev.groupBy("event_type", "user_id").agg(
+        (F.max("sec") - F.min("sec")).cast("long").alias("t"),
+        (F.count(F.lit(1)) >= 3).cast("long").alias("obs"),
+    )
+    out = kaplan_meier(per, "event_type", "t", "obs")
+    return out.select(
+        F.col("key").alias("event_type"), "t", "n_risk", "d", "c",
+        "log2_surv_x16",
+    )
+
+
+KAPLAN_MEIER_SQL = f"""
+WITH per AS (
+  SELECT event_type AS key, user_id,
+         CAST(floor(epoch(max(ts))) AS BIGINT)
+           - CAST(floor(epoch(min(ts))) AS BIGINT) AS t,
+         CASE WHEN count(*) >= 3 THEN 1 ELSE 0 END AS obs
+  FROM events GROUP BY event_type, user_id
+),
+dd AS (
+  SELECT key, t, CAST(sum(obs) AS BIGINT) AS d,
+         CAST(sum(1 - obs) AS BIGINT) AS c
+  FROM per GROUP BY key, t
+),
+risk AS (
+  SELECT *, CAST(sum(d + c) OVER (
+    PARTITION BY key ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS BIGINT)
+    AS n_risk
+  FROM dd
+),
+st AS (
+  SELECT *, CASE WHEN d = 0 THEN CAST(0 AS BIGINT)
+                 WHEN n_risk > d THEN -(CAST(
+                   {_duck_msb16('n_risk * 1048576 // (n_risk - d)')}
+                   AS BIGINT) - 320)
+                 ELSE CAST(0 AS BIGINT) END AS step
+  FROM risk
+),
+wk AS (
+  SELECT *, max(CASE WHEN d >= n_risk AND d > 0 THEN 1 ELSE 0 END) OVER (
+              PARTITION BY key ORDER BY t ASC ROWS UNBOUNDED PRECEDING)
+              AS dead,
+            sum(step) OVER (
+              PARTITION BY key ORDER BY t ASC ROWS UNBOUNDED PRECEDING)
+              AS cum
+  FROM st
+)
+SELECT key AS event_type, t, n_risk, d, c,
+       CASE WHEN dead = 1 THEN NULL ELSE CAST(cum AS BIGINT) END
+         AS log2_surv_x16
+FROM wk
+"""
+
+
+
 QUERIES = {
+    "kaplan_meier": q_kaplan_meier,
     "bh_fdr": q_bh_fdr,
     "sprt_decisions": q_sprt_decisions,
     "louvain_round": q_louvain_round,
@@ -19556,6 +19628,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "kaplan_meier": KAPLAN_MEIER_SQL,
     "bh_fdr": BH_FDR_SQL,
     "sprt_decisions": SPRT_DECISIONS_SQL,
     "louvain_round": LOUVAIN_ROUND_SQL,

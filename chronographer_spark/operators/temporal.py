@@ -2527,3 +2527,79 @@ def fano_burstiness(
             ).alias("iod_x1e6"),
         )
     )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    observed_col: str,
+) -> DataFrame:
+    """Kaplan-Meier survival estimator per key (Kaplan & Meier 1958),
+    censoring-aware — the time-to-event readout a product/retention
+    pipeline runs (time to churn, time to first purchase, session
+    survival) where naive averaging of durations is biased by users still
+    under observation. One row per (key, distinct event-or-censor time):
+    risk set, events, censorings, and the curve.
+
+    Exact-integer contract: S(t) = prod over event times t' <= t of
+    (1 - d/n) is emitted in 16*log2 units — log2_surv_x16 =
+    -SUM msb16((n * 2^20) DIV (n - d)) - 320 terms — via the same msb16
+    staged-quotient device as PMI/DSIR (operators/sampling._msb16_sql),
+    so no float multiplication chain exists in either engine. Once a
+    risk set is exhausted (n == d, the curve hits exact zero), later
+    rows emit NULL (log of zero), propagated by an explicit
+    cumulative-death flag because window SUM skips NULLs.
+
+    Shape: one (key, time) collapse, then TWO windows on the SAME key
+    partitioning (desc-time cumulative for the risk set, asc-time
+    cumulative for the log-survival walk) — a single exchange end to
+    end, the changepoint_scan family; output is |distinct times| rows.
+
+    Returns (key, t, n_risk, d, c, log2_surv_x16).
+    """
+    from .sampling import _msb16_sql
+
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(time_col).cast("long").alias("t"),
+        F.col(observed_col).cast("long").alias("__obs"),
+    )
+    dd = base.groupBy("key", "t").agg(
+        F.sum("__obs").cast("long").alias("d"),
+        F.sum(F.lit(1) - F.col("__obs")).cast("long").alias("c"),
+    )
+    w_desc = (
+        Window.partitionBy("key")
+        .orderBy(F.desc("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_asc = (
+        Window.partitionBy("key")
+        .orderBy(F.asc("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risk = dd.withColumn(
+        "n_risk", F.sum(F.col("d") + F.col("c")).over(w_desc).cast("long")
+    )
+    step = F.expr(
+        "CASE WHEN d = 0 THEN CAST(0 AS BIGINT) "
+        "WHEN n_risk > d THEN -(CAST("
+        + _msb16_sql("n_risk * 1048576 DIV (n_risk - d)")
+        + " AS BIGINT) - 320) ELSE CAST(0 AS BIGINT) END"
+    )
+    walked = (
+        risk.withColumn("__step", step)
+        .withColumn("__dead", F.max((F.col("d") >= F.col("n_risk")) & (F.col("d") > 0)).over(w_asc))
+        .withColumn("__cum", F.sum("__step").over(w_asc))
+    )
+    return walked.select(
+        "key",
+        "t",
+        "n_risk",
+        "d",
+        "c",
+        F.when(F.col("__dead"), F.lit(None).cast("long"))
+        .otherwise(F.col("__cum").cast("long"))
+        .alias("log2_surv_x16"),
+    )

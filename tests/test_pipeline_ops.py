@@ -6980,3 +6980,45 @@ def test_bh_select_matches_fraction_replay(spark):
     got2 = {r["key"]: r["rejected"]
             for r in bh_select(big, "key", "p_num", "p_den", (5, 100)).collect()}
     assert got2 == {"x": False, "y": False}
+
+
+def test_kaplan_meier_matches_python_replay(spark):
+    """KM per key: risk sets count everyone with duration >= t, censored
+    rows shrink the risk set without stepping the curve, exhausted risk
+    set (S = 0) yields NULL thereafter; log2 curve exact via msb16."""
+    from chronographer_spark.operators.temporal import kaplan_meier
+
+    rows = [
+        # key a: classic mix of events and censorings
+        ("a", 2, 1), ("a", 2, 1), ("a", 3, 0), ("a", 5, 1), ("a", 5, 0),
+        ("a", 8, 0),
+        # key b: last risk set exhausted -> curve hits exact zero
+        ("b", 1, 1), ("b", 4, 1),
+    ]
+    df = spark.createDataFrame(rows, "key string, t long, obs long")
+
+    def msb16(q):
+        q = min(max(q, 1), 1 << 52)
+        lg = q.bit_length() - 1
+        return 16 * lg + q * 16 // (1 << lg) - 16
+
+    want = {}
+    for key in ("a", "b"):
+        rs = sorted([(t, o) for k, t, o in rows if k == key])
+        times = sorted({t for t, _ in rs})
+        cum, dead = 0, False
+        for t in times:
+            n = sum(1 for tt, _ in rs if tt >= t)
+            d = sum(1 for tt, o in rs if tt == t and o == 1)
+            c = sum(1 for tt, o in rs if tt == t and o == 0)
+            if not dead and d > 0 and n > d:
+                cum -= msb16(n * 1048576 // (n - d)) - 320
+            if d >= n and d > 0:
+                dead = True
+            want[(key, t)] = (n, d, c, None if dead else cum)
+    got = {
+        (r["key"], r["t"]): (r["n_risk"], r["d"], r["c"], r["log2_surv_x16"])
+        for r in kaplan_meier(df, "key", "t", "obs").collect()
+    }
+    assert got == want
+    assert got[("b", 4)][3] is None  # exhausted risk set -> exact zero
