@@ -19229,7 +19229,7 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = kaplan_meier(per, "event_type", "t", "obs")
     return out.select(
         F.col("key").alias("event_type"), "t", "n_risk", "d", "c",
-        "log2_surv_x16",
+        "log2_surv_x16", "cumhaz_x1e6",
     )
 
 
@@ -19266,12 +19266,16 @@ wk AS (
               AS dead,
             sum(step) OVER (
               PARTITION BY key ORDER BY t ASC ROWS UNBOUNDED PRECEDING)
-              AS cum
+              AS cum,
+            sum(d * 1000000 // n_risk) OVER (
+              PARTITION BY key ORDER BY t ASC ROWS UNBOUNDED PRECEDING)
+              AS haz
   FROM st
 )
 SELECT key AS event_type, t, n_risk, d, c,
        CASE WHEN dead = 1 THEN NULL ELSE CAST(cum AS BIGINT) END
-         AS log2_surv_x16
+         AS log2_surv_x16,
+       CAST(haz AS BIGINT) AS cumhaz_x1e6
 FROM wk
 """
 

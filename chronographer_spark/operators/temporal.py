@@ -2556,7 +2556,12 @@ def kaplan_meier(
     cumulative for the log-survival walk) — a single exchange end to
     end, the changepoint_scan family; output is |distinct times| rows.
 
-    Returns (key, t, n_risk, d, c, log2_surv_x16).
+    The Nelson-Aalen cumulative hazard rides along for free:
+    cumhaz_x1e6 = SUM over event times of d*1e6 DIV n — a per-term staged
+    quotient (each term exact in 1e-6 units, same walk window), the
+    standard companion estimate H(t) ~ -ln S(t).
+
+    Returns (key, t, n_risk, d, c, log2_surv_x16, cumhaz_x1e6).
     """
     from .sampling import _msb16_sql
 
@@ -2592,6 +2597,10 @@ def kaplan_meier(
         risk.withColumn("__step", step)
         .withColumn("__dead", F.max((F.col("d") >= F.col("n_risk")) & (F.col("d") > 0)).over(w_asc))
         .withColumn("__cum", F.sum("__step").over(w_asc))
+        .withColumn(
+            "__haz",
+            F.sum(F.expr("d * 1000000 DIV n_risk")).over(w_asc),
+        )
     )
     return walked.select(
         "key",
@@ -2602,4 +2611,5 @@ def kaplan_meier(
         F.when(F.col("__dead"), F.lit(None).cast("long"))
         .otherwise(F.col("__cum").cast("long"))
         .alias("log2_surv_x16"),
+        F.col("__haz").cast("long").alias("cumhaz_x1e6"),
     )

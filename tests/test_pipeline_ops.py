@@ -7015,9 +7015,12 @@ def test_kaplan_meier_matches_python_replay(spark):
                 cum -= msb16(n * 1048576 // (n - d)) - 320
             if d >= n and d > 0:
                 dead = True
-            want[(key, t)] = (n, d, c, None if dead else cum)
+            haz = want[(key, times[times.index(t) - 1])][4] if times.index(t) else 0
+            haz += d * 1000000 // n
+            want[(key, t)] = (n, d, c, None if dead else cum, haz)
     got = {
-        (r["key"], r["t"]): (r["n_risk"], r["d"], r["c"], r["log2_surv_x16"])
+        (r["key"], r["t"]): (r["n_risk"], r["d"], r["c"], r["log2_surv_x16"],
+                             r["cumhaz_x1e6"])
         for r in kaplan_meier(df, "key", "t", "obs").collect()
     }
     assert got == want
