@@ -19281,7 +19281,108 @@ FROM wk
 
 
 
+# ---------------------------------------------------------------------------
+# Q: two-group log-rank test per event type (planted survival difference)
+# ---------------------------------------------------------------------------
+
+
+def q_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test per event type between user-parity groups, with a
+    PLANTED survival difference: for 'error', odd users' activity spans
+    are quartered (they 'churn' 4x sooner), so its z2_log2_x16 reads far
+    above the 16*log2(3.84) ~ 31 five-percent line while parity splits
+    of the untouched types calibrate the null."""
+    from .operators.temporal import logrank_test
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "user_id", F.unix_timestamp("ts").alias("sec")
+    )
+    per = ev.groupBy("event_type", "user_id").agg(
+        (F.max("sec") - F.min("sec")).cast("long").alias("t0"),
+        (F.count(F.lit(1)) >= 3).cast("long").alias("obs"),
+    )
+    per = per.select(
+        "event_type",
+        F.expr(
+            "CASE WHEN event_type = 'error' AND user_id % 2 = 1"
+            " THEN t0 DIV 4 ELSE t0 END"
+        ).alias("t"),
+        "obs",
+        F.expr("user_id % 2").cast("long").alias("g"),
+    )
+    out = logrank_test(per, "event_type", "t", "obs", "g")
+    return out.select(
+        F.col("key").alias("event_type"),
+        "o1",
+        "e1_x1e6",
+        "v_x1e6",
+        "diff_x1e6",
+        "z2_log2_x16",
+    )
+
+
+LOGRANK_TEST_SQL = f"""
+WITH per0 AS (
+  SELECT event_type AS key, user_id,
+         CAST(floor(epoch(max(ts))) AS BIGINT)
+           - CAST(floor(epoch(min(ts))) AS BIGINT) AS t0,
+         CASE WHEN count(*) >= 3 THEN 1 ELSE 0 END AS obs
+  FROM events GROUP BY event_type, user_id
+),
+per AS (
+  SELECT key,
+         CASE WHEN key = 'error' AND user_id % 2 = 1 THEN t0 // 4
+              ELSE t0 END AS t,
+         obs, CAST(user_id % 2 AS BIGINT) AS g
+  FROM per0
+),
+dd AS (
+  SELECT key, t,
+         CAST(sum(CASE WHEN g = 0 THEN obs ELSE 0 END) AS BIGINT) AS d0,
+         CAST(sum(CASE WHEN g = 0 THEN 1 - obs ELSE 0 END) AS BIGINT) AS c0,
+         CAST(sum(CASE WHEN g = 1 THEN obs ELSE 0 END) AS BIGINT) AS d1,
+         CAST(sum(CASE WHEN g = 1 THEN 1 - obs ELSE 0 END) AS BIGINT) AS c1
+  FROM per GROUP BY key, t
+),
+risk AS (
+  SELECT *,
+         CAST(sum(d0 + c0) OVER (
+           PARTITION BY key ORDER BY t DESC ROWS UNBOUNDED PRECEDING)
+           AS BIGINT) AS n0,
+         CAST(sum(d1 + c1) OVER (
+           PARTITION BY key ORDER BY t DESC ROWS UNBOUNDED PRECEDING)
+           AS BIGINT) AS n1
+  FROM dd
+),
+terms AS (
+  SELECT key, d1,
+         CASE WHEN d0 + d1 > 0
+              THEN (d0 + d1) * n1 * 1000000 // (n0 + n1)
+              ELSE CAST(0 AS BIGINT) END AS e1_term,
+         CASE WHEN d0 + d1 > 0 AND n0 + n1 > 1 THEN
+              (((d0 + d1) * n1 * 1000 // (n0 + n1)) * n0 * 1000
+               // (n0 + n1)) * (n0 + n1 - d0 - d1) // (n0 + n1 - 1)
+              ELSE CAST(0 AS BIGINT) END AS v_term
+  FROM risk
+),
+agg AS (
+  SELECT key, CAST(sum(d1) AS BIGINT) AS o1,
+         CAST(sum(e1_term) AS BIGINT) AS e1_x1e6,
+         CAST(sum(v_term) AS BIGINT) AS v_x1e6
+  FROM terms GROUP BY key
+)
+SELECT key AS event_type, o1, e1_x1e6, v_x1e6,
+       CAST(o1 * 1000000 - e1_x1e6 AS BIGINT) AS diff_x1e6,
+       CAST(2 * {_duck_msb16('abs(o1 * 1000000 - e1_x1e6)')}
+            - {_duck_msb16('greatest(v_x1e6, CAST(1 AS BIGINT))')}
+            - 318 AS BIGINT) AS z2_log2_x16
+FROM agg
+"""
+
+
+
 QUERIES = {
+    "logrank_test": q_logrank_test,
     "kaplan_meier": q_kaplan_meier,
     "bh_fdr": q_bh_fdr,
     "sprt_decisions": q_sprt_decisions,
@@ -19632,6 +19733,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "logrank_test": LOGRANK_TEST_SQL,
     "kaplan_meier": KAPLAN_MEIER_SQL,
     "bh_fdr": BH_FDR_SQL,
     "sprt_decisions": SPRT_DECISIONS_SQL,

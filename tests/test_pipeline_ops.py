@@ -7025,3 +7025,53 @@ def test_kaplan_meier_matches_python_replay(spark):
     }
     assert got == want
     assert got[("b", 4)][3] is None  # exhausted risk set -> exact zero
+
+
+def test_logrank_test_matches_python_replay(spark):
+    """Two-group log-rank: hypergeometric E1/V accumulated as staged
+    integer quotients, msb16 chi-square emit; separated groups read far
+    above a balanced null."""
+    from chronographer_spark.operators.temporal import logrank_test
+
+    rows = [
+        # key sep: group 1 dies early, group 0 late
+        *[("sep", t, 1, 1) for t in (1, 2, 3, 4)],
+        *[("sep", t, 1, 0) for t in (10, 11, 12, 13)],
+        ("sep", 9, 0, 1), ("sep", 14, 0, 0),
+        # key null: interleaved identical survival
+        *[("null", t, 1, t % 2) for t in range(1, 9)],
+    ]
+    df = spark.createDataFrame(rows, "key string, t long, obs long, g long")
+
+    def msb16(q):
+        q = min(max(q, 1), 1 << 52)
+        lg = q.bit_length() - 1
+        return 16 * lg + q * 16 // (1 << lg) - 16
+
+    want = {}
+    for key in ("sep", "null"):
+        rs = [(t, o, g) for k, t, o, g in rows if k == key]
+        times = sorted({t for t, _, _ in rs})
+        o1 = e1 = v = 0
+        for t in times:
+            n0 = sum(1 for tt, _, g in rs if tt >= t and g == 0)
+            n1 = sum(1 for tt, _, g in rs if tt >= t and g == 1)
+            d0 = sum(1 for tt, o, g in rs if tt == t and o and g == 0)
+            d1 = sum(1 for tt, o, g in rs if tt == t and o and g == 1)
+            dt, nt = d0 + d1, n0 + n1
+            o1 += d1
+            if dt > 0:
+                e1 += dt * n1 * 1000000 // nt
+                if nt > 1:
+                    v += ((dt * n1 * 1000 // nt) * n0 * 1000 // nt) \
+                        * (nt - dt) // (nt - 1)
+        a = abs(o1 * 1000000 - e1)
+        z2 = 2 * msb16(a) - msb16(max(v, 1)) - 318
+        want[key] = (o1, e1, v, o1 * 1000000 - e1, z2)
+    got = {
+        r["key"]: (r["o1"], r["e1_x1e6"], r["v_x1e6"], r["diff_x1e6"],
+                   r["z2_log2_x16"])
+        for r in logrank_test(df, "key", "t", "obs", "g").collect()
+    }
+    assert got == want
+    assert got["sep"][4] > 31 > got["null"][4]  # 16*log2(3.84) ~ 31
