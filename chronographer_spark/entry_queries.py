@@ -19381,7 +19381,160 @@ FROM agg
 
 
 
+# ---------------------------------------------------------------------------
+# Q: generation eval — ROUGE-2 and BLEU over deterministic corruption twins
+# ---------------------------------------------------------------------------
+
+_GEN_EVAL_CAND = (
+    "CASE WHEN doc_id % 3 = 0 THEN text"
+    " WHEN doc_id % 3 = 1 THEN concat_ws(' ',"
+    "   slice(filter(split(text, ' '), t -> t != ''), 1,"
+    "     greatest(size(filter(split(text, ' '), t -> t != '')) DIV 2, 1)))"
+    " ELSE translate(text, 'aeiou', 'oieau') END"
+)
+
+_GEN_EVAL_CAND_DUCK = """
+CASE WHEN doc_id % 3 = 0 THEN text
+     WHEN doc_id % 3 = 1 THEN array_to_string(
+       list_filter(string_split(text, ' '), t -> t <> '')[
+         1 : greatest(len(list_filter(string_split(text, ' '),
+                                      t -> t <> '')) // 2, 1)], ' ')
+     ELSE translate(text, 'aeiou', 'oieau') END
+""".strip()
+
+
+def q_rouge2_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-2 with clipped counts per (doc, corruption-twin) pair:
+    doc_id%3==0 twins are verbatim (P=R=F1=1e6), %3==1 are halved
+    (recall ~ 1/2, precision ~ 1), %3==2 are vowel-rotated (near-zero
+    overlap) — the three regimes a summarization eval must separate.
+    F1 = 2·overlap/(ref+cand) as ONE exact rational."""
+    from .operators.text import rouge_n_scores
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.expr(_GEN_EVAL_CAND).alias("cand")
+    )
+    return rouge_n_scores(docs, "doc_id", "text", "cand", n=2)
+
+
+ROUGE2_PAIRS_SQL = f"""
+WITH pairs AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), t -> t <> '') AS tr,
+         list_filter(string_split({_GEN_EVAL_CAND_DUCK}, ' '), t -> t <> '')
+           AS tc
+  FROM documents
+),
+base AS (SELECT * FROM pairs WHERE len(tr) >= 2),
+rg AS (
+  SELECT doc_id, g, CAST(count(*) AS BIGINT) AS cr FROM (
+    SELECT doc_id, unnest(list_transform(
+      range(1, greatest(len(tr) - 1, 0) + 1),
+      i -> array_to_string(tr[i : i + 1], ' '))) AS g
+    FROM base) GROUP BY doc_id, g
+),
+cg AS (
+  SELECT doc_id, g, CAST(count(*) AS BIGINT) AS cc FROM (
+    SELECT doc_id, unnest(list_transform(
+      range(1, greatest(len(tc) - 1, 0) + 1),
+      i -> array_to_string(tc[i : i + 1], ' '))) AS g
+    FROM base) GROUP BY doc_id, g
+),
+ov AS (
+  SELECT doc_id, CAST(sum(least(cr, cc)) AS BIGINT) AS overlap
+  FROM rg JOIN cg USING (doc_id, g) GROUP BY doc_id
+),
+tot AS (
+  SELECT r.doc_id, r.ref_grams, coalesce(c.cand_grams, 0) AS cand_grams
+  FROM (SELECT doc_id, CAST(sum(cr) AS BIGINT) AS ref_grams
+        FROM rg GROUP BY doc_id) r
+  LEFT JOIN (SELECT doc_id, CAST(sum(cc) AS BIGINT) AS cand_grams
+             FROM cg GROUP BY doc_id) c ON r.doc_id = c.doc_id
+)
+SELECT tot.doc_id, ref_grams, CAST(cand_grams AS BIGINT) AS cand_grams,
+       CAST(coalesce(ov.overlap, 0) AS BIGINT) AS overlap,
+       CAST(CASE WHEN cand_grams > 0
+            THEN coalesce(ov.overlap, 0) * 1000000 // cand_grams
+            ELSE 0 END AS BIGINT) AS p_x1e6,
+       CAST(coalesce(ov.overlap, 0) * 1000000 // ref_grams AS BIGINT)
+         AS r_x1e6,
+       CAST(2 * coalesce(ov.overlap, 0) * 1000000
+            // (ref_grams + cand_grams) AS BIGINT) AS f1_x1e6
+FROM tot LEFT JOIN ov ON tot.doc_id = ov.doc_id
+"""
+
+
+def q_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLEU (1..4-gram, brevity penalty) per corruption-twin pair in
+    exact 16*log2 units — verbatim twins read 0, halved twins pay the
+    brevity penalty -(r-c)*23 DIV c, vowel-rotated twins floor toward
+    the msb16 device's -320 per order. One explode fans all four orders
+    (the minhash-band rule)."""
+    from .operators.text import bleu_log2
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.expr(_GEN_EVAL_CAND).alias("cand")
+    )
+    return bleu_log2(docs, "doc_id", "text", "cand", max_n=4)
+
+
+BLEU_PAIRS_SQL = f"""
+WITH pairs AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), t -> t <> '') AS tr,
+         list_filter(string_split({_GEN_EVAL_CAND_DUCK}, ' '), t -> t <> '')
+           AS tc
+  FROM documents
+),
+base AS (SELECT * FROM pairs WHERE len(tr) >= 4),
+ns AS (SELECT unnest(range(1, 5)) AS n),
+rg AS (
+  SELECT doc_id, n, g, CAST(count(*) AS BIGINT) AS cr FROM (
+    SELECT doc_id, n, unnest(list_transform(
+      range(1, greatest(len(tr) - n + 1, 0) + 1),
+      i -> array_to_string(tr[i : i + n - 1], ' '))) AS g
+    FROM base CROSS JOIN ns) GROUP BY doc_id, n, g
+),
+cg AS (
+  SELECT doc_id, n, g, CAST(count(*) AS BIGINT) AS cc FROM (
+    SELECT doc_id, n, unnest(list_transform(
+      range(1, greatest(len(tc) - n + 1, 0) + 1),
+      i -> array_to_string(tc[i : i + n - 1], ' '))) AS g
+    FROM base CROSS JOIN ns) GROUP BY doc_id, n, g
+),
+per_n AS (
+  SELECT cg.doc_id, cg.n,
+         CAST(sum(least(coalesce(rg.cr, 0), cg.cc)) AS BIGINT) AS clip,
+         CAST(sum(cg.cc) AS BIGINT) AS tot
+  FROM cg LEFT JOIN rg ON rg.doc_id = cg.doc_id AND rg.n = cg.n
+                       AND rg.g = cg.g
+  GROUP BY cg.doc_id, cg.n
+),
+agg AS (
+  SELECT doc_id,
+         CAST(sum(CAST({_duck_msb16('clip * 1048576 // greatest(tot, CAST(1 AS BIGINT))')}
+              - 320 AS BIGINT)) AS BIGINT) AS lpsum,
+         CAST(count(*) AS BIGINT) AS nn
+  FROM per_n GROUP BY doc_id
+),
+lens AS (
+  SELECT doc_id, CAST(len(tr) AS BIGINT) AS ref_len,
+         CAST(len(tc) AS BIGINT) AS cand_len
+  FROM base
+)
+SELECT lens.doc_id, ref_len, cand_len,
+       CAST(coalesce(agg.lpsum, -1280) // coalesce(agg.nn, 4)
+            + CASE WHEN cand_len >= ref_len OR cand_len = 0 THEN 0
+              ELSE -((ref_len - cand_len) * 23 // cand_len) END
+            AS BIGINT) AS bleu_log2_x16
+FROM lens LEFT JOIN agg ON lens.doc_id = agg.doc_id
+"""
+
+
+
 QUERIES = {
+    "rouge2_pairs": q_rouge2_pairs,
+    "bleu_pairs": q_bleu_pairs,
     "logrank_test": q_logrank_test,
     "kaplan_meier": q_kaplan_meier,
     "bh_fdr": q_bh_fdr,
@@ -19733,6 +19886,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "rouge2_pairs": ROUGE2_PAIRS_SQL,
+    "bleu_pairs": BLEU_PAIRS_SQL,
     "logrank_test": LOGRANK_TEST_SQL,
     "kaplan_meier": KAPLAN_MEIER_SQL,
     "bh_fdr": BH_FDR_SQL,

@@ -2097,3 +2097,209 @@ def ngram_novelty(
             ).alias("novelty_x1e6"),
         )
     )
+
+
+def _word_grams(col: str, n: int):
+    """Array of word n-grams of a token-array column expression. Guarded:
+    Spark's sequence(1, 0) DESCENDS ([1, 0]), so short arrays must short-
+    circuit to an empty array instead of relying on greatest()."""
+    return F.expr(
+        f"CASE WHEN size({col}) < {n} THEN array()"
+        f" ELSE transform(sequence(1, size({col}) - {n - 1}),"
+        f" i -> concat_ws(' ', slice({col}, i, {n}))) END"
+    )
+
+
+def rouge_n_scores(
+    df: DataFrame,
+    id_col: str,
+    ref_col: str,
+    cand_col: str,
+    n: int = 2,
+) -> DataFrame:
+    """ROUGE-N per pair (Lin 2004) with CLIPPED counts — the standard
+    summarization/generation overlap eval: overlap = sum over grams of
+    min(count_ref, count_cand), precision = overlap/|cand grams|, recall
+    = overlap/|ref grams|, and F1 collapses to the single exact rational
+    2*overlap/(|ref|+|cand|) (since P = ov/c, R = ov/r). All three are
+    staged 1e6 integer quotients — no float.
+
+    Shape: one tokenize+gram explode per side, (id, gram) count collapse,
+    one (id, gram)-keyed inner join for the clipped overlap, one id
+    rollup — cost is grams, never pairs-of-grams. Pairs whose REF has
+    fewer than n tokens emit nothing (undefined recall); an empty CAND
+    side scores 0.
+
+    Returns (id, ref_grams, cand_grams, overlap, p_x1e6, r_x1e6,
+    f1_x1e6).
+    """
+    toks_r = F.filter(F.split(F.col(ref_col), " "), lambda t: t != F.lit(""))
+    toks_c = F.filter(F.split(F.col(cand_col), " "), lambda t: t != F.lit(""))
+    base = df.select(
+        F.col(id_col).alias("__id"), toks_r.alias("__tr"), toks_c.alias("__tc")
+    ).filter(F.size("__tr") >= n)
+    rg = (
+        base.select("__id", F.explode(_word_grams("__tr", n)).alias("__g"))
+        .groupBy("__id", "__g")
+        .agg(F.count(F.lit(1)).cast("long").alias("__cr"))
+    )
+    cg = (
+        base.select("__id", F.explode(_word_grams("__tc", n)).alias("__g"))
+        .groupBy("__id", "__g")
+        .agg(F.count(F.lit(1)).cast("long").alias("__cc"))
+    )
+    ov = (
+        rg.join(cg, ["__id", "__g"])
+        .groupBy("__id")
+        .agg(
+            F.sum(F.least("__cr", "__cc")).cast("long").alias("overlap")
+        )
+    )
+    tot = (
+        rg.groupBy("__id")
+        .agg(F.sum("__cr").cast("long").alias("ref_grams"))
+        .join(
+            cg.groupBy("__id").agg(
+                F.sum("__cc").cast("long").alias("cand_grams")
+            ),
+            "__id",
+            "left",
+        )
+    )
+    return (
+        tot.join(ov, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            "ref_grams",
+            F.coalesce("cand_grams", F.lit(0)).cast("long").alias("cand_grams"),
+            F.coalesce("overlap", F.lit(0)).cast("long").alias("overlap"),
+        )
+        .withColumn(
+            "p_x1e6",
+            F.expr(
+                "CASE WHEN cand_grams > 0 THEN overlap * 1000000 DIV cand_grams"
+                " ELSE CAST(0 AS BIGINT) END"
+            ),
+        )
+        .withColumn(
+            "r_x1e6", F.expr("overlap * 1000000 DIV ref_grams")
+        )
+        .withColumn(
+            "f1_x1e6",
+            F.expr("2 * overlap * 1000000 DIV (ref_grams + cand_grams)"),
+        )
+    )
+
+
+def bleu_log2(
+    df: DataFrame,
+    id_col: str,
+    ref_col: str,
+    cand_col: str,
+    max_n: int = 4,
+) -> DataFrame:
+    """BLEU per pair (Papineni et al. 2002) in exact 16*log2 units: the
+    geometric mean of clipped 1..max_n-gram precisions becomes an
+    ARITHMETIC mean of msb16 log-precisions, and the brevity penalty
+    exp(1 - r/c) contributes bp_x16 = -((r - c) * 23 DIV c) when the
+    candidate is short (23 ~ 16*log2(e), the documented quantization) —
+    no float, no underflow, and a zero n-gram precision floors at the
+    msb16 device's -320 instead of collapsing the whole score to
+    log(0). Compare scores, don't exponentiate: ranking and deltas are
+    what an eval pipeline consumes.
+
+    Shape: ONE explode fans each pair into (n, gram) rows for all n
+    (the minhash-band fan-out rule — never one pass per n), per-side
+    (id, n, gram) collapses, one keyed join, per-(id, n) clipped
+    precision, id rollup. Pairs with ref shorter than max_n tokens emit
+    nothing.
+
+    Returns (id, ref_len, cand_len, bleu_log2_x16).
+    """
+    toks_r = F.filter(F.split(F.col(ref_col), " "), lambda t: t != F.lit(""))
+    toks_c = F.filter(F.split(F.col(cand_col), " "), lambda t: t != F.lit(""))
+    base = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            toks_r.alias("__tr"),
+            toks_c.alias("__tc"),
+        )
+        .filter(F.size("__tr") >= max_n)
+        .localCheckpoint(eager=True)
+    )
+    ns = list(range(1, max_n + 1))
+
+    def _fan(col: str):
+        arrs = F.array(
+            *[
+                F.expr(
+                    f"transform({_gram_sql(col, n)}, g -> struct({n} AS n,"
+                    " g AS g))"
+                )
+                for n in ns
+            ]
+        )
+        return F.explode(F.flatten(arrs))
+
+    def _gram_sql(col: str, n: int) -> str:
+        return (
+            f"CASE WHEN size({col}) < {n} THEN array()"
+            f" ELSE transform(sequence(1, size({col}) - {n - 1}),"
+            f" i -> concat_ws(' ', slice({col}, i, {n}))) END"
+        )
+
+    rg = (
+        base.select("__id", _fan("__tr").alias("__s"))
+        .select("__id", F.col("__s.n").alias("__n"), F.col("__s.g").alias("__g"))
+        .groupBy("__id", "__n", "__g")
+        .agg(F.count(F.lit(1)).cast("long").alias("__cr"))
+    )
+    cg = (
+        base.select("__id", _fan("__tc").alias("__s"))
+        .select("__id", F.col("__s.n").alias("__n"), F.col("__s.g").alias("__g"))
+        .groupBy("__id", "__n", "__g")
+        .agg(F.count(F.lit(1)).cast("long").alias("__cc"))
+    )
+    per_n = (
+        cg.join(rg, ["__id", "__n", "__g"], "left")
+        .groupBy("__id", "__n")
+        .agg(
+            F.sum(F.least(F.coalesce("__cr", F.lit(0)), F.col("__cc")))
+            .cast("long")
+            .alias("__clip"),
+            F.sum("__cc").cast("long").alias("__tot"),
+        )
+    )
+    from .sampling import _msb16_sql
+
+    logp = F.expr(
+        "CAST("
+        + _msb16_sql("__clip * 1048576 DIV greatest(__tot, CAST(1 AS BIGINT))")
+        + " - 320 AS BIGINT)"
+    )
+    lens = base.select(
+        "__id",
+        F.size("__tr").cast("long").alias("ref_len"),
+        F.size("__tc").cast("long").alias("cand_len"),
+    )
+    agg = (
+        per_n.withColumn("__lp", logp)
+        .groupBy("__id")
+        .agg(F.sum("__lp").cast("long").alias("__lpsum"),
+             F.count(F.lit(1)).cast("long").alias("__nn"))
+    )
+    return (
+        lens.join(agg, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            "ref_len",
+            "cand_len",
+            F.expr(
+                f"CAST(coalesce(__lpsum, {-320 * max_n})"
+                f" DIV coalesce(__nn, {max_n})"
+                " + CASE WHEN cand_len >= ref_len OR cand_len = 0 THEN 0"
+                " ELSE -((ref_len - cand_len) * 23 DIV cand_len) END"
+                " AS BIGINT)"
+            ).alias("bleu_log2_x16"),
+        )
+    )

@@ -7075,3 +7075,54 @@ def test_logrank_test_matches_python_replay(spark):
     }
     assert got == want
     assert got["sep"][4] > 31 > got["null"][4]  # 16*log2(3.84) ~ 31
+
+
+def test_rouge_n_scores_hand_values(spark):
+    """Clipped ROUGE-2: repeated grams clip at the reference count,
+    verbatim pair reads exactly 1e6, empty candidate reads 0."""
+    from chronographer_spark.operators.text import rouge_n_scores
+
+    rows = [
+        (1, "the cat sat on the mat", "the cat sat on the mat"),
+        (2, "a b c d", "a b x d"),            # bigrams: only 'a b' matches
+        (3, "a b a b a b", "a b a b"),        # clipped repeat grams
+        (4, "x y z", ""),                      # empty candidate
+        (5, "w", "w"),                         # ref too short -> no row
+    ]
+    df = spark.createDataFrame(rows, "id long, ref string, cand string")
+    got = {
+        r["id"]: (r["ref_grams"], r["cand_grams"], r["overlap"],
+                  r["p_x1e6"], r["r_x1e6"], r["f1_x1e6"])
+        for r in rouge_n_scores(df, "id", "ref", "cand", n=2).collect()
+    }
+    assert 5 not in got
+    assert got[1] == (5, 5, 5, 1000000, 1000000, 1000000)
+    # id 2: ref bigrams {ab,bc,cd}, cand {ab,bx,xd} -> overlap 1
+    assert got[2] == (3, 3, 1, 333333, 333333, 333333)
+    # id 3: ref {ab:3, ba:2}, cand {ab:2, ba:1} -> overlap min-sum = 3
+    assert got[3] == (5, 3, 3, 1000000, 600000, 750000)
+    assert got[4] == (2, 0, 0, 0, 0, 0)
+
+
+def test_bleu_log2_hand_values(spark):
+    """BLEU in 16*log2 units: perfect pair reads 0, short verbatim prefix
+    pays exactly the brevity penalty, disjoint candidate floors at
+    -320 per order."""
+    from chronographer_spark.operators.text import bleu_log2
+
+    rows = [
+        (1, "a b c d e f g h", "a b c d e f g h"),
+        (2, "a b c d e f g h", "a b c d"),     # verbatim half
+        (3, "a b c d e f g h", "p q r s t u v w"),  # disjoint
+    ]
+    df = spark.createDataFrame(rows, "id long, ref string, cand string")
+    got = {
+        r["id"]: (r["ref_len"], r["cand_len"], r["bleu_log2_x16"])
+        for r in bleu_log2(df, "id", "ref", "cand", max_n=4).collect()
+    }
+    assert got[1] == (8, 8, 0)
+    # id 2: all clipped precisions are 1 (verbatim prefix) -> lpsum 0;
+    # bp = -((8-4)*23 DIV 4) = -23
+    assert got[2] == (8, 4, -23)
+    # id 3: every order floors at -320, equal length -> no bp
+    assert got[3] == (8, 8, -320)
