@@ -154,7 +154,30 @@ def fs_score_pairs(
     join); scoring is map-side with the one-row weight scalars broadcast.
     Returns (a_id, b_id, n_agree, score_x16); ties broken downstream.
     """
+    # Evaluate every field weight ONCE on the one-row scalar side BEFORE
+    # broadcasting: the msb16 staged quotient expands to a bin()-string
+    # expression tree, and evaluating it per candidate row was measured
+    # ~100x slower than per-pair column references (9.2M-pair soak:
+    # 57s -> see BENCH). The broadcast row carries plain BIGINT weights.
     scal = _fs_scalars(a, b, id_col, fields, seed)
+    wcols = []
+    for f in fields:
+        wcols.append(
+            F.expr(
+                _w_expr(f"m_num_{f}", "m_den", f"u_num_{f}", "na * nb")
+            ).alias(f"w_a_{f}")
+        )
+        wcols.append(
+            F.expr(
+                _w_expr(
+                    f"(m_den - m_num_{f})",
+                    "m_den",
+                    f"(na * nb - u_num_{f})",
+                    "na * nb",
+                )
+            ).alias(f"w_d_{f}")
+        )
+    wrow = scal.select(*wcols)
     cols = set(fields) | set(block_cols)
     pa = a.select(
         F.col(id_col).alias("a_id"), *[F.col(c).alias(f"a_{c}") for c in sorted(cols)]
@@ -166,21 +189,12 @@ def fs_score_pairs(
     for c in block_cols:
         eq = pa[f"a_{c}"] == pb[f"b_{c}"]
         cond = eq if cond is None else (cond & eq)
-    cands = pa.join(pb, cond).crossJoin(F.broadcast(scal))
+    cands = pa.join(pb, cond).crossJoin(F.broadcast(wrow))
     score = None
     n_agree = None
     for f in fields:
         agree = F.col(f"a_{f}") == F.col(f"b_{f}")
-        w_a = F.expr(_w_expr(f"m_num_{f}", "m_den", f"u_num_{f}", "na * nb"))
-        w_d = F.expr(
-            _w_expr(
-                f"(m_den - m_num_{f})",
-                "m_den",
-                f"(na * nb - u_num_{f})",
-                "na * nb",
-            )
-        )
-        term = F.when(agree, w_a).otherwise(w_d)
+        term = F.when(agree, F.col(f"w_a_{f}")).otherwise(F.col(f"w_d_{f}"))
         ind = F.when(agree, F.lit(1)).otherwise(F.lit(0))
         score = term if score is None else (score + term)
         n_agree = ind if n_agree is None else (n_agree + ind)
