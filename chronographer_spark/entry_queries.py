@@ -19532,7 +19532,92 @@ FROM lens LEFT JOIN agg ON lens.doc_id = agg.doc_id
 
 
 
+# ---------------------------------------------------------------------------
+# Q: Shewhart / Western Electric control-chart flags per event type
+# ---------------------------------------------------------------------------
+
+
+def q_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Control-chart monitoring per event type with two planted
+    late-period shifts (last 10% of event_ids): 'click' +300.00 spikes
+    past the 3-sigma line (rule1), 'view' +150.00 is a sustained small
+    shift the run rule catches (rule2, 9 consecutive above-mean).
+    Baselines freeze on each type's clean first half. Emits only
+    flagged points (rule1 or rule2) — the alert stream."""
+    from .operators.temporal import control_chart_flags
+
+    ev = _t(spark, sf_dir, "events")
+    mx = ev.agg(F.max("event_id").cast("long").alias("__mx"))
+    x = (
+        ev.crossJoin(F.broadcast(mx))
+        .select(
+            "event_type",
+            F.col("event_id").cast("long").alias("event_id"),
+            F.expr(
+                "CAST(floor(value * 100 + 0.5) AS BIGINT)"
+                " + CASE WHEN event_type = 'click'"
+                "        AND event_id > __mx * 9 DIV 10 THEN 30000"
+                "   WHEN event_type = 'view'"
+                "        AND event_id > __mx * 9 DIV 10 THEN 15000"
+                "   ELSE 0 END"
+            ).alias("cents"),
+        )
+    )
+    out = control_chart_flags(x, "event_type", "event_id", "cents")
+    return out.filter(F.col("rule1") | F.col("rule2")).select(
+        F.col("key").alias("event_type"), "o", "x", "side", "rule1", "rule2"
+    )
+
+
+CONTROL_CHART_SQL = """
+WITH mx AS (SELECT CAST(max(event_id) AS BIGINT) AS m FROM events),
+pts AS (
+  SELECT event_type AS key, CAST(event_id AS BIGINT) AS o,
+         CAST(floor(value * 100 + 0.5) AS BIGINT)
+           + CASE WHEN event_type = 'click'
+                  AND event_id > (SELECT m FROM mx) * 9 // 10 THEN 30000
+             WHEN event_type = 'view'
+                  AND event_id > (SELECT m FROM mx) * 9 // 10 THEN 15000
+             ELSE 0 END AS x
+  FROM events
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY key ORDER BY o) AS BIGINT)
+              AS rn,
+            CAST(count(*) OVER (PARTITION BY key) AS BIGINT) AS cnt
+  FROM pts
+),
+stats AS (
+  SELECT key, CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s,
+         CAST(sum(x * x) AS BIGINT) AS q
+  FROM ranked WHERE rn <= cnt // 2 GROUP BY key
+),
+dev AS (
+  SELECT r.key, r.o, r.x,
+         CAST(CASE WHEN st.n * r.x - st.s > 0 THEN 1
+                   WHEN st.n * r.x - st.s < 0 THEN -1 ELSE 0 END AS BIGINT)
+           AS side,
+         (st.n * r.x - st.s) * (st.n * r.x - st.s)
+           > 9 * (st.n * st.q - st.s * st.s) AS rule1
+  FROM ranked r JOIN stats st ON r.key = st.key
+),
+runs AS (
+  SELECT *,
+         (count(*) OVER w9 >= 9
+          AND min(side) OVER w9 = max(side) OVER w9
+          AND side <> 0) AS rule2
+  FROM dev
+  WINDOW w9 AS (PARTITION BY key ORDER BY o
+                ROWS BETWEEN 8 PRECEDING AND CURRENT ROW)
+)
+SELECT key AS event_type, o, x, side, rule1, rule2
+FROM runs WHERE rule1 OR rule2
+"""
+
+
+
 QUERIES = {
+    "control_chart": q_control_chart,
     "rouge2_pairs": q_rouge2_pairs,
     "bleu_pairs": q_bleu_pairs,
     "logrank_test": q_logrank_test,
@@ -19886,6 +19971,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "control_chart": CONTROL_CHART_SQL,
     "rouge2_pairs": ROUGE2_PAIRS_SQL,
     "bleu_pairs": BLEU_PAIRS_SQL,
     "logrank_test": LOGRANK_TEST_SQL,

@@ -2714,3 +2714,82 @@ def logrank_test(
         F.expr("CAST(o1 * 1000000 - e1_x1e6 AS BIGINT)").alias("diff_x1e6"),
         F.expr(f"CAST({z2} AS BIGINT)").alias("z2_log2_x16"),
     )
+
+
+def control_chart_flags(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Shewhart control chart with Western Electric rules per key — the
+    monitoring screen beside changepoint_scan (that one locates a past
+    level shift; this one flags points AS THEY ARRIVE against a frozen
+    baseline). Baseline = each key's FIRST HALF in order; every point is
+    then judged against the baseline mean/variance:
+
+      rule1: |x - mu| > 3*sigma     (WE rule 1, the classic 3-sigma line)
+      rule2: 9 consecutive points (ending here) strictly on one side of
+             mu (WE rule 4 run rule — catches small sustained shifts
+             3-sigma misses)
+
+    Exact-integer contract: with baseline count n, sum S, sum-of-squares
+    Q, the tests cross-multiply to BIGINT comparisons —
+    rule1: (n*x - S)^2 > 9*(n*Q - S^2); side(x) = sign(n*x - S); no mean,
+    no sigma, no sqrt ever formed. Overflow bound ~ (n*x)^2: safe while
+    n*max|x| < 3e9 (baseline on a bounded window/sample past that).
+
+    Shape: one (key, order) rank window to split the baseline, one
+    baseline agg joined back broadcast, one 8-preceding run window on the
+    SAME key partitioning for rule2 — two key exchanges total. Points in
+    the baseline half are also emitted (flags evaluate there too; a
+    monitoring pipeline usually filters to the live half).
+
+    Returns (key, o, x, side, rule1, rule2).
+    """
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(order_col).cast("long").alias("o"),
+        F.col(value_col).cast("long").alias("x"),
+    )
+    w = Window.partitionBy("key").orderBy("o")
+    ranked = base.withColumn("__rn", F.row_number().over(w).cast("long"))
+    cnt = base.groupBy("key").agg(F.count(F.lit(1)).cast("long").alias("__cnt"))
+    ranked = ranked.join(F.broadcast(cnt), "key")
+    stats = (
+        ranked.filter(F.col("__rn") <= F.expr("__cnt DIV 2"))
+        .groupBy("key")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").cast("long").alias("s"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("q"),
+        )
+    )
+    j = ranked.join(F.broadcast(stats), "key")
+    dev = F.expr("n * x - s")
+    flagged = (
+        j.withColumn("__dev", dev)
+        .withColumn(
+            "side",
+            F.when(F.col("__dev") > 0, F.lit(1))
+            .when(F.col("__dev") < 0, F.lit(-1))
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+        .withColumn(
+            "rule1",
+            F.expr("__dev * __dev > 9 * (n * q - s * s)"),
+        )
+    )
+    w9 = (
+        Window.partitionBy("key")
+        .orderBy("o")
+        .rowsBetween(-8, Window.currentRow)
+    )
+    out = flagged.withColumn(
+        "rule2",
+        (F.count(F.lit(1)).over(w9) >= 9)
+        & (F.min("side").over(w9) == F.max("side").over(w9))
+        & (F.col("side") != 0),
+    )
+    return out.select("key", "o", "x", "side", "rule1", "rule2")

@@ -7126,3 +7126,41 @@ def test_bleu_log2_hand_values(spark):
     assert got[2] == (8, 4, -23)
     # id 3: every order floors at -320, equal length -> no bp
     assert got[3] == (8, 8, -320)
+
+
+def test_control_chart_flags_match_python_replay(spark):
+    """Shewhart + WE run rule: frozen first-half baseline, cross-multiplied
+    3-sigma test (no sqrt), 9-run side rule; zero-variance baseline flags
+    any deviation."""
+    from chronographer_spark.operators.temporal import control_chart_flags
+
+    seq_a = [10, 12, 8, 11, 9, 10, 12, 8, 11, 9,        # baseline-ish
+             10, 11, 9, 12, 80,                          # spike -> rule1
+             11, 11, 11, 11, 11, 11, 11, 11, 11]         # 9-run above mean?
+    rows = [("a", i, v) for i, v in enumerate(seq_a)]
+    rows += [("flat", i, 5) for i in range(6)] + [("flat", 6, 7)]
+    df = spark.createDataFrame(rows, "key string, o long, x long")
+
+    want = {}
+    for key in ("a", "flat"):
+        pts = sorted((o, x) for k, o, x in rows if k == key)
+        half = len(pts) // 2
+        base = [x for _, x in pts[:half]]
+        n, s, q = len(base), sum(base), sum(x * x for x in base)
+        sides = []
+        for o, x in pts:
+            dev = n * x - s
+            side = 1 if dev > 0 else (-1 if dev < 0 else 0)
+            sides.append(side)
+            r1 = dev * dev > 9 * (n * q - s * s)
+            last9 = sides[-9:]
+            r2 = len(last9) >= 9 and len(set(last9)) == 1 and side != 0
+            want[(key, o)] = (x, side, r1, r2)
+    got = {
+        (r["key"], r["o"]): (r["x"], r["side"], r["rule1"], r["rule2"])
+        for r in control_chart_flags(df, "key", "o", "x").collect()
+    }
+    assert got == want
+    assert got[("a", 14)][2]                      # the spike trips 3-sigma
+    assert any(v[3] for k, v in got.items() if k[0] == "a")   # run rule fires
+    assert got[("flat", 6)][2]                    # zero-variance baseline
