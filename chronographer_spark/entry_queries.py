@@ -19616,7 +19616,56 @@ FROM runs WHERE rule1 OR rule2
 
 
 
+# ---------------------------------------------------------------------------
+# Q: AMS F2 sketch vs exact repeat rate over event user_ids
+# ---------------------------------------------------------------------------
+
+
+def q_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS second-moment sketch (k=16 sign estimators, pinned lower
+    median) beside the exact F2 = sum of squared user frequencies — the
+    self-join-size estimate a join planner consults, with the honest
+    calibration readout in one row."""
+    from .operators.sketches import ams_f2
+
+    ev = _t(spark, sf_dir, "events")
+    est = ams_f2(ev, "user_id", k=16)
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).cast("long").alias("f2_exact"))
+    )
+    return est.crossJoin(F.broadcast(exact))
+
+
+AMS_F2_SQL = """
+WITH vals AS (SELECT CAST(user_id AS VARCHAR) AS v FROM events),
+js AS (SELECT unnest(range(0, 16)) AS j),
+z AS (
+  SELECT j, CAST(sum(CASE WHEN
+    CAST(concat('0x', substr(md5('ams:' || CAST(j AS VARCHAR) || ':' || v),
+                1, 8)) AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS z
+  FROM vals CROSS JOIN js GROUP BY j
+),
+gm AS (
+  SELECT j // 4 AS g, CAST(sum(z * z) // count(*) AS BIGINT) AS gm
+  FROM z GROUP BY j // 4
+),
+med AS (
+  SELECT g, gm, row_number() OVER (ORDER BY gm ASC, g ASC) AS rn FROM gm
+),
+ex AS (
+  SELECT CAST(sum(c * c) AS BIGINT) AS f2_exact
+  FROM (SELECT count(*) AS c FROM events GROUP BY user_id)
+)
+SELECT CAST(16 AS BIGINT) AS k, CAST(med.gm AS BIGINT) AS f2_est, ex.f2_exact
+FROM med, ex WHERE rn = 2
+"""
+
+
+
 QUERIES = {
+    "ams_f2": q_ams_f2,
     "control_chart": q_control_chart,
     "rouge2_pairs": q_rouge2_pairs,
     "bleu_pairs": q_bleu_pairs,
@@ -19971,6 +20020,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "ams_f2": AMS_F2_SQL,
     "control_chart": CONTROL_CHART_SQL,
     "rouge2_pairs": ROUGE2_PAIRS_SQL,
     "bleu_pairs": BLEU_PAIRS_SQL,

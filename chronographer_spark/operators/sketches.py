@@ -666,3 +666,62 @@ def kmv_jaccard(
             ).alias("jacc_x1e6"),
         )
     )
+
+
+def ams_f2(
+    df: DataFrame,
+    col: str,
+    k: int = 16,
+    seed: str = "ams:",
+) -> DataFrame:
+    """AMS second-frequency-moment sketch (Alon, Matias & Szegedy 1996 —
+    the STREAMS result): k independent estimators Z_j = sum over rows of
+    s_j(x), where s_j(x) = +-1 is the md5 sign of (seed, j, value); each
+    Z_j^2 is an unbiased estimate of F2 = sum f_x^2 (repeat-rate /
+    self-join size — what a join planner wants where HLL answers
+    distinct-count), and the emitted estimate is the textbook
+    median-of-means: groups of 4 estimators averaged (sum DIV count),
+    pinned lower median across the k/4 group means. Exact integers
+    throughout: |Z_j| <= n so Z^2 <= n^2 — BIGINT-safe to n ~ 3e9 rows.
+
+    Mergeability is the point at 100 TB: Z vectors ADD across shards/
+    days (one k-row table each, bin-wise sum), so the sketch composes
+    exactly like the HLL/CMS/KMV registers beside it. Shape: ONE k-fan
+    explode + one k-row groupBy (map-side combinable), then a k-row sort
+    for the median — sketch-sized, never data-sized.
+
+    Returns one row (k, f2_est) plus the exact F2 for the readout is the
+    caller's join (the gate query emits both).
+    """
+    from pyspark.sql.window import Window
+
+    signs = F.expr(
+        "transform(sequence(0, {km1}), j -> CASE WHEN"
+        " CAST(conv(substring(md5(concat('{seed}', CAST(j AS STRING), ':',"
+        " CAST(__v AS STRING))), 1, 8), 16, 10) AS BIGINT) % 2 = 0"
+        " THEN 1 ELSE -1 END)".format(km1=k - 1, seed=seed)
+    )
+    z = (
+        df.select(F.col(col).cast("string").alias("__v"))
+        .select(F.posexplode(signs).alias("j", "s"))
+        .groupBy("j")
+        .agg(F.sum("s").cast("long").alias("z"))
+    )
+    n_groups = max(k // 4, 1)
+    gmeans = (
+        z.select(
+            F.expr("j DIV 4").alias("g"),
+            (F.col("z") * F.col("z")).cast("long").alias("z2"),
+        )
+        .groupBy("g")
+        .agg(F.expr("sum(z2) DIV count(1)").cast("long").alias("gm"))
+    )
+    w = Window.orderBy(F.asc("gm"), F.asc("g"))
+    return (
+        gmeans.withColumn("__rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("__rn") == F.lit((n_groups + 1) // 2))
+        .select(
+            F.lit(k).cast("long").alias("k"),
+            F.col("gm").alias("f2_est"),
+        )
+    )

@@ -7164,3 +7164,29 @@ def test_control_chart_flags_match_python_replay(spark):
     assert got[("a", 14)][2]                      # the spike trips 3-sigma
     assert any(v[3] for k, v in got.items() if k[0] == "a")   # run rule fires
     assert got[("flat", 6)][2]                    # zero-variance baseline
+
+
+def test_ams_f2_matches_python_replay(spark):
+    """AMS sketch: md5 signs, group means via DIV, pinned lower median —
+    exact replay; Z vectors are shard-mergeable by construction (sign
+    depends only on the value)."""
+    import hashlib
+
+    from chronographer_spark.operators.sketches import ams_f2
+
+    vals = [1] * 20 + [2] * 10 + [3] * 5 + list(range(10, 30))
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    K = 16
+
+    def sign(j, v):
+        h = hashlib.md5(f"ams:{j}:{v}".encode()).hexdigest()[:8]
+        return 1 if int(h, 16) % 2 == 0 else -1
+
+    z = [sum(sign(j, v) for v in vals) for j in range(K)]
+    gms = sorted(
+        (sum(x * x for x in z[g * 4:(g + 1) * 4]) // 4, g)
+        for g in range(K // 4)
+    )
+    want = gms[(K // 4 + 1) // 2 - 1][0]
+    row = ams_f2(df, "v", k=K).collect()[0]
+    assert (row["k"], row["f2_est"]) == (K, want)
