@@ -19664,7 +19664,112 @@ FROM med, ex WHERE rn = 2
 
 
 
+# ---------------------------------------------------------------------------
+# Q: Deequ-style declarative data-quality suite over orders (+ FK checks)
+# ---------------------------------------------------------------------------
+
+
+def q_dq_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass declarative quality suite on orders: completeness and
+    key uniqueness pass at exactly 1e6, o_custkey uniqueness honestly
+    FAILS its 1e6 threshold (customers repeat — the misdeclared-key
+    alarm), status values all in {O,F,P}, and a deliberately tight price
+    range fails — the mixed verdict sheet an ingestion gate publishes."""
+    from .operators.dq import run_checks
+
+    o = _t(spark, sf_dir, "orders")
+    checks = [
+        ("completeness", "o_custkey", None, 1000000),
+        ("completeness", "o_orderdate", None, 1000000),
+        ("uniqueness", "o_orderkey", None, 1000000),
+        ("uniqueness", "o_custkey", None, 1000000),
+        ("in_set", "o_orderstatus", ["O", "F", "P"], 1000000),
+        ("in_range", "o_totalprice", (0.0, 1000.0), 900000),
+    ]
+    return run_checks(o, checks)
+
+
+DQ_SUITE_SQL = """
+WITH m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(count(o_custkey) AS BIGINT) AS m0,
+         CAST(count(o_orderdate) AS BIGINT) AS m1,
+         CAST(count(DISTINCT o_orderkey) AS BIGINT) AS m2,
+         CAST(count(DISTINCT o_custkey) AS BIGINT) AS m3,
+         CAST(sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END)
+              AS BIGINT) AS m4,
+         CAST(sum(CASE WHEN o_totalprice BETWEEN 0.0 AND 1000.0
+                  THEN 1 ELSE 0 END) AS BIGINT) AS m5
+  FROM orders
+)
+SELECT 'completeness' AS "check", 'o_custkey' AS "column",
+       CAST(m0 * 1000000 // n AS BIGINT) AS metric_x1e6,
+       CAST(1000000 AS BIGINT) AS min_x1e6,
+       m0 * 1000000 // n >= 1000000 AS passed FROM m
+UNION ALL SELECT 'completeness', 'o_orderdate',
+       CAST(m1 * 1000000 // n AS BIGINT), 1000000,
+       m1 * 1000000 // n >= 1000000 FROM m
+UNION ALL SELECT 'uniqueness', 'o_orderkey',
+       CAST(m2 * 1000000 // n AS BIGINT), 1000000,
+       m2 * 1000000 // n >= 1000000 FROM m
+UNION ALL SELECT 'uniqueness', 'o_custkey',
+       CAST(m3 * 1000000 // n AS BIGINT), 1000000,
+       m3 * 1000000 // n >= 1000000 FROM m
+UNION ALL SELECT 'in_set', 'o_orderstatus',
+       CAST(m4 * 1000000 // n AS BIGINT), 1000000,
+       m4 * 1000000 // n >= 1000000 FROM m
+UNION ALL SELECT 'in_range', 'o_totalprice',
+       CAST(m5 * 1000000 // n AS BIGINT), 900000,
+       m5 * 1000000 // n >= 900000 FROM m
+"""
+
+
+def q_dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity rows for the two fact->dim edges of the
+    order graph (lineitem->orders, orders->customer): orphan counts and
+    the integrity fraction — both clean in this corpus, which is exactly
+    what the check certifies before a publish."""
+    from .operators.dq import referential_check
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    a = referential_check(li, "l_orderkey", o, "o_orderkey")
+    b = referential_check(o, "o_custkey", c, "c_custkey")
+    return a.unionByName(b)
+
+
+DQ_REFERENTIAL_SQL = """
+SELECT 'referential' AS "check", 'l_orderkey' AS "column",
+       CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_rows,
+       CAST((SELECT count(*) FROM lineitem l WHERE l.l_orderkey IS NULL
+             OR NOT EXISTS (SELECT 1 FROM orders o
+                            WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+         AS n_orphans,
+       CAST(((SELECT count(*) FROM lineitem)
+             - (SELECT count(*) FROM lineitem l WHERE l.l_orderkey IS NULL
+                OR NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey)))
+            * 1000000 // (SELECT count(*) FROM lineitem) AS BIGINT)
+         AS metric_x1e6
+UNION ALL
+SELECT 'referential', 'o_custkey',
+       CAST((SELECT count(*) FROM orders) AS BIGINT),
+       CAST((SELECT count(*) FROM orders o WHERE o.o_custkey IS NULL
+             OR NOT EXISTS (SELECT 1 FROM customer c
+                            WHERE c.c_custkey = o.o_custkey)) AS BIGINT),
+       CAST(((SELECT count(*) FROM orders)
+             - (SELECT count(*) FROM orders o WHERE o.o_custkey IS NULL
+                OR NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey)))
+            * 1000000 // (SELECT count(*) FROM orders) AS BIGINT)
+"""
+
+
+
 QUERIES = {
+    "dq_suite": q_dq_suite,
+    "dq_referential": q_dq_referential,
     "ams_f2": q_ams_f2,
     "control_chart": q_control_chart,
     "rouge2_pairs": q_rouge2_pairs,
@@ -20020,6 +20125,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "dq_suite": DQ_SUITE_SQL,
+    "dq_referential": DQ_REFERENTIAL_SQL,
     "ams_f2": AMS_F2_SQL,
     "control_chart": CONTROL_CHART_SQL,
     "rouge2_pairs": ROUGE2_PAIRS_SQL,

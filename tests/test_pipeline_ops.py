@@ -7190,3 +7190,35 @@ def test_ams_f2_matches_python_replay(spark):
     want = gms[(K // 4 + 1) // 2 - 1][0]
     row = ams_f2(df, "v", k=K).collect()[0]
     assert (row["k"], row["f2_est"]) == (K, want)
+
+
+def test_dq_run_checks_and_referential(spark):
+    """Declarative DQ: single-pass metrics exact to the row counts,
+    mixed verdicts, NULL fk counts as an orphan."""
+    from chronographer_spark.operators.dq import referential_check, run_checks
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", -5), (3, None, 20), (3, "a", 30)],
+        "id long, cat string, v long",
+    )
+    checks = [
+        ("completeness", "cat", None, 1000000),     # 3/4 -> fail
+        ("uniqueness", "id", None, 1000000),        # 3/4 -> fail
+        ("in_set", "cat", ["a", "b"], 750000),      # 3/4 -> pass
+        ("in_range", "v", (0, 25), 500000),         # 2/4 -> pass
+        ("non_negative", "v", None, 1000000),       # 3/4 -> fail
+    ]
+    got = {
+        (r["check"], r["column"]): (r["metric_x1e6"], r["passed"])
+        for r in run_checks(df, checks).collect()
+    }
+    assert got[("completeness", "cat")] == (750000, False)
+    assert got[("uniqueness", "id")] == (750000, False)
+    assert got[("in_set", "cat")] == (750000, True)
+    assert got[("in_range", "v")] == (500000, True)
+    assert got[("non_negative", "v")] == (750000, False)
+
+    dim = spark.createDataFrame([(1,), (2,)], "pk long")
+    fact = spark.createDataFrame([(1,), (2,), (9,), (None,)], "fk long")
+    row = referential_check(fact, "fk", dim, "pk").collect()[0]
+    assert (row["n_rows"], row["n_orphans"], row["metric_x1e6"]) == (4, 2, 500000)
