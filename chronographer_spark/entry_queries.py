@@ -19767,7 +19767,59 @@ SELECT 'referential', 'o_custkey',
 
 
 
+# ---------------------------------------------------------------------------
+# Q: Haar wavelet multiscale energy over hourly event-type series
+# ---------------------------------------------------------------------------
+
+
+def q_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unnormalized Haar energy per event type over the hourly count
+    series (absolute hour index, 6 levels = up to the 64-hour scale):
+    the per-resolution breakdown that says which scale carries each
+    type's variance — the multiscale companion to fano_burstiness."""
+    from .operators.temporal import haar_energy
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.expr("unix_timestamp(ts) DIV 3600").alias("hr")
+    )
+    series = ev.groupBy("event_type", "hr").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    return haar_energy(series, "event_type", "hr", "c", levels=6).select(
+        F.col("key").alias("event_type"), "level", "n_blocks",
+        "nonzero_blocks", "energy",
+    )
+
+
+HAAR_ENERGY_SQL = """
+WITH series AS (
+  SELECT event_type AS key,
+         CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS idx,
+         CAST(count(*) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+),
+fan AS (
+  SELECT key, l, idx // (CAST(1 AS BIGINT) << l) AS block,
+         v * (CASE WHEN (idx // (CAST(1 AS BIGINT) << (l - 1))) % 2 = 0
+              THEN 1 ELSE -1 END) AS sv
+  FROM series, (SELECT unnest(range(1, 7)) AS l)
+),
+det AS (
+  SELECT key, l AS level, block, CAST(sum(sv) AS BIGINT) AS d
+  FROM fan GROUP BY key, l, block
+)
+SELECT key AS event_type, level,
+       CAST(count(*) AS BIGINT) AS n_blocks,
+       CAST(sum(CASE WHEN d <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS nonzero_blocks,
+       CAST(sum(d * d) AS BIGINT) AS energy
+FROM det GROUP BY key, level
+"""
+
+
+
 QUERIES = {
+    "haar_energy": q_haar_energy,
     "dq_suite": q_dq_suite,
     "dq_referential": q_dq_referential,
     "ams_f2": q_ams_f2,
@@ -20125,6 +20177,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "haar_energy": HAAR_ENERGY_SQL,
     "dq_suite": DQ_SUITE_SQL,
     "dq_referential": DQ_REFERENTIAL_SQL,
     "ams_f2": AMS_F2_SQL,

@@ -2793,3 +2793,70 @@ def control_chart_flags(
         & (F.col("side") != 0),
     )
     return out.select("key", "o", "x", "side", "rule1", "rule2")
+
+
+def haar_energy(
+    df: DataFrame,
+    key_col: str,
+    idx_col: str,
+    value_col: str,
+    levels: int = 6,
+) -> DataFrame:
+    """Unnormalized Haar wavelet decomposition per key — the multiscale
+    energy profile a time-series pipeline uses for compression choices
+    and scale-localized anomaly screening (which RESOLUTION carries the
+    signal: spiky traffic loads detail energy at fine levels, daily
+    seasonality at the level matching its period). Complements the
+    burstiness (fano) and periodicity (autocorrelation) readouts with a
+    per-scale breakdown.
+
+    Unnormalized transform (documented: detail = left-half sum minus
+    right-half sum per block — integer-exact, no sqrt(2) factors):
+    at level l (1 = finest pair level), block b covers indices
+    [b*2^l, (b+1)*2^l) and d(l, b) = sum(first half) - sum(second half).
+    Per-level energy = sum of d^2. Overflow: |d| <= block mass, energy
+    <= (sum|v|)^2 — BIGINT-safe while total key mass < 3e9.
+
+    Shape: NO level loop — one explode fans each point into its `levels`
+    (level, block, side) memberships, one (key, level, block) signed
+    collapse, one (key, level) rollup. Cost is levels * points, shuffles
+    on (key, level, block) once — the minhash-band fan-out rule applied
+    to a wavelet pyramid.
+
+    Returns (key, level, n_blocks, nonzero_blocks, energy).
+    """
+    fan = F.explode(
+        F.expr(
+            f"transform(sequence(1, {levels}), l -> struct("
+            " l AS l,"
+            " idx DIV shiftleft(CAST(1 AS BIGINT), l) AS b,"
+            " CASE WHEN (idx DIV shiftleft(CAST(1 AS BIGINT), l - 1)) % 2 = 0"
+            " THEN 1 ELSE -1 END AS s))"
+        )
+    )
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(idx_col).cast("long").alias("idx"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    det = (
+        base.select("key", "v", fan.alias("m"))
+        .select(
+            "key",
+            F.col("m.l").alias("level"),
+            F.col("m.b").alias("block"),
+            (F.col("v") * F.col("m.s")).alias("sv"),
+        )
+        .groupBy("key", "level", "block")
+        .agg(F.sum("sv").cast("long").alias("d"))
+    )
+    return (
+        det.groupBy("key", "level")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_blocks"),
+            F.sum(F.when(F.col("d") != 0, 1).otherwise(0))
+            .cast("long")
+            .alias("nonzero_blocks"),
+            F.sum(F.col("d") * F.col("d")).cast("long").alias("energy"),
+        )
+    )

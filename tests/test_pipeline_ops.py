@@ -7222,3 +7222,39 @@ def test_dq_run_checks_and_referential(spark):
     fact = spark.createDataFrame([(1,), (2,), (9,), (None,)], "fk long")
     row = referential_check(fact, "fk", dim, "pk").collect()[0]
     assert (row["n_rows"], row["n_orphans"], row["metric_x1e6"]) == (4, 2, 500000)
+
+
+def test_haar_energy_matches_python_replay(spark):
+    """Unnormalized Haar: detail = left-half minus right-half block sums
+    at each scale; constant series loads zero detail energy at every
+    covered level; replica exact."""
+    from chronographer_spark.operators.temporal import haar_energy
+
+    rows = [("sig", i, v) for i, v in enumerate([4, 0, 4, 0, 4, 0, 4, 0])]
+    rows += [("flat", i, 7) for i in range(8)]
+    df = spark.createDataFrame(rows, "key string, idx long, v long")
+    L = 3
+
+    want = {}
+    for key in ("sig", "flat"):
+        pts = {i: v for k, i, v in rows if k == key}
+        for lv in range(1, L + 1):
+            dets = {}
+            for i, v in pts.items():
+                b = i // (1 << lv)
+                s = 1 if (i // (1 << (lv - 1))) % 2 == 0 else -1
+                dets[b] = dets.get(b, 0) + s * v
+            want[(key, lv)] = (
+                len(dets),
+                sum(1 for d in dets.values() if d != 0),
+                sum(d * d for d in dets.values()),
+            )
+    got = {
+        (r["key"], r["level"]): (r["n_blocks"], r["nonzero_blocks"],
+                                 r["energy"])
+        for r in haar_energy(df, "key", "idx", "v", levels=L).collect()
+    }
+    assert got == want
+    # alternating signal: all energy at the finest level
+    assert got[("sig", 1)][2] == 4 * 16 and got[("sig", 2)][2] == 0
+    assert all(got[("flat", lv)][2] == 0 for lv in range(1, L + 1))
