@@ -19818,7 +19818,104 @@ FROM det GROUP BY key, level
 
 
 
+# ---------------------------------------------------------------------------
+# Q: Gale-Shapley stable one-to-one assignment of customers to twins
+# ---------------------------------------------------------------------------
+
+
+def q_stable_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deferred-acceptance assignment after blocking+scoring: every 5th
+    clean customer proposes to same-nation twin records under score =
+    2000*(seg match) + 1000*(bal match) - (p+a)%997, preference lists
+    truncated to top-5, 12 pinned synchronous rounds. The oracle runs
+    the SAME rounds as a recursive CTE — and by McVitie-Wilson the
+    proposer-optimal matching is unique, so any correct GS must agree."""
+    from pyspark.sql import Window
+
+    from .linking.matching import stable_matching
+
+    a, b, _seed = _fs_customer_sides(spark, sf_dir)
+    pa = a.filter(F.expr("id % 5 = 0"))
+    pairs = pa.alias("x").join(
+        b.alias("y"), F.col("x.nat") == F.col("y.nat")
+    ).select(
+        F.col("x.id").alias("p"),
+        F.col("y.id").alias("a"),
+        F.expr(
+            "CAST(CASE WHEN x.seg = y.seg THEN 2000 ELSE 0 END"
+            " + CASE WHEN x.bal_cents = y.bal_cents THEN 1000 ELSE 0 END"
+            " - (x.id + y.id) % 997 AS BIGINT)"
+        ).alias("score"),
+    )
+    w = Window.partitionBy("p").orderBy(F.desc("score"), F.asc("a"))
+    top5 = (
+        pairs.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= 5)
+        .drop("__rk")
+    )
+    st = stable_matching(top5, rounds=12)
+    return st.filter(F.col("a").isNotNull()).select(
+        "p", "ptr", F.col("a").alias("matched_id"), "s"
+    )
+
+
+STABLE_MATCH_SQL = """
+WITH RECURSIVE ca AS (
+  SELECT c_custkey AS id, c_nationkey AS nat, c_mktsegment AS seg,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+  FROM customer WHERE c_custkey % 5 = 0
+),
+cb AS (
+  SELECT c_custkey AS id,
+         CASE WHEN c_custkey % 7 = 0 THEN (c_nationkey + 1) % 25
+              ELSE c_nationkey END AS nat,
+         CASE WHEN c_custkey % 3 = 0 THEN 'PERTURBED'
+              ELSE c_mktsegment END AS seg,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+           + CASE WHEN c_custkey % 5 = 0 THEN 1 ELSE 0 END AS bal_cents
+  FROM customer
+),
+pr AS MATERIALIZED (
+  SELECT p, aa, s,
+         CAST(row_number() OVER (
+           PARTITION BY p ORDER BY s DESC, aa ASC) AS BIGINT) AS prank
+  FROM (
+    SELECT ca.id AS p, cb.id AS aa,
+           CAST(CASE WHEN ca.seg = cb.seg THEN 2000 ELSE 0 END
+                + CASE WHEN ca.bal_cents = cb.bal_cents THEN 1000 ELSE 0 END
+                - (ca.id + cb.id) % 997 AS BIGINT) AS s
+    FROM ca JOIN cb ON ca.nat = cb.nat
+  )
+  QUALIFY prank <= 5
+),
+st AS (
+  SELECT 0 AS r, p, CAST(0 AS BIGINT) AS ptr,
+         CAST(NULL AS BIGINT) AS a, CAST(NULL AS BIGINT) AS s
+  FROM (SELECT DISTINCT p FROM pr)
+  UNION ALL
+  SELECT r + 1, p,
+         CASE WHEN ca IS NULL OR rn = 1 THEN ptr ELSE ptr + 1 END,
+         CASE WHEN ca IS NOT NULL AND rn = 1 THEN ca END,
+         CASE WHEN ca IS NOT NULL AND rn = 1 THEN cs END
+  FROM (
+    SELECT st.r, st.p, st.ptr,
+           coalesce(st.a, pr.aa) AS ca,
+           coalesce(st.s, pr.s) AS cs,
+           row_number() OVER (PARTITION BY coalesce(st.a, pr.aa)
+                              ORDER BY coalesce(st.s, pr.s) DESC,
+                                       st.p ASC) AS rn
+    FROM st LEFT JOIN pr ON st.a IS NULL AND pr.p = st.p
+                         AND pr.prank = st.ptr + 1
+    WHERE st.r < 12
+  )
+)
+SELECT p, ptr, a AS matched_id, s FROM st WHERE r = 12 AND a IS NOT NULL
+"""
+
+
+
 QUERIES = {
+    "stable_match": q_stable_match,
     "haar_energy": q_haar_energy,
     "dq_suite": q_dq_suite,
     "dq_referential": q_dq_referential,
@@ -20177,6 +20274,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "stable_match": STABLE_MATCH_SQL,
     "haar_energy": HAAR_ENERGY_SQL,
     "dq_suite": DQ_SUITE_SQL,
     "dq_referential": DQ_REFERENTIAL_SQL,

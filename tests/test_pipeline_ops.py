@@ -7258,3 +7258,62 @@ def test_haar_energy_matches_python_replay(spark):
     # alternating signal: all energy at the finest level
     assert got[("sig", 1)][2] == 4 * 16 and got[("sig", 2)][2] == 0
     assert all(got[("flat", lv)][2] == 0 for lv in range(1, L + 1))
+
+
+def test_stable_matching_is_proposer_optimal_and_stable(spark):
+    """Synchronous deferred acceptance equals SEQUENTIAL textbook GS
+    (proposer-optimal matching is unique — McVitie-Wilson), the result
+    has no blocking pair, and truncated lists leave losers unmatched."""
+    from chronographer_spark.linking.matching import stable_matching
+
+    # shared scores; ties broken (score desc, other-id asc) on both sides
+    pairs = [
+        (1, "x", 30), (1, "y", 20), (1, "z", 10),
+        (2, "x", 25), (2, "y", 35),
+        (3, "x", 30), (3, "z", 40),
+        (4, "x", 5),                     # only choice, will lose x
+    ]
+    df = spark.createDataFrame(pairs, "p long, a string, score long")
+
+    # sequential GS replica (process lowest free proposer first)
+    prefs = {}
+    score = {}
+    for p, a, s in pairs:
+        prefs.setdefault(p, []).append((-s, a))
+        score[(p, a)] = s
+    for p in prefs:
+        prefs[p] = [a for _, a in sorted(prefs[p])]
+    ptr = {p: 0 for p in prefs}
+    held = {}
+    while True:
+        free = [p for p in sorted(prefs)
+                if p not in held.values() and ptr[p] < len(prefs[p])]
+        if not free:
+            break
+        p = free[0]
+        a = prefs[p][ptr[p]]
+        cur = held.get(a)
+        if cur is None:
+            held[a] = p
+        elif (-score[(cur, a)], cur) > (-score[(p, a)], p):
+            held[a] = p
+            ptr[cur] += 1
+        else:
+            ptr[p] += 1
+    got = {
+        r["p"]: r["a"]
+        for r in stable_matching(df, rounds=10).collect()
+        if r["a"] is not None
+    }
+    want = {p: a for a, p in held.items()}
+    assert got == want
+    # stability: no blocking pair among candidate pairs
+    inv = {a: p for p, a in got.items()}
+    for p, a, s in pairs:
+        if got.get(p) == a:
+            continue
+        p_better = got.get(p) is None or s > score[(p, got[p])]
+        cur = inv.get(a)
+        a_better = cur is None or s > score[(cur, a)]
+        assert not (p_better and a_better), f"blocking pair {(p, a)}"
+    assert 4 not in got  # truncated list exhausted -> unmatched
