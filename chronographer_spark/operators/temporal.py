@@ -2570,7 +2570,10 @@ def kaplan_meier(
         F.col(time_col).cast("long").alias("t"),
         F.col(observed_col).cast("long").alias("__obs"),
     )
-    dd = base.groupBy("key", "t").agg(
+    # repartition on key ALONE: hashpartitioning(key) satisfies the
+    # (key, t) aggregation's clustered distribution AND both downstream
+    # key windows — one exchange end to end (plan-pinned)
+    dd = base.repartition("key").groupBy("key", "t").agg(
         F.sum("__obs").cast("long").alias("d"),
         F.sum(F.lit(1) - F.col("__obs")).cast("long").alias("c"),
     )
@@ -2651,7 +2654,7 @@ def logrank_test(
         F.col(observed_col).cast("long").alias("__obs"),
         F.col(group_col).cast("long").alias("__g"),
     )
-    dd = base.groupBy("key", "t").agg(
+    dd = base.repartition("key").groupBy("key", "t").agg(
         F.sum(F.when(F.col("__g") == 0, F.col("__obs")).otherwise(0))
         .cast("long")
         .alias("d0"),

@@ -1290,3 +1290,70 @@ def test_bloom_semijoin_broadcasts_filter_and_candidates(spark):
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_fs_score_pairs_plan_shape(spark):
+    """FS scoring: ONE data-sized join (the nationkey block), the weight
+    scalars arrive as a broadcast ONE-ROW side (BroadcastNestedLoopJoin),
+    and the big pair stream itself is never re-shuffled after the block
+    join — scoring is map-side column references (the 33x soak lesson:
+    msb16 weight expressions live on the scalar side, never per row)."""
+    from chronographer_spark.entry_queries import QUERIES
+
+    plan = _plan(QUERIES["fs_match_scores"](spark, SF))
+    # exactly one nested-loop join family for the 1-row weight broadcast
+    assert plan.count("BroadcastNestedLoopJoin") >= 1
+    # the per-row projection must NOT contain the msb16 bin() device —
+    # weights are materialized on the broadcast side
+    import re as _re
+
+    proj_lines = [
+        ln for ln in plan.splitlines() if "Project" in ln and "a_id" in ln
+    ]
+    assert proj_lines and all("bin(" not in ln for ln in proj_lines), plan
+
+
+def test_kaplan_meier_single_key_exchange(spark):
+    """KM (and its two windows + hazard walk) runs on ONE hashpartitioning
+    exchange of the collapsed (key, t) table — desc risk window, asc walk
+    window, and the groupBy all share the key partitioning."""
+    from chronographer_spark.operators.temporal import kaplan_meier
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        "event_type", "user_id", F.unix_timestamp("ts").alias("sec")
+    )
+    per = ev.groupBy("event_type", "user_id").agg(
+        (F.max("sec") - F.min("sec")).cast("long").alias("t"),
+        (F.count(F.lit(1)) >= 3).cast("long").alias("obs"),
+    )
+    plan = _plan(kaplan_meier(per, "event_type", "t", "obs"))
+    # (event_type,user) collapse + key repartition for windows: <= 2
+    assert _exchanges(plan) <= 2, plan
+
+
+def test_haar_energy_two_exchanges(spark):
+    """Haar pyramid is loop-free: the level fan-out rides the scan, the
+    signed collapse shuffles once on (key, level, block), the rollup
+    once on (key, level) — no per-level jobs."""
+    from chronographer_spark.operators.temporal import haar_energy
+
+    s = spark.read.parquet(f"{SF}/events.parquet").select(
+        "event_type", F.expr("unix_timestamp(ts) DIV 3600").alias("hr")
+    ).groupBy("event_type", "hr").agg(F.count(F.lit(1)).alias("c"))
+    plan = _plan(haar_energy(s, "event_type", "hr", "c", levels=6))
+    assert _exchanges(plan) <= 3, plan
+
+
+def test_merge_inverted_index_broadcast_anti_join(spark):
+    """Incremental index upsert: the delete leg is a BROADCAST anti-join
+    on the batch's ids — the stored index never shuffles."""
+    from chronographer_spark.operators.retrieval import (
+        build_inverted_index,
+        merge_inverted_index,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    stored = build_inverted_index(docs.filter("doc_id % 10 != 0"))
+    merged = merge_inverted_index(stored, docs.filter("doc_id % 10 = 0"))
+    plan = _plan(merged)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
