@@ -19914,7 +19914,167 @@ SELECT p, ptr, a AS matched_id, s FROM st WHERE r = 12 AND a IS NOT NULL
 
 
 
+# ---------------------------------------------------------------------------
+# Q: robust/forensic stats — trimmed means, Gini concentration, Benford
+# ---------------------------------------------------------------------------
+
+
+def q_robust_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% trimmed and winsorized means of event cents per type beside
+    the raw mean — the heavy-tail-resistant location trio."""
+    from .operators.classifier import trimmed_stats
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    return trimmed_stats(ev, "event_type", "cents", 1, 10).select(
+        F.col("key").alias("event_type"), "n", "k_trim", "mean_x1e6",
+        "trimmed_mean_x1e6", "winsor_mean_x1e6",
+    )
+
+
+ROBUST_MEANS_SQL = """
+WITH base AS (
+  SELECT event_type AS key,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+  FROM events
+),
+ranked AS (
+  SELECT key, v,
+         CAST(row_number() OVER (PARTITION BY key ORDER BY v ASC) AS BIGINT)
+           AS rn,
+         CAST(count(*) OVER (PARTITION BY key) AS BIGINT) AS n
+  FROM base
+),
+kd AS (SELECT *, n * 1 // 10 AS k FROM ranked),
+agg AS (
+  SELECT key, max(n) AS n, max(k) AS k_trim,
+         CAST(sum(v) AS BIGINT) AS s,
+         CAST(sum(CASE WHEN rn > k AND rn <= n - k THEN v ELSE 0 END)
+              AS BIGINT) AS ts,
+         max(CASE WHEN rn = k + 1 THEN v END) AS vlo,
+         max(CASE WHEN rn = n - k THEN v END) AS vhi
+  FROM kd GROUP BY key
+)
+SELECT key AS event_type, n, k_trim,
+       CAST(s // n * 1000000 + s % n * 1000000 // n AS BIGINT) AS mean_x1e6,
+       CAST(ts // greatest(n - 2 * k_trim, 1) * 1000000
+            + ts % greatest(n - 2 * k_trim, 1) * 1000000
+              // greatest(n - 2 * k_trim, 1) AS BIGINT) AS trimmed_mean_x1e6,
+       CAST((ts + k_trim * (vlo + vhi)) // n * 1000000
+            + (ts + k_trim * (vlo + vhi)) % n * 1000000 // n AS BIGINT)
+         AS winsor_mean_x1e6
+FROM agg
+"""
+
+
+def q_gini_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of per-user event counts within each type —
+    the is-my-traffic-a-few-whales readout (0 = even, ->1 = one user)."""
+    from .operators.classifier import gini_coefficient
+
+    per = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    return gini_coefficient(per, "event_type", "c").select(
+        F.col("key").alias("event_type"), "n", "total", "gini_x1e6"
+    )
+
+
+GINI_USER_ACTIVITY_SQL = """
+WITH per AS (
+  SELECT event_type AS key, user_id, CAST(count(*) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT key, v,
+         CAST(row_number() OVER (PARTITION BY key ORDER BY v ASC) AS BIGINT)
+           AS rn
+  FROM per
+),
+agg AS (
+  SELECT key, CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS total,
+         CAST(sum(rn * v) AS BIGINT) AS ix
+  FROM ranked GROUP BY key
+)
+SELECT key AS event_type, n, total,
+       CAST(CASE WHEN total > 0 THEN
+         (2 * ix - (n + 1) * total) // (n * total) * 1000000
+         + (2 * ix - (n + 1) * total) % (n * total) * 1000000 // (n * total)
+         ELSE 0 END AS BIGINT) AS gini_x1e6
+FROM agg
+"""
+
+
+def q_benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit screen on two populations of this SYNTHETIC
+    corpus: order totals in cents ('prices', chi2_x1000=5865 at sf0.01 —
+    a narrow price band concentrates leading digits) and the sequential
+    'keys' population (2334). BOTH fail, which is the honest forensic
+    readout: generated data screams non-natural — exactly what the
+    screen exists to flag; naturally-grown multiplicative amounts would
+    read near 0. chi2_x1000 repeats on each digit row."""
+    from .operators.classifier import benford_profile
+
+    o = _t(spark, sf_dir, "orders")
+    both = o.select(
+        F.lit("prices").alias("pop"),
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias("v"),
+    ).unionByName(
+        o.select(
+            F.lit("keys").alias("pop"),
+            (F.col("o_orderkey") + 1).cast("long").alias("v"),
+        )
+    )
+    return benford_profile(both, "pop", "v").select(
+        F.col("key").alias("pop"), "digit", "observed", "n",
+        "expected_permille", "chi2_x1000",
+    )
+
+
+BENFORD_SCREEN_SQL = """
+WITH pops AS (
+  SELECT 'prices' AS key,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v FROM orders
+  UNION ALL
+  SELECT 'keys', CAST(o_orderkey + 1 AS BIGINT) FROM orders
+),
+digits AS (
+  SELECT key, CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM pops WHERE v > 0
+),
+counts AS (
+  SELECT key, digit, CAST(count(*) AS BIGINT) AS observed
+  FROM digits GROUP BY key, digit
+),
+withp AS (
+  SELECT key, digit, observed,
+         CAST(sum(observed) OVER (PARTITION BY key) AS BIGINT) AS n,
+         CAST(([301, 176, 125, 97, 79, 67, 58, 51, 46])[CAST(digit AS INT)]
+              AS BIGINT) AS expected_permille
+  FROM counts
+),
+terms AS (
+  SELECT *,
+         (1000 * observed - n * expected_permille)
+           * (1000 * observed - n * expected_permille)
+           // (1000 * n * expected_permille) AS term
+  FROM withp
+)
+SELECT key AS pop, digit, observed, n, expected_permille,
+       CAST(sum(term) OVER (PARTITION BY key) AS BIGINT) AS chi2_x1000
+FROM terms
+"""
+
+
+
 QUERIES = {
+    "robust_means": q_robust_means,
+    "gini_user_activity": q_gini_user_activity,
+    "benford_screen": q_benford_screen,
     "stable_match": q_stable_match,
     "haar_energy": q_haar_energy,
     "dq_suite": q_dq_suite,
@@ -20274,6 +20434,9 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "robust_means": ROBUST_MEANS_SQL,
+    "gini_user_activity": GINI_USER_ACTIVITY_SQL,
+    "benford_screen": BENFORD_SCREEN_SQL,
     "stable_match": STABLE_MATCH_SQL,
     "haar_energy": HAAR_ENERGY_SQL,
     "dq_suite": DQ_SUITE_SQL,

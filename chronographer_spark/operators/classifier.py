@@ -1207,3 +1207,168 @@ def bh_select(
             "rejected"
         ),
     )
+
+
+def trimmed_stats(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    trim_num: int = 1,
+    trim_den: int = 10,
+) -> DataFrame:
+    """Trimmed and winsorized means per key (classical robust location
+    estimates — the outlier-resistant readout a metrics pipeline reports
+    next to the raw mean when heavy tails make that mean a lie):
+    k = floor(n * trim_num/trim_den) extreme values are dropped from each
+    end (trimmed) or clamped to the surviving boundary values
+    (winsorized). Rank ties are broken arbitrarily, which is SAFE here:
+    equal values are interchangeable in every sum, so all three outputs
+    are tie-invariant (why the window can order by value alone and still
+    replay cross-engine).
+
+    Exact integers: means are staged 1e6 quotients; winsorized sum =
+    trimmed sum + k*(v_low + v_high) where v_low/v_high are the boundary
+    order statistics. ONE key-partitioned value-ordered window (rank +
+    count) feeding one conditional agg — single exchange.
+
+    Returns (key, n, k_trim, mean_x1e6, trimmed_mean_x1e6,
+    winsor_mean_x1e6).
+    """
+    w = Window.partitionBy("key").orderBy(F.asc("v"))
+    wall = Window.partitionBy("key")
+    ranked = (
+        df.select(
+            F.col(key_col).alias("key"), F.col(value_col).cast("long").alias("v")
+        )
+        .repartition("key")
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .withColumn("n", F.count(F.lit(1)).over(wall).cast("long"))
+        .withColumn("k", F.expr(f"n * {trim_num} DIV {trim_den}"))
+    )
+    agg = ranked.groupBy("key").agg(
+        F.max("n").alias("n"),
+        F.max("k").alias("k_trim"),
+        F.sum("v").cast("long").alias("__s"),
+        F.sum(F.when((F.col("rn") > F.col("k")) & (F.col("rn") <= F.col("n") - F.col("k")), F.col("v")).otherwise(0))
+        .cast("long")
+        .alias("__ts"),
+        F.max(F.when(F.col("rn") == F.col("k") + 1, F.col("v"))).alias("__vlo"),
+        F.max(F.when(F.col("rn") == F.expr("n - k"), F.col("v"))).alias("__vhi"),
+    )
+    mean = "(__s DIV n * CAST(1000000 AS BIGINT) + __s % n * CAST(1000000 AS BIGINT) DIV n)"
+    tn = "greatest(n - 2 * k_trim, CAST(1 AS BIGINT))"
+    tmean = f"(__ts DIV {tn} * CAST(1000000 AS BIGINT) + __ts % {tn} * CAST(1000000 AS BIGINT) DIV {tn})"
+    wsum = "(__ts + k_trim * (__vlo + __vhi))"
+    wmean = f"({wsum} DIV n * CAST(1000000 AS BIGINT) + {wsum} % n * CAST(1000000 AS BIGINT) DIV n)"
+    return agg.select(
+        "key",
+        "n",
+        "k_trim",
+        F.expr(f"CAST({mean} AS BIGINT)").alias("mean_x1e6"),
+        F.expr(f"CAST({tmean} AS BIGINT)").alias("trimmed_mean_x1e6"),
+        F.expr(f"CAST({wmean} AS BIGINT)").alias("winsor_mean_x1e6"),
+    )
+
+
+def gini_coefficient(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Gini concentration coefficient per key over NON-NEGATIVE values
+    (the inequality readout: how concentrated is activity/spend/tokens
+    across users — 0 = perfectly even, ->1 = one row holds everything;
+    the scalar summary of the Lorenz curve): G = (2*sum(i*x_i) -
+    (n+1)*sum(x)) / (n*sum(x)) over values sorted ascending.
+
+    Tie-safe by algebra (swapping equal values leaves sum(i*x_i)
+    unchanged), so the rank window orders by value alone and replays
+    cross-engine. Exact staged 1e6 quotient; overflow bound
+    sum(i*x) <= n * total — BIGINT-safe while n * total_mass < 9e18.
+    ONE key window + one agg — single exchange. Zero-mass keys read 0.
+
+    Returns (key, n, total, gini_x1e6).
+    """
+    w = Window.partitionBy("key").orderBy(F.asc("v"))
+    ranked = (
+        df.select(
+            F.col(key_col).alias("key"), F.col(value_col).cast("long").alias("v")
+        )
+        .repartition("key")
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+    )
+    agg = ranked.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").cast("long").alias("total"),
+        F.sum(F.col("rn") * F.col("v")).cast("long").alias("__ix"),
+    )
+    num = "(2 * __ix - (n + 1) * total)"
+    den = "(n * total)"
+    g = (
+        f"CASE WHEN total > 0 THEN {num} DIV {den} * CAST(1000000 AS BIGINT)"
+        f" + {num} % {den} * CAST(1000000 AS BIGINT) DIV {den}"
+        " ELSE CAST(0 AS BIGINT) END"
+    )
+    return agg.select(
+        "key", "n", "total", F.expr(f"CAST({g} AS BIGINT)").alias("gini_x1e6")
+    )
+
+
+#: canonical Benford first-digit expectations in per-mille (log10(1+1/d))
+BENFORD_PERMILLE = [301, 176, 125, 97, 79, 67, 58, 51, 46]
+
+
+def benford_profile(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Benford first-digit screen per key (Newcomb 1881 / Benford 1938 —
+    the forensic test fraud/anomaly pipelines run on amount columns:
+    naturally-grown multiplicative quantities put digit 1 first ~30.1%
+    of the time; fabricated or uniformly-generated numbers don't). Rows
+    with value <= 0 are excluded (no leading digit).
+
+    Exact integers: observed counts vs the canonical per-mille table
+    (module constant); per-digit deviation term
+    (1000*o_d - n*p_d)^2 DIV (1000 * n * p_d) — the chi-square shape in
+    per-mille units, summed per key into chi2_x1000 (repeated on each
+    digit row for the one-pass readout). First digit extraction is the
+    engine-portable substr of the decimal rendering.
+
+    One (key, digit) collapse + one key window — single exchange after
+    the collapse. Returns (key, digit, observed, n, expected_permille,
+    chi2_x1000).
+    """
+    digit = F.expr("CAST(substring(CAST(v AS STRING), 1, 1) AS BIGINT)")
+    base = (
+        df.select(
+            F.col(key_col).alias("key"), F.col(value_col).cast("long").alias("v")
+        )
+        .filter(F.col("v") > 0)
+        .select("key", digit.alias("digit"))
+    )
+    counts = base.groupBy("key", "digit").agg(
+        F.count(F.lit(1)).cast("long").alias("observed")
+    )
+    p = F.expr(
+        "CAST(element_at(array({}), CAST(digit AS INT)) AS BIGINT)".format(
+            ", ".join(str(x) for x in BENFORD_PERMILLE)
+        )
+    )
+    wall = Window.partitionBy("key")
+    withp = (
+        counts.withColumn("n", F.sum("observed").over(wall).cast("long"))
+        .withColumn("expected_permille", p)
+        .withColumn(
+            "__term",
+            F.expr(
+                "(1000 * observed - n * expected_permille)"
+                " * (1000 * observed - n * expected_permille)"
+                " DIV (1000 * n * expected_permille)"
+            ),
+        )
+    )
+    return withp.withColumn(
+        "chi2_x1000", F.sum("__term").over(wall).cast("long")
+    ).select("key", "digit", "observed", "n", "expected_permille", "chi2_x1000")

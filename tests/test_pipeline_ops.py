@@ -7317,3 +7317,49 @@ def test_stable_matching_is_proposer_optimal_and_stable(spark):
         a_better = cur is None or s > score[(cur, a)]
         assert not (p_better and a_better), f"blocking pair {(p, a)}"
     assert 4 not in got  # truncated list exhausted -> unmatched
+
+
+def test_robust_forensic_stats_match_python(spark):
+    """Trimmed/winsorized means, Gini, Benford: exact replicas on hand
+    fixtures including an outlier the trimmed mean ignores, a one-whale
+    Gini, and a perfect-Benford-count population reading chi2 ~ 0."""
+    from chronographer_spark.operators.classifier import (
+        BENFORD_PERMILLE,
+        benford_profile,
+        gini_coefficient,
+        trimmed_stats,
+    )
+
+    vals = [1, 2, 3, 4, 5, 6, 7, 8, 9, 1000]   # n=10, k=1
+    df = spark.createDataFrame([("a", v) for v in vals], "key string, v long")
+    r = trimmed_stats(df, "key", "v", 1, 10).collect()[0]
+    s, ts = sum(vals), sum(vals[1:9])
+    assert (r["n"], r["k_trim"]) == (10, 1)
+    assert r["mean_x1e6"] == s // 10 * 10**6 + s % 10 * 10**6 // 10
+    assert r["trimmed_mean_x1e6"] == ts // 8 * 10**6 + ts % 8 * 10**6 // 8
+    wsum = ts + 1 * (vals[1] + vals[8])
+    assert r["winsor_mean_x1e6"] == wsum // 10 * 10**6 + wsum % 10 * 10**6 // 10
+    assert r["trimmed_mean_x1e6"] < r["mean_x1e6"] // 10  # outlier gone
+
+    g = spark.createDataFrame(
+        [("even", 5), ("even", 5), ("even", 5), ("even", 5),
+         ("whale", 1), ("whale", 1), ("whale", 1), ("whale", 97)],
+        "key string, v long",
+    )
+    got = {r["key"]: r["gini_x1e6"]
+           for r in gini_coefficient(g, "key", "v").collect()}
+    assert got["even"] == 0
+    n, tot = 4, 100
+    ix = 1 * 1 + 2 * 1 + 3 * 1 + 4 * 97
+    num, den = 2 * ix - (n + 1) * tot, n * tot
+    assert got["whale"] == num // den * 10**6 + num % den * 10**6 // den
+
+    # population whose counts exactly mirror the per-mille table
+    rows = []
+    for d, p in enumerate(BENFORD_PERMILLE, start=1):
+        rows += [("nat", d * 10)] * p
+    b = spark.createDataFrame(rows, "key string, v long")
+    out = benford_profile(b, "key", "v").collect()
+    assert all(r["chi2_x1000"] == 0 for r in out)
+    got_d = {r["digit"]: r["observed"] for r in out}
+    assert got_d == {d: p for d, p in enumerate(BENFORD_PERMILLE, start=1)}
