@@ -20071,7 +20071,129 @@ FROM terms
 
 
 
+# ---------------------------------------------------------------------------
+# Q: URL canonicalization — crawl-dedup collapse readout per domain
+# ---------------------------------------------------------------------------
+
+_URL_FIXTURE = (
+    "CASE c_custkey % 5"
+    " WHEN 0 THEN concat('https://', upper(concat('www.',"
+    "   lower(c_mktsegment), '.com')), ':443/c/',"
+    "   CAST(c_custkey DIV 7 AS STRING), '/?utm_source=a&b=2&a=1#x')"
+    " WHEN 1 THEN concat('https://www.', lower(c_mktsegment), '.com/c/',"
+    "   CAST(c_custkey DIV 7 AS STRING), '?a=1&b=2')"
+    " WHEN 2 THEN concat('HTTP://www.', lower(c_mktsegment), '.com:80/c/',"
+    "   CAST(c_custkey DIV 7 AS STRING))"
+    " WHEN 3 THEN concat('http://www.', lower(c_mktsegment), '.com/c/',"
+    "   CAST(c_custkey DIV 7 AS STRING))"
+    " ELSE concat('bare-text-', CAST(c_custkey AS STRING)) END"
+)
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl canonicalization collapse: five URL disguises of the same
+    pages (case, default ports, fragments, tracking params, param order,
+    trailing slashes) built deterministically per customer; after
+    normalize_urls, raw-distinct collapses toward norm-distinct per
+    domain — the under-counted-dedup readout. Non-URL rows pass through
+    flagged."""
+    from .operators.text import normalize_urls
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", F.expr(_URL_FIXTURE).alias("url")
+    )
+    n = normalize_urls(c)
+    return (
+        n.groupBy("is_url", "domain")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct("url").cast("long").alias("n_raw_distinct"),
+            F.countDistinct("url_norm").cast("long").alias("n_norm_distinct"),
+        )
+    )
+
+
+URL_DEDUP_SQL = """
+WITH src AS (
+  SELECT c_custkey,
+         CASE c_custkey % 5
+           WHEN 0 THEN 'https://' || upper('www.' || lower(c_mktsegment)
+             || '.com') || ':443/c/' || CAST(c_custkey // 7 AS VARCHAR)
+             || '/?utm_source=a&b=2&a=1#x'
+           WHEN 1 THEN 'https://www.' || lower(c_mktsegment) || '.com/c/'
+             || CAST(c_custkey // 7 AS VARCHAR) || '?a=1&b=2'
+           WHEN 2 THEN 'HTTP://www.' || lower(c_mktsegment) || '.com:80/c/'
+             || CAST(c_custkey // 7 AS VARCHAR)
+           WHEN 3 THEN 'http://www.' || lower(c_mktsegment) || '.com/c/'
+             || CAST(c_custkey // 7 AS VARCHAR)
+           ELSE 'bare-text-' || CAST(c_custkey AS VARCHAR) END AS url
+  FROM customer
+),
+parsed AS (
+  SELECT url, instr(url, '://') > 0 AS is_url,
+         lower(string_split(url, '://')[1]) AS scheme,
+         string_split(url, '://')[2] AS rest0
+  FROM src
+),
+s2 AS (
+  SELECT *, string_split(rest0, '#')[1] AS defrag FROM parsed
+),
+s3 AS (
+  SELECT *, lower(string_split(defrag, '/')[1]) AS hostport FROM s2
+),
+s4 AS (
+  SELECT *,
+         CASE WHEN scheme = 'http'
+                   AND substr(hostport, len(hostport) - 2, 3) = ':80'
+              THEN substr(hostport, 1, len(hostport) - 3)
+              WHEN scheme = 'https'
+                   AND substr(hostport, len(hostport) - 3, 4) = ':443'
+              THEN substr(hostport, 1, len(hostport) - 4)
+              ELSE hostport END AS host,
+         substr(defrag, len(string_split(defrag, '/')[1]) + 1) AS pathq
+  FROM s3
+),
+s5 AS (
+  SELECT *, string_split(pathq, '?')[1] AS path0,
+         list_sort(list_filter(
+           string_split(coalesce(string_split(pathq, '?')[2], ''), '&'),
+           p -> p <> '' AND NOT (substr(p, 1, 4) = 'utm_'
+                OR substr(p, 1, 6) = 'fbclid' OR substr(p, 1, 5) = 'gclid'
+                OR substr(p, 1, 3) = 'ref'))) AS params
+  FROM s4
+),
+s6 AS (
+  SELECT *,
+         CASE WHEN path0 = '' OR path0 IS NULL THEN '/'
+              WHEN len(path0) > 1 AND substr(path0, len(path0), 1) = '/'
+              THEN substr(path0, 1, len(path0) - 1)
+              ELSE path0 END AS path
+  FROM s5
+),
+normed AS (
+  SELECT url, is_url,
+         CASE WHEN is_url THEN scheme || '://' || host || path
+              || CASE WHEN len(params) > 0
+                 THEN '?' || array_to_string(params, '&') ELSE '' END
+              ELSE url END AS url_norm,
+         CASE WHEN is_url THEN array_to_string(
+           (string_split(host, '.'))[
+             greatest(len(string_split(host, '.')) - 1, 1) :
+             greatest(len(string_split(host, '.')) - 1, 1) + 1], '.')
+         END AS domain
+  FROM s6
+)
+SELECT is_url, domain,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT url) AS BIGINT) AS n_raw_distinct,
+       CAST(count(DISTINCT url_norm) AS BIGINT) AS n_norm_distinct
+FROM normed GROUP BY is_url, domain
+"""
+
+
+
 QUERIES = {
+    "url_dedup": q_url_dedup,
     "robust_means": q_robust_means,
     "gini_user_activity": q_gini_user_activity,
     "benford_screen": q_benford_screen,
@@ -20434,6 +20556,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "url_dedup": URL_DEDUP_SQL,
     "robust_means": ROBUST_MEANS_SQL,
     "gini_user_activity": GINI_USER_ACTIVITY_SQL,
     "benford_screen": BENFORD_SCREEN_SQL,

@@ -2303,3 +2303,123 @@ def bleu_log2(
             ).alias("bleu_log2_x16"),
         )
     )
+
+
+#: query-param prefixes dropped by URL normalization (tracking noise)
+TRACKING_PARAM_PREFIXES = ("utm_", "fbclid", "gclid", "ref")
+
+
+def normalize_urls(
+    df: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """RFC-3986-lite URL canonicalization — the first pass of any crawl
+    curation pipeline, where the SAME page hides behind case, default
+    ports, fragments, tracking params, param order and trailing slashes,
+    and exact dedup under-counts until they collapse. Steps (documented
+    contract, applied in order):
+
+      1. lowercase scheme and host;
+      2. strip the fragment;
+      3. strip default ports (:80 for http, :443 for https);
+      4. drop tracking query params (prefixes in
+         TRACKING_PARAM_PREFIXES), SORT the rest, rejoin;
+      5. strip one trailing slash from a non-root path; empty path
+         becomes '/'.
+
+    Engine-neutral by construction: split / lower / substring / sorted
+    array rejoin only — no regex classes, no URL library (DuckDB has
+    none; the oracle replays the identical steps). Rows without '://'
+    pass through unchanged with is_url = false. Map-only (zero
+    exchanges); whole-stage codegen keeps it scan-speed.
+
+    Adds (url_norm, is_url, scheme, host, domain, path_depth, n_params)
+    — `domain` is the last-two-labels heuristic (a public-suffix list is
+    the production upgrade, same column contract).
+    """
+    has = F.expr(f"instr({url_col}, '://') > 0")
+    scheme = F.expr(f"lower(element_at(split({url_col}, '://'), 1))")
+    rest = F.expr(f"try_element_at(split({url_col}, '://'), 2)")
+    return (
+        df.withColumn("is_url", has)
+        .withColumn("__scheme", F.when(has, scheme))
+        .withColumn("__rest0", rest)
+        .withColumn("__defrag", F.when(has, F.expr("element_at(split(__rest0, '#'), 1)")))
+        .withColumn("__hostport", F.expr("lower(element_at(split(__defrag, '/'), 1))"))
+        .withColumn(
+            "__host",
+            F.expr(
+                "CASE WHEN __scheme = 'http' AND substring(__hostport,"
+                " length(__hostport) - 2, 3) = ':80'"
+                " THEN substring(__hostport, 1, length(__hostport) - 3)"
+                " WHEN __scheme = 'https' AND substring(__hostport,"
+                " length(__hostport) - 3, 4) = ':443'"
+                " THEN substring(__hostport, 1, length(__hostport) - 4)"
+                " ELSE __hostport END"
+            ),
+        )
+        .withColumn(
+            "__pathq",
+            F.expr(
+                "substring(__defrag, length(element_at(split(__defrag, '/'), 1))"
+                " + 1)"
+            ),
+        )
+        .withColumn("__path0", F.expr("element_at(split(__pathq, '[?]'), 1)"))
+        .withColumn(
+            "__path",
+            F.expr(
+                "CASE WHEN __path0 = '' OR __path0 IS NULL THEN '/'"
+                " WHEN length(__path0) > 1 AND substring(__path0,"
+                " length(__path0), 1) = '/'"
+                " THEN substring(__path0, 1, length(__path0) - 1)"
+                " ELSE __path0 END"
+            ),
+        )
+        .withColumn(
+            "__params",
+            F.expr(
+                "array_sort(filter(split(coalesce(try_element_at(split(__pathq,"
+                " '[?]'), 2), ''), '&'), p -> p != '' AND NOT ("
+                + " OR ".join(
+                    f"substring(p, 1, {len(pre)}) = '{pre}'"
+                    for pre in TRACKING_PARAM_PREFIXES
+                )
+                + ")))"
+            ),
+        )
+        .withColumn(
+            "url_norm",
+            F.when(
+                has,
+                F.expr(
+                    "concat(__scheme, '://', __host, __path,"
+                    " CASE WHEN size(__params) > 0"
+                    " THEN concat('?', array_join(__params, '&'))"
+                    " ELSE '' END)"
+                ),
+            ).otherwise(F.col(url_col)),
+        )
+        .withColumn("scheme", F.col("__scheme"))
+        .withColumn("host", F.col("__host"))
+        .withColumn(
+            "domain",
+            F.expr(
+                "CASE WHEN host IS NULL THEN NULL ELSE array_join(slice("
+                "split(host, '[.]'), greatest(size(split(host, '[.]')) - 1, 1),"
+                " 2), '.') END"
+            ),
+        )
+        .withColumn(
+            "path_depth",
+            F.expr(
+                "CASE WHEN __path = '/' THEN CAST(0 AS BIGINT)"
+                " ELSE CAST(size(split(__path, '/')) - 1 AS BIGINT) END"
+            ),
+        )
+        .withColumn("n_params", F.expr("CAST(size(__params) AS BIGINT)"))
+        .drop(
+            "__scheme", "__rest0", "__defrag", "__hostport", "__host",
+            "__pathq", "__path0", "__path", "__params",
+        )
+    )

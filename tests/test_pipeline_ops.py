@@ -7363,3 +7363,35 @@ def test_robust_forensic_stats_match_python(spark):
     assert all(r["chi2_x1000"] == 0 for r in out)
     got_d = {r["digit"]: r["observed"] for r in out}
     assert got_d == {d: p for d, p in enumerate(BENFORD_PERMILLE, start=1)}
+
+
+def test_normalize_urls_canonical_cases(spark):
+    """URL canonicalization contract: case, default ports, fragments,
+    tracking params, param sort, trailing slash; non-default ports kept;
+    non-URLs pass through flagged."""
+    from chronographer_spark.operators.text import normalize_urls
+
+    rows = [
+        (1, "HTTPS://WWW.Example.COM:443/Shop/Items/?utm_source=x&b=2&a=1#f"),
+        (2, "http://example.com:80/"),
+        (3, "https://www.example.com/shop/items?a=1&b=2"),
+        (4, "not a url"),
+        (5, "http://sub.shop.example.co:8080/a/b/c?z=9&utm_campaign=s&y=8"),
+        (6, "https://www.example.com/Shop/Items?a=1&b=2"),
+    ]
+    got = {
+        r["id"]: (r["url_norm"], r["is_url"], r["host"], r["domain"],
+                  r["path_depth"], r["n_params"])
+        for r in normalize_urls(
+            spark.createDataFrame(rows, "id long, url string")
+        ).collect()
+    }
+    assert got[1] == ("https://www.example.com/Shop/Items?a=1&b=2", True,
+                      "www.example.com", "example.com", 2, 2)
+    assert got[1][0] == got[6][0]          # disguises collapse
+    assert got[2] == ("http://example.com/", True, "example.com",
+                      "example.com", 0, 0)
+    assert got[3][0] == "https://www.example.com/shop/items?a=1&b=2"
+    assert got[4] == ("not a url", False, None, None, 0, 0)
+    # non-default port preserved; params sorted, tracking dropped
+    assert got[5][0] == "http://sub.shop.example.co:8080/a/b/c?y=8&z=9"
