@@ -20192,7 +20192,84 @@ FROM normed GROUP BY is_url, domain
 
 
 
+# ---------------------------------------------------------------------------
+# Q: Welch's t-test per event type between user-parity groups
+# ---------------------------------------------------------------------------
+
+
+def q_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample screen per event type: odd-user 'purchase'
+    amounts carry a planted +20.00 shift; its t2_log2_x16 reads far
+    above 31 (~16*log2(3.84)) while parity splits of untouched types
+    calibrate the null — the one-pass parametric companion to the exact
+    permutation test."""
+    from .operators.classifier import welch_t
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(user_id % 2 AS BIGINT)").alias("g"),
+        F.expr(
+            "CAST(floor(value * 100 + 0.5) AS BIGINT)"
+            " + CASE WHEN event_type = 'purchase' AND user_id % 2 = 1"
+            " THEN 2000 ELSE 0 END"
+        ).alias("cents"),
+    )
+    return welch_t(ev, "event_type", "g", "cents").select(
+        F.col("key").alias("event_type"), "n0", "n1", "mean0_x1e6",
+        "mean1_x1e6", "d_x1e6", "t2_log2_x16",
+    )
+
+
+def _welch_sql() -> str:
+    def stage(a: str, t: str, k: str) -> str:
+        return f"(({a}) // ({t}) * {k} + ({a}) % ({t}) * {k} // ({t}))"
+
+    m0 = stage("s0", "n0", "1000000")
+    m1 = stage("s1", "n1", "1000000")
+    d0 = stage("(n0 * q0 - s0 * s0)", "(n0 * n0 * (n0 - 1))", "1000000")
+    d1 = stage("(n1 * q1 - s1 * s1)", "(n1 * n1 * (n1 - 1))", "1000000")
+    t2 = (
+        f"2 * {_duck_msb16(f'abs(({m1}) - ({m0}))')}"
+        f" - {_duck_msb16(f'greatest(({d0}) + ({d1}), CAST(1 AS BIGINT))')}"
+        " - 320"
+    )
+    ok = (
+        "n0 >= 2 AND n1 >= 2"
+        " AND (n0 * q0 - s0 * s0) + (n1 * q1 - s1 * s1) > 0"
+    )
+    return f"""
+WITH base AS (
+  SELECT event_type AS key, CAST(user_id % 2 AS BIGINT) AS g,
+         CAST(floor(value * 100 + 0.5) AS BIGINT)
+           + CASE WHEN event_type = 'purchase' AND user_id % 2 = 1
+             THEN 2000 ELSE 0 END AS v
+  FROM events
+),
+agg AS (
+  SELECT key,
+         CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN g = 0 THEN v ELSE 0 END) AS BIGINT) AS s0,
+         CAST(sum(CASE WHEN g = 1 THEN v ELSE 0 END) AS BIGINT) AS s1,
+         CAST(sum(CASE WHEN g = 0 THEN v * v ELSE 0 END) AS BIGINT) AS q0,
+         CAST(sum(CASE WHEN g = 1 THEN v * v ELSE 0 END) AS BIGINT) AS q1
+  FROM base GROUP BY key
+)
+SELECT key AS event_type, n0, n1,
+       CAST({m0} AS BIGINT) AS mean0_x1e6,
+       CAST({m1} AS BIGINT) AS mean1_x1e6,
+       CAST(({m1}) - ({m0}) AS BIGINT) AS d_x1e6,
+       CASE WHEN {ok} THEN CAST({t2} AS BIGINT) END AS t2_log2_x16
+FROM agg
+"""
+
+
+WELCH_T_SQL = _welch_sql()
+
+
+
 QUERIES = {
+    "welch_t": q_welch_t,
     "url_dedup": q_url_dedup,
     "robust_means": q_robust_means,
     "gini_user_activity": q_gini_user_activity,
@@ -20556,6 +20633,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "welch_t": WELCH_T_SQL,
     "url_dedup": URL_DEDUP_SQL,
     "robust_means": ROBUST_MEANS_SQL,
     "gini_user_activity": GINI_USER_ACTIVITY_SQL,

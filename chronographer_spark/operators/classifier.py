@@ -1372,3 +1372,87 @@ def benford_profile(
     return withp.withColumn(
         "chi2_x1000", F.sum("__term").over(wall).cast("long")
     ).select("key", "digit", "observed", "n", "expected_permille", "chi2_x1000")
+
+
+def welch_t(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Welch's unequal-variance t-test per key between groups 0 and 1 —
+    the classical two-sample mean test beside the exact permutation test
+    (that one is assumption-free but costs n_perms passes; this is the
+    one-pass parametric screen a dashboard runs first):
+    t^2 = (m1 - m0)^2 / (v0/n0 + v1/n1).
+
+    Exact-integer contract (CLAUDE.md staged-quotient toolkit): group
+    means are staged 1e6 quotients of BIGINT sums; each variance-over-n
+    term v_g/n_g = (n*Q - S^2) / (n^2*(n-1)) is the two-stage
+    quotient in 1e6 units (intermediate a%t*1e6 <= n^3*1e6 —
+    BIGINT-safe to n ~ 2e4 per key; lift staging past that); t^2 is
+    emitted in 16*log2 units via the msb16 identity
+    2*msb16(|d_x1e6|) - msb16(D_x1e6) - 320 (sidesteps d^2 overflow,
+    the log-rank device). 16*log2(3.84) ~ 31 is the 5% line for large df.
+    Degenerate keys (a group with n < 2 or zero pooled variance) emit
+    NULL t2.
+
+    Shape: ONE (key) collapse computing all six moments map-side — a
+    single exchange, |keys| rows out.
+
+    Returns (key, n0, n1, mean0_x1e6, mean1_x1e6, d_x1e6, t2_log2_x16).
+    """
+    from .sampling import _msb16_sql
+
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(group_col).cast("long").alias("g"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    agg = base.groupBy("key").agg(
+        F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).cast("long").alias("n0"),
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("g") == 0, F.col("v")).otherwise(0))
+        .cast("long")
+        .alias("s0"),
+        F.sum(F.when(F.col("g") == 1, F.col("v")).otherwise(0))
+        .cast("long")
+        .alias("s1"),
+        F.sum(F.when(F.col("g") == 0, F.col("v") * F.col("v")).otherwise(0))
+        .cast("long")
+        .alias("q0"),
+        F.sum(F.when(F.col("g") == 1, F.col("v") * F.col("v")).otherwise(0))
+        .cast("long")
+        .alias("q1"),
+    )
+
+    def stage(a: str, t: str, k: str) -> str:
+        return f"(({a}) DIV ({t}) * {k} + ({a}) % ({t}) * {k} DIV ({t}))"
+
+    m0 = stage("s0", "n0", "CAST(1000000 AS BIGINT)")
+    m1 = stage("s1", "n1", "CAST(1000000 AS BIGINT)")
+    d0 = stage(
+        "(n0 * q0 - s0 * s0)", "(n0 * n0 * (n0 - 1))",
+        "CAST(1000000 AS BIGINT)",
+    )
+    d1 = stage(
+        "(n1 * q1 - s1 * s1)", "(n1 * n1 * (n1 - 1))",
+        "CAST(1000000 AS BIGINT)",
+    )
+    t2 = (
+        f"2 * {_msb16_sql(f'abs(({m1}) - ({m0}))')}"
+        f" - {_msb16_sql(f'greatest(({d0}) + ({d1}), CAST(1 AS BIGINT))')}"
+        " - 320"
+    )
+    ok = "n0 >= 2 AND n1 >= 2 AND (n0 * q0 - s0 * s0) + (n1 * q1 - s1 * s1) > 0"
+    return agg.select(
+        "key",
+        "n0",
+        "n1",
+        F.expr(f"CAST({m0} AS BIGINT)").alias("mean0_x1e6"),
+        F.expr(f"CAST({m1} AS BIGINT)").alias("mean1_x1e6"),
+        F.expr(f"CAST(({m1}) - ({m0}) AS BIGINT)").alias("d_x1e6"),
+        F.expr(
+            f"CASE WHEN {ok} THEN CAST({t2} AS BIGINT) ELSE NULL END"
+        ).alias("t2_log2_x16"),
+    )

@@ -7395,3 +7395,48 @@ def test_normalize_urls_canonical_cases(spark):
     assert got[4] == ("not a url", False, None, None, 0, 0)
     # non-default port preserved; params sorted, tracking dropped
     assert got[5][0] == "http://sub.shop.example.co:8080/a/b/c?y=8&z=9"
+
+
+def test_welch_t_matches_python_replay(spark):
+    """Welch t^2 in 16*log2 units: staged means/variance terms replayed
+    exactly; separated groups read high, identical groups degenerate."""
+    from chronographer_spark.operators.classifier import welch_t
+
+    rows = [("sep", 0, v) for v in (10, 12, 11, 13, 9)]
+    rows += [("sep", 1, v) for v in (30, 29, 31, 28, 32)]
+    rows += [("flat", 0, 5), ("flat", 0, 5), ("flat", 1, 5), ("flat", 1, 5)]
+    rows += [("tiny", 0, 1), ("tiny", 1, 2)]
+    df = spark.createDataFrame(rows, "key string, g long, v long")
+
+    def msb16(q):
+        q = min(max(q, 1), 1 << 52)
+        lg = q.bit_length() - 1
+        return 16 * lg + q * 16 // (1 << lg) - 16
+
+    def stage(a, t, k):
+        return a // t * k + a % t * k // t
+
+    want = {}
+    for key in ("sep", "flat", "tiny"):
+        g0 = [v for k, g, v in rows if k == key and g == 0]
+        g1 = [v for k, g, v in rows if k == key and g == 1]
+        n0, n1 = len(g0), len(g1)
+        s0, s1 = sum(g0), sum(g1)
+        q0, q1 = sum(v * v for v in g0), sum(v * v for v in g1)
+        m0, m1 = stage(s0, n0, 10**6), stage(s1, n1, 10**6)
+        t2 = None
+        vsum = (n0 * q0 - s0 * s0) + (n1 * q1 - s1 * s1)
+        if n0 >= 2 and n1 >= 2 and vsum > 0:
+            d0 = stage(n0 * q0 - s0 * s0, n0 * n0 * (n0 - 1), 10**6)
+            d1 = stage(n1 * q1 - s1 * s1, n1 * n1 * (n1 - 1), 10**6)
+            t2 = 2 * msb16(abs(m1 - m0)) - msb16(max(d0 + d1, 1)) - 320
+        want[key] = (n0, n1, m0, m1, m1 - m0, t2)
+    got = {
+        r["key"]: (r["n0"], r["n1"], r["mean0_x1e6"], r["mean1_x1e6"],
+                   r["d_x1e6"], r["t2_log2_x16"])
+        for r in welch_t(df, "key", "g", "v").collect()
+    }
+    assert got == want
+    assert got["sep"][5] > 31          # clearly separated
+    assert got["flat"][5] is None      # zero variance -> degenerate
+    assert got["tiny"][5] is None      # n < 2
