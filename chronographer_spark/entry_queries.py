@@ -20268,7 +20268,99 @@ WELCH_T_SQL = _welch_sql()
 
 
 
+# ---------------------------------------------------------------------------
+# Q: KL / Jensen-Shannon categorical drift per user cohort
+# ---------------------------------------------------------------------------
+
+
+def q_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL/JS drift per user cohort (user_id % 4) between the first 75%
+    of events (reference) and the last 25% (current): cohort 0's late
+    events are all relabeled 'error' — its type distribution collapses
+    and kl/js spike while untouched cohorts calibrate near 0. The
+    information-theoretic drift pair beside ks/w1/tvd."""
+    from .operators.classifier import categorical_drift_kl
+
+    ev = _t(spark, sf_dir, "events")
+    mx = ev.agg(F.max("event_id").cast("long").alias("__mx"))
+    base = ev.crossJoin(F.broadcast(mx)).select(
+        F.expr("CAST(user_id % 4 AS BIGINT)").alias("cohort"),
+        F.expr(
+            "CASE WHEN user_id % 4 = 0 AND event_id > __mx * 3 DIV 4"
+            " THEN 'error' ELSE event_type END"
+        ).alias("cat"),
+        F.expr(
+            "CASE WHEN event_id > __mx * 3 DIV 4 THEN 1 ELSE 0 END"
+        ).alias("side"),
+    )
+    return categorical_drift_kl(base, "cohort", "cat", "side").select(
+        F.col("key").alias("cohort"), "v_support", "n_ref", "n_cur",
+        "kl_pq_x16e3", "kl_qp_x16e3", "js_x16e3",
+    )
+
+
+def _kl_drift_sql() -> str:
+    t_pq = f"({_duck_msb16('(a * 1048576 // aa) * bb // b')} - 320)"
+    t_qp = f"({_duck_msb16('(b * 1048576 // bb) * aa // a')} - 320)"
+    t_pm = f"({_duck_msb16('(2 * a * bb * 1048576) // (a * bb + b * aa)')} - 320)"
+    t_qm = f"({_duck_msb16('(2 * b * aa * 1048576) // (a * bb + b * aa)')} - 320)"
+
+    def stage(a: str, t: str) -> str:
+        return f"(({a}) // ({t}) * 1000 + ({a}) % ({t}) * 1000 // ({t}))"
+
+    return f"""
+WITH mx AS (SELECT CAST(max(event_id) AS BIGINT) AS m FROM events),
+base AS (
+  SELECT CAST(user_id % 4 AS BIGINT) AS key,
+         CASE WHEN user_id % 4 = 0
+                   AND event_id > (SELECT m FROM mx) * 3 // 4
+              THEN 'error' ELSE event_type END AS cat,
+         CASE WHEN event_id > (SELECT m FROM mx) * 3 // 4
+              THEN 1 ELSE 0 END AS side
+  FROM events
+),
+counts AS (
+  SELECT key, cat,
+         CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+         CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cq
+  FROM base GROUP BY key, cat
+),
+wc AS (
+  SELECT key, cp + 1 AS a, cq + 1 AS b,
+         CAST(count(*) OVER (PARTITION BY key) AS BIGINT) AS v,
+         CAST(sum(cp) OVER (PARTITION BY key) AS BIGINT) AS np,
+         CAST(sum(cq) OVER (PARTITION BY key) AS BIGINT) AS nq
+  FROM counts
+),
+wc2 AS (SELECT *, np + v AS aa, nq + v AS bb FROM wc),
+terms AS (
+  SELECT key, v, np, nq, aa, bb,
+         a * {t_pq} AS spq, b * {t_qp} AS sqp,
+         a * {t_pm} AS spm, b * {t_qm} AS sqm
+  FROM wc2
+),
+agg AS (
+  SELECT key, max(v) AS v_support, max(np) AS n_ref, max(nq) AS n_cur,
+         max(aa) AS aa, max(bb) AS bb,
+         CAST(sum(spq) AS BIGINT) AS pq, CAST(sum(sqp) AS BIGINT) AS qp,
+         CAST(sum(spm) AS BIGINT) AS pm, CAST(sum(sqm) AS BIGINT) AS qm
+  FROM terms GROUP BY key
+)
+SELECT key AS cohort, v_support, n_ref, n_cur,
+       CAST({stage('pq', 'aa')} AS BIGINT) AS kl_pq_x16e3,
+       CAST({stage('qp', 'bb')} AS BIGINT) AS kl_qp_x16e3,
+       CAST(({stage('pm', 'aa')} + {stage('qm', 'bb')}) // 2 AS BIGINT)
+         AS js_x16e3
+FROM agg
+"""
+
+
+KL_DRIFT_SQL = _kl_drift_sql()
+
+
+
 QUERIES = {
+    "kl_drift": q_kl_drift,
     "welch_t": q_welch_t,
     "url_dedup": q_url_dedup,
     "robust_means": q_robust_means,
@@ -20633,6 +20725,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "kl_drift": KL_DRIFT_SQL,
     "welch_t": WELCH_T_SQL,
     "url_dedup": URL_DEDUP_SQL,
     "robust_means": ROBUST_MEANS_SQL,

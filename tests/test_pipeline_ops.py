@@ -7440,3 +7440,54 @@ def test_welch_t_matches_python_replay(spark):
     assert got["sep"][5] > 31          # clearly separated
     assert got["flat"][5] is None      # zero variance -> degenerate
     assert got["tiny"][5] is None      # n < 2
+
+
+def test_categorical_drift_kl_matches_python_replay(spark):
+    """KL/JS drift: exact msb16 staged replica; identical distributions
+    read within the quantization band of zero, a planted category swap
+    reads strongly positive."""
+    from chronographer_spark.operators.classifier import categorical_drift_kl
+
+    rows = []
+    # key 'same': identical ref/cur distributions
+    for side in (0, 1):
+        rows += [("same", c, side) for c in "aabbc"]
+    # key 'shift': cur collapses onto 'z'
+    rows += [("shift", c, 0) for c in "aabbc"]
+    rows += [("shift", "z", 1)] * 5
+    df = spark.createDataFrame(rows, "key string, cat string, side long")
+
+    def msb16(q):
+        q = min(max(q, 1), 1 << 52)
+        lg = q.bit_length() - 1
+        return 16 * lg + q * 16 // (1 << lg) - 16
+
+    def stage(a, t):
+        return a // t * 1000 + a % t * 1000 // t
+
+    want = {}
+    for key in ("same", "shift"):
+        sub = [(c, s) for k, c, s in rows if k == key]
+        cats = sorted({c for c, _ in sub})
+        v = len(cats)
+        cp = {c: sum(1 for cc, s in sub if cc == c and s == 0) for c in cats}
+        cq = {c: sum(1 for cc, s in sub if cc == c and s == 1) for c in cats}
+        np_, nq = sum(cp.values()), sum(cq.values())
+        aa, bb = np_ + v, nq + v
+        pq = qp = pm = qm = 0
+        for c in cats:
+            a, b = cp[c] + 1, cq[c] + 1
+            pq += a * (msb16((a * 1048576 // aa) * bb // b) - 320)
+            qp += b * (msb16((b * 1048576 // bb) * aa // a) - 320)
+            pm += a * (msb16((2 * a * bb * 1048576) // (a * bb + b * aa)) - 320)
+            qm += b * (msb16((2 * b * aa * 1048576) // (a * bb + b * aa)) - 320)
+        want[key] = (v, np_, nq, stage(pq, aa), stage(qp, bb),
+                     (stage(pm, aa) + stage(qm, bb)) // 2)
+    got = {
+        r["key"]: (r["v_support"], r["n_ref"], r["n_cur"],
+                   r["kl_pq_x16e3"], r["kl_qp_x16e3"], r["js_x16e3"])
+        for r in categorical_drift_kl(df, "key", "cat", "side").collect()
+    }
+    assert got == want
+    assert abs(got["same"][3]) < 2000          # quantization band of zero
+    assert got["shift"][3] > 10000             # strong drift
