@@ -20359,7 +20359,77 @@ KL_DRIFT_SQL = _kl_drift_sql()
 
 
 
+# ---------------------------------------------------------------------------
+# Q: Hill tail-index contrast — Pareto-by-construction vs bounded values
+# ---------------------------------------------------------------------------
+
+
+def q_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator (k=50) on two populations: 'pareto' =
+    1e6 DIV (1 + custkey % 1000) — the inverse-uniform construction IS
+    Pareto(alpha=1), so alpha_x1e3 reads ~1000 — vs the bounded
+    'balances' population whose truncated tail reads a much larger
+    alpha. The is-my-metric-heavy-tailed readout behind every skew
+    mitigation in this repo."""
+    from .operators.temporal import hill_tail_index
+
+    c = _t(spark, sf_dir, "customer")
+    pops = c.select(
+        F.lit("pareto").alias("pop"),
+        F.expr("CAST(1000000 DIV (1 + c_custkey % 1000) AS BIGINT)").alias(
+            "v"
+        ),
+    ).unionByName(
+        c.select(
+            F.lit("balances").alias("pop"),
+            F.expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)").alias("v"),
+        )
+    )
+    return hill_tail_index(pops, "pop", "v", k=50).select(
+        F.col("key").alias("pop"), "k", "x_k1", "hill_log2_x16e3",
+        "alpha_x1e3",
+    )
+
+
+HILL_TAIL_SQL = f"""
+WITH pops AS (
+  SELECT 'pareto' AS key,
+         CAST(1000000 // (1 + c_custkey % 1000) AS BIGINT) AS v
+  FROM customer
+  UNION ALL
+  SELECT 'balances', CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+  FROM customer
+),
+pos AS (SELECT key, v FROM pops WHERE v > 0),
+topk AS (
+  SELECT key, v,
+         CAST(row_number() OVER (PARTITION BY key ORDER BY v DESC)
+              AS BIGINT) AS rn
+  FROM pos QUALIFY rn <= 51
+),
+wk AS (
+  SELECT key, v, rn,
+         CAST(min(v) OVER (PARTITION BY key) AS BIGINT) AS x_k1,
+         CAST(count(*) OVER (PARTITION BY key) AS BIGINT) AS nk
+  FROM topk
+),
+agg AS (
+  SELECT key, max(x_k1) AS x_k1,
+         CAST(sum({_duck_msb16('v * 1048576 // x_k1')} - 320) AS BIGINT) AS s
+  FROM wk WHERE nk = 51 AND rn <= 50 GROUP BY key
+)
+SELECT key AS pop, CAST(50 AS BIGINT) AS k, x_k1,
+       CAST(s // 50 * 1000 + s % 50 * 1000 // 50 AS BIGINT)
+         AS hill_log2_x16e3,
+       CAST(23083000 // greatest(s // 50 * 1000 + s % 50 * 1000 // 50,
+                                 CAST(1 AS BIGINT)) AS BIGINT) AS alpha_x1e3
+FROM agg
+"""
+
+
+
 QUERIES = {
+    "hill_tail": q_hill_tail,
     "kl_drift": q_kl_drift,
     "welch_t": q_welch_t,
     "url_dedup": q_url_dedup,
@@ -20725,6 +20795,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "hill_tail": HILL_TAIL_SQL,
     "kl_drift": KL_DRIFT_SQL,
     "welch_t": WELCH_T_SQL,
     "url_dedup": URL_DEDUP_SQL,

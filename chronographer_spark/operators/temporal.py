@@ -2863,3 +2863,73 @@ def haar_energy(
             F.sum(F.col("d") * F.col("d")).cast("long").alias("energy"),
         )
     )
+
+
+def hill_tail_index(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    k: int = 50,
+) -> DataFrame:
+    """Hill tail-index estimator per key (Hill 1975) — the heavy-tail
+    monitor that says whether a positive metric (spend, degree, tokens,
+    latency) has a power-law tail and how fat: over the top k order
+    statistics, H = mean log(x_i / x_(k+1)); the Pareto exponent is
+    alpha = 1/H. The quantitative companion to zipf_msb_slope (that one
+    fits the whole rank curve; this one measures just the tail, which is
+    what breaks percentile SLOs and skew assumptions).
+
+    Exact-integer contract: log terms via the msb16 device —
+    term_i = msb16(x_i * 2^20 DIV x_(k+1)) - 320 (16*log2 units), H
+    emitted as the staged milli quotient hill_log2_x16e3 = sum DIV k;
+    alpha_x1e3 = 23083000 DIV hill_log2_x16e3 (23083 ~ 16000*log2 e,
+    the documented BLEU-style quantization of the ln->log2 change of
+    base). Keys with fewer than k+1 positive values emit nothing (the
+    estimator is undefined); x_(k+1) = 0 cannot happen (positives only).
+    Saturation: when the top k+1 values sit within one 1/16 octave
+    (bounded/near-constant tails), every term quantizes to 0 and alpha
+    reads the 23083000 cap — the 'no measurable tail' verdict (the
+    sf0.01 balances population does exactly this).
+
+    Shape: one key window top-(k+1) + one rollup — single exchange; k is
+    a constant, so the window never materializes a full sort at scale
+    (rank pushdown to TakeOrdered per key group).
+
+    Returns (key, k, x_k1, hill_log2_x16e3, alpha_x1e3).
+    """
+    from .sampling import _msb16_sql
+
+    # rank ties broken arbitrarily is SAFE: equal values contribute equal
+    # terms, so the top-k value MULTISET (and x_(k+1)) is tie-invariant
+    w = Window.partitionBy("key").orderBy(F.desc("v"))
+    wall = Window.partitionBy("key")
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(value_col).cast("long").alias("v"),
+    ).filter(F.col("v") > 0)
+    topk = (
+        base.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k + 1)
+        .withColumn("x_k1", F.min("v").over(wall).cast("long"))
+        .withColumn("__nk", F.count(F.lit(1)).over(wall).cast("long"))
+        .filter(F.col("__nk") == k + 1)
+    )
+    term = f"({_msb16_sql('v * 1048576 DIV x_k1')} - 320)"
+    agg = (
+        topk.filter(F.col("rn") <= k)
+        .groupBy("key")
+        .agg(
+            F.max("x_k1").alias("x_k1"),
+            F.sum(F.expr(term)).cast("long").alias("__s"),
+        )
+    )
+    h = "(__s DIV {k} * 1000 + __s % {k} * 1000 DIV {k})".format(k=k)
+    return agg.select(
+        "key",
+        F.lit(k).cast("long").alias("k"),
+        "x_k1",
+        F.expr(f"CAST({h} AS BIGINT)").alias("hill_log2_x16e3"),
+        F.expr(
+            f"CAST(23083000 DIV greatest({h}, CAST(1 AS BIGINT)) AS BIGINT)"
+        ).alias("alpha_x1e3"),
+    )

@@ -7491,3 +7491,39 @@ def test_categorical_drift_kl_matches_python_replay(spark):
     assert got == want
     assert abs(got["same"][3]) < 2000          # quantization band of zero
     assert got["shift"][3] > 10000             # strong drift
+
+
+def test_hill_tail_index_matches_python_replay(spark):
+    """Hill estimator: msb16 log terms over the top-k against x_(k+1),
+    exact replica; inverse-rank construction reads alpha ~ 1; short keys
+    emit nothing; near-constant tail saturates at the cap."""
+    from chronographer_spark.operators.temporal import hill_tail_index
+
+    rows = [("par", 10_000_000 // i) for i in range(1, 40)]
+    rows += [("flat", 1000)] * 30
+    rows += [("short", v) for v in (5, 4, 3)]
+    df = spark.createDataFrame(rows, "key string, v long")
+    K = 20
+
+    def msb16(q):
+        q = min(max(q, 1), 1 << 52)
+        lg = q.bit_length() - 1
+        return 16 * lg + q * 16 // (1 << lg) - 16
+
+    want = {}
+    for key in ("par", "flat"):
+        vs = sorted((v for k2, v in rows if k2 == key), reverse=True)
+        if len(vs) < K + 1:
+            continue
+        xk1 = vs[K]
+        s = sum(msb16(v * 1048576 // xk1) - 320 for v in vs[:K])
+        h = s // K * 1000 + s % K * 1000 // K
+        want[key] = (K, xk1, h, 23083000 // max(h, 1))
+    got = {
+        r["key"]: (r["k"], r["x_k1"], r["hill_log2_x16e3"], r["alpha_x1e3"])
+        for r in hill_tail_index(df, "key", "v", k=K).collect()
+    }
+    assert got == want
+    assert "short" not in got
+    assert 800 <= got["par"][3] <= 1400        # alpha ~ 1 power law
+    assert got["flat"][2] == 0                 # saturated: no tail
