@@ -20428,7 +20428,134 @@ FROM agg
 
 
 
+# ---------------------------------------------------------------------------
+# Q: Bradley-Terry strengths from consecutive-event duels
+# ---------------------------------------------------------------------------
+
+
+def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arena-style BT leaderboard over event types: consecutive events
+    of each user duel, the larger PLANTED-effective cents wins
+    (purchase +30.00, click +15.00 — so the true dominance order is
+    purchase > click > rest), exact ties skipped; strengths from 2
+    pinned MM rounds, mean-normalized to 1e6."""
+    from pyspark.sql import Window
+
+    from .operators.classifier import bradley_terry
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr(
+            "CAST(floor(value * 100 + 0.5) AS BIGINT)"
+            " + CASE event_type WHEN 'purchase' THEN 3000"
+            " WHEN 'click' THEN 1500 ELSE 0 END"
+        ).alias("eff"),
+    )
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    duels = (
+        ev.withColumn("p_type", F.lag("event_type").over(w))
+        .withColumn("p_eff", F.lag("eff").over(w))
+        .filter(
+            F.col("p_type").isNotNull() & (F.col("eff") != F.col("p_eff"))
+        )
+        .select(
+            F.expr(
+                "CASE WHEN eff > p_eff THEN event_type ELSE p_type END"
+            ).alias("a"),
+            F.expr(
+                "CASE WHEN eff > p_eff THEN p_type ELSE event_type END"
+            ).alias("b"),
+        )
+    )
+    wins = duels.groupBy("a", "b").agg(F.count(F.lit(1)).alias("w"))
+    return bradley_terry(wins, rounds=2)
+
+
+BRADLEY_TERRY_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id, event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT)
+           + CASE event_type WHEN 'purchase' THEN 3000
+             WHEN 'click' THEN 1500 ELSE 0 END AS eff
+  FROM events
+),
+lagged AS (
+  SELECT *,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+           AS p_type,
+         lag(eff) OVER (PARTITION BY user_id ORDER BY event_id) AS p_eff
+  FROM ev
+),
+duels AS (
+  SELECT CASE WHEN eff > p_eff THEN event_type ELSE p_type END AS a,
+         CASE WHEN eff > p_eff THEN p_type ELSE event_type END AS b
+  FROM lagged WHERE p_type IS NOT NULL AND eff <> p_eff
+),
+wd AS (SELECT a, b, CAST(count(*) AS BIGINT) AS w FROM duels GROUP BY a, b),
+sym AS (
+  SELECT a, b, CAST(sum(w) AS BIGINT) AS w_ab FROM (
+    SELECT a, b, w FROM wd
+    UNION ALL SELECT b AS a, a AS b, 0 AS w FROM wd
+  ) GROUP BY a, b
+),
+pairs AS (
+  SELECT x.a, x.b, x.w_ab, x.w_ab + y.w_ab AS n_ab
+  FROM sym x JOIN sym y ON x.a = y.b AND x.b = y.a
+),
+items AS (
+  SELECT a, CAST(sum(w_ab) AS BIGINT) AS wins,
+         CAST(sum(n_ab) AS BIGINT) AS n_comp
+  FROM pairs GROUP BY a
+),
+ni AS (SELECT CAST(count(*) AS BIGINT) AS n_items FROM items),
+r1t AS (
+  SELECT a, CAST(sum(n_ab * CAST(1000000000000 AS BIGINT)
+                    // (1000000 + 1000000)) AS BIGINT) AS denom
+  FROM pairs GROUP BY a
+),
+r1raw AS (
+  SELECT items.a, CASE WHEN denom > 0 THEN
+           wins * CAST(1000000000000 AS BIGINT) // denom
+         ELSE CAST(0 AS BIGINT) END AS g
+  FROM items JOIN r1t USING (a)
+),
+r1s AS (SELECT CAST(sum(g) AS BIGINT) AS gsum FROM r1raw),
+g1 AS (
+  SELECT a, CASE WHEN gsum > 0 THEN
+           (g * CAST(1000000 AS BIGINT) // gsum) * (SELECT n_items FROM ni)
+         ELSE CAST(0 AS BIGINT) END AS g
+  FROM r1raw, r1s
+),
+r2t AS (
+  SELECT p.a, CAST(sum(p.n_ab * CAST(1000000000000 AS BIGINT)
+                       // (ga.g + gb.g)) AS BIGINT) AS denom
+  FROM pairs p JOIN g1 ga ON p.a = ga.a JOIN g1 gb ON p.b = gb.a
+  GROUP BY p.a
+),
+r2raw AS (
+  SELECT items.a, CASE WHEN denom > 0 THEN
+           wins * CAST(1000000000000 AS BIGINT) // denom
+         ELSE CAST(0 AS BIGINT) END AS g
+  FROM items JOIN r2t USING (a)
+),
+r2s AS (SELECT CAST(sum(g) AS BIGINT) AS gsum FROM r2raw),
+g2 AS (
+  SELECT a, CASE WHEN gsum > 0 THEN
+           (g * CAST(1000000 AS BIGINT) // gsum) * (SELECT n_items FROM ni)
+         ELSE CAST(0 AS BIGINT) END AS g
+  FROM r2raw, r2s
+)
+SELECT items.a AS item, items.wins, items.n_comp,
+       CAST(g2.g AS BIGINT) AS gamma_x1e6
+FROM items JOIN g2 ON items.a = g2.a
+"""
+
+
+
 QUERIES = {
+    "bradley_terry": q_bradley_terry,
     "hill_tail": q_hill_tail,
     "kl_drift": q_kl_drift,
     "welch_t": q_welch_t,
@@ -20795,6 +20922,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "bradley_terry": BRADLEY_TERRY_SQL,
     "hill_tail": HILL_TAIL_SQL,
     "kl_drift": KL_DRIFT_SQL,
     "welch_t": WELCH_T_SQL,

@@ -1563,3 +1563,125 @@ def categorical_drift_kl(
             " AS BIGINT)"
         ).alias("js_x16e3"),
     )
+
+
+def bradley_terry(
+    wins: DataFrame,
+    rounds: int = 2,
+    a_col: str = "a",
+    b_col: str = "b",
+    w_col: str = "w",
+) -> DataFrame:
+    """Bradley-Terry strength fitting (Zermelo 1929 / Bradley & Terry
+    1952; the model behind LLM-arena leaderboards): from directed win
+    counts w_ij, fit strengths gamma with P(i beats j) =
+    gamma_i/(gamma_i+gamma_j) by `rounds` pinned minorization-
+    maximization updates (Hunter 2004):
+        gamma'_i = W_i / sum_j n_ij/(gamma_i+gamma_j),
+    renormalized to mean 1e6 each round (BT scale is arbitrary; the
+    normalization makes the integer fixed point well-defined).
+
+    Exact-integer contract: gamma in 1e6 units; per-pair term
+    t_ij = n_ij * 1e12 DIV (gamma_i + gamma_j) (units 1e6), so
+    gamma'_i = W_i * 1e12 DIV sum_j t_ij — staged integer quotients all
+    the way, and the oracle unrolls the identical rounds. Intermediates
+    bounded by n_ij * 1e12 — BIGINT-safe while any single pair has
+    < 9e6 comparisons; aggregate counts are unbounded.
+
+    Shape: per round ONE pair-table pass (two broadcastable gamma joins
+    — the strengths table is items-sized, a dimension) + one item
+    rollup; the MM loop is driver-synchronized like BPE/k-center, with
+    `rounds` pinned for the oracle. Items with zero comparisons are
+    absent from the output (undefined strength).
+
+    Returns (item, wins, n_comp, gamma_x1e6) after `rounds` updates.
+    """
+    d = wins.select(
+        F.col(a_col).alias("a"), F.col(b_col).alias("b"),
+        F.col(w_col).cast("long").alias("w"),
+    )
+    sym = (
+        d.select("a", "b", "w")
+        .unionByName(
+            d.select(
+                F.col("b").alias("a"), F.col("a").alias("b"),
+                F.lit(0).cast("long").alias("w"),
+            )
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("w").cast("long").alias("w_ab"))
+    )
+    pairs = (
+        sym.alias("x")
+        .join(
+            sym.select(
+                F.col("a").alias("b"), F.col("b").alias("a"),
+                F.col("w_ab").alias("w_ba"),
+            ).alias("y"),
+            ["a", "b"],
+        )
+        .select("a", "b", "w_ab", F.expr("w_ab + w_ba").alias("n_ab"))
+        .localCheckpoint(eager=True)
+    )
+    items = (
+        pairs.groupBy("a")
+        .agg(
+            F.sum("w_ab").cast("long").alias("wins"),
+            F.sum("n_ab").cast("long").alias("n_comp"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    gamma = items.select(
+        "a", F.lit(1000000).cast("long").alias("g")
+    )
+    n_items_row = items.agg(F.count(F.lit(1)).cast("long").alias("n_items"))
+    for _ in range(rounds):
+        t = (
+            pairs.join(F.broadcast(gamma), "a")
+            .join(
+                F.broadcast(
+                    gamma.select(F.col("a").alias("b"), F.col("g").alias("gb"))
+                ),
+                "b",
+            )
+            .select(
+                "a",
+                F.expr(
+                    "n_ab * CAST(1000000000000 AS BIGINT) DIV (g + gb)"
+                ).alias("t"),
+            )
+            .groupBy("a")
+            .agg(F.sum("t").cast("long").alias("denom"))
+        )
+        raw = items.join(t, "a").select(
+            "a",
+            F.expr(
+                "CASE WHEN denom > 0 THEN"
+                " wins * CAST(1000000000000 AS BIGINT) DIV denom"
+                " ELSE CAST(0 AS BIGINT) END"
+            ).alias("g"),
+        )
+        tot = raw.agg(F.sum("g").cast("long").alias("gsum"))
+        gamma = (
+            raw.crossJoin(F.broadcast(tot))
+            .crossJoin(F.broadcast(n_items_row))
+            .select(
+                "a",
+                F.expr(
+                    # share-then-scale: q = g*1e6 DIV gsum (<= 1e6 since
+                    # g <= gsum), then * n_items — overflow-free for any
+                    # item count; granularity n_items*1e-6, documented
+                    "CASE WHEN gsum > 0 THEN"
+                    " (g * CAST(1000000 AS BIGINT) DIV gsum) * n_items"
+                    " ELSE CAST(0 AS BIGINT) END"
+                ).alias("g"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        items.join(gamma, "a")
+        .select(
+            F.col("a").alias("item"), "wins", "n_comp",
+            F.col("g").alias("gamma_x1e6"),
+        )
+    )

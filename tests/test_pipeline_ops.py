@@ -7527,3 +7527,45 @@ def test_hill_tail_index_matches_python_replay(spark):
     assert "short" not in got
     assert 800 <= got["par"][3] <= 1400        # alpha ~ 1 power law
     assert got["flat"][2] == 0                 # saturated: no tail
+
+
+def test_bradley_terry_matches_python_replay(spark):
+    """BT via 2 pinned MM rounds: exact staged replica, dominance order
+    recovered, zero-comparison items absent."""
+    from chronographer_spark.operators.classifier import bradley_terry
+
+    wins = [("A", "B", 8), ("B", "A", 2), ("B", "C", 7), ("C", "B", 3),
+            ("A", "C", 9), ("C", "A", 1)]
+    df = spark.createDataFrame(wins, "a string, b string, w long")
+
+    w_ab = {}
+    for a, b, w in wins:
+        w_ab[(a, b)] = w_ab.get((a, b), 0) + w
+    items = sorted({x for ab in w_ab for x in ab})
+    n_ab = {
+        (a, b): w_ab.get((a, b), 0) + w_ab.get((b, a), 0)
+        for a in items for b in items if a != b
+    }
+    W = {a: sum(w for (x, _), w in w_ab.items() if x == a) for a in items}
+    NC = {a: sum(n for (x, _), n in n_ab.items() if x == a) for a in items}
+    g = {a: 10**6 for a in items}
+    n_items = len(items)
+    for _ in range(2):
+        denom = {
+            a: sum(
+                n_ab[(a, b)] * 10**12 // (g[a] + g[b])
+                for b in items if b != a and n_ab[(a, b)] > 0
+            )
+            for a in items
+        }
+        raw = {a: (W[a] * 10**12 // denom[a] if denom[a] > 0 else 0)
+               for a in items}
+        gsum = sum(raw.values())
+        g = {a: (raw[a] * 10**6 // gsum) * n_items if gsum else 0
+             for a in items}
+    got = {
+        r["item"]: (r["wins"], r["n_comp"], r["gamma_x1e6"])
+        for r in bradley_terry(df, rounds=2).collect()
+    }
+    assert got == {a: (W[a], NC[a], g[a]) for a in items}
+    assert got["A"][2] > got["B"][2] > got["C"][2]
