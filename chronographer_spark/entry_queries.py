@@ -20554,7 +20554,75 @@ FROM items JOIN g2 ON items.a = g2.a
 
 
 
+# ---------------------------------------------------------------------------
+# Q: Apriori frequent brand triples over order baskets
+# ---------------------------------------------------------------------------
+
+
+def q_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apriori level-3 itemsets over order baskets (order = basket, part
+    brand = item): candidates only from frequent pairs sharing their
+    head item with the (b,c) subset semi-checked — the pruning property
+    that keeps naive triple counting from materializing; all-confidence
+    ranks triples independent of brand popularity."""
+    from .operators.baskets import frequent_triples
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    b = li.join(
+        F.broadcast(p.select("p_partkey", "p_brand")),
+        li["l_partkey"] == p["p_partkey"],
+    ).select(
+        F.col("l_orderkey").alias("basket_id"), F.col("p_brand").alias("item")
+    )
+    return frequent_triples(b, min_support=5)
+
+
+FREQUENT_TRIPLES_SQL = """
+WITH base AS (
+  SELECT DISTINCT l_orderkey AS bk, p_brand AS it
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+ok AS (
+  SELECT bk, it FROM base
+  WHERE bk IN (SELECT bk FROM base GROUP BY bk HAVING count(*) <= 64)
+),
+item_n AS (SELECT it, CAST(count(*) AS BIGINT) AS n_it FROM ok GROUP BY it),
+pairs AS (
+  SELECT x.bk, x.it AS a, y.it AS b
+  FROM ok x JOIN ok y ON x.bk = y.bk AND x.it < y.it
+),
+fp AS (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS n_ab
+  FROM pairs GROUP BY a, b HAVING count(*) >= 5
+),
+cand AS (
+  SELECT p.a, p.b, q.b AS c
+  FROM fp p JOIN fp q ON p.a = q.a AND p.b < q.b
+  WHERE EXISTS (SELECT 1 FROM fp z WHERE z.a = p.b AND z.b = q.b)
+),
+sup AS (
+  SELECT pr.a, pr.b, cand.c, CAST(count(*) AS BIGINT) AS support
+  FROM pairs pr
+  JOIN cand ON pr.a = cand.a AND pr.b = cand.b
+  JOIN ok oc ON oc.bk = pr.bk AND oc.it = cand.c
+  GROUP BY pr.a, pr.b, cand.c HAVING count(*) >= 5
+)
+SELECT sup.a, sup.b, sup.c, sup.support,
+       CAST(greatest(na.n_it, nb.n_it, nc.n_it) AS BIGINT) AS max_item_n,
+       CAST(sup.support * CAST(1000000 AS BIGINT)
+            // greatest(na.n_it, nb.n_it, nc.n_it) AS BIGINT)
+         AS all_conf_x1e6
+FROM sup
+JOIN item_n na ON na.it = sup.a
+JOIN item_n nb ON nb.it = sup.b
+JOIN item_n nc ON nc.it = sup.c
+"""
+
+
+
 QUERIES = {
+    "frequent_triples": q_frequent_triples,
     "bradley_terry": q_bradley_terry,
     "hill_tail": q_hill_tail,
     "kl_drift": q_kl_drift,
@@ -20922,6 +20990,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "frequent_triples": FREQUENT_TRIPLES_SQL,
     "bradley_terry": BRADLEY_TERRY_SQL,
     "hill_tail": HILL_TAIL_SQL,
     "kl_drift": KL_DRIFT_SQL,

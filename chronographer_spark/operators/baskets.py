@@ -99,3 +99,97 @@ def copurchase_lift(
             "lift_x1e6",
         )
     )
+
+
+def frequent_triples(
+    df: DataFrame,
+    basket_col: str = "basket_id",
+    item_col: str = "item",
+    min_support: int = 5,
+    max_basket: int = 64,
+) -> DataFrame:
+    """Apriori level-3 frequent itemsets (Agrawal & Srikant 1994): the
+    classic candidate-generation step above `copurchase_lift`'s pairs —
+    candidate triples come ONLY from joining frequent pairs sharing their
+    smallest item (the Apriori pruning property: every subset of a
+    frequent set is frequent), then support is counted with one basket
+    membership join. Emits each frequent triple's support plus its
+    all-confidence denominator (max single-item support) so
+    all_conf_x1e6 = support*1e6 DIV max_item_n ranks associations
+    independent of item popularity (Omiecinski 2003).
+
+    Exact integers; lexicographic item ordering (a < b < c) pins every
+    triple exactly once. Shape: distinct (basket, item) with oversized
+    baskets dropped in-plan (`max_basket`), pair counts via self-join
+    (bounded fan), frequent pairs filtered at min_support BEFORE the
+    candidate join — the count that explodes in naive triple counting
+    never materializes; candidate verification is one join of candidates
+    onto per-basket pair memberships. Everything above pair scale is
+    Zipf-small.
+
+    Returns (a, b, c, support, max_item_n, all_conf_x1e6).
+    """
+    base = df.select(
+        F.col(basket_col).alias("bk"), F.col(item_col).alias("it")
+    ).dropDuplicates()
+    sizes = base.groupBy("bk").agg(F.count(F.lit(1)).alias("__sz"))
+    ok = base.join(
+        F.broadcast(sizes.filter(F.col("__sz") <= max_basket).select("bk")),
+        "bk",
+    ).localCheckpoint(eager=True)
+    item_n = ok.groupBy("it").agg(F.count(F.lit(1)).cast("long").alias("n_it"))
+    pairs = (
+        ok.alias("x")
+        .join(ok.alias("y"), "bk")
+        .filter(F.col("x.it") < F.col("y.it"))
+        .select("bk", F.col("x.it").alias("a"), F.col("y.it").alias("b"))
+    ).localCheckpoint(eager=True)
+    fp = (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= min_support)
+    )
+    # Apriori join: (a,b) x (a,c) with b < c -> candidate (a,b,c); the
+    # third subset (b,c) is checked by semi-joining frequent pairs again
+    cand = (
+        fp.alias("p")
+        .join(
+            fp.select(
+                F.col("a").alias("a2"), F.col("b").alias("c"),
+            ).alias("q"),
+            F.col("p.a") == F.col("q.a2"),
+        )
+        .filter(F.col("p.b") < F.col("q.c"))
+        .select("a", "b", "c")
+        .join(
+            fp.select(F.col("a").alias("b"), F.col("b").alias("c")),
+            ["b", "c"],
+            "left_semi",
+        )
+    )
+    support = (
+        pairs.join(F.broadcast(cand), ["a", "b"])
+        .join(
+            ok.select("bk", F.col("it").alias("c")),
+            ["bk", "c"],
+        )
+        .groupBy("a", "b", "c")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+    mx = (
+        support.join(F.broadcast(item_n.select(F.col("it").alias("a"), F.col("n_it").alias("na"))), "a")
+        .join(F.broadcast(item_n.select(F.col("it").alias("b"), F.col("n_it").alias("nb"))), "b")
+        .join(F.broadcast(item_n.select(F.col("it").alias("c"), F.col("n_it").alias("nc"))), "c")
+        .withColumn("max_item_n", F.greatest("na", "nb", "nc"))
+    )
+    return mx.select(
+        "a",
+        "b",
+        "c",
+        "support",
+        "max_item_n",
+        F.expr(
+            "support * CAST(1000000 AS BIGINT) DIV max_item_n"
+        ).alias("all_conf_x1e6"),
+    )

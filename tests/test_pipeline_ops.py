@@ -7569,3 +7569,40 @@ def test_bradley_terry_matches_python_replay(spark):
     }
     assert got == {a: (W[a], NC[a], g[a]) for a in items}
     assert got["A"][2] > got["B"][2] > got["C"][2]
+
+
+def test_frequent_triples_matches_bruteforce(spark):
+    """Apriori triples equal brute-force triple enumeration at the same
+    support; pruning property (candidates only from frequent pairs)
+    verified by an infrequent-pair blocker; all-confidence exact."""
+    from itertools import combinations
+
+    from chronographer_spark.operators.baskets import frequent_triples
+
+    baskets = {
+        1: ["x", "y", "z"], 2: ["x", "y", "z"], 3: ["x", "y", "z"],
+        4: ["x", "y", "w"], 5: ["x", "z", "w"], 6: ["y", "z", "w"],
+        7: ["x", "y"], 8: ["q", "r"],  # q,r never frequent
+    }
+    rows = [(bk, it) for bk, its in baskets.items() for it in its]
+    df = spark.createDataFrame(rows, "basket_id long, item string")
+    MS = 2
+
+    item_n = {}
+    for its in baskets.values():
+        for it in set(its):
+            item_n[it] = item_n.get(it, 0) + 1
+    want = {}
+    all_items = sorted(item_n)
+    for tri in combinations(all_items, 3):
+        sup = sum(1 for its in baskets.values() if set(tri) <= set(its))
+        if sup >= MS:
+            mx = max(item_n[t] for t in tri)
+            want[tri] = (sup, mx, sup * 10**6 // mx)
+    got = {
+        (r["a"], r["b"], r["c"]): (r["support"], r["max_item_n"],
+                                   r["all_conf_x1e6"])
+        for r in frequent_triples(df, min_support=MS).collect()
+    }
+    assert got == want
+    assert ("x", "y", "z") in got and got[("x", "y", "z")][0] == 3
