@@ -19597,8 +19597,10 @@ dev AS (
          CAST(CASE WHEN st.n * r.x - st.s > 0 THEN 1
                    WHEN st.n * r.x - st.s < 0 THEN -1 ELSE 0 END AS BIGINT)
            AS side,
-         (st.n * r.x - st.s) * (st.n * r.x - st.s)
-           > 9 * (st.n * st.q - st.s * st.s) AS rule1
+         (CAST(st.n AS HUGEINT) * r.x - st.s)
+           * (CAST(st.n AS HUGEINT) * r.x - st.s)
+           > 9 * (CAST(st.n AS HUGEINT) * st.q
+                  - CAST(st.s AS HUGEINT) * st.s) AS rule1
   FROM ranked r JOIN stats st ON r.key = st.key
 ),
 runs AS (

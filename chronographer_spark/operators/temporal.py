@@ -2739,8 +2739,10 @@ def control_chart_flags(
     Exact-integer contract: with baseline count n, sum S, sum-of-squares
     Q, the tests cross-multiply to BIGINT comparisons —
     rule1: (n*x - S)^2 > 9*(n*Q - S^2); side(x) = sign(n*x - S); no mean,
-    no sigma, no sqrt ever formed. Overflow bound ~ (n*x)^2: safe while
-    n*max|x| < 3e9 (baseline on a bounded window/sample past that).
+    no sigma, no sqrt ever formed. The comparison squares n*x, so it runs
+    in 128-bit integers (Spark DECIMAL(38,0) == DuckDB HUGEINT, both
+    exact) — safe to n*max|x| ~ 1e18; a 20x soak caught the BIGINT
+    version overflowing at n*max|x| ~ 2e9.
 
     Shape: one (key, order) rank window to split the baseline, one
     baseline agg joined back broadcast, one 8-preceding run window on the
@@ -2769,7 +2771,10 @@ def control_chart_flags(
         )
     )
     j = ranked.join(F.broadcast(stats), "key")
-    dev = F.expr("n * x - s")
+    # 128-bit intermediates: the 3-sigma comparison squares n*x, so BIGINT
+    # overflows once n*max|x| ~ 1e9 (caught by soak_monitoring at 20x).
+    # DECIMAL(38,0) here == HUGEINT in the oracle — both exact integers.
+    dev = F.expr("CAST(n AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)) - s")
     flagged = (
         j.withColumn("__dev", dev)
         .withColumn(
@@ -2781,7 +2786,11 @@ def control_chart_flags(
         )
         .withColumn(
             "rule1",
-            F.expr("__dev * __dev > 9 * (n * q - s * s)"),
+            F.expr(
+                "__dev * __dev > 9 * (CAST(n AS DECIMAL(38,0))"
+                " * CAST(q AS DECIMAL(38,0))"
+                " - CAST(s AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0)))"
+            ),
         )
     )
     w9 = (
