@@ -20623,7 +20623,79 @@ JOIN item_n nc ON nc.it = sup.c
 
 
 
+# ---------------------------------------------------------------------------
+# Q: greedy max-coverage selection of documents by distinct 3-grams
+# ---------------------------------------------------------------------------
+
+
+def q_max_coverage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pick the 5 documents whose 3-gram sets greedily cover the most of
+    the corpus vocabulary — the diversity-selection pass where
+    top-by-length would pick near-duplicates; marginal gains are exact
+    and ties pin to the smallest doc. Oracle replays the identical
+    rounds as a recursive CTE over the picked list (same zip-unnest /
+    encoded-argmax devices as influence_seeds)."""
+    from .operators.sampling import greedy_max_coverage
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
+    sh = (
+        docs.select(F.col("doc_id").alias("item"), toks.alias("__t"))
+        .filter(F.size("__t") >= 3)
+        .select(
+            "item",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(__t) - 2),"
+                    " i -> concat_ws(' ', slice(__t, i, 3)))"
+                )
+            ).alias("element"),
+        )
+    )
+    return greedy_max_coverage(sh, k=5)
+
+
+MAX_COVERAGE_DOCS_SQL = """
+WITH RECURSIVE sh AS MATERIALIZED (
+  SELECT DISTINCT it, el FROM (
+    SELECT doc_id AS it,
+           unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+             i -> array_to_string(t[i : i + 2], ' '))) AS el
+    FROM (SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS t
+          FROM documents)
+    WHERE len(t) >= 3
+  )
+),
+sel AS (
+  SELECT 0 AS r, CAST([] AS BIGINT[]) AS picked, CAST([] AS BIGINT[]) AS margs
+  UNION ALL
+  SELECT sel.r + 1,
+         list_append(sel.picked, cand.bi),
+         list_append(sel.margs, (cand.mk + cand.bi) // 2147483648)
+  FROM sel, LATERAL (
+    SELECT arg_max(it, key) AS bi, max(key) AS mk FROM (
+      SELECT s.it,
+             CAST(count(*) AS BIGINT) * 2147483648 - s.it AS key
+      FROM sh s
+      WHERE NOT list_contains(sel.picked, s.it)
+        AND NOT EXISTS (SELECT 1 FROM sh s2
+                        WHERE list_contains(sel.picked, s2.it)
+                          AND s2.el = s.el)
+      GROUP BY s.it
+    )
+  ) cand
+  WHERE sel.r < 5
+)
+SELECT CAST(unnest(range(1, 6)) AS BIGINT) AS rnk,
+       unnest(picked) AS item, unnest(margs) AS marginal
+FROM sel WHERE r = 5
+"""
+
+
+
 QUERIES = {
+    "max_coverage_docs": q_max_coverage_docs,
     "frequent_triples": q_frequent_triples,
     "bradley_terry": q_bradley_terry,
     "hill_tail": q_hill_tail,
@@ -20992,6 +21064,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "max_coverage_docs": MAX_COVERAGE_DOCS_SQL,
     "frequent_triples": FREQUENT_TRIPLES_SQL,
     "bradley_terry": BRADLEY_TERRY_SQL,
     "hill_tail": HILL_TAIL_SQL,

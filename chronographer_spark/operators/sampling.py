@@ -823,3 +823,62 @@ def dsir_select(
         "w_s16",
         F.row_number().over(w).cast("long").alias("rnk"),
     )
+
+
+def greedy_max_coverage(
+    df: DataFrame,
+    k: int,
+    item_col: str = "item",
+    element_col: str = "element",
+) -> DataFrame:
+    """Greedy maximum-coverage selection (Nemhauser-Wolsey-Fisher 1978:
+    the (1 - 1/e)-optimal greedy for submodular coverage) — the
+    diversity-selection pass a training-data pipeline runs to pick k
+    documents covering the most distinct n-grams/topics/entities, where
+    top-k-by-size would pick k near-duplicates. Each round takes the
+    item with the largest MARGINAL coverage (new elements only), ties
+    pinned to the smallest item.
+
+    Scale shape: the covered set lives DISTRIBUTED (an element DataFrame
+    union-grown per round and eagerly checkpointed — never a driver
+    structure), so rounds cost one element-keyed left_anti join + one
+    item count + a 1-row argmax collect (the BPE/k-center/influence
+    driver-round family); k rounds total. The oracle replays the
+    identical rounds as a recursive CTE carrying the picked list
+    (gate-scale replay; the Spark side never holds elements centrally).
+
+    Returns (rnk, item, marginal) in pick order; stops early when
+    nothing new can be covered.
+    """
+    spark = df.sparkSession
+    base = df.select(
+        F.col(item_col).alias("it"), F.col(element_col).alias("el")
+    ).dropDuplicates().localCheckpoint(eager=True)
+    covered = base.select("el").filter(F.lit(False)).localCheckpoint(
+        eager=True
+    )
+    picked: list = []
+    out: list = []
+    for r in range(1, k + 1):
+        cand = base
+        if picked:
+            cand = cand.filter(~F.col("it").isin(picked))
+        marg = (
+            cand.join(covered, "el", "left_anti")
+            .groupBy("it")
+            .agg(F.count(F.lit(1)).cast("long").alias("m"))
+        )
+        row = marg.orderBy(F.desc("m"), F.asc("it")).limit(1).collect()
+        if not row or row[0]["m"] == 0:
+            break
+        it = row[0]["it"]
+        out.append((r, it, row[0]["m"]))
+        picked.append(it)
+        covered = (
+            covered.unionByName(base.filter(F.col("it") == it).select("el"))
+            .dropDuplicates()
+            .localCheckpoint(eager=True)
+        )
+    if not out:
+        return spark.createDataFrame([], "rnk long, item long, marginal long")
+    return spark.createDataFrame(out, ["rnk", "item", "marginal"])

@@ -7606,3 +7606,45 @@ def test_frequent_triples_matches_bruteforce(spark):
     }
     assert got == want
     assert ("x", "y", "z") in got and got[("x", "y", "z")][0] == 3
+
+
+def test_greedy_max_coverage_matches_python_replay(spark):
+    """Greedy max-coverage: exact marginal-gain replay with smallest-item
+    tie pin; early stop when nothing new remains; beats a same-k
+    top-by-size pick on total coverage for the overlap fixture."""
+    from chronographer_spark.operators.sampling import greedy_max_coverage
+
+    sets = {
+        1: {"a", "b", "c", "d"},
+        2: {"a", "b", "c"},          # big but redundant with 1
+        3: {"e", "f"},
+        4: {"g"},
+        5: {"a", "e"},
+    }
+    rows = [(i, e) for i, es in sets.items() for e in es]
+    df = spark.createDataFrame(rows, "item long, element string")
+    K = 3
+
+    covered, picked, want = set(), [], []
+    for r in range(1, K + 1):
+        best = None
+        for i in sorted(sets):
+            if i in picked:
+                continue
+            m = len(sets[i] - covered)
+            if best is None or m > best[0] or (m == best[0] and i < best[1]):
+                best = (m, i)
+        if best[0] == 0:
+            break
+        want.append((r, best[1], best[0]))
+        picked.append(best[1])
+        covered |= sets[best[1]]
+    got = [
+        (r["rnk"], r["item"], r["marginal"])
+        for r in greedy_max_coverage(df, K).orderBy("rnk").collect()
+    ]
+    assert got == want
+    assert [i for _, i, _ in got] == [1, 3, 4]   # not the size-ordered 1,2,...
+    # exhausted universe stops early
+    tiny = spark.createDataFrame([(1, "x"), (2, "x")], "item long, element string")
+    assert greedy_max_coverage(tiny, 5).count() == 1
