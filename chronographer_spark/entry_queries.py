@@ -20694,7 +20694,149 @@ FROM sel WHERE r = 5
 
 
 
+# ---------------------------------------------------------------------------
+# Q: TrustRank spam mass — global PR vs trusted-seed PPR on one graph
+# ---------------------------------------------------------------------------
+
+
+def q_spam_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank spam-mass estimate (Gyongyi, Garcia-Molina & Pedersen
+    2004): how much of a node's PageRank is NOT accounted for by trust
+    flowing from known-good seeds — spam_mass = (PR - min(N*TR, PR))/PR
+    with TR the seed-personalized PageRank scaled by node count (both 2
+    pinned rounds on the SAME symmetrized order<->customer<->nation
+    graph, seeds c0/c1). Nodes near the seeds read ~0, nodes the trust
+    walk cannot reach in 2 hops read 1e6 — the triage a KG ingestion
+    runs before admitting a new subgraph. Final arithmetic on the
+    1e6-snapped integers (the cross-engine float rule), staged quotient."""
+    from .operators.graph_algos import pagerank, personalized_pagerank
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    e1 = orders.select(
+        F.concat(F.lit("o"), F.col("o_orderkey").cast("string")).alias("src"),
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
+    )
+    e2 = cust.select(
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("n"), F.col("c_nationkey").cast("string")).alias("dst"),
+    )
+    e = e1.unionByName(e2)
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    pr = pagerank(sym, damping=0.85, iterations=2).select(
+        "node",
+        F.floor(F.col("rank") * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("pr_x1e6"),
+    )
+    tr = personalized_pagerank(sym, seeds=["c0", "c1"], iterations=2).select(
+        "node",
+        F.floor(F.col("rank") * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("tr_x1e6"),
+    )
+    nn = sym.select(F.col("src").alias("node")).unionByName(
+        sym.select(F.col("dst").alias("node"))
+    ).dropDuplicates().agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    return (
+        pr.join(tr, "node", "left")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "node",
+            "pr_x1e6",
+            F.coalesce("tr_x1e6", F.lit(0)).cast("long").alias("tr_x1e6"),
+            F.expr(
+                "CASE WHEN pr_x1e6 > 0 THEN"
+                " (pr_x1e6 - least(coalesce(tr_x1e6, 0) * n_nodes, pr_x1e6))"
+                " * CAST(1000000 AS BIGINT) DIV pr_x1e6"
+                " ELSE CAST(1000000 AS BIGINT) END"
+            ).alias("spam_mass_x1e6"),
+        )
+    )
+
+
+SPAM_MASS_SQL = """
+WITH e0 AS (
+  SELECT 'o' || CAST(o_orderkey AS VARCHAR) AS src,
+         'c' || CAST(o_custkey AS VARCHAR) AS dst
+  FROM orders
+  UNION ALL
+  SELECT 'c' || CAST(c_custkey AS VARCHAR),
+         'n' || CAST(c_nationkey AS VARCHAR)
+  FROM customer
+),
+e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+nodes AS (
+  SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+),
+outdeg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+r0 AS (SELECT node, 1.0 AS r FROM nodes),
+r1 AS (
+  SELECT n.node, (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+           + CAST(0.85 AS DOUBLE) * coalesce(s.m, CAST(0 AS DOUBLE)) AS r
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, sum(r0.r / o.d) AS m
+    FROM e JOIN r0 ON r0.node = e.src JOIN outdeg o ON o.src = e.src
+    GROUP BY e.dst) s ON s.node = n.node
+),
+r2 AS (
+  SELECT n.node, (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+           + CAST(0.85 AS DOUBLE) * coalesce(s.m, CAST(0 AS DOUBLE)) AS r
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, sum(r1.r / o.d) AS m
+    FROM e JOIN r1 ON r1.node = e.src JOIN outdeg o ON o.src = e.src
+    GROUP BY e.dst) s ON s.node = n.node
+),
+seeds AS (SELECT 'c0' AS node, CAST(0.5 AS DOUBLE) AS p
+          UNION ALL SELECT 'c1', CAST(0.5 AS DOUBLE)),
+t0 AS (SELECT node, p AS rank FROM seeds),
+tc1 AS (
+  SELECT e.dst AS node, sum(r.rank / o.d) AS m
+  FROM e JOIN t0 r ON e.src = r.node JOIN outdeg o ON o.src = e.src
+  GROUP BY e.dst
+),
+t1 AS (
+  SELECT coalesce(c.node, s.node) AS node,
+         (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+             * coalesce(s.p, CAST(0 AS DOUBLE))
+           + CAST(0.85 AS DOUBLE) * coalesce(c.m, CAST(0 AS DOUBLE)) AS rank
+  FROM tc1 c FULL JOIN seeds s ON c.node = s.node
+),
+tc2 AS (
+  SELECT e.dst AS node, sum(r.rank / o.d) AS m
+  FROM e JOIN t1 r ON e.src = r.node JOIN outdeg o ON o.src = e.src
+  GROUP BY e.dst
+),
+t2 AS (
+  SELECT coalesce(c.node, s.node) AS node,
+         (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+             * coalesce(s.p, CAST(0 AS DOUBLE))
+           + CAST(0.85 AS DOUBLE) * coalesce(c.m, CAST(0 AS DOUBLE)) AS rank
+  FROM tc2 c FULL JOIN seeds s ON c.node = s.node
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM nodes),
+pri AS (
+  SELECT node, CAST(floor(r * 1000000 + 0.5) AS BIGINT) AS pr_x1e6 FROM r2
+),
+tri AS (
+  SELECT node, CAST(floor(rank * 1000000 + 0.5) AS BIGINT) AS tr_x1e6 FROM t2
+)
+SELECT pri.node, pri.pr_x1e6,
+       CAST(coalesce(tri.tr_x1e6, 0) AS BIGINT) AS tr_x1e6,
+       CAST(CASE WHEN pri.pr_x1e6 > 0 THEN
+         (pri.pr_x1e6 - least(coalesce(tri.tr_x1e6, 0) * nn.n_nodes,
+                              pri.pr_x1e6))
+         * CAST(1000000 AS BIGINT) // pri.pr_x1e6
+       ELSE 1000000 END AS BIGINT) AS spam_mass_x1e6
+FROM pri LEFT JOIN tri ON pri.node = tri.node CROSS JOIN nn
+"""
+
+
+
 QUERIES = {
+    "spam_mass": q_spam_mass,
     "max_coverage_docs": q_max_coverage_docs,
     "frequent_triples": q_frequent_triples,
     "bradley_terry": q_bradley_terry,
@@ -21064,6 +21206,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "spam_mass": SPAM_MASS_SQL,
     "max_coverage_docs": MAX_COVERAGE_DOCS_SQL,
     "frequent_triples": FREQUENT_TRIPLES_SQL,
     "bradley_terry": BRADLEY_TERRY_SQL,
