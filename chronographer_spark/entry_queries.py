@@ -20835,7 +20835,52 @@ FROM pri LEFT JOIN tri ON pri.node = tri.node CROSS JOIN nn
 
 
 
+# ---------------------------------------------------------------------------
+# Q: Good-Turing count-of-counts and unseen mass over the corpus vocab
+# ---------------------------------------------------------------------------
+
+
+def q_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing re-estimation over the documents vocabulary: the N_r
+    table with adjusted r* = (r+1)·N_{r+1}/N_r and the unseen-mass
+    N_1/N riding every row — the coverage caveat beside vocab_richness
+    and zipf_slope."""
+    from .operators.text import good_turing
+
+    return good_turing(_t(spark, sf_dir, "documents"))
+
+
+GOOD_TURING_SQL = """
+WITH toks AS (
+  SELECT unnest(list_filter(string_split(
+           regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+           t -> t <> '')) AS t
+  FROM documents
+),
+vocab AS (SELECT t, CAST(count(*) AS BIGINT) AS r FROM toks GROUP BY t),
+coc AS (SELECT r, CAST(count(*) AS BIGINT) AS n_r FROM vocab GROUP BY r),
+tot AS (SELECT CAST(sum(r) AS BIGINT) AS n_tokens FROM vocab),
+n1 AS (SELECT CAST(coalesce(sum(n_r), 0) AS BIGINT) AS n_1
+       FROM coc WHERE r = 1),
+nxt AS (
+  SELECT r, n_r,
+         CASE WHEN lead(r) OVER (ORDER BY r) = r + 1
+              THEN lead(n_r) OVER (ORDER BY r) END AS next_nr
+  FROM coc
+)
+SELECT r, n_r,
+       CAST(CASE WHEN next_nr IS NOT NULL THEN
+         (r + 1) * next_nr * CAST(1000000 AS BIGINT) // n_r
+       END AS BIGINT) AS r_star_x1e6,
+       CAST(n_1 * CAST(1000000 AS BIGINT) // n_tokens AS BIGINT)
+         AS unseen_x1e6
+FROM nxt, tot, n1
+"""
+
+
+
 QUERIES = {
+    "good_turing": q_good_turing,
     "spam_mass": q_spam_mass,
     "max_coverage_docs": q_max_coverage_docs,
     "frequent_triples": q_frequent_triples,
@@ -21206,6 +21251,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "good_turing": GOOD_TURING_SQL,
     "spam_mass": SPAM_MASS_SQL,
     "max_coverage_docs": MAX_COVERAGE_DOCS_SQL,
     "frequent_triples": FREQUENT_TRIPLES_SQL,

@@ -2423,3 +2423,62 @@ def normalize_urls(
             "__pathq", "__path0", "__path", "__params",
         )
     )
+
+
+def good_turing(
+    df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Good-Turing frequency re-estimation over the corpus vocabulary
+    (Good 1953; the Gale-Sampson workhorse): the count-of-counts table
+    N_r with the adjusted count r* = (r+1) * N_{r+1} / N_r and the
+    headline unseen-mass estimate P(unseen) = N_1 / N — what a
+    vocabulary-coverage pipeline quotes before claiming a tokenizer or
+    gazetteer 'covers' a corpus, and the smoothing behind every
+    add-discount LM. r* is emitted as the exact staged 1e6 quotient
+    (empty next class -> NULL r*, the standard smoothing-cutoff
+    signal); the unseen mass rides every row as unseen_x1e6 for the
+    one-pass readout.
+
+    Shape: one tokenize explode -> vocabulary collapse (Zipf-small) ->
+    count-of-counts collapse (tiny) + one scalar total — nothing past
+    the first shuffle is data-sized. Returns (r, n_r, r_star_x1e6,
+    unseen_x1e6) ordered by frequency class.
+    """
+    toks = F.filter(
+        F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "),
+        lambda t: t != F.lit(""),
+    )
+    vocab = (
+        df.select(F.explode(toks).alias("__t"))
+        .groupBy("__t")
+        .agg(F.count(F.lit(1)).cast("long").alias("r"))
+    )
+    coc = vocab.groupBy("r").agg(F.count(F.lit(1)).cast("long").alias("n_r"))
+    tot = vocab.agg(F.sum("r").cast("long").alias("n_tokens"))
+    n1 = coc.filter(F.col("r") == 1).agg(
+        F.coalesce(F.sum("n_r"), F.lit(0)).cast("long").alias("n_1")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("r")
+    nxt = coc.withColumn(
+        "__next_nr",
+        F.when(F.lead("r").over(w) == F.col("r") + 1, F.lead("n_r").over(w)),
+    )
+    return (
+        nxt.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(n1))
+        .select(
+            "r",
+            "n_r",
+            F.expr(
+                "CASE WHEN __next_nr IS NOT NULL THEN"
+                " (r + 1) * __next_nr * CAST(1000000 AS BIGINT) DIV n_r"
+                " ELSE NULL END"
+            ).alias("r_star_x1e6"),
+            F.expr(
+                "n_1 * CAST(1000000 AS BIGINT) DIV n_tokens"
+            ).alias("unseen_x1e6"),
+        )
+    )

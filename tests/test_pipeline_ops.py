@@ -7648,3 +7648,30 @@ def test_greedy_max_coverage_matches_python_replay(spark):
     # exhausted universe stops early
     tiny = spark.createDataFrame([(1, "x"), (2, "x")], "item long, element string")
     assert greedy_max_coverage(tiny, 5).count() == 1
+
+
+def test_good_turing_matches_python_replay(spark):
+    """GT count-of-counts: exact r* staged quotients, NULL where the next
+    class is empty, unseen mass = N1/N on every row."""
+    from chronographer_spark.operators.text import good_turing
+
+    docs = ["a a a b b c", "c d e", "f f b"]
+    df = spark.createDataFrame([(d,) for d in docs], "text string")
+    toks = " ".join(docs).split()
+    from collections import Counter
+
+    vocab = Counter(toks)
+    coc = Counter(vocab.values())
+    N = sum(vocab.values())
+    n1 = coc.get(1, 0)
+    want = {}
+    for r in coc:
+        nxt = coc.get(r + 1)
+        rstar = (r + 1) * nxt * 10**6 // coc[r] if nxt else None
+        want[r] = (coc[r], rstar, n1 * 10**6 // N)
+    got = {
+        row["r"]: (row["n_r"], row["r_star_x1e6"], row["unseen_x1e6"])
+        for row in good_turing(df).collect()
+    }
+    assert got == want
+    assert got[1][1] is not None and got[3][1] is None  # gap above r=3
