@@ -20879,7 +20879,121 @@ FROM nxt, tot, n1
 
 
 
+# ---------------------------------------------------------------------------
+# Q: chat-template rendering / context-tail truncation / regen compaction
+# (transcript formatting stage of an SFT-data pipeline)
+# ---------------------------------------------------------------------------
+
+
+def q_chat_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chat-template render per conversation (dialogue.chat_render): the
+    serialize-before-tokenize step; one conv_id shuffle, per-conversation
+    array_sort, byte-stable strings both engines."""
+    from .operators.dialogue import chat_render
+
+    return chat_render(transcripts_from_events(spark, sf_dir))
+
+
+CHAT_RENDER_SQL = f"""
+{TX_SQL},
+r AS (
+  SELECT conv_id,
+         CAST(count(*) AS BIGINT) AS n_turns,
+         string_agg(
+           '<|' || CASE WHEN tool <> '' THEN 'tool:' || tool ELSE role END
+                || '|>' || text,
+           chr(10) ORDER BY turn_idx) AS rendered
+  FROM tx GROUP BY conv_id
+)
+SELECT conv_id, n_turns, rendered,
+       CAST(length(rendered) AS BIGINT) AS n_chars
+FROM r
+"""
+
+
+def q_context_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget tail truncation (dialogue.context_tail, budget=64):
+    reverse suffix-sum window + same-key agg, one shuffle; NULL
+    first_kept_idx marks conversations whose final turn alone busts the
+    budget."""
+    from .operators.dialogue import context_tail
+
+    return context_tail(transcripts_from_events(spark, sf_dir), budget_tokens=64)
+
+
+CONTEXT_TAIL_SQL = f"""
+{TX_SQL},
+turns AS (
+  SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+         CAST(len(list_filter(string_split(
+           regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+           t -> t <> '')) AS BIGINT) AS tok
+  FROM tx
+),
+sfx AS (
+  SELECT conv_id, turn_idx, tok,
+         sum(tok) OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sfx
+  FROM turns
+)
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(tok) AS BIGINT) AS total_tokens,
+       CAST(sum(CASE WHEN sfx <= 64 THEN 1 ELSE 0 END) AS BIGINT) AS kept_turns,
+       CAST(coalesce(sum(CASE WHEN sfx <= 64 THEN tok END), 0) AS BIGINT)
+         AS kept_tokens,
+       CAST(min(CASE WHEN sfx <= 64 THEN turn_idx END) AS BIGINT)
+         AS first_kept_idx
+FROM sfx GROUP BY conv_id
+"""
+
+
+def q_regen_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins regeneration compaction (dialogue.latest_wins_compact)
+    over a deterministic retry fixture: conversations with conv_no % 3 == 0
+    get their turn slots halved (turn_idx DIV 2), so each slot carries two
+    attempts; the compactor keeps the latest by (ts, text, role, tool) and
+    counts attempts per slot."""
+    from .operators.dialogue import latest_wins_compact
+
+    tx = transcripts_from_events(spark, sf_dir)
+    remap = tx.withColumn(
+        "turn_idx",
+        F.expr(
+            "CASE WHEN CAST(substring(conv_id, 5, 6) AS INT) % 3 = 0 "
+            "THEN turn_idx DIV 2 ELSE turn_idx END"
+        ).cast("int"),
+    )
+    return latest_wins_compact(remap)
+
+
+REGEN_LATEST_WINS_SQL = f"""
+{TX_SQL},
+remap AS (
+  SELECT conv_id,
+         CASE WHEN CAST(substring(conv_id, 5, 6) AS INT) % 3 = 0
+              THEN turn_idx // 2 ELSE turn_idx END AS turn_idx,
+         role, text, tool, ts
+  FROM tx
+),
+ranked AS (
+  SELECT conv_id, turn_idx, role, text,
+         row_number() OVER (PARTITION BY conv_id, turn_idx
+                            ORDER BY ts DESC, text DESC, role DESC, tool DESC)
+           AS rn,
+         count(*) OVER (PARTITION BY conv_id, turn_idx) AS n_attempts
+  FROM remap
+)
+SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+       CAST(n_attempts AS BIGINT) AS n_attempts, role, text
+FROM ranked WHERE rn = 1
+"""
+
+
 QUERIES = {
+    "chat_render": q_chat_render,
+    "context_tail_budget": q_context_tail,
+    "regen_latest_wins": q_regen_latest_wins,
     "good_turing": q_good_turing,
     "spam_mass": q_spam_mass,
     "max_coverage_docs": q_max_coverage_docs,
@@ -21251,6 +21365,9 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "chat_render": CHAT_RENDER_SQL,
+    "context_tail_budget": CONTEXT_TAIL_SQL,
+    "regen_latest_wins": REGEN_LATEST_WINS_SQL,
     "good_turing": GOOD_TURING_SQL,
     "spam_mass": SPAM_MASS_SQL,
     "max_coverage_docs": MAX_COVERAGE_DOCS_SQL,

@@ -603,3 +603,115 @@ def preference_pairs(tx: DataFrame, role: str = "assistant") -> DataFrame:
         "rejected_len",
         (F.col("chosen_len") - F.col("rejected_len")).alias("margin"),
     )
+
+
+def chat_render(tx: DataFrame, newline: str = "\n") -> DataFrame:
+    """Chat-template rendering: serialize each conversation into a single
+    training-ready string (`<|role|>text` per turn, tool turns tagged
+    `<|tool:NAME|>`), in stable turn order. This is the formatting stage an
+    SFT-data pipeline runs right before tokenization/packing (cf.
+    operators/packing.py); the reference serializes per-document driver-side
+    (reference src/framework.py writes one folder per doc) — at 10^12 turns
+    the render must be a distributed agg.
+
+    Plan shape: ONE shuffle (groupBy conv_id); the per-conversation sort is
+    array_sort over the collected struct list, bounded by conversation
+    length, never a global sort. Output: (conv_id, n_turns, rendered,
+    n_chars) — all deterministic strings/ints, no float discipline needed.
+    """
+    line = F.concat(
+        F.lit("<|"),
+        F.when(
+            F.col("tool") != "", F.concat(F.lit("tool:"), F.col("tool"))
+        ).otherwise(F.col("role")),
+        F.lit("|>"),
+        F.col("text"),
+    )
+    per = tx.select(
+        "conv_id", F.struct(F.col("turn_idx"), line.alias("line")).alias("s")
+    )
+    out = per.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("s")), lambda s: s["line"]
+            ),
+            newline,
+        ).alias("rendered"),
+    )
+    return out.withColumn("n_chars", F.length("rendered").cast("long"))
+
+
+def context_tail(tx: DataFrame, budget_tokens: int = 64) -> DataFrame:
+    """Context-window tail selection: keep the LAST turns of each
+    conversation whose running (reverse) whitespace-token total fits a
+    token budget — the truncate-from-the-left step every chat-model data
+    pipeline applies before packing. A turn is kept iff the suffix sum
+    from the conversation end up to and including it is <= budget.
+
+    One window over (conv_id ORDER BY turn_idx DESC) for the suffix sum,
+    then a groupBy on the same key — one shuffle total (same family as
+    conversation_metrics). Emits per conversation: n_turns, total_tokens,
+    kept_turns, kept_tokens, first_kept_idx (NULL when even the final
+    turn alone exceeds the budget).
+    """
+    toks = F.size(
+        F.filter(
+            F.split(
+                F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "),
+                " ",
+            ),
+            lambda t: t != F.lit(""),
+        )
+    ).cast("long")
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy(F.col("turn_idx").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    turns = tx.select(
+        "conv_id", F.col("turn_idx").cast("long").alias("turn_idx"),
+        toks.alias("tok")
+    ).withColumn("sfx", F.sum("tok").over(w))
+    keep = F.col("sfx") <= F.lit(budget_tokens)
+    return turns.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum("tok").alias("total_tokens"),
+        F.sum(F.when(keep, 1).otherwise(0)).alias("kept_turns"),
+        F.coalesce(
+            F.sum(F.when(keep, F.col("tok"))), F.lit(0)
+        ).alias("kept_tokens"),
+        F.min(F.when(keep, F.col("turn_idx"))).alias("first_kept_idx"),
+    )
+
+
+def latest_wins_compact(tx: DataFrame) -> DataFrame:
+    """Regeneration compaction: when a conversation carries multiple
+    attempts for the same turn slot (retried assistant generations,
+    editor re-runs — duplicate (conv_id, turn_idx) rows), keep the latest
+    attempt per slot (max ts, ties broken lexicographically on
+    text/role/tool so the pick is deterministic; fully identical attempts
+    collapse to the same row either way) and report how many attempts the
+    slot saw. This is the MERGE-style latest-wins read a transcript store
+    compacts with (same family as temporal.scd2_compact, which tracks
+    value CHANGES; this dedups SLOTS).
+
+    One shuffle: a single window over (conv_id, turn_idx) computes both
+    the attempt rank and the attempt count. Emits one row per kept slot:
+    (conv_id, turn_idx, n_attempts, role, text).
+    """
+    wo = Window.partitionBy("conv_id", "turn_idx").orderBy(
+        F.col("ts").desc(), F.col("text").desc(), F.col("role").desc(),
+        F.col("tool").desc()
+    )
+    wn = Window.partitionBy("conv_id", "turn_idx")
+    ranked = tx.withColumn("rn", F.row_number().over(wo)).withColumn(
+        "n_attempts", F.count(F.lit(1)).over(wn)
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "conv_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        F.col("n_attempts").cast("long").alias("n_attempts"),
+        "role",
+        "text",
+    )

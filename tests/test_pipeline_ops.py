@@ -7675,3 +7675,81 @@ def test_good_turing_matches_python_replay(spark):
     }
     assert got == want
     assert got[1][1] is not None and got[3][1] is None  # gap above r=3
+
+
+def _tiny_tx(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # conv a: 3 turns, one tool turn
+        ("a", 0, "user", "hello there world", "", t0),
+        ("a", 1, "assistant", "hi back", "", t0 + dt.timedelta(minutes=1)),
+        ("a", 2, "tool", "ok result", "search", t0 + dt.timedelta(minutes=2)),
+        # conv b: single turn
+        ("b", 0, "user", "one two three four five", "", t0),
+    ]
+    return spark.createDataFrame(
+        rows, ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+
+
+def test_chat_render_order_and_tags(spark):
+    """Render is turn-ordered regardless of physical order; tool turns get
+    the tool:NAME tag; n_chars counts the rendered string."""
+    from chronographer_spark.operators.dialogue import chat_render
+
+    tx = _tiny_tx(spark).orderBy(F.desc("turn_idx"))  # scrambled input
+    got = {r.conv_id: r for r in chat_render(tx).collect()}
+    want_a = "<|user|>hello there world\n<|assistant|>hi back\n<|tool:search|>ok result"
+    assert got["a"].rendered == want_a
+    assert got["a"].n_turns == 3 and got["a"].n_chars == len(want_a)
+    assert got["b"].rendered == "<|user|>one two three four five"
+
+
+def test_context_tail_budget_suffix(spark):
+    """Budget=5: conv a keeps its last two turns (2+3 <= 5, +3 more busts);
+    conv b's single 5-token turn exactly fits."""
+    from chronographer_spark.operators.dialogue import context_tail
+
+    got = {
+        r.conv_id: r
+        for r in context_tail(_tiny_tx(spark), budget_tokens=5).collect()
+    }
+    a = got["a"]
+    assert (a.n_turns, a.total_tokens, a.kept_turns, a.kept_tokens) == (3, 7, 2, 4)
+    assert a.first_kept_idx == 1
+    b = got["b"]
+    assert (b.kept_turns, b.kept_tokens, b.first_kept_idx) == (1, 5, 0)
+    # budget smaller than the final turn alone -> nothing kept, NULL index
+    tight = {
+        r.conv_id: r
+        for r in context_tail(_tiny_tx(spark), budget_tokens=1).collect()
+    }
+    assert tight["a"].kept_turns == 0 and tight["a"].first_kept_idx is None
+
+
+def test_latest_wins_compact_picks_latest(spark):
+    """Duplicate (conv, turn) slots collapse to the max-ts attempt with the
+    attempt count reported; unique slots pass through with n_attempts=1."""
+    import datetime as dt
+
+    from chronographer_spark.operators.dialogue import latest_wins_compact
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("c", 0, "user", "try one", "", t0),
+        ("c", 0, "user", "try two", "", t0 + dt.timedelta(seconds=30)),
+        ("c", 1, "assistant", "answer", "", t0 + dt.timedelta(minutes=1)),
+        # same ts tie -> lexicographically larger text wins (deterministic)
+        ("d", 0, "user", "alpha", "", t0),
+        ("d", 0, "user", "beta", "", t0),
+    ]
+    tx = spark.createDataFrame(
+        rows, ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+    got = {(r.conv_id, r.turn_idx): r for r in latest_wins_compact(tx).collect()}
+    assert len(got) == 3
+    assert got[("c", 0)].text == "try two" and got[("c", 0)].n_attempts == 2
+    assert got[("c", 1)].n_attempts == 1
+    assert got[("d", 0)].text == "beta"
