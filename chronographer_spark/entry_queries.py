@@ -20990,7 +20990,289 @@ FROM ranked WHERE rn = 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: classifier-eval family — multiclass report, naive Bayes, kNN, NDCG
+# ---------------------------------------------------------------------------
+
+
+def q_macro_f1_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-class P/R/F1 report (classifier.multiclass_report) for the
+    stopword language-id heuristic against the documents table's true
+    `lang` labels: per-class rows plus __macro__/__micro__ summaries, all
+    exact integer quotients. The es/zh classes are never predicted (the
+    heuristic only knows en/fr/de stopwords) — exactly the
+    undefined-precision case the zero_division=0 convention pins."""
+    from .operators.classifier import multiclass_report
+    from .operators.text import language_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return multiclass_report(language_id(docs), "lang", "lang_pred")
+
+
+MACRO_F1_LANGID_SQL = """
+WITH words AS (
+  SELECT doc_id, lang AS y, string_split(
+    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+  FROM documents
+),
+ratios AS (
+  SELECT doc_id, 'en' AS lang,
+    CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) AS DOUBLE)
+      / greatest(len(w), 1) AS ratio FROM words
+  UNION ALL
+  SELECT doc_id, 'fr',
+    CAST(len(list_filter(w, x -> x IN ('le','la','de','et','les','des','un','une','dans','est'))) AS DOUBLE)
+      / greatest(len(w), 1) FROM words
+  UNION ALL
+  SELECT doc_id, 'de',
+    CAST(len(list_filter(w, x -> x IN ('der','die','das','und','ist','von','mit','den','ein','zu'))) AS DOUBLE)
+      / greatest(len(w), 1) FROM words
+),
+pred AS (
+  SELECT doc_id, lang AS yhat FROM (
+    SELECT doc_id, lang,
+           row_number() OVER (PARTITION BY doc_id ORDER BY ratio DESC, lang DESC) AS rn
+    FROM ratios
+  ) WHERE rn = 1
+),
+cells AS (
+  SELECT w.y, p.yhat, CAST(count(*) AS BIGINT) AS n
+  FROM words w JOIN pred p USING (doc_id)
+  GROUP BY w.y, p.yhat
+),
+classes AS (
+  SELECT DISTINCT y AS cls FROM cells
+  UNION
+  SELECT DISTINCT yhat FROM cells
+),
+c_tp AS (SELECT y AS cls, n AS tpn FROM cells WHERE y = yhat),
+c_pt AS (SELECT yhat AS cls, sum(n) AS pred_n FROM cells GROUP BY yhat),
+c_tt AS (SELECT y AS cls, sum(n) AS true_n FROM cells GROUP BY y),
+scored AS (
+  SELECT c.cls,
+         CAST(coalesce(tpn, 0) AS BIGINT) AS tp,
+         CAST(coalesce(pred_n, 0) - coalesce(tpn, 0) AS BIGINT) AS fp,
+         CAST(coalesce(true_n, 0) - coalesce(tpn, 0) AS BIGINT) AS fn,
+         CAST(coalesce(tpn, 0) * 1000000
+              // greatest(coalesce(pred_n, 0), 1) AS BIGINT) AS prec_x1e6,
+         CAST(coalesce(tpn, 0) * 1000000
+              // greatest(coalesce(true_n, 0), 1) AS BIGINT) AS rec_x1e6,
+         CAST(2 * coalesce(tpn, 0) * 1000000
+              // greatest(coalesce(pred_n, 0) + coalesce(true_n, 0), 1) AS BIGINT)
+           AS f1_x1e6
+  FROM classes c
+  LEFT JOIN c_tp USING (cls) LEFT JOIN c_pt USING (cls) LEFT JOIN c_tt USING (cls)
+)
+SELECT cls, tp, fp, fn, prec_x1e6, rec_x1e6, f1_x1e6 FROM scored
+UNION ALL
+SELECT '__macro__', CAST(sum(tp) AS BIGINT), CAST(sum(fp) AS BIGINT),
+       CAST(sum(fn) AS BIGINT),
+       CAST(sum(prec_x1e6) // count(*) AS BIGINT),
+       CAST(sum(rec_x1e6) // count(*) AS BIGINT),
+       CAST(sum(f1_x1e6) // count(*) AS BIGINT)
+FROM scored
+UNION ALL
+SELECT '__micro__', CAST(sum(tp) AS BIGINT), CAST(sum(fp) AS BIGINT),
+       CAST(sum(fn) AS BIGINT),
+       CAST(sum(tp) * 1000000 // greatest(sum(tp) + sum(fp), 1) AS BIGINT),
+       CAST(sum(tp) * 1000000 // greatest(sum(tp) + sum(fn), 1) AS BIGINT),
+       CAST(2 * sum(tp) * 1000000
+            // greatest(2 * sum(tp) + sum(fp) + sum(fn), 1) AS BIGINT)
+FROM scored
+"""
+
+
+def q_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive Bayes language classifier
+    (classifier.multinomial_nb): add-1-smoothed per-(class, token) msb16
+    log-weights trained on doc_id % 5 != 0, argmax-scored on the held-out
+    fifth — pure-integer log arithmetic end to end."""
+    from .operators.classifier import multinomial_nb
+
+    return multinomial_nb(
+        _t(spark, sf_dir, "documents"), label_col="lang", test_mod=5
+    )
+
+
+def _nb_lang_sql() -> str:
+    prior = _duck_msb16("docs_c * 1048576 // dt")
+    default = _duck_msb16("1048576 // (n_c + v)")
+    term = _duck_msb16("(cnt + 1) * 1048576 // (n_c + v)")
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS id, lang AS cls,
+         unnest(list_filter(string_split(
+           regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+           t -> t <> '')) AS tok
+  FROM documents
+),
+train AS (SELECT * FROM toks WHERE id % 5 <> 0),
+test AS (SELECT id, tok FROM toks WHERE id % 5 = 0),
+cnt_ct AS (SELECT cls, tok, CAST(count(*) AS BIGINT) AS cnt
+           FROM train GROUP BY cls, tok),
+nc AS (SELECT cls, CAST(sum(cnt) AS BIGINT) AS n_c FROM cnt_ct GROUP BY cls),
+vv AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM train),
+tdocs AS (SELECT lang AS cls, CAST(count(*) AS BIGINT) AS docs_c
+          FROM documents WHERE doc_id % 5 <> 0 GROUP BY lang),
+dtot AS (SELECT CAST(sum(docs_c) AS BIGINT) AS dt FROM tdocs),
+class_tbl AS (
+  SELECT nc.cls,
+         CAST({prior} AS BIGINT) AS prior_x16,
+         CAST({default} AS BIGINT) AS default_x16
+  FROM nc JOIN tdocs USING (cls), vv, dtot
+),
+model AS (
+  SELECT cnt_ct.cls, tok, CAST({term} AS BIGINT) AS term_x16
+  FROM cnt_ct JOIN nc USING (cls), vv
+),
+scored AS (
+  SELECT t.id, ct.cls,
+         sum(coalesce(m.term_x16, ct.default_x16)) + max(ct.prior_x16)
+           AS score_x16
+  FROM test t CROSS JOIN class_tbl ct
+  LEFT JOIN model m ON m.cls = ct.cls AND m.tok = t.tok
+  GROUP BY t.id, ct.cls
+),
+pred AS (
+  SELECT id, cls AS pred_cls, score_x16 FROM (
+    SELECT *, row_number() OVER (PARTITION BY id
+                                 ORDER BY score_x16 DESC, cls ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+SELECT d.doc_id, d.lang AS true_cls, p.pred_cls,
+       CAST(p.score_x16 AS BIGINT) AS score_x16,
+       CAST(CASE WHEN d.lang = p.pred_cls THEN 1 ELSE 0 END AS BIGINT)
+         AS correct
+FROM documents d JOIN pred p ON p.id = d.doc_id
+WHERE d.doc_id % 5 = 0
+"""
+
+
+NB_LANG_SQL = _nb_lang_sql()
+
+
+def q_knn_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-NN majority-vote label prediction over int8-quantized embeddings
+    (similarity.knn_classify): signed-r² pure-integer cosine ordering,
+    vec_id % 10 held out, packed-vote argmax with smallest-label
+    tie-break. Brute-force exactness baseline; LSH/IVF candidate
+    generation is the drop-in 100 TB path."""
+    from .operators.similarity import knn_classify
+
+    return knn_classify(_t(spark, sf_dir, "embeddings"), k=5, test_mod=10)
+
+
+KNN_VOTE_SQL = """
+WITH emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings),
+qz AS (
+  SELECT vec_id, label,
+         CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0
+              THEN list_transform(v, x -> 0)
+              ELSE list_transform(v, x -> CAST(floor(x * 127.0 / list_max(list_transform(v, y -> abs(y))) + 0.5) AS INTEGER))
+         END AS q
+  FROM emb
+),
+test AS (SELECT vec_id AS tid, CAST(label AS BIGINT) AS true_lbl, q AS tq
+         FROM qz WHERE vec_id % 10 = 0),
+train AS (SELECT vec_id AS cid, CAST(label AS BIGINT) AS clbl, q,
+                 CAST(list_sum(list_transform(q, x -> CAST(x AS BIGINT) * CAST(x AS BIGINT))) AS BIGINT) AS cnorm
+          FROM qz WHERE vec_id % 10 <> 0),
+keyed AS (
+  SELECT tid, true_lbl, cid, clbl,
+         CASE WHEN d >= 0 THEN (d * d * 1000000) // greatest(cnorm, 1)
+              ELSE -((d * d * 1000000) // greatest(cnorm, 1)) END AS rk
+  FROM (
+    SELECT t.tid, t.true_lbl, c.cid, c.clbl, c.cnorm,
+           CAST(list_sum(list_transform(list_zip(c.q, t.tq), x -> CAST(x[1] AS BIGINT) * CAST(x[2] AS BIGINT))) AS BIGINT) AS d
+    FROM train c CROSS JOIN test t
+  )
+),
+top AS (
+  SELECT tid, true_lbl, clbl FROM (
+    SELECT tid, true_lbl, clbl,
+           row_number() OVER (PARTITION BY tid ORDER BY rk DESC, cid ASC) AS rn
+    FROM keyed
+  ) WHERE rn <= 5
+),
+votes AS (SELECT tid, true_lbl, clbl, CAST(count(*) AS BIGINT) AS cnt
+          FROM top GROUP BY tid, true_lbl, clbl),
+best AS (SELECT tid, true_lbl, max(cnt * 16 + (15 - clbl)) AS vk
+         FROM votes GROUP BY tid, true_lbl)
+SELECT tid AS vec_id, true_lbl AS true_label,
+       CAST(15 - (vk % 16) AS BIGINT) AS pred_label,
+       CAST(vk // 16 AS BIGINT) AS n_votes,
+       CAST(CASE WHEN true_lbl = 15 - (vk % 16) THEN 1 ELSE 0 END AS BIGINT)
+         AS correct
+FROM best
+"""
+
+
+def q_ndcg_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the BM25 run for "fast join vector" judged by graded
+    term-coverage relevance (grade = distinct query terms present;
+    retrieval.ndcg_at_k): msb16-quantized integer discounts shared by
+    both engines — the discount table is part of the metric's contract,
+    so dcg/idcg/ndcg are exact integers."""
+    from .operators.retrieval import bm25_search, build_inverted_index, ndcg_at_k
+
+    docs = _t(spark, sf_dir, "documents")
+    index = build_inverted_index(docs).localCheckpoint(eager=True)
+    ranked = bm25_search(index, docs, "fast join vector", k=10).select(
+        "doc_id", "rank"
+    )
+    grades = (
+        index.filter(F.col("term").isin(["fast", "join", "vector"]))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("grade"))
+    )
+    return ndcg_at_k(ranked, grades, k=10)
+
+
+def _ndcg_bm25_sql() -> str:
+    disc_r = _duck_msb16("r.rank + 1")
+    disc_i = _duck_msb16("rank + 1")
+    return f"""
+WITH ranked AS ({BM25_SQL}),
+toks2 AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+  FROM documents
+),
+grades AS (
+  SELECT doc_id, CAST(count(DISTINCT term) AS BIGINT) AS grade
+  FROM toks2 WHERE term IN ('fast', 'join', 'vector') GROUP BY doc_id
+),
+dcg AS (
+  SELECT CAST(sum(coalesce(g.grade, 0) * 16777216 // {disc_r}) AS BIGINT)
+           AS dcg_x
+  FROM ranked r LEFT JOIN grades g USING (doc_id)
+  WHERE r.rank <= 10
+),
+ideal AS (
+  SELECT grade, row_number() OVER (ORDER BY grade DESC, doc_id ASC) AS rank
+  FROM grades ORDER BY grade DESC, doc_id ASC LIMIT 10
+),
+idcg AS (
+  SELECT CAST(sum(grade * 16777216 // {disc_i}) AS BIGINT) AS idcg_x FROM ideal
+)
+SELECT CAST(10 AS BIGINT) AS k,
+       coalesce(dcg_x, 0) AS dcg_x,
+       coalesce(idcg_x, 0) AS idcg_x,
+       CAST(coalesce(dcg_x, 0) * 1000000
+            // greatest(coalesce(idcg_x, 0), 1) AS BIGINT) AS ndcg_x1e6
+FROM dcg, idcg
+"""
+
+
+NDCG_BM25_SQL = _ndcg_bm25_sql()
+
+
 QUERIES = {
+    "macro_f1_langid": q_macro_f1_langid,
+    "naive_bayes_lang": q_naive_bayes_lang,
+    "knn_vote": q_knn_vote,
+    "ndcg_bm25": q_ndcg_bm25,
     "chat_render": q_chat_render,
     "context_tail_budget": q_context_tail,
     "regen_latest_wins": q_regen_latest_wins,
@@ -21365,6 +21647,10 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "macro_f1_langid": MACRO_F1_LANGID_SQL,
+    "naive_bayes_lang": NB_LANG_SQL,
+    "knn_vote": KNN_VOTE_SQL,
+    "ndcg_bm25": NDCG_BM25_SQL,
     "chat_render": CHAT_RENDER_SQL,
     "context_tail_budget": CONTEXT_TAIL_SQL,
     "regen_latest_wins": REGEN_LATEST_WINS_SQL,

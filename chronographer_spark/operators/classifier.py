@@ -1685,3 +1685,220 @@ def bradley_terry(
             F.col("g").alias("gamma_x1e6"),
         )
     )
+
+
+def multiclass_report(
+    pred_df: DataFrame, label_col: str, pred_col: str
+) -> DataFrame:
+    """Multi-class classification report: per-class precision / recall /
+    F1 as exact scaled integers, plus `__macro__` (unweighted mean of the
+    per-class scaled scores; undefined-on-empty classes count as 0 — the
+    sklearn zero_division=0 convention) and `__micro__` (global counts)
+    summary rows.
+
+    Exact integer contract: prec = tp·1e6 DIV (tp+fp), rec = tp·1e6 DIV
+    (tp+fn), f1 = 2·tp·1e6 DIV (2·tp+fp+fn) — no float division anywhere,
+    so the DuckDB oracle replays bit-for-bit. Macro averages are sums of
+    the scaled per-class values DIV n_classes (classes = distinct labels
+    ∪ distinct predictions).
+
+    Plan shape: ONE shuffle to the (label, pred) contingency cells (at
+    most k² rows, map-side combined); everything after runs on the cell
+    table, which is eagerly checkpointed before the per-class /
+    macro / micro fan-out (the UNION-re-execution rule — without it each
+    summary branch would re-scan the corpus).
+    """
+    cells = (
+        pred_df.select(
+            F.col(label_col).cast("string").alias("y"),
+            F.col(pred_col).cast("string").alias("yhat"),
+        )
+        .groupBy("y", "yhat")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    classes = (
+        cells.select(F.col("y").alias("cls"))
+        .union(cells.select("yhat"))
+        .distinct()
+    )
+    tp = cells.filter(F.col("y") == F.col("yhat")).select(
+        F.col("y").alias("cls"), F.col("n").alias("tp")
+    )
+    pred_tot = cells.groupBy(F.col("yhat").alias("cls")).agg(
+        F.sum("n").alias("pred_n")
+    )
+    true_tot = cells.groupBy(F.col("y").alias("cls")).agg(
+        F.sum("n").alias("true_n")
+    )
+    per = (
+        classes.join(tp, "cls", "left")
+        .join(pred_tot, "cls", "left")
+        .join(true_tot, "cls", "left")
+        .select(
+            "cls",
+            F.coalesce("tp", F.lit(0)).cast("long").alias("tp"),
+            (F.coalesce("pred_n", F.lit(0)) - F.coalesce("tp", F.lit(0)))
+            .cast("long")
+            .alias("fp"),
+            (F.coalesce("true_n", F.lit(0)) - F.coalesce("tp", F.lit(0)))
+            .cast("long")
+            .alias("fn"),
+        )
+        .withColumn(
+            "prec_x1e6",
+            F.expr("tp * 1000000 DIV greatest(tp + fp, 1)").cast("long"),
+        )
+        .withColumn(
+            "rec_x1e6",
+            F.expr("tp * 1000000 DIV greatest(tp + fn, 1)").cast("long"),
+        )
+        .withColumn(
+            "f1_x1e6",
+            F.expr("2 * tp * 1000000 DIV greatest(2 * tp + fp + fn, 1)").cast(
+                "long"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    macro = per.agg(
+        F.lit("__macro__").alias("cls"),
+        F.sum("tp").alias("tp"),
+        F.sum("fp").alias("fp"),
+        F.sum("fn").alias("fn"),
+        F.expr("sum(prec_x1e6) DIV count(1)").alias("prec_x1e6"),
+        F.expr("sum(rec_x1e6) DIV count(1)").alias("rec_x1e6"),
+        F.expr("sum(f1_x1e6) DIV count(1)").alias("f1_x1e6"),
+    )
+    micro = per.agg(
+        F.lit("__micro__").alias("cls"),
+        F.sum("tp").alias("tp"),
+        F.sum("fp").alias("fp"),
+        F.sum("fn").alias("fn"),
+        F.expr("sum(tp) * 1000000 DIV greatest(sum(tp) + sum(fp), 1)").alias(
+            "prec_x1e6"
+        ),
+        F.expr("sum(tp) * 1000000 DIV greatest(sum(tp) + sum(fn), 1)").alias(
+            "rec_x1e6"
+        ),
+        F.expr(
+            "2 * sum(tp) * 1000000 DIV greatest(2 * sum(tp) + sum(fp) + sum(fn), 1)"
+        ).alias("f1_x1e6"),
+    )
+    cols = ["cls", "tp", "fp", "fn", "prec_x1e6", "rec_x1e6", "f1_x1e6"]
+    return per.select(*cols).union(macro.select(*cols)).union(
+        micro.select(*cols)
+    )
+
+
+def multinomial_nb(
+    docs: DataFrame,
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    test_mod: int = 5,
+) -> DataFrame:
+    """Multinomial naive Bayes over whitespace tokens with add-1 smoothing,
+    trained on `id % test_mod != 0` and scored on the held-out rest — the
+    classic lightweight quality/language classifier a curation pipeline
+    trains in-corpus (cf. fastText-style filters). No float log anywhere:
+    per-(class, token) weights are msb16(16·log2) of the 2^20-scaled
+    smoothed probability (cnt+1)/(N_c+V) — the same exact-integer device
+    as DSIR/PMI — so the DuckDB oracle replays the classifier bit-for-bit.
+
+    Scale shape: weights live on the (class × seen-vocab) model table and
+    the class prior/default rows — all Zipf-small — and are evaluated
+    DIMENSION-side before broadcast (the msb16 hot-path rule: never
+    per-pair). Scoring is one broadcast join per test token plus one
+    (doc, class) aggregation; argmax is a (doc)-keyed window. Emits one
+    row per held-out doc: (doc_id, true_cls, pred_cls, score_x16,
+    correct).
+    """
+    from .sampling import _msb16_sql
+
+    toks_all = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).cast("string").alias("cls"),
+        F.explode(
+            F.filter(
+                F.split(
+                    F.regexp_replace(
+                        F.lower(F.trim(F.col(text_col))), r"\s+", " "
+                    ),
+                    " ",
+                ),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("tok"),
+    ).localCheckpoint(eager=True)
+    is_test = F.col("id") % test_mod == 0
+    train = toks_all.filter(~is_test)
+    test = toks_all.filter(is_test)
+
+    cnt_ct = train.groupBy("cls", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    n_c = cnt_ct.groupBy("cls").agg(F.sum("cnt").alias("n_c"))
+    v = train.select("tok").distinct().count()
+    train_docs = (
+        docs.filter(F.col(id_col) % test_mod != 0)
+        .select(F.col(label_col).cast("string").alias("cls"))
+        .groupBy("cls")
+        .agg(F.count(F.lit(1)).alias("docs_c"))
+    )
+    docs_total = train_docs.agg(F.sum("docs_c").alias("dt"))
+    # class table: prior + unseen-token default, msb16 evaluated here
+    # (|classes| rows) — never in the per-token scoring path
+    class_tbl = (
+        n_c.join(train_docs, "cls")
+        .crossJoin(F.broadcast(docs_total))
+        .select(
+            "cls",
+            F.expr(
+                f"CAST({_msb16_sql('docs_c * 1048576 DIV dt')} AS BIGINT)"
+            ).alias("prior_x16"),
+            F.expr(
+                f"CAST({_msb16_sql(f'1048576 DIV (n_c + {v})')} AS BIGINT)"
+            ).alias("default_x16"),
+        )
+    )
+    model = (
+        cnt_ct.join(n_c, "cls")
+        .select(
+            "cls",
+            "tok",
+            F.expr(
+                f"CAST({_msb16_sql(f'(cnt + 1) * 1048576 DIV (n_c + {v})')} AS BIGINT)"
+            ).alias("term_x16"),
+        )
+    )
+    scored = (
+        test.select("id", "tok")
+        .crossJoin(F.broadcast(class_tbl))
+        .join(F.broadcast(model), ["cls", "tok"], "left")
+        .groupBy("id", "cls")
+        .agg(
+            (
+                F.sum(F.coalesce("term_x16", "default_x16"))
+                + F.max("prior_x16")
+            ).alias("score_x16")
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("score_x16"), F.asc("cls"))
+    pred = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("id", F.col("cls").alias("pred_cls"), "score_x16")
+    )
+    truth = docs.filter(F.col(id_col) % test_mod == 0).select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).cast("string").alias("true_cls"),
+    )
+    return truth.join(pred, "id").select(
+        F.col("id").alias(id_col),
+        "true_cls",
+        "pred_cls",
+        F.col("score_x16").cast("long").alias("score_x16"),
+        F.when(F.col("true_cls") == F.col("pred_cls"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("correct"),
+    )

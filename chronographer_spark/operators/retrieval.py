@@ -371,3 +371,64 @@ def merge_inverted_index(
     fresh = build_inverted_index(new_docs, id_col=id_col, text_col=text_col)
     kept = stored.join(F.broadcast(ids), id_col, "left_anti")
     return kept.select(fresh.columns).unionByName(fresh)
+
+
+def ndcg_at_k(
+    ranked: DataFrame,
+    grades: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """NDCG@k with exact-integer quantized discounts: DCG = Σ grade ·
+    2^24 DIV msb16(rank+1), where msb16 is the 16-steps-per-octave integer
+    log2 (operators/sampling._msb16_sql — so the discount for rank 1 is
+    exactly 2^20, and every discount is the SAME integer in Spark and
+    DuckDB; no float log, no cross-engine drift). IDCG uses the top-k
+    grades corpus-wide under the identical discount, so ndcg_x1e6 =
+    dcg·1e6 DIV idcg is an exact integer quotient.
+
+    Inputs: `ranked` (id_col, rank 1..k) — a retrieval run; `grades`
+    (id_col, grade >= 1 int) — graded relevance judgments (docs absent
+    from `grades` count as grade 0). Both sides are top-k/judged-size
+    tables, so every join here is broadcast-small; the only corpus-scale
+    work is whatever produced them. Emits ONE row: (k, dcg_x, idcg_x,
+    ndcg_x1e6).
+    """
+    from pyspark.sql.window import Window
+
+    from .sampling import _msb16_sql
+
+    g = F.coalesce(F.col("grade"), F.lit(0)).cast("long")
+    dcg = (
+        ranked.filter(F.col("rank") <= k)
+        .join(F.broadcast(grades), id_col, "left")
+        .select(
+            F.expr(
+                f"CAST({_msb16_sql('rank + 1')} AS BIGINT)"
+            ).alias("disc"),
+            g.alias("g"),
+        )
+        .agg(F.sum(F.expr("g * 16777216 DIV disc")).alias("dcg_x"))
+    )
+    w = Window.orderBy(F.desc("grade"), F.asc(id_col))
+    ideal = (
+        grades.orderBy(F.desc("grade"), F.asc(id_col))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w))
+        .select(
+            F.expr(f"CAST({_msb16_sql('rank + 1')} AS BIGINT)").alias("disc"),
+            F.col("grade").cast("long").alias("g"),
+        )
+        .agg(F.sum(F.expr("g * 16777216 DIV disc")).alias("idcg_x"))
+    )
+    return (
+        dcg.crossJoin(ideal)
+        .select(
+            F.lit(k).cast("long").alias("k"),
+            F.coalesce("dcg_x", F.lit(0)).cast("long").alias("dcg_x"),
+            F.coalesce("idcg_x", F.lit(0)).cast("long").alias("idcg_x"),
+            F.expr(
+                "coalesce(dcg_x, 0) * 1000000 DIV greatest(coalesce(idcg_x, 0), 1)"
+            ).cast("long").alias("ndcg_x1e6"),
+        )
+    )

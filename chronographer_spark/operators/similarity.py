@@ -927,3 +927,77 @@ def centroid_shift(
         F.size("__va").cast("int").alias("dim"),
         dist.cast("long").alias("shift_sq"),
     )
+
+
+def knn_classify(
+    emb: DataFrame,
+    k: int = 5,
+    test_mod: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-NN majority-vote classification over int8-quantized embeddings
+    with a PURE-INTEGER cosine ordering: within one query vector the query
+    norm is a common factor, so ranking candidates by cosine equals
+    ranking by sign(d) · d²·1e6 DIV ‖c‖² (d = integer dot, ‖c‖² = integer
+    candidate norm) — the signed-r² device; no sqrt, no doubles, bit-equal
+    in DuckDB. Requires dim <= 93 so (127²·dim)²·1e6 stays under 2^63,
+    and integer labels in [0, 15] (votes are packed as cnt·16 + (15 −
+    label) so the majority-with-smallest-label-tie-break is a single
+    max()).
+
+    Split: `id % test_mod == 0` is the held-out test set; the rest is the
+    reference set. This brute-force scorer is the exactness baseline —
+    the 100 TB path swaps the crossJoin for lsh_bucket/ivf_assign
+    candidate generation (same voting tail). Test side is broadcast
+    (1/test_mod of the corpus by construction of the gated query; for a
+    large test set, flip to blocked scoring). Emits per test vector:
+    (vec_id, true_label, pred_label, n_votes, correct).
+    """
+    qz = quantize_vectors(
+        emb.select(id_col, label_col, vec_col), vec_col
+    ).select(
+        F.col(id_col).alias("vid"),
+        F.col(label_col).cast("long").alias("lbl"),
+        "qvec",
+    )
+    test = qz.filter(F.col("vid") % test_mod == 0).select(
+        F.col("vid").alias("tid"),
+        F.col("lbl").alias("true_lbl"),
+        F.col("qvec").alias("tq"),
+    )
+    train = qz.filter(F.col("vid") % test_mod != 0).select(
+        F.col("vid").alias("cid"), F.col("lbl").alias("clbl"), "qvec"
+    ).withColumn("cnorm", int_dot(F.col("qvec"), F.col("qvec")))
+
+    pairs = train.crossJoin(F.broadcast(test)).withColumn(
+        "d", int_dot(F.col("qvec"), F.col("tq"))
+    ).withColumn(
+        "key",
+        F.expr(
+            "CASE WHEN d >= 0 THEN (d * d * 1000000) DIV greatest(cnorm, 1) "
+            "ELSE -((d * d * 1000000) DIV greatest(cnorm, 1)) END"
+        ),
+    )
+    w = Window.partitionBy("tid").orderBy(F.desc("key"), F.asc("cid"))
+    top = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("tid", "true_lbl", "clbl")
+    )
+    votes = top.groupBy("tid", "true_lbl", "clbl").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    best = votes.groupBy("tid", "true_lbl").agg(
+        F.max(F.expr("cnt * 16 + (15 - clbl)")).alias("vk")
+    )
+    return best.select(
+        F.col("tid").alias(id_col),
+        F.col("true_lbl").alias("true_label"),
+        F.expr("15 - (vk % 16)").cast("long").alias("pred_label"),
+        F.expr("vk DIV 16").cast("long").alias("n_votes"),
+        F.expr(
+            "CAST(CASE WHEN true_lbl = 15 - (vk % 16) THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("correct"),
+    )

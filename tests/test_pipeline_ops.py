@@ -7753,3 +7753,108 @@ def test_latest_wins_compact_picks_latest(spark):
     assert got[("c", 0)].text == "try two" and got[("c", 0)].n_attempts == 2
     assert got[("c", 1)].n_attempts == 1
     assert got[("d", 0)].text == "beta"
+
+
+def test_multiclass_report_counts_and_summaries(spark):
+    """Per-class tp/fp/fn from a hand confusion; macro = mean of scaled
+    scores with never-predicted classes contributing 0; micro = global."""
+    from chronographer_spark.operators.classifier import multiclass_report
+
+    # y, yhat pairs: a:3 (2 right), b:2 (1 right, 1 -> a), c:1 (-> a, never predicted)
+    rows = [("a", "a"), ("a", "a"), ("a", "b"), ("b", "b"), ("b", "a"), ("c", "a")]
+    df = spark.createDataFrame(rows, ["y", "yhat"])
+    got = {r.cls: r for r in multiclass_report(df, "y", "yhat").collect()}
+    assert (got["a"].tp, got["a"].fp, got["a"].fn) == (2, 2, 1)
+    assert (got["b"].tp, got["b"].fp, got["b"].fn) == (1, 1, 1)
+    assert (got["c"].tp, got["c"].fp, got["c"].fn) == (0, 0, 1)
+    assert got["a"].prec_x1e6 == 2 * 10**6 // 4
+    assert got["c"].prec_x1e6 == 0 and got["c"].f1_x1e6 == 0
+    macro = got["__macro__"]
+    assert macro.prec_x1e6 == (got["a"].prec_x1e6 + got["b"].prec_x1e6) // 3
+    micro = got["__micro__"]
+    assert (micro.tp, micro.fp, micro.fn) == (3, 3, 3)
+    assert micro.prec_x1e6 == 3 * 10**6 // 6 == micro.rec_x1e6
+
+
+def test_multinomial_nb_python_replay(spark):
+    """NB scores replayed token-for-token with the integer msb16 device on
+    a two-class corpus; held-out docs get the obvious class."""
+    from chronographer_spark.operators.classifier import (
+        _msb16_int,
+        multinomial_nb,
+    )
+
+    rows = [
+        (1, "x", "cat cat purr"),
+        (2, "x", "cat purr whiskers"),
+        (3, "y", "dog bark woof"),
+        (4, "y", "dog woof fetch"),
+        (0, "x", "cat purr"),          # held out (id % 5 == 0)
+        (5, "y", "dog bark"),          # held out
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    got = {r.doc_id: r for r in multinomial_nb(df, test_mod=5).collect()}
+    assert got[0].pred_cls == "x" and got[0].correct == 1
+    assert got[5].pred_cls == "y" and got[5].correct == 1
+    # exact replay of doc 0's winning score: train x-tokens
+    # {cat:2, purr:2, whiskers:1} n_c=5,(6 train tokens y:{dog:2,bark:1,
+    # woof:2,fetch:1} n_c=6) vocab V=7, priors 2/4 each
+    v = 7
+    score = (
+        _msb16_int((2 + 1) * 1048576 // (5 + v))    # cat
+        + _msb16_int((2 + 1) * 1048576 // (5 + v))  # purr
+        + _msb16_int(2 * 1048576 // 4)              # prior
+    )
+    assert got[0].score_x16 == score
+
+
+def test_knn_classify_votes_and_tiebreak(spark):
+    """Nearest-cluster vote on separable 2D-ish vectors; smallest label
+    wins a split vote."""
+    from chronographer_spark.operators.similarity import knn_classify
+
+    rows = [
+        (1, [1.0, 0.0, 0.0], 3), (2, [0.9, 0.1, 0.0], 3), (3, [1.0, 0.1, 0.0], 3),
+        (4, [0.0, 1.0, 0.0], 7), (5, [0.1, 0.9, 0.0], 7), (6, [0.0, 1.0, 0.1], 7),
+        (10, [1.0, 0.05, 0.0], 3),   # held out (id % 10 == 0), x-cluster
+        (20, [0.05, 1.0, 0.0], 7),   # held out, y-cluster
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    got = {r.vec_id: r for r in knn_classify(df, k=3, test_mod=10).collect()}
+    assert got[10].pred_label == 3 and got[10].correct == 1
+    assert got[20].pred_label == 7 and got[20].correct == 1
+    assert got[10].n_votes == 3
+    # split vote 1-1 at k=2 with equidistant-by-construction? use k=6: 3 vs 3
+    all6 = {r.vec_id: r for r in knn_classify(df, k=6, test_mod=10).collect()}
+    assert all6[10].pred_label == 3  # 3 < 7 on a 3-3 tie
+
+
+def test_ndcg_at_k_python_replay(spark):
+    """DCG/IDCG under the quantized msb16 discount, replayed in Python;
+    a perfect ranking scores 1e6."""
+    from chronographer_spark.operators.classifier import _msb16_int
+    from chronographer_spark.operators.retrieval import ndcg_at_k
+
+    ranked = spark.createDataFrame(
+        [(101, 1), (102, 2), (103, 3)], ["doc_id", "rank"]
+    )
+    grades = spark.createDataFrame(
+        [(101, 3), (103, 2), (104, 1)], ["doc_id", "grade"]
+    )
+    row = ndcg_at_k(ranked, grades, k=3).collect()[0]
+    dcg = (
+        3 * 16777216 // _msb16_int(2)
+        + 0 * 16777216 // _msb16_int(3)
+        + 2 * 16777216 // _msb16_int(4)
+    )
+    idcg = (
+        3 * 16777216 // _msb16_int(2)
+        + 2 * 16777216 // _msb16_int(3)
+        + 1 * 16777216 // _msb16_int(4)
+    )
+    assert (row.dcg_x, row.idcg_x) == (dcg, idcg)
+    assert row.ndcg_x1e6 == dcg * 10**6 // idcg
+    perfect = spark.createDataFrame(
+        [(101, 1), (103, 2), (104, 3)], ["doc_id", "rank"]
+    )
+    assert ndcg_at_k(perfect, grades, k=3).collect()[0].ndcg_x1e6 == 10**6
