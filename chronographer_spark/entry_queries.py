@@ -21268,7 +21268,233 @@ FROM dcg, idcg
 NDCG_BM25_SQL = _ndcg_bm25_sql()
 
 
+# ---------------------------------------------------------------------------
+# Q: eigenvector centrality / MMR re-rank / Heaps'-law vocabulary growth
+# ---------------------------------------------------------------------------
+
+
+def q_eigencentrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-round max-normalized integer power iteration
+    (graph_algos.eigenvector_centrality) over the symmetrized
+    user<->event-type bipartite graph — the handful of event-type hub
+    nodes dominate, exactly the shape eigenvector centrality surfaces."""
+    from .operators.graph_algos import eigenvector_centrality
+
+    ev = _t(spark, sf_dir, "events")
+    b = ev.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("a"),
+        F.concat(F.lit("t"), F.col("event_type")).alias("bb"),
+    ).distinct()
+    edges = b.select(F.col("a").alias("src"), F.col("bb").alias("dst")).union(
+        b.select(F.col("bb").alias("src"), F.col("a").alias("dst"))
+    )
+    return eigenvector_centrality(edges, rounds=3)
+
+
+EIGENCENTRALITY_SQL = """
+WITH b AS (SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS a,
+                  't' || event_type AS bb
+           FROM events),
+edges AS (SELECT a AS src, bb AS dst FROM b
+          UNION ALL SELECT bb, a FROM b),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+r0 AS (SELECT node, CAST(1048576 AS BIGINT) AS score FROM nodes),
+s1 AS (SELECT e.dst AS node, CAST(sum(r.score) AS BIGINT) AS s
+       FROM edges e JOIN r0 r ON r.node = e.src GROUP BY e.dst),
+n1 AS (SELECT n.node, CAST(coalesce(s.s, 0) AS BIGINT) AS s
+       FROM nodes n LEFT JOIN s1 s USING (node)),
+m1 AS (SELECT max(s) AS mx FROM n1),
+r1 AS (SELECT node, CAST(s * 1048576 // greatest(mx, 1) AS BIGINT) AS score
+       FROM n1, m1),
+s2 AS (SELECT e.dst AS node, CAST(sum(r.score) AS BIGINT) AS s
+       FROM edges e JOIN r1 r ON r.node = e.src GROUP BY e.dst),
+n2 AS (SELECT n.node, CAST(coalesce(s.s, 0) AS BIGINT) AS s
+       FROM nodes n LEFT JOIN s2 s USING (node)),
+m2 AS (SELECT max(s) AS mx FROM n2),
+r2 AS (SELECT node, CAST(s * 1048576 // greatest(mx, 1) AS BIGINT) AS score
+       FROM n2, m2),
+s3 AS (SELECT e.dst AS node, CAST(sum(r.score) AS BIGINT) AS s
+       FROM edges e JOIN r2 r ON r.node = e.src GROUP BY e.dst),
+n3 AS (SELECT n.node, CAST(coalesce(s.s, 0) AS BIGINT) AS s
+       FROM nodes n LEFT JOIN s3 s USING (node)),
+m3 AS (SELECT max(s) AS mx FROM n3)
+SELECT node, CAST(s * 1048576 // greatest(mx, 1) AS BIGINT) AS score
+FROM n3, m3
+"""
+
+
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-rank (sampling.mmr_rerank, λ=7/10) of the 20
+    longest documents: relevance = max-normalized n_chars, similarity =
+    3-gram shingle Jaccard — max_coverage's pairwise-similarity sibling,
+    oracle replayed as the same recursive-CTE greedy."""
+    from .operators.sampling import mmr_rerank
+
+    docs = _t(spark, sf_dir, "documents")
+    top = (
+        docs.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .limit(20)
+        .select("doc_id", "n_chars", "text")
+        .localCheckpoint(eager=True)
+    )
+    mx = top.agg(F.max("n_chars").alias("mx"))
+    items = top.crossJoin(F.broadcast(mx)).select(
+        F.col("doc_id").alias("item"),
+        F.expr("n_chars * 1000000 DIV mx").alias("rel_x1e6"),
+    )
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
+    sh = (
+        top.select(F.col("doc_id").alias("id"), toks.alias("__t"))
+        .filter(F.size("__t") >= 3)
+        .select(
+            "id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(__t) - 2),"
+                    " i -> concat_ws(' ', slice(__t, i, 3)))"
+                )
+            ).alias("el"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        sh.alias("x")
+        .join(sh.alias("y"), "el")
+        .filter(F.col("x.id") != F.col("y.id"))
+        .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .agg(F.count(F.lit(1)).alias("ix"))
+    )
+    sims = (
+        inter.join(
+            sizes.select(F.col("id").alias("a"), F.col("sz").alias("sa")), "a"
+        )
+        .join(
+            sizes.select(F.col("id").alias("b"), F.col("sz").alias("sb")), "b"
+        )
+        .select(
+            "a", "b", F.expr("ix * 1000000 DIV (sa + sb - ix)").alias("sim_x1e6")
+        )
+    )
+    return mmr_rerank(items, sims, k=5)
+
+
+MMR_RERANK_SQL = """
+WITH RECURSIVE top20 AS MATERIALIZED (
+  SELECT doc_id, n_chars, text FROM documents
+  ORDER BY n_chars DESC, doc_id ASC LIMIT 20
+),
+mx AS (SELECT max(n_chars) AS mx FROM top20),
+items AS MATERIALIZED (
+  SELECT doc_id AS it, CAST(n_chars * 1000000 // mx AS BIGINT) AS rel_x
+  FROM top20, mx
+),
+sh AS MATERIALIZED (
+  SELECT DISTINCT id, el FROM (
+    SELECT doc_id AS id,
+           unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+             i -> array_to_string(t[i : i + 2], ' '))) AS el
+    FROM (SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS t
+          FROM top20)
+    WHERE len(t) >= 3
+  )
+),
+sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY id),
+sims AS MATERIALIZED (
+  SELECT x.id AS a, y.id AS b,
+         CAST(count(*) * 1000000 // (sa.sz + sb.sz - count(*)) AS BIGINT)
+           AS sim
+  FROM sh x JOIN sh y ON x.el = y.el AND x.id <> y.id
+  JOIN sizes sa ON sa.id = x.id JOIN sizes sb ON sb.id = y.id
+  GROUP BY x.id, y.id, sa.sz, sb.sz
+),
+sel AS (
+  SELECT 0 AS r, CAST([] AS BIGINT[]) AS picked, CAST([] AS BIGINT[]) AS scores
+  UNION ALL
+  SELECT sel.r + 1,
+         list_append(sel.picked, cand.bi),
+         list_append(sel.scores, (cand.mk + cand.bi) // 2147483648)
+  FROM sel, LATERAL (
+    SELECT arg_max(it, key) AS bi, max(key) AS mk FROM (
+      SELECT i.it,
+             (7 * i.rel_x
+              - 3 * coalesce(max(CASE WHEN list_contains(sel.picked, s.b)
+                                      THEN s.sim END), 0))
+               * 2147483648 - i.it AS key
+      FROM items i LEFT JOIN sims s ON s.a = i.it
+      WHERE NOT list_contains(sel.picked, i.it)
+      GROUP BY i.it, i.rel_x
+    )
+  ) cand
+  WHERE sel.r < 5
+)
+SELECT CAST(unnest(range(1, 6)) AS BIGINT) AS rnk,
+       unnest(picked) AS item,
+       unnest(list_transform(scores, s -> CAST(s // 10 AS BIGINT)))
+         AS mmr_x1e6
+FROM sel WHERE r = 5
+"""
+
+
+def q_heaps_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth at 8 ingestion checkpoints
+    (text.heaps_profile): V(N) and the per-segment msb16 log-log growth
+    exponent — the is-more-data-still-novel diagnostic beside
+    zipf_slope/good_turing."""
+    from .operators.text import heaps_profile
+
+    return heaps_profile(_t(spark, sf_dir, "documents"), n_checkpoints=8)
+
+
+def _heaps_sql() -> str:
+    d = _duck_msb16
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         unnest(list_filter(string_split(
+           regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+           t -> t <> '')) AS tok
+  FROM documents
+),
+fd AS (SELECT tok, min(id) AS fd FROM toks GROUP BY tok),
+pd AS (SELECT id, CAST(count(*) AS BIGINT) AS ntok FROM toks GROUP BY id),
+mxd AS (SELECT max(doc_id) AS mx FROM documents),
+cps AS (SELECT DISTINCT mx * i // 8 AS cp
+        FROM mxd, (SELECT unnest(range(1, 9)) AS i)),
+vocab AS (SELECT cp, CAST(count(*) AS BIGINT) AS vocab
+          FROM fd, cps WHERE fd.fd <= cps.cp GROUP BY cp),
+sizes AS (SELECT cp, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(ntok) AS BIGINT) AS n_tokens
+          FROM pd, cps WHERE pd.id <= cps.cp GROUP BY cp),
+prof AS (
+  SELECT s.cp, s.n_docs, s.n_tokens,
+         CAST(coalesce(v.vocab, 0) AS BIGINT) AS vocab
+  FROM sizes s LEFT JOIN vocab v USING (cp)
+),
+lagged AS (
+  SELECT cp, n_docs, n_tokens, vocab,
+         lag(vocab) OVER (ORDER BY cp) AS pv,
+         lag(n_tokens) OVER (ORDER BY cp) AS pn
+  FROM prof
+)
+SELECT cp, n_docs, n_tokens, vocab,
+       CASE WHEN pv IS NOT NULL THEN
+         CAST(({d('vocab')} - {d('pv')}) * 1000000
+              // nullif({d('n_tokens')} - {d('pn')}, 0) AS BIGINT)
+       END AS beta_x1e6
+FROM lagged
+"""
+
+
+HEAPS_PROFILE_SQL = _heaps_sql()
+
+
 QUERIES = {
+    "eigencentrality_bipartite": q_eigencentrality,
+    "mmr_rerank_docs": q_mmr_rerank,
+    "heaps_profile": q_heaps_profile,
     "macro_f1_langid": q_macro_f1_langid,
     "naive_bayes_lang": q_naive_bayes_lang,
     "knn_vote": q_knn_vote,
@@ -21647,6 +21873,9 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "eigencentrality_bipartite": EIGENCENTRALITY_SQL,
+    "mmr_rerank_docs": MMR_RERANK_SQL,
+    "heaps_profile": HEAPS_PROFILE_SQL,
     "macro_f1_langid": MACRO_F1_LANGID_SQL,
     "naive_bayes_lang": NB_LANG_SQL,
     "knn_vote": KNN_VOTE_SQL,

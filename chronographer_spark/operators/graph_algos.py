@@ -3488,3 +3488,62 @@ def louvain_move_round(
             F.coalesce("bg", F.lit(0)).cast("long").alias("gain_x"),
         )
     )
+
+
+def eigenvector_centrality(
+    edges: DataFrame,
+    rounds: int = 3,
+    scale: int = 1 << 20,
+) -> DataFrame:
+    """Eigenvector centrality by fixed-round power iteration with integer
+    max-normalization: r_{t+1}(v) = Σ_{(u,v)∈E} r_t(u), then rescale so
+    the maximum score is exactly `scale` (s·scale DIV max) — the
+    no-damping sibling of PageRank (influence ∝ neighbors' influence;
+    Bonacich 1972). All arithmetic is BIGINT-exact: scores stay in
+    [0, scale] after each rescale, so a round's sum is bounded by
+    in-degree·scale — no float, no norm sqrt, and the DuckDB oracle
+    replays the unrolled rounds bit-for-bit. A pinned round count is the
+    same truncated-fixpoint contract as pagerank_2iter/katz_unrolled.
+    Overflow bound: the rescale multiply needs max-in-degree < 2^63/scale²
+    (8.4M at the default 2^20 scale); past that, swap the rescale to the
+    DECIMAL(38,0) 128-bit device (the control-chart fix) or lower scale.
+
+    Scale shape: each round is one (src-keyed) join + one dst aggregation
+    + a 1-row max broadcast; the score vector is eagerly checkpointed per
+    round (lineage cut, round-loop family). Nodes with no in-edges decay
+    to 0, matching the eigenvector of the adjacency operator restricted
+    to the strongly-reachable core.
+
+    Emits (node, score) with score in [0, scale], max node(s) at exactly
+    `scale`.
+    """
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    r = nodes.withColumn("score", F.lit(scale).cast("long"))
+    for _ in range(rounds):
+        contrib = (
+            edges.join(
+                r.select(F.col("node").alias("src"), "score"), "src"
+            )
+            .groupBy("dst")
+            .agg(F.sum("score").alias("s"))
+        )
+        nr = nodes.join(
+            contrib.select(F.col("dst").alias("node"), "s"), "node", "left"
+        ).select("node", F.coalesce("s", F.lit(0)).cast("long").alias("s"))
+        mx = nr.agg(F.max("s").alias("mx"))
+        r = (
+            nr.crossJoin(F.broadcast(mx))
+            .select(
+                "node",
+                F.expr(f"s * {scale} DIV greatest(mx, 1)")
+                .cast("long")
+                .alias("score"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return r

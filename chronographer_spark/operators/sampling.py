@@ -882,3 +882,75 @@ def greedy_max_coverage(
     if not out:
         return spark.createDataFrame([], "rnk long, item long, marginal long")
     return spark.createDataFrame(out, ["rnk", "item", "marginal"])
+
+
+def mmr_rerank(
+    items: DataFrame,
+    sims: DataFrame,
+    k: int,
+    lam_num: int = 7,
+    lam_den: int = 10,
+    item_col: str = "item",
+    rel_col: str = "rel_x1e6",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998):
+    greedily pick the item maximizing λ·relevance − (1−λ)·max-similarity
+    to anything already picked — the diversify-the-top-page pass between
+    retrieval and display/training-sample selection (greedy_max_coverage's
+    sibling: that one diversifies by coverage, this one by pairwise
+    similarity). λ is a rational lam_num/lam_den and both rel and sim are
+    1e6-scaled integers, so every round's argmax key is the exact integer
+    lam_num·rel − (lam_den−lam_num)·maxsim — no float anywhere; ties pin
+    to the smallest item; the first pick is pure relevance (empty-set
+    max-sim = 0).
+
+    Inputs: `items` (item_col, rel_col) — the retrieved page; `sims`
+    (a, b, sim_x1e6) — pairwise similarities, DIRECTED rows (emit both
+    orientations for a symmetric measure). Re-ranking operates on one
+    retrieved page (k·|page| work), so the DataFrames here are small by
+    construction; the driver loop is k rounds of one join + 1-row argmax
+    collect (the greedy_max_coverage round family). Emits
+    (rnk, item, mmr_x1e6) with mmr scaled back by lam_den.
+    """
+    spark = items.sparkSession
+    base = items.select(
+        F.col(item_col).alias("it"), F.col(rel_col).cast("long").alias("rel")
+    ).localCheckpoint(eager=True)
+    pair = sims.select(
+        F.col("a").alias("it"), F.col("b").alias("other"),
+        F.col("sim_x1e6").cast("long").alias("sim"),
+    ).localCheckpoint(eager=True)
+    comp = lam_den - lam_num
+    picked: list = []
+    out: list = []
+    for r in range(1, k + 1):
+        cand = base
+        if picked:
+            cand = cand.filter(~F.col("it").isin(picked))
+        if picked:
+            ms = (
+                pair.filter(F.col("other").isin(picked))
+                .groupBy("it")
+                .agg(F.max("sim").alias("maxsim"))
+            )
+            scored = cand.join(ms, "it", "left").select(
+                "it",
+                (
+                    F.lit(lam_num) * F.col("rel")
+                    - F.lit(comp) * F.coalesce("maxsim", F.lit(0))
+                ).alias("score"),
+            )
+        else:
+            scored = cand.select(
+                "it", (F.lit(lam_num) * F.col("rel")).alias("score")
+            )
+        row = scored.orderBy(F.desc("score"), F.asc("it")).limit(1).collect()
+        if not row:
+            break
+        out.append((r, row[0]["it"], int(row[0]["score"]) // lam_den
+                    if row[0]["score"] >= 0
+                    else -((-int(row[0]["score"])) // lam_den)))
+        picked.append(row[0]["it"])
+    if not out:
+        return spark.createDataFrame([], "rnk long, item long, mmr_x1e6 long")
+    return spark.createDataFrame(out, ["rnk", "item", "mmr_x1e6"])

@@ -2482,3 +2482,93 @@ def good_turing(
             ).alias("unseen_x1e6"),
         )
     )
+
+
+def heaps_profile(
+    docs: DataFrame,
+    n_checkpoints: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Heaps'-law vocabulary-growth profile: V(N) ≈ K·N^β sampled at
+    deterministic ingestion checkpoints, with the growth exponent β
+    estimated per segment as an exact integer ratio of msb16 log2 deltas
+    — the companion diagnostic to zipf_slope/vocab_richness (vocabulary
+    still growing ⇒ more data still adds new tokens; β collapsing to 0 ⇒
+    the corpus is saturating/duplicated).
+
+    Checkpoints are doc-id thresholds c_i = max_id·i DIV n (id order =
+    ingestion order, the convention ngram_novelty pins); V(c) = tokens
+    whose FIRST document is <= c, N(c) = token occurrences in docs <= c.
+    No global sort or window anywhere: one pass collapses the corpus to
+    (token, first_doc, per-doc counts); checkpoints are an n-row
+    broadcast; β_x1e6 = Δmsb16(V)·1e6 DIV Δmsb16(N) between consecutive
+    checkpoints (NULL on the first row and wherever ΔN's quantized log
+    is 0).
+
+    Emits one row per checkpoint: (cp, n_docs, n_tokens, vocab,
+    beta_x1e6).
+    """
+    from .dedup import normalize_text
+
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.filter(
+                F.split(normalize_text(F.col(text_col)), " "),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("tok"),
+    ).localCheckpoint(eager=True)
+    first_doc = toks.groupBy("tok").agg(F.min("id").alias("fd"))
+    per_doc = toks.groupBy("id").agg(F.count(F.lit(1)).alias("ntok"))
+    mx = docs.agg(F.max(F.col(id_col)).alias("mx"))
+    cps = (
+        mx.select(
+            F.explode(F.sequence(F.lit(1), F.lit(n_checkpoints))).alias("i"),
+            "mx",
+        )
+        .select(F.expr(f"mx * i DIV {n_checkpoints}").alias("cp"))
+        .distinct()
+    )
+    vocab = (
+        first_doc.crossJoin(F.broadcast(cps))
+        .filter(F.col("fd") <= F.col("cp"))
+        .groupBy("cp")
+        .agg(F.count(F.lit(1)).cast("long").alias("vocab"))
+    )
+    sizes = (
+        per_doc.crossJoin(F.broadcast(cps))
+        .filter(F.col("id") <= F.col("cp"))
+        .groupBy("cp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("ntok").cast("long").alias("n_tokens"),
+        )
+    )
+    from .sampling import _msb16_sql
+
+    prof = sizes.join(vocab, "cp", "left").select(
+        "cp",
+        "n_docs",
+        "n_tokens",
+        F.coalesce("vocab", F.lit(0)).cast("long").alias("vocab"),
+    )
+    w = Window.orderBy("cp")
+    lv = F.lag(F.col("vocab")).over(w)
+    ln = F.lag(F.col("n_tokens")).over(w)
+    return (
+        prof.withColumn("pv", lv)
+        .withColumn("pn", ln)
+        .withColumn(
+            "beta_x1e6",
+            F.when(
+                F.col("pv").isNotNull(),
+                F.expr(
+                    f"CAST(({_msb16_sql('vocab')} - {_msb16_sql('pv')}) * 1000000 "
+                    f"DIV nullif({_msb16_sql('n_tokens')} - {_msb16_sql('pn')}, 0) AS BIGINT)"
+                ),
+            ),
+        )
+        .select("cp", "n_docs", "n_tokens", "vocab", "beta_x1e6")
+    )

@@ -7858,3 +7858,62 @@ def test_ndcg_at_k_python_replay(spark):
         [(101, 1), (103, 2), (104, 3)], ["doc_id", "rank"]
     )
     assert ndcg_at_k(perfect, grades, k=3).collect()[0].ndcg_x1e6 == 10**6
+
+
+def test_eigenvector_centrality_star_replay(spark):
+    """Undirected star: the hub saturates at the scale; leaves land at
+    scale/n_leaves after the second round (hand power iteration)."""
+    from chronographer_spark.operators.graph_algos import eigenvector_centrality
+
+    und = [("h", "a"), ("h", "b"), ("h", "c"), ("h", "d")]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], ["src", "dst"]
+    )
+    got = {r.node: r.score for r in eigenvector_centrality(edges, rounds=3).collect()}
+    s = 1 << 20
+    # round1: hub=4s -> s, leaves=s -> s//4... normalize: max=4s -> hub s, leaf s*s//(4s)=s//4
+    # round2: hub = 4*(s//4) = s; leaf = s -> max s -> hub s, leaf s
+    # round3: hub = 4s -> s; leaf = s -> s//4
+    assert got["h"] == s
+    assert all(got[leaf] == s // 4 for leaf in "abcd")
+
+
+def test_mmr_rerank_diversifies(spark):
+    """Pure-relevance first pick; a near-duplicate of the winner drops
+    below a less relevant but dissimilar item on round two."""
+    from chronographer_spark.operators.sampling import mmr_rerank
+
+    items = spark.createDataFrame(
+        [(1, 1000000), (2, 950000), (3, 600000)], ["item", "rel_x1e6"]
+    )
+    # 2 is a near-dup of 1 (sim .9); 3 is unrelated
+    sims_rows = [(1, 2, 900000), (2, 1, 900000), (1, 3, 0), (3, 1, 0),
+                 (2, 3, 0), (3, 2, 0)]
+    sims = spark.createDataFrame(sims_rows, ["a", "b", "sim_x1e6"])
+    got = [(r.rnk, r.item, r.mmr_x1e6) for r in
+           mmr_rerank(items, sims, k=3).orderBy("rnk").collect()]
+    # round1: item1 (7e6/10); round2: 2 -> (7*.95e6-3*.9e6)=3.95e6 vs 3 -> 4.2e6
+    assert [g[1] for g in got] == [1, 3, 2]
+    assert got[0][2] == 7 * 1000000 // 10
+    assert got[1][2] == (7 * 600000 - 0) // 10
+    assert got[2][2] == (7 * 950000 - 3 * 900000) // 10
+
+
+def test_heaps_profile_tiny_replay(spark):
+    """Vocabulary growth checkpoints replayed by hand on an 8-doc corpus."""
+    from chronographer_spark.operators.classifier import _msb16_int
+    from chronographer_spark.operators.text import heaps_profile
+
+    rows = [(i, " ".join(f"w{j}" for j in range(i + 1))) for i in range(1, 9)]
+    # doc i has tokens w0..wi  -> vocab after doc i = i+1, tokens cum = sum
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.cp: r for r in heaps_profile(df, n_checkpoints=4).collect()}
+    # mx=8, cps = {2, 4, 6, 8}
+    assert set(got) == {2, 4, 6, 8}
+    assert (got[2].n_docs, got[2].n_tokens, got[2].vocab) == (2, 5, 3)
+    assert (got[4].n_docs, got[4].n_tokens, got[4].vocab) == (4, 14, 5)
+    assert got[2].beta_x1e6 is None
+    want = (_msb16_int(5) - _msb16_int(3)) * 10**6 // (
+        _msb16_int(14) - _msb16_int(5)
+    )
+    assert got[4].beta_x1e6 == want
