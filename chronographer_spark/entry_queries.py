@@ -21491,7 +21491,161 @@ FROM lagged
 HEAPS_PROFILE_SQL = _heaps_sql()
 
 
+# ---------------------------------------------------------------------------
+# Q: readability / paired-classifier tests (McNemar, MCC)
+# ---------------------------------------------------------------------------
+
+
+def q_flesch_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document (text.readability_scores):
+    vowel-group syllable proxy, punctuation-run sentences, truncating
+    integer quotients ×1e3 — the readability gate beside quality_score."""
+    from .operators.text import readability_scores
+
+    return readability_scores(_t(spark, sf_dir, "documents"))
+
+
+READABILITY_SQL = """
+WITH f AS (
+  SELECT doc_id,
+    greatest(CAST(len(list_filter(string_split(
+      regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+      t -> t <> '')) AS BIGINT), 1) AS n_words,
+    greatest(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT), 1)
+      AS n_sentences,
+    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+      AS n_syllables
+  FROM documents
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       CAST(206835 - 1015 * n_words // n_sentences
+            - 84600 * n_syllables // n_words AS BIGINT) AS flesch_x1e3
+FROM f
+"""
+
+
+_LANGID_PRED_SQL = """
+words AS (
+  SELECT doc_id, lang, text, string_split(
+    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+  FROM documents
+),
+ratios AS (
+  SELECT doc_id, 'en' AS plang,
+    CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) AS DOUBLE)
+      / greatest(len(w), 1) AS ratio FROM words
+  UNION ALL
+  SELECT doc_id, 'fr',
+    CAST(len(list_filter(w, x -> x IN ('le','la','de','et','les','des','un','une','dans','est'))) AS DOUBLE)
+      / greatest(len(w), 1) FROM words
+  UNION ALL
+  SELECT doc_id, 'de',
+    CAST(len(list_filter(w, x -> x IN ('der','die','das','und','ist','von','mit','den','ein','zu'))) AS DOUBLE)
+      / greatest(len(w), 1) FROM words
+),
+pred AS (
+  SELECT doc_id, plang AS yhat FROM (
+    SELECT doc_id, plang,
+           row_number() OVER (PARTITION BY doc_id ORDER BY ratio DESC, plang DESC) AS rn
+    FROM ratios
+  ) WHERE rn = 1
+)
+"""
+
+
+def q_mcnemar_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test (classifier.mcnemar_test): the stopword
+    language-id heuristic vs the bare `' the '` marker, both predicting
+    is-English on the same documents — discordant-pair counts and the
+    exact (b−c)²·1e6 DIV (b+c) statistic."""
+    from .operators.classifier import mcnemar_test
+    from .operators.text import language_id
+
+    docs = language_id(_t(spark, sf_dir, "documents"))
+    paired = docs.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).cast("long").alias("y"),
+        F.when(F.col("lang_pred") == "en", 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("pa"),
+        F.when(F.lower(F.col("text")).like("% the %"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("pb"),
+    )
+    return mcnemar_test(paired, "y", "pa", "pb")
+
+
+MCNEMAR_LANGID_SQL = f"""
+WITH {_LANGID_PRED_SQL},
+paired AS (
+  SELECT CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y,
+         CASE WHEN p.yhat = 'en' THEN 1 ELSE 0 END AS pa,
+         CASE WHEN lower(d.text) LIKE '% the %' THEN 1 ELSE 0 END AS pb
+  FROM documents d JOIN pred p USING (doc_id)
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN pa = y AND pb <> y THEN 1 ELSE 0 END) AS BIGINT)
+           AS b,
+         CAST(sum(CASE WHEN pa <> y AND pb = y THEN 1 ELSE 0 END) AS BIGINT)
+           AS c
+  FROM paired
+)
+SELECT n, b, c,
+       CAST((b - c) * (b - c) * 1000000 // greatest(b + c, 1) AS BIGINT)
+         AS chi2_x1e6
+FROM agg
+"""
+
+
+def q_mcc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matthews correlation of the is-English language-id prediction
+    (classifier.mcc_binary): signed-square staged-quotient emit, exact in
+    both engines."""
+    from .operators.classifier import mcc_binary
+    from .operators.text import language_id
+
+    docs = language_id(_t(spark, sf_dir, "documents"))
+    paired = docs.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).cast("long").alias("y"),
+        F.when(F.col("lang_pred") == "en", 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("p"),
+    )
+    return mcc_binary(paired, "y", "p")
+
+
+MCC_LANGID_SQL = f"""
+WITH {_LANGID_PRED_SQL},
+paired AS (
+  SELECT CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y,
+         CASE WHEN p.yhat = 'en' THEN 1 ELSE 0 END AS p
+  FROM documents d JOIN pred p USING (doc_id)
+),
+agg AS (
+  SELECT CAST(sum(y * p) AS BIGINT) AS tp,
+         CAST(sum((1 - y) * (1 - p)) AS BIGINT) AS tn,
+         CAST(sum((1 - y) * p) AS BIGINT) AS fp,
+         CAST(sum(y * (1 - p)) AS BIGINT) AS fn
+  FROM paired
+)
+SELECT tp, tn, fp, fn,
+       CAST(CASE WHEN (tp+fp) = 0 OR (tp+fn) = 0 OR (tn+fp) = 0
+                  OR (tn+fn) = 0 THEN 0 ELSE
+         CAST(sign(tp*tn - fp*fn) AS BIGINT)
+         * (abs(tp*tn - fp*fn) * 1000 // ((tp+fp) * (tp+fn)))
+         * (abs(tp*tn - fp*fn) * 1000 // ((tn+fp) * (tn+fn)))
+       END AS BIGINT) AS mcc2_x1e6
+FROM agg
+"""
+
+
 QUERIES = {
+    "flesch_docs": q_flesch_docs,
+    "mcnemar_langid": q_mcnemar_langid,
+    "mcc_langid": q_mcc_langid,
     "eigencentrality_bipartite": q_eigencentrality,
     "mmr_rerank_docs": q_mmr_rerank,
     "heaps_profile": q_heaps_profile,
@@ -21873,6 +22027,9 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "flesch_docs": READABILITY_SQL,
+    "mcnemar_langid": MCNEMAR_LANGID_SQL,
+    "mcc_langid": MCC_LANGID_SQL,
     "eigencentrality_bipartite": EIGENCENTRALITY_SQL,
     "mmr_rerank_docs": MMR_RERANK_SQL,
     "heaps_profile": HEAPS_PROFILE_SQL,

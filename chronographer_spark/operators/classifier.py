@@ -1902,3 +1902,73 @@ def multinomial_nb(
         .cast("long")
         .alias("correct"),
     )
+
+
+def mcnemar_test(
+    df: DataFrame, label_col: str, pred_a: str, pred_b: str
+) -> DataFrame:
+    """McNemar's paired test for comparing two classifiers on the SAME
+    examples — the correct significance test when model B is evaluated on
+    the rows model A was (accuracy deltas alone ignore pairing). b =
+    examples A got right and B got wrong, c = the reverse; the statistic
+    (b−c)²/(b+c) ~ χ²(1) is emitted as the exact integer
+    chi2_x1e6 = (b−c)²·1e6 DIV (b+c) (0 when b+c=0: identical error
+    patterns). One map-side-combined aggregation; counts bounded by n, so
+    (b−c)²·1e6 needs n < ~3M — past that, swap to the DECIMAL(38,0)
+    128-bit square (control-chart rule).
+
+    Emits one row: (n, b, c, chi2_x1e6).
+    """
+    a_ok = (F.col(pred_a) == F.col(label_col)).cast("long")
+    b_ok = (F.col(pred_b) == F.col(label_col)).cast("long")
+    return df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(a_ok * (1 - b_ok)).alias("b"),
+        F.sum((1 - a_ok) * b_ok).alias("c"),
+    ).select(
+        "n",
+        "b",
+        "c",
+        F.expr(
+            "(b - c) * (b - c) * 1000000 DIV greatest(b + c, 1)"
+        ).cast("long").alias("chi2_x1e6"),
+    )
+
+
+def mcc_binary(df: DataFrame, label_col: str, pred_col: str) -> DataFrame:
+    """Matthews correlation coefficient for a binary classifier, emitted
+    as the SIGNED SQUARE with exact staged integer quotients (the signed-r²
+    device): mcc² = num²/(m₁m₂m₃m₄) with num = tp·tn − fp·fn and the four
+    marginals; mcc2_x1e6 = sign(num) · (|num|·1e3 DIV m₁m₂) · (|num|·1e3
+    DIV m₃m₄), Cauchy-Schwarz-bounded by 1e6, bit-equal in DuckDB. Zero
+    marginals (degenerate confusion) emit 0, the undefined-MCC
+    convention. Staging bound: |num| ≤ n²/4 must keep |num|·1e3 under
+    2^63 → n < ~10⁸; the two-factor split keeps each denominator at n²,
+    not n⁴ (plain num²·1e6/Πm overflows at n≈55k).
+
+    One aggregation; emits (tp, tn, fp, fn, mcc2_x1e6).
+    """
+    y = F.col(label_col).cast("long")
+    p = F.col(pred_col).cast("long")
+    return (
+        df.agg(
+            F.sum(y * p).alias("tp"),
+            F.sum((1 - y) * (1 - p)).alias("tn"),
+            F.sum((1 - y) * p).alias("fp"),
+            F.sum(y * (1 - p)).alias("fn"),
+        )
+        .select(
+            "tp",
+            "tn",
+            "fp",
+            "fn",
+            F.expr(
+                "CASE WHEN (tp+fp) = 0 OR (tp+fn) = 0 OR (tn+fp) = 0"
+                " OR (tn+fn) = 0 THEN CAST(0 AS BIGINT) ELSE"
+                " CAST(sign(tp*tn - fp*fn) AS BIGINT)"
+                " * (abs(tp*tn - fp*fn) * 1000 DIV ((tp+fp) * (tp+fn)))"
+                " * (abs(tp*tn - fp*fn) * 1000 DIV ((tn+fp) * (tn+fn)))"
+                " END"
+            ).cast("long").alias("mcc2_x1e6"),
+        )
+    )

@@ -2572,3 +2572,51 @@ def heaps_profile(
         )
         .select("cp", "n_docs", "n_tokens", "vocab", "beta_x1e6")
     )
+
+
+def readability_scores(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Flesch reading-ease per document with a deterministic integer
+    contract: syllables are estimated as vowel-group runs ([aeiouy]+ on
+    the lowercased text — the standard cheap proxy), sentences as
+    [.!?]+ runs (min 1), words as whitespace tokens (min 1), and the
+    score is emitted ×1e3 with truncating integer quotients:
+    flesch_x1e3 = 206835 − 1015·W DIV S − 84600·Syl DIV W. Both engines
+    replay the identical regexp counts and DIVs — no floats. Map-only
+    (whole-stage codegen); the quality-gate sibling of quality_score.
+
+    Emits (doc_id, n_words, n_sentences, n_syllables, flesch_x1e3).
+    """
+    words = F.greatest(
+        F.size(
+            F.filter(
+                F.split(normalize_text(F.col(text_col)), " "),
+                lambda t: t != F.lit(""),
+            )
+        ).cast("long"),
+        F.lit(1).cast("long"),
+    )
+    sentences = F.greatest(
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[.!?]+"), 0))
+        .cast("long"),
+        F.lit(1).cast("long"),
+    )
+    syllables = F.size(
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"[aeiouy]+"), 0)
+    ).cast("long")
+    return (
+        docs.select(
+            id_col,
+            words.alias("n_words"),
+            sentences.alias("n_sentences"),
+            syllables.alias("n_syllables"),
+        )
+        .withColumn(
+            "flesch_x1e3",
+            F.expr(
+                "206835 - 1015 * n_words DIV n_sentences"
+                " - 84600 * n_syllables DIV n_words"
+            ).cast("long"),
+        )
+    )

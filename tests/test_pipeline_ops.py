@@ -7917,3 +7917,46 @@ def test_heaps_profile_tiny_replay(spark):
         _msb16_int(14) - _msb16_int(5)
     )
     assert got[4].beta_x1e6 == want
+
+
+def test_readability_scores_hand_counts(spark):
+    """Word/sentence/syllable counts and the x1e3 Flesch contract on a
+    hand sentence."""
+    from chronographer_spark.operators.text import readability_scores
+
+    df = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran!"), (2, "")], ["doc_id", "text"]
+    )
+    got = {r.doc_id: r for r in readability_scores(df).collect()}
+    r = got[1]
+    # words 6, sentences 2 ('.' and '!'), vowel groups: e,a,a,e,o,a = 6
+    assert (r.n_words, r.n_sentences, r.n_syllables) == (6, 2, 6)
+    assert r.flesch_x1e3 == 206835 - 1015 * 6 // 2 - 84600 * 6 // 6
+    # empty text: floors kick in (1 word, 1 sentence, 0 syllables)
+    assert (got[2].n_words, got[2].n_sentences, got[2].n_syllables) == (1, 1, 0)
+
+
+def test_mcnemar_and_mcc_hand_confusion(spark):
+    """Discordant counts + chi2 and signed-MCC² on a hand-built paired
+    table (A right on 3 B-wrong rows, B right on 1 A-wrong row)."""
+    from chronographer_spark.operators.classifier import mcc_binary, mcnemar_test
+
+    rows = [
+        (1, 1, 0), (1, 1, 0), (1, 1, 0),   # A right, B wrong (b=3)
+        (0, 1, 0),                          # A wrong, B right (c=1)
+        (1, 1, 1), (0, 0, 0),               # both right
+        (1, 0, 0),                          # both wrong
+    ]
+    df = spark.createDataFrame(rows, ["y", "pa", "pb"])
+    m = mcnemar_test(df, "y", "pa", "pb").collect()[0]
+    assert (m.n, m.b, m.c) == (7, 3, 1)
+    assert m.chi2_x1e6 == (3 - 1) ** 2 * 10**6 // 4
+    # MCC of pa vs y: tp=4, tn=1, fp=1, fn=1 -> num=3, marginals 5,5,2,2
+    r = mcc_binary(df, "y", "pa").collect()[0]
+    assert (r.tp, r.tn, r.fp, r.fn) == (4, 1, 1, 1)
+    assert r.mcc2_x1e6 == (3 * 1000 // 25) * (3 * 1000 // 4)
+    # perfect predictor -> exactly 1e6; inverted -> -1e6 (up to staging)
+    perfect = spark.createDataFrame([(1, 1), (0, 0), (1, 1), (0, 0)], ["y", "p"])
+    assert mcc_binary(perfect, "y", "p").collect()[0].mcc2_x1e6 == 10**6
+    inv = spark.createDataFrame([(1, 0), (0, 1), (1, 0), (0, 1)], ["y", "p"])
+    assert mcc_binary(inv, "y", "p").collect()[0].mcc2_x1e6 == -(10**6)
