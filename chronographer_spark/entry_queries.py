@@ -21642,7 +21642,70 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: blocking quality — pairs completeness + reduction ratio of the LSH
+# blocker against the exact prefix-filter join
+# ---------------------------------------------------------------------------
+
+
+def q_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking quality (dedup.blocking_quality): the 8-hash/2-band
+    1-gram minhash blocker evaluated against EXACT 3-gram Jaccard >= 0.5
+    truth from prefix_jaccard_join (100% recall by construction) — how
+    much of the true near-dup set the bands retain, at what pair-space
+    reduction."""
+    from .operators.dedup import (
+        blocking_quality,
+        minhash_lsh_candidates,
+        prefix_jaccard_join,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    truth = prefix_jaccard_join(docs, threshold=0.5, shingle_n=3).select(
+        "id_a", "id_b"
+    )
+    cand = minhash_lsh_candidates(docs, num_hashes=8, bands=2, shingle_n=1)
+    return blocking_quality(cand, truth, n_items=docs.count())
+
+
+BLOCKING_EVAL_SQL = f"""
+WITH cand AS ({MINHASH_LSH_SQL}),
+sh3 AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(t) - 3, 0) + 2),
+           i -> array_to_string(t[i : i + 2], ' '))) AS el
+  FROM (SELECT doc_id, string_split(
+          regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+        FROM documents)
+),
+sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh3 GROUP BY doc_id),
+ix AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS i
+       FROM sh3 a JOIN sh3 b ON a.el = b.el AND a.doc_id < b.doc_id
+       GROUP BY 1, 2),
+truth AS (
+  SELECT id_a, id_b
+  FROM ix JOIN sz sa ON sa.doc_id = ix.id_a JOIN sz sb ON sb.doc_id = ix.id_b
+  WHERE i * 1000000 >= 500000 * (sa.sz + sb.sz - i)
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+agg AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_cand,
+         (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+         (SELECT CAST(count(*) AS BIGINT)
+          FROM cand c JOIN truth t ON c.id_a = t.id_a AND c.id_b = t.id_b)
+           AS n_hits
+)
+SELECT n AS n_items, n_cand, n_truth, n_hits,
+       CAST(n_hits * 1000000 // greatest(n_truth, 1) AS BIGINT)
+         AS completeness_x1e6,
+       CAST(1000000 - n_cand * 1000000 // greatest(n * (n - 1) // 2, 1)
+         AS BIGINT) AS reduction_x1e6
+FROM agg, nn
+"""
+
+
 QUERIES = {
+    "blocking_eval": q_blocking_eval,
     "flesch_docs": q_flesch_docs,
     "mcnemar_langid": q_mcnemar_langid,
     "mcc_langid": q_mcc_langid,
@@ -22027,6 +22090,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "blocking_eval": BLOCKING_EVAL_SQL,
     "flesch_docs": READABILITY_SQL,
     "mcnemar_langid": MCNEMAR_LANGID_SQL,
     "mcc_langid": MCC_LANGID_SQL,

@@ -1028,3 +1028,51 @@ def incremental_lsh_pairs(
         .dropDuplicates()
     )
     return hits
+
+
+def blocking_quality(
+    candidates: DataFrame, truth: DataFrame, n_items: int
+) -> DataFrame:
+    """Blocking/candidate-generation quality report for entity resolution
+    (Christen 2012's two standard metrics): pairs completeness = share of
+    TRUE matching pairs the blocker retains (recall of the candidate
+    set), and reduction ratio = share of the n·(n−1)/2 pair space the
+    blocker prunes away. The trade-off every blocker (minhash bands,
+    soundex keys, FS blocking) is tuned on — a blocker is only as good
+    as completeness AT a reduction ratio.
+
+    Both inputs are (id_a, id_b) pair tables with id_a < id_b (the
+    house pair convention); truth should come from an EXACT generator
+    (prefix_jaccard_join's 100%-recall join, or labels) or the metric
+    inherits its blind spots. One semi-join + three 1-row counts, all
+    cross-joined broadcast — no corpus-scale work beyond what produced
+    the inputs. Emits one row: (n_items, n_cand, n_truth, n_hits,
+    completeness_x1e6, reduction_x1e6) — exact integer quotients.
+    """
+    cand = candidates.select("id_a", "id_b").dropDuplicates().localCheckpoint(
+        eager=True
+    )
+    tr = truth.select("id_a", "id_b").dropDuplicates().localCheckpoint(
+        eager=True
+    )
+    hits = cand.join(tr, ["id_a", "id_b"], "left_semi")
+    nc = cand.agg(F.count(F.lit(1)).alias("n_cand"))
+    nt = tr.agg(F.count(F.lit(1)).alias("n_truth"))
+    nh = hits.agg(F.count(F.lit(1)).alias("n_hits"))
+    total = max(n_items * (n_items - 1) // 2, 1)
+    return (
+        nc.crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nh))
+        .select(
+            F.lit(n_items).cast("long").alias("n_items"),
+            F.col("n_cand").cast("long").alias("n_cand"),
+            F.col("n_truth").cast("long").alias("n_truth"),
+            F.col("n_hits").cast("long").alias("n_hits"),
+            F.expr("n_hits * 1000000 DIV greatest(n_truth, 1)")
+            .cast("long")
+            .alias("completeness_x1e6"),
+            F.expr(f"1000000 - n_cand * 1000000 DIV {total}")
+            .cast("long")
+            .alias("reduction_x1e6"),
+        )
+    )

@@ -7960,3 +7960,17 @@ def test_mcnemar_and_mcc_hand_confusion(spark):
     assert mcc_binary(perfect, "y", "p").collect()[0].mcc2_x1e6 == 10**6
     inv = spark.createDataFrame([(1, 0), (0, 1), (1, 0), (0, 1)], ["y", "p"])
     assert mcc_binary(inv, "y", "p").collect()[0].mcc2_x1e6 == -(10**6)
+
+
+def test_blocking_quality_hand_pairs(spark):
+    """Completeness and reduction from hand-built candidate/truth sets."""
+    from chronographer_spark.operators.dedup import blocking_quality
+
+    cand = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 5)], ["id_a", "id_b"]
+    )
+    truth = spark.createDataFrame([(1, 2), (4, 5), (6, 7)], ["id_a", "id_b"])
+    r = blocking_quality(cand, truth, n_items=8).collect()[0]
+    assert (r.n_cand, r.n_truth, r.n_hits) == (4, 3, 2)
+    assert r.completeness_x1e6 == 2 * 10**6 // 3
+    assert r.reduction_x1e6 == 10**6 - 4 * 10**6 // 28
