@@ -21704,7 +21704,136 @@ FROM agg, nn
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: clustering external agreement (purity/Rand/ARI) + Krippendorff alpha
+# ---------------------------------------------------------------------------
+
+
+def q_clustering_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """External eval of the 2-round k-means clustering against the
+    embeddings table's true labels (clustering.clustering_agreement):
+    purity, Rand index, Adjusted Rand — exact cross-multiplied integers
+    off the contingency cells."""
+    from .operators.clustering import clustering_agreement, kmeans
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, _ = kmeans(emb, k=4, iterations=2)
+    j = assigned.select("vec_id", "cluster").join(
+        emb.select("vec_id", "label"), "vec_id"
+    )
+    return clustering_agreement(j, "cluster", "label")
+
+
+CLUSTERING_AGREEMENT_SQL = f"""
+WITH asg AS ({KMEANS_SQL}),
+j AS (SELECT a.cluster AS ci, CAST(e.label AS VARCHAR) AS lj
+      FROM asg a JOIN embeddings e USING (vec_id)),
+cells AS (SELECT ci, lj, CAST(count(*) AS BIGINT) AS nij
+          FROM j GROUP BY ci, lj),
+tot AS (SELECT CAST(sum(nij) AS BIGINT) AS n,
+               CAST(sum(nij * (nij - 1) // 2) AS BIGINT) AS s_ij
+        FROM cells),
+aa AS (SELECT CAST(sum(ai * (ai - 1) // 2) AS BIGINT) AS s_a
+       FROM (SELECT sum(nij) AS ai FROM cells GROUP BY ci)),
+bb AS (SELECT CAST(sum(bj * (bj - 1) // 2) AS BIGINT) AS s_b
+       FROM (SELECT sum(nij) AS bj FROM cells GROUP BY lj)),
+pp AS (SELECT CAST(sum(mx) AS BIGINT) AS pure
+       FROM (SELECT max(nij) AS mx FROM cells GROUP BY ci))
+SELECT n,
+       CAST(pure * 1000000 // n AS BIGINT) AS purity_x1e6,
+       CAST((n * (n - 1) // 2 + 2 * s_ij - s_a - s_b) * 1000000
+            // greatest(n * (n - 1) // 2, 1) AS BIGINT) AS rand_x1e6,
+       CAST(CASE WHEN (n * (n - 1) // 2) * (s_a + s_b) - 2 * s_a * s_b = 0
+                 THEN 1000000 ELSE
+            2 * ((n * (n - 1) // 2) * s_ij - s_a * s_b) * 1000000
+            // ((n * (n - 1) // 2) * (s_a + s_b) - 2 * s_a * s_b)
+            END AS BIGINT) AS ari_x1e6
+FROM tot, aa, bb, pp
+"""
+
+
+def q_krippendorff_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha (classifier.krippendorff_alpha) across three
+    deterministic raters of document language — the full stopword
+    heuristic plus two single-marker raters that ABSTAIN when no marker
+    hits (real missing data; units with <2 ratings drop out)."""
+    from .operators.classifier import krippendorff_alpha
+    from .operators.text import language_id
+
+    docs = language_id(_t(spark, sf_dir, "documents"))
+
+    def marker(en: str, fr: str, de: str):
+        t = F.lower(F.col("text"))
+        return (
+            F.when(t.like(f"% {en} %"), "en")
+            .when(t.like(f"% {fr} %"), "fr")
+            .when(t.like(f"% {de} %"), "de")
+        )
+
+    rated = (
+        docs.select(
+            F.col("doc_id").alias("unit"),
+            F.array(
+                F.struct(F.lit("A").alias("r"), F.col("lang_pred").alias("v")),
+                F.struct(
+                    F.lit("B").alias("r"), marker("the", "le", "der").alias("v")
+                ),
+                F.struct(
+                    F.lit("C").alias("r"), marker("and", "et", "und").alias("v")
+                ),
+            ).alias("rs"),
+        )
+        .select("unit", F.explode("rs").alias("p"))
+        .filter(F.col("p.v").isNotNull())
+        .select("unit", F.col("p.v").alias("value"))
+    )
+    return krippendorff_alpha(rated, "unit", "value")
+
+
+KRIPPENDORFF_SQL = f"""
+WITH {_LANGID_PRED_SQL},
+markers AS (
+  SELECT d.doc_id,
+         p.yhat AS ra,
+         CASE WHEN lower(d.text) LIKE '% the %' THEN 'en'
+              WHEN lower(d.text) LIKE '% le %' THEN 'fr'
+              WHEN lower(d.text) LIKE '% der %' THEN 'de' END AS rb,
+         CASE WHEN lower(d.text) LIKE '% and %' THEN 'en'
+              WHEN lower(d.text) LIKE '% et %' THEN 'fr'
+              WHEN lower(d.text) LIKE '% und %' THEN 'de' END AS rc
+  FROM documents d JOIN pred p USING (doc_id)
+),
+pu AS (
+  SELECT doc_id, vals, len(vals) AS m FROM (
+    SELECT doc_id, list_filter([ra, rb, rc], x -> x IS NOT NULL) AS vals
+    FROM markers
+  ) WHERE len(vals) >= 2
+),
+pairs AS (
+  SELECT vals[ii.i] AS c, vals[jj.j] AS k, CAST(6 // (m - 1) AS BIGINT) AS w
+  FROM pu,
+       LATERAL unnest(range(1, m + 1)) AS ii(i),
+       LATERAL unnest(range(1, m + 1)) AS jj(j)
+  WHERE ii.i <> jj.j
+),
+occ AS (SELECT c, k, CAST(sum(w) AS BIGINT) AS o6 FROM pairs GROUP BY c, k),
+nu AS (SELECT CAST(count(*) AS BIGINT) AS n_units FROM pu),
+doo AS (SELECT CAST(coalesce(sum(o6), 0) AS BIGINT) AS do6
+        FROM occ WHERE c <> k),
+marg AS (SELECT c, CAST(sum(o6) AS BIGINT) AS nc FROM occ GROUP BY c),
+dee AS (SELECT CAST(sum(nc) * sum(nc) - sum(nc * nc) AS BIGINT) AS de36,
+               CAST(sum(nc) // 6 AS BIGINT) AS n_vals FROM marg)
+SELECT n_units, n_vals, do6 AS do_scaled, de36 AS de_scaled,
+       CAST(CASE WHEN de36 = 0 THEN 1000000
+            ELSE 1000000 - 6 * (n_vals - 1) * do6 * 1000000 // de36
+            END AS BIGINT) AS alpha_x1e6
+FROM nu, doo, dee
+"""
+
+
 QUERIES = {
+    "clustering_agreement": q_clustering_agreement,
+    "krippendorff_docs": q_krippendorff_docs,
     "blocking_eval": q_blocking_eval,
     "flesch_docs": q_flesch_docs,
     "mcnemar_langid": q_mcnemar_langid,
@@ -22090,6 +22219,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "clustering_agreement": CLUSTERING_AGREEMENT_SQL,
+    "krippendorff_docs": KRIPPENDORFF_SQL,
     "blocking_eval": BLOCKING_EVAL_SQL,
     "flesch_docs": READABILITY_SQL,
     "mcnemar_langid": MCNEMAR_LANGID_SQL,

@@ -1835,7 +1835,14 @@ def multinomial_nb(
     train = toks_all.filter(~is_test)
     test = toks_all.filter(is_test)
 
-    cnt_ct = train.groupBy("cls", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    # vocab-sized; checkpointed because BOTH the model and the class table
+    # derive from it — without the cut the corpus-scale (cls, tok) agg
+    # re-executes once per consumer (the tf/df shared-subtree family)
+    cnt_ct = (
+        train.groupBy("cls", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
     n_c = cnt_ct.groupBy("cls").agg(F.sum("cnt").alias("n_c"))
     v = train.select("tok").distinct().count()
     train_docs = (
@@ -1970,5 +1977,79 @@ def mcc_binary(df: DataFrame, label_col: str, pred_col: str) -> DataFrame:
                 " * (abs(tp*tn - fp*fn) * 1000 DIV ((tn+fp) * (tn+fn)))"
                 " END"
             ).cast("long").alias("mcc2_x1e6"),
+        )
+    )
+
+
+def krippendorff_alpha(
+    df: DataFrame, unit_col: str = "unit", value_col: str = "value"
+) -> DataFrame:
+    """Krippendorff's alpha (nominal) for inter-annotator agreement with
+    MISSING ratings — the generalization of cohens_kappa to 2+ raters and
+    incomplete unit coverage (the standard reliability statistic for
+    LLM-judge / human-label audits). Input: one row per (unit, rating);
+    units with fewer than 2 ratings are unpairable and drop out.
+
+    Exact-integer contract: per-unit coincidence contributions are scaled
+    by 6 DIV (m−1) (integer for m ∈ {2,3,4} raters per unit — more needs
+    a bigger lcm scale), so with O = 6·o the scaled coincidence matrix,
+    N_c = Σ_k O_ck its marginals and n = ΣN DIV 6 the pairable-value
+    count: alpha_x1e6 = 1e6 − 6·(n−1)·ΣO_off·1e6 DIV ((ΣN)² − ΣN_c²) —
+    every term BIGINT, replayed bit-for-bit by the oracle's pair
+    enumeration.
+
+    Plan shape: one unit-keyed collect_list (bounded by raters-per-unit),
+    a per-unit ordered-pair fan-out (m·(m−1) ≤ 12 rows per unit), one
+    (c, k) aggregation — coincidence and marginal tables are
+    |values|²-sized. Emits one row: (n_units, n_vals, do_scaled,
+    de_scaled, alpha_x1e6).
+    """
+    per = (
+        df.groupBy(unit_col)
+        .agg(F.collect_list(F.col(value_col).cast("string")).alias("vals"))
+        .withColumn("m", F.size("vals"))
+        .filter(F.col("m") >= 2)
+        .localCheckpoint(eager=True)
+    )
+    pairs = per.select(
+        "m",
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(1, size(vals)), i ->"
+                " filter(transform(sequence(1, size(vals)), j ->"
+                " IF(i = j, CAST(NULL AS struct<c:string, k:string>),"
+                " struct(element_at(vals, i) AS c, element_at(vals, j) AS k))),"
+                " x -> x IS NOT NULL)))"
+            )
+        ).alias("p"),
+    ).select(
+        F.col("p.c").alias("c"),
+        F.col("p.k").alias("k"),
+        F.expr("CAST(6 DIV (m - 1) AS BIGINT)").alias("w"),
+    )
+    occ = pairs.groupBy("c", "k").agg(F.sum("w").alias("o6")).localCheckpoint(
+        eager=True
+    )
+    nu = per.agg(F.count(F.lit(1)).alias("n_units"))
+    do = occ.filter(F.col("c") != F.col("k")).agg(
+        F.coalesce(F.sum("o6"), F.lit(0)).alias("do6")
+    )
+    marg = occ.groupBy("c").agg(F.sum("o6").alias("nc"))
+    de = marg.agg(
+        F.expr("sum(nc) * sum(nc) - sum(nc * nc)").alias("de36"),
+        F.expr("sum(nc) DIV 6").alias("n_vals"),
+    )
+    return (
+        nu.crossJoin(F.broadcast(do))
+        .crossJoin(F.broadcast(de))
+        .select(
+            F.col("n_units").cast("long").alias("n_units"),
+            F.col("n_vals").cast("long").alias("n_vals"),
+            F.col("do6").cast("long").alias("do_scaled"),
+            F.col("de36").cast("long").alias("de_scaled"),
+            F.expr(
+                "CASE WHEN de36 = 0 THEN CAST(1000000 AS BIGINT) ELSE"
+                " 1000000 - 6 * (n_vals - 1) * do6 * 1000000 DIV de36 END"
+            ).cast("long").alias("alpha_x1e6"),
         )
     )

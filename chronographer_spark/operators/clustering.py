@@ -337,3 +337,67 @@ def dbscan_grid(
             .alias("cluster"),
         )
     )
+
+
+def clustering_agreement(
+    df: DataFrame, cluster_col: str, label_col: str
+) -> DataFrame:
+    """External clustering evaluation against reference labels: purity,
+    Rand index, and Adjusted Rand Index (Hubert & Arabie 1985) as exact
+    integer quotients from the (cluster, label) contingency table — the
+    did-k-means-find-the-classes readout beside kmeans/dbscan.
+
+    Pair counts use s = Σ n·(n−1) DIV 2 (exact — the product is even);
+    ARI cross-multiplies to integers: ari_x1e6 = 2·(C·s_ij − s_a·s_b)·1e6
+    DIV (C·(s_a+s_b) − 2·s_a·s_b) with C = n·(n−1)/2; a zero denominator
+    only happens when BOTH partitions are trivial (all-singletons or
+    one-cluster), where ARI is pinned to 1e6. Overflow bound: C·s ≤ n⁴/4
+    must stay under 2^63·1e-6 → n < ~55k rows per evaluation; past that,
+    swap the products to DECIMAL(38,0) (the 128-bit square rule).
+
+    Plan shape: ONE shuffle to the k×l contingency cells (map-side
+    combined), then cell-table-sized aggregation fan (eagerly
+    checkpointed). Emits one row: (n, purity_x1e6, rand_x1e6, ari_x1e6).
+    """
+    cells = (
+        df.select(
+            F.col(cluster_col).cast("string").alias("ci"),
+            F.col(label_col).cast("string").alias("lj"),
+        )
+        .groupBy("ci", "lj")
+        .agg(F.count(F.lit(1)).alias("nij"))
+        .localCheckpoint(eager=True)
+    )
+    sij = cells.agg(
+        F.sum("nij").alias("n"),
+        F.expr("sum(nij * (nij - 1) DIV 2)").alias("s_ij"),
+    )
+    sa = cells.groupBy("ci").agg(F.sum("nij").alias("ai")).agg(
+        F.expr("sum(ai * (ai - 1) DIV 2)").alias("s_a")
+    )
+    sb = cells.groupBy("lj").agg(F.sum("nij").alias("bj")).agg(
+        F.expr("sum(bj * (bj - 1) DIV 2)").alias("s_b")
+    )
+    pur = cells.groupBy("ci").agg(F.max("nij").alias("mx")).agg(
+        F.sum("mx").alias("pure")
+    )
+    return (
+        sij.crossJoin(F.broadcast(sa))
+        .crossJoin(F.broadcast(sb))
+        .crossJoin(F.broadcast(pur))
+        .select(
+            F.col("n").cast("long").alias("n"),
+            F.expr("pure * 1000000 DIV n").cast("long").alias("purity_x1e6"),
+            F.expr(
+                "(n * (n - 1) DIV 2 + 2 * s_ij - s_a - s_b) * 1000000"
+                " DIV greatest(n * (n - 1) DIV 2, 1)"
+            ).cast("long").alias("rand_x1e6"),
+            F.expr(
+                "CASE WHEN (n * (n - 1) DIV 2) * (s_a + s_b)"
+                " - 2 * s_a * s_b = 0 THEN 1000000 ELSE"
+                " 2 * ((n * (n - 1) DIV 2) * s_ij - s_a * s_b) * 1000000"
+                " DIV ((n * (n - 1) DIV 2) * (s_a + s_b) - 2 * s_a * s_b)"
+                " END"
+            ).cast("long").alias("ari_x1e6"),
+        )
+    )

@@ -7974,3 +7974,59 @@ def test_blocking_quality_hand_pairs(spark):
     assert (r.n_cand, r.n_truth, r.n_hits) == (4, 3, 2)
     assert r.completeness_x1e6 == 2 * 10**6 // 3
     assert r.reduction_x1e6 == 10**6 - 4 * 10**6 // 28
+
+
+def test_clustering_agreement_hand_contingency(spark):
+    """Purity/Rand/ARI replayed from a hand contingency; identical
+    partitions score exactly 1e6 everywhere."""
+    from chronographer_spark.operators.clustering import clustering_agreement
+
+    # clusters {a:[x,x,y], b:[y,y]}: cells a/x=2, a/y=1, b/y=2, n=5
+    rows = [("a", "x"), ("a", "x"), ("a", "y"), ("b", "y"), ("b", "y")]
+    df = spark.createDataFrame(rows, ["cluster", "label"])
+    r = clustering_agreement(df, "cluster", "label").collect()[0]
+    n, s_ij, s_a, s_b = 5, 1 + 0 + 1, 3 + 1, 1 + 3
+    C = n * (n - 1) // 2
+    assert r.n == 5
+    assert r.purity_x1e6 == (2 + 2) * 10**6 // 5
+    assert r.rand_x1e6 == (C + 2 * s_ij - s_a - s_b) * 10**6 // C
+    assert r.ari_x1e6 == 2 * (C * s_ij - s_a * s_b) * 10**6 // (
+        C * (s_a + s_b) - 2 * s_a * s_b
+    )
+    same = spark.createDataFrame(
+        [("a", "x"), ("a", "x"), ("b", "y")], ["cluster", "label"]
+    )
+    p = clustering_agreement(same, "cluster", "label").collect()[0]
+    assert (p.purity_x1e6, p.rand_x1e6, p.ari_x1e6) == (10**6, 10**6, 10**6)
+
+
+def test_krippendorff_alpha_hand_replay(spark):
+    """Alpha on a hand fixture with a 2-rating and a 3-rating unit,
+    replayed against the coincidence-matrix formula; perfect agreement
+    scores exactly 1e6."""
+    from chronographer_spark.operators.classifier import krippendorff_alpha
+
+    rows = [
+        (1, "a"), (1, "a"), (1, "b"),   # m=3
+        (2, "a"), (2, "a"),             # m=2
+        (3, "b"),                        # unpairable, drops
+    ]
+    df = spark.createDataFrame(rows, ["unit", "value"])
+    r = krippendorff_alpha(df, "unit", "value").collect()[0]
+    # unit1 pairs (w=6//2=3): (a,a)x2, (a,b)x2, (b,a)x2 -> O_aa=6, O_ab=6, O_ba=6
+    # unit2 pairs (w=6): (a,a)x2 -> O_aa=18 total
+    # marginals N_a = O_aa+O_ab = 24, N_b = O_ba = 6; sum 30 = 6*5 values
+    # do6 = O_ab+O_ba = 12; de36 = 30^2 - (24^2 + 6^2) = 288
+    assert r.n_units == 2
+    assert r.n_vals == 5
+    assert r.do_scaled == 12
+    assert r.de_scaled == 288
+    alpha = 10**6 - 6 * (r.n_vals - 1) * r.do_scaled * 10**6 // r.de_scaled
+    assert r.alpha_x1e6 == alpha
+    perfect = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "b"), (2, "b")], ["unit", "value"]
+    )
+    assert (
+        krippendorff_alpha(perfect, "unit", "value").collect()[0].alpha_x1e6
+        == 10**6
+    )

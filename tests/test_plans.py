@@ -1357,3 +1357,55 @@ def test_merge_inverted_index_broadcast_anti_join(spark):
     merged = merge_inverted_index(stored, docs.filter("doc_id % 10 = 0"))
     plan = _plan(merged)
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_multinomial_nb_model_broadcast_scoring(spark):
+    """NB scoring: the (class x vocab) model and the class table reach the
+    per-token path as broadcasts (the msb16 weights are evaluated
+    dimension-side), and the corpus-side work stays at a bounded exchange
+    count — no model-side hash shuffle into the scoring join."""
+    from chronographer_spark.operators.classifier import multinomial_nb
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(multinomial_nb(docs, label_col="lang", test_mod=5))
+    assert plan.count("BroadcastExchange") >= 2, plan
+    # corpus-scale work: ONE (cls, tok) agg into the cnt_ct checkpoint;
+    # everything else is vocab/class-sized (model+class-table derivations)
+    # plus the (doc, cls) scoring agg, argmax window and truth join
+    assert _exchanges(plan) <= 7, plan
+    assert "Scan ExistingRDD" in plan, plan  # cnt_ct checkpoint feeds both
+
+
+def test_knn_classify_broadcasts_test_side(spark):
+    """kNN brute-force baseline: the held-out test side is the broadcast
+    side; the reference corpus streams map-side into the scoring
+    crossJoin (one BroadcastNestedLoopJoin, no corpus self-shuffle before
+    the per-test-vector window)."""
+    from chronographer_spark.operators.similarity import knn_classify
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _plan(knn_classify(emb, k=5, test_mod=10))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    # window over tid + vote aggs: bounded exchanges
+    assert _exchanges(plan) <= 3, plan
+
+
+def test_eigenvector_round_reuses_score_checkpoint(spark):
+    """Each power-iteration round reads the previous round's eagerly
+    checkpointed score vector (lineage cut — plan must show the scan, not
+    a re-derivation of prior rounds), and one round costs at most the
+    join + agg + rescale exchanges."""
+    from chronographer_spark.operators.graph_algos import eigenvector_centrality
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    b = ev.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("a"),
+        F.concat(F.lit("t"), F.col("event_type")).alias("bb"),
+    ).distinct()
+    edges = b.select(F.col("a").alias("src"), F.col("bb").alias("dst")).union(
+        b.select(F.col("bb").alias("src"), F.col("a").alias("dst"))
+    )
+    plan = _plan(eigenvector_centrality(edges, rounds=3))
+    # final round reads checkpointed RDDs, not the full 3-round lineage
+    assert "Scan ExistingRDD" in plan, plan
+    assert _exchanges(plan) <= 4, plan
