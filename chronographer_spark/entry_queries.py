@@ -21831,7 +21831,236 @@ FROM nu, doo, dee
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: rank tests (Wilcoxon paired, Kruskal-Wallis) + forecasting/drift
+# (SES, Page-Hinkley)
+# ---------------------------------------------------------------------------
+
+
+def q_wilcoxon_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank per event type (classifier.
+    wilcoxon_signed_rank): each user's first-half-year vs
+    second-half-year spend as the paired sample — doubled midranks, exact
+    tie-corrected moments, cross-multiplied z²."""
+    from .operators.classifier import wilcoxon_signed_rank
+
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy("event_type", "user_id").agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.month("ts") <= 6,
+                    F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"),
+                )
+            ),
+            F.lit(0),
+        ).alias("x"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.month("ts") > 6,
+                    F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"),
+                )
+            ),
+            F.lit(0),
+        ).alias("y"),
+    )
+    return wilcoxon_signed_rank(per, "event_type", "x", "y")
+
+
+WILCOXON_PAIRED_SQL = """
+WITH per AS (
+  SELECT event_type AS key, user_id,
+         CAST(coalesce(sum(CASE WHEN month(ts) <= 6 THEN
+           CAST(floor(value * 100 + 0.5) AS BIGINT) END), 0) AS BIGINT) AS x,
+         CAST(coalesce(sum(CASE WHEN month(ts) > 6 THEN
+           CAST(floor(value * 100 + 0.5) AS BIGINT) END), 0) AS BIGINT) AS y
+  FROM events GROUP BY event_type, user_id
+),
+base AS (
+  SELECT key, x - y AS d, abs(x - y) AS ad FROM per WHERE x - y <> 0
+),
+ranked AS (
+  SELECT key, d,
+         rank() OVER (PARTITION BY key ORDER BY ad) AS rmin,
+         count(*) OVER (PARTITION BY key, ad) AS t
+  FROM base
+),
+agg AS (
+  SELECT key,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(CASE WHEN d > 0 THEN 2 * rmin + (t - 1) ELSE 0 END)
+           AS BIGINT) AS w2,
+         CAST(sum(t * t - 1) AS BIGINT) AS tie3
+  FROM ranked GROUP BY key
+)
+SELECT key, n_pairs, w2,
+       CAST(n_pairs * (n_pairs + 1) // 2 AS BIGINT) AS e2,
+       CAST(n_pairs * (n_pairs + 1) * (2 * n_pairs + 1) // 6
+            - tie3 // 12 AS BIGINT) AS var2,
+       CAST(CASE WHEN n_pairs * (n_pairs + 1) * (2 * n_pairs + 1) // 6
+                      - tie3 // 12 <= 0 THEN 0 ELSE
+         (w2 - n_pairs * (n_pairs + 1) // 2)
+         * (w2 - n_pairs * (n_pairs + 1) // 2) * 1000000
+         // (n_pairs * (n_pairs + 1) * (2 * n_pairs + 1) // 6 - tie3 // 12)
+       END AS BIGINT) AS z2_x1e6
+FROM agg
+"""
+
+
+def q_kruskal_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across event types on value cents
+    (classifier.kruskal_wallis): collapsed-bucket doubled midranks, the
+    pinned per-group DIV contract — the k-sample rank ANOVA beside
+    auc_priority's two-sample Mann-Whitney."""
+    from .operators.classifier import kruskal_wallis
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_type",
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    return kruskal_wallis(pts, "event_type", "cents")
+
+
+KRUSKAL_EVENTS_SQL = """
+WITH cells AS (
+  SELECT event_type AS grp, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+vtot AS (SELECT v, CAST(sum(c) AS BIGINT) AS tv FROM cells GROUP BY v),
+vrank AS (
+  SELECT v, tv,
+         1 + CAST(coalesce(sum(tv) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS rmin
+  FROM vtot
+),
+per AS (
+  SELECT grp, CAST(sum(c) AS BIGINT) AS n_j,
+         CAST(sum(c * (2 * rmin + (tv - 1))) AS BIGINT) AS r2_sum
+  FROM cells JOIN vrank USING (v) GROUP BY grp
+),
+tot AS (
+  SELECT CAST(sum(n_j) AS BIGINT) AS n,
+         CAST(sum(r2_sum * r2_sum // n_j) AS BIGINT) AS t_sum
+  FROM per
+)
+SELECT grp, n_j, r2_sum,
+       CAST(3 * t_sum * 1000000 // (n * (n + 1))
+            - 3 * (n + 1) * 1000000 AS BIGINT) AS h_x1e6
+FROM per, tot
+"""
+
+
+def _hourly_series_sql() -> str:
+    return """
+series AS (
+  SELECT event_type AS key,
+         CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS o,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+)
+"""
+
+
+def q_ses_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """α=1/2 exponential-smoothing level + one-step residual over each
+    event type's hourly count series (temporal.ses_forecast): bit-shift
+    weights over the last 16 observations, exact integers, one window
+    shuffle."""
+    from .operators.temporal import ses_forecast
+
+    ev = _t(spark, sf_dir, "events")
+    series = ev.groupBy(
+        "event_type", F.expr("CAST(unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000 AS BIGINT)").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    return ses_forecast(series, "event_type", "hr", "c", window=16)
+
+
+def _ses_sql() -> str:
+    terms = []
+    pres = []
+    for i in range(16):
+        wt = 1 << (15 - i)
+        lag = "x" if i == 0 else f"lag(x, {i}) OVER w"
+        terms.append(f"CASE WHEN {lag} IS NOT NULL THEN ({lag}) * {wt} ELSE 0 END")
+        pres.append(f"CASE WHEN {lag} IS NOT NULL THEN {wt} ELSE 0 END")
+    num = " + ".join(terms)
+    den = " + ".join(pres)
+    return f"""
+WITH {_hourly_series_sql().strip().rstrip()},
+lagged AS (
+  SELECT key, o, x,
+         CAST({num} AS BIGINT) AS nm,
+         CAST({den} AS BIGINT) AS dn,
+         lead(x) OVER w AS nxt
+  FROM series
+  WINDOW w AS (PARTITION BY key ORDER BY o)
+)
+SELECT key, o, x, CAST(nm // dn AS BIGINT) AS ses,
+       CAST(nxt - nm // dn AS BIGINT) AS next_err
+FROM lagged
+"""
+
+
+SES_HOURLY_SQL = _ses_sql()
+
+
+def q_page_hinkley_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley mean-shift alarms over the hourly count series
+    (temporal.page_hinkley, train_n=8, λ=5): deviation accumulated
+    against each key's trained baseline, everything scaled by the
+    training count — no float mean, one shuffle."""
+    from .operators.temporal import page_hinkley
+
+    ev = _t(spark, sf_dir, "events")
+    series = ev.groupBy(
+        "event_type", F.expr("CAST(unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000 AS BIGINT)").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    return page_hinkley(series, "event_type", "hr", "c", train_n=8, lam=5)
+
+
+PAGE_HINKLEY_SQL = f"""
+WITH {_hourly_series_sql().strip()},
+rn AS (
+  SELECT key, o, x, row_number() OVER (PARTITION BY key ORDER BY o) AS rn
+  FROM series
+),
+tr AS (
+  SELECT key, CAST(sum(x) AS BIGINT) AS s_tr, CAST(count(*) AS BIGINT) AS n_tr
+  FROM rn WHERE rn <= 8 GROUP BY key
+),
+post AS (
+  SELECT r.key, r.o, r.x, t.s_tr, t.n_tr,
+         r.x * t.n_tr - t.s_tr - 0 * t.n_tr AS inc
+  FROM rn r JOIN tr t USING (key) WHERE r.rn > 8
+),
+cum1 AS (
+  SELECT key, o, x, n_tr, sum(inc) OVER w AS ph
+  FROM post
+  WINDOW w AS (PARTITION BY key ORDER BY o
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+cum AS (
+  SELECT key, o, x, n_tr, ph, min(ph) OVER w2 AS mn
+  FROM cum1
+  WINDOW w2 AS (PARTITION BY key ORDER BY o
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT key, o, x,
+       CAST(ph - mn AS BIGINT) AS gap_scaled,
+       CAST(CASE WHEN ph - mn > 5 * n_tr THEN 1 ELSE 0 END AS BIGINT) AS alarm
+FROM cum
+"""
+
+
 QUERIES = {
+    "wilcoxon_paired": q_wilcoxon_paired,
+    "kruskal_events": q_kruskal_events,
+    "ses_hourly": q_ses_hourly,
+    "page_hinkley_hourly": q_page_hinkley_hourly,
     "clustering_agreement": q_clustering_agreement,
     "krippendorff_docs": q_krippendorff_docs,
     "blocking_eval": q_blocking_eval,
@@ -22219,6 +22448,10 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "wilcoxon_paired": WILCOXON_PAIRED_SQL,
+    "kruskal_events": KRUSKAL_EVENTS_SQL,
+    "ses_hourly": SES_HOURLY_SQL,
+    "page_hinkley_hourly": PAGE_HINKLEY_SQL,
     "clustering_agreement": CLUSTERING_AGREEMENT_SQL,
     "krippendorff_docs": KRIPPENDORFF_SQL,
     "blocking_eval": BLOCKING_EVAL_SQL,

@@ -2053,3 +2053,125 @@ def krippendorff_alpha(
             ).cast("long").alias("alpha_x1e6"),
         )
     )
+
+
+def wilcoxon_signed_rank(
+    df: DataFrame,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Wilcoxon signed-rank test per key for PAIRED samples — the
+    nonparametric paired companion to welch_t (Mann-Whitney AUC covers
+    the unpaired case). Zero differences drop (the standard Wilcoxon
+    convention); |d| ties get midranks, kept exact by DOUBLING:
+    midrank2 = 2·rank_min + (t − 1), so W2 = Σ midrank2 over positive
+    differences is an integer and the null moments are E[W2] =
+    n(n+1)/2 and Var[W2] = n(n+1)(2n+1)/6 − Σ(t³−t) DIV 12 (the first
+    term is exactly divisible; the tie term's truncating DIV is a PINNED
+    quantized contract, off by at most ½ from the real-valued correction
+    and replayed identically by both engines). The emitted
+    z²-statistic is the exact cross-multiplied z2_x1e6 = (W2 − E2)²·1e6
+    DIV Var2. Overflow: (W2−E2)² ≤ n⁴ needs n per key < ~55k at the 1e6
+    scale — swap the square to DECIMAL(38,0) past that (128-bit rule).
+
+    Plan shape: one shuffle to (key, |d|) rank windows, one key
+    aggregation. Emits per key: (key, n_pairs, w2, e2, var2, z2_x1e6).
+    """
+    d = (F.col(x_col) - F.col(y_col)).cast("long")
+    base = (
+        df.select(F.col(key_col).alias("key"), d.alias("d"))
+        .filter(F.col("d") != 0)
+        .withColumn("ad", F.abs("d"))
+    )
+    wr = Window.partitionBy("key").orderBy("ad")
+    wt = Window.partitionBy("key", "ad")
+    ranked = base.withColumn("rmin", F.rank().over(wr)).withColumn(
+        "t", F.count(F.lit(1)).over(wt)
+    ).withColumn("mr2", F.expr("2 * rmin + (t - 1)"))
+    per = ranked.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.when(F.col("d") > 0, F.col("mr2")).otherwise(0)).alias("w2"),
+        # Σ(t³ − t) over distinct tie groups: each group of size t
+        # contributes t rows of (t² − 1) -> sum(t*t - 1) = Σ_g t·(t²−1)/... 
+        # per-row (t² − 1) summed = Σ_g t·(t² − 1) = Σ_g (t³ − t)  ✓
+        F.expr("sum(t * t - 1)").alias("tie3"),
+    )
+    return per.select(
+        "key",
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.col("w2").cast("long").alias("w2"),
+        F.expr("n_pairs * (n_pairs + 1) DIV 2").cast("long").alias("e2"),
+        F.expr(
+            "n_pairs * (n_pairs + 1) * (2 * n_pairs + 1) DIV 6"
+            " - tie3 DIV 12"
+        ).cast("long").alias("var2"),
+        F.expr(
+            "CASE WHEN n_pairs * (n_pairs + 1) * (2 * n_pairs + 1) DIV 6"
+            " - tie3 DIV 12 <= 0 THEN CAST(0 AS BIGINT) ELSE"
+            " (w2 - n_pairs * (n_pairs + 1) DIV 2)"
+            " * (w2 - n_pairs * (n_pairs + 1) DIV 2) * 1000000"
+            " DIV (n_pairs * (n_pairs + 1) * (2 * n_pairs + 1) DIV 6"
+            " - tie3 DIV 12) END"
+        ).cast("long").alias("z2_x1e6"),
+    )
+
+
+def kruskal_wallis(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Kruskal-Wallis H across k groups — the k-sample rank ANOVA
+    (auc_exact's Mann-Whitney generalized past 2 groups). Midranks are
+    doubled (midrank2 = 2·rank_min + t − 1, integer under ties) and the
+    statistic uses a PINNED quantized contract: T = Σ_j (R2_j² DIV n_j)
+    with per-group truncating DIV (quantization ≤ k/(n(n+1)) of an H
+    unit — the msb16 philosophy: both engines replay the identical
+    integer, no float ranks anywhere), then h_x1e6 = 3·T·1e6 DIV
+    (n·(n+1)) − 3·(n+1)·1e6. No tie correction term (documented;
+    correct for the tie-free case, slightly conservative under ties).
+    Overflow: R2_j² ≤ 4n⁴ needs n < ~30k per test — DECIMAL(38,0) past
+    that.
+
+    Scale shape: ranks are derived on the COLLAPSED (value -> count)
+    table (the Theil-Sen collapsed-bucket pattern) — rank_min(v) = 1 +
+    Σ_{v'<v} cnt(v') and the tie size is the value's total count, so the
+    only window runs over distinct values, never rows. Two shuffles:
+    (grp, v) cells, then the distinct-v prefix sum. Emits one row per
+    group plus the shared statistic: (grp, n_j, r2_sum, h_x1e6).
+    """
+    cells = (
+        df.select(
+            F.col(group_col).cast("string").alias("grp"),
+            F.col(value_col).cast("long").alias("v"),
+        )
+        .groupBy("grp", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    vtot = cells.groupBy("v").agg(F.sum("c").alias("tv"))
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    vrank = vtot.withColumn(
+        "rmin", F.lit(1) + F.coalesce(F.sum("tv").over(wv), F.lit(0))
+    ).withColumn("mr2", F.expr("2 * rmin + (tv - 1)"))
+    per = (
+        cells.join(vrank.select("v", "mr2"), "v")
+        .groupBy("grp")
+        .agg(
+            F.sum("c").alias("n_j"),
+            F.sum(F.expr("c * mr2")).alias("r2_sum"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = per.agg(
+        F.sum("n_j").alias("n"),
+        F.expr("sum(r2_sum * r2_sum DIV n_j)").alias("t_sum"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "grp",
+        F.col("n_j").cast("long").alias("n_j"),
+        F.col("r2_sum").cast("long").alias("r2_sum"),
+        F.expr(
+            "3 * t_sum * 1000000 DIV (n * (n + 1))"
+            " - 3 * (n + 1) * 1000000"
+        ).cast("long").alias("h_x1e6"),
+    )

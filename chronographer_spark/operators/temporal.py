@@ -2942,3 +2942,103 @@ def hill_tail_index(
             f"CAST(23083000 DIV greatest({h}, CAST(1 AS BIGINT)) AS BIGINT)"
         ).alias("alpha_x1e3"),
     )
+
+
+def ses_forecast(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    window: int = 16,
+) -> DataFrame:
+    """Simple exponential smoothing (α = 1/2) as an EXACT integer
+    operator: the smoothed level is the bit-shift-weighted mean of the
+    last `window` observations, s_t = Σ_{i=0..w−1} x_{t−i}·2^(w−1−i)
+    DIV Σ 2^(w−1−i) (missing lags drop out of BOTH sums, so early rows
+    are exact over their shorter history). Truncating the geometric tail
+    at `window` changes weights by < 2^−window — the quantization is the
+    pinned contract, replayed bit-for-bit by the oracle's identical lag
+    fan. The first forecast family in the engine (EWMA variants here are
+    decay-scores, not forecasts); next_err = x_{t+1} − s_t is the
+    one-step-ahead residual a monitoring pipeline thresholds.
+
+    Plan shape: ONE (key ORDER BY order) window evaluates all `window`
+    lags and the lead — a single shuffle regardless of window size.
+    Emits (key, o, x, ses, next_err — NULL on each key's last row).
+    """
+    w = Window.partitionBy("key").orderBy("o")
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(order_col).cast("long").alias("o"),
+        F.col(value_col).cast("long").alias("x"),
+    )
+    num = None
+    den = None
+    for i in range(window):
+        lag_i = F.col("x") if i == 0 else F.lag("x", i).over(w)
+        wt = 1 << (window - 1 - i)
+        term = F.when(lag_i.isNotNull(), lag_i * wt).otherwise(0)
+        pres = F.when(lag_i.isNotNull(), F.lit(wt)).otherwise(0)
+        num = term if num is None else num + term
+        den = pres if den is None else den + pres
+    # integer truncating divide via expr to match DuckDB // exactly
+    out = base.withColumn("__num", num.cast("long")).withColumn(
+        "__den", den.cast("long")
+    ).withColumn("ses", F.expr("__num DIV __den")).withColumn(
+        "next_err", F.lead("x").over(w) - F.col("ses")
+    )
+    return out.select("key", "o", "x", "ses", "next_err")
+
+
+def page_hinkley(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    train_n: int = 8,
+    delta: int = 0,
+    lam: int = 50,
+) -> DataFrame:
+    """Page-Hinkley mean-shift detector per key with a FIXED reference
+    mean learned from each key's first `train_n` observations — the
+    sequential change alarm beside cusum_level_shift (CUSUM scans a
+    single best split; PH accumulates deviation against a trained
+    baseline and alarms on PH_t − min PH > λ, the streaming-drift
+    formulation). Everything is scaled by the training count so the
+    reference mean never becomes a float: inc_t = x_t·n_tr − s_tr −
+    δ·n_tr, PH = prefix sum, gap = PH − running min, alarm when gap >
+    λ·n_tr — exact BIGINTs end to end.
+
+    Plan shape: one (key ORDER BY order) rank window, a key-sized
+    training aggregate joined back on the SAME key (partitioning
+    reused), then prefix-sum/min windows on that key again — one
+    shuffle total. Emits post-training rows: (key, o, x, gap_scaled,
+    alarm).
+    """
+    w = Window.partitionBy("key").orderBy("o")
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(order_col).cast("long").alias("o"),
+        F.col(value_col).cast("long").alias("x"),
+    ).withColumn("rn", F.row_number().over(w))
+    tr = (
+        base.filter(F.col("rn") <= train_n)
+        .groupBy("key")
+        .agg(F.sum("x").alias("s_tr"), F.count(F.lit(1)).alias("n_tr"))
+    )
+    post = base.filter(F.col("rn") > train_n).join(tr, "key")
+    inc = F.expr(f"x * n_tr - s_tr - {delta} * n_tr")
+    wcum = Window.partitionBy("key").orderBy("o").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ph = post.withColumn("__inc", inc).withColumn(
+        "ph", F.sum("__inc").over(wcum)
+    ).withColumn("mn", F.min("ph").over(wcum))
+    return ph.select(
+        "key",
+        "o",
+        "x",
+        (F.col("ph") - F.col("mn")).cast("long").alias("gap_scaled"),
+        F.expr(f"CAST(CASE WHEN ph - mn > {lam} * n_tr THEN 1 ELSE 0 END"
+               " AS BIGINT)").alias("alarm"),
+    )

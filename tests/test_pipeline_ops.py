@@ -8030,3 +8030,74 @@ def test_krippendorff_alpha_hand_replay(spark):
         krippendorff_alpha(perfect, "unit", "value").collect()[0].alpha_x1e6
         == 10**6
     )
+
+
+def test_wilcoxon_signed_rank_hand_replay(spark):
+    """Doubled midranks, W2 and exact moments on a hand pair set with a
+    tie; zero differences drop."""
+    from chronographer_spark.operators.classifier import wilcoxon_signed_rank
+
+    rows = [("k", 10, 7), ("k", 5, 8), ("k", 9, 6), ("k", 4, 3), ("k", 2, 2)]
+    df = spark.createDataFrame(rows, ["key", "x", "y"])
+    r = wilcoxon_signed_rank(df, "key", "x", "y").collect()[0]
+    # diffs: +3, -3, +3, +1 (the 0 drops); |d|=1 -> rmin 1, t=1, mr2 = 2;
+    # |d|=3 group ranks {2,3,4} -> rmin 2, t=3, mr2 = 2*2 + 2 = 6 (midrank 3)
+    # W2 = (positive: +3,+3,+1) = 6 + 6 + 2 = 14; n=4 -> E2 = 10
+    assert (r.n_pairs, r.w2, r.e2) == (4, 14, 10)
+    # tie3 = sum(t*t - 1) per row = 0 + 3*8 = 24
+    assert r.var2 == 4 * 5 * 9 // 6 - 24 // 12
+    assert r.z2_x1e6 == (14 - 10) ** 2 * 10**6 // r.var2
+
+
+def test_kruskal_wallis_hand_replay(spark):
+    """Tie-free 2-group case equals the textbook H via the doubled-rank
+    contract."""
+    from chronographer_spark.operators.classifier import kruskal_wallis
+
+    rows = [("a", 1), ("a", 2), ("a", 3), ("b", 4), ("b", 5), ("b", 6)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    got = {r.grp: r for r in kruskal_wallis(df, "g", "v").collect()}
+    # ranks a: 1,2,3 (R=6, R2=12); b: 4,5,6 (R=15, R2=30); n=6
+    assert got["a"].r2_sum == 12 and got["b"].r2_sum == 30
+    t_sum = 12 * 12 // 3 + 30 * 30 // 3
+    h = 3 * t_sum * 10**6 // (6 * 7) - 3 * 7 * 10**6
+    assert got["a"].h_x1e6 == h == got["b"].h_x1e6
+    # textbook H = 12/(6*7) * (36/3 + 225/3) - 3*7 = 12/42*87 - 21 ≈ 3.857
+    assert abs(h / 10**6 - (12 / 42 * 87 - 21)) < 1e-6
+
+
+def test_ses_forecast_bitshift_weights(spark):
+    """Level replays the exact bit-shift weighted mean over available
+    history; residual is next minus level."""
+    from chronographer_spark.operators.temporal import ses_forecast
+
+    rows = [("k", 1, 10), ("k", 2, 20), ("k", 3, 40)]
+    df = spark.createDataFrame(rows, ["key", "o", "x"])
+    got = {r.o: r for r in ses_forecast(df, "key", "o", "x", window=16).collect()}
+    w15, w14, w13 = 1 << 15, 1 << 14, 1 << 13
+    assert got[1].ses == 10
+    assert got[2].ses == (20 * w15 + 10 * w14) // (w15 + w14)
+    assert got[3].ses == (40 * w15 + 20 * w14 + 10 * w13) // (w15 + w14 + w13)
+    assert got[1].next_err == 20 - got[1].ses
+    assert got[3].next_err is None
+
+
+def test_page_hinkley_alarms_on_shift(spark):
+    """Baseline-trained PH: flat series stays quiet; a level shift after
+    training crosses lambda*n_tr and alarms."""
+    from chronographer_spark.operators.temporal import page_hinkley
+
+    flat = [("k", i, 10) for i in range(1, 13)]
+    shift = [("s", i, 10) for i in range(1, 9)] + [
+        ("s", i, 30) for i in range(9, 13)
+    ]
+    df = spark.createDataFrame(flat + shift, ["key", "o", "x"])
+    got = page_hinkley(df, "key", "o", "x", train_n=8, lam=5).collect()
+    quiet = [r for r in got if r.key == "k"]
+    assert quiet and all(r.alarm == 0 for r in quiet)
+    s_rows = sorted((r for r in got if r.key == "s"), key=lambda r: r.o)
+    # inc per post row = (30-10)*8 = 160; the running min includes the
+    # current row, so gaps go 0, 160, 320, 480 and the alarm (lam*n_tr=40)
+    # fires from the SECOND shifted observation — the PH one-step lag
+    assert [r.gap_scaled for r in s_rows] == [0, 160, 320, 480]
+    assert [r.alarm for r in s_rows] == [0, 1, 1, 1]
