@@ -22056,7 +22056,149 @@ FROM cum
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: one-way ANOVA / Brown-Forsythe / PCA power iteration
+# ---------------------------------------------------------------------------
+
+
+def _duck_anova_tail(src: str) -> str:
+    ssb = "b - CAST(s AS HUGEINT) * s // n"
+    return f"""
+per AS (SELECT g, CAST(sum(x) AS BIGINT) AS s_j,
+               CAST(count(*) AS BIGINT) AS n_j
+        FROM {src} GROUP BY g),
+agg AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n_j) AS BIGINT) AS n,
+               CAST(sum(s_j) AS BIGINT) AS s,
+               sum(CAST(s_j AS HUGEINT) * s_j // n_j) AS b
+        FROM per),
+qq AS (SELECT sum(CAST(x AS HUGEINT) * x) AS q128 FROM {src})
+SELECT n, k,
+       CAST({ssb} AS BIGINT) AS ssb_q,
+       CAST(q128 - b AS BIGINT) AS ssw_q,
+       CAST(CASE WHEN k <= 1 OR n <= k OR q128 - b <= 0 THEN 0 ELSE
+         ({ssb}) * (n - k) * 1000000 // ((q128 - b) * (k - 1))
+       END AS BIGINT) AS f_x1e6
+FROM agg, qq
+"""
+
+
+def q_anova_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F across event types on value cents
+    (classifier.anova_oneway): 128-bit squares + the pinned per-group
+    DIV contract — the mean-based sibling of kruskal_events."""
+    from .operators.classifier import anova_oneway
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_type",
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    return anova_oneway(pts, "event_type", "cents")
+
+
+ANOVA_EVENTS_SQL = f"""
+WITH src AS (
+  SELECT event_type AS g, CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
+  FROM events
+),
+{_duck_anova_tail('src')}
+"""
+
+
+def q_brown_forsythe_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe variance-homogeneity across event types
+    (classifier.brown_forsythe): ANOVA on |cents − group lower median|,
+    medians from collapsed cells."""
+    from .operators.classifier import brown_forsythe
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_type",
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    return brown_forsythe(pts, "event_type", "cents")
+
+
+BROWN_FORSYTHE_SQL = f"""
+WITH raw AS (
+  SELECT event_type AS g, CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
+  FROM events
+),
+cells AS (SELECT g, x AS v, CAST(count(*) AS BIGINT) AS c
+          FROM raw GROUP BY g, v),
+cum AS (
+  SELECT g, v, c,
+         sum(c) OVER (PARTITION BY g ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         sum(c) OVER (PARTITION BY g) AS n_j
+  FROM cells
+),
+med AS (SELECT g, min(v) AS med FROM cum
+        WHERE cum >= (n_j + 1) // 2 GROUP BY g),
+src AS (SELECT raw.g, abs(raw.x - med.med) AS x
+        FROM raw JOIN med USING (g)),
+{_duck_anova_tail('src')}
+"""
+
+
+def q_pca_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the quantized embeddings
+    (similarity.pca_top_component): dim² Gram cells, 3 signed integer
+    power-iteration rounds, pinned sign — no float anywhere."""
+    from .operators.similarity import pca_top_component
+
+    return pca_top_component(_t(spark, sf_dir, "embeddings"), rounds=3)
+
+
+def _pca_sql() -> str:
+    quant = (
+        "CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0"
+        " THEN list_transform(v, x -> 0)"
+        " ELSE list_transform(v, x -> CAST(floor(x * 127.0 /"
+        " list_max(list_transform(v, y -> abs(y))) + 0.5) AS INTEGER)) END"
+    )
+    rounds = []
+    prev = "v0"
+    for r in (1, 2, 3):
+        rounds.append(f"""
+s{r} AS (
+  SELECT c.i AS d, CAST(sum(c.g * p.val) AS BIGINT) AS s
+  FROM cells c JOIN {prev} p ON p.d = c.j GROUP BY c.i
+),
+m{r} AS (SELECT max(abs(s)) AS mx FROM s{r}),
+v{r} AS (SELECT d, CAST(s * 1048576 // greatest(mx, 1) AS BIGINT) AS val
+         FROM s{r}, m{r})""")
+        prev = f"v{r}"
+    rounds_sql = ",".join(rounds)
+    return f"""
+WITH emb AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+qz AS (SELECT {quant} AS q FROM emb),
+cells AS (
+  SELECT ii.i - 1 AS i, jj.j - 1 AS j,
+         CAST(sum(CAST(q[ii.i] AS BIGINT) * q[jj.j]) AS BIGINT) AS g
+  FROM qz,
+       LATERAL unnest(range(1, len(q) + 1)) AS ii(i),
+       LATERAL unnest(range(1, len(q) + 1)) AS jj(j)
+  GROUP BY 1, 2
+),
+dims AS (SELECT DISTINCT i AS d FROM cells),
+v0 AS (SELECT d, CAST(1048576 AS BIGINT) AS val FROM dims),
+{rounds_sql},
+pick AS (SELECT CASE WHEN val >= 0 THEN 1 ELSE -1 END AS sgn
+         FROM v3 ORDER BY abs(val) DESC, d ASC LIMIT 1)
+SELECT CAST(d AS BIGINT) AS dim, CAST(val * sgn AS BIGINT) AS loading_x
+FROM v3, pick
+"""
+
+
+PCA_COMPONENT_SQL = _pca_sql()
+
+
 QUERIES = {
+    "anova_events": q_anova_events,
+    "brown_forsythe_events": q_brown_forsythe_events,
+    "pca_component": q_pca_component,
     "wilcoxon_paired": q_wilcoxon_paired,
     "kruskal_events": q_kruskal_events,
     "ses_hourly": q_ses_hourly,
@@ -22448,6 +22590,9 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "anova_events": ANOVA_EVENTS_SQL,
+    "brown_forsythe_events": BROWN_FORSYTHE_SQL,
+    "pca_component": PCA_COMPONENT_SQL,
     "wilcoxon_paired": WILCOXON_PAIRED_SQL,
     "kruskal_events": KRUSKAL_EVENTS_SQL,
     "ses_hourly": SES_HOURLY_SQL,

@@ -2175,3 +2175,97 @@ def kruskal_wallis(
             " - 3 * (n + 1) * 1000000"
         ).cast("long").alias("h_x1e6"),
     )
+
+
+def anova_oneway(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """One-way ANOVA F statistic across k groups — the parametric
+    companion to kruskal_wallis (same fixture shape, mean-based instead
+    of rank-based). Two exactness devices compose:
+
+    1. 128-bit products: group-sum squares S_j² and the final
+       cross-multiplies run in Spark DECIMAL(38,0) == DuckDB HUGEINT
+       (both exact — the control-chart rule), safe to n·|x| ~ 1e18 where
+       plain BIGINT squares overflow at ~3e9.
+    2. Pinned per-group quotient contract (the kruskal_wallis
+       convention): B = Σ_j (S_j² DIV n_j), SSB_q = B − S² DIV n,
+       SSW_q = Q − B (Q = Σx²), and f_x1e6 = SSB_q·(n−k)·1e6 DIV
+       (SSW_q·(k−1)). Every DIV truncates identically in both engines;
+       the quantization is ≤ k units of sum-of-squares — negligible
+       against SS magnitudes, and bit-reproducible.
+
+    Plan shape: one map-side-combined group aggregate + one global sumsq
+    aggregate (shares the scan), then 1-row math. Degenerate inputs
+    (k <= 1, n <= k, SSW <= 0) emit F = 0. Emits one row:
+    (n, k, ssb_q, ssw_q, f_x1e6).
+    """
+    base = df.select(
+        F.col(group_col).cast("string").alias("g"),
+        F.col(value_col).cast("long").alias("x"),
+    )
+    per = base.groupBy("g").agg(
+        F.sum("x").alias("s_j"), F.count(F.lit(1)).alias("n_j")
+    )
+    # per-group S_j^2 runs 128-bit, the truncated quotient is BIGINT-sized
+    agg = per.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_j").alias("n"),
+        F.sum("s_j").alias("s"),
+        F.expr("sum(CAST(s_j AS DECIMAL(38,0)) * s_j DIV n_j)").alias("b"),
+    )
+    q = base.agg(
+        F.expr("CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0))")
+        .alias("q128")
+    )
+    ssb = "b - CAST(s AS DECIMAL(38,0)) * s DIV n"
+    ssw = "CAST(q128 - b AS DECIMAL(38,0))"
+    return agg.crossJoin(F.broadcast(q)).select(
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k"),
+        F.expr(ssb).cast("long").alias("ssb_q"),
+        F.expr(ssw).cast("long").alias("ssw_q"),
+        F.expr(
+            f"CASE WHEN k <= 1 OR n <= k OR {ssw} <= 0 THEN"
+            " CAST(0 AS BIGINT) ELSE"
+            f" CAST(CAST({ssb} AS DECIMAL(38,0)) * (n - k) * 1000000"
+            f" DIV ({ssw} * (k - 1)) AS BIGINT)"
+            " END"
+        ).alias("f_x1e6"),
+    )
+
+
+def brown_forsythe(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Brown-Forsythe variance-homogeneity test (the robust Levene
+    variant): one-way ANOVA on absolute deviations from each group's
+    MEDIAN — the check-your-equal-variance-assumption companion to
+    anova_oneway/welch_t. The median is the exact LOWER median (smallest
+    value whose collapsed cumulative count reaches (n_j+1) DIV 2 —
+    pinned, engine-neutral, no interpolation), derived on the collapsed
+    (group, value) cells like kruskal_wallis — the only window runs over
+    per-group distinct values. Deviations |x − med_j| are integers, so
+    the downstream ANOVA inherits its exact 128-bit / pinned-DIV
+    contract unchanged.
+
+    Emits anova_oneway's row: (n, k, ssb_q, ssw_q, f_x1e6).
+    """
+    base = df.select(
+        F.col(group_col).cast("string").alias("g"),
+        F.col(value_col).cast("long").alias("x"),
+    )
+    cells = base.groupBy("g", F.col("x").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wv = Window.partitionBy("g").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wn = Window.partitionBy("g")
+    med = (
+        cells.withColumn("cum", F.sum("c").over(wv))
+        .withColumn("n_j", F.sum("c").over(wn))
+        .filter(F.expr("cum >= (n_j + 1) DIV 2"))
+        .groupBy("g")
+        .agg(F.min("v").alias("med"))
+    )
+    z = base.join(med, "g").select(
+        "g", F.abs(F.col("x") - F.col("med")).alias("z")
+    )
+    return anova_oneway(z, "g", "z")

@@ -1001,3 +1001,74 @@ def knn_classify(
             "CAST(CASE WHEN true_lbl = 15 - (vk % 16) THEN 1 ELSE 0 END AS BIGINT)"
         ).alias("correct"),
     )
+
+
+def pca_top_component(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    rounds: int = 3,
+    scale: int = 1 << 20,
+) -> DataFrame:
+    """Top principal direction of the int8-quantized embedding matrix
+    (uncentered PCA — the top right singular vector) by fixed-round
+    integer power iteration on the dim×dim Gram table: the
+    dimensionality-reduction/whitening direction an embedding pipeline
+    inspects, computed with ZERO float arithmetic. The Gram matrix
+    G_ij = Σ q_i·q_j is one map-side-combined aggregation (dim² cells —
+    4096 for dim 64 — regardless of corpus size); each round is a
+    cell-table join + max-|abs| integer rescale (eigenvector_centrality's
+    device with signed scores). The sign is pinned: the component is
+    flipped so its largest-|loading| coordinate is positive (ties to the
+    smallest index), making the output unique.
+
+    Overflow: round sums are bounded by dim·max|G|·scale — BIGINT-safe to
+    ~1e5 rows·dim 64 at the 2^20 scale; past that swap the products to
+    DECIMAL(38,0) (128-bit rule). Emits one row per dimension:
+    (dim, loading_x) with loading in [−scale, scale].
+    """
+    qz = quantize_vectors(emb.select(vec_col), vec_col).select(
+        F.col("qvec").alias("q")
+    )
+    pairs = qz.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(q, (xi, i) ->"
+                " transform(q, (xj, j) ->"
+                " struct(i AS i, j AS j, CAST(xi AS BIGINT) * xj AS p))))"
+            )
+        ).alias("c")
+    ).select(F.col("c.i").alias("i"), F.col("c.j").alias("j"), F.col("c.p").alias("p"))
+    cells = pairs.groupBy("i", "j").agg(F.sum("p").alias("g")).localCheckpoint(
+        eager=True
+    )
+    dims = cells.select(F.col("i").alias("d")).distinct().localCheckpoint(
+        eager=True
+    )
+    v = dims.withColumn("val", F.lit(scale).cast("long"))
+    for _ in range(rounds):
+        nv = (
+            cells.join(v.select(F.col("d").alias("j"), "val"), "j")
+            .groupBy("i")
+            .agg(F.sum(F.expr("g * val")).alias("s"))
+            .select(F.col("i").alias("d"), "s")
+        )
+        mx = nv.agg(F.max(F.abs(F.col("s"))).alias("mx"))
+        v = (
+            nv.crossJoin(F.broadcast(mx))
+            .select(
+                "d",
+                F.expr(f"s * {scale} DIV greatest(mx, 1)")
+                .cast("long")
+                .alias("val"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    # pin the sign: flip so the largest-|loading| dim (smallest index on
+    # ties) is positive
+    pick = v.orderBy(F.abs(F.col("val")).desc(), F.asc("d")).limit(1).select(
+        F.expr("CASE WHEN val >= 0 THEN 1 ELSE -1 END").alias("sgn")
+    )
+    return v.crossJoin(F.broadcast(pick)).select(
+        F.col("d").cast("long").alias("dim"),
+        F.expr("val * sgn").cast("long").alias("loading_x"),
+    )

@@ -8101,3 +8101,36 @@ def test_page_hinkley_alarms_on_shift(spark):
     # fires from the SECOND shifted observation — the PH one-step lag
     assert [r.gap_scaled for r in s_rows] == [0, 160, 320, 480]
     assert [r.alarm for r in s_rows] == [0, 1, 1, 1]
+
+
+def test_anova_and_brown_forsythe_hand_replay(spark):
+    """Textbook two-group ANOVA (separated means: SSB 54, SSW 4) and the
+    equal-spread Brown-Forsythe null (identical deviations -> F = 0)."""
+    from chronographer_spark.operators.classifier import (
+        anova_oneway,
+        brown_forsythe,
+    )
+
+    rows = [("a", 1), ("a", 2), ("a", 3), ("b", 7), ("b", 8), ("b", 9)]
+    df = spark.createDataFrame(rows, ["g", "x"])
+    r = anova_oneway(df, "g", "x").collect()[0]
+    assert (r.n, r.k, r.ssb_q, r.ssw_q) == (6, 2, 54, 4)
+    # F = (54/1)/(4/4) = 54
+    assert r.f_x1e6 == 54 * 10**6
+    bf = brown_forsythe(df, "g", "x").collect()[0]
+    # deviations from medians are {1,0,1} in both groups -> no between-group
+    assert bf.ssb_q == 0 and bf.f_x1e6 == 0
+
+
+def test_pca_top_component_recovers_dominant_axis(spark):
+    """Data spread along axis 0 with noise on axis 1: the top component
+    concentrates on dim 0 with the pinned positive sign."""
+    from chronographer_spark.operators.similarity import pca_top_component
+
+    rows = [([10.0, 1.0, 0.0],), ([-9.0, 0.5, 0.0],), ([8.0, -1.0, 0.0],),
+            ([-10.0, -0.5, 0.0],), ([9.5, 0.2, 0.0],)]
+    df = spark.createDataFrame(rows, ["embedding"])
+    got = {r.dim: r.loading_x for r in pca_top_component(df, rounds=4).collect()}
+    assert got[0] == 1 << 20                      # dominant axis, positive
+    assert abs(got[1]) < (1 << 20) // 4           # noise axis small
+    assert got[2] == 0
