@@ -22195,7 +22195,119 @@ FROM v3, pick
 PCA_COMPONENT_SQL = _pca_sql()
 
 
+# ---------------------------------------------------------------------------
+# Q: Friedman repeated-measures test + MASE forecast evaluation
+# ---------------------------------------------------------------------------
+
+
+def q_friedman_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test (classifier.friedman_test): users as blocks, event
+    types as treatments, per-(user, type) spend as the repeated measure
+    — only users observed under every type count as complete blocks."""
+    from .operators.classifier import friedman_test
+
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy("user_id", "event_type").agg(
+        F.expr("CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)")
+        .alias("v")
+    )
+    return friedman_test(per, "user_id", "event_type", "v")
+
+
+FRIEDMAN_EVENTS_SQL = """
+WITH per AS (
+  SELECT user_id AS b, event_type AS trt,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY user_id, event_type
+),
+kk AS (SELECT CAST(count(DISTINCT trt) AS BIGINT) AS k_total FROM per),
+complete AS (
+  SELECT b, trt, v FROM (
+    SELECT b, trt, v, count(*) OVER (PARTITION BY b) AS bk FROM per
+  ), kk WHERE bk = k_total
+),
+ranked AS (
+  SELECT trt,
+         2 * rank() OVER (PARTITION BY b ORDER BY v)
+           + (count(*) OVER (PARTITION BY b, v) - 1) AS mr2
+  FROM complete
+),
+agg AS (
+  SELECT trt, CAST(sum(mr2) AS BIGINT) AS r2_sum,
+         CAST(count(*) AS BIGINT) AS n_blocks
+  FROM ranked GROUP BY trt
+),
+tot AS (
+  SELECT CAST(sum(r2_sum * r2_sum) AS BIGINT) AS rr,
+         CAST(max(n_blocks) AS BIGINT) AS bb,
+         CAST(count(*) AS BIGINT) AS k
+  FROM agg
+)
+SELECT trt, r2_sum, n_blocks, k,
+       CAST(CASE WHEN bb = 0 THEN 0 ELSE
+         3 * rr * 1000000 // (bb * k * (k + 1)) - 3 * bb * (k + 1) * 1000000
+       END AS BIGINT) AS chi2_x1e6
+FROM agg, tot
+"""
+
+
+def q_mase_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MASE of the SES forecaster on the hourly count series
+    (temporal.forecast_mase): exact integer ratio of model vs
+    random-walk absolute-error sums per event type."""
+    from .operators.temporal import forecast_mase
+
+    ev = _t(spark, sf_dir, "events")
+    series = ev.groupBy(
+        "event_type",
+        F.expr(
+            "CAST(unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000 AS BIGINT)"
+        ).alias("hr"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    return forecast_mase(series, "event_type", "hr", "c", window=16)
+
+
+def _mase_sql() -> str:
+    terms = []
+    pres = []
+    for i in range(16):
+        wt = 1 << (15 - i)
+        lag = "x" if i == 0 else f"lag(x, {i}) OVER w"
+        terms.append(
+            f"CASE WHEN {lag} IS NOT NULL THEN ({lag}) * {wt} ELSE 0 END"
+        )
+        pres.append(f"CASE WHEN {lag} IS NOT NULL THEN {wt} ELSE 0 END")
+    num = " + ".join(terms)
+    den = " + ".join(pres)
+    return f"""
+WITH {_hourly_series_sql().strip()},
+lagged AS (
+  SELECT key, o, x,
+         CAST({num} AS BIGINT) AS nm,
+         CAST({den} AS BIGINT) AS dn,
+         lead(x) OVER w AS nxt
+  FROM series
+  WINDOW w AS (PARTITION BY key ORDER BY o)
+)
+SELECT key,
+       CAST(count(*) AS BIGINT) AS n_evals,
+       CAST(sum(abs(nxt - nm // dn)) AS BIGINT) AS mae_model_sum,
+       CAST(sum(abs(nxt - x)) AS BIGINT) AS mae_naive_sum,
+       CAST(CASE WHEN sum(abs(nxt - x)) > 0 THEN
+         sum(abs(nxt - nm // dn)) * 1000000 // sum(abs(nxt - x))
+       END AS BIGINT) AS mase_x1e6
+FROM lagged
+WHERE nxt IS NOT NULL
+GROUP BY key
+"""
+
+
+MASE_HOURLY_SQL = _mase_sql()
+
+
 QUERIES = {
+    "friedman_events": q_friedman_events,
+    "mase_hourly": q_mase_hourly,
     "anova_events": q_anova_events,
     "brown_forsythe_events": q_brown_forsythe_events,
     "pca_component": q_pca_component,
@@ -22590,6 +22702,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "friedman_events": FRIEDMAN_EVENTS_SQL,
+    "mase_hourly": MASE_HOURLY_SQL,
     "anova_events": ANOVA_EVENTS_SQL,
     "brown_forsythe_events": BROWN_FORSYTHE_SQL,
     "pca_component": PCA_COMPONENT_SQL,

@@ -2269,3 +2269,61 @@ def brown_forsythe(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
         "g", F.abs(F.col("x") - F.col("med")).alias("z")
     )
     return anova_oneway(z, "g", "z")
+
+
+def friedman_test(
+    df: DataFrame, block_col: str, treatment_col: str, value_col: str
+) -> DataFrame:
+    """Friedman test for b complete blocks × k treatments (the
+    repeated-measures rank ANOVA closing the family: wilcoxon = paired
+    2-treatment, kruskal_wallis = unpaired k-group, friedman = paired
+    k-treatment). Only COMPLETE blocks count (blocks missing a treatment
+    drop — incomplete designs need Durbin, out of scope; the emitted
+    n_blocks says how many survived). Within-block ranks use the doubled
+    midrank (2·rank_min + t − 1, integer under ties); with column rank
+    sums R2_j the statistic is the pinned-DIV exact integer
+    chi2_x1e6 = 3·ΣR2_j²·1e6 DIV (b·k·(k+1)) − 3·b·(k+1)·1e6 (no tie
+    correction; conservative under ties, documented like
+    kruskal_wallis). Overflow: R2_j ≤ 2bk → ΣR2² ≤ 4b²k³ needs
+    b·k^1.5 < ~7e7 at the 1e6 scale; DECIMAL(38,0) past that.
+
+    Plan shape: one (block)-keyed window for ranks (blocks are k-row
+    groups), one treatment aggregation, 1-row math. Emits one row per
+    treatment: (treatment, r2_sum, n_blocks, k, chi2_x1e6).
+    """
+    base = df.select(
+        F.col(block_col).cast("string").alias("b"),
+        F.col(treatment_col).cast("string").alias("trt"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    k_total = base.select("trt").distinct().count()
+    wb = Window.partitionBy("b")
+    complete = (
+        base.withColumn("bk", F.count(F.lit(1)).over(wb))
+        .filter(F.col("bk") == k_total)
+    )
+    wr = Window.partitionBy("b").orderBy("v")
+    wt = Window.partitionBy("b", "v")
+    ranked = complete.withColumn("rmin", F.rank().over(wr)).withColumn(
+        "t", F.count(F.lit(1)).over(wt)
+    ).withColumn("mr2", F.expr("2 * rmin + (t - 1)"))
+    per = ranked.groupBy("trt").agg(
+        F.sum("mr2").alias("r2_sum"),
+        F.count(F.lit(1)).alias("n_blocks"),
+    ).localCheckpoint(eager=True)
+    tot = per.agg(
+        F.expr("sum(r2_sum * r2_sum)").alias("rr"),
+        F.max("n_blocks").alias("bb"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "trt",
+        F.col("r2_sum").cast("long").alias("r2_sum"),
+        F.col("n_blocks").cast("long").alias("n_blocks"),
+        F.col("k").cast("long").alias("k"),
+        F.expr(
+            "CASE WHEN bb = 0 THEN CAST(0 AS BIGINT) ELSE"
+            " CAST(3 * rr * 1000000 DIV (bb * k * (k + 1))"
+            " - 3 * bb * (k + 1) * 1000000 AS BIGINT) END"
+        ).alias("chi2_x1e6"),
+    )

@@ -3042,3 +3042,46 @@ def page_hinkley(
         F.expr(f"CAST(CASE WHEN ph - mn > {lam} * n_tr THEN 1 ELSE 0 END"
                " AS BIGINT)").alias("alarm"),
     )
+
+
+def forecast_mase(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    window: int = 16,
+) -> DataFrame:
+    """MASE evaluation of the SES forecaster per key: mean absolute
+    error of ses_forecast's one-step residuals scaled by the naive
+    random-walk baseline's (x_{t+1} − x_t) — the standard
+    scale-free forecast-accuracy readout (Hyndman & Koehler 2006),
+    emitted as the exact integer ratio of the two absolute-error SUMS
+    (the 1/n factors cancel): mase_x1e6 = Σ|e_model|·1e6 DIV
+    Σ|e_naive|. MASE < 1e6 means the smoother beats carrying the last
+    value forward. Rows where either forecast has no next observation
+    drop from both sums (identical alignment).
+
+    One extra lag on the same (key ORDER BY order) window ses_forecast
+    already pays for — still one shuffle. Emits per key:
+    (key, n_evals, mae_model_sum, mae_naive_sum, mase_x1e6 — NULL when
+    the naive error sum is 0, i.e. a constant series).
+    """
+    w = Window.partitionBy("key").orderBy("o")
+    ses = ses_forecast(df, key_col, order_col, value_col, window=window)
+    ev = ses.withColumn("nxt", F.lead("x").over(w)).filter(
+        F.col("nxt").isNotNull()
+    )
+    return ev.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_evals"),
+        F.sum(F.abs(F.col("next_err"))).alias("mae_model_sum"),
+        F.sum(F.abs(F.col("nxt") - F.col("x"))).alias("mae_naive_sum"),
+    ).select(
+        "key",
+        F.col("n_evals").cast("long").alias("n_evals"),
+        F.col("mae_model_sum").cast("long").alias("mae_model_sum"),
+        F.col("mae_naive_sum").cast("long").alias("mae_naive_sum"),
+        F.expr(
+            "CASE WHEN mae_naive_sum > 0 THEN"
+            " mae_model_sum * 1000000 DIV mae_naive_sum END"
+        ).cast("long").alias("mase_x1e6"),
+    )

@@ -8134,3 +8134,42 @@ def test_pca_top_component_recovers_dominant_axis(spark):
     assert got[0] == 1 << 20                      # dominant axis, positive
     assert abs(got[1]) < (1 << 20) // 4           # noise axis small
     assert got[2] == 0
+
+
+def test_friedman_hand_replay(spark):
+    """Two complete blocks with consistent treatment ordering + one
+    incomplete block that must drop; chi2 replayed by hand."""
+    from chronographer_spark.operators.classifier import friedman_test
+
+    rows = [
+        ("u1", "a", 1), ("u1", "b", 2), ("u1", "c", 3),
+        ("u2", "a", 4), ("u2", "b", 5), ("u2", "c", 6),
+        ("u3", "a", 9),                      # incomplete -> drops
+    ]
+    df = spark.createDataFrame(rows, ["blk", "trt", "v"])
+    got = {r.trt: r for r in friedman_test(df, "blk", "trt", "v").collect()}
+    assert got["a"].n_blocks == 2
+    # within-block mr2: ranks 1,2,3 doubled -> 2,4,6 per block
+    assert (got["a"].r2_sum, got["b"].r2_sum, got["c"].r2_sum) == (4, 8, 12)
+    rr = 16 + 64 + 144
+    chi2 = 3 * rr * 10**6 // (2 * 3 * 4) - 3 * 2 * 4 * 10**6
+    assert got["a"].chi2_x1e6 == chi2
+    # textbook: perfectly consistent ranking, b=2, k=3 -> chi2 = b(k-1) = 4
+    assert abs(chi2 / 10**6 - 4.0) < 1e-6
+
+
+def test_forecast_mase_constant_and_trend(spark):
+    """A constant series has zero naive error -> NULL MASE; a drifting
+    series gives the exact integer ratio."""
+    from chronographer_spark.operators.temporal import forecast_mase
+
+    const = [("c", i, 5) for i in range(1, 6)]
+    trend = [("t", i, 10 * i) for i in range(1, 6)]
+    df = spark.createDataFrame(const + trend, ["key", "o", "x"])
+    got = {r.key: r for r in forecast_mase(df, "key", "o", "x").collect()}
+    assert got["c"].mase_x1e6 is None and got["c"].mae_model_sum == 0
+    t = got["t"]
+    assert t.n_evals == 4 and t.mae_naive_sum == 40
+    assert t.mase_x1e6 == t.mae_model_sum * 10**6 // 40
+    # the smoother lags a trend, so it must do worse than naive here
+    assert t.mase_x1e6 > 10**6
