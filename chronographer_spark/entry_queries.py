@@ -22305,7 +22305,162 @@ GROUP BY key
 MASE_HOURLY_SQL = _mase_sql()
 
 
+# ---------------------------------------------------------------------------
+# Q: sampled-quantile calibration + k-fold cross-validated NB
+# ---------------------------------------------------------------------------
+
+
+def q_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k-md5 sample quantiles with the exactness audit
+    (sketches.sample_quantile_report): estimate, exact distributed
+    quantile, and the estimate's true rank error per percentile."""
+    from .operators.sketches import sample_quantile_report
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+        "event_id",
+    )
+    return sample_quantile_report(
+        pts, "cents", "event_id", k=100, ps=(50, 90, 99)
+    )
+
+
+SAMPLE_QUANTILES_SQL = """
+WITH base AS (
+  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+         md5(CAST(event_id AS VARCHAR)) AS h
+  FROM events
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+samp AS (SELECT v FROM base ORDER BY h LIMIT 100),
+ns AS (SELECT CAST(count(*) AS BIGINT) AS n_s FROM samp),
+cum AS (
+  SELECT v, sum(c) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM (SELECT v, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY v)
+),
+scum AS (
+  SELECT v, sum(c) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM (SELECT v, CAST(count(*) AS BIGINT) AS c FROM samp GROUP BY v)
+),
+pp AS (SELECT unnest([50, 90, 99]) AS p),
+ex AS (SELECT p, min(v) AS exact FROM cum, pp, nn
+       WHERE cum >= (p * n + 99) // 100 GROUP BY p),
+es AS (SELECT p, min(v) AS est FROM scum, pp, ns
+       WHERE cum >= (p * n_s + 99) // 100 GROUP BY p),
+rk AS (SELECT es.p, es.est, c.cum AS rank_of_est
+       FROM es LEFT JOIN cum c ON c.v = es.est)
+SELECT CAST(p AS BIGINT) AS p, CAST(est AS BIGINT) AS est,
+       CAST(exact AS BIGINT) AS exact,
+       CAST(abs(est - exact) AS BIGINT) AS abs_err,
+       CAST(abs(rank_of_est - p * n // 100) * 1000000 // greatest(n, 1)
+         AS BIGINT) AS rank_err_x1e6
+FROM ex JOIN rk USING (p), nn
+"""
+
+
+def q_nb_crossval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold cross-validated NB accuracy
+    (classifier.multinomial_nb_crossval): every fold model is the total
+    count table minus that fold's counts — one corpus pass trains all
+    five leave-fold-out models; out-of-fold accuracy per fold plus
+    overall."""
+    from .operators.classifier import multinomial_nb_crossval
+
+    return multinomial_nb_crossval(
+        _t(spark, sf_dir, "documents"), label_col="lang", n_folds=5
+    )
+
+
+def _nb_cv_sql() -> str:
+    prior = _duck_msb16("docs_c * 1048576 // dt")
+    default = _duck_msb16("1048576 // (n_c + v)")
+    term = _duck_msb16("(cnt + 1) * 1048576 // (n_c + v)")
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS id, CAST(doc_id % 5 AS BIGINT) AS fold, lang AS cls,
+         unnest(list_filter(string_split(
+           regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+           t -> t <> '')) AS tok
+  FROM documents
+),
+folds AS (SELECT CAST(unnest(range(0, 5)) AS BIGINT) AS fold),
+cnt_t AS (SELECT cls, tok, CAST(count(*) AS BIGINT) AS ct
+          FROM toks GROUP BY cls, tok),
+cnt_f AS (SELECT fold, cls, tok, CAST(count(*) AS BIGINT) AS cf
+          FROM toks GROUP BY fold, cls, tok),
+rest AS (
+  SELECT f.fold, t.cls, t.tok, t.ct - coalesce(c.cf, 0) AS cnt
+  FROM folds f CROSS JOIN cnt_t t
+  LEFT JOIN cnt_f c ON c.fold = f.fold AND c.cls = t.cls AND c.tok = t.tok
+  WHERE t.ct - coalesce(c.cf, 0) > 0
+),
+n_cf AS (SELECT fold, cls, CAST(sum(cnt) AS BIGINT) AS n_c
+         FROM rest GROUP BY fold, cls),
+v_f AS (SELECT fold, CAST(count(DISTINCT tok) AS BIGINT) AS v
+        FROM rest GROUP BY fold),
+dcls AS (SELECT CAST(doc_id % 5 AS BIGINT) AS fold, lang AS cls
+         FROM documents),
+docs_t AS (SELECT cls, CAST(count(*) AS BIGINT) AS dct FROM dcls GROUP BY cls),
+docs_f AS (SELECT fold, cls, CAST(count(*) AS BIGINT) AS dcf
+           FROM dcls GROUP BY fold, cls),
+dprior AS (
+  SELECT f.fold, t.cls, t.dct - coalesce(d.dcf, 0) AS docs_c
+  FROM folds f CROSS JOIN docs_t t
+  LEFT JOIN docs_f d ON d.fold = f.fold AND d.cls = t.cls
+  WHERE t.dct - coalesce(d.dcf, 0) > 0
+),
+dtot AS (SELECT fold, CAST(sum(docs_c) AS BIGINT) AS dt
+         FROM dprior GROUP BY fold),
+class_tbl AS (
+  SELECT n_cf.fold, n_cf.cls,
+         CAST({prior} AS BIGINT) AS prior_x16,
+         CAST({default} AS BIGINT) AS default_x16
+  FROM n_cf JOIN v_f USING (fold) JOIN dprior USING (fold, cls)
+  JOIN dtot USING (fold)
+),
+model AS (
+  SELECT rest.fold, rest.cls, rest.tok, CAST({term} AS BIGINT) AS term_x16
+  FROM rest JOIN n_cf USING (fold, cls) JOIN v_f USING (fold)
+),
+scored AS (
+  SELECT t.id, t.fold, ct.cls,
+         sum(coalesce(m.term_x16, ct.default_x16)) + max(ct.prior_x16)
+           AS score_x16
+  FROM toks t JOIN class_tbl ct ON ct.fold = t.fold
+  LEFT JOIN model m ON m.fold = t.fold AND m.cls = ct.cls AND m.tok = t.tok
+  GROUP BY t.id, t.fold, ct.cls
+),
+pred AS (
+  SELECT id, fold, cls AS pred_cls FROM (
+    SELECT *, row_number() OVER (PARTITION BY id
+               ORDER BY score_x16 DESC, cls ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+per_doc AS (
+  SELECT p.fold, CASE WHEN d.lang = p.pred_cls THEN 1 ELSE 0 END AS ok
+  FROM documents d JOIN pred p ON p.id = d.doc_id
+)
+SELECT CAST(fold AS VARCHAR) AS fold, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(ok) AS BIGINT) AS n_correct,
+       CAST(sum(ok) * 1000000 // greatest(count(*), 1) AS BIGINT) AS acc_x1e6
+FROM per_doc GROUP BY fold
+UNION ALL
+SELECT '__overall__', CAST(count(*) AS BIGINT), CAST(sum(ok) AS BIGINT),
+       CAST(sum(ok) * 1000000 // greatest(count(*), 1) AS BIGINT)
+FROM per_doc
+"""
+
+
+NB_CROSSVAL_SQL = _nb_cv_sql()
+
+
 QUERIES = {
+    "sample_quantiles": q_sample_quantiles,
+    "nb_crossval": q_nb_crossval,
     "friedman_events": q_friedman_events,
     "mase_hourly": q_mase_hourly,
     "anova_events": q_anova_events,
@@ -22702,6 +22857,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "sample_quantiles": SAMPLE_QUANTILES_SQL,
+    "nb_crossval": NB_CROSSVAL_SQL,
     "friedman_events": FRIEDMAN_EVENTS_SQL,
     "mase_hourly": MASE_HOURLY_SQL,
     "anova_events": ANOVA_EVENTS_SQL,

@@ -2327,3 +2327,164 @@ def friedman_test(
             " - 3 * bb * (k + 1) * 1000000 AS BIGINT) END"
         ).alias("chi2_x1e6"),
     )
+
+
+def multinomial_nb_crossval(
+    docs: DataFrame,
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_folds: int = 5,
+) -> DataFrame:
+    """k-fold cross-validated multinomial NB WITHOUT per-fold retraining:
+    every fold's leave-fold-out model is the TOTAL count table minus that
+    fold's count table (counts are additive, so exclusion is a
+    subtraction — one corpus pass builds all k models, vs k passes for
+    naive refit; the incremental-index family applied to model
+    training). Same add-1/msb16 exact-integer contract as
+    multinomial_nb: per-fold vocab V_f counts tokens with any remaining
+    occurrence, priors subtract fold doc counts, all msb16 weights
+    evaluate on the (fold × class × vocab) dimension table before
+    broadcast — k multiplies the model table, not the corpus work
+    (docstring bound: the broadcast grows k-fold; shard the scoring join
+    if k·|vocab| outgrows the broadcast threshold).
+
+    Emits per fold plus an `__overall__` row: (fold, n_docs, n_correct,
+    acc_x1e6) — out-of-fold accuracy, the honest generalization readout.
+    """
+    from .sampling import _msb16_sql
+
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.expr(f"CAST({id_col} % {n_folds} AS BIGINT)").alias("fold"),
+        F.col(label_col).cast("string").alias("cls"),
+        F.explode(
+            F.filter(
+                F.split(
+                    F.regexp_replace(
+                        F.lower(F.trim(F.col(text_col))), r"\s+", " "
+                    ),
+                    " ",
+                ),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("tok"),
+    ).localCheckpoint(eager=True)
+    folds = toks.sparkSession.range(n_folds).select(
+        F.col("id").cast("long").alias("fold")
+    )
+    cnt_t = toks.groupBy("cls", "tok").agg(F.count(F.lit(1)).alias("ct"))
+    cnt_f = toks.groupBy("fold", "cls", "tok").agg(
+        F.count(F.lit(1)).alias("cf")
+    )
+    rest = (
+        folds.crossJoin(cnt_t)
+        .join(cnt_f, ["fold", "cls", "tok"], "left")
+        .select(
+            "fold",
+            "cls",
+            "tok",
+            (F.col("ct") - F.coalesce("cf", F.lit(0))).alias("cnt"),
+        )
+        .filter(F.col("cnt") > 0)
+        .localCheckpoint(eager=True)
+    )
+    n_cf = rest.groupBy("fold", "cls").agg(F.sum("cnt").alias("n_c"))
+    v_f = (
+        rest.select("fold", "tok")
+        .distinct()
+        .groupBy("fold")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    dcls = docs.select(
+        F.expr(f"CAST({id_col} % {n_folds} AS BIGINT)").alias("fold"),
+        F.col(label_col).cast("string").alias("cls"),
+    )
+    docs_t = dcls.groupBy("cls").agg(F.count(F.lit(1)).alias("dct"))
+    docs_f = dcls.groupBy("fold", "cls").agg(F.count(F.lit(1)).alias("dcf"))
+    dprior = (
+        folds.crossJoin(docs_t)
+        .join(docs_f, ["fold", "cls"], "left")
+        .select(
+            "fold", "cls",
+            (F.col("dct") - F.coalesce("dcf", F.lit(0))).alias("docs_c"),
+        )
+        .filter(F.col("docs_c") > 0)
+    )
+    dtot = dprior.groupBy("fold").agg(F.sum("docs_c").alias("dt"))
+    class_tbl = (
+        n_cf.join(v_f, "fold")
+        .join(dprior, ["fold", "cls"])
+        .join(dtot, "fold")
+        .select(
+            "fold",
+            "cls",
+            F.expr(
+                f"CAST({_msb16_sql('docs_c * 1048576 DIV dt')} AS BIGINT)"
+            ).alias("prior_x16"),
+            F.expr(
+                f"CAST({_msb16_sql('1048576 DIV (n_c + v)')} AS BIGINT)"
+            ).alias("default_x16"),
+        )
+    )
+    model = (
+        rest.join(n_cf, ["fold", "cls"])
+        .join(v_f, "fold")
+        .select(
+            "fold",
+            "cls",
+            "tok",
+            F.expr(
+                f"CAST({_msb16_sql('(cnt + 1) * 1048576 DIV (n_c + v)')}"
+                " AS BIGINT)"
+            ).alias("term_x16"),
+        )
+    )
+    scored = (
+        toks.select("id", "fold", "tok")
+        .join(F.broadcast(class_tbl), "fold")
+        .join(F.broadcast(model), ["fold", "cls", "tok"], "left")
+        .groupBy("id", "fold", "cls")
+        .agg(
+            (
+                F.sum(F.coalesce("term_x16", "default_x16"))
+                + F.max("prior_x16")
+            ).alias("score_x16")
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("score_x16"), F.asc("cls"))
+    pred = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("id", "fold", F.col("cls").alias("pred_cls"))
+    )
+    truth = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).cast("string").alias("true_cls"),
+    )
+    per_doc = truth.join(pred, "id").select(
+        "fold",
+        F.when(F.col("true_cls") == F.col("pred_cls"), 1)
+        .otherwise(0)
+        .alias("ok"),
+    ).localCheckpoint(eager=True)
+    per_fold = per_doc.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("ok").alias("n_correct")
+    ).select(
+        F.col("fold").cast("string").alias("fold"),
+        "n_docs",
+        "n_correct",
+    )
+    overall = per_doc.agg(
+        F.lit("__overall__").alias("fold"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ok").alias("n_correct"),
+    )
+    return per_fold.unionByName(overall).select(
+        "fold",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_correct").cast("long").alias("n_correct"),
+        F.expr("n_correct * 1000000 DIV greatest(n_docs, 1)")
+        .cast("long")
+        .alias("acc_x1e6"),
+    )

@@ -725,3 +725,75 @@ def ams_f2(
             F.col("gm").alias("f2_est"),
         )
     )
+
+
+def sample_quantile_report(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    k: int = 100,
+    ps: tuple = (50, 90, 99),
+) -> DataFrame:
+    """Sample-based quantile estimation with an exactness audit: a
+    deterministic bottom-k-by-md5 uniform sample (the KMV device reused
+    as a row sampler — mergeable, one scan, k rows cross the driver
+    boundary nowhere) estimates each requested percentile, and the
+    report joins the EXACT distributed quantile (collapsed-value rank
+    selection, no global sort) plus the estimate's true rank error —
+    the calibration-row pattern (cf. bloom_fp_calibration, ann_recall):
+    an approximation is only shippable next to its measured error.
+
+    Quantile convention, both paths: smallest v with cum-count >=
+    ceil(p·n/100) (exact integer ceil-div). Emits one row per
+    percentile: (p, est, exact, abs_err, rank_err_x1e6) where
+    rank_err_x1e6 = |rank(est) − p·n DIV 100|·1e6 DIV n.
+    """
+    base = df.select(
+        F.col(value_col).cast("long").alias("v"),
+        F.md5(F.col(id_col).cast("string")).alias("h"),
+    ).localCheckpoint(eager=True)
+    n_total = base.count()
+    samp = base.orderBy("h").limit(k).select("v")
+    n_s = min(k, n_total)
+    cells = base.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    wv = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = cells.withColumn("cum", F.sum("c").over(wv)).localCheckpoint(
+        eager=True
+    )
+    scells = samp.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    scum = scells.withColumn("cum", F.sum("c").over(wv))
+    spark = df.sparkSession
+    pdf = spark.createDataFrame([(int(p),) for p in ps], "p long")
+    # exact: per p, min v with cum >= ceil(p*n/100); same for the sample
+    ex = (
+        cum.crossJoin(F.broadcast(pdf))
+        .filter(F.expr(f"cum >= (p * {n_total} + 99) DIV 100"))
+        .groupBy("p")
+        .agg(F.min("v").alias("exact"))
+    )
+    es = (
+        scum.crossJoin(F.broadcast(pdf))
+        .filter(F.expr(f"cum >= (p * {n_s} + 99) DIV 100"))
+        .groupBy("p")
+        .agg(F.min("v").alias("est"))
+    )
+    ranked = es.join(
+        cum.select("v", F.col("cum").alias("rank_of_est")),
+        es["est"] == F.col("v"),
+        "left",
+    ).select("p", "est", F.col("rank_of_est"))
+    return (
+        ex.join(ranked, "p")
+        .select(
+            F.col("p").cast("long").alias("p"),
+            F.col("est").cast("long").alias("est"),
+            F.col("exact").cast("long").alias("exact"),
+            F.abs(F.col("est") - F.col("exact")).cast("long").alias("abs_err"),
+            F.expr(
+                f"abs(rank_of_est - p * {n_total} DIV 100) * 1000000"
+                f" DIV {max(n_total, 1)}"
+            ).cast("long").alias("rank_err_x1e6"),
+        )
+    )

@@ -8173,3 +8173,37 @@ def test_forecast_mase_constant_and_trend(spark):
     assert t.mase_x1e6 == t.mae_model_sum * 10**6 // 40
     # the smoother lags a trend, so it must do worse than naive here
     assert t.mase_x1e6 > 10**6
+
+
+def test_sample_quantile_report_small_is_exact(spark):
+    """When the sample covers the whole input (k >= n) the estimates and
+    exact quantiles coincide and rank error is ~0."""
+    from chronographer_spark.operators.sketches import sample_quantile_report
+
+    rows = [(v, v) for v in range(1, 101)]
+    df = spark.createDataFrame(rows, ["cents", "event_id"])
+    got = {r.p: r for r in
+           sample_quantile_report(df, "cents", "event_id", k=100).collect()}
+    assert got[50].est == got[50].exact == 50
+    assert got[90].est == got[90].exact == 90
+    assert got[99].abs_err == 0 and got[99].rank_err_x1e6 == 0
+
+
+def test_nb_crossval_subtraction_models(spark):
+    """Out-of-fold predictions on a separable corpus: every fold scores
+    its held-out docs with the OTHER folds' counts; overall accuracy is
+    the sum over folds."""
+    from chronographer_spark.operators.classifier import multinomial_nb_crossval
+
+    rows = []
+    for i in range(10):
+        rows.append((i * 2, "x", "cat purr cat"))
+        rows.append((i * 2 + 1, "y", "dog woof dog"))
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    got = {r.fold: r for r in
+           multinomial_nb_crossval(df, n_folds=5).collect()}
+    assert set(got) == {"0", "1", "2", "3", "4", "__overall__"}
+    assert got["__overall__"].n_docs == 20
+    assert got["__overall__"].n_correct == 20   # trivially separable
+    assert got["0"].n_docs == 4
+    assert all(got[str(f)].acc_x1e6 == 10**6 for f in range(5))
