@@ -22458,7 +22458,147 @@ FROM per_doc
 NB_CROSSVAL_SQL = _nb_cv_sql()
 
 
+# ---------------------------------------------------------------------------
+# Q: V-measure + two-proportion z² screen + Grubbs outlier screen
+# ---------------------------------------------------------------------------
+
+
+def q_vmeasure_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Homogeneity/completeness/V-measure of the 2-round k-means
+    clustering vs true labels (clustering.vmeasure): msb16-quantized
+    entropies with the 320n offset cancelling in the ratios."""
+    from .operators.clustering import kmeans, vmeasure
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, _ = kmeans(emb, k=4, iterations=2)
+    j = assigned.select("vec_id", "cluster").join(
+        emb.select("vec_id", "label"), "vec_id"
+    )
+    return vmeasure(j, "cluster", "label")
+
+
+def _vmeasure_sql() -> str:
+    d = _duck_msb16
+    return f"""
+WITH asg AS ({KMEANS_SQL}),
+j AS (SELECT a.cluster AS ci, CAST(e.label AS VARCHAR) AS lj
+      FROM asg a JOIN embeddings e USING (vec_id)),
+cells AS (SELECT ci, lj, CAST(count(*) AS BIGINT) AS nij
+          FROM j GROUP BY ci, lj),
+aa AS (SELECT ci, CAST(sum(nij) AS BIGINT) AS ai FROM cells GROUP BY ci),
+bb AS (SELECT lj, CAST(sum(nij) AS BIGINT) AS bj FROM cells GROUP BY lj),
+nn AS (SELECT CAST(sum(nij) AS BIGINT) AS n FROM cells),
+hc AS (SELECT CAST(sum(bj * ({d('n * 1048576 // bj')})) AS BIGINT) AS hc16
+       FROM bb, nn),
+hk AS (SELECT CAST(sum(ai * ({d('n * 1048576 // ai')})) AS BIGINT) AS hk16
+       FROM aa, nn),
+ck AS (SELECT CAST(sum(nij * ({d('ai * 1048576 // nij')})) AS BIGINT) AS ck16
+       FROM cells JOIN aa USING (ci)),
+kc AS (SELECT CAST(sum(nij * ({d('bj * 1048576 // nij')})) AS BIGINT) AS kc16
+       FROM cells JOIN bb USING (lj)),
+hv AS (
+  SELECT n,
+    CAST(CASE WHEN hc16 - 320 * n <= 0 THEN 1000000 ELSE
+      1000000 - (ck16 - 320 * n) * 1000000 // (hc16 - 320 * n)
+    END AS BIGINT) AS homogeneity_x1e6,
+    CAST(CASE WHEN hk16 - 320 * n <= 0 THEN 1000000 ELSE
+      1000000 - (kc16 - 320 * n) * 1000000 // (hk16 - 320 * n)
+    END AS BIGINT) AS completeness_x1e6
+  FROM nn, hc, hk, ck, kc
+)
+SELECT n, homogeneity_x1e6, completeness_x1e6,
+  CAST(CASE WHEN homogeneity_x1e6 + completeness_x1e6 = 0 THEN 0 ELSE
+    2 * homogeneity_x1e6 * completeness_x1e6
+    // (homogeneity_x1e6 + completeness_x1e6)
+  END AS BIGINT) AS v_x1e6
+FROM hv
+"""
+
+
+VMEASURE_KMEANS_SQL = _vmeasure_sql()
+
+
+def q_prop_ztest_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z² per event type vs the rest
+    (classifier.proportion_ztest_segments) on a deterministic cents-mod
+    success flag — 128-bit cross-multiplied, no sqrt, no float."""
+    from .operators.classifier import proportion_ztest_segments
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.expr(
+            "CASE WHEN CAST(floor(value * 100 + 0.5) AS BIGINT) % 7 < 3"
+            " THEN 1 ELSE 0 END"
+        ).alias("s"),
+    )
+    return proportion_ztest_segments(base, "event_type", "s")
+
+
+PROP_ZTEST_SQL = """
+WITH base AS (
+  SELECT event_type AS seg,
+         CASE WHEN CAST(floor(value * 100 + 0.5) AS BIGINT) % 7 < 3
+              THEN 1 ELSE 0 END AS s
+  FROM events
+),
+per AS (SELECT seg, CAST(count(*) AS BIGINT) AS n1,
+               CAST(sum(s) AS BIGINT) AS k1
+        FROM base GROUP BY seg),
+tot AS (SELECT CAST(sum(n1) AS BIGINT) AS nn2, CAST(sum(k1) AS BIGINT) AS kk
+        FROM per)
+SELECT seg AS segment, n1 AS n_seg, k1 AS k_seg,
+  CAST(CASE WHEN kk = 0 OR kk = nn2 OR n1 = nn2 THEN 0 ELSE
+    CAST(k1 * (nn2 - n1) - (kk - k1) * n1 AS HUGEINT)
+    * (k1 * (nn2 - n1) - (kk - k1) * n1) * nn2 * 1000000
+    // (CAST(n1 AS HUGEINT) * (nn2 - n1) * kk * (nn2 - kk))
+  END AS BIGINT) AS z2_x1e6
+FROM per, tot
+"""
+
+
+def q_grubbs_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs max-deviation screen per event type on value cents
+    (classifier.grubbs_screen): pinned deviant pick, 128-bit G²."""
+    from .operators.classifier import grubbs_screen
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_type",
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    return grubbs_screen(pts, "event_type", "cents")
+
+
+GRUBBS_TYPES_SQL = """
+WITH base AS (
+  SELECT event_type AS key, CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
+  FROM events
+),
+stats AS (SELECT key, CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s,
+                 sum(CAST(x AS HUGEINT) * x) AS q128
+          FROM base GROUP BY key),
+devs AS (SELECT b.key, b.x, abs(st.n * b.x - st.s) AS ad
+         FROM base b JOIN stats st USING (key)),
+mx AS (SELECT key, max(ad) AS mx_ad FROM devs GROUP BY key),
+dev AS (SELECT d.key, CAST(min(d.x) AS BIGINT) AS x_star
+        FROM devs d JOIN mx USING (key)
+        WHERE d.ad = mx.mx_ad GROUP BY d.key)
+SELECT st.key, st.n, dev.x_star,
+  CAST(CASE WHEN st.n <= 1 OR st.n * q128 - CAST(st.s AS HUGEINT) * st.s <= 0
+       THEN 0 ELSE
+    CAST(st.n * dev.x_star - st.s AS HUGEINT) * (st.n * dev.x_star - st.s)
+    * (st.n - 1) * 1000000
+    // (st.n * (st.n * q128 - CAST(st.s AS HUGEINT) * st.s))
+  END AS BIGINT) AS g2_x1e6
+FROM stats st JOIN dev USING (key)
+"""
+
+
 QUERIES = {
+    "vmeasure_kmeans": q_vmeasure_kmeans,
+    "prop_ztest_types": q_prop_ztest_types,
+    "grubbs_types": q_grubbs_types,
     "sample_quantiles": q_sample_quantiles,
     "nb_crossval": q_nb_crossval,
     "friedman_events": q_friedman_events,
@@ -22857,6 +22997,9 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "vmeasure_kmeans": VMEASURE_KMEANS_SQL,
+    "prop_ztest_types": PROP_ZTEST_SQL,
+    "grubbs_types": GRUBBS_TYPES_SQL,
     "sample_quantiles": SAMPLE_QUANTILES_SQL,
     "nb_crossval": NB_CROSSVAL_SQL,
     "friedman_events": FRIEDMAN_EVENTS_SQL,

@@ -2488,3 +2488,86 @@ def multinomial_nb_crossval(
         .cast("long")
         .alias("acc_x1e6"),
     )
+
+
+def proportion_ztest_segments(
+    df: DataFrame, segment_col: str, success_col: str
+) -> DataFrame:
+    """Two-proportion z² per segment against the REST of the corpus — the
+    which-segments-deviate screen (failure rates per tool, refusal rates
+    per source) behind every monitoring dashboard. Exact cross-multiplied
+    integers: with segment counts (k₁, n₁), complement (k₂, n₂), pooled
+    (K, N): z² = (k₁n₂ − k₂n₁)²·N / (n₁n₂·K·(N−K)); the square and the
+    denominator product run in DECIMAL(38,0) == HUGEINT (128-bit rule —
+    plain BIGINT overflows at n ≈ 55k), the final 1e6-scaled quotient is
+    BIGINT. Degenerate pooled rates (K = 0 or K = N) emit 0.
+
+    One map-side-combined aggregation to segment counts, totals
+    broadcast. Emits per segment: (segment, n_seg, k_seg, z2_x1e6).
+    """
+    base = df.select(
+        F.col(segment_col).cast("string").alias("seg"),
+        F.col(success_col).cast("long").alias("s"),
+    )
+    per = base.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n1"), F.sum("s").alias("k1")
+    )
+    tot = per.agg(F.sum("n1").alias("nn"), F.sum("k1").alias("kk"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        F.col("seg").alias("segment"),
+        F.col("n1").cast("long").alias("n_seg"),
+        F.col("k1").cast("long").alias("k_seg"),
+        F.expr(
+            "CASE WHEN kk = 0 OR kk = nn OR n1 = nn THEN CAST(0 AS BIGINT)"
+            " ELSE CAST("
+            " CAST(k1 * (nn - n1) - (kk - k1) * n1 AS DECIMAL(38,0))"
+            " * (k1 * (nn - n1) - (kk - k1) * n1) * nn * 1000000"
+            " DIV (CAST(n1 AS DECIMAL(38,0)) * (nn - n1) * kk * (nn - kk))"
+            " AS BIGINT) END"
+        ).alias("z2_x1e6"),
+    )
+
+
+def grubbs_screen(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
+    """Grubbs-style max-deviation outlier screen per key: the single most
+    deviant observation and its exact G² statistic — G² = (n·x* − S)²·
+    (n−1) / (n·(n·Q − S²)) with S = Σx, Q = Σx² (cross-multiplied; the
+    squares run 128-bit per the control-chart rule). The flag a
+    monitoring pipeline raises before deciding whether to trim
+    (robust_means) or alarm (control_chart). The deviant pick is pinned:
+    max |n·x − S|, ties to the smallest x. Zero variance emits G² = 0.
+
+    One aggregation for (S, Q, n) + one max_by over the same scan.
+    Emits per key: (key, n, x_star, g2_x1e6).
+    """
+    base = df.select(
+        F.col(key_col).alias("key"), F.col(value_col).cast("long").alias("x")
+    ).localCheckpoint(eager=True)
+    stats = base.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s"),
+        F.expr("sum(CAST(x AS DECIMAL(38,0)) * x)").alias("q128"),
+    )
+    devs = base.join(stats.select("key", "n", "s"), "key").withColumn(
+        "ad", F.abs(F.expr("n * x - s"))
+    )
+    mx = devs.groupBy("key").agg(F.max("ad").alias("mx_ad"))
+    dev = (
+        devs.join(mx, "key")
+        .filter(F.col("ad") == F.col("mx_ad"))
+        .groupBy("key")
+        .agg(F.min("x").alias("x_star"))
+    )
+    return stats.join(dev, "key").select(
+        "key",
+        F.col("n").cast("long").alias("n"),
+        F.col("x_star").cast("long").alias("x_star"),
+        F.expr(
+            "CASE WHEN n <= 1 OR n * q128 - CAST(s AS DECIMAL(38,0)) * s <= 0"
+            " THEN CAST(0 AS BIGINT) ELSE CAST("
+            " CAST(n * x_star - s AS DECIMAL(38,0)) * (n * x_star - s)"
+            " * (n - 1) * 1000000"
+            " DIV (n * (n * q128 - CAST(s AS DECIMAL(38,0)) * s))"
+            " AS BIGINT) END"
+        ).alias("g2_x1e6"),
+    )

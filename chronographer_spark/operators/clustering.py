@@ -401,3 +401,96 @@ def clustering_agreement(
             ).cast("long").alias("ari_x1e6"),
         )
     )
+
+
+def vmeasure(df: DataFrame, cluster_col: str, label_col: str) -> DataFrame:
+    """Homogeneity / completeness / V-measure (Rosenberg & Hirschberg
+    2007) for a clustering against reference labels — the
+    entropy-based counterpart to clustering_agreement's pair-counting
+    metrics. All entropies use the pinned msb16 16·log2 integer device:
+    n·H(C) + 320n ≡ Σ_j b_j·msb16(n·2^20 DIV b_j) and n·H(C|K) + 320n ≡
+    Σ_ij n_ij·msb16(a_i·2^20 DIV n_ij) — the shared 320n offset cancels
+    in the ratio, so homogeneity = 1 − H(C|K)/H(C) becomes an exact
+    integer quotient of msb16 sums (completeness is the transpose;
+    V = harmonic mean, also integer). Degenerate marginals (H = 0 —
+    single class / single cluster) pin the affected score to 1e6, the
+    sklearn convention.
+
+    One shuffle to the k×l contingency cells (checkpointed), cell-table
+    math after. Emits one row: (n, homogeneity_x1e6, completeness_x1e6,
+    v_x1e6).
+    """
+    from .sampling import _msb16_sql as _m16
+
+    cells = (
+        df.select(
+            F.col(cluster_col).cast("string").alias("ci"),
+            F.col(label_col).cast("string").alias("lj"),
+        )
+        .groupBy("ci", "lj")
+        .agg(F.count(F.lit(1)).alias("nij"))
+        .localCheckpoint(eager=True)
+    )
+    a = cells.groupBy("ci").agg(F.sum("nij").alias("ai"))
+    b = cells.groupBy("lj").agg(F.sum("nij").alias("bj"))
+    n_row = cells.agg(F.sum("nij").alias("n"))
+    hc = (
+        b.crossJoin(F.broadcast(n_row))
+        .agg(
+            F.sum(
+                F.expr(f"bj * ({_m16('n * 1048576 DIV bj')})")
+            ).alias("hc16")
+        )
+    )
+    hk = (
+        a.crossJoin(F.broadcast(n_row))
+        .agg(
+            F.sum(
+                F.expr(f"ai * ({_m16('n * 1048576 DIV ai')})")
+            ).alias("hk16")
+        )
+    )
+    cond_ck = (
+        cells.join(a, "ci")
+        .agg(
+            F.sum(F.expr(f"nij * ({_m16('ai * 1048576 DIV nij')})")).alias(
+                "ck16"
+            )
+        )
+    )
+    cond_kc = (
+        cells.join(b, "lj")
+        .agg(
+            F.sum(F.expr(f"nij * ({_m16('bj * 1048576 DIV nij')})")).alias(
+                "kc16"
+            )
+        )
+    )
+    return (
+        n_row.crossJoin(F.broadcast(hc))
+        .crossJoin(F.broadcast(hk))
+        .crossJoin(F.broadcast(cond_ck))
+        .crossJoin(F.broadcast(cond_kc))
+        .select(
+            F.col("n").cast("long").alias("n"),
+            F.expr(
+                "CASE WHEN hc16 - 320 * n <= 0 THEN CAST(1000000 AS BIGINT)"
+                " ELSE 1000000 - (ck16 - 320 * n) * 1000000"
+                " DIV (hc16 - 320 * n) END"
+            ).cast("long").alias("homogeneity_x1e6"),
+            F.expr(
+                "CASE WHEN hk16 - 320 * n <= 0 THEN CAST(1000000 AS BIGINT)"
+                " ELSE 1000000 - (kc16 - 320 * n) * 1000000"
+                " DIV (hk16 - 320 * n) END"
+            ).cast("long").alias("completeness_x1e6"),
+        )
+        .withColumn(
+            "v_x1e6",
+            F.expr(
+                "CASE WHEN homogeneity_x1e6 + completeness_x1e6 = 0"
+                " THEN CAST(0 AS BIGINT) ELSE"
+                " 2 * homogeneity_x1e6 * completeness_x1e6"
+                " DIV (homogeneity_x1e6 + completeness_x1e6) END"
+            ).cast("long"),
+        )
+    )

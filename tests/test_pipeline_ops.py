@@ -8207,3 +8207,60 @@ def test_nb_crossval_subtraction_models(spark):
     assert got["__overall__"].n_correct == 20   # trivially separable
     assert got["0"].n_docs == 4
     assert all(got[str(f)].acc_x1e6 == 10**6 for f in range(5))
+
+
+def test_vmeasure_extremes(spark):
+    """Identical partitions score 1e6 on all three; a single-cluster
+    partition is complete but not homogeneous."""
+    from chronographer_spark.operators.clustering import vmeasure
+
+    same = spark.createDataFrame(
+        [("a", "x"), ("a", "x"), ("b", "y"), ("b", "y")], ["cluster", "label"]
+    )
+    r = same and vmeasure(same, "cluster", "label").collect()[0]
+    assert (r.homogeneity_x1e6, r.completeness_x1e6, r.v_x1e6) == (
+        10**6, 10**6, 10**6
+    )
+    lump = spark.createDataFrame(
+        [("a", "x"), ("a", "x"), ("a", "y"), ("a", "y")], ["cluster", "label"]
+    )
+    l = vmeasure(lump, "cluster", "label").collect()[0]
+    # one cluster: H(C|K) = H(C) -> homogeneity 0; completeness pinned 1e6
+    assert l.homogeneity_x1e6 == 0 and l.completeness_x1e6 == 10**6
+    assert l.v_x1e6 == 0
+
+
+def test_proportion_ztest_hand_replay(spark):
+    """Exact cross-multiplied z² for a 2-segment table, against the
+    textbook pooled formula."""
+    from chronographer_spark.operators.classifier import (
+        proportion_ztest_segments,
+    )
+
+    rows = [("a", 1)] * 8 + [("a", 0)] * 2 + [("b", 1)] * 3 + [("b", 0)] * 7
+    df = spark.createDataFrame(rows, ["seg", "s"])
+    got = {r.segment: r for r in
+           proportion_ztest_segments(df, "seg", "s").collect()}
+    k1, n1, kk, nn = 8, 10, 11, 20
+    num = (k1 * (nn - n1) - (kk - k1) * n1) ** 2 * nn * 10**6
+    den = n1 * (nn - n1) * kk * (nn - kk)
+    assert got["a"].z2_x1e6 == num // den
+    assert got["a"].z2_x1e6 == got["b"].z2_x1e6  # symmetric 2-segment case
+    # textbook z^2 = (0.8-0.3)^2 / (0.55*0.45*(1/10+1/10)) ~ 5.0505
+    assert abs(got["a"].z2_x1e6 / 10**6 - 5.0505) < 1e-3
+
+
+def test_grubbs_screen_flags_outlier(spark):
+    """The planted spike is the deviant pick and G² matches the hand
+    formula; a constant series emits 0."""
+    from chronographer_spark.operators.classifier import grubbs_screen
+
+    rows = [("k", v) for v in [10, 11, 9, 10, 60]] + [("c", 5)] * 4
+    df = spark.createDataFrame(rows, ["key", "x"])
+    got = {r.key: r for r in grubbs_screen(df, "key", "x").collect()}
+    k = got["k"]
+    assert k.x_star == 60
+    n, s, q = 5, 100, 100 + 121 + 81 + 100 + 3600
+    g2 = (n * 60 - s) ** 2 * (n - 1) * 10**6 // (n * (n * q - s * s))
+    assert k.g2_x1e6 == g2
+    assert got["c"].g2_x1e6 == 0
