@@ -22595,7 +22595,83 @@ FROM stats st JOIN dev USING (key)
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: generation diversity (distinct-n) + duplicate-turn rate per role
+# ---------------------------------------------------------------------------
+
+
+def q_distinct_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-1/distinct-2 per role (dialogue.distinct_n_diversity):
+    the mode-collapse screen over each role's turn text."""
+    from .operators.dialogue import distinct_n_diversity
+
+    return distinct_n_diversity(transcripts_from_events(spark, sf_dir), n=2)
+
+
+DISTINCT_N_SQL = f"""
+{TX_SQL},
+toks AS (
+  SELECT role, list_filter(string_split(
+    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+    t -> t <> '') AS tk
+  FROM tx
+),
+uni AS (
+  SELECT role, CAST(count(*) AS BIGINT) AS total_1,
+         CAST(count(DISTINCT g) AS BIGINT) AS distinct_1
+  FROM (SELECT role, unnest(tk) AS g FROM toks) GROUP BY role
+),
+ng AS (
+  SELECT role, CAST(count(*) AS BIGINT) AS total_n,
+         CAST(count(DISTINCT g) AS BIGINT) AS distinct_n
+  FROM (
+    SELECT role,
+           unnest(list_transform(range(1, greatest(len(tk) - 1, 0) + 1),
+             i -> array_to_string(tk[i : i + 1], ' '))) AS g
+    FROM toks WHERE len(tk) >= 2
+  ) GROUP BY role
+)
+SELECT u.role, total_1, distinct_1,
+  CAST(distinct_1 * 1000000 // greatest(total_1, 1) AS BIGINT) AS d1_x1e6,
+  CAST(coalesce(total_n, 0) AS BIGINT) AS total_n,
+  CAST(coalesce(distinct_n, 0) AS BIGINT) AS distinct_n,
+  CAST(coalesce(distinct_n, 0) * 1000000
+       // greatest(coalesce(total_n, 0), 1) AS BIGINT) AS dn_x1e6
+FROM uni u LEFT JOIN ng USING (role)
+"""
+
+
+def q_dup_turn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-conversation duplicate-turn rate per role
+    (dialogue.duplicate_turn_rate): templated/copy-paste turn pressure
+    on the SFT corpus."""
+    from .operators.dialogue import duplicate_turn_rate
+
+    return duplicate_turn_rate(transcripts_from_events(spark, sf_dir))
+
+
+DUP_TURN_RATE_SQL = f"""
+{TX_SQL},
+normed AS (SELECT role,
+                  regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+           FROM tx),
+per_text AS (SELECT role, t, CAST(count(*) AS BIGINT) AS c
+             FROM normed GROUP BY role, t),
+mx AS (SELECT role, CAST(max(c) AS BIGINT) AS mc FROM per_text GROUP BY role),
+agg AS (SELECT role, CAST(sum(c) AS BIGINT) AS n_turns,
+               CAST(count(*) AS BIGINT) AS n_distinct
+        FROM per_text GROUP BY role)
+SELECT a.role, n_turns, n_distinct,
+  CAST((n_turns - n_distinct) * 1000000 // greatest(n_turns, 1) AS BIGINT)
+    AS dup_rate_x1e6,
+  mc AS top_repeat_n
+FROM agg a JOIN mx USING (role)
+"""
+
+
 QUERIES = {
+    "distinct_n_diversity": q_distinct_n,
+    "duplicate_turn_rate": q_dup_turn_rate,
     "vmeasure_kmeans": q_vmeasure_kmeans,
     "prop_ztest_types": q_prop_ztest_types,
     "grubbs_types": q_grubbs_types,
@@ -22997,6 +23073,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "distinct_n_diversity": DISTINCT_N_SQL,
+    "duplicate_turn_rate": DUP_TURN_RATE_SQL,
     "vmeasure_kmeans": VMEASURE_KMEANS_SQL,
     "prop_ztest_types": PROP_ZTEST_SQL,
     "grubbs_types": GRUBBS_TYPES_SQL,

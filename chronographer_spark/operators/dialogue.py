@@ -715,3 +715,102 @@ def latest_wins_compact(tx: DataFrame) -> DataFrame:
         "role",
         "text",
     )
+
+
+def distinct_n_diversity(tx: DataFrame, n: int = 2) -> DataFrame:
+    """Distinct-n generation-diversity metric per role (Li et al. 2016):
+    distinct unigrams / total unigrams and distinct n-grams / total
+    n-grams over all of a role's turns — the mode-collapse screen every
+    generation pipeline tracks (a low distinct-2 assistant means the
+    model repeats itself across conversations). Token n-grams come from
+    the house whitespace normalization; short turns (< n tokens)
+    contribute no n-grams (the sequence(1, size−n+1) short-circuit —
+    Spark's sequence DESCENDS on an empty range, so the guard is
+    explicit).
+
+    Two map-side-combined aggregations over one exploded token/ngram
+    pass. Emits per role: (role, total_1, distinct_1, d1_x1e6, total_n,
+    distinct_n, dn_x1e6).
+    """
+    toks = F.filter(
+        F.split(
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "
+        ),
+        lambda t: t != F.lit(""),
+    )
+    grams = F.when(
+        F.size(toks) >= n,
+        F.expr(
+            f"transform(sequence(1, size(filter(split(regexp_replace("
+            f"lower(trim(text)), '\\\\s+', ' '), ' '), t -> t != '')) - {n} + 1),"
+            f" i -> concat_ws(' ', slice(filter(split(regexp_replace("
+            f"lower(trim(text)), '\\\\s+', ' '), ' '), t -> t != ''), i, {n})))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    uni = tx.select("role", F.explode(toks).alias("g")).groupBy("role").agg(
+        F.count(F.lit(1)).alias("total_1"),
+        F.countDistinct("g").alias("distinct_1"),
+    )
+    ng = tx.select("role", F.explode(grams).alias("g")).groupBy("role").agg(
+        F.count(F.lit(1)).alias("total_n"),
+        F.countDistinct("g").alias("distinct_n"),
+    )
+    return (
+        uni.join(ng, "role", "left")
+        .select(
+            "role",
+            F.col("total_1").cast("long").alias("total_1"),
+            F.col("distinct_1").cast("long").alias("distinct_1"),
+            F.expr("distinct_1 * 1000000 DIV greatest(total_1, 1)")
+            .cast("long")
+            .alias("d1_x1e6"),
+            F.coalesce(F.col("total_n"), F.lit(0)).cast("long").alias("total_n"),
+            F.coalesce(F.col("distinct_n"), F.lit(0))
+            .cast("long")
+            .alias("distinct_n"),
+            F.expr(
+                "coalesce(distinct_n, 0) * 1000000"
+                " DIV greatest(coalesce(total_n, 0), 1)"
+            ).cast("long").alias("dn_x1e6"),
+        )
+    )
+
+
+def duplicate_turn_rate(tx: DataFrame) -> DataFrame:
+    """Cross-conversation duplicate-turn rate per role: how many of a
+    role's turns repeat a normalized text already used ANYWHERE in the
+    corpus (boilerplate greetings, templated tool outputs, copy-paste
+    user prompts) — the transcript-level exact-dedup pressure gauge; a
+    high assistant rate means SFT data is teaching repetition. Exact:
+    n_turns vs distinct normalized texts per role, dup_rate = 1 −
+    distinct/total, plus the most-repeated text's occurrence count (the
+    worst offender's size — a count, so no tie-break needed).
+
+    One (role, text) aggregation + one role rollup. Emits per role:
+    (role, n_turns, n_distinct, dup_rate_x1e6, top_repeat_n).
+    """
+    normed = tx.select(
+        "role",
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ").alias(
+            "t"
+        ),
+    )
+    per_text = normed.groupBy("role", "t").agg(F.count(F.lit(1)).alias("c"))
+    mx = per_text.groupBy("role").agg(F.max("c").alias("mc"))
+    return (
+        per_text.groupBy("role")
+        .agg(
+            F.sum("c").alias("n_turns"),
+            F.count(F.lit(1)).alias("n_distinct"),
+        )
+        .join(mx, "role")
+        .select(
+            "role",
+            F.col("n_turns").cast("long").alias("n_turns"),
+            F.col("n_distinct").cast("long").alias("n_distinct"),
+            F.expr(
+                "(n_turns - n_distinct) * 1000000 DIV greatest(n_turns, 1)"
+            ).cast("long").alias("dup_rate_x1e6"),
+            F.col("mc").cast("long").alias("top_repeat_n"),
+        )
+    )

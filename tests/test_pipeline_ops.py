@@ -8264,3 +8264,39 @@ def test_grubbs_screen_flags_outlier(spark):
     g2 = (n * 60 - s) ** 2 * (n - 1) * 10**6 // (n * (n * q - s * s))
     assert k.g2_x1e6 == g2
     assert got["c"].g2_x1e6 == 0
+
+
+def test_distinct_n_and_dup_rate_hand(spark):
+    """Distinct-1/2 ratios and duplicate-turn rates on a tiny corpus with
+    a repeated assistant turn and a sub-bigram turn."""
+    import datetime as dt
+
+    from chronographer_spark.operators.dialogue import (
+        distinct_n_diversity,
+        duplicate_turn_rate,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("c1", 0, "assistant", "hello world", "", t0),
+        ("c2", 0, "assistant", "hello world", "", t0),   # exact repeat
+        ("c3", 0, "assistant", "hello there", "", t0),
+        ("c4", 0, "user", "hi", "", t0),                  # 1 token, no bigram
+    ]
+    tx = spark.createDataFrame(
+        rows, ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+    dn = {r.role: r for r in distinct_n_diversity(tx, n=2).collect()}
+    a = dn["assistant"]
+    # tokens: hello x3, world x2, there x1 -> 6 total, 3 distinct
+    assert (a.total_1, a.distinct_1) == (6, 3)
+    # bigrams: "hello world" x2, "hello there" -> 3 total, 2 distinct
+    assert (a.total_n, a.distinct_n) == (3, 2)
+    assert a.dn_x1e6 == 2 * 10**6 // 3
+    u = dn["user"]
+    assert (u.total_n, u.distinct_n, u.dn_x1e6) == (0, 0, 0)
+    dr = {r.role: r for r in duplicate_turn_rate(tx).collect()}
+    assert (dr["assistant"].n_turns, dr["assistant"].n_distinct) == (3, 2)
+    assert dr["assistant"].dup_rate_x1e6 == 1 * 10**6 // 3
+    assert dr["assistant"].top_repeat_n == 2
+    assert dr["user"].dup_rate_x1e6 == 0
