@@ -22669,7 +22669,145 @@ FROM agg a JOIN mx USING (role)
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: Chao1 richness + Cronbach alpha + signed Cohen's d²
+# ---------------------------------------------------------------------------
+
+
+def q_chao1_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 richness estimate of the documents vocabulary
+    (text.chao1_richness): observed distinct + N1²/2N2 — the
+    unseen-types ceiling beside good_turing's unseen mass."""
+    from .operators.text import chao1_richness
+
+    return chao1_richness(_t(spark, sf_dir, "documents"))
+
+
+CHAO1_SQL = """
+WITH toks AS (
+  SELECT unnest(list_filter(string_split(
+    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+    t -> t <> '')) AS tok
+  FROM documents
+),
+vocab AS (SELECT tok, CAST(count(*) AS BIGINT) AS r FROM toks GROUP BY tok),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS d_obs,
+         CAST(sum(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN r = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+  FROM vocab
+)
+SELECT d_obs, n1, n2,
+  CAST(CASE WHEN n2 > 0
+       THEN d_obs * 1000000 + n1 * n1 * 1000000 // (2 * n2)
+       ELSE d_obs * 1000000 + n1 * (n1 - 1) * 1000000 // (2 * (n2 + 1))
+  END AS BIGINT) AS chao1_x1e6
+FROM agg
+"""
+
+
+def q_cronbach_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's alpha across event types as 'items' with users as
+    subjects (classifier.cronbach_alpha): do per-type spends co-vary as
+    one construct; complete-case users only."""
+    from .operators.classifier import cronbach_alpha
+
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy("user_id", "event_type").agg(
+        F.expr("CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)")
+        .alias("v")
+    )
+    return cronbach_alpha(per, "user_id", "event_type", "v")
+
+
+CRONBACH_SQL = """
+WITH per AS (
+  SELECT CAST(user_id AS VARCHAR) AS sb, event_type AS it,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+  FROM events GROUP BY user_id, event_type
+),
+kk AS (SELECT CAST(count(DISTINCT it) AS BIGINT) AS k_total FROM per),
+complete AS (
+  SELECT sb, it, x FROM (
+    SELECT sb, it, x, count(*) OVER (PARTITION BY sb) AS c FROM per
+  ), kk WHERE c = k_total
+),
+ns AS (SELECT CAST(count(DISTINCT sb) AS BIGINT) AS nsub FROM complete),
+items AS (SELECT it, CAST(sum(x) AS BIGINT) AS s_i,
+                 sum(CAST(x AS HUGEINT) * x) AS q_i
+          FROM complete GROUP BY it),
+bsum AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                sum((SELECT nsub FROM ns) * q_i
+                    - CAST(s_i AS HUGEINT) * s_i) AS b128
+         FROM items),
+subj AS (SELECT sb, CAST(sum(x) AS BIGINT) AS t FROM complete GROUP BY sb),
+asum AS (SELECT CAST(sum(t) AS BIGINT) AS s_t,
+                sum(CAST(t AS HUGEINT) * t) AS q_t
+         FROM subj)
+SELECT k, nsub AS n_subjects,
+  CAST(CASE WHEN k < 2 OR nsub < 2
+            OR nsub * q_t - CAST(s_t AS HUGEINT) * s_t <= 0 THEN NULL ELSE
+    k * ((nsub * q_t - CAST(s_t AS HUGEINT) * s_t) - b128) * 1000000
+    // ((k - 1) * (nsub * q_t - CAST(s_t AS HUGEINT) * s_t))
+  END AS BIGINT) AS alpha_x1e6
+FROM bsum, asum, ns
+"""
+
+
+def q_cohens_d_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed Cohen's d² per event type between odd and even users
+    (classifier.cohens_d_signed): the effect-size reading beside
+    welch_t's significance."""
+    from .operators.classifier import cohens_d_signed
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.expr("CAST(user_id % 2 AS BIGINT)").alias("g"),
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    return cohens_d_signed(base, "event_type", "g", "cents")
+
+
+COHENS_D_SQL = """
+WITH base AS (
+  SELECT event_type AS key, CAST(user_id % 2 AS BIGINT) AS g,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
+  FROM events
+),
+per AS (
+  SELECT key,
+    CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+    CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+    CAST(sum(CASE WHEN g = 0 THEN x ELSE 0 END) AS BIGINT) AS s0,
+    CAST(sum(CASE WHEN g = 1 THEN x ELSE 0 END) AS BIGINT) AS s1,
+    sum(CASE WHEN g = 0 THEN CAST(x AS HUGEINT) * x
+        ELSE CAST(0 AS HUGEINT) END) AS q0,
+    sum(CASE WHEN g = 1 THEN CAST(x AS HUGEINT) * x
+        ELSE CAST(0 AS HUGEINT) END) AS q1
+  FROM base GROUP BY key
+)
+SELECT key, n0, n1,
+  CAST(CASE WHEN n0 < 2 OR n1 < 2
+       OR n1 * (n0 * q0 - CAST(s0 AS HUGEINT) * s0)
+          + n0 * (n1 * q1 - CAST(s1 AS HUGEINT) * s1) <= 0
+       THEN NULL ELSE
+    CAST(sign(CAST(s1 AS HUGEINT) * n0 - CAST(s0 AS HUGEINT) * n1)
+         AS HUGEINT)
+    * (CAST(s1 AS HUGEINT) * n0 - CAST(s0 AS HUGEINT) * n1)
+    * (CAST(s1 AS HUGEINT) * n0 - CAST(s0 AS HUGEINT) * n1)
+    * (n0 + n1 - 2) * 1000000
+    // (n0 * n1 * (n1 * (n0 * q0 - CAST(s0 AS HUGEINT) * s0)
+                   + n0 * (n1 * q1 - CAST(s1 AS HUGEINT) * s1)))
+  END AS BIGINT) AS d2_x1e6
+FROM per
+"""
+
+
 QUERIES = {
+    "chao1_docs": q_chao1_docs,
+    "cronbach_types": q_cronbach_types,
+    "cohens_d_types": q_cohens_d_types,
     "distinct_n_diversity": q_distinct_n,
     "duplicate_turn_rate": q_dup_turn_rate,
     "vmeasure_kmeans": q_vmeasure_kmeans,
@@ -23073,6 +23211,9 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "chao1_docs": CHAO1_SQL,
+    "cronbach_types": CRONBACH_SQL,
+    "cohens_d_types": COHENS_D_SQL,
     "distinct_n_diversity": DISTINCT_N_SQL,
     "duplicate_turn_rate": DUP_TURN_RATE_SQL,
     "vmeasure_kmeans": VMEASURE_KMEANS_SQL,

@@ -2571,3 +2571,117 @@ def grubbs_screen(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
             " AS BIGINT) END"
         ).alias("g2_x1e6"),
     )
+
+
+def cronbach_alpha(
+    df: DataFrame, subject_col: str, item_col: str, value_col: str
+) -> DataFrame:
+    """Cronbach's alpha internal-consistency reliability across k items
+    (Cronbach 1951) — do the per-item signals measure one underlying
+    construct (the multi-metric quality-score sanity check: if k quality
+    features barely co-vary, their composite is noise). Only subjects
+    observed under EVERY item count (complete-case, like friedman_test).
+    Exact integers: with per-item sums/squares and per-subject totals,
+    n·σ² terms are the 128-bit products n·Q − S² (DECIMAL(38,0) ==
+    HUGEINT), and alpha_x1e6 = k·(A − B)·1e6 DIV ((k−1)·A) with
+    A = n·Q_T − S_T² (total-score variance term), B = Σ_i (n·Q_i − S_i²).
+    Degenerate (k < 2, n < 2, A <= 0) emits NULL.
+
+    One complete-case filter window + two aggregations (per-item, per-
+    subject totals). Emits one row: (k, n_subjects, alpha_x1e6).
+    """
+    base = df.select(
+        F.col(subject_col).cast("string").alias("sb"),
+        F.col(item_col).cast("string").alias("it"),
+        F.col(value_col).cast("long").alias("x"),
+    )
+    k_total = base.select("it").distinct().count()
+    wb = Window.partitionBy("sb")
+    complete = base.withColumn("cnt", F.count(F.lit(1)).over(wb)).filter(
+        F.col("cnt") == k_total
+    ).localCheckpoint(eager=True)
+    nsub = complete.select("sb").distinct().count()
+    items = complete.groupBy("it").agg(
+        F.sum("x").alias("s_i"),
+        F.expr("sum(CAST(x AS DECIMAL(38,0)) * x)").alias("q_i"),
+    )
+    bsum = items.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.expr(
+            f"CAST(sum({nsub} * q_i - CAST(s_i AS DECIMAL(38,0)) * s_i)"
+            " AS DECIMAL(38,0))"
+        ).alias("b128"),
+    )
+    subj = complete.groupBy("sb").agg(F.sum("x").alias("t"))
+    asum = subj.agg(
+        F.sum("t").alias("s_t"),
+        F.expr("sum(CAST(t AS DECIMAL(38,0)) * t)").alias("q_t"),
+    )
+    a_term = f"({nsub} * q_t - CAST(s_t AS DECIMAL(38,0)) * s_t)"
+    return bsum.crossJoin(F.broadcast(asum)).select(
+        F.col("k").cast("long").alias("k"),
+        F.lit(nsub).cast("long").alias("n_subjects"),
+        F.expr(
+            f"CASE WHEN k < 2 OR {nsub} < 2 OR {a_term} <= 0"
+            " THEN CAST(NULL AS BIGINT) ELSE CAST("
+            f" k * ({a_term} - b128) * 1000000"
+            f" DIV ((k - 1) * {a_term})"
+            " AS BIGINT) END"
+        ).alias("alpha_x1e6"),
+    )
+
+
+def cohens_d_signed(
+    df: DataFrame, key_col: str, group_col: str, value_col: str
+) -> DataFrame:
+    """Signed Cohen's d² per key between group 1 and group 0 — the
+    EFFECT-SIZE companion to welch_t (that one answers "is it real",
+    this one "is it big"; a tiny d with a huge t is the
+    large-n-trivial-effect trap). Signed-square contract: d²·sign(m₁−m₀)
+    with the pooled variance, everything cross-multiplied in
+    DECIMAL(38,0)/HUGEINT: diff = S₁n₀ − S₀n₁ (the n₀n₁-scaled mean
+    difference), pooled SS = Σ_g (n_g·Q_g − S_g²)·(n/(n_g·(n−2)))-free
+    form — concretely d2_x1e6 = sign·diff²·(n−2)·1e6 DIV
+    (n₀·n₁·(n₁·P₀ + n₀·P₁)) with P_g = n_g·Q_g − S_g² (algebra checked
+    in the unit replay). Degenerate (either group < 2 rows, zero pooled
+    variance) emits NULL.
+
+    One map-side-combined (key, group) aggregation + key rollup. Emits
+    per key: (key, n0, n1, d2_x1e6).
+    """
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(group_col).cast("long").alias("g"),
+        F.col(value_col).cast("long").alias("x"),
+    )
+    per = base.groupBy("key").agg(
+        F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("g") == 0, F.col("x")).otherwise(0)).alias("s0"),
+        F.sum(F.when(F.col("g") == 1, F.col("x")).otherwise(0)).alias("s1"),
+        F.expr(
+            "sum(CASE WHEN g = 0 THEN CAST(x AS DECIMAL(38,0)) * x"
+            " ELSE CAST(0 AS DECIMAL(38,0)) END)"
+        ).alias("q0"),
+        F.expr(
+            "sum(CASE WHEN g = 1 THEN CAST(x AS DECIMAL(38,0)) * x"
+            " ELSE CAST(0 AS DECIMAL(38,0)) END)"
+        ).alias("q1"),
+    )
+    p0 = "(n0 * q0 - CAST(s0 AS DECIMAL(38,0)) * s0)"
+    p1 = "(n1 * q1 - CAST(s1 AS DECIMAL(38,0)) * s1)"
+    diff = "(CAST(s1 AS DECIMAL(38,0)) * n0 - CAST(s0 AS DECIMAL(38,0)) * n1)"
+    return per.select(
+        "key",
+        F.col("n0").cast("long").alias("n0"),
+        F.col("n1").cast("long").alias("n1"),
+        F.expr(
+            f"CASE WHEN n0 < 2 OR n1 < 2"
+            f" OR n1 * {p0} + n0 * {p1} <= 0 THEN CAST(NULL AS BIGINT)"
+            f" ELSE CAST("
+            f" CAST(sign({diff}) AS DECIMAL(38,0))"
+            f" * {diff} * {diff} * (n0 + n1 - 2) * 1000000"
+            f" DIV (n0 * n1 * (n1 * {p0} + n0 * {p1}))"
+            f" AS BIGINT) END"
+        ).alias("d2_x1e6"),
+    )

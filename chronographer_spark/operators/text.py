@@ -2620,3 +2620,45 @@ def readability_scores(
             ).cast("long"),
         )
     )
+
+
+def chao1_richness(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Chao1 species-richness estimate of the vocabulary (Chao 1984):
+    how many types the corpus would show with infinite sampling —
+    observed distinct D plus N₁²/(2N₂) from the singleton/doubleton
+    counts (bias-corrected N₁(N₁−1)/(2(N₂+1)) when no doubletons). The
+    how-much-vocabulary-is-still-unseen companion to good_turing's
+    unseen MASS and heaps_profile's growth CURVE, all off the same
+    Zipf-small vocab table. Exact staged 1e6 quotients; one explode +
+    vocab collapse + count-of-counts, nothing data-sized after the
+    first shuffle.
+
+    Emits one row: (d_obs, n1, n2, chao1_x1e6) with chao1 scaled 1e6
+    (so chao1_x1e6 DIV 1e6 >= d_obs always).
+    """
+    toks = docs.select(
+        F.explode(
+            F.filter(
+                F.split(normalize_text(F.col(text_col)), " "),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("r"))
+    return vocab.agg(
+        F.count(F.lit(1)).alias("d_obs"),
+        F.sum(F.when(F.col("r") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("r") == 2, 1).otherwise(0)).alias("n2"),
+    ).select(
+        F.col("d_obs").cast("long").alias("d_obs"),
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.expr(
+            "CASE WHEN n2 > 0 THEN d_obs * 1000000 + n1 * n1 * 1000000"
+            " DIV (2 * n2)"
+            " ELSE d_obs * 1000000 + n1 * (n1 - 1) * 1000000"
+            " DIV (2 * (n2 + 1)) END"
+        ).cast("long").alias("chao1_x1e6"),
+    )

@@ -8300,3 +8300,41 @@ def test_distinct_n_and_dup_rate_hand(spark):
     assert dr["assistant"].dup_rate_x1e6 == 1 * 10**6 // 3
     assert dr["assistant"].top_repeat_n == 2
     assert dr["user"].dup_rate_x1e6 == 0
+
+
+def test_chao1_and_effect_sizes_hand(spark):
+    """Chao1 from a hand count-of-counts; Cohen's d² replay on separated
+    groups; Cronbach alpha 1.0 on perfectly parallel items."""
+    from chronographer_spark.operators.classifier import (
+        cohens_d_signed,
+        cronbach_alpha,
+    )
+    from chronographer_spark.operators.text import chao1_richness
+
+    docs = ["a a b b c d e", "c d f"]
+    df = spark.createDataFrame([(i, d) for i, d in enumerate(docs)],
+                               ["doc_id", "text"])
+    r = chao1_richness(df).collect()[0]
+    # counts: a2 b2 c2 d2 e1 f1 -> D=6, N1=2, N2=4
+    assert (r.d_obs, r.n1, r.n2) == (6, 2, 4)
+    assert r.chao1_x1e6 == 6 * 10**6 + 4 * 10**6 // 8
+
+    rows = [("k", 0, 1), ("k", 0, 2), ("k", 0, 3),
+            ("k", 1, 7), ("k", 1, 8), ("k", 1, 9)]
+    d = cohens_d_signed(
+        spark.createDataFrame(rows, ["key", "g", "x"]), "key", "g", "x"
+    ).collect()[0]
+    # means 2 vs 8, pooled s^2 = 1 -> d = 6, d^2 = 36 (positive: g1 higher)
+    assert d.d2_x1e6 == 36 * 10**6
+    inv = cohens_d_signed(
+        spark.createDataFrame(
+            [(k, 1 - g, x) for k, g, x in rows], ["key", "g", "x"]
+        ), "key", "g", "x",
+    ).collect()[0]
+    assert inv.d2_x1e6 == -36 * 10**6
+
+    arows = [(f"s{i}", it, 10 * i) for i in range(4) for it in "abc"]
+    a = cronbach_alpha(
+        spark.createDataFrame(arows, ["sb", "it", "x"]), "sb", "it", "x"
+    ).collect()[0]
+    assert (a.k, a.n_subjects, a.alpha_x1e6) == (3, 4, 10**6)
