@@ -22804,7 +22804,176 @@ FROM per
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: Cochran's Q + Jonckheere trend + Durbin-Watson on SES residuals
+# ---------------------------------------------------------------------------
+
+
+def q_cochran_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q (classifier.cochran_q): users as complete blocks,
+    event types as binary treatments (success = >= 2 events of the type)
+    — the binary repeated-measures member beside friedman/mcnemar."""
+    from .operators.classifier import cochran_q
+
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy("user_id", "event_type").agg(
+        F.expr("CAST(CASE WHEN count(1) >= 2 THEN 1 ELSE 0 END AS BIGINT)")
+        .alias("s")
+    )
+    return cochran_q(per, "user_id", "event_type", "s")
+
+
+COCHRAN_Q_SQL = """
+WITH per AS (
+  SELECT CAST(user_id AS VARCHAR) AS b, event_type AS trt,
+         CAST(CASE WHEN count(*) >= 2 THEN 1 ELSE 0 END AS BIGINT) AS s
+  FROM events GROUP BY user_id, event_type
+),
+kk AS (SELECT count(DISTINCT trt) AS k_total FROM per),
+complete AS (
+  SELECT b, trt, s FROM (
+    SELECT b, trt, s, count(*) OVER (PARTITION BY b) AS c FROM per
+  ), kk WHERE c = k_total
+),
+cols AS (SELECT trt, CAST(sum(s) AS BIGINT) AS c_j,
+                CAST(count(*) AS BIGINT) AS n_blocks
+         FROM complete GROUP BY trt),
+rws AS (SELECT b, CAST(sum(s) AS BIGINT) AS r_b FROM complete GROUP BY b),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(c_j) AS BIGINT) AS nn,
+               CAST(sum(c_j * c_j) AS BIGINT) AS cc2
+        FROM cols),
+rr AS (SELECT CAST(sum(r_b * r_b) AS BIGINT) AS rr2 FROM rws),
+stat AS (
+  SELECT CAST(CASE WHEN k * nn - rr2 <= 0 OR k < 2 THEN NULL ELSE
+    (k - 1) * (k * cc2 - nn * nn) * 1000000 // (k * nn - rr2)
+  END AS BIGINT) AS q_x1e6
+  FROM tot, rr
+)
+SELECT trt AS treatment, c_j, n_blocks, q_x1e6 FROM cols, stat
+"""
+
+
+def q_jonckheere_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere-Terpstra ordered-trend test across event types
+    (classifier.jonckheere_trend) on value cents: runs on the dense
+    (value × group) grid with prefix windows — never pairwise."""
+    from .operators.classifier import jonckheere_trend
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    return jonckheere_trend(base, "event_type", "cents")
+
+
+JONCKHEERE_SQL = """
+WITH base AS (
+  SELECT event_type AS g, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+  FROM events
+),
+cells AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY g, v),
+grid AS (
+  SELECT gg.g, vv.v, CAST(coalesce(c.c, 0) AS BIGINT) AS c
+  FROM (SELECT DISTINCT g FROM cells) gg
+  CROSS JOIN (SELECT DISTINCT v FROM cells) vv
+  LEFT JOIN cells c ON c.g = gg.g AND c.v = vv.v
+),
+pre AS (
+  SELECT g, v, c,
+         CAST(coalesce(sum(c) OVER (PARTITION BY g ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS less
+  FROM grid
+),
+roll AS (
+  SELECT g, v, c,
+         CAST(coalesce(sum(less) OVER wg, 0) AS BIGINT) AS less_lo,
+         CAST(coalesce(sum(c) OVER wg, 0) AS BIGINT) AS eq_lo
+  FROM pre
+  WINDOW wg AS (PARTITION BY v ORDER BY g
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+jj AS (SELECT CAST(sum(c * (2 * less_lo + eq_lo)) AS BIGINT) AS j2 FROM roll),
+sizes AS (SELECT g, CAST(sum(c) AS BIGINT) AS n_i FROM cells GROUP BY g),
+mom AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n_i) AS BIGINT) AS n,
+               CAST(sum(n_i * n_i) AS BIGINT) AS s2,
+               CAST(sum(n_i * n_i * (2 * n_i + 3)) AS BIGINT) AS s3
+        FROM sizes)
+SELECT n, k, j2,
+  CAST((n * n - s2) // 2 AS BIGINT) AS e2,
+  CAST((n * n * (2 * n + 3) - s3) // 18 AS BIGINT) AS var2,
+  CAST(CASE WHEN (n * n * (2 * n + 3) - s3) // 18 <= 0 THEN 0 ELSE
+    CAST(j2 - (n * n - s2) // 2 AS HUGEINT) * (j2 - (n * n - s2) // 2)
+    * 1000000 // ((n * n * (2 * n + 3) - s3) // 18)
+  END AS BIGINT) AS z2_x1e6
+FROM jj, mom
+"""
+
+
+def q_durbin_watson_ses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson on the SES one-step residuals per event type
+    (temporal.durbin_watson over temporal.ses_forecast): is the smoother
+    leaving autocorrelated errors."""
+    from .operators.temporal import durbin_watson, ses_forecast
+
+    ev = _t(spark, sf_dir, "events")
+    series = ev.groupBy(
+        "event_type",
+        F.expr(
+            "CAST(unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000 AS BIGINT)"
+        ).alias("hr"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    ses = ses_forecast(series, "event_type", "hr", "c", window=16)
+    return durbin_watson(ses, "key", "o", "next_err")
+
+
+def _durbin_sql() -> str:
+    terms = []
+    pres = []
+    for i in range(16):
+        wt = 1 << (15 - i)
+        lag = "x" if i == 0 else f"lag(x, {i}) OVER w"
+        terms.append(
+            f"CASE WHEN {lag} IS NOT NULL THEN ({lag}) * {wt} ELSE 0 END"
+        )
+        pres.append(f"CASE WHEN {lag} IS NOT NULL THEN {wt} ELSE 0 END")
+    num = " + ".join(terms)
+    den = " + ".join(pres)
+    return f"""
+WITH {_hourly_series_sql().strip()},
+lagged AS (
+  SELECT key, o, x,
+         CAST({num} AS BIGINT) AS nm,
+         CAST({den} AS BIGINT) AS dn,
+         lead(x) OVER w AS nxt
+  FROM series
+  WINDOW w AS (PARTITION BY key ORDER BY o)
+),
+resid AS (
+  SELECT key, o, CAST(nxt - nm // dn AS BIGINT) AS e
+  FROM lagged WHERE nxt IS NOT NULL
+),
+lag2 AS (
+  SELECT key, e, lag(e) OVER (PARTITION BY key ORDER BY o) AS pe FROM resid
+)
+SELECT key, CAST(count(*) AS BIGINT) AS n_resid,
+  CAST(CASE WHEN sum(CAST(e AS HUGEINT) * e) <= 0 THEN NULL ELSE
+    sum(CASE WHEN pe IS NOT NULL THEN CAST(e - pe AS HUGEINT) * (e - pe)
+        ELSE CAST(0 AS HUGEINT) END) * 1000000
+    // sum(CAST(e AS HUGEINT) * e)
+  END AS BIGINT) AS dw_x1e6
+FROM lag2 GROUP BY key
+"""
+
+
+DURBIN_WATSON_SQL = _durbin_sql()
+
+
 QUERIES = {
+    "cochran_q_types": q_cochran_types,
+    "jonckheere_types": q_jonckheere_types,
+    "durbin_watson_ses": q_durbin_watson_ses,
     "chao1_docs": q_chao1_docs,
     "cronbach_types": q_cronbach_types,
     "cohens_d_types": q_cohens_d_types,
@@ -23211,6 +23380,9 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "cochran_q_types": COCHRAN_Q_SQL,
+    "jonckheere_types": JONCKHEERE_SQL,
+    "durbin_watson_ses": DURBIN_WATSON_SQL,
     "chao1_docs": CHAO1_SQL,
     "cronbach_types": CRONBACH_SQL,
     "cohens_d_types": COHENS_D_SQL,

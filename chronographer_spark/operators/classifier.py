@@ -2685,3 +2685,128 @@ def cohens_d_signed(
             f" AS BIGINT) END"
         ).alias("d2_x1e6"),
     )
+
+
+def cochran_q(
+    df: DataFrame, block_col: str, treatment_col: str, success_col: str
+) -> DataFrame:
+    """Cochran's Q for k BINARY treatments over b complete blocks
+    (Cochran 1950) — the binary member of the repeated-measures family
+    (friedman_test = ordinal, mcnemar_test = its k=2 case): did success
+    rates differ across treatments when every block saw all of them.
+    Incomplete blocks drop. Fully cross-multiplied exact form:
+    Q = (k−1)·(k·ΣC_j² − N²) / (k·N − ΣR_b²) with column totals C_j,
+    row totals R_b, N = ΣC — all BIGINT products (bounded by k²·b², safe
+    to b·k ~ 3e9), q_x1e6 scaled; degenerate denominators (all-success /
+    all-failure blocks only) emit NULL.
+
+    One block-completeness window + two map-side-combined aggregations.
+    Emits one row per treatment plus the shared statistic:
+    (treatment, c_j, n_blocks, q_x1e6).
+    """
+    base = df.select(
+        F.col(block_col).cast("string").alias("b"),
+        F.col(treatment_col).cast("string").alias("trt"),
+        F.col(success_col).cast("long").alias("s"),
+    )
+    k_total = base.select("trt").distinct().count()
+    wb = Window.partitionBy("b")
+    complete = base.withColumn("cnt", F.count(F.lit(1)).over(wb)).filter(
+        F.col("cnt") == k_total
+    ).localCheckpoint(eager=True)
+    cols = complete.groupBy("trt").agg(
+        F.sum("s").alias("c_j"), F.count(F.lit(1)).alias("n_blocks")
+    ).localCheckpoint(eager=True)
+    rows_ = complete.groupBy("b").agg(F.sum("s").alias("r_b"))
+    tot = cols.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("c_j").alias("nn"),
+        F.expr("sum(c_j * c_j)").alias("cc2"),
+    )
+    rr = rows_.agg(F.expr("sum(r_b * r_b)").alias("rr2"))
+    stat = tot.crossJoin(F.broadcast(rr)).select(
+        "k", "nn", "cc2", "rr2",
+        F.expr(
+            "CASE WHEN k * nn - rr2 <= 0 OR k < 2 THEN CAST(NULL AS BIGINT)"
+            " ELSE (k - 1) * (k * cc2 - nn * nn) * 1000000"
+            " DIV (k * nn - rr2) END"
+        ).cast("long").alias("q_x1e6"),
+    )
+    return cols.crossJoin(F.broadcast(stat.select("q_x1e6"))).select(
+        F.col("trt").alias("treatment"),
+        F.col("c_j").cast("long").alias("c_j"),
+        F.col("n_blocks").cast("long").alias("n_blocks"),
+        "q_x1e6",
+    )
+
+
+def jonckheere_trend(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Jonckheere-Terpstra trend test for ORDERED groups (JT 1952/54) —
+    kruskal_wallis asks "do the k groups differ", this asks "do they
+    INCREASE in the given order" (dose-response, severity bands,
+    priority classes), with far more power against ordered
+    alternatives. Group order = lexicographic group key (callers encode
+    their ordering into sortable labels). Doubled-count contract keeps
+    ½-ties integer: J2 = Σ_{i<j} (2·#{x_i < x_j} + #{x_i = x_j}); exact
+    null mean E2 = (n² − Σn_i²) DIV 2, variance Var2 = (n²(2n+3) −
+    Σn_i²(2n_i+3)) DIV 18 (no tie correction, pinned truncating DIV —
+    the kruskal convention), z² cross-multiplied.
+
+    Scale shape: never pairwise — everything runs on the dense
+    (distinct value × group) grid: per-group prefix counts via a
+    value-ordered window, the Σ_{i<j} roll via a group-rank window per
+    value, then one weighted collapse. Cost |values|·k, not n².
+
+    Emits one row: (n, k, j2, e2, var2, z2_x1e6).
+    """
+    base = df.select(
+        F.col(group_col).cast("string").alias("g"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    cells = base.groupBy("g", "v").agg(F.count(F.lit(1)).alias("c"))
+    grps = cells.select("g").distinct()
+    vals = cells.select("v").distinct()
+    grid = (
+        vals.crossJoin(grps)
+        .join(cells, ["g", "v"], "left")
+        .select("g", "v", F.coalesce("c", F.lit(0)).cast("long").alias("c"))
+    )
+    wless = Window.partitionBy("g").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    pre = grid.withColumn(
+        "less", F.coalesce(F.sum("c").over(wless), F.lit(0))
+    )
+    # Σ over groups BEFORE this one (lexicographic), per value
+    wg = Window.partitionBy("v").orderBy("g").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    roll = pre.withColumn(
+        "less_lo", F.coalesce(F.sum("less").over(wg), F.lit(0))
+    ).withColumn("eq_lo", F.coalesce(F.sum("c").over(wg), F.lit(0)))
+    j2 = roll.agg(
+        F.expr("sum(c * (2 * less_lo + eq_lo))").alias("j2")
+    )
+    sizes = cells.groupBy("g").agg(F.sum("c").alias("n_i"))
+    mom = sizes.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_i").alias("n"),
+        F.expr("sum(n_i * n_i)").alias("s2"),
+        F.expr("sum(n_i * n_i * (2 * n_i + 3))").alias("s3"),
+    )
+    return j2.crossJoin(F.broadcast(mom)).select(
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k"),
+        F.col("j2").cast("long").alias("j2"),
+        F.expr("(n * n - s2) DIV 2").cast("long").alias("e2"),
+        F.expr("(n * n * (2 * n + 3) - s3) DIV 18").cast("long").alias("var2"),
+        F.expr(
+            "CASE WHEN (n * n * (2 * n + 3) - s3) DIV 18 <= 0"
+            " THEN CAST(0 AS BIGINT) ELSE"
+            " CAST(CAST(j2 - (n * n - s2) DIV 2 AS DECIMAL(38,0))"
+            " * (j2 - (n * n - s2) DIV 2) * 1000000"
+            " DIV ((n * n * (2 * n + 3) - s3) DIV 18) AS BIGINT) END"
+        ).alias("z2_x1e6"),
+    )

@@ -3085,3 +3085,42 @@ def forecast_mase(
             " mae_model_sum * 1000000 DIV mae_naive_sum END"
         ).cast("long").alias("mase_x1e6"),
     )
+
+
+def durbin_watson(
+    df: DataFrame, key_col: str, order_col: str, resid_col: str
+) -> DataFrame:
+    """Durbin-Watson autocorrelation statistic per key over integer
+    residuals — the are-my-forecast-errors-independent check after
+    ses_forecast/forecast_mase (DW ≈ 2 means uncorrelated, → 0 means
+    positive autocorrelation = the smoother is systematically lagging):
+    dw_x1e6 = Σ(e_t − e_{t−1})²·1e6 DIV Σe_t², both sums exact BIGINTs
+    (128-bit squares per the control-chart rule). Keys with zero
+    residual energy emit NULL.
+
+    One (key ORDER BY order) lag window + one key collapse — single
+    shuffle. Emits per key: (key, n_resid, dw_x1e6).
+    """
+    w = Window.partitionBy("key").orderBy("o")
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(order_col).cast("long").alias("o"),
+        F.col(resid_col).cast("long").alias("e"),
+    ).filter(F.col("e").isNotNull())
+    lagged = base.withColumn("pe", F.lag("e").over(w))
+    return lagged.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_resid"),
+        F.expr("sum(CAST(e AS DECIMAL(38,0)) * e)").alias("see"),
+        F.expr(
+            "sum(CASE WHEN pe IS NOT NULL THEN"
+            " CAST(e - pe AS DECIMAL(38,0)) * (e - pe)"
+            " ELSE CAST(0 AS DECIMAL(38,0)) END)"
+        ).alias("sdd"),
+    ).select(
+        "key",
+        F.col("n_resid").cast("long").alias("n_resid"),
+        F.expr(
+            "CASE WHEN see <= 0 THEN CAST(NULL AS BIGINT)"
+            " ELSE CAST(sdd * 1000000 DIV see AS BIGINT) END"
+        ).alias("dw_x1e6"),
+    )

@@ -8338,3 +8338,42 @@ def test_chao1_and_effect_sizes_hand(spark):
         spark.createDataFrame(arows, ["sb", "it", "x"]), "sb", "it", "x"
     ).collect()[0]
     assert (a.k, a.n_subjects, a.alpha_x1e6) == (3, 4, 10**6)
+
+
+def test_cochran_jonckheere_durbin_hand(spark):
+    """Cochran Q on a hand binary block table; Jonckheere J2/E2 on an
+    ordered separable fixture; DW = 2 on alternating residuals."""
+    from chronographer_spark.operators.classifier import (
+        cochran_q,
+        jonckheere_trend,
+    )
+    from chronographer_spark.operators.temporal import durbin_watson
+
+    # 4 complete blocks x 3 treatments; treatment c always succeeds
+    rows = []
+    for b in range(4):
+        rows += [(f"b{b}", "a", 0), (f"b{b}", "bb", b % 2), (f"b{b}", "c", 1)]
+    q = {r.treatment: r for r in
+         cochran_q(spark.createDataFrame(rows, ["blk", "t", "s"]),
+                   "blk", "t", "s").collect()}
+    cj = {"a": 0, "bb": 2, "c": 4}
+    nn, cc2 = 6, 0 + 4 + 16
+    rr2 = sum((0 + b % 2 + 1) ** 2 for b in range(4))  # rows: 1,2,1,2 -> 10
+    want = 2 * (3 * cc2 - nn * nn) * 10**6 // (3 * nn - rr2)
+    assert q["c"].c_j == 4 and q["a"].q_x1e6 == want
+
+    # strictly increasing groups: every cross-group pair concordant
+    jrows = [("g1", 1), ("g1", 2), ("g2", 3), ("g2", 4), ("g3", 5)]
+    j = jonckheere_trend(
+        spark.createDataFrame(jrows, ["g", "v"]), "g", "v"
+    ).collect()[0]
+    # pairs across groups: 2*2 + 2*1 + 2*1 = 8, all concordant -> J2 = 16
+    assert (j.n, j.k, j.j2) == (5, 3, 16)
+    assert j.e2 == (25 - (4 + 4 + 1)) // 2
+
+    drows = [("k", i, (-1) ** i * 3) for i in range(8)]
+    dw = durbin_watson(
+        spark.createDataFrame(drows, ["key", "o", "e"]), "key", "o", "e"
+    ).collect()[0]
+    # alternating +-3: sum diff^2 = 7 * 36, sum e^2 = 8 * 9 -> DW = 3.5
+    assert dw.dw_x1e6 == 7 * 36 * 10**6 // 72
