@@ -22970,7 +22970,195 @@ FROM lag2 GROUP BY key
 DURBIN_WATSON_SQL = _durbin_sql()
 
 
+# ---------------------------------------------------------------------------
+# Q: Markov entropy rate + conversation near-dups + sessionizer agreement
+# ---------------------------------------------------------------------------
+
+
+def q_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tool-transition entropy rate (dialogue.markov_entropy_rate):
+    per-source conditional entropy + the `__rate__` row, msb16 device
+    with exact offset removal."""
+    from .operators.dialogue import markov_entropy_rate
+
+    return markov_entropy_rate(transcripts_from_events(spark, sf_dir))
+
+
+def _markov_entropy_sql() -> str:
+    m16 = _duck_msb16("n_s * 1048576 // n_st")
+    return f"""
+{TX_SQL},
+calls AS (SELECT conv_id, turn_idx, tool AS t_to FROM tx WHERE tool <> ''),
+pairs AS (
+  SELECT lag(t_to) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS t_from,
+         t_to
+  FROM calls
+),
+cnt AS (SELECT t_from, t_to, CAST(count(*) AS BIGINT) AS n_st
+        FROM pairs WHERE t_from IS NOT NULL GROUP BY t_from, t_to),
+src AS (SELECT t_from, CAST(sum(n_st) AS BIGINT) AS n_s FROM cnt GROUP BY t_from),
+per AS (
+  SELECT cnt.t_from, max(src.n_s) AS n_s,
+         CAST(sum(n_st * ({m16})) AS BIGINT) AS s16
+  FROM cnt JOIN src USING (t_from) GROUP BY cnt.t_from
+)
+SELECT t_from AS src, CAST(n_s AS BIGINT) AS n_out,
+       CAST((s16 - 320 * n_s) * 1000 // (16 * n_s) AS BIGINT) AS h_x1e3
+FROM per
+UNION ALL
+SELECT '__rate__', CAST(sum(n_s) AS BIGINT),
+       CAST((sum(s16) - 320 * sum(n_s)) * 1000 // (16 * sum(n_s)) AS BIGINT)
+FROM per
+"""
+
+
+MARKOV_ENTROPY_SQL = _markov_entropy_sql()
+
+
+def q_conv_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-level near-duplicate candidates: chat_render
+    serializes each conversation, the minhash blocker generates candidate
+    pairs over the rendered text, exact 1-gram Jaccard verifies — the
+    formatting + dedup stacks CHAINED (dedup templated conversations
+    before SFT). Emits the top-20 most similar candidate pairs."""
+    from .operators.dedup import minhash_lsh_candidates, ngram_jaccard
+    from .operators.dialogue import chat_render
+
+    tx = transcripts_from_events(spark, sf_dir)
+    rendered = (
+        chat_render(tx)
+        .select(F.col("conv_id").alias("doc_id"), F.col("rendered").alias("text"))
+        .localCheckpoint(eager=True)
+    )
+    pairs = minhash_lsh_candidates(rendered, num_hashes=8, bands=2, shingle_n=1)
+    jac = ngram_jaccard(rendered, pairs, shingle_n=1)
+    return (
+        jac.select(
+            "id_a",
+            "id_b",
+            F.floor(F.col("jaccard") * 1000000 + F.lit(0.5))
+            .cast("long")
+            .alias("jac_x1e6"),
+        )
+        .orderBy(F.desc("jac_x1e6"), "id_a", "id_b")
+        .limit(20)
+    )
+
+
+CONV_NEAR_DUPS_SQL = f"""
+{TX_SQL},
+docs2 AS (
+  SELECT conv_id AS doc_id,
+         string_agg('<|' || CASE WHEN tool <> '' THEN 'tool:' || tool ELSE role END
+                    || '|>' || text, chr(10) ORDER BY turn_idx) AS text
+  FROM tx GROUP BY conv_id
+),
+words AS (
+  SELECT doc_id, unnest(list_distinct(string_split(
+    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))) AS w
+  FROM docs2
+),
+sig AS (
+  SELECT doc_id,
+    min(md5('s0|' || w)) AS h0, min(md5('s1|' || w)) AS h1,
+    min(md5('s2|' || w)) AS h2, min(md5('s3|' || w)) AS h3,
+    min(md5('s4|' || w)) AS h4, min(md5('s5|' || w)) AS h5,
+    min(md5('s6|' || w)) AS h6, min(md5('s7|' || w)) AS h7
+  FROM words GROUP BY doc_id
+),
+buckets AS (
+  SELECT doc_id, 0 AS band, md5(h0 || '|' || h1 || '|' || h2 || '|' || h3) AS bucket FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, md5(h4 || '|' || h5 || '|' || h6 || '|' || h7) AS bucket FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id < b.doc_id
+),
+sh AS (
+  SELECT doc_id, list_distinct(string_split(
+    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS sh
+  FROM docs2
+)
+SELECT p.id_a, p.id_b,
+  CAST(floor(
+    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.sh, b.sh))) * 1000000 + 0.5) AS BIGINT)
+    AS jac_x1e6
+FROM cand p JOIN sh a ON a.doc_id = p.id_a JOIN sh b ON b.doc_id = p.id_b
+ORDER BY jac_x1e6 DESC, id_a, id_b LIMIT 20
+"""
+
+
+def q_sessionizer_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition agreement between two sessionizers (30-min vs 60-min
+    gaps) as purity/Rand/ARI — clustering_agreement reused to quantify
+    how much a sessionization threshold actually changes the segmentation
+    (ARI near 1e6 ⇒ the cheaper/coarser setting is safe)."""
+    from .operators.clustering import clustering_agreement
+    from .operators.temporal import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    s30 = sessionize(ev, ["user_id"], gap_seconds=1800).select(
+        "event_id",
+        F.concat_ws("#", F.col("user_id"), F.col("session_seq")).alias("c30"),
+    )
+    s60 = sessionize(ev, ["user_id"], gap_seconds=3600).select(
+        "event_id",
+        F.concat_ws("#", F.col("user_id"), F.col("session_seq")).alias("c60"),
+    )
+    j = s30.join(s60, "event_id")
+    return clustering_agreement(j, "c30", "c60")
+
+
+SESSIONIZER_AGREEMENT_SQL = """
+WITH o AS (
+  SELECT user_id, event_id, ts,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w AS gap
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+seqs AS (
+  SELECT CAST(user_id AS VARCHAR) || '#' || CAST(
+           sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+           OVER w2 AS VARCHAR) AS ci,
+         CAST(user_id AS VARCHAR) || '#' || CAST(
+           sum(CASE WHEN gap IS NULL OR gap > 3600 THEN 1 ELSE 0 END)
+           OVER w2 AS VARCHAR) AS lj
+  FROM o
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+cells AS (SELECT ci, lj, CAST(count(*) AS BIGINT) AS nij
+          FROM seqs GROUP BY ci, lj),
+tot AS (SELECT CAST(sum(nij) AS BIGINT) AS n,
+               CAST(sum(nij * (nij - 1) // 2) AS BIGINT) AS s_ij
+        FROM cells),
+aa AS (SELECT CAST(sum(ai * (ai - 1) // 2) AS BIGINT) AS s_a
+       FROM (SELECT sum(nij) AS ai FROM cells GROUP BY ci)),
+bb AS (SELECT CAST(sum(bj * (bj - 1) // 2) AS BIGINT) AS s_b
+       FROM (SELECT sum(nij) AS bj FROM cells GROUP BY lj)),
+pp AS (SELECT CAST(sum(mx) AS BIGINT) AS pure
+       FROM (SELECT max(nij) AS mx FROM cells GROUP BY ci))
+SELECT n,
+       CAST(pure * 1000000 // n AS BIGINT) AS purity_x1e6,
+       CAST((n * (n - 1) // 2 + 2 * s_ij - s_a - s_b) * 1000000
+            // greatest(n * (n - 1) // 2, 1) AS BIGINT) AS rand_x1e6,
+       CAST(CASE WHEN (n * (n - 1) // 2) * (s_a + s_b) - 2 * s_a * s_b = 0
+                 THEN 1000000 ELSE
+            2 * ((n * (n - 1) // 2) * s_ij - s_a * s_b) * 1000000
+            // ((n * (n - 1) // 2) * (s_a + s_b) - 2 * s_a * s_b)
+            END AS BIGINT) AS ari_x1e6
+FROM tot, aa, bb, pp
+"""
+
+
 QUERIES = {
+    "markov_entropy_rate": q_markov_entropy,
+    "conv_near_dups": q_conv_near_dups,
+    "sessionizer_agreement": q_sessionizer_agreement,
     "cochran_q_types": q_cochran_types,
     "jonckheere_types": q_jonckheere_types,
     "durbin_watson_ses": q_durbin_watson_ses,
@@ -23380,6 +23568,9 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "markov_entropy_rate": MARKOV_ENTROPY_SQL,
+    "conv_near_dups": CONV_NEAR_DUPS_SQL,
+    "sessionizer_agreement": SESSIONIZER_AGREEMENT_SQL,
     "cochran_q_types": COCHRAN_Q_SQL,
     "jonckheere_types": JONCKHEERE_SQL,
     "durbin_watson_ses": DURBIN_WATSON_SQL,

@@ -814,3 +814,55 @@ def duplicate_turn_rate(tx: DataFrame) -> DataFrame:
             F.col("mc").cast("long").alias("top_repeat_n"),
         )
     )
+
+
+def markov_entropy_rate(tx: DataFrame) -> DataFrame:
+    """Entropy rate of the tool-transition Markov chain: per source tool
+    the msb16-quantized conditional entropy H(next | src) of where the
+    workflow goes next, plus the chain's overall entropy rate
+    Σ p(src)·H(next|src) as a `__rate__` row — the how-predictable-is-
+    the-agent readout that markov_next_tool_eval's top-1 accuracy only
+    lower-bounds. Same pinned device as vmeasure: Σ_t n_st·msb16(n_s·2^20
+    DIV n_st) = 16·n_s·H + 320·n_s with the offset removed exactly;
+    h_x1e3 is bits ×1e3.
+
+    Transition counts are tool²-sized; everything after the lag window +
+    count collapse is tiny. Emits (src, n_out, h_x1e3).
+    """
+    from .sampling import _msb16_sql as _m16
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    calls = tx.filter(F.col("tool") != "").select(
+        "conv_id", "turn_idx", F.col("tool").alias("t_to")
+    )
+    pairs = calls.withColumn("t_from", F.lag("t_to").over(w)).filter(
+        F.col("t_from").isNotNull()
+    )
+    cnt = pairs.groupBy("t_from", "t_to").agg(F.count(F.lit(1)).alias("n_st"))
+    src = cnt.groupBy("t_from").agg(F.sum("n_st").alias("n_s"))
+    per = (
+        cnt.join(src, "t_from")
+        .groupBy("t_from")
+        .agg(
+            F.max("n_s").alias("n_s"),
+            F.sum(
+                F.expr(f"n_st * ({_m16('n_s * 1048576 DIV n_st')})")
+            ).alias("s16"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    rows = per.select(
+        F.col("t_from").alias("src"),
+        F.col("n_s").cast("long").alias("n_out"),
+        F.expr("(s16 - 320 * n_s) * 1000 DIV (16 * n_s)")
+        .cast("long")
+        .alias("h_x1e3"),
+    )
+    overall = per.agg(
+        F.lit("__rate__").alias("src"),
+        F.sum("n_s").cast("long").alias("n_out"),
+        F.expr(
+            "(sum(s16) - 320 * sum(n_s)) * 1000 DIV (16 * sum(n_s))"
+        ).cast("long").alias("h_x1e3"),
+    )
+    return rows.unionByName(overall)

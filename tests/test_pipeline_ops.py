@@ -8377,3 +8377,49 @@ def test_cochran_jonckheere_durbin_hand(spark):
     ).collect()[0]
     # alternating +-3: sum diff^2 = 7 * 36, sum e^2 = 8 * 9 -> DW = 3.5
     assert dw.dw_x1e6 == 7 * 36 * 10**6 // 72
+
+
+def test_markov_entropy_rate_extremes(spark):
+    """A deterministic chain reads 0 bits; a uniform 2-way branch reads
+    ~1000 millibits (msb16 quantization band)."""
+    import datetime as dt
+
+    from chronographer_spark.operators.dialogue import markov_entropy_rate
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # conv d: a->b->a->b (deterministic); conv u: c->a, c->b (uniform from c)
+    for i, tool in enumerate(["a", "b", "a", "b"]):
+        rows.append(("d", i, "tool", "x", tool, t0))
+    rows += [("u1", 0, "tool", "x", "c", t0), ("u1", 1, "tool", "x", "a", t0),
+             ("u2", 0, "tool", "x", "c", t0), ("u2", 1, "tool", "x", "b", t0)]
+    tx = spark.createDataFrame(
+        rows, ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+    got = {r.src: r for r in markov_entropy_rate(tx).collect()}
+    assert got["a"].h_x1e3 == 0 and got["b"].h_x1e3 == 0
+    assert got["c"].n_out == 2 and abs(got["c"].h_x1e3 - 1000) <= 65
+    # rate = weighted mean: 3 deterministic + 2 uniform transitions
+    assert 0 < got["__rate__"].h_x1e3 < got["c"].h_x1e3
+
+
+def test_sessionizer_agreement_identical_when_gaps_equal(spark):
+    """With no gaps between the two thresholds, the partitions are
+    identical and ARI reads exactly 1e6."""
+    import datetime as dt
+
+    from chronographer_spark.operators.clustering import clustering_agreement
+    from chronographer_spark.operators.temporal import sessionize
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(1, i, t0 + dt.timedelta(hours=3 * i)) for i in range(4)]
+    ev = spark.createDataFrame(rows, ["user_id", "event_id", "ts"])
+    a = sessionize(ev, ["user_id"], gap_seconds=1800).select(
+        "event_id", F.col("session_seq").alias("c30")
+    )
+    b = sessionize(ev, ["user_id"], gap_seconds=3600).select(
+        "event_id", F.col("session_seq").alias("c60")
+    )
+    r = clustering_agreement(a.join(b, "event_id"), "c30", "c60").collect()[0]
+    # 3-hour gaps exceed both thresholds -> identical all-singleton splits
+    assert r.ari_x1e6 == 10**6 and r.purity_x1e6 == 10**6
