@@ -23155,7 +23155,111 @@ FROM tot, aa, bb, pp
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: k-anonymity/l-diversity audit + water-filling budget allocation
+# ---------------------------------------------------------------------------
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit (dq.k_anonymity_report) over the
+    (lang, source) quasi-identifier with length bands as the sensitive
+    attribute — the privacy screen before a corpus ships."""
+    from .operators.dq import k_anonymity_report
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "band", F.expr("CAST(n_chars DIV 200 AS BIGINT)")
+    )
+    return k_anonymity_report(docs, ["lang", "source"], "band", k=5)
+
+
+K_ANONYMITY_SQL = """
+WITH g AS (
+  SELECT lang || '|' || source AS group_key,
+         CAST(n_chars // 200 AS VARCHAR) AS sv
+  FROM documents
+)
+SELECT group_key, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT sv) AS BIGINT) AS l_div,
+       CAST(CASE WHEN count(*) >= 5 THEN 1 ELSE 0 END AS BIGINT) AS k_ok,
+       CAST(CASE WHEN count(DISTINCT sv) >= 2 THEN 1 ELSE 0 END AS BIGINT)
+         AS l_ok
+FROM g GROUP BY group_key
+"""
+
+
+def q_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filling allocation of half the corpus token budget across
+    sources (sampling.budget_waterfill): weight = doc count, capacity =
+    source token total — closed-form saturation order, no driver loop."""
+    from .operators.sampling import budget_waterfill
+
+    docs = _t(spark, sf_dir, "documents")
+    ntok = F.size(
+        F.filter(
+            F.split(
+                F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "),
+                " ",
+            ),
+            lambda t: t != F.lit(""),
+        )
+    ).cast("long")
+    srcs = docs.select("source", ntok.alias("ntok")).groupBy("source").agg(
+        F.count(F.lit(1)).alias("w"), F.sum("ntok").alias("cap")
+    )
+    total = srcs.agg(F.sum("cap")).first()[0]
+    return budget_waterfill(srcs, int(total) // 2)
+
+
+BUDGET_WATERFILL_SQL = """
+WITH toks AS (
+  SELECT source, CAST(len(list_filter(string_split(
+    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+    t -> t <> '')) AS BIGINT) AS ntok
+  FROM documents
+),
+srcs AS (SELECT source AS src, CAST(count(*) AS BIGINT) AS w,
+                CAST(sum(ntok) AS BIGINT) AS cap
+         FROM toks GROUP BY source),
+bb AS (SELECT CAST(sum(cap) // 2 AS BIGINT) AS b FROM srcs),
+pre AS (
+  SELECT src, w, cap,
+         CAST(coalesce(sum(cap) OVER wo, 0) AS BIGINT) AS c_prev,
+         CAST(coalesce(sum(w) OVER wo, 0) AS BIGINT) AS w_prev
+  FROM (SELECT *, cap * 1000000 // greatest(w, 1) AS ratio FROM srcs)
+  WINDOW wo AS (ORDER BY ratio, src
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+tww AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM srcs),
+flagged AS (
+  SELECT src, w, cap,
+         CASE WHEN cap * (tw - w_prev) <= (b - c_prev) * w
+              THEN 1 ELSE 0 END AS capped
+  FROM pre, tww, bb
+),
+sat AS (SELECT CAST(coalesce(sum(CASE WHEN capped = 1 THEN cap END), 0)
+               AS BIGINT) AS sc,
+               CAST(coalesce(sum(CASE WHEN capped = 1 THEN w END), 0)
+               AS BIGINT) AS sw
+        FROM flagged),
+alloc AS (
+  SELECT src, w, cap, capped,
+         CAST(CASE WHEN capped = 1 THEN cap
+              WHEN tw - sw <= 0 THEN 0
+              ELSE greatest(b - sc, 0) * w // (tw - sw) END AS BIGINT)
+           AS alloc
+  FROM flagged, sat, tww, bb
+),
+lo AS (SELECT CAST((SELECT b FROM bb) - sum(alloc) AS BIGINT) AS leftover
+       FROM alloc)
+SELECT src AS source, w, cap, alloc, CAST(capped AS BIGINT) AS capped,
+       leftover
+FROM alloc, lo
+"""
+
+
 QUERIES = {
+    "k_anonymity_docs": q_k_anonymity,
+    "budget_waterfill": q_budget_waterfill,
     "markov_entropy_rate": q_markov_entropy,
     "conv_near_dups": q_conv_near_dups,
     "sessionizer_agreement": q_sessionizer_agreement,
@@ -23568,6 +23672,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "k_anonymity_docs": K_ANONYMITY_SQL,
+    "budget_waterfill": BUDGET_WATERFILL_SQL,
     "markov_entropy_rate": MARKOV_ENTROPY_SQL,
     "conv_near_dups": CONV_NEAR_DUPS_SQL,
     "sessionizer_agreement": SESSIONIZER_AGREEMENT_SQL,

@@ -115,3 +115,42 @@ def referential_check(
             " ELSE CAST(1000000 AS BIGINT) END"
         ).alias("metric_x1e6"),
     )
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: list,
+    sensitive_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity / l-diversity audit over quasi-identifier groups —
+    the re-identification screen a privacy review runs before a corpus
+    ships: a row whose quasi-identifier combination (e.g. language ×
+    source) matches fewer than k rows is re-identifiable by linkage, and
+    a group whose SENSITIVE attribute takes few distinct values leaks it
+    even at k (hence l-diversity). Exact counts; one map-side-combined
+    aggregation over the quasi key.
+
+    Emits one row per quasi group: (group_key, n_rows, l_div, k_ok,
+    l_ok) with k_ok = n_rows >= k, l_ok = l_div >= min(k, l threshold
+    implied = 2).
+    """
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in quasi_cols])
+    return (
+        df.select(key.alias("group_key"),
+                  F.col(sensitive_col).cast("string").alias("sv"))
+        .groupBy("group_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("sv").alias("l_div"),
+        )
+        .select(
+            "group_key",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("l_div").cast("long").alias("l_div"),
+            F.expr(f"CAST(CASE WHEN n_rows >= {k} THEN 1 ELSE 0 END AS BIGINT)")
+            .alias("k_ok"),
+            F.expr("CAST(CASE WHEN l_div >= 2 THEN 1 ELSE 0 END AS BIGINT)")
+            .alias("l_ok"),
+        )
+    )

@@ -954,3 +954,87 @@ def mmr_rerank(
     if not out:
         return spark.createDataFrame([], "rnk long, item long, mmr_x1e6 long")
     return spark.createDataFrame(out, ["rnk", "item", "mmr_x1e6"])
+
+
+def budget_waterfill(
+    sources: DataFrame,
+    budget: int,
+    source_col: str = "source",
+    weight_col: str = "w",
+    cap_col: str = "cap",
+) -> DataFrame:
+    """Water-filling token-budget allocation across sources: give each
+    source budget proportional to its weight, but never more than its
+    capacity — the data-mixing decision every pretraining recipe makes
+    ("upsample high-quality sources until they run out, spread the rest").
+    CLOSED FORM, no driver loop: sort sources by cap/weight (the order
+    they saturate in — quantized ratio = cap·1e6 DIV w, ties by source
+    key, a pinned contract); with prefix cap sums C and prefix weight
+    sums W, source i saturates iff cap_i·(TW − W_{i−1}) <= (B − C_{i−1})
+    ·w_i, else it gets the proportional share (B − C_{i−1})·w_i DIV
+    (TW − W_{i−1}) of what remains. Truncating DIVs leave a documented
+    deficit < n_sources tokens (emitted as the leftover column on every
+    row). Overflow: B·w must stay under 2^63 → budget·max-weight < 9e18.
+
+    The source table is dimension-sized, so the sort window is k rows —
+    never corpus-scale. Emits per source: (source, w, cap, alloc,
+    capped, leftover).
+    """
+    base = sources.select(
+        F.col(source_col).cast("string").alias("src"),
+        F.col(weight_col).cast("long").alias("w"),
+        F.col(cap_col).cast("long").alias("cap"),
+    ).withColumn("ratio", F.expr("cap * 1000000 DIV greatest(w, 1)"))
+    wo = Window.orderBy("ratio", "src")
+    pre = (
+        base.withColumn(
+            "c_prev",
+            F.coalesce(
+                F.sum("cap").over(wo.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "w_prev",
+            F.coalesce(
+                F.sum("w").over(wo.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ),
+        )
+    )
+    tot = base.agg(F.sum("w").alias("tw"))
+    flagged = pre.crossJoin(F.broadcast(tot)).withColumn(
+        "capped",
+        F.expr(
+            f"CASE WHEN cap * (tw - w_prev) <= ({budget} - c_prev) * w"
+            " THEN 1 ELSE 0 END"
+        ),
+    ).localCheckpoint(eager=True)
+    # fixed water level: every uncapped source shares the SAME lambda =
+    # (B - Σ capped caps)/(TW - Σ capped weights) — a per-row remaining-
+    # budget formula would wrongly subtract earlier UNCAPPED sources' caps
+    sat = flagged.agg(
+        F.coalesce(F.sum(F.expr("CASE WHEN capped = 1 THEN cap END")), F.lit(0))
+        .alias("sc"),
+        F.coalesce(F.sum(F.expr("CASE WHEN capped = 1 THEN w END")), F.lit(0))
+        .alias("sw"),
+    )
+    alloc = flagged.crossJoin(F.broadcast(sat)).withColumn(
+        "alloc",
+        F.expr(
+            "CASE WHEN capped = 1 THEN cap"
+            " WHEN tw - sw <= 0 THEN CAST(0 AS BIGINT)"
+            f" ELSE greatest({budget} - sc, 0) * w DIV (tw - sw) END"
+        ),
+    ).localCheckpoint(eager=True)
+    left = alloc.agg(
+        (F.lit(budget) - F.sum("alloc")).alias("leftover")
+    )
+    return alloc.crossJoin(F.broadcast(left)).select(
+        F.col("src").alias("source"),
+        F.col("w").cast("long").alias("w"),
+        F.col("cap").cast("long").alias("cap"),
+        F.col("alloc").cast("long").alias("alloc"),
+        F.col("capped").cast("long").alias("capped"),
+        F.col("leftover").cast("long").alias("leftover"),
+    )

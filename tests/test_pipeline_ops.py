@@ -8423,3 +8423,33 @@ def test_sessionizer_agreement_identical_when_gaps_equal(spark):
     r = clustering_agreement(a.join(b, "event_id"), "c30", "c60").collect()[0]
     # 3-hour gaps exceed both thresholds -> identical all-singleton splits
     assert r.ari_x1e6 == 10**6 and r.purity_x1e6 == 10**6
+
+
+def test_k_anonymity_and_waterfill_hand(spark):
+    """k/l flags on a hand table; waterfill saturates the scarce source
+    and splits the rest at one shared water level."""
+    from chronographer_spark.operators.dq import k_anonymity_report
+    from chronographer_spark.operators.sampling import budget_waterfill
+
+    rows = [("en", "web", "a")] * 5 + [("en", "web", "b")] + [
+        ("fr", "web", "a"), ("fr", "web", "a")
+    ]
+    df = spark.createDataFrame(rows, ["lang", "source", "sv"])
+    got = {r.group_key: r for r in
+           k_anonymity_report(df, ["lang", "source"], "sv", k=5).collect()}
+    assert (got["en|web"].n_rows, got["en|web"].l_div) == (6, 2)
+    assert (got["en|web"].k_ok, got["en|web"].l_ok) == (1, 1)
+    assert (got["fr|web"].k_ok, got["fr|web"].l_ok) == (0, 0)
+
+    srcs = spark.createDataFrame(
+        [("a", 10, 5), ("b", 10, 100), ("c", 20, 100)], ["source", "w", "cap"]
+    )
+    out = {r.source: r for r in budget_waterfill(srcs, 65).collect()}
+    # a saturates at 5; remaining 60 over weight 30 -> lambda 2: b 20, c 40
+    assert (out["a"].alloc, out["b"].alloc, out["c"].alloc) == (5, 20, 40)
+    assert (out["a"].capped, out["b"].capped) == (1, 0)
+    assert out["a"].leftover == 0
+    # budget above total capacity: everything capped, leftover positive
+    rich = {r.source: r for r in budget_waterfill(srcs, 1000).collect()}
+    assert all(r.capped == 1 for r in rich.values())
+    assert rich["a"].leftover == 1000 - 205
