@@ -23257,7 +23257,74 @@ FROM alloc, lo
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: double-sweep diameter lower bound on the divide lattice
+# ---------------------------------------------------------------------------
+
+
+def q_diameter_lattice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-sweep BFS diameter lower bound
+    (graph_algos.double_sweep_diameter) on the symmetrized divide
+    lattice — pinned seeds, O(diameter) frontier rounds; the exact
+    companion to HyperBall."""
+    from .operators.graph_algos import double_sweep_diameter
+
+    return double_sweep_diameter(_divide_dag_edges(spark, sf_dir))
+
+
+DIAMETER_LATTICE_SQL = """
+WITH RECURSIVE und AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM (
+      SELECT CAST(c_custkey AS BIGINT) AS src,
+             CAST(c_custkey // 2 AS BIGINT) AS dst
+      FROM customer WHERE c_custkey >= 2
+      UNION ALL
+      SELECT CAST(c_custkey AS BIGINT), CAST(c_custkey // 3 AS BIGINT)
+      FROM customer WHERE c_custkey >= 3
+        AND c_custkey // 3 <> c_custkey // 2
+    )
+    UNION ALL
+    SELECT dst, src FROM (
+      SELECT CAST(c_custkey AS BIGINT) AS src,
+             CAST(c_custkey // 2 AS BIGINT) AS dst
+      FROM customer WHERE c_custkey >= 2
+      UNION ALL
+      SELECT CAST(c_custkey AS BIGINT), CAST(c_custkey // 3 AS BIGINT)
+      FROM customer WHERE c_custkey >= 3
+        AND c_custkey // 3 <> c_custkey // 2
+    )
+  )
+),
+s1 AS (SELECT min(src) AS seed FROM und),
+walk1 AS (
+  SELECT seed AS node, CAST(0 AS BIGINT) AS d FROM s1
+  UNION
+  SELECT u.dst, w.d + 1
+  FROM walk1 w JOIN und u ON u.src = w.node
+  WHERE w.d < 32
+),
+dist1 AS (SELECT node, CAST(min(d) AS BIGINT) AS d FROM walk1 GROUP BY node),
+far AS (SELECT node AS seed2, d AS ecc1 FROM dist1
+        ORDER BY d DESC, node ASC LIMIT 1),
+walk2 AS (
+  SELECT seed2 AS node, CAST(0 AS BIGINT) AS d FROM far
+  UNION
+  SELECT u.dst, w.d + 1
+  FROM walk2 w JOIN und u ON u.src = w.node
+  WHERE w.d < 32
+),
+dist2 AS (SELECT node, CAST(min(d) AS BIGINT) AS d FROM walk2 GROUP BY node)
+SELECT (SELECT CAST(seed AS BIGINT) FROM s1) AS seed1,
+       (SELECT CAST(seed2 AS BIGINT) FROM far) AS seed2,
+       (SELECT CAST(ecc1 AS BIGINT) FROM far) AS ecc1,
+       CAST(max(d) AS BIGINT) AS diameter_lb
+FROM dist2
+"""
+
+
 QUERIES = {
+    "diameter_lattice": q_diameter_lattice,
     "k_anonymity_docs": q_k_anonymity,
     "budget_waterfill": q_budget_waterfill,
     "markov_entropy_rate": q_markov_entropy,
@@ -23672,6 +23739,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "diameter_lattice": DIAMETER_LATTICE_SQL,
     "k_anonymity_docs": K_ANONYMITY_SQL,
     "budget_waterfill": BUDGET_WATERFILL_SQL,
     "markov_entropy_rate": MARKOV_ENTROPY_SQL,

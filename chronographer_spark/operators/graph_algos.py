@@ -3547,3 +3547,59 @@ def eigenvector_centrality(
             .localCheckpoint(eager=True)
         )
     return r
+
+
+def double_sweep_diameter(edges: DataFrame, max_rounds: int = 32) -> DataFrame:
+    """Double-sweep BFS diameter lower bound (Magnien, Latapy & Habib
+    2009 — the standard cheap diameter estimate: BFS from an arbitrary
+    seed, re-BFS from the farthest node found; the second eccentricity
+    is a lower bound that is exact on trees and empirically tight on
+    web-ish graphs): the exact companion to HyperBall's approximate
+    neighborhood function. Seeds are pinned (global min node; farthest =
+    max distance, ties to min node) so the answer is unique.
+
+    Each BFS is the frontier-expansion round family: per round one
+    src-keyed join + distinct + left_anti against visited, eagerly
+    checkpointed, early exit on an empty frontier — O(diameter) rounds,
+    never materializing pairs. Only 1-row seeds cross the driver. Emits
+    one row: (seed1, seed2, ecc1, diameter_lb).
+    """
+    und = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def bfs(seed: int):
+        spark = edges.sparkSession
+        dist = spark.createDataFrame([(seed, 0)], "node long, d long").localCheckpoint(
+            eager=True
+        )
+        frontier = dist.select("node")
+        for r in range(1, max_rounds + 1):
+            nxt = (
+                und.join(frontier.select(F.col("node").alias("src")), "src")
+                .select(F.col("dst").alias("node"))
+                .distinct()
+                .join(dist.select("node"), "node", "left_anti")
+                .withColumn("d", F.lit(r).cast("long"))
+                .localCheckpoint(eager=True)
+            )
+            if nxt.isEmpty():
+                break
+            dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+            frontier = nxt.select("node")
+        return dist
+
+    seed1 = und.agg(F.min("src").alias("m")).first()["m"]
+    d1 = bfs(int(seed1))
+    far_row = d1.orderBy(F.desc("d"), F.asc("node")).limit(1).first()
+    seed2, ecc1 = int(far_row["node"]), int(far_row["d"])
+    d2 = bfs(seed2)
+    ecc2 = d2.agg(F.max("d").alias("m")).first()["m"]
+    spark = edges.sparkSession
+    return spark.createDataFrame(
+        [(int(seed1), seed2, ecc1, int(ecc2))],
+        "seed1 long, seed2 long, ecc1 long, diameter_lb long",
+    )

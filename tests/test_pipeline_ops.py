@@ -8453,3 +8453,20 @@ def test_k_anonymity_and_waterfill_hand(spark):
     rich = {r.source: r for r in budget_waterfill(srcs, 1000).collect()}
     assert all(r.capped == 1 for r in rich.values())
     assert rich["a"].leftover == 1000 - 205
+
+
+def test_double_sweep_diameter_path_and_star(spark):
+    """On a path graph double sweep is EXACT (finds both endpoints); on a
+    star it reads the true diameter 2."""
+    from chronographer_spark.operators.graph_algos import double_sweep_diameter
+
+    path = [(i, i + 1) for i in range(1, 7)]   # path 1..7, diameter 6
+    r = double_sweep_diameter(
+        spark.createDataFrame(path, ["src", "dst"])
+    ).collect()[0]
+    assert (r.seed1, r.seed2, r.ecc1, r.diameter_lb) == (1, 7, 6, 6)
+    star = [(0, i) for i in range(1, 5)]
+    s = double_sweep_diameter(
+        spark.createDataFrame(star, ["src", "dst"])
+    ).collect()[0]
+    assert s.diameter_lb == 2 and s.seed1 == 0 and s.seed2 == 1
