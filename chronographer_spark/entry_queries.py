@@ -21900,7 +21900,7 @@ SELECT key, n_pairs, w2,
             - tie3 // 12 AS BIGINT) AS var2,
        CAST(CASE WHEN n_pairs * (n_pairs + 1) * (2 * n_pairs + 1) // 6
                       - tie3 // 12 <= 0 THEN 0 ELSE
-         (w2 - n_pairs * (n_pairs + 1) // 2)
+         CAST(w2 - n_pairs * (n_pairs + 1) // 2 AS HUGEINT)
          * (w2 - n_pairs * (n_pairs + 1) // 2) * 1000000
          // (n_pairs * (n_pairs + 1) * (2 * n_pairs + 1) // 6 - tie3 // 12)
        END AS BIGINT) AS z2_x1e6
@@ -21944,7 +21944,7 @@ per AS (
 ),
 tot AS (
   SELECT CAST(sum(n_j) AS BIGINT) AS n,
-         CAST(sum(r2_sum * r2_sum // n_j) AS BIGINT) AS t_sum
+         sum(CAST(r2_sum AS HUGEINT) * r2_sum // n_j) AS t_sum
   FROM per
 )
 SELECT grp, n_j, r2_sum,
@@ -22897,15 +22897,17 @@ roll AS (
 jj AS (SELECT CAST(sum(c * (2 * less_lo + eq_lo)) AS BIGINT) AS j2 FROM roll),
 sizes AS (SELECT g, CAST(sum(c) AS BIGINT) AS n_i FROM cells GROUP BY g),
 mom AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n_i) AS BIGINT) AS n,
-               CAST(sum(n_i * n_i) AS BIGINT) AS s2,
-               CAST(sum(n_i * n_i * (2 * n_i + 3)) AS BIGINT) AS s3
+               sum(CAST(n_i AS HUGEINT) * n_i) AS s2,
+               sum(CAST(n_i AS HUGEINT) * n_i * (2 * n_i + 3)) AS s3
         FROM sizes)
 SELECT n, k, j2,
-  CAST((n * n - s2) // 2 AS BIGINT) AS e2,
-  CAST((n * n * (2 * n + 3) - s3) // 18 AS BIGINT) AS var2,
-  CAST(CASE WHEN (n * n * (2 * n + 3) - s3) // 18 <= 0 THEN 0 ELSE
-    CAST(j2 - (n * n - s2) // 2 AS HUGEINT) * (j2 - (n * n - s2) // 2)
-    * 1000000 // ((n * n * (2 * n + 3) - s3) // 18)
+  CAST((CAST(n AS HUGEINT) * n - s2) // 2 AS BIGINT) AS e2,
+  CAST((CAST(n AS HUGEINT) * n * (2 * n + 3) - s3) // 18 AS BIGINT) AS var2,
+  CAST(CASE WHEN (CAST(n AS HUGEINT) * n * (2 * n + 3) - s3) // 18 <= 0
+       THEN 0 ELSE
+    CAST(j2 - (CAST(n AS HUGEINT) * n - s2) // 2 AS HUGEINT)
+    * (j2 - (CAST(n AS HUGEINT) * n - s2) // 2)
+    * 1000000 // ((CAST(n AS HUGEINT) * n * (2 * n + 3) - s3) // 18)
   END AS BIGINT) AS z2_x1e6
 FROM jj, mom
 """

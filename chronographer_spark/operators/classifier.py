@@ -2072,8 +2072,8 @@ def wilcoxon_signed_rank(
     quantized contract, off by at most ½ from the real-valued correction
     and replayed identically by both engines). The emitted
     z²-statistic is the exact cross-multiplied z2_x1e6 = (W2 − E2)²·1e6
-    DIV Var2. Overflow: (W2−E2)² ≤ n⁴ needs n per key < ~55k at the 1e6
-    scale — swap the square to DECIMAL(38,0) past that (128-bit rule).
+    DIV Var2, with the square in DECIMAL(38,0) == HUGEINT (128-bit rule;
+    plain BIGINT would overflow at ~55k pairs/key).
 
     Plan shape: one shuffle to (key, |d|) rank windows, one key
     aggregation. Emits per key: (key, n_pairs, w2, e2, var2, z2_x1e6).
@@ -2109,10 +2109,10 @@ def wilcoxon_signed_rank(
         F.expr(
             "CASE WHEN n_pairs * (n_pairs + 1) * (2 * n_pairs + 1) DIV 6"
             " - tie3 DIV 12 <= 0 THEN CAST(0 AS BIGINT) ELSE"
-            " (w2 - n_pairs * (n_pairs + 1) DIV 2)"
+            " CAST(CAST(w2 - n_pairs * (n_pairs + 1) DIV 2 AS DECIMAL(38,0))"
             " * (w2 - n_pairs * (n_pairs + 1) DIV 2) * 1000000"
             " DIV (n_pairs * (n_pairs + 1) * (2 * n_pairs + 1) DIV 6"
-            " - tie3 DIV 12) END"
+            " - tie3 DIV 12) AS BIGINT) END"
         ).cast("long").alias("z2_x1e6"),
     )
 
@@ -2129,8 +2129,8 @@ def kruskal_wallis(
     integer, no float ranks anywhere), then h_x1e6 = 3·T·1e6 DIV
     (n·(n+1)) − 3·(n+1)·1e6. No tie correction term (documented;
     correct for the tie-free case, slightly conservative under ties).
-    Overflow: R2_j² ≤ 4n⁴ needs n < ~30k per test — DECIMAL(38,0) past
-    that.
+    The R2² square runs in DECIMAL(38,0) == HUGEINT (found by the 2x
+    soak: plain BIGINT overflows at ~200k rows), safe to n ~ 1e9.
 
     Scale shape: ranks are derived on the COLLAPSED (value -> count)
     table (the Theil-Sen collapsed-bucket pattern) — rank_min(v) = 1 +
@@ -2164,15 +2164,27 @@ def kruskal_wallis(
     )
     tot = per.agg(
         F.sum("n_j").alias("n"),
-        F.expr("sum(r2_sum * r2_sum DIV n_j)").alias("t_sum"),
+        # R2²/n_j itself exceeds BIGINT at ~10M rows (found by the 100x
+        # soak), so the quotient is staged exactly: with Q = R2 DIV n_j,
+        # R = R2 % n_j, R2² DIV n_j == Q·R2 + R·Q + R² DIV n_j — the only
+        # 128-bit part is Q·R2 (DECIMAL(38,0)); the remainder parts stay
+        # BIGINT-safe and the truncation lands in the same place as the
+        # oracle's HUGEINT //
+        F.expr(
+            "CAST(sum("
+            " CAST(r2_sum DIV n_j AS DECIMAL(38,0)) * r2_sum"
+            " + (r2_sum % n_j) * (r2_sum DIV n_j)"
+            " + ((r2_sum % n_j) * (r2_sum % n_j)) DIV n_j"
+            ") AS DECIMAL(38,0))"
+        ).alias("t_sum"),
     )
     return per.crossJoin(F.broadcast(tot)).select(
         "grp",
         F.col("n_j").cast("long").alias("n_j"),
         F.col("r2_sum").cast("long").alias("r2_sum"),
         F.expr(
-            "3 * t_sum * 1000000 DIV (n * (n + 1))"
-            " - 3 * (n + 1) * 1000000"
+            "CAST(3 * t_sum * 1000000 DIV (n * (n + 1))"
+            " - 3 * (n + 1) * 1000000 AS BIGINT)"
         ).cast("long").alias("h_x1e6"),
     )
 
@@ -2790,23 +2802,31 @@ def jonckheere_trend(
         F.expr("sum(c * (2 * less_lo + eq_lo))").alias("j2")
     )
     sizes = cells.groupBy("g").agg(F.sum("c").alias("n_i"))
+    # moments run 128-bit end to end (found-by-soak: n²(2n+3) overflows
+    # BIGINT at n ~ 2M); per-value j2 stays BIGINT (≤ 2n²)
     mom = sizes.agg(
         F.count(F.lit(1)).alias("k"),
         F.sum("n_i").alias("n"),
-        F.expr("sum(n_i * n_i)").alias("s2"),
-        F.expr("sum(n_i * n_i * (2 * n_i + 3))").alias("s3"),
+        F.expr(
+            "CAST(sum(CAST(n_i AS DECIMAL(38,0)) * n_i) AS DECIMAL(38,0))"
+        ).alias("s2"),
+        F.expr(
+            "CAST(sum(CAST(n_i AS DECIMAL(38,0)) * n_i * (2 * n_i + 3))"
+            " AS DECIMAL(38,0))"
+        ).alias("s3"),
     )
+    e2 = "(CAST(n AS DECIMAL(38,0)) * n - s2) DIV 2"
+    var2 = "(CAST(n AS DECIMAL(38,0)) * n * (2 * n + 3) - s3) DIV 18"
     return j2.crossJoin(F.broadcast(mom)).select(
         F.col("n").cast("long").alias("n"),
         F.col("k").cast("long").alias("k"),
         F.col("j2").cast("long").alias("j2"),
-        F.expr("(n * n - s2) DIV 2").cast("long").alias("e2"),
-        F.expr("(n * n * (2 * n + 3) - s3) DIV 18").cast("long").alias("var2"),
+        F.expr(e2).cast("long").alias("e2"),
+        F.expr(var2).cast("long").alias("var2"),
         F.expr(
-            "CASE WHEN (n * n * (2 * n + 3) - s3) DIV 18 <= 0"
-            " THEN CAST(0 AS BIGINT) ELSE"
-            " CAST(CAST(j2 - (n * n - s2) DIV 2 AS DECIMAL(38,0))"
-            " * (j2 - (n * n - s2) DIV 2) * 1000000"
-            " DIV ((n * n * (2 * n + 3) - s3) DIV 18) AS BIGINT) END"
+            f"CASE WHEN {var2} <= 0 THEN CAST(0 AS BIGINT) ELSE"
+            f" CAST(CAST(j2 - {e2} AS DECIMAL(38,0))"
+            f" * (j2 - {e2}) * 1000000"
+            f" DIV ({var2}) AS BIGINT) END"
         ).alias("z2_x1e6"),
     )
