@@ -23325,7 +23325,135 @@ FROM dist2
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: Mood's median test + Wald-Wolfowitz runs test
+# ---------------------------------------------------------------------------
+
+
+def q_moods_median_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test across event types on value cents
+    (classifier.moods_median): 2×k above-pooled-median chi-square with
+    128-bit cells — the assumption-free location screen."""
+    from .operators.classifier import moods_median
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_type",
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    return moods_median(pts, "event_type", "cents")
+
+
+MOODS_MEDIAN_SQL = """
+WITH base AS (
+  SELECT event_type AS g, CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
+  FROM events
+),
+vtot AS (SELECT x, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY x),
+nn0 AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM base),
+med AS (
+  SELECT min(x) AS med FROM (
+    SELECT x, sum(c) OVER (ORDER BY x
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM vtot
+  ), nn0 WHERE cum >= (n_total + 1) // 2
+),
+per AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n_j,
+         CAST(sum(CASE WHEN x > med THEN 1 ELSE 0 END) AS BIGINT) AS a_j
+  FROM base, med GROUP BY g
+),
+tot AS (SELECT CAST(sum(n_j) AS BIGINT) AS nn, CAST(sum(a_j) AS BIGINT) AS aa
+        FROM per),
+terms AS (
+  SELECT g, n_j, a_j,
+    CASE WHEN aa = 0 OR aa = nn THEN NULL ELSE
+      CAST(a_j * nn - n_j * aa AS HUGEINT) * (a_j * nn - n_j * aa)
+        * 1000000 // (CAST(nn AS HUGEINT) * n_j * aa)
+      + CAST((n_j - a_j) * nn - n_j * (nn - aa) AS HUGEINT)
+        * ((n_j - a_j) * nn - n_j * (nn - aa)) * 1000000
+        // (CAST(nn AS HUGEINT) * n_j * (nn - aa))
+    END AS term
+  FROM per, tot
+),
+chi AS (SELECT CAST(sum(term) AS BIGINT) AS chi2_x1e6 FROM terms)
+SELECT g AS grp, n_j, a_j AS n_above, chi2_x1e6 FROM terms, chi
+"""
+
+
+def q_runs_test_ses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs test on the SES residual signs per event type
+    (classifier.runs_test over temporal.ses_forecast): sign-clustering
+    randomness check beside durbin_watson."""
+    from .operators.classifier import runs_test
+    from .operators.temporal import ses_forecast
+
+    ev = _t(spark, sf_dir, "events")
+    series = ev.groupBy(
+        "event_type",
+        F.expr(
+            "CAST(unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000 AS BIGINT)"
+        ).alias("hr"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    ses = ses_forecast(series, "event_type", "hr", "c", window=16).filter(
+        F.col("next_err").isNotNull()
+    )
+    return runs_test(ses, "key", "o", "next_err")
+
+
+def _runs_test_sql() -> str:
+    terms = []
+    pres = []
+    for i in range(16):
+        wt = 1 << (15 - i)
+        lag = "x" if i == 0 else f"lag(x, {i}) OVER w"
+        terms.append(
+            f"CASE WHEN {lag} IS NOT NULL THEN ({lag}) * {wt} ELSE 0 END"
+        )
+        pres.append(f"CASE WHEN {lag} IS NOT NULL THEN {wt} ELSE 0 END")
+    num = " + ".join(terms)
+    den = " + ".join(pres)
+    return f"""
+WITH {_hourly_series_sql().strip()},
+lagged AS (
+  SELECT key, o, x,
+         CAST({num} AS BIGINT) AS nm,
+         CAST({den} AS BIGINT) AS dn,
+         lead(x) OVER w AS nxt
+  FROM series
+  WINDOW w AS (PARTITION BY key ORDER BY o)
+),
+resid AS (
+  SELECT key, o,
+         CASE WHEN nxt - nm // dn >= 0 THEN 1 ELSE 0 END AS sgn
+  FROM lagged WHERE nxt IS NOT NULL
+),
+lag2 AS (
+  SELECT key, sgn, lag(sgn) OVER (PARTITION BY key ORDER BY o) AS prev
+  FROM resid
+),
+per AS (
+  SELECT key, CAST(count(*) AS BIGINT) AS n, CAST(sum(sgn) AS BIGINT) AS n1,
+         CAST(1 + sum(CASE WHEN prev IS NOT NULL AND prev <> sgn
+                      THEN 1 ELSE 0 END) AS BIGINT) AS r
+  FROM lag2 GROUP BY key
+)
+SELECT key, n, n1 AS n_pos, r AS n_runs,
+  CAST(CASE WHEN 2 * n1 * (n - n1) <= n OR n < 2 THEN NULL ELSE
+    CAST(r * n - n - 2 * n1 * (n - n1) AS HUGEINT)
+    * (r * n - n - 2 * n1 * (n - n1)) * (n - 1) * 1000000
+    // (CAST(2 AS HUGEINT) * n1 * (n - n1) * (2 * n1 * (n - n1) - n))
+  END AS BIGINT) AS z2_x1e6
+FROM per
+"""
+
+
+RUNS_TEST_SQL = _runs_test_sql()
+
+
 QUERIES = {
+    "moods_median_types": q_moods_median_types,
+    "runs_test_ses": q_runs_test_ses,
     "diameter_lattice": q_diameter_lattice,
     "k_anonymity_docs": q_k_anonymity,
     "budget_waterfill": q_budget_waterfill,
@@ -23741,6 +23869,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "moods_median_types": MOODS_MEDIAN_SQL,
+    "runs_test_ses": RUNS_TEST_SQL,
     "diameter_lattice": DIAMETER_LATTICE_SQL,
     "k_anonymity_docs": K_ANONYMITY_SQL,
     "budget_waterfill": BUDGET_WATERFILL_SQL,

@@ -2830,3 +2830,123 @@ def jonckheere_trend(
             f" DIV ({var2}) AS BIGINT) END"
         ).alias("z2_x1e6"),
     )
+
+
+def moods_median(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Mood's median test across k groups: classify every observation as
+    above / not-above the POOLED lower median (collapsed-cell exact, the
+    brown_forsythe convention) and chi-square the resulting 2×k table —
+    the assumption-free location screen where kruskal_wallis needs rank
+    machinery and anova_oneway needs variances. Pinned per-cell DIV
+    contract: chi2_x1e6 = Σ_j [(a_j·N − n_j·A)²·1e6 DIV (N·n_j·A) +
+    (b_j·N − n_j·B)²·1e6 DIV (N·n_j·B)] with the squares in
+    DECIMAL(38,0) (128-bit rule; they pass 2^63 at ~3M rows). Degenerate
+    margins (A = 0 or B = 0 — everything on one side of the median)
+    emit NULL.
+
+    One collapsed-value pass for the pooled median + one group
+    aggregation. Emits one row per group plus the shared statistic:
+    (grp, n_j, n_above, chi2_x1e6).
+    """
+    base = df.select(
+        F.col(group_col).cast("string").alias("g"),
+        F.col(value_col).cast("long").alias("x"),
+    ).localCheckpoint(eager=True)
+    vtot = base.groupBy("x").agg(F.count(F.lit(1)).alias("c"))
+    wv = Window.orderBy("x").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    n_total = base.count()
+    med_row = (
+        vtot.withColumn("cum", F.sum("c").over(wv))
+        .filter(F.expr(f"cum >= ({n_total} + 1) DIV 2"))
+        .agg(F.min("x").alias("med"))
+    )
+    per = (
+        base.crossJoin(F.broadcast(med_row))
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n_j"),
+            F.sum(F.expr("CASE WHEN x > med THEN 1 ELSE 0 END")).alias("a_j"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = per.agg(
+        F.sum("n_j").alias("nn"), F.sum("a_j").alias("aa")
+    )
+    terms = per.crossJoin(F.broadcast(tot)).select(
+        "g",
+        "n_j",
+        "a_j",
+        F.expr(
+            "CASE WHEN aa = 0 OR aa = nn THEN CAST(NULL AS DECIMAL(38,0))"
+            " ELSE"
+            " CAST(a_j * nn - n_j * aa AS DECIMAL(38,0))"
+            " * (a_j * nn - n_j * aa) * 1000000"
+            " DIV (CAST(nn AS DECIMAL(38,0)) * n_j * aa)"
+            " + CAST((n_j - a_j) * nn - n_j * (nn - aa) AS DECIMAL(38,0))"
+            " * ((n_j - a_j) * nn - n_j * (nn - aa)) * 1000000"
+            " DIV (CAST(nn AS DECIMAL(38,0)) * n_j * (nn - aa)) END"
+        ).alias("term"),
+    ).localCheckpoint(eager=True)
+    chi = terms.agg(
+        F.expr("CAST(sum(term) AS BIGINT)").alias("chi2_x1e6")
+    )
+    return terms.crossJoin(F.broadcast(chi)).select(
+        F.col("g").alias("grp"),
+        F.col("n_j").cast("long").alias("n_j"),
+        F.col("a_j").cast("long").alias("n_above"),
+        F.col("chi2_x1e6").cast("long").alias("chi2_x1e6"),
+    )
+
+
+def runs_test(
+    df: DataFrame, key_col: str, order_col: str, value_col: str
+) -> DataFrame:
+    """Wald-Wolfowitz runs test per key on a value's SIGN sequence
+    (>= 0 counts positive — pinned zero handling): too few runs means the
+    sequence is sticky/trending, too many means it oscillates — the
+    randomness check for forecast residuals beside durbin_watson (DW
+    sees lag-1 magnitude correlation, runs sees sign clustering at any
+    strength). Exact moments cross-multiplied: with n = n₁+n₀, E·n =
+    n + 2n₁n₀ and z2_x1e6 = (R·n − n − 2n₁n₀)²·(n−1)·1e6 DIV
+    (2n₁n₀·(2n₁n₀ − n)), squares in DECIMAL(38,0); degenerate
+    (one-sided sequences, 2n₁n₀ <= n) emits NULL.
+
+    One (key ORDER BY order) lag window + one key collapse. Emits per
+    key: (key, n, n_pos, n_runs, z2_x1e6).
+    """
+    w = Window.partitionBy("key").orderBy("o")
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(order_col).cast("long").alias("o"),
+        F.expr(f"CASE WHEN {value_col} >= 0 THEN 1 ELSE 0 END").alias("sgn"),
+    )
+    lagged = base.withColumn("prev", F.lag("sgn").over(w))
+    per = lagged.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("sgn").alias("n1"),
+        (
+            F.lit(1)
+            + F.sum(
+                F.expr(
+                    "CASE WHEN prev IS NOT NULL AND prev <> sgn"
+                    " THEN 1 ELSE 0 END"
+                )
+            )
+        ).alias("r"),
+    )
+    return per.select(
+        "key",
+        F.col("n").cast("long").alias("n"),
+        F.col("n1").cast("long").alias("n_pos"),
+        F.col("r").cast("long").alias("n_runs"),
+        F.expr(
+            "CASE WHEN 2 * n1 * (n - n1) <= n OR n < 2"
+            " THEN CAST(NULL AS BIGINT) ELSE CAST("
+            " CAST(r * n - n - 2 * n1 * (n - n1) AS DECIMAL(38,0))"
+            " * (r * n - n - 2 * n1 * (n - n1)) * (n - 1) * 1000000"
+            " DIV (CAST(2 AS DECIMAL(38,0)) * n1 * (n - n1)"
+            " * (2 * n1 * (n - n1) - n)) AS BIGINT) END"
+        ).alias("z2_x1e6"),
+    )

@@ -8470,3 +8470,31 @@ def test_double_sweep_diameter_path_and_star(spark):
         spark.createDataFrame(star, ["src", "dst"])
     ).collect()[0]
     assert s.diameter_lb == 2 and s.seed1 == 0 and s.seed2 == 1
+
+
+def test_moods_median_and_runs_test_hand(spark):
+    """Mood's chi² replay on separated groups; runs test on alternating
+    and constant sign sequences."""
+    from chronographer_spark.operators.classifier import moods_median, runs_test
+
+    rows = [("a", v) for v in [1, 2, 3, 4]] + [("b", v) for v in [5, 6, 7, 8]]
+    got = {r.grp: r for r in
+           moods_median(spark.createDataFrame(rows, ["g", "x"]),
+                        "g", "x").collect()}
+    # pooled lower median = 4 -> above: a 0/4, b 4/4; A=4, N=8
+    assert (got["a"].n_above, got["b"].n_above) == (0, 4)
+    term_a = (0 * 8 - 4 * 4) ** 2 * 10**6 // (8 * 4 * 4) + \
+             (4 * 8 - 4 * 4) ** 2 * 10**6 // (8 * 4 * 4)
+    assert got["a"].chi2_x1e6 == 2 * term_a  # symmetric groups
+
+    alt = [("k", i, (-1) ** i) for i in range(10)]
+    const = [("c", i, 1) for i in range(6)]
+    r = {x.key: x for x in runs_test(
+        spark.createDataFrame(alt + const, ["key", "o", "e"]),
+        "key", "o", "e").collect()}
+    assert (r["k"].n, r["k"].n_pos, r["k"].n_runs) == (10, 5, 10)
+    n, n1 = 10, 5
+    num = (10 * n - n - 2 * n1 * 5) ** 2 * (n - 1) * 10**6
+    den = 2 * n1 * 5 * (2 * n1 * 5 - n)
+    assert r["k"].z2_x1e6 == num // den
+    assert r["c"].z2_x1e6 is None  # one-sided -> degenerate
