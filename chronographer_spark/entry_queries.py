@@ -23451,7 +23451,109 @@ FROM per
 RUNS_TEST_SQL = _runs_test_sql()
 
 
+# ---------------------------------------------------------------------------
+# Q: simplified silhouette of the k-means clustering
+# ---------------------------------------------------------------------------
+
+
+def q_silhouette_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified silhouette (clustering.simplified_silhouette) of the
+    2-round k-means partition: int8-quantized centroid distances, exact
+    integer squared-distance scores — the INTERNAL fit score beside the
+    external clustering_agreement/vmeasure."""
+    from .operators.clustering import kmeans, simplified_silhouette
+
+    emb = _t(spark, sf_dir, "embeddings")
+    _, cents = kmeans(emb, k=4, iterations=2)
+    return simplified_silhouette(emb, cents)
+
+
+_SIL_QUANT = (
+    "CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0"
+    " THEN list_transform(v, x -> 0)"
+    " ELSE list_transform(v, x -> CAST(floor(x * 127.0 /"
+    " list_max(list_transform(v, y -> abs(y))) + 0.5) AS INTEGER)) END"
+)
+
+SILHOUETTE_KMEANS_SQL = f"""
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, v
+  FROM (SELECT * FROM emb ORDER BY vec_id LIMIT 4)
+),
+a1 AS (
+  SELECT vec_id, cluster FROM (
+    SELECT e.vec_id, c.cid AS cluster,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_sum(list_transform(list_zip(e.v, c.v), x -> (x[1]-x[2])*(x[1]-x[2]))), c.cid
+           ) AS rn
+    FROM emb e CROSS JOIN c0 c
+  ) WHERE rn = 1
+),
+u1 AS (
+  SELECT a.cluster, d.i, floor(avg(e.v[d.i]) * 1000000 + 0.5) / 1000000 AS x
+  FROM a1 a JOIN emb e USING (vec_id)
+  CROSS JOIN (SELECT unnest(range(1, 65)) AS i) d
+  GROUP BY a.cluster, d.i
+),
+c1 AS (
+  SELECT CAST(cluster AS INTEGER) AS cid, list(x ORDER BY i) AS v
+  FROM u1 GROUP BY cluster
+),
+a2 AS (
+  SELECT vec_id, cluster FROM (
+    SELECT e.vec_id, c.cid AS cluster,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_sum(list_transform(list_zip(e.v, c.v), x -> (x[1]-x[2])*(x[1]-x[2]))), c.cid
+           ) AS rn
+    FROM emb e CROSS JOIN c1 c
+  ) WHERE rn = 1
+),
+u2 AS (
+  SELECT a.cluster, d.i, floor(avg(e.v[d.i]) * 1000000 + 0.5) / 1000000 AS x
+  FROM a2 a JOIN emb e USING (vec_id)
+  CROSS JOIN (SELECT unnest(range(1, 65)) AS i) d
+  GROUP BY a.cluster, d.i
+),
+c2 AS (
+  SELECT CAST(cluster AS INTEGER) AS cid, list(x ORDER BY i) AS v
+  FROM u2 GROUP BY cluster
+),
+qc AS (SELECT cid, {_SIL_QUANT} AS q FROM c2),
+qe AS (SELECT vec_id, {_SIL_QUANT} AS q FROM emb),
+dists AS (
+  SELECT e.vec_id, c.cid,
+         CAST(list_sum(list_transform(list_zip(e.q, c.q),
+           x -> CAST(x[1] - x[2] AS BIGINT) * (x[1] - x[2]))) AS BIGINT) AS d
+  FROM qe e CROSS JOIN qc c
+),
+ranked AS (
+  SELECT vec_id, cid, d,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+  FROM dists
+),
+ab AS (
+  SELECT r1.vec_id, r1.cid AS cluster, r1.d AS a, r2.d AS b
+  FROM ranked r1 JOIN ranked r2
+    ON r1.vec_id = r2.vec_id AND r1.rn = 1 AND r2.rn = 2
+),
+sc AS (SELECT cluster,
+              (b - a) * 1000000 // greatest(greatest(a, b), 1) AS s
+       FROM ab)
+SELECT CAST(cluster AS VARCHAR) AS cluster, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(s) // count(*) AS BIGINT) AS mean_s_x1e6
+FROM sc GROUP BY cluster
+UNION ALL
+SELECT '__overall__', CAST(count(*) AS BIGINT),
+       CAST(sum(s) // count(*) AS BIGINT)
+FROM sc
+"""
+
+
 QUERIES = {
+    "silhouette_kmeans": q_silhouette_kmeans,
     "moods_median_types": q_moods_median_types,
     "runs_test_ses": q_runs_test_ses,
     "diameter_lattice": q_diameter_lattice,
@@ -23869,6 +23971,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "silhouette_kmeans": SILHOUETTE_KMEANS_SQL,
     "moods_median_types": MOODS_MEDIAN_SQL,
     "runs_test_ses": RUNS_TEST_SQL,
     "diameter_lattice": DIAMETER_LATTICE_SQL,

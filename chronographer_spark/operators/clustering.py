@@ -494,3 +494,89 @@ def vmeasure(df: DataFrame, cluster_col: str, label_col: str) -> DataFrame:
             ).cast("long"),
         )
     )
+
+
+def simplified_silhouette(
+    df: DataFrame,
+    centroids: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Simplified silhouette over int8-quantized vectors and INTEGER
+    squared distances: per vector a = sqdist to its own (nearest)
+    centroid, b = sqdist to the best OTHER centroid, s = (b − a)·1e6 DIV
+    max(a, b, 1) — the internal did-k-fit score beside the external
+    clustering_agreement/vmeasure (Hruschka's simplified variant:
+    centroid distances instead of all-pairs, the only formulation that
+    scales; squared distances keep it exact-integer — the score is the
+    squared-distance silhouette, monotone-compatible with the classic
+    one at the decision boundaries that matter: s > 0 iff the own
+    centroid is closest).
+
+    `centroids` is the driver-side [(cid, [floats])] list kmeans
+    returns; they are quantized with the SAME per-vector int8 rule as
+    the corpus. Map-only scoring against broadcast centroid literals +
+    one cluster rollup. Emits per cluster plus `__overall__`:
+    (cluster, n, mean_s_x1e6).
+    """
+    from .similarity import int_sqdist, quantize_vectors
+
+    qz = quantize_vectors(df.select(id_col, vec_col), vec_col).select(
+        F.col(id_col).alias("vid"), F.col("qvec").alias("q")
+    )
+    import math
+
+    # quantize each centroid with the same per-vector int8 rule
+    def _q8(vec):
+        m = max(abs(x) for x in vec)
+        if m == 0:
+            return [0 for _ in vec]
+        return [int(math.floor(x * 127.0 / m + 0.5)) for x in vec]
+
+    cent_lit = F.array(
+        *[
+            F.struct(
+                F.lit(int(cid)).alias("cid"),
+                F.array(*[F.lit(int(x)) for x in _q8(vec)]).alias("cv"),
+            )
+            for cid, vec in centroids
+        ]
+    )
+    dists = F.transform(
+        cent_lit,
+        lambda c: F.struct(
+            int_sqdist(F.col("q"), c["cv"]).alias("d"), c["cid"].alias("cid")
+        ),
+    )
+    scored = qz.select("vid", dists.alias("ds")).select(
+        "vid",
+        F.expr(
+            "array_sort(ds, (l, r) -> CASE WHEN l.d < r.d THEN -1"
+            " WHEN l.d > r.d THEN 1 WHEN l.cid < r.cid THEN -1"
+            " WHEN l.cid > r.cid THEN 1 ELSE 0 END)"
+        ).alias("sorted"),
+    ).select(
+        "vid",
+        F.expr("sorted[0].cid").alias("cluster"),
+        F.expr("sorted[0].d").alias("a"),
+        F.expr("sorted[1].d").alias("b"),
+    ).withColumn(
+        "s_x1e6",
+        F.expr("(b - a) * 1000000 DIV greatest(greatest(a, b), 1)").cast(
+            "long"
+        ),
+    ).localCheckpoint(eager=True)
+    per = scored.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("sum(s_x1e6) DIV count(1)").alias("mean_s_x1e6"),
+    ).select(
+        F.col("cluster").cast("string").alias("cluster"),
+        F.col("n").cast("long").alias("n"),
+        F.col("mean_s_x1e6").cast("long").alias("mean_s_x1e6"),
+    )
+    overall = scored.agg(
+        F.lit("__overall__").alias("cluster"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr("sum(s_x1e6) DIV count(1)").cast("long").alias("mean_s_x1e6"),
+    )
+    return per.unionByName(overall)

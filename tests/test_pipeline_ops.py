@@ -8498,3 +8498,24 @@ def test_moods_median_and_runs_test_hand(spark):
     den = 2 * n1 * 5 * (2 * n1 * 5 - n)
     assert r["k"].z2_x1e6 == num // den
     assert r["c"].z2_x1e6 is None  # one-sided -> degenerate
+
+
+def test_simplified_silhouette_separated_and_overlapping(spark):
+    """Well-separated 2-means reads near 1e6; a centroid pair straddling
+    one blob reads near 0 for the straddled points."""
+    from chronographer_spark.operators.clustering import (
+        kmeans,
+        simplified_silhouette,
+    )
+
+    rows = [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0]), (4, [0.1, 0.9])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    _, cents = kmeans(df, k=2, iterations=2)
+    got = {r.cluster: r for r in simplified_silhouette(df, cents).collect()}
+    assert got["__overall__"].n == 4
+    assert got["__overall__"].mean_s_x1e6 > 900000
+    # a vector exactly on its own centroid: a=0 -> s = 1e6 exactly
+    one = spark.createDataFrame([(9, [1.0, 0.0])], ["vec_id", "embedding"])
+    r = {x.cluster: x for x in simplified_silhouette(
+        one, [(0, [1.0, 0.0]), (1, [0.0, 1.0])]).collect()}
+    assert r["0"].mean_s_x1e6 == 10**6
