@@ -23552,7 +23552,100 @@ FROM sc
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: weighted-Jaccard source similarity + exact L-moments
+# ---------------------------------------------------------------------------
+
+
+def q_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted-Jaccard similarity between sources' term-count vectors
+    (text.source_similarity): Σmin/Σmax with Σmax never materialized —
+    the which-corpora-overlap matrix for mixing decisions."""
+    from .operators.text import source_similarity
+
+    return source_similarity(_t(spark, sf_dir, "documents"))
+
+
+SOURCE_SIMILARITY_SQL = """
+WITH toks AS (
+  SELECT source AS src, unnest(list_filter(string_split(
+    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+    t -> t <> '')) AS tok
+  FROM documents
+),
+cnt AS (SELECT src, tok, CAST(count(*) AS BIGINT) AS c
+        FROM toks GROUP BY src, tok),
+tot AS (SELECT src, CAST(sum(c) AS BIGINT) AS t FROM cnt GROUP BY src),
+inter AS (
+  SELECT a.src AS src_a, b.src AS src_b,
+         CAST(count(*) AS BIGINT) AS n_common,
+         CAST(sum(least(a.c, b.c)) AS BIGINT) AS smin
+  FROM cnt a JOIN cnt b ON a.tok = b.tok AND a.src < b.src
+  GROUP BY a.src, b.src
+)
+SELECT src_a, src_b, n_common,
+  CAST(smin * 1000000 // greatest(ta.t + tb.t - smin, 1) AS BIGINT)
+    AS wj_x1e6
+FROM inter
+JOIN tot ta ON ta.src = inter.src_a
+JOIN tot tb ON tb.src = inter.src_b
+"""
+
+
+def q_l_moments_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact L-moments per event type on value cents
+    (classifier.l_moments): L1/L2/τ3 from collapsed-run closed forms —
+    the robust distribution-shape card."""
+    from .operators.classifier import l_moments
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_type",
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    return l_moments(pts, "event_type", "cents")
+
+
+L_MOMENTS_SQL = """
+WITH cells AS (
+  SELECT event_type AS key, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+runs AS (
+  SELECT key, v, c,
+         1 + CAST(coalesce(sum(c) OVER (PARTITION BY key ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS a
+  FROM cells
+),
+per AS (
+  SELECT key, CAST(sum(c) AS BIGINT) AS n,
+         sum(CAST(v AS HUGEINT) * c) AS sx,
+         sum(CAST(v AS HUGEINT) * (c * (2 * a + c - 3) // 2)) AS s1,
+         sum(CAST(v AS HUGEINT)
+             * (CAST(a + c - 1 AS HUGEINT) * (a + c - 2) * (a + c - 3)
+                - CAST(a - 1 AS HUGEINT) * (a - 2) * (a - 3))) AS s2
+  FROM runs GROUP BY key
+)
+SELECT key, n,
+  CAST(sx * 1000000 // n AS BIGINT) AS l1_x1e6,
+  CAST(CASE WHEN n < 3 THEN NULL ELSE
+    (2 * s1 * (n - 2) - sx * (n - 1) * (n - 2)) * 1000000
+    // (CAST(n AS HUGEINT) * (n - 1) * (n - 2))
+  END AS BIGINT) AS l2_x1e6,
+  CAST(CASE WHEN n < 3
+            OR (2 * s1 * (n - 2) - sx * (n - 1) * (n - 2)) = 0 THEN NULL ELSE
+    (2 * s2 - 6 * s1 * (n - 2) + sx * (n - 1) * (n - 2)) * 1000000
+    // (2 * s1 * (n - 2) - sx * (n - 1) * (n - 2))
+  END AS BIGINT) AS t3_x1e6
+FROM per
+"""
+
+
 QUERIES = {
+    "source_similarity": q_source_similarity,
+    "l_moments_types": q_l_moments_types,
     "silhouette_kmeans": q_silhouette_kmeans,
     "moods_median_types": q_moods_median_types,
     "runs_test_ses": q_runs_test_ses,
@@ -23971,6 +24064,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "source_similarity": SOURCE_SIMILARITY_SQL,
+    "l_moments_types": L_MOMENTS_SQL,
     "silhouette_kmeans": SILHOUETTE_KMEANS_SQL,
     "moods_median_types": MOODS_MEDIAN_SQL,
     "runs_test_ses": RUNS_TEST_SQL,

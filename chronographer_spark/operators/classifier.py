@@ -2950,3 +2950,73 @@ def runs_test(
             " * (2 * n1 * (n - n1) - n)) AS BIGINT) END"
         ).alias("z2_x1e6"),
     )
+
+
+def l_moments(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
+    """Exact sample L-moments per key — L1 (location), L2 (L-scale) and
+    the L-skewness ratio τ3 (Hosking 1990): the order-statistics shape
+    summary that is robust where ordinary skewness' cubes explode (the
+    robust_means / bowley family's principled completion). Everything is
+    closed-form over COLLAPSED value runs (the kruskal/Theil-Sen
+    pattern): a run of c equal values starting at sorted position a
+    contributes x·c·(2a + c − 3) DIV 2 to S1 = Σ(i−1)x_(i) and
+    x·(G(a+c−2) − G(a−2))/3 with G(m) = (m+1)m(m−1) (the ÷3 is exact
+    and deferred — 3·S2 is carried) to S2 =
+    Σ(i−1)(i−2)x_(i) — both exactly divisible, tie-safe by algebra
+    (equal values are interchangeable). With the common denominator
+    D = n(n−1)(n−2): l2_x1e6 = (2·S1·(n−2) − Σx·(n−1)(n−2))·1e6 DIV D
+    and τ3's D cancels: t3_x1e6 = (6S2 − 6S1(n−2) + Σx(n−1)(n−2))·1e6
+    DIV (2S1(n−2) − Σx(n−1)(n−2)). Accumulations run in DECIMAL(38,0)
+    (S2 ~ n²·mass passes 2^63 fast). Keys with n < 3 emit NULL L2/τ3.
+
+    One (key, value) collapse + a per-key distinct-value window + one
+    rollup. Emits (key, n, l1_x1e6, l2_x1e6, t3_x1e6).
+    """
+    cells = (
+        df.select(
+            F.col(key_col).alias("key"), F.col(value_col).cast("long").alias("v")
+        )
+        .groupBy("key", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wv = Window.partitionBy("key").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    runs = cells.withColumn(
+        "a", F.lit(1) + F.coalesce(F.sum("c").over(wv), F.lit(0))
+    )
+    # run contributions, DECIMAL from the start
+    s1_term = (
+        "CAST(v AS DECIMAL(38,0)) * (c * (2 * a + c - 3) DIV 2)"
+    )
+    # 3·g(m) carried UNDIVIDED in DECIMAL (the ÷3 is exact but its
+    # intermediate products pass 2^63 at n ~ 2M) — s2 below is 3·S2
+    g_hi = "(CAST(a + c - 1 AS DECIMAL(38,0)) * (a + c - 2) * (a + c - 3))"
+    g_lo = "(CAST(a - 1 AS DECIMAL(38,0)) * (a - 2) * (a - 3))"
+    s2_term = f"CAST(v AS DECIMAL(38,0)) * ({g_hi} - {g_lo})"
+    per = runs.groupBy("key").agg(
+        F.sum("c").alias("n"),
+        F.expr("CAST(sum(CAST(v AS DECIMAL(38,0)) * c) AS DECIMAL(38,0))")
+        .alias("sx"),
+        F.expr(f"CAST(sum({s1_term}) AS DECIMAL(38,0))").alias("s1"),
+        F.expr(f"CAST(sum({s2_term}) AS DECIMAL(38,0))").alias("s2"),
+    )
+    b0d = "sx * (n - 1) * (n - 2)"
+    b1d = "s1 * (n - 2)"
+    l2d = f"(2 * {b1d} - {b0d})"
+    # s2 carries 3·S2, so 6·S2 == 2·s2
+    l3d = f"(2 * s2 - 6 * {b1d} + {b0d})"
+    dd = "(CAST(n AS DECIMAL(38,0)) * (n - 1) * (n - 2))"
+    return per.select(
+        "key",
+        F.col("n").cast("long").alias("n"),
+        F.expr("CAST(sx * 1000000 DIV n AS BIGINT)").alias("l1_x1e6"),
+        F.expr(
+            f"CASE WHEN n < 3 THEN CAST(NULL AS BIGINT)"
+            f" ELSE CAST({l2d} * 1000000 DIV {dd} AS BIGINT) END"
+        ).alias("l2_x1e6"),
+        F.expr(
+            f"CASE WHEN n < 3 OR {l2d} = 0 THEN CAST(NULL AS BIGINT)"
+            f" ELSE CAST({l3d} * 1000000 DIV {l2d} AS BIGINT) END"
+        ).alias("t3_x1e6"),
+    )

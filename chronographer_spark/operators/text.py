@@ -2662,3 +2662,62 @@ def chao1_richness(
             " DIV (2 * (n2 + 1)) END"
         ).cast("long").alias("chao1_x1e6"),
     )
+
+
+def source_similarity(
+    docs: DataFrame, source_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Weighted-Jaccard similarity between SOURCES' term-count vectors:
+    Σ min(c_a, c_b) / Σ max(c_a, c_b) — the which-corpora-overlap matrix
+    a data-mixing decision reads (plain set Jaccard ignores how OFTEN
+    terms appear; weighted Jaccard is the multiset version). The max sum
+    never materializes: Σmax = total_a + total_b − Σmin, so one inner
+    self-join on term over the (source, term) count table (Σmin only
+    needs COMMON terms — absent terms contribute min 0) plus broadcast
+    totals covers it. Pairs are source-level (dimension-sized); the only
+    corpus-scale work is the one (source, term) collapse.
+
+    Emits per ordered pair (src_a < src_b): (src_a, src_b, n_common,
+    wj_x1e6).
+    """
+    toks = docs.select(
+        F.col(source_col).alias("src"),
+        F.explode(
+            F.filter(
+                F.split(normalize_text(F.col(text_col)), " "),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("tok"),
+    )
+    cnt = toks.groupBy("src", "tok").agg(F.count(F.lit(1)).alias("c")).localCheckpoint(
+        eager=True
+    )
+    tot = cnt.groupBy("src").agg(F.sum("c").alias("t"))
+    inter = (
+        cnt.alias("a")
+        .join(cnt.alias("b"), "tok")
+        .filter(F.col("a.src") < F.col("b.src"))
+        .groupBy(F.col("a.src").alias("src_a"), F.col("b.src").alias("src_b"))
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.sum(F.least(F.col("a.c"), F.col("b.c"))).alias("smin"),
+        )
+    )
+    return (
+        inter.join(
+            F.broadcast(tot.select(F.col("src").alias("src_a"),
+                                   F.col("t").alias("ta"))), "src_a"
+        )
+        .join(
+            F.broadcast(tot.select(F.col("src").alias("src_b"),
+                                   F.col("t").alias("tb"))), "src_b"
+        )
+        .select(
+            "src_a",
+            "src_b",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.expr("smin * 1000000 DIV greatest(ta + tb - smin, 1)")
+            .cast("long")
+            .alias("wj_x1e6"),
+        )
+    )

@@ -8519,3 +8519,28 @@ def test_simplified_silhouette_separated_and_overlapping(spark):
     r = {x.cluster: x for x in simplified_silhouette(
         one, [(0, [1.0, 0.0]), (1, [0.0, 1.0])]).collect()}
     assert r["0"].mean_s_x1e6 == 10**6
+
+
+def test_source_similarity_and_l_moments_hand(spark):
+    """Weighted Jaccard from hand count vectors; L-moments of uniform
+    1..5 read the textbook L1=3, L2=1, tau3=0 and a skewed set reads
+    tau3 > 0."""
+    from chronographer_spark.operators.classifier import l_moments
+    from chronographer_spark.operators.text import source_similarity
+
+    rows = [(1, "a", "x x y"), (2, "b", "x y y z")]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    r = source_similarity(df).collect()[0]
+    # counts a: x2 y1 (t=3); b: x1 y2 z1 (t=4); min: x1+y1=2 -> wj = 2/5
+    assert (r.src_a, r.src_b, r.n_common) == ("a", "b", 2)
+    assert r.wj_x1e6 == 2 * 10**6 // 5
+
+    uni = spark.createDataFrame([("k", v) for v in [1, 2, 3, 4, 5]],
+                                ["key", "x"])
+    m = l_moments(uni, "key", "x").collect()[0]
+    assert (m.l1_x1e6, m.l2_x1e6, m.t3_x1e6) == (3 * 10**6, 10**6, 0)
+    skew = l_moments(
+        spark.createDataFrame([("k", v) for v in [1, 1, 1, 1, 100]],
+                              ["key", "x"]), "key", "x"
+    ).collect()[0]
+    assert skew.t3_x1e6 > 500000  # heavy right tail
