@@ -23643,7 +23643,116 @@ FROM per
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: Benjamini-Yekutieli FDR + Dunning G-test
+# ---------------------------------------------------------------------------
+
+
+def q_by_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Yekutieli step-up at alpha=10% on the same planted-p
+    nation fixture as bh_fdr (classifier.by_select): the
+    any-dependence-safe variant — its harmonic-penalized budget rejects
+    a SUBSET of BH's rejections, the honest conservative readout."""
+    from .operators.classifier import by_select
+    from .operators.sketches import _hash32
+
+    n = _t(spark, sf_dir, "nation").select(
+        "n_name",
+        F.when(
+            F.expr("n_nationkey % 8 = 0"),
+            F.expr("1 + n_nationkey % 3"),
+        )
+        .otherwise(
+            _hash32(F.concat(F.lit("bh:"), F.col("n_name"))) % 1000 + 1
+        )
+        .cast("long")
+        .alias("p_num"),
+        F.lit(1001).cast("long").alias("p_den"),
+    )
+    out = by_select(n, alpha=(10, 100), key_col="n_name",
+                    p_num_col="p_num", p_den_col="p_den")
+    return out.select(
+        F.col("key").alias("n_name"), "p_num", "p_den", "rnk", "rejected"
+    )
+
+
+BY_FDR_SQL = """
+WITH hyp AS (
+  SELECT n_name,
+         CAST(CASE WHEN n_nationkey % 8 = 0 THEN 1 + n_nationkey % 3
+              ELSE CAST(concat('0x', substr(md5('bh:' || n_name), 1, 8))
+                   AS BIGINT) % 1000 + 1 END AS BIGINT) AS p_num,
+         CAST(1001 AS BIGINT) AS p_den
+  FROM nation
+),
+ranked AS (
+  SELECT n_name, p_num, p_den,
+         CAST(row_number() OVER (ORDER BY p_num ASC, n_name ASC) AS BIGINT)
+           AS rnk,
+         CAST(count(*) OVER () AS BIGINT) AS m
+  FROM hyp
+),
+harm AS (
+  SELECT *, CAST(sum(1000000000 // rnk) OVER () AS BIGINT) AS c9 FROM ranked
+),
+crossed AS (
+  SELECT *,
+         max(CASE WHEN CAST(p_num AS HUGEINT) * m * c9 * 100
+                   <= CAST(rnk AS HUGEINT) * 10 * p_den * 1000000000
+             THEN rnk END) OVER () AS istar
+  FROM harm
+)
+SELECT n_name, p_num, p_den, rnk,
+       rnk <= coalesce(istar, 0) AS rejected
+FROM crossed
+"""
+
+
+def q_g_test_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunning G² independence test of event type × user cohort
+    (classifier.g_test): msb16 log-likelihood terms with exact offset
+    removal — chi-square's sparse-safe sibling."""
+    from .operators.classifier import g_test
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type", F.expr("CAST(user_id % 3 AS BIGINT)").alias("cohort")
+    )
+    return g_test(base, "event_type", "cohort")
+
+
+def _g_test_sql() -> str:
+    m16 = _duck_msb16("o * n * 1048576 // (r * c)")
+    return f"""
+WITH cells AS (
+  SELECT event_type AS a, CAST(user_id % 3 AS BIGINT) AS b,
+         CAST(count(*) AS BIGINT) AS o
+  FROM events GROUP BY 1, 2
+),
+ra AS (SELECT a, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY a),
+cb AS (SELECT b, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY b),
+nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+terms AS (
+  SELECT o, o * ({m16}) AS t16
+  FROM cells JOIN ra USING (a) JOIN cb USING (b), nn
+),
+kk AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM ra) AS ka,
+              (SELECT CAST(count(*) AS BIGINT) FROM cb) AS kb)
+SELECT CAST(sum(o) AS BIGINT) AS n,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST((ka - 1) * (kb - 1) AS BIGINT) AS dof,
+       CAST(2 * (sum(t16) - 320 * sum(o)) AS BIGINT) AS g2_16log2
+FROM terms, kk
+GROUP BY ka, kb
+"""
+
+
+G_TEST_SQL = _g_test_sql()
+
+
 QUERIES = {
+    "by_fdr": q_by_fdr,
+    "g_test_types": q_g_test_types,
     "source_similarity": q_source_similarity,
     "l_moments_types": q_l_moments_types,
     "silhouette_kmeans": q_silhouette_kmeans,
@@ -24064,6 +24173,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "by_fdr": BY_FDR_SQL,
+    "g_test_types": G_TEST_SQL,
     "source_similarity": SOURCE_SIMILARITY_SQL,
     "l_moments_types": L_MOMENTS_SQL,
     "silhouette_kmeans": SILHOUETTE_KMEANS_SQL,

@@ -3020,3 +3020,121 @@ def l_moments(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
             f" ELSE CAST({l3d} * 1000000 DIV {l2d} AS BIGINT) END"
         ).alias("t3_x1e6"),
     )
+
+
+def by_select(
+    df: DataFrame,
+    alpha: tuple = (1, 10),
+    key_col: str = "key",
+    p_num_col: str = "p_num",
+    p_den_col: str = "p_den",
+) -> DataFrame:
+    """Benjamini-Yekutieli step-up FDR selection — bh_select's
+    arbitrary-dependence variant (BH controls FDR under independence /
+    PRDS; BY divides the budget by the harmonic number c(m) = Σ 1/i and
+    holds under ANY dependence — the safe default when the m hypotheses
+    share data, which per-key tests over one corpus always do). Same
+    exact rational-p contract as bh_select; the harmonic constant is the
+    PINNED quantized integer c9 = Σ_{i<=m} (1e9 DIV i) computed from the
+    rank column itself, and the step-up inequality is fully
+    cross-multiplied in DECIMAL(38,0):
+    p_num·m·c9·a_den <= i·a_num·p_den·1e9.
+
+    Same m-row global-window shape as bh_select. Returns
+    (key, p_num, p_den, rnk, rejected).
+    """
+    an, ad = alpha
+    wall = Window.partitionBy()
+    ranked = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.col(p_num_col).cast("long").alias("p_num"),
+            F.col(p_den_col).cast("long").alias("p_den"),
+        )
+        .withColumn(
+            "rnk",
+            F.row_number()
+            .over(Window.orderBy(F.asc("p_num"), F.asc("key")))
+            .cast("long"),
+        )
+        .withColumn("__m", F.count(F.lit(1)).over(wall))
+        .withColumn(
+            "__c9", F.sum(F.expr("1000000000 DIV rnk")).over(wall)
+        )
+    )
+    crossed = ranked.withColumn(
+        "__ok",
+        F.expr(
+            f"CAST(p_num AS DECIMAL(38,0)) * __m * __c9 * {ad}"
+            f" <= CAST(rnk AS DECIMAL(38,0)) * {an} * p_den * 1000000000"
+        ),
+    ).withColumn(
+        "__istar",
+        F.max(F.when(F.col("__ok"), F.col("rnk"))).over(wall),
+    )
+    return crossed.select(
+        "key",
+        "p_num",
+        "p_den",
+        "rnk",
+        (F.col("rnk") <= F.coalesce(F.col("__istar"), F.lit(0))).alias(
+            "rejected"
+        ),
+    )
+
+
+def g_test(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Dunning's log-likelihood-ratio G² test of independence over a
+    two-way contingency table — the chi-square alternative that stays
+    calibrated on SPARSE counts (Dunning 1993; the collocation-mining
+    standard, and the better screen when many cells are small). Emitted
+    in the msb16 16·log2 quantized unit family (the kl_drift device):
+    g2_16log2 = 2·(Σ O·msb16(O·N·2^20 DIV (r_a·c_b)) − 320·N) ≡
+    32·Σ O·log2(O·N/(r_a·c_b)) quantized — the 320·N offset removal is
+    exact, no float log anywhere; divide by 16·log2(e) ≈ 23.08 to
+    compare against chi-square critical values in nats.
+
+    One shuffle to the cells, margins cell-table-sized. Emits one row:
+    (n, n_cells, dof, g2_16log2).
+    """
+    from .sampling import _msb16_sql
+
+    cells = (
+        df.select(
+            F.col(a_col).cast("string").alias("a"),
+            F.col(b_col).cast("string").alias("b"),
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("o"))
+        .localCheckpoint(eager=True)
+    )
+    ra = cells.groupBy("a").agg(F.sum("o").alias("r"))
+    cb = cells.groupBy("b").agg(F.sum("o").alias("c"))
+    nn = cells.agg(F.sum("o").alias("n"))
+    terms = (
+        cells.join(ra, "a")
+        .join(cb, "b")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "o",
+            F.expr(
+                f"o * ({_msb16_sql('o * n * 1048576 DIV (r * c)')})"
+            ).alias("t16"),
+        )
+    )
+    counts = ra.agg(F.count(F.lit(1)).alias("ka")).crossJoin(
+        cb.agg(F.count(F.lit(1)).alias("kb"))
+    )
+    return (
+        terms.agg(
+            F.sum("o").alias("n"), F.sum("t16").alias("g16"),
+            F.count(F.lit(1)).alias("n_cells"),
+        )
+        .crossJoin(F.broadcast(counts))
+        .select(
+            F.col("n").cast("long").alias("n"),
+            F.col("n_cells").cast("long").alias("n_cells"),
+            F.expr("(ka - 1) * (kb - 1)").cast("long").alias("dof"),
+            F.expr("2 * (g16 - 320 * n)").cast("long").alias("g2_16log2"),
+        )
+    )

@@ -8544,3 +8544,31 @@ def test_source_similarity_and_l_moments_hand(spark):
                               ["key", "x"]), "key", "x"
     ).collect()[0]
     assert skew.t3_x1e6 > 500000  # heavy right tail
+
+
+def test_by_select_conservative_vs_bh_and_g_test_null(spark):
+    """BY rejects a subset of BH on the same p's (harmonic penalty);
+    G-test reads ~0 on an independent table and grows on a dependent
+    one."""
+    from chronographer_spark.operators.classifier import (
+        bh_select,
+        by_select,
+        g_test,
+    )
+
+    rows = [(f"h{i:02d}", p, 1001) for i, p in enumerate(
+        [1, 2, 3, 120, 300, 500, 700, 900, 950, 990]
+    )]
+    df = spark.createDataFrame(rows, ["key", "p_num", "p_den"])
+    bh = {r.key for r in bh_select(
+        df, "key", "p_num", "p_den", alpha=(10, 100)).collect() if r.rejected}
+    by = {r.key for r in by_select(
+        df, alpha=(10, 100)).collect() if r.rejected}
+    assert by <= bh and len(by) >= 1
+    # independent 2x2: counts proportional -> every O == E -> terms cancel
+    ind = [("a", 0)] * 20 + [("a", 1)] * 10 + [("b", 0)] * 40 + [("b", 1)] * 20
+    g0 = g_test(spark.createDataFrame(ind, ["x", "y"]), "x", "y").collect()[0]
+    assert abs(g0.g2_16log2) <= 2 * g0.n // 16  # quantization band only
+    dep = [("a", 0)] * 30 + [("b", 1)] * 30
+    g1 = g_test(spark.createDataFrame(dep, ["x", "y"]), "x", "y").collect()[0]
+    assert g1.dof == 1 and g1.g2_16log2 > 50 * 16  # strongly dependent
