@@ -23750,7 +23750,79 @@ GROUP BY ka, kb
 G_TEST_SQL = _g_test_sql()
 
 
+# ---------------------------------------------------------------------------
+# Q: Cramér-von Mises two-sample per event type
+# ---------------------------------------------------------------------------
+
+
+def q_cvm_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CvM two-sample per event type (classifier.cvm_two_sample): odd vs
+    even users' cents — the integrated-ECDF drift statistic beside
+    ks_drift's max gap, collapsed-run closed forms throughout."""
+    from .operators.classifier import cvm_two_sample
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.expr("CAST(user_id % 2 AS BIGINT)").alias("g"),
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    return cvm_two_sample(base, "event_type", "g", "cents")
+
+
+CVM_TYPES_SQL = """
+WITH cells AS (
+  SELECT event_type AS key, CAST(user_id % 2 AS BIGINT) AS g,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2, 3
+),
+vtot AS (SELECT key, v, CAST(sum(c) AS BIGINT) AS tv
+         FROM cells GROUP BY key, v),
+pooled AS (
+  SELECT key, v,
+         2 * (1 + CAST(coalesce(sum(tv) OVER (PARTITION BY key ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT))
+           + tv - 1 AS r2
+  FROM vtot
+),
+runs AS (
+  SELECT c.key, c.g, c.c,
+         p.r2 - 2 * (1 + CAST(coalesce(sum(c.c) OVER (
+           PARTITION BY c.key, c.g ORDER BY c.v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT))
+           AS d
+  FROM cells c JOIN pooled p ON p.key = c.key AND p.v = c.v
+),
+rsum AS (
+  SELECT key, g, CAST(sum(c) AS BIGINT) AS ng,
+         sum(CAST(d AS HUGEINT) * d * c
+             - 2 * CAST(d AS HUGEINT) * c * (c - 1)
+             + 2 * (CAST(c - 1 AS HUGEINT) * c * (2 * c - 1)) // 3) AS sg
+  FROM runs GROUP BY key, g
+),
+wide AS (
+  SELECT key,
+         CAST(sum(CASE WHEN g = 0 THEN ng END) AS BIGINT) AS n0,
+         CAST(sum(CASE WHEN g = 1 THEN ng END) AS BIGINT) AS n1,
+         sum(CASE WHEN g = 0 THEN sg END) AS s0,
+         sum(CASE WHEN g = 1 THEN sg END) AS s1
+  FROM rsum GROUP BY key
+)
+SELECT key, n0, n1,
+  CAST(CASE WHEN n0 IS NULL OR n1 IS NULL THEN NULL
+       ELSE n0 * s0 + n1 * s1 END AS BIGINT) AS u4,
+  CAST(CASE WHEN n0 IS NULL OR n1 IS NULL THEN NULL ELSE
+    (n0 * s0 + n1 * s1) * 1000000
+      // (CAST(4 AS HUGEINT) * n0 * n1 * (n0 + n1))
+    - (4 * CAST(n0 AS HUGEINT) * n1 - 1) * 1000000 // (6 * (n0 + n1))
+  END AS BIGINT) AS t_x1e6
+FROM wide
+"""
+
+
 QUERIES = {
+    "cvm_types": q_cvm_types,
     "by_fdr": q_by_fdr,
     "g_test_types": q_g_test_types,
     "source_similarity": q_source_similarity,
@@ -24173,6 +24245,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "cvm_types": CVM_TYPES_SQL,
     "by_fdr": BY_FDR_SQL,
     "g_test_types": G_TEST_SQL,
     "source_similarity": SOURCE_SIMILARITY_SQL,

@@ -3138,3 +3138,94 @@ def g_test(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
             F.expr("2 * (g16 - 320 * n)").cast("long").alias("g2_16log2"),
         )
     )
+
+
+def cvm_two_sample(
+    df: DataFrame, key_col: str, group_col: str, value_col: str
+) -> DataFrame:
+    """Cramér-von Mises two-sample statistic per key — the
+    whole-distribution companion to ks_drift (KS sees the single worst
+    ECDF gap; CvM integrates ALL of it, far more sensitive to broad
+    shape shifts): T = U/(nmN) − (4mn−1)/(6N) with the Anderson rank
+    form U = n·Σ(r_i − i)² + m·Σ(s_j − j)². Ties use the pinned doubled
+    midrank, so U4 = 4U = n·Σ(R2 − 2i)² + m·Σ(S2 − 2j)² is exact
+    integer; each collapsed run contributes the closed form
+    c·d² − 2d·c(c−1) + 2·(c−1)c(2c−1) DIV 3 (d = R2 − 2a, a the
+    within-sample start position; the ÷3 is the square-pyramidal
+    identity, exact). Squares run in DECIMAL(38,0); the emitted
+    t_x1e6 = U4·1e6 DIV (4·n·m·N) − (4nm−1)·1e6 DIV (6N) is the pinned
+    two-DIV contract. Keys missing a sample emit NULL.
+
+    Everything runs on collapsed (key, group, value) cells with two
+    value-ordered windows (pooled rank, within-sample position) — the
+    kruskal collapse family, never row-level ranks. Emits per key:
+    (key, n0, n1, u4, t_x1e6).
+    """
+    cells = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.col(group_col).cast("long").alias("g"),
+            F.col(value_col).cast("long").alias("v"),
+        )
+        .groupBy("key", "g", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    vtot = cells.groupBy("key", "v").agg(F.sum("c").alias("tv"))
+    wp = Window.partitionBy("key").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    pooled = vtot.withColumn(
+        "r2",
+        2 * (F.lit(1) + F.coalesce(F.sum("tv").over(wp), F.lit(0)))
+        + F.col("tv") - 1,
+    ).select("key", "v", "r2")
+    wg = Window.partitionBy("key", "g").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    runs = (
+        cells.withColumn(
+            "a", F.lit(1) + F.coalesce(F.sum("c").over(wg), F.lit(0))
+        )
+        .join(pooled, ["key", "v"])
+        .withColumn("d", F.expr("r2 - 2 * a"))
+        .withColumn(
+            "rs",
+            F.expr(
+                "CAST(d AS DECIMAL(38,0)) * d * c"
+                " - 2 * CAST(d AS DECIMAL(38,0)) * c * (c - 1)"
+                " + 2 * (CAST(c - 1 AS DECIMAL(38,0)) * c * (2 * c - 1)) DIV 3"
+            ),
+        )
+    )
+    per = runs.groupBy("key", "g").agg(
+        F.sum("c").alias("ng"),
+        F.expr("CAST(sum(rs) AS DECIMAL(38,0))").alias("sg"),
+    )
+    wide = per.groupBy("key").agg(
+        F.sum(F.when(F.col("g") == 0, F.col("ng"))).alias("n0"),
+        F.sum(F.when(F.col("g") == 1, F.col("ng"))).alias("n1"),
+        F.expr(
+            "CAST(sum(CASE WHEN g = 0 THEN sg END) AS DECIMAL(38,0))"
+        ).alias("s0"),
+        F.expr(
+            "CAST(sum(CASE WHEN g = 1 THEN sg END) AS DECIMAL(38,0))"
+        ).alias("s1"),
+    )
+    u4 = "(n0 * s0 + n1 * s1)"
+    return wide.select(
+        "key",
+        F.col("n0").cast("long").alias("n0"),
+        F.col("n1").cast("long").alias("n1"),
+        F.expr(
+            f"CASE WHEN n0 IS NULL OR n1 IS NULL THEN CAST(NULL AS BIGINT)"
+            f" ELSE CAST({u4} AS BIGINT) END"
+        ).alias("u4"),
+        F.expr(
+            f"CASE WHEN n0 IS NULL OR n1 IS NULL THEN CAST(NULL AS BIGINT)"
+            f" ELSE CAST({u4} * 1000000"
+            f" DIV (CAST(4 AS DECIMAL(38,0)) * n0 * n1 * (n0 + n1))"
+            f" - (4 * CAST(n0 AS DECIMAL(38,0)) * n1 - 1) * 1000000"
+            f" DIV (6 * (n0 + n1)) AS BIGINT) END"
+        ).alias("t_x1e6"),
+    )

@@ -8572,3 +8572,22 @@ def test_by_select_conservative_vs_bh_and_g_test_null(spark):
     dep = [("a", 0)] * 30 + [("b", 1)] * 30
     g1 = g_test(spark.createDataFrame(dep, ["x", "y"]), "x", "y").collect()[0]
     assert g1.dof == 1 and g1.g2_16log2 > 50 * 16  # strongly dependent
+
+
+def test_cvm_two_sample_hand_and_separated(spark):
+    """Textbook tiny case U=4, T=5/18; fully separated samples score far
+    above interleaved ones."""
+    from chronographer_spark.operators.classifier import cvm_two_sample
+
+    tiny = spark.createDataFrame(
+        [("k", 0, 1), ("k", 0, 2), ("k", 1, 3)], ["key", "g", "v"]
+    )
+    r = cvm_two_sample(tiny, "key", "g", "v").collect()[0]
+    assert (r.n0, r.n1, r.u4) == (2, 1, 16)
+    assert r.t_x1e6 == 16 * 10**6 // 24 - 7 * 10**6 // 18
+    sep = [("s", 0, v) for v in range(10)] + [("s", 1, v + 100) for v in range(10)]
+    mix = [("m", v % 2, v) for v in range(20)]
+    got = {x.key: x for x in cvm_two_sample(
+        spark.createDataFrame(sep + mix, ["key", "g", "v"]),
+        "key", "g", "v").collect()}
+    assert got["s"].t_x1e6 > 10 * got["m"].t_x1e6
