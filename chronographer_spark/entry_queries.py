@@ -23162,10 +23162,11 @@ FROM tot, aa, bb, pp
 # ---------------------------------------------------------------------------
 
 
-def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_k_anonymity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity / l-diversity audit (dq.k_anonymity_report) over the
     (lang, source) quasi-identifier with length bands as the sensitive
-    attribute — the privacy screen before a corpus ships."""
+    attribute — the privacy screen before a corpus ships (the EVENT-side
+    risk profile lives under the `k_anonymity` key)."""
     from .operators.dq import k_anonymity_report
 
     docs = _t(spark, sf_dir, "documents").withColumn(
@@ -23174,7 +23175,7 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_anonymity_report(docs, ["lang", "source"], "band", k=5)
 
 
-K_ANONYMITY_SQL = """
+K_ANONYMITY_DOCS_SQL = """
 WITH g AS (
   SELECT lang || '|' || source AS group_key,
          CAST(n_chars // 200 AS VARCHAR) AS sv
@@ -23821,7 +23822,121 @@ FROM wide
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: Average Precision / MAP + Kuiper two-sample
+# ---------------------------------------------------------------------------
+
+
+def q_map_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AP@10 + MAP of the BM25 run judged by phrase-match
+    pseudo-relevance (retrieval.average_precision) — the rank-weighted
+    completion of retrieval_eval's MRR/P/R."""
+    from .operators.retrieval import (
+        average_precision,
+        bm25_search,
+        build_inverted_index,
+        phrase_search,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    index = build_inverted_index(docs).localCheckpoint(eager=True)
+    ranked = bm25_search(index, docs, "fast join vector", k=10).withColumn(
+        "query_id", F.lit("q_fast_join_vector")
+    )
+    labels = phrase_search(index, "fast join").withColumn(
+        "query_id", F.lit("q_fast_join_vector")
+    )
+    return average_precision(ranked, labels, k=10)
+
+
+MAP_BM25_SQL = f"""
+WITH ranked AS ({BM25_SQL}),
+ptoks AS (
+  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos
+  FROM (SELECT doc_id, string_split_regex(lower(text), '[^a-z]+') AS l
+        FROM documents)
+),
+p0 AS (SELECT doc_id, pos FROM ptoks WHERE term = 'fast'),
+p1 AS (SELECT doc_id, pos FROM ptoks WHERE term = 'join'),
+labels AS (
+  SELECT DISTINCT p0.doc_id
+  FROM p0 JOIN p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
+),
+nrel AS (SELECT CAST(count(*) AS BIGINT) AS n_rel FROM labels),
+hits AS (
+  SELECT r.rank, CASE WHEN l.doc_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+  FROM ranked r LEFT JOIN labels l ON l.doc_id = r.doc_id
+  WHERE r.rank <= 10
+),
+terms AS (
+  SELECT rel, rank,
+         sum(rel) OVER (ORDER BY rank
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM hits
+),
+ap AS (
+  SELECT CAST(CASE WHEN (SELECT n_rel FROM nrel) = 0 THEN 0 ELSE
+    sum(CASE WHEN rel = 1 THEN cum * 1000000 // rank ELSE 0 END)
+    // least((SELECT n_rel FROM nrel), 10) END AS BIGINT) AS ap_x1e6
+  FROM terms
+)
+SELECT 'q_fast_join_vector' AS query_id,
+       (SELECT n_rel FROM nrel) AS n_rel, ap_x1e6 FROM ap
+UNION ALL
+SELECT '__map__', (SELECT n_rel FROM nrel), ap_x1e6 FROM ap
+"""
+
+
+def q_kuiper_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kuiper V per event type, odd vs even users' cents
+    (classifier.kuiper_two_sample): D⁺ + D⁻, the tail-sensitive sibling
+    of the KS gap."""
+    from .operators.classifier import kuiper_two_sample
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.expr("CAST(user_id % 2 AS BIGINT)").alias("g"),
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    return kuiper_two_sample(base, "event_type", "g", "cents")
+
+
+KUIPER_TYPES_SQL = """
+WITH cells AS (
+  SELECT event_type AS key, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+         CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS c0,
+         CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS c1
+  FROM events GROUP BY 1, 2
+),
+cum AS (
+  SELECT key,
+         sum(c0) OVER w AS k0, sum(c1) OVER w AS k1
+  FROM cells
+  WINDOW w AS (PARTITION BY key ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+tot AS (SELECT key, CAST(sum(c0) AS BIGINT) AS n0,
+               CAST(sum(c1) AS BIGINT) AS n1
+        FROM cells GROUP BY key),
+gaps AS (
+  SELECT c.key, t.n0, t.n1, c.k0 * t.n1 - c.k1 * t.n0 AS gap
+  FROM cum c JOIN tot t USING (key)
+)
+SELECT key, CAST(max(n0) AS BIGINT) AS n0, CAST(max(n1) AS BIGINT) AS n1,
+  CAST(CASE WHEN max(n0) = 0 OR max(n1) = 0 THEN NULL ELSE
+    (greatest(max(gap), 0) + greatest(-min(gap), 0)) * 1000000
+    // (max(n0) * max(n1))
+  END AS BIGINT) AS v_x1e6
+FROM gaps GROUP BY key
+"""
+
+
 QUERIES = {
+    "map_bm25": q_map_bm25,
+    "kuiper_types": q_kuiper_types,
     "cvm_types": q_cvm_types,
     "by_fdr": q_by_fdr,
     "g_test_types": q_g_test_types,
@@ -23831,7 +23946,7 @@ QUERIES = {
     "moods_median_types": q_moods_median_types,
     "runs_test_ses": q_runs_test_ses,
     "diameter_lattice": q_diameter_lattice,
-    "k_anonymity_docs": q_k_anonymity,
+    "k_anonymity_docs": q_k_anonymity_docs,
     "budget_waterfill": q_budget_waterfill,
     "markov_entropy_rate": q_markov_entropy,
     "conv_near_dups": q_conv_near_dups,
@@ -24245,6 +24360,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "map_bm25": MAP_BM25_SQL,
+    "kuiper_types": KUIPER_TYPES_SQL,
     "cvm_types": CVM_TYPES_SQL,
     "by_fdr": BY_FDR_SQL,
     "g_test_types": G_TEST_SQL,
@@ -24254,7 +24371,7 @@ ORACLE_SQL = {
     "moods_median_types": MOODS_MEDIAN_SQL,
     "runs_test_ses": RUNS_TEST_SQL,
     "diameter_lattice": DIAMETER_LATTICE_SQL,
-    "k_anonymity_docs": K_ANONYMITY_SQL,
+    "k_anonymity_docs": K_ANONYMITY_DOCS_SQL,
     "budget_waterfill": BUDGET_WATERFILL_SQL,
     "markov_entropy_rate": MARKOV_ENTROPY_SQL,
     "conv_near_dups": CONV_NEAR_DUPS_SQL,

@@ -3229,3 +3229,52 @@ def cvm_two_sample(
             f" DIV (6 * (n0 + n1)) AS BIGINT) END"
         ).alias("t_x1e6"),
     )
+
+
+def kuiper_two_sample(
+    df: DataFrame, key_col: str, group_col: str, value_col: str
+) -> DataFrame:
+    """Kuiper two-sample statistic per key: V = D⁺ + D⁻, the sups of the
+    SIGNED ECDF differences — KS's rotation-invariant sibling (equally
+    sensitive at the distribution's tails and center, the right test for
+    cyclic values like time-of-day). Exact integers on collapsed cells:
+    at each distinct pooled value the scaled gap is cum₀·n₁ − cum₁·n₀;
+    D⁺/D⁻ are its max/−min floored at 0 and v_x1e6 = (D⁺ + D⁻)·1e6 DIV
+    (n₀·n₁). Keys missing a sample emit NULL.
+
+    One collapsed-cell pass + one value-ordered window per key (the
+    kruskal/cvm collapse family). Emits (key, n0, n1, v_x1e6).
+    """
+    cells = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.col(group_col).cast("long").alias("g"),
+            F.col(value_col).cast("long").alias("v"),
+        )
+        .groupBy("key", "v")
+        .agg(
+            F.sum(F.expr("CASE WHEN g = 0 THEN 1 ELSE 0 END")).alias("c0"),
+            F.sum(F.expr("CASE WHEN g = 1 THEN 1 ELSE 0 END")).alias("c1"),
+        )
+    )
+    wv = Window.partitionBy("key").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = cells.withColumn("k0", F.sum("c0").over(wv)).withColumn(
+        "k1", F.sum("c1").over(wv)
+    )
+    tot = cells.groupBy("key").agg(
+        F.sum("c0").alias("n0"), F.sum("c1").alias("n1")
+    )
+    gaps = cum.join(tot, "key").select(
+        "key", "n0", "n1", F.expr("k0 * n1 - k1 * n0").alias("gap")
+    )
+    return gaps.groupBy("key").agg(
+        F.max("n0").cast("long").alias("n0"),
+        F.max("n1").cast("long").alias("n1"),
+        F.expr(
+            "CASE WHEN max(n0) = 0 OR max(n1) = 0 THEN CAST(NULL AS BIGINT)"
+            " ELSE CAST((greatest(max(gap), 0) + greatest(-min(gap), 0))"
+            " * 1000000 DIV (max(n0) * max(n1)) AS BIGINT) END"
+        ).alias("v_x1e6"),
+    )

@@ -432,3 +432,75 @@ def ndcg_at_k(
             ).cast("long").alias("ndcg_x1e6"),
         )
     )
+
+
+def average_precision(
+    ranked: DataFrame,
+    relevant: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Average Precision @k per query plus the `__map__` summary row —
+    the rank-weighted completion of retrieval_eval (MRR sees the first
+    hit, P@k the count, AP how EARLY every hit lands; MAP is the
+    leaderboard standard). Exact pinned-quantized contract: AP_x1e6 =
+    Σ_{hits at rank r} (prefix_hits·1e6 DIV r) DIV min(n_rel, k), the
+    standard AP@k denominator; queries with no relevant docs emit 0.
+    MAP = Σ AP DIV n_queries (pinned).
+
+    Same O(queries·k) shape as retrieval_eval — one (query, doc) hit
+    join, one query-ordered prefix window, one rollup. Emits
+    (query_id, n_rel, ap_x1e6) per query plus ('__map__', total_rel,
+    map value).
+    """
+    from pyspark.sql.window import Window
+
+    hits = (
+        ranked.filter(F.col(rank_col) <= k)
+        .join(
+            relevant.select(
+                F.col(query_col).alias("q"), F.col(id_col).alias("d"),
+                F.lit(1).alias("rel"),
+            ),
+            (F.col(query_col) == F.col("q")) & (F.col(id_col) == F.col("d")),
+            "left",
+        )
+        .select(
+            query_col,
+            rank_col,
+            F.coalesce("rel", F.lit(0)).alias("rel"),
+        )
+    )
+    nrel = relevant.groupBy(F.col(query_col).alias("qq")).agg(
+        F.count(F.lit(1)).alias("n_rel")
+    )
+    w = Window.partitionBy(query_col).orderBy(rank_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    terms = hits.withColumn("cum", F.sum("rel").over(w)).withColumn(
+        "term",
+        F.expr(f"CASE WHEN rel = 1 THEN cum * 1000000 DIV {rank_col}"
+               " ELSE 0 END"),
+    )
+    per = (
+        terms.groupBy(query_col)
+        .agg(F.sum("term").alias("tsum"))
+        .join(nrel, F.col(query_col) == F.col("qq"), "left")
+        .select(
+            F.col(query_col).alias("query_id"),
+            F.coalesce("n_rel", F.lit(0)).cast("long").alias("n_rel"),
+            F.expr(
+                f"CASE WHEN coalesce(n_rel, 0) = 0 THEN CAST(0 AS BIGINT)"
+                f" ELSE tsum DIV least(n_rel, {k}) END"
+            ).cast("long").alias("ap_x1e6"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    overall = per.agg(
+        F.lit("__map__").alias("query_id"),
+        F.sum("n_rel").cast("long").alias("n_rel"),
+        F.expr("sum(ap_x1e6) DIV count(1)").cast("long").alias("ap_x1e6"),
+    )
+    return per.unionByName(overall)

@@ -8591,3 +8591,29 @@ def test_cvm_two_sample_hand_and_separated(spark):
         spark.createDataFrame(sep + mix, ["key", "g", "v"]),
         "key", "g", "v").collect()}
     assert got["s"].t_x1e6 > 10 * got["m"].t_x1e6
+
+
+def test_average_precision_and_kuiper_hand(spark):
+    """AP replay on a hand ranking (hits at ranks 1 and 3 of 2 relevant);
+    Kuiper on separated vs identical samples."""
+    from chronographer_spark.operators.classifier import kuiper_two_sample
+    from chronographer_spark.operators.retrieval import average_precision
+
+    ranked = spark.createDataFrame(
+        [("q", 10, 1), ("q", 20, 2), ("q", 30, 3)],
+        ["query_id", "doc_id", "rank"],
+    )
+    rel = spark.createDataFrame([("q", 10), ("q", 30)], ["query_id", "doc_id"])
+    got = {r.query_id: r for r in
+           average_precision(ranked, rel, k=3).collect()}
+    want = (1 * 10**6 // 1 + 2 * 10**6 // 3) // 2
+    assert got["q"].ap_x1e6 == want and got["q"].n_rel == 2
+    assert got["__map__"].ap_x1e6 == want
+
+    sep = [("s", 0, v) for v in [1, 2]] + [("s", 1, v) for v in [5, 6]]
+    same = [("i", g, v) for g in (0, 1) for v in [1, 2, 3]]
+    k = {r.key: r for r in kuiper_two_sample(
+        spark.createDataFrame(sep + same, ["key", "g", "v"]),
+        "key", "g", "v").collect()}
+    assert k["s"].v_x1e6 == 10**6   # fully separated: D+ = 1, D- = 0
+    assert k["i"].v_x1e6 == 0       # identical ECDFs
