@@ -23934,7 +23934,129 @@ FROM gaps GROUP BY key
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: Vargha-Delaney A + Kendall tau-b
+# ---------------------------------------------------------------------------
+
+
+def q_vargha_delaney_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vargha-Delaney Â per event type, odd vs even users' cents
+    (classifier.vargha_delaney_a): the stochastic-superiority effect
+    size beside cohens_d — exact doubled contract on collapsed cells."""
+    from .operators.classifier import vargha_delaney_a
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.expr("CAST(user_id % 2 AS BIGINT)").alias("g"),
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    return vargha_delaney_a(base, "event_type", "g", "cents")
+
+
+VARGHA_DELANEY_SQL = """
+WITH cells AS (
+  SELECT event_type AS key, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+         CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS c0,
+         CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS c1
+  FROM events GROUP BY 1, 2
+),
+pre AS (
+  SELECT key, c0, c1,
+         CAST(coalesce(sum(c0) OVER (PARTITION BY key ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS c0_less
+  FROM cells
+)
+SELECT key, CAST(sum(c0) AS BIGINT) AS n0, CAST(sum(c1) AS BIGINT) AS n1,
+  CAST(CASE WHEN sum(c0) = 0 OR sum(c1) = 0 THEN NULL ELSE
+    (2 * sum(CAST(c1 AS HUGEINT) * c0_less)
+     + sum(CAST(c1 AS HUGEINT) * c0)) * 1000000
+    // (2 * CAST(sum(c0) AS HUGEINT) * sum(c1))
+  END AS BIGINT) AS a_x1e6
+FROM pre GROUP BY key
+"""
+
+
+def q_kendall_taub_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall τ-b per event type between value cents and hour-of-day
+    (classifier.kendall_taub): dense-grid prefix concordance — never
+    pairwise; signed-square emit with both tie margins corrected."""
+    from .operators.classifier import kendall_taub
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+        F.expr(
+            "CAST(unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000 % 24"
+            " AS BIGINT)"
+        ).alias("hr"),
+    )
+    return kendall_taub(base, "event_type", "cents", "hr")
+
+
+KENDALL_TAUB_SQL = """
+WITH cells AS (
+  SELECT event_type AS key, CAST(floor(value * 100 + 0.5) AS BIGINT) AS x,
+         CAST(epoch_us(ts) // 3600000000 % 24 AS BIGINT) AS y,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2, 3
+),
+xs AS (SELECT DISTINCT key, x FROM cells),
+ys AS (SELECT DISTINCT key, y FROM cells),
+grid AS (
+  SELECT xs.key, xs.x, ys.y, CAST(coalesce(c.c, 0) AS BIGINT) AS c
+  FROM xs JOIN ys USING (key)
+  LEFT JOIN cells c ON c.key = xs.key AND c.x = xs.x AND c.y = ys.y
+),
+pre AS (
+  SELECT key, x, y, c,
+         CAST(coalesce(sum(c) OVER (PARTITION BY key, y ORDER BY x
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cx_less
+  FROM grid
+),
+acc AS (
+  SELECT key, c,
+         CAST(coalesce(sum(cx_less) OVER (PARTITION BY key, x ORDER BY y
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS a,
+         CAST(coalesce(sum(cx_less) OVER (PARTITION BY key, x ORDER BY y
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0) AS BIGINT)
+           AS b
+  FROM pre
+),
+sums AS (
+  SELECT key, CAST(sum(c) AS BIGINT) AS n,
+         2 * sum(CAST(c AS HUGEINT) * a) AS c2,
+         2 * sum(CAST(c AS HUGEINT) * b) AS d2
+  FROM acc GROUP BY key
+),
+txx AS (SELECT key, sum(CAST(t AS HUGEINT) * (t - 1) // 2) AS tx
+        FROM (SELECT key, x, CAST(sum(c) AS BIGINT) AS t
+              FROM cells GROUP BY key, x) GROUP BY key),
+tyy AS (SELECT key, sum(CAST(t AS HUGEINT) * (t - 1) // 2) AS ty
+        FROM (SELECT key, y, CAST(sum(c) AS BIGINT) AS t
+              FROM cells GROUP BY key, y) GROUP BY key)
+SELECT s.key, s.n,
+  CAST(c2 AS BIGINT) AS conc2, CAST(d2 AS BIGINT) AS disc2,
+  CAST(CASE WHEN (CAST(s.n AS HUGEINT) * (s.n - 1) // 2 - tx)
+             * (CAST(s.n AS HUGEINT) * (s.n - 1) // 2 - ty) <= 0 THEN NULL
+       ELSE CAST(sign(c2 - d2) AS HUGEINT)
+         * ((c2 - d2) // 2) * ((c2 - d2) // 2) * 1000000
+         // ((CAST(s.n AS HUGEINT) * (s.n - 1) // 2 - tx)
+             * (CAST(s.n AS HUGEINT) * (s.n - 1) // 2 - ty))
+  END AS BIGINT) AS taub2_x1e6
+FROM sums s JOIN txx USING (key) JOIN tyy USING (key)
+"""
+
+
 QUERIES = {
+    "vargha_delaney_types": q_vargha_delaney_types,
+    "kendall_taub_types": q_kendall_taub_types,
     "map_bm25": q_map_bm25,
     "kuiper_types": q_kuiper_types,
     "cvm_types": q_cvm_types,
@@ -24360,6 +24482,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "vargha_delaney_types": VARGHA_DELANEY_SQL,
+    "kendall_taub_types": KENDALL_TAUB_SQL,
     "map_bm25": MAP_BM25_SQL,
     "kuiper_types": KUIPER_TYPES_SQL,
     "cvm_types": CVM_TYPES_SQL,

@@ -3278,3 +3278,149 @@ def kuiper_two_sample(
             " * 1000000 DIV (max(n0) * max(n1)) AS BIGINT) END"
         ).alias("v_x1e6"),
     )
+
+
+def vargha_delaney_a(
+    df: DataFrame, key_col: str, group_col: str, value_col: str
+) -> DataFrame:
+    """Vargha-Delaney Â per key — the nonparametric effect size
+    P(X₁ > X₀) + ½P(X₁ = X₀) (the probability a random group-1 value
+    beats a random group-0 value; 0.5 = no effect, the
+    stochastic-superiority companion to cohens_d_signed the way
+    kruskal is to anova). Exact from collapsed cells with the doubled
+    contract: a_x1e6 = (2·#{x₁ > x₀} + #{x₁ = x₀})·1e6 DIV (2·n₀·n₁);
+    the greater-than count comes from a value-ordered prefix of group-0
+    counts — never pairwise. Keys missing a sample emit NULL.
+
+    One collapse + one value window per key. Emits
+    (key, n0, n1, a_x1e6).
+    """
+    cells = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.col(group_col).cast("long").alias("g"),
+            F.col(value_col).cast("long").alias("v"),
+        )
+        .groupBy("key", "v")
+        .agg(
+            F.sum(F.expr("CASE WHEN g = 0 THEN 1 ELSE 0 END")).alias("c0"),
+            F.sum(F.expr("CASE WHEN g = 1 THEN 1 ELSE 0 END")).alias("c1"),
+        )
+    )
+    wv = Window.partitionBy("key").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    pre = cells.withColumn(
+        "c0_less", F.coalesce(F.sum("c0").over(wv), F.lit(0))
+    )
+    return pre.groupBy("key").agg(
+        F.sum("c0").cast("long").alias("n0"),
+        F.sum("c1").cast("long").alias("n1"),
+        F.expr(
+            "CASE WHEN sum(c0) = 0 OR sum(c1) = 0 THEN CAST(NULL AS BIGINT)"
+            " ELSE CAST((2 * sum(CAST(c1 AS DECIMAL(38,0)) * c0_less)"
+            " + sum(CAST(c1 AS DECIMAL(38,0)) * c0)) * 1000000"
+            " DIV (2 * CAST(sum(c0) AS DECIMAL(38,0)) * sum(c1))"
+            " AS BIGINT) END"
+        ).alias("a_x1e6"),
+    )
+
+
+def kendall_taub(
+    df: DataFrame, key_col: str, x_col: str, y_col: str
+) -> DataFrame:
+    """Kendall's τ-b per key between two integer variables — the
+    robust rank-correlation standard beside Spearman (τ counts
+    concordant-vs-discordant PAIRS, far less sensitive to single
+    outlying ranks; the b variant corrects both tie margins). Emitted as
+    the SIGNED SQUARE (signed-r² device): taub2_x1e6 = sign(C−D)·
+    (C−D)²·1e6 DIV ((T₀−Tx)·(T₀−Ty)) with T₀ = n(n−1)/2 and tie terms
+    Tx/Ty = Σ t(t−1)/2 over the x/y margins — all in DECIMAL(38,0).
+
+    NEVER pairwise: concordance comes from the dense (distinct-x ×
+    distinct-y) grid — one window per y over x-ordered prefix counts,
+    one window per x accumulating those over y — the jonckheere grid
+    family; cost |x-values|·|y-values| per key (document: use a
+    BUCKETED y — hour-of-day, deciles — when both variables are
+    high-cardinality). Emits (key, n, conc2, disc2, taub2_x1e6) with
+    conc2/disc2 = 2C/2D.
+    """
+    cells = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.col(x_col).cast("long").alias("x"),
+            F.col(y_col).cast("long").alias("y"),
+        )
+        .groupBy("key", "x", "y")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    xs = cells.select("key", "x").distinct()
+    ys = cells.select("key", "y").distinct()
+    grid = (
+        xs.join(ys, "key")
+        .join(cells, ["key", "x", "y"], "left")
+        .select("key", "x", "y", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    wx = Window.partitionBy("key", "y").orderBy("x").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    pre = grid.withColumn(
+        "cx_less", F.coalesce(F.sum("c").over(wx), F.lit(0))
+    )
+    wy_lo = Window.partitionBy("key", "x").orderBy("y").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wy_hi = Window.partitionBy("key", "x").orderBy("y").rowsBetween(
+        1, Window.unboundedFollowing
+    )
+    acc = pre.withColumn(
+        "a", F.coalesce(F.sum("cx_less").over(wy_lo), F.lit(0))
+    ).withColumn(
+        "b", F.coalesce(F.sum("cx_less").over(wy_hi), F.lit(0))
+    )
+    sums = acc.groupBy("key").agg(
+        F.sum("c").alias("n"),
+        F.expr("CAST(2 * sum(CAST(c AS DECIMAL(38,0)) * a) AS DECIMAL(38,0))")
+        .alias("c2"),
+        F.expr("CAST(2 * sum(CAST(c AS DECIMAL(38,0)) * b) AS DECIMAL(38,0))")
+        .alias("d2"),
+    )
+    tx = (
+        cells.groupBy("key", "x").agg(F.sum("c").alias("t"))
+        .groupBy("key")
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(t AS DECIMAL(38,0)) * (t - 1) DIV 2)"
+                " AS DECIMAL(38,0))"
+            ).alias("tx")
+        )
+    )
+    ty = (
+        cells.groupBy("key", "y").agg(F.sum("c").alias("t"))
+        .groupBy("key")
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(t AS DECIMAL(38,0)) * (t - 1) DIV 2)"
+                " AS DECIMAL(38,0))"
+            ).alias("ty")
+        )
+    )
+    t0 = "(CAST(n AS DECIMAL(38,0)) * (n - 1) DIV 2)"
+    den = f"(({t0} - tx) * ({t0} - ty))"
+    return (
+        sums.join(tx, "key")
+        .join(ty, "key")
+        .select(
+            "key",
+            F.col("n").cast("long").alias("n"),
+            F.expr("CAST(c2 AS BIGINT)").alias("conc2"),
+            F.expr("CAST(d2 AS BIGINT)").alias("disc2"),
+            F.expr(
+                f"CASE WHEN {den} <= 0 THEN CAST(NULL AS BIGINT) ELSE"
+                " CAST(CAST(sign(c2 - d2) AS DECIMAL(38,0))"
+                f" * ((c2 - d2) DIV 2) * ((c2 - d2) DIV 2) * 1000000"
+                f" DIV {den} AS BIGINT) END"
+            ).alias("taub2_x1e6"),
+        )
+    )

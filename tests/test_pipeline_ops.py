@@ -8617,3 +8617,35 @@ def test_average_precision_and_kuiper_hand(spark):
         "key", "g", "v").collect()}
     assert k["s"].v_x1e6 == 10**6   # fully separated: D+ = 1, D- = 0
     assert k["i"].v_x1e6 == 0       # identical ECDFs
+
+
+def test_vargha_delaney_and_kendall_taub_hand(spark):
+    """Â = 1 for dominant groups, 0.5 on identical; τ-b signed square
+    reads +1e6 monotone-up, -1e6 monotone-down, and the tie-corrected
+    value on a tied fixture."""
+    from chronographer_spark.operators.classifier import (
+        kendall_taub,
+        vargha_delaney_a,
+    )
+
+    rows = [("d", 0, 1), ("d", 0, 2), ("d", 1, 3), ("d", 1, 4),
+            ("s", 0, 5), ("s", 1, 5)]
+    got = {r.key: r for r in vargha_delaney_a(
+        spark.createDataFrame(rows, ["key", "g", "v"]),
+        "key", "g", "v").collect()}
+    assert got["d"].a_x1e6 == 10**6
+    assert got["s"].a_x1e6 == 500000  # all ties -> exactly 0.5
+
+    up = [("u", v, v) for v in range(1, 5)]
+    down = [("w", v, -v) for v in range(1, 5)]
+    tied = [("t", 1, 1), ("t", 1, 2), ("t", 2, 3)]
+    got2 = {r.key: r for r in kendall_taub(
+        spark.createDataFrame(up + down + tied, ["key", "x", "y"]),
+        "key", "x", "y").collect()}
+    assert got2["u"].taub2_x1e6 == 10**6
+    assert got2["w"].taub2_x1e6 == -(10**6)
+    # tied: pairs (1,1)-(1,2) tie in x; both concordant with (2,3):
+    # C=2, D=0, T0=3, Tx=1, Ty=0 -> taub^2 = 4/(2*3) = 2/3
+    t = got2["t"]
+    assert (t.conc2, t.disc2) == (4, 0)
+    assert t.taub2_x1e6 == 4 * 10**6 // 6
