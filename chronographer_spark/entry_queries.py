@@ -24054,7 +24054,104 @@ FROM sums s JOIN txx USING (key) JOIN tyy USING (key)
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: Rank-Biased Precision (bit-shift weights) + Simpson diversity
+# ---------------------------------------------------------------------------
+
+
+def q_rbp_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RBP at p=1/2 of the BM25 run (retrieval.rank_biased_precision):
+    geometric user-model weights as EXACT bit shifts — no quantized log
+    anywhere; residual emitted per the metric's definition."""
+    from .operators.retrieval import (
+        bm25_search,
+        build_inverted_index,
+        phrase_search,
+        rank_biased_precision,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    index = build_inverted_index(docs).localCheckpoint(eager=True)
+    ranked = bm25_search(index, docs, "fast join vector", k=10).withColumn(
+        "query_id", F.lit("q_fast_join_vector")
+    )
+    labels = phrase_search(index, "fast join").withColumn(
+        "query_id", F.lit("q_fast_join_vector")
+    )
+    return rank_biased_precision(ranked, labels, k=10)
+
+
+RBP_BM25_SQL = f"""
+WITH ranked AS ({BM25_SQL}),
+ptoks AS (
+  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos
+  FROM (SELECT doc_id, string_split_regex(lower(text), '[^a-z]+') AS l
+        FROM documents)
+),
+p0 AS (SELECT doc_id, pos FROM ptoks WHERE term = 'fast'),
+p1 AS (SELECT doc_id, pos FROM ptoks WHERE term = 'join'),
+labels AS (
+  SELECT DISTINCT p0.doc_id
+  FROM p0 JOIN p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
+),
+hits AS (
+  SELECT r.rank, CASE WHEN l.doc_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+  FROM ranked r LEFT JOIN labels l ON l.doc_id = r.doc_id
+  WHERE r.rank <= 10
+),
+per AS (
+  SELECT CAST(sum(rel) AS BIGINT) AS n_hits,
+         CAST(sum(rel * (1000000 // (CAST(1 AS BIGINT) << rank)))
+           AS BIGINT) AS rbp_x1e6
+  FROM hits
+)
+SELECT 'q_fast_join_vector' AS query_id, n_hits, rbp_x1e6,
+       CAST(976 AS BIGINT) AS residual_x1e6
+FROM per
+UNION ALL
+SELECT '__mean__', n_hits, rbp_x1e6, CAST(976 AS BIGINT) FROM per
+"""
+
+
+def q_simpson_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson language diversity per source (text.simpson_diversity):
+    exact without-replacement collision probability, diversity index and
+    effective language count — no logs at all."""
+    from .operators.text import simpson_diversity
+
+    return simpson_diversity(
+        _t(spark, sf_dir, "documents"), "source", "lang"
+    )
+
+
+SIMPSON_SOURCES_SQL = """
+WITH per AS (
+  SELECT source AS key, lang AS cat, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY source, lang
+),
+agg AS (
+  SELECT key, CAST(sum(c) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS n_cats,
+         sum(CAST(c AS HUGEINT) * (c - 1)) AS rep
+  FROM per GROUP BY key
+)
+SELECT key, n, n_cats,
+  CAST(CASE WHEN n < 2 THEN NULL ELSE
+    rep * 1000000 // (CAST(n AS HUGEINT) * (n - 1)) END AS BIGINT)
+    AS lambda_x1e6,
+  CAST(CASE WHEN n < 2 THEN NULL ELSE
+    1000000 - rep * 1000000 // (CAST(n AS HUGEINT) * (n - 1)) END AS BIGINT)
+    AS diversity_x1e6,
+  CAST(CASE WHEN n < 2 OR rep = 0 THEN NULL ELSE
+    CAST(n AS HUGEINT) * (n - 1) * 1000 // rep END AS BIGINT)
+    AS eff_cats_x1e3
+FROM agg
+"""
+
+
 QUERIES = {
+    "rbp_bm25": q_rbp_bm25,
+    "simpson_sources": q_simpson_sources,
     "vargha_delaney_types": q_vargha_delaney_types,
     "kendall_taub_types": q_kendall_taub_types,
     "map_bm25": q_map_bm25,
@@ -24482,6 +24579,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "rbp_bm25": RBP_BM25_SQL,
+    "simpson_sources": SIMPSON_SOURCES_SQL,
     "vargha_delaney_types": VARGHA_DELANEY_SQL,
     "kendall_taub_types": KENDALL_TAUB_SQL,
     "map_bm25": MAP_BM25_SQL,

@@ -504,3 +504,58 @@ def average_precision(
         F.expr("sum(ap_x1e6) DIV count(1)").cast("long").alias("ap_x1e6"),
     )
     return per.unionByName(overall)
+
+
+def rank_biased_precision(
+    ranked: DataFrame,
+    relevant: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Rank-Biased Precision at persistence p = 1/2 (Moffat & Zobel
+    2008) — the user-model retrieval metric (the reader flips a coin to
+    continue down the list; RBP = expected fraction of viewed docs that
+    are relevant). p = 1/2 makes the geometric weights EXACT BIT
+    SHIFTS: rbp_x1e6 = Σ rel_r · (1e6 DIV 2^r) — a pinned integer
+    contract with no quantized log anywhere (the contribution of rank r
+    is exactly (1−p)·p^(r−1)·1e6 = 1e6/2^r). Also emits the residual
+    (1e6 DIV 2^k) — RBP's uncertainty from the unseen tail, part of the
+    metric's definition.
+
+    Same O(queries·k) shape as average_precision. Emits per query plus
+    `__mean__`: (query_id, n_hits, rbp_x1e6, residual_x1e6).
+    """
+    hits = (
+        ranked.filter(F.col(rank_col) <= k)
+        .join(
+            relevant.select(
+                F.col(query_col).alias("q"), F.col(id_col).alias("d"),
+                F.lit(1).alias("rel"),
+            ),
+            (F.col(query_col) == F.col("q")) & (F.col(id_col) == F.col("d")),
+            "left",
+        )
+        .select(
+            query_col, rank_col, F.coalesce("rel", F.lit(0)).alias("rel")
+        )
+    )
+    per = hits.groupBy(query_col).agg(
+        F.sum("rel").cast("long").alias("n_hits"),
+        F.sum(
+            F.expr(f"rel * (1000000 DIV shiftleft(CAST(1 AS BIGINT), {rank_col}))")
+        ).cast("long").alias("rbp_x1e6"),
+    ).select(
+        F.col(query_col).alias("query_id"),
+        "n_hits",
+        "rbp_x1e6",
+        F.lit(1000000 >> k if k < 20 else 0).cast("long").alias("residual_x1e6"),
+    ).localCheckpoint(eager=True)
+    overall = per.agg(
+        F.lit("__mean__").alias("query_id"),
+        F.sum("n_hits").cast("long").alias("n_hits"),
+        F.expr("sum(rbp_x1e6) DIV count(1)").cast("long").alias("rbp_x1e6"),
+        F.max("residual_x1e6").cast("long").alias("residual_x1e6"),
+    )
+    return per.unionByName(overall)

@@ -2721,3 +2721,55 @@ def source_similarity(
             .alias("wj_x1e6"),
         )
     )
+
+
+def simpson_diversity(
+    df: DataFrame, key_col: str, cat_col: str
+) -> DataFrame:
+    """Simpson diversity per key as an EXACT rational: λ = Σ n_i(n_i−1)
+    / (n(n−1)) is the probability two draws without replacement share a
+    category; 1−λ is the Simpson diversity index and 1/λ the effective
+    category count — the concentration card beside entropy-based
+    vocab_richness (no logs, no quantization at all here). Emitted:
+    lambda_x1e6 (exact DIV), diversity_x1e6 = 1e6 − λ, and
+    eff_cats_x1e3 = n(n−1)·1e3 DIV Σn_i(n_i−1) (NULL when every
+    category is a singleton). 128-bit squares past ~3e9 rows/key.
+
+    One (key, cat) collapse + key rollup. Emits (key, n, n_cats,
+    lambda_x1e6, diversity_x1e6, eff_cats_x1e3).
+    """
+    per = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.col(cat_col).cast("string").alias("cat"),
+        )
+        .groupBy("key", "cat")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = per.groupBy("key").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("n_cats"),
+        F.expr(
+            "CAST(sum(CAST(c AS DECIMAL(38,0)) * (c - 1)) AS DECIMAL(38,0))"
+        ).alias("rep"),
+    )
+    return agg.select(
+        "key",
+        F.col("n").cast("long").alias("n"),
+        F.col("n_cats").cast("long").alias("n_cats"),
+        F.expr(
+            "CASE WHEN n < 2 THEN CAST(NULL AS BIGINT) ELSE"
+            " CAST(rep * 1000000"
+            " DIV (CAST(n AS DECIMAL(38,0)) * (n - 1)) AS BIGINT) END"
+        ).alias("lambda_x1e6"),
+        F.expr(
+            "CASE WHEN n < 2 THEN CAST(NULL AS BIGINT) ELSE"
+            " CAST(1000000 - rep * 1000000"
+            " DIV (CAST(n AS DECIMAL(38,0)) * (n - 1)) AS BIGINT) END"
+        ).alias("diversity_x1e6"),
+        F.expr(
+            "CASE WHEN n < 2 OR rep = 0 THEN CAST(NULL AS BIGINT) ELSE"
+            " CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) * 1000"
+            " DIV rep AS BIGINT) END"
+        ).alias("eff_cats_x1e3"),
+    )

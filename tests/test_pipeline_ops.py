@@ -8649,3 +8649,30 @@ def test_vargha_delaney_and_kendall_taub_hand(spark):
     t = got2["t"]
     assert (t.conc2, t.disc2) == (4, 0)
     assert t.taub2_x1e6 == 4 * 10**6 // 6
+
+
+def test_rbp_and_simpson_hand(spark):
+    """RBP bit-shift weights on a hand ranking; Simpson exact collision
+    probability on a balanced 2-category key."""
+    from chronographer_spark.operators.retrieval import rank_biased_precision
+    from chronographer_spark.operators.text import simpson_diversity
+
+    ranked = spark.createDataFrame(
+        [("q", 10, 1), ("q", 20, 2), ("q", 30, 3)],
+        ["query_id", "doc_id", "rank"],
+    )
+    rel = spark.createDataFrame([("q", 10), ("q", 30)], ["query_id", "doc_id"])
+    got = {r.query_id: r for r in
+           rank_biased_precision(ranked, rel, k=10).collect()}
+    # hits at rank 1 and 3: 1e6/2 + 1e6/8 = 625000
+    assert got["q"].rbp_x1e6 == 500000 + 125000
+    assert got["q"].residual_x1e6 == 1000000 >> 10
+
+    rows = [("k", c) for c in ["a", "a", "b", "b"]]
+    s = simpson_diversity(
+        spark.createDataFrame(rows, ["key", "cat"]), "key", "cat"
+    ).collect()[0]
+    # lambda = 4/12, diversity = 2/3, effective cats = 3.0 (unbiased)
+    assert (s.lambda_x1e6, s.diversity_x1e6, s.eff_cats_x1e3) == (
+        333333, 666667, 3000
+    )
