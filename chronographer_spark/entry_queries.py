@@ -24149,7 +24149,62 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: 2×2 effect measures (odds ratio / risk ratio / risk difference)
+# ---------------------------------------------------------------------------
+
+
+def q_effect_measures_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR / RR / RD per event type between odd and even users on the
+    cents-mod success flag (classifier.effect_measures_2x2) — how BIG
+    beside prop_ztest's is-it-real."""
+    from .operators.classifier import effect_measures_2x2
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.expr("CAST(user_id % 2 AS BIGINT)").alias("g"),
+        F.expr(
+            "CASE WHEN CAST(floor(value * 100 + 0.5) AS BIGINT) % 7 < 3"
+            " THEN 1 ELSE 0 END"
+        ).alias("s"),
+    )
+    return effect_measures_2x2(base, "event_type", "g", "s")
+
+
+EFFECT_MEASURES_SQL = """
+WITH base AS (
+  SELECT event_type AS key, CAST(user_id % 2 AS BIGINT) AS g,
+         CASE WHEN CAST(floor(value * 100 + 0.5) AS BIGINT) % 7 < 3
+              THEN 1 ELSE 0 END AS s
+  FROM events
+),
+per AS (
+  SELECT key,
+    CAST(sum(CASE WHEN g = 1 AND s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+    CAST(sum(CASE WHEN g = 1 AND s = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+    CAST(sum(CASE WHEN g = 0 AND s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+    CAST(sum(CASE WHEN g = 0 AND s = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+  FROM base GROUP BY key
+)
+SELECT key, a, b, c, d,
+  CAST(CASE WHEN b = 0 OR c = 0 THEN NULL ELSE
+    CAST(a AS HUGEINT) * d * 1000000 // (CAST(b AS HUGEINT) * c)
+  END AS BIGINT) AS or_x1e6,
+  CAST(CASE WHEN a + b = 0 OR c = 0 THEN NULL ELSE
+    CAST(a AS HUGEINT) * (c + d) * 1000000
+    // (CAST(a + b AS HUGEINT) * c)
+  END AS BIGINT) AS rr_x1e6,
+  CAST(CASE WHEN a + b = 0 OR c + d = 0 THEN NULL ELSE
+    (CAST(a AS HUGEINT) * (c + d) - CAST(c AS HUGEINT) * (a + b)) * 1000000
+    // (CAST(a + b AS HUGEINT) * (c + d))
+  END AS BIGINT) AS rd_x1e6
+FROM per
+"""
+
+
 QUERIES = {
+    "effect_measures_types": q_effect_measures_types,
     "rbp_bm25": q_rbp_bm25,
     "simpson_sources": q_simpson_sources,
     "vargha_delaney_types": q_vargha_delaney_types,
@@ -24579,6 +24634,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "effect_measures_types": EFFECT_MEASURES_SQL,
     "rbp_bm25": RBP_BM25_SQL,
     "simpson_sources": SIMPSON_SOURCES_SQL,
     "vargha_delaney_types": VARGHA_DELANEY_SQL,

@@ -3424,3 +3424,63 @@ def kendall_taub(
             ).alias("taub2_x1e6"),
         )
     )
+
+
+def effect_measures_2x2(
+    df: DataFrame, key_col: str, group_col: str, success_col: str
+) -> DataFrame:
+    """The classic 2×2 effect measures per key — odds ratio, risk ratio
+    and risk difference between group 1 and group 0 (the epidemiology /
+    A-B readouts behind every 'treatment lifted conversion by X'
+    statement; proportion_ztest_segments answers IS there an effect,
+    this answers HOW BIG in three standard units). All exact
+    cross-multiplied integers: or_x1e6 = a·d·1e6 DIV (b·c), rr_x1e6 =
+    a·(c+d)·1e6 DIV ((a+b)·c), rd_x1e6 = (a·(c+d) − c·(a+b))·1e6 DIV
+    ((a+b)·(c+d)) with (a,b) = group-1 successes/failures and (c,d) =
+    group-0's; zero denominators emit NULL (undefined measure, not a
+    fake infinity). Products in DECIMAL(38,0) past ~3e9 rows/key.
+
+    One map-side-combined aggregation. Emits per key:
+    (key, a, b, c, d, or_x1e6, rr_x1e6, rd_x1e6).
+    """
+    per = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.col(group_col).cast("long").alias("g"),
+            F.col(success_col).cast("long").alias("s"),
+        )
+        .groupBy("key")
+        .agg(
+            F.sum(F.expr("CASE WHEN g = 1 AND s = 1 THEN 1 ELSE 0 END"))
+            .alias("a"),
+            F.sum(F.expr("CASE WHEN g = 1 AND s = 0 THEN 1 ELSE 0 END"))
+            .alias("b"),
+            F.sum(F.expr("CASE WHEN g = 0 AND s = 1 THEN 1 ELSE 0 END"))
+            .alias("c"),
+            F.sum(F.expr("CASE WHEN g = 0 AND s = 0 THEN 1 ELSE 0 END"))
+            .alias("d"),
+        )
+    )
+    return per.select(
+        "key",
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        F.col("c").cast("long").alias("c"),
+        F.col("d").cast("long").alias("d"),
+        F.expr(
+            "CASE WHEN b = 0 OR c = 0 THEN CAST(NULL AS BIGINT) ELSE"
+            " CAST(CAST(a AS DECIMAL(38,0)) * d * 1000000"
+            " DIV (CAST(b AS DECIMAL(38,0)) * c) AS BIGINT) END"
+        ).alias("or_x1e6"),
+        F.expr(
+            "CASE WHEN a + b = 0 OR c = 0 THEN CAST(NULL AS BIGINT) ELSE"
+            " CAST(CAST(a AS DECIMAL(38,0)) * (c + d) * 1000000"
+            " DIV (CAST(a + b AS DECIMAL(38,0)) * c) AS BIGINT) END"
+        ).alias("rr_x1e6"),
+        F.expr(
+            "CASE WHEN a + b = 0 OR c + d = 0 THEN CAST(NULL AS BIGINT) ELSE"
+            " CAST((CAST(a AS DECIMAL(38,0)) * (c + d)"
+            " - CAST(c AS DECIMAL(38,0)) * (a + b)) * 1000000"
+            " DIV (CAST(a + b AS DECIMAL(38,0)) * (c + d)) AS BIGINT) END"
+        ).alias("rd_x1e6"),
+    )

@@ -8676,3 +8676,22 @@ def test_rbp_and_simpson_hand(spark):
     assert (s.lambda_x1e6, s.diversity_x1e6, s.eff_cats_x1e3) == (
         333333, 666667, 3000
     )
+
+
+def test_effect_measures_2x2_hand(spark):
+    """OR/RR/RD replay on a hand 2x2 (a=8,b=2,c=3,d=7) and NULL on a
+    zero-margin table."""
+    from chronographer_spark.operators.classifier import effect_measures_2x2
+
+    rows = ([("k", 1, 1)] * 8 + [("k", 1, 0)] * 2
+            + [("k", 0, 1)] * 3 + [("k", 0, 0)] * 7
+            + [("z", 1, 1)] * 4 + [("z", 0, 1)] * 4)  # no failures -> b=d=0
+    got = {r.key: r for r in effect_measures_2x2(
+        spark.createDataFrame(rows, ["key", "g", "s"]),
+        "key", "g", "s").collect()}
+    k = got["k"]
+    assert (k.a, k.b, k.c, k.d) == (8, 2, 3, 7)
+    assert k.or_x1e6 == 8 * 7 * 10**6 // (2 * 3)
+    assert k.rr_x1e6 == 8 * 10 * 10**6 // (10 * 3)
+    assert k.rd_x1e6 == (8 * 10 - 3 * 10) * 10**6 // (10 * 10)
+    assert got["z"].or_x1e6 is None and got["z"].rr_x1e6 == 10**6
