@@ -24203,7 +24203,79 @@ FROM per
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: Youden cutpoint for the affinity quality classifier
+# ---------------------------------------------------------------------------
+
+
+def q_youden_cutpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimal is-English filter threshold by Youden's J
+    (classifier.youden_cutpoint over classify_documents scores): the
+    choose-the-cutoff step a curation filter ships with."""
+    from .operators.classifier import classify_documents, youden_cutpoint
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "is_en", F.expr("CASE WHEN lang = 'en' THEN 1 ELSE 0 END")
+    )
+    scored = classify_documents(docs, "is_en").join(
+        docs.select(F.col("doc_id").alias("id"), "is_en"), "id"
+    )
+    return youden_cutpoint(scored, "score_x1e6", "is_en")
+
+
+YOUDEN_CUTPOINT_SQL = """
+WITH toks AS (
+  SELECT doc_id AS id,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_pos,
+         unnest(string_split(
+           regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+  FROM documents
+),
+model AS (
+  SELECT tok,
+         (CAST(sum(is_pos) AS BIGINT) + 1) * 1000000
+           // (CAST(count(*) AS BIGINT) + 2) AS affinity_x1e6
+  FROM toks GROUP BY tok
+),
+scored AS (
+  SELECT t.id,
+         CAST(sum(m.affinity_x1e6) // count(*) AS BIGINT) AS score_x1e6
+  FROM toks t JOIN model m USING (tok)
+  GROUP BY t.id
+),
+lab AS (
+  SELECT s.score_x1e6 AS t,
+         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM scored s JOIN documents d ON d.doc_id = s.id
+),
+cells AS (SELECT t, CAST(sum(y) AS BIGINT) AS pos,
+                 CAST(sum(1 - y) AS BIGINT) AS neg
+          FROM lab GROUP BY t),
+pre AS (
+  SELECT t,
+         sum(pos) OVER (ORDER BY t DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+         sum(neg) OVER (ORDER BY t DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp,
+         sum(pos) OVER () AS p_tot,
+         sum(neg) OVER () AS n_tot
+  FROM cells
+),
+jj AS (
+  SELECT t, tp, fp, p_tot, n_tot,
+         tp * 1000000 // p_tot - fp * 1000000 // n_tot AS j_x1e6
+  FROM pre WHERE p_tot > 0 AND n_tot > 0
+)
+SELECT CAST(t AS BIGINT) AS threshold, CAST(tp AS BIGINT) AS tp,
+       CAST(fp AS BIGINT) AS fp,
+       CAST(p_tot - tp AS BIGINT) AS fn, CAST(n_tot - fp AS BIGINT) AS tn,
+       CAST(j_x1e6 AS BIGINT) AS j_x1e6
+FROM jj ORDER BY j_x1e6 DESC, t ASC LIMIT 1
+"""
+
+
 QUERIES = {
+    "youden_cutpoint": q_youden_cutpoint,
     "effect_measures_types": q_effect_measures_types,
     "rbp_bm25": q_rbp_bm25,
     "simpson_sources": q_simpson_sources,
@@ -24634,6 +24706,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "youden_cutpoint": YOUDEN_CUTPOINT_SQL,
     "effect_measures_types": EFFECT_MEASURES_SQL,
     "rbp_bm25": RBP_BM25_SQL,
     "simpson_sources": SIMPSON_SOURCES_SQL,

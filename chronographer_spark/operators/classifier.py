@@ -3484,3 +3484,58 @@ def effect_measures_2x2(
             " DIV (CAST(a + b AS DECIMAL(38,0)) * (c + d)) AS BIGINT) END"
         ).alias("rd_x1e6"),
     )
+
+
+def youden_cutpoint(
+    scored: DataFrame, score_col: str, label_col: str
+) -> DataFrame:
+    """Youden's J optimal cutpoint — the choose-the-filter-threshold
+    step after training any scoring classifier (classify_documents /
+    multinomial_nb / quality_score): over every candidate threshold t
+    (predict positive iff score >= t), J(t) = TPR − FPR; the maximizing
+    t balances sensitivity against fall-out with no class-prior
+    assumption. Exact integers: TP/FP at each distinct score via a
+    score-DESCENDING prefix over collapsed cells (auc_exact's machinery
+    pointed at a cutpoint instead of the integral); j_x1e6 = tp·1e6 DIV
+    P − fp·1e6 DIV N (pinned two-DIV contract); the argmax pins ties to
+    the SMALLEST threshold (the more inclusive filter). Degenerate
+    single-class inputs emit no row (J undefined).
+
+    One (score) collapse + one ordered window + a 1-row argmax. Emits
+    one row: (threshold, tp, fp, fn, tn, j_x1e6).
+    """
+    cells = (
+        scored.select(
+            F.col(score_col).cast("long").alias("t"),
+            F.col(label_col).cast("long").alias("y"),
+        )
+        .groupBy("t")
+        .agg(
+            F.sum("y").alias("pos"),
+            F.sum(F.expr("1 - y")).alias("neg"),
+        )
+    )
+    wd = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    pre = (
+        cells.withColumn("tp", F.sum("pos").over(wd))
+        .withColumn("fp", F.sum("neg").over(wd))
+        .withColumn("p_tot", F.sum("pos").over(wall))
+        .withColumn("n_tot", F.sum("neg").over(wall))
+        .filter((F.col("p_tot") > 0) & (F.col("n_tot") > 0))
+        .withColumn(
+            "j_x1e6",
+            F.expr("tp * 1000000 DIV p_tot - fp * 1000000 DIV n_tot"),
+        )
+    )
+    best = pre.orderBy(F.desc("j_x1e6"), F.asc("t")).limit(1)
+    return best.select(
+        F.col("t").cast("long").alias("threshold"),
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        (F.col("p_tot") - F.col("tp")).cast("long").alias("fn"),
+        (F.col("n_tot") - F.col("fp")).cast("long").alias("tn"),
+        F.col("j_x1e6").cast("long").alias("j_x1e6"),
+    )

@@ -8695,3 +8695,17 @@ def test_effect_measures_2x2_hand(spark):
     assert k.rr_x1e6 == 8 * 10 * 10**6 // (10 * 3)
     assert k.rd_x1e6 == (8 * 10 - 3 * 10) * 10**6 // (10 * 10)
     assert got["z"].or_x1e6 is None and got["z"].rr_x1e6 == 10**6
+
+
+def test_youden_cutpoint_hand(spark):
+    """J maximizes at the separating threshold on a hand score table;
+    ties pin to the smallest threshold."""
+    from chronographer_spark.operators.classifier import youden_cutpoint
+
+    rows = [(90, 1), (80, 1), (70, 0), (60, 1), (50, 0), (40, 0)]
+    df = spark.createDataFrame(rows, ["score", "y"])
+    r = youden_cutpoint(df, "score", "y").collect()[0]
+    # t=60: tp=3, fp=1 -> J = 1e6 - 333333 = 666667; t=80: 2/3e6-0 = 666666
+    assert (r.threshold, r.tp, r.fp) == (60, 3, 1)
+    assert r.j_x1e6 == 3 * 10**6 // 3 - 1 * 10**6 // 3
+    assert (r.fn, r.tn) == (0, 2)
