@@ -1,0 +1,2063 @@
+"""Curation sampling / packing / retrieval / BPE queries."""
+
+from __future__ import annotations
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+from chronographer_spark.data.transcripts import transcripts_from_events
+from chronographer_spark.extraction.mentions import extract_mentions
+from chronographer_spark.graph.materialize import materialize_event_graph
+
+from ._shared import (
+    TX_SQL,
+    _duck_msb16,
+    _t,
+)
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload decode pipeline with the portable stub codec: assets
+    derive from `documents` (payload = utf-8 text bytes), the Arrow-batched
+    mapInPandas emits md5-arithmetic features, and the oracle replays every
+    feature value — the plumbing AND the values are gate-verified."""
+    from chronographer_spark.operators.multimodal import assets_from_documents, decode_and_featurize
+
+    docs = _t(spark, sf_dir, "documents")
+    assets = assets_from_documents(docs, limit=30)
+    out = decode_and_featurize(assets, dim=8)
+    return out.select(
+        "asset_id",
+        "modality",
+        F.posexplode("feat").alias("j", "feat"),
+        "out_width",
+        "out_height",
+    ).select(
+        "asset_id",
+        "modality",
+        "j",
+        F.floor(F.col("feat") * 1000000 + F.lit(0.5)).cast("long").alias("feat_x1e6"),
+        "out_width",
+        "out_height",
+    )
+
+MULTIMODAL_FEATURES_SQL = """
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 30),
+j AS (SELECT unnest(range(8)) AS j)
+SELECT d.doc_id AS asset_id,
+  ['image','audio','video'][CAST(d.doc_id % 3 AS INT) + 1] AS modality,
+  CAST(j.j AS INT) AS j,
+  CAST(CAST(concat('0x', substr(md5(d.text || '|' || CAST(j.j AS VARCHAR)), 1, 8)) AS BIGINT)
+       % 2000000 - 1000000 AS BIGINT) AS feat_x1e6,
+  224 AS out_width, 224 AS out_height
+FROM d, j
+"""
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over video assets: native sequence-explode for frame
+    times, stub decode for per-frame fingerprints (md5(payload || '|f' || idx)
+    — oracle-replayable)."""
+    from chronographer_spark.operators.multimodal import assets_from_documents, sample_frames
+
+    docs = _t(spark, sf_dir, "documents")
+    assets = assets_from_documents(docs, limit=30)
+    return sample_frames(assets, every_ms=1000)
+
+MULTIMODAL_FRAMES_SQL = """
+WITH v AS (
+  SELECT doc_id, text, 40 * n_chars AS duration_ms
+  FROM documents WHERE doc_id < 30 AND doc_id % 3 = 2
+),
+f AS (
+  SELECT doc_id, text,
+         unnest(range(greatest(duration_ms // 1000, 1))) AS frame_idx
+  FROM v
+)
+SELECT doc_id AS asset_id,
+       CAST(frame_idx AS INT) AS frame_idx,
+       CAST(frame_idx * 1000 AS BIGINT) AS frame_ms,
+       md5(text || '|f' || CAST(frame_idx AS VARCHAR)) AS frame_fp
+FROM f
+"""
+
+# ---------------------------------------------------------------------------
+# IVF ANN (partition-pruned scale path) — fully oracle-replayed
+# ---------------------------------------------------------------------------
+
+
+def q_funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-step funnel (signup -> click -> purchase) per user within
+    7 days: skip-till-next CEP matching as joins + earliest-pick windows."""
+    from chronographer_spark.operators.sequence import match_sequence
+
+    ev = _t(spark, sf_dir, "events")
+    return match_sequence(
+        ev,
+        steps=["signup", "click", "purchase"],
+        on=["user_id"],
+        within_seconds=604800,
+    )
+
+FUNNEL_SQL = """
+WITH b AS (
+  SELECT user_id, event_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s
+  FROM events
+),
+s0 AS (SELECT user_id, event_id AS id_0, s AS s_0 FROM b WHERE event_type = 'signup'),
+m1 AS (
+  SELECT s0.user_id, s0.id_0, s0.s_0, b.event_id AS id_1, b.s AS s_1
+  FROM s0 JOIN b ON b.user_id = s0.user_id AND b.event_type = 'click'
+   AND b.s > s0.s_0 AND b.s <= s0.s_0 + 604800
+  QUALIFY row_number() OVER (PARTITION BY s0.user_id, s0.id_0
+                             ORDER BY b.s, b.event_id) = 1
+),
+m2 AS (
+  SELECT m1.user_id, m1.id_0, m1.s_0, m1.id_1, b.event_id AS id_2, b.s AS s_2
+  FROM m1 JOIN b ON b.user_id = m1.user_id AND b.event_type = 'purchase'
+   AND b.s > m1.s_1 AND b.s <= m1.s_0 + 604800
+  QUALIFY row_number() OVER (PARTITION BY m1.user_id, m1.id_0, m1.id_1
+                             ORDER BY b.s, b.event_id) = 1
+)
+SELECT user_id, id_0, id_1, id_2, s_2 - s_0 AS span_seconds FROM m2
+"""
+
+def q_domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain reweighting (operators/sampling.py
+    domain_mix_sample): keep all of the curated sources (src0-4), half of
+    the mid tier (src5-9), 10% of everything else — membership a pure
+    md5(seed:doc_id) function, so the mix is stable under repartitioning
+    and replayable by the oracle row-for-row. Map-only, zero shuffles."""
+    from chronographer_spark.operators.sampling import domain_mix_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    rates = {f"src{i}": 1000000 for i in range(5)}
+    rates.update({f"src{i}": 500000 for i in range(5, 10)})
+    out = domain_mix_sample(
+        docs, "source", rates, key="doc_id", default_rate_x1e6=100000
+    )
+    return out.select("doc_id", "source")
+
+DOMAIN_MIX_SQL = """
+SELECT doc_id, source FROM documents
+WHERE CAST(concat('0x', substr(md5('23:' || CAST(doc_id AS VARCHAR)), 1, 8))
+           AS BIGINT) % 1000000
+      < CASE
+          WHEN source IN ('src0','src1','src2','src3','src4') THEN 1000000
+          WHEN source IN ('src5','src6','src7','src8','src9') THEN 500000
+          ELSE 100000
+        END
+"""
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-and-split sequence packing (operators/packing.py
+    pack_sequences): documents ordered by md5(doc_id) lie end-to-end in one
+    token stream, split into 512-token training chunks; each doc reports
+    the chunk span it occupies and its offset in the first chunk. The
+    prefix sum is two-phase (range partition + per-partition offsets), and
+    the oracle replays the identical global cumsum in windowed SQL."""
+    from chronographer_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tok")
+    )
+    out = pack_sequences(toks, "doc_id", "n_tok", budget=512)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_tokens",
+        "cum_before",
+        "first_chunk",
+        "last_chunk",
+        "chunk_offset",
+    )
+
+PACK_SEQUENCES_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS ok
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(sum(n_tokens) OVER (ORDER BY ok) AS BIGINT) AS cum_end
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       cum_end - n_tokens AS cum_before,
+       CAST(floor((cum_end - n_tokens) / 512.0) AS BIGINT) AS first_chunk,
+       CAST(floor(greatest(cum_end - 1, cum_end - n_tokens) / 512.0) AS BIGINT)
+         AS last_chunk,
+       (cum_end - n_tokens) % 512 AS chunk_offset
+FROM c
+"""
+
+def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (operators/
+    sampling.py priority_sample): 50 documents weighted by n_chars, the
+    k smallest integer-quotient priorities win. The oracle replays the
+    hash, the quotient, and the (priority, key) order."""
+    from chronographer_spark.operators.sampling import priority_sample
+
+    out = priority_sample(
+        _t(spark, sf_dir, "documents"), weight_col="n_chars", k=50
+    )
+    return out.select("doc_id", F.col("n_chars").cast("long").alias("w"), "priority")
+
+PRIORITY_SAMPLE_SQL = """
+WITH pri AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+         (CAST(concat('0x', substr(md5('23:' || CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) * 1000000) // CAST(n_chars AS BIGINT) AS priority
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, w, priority FROM pri ORDER BY priority, doc_id LIMIT 50
+"""
+
+def q_priority_sample_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source weighted quota (operators/sampling.py
+    priority_sample_per_group): 5 documents per source, weighted by
+    n_chars, hash-stable. The oracle replays the quotient and the
+    per-group rank."""
+    from chronographer_spark.operators.sampling import priority_sample_per_group
+
+    out = priority_sample_per_group(
+        _t(spark, sf_dir, "documents"), group_col="source",
+        weight_col="n_chars", k=5,
+    )
+    return out.select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("w"),
+        "priority", "rnk",
+    )
+
+PRIORITY_GROUP_SQL = """
+WITH pri AS (
+  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS w,
+         (CAST(concat('0x', substr(md5('23:' || CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) * 1000000) // CAST(n_chars AS BIGINT) AS priority
+  FROM documents WHERE n_chars > 0
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY source
+              ORDER BY priority, doc_id) AS BIGINT) AS rnk
+  FROM pri
+)
+SELECT doc_id, source, w, priority, rnk FROM ranked WHERE rnk <= 5
+"""
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase search over an inverted index
+    (operators/retrieval.py): docs containing the token sequence
+    "fast table" with per-doc match counts. The oracle replays the same
+    token algebra (positions join, +1 adjacency) in DuckDB."""
+    from chronographer_spark.operators.retrieval import build_inverted_index, phrase_search
+
+    docs = _t(spark, sf_dir, "documents")
+    return phrase_search(build_inverted_index(docs), "fast table")
+
+PHRASE_SEARCH_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos
+  FROM (SELECT doc_id, string_split_regex(lower(text), '[^a-z]+') AS l FROM documents)
+),
+t0 AS (SELECT doc_id, pos FROM toks WHERE term = 'fast'),
+t1 AS (SELECT doc_id, pos FROM toks WHERE term = 'table'),
+m AS (
+  SELECT t0.doc_id FROM t0 JOIN t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches FROM m GROUP BY doc_id
+"""
+
+def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IR eval of the BM25 ranking against phrase-match pseudo-relevance:
+    MRR@10 / precision@10 / recall@10 of bm25_search("fast join vector")
+    judged by phrase_search("fast join") hits (weak-supervision labels, the
+    standard zero-label eval trick). The inverted index feeds BOTH the
+    ranker and the labeler — eager-localCheckpointed once (the tf/df
+    shared-subtree family). All outputs exact integer quotients."""
+    from chronographer_spark.operators.retrieval import (
+        bm25_search,
+        build_inverted_index,
+        phrase_search,
+        retrieval_eval,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    index = build_inverted_index(docs).localCheckpoint(eager=True)
+    ranked = bm25_search(index, docs, "fast join vector", k=10).withColumn(
+        "query_id", F.lit("q_fast_join_vector")
+    )
+    labels = phrase_search(index, "fast join").withColumn(
+        "query_id", F.lit("q_fast_join_vector")
+    )
+    return retrieval_eval(ranked, labels, k=10)
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-ranked top-10 documents for the bag-of-words query
+    "fast join vector" over the inverted index (operators/retrieval.py
+    bm25_search); Lucene-style non-negative idf, k1=1.2, b=0.75, avg
+    doc length snapped to the 1e-6 grid in both engines."""
+    from chronographer_spark.operators.retrieval import build_inverted_index, bm25_search
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_search(build_inverted_index(docs), docs, "fast join vector", k=10)
+
+BM25_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> '' GROUP BY doc_id, term),
+doc_len AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(DISTINCT doc_id) FROM documents) AS n,
+         floor((SELECT avg(dl) FROM doc_len) * 1000000 + 0.5) / 1000000 AS avglen
+),
+dfreq AS (
+  SELECT term, count(*) AS df FROM tf WHERE term IN ('fast', 'join', 'vector') GROUP BY term
+),
+hits AS (
+  SELECT t.doc_id, t.term, t.tf, d.df, l.dl
+  FROM tf t JOIN dfreq d USING (term) JOIN doc_len l USING (doc_id)
+  WHERE t.term IN ('fast', 'join', 'vector')
+),
+scored AS (
+  SELECT doc_id,
+         sum(
+           ln((CAST((SELECT n FROM stats) AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+           * (tf * (1.2 + 1.0))
+           / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (SELECT avglen FROM stats)))
+         ) AS score
+  FROM hits GROUP BY doc_id
+)
+SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank,
+       CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_x1e6
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+def q_bm25_many(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched BM25 (operators/retrieval.bm25_search_many): three queries
+    ranked in ONE term-keyed index pass — the retrieval-service dataflow,
+    vs bm25_topk's per-query isin scan; salted two-phase per-query top-5."""
+    from chronographer_spark.operators.retrieval import bm25_search_many, build_inverted_index
+
+    docs = _t(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        [("q1", "fast join vector"), ("q2", "fast table"), ("q3", "vector index scan")],
+        ["query_id", "qtext"],
+    )
+    return bm25_search_many(build_inverted_index(docs), docs, queries, k=5)
+
+BM25_MANY_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> '' GROUP BY doc_id, term),
+doc_len AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(DISTINCT doc_id) FROM documents) AS n,
+         floor((SELECT avg(dl) FROM doc_len) * 1000000 + 0.5) / 1000000 AS avglen
+),
+q(query_id, term) AS (
+  VALUES ('q1', 'fast'), ('q1', 'join'), ('q1', 'vector'),
+         ('q2', 'fast'), ('q2', 'table'),
+         ('q3', 'vector'), ('q3', 'index'), ('q3', 'scan')
+),
+dfreq AS (
+  SELECT term, count(*) AS df FROM tf
+  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY term
+),
+hits AS (
+  SELECT qq.query_id, t.doc_id, t.term, t.tf, d.df, l.dl
+  FROM tf t JOIN q qq USING (term) JOIN dfreq d USING (term)
+  JOIN doc_len l USING (doc_id)
+),
+scored AS (
+  SELECT query_id, doc_id,
+         sum(
+           ln((CAST((SELECT n FROM stats) AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+           * (tf * (1.2 + 1.0))
+           / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (SELECT avglen FROM stats)))
+         ) AS score
+  FROM hits GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INT) AS rank,
+       CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_x1e6
+FROM scored
+QUALIFY rank <= 5
+"""
+
+RETRIEVAL_EVAL_SQL = f"""
+WITH ranked AS ({BM25_SQL}),
+ptoks AS (
+  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos
+  FROM (SELECT doc_id, string_split_regex(lower(text), '[^a-z]+') AS l FROM documents)
+),
+p0 AS (SELECT doc_id, pos FROM ptoks WHERE term = 'fast'),
+p1 AS (SELECT doc_id, pos FROM ptoks WHERE term = 'join'),
+labels AS (
+  SELECT DISTINCT p0.doc_id
+  FROM p0 JOIN p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
+),
+nrel AS (SELECT CAST(count(*) AS BIGINT) AS n_rel FROM labels),
+hits AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_hits, min(rank) AS first_hit
+  FROM ranked r JOIN labels l ON r.doc_id = l.doc_id
+  WHERE r.rank <= 10
+)
+SELECT 'q_fast_join_vector' AS query_id,
+       n.n_rel,
+       coalesce(h.n_hits, 0) AS n_hits,
+       CAST(coalesce(1000000 // h.first_hit, 0) AS BIGINT) AS rr_x1e6,
+       CAST(coalesce(h.n_hits, 0) * 1000000 // 10 AS BIGINT) AS p_at_k_x1e6,
+       CAST(coalesce(coalesce(h.n_hits, 0) * 1000000 // nullif(n.n_rel, 0), 0) AS BIGINT)
+         AS recall_at_k_x1e6
+FROM nrel n, hits h
+"""
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training: the first 4 merge rules learned from the
+    documents corpus (operators/bpe.py — Sennrich et al. 2016 as DataFrame
+    algebra). The corpus collapses to a distinct-word frequency table after
+    one shuffle; each round is a map-side pair explode + agg on that table
+    and only the argmax row (strings + an exact integer count) crosses the
+    driver. Merge application is DEFINED as the engines' shared
+    left-to-right non-overlapping replace() scan, so the oracle replays
+    training exactly; ties break on (count DESC, left, right) binary
+    string order."""
+    from chronographer_spark.operators.bpe import bpe_train_batched, word_freqs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    _, merges_df = bpe_train_batched(word_freqs(docs), n_rounds=3, batch_k=4)
+    return merges_df.select(
+        "merge_round", "left_sym", "right_sym", "pair_count"
+    )
+
+def q_bpe_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword token counts per document under the 4 learned BPE merges —
+    the segmentation half of the tokenizer (operators/bpe.py bpe_segment).
+    Training reuses q_bpe_merges' recipe; segmentation itself adds NO
+    shuffle (pure projection: per-word symbol runs joined by double spaces
+    so merges cannot cross word boundaries, then the merge replaces in
+    training order)."""
+    from chronographer_spark.operators.bpe import bpe_segment, bpe_train_batched, word_freqs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges, _ = bpe_train_batched(word_freqs(docs), n_rounds=3, batch_k=4)
+    return bpe_segment(docs, merges).select("doc_id", "n_tokens_bpe")
+
+def _bpe_apply_round_sql(r: int, batch_k: int, col: str) -> str:
+    """Nested replace() applying round r's kept merges in rank order;
+    unfilled positions fall back to a chr(1) identity replace (the
+    pattern never occurs in text, and replace(s, x, x) is the identity
+    anyway)."""
+    expr = col
+    for pos in range(1, batch_k + 1):
+        pat = (
+            f"coalesce((SELECT ' ' || l || ' ' || r || ' ' FROM k{r}"
+            f" WHERE pos = {pos}), chr(1))"
+        )
+        rep = (
+            f"coalesce((SELECT ' ' || l || r || ' ' FROM k{r}"
+            f" WHERE pos = {pos}), chr(1))"
+        )
+        expr = f"replace({expr}, {pat}, {rep})"
+    return expr
+
+def _bpe_training_ctes(n_rounds: int, batch_k: int) -> str:
+    """Unrolled DuckDB CTE chain replaying bpe_train_batched: per round R,
+    pR = pair counts over w(R-1); cR = the top-batch_k candidates ranked
+    by (cnt DESC, l, r); kR = candidates sharing no symbol with ANY
+    higher-ranked candidate in the window (the non-recursive batch rule —
+    one window + NOT EXISTS, exactly the Spark loop's driver-side filter);
+    wR = kR's replaces applied in rank order. batch_k=1 degenerates to
+    sequential Sennrich training. Kept as a generator so the round/batch
+    shape stays pinned to the queries above."""
+    pairs = (
+        "SELECT u['l'] AS l, u['r'] AS r, CAST(sum(freq) AS BIGINT) AS cnt\n"
+        "  FROM (SELECT unnest(list_transform(range(1, len(string_split(trim(s), ' '))),\n"
+        "               i -> {{'l': string_split(trim(s), ' ')[i],"
+        " 'r': string_split(trim(s), ' ')[i+1]}})) AS u, freq\n"
+        "        FROM {src})\n"
+        "  GROUP BY 1, 2"
+    )
+    parts = [
+        "words AS MATERIALIZED (\n"
+        "  SELECT w AS word, CAST(count(*) AS BIGINT) AS freq\n"
+        "  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)\n"
+        "  WHERE w <> '' GROUP BY w\n"
+        "),\n"
+        "w0 AS MATERIALIZED (\n"
+        "  SELECT ' ' || array_to_string(list_transform(range(1, length(word)+1),\n"
+        "         i -> substr(word, i, 1)), ' ') || ' ' AS s, freq\n"
+        "  FROM words\n"
+        ")"
+    ]
+    for r in range(1, n_rounds + 1):
+        parts.append(f"p{r} AS MATERIALIZED (\n  {pairs.format(src=f'w{r - 1}')}\n)")
+        parts.append(
+            f"c{r} AS MATERIALIZED (\n"
+            f"  SELECT l, r, cnt,\n"
+            f"         row_number() OVER (ORDER BY cnt DESC, l, r) AS rk\n"
+            f"  FROM p{r} QUALIFY rk <= {batch_k}\n)"
+        )
+        parts.append(
+            f"k{r} AS MATERIALIZED (\n"
+            f"  SELECT c.l, c.r, c.cnt,\n"
+            f"         row_number() OVER (ORDER BY c.rk) AS pos\n"
+            f"  FROM c{r} c\n"
+            f"  WHERE NOT EXISTS (SELECT 1 FROM c{r} h WHERE h.rk < c.rk\n"
+            f"        AND (h.l = c.l OR h.l = c.r OR h.r = c.l OR h.r = c.r))\n)"
+        )
+        parts.append(
+            f"w{r} AS MATERIALIZED (SELECT {_bpe_apply_round_sql(r, batch_k, 's')} AS s,"
+            f" freq FROM w{r - 1})"
+        )
+    return ",\n".join(parts)
+
+def _bpe_doc_replay_ctes(n_rounds: int, batch_k: int, carry: str) -> str:
+    """d1..dN CTEs replaying the learned batched merges over document
+    symbol strings (column s), carrying `carry` columns through."""
+    parts = []
+    for r in range(1, n_rounds + 1):
+        parts.append(
+            f"d{r} AS MATERIALIZED (SELECT {carry},"
+            f" {_bpe_apply_round_sql(r, batch_k, 's')} AS s FROM d{r - 1})"
+        )
+    return ",\n".join(parts)
+
+_BPE_ROUNDS, _BPE_BATCH_K = 3, 4
+
+_BPE_ALL_K = "\n  UNION ALL ".join(
+    [f"SELECT {r} AS rnd, pos, l, r, cnt FROM k{r}"
+     for r in range(1, _BPE_ROUNDS + 1)]
+)
+
+BPE_MERGES_SQL = f"""
+WITH {_bpe_training_ctes(_BPE_ROUNDS, _BPE_BATCH_K)},
+all_k AS (
+  {_BPE_ALL_K}
+)
+SELECT CAST(row_number() OVER (ORDER BY rnd, pos) AS INT) AS merge_round,
+       l AS left_sym, r AS right_sym, CAST(cnt AS BIGINT) AS pair_count
+FROM all_k
+"""
+
+BPE_SEGMENT_SQL = f"""
+WITH {_bpe_training_ctes(_BPE_ROUNDS, _BPE_BATCH_K)},
+d0 AS MATERIALIZED (
+  SELECT doc_id,
+         ' ' || array_to_string(list_transform(
+                  list_filter(string_split(text, ' '), x -> x <> ''),
+                  x -> array_to_string(list_transform(range(1, length(x)+1),
+                       i -> substr(x, i, 1)), ' ')), '  ') || ' ' AS s
+  FROM documents
+),
+{_bpe_doc_replay_ctes(_BPE_ROUNDS, _BPE_BATCH_K, "doc_id")}
+SELECT doc_id, CAST(len(string_split_regex(trim(s), ' +')) AS BIGINT) AS n_tokens_bpe
+FROM d{_BPE_ROUNDS}
+"""
+
+def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility report: pieces-per-word of the learned BPE, per
+    corpus source — the standard tokenizer-eval readout (a fertility far
+    above ~1.3 on a source means the vocab under-serves it; the signal a
+    pipeline uses to rebalance tokenizer training data). Pure composition
+    of the gated bpe_train/bpe_segment path plus one source-keyed agg;
+    fertility is an exact integer quotient so the oracle replays the
+    whole chain bit-for-bit."""
+    from chronographer_spark.operators.bpe import bpe_segment, bpe_train_batched, word_freqs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges, _ = bpe_train_batched(word_freqs(docs), n_rounds=3, batch_k=4)
+    seg = bpe_segment(docs, merges)
+    words = F.size(
+        F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
+    ).cast("long")
+    return (
+        seg.withColumn("n_words", words)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_tokens_bpe").alias("n_pieces"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_words",
+            "n_pieces",
+            F.expr("n_pieces * 1000000 DIV nullif(n_words, 0)").alias(
+                "fertility_x1e6"
+            ),
+        )
+    )
+
+BPE_FERTILITY_SQL = f"""
+WITH {_bpe_training_ctes(_BPE_ROUNDS, _BPE_BATCH_K)},
+d0 AS MATERIALIZED (
+  SELECT source, doc_id,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS BIGINT) AS n_words,
+         ' ' || array_to_string(list_transform(
+                  list_filter(string_split(text, ' '), x -> x <> ''),
+                  x -> array_to_string(list_transform(range(1, length(x)+1),
+                       i -> substr(x, i, 1)), ' ')), '  ') || ' ' AS s
+  FROM documents
+),
+{_bpe_doc_replay_ctes(_BPE_ROUNDS, _BPE_BATCH_K, "source, doc_id, n_words")}
+,
+seg AS (
+  SELECT source, doc_id, n_words,
+         CAST(len(string_split_regex(trim(s), ' +')) AS BIGINT) AS n_tokens_bpe
+  FROM d{_BPE_ROUNDS}
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS n_words,
+       CAST(sum(n_tokens_bpe) AS BIGINT) AS n_pieces,
+       CAST(sum(n_tokens_bpe) * 1000000 // nullif(sum(n_words), 0) AS BIGINT)
+         AS fertility_x1e6
+FROM seg GROUP BY 1
+"""
+
+def q_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture sampling (operators/sampling.py
+    budget_sample_per_source): per source keep hash-ordered documents
+    until 5000 cumulative tokens — the "N tokens per domain" primitive.
+    Spark runs the two-phase per-source prefix sum (no driver collect,
+    no single-partition window); the oracle replays the SAME pinned
+    semantics with one window per source, which is provably equal because
+    range partitioning preserves md5 order across partition ids."""
+    from chronographer_spark.operators.sampling import budget_sample_per_source
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.size(
+        F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
+    ).cast("long")
+    d = docs.select("doc_id", "source", toks.alias("n_tokens"))
+    return budget_sample_per_source(d, budget=5000)
+
+BUDGET_SAMPLE_SQL = """
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS BIGINT) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS ok
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY ok
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cum_before
+  FROM t
+)
+SELECT doc_id, source, n_tokens, cum_before FROM c WHERE cum_before < 5000
+"""
+
+# ---------------------------------------------------------------------------
+# Q: Pareto skyline of documents on (length, distinct-token count)
+# ---------------------------------------------------------------------------
+
+
+def q_skyline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents no other document beats on BOTH length and vocabulary —
+    the multi-criteria keep set; the oracle is the literal NOT-EXISTS
+    dominance definition, so the grid-pruned two-phase plan is verified
+    against brute force."""
+    from chronographer_spark.operators.sampling import skyline_2d
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.size(F.array_distinct(F.split("text", " ")))
+        .cast("long")
+        .alias("n_unique"),
+    )
+    return skyline_2d(docs, "n_chars", "n_unique", bucket_width=256).select(
+        "doc_id", "n_chars", "n_unique"
+    )
+
+SKYLINE_DOCS_SQL = """
+WITH d AS (
+  SELECT doc_id, n_chars,
+         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+           AS n_unique
+  FROM documents
+)
+SELECT r.doc_id, r.n_chars, r.n_unique FROM d r
+WHERE NOT EXISTS (
+  SELECT 1 FROM d s
+  WHERE s.n_chars >= r.n_chars AND s.n_unique >= r.n_unique
+    AND (s.n_chars > r.n_chars OR s.n_unique > r.n_unique)
+)
+"""
+
+# ---------------------------------------------------------------------------
+# Q: Z-order layout keys over document (length, vocabulary) space
+# ---------------------------------------------------------------------------
+
+
+def q_zorder_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton keys over (n_chars, distinct-token count) — the layout key
+    a 100 TB curation table would be z-ordered by so scans filtered on
+    EITHER dimension prune row groups; emitted per doc for the exact
+    cross-engine bit-arithmetic check."""
+    from chronographer_spark.operators.sampling import morton_key
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.size(F.array_distinct(F.split("text", " ")))
+        .cast("long")
+        .alias("n_unique"),
+    )
+    return morton_key(docs, "n_chars", "n_unique", bits=16).select(
+        "doc_id", "n_chars", "n_unique", "zkey"
+    )
+
+ZORDER_DOCS_SQL = f"""
+WITH d AS (
+  SELECT doc_id, n_chars,
+         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+           AS n_unique,
+         least(CAST(65535 AS BIGINT),
+               greatest(CAST(0 AS BIGINT), CAST(n_chars AS BIGINT))) AS cx,
+         least(CAST(65535 AS BIGINT), greatest(CAST(0 AS BIGINT),
+               CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)))
+           AS cy
+  FROM documents
+)
+SELECT doc_id, n_chars, n_unique,
+       CAST({" | ".join(
+           f"(((cx >> {i}) & 1) << {2 * i}) | (((cy >> {i}) & 1) << {2 * i + 1})"
+           for i in range(16)
+       )} AS BIGINT) AS zkey
+FROM d
+"""
+
+# ---------------------------------------------------------------------------
+# Q: group-aware K-fold balance + leakage report
+# ---------------------------------------------------------------------------
+
+
+def q_kfold_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold group split keyed on user_id over events: folds are a pure
+    function of the group key (md5), shares land near 200k ppm each, and
+    n_leaky is structurally zero — asserted, not assumed."""
+    from chronographer_spark.operators.sampling import kfold_report
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id")
+    return kfold_report(ev, "user_id", k=5, seed=23).select(
+        "fold", "n_rows", "n_groups", "n_leaky", "share_x1e6"
+    )
+
+KFOLD_REPORT_SQL = """
+WITH folded AS (
+  SELECT CAST(
+           CAST(concat('0x', substr(md5('23:' || CAST(user_id AS VARCHAR)),
+                1, 8)) AS BIGINT) % 5 AS INT) AS fold,
+         user_id
+  FROM events
+),
+pg AS (
+  SELECT fold, user_id, CAST(count(*) AS BIGINT) AS n_rows
+  FROM folded GROUP BY fold, user_id
+),
+span AS (
+  SELECT user_id, CAST(count(DISTINCT fold) AS BIGINT) AS nf
+  FROM pg GROUP BY user_id
+),
+tot AS (SELECT CAST(sum(n_rows) AS BIGINT) AS t FROM pg)
+SELECT pg.fold,
+       CAST(sum(pg.n_rows) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(CASE WHEN span.nf > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_leaky,
+       CAST(sum(pg.n_rows) * 1000000 // max(tot.t) AS BIGINT) AS share_x1e6
+FROM pg JOIN span USING (user_id) CROSS JOIN tot
+GROUP BY pg.fold
+"""
+
+# ---------------------------------------------------------------------------
+# Q: brand co-purchase lift over order baskets
+# ---------------------------------------------------------------------------
+
+
+def q_copurchase_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order = basket, part brand = item (25 brands keep the pair grid
+    dense enough that lift separates from 1.0); the part dimension is
+    broadcast, the pair fan is bounded by lineitems-per-order <= 7."""
+    from chronographer_spark.operators.baskets import copurchase_lift
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    b = li.join(
+        F.broadcast(part), li["l_partkey"] == part["p_partkey"]
+    ).select(
+        F.col("l_orderkey").alias("basket_id"), F.col("p_brand").alias("item")
+    )
+    return copurchase_lift(b, min_pairs=5).select(
+        "item_a", "item_b", "n_pairs", "n_a", "n_b", "n_baskets", "lift_x1e6"
+    )
+
+COPURCHASE_BRANDS_SQL = """
+WITH b AS (
+  SELECT DISTINCT l_orderkey AS bsk, p_brand AS item
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+marg AS (SELECT item, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY item),
+tot AS (SELECT CAST(count(DISTINCT bsk) AS BIGINT) AS nb FROM b),
+pairs AS (
+  SELECT a.item AS item_a, c.item AS item_b,
+         CAST(count(*) AS BIGINT) AS n_pairs
+  FROM b a JOIN b c ON a.bsk = c.bsk AND a.item < c.item
+  GROUP BY 1, 2 HAVING count(*) >= 5
+)
+SELECT item_a, item_b, n_pairs, ma.n AS n_a, mb.n AS n_b,
+       tot.nb AS n_baskets,
+       CAST(((n_pairs * 1000000) // ma.n) * tot.nb // mb.n AS BIGINT)
+         AS lift_x1e6
+FROM pairs
+JOIN marg ma ON ma.item = item_a
+JOIN marg mb ON mb.item = item_b
+CROSS JOIN tot
+"""
+
+# ---------------------------------------------------------------------------
+# Q: frequent sequential patterns over per-conversation tool calls
+# ---------------------------------------------------------------------------
+
+
+def q_frequent_subseqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_support=10 prunes real patterns at sf0.001 (15 conversations)
+    and keeps the 5-tool vocabulary fan-out bounded at any scale."""
+    from chronographer_spark.operators.sequence import frequent_subsequences
+
+    tx = transcripts_from_events(spark, sf_dir)
+    return frequent_subsequences(
+        tx, seq_col="conv_id", order_col="turn_idx", item_col="tool",
+        min_support=10, max_len=3,
+    ).select("pattern", "length", "support")
+
+# Oracle: brute-force position-level joins. Anti-monotonicity makes the
+# unpruned brute force return exactly the frequent sets the levelwise
+# Spark miner emits.
+FREQUENT_SUBSEQS_SQL = f"""
+{TX_SQL},
+calls AS (
+  SELECT conv_id AS seq, turn_idx AS pos, tool AS item
+  FROM tx WHERE tool <> ''
+),
+l1 AS (
+  SELECT item AS pattern, 1 AS length,
+         CAST(count(DISTINCT seq) AS BIGINT) AS support
+  FROM calls GROUP BY item HAVING count(DISTINCT seq) >= 10
+),
+l2 AS (
+  SELECT a.item || '>' || b.item AS pattern, 2 AS length,
+         CAST(count(DISTINCT a.seq) AS BIGINT) AS support
+  FROM calls a JOIN calls b ON a.seq = b.seq AND a.pos < b.pos
+  GROUP BY a.item, b.item HAVING count(DISTINCT a.seq) >= 10
+),
+l3 AS (
+  SELECT a.item || '>' || b.item || '>' || c.item AS pattern, 3 AS length,
+         CAST(count(DISTINCT a.seq) AS BIGINT) AS support
+  FROM calls a
+  JOIN calls b ON a.seq = b.seq AND a.pos < b.pos
+  JOIN calls c ON b.seq = c.seq AND b.pos < c.pos
+  GROUP BY a.item, b.item, c.item HAVING count(DISTINCT a.seq) >= 10
+)
+SELECT pattern, CAST(length AS INT) AS length, support FROM l1
+UNION ALL SELECT pattern, CAST(length AS INT), support FROM l2
+UNION ALL SELECT pattern, CAST(length AS INT), support FROM l3
+"""
+
+# ---------------------------------------------------------------------------
+# Q: consecutive temporal 3-motif census per user
+# ---------------------------------------------------------------------------
+
+
+def q_temporal_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which ordered event-type triples actually occur back-to-back
+    (within 1 day, per user), and how often — the behavioral-pattern
+    census beside funnel_3step's single-pattern matcher."""
+    from chronographer_spark.operators.sequence import temporal_motifs
+
+    ev = _t(spark, sf_dir, "events")
+    return temporal_motifs(ev, within_seconds=86400)
+
+TEMPORAL_MOTIFS_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type AS t0,
+         lead(event_type, 1) OVER w AS t1,
+         lead(event_type, 2) OVER w AS t2,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s0,
+         CAST(floor(epoch(lead(ts, 2) OVER w)) AS BIGINT) AS s2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT t0, t1, t2, CAST(count(*) AS BIGINT) AS n
+FROM seq
+WHERE t2 IS NOT NULL AND s2 - s0 <= 86400
+GROUP BY t0, t1, t2
+"""
+
+# ---------------------------------------------------------------------------
+# Q: funnel conversion + latency report (signup -> click -> purchase)
+# ---------------------------------------------------------------------------
+
+
+def q_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Step-level conversion funnel with exact median step latencies over
+    the funnel_3step pattern — the dashboard readout derived from the
+    same matcher the CEP gate verifies."""
+    from chronographer_spark.operators.sequence import funnel_report
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_report(
+        ev,
+        ["signup", "click", "purchase"],
+        on=["user_id"],
+        within_seconds=604800,
+    )
+
+FUNNEL_REPORT_SQL = """
+WITH b AS (
+  SELECT user_id, event_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s
+  FROM events
+),
+s0 AS (
+  SELECT user_id, event_id AS id_0, s AS s_0 FROM b
+  WHERE event_type = 'signup'
+),
+m1 AS (
+  SELECT s0.user_id, s0.id_0, s0.s_0, b.event_id AS id_1, b.s AS s_1
+  FROM s0 JOIN b ON b.user_id = s0.user_id AND b.event_type = 'click'
+   AND b.s > s0.s_0 AND b.s <= s0.s_0 + 604800
+  QUALIFY row_number() OVER (PARTITION BY s0.user_id, s0.id_0
+                             ORDER BY b.s ASC, b.event_id ASC) = 1
+),
+m2 AS (
+  SELECT m1.user_id, m1.id_0, m1.s_0, m1.id_1, m1.s_1,
+         b.event_id AS id_2, b.s AS s_2
+  FROM m1 JOIN b ON b.user_id = m1.user_id AND b.event_type = 'purchase'
+   AND b.s > m1.s_1 AND b.s <= m1.s_0 + 604800
+  QUALIFY row_number() OVER (PARTITION BY m1.user_id, m1.id_0, m1.id_1
+                             ORDER BY b.s ASC, b.event_id ASC) = 1
+),
+c0 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s0),
+c1 AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(coalesce(median(s_1 - s_0) * 2, 0) AS BIGINT) AS med2
+  FROM m1
+),
+c2 AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(coalesce(median(s_2 - s_0) * 2, 0) AS BIGINT) AS med2
+  FROM m2
+)
+SELECT CAST(0 AS BIGINT) AS step_idx, 'signup' AS step, c0.n AS n_matched,
+       CAST(1000000 AS BIGINT) AS conv_from_prev_x1e6,
+       CAST(0 AS BIGINT) AS med2_from_anchor_s
+FROM c0
+UNION ALL
+SELECT 1, 'click', c1.n,
+       CAST(c1.n * 1000000 // greatest(c0.n, 1) AS BIGINT), c1.med2
+FROM c0, c1
+UNION ALL
+SELECT 2, 'purchase', c2.n,
+       CAST(c2.n * 1000000 // greatest(c1.n, 1) AS BIGINT), c2.med2
+FROM c1, c2
+"""
+
+# ---------------------------------------------------------------------------
+# Q: Poisson-bootstrap CI for the per-type mean value
+# ---------------------------------------------------------------------------
+
+
+def q_bootstrap_value_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson-bootstrap 95% CI for the mean event value
+    per type (B = 40 resamples, md5-hash multiplicities, exact staged
+    integer resample means, order-statistic interval) — the uncertainty
+    companion to the robust location family."""
+    from chronographer_spark.operators.sampling import bootstrap_mean_ci
+
+    ev = _t(spark, sf_dir, "events")
+    return bootstrap_mean_ci(
+        ev, key="event_type", value_col="value", id_col="event_id", b=40
+    )
+
+BOOTSTRAP_VALUE_CI_SQL = """
+WITH rows_t AS (
+  SELECT event_type,
+         CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT) AS v,
+         CAST(event_id AS VARCHAR) AS id
+  FROM events
+),
+fan AS (
+  SELECT r.event_type, r.v, r.id, b.b
+  FROM rows_t r CROSS JOIN (SELECT unnest(range(40)) AS b) b
+),
+wt AS (
+  SELECT event_type, b, v,
+         (CASE WHEN u >= 367879 THEN 1 ELSE 0 END)
+       + (CASE WHEN u >= 735759 THEN 1 ELSE 0 END)
+       + (CASE WHEN u >= 919699 THEN 1 ELSE 0 END)
+       + (CASE WHEN u >= 981012 THEN 1 ELSE 0 END)
+       + (CASE WHEN u >= 996340 THEN 1 ELSE 0 END)
+       + (CASE WHEN u >= 999406 THEN 1 ELSE 0 END)
+       + (CASE WHEN u >= 999917 THEN 1 ELSE 0 END) AS w
+  FROM (
+    SELECT event_type, b, v,
+           CAST(concat('0x', substr(
+             md5('7:' || CAST(b AS VARCHAR) || ':' || id), 1, 8)) AS BIGINT)
+             % 1000000 AS u
+    FROM fan
+  )
+),
+per_b AS (
+  SELECT event_type, b,
+         CAST(sum(w) AS BIGINT) AS n_eff,
+         CAST(sum(w * v) AS BIGINT) AS s
+  FROM wt GROUP BY 1, 2 HAVING sum(w) > 0
+),
+means AS (
+  SELECT event_type, b,
+         CAST(s // n_eff * CAST(1000000 AS BIGINT)
+              + s % n_eff * CAST(1000000 AS BIGINT) // n_eff AS BIGINT) AS m
+  FROM per_b
+),
+ranked AS (
+  SELECT event_type, b, m,
+         row_number() OVER (PARTITION BY event_type ORDER BY m, b) AS r,
+         count(*) OVER (PARTITION BY event_type) AS cnt
+  FROM means
+),
+ci AS (
+  SELECT event_type,
+         max(CASE WHEN r = least(2, cnt) THEN m END) AS lo_x1e6,
+         max(CASE WHEN r = least(39, cnt) THEN m END) AS hi_x1e6
+  FROM ranked GROUP BY event_type
+),
+full_t AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(CAST(sum(v) AS BIGINT) // count(*) * CAST(1000000 AS BIGINT)
+              + CAST(sum(v) AS BIGINT) % count(*) * CAST(1000000 AS BIGINT)
+                // count(*) AS BIGINT) AS mean_x1e6
+  FROM rows_t GROUP BY event_type
+)
+SELECT f.event_type, n_rows, mean_x1e6, lo_x1e6, hi_x1e6
+FROM full_t f JOIN ci USING (event_type)
+"""
+
+# ---------------------------------------------------------------------------
+# Q: Kleinberg-style burst labeling of per-user activity gaps
+# ---------------------------------------------------------------------------
+
+BURST_STATES = ("calm", "burst")
+
+BURST_START = {"calm": 0, "burst": -4}
+
+BURST_TRANS = {
+    "calm": {"calm": 0, "burst": -3},
+    "burst": {"calm": -1, "burst": 0},
+}
+
+BURST_EMIT = {
+    "calm": {"fast": -3, "mid": -1, "slow": 0},
+    "burst": {"fast": 0, "mid": -2, "slow": -5},
+}
+
+def q_burst_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleinberg-style burst segmentation per user: the 2-state
+    (calm/burst) integer HMM decoded over the inter-arrival gap stream
+    (gaps banded fast <60s / mid <3600s / slow), a state-machine reuse
+    of `viterbi_decode` with a different score matrix — Kleinberg's
+    burst automaton IS this decode (enter cost = trans[calm][burst]).
+    Unlike viterbi_sessions this gate checks the FULL decoded path:
+    n_burst counts burst-labeled gaps, and the oracle replays both the
+    forward DP and the backtrace as recursive CTEs."""
+    from pyspark.sql.window import Window
+
+    from chronographer_spark.operators.sequence import viterbi_decode
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    gaps = (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.unix_timestamp("ts").cast("long").alias("sec"),
+        )
+        .select(
+            "user_id",
+            (F.col("sec") - F.lag("sec").over(w)).alias("gap"),
+            (F.row_number().over(w) - 2).cast("long").alias("gidx"),
+        )
+        .filter(F.col("gap").isNotNull())
+        .select(
+            F.col("user_id").cast("string").alias("conv_id"),
+            F.col("gidx").alias("turn_idx"),
+            F.when(F.col("gap") < 60, F.lit("fast"))
+            .when(F.col("gap") < 3600, F.lit("mid"))
+            .otherwise(F.lit("slow"))
+            .alias("obs"),
+        )
+    )
+    out = viterbi_decode(
+        gaps,
+        states=BURST_STATES,
+        start=BURST_START,
+        trans=BURST_TRANS,
+        emit=BURST_EMIT,
+    )
+    return out.select(
+        F.col("conv_id").alias("user_id"),
+        F.col("n_turns").alias("n_gaps"),
+        F.size(
+            F.filter(F.split("path", ">"), lambda x: x == F.lit("burst"))
+        )
+        .cast("long")
+        .alias("n_burst"),
+        "best_score",
+    )
+
+BURST_SESSIONS_SQL = """
+WITH RECURSIVE seq AS (
+  SELECT user_id, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY CAST(floor(epoch(ts)) AS BIGINT),
+                                     event_id) AS rn
+  FROM events
+),
+obs AS (
+  SELECT a.user_id, CAST(a.rn - 2 AS BIGINT) AS i,
+         CASE WHEN a.sec - b.sec < 60 THEN 'fast'
+              WHEN a.sec - b.sec < 3600 THEN 'mid'
+              ELSE 'slow' END AS o
+  FROM seq a JOIN seq b
+    ON b.user_id = a.user_id AND b.rn = a.rn - 1
+),
+lastt AS (SELECT user_id, max(i) AS last FROM obs GROUP BY 1),
+ec AS (SELECT 'fast' AS o, -3 AS e UNION ALL SELECT 'mid', -1
+       UNION ALL SELECT 'slow', 0),
+eb AS (SELECT 'fast' AS o, 0 AS e UNION ALL SELECT 'mid', -2
+       UNION ALL SELECT 'slow', -5),
+v(user_id, i, vc, vb, bkc, bkb) AS (
+  SELECT obs.user_id, obs.i, 0 + ec.e, -4 + eb.e,
+         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+  FROM obs JOIN ec USING (o) JOIN eb USING (o)
+  WHERE obs.i = 0
+  UNION ALL
+  SELECT o.user_id, o.i,
+         greatest(v.vc + 0, v.vb + (-1)) + ec.e,
+         greatest(v.vc + (-3), v.vb + 0) + eb.e,
+         CASE WHEN v.vc + 0 >= v.vb + (-1) THEN 'calm' ELSE 'burst' END,
+         CASE WHEN v.vc + (-3) >= v.vb + 0 THEN 'calm' ELSE 'burst' END
+  FROM v
+  JOIN obs o ON o.user_id = v.user_id AND o.i = v.i + 1
+  JOIN ec USING (o) JOIN eb USING (o)
+),
+bt(user_id, i, st) AS (
+  SELECT v.user_id, v.i,
+         CASE WHEN vc >= vb THEN 'calm' ELSE 'burst' END
+  FROM v JOIN lastt l ON l.user_id = v.user_id AND v.i = l.last
+  UNION ALL
+  SELECT bt.user_id, bt.i - 1,
+         CASE bt.st WHEN 'calm' THEN v.bkc ELSE v.bkb END
+  FROM bt JOIN v ON v.user_id = bt.user_id AND v.i = bt.i
+  WHERE bt.i >= 1
+),
+score AS (
+  SELECT v.user_id, CAST(l.last + 1 AS BIGINT) AS n_gaps,
+         CAST(greatest(vc, vb) AS BIGINT) AS best_score
+  FROM v JOIN lastt l ON l.user_id = v.user_id AND v.i = l.last
+)
+SELECT CAST(s.user_id AS VARCHAR) AS user_id, s.n_gaps,
+       CAST(count(*) FILTER (WHERE bt.st = 'burst') AS BIGINT) AS n_burst,
+       s.best_score
+FROM score s JOIN bt ON bt.user_id = s.user_id
+GROUP BY 1, 2, 4
+"""
+
+# ---------------------------------------------------------------------------
+# Q: max-weight non-overlapping session windows per user (weighted
+#    interval scheduling)
+# ---------------------------------------------------------------------------
+
+
+def q_wis_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted interval scheduling over per-user 1-hour windows: each
+    event opens [sec, sec+3600) weighted by its value in cents; the DP
+    picks the max-total non-overlapping subset — the "most valuable
+    non-overlapping hours" curation readout. The oracle replays the
+    exact DP by carrying the whole dp table as a LIST inside a
+    recursive CTE (dp[p(i)] needs random access, so a scalar column
+    can't carry it)."""
+    from chronographer_spark.operators.sequence import weighted_interval_schedule
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").cast("long").alias("s"),
+        (F.unix_timestamp("ts").cast("long") + 3600).alias("e"),
+        F.floor(F.col("value").cast("double") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("w"),
+    )
+    return weighted_interval_schedule(
+        ev, key="user_id", start_col="s", end_col="e",
+        weight_col="w", id_col="event_id",
+    )
+
+WIS_SESSIONS_SQL = """
+WITH RECURSIVE iv AS (
+  SELECT CAST(user_id AS VARCHAR) AS user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         CAST(floor(epoch(ts)) AS BIGINT) + 3600 AS e,
+         CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT) AS w,
+         event_id,
+         row_number() OVER (
+           PARTITION BY user_id
+           ORDER BY CAST(floor(epoch(ts)) AS BIGINT) + 3600,
+                    CAST(floor(epoch(ts)) AS BIGINT), event_id
+         ) AS rn
+  FROM events
+),
+pidx AS (
+  SELECT a.user_id, a.rn, a.w,
+         CAST((SELECT count(*) FROM iv b
+               WHERE b.user_id = a.user_id AND b.e <= a.s) AS BIGINT) AS p
+  FROM iv a
+),
+nper AS (SELECT user_id, max(rn) AS n FROM iv GROUP BY 1),
+dp(user_id, i, hist) AS (
+  SELECT user_id, 0, [CAST(0 AS BIGINT)] FROM nper
+  UNION ALL
+  SELECT d.user_id, d.i + 1,
+         list_append(
+           d.hist,
+           greatest(d.hist[d.i + 1], x.w + d.hist[CAST(x.p AS INTEGER) + 1])
+         )
+  FROM dp d JOIN pidx x ON x.user_id = d.user_id AND x.rn = d.i + 1
+)
+SELECT d.user_id, CAST(n.n AS BIGINT) AS n_intervals,
+       CAST(d.hist[CAST(n.n AS INTEGER) + 1] AS BIGINT) AS best_total
+FROM dp d JOIN nper n ON n.user_id = d.user_id AND d.i = n.n
+"""
+
+# ---------------------------------------------------------------------------
+# Q: longest increasing value run per user
+# ---------------------------------------------------------------------------
+
+
+def q_lis_value_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest strictly-increasing subsequence of value cents per user
+    over event order — the monotone-engagement readout; random-ish
+    values give the ~2·sqrt(n) Ulam-Hammersley baseline, so the lengths
+    are a real distribution, not a constant."""
+    from pyspark.sql.window import Window
+
+    from chronographer_spark.operators.sequence import lis_length
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    rows = ev.select(
+        "user_id",
+        F.row_number().over(w).cast("long").alias("i"),
+        F.floor(F.col("value").cast("double") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("v"),
+    )
+    return lis_length(rows, key="user_id", idx="i", val="v")
+
+LIS_VALUE_RUNS_SQL = """
+WITH RECURSIVE rows_t AS (
+  SELECT CAST(user_id AS VARCHAR) AS user_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS i,
+         CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT) AS v
+  FROM events
+),
+nper AS (SELECT user_id, max(i) AS n FROM rows_t GROUP BY 1),
+pat(user_id, i, tails) AS (
+  SELECT user_id, CAST(0 AS BIGINT), CAST([] AS BIGINT[]) FROM nper
+  UNION ALL
+  SELECT p.user_id, p.i + 1,
+         CASE WHEN len(list_filter(p.tails, t -> t < r.v)) = len(p.tails)
+              THEN list_append(p.tails, r.v)
+              ELSE list_slice(p.tails, 1,
+                              len(list_filter(p.tails, t -> t < r.v)))
+                   || [r.v]
+                   || list_slice(p.tails,
+                                 len(list_filter(p.tails, t -> t < r.v)) + 2,
+                                 len(p.tails))
+         END
+  FROM pat p JOIN rows_t r ON r.user_id = p.user_id AND r.i = p.i + 1
+)
+SELECT p.user_id, CAST(n.n AS BIGINT) AS n_turns,
+       CAST(len(p.tails) AS BIGINT) AS lis_len
+FROM pat p JOIN nper n ON n.user_id = p.user_id AND p.i = n.n
+"""
+
+# ---------------------------------------------------------------------------
+# Q: deterministic class rebalancing of event types
+# ---------------------------------------------------------------------------
+
+
+def q_rebalance_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class distribution after deterministic oversampling of event
+    types to the majority class: the Spark side MATERIALIZES the
+    replicas through rebalance_classes and counts them, the oracle
+    computes the same counts in closed form (n·⌊w/1e6⌋ + |{hash frac
+    draws under w%1e6}|) — so the gate checks the operator's actual
+    explode output, not just its arithmetic."""
+    from chronographer_spark.operators.sampling import rebalance_classes
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("label"), F.col("event_id").alias("id")
+    )
+    out = rebalance_classes(ev, class_col="label", id_col="id")
+    return (
+        out.groupBy("label")
+        .agg(
+            F.sum((F.col("replica_idx") == 0).cast("long"))
+            .cast("long")
+            .alias("n_before"),
+            F.count(F.lit(1)).cast("long").alias("n_after"),
+        )
+    )
+
+REBALANCE_TYPES_SQL = """
+WITH counts AS (
+  SELECT event_type AS label, CAST(count(*) AS BIGINT) AS n FROM events
+  GROUP BY 1
+),
+w AS (
+  SELECT label, n,
+         (SELECT max(n) FROM counts) * CAST(1000000 AS BIGINT) // n AS w
+  FROM counts
+),
+fracs AS (
+  SELECT e.event_type AS label,
+         CASE WHEN CAST(concat('0x',
+                   substr(md5('rb:' || CAST(e.event_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 1000000
+                  < w.w % 1000000
+              THEN 1 ELSE 0 END AS extra
+  FROM events e JOIN w ON w.label = e.event_type
+)
+SELECT w.label, w.n AS n_before,
+       CAST(w.n * (w.w // 1000000) + sum(f.extra) AS BIGINT) AS n_after
+FROM w JOIN fracs f ON f.label = w.label
+GROUP BY 1, 2, w.w
+"""
+
+def q_dsir_bucket_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Xie et al. 2023) hashed-unigram importance scores: per md5
+    bucket, add-1 smoothed target/raw count ratio, log2-quantized with the
+    exact-integer msb16 device (16 sub-octave steps) — the bucket model a
+    data-selection pass broadcasts. No float log anywhere; the oracle
+    replays bin()/shift/DIV bit-for-bit."""
+    from chronographer_spark.operators.sampling import dsir_bucket_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_bucket_scores(docs, F.col("lang") == "en", n_buckets=256)
+
+def q_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR selection: score every NON-target (lang != en) document by the
+    sum of its tokens' bucket LLRs and keep the deterministic top-100 by
+    (weight desc, doc_id) — the top-k variant of DSIR's importance
+    resampling. Bucket table broadcast (<=256 rows), one map-side-combined
+    groupBy(doc), TakeOrderedAndProject: no corpus-wide sort or window."""
+    from chronographer_spark.operators.sampling import dsir_select
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_select(docs, F.col("lang") == "en", k=100, n_buckets=256)
+
+_DSIR_COMMON_SQL = """
+toks AS (
+  SELECT doc_id, (lang = 'en') AS is_t,
+         unnest(string_split(
+           regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+  FROM documents
+),
+tok2 AS (
+  SELECT doc_id, is_t,
+         CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % 256 AS bucket
+  FROM toks WHERE tok <> ''
+),
+bkt AS (
+  SELECT bucket,
+         CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+         CAST(sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS cr
+  FROM tok2 GROUP BY bucket
+),
+tot AS (
+  SELECT CAST(sum(ct) AS BIGINT) AS t_tot, CAST(sum(cr) AS BIGINT) AS r_tot
+  FROM bkt
+),
+sc AS (
+  SELECT bucket, ct, cr,
+         CAST({qn_m16} - {qd_m16} AS BIGINT) AS s16
+  FROM bkt, tot
+)
+""".format(
+    qn_m16=_duck_msb16("(ct + 1) * CAST(1048576 AS BIGINT) // (cr + 1)"),
+    qd_m16=_duck_msb16(
+        "(t_tot + 256) * CAST(1048576 AS BIGINT) // (r_tot + 256)"
+    ),
+)
+
+DSIR_BUCKET_SQL = "WITH " + _DSIR_COMMON_SQL + """
+SELECT bucket, ct, cr, s16 FROM sc
+"""
+
+DSIR_TOPK_SQL = "WITH " + _DSIR_COMMON_SQL + """,
+wgt AS (
+  SELECT r.doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+         CAST(sum(s.s16) AS BIGINT) AS w_s16
+  FROM (SELECT doc_id, bucket FROM tok2 WHERE NOT is_t) r
+  JOIN sc s USING (bucket)
+  GROUP BY r.doc_id
+)
+SELECT doc_id, n_toks, w_s16,
+       CAST(row_number() OVER (ORDER BY w_s16 DESC, doc_id ASC) AS BIGINT)
+         AS rnk
+FROM wgt
+QUALIFY rnk <= 100
+"""
+
+# ---------------------------------------------------------------------------
+# Q: incremental inverted-index maintenance -> BM25 over the merged index
+# ---------------------------------------------------------------------------
+
+
+def q_incremental_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance proven through scoring: a stored
+    index (90% of docs current + 5% STALE truncated versions) takes a
+    10%-batch upsert (merge_inverted_index: broadcast anti-join delete
+    leg + batch-only rebuild), and BM25 top-10 over the merged index
+    must equal the oracle's clean full-corpus build — df, doc-length
+    and N statistics all derive from the index, so any stale or
+    duplicated posting would shift a score."""
+    from chronographer_spark.operators.retrieval import (
+        bm25_search,
+        build_inverted_index,
+        merge_inverted_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    current = docs.filter(F.expr("doc_id % 10 != 0"))
+    stale = docs.filter(F.expr("doc_id % 20 = 0")).withColumn(
+        "text", F.substring("text", 1, 40)
+    )
+    stored = build_inverted_index(current.unionByName(stale))
+    batch = docs.filter(F.expr("doc_id % 10 = 0"))
+    merged = merge_inverted_index(stored, batch)
+    return bm25_search(merged, docs, "scan merge order", k=10)
+
+INCREMENTAL_BM25_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> '' GROUP BY doc_id, term),
+doc_len AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(DISTINCT doc_id) FROM documents) AS n,
+         floor((SELECT avg(dl) FROM doc_len) * 1000000 + 0.5) / 1000000 AS avglen
+),
+dfreq AS (
+  SELECT term, count(*) AS df FROM tf WHERE term IN ('scan', 'merge', 'order') GROUP BY term
+),
+hits AS (
+  SELECT t.doc_id, t.term, t.tf, d.df, l.dl
+  FROM tf t JOIN dfreq d USING (term) JOIN doc_len l USING (doc_id)
+  WHERE t.term IN ('scan', 'merge', 'order')
+),
+scored AS (
+  SELECT doc_id,
+         sum(
+           ln((CAST((SELECT n FROM stats) AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+           * (tf * (1.2 + 1.0))
+           / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (SELECT avglen FROM stats)))
+         ) AS score
+  FROM hits GROUP BY doc_id
+)
+SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank,
+       CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_x1e6
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+# ---------------------------------------------------------------------------
+# Q: Apriori frequent brand triples over order baskets
+# ---------------------------------------------------------------------------
+
+
+def q_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apriori level-3 itemsets over order baskets (order = basket, part
+    brand = item): candidates only from frequent pairs sharing their
+    head item with the (b,c) subset semi-checked — the pruning property
+    that keeps naive triple counting from materializing; all-confidence
+    ranks triples independent of brand popularity."""
+    from chronographer_spark.operators.baskets import frequent_triples
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    b = li.join(
+        F.broadcast(p.select("p_partkey", "p_brand")),
+        li["l_partkey"] == p["p_partkey"],
+    ).select(
+        F.col("l_orderkey").alias("basket_id"), F.col("p_brand").alias("item")
+    )
+    return frequent_triples(b, min_support=5)
+
+FREQUENT_TRIPLES_SQL = """
+WITH base AS (
+  SELECT DISTINCT l_orderkey AS bk, p_brand AS it
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+ok AS (
+  SELECT bk, it FROM base
+  WHERE bk IN (SELECT bk FROM base GROUP BY bk HAVING count(*) <= 64)
+),
+item_n AS (SELECT it, CAST(count(*) AS BIGINT) AS n_it FROM ok GROUP BY it),
+pairs AS (
+  SELECT x.bk, x.it AS a, y.it AS b
+  FROM ok x JOIN ok y ON x.bk = y.bk AND x.it < y.it
+),
+fp AS (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS n_ab
+  FROM pairs GROUP BY a, b HAVING count(*) >= 5
+),
+cand AS (
+  SELECT p.a, p.b, q.b AS c
+  FROM fp p JOIN fp q ON p.a = q.a AND p.b < q.b
+  WHERE EXISTS (SELECT 1 FROM fp z WHERE z.a = p.b AND z.b = q.b)
+),
+sup AS (
+  SELECT pr.a, pr.b, cand.c, CAST(count(*) AS BIGINT) AS support
+  FROM pairs pr
+  JOIN cand ON pr.a = cand.a AND pr.b = cand.b
+  JOIN ok oc ON oc.bk = pr.bk AND oc.it = cand.c
+  GROUP BY pr.a, pr.b, cand.c HAVING count(*) >= 5
+)
+SELECT sup.a, sup.b, sup.c, sup.support,
+       CAST(greatest(na.n_it, nb.n_it, nc.n_it) AS BIGINT) AS max_item_n,
+       CAST(sup.support * CAST(1000000 AS BIGINT)
+            // greatest(na.n_it, nb.n_it, nc.n_it) AS BIGINT)
+         AS all_conf_x1e6
+FROM sup
+JOIN item_n na ON na.it = sup.a
+JOIN item_n nb ON nb.it = sup.b
+JOIN item_n nc ON nc.it = sup.c
+"""
+
+# ---------------------------------------------------------------------------
+# Q: greedy max-coverage selection of documents by distinct 3-grams
+# ---------------------------------------------------------------------------
+
+
+def q_max_coverage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pick the 5 documents whose 3-gram sets greedily cover the most of
+    the corpus vocabulary — the diversity-selection pass where
+    top-by-length would pick near-duplicates; marginal gains are exact
+    and ties pin to the smallest doc. Oracle replays the identical
+    rounds as a recursive CTE over the picked list (same zip-unnest /
+    encoded-argmax devices as influence_seeds)."""
+    from chronographer_spark.operators.sampling import greedy_max_coverage
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
+    sh = (
+        docs.select(F.col("doc_id").alias("item"), toks.alias("__t"))
+        .filter(F.size("__t") >= 3)
+        .select(
+            "item",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(__t) - 2),"
+                    " i -> concat_ws(' ', slice(__t, i, 3)))"
+                )
+            ).alias("element"),
+        )
+    )
+    return greedy_max_coverage(sh, k=5)
+
+MAX_COVERAGE_DOCS_SQL = """
+WITH RECURSIVE sh AS MATERIALIZED (
+  SELECT DISTINCT it, el FROM (
+    SELECT doc_id AS it,
+           unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+             i -> array_to_string(t[i : i + 2], ' '))) AS el
+    FROM (SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS t
+          FROM documents)
+    WHERE len(t) >= 3
+  )
+),
+sel AS (
+  SELECT 0 AS r, CAST([] AS BIGINT[]) AS picked, CAST([] AS BIGINT[]) AS margs
+  UNION ALL
+  SELECT sel.r + 1,
+         list_append(sel.picked, cand.bi),
+         list_append(sel.margs, (cand.mk + cand.bi) // 2147483648)
+  FROM sel, LATERAL (
+    SELECT arg_max(it, key) AS bi, max(key) AS mk FROM (
+      SELECT s.it,
+             CAST(count(*) AS BIGINT) * 2147483648 - s.it AS key
+      FROM sh s
+      WHERE NOT list_contains(sel.picked, s.it)
+        AND NOT EXISTS (SELECT 1 FROM sh s2
+                        WHERE list_contains(sel.picked, s2.it)
+                          AND s2.el = s.el)
+      GROUP BY s.it
+    )
+  ) cand
+  WHERE sel.r < 5
+)
+SELECT CAST(unnest(range(1, 6)) AS BIGINT) AS rnk,
+       unnest(picked) AS item, unnest(margs) AS marginal
+FROM sel WHERE r = 5
+"""
+
+def q_ndcg_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the BM25 run for "fast join vector" judged by graded
+    term-coverage relevance (grade = distinct query terms present;
+    retrieval.ndcg_at_k): msb16-quantized integer discounts shared by
+    both engines — the discount table is part of the metric's contract,
+    so dcg/idcg/ndcg are exact integers."""
+    from chronographer_spark.operators.retrieval import bm25_search, build_inverted_index, ndcg_at_k
+
+    docs = _t(spark, sf_dir, "documents")
+    index = build_inverted_index(docs).localCheckpoint(eager=True)
+    ranked = bm25_search(index, docs, "fast join vector", k=10).select(
+        "doc_id", "rank"
+    )
+    grades = (
+        index.filter(F.col("term").isin(["fast", "join", "vector"]))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("grade"))
+    )
+    return ndcg_at_k(ranked, grades, k=10)
+
+def _ndcg_bm25_sql() -> str:
+    disc_r = _duck_msb16("r.rank + 1")
+    disc_i = _duck_msb16("rank + 1")
+    return f"""
+WITH ranked AS ({BM25_SQL}),
+toks2 AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+  FROM documents
+),
+grades AS (
+  SELECT doc_id, CAST(count(DISTINCT term) AS BIGINT) AS grade
+  FROM toks2 WHERE term IN ('fast', 'join', 'vector') GROUP BY doc_id
+),
+dcg AS (
+  SELECT CAST(sum(coalesce(g.grade, 0) * 16777216 // {disc_r}) AS BIGINT)
+           AS dcg_x
+  FROM ranked r LEFT JOIN grades g USING (doc_id)
+  WHERE r.rank <= 10
+),
+ideal AS (
+  SELECT grade, row_number() OVER (ORDER BY grade DESC, doc_id ASC) AS rank
+  FROM grades ORDER BY grade DESC, doc_id ASC LIMIT 10
+),
+idcg AS (
+  SELECT CAST(sum(grade * 16777216 // {disc_i}) AS BIGINT) AS idcg_x FROM ideal
+)
+SELECT CAST(10 AS BIGINT) AS k,
+       coalesce(dcg_x, 0) AS dcg_x,
+       coalesce(idcg_x, 0) AS idcg_x,
+       CAST(coalesce(dcg_x, 0) * 1000000
+            // greatest(coalesce(idcg_x, 0), 1) AS BIGINT) AS ndcg_x1e6
+FROM dcg, idcg
+"""
+
+NDCG_BM25_SQL = _ndcg_bm25_sql()
+
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-rank (sampling.mmr_rerank, λ=7/10) of the 20
+    longest documents: relevance = max-normalized n_chars, similarity =
+    3-gram shingle Jaccard — max_coverage's pairwise-similarity sibling,
+    oracle replayed as the same recursive-CTE greedy."""
+    from chronographer_spark.operators.sampling import mmr_rerank
+
+    docs = _t(spark, sf_dir, "documents")
+    top = (
+        docs.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .limit(20)
+        .select("doc_id", "n_chars", "text")
+        .localCheckpoint(eager=True)
+    )
+    mx = top.agg(F.max("n_chars").alias("mx"))
+    items = top.crossJoin(F.broadcast(mx)).select(
+        F.col("doc_id").alias("item"),
+        F.expr("n_chars * 1000000 DIV mx").alias("rel_x1e6"),
+    )
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
+    sh = (
+        top.select(F.col("doc_id").alias("id"), toks.alias("__t"))
+        .filter(F.size("__t") >= 3)
+        .select(
+            "id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(__t) - 2),"
+                    " i -> concat_ws(' ', slice(__t, i, 3)))"
+                )
+            ).alias("el"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        sh.alias("x")
+        .join(sh.alias("y"), "el")
+        .filter(F.col("x.id") != F.col("y.id"))
+        .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .agg(F.count(F.lit(1)).alias("ix"))
+    )
+    sims = (
+        inter.join(
+            sizes.select(F.col("id").alias("a"), F.col("sz").alias("sa")), "a"
+        )
+        .join(
+            sizes.select(F.col("id").alias("b"), F.col("sz").alias("sb")), "b"
+        )
+        .select(
+            "a", "b", F.expr("ix * 1000000 DIV (sa + sb - ix)").alias("sim_x1e6")
+        )
+    )
+    return mmr_rerank(items, sims, k=5)
+
+MMR_RERANK_SQL = """
+WITH RECURSIVE top20 AS MATERIALIZED (
+  SELECT doc_id, n_chars, text FROM documents
+  ORDER BY n_chars DESC, doc_id ASC LIMIT 20
+),
+mx AS (SELECT max(n_chars) AS mx FROM top20),
+items AS MATERIALIZED (
+  SELECT doc_id AS it, CAST(n_chars * 1000000 // mx AS BIGINT) AS rel_x
+  FROM top20, mx
+),
+sh AS MATERIALIZED (
+  SELECT DISTINCT id, el FROM (
+    SELECT doc_id AS id,
+           unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+             i -> array_to_string(t[i : i + 2], ' '))) AS el
+    FROM (SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS t
+          FROM top20)
+    WHERE len(t) >= 3
+  )
+),
+sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY id),
+sims AS MATERIALIZED (
+  SELECT x.id AS a, y.id AS b,
+         CAST(count(*) * 1000000 // (sa.sz + sb.sz - count(*)) AS BIGINT)
+           AS sim
+  FROM sh x JOIN sh y ON x.el = y.el AND x.id <> y.id
+  JOIN sizes sa ON sa.id = x.id JOIN sizes sb ON sb.id = y.id
+  GROUP BY x.id, y.id, sa.sz, sb.sz
+),
+sel AS (
+  SELECT 0 AS r, CAST([] AS BIGINT[]) AS picked, CAST([] AS BIGINT[]) AS scores
+  UNION ALL
+  SELECT sel.r + 1,
+         list_append(sel.picked, cand.bi),
+         list_append(sel.scores, (cand.mk + cand.bi) // 2147483648)
+  FROM sel, LATERAL (
+    SELECT arg_max(it, key) AS bi, max(key) AS mk FROM (
+      SELECT i.it,
+             (7 * i.rel_x
+              - 3 * coalesce(max(CASE WHEN list_contains(sel.picked, s.b)
+                                      THEN s.sim END), 0))
+               * 2147483648 - i.it AS key
+      FROM items i LEFT JOIN sims s ON s.a = i.it
+      WHERE NOT list_contains(sel.picked, i.it)
+      GROUP BY i.it, i.rel_x
+    )
+  ) cand
+  WHERE sel.r < 5
+)
+SELECT CAST(unnest(range(1, 6)) AS BIGINT) AS rnk,
+       unnest(picked) AS item,
+       unnest(list_transform(scores, s -> CAST(s // 10 AS BIGINT)))
+         AS mmr_x1e6
+FROM sel WHERE r = 5
+"""
+
+def q_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filling allocation of half the corpus token budget across
+    sources (sampling.budget_waterfill): weight = doc count, capacity =
+    source token total — closed-form saturation order, no driver loop."""
+    from chronographer_spark.operators.sampling import budget_waterfill
+
+    docs = _t(spark, sf_dir, "documents")
+    ntok = F.size(
+        F.filter(
+            F.split(
+                F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "),
+                " ",
+            ),
+            lambda t: t != F.lit(""),
+        )
+    ).cast("long")
+    srcs = docs.select("source", ntok.alias("ntok")).groupBy("source").agg(
+        F.count(F.lit(1)).alias("w"), F.sum("ntok").alias("cap")
+    )
+    total = srcs.agg(F.sum("cap")).first()[0]
+    return budget_waterfill(srcs, int(total) // 2)
+
+BUDGET_WATERFILL_SQL = """
+WITH toks AS (
+  SELECT source, CAST(len(list_filter(string_split(
+    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+    t -> t <> '')) AS BIGINT) AS ntok
+  FROM documents
+),
+srcs AS (SELECT source AS src, CAST(count(*) AS BIGINT) AS w,
+                CAST(sum(ntok) AS BIGINT) AS cap
+         FROM toks GROUP BY source),
+bb AS (SELECT CAST(sum(cap) // 2 AS BIGINT) AS b FROM srcs),
+pre AS (
+  SELECT src, w, cap,
+         CAST(coalesce(sum(cap) OVER wo, 0) AS BIGINT) AS c_prev,
+         CAST(coalesce(sum(w) OVER wo, 0) AS BIGINT) AS w_prev
+  FROM (SELECT *, cap * 1000000 // greatest(w, 1) AS ratio FROM srcs)
+  WINDOW wo AS (ORDER BY ratio, src
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+tww AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM srcs),
+flagged AS (
+  SELECT src, w, cap,
+         CASE WHEN cap * (tw - w_prev) <= (b - c_prev) * w
+              THEN 1 ELSE 0 END AS capped
+  FROM pre, tww, bb
+),
+sat AS (SELECT CAST(coalesce(sum(CASE WHEN capped = 1 THEN cap END), 0)
+               AS BIGINT) AS sc,
+               CAST(coalesce(sum(CASE WHEN capped = 1 THEN w END), 0)
+               AS BIGINT) AS sw
+        FROM flagged),
+alloc AS (
+  SELECT src, w, cap, capped,
+         CAST(CASE WHEN capped = 1 THEN cap
+              WHEN tw - sw <= 0 THEN 0
+              ELSE greatest(b - sc, 0) * w // (tw - sw) END AS BIGINT)
+           AS alloc
+  FROM flagged, sat, tww, bb
+),
+lo AS (SELECT CAST((SELECT b FROM bb) - sum(alloc) AS BIGINT) AS leftover
+       FROM alloc)
+SELECT src AS source, w, cap, alloc, CAST(capped AS BIGINT) AS capped,
+       leftover
+FROM alloc, lo
+"""
+
+# ---------------------------------------------------------------------------
+# Q: Average Precision / MAP + Kuiper two-sample
+# ---------------------------------------------------------------------------
+
+
+def q_map_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AP@10 + MAP of the BM25 run judged by phrase-match
+    pseudo-relevance (retrieval.average_precision) — the rank-weighted
+    completion of retrieval_eval's MRR/P/R."""
+    from chronographer_spark.operators.retrieval import (
+        average_precision,
+        bm25_search,
+        build_inverted_index,
+        phrase_search,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    index = build_inverted_index(docs).localCheckpoint(eager=True)
+    ranked = bm25_search(index, docs, "fast join vector", k=10).withColumn(
+        "query_id", F.lit("q_fast_join_vector")
+    )
+    labels = phrase_search(index, "fast join").withColumn(
+        "query_id", F.lit("q_fast_join_vector")
+    )
+    return average_precision(ranked, labels, k=10)
+
+MAP_BM25_SQL = f"""
+WITH ranked AS ({BM25_SQL}),
+ptoks AS (
+  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos
+  FROM (SELECT doc_id, string_split_regex(lower(text), '[^a-z]+') AS l
+        FROM documents)
+),
+p0 AS (SELECT doc_id, pos FROM ptoks WHERE term = 'fast'),
+p1 AS (SELECT doc_id, pos FROM ptoks WHERE term = 'join'),
+labels AS (
+  SELECT DISTINCT p0.doc_id
+  FROM p0 JOIN p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
+),
+nrel AS (SELECT CAST(count(*) AS BIGINT) AS n_rel FROM labels),
+hits AS (
+  SELECT r.rank, CASE WHEN l.doc_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+  FROM ranked r LEFT JOIN labels l ON l.doc_id = r.doc_id
+  WHERE r.rank <= 10
+),
+terms AS (
+  SELECT rel, rank,
+         sum(rel) OVER (ORDER BY rank
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM hits
+),
+ap AS (
+  SELECT CAST(CASE WHEN (SELECT n_rel FROM nrel) = 0 THEN 0 ELSE
+    sum(CASE WHEN rel = 1 THEN cum * 1000000 // rank ELSE 0 END)
+    // least((SELECT n_rel FROM nrel), 10) END AS BIGINT) AS ap_x1e6
+  FROM terms
+)
+SELECT 'q_fast_join_vector' AS query_id,
+       (SELECT n_rel FROM nrel) AS n_rel, ap_x1e6 FROM ap
+UNION ALL
+SELECT '__map__', (SELECT n_rel FROM nrel), ap_x1e6 FROM ap
+"""
+
+# ---------------------------------------------------------------------------
+# Q: Rank-Biased Precision (bit-shift weights) + Simpson diversity
+# ---------------------------------------------------------------------------
+
+
+def q_rbp_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RBP at p=1/2 of the BM25 run (retrieval.rank_biased_precision):
+    geometric user-model weights as EXACT bit shifts — no quantized log
+    anywhere; residual emitted per the metric's definition."""
+    from chronographer_spark.operators.retrieval import (
+        bm25_search,
+        build_inverted_index,
+        phrase_search,
+        rank_biased_precision,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    index = build_inverted_index(docs).localCheckpoint(eager=True)
+    ranked = bm25_search(index, docs, "fast join vector", k=10).withColumn(
+        "query_id", F.lit("q_fast_join_vector")
+    )
+    labels = phrase_search(index, "fast join").withColumn(
+        "query_id", F.lit("q_fast_join_vector")
+    )
+    return rank_biased_precision(ranked, labels, k=10)
+
+RBP_BM25_SQL = f"""
+WITH ranked AS ({BM25_SQL}),
+ptoks AS (
+  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos
+  FROM (SELECT doc_id, string_split_regex(lower(text), '[^a-z]+') AS l
+        FROM documents)
+),
+p0 AS (SELECT doc_id, pos FROM ptoks WHERE term = 'fast'),
+p1 AS (SELECT doc_id, pos FROM ptoks WHERE term = 'join'),
+labels AS (
+  SELECT DISTINCT p0.doc_id
+  FROM p0 JOIN p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
+),
+hits AS (
+  SELECT r.rank, CASE WHEN l.doc_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+  FROM ranked r LEFT JOIN labels l ON l.doc_id = r.doc_id
+  WHERE r.rank <= 10
+),
+per AS (
+  SELECT CAST(sum(rel) AS BIGINT) AS n_hits,
+         CAST(sum(rel * (1000000 // (CAST(1 AS BIGINT) << rank)))
+           AS BIGINT) AS rbp_x1e6
+  FROM hits
+)
+SELECT 'q_fast_join_vector' AS query_id, n_hits, rbp_x1e6,
+       CAST(976 AS BIGINT) AS residual_x1e6
+FROM per
+UNION ALL
+SELECT '__mean__', n_hits, rbp_x1e6, CAST(976 AS BIGINT) FROM per
+"""
+
+QUERIES = {
+    "rbp_bm25": q_rbp_bm25,
+    "map_bm25": q_map_bm25,
+    "budget_waterfill": q_budget_waterfill,
+    "mmr_rerank_docs": q_mmr_rerank,
+    "ndcg_bm25": q_ndcg_bm25,
+    "max_coverage_docs": q_max_coverage_docs,
+    "frequent_triples": q_frequent_triples,
+    "incremental_bm25": q_incremental_bm25,
+    "phrase_search_docs": q_phrase_search,
+    "bm25_topk": q_bm25_topk,
+    "multimodal_features": q_multimodal_features,
+    "multimodal_frames": q_multimodal_frames,
+    "funnel_3step": q_funnel_3step,
+    "retrieval_eval_bm25": q_retrieval_eval,
+    "bpe_merges": q_bpe_merges,
+    "bpe_segment_counts": q_bpe_segment_counts,
+    "bpe_fertility": q_bpe_fertility,
+    "budget_sample": q_budget_sample,
+    "bm25_many": q_bm25_many,
+    "priority_sample": q_priority_sample,
+    "priority_sample_groups": q_priority_sample_groups,
+    "domain_mix_sample": q_domain_mix_sample,
+    "pack_sequences": q_pack_sequences,
+    "frequent_subseqs": q_frequent_subseqs,
+    "skyline_docs": q_skyline_docs,
+    "copurchase_brands": q_copurchase_brands,
+    "kfold_report": q_kfold_report,
+    "zorder_docs": q_zorder_docs,
+    "temporal_motifs": q_temporal_motifs,
+    "funnel_report": q_funnel_report,
+    "bootstrap_value_ci": q_bootstrap_value_ci,
+    "burst_sessions": q_burst_sessions,
+    "wis_sessions": q_wis_sessions,
+    "lis_value_runs": q_lis_value_runs,
+    "rebalance_types": q_rebalance_types,
+    "dsir_bucket_llr": q_dsir_bucket_llr,
+    "dsir_topk": q_dsir_topk,
+}
+
+ORACLE_SQL = {
+    "rbp_bm25": RBP_BM25_SQL,
+    "map_bm25": MAP_BM25_SQL,
+    "budget_waterfill": BUDGET_WATERFILL_SQL,
+    "mmr_rerank_docs": MMR_RERANK_SQL,
+    "ndcg_bm25": NDCG_BM25_SQL,
+    "max_coverage_docs": MAX_COVERAGE_DOCS_SQL,
+    "frequent_triples": FREQUENT_TRIPLES_SQL,
+    "incremental_bm25": INCREMENTAL_BM25_SQL,
+    "phrase_search_docs": PHRASE_SEARCH_SQL,
+    "bm25_topk": BM25_SQL,
+    "multimodal_features": MULTIMODAL_FEATURES_SQL,
+    "multimodal_frames": MULTIMODAL_FRAMES_SQL,
+    "funnel_3step": FUNNEL_SQL,
+    "retrieval_eval_bm25": RETRIEVAL_EVAL_SQL,
+    "bpe_merges": BPE_MERGES_SQL,
+    "bpe_segment_counts": BPE_SEGMENT_SQL,
+    "bpe_fertility": BPE_FERTILITY_SQL,
+    "budget_sample": BUDGET_SAMPLE_SQL,
+    "bm25_many": BM25_MANY_SQL,
+    "priority_sample": PRIORITY_SAMPLE_SQL,
+    "priority_sample_groups": PRIORITY_GROUP_SQL,
+    "domain_mix_sample": DOMAIN_MIX_SQL,
+    "pack_sequences": PACK_SEQUENCES_SQL,
+    "frequent_subseqs": FREQUENT_SUBSEQS_SQL,
+    "skyline_docs": SKYLINE_DOCS_SQL,
+    "copurchase_brands": COPURCHASE_BRANDS_SQL,
+    "kfold_report": KFOLD_REPORT_SQL,
+    "zorder_docs": ZORDER_DOCS_SQL,
+    "temporal_motifs": TEMPORAL_MOTIFS_SQL,
+    "funnel_report": FUNNEL_REPORT_SQL,
+    "bootstrap_value_ci": BOOTSTRAP_VALUE_CI_SQL,
+    "burst_sessions": BURST_SESSIONS_SQL,
+    "wis_sessions": WIS_SESSIONS_SQL,
+    "lis_value_runs": LIS_VALUE_RUNS_SQL,
+    "rebalance_types": REBALANCE_TYPES_SQL,
+    "dsir_bucket_llr": DSIR_BUCKET_SQL,
+    "dsir_topk": DSIR_TOPK_SQL,
+}

@@ -1992,7 +1992,12 @@ def krippendorff_alpha(
 
     Exact-integer contract: per-unit coincidence contributions are scaled
     by 6 DIV (m−1) (integer for m ∈ {2,3,4} raters per unit — more needs
-    a bigger lcm scale), so with O = 6·o the scaled coincidence matrix,
+    a bigger lcm scale). Units with m > 4 RAISE at execution time
+    (raise_error in the weight expression) instead of silently biasing
+    alpha with a truncated weight (6//4=1 vs the true 1.5 at m=5) —
+    callers with more raters per unit must pre-sample ratings down to ≤4
+    per unit or extend the lcm scale. With O = 6·o the scaled
+    coincidence matrix,
     N_c = Σ_k O_ck its marginals and n = ΣN DIV 6 the pairable-value
     count: alpha_x1e6 = 1e6 − 6·(n−1)·ΣO_off·1e6 DIV ((ΣN)² − ΣN_c²) —
     every term BIGINT, replayed bit-for-bit by the oracle's pair
@@ -2025,7 +2030,12 @@ def krippendorff_alpha(
     ).select(
         F.col("p.c").alias("c"),
         F.col("p.k").alias("k"),
-        F.expr("CAST(6 DIV (m - 1) AS BIGINT)").alias("w"),
+        F.expr(
+            "CASE WHEN m > 4 THEN CAST(raise_error('krippendorff_alpha:"
+            " unit with more than 4 ratings — the 6 DIV (m-1) coincidence"
+            " weight is inexact for m > 4; pre-sample to <=4 ratings per"
+            " unit') AS BIGINT) ELSE CAST(6 DIV (m - 1) AS BIGINT) END"
+        ).alias("w"),
     )
     occ = pairs.groupBy("c", "k").agg(F.sum("w").alias("o6")).localCheckpoint(
         eager=True

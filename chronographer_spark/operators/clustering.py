@@ -349,11 +349,17 @@ def clustering_agreement(
 
     Pair counts use s = Σ n·(n−1) DIV 2 (exact — the product is even);
     ARI cross-multiplies to integers: ari_x1e6 = 2·(C·s_ij − s_a·s_b)·1e6
-    DIV (C·(s_a+s_b) − 2·s_a·s_b) with C = n·(n−1)/2; a zero denominator
-    only happens when BOTH partitions are trivial (all-singletons or
-    one-cluster), where ARI is pinned to 1e6. Overflow bound: C·s ≤ n⁴/4
-    must stay under 2^63·1e-6 → n < ~55k rows per evaluation; past that,
-    swap the products to DECIMAL(38,0) (the 128-bit square rule).
+    DIV den with den = C·(s_a+s_b) − 2·s_a·s_b ≥ 0 and C = n·(n−1)/2; a
+    zero denominator only happens when BOTH partitions are trivial
+    (all-singletons or one-cluster), where ARI is pinned to 1e6. The
+    quartic products (C·s ≤ n⁴/4) run through DECIMAL(38,0) on Spark and
+    HUGEINT in the oracle (128-bit square rule), and the ×1e6 scaling is
+    the exact staged quotient (num DIV den)·1e6 + (num % den)·1e6 DIV den
+    — identical to the direct 128-bit value for either sign because both
+    engines truncate toward zero. Overflow bound: (num % den)·1e6 <
+    den·1e6 ≤ n⁴/4·1e6 must stay under ~1e38 → n ≤ ~4·10⁸ rows per
+    evaluation (was ~55k with BIGINT products); past that, pre-aggregate
+    to a bounded contingency input.
 
     Plan shape: ONE shuffle to the k×l contingency cells (map-side
     combined), then cell-table-sized aggregation fan (eagerly
@@ -385,18 +391,32 @@ def clustering_agreement(
         sij.crossJoin(F.broadcast(sa))
         .crossJoin(F.broadcast(sb))
         .crossJoin(F.broadcast(pur))
+        .withColumn("c2", F.expr("n * (n - 1) DIV 2"))
+        .withColumn(
+            "ari_num",
+            F.expr(
+                "2 * (CAST(c2 AS DECIMAL(38,0)) * s_ij"
+                " - CAST(s_a AS DECIMAL(38,0)) * s_b)"
+            ),
+        )
+        .withColumn(
+            "ari_den",
+            F.expr(
+                "CAST(c2 AS DECIMAL(38,0)) * (s_a + s_b)"
+                " - 2 * CAST(s_a AS DECIMAL(38,0)) * s_b"
+            ),
+        )
         .select(
             F.col("n").cast("long").alias("n"),
             F.expr("pure * 1000000 DIV n").cast("long").alias("purity_x1e6"),
             F.expr(
-                "(n * (n - 1) DIV 2 + 2 * s_ij - s_a - s_b) * 1000000"
-                " DIV greatest(n * (n - 1) DIV 2, 1)"
+                "CAST(c2 + 2 * s_ij - s_a - s_b AS DECIMAL(38,0)) * 1000000"
+                " DIV greatest(c2, 1)"
             ).cast("long").alias("rand_x1e6"),
             F.expr(
-                "CASE WHEN (n * (n - 1) DIV 2) * (s_a + s_b)"
-                " - 2 * s_a * s_b = 0 THEN 1000000 ELSE"
-                " 2 * ((n * (n - 1) DIV 2) * s_ij - s_a * s_b) * 1000000"
-                " DIV ((n * (n - 1) DIV 2) * (s_a + s_b) - 2 * s_a * s_b)"
+                "CASE WHEN ari_den = 0 THEN CAST(1000000 AS BIGINT) ELSE"
+                " (ari_num DIV ari_den) * 1000000"
+                " + ((ari_num % ari_den) * 1000000) DIV ari_den"
                 " END"
             ).cast("long").alias("ari_x1e6"),
         )

@@ -936,6 +936,7 @@ def knn_classify(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    max_broadcast_rows: int = 200_000,
 ) -> DataFrame:
     """k-NN majority-vote classification over int8-quantized embeddings
     with a PURE-INTEGER cosine ordering: within one query vector the query
@@ -950,9 +951,13 @@ def knn_classify(
     Split: `id % test_mod == 0` is the held-out test set; the rest is the
     reference set. This brute-force scorer is the exactness baseline —
     the 100 TB path swaps the crossJoin for lsh_bucket/ivf_assign
-    candidate generation (same voting tail). Test side is broadcast
-    (1/test_mod of the corpus by construction of the gated query; for a
-    large test set, flip to blocked scoring). Emits per test vector:
+    candidate generation (same voting tail). The broadcast test side
+    grows linearly with the corpus (1/test_mod of it), so it is GUARDED:
+    if the test split exceeds `max_broadcast_rows` (default 200k ≈ tens
+    of MB of quantized vectors, well under executor broadcast comfort),
+    this raises instead of silently shipping an ever-growing broadcast —
+    switch to LSH/IVF candidate generation or score in test-side blocks
+    above that (round-5 ADVICE fix). Emits per test vector:
     (vec_id, true_label, pred_label, n_votes, correct).
     """
     qz = quantize_vectors(
@@ -971,6 +976,14 @@ def knn_classify(
         F.col("vid").alias("cid"), F.col("lbl").alias("clbl"), "qvec"
     ).withColumn("cnorm", int_dot(F.col("qvec"), F.col("qvec")))
 
+    n_test = test.limit(max_broadcast_rows + 1).count()
+    if n_test > max_broadcast_rows:
+        raise ValueError(
+            f"knn_classify: test split exceeds max_broadcast_rows="
+            f"{max_broadcast_rows} (>= {n_test} rows) — the broadcast side"
+            " grows linearly with the corpus. Use lsh_bucket/ivf_assign"
+            " candidate generation or score in test-side blocks instead."
+        )
     pairs = train.crossJoin(F.broadcast(test)).withColumn(
         "d", int_dot(F.col("qvec"), F.col("tq"))
     ).withColumn(

@@ -7,11 +7,15 @@ Runs each named query (default: all) on Spark and its oracle on DuckDB over
 the same parquet tables, compares rows/columns/values, prints one line per
 query. Mirrors tests/test_oracle_queries.py's normalization.
 
---smoke runs a deterministic N-query sample (default 30) seeded by the
-current commit hash — the pre-commit mini-gate: each commit exercises a
-different registry slice, so queries outside the driver's 50-row rotation
-can't rot between full sweeps. Run it before committing registry or
-operator changes; a full sweep (no --smoke) closes each session.
+--smoke runs CORE_QUERIES (a fixed 5-query production core: flagship,
+canonicalization CC, the iterative search driver, 2-hop expansion, MinHash
+LSH) PLUS a deterministic N-query sample (default 30) seeded by the current
+commit hash — the pre-commit mini-gate: the core is exercised on EVERY
+commit (round-4 lesson: the driver's 50-row gate rotated entirely to new
+stats queries, leaving the core un-gated by the driver file), while the
+rotating sample keeps queries outside any rotation from rotting between
+full sweeps. Run it before committing registry or operator changes; a full
+sweep (no --smoke) closes each session.
 """
 
 from __future__ import annotations
@@ -24,6 +28,16 @@ import pandas as pd
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+# Always-on smoke core (round-5 judge item 5): the five production-path
+# queries every smoke run must exercise regardless of the rotating sample.
+CORE_QUERIES = [
+    "flagship_event_graph",
+    "cc_canonical",
+    "event_search_2iter",
+    "two_hop_expand",
+    "minhash_lsh_pairs",
 ]
 
 
@@ -83,8 +97,9 @@ def main() -> int:
 
     names = argv[1:] or sorted(entry_queries.QUERIES)
     if smoke and len(argv) <= 1:
-        names = _smoke_sample(names, smoke)
-        print(f"smoke sample ({len(names)} of "
+        sample = [q for q in _smoke_sample(names, smoke) if q not in CORE_QUERIES]
+        names = CORE_QUERIES + sample
+        print(f"smoke core-5 + {len(sample)} sampled (of "
               f"{len(entry_queries.QUERIES)}): {' '.join(names)}")
     con = duckdb.connect()
     for t in TABLES:

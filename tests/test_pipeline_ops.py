@@ -3485,24 +3485,53 @@ def test_validate_constraints_hand_kg(spark):
 def test_entry_queries_no_shadowed_definitions():
     """A later module-level def/const silently shadows an earlier one —
     a duplicated ORACLE *_SQL name once repointed a different query's
-    oracle (caught in-session). Parse the module and reject duplicates
-    outright."""
+    oracle (caught in-session, round 4). entry_queries is now a package
+    (round 5): scan EVERY family module for intra-module duplicates
+    (defs AND assign targets), and require cross-module disjointness of
+    registry keys (the aggregator also enforces this at import time)."""
     import ast
+    import pathlib
     from collections import Counter
 
     import chronographer_spark.entry_queries as eq
 
-    tree = ast.parse(open(eq.__file__.replace(".pyc", ".py")).read())
-    names = []
-    for node in tree.body:
-        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
-            names.append(node.name)
-        elif isinstance(node, ast.Assign):
-            for t in node.targets:
-                if isinstance(t, ast.Name):
-                    names.append(t.id)
-    dupes = [n for n, c in Counter(names).items() if c > 1]
-    assert not dupes, f"shadowed module-level definitions: {dupes}"
+    pkg = pathlib.Path(eq.__file__).parent
+    bad = {}
+    for py in sorted(pkg.glob("*.py")):
+        tree = ast.parse(py.read_text())
+        names = []
+        for node in tree.body:
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                names.append(node.name)
+            elif isinstance(node, ast.Assign):
+                for t in node.targets:
+                    if isinstance(t, ast.Name):
+                        names.append(t.id)
+        dupes = [n for n, c in Counter(names).items() if c > 1]
+        if dupes:
+            bad[py.name] = dupes
+    assert not bad, f"shadowed module-level definitions: {bad}"
+
+
+def test_entry_queries_registry_keys_pinned():
+    """Registry identity across the round-5 package split: the exact key
+    set is pinned to tests/data/registry_keys.txt. Adding a query means
+    adding its key to the pin file in the same commit; a silently lost or
+    renamed key fails here even if every surviving query stays green."""
+    import pathlib
+
+    import chronographer_spark.entry_queries as eq
+
+    pin = pathlib.Path(__file__).parent / "data" / "registry_keys.txt"
+    want = set(pin.read_text().split())
+    got = set(eq.QUERIES)
+    assert got == want, (
+        f"missing={sorted(want - got)} unexpected={sorted(got - want)}"
+    )
+    # every query with an oracle uses a key from the same set; the
+    # aggregator guarantees no cross-module collisions at import time
+    assert set(eq.ORACLE_SQL) <= got
+    assert len(eq.ORACLE_SQL) == len(got)  # full oracle coverage
 
 
 def test_pool_vectors_matches_model(spark):
@@ -7827,6 +7856,12 @@ def test_knn_classify_votes_and_tiebreak(spark):
     # split vote 1-1 at k=2 with equidistant-by-construction? use k=6: 3 vs 3
     all6 = {r.vec_id: r for r in knn_classify(df, k=6, test_mod=10).collect()}
     assert all6[10].pred_label == 3  # 3 < 7 on a 3-3 tie
+    # broadcast guard (round-5 ADVICE): an over-limit test split raises
+    # instead of silently shipping a corpus-sized broadcast
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_broadcast_rows"):
+        knn_classify(df, k=3, test_mod=10, max_broadcast_rows=1)
 
 
 def test_ndcg_at_k_python_replay(spark):
@@ -8030,6 +8065,20 @@ def test_krippendorff_alpha_hand_replay(spark):
         krippendorff_alpha(perfect, "unit", "value").collect()[0].alpha_x1e6
         == 10**6
     )
+
+
+def test_krippendorff_alpha_rejects_gt4_raters(spark):
+    """A unit with 5 ratings must RAISE (the 6 DIV (m-1) weight would be
+    silently truncated: 6//4=1 vs the true 1.5, biasing alpha) — round-5
+    ADVICE fix: fail loudly instead of biasing."""
+    import pytest as _pytest
+
+    from chronographer_spark.operators.classifier import krippendorff_alpha
+
+    rows = [(1, v) for v in ["a", "a", "b", "b", "a"]] + [(2, "a"), (2, "b")]
+    df = spark.createDataFrame(rows, ["unit", "value"])
+    with _pytest.raises(Exception, match="more than 4 ratings"):
+        krippendorff_alpha(df, "unit", "value").collect()
 
 
 def test_wilcoxon_signed_rank_hand_replay(spark):
