@@ -8067,6 +8067,39 @@ def test_krippendorff_alpha_hand_replay(spark):
     )
 
 
+def test_prefix_over_cells_two_phase_matches_window(spark):
+    """The two-phase distributed prefix (forced via threshold=1) must be
+    bit-identical to the single-partition window on a hand cell table,
+    ascending and descending, multi-column — the round-5 cell-cardinality
+    routing for the global-window stats family."""
+    from chronographer_spark.operators.classifier import _prefix_over_cells
+
+    cells = spark.createDataFrame(
+        [(v, v % 3 + 1, 10 - v) for v in range(11)], "v long, a long, b long"
+    )
+    for desc in (False, True):
+        one = {
+            r["v"]: (r["a_pre"], r["b_pre"])
+            for r in _prefix_over_cells(
+                cells, "v", ["a", "b"], descending=desc, threshold=1 << 40
+            ).collect()
+        }
+        two = {
+            r["v"]: (r["a_pre"], r["b_pre"])
+            for r in _prefix_over_cells(
+                cells, "v", ["a", "b"], descending=desc,
+                threshold=1, n_parts=4,
+            ).collect()
+        }
+        assert one == two
+        order = sorted(one, reverse=desc)
+        run_a = run_b = 0
+        for v in order:
+            run_a += v % 3 + 1
+            run_b += 10 - v
+            assert one[v] == (run_a, run_b)
+
+
 def test_krippendorff_alpha_rejects_gt4_raters(spark):
     """A unit with 5 ratings must RAISE (the 6 DIV (m-1) weight would be
     silently truncated: 6//4=1 vs the true 1.5, biasing alpha) — round-5
