@@ -1409,3 +1409,24 @@ def test_eigenvector_round_reuses_score_checkpoint(spark):
     # final round reads checkpointed RDDs, not the full 3-round lineage
     assert "Scan ExistingRDD" in plan, plan
     assert _exchanges(plan) <= 4, plan
+
+
+def test_curation_chain_tail_plan_budget(spark):
+    """The composed curation chain's post-checkpoint tail (round-5
+    headline job): DSIR scoring is the ONLY corpus-sized exchange; the
+    bucket-score table, the packing offsets and the selection attach as
+    broadcasts; the top-k is a TakeOrderedAndProject (never a global
+    sort); and the checkpoint boundaries (n-gram table, survivors, pack
+    locals) appear as ExistingRDD scans — without them the DSIR bucket
+    and scoring subtrees would each re-execute dedup + the Bloom join
+    (the minhash-bands/tf-df shared-subtree family)."""
+    from chronographer_spark.operators.curation import curation_chain
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = curation_chain(docs)
+    df.count()  # executes the chain (eager interior checkpoints)
+    plan = _plan(df)
+    assert _exchanges(plan) <= 2, plan          # scoring groupBy (+AQE slack)
+    assert plan.count("BroadcastExchange") >= 3, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("Scan ExistingRDD") >= 3, plan
