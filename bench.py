@@ -140,11 +140,16 @@ def _scaled_transcripts(spark, repl: int):
 
 def _scaled_documents(spark, repl: int):
     """Deterministically replicate the documents table `repl`x with
-    per-replica salted text and fresh doc_ids (doc_id*repl + rep keeps ids
-    unique and the doc_id%10 eval split at 10%): replicas stay DISTINCT
-    under exact dedup (a verbatim replication would collapse back to the
-    originals in stage 1 and starve every later stage — the round-3
-    replication-fixture trap, inverted). Same input for both core counts."""
+    per-replica TOKEN-LEVEL salting (every token gets an `x<rep>` suffix)
+    and fresh doc_ids (doc_id*repl + rep keeps ids unique and the
+    doc_id%10 eval split at ~10%). Token-level salting matters twice
+    over: verbatim replicas would collapse back to the originals in the
+    exact-dedup stage (the round-3 replication-fixture trap, inverted),
+    and suffix-only salting leaves replicas sharing interior 8-grams with
+    any EVAL-split replica of the same base doc, so decontamination
+    correctly drops the whole corpus and stages 4-5 measure nothing
+    (observed: selected=0). Distinct token streams keep every stage
+    loaded. Same input for both core counts."""
     from pyspark.sql import functions as F
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
@@ -154,7 +159,11 @@ def _scaled_documents(spark, repl: int):
         )
         .withColumn(
             "text",
-            F.concat(F.col("text"), F.lit(" r"), F.col("rep").cast("string")),
+            F.regexp_replace(
+                F.col("text"),
+                F.lit(r"(\S+)"),
+                F.concat(F.lit("$1x"), F.col("rep").cast("string")),
+            ),
         )
         .withColumn(
             "doc_id", F.col("doc_id") * repl + F.col("rep")

@@ -2488,7 +2488,79 @@ SELECT group_key, CAST(count(*) AS BIGINT) AS n_rows,
 FROM g GROUP BY group_key
 """
 
+
+def q_daily_append_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One daily-append step of the composed nightly job
+    (pipeline_append.py): turns with turn_idx >= 5 are the day's batch,
+    turn 4 per conversation is the checkpointed bridge tail; delta
+    triples build over (bridge + batch) ONLY (no history scan), the
+    nextEvent delta feeds incremental_components against the prior
+    history labeling (window strategy + precontraction), and the output
+    is the MERGE-sized delta emit joined with per-event delta triple
+    counts. The oracle replays the triple emission via the flagship SQL
+    restricted by the identical delta rule and labels every batch event
+    with its conversation head."""
+    from chronographer_spark.graph.materialize import build_event_graph
+    from chronographer_spark.linking.canonicalize import (
+        connected_components,
+        incremental_components,
+    )
+    from chronographer_spark.pipeline_append import (
+        NEXT_EVENT,
+        delta_triples,
+        event_uri,
+    )
+
+    tx = transcripts_from_events(spark, sf_dir).localCheckpoint(eager=True)
+    cut = 5
+    hist = tx.filter(F.col("turn_idx") < cut)
+    batch = tx.filter(F.col("turn_idx") >= cut)
+    bridge = tx.filter(F.col("turn_idx") == cut - 1)
+    delta = delta_triples(batch, bridge).localCheckpoint(eager=True)
+    edges = delta.filter(F.col("predicate") == NEXT_EVENT).select(
+        F.col("subject").alias("src"), F.col("object").alias("dst")
+    )
+    hist_graph = build_event_graph(hist)
+    hist_edges = hist_graph.filter(F.col("predicate") == NEXT_EVENT).select(
+        F.col("subject").alias("src"), F.col("object").alias("dst")
+    )
+    hist_nodes = hist.select(event_uri().alias("node")).distinct()
+    prior = connected_components(
+        hist_edges, all_nodes=hist_nodes, strategy="window", precontract=True
+    ).localCheckpoint(eager=True)
+    out = incremental_components(prior, edges, emit="delta")
+    counts = delta.groupBy("subject").agg(
+        F.count(F.lit(1)).cast("long").alias("n_out_triples")
+    )
+    return out.join(counts, out["node"] == counts["subject"]).select(
+        "node",
+        F.col("component").alias("canonical"),
+        "n_out_triples",
+    )
+
+DAILY_APPEND_STEP_SQL = (
+    "WITH g AS (" + FLAGSHIP_SQL + "),\n"
+    + "b AS (" + TX_SQL + """
+  SELECT 'ng:event/' || conv_id || '/' || CAST(turn_idx AS VARCHAR) AS node,
+         conv_id
+  FROM tx WHERE turn_idx >= 5),
+delta AS (
+  SELECT subject, predicate, object FROM g
+  WHERE subject IN (SELECT node FROM b)
+     OR (predicate IN ('sem:hasSubEvent', 'ng:nextEvent')
+         AND object IN (SELECT node FROM b))
+)
+SELECT b.node,
+       'ng:event/' || b.conv_id || '/0' AS canonical,
+       CAST(c.n AS BIGINT) AS n_out_triples
+FROM b JOIN (SELECT subject, count(*) AS n FROM delta GROUP BY subject) c
+  ON c.subject = b.node
+"""
+)
+
+
 QUERIES = {
+    "daily_append_step": q_daily_append_step,
     "k_anonymity_docs": q_k_anonymity_docs,
     "dq_suite": q_dq_suite,
     "dq_referential": q_dq_referential,
@@ -2556,6 +2628,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "daily_append_step": DAILY_APPEND_STEP_SQL,
     "k_anonymity_docs": K_ANONYMITY_DOCS_SQL,
     "dq_suite": DQ_SUITE_SQL,
     "dq_referential": DQ_REFERENTIAL_SQL,

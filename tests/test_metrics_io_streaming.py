@@ -1057,3 +1057,79 @@ def test_incremental_ks_stream_matches_batch(spark, tmp_path):
     import glob as _g
 
     assert len(_g.glob(f"{frag_dir}/frag=*")) == 3
+
+
+def test_daily_append_composition(spark, tmp_path):
+    """The composed nightly job (pipeline_append.daily_append): day-1
+    cold bootstrap, day-2 incremental append (new turns on an existing
+    conversation, a brand-new conversation, and a 1-turn isolated
+    conversation). After both days the labels table must be BIT-IDENTICAL
+    to a cold CC over the full order graph; day-2 must warm-start; a
+    re-run of day 2 with the same run_id must be idempotent on
+    triples/edges/labels (MERGE semantics, not blind append)."""
+    import pyspark.sql.functions as F
+
+    from chronographer_spark.io.catalog import Catalog
+    from chronographer_spark.linking.canonicalize import connected_components
+    from chronographer_spark.pipeline_append import daily_append, delta_triples
+
+    def tx(rows):
+        return spark.createDataFrame(
+            [
+                (c, t, ["user", "assistant", "tool"][t % 3],
+                 f"event login with value {10 + t} recorded on 2024-01-0{1 + t % 7}",
+                 "login" if t % 3 == 2 else "", None)
+                for c, t in rows
+            ],
+            "conv_id string, turn_idx int, role string, text string,"
+            " tool string, ts timestamp",
+        )
+
+    day1 = tx([("convA", t) for t in range(6)] + [("convB", t) for t in range(5)])
+    empty = day1.limit(0)
+    cat = Catalog(spark, str(tmp_path / "store"))
+
+    s1 = daily_append(cat, day1, empty, "day1", pr_iterations=8, pr_tol=None)
+    assert not s1["warm_start"]
+
+    day2 = tx([("convA", 6), ("convA", 7), ("convC", 0), ("convC", 1), ("convD", 0)])
+    bridge = tx([("convA", 5)])
+    s2 = daily_append(cat, day2, bridge, "day2", pr_iterations=8, pr_tol=None)
+    assert s2["warm_start"]
+    assert s2["n_label_upserts"] == 5  # 2 convA + 2 convC + 1 isolated convD
+
+    # labels == cold CC over the full order graph
+    full_edges = cat.read("triples").filter(
+        F.col("predicate") == "ng:nextEvent"
+    ).select(F.col("subject").alias("src"), F.col("object").alias("dst"))
+    all_nodes = (
+        cat.read("event_components").select("node").distinct()
+    )
+    cold = connected_components(full_edges, all_nodes=all_nodes)
+    got = {
+        (r["node"], r["component"])
+        for r in cat.read("event_components").select("node", "component").collect()
+    }
+    want = {(r["node"], r["component"]) for r in cold.collect()}
+    assert got == want
+    assert ("ng:event/convA/7", "ng:event/convA/0") in got  # bridged to history
+    assert ("ng:event/convD/0", "ng:event/convD/0") in got  # isolated self-label
+
+    # delta contract: day-2 triples = batch subjects + conv links + bridge edge
+    d2 = delta_triples(day2, bridge)
+    preds = {(r["subject"], r["predicate"]) for r in d2.collect()}
+    assert ("ng:event/convA/5", "ng:event") not in preds
+    assert ("ng:event/convA/5", "ng:nextEvent") in preds  # ONLY the bridge edge
+    assert not any(s == "ng:event/convA/5" and p != "ng:nextEvent" for s, p in preds)
+
+    # idempotent re-run: same run_id, same content
+    before = {
+        t: sorted(map(tuple, cat.read(t).drop("lineage_ts").collect()))
+        for t in ("triples", "order_edges", "event_components")
+    }
+    daily_append(cat, day2, bridge, "day2", pr_iterations=8, pr_tol=None)
+    after = {
+        t: sorted(map(tuple, cat.read(t).drop("lineage_ts").collect()))
+        for t in ("triples", "order_edges", "event_components")
+    }
+    assert before == after
