@@ -1985,8 +1985,8 @@ SELECT '__mean__', n_hits, rbp_x1e6, CAST(976 AS BIGINT) FROM per
 
 def q_curation_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed five-stage curation chain (operators/curation.py
-    curation_chain): exact dedup -> 8-gram Bloom decontamination vs the
-    doc_id%10 eval split -> >=8-token quality filter -> DSIR top-500
+    curation_chain): exact dedup -> adaptively-sized 8-gram Bloom
+    decontamination vs the doc_id%10 eval split -> >=8-token quality filter -> DSIR top-500
     toward the lang='en' target -> 512-token sequence packing. One
     registry entry for the whole flow a training-data team ships; the
     oracle replays every stage in one CTE chain (round-5 judge item 4).
@@ -2023,11 +2023,16 @@ grams AS (
            i -> list_aggregate(ts[i-7:i], 'string_agg', ' '))) AS bigram
   FROM toksb WHERE len(ts) >= 8
 ),
-ev AS (SELECT DISTINCT bigram FROM grams WHERE doc_id % 10 = 0),
+ev AS MATERIALIZED (SELECT DISTINCT bigram FROM grams WHERE doc_id % 10 = 0),
+msel AS MATERIALIZED (
+  SELECT greatest(65536, 1 << length(bin(
+           CAST(greatest(16 * count(*) - 1, 1) AS BIGINT)))) AS m
+  FROM ev
+),
 bits AS (
   SELECT DISTINCT
     CAST(concat('0x', substr(md5(CAST(j AS VARCHAR) || ':' || bigram), 1, 8))
-         AS BIGINT) % 65536 AS bit
+         AS BIGINT) % (SELECT m FROM msel) AS bit
   FROM (SELECT bigram, unnest(range(0, 3)) AS j FROM ev)
 ),
 tr_grams AS (
@@ -2039,7 +2044,7 @@ cand AS (SELECT DISTINCT bigram FROM tr_grams),
 probes AS (
   SELECT bigram, j,
     CAST(concat('0x', substr(md5(CAST(j AS VARCHAR) || ':' || bigram), 1, 8))
-         AS BIGINT) % 65536 AS bit
+         AS BIGINT) % (SELECT m FROM msel) AS bit
   FROM (SELECT bigram, unnest(range(0, 3)) AS j FROM cand)
 ),
 maybe AS (

@@ -32,7 +32,7 @@ def curation_chain(
     k: int = 500,
     budget: int = 512,
     n_buckets: int = 256,
-    m_bits: int = 65536,
+    m_bits: int | None = None,
     k_hashes: int = 3,
     ngram_n: int = 8,
 ) -> DataFrame:
@@ -51,7 +51,16 @@ def curation_chain(
        100 TB). A training doc is dropped when >= 1/contam_den of its
        distinct n-grams cannot be ruled out (one-sided: true
        contamination always counts, plus replayable false positives).
-       Docs with < ngram_n tokens carry no evidence and pass.
+       Docs with < ngram_n tokens carry no evidence and pass. The
+       filter is SIZED FROM THE DATA unless m_bits is forced:
+       m = max(65536, ceil_pow2(16·n_eval_grams)) — FP ≈ 0.5% at k=3.
+       Found by the N->4N scaling soak: a fixed 65536-bit filter
+       saturates at ~1M eval grams (every bit set, every doc flagged,
+       zero survivors); the oracle replays the same computed m, so the
+       adaptive size is part of the cross-engine contract. The set-bit
+       table stays <= 3·n_eval rows (broadcast); a benchmark/eval split
+       is corpus-small by construction, which is what keeps the
+       broadcast bounded at 100 TB.
     3. **Quality filter** — survivors need >= min_tokens whitespace
        tokens (map-only; heavier quality/perplexity scorers from
        operators/text.py slot in here behind the same boundary).
@@ -107,6 +116,9 @@ def curation_chain(
         .localCheckpoint(eager=True)
     )
     ev = grams.filter(F.col("doc_id") % eval_mod == 0).select("bigram")
+    if m_bits is None:
+        n_ev = ev.distinct().count()
+        m_bits = max(65536, 1 << (16 * max(n_ev, 1) - 1).bit_length())
     train_ids = kept.filter(F.col("doc_id") % eval_mod != 0)
     tr_grams = grams.filter(F.col("doc_id") % eval_mod != 0).join(
         train_ids.select("doc_id"), "doc_id", "left_semi"
