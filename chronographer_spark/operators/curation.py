@@ -82,7 +82,7 @@ def curation_chain(
     from .dedup import exact_dedup
     from .packing import pack_sequences
     from .sampling import dsir_select
-    from .sketches import bloom_build, bloom_maybe_contains
+    from .sketches import _bloom_bit, bloom_build
 
     spark = docs.sparkSession
 
@@ -102,17 +102,22 @@ def curation_chain(
     )
     ngrams = F.when(
         F.size(toks) >= ngram_n,
-        F.transform(
-            F.sequence(F.lit(ngram_n), F.size(toks)),
-            lambda i: F.concat_ws(
-                " ", F.slice(toks, i - (ngram_n - 1), ngram_n)
-            ),
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(ngram_n), F.size(toks)),
+                lambda i: F.concat_ws(
+                    " ", F.slice(toks, i - (ngram_n - 1), ngram_n)
+                ),
+            )
         ),
     ).otherwise(F.array().cast("array<string>"))
+    # per-doc distinct is DOC-LOCAL (array_distinct before the explode) —
+    # a global .distinct() here would shuffle the whole gram table for a
+    # dedup the array already guarantees (found by the N->4N soak: the
+    # string-keyed gram shuffles were the chain's serial bottleneck)
     grams = (
         docs.repartition(spark.sparkContext.defaultParallelism)
         .select("doc_id", F.explode(ngrams).alias("bigram"))
-        .distinct()
         .localCheckpoint(eager=True)
     )
     ev = grams.filter(F.col("doc_id") % eval_mod == 0).select("bigram")
@@ -124,19 +129,30 @@ def curation_chain(
         train_ids.select("doc_id"), "doc_id", "left_semi"
     )
     bloom = bloom_build(ev, "bigram", m_bits=m_bits, k_hashes=k_hashes)
-    maybe = bloom_maybe_contains(
-        bloom,
-        tr_grams.select("bigram").distinct(),
-        "bigram",
-        m_bits=m_bits,
-        k_hashes=k_hashes,
-    )
+    # map-side probe: k broadcast hash joins against the (unique-bit)
+    # filter table, then ONE doc-keyed aggregation — replaces the
+    # candidate-distinct + per-gram groupBy + join-back shape (three
+    # corpus-gram-sized string shuffles) of the generic
+    # bloom_maybe_contains; semantics identical (maybe = all k bits set)
+    probed = tr_grams
+    hits = []
+    for j in range(k_hashes):
+        b = F.col(f"__b{j}")
+        probed = probed.join(
+            F.broadcast(bloom.select(F.col("bit").alias(f"__b{j}"))),
+            _bloom_bit(F.col("bigram"), F.lit(j), m_bits) == b,
+            "left",
+        ).withColumn(f"__h{j}", b.isNotNull()).drop(f"__b{j}")
+        hits.append(F.col(f"__h{j}"))
+    cond = hits[0]
+    for h in hits[1:]:
+        cond = cond & h
+    maybe_expr = F.when(cond, F.lit(1)).otherwise(F.lit(0))
     contam = (
-        tr_grams.join(maybe, "bigram")
-        .groupBy("doc_id")
+        probed.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
-            F.sum("maybe").cast("long").alias("n_maybe"),
+            F.sum(maybe_expr).cast("long").alias("n_maybe"),
         )
     )
     decon = train_ids.join(contam, "doc_id", "left").filter(

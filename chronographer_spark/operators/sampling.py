@@ -786,19 +786,22 @@ def dsir_select(
     the bucket LLR s16, and the top-k by (w desc, id asc) survive — the
     deterministic top-k variant of DSIR's Gumbel resampling.
 
-    Shape at 100 TB: the bucket-score table is <= B rows (eagerly
-    checkpointed, broadcast to the scoring join — no shuffle on the corpus
-    side beyond the final map-side-combined groupBy(doc)), and the top-k is
-    a TakeOrderedAndProject, never a global sort.
+    Shape at 100 TB: the corpus tokens collapse ONCE to (doc, bucket,
+    count) cells — one map-side-combined shuffle shared by BOTH the
+    bucket-score derivation (a <= B-row aggregate over the cells) and the
+    per-doc scoring (broadcast-join + doc-keyed aggregate over the same
+    cells); the round-5 restructure removed the second full token
+    explode+shuffle the scoring pass used to pay. The score table is
+    bit-identical to dsir_bucket_scores (same per-bucket counts by
+    associativity of the sum), and the top-k is a TakeOrderedAndProject,
+    never a global sort.
 
     Returns (doc_id, n_toks, w_s16, rnk), rnk 1..k."""
-    scores = dsir_bucket_scores(
-        df, target, text_col=text_col, id_col=id_col, n_buckets=n_buckets
-    ).localCheckpoint(eager=True)
-    toks = _dsir_tokens(df, text_col, id_col, target).filter(~F.col("__is_t"))
-    weighted = (
+    toks = _dsir_tokens(df, text_col, id_col, target)
+    cells = (
         toks.select(
             "__id",
+            "__is_t",
             F.pmod(
                 F.conv(F.substring(F.md5(F.col("__tok")), 1, 8), 16, 10).cast(
                     "long"
@@ -806,11 +809,42 @@ def dsir_select(
                 F.lit(n_buckets),
             ).alias("bucket"),
         )
-        .join(F.broadcast(scores.select("bucket", "s16")), "bucket")
+        .groupBy("__id", "__is_t", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+        .localCheckpoint(eager=True)
+    )
+    bkt = cells.groupBy("bucket").agg(
+        F.sum(F.when(F.col("__is_t"), F.col("__c")).otherwise(0))
+        .cast("long")
+        .alias("ct"),
+        F.sum(F.when(F.col("__is_t"), 0).otherwise(F.col("__c")))
+        .cast("long")
+        .alias("cr"),
+    )
+    tot = bkt.agg(
+        F.sum("ct").cast("long").alias("__t"),
+        F.sum("cr").cast("long").alias("__r"),
+    )
+    b = int(n_buckets)
+    qn = "((ct + 1) * CAST(1048576 AS BIGINT) DIV (cr + 1))"
+    qd = f"((__t + {b}) * CAST(1048576 AS BIGINT) DIV (__r + {b}))"
+    scores = (
+        bkt.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.expr(
+                f"CAST({_msb16_sql(qn)} - {_msb16_sql(qd)} AS BIGINT)"
+            ).alias("s16"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    weighted = (
+        cells.filter(~F.col("__is_t"))
+        .join(F.broadcast(scores), "bucket")
         .groupBy("__id")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_toks"),
-            F.sum("s16").cast("long").alias("w_s16"),
+            F.sum("__c").cast("long").alias("n_toks"),
+            F.sum(F.expr("__c * s16")).cast("long").alias("w_s16"),
         )
     )
     topk = weighted.orderBy(F.col("w_s16").desc(), F.col("__id").asc()).limit(k)
