@@ -1078,7 +1078,7 @@ def isotonic_calibrate(
     idx: str = "event_id",
 ) -> DataFrame:
     """Exact isotonic regression per group (pool-adjacent-violators): the
-    REAL calibration step behind a quality/安全 classifier threshold —
+    REAL calibration step behind a quality/safety classifier threshold —
     monotone-nondecreasing fit of label on score, each row calibrated to
     its block mean as the exact rational (block_sum * 1e6) DIV block_n.
     No float anywhere: block merges compare means by cross-multiplication.

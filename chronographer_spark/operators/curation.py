@@ -129,20 +129,48 @@ def curation_chain(
         train_ids.select("doc_id"), "doc_id", "left_semi"
     )
     bloom = bloom_build(ev, "bigram", m_bits=m_bits, k_hashes=k_hashes)
-    # map-side probe: k broadcast hash joins against the (unique-bit)
-    # filter table, then ONE doc-keyed aggregation — replaces the
-    # candidate-distinct + per-gram groupBy + join-back shape (three
-    # corpus-gram-sized string shuffles) of the generic
-    # bloom_maybe_contains; semantics identical (maybe = all k bits set)
+    # Pack the filter into 64-bit words: the bit table has up to 3·n_eval
+    # rows, and building a multi-million-row broadcast hash relation is
+    # single-threaded driver work that scaled with data but not cores
+    # (measured: the chain's residual serial fraction in the N->4N soak).
+    # The word table is m/64 rows at most (bit_or packed in a PARALLEL
+    # aggregation), ~8 MB at m=2^26. Probing stays k map-side broadcast
+    # joins + ONE doc-keyed aggregation — replacing the generic
+    # bloom_maybe_contains candidate-distinct/groupBy/join-back shape
+    # (three gram-sized string shuffles). Representation only: maybe =
+    # all k bits set, bit-identical to the unpacked filter, so the
+    # oracle is untouched.
+    words = (
+        bloom.groupBy(F.expr("bit DIV 64").alias("__w"))
+        .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), "
+                    "CAST(bit % 64 AS INT)))").alias("__mask"))
+        .localCheckpoint(eager=True)
+    )
     probed = tr_grams
     hits = []
     for j in range(k_hashes):
-        b = F.col(f"__b{j}")
-        probed = probed.join(
-            F.broadcast(bloom.select(F.col("bit").alias(f"__b{j}"))),
-            _bloom_bit(F.col("bigram"), F.lit(j), m_bits) == b,
-            "left",
-        ).withColumn(f"__h{j}", b.isNotNull()).drop(f"__b{j}")
+        bit_j = _bloom_bit(F.col("bigram"), F.lit(j), m_bits)
+        probed = (
+            probed.withColumn(f"__bit{j}", bit_j)
+            .join(
+                F.broadcast(
+                    words.select(
+                        F.col("__w").alias(f"__w{j}"),
+                        F.col("__mask").alias(f"__m{j}"),
+                    )
+                ),
+                F.expr(f"__bit{j} DIV 64") == F.col(f"__w{j}"),
+                "left",
+            )
+            .withColumn(
+                f"__h{j}",
+                F.expr(
+                    f"coalesce(__m{j} & shiftleft(CAST(1 AS BIGINT),"
+                    f" CAST(__bit{j} % 64 AS INT)), 0) != 0"
+                ),
+            )
+            .drop(f"__w{j}", f"__m{j}", f"__bit{j}")
+        )
         hits.append(F.col(f"__h{j}"))
     cond = hits[0]
     for h in hits[1:]:
