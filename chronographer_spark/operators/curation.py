@@ -74,7 +74,9 @@ def curation_chain(
 
     The survivor table after stage 3 is eagerly checkpointed: stages 4a
     (bucket counts), 4b (doc scoring) and 5 all re-read it; without the
-    checkpoint each consumer re-executes dedup + the Bloom join.
+    checkpoint each consumer re-executes dedup + the Bloom join. The
+    n-gram table is NOT checkpointed (see inline note — recompute beats
+    materializing gram strings, measured).
 
     Returns one row per selected doc: (doc_id, w_s16, rnk, n_tokens,
     cum_before, first_chunk, last_chunk, chunk_offset).
@@ -114,12 +116,17 @@ def curation_chain(
     # per-doc distinct is DOC-LOCAL (array_distinct before the explode) —
     # a global .distinct() here would shuffle the whole gram table for a
     # dedup the array already guarantees (found by the N->4N soak: the
-    # string-keyed gram shuffles were the chain's serial bottleneck)
-    grams = (
-        docs.repartition(spark.sparkContext.defaultParallelism)
-        .select("doc_id", F.explode(ngrams).alias("bigram"))
-        .localCheckpoint(eager=True)
-    )
+    # string-keyed gram shuffles were the chain's serial bottleneck).
+    # NO checkpoint here, deliberately: the gram table's three consumers
+    # (eval count, Bloom build, training probe) re-execute this map-only
+    # explode instead — pure compute that scales with cores — because
+    # materializing tens of millions of gram STRINGS is bandwidth/GC
+    # work that does not (measured at 96x: per-stage 2->8-core
+    # efficiency 0.64 with the checkpoint vs 0.80 recomputing, and the
+    # 8-core wall dropped 83->71 s; the round-1 mentions-DF lesson again)
+    grams = docs.repartition(
+        spark.sparkContext.defaultParallelism
+    ).select("doc_id", F.explode(ngrams).alias("bigram"))
     ev = grams.filter(F.col("doc_id") % eval_mod == 0).select("bigram")
     if m_bits is None:
         n_ev = ev.distinct().count()
