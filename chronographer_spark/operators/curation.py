@@ -84,7 +84,6 @@ def curation_chain(
     from .dedup import exact_dedup
     from .packing import pack_sequences
     from .sampling import dsir_select
-    from .sketches import _bloom_bit, bloom_build
 
     spark = docs.sparkSession
 
@@ -128,14 +127,61 @@ def curation_chain(
         spark.sparkContext.defaultParallelism
     ).select("doc_id", F.explode(ngrams).alias("bigram"))
     ev = grams.filter(F.col("doc_id") % eval_mod == 0).select("bigram")
+    # Adaptive filter size INSIDE the plan: m = max(65536,
+    # ceil_pow2(16 * n_eval_grams)) via exact bin()-length arithmetic
+    # (mirrors both the oracle's SQL and Python's bit_length — float
+    # log2 could mis-round at power-of-two boundaries and desync the
+    # engines). Computing it as a 1-row broadcast instead of a driver
+    # .count() removes a whole extra corpus pass + job barrier from the
+    # chain (the N->4N soak's residual serial fraction).
     if m_bits is None:
-        n_ev = ev.distinct().count()
-        m_bits = max(65536, 1 << (16 * max(n_ev, 1) - 1).bit_length())
+        m_row = ev.agg(
+            F.countDistinct("bigram").alias("__n")
+        ).select(
+            F.expr(
+                "greatest(CAST(65536 AS BIGINT), shiftleft(CAST(1 AS"
+                " BIGINT), CAST(length(bin(greatest(16 * __n - 1, 1)))"
+                " AS INT)))"
+            ).alias("__m")
+        )
+    else:
+        m_row = docs.sparkSession.range(1).select(
+            F.lit(int(m_bits)).cast("long").alias("__m")
+        )
     train_ids = kept.filter(F.col("doc_id") % eval_mod != 0)
     tr_grams = grams.filter(F.col("doc_id") % eval_mod != 0).join(
         train_ids.select("doc_id"), "doc_id", "left_semi"
     )
-    bloom = bloom_build(ev, "bigram", m_bits=m_bits, k_hashes=k_hashes)
+    def bit_expr(item_col, j_col):
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", j_col.cast("string"), item_col.cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return F.pmod(h, F.col("__m"))
+
+    # sketches.bloom_build inlined with the 1-row m broadcast (the
+    # generic builder needs a literal m; hash and modulo are identical)
+    bloom = (
+        ev.crossJoin(F.broadcast(m_row))
+        .select(
+            F.explode(
+                F.array(*[F.lit(j) for j in range(k_hashes)])
+            ).alias("j"),
+            "bigram",
+            "__m",
+        )
+        .select(bit_expr(F.col("bigram"), F.col("j")).alias("bit"))
+        .distinct()
+    )
     # Pack the filter into 64-bit words: the bit table has up to 3·n_eval
     # rows, and building a multi-million-row broadcast hash relation is
     # single-threaded driver work that scaled with data but not cores
@@ -153,10 +199,10 @@ def curation_chain(
                     "CAST(bit % 64 AS INT)))").alias("__mask"))
         .localCheckpoint(eager=True)
     )
-    probed = tr_grams
+    probed = tr_grams.crossJoin(F.broadcast(m_row))
     hits = []
     for j in range(k_hashes):
-        bit_j = _bloom_bit(F.col("bigram"), F.lit(j), m_bits)
+        bit_j = bit_expr(F.col("bigram"), F.lit(j))
         probed = (
             probed.withColumn(f"__bit{j}", bit_j)
             .join(
@@ -179,6 +225,7 @@ def curation_chain(
             .drop(f"__w{j}", f"__m{j}", f"__bit{j}")
         )
         hits.append(F.col(f"__h{j}"))
+    probed = probed.drop("__m")
     cond = hits[0]
     for h in hits[1:]:
         cond = cond & h
