@@ -1133,3 +1133,77 @@ def test_daily_append_composition(spark, tmp_path):
         for t in ("triples", "order_edges", "event_components")
     }
     assert before == after
+
+
+def test_daily_append_resumes_after_midjob_crash(spark, tmp_path):
+    """Resumability under PARTIAL failure, not just clean re-run: crash
+    the day-2 job after the label/triple/edge MERGEs but before the
+    PageRank write (monkeypatched pagerank raises), then re-run the same
+    run_id. The healed state must equal a never-crashed day-2 run on
+    every table — the MERGE-on-(key, run_id) idempotence is what makes
+    the crash window harmless."""
+    import pyspark.sql.functions as F  # noqa: F401
+
+    import chronographer_spark.pipeline_append as pa
+    from chronographer_spark.io.catalog import Catalog
+
+    def tx(rows):
+        return spark.createDataFrame(
+            [
+                (c, t, ["user", "assistant", "tool"][t % 3],
+                 f"event login with value {10 + t} recorded on 2024-01-0{1 + t % 7}",
+                 "login" if t % 3 == 2 else "", None)
+                for c, t in rows
+            ],
+            "conv_id string, turn_idx int, role string, text string,"
+            " tool string, ts timestamp",
+        )
+
+    day1 = tx([("convA", t) for t in range(6)])
+    day2 = tx([("convA", 6), ("convB", 0), ("convB", 1)])
+    bridge = tx([("convA", 5)])
+    empty = day1.limit(0)
+
+    # reference: a never-crashed pair of runs
+    ref = Catalog(spark, str(tmp_path / "ref"))
+    pa.daily_append(ref, day1, empty, "day1", pr_iterations=6, pr_tol=None)
+    pa.daily_append(ref, day2, bridge, "day2", pr_iterations=6, pr_tol=None)
+
+    # crashed run: pagerank raises mid-job on day 2
+    cat = Catalog(spark, str(tmp_path / "crash"))
+    pa.daily_append(cat, day1, empty, "day1", pr_iterations=6, pr_tol=None)
+    real_pr = None
+    import chronographer_spark.operators.graph_algos as ga
+
+    real_pr = ga.pagerank
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash before rank write")
+
+    ga.pagerank = boom
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="injected crash"):
+            pa.daily_append(cat, day2, bridge, "day2", pr_iterations=6, pr_tol=None)
+    finally:
+        ga.pagerank = real_pr
+
+    # labels/triples/edges landed before the crash; ranks did not
+    assert cat.exists("event_components") and cat.exists("triples")
+    r1 = {tuple(r) for r in cat.read("event_ranks").select("node").collect()}
+    assert ("ng:event/convB/1",) not in r1  # day-2 ranks missing
+
+    # heal: re-run the SAME run_id to completion
+    pa.daily_append(cat, day2, bridge, "day2", pr_iterations=6, pr_tol=None)
+    for t in ("triples", "order_edges", "event_components"):
+        got = sorted(map(tuple, cat.read(t).drop("lineage_ts").collect()))
+        want = sorted(map(tuple, ref.read(t).drop("lineage_ts").collect()))
+        assert got == want, t
+    got_r = sorted(
+        map(tuple, cat.read("event_ranks").select("node", "rank").collect())
+    )
+    want_r = sorted(
+        map(tuple, ref.read("event_ranks").select("node", "rank").collect())
+    )
+    assert got_r == want_r
